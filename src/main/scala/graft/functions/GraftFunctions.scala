@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-API surface of the engine's reusable scalar functions.
+  *
+  * Everything here is either a built-in composition (codegen'd for free)
+  * or a JVM Scala UDF over the deterministic kernels in [[TextHash]] —
+  * used only where built-ins genuinely can't express the semantics.
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------------- nulls
+
+  /** Tabular-category null vocabulary (reference `csv_ingestor.py:62-67`):
+    * "", "NA", "NULL", "None" (post-trim) all mean SQL NULL.
+    */
+  val tabularNullTokens: Seq[String] = Seq("", "NA", "NULL", "None")
+
+  /** Normalize the 4-way null vocabulary to SQL NULL and trim survivors
+    * (reference `ingestors/base.py:342-377`). For non-tabular categories
+    * pass `tokens = Seq("")`.
+    */
+  def nullNormalized(c: Column, tokens: Seq[String] = tabularNullTokens): Column =
+    when(c.isNull || trim(c).isin(tokens: _*), lit(null)).otherwise(trim(c))
+
+  // -------------------------------------------------------------- boolean
+
+  /** Textual boolean vocabulary (reference `csv_ingestor.py:233-247`,
+    * `data_validator.py:639-742`): true/false, yes/no, t/f, y/n, 1/0,
+    * "1.0"/"0.0", and any numeric string coercible to exactly 0 or 1.
+    * Unrecognized non-null input → NULL (callers count those as invalid).
+    */
+  def parseBool(c: Column): Column = {
+    val s = lower(trim(c))
+    when(c.isNull, lit(null).cast("boolean"))
+      .when(s.isin("true", "yes", "t", "y", "1"), lit(true))
+      .when(s.isin("false", "no", "f", "n", "0"), lit(false))
+      .when(s.try_cast("double") === 1.0, lit(true))
+      .when(s.try_cast("double") === 0.0, lit(false))
+      .otherwise(lit(null).cast("boolean"))
+  }
+
+  // ---------------------------------------------------------- date / time
+
+  /** Ordered pattern list for the reference's "mixed-format" lenient
+    * datetime parse (`csv_ingestor.py:70-109`): ISO datetime first, then
+    * ISO date, then slashed/dotted forms whose day/month order follows
+    * `dayFirst`. First pattern that parses wins; all fail → NULL.
+    */
+  def parseDatetimeLenient(c: Column, dayFirst: Boolean = false): Column = {
+    val ambiguous =
+      if (dayFirst) Seq("d/M/yyyy H:m:s", "d/M/yyyy", "d-M-yyyy", "d.M.yyyy")
+      else Seq("M/d/yyyy H:m:s", "M/d/yyyy", "M-d-yyyy", "M.d.yyyy")
+    val patterns = Seq(
+      "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss",
+      "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd",
+      "yyyy/MM/dd") ++ ambiguous
+    coalesce(patterns.map(p => try_to_timestamp(trim(c), lit(p))): _*)
+  }
+
+  /** A value is locale-ambiguous when it parses BOTH day-first and
+    * month-first to different instants and is not ISO-shaped (reference
+    * `time_format_validator.py:79-106`'s guard).
+    */
+  def isAmbiguousDate(c: Column): Column = {
+    val mdy = parseDatetimeLenient(c, dayFirst = false)
+    val dmy = parseDatetimeLenient(c, dayFirst = true)
+    mdy.isNotNull && dmy.isNotNull && (mdy =!= dmy) && !trim(c).rlike("^\\d{4}-")
+  }
+
+  // ------------------------------------------------------------- text ops
+
+  /** Whitespace token count — lockstep with [[TextHash.tokens]]. */
+  def tokenCount(c: Column): Column =
+    when(c.isNull || trim(c) === "", lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword estimate: word-parts, digits runs, and punctuation
+    * each count as a token (a cheap `\p{L}+|\p{N}+|[^\p{L}\p{N}\s]`
+    * regex proxy for byte-pair tokenizers).
+    */
+  def subwordCount(c: Column): Column =
+    when(c.isNull, lit(0)).otherwise(
+      size(regexp_extract_all(c, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))))
+
+  private val udfSim = udf((s: String) => TextHash.simhash64(s))
+  private val udfFp = udf((s: String) => TextHash.fingerprint(s))
+  private val udfMinhash =
+    udf((s: String, k: Int, n: Int) => TextHash.minhash(s, k, n))
+  private val udfBands =
+    udf((sig: Seq[Long], bands: Int) => TextHash.bandKeys(sig.toArray, bands))
+  private val udfJaccard =
+    udf((a: String, b: String, n: Int) => TextHash.jaccard(a, b, n))
+
+  def simhash(c: Column): Column = udfSim(c)
+  def fingerprint(c: Column): Column = udfFp(c)
+  def minhashSig(c: Column, k: Int, shingleN: Int): Column =
+    udfMinhash(c, lit(k), lit(shingleN))
+  def minhashBands(sig: Column, bands: Int): Column = udfBands(sig, lit(bands))
+  def jaccardSim(a: Column, b: Column, shingleN: Int): Column =
+    udfJaccard(a, b, lit(shingleN))
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Label privacy bucket — see [[LabelHashBucket]]. */
+  def labelBucket(c: Column, buckets: Int = 64): Column =
+    LabelHashBucket.of(c, buckets)
+
+  def cosineSim(a: Column, b: Column): Column = VectorOps.cosineSim(a, b)
+  def dotProduct(a: Column, b: Column): Column = VectorOps.dotProduct(a, b)
+}

@@ -1,0 +1,136 @@
+package graft.functions
+
+/** Deterministic, JVM-stable text hashing kernels for the dedup family
+  * (SimHash, MinHash, shingle fingerprints). All built on FNV-1a 64 so
+  * results are reproducible across executors, JVMs and rounds — never use
+  * `String.hashCode` (32-bit, weak) or anything seeded by runtime state.
+  */
+object TextHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(s: String): Long = {
+    var h = FnvOffset
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** Seeded variant (used to derive the MinHash permutation family). */
+  def fnv1a64(s: String, seed: Long): Long = {
+    var h = FnvOffset ^ seed
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** Finalizer (splitmix64) to decorrelate the seeded FNV streams. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Whitespace tokenization shared by every text operator — one
+    * definition so token counts, shingles and hashes stay in lockstep.
+    */
+  def tokens(text: String): Array[String] =
+    if (text == null || text.isEmpty) Array.empty
+    else text.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** Word-level n-gram shingles (the dedup unit for MinHash / Jaccard). */
+  def shingles(text: String, n: Int): Array[String] = {
+    val t = tokens(text)
+    if (t.length < n) { if (t.isEmpty) Array.empty else Array(t.mkString(" ")) }
+    else t.sliding(n).map(_.mkString(" ")).toArray
+  }
+
+  /** 64-bit SimHash over whitespace tokens: sign-aggregate each hash bit
+    * weighted by term frequency. Near-duplicate docs differ in few bits.
+    */
+  def simhash64(text: String): Long = {
+    val counts = new java.util.HashMap[String, Int]()
+    tokens(text).foreach(t => counts.merge(t, 1, Integer.sum _))
+    if (counts.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    counts.forEach { (tok, w) =>
+      val h = mix64(fnv1a64(tok))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature of `k` hashes over `n`-gram shingles. Empty text →
+    * all Long.MaxValue (never matches a non-empty signature band).
+    */
+  def minhash(text: String, k: Int, shingleN: Int): Array[Long] = {
+    val sh = shingles(text, shingleN)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val base = fnv1a64(sh(i))
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (j.toLong * 0x9e3779b97f4a7c15L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys for a MinHash signature: `bands` hashes, each over
+    * `k/bands` adjacent signature slots. Docs sharing ANY band key are
+    * candidate near-duplicates (bucket-join, never a cartesian).
+    */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = FnvOffset ^ b.toLong
+      var r = 0
+      while (r < rows) { h ^= sig(b * rows + r); h *= FnvPrime; r += 1 }
+      mix64(h)
+    }
+  }
+
+  /** Exact word-shingle Jaccard similarity (the verify step after LSH
+    * candidate generation).
+    */
+  def jaccard(a: String, b: String, shingleN: Int): Double = {
+    val sa = shingles(a, shingleN).toSet
+    val sb = shingles(b, shingleN).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+  }
+
+  /** Rolling (Rabin-Karp-style polynomial) fingerprint of the normalized
+    * document: lowercase, whitespace collapsed. Equal fingerprints ⇒
+    * same normalized content (modulo 64-bit collisions).
+    */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    var h = 0L
+    var i = 0
+    while (i < norm.length) { h = h * 1315423911L + norm.charAt(i); i += 1 }
+    h
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
