@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operators over the testdata star schema: scans with
+  * pushdown, aggregations, broadcast/shuffle joins, anti/semi joins,
+  * window ordering checks, top-k and set operations.
+  *
+  * Maps to SURVEY.md §2.1 (S1/S6 scans), §2.4 (J1–J4 joins), §2.5
+  * (A1–A6 aggregations), §2.6 (W1 ordering), §2.7 (top-k), §2.8 (set
+  * ops). Every query carries a DuckDB oracle with IDENTICAL output
+  * column names and explicit rounding on float aggregates (double sums
+  * are order-dependent in the last ulps; rounding makes both engines
+  * land on the same decimal).
+  *
+  * Scale notes (100 TB design): small dims (region/nation/customer/
+  * supplier/part) are broadcast; fact-fact joins shuffle on their join
+  * key only; no global windows except where the semantic IS file-order
+  * (W1), which partitions by user_id instead of a single global sort.
+  */
+object CoreQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- S1/A-family: full-scan grouped aggregate (pricing summary) ----
+    "q1_pricing_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // -- S1: filter + projection; predicate and column pruning reach the
+    //    parquet scan (PushedFilters in .explain).
+    "q2_filter_project" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 47 && col("l_discount") < 0.02)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // -- S6: record counts (count-scan prunes all columns) -------------
+    "s6_counts" -> { (s, d) =>
+      Seq("lineitem", "orders", "customer", "events", "documents")
+        .map(t => Tables.load(s, d, t).agg(count(lit(1)).as("n")).withColumn("tbl", lit(t)))
+        .reduce(_.unionByName(_))
+        .orderBy("tbl")
+    },
+
+    // -- J: fact⋈fact⋈broadcast-dim join with grouped revenue ----------
+    "q3_segment_revenue" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // -- J3: chained broadcast joins up the dim hierarchy --------------
+    "j3_region_revenue" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name")
+    },
+
+    // -- J1/V12: two-sided anti-join (the file-pairing set difference,
+    //    reference file_pairing_validator.py:82-109) -------------------
+    "j1_anti_pairing" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val partSide = Tables.part(s, d)
+        .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+        .agg(count(lit(1)).as("n_unmatched"),
+          min("p_partkey").as("min_key"), max("p_partkey").as("max_key"))
+        .withColumn("side", lit("part_without_lineitem"))
+      val suppSide = Tables.supplier(s, d)
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .agg(count(lit(1)).as("n_unmatched"),
+          min("s_suppkey").as("min_key"), max("s_suppkey").as("max_key"))
+        .withColumn("side", lit("supplier_without_lineitem"))
+      partSide.unionByName(suppSide).orderBy("side")
+    },
+
+    // -- J2: left join with missing-side diagnosis (bio_label join) ----
+    "j2_left_join_missing" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(when(col("n_orders").isNull, 1).otherwise(0)).as("n_without_orders"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+
+    // -- J4: semi-join existence counts --------------------------------
+    "j4_semi_exists" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val partSide = Tables.part(s, d)
+        .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n_matched")).withColumn("side", lit("part_with_lineitem"))
+      val custSide = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_matched")).withColumn("side", lit("customer_with_orders"))
+      partSide.unionByName(custSide).orderBy("side")
+    },
+
+    // -- W1/V4: monotonic-timestamp check via lag window (reference
+    //    time_ordered_validator.py:53-58). Partitioned by user — a
+    //    single global sort would serialize at 100 TB; the per-key
+    //    variant scales and the global count is its sum. --------------
+    "w1_monotonic" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("ts") < col("prev_ts"), 1).otherwise(0)).as("n_out_of_order"))
+        .orderBy("user_id")
+    },
+
+    // -- §2.7: top-k by sort + limit -----------------------------------
+    "q8_topk_orders" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+    },
+
+    // -- §2.8: set operations over key sets ----------------------------
+    "set_ops_users" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def users(t: String) = ev.filter(col("event_type") === t).select("user_id").distinct()
+      val click = users("click")
+      val view = users("view")
+      Seq(
+        click.except(view).agg(count(lit(1)).as("n")).withColumn("op", lit("click_minus_view")),
+        click.intersect(view).agg(count(lit(1)).as("n")).withColumn("op", lit("click_intersect_view")),
+        click.union(view).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("click_union_view")))
+        .reduce(_.unionByName(_))
+        .orderBy("op")
+    },
+
+    // -- A3: distinct-set aggregates (extensions/resolutions found) ----
+    "a3_distinct_sets" -> { (s, d) =>
+      Tables.events(s, d).agg(
+        countDistinct("event_type").as("n_types"),
+        countDistinct("user_id").as("n_users"),
+        concat_ws(",", sort_array(collect_set("event_type"))).as("types"))
+    },
+
+    // -- A2: bounded offending-sample lists (≤5 ids, deterministic) ----
+    "a2_error_samples" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 300)
+        .agg(
+          count(lit(1)).as("n_offending"),
+          concat_ws(",",
+            transform(slice(sort_array(collect_set("doc_id")), 1, 5),
+              x => x.cast("string"))).as("sample_ids"))
+    },
+
+    // -- scalar date/time functions over event time --------------------
+    "f_datetime_daily" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("day")
+    },
+
+    // -- scalar string functions + regex (§2.9) ------------------------
+    "f_string_funcs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(lower(trim(col("lang"))).as("lang_norm"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("text").rlike("spark"), 1).otherwise(0)).as("n_spark"),
+          sum(length(col("text"))).as("total_len"),
+          max(length(regexp_replace(col("text"), "[aeiou]", ""))).as("max_novowel_len"))
+        .orderBy("lang_norm")
+    },
+
+    // -- sha2 parity with the oracle (hash function family, §2.9) ------
+    "f_sha2_hex" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select("lang").distinct()
+        .select(col("lang"), sha2(col("lang"), 256).as("lang_sha256"))
+        .orderBy("lang")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS price
+        |FROM lineitem WHERE l_quantity > 47 AND l_discount < 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s6_counts" ->
+      """SELECT n, tbl FROM (
+        | SELECT count(*) AS n, 'lineitem' AS tbl FROM lineitem
+        | UNION ALL SELECT count(*), 'orders' FROM orders
+        | UNION ALL SELECT count(*), 'customer' FROM customer
+        | UNION ALL SELECT count(*), 'events' FROM events
+        | UNION ALL SELECT count(*), 'documents' FROM documents
+        |) ORDER BY tbl""".stripMargin,
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j3_region_revenue" ->
+      """SELECT r_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j1_anti_pairing" ->
+      """SELECT * FROM (
+        | SELECT count(*) AS n_unmatched, min(p_partkey) AS min_key, max(p_partkey) AS max_key,
+        |        'part_without_lineitem' AS side
+        | FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        | UNION ALL
+        | SELECT count(*), min(s_suppkey), max(s_suppkey), 'supplier_without_lineitem'
+        | FROM supplier WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |) ORDER BY side""".stripMargin,
+    "j2_left_join_missing" ->
+      """SELECT c_mktsegment,
+        | sum(CASE WHEN o.n_orders IS NULL THEN 1 ELSE 0 END) AS n_without_orders,
+        | count(*) AS n_customers
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+        |) o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j4_semi_exists" ->
+      """SELECT * FROM (
+        | SELECT count(*) AS n_matched, 'part_with_lineitem' AS side
+        | FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        | UNION ALL
+        | SELECT count(*), 'customer_with_orders'
+        | FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |) ORDER BY side""".stripMargin,
+    "w1_monotonic" ->
+      """SELECT user_id, count(*) AS n_events,
+        | sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS n_out_of_order
+        |FROM (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |  FROM events
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price,
+        | strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "set_ops_users" ->
+      """SELECT * FROM (
+        | SELECT count(*) AS n, 'click_minus_view' AS op FROM (
+        |   SELECT DISTINCT user_id FROM events WHERE event_type='click'
+        |   EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='view')
+        | UNION ALL
+        | SELECT count(*), 'click_intersect_view' FROM (
+        |   SELECT DISTINCT user_id FROM events WHERE event_type='click'
+        |   INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type='view')
+        | UNION ALL
+        | SELECT count(*), 'click_union_view' FROM (
+        |   SELECT DISTINCT user_id FROM events WHERE event_type='click'
+        |   UNION SELECT DISTINCT user_id FROM events WHERE event_type='view')
+        |) ORDER BY op""".stripMargin,
+    "a3_distinct_sets" ->
+      """SELECT count(DISTINCT event_type) AS n_types,
+        | count(DISTINCT user_id) AS n_users,
+        | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events""".stripMargin,
+    "a2_error_samples" ->
+      """SELECT count(*) AS n_offending,
+        | array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 5), ',') AS sample_ids
+        |FROM documents WHERE n_chars > 300""".stripMargin,
+    "f_datetime_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        | round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f_string_funcs" ->
+      """SELECT lower(trim(lang)) AS lang_norm, count(*) AS n_docs,
+        | sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END) AS n_spark,
+        | sum(length(text)) AS total_len,
+        | max(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS max_novowel_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f_sha2_hex" ->
+      """SELECT lang, sha256(lang) AS lang_sha256
+        |FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang""".stripMargin)
+}

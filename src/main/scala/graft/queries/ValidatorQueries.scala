@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{GraftFunctions => F}
+
+/** The reference's validator battery (SURVEY.md §2.3 V1–V18) re-expressed
+  * as DataFrame aggregation queries over the testdata tables: each
+  * validator is a per-column boolean aggregate ("how many present values
+  * fail the declared-type predicate"), which is exactly what the
+  * reference computes with pandas Series ops
+  * (`validators/data_validator.py:329-354`).
+  *
+  * At 100 TB these are single full scans with map-side partial
+  * aggregation — no shuffle beyond the final 1-row (or per-group)
+  * combine, no driver-side data movement.
+  */
+object ValidatorQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- V1: present-but-unparseable counts per declared type ----------
+    // (data_validator.py:356-821 — try-parse each value, count failures;
+    // here over stringified columns so the cast is genuine.)
+    "v1_typecheck_counts" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_quantity").cast("string").as("qty_s"),
+          col("l_returnflag").as("flag_s"),
+          col("l_linenumber").cast("string").as("ln_s"))
+        .agg(
+          sum(when(expr("try_cast(qty_s AS DOUBLE)").isNull && col("qty_s").isNotNull, 1)
+            .otherwise(0)).as("bad_double"),
+          sum(when(expr("try_cast(flag_s AS INT)").isNull && col("flag_s").isNotNull, 1)
+            .otherwise(0)).as("bad_int_flag"),
+          sum(when(expr("try_cast(ln_s AS INT)").isNull && col("ln_s").isNotNull, 1)
+            .otherwise(0)).as("bad_int_ln"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // -- V1: VARCHAR(n) length overflow + CHAR exact-length ------------
+    // (data_validator.py:373-452)
+    "v1_varchar_len" -> { (s, d) =>
+      Tables.documents(s, d).agg(
+        max(length(col("text"))).as("max_len"),
+        sum(when(length(col("text")) > 255, 1).otherwise(0)).as("n_over_255"),
+        sum(when(length(col("lang")) =!= 2, 1).otherwise(0)).as("n_char2_violation"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // -- V1: boolean textual vocabulary (csv_ingestor.py:233-247,
+    //    data_validator.py:639-742) incl. "1.0" and numeric coercion ---
+    "v1_bool_vocab" -> { (s, d) =>
+      val boolStr = when(col("event_type") === "click", lit("yes"))
+        .when(col("event_type") === "view", lit("1.0"))
+        .when(col("event_type") === "error", lit("f"))
+        .when(col("event_type") === "purchase", lit("TRUE"))
+        .otherwise(lit("maybe"))
+      Tables.events(s, d)
+        .withColumn("b", F.parseBool(boolStr))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("b") === true, 1).otherwise(0)).as("n_true"),
+          sum(when(col("b") === false, 1).otherwise(0)).as("n_false"),
+          sum(when(col("b").isNull, 1).otherwise(0)).as("n_unparseable"))
+        .orderBy("event_type")
+    },
+
+    // -- V3: locale-ambiguity guard (time_format_validator.py:79-106):
+    //    a non-ISO date string that parses BOTH day-first and
+    //    month-first to different instants is ambiguous. Spark side
+    //    does the real dual parse over rendered strings; the oracle
+    //    states the analytic truth (day<=12 && day!=month). -----------
+    "v3_date_ambiguity" -> { (s, d) =>
+      val rendered = date_format(col("ts"), "M/d/yyyy")
+      val mdy = F.parseDatetimeLenient(rendered, dayFirst = false)
+      val dmy = F.parseDatetimeLenient(rendered, dayFirst = true)
+      Tables.events(s, d)
+        .select(rendered.as("s"), mdy.as("mdy"), dmy.as("dmy"))
+        .agg(
+          sum(when(col("mdy").isNotNull && col("dmy").isNotNull &&
+            col("mdy") =!= col("dmy"), 1).otherwise(0)).as("n_ambiguous"),
+          sum(when(col("dmy").isNull, 1).otherwise(0)).as("n_dayfirst_unparseable"),
+          sum(when(col("mdy").isNull, 1).otherwise(0)).as("n_monthfirst_unparseable"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // -- V5: no timestamp at/after a cutoff; earliest/latest report ----
+    // (time_before_today_validator.py:22-88; fixed cutoff instead of
+    // current_date so the oracle is reproducible at any wall time)
+    "v5_before_cutoff" -> { (s, d) =>
+      Tables.events(s, d).agg(
+        sum(when(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"), 1)
+          .otherwise(0)).as("n_at_or_after"),
+        unix_micros(min(col("ts"))).as("earliest_us"),
+        unix_micros(max(col("ts"))).as("latest_us"))
+    },
+
+    // -- V6: numeric non-negative column with min/max/mean stats -------
+    // (time_to_event_validator.py:32-234)
+    "v6_numeric_stats" -> { (s, d) =>
+      Tables.events(s, d).agg(
+        sum(when(col("value") < 0, 1).otherwise(0)).as("n_negative"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("n_null"),
+        round(min("value"), 4).as("min_v"),
+        round(max("value"), 4).as("max_v"),
+        round(avg("value"), 4).as("mean_v"))
+    },
+
+    // -- V13/V14: JSON payload shape validation via from_json ----------
+    // (keypoint_annotation_validator.py:104-167 — JSON string column,
+    // typed extraction, per-field predicate counts)
+    "v13_json_payload" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+        .agg(
+          sum(when(col("k").isNull && col("props").isNotNull, 1).otherwise(0)).as("n_bad_json"),
+          min("k").as("min_k"),
+          max("k").as("max_k"),
+          round(avg("k"), 4).as("avg_k"))
+    },
+
+    // -- V2: all-columns-numeric check, nulls tolerated ---------------
+    // (numeric_columns_validator.py:23-144)
+    "v2_numeric_columns" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_acctbal").cast("string").as("bal_s"),
+          col("c_name").as("name_s"))
+        .agg(
+          sum(when(expr("try_cast(bal_s AS DOUBLE)").isNull && col("bal_s").isNotNull, 1)
+            .otherwise(0)).as("bad_bal"),
+          sum(when(expr("try_cast(name_s AS DOUBLE)").isNull && col("name_s").isNotNull, 1)
+            .otherwise(0)).as("bad_name"),
+          sum(when(col("bal_s").isNull, 1).otherwise(0)).as("null_bal"))
+    },
+
+    // -- V16/J2: token-count lockstep between label and content --------
+    // (bio_label_validator.py:137-163 — declared count must equal the
+    // computed word count of the paired text)
+    "v16_token_lockstep" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tc", F.tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(
+          sum("tc").as("total_tokens"),
+          sum(when(col("tc") === 0, 1).otherwise(0)).as("n_empty"),
+          sum(when(length(col("text")) =!= col("n_chars"), 1).otherwise(0)).as("n_len_mismatch"))
+        .orderBy("lang")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "v1_typecheck_counts" ->
+      """SELECT
+        | sum(CASE WHEN TRY_CAST(qty_s AS DOUBLE) IS NULL AND qty_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_double,
+        | sum(CASE WHEN TRY_CAST(flag_s AS INT) IS NULL AND flag_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_int_flag,
+        | sum(CASE WHEN TRY_CAST(ln_s AS INT) IS NULL AND ln_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_int_ln,
+        | count(*) AS n_rows
+        |FROM (SELECT l_quantity::VARCHAR AS qty_s, l_returnflag AS flag_s,
+        |             l_linenumber::VARCHAR AS ln_s FROM lineitem)""".stripMargin,
+    "v1_varchar_len" ->
+      """SELECT max(length(text)) AS max_len,
+        | sum(CASE WHEN length(text) > 255 THEN 1 ELSE 0 END) AS n_over_255,
+        | sum(CASE WHEN length(lang) != 2 THEN 1 ELSE 0 END) AS n_char2_violation,
+        | count(*) AS n_rows
+        |FROM documents""".stripMargin,
+    "v1_bool_vocab" ->
+      """SELECT event_type,
+        | sum(CASE WHEN b = true THEN 1 ELSE 0 END) AS n_true,
+        | sum(CASE WHEN b = false THEN 1 ELSE 0 END) AS n_false,
+        | sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS n_unparseable
+        |FROM (
+        |  SELECT event_type,
+        |    CASE
+        |      WHEN lower(trim(bs)) IN ('true','yes','t','y','1') THEN true
+        |      WHEN lower(trim(bs)) IN ('false','no','f','n','0') THEN false
+        |      WHEN TRY_CAST(lower(trim(bs)) AS DOUBLE) = 1.0 THEN true
+        |      WHEN TRY_CAST(lower(trim(bs)) AS DOUBLE) = 0.0 THEN false
+        |      ELSE NULL END AS b
+        |  FROM (
+        |    SELECT event_type,
+        |      CASE event_type WHEN 'click' THEN 'yes' WHEN 'view' THEN '1.0'
+        |        WHEN 'error' THEN 'f' WHEN 'purchase' THEN 'TRUE'
+        |        ELSE 'maybe' END AS bs
+        |    FROM events)
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v3_date_ambiguity" ->
+      """SELECT
+        | sum(CASE WHEN day(ts) <= 12 AND day(ts) != month(ts) THEN 1 ELSE 0 END) AS n_ambiguous,
+        | sum(CASE WHEN day(ts) > 12 THEN 1 ELSE 0 END) AS n_dayfirst_unparseable,
+        | 0 AS n_monthfirst_unparseable,
+        | count(*) AS n_rows
+        |FROM events""".stripMargin,
+    "v5_before_cutoff" ->
+      """SELECT
+        | sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_at_or_after,
+        | epoch_us(min(ts)) AS earliest_us,
+        | epoch_us(max(ts)) AS latest_us
+        |FROM events""".stripMargin,
+    "v6_numeric_stats" ->
+      """SELECT
+        | sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_negative,
+        | sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+        | round(min(value),4) AS min_v,
+        | round(max(value),4) AS max_v,
+        | round(avg(value),4) AS mean_v
+        |FROM events""".stripMargin,
+    "v13_json_payload" ->
+      """SELECT
+        | sum(CASE WHEN k IS NULL AND props IS NOT NULL THEN 1 ELSE 0 END) AS n_bad_json,
+        | min(k) AS min_k, max(k) AS max_k, round(avg(k),4) AS avg_k
+        |FROM (SELECT props, json_extract_string(props,'$.k')::INT AS k FROM events)""".stripMargin,
+    "v2_numeric_columns" ->
+      """SELECT
+        | sum(CASE WHEN TRY_CAST(bal_s AS DOUBLE) IS NULL AND bal_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_bal,
+        | sum(CASE WHEN TRY_CAST(name_s AS DOUBLE) IS NULL AND name_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_name,
+        | sum(CASE WHEN bal_s IS NULL THEN 1 ELSE 0 END) AS null_bal
+        |FROM (SELECT c_acctbal::VARCHAR AS bal_s, c_name AS name_s FROM customer)""".stripMargin,
+    "v16_token_lockstep" ->
+      """SELECT lang,
+        | sum(tc) AS total_tokens,
+        | sum(CASE WHEN tc = 0 THEN 1 ELSE 0 END) AS n_empty,
+        | sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS n_len_mismatch
+        |FROM (
+        |  SELECT lang, text, n_chars,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_extract_all(trim(text), '\S+')) END AS tc
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}
