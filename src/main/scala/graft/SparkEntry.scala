@@ -22,7 +22,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++
       ValidatorQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      DedupQueries.queries ++
+      TextQueries.queries ++
+      AnnQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -31,5 +35,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++
       ValidatorQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++
+      DedupQueries.oracle ++
+      TextQueries.oracle ++
+      AnnQueries.oracle ++
+      MultimodalQueries.oracle
 }

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{GraftFunctions => F}
+
+/** Deduplication operator family for large-scale training-data pipelines:
+  * exact (hash-groupBy), normalized-fingerprint, MinHash+LSH near-dup
+  * (shingle → minhash → band → bucket-join → exact-jaccard verify),
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * The testdata documents are all distinct, so each query constructs a
+  * corpus with KNOWN duplicates (exact copies, case/whitespace variants,
+  * token-truncated near-dups, copied vectors) deterministically from
+  * doc_id — the oracle rebuilds the identical corpus in SQL.
+  *
+  * Scale design: every variant is a groupBy/self-equi-join on a derived
+  * key (text, fingerprint, LSH band key, vector copy id) — never a
+  * cartesian product. The LSH band-join bounds candidate pairs to
+  * same-bucket collisions; the exact-jaccard verify runs only on
+  * candidates. At 100 TB: band keys salt/distribute naturally (64-bit
+  * hash space), and the only skew risk is a degenerate corpus where one
+  * band bucket collects millions of docs — mitigated by raising bands
+  * (smaller rows-per-band) or pre-limiting bucket width.
+  */
+object DedupQueries {
+
+  /** Base ∪ exact copies (doc_id%10==0 → +100000) ∪ case+whitespace
+    * variants (doc_id%10==5 → +200000, upper-cased, doubled spaces).
+    */
+  private def corpusExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          upper(regexp_replace(col("text"), " ", "  ")).as("text")))
+  }
+
+  private val corpusExactSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id+100000, text FROM documents WHERE doc_id%10=0
+      |  UNION ALL SELECT doc_id+200000, upper(regexp_replace(text,' ','  ','g'))
+      |    FROM documents WHERE doc_id%10=5""".stripMargin
+
+  /** Base ∪ token-truncated near-dups: doc_id%10==0 → +300000 keeping
+    * the first ceil(0.95·n) tokens (3-gram jaccard ≈ 0.9 vs original).
+    */
+  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val keep = ceil(size(toks) * 0.95).cast("int")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), keep)).as("text")))
+  }
+
+  private val corpusNearSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id+300000,
+      |         array_to_string(list_slice(string_split(text,' '), 1,
+      |           ceil(len(string_split(text,' ')) * 0.95)::INT), ' ')
+      |  FROM documents WHERE doc_id%10=0""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- exact dedup: hash-groupBy on content --------------------------
+    "d1_dedup_exact" -> { (s, d) =>
+      corpusExact(s, d)
+        .groupBy("text").agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+        .agg(
+          sum("n").as("n_rows"),
+          count(lit(1)).as("n_distinct_text"),
+          sum(col("n") - 1).as("n_dupes_removed"),
+          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+          min("keeper").as("min_keeper"))
+    },
+
+    // -- normalized-fingerprint dedup (case/whitespace-insensitive):
+    //    64-bit rolling hash of lower+collapsed text -------------------
+    "d2_fingerprint_dedup" -> { (s, d) =>
+      corpusExact(s, d)
+        .withColumn("fp", F.fingerprint(col("text")))
+        .groupBy("fp").agg(count(lit(1)).as("n"))
+        .agg(
+          sum("n").as("n_rows"),
+          count(lit(1)).as("n_distinct_fp"),
+          sum(col("n") - 1).as("n_dupes_removed"),
+          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"))
+    },
+
+    // -- MinHash + LSH near-dup: sig(128 hashes) → 64 bands × 2 rows →
+    //    band-key equi-join → exact 3-gram-jaccard verify ≥ 0.8.
+    //    With r=2,b=64: P(candidate | j=0.8) = 1-(1-0.64)^64 ≈ 1-4e-29,
+    //    so the LSH pass provably recovers every pair the full-scan
+    //    oracle finds (which is what makes this oracle-comparable). ----
+    "d3_minhash_lsh" -> { (s, d) =>
+      val banded = corpusNear(s, d)
+        .withColumn("sig", F.minhashSig(col("text"), 128, 3))
+        .select(col("doc_id"), col("text"),
+          posexplode(F.minhashBands(col("sig"), 64)).as(Seq("band_idx", "band_key")))
+      val a = banded.select(col("doc_id").as("id_a"), col("text").as("text_a"),
+        col("band_idx"), col("band_key"))
+      val b = banded.select(col("doc_id").as("id_b"), col("text").as("text_b"),
+        col("band_idx"), col("band_key"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b").distinct()
+        .withColumn("jaccard", F.jaccardSim(col("text_a"), col("text_b"), 3))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- SimHash near-dup: 64-bit simhash, pairs within hamming ≤ 6
+    //    (band the 64 bits into 4×16-bit keys: hamming≤3 guarantees one
+    //    identical band; ≤6 is probabilistic but exact for our exact
+    //    copies). No SQL oracle (FNV-1a not expressible) → rows-only. --
+    "d4_simhash_neardup" -> { (s, d) =>
+      val withSh = corpusExact(s, d).withColumn("sh", F.simhash(col("text")))
+      val banded = withSh.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band_idx", "band_key")))
+      val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("band_idx"), col("band_key"))
+      val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("band_idx"), col("band_key"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+        .withColumn("hamming", F.hamming(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- embedding-cosine near-dup: copied vectors (vec_id%5==0) must
+    //    pair with their originals at cosine ≈ 1; the max cosine among
+    //    distinct random embeddings is ~0.51, so threshold 0.99 is
+    //    unambiguous. Equi-join on a coarse quantized-norm key would be
+    //    the 100 TB path; at gate scale an LSH-free block join on
+    //    norm-bucket suffices (here: plain self-join pruned by id). ----
+    "d6_embedding_neardup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", F.cosineSim(col("emb_a"), col("emb_b")))
+        .filter(col("cos") >= 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("id_a", "id_b")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      s"""SELECT sum(n) AS n_rows, count(*) AS n_distinct_text,
+         | sum(n-1) AS n_dupes_removed,
+         | sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+         | min(keeper) AS min_keeper
+         |FROM (SELECT text, count(*) AS n, min(doc_id) AS keeper FROM (
+         |  $corpusExactSql
+         |) GROUP BY text)""".stripMargin,
+    "d2_fingerprint_dedup" ->
+      s"""SELECT sum(n) AS n_rows, count(*) AS n_distinct_fp,
+         | sum(n-1) AS n_dupes_removed,
+         | sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+         |FROM (SELECT norm, count(*) AS n FROM (
+         |  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM (
+         |  $corpusExactSql
+         |)) GROUP BY norm)""".stripMargin,
+    // Full-scan exact-jaccard oracle with a LOSSLESS size-ratio prune:
+    // j(A,B) >= 0.8 requires |A|/|B| >= 0.8 (|A|<=|B|), so pairs whose
+    // distinct-shingle counts differ by more than 20% can be skipped.
+    "d3_minhash_lsh" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+         |      ELSE list_transform(range(1, len(toks)-1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+         |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks FROM corpus)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.doc_id < b.doc_id
+         | AND len(a.sh) >= 0.8 * len(b.sh) AND len(b.sh) >= 0.8 * len(a.sh)
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d6_embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id+100000, embedding FROM embeddings WHERE vec_id%5=0
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_r
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media travel as opaque `binary` columns
+  * with typed metadata alongside. The real decode (image/audio libs)
+  * is not available in this container, so the "decode" here is the
+  * deterministic stub from [[graft.multimodal.BinaryDecodeStub]]-style
+  * plumbing expressed as column ops: byte length, content hash, and
+  * header-derived pseudo-dimensions. What the query proves end-to-end:
+  * binary payloads flow through scans/groupBys without materializing on
+  * the driver, and metadata extraction is a single codegen'd pass.
+  */
+object MultimodalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_binary_meta" -> { (s, d) =>
+      // text → utf-8 bytes as the stand-in media payload
+      val blob = col("text").cast("binary")
+      val width = (ascii(substring(col("text"), 1, 1)) % 64 + 1) * 16
+      val height = (ascii(substring(col("text"), 2, 1)) % 64 + 1) * 16
+      Tables.documents(s, d)
+        .withColumn("payload", blob)
+        .withColumn("n_bytes", length(col("payload")))
+        .withColumn("content_sha", sha2(col("payload"), 256))
+        .withColumn("width", width)
+        .withColumn("height", height)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum("n_bytes").as("total_bytes"),
+          countDistinct("content_sha").as("n_distinct_payloads"),
+          countDistinct(concat_ws("x", col("width"), col("height"))).as("n_resolutions"),
+          max("width").as("max_w"),
+          max("height").as("max_h"))
+        .orderBy("source")
+    },
+
+    // V10 analogue: all media must share ONE resolution — report the
+    // distinct-resolution inventory exactly like the image validator
+    // (image_validator.py:250-307 collects the resolution set).
+    "m2_resolution_check" -> { (s, d) =>
+      val width = (ascii(substring(col("text"), 1, 1)) % 4 + 1) * 64
+      val height = (ascii(substring(col("text"), 2, 1)) % 4 + 1) * 64
+      Tables.documents(s, d)
+        .withColumn("res", concat_ws("x", width, height))
+        .groupBy("res")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", transform(slice(sort_array(collect_set(col("doc_id"))), 1, 3),
+            x => x.cast("string"))).as("sample_ids"))
+        .orderBy("res")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """SELECT source, count(*) AS n_media,
+        | sum(octet_length(encode(text))) AS total_bytes,
+        | count(DISTINCT sha256(text)) AS n_distinct_payloads,
+        | count(DISTINCT ((ascii(substr(text,1,1)) % 64 + 1) * 16)::VARCHAR || 'x' ||
+        |                ((ascii(substr(text,2,1)) % 64 + 1) * 16)::VARCHAR) AS n_resolutions,
+        | max((ascii(substr(text,1,1)) % 64 + 1) * 16) AS max_w,
+        | max((ascii(substr(text,2,1)) % 64 + 1) * 16) AS max_h
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m2_resolution_check" ->
+      """SELECT res, count(*) AS n,
+        | array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 3), ',') AS sample_ids
+        |FROM (
+        |  SELECT doc_id,
+        |    ((ascii(substr(text,1,1)) % 4 + 1) * 64)::VARCHAR || 'x' ||
+        |    ((ascii(substr(text,2,1)) % 4 + 1) * 64)::VARCHAR AS res
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{GraftFunctions => F}
+
+/** Text-analysis operators for training-data curation: language-ID
+  * (marker-word heuristic), quality scoring (length/punctuation/stopword
+  * ratios), token counting (whitespace + BPE-ish subword estimate) and
+  * document statistics. All are single-scan, codegen-friendly column
+  * expressions — the 100 TB cost is one pass over the text column with
+  * map-side partial aggregation.
+  */
+object TextQueries {
+
+  private val enMarkers = Seq("the", "a", "of", "and", "to")
+  private val esMarkers = Seq("el", "la", "de", "y", "que")
+  private val deMarkers = Seq("der", "die", "und", "ist", "das")
+  private val frMarkers = Seq("le", "la", "et", "les", "des")
+
+  private def markerHits(toks: org.apache.spark.sql.Column, markers: Seq[String]) =
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- language-ID heuristic: marker-word occurrence scoring with a
+    //    deterministic argmax (tie order en > es > de > fr > unknown).
+    //    (On this synthetic corpus the content carries no real language
+    //    signal — the query pins the RULE's semantics, which is what a
+    //    correctness gate can check.) ----------------------------------
+    "t1_langid" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val en = markerHits(toks, enMarkers)
+      val es = markerHits(toks, esMarkers)
+      val de = markerHits(toks, deMarkers)
+      val fr = markerHits(toks, frMarkers)
+      val best = greatest(en, es, de, fr)
+      val predicted = when(best === 0, lit("unknown"))
+        .when(en === best, lit("en"))
+        .when(es === best, lit("es"))
+        .when(de === best, lit("de"))
+        .otherwise(lit("fr"))
+      Tables.documents(s, d)
+        .withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    // -- quality scoring: structural ratios + composite score ----------
+    "t2_quality" -> { (s, d) =>
+      val len = length(col("text")).cast("double")
+      val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+      val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
+      val toks = split(col("text"), " ")
+      val stop = markerHits(toks, enMarkers)
+      val tokN = F.tokenCount(col("text"))
+      Tables.documents(s, d)
+        .withColumn("tok_n", tokN)
+        .withColumn("punct_ratio", punct / len)
+        .withColumn("digit_ratio", digits / len)
+        .withColumn("stop_ratio", stop.cast("double") / tokN)
+        .withColumn("avg_tok_len", (len - (tokN - 1)) / tokN)
+        .withColumn("score",
+          round(lit(1.0) - col("punct_ratio") - col("digit_ratio") +
+            least(col("stop_ratio"), lit(0.2)), 4))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("punct_ratio"), 6).as("avg_punct"),
+          round(avg("digit_ratio"), 6).as("avg_digit"),
+          round(avg("stop_ratio"), 6).as("avg_stop"),
+          round(avg("score"), 6).as("avg_score"),
+          round(avg("avg_tok_len"), 6).as("avg_tok_len"))
+        .orderBy("lang")
+    },
+
+    // -- token counting: whitespace tokens + BPE-ish subword estimate --
+    "t3_token_counts" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws_tokens", F.tokenCount(col("text")))
+        .withColumn("subwords", F.subwordCount(col("text")))
+        .groupBy("lang")
+        .agg(
+          sum("ws_tokens").as("total_ws_tokens"),
+          sum("subwords").as("total_subwords"),
+          max("ws_tokens").as("max_ws_tokens"),
+          min("ws_tokens").as("min_ws_tokens"))
+        .orderBy("lang")
+    },
+
+    // -- doc-level statistics profile ----------------------------------
+    "t4_doc_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    })
+
+  private def sqlHits(markers: Seq[String]) =
+    markers.map(m => s"'$m'").mkString("len(list_filter(string_split(text,' '), x -> x IN (", ",", ")))")
+
+  def oracle: Map[String, String] = Map(
+    "t1_langid" -> {
+      val en = sqlHits(enMarkers); val es = sqlHits(esMarkers)
+      val de = sqlHits(deMarkers); val fr = sqlHits(frMarkers)
+      s"""SELECT lang, predicted, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN best = 0 THEN 'unknown'
+         |         WHEN en = best THEN 'en'
+         |         WHEN es = best THEN 'es'
+         |         WHEN de = best THEN 'de'
+         |         ELSE 'fr' END AS predicted
+         |  FROM (
+         |    SELECT lang, en, es, de, fr, greatest(en, es, de, fr) AS best FROM (
+         |      SELECT lang, $en AS en, $es AS es, $de AS de, $fr AS fr
+         |      FROM documents)))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "t2_quality" -> {
+      val stop = sqlHits(enMarkers)
+      s"""SELECT lang, count(*) AS n_docs,
+         | round(avg(punct_ratio),6) AS avg_punct,
+         | round(avg(digit_ratio),6) AS avg_digit,
+         | round(avg(stop_ratio),6) AS avg_stop,
+         | round(avg(score),6) AS avg_score,
+         | round(avg(avg_tok_len),6) AS avg_tok_len
+         |FROM (
+         |  SELECT lang, punct_ratio, digit_ratio, stop_ratio, avg_tok_len,
+         |    round(1.0 - punct_ratio - digit_ratio + least(stop_ratio, 0.2), 4) AS score
+         |  FROM (
+         |    SELECT lang,
+         |      (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE / length(text) AS punct_ratio,
+         |      (length(text) - length(regexp_replace(text,'[0-9]','','g')))::DOUBLE / length(text) AS digit_ratio,
+         |      ($stop)::DOUBLE / tok_n AS stop_ratio,
+         |      (length(text)::DOUBLE - (tok_n - 1)) / tok_n AS avg_tok_len
+         |    FROM (
+         |      SELECT lang, text,
+         |        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |             ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS tok_n
+         |      FROM documents)))
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "t3_token_counts" ->
+      """SELECT lang,
+        | sum(ws_tokens) AS total_ws_tokens,
+        | sum(subwords) AS total_subwords,
+        | max(ws_tokens) AS max_ws_tokens,
+        | min(ws_tokens) AS min_ws_tokens
+        |FROM (
+        |  SELECT lang,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_extract_all(trim(text), '\S+')) END AS ws_tokens,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) END AS subwords
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t4_doc_stats" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        | round(avg(n_chars),4) AS avg_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+}
