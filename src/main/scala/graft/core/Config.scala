@@ -1,0 +1,219 @@
+package graft.core
+
+/** Declarative run configuration — the engine-side port of the
+  * reference's `IngestConfig` v1 contract (`schema/ingest.v1.json`,
+  * `cli/conventions.py:190-302`). Pure data + a pure resolver: no Spark,
+  * no I/O, unit-testable on day one (SURVEY.md §7.1 module 1).
+  */
+object TaskCategory {
+  val ImageClassification = "image_classification"
+  val ObjectDetection = "object_detection"
+  val KeypointDetection = "keypoint_detection"
+  val TextClassification = "text_classification"
+  val TokenClassification = "token_classification"
+  val TabularClassification = "tabular_classification"
+  val TabularRegression = "tabular_regression"
+  val TimeSeriesForecasting = "time_series_forecasting"
+  val TimeToEventPrediction = "time_to_event_prediction"
+  val SemanticSegmentation = "semantic_segmentation"
+  val InstanceSegmentation = "instance_segmentation"
+  val MaskedLanguageModeling = "masked_language_modeling"
+
+  val all: Seq[String] = Seq(
+    ImageClassification, ObjectDetection, KeypointDetection,
+    TextClassification, TokenClassification, TabularClassification,
+    TabularRegression, TimeSeriesForecasting, TimeToEventPrediction,
+    SemanticSegmentation, InstanceSegmentation, MaskedLanguageModeling)
+
+  val imageCategories: Set[String] = Set(ImageClassification, ObjectDetection,
+    KeypointDetection, SemanticSegmentation, InstanceSegmentation)
+  val textCategories: Set[String] = Set(TextClassification, TokenClassification)
+  val tabularCategories: Set[String] = Set(TabularClassification, TabularRegression)
+  /** Label is a numeric prediction target → privacy policy required
+    * (`cli/conventions.py` REGRESSION_CLASS_CATEGORIES). */
+  val regressionClassCategories: Set[String] =
+    Set(TabularRegression, TimeSeriesForecasting, TimeToEventPrediction)
+  /** Categories whose records reference sidecar files (`base.py:56-65`). */
+  val fileBearingCategories: Set[String] =
+    imageCategories ++ textCategories + MaskedLanguageModeling
+
+  /** CSV is the default manifest format everywhere; MLM ships JSON
+    * sequence manifests in the reference templates. */
+  def dataFormatFor(category: String): String =
+    if (category == MaskedLanguageModeling) "json" else "csv"
+}
+
+object Intent {
+  val Train = "train"
+  val Test = "test"
+  val all: Seq[String] = Seq(Train, Test)
+}
+
+sealed trait LabelPolicy
+object LabelPolicy {
+  case object Passthrough extends LabelPolicy
+  /** Privacy bucketing: sha256-first-8-bytes mod `buckets`
+    * (`utils/label_policy.py:52-96`), -1 sentinel for missing. */
+  final case class Bucket(buckets: Int = 64) extends LabelPolicy
+
+  def parse(s: String): Either[String, LabelPolicy] = s match {
+    case "passthrough" => Right(Passthrough)
+    case "bucket" => Right(Bucket())
+    case other => Left(s"Unknown label policy '$other' (expected passthrough|bucket)")
+  }
+}
+
+/** CSV reader options (defaults per `cli/conventions.py` DEFAULT_CSV_OPTIONS;
+  * chunk_size is a pandas memory workaround with no Spark counterpart —
+  * partitioned scans stream by design, SURVEY.md §4).
+  */
+final case class CsvOptions(
+    delimiter: String = ",",
+    quoteChar: String = "\"",
+    escapeChar: String = "\\",
+    encoding: String = "UTF-8")
+
+/** A fully-resolved run configuration: customer values win, category
+  * conventions fill the rest (mirror of `ResolvedConfig`,
+  * `cli/conventions.py:129-183`).
+  */
+final case class ResolvedConfig(
+    category: String,
+    tableName: String,
+    intent: String,
+    dataFormat: String,
+    sourcePath: String,
+    images: Option[String] = None,
+    annotations: Option[String] = None,
+    masks: Option[String] = None,
+    texts: Option[String] = None,
+    sequences: Option[String] = None,
+    schema: Seq[(String, String)] = Nil,
+    timeColumn: Option[String] = None,
+    labelColumn: Option[String] = None,
+    labelPolicy: LabelPolicy = LabelPolicy.Passthrough,
+    uniqueIdColumn: Option[String] = None,
+    annotationColumn: Option[String] = None,
+    csvOptions: CsvOptions = CsvOptions(),
+    fileOptions: Map[String, Any] = Map.empty,
+    destPath: Option[String] = None,
+    batchSize: Int = 4000)
+
+object Conventions {
+
+  /** Resolve a parsed YAML body (already structurally validated) into a
+    * ResolvedConfig. Mirrors `cli/conventions.py:resolve` decision order:
+    * identity → source dispatch → sidecars → schema → label → data_id →
+    * options merge → category bridges.
+    */
+  def resolve(config: Map[String, Any]): Either[List[String], ResolvedConfig] = {
+    val errs = List.newBuilder[String]
+    def str(k: String): Option[String] = config.get(k).collect { case s: String => s }
+
+    val category = str("category").getOrElse { errs += "/category: required"; "" }
+    if (category.nonEmpty && !TaskCategory.all.contains(category))
+      errs += s"/category: '$category' is not one of ${TaskCategory.all.mkString(", ")}"
+    val table = str("table").getOrElse { errs += "/table: required"; "" }
+    val intent = str("intent").getOrElse { errs += "/intent: required"; "" }
+    if (intent.nonEmpty && !Intent.all.contains(intent))
+      errs += s"/intent: '$intent' is not one of ${Intent.all.mkString(", ")}"
+
+    val (sourcePath, dataFormat) = (str("csv"), str("json")) match {
+      case (Some(p), None) => (p, "csv")
+      case (None, Some(p)) => (p, "json")
+      case (Some(_), Some(_)) => errs += "/csv: exactly one of csv|json allowed"; ("", "")
+      case _ => errs += "/csv: one of csv|json required"; ("", "")
+    }
+
+    val declaredSchema: Seq[(String, String)] = config.get("schema") match {
+      case Some(m: java.util.Map[_, _]) =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.toSeq.map { case (k, v) => (String.valueOf(k), String.valueOf(v)) }
+      case Some(m: Map[_, _]) =>
+        m.toSeq.map { case (k, v) => (String.valueOf(k), String.valueOf(v)) }
+      case Some(_) => errs += "/schema: must be a column->type mapping"; Nil
+      case None => Nil
+    }
+
+    val (labelColumn, labelPolicy) = config.get("label") match {
+      case Some(s: String) => (Some(s), LabelPolicy.Passthrough)
+      case Some(m: java.util.Map[_, _]) =>
+        import scala.jdk.CollectionConverters._
+        val mm = m.asScala.map { case (k, v) => (String.valueOf(k), v) }.toMap
+        val colName = mm.get("column").map(String.valueOf(_))
+        if (colName.isEmpty) errs += "/label/column: required in object form"
+        val policy = mm.get("policy").map(String.valueOf(_)).getOrElse("passthrough")
+        LabelPolicy.parse(policy) match {
+          case Right(p) => (colName, p)
+          case Left(e) => errs += s"/label/policy: $e"; (colName, LabelPolicy.Passthrough)
+        }
+      case Some(_) => errs += "/label: string or {column, policy} object"; (None, LabelPolicy.Passthrough)
+      case None => (None, LabelPolicy.Passthrough)
+    }
+    // Regression-class targets must not ship raw (schema rule in
+    // ingest.v1.json: policy required for these categories).
+    if (TaskCategory.regressionClassCategories.contains(category) &&
+      labelColumn.isDefined && labelPolicy == LabelPolicy.Passthrough)
+      errs += s"/label/policy: category '$category' requires an explicit non-passthrough policy"
+
+    val uniqueIdColumn = config.get("data_id") match {
+      case Some(m: java.util.Map[_, _]) =>
+        import scala.jdk.CollectionConverters._
+        val mm = m.asScala.map { case (k, v) => (String.valueOf(k), String.valueOf(v)) }.toMap
+        if (mm.get("strategy").contains("column")) {
+          val c = mm.get("column")
+          if (c.isEmpty) errs += "/data_id/column: required when strategy=column"
+          c
+        } else None
+      case _ => None
+    }
+
+    def optStr(k: String) = str(k)
+    val resolved = ResolvedConfig(
+      category = category,
+      tableName = table,
+      intent = intent,
+      dataFormat = dataFormat,
+      sourcePath = sourcePath,
+      images = optStr("images"),
+      annotations = optStr("annotations"),
+      masks = optStr("masks"),
+      texts = optStr("texts"),
+      sequences = optStr("sequences"),
+      schema = declaredSchema,
+      timeColumn = optStr("time_column"),
+      labelColumn = labelColumn,
+      labelPolicy = labelPolicy,
+      uniqueIdColumn = uniqueIdColumn,
+      annotationColumn =
+        if (category == TaskCategory.KeypointDetection) Some("Annotation") else None,
+      destPath = optStr("dest"))
+
+    val allErrs = errs.result().sorted // deterministic, pointer-ordered
+    if (allErrs.nonEmpty) Left(allErrs) else Right(resolved)
+  }
+}
+
+/** YAML loading via snakeyaml (ships with Spark). Driver-side only. */
+object YamlConfig {
+  import scala.jdk.CollectionConverters._
+
+  def parse(yamlText: String): Either[List[String], Map[String, Any]] = {
+    val loaded =
+      try new org.yaml.snakeyaml.Yaml().load[Any](yamlText)
+      catch { case e: Exception => return Left(List(s"/: YAML parse error: ${e.getMessage}")) }
+    loaded match {
+      case m: java.util.Map[_, _] =>
+        Right(m.asScala.map { case (k, v) => (String.valueOf(k), v: Any) }.toMap)
+      case _ => Left(List("/: top-level YAML must be a mapping"))
+    }
+  }
+
+  def load(path: String): Either[List[String], ResolvedConfig] = {
+    val text =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case e: Exception => return Left(List(s"/: cannot read $path: ${e.getMessage}")) }
+    parse(text).flatMap(Conventions.resolve)
+  }
+}

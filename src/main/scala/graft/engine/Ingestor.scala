@@ -1,0 +1,134 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ResolvedConfig, SqlType, TaskCategory}
+import graft.engine.api.{ApiClient, MetaRecord}
+import graft.engine.read.{CsvReader, JsonReader, StrictCast}
+import graft.engine.sink.{JdbcUpsert, RunSummary}
+import graft.engine.transform.TransformPipeline
+import graft.engine.validate.ValidatorMapping
+
+/** The execution pipeline (SURVEY.md §3.2 `_ingest_with_lock`):
+  *
+  *  lock → validate (ALL validators, errors accumulated) → scan →
+  *  transform → [sidecar copy] → upsert → api batch send →
+  *  registration (fail-loud) → summary → unlock.
+  *
+  * Differences from the reference are purely architectural: the
+  * per-record Python loop becomes DataFrame stages, the per-batch DB/
+  * API calls become foreachPartition sinks, counters become
+  * accumulators. Semantics (failure channels, dispositions, ordering)
+  * match SURVEY.md §2/§7.4.
+  */
+final class Ingestor(spark: SparkSession, config: ResolvedConfig,
+                     api: ApiClient, jdbc: Option[JdbcUpsert.Config],
+                     lockDir: String = "/tmp/graft-locks") {
+
+  final case class RunResult(summary: RunSummary, errors: List[String],
+                             warnings: List[String]) {
+    def exitCode: Int =
+      if (errors.nonEmpty) 2
+      else if (summary.hasFailures) 1
+      else 0
+  }
+
+  def ingest(runId: String = java.util.UUID.randomUUID().toString): RunResult = {
+    val summary = new RunSummary(spark)
+    val lock = new TableLock(lockDir, config.tableName)
+    lock.acquire(runId) match {
+      case Left(err) => return RunResult(summary, List(err), Nil)
+      case Right(_) => ()
+    }
+    try ingestLocked(runId, summary)
+    finally lock.release()
+  }
+
+  private def ingestLocked(runId: String, summary: RunSummary): RunResult = {
+    // ---- 1. scan (preflights first — UTF-8, duplicate headers) -------
+    val manifestOrErr: Either[List[String], DataFrame] =
+      config.dataFormat match {
+        case "csv" => CsvReader.open(spark, config.sourcePath, config.csvOptions)
+        case "json" =>
+          val columns = config.schema.map(_._1) ++
+            config.labelColumn ++ config.annotationColumn ++ config.uniqueIdColumn
+          JsonReader.open(spark, config.sourcePath, columns.distinct)
+        case other => Left(List(s"Unsupported data format '$other'"))
+      }
+    val manifest = manifestOrErr match {
+      case Left(errs) => return RunResult(summary, errs, Nil)
+      case Right(df) => df.cache()
+    }
+
+    try {
+      // ---- 2. validator battery (ALL run; errors accumulate) ---------
+      val ctx = ValidationContext(spark, config, Some(manifest))
+      val validation = ValidatorMapping.runAll(ValidatorMapping.forConfig(config), ctx)
+      if (!validation.isValid)
+        return RunResult(summary, validation.errors, validation.warnings)
+
+      val total = manifest.count()
+      summary.totalRecords.add(total)
+
+      // ---- 3. transform (P1–P9) + typed cast -------------------------
+      val transformed = TransformPipeline(manifest, config, runId)
+      val parsedSchema = SqlType.parseSchema(config.schema) match {
+        case Right(p) => p.filterNot { case (c, _) =>
+          Set(config.labelColumn, config.annotationColumn, config.uniqueIdColumn)
+            .flatten.contains(c)
+        }
+        case Left(errs) => return RunResult(summary, errs, validation.warnings)
+      }
+      val typed =
+        if (config.dataFormat == "json") {
+          // JSON disposition: bad record = skip with warning, not fatal
+          val ok = transformed.filter(StrictCast.validRowFilter(parsedSchema))
+          val skipped = total - ok.count()
+          summary.skipped.add(skipped)
+          StrictCast.cast(ok, parsedSchema)
+        } else StrictCast.cast(transformed, parsedSchema)
+
+      summary.processed.add(typed.count())
+
+      // ---- 4. sink: keyed upsert (or parquet fallback for dry runs) --
+      jdbc.foreach { cfg =>
+        JdbcUpsert.ensureTable(cfg, parsedSchema) match {
+          case Left(errs) => return RunResult(summary, errs, validation.warnings)
+          case Right(_) => ()
+        }
+        JdbcUpsert.write(typed, cfg, summary.inserted, summary.failedDb)
+      }
+      if (jdbc.isEmpty) summary.inserted.add(typed.count())
+
+      // ---- 5. API metadata batches (metadata-sized → driver collect is
+      //         bounded: only data_id/intent/label travel) -------------
+      val metaRows = typed.select(col("data_id"), col("data_intent"), col("label"))
+        .collect()
+      val records = metaRows.map(r => MetaRecord(
+        r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        isSample = false, ingestorId = runId)).toSeq
+      records.grouped(config.batchSize).foreach { b =>
+        api.sendBatch(config.tableName, b) match {
+          case Right(n) => summary.apiSent.add(n)
+          case Left(err) => return RunResult(summary,
+            List(s"API batch send failed: $err"), validation.warnings)
+        }
+      }
+
+      // ---- 6. registration sequence — REQUIRED, fail-loud ------------
+      val schemaJson = parsedSchema
+        .map { case (c, t) => s""""$c": "${t.ddl}"""" }.mkString("{", ", ", "}")
+      val selfSupervised = config.category == TaskCategory.MaskedLanguageModeling
+      api.registerDataset(config.tableName, schemaJson, selfSupervised) match {
+        case Left(err) => return RunResult(summary,
+          List(s"Dataset registration failed AFTER rows were committed — " +
+            s"manual re-registration required: $err"), validation.warnings)
+        case Right(_) => ()
+      }
+
+      RunResult(summary, Nil, validation.warnings)
+    } finally manifest.unpersist()
+  }
+}

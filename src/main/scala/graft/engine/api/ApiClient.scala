@@ -1,0 +1,69 @@
+package graft.engine.api
+
+/** Backend metadata API (SURVEY.md §2.10 K3, `api/client.py`): per
+  * batch only METADATA leaves the cluster — (data_id, data_intent,
+  * label, is_sample, ingestor_id) — plus a post-run registration
+  * sequence that is REQUIRED and fail-loud ("committed-but-unregistered
+  * rows" contract, `base.py:858-918`).
+  *
+  * This environment has zero egress, so the shipped implementation is
+  * the reference's own local mode (`CLIENT_ENV=local` mock,
+  * `api/client.py:36-63`): an in-memory recorder with identical call
+  * semantics. A production HTTP client implements the same trait with
+  * retry (5 total, backoff on 5xx) and one 401-refresh
+  * (`api/client.py:65-80`, `:174-215`).
+  */
+final case class MetaRecord(dataId: String, dataIntent: String,
+                            label: String, isSample: Boolean, ingestorId: String)
+
+trait ApiClient extends Serializable {
+  def sendBatch(table: String, batch: Seq[MetaRecord]): Either[String, Int]
+  def sendGenerateEdgeLabelMeta(table: String): Either[String, Unit]
+  def sendGlobalMeta(table: String, schemaJson: String): Either[String, Unit]
+  def prepareDataset(table: String): Either[String, Unit]
+  def createDataset(table: String): Either[String, Unit]
+
+  /** The registration sequence (`base.py:861-918`): edge-label meta
+    * (skipped for self-supervised) → global meta → prepare → create.
+    * Any failure raises — rows are committed but unregistered, and the
+    * contract is to fail LOUD, never swallow.
+    */
+  def registerDataset(table: String, schemaJson: String,
+                      selfSupervised: Boolean): Either[String, Unit] =
+    for {
+      _ <- if (selfSupervised) Right(()) else sendGenerateEdgeLabelMeta(table)
+      _ <- sendGlobalMeta(table, schemaJson)
+      _ <- prepareDataset(table)
+      _ <- createDataset(table)
+    } yield ()
+}
+
+/** Local mock: records everything, fails nothing. Thread-safe —
+  * executor tasks may send batches concurrently in local mode.
+  */
+final class LocalApiClient extends ApiClient {
+  import java.util.concurrent.ConcurrentLinkedQueue
+  val batches = new ConcurrentLinkedQueue[(String, Seq[MetaRecord])]()
+  val calls = new ConcurrentLinkedQueue[String]()
+
+  def sendBatch(table: String, batch: Seq[MetaRecord]): Either[String, Int] = {
+    batches.add((table, batch)); Right(batch.size)
+  }
+  def sendGenerateEdgeLabelMeta(table: String): Either[String, Unit] = {
+    calls.add(s"edge_label_meta:$table"); Right(())
+  }
+  def sendGlobalMeta(table: String, schemaJson: String): Either[String, Unit] = {
+    calls.add(s"global_meta:$table"); Right(())
+  }
+  def prepareDataset(table: String): Either[String, Unit] = {
+    calls.add(s"prepare:$table"); Right(())
+  }
+  def createDataset(table: String): Either[String, Unit] = {
+    calls.add(s"create:$table"); Right(())
+  }
+  def sentCount: Int = {
+    var n = 0
+    batches.forEach { case (_, b) => n += b.size }
+    n
+  }
+}

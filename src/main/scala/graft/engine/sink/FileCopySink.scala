@@ -1,0 +1,133 @@
+package graft.engine.sink
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.util.SerializableConfiguration
+
+/** Sidecar file-copy sink (SURVEY.md §2.10 K2, `file_transfer.py`):
+  * copy `SRC/<sub>/<file>` → `DEST/<file>` per record, with
+  *
+  *  - extension appended only when absent (`_has_extension`,
+  *    `file_transfer.py:65-89`);
+  *  - retry 3× exponential backoff on IO errors (`:40-48`);
+  *  - overwrite-remove-first (`:51-62`);
+  *  - ATOMIC multi-file groups: image+xml / image+mask are pre-checked
+  *    for existence together BEFORE either is copied
+  *    (`:341-370`, `:393-426`) — a missing sidecar fails the record
+  *    with zero partial copies;
+  *  - per-record failure → `file_transfer_failure` channel, record
+  *    dropped before the DB (`base.py:780-830`).
+  *
+  * Runs in `foreachPartition`: Hadoop FileSystem handles PVC-local and
+  * object-store paths alike; copy parallelism = partition count.
+  */
+object FileCopySink {
+
+  /** One source directory of an atomic copy group, with the mapping
+    * from the record's resolved filename to this directory's file name
+    * (e.g. OD annotations: `a.jpg` → `a.xml`; semseg masks:
+    * `a.jpg` → `a_mask.png`).
+    */
+  final case class SidecarSource(dir: String,
+                                 rename: String => String = identity)
+      extends Serializable
+
+  final case class CopySpec(sources: Seq[SidecarSource], destDir: String,
+                            maxRetries: Int = 3)
+
+  object CopySpec {
+    def single(dir: String, destDir: String): CopySpec =
+      CopySpec(Seq(SidecarSource(dir)), destDir)
+    /** OD: image + same-stem .xml annotation, atomic. */
+    def imageXml(imagesDir: String, xmlDir: String, destDir: String): CopySpec =
+      CopySpec(Seq(SidecarSource(imagesDir),
+        SidecarSource(xmlDir, n => n.replaceAll("\\.[A-Za-z0-9]+$", "") + ".xml")),
+        destDir)
+    /** Semseg: image + `<stem>_mask.<ext>` sidecar, atomic. */
+    def imageMask(imagesDir: String, masksDir: String, destDir: String,
+                  maskExt: String = "png"): CopySpec =
+      CopySpec(Seq(SidecarSource(imagesDir),
+        SidecarSource(masksDir,
+          n => n.replaceAll("\\.[A-Za-z0-9]+$", "") + s"_mask.$maskExt")),
+        destDir)
+  }
+
+  /** Resolve a record's sidecar source path: append the extension only
+    * when the filename lacks one.
+    */
+  def resolveName(filename: String, extension: String): String =
+    if (filename.matches(".*\\.[A-Za-z0-9]+$")) filename
+    else if (extension == null || extension.isEmpty) filename
+    else s"$filename.$extension"
+
+  private def withRetry[T](maxRetries: Int, sleepMs: Long => Unit)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case _: java.io.IOException if attempt < maxRetries =>
+          sleepMs(math.min(1000L << attempt, 10000L))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Copy every record's sidecar group. `df` must carry `filename` and
+    * `extension` columns; `srcSubdirs` lists each absolute source dir a
+    * record needs one file from (1 entry = simple copy, 2 = atomic
+    * pair). Returns nothing; counts land in the accumulators and the
+    * per-record verdict in the returned DataFrame (`__transfer_ok`).
+    */
+  def copy(df: DataFrame, spec: CopySpec,
+           copied: LongAccumulator, failed: LongAccumulator,
+           hadoopConf: Configuration): DataFrame = {
+    val serConf = new SerializableConfiguration(hadoopConf)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns
+    val fnameIdx = cols.indexOf("filename")
+    val extIdx = cols.indexOf("extension")
+    require(fnameIdx >= 0, "FileCopySink needs a 'filename' column")
+
+    val verdicts = df.map { (row: Row) =>
+      val conf = serConf.value
+      val filename = row.getString(fnameIdx)
+      val ext = if (extIdx >= 0 && !row.isNullAt(extIdx)) row.getString(extIdx) else ""
+      if (filename == null) ("<null filename>", false)
+      else {
+        val name = resolveName(filename, ext)
+        val sources = spec.sources.map(s => new Path(s.dir, s.rename(name)))
+        val fs = sources.head.getFileSystem(conf)
+        // Atomic pre-check: EVERY file of the group must exist before
+        // ANY copy starts.
+        val allExist = sources.forall(fs.exists)
+        if (!allExist) (name, false)
+        else {
+          try {
+            sources.foreach { src =>
+              val dest = new Path(spec.destDir, src.getName)
+              withRetry(spec.maxRetries, Thread.sleep) {
+                if (fs.exists(dest)) fs.delete(dest, false)
+                FileUtil.copy(fs, src, fs, dest, false, true, conf)
+              }
+            }
+            (name, true)
+          } catch { case _: java.io.IOException => (name, false) }
+        }
+      }
+    }.toDF("__file", "__transfer_ok")
+
+    // Materialize now so the accumulators below are exact.
+    val agg = verdicts.agg(
+      sum(when(col("__transfer_ok"), 1).otherwise(0)).cast("long"),
+      sum(when(!col("__transfer_ok"), 1).otherwise(0)).cast("long")).head()
+    copied.add(agg.getLong(0))
+    failed.add(agg.getLong(1))
+    verdicts
+  }
+}

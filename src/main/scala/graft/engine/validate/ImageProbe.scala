@@ -1,0 +1,47 @@
+package graft.engine.validate
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+/** Image dimension probe (SURVEY.md §2.1 S8): ImageIO readers expose
+  * width/height from the header WITHOUT a full pixel decode — the same
+  * trick as the reference's PIL `img.size` on an unloaded image
+  * (`image_validator.py:187-225`). Runs inside executors over
+  * binaryFile content; never decodes pixel data.
+  */
+object ImageProbe {
+
+  def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } catch {
+          case _: Exception => None
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: Exception => None
+    } finally iis.close()
+  }
+
+  /** Failure diagnosis matching the reference's classes: empty file /
+    * not an image / decode failure (`image_validator.py:187-225`).
+    */
+  def diagnose(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.isEmpty) "file is empty"
+    else {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        if (!ImageIO.getImageReaders(iis).hasNext) "not a recognized image format"
+        else "image header could not be decoded"
+      } finally iis.close()
+    }
+}

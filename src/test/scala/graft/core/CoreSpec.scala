@@ -1,0 +1,119 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlTypeSpec extends AnyFunSuite {
+  test("vocabulary round-trips") {
+    assert(SqlType.parse("VARCHAR(128)") == Right(SqlType.Varchar(128)))
+    assert(SqlType.parse("varchar(5)") == Right(SqlType.Varchar(5)))
+    assert(SqlType.parse("CHAR(2)") == Right(SqlType.Char(2)))
+    assert(SqlType.parse("DECIMAL(10,2)") == Right(SqlType.Decimal(10, 2)))
+    assert(SqlType.parse("NUMERIC(8, 3)") == Right(SqlType.Decimal(8, 3)))
+    assert(SqlType.parse("decimal(7)") == Right(SqlType.Decimal(7, 0)))
+    assert(SqlType.parse("INT") == Right(SqlType.IntT))
+    assert(SqlType.parse("TINYINT") == Right(SqlType.IntT))
+    assert(SqlType.parse("BIGINT") == Right(SqlType.BigIntT))
+    assert(SqlType.parse("FLOAT") == Right(SqlType.FloatT))
+    assert(SqlType.parse("DOUBLE") == Right(SqlType.DoubleT))
+    assert(SqlType.parse("BOOL") == Right(SqlType.BoolT))
+    assert(SqlType.parse("BOOLEAN") == Right(SqlType.BoolT))
+    assert(SqlType.parse("DATE") == Right(SqlType.DateT))
+    assert(SqlType.parse("DATETIME") == Right(SqlType.DateTimeT))
+    assert(SqlType.parse("TIMESTAMP") == Right(SqlType.DateTimeT))
+    assert(SqlType.parse("TIME") == Right(SqlType.TimeT))
+    assert(SqlType.parse("TEXT") == Right(SqlType.Text))
+    assert(SqlType.parse("LONGBLOB") == Right(SqlType.Blob))
+    assert(SqlType.parse("GEOMETRY").isLeft)
+  }
+
+  test("parseSchema accumulates all errors") {
+    val r = SqlType.parseSchema(Seq("a" -> "INT", "b" -> "NOPE", "c" -> "ALSO_NOPE"))
+    assert(r.left.exists(_.size == 2))
+  }
+}
+
+class StandardColumnsSpec extends AnyFunSuite {
+  test("reserved-name collision, length, count, dupes") {
+    val errs = StandardColumns.check(Seq("label", "x" * 65, "f1", "f1"))
+    assert(errs.exists(_.contains("collides")))
+    assert(errs.exists(_.contains("exceeds")))
+    assert(errs.exists(_.contains("Duplicate")))
+    assert(StandardColumns.check(Seq("f1", "f2")).isEmpty)
+    assert(StandardColumns.check((1 to 4001).map(i => s"c$i")).nonEmpty)
+  }
+
+  test("drift detection names both sides") {
+    val err = StandardColumns.driftError(Set("a", "b"), Set("b", "c"))
+    assert(err.exists(e => e.contains("c") && e.contains("a")))
+    assert(StandardColumns.driftError(Set("a"), Set("a")).isEmpty)
+  }
+}
+
+class ConfigSpec extends AnyFunSuite {
+  private val yaml =
+    """category: tabular_classification
+      |table: trial_data
+      |intent: train
+      |csv: /data/labels.csv
+      |schema:
+      |  feature_00: FLOAT
+      |  feature_01: FLOAT
+      |label: target
+      |""".stripMargin
+
+  test("YAML parse + resolve happy path") {
+    val r = YamlConfig.parse(yaml).flatMap(Conventions.resolve)
+    assert(r.isRight)
+    val c = r.toOption.get
+    assert(c.tableName == "trial_data")
+    assert(c.dataFormat == "csv")
+    assert(c.labelColumn.contains("target"))
+    assert(c.labelPolicy == LabelPolicy.Passthrough)
+    assert(c.schema.toMap == Map("feature_00" -> "FLOAT", "feature_01" -> "FLOAT"))
+  }
+
+  test("regression-class category requires explicit label policy") {
+    val bad = yaml.replace("tabular_classification", "tabular_regression")
+    val r = YamlConfig.parse(bad).flatMap(Conventions.resolve)
+    assert(r.left.exists(_.exists(_.contains("policy"))))
+  }
+
+  test("label object form with bucket policy") {
+    val y = yaml.replace("label: target",
+      "label:\n  column: target\n  policy: bucket")
+    val r = YamlConfig.parse(y).flatMap(Conventions.resolve)
+    assert(r.toOption.get.labelPolicy == LabelPolicy.Bucket(64))
+  }
+
+  test("bad category / intent / both sources rejected with pointer-ish paths") {
+    val y = "category: nope\ntable: t\nintent: maybe\ncsv: /a\njson: /b\n"
+    val r = YamlConfig.parse(y).flatMap(Conventions.resolve)
+    val errs = r.left.getOrElse(Nil)
+    assert(errs.exists(_.startsWith("/category")))
+    assert(errs.exists(_.startsWith("/intent")))
+    assert(errs.exists(_.contains("exactly one")))
+  }
+
+  test("keypoint category gets Annotation column convention") {
+    val y = yaml.replace("tabular_classification", "keypoint_detection")
+    val r = YamlConfig.parse(y).flatMap(Conventions.resolve)
+    assert(r.toOption.get.annotationColumn.contains("Annotation"))
+  }
+}
+
+class TableLockSpec extends AnyFunSuite {
+  import graft.engine.TableLock
+  test("exclusive acquire, holder named, stale self-clear") {
+    val dir = java.nio.file.Files.createTempDirectory("locks").toString
+    var clock = 1000L
+    val l1 = new TableLock(dir, "t1", staleAfterMs = 5000, now = () => clock)
+    val l2 = new TableLock(dir, "t1", staleAfterMs = 5000, now = () => clock)
+    assert(l1.acquire("alice").isRight)
+    val denied = l2.acquire("bob")
+    assert(denied.left.exists(_.contains("alice")))
+    clock += 6000 // past staleness cutoff
+    assert(l2.acquire("bob").isRight)
+    l2.release()
+    assert(l1.acquire("carol").isRight) // release deleted the file
+  }
+}

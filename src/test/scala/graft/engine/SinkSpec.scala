@@ -1,0 +1,129 @@
+package graft.engine
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+import graft.core.SqlType
+import graft.engine.sink.{FileCopySink, JdbcUpsert}
+
+/** Embedded-Derby integration tests for the JDBC upsert sink — the real
+  * foreachPartition path with batches, conflicts, per-row fallback and
+  * drift detection.
+  */
+class JdbcUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def derbyUrl(db: String) = s"jdbc:derby:memory:$db;create=true"
+
+  private def cfg(db: String, table: String = "t1", batch: Int = 2) =
+    JdbcUpsert.Config(derbyUrl(db), table, JdbcUpsert.GenericDialect, batchSize = batch)
+
+  private def features = Seq("f1" -> SqlType.DoubleT, "f2" -> SqlType.Varchar(5))
+
+  private def frame(rows: Seq[(String, Double, String)]) =
+    rows.toDF("data_id", "f1", "f2")
+
+  test("create table, upsert batch, re-upsert updates not duplicates") {
+    val c = cfg("db1")
+    assert(JdbcUpsert.ensureTable(c, features).isRight)
+    val up = sc.longAccumulator; val fail = sc.longAccumulator
+    JdbcUpsert.write(frame(Seq(("a", 1.0, "x"), ("b", 2.0, "y"), ("c", 3.0, "z"))),
+      c, up, fail)
+    assert(up.value == 3 && fail.value == 0)
+    // Second pass: same keys, new values → updates (count stays 3)
+    val up2 = sc.longAccumulator; val fail2 = sc.longAccumulator
+    JdbcUpsert.write(frame(Seq(("a", 10.0, "x2"), ("b", 20.0, "y2"))), c, up2, fail2)
+    assert(up2.value == 2 && fail2.value == 0)
+    val conn = DriverManager.getConnection(derbyUrl("db1"))
+    val rs = conn.createStatement().executeQuery(
+      """SELECT "data_id", "f1" FROM "t1" ORDER BY "data_id"""")
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getString(1), r.getDouble(2))).toList
+    conn.close()
+    assert(rows == List(("a", 10.0), ("b", 20.0), ("c", 3.0)))
+  }
+
+  test("per-row fallback isolates the offending record") {
+    val c = cfg("db2")
+    assert(JdbcUpsert.ensureTable(c, features).isRight)
+    val up = sc.longAccumulator; val fail = sc.longAccumulator
+    // "toolong" exceeds VARCHAR(5) → that row alone must fail
+    JdbcUpsert.write(frame(Seq(("a", 1.0, "ok"), ("b", 2.0, "toolong"), ("c", 3.0, "ok"))),
+      c, up, fail)
+    assert(up.value == 2, s"expected 2 upserted, got ${up.value}")
+    assert(fail.value == 1, s"expected 1 failed, got ${fail.value}")
+  }
+
+  test("schema drift against an existing table is an actionable error") {
+    val c = cfg("db3")
+    assert(JdbcUpsert.ensureTable(c, features).isRight)
+    val drift = JdbcUpsert.ensureTable(c, Seq("f1" -> SqlType.DoubleT,
+      "f9" -> SqlType.IntT))
+    assert(drift.left.exists(_.head.contains("f9")))
+  }
+
+  test("standard-column guards run before DDL") {
+    val c = cfg("db4")
+    val r = JdbcUpsert.ensureTable(c, Seq("label" -> SqlType.IntT))
+    assert(r.left.exists(_.head.contains("collides")))
+  }
+
+  test("MySQL dialect renders ON DUPLICATE KEY with backtick escaping") {
+    val stmt = JdbcUpsert.MySqlDialect.upsert("tbl",
+      Seq("data_id", "UniProt|gene", "created_at"), "data_id").get
+    assert(stmt.sql.contains("`UniProt|gene`"))
+    assert(stmt.sql.contains("ON DUPLICATE KEY UPDATE"))
+    assert(!stmt.sql.contains("`created_at` = VALUES")) // excluded from update-set
+  }
+}
+
+class FileCopySinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("copies resolve extension, atomic pair pre-check, failure channel") {
+    val src = tmpDir("src")
+    val xml = tmpDir("xml")
+    val dest = tmpDir("dest")
+    write(src.resolve("a.jpg"), "A")
+    write(src.resolve("b.jpg"), "B")
+    write(xml.resolve("a.xml"), "<a/>")
+    // b has no xml → atomic pre-check must fail b WITHOUT copying b.jpg
+    val df = Seq(("a.jpg", "jpg"), ("b.jpg", "jpg"), ("missing.jpg", "jpg"))
+      .toDF("filename", "extension")
+    val copied = sc.longAccumulator; val failed = sc.longAccumulator
+    FileCopySink.copy(df,
+      FileCopySink.CopySpec.imageXml(src.toString, xml.toString, dest.toString),
+      copied, failed, sc.hadoopConfiguration)
+    assert(copied.value == 1) // only a has BOTH image and xml
+    assert(failed.value == 2) // b (no xml), missing (no image)
+    assert(java.nio.file.Files.exists(dest.resolve("a.jpg")))
+    assert(java.nio.file.Files.exists(dest.resolve("a.xml")))
+    // a copied fully or not at all; b must NOT be present (atomicity)
+    assert(!java.nio.file.Files.exists(dest.resolve("b.jpg")))
+  }
+
+  test("single-dir copy with retry-able overwrite") {
+    val src = tmpDir("src2")
+    val dest = tmpDir("dest2")
+    write(src.resolve("x.txt"), "first")
+    val df = Seq(("x", "txt")).toDF("filename", "extension")
+    val c1 = sc.longAccumulator; val f1 = sc.longAccumulator
+    FileCopySink.copy(df, FileCopySink.CopySpec.single(src.toString, dest.toString),
+      c1, f1, sc.hadoopConfiguration)
+    assert(c1.value == 1 && f1.value == 0)
+    assert(new String(java.nio.file.Files.readAllBytes(dest.resolve("x.txt"))) == "first")
+    // overwrite path: change content, copy again
+    write(src.resolve("x.txt"), "second")
+    val c2 = sc.longAccumulator; val f2 = sc.longAccumulator
+    FileCopySink.copy(df, FileCopySink.CopySpec.single(src.toString, dest.toString),
+      c2, f2, sc.hadoopConfiguration)
+    assert(new String(java.nio.file.Files.readAllBytes(dest.resolve("x.txt"))) == "second")
+  }
+
+  test("resolveName appends extension only when absent") {
+    assert(FileCopySink.resolveName("a.jpg", "jpg") == "a.jpg")
+    assert(FileCopySink.resolveName("a", "jpg") == "a.jpg")
+    assert(FileCopySink.resolveName("a", "") == "a")
+    assert(FileCopySink.resolveName("archive.tar", "gz") == "archive.tar")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextHashSpec extends AnyFunSuite {
+  test("fnv1a64 known vectors stay stable across rounds") {
+    // FNV-1a 64 reference values (public test vectors)
+    assert(TextHash.fnv1a64("") == 0xcbf29ce484222325L)
+    assert(TextHash.fnv1a64("a") == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("tokens / shingles edge cases") {
+    assert(TextHash.tokens(null).isEmpty)
+    assert(TextHash.tokens("  ").isEmpty)
+    assert(TextHash.tokens(" a  b ").toSeq == Seq("a", "b"))
+    assert(TextHash.shingles("a b c d", 3).toSeq == Seq("a b c", "b c d"))
+    assert(TextHash.shingles("a b", 3).toSeq == Seq("a b")) // short text → one shingle
+    assert(TextHash.shingles("", 3).isEmpty)
+  }
+
+  test("simhash: identical text identical hash; permuted words identical too") {
+    val a = TextHash.simhash64("the quick brown fox")
+    assert(a == TextHash.simhash64("the quick brown fox"))
+    // bag-of-words property: order-insensitive by construction
+    assert(a == TextHash.simhash64("fox brown quick the"))
+    val far = TextHash.simhash64("completely different words entirely")
+    assert(TextHash.hammingDistance(a, far) > 10)
+  }
+
+  test("minhash: containment raises signature agreement") {
+    val sig1 = TextHash.minhash("a b c d e f g h i j", 64, 2)
+    val sig2 = TextHash.minhash("a b c d e f g h i j", 64, 2)
+    assert(sig1.toSeq == sig2.toSeq)
+    val sig3 = TextHash.minhash("a b c d e f g h i x", 64, 2)
+    val agree = sig1.zip(sig3).count { case (x, y) => x == y }
+    assert(agree > 32) // high overlap → most slots agree
+    assert(TextHash.minhash("", 16, 3).forall(_ == Long.MaxValue))
+  }
+
+  test("band keys: equal signatures → equal bands; emptiness is inert") {
+    val s1 = TextHash.minhash("x y z w", 64, 2)
+    assert(TextHash.bandKeys(s1, 16).toSeq == TextHash.bandKeys(s1, 16).toSeq)
+    assert(TextHash.bandKeys(s1, 16).length == 16)
+  }
+
+  test("jaccard exact values") {
+    assert(TextHash.jaccard("a b c", "a b c", 1) == 1.0)
+    assert(TextHash.jaccard("a b", "c d", 1) == 0.0)
+    assert(TextHash.jaccard("a b c d", "a b c e", 1) == 3.0 / 5.0)
+    assert(TextHash.jaccard("", "", 3) == 1.0)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    assert(TextHash.fingerprint("Hello  World") == TextHash.fingerprint("hello world"))
+    assert(TextHash.fingerprint(" hello world ") == TextHash.fingerprint("hello world"))
+    assert(TextHash.fingerprint("hello world") != TextHash.fingerprint("hello worlds"))
+  }
+
+  test("label bucket kernel matches the reference python semantics") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def b(s: String) = LabelHashBucketUtil.bucket(UTF8String.fromString(s), 64)
+    // int.from_bytes(sha256(x)[:8],'big') % 64 — computed independently
+    assert(b("de") == 24 && b("en") == 14 && b("es") == 45)
+    assert(b("fr") == 24 && b("zh") == 12)
+    assert(LabelHashBucketUtil.bucket(null, 64) == -1)
+    assert(b("  ") == -1)
+    assert(b("nan") == -1 && b("NaN") == -1)
+  }
+}
