@@ -93,23 +93,31 @@ object DedupQueries {
           sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"))
     },
 
-    // -- MinHash + LSH near-dup: sig(128 hashes) → 64 bands × 2 rows →
+    // -- MinHash + LSH near-dup: sig(64 hashes) → 32 bands × 2 rows →
     //    band-key equi-join → exact 3-gram-jaccard verify ≥ 0.8.
-    //    With r=2,b=64: P(candidate | j=0.8) = 1-(1-0.64)^64 ≈ 1-4e-29,
+    //    With r=2,b=32: P(candidate | j=0.8) = 1-(1-0.64)^32 ≈ 1-5e-15,
     //    so the LSH pass provably recovers every pair the full-scan
-    //    oracle finds (which is what makes this oracle-comparable). ----
+    //    oracle finds (which is what makes this oracle-comparable).
+    //    The banded frame is persisted: a self-join otherwise evaluates
+    //    the minhash UDF once PER SIDE — the dominant cost. -----------
     "d3_minhash_lsh" -> { (s, d) =>
       val banded = corpusNear(s, d)
-        .withColumn("sig", F.minhashSig(col("text"), 128, 3))
+        .withColumn("sig", F.minhashSig(col("text"), 64, 3))
         .select(col("doc_id"), col("text"),
-          posexplode(F.minhashBands(col("sig"), 64)).as(Seq("band_idx", "band_key")))
-      val a = banded.select(col("doc_id").as("id_a"), col("text").as("text_a"),
-        col("band_idx"), col("band_key"))
-      val b = banded.select(col("doc_id").as("id_b"), col("text").as("text_b"),
-        col("band_idx"), col("band_key"))
-      a.join(b, Seq("band_idx", "band_key"))
+          posexplode(F.minhashBands(col("sig"), 32)).as(Seq("band_idx", "band_key")))
+        .persist()
+      // Candidate pairs dedup on IDS ONLY — an exact-dup pair collides in
+      // all 32 bands, and shuffling 32 copies of both full texts through
+      // distinct() dominated the query; texts rejoin after the dedup.
+      val a = banded.select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
+      val b = banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key"))
+      val pairs = a.join(b, Seq("band_idx", "band_key"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b").distinct()
+        .select("id_a", "id_b").distinct()
+      val texts = corpusNear(s, d)
+      pairs
+        .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+        .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
         .withColumn("jaccard", F.jaccardSim(col("text_a"), col("text_b"), 3))
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
