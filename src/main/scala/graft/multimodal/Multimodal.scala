@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: media travel as opaque `binary` payloads with a
+  * typed metadata struct alongside — the pattern that scales to 100 TB
+  * because Spark never interprets the bytes except inside explicitly
+  * partitioned decode passes.
+  *
+  * The DECODE ITSELF IS A STUB — image/audio codecs are not available
+  * in this environment. [[MediaDecoder.decodeStub]] derives
+  * deterministic fake dimensions/frames from the payload header bytes,
+  * clearly marked; swapping in a real decoder changes ONE function and
+  * none of the plumbing (schema, partitioning, batch shape, the
+  * mapPartitions signature all stay).
+  */
+object Multimodal {
+
+  /** Typed decode result carried next to the payload. */
+  final case class MediaMeta(
+      kind: String, // image | audio | video
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      sampleRateHz: Int,
+      nBytes: Long,
+      sha256: String)
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("nFrames", IntegerType, nullable = false),
+    StructField("sampleRateHz", IntegerType, nullable = false),
+    StructField("nBytes", LongType, nullable = false),
+    StructField("sha256", StringType, nullable = false)))
+
+  /** Load a media directory as (path, name, payload) — distributed
+    * listing + lazy content via binaryFile; content column prunes away
+    * when a downstream op only needs names.
+    */
+  def scan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"),
+        element_at(split(col("path"), "/"), -1).as("name"),
+        col("content").as("payload"))
+      .filter(!col("name").startsWith("."))
+
+  /** Decode pass: one partition-batched sweep attaching [[MediaMeta]].
+    * The mapPartitions shape is the real contract — a production
+    * decoder amortizes codec init per PARTITION, not per row (exactly
+    * how a Pandas-UDF/mapInPandas batch decoder behaves).
+    */
+  def withMeta(df: DataFrame, kind: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns
+    val payloadIdx = cols.indexOf("payload")
+    require(payloadIdx >= 0, "expected a 'payload' binary column")
+    val nameIdx = cols.indexOf("name")
+    val decoded: Dataset[(String, MediaMeta)] =
+      df.select(col("name"), col("payload")).as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          // per-partition decoder init would go here (codec contexts,
+          // native buffers) — the stub needs none.
+          it.map { case (name, bytes) =>
+            (name, MediaDecoder.decodeStub(kind, bytes))
+          }
+        }
+    df.join(decoded.toDF("name", "meta"), "name")
+  }
+
+  /** Resize plan: pure metadata math (target fit preserving aspect),
+    * demonstrating typed-struct column surgery without touching bytes.
+    * A real implementation maps the payload through the decoder in the
+    * same partition pass.
+    */
+  def resizePlan(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = least(lit(targetW) / w, lit(targetH) / h)
+    df.withColumn("resize_w", ceil(w * scale).cast("int"))
+      .withColumn("resize_h", ceil(h * scale).cast("int"))
+  }
+
+  /** Frame sampling plan for video-kind media: every `stride`-th frame
+    * index, capped at `maxFrames` — an array column the downstream
+    * extractor explodes, so sampling cost shows up as rows, not bytes.
+    */
+  def frameSamplePlan(df: DataFrame, stride: Int, maxFrames: Int): DataFrame =
+    df.withColumn("sampled_frames",
+      slice(sequence(lit(0), col("meta.nFrames") - 1, lit(stride)), 1, maxFrames))
+}
+
+object MediaDecoder {
+
+  /** STUB DECODE — deterministic fake: real image/audio/video codecs
+    * are not installed in this container. Dimensions derive from the
+    * first payload bytes so results are stable across runs/executors;
+    * `sha256`/`nBytes` are real. Replace this body with ImageIO /
+    * javacv / soundfile calls to go live — the signature is the
+    * production contract.
+    */
+  def decodeStub(kind: String, bytes: Array[Byte]): Multimodal.MediaMeta = {
+    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"$b%02x").mkString
+    Multimodal.MediaMeta(
+      kind = kind,
+      width = (b0 % 64 + 1) * 16,
+      height = (b1 % 64 + 1) * 16,
+      nFrames = if (kind == "video") bytes.length % 300 + 1 else 1,
+      sampleRateHz = if (kind == "audio") 16000 else 0,
+      nBytes = bytes.length.toLong,
+      sha256 = sha)
+  }
+}

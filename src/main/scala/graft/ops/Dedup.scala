@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions => F}
+
+/** Deduplication operators for training-data pipelines, as a public
+  * library surface. Every variant is shuffle-shaped as a groupBy /
+  * equi-join on a derived key — never a cartesian product — so the
+  * same code runs at gate scale and at 100 TB:
+  *
+  *  - exact: hash-groupBy on content columns;
+  *  - fingerprint: 64-bit rolling hash of normalized text (case/
+  *    whitespace-insensitive exact);
+  *  - MinHash+LSH: shingle → signature → band keys → band equi-join →
+  *    exact-jaccard verify (bounded candidates, provable recall);
+  *  - SimHash: 64-bit sketch, 16-bit band join, hamming verify;
+  *  - embedding cosine: self-join pruned by id with a codegen'd
+  *    cosine expression.
+  *
+  * Skew note: a degenerate corpus (millions of identical docs) makes
+  * one band bucket huge; cap with `maxBucket` — buckets larger than
+  * the cap are dropped from candidate generation (they are, by
+  * construction, near-identical groups better handled by exact dedup
+  * first).
+  */
+object Dedup {
+
+  /** Keep one row per distinct value of `cols` (the smallest `idCol`
+    * wins — deterministic, unlike dropDuplicates' arbitrary winner).
+    */
+  def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(cols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Group-size statistics for exact duplicates of `textCol`. */
+  def exactStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(textCol)
+      .agg(count(lit(1)).as("n"), min(idCol).as("keeper"))
+      .agg(
+        sum("n").as("n_rows"),
+        count(lit(1)).as("n_distinct_text"),
+        sum(col("n") - 1).as("n_dupes_removed"),
+        sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        min("keeper").as("min_keeper"))
+
+  /** Normalized-fingerprint column (lower + collapsed whitespace). */
+  def fingerprint(textCol: Column): Column = F.fingerprint(textCol)
+
+  /** Candidate near-duplicate pairs via MinHash LSH: `(id_a, id_b)`
+    * with id_a < id_b, deduplicated. With `rows = numHashes / bands`
+    * hash rows per band, P(candidate | jaccard=j) = 1-(1-j^rows)^bands.
+    * Defaults (64, 32 → r=2) make recall at j≥0.8 effectively 1.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 32,
+                        shingle: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val banded = df
+      .select(col(idCol), F.minhashSig(col(textCol), numHashes, shingle).as("__sig"))
+      .select(col(idCol),
+        posexplode(F.minhashBands(col("__sig"), bands)).as(Seq("__band", "__key")))
+      .persist()
+    // Skew cap: drop pathological buckets from candidate generation.
+    val bucketSizes = banded.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket && col("__n") > 1)
+    val pruned = banded.join(bucketSizes, Seq("__band", "__key"), "left_semi")
+    val a = pruned.select(col(idCol).as("id_a"), col("__band"), col("__key"))
+    val b = pruned.select(col(idCol).as("id_b"), col("__band"), col("__key"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Near-duplicate pairs with exact-jaccard verification ≥ threshold:
+    * `(id_a, id_b, jaccard)`. LSH candidates only — the jaccard UDF
+    * never runs on non-colliding pairs.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, numHashes: Int = 64,
+                     bands: Int = 32, shingle: Int = 3): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, textCol, numHashes, bands, shingle)
+    val texts = df.select(col(idCol), col(textCol))
+    pairs
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("jaccard", F.jaccardSim(col("__ta"), col("__tb"), shingle))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Remove near-duplicates, keeping each group's smallest id (greedy:
+    * a row is dropped iff it has a verified neighbor with a smaller
+    * id — one LSH pass, no iterative connected components).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.8): DataFrame = {
+    val losers = nearDuplicates(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bits, banded into
+    * 4×16-bit keys (hamming ≤ 3 is guaranteed by pigeonhole; up to the
+    * cap is found when any band collides).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val withSh = df.select(col(idCol), F.simhash(col(textCol)).as("__sh"))
+    val banded = withSh.select(col(idCol), col("__sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("__sh"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__band", "__key")))
+    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("__sha"),
+      col("__band"), col("__key"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("__shb"),
+      col("__band"), col("__key"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sha", "__shb").distinct()
+      .withColumn("hamming", F.hamming(col("__sha"), col("__shb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-duplicate pairs ≥ threshold. The self-join
+    * is pruned by id ordering; at very large N pre-bucket by vector
+    * norm or an LSH sketch before calling this.
+    */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double = 0.99): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", F.cosineSim(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,11 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{GraftFunctions => F}
 
 /** Approximate-nearest-neighbor search over the embedding column.
   *
@@ -25,20 +23,13 @@ import graft.functions.{GraftFunctions => F}
   */
 object AnnQueries {
 
-  private def cosine(a: Column, b: Column): Column = F.cosineSim(a, b)
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+      graft.ops.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
           round(col("cos"), 6).as("cos_r"))
         .orderBy("q_id", "rank")
     },
@@ -47,31 +38,9 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val centroids = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      // One-scan bucket assignment: nearest centroid per vector
-      // (tie-break on cent_id for determinism).
-      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("ccos", cosine(col("embedding"), col("cent_emb")))
-        .withColumn("arank", row_number().over(aw))
-        .filter(col("arank") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("bucket"))
-      // Per-query probe list: the nprobe=2 nearest centroids.
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cent_id"))
-      val probes = q.crossJoin(broadcast(centroids))
-        .withColumn("pcos", cosine(col("q_emb"), col("cent_emb")))
-        .withColumn("prank", row_number().over(pw))
-        .filter(col("prank") <= 2)
-        .select(col("q_id"), col("q_emb"), col("cent_id").as("bucket"))
-      // Pruned search: only vectors in probed buckets.
-      val fw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(broadcast(probes), "bucket")
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-        .withColumn("rank", row_number().over(fw))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      graft.ops.Similarity
+        .ivfTopK(emb, emb.filter(col("vec_id") < 8), centroids,
+          "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy("q_id", "rank")
     })
 

@@ -70,14 +70,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: hash-groupBy on content --------------------------
     "d1_dedup_exact" -> { (s, d) =>
-      corpusExact(s, d)
-        .groupBy("text").agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
-        .agg(
-          sum("n").as("n_rows"),
-          count(lit(1)).as("n_distinct_text"),
-          sum(col("n") - 1).as("n_dupes_removed"),
-          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
-          min("keeper").as("min_keeper"))
+      graft.ops.Dedup.exactStats(corpusExact(s, d), "text", "doc_id")
     },
 
     // -- normalized-fingerprint dedup (case/whitespace-insensitive):
@@ -101,25 +94,9 @@ object DedupQueries {
     //    The banded frame is persisted: a self-join otherwise evaluates
     //    the minhash UDF once PER SIDE — the dominant cost. -----------
     "d3_minhash_lsh" -> { (s, d) =>
-      val banded = corpusNear(s, d)
-        .withColumn("sig", F.minhashSig(col("text"), 64, 3))
-        .select(col("doc_id"), col("text"),
-          posexplode(F.minhashBands(col("sig"), 32)).as(Seq("band_idx", "band_key")))
-        .persist()
-      // Candidate pairs dedup on IDS ONLY — an exact-dup pair collides in
-      // all 32 bands, and shuffling 32 copies of both full texts through
-      // distinct() dominated the query; texts rejoin after the dedup.
-      val a = banded.select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
-      val b = banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key"))
-      val pairs = a.join(b, Seq("band_idx", "band_key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      val texts = corpusNear(s, d)
-      pairs
-        .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
-        .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
-        .withColumn("jaccard", F.jaccardSim(col("text_a"), col("text_b"), 3))
-        .filter(col("jaccard") >= 0.8)
+      graft.ops.Dedup
+        .nearDuplicates(corpusNear(s, d), "doc_id", "text",
+          threshold = 0.8, numHashes = 64, bands = 32, shingle = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     },
@@ -129,22 +106,8 @@ object DedupQueries {
     //    identical band; ≤6 is probabilistic but exact for our exact
     //    copies). No SQL oracle (FNV-1a not expressible) → rows-only. --
     "d4_simhash_neardup" -> { (s, d) =>
-      val withSh = corpusExact(s, d).withColumn("sh", F.simhash(col("text")))
-      val banded = withSh.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("band_idx", "band_key")))
-      val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-        col("band_idx"), col("band_key"))
-      val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-        col("band_idx"), col("band_key"))
-      a.join(b, Seq("band_idx", "band_key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-        .withColumn("hamming", F.hamming(col("sh_a"), col("sh_b")))
-        .filter(col("hamming") <= 6)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+      graft.ops.Dedup.simhashPairs(corpusExact(s, d), "doc_id", "text",
+        maxHamming = 6).orderBy("id_a", "id_b")
     },
 
     // -- embedding-cosine near-dup: copied vectors (vec_id%5==0) must
@@ -158,11 +121,8 @@ object DedupQueries {
       val corpus = emb.unionByName(
         emb.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", F.cosineSim(col("emb_a"), col("emb_b")))
-        .filter(col("cos") >= 0.99)
+      graft.ops.Dedup
+        .embeddingNearDuplicates(corpus, "vec_id", "embedding", threshold = 0.99)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
         .orderBy("id_a", "id_b")
     })

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.ResolvedConfig
+import graft.engine.transform.TransformPipeline
+
+/** Streaming face of the engine. The reference is strictly batch
+  * (SURVEY.md §7.4 #10) — this module exists for the beyond-reference
+  * 100 TB pipeline, where manifests arrive continuously:
+  *
+  *  - the SAME TransformPipeline column expressions run unchanged on a
+  *    stream (they're stateless projections);
+  *  - windowed quality/volume metrics use event-time + watermark so
+  *    state is bounded;
+  *  - first-seen dedup keyed on data_id uses mapGroupsWithState with a
+  *    processing-time timeout — the streaming analogue of the keyed
+  *    upsert's "insert once, update after" semantics.
+  */
+object StreamingIngest {
+
+  /** Apply the batch transform pipeline to a streaming manifest — the
+    * projection is stateless, so batch/stream parity is structural.
+    */
+  def transform(stream: DataFrame, config: ResolvedConfig, runId: String): DataFrame =
+    TransformPipeline(stream, config, runId)
+
+  /** Event-time windowed counts with a watermark bounding state:
+    * (window, event_type, n, sum_value).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
+                     windowDur: String, watermarkDur: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  final case class SeenState(firstSeenMs: Long, count: Long)
+
+  /** First-seen pass-through dedup on a key column: the first record
+    * per key is emitted, later ones dropped (their arrival is counted
+    * in state). State is expired on access after `ttlMs` — a key idle
+    * past the TTL is treated as new again. (Expiry-on-access instead of
+    * ProcessingTimeTimeout: timeout-scheduled batches never quiesce on
+    * a finite feed, which deadlocks processAllAvailable-style tests;
+    * for strict idle-state eviction at scale use
+    * `dropDuplicatesWithinWatermark` or a timer-based operator.)
+    */
+  def firstSeen[T](ds: Dataset[(String, T)], ttlMs: Long,
+                   now: () => Long = System.currentTimeMillis)(
+      implicit e1: org.apache.spark.sql.Encoder[(String, T)],
+      e2: org.apache.spark.sql.Encoder[Option[(String, T)]],
+      e3: org.apache.spark.sql.Encoder[SeenState]): Dataset[(String, T)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[SeenState, Option[(String, T)]](
+        GroupStateTimeout.NoTimeout) {
+        case (_, records, state: GroupState[SeenState]) =>
+          val recs = records.toSeq
+          val t = now()
+          val expired = state.getOption.exists(s => t - s.firstSeenMs > ttlMs)
+          val isNew = !state.exists || expired
+          val prior =
+            if (isNew) SeenState(t, 0L)
+            else state.get
+          state.update(prior.copy(count = prior.count + recs.size))
+          if (isNew) recs.headOption else None
+      }
+      .flatMap(_.toSeq)
+  }
+
+  /** Convenience: run a streaming frame into an in-memory table and
+    * block until all currently-available data is processed (test +
+    * local-debug harness; production sinks use foreachBatch → the
+    * JdbcUpsert/FileCopy sinks).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    // processAllAvailable + stop (not awaitTermination): queries with
+    // state timeouts keep scheduling batches, so "terminated" never
+    // arrives for a finite test feed.
+    q.processAllAvailable()
+    q.stop()
+  }
+}

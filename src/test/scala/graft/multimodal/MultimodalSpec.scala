@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDir = {
+    val d = tmpDir("media")
+    write(d.resolve("a.img"), "AAAAAAAA")
+    write(d.resolve("b.img"), "BBBBBBBBBBBBBBBB")
+    write(d.resolve(".hidden"), "x")
+    d
+  }
+
+  test("scan: binary payloads with names, hidden files skipped") {
+    val df = Multimodal.scan(spark, mediaDir.toString)
+    val rows = df.select("name").as[String].collect().toSet
+    assert(rows == Set("a.img", "b.img"))
+    assert(df.schema("payload").dataType.typeName == "binary")
+  }
+
+  test("withMeta: partition-batched decode attaches the typed struct") {
+    val df = Multimodal.withMeta(Multimodal.scan(spark, mediaDir.toString), "image")
+    val metas = df.select(col("name"), col("meta.width"), col("meta.nBytes"),
+      col("meta.sha256")).as[(String, Int, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(metas("a.img")._3 == 8L)
+    assert(metas("b.img")._3 == 16L)
+    assert(metas("a.img")._4.length == 64) // real sha256 of the payload
+    // stub dims are deterministic functions of the header bytes
+    assert(metas("a.img")._2 == (('A' % 64) + 1) * 16)
+  }
+
+  test("resizePlan preserves aspect ratio within the target box") {
+    val df = Multimodal.withMeta(Multimodal.scan(spark, mediaDir.toString), "image")
+    val planned = Multimodal.resizePlan(df, 128, 128)
+      .select(col("resize_w"), col("resize_h"),
+        col("meta.width"), col("meta.height"))
+      .as[(Int, Int, Int, Int)].collect()
+    planned.foreach { case (rw, rh, w, h) =>
+      assert(rw <= 128 && rh <= 128)
+      val scaleW = rw.toDouble / w
+      val scaleH = rh.toDouble / h
+      assert(math.abs(scaleW - scaleH) < 0.05) // aspect preserved (ceil slack)
+    }
+  }
+
+  test("frameSamplePlan: stride + cap over video frames") {
+    val d = tmpDir("vid")
+    write(d.resolve("clip.bin"), "x" * 95) // stub: 95 % 300 + 1 = 96 frames
+    val df = Multimodal.withMeta(Multimodal.scan(spark, d.toString), "video")
+    val frames = Multimodal.frameSamplePlan(df, stride = 10, maxFrames = 5)
+      .select("sampled_frames").as[Seq[Long]].head()
+    assert(frames == Seq(0L, 10L, 20L, 30L, 40L)) // capped at 5
+  }
+}

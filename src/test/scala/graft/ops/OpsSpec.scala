@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and"), //       near dup of 1
+    (4L, "completely different content with no overlap whatsoever here"),
+    (5L, "ANOTHER totally unrelated document about graph databases ok"))
+    .toDF("id", "text")
+
+  test("exact keeps the smallest id deterministically") {
+    val out = Dedup.exact(corpus, Seq("text"), "id")
+    assert(out.count() == 4)
+    assert(out.filter(col("id") === 2).count() == 0) // 1 won over 2
+    assert(out.filter(col("id") === 1).count() == 1)
+  }
+
+  test("nearDuplicates finds exact and truncation pairs, nothing else") {
+    val pairs = Dedup.nearDuplicates(corpus, "id", "text",
+      threshold = 0.5, shingle = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("dropNearDuplicates keeps group minima and singletons") {
+    val kept = Dedup.dropNearDuplicates(corpus, "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L)) // 2,3 dropped as neighbors of 1
+  }
+
+  test("simhashPairs: exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(corpus, "id", "text")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("minhash bucket cap drops pathological buckets") {
+    val many = (1L to 50L).map(i => (i, "identical text here every time ok"))
+      .toDF("id", "text")
+    val capped = Dedup.minhashCandidates(many, "id", "text", maxBucket = 10)
+    assert(capped.count() == 0) // the 50-doc bucket exceeds the cap
+    val uncapped = Dedup.minhashCandidates(many, "id", "text", maxBucket = 1000)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
+}
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-D unit-ish vectors: ids 1..4 near (1,0), ids 11..14 near (0,1)
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.00f)), (2L, Array(1.0f, 0.05f)),
+    (3L, Array(1.0f, 0.10f)), (4L, Array(1.0f, 0.15f)),
+    (11L, Array(0.00f, 1.0f)), (12L, Array(0.05f, 1.0f)),
+    (13L, Array(0.10f, 1.0f)), (14L, Array(0.15f, 1.0f)))
+    .toDF("id", "vec")
+
+  test("brute-force top-k returns same-cluster neighbors in rank order") {
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 1),
+      "id", "vec", k = 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    assert(res.map(_._3).toSeq == Seq(2L, 3L, 4L)) // nearest first
+    assert(res.head._4 > 0.99)
+  }
+
+  test("IVF with cluster centroids reproduces brute-force for clustered data") {
+    val centroids = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("cent_id", "cent_emb")
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 11),
+      "id", "vec", k = 2).select("q_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter(col("id") === 11), centroids,
+      "id", "vec", k = 2, nprobe = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(ivf == brute) // query's own bucket contains all true neighbors
+  }
+
+  test("IVF assignment buckets by nearest centroid") {
+    val centroids = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("cent_id", "cent_emb")
+    val assigned = Similarity.ivfAssign(vecs, centroids, "id", "vec")
+    val byBucket = assigned.groupBy("bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byBucket == Map(100L -> 4L, 200L -> 4L))
+  }
+}

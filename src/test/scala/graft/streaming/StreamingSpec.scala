@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.core.{ResolvedConfig, TaskCategory}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts with watermark over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:00:50"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:01:10"), "view", 3.0))
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedCounts(events, "ts", "event_type",
+      "1 minute", "2 minutes")
+    StreamingIngest.runToMemory(agg, "win_counts", OutputMode.Complete())
+    val rows = spark.table("win_counts")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "click", 2L),
+      ("2024-01-01 00:01:00", "view", 1L)))
+  }
+
+  test("transform pipeline runs unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, String)]
+    input.addData(("1.5", "cat", "r1"), ("2.5", "dog", "r2"), ("3.5", "cat", ""))
+    val manifest = input.toDF().toDF("f0", "target", "rid")
+    val cfg = ResolvedConfig(
+      category = TaskCategory.TabularClassification,
+      tableName = "t", intent = "train", dataFormat = "csv", sourcePath = "/x",
+      schema = Seq("f0" -> "FLOAT", "target" -> "VARCHAR(10)", "rid" -> "VARCHAR(10)"),
+      labelColumn = Some("target"), uniqueIdColumn = Some("rid"))
+    val out = StreamingIngest.transform(manifest, cfg, "stream-run")
+    StreamingIngest.runToMemory(out, "stream_transform", OutputMode.Append())
+    val rows = spark.table("stream_transform")
+      .select("data_id", "label", "data_intent").as[(String, String, String)]
+      .collect().toSet
+    // blank rid dropped; standard columns stamped
+    assert(rows == Set(("r1", "cat", "train"), ("r2", "dog", "train")))
+  }
+
+  test("firstSeen stateful dedup emits one record per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    input.addData(("k1", "v1"), ("k1", "v1-dup"), ("k2", "v2"), ("k1", "v1-dup2"))
+    val out = StreamingIngest.firstSeen(input.toDS(), ttlMs = 60000)
+    StreamingIngest.runToMemory(out.toDF("key", "value"), "first_seen",
+      OutputMode.Update())
+    val rows = spark.table("first_seen").as[(String, String)].collect().toSet
+    assert(rows.map(_._1) == Set("k1", "k2"))
+    assert(rows.contains(("k1", "v1"))) // the FIRST record won
+  }
+}
