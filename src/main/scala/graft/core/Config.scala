@@ -70,7 +70,10 @@ object LabelPolicy {
 final case class CsvOptions(
     delimiter: String = ",",
     quoteChar: String = "\"",
-    escapeChar: String = "\\",
+    // Excel/pandas dialect: quotes escape by doubling ("" inside a
+    // quoted field). Spark's default backslash-escape silently corrupts
+    // such values; set "\\" explicitly for backslash-escaped data.
+    escapeChar: String = "\"",
     encoding: String = "UTF-8")
 
 /** A fully-resolved run configuration: customer values win, category

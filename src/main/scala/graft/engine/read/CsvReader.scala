@@ -103,17 +103,54 @@ object CsvReader {
       .csv(path)
   }
 
+  /** Ragged-row detection (S3): Spark's FAILFAST silently IGNORES extra
+    * trailing tokens (univocity parses the selected columns and moves
+    * on), so `on_bad_lines="error"` parity needs the PERMISSIVE +
+    * corrupt-record-column probe: any row whose token count mismatches
+    * the header is captured verbatim. One scan; returns up to 5 samples.
+    */
+  def preflightRagged(spark: SparkSession, path: String, header: Seq[String],
+                      opts: CsvOptions = CsvOptions()): Either[String, Unit] = {
+    import org.apache.spark.sql.functions._
+    val corrupt = "__corrupt_record"
+    val schema = StructType(
+      header.map(h => StructField(h, StringType, nullable = true)) :+
+        StructField(corrupt, StringType, nullable = true))
+    val df = spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("delimiter", opts.delimiter)
+      .option("quote", opts.quoteChar)
+      .option("escape", opts.escapeChar)
+      .option("encoding", opts.encoding)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .csv(path)
+    // Spark refuses to answer queries over the corrupt-record column of
+    // a raw scan (and with pruning the parser wouldn't even see extra
+    // tokens); the documented pattern is to cache the fully-parsed
+    // frame, query it, and drop the cache.
+    val cached = df.cache()
+    val row =
+      try cached.agg(
+        sum(when(col(corrupt).isNotNull, 1).otherwise(0)).cast("long").as("n"),
+        slice(collect_list(col(corrupt)), 1, 5).as("samples")).head()
+      finally cached.unpersist()
+    val n = row.getAs[Long]("n")
+    if (n > 0)
+      Left(s"$path: $n malformed row(s) (wrong column count); e.g. " +
+        row.getSeq[String](1).mkString("; "))
+    else Right(())
+  }
+
   /** Preflights + scan in the reference's order (cheap checks first). */
   def open(spark: SparkSession, path: String,
            opts: CsvOptions = CsvOptions()): Either[List[String], DataFrame] = {
-    preflightUtf8(spark, path) match {
-      case Left(e) => Left(List(e))
-      case Right(_) =>
-        preflightHeader(spark, path, opts) match {
-          case Left(e) => Left(List(e))
-          case Right(header) => Right(read(spark, path, header, opts))
-        }
-    }
+    for {
+      _ <- preflightUtf8(spark, path).left.map(List(_))
+      header <- preflightHeader(spark, path, opts).left.map(List(_))
+      _ <- preflightRagged(spark, path, header, opts).left.map(List(_))
+    } yield read(spark, path, header, opts)
   }
 
   private def readFirstLine(spark: SparkSession, path: String): Option[String] = {
@@ -123,7 +160,9 @@ object CsvReader {
     try {
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-      Option(reader.readLine()).filter(_.nonEmpty)
+      // Strip a UTF-8 BOM so the first header name isn't mangled
+      // (Excel exports routinely carry one).
+      Option(reader.readLine()).map(_.stripPrefix("\uFEFF")).filter(_.nonEmpty)
     } finally in.close()
   }
 

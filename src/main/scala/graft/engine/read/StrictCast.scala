@@ -25,11 +25,27 @@ import graft.functions.{GraftFunctions => F}
   */
 object StrictCast {
 
+  /** Integer parse accepting scientific notation ("1e5") and
+    * float-rendered integers ("7.0") — the reference's int path goes
+    * through a float cast (`csv_ingestor.py:211-221`), so those ingest
+    * clean; true fractions and out-of-range values stay invalid.
+    * Exact digits take the direct cast (no double precision loss).
+    */
+  private def intViaDouble(c: Column, lo: Double, hi: Double, target: String): Column = {
+    val d = trim(c).try_cast("double")
+    coalesce(
+      trim(c).try_cast(target),
+      when(d.isNotNull && !isnan(d) && d === floor(d) && d.between(lo, hi),
+        d.cast(target)))
+  }
+
   /** try-parse expression per declared type; null ⟺ unparseable-or-null. */
   def tryParse(c: Column, t: SqlType): Column = t match {
     case SqlType.Varchar(_) | SqlType.Char(_) | SqlType.Text => c
-    case SqlType.IntT => c.try_cast("int")
-    case SqlType.BigIntT => c.try_cast("bigint")
+    case SqlType.IntT => intViaDouble(c, Int.MinValue, Int.MaxValue, "int")
+    case SqlType.BigIntT =>
+      // double bound uses 2^63 exactly; values ≥ 2^63 overflow → invalid
+      intViaDouble(c, Long.MinValue.toDouble, 9.223372036854775e18, "bigint")
     case SqlType.FloatT | SqlType.DoubleT => c.try_cast("double")
     case SqlType.Decimal(p, s) => c.try_cast(s"decimal($p,$s)")
     case SqlType.BoolT => F.parseBool(c)

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions => F}
+
+/** Text-analysis operators for corpus curation — language ID, quality
+  * scoring, token counting — as pure column expressions: single-scan,
+  * codegen-friendly, no UDFs in the scoring path. All deterministic
+  * (rule-based) so results are reproducible across runs and engines.
+  */
+object TextAnalysis {
+
+  /** Marker-word sets per language. Deliberately small and transparent:
+    * at 100 TB a scan with `array_intersect`-style counting beats any
+    * model inference by orders of magnitude, and for pipeline routing
+    * (keep/drop/bucket-by-language) transparent rules are debuggable.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Predicted language code by marker-hit argmax; deterministic tie
+    * order en > es > de > fr; zero hits → "unknown".
+    */
+  def languageId(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val scores = Seq("en", "es", "de", "fr").map(l => l -> markerHits(toks, markers(l)))
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best === 0, lit("unknown"))) {
+      case (acc, (lang, score)) => acc.when(score === best, lit(lang))
+    }.otherwise(lit("fr"))
+  }
+
+  /** Structural quality features: token count, punctuation/digit
+    * ratios, stopword ratio, average token length, and a composite
+    * score in [0, ~1.2]. All ratios over character length.
+    */
+  def qualityFeatures(textCol: Column): Seq[(String, Column)] = {
+    val len = length(textCol).cast("double")
+    val punct = length(textCol) - length(regexp_replace(textCol, "[.,!?;:]", ""))
+    val digits = length(textCol) - length(regexp_replace(textCol, "[0-9]", ""))
+    val toks = split(textCol, " ")
+    val stop = markerHits(toks, markers("en"))
+    val tokN = F.tokenCount(textCol)
+    Seq(
+      "tok_n" -> tokN,
+      "punct_ratio" -> punct / len,
+      "digit_ratio" -> digits / len,
+      "stop_ratio" -> stop.cast("double") / tokN,
+      "avg_tok_len" -> (len - (tokN - 1)) / tokN)
+  }
+
+  def qualityScore(punctRatio: Column, digitRatio: Column, stopRatio: Column): Column =
+    round(lit(1.0) - punctRatio - digitRatio + least(stopRatio, lit(0.2)), 4)
+
+  /** Whitespace token count — see [[F.tokenCount]]. */
+  def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
+
+  /** BPE-ish subword estimate — see [[F.subwordCount]]. */
+  def subwordCount(textCol: Column): Column = F.subwordCount(textCol)
+}

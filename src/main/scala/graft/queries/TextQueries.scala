@@ -14,14 +14,15 @@ import graft.functions.{GraftFunctions => F}
   * map-side partial aggregation.
   */
 object TextQueries {
+  import graft.ops.TextAnalysis
 
-  private val enMarkers = Seq("the", "a", "of", "and", "to")
-  private val esMarkers = Seq("el", "la", "de", "y", "que")
-  private val deMarkers = Seq("der", "die", "und", "ist", "das")
-  private val frMarkers = Seq("le", "la", "et", "les", "des")
+  private val enMarkers = TextAnalysis.markers("en")
+  private val esMarkers = TextAnalysis.markers("es")
+  private val deMarkers = TextAnalysis.markers("de")
+  private val frMarkers = TextAnalysis.markers("fr")
 
   private def markerHits(toks: org.apache.spark.sql.Column, markers: Seq[String]) =
-    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    TextAnalysis.markerHits(toks, markers)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- language-ID heuristic: marker-word occurrence scoring with a
@@ -30,19 +31,8 @@ object TextQueries {
     //    signal — the query pins the RULE's semantics, which is what a
     //    correctness gate can check.) ----------------------------------
     "t1_langid" -> { (s, d) =>
-      val toks = split(col("text"), " ")
-      val en = markerHits(toks, enMarkers)
-      val es = markerHits(toks, esMarkers)
-      val de = markerHits(toks, deMarkers)
-      val fr = markerHits(toks, frMarkers)
-      val best = greatest(en, es, de, fr)
-      val predicted = when(best === 0, lit("unknown"))
-        .when(en === best, lit("en"))
-        .when(es === best, lit("es"))
-        .when(de === best, lit("de"))
-        .otherwise(lit("fr"))
       Tables.documents(s, d)
-        .withColumn("predicted", predicted)
+        .withColumn("predicted", TextAnalysis.languageId(col("text")))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
