@@ -25,17 +25,76 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector:
     * `(q_id, rank, neighbor_id, cos)`.
+    *
+    * Physical shape: partition-local bounded heaps (mapPartitions) emit
+    * at most `partitions × |Q| × k` candidates, then one small window
+    * ranks them globally. The naive alternative — window over the full
+    * `N × |Q|` cross product — shuffles the whole scored corpus into
+    * |Q| partitions; the heap version shuffles only the candidates, so
+    * it survives N at 100 TB with tiny |Q|. Exact: the global top-k is
+    * always contained in the union of per-partition top-k.
+    *
+    * Queries are collected to the driver (they broadcast to every task);
+    * the query SET must be driver-sized — guarded at 100k.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__q"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
-    corpus.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("q_id"))
-      .withColumn("cos", F.cosineSim(col(vecCol), col("__q")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    require(qArr.length <= 100000,
+      s"query set too large to broadcast (${qArr.length} > 100000)")
+    val qB = spark.sparkContext.broadcast(qArr)
+
+    val candidates = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        // per-query bounded heap ordered worst-first: (cos asc, id desc)
+        val heaps = qs.map { case (qid, _) =>
+          qid -> collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)] {
+              case (cos, id) => (-cos, id)
+            })
+        }.toMap
+        it.foreach { case (id, vec) =>
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qvec) = qs(i)
+            if (id != qid) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var j = 0
+              val n = math.min(vec.length, qvec.length)
+              while (j < n) {
+                val a = vec(j).toDouble; val b = qvec(j).toDouble
+                dot += a * b; na += a * a; nb += b * b; j += 1
+              }
+              val cos = if (na == 0.0 || nb == 0.0) 0.0
+                else dot / (math.sqrt(na) * math.sqrt(nb))
+              val h = heaps(qid)
+              if (h.size < k) h.enqueue((cos, id))
+              else {
+                val (wc, wi) = h.head // current worst kept
+                if (cos > wc || (cos == wc && id < wi)) {
+                  h.dequeue(); h.enqueue((cos, id))
+                }
+              }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }.toDF("q_id", "neighbor_id", "cos")
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+      .select("q_id", "rank", "neighbor_id", "cos")
   }
 
   /** Bucket assignment: each corpus vector's nearest centroid

@@ -141,6 +141,30 @@ object CoreQueries {
         .orderBy("user_id")
     },
 
+    // -- beyond-reference: hierarchical aggregation (rollup) -----------
+    // (the reference has no grouping sets — SURVEY §2.5 — but a
+    // training-data engine reports per-region/per-segment/total volumes
+    // in one pass; rollup is one shuffle, not three queries.)
+    "q9_rollup_revenue" -> { (s, d) =>
+      // spark.sql face of the engine: the DataFrame rollup API re-exposes
+      // join-side attributes through Expand and trips Spark's
+      // ambiguous-self-join check, so this query exercises the SQL
+      // surface instead (same Catalyst plan underneath).
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.nation(s, d).createOrReplaceTempView("g_nation")
+      Tables.region(s, d).createOrReplaceTempView("g_region")
+      s.sql(
+        """SELECT coalesce(r_name, 'ALL') AS region,
+          | coalesce(c_mktsegment, 'ALL') AS segment,
+          | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+          |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+          |JOIN g_nation ON c_nationkey = n_nationkey
+          |JOIN g_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, c_mktsegment)
+          |ORDER BY region, segment""".stripMargin)
+    },
+
     // -- §2.7: top-k by sort + limit -----------------------------------
     "q8_topk_orders" -> { (s, d) =>
       Tables.orders(s, d)
@@ -277,6 +301,15 @@ object CoreQueries {
         |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
         |  FROM events
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(c_mktsegment, 'ALL') AS segment,
+        | round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, c_mktsegment)
+        |ORDER BY region, segment""".stripMargin,
     "q8_topk_orders" ->
       """SELECT o_orderkey, round(o_totalprice,2) AS price,
         | strftime(o_orderdate, '%Y-%m-%d') AS odate
