@@ -165,6 +165,39 @@ object CoreQueries {
           |ORDER BY region, segment""".stripMargin)
     },
 
+    // -- beyond-reference: sessionization — gap-based session ids via
+    //    cascaded windows (lag → gap flag → running sum), the canonical
+    //    event-stream shape a training-data pipeline needs -------------
+    "w2_sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(
+          max("session_idx").as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id")
+    },
+
+    // -- beyond-reference: exact percentiles (distribution profiling) --
+    "a7_percentiles" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // -- §2.7: top-k by sort + limit -----------------------------------
     "q8_topk_orders" -> { (s, d) =>
       Tables.orders(s, d)
@@ -301,6 +334,30 @@ object CoreQueries {
         |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
         |  FROM events
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w2_sessionize" ->
+      """SELECT user_id, max(session_idx) AS n_sessions, count(*) AS n_events,
+        | round(sum(value),2) AS sum_value
+        |FROM (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, value,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, event_id, ts, value,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |      FROM events)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a7_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_rollup_revenue" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
         | coalesce(c_mktsegment, 'ALL') AS segment,

@@ -116,6 +116,19 @@ object DedupQueries {
     //    unambiguous. Equi-join on a coarse quantized-norm key would be
     //    the 100 TB path; at gate scale an LSH-free block join on
     //    norm-bucket suffices (here: plain self-join pruned by id). ----
+    // -- end-to-end curation: dropNearDuplicates keeps each near-dup
+    //    group's smallest id (greedy single-pass; the user-facing
+    //    dedup operator a pipeline actually calls) -------------------
+    "d7_drop_neardups" -> { (s, d) =>
+      val kept = graft.ops.Dedup.dropNearDuplicates(
+        corpusNear(s, d), "doc_id", "text", threshold = 0.8)
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        sum(when(col("doc_id") >= 300000, 1).otherwise(0)).as("n_kept_copies"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+    },
+
     "d6_embedding_neardup" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val corpus = emb.unionByName(
@@ -165,6 +178,28 @@ object DedupQueries {
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    // Oracle replicates the greedy rule exactly: a doc is dropped iff it
+    // has a jaccard>=0.8 neighbor with a smaller id.
+    "d7_drop_neardups" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+         |      ELSE list_transform(range(1, len(toks)-1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+         |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks FROM corpus)
+         |),
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   AND len(a.sh) >= 0.8 * len(b.sh) AND len(b.sh) >= 0.8 * len(a.sh)
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         |)
+         |SELECT count(*) AS n_kept,
+         |  sum(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END) AS n_kept_copies,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "d6_embedding_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
