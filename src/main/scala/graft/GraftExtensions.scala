@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.{CosineSimilarity, DotProduct, LabelHashBucket}
+
+/** SQL-surface registration of the engine's custom Catalyst expressions
+  * via SparkSessionExtensions — the idiomatic plug point
+  * (`spark.sql.extensions=graft.GraftExtensions`), so `spark.sql`
+  * users get the same functions as the Column API:
+  *
+  *   label_hash_bucket(label[, buckets]) → int   (privacy bucketing)
+  *   cosine_sim(vecA, vecB)              → double
+  *   dot_product(vecA, vecB)             → double
+  *
+  * Also injectable programmatically:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.labelHashBucket)
+    ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.dotProduct)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[LabelHashBucket].getName, null, name, usage, "")
+
+  val labelHashBucket: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("label_hash_bucket"),
+    info("label_hash_bucket",
+      "label_hash_bucket(label[, buckets]) - privacy bucket: unsigned " +
+        "sha256-first-8-bytes mod buckets (default 64); -1 for missing."),
+    (args: Seq[Expression]) => args match {
+      // any input type: stringify first (the Python str(v) analogue)
+      case Seq(child) => LabelHashBucket(Cast(child, StringType), 64)
+      case Seq(child, Literal(b: Int, _)) => LabelHashBucket(Cast(child, StringType), b)
+      case _ => throw new IllegalArgumentException(
+        "label_hash_bucket expects (label) or (label, intLiteral)")
+    })
+
+  val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays."),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case _ => throw new IllegalArgumentException("cosine_sim expects 2 arguments")
+    })
+
+  val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    info("dot_product", "dot_product(a, b) - dot product of two float arrays."),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => DotProduct(a, b)
+      case _ => throw new IllegalArgumentException("dot_product expects 2 arguments")
+    })
+
+  /** Register on an existing session (tests / REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    Seq(labelHashBucket, cosineSim, dotProduct).foreach {
+      case (id, inf, builder) =>
+        registry.registerFunction(id, inf, builder)
+    }
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{ResolvedConfig, SqlType, TaskCategory}
 import graft.engine.api.{ApiClient, MetaRecord}
 import graft.engine.read.{CsvReader, JsonReader, StrictCast}
-import graft.engine.sink.{JdbcUpsert, RunSummary}
+import graft.engine.sink.{FileCopySink, JdbcUpsert, RunSummary}
 import graft.engine.transform.TransformPipeline
 import graft.engine.validate.ValidatorMapping
 
@@ -72,7 +72,15 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       summary.totalRecords.add(total)
 
       // ---- 3. transform (P1–P9) + typed cast -------------------------
-      val transformed = TransformPipeline(manifest, config, runId)
+      // File-bearing categories name their sidecar column via
+      // file_options.filename_column (default "filename").
+      val filenameColumn: Option[String] =
+        if (TaskCategory.fileBearingCategories.contains(config.category))
+          Some(config.fileOptions.get("filename_column").map(String.valueOf(_))
+            .getOrElse("filename"))
+            .filter(manifest.columns.contains)
+        else None
+      val transformed = TransformPipeline(manifest, config, runId, filenameColumn)
       val parsedSchema = SqlType.parseSchema(config.schema) match {
         case Right(p) => p.filterNot { case (c, _) =>
           Set(config.labelColumn, config.annotationColumn, config.uniqueIdColumn)
@@ -91,19 +99,37 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
 
       summary.processed.add(typed.count())
 
+      // ---- 3b. sidecar copy for file-bearing categories: a failed
+      //          transfer drops the record BEFORE the DB and counts in
+      //          its own channel (`base.py:780-830`) ------------------
+      val sinkReady = copySpecFor(config) match {
+        case Some(spec) =>
+          val copied = spark.sparkContext.longAccumulator("sidecars_copied")
+          val verdicts = FileCopySink.copy(typed, spec, copied,
+            summary.fileTransferFailures,
+            spark.sparkContext.hadoopConfiguration)
+          // Keep only records whose whole sidecar group copied.
+          val okFiles = verdicts.filter(col("__transfer_ok"))
+            .select(col("__file").as("__okfile")).distinct()
+          typed.join(okFiles,
+            FileCopySink.resolvedNameCol(col("filename"), col("extension"))
+              === col("__okfile"), "left_semi")
+        case None => typed
+      }
+
       // ---- 4. sink: keyed upsert (or parquet fallback for dry runs) --
       jdbc.foreach { cfg =>
         JdbcUpsert.ensureTable(cfg, parsedSchema) match {
           case Left(errs) => return RunResult(summary, errs, validation.warnings)
           case Right(_) => ()
         }
-        JdbcUpsert.write(typed, cfg, summary.inserted, summary.failedDb)
+        JdbcUpsert.write(sinkReady, cfg, summary.inserted, summary.failedDb)
       }
-      if (jdbc.isEmpty) summary.inserted.add(typed.count())
+      if (jdbc.isEmpty) summary.inserted.add(sinkReady.count())
 
       // ---- 5. API metadata batches (metadata-sized → driver collect is
       //         bounded: only data_id/intent/label travel) -------------
-      val metaRows = typed.select(col("data_id"), col("data_intent"), col("label"))
+      val metaRows = sinkReady.select(col("data_id"), col("data_intent"), col("label"))
         .collect()
       val records = metaRows.map(r => MetaRecord(
         r.getString(0), r.getString(1),
@@ -131,4 +157,28 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       RunResult(summary, Nil, validation.warnings)
     } finally manifest.unpersist()
   }
+
+  /** Sidecar copy plan per category (`file_transfer.py:325-431`'s
+    * dispatcher): OD = atomic image+xml, semseg = atomic image+mask,
+    * others = single-dir copy. Requires a destination; without one the
+    * run is transfer-free (dry run / tabular).
+    */
+  private def copySpecFor(cfg: ResolvedConfig): Option[FileCopySink.CopySpec] =
+    cfg.destPath.flatMap { dest =>
+      cfg.category match {
+        case TaskCategory.ObjectDetection =>
+          for (i <- cfg.images; a <- cfg.annotations)
+            yield FileCopySink.CopySpec.imageXml(i, a, dest)
+        case TaskCategory.SemanticSegmentation | TaskCategory.InstanceSegmentation =>
+          for (i <- cfg.images; m <- cfg.masks)
+            yield FileCopySink.CopySpec.imageMask(i, m, dest)
+        case TaskCategory.ImageClassification | TaskCategory.KeypointDetection =>
+          cfg.images.map(FileCopySink.CopySpec.single(_, dest))
+        case TaskCategory.TextClassification | TaskCategory.TokenClassification =>
+          cfg.texts.map(FileCopySink.CopySpec.single(_, dest))
+        case TaskCategory.MaskedLanguageModeling =>
+          cfg.sequences.map(FileCopySink.CopySpec.single(_, dest))
+        case _ => None
+      }
+    }
 }

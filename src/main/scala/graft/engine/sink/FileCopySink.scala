@@ -64,6 +64,15 @@ object FileCopySink {
     else if (extension == null || extension.isEmpty) filename
     else s"$filename.$extension"
 
+  /** Column form of [[resolveName]] — MUST stay in lockstep with it
+    * (the Ingestor joins copy verdicts back to records by this key).
+    */
+  def resolvedNameCol(filename: org.apache.spark.sql.Column,
+                      extension: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.when(filename.rlike("\\.[A-Za-z0-9]+$"), filename)
+      .when(extension.isNull || extension === "", filename)
+      .otherwise(org.apache.spark.sql.functions.concat_ws(".", filename, extension))
+
   private def withRetry[T](maxRetries: Int, sleepMs: Long => Unit)(f: => T): T = {
     var attempt = 0
     while (true) {

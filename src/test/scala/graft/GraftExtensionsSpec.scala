@@ -1,0 +1,29 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("SQL functions registered on an existing session") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT label_hash_bucket('en') AS b1,
+        |       label_hash_bucket('de', 64) AS b2,
+        |       label_hash_bucket(NULL) AS b3,
+        |       label_hash_bucket(42) AS b4,
+        |       round(cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)), 6) AS cs,
+        |       dot_product(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS dp""".stripMargin)
+      .collect().head
+    assert(r.getInt(0) == 14) // sha256('en')[:8] big-endian % 64
+    assert(r.getInt(1) == 24)
+    assert(r.getInt(2) == -1) // null sentinel
+    assert(r.getInt(3) >= 0 && r.getInt(3) < 64) // int input stringified
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 11.0)
+  }
+
+  test("describe function shows usage") {
+    GraftExtensions.register(spark)
+    val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("privacy bucket"))
+  }
+}
