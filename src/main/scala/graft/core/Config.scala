@@ -171,6 +171,41 @@ object Conventions {
       case _ => None
     }
 
+    // Options merge (steps 6–7 of the reference resolver): customer
+    // spec.csv_options / spec.file_options over category defaults, plus
+    // the documented top-level bridges (target_size,
+    // number_of_keypoints, batch_size).
+    def anyMap(v: Any): Map[String, Any] = v match {
+      case m: java.util.Map[_, _] =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.map { case (k, vv) => (String.valueOf(k), vv: Any) }.toMap
+      case m: Map[_, _] => m.map { case (k, vv) => (String.valueOf(k), vv: Any) }
+      case _ => Map.empty
+    }
+    val spec = config.get("spec").map(anyMap).getOrElse(Map.empty)
+    val csvOv = spec.get("csv_options").map(anyMap).getOrElse(Map.empty)
+    val csvOptions = CsvOptions(
+      delimiter = csvOv.get("delimiter").map(String.valueOf(_)).getOrElse(","),
+      quoteChar = csvOv.get("quotechar").map(String.valueOf(_)).getOrElse("\""),
+      escapeChar = csvOv.get("escapechar").map(String.valueOf(_)).getOrElse("\""),
+      encoding = csvOv.get("encoding").map(String.valueOf(_)).getOrElse("UTF-8"))
+    var fileOptions = spec.get("file_options").map(anyMap).getOrElse(Map.empty)
+    config.get("target_size").foreach { ts =>
+      if (!fileOptions.contains("target_size")) ts match {
+        case l: java.util.List[_] =>
+          import scala.jdk.CollectionConverters._
+          fileOptions += ("target_size" -> l.asScala.toSeq.map(String.valueOf(_).toInt))
+        case l: Seq[_] =>
+          fileOptions += ("target_size" -> l.map(String.valueOf(_).toInt))
+        case _ => ()
+      }
+    }
+    config.get("number_of_keypoints").foreach { k =>
+      if (!fileOptions.contains("number_of_keypoints"))
+        fileOptions += ("number_of_keypoints" -> String.valueOf(k).toInt)
+    }
+    val batchSize = config.get("batch_size").map(String.valueOf(_).toInt).getOrElse(4000)
+
     def optStr(k: String) = str(k)
     val resolved = ResolvedConfig(
       category = category,
@@ -190,7 +225,10 @@ object Conventions {
       uniqueIdColumn = uniqueIdColumn,
       annotationColumn =
         if (category == TaskCategory.KeypointDetection) Some("Annotation") else None,
-      destPath = optStr("dest"))
+      csvOptions = csvOptions,
+      fileOptions = fileOptions,
+      destPath = optStr("dest"),
+      batchSize = batchSize)
 
     val allErrs = errs.result().sorted // deterministic, pointer-ordered
     if (allErrs.nonEmpty) Left(allErrs) else Right(resolved)

@@ -51,8 +51,17 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       config.dataFormat match {
         case "csv" => CsvReader.open(spark, config.sourcePath, config.csvOptions)
         case "json" =>
+          // File-bearing categories also need the sidecar filename
+          // column (it is NOT part of the declared feature schema —
+          // StandardColumns.check forbids that name there).
+          val fnameCol =
+            if (TaskCategory.fileBearingCategories.contains(config.category))
+              Seq(config.fileOptions.get("filename_column")
+                .map(String.valueOf(_)).getOrElse("filename"))
+            else Nil
           val columns = config.schema.map(_._1) ++
-            config.labelColumn ++ config.annotationColumn ++ config.uniqueIdColumn
+            config.labelColumn ++ config.annotationColumn ++
+            config.uniqueIdColumn ++ fnameCol
           JsonReader.open(spark, config.sourcePath, columns.distinct)
         case other => Left(List(s"Unsupported data format '$other'"))
       }
@@ -60,6 +69,7 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       case Left(errs) => return RunResult(summary, errs, Nil)
       case Right(df) => df.cache()
     }
+    var cachedTyped: Option[DataFrame] = None
 
     try {
       // ---- 2. validator battery (ALL run; errors accumulate) ---------
@@ -88,7 +98,11 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
         }
         case Left(errs) => return RunResult(summary, errs, validation.warnings)
       }
-      val typed =
+      // Persisted: the pipeline runs several actions (counts, copy
+      // verdicts, JDBC write, API collect) and data_id may be uuid() —
+      // without a cache each action would regenerate DIFFERENT ids,
+      // breaking the upsert-key ↔ API-metadata contract.
+      val typed = (
         if (config.dataFormat == "json") {
           // JSON disposition: bad record = skip with warning, not fatal
           val ok = transformed.filter(StrictCast.validRowFilter(parsedSchema))
@@ -96,6 +110,8 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
           summary.skipped.add(skipped)
           StrictCast.cast(ok, parsedSchema)
         } else StrictCast.cast(transformed, parsedSchema)
+      ).persist()
+      cachedTyped = Some(typed)
 
       summary.processed.add(typed.count())
 
@@ -155,7 +171,10 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       }
 
       RunResult(summary, Nil, validation.warnings)
-    } finally manifest.unpersist()
+    } finally {
+      cachedTyped.foreach(_.unpersist())
+      manifest.unpersist()
+    }
   }
 
   /** Sidecar copy plan per category (`file_transfer.py:325-431`'s

@@ -14,13 +14,19 @@ final class TableLock(lockDir: String, table: String,
 
   private val path: Path = Paths.get(lockDir, s".graft_lock_$table")
   private var held = false
+  private var myContent: String = ""
+
+  private def writeLock(holder: String): Unit = {
+    myContent = s"$holder\n${now()}"
+    Files.write(path, myContent.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    held = true
+  }
 
   def acquire(holder: String): Either[String, Unit] = {
     Files.createDirectories(path.getParent)
     try {
-      Files.write(path, s"$holder\n${now()}".getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      held = true
+      writeLock(holder)
       Right(())
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -33,9 +39,7 @@ final class TableLock(lockDir: String, table: String,
           // Stale (> 12 h): self-clear and retry once.
           try Files.deleteIfExists(path) catch { case _: Exception => () }
           try {
-            Files.write(path, s"$holder\n${now()}".getBytes(StandardCharsets.UTF_8),
-              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-            held = true
+            writeLock(holder)
             Right(())
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
@@ -47,8 +51,15 @@ final class TableLock(lockDir: String, table: String,
     }
   }
 
+  /** Delete only OUR lock: if another run stale-cleared it and wrote
+    * its own, leave theirs in place (the content check prevents run A
+    * from clobbering run B's lock after a 12 h takeover).
+    */
   def release(): Unit = if (held) {
-    try Files.deleteIfExists(path) catch { case _: Exception => () }
+    try {
+      val current = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+      if (current == myContent) Files.deleteIfExists(path)
+    } catch { case _: Exception => () }
     held = false
   }
 }

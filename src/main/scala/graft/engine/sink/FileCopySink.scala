@@ -130,8 +130,12 @@ object FileCopySink {
         }
       }
     }.toDF("__file", "__transfer_ok")
+      // The map embeds FileUtil.copy SIDE EFFECTS — persist so downstream
+      // consumers (verdict joins) never re-execute the copies.
+      .persist()
 
-    // Materialize now so the accumulators below are exact.
+    // Materialize now so the accumulators below are exact (and the copy
+    // pass runs exactly once).
     val agg = verdicts.agg(
       sum(when(col("__transfer_ok"), 1).otherwise(0)).cast("long"),
       sum(when(!col("__transfer_ok"), 1).otherwise(0)).cast("long")).head()

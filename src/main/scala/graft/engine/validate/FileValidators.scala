@@ -134,27 +134,40 @@ object FileValidators {
           }
         }
       }.toDF("name", "w", "h", "error")
-      val expectedDf =
-        expected.map { case (w, h) => (w, h) }.map(e => Seq(e).toDF("ew", "eh"))
-          .getOrElse(dims.filter(col("error").isNull)
-            .orderBy("name").limit(1).select(col("w").as("ew"), col("h").as("eh")))
-      val row = dims.crossJoin(broadcast(expectedDf)).agg(
-        sum(when(col("error").isNotNull, 1).otherwise(0)).cast("long").as("n_corrupt"),
-        sum(when(col("error").isNull &&
-          (col("w") =!= col("ew") || col("h") =!= col("eh")), 1).otherwise(0))
-          .cast("long").as("n_wrong"),
-        concat_ws(",", sort_array(collect_set(
-          when(col("error").isNull, concat_ws("x", col("w"), col("h")))))).as("resolutions"),
-        first(concat_ws(": ", col("name"), col("error")), ignoreNulls = true).as("first_err")).head()
-      val errs = List(
-        Option.when(row.getAs[Long]("n_corrupt") > 0)(
-          s"${row.getAs[Long]("n_corrupt")} unreadable image(s) " +
-            s"(first: ${row.getAs[String]("first_err")})"),
-        Option.when(row.getAs[Long]("n_wrong") > 0)(
-          s"${row.getAs[Long]("n_wrong")} image(s) with unexpected resolution " +
-            s"(found: ${row.getAs[String]("resolutions")})")).flatten
-      ValidationResult(errs.isEmpty, errs,
-        metadata = Map("resolutions" -> row.getAs[String]("resolutions")))
+      // Corrupt-count aggregate FIRST, independent of the expected size:
+      // with auto-detection an all-corrupt directory has no reference
+      // image, and a crossJoin against an empty expected frame would
+      // yield zero rows and a silently-green validator.
+      val dimsC = dims.persist()
+      try {
+        val base = dimsC.agg(
+          count(lit(1)).cast("long").as("n_files"),
+          sum(when(col("error").isNotNull, 1).otherwise(0)).cast("long").as("n_corrupt"),
+          concat_ws(",", sort_array(collect_set(
+            when(col("error").isNull, concat_ws("x", col("w"), col("h")))))).as("resolutions"),
+          first(concat_ws(": ", col("name"), col("error")), ignoreNulls = true).as("first_err")).head()
+        val nFiles = base.getAs[Long]("n_files")
+        val nCorrupt = base.getAs[Long]("n_corrupt")
+        val expectedDf =
+          expected.map(e => Seq(e).toDF("ew", "eh"))
+            .getOrElse(dimsC.filter(col("error").isNull)
+              .orderBy("name").limit(1).select(col("w").as("ew"), col("h").as("eh")))
+        val nWrong =
+          if (nCorrupt == nFiles) 0L // no readable reference; corrupt error carries it
+          else dimsC.crossJoin(broadcast(expectedDf))
+            .agg(sum(when(col("error").isNull &&
+              (col("w") =!= col("ew") || col("h") =!= col("eh")), 1).otherwise(0))
+              .cast("long")).head().getLong(0)
+        val errs = List(
+          Option.when(nFiles == 0L)(s"image directory '$dir' is empty"),
+          Option.when(nCorrupt > 0)(
+            s"$nCorrupt unreadable image(s) (first: ${base.getAs[String]("first_err")})"),
+          Option.when(nWrong > 0)(
+            s"$nWrong image(s) with unexpected resolution " +
+              s"(found: ${base.getAs[String]("resolutions")})")).flatten
+        ValidationResult(errs.isEmpty, errs,
+          metadata = Map("resolutions" -> base.getAs[String]("resolutions")))
+      } finally dimsC.unpersist()
     }
   }
 

@@ -14,19 +14,28 @@ object ValidatorMapping {
   import XmlValidators._
 
   def forConfig(cfg: ResolvedConfig): Seq[Validator] = {
-    val common: Seq[Validator] = Seq(new TableNameValidator, new DuplicateValidator)
+    // CSV disposition: a present-but-invalid value fails the RUN for
+    // every category with a declared schema (`csv_ingestor.py:184-280`)
+    // — without this, StrictCast.cast in the Ingestor would silently
+    // null junk for non-tabular categories. JSON keeps its skip
+    // disposition (per-record check in the Ingestor, V18).
+    val strictTypes: Seq[Validator] =
+      if (cfg.dataFormat == "csv" && cfg.schema.nonEmpty) Seq(new DataValidator)
+      else Nil
+    val common: Seq[Validator] =
+      Seq(new TableNameValidator, new DuplicateValidator) ++ strictTypes
 
     val byCategory: Seq[Validator] = cfg.category match {
       case TaskCategory.TabularClassification | TaskCategory.TabularRegression =>
-        Seq(new DataValidator)
+        Nil // DataValidator already in the common battery
 
       case TaskCategory.TimeSeriesForecasting =>
-        Seq(new DataValidator, new NumericColumnsValidator,
+        Seq(new NumericColumnsValidator,
           new TimeFormatValidator, new TimeOrderedValidator,
           new TimeBeforeTodayValidator)
 
       case TaskCategory.TimeToEventPrediction =>
-        Seq(new DataValidator, new TimeToEventValidator)
+        Seq(new TimeToEventValidator)
 
       case TaskCategory.ImageClassification =>
         Seq(new SrcPathValidator(cfg.images, "images")) ++

@@ -56,6 +56,10 @@ object Dedup {
     * with id_a < id_b, deduplicated. With `rows = numHashes / bands`
     * hash rows per band, P(candidate | jaccard=j) = 1-(1-j^rows)^bands.
     * Defaults (64, 32 → r=2) make recall at j≥0.8 effectively 1.
+    *
+    * Returns a MATERIALIZED, persisted pair frame (small: candidates
+    * only); the internal exploded band frame is unpersisted before
+    * returning. Callers may `unpersist()` the result when done.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 32,
@@ -65,16 +69,21 @@ object Dedup {
       .select(col(idCol),
         posexplode(F.minhashBands(col("__sig"), bands)).as(Seq("__band", "__key")))
       .persist()
-    // Skew cap: drop pathological buckets from candidate generation.
-    val bucketSizes = banded.groupBy("__band", "__key")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket && col("__n") > 1)
-    val pruned = banded.join(bucketSizes, Seq("__band", "__key"), "left_semi")
-    val a = pruned.select(col(idCol).as("id_a"), col("__band"), col("__key"))
-    val b = pruned.select(col(idCol).as("id_b"), col("__band"), col("__key"))
-    a.join(b, Seq("__band", "__key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    try {
+      // Skew cap: drop pathological buckets from candidate generation.
+      val bucketSizes = banded.groupBy("__band", "__key")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket && col("__n") > 1)
+      val pruned = banded.join(bucketSizes, Seq("__band", "__key"), "left_semi")
+      val a = pruned.select(col(idCol).as("id_a"), col("__band"), col("__key"))
+      val b = pruned.select(col(idCol).as("id_b"), col("__band"), col("__key"))
+      val pairs = a.join(b, Seq("__band", "__key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .persist()
+      pairs.count() // materialize before dropping the (much larger) banded cache
+      pairs
+    } finally banded.unpersist()
   }
 
   /** Near-duplicate pairs with exact-jaccard verification ≥ threshold:

@@ -117,3 +117,47 @@ class TableLockSpec extends AnyFunSuite {
     assert(l1.acquire("carol").isRight) // release deleted the file
   }
 }
+
+class OptionsMergeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("spec.csv_options, file_options and top-level bridges resolve") {
+    val y =
+      """category: keypoint_detection
+        |table: t
+        |intent: train
+        |csv: /data/l.csv
+        |images: /data/images
+        |number_of_keypoints: 9
+        |target_size: [448, 448]
+        |batch_size: 1234
+        |spec:
+        |  csv_options:
+        |    delimiter: ";"
+        |    escapechar: "\\"
+        |  file_options:
+        |    filename_column: image_name
+        |""".stripMargin
+    val c = YamlConfig.parse(y).flatMap(Conventions.resolve).toOption.get
+    assert(c.csvOptions.delimiter == ";")
+    assert(c.csvOptions.escapeChar == "\\")
+    assert(c.csvOptions.quoteChar == "\"") // default kept
+    assert(c.fileOptions("filename_column") == "image_name")
+    assert(c.fileOptions("number_of_keypoints") == 9)
+    assert(c.fileOptions("target_size") == Seq(448, 448))
+    assert(c.batchSize == 1234)
+  }
+
+  test("spec.file_options wins over top-level bridge") {
+    val y =
+      """category: keypoint_detection
+        |table: t
+        |intent: train
+        |csv: /l.csv
+        |number_of_keypoints: 9
+        |spec:
+        |  file_options:
+        |    number_of_keypoints: 17
+        |""".stripMargin
+    val c = YamlConfig.parse(y).flatMap(Conventions.resolve).toOption.get
+    assert(String.valueOf(c.fileOptions("number_of_keypoints")) == "17")
+  }
+}

@@ -236,3 +236,54 @@ class ValidatorSpec extends SparkSpec {
     assert(r.errors.size >= 2) // table name AND schema type both reported
   }
 }
+
+class ReviewRegressionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.core.{ResolvedConfig, TaskCategory}
+
+  test("all-corrupt image directory fails validation (not silently green)") {
+    val d = tmpDir("corrupt")
+    write(d.resolve("a.png"), "not a png at all")
+    write(d.resolve("b.png"), "also junk")
+    val v = new FileValidators.ImageResolutionValidator(d.toString, None)
+    val r = v.validate(ValidationContext(spark,
+      ResolvedConfig(TaskCategory.ImageClassification, "t", "train", "csv", "/x"), None))
+    assert(!r.isValid)
+    assert(r.errors.exists(_.contains("2 unreadable")))
+  }
+
+  test("non-tabular CSV categories still fail on junk typed values") {
+    val cfg = ResolvedConfig(TaskCategory.ImageClassification, "t", "train",
+      "csv", "/x", images = Some("/tmp"),
+      schema = Seq("confidence" -> "FLOAT"))
+    val validators = ValidatorMapping.forConfig(cfg)
+    assert(validators.exists(_.isInstanceOf[Validators.DataValidator]))
+    val df = Seq("abc").toDF("confidence")
+    val r = ValidatorMapping.runAll(
+      Seq(new Validators.DataValidator),
+      ValidationContext(spark, cfg, Some(df)))
+    assert(!r.isValid && r.errors.exists(_.contains("confidence")))
+  }
+
+  test("JSON categories keep the skip disposition (no fail-fast DataValidator)") {
+    val cfg = ResolvedConfig(TaskCategory.MaskedLanguageModeling, "t", "train",
+      "json", "/x", sequences = Some("/tmp"),
+      schema = Seq("f" -> "FLOAT"))
+    assert(!ValidatorMapping.forConfig(cfg).exists(_.isInstanceOf[Validators.DataValidator]))
+  }
+
+  test("lock release after stale takeover does not clobber the new holder") {
+    val dir = java.nio.file.Files.createTempDirectory("locks2").toString
+    var clock = 1000L
+    val a = new TableLock(dir, "t2", staleAfterMs = 5000, now = () => clock)
+    val b = new TableLock(dir, "t2", staleAfterMs = 5000, now = () => clock)
+    assert(a.acquire("a").isRight)
+    clock += 6000
+    assert(b.acquire("b").isRight) // stale takeover
+    a.release() // must NOT delete b's lock
+    val c = new TableLock(dir, "t2", staleAfterMs = 5000, now = () => clock)
+    assert(c.acquire("c").isLeft) // b still holds it
+    b.release()
+    assert(c.acquire("c").isRight)
+  }
+}
