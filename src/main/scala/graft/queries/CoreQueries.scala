@@ -198,6 +198,25 @@ object CoreQueries {
         .orderBy("event_type")
     },
 
+    // -- beyond-reference: pivot cross-tab (day × event type) ----------
+    "q10_pivot_daily" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")
+    },
+
+    // -- beyond-reference: statistical aggregates (corr/stddev/skew) ---
+    "q11_stats" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(stddev_samp("l_discount"), 6).as("sd_disc"),
+        round(var_samp("l_tax"), 6).as("var_tax"),
+        round(covar_samp("l_quantity", "l_discount"), 6).as("cov_qty_disc"))
+    },
+
     // -- §2.7: top-k by sort + limit -----------------------------------
     "q8_topk_orders" -> { (s, d) =>
       Tables.orders(s, d)
@@ -334,6 +353,20 @@ object CoreQueries {
         |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
         |  FROM events
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS click,
+        | sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS view,
+        | sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchase,
+        | sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS signup,
+        | sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_stats" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(stddev_samp(l_discount), 6) AS sd_disc,
+        | round(var_samp(l_tax), 6) AS var_tax,
+        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem""".stripMargin,
     "w2_sessionize" ->
       """SELECT user_id, max(session_idx) AS n_sessions, count(*) AS n_events,
         | round(sum(value),2) AS sum_value
