@@ -93,6 +93,15 @@ object GraftFunctions {
     udf((sig: Seq[Long], bands: Int) => TextHash.bandKeys(sig.toArray, bands))
   private val udfJaccard =
     udf((a: String, b: String, n: Int) => TextHash.jaccard(a, b, n))
+  private val udfShingleHashes =
+    udf((s: String, n: Int) => TextHash.shingleHashes(s, n))
+  private val udfMinhashFromHashes =
+    udf((h: Seq[Long], k: Int) => TextHash.minhashFromHashes(h.toArray, k))
+  private val udfJaccardSorted =
+    udf((a: Seq[Long], b: Seq[Long]) => TextHash.jaccardSorted(a.toArray, b.toArray))
+  private val udfSignBands =
+    udf((v: Seq[Float], planes: Int, bands: Int) =>
+      VectorOpsUtil.signBandKeys(v, planes, bands))
 
   def simhash(c: Column): Column = udfSim(c)
   def fingerprint(c: Column): Column = udfFp(c)
@@ -101,6 +110,17 @@ object GraftFunctions {
   def minhashBands(sig: Column, bands: Int): Column = udfBands(sig, lit(bands))
   def jaccardSim(a: Column, b: Column, shingleN: Int): Column =
     udfJaccard(a, b, lit(shingleN))
+
+  /** Sorted distinct shingle-hash set — see [[TextHash.shingleHashes]]. */
+  def shingleHashSet(c: Column, shingleN: Int): Column =
+    udfShingleHashes(c, lit(shingleN))
+  def minhashSigFromHashes(h: Column, k: Int): Column =
+    udfMinhashFromHashes(h, lit(k))
+  def jaccardSortedSim(a: Column, b: Column): Column = udfJaccardSorted(a, b)
+
+  /** Cosine-LSH band keys — see [[VectorOpsUtil.signBandKeys]]. */
+  def signBandKeys(c: Column, planes: Int, bands: Int): Column =
+    udfSignBands(c, lit(planes), lit(bands))
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -105,6 +105,68 @@ object TextHash {
     }
   }
 
+  /** Sorted distinct FNV-1a hashes of the word n-gram shingles — the
+    * reusable per-document representation: MinHash signatures derive
+    * from it ([[minhashFromHashes]]) and the exact-jaccard verify
+    * intersects two of them ([[jaccardSorted]]) with NO per-pair
+    * re-tokenization. At scale this turns the LSH verify step from
+    * O(pairs × doc_len) string work into O(pairs × |shingles|) long
+    * comparisons.
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val sh = shingles(text, n)
+    if (sh.isEmpty) Array.empty
+    else {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < sh.length) { set.add(fnv1a64(sh(i))); i += 1 }
+      val out = new Array[Long](set.size)
+      var j = 0
+      val it = set.iterator()
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
+  /** MinHash signature from precomputed shingle hashes. Identical output
+    * to [[minhash]] (the min over duplicate shingles equals the min over
+    * distinct ones) but shares the tokenize+hash work with the verify
+    * step.
+    */
+  def minhashFromHashes(hashes: Array[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val base = hashes(i)
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (j.toLong * 0x9e3779b97f4a7c15L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Jaccard from two sorted distinct-hash arrays (merge intersection,
+    * O(|a|+|b|), no set allocation). Both-empty → 1.0, matching
+    * [[jaccard]] on empty texts.
+    */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Exact word-shingle Jaccard similarity (the verify step after LSH
     * candidate generation).
     */

@@ -35,6 +35,39 @@ object VectorOpsUtil {
     val nb = norm(b)
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
+
+  /** Random-hyperplane sign-sketch band keys for cosine LSH.
+    *
+    * `planes` Rademacher (±1) hyperplanes derived deterministically from
+    * splitmix64 (stable across JVMs/executors); the sign bits pack into
+    * `bands` keys of `planes/bands` bits each. Two vectors at angle θ
+    * agree on each bit with probability 1 - θ/π, so identical vectors
+    * always share every band and near-duplicates (cos ≥ 0.99, θ ≤ 8.1°)
+    * share at least one 16-bit band with p ≈ 0.995 at the default
+    * 128 planes × 8 bands. Joining on (band_index, key) replaces the
+    * all-pairs cartesian with an equi-join.
+    */
+  def signBandKeys(vec: Seq[Float], planes: Int, bands: Int): Array[Long] = {
+    val rows = planes / bands
+    val d = vec.length
+    val keys = new Array[Long](bands)
+    var p = 0
+    var band = 0
+    var acc = 0L
+    while (p < planes) {
+      var dot = 0.0
+      var j = 0
+      while (j < d) {
+        val w = if ((TextHash.mix64(p.toLong * 0x100000001b3L + j) & 1L) == 0L) 1.0 else -1.0
+        dot += w * vec(j)
+        j += 1
+      }
+      acc = (acc << 1) | (if (dot >= 0) 1L else 0L)
+      if ((p + 1) % rows == 0) { keys(band) = acc; band += 1; acc = 0L }
+      p += 1
+    }
+    keys
+  }
 }
 
 /** `cosine_sim(array<float>, array<float>) -> double` as a codegen-friendly

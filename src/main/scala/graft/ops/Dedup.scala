@@ -61,13 +61,25 @@ object Dedup {
     * only); the internal exploded band frame is unpersisted before
     * returning. Callers may `unpersist()` the result when done.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, bands: Int = 32,
-                        shingle: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val banded = df
-      .select(col(idCol), F.minhashSig(col(textCol), numHashes, shingle).as("__sig"))
+  /** Per-document sorted distinct shingle-hash sets — computed ONCE and
+    * shared by signature generation and the exact-jaccard verify (the
+    * round-1 profile showed per-pair re-shingling dominating the verify).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  shingle: Int): DataFrame =
+    df.select(col(idCol), F.shingleHashSet(col(textCol), shingle).as("__sh"))
+
+  /** Candidate pairs from a `(id, __sh)` sets frame (ideally persisted by
+    * the caller): sig → band keys → bucket equi-join, with the skew cap.
+    */
+  private def candidatesFromSets(sets: DataFrame, idCol: String,
+                                 numHashes: Int, bands: Int,
+                                 maxBucket: Int): DataFrame = {
+    val banded = sets
       .select(col(idCol),
-        posexplode(F.minhashBands(col("__sig"), bands)).as(Seq("__band", "__key")))
+        posexplode(F.minhashBands(
+          F.minhashSigFromHashes(col("__sh"), numHashes), bands))
+          .as(Seq("__band", "__key")))
       .persist()
     try {
       // Skew cap: drop pathological buckets from candidate generation.
@@ -86,21 +98,36 @@ object Dedup {
     } finally banded.unpersist()
   }
 
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 32,
+                        shingle: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingle).persist()
+    try candidatesFromSets(sets, idCol, numHashes, bands, maxBucket)
+    finally sets.unpersist()
+  }
+
   /** Near-duplicate pairs with exact-jaccard verification ≥ threshold:
-    * `(id_a, id_b, jaccard)`. LSH candidates only — the jaccard UDF
-    * never runs on non-colliding pairs.
+    * `(id_a, id_b, jaccard)`. LSH candidates only, and the verify
+    * intersects the SAME precomputed shingle-hash sets the signatures
+    * came from — each document is tokenized exactly once.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, numHashes: Int = 64,
                      bands: Int = 32, shingle: Int = 3): DataFrame = {
-    val pairs = minhashCandidates(df, idCol, textCol, numHashes, bands, shingle)
-    val texts = df.select(col(idCol), col(textCol))
-    pairs
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
-      .withColumn("jaccard", F.jaccardSim(col("__ta"), col("__tb"), shingle))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sets = shingleSets(df, idCol, textCol, shingle).persist()
+    try {
+      val pairs = candidatesFromSets(sets, idCol, numHashes, bands, 10000)
+      val verified = pairs
+        .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sa")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sb")), "id_b")
+        .withColumn("jaccard", F.jaccardSortedSim(col("__sa"), col("__sb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .persist()
+      verified.count() // materialize before dropping sets + pairs
+      pairs.unpersist()
+      verified
+    } finally sets.unpersist()
   }
 
   /** Remove near-duplicates, keeping each group's smallest id (greedy:
@@ -137,17 +164,45 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding-cosine near-duplicate pairs ≥ threshold. The self-join
-    * is pruned by id ordering; at very large N pre-bucket by vector
-    * norm or an LSH sketch before calling this.
+  /** Embedding-cosine near-duplicate pairs ≥ threshold, bucketed by a
+    * random-hyperplane sign sketch: `planes` sign bits → `bands` keys →
+    * band equi-join → exact cosine verify on candidates only. The plan
+    * is a shuffled equi-join, never a BroadcastNestedLoopJoin cartesian.
+    *
+    * Recall: identical vectors share every band (p = 1); at the default
+    * 128 planes × 8 bands (16-bit keys), pairs at exactly cos = 0.99
+    * (θ ≈ 8.1°) collide with p ≈ 0.995, and tighter pairs approach 1.
+    * For recall-critical runs at looser thresholds raise `bands` (more,
+    * shorter keys); for huge N raise `planes` (longer keys, fewer
+    * random collisions). The `maxBucket` skew cap drops degenerate
+    * buckets, same contract as [[minhashCandidates]].
     */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                              threshold: Double = 0.99): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", F.cosineSim(col("__va"), col("__vb")))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+                              threshold: Double = 0.99, planes: Int = 128,
+                              bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val banded = df.select(col(idCol),
+      posexplode(F.signBandKeys(col(vecCol), planes, bands))
+        .as(Seq("__band", "__key")))
+      .persist()
+    try {
+      val bucketSizes = banded.groupBy("__band", "__key")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket && col("__n") > 1)
+      val pruned = banded.join(bucketSizes, Seq("__band", "__key"), "left_semi")
+      val a = pruned.select(col(idCol).as("id_a"), col("__band"), col("__key"))
+      val b = pruned.select(col(idCol).as("id_b"), col("__band"), col("__key"))
+      val pairs = a.join(b, Seq("__band", "__key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .persist()
+      pairs.count() // materialize before dropping the banded cache
+      val vecs = df.select(col(idCol), col(vecCol))
+      pairs
+        .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+        .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+        .withColumn("cos", F.cosineSim(col("__va"), col("__vb")))
+        .filter(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    } finally banded.unpersist()
   }
 }

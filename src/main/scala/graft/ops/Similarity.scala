@@ -92,22 +92,31 @@ object Similarity {
 
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     candidates
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "neighbor_id", "cos")
   }
 
   /** Bucket assignment: each corpus vector's nearest centroid
-    * (tie-break on centroid id). One scan, centroids broadcast.
+    * (tie-break on smallest centroid id). One scan, centroids broadcast.
+    *
+    * The argmax is a `max_by` over a lexicographic (cos, -cent_id)
+    * struct — a hash aggregate with map-side partial combine. The
+    * window-function alternative (`row_number` over the N×|C| cross
+    * product) shuffles and SORTS every expanded row into per-id
+    * partitions; at 100 TB that sort dominates, while this aggregate
+    * reduces each id's |C| rows to one before the exchange.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("__ccos").desc, col("cent_id"))
     corpus.crossJoin(broadcast(centroids))
       .withColumn("__ccos", F.cosineSim(col(vecCol), col("cent_emb")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id").as("bucket"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("cent_id"), col(vecCol).as("__vec")),
+        struct(col("__ccos"), (-col("cent_id")).as("__tie"))).as("__best"))
+      .select(col(idCol), col("__best.__vec").as(vecCol),
+        col("__best.cent_id").as("bucket"))
   }
 
   /** IVF top-k: search only the `nprobe` buckets nearest each query.
@@ -128,7 +137,7 @@ object Similarity {
     assigned.join(broadcast(probes), "bucket")
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", F.cosineSim(col(vecCol), col("__q")))
-      .withColumn("rank", row_number().over(fw))
+      .withColumn("rank", row_number().over(fw).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"))
   }

@@ -275,7 +275,7 @@ object CoreQueries {
           count(lit(1)).as("n_docs"),
           sum(when(col("text").rlike("spark"), 1).otherwise(0)).as("n_spark"),
           sum(length(col("text"))).as("total_len"),
-          max(length(regexp_replace(col("text"), "[aeiou]", ""))).as("max_novowel_len"))
+          max(length(regexp_replace(col("text"), "[aeiou]", ""))).cast("long").as("max_novowel_len"))
         .orderBy("lang_norm")
     },
 
@@ -332,7 +332,7 @@ object CoreQueries {
         |) ORDER BY side""".stripMargin,
     "j2_left_join_missing" ->
       """SELECT c_mktsegment,
-        | sum(CASE WHEN o.n_orders IS NULL THEN 1 ELSE 0 END) AS n_without_orders,
+        | sum(CASE WHEN o.n_orders IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_without_orders,
         | count(*) AS n_customers
         |FROM customer c LEFT JOIN (
         |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
@@ -348,18 +348,18 @@ object CoreQueries {
         |) ORDER BY side""".stripMargin,
     "w1_monotonic" ->
       """SELECT user_id, count(*) AS n_events,
-        | sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS n_out_of_order
+        | sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)::BIGINT AS n_out_of_order
         |FROM (
         |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
         |  FROM events
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_pivot_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
-        | sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS click,
-        | sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS view,
-        | sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchase,
-        | sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS signup,
-        | sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS error
+        | sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        | sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        | sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        | sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        | sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT AS error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_stats" ->
       """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
@@ -368,7 +368,7 @@ object CoreQueries {
         | round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
         |FROM lineitem""".stripMargin,
     "w2_sessionize" ->
-      """SELECT user_id, max(session_idx) AS n_sessions, count(*) AS n_events,
+      """SELECT user_id, max(session_idx)::BIGINT AS n_sessions, count(*) AS n_events,
         | round(sum(value),2) AS sum_value
         |FROM (
         |  SELECT user_id, value,
@@ -433,8 +433,8 @@ object CoreQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_string_funcs" ->
       """SELECT lower(trim(lang)) AS lang_norm, count(*) AS n_docs,
-        | sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END) AS n_spark,
-        | sum(length(text)) AS total_len,
+        | sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END)::BIGINT AS n_spark,
+        | sum(length(text))::BIGINT AS total_len,
         | max(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS max_novowel_len
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_sha2_hex" ->

@@ -142,17 +142,17 @@ object DedupQueries {
 
   def oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
-      s"""SELECT sum(n) AS n_rows, count(*) AS n_distinct_text,
-         | sum(n-1) AS n_dupes_removed,
-         | sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+      s"""SELECT sum(n)::BIGINT AS n_rows, count(*) AS n_distinct_text,
+         | sum(n-1)::BIGINT AS n_dupes_removed,
+         | sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
          | min(keeper) AS min_keeper
          |FROM (SELECT text, count(*) AS n, min(doc_id) AS keeper FROM (
          |  $corpusExactSql
          |) GROUP BY text)""".stripMargin,
     "d2_fingerprint_dedup" ->
-      s"""SELECT sum(n) AS n_rows, count(*) AS n_distinct_fp,
-         | sum(n-1) AS n_dupes_removed,
-         | sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+      s"""SELECT sum(n)::BIGINT AS n_rows, count(*) AS n_distinct_fp,
+         | sum(n-1)::BIGINT AS n_dupes_removed,
+         | sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups
          |FROM (SELECT norm, count(*) AS n FROM (
          |  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM (
          |  $corpusExactSql
@@ -197,7 +197,7 @@ object DedupQueries {
          |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
          |)
          |SELECT count(*) AS n_kept,
-         |  sum(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END) AS n_kept_copies,
+         |  sum(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END)::BIGINT AS n_kept_copies,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "d6_embedding_neardup" ->

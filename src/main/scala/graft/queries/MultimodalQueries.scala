@@ -57,7 +57,7 @@ object MultimodalQueries {
   def oracle: Map[String, String] = Map(
     "m1_binary_meta" ->
       """SELECT source, count(*) AS n_media,
-        | sum(octet_length(encode(text))) AS total_bytes,
+        | sum(octet_length(encode(text)))::BIGINT AS total_bytes,
         | count(DISTINCT sha256(text)) AS n_distinct_payloads,
         | count(DISTINCT ((ascii(substr(text,1,1)) % 64 + 1) * 16)::VARCHAR || 'x' ||
         |                ((ascii(substr(text,2,1)) % 64 + 1) * 16)::VARCHAR) AS n_resolutions,

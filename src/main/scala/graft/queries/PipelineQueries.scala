@@ -107,11 +107,11 @@ object PipelineQueries {
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "p1_null_normalize" ->
       """SELECT
-        | sum(CASE WHEN norm IS NULL THEN 1 ELSE 0 END) AS n_null,
-        | sum(CASE WHEN norm IS NOT NULL THEN 1 ELSE 0 END) AS n_value,
+        | sum(CASE WHEN norm IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        | sum(CASE WHEN norm IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_value,
         | count(DISTINCT norm) AS n_distinct,
         | min(norm) AS min_v, max(norm) AS max_v,
-        | sum(CASE WHEN norm != trim(norm) THEN 1 ELSE 0 END) AS n_untrimmed
+        | sum(CASE WHEN norm != trim(norm) THEN 1 ELSE 0 END)::BIGINT AS n_untrimmed
         |FROM (
         |  SELECT CASE WHEN dirty IS NULL OR trim(dirty) IN ('', 'NA', 'NULL', 'None')
         |              THEN NULL ELSE trim(dirty) END AS norm
@@ -123,8 +123,8 @@ object PipelineQueries {
         |    FROM documents))""".stripMargin,
     "p3_strict_casts" ->
       """SELECT
-        | sum(CASE WHEN recovered = p_size THEN 1 ELSE 0 END) AS n_roundtrip_ok,
-        | sum(CASE WHEN recovered IS NULL THEN 1 ELSE 0 END) AS n_failed,
+        | sum(CASE WHEN recovered = p_size THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip_ok,
+        | sum(CASE WHEN recovered IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_failed,
         | count(*) AS n_rows
         |FROM (SELECT p_size,
         |        TRY_CAST(TRY_CAST(p_size::VARCHAR || '.0' AS DOUBLE) AS INT) AS recovered

@@ -75,8 +75,8 @@ object TextQueries {
         .agg(
           sum("ws_tokens").as("total_ws_tokens"),
           sum("subwords").as("total_subwords"),
-          max("ws_tokens").as("max_ws_tokens"),
-          min("ws_tokens").as("min_ws_tokens"))
+          max("ws_tokens").cast("long").as("max_ws_tokens"),
+          min("ws_tokens").cast("long").as("min_ws_tokens"))
         .orderBy("lang")
     },
 
@@ -140,8 +140,8 @@ object TextQueries {
     },
     "t3_token_counts" ->
       """SELECT lang,
-        | sum(ws_tokens) AS total_ws_tokens,
-        | sum(subwords) AS total_subwords,
+        | sum(ws_tokens)::BIGINT AS total_ws_tokens,
+        | sum(subwords)::BIGINT AS total_subwords,
         | max(ws_tokens) AS max_ws_tokens,
         | min(ws_tokens) AS min_ws_tokens
         |FROM (
@@ -153,7 +153,7 @@ object TextQueries {
         |  FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t4_doc_stats" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
         | round(avg(n_chars),4) AS avg_chars,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         | count(DISTINCT lang) AS n_langs

@@ -43,7 +43,7 @@ object ValidatorQueries {
     // (data_validator.py:373-452)
     "v1_varchar_len" -> { (s, d) =>
       Tables.documents(s, d).agg(
-        max(length(col("text"))).as("max_len"),
+        max(length(col("text"))).cast("long").as("max_len"),
         sum(when(length(col("text")) > 255, 1).otherwise(0)).as("n_over_255"),
         sum(when(length(col("lang")) =!= 2, 1).otherwise(0)).as("n_char2_violation"),
         count(lit(1)).as("n_rows"))
@@ -153,23 +153,23 @@ object ValidatorQueries {
   def oracle: Map[String, String] = Map(
     "v1_typecheck_counts" ->
       """SELECT
-        | sum(CASE WHEN TRY_CAST(qty_s AS DOUBLE) IS NULL AND qty_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_double,
-        | sum(CASE WHEN TRY_CAST(flag_s AS INT) IS NULL AND flag_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_int_flag,
-        | sum(CASE WHEN TRY_CAST(ln_s AS INT) IS NULL AND ln_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_int_ln,
+        | sum(CASE WHEN TRY_CAST(qty_s AS DOUBLE) IS NULL AND qty_s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bad_double,
+        | sum(CASE WHEN TRY_CAST(flag_s AS INT) IS NULL AND flag_s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bad_int_flag,
+        | sum(CASE WHEN TRY_CAST(ln_s AS INT) IS NULL AND ln_s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bad_int_ln,
         | count(*) AS n_rows
         |FROM (SELECT l_quantity::VARCHAR AS qty_s, l_returnflag AS flag_s,
         |             l_linenumber::VARCHAR AS ln_s FROM lineitem)""".stripMargin,
     "v1_varchar_len" ->
       """SELECT max(length(text)) AS max_len,
-        | sum(CASE WHEN length(text) > 255 THEN 1 ELSE 0 END) AS n_over_255,
-        | sum(CASE WHEN length(lang) != 2 THEN 1 ELSE 0 END) AS n_char2_violation,
+        | sum(CASE WHEN length(text) > 255 THEN 1 ELSE 0 END)::BIGINT AS n_over_255,
+        | sum(CASE WHEN length(lang) != 2 THEN 1 ELSE 0 END)::BIGINT AS n_char2_violation,
         | count(*) AS n_rows
         |FROM documents""".stripMargin,
     "v1_bool_vocab" ->
       """SELECT event_type,
-        | sum(CASE WHEN b = true THEN 1 ELSE 0 END) AS n_true,
-        | sum(CASE WHEN b = false THEN 1 ELSE 0 END) AS n_false,
-        | sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS n_unparseable
+        | sum(CASE WHEN b = true THEN 1 ELSE 0 END)::BIGINT AS n_true,
+        | sum(CASE WHEN b = false THEN 1 ELSE 0 END)::BIGINT AS n_false,
+        | sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unparseable
         |FROM (
         |  SELECT event_type,
         |    CASE
@@ -187,41 +187,41 @@ object ValidatorQueries {
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "v3_date_ambiguity" ->
       """SELECT
-        | sum(CASE WHEN day(ts) <= 12 AND day(ts) != month(ts) THEN 1 ELSE 0 END) AS n_ambiguous,
-        | sum(CASE WHEN day(ts) > 12 THEN 1 ELSE 0 END) AS n_dayfirst_unparseable,
-        | 0 AS n_monthfirst_unparseable,
+        | sum(CASE WHEN day(ts) <= 12 AND day(ts) != month(ts) THEN 1 ELSE 0 END)::BIGINT AS n_ambiguous,
+        | sum(CASE WHEN day(ts) > 12 THEN 1 ELSE 0 END)::BIGINT AS n_dayfirst_unparseable,
+        | 0::BIGINT AS n_monthfirst_unparseable,
         | count(*) AS n_rows
         |FROM events""".stripMargin,
     "v5_before_cutoff" ->
       """SELECT
-        | sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_at_or_after,
+        | sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS n_at_or_after,
         | epoch_us(min(ts)) AS earliest_us,
         | epoch_us(max(ts)) AS latest_us
         |FROM events""".stripMargin,
     "v6_numeric_stats" ->
       """SELECT
-        | sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_negative,
-        | sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+        | sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+        | sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
         | round(min(value),4) AS min_v,
         | round(max(value),4) AS max_v,
         | round(avg(value),4) AS mean_v
         |FROM events""".stripMargin,
     "v13_json_payload" ->
       """SELECT
-        | sum(CASE WHEN k IS NULL AND props IS NOT NULL THEN 1 ELSE 0 END) AS n_bad_json,
+        | sum(CASE WHEN k IS NULL AND props IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_bad_json,
         | min(k) AS min_k, max(k) AS max_k, round(avg(k),4) AS avg_k
         |FROM (SELECT props, json_extract_string(props,'$.k')::INT AS k FROM events)""".stripMargin,
     "v2_numeric_columns" ->
       """SELECT
-        | sum(CASE WHEN TRY_CAST(bal_s AS DOUBLE) IS NULL AND bal_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_bal,
-        | sum(CASE WHEN TRY_CAST(name_s AS DOUBLE) IS NULL AND name_s IS NOT NULL THEN 1 ELSE 0 END) AS bad_name,
-        | sum(CASE WHEN bal_s IS NULL THEN 1 ELSE 0 END) AS null_bal
+        | sum(CASE WHEN TRY_CAST(bal_s AS DOUBLE) IS NULL AND bal_s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bad_bal,
+        | sum(CASE WHEN TRY_CAST(name_s AS DOUBLE) IS NULL AND name_s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bad_name,
+        | sum(CASE WHEN bal_s IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_bal
         |FROM (SELECT c_acctbal::VARCHAR AS bal_s, c_name AS name_s FROM customer)""".stripMargin,
     "v16_token_lockstep" ->
       """SELECT lang,
-        | sum(tc) AS total_tokens,
-        | sum(CASE WHEN tc = 0 THEN 1 ELSE 0 END) AS n_empty,
-        | sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS n_len_mismatch
+        | sum(tc)::BIGINT AS total_tokens,
+        | sum(CASE WHEN tc = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+        | sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END)::BIGINT AS n_len_mismatch
         |FROM (
         |  SELECT lang, text, n_chars,
         |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0

@@ -67,7 +67,7 @@ class SimilarityOpsSpec extends SparkSpec {
   test("brute-force top-k returns same-cluster neighbors in rank order") {
     val res = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 1),
       "id", "vec", k = 3)
-      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
     assert(res.map(_._3).toSeq == Seq(2L, 3L, 4L)) // nearest first
     assert(res.head._4 > 0.99)
   }
@@ -77,10 +77,10 @@ class SimilarityOpsSpec extends SparkSpec {
       .toDF("cent_id", "cent_emb")
     val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 11),
       "id", "vec", k = 2).select("q_id", "rank", "neighbor_id")
-      .as[(Long, Int, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(vecs, vecs.filter(col("id") === 11), centroids,
       "id", "vec", k = 2, nprobe = 1)
-      .as[(Long, Int, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     assert(ivf == brute) // query's own bucket contains all true neighbors
   }
 

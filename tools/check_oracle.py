@@ -29,6 +29,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def canon_dtype(dt) -> str:
+    """Canonical dtype name, matching the driver's dtype-sensitive hash.
+
+    The driver hashes the canonicalized pandas frame INCLUDING dtypes, so
+    int32 vs int64 vs float64 is a hash mismatch even with equal values
+    (the exact bug class that produced 22 red rows in round 1).
+    """
+    s = str(dt)
+    # pandas nullable aliases -> numpy names
+    return {"Int64": "int64", "Int32": "int32", "Float64": "float64",
+            "boolean": "bool"}.get(s, s)
+
+
 def values_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
@@ -77,6 +90,16 @@ def main() -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL  {name}: row counts differ: spark={len(got)} oracle={len(want)}")
+            n_bad += 1
+            continue
+        dtype_diffs = [
+            (c, canon_dtype(got[c].dtype), canon_dtype(want[c].dtype))
+            for c in got.columns
+            if canon_dtype(got[c].dtype) != canon_dtype(want[c].dtype)]
+        if dtype_diffs:
+            c, a, b = dtype_diffs[0]
+            print(f"FAIL  {name}: {len(dtype_diffs)} dtype diffs; first: "
+                  f"col={c} spark={a} oracle={b}")
             n_bad += 1
             continue
         diffs = []
