@@ -2,27 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs the headline queries at
+/** Benchmark main: runs EVERY SparkEntry query at
   * SPARK_GRAFT_SF_DIR (default sf0.1) on local[SPARK_GRAFT_CPUS] and
   * prints ONE JSON line {"metric","value","unit","queries","sf"}.
   *
-  * Headline set: the queries that exercise every heavy physical shape —
-  * full-scan agg, shuffle join + broadcast dims, anti-join, window,
-  * set ops, LSH band join, brute-force + IVF ANN, text scans — so the
-  * number tracks engine throughput, not any single operator.
+  * All registered queries are timed (sorted by name, stable round over
+  * round) so a regression in ANY operator — not just the headline
+  * shapes — is visible in the per-round bench diff.
   */
 object Bench {
 
-  val headline: Seq[String] = Seq(
-    "q1_pricing_agg", "q2_filter_project", "q3_segment_revenue",
-    "j3_region_revenue", "j1_anti_pairing", "j2_left_join_missing",
-    "w1_monotonic", "q8_topk_orders", "set_ops_users",
-    "f_datetime_daily", "f_string_funcs",
-    "p_standard_columns", "p5_label_bucket",
-    "v1_typecheck_counts", "v3_date_ambiguity",
-    "d1_dedup_exact", "d2_fingerprint_dedup", "d3_minhash_lsh",
-    "d6_embedding_neardup", "ann_brute_topk", "ann_ivf_topk",
-    "t2_quality", "t3_token_counts", "m1_binary_meta")
+  /** Every registered gate query, sorted for stable output order. */
+  def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,6 +43,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("embeddingNearDuplicates finds copies and near-copies via band equi-join") {
+    // ids 1/2 identical, 3 a tiny perturbation of 1 (cos > 0.999),
+    // 4/5 orthogonal-ish noise that must NOT pair.
+    val vecs = Seq(
+      (1L, Array.tabulate(32)(i => math.sin(i * 0.7).toFloat)),
+      (2L, Array.tabulate(32)(i => math.sin(i * 0.7).toFloat)),
+      (3L, Array.tabulate(32)(i => (math.sin(i * 0.7) + 0.001).toFloat)),
+      (4L, Array.tabulate(32)(i => math.cos(i * 1.3).toFloat)),
+      (5L, Array.tabulate(32)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("id", "vec")
+    val out = Dedup.embeddingNearDuplicates(vecs, "id", "vec", threshold = 0.99)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"embedding near-dup must plan as an equi-join, got:\n$plan")
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a >= 4L || b >= 4L })
+  }
+
+  test("signBandKeys: identical vectors share all bands, deterministic across calls") {
+    val v = Array.tabulate(16)(i => (i * 0.3 - 1.0).toFloat)
+    val k1 = graft.functions.VectorOpsUtil.signBandKeys(v.toSeq, 128, 8)
+    val k2 = graft.functions.VectorOpsUtil.signBandKeys(v.toSeq, 128, 8)
+    assert(k1.length == 8 && k1.sameElements(k2))
+  }
+
   test("minhash bucket cap drops pathological buckets") {
     val many = (1L to 50L).map(i => (i, "identical text here every time ok"))
       .toDF("id", "text")
