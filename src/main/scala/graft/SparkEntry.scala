@@ -26,7 +26,8 @@ object SparkEntry {
       DedupQueries.queries ++
       TextQueries.queries ++
       AnnQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      SinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -39,5 +40,6 @@ object SparkEntry {
       DedupQueries.oracle ++
       TextQueries.oracle ++
       AnnQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++
+      SinkQueries.oracle
 }

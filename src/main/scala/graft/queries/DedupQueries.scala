@@ -110,6 +110,20 @@ object DedupQueries {
         maxHamming = 6).orderBy("id_a", "id_b")
     },
 
+    // -- SimHash value check on the KNOWABLE subset: every exact clone
+    //    (doc_id%10==0 → +100000, verbatim copy) has an identical
+    //    simhash, so its pair MUST surface at hamming 0 — which IS
+    //    SQL-expressible even though FNV itself isn't. Complements the
+    //    rows-only d4 with an oracle-checked recall assertion. ---------
+    "d4b_simhash_clone_pairs" -> { (s, d) =>
+      graft.ops.Dedup.simhashPairs(corpusExact(s, d), "doc_id", "text",
+        maxHamming = 6)
+        .filter(col("id_a") < 100000 && col("id_a") % 10 === 0 &&
+          col("id_b") === col("id_a") + 100000)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a")
+    },
+
     // -- embedding-cosine near-dup: copied vectors (vec_id%5==0) must
     //    pair with their originals at cosine ≈ 1; the max cosine among
     //    distinct random embeddings is ~0.51, so threshold 0.99 is
@@ -200,6 +214,9 @@ object DedupQueries {
          |  sum(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END)::BIGINT AS n_kept_copies,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "d4b_simhash_clone_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0::BIGINT AS hamming
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a""".stripMargin,
     "d6_embedding_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -136,6 +136,49 @@ object ValidatorQueries {
           sum(when(col("bal_s").isNull, 1).otherwise(0)).as("null_bal"))
     },
 
+    // -- V14: keypoint visibility-flag domain + coordinate bounds ------
+    // (keypoint_visibility_validator.py — vis must be in {0,1,2}, x/y
+    // inside the declared frame). Keypoints constructed deterministically
+    // from event_id so every branch (valid vis, invalid vis=3, bounds)
+    // is exercised and the oracle rebuilds the identical set in SQL.
+    "v14_keypoint_visibility" -> { (s, d) =>
+      val kps = array((0 until 3).map { i =>
+        struct(
+          ((col("event_id") * 7 + i * 13) % 640).as("x"),
+          ((col("event_id") * 11 + i * 17) % 480).as("y"),
+          ((col("event_id") + i) % 4).as("vis"))
+      }: _*)
+      Tables.events(s, d)
+        .select(explode(kps).as("kp"))
+        .agg(
+          count(lit(1)).as("n_keypoints"),
+          sum(when(col("kp.vis").isin(0, 1, 2), 0).otherwise(1)).as("n_bad_vis"),
+          sum(when(col("kp.x") < 0 || col("kp.x") >= 640 ||
+            col("kp.y") < 0 || col("kp.y") >= 480, 1).otherwise(0)).as("n_oob"),
+          sum(when(col("kp.vis") === 2, 1).otherwise(0)).as("n_visible"))
+    },
+
+    // -- V18: per-record skip disposition (JSON ingest skip semantics,
+    //    json_ingestor skip paths): each record is kept, skipped-empty
+    //    or skipped-uncastable; the pipeline reports counts per
+    //    disposition instead of failing the batch. --------------------
+    "v18_skip_disposition" -> { (s, d) =>
+      val raw = when(col("doc_id") % 11 === 0, lit("not_a_number"))
+        .when(col("doc_id") % 11 === 1, lit(""))
+        .otherwise(col("n_chars").cast("string"))
+      Tables.documents(s, d)
+        .withColumn("raw", raw)
+        .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+        .withColumn("disposition",
+          when(col("parsed").isNotNull, lit("ok"))
+            .when(col("raw") === "", lit("skipped_empty"))
+            .otherwise(lit("skipped_cast")))
+        .groupBy("disposition")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("parsed"), lit(0L)).as("sum_parsed"))
+        .orderBy("disposition")
+    },
+
     // -- V16/J2: token-count lockstep between label and content --------
     // (bio_label_validator.py:137-163 — declared count must equal the
     // computed word count of the paired text)
@@ -217,6 +260,29 @@ object ValidatorQueries {
         | sum(CASE WHEN TRY_CAST(name_s AS DOUBLE) IS NULL AND name_s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bad_name,
         | sum(CASE WHEN bal_s IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_bal
         |FROM (SELECT c_acctbal::VARCHAR AS bal_s, c_name AS name_s FROM customer)""".stripMargin,
+    "v14_keypoint_visibility" ->
+      """SELECT count(*) AS n_keypoints,
+        | sum(CASE WHEN vis IN (0,1,2) THEN 0 ELSE 1 END)::BIGINT AS n_bad_vis,
+        | sum(CASE WHEN x < 0 OR x >= 640 OR y < 0 OR y >= 480 THEN 1 ELSE 0 END)::BIGINT AS n_oob,
+        | sum(CASE WHEN vis = 2 THEN 1 ELSE 0 END)::BIGINT AS n_visible
+        |FROM (
+        |  SELECT (event_id*7 + i*13) % 640 AS x,
+        |         (event_id*11 + i*17) % 480 AS y,
+        |         (event_id + i) % 4 AS vis
+        |  FROM events CROSS JOIN (SELECT unnest(range(0,3)) AS i))""".stripMargin,
+    "v18_skip_disposition" ->
+      """SELECT disposition, count(*) AS n, coalesce(sum(parsed), 0)::BIGINT AS sum_parsed
+        |FROM (
+        |  SELECT TRY_CAST(raw AS BIGINT) AS parsed,
+        |    CASE WHEN TRY_CAST(raw AS BIGINT) IS NOT NULL THEN 'ok'
+        |         WHEN raw = '' THEN 'skipped_empty'
+        |         ELSE 'skipped_cast' END AS disposition
+        |  FROM (
+        |    SELECT CASE doc_id % 11
+        |      WHEN 0 THEN 'not_a_number' WHEN 1 THEN ''
+        |      ELSE n_chars::VARCHAR END AS raw
+        |    FROM documents))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "v16_token_lockstep" ->
       """SELECT lang,
         | sum(tc)::BIGINT AS total_tokens,
