@@ -47,8 +47,23 @@ object IngestCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Backend selection mirrors the reference's EDGE_ENV switch
+    // (api/client.py:36-63): no endpoint configured → local recorder;
+    // GRAFT_API_ENDPOINT set → production HTTP client whose token
+    // provider re-reads GRAFT_BACKEND_TOKEN on each 401 so secret
+    // rotation is picked up mid-run (client.py:133-172).
+    val api = sys.env.get("GRAFT_API_ENDPOINT") match {
+      case Some(endpoint) =>
+        new graft.engine.api.HttpApiClient(graft.engine.api.HttpApiClient.Config(
+          endpoint = endpoint,
+          tokenProvider = () => sys.env.getOrElse("GRAFT_BACKEND_TOKEN", ""),
+          ingestorId = sys.env.getOrElse("GRAFT_INGESTOR_ID", config.tableName),
+          dataIntent = config.intent,
+          category = config.category))
+      case None => new LocalApiClient
+    }
     try {
-      val ingestor = new Ingestor(spark, config, new LocalApiClient, jdbc,
+      val ingestor = new Ingestor(spark, config, api, jdbc,
         lockDir = sys.env.getOrElse("GRAFT_LOCK_DIR", "/tmp/graft-locks"))
       val result = ingestor.ingest()
       if (result.warnings.nonEmpty) {
