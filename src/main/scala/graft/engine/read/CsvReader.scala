@@ -103,20 +103,19 @@ object CsvReader {
       .csv(path)
   }
 
-  /** Ragged-row detection (S3): Spark's FAILFAST silently IGNORES extra
-    * trailing tokens (univocity parses the selected columns and moves
-    * on), so `on_bad_lines="error"` parity needs the PERMISSIVE +
-    * corrupt-record-column probe: any row whose token count mismatches
-    * the header is captured verbatim. One scan; returns up to 5 samples.
+  private val CorruptCol = "__corrupt_record"
+
+  /** PERMISSIVE scan carrying the corrupt-record column (any row whose
+    * token count mismatches the header is captured verbatim — Spark's
+    * FAILFAST silently IGNORES extra trailing tokens, so
+    * `on_bad_lines="error"` parity needs this probe).
     */
-  def preflightRagged(spark: SparkSession, path: String, header: Seq[String],
-                      opts: CsvOptions = CsvOptions()): Either[String, Unit] = {
-    import org.apache.spark.sql.functions._
-    val corrupt = "__corrupt_record"
+  private def permissiveScan(spark: SparkSession, path: String,
+                             header: Seq[String], opts: CsvOptions): DataFrame = {
     val schema = StructType(
       header.map(h => StructField(h, StringType, nullable = true)) :+
-        StructField(corrupt, StringType, nullable = true))
-    val df = spark.read
+        StructField(CorruptCol, StringType, nullable = true))
+    spark.read
       .schema(schema)
       .option("header", "true")
       .option("delimiter", opts.delimiter)
@@ -124,33 +123,72 @@ object CsvReader {
       .option("escape", opts.escapeChar)
       .option("encoding", opts.encoding)
       .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", corrupt)
+      .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path)
-    // Spark refuses to answer queries over the corrupt-record column of
-    // a raw scan (and with pruning the parser wouldn't even see extra
-    // tokens); the documented pattern is to cache the fully-parsed
-    // frame, query it, and drop the cache.
-    val cached = df.cache()
-    val row =
-      try cached.agg(
-        sum(when(col(corrupt).isNotNull, 1).otherwise(0)).cast("long").as("n"),
-        slice(collect_list(col(corrupt)), 1, 5).as("samples")).head()
-      finally cached.unpersist()
-    val n = row.getAs[Long]("n")
+  }
+
+  /** Corrupt-row count + ≤5 samples over a PERSISTED permissive frame.
+    * Spark refuses queries that reference only the corrupt column of a
+    * raw scan (and with pruning the parser wouldn't even see extra
+    * tokens); the documented pattern is to persist the fully-parsed
+    * frame first — callers own the persist/unpersist lifecycle.
+    */
+  private def corruptStats(persisted: DataFrame): (Long, Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val row = persisted.agg(
+      sum(when(col(CorruptCol).isNotNull, 1).otherwise(0)).cast("long").as("n"),
+      slice(collect_list(col(CorruptCol)), 1, 5).as("samples")).head()
+    (Option(row.getAs[Long]("n")).getOrElse(0L), row.getSeq[String](1))
+  }
+
+  /** Ragged-row detection (S3) as a standalone check. One PERMISSIVE
+    * parse, DISK_ONLY persist (no executor-memory pressure on multi-GB
+    * manifests), dropped before returning. Prefer [[open]], which
+    * shares this parse with the returned scan instead of re-reading.
+    */
+  def preflightRagged(spark: SparkSession, path: String, header: Seq[String],
+                      opts: CsvOptions = CsvOptions()): Either[String, Unit] = {
+    val cached = permissiveScan(spark, path, header, opts)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val (n, samples) = try corruptStats(cached) finally cached.unpersist()
     if (n > 0)
       Left(s"$path: $n malformed row(s) (wrong column count); e.g. " +
-        row.getSeq[String](1).mkString("; "))
+        samples.mkString("; "))
     else Right(())
   }
 
-  /** Preflights + scan in the reference's order (cheap checks first). */
+  /** Preflights + scan in the reference's order (cheap checks first),
+    * parsing the file ONCE: the PERMISSIVE scan that feeds the
+    * ragged-row check is persisted DISK_ONLY, and on success the clean
+    * projection is re-persisted FROM that cache (a column drop, no
+    * re-parse) before the parse-time cache is released. The returned
+    * frame is therefore already persisted at MEMORY_AND_DISK — exactly
+    * the state downstream (which scans the manifest once per validator)
+    * wants; callers release it with `unpersist()` when the run ends.
+    */
   def open(spark: SparkSession, path: String,
            opts: CsvOptions = CsvOptions()): Either[List[String], DataFrame] = {
     for {
       _ <- preflightUtf8(spark, path).left.map(List(_))
       header <- preflightHeader(spark, path, opts).left.map(List(_))
-      _ <- preflightRagged(spark, path, header, opts).left.map(List(_))
-    } yield read(spark, path, header, opts)
+      df <- {
+        val full = permissiveScan(spark, path, header, opts)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val (n, samples) =
+          try corruptStats(full)
+          catch { case t: Throwable => full.unpersist(); throw t }
+        if (n > 0) {
+          full.unpersist()
+          Left(List(s"$path: $n malformed row(s) (wrong column count); e.g. " +
+            samples.mkString("; ")))
+        } else {
+          val clean = full.drop(CorruptCol).persist()
+          clean.count() // materialize from the parse-time cache, then free it
+          full.unpersist()
+          Right(clean)
+        }
+      }
+    } yield df
   }
 
   private def readFirstLine(spark: SparkSession, path: String): Option[String] = {
