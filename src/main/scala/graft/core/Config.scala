@@ -104,14 +104,40 @@ final case class ResolvedConfig(
 
 object Conventions {
 
+  /** Top-level vocabulary of the v1 contract — anything else is a typo
+    * (`catagory:`, `lable:`) and is rejected by JSON pointer, matching
+    * the reference schema's `additionalProperties: false`
+    * (`schema/ingest.v1.json`, locked by `tests/test_schema_validation
+    * .py:141-145`).
+    */
+  private val knownTopLevelKeys: Set[String] = Set(
+    "apiVersion", "kind", "category", "table", "intent", "csv", "json",
+    "schema", "label", "data_id", "images", "annotations", "masks",
+    "texts", "sequences", "time_column", "target_size",
+    "number_of_keypoints", "batch_size", "dest", "spec")
+
   /** Resolve a parsed YAML body (already structurally validated) into a
     * ResolvedConfig. Mirrors `cli/conventions.py:resolve` decision order:
     * identity → source dispatch → sidecars → schema → label → data_id →
-    * options merge → category bridges.
+    * options merge → category bridges — and enforces the ingest.v1
+    * schema contract's rejection paths (unknown fields, category
+    * sidecar requirements, self-supervised label ban, data_id strategy
+    * coherence, apiVersion/kind locks) with one JSON-pointer-prefixed
+    * error per violation, all accumulated before returning.
     */
   def resolve(config: Map[String, Any]): Either[List[String], ResolvedConfig] = {
     val errs = List.newBuilder[String]
     def str(k: String): Option[String] = config.get(k).collect { case s: String => s }
+
+    (config.keySet -- knownTopLevelKeys).toSeq.sorted.foreach { k =>
+      errs += s"/$k: unknown field (allowed: ${knownTopLevelKeys.toSeq.sorted.mkString(", ")})"
+    }
+    str("apiVersion").foreach { v =>
+      if (v != "graft/v1") errs += s"/apiVersion: '$v' is not 'graft/v1'"
+    }
+    str("kind").foreach { v =>
+      if (v != "IngestConfig") errs += s"/kind: '$v' is not 'IngestConfig'"
+    }
 
     val category = str("category").getOrElse { errs += "/category: required"; "" }
     if (category.nonEmpty && !TaskCategory.all.contains(category))
@@ -120,6 +146,34 @@ object Conventions {
     val intent = str("intent").getOrElse { errs += "/intent: required"; "" }
     if (intent.nonEmpty && !Intent.all.contains(intent))
       errs += s"/intent: '$intent' is not one of ${Intent.all.mkString(", ")}"
+
+    // Category sidecar/field requirements (ingest.v1.json conditional
+    // blocks; each locked by a test_schema_validation.py rejection case).
+    if (TaskCategory.imageCategories.contains(category) && str("images").isEmpty)
+      errs += s"/images: required for category '$category'"
+    if (category == TaskCategory.ObjectDetection && str("annotations").isEmpty)
+      errs += "/annotations: required for category 'object_detection'"
+    if (category == TaskCategory.SemanticSegmentation && str("masks").isEmpty)
+      errs += "/masks: required for category 'semantic_segmentation'"
+    if (TaskCategory.textCategories.contains(category) && str("texts").isEmpty)
+      errs += s"/texts: required for category '$category'"
+    if (category == TaskCategory.TokenClassification && !config.contains("label"))
+      errs += "/label: required for category 'token_classification'"
+    if (TaskCategory.tabularCategories.contains(category) && !config.contains("schema"))
+      errs += s"/schema: required for category '$category'"
+    // Self-supervised categories MUST NOT carry label: the rows would
+    // ingest and then fail at backend registration with a misleading
+    // error (reference issue #213, test_schema_validation.py:235-245).
+    if (category == TaskCategory.MaskedLanguageModeling && config.contains("label"))
+      errs += "/label: not allowed for self-supervised category 'masked_language_modeling'"
+
+    def anyMap(v: Any): Map[String, Any] = v match {
+      case m: java.util.Map[_, _] =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.map { case (k, vv) => (String.valueOf(k), vv: Any) }.toMap
+      case m: Map[_, _] => m.map { case (k, vv) => (String.valueOf(k), vv: Any) }
+      case _ => Map.empty
+    }
 
     val (sourcePath, dataFormat) = (str("csv"), str("json")) match {
       case (Some(p), None) => (p, "csv")
@@ -163,25 +217,52 @@ object Conventions {
       case Some(m: java.util.Map[_, _]) =>
         import scala.jdk.CollectionConverters._
         val mm = m.asScala.map { case (k, v) => (String.valueOf(k), String.valueOf(v)) }.toMap
-        if (mm.get("strategy").contains("column")) {
-          val c = mm.get("column")
-          if (c.isEmpty) errs += "/data_id/column: required when strategy=column"
-          c
-        } else None
-      case _ => None
+        mm.get("strategy") match {
+          case Some("column") =>
+            val c = mm.get("column")
+            if (c.isEmpty) errs += "/data_id/column: required when strategy=column"
+            c
+          case Some("uuid") => None
+          case Some(other) =>
+            errs += s"/data_id/strategy: '$other' is not one of column, uuid"; None
+          case None =>
+            // Guard against the vacuous-if bug (test_schema_validation
+            // .py:314-322): `{column: x}` without `strategy` used to pass
+            // validation and be silently IGNORED by the resolver — the
+            // customer's explicit column selection dropped on the floor.
+            if (mm.contains("column"))
+              errs += "/data_id/strategy: required when column is set (did you mean strategy: column?)"
+            None
+        }
+      case Some(_) => errs += "/data_id: must be a {strategy[, column]} object"; None
+      case None => None
+    }
+
+    // Custom-processor escape hatch: each entry needs script AND class
+    // (test_schema_validation.py:325-329).
+    config.get("spec").foreach { s =>
+      anyMap(s).get("processors").foreach {
+        case l: java.util.List[_] =>
+          import scala.jdk.CollectionConverters._
+          l.asScala.zipWithIndex.foreach { case (p, i) =>
+            val pm = anyMap(p)
+            if (!pm.contains("script")) errs += s"/spec/processors/$i/script: required"
+            if (!pm.contains("class")) errs += s"/spec/processors/$i/class: required"
+          }
+        case l: Seq[_] =>
+          l.zipWithIndex.foreach { case (p, i) =>
+            val pm = anyMap(p)
+            if (!pm.contains("script")) errs += s"/spec/processors/$i/script: required"
+            if (!pm.contains("class")) errs += s"/spec/processors/$i/class: required"
+          }
+        case _ => errs += "/spec/processors: must be a list"
+      }
     }
 
     // Options merge (steps 6–7 of the reference resolver): customer
     // spec.csv_options / spec.file_options over category defaults, plus
     // the documented top-level bridges (target_size,
     // number_of_keypoints, batch_size).
-    def anyMap(v: Any): Map[String, Any] = v match {
-      case m: java.util.Map[_, _] =>
-        import scala.jdk.CollectionConverters._
-        m.asScala.map { case (k, vv) => (String.valueOf(k), vv: Any) }.toMap
-      case m: Map[_, _] => m.map { case (k, vv) => (String.valueOf(k), vv: Any) }
-      case _ => Map.empty
-    }
     val spec = config.get("spec").map(anyMap).getOrElse(Map.empty)
     val csvOv = spec.get("csv_options").map(anyMap).getOrElse(Map.empty)
     val csvOptions = CsvOptions(
@@ -190,21 +271,28 @@ object Conventions {
       escapeChar = csvOv.get("escapechar").map(String.valueOf(_)).getOrElse("\""),
       encoding = csvOv.get("encoding").map(String.valueOf(_)).getOrElse("UTF-8"))
     var fileOptions = spec.get("file_options").map(anyMap).getOrElse(Map.empty)
+    def intOr(pointer: String, v: Any, default: Int): Int =
+      try String.valueOf(v).toInt
+      catch { case _: NumberFormatException =>
+        errs += s"$pointer: '$v' is not an integer"; default
+      }
     config.get("target_size").foreach { ts =>
       if (!fileOptions.contains("target_size")) ts match {
         case l: java.util.List[_] =>
           import scala.jdk.CollectionConverters._
-          fileOptions += ("target_size" -> l.asScala.toSeq.map(String.valueOf(_).toInt))
+          fileOptions += ("target_size" ->
+            l.asScala.toSeq.map(intOr("/target_size", _, 0)))
         case l: Seq[_] =>
-          fileOptions += ("target_size" -> l.map(String.valueOf(_).toInt))
-        case _ => ()
+          fileOptions += ("target_size" -> l.map(intOr("/target_size", _, 0)))
+        case _ => errs += "/target_size: must be a [width, height] list"
       }
     }
     config.get("number_of_keypoints").foreach { k =>
       if (!fileOptions.contains("number_of_keypoints"))
-        fileOptions += ("number_of_keypoints" -> String.valueOf(k).toInt)
+        fileOptions += ("number_of_keypoints" -> intOr("/number_of_keypoints", k, 0))
     }
-    val batchSize = config.get("batch_size").map(String.valueOf(_).toInt).getOrElse(4000)
+    val batchSize = config.get("batch_size")
+      .map(intOr("/batch_size", _, 4000)).getOrElse(4000)
 
     def optStr(k: String) = str(k)
     val resolved = ResolvedConfig(

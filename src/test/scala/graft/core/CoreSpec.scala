@@ -95,7 +95,8 @@ class ConfigSpec extends AnyFunSuite {
   }
 
   test("keypoint category gets Annotation column convention") {
-    val y = yaml.replace("tabular_classification", "keypoint_detection")
+    val y = yaml.replace("tabular_classification", "keypoint_detection") +
+      "images: /data/images\n" // image categories require the sidecar dir
     val r = YamlConfig.parse(y).flatMap(Conventions.resolve)
     assert(r.toOption.get.annotationColumn.contains("Annotation"))
   }
@@ -152,6 +153,7 @@ class OptionsMergeSpec extends org.scalatest.funsuite.AnyFunSuite {
         |table: t
         |intent: train
         |csv: /l.csv
+        |images: /data/images
         |number_of_keypoints: 9
         |spec:
         |  file_options:
