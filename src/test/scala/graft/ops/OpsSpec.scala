@@ -117,5 +117,12 @@ class SimilarityOpsSpec extends SparkSpec {
     val byBucket = assigned.groupBy("bucket").count()
       .as[(Long, Long)].collect().toMap
     assert(byBucket == Map(100L -> 4L, 200L -> 4L))
+    // The argmax must be an aggregate with a map-side partial (reduces
+    // each id's |C| rows before the exchange), never a window sort over
+    // the N×|C| cross product.
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ivfAssign must not plan a window:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("partial max_by") ||
+      plan.toLowerCase.contains("max_by"), s"expected max_by aggregate:\n$plan")
   }
 }
