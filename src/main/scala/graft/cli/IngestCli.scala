@@ -59,7 +59,8 @@ object IngestCli {
           tokenProvider = () => sys.env.getOrElse("GRAFT_BACKEND_TOKEN", ""),
           ingestorId = sys.env.getOrElse("GRAFT_INGESTOR_ID", config.tableName),
           dataIntent = config.intent,
-          category = config.category))
+          category = config.category,
+          dataFormat = config.dataFormat))
       case None => new LocalApiClient
     }
     try {

@@ -58,8 +58,16 @@ object HttpApiClient {
       case c => c.toString
     } + "\""
 
+  /** Query-string encoding (form style: space → '+'). */
   private[api] def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Path-segment encoding per RFC 3986: servers decode '+' as a
+    * literal plus in paths (only query strings treat it as space), so a
+    * space must become %20 here or the batch registers under the wrong
+    * table name.
+    */
+  private[api] def pathEnc(s: String): String = urlEnc(s).replace("+", "%20")
 }
 
 final class HttpApiClient(cfg: HttpApiClient.Config) extends ApiClient {
@@ -131,23 +139,34 @@ final class HttpApiClient(cfg: HttpApiClient.Config) extends ApiClient {
       }
     }
 
-  /** 2xx → Right(response); anything else → Left with status + body. */
+  /** Strictly 2xx → Right(response); anything else → Left with status +
+    * body. 3xx counts as failure: the client is built with the default
+    * Redirect.NEVER policy, so a redirect means the metadata never
+    * reached the backend — treating it as delivered would silently break
+    * the committed-but-registered invariant.
+    */
   private def expectOk(what: String, r: Either[String, HttpResponse[String]])
       : Either[String, HttpResponse[String]] =
     r.flatMap { resp =>
-      if (resp.statusCode() < 400) Right(resp)
+      if (resp.statusCode() >= 200 && resp.statusCode() < 300) Right(resp)
       else Left(s"$what failed: HTTP ${resp.statusCode()}: " +
         Option(resp.body()).getOrElse("").take(2000))
     }.left.map(msg => if (msg.startsWith(what)) msg else s"$what failed: $msg")
 
   def sendBatch(table: String, batch: Seq[MetaRecord]): Either[String, Int] = {
+    // Null-tolerant defaults match the reference payload builder
+    // (client.py:240-249: label defaults "", intent defaults "train") —
+    // a null label row must not escape the Either contract as an NPE
+    // after the DB sink already committed it.
     val payload = batch.map { m =>
-      s"""{"data_id":${jstr(m.dataId)},"data_intent":${jstr(m.dataIntent)},""" +
-        s""""label":${jstr(m.label)},"is_sample":${m.isSample},""" +
-        s""""injestor_id":${jstr(m.ingestorId)}}"""
+      s"""{"data_id":${jstr(Option(m.dataId).getOrElse(""))},""" +
+        s""""data_intent":${jstr(Option(m.dataIntent).getOrElse("train"))},""" +
+        s""""label":${jstr(Option(m.label).getOrElse(""))},""" +
+        s""""is_sample":${m.isSample},""" +
+        s""""injestor_id":${jstr(Option(m.ingestorId).getOrElse(""))}}"""
     }.mkString("[", ",", "]")
     expectOk("send_batch",
-      authed("POST", s"$base/global_meta/${urlEnc(table)}/", Some(payload)))
+      authed("POST", s"$base/global_meta/${pathEnc(table)}/", Some(payload)))
       .map(_ => batch.size)
   }
 

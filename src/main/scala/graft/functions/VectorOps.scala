@@ -48,7 +48,10 @@ object VectorOpsUtil {
     * all-pairs cartesian with an equi-join.
     */
   def signBandKeys(vec: Seq[Float], planes: Int, bands: Int): Array[Long] = {
+    require(bands > 0 && planes > 0 && planes % bands == 0,
+      s"planes ($planes) must be a positive multiple of bands ($bands)")
     val rows = planes / bands
+    require(rows <= 64, s"planes/bands = $rows bits exceed one 64-bit key")
     val d = vec.length
     val keys = new Array[Long](bands)
     var p = 0

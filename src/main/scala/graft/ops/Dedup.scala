@@ -52,15 +52,6 @@ object Dedup {
   /** Normalized-fingerprint column (lower + collapsed whitespace). */
   def fingerprint(textCol: Column): Column = F.fingerprint(textCol)
 
-  /** Candidate near-duplicate pairs via MinHash LSH: `(id_a, id_b)`
-    * with id_a < id_b, deduplicated. With `rows = numHashes / bands`
-    * hash rows per band, P(candidate | jaccard=j) = 1-(1-j^rows)^bands.
-    * Defaults (64, 32 → r=2) make recall at j≥0.8 effectively 1.
-    *
-    * Returns a MATERIALIZED, persisted pair frame (small: candidates
-    * only); the internal exploded band frame is unpersisted before
-    * returning. Callers may `unpersist()` the result when done.
-    */
   /** Per-document sorted distinct shingle-hash sets — computed ONCE and
     * shared by signature generation and the exact-jaccard verify (the
     * round-1 profile showed per-pair re-shingling dominating the verify).
@@ -98,6 +89,15 @@ object Dedup {
     } finally banded.unpersist()
   }
 
+  /** Candidate near-duplicate pairs via MinHash LSH: `(id_a, id_b)`
+    * with id_a < id_b, deduplicated. With `rows = numHashes / bands`
+    * hash rows per band, P(candidate | jaccard=j) = 1-(1-j^rows)^bands.
+    * Defaults (64, 32 → r=2) make recall at j≥0.8 effectively 1.
+    *
+    * Returns a MATERIALIZED, persisted pair frame (small: candidates
+    * only); the internal exploded band frame is unpersisted before
+    * returning. Callers may `unpersist()` the result when done.
+    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 32,
                         shingle: Int = 3, maxBucket: Int = 10000): DataFrame = {
@@ -109,14 +109,16 @@ object Dedup {
   /** Near-duplicate pairs with exact-jaccard verification ≥ threshold:
     * `(id_a, id_b, jaccard)`. LSH candidates only, and the verify
     * intersects the SAME precomputed shingle-hash sets the signatures
-    * came from — each document is tokenized exactly once.
+    * came from — each document is tokenized exactly once. The returned
+    * frame is persisted + materialized; callers may `unpersist()` it.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, numHashes: Int = 64,
-                     bands: Int = 32, shingle: Int = 3): DataFrame = {
+                     bands: Int = 32, shingle: Int = 3,
+                     maxBucket: Int = 10000): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingle).persist()
     try {
-      val pairs = candidatesFromSets(sets, idCol, numHashes, bands, 10000)
+      val pairs = candidatesFromSets(sets, idCol, numHashes, bands, maxBucket)
       val verified = pairs
         .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sa")), "id_a")
         .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sb")), "id_b")
@@ -135,8 +137,10 @@ object Dedup {
     * id — one LSH pass, no iterative connected components).
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.8): DataFrame = {
-    val losers = nearDuplicates(df, idCol, textCol, threshold)
+                         threshold: Double = 0.8,
+                         maxBucket: Int = 10000): DataFrame = {
+    val losers = nearDuplicates(df, idCol, textCol, threshold,
+      maxBucket = maxBucket)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -197,12 +201,16 @@ object Dedup {
         .persist()
       pairs.count() // materialize before dropping the banded cache
       val vecs = df.select(col(idCol), col(vecCol))
-      pairs
+      val verified = pairs
         .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
         .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
         .withColumn("cos", F.cosineSim(col("__va"), col("__vb")))
         .filter(col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+        .persist()
+      verified.count() // materialize so the pair cache can be freed now
+      pairs.unpersist()
+      verified
     } finally banded.unpersist()
   }
 }

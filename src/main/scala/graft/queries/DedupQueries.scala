@@ -216,7 +216,8 @@ object DedupQueries {
          |FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "d4b_simhash_clone_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0::BIGINT AS hamming
-        |FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a""".stripMargin,
+        |FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000
+        |ORDER BY id_a""".stripMargin,
     "d6_embedding_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

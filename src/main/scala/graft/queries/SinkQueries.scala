@@ -60,7 +60,14 @@ object SinkQueries {
             """SELECT COUNT(*), SUM("bal") FROM "k1_state"""")
           rs.next()
           (rs.getLong(1), rs.getDouble(2))
-        } finally conn.close()
+        } finally {
+          conn.close()
+          // Drop the in-memory DB — without this each invocation strands
+          // a full Derby instance for the JVM lifetime. Derby signals a
+          // successful drop WITH an SQLException (state 08006).
+          try DriverManager.getConnection(url.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () }
+        }
       Seq((nRows, sumBal, up2.value + f2.value))
         .toDF("n_rows", "bal_raw", "n_pass2")
         .select(col("n_rows"), round(col("bal_raw"), 2).as("sum_bal"),

@@ -99,13 +99,23 @@ class HttpApiClientSpec extends AnyFunSuite {
       val c = new HttpApiClient(cfg(url))
       val r = c.sendBatch("tbl x", Seq(
         MetaRecord("id\"1", "train", "cat", isSample = false, "ing-1"),
-        MetaRecord("id2", "test", "", isSample = true, "ing-1")))
+        MetaRecord("id2", "test", null, isSample = true, "ing-1"))) // null label must not NPE
       assert(r == Right(2))
       val (line, body) = seen().head
-      assert(line == "POST /global_meta/tbl+x/") // url-encoded table segment
+      // RFC 3986 path segment: space is %20, never '+' (servers treat
+      // '+' in a path as a literal plus).
+      assert(line == "POST /global_meta/tbl%20x/")
       assert(body.contains(""""data_id":"id\"1""""))
       assert(body.contains(""""injestor_id":"ing-1""""))
       assert(body.contains(""""is_sample":true"""))
+      assert(body.contains(""""label":""""")) // null label → empty string, reference default
+    }
+  }
+
+  test("3xx is a failure, not silent success (redirects are never followed)") {
+    withServer((_, _, _) => (301, "")) { (url, _) =>
+      val c = new HttpApiClient(cfg(url))
+      assert(c.prepareDataset("t").left.exists(_.contains("HTTP 301")))
     }
   }
 
