@@ -33,6 +33,7 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
     Tables.documents(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
+    Tables.embeddings(spark, sfDir).count()
 
     val qs = headline.filter(SparkEntry.queries.contains)
     val results = qs.map { name =>
