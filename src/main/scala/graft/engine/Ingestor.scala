@@ -70,6 +70,7 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       case Right(df) => df.cache()
     }
     var cachedTyped: Option[DataFrame] = None
+    var cachedVerdicts: Option[DataFrame] = None
 
     try {
       // ---- 2. validator battery (ALL run; errors accumulate) ---------
@@ -113,7 +114,14 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       ).persist()
       cachedTyped = Some(typed)
 
-      summary.processed.add(typed.count())
+      val processedCount = typed.count()
+      summary.processed.add(processedCount)
+      // CSV path: TransformPipeline drops rows with null/blank data_id
+      // (P4 "skip record", base.py:315-326) — those must land in the
+      // skipped channel so the banner reconciles (the JSON branch
+      // already counted its own skips above).
+      if (config.dataFormat != "json" && total > processedCount)
+        summary.skipped.add(total - processedCount)
 
       // ---- 3b. sidecar copy for file-bearing categories: a failed
       //          transfer drops the record BEFORE the DB and counts in
@@ -124,6 +132,7 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
           val verdicts = FileCopySink.copy(typed, spec, copied,
             summary.fileTransferFailures,
             spark.sparkContext.hadoopConfiguration)
+          cachedVerdicts = Some(verdicts)
           // Keep only records whose whole sidecar group copied.
           val okFiles = verdicts.filter(col("__transfer_ok"))
             .select(col("__file").as("__okfile")).distinct()
@@ -134,19 +143,27 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       }
 
       // ---- 4. sink: keyed upsert (or parquet fallback for dry runs) --
+      val failedKeys = spark.sparkContext.collectionAccumulator[String]("failed_db_keys")
       jdbc.foreach { cfg =>
         JdbcUpsert.ensureTable(cfg, parsedSchema) match {
           case Left(errs) => return RunResult(summary, errs, validation.warnings)
           case Right(_) => ()
         }
-        JdbcUpsert.write(sinkReady, cfg, summary.inserted, summary.failedDb)
+        JdbcUpsert.write(sinkReady, cfg, summary.inserted, summary.failedDb,
+          Some(failedKeys))
       }
       if (jdbc.isEmpty) summary.inserted.add(sinkReady.count())
 
       // ---- 5. API metadata batches (metadata-sized → driver collect is
-      //         bounded: only data_id/intent/label travel) -------------
+      //         bounded: only data_id/intent/label travel). Rows that
+      //         FAILED the upsert are excluded — registering metadata
+      //         for a data_id that is not in the table would violate
+      //         the committed-rows ↔ metadata invariant. ---------------
+      val failedKeySet: java.util.Set[String] =
+        new java.util.HashSet(failedKeys.value)
       val metaRows = sinkReady.select(col("data_id"), col("data_intent"), col("label"))
         .collect()
+        .filterNot(r => failedKeySet.contains(r.getString(0)))
       val records = metaRows.map(r => MetaRecord(
         r.getString(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2),
@@ -172,6 +189,7 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
 
       RunResult(summary, Nil, validation.warnings)
     } finally {
+      cachedVerdicts.foreach(_.unpersist())
       cachedTyped.foreach(_.unpersist())
       manifest.unpersist()
     }

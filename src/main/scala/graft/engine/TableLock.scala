@@ -30,21 +30,45 @@ final class TableLock(lockDir: String, table: String,
       Right(())
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val content =
-          try new String(Files.readAllBytes(path), StandardCharsets.UTF_8).split("\n")
-          catch { case _: Exception => Array("unknown", "0") }
+        val staleRaw =
+          try new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+          catch { case _: Exception => "unknown\n0" }
+        val content = staleRaw.split("\n")
         val lockHolder = content.headOption.getOrElse("unknown")
         val ts = content.lift(1).flatMap(_.trim.toLongOption).getOrElse(0L)
         if (now() - ts > staleAfterMs) {
-          // Stale (> 12 h): self-clear and retry once.
-          try Files.deleteIfExists(path) catch { case _: Exception => () }
-          try {
-            writeLock(holder)
-            Right(())
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              Left(s"Table '$table' is locked by another ingest (raced on stale-lock cleanup)")
-          }
+          // Stale (> 12 h): self-clear via an ATOMIC tombstone move, not
+          // a bare delete — two racers that both read the stale content
+          // would otherwise both delete-and-recreate, and the second
+          // delete removes the first racer's FRESH lock (two holders).
+          // ATOMIC_MOVE lets exactly one racer take the file; the winner
+          // verifies it moved the stale content (not a racer's fresh
+          // lock written in between) before claiming.
+          val tomb = path.resolveSibling(
+            s"${path.getFileName}.stale.${now()}.${ProcessHandle.current().pid()}")
+          val tookStale =
+            try {
+              Files.move(path, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              val moved = new String(Files.readAllBytes(tomb), StandardCharsets.UTF_8)
+              if (moved == staleRaw) {
+                Files.deleteIfExists(tomb); true
+              } else {
+                // We grabbed a racer's fresh lock — put it back.
+                try Files.move(tomb, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch { case _: Exception => Files.deleteIfExists(tomb) }
+                false
+              }
+            } catch { case _: Exception => false }
+          if (!tookStale)
+            Left(s"Table '$table' is locked by another ingest (raced on stale-lock cleanup)")
+          else
+            try {
+              writeLock(holder)
+              Right(())
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                Left(s"Table '$table' is locked by another ingest (raced on stale-lock cleanup)")
+            }
         } else
           Left(s"Table '$table' is locked by '$lockHolder' " +
             s"(lock age ${(now() - ts) / 1000}s; stale after ${staleAfterMs / 1000}s)")

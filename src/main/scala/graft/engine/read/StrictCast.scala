@@ -52,7 +52,10 @@ object StrictCast {
     case SqlType.DateT => F.parseDatetimeLenient(c).cast("date")
     case SqlType.DateTimeT => F.parseDatetimeLenient(c)
     case SqlType.TimeT =>
-      when(c.rlike("^\\s*\\d{1,2}:\\d{2}(:\\d{2})?\\s*$"), trim(c))
+      // Range-checked, not just shape-checked: '99:99' must fail HERE
+      // with a structured validator error, not later at the JDBC sink
+      // as an undiagnosed per-row DB failure.
+      when(c.rlike("^\\s*([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d)?\\s*$"), trim(c))
     case SqlType.Blob => c.cast("binary")
   }
 

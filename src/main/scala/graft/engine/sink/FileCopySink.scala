@@ -109,24 +109,32 @@ object FileCopySink {
       val ext = if (extIdx >= 0 && !row.isNullAt(extIdx)) row.getString(extIdx) else ""
       if (filename == null) ("<null filename>", false)
       else {
-        val name = resolveName(filename, ext)
-        val sources = spec.sources.map(s => new Path(s.dir, s.rename(name)))
-        val fs = sources.head.getFileSystem(conf)
-        // Atomic pre-check: EVERY file of the group must exist before
-        // ANY copy starts.
-        val allExist = sources.forall(fs.exists)
-        if (!allExist) (name, false)
-        else {
-          try {
-            sources.foreach { src =>
-              val dest = new Path(spec.destDir, src.getName)
-              withRetry(spec.maxRetries, Thread.sleep) {
-                if (fs.exists(dest)) fs.delete(dest, false)
-                FileUtil.copy(fs, src, fs, dest, false, true, conf)
+        // Any per-record failure — including a filename that is not a
+        // legal Hadoop Path (':' on ext4, empty after rename) throwing
+        // IllegalArgumentException — routes to the file_transfer_failure
+        // channel; only the record fails, never the task.
+        try {
+          val name = resolveName(filename, ext)
+          val sources = spec.sources.map(s => new Path(s.dir, s.rename(name)))
+          val fs = sources.head.getFileSystem(conf)
+          // Atomic pre-check: EVERY file of the group must exist before
+          // ANY copy starts.
+          val allExist = sources.forall(fs.exists)
+          if (!allExist) (name, false)
+          else {
+            try {
+              sources.foreach { src =>
+                val dest = new Path(spec.destDir, src.getName)
+                withRetry(spec.maxRetries, Thread.sleep) {
+                  if (fs.exists(dest)) fs.delete(dest, false)
+                  FileUtil.copy(fs, src, fs, dest, false, true, conf)
+                }
               }
-            }
-            (name, true)
-          } catch { case _: java.io.IOException => (name, false) }
+              (name, true)
+            } catch { case _: java.io.IOException => (name, false) }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => (filename, false)
         }
       }
     }.toDF("__file", "__transfer_ok")
@@ -136,9 +144,11 @@ object FileCopySink {
 
     // Materialize now so the accumulators below are exact (and the copy
     // pass runs exactly once).
+    // coalesce: sum over ZERO rows (empty manifest) is SQL NULL, and
+    // Row.getLong on null throws.
     val agg = verdicts.agg(
-      sum(when(col("__transfer_ok"), 1).otherwise(0)).cast("long"),
-      sum(when(!col("__transfer_ok"), 1).otherwise(0)).cast("long")).head()
+      coalesce(sum(when(col("__transfer_ok"), 1).otherwise(0)), lit(0)).cast("long"),
+      coalesce(sum(when(!col("__transfer_ok"), 1).otherwise(0)), lit(0)).cast("long")).head()
     copied.add(agg.getLong(0))
     failed.add(agg.getLong(1))
     verdicts

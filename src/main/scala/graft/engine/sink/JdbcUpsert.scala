@@ -188,11 +188,18 @@ object JdbcUpsert {
 
   /** Execute the upsert over every partition. `upserted`/`failed` are
     * executor-populated accumulators (the A1 failure-channel counters).
+    * `failedKeys`, when given, collects the key-column value of every
+    * row that lands in the failed channel so the caller can exclude
+    * those rows from backend metadata registration — a row that is NOT
+    * in the table must never be registered. Bounded by the failure
+    * count (per-row fallback failures are the rare path).
     */
   def write(df: DataFrame, cfg: Config,
-            upserted: LongAccumulator, failed: LongAccumulator): Unit = {
+            upserted: LongAccumulator, failed: LongAccumulator,
+            failedKeys: Option[org.apache.spark.util.CollectionAccumulator[String]] = None): Unit = {
     val fields = df.schema.fields
     val columns = fields.map(_.name).toSeq
+    val keyIdx = columns.indexOf(cfg.keyColumn)
     val nativeUpsert = cfg.dialect.upsert(cfg.table, columns, cfg.keyColumn)
     val insertStmt = cfg.dialect.insert(cfg.table, columns)
     val updateStmt = cfg.dialect.update(cfg.table, columns, cfg.keyColumn)
@@ -255,6 +262,8 @@ object JdbcUpsert {
                       case _: java.sql.SQLException =>
                         try conn.rollback() catch { case _: Exception => () }
                         failed.add(1)
+                        if (keyIdx >= 0)
+                          failedKeys.foreach(_.add(String.valueOf(r.get(keyIdx))))
                     }
                   }
               }

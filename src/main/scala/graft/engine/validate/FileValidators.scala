@@ -184,20 +184,27 @@ object FileValidators {
     def validate(ctx: ValidationContext): ValidationResult = {
       val df = ctx.manifest.getOrElse(return ValidationResult.ok)
       val spark = ctx.spark
+      // Blank lines count ZERO words: split(trim(""), "\s+") yields
+      // [""] (size 1), which would inflate every file containing an
+      // empty line and flag correct label rows as count mismatches.
+      val lineWords = when(trim(col("value")) === "", lit(0))
+        .otherwise(size(split(trim(col("value")), "\\s+")))
       val words = spark.read.textFile(s"$textsDir/*.txt")
         .withColumn("path", input_file_name())
         .withColumn("fname", element_at(split(col("path"), "/"), -1))
         .groupBy("fname")
-        .agg(sum(size(split(trim(col("value")), "\\s+"))).as("word_count"))
+        .agg(sum(lineWords).as("word_count"))
       val joined = df
         .withColumn("__fname",
           when(col(filenameColumn).rlike("\\.txt$"), col(filenameColumn))
             .otherwise(concat(col(filenameColumn), lit(".txt"))))
         .join(words, col("__fname") === words("fname"), "left")
       val tags = split(trim(col(labelColumn)), "\\s+")
-      val badTag = exists(tags, t => !t.rlike(tagShape))
+      val tagCount = when(trim(col(labelColumn)) === "", lit(0)).otherwise(size(tags))
+      val badTag = exists(tags, t => !t.rlike(tagShape)) &&
+        trim(col(labelColumn)) =!= ""
       val countMismatch = col("word_count").isNotNull &&
-        size(tags) =!= col("word_count")
+        tagCount =!= col("word_count")
       val offenders = joined.select(
         col("__fname"),
         when(col("word_count").isNull, lit("text file not found"))

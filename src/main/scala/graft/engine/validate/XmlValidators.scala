@@ -89,10 +89,24 @@ object XmlValidators {
           res.errors.map(e => ("E", e)) ++ res.warnings.map(w => ("W", w))
         }
       }.toDF("kind", "msg")
-      val collected = issues.orderBy("kind", "msg").limit(errorCap * 2 + 1).collect()
-      val errs = collected.filter(_.getString(0) == "E").map(_.getString(1)).take(errorCap).toList
-      val warns = collected.filter(_.getString(0) == "W").map(_.getString(1)).take(errorCap).toList
-      ValidationResult(errs.isEmpty, errs, warns)
+      // Cap each kind INDEPENDENTLY in ONE pass: a single sorted limit
+      // would let a flood of errors consume the whole fetch and silently
+      // drop every warning. The cap itself is reported, like
+      // BioLabelValidator.
+      val byKind: Map[String, List[String]] = issues.groupBy("kind")
+        .agg(slice(sort_array(collect_list(col("msg"))), 1, errorCap + 1).as("msgs"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList)
+        .toMap
+      def capped(kind: String, what: String): List[String] = {
+        val msgs = byKind.getOrElse(kind, Nil)
+        if (msgs.length > errorCap)
+          msgs.take(errorCap) :+ s"... (capped at $errorCap $what)"
+        else msgs
+      }
+      val errs = capped("E", "errors")
+      val warns = capped("W", "warnings")
+      ValidationResult(byKind.getOrElse("E", Nil).isEmpty, errs, warns)
     }
   }
 }

@@ -139,9 +139,15 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8,
                          maxBucket: Int = 10000): DataFrame = {
-    val losers = nearDuplicates(df, idCol, textCol, threshold,
+    val verified = nearDuplicates(df, idCol, textCol, threshold,
       maxBucket = maxBucket)
-      .select(col("id_b").as(idCol)).distinct()
+    // Materialize the (id-only, tiny) loser set so the large verified
+    // pair cache can be released immediately — otherwise the persisted
+    // frame returned by nearDuplicates leaks with no caller-reachable
+    // handle. The losers frame stays persisted for the returned join.
+    val losers = verified.select(col("id_b").as(idCol)).distinct().persist()
+    losers.count()
+    verified.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

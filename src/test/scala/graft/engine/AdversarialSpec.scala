@@ -123,6 +123,12 @@ class AdversarialSpec extends SparkSpec {
     assert(tt.as[String].head() == "13:45:10") // plain string, no date
   }
 
+  test("out-of-range TIME is rejected at validation, not at the DB sink") {
+    val df = Seq("99:99", "23:59:59", "12:60", "00:00").toDF("t")
+    val n = df.filter(graft.engine.read.StrictCast.invalid(col("t"), SqlType.TimeT)).count()
+    assert(n == 2) // 99:99 and 12:60 fail the range check
+  }
+
   // -------------------------------------------- pathological headers / DDL
 
   test("UniProt|gene special-char header survives DDL and upsert") {

@@ -43,15 +43,19 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(rows == List(("a", 10.0), ("b", 20.0), ("c", 3.0)))
   }
 
-  test("per-row fallback isolates the offending record") {
+  test("per-row fallback isolates the offending record and reports its key") {
     val c = cfg("db2")
     assert(JdbcUpsert.ensureTable(c, features).isRight)
     val up = sc.longAccumulator; val fail = sc.longAccumulator
+    val failedKeys = sc.collectionAccumulator[String]("failed_keys")
     // "toolong" exceeds VARCHAR(5) → that row alone must fail
     JdbcUpsert.write(frame(Seq(("a", 1.0, "ok"), ("b", 2.0, "toolong"), ("c", 3.0, "ok"))),
-      c, up, fail)
+      c, up, fail, Some(failedKeys))
     assert(up.value == 2, s"expected 2 upserted, got ${up.value}")
     assert(fail.value == 1, s"expected 1 failed, got ${fail.value}")
+    // The caller uses these keys to keep failed rows OUT of backend
+    // metadata registration.
+    assert(failedKeys.value.size == 1 && failedKeys.value.get(0) == "b")
   }
 
   test("schema drift against an existing table is an actionable error") {
@@ -118,6 +122,28 @@ class FileCopySinkSpec extends SparkSpec {
     FileCopySink.copy(df, FileCopySink.CopySpec.single(src.toString, dest.toString),
       c2, f2, sc.hadoopConfiguration)
     assert(new String(java.nio.file.Files.readAllBytes(dest.resolve("x.txt"))) == "second")
+  }
+
+  test("empty manifest yields zero counts, not an NPE") {
+    val dest = tmpDir("dest3")
+    val df = Seq.empty[(String, String)].toDF("filename", "extension")
+    val c = sc.longAccumulator; val f = sc.longAccumulator
+    FileCopySink.copy(df, FileCopySink.CopySpec.single(dest.toString, dest.toString),
+      c, f, sc.hadoopConfiguration)
+    assert(c.value == 0 && f.value == 0)
+  }
+
+  test("illegal-Path filename fails the record, not the task") {
+    val src = tmpDir("src4")
+    val dest = tmpDir("dest4")
+    write(src.resolve("ok.txt"), "fine")
+    // ':' is legal on ext4 but rejected by org.apache.hadoop.fs.Path
+    val df = Seq(("scan:001", "txt"), ("ok", "txt")).toDF("filename", "extension")
+    val c = sc.longAccumulator; val f = sc.longAccumulator
+    FileCopySink.copy(df, FileCopySink.CopySpec.single(src.toString, dest.toString),
+      c, f, sc.hadoopConfiguration)
+    assert(c.value == 1 && f.value == 1) // bad name → failure channel
+    assert(java.nio.file.Files.exists(dest.resolve("ok.txt")))
   }
 
   test("resolveName appends extension only when absent") {

@@ -193,10 +193,12 @@ class ValidatorSpec extends SparkSpec {
 
   test("V16 BIO labels: tag/word lockstep via join") {
     val texts = tmpDir("texts")
-    write(texts.resolve("d1.txt"), "John lives in Berlin")
+    // d1 carries a BLANK line — it must count zero words, not one
+    // (split(trim(""), "\s+") yields [""], size 1).
+    write(texts.resolve("d1.txt"), "John lives in Berlin\n\n")
     write(texts.resolve("d2.txt"), "hello world")
     val df = Seq(
-      ("d1", "B-PER O O B-LOC"), // 4 tags, 4 words → ok
+      ("d1", "B-PER O O B-LOC"), // 4 tags, 4 words (+ blank line) → ok
       ("d2", "O O O"), //            3 tags, 2 words → mismatch
       ("d3", "O O")) //              file missing
       .toDF("filename", "label")
@@ -205,6 +207,7 @@ class ValidatorSpec extends SparkSpec {
     assert(!r.isValid)
     assert(r.errors.exists(e => e.contains("d2") && e.contains("tag count")))
     assert(r.errors.exists(e => e.contains("d3") && e.contains("not found")))
+    assert(!r.errors.exists(_.contains("d1"))) // blank line ≠ a word
     val badTag = Seq(("d1", "B-PER O X-LOC O")).toDF("filename", "label")
     val r2 = v.validate(ctx(baseCfg, Some(badTag)))
     assert(r2.errors.exists(_.contains("malformed IOB2")))
