@@ -157,6 +157,8 @@ object Conventions {
       errs += "/masks: required for category 'semantic_segmentation'"
     if (TaskCategory.textCategories.contains(category) && str("texts").isEmpty)
       errs += s"/texts: required for category '$category'"
+    if (category == TaskCategory.MaskedLanguageModeling && str("sequences").isEmpty)
+      errs += "/sequences: required for category 'masked_language_modeling'"
     if (category == TaskCategory.TokenClassification && !config.contains("label"))
       errs += "/label: required for category 'token_classification'"
     if (TaskCategory.tabularCategories.contains(category) && !config.contains("schema"))
@@ -263,6 +265,10 @@ object Conventions {
     // spec.csv_options / spec.file_options over category defaults, plus
     // the documented top-level bridges (target_size,
     // number_of_keypoints, batch_size).
+    config.get("spec").foreach {
+      case _: java.util.Map[_, _] | _: Map[_, _] => ()
+      case _ => errs += "/spec: must be a mapping"
+    }
     val spec = config.get("spec").map(anyMap).getOrElse(Map.empty)
     val csvOv = spec.get("csv_options").map(anyMap).getOrElse(Map.empty)
     val csvOptions = CsvOptions(

@@ -72,10 +72,16 @@ object GraftFunctions {
 
   // ------------------------------------------------------------- text ops
 
-  /** Whitespace token count — lockstep with [[TextHash.tokens]]. */
+  /** Whitespace token count — lockstep with [[TextHash.tokens]] (count
+    * of \S+ runs). Counting matches, not split segments, keeps parity
+    * for leading TABS too: SQL `trim` strips only spaces, so
+    * `split("\tfoo bar", "\s+")` yields a leading "" segment and would
+    * overcount by one versus the JVM tokenizer and the DuckDB oracles'
+    * `regexp_extract_all('\S+')`.
+    */
   def tokenCount(c: Column): Column =
-    when(c.isNull || trim(c) === "", lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+    when(c.isNull, lit(0))
+      .otherwise(size(regexp_extract_all(c, lit("\\S+"), lit(0))))
 
   /** BPE-ish subword estimate: word-parts, digits runs, and punctuation
     * each count as a token (a cheap `\p{L}+|\p{N}+|[^\p{L}\p{N}\s]`

@@ -14,7 +14,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   */
 object VectorOpsUtil {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // Fail loud on dimension drift: silently dotting the common prefix
+    // would produce a plausible-but-wrong similarity that corrupts ANN
+    // ranks and dedup decisions with no signal.
+    require(a.numElements() == b.numElements(),
+      s"embedding dims differ: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }

@@ -58,20 +58,22 @@ object Multimodal {
   def withMeta(df: DataFrame, kind: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cols = df.columns
-    val payloadIdx = cols.indexOf("payload")
-    require(payloadIdx >= 0, "expected a 'payload' binary column")
-    val nameIdx = cols.indexOf("name")
+    require(df.columns.contains("payload"), "expected a 'payload' binary column")
+    // Join back on `path` — the unique key. `name` is a basename and
+    // recursiveFileLookup makes basename collisions routine
+    // (train/img001.jpg vs test/img001.jpg); joining on it would attach
+    // the wrong meta and multiply rows.
+    require(df.columns.contains("path"), "expected a unique 'path' column")
     val decoded: Dataset[(String, MediaMeta)] =
-      df.select(col("name"), col("payload")).as[(String, Array[Byte])]
+      df.select(col("path"), col("payload")).as[(String, Array[Byte])]
         .mapPartitions { it =>
           // per-partition decoder init would go here (codec contexts,
           // native buffers) — the stub needs none.
-          it.map { case (name, bytes) =>
-            (name, MediaDecoder.decodeStub(kind, bytes))
+          it.map { case (path, bytes) =>
+            (path, MediaDecoder.decodeStub(kind, bytes))
           }
         }
-    df.join(decoded.toDF("name", "meta"), "name")
+    df.join(decoded.toDF("path", "meta"), "path")
   }
 
   /** Resize plan: pure metadata math (target fit preserving aspect),

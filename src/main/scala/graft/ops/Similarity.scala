@@ -64,9 +64,13 @@ object Similarity {
           while (i < qs.length) {
             val (qid, qvec) = qs(i)
             if (id != qid) {
+              // Same fail-loud contract as VectorOpsUtil.dot: a silent
+              // common-prefix dot would corrupt ranks without signal.
+              require(vec.length == qvec.length,
+                s"embedding dims differ: ${vec.length} vs ${qvec.length}")
               var dot = 0.0; var na = 0.0; var nb = 0.0
               var j = 0
-              val n = math.min(vec.length, qvec.length)
+              val n = vec.length
               while (j < n) {
                 val a = vec(j).toDouble; val b = qvec(j).toDouble
                 dot += a * b; na += a * a; nb += b * b; j += 1

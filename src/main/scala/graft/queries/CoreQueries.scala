@@ -425,7 +425,8 @@ object CoreQueries {
         |FROM events""".stripMargin,
     "a2_error_samples" ->
       """SELECT count(*) AS n_offending,
-        | array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 5), ',') AS sample_ids
+        | coalesce(array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 5), ','),
+        |          '') AS sample_ids
         |FROM documents WHERE n_chars > 300""".stripMargin,
     "f_datetime_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,

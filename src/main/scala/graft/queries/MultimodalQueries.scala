@@ -7,12 +7,15 @@ import graft.Tables
 
 /** Multimodal-column plumbing: media travel as opaque `binary` columns
   * with typed metadata alongside. The real decode (image/audio libs)
-  * is not available in this container, so the "decode" here is the
-  * deterministic stub from [[graft.multimodal.BinaryDecodeStub]]-style
-  * plumbing expressed as column ops: byte length, content hash, and
-  * header-derived pseudo-dimensions. What the query proves end-to-end:
-  * binary payloads flow through scans/groupBys without materializing on
-  * the driver, and metadata extraction is a single codegen'd pass.
+  * is not available in this container, so the "decode" here is a
+  * QUERY-LOCAL deterministic pseudo-decode expressed as column ops:
+  * byte length, content hash, and character-derived pseudo-dimensions.
+  * (Deliberately NOT [[graft.multimodal.MediaDecoder.decodeStub]]'s
+  * byte-based formula — `ascii()` works on codepoints and is what the
+  * DuckDB oracle can mirror exactly; the stub decoder has its own unit
+  * tests.) What the query proves end-to-end: binary payloads flow
+  * through scans/groupBys without materializing on the driver, and
+  * metadata extraction is a single codegen'd pass.
   */
 object MultimodalQueries {
 

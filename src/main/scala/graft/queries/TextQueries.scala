@@ -38,23 +38,17 @@ object TextQueries {
         .orderBy("lang", "predicted")
     },
 
-    // -- quality scoring: structural ratios + composite score ----------
+    // -- quality scoring: the LIBRARY's qualityFeatures/qualityScore
+    //    (one definition — the gate pins TextAnalysis itself, so a
+    //    scoring change cannot silently diverge from this query) -------
     "t2_quality" -> { (s, d) =>
-      val len = length(col("text")).cast("double")
-      val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-      val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
-      val toks = split(col("text"), " ")
-      val stop = markerHits(toks, enMarkers)
-      val tokN = F.tokenCount(col("text"))
-      Tables.documents(s, d)
-        .withColumn("tok_n", tokN)
-        .withColumn("punct_ratio", punct / len)
-        .withColumn("digit_ratio", digits / len)
-        .withColumn("stop_ratio", stop.cast("double") / tokN)
-        .withColumn("avg_tok_len", (len - (tokN - 1)) / tokN)
-        .withColumn("score",
-          round(lit(1.0) - col("punct_ratio") - col("digit_ratio") +
-            least(col("stop_ratio"), lit(0.2)), 4))
+      val withFeats = TextAnalysis.qualityFeatures(col("text"))
+        .foldLeft(Tables.documents(s, d)) {
+          case (df, (name, expr)) => df.withColumn(name, expr)
+        }
+      withFeats
+        .withColumn("score", TextAnalysis.qualityScore(
+          col("punct_ratio"), col("digit_ratio"), col("stop_ratio")))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),

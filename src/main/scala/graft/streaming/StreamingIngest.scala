@@ -42,21 +42,31 @@ object StreamingIngest {
   /** First-seen pass-through dedup on a key column: the first record
     * per key is emitted, later ones dropped (their arrival is counted
     * in state). State is expired on access after `ttlMs` — a key idle
-    * past the TTL is treated as new again. (Expiry-on-access instead of
-    * ProcessingTimeTimeout: timeout-scheduled batches never quiesce on
-    * a finite feed, which deadlocks processAllAvailable-style tests;
-    * for strict idle-state eviction at scale use
-    * `dropDuplicatesWithinWatermark` or a timer-based operator.)
+    * past the TTL is treated as new again.
+    *
+    * `timeout` defaults to NoTimeout for finite/test feeds
+    * (timeout-scheduled batches never quiesce there, which deadlocks
+    * processAllAvailable-style harnesses) — under NoTimeout a key that
+    * NEVER re-arrives keeps its state row for the query lifetime, so
+    * state is bounded by distinct-key cardinality, not by TTL. For
+    * production streams pass `ProcessingTimeTimeout`: idle keys are
+    * then evicted by the engine `ttlMs` after their last arrival
+    * (`state.remove()` on `hasTimedOut`). For watermark-based eviction
+    * use `dropDuplicatesWithinWatermark` instead.
     */
   def firstSeen[T](ds: Dataset[(String, T)], ttlMs: Long,
-                   now: () => Long = System.currentTimeMillis)(
+                   now: () => Long = System.currentTimeMillis,
+                   timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
       implicit e1: org.apache.spark.sql.Encoder[(String, T)],
       e2: org.apache.spark.sql.Encoder[Option[(String, T)]],
       e3: org.apache.spark.sql.Encoder[SeenState]): Dataset[(String, T)] = {
     import ds.sparkSession.implicits._
+    val timed = timeout == GroupStateTimeout.ProcessingTimeTimeout
     ds.groupByKey(_._1)
-      .mapGroupsWithState[SeenState, Option[(String, T)]](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SeenState, Option[(String, T)]](timeout) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove() // idle past TTL: free the state row
+          None
         case (_, records, state: GroupState[SeenState]) =>
           val recs = records.toSeq
           val t = now()
@@ -66,6 +76,7 @@ object StreamingIngest {
             if (isNew) SeenState(t, 0L)
             else state.get
           state.update(prior.copy(count = prior.count + recs.size))
+          if (timed) state.setTimeoutDuration(ttlMs)
           if (isNew) recs.headOption else None
       }
       .flatMap(_.toSeq)

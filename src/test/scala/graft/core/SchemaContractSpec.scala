@@ -97,10 +97,16 @@ class SchemaContractSpec extends AnyFunSuite {
         |table: t
         |intent: train
         |json: /data/seqs.json
+        |sequences: /data/seqs
         |""".stripMargin
     assert(resolve(mlm).isRight)
     assert(errsOf(mlm + "label: some_column\n")
       .exists(e => e.startsWith("/label") && e.contains("self-supervised")))
+    // MLM is file-bearing: its sequences sidecar is required like
+    // images/texts are for their categories.
+    assert(errsOf(mlm.replace("sequences: /data/seqs\n", ""))
+      .exists(_.startsWith("/sequences")))
+    assert(errsOf(imageBase + "spec: just_a_string\n").exists(_.startsWith("/spec")))
   }
 
   test("regression-class shorthand string label rejected; explicit bucket accepted") {
