@@ -112,6 +112,19 @@ class HttpApiClientSpec extends AnyFunSuite {
     }
   }
 
+  test("request timeout is retried as an IO error, then fails loud") {
+    withServer((_, _, _) => { Thread.sleep(600); (200, "{}") }) { (url, _) =>
+      val sleeps = scala.collection.mutable.Buffer.empty[Long]
+      val c = new HttpApiClient(cfg(url, sleeps = sleeps)
+        .copy(timeoutMs = 150, maxAttempts = 2))
+      val r = c.prepareDataset("t")
+      assert(r.left.exists(_.contains("IO error")))
+      // the timed-out attempt was retried once (one backoff sleep
+      // between the two attempts) before failing loud
+      assert(sleeps.toList == List(1000L))
+    }
+  }
+
   test("3xx is a failure, not silent success (redirects are never followed)") {
     withServer((_, _, _) => (301, "")) { (url, _) =>
       val c = new HttpApiClient(cfg(url))

@@ -34,6 +34,20 @@ class MultimodalSpec extends SparkSpec {
     assert(metas("a.img")._2 == (('A' % 64) + 1) * 16)
   }
 
+  test("withMeta: colliding basenames under recursive lookup keep their own meta") {
+    val d = tmpDir("media2")
+    java.nio.file.Files.createDirectories(d.resolve("train"))
+    java.nio.file.Files.createDirectories(d.resolve("test"))
+    write(d.resolve("train/img001.img"), "TRAIN")
+    write(d.resolve("test/img001.img"), "TESTTESTTEST")
+    val df = Multimodal.withMeta(Multimodal.scan(spark, d.toString), "image")
+    val rows = df.select(col("path"), col("meta.nBytes")).as[(String, Long)].collect()
+    assert(rows.length == 2) // no row multiplication from the meta join
+    val byPath = rows.toMap
+    assert(byPath.find(_._1.contains("train")).exists(_._2 == 5L))
+    assert(byPath.find(_._1.contains("test")).exists(_._2 == 12L))
+  }
+
   test("resizePlan preserves aspect ratio within the target box") {
     val df = Multimodal.withMeta(Multimodal.scan(spark, mediaDir.toString), "image")
     val planned = Multimodal.resizePlan(df, 128, 128)
