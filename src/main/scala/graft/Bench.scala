@@ -25,6 +25,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Split small local parquet files so scans use the cores — at
+      // production scale files exceed 128 MB and split naturally; the
+      // default would serialize whole-table scans onto one core at
+      // bench SFs and measure single-thread throughput instead of the
+      // plan.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,21 +41,32 @@ object Bench {
     Tables.events(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
 
-    val qs = headline.filter(SparkEntry.queries.contains)
-    val results = qs.map { name =>
+    val queries = SparkEntry.queries
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      val n =
-        try SparkEntry.queries(name)(spark, sfDir).count()
+      // noop sink, not count(): count() lets Catalyst prune final
+      // projections and eliminate trailing sorts, so a regression in a
+      // select-only operator would never move the bench. The noop write
+      // executes the COMPLETE plan and discards rows at the sink.
+      val ok =
+        try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (sec, n)
+      name -> (sec, ok)
     }
-    val qJson = results.map { case (k, (sec, _)) => s""""$k":${f"$sec%.3f"}""" }
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    // Failed queries report -1 (not their fast-fail wall time): a broken
+    // query must read as broken in the JSON, never as a speedup.
+    val qJson = results.map { case (k, (sec, ok)) =>
+      s""""$k":${if (ok) fmt(sec) else "-1"}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, (sec, true)) => sec }.sum
+    val failed = results.collect { case (k, (_, false)) => s""""$k"""" }
+    val failedJson =
+      if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,25 +31,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[LabelHashBucket].getName, null, name, usage, "")
+  private def info(className: String, name: String, usage: String) =
+    new ExpressionInfo(className, null, name, usage, "")
 
   val labelHashBucket: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("label_hash_bucket"),
-    info("label_hash_bucket",
+    info(classOf[LabelHashBucket].getName, "label_hash_bucket",
       "label_hash_bucket(label[, buckets]) - privacy bucket: unsigned " +
         "sha256-first-8-bytes mod buckets (default 64); -1 for missing."),
     (args: Seq[Expression]) => args match {
       // any input type: stringify first (the Python str(v) analogue)
       case Seq(child) => LabelHashBucket(Cast(child, StringType), 64)
-      case Seq(child, Literal(b: Int, _)) => LabelHashBucket(Cast(child, StringType), b)
+      case Seq(child, Literal(b: Int, _)) =>
+        // Analysis-time guard: 0 would throw per-row deep in codegen
+        // (remainderUnsigned by zero) and a negative count silently
+        // returns garbage that collides with the -1 missing sentinel.
+        if (b <= 0) throw new IllegalArgumentException(
+          s"label_hash_bucket: buckets must be positive, got $b")
+        LabelHashBucket(Cast(child, StringType), b)
       case _ => throw new IllegalArgumentException(
         "label_hash_bucket expects (label) or (label, intLiteral)")
     })
 
   val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
-    info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays."),
+    info(classOf[CosineSimilarity].getName, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float arrays."),
     (args: Seq[Expression]) => args match {
       case Seq(a, b) => CosineSimilarity(a, b)
       case _ => throw new IllegalArgumentException("cosine_sim expects 2 arguments")
@@ -57,7 +64,8 @@ object GraftExtensions {
 
   val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),
-    info("dot_product", "dot_product(a, b) - dot product of two float arrays."),
+    info(classOf[DotProduct].getName, "dot_product",
+      "dot_product(a, b) - dot product of two float arrays."),
     (args: Seq[Expression]) => args match {
       case Seq(a, b) => DotProduct(a, b)
       case _ => throw new IllegalArgumentException("dot_product expects 2 arguments")

@@ -19,15 +19,21 @@ object SparkEntry {
     CoreQueries.queries("j3_region_revenue")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++
-      ValidatorQueries.queries ++
-      PipelineQueries.queries ++
-      DedupQueries.queries ++
-      TextQueries.queries ++
-      AnnQueries.queries ++
-      MultimodalQueries.queries ++
-      SinkQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val modules = Seq(
+      CoreQueries.queries, ValidatorQueries.queries,
+      PipelineQueries.queries, DedupQueries.queries,
+      TextQueries.queries, AnnQueries.queries,
+      MultimodalQueries.queries, SinkQueries.queries)
+    val merged = modules.reduce(_ ++ _)
+    // A name collision across modules would make ++ silently DROP the
+    // earlier gate query from Verify/Bench/Explain — fail loud instead.
+    require(merged.size == modules.map(_.size).sum,
+      s"duplicate query names across modules: " +
+        modules.flatMap(_.keys).groupBy(identity)
+          .collect { case (k, v) if v.size > 1 => k }.mkString(", "))
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker

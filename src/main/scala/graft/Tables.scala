@@ -13,10 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Tables whose schema needs no post-read fixup. */
-  private val plain = Set("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "documents", "embeddings")
-
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     name match {
       case "events" =>

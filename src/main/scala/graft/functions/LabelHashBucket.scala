@@ -80,6 +80,8 @@ object LabelHashBucket {
     * policy. Any input type — stringified first (the SQL string cast is
     * the Python `str(v)` analogue).
     */
-  def of(c: Column, buckets: Int = 64): Column =
+  def of(c: Column, buckets: Int = 64): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     ExpressionUtils.column(LabelHashBucket(ExpressionUtils.expression(c.cast("string")), buckets))
+  }
 }

@@ -17,15 +17,18 @@ object Explain {
   private val redFlags = Seq(
     "CartesianProduct", "BroadcastNestedLoopJoin")
 
-  /** Queries whose plan legitimately contains a flagged operator, with
-    * the justification printed alongside the waiver. Keep this list
+  /** Queries whose plan legitimately contains SPECIFIC flagged
+    * operators, with the justification printed alongside the waiver.
+    * Keyed (query, operator) so a waived query that regresses into a
+    * DIFFERENT flagged operator still fails the audit. Keep this list
     * SHORT — every entry is a documented design decision, not an
     * exemption of convenience.
     */
-  private val waived: Map[String, String] = Map(
-    "ann_ivf_topk" -> ("crossJoin(broadcast(centroids)) IS the IVF " +
-      "assignment: every vector scores against the small broadcast " +
-      "centroid set — compute-bound, zero shuffle, |C| bounded"))
+  private val waived: Map[String, Map[String, String]] = Map(
+    "ann_ivf_topk" -> Map("BroadcastNestedLoopJoin" ->
+      ("crossJoin(broadcast(centroids)) IS the IVF assignment: every " +
+        "vector scores against the small broadcast centroid set — " +
+        "compute-bound, zero shuffle, |C| bounded")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -55,12 +58,13 @@ object Explain {
               println(s"==== $name ====")
               df.explain("formatted")
             }
-            if (hits.nonEmpty && waived.contains(name)) {
-              println(s"WAIVE $name: ${hits.mkString(", ")} — ${waived(name)}")
-            } else if (hits.nonEmpty) {
+            val waivers = waived.getOrElse(name, Map.empty)
+            val (known, novel) = hits.partition(waivers.contains)
+            known.foreach(op => println(s"WAIVE $name: $op — ${waivers(op)}"))
+            if (novel.nonEmpty) {
               flagged += 1
-              println(s"FLAG  $name: ${hits.mkString(", ")}")
-            } else if (args.isEmpty) println(s"OK    $name")
+              println(s"FLAG  $name: ${novel.mkString(", ")}")
+            } else if (hits.isEmpty && args.isEmpty) println(s"OK    $name")
           } catch {
             case e: Throwable => println(s"ERR   $name: ${e.getMessage}")
           }
