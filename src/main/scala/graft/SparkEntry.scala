@@ -24,7 +24,8 @@ object SparkEntry {
       CoreQueries.queries, ValidatorQueries.queries,
       PipelineQueries.queries, DedupQueries.queries,
       TextQueries.queries, AnnQueries.queries,
-      MultimodalQueries.queries, SinkQueries.queries)
+      MultimodalQueries.queries, SinkQueries.queries,
+      CurationQueries.queries)
     val merged = modules.reduce(_ ++ _)
     // A name collision across modules would make ++ silently DROP the
     // earlier gate query from Verify/Bench/Explain — fail loud instead.
@@ -47,5 +48,6 @@ object SparkEntry {
       TextQueries.oracle ++
       AnnQueries.oracle ++
       MultimodalQueries.oracle ++
-      SinkQueries.oracle
+      SinkQueries.oracle ++
+      CurationQueries.oracle
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions => F}
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * split assignment, stratified sampling, and PII redaction. All are
+  * reproducible across runs, engines and executors — assignment derives
+  * from content hashes, never from RNG state or row order.
+  */
+object Curation {
+
+  /** Deterministic split bucket in [0, buckets): unsigned
+    * sha256-first-8-bytes of the stringified id, mod buckets (the same
+    * stable hash as the label privacy bucket — see
+    * [[graft.functions.LabelHashBucket]]). A row's split NEVER changes
+    * when the dataset grows, shrinks or reorders — the property that
+    * keeps train/test membership stable across pipeline re-runs (a
+    * random split re-shuffles contamination into the test set on every
+    * run).
+    */
+  def splitBucket(idCol: Column, buckets: Int = 100): Column =
+    F.labelBucket(idCol.cast("string"), buckets)
+
+  /** Assign train/val/test by hash bucket: [0,trainPct) → train,
+    * [trainPct,trainPct+valPct) → val, rest → test. One codegen'd
+    * column expression — no shuffle, no RNG.
+    */
+  def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+                valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = splitBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic per-stratum sample: the k rows whose sha256(id) sorts
+    * lowest within each stratum (ties broken by id). Hash-ordering makes
+    * the sample stable under reordering and incremental growth — a row
+    * only leaves the sample when a lower-hashed row arrives.
+    *
+    * Scale note: one shuffle keyed on the stratum; within-stratum
+    * ranking is a window sort. Strata are typically few and balanced
+    * (language, source, quality band); for a degenerate single giant
+    * stratum pre-filter with an approximate hash threshold first (e.g.
+    * keep hash < k/N-quantile estimate) so the sort sees only
+    * near-winners.
+    */
+  def samplePerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val h = sha2(col(idCol).cast("string"), 256)
+    val w = Window.partitionBy(stratumCol).orderBy(h, col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** PII patterns redacted by [[redactPii]] — deliberately expressible
+    * in both Java regex (Spark) and RE2 (DuckDB oracle parity): no
+    * backreferences, no lookarounds.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}"
+
+  /** Redact emails, IPv4 addresses and international-format phone
+    * numbers to fixed tags. Order matters: phones before IPs (a phone's
+    * digit groups must not be half-eaten by the IP rule first).
+    */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, emailPattern, "[EMAIL]")
+    val noPhone = regexp_replace(noEmail, phonePattern, "[PHONE]")
+    regexp_replace(noPhone, ipv4Pattern, "[IP]")
+  }
+
+  /** Per-kind PII match counts (for reporting/thresholding before the
+    * redaction pass — "drop documents with > N emails").
+    */
+  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(c, lit(emailPattern), lit(0))).cast("long"),
+    "n_phones" -> size(regexp_extract_all(c, lit(phonePattern), lit(0))).cast("long"),
+    "n_ipv4" -> size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))).cast("long"))
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Curation
+
+/** Dataset-curation gate queries: deterministic split assignment,
+  * stratified sampling and PII redaction over the documents table.
+  * Every query is reproducible from content hashes alone (no RNG), so
+  * the DuckDB oracle can rebuild the identical result.
+  */
+object CurationQueries {
+
+  /** Deterministically dirtied text: every 5th doc gains an email,
+    * every 5th+1 a phone, every 5th+2 an IPv4 — so each redaction rule
+    * fires on a knowable subset and the oracle mirrors the injection.
+    */
+  private def dirtied = concat(col("text"),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+      .when(col("doc_id") % 5 === 1, lit(" call +1-555-0100-123"))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit(" from 10.0.0."), col("doc_id") % 256))
+      .otherwise(lit("")))
+
+  private val dirtiedSql =
+    """text || CASE
+      |  WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com'
+      |  WHEN doc_id % 5 = 1 THEN ' call +1-555-0100-123'
+      |  WHEN doc_id % 5 = 2 THEN ' from 10.0.0.' || (doc_id % 256)
+      |  ELSE '' END""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- c1: hash-stable train/val/test assignment ---------------------
+    "c1_split_assign" -> { (s, d) =>
+      Curation.withSplit(Tables.documents(s, d), "doc_id",
+        trainPct = 80, valPct = 10)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("split")
+    },
+
+    // -- c2: deterministic per-stratum sample (k lowest hashes) --------
+    "c2_stratified_sample" -> { (s, d) =>
+      Curation.samplePerStratum(Tables.documents(s, d), "lang", "doc_id", k = 5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    },
+
+    // -- c3: PII detection counts + redaction length delta -------------
+    "c3_pii_redaction" -> { (s, d) =>
+      val base = Tables.documents(s, d).withColumn("dirty", dirtied)
+      val withCounts = Curation.piiCounts(col("dirty"))
+        .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+      withCounts
+        .withColumn("clean", Curation.redactPii(col("dirty")))
+        .agg(
+          sum("n_emails").as("total_emails"),
+          sum("n_phones").as("total_phones"),
+          sum("n_ipv4").as("total_ipv4"),
+          sum(length(col("dirty")) - length(col("clean"))).as("chars_delta"),
+          sum(when(col("clean").contains("[EMAIL]"), 1).otherwise(0)).as("n_docs_email_redacted"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    // Bucket math mirrors LabelHashBucket: unsigned first-8-bytes of
+    // sha256(id) mod 100, reconstructed from the hex digest in HUGEINT
+    // arithmetic (the p5_label_bucket oracle pattern).
+    "c1_split_assign" ->
+      """SELECT split, count(*) AS n, min(doc_id) AS min_id,
+        | sum(doc_id)::BIGINT AS sum_ids
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |      ((SELECT sum((strpos('0123456789abcdef', substr(h, i, 1)) - 1)::HUGEINT
+        |                 * (1::HUGEINT << ((16 - i) * 4)))
+        |        FROM generate_series(1, 16) g(i)) % 100)::INT AS bucket
+        |    FROM (SELECT doc_id, sha256(doc_id::VARCHAR) AS h FROM documents)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c2_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, sum(doc_id)::BIGINT AS sum_ids
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY sha256(doc_id::VARCHAR), doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c3_pii_redaction" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}"
+      s"""SELECT
+         | sum(len(regexp_extract_all(dirty, '$email')))::BIGINT AS total_emails,
+         | sum(len(regexp_extract_all(dirty, '$phone')))::BIGINT AS total_phones,
+         | sum(len(regexp_extract_all(dirty, '$ipv4')))::BIGINT AS total_ipv4,
+         | sum(length(dirty) - length(clean))::BIGINT AS chars_delta,
+         | sum(CASE WHEN contains(clean, '[EMAIL]') THEN 1 ELSE 0 END)::BIGINT
+         |   AS n_docs_email_redacted
+         |FROM (
+         |  SELECT dirty,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(dirty, '$email', '[EMAIL]', 'g'),
+         |        '$phone', '[PHONE]', 'g'),
+         |      '$ipv4', '[IP]', 'g') AS clean
+         |  FROM (SELECT $dirtiedSql AS dirty FROM documents))""".stripMargin
+    })
+}

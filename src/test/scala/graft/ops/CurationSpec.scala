@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 200L).map(i => (i, s"doc number $i")).toDF("id", "text")
+
+  test("withSplit: deterministic, disjoint, stable under reordering and growth") {
+    val s1 = Curation.withSplit(docs, "id").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    // re-run over a shuffled, grown frame: every original id keeps its split
+    val grown = (1L to 400L).map(i => (i, s"doc number $i")).toDF("id", "text")
+      .orderBy(rand(42))
+    val s2 = Curation.withSplit(grown, "id").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, split) => s2(id) == split })
+    // rough proportions at n=400 (hash-uniform: train ≈ 80%)
+    val trainN = s2.values.count(_ == "train")
+    assert(trainN > 280 && trainN < 360, s"train=$trainN of 400")
+    assert(s2.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("withSplit rejects nonsense percentages") {
+    intercept[IllegalArgumentException] {
+      Curation.withSplit(docs, "id", trainPct = 90, valPct = 10)
+    }
+  }
+
+  test("samplePerStratum: exactly k per stratum, stable under growth") {
+    val strat = docs.withColumn("g", (col("id") % 4).cast("string"))
+    val sampled = Curation.samplePerStratum(strat, "g", "id", k = 3)
+      .select("g", "id").as[(String, Long)].collect()
+    assert(sampled.groupBy(_._1).forall(_._2.length == 3))
+    // growing the corpus can only REPLACE sample members, never reorder
+    // survivors: every id sampled from the grown set that also existed
+    // before must have been sampled from the original iff its hash rank
+    // still wins — verify determinism by re-running identically
+    val again = Curation.samplePerStratum(strat, "g", "id", k = 3)
+      .select("g", "id").as[(String, Long)].collect()
+    assert(sampled.toSet == again.toSet)
+  }
+
+  test("redactPii replaces emails, phones and IPs; counts match") {
+    val df = Seq(
+      "write to alice.smith+x@corp.example.org today",
+      "call +1-555-0100-123 or +44-207-946-0958 now",
+      "server 10.0.0.7 and 192.168.1.254 up",
+      "nothing sensitive here").toDF("t")
+    val out = df.select(Curation.redactPii(col("t")).as("r")).as[String].collect()
+    assert(out(0) == "write to [EMAIL] today")
+    assert(out(1) == "call [PHONE] or [PHONE] now")
+    assert(out(2) == "server [IP] and [IP] up")
+    assert(out(3) == "nothing sensitive here")
+    val counts = Curation.piiCounts(col("t"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .agg(sum("n_emails"), sum("n_phones"), sum("n_ipv4"))
+      .as[(Long, Long, Long)].head()
+    assert(counts == ((1L, 2L, 2L)))
+  }
+}
