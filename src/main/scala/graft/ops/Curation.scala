@@ -28,6 +28,11 @@ object Curation {
   /** Assign train/val/test by hash bucket: [0,trainPct) → train,
     * [trainPct,trainPct+valPct) → val, rest → test. One codegen'd
     * column expression — no shuffle, no RNG.
+    *
+    * Rows whose id cannot be keyed (null / blank / "nan" — the hash's
+    * -1 sentinel) get a NULL split: silently pooling them into any one
+    * split would contaminate it with un-keyable rows, so the caller
+    * must route or drop them explicitly.
     */
   def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
                 valPct: Int = 10): DataFrame = {
@@ -35,7 +40,8 @@ object Curation {
       s"invalid split percentages: train=$trainPct val=$valPct")
     val b = splitBucket(col(idCol))
     df.withColumn("split",
-      when(b < trainPct, lit("train"))
+      when(b < 0, lit(null).cast("string"))
+        .when(b < trainPct, lit("train"))
         .when(b < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
@@ -54,11 +60,19 @@ object Curation {
     */
   def samplePerStratum(df: DataFrame, stratumCol: String, idCol: String,
                        k: Int): DataFrame = {
+    // Determinism requires a total order: ids must be UNIQUE (duplicate
+    // ids tie on (hash, id) and row_number breaks the tie by partition
+    // order). Null ids are excluded — they cannot be hash-ranked, and
+    // Spark's nulls-first ascending sort would let them claim sample
+    // slots nondeterministically.
+    val rank = "__graft_sample_rank"
+    require(!df.columns.contains(rank), s"input already has a '$rank' column")
     val h = sha2(col(idCol).cast("string"), 256)
     val w = Window.partitionBy(stratumCol).orderBy(h, col(idCol))
-    df.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__rank")
+    df.filter(col(idCol).isNotNull)
+      .withColumn(rank, row_number().over(w))
+      .filter(col(rank) <= k)
+      .drop(rank)
   }
 
   /** PII patterns redacted by [[redactPii]] — deliberately expressible
@@ -80,10 +94,19 @@ object Curation {
   }
 
   /** Per-kind PII match counts (for reporting/thresholding before the
-    * redaction pass — "drop documents with > N emails").
+    * redaction pass — "drop documents with > N emails"). Counted on the
+    * SAME sequential basis as [[redactPii]] — phones on email-redacted
+    * text, IPs on phone-redacted text — so a span consumed by an
+    * earlier rule (e.g. the IPv4-shaped host inside
+    * "user@10.0.0.7.example.com") is never double-counted under a
+    * later kind the redactor would not tag.
     */
-  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
-    "n_emails" -> size(regexp_extract_all(c, lit(emailPattern), lit(0))).cast("long"),
-    "n_phones" -> size(regexp_extract_all(c, lit(phonePattern), lit(0))).cast("long"),
-    "n_ipv4" -> size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))).cast("long"))
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    val noEmail = regexp_replace(c, emailPattern, "[EMAIL]")
+    val noPhone = regexp_replace(noEmail, phonePattern, "[PHONE]")
+    Seq(
+      "n_emails" -> size(regexp_extract_all(c, lit(emailPattern), lit(0))).cast("long"),
+      "n_phones" -> size(regexp_extract_all(noEmail, lit(phonePattern), lit(0))).cast("long"),
+      "n_ipv4" -> size(regexp_extract_all(noPhone, lit(ipv4Pattern), lit(0))).cast("long"))
+  }
 }

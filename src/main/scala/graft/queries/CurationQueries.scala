@@ -98,20 +98,23 @@ object CurationQueries {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
       val phone = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}"
+      // Counts chain exactly like piiCounts/redactPii: phones counted on
+      // email-redacted text, IPs on phone-redacted text.
       s"""SELECT
          | sum(len(regexp_extract_all(dirty, '$email')))::BIGINT AS total_emails,
-         | sum(len(regexp_extract_all(dirty, '$phone')))::BIGINT AS total_phones,
-         | sum(len(regexp_extract_all(dirty, '$ipv4')))::BIGINT AS total_ipv4,
+         | sum(len(regexp_extract_all(no_email, '$phone')))::BIGINT AS total_phones,
+         | sum(len(regexp_extract_all(no_phone, '$ipv4')))::BIGINT AS total_ipv4,
          | sum(length(dirty) - length(clean))::BIGINT AS chars_delta,
          | sum(CASE WHEN contains(clean, '[EMAIL]') THEN 1 ELSE 0 END)::BIGINT
          |   AS n_docs_email_redacted
          |FROM (
-         |  SELECT dirty,
-         |    regexp_replace(
-         |      regexp_replace(
-         |        regexp_replace(dirty, '$email', '[EMAIL]', 'g'),
-         |        '$phone', '[PHONE]', 'g'),
-         |      '$ipv4', '[IP]', 'g') AS clean
-         |  FROM (SELECT $dirtiedSql AS dirty FROM documents))""".stripMargin
+         |  SELECT dirty, no_email, no_phone,
+         |    regexp_replace(no_phone, '$ipv4', '[IP]', 'g') AS clean
+         |  FROM (
+         |    SELECT dirty, no_email,
+         |      regexp_replace(no_email, '$phone', '[PHONE]', 'g') AS no_phone
+         |    FROM (
+         |      SELECT dirty, regexp_replace(dirty, '$email', '[EMAIL]', 'g') AS no_email
+         |      FROM (SELECT $dirtiedSql AS dirty FROM documents))))""".stripMargin
     })
 }

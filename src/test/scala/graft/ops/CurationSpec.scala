@@ -30,18 +30,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("samplePerStratum: exactly k per stratum, stable under growth") {
+  test("samplePerStratum: exactly k per stratum, deterministic, stable under growth") {
     val strat = docs.withColumn("g", (col("id") % 4).cast("string"))
     val sampled = Curation.samplePerStratum(strat, "g", "id", k = 3)
       .select("g", "id").as[(String, Long)].collect()
     assert(sampled.groupBy(_._1).forall(_._2.length == 3))
-    // growing the corpus can only REPLACE sample members, never reorder
-    // survivors: every id sampled from the grown set that also existed
-    // before must have been sampled from the original iff its hash rank
-    // still wins — verify determinism by re-running identically
+    // deterministic: identical re-run, identical sample
     val again = Curation.samplePerStratum(strat, "g", "id", k = 3)
       .select("g", "id").as[(String, Long)].collect()
     assert(sampled.toSet == again.toSet)
+    // GROWTH stability: new rows can only DISPLACE sample members, never
+    // promote a previously-losing old row — so any old id in the grown
+    // sample must already have been in the original sample.
+    val grown = (1L to 400L).map(i => (i, s"doc number $i")).toDF("id", "text")
+      .withColumn("g", (col("id") % 4).cast("string"))
+    val grownSample = Curation.samplePerStratum(grown, "g", "id", k = 3)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val oldSurvivors = grownSample.filter(_._2 <= 200L)
+    assert(oldSurvivors.subsetOf(sampled.toSet),
+      s"old rows entered the sample only by displacement: $oldSurvivors")
+  }
+
+  test("samplePerStratum excludes null ids; withSplit gives unkeyable rows a NULL split") {
+    val withNulls = Seq((Some(1L), "a"), (None, "a"), (Some(2L), "a"))
+      .toDF("id", "g")
+    val s = Curation.samplePerStratum(withNulls, "g", "id", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(s == Set(1L, 2L)) // the null id cannot claim a slot
+    val split = Curation.withSplit(
+      Seq((Some("x1"), 1), (None, 2), (Some("  "), 3)).toDF("key", "v"), "key")
+      .select("v", "split").as[(Int, Option[String])].collect().toMap
+    assert(split(1).isDefined)
+    assert(split(2).isEmpty && split(3).isEmpty) // null/blank → NULL split
   }
 
   test("redactPii replaces emails, phones and IPs; counts match") {
