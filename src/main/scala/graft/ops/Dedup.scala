@@ -132,6 +132,51 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** EXACT n-gram-Jaccard near-duplicate pairs via an inverted shingle
+    * index (no MinHash approximation in candidate generation): explode
+    * distinct shingle hashes → equi-join docs sharing a shingle →
+    * verify exact jaccard ≥ threshold on the precomputed sets.
+    *
+    * Recall is exactly 1 for threshold > 0: any pair with positive
+    * jaccard shares ≥ 1 shingle, modulo the `maxDocFreq` cap, which
+    * drops shingles present in more than that many documents from
+    * candidate generation (ubiquitous shingles pair everything with
+    * everything — the skew killer). A qualifying pair escapes detection
+    * only if EVERY shared shingle is ubiquitous, which at a 0.8
+    * threshold means near-boilerplate documents — run exact/fingerprint
+    * dedup first for those. Versus [[nearDuplicates]]: no signature
+    * cost and exact recall, but candidate volume scales with shingle
+    * co-occurrence instead of being bounded by LSH band collisions —
+    * prefer MinHash at very large N.
+    */
+  def jaccardNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.8, shingle: Int = 3,
+                            maxDocFreq: Int = 1000): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingle).persist()
+    try {
+      val inverted = sets.select(col(idCol), explode(col("__sh")).as("__h"))
+      val joinable = inverted.groupBy("__h").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxDocFreq && col("__n") > 1)
+      val pruned = inverted.join(joinable, Seq("__h"), "left_semi")
+      val pairs = pruned.select(col(idCol).as("id_a"), col("__h"))
+        .join(pruned.select(col(idCol).as("id_b"), col("__h")), Seq("__h"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .persist()
+      pairs.count()
+      val verified = pairs
+        .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sa")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sb")), "id_b")
+        .withColumn("jaccard", F.jaccardSortedSim(col("__sa"), col("__sb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .persist()
+      verified.count()
+      pairs.unpersist()
+      verified
+    } finally sets.unpersist()
+  }
+
   /** Remove near-duplicates, keeping each group's smallest id (greedy:
     * a row is dropped iff it has a verified neighbor with a smaller
     * id — one LSH pass, no iterative connected components).

@@ -110,6 +110,19 @@ object DedupQueries {
         maxHamming = 6).orderBy("id_a", "id_b")
     },
 
+    // -- EXACT n-gram-jaccard near-dup via inverted shingle index: no
+    //    LSH approximation anywhere — recall 1 by construction, so the
+    //    full-scan oracle matches identically. Same corpus/threshold as
+    //    d3: the two mechanisms (LSH-banded vs inverted-index) must
+    //    produce the SAME pair set, which this query pins. ------------
+    "d5_ngram_jaccard" -> { (s, d) =>
+      graft.ops.Dedup
+        .jaccardNearDuplicates(corpusNear(s, d), "doc_id", "text",
+          threshold = 0.8, shingle = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
     // -- SimHash value check on the KNOWABLE subset: every exact clone
     //    (doc_id%10==0 → +100000, verbatim copy) has an identical
     //    simhash, so its pair MUST surface at hamming 0 — which IS
@@ -154,6 +167,25 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     })
 
+  private lazy val fullScanJaccardSql =
+    s"""WITH corpus AS ($corpusNearSql),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+       |      ELSE list_transform(range(1, len(toks)-1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks FROM corpus)
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id < b.doc_id
+       | AND len(a.sh) >= 0.8 * len(b.sh) AND len(b.sh) >= 0.8 * len(a.sh)
+       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       s"""SELECT sum(n)::BIGINT AS n_rows, count(*) AS n_distinct_text,
@@ -174,24 +206,10 @@ object DedupQueries {
     // Full-scan exact-jaccard oracle with a LOSSLESS size-ratio prune:
     // j(A,B) >= 0.8 requires |A|/|B| >= 0.8 (|A|<=|B|), so pairs whose
     // distinct-shingle counts differ by more than 20% can be skipped.
-    "d3_minhash_lsh" ->
-      s"""WITH corpus AS ($corpusNearSql),
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
-         |      ELSE list_transform(range(1, len(toks)-1),
-         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
-         |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks FROM corpus)
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-         |FROM sh a JOIN sh b
-         |  ON a.doc_id < b.doc_id
-         | AND len(a.sh) >= 0.8 * len(b.sh) AND len(b.sh) >= 0.8 * len(a.sh)
-         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
+    // Shared by d3 (LSH-banded) and d5 (inverted-index): both engines'
+    // mechanisms must land on this same full-scan truth.
+    "d3_minhash_lsh" -> fullScanJaccardSql,
+    "d5_ngram_jaccard" -> fullScanJaccardSql,
     // Oracle replicates the greedy rule exactly: a doc is dropped iff it
     // has a jaccard>=0.8 neighbor with a smaller id.
     "d7_drop_neardups" ->

@@ -31,6 +31,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("jaccardNearDuplicates (inverted index) matches the LSH pair set exactly") {
+    val lsh = Dedup.nearDuplicates(corpus, "id", "text",
+      threshold = 0.5, shingle = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardNearDuplicates(corpus, "id", "text",
+      threshold = 0.5, shingle = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == lsh)
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)))
+  }
+
+  test("jaccardNearDuplicates maxDocFreq drops ubiquitous-shingle candidates") {
+    val many = (1L to 40L).map(i => (i, "same boilerplate text here always"))
+      .toDF("id", "text")
+    val capped = Dedup.jaccardNearDuplicates(many, "id", "text", maxDocFreq = 10)
+    assert(capped.count() == 0) // every shingle appears in 40 docs > cap
+  }
+
   test("dropNearDuplicates keeps group minima and singletons") {
     val kept = Dedup.dropNearDuplicates(corpus, "id", "text", threshold = 0.5)
       .select("id").as[Long].collect().toSet
