@@ -132,35 +132,46 @@ object Dedup {
     } finally sets.unpersist()
   }
 
-  /** EXACT n-gram-Jaccard near-duplicate pairs via an inverted shingle
-    * index (no MinHash approximation in candidate generation): explode
-    * distinct shingle hashes → equi-join docs sharing a shingle →
-    * verify exact jaccard ≥ threshold on the precomputed sets.
+  /** EXACT n-gram-Jaccard near-duplicate pairs via a PREFIX-FILTERED
+    * inverted shingle index (the AllPairs/ppjoin candidate scheme):
+    * under the global sorted-hash order, any pair with jaccard ≥ t must
+    * share an element among each side's first `|S| - ⌈t·|S|⌉ + 1`
+    * hashes (pigeonhole on the smallest common element), so only those
+    * PREFIXES are indexed — at t = 0.8 that is ~20% of the index and
+    * quadratically fewer candidate collisions than a full inverted
+    * index. Candidates additionally pass the lossless size-ratio filter
+    * (j ≥ t forces |A|/|B| ≥ t) before the exact-jaccard verify on the
+    * precomputed sets.
     *
-    * Recall is exactly 1 for threshold > 0: any pair with positive
-    * jaccard shares ≥ 1 shingle, modulo the `maxDocFreq` cap, which
-    * drops shingles present in more than that many documents from
+    * Recall is exactly 1, modulo the `maxDocFreq` cap, which drops
+    * prefix hashes present in more than that many documents from
     * candidate generation (ubiquitous shingles pair everything with
     * everything — the skew killer). A qualifying pair escapes detection
-    * only if EVERY shared shingle is ubiquitous, which at a 0.8
-    * threshold means near-boilerplate documents — run exact/fingerprint
-    * dedup first for those. Versus [[nearDuplicates]]: no signature
-    * cost and exact recall, but candidate volume scales with shingle
-    * co-occurrence instead of being bounded by LSH band collisions —
-    * prefer MinHash at very large N.
+    * only if EVERY shared prefix shingle is ubiquitous — near-boilerplate
+    * corpora; run exact/fingerprint dedup first for those. Versus
+    * [[nearDuplicates]]: exact instead of probabilistic recall and no
+    * signature cost, but candidate volume tracks prefix co-occurrence
+    * instead of LSH band collisions — prefer MinHash at very large N.
     */
   def jaccardNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8, shingle: Int = 3,
                             maxDocFreq: Int = 1000): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingle).persist()
     try {
-      val inverted = sets.select(col(idCol), explode(col("__sh")).as("__h"))
+      val sz = size(col("__sh"))
+      val prefixLen = (sz - ceil(sz * threshold).cast("int") + 1)
+      val inverted = sets.select(col(idCol), sz.as("__sz"),
+        explode(slice(col("__sh"), lit(1), prefixLen)).as("__h"))
       val joinable = inverted.groupBy("__h").agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxDocFreq && col("__n") > 1)
       val pruned = inverted.join(joinable, Seq("__h"), "left_semi")
-      val pairs = pruned.select(col(idCol).as("id_a"), col("__h"))
-        .join(pruned.select(col(idCol).as("id_b"), col("__h")), Seq("__h"))
-        .filter(col("id_a") < col("id_b"))
+      val pairs = pruned
+        .select(col(idCol).as("id_a"), col("__sz").as("__sza"), col("__h"))
+        .join(pruned.select(col(idCol).as("id_b"), col("__sz").as("__szb"),
+          col("__h")), Seq("__h"))
+        .filter(col("id_a") < col("id_b") &&
+          col("__sza") >= col("__szb") * threshold &&
+          col("__szb") >= col("__sza") * threshold)
         .select("id_a", "id_b").distinct()
         .persist()
       pairs.count()
