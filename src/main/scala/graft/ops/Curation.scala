@@ -75,6 +75,31 @@ object Curation {
       .drop(rank)
   }
 
+  /** Benchmark decontamination: documents sharing any word `shingle`-gram
+    * with a probe corpus (an eval/test set) — the pre-training hygiene
+    * pass that keeps benchmark answers out of the training data.
+    * Returns `(idCol, n_hits)` for contaminated documents only, where
+    * n_hits counts the document's DISTINCT shingles that appear
+    * anywhere in the probe set.
+    *
+    * Shape: distinct probe shingle hashes (small — eval sets are tiny
+    * next to the corpus; AQE broadcasts the build side) equi-joined
+    * against the corpus's exploded shingle-hash sets. One corpus scan,
+    * shuffle bounded by matches.
+    */
+  def contaminatedBy(df: DataFrame, idCol: String, textCol: String,
+                     probes: DataFrame, probeTextCol: String,
+                     shingle: Int = 3): DataFrame = {
+    val docSh = df
+      .select(col(idCol), explode(F.shingleHashSet(col(textCol), shingle)).as("__h"))
+    val probeSh = probes
+      .select(explode(F.shingleHashSet(col(probeTextCol), shingle)).as("__h"))
+      .distinct()
+    docSh.join(probeSh, "__h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** PII patterns redacted by [[redactPii]] — deliberately expressible
     * in both Java regex (Spark) and RE2 (DuckDB oracle parity): no
     * backreferences, no lookarounds.

@@ -52,6 +52,21 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // -- c4: benchmark decontamination — every 50th doc plays the eval
+    //    set; any training doc sharing a 3-gram with it is contaminated
+    //    (the probes trivially contaminate themselves, plus whatever
+    //    shares phrases — the oracle rebuilds the identical truth) ----
+    "c4_decontamination" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val probes = docs.filter(col("doc_id") % 50 === 0).select("text")
+      Curation.contaminatedBy(docs, "doc_id", "text", probes, "text")
+        .agg(
+          count(lit(1)).as("n_contaminated"),
+          sum("n_hits").as("total_hits"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+    },
+
     // -- c3: PII detection counts + redaction length delta -------------
     "c3_pii_redaction" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("dirty", dirtied)
@@ -94,8 +109,24 @@ object CurationQueries {
         |      ORDER BY sha256(doc_id::VARCHAR), doc_id) AS r
         |  FROM documents)
         |WHERE r <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c4_decontamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |        ELSE list_transform(range(1, len(toks)-1),
+        |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)) AS h
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |        FROM documents)
+        |), probe AS (
+        |  SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0
+        |)
+        |SELECT count(DISTINCT doc_id) AS n_contaminated,
+        | count(*)::BIGINT AS total_hits,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM sh JOIN probe USING (h)""".stripMargin,
     "c3_pii_redaction" -> {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val email ="[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
       val phone = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}"
       // Counts chain exactly like piiCounts/redactPii: phones counted on

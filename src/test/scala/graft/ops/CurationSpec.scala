@@ -64,6 +64,20 @@ class CurationSpec extends SparkSpec {
     assert(split(2).isEmpty && split(3).isEmpty) // null/blank → NULL split
   }
 
+  test("contaminatedBy flags docs sharing probe n-grams, counts distinct shingle hits") {
+    val corpus = Seq(
+      (1L, "the secret benchmark answer is forty two exactly"),
+      (2L, "the secret benchmark answer appears here too"),
+      (3L, "completely unrelated content with no overlap at all"),
+      (4L, "another clean document about spark plans")).toDF("id", "text")
+    val probes = Seq("the secret benchmark answer is forty two exactly").toDF("ptext")
+    val hits = Curation.contaminatedBy(corpus, "id", "text", probes, "ptext")
+      .as[(Long, Long)].collect().toMap
+    assert(hits(1L) == 6L) // the probe itself: all 6 of its 3-grams hit
+    assert(hits(2L) == 2L) // shares "the secret benchmark", "secret benchmark answer"
+    assert(!hits.contains(3L) && !hits.contains(4L))
+  }
+
   test("redactPii replaces emails, phones and IPs; counts match") {
     val df = Seq(
       "write to alice.smith+x@corp.example.org today",
