@@ -15,6 +15,8 @@ object Bench {
   /** Every registered gate query, sorted for stable output order. */
   def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  private val queries = SparkEntry.queries
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,7 +43,6 @@ object Bench {
     Tables.events(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
 
-    val queries = SparkEntry.queries
     val results = headline.map { name =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune final

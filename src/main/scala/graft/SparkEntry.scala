@@ -18,8 +18,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.queries("j3_region_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  /** One entry per implemented operator from SURVEY.md §2. Lazy: the
+    * merge + collision check runs once, not on every lookup (Explain
+    * resolves every query name through this map).
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val modules = Seq(
       CoreQueries.queries, ValidatorQueries.queries,
       PipelineQueries.queries, DedupQueries.queries,
@@ -40,7 +43,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (used only for ops SQL genuinely can't express).
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     CoreQueries.oracle ++
       ValidatorQueries.oracle ++
       PipelineQueries.oracle ++

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{ValidationContext, ValidationResult, Validator}
+import graft.functions.{GraftFunctions => F}
 
 /** File-inventory validators (SURVEY.md §2.3 V9–V12, V15–V17): sidecar
   * directories are scanned into inventory DataFrames (distributed
@@ -184,23 +185,21 @@ object FileValidators {
     def validate(ctx: ValidationContext): ValidationResult = {
       val df = ctx.manifest.getOrElse(return ValidationResult.ok)
       val spark = ctx.spark
-      // Blank lines count ZERO words: split(trim(""), "\s+") yields
-      // [""] (size 1), which would inflate every file containing an
-      // empty line and flag correct label rows as count mismatches.
-      val lineWords = when(trim(col("value")) === "", lit(0))
-        .otherwise(size(split(trim(col("value")), "\\s+")))
+      // F.tokenCount counts \S+ runs — blank lines are ZERO words (a
+      // bare split would yield [""], inflating every file containing an
+      // empty line and flagging correct label rows as mismatches).
       val words = spark.read.textFile(s"$textsDir/*.txt")
         .withColumn("path", input_file_name())
         .withColumn("fname", element_at(split(col("path"), "/"), -1))
         .groupBy("fname")
-        .agg(sum(lineWords).as("word_count"))
+        .agg(sum(F.tokenCount(col("value"))).as("word_count"))
       val joined = df
         .withColumn("__fname",
           when(col(filenameColumn).rlike("\\.txt$"), col(filenameColumn))
             .otherwise(concat(col(filenameColumn), lit(".txt"))))
         .join(words, col("__fname") === words("fname"), "left")
       val tags = split(trim(col(labelColumn)), "\\s+")
-      val tagCount = when(trim(col(labelColumn)) === "", lit(0)).otherwise(size(tags))
+      val tagCount = F.tokenCount(col(labelColumn))
       val badTag = exists(tags, t => !t.rlike(tagShape)) &&
         trim(col(labelColumn)) =!= ""
       val countMismatch = col("word_count").isNotNull &&

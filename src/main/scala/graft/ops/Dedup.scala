@@ -60,6 +60,29 @@ object Dedup {
                   shingle: Int): DataFrame =
     df.select(col(idCol), F.shingleHashSet(col(textCol), shingle).as("__sh"))
 
+  /** Candidate `(id_a, id_b)` pairs from a PERSISTED exploded
+    * `(id, __band, __key)` frame, shared by every banded LSH variant:
+    * drop pathological buckets (the skew cap), self-equi-join per
+    * bucket, dedup ordered pairs. The returned frame is persisted and
+    * materialized so the (much larger) banded input can be released by
+    * the caller immediately after.
+    */
+  private def cappedPairs(banded: DataFrame, idCol: String,
+                          maxBucket: Int): DataFrame = {
+    val bucketSizes = banded.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket && col("__n") > 1)
+    val pruned = banded.join(bucketSizes, Seq("__band", "__key"), "left_semi")
+    val a = pruned.select(col(idCol).as("id_a"), col("__band"), col("__key"))
+    val b = pruned.select(col(idCol).as("id_b"), col("__band"), col("__key"))
+    val pairs = a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .persist()
+    pairs.count()
+    pairs
+  }
+
   /** Candidate pairs from a `(id, __sh)` sets frame (ideally persisted by
     * the caller): sig → band keys → bucket equi-join, with the skew cap.
     */
@@ -72,21 +95,8 @@ object Dedup {
           F.minhashSigFromHashes(col("__sh"), numHashes), bands))
           .as(Seq("__band", "__key")))
       .persist()
-    try {
-      // Skew cap: drop pathological buckets from candidate generation.
-      val bucketSizes = banded.groupBy("__band", "__key")
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucket && col("__n") > 1)
-      val pruned = banded.join(bucketSizes, Seq("__band", "__key"), "left_semi")
-      val a = pruned.select(col(idCol).as("id_a"), col("__band"), col("__key"))
-      val b = pruned.select(col(idCol).as("id_b"), col("__band"), col("__key"))
-      val pairs = a.join(b, Seq("__band", "__key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .persist()
-      pairs.count() // materialize before dropping the (much larger) banded cache
-      pairs
-    } finally banded.unpersist()
+    try cappedPairs(banded, idCol, maxBucket)
+    finally banded.unpersist()
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH: `(id_a, id_b)`
@@ -251,17 +261,7 @@ object Dedup {
         .as(Seq("__band", "__key")))
       .persist()
     try {
-      val bucketSizes = banded.groupBy("__band", "__key")
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucket && col("__n") > 1)
-      val pruned = banded.join(bucketSizes, Seq("__band", "__key"), "left_semi")
-      val a = pruned.select(col(idCol).as("id_a"), col("__band"), col("__key"))
-      val b = pruned.select(col(idCol).as("id_b"), col("__band"), col("__key"))
-      val pairs = a.join(b, Seq("__band", "__key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .persist()
-      pairs.count() // materialize before dropping the banded cache
+      val pairs = cappedPairs(banded, idCol, maxBucket)
       val vecs = df.select(col(idCol), col(vecCol))
       val verified = pairs
         .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")

@@ -21,9 +21,6 @@ object TextQueries {
   private val deMarkers = TextAnalysis.markers("de")
   private val frMarkers = TextAnalysis.markers("fr")
 
-  private def markerHits(toks: org.apache.spark.sql.Column, markers: Seq[String]) =
-    TextAnalysis.markerHits(toks, markers)
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- language-ID heuristic: marker-word occurrence scoring with a
     //    deterministic argmax (tie order en > es > de > fr > unknown).
