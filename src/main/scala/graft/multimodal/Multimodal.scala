@@ -76,6 +76,28 @@ object Multimodal {
     df.join(decoded.toDF("path", "meta"), "path")
   }
 
+  /** Feature-extraction pass: payload bytes → dense `Array[Float]`
+    * feature vector, in the same per-partition batch shape as
+    * [[withMeta]] (a production embedding model amortizes weights/
+    * session init per PARTITION; the stub needs none). The output
+    * column plugs directly into the ANN operators
+    * ([[graft.ops.Similarity]]) — media in, nearest-neighbor search
+    * out, all plumbing real.
+    */
+  def featureExtract(df: DataFrame, idCol: String,
+                     payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats: Dataset[(Long, Array[Float])] =
+      df.select(col(idCol).cast("long"), col(payloadCol))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // per-partition model init would go here — the stub needs none.
+          it.map { case (id, bytes) => (id, MediaDecoder.featureStub(bytes)) }
+        }
+    feats.toDF(idCol, "features")
+  }
+
   /** Resize plan: pure metadata math (target fit preserving aspect),
     * demonstrating typed-struct column surgery without touching bytes.
     * A real implementation maps the payload through the decoder in the
@@ -107,6 +129,30 @@ object MediaDecoder {
     * javacv / soundfile calls to go live — the signature is the
     * production contract.
     */
+  /** STUB FEATURE EXTRACTOR — deterministic byte-class counts standing
+    * in for a real embedding model (none installed in this container):
+    * [vowels, digits, spaces, lowercase, uppercase, sentence punct].
+    * Integer counts are exactly representable in float32, so downstream
+    * cosine math is bit-reproducible across engines. Replace with a
+    * real encoder (ONNX/DJL) to go live — the signature and the
+    * per-partition batch shape are the production contract.
+    */
+  def featureStub(bytes: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](6)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u') f(0) += 1
+      if (b >= '0' && b <= '9') f(1) += 1
+      if (b == ' ') f(2) += 1
+      if (b >= 'a' && b <= 'z') f(3) += 1
+      if (b >= 'A' && b <= 'Z') f(4) += 1
+      if (b == '.' || b == ',' || b == '!' || b == '?' || b == ';' || b == ':') f(5) += 1
+      i += 1
+    }
+    f
+  }
+
   def decodeStub(kind: String, bytes: Array[Byte]): Multimodal.MediaMeta = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0

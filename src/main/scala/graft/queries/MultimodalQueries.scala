@@ -42,6 +42,25 @@ object MultimodalQueries {
         .orderBy("source")
     },
 
+    // -- m3: the full media→features→ANN composition: payload bytes →
+    //    mapPartitions feature extraction (stub encoder, real batch
+    //    plumbing) → brute-force top-k cosine search. Integer-count
+    //    features are float32-exact, so the oracle's double math lands
+    //    on identical cosines. ----------------------------------------
+    "m3_feature_ann" -> { (s, d) =>
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val feats = graft.multimodal.Multimodal
+        .featureExtract(media, "doc_id", "payload")
+        .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+      graft.ops.Similarity
+        .bruteForceTopK(feats, feats.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("q_id", "rank")
+    },
+
     // V10 analogue: all media must share ONE resolution — report the
     // distinct-resolution inventory exactly like the image validator
     // (image_validator.py:250-307 collects the resolution set).
@@ -67,6 +86,23 @@ object MultimodalQueries {
         | max((ascii(substr(text,1,1)) % 64 + 1) * 16) AS max_w,
         | max((ascii(substr(text,2,1)) % 64 + 1) * 16) AS max_h
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m3_feature_ann" ->
+      """WITH f AS (
+        |  SELECT doc_id, [
+        |    len(regexp_extract_all(text, '[aeiou]'))::DOUBLE,
+        |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE,
+        |    len(regexp_extract_all(text, ' '))::DOUBLE,
+        |    len(regexp_extract_all(text, '[a-z]'))::DOUBLE,
+        |    len(regexp_extract_all(text, '[A-Z]'))::DOUBLE,
+        |    len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE ] AS v
+        |  FROM documents)
+        |SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos_r FROM (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id,
+        |    list_cosine_similarity(c.v, q.v) AS cos,
+        |    row_number() OVER (PARTITION BY q.doc_id
+        |      ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.doc_id) AS rank
+        |  FROM f q JOIN f c ON q.doc_id < 3 AND c.doc_id != q.doc_id
+        |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "m2_resolution_check" ->
       """SELECT res, count(*) AS n,
         | array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 3), ',') AS sample_ids

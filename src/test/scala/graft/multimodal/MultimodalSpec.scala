@@ -48,6 +48,17 @@ class MultimodalSpec extends SparkSpec {
     assert(byPath.find(_._1.contains("test")).exists(_._2 == 12L))
   }
 
+  test("featureExtract: byte-class counts, partition-batched, ANN-ready shape") {
+    val df = Seq((1L, "Hello, World 42!".getBytes("UTF-8")),
+      (2L, "".getBytes("UTF-8"))).toDF("id", "payload")
+    val feats = Multimodal.featureExtract(df, "id", "payload")
+      .as[(Long, Array[Float])].collect().toMap
+    // "Hello, World 42!": vowels(e,o,o)=3, digits=2, spaces=2,
+    // lower(e,l,l,o,o,r,l,d)=8, upper(H,W)=2, punct(, !)=2
+    assert(feats(1L).toSeq == Seq(3f, 2f, 2f, 8f, 2f, 2f))
+    assert(feats(2L).toSeq == Seq(0f, 0f, 0f, 0f, 0f, 0f))
+  }
+
   test("resizePlan preserves aspect ratio within the target box") {
     val df = Multimodal.withMeta(Multimodal.scan(spark, mediaDir.toString), "image")
     val planned = Multimodal.resizePlan(df, 128, 128)
