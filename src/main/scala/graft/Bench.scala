@@ -15,8 +15,6 @@ object Bench {
   /** Every registered gate query, sorted for stable output order. */
   def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
-  private val queries = SparkEntry.queries
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,7 +48,7 @@ object Bench {
       // select-only operator would never move the bench. The noop write
       // executes the COMPLETE plan and discards rows at the sink.
       val ok =
-        try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

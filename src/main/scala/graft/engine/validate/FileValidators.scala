@@ -198,12 +198,16 @@ object FileValidators {
           when(col(filenameColumn).rlike("\\.txt$"), col(filenameColumn))
             .otherwise(concat(col(filenameColumn), lit(".txt"))))
         .join(words, col("__fname") === words("fname"), "left")
-      val tags = split(trim(col(labelColumn)), "\\s+")
+      // Tag tokenization stays in lockstep with tagCount (\S+ runs):
+      // filter the empty fragments a leading tab leaves behind, so a
+      // valid whitespace-separated label never fires "malformed".
+      val tags = filter(split(trim(col(labelColumn)), "\\s+"), t => t =!= "")
       val tagCount = F.tokenCount(col(labelColumn))
-      val badTag = exists(tags, t => !t.rlike(tagShape)) &&
-        trim(col(labelColumn)) =!= ""
-      val countMismatch = col("word_count").isNotNull &&
-        tagCount =!= col("word_count")
+      val badTag = exists(tags, t => !t.rlike(tagShape))
+      // NULL label = not-applicable (the reference skips unlabeled
+      // rows), never a count mismatch.
+      val countMismatch = col(labelColumn).isNotNull &&
+        col("word_count").isNotNull && tagCount =!= col("word_count")
       val offenders = joined.select(
         col("__fname"),
         when(col("word_count").isNull, lit("text file not found"))

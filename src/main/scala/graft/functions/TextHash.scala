@@ -115,7 +115,12 @@ object TextHash {
     */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     val sh = shingles(text, n)
-    if (sh.isEmpty) Array.empty
+    // Empty text → the singleton {hash("")}: an empty SET would make
+    // blank documents invisible to every inverted/banded index (they
+    // would never pair with each other), while jaccard says two blank
+    // docs are identical (j = 1). The sentinel mirrors the SQL oracles'
+    // [''] representation, so engine and oracle agree on blank corpora.
+    if (sh.isEmpty) Array(fnv1a64(""))
     else {
       val set = new java.util.TreeSet[java.lang.Long]()
       var i = 0
@@ -129,9 +134,12 @@ object TextHash {
   }
 
   /** MinHash signature from precomputed shingle hashes. Identical output
-    * to [[minhash]] (the min over duplicate shingles equals the min over
-    * distinct ones) but shares the tokenize+hash work with the verify
-    * step.
+    * to [[minhash]] for non-empty text (the min over duplicate shingles
+    * equals the min over distinct ones) but shares the tokenize+hash
+    * work with the verify step. For EMPTY text the inputs differ by
+    * design: [[shingleHashes]]' sentinel gives blank documents a real
+    * shared signature (so they pair with each other, matching jaccard
+    * = 1), where [[minhash]] returns the all-MaxValue signature.
     */
   def minhashFromHashes(hashes: Array[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
@@ -151,7 +159,8 @@ object TextHash {
 
   /** Jaccard from two sorted distinct-hash arrays (merge intersection,
     * O(|a|+|b|), no set allocation). Both-empty → 1.0, matching
-    * [[jaccard]] on empty texts.
+    * [[jaccard]] on empty texts (with [[shingleHashes]]' sentinel the
+    * empty case resolves to {hash("")} ∩ {hash("")} = 1 anyway).
     */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

@@ -139,6 +139,7 @@ object MediaDecoder {
     */
   def featureStub(bytes: Array[Byte]): Array[Float] = {
     val f = new Array[Float](6)
+    if (bytes == null) return f // null payload → zero vector (zero norm)
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i)

@@ -116,9 +116,13 @@ object DedupQueries {
     //    d3: the two mechanisms (LSH-banded vs inverted-index) must
     //    produce the SAME pair set, which this query pins. ------------
     "d5_ngram_jaccard" -> { (s, d) =>
+      // maxDocFreq disabled for the GATE: the oracle is a full
+      // (uncapped) scan, and a common 3-gram crossing the default cap
+      // at a larger SF would silently diverge. The cap's behavior is
+      // unit-tested separately; production callers keep the default.
       graft.ops.Dedup
         .jaccardNearDuplicates(corpusNear(s, d), "doc_id", "text",
-          threshold = 0.8, shingle = 3)
+          threshold = 0.8, shingle = 3, maxDocFreq = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     },

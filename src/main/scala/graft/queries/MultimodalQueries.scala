@@ -50,11 +50,14 @@ object MultimodalQueries {
     "m3_feature_ann" -> { (s, d) =>
       val media = Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val feats = graft.multimodal.Multimodal
-        .featureExtract(media, "doc_id", "payload")
-        .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+      def feats(m: org.apache.spark.sql.DataFrame) =
+        graft.multimodal.Multimodal.featureExtract(m, "doc_id", "payload")
+          .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+      // Filter BEFORE extraction for the query side: the typed
+      // mapPartitions blocks predicate pushdown, so filtering after
+      // would feature-extract the whole corpus to fetch 3 vectors.
       graft.ops.Similarity
-        .bruteForceTopK(feats, feats.filter(col("vec_id") < 3),
+        .bruteForceTopK(feats(media), feats(media.filter(col("doc_id") < 3)),
           "vec_id", "embedding", k = 3)
         .select(col("q_id"), col("rank"), col("neighbor_id"),
           round(col("cos"), 6).as("cos_r"))
@@ -97,11 +100,17 @@ object MultimodalQueries {
         |    len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE ] AS v
         |  FROM documents)
         |SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos_r FROM (
-        |  SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id,
-        |    list_cosine_similarity(c.v, q.v) AS cos,
-        |    row_number() OVER (PARTITION BY q.doc_id
-        |      ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.doc_id) AS rank
-        |  FROM f q JOIN f c ON q.doc_id < 3 AND c.doc_id != q.doc_id
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM (
+        |    -- zero-norm guard: the engine defines cosine(0-vec, x) = 0,
+        |    -- while list_cosine_similarity yields NaN (which would sort
+        |    -- FIRST under DESC and steal rank 1)
+        |    SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id,
+        |      CASE WHEN isnan(list_cosine_similarity(c.v, q.v)) THEN 0.0
+        |           ELSE list_cosine_similarity(c.v, q.v) END AS cos
+        |    FROM f q JOIN f c ON q.doc_id < 3 AND c.doc_id != q.doc_id)
         |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "m2_resolution_check" ->
       """SELECT res, count(*) AS n,

@@ -42,6 +42,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)))
   }
 
+  test("blank documents pair with each other in BOTH jaccard paths (sentinel shingle)") {
+    val withBlanks = corpus.unionByName(Seq(
+      (10L, ""), (11L, "   ")).toDF("id", "text"))
+    val lsh = Dedup.nearDuplicates(withBlanks, "id", "text",
+      threshold = 0.99, shingle = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardNearDuplicates(withBlanks, "id", "text",
+      threshold = 0.99, shingle = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // two blank docs are identical (jaccard 1) — both mechanisms agree
+    assert(lsh.contains((10L, 11L)), s"lsh=$lsh")
+    assert(exact.contains((10L, 11L)), s"exact=$exact")
+  }
+
   test("jaccardNearDuplicates maxDocFreq drops ubiquitous-shingle candidates") {
     val many = (1L to 40L).map(i => (i, "same boilerplate text here always"))
       .toDF("id", "text")
