@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{ResolvedConfig, SqlType, TaskCategory}
@@ -22,6 +22,29 @@ import graft.engine.validate.ValidatorMapping
   * accumulators. Semantics (failure channels, dispositions, ordering)
   * match SURVEY.md §2/§7.4.
   */
+object Ingestor {
+  /** Raised inside the metadata-send task when `ApiClient.sendBatch`
+    * returns Left — aborts the Spark job so no later batch is sent
+    * after a terminal API failure (fail-loud, `base.py:858-918`).
+    */
+  final class ApiSendException(msg: String) extends RuntimeException(msg)
+
+  /** Walks the (Spark-wrapped) cause chain of a failed send job for
+    * the originating [[ApiSendException]] message.
+    */
+  private[engine] def apiSendError(e: Throwable): Option[String] = {
+    var cur = e
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    while (cur != null && seen.add(cur)) {
+      cur match {
+        case a: ApiSendException => return Some(a.getMessage)
+        case _ => cur = cur.getCause
+      }
+    }
+    None
+  }
+}
+
 final class Ingestor(spark: SparkSession, config: ResolvedConfig,
                      api: ApiClient, jdbc: Option[JdbcUpsert.Config],
                      lockDir: String = "/tmp/graft-locks") {
@@ -71,6 +94,7 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
     }
     var cachedTyped: Option[DataFrame] = None
     var cachedVerdicts: Option[DataFrame] = None
+    var cachedFailedKeys: Option[DataFrame] = None
 
     try {
       // ---- 2. validator battery (ALL run; errors accumulate) ---------
@@ -142,39 +166,79 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
         case None => typed
       }
 
-      // ---- 4. sink: keyed upsert (or parquet fallback for dry runs) --
-      val failedKeys = spark.sparkContext.collectionAccumulator[String]("failed_db_keys")
+      // ---- 4. sink: keyed upsert, executor-side. Failed keys come
+      //         back as a DataFrame (writeTracked), never a driver
+      //         collection — at the 100 TB design point even the failed
+      //         subset may be unbounded. Row count rides the same pass
+      //         as an observe() metric, so the upsert is ONE action. ---
       jdbc.foreach { cfg =>
         JdbcUpsert.ensureTable(cfg, parsedSchema) match {
           case Left(errs) => return RunResult(summary, errs, validation.warnings)
           case Right(_) => ()
         }
-        JdbcUpsert.write(sinkReady, cfg, summary.inserted, summary.failedDb,
-          Some(failedKeys))
+        val rowsObs = Observation()
+        val observed = sinkReady.observe(rowsObs, count(lit(1)).as("rows"))
+        val failed = JdbcUpsert.writeTracked(observed, cfg).persist()
+        cachedFailedKeys = Some(failed)
+        val nFailed = failed.count() // materializes → upsert runs once
+        val nRows = rowsObs.get("rows").asInstanceOf[Long]
+        summary.inserted.add(nRows - nFailed)
+        summary.failedDb.add(nFailed)
       }
-      if (jdbc.isEmpty) summary.inserted.add(sinkReady.count())
 
-      // ---- 5. API metadata batches (metadata-sized → driver collect is
-      //         bounded: only data_id/intent/label travel). Rows that
-      //         FAILED the upsert are excluded — registering metadata
-      //         for a data_id that is not in the table would violate
-      //         the committed-rows ↔ metadata invariant. ---------------
-      val failedKeySet: java.util.Set[String] =
-        new java.util.HashSet(failedKeys.value)
-      val metaRows = sinkReady.select(col("data_id"), col("data_intent"), col("label"))
-        .collect()
-        .filterNot(r => failedKeySet.contains(r.getString(0)))
-      val records = metaRows.map(r => MetaRecord(
-        r.getString(0), r.getString(1),
-        if (r.isNullAt(2)) null else r.getString(2),
-        isSample = false, ingestorId = runId)).toSeq
-      records.grouped(config.batchSize).foreach { b =>
-        api.sendBatch(config.tableName, b) match {
-          case Right(n) => summary.apiSent.add(n)
-          case Left(err) => return RunResult(summary,
-            List(s"API batch send failed: $err"), validation.warnings)
+      // ---- 5. API metadata batches, sent FROM EXECUTORS
+      //         (foreachPartition): only (data_id, intent, label)
+      //         travels, in config.batchSize chunks, and never through
+      //         the driver (`api/client.py:217-284` sends per-batch
+      //         inside the ingest loop). Rows that FAILED the upsert
+      //         are excluded via left_anti — registering metadata for a
+      //         data_id that is not in the table would violate the
+      //         committed-rows ↔ metadata invariant. A batch failure
+      //         aborts the task (fail-loud); cluster task retries make
+      //         the send at-least-once, same as the reference's
+      //         retried per-batch POSTs. -------------------------------
+      val metaReady = cachedFailedKeys match {
+        case Some(failed) =>
+          sinkReady.join(failed, col("data_id") === failed("failed_key"), "left_anti")
+        case None => sinkReady
+      }
+      val sendRows = metaReady.select(col("data_id"), col("data_intent"), col("label"))
+      // Without a JDBC sink the send pass is the only full-pipeline
+      // action — the inserted counter rides it as an observe() metric
+      // instead of paying a second execution for a count().
+      val sentObs = Observation()
+      val observedSend =
+        if (jdbc.isEmpty) sendRows.observe(sentObs, count(lit(1)).as("rows"))
+        else sendRows
+      // Local copies: the task closure must not capture `this` (the
+      // SparkSession field is not serializable).
+      val client = api
+      val tableName = config.tableName
+      val batchSize = config.batchSize
+      val ingestorId = runId
+      val apiSent = summary.apiSent
+      try {
+        observedSend.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.grouped(batchSize).foreach { chunk =>
+            val records = chunk.map(r => MetaRecord(
+              r.getString(0), r.getString(1),
+              if (r.isNullAt(2)) null else r.getString(2),
+              isSample = false, ingestorId = ingestorId)).toSeq
+            client.sendBatch(tableName, records) match {
+              case Right(n) => apiSent.add(n.toLong)
+              case Left(err) => throw new Ingestor.ApiSendException(err)
+            }
+          }
+        }
+      } catch {
+        case e: Throwable => Ingestor.apiSendError(e) match {
+          case Some(msg) => return RunResult(summary,
+            List(s"API batch send failed: $msg"), validation.warnings)
+          case None => throw e
         }
       }
+      if (jdbc.isEmpty)
+        summary.inserted.add(sentObs.get("rows").asInstanceOf[Long])
 
       // ---- 6. registration sequence — REQUIRED, fail-loud ------------
       val schemaJson = parsedSchema
@@ -189,6 +253,7 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
 
       RunResult(summary, Nil, validation.warnings)
     } finally {
+      cachedFailedKeys.foreach(_.unpersist())
       cachedVerdicts.foreach(_.unpersist())
       cachedTyped.foreach(_.unpersist())
       manifest.unpersist()

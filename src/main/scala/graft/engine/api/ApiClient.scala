@@ -40,11 +40,26 @@ trait ApiClient extends Serializable {
 
 /** Local mock: records everything, fails nothing. Thread-safe —
   * executor tasks may send batches concurrently in local mode.
+  *
+  * Recording state lives in a JVM-static store keyed by `recorderId`,
+  * NOT in instance fields: batch sends run inside `foreachPartition`
+  * tasks, whose closures carry a *deserialized copy* of this client.
+  * With instance fields the copy would record into itself and the
+  * driver's instance would stay empty; with the static store every
+  * copy in the JVM (driver and local-mode executors share one) appends
+  * to the same queues. On a real multi-JVM cluster this mock would
+  * record per-executor — it is the local/test analogue of the
+  * reference's `CLIENT_ENV=local` mode, never a production transport.
   */
 final class LocalApiClient extends ApiClient {
-  import java.util.concurrent.ConcurrentLinkedQueue
-  val batches = new ConcurrentLinkedQueue[(String, Seq[MetaRecord])]()
-  val calls = new ConcurrentLinkedQueue[String]()
+  private val recorderId: String = java.util.UUID.randomUUID().toString
+
+  private def store: LocalApiClient.Store =
+    LocalApiClient.stores.computeIfAbsent(recorderId, _ => new LocalApiClient.Store)
+
+  def batches: java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[MetaRecord])] =
+    store.batches
+  def calls: java.util.concurrent.ConcurrentLinkedQueue[String] = store.calls
 
   def sendBatch(table: String, batch: Seq[MetaRecord]): Either[String, Int] = {
     batches.add((table, batch)); Right(batch.size)
@@ -66,4 +81,13 @@ final class LocalApiClient extends ApiClient {
     batches.forEach { case (_, b) => n += b.size }
     n
   }
+}
+
+object LocalApiClient {
+  private[api] final class Store {
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[MetaRecord])]()
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  }
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, Store]()
 }

@@ -186,99 +186,150 @@ object JdbcUpsert {
     }
   }
 
+  /** Serializable bundle of the statements + bind metadata a partition
+    * needs; built once on the driver from the frame's schema.
+    */
+  private final case class Plan(
+      fields: Array[StructField], keyIdx: Int,
+      nativeUpsert: Option[Stmt], insertStmt: Stmt, updateStmt: Stmt,
+      batchStmt: Stmt) extends Serializable
+
+  private def plan(df: DataFrame, cfg: Config): Plan = {
+    val fields = df.schema.fields
+    val columns = fields.map(_.name).toSeq
+    val nativeUpsert = cfg.dialect.upsert(cfg.table, columns, cfg.keyColumn)
+    val insertStmt = cfg.dialect.insert(cfg.table, columns)
+    Plan(fields, columns.indexOf(cfg.keyColumn), nativeUpsert, insertStmt,
+      cfg.dialect.update(cfg.table, columns, cfg.keyColumn),
+      nativeUpsert.getOrElse(insertStmt))
+  }
+
+  /** One partition's upsert loop: batched executeBatch, per-row
+    * fallback on batch failure (`database.py:421-467`), transient
+    * retry. Reports via callbacks so callers choose their channel —
+    * accumulators ([[write]]) or an emitted failed-keys frame
+    * ([[writeTracked]]).
+    */
+  private def upsertPartition(it: Iterator[Row], cfg: Config, p: Plan,
+                              onUpserted: Int => Unit,
+                              onFailed: Row => Unit): Unit =
+    if (it.nonEmpty) {
+      val conn = (cfg.user, cfg.password) match {
+        case (Some(u), Some(pw)) => DriverManager.getConnection(cfg.url, u, pw)
+        case _ => DriverManager.getConnection(cfg.url)
+      }
+      conn.setAutoCommit(false)
+      try {
+        val psBatch = conn.prepareStatement(p.batchStmt.sql)
+        val psInsert = conn.prepareStatement(p.insertStmt.sql)
+        val psUpdate = conn.prepareStatement(p.updateStmt.sql)
+        try {
+          val batch = new scala.collection.mutable.ArrayBuffer[Row](cfg.batchSize)
+
+          def upsertRow(r: Row): Unit = p.nativeUpsert match {
+            case Some(u) =>
+              withRetry(conn, cfg.maxRetries) {
+                bind(psBatch, r, p.fields, u.bindOrder)
+                psBatch.executeUpdate()
+                conn.commit()
+              }
+            case None =>
+              withRetry(conn, cfg.maxRetries) {
+                try {
+                  bind(psInsert, r, p.fields, p.insertStmt.bindOrder)
+                  psInsert.executeUpdate()
+                  conn.commit()
+                } catch {
+                  case _: java.sql.SQLIntegrityConstraintViolationException =>
+                    conn.rollback()
+                    bind(psUpdate, r, p.fields, p.updateStmt.bindOrder)
+                    psUpdate.executeUpdate()
+                    conn.commit()
+                }
+              }
+          }
+
+          def flush(): Unit = if (batch.nonEmpty) {
+            try {
+              withRetry(conn, cfg.maxRetries) {
+                batch.foreach { r => bind(psBatch, r, p.fields, p.batchStmt.bindOrder); psBatch.addBatch() }
+                psBatch.executeBatch()
+                conn.commit()
+              }
+              onUpserted(batch.size)
+            } catch {
+              case _: java.sql.SQLException =>
+                // Batch failed → per-row fallback isolates offenders
+                // (`database.py:421-467`).
+                try conn.rollback() catch { case _: Exception => () }
+                psBatch.clearBatch()
+                batch.foreach { r =>
+                  try { upsertRow(r); onUpserted(1) }
+                  catch {
+                    case _: java.sql.SQLException =>
+                      try conn.rollback() catch { case _: Exception => () }
+                      onFailed(r)
+                  }
+                }
+            }
+            batch.clear()
+          }
+
+          it.foreach { r =>
+            batch += r
+            if (batch.size >= cfg.batchSize) flush()
+          }
+          flush()
+        } finally { psBatch.close(); psInsert.close(); psUpdate.close() }
+      } finally conn.close()
+    }
+
   /** Execute the upsert over every partition. `upserted`/`failed` are
     * executor-populated accumulators (the A1 failure-channel counters).
     * `failedKeys`, when given, collects the key-column value of every
     * row that lands in the failed channel so the caller can exclude
     * those rows from backend metadata registration — a row that is NOT
     * in the table must never be registered. Bounded by the failure
-    * count (per-row fallback failures are the rare path).
+    * count (per-row fallback failures are the rare path). For the
+    * O(rows)-safe variant that never routes keys through the driver,
+    * use [[writeTracked]].
     */
   def write(df: DataFrame, cfg: Config,
             upserted: LongAccumulator, failed: LongAccumulator,
             failedKeys: Option[org.apache.spark.util.CollectionAccumulator[String]] = None): Unit = {
-    val fields = df.schema.fields
-    val columns = fields.map(_.name).toSeq
-    val keyIdx = columns.indexOf(cfg.keyColumn)
-    val nativeUpsert = cfg.dialect.upsert(cfg.table, columns, cfg.keyColumn)
-    val insertStmt = cfg.dialect.insert(cfg.table, columns)
-    val updateStmt = cfg.dialect.update(cfg.table, columns, cfg.keyColumn)
-    val batchStmt = nativeUpsert.getOrElse(insertStmt)
-
+    val p = plan(df, cfg)
     df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.nonEmpty) {
-        val conn = (cfg.user, cfg.password) match {
-          case (Some(u), Some(p)) => DriverManager.getConnection(cfg.url, u, p)
-          case _ => DriverManager.getConnection(cfg.url)
-        }
-        conn.setAutoCommit(false)
-        try {
-          val psBatch = conn.prepareStatement(batchStmt.sql)
-          val psInsert = conn.prepareStatement(insertStmt.sql)
-          val psUpdate = conn.prepareStatement(updateStmt.sql)
-          try {
-            val batch = new scala.collection.mutable.ArrayBuffer[Row](cfg.batchSize)
-
-            def upsertRow(r: Row): Unit = nativeUpsert match {
-              case Some(u) =>
-                withRetry(conn, cfg.maxRetries) {
-                  bind(psBatch, r, fields, u.bindOrder)
-                  psBatch.executeUpdate()
-                  conn.commit()
-                }
-              case None =>
-                withRetry(conn, cfg.maxRetries) {
-                  try {
-                    bind(psInsert, r, fields, insertStmt.bindOrder)
-                    psInsert.executeUpdate()
-                    conn.commit()
-                  } catch {
-                    case _: java.sql.SQLIntegrityConstraintViolationException =>
-                      conn.rollback()
-                      bind(psUpdate, r, fields, updateStmt.bindOrder)
-                      psUpdate.executeUpdate()
-                      conn.commit()
-                  }
-                }
-            }
-
-            def flush(): Unit = if (batch.nonEmpty) {
-              try {
-                withRetry(conn, cfg.maxRetries) {
-                  batch.foreach { r => bind(psBatch, r, fields, batchStmt.bindOrder); psBatch.addBatch() }
-                  psBatch.executeBatch()
-                  conn.commit()
-                }
-                upserted.add(batch.size)
-              } catch {
-                case _: java.sql.SQLException =>
-                  // Batch failed → per-row fallback isolates offenders
-                  // (`database.py:421-467`).
-                  try conn.rollback() catch { case _: Exception => () }
-                  psBatch.clearBatch()
-                  batch.foreach { r =>
-                    try { upsertRow(r); upserted.add(1) }
-                    catch {
-                      case _: java.sql.SQLException =>
-                        try conn.rollback() catch { case _: Exception => () }
-                        failed.add(1)
-                        if (keyIdx >= 0)
-                          failedKeys.foreach(_.add(String.valueOf(r.get(keyIdx))))
-                    }
-                  }
-              }
-              batch.clear()
-            }
-
-            it.foreach { r =>
-              batch += r
-              if (batch.size >= cfg.batchSize) flush()
-            }
-            flush()
-          } finally { psBatch.close(); psInsert.close(); psUpdate.close() }
-        } finally conn.close()
-      }
+      upsertPartition(it, cfg, p, n => upserted.add(n.toLong), r => {
+        failed.add(1)
+        if (p.keyIdx >= 0)
+          failedKeys.foreach(_.add(String.valueOf(r.get(p.keyIdx))))
+      })
     }
+  }
+
+  /** Scale-safe upsert: performs the same partition-wise keyed upsert
+    * but reports failures as a RETURNED DataFrame of failed key values
+    * (column `failed_key`) instead of driver-side accumulators, so the
+    * caller can `left_anti`-join downstream stages (API metadata
+    * registration) against it without any O(rows) — or even
+    * O(failures) — driver materialization.
+    *
+    * LAZY: the upsert executes when the returned frame is first
+    * materialized. Callers must `persist()` it and run ONE action
+    * (e.g. `count()`) before reusing it in joins, or every downstream
+    * action re-runs the upsert. Re-execution on task retry is safe —
+    * the upsert is idempotent, keyed on `cfg.keyColumn` — but wasteful.
+    */
+  def writeTracked(df: DataFrame, cfg: Config): DataFrame = {
+    val p = plan(df, cfg)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { it =>
+      val failedKeys = scala.collection.mutable.ArrayBuffer.empty[String]
+      upsertPartition(it, cfg, p, _ => (), r =>
+        failedKeys += (if (p.keyIdx >= 0) String.valueOf(r.get(p.keyIdx)) else null))
+      failedKeys.iterator
+    }.toDF("failed_key")
   }
 
   /** Driver-side DDL: create the table if absent, else drift-check the

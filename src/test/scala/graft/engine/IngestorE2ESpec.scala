@@ -13,6 +13,19 @@ import graft.engine.sink.JdbcUpsert
   * upsert into embedded Derby → API mock → registration) and assert
   * exit 0 + rows landed + counter accounting.
   */
+/** Serializable executor-side client whose batch sends always fail —
+  * exercises the fail-loud abort path of the distributed send.
+  */
+class FailingBatchApiClient extends graft.engine.api.ApiClient {
+  import graft.engine.api.MetaRecord
+  def sendBatch(table: String, batch: Seq[MetaRecord]): Either[String, Int] =
+    Left("backend rejected the batch")
+  def sendGenerateEdgeLabelMeta(table: String): Either[String, Unit] = Right(())
+  def sendGlobalMeta(table: String, schemaJson: String): Either[String, Unit] = Right(())
+  def prepareDataset(table: String): Either[String, Unit] = Right(())
+  def createDataset(table: String): Either[String, Unit] = Right(())
+}
+
 class IngestorE2ESpec extends SparkSpec {
 
   private def derbyUrl(db: String) = s"jdbc:derby:memory:$db;create=true"
@@ -102,6 +115,62 @@ class IngestorE2ESpec extends SparkSpec {
     assert(result.summary.totalRecords.value == 3)
     assert(result.summary.skipped.value == 1) // the junk record
     assert(result.summary.inserted.value == 2)
+  }
+
+  test("failed-upsert rows are excluded from API metadata (committed-rows invariant)") {
+    val dir = tmpDir("e2e_inv")
+    val csv = write(dir.resolve("labels.csv"),
+      "v,target,rid\nok,cat,r1\ntoolong,dog,r2\nxy,cat,r3\n")
+    // Pre-create the Derby table with a NARROWER column than the
+    // declared schema: drift-check compares names only, so r2's 7-char
+    // value passes validation (VARCHAR(50)) but fails the DB write
+    // (VARCHAR(2)) — landing in the failed-db channel.
+    val url = derbyUrl("e2einv")
+    val conn0 = DriverManager.getConnection(url)
+    conn0.createStatement().executeUpdate(
+      JdbcUpsert.GenericDialect.createTableSql("tab_inv",
+        Seq("v" -> graft.core.SqlType.Varchar(2))))
+    conn0.close()
+    val cfg = ResolvedConfig(
+      category = TaskCategory.TabularClassification,
+      tableName = "tab_inv", intent = "train", dataFormat = "csv",
+      sourcePath = csv.toString,
+      schema = Seq("v" -> "VARCHAR(50)", "target" -> "VARCHAR(10)",
+        "rid" -> "VARCHAR(10)"),
+      labelColumn = Some("target"), uniqueIdColumn = Some("rid"))
+    val api = new LocalApiClient
+    val jdbc = JdbcUpsert.Config(url, "tab_inv", JdbcUpsert.GenericDialect)
+    val result = new Ingestor(spark, cfg, api, Some(jdbc),
+      lockDir = tmpDir("locks").toString).ingest("run-inv")
+
+    assert(result.errors.isEmpty, result.errors.mkString("; "))
+    assert(result.exitCode == 1) // failures present, run not aborted
+    assert(result.summary.failedDb.value == 1)
+    assert(result.summary.inserted.value == 2)
+    assert(result.summary.apiSent.value == 2)
+    val sentIds = {
+      val b = scala.collection.mutable.Set[String]()
+      api.batches.forEach { case (_, recs) => recs.foreach(b += _.dataId) }
+      b.toSet
+    }
+    assert(sentIds == Set("r1", "r3")) // r2 failed the upsert → never registered
+  }
+
+  test("API batch-send failure aborts the run fail-loud with exit 2") {
+    val dir = tmpDir("e2e_apifail")
+    val csv = write(dir.resolve("labels.csv"),
+      "f0,target,rid\n1.0,a,r1\n2.0,b,r2\n")
+    val cfg = ResolvedConfig(
+      category = TaskCategory.TabularClassification,
+      tableName = "tab_apifail", intent = "train", dataFormat = "csv",
+      sourcePath = csv.toString,
+      schema = Seq("f0" -> "FLOAT", "target" -> "VARCHAR(10)", "rid" -> "VARCHAR(10)"),
+      labelColumn = Some("target"), uniqueIdColumn = Some("rid"))
+    val result = new Ingestor(spark, cfg, new FailingBatchApiClient, None,
+      lockDir = tmpDir("locks").toString).ingest("run-apifail")
+    assert(result.exitCode == 2)
+    assert(result.errors.exists(_.contains("API batch send failed")))
+    assert(result.errors.exists(_.contains("backend rejected the batch")))
   }
 
   test("table lock blocks concurrent ingest into the same table") {
