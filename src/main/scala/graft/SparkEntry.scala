@@ -28,7 +28,7 @@ object SparkEntry {
       PipelineQueries.queries, DedupQueries.queries,
       TextQueries.queries, AnnQueries.queries,
       MultimodalQueries.queries, SinkQueries.queries,
-      CurationQueries.queries)
+      CurationQueries.queries, IngestGateQueries.queries)
     val merged = modules.reduce(_ ++ _)
     // A name collision across modules would make ++ silently DROP the
     // earlier gate query from Verify/Bench/Explain — fail loud instead.
@@ -52,5 +52,6 @@ object SparkEntry {
       AnnQueries.oracle ++
       MultimodalQueries.oracle ++
       SinkQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++
+      IngestGateQueries.oracle
 }

@@ -1,0 +1,208 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ResolvedConfig, SqlType, TaskCategory}
+import graft.engine.read.{CsvReader, JsonReader, StrictCast}
+import graft.engine.transform.TransformPipeline
+
+/** S1/S5 gate queries that drive the REAL ingest read path — the code
+  * the engine exists for (`ingestors/csv_ingestor.py:282-454`,
+  * `json_ingestor.py:19-56`, `base.py:328-412`) — against DuckDB's own
+  * CSV/JSON readers on the same file. Every other gate query reads the
+  * parquet testdata; these two put `CsvReader.open` + `JsonReader.open`
+  * + `TransformPipeline` + `StrictCast` under the driver's hash check.
+  *
+  * Each query materializes a small deterministic adversarial file at a
+  * FIXED path (the oracle SQL must name the same path) at
+  * DataFrame-construction time — an eager, idempotent side effect like
+  * k1's Derby run. The corpus mirrors the reference's adversarial
+  * harness (`tests/test_adversarial_ingestion_harness.py:15-28`):
+  * leading-zero codes, the 4-way null vocabulary, float-rendered and
+  * scientific-notation ints, textual booleans, quoted
+  * delimiters/escaped quotes, padded whitespace, and a blank data_id
+  * row that P4 must drop.
+  */
+object IngestGateQueries {
+
+  private val csvPath = "/tmp/graft_gate_s1.csv"
+  private val jsonPath = "/tmp/graft_gate_s5.json"
+
+  private val csvContent =
+    """code,qty,price,flag,target,note,rid
+      |007,1,1.50,true,cat,hello,r01
+      |042,2.0,2.25,no,dog," a, quoted ",r02
+      |ABC,3e2,0.75,1.0,cat,NA,r03
+      | 008 ,4,10.00,0,dog,NULL,r04
+      |X9,5,3.50,yes,,None,r05
+      |00,6,2.00,f,cat,"  padded  ",r06
+      |7,7.0,1.25,y, dog ,plain,r07
+      |Q,8,0.50,FALSE,cat,"quote""d",r08
+      |z1,9,9.99,t,dog,,r09
+      |dropme,10,5.00,true,cat,gone,
+      |""".stripMargin
+
+  // Array-form JSON (the reference's primary shape); all values are
+  // strings — the no-inference rule reads raw tokens either way. j02
+  // (junk int) and j03 (junk float) must be SKIPPED by the JSON
+  // disposition, never fatal (`json_ingestor.py:367-388`).
+  private val jsonContent =
+    """[{"sku": "A1", "qty": "10", "price": "1.5", "ok": "yes", "rid": "j01"},
+      | {"sku": "B2", "qty": "junk", "price": "2.5", "ok": "no", "rid": "j02"},
+      | {"sku": "C3", "qty": "30", "price": "bad", "ok": "true", "rid": "j03"},
+      | {"sku": "D4", "qty": "4.0", "price": "4.25", "ok": "0", "rid": "j04"},
+      | {"sku": "E5", "qty": "5e1", "price": "0.5", "ok": "1.0", "rid": "j05"},
+      | {"sku": null, "qty": "6", "price": "6.5", "ok": "f", "rid": "j06"}]
+      |""".stripMargin
+
+  private def writeFixture(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Feature schema = declared schema minus the label/uid columns —
+    * exactly `Ingestor.ingestLocked`'s projection.
+    */
+  private def featureSchema(cfg: ResolvedConfig): Seq[(String, SqlType)] =
+    SqlType.parseSchema(cfg.schema) match {
+      case Right(p) => p.filterNot { case (c, _) =>
+        Set(cfg.labelColumn, cfg.uniqueIdColumn).flatten.contains(c)
+      }
+      case Left(errs) => throw new IllegalStateException(errs.mkString("; "))
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- S1: the full CSV path — preflights (UTF-8, dup-header, ragged)
+    //    → single-parse scan → P1–P7 transform → strict-cast validation
+    //    → typed frame. One row (blank rid) is dropped by P4. ----------
+    "s1_csv_ingest" -> { (s, _) =>
+      writeFixture(csvPath, csvContent)
+      val cfg = ResolvedConfig(
+        category = TaskCategory.TabularClassification,
+        tableName = "s1_gate", intent = "train", dataFormat = "csv",
+        sourcePath = csvPath,
+        schema = Seq("code" -> "VARCHAR(10)", "qty" -> "INT",
+          "price" -> "FLOAT", "flag" -> "BOOLEAN", "target" -> "VARCHAR(20)",
+          "note" -> "VARCHAR(50)", "rid" -> "VARCHAR(10)"),
+        labelColumn = Some("target"), uniqueIdColumn = Some("rid"))
+      val manifest = CsvReader.open(s, csvPath, cfg.csvOptions) match {
+        case Right(df) => df
+        case Left(errs) => throw new IllegalStateException(errs.mkString("; "))
+      }
+      // open() already materialized its cache during preflight; the
+      // fixture is tiny, so release it rather than strand a cache entry
+      // across the 60-query Verify/Bench/Explain session.
+      manifest.unpersist()
+      val transformed = TransformPipeline(manifest, cfg, "run-s1")
+      val typed = StrictCast(transformed, featureSchema(cfg)) match {
+        case Right(df) => df
+        case Left(report) =>
+          throw new IllegalStateException(report.errors.mkString("; "))
+      }
+      typed.select(col("data_id"), col("label"), col("code"),
+        col("qty").cast("long").as("qty"), col("price"), col("flag"),
+        col("note"))
+        .orderBy("data_id")
+    },
+
+    // -- S5: the JSON path — shape peek → no-inference scan → transform
+    //    → per-record skip disposition (validRowFilter) → typed frame.
+    //    j02/j03 carry junk typed values and must be absent. -----------
+    "s5_json_ingest" -> { (s, _) =>
+      writeFixture(jsonPath, jsonContent)
+      val cfg = ResolvedConfig(
+        category = TaskCategory.TabularClassification,
+        tableName = "s5_gate", intent = "train", dataFormat = "json",
+        sourcePath = jsonPath,
+        schema = Seq("sku" -> "VARCHAR(10)", "qty" -> "INT",
+          "price" -> "FLOAT", "ok" -> "BOOLEAN", "rid" -> "VARCHAR(10)"),
+        uniqueIdColumn = Some("rid"))
+      val columns = cfg.schema.map(_._1)
+      val manifest = JsonReader.open(s, jsonPath, columns) match {
+        case Right(df) => df
+        case Left(errs) => throw new IllegalStateException(errs.mkString("; "))
+      }
+      val transformed = TransformPipeline(manifest, cfg, "run-s5")
+      val schema = featureSchema(cfg)
+      val survivors = transformed.filter(StrictCast.validRowFilter(schema))
+      StrictCast.cast(survivors, schema)
+        .select(col("data_id"), col("sku"),
+          col("qty").cast("long").as("qty"), col("price"), col("ok"))
+        .orderBy("data_id")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "s1_csv_ingest" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$csvPath', header=true, all_varchar=true,
+         |                         delim=',', quote='"', escape='"')
+         |), norm AS (
+         |  SELECT trim(rid) AS data_id,
+         |    CASE WHEN target IS NULL OR trim(target) = '' THEN NULL
+         |         ELSE trim(target) END AS label,
+         |    CASE WHEN code IS NULL OR trim(code) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(code) END AS code,
+         |    CASE WHEN qty IS NULL OR trim(qty) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(qty) END AS qty,
+         |    CASE WHEN price IS NULL OR trim(price) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(price) END AS price,
+         |    CASE WHEN flag IS NULL OR trim(flag) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(flag) END AS flag,
+         |    CASE WHEN note IS NULL OR trim(note) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(note) END AS note
+         |  FROM raw
+         |)
+         |SELECT data_id, label, code,
+         |  COALESCE(TRY_CAST(qty AS BIGINT),
+         |    CASE WHEN TRY_CAST(qty AS DOUBLE) = floor(TRY_CAST(qty AS DOUBLE))
+         |         THEN TRY_CAST(qty AS DOUBLE)::BIGINT END) AS qty,
+         |  TRY_CAST(price AS DOUBLE) AS price,
+         |  CASE WHEN lower(flag) IN ('true', 'yes', 't', 'y', '1') THEN true
+         |       WHEN lower(flag) IN ('false', 'no', 'f', 'n', '0') THEN false
+         |       WHEN TRY_CAST(flag AS DOUBLE) = 1.0 THEN true
+         |       WHEN TRY_CAST(flag AS DOUBLE) = 0.0 THEN false END AS flag,
+         |  note
+         |FROM norm
+         |WHERE data_id IS NOT NULL AND data_id != ''
+         |ORDER BY data_id""".stripMargin,
+    "s5_json_ingest" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json('$jsonPath', format='array',
+         |    columns={sku: 'VARCHAR', qty: 'VARCHAR', price: 'VARCHAR',
+         |             ok: 'VARCHAR', rid: 'VARCHAR'})
+         |), norm AS (
+         |  SELECT trim(rid) AS data_id,
+         |    CASE WHEN sku IS NULL OR trim(sku) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(sku) END AS sku,
+         |    CASE WHEN qty IS NULL OR trim(qty) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(qty) END AS qty,
+         |    CASE WHEN price IS NULL OR trim(price) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(price) END AS price,
+         |    CASE WHEN ok IS NULL OR trim(ok) IN ('', 'NA', 'NULL', 'None')
+         |         THEN NULL ELSE trim(ok) END AS ok
+         |  FROM raw
+         |), typed AS (
+         |  SELECT data_id, sku,
+         |    COALESCE(TRY_CAST(qty AS BIGINT),
+         |      CASE WHEN TRY_CAST(qty AS DOUBLE) = floor(TRY_CAST(qty AS DOUBLE))
+         |           THEN TRY_CAST(qty AS DOUBLE)::BIGINT END) AS qty_t,
+         |    TRY_CAST(price AS DOUBLE) AS price_t,
+         |    CASE WHEN lower(ok) IN ('true', 'yes', 't', 'y', '1') THEN true
+         |         WHEN lower(ok) IN ('false', 'no', 'f', 'n', '0') THEN false
+         |         WHEN TRY_CAST(ok AS DOUBLE) = 1.0 THEN true
+         |         WHEN TRY_CAST(ok AS DOUBLE) = 0.0 THEN false END AS ok_t,
+         |    qty IS NOT NULL AND qty_t IS NULL AS bad_qty,
+         |    price IS NOT NULL AND price_t IS NULL AS bad_price,
+         |    ok IS NOT NULL AND ok_t IS NULL AS bad_ok
+         |  FROM norm
+         |)
+         |SELECT data_id, sku, qty_t AS qty, price_t AS price, ok_t AS ok
+         |FROM typed
+         |WHERE data_id IS NOT NULL AND data_id != ''
+         |  AND NOT bad_qty AND NOT bad_price AND NOT bad_ok
+         |ORDER BY data_id""".stripMargin)
+}
