@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => F}
@@ -30,12 +29,19 @@ object Dedup {
 
   /** Keep one row per distinct value of `cols` (the smallest `idCol`
     * wins — deterministic, unlike dropDuplicates' arbitrary winner).
+    *
+    * Shaped as `min_by(struct(*), idCol)` — a hash aggregate that
+    * partial-aggregates map-side, so each mapper ships one candidate
+    * row per local key instead of the full shuffle + per-partition sort
+    * a `row_number` window would cost.
     */
   def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
-    val w = Window.partitionBy(cols.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val keep = df.columns.filterNot(cols.contains)
+    if (keep.isEmpty) df.distinct()
+    else df.groupBy(cols.map(col): _*)
+      .agg(min_by(struct(keep.map(col).toSeq: _*), col(idCol)).as("__keeper"))
+      .select(cols.map(col) ++ keep.map(c => col(s"__keeper.$c")): _*)
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   /** Group-size statistics for exact duplicates of `textCol`. */
@@ -198,21 +204,97 @@ object Dedup {
     } finally sets.unpersist()
   }
 
-  /** Remove near-duplicates, keeping each group's smallest id (greedy:
-    * a row is dropped iff it has a verified neighbor with a smaller
-    * id — one LSH pass, no iterative connected components).
+  /** Duplicate-group labels by transitive closure over a verified pair
+    * frame `(idA, idB)`: every id that appears in a pair is labeled
+    * with the global MINIMUM id reachable through the pair graph —
+    * iterative min-label propagation, each round one equi-join + a
+    * map-side-partial `min` aggregate, persisted and convergence-
+    * checked. Returns a PERSISTED `(id, comp)` frame (ids from pairs
+    * only — singletons have no group); callers `unpersist()` it.
+    *
+    * Rounds needed = graph diameter. Near-duplicate clusters are
+    * near-cliques (diameter 2–3 in practice) so this converges in a
+    * handful of rounds; `maxIters` bounds adversarial chain graphs,
+    * and hitting it raises rather than returning half-merged groups.
+    * Shuffle per round is keyed on id — the same partitioning every
+    * round, so AQE coalesces and no round re-keys. Each round is
+    * `localCheckpoint`ed (eager): without truncation the plan embeds
+    * TWO copies of the previous round's plan (once in the carry-over
+    * union arm, once under the join) and grows 2^rounds — the
+    * mandatory pattern for any iterative DataFrame algorithm. The
+    * returned `(id, comp)` frame is checkpoint-backed and stable; no
+    * unpersist needed (the backing RDD frees on GC).
+    */
+  def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val viaNeighbor = edges
+          .join(labels.select(col("id").as("src"), col("comp")), "src")
+          .select(col("dst").as("id"), col("comp"))
+        val next = labels.unionByName(viaNeighbor)
+          .groupBy("id").agg(min("comp").as("comp"))
+          .localCheckpoint(true)
+        val changed = next
+          .join(labels.select(col("id"), col("comp").as("__prev")), "id")
+          .filter(col("comp") =!= col("__prev"))
+          .limit(1).count() // existence probe, not a full count
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicateGroups did not converge in $maxIters rounds — " +
+            "pathological chain graph; raise maxIters")
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** Remove near-duplicates, keeping each group's smallest id.
+    *
+    * Greedy (default): a row is dropped iff it has a verified neighbor
+    * with a smaller id — one LSH pass, no iteration. A node whose
+    * neighbors are all LARGER survives even when its transitive
+    * cluster contains a smaller id (a~c, b~c with a<b<c keeps both a
+    * AND b).
+    *
+    * `transitive = true`: clusters are the connected components of the
+    * verified pair graph ([[duplicateGroups]]); exactly the global-min
+    * id of each cluster survives — the standard curation-pipeline
+    * semantics, worth the extra O(diameter) rounds.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8,
-                         maxBucket: Int = 10000): DataFrame = {
+                         maxBucket: Int = 10000,
+                         transitive: Boolean = false): DataFrame = {
     val verified = nearDuplicates(df, idCol, textCol, threshold,
       maxBucket = maxBucket)
     // Materialize the (id-only, tiny) loser set so the large verified
     // pair cache can be released immediately — otherwise the persisted
     // frame returned by nearDuplicates leaks with no caller-reachable
     // handle. The losers frame stays persisted for the returned join.
-    val losers = verified.select(col("id_b").as(idCol)).distinct().persist()
-    losers.count()
+    val losers = (
+      if (transitive) {
+        val groups = duplicateGroups(verified)
+        val l = groups.filter(col("id") =!= col("comp"))
+          .select(col("id").as(idCol)).persist()
+        l.count()
+        groups.unpersist()
+        l
+      } else {
+        val l = verified.select(col("id_b").as(idCol)).distinct().persist()
+        l.count()
+        l
+      })
     verified.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }

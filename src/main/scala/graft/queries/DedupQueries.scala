@@ -160,6 +160,26 @@ object DedupQueries {
         max("doc_id").as("max_id"))
     },
 
+    // -- connected-components duplicate grouping: min-label propagation
+    //    over the verified pair graph — every cluster labeled with its
+    //    GLOBAL min id (transitive closure), unlike d7's greedy rule.
+    //    Output pins full cluster membership per component. The tiny
+    //    (id, comp) frame is localCheckpoint-backed (stable for the
+    //    deferred aggregate; its RDD frees on GC). ---------------------
+    "d8_dup_groups" -> { (s, d) =>
+      val verified = graft.ops.Dedup.nearDuplicates(corpusNear(s, d),
+        "doc_id", "text", threshold = 0.8, numHashes = 64, bands = 32,
+        shingle = 3)
+      val groups = graft.ops.Dedup.duplicateGroups(verified)
+      verified.unpersist()
+      groups.groupBy("comp")
+        .agg(count(lit(1)).as("n_members"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("id"))),
+              _.cast("string"))).as("members"))
+        .orderBy("comp")
+    },
+
     "d6_embedding_neardup" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val corpus = emb.unionByName(
@@ -236,6 +256,37 @@ object DedupQueries {
          |  sum(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END)::BIGINT AS n_kept_copies,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    // Transitive closure over the same full-scan pair set via a
+    // recursive reachability CTE; comp = min reachable id (incl. self).
+    "d8_dup_groups" ->
+      s"""WITH RECURSIVE corpus AS ($corpusNearSql),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+         |      ELSE list_transform(range(1, len(toks)-1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+         |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks FROM corpus)
+         |),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   AND len(a.sh) >= 0.8 * len(b.sh) AND len(b.sh) >= 0.8 * len(a.sh)
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |),
+         |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+         |SELECT comp, count(*) AS n_members,
+         |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+         |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
     "d4b_simhash_clone_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000

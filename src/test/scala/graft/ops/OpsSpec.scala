@@ -22,6 +22,39 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.filter(col("id") === 1).count() == 1)
   }
 
+  test("exact plans as a partial aggregate, not a window sort") {
+    val out = Dedup.exact(corpus, Seq("text"), "id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"exact must not plan a window:\n$plan")
+    assert(plan.toLowerCase.contains("min_by"), s"expected min_by aggregate:\n$plan")
+    assert(out.columns.toSeq == corpus.columns.toSeq) // schema preserved
+  }
+
+  test("duplicateGroups labels transitive components with the global min id") {
+    val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+    val m = groups.as[(Long, Long)].collect().toMap
+    groups.unpersist()
+    // 1-3 and 2-3 chain into one component labeled 1 even though 1 and
+    // 2 share no direct pair; 10-11 is its own component.
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateGroups converges on a long chain (diameter >> 1)") {
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+    val labels = groups.as[(Long, Long)].collect().toMap
+    groups.unpersist()
+    assert(labels.size == 20 && labels.values.toSet == Set(1L))
+  }
+
+  test("dropNearDuplicates transitive keeps exactly the component minimum") {
+    val kept = Dedup.dropNearDuplicates(corpus, "id", "text",
+      threshold = 0.5, transitive = true)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L)) // component {1,2,3} keeps only 1
+  }
+
   test("nearDuplicates finds exact and truncation pairs, nothing else") {
     val pairs = Dedup.nearDuplicates(corpus, "id", "text",
       threshold = 0.5, shingle = 2)
