@@ -123,6 +123,55 @@ object Similarity {
         col("__best.cent_id").as("bucket"))
   }
 
+  /** Fixed-iteration Lloyd's k-means over the embedding column,
+    * producing the `(cent_id, cent_emb)` frame [[ivfTopK]] wants — no
+    * more hand-fed centroids.
+    *
+    * Deterministic by construction (oracle-checkable):
+    *  - init: every `step`-th vector by id (`id % step == 0`), centroid
+    *    id = source vector id;
+    *  - each iteration: cosine assignment ([[ivfAssign]] — broadcast
+    *    centroids, map-side `max_by` argmax) then per-dimension mean via
+    *    `posexplode` → (bucket, pos) partial-aggregated avg → re-
+    *    assembled ordered array. All DataFrame aggregation — no driver
+    *    loops over data, no RDD collects;
+    *  - new coordinates are rounded through FLOAT: double-precision sums
+    *    differ in the last ulp across partition orders, and the
+    *    float32 round-trip absorbs that, keeping runs (and the SQL
+    *    oracle) bit-identical;
+    *  - empty clusters drop out (standard Lloyd's degeneracy; with
+    *    every-Nth init each centroid starts with at least its own
+    *    source vector).
+    *
+    * Iterations are `localCheckpoint`ed — same plan-growth rule as
+    * `Dedup.duplicateGroups`. Cost per iteration = one corpus scan ×
+    * |C| (broadcast) + one shuffle keyed (bucket, pos); |C| · dim
+    * values move in the final reassembly. At 100 TB: train on a
+    * sampled corpus (`df.sample`) and assign the full corpus once with
+    * the result — Lloyd's converges on a sample; nothing requires the
+    * full pass per iteration.
+    */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+             step: Long, iters: Int): DataFrame = {
+    var cents = corpus.filter(col(idCol) % step === 0)
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_emb"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      cents = assigned
+        .select(col("bucket").as("cent_id"),
+          posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("cent_id", "__pos")
+        .agg(avg(col("__v").cast("double")).as("__m"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m").cast("float")).as("cent_emb"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** IVF top-k: search only the `nprobe` buckets nearest each query.
     * `(q_id, rank, neighbor_id)` — approximate (recall < 1 when a true
     * neighbor lives in an unprobed bucket).

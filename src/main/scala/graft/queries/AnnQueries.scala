@@ -42,6 +42,22 @@ object AnnQueries {
         .ivfTopK(emb, emb.filter(col("vec_id") < 8), centroids,
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy("q_id", "rank")
+    },
+
+    // -- IVF with TRAINED centroids: two fixed Lloyd's iterations from
+    //    the every-50th init, then the same probe/search as ann_ivf.
+    //    Training runs eagerly at construction (localCheckpoint per
+    //    round, like k1's Derby pass); the oracle unrolls the identical
+    //    two iterations in SQL — float32 coordinate round-trips on both
+    //    sides keep the arithmetic bit-comparable. --------------------
+    "ann_kmeans_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val trained = graft.ops.Similarity.kmeans(emb, "vec_id", "embedding",
+        step = 50, iters = 2)
+      graft.ops.Similarity
+        .ivfTopK(emb, emb.filter(col("vec_id") < 8), trained,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")
     })
 
   def oracle: Map[String, String] = Map(
@@ -72,6 +88,73 @@ object AnnQueries {
         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cent_emb::DOUBLE[]) DESC,
         |                 c.cent_id) AS prank
         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8
+        |  ) WHERE prank <= 2
+        |)
+        |SELECT q_id, rank, neighbor_id FROM (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], p.q_emb::DOUBLE[]) DESC,
+        |               a.vec_id) AS rank
+        |  FROM assigned a JOIN probes p ON a.bucket = p.bucket AND a.vec_id != p.q_id
+        |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // Two Lloyd's iterations unrolled. Parallel unnest(range(len)) +
+    // unnest(list) zip positionally; list(m ORDER BY pos) reassembles;
+    // the FLOAT round-trip mirrors the engine's float32 centroids.
+    "ann_kmeans_ivf" ->
+      """WITH cent0 AS (
+        |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_emb
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), a0 AS (
+        |  SELECT vec_id, embedding, cent_id AS bucket FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_emb) DESC,
+        |                 c.cent_id) AS arank
+        |    FROM embeddings e CROSS JOIN cent0 c
+        |  ) WHERE arank = 1
+        |), e0 AS (
+        |  SELECT bucket, unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM a0
+        |), cent1 AS (
+        |  SELECT bucket AS cent_id,
+        |    list_transform(list(m ORDER BY pos),
+        |                   x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cent_emb
+        |  FROM (SELECT bucket, pos, avg(v) AS m FROM e0 GROUP BY bucket, pos)
+        |  GROUP BY bucket
+        |), a1 AS (
+        |  SELECT vec_id, embedding, cent_id AS bucket FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_emb) DESC,
+        |                 c.cent_id) AS arank
+        |    FROM embeddings e CROSS JOIN cent1 c
+        |  ) WHERE arank = 1
+        |), e1 AS (
+        |  SELECT bucket, unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM a1
+        |), cent2 AS (
+        |  SELECT bucket AS cent_id,
+        |    list_transform(list(m ORDER BY pos),
+        |                   x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cent_emb
+        |  FROM (SELECT bucket, pos, avg(v) AS m FROM e1 GROUP BY bucket, pos)
+        |  GROUP BY bucket
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS bucket FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_emb) DESC,
+        |                 c.cent_id) AS arank
+        |    FROM embeddings e CROSS JOIN cent2 c
+        |  ) WHERE arank = 1
+        |), probes AS (
+        |  SELECT q_id, q_emb, cent_id AS bucket FROM (
+        |    SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cent_emb) DESC,
+        |                 c.cent_id) AS prank
+        |    FROM embeddings q CROSS JOIN cent2 c WHERE q.vec_id < 8
         |  ) WHERE prank <= 2
         |)
         |SELECT q_id, rank, neighbor_id FROM (

@@ -28,7 +28,11 @@ object Explain {
     "ann_ivf_topk" -> Map("BroadcastNestedLoopJoin" ->
       ("crossJoin(broadcast(centroids)) IS the IVF assignment: every " +
         "vector scores against the small broadcast centroid set — " +
-        "compute-bound, zero shuffle, |C| bounded")))
+        "compute-bound, zero shuffle, |C| bounded")),
+    "ann_kmeans_ivf" -> Map("BroadcastNestedLoopJoin" ->
+      ("same IVF-assignment crossJoin(broadcast) as ann_ivf_topk, over " +
+        "the k-means-trained centroid set (training iterations are " +
+        "checkpoint-materialized and not part of this plan)")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

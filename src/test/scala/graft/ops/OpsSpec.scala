@@ -175,6 +175,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ivf == brute) // query's own bucket contains all true neighbors
   }
 
+  test("kmeans: every-Nth init, fixed iterations converge to cluster means") {
+    // step=4 picks ids 4 and 12 — one init centroid per true cluster.
+    val cents = Similarity.kmeans(vecs, "id", "vec", step = 4, iters = 2)
+    val m = cents.as[(Long, Array[Float])].collect().toMap
+    assert(m.keySet == Set(4L, 12L))
+    assert(m(4L).length == 2)
+    // cluster A mean = (1.0, 0.075); cluster B mean = (0.075, 1.0)
+    assert(math.abs(m(4L)(0) - 1.0f) < 1e-3 && math.abs(m(4L)(1) - 0.075f) < 1e-3)
+    assert(math.abs(m(12L)(0) - 0.075f) < 1e-3 && math.abs(m(12L)(1) - 1.0f) < 1e-3)
+    val buckets = Similarity.ivfAssign(vecs, cents, "id", "vec")
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(buckets(_) == 4L))
+    assert((11L to 14L).forall(buckets(_) == 12L))
+  }
+
   test("IVF assignment buckets by nearest centroid") {
     val centroids = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
       .toDF("cent_id", "cent_emb")
