@@ -53,9 +53,19 @@ final class TableLock(lockDir: String, table: String,
               if (moved == staleRaw) {
                 Files.deleteIfExists(tomb); true
               } else {
-                // We grabbed a racer's fresh lock — put it back.
-                try Files.move(tomb, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                catch { case _: Exception => Files.deleteIfExists(tomb) }
+                // We grabbed a racer's fresh lock — restore it WITHOUT
+                // clobbering: an overwriting move would silently replace
+                // a THIRD holder's lock written in between (two owners
+                // again). CREATE_NEW only succeeds when the path is
+                // absent; if it isn't, leave the tombstone on disk — it
+                // is the only copy of the racer's live lock, and an
+                // orphaned tombstone file is harmless where a deleted
+                // live lock is not.
+                try {
+                  Files.write(path, moved.getBytes(StandardCharsets.UTF_8),
+                    StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+                  Files.deleteIfExists(tomb)
+                } catch { case _: Exception => () }
                 false
               }
             } catch { case _: Exception => false }

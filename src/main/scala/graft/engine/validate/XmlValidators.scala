@@ -89,12 +89,21 @@ object XmlValidators {
           res.errors.map(e => ("E", e)) ++ res.warnings.map(w => ("W", w))
         }
       }.toDF("kind", "msg")
-      // Cap each kind INDEPENDENTLY in ONE pass: a single sorted limit
-      // would let a flood of errors consume the whole fetch and silently
-      // drop every warning. The cap itself is reported, like
-      // BioLabelValidator.
-      val byKind: Map[String, List[String]] = issues.groupBy("kind")
-        .agg(slice(sort_array(collect_list(col("msg"))), 1, errorCap + 1).as("msgs"))
+      // Cap each kind INDEPENDENTLY: a single sorted limit would let a
+      // flood of errors consume the whole fetch and silently drop every
+      // warning. The cap is applied BEFORE the collect_list — a
+      // row_number window keeps at most cap+1 sorted messages per kind,
+      // so the aggregation buffer is bounded under exactly the
+      // error-flood scenario the cap exists for (the window itself is a
+      // spillable external sort, never an in-memory list). The cap
+      // itself is reported, like BioLabelValidator.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("kind").orderBy("msg")
+      val byKind: Map[String, List[String]] = issues
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= errorCap + 1)
+        .groupBy("kind")
+        .agg(sort_array(collect_list(col("msg"))).as("msgs"))
         .collect()
         .map(r => r.getString(0) -> r.getSeq[String](1).toList)
         .toMap

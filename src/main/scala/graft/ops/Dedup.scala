@@ -278,23 +278,20 @@ object Dedup {
                          transitive: Boolean = false): DataFrame = {
     val verified = nearDuplicates(df, idCol, textCol, threshold,
       maxBucket = maxBucket)
-    // Materialize the (id-only, tiny) loser set so the large verified
-    // pair cache can be released immediately — otherwise the persisted
-    // frame returned by nearDuplicates leaks with no caller-reachable
-    // handle. The losers frame stays persisted for the returned join.
+    // Snapshot the (id-only, tiny) loser set via an eager
+    // localCheckpoint so the large verified pair cache can be released
+    // immediately — otherwise the persisted frame returned by
+    // nearDuplicates leaks with no caller-reachable handle. Unlike a
+    // persist, the checkpoint leaves no CacheManager entry behind: its
+    // backing RDD frees on GC, so long-lived sessions (Verify/Bench
+    // run 60+ queries in one JVM) accumulate nothing.
     val losers = (
       if (transitive) {
         val groups = duplicateGroups(verified)
-        val l = groups.filter(col("id") =!= col("comp"))
-          .select(col("id").as(idCol)).persist()
-        l.count()
-        groups.unpersist()
-        l
-      } else {
-        val l = verified.select(col("id_b").as(idCol)).distinct().persist()
-        l.count()
-        l
-      })
+        groups.filter(col("id") =!= col("comp"))
+          .select(col("id").as(idCol)).localCheckpoint(true)
+      } else
+        verified.select(col("id_b").as(idCol)).distinct().localCheckpoint(true))
     verified.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -27,6 +27,19 @@ import graft.functions.{GraftFunctions => F}
   */
 object DedupQueries {
 
+  /** Snapshot a persisted+materialized ops result into an eager
+    * localCheckpoint and release its cache entry: the dedup ops return
+    * persisted frames for reuse, but a GATE query has no later hook to
+    * unpersist them, and Verify/Bench/Explain construct all 60+ queries
+    * in one session — without this every run strands a cache entry and
+    * leans on LRU eviction. The checkpoint's backing RDD frees on GC.
+    */
+  private def snapshot(df: DataFrame): DataFrame = {
+    val snap = df.localCheckpoint(true)
+    df.unpersist()
+    snap
+  }
+
   /** Base ∪ exact copies (doc_id%10==0 → +100000) ∪ case+whitespace
     * variants (doc_id%10==5 → +200000, upper-cased, doubled spaces).
     */
@@ -94,9 +107,9 @@ object DedupQueries {
     //    The banded frame is persisted: a self-join otherwise evaluates
     //    the minhash UDF once PER SIDE — the dominant cost. -----------
     "d3_minhash_lsh" -> { (s, d) =>
-      graft.ops.Dedup
+      snapshot(graft.ops.Dedup
         .nearDuplicates(corpusNear(s, d), "doc_id", "text",
-          threshold = 0.8, numHashes = 64, bands = 32, shingle = 3)
+          threshold = 0.8, numHashes = 64, bands = 32, shingle = 3))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     },
@@ -120,9 +133,9 @@ object DedupQueries {
       // (uncapped) scan, and a common 3-gram crossing the default cap
       // at a larger SF would silently diverge. The cap's behavior is
       // unit-tested separately; production callers keep the default.
-      graft.ops.Dedup
+      snapshot(graft.ops.Dedup
         .jaccardNearDuplicates(corpusNear(s, d), "doc_id", "text",
-          threshold = 0.8, shingle = 3, maxDocFreq = Int.MaxValue)
+          threshold = 0.8, shingle = 3, maxDocFreq = Int.MaxValue))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     },
@@ -185,8 +198,8 @@ object DedupQueries {
       val corpus = emb.unionByName(
         emb.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      graft.ops.Dedup
-        .embeddingNearDuplicates(corpus, "vec_id", "embedding", threshold = 0.99)
+      snapshot(graft.ops.Dedup
+        .embeddingNearDuplicates(corpus, "vec_id", "embedding", threshold = 0.99))
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
         .orderBy("id_a", "id_b")
     })

@@ -16,6 +16,13 @@ import graft.engine.sink.JdbcUpsert
   * parquet tables alone (reference `database.py:421-467` — keyed
   * upsert: insert, on key conflict update).
   *
+  * NOTE: the two upsert passes run EAGERLY at DataFrame-construction
+  * time (a sink has no lazy form), so any construction-only path — the
+  * Explain plan audit included — executes the real Derby side effects
+  * and then sees only the 1-row LocalTableScan of the result. That is
+  * acceptable for a local gate: the DB is in-memory, unique per
+  * invocation, and dropped in the finally below.
+  *
   * Two passes over overlapping keys: pass 1 inserts every customer with
   * key ≤ 200; pass 2 re-upserts the even keys with balance + 10. The
   * end state must hold ONE row per key (no duplicates) carrying the
