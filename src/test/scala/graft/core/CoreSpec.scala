@@ -61,6 +61,26 @@ class ConfigSpec extends AnyFunSuite {
       |label: target
       |""".stripMargin
 
+  test("every shipped examples/*.yaml resolves clean, one per category") {
+    val dir = java.nio.file.Paths.get("examples")
+    assert(java.nio.file.Files.isDirectory(dir), s"missing $dir")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".yaml")).toSeq.sortBy(_.toString)
+    assert(files.size == 11, s"expected 11 per-category examples, got $files")
+    val categories = files.map { f =>
+      val resolved = YamlConfig.load(f.toString)
+      assert(resolved.isRight,
+        s"$f did not resolve: ${resolved.left.getOrElse(Nil).mkString("; ")}")
+      val cfg = resolved.toOption.get
+      // the filename IS the category — keeps the worked examples honest
+      assert(f.getFileName.toString == s"${cfg.category}.yaml",
+        s"$f: file name must match its category '${cfg.category}'")
+      cfg.category
+    }
+    assert(categories.distinct.size == 11) // no category doubled up
+  }
+
   test("YAML parse + resolve happy path") {
     val r = YamlConfig.parse(yaml).flatMap(Conventions.resolve)
     assert(r.isRight)
