@@ -50,6 +50,12 @@ trait ApiClient extends Serializable {
   * to the same queues. On a real multi-JVM cluster this mock would
   * record per-executor — it is the local/test analogue of the
   * reference's `CLIENT_ENV=local` mode, never a production transport.
+  *
+  * Retention: the static store lives for the JVM (it cannot know when
+  * the last serialized copy dies), so a long-lived process creating
+  * many recorders should call [[discard]] when finished with one.
+  * Test-suite scale — dozens of instances, metadata-sized batches —
+  * is fine without it.
   */
 final class LocalApiClient extends ApiClient {
   private val recorderId: String = java.util.UUID.randomUUID().toString
@@ -81,6 +87,9 @@ final class LocalApiClient extends ApiClient {
     batches.forEach { case (_, b) => n += b.size }
     n
   }
+
+  /** Drop this recorder's static store (see class note on retention). */
+  def discard(): Unit = LocalApiClient.stores.remove(recorderId)
 }
 
 object LocalApiClient {

@@ -39,8 +39,10 @@ object Dedup {
     val keep = df.columns.filterNot(cols.contains)
     if (keep.isEmpty) df.distinct()
     else df.groupBy(cols.map(col): _*)
+      // getField, not col("__keeper.name"): a literal dot in a column
+      // name must stay a field name, never a nested path.
       .agg(min_by(struct(keep.map(col).toSeq: _*), col(idCol)).as("__keeper"))
-      .select(cols.map(col) ++ keep.map(c => col(s"__keeper.$c")): _*)
+      .select(cols.map(col) ++ keep.map(c => col("__keeper").getField(c).as(c)): _*)
       .select(df.columns.map(col).toSeq: _*)
   }
 
@@ -208,9 +210,10 @@ object Dedup {
     * frame `(idA, idB)`: every id that appears in a pair is labeled
     * with the global MINIMUM id reachable through the pair graph —
     * iterative min-label propagation, each round one equi-join + a
-    * map-side-partial `min` aggregate, persisted and convergence-
-    * checked. Returns a PERSISTED `(id, comp)` frame (ids from pairs
-    * only — singletons have no group); callers `unpersist()` it.
+    * map-side-partial `min` aggregate, convergence-checked. Returns a
+    * checkpoint-backed `(id, comp)` frame (ids from pairs only —
+    * singletons have no group); no unpersist contract, the backing RDD
+    * frees on GC.
     *
     * Rounds needed = graph diameter. Near-duplicate clusters are
     * near-cliques (diameter 2–3 in practice) so this converges in a
@@ -221,9 +224,14 @@ object Dedup {
     * `localCheckpoint`ed (eager): without truncation the plan embeds
     * TWO copies of the previous round's plan (once in the carry-over
     * union arm, once under the join) and grows 2^rounds — the
-    * mandatory pattern for any iterative DataFrame algorithm. The
-    * returned `(id, comp)` frame is checkpoint-backed and stable; no
-    * unpersist needed (the backing RDD frees on GC).
+    * mandatory pattern for any iterative DataFrame algorithm.
+    *
+    * Convergence probe: the self arm of the union is tagged, so the
+    * SAME per-id aggregate that computes the new label also carries the
+    * previous one (`min(when(self, comp))` — ids are unique, exactly
+    * one self row). Changed-ness is then a filter over the checkpointed
+    * result, not an equi-join of consecutive label frames (which would
+    * roughly double per-round shuffle cost at scale).
     */
   def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIters: Int = 50): DataFrame = {
@@ -239,15 +247,16 @@ object Dedup {
       while (!converged && iter < maxIters) {
         val viaNeighbor = edges
           .join(labels.select(col("id").as("src"), col("comp")), "src")
-          .select(col("dst").as("id"), col("comp"))
-        val next = labels.unionByName(viaNeighbor)
-          .groupBy("id").agg(min("comp").as("comp"))
+          .select(col("dst").as("id"), col("comp"), lit(false).as("__self"))
+        val next = labels.withColumn("__self", lit(true))
+          .unionByName(viaNeighbor)
+          .groupBy("id")
+          .agg(min("comp").as("comp"),
+            min(when(col("__self"), col("comp"))).as("__prev"))
           .localCheckpoint(true)
-        val changed = next
-          .join(labels.select(col("id"), col("comp").as("__prev")), "id")
-          .filter(col("comp") =!= col("__prev"))
-          .limit(1).count() // existence probe, not a full count
-        labels = next
+        val changed = next.filter(col("comp") =!= col("__prev"))
+          .limit(1).count() // existence probe over the checkpoint, no join
+        labels = next.select("id", "comp")
         converged = changed == 0
         iter += 1
       }

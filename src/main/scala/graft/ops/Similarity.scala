@@ -156,6 +156,11 @@ object Similarity {
     var cents = corpus.filter(col(idCol) % step === 0)
       .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_emb"))
       .localCheckpoint(true)
+    // Fail loud, not empty: an id space with no multiple of `step`
+    // would otherwise train zero centroids and make every downstream
+    // ivfTopK silently return no neighbors.
+    require(!cents.isEmpty,
+      s"kmeans init selected no centroids: no id in '$idCol' is a multiple of $step")
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(corpus, cents, idCol, vecCol)
       cents = assigned

@@ -70,7 +70,8 @@ object IngestGateQueries {
   private def featureSchema(cfg: ResolvedConfig): Seq[(String, SqlType)] =
     SqlType.parseSchema(cfg.schema) match {
       case Right(p) => p.filterNot { case (c, _) =>
-        Set(cfg.labelColumn, cfg.uniqueIdColumn).flatten.contains(c)
+        Set(cfg.labelColumn, cfg.annotationColumn, cfg.uniqueIdColumn)
+          .flatten.contains(c)
       }
       case Left(errs) => throw new IllegalStateException(errs.mkString("; "))
     }

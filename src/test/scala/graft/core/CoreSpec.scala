@@ -67,7 +67,8 @@ class ConfigSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val files = java.nio.file.Files.list(dir).iterator().asScala
       .filter(_.toString.endsWith(".yaml")).toSeq.sortBy(_.toString)
-    assert(files.size == 11, s"expected 11 per-category examples, got $files")
+    assert(files.size == TaskCategory.all.size,
+      s"expected one example per category (${TaskCategory.all.size}), got $files")
     val categories = files.map { f =>
       val resolved = YamlConfig.load(f.toString)
       assert(resolved.isRight,
@@ -78,7 +79,7 @@ class ConfigSpec extends AnyFunSuite {
         s"$f: file name must match its category '${cfg.category}'")
       cfg.category
     }
-    assert(categories.distinct.size == 11) // no category doubled up
+    assert(categories.sorted == TaskCategory.all.sorted) // every category, once
   }
 
   test("YAML parse + resolve happy path") {

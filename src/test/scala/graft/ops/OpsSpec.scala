@@ -34,7 +34,6 @@ class DedupOpsSpec extends SparkSpec {
     val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val groups = Dedup.duplicateGroups(pairs)
     val m = groups.as[(Long, Long)].collect().toMap
-    groups.unpersist()
     // 1-3 and 2-3 chain into one component labeled 1 even though 1 and
     // 2 share no direct pair; 10-11 is its own component.
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
@@ -44,7 +43,6 @@ class DedupOpsSpec extends SparkSpec {
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val groups = Dedup.duplicateGroups(pairs)
     val labels = groups.as[(Long, Long)].collect().toMap
-    groups.unpersist()
     assert(labels.size == 20 && labels.values.toSet == Set(1L))
   }
 
