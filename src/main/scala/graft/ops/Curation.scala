@@ -51,12 +51,15 @@ object Curation {
     * the sample stable under reordering and incremental growth — a row
     * only leaves the sample when a lower-hashed row arrives.
     *
-    * Scale note: one shuffle keyed on the stratum; within-stratum
-    * ranking is a window sort. Strata are typically few and balanced
-    * (language, source, quality band); for a degenerate single giant
-    * stratum pre-filter with an approximate hash threshold first (e.g.
-    * keep hash < k/N-quantile estimate) so the sort sees only
-    * near-winners.
+    * Scale shape: a LOSSLESS pre-prune bounds the within-stratum window
+    * sort. A 16-bit hash-prefix histogram per stratum (one aggregation
+    * with map-side partial combine; ≤ 65536 tiny rows per stratum)
+    * picks the smallest prefix whose cumulative count reaches k, and
+    * only rows at or below that prefix reach the sort — expected
+    * k + n/65536 rows per stratum instead of n, so a degenerate
+    * billion-row stratum sorts ~k + 15k rows, not 10^9. Losslessness:
+    * the true k lowest hashes all carry prefixes ≤ the crossing prefix
+    * by construction, and strata smaller than k keep every row.
     */
   def samplePerStratum(df: DataFrame, stratumCol: String, idCol: String,
                        k: Int): DataFrame = {
@@ -66,10 +69,30 @@ object Curation {
     // Spark's nulls-first ascending sort would let them claim sample
     // slots nondeterministically.
     val rank = "__graft_sample_rank"
-    require(!df.columns.contains(rank), s"input already has a '$rank' column")
+    val reserved = Seq(rank, "__graft_pfx", "__graft_s", "__graft_pmax")
+    reserved.foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
     val h = sha2(col(idCol).cast("string"), 256)
+    val base = df.filter(col(idCol).isNotNull)
+    val pfx = conv(substring(h, 1, 4), 16, 10).cast("int")
+    val cum = Window.partitionBy("__graft_s").orderBy("__graft_pfx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = base
+      .groupBy(col(stratumCol).as("__graft_s"), pfx.as("__graft_pfx"))
+      .agg(count(lit(1)).as("__graft_n"))
+      .withColumn("__graft_cum", sum("__graft_n").over(cum))
+      // keep prefixes whose PRECEDING cumulative count is still < k:
+      // the largest of these is the bucket where the k-th row lands
+      .filter(col("__graft_cum") - col("__graft_n") < k)
+      .groupBy("__graft_s").agg(max("__graft_pfx").as("__graft_pmax"))
+    val pruned = base
+      // null-safe match: a NULL stratum is a legitimate window
+      // partition and must survive the prune like any other
+      .join(thresholds, col(stratumCol) <=> col("__graft_s") &&
+        pfx <= col("__graft_pmax"))
+      .drop("__graft_s", "__graft_pmax")
     val w = Window.partitionBy(stratumCol).orderBy(h, col(idCol))
-    df.filter(col(idCol).isNotNull)
+    pruned
       .withColumn(rank, row_number().over(w))
       .filter(col(rank) <= k)
       .drop(rank)

@@ -64,6 +64,14 @@ class CurationSpec extends SparkSpec {
     assert(split(2).isEmpty && split(3).isEmpty) // null/blank → NULL split
   }
 
+  test("samplePerStratum keeps a NULL stratum as its own partition") {
+    val withNullStratum = Seq((1L, Some("a")), (2L, None), (3L, None),
+      (4L, Some("a"))).toDF("id", "g")
+    val s = Curation.samplePerStratum(withNullStratum, "g", "id", k = 1)
+    assert(s.count() == 2) // one winner for "a", one for the NULL stratum
+    assert(s.filter(col("g").isNull).count() == 1)
+  }
+
   test("contaminatedBy flags docs sharing probe n-grams, counts distinct shingle hits") {
     val corpus = Seq(
       (1L, "the secret benchmark answer is forty two exactly"),
