@@ -49,6 +49,27 @@ class HttpApiClientSpec extends AnyFunSuite {
       sleep = sleeps.append(_))
   }
 
+  test("client survives a Java serialization round-trip (executor shipping)") {
+    // The metadata send runs in foreachPartition tasks, so the client
+    // rides the task closure: a non-serializable capture (the lazy
+    // HttpClient must stay @transient) would only surface at runtime
+    // on the cluster. CLI-style config: env-reading lambdas, default
+    // Thread.sleep.
+    withServer((_, _, _) => (200, "{}")) { (url, _) =>
+      val original = new HttpApiClient(HttpApiClient.Config(
+        endpoint = url,
+        tokenProvider = () => sys.env.getOrElse("GRAFT_BACKEND_TOKEN", "t0"),
+        ingestorId = "ing-ser"))
+      val bos = new java.io.ByteArrayOutputStream()
+      new java.io.ObjectOutputStream(bos).writeObject(original)
+      val copy = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[HttpApiClient]
+      assert(copy.sendBatch("t", Seq(MetaRecord("d1", "train", "l", false, "ing-ser")))
+        == Right(1))
+    }
+  }
+
   test("5xx retried with exponential backoff until success") {
     val n = new AtomicInteger(0)
     val sleeps = scala.collection.mutable.Buffer.empty[Long]
