@@ -86,6 +86,17 @@ object DedupQueries {
       graft.ops.Dedup.exactStats(corpusExact(s, d), "text", "doc_id")
     },
 
+    // -- the user-facing keeper API: exact() keeps the min-id row per
+    //    content group (min_by aggregate — the plan spec lives in
+    //    OpsSpec; this pins the VALUES under the driver hash) ----------
+    "d1b_exact_keeper" -> { (s, d) =>
+      graft.ops.Dedup.exact(corpusExact(s, d), Seq("text"), "doc_id")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum("doc_id").as("sum_kept_ids"),
+          max("doc_id").as("max_kept_id"))
+    },
+
     // -- normalized-fingerprint dedup (case/whitespace-insensitive):
     //    64-bit rolling hash of lower+collapsed text -------------------
     "d2_fingerprint_dedup" -> { (s, d) =>
@@ -230,6 +241,12 @@ object DedupQueries {
          | sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
          | min(keeper) AS min_keeper
          |FROM (SELECT text, count(*) AS n, min(doc_id) AS keeper FROM (
+         |  $corpusExactSql
+         |) GROUP BY text)""".stripMargin,
+    "d1b_exact_keeper" ->
+      s"""SELECT count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_kept_ids,
+         | max(doc_id) AS max_kept_id
+         |FROM (SELECT min(doc_id) AS doc_id FROM (
          |  $corpusExactSql
          |) GROUP BY text)""".stripMargin,
     "d2_fingerprint_dedup" ->
