@@ -90,7 +90,11 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       }
     val manifest = manifestOrErr match {
       case Left(errs) => return RunResult(summary, errs, Nil)
-      case Right(df) => df.cache()
+      // CsvReader.open returns an ALREADY-persisted frame (the clean
+      // projection re-persisted from its parse-time cache); calling
+      // cache() again would only log a CacheManager warning. The JSON
+      // reader returns a raw scan, so that path persists here.
+      case Right(df) => if (config.dataFormat == "json") df.cache() else df
     }
     var cachedTyped: Option[DataFrame] = None
     var cachedVerdicts: Option[DataFrame] = None
@@ -123,11 +127,17 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
         }
         case Left(errs) => return RunResult(summary, errs, validation.warnings)
       }
-      // Persisted: the pipeline runs several actions (counts, copy
-      // verdicts, JDBC write, API collect) and data_id may be uuid() —
-      // without a cache each action would regenerate DIFFERENT ids,
-      // breaking the upsert-key ↔ API-metadata contract.
-      val typed = (
+      // Persistence of the TYPED frame is strategy-dependent. The
+      // pipeline runs several actions (counts, copy verdicts, JDBC
+      // write, API send); with uuid() data_ids an uncached re-execution
+      // would regenerate DIFFERENT ids per action, breaking the
+      // upsert-key ↔ API-metadata contract — so uuid runs MUST pin the
+      // frame. Column-derived data_ids make every stage deterministic,
+      // and re-deriving the typed projection from the (already cached)
+      // manifest is cheap codegen work — pinning a second full-table
+      // copy at the 100 TB design point would double the cache
+      // footprint for nothing.
+      val typedBase =
         if (config.dataFormat == "json") {
           // JSON disposition: bad record = skip with warning, not fatal
           val ok = transformed.filter(StrictCast.validRowFilter(parsedSchema))
@@ -135,8 +145,12 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
           summary.skipped.add(skipped)
           StrictCast.cast(ok, parsedSchema)
         } else StrictCast.cast(transformed, parsedSchema)
-      ).persist()
-      cachedTyped = Some(typed)
+      val typed =
+        if (config.uniqueIdColumn.isEmpty) {
+          val pinned = typedBase.persist()
+          cachedTyped = Some(pinned)
+          pinned
+        } else typedBase
 
       val processedCount = typed.count()
       summary.processed.add(processedCount)
