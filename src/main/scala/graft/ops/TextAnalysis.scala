@@ -60,6 +60,41 @@ object TextAnalysis {
   def qualityScore(punctRatio: Column, digitRatio: Column, stopRatio: Column): Column =
     round(lit(1.0) - punctRatio - digitRatio + least(stopRatio, lit(0.2)), 4)
 
+  /** Repetition signals — the published web-curation rules (Gopher's
+    * repetition filters, RefinedWeb's duplicate-n-gram fractions) as
+    * pure column algebra, one scan, no UDF:
+    *
+    *  - `tok_repeat_ratio`: fraction of tokens that are repeats of an
+    *    earlier token, `1 - distinct/total` (0 for empty text);
+    *  - `dup_ngram_ratio`: same over word `ngram`-grams — boilerplate
+    *    and looped generations score high here long before exact dedup
+    *    would catch them.
+    *
+    * Thresholding happens downstream (`filter(col("dup_ngram_ratio") >
+    * 0.3)` or similar); the operator only measures.
+    */
+  def repetitionFeatures(textCol: Column, ngram: Int = 2): Seq[(String, Column)] = {
+    // NULL text measures as empty (0 tokens, 0.0 ratios), matching
+    // tokenCount's contract — not as NULL ratios that poison averages.
+    val toks = when(textCol.isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(textCol, lit("\\S+"), lit(0)))
+    val n = size(toks)
+    // Guard the short-text case explicitly: Spark's sequence(1, 0)
+    // DESCENDS ([1, 0]) instead of producing an empty range.
+    val grams = when(n < ngram, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), n - (ngram - 1)),
+        i => array_join(slice(toks, i, lit(ngram)), " ")))
+    val g = size(grams)
+    def ratio(total: Column, distinct: Column): Column =
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) - distinct.cast("double") / total.cast("double"))
+    Seq(
+      "tok_n" -> n.cast("long"),
+      "tok_repeat_ratio" -> ratio(n, size(array_distinct(toks))),
+      "dup_ngram_ratio" -> ratio(g, size(array_distinct(grams))))
+  }
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

@@ -71,6 +71,26 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // -- repetition signals (Gopher/RefinedWeb-style rules): token
+    //    repeat ratio + duplicate-bigram fraction over a corpus with
+    //    KNOWN repetition (every 5th doc's text doubled — its bigram
+    //    set gains the seam but every base bigram duplicates) ----------
+    "t5_repetition" -> { (s, d) =>
+      val base = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+      val withFeats = TextAnalysis.repetitionFeatures(col("text"), ngram = 2)
+        .foldLeft(base) { case (df, (name, e)) => df.withColumn(name, e) }
+      withFeats.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("tok_repeat_ratio"), 6).as("avg_tok_repeat"),
+          round(avg("dup_ngram_ratio"), 6).as("avg_dup_bigram"),
+          sum(when(col("dup_ngram_ratio") >= 0.4, 1).otherwise(0)).as("n_flagged"))
+        .orderBy("lang")
+    },
+
     // -- doc-level statistics profile ----------------------------------
     "t4_doc_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -142,6 +162,29 @@ object TextQueries {
         |    CASE WHEN text IS NULL THEN 0
         |         ELSE len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) END AS subwords
         |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t5_repetition" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(tok_repeat_ratio), 6) AS avg_tok_repeat,
+        | round(avg(dup_ngram_ratio), 6) AS avg_dup_bigram,
+        | sum(CASE WHEN dup_ngram_ratio >= 0.4 THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+        |FROM (
+        |  SELECT lang,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) END AS tok_repeat_ratio,
+        |    CASE WHEN len(grams) = 0 THEN 0.0
+        |         ELSE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) END AS dup_ngram_ratio
+        |  FROM (
+        |    SELECT lang, toks,
+        |      CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        |           ELSE list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || ' ' || toks[i+1]) END AS grams
+        |    FROM (
+        |      SELECT lang,
+        |        regexp_extract_all(
+        |          CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END,
+        |          '\S+') AS toks
+        |      FROM documents)))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t4_doc_stats" ->
       """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,

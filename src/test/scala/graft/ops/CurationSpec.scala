@@ -72,6 +72,27 @@ class CurationSpec extends SparkSpec {
     assert(s.filter(col("g").isNull).count() == 1)
   }
 
+  test("repetitionFeatures: doubled text scores high, distinct text near zero, edges at zero") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "all words here are fully distinct tokens"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "one two one two one two one two"),
+      (4L, "single"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "")).toDF("id", "text")
+    val out = TextAnalysis.repetitionFeatures(col("text"), ngram = 2)
+      .foldLeft(docs) { case (df, (n, e)) => df.withColumn(n, e) }
+      .select("id", "tok_n", "tok_repeat_ratio", "dup_ngram_ratio")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 0.0 && out(1L)._4 == 0.0) // fully distinct
+    assert(out(2L)._3 > 0.8 && out(2L)._4 > 0.7)   // one repeated token
+    assert(out(3L)._4 > 0.7)                        // looped bigram
+    assert(out(4L)._2 == 1L && out(4L)._4 == 0.0)   // too short for bigrams
+    assert(out(5L)._2 == 0L && out(5L)._3 == 0.0)   // null text = empty
+    assert(out(6L)._2 == 0L && out(6L)._4 == 0.0)   // empty text
+  }
+
   test("contaminatedBy flags docs sharing probe n-grams, counts distinct shingle hits") {
     val corpus = Seq(
       (1L, "the secret benchmark answer is forty two exactly"),
