@@ -50,7 +50,11 @@ object TextAnalysis {
     val stop = markerHits(toks, markers("en"))
     val tokN = F.tokenCount(textCol)
     Seq(
-      "tok_n" -> tokN,
+      // long, matching repetitionFeatures' tok_n: the two feature sets
+      // compose via the same foldLeft-withColumn pattern, and a shared
+      // name with a different dtype would silently flip int32/int64
+      // depending on fold order (the oracle compare is dtype-strict).
+      "tok_n" -> tokN.cast("long"),
       "punct_ratio" -> punct / len,
       "digit_ratio" -> digits / len,
       "stop_ratio" -> stop.cast("double") / tokN,
@@ -74,6 +78,7 @@ object TextAnalysis {
     * 0.3)` or similar); the operator only measures.
     */
   def repetitionFeatures(textCol: Column, ngram: Int = 2): Seq[(String, Column)] = {
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
     // NULL text measures as empty (0 tokens, 0.0 ratios), matching
     // tokenCount's contract — not as NULL ratios that poison averages.
     val toks = when(textCol.isNull, array().cast("array<string>"))

@@ -181,9 +181,10 @@ object TextQueries {
         |                  i -> toks[i] || ' ' || toks[i+1]) END AS grams
         |    FROM (
         |      SELECT lang,
-        |        regexp_extract_all(
-        |          CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END,
-        |          '\S+') AS toks
+        |        CASE WHEN text IS NULL THEN []::VARCHAR[]
+        |             ELSE regexp_extract_all(
+        |               CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END,
+        |               '\S+') END AS toks
         |      FROM documents)))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t4_doc_stats" ->
