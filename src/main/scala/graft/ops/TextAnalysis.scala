@@ -84,12 +84,15 @@ object TextAnalysis {
     val toks = when(textCol.isNull, array().cast("array<string>"))
       .otherwise(regexp_extract_all(textCol, lit("\\S+"), lit(0)))
     val n = size(toks)
-    // Guard the short-text case explicitly: Spark's sequence(1, 0)
-    // DESCENDS ([1, 0]) instead of producing an empty range.
-    val grams = when(n < ngram, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), n - (ngram - 1)),
-        i => array_join(slice(toks, i, lit(ngram)), " ")))
+    // n-grams as arrays_zip of `ngram` shifted views, NOT
+    // transform(sequence(...), i => slice...): higher-order functions
+    // are CodegenFallback (interpreted per row per element) and the
+    // lambda does an O(ngram) slice per position — the zip is plain
+    // codegen'd expressions, structs compare without building strings,
+    // and slice with a 0 length yields the empty array so short texts
+    // need no special case.
+    val m = greatest(n - (ngram - 1), lit(0))
+    val grams = arrays_zip((1 to ngram).map(j => slice(toks, lit(j), m)): _*)
     val g = size(grams)
     def ratio(total: Column, distinct: Column): Column =
       when(total === 0, lit(0.0))
