@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * All registered queries are timed (sorted by name, stable round over
   * round) so a regression in ANY operator — not just the headline
   * shapes — is visible in the per-round bench diff.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 3) and
+  * reports the per-query MEDIAN ("queries") and min ("queries_min"):
+  * a single-run bench on a shared machine turns transient load into
+  * phantom 3-5x regressions; the median of 3 is robust to one noisy
+  * iteration while staying cheap enough for a per-round gate.
+  * Iterations are interleaved (full pass 1, full pass 2, ...) rather
+  * than back-to-back per query, so a load spike hurts one PASS, not
+  * all 3 samples of the same query.
   */
 object Bench {
 
@@ -41,31 +50,63 @@ object Bench {
     Tables.events(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
 
-    val results = headline.map { name =>
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+
+    // One timed execution. noop sink, not count(): count() lets Catalyst
+    // prune final projections and eliminate trailing sorts, so a
+    // regression in a select-only operator would never move the bench.
+    // The noop write executes the COMPLETE plan and discards rows at
+    // the sink.
+    def runOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune final
-      // projections and eliminate trailing sorts, so a regression in a
-      // select-only operator would never move the bench. The noop write
-      // executes the COMPLETE plan and discards rows at the sink.
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (sec, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    // Interleaved passes: pass i runs every query once. Samples land in
+    // samples(name) in pass order.
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Boolean)]](
+      headline.map(_ -> Vector.empty[(Double, Boolean)]): _*)
+    for (pass <- 1 to iters; name <- headline) {
+      samples(name) = samples(name) :+ runOnce(name)
+      if (name == headline.last)
+        System.err.println(s"[bench] pass $pass/$iters done")
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
+    val results = headline.map { name =>
+      val runs = samples(name)
+      val okRuns = runs.collect { case (sec, true) => sec }
+      // A query is "ok" only if every iteration succeeded — a
+      // sometimes-failing query must read as broken, never as fast.
+      val ok = okRuns.length == runs.length
+      val med = if (ok) median(okRuns) else -1.0
+      val min = if (ok) okRuns.min else -1.0
+      (name, med, min, ok)
     }
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     // Failed queries report -1 (not their fast-fail wall time): a broken
     // query must read as broken in the JSON, never as a speedup.
-    val qJson = results.map { case (k, (sec, ok)) =>
-      s""""$k":${if (ok) fmt(sec) else "-1"}""" }
+    val qJson = results.map { case (k, med, _, ok) =>
+      s""""$k":${if (ok) fmt(med) else "-1"}""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, (sec, true)) => sec }.sum
-    val failed = results.collect { case (k, (_, false)) => s""""$k"""" }
+    val qMinJson = results.map { case (k, _, min, ok) =>
+      s""""$k":${if (ok) fmt(min) else "-1"}""" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, med, _, true) => med }.sum
+    val failed = results.collect { case (k, _, _, false) => s""""$k"""" }
     val failedJson =
       if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"queries_min":$qMinJson,"iters":$iters$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,39 @@ import graft.functions.{GraftFunctions => F}
   */
 object Similarity {
 
+  /** Bounded per-query heap, ordered worst-first ((cos asc, id desc) at
+    * the head) so the root is the element to evict. */
+  private type Heap = collection.mutable.PriorityQueue[(Double, Long)]
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.by { case (cos, id) => (-cos, id) }
+
+  /** Keep `(cos, id)` iff it beats the current worst under the
+    * (cos desc, id asc) rank order. */
+  private def offer(h: Heap, k: Int, cos: Double, id: Long): Unit = {
+    if (h.size < k) h.enqueue((cos, id))
+    else {
+      val (wc, wi) = h.head
+      if (cos > wc || (cos == wc && id < wi)) { h.dequeue(); h.enqueue((cos, id)) }
+    }
+  }
+
+  /** Exact cosine, double accumulation in array order — the same
+    * sequential sum the SQL-side kernel uses, so ranks agree. */
+  private def cosine(vec: Array[Float], qvec: Array[Float]): Double = {
+    // Same fail-loud contract as VectorOpsUtil.dot: a silent
+    // common-prefix dot would corrupt ranks without signal.
+    require(vec.length == qvec.length,
+      s"embedding dims differ: ${vec.length} vs ${qvec.length}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    val n = vec.length
+    while (j < n) {
+      val a = vec(j).toDouble; val b = qvec(j).toDouble
+      dot += a * b; na += a * a; nb += b * b; j += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Exact top-k neighbors for each query vector:
     * `(q_id, rank, neighbor_id, cos)`.
     *
@@ -52,40 +85,14 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = qB.value
-        // per-query bounded heap ordered worst-first: (cos asc, id desc)
         val heaps = qs.map { case (qid, _) =>
-          qid -> collection.mutable.PriorityQueue.empty[(Double, Long)](
-            Ordering.by[(Double, Long), (Double, Long)] {
-              case (cos, id) => (-cos, id)
-            })
+          qid -> collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
         }.toMap
         it.foreach { case (id, vec) =>
           var i = 0
           while (i < qs.length) {
             val (qid, qvec) = qs(i)
-            if (id != qid) {
-              // Same fail-loud contract as VectorOpsUtil.dot: a silent
-              // common-prefix dot would corrupt ranks without signal.
-              require(vec.length == qvec.length,
-                s"embedding dims differ: ${vec.length} vs ${qvec.length}")
-              var dot = 0.0; var na = 0.0; var nb = 0.0
-              var j = 0
-              val n = vec.length
-              while (j < n) {
-                val a = vec(j).toDouble; val b = qvec(j).toDouble
-                dot += a * b; na += a * a; nb += b * b; j += 1
-              }
-              val cos = if (na == 0.0 || nb == 0.0) 0.0
-                else dot / (math.sqrt(na) * math.sqrt(nb))
-              val h = heaps(qid)
-              if (h.size < k) h.enqueue((cos, id))
-              else {
-                val (wc, wi) = h.head // current worst kept
-                if (cos > wc || (cos == wc && id < wi)) {
-                  h.dequeue(); h.enqueue((cos, id))
-                }
-              }
-            }
+            if (id != qid) offer(heaps(qid), k, cosine(vec, qvec), id)
             i += 1
           }
         }
@@ -180,9 +187,22 @@ object Similarity {
   /** IVF top-k: search only the `nprobe` buckets nearest each query.
     * `(q_id, rank, neighbor_id)` — approximate (recall < 1 when a true
     * neighbor lives in an unprobed bucket).
+    *
+    * Physical shape: the probe-side candidates (≈ N·nprobe/|C| rows per
+    * query) are reduced by partition-local bounded heaps BEFORE the
+    * rank window — the same shape as [[bruteForceTopK]]. The earlier
+    * `row_number` window over the raw join output shuffled every
+    * candidate of a query into one partition and sorted it there; with
+    * few queries against a 100 TB corpus that one task owns a huge
+    * slice. The heap pass emits at most `partitions × |Q| × k` rows,
+    * so the final window ranks a driver-trivial frame. Exact given the
+    * probed buckets: the per-query global top-k is contained in the
+    * union of per-partition top-k.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__q"))
     val pw = Window.partitionBy("q_id").orderBy(col("__pcos").desc, col("cent_id"))
@@ -191,12 +211,26 @@ object Similarity {
       .withColumn("__pr", row_number().over(pw))
       .filter(col("__pr") <= nprobe)
       .select(col("q_id"), col("__q"), col("cent_id").as("bucket"))
-    val fw = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
-    assigned.join(broadcast(probes), "bucket")
+    val candidates = assigned.join(broadcast(probes), "bucket")
       .filter(col(idCol) =!= col("q_id"))
-      .withColumn("cos", F.cosineSim(col(vecCol), col("__q")))
+      .select(col("q_id").cast("long"), col(idCol).cast("long"),
+        col(vecCol), col("__q"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        val heaps = collection.mutable.HashMap.empty[Long, Heap]
+        it.foreach { case (qid, id, vec, qvec) =>
+          val h = heaps.getOrElseUpdate(qid,
+            collection.mutable.PriorityQueue.empty(worstFirst))
+          offer(h, k, cosine(vec, qvec), id)
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }.toDF("q_id", "neighbor_id", "cos")
+    val fw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
       .withColumn("rank", row_number().over(fw).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"))
+      .select("q_id", "rank", "neighbor_id")
   }
 }
