@@ -19,7 +19,74 @@ import graft.Tables
   */
 object MultimodalQueries {
 
+  /** m4 fixture: REAL encoded images (png/jpg/gif/bmp via ImageIO) plus
+    * the three failure classes, with the expected dimensions/diagnosis
+    * stored alongside the bytes at generation time — the m3
+    * stored-expected-columns pattern. Spark must recover (w, h) from
+    * the BYTES through the real [[graft.engine.validate.ImageProbe]]
+    * header read (`image_validator.py:187-225`); the oracle just reads
+    * the expected columns back. */
+  private val m4Dir = "/tmp/graft_gate_m4_images"
+
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  private def writeM4Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val good: Seq[(Long, Array[Byte], Option[Int], Option[Int], String)] =
+      for {
+        (fmt, fi) <- Seq("png", "jpg", "gif", "bmp").zipWithIndex
+        i <- 0 until 5
+        w = 16 + 13 * i + fi
+        h = 16 + 7 * i
+      } yield ((fi * 10 + i).toLong, encodeImage(fmt, w, h),
+        Some(w), Some(h), "ok")
+    // Failure classes, matching ImageProbe.diagnose verbatim: empty
+    // payload; non-image bytes; a PNG truncated mid-IHDR (signature
+    // matches so a reader is selected, but the header read fails).
+    val bad: Seq[(Long, Array[Byte], Option[Int], Option[Int], String)] = Seq(
+      (100L, Array.emptyByteArray, None, None, "file is empty"),
+      (101L, "definitely not an image".getBytes("UTF-8"), None, None,
+        "not a recognized image format"),
+      (102L, encodeImage("png", 32, 32).take(20), None, None,
+        "image header could not be decoded"))
+    s.createDataset(good ++ bad)
+      .toDF("img_id", "payload", "exp_w", "exp_h", "exp_status")
+      .coalesce(1).write.mode("overwrite").parquet(m4Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m4 / V10 kernel gate: the ImageProbe header read recovers the
+    //    true dimensions from real encoded bytes of four formats, and
+    //    classifies the three failure modes. -1 stands in for "no
+    //    dimensions" so the int columns stay null-free (null-bearing
+    //    int columns decay to float64 in the compare). ----------------
+    "m4_image_dims" -> { (s, _) =>
+      writeM4Fixture(s)
+      val probe = udf { bytes: Array[Byte] =>
+        graft.engine.validate.ImageProbe.dimensions(bytes) match {
+          case Some((w, h)) => (w, h, "ok")
+          case None => (-1, -1, graft.engine.validate.ImageProbe.diagnose(bytes))
+        }
+      }
+      s.read.parquet(m4Dir)
+        .withColumn("__p", probe(col("payload")))
+        .select(col("img_id"), col("__p._1").as("w"), col("__p._2").as("h"),
+          col("__p._3").as("status"))
+        .orderBy("img_id")
+    },
+
     "m1_binary_meta" -> { (s, d) =>
       // text → utf-8 bytes as the stand-in media payload
       val blob = col("text").cast("binary")
@@ -80,6 +147,11 @@ object MultimodalQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    "m4_image_dims" ->
+      s"""SELECT img_id, coalesce(exp_w, -1) AS w, coalesce(exp_h, -1) AS h,
+         |  exp_status AS status
+         |FROM read_parquet('$m4Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT source, count(*) AS n_media,
         | sum(octet_length(encode(text)))::BIGINT AS total_bytes,

@@ -19,7 +19,83 @@ import graft.functions.{GraftFunctions => F}
   */
 object ValidatorQueries {
 
+  /** v11 fixture: parseable Pascal-VOC XML strings whose error/warning
+    * counts are INDEPENDENTLY derivable in SQL from regexp-extracted
+    * fields (every file is structurally complete with integer coords,
+    * so the only rules that can fire are the coordinate/area/difficult
+    * rules plus the root-tag and no-objects checks — all
+    * regexp-computable). Spark runs the real
+    * [[graft.engine.validate.XmlValidators.checkVocXml]] kernel
+    * (`xml_validator.py:22-643`); DuckDB re-derives the counts from the
+    * raw XML text. Unparseable XML stays unit-test-only: SQL cannot
+    * decide well-formedness. */
+  private val v11Dir = "/tmp/graft_gate_v11_voc"
+
+  private def voc(objects: String*): String =
+    s"""<annotation>
+       |  <folder>imgs</folder><filename>a.jpg</filename>
+       |  <source><database>fixture</database></source>
+       |  <size><width>640</width><height>480</height><depth>3</depth></size>
+       |  <segmented>0</segmented>
+       |  ${objects.mkString("\n  ")}
+       |</annotation>""".stripMargin
+
+  private def obj(xmin: Int, ymin: Int, xmax: Int, ymax: Int,
+                  difficult: Int = 0): String =
+    s"""<object><name>cat</name><pose>Left</pose><truncated>0</truncated>
+       |    <difficult>$difficult</difficult>
+       |    <bndbox><xmin>$xmin</xmin><ymin>$ymin</ymin><xmax>$xmax</xmax><ymax>$ymax</ymax></bndbox>
+       |  </object>""".stripMargin
+
+  private def vocFixture: Seq[(Long, String)] = Seq(
+    // valid: 2 objects, difficult 0/1 — no issues
+    1L -> voc(obj(10, 20, 110, 220), obj(5, 5, 50, 60, difficult = 1)),
+    // no objects — 1 warning
+    2L -> voc(),
+    // wrong root element — 1 error, early return
+    3L -> "<document><size><width>1</width></size></document>",
+    // degenerate box xmin==xmax — 1 error, no area warning (x1<x2 false)
+    4L -> voc(obj(50, 10, 50, 90)),
+    // negative coordinate (still xmin<xmax) — 1 error
+    5L -> voc(obj(-5, 10, 60, 90)),
+    // tiny 3x2 box — area-6 warning only
+    6L -> voc(obj(10, 10, 13, 12)),
+    // difficult=2 warns; difficult=-1 errors
+    7L -> voc(obj(10, 10, 60, 60, difficult = 2),
+      obj(20, 20, 80, 80, difficult = -1)),
+    // inverted y — 1 error
+    8L -> voc(obj(10, 90, 60, 10)),
+    // mixed: ok + doubly-inverted (2 errors) + tiny 2x2 (warning)
+    9L -> voc(obj(0, 0, 100, 100), obj(70, 80, 30, 40), obj(1, 1, 3, 3)),
+    // 5 valid objects — no issues
+    10L -> voc((1 to 5).map(i => obj(i * 10, i * 10, i * 10 + 40, i * 10 + 30)): _*))
+
+  private def writeV11Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    s.createDataset(vocFixture).toDF("xml_id", "xml")
+      .coalesce(1).write.mode("overwrite").parquet(v11Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- V11 kernel gate: the real checkVocXml parse over an XML-string
+    //    column; the oracle recomputes root tag, object count, and
+    //    error/warning totals from the text with regexp extraction. ----
+    "v11_voc_fields" -> { (s, _) =>
+      writeV11Fixture(s)
+      val analyze = udf { (id: Long, xmlText: String) =>
+        val issues = graft.engine.validate.XmlValidators.checkVocXml(s"x$id", xmlText)
+        val root = scala.xml.XML.loadString(xmlText)
+        (root.label, (root \ "object").length.toLong,
+          issues.errors.length.toLong, issues.warnings.length.toLong)
+      }
+      s.read.parquet(v11Dir)
+        .withColumn("__a", analyze(col("xml_id"), col("xml")))
+        .select(col("xml_id"), col("__a._1").as("root_tag"),
+          col("__a._2").as("n_objects"), col("__a._3").as("n_errors"),
+          col("__a._4").as("n_warnings"))
+        .orderBy("xml_id")
+    },
+
     // -- V1: present-but-unparseable counts per declared type ----------
     // (data_validator.py:356-821 — try-parse each value, count failures;
     // here over stringified columns so the cast is genuine.)
@@ -194,6 +270,40 @@ object ValidatorQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Independent re-derivation: the oracle never sees the kernel's
+    // issue lists — it recomputes the counts from the XML TEXT. Rule
+    // map (each a kernel branch in checkVocXml): per-object negative
+    // coord (counts once), xmin>=xmax, ymin>=ymax, difficult<0 → errors;
+    // no-objects, valid-box area<10, difficult>1 → warnings; root
+    // mismatch short-circuits to exactly 1 error.
+    "v11_voc_fields" ->
+      s"""WITH f AS (
+         |  SELECT xml_id,
+         |    regexp_extract(xml, '<([A-Za-z]+)', 1) AS root_tag,
+         |    [x::INT FOR x IN regexp_extract_all(xml, '<xmin>\\s*(-?\\d+)\\s*</xmin>', 1)] AS xs1,
+         |    [x::INT FOR x IN regexp_extract_all(xml, '<ymin>\\s*(-?\\d+)\\s*</ymin>', 1)] AS ys1,
+         |    [x::INT FOR x IN regexp_extract_all(xml, '<xmax>\\s*(-?\\d+)\\s*</xmax>', 1)] AS xs2,
+         |    [x::INT FOR x IN regexp_extract_all(xml, '<ymax>\\s*(-?\\d+)\\s*</ymax>', 1)] AS ys2,
+         |    [x::INT FOR x IN regexp_extract_all(xml, '<difficult>\\s*(-?\\d+)\\s*</difficult>', 1)] AS diffs,
+         |    len(regexp_extract_all(xml, '<object>')) AS n_objects
+         |  FROM read_parquet('$v11Dir/*.parquet')
+         |)
+         |SELECT xml_id, root_tag, n_objects,
+         |  CASE WHEN root_tag != 'annotation' THEN 1::BIGINT ELSE
+         |    len(list_filter(range(len(xs1)),
+         |      i -> xs1[i+1] < 0 OR ys1[i+1] < 0 OR xs2[i+1] < 0 OR ys2[i+1] < 0))
+         |    + len(list_filter(range(len(xs1)), i -> xs1[i+1] >= xs2[i+1]))
+         |    + len(list_filter(range(len(ys1)), i -> ys1[i+1] >= ys2[i+1]))
+         |    + len(list_filter(diffs, d -> d < 0))
+         |  END AS n_errors,
+         |  CASE WHEN root_tag != 'annotation' THEN 0::BIGINT ELSE
+         |    (CASE WHEN n_objects = 0 THEN 1 ELSE 0 END)
+         |    + len(list_filter(range(len(xs1)),
+         |        i -> xs1[i+1] < xs2[i+1] AND ys1[i+1] < ys2[i+1]
+         |             AND (xs2[i+1] - xs1[i+1]) * (ys2[i+1] - ys1[i+1]) < 10))
+         |    + len(list_filter(diffs, d -> d > 1))
+         |  END AS n_warnings
+         |FROM f ORDER BY xml_id""".stripMargin,
     "v1_typecheck_counts" ->
       """SELECT
         | sum(CASE WHEN TRY_CAST(qty_s AS DOUBLE) IS NULL AND qty_s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bad_double,
