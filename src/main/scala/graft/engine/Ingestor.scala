@@ -138,13 +138,14 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
       // copy at the 100 TB design point would double the cache
       // footprint for nothing.
       val typedBase =
-        if (config.dataFormat == "json") {
-          // JSON disposition: bad record = skip with warning, not fatal
-          val ok = transformed.filter(StrictCast.validRowFilter(parsedSchema))
-          val skipped = total - ok.count()
-          summary.skipped.add(skipped)
-          StrictCast.cast(ok, parsedSchema)
-        } else StrictCast.cast(transformed, parsedSchema)
+        if (config.dataFormat == "json")
+          // JSON disposition: bad record = skip with warning, not fatal.
+          // No separate count action: cast() is a pure projection, so
+          // the survivor count IS the processed count measured below.
+          StrictCast.cast(
+            transformed.filter(StrictCast.validRowFilter(parsedSchema)),
+            parsedSchema)
+        else StrictCast.cast(transformed, parsedSchema)
       val typed =
         if (config.uniqueIdColumn.isEmpty) {
           val pinned = typedBase.persist()
@@ -154,11 +155,12 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
 
       val processedCount = typed.count()
       summary.processed.add(processedCount)
-      // CSV path: TransformPipeline drops rows with null/blank data_id
-      // (P4 "skip record", base.py:315-326) — those must land in the
-      // skipped channel so the banner reconciles (the JSON branch
-      // already counted its own skips above).
-      if (config.dataFormat != "json" && total > processedCount)
+      // Skip-channel reconciliation rides the SAME single action: rows
+      // vanish between manifest and typed either via P4's null/blank
+      // data_id drop (base.py:315-326) or, for JSON, the per-record
+      // cast disposition (json.py "skip with warning") — both land in
+      // the skipped channel so the banner reconciles.
+      if (total > processedCount)
         summary.skipped.add(total - processedCount)
 
       // ---- 3b. sidecar copy for file-bearing categories: a failed

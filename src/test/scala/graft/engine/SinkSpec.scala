@@ -79,6 +79,82 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(stmt.sql.contains("ON DUPLICATE KEY UPDATE"))
     assert(!stmt.sql.contains("`created_at` = VALUES")) // excluded from update-set
   }
+
+  // -- The native-upsert statement is the PRODUCTION path
+  //    (`database.py:377-410`); Derby only ever exercises the
+  //    insert→update fallback, so the exact SQL text and parameter
+  //    bind order are pinned here, and the Some(nativeUpsert) branch
+  //    of the partition loop is executed via a bind-reordering stub
+  //    dialect below. ------------------------------------------------
+
+  test("MySQL native upsert: exact SQL text and identity bind order") {
+    val stmt = JdbcUpsert.MySqlDialect.upsert("jobs",
+      Seq("data_id", "label", "score"), "data_id").get
+    assert(stmt.sql ==
+      "INSERT INTO `jobs` (`data_id`, `label`, `score`) VALUES (?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE `label` = VALUES(`label`), `score` = VALUES(`score`)")
+    assert(stmt.bindOrder == Seq(0, 1, 2))
+  }
+
+  test("MySQL native upsert: id/created_at excluded, backticks doubled") {
+    val stmt = JdbcUpsert.MySqlDialect.upsert("t",
+      Seq("data_id", "id", "created_at", "a`b"), "data_id").get
+    assert(stmt.sql.contains("ON DUPLICATE KEY UPDATE `a``b` = VALUES(`a``b`)"))
+    assert(!stmt.sql.contains("`id` = VALUES"))
+    assert(!stmt.sql.contains("`created_at` = VALUES"))
+  }
+
+  test("fallback UPDATE binds updatable columns in order, key last") {
+    val stmt = JdbcUpsert.GenericDialect.update("t",
+      Seq("data_id", "f1", "id", "f2"), "data_id")
+    assert(stmt.sql == """UPDATE "t" SET "f1" = ?, "f2" = ? WHERE "data_id" = ?""")
+    assert(stmt.bindOrder == Seq(1, 3, 0))
+  }
+
+  /** Stub dialect whose "native upsert" names the columns in REVERSED
+    * order: proves the partition loop binds through Stmt.bindOrder
+    * (param position → row-field index), not by row-field position. A
+    * bind-by-position bug would land data_id in f2 — all columns are
+    * VARCHAR so the corruption would succeed silently and the content
+    * assertion below catches it.
+    */
+  private object ReversedBindDialect extends JdbcUpsert.Dialect {
+    def quote(id: String): String = JdbcUpsert.GenericDialect.quote(id)
+    def createTableSql(table: String, features: Seq[(String, SqlType)]): String =
+      JdbcUpsert.GenericDialect.createTableSql(table, features)
+    def upsert(table: String, columns: Seq[String], key: String): Option[JdbcUpsert.Stmt] = {
+      val rev = columns.reverse
+      Some(JdbcUpsert.Stmt(
+        s"INSERT INTO ${quote(table)} (${rev.map(quote).mkString(", ")}) " +
+          s"VALUES (${rev.map(_ => "?").mkString(", ")})",
+        rev.map(columns.indexOf(_))))
+    }
+  }
+
+  test("native-upsert branch: batch + per-row fallback honor bindOrder") {
+    val c = JdbcUpsert.Config(derbyUrl("dbnat"), "t1", ReversedBindDialect,
+      batchSize = 2)
+    val feats = Seq("fa" -> SqlType.Varchar(10), "fb" -> SqlType.Varchar(5))
+    assert(JdbcUpsert.ensureTable(c, feats).isRight)
+    val up = sc.longAccumulator; val fail = sc.longAccumulator
+    val failedKeys = sc.collectionAccumulator[String]("fk")
+    // batch 1 = (a, b): b's fb exceeds VARCHAR(5) → executeBatch fails →
+    // per-row NATIVE path (upsertRow case Some) isolates b; batch 2 = (c)
+    // succeeds through the batched native statement.
+    JdbcUpsert.write(
+      Seq(("a", "va", "wa"), ("b", "vb", "toolong"), ("c", "vc", "wc"))
+        .toDF("data_id", "fa", "fb").coalesce(1),
+      c, up, fail, Some(failedKeys))
+    assert(up.value == 2 && fail.value == 1)
+    assert(failedKeys.value.get(0) == "b")
+    val conn = DriverManager.getConnection(derbyUrl("dbnat"))
+    val rs = conn.createStatement().executeQuery(
+      """SELECT "data_id", "fa", "fb" FROM "t1" ORDER BY "data_id"""")
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toList
+    conn.close()
+    assert(rows == List(("a", "va", "wa"), ("c", "vc", "wc")))
+  }
 }
 
 class FileCopySinkSpec extends SparkSpec {
