@@ -24,8 +24,15 @@ import graft.engine.validate.ValidatorMapping
   */
 object Ingestor {
   /** Raised inside the metadata-send task when `ApiClient.sendBatch`
-    * returns Left — aborts the Spark job so no later batch is sent
-    * after a terminal API failure (fail-loud, `base.py:858-918`).
+    * returns Left — fails the task, and job cancellation stops FURTHER
+    * batches once it propagates to the executors (fail-loud,
+    * `base.py:858-918`). Guarantees are deliberately modest: tasks
+    * already running may complete their in-flight sends after the first
+    * terminal failure, and a retried or speculative task replays every
+    * batch in its partition, acknowledged ones included. Sends are
+    * therefore at-least-once per PARTITION, and the backend must treat
+    * `MetaRecord` registration as idempotent keyed on `data_id` (the
+    * reference backend upserts on data_id, `api/client.py:217-284`).
     */
   final class ApiSendException(msg: String) extends RuntimeException(msg)
 

@@ -7,6 +7,17 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * `ingestors/base.py:487-620`): an O_EXCL lock file on the shared
   * volume; stale locks (> 12 h) self-clear; a conflict names the
   * holder. Driver-side preflight — Spark executors never touch it.
+  *
+  * Stale-cleanup races: takeover is an ATOMIC tombstone move whose
+  * winner verifies it moved the stale content, and every successful
+  * CREATE_NEW acquire re-reads the file and confirms it still holds
+  * its own content before claiming — so a racer whose fresh lock was
+  * swept into a tombstone reports a conflict instead of proceeding as
+  * a second owner. Residual window: plain-file locking cannot make
+  * verify-then-ingest atomic, so a sweep landing in the instant
+  * between the re-read and first use is undetected; with a 12 h stale
+  * horizon that requires a clock skewed by half a day, accepted as the
+  * same trade-off the reference makes with bare O_EXCL files.
   */
 final class TableLock(lockDir: String, table: String,
                       staleAfterMs: Long = 12L * 3600 * 1000,
@@ -20,6 +31,16 @@ final class TableLock(lockDir: String, table: String,
     myContent = s"$holder\n${now()}"
     Files.write(path, myContent.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    // Re-verify before claiming: a stale-cleanup racer mis-timing its
+    // ATOMIC_MOVE can sweep OUR fresh lock into its tombstone, and a
+    // third process may then CREATE_NEW the path. If the file no
+    // longer holds our content we were swept — surface it as a
+    // conflict rather than proceed as a second owner.
+    val stillOurs =
+      try new String(Files.readAllBytes(path), StandardCharsets.UTF_8) == myContent
+      catch { case _: Exception => false }
+    if (!stillOurs)
+      throw new java.nio.file.FileAlreadyExistsException(path.toString)
     held = true
   }
 

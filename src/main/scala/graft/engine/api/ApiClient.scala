@@ -17,6 +17,12 @@ final case class MetaRecord(dataId: String, dataIntent: String,
                             label: String, isSample: Boolean, ingestorId: String)
 
 trait ApiClient extends Serializable {
+  /** Register one batch of row metadata. Called from EXECUTOR tasks;
+    * Spark task retries and speculation make delivery at-least-once
+    * per partition, so implementations/backends MUST be idempotent
+    * keyed on `dataId` (re-sending an acknowledged record is a no-op
+    * upsert, never a duplicate).
+    */
   def sendBatch(table: String, batch: Seq[MetaRecord]): Either[String, Int]
   def sendGenerateEdgeLabelMeta(table: String): Either[String, Unit]
   def sendGlobalMeta(table: String, schemaJson: String): Either[String, Unit]

@@ -321,13 +321,21 @@ object JdbcUpsert {
     * the upsert is idempotent, keyed on `cfg.keyColumn` — but wasteful.
     */
   def writeTracked(df: DataFrame, cfg: Config): DataFrame = {
+    // Fail loud, not null: a NULL failed_key never matches the caller's
+    // left_anti condition, so failed rows would silently keep flowing
+    // to API metadata registration — the exact invariant this frame
+    // exists to protect. Without a key column it cannot be upheld.
+    require(df.columns.contains(cfg.keyColumn),
+      s"writeTracked requires key column '${cfg.keyColumn}' in the frame " +
+        s"(columns: ${df.columns.mkString(", ")}) — failed-row exclusion " +
+        "is keyed on it")
     val p = plan(df, cfg)
     val spark = df.sparkSession
     import spark.implicits._
     df.mapPartitions { it =>
       val failedKeys = scala.collection.mutable.ArrayBuffer.empty[String]
       upsertPartition(it, cfg, p, _ => (), r =>
-        failedKeys += (if (p.keyIdx >= 0) String.valueOf(r.get(p.keyIdx)) else null))
+        failedKeys += String.valueOf(r.get(p.keyIdx)))
       failedKeys.iterator
     }.toDF("failed_key")
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => F}
+import graft.ops.Checkpoints.Truncatable
 
 /** Deduplication operators for training-data pipelines, as a public
   * library surface. Every variant is shuffle-shaped as a groupBy /
@@ -34,6 +35,13 @@ object Dedup {
     * partial-aggregates map-side, so each mapper ships one candidate
     * row per local key instead of the full shuffle + per-partition sort
     * a `row_number` window would cost.
+    *
+    * CONTRACT: `idCol` must be non-null (same contract as
+    * [[Curation.samplePerStratum]]'s id). `min_by` skips NULL ordering
+    * values, so a row with a NULL id can never win its group, and a
+    * group whose ids are ALL NULL would surface a row of NULLs rather
+    * than any real member — pre-filter or assign ids first if your
+    * data can contain NULL ids.
     */
   def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
     val keep = df.columns.filterNot(cols.contains)
@@ -221,10 +229,11 @@ object Dedup {
     * and hitting it raises rather than returning half-merged groups.
     * Shuffle per round is keyed on id — the same partitioning every
     * round, so AQE coalesces and no round re-keys. Each round is
-    * `localCheckpoint`ed (eager): without truncation the plan embeds
-    * TWO copies of the previous round's plan (once in the carry-over
-    * union arm, once under the join) and grows 2^rounds — the
-    * mandatory pattern for any iterative DataFrame algorithm.
+    * eagerly checkpointed ([[Checkpoints.truncate]] — reliable when a
+    * checkpoint dir is set, local otherwise): without truncation the
+    * plan embeds TWO copies of the previous round's plan (once in the
+    * carry-over union arm, once under the join) and grows 2^rounds —
+    * the mandatory pattern for any iterative DataFrame algorithm.
     *
     * Convergence probe: the self arm of the union is tagged, so the
     * SAME per-id aggregate that computes the new label also carries the
@@ -241,7 +250,7 @@ object Dedup {
     try {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
-        .localCheckpoint(true)
+        .truncated
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
@@ -253,7 +262,7 @@ object Dedup {
           .groupBy("id")
           .agg(min("comp").as("comp"),
             min(when(col("__self"), col("comp"))).as("__prev"))
-          .localCheckpoint(true)
+          .truncated
         val changed = next.filter(col("comp") =!= col("__prev"))
           .limit(1).count() // existence probe over the checkpoint, no join
         labels = next.select("id", "comp")
@@ -298,9 +307,9 @@ object Dedup {
       if (transitive) {
         val groups = duplicateGroups(verified)
         groups.filter(col("id") =!= col("comp"))
-          .select(col("id").as(idCol)).localCheckpoint(true)
+          .select(col("id").as(idCol)).truncated
       } else
-        verified.select(col("id_b").as(idCol)).distinct().localCheckpoint(true))
+        verified.select(col("id_b").as(idCol)).distinct().truncated)
     verified.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }

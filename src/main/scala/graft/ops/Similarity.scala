@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => F}
+import graft.ops.Checkpoints.Truncatable
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -150,8 +151,8 @@ object Similarity {
     *    every-Nth init each centroid starts with at least its own
     *    source vector).
     *
-    * Iterations are `localCheckpoint`ed — same plan-growth rule as
-    * `Dedup.duplicateGroups`. Cost per iteration = one corpus scan ×
+    * Iterations are eagerly checkpointed ([[Checkpoints.truncate]]) —
+    * same plan-growth rule as `Dedup.duplicateGroups`. Cost per iteration = one corpus scan ×
     * |C| (broadcast) + one shuffle keyed (bucket, pos); |C| · dim
     * values move in the final reassembly. At 100 TB: train on a
     * sampled corpus (`df.sample`) and assign the full corpus once with
@@ -162,7 +163,7 @@ object Similarity {
              step: Long, iters: Int): DataFrame = {
     var cents = corpus.filter(col(idCol) % step === 0)
       .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_emb"))
-      .localCheckpoint(true)
+      .truncated
     // Fail loud, not empty: an id space with no multiple of `step`
     // would otherwise train zero centroids and make every downstream
     // ivfTopK silently return no neighbors.
@@ -179,7 +180,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("__pos"), col("__m")))),
           s => s.getField("__m").cast("float")).as("cent_emb"))
-        .localCheckpoint(true)
+        .truncated
     }
     cents
   }

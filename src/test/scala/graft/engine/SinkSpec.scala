@@ -58,6 +58,16 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(failedKeys.value.size == 1 && failedKeys.value.get(0) == "b")
   }
 
+  test("writeTracked fails loud when the key column is absent") {
+    // A NULL failed_key would never match the caller's left_anti
+    // condition — failed rows would silently reach API registration.
+    val ex = intercept[IllegalArgumentException] {
+      JdbcUpsert.writeTracked(Seq(("a", 1.0)).toDF("not_the_key", "f1"),
+        cfg("dbnokey"))
+    }
+    assert(ex.getMessage.contains("data_id"))
+  }
+
   test("schema drift against an existing table is an actionable error") {
     val c = cfg("db3")
     assert(JdbcUpsert.ensureTable(c, features).isRight)

@@ -30,6 +30,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.columns.toSeq == corpus.columns.toSeq) // schema preserved
   }
 
+  test("truncate switches to reliable checkpoint when a dir is configured") {
+    val df = Seq(1, 2, 3).toDF("x")
+    // No checkpoint dir → executor-local blocks (fast local-mode path).
+    assert(Checkpoints.truncate(df).queryExecution.analyzed.toString
+      .contains("LocalRelation") == false) // checkpointed, not inlined
+    val dir = tmpDir("ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val out = Checkpoints.truncate(df)
+      assert(out.count() == 3)
+      // Reliable checkpoint writes RDD blocks under the configured dir.
+      val wrote = java.nio.file.Files.walk(dir).filter(p =>
+        java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally sc.setCheckpointDir(null) // restore local-mode behavior
+  }
+
   test("duplicateGroups labels transitive components with the global min id") {
     val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val groups = Dedup.duplicateGroups(pairs)
