@@ -21,7 +21,8 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   */
 final class TableLock(lockDir: String, table: String,
                       staleAfterMs: Long = 12L * 3600 * 1000,
-                      now: () => Long = System.currentTimeMillis) {
+                      now: () => Long = System.currentTimeMillis,
+                      readFile: Path => Array[Byte] = Files.readAllBytes(_)) {
 
   private val path: Path = Paths.get(lockDir, s".graft_lock_$table")
   private var held = false
@@ -36,12 +37,36 @@ final class TableLock(lockDir: String, table: String,
     // third process may then CREATE_NEW the path. If the file no
     // longer holds our content we were swept — surface it as a
     // conflict rather than proceed as a second owner.
-    val stillOurs =
-      try new String(Files.readAllBytes(path), StandardCharsets.UTF_8) == myContent
-      catch { case _: Exception => false }
-    if (!stillOurs)
-      throw new java.nio.file.FileAlreadyExistsException(path.toString)
-    held = true
+    //
+    // A TRANSIENT read failure must not be treated as "swept": our
+    // CREATE_NEW above succeeded, so giving up here would leave our own
+    // fresh lock on disk with held=false — an orphan that blocks the
+    // table for the whole stale horizon with nothing to release it.
+    // So: retry the read briefly; only a SUCCESSFUL read showing other
+    // content concludes "swept". If the path stays unreadable after the
+    // retries, delete our own file before surfacing the failure — a
+    // fresh lock cannot legitimately have been stale-swept inside this
+    // window (that would need the half-day clock skew the class
+    // docstring already rules out), so the unreadable file is ours.
+    var verified: Option[Boolean] = None // Some(ours?) once a read lands
+    var attempt = 0
+    while (verified.isEmpty && attempt < 3) {
+      try verified = Some(
+        new String(readFile(path), StandardCharsets.UTF_8) == myContent)
+      catch {
+        case _: Exception =>
+          attempt += 1
+          if (attempt < 3) Thread.sleep(5L << attempt)
+      }
+    }
+    verified match {
+      case Some(true) => held = true
+      case Some(false) =>
+        throw new java.nio.file.FileAlreadyExistsException(path.toString)
+      case None =>
+        try Files.deleteIfExists(path) catch { case _: Exception => () }
+        throw new java.nio.file.FileAlreadyExistsException(path.toString)
+    }
   }
 
   def acquire(holder: String): Either[String, Unit] = {
@@ -52,7 +77,7 @@ final class TableLock(lockDir: String, table: String,
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val staleRaw =
-          try new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+          try new String(readFile(path), StandardCharsets.UTF_8)
           catch { case _: Exception => "unknown\n0" }
         val content = staleRaw.split("\n")
         val lockHolder = content.headOption.getOrElse("unknown")
@@ -70,7 +95,7 @@ final class TableLock(lockDir: String, table: String,
           val tookStale =
             try {
               Files.move(path, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              val moved = new String(Files.readAllBytes(tomb), StandardCharsets.UTF_8)
+              val moved = new String(readFile(tomb), StandardCharsets.UTF_8)
               if (moved == staleRaw) {
                 Files.deleteIfExists(tomb); true
               } else {

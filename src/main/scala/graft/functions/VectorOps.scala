@@ -41,6 +41,36 @@ object VectorOpsUtil {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
+  /** Float-array twins of the `ArrayData` kernels above, for JVM-side
+    * consumers ([[graft.ops.Similarity]]'s partition-local heaps) that
+    * hold deserialized `Array[Float]`. Kept textually parallel — same
+    * sequential accumulation order — and pinned bit-identical to the
+    * `ArrayData` path by a property test (FunctionsSpec), so rank order
+    * always agrees between the codegen'd SQL kernel and the heap path.
+    */
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length,
+      s"embedding dims differ: ${a.length} vs ${b.length}")
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val v = a(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
   /** Random-hyperplane sign-sketch band keys for cosine LSH.
     *
     * `planes` Rademacher (±1) hyperplanes derived deterministically from

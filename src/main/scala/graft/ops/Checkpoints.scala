@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.graft.CheckpointShim
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 
 /** Plan-truncating materialization for iterative DataFrame algorithms
@@ -16,6 +18,16 @@ import org.apache.spark.sql.DataFrame
   * object-store path), iterations use reliable `checkpoint()` instead,
   * trading a DFS write per round for fault tolerance. Cluster
   * deployments opt in by setting the directory; nothing else changes.
+  *
+  * Reliable checkpoint files are NOT reclaimed by Spark as iterations
+  * advance (the ContextCleaner only deletes them under
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, and then
+  * only on RDD GC — far too late for a multi-round job writing a full
+  * materialized copy per round). Iterative callers therefore route
+  * every round through one [[Rounds]] tracker, which deletes round
+  * N-1's files as soon as round N is materialized, keeping DFS usage
+  * at one round's footprint. The FINAL round's files intentionally
+  * survive — they back the returned DataFrame.
   */
 object Checkpoints {
   def truncate(df: DataFrame): DataFrame =
@@ -26,5 +38,40 @@ object Checkpoints {
   /** Chainable alias: `df.truncated` ≡ `Checkpoints.truncate(df)`. */
   implicit final class Truncatable(private val df: DataFrame) extends AnyVal {
     def truncated: DataFrame = Checkpoints.truncate(df)
+  }
+
+  /** Per-iteration checkpoint lifecycle for ONE iterative algorithm:
+    * `truncate` like the object-level method, plus deterministic
+    * deletion of the previous round's reliable checkpoint files once
+    * the new round is materialized (safe: eager checkpointing means
+    * the new frame's data lives entirely in its own files; nothing
+    * recomputes through the old lineage). On the `localCheckpoint`
+    * path this degrades to plain truncation — executor block cleanup
+    * already rides the ContextCleaner.
+    *
+    * Not thread-safe; scope one instance per algorithm invocation.
+    */
+  final class Rounds {
+    private var prev: Option[Int] = None
+
+    def truncate(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      val out = Checkpoints.truncate(df)
+      if (sc.getCheckpointDir.isDefined) {
+        prev.foreach(CheckpointShim.cleanCheckpoint(sc, _))
+        prev = checkpointedRddId(out)
+      }
+      out
+    }
+
+    /** The id of the checkpointed RDD backing an eagerly-checkpointed
+      * frame: its analyzed plan is a `LogicalRDD` leaf wrapping that
+      * RDD. Found structurally (first RDD among the node's fields)
+      * rather than by naming the `private[sql]` class.
+      */
+    private def checkpointedRddId(df: DataFrame): Option[Int] =
+      df.queryExecution.analyzed.productIterator.collectFirst {
+        case r: RDD[_] => r.id
+      }
   }
 }

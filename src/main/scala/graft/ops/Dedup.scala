@@ -248,21 +248,25 @@ object Dedup {
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id"))
-        .truncated
+      // One Rounds tracker per invocation: on the reliable-checkpoint
+      // path it deletes round N-1's DFS files once round N is
+      // materialized, so a long propagation never accumulates one full
+      // label-frame copy per round in the checkpoint dir.
+      val rounds = new Checkpoints.Rounds
+      var labels = rounds.truncate(
+        edges.select(col("src").as("id")).distinct()
+          .withColumn("comp", col("id")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
         val viaNeighbor = edges
           .join(labels.select(col("id").as("src"), col("comp")), "src")
           .select(col("dst").as("id"), col("comp"), lit(false).as("__self"))
-        val next = labels.withColumn("__self", lit(true))
+        val next = rounds.truncate(labels.withColumn("__self", lit(true))
           .unionByName(viaNeighbor)
           .groupBy("id")
           .agg(min("comp").as("comp"),
-            min(when(col("__self"), col("comp"))).as("__prev"))
-          .truncated
+            min(when(col("__self"), col("comp"))).as("__prev")))
         val changed = next.filter(col("comp") =!= col("__prev"))
           .limit(1).count() // existence probe over the checkpoint, no join
         labels = next.select("id", "comp")

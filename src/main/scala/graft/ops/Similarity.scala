@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => F}
-import graft.ops.Checkpoints.Truncatable
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -40,22 +39,13 @@ object Similarity {
     }
   }
 
-  /** Exact cosine, double accumulation in array order — the same
-    * sequential sum the SQL-side kernel uses, so ranks agree. */
-  private def cosine(vec: Array[Float], qvec: Array[Float]): Double = {
-    // Same fail-loud contract as VectorOpsUtil.dot: a silent
-    // common-prefix dot would corrupt ranks without signal.
-    require(vec.length == qvec.length,
-      s"embedding dims differ: ${vec.length} vs ${qvec.length}")
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var j = 0
-    val n = vec.length
-    while (j < n) {
-      val a = vec(j).toDouble; val b = qvec(j).toDouble
-      dot += a * b; na += a * a; nb += b * b; j += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  /** Exact cosine — delegates to the shared float-array kernel
+    * ([[graft.functions.VectorOpsUtil.cosine]]) so the heap path and the
+    * codegen'd SQL kernel can never drift apart in accumulation order
+    * (rank parity with the oracle gates depends on bit-identical sums).
+    */
+  private def cosine(vec: Array[Float], qvec: Array[Float]): Double =
+    graft.functions.VectorOpsUtil.cosine(vec, qvec)
 
   /** Exact top-k neighbors for each query vector:
     * `(q_id, rank, neighbor_id, cos)`.
@@ -161,9 +151,11 @@ object Similarity {
     */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
              step: Long, iters: Int): DataFrame = {
-    var cents = corpus.filter(col(idCol) % step === 0)
-      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_emb"))
-      .truncated
+    // Rounds tracker: reliable-checkpoint files of iteration N-1 are
+    // deleted once iteration N materializes (bounded DFS footprint).
+    val rounds = new Checkpoints.Rounds
+    var cents = rounds.truncate(corpus.filter(col(idCol) % step === 0)
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_emb")))
     // Fail loud, not empty: an id space with no multiple of `step`
     // would otherwise train zero centroids and make every downstream
     // ivfTopK silently return no neighbors.
@@ -171,7 +163,7 @@ object Similarity {
       s"kmeans init selected no centroids: no id in '$idCol' is a multiple of $step")
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(corpus, cents, idCol, vecCol)
-      cents = assigned
+      cents = rounds.truncate(assigned
         .select(col("bucket").as("cent_id"),
           posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy("cent_id", "__pos")
@@ -179,8 +171,7 @@ object Similarity {
         .groupBy("cent_id")
         .agg(transform(
           array_sort(collect_list(struct(col("__pos"), col("__m")))),
-          s => s.getField("__m").cast("float")).as("cent_emb"))
-        .truncated
+          s => s.getField("__m").cast("float")).as("cent_emb")))
     }
     cents
   }

@@ -19,8 +19,9 @@ import graft.GraftSession
   * `reps-1` extra near-duplicates and grow pair counts quadratically
   * in `reps` — the bench would then read super-linear through no fault
   * of the plans. Documents get a per-replica letter rotation
-  * (`translate` over a-j: changes most shingles, preserves length and
-  * whitespace structure); embeddings get a per-replica array rotation
+  * (`translate` over the full a-z/A-Z: changes every lettered shingle,
+  * preserves length, case positions and whitespace structure);
+  * embeddings get a per-replica array rotation
   * (preserves the norm, decorrelates the direction). Within a replica
   * the duplicate/neighbor structure of the source is preserved
   * exactly, so totals should scale ≈ linearly in `reps`.
@@ -31,14 +32,24 @@ import graft.GraftSession
   */
 object ScaleData {
   private val Offset = 1L << 32
-  private val Alpha = "abcdefghij"
+  // Full alphabet, both cases: a rotation confined to a subset (e.g.
+  // a-j) leaves text dominated by other characters near-verbatim across
+  // replicas, and near-dup pair counts then grow super-linearly in reps
+  // — the artifact the perturbation exists to remove.
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Alpha = Lower + Upper
+  private def rotated(i: Int): String = {
+    val k = i % Lower.length
+    Lower.drop(k) + Lower.take(k) + Upper.drop(k) + Upper.take(k)
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
-    require(reps >= 1 && reps <= Alpha.length,
-      s"reps must be 1..${Alpha.length}: each replica needs a distinct text rotation")
+    require(reps >= 1 && reps <= Lower.length,
+      s"reps must be 1..${Lower.length}: each replica needs a distinct text rotation")
 
     val spark = GraftSession.get("local[32]", 32)
 
@@ -84,7 +95,7 @@ object ScaleData {
       val out = t match {
         case "documents" =>
           df.withColumn("text", perRep(col("text")) { i =>
-            translate(col("text"), Alpha, Alpha.drop(i) + Alpha.take(i))
+            translate(col("text"), Alpha, rotated(i))
           })
         case "embeddings" =>
           val dim = df.select(size(col("embedding"))).head().getInt(0)

@@ -138,6 +138,32 @@ class TableLockSpec extends AnyFunSuite {
     l2.release()
     assert(l1.acquire("carol").isRight) // release deleted the file
   }
+
+  test("transient re-verify read failure does not orphan a fresh lock") {
+    val dir = java.nio.file.Files.createTempDirectory("locks").toString
+    var fails = 2
+    val flaky: java.nio.file.Path => Array[Byte] = p => {
+      if (fails > 0) { fails -= 1; throw new java.io.IOException("transient") }
+      java.nio.file.Files.readAllBytes(p)
+    }
+    val l = new TableLock(dir, "t3", staleAfterMs = 5000, readFile = flaky)
+    assert(l.acquire("alice").isRight) // the retry rode out the hiccup
+    l.release()
+    val l2 = new TableLock(dir, "t3", staleAfterMs = 5000)
+    assert(l2.acquire("bob").isRight) // release really freed the table
+  }
+
+  test("persistent re-verify failure removes our file instead of orphaning it") {
+    val dir = java.nio.file.Files.createTempDirectory("locks").toString
+    val broken: java.nio.file.Path => Array[Byte] =
+      _ => throw new java.io.IOException("io down")
+    val l = new TableLock(dir, "t4", staleAfterMs = 5000, readFile = broken)
+    assert(l.acquire("alice").isLeft) // surfaced as a conflict this once...
+    // ...but the fresh lock file was cleaned up, not left to block the
+    // table for the whole stale horizon (the ADVICE orphan scenario).
+    val l2 = new TableLock(dir, "t4", staleAfterMs = 5000)
+    assert(l2.acquire("bob").isRight)
+  }
 }
 
 class OptionsMergeSpec extends org.scalatest.funsuite.AnyFunSuite {

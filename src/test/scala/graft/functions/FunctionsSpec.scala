@@ -67,3 +67,44 @@ class TextHashSpec extends AnyFunSuite {
     assert(b("nan") == -1 && b("NaN") == -1)
   }
 }
+
+/** Pins the ADVICE contract on the shared cosine kernel: the
+  * `Array[Float]` overloads (Similarity's partition-local heap path)
+  * and the `ArrayData` kernels (the codegen'd SQL expression) must
+  * stay BIT-identical, or heap-ranked candidates and window-ranked
+  * oracle results silently disagree on ties.
+  */
+class VectorOpsParitySpec extends AnyFunSuite {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  test("float-array cosine/dot/norm are bit-identical to the ArrayData path") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 300) {
+      val n = 1 + rnd.nextInt(96)
+      val a = Array.fill(n)((rnd.nextGaussian() * 3).toFloat)
+      val b = if (trial % 5 == 0) a.clone() // exact-duplicate vectors too
+              else Array.fill(n)(rnd.nextGaussian().toFloat)
+      val ad = UnsafeArrayData.fromPrimitiveArray(a)
+      val bd = UnsafeArrayData.fromPrimitiveArray(b)
+      def bits(x: Double) = java.lang.Double.doubleToRawLongBits(x)
+      assert(bits(VectorOpsUtil.cosine(a, b)) == bits(VectorOpsUtil.cosine(ad, bd)))
+      assert(bits(VectorOpsUtil.dot(a, b)) == bits(VectorOpsUtil.dot(ad, bd)))
+      assert(bits(VectorOpsUtil.norm(a)) == bits(VectorOpsUtil.norm(ad)))
+    }
+  }
+
+  test("zero-norm and dimension-drift contracts agree across representations") {
+    val z = Array.fill(8)(0f)
+    val v = Array.fill(8)(1f)
+    assert(VectorOpsUtil.cosine(z, v) == 0.0)
+    assert(VectorOpsUtil.cosine(
+      UnsafeArrayData.fromPrimitiveArray(z),
+      UnsafeArrayData.fromPrimitiveArray(v)) == 0.0)
+    intercept[IllegalArgumentException](
+      VectorOpsUtil.cosine(Array(1f), Array(1f, 2f)))
+    intercept[IllegalArgumentException](
+      VectorOpsUtil.cosine(
+        UnsafeArrayData.fromPrimitiveArray(Array(1f)),
+        UnsafeArrayData.fromPrimitiveArray(Array(1f, 2f))))
+  }
+}

@@ -47,6 +47,25 @@ class DedupOpsSpec extends SparkSpec {
     } finally sc.setCheckpointDir(null) // restore local-mode behavior
   }
 
+  test("Rounds bounds reliable-checkpoint storage to one round's files") {
+    val dir = tmpDir("ckpt_rounds")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      // An 8-node chain takes ~diameter rounds of label propagation,
+      // each reliably checkpointed. The Rounds tracker must delete
+      // round N-1's DFS files as round N materializes — without it
+      // this leaves one full copy per round (the ADVICE finding).
+      val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = Dedup.duplicateGroups(pairs).as[(Long, Long)].collect().toMap
+      assert(labels.size == 8 && labels.values.toSet == Set(1L))
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toList
+      assert(rddDirs.size == 1,
+        s"expected only the final round's checkpoint to survive, found: $rddDirs")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("duplicateGroups labels transitive components with the global min id") {
     val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val groups = Dedup.duplicateGroups(pairs)
