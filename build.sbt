@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW instead of re-logging each
+// line with an "[info] " prefix: graft.Bench's contract is ONE machine-
+// parseable JSON line on stdout, and the prefix breaks any consumer
+// that greps for a line starting with '{'. Spark's own chatter goes to
+// stderr either way.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
