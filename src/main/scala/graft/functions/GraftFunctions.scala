@@ -91,7 +91,7 @@ object GraftFunctions {
     when(c.isNull, lit(0)).otherwise(
       size(regexp_extract_all(c, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))))
 
-  private val udfSim = udf((s: String) => TextHash.simhash64(s))
+  private val udfSim = udf((s: String) => TextHash.simhash60(s))
   private val udfFp = udf((s: String) => TextHash.fingerprint(s))
   private val udfMinhash =
     udf((s: String, k: Int, n: Int) => TextHash.minhash(s, k, n))

@@ -1,9 +1,12 @@
 package graft.functions
 
 /** Deterministic, JVM-stable text hashing kernels for the dedup family
-  * (SimHash, MinHash, shingle fingerprints). All built on FNV-1a 64 so
-  * results are reproducible across executors, JVMs and rounds — never use
-  * `String.hashCode` (32-bit, weak) or anything seeded by runtime state.
+  * (SimHash, MinHash, shingle fingerprints). MinHash/fingerprints build
+  * on FNV-1a 64 (fast, JVM-stable); SimHash builds on a sha-256-derived
+  * token hash so the whole sketch is replicable in ANY engine with a
+  * sha256 function — which is what lets the d4 gate hash-check it
+  * end-to-end against DuckDB. Never use `String.hashCode` (32-bit,
+  * weak) or anything seeded by runtime state.
   */
 object TextHash {
   final val FnvOffset = 0xcbf29ce484222325L
@@ -49,25 +52,43 @@ object TextHash {
     else t.sliding(n).map(_.mkString(" ")).toArray
   }
 
-  /** 64-bit SimHash over whitespace tokens: sign-aggregate each hash bit
-    * weighted by term frequency. Near-duplicate docs differ in few bits.
+  /** First 60 bits of sha-256 (big-endian) as a non-negative Long — the
+    * SimHash token hash. sha-256 (not FNV/murmur) because every engine
+    * the oracle might run in (DuckDB, Trino, Spark SQL) exposes it, so
+    * the full SimHash pipeline is SQL-replicable; 60 bits (15 hex
+    * chars) because every intermediate — hash, shifts, the packed
+    * sketch itself — then stays positive in a SIGNED 64-bit integer on
+    * both engines, sidestepping the unsigned-hex edge cases entirely.
     */
-  def simhash64(text: String): Long = {
+  def sha60(token: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** 60-bit SimHash over whitespace tokens: sign-aggregate each token-
+    * hash bit weighted by term frequency. Near-duplicate docs differ in
+    * few bits. Empty/blank text → 0L.
+    */
+  def simhash60(text: String): Long = {
     val counts = new java.util.HashMap[String, Int]()
     tokens(text).foreach(t => counts.merge(t, 1, Integer.sum _))
     if (counts.isEmpty) return 0L
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](60)
     counts.forEach { (tok, w) =>
-      val h = mix64(fnv1a64(tok))
+      val h = sha60(tok)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 

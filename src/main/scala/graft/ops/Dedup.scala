@@ -16,7 +16,8 @@ import graft.ops.Checkpoints.Truncatable
   *    whitespace-insensitive exact);
   *  - MinHash+LSH: shingle → signature → band keys → band equi-join →
   *    exact-jaccard verify (bounded candidates, provable recall);
-  *  - SimHash: 64-bit sketch, 16-bit band join, hamming verify;
+  *  - SimHash: 60-bit sha-256-based sketch, 15-bit band join, hamming
+  *    verify (sha basis keeps the sketch SQL-replicable end to end);
   *  - embedding cosine: self-join pruned by id with a codegen'd
   *    cosine expression.
   *
@@ -318,16 +319,17 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-duplicate pairs within `maxHamming` bits, banded into
-    * 4×16-bit keys (hamming ≤ 3 is guaranteed by pigeonhole; up to the
-    * cap is found when any band collides).
+  /** SimHash near-duplicate pairs within `maxHamming` bits over the
+    * 60-bit sha-256-based sketch, banded into 4×15-bit keys (hamming
+    * ≤ 3 is guaranteed by pigeonhole; up to the cap is found when any
+    * band collides).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
     val withSh = df.select(col(idCol), F.simhash(col(textCol)).as("__sh"))
     val banded = withSh.select(col(idCol), col("__sh"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("__sh"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftright(col("__sh"), i * 15).bitwiseAND(lit(0x7fffL))): _*))
         .as(Seq("__band", "__key")))
     val a = banded.select(col(idCol).as("id_a"), col("__sh").as("__sha"),
       col("__band"), col("__key"))

@@ -125,13 +125,18 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // -- SimHash near-dup: 64-bit simhash, pairs within hamming ≤ 6
-    //    (band the 64 bits into 4×16-bit keys: hamming≤3 guarantees one
-    //    identical band; ≤6 is probabilistic but exact for our exact
-    //    copies). No SQL oracle (FNV-1a not expressible) → rows-only. --
+    // -- SimHash near-dup: 60-bit sha-256-based simhash, pairs within
+    //    hamming ≤ 6 (band the 60 bits into 4×15-bit keys: hamming≤3
+    //    guarantees one identical band; ≤6 is found when any band
+    //    collides). The sha basis makes the WHOLE pipeline — token
+    //    hash, weighted bit votes, banding, hamming — DuckDB-
+    //    expressible, so this is hash-checked end to end (it was
+    //    rows-only under the old FNV kernel). ------------------------
     "d4_simhash_neardup" -> { (s, d) =>
       graft.ops.Dedup.simhashPairs(corpusExact(s, d), "doc_id", "text",
-        maxHamming = 6).orderBy("id_a", "id_b")
+        maxHamming = 6)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     },
 
     // -- EXACT n-gram-jaccard near-dup via inverted shingle index: no
@@ -151,11 +156,11 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // -- SimHash value check on the KNOWABLE subset: every exact clone
+    // -- SimHash recall check on the KNOWABLE subset: every exact clone
     //    (doc_id%10==0 → +100000, verbatim copy) has an identical
-    //    simhash, so its pair MUST surface at hamming 0 — which IS
-    //    SQL-expressible even though FNV itself isn't. Complements the
-    //    rows-only d4 with an oracle-checked recall assertion. ---------
+    //    simhash, so its pair MUST surface at hamming 0. Kept alongside
+    //    the full d4 hash check as a kernel-independent recall
+    //    invariant (its oracle never computes a hash at all). ---------
     "d4b_simhash_clone_pairs" -> { (s, d) =>
       graft.ops.Dedup.simhashPairs(corpusExact(s, d), "doc_id", "text",
         maxHamming = 6)
@@ -317,6 +322,49 @@ object DedupQueries {
          |SELECT comp, count(*) AS n_members,
          |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
          |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+    // Full replication of the 60-bit sha-based SimHash pipeline: token
+    // hash = first 15 sha256 hex chars as a BIGINT (the label-bucket
+    // hex-sum trick; 60 bits keeps all arithmetic positive in signed
+    // 64-bit on both engines), weighted bit votes over generate_series,
+    // then the SAME candidate rule the engine uses — some 15-bit band
+    // equal AND hamming ≤ 6.
+    "d4_simhash_neardup" ->
+      s"""WITH corpus AS ($corpusExactSql),
+         |toks AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS w
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(trim(text), '\\S+')) AS tok
+         |        FROM corpus)
+         |  GROUP BY doc_id, tok
+         |),
+         |th AS (
+         |  SELECT doc_id, w,
+         |    (SELECT sum((strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT
+         |                * (1::BIGINT << ((15 - i) * 4)))
+         |     FROM generate_series(1, 15) g(i)) AS h
+         |  FROM (SELECT doc_id, w, sha256(tok) AS h FROM toks)
+         |),
+         |votes AS (
+         |  SELECT doc_id, b.b AS bit,
+         |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN w ELSE -w END) AS acc
+         |  FROM th, generate_series(0, 59) b(b)
+         |  GROUP BY doc_id, b.b
+         |),
+         |shash AS (
+         |  SELECT c.doc_id,
+         |    coalesce((SELECT sum(CASE WHEN v.acc > 0 THEN (1::BIGINT << v.bit)
+         |                              ELSE 0::BIGINT END)
+         |              FROM votes v WHERE v.doc_id = c.doc_id), 0)::BIGINT AS sh
+         |  FROM corpus c
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |FROM shash a JOIN shash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+         |  AND ((a.sh >> 0) & 32767 = (b.sh >> 0) & 32767
+         |    OR (a.sh >> 15) & 32767 = (b.sh >> 15) & 32767
+         |    OR (a.sh >> 30) & 32767 = (b.sh >> 30) & 32767
+         |    OR (a.sh >> 45) & 32767 = (b.sh >> 45) & 32767)
+         |ORDER BY id_a, id_b""".stripMargin,
     "d4b_simhash_clone_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000

@@ -18,12 +18,22 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.shingles("", 3).isEmpty)
   }
 
+  test("sha60 matches the first 60 sha-256 bits (independent python oracle)") {
+    // python3: int.from_bytes(hashlib.sha256(t.encode()).digest()[:8],'big') >> 4
+    assert(TextHash.sha60("a") == 0xca978112ca1bbdcL)
+    assert(TextHash.sha60("the") == 0xb9776d7ddf459c9L)
+    assert(TextHash.sha60("fox") == 0x776cb326ab0cd5fL)
+    assert(TextHash.sha60("") >= 0L) // 60 bits → always non-negative
+  }
+
   test("simhash: identical text identical hash; permuted words identical too") {
-    val a = TextHash.simhash64("the quick brown fox")
-    assert(a == TextHash.simhash64("the quick brown fox"))
+    val a = TextHash.simhash60("the quick brown fox")
+    assert(a == TextHash.simhash60("the quick brown fox"))
     // bag-of-words property: order-insensitive by construction
-    assert(a == TextHash.simhash64("fox brown quick the"))
-    val far = TextHash.simhash64("completely different words entirely")
+    assert(a == TextHash.simhash60("fox brown quick the"))
+    assert(a >= 0L && a < (1L << 60)) // packed sketch stays in 60 bits
+    assert(TextHash.simhash60("   ") == 0L)
+    val far = TextHash.simhash60("completely different words entirely")
     assert(TextHash.hammingDistance(a, far) > 10)
   }
 
