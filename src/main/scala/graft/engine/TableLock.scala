@@ -27,6 +27,20 @@ final class TableLock(lockDir: String, table: String,
   private val path: Path = Paths.get(lockDir, s".graft_lock_$table")
   private var held = false
   private var myContent: String = ""
+  private var acquiredAt = 0L
+
+  private def readWithRetry(p: Path, attempts: Int = 3): Option[String] = {
+    var i = 0
+    while (i < attempts) {
+      try return Some(new String(readFile(p), StandardCharsets.UTF_8))
+      catch {
+        case _: Exception =>
+          i += 1
+          if (i < attempts) Thread.sleep(5L << i)
+      }
+    }
+    None
+  }
 
   private def writeLock(holder: String): Unit = {
     myContent = s"$holder\n${now()}"
@@ -42,29 +56,44 @@ final class TableLock(lockDir: String, table: String,
     // CREATE_NEW above succeeded, so giving up here would leave our own
     // fresh lock on disk with held=false — an orphan that blocks the
     // table for the whole stale horizon with nothing to release it.
-    // So: retry the read briefly; only a SUCCESSFUL read showing other
-    // content concludes "swept". If the path stays unreadable after the
-    // retries, delete our own file before surfacing the failure — a
-    // fresh lock cannot legitimately have been stale-swept inside this
-    // window (that would need the half-day clock skew the class
-    // docstring already rules out), so the unreadable file is ours.
-    var verified: Option[Boolean] = None // Some(ours?) once a read lands
-    var attempt = 0
-    while (verified.isEmpty && attempt < 3) {
-      try verified = Some(
-        new String(readFile(path), StandardCharsets.UTF_8) == myContent)
-      catch {
-        case _: Exception =>
-          attempt += 1
-          if (attempt < 3) Thread.sleep(5L << attempt)
-      }
-    }
-    verified match {
-      case Some(true) => held = true
-      case Some(false) =>
+    // The read is retried; only a SUCCESSFUL read showing other content
+    // concludes "swept".
+    readWithRetry(path) match {
+      case Some(c) if c == myContent =>
+        acquiredAt = now()
+        held = true
+      case Some(_) =>
         throw new java.nio.file.FileAlreadyExistsException(path.toString)
       case None =>
-        try Files.deleteIfExists(path) catch { case _: Exception => () }
+        // Persistently unreadable. Almost certainly our own fresh file,
+        // but NOT provably: a sweeper that read the PREVIOUS stale lock
+        // can have tombstoned ours and a third process re-created the
+        // path (no clock skew required), so a blind delete could
+        // destroy a live foreign lock — breaking mutual exclusion,
+        // which outranks availability. Instead PARK the file in a
+        // quarantine tombstone (atomic, nothing destroyed), then try
+        // once more to identify it out-of-line: ours → discard (table
+        // freed, no 12 h orphan); foreign → restore via CREATE_NEW
+        // (never clobbers a newer lock; on failure the quarantine file
+        // keeps the only copy, same documented trade-off as the
+        // stale-sweep tombstone); still unreadable → leave it parked.
+        val quarantine = path.resolveSibling(
+          s"${path.getFileName}.unreadable.${now()}.${ProcessHandle.current().pid()}")
+        try {
+          Files.move(path, quarantine,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          readWithRetry(quarantine) match {
+            case Some(c) if c == myContent =>
+              Files.deleteIfExists(quarantine)
+            case Some(foreign) =>
+              try {
+                Files.write(path, foreign.getBytes(StandardCharsets.UTF_8),
+                  StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+                Files.deleteIfExists(quarantine)
+              } catch { case _: Exception => () }
+            case None => ()
+          }
+        } catch { case _: Exception => () }
         throw new java.nio.file.FileAlreadyExistsException(path.toString)
     }
   }
@@ -134,11 +163,23 @@ final class TableLock(lockDir: String, table: String,
   /** Delete only OUR lock: if another run stale-cleared it and wrote
     * its own, leave theirs in place (the content check prevents run A
     * from clobbering run B's lock after a 12 h takeover).
+    *
+    * The verify read rides the same retry as acquire. If it STILL
+    * fails, the file is deleted anyway when our hold is younger than
+    * the stale horizon — inside the horizon no other process can have
+    * legitimately taken the lock over, so the unreadable file can only
+    * be ours, and leaving it would orphan-block the table for the rest
+    * of the horizon. Past the horizon (a > 12 h run) a takeover is
+    * possible and the file is left in place.
     */
   def release(): Unit = if (held) {
     try {
-      val current = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-      if (current == myContent) Files.deleteIfExists(path)
+      readWithRetry(path) match {
+        case Some(current) =>
+          if (current == myContent) Files.deleteIfExists(path)
+        case None =>
+          if (now() - acquiredAt < staleAfterMs) Files.deleteIfExists(path)
+      }
     } catch { case _: Exception => () }
     held = false
   }

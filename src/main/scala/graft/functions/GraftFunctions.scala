@@ -73,23 +73,28 @@ object GraftFunctions {
   // ------------------------------------------------------------- text ops
 
   /** Whitespace token count — lockstep with [[TextHash.tokens]] (count
-    * of \S+ runs). Counting matches, not split segments, keeps parity
-    * for leading TABS too: SQL `trim` strips only spaces, so
-    * `split("\tfoo bar", "\s+")` yields a leading "" segment and would
-    * overcount by one versus the JVM tokenizer and the DuckDB oracles'
-    * `regexp_extract_all('\S+')`.
+    * of non-whitespace runs). Counting matches, not split segments,
+    * keeps parity for leading TABS too: SQL `trim` strips only spaces,
+    * so `split("\tfoo bar", "\s+")` yields a leading "" segment and
+    * would overcount by one versus the JVM tokenizer and the DuckDB
+    * oracles' `regexp_extract_all('\S+')`. The explicit `[^ \t\n\f\r]`
+    * class (not `\S`) is the cross-engine whitespace contract — see
+    * [[TextHash.tokens]]: Java's `\s` includes `\x0B`, RE2's does not.
     */
   def tokenCount(c: Column): Column =
     when(c.isNull, lit(0))
-      .otherwise(size(regexp_extract_all(c, lit("\\S+"), lit(0))))
+      .otherwise(size(regexp_extract_all(c, lit("[^ \\t\\n\\f\\r]+"), lit(0))))
 
   /** BPE-ish subword estimate: word-parts, digits runs, and punctuation
     * each count as a token (a cheap `\p{L}+|\p{N}+|[^\p{L}\p{N}\s]`
-    * regex proxy for byte-pair tokenizers).
+    * regex proxy for byte-pair tokenizers). Whitespace is the explicit
+    * `[ \t\n\f\r]` class for Java/RE2 parity (see [[TextHash.tokens]]);
+    * the oracle uses the same literal class.
     */
   def subwordCount(c: Column): Column =
     when(c.isNull, lit(0)).otherwise(
-      size(regexp_extract_all(c, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))))
+      size(regexp_extract_all(c,
+        lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N} \\t\\n\\f\\r]"), lit(0))))
 
   private val udfSim = udf((s: String) => TextHash.simhash60(s))
   private val udfFp = udf((s: String) => TextHash.fingerprint(s))

@@ -40,10 +40,18 @@ object TextHash {
 
   /** Whitespace tokenization shared by every text operator — one
     * definition so token counts, shingles and hashes stay in lockstep.
+    *
+    * The delimiter class is the EXPLICIT `[ \t\n\f\r]` rather than
+    * `\s`: Java's `\s` includes vertical tab (U+000B) but RE2's — the
+    * engine behind the DuckDB/Trino-style oracles — does not, so a
+    * document containing `\x0B` would tokenize differently in the two
+    * engines and silently flip every downstream hash gate. One
+    * explicit class means the JVM kernel, Spark's `regexp_*`
+    * built-ins and the SQL oracles all agree byte for byte.
     */
   def tokens(text: String): Array[String] =
     if (text == null || text.isEmpty) Array.empty
-    else text.trim.split("\\s+").filter(_.nonEmpty)
+    else text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
 
   /** Word-level n-gram shingles (the dedup unit for MinHash / Jaccard). */
   def shingles(text: String, n: Int): Array[String] = {
@@ -60,8 +68,16 @@ object TextHash {
     * sketch itself — then stays positive in a SIGNED 64-bit integer on
     * both engines, sidestepping the unsigned-hex edge cases entirely.
     */
+  // One digest per thread: getInstance does a Security-provider lookup
+  // + allocation, and sha60 sits in the innermost loop of the simhash
+  // UDF (once per distinct token per document). digest() resets the
+  // instance after each use, so reuse is safe.
+  private val sha256Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
   def sha60(token: String): Long = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
+    val d = sha256Local.get()
       .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
     var i = 0

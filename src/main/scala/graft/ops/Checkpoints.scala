@@ -40,6 +40,31 @@ object Checkpoints {
     def truncated: DataFrame = Checkpoints.truncate(df)
   }
 
+  /** Delete the reliable-checkpoint files backing `df` (no-op on the
+    * local path or for a non-checkpointed frame). For callers that
+    * consume an iterative result into something smaller and then drop
+    * it — e.g. [[Dedup.dropNearDuplicates]] reducing `duplicateGroups`'
+    * final label frame to a loser-id set — so the final round's files
+    * don't outlive the frame on the cluster DFS. Only call once every
+    * derived frame has been materialized: the checkpoint files ARE the
+    * frame's storage.
+    */
+  def release(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined)
+      checkpointedRddId(df).foreach(CheckpointShim.cleanCheckpoint(sc, _))
+  }
+
+  /** The id of the checkpointed RDD backing an eagerly-checkpointed
+    * frame: its analyzed plan is a `LogicalRDD` leaf wrapping that
+    * RDD. Found structurally (first RDD among the node's fields)
+    * rather than by naming the `private[sql]` class.
+    */
+  private def checkpointedRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.productIterator.collectFirst {
+      case r: RDD[_] => r.id
+    }
+
   /** Per-iteration checkpoint lifecycle for ONE iterative algorithm:
     * `truncate` like the object-level method, plus deterministic
     * deletion of the previous round's reliable checkpoint files once
@@ -63,15 +88,5 @@ object Checkpoints {
       }
       out
     }
-
-    /** The id of the checkpointed RDD backing an eagerly-checkpointed
-      * frame: its analyzed plan is a `LogicalRDD` leaf wrapping that
-      * RDD. Found structurally (first RDD among the node's fields)
-      * rather than by naming the `private[sql]` class.
-      */
-    private def checkpointedRddId(df: DataFrame): Option[Int] =
-      df.queryExecution.analyzed.productIterator.collectFirst {
-        case r: RDD[_] => r.id
-      }
   }
 }

@@ -311,8 +311,14 @@ object Dedup {
     val losers = (
       if (transitive) {
         val groups = duplicateGroups(verified)
-        groups.filter(col("id") =!= col("comp"))
+        val l = groups.filter(col("id") =!= col("comp"))
           .select(col("id").as(idCol)).truncated
+        // The loser set is materialized; the label frame's final-round
+        // reliable-checkpoint files (cluster path) are now dead weight —
+        // reclaim them instead of leaving one full copy per invocation
+        // in the checkpoint dir.
+        Checkpoints.release(groups)
+        l
       } else
         verified.select(col("id_b").as(idCol)).distinct().truncated)
     verified.unpersist()

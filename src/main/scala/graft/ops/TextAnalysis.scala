@@ -81,8 +81,10 @@ object TextAnalysis {
     require(ngram >= 1, s"ngram must be >= 1, got $ngram")
     // NULL text measures as empty (0 tokens, 0.0 ratios), matching
     // tokenCount's contract — not as NULL ratios that poison averages.
+    // Explicit whitespace class, not \S — Java/RE2 parity, see
+    // TextHash.tokens.
     val toks = when(textCol.isNull, array().cast("array<string>"))
-      .otherwise(regexp_extract_all(textCol, lit("\\S+"), lit(0)))
+      .otherwise(regexp_extract_all(textCol, lit("[^ \\t\\n\\f\\r]+"), lit(0)))
     val n = size(toks)
     // n-grams as arrays_zip of `ngram` shifted views, NOT
     // transform(sequence(...), i => slice...): higher-order functions

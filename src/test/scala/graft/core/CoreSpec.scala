@@ -153,16 +153,34 @@ class TableLockSpec extends AnyFunSuite {
     assert(l2.acquire("bob").isRight) // release really freed the table
   }
 
-  test("persistent re-verify failure removes our file instead of orphaning it") {
+  test("persistent re-verify failure parks our file instead of orphaning it") {
     val dir = java.nio.file.Files.createTempDirectory("locks").toString
     val broken: java.nio.file.Path => Array[Byte] =
       _ => throw new java.io.IOException("io down")
     val l = new TableLock(dir, "t4", staleAfterMs = 5000, readFile = broken)
     assert(l.acquire("alice").isLeft) // surfaced as a conflict this once...
-    // ...but the fresh lock file was cleaned up, not left to block the
-    // table for the whole stale horizon (the ADVICE orphan scenario).
+    // ...but the unreadable fresh lock was atomically quarantined (not
+    // deleted — it could in principle be a racer's), so the table is
+    // NOT blocked for the whole stale horizon (the ADVICE orphan
+    // scenario) and nothing was destroyed.
     val l2 = new TableLock(dir, "t4", staleAfterMs = 5000)
     assert(l2.acquire("bob").isRight)
+  }
+
+  test("release clears the lock even when its verify read fails") {
+    val dir = java.nio.file.Files.createTempDirectory("locks").toString
+    var failReads = false
+    val flaky: java.nio.file.Path => Array[Byte] = p => {
+      if (failReads) throw new java.io.IOException("io down")
+      java.nio.file.Files.readAllBytes(p)
+    }
+    val l = new TableLock(dir, "t5", staleAfterMs = 5000, readFile = flaky)
+    assert(l.acquire("alice").isRight)
+    failReads = true
+    l.release() // hold is far younger than the stale horizon → safe delete
+    failReads = false
+    val l2 = new TableLock(dir, "t5", staleAfterMs = 5000)
+    assert(l2.acquire("bob").isRight) // no orphan left behind
   }
 }
 

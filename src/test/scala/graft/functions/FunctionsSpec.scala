@@ -13,6 +13,11 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.tokens(null).isEmpty)
     assert(TextHash.tokens("  ").isEmpty)
     assert(TextHash.tokens(" a  b ").toSeq == Seq("a", "b"))
+    assert(TextHash.tokens("a\tb\nc\fd\re").toSeq == Seq("a", "b", "c", "d", "e"))
+    // Vertical tab is NOT a delimiter: RE2 (the oracle engines) keeps
+    // \x0B inside \S, so the JVM tokenizer must too — Java's \s would
+    // split here and silently diverge every downstream hash gate.
+    assert(TextHash.tokens("a\u000Bb").toSeq == Seq("a\u000Bb"))
     assert(TextHash.shingles("a b c d", 3).toSeq == Seq("a b c", "b c d"))
     assert(TextHash.shingles("a b", 3).toSeq == Seq("a b")) // short text → one shingle
     assert(TextHash.shingles("", 3).isEmpty)
