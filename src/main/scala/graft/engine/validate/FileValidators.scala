@@ -198,10 +198,13 @@ object FileValidators {
           when(col(filenameColumn).rlike("\\.txt$"), col(filenameColumn))
             .otherwise(concat(col(filenameColumn), lit(".txt"))))
         .join(words, col("__fname") === words("fname"), "left")
-      // Tag tokenization stays in lockstep with tagCount (\S+ runs):
-      // filter the empty fragments a leading tab leaves behind, so a
-      // valid whitespace-separated label never fires "malformed".
-      val tags = filter(split(trim(col(labelColumn)), "\\s+"), t => t =!= "")
+      // Tag tokenization stays in lockstep with tagCount — the same
+      // explicit [ \t\n\f\r] whitespace class (see TextHash.tokens), so
+      // a tag containing \x0B can never count as one token but split
+      // into two. Filter the empty fragments a leading tab leaves
+      // behind, so a valid whitespace-separated label never fires
+      // "malformed".
+      val tags = filter(split(trim(col(labelColumn)), "[ \t\n\f\r]+"), t => t =!= "")
       val tagCount = F.tokenCount(col(labelColumn))
       val badTag = exists(tags, t => !t.rlike(tagShape))
       // NULL label = not-applicable (the reference skips unlabeled

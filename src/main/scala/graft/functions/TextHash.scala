@@ -230,10 +230,20 @@ object TextHash {
   /** Rolling (Rabin-Karp-style polynomial) fingerprint of the normalized
     * document: lowercase, whitespace collapsed. Equal fingerprints ⇒
     * same normalized content (modulo 64-bit collisions).
+    *
+    * Normalization mirrors the d2 oracle's
+    * `lower(trim(regexp_replace(text,'\s+',' ','g')))` step for step
+    * under the explicit `[ \t\n\f\r]` whitespace contract (see
+    * [[tokens]]): collapse first, then strip the single edge spaces the
+    * collapse leaves (SQL `trim` strips only spaces — Java's `trim`
+    * would also eat `\x0B` and diverge), then lowercase with a fixed
+    * locale.
     */
   def fingerprint(text: String): Long = {
     if (text == null) return 0L
-    val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val norm = text.replaceAll("[ \t\n\f\r]+", " ")
+      .stripPrefix(" ").stripSuffix(" ")
+      .toLowerCase(java.util.Locale.ROOT)
     var h = 0L
     var i = 0
     while (i < norm.length) { h = h * 1315423911L + norm.charAt(i); i += 1 }

@@ -69,6 +69,10 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.fingerprint("Hello  World") == TextHash.fingerprint("hello world"))
     assert(TextHash.fingerprint(" hello world ") == TextHash.fingerprint("hello world"))
     assert(TextHash.fingerprint("hello world") != TextHash.fingerprint("hello worlds"))
+    // \x0B is CONTENT, not whitespace (RE2 parity with the d2 oracle's
+    // regexp_replace(text,'\s+',' ') + trim — neither touches it).
+    assert(TextHash.fingerprint("a\u000Bb") != TextHash.fingerprint("a b"))
+    assert(TextHash.fingerprint(" \ta\u000Bb\n") == TextHash.fingerprint("a\u000Bb"))
   }
 
   test("label bucket kernel matches the reference python semantics") {
