@@ -123,6 +123,44 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Keep rows at or above the per-group `q`-quantile of `scoreCol` —
+    * the "drop the bottom 30% quality per language" curation pass that
+    * follows quality scoring ([[TextAnalysis]]) in a training-data
+    * pipeline. Exact and deterministic: the threshold is Spark's exact
+    * `percentile` (≡ SQL `quantile_cont`), so re-runs keep identical
+    * rows.
+    *
+    * Shape: one hash aggregate computes a tiny `(group, threshold)`
+    * frame (|groups| rows — broadcast), then a broadcast join + filter
+    * over a single corpus scan. NULL group values form their own group
+    * (null-safe join); NULL scores cannot be ranked and are dropped.
+    *
+    * 100 TB note: exact `percentile` buffers each group's values on the
+    * aggregating executor. For groups of billions of rows substitute
+    * `approx_percentile(score, q, accuracy)` in the threshold frame —
+    * the join/filter shape is unchanged; the cutoff gains a bounded
+    * rank error instead of an exact one.
+    */
+  def filterByQualityQuantile(df: DataFrame, scoreCol: String,
+                              groupCols: Seq[String], q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0,1), got $q")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val gAliases = groupCols.indices.map(i => s"__graft_g$i")
+    require(!df.columns.exists(c => gAliases.contains(c) || c == "__graft_qth"),
+      "input already has a __graft_* column")
+    val thresholds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(scoreCol), lit(q)).as("__graft_qth"))
+      .select(groupCols.zip(gAliases).map { case (c, a) => col(c).as(a) } :+
+        col("__graft_qth"): _*)
+    val cond = groupCols.zip(gAliases)
+      .map { case (c, a) => col(c) <=> col(a) }.reduce(_ && _)
+    df.join(broadcast(thresholds), cond)
+      .filter(col(scoreCol) >= col("__graft_qth"))
+      .drop("__graft_qth")
+      .drop(gAliases: _*)
+  }
+
   /** PII patterns redacted by [[redactPii]] — deliberately expressible
     * in both Java regex (Spark) and RE2 (DuckDB oracle parity): no
     * backreferences, no lookarounds.

@@ -66,6 +66,41 @@ object Dedup {
         sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
         min("keeper").as("min_keeper"))
 
+  /** Incremental dedup: keep only `incoming` rows whose content — the
+    * `on` columns, null-tagged — does not already appear in `seen`.
+    * The standard "dedup the new crawl against the ingested corpus"
+    * pass: at 100 TB the corpus side is read-only history and only the
+    * new slice needs filtering, so re-deduplicating the union from
+    * scratch (d1's shape) would re-shuffle the whole corpus for
+    * nothing.
+    *
+    * Shape: both sides reduce to a 256-bit sha-2 content digest; the
+    * seen side distincts to one row per digest and a LEFT ANTI hash
+    * join drops matches. What shuffles is the 64-hex-char digest —
+    * never document bodies — and the digest frame is exactly what a
+    * pipeline would persist as its "seen" index between crawls.
+    * Collisions: 2^-128-scale, ignorable. Each column is length-
+    * prefixed before concatenation ("3:abc"), which makes the encoding
+    * injective (no value can smuggle a separator that makes two
+    * different tuples digest equal), and NULL gets its own tag,
+    * distinct from the empty string.
+    */
+  def dedupAgainst(incoming: DataFrame, seen: DataFrame,
+                   on: Seq[String]): DataFrame = {
+    require(on.nonEmpty, "dedupAgainst needs at least one content column")
+    def digest(d: DataFrame): Column = {
+      val parts = on.map { name =>
+        val s = d(name).cast("string")
+        when(s.isNull, lit("-"))
+          .otherwise(concat(length(s).cast("string"), lit(":"), s))
+      }
+      sha2(concat_ws("|", parts: _*), 256)
+    }
+    val seenKeys = seen.select(digest(seen).as("__graft_seen_k")).distinct()
+    incoming.join(seenKeys,
+      digest(incoming) === col("__graft_seen_k"), "left_anti")
+  }
+
   /** Normalized-fingerprint column (lower + collapsed whitespace). */
   def fingerprint(textCol: Column): Column = F.fingerprint(textCol)
 

@@ -67,6 +67,20 @@ object CurationQueries {
           max("doc_id").as("max_id"))
     },
 
+    // -- c5: per-group quality-quantile filter — keep docs at/above the
+    //    per-lang median length (Spark's exact `percentile` ≡ DuckDB
+    //    `quantile_cont`; tiny threshold frame broadcast back onto one
+    //    corpus scan) -----------------------------------------------
+    "c5_quality_quantile" -> { (s, d) =>
+      Curation.filterByQualityQuantile(
+        Tables.documents(s, d), "n_chars", Seq("lang"), q = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min("n_chars").as("min_kept_chars"),
+          sum("n_chars").as("sum_kept_chars"))
+        .orderBy("lang")
+    },
+
     // -- c3: PII detection counts + redaction length delta -------------
     "c3_pii_redaction" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("dirty", dirtied)
@@ -109,6 +123,16 @@ object CurationQueries {
         |      ORDER BY sha256(doc_id::VARCHAR), doc_id) AS r
         |  FROM documents)
         |WHERE r <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c5_quality_quantile" ->
+      """WITH th AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS q
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.lang, count(*) AS n_kept, min(d.n_chars) AS min_kept_chars,
+        |  sum(d.n_chars)::BIGINT AS sum_kept_chars
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE d.n_chars >= th.q
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "c4_decontamination" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -97,6 +97,22 @@ object DedupQueries {
           max("doc_id").as("max_kept_id"))
     },
 
+    // -- d9: incremental dedup — a "new crawl" (verbatim clones of
+    //    %10==0 plus case/whitespace variants of %10==5) anti-joined by
+    //    content digest against the already-ingested base; only the
+    //    genuinely-new variants survive. The production shape: the
+    //    corpus never re-shuffles, only the new slice does. ----------
+    "d9_incremental_dedup" -> { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val incoming = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            upper(regexp_replace(col("text"), " ", "  ")).as("text")))
+      graft.ops.Dedup.dedupAgainst(incoming, base, Seq("text"))
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // -- normalized-fingerprint dedup (case/whitespace-insensitive):
     //    64-bit rolling hash of lower+collapsed text -------------------
     "d2_fingerprint_dedup" -> { (s, d) =>
@@ -322,6 +338,19 @@ object DedupQueries {
          |SELECT comp, count(*) AS n_members,
          |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
          |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+    // The digest details are invisible to the result: NOT EXISTS on the
+    // raw text is the same set (NOT IN would null-trap if a seen text
+    // were NULL).
+    "d9_incremental_dedup" ->
+      """WITH incoming AS (
+        |  SELECT doc_id+100000 AS doc_id, text FROM documents WHERE doc_id%10=0
+        |  UNION ALL
+        |  SELECT doc_id+200000, upper(regexp_replace(text,' ','  ','g'))
+        |    FROM documents WHERE doc_id%10=5
+        |)
+        |SELECT doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM documents s WHERE s.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
     // Full replication of the 60-bit sha-based SimHash pipeline: token
     // hash = first 15 sha256 hex chars as a BIGINT (the label-bucket
     // hex-sum trick; 60 bits keeps all arithmetic positive in signed

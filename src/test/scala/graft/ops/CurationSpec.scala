@@ -124,4 +124,27 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(counts == ((1L, 2L, 2L)))
   }
+
+  test("filterByQualityQuantile keeps per-group rows at/above the exact quantile") {
+    val df = Seq(("en", 1.0), ("en", 2.0), ("en", 3.0), ("en", 4.0),
+      ("de", 10.0), ("de", 20.0)).toDF("lang", "score")
+    val kept = Curation.filterByQualityQuantile(df, "score", Seq("lang"), 0.5)
+      .as[(String, Double)].collect().toSet
+    // en: quantile_cont(0.5) = 2.5 -> keep 3,4; de: 15 -> keep 20
+    assert(kept == Set(("en", 3.0), ("en", 4.0), ("de", 20.0)))
+    // schema passes through untouched
+    assert(Curation.filterByQualityQuantile(df, "score", Seq("lang"), 0.5)
+      .columns.toSeq == Seq("lang", "score"))
+  }
+
+  test("filterByQualityQuantile: NULL group is its own stratum; NULL scores drop") {
+    val df = Seq((Option.empty[String], Some(1.0)), (Option.empty[String], Some(3.0)),
+      (Some("en"), Some(5.0)), (Some("en"), Option.empty[Double]))
+      .toDF("lang", "score")
+    val kept = Curation.filterByQualityQuantile(df, "score", Seq("lang"), 0.5)
+      .as[(Option[String], Option[Double])].collect().toSet
+    // null-lang stratum median = 2.0 -> keeps 3.0; en median over the
+    // single non-null score = 5.0 -> keeps it; the null score cannot rank
+    assert(kept == Set((None, Some(3.0)), (Some("en"), Some(5.0))))
+  }
 }

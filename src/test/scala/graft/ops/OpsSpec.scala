@@ -82,6 +82,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(labels.size == 20 && labels.values.toSet == Set(1L))
   }
 
+  test("dedupAgainst keeps only genuinely-new content") {
+    val seen = Seq((1L, Some("alpha")), (2L, Some("beta")),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val incoming = Seq((10L, Some("alpha")), (11L, Some("gamma")),
+      (12L, Option.empty[String]), (13L, Some(""))).toDF("id", "text")
+    val kept = Dedup.dedupAgainst(incoming, seen, Seq("text"))
+      .select("id").as[Long].collect().toSet
+    // alpha is a dup; the NULL matches seen's NULL row; "" is new (NULL
+    // and empty digest differently by construction)
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("dedupAgainst digests are injective across column boundaries") {
+    val seen = Seq(("a|b", "c")).toDF("x", "y")
+    val incoming = Seq(("a", "b|c"), ("a|b", "c"), ("a", "b"))
+      .toDF("x", "y")
+    // length-prefixing means ("a","b|c") can NOT collide with ("a|b","c")
+    val kept = Dedup.dedupAgainst(incoming, seen, Seq("x", "y"))
+      .select("x").as[String].collect().toSet
+    assert(kept == Set("a"))
+  }
+
   test("dropNearDuplicates transitive keeps exactly the component minimum") {
     val kept = Dedup.dropNearDuplicates(corpus, "id", "text",
       threshold = 0.5, transitive = true)
