@@ -194,6 +194,60 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** Incremental NEAR-duplicate dedup: drop `incoming` rows within
+    * `threshold` jaccard of ANY `seen` document — [[dedupAgainst]]'s
+    * fuzzy sibling, for the "new crawl vs ingested corpus" pass where
+    * verbatim matching is not enough. Only the incoming slice is
+    * deduplicated; the seen corpus NEVER self-joins (running
+    * [[nearDuplicates]] over `seen ∪ incoming` would re-pair the whole
+    * history on every crawl).
+    *
+    * Shape: both sides compute shingle-hash sets and banded MinHash
+    * keys once; candidates are a band equi-join of incoming × seen
+    * (pathological seen-side buckets capped at `maxBucket` — the
+    * boilerplate-shingle skew guard); the exact-jaccard verify runs on
+    * the precomputed sets; matched incoming ids leave via one
+    * left-anti join. Recall follows the [[minhashCandidates]] band
+    * math: 1-(1-j^rows)^bands, effectively 1 at j ≥ 0.8 with the
+    * defaults. At 100 TB the seen side's banded keys are exactly what
+    * a pipeline persists between crawls — the corpus itself is
+    * re-read, never re-shuffled.
+    */
+  def nearDupAgainst(incoming: DataFrame, seen: DataFrame, idCol: String,
+                     textCol: String, threshold: Double = 0.8,
+                     numHashes: Int = 64, bands: Int = 32,
+                     shingle: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val inSets = shingleSets(incoming, idCol, textCol, shingle).persist()
+    val seenSets = shingleSets(seen, idCol, textCol, shingle).persist()
+    try {
+      def banded(sets: DataFrame, as: String) = sets.select(
+        col(idCol).as(as),
+        posexplode(F.minhashBands(
+          F.minhashSigFromHashes(col("__sh"), numHashes), bands))
+          .as(Seq("__band", "__key")))
+      val seenCapped = {
+        val sizes = banded(seenSets, "__seen_id")
+          .groupBy("__band", "__key").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select("__band", "__key")
+        banded(seenSets, "__seen_id")
+          .join(sizes, Seq("__band", "__key"), "left_semi")
+      }
+      val cand = banded(inSets, "__in_id")
+        .join(seenCapped, Seq("__band", "__key"))
+        .select("__in_id", "__seen_id").distinct()
+      val matched = cand
+        .join(inSets.select(col(idCol).as("__in_id"), col("__sh").as("__sa")),
+          "__in_id")
+        .join(seenSets.select(col(idCol).as("__seen_id"), col("__sh").as("__sb")),
+          "__seen_id")
+        .filter(F.jaccardSortedSim(col("__sa"), col("__sb")) >= threshold)
+        .select(col("__in_id").as(idCol)).distinct()
+        .truncated // materialize the (tiny) loser set before the sets drop
+      incoming.join(matched, Seq(idCol), "left_anti")
+    } finally { inSets.unpersist(); seenSets.unpersist() }
+  }
+
   /** EXACT n-gram-Jaccard near-duplicate pairs via a PREFIX-FILTERED
     * inverted shingle index (the AllPairs/ppjoin candidate scheme):
     * under the global sorted-hash order, any pair with jaccard ≥ t must

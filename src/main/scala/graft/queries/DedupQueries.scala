@@ -155,6 +155,27 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // -- d10: incremental NEAR-dedup — a new crawl of 95%-token-
+    //    truncated variants (≈0.9 jaccard vs their seen originals →
+    //    dropped) and token-REVERSED docs (3-gram jaccard ≈ 0 → kept)
+    //    anti-joined against the seen corpus through the banded-
+    //    MinHash × exact-verify pipeline. Oracle = full-scan jaccard
+    //    truth between the two corpora. --------------------------------
+    "d10_neardup_against" -> { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val keep = ceil(size(toks) * 0.95).cast("int")
+      val incoming = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), keep)).as("text"))
+        .unionByName(base.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      graft.ops.Dedup.nearDupAgainst(incoming, base, "doc_id", "text",
+        threshold = 0.8, shingle = 3)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // -- EXACT n-gram-jaccard near-dup via inverted shingle index: no
     //    LSH approximation anywhere — recall 1 by construction, so the
     //    full-scan oracle matches identically. Same corpus/threshold as
@@ -338,6 +359,43 @@ object DedupQueries {
          |SELECT comp, count(*) AS n_members,
          |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
          |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+    // Full-scan jaccard truth between the incoming and seen corpora,
+    // with the same lossless size-ratio prune the d3/d5 oracles use.
+    "d10_neardup_against" ->
+      """WITH incoming AS (
+        |  SELECT doc_id+300000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text,' '), 1,
+        |           ceil(len(string_split(text,' ')) * 0.95)::INT), ' ') AS text
+        |  FROM documents WHERE doc_id%10=0
+        |  UNION ALL
+        |  SELECT doc_id+500000,
+        |         array_to_string(list_reverse(string_split(text,' ')), ' ')
+        |  FROM documents WHERE doc_id%10=7
+        |),
+        |shi AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |      ELSE list_transform(range(1, len(toks)-1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM incoming)
+        |),
+        |shs AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |      ELSE list_transform(range(1, len(toks)-1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents)
+        |),
+        |matched AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM shi a JOIN shs b
+        |    ON len(a.sh) >= 0.8 * len(b.sh) AND len(b.sh) >= 0.8 * len(a.sh)
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        |)
+        |SELECT doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.doc_id = i.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // The digest details are invisible to the result: NOT EXISTS on the
     // raw text is the same set (NOT IN would null-trap if a seen text
     // were NULL).

@@ -104,6 +104,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept == Set("a"))
   }
 
+  test("nearDupAgainst drops near-dups of the seen corpus, keeps novel docs") {
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content with no overlap whatsoever here"))
+      .toDF("id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and"), // near-dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      // shares an id with a SEEN row but is novel content — ids never
+      // cross the side boundary, only content does
+      (1L, "ANOTHER totally unrelated document about graph databases ok"))
+      .toDF("id", "text")
+    val kept = Dedup.nearDupAgainst(incoming, seen, "id", "text",
+      threshold = 0.5).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("dropNearDuplicates transitive keeps exactly the component minimum") {
     val kept = Dedup.dropNearDuplicates(corpus, "id", "text",
       threshold = 0.5, transitive = true)
