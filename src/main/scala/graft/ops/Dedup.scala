@@ -438,6 +438,44 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Incremental embedding-cosine dedup: drop `incoming` vectors within
+    * `threshold` cosine of ANY `seen` vector — completes the
+    * incremental family ([[dedupAgainst]] exact, [[nearDupAgainst]]
+    * text-jaccard) for the embedding modality. Same sign-sketch
+    * banding as [[embeddingNearDuplicates]], but the band join is
+    * incoming × seen, so the corpus never self-pairs and only the new
+    * slice shuffles; the seen side's banded keys are the natural
+    * persisted index between crawls.
+    */
+  def embeddingNearDupAgainst(incoming: DataFrame, seen: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double = 0.99, planes: Int = 128,
+                              bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    def banded(d: DataFrame, as: String) = d.select(
+      col(idCol).as(as),
+      posexplode(F.signBandKeys(col(vecCol), planes, bands))
+        .as(Seq("__band", "__key")))
+    val seenCapped = {
+      val sizes = banded(seen, "__seen_id")
+        .groupBy("__band", "__key").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket)
+        .select("__band", "__key")
+      banded(seen, "__seen_id").join(sizes, Seq("__band", "__key"), "left_semi")
+    }
+    val cand = banded(incoming, "__in_id")
+      .join(seenCapped, Seq("__band", "__key"))
+      .select("__in_id", "__seen_id").distinct()
+    val matched = cand
+      .join(incoming.select(col(idCol).as("__in_id"), col(vecCol).as("__va")),
+        "__in_id")
+      .join(seen.select(col(idCol).as("__seen_id"), col(vecCol).as("__vb")),
+        "__seen_id")
+      .filter(F.cosineSim(col("__va"), col("__vb")) >= threshold)
+      .select(col("__in_id").as(idCol)).distinct()
+      .truncated // materialize the small loser set once
+    incoming.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold, bucketed by a
     * random-hyperplane sign sketch: `planes` sign bits → `bands` keys →
     * band equi-join → exact cosine verify on candidates only. The plan

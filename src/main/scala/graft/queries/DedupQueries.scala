@@ -246,6 +246,24 @@ object DedupQueries {
         .orderBy("comp")
     },
 
+    // -- d11: incremental embedding dedup — copied vectors (+100000,
+    //    cos 1 vs their originals → dropped) and rotated vectors
+    //    (+200000, decorrelated direction → kept) against the seen
+    //    embedding corpus. ------------------------------------------
+    "d11_embedding_against" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val rot = concat(
+        slice(col("embedding"), lit(8), size(col("embedding")) - 7),
+        slice(col("embedding"), lit(1), lit(7)))
+      val incoming = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 2)
+          .select((col("vec_id") + 200000).as("vec_id"), rot.as("embedding")))
+      graft.ops.Dedup.embeddingNearDupAgainst(incoming, emb,
+        "vec_id", "embedding", threshold = 0.99)
+        .select("vec_id").orderBy("vec_id")
+    },
+
     "d6_embedding_neardup" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val corpus = emb.unionByName(
@@ -456,6 +474,23 @@ object DedupQueries {
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000
         |ORDER BY id_a""".stripMargin,
+    "d11_embedding_against" ->
+      """WITH incoming AS (
+        |  SELECT vec_id+100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id%5=0
+        |  UNION ALL
+        |  SELECT vec_id+200000, list_concat(embedding[8:], embedding[1:7])
+        |  FROM embeddings WHERE vec_id%5=2
+        |),
+        |matched AS (
+        |  SELECT DISTINCT i.vec_id
+        |  FROM incoming i JOIN embeddings s
+        |    ON list_cosine_similarity(i.embedding::DOUBLE[],
+        |                              s.embedding::DOUBLE[]) >= 0.99
+        |)
+        |SELECT vec_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.vec_id = i.vec_id)
+        |ORDER BY vec_id""".stripMargin,
     "d6_embedding_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -121,6 +121,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("embeddingNearDupAgainst drops vector copies, keeps novel directions") {
+    val seen = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("id", "emb")
+    val incoming = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)), // exact copy of seen 1 → dropped
+      (11L, Array(0f, 0f, 1f, 0f))) // orthogonal → kept
+      .toDF("id", "emb")
+    val kept = Dedup.embeddingNearDupAgainst(incoming, seen, "id", "emb",
+      threshold = 0.99).select("id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+  }
+
   test("dropNearDuplicates transitive keeps exactly the component minimum") {
     val kept = Dedup.dropNearDuplicates(corpus, "id", "text",
       threshold = 0.5, transitive = true)
