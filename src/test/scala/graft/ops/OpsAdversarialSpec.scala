@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{GraftFunctions => F}
+
+/** Hostile-input sweep over the public ops surface: NULL and empty
+  * text, single tokens, control characters, unicode (CJK/emoji, no
+  * spaces), a pathological all-identical corpus, and a long document.
+  * Ops must neither throw nor mis-group — the dedup/curation family is
+  * exactly the code a 100 TB pipeline points at a raw crawl, which
+  * contains all of these.
+  */
+class OpsAdversarialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hostile = Seq(
+    (1L, Option.empty[String]),            // NULL text
+    (2L, Some("")),                        // empty
+    (3L, Some("   ")),                     // blank
+    (4L, Some("one")),                     // single token
+    (5L, Some("a\u000Bb c")),              // vertical tab = content
+    (6L, Some("漢字テスト")), // CJK, no spaces
+    (7L, Some("emoji 😀 text")), // surrogate pair
+    (8L, Some((1 to 5000).map(i => s"tok$i").mkString(" "))), // long doc
+    (9L, Some("x " * 500)))                // degenerate repetition
+    .toDF("id", "text")
+
+  test("exact dedup family survives hostile text") {
+    val stats = Dedup.exactStats(hostile, "text", "id").collect().head
+    assert(stats.getAs[Long]("n_rows") == 9)
+    assert(stats.getAs[Long]("n_dupes_removed") == 0) // all 9 distinct
+    assert(Dedup.exact(hostile, Seq("text"), "id").count() == 9)
+    // fingerprint: blank collapses to empty; \x0B stays content
+    val fps = hostile.withColumn("fp", F.fingerprint(col("text")))
+      .select("id", "fp").as[(Long, Long)].collect().toMap
+    assert(fps(2L) == fps(3L)) // "" and "   " normalize identically
+    assert(fps(5L) != fps(2L))
+  }
+
+  test("near-dup pipelines treat contentless docs as one dup class, nothing else") {
+    // NULL, "" and "   " all shingle to the {hash("")} sentinel →
+    // jaccard 1 among themselves (two blank docs ARE duplicates); no
+    // other pair qualifies. Both mechanisms must land on exactly that.
+    val expect = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    val lsh = Dedup.nearDuplicates(hostile, "id", "text", threshold = 0.8)
+    assert(lsh.select("id_a", "id_b").as[(Long, Long)].collect().toSet == expect)
+    lsh.unpersist()
+    val inv = Dedup.jaccardNearDuplicates(hostile, "id", "text",
+      threshold = 0.8, maxDocFreq = Int.MaxValue)
+    assert(inv.select("id_a", "id_b").as[(Long, Long)].collect().toSet == expect)
+    // greedy curation keeps the smallest of the contentless class
+    val kept = Dedup.dropNearDuplicates(hostile, "id", "text", threshold = 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // simhash: the same three docs sketch to 0 → hamming-0 pairs only
+    val sim = Dedup.simhashPairs(hostile, "id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim == expect)
+  }
+
+  test("all-identical corpus hits the skew cap, not a blowup") {
+    val clones = (1L to 50L).map(i => (i, "same text every single time here"))
+      .toDF("id", "text")
+    // bucket of 50 identical docs under a cap of 10: candidate
+    // generation must DROP the bucket (documented contract: run exact
+    // dedup first), not materialize 50*49/2 pairs
+    val capped = Dedup.nearDuplicates(clones, "id", "text",
+      threshold = 0.8, maxBucket = 10)
+    assert(capped.count() == 0)
+    capped.unpersist()
+    assert(Dedup.exact(clones, Seq("text"), "id").count() == 1)
+  }
+
+  test("incremental family survives hostile text on either side") {
+    val incoming = Seq(
+      (20L, Some("a\u000Bb c")),           // dup of seen 5
+      (21L, Option.empty[String]),         // exact-dup of seen NULL
+      (22L, Some("novel content entirely")))
+      .toDF("id", "text")
+    val kept = Dedup.dedupAgainst(incoming, hostile, Seq("text"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(22L)) // NULL matches seen NULL; \x0B doc matches 5
+    val keptNear = Dedup.nearDupAgainst(incoming, hostile, "id", "text",
+      threshold = 0.8).select("id").as[Long].collect().toSet
+    // 21's sentinel set matches seen's contentless class at j = 1
+    assert(keptNear == Set(22L))
+  }
+
+  test("text analysis columns are total functions over hostile text") {
+    val out = hostile
+      .withColumn("tok_n", F.tokenCount(col("text")))
+      .withColumn("sub_n", F.subwordCount(col("text")))
+      .select("id", "tok_n", "sub_n")
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, t, s) => id -> ((t, s)) }.toMap
+    assert(out(1L) == ((0, 0))) // NULL → zeros, not NULL poison
+    assert(out(3L)._1 == 0)
+    assert(out(5L)._1 == 2)     // "ab" + "c" under the RE2 class
+    assert(out(6L)._1 == 1)     // CJK run = one whitespace token
+    assert(out(8L)._1 == 5000)
+    val rep = TextAnalysis.repetitionFeatures(col("text"))
+      .foldLeft(hostile) { case (df, (n, c)) => df.withColumn(n, c) }
+    assert(rep.count() == 9)    // no crash on NULL/short/degenerate
+    assert(rep.filter(col("tok_n").isNull).count() == 0)
+  }
+}
