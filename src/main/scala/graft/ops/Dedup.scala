@@ -88,6 +88,21 @@ object Dedup {
   def dedupAgainst(incoming: DataFrame, seen: DataFrame,
                    on: Seq[String]): DataFrame = {
     require(on.nonEmpty, "dedupAgainst needs at least one content column")
+    require(!incoming.columns.contains("__graft_seen_k"),
+      "incoming already has a '__graft_seen_k' column")
+    // The length-prefix encoding is injective over STRINGS; for
+    // array/map/struct columns cast-to-string is lossy ("[a, b]" from
+    // Seq("a","b") and from Seq("a, b") alike) and a false match
+    // silently DROPS genuinely-new rows — fail loud instead.
+    for (d <- Seq(incoming, seen); c <- on) {
+      val dt = d.schema(c).dataType
+      require(!dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.StructType],
+        s"dedupAgainst content column '$c' has non-atomic type $dt: " +
+          "cast-to-string is not injective there; project to a string " +
+          "(e.g. to_json) first")
+    }
     def digest(d: DataFrame): Column = {
       val parts = on.map { name =>
         val s = d(name).cast("string")
@@ -194,6 +209,35 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** One-sided banded candidates (incoming × seen): cap pathological
+    * SEEN-side buckets at `maxBucket`, equi-join on (band, key), dedup.
+    * Shared by [[nearDupAgainst]] and [[embeddingNearDupAgainst]].
+    *
+    * The banded seen frame is persisted here — it is read twice (bucket
+    * sizes + the capped semi-join), and the banding itself (MinHash
+    * signatures / sign sketches) is the dominant compute at corpus
+    * scale, so recomputing it per leg would double the most expensive
+    * stage. The returned candidate frame is persisted and MATERIALIZED
+    * so the banded cache can drop immediately; the caller unpersists it
+    * once its verify output is materialized.
+    */
+  private def oneSidedCandidates(bandedIn: DataFrame, bandedSeen: DataFrame,
+                                 maxBucket: Int): DataFrame = {
+    val seenB = bandedSeen.persist()
+    try {
+      val sizes = seenB.groupBy("__band", "__key")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket)
+        .select("__band", "__key")
+      val capped = seenB.join(sizes, Seq("__band", "__key"), "left_semi")
+      val cand = bandedIn.join(capped, Seq("__band", "__key"))
+        .select("__in_id", "__seen_id").distinct()
+        .persist()
+      cand.count()
+      cand
+    } finally seenB.unpersist()
+  }
+
   /** Incremental NEAR-duplicate dedup: drop `incoming` rows within
     * `threshold` jaccard of ANY `seen` document — [[dedupAgainst]]'s
     * fuzzy sibling, for the "new crawl vs ingested corpus" pass where
@@ -202,16 +246,21 @@ object Dedup {
     * [[nearDuplicates]] over `seen ∪ incoming` would re-pair the whole
     * history on every crawl).
     *
-    * Shape: both sides compute shingle-hash sets and banded MinHash
-    * keys once; candidates are a band equi-join of incoming × seen
-    * (pathological seen-side buckets capped at `maxBucket` — the
-    * boilerplate-shingle skew guard); the exact-jaccard verify runs on
-    * the precomputed sets; matched incoming ids leave via one
-    * left-anti join. Recall follows the [[minhashCandidates]] band
-    * math: 1-(1-j^rows)^bands, effectively 1 at j ≥ 0.8 with the
-    * defaults. At 100 TB the seen side's banded keys are exactly what
-    * a pipeline persists between crawls — the corpus itself is
-    * re-read, never re-shuffled.
+    * Shape: both sides compute shingle-hash sets once (persisted) and
+    * banded MinHash keys once ([[oneSidedCandidates]] persists the
+    * seen side's); candidates are the capped incoming × seen band
+    * equi-join; the exact-jaccard verify runs on the precomputed sets;
+    * matched incoming ids leave via one left-anti join. Recall follows
+    * the [[minhashCandidates]] band math: 1-(1-j^rows)^bands,
+    * effectively 1 at j ≥ 0.8 with the defaults. At 100 TB the seen
+    * side's banded keys are exactly what a pipeline persists between
+    * crawls — the corpus itself is re-read, never re-shuffled.
+    *
+    * CONTRACT: `idCol` must be non-null and unique within `incoming`
+    * (same as [[exact]]): the final anti-join is by id, so a NULL id
+    * never matches its own loser row, and duplicate incoming ids drop
+    * together if either matches. Seen-side ids only label candidates
+    * and carry no constraint.
     */
   def nearDupAgainst(incoming: DataFrame, seen: DataFrame, idCol: String,
                      textCol: String, threshold: Double = 0.8,
@@ -225,17 +274,8 @@ object Dedup {
         posexplode(F.minhashBands(
           F.minhashSigFromHashes(col("__sh"), numHashes), bands))
           .as(Seq("__band", "__key")))
-      val seenCapped = {
-        val sizes = banded(seenSets, "__seen_id")
-          .groupBy("__band", "__key").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucket)
-          .select("__band", "__key")
-        banded(seenSets, "__seen_id")
-          .join(sizes, Seq("__band", "__key"), "left_semi")
-      }
-      val cand = banded(inSets, "__in_id")
-        .join(seenCapped, Seq("__band", "__key"))
-        .select("__in_id", "__seen_id").distinct()
+      val cand = oneSidedCandidates(banded(inSets, "__in_id"),
+        banded(seenSets, "__seen_id"), maxBucket)
       val matched = cand
         .join(inSets.select(col(idCol).as("__in_id"), col("__sh").as("__sa")),
           "__in_id")
@@ -243,7 +283,8 @@ object Dedup {
           "__seen_id")
         .filter(F.jaccardSortedSim(col("__sa"), col("__sb")) >= threshold)
         .select(col("__in_id").as(idCol)).distinct()
-        .truncated // materialize the (tiny) loser set before the sets drop
+        .truncated // materialize the (tiny) loser set before the caches drop
+      cand.unpersist()
       incoming.join(matched, Seq(idCol), "left_anti")
     } finally { inSets.unpersist(); seenSets.unpersist() }
   }
@@ -444,8 +485,12 @@ object Dedup {
     * text-jaccard) for the embedding modality. Same sign-sketch
     * banding as [[embeddingNearDuplicates]], but the band join is
     * incoming × seen, so the corpus never self-pairs and only the new
-    * slice shuffles; the seen side's banded keys are the natural
-    * persisted index between crawls.
+    * slice shuffles; the seen side's banded keys (persisted for the
+    * call by [[oneSidedCandidates]] — the planes×dim sketch is the
+    * dominant compute) are the natural persisted index between crawls.
+    *
+    * CONTRACT: `idCol` non-null and unique within `incoming`, as in
+    * [[nearDupAgainst]].
     */
   def embeddingNearDupAgainst(incoming: DataFrame, seen: DataFrame,
                               idCol: String, vecCol: String,
@@ -455,16 +500,8 @@ object Dedup {
       col(idCol).as(as),
       posexplode(F.signBandKeys(col(vecCol), planes, bands))
         .as(Seq("__band", "__key")))
-    val seenCapped = {
-      val sizes = banded(seen, "__seen_id")
-        .groupBy("__band", "__key").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucket)
-        .select("__band", "__key")
-      banded(seen, "__seen_id").join(sizes, Seq("__band", "__key"), "left_semi")
-    }
-    val cand = banded(incoming, "__in_id")
-      .join(seenCapped, Seq("__band", "__key"))
-      .select("__in_id", "__seen_id").distinct()
+    val cand = oneSidedCandidates(banded(incoming, "__in_id"),
+      banded(seen, "__seen_id"), maxBucket)
     val matched = cand
       .join(incoming.select(col(idCol).as("__in_id"), col(vecCol).as("__va")),
         "__in_id")
@@ -473,6 +510,7 @@ object Dedup {
       .filter(F.cosineSim(col("__va"), col("__vb")) >= threshold)
       .select(col("__in_id").as(idCol)).distinct()
       .truncated // materialize the small loser set once
+    cand.unpersist()
     incoming.join(matched, Seq(idCol), "left_anti")
   }
 

@@ -123,6 +123,9 @@ object CurationQueries {
         |      ORDER BY sha256(doc_id::VARCHAR), doc_id) AS r
         |  FROM documents)
         |WHERE r <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // IS NOT DISTINCT FROM mirrors the engine's null-safe group join: a
+    // NULL lang forms its own stratum and survives (plain `=` would
+    // silently drop every NULL-lang row only on the oracle side).
     "c5_quality_quantile" ->
       """WITH th AS (
         |  SELECT lang, quantile_cont(n_chars, 0.5) AS q
@@ -130,7 +133,7 @@ object CurationQueries {
         |)
         |SELECT d.lang, count(*) AS n_kept, min(d.n_chars) AS min_kept_chars,
         |  sum(d.n_chars)::BIGINT AS sum_kept_chars
-        |FROM documents d JOIN th ON d.lang = th.lang
+        |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
         |WHERE d.n_chars >= th.q
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "c4_decontamination" ->

@@ -414,9 +414,10 @@ object DedupQueries {
         |SELECT doc_id FROM incoming i
         |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.doc_id = i.doc_id)
         |ORDER BY doc_id""".stripMargin,
-    // The digest details are invisible to the result: NOT EXISTS on the
-    // raw text is the same set (NOT IN would null-trap if a seen text
-    // were NULL).
+    // The digest details are invisible to the result given one parity
+    // rule: dedupAgainst digests NULL to its own tag, so an incoming
+    // NULL matches a seen NULL — hence IS NOT DISTINCT FROM, not `=`
+    // (which would keep every NULL-text incoming row the engine drops).
     "d9_incremental_dedup" ->
       """WITH incoming AS (
         |  SELECT doc_id+100000 AS doc_id, text FROM documents WHERE doc_id%10=0
@@ -425,7 +426,8 @@ object DedupQueries {
         |    FROM documents WHERE doc_id%10=5
         |)
         |SELECT doc_id FROM incoming i
-        |WHERE NOT EXISTS (SELECT 1 FROM documents s WHERE s.text = i.text)
+        |WHERE NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.text IS NOT DISTINCT FROM i.text)
         |ORDER BY doc_id""".stripMargin,
     // Full replication of the 60-bit sha-based SimHash pipeline: token
     // hash = first 15 sha256 hex chars as a BIGINT (the label-bucket
