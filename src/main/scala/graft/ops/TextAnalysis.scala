@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => F}
@@ -104,6 +104,31 @@ object TextAnalysis {
       "tok_repeat_ratio" -> ratio(n, size(array_distinct(toks))),
       "dup_ngram_ratio" -> ratio(g, size(array_distinct(grams))))
   }
+
+  /** Corpus-level vocabulary statistics in ONE token shuffle:
+    * total token occurrences, vocabulary size, hapax count (tokens
+    * occurring exactly once — the Zipf tail that dominates vocab
+    * size), and the highest term frequency. The inner aggregate is a
+    * `groupBy(token)` with map-side partial combine; the outer reduces
+    * |vocab| tiny rows to one.
+    *
+    * 100 TB note: the exact shape shuffles one row per distinct token
+    * per partition after partial aggregation — fine for natural-
+    * language vocabularies (≤ ~10^8 terms). If only the cardinality is
+    * needed, `approx_count_distinct` over exploded tokens avoids the
+    * exact groupBy entirely.
+    */
+  def corpusVocabStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        when(col(textCol).isNull, array().cast("array<string>"))
+          .otherwise(regexp_extract_all(col(textCol),
+            lit("[^ \\t\\n\\f\\r]+"), lit(0)))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__n"))
+      .agg(
+        sum("__n").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("__n") === 1, 1).otherwise(0)).as("n_hapax"),
+        max("__n").as("max_token_freq"))
 
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)

@@ -103,6 +103,11 @@ object TextQueries {
           max("n_chars").as("max_chars"),
           countDistinct("lang").as("n_langs"))
         .orderBy("source")
+    },
+
+    // -- corpus-level vocabulary statistics: one token shuffle ---------
+    "t6_corpus_vocab" -> { (s, d) =>
+      graft.ops.TextAnalysis.corpusVocabStats(Tables.documents(s, d), "text")
     })
 
   private def sqlHits(markers: Seq[String]) =
@@ -192,5 +197,13 @@ object TextQueries {
         | round(avg(n_chars),4) AS avg_chars,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         | count(DISTINCT lang) AS n_langs
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t6_corpus_vocab" ->
+      """SELECT sum(n)::BIGINT AS n_tokens, count(*) AS vocab_size,
+        | sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        | max(n)::BIGINT AS max_token_freq
+        |FROM (SELECT tok, count(*)::BIGINT AS n
+        |      FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+        |            FROM documents)
+        |      GROUP BY tok)""".stripMargin)
 }
