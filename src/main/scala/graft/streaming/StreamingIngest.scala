@@ -82,6 +82,22 @@ object StreamingIngest {
       .flatMap(_.toSeq)
   }
 
+  /** Streaming incremental dedup: drop stream records whose content
+    * digest already appears in the STATIC seen corpus — the streaming
+    * face of [[graft.ops.Dedup.dedupAgainst]] (same digest encoding,
+    * same null semantics), for the "live crawl vs ingested corpus"
+    * pass. A stream–static LEFT ANTI join is fully supported by
+    * Structured Streaming and stateless on the stream side: the static
+    * digest index builds once per microbatch plan (broadcast when
+    * small), no watermark or state store involved. For stream-internal
+    * duplicates compose with [[firstSeen]] or
+    * `dropDuplicatesWithinWatermark` — this pass only guards against
+    * the corpus.
+    */
+  def dedupAgainstStream(stream: DataFrame, seen: DataFrame,
+                         on: Seq[String]): DataFrame =
+    graft.ops.Dedup.dedupAgainst(stream, seen, on)
+
   /** Convenience: run a streaming frame into an in-memory table and
     * block until all currently-available data is processed (test +
     * local-debug harness; production sinks use foreachBatch → the

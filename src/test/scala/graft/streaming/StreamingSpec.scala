@@ -62,4 +62,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_._1) == Set("k1", "k2"))
     assert(rows.contains(("k1", "v1"))) // the FIRST record won
   }
+
+  test("stream-static incremental dedup drops corpus matches, passes novel rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    val input = MemoryStream[(Long, String)]
+    input.addData((10L, "alpha"), (11L, "gamma"))
+    val out = StreamingIngest.dedupAgainstStream(
+      input.toDF().toDF("id", "text"), seen, Seq("text"))
+    StreamingIngest.runToMemory(out, "stream_dedup", OutputMode.Append())
+    // more data arrives: another corpus dup and another novel row; a
+    // fresh query over the same source re-reads everything
+    input.addData((12L, "beta"), (13L, "delta"))
+    val out2 = StreamingIngest.dedupAgainstStream(
+      input.toDF().toDF("id", "text"), seen, Seq("text"))
+    StreamingIngest.runToMemory(out2, "stream_dedup2", OutputMode.Append())
+    val ids1 = spark.table("stream_dedup").select("id").as[Long].collect().toSet
+    val ids2 = spark.table("stream_dedup2").select("id").as[Long].collect().toSet
+    assert(ids1 == Set(11L))
+    assert(ids2 == Set(11L, 13L)) // fresh query re-reads all data: dups still drop
+  }
 }
