@@ -55,15 +55,24 @@ object Checkpoints {
       checkpointedRddId(df).foreach(CheckpointShim.cleanCheckpoint(sc, _))
   }
 
-  /** The id of the checkpointed RDD backing an eagerly-checkpointed
-    * frame: its analyzed plan is a `LogicalRDD` leaf wrapping that
-    * RDD. Found structurally (first RDD among the node's fields)
-    * rather than by naming the `private[sql]` class.
+  /** The id of the checkpointed RDD backing a frame: the checkpoint
+    * surfaces as a `LogicalRDD` LEAF somewhere in the analyzed plan
+    * (the frame may be a projection/filter over it — `duplicateGroups`
+    * returns `select("id","comp")` of its checkpoint). Found
+    * structurally (RDD-bearing leaves of the plan tree) rather than by
+    * naming the `private[sql]` class. Returns None when the plan holds
+    * ZERO or MULTIPLE checkpoint leaves — with several (e.g. a join of
+    * two checkpointed frames) "the frame's backing checkpoint" is
+    * ambiguous and deleting any of them could corrupt a sibling, so
+    * release degrades to a no-op instead.
     */
-  private def checkpointedRddId(df: DataFrame): Option[Int] =
-    df.queryExecution.analyzed.productIterator.collectFirst {
-      case r: RDD[_] => r.id
-    }
+  private def checkpointedRddId(df: DataFrame): Option[Int] = {
+    val ids = df.queryExecution.analyzed.collect {
+      case leaf: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+        leaf.productIterator.collectFirst { case r: RDD[_] => r.id }
+    }.flatten
+    if (ids.size == 1) ids.headOption else None
+  }
 
   /** Per-iteration checkpoint lifecycle for ONE iterative algorithm:
     * `truncate` like the object-level method, plus deterministic

@@ -66,6 +66,26 @@ class DedupOpsSpec extends SparkSpec {
     } finally sc.setCheckpointDir(null)
   }
 
+  test("transitive dropNearDuplicates releases the label frame's final checkpoint") {
+    val dir = tmpDir("ckpt_release")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val kept = Dedup.dropNearDuplicates(corpus, "id", "text",
+        threshold = 0.5, transitive = true)
+        .select("id").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L, 5L))
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toList
+      // One checkpoint may survive: the materialized loser set backing
+      // the returned frame. duplicateGroups' label rounds (several per
+      // propagation) must all be gone — Checkpoints.release reclaims
+      // the final one once the losers are materialized.
+      assert(rddDirs.size <= 1,
+        s"label-frame checkpoints leaked past release: $rddDirs")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("duplicateGroups labels transitive components with the global min id") {
     val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val groups = Dedup.duplicateGroups(pairs)
