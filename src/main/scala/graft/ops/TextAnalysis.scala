@@ -105,6 +105,38 @@ object TextAnalysis {
       "dup_ngram_ratio" -> ratio(g, size(array_distinct(grams))))
   }
 
+  /** Gopher-style LINE-level quality signals (Rae et al. 2021 §A1.1:
+    * bullet/ellipsis line fractions, mean word length, symbol-to-word
+    * ratio) as pure column expressions — the remaining standard rules
+    * [[qualityFeatures]] and [[repetitionFeatures]] don't cover.
+    * Single scan, all `regexp_count`/`length` built-ins (no HOF
+    * lambdas in the hot path).
+    *
+    * Regex parity notes (Java ⇄ RE2, same contract as
+    * [[graft.functions.TextHash.tokens]]): `(?m)` anchors per line in
+    * both engines; the ellipsis rule carries `\r?` so CRLF texts agree
+    * (Java treats `\r\n` as one terminator, RE2 anchors only at `\n`);
+    * mean word length derives from the explicit whitespace class, not
+    * `\s`. NULL text measures as zeros.
+    */
+  def gopherLineFeatures(textCol: Column): Seq[(String, Column)] = {
+    val t = coalesce(textCol, lit(""))
+    val tokN = F.tokenCount(textCol)
+    val nLines = when(textCol.isNull, lit(0)).otherwise(size(split(t, "\n")))
+    val bullet = regexp_count(t, lit("(?m)^[ \\t]*[-*\u2022]"))
+    val ellipsis = regexp_count(t, lit("(?m)(\\.\\.\\.|\u2026)\\r?$"))
+    val nonspaceChars = length(regexp_replace(t, "[ \\t\\n\\f\\r]+", ""))
+    val symbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    Seq(
+      "n_lines" -> nLines.cast("long"),
+      "bullet_line_ratio" -> ratio(bullet, nLines),
+      "ellipsis_line_ratio" -> ratio(ellipsis, nLines),
+      "mean_word_len" -> ratio(nonspaceChars, tokN),
+      "symbol_word_ratio" -> ratio(symbols, tokN))
+  }
+
   /** Corpus-level vocabulary statistics in ONE token shuffle:
     * total token occurrences, vocabulary size, hapax count (tokens
     * occurring exactly once — the Zipf tail that dominates vocab

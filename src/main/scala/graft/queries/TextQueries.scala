@@ -108,6 +108,27 @@ object TextQueries {
     // -- corpus-level vocabulary statistics: one token shuffle ---------
     "t6_corpus_vocab" -> { (s, d) =>
       graft.ops.TextAnalysis.corpusVocabStats(Tables.documents(s, d), "text")
+    },
+
+    // -- Gopher line-level quality rules over deterministically dirtied
+    //    text (every 4th doc gains bullets, 4th+1 a trailing ellipsis,
+    //    4th+2 symbol spam — each rule fires on a knowable subset) ----
+    "t7_gopher_lines" -> { (s, d) =>
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit("\n- bullet item\n* another..."))
+          .when(col("doc_id") % 4 === 1, lit("\ntrailing ellipsis..."))
+          .when(col("doc_id") % 4 === 2, lit(" ### tags #"))
+          .otherwise(lit("")))
+      val base = Tables.documents(s, d).withColumn("t", dirty)
+      graft.ops.TextAnalysis.gopherLineFeatures(col("t"))
+        .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+        .groupBy("lang")
+        .agg(sum("n_lines").as("total_lines"),
+          round(avg("bullet_line_ratio"), 4).as("avg_bullet_ratio"),
+          round(avg("ellipsis_line_ratio"), 4).as("avg_ellipsis_ratio"),
+          round(avg("mean_word_len"), 4).as("avg_word_len"),
+          round(avg("symbol_word_ratio"), 4).as("avg_symbol_ratio"))
+        .orderBy("lang")
     })
 
   private def sqlHits(markers: Seq[String]) =
@@ -205,5 +226,33 @@ object TextQueries {
         |FROM (SELECT tok, count(*)::BIGINT AS n
         |      FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
         |            FROM documents)
-        |      GROUP BY tok)""".stripMargin)
+        |      GROUP BY tok)""".stripMargin,
+    "t7_gopher_lines" ->
+      """WITH d AS (
+        |  SELECT lang, text || CASE
+        |    WHEN doc_id % 4 = 0 THEN chr(10)||'- bullet item'||chr(10)||'* another...'
+        |    WHEN doc_id % 4 = 1 THEN chr(10)||'trailing ellipsis...'
+        |    WHEN doc_id % 4 = 2 THEN ' ### tags #'
+        |    ELSE '' END AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT lang,
+        |    len(string_split(t, chr(10))) AS n_lines,
+        |    len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS bullet,
+        |    len(regexp_extract_all(t, '(?m)(\.\.\.|…)\r?$')) AS ellipsis,
+        |    length(regexp_replace(t, '[ \t\n\f\r]+', '', 'g')) AS nonspace,
+        |    len(regexp_extract_all(t, '[^ \t\n\f\r]+')) AS tok_n,
+        |    len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')) AS symbols
+        |  FROM d
+        |)
+        |SELECT lang, sum(n_lines)::BIGINT AS total_lines,
+        |  round(avg(CASE WHEN n_lines > 0 THEN bullet::DOUBLE / n_lines ELSE 0 END), 4)
+        |    AS avg_bullet_ratio,
+        |  round(avg(CASE WHEN n_lines > 0 THEN ellipsis::DOUBLE / n_lines ELSE 0 END), 4)
+        |    AS avg_ellipsis_ratio,
+        |  round(avg(CASE WHEN tok_n > 0 THEN nonspace::DOUBLE / tok_n ELSE 0 END), 4)
+        |    AS avg_word_len,
+        |  round(avg(CASE WHEN tok_n > 0 THEN symbols::DOUBLE / tok_n ELSE 0 END), 4)
+        |    AS avg_symbol_ratio
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -147,4 +147,29 @@ class CurationSpec extends SparkSpec {
     // single non-null score = 5.0 -> keeps it; the null score cannot rank
     assert(kept == Set((None, Some(3.0)), (Some("en"), Some(5.0))))
   }
+
+  test("gopherLineFeatures: known values on crafted lines; NULL measures as zeros") {
+    val df = Seq(
+      (1L, Some("plain line\n- bullet one\n  * bullet two\nends with...")),
+      (2L, Some("no markers here")),
+      (3L, Option.empty[String]),
+      (4L, Some("tags # and # more...")))
+      .toDF("id", "text")
+    val out = TextAnalysis.gopherLineFeatures(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .select("id", "n_lines", "bullet_line_ratio", "ellipsis_line_ratio",
+        "mean_word_len", "symbol_word_ratio")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4)
+    assert(r1.getDouble(2) == 0.5)  // 2 of 4 lines are bullets
+    assert(r1.getDouble(3) == 0.25) // 1 of 4 lines ends with ...
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 0 && r3.getDouble(4) == 0.0)
+    val r4 = out(4L)
+    // "tags # and # more..." -> 5 tokens; symbols = 2 '#' + 1 '...'
+    assert(r4.getDouble(5) == 3.0 / 5.0)
+    // mean word length of "no markers here" = 13 chars / 3 tokens
+    assert(out(2L).getDouble(4) == 13.0 / 3.0)
+  }
 }
