@@ -28,7 +28,8 @@ object SparkEntry {
       PipelineQueries.queries, DedupQueries.queries,
       TextQueries.queries, AnnQueries.queries,
       MultimodalQueries.queries, SinkQueries.queries,
-      CurationQueries.queries, IngestGateQueries.queries)
+      CurationQueries.queries, IngestGateQueries.queries,
+      JoinQueries.queries)
     val merged = modules.reduce(_ ++ _)
     // A name collision across modules would make ++ silently DROP the
     // earlier gate query from Verify/Bench/Explain — fail loud instead.
@@ -53,5 +54,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++
       SinkQueries.oracle ++
       CurationQueries.oracle ++
-      IngestGateQueries.oracle
+      IngestGateQueries.oracle ++
+      JoinQueries.oracle
 }

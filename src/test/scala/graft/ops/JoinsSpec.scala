@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, timestamp_micros(col(c))))
+
+  // left: (id, key, t)  — micros since epoch
+  private def left = ts(Seq(
+    (1L, "a", 1000L),
+    (2L, "a", 5000L),
+    (3L, "b", 2000L),
+    (4L, "c", 9000L)).toDF("id", "key", "t"), "t")
+
+  // right: (key, t, rid)
+  private def right = ts(Seq(
+    ("a", 500L, 10L),
+    ("a", 1000L, 11L), // equal-ts: inclusive match for left id=1
+    ("a", 4000L, 12L),
+    ("b", 7000L, 13L)  // after left id=3 → no match
+  ).toDF("key", "t", "rid"), "t")
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val out = Joins.asofJoin(left, right, Seq("key"), "t", "t",
+      carryCols = Seq("rid"), rightTieCol = "rid")
+      .select("id", "asof_rid", "asof_gap_micros")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, r, g) => k -> ((r, g)) }.toMap
+    assert(out(1L) == ((Some(11L), Some(0L))))   // ts-equal right included
+    assert(out(2L) == ((Some(12L), Some(1000L))))
+    assert(out(3L) == ((None, None)))            // only a LATER right row
+    assert(out(4L) == ((None, None)))            // key with no right rows
+  }
+
+  test("asofJoin tolerance nulls matches older than the window") {
+    val out = Joins.asofJoin(left, right, Seq("key"), "t", "t",
+      carryCols = Seq("rid"), rightTieCol = "rid",
+      toleranceMicros = 500L)
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(11L)) // gap 0 <= 500
+    assert(out(2L).isEmpty)       // gap 1000 > 500
+  }
+
+  test("asofJoin breaks right-side ts ties by the tie column, largest wins") {
+    val l = ts(Seq((1L, "k", 2000L)).toDF("id", "key", "t"), "t")
+    val r = ts(Seq(("k", 1000L, 7L), ("k", 1000L, 9L), ("k", 1000L, 8L))
+      .toDF("key", "t", "rid"), "t")
+    val out = Joins.asofJoin(l, r, Seq("key"), "t", "t",
+      carryCols = Seq("rid"), rightTieCol = "rid")
+      .select("asof_rid").as[Long].collect()
+    assert(out.toSeq == Seq(9L))
+  }
+
+  test("asofJoin plans a window over one shuffle, never a theta-join") {
+    val out = Joins.asofJoin(left, right, Seq("key"), "t", "t",
+      carryCols = Seq("rid"), rightTieCol = "rid")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected running-last window:\n$plan")
+  }
+
+  // points: (pid, key, t); intervals: (iid, key, s, e)
+  private def points = ts(Seq(
+    (1L, "a", 1000L),
+    (2L, "a", 2500L),
+    (3L, "a", 9999L),
+    (4L, "b", 1500L)).toDF("pid", "key", "t"), "t")
+
+  private def intervals = ts(Seq(
+    (100L, "a", 1000L, 3000L), // spans 3 bins at bin=1000: catches 1, 2
+    (101L, "a", 2500L, 2500L), // degenerate point-interval: catches 2
+    (102L, "b", 2000L, 1000L), // end < start → dropped
+    (103L, "c", 0L, 99999L)    // key with no points
+  ).toDF("iid", "key", "s", "e"), "s", "e")
+
+  test("rangeJoin emits each in-window pair exactly once, ends inclusive") {
+    val out = Joins.rangeJoin(points, intervals, Seq("key"),
+      "t", "s", "e", binMicros = 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L), (2L, 100L), (2L, 101L)))
+  }
+
+  test("rangeJoin result is bin-width invariant") {
+    def run(bin: Long) = Joins.rangeJoin(points, intervals, Seq("key"),
+      "t", "s", "e", binMicros = bin)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(run(1L) == run(1000L) && run(1000L) == run(1000000L))
+  }
+
+  test("rangeJoin plans an equi-join, never a nested loop") {
+    val out = Joins.rangeJoin(points, intervals, Seq("key"),
+      "t", "s", "e", binMicros = 1000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"range join must not nested-loop:\n$plan")
+    assert(plan.contains("Join"), s"expected an equi-join node:\n$plan")
+  }
+
+  test("rangeJoin rejects colliding non-key columns") {
+    val bad = intervals.withColumnRenamed("iid", "pid")
+    val e = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(points, bad, Seq("key"), "t", "s", "e", 1000L)
+    }
+    assert(e.getMessage.contains("pid"))
+  }
+}
