@@ -161,6 +161,53 @@ object Curation {
       .drop(gAliases: _*)
   }
 
+  /** Keep at most `k` rows per group — the best by (`scoreCol` DESC,
+    * `idCol` ASC) — the per-domain cap of web-corpus curation ("no
+    * source may contribute more than k documents", C4/RefinedWeb
+    * practice) with quality deciding who stays. Rows with a NULL score
+    * or id are dropped (unrankable); a NULL group is its own group.
+    *
+    * Scale shape — two-phase bounded top-k, never a full per-group
+    * sort: phase 1 groups by (group, input partition) so the partial
+    * aggregate emits at most k rows per group per partition; phase 2
+    * re-reduces those k·P survivors per group. The global top-k is
+    * always contained in the union of per-partition top-k, so the cap
+    * is exact. A plain `row_number` window would shuffle and SORT every
+    * row of a group in one task — a billion-document domain becomes a
+    * single-task sort at 100 TB, while this shape never materializes
+    * more than a partition's slice.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                  idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive: $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val reserved = Seq("__graft_p", "__graft_kr", "__graft_top")
+    reserved.foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+    require(df.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"score column '$scoreCol' must be numeric to rank descending")
+    // Sort key: negated score (ascending struct order = score DESC),
+    // then id ASC; the full payload struct breaks residual ties
+    // deterministically.
+    val kr = struct(
+      struct((-col(scoreCol)).as("s"), col(idCol).as("i")).as("k"),
+      struct(df.columns.map(col): _*).as("r"))
+    def topK(c: Column): Column = slice(array_sort(c), 1, k)
+    val partials = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__graft_kr", kr)
+      .groupBy(groupCols.map(col) :+ spark_partition_id().as("__graft_p"): _*)
+      .agg(topK(collect_list(col("__graft_kr"))).as("__graft_top"))
+    partials
+      .select(groupCols.map(col) :+
+        explode(col("__graft_top")).as("__graft_kr"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(topK(collect_list(col("__graft_kr"))).as("__graft_top"))
+      .select(explode(col("__graft_top")).as("__graft_kr"))
+      .select(col("__graft_kr.r.*"))
+  }
+
   /** PII patterns redacted by [[redactPii]] — deliberately expressible
     * in both Java regex (Spark) and RE2 (DuckDB oracle parity): no
     * backreferences, no lookarounds.

@@ -162,6 +162,47 @@ object TextAnalysis {
         sum(when(col("__n") === 1, 1).otherwise(0)).as("n_hapax"),
         max("__n").as("max_token_freq"))
 
+  /** Per-document TF-IDF over whitespace tokens (same `[^ \t\n\f\r]+`
+    * class as every other text operator): one row per (doc, term) with
+    * raw term frequency, document frequency, and
+    * `tfidf = tf · ln(N / df)`. NULL text contributes no terms but
+    * still counts toward N (it is a document of the corpus).
+    *
+    * Shape: two keyed aggregations — (id, term) for tf, then (term)
+    * for df, both with map-side partial combine — and an equi-join on
+    * term that AQE broadcasts when the vocabulary is small. N rides a
+    * one-row broadcast frame, not a driver action, so the whole thing
+    * stays one lazy plan. At 100 TB the tf shuffle carries one row per
+    * distinct (doc, term) — already sublinear in corpus bytes — and the
+    * vocabulary join is the same |vocab|-bounded frame as
+    * [[corpusVocabStats]].
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Seq("__graft_n", "term", "tf", "n_docs_with_term", "tfidf").foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val tf = df.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term")
+      .agg(count(lit(1)).as("n_docs_with_term"))
+    // N rides a ONE-ROW broadcast frame: the BroadcastNestedLoopJoin
+    // node this plans is a per-task loop over exactly one row (free at
+    // any scale), kept lazy instead of a driver-side count() action.
+    // Waived by name in the plan auditor; a constant-key equi-join
+    // does not help — Catalyst constant-folds `1 = 1` away and falls
+    // back to the same BNLJ.
+    val nDocs = df.agg(count(lit(1)).as("__graft_n"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("__graft_n").cast("double") / col("n_docs_with_term")))
+      .select(col(idCol), col("term"), col("tf"),
+        col("n_docs_with_term"), col("tfidf"))
+  }
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

@@ -81,6 +81,20 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // -- c6: per-domain cap — each source keeps its 3 longest docs
+    //    (ties by doc_id). Two-phase bounded top-k; the oracle's
+    //    row_number window rebuilds the same (n_chars DESC, doc_id)
+    //    rank truth. --------------------------------------------------
+    "c6_source_cap" -> { (s, d) =>
+      Curation.capPerGroup(Tables.documents(s, d),
+          Seq("source"), "n_chars", "doc_id", k = 3)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").as("sum_ids"),
+          min("n_chars").as("min_chars"))
+        .orderBy("source")
+    },
+
     // -- c3: PII detection counts + redaction length delta -------------
     "c3_pii_redaction" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("dirty", dirtied)
@@ -136,6 +150,15 @@ object CurationQueries {
         |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
         |WHERE d.n_chars >= th.q
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "c6_source_cap" ->
+      """SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_ids,
+        | min(n_chars) AS min_chars
+        |FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS r
+        |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
+        |WHERE r <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "c4_decontamination" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -110,6 +110,26 @@ object TextQueries {
       graft.ops.TextAnalysis.corpusVocabStats(Tables.documents(s, d), "text")
     },
 
+    // -- t8: corpus TF-IDF — each language's 3 most characteristic
+    //    terms by summed tf·ln(N/df). Ranking runs on the ROUNDED
+    //    score (4 dp) on both engines, so a last-ulp ln() difference
+    //    can never flip a rank. --------------------------------------
+    "t8_tfidf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val byLang = graft.ops.TextAnalysis.tfidf(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "term")
+        .agg(round(sum("tfidf"), 4).as("score"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("score").desc, col("term"))
+      byLang
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("lang", "rank", "term", "score")
+        .orderBy("lang", "rank")
+    },
+
     // -- Gopher line-level quality rules over deterministically dirtied
     //    text (every 4th doc gains bullets, 4th+1 a trailing ellipsis,
     //    4th+2 symbol spam — each rule fires on a knowable subset) ----
@@ -227,6 +247,27 @@ object TextQueries {
         |      FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
         |            FROM documents)
         |      GROUP BY tok)""".stripMargin,
+    "t8_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS nd FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT d.lang, tf.term,
+        |    round(sum(tf.tf * ln(n.n::DOUBLE / dfreq.nd)), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |  JOIN documents d USING (doc_id)
+        |  GROUP BY 1, 2)
+        |SELECT lang, rank, term, score FROM (
+        |  SELECT lang, term, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     "t7_gopher_lines" ->
       """WITH d AS (
         |  SELECT lang, text || CASE

@@ -32,7 +32,11 @@ object Explain {
     "ann_kmeans_ivf" -> Map("BroadcastNestedLoopJoin" ->
       ("same IVF-assignment crossJoin(broadcast) as ann_ivf_topk, over " +
         "the k-means-trained centroid set (training iterations are " +
-        "checkpoint-materialized and not part of this plan)")))
+        "checkpoint-materialized and not part of this plan)")),
+    "t8_tfidf" -> Map("BroadcastNestedLoopJoin" ->
+      ("crossJoin(broadcast(N)) where N is the ONE-ROW corpus-count " +
+        "frame: each task loops over exactly one broadcast row — free " +
+        "at any scale, and lazier than a driver-side count() action")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -148,6 +148,59 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set((None, Some(3.0)), (Some("en"), Some(5.0))))
   }
 
+  test("capPerGroup: keeps the k best per group by (score desc, id asc)") {
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "a", 30), // tie: 2 < 4
+      (5L, "b", 5),
+      (6L, null.asInstanceOf[String], 7), (7L, null.asInstanceOf[String], 9))
+      .toDF("id", "g", "score")
+    val kept = Curation.capPerGroup(df, Seq("g"), "score", "id", k = 2)
+      .select("g", "id").as[(Option[String], Long)].collect().toSet
+    assert(kept == Set(
+      (Some("a"), 2L), (Some("a"), 4L), // the two score-30 rows, ids 2 and 4
+      (Some("b"), 5L),
+      (None, 7L), (None, 6L)))          // NULL group is its own group
+    assert(Curation.capPerGroup(df, Seq("g"), "score", "id", 2)
+      .columns.toSeq == df.columns.toSeq) // schema preserved
+  }
+
+  test("capPerGroup: drops unrankable rows, never plans a window") {
+    val df = Seq(
+      (Some(1L), "a", Some(10)), (Some(2L), "a", None),
+      (None, "a", Some(99))).toDF("id", "g", "score")
+    val out = Curation.capPerGroup(df, Seq("g"), "score", "id", k = 5)
+    assert(out.select("id").as[Option[Long]].collect().toSeq == Seq(Some(1L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"capPerGroup must stay a bounded two-phase aggregate:\n$plan")
+  }
+
+  test("tfidf: known frequencies on a crafted corpus") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, null.asInstanceOf[String])) // counts toward N, no terms
+      .toDF("id", "text")
+    val out = TextAnalysis.tfidf(df, "id", "text")
+      .select("id", "term", "tf", "n_docs_with_term", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // Spark's log() codegen delegates to StrictMath.log, which may be
+    // 1 ulp from Math.log — compare within tolerance (the t8 gate
+    // rounds to 4 dp for exactly this reason).
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(out((1L, "apple"))._1 == 2L)
+    assert(out((1L, "apple"))._2 == 1L)
+    assert(close(out((1L, "apple"))._3, 2 * math.log(3.0 / 1)))
+    assert(out((1L, "banana"))._1 == 1L)
+    assert(out((1L, "banana"))._2 == 2L) // banana in docs 1 and 2
+    assert(close(out((2L, "cherry"))._3, math.log(3.0 / 1)))
+    assert(out.size == 4) // (1,apple) (1,banana) (2,banana) (2,cherry)
+    // a term in every doc-with-text still has idf ln(3/2) > 0: N counts
+    // the NULL-text doc too
+    assert(close(out((2L, "banana"))._3, math.log(3.0 / 2)))
+  }
+
   test("gopherLineFeatures: known values on crafted lines; NULL measures as zeros") {
     val df = Seq(
       (1L, Some("plain line\n- bullet one\n  * bullet two\nends with...")),
