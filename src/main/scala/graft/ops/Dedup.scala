@@ -455,6 +455,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into clusters by nearest
+    * `centroids` (train with [[Similarity.kmeans]] or pass any small
+    * `(cent_id, cent_emb)` frame), compare embeddings pairwise ONLY
+    * within each cluster, and drop every vector that has a smaller-id
+    * cluster-mate with cosine ≥ `threshold` — the greedy min-id-keeper
+    * convention of [[dropNearDuplicates]]. Returns the kept rows with
+    * the input schema.
+    *
+    * Shape: one assignment scan (centroids broadcast — the
+    * [[Similarity.ivfAssign]] crossJoin, waived in the plan audit),
+    * then a bucket-keyed self equi-join. The within-cluster pairwise
+    * compare is quadratic in cluster size BY DESIGN — that is the
+    * SemDeDup trade: |C| controls the quadratic term, so size the
+    * centroid count to hold clusters near N/|C| ≈ 10^3..10^4 at 100 TB
+    * (train on a sample; assignment stays one full scan). A cluster
+    * the size of the corpus (|C| = 1) degenerates to all-pairs — pick
+    * |C|, don't let it pick you.
+    *
+    * Known SemDeDup approximation, inherited deliberately: a near-dup
+    * pair STRADDLING two clusters is not compared and both survive.
+    * Identical vectors always share a cluster (identical scores,
+    * same min-id argmax), so exact copies are always caught.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val assigned = Similarity.ivfAssign(
+      df.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+    val a = assigned.select(col(idCol).as("__id_a"), col(vecCol).as("__va"),
+      col("bucket"))
+    val b = assigned.select(col(idCol).as("__id_b"), col(vecCol).as("__vb"),
+      col("bucket"))
+    val losers = a.join(b, "bucket")
+      .filter(col("__id_a") < col("__id_b") &&
+        F.cosineSim(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+      .truncated // tiny id set; frees the join inputs from the lineage
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs within `maxHamming` bits over the
     * 60-bit sha-256-based sketch, banded into 4×15-bit keys (hamming
     * ≤ 3 is guaranteed by pigeonhole; up to the cap is found when any

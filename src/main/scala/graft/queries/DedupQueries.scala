@@ -273,6 +273,26 @@ object DedupQueries {
         .embeddingNearDuplicates(corpus, "vec_id", "embedding", threshold = 0.99))
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
         .orderBy("id_a", "id_b")
+    },
+
+    // -- d12: SemDeDup — k-means clusters (2 Lloyd's iterations, same
+    //    deterministic recipe as ann_kmeans_ivf), then drop every
+    //    vector with a smaller-id cluster-mate at cosine ≥ 0.99. The
+    //    injected exact copies always share their source's cluster, so
+    //    exactly they drop; the oracle unrolls the identical training
+    //    over the same corpus. -----------------------------------------
+    "d12_semantic_dedup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val cents = graft.ops.Similarity.kmeans(corpus, "vec_id", "embedding",
+        step = 50, iters = 2)
+      graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          cents, threshold = 0.99)
+        .agg(count(lit(1)).as("n_kept"),
+          sum("vec_id").as("sum_kept_ids"),
+          max("vec_id").as("max_kept_id"))
     })
 
   private lazy val fullScanJaccardSql =
@@ -502,5 +522,69 @@ object DedupQueries {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_r
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Two Lloyd's iterations unrolled over the injected-copy corpus —
+    // the ann_kmeans_ivf recipe (FLOAT round-trip per new coordinate,
+    // (cos DESC, cent_id) assignment tie order), then the SemDeDup
+    // drop rule as a within-bucket smaller-id EXISTS.
+    "d12_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id+100000, embedding FROM embeddings WHERE vec_id%5=0
+        |), cent0 AS (
+        |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_emb
+        |  FROM corpus WHERE vec_id % 50 = 0
+        |), a0 AS (
+        |  SELECT vec_id, embedding, cent_id AS bucket FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_emb) DESC,
+        |                 c.cent_id) AS arank
+        |    FROM corpus e CROSS JOIN cent0 c
+        |  ) WHERE arank = 1
+        |), e0 AS (
+        |  SELECT bucket, unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM a0
+        |), cent1 AS (
+        |  SELECT bucket AS cent_id,
+        |    list_transform(list(m ORDER BY pos),
+        |                   x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cent_emb
+        |  FROM (SELECT bucket, pos, avg(v) AS m FROM e0 GROUP BY bucket, pos)
+        |  GROUP BY bucket
+        |), a1 AS (
+        |  SELECT vec_id, embedding, cent_id AS bucket FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_emb) DESC,
+        |                 c.cent_id) AS arank
+        |    FROM corpus e CROSS JOIN cent1 c
+        |  ) WHERE arank = 1
+        |), e1 AS (
+        |  SELECT bucket, unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM a1
+        |), cent2 AS (
+        |  SELECT bucket AS cent_id,
+        |    list_transform(list(m ORDER BY pos),
+        |                   x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cent_emb
+        |  FROM (SELECT bucket, pos, avg(v) AS m FROM e1 GROUP BY bucket, pos)
+        |  GROUP BY bucket
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS bucket FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_emb) DESC,
+        |                 c.cent_id) AS arank
+        |    FROM corpus e CROSS JOIN cent2 c
+        |  ) WHERE arank = 1
+        |), losers AS (
+        |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+        |)
+        |SELECT count(*) AS n_kept, sum(vec_id)::BIGINT AS sum_kept_ids,
+        |  max(vec_id) AS max_kept_id
+        |FROM corpus
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin)
 }

@@ -33,6 +33,10 @@ object Explain {
       ("same IVF-assignment crossJoin(broadcast) as ann_ivf_topk, over " +
         "the k-means-trained centroid set (training iterations are " +
         "checkpoint-materialized and not part of this plan)")),
+    "d12_semantic_dedup" -> Map("BroadcastNestedLoopJoin" ->
+      ("the SemDeDup cluster assignment is the same " +
+        "crossJoin(broadcast(centroids)) as ann_kmeans_ivf; the " +
+        "within-cluster compare itself is a bucket equi-join")),
     "t8_tfidf" -> Map("BroadcastNestedLoopJoin" ->
       ("crossJoin(broadcast(N)) where N is the ONE-ROW corpus-count " +
         "frame: each task loops over exactly one broadcast row — free " +

@@ -15,6 +15,40 @@ class DedupOpsSpec extends SparkSpec {
     (5L, "ANOTHER totally unrelated document about graph databases ok"))
     .toDF("id", "text")
 
+  test("semanticDedup drops smaller-id cluster-mates above threshold only") {
+    // Two well-separated directions; centroids pin the clusters.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),          // cluster A
+      (2L, Array(1.0f, 0.0f)),          // exact copy of 1 → dropped
+      (3L, Array(0.95f, 0.32f)),        // cluster A, cos(1,3) ≈ 0.948 < 0.99 → kept
+      (10L, Array(0.0f, 1.0f)),         // cluster B
+      (11L, Array(0.0f, 2.0f)))         // cluster B, cos = 1 with 10 → dropped
+      .toDF("id", "vec")
+    val cents = Seq(
+      (100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("cent_id", "cent_emb")
+    val kept = Dedup.semanticDedup(vecs, "id", "vec", cents, threshold = 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 10L))
+    assert(Dedup.semanticDedup(vecs, "id", "vec", cents, 0.99)
+      .columns.toSeq == vecs.columns.toSeq)
+  }
+
+  test("semanticDedup never compares across clusters (SemDeDup contract)") {
+    // ids 1 and 2 are near-identical but magnetized to DIFFERENT
+    // centroids — SemDeDup deliberately keeps both.
+    val vecs = Seq(
+      (1L, Array(0.72f, 0.69f)), // nearest to A
+      (2L, Array(0.69f, 0.72f))) // nearest to B, cos(1,2) ≈ 0.998
+      .toDF("id", "vec")
+    val cents = Seq(
+      (100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("cent_id", "cent_emb")
+    val kept = Dedup.semanticDedup(vecs, "id", "vec", cents, threshold = 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("exact keeps the smallest id deterministically") {
     val out = Dedup.exact(corpus, Seq("text"), "id")
     assert(out.count() == 4)
