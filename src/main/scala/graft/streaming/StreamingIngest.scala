@@ -37,6 +37,25 @@ object StreamingIngest {
       .groupBy(window(col(tsCol), windowDur), col(typeCol))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Event-time sessionization: per-key sessions that close after `gap`
+    * of inactivity — the streaming face of the batch w2 sessionize
+    * query, on Spark's native `session_window` (adjacent windows merge
+    * in the state store; the watermark closes and evicts sessions, so
+    * state is bounded by OPEN sessions only, never by history). Output:
+    * (session_window{start,end}, key, n_events) — append-mode emits
+    * each session exactly once, when the watermark passes its close.
+    *
+    * At 100 TB-scale streams the state is keyed (key, session) and
+    * shuffle-partitioned like any streaming aggregate; gap and
+    * watermark choose the state bound, not the corpus size.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermarkDur: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
   final case class SeenState(firstSeenMs: Long, count: Long)
 
   /** First-seen pass-through dedup on a key column: the first record

@@ -32,6 +32,33 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:01:00", "view", 1L)))
   }
 
+  test("session windows merge within gap, close after it, evict on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData(
+      // user a: two events 40s apart (one session at gap=1min), then a
+      // third 5 min later (second session)
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:00:40"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:06:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:00:30"), "b"))
+    val events = input.toDF().toDF("ts", "user")
+    val agg = StreamingIngest.sessionCounts(events, "ts", "user",
+      gap = "1 minute", watermarkDur = "0 seconds")
+    // push the watermark far past every session close
+    input.addData((Timestamp.valueOf("2024-01-02 00:00:00"), "z"))
+    StreamingIngest.runToMemory(agg, "sessions", OutputMode.Append())
+    val rows = spark.table("sessions")
+      .select(col("session_window.start").cast("string"),
+        col("session_window.end").cast("string"), col("user"), col("n_events"))
+      .as[(String, String, String, Long)].collect().toSet
+    // closed sessions emitted exactly once; z's session is still open
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "2024-01-01 00:01:40", "a", 2L),
+      ("2024-01-01 00:06:00", "2024-01-01 00:07:00", "a", 1L),
+      ("2024-01-01 00:00:30", "2024-01-01 00:01:30", "b", 1L)))
+  }
+
   test("transform pipeline runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, String)]
