@@ -203,6 +203,50 @@ object TextAnalysis {
         col("n_docs_with_term"), col("tfidf"))
   }
 
+  /** Split documents into fixed-size token chunks with overlap — the
+    * context-window chunking a training pipeline runs before
+    * tokenization-and-pack: chunk i covers tokens
+    * `[i·(chunkTokens−overlap), …+chunkTokens)` of the whitespace
+    * tokenization, re-joined with single spaces (runs of whitespace do
+    * NOT round-trip; chunking is for model consumption, not archival).
+    * Output: one row per chunk — `(input columns…, chunk_idx,
+    * n_chunk_tokens, chunk_text)`. Empty/NULL text yields zero chunks.
+    *
+    * Pure per-row column algebra (`sequence` → `posexplode` → `slice`
+    * → `array_join`): one scan, zero shuffle, codegen-friendly, and
+    * chunks inherit their document's partition — at 100 TB this is a
+    * map stage with ~`1/(1−overlap/chunkTokens)`× output amplification
+    * and nothing else.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap")
+    Seq("chunk_idx", "n_chunk_tokens", "chunk_text", "__graft_toks",
+      "__graft_start").foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+    val stride = chunkTokens - overlap
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val n = size(toks)
+    // sequence() demands stop >= start for a positive step — guard the
+    // zero-token case to an empty start list (zero chunks).
+    val starts = when(n > 0,
+      sequence(lit(0), n - 1, lit(stride))).otherwise(array().cast("array<int>"))
+    df.withColumn("__graft_toks", toks)
+      .select(col("*"),
+        posexplode(starts).as(Seq("chunk_idx", "__graft_start")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__graft_toks"), col("__graft_start") + 1,
+          lit(chunkTokens)), " "))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens), size(col("__graft_toks")) - col("__graft_start"))
+          .cast("long"))
+      .drop("__graft_toks", "__graft_start")
+  }
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

@@ -130,6 +130,18 @@ object TextQueries {
         .orderBy("lang", "rank")
     },
 
+    // -- t9: context-window chunking — 16-token chunks, 4-token
+    //    overlap (stride 12), every 10th doc. Chunk text itself is
+    //    under the hash, so slicing/joining parity is pinned exactly. -
+    "t9_chunking" -> { (s, d) =>
+      graft.ops.TextAnalysis.chunkDocuments(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+            .select("doc_id", "text"),
+          "text", chunkTokens = 16, overlap = 4)
+        .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // -- Gopher line-level quality rules over deterministically dirtied
     //    text (every 4th doc gains bullets, 4th+1 a trailing ellipsis,
     //    4th+2 symbol spam — each rule fires on a knowable subset) ----
@@ -247,6 +259,17 @@ object TextQueries {
         |      FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
         |            FROM documents)
         |      GROUP BY tok)""".stripMargin,
+    "t9_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start FROM t
+        |)
+        |SELECT doc_id, (start // 12)::INT AS chunk_idx,
+        |  least(16, len(toks) - start)::BIGINT AS n_chunk_tokens,
+        |  array_to_string(toks[start+1 : start+16], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "t8_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf

@@ -201,6 +201,27 @@ class CurationSpec extends SparkSpec {
     assert(close(out((2L, "banana"))._3, math.log(3.0 / 2)))
   }
 
+  test("chunkDocuments: stride windows with overlap; empty/NULL yield no chunks") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "short"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "text", chunkTokens = 4, overlap = 1)
+      .select("id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, 4L, "t1 t2 t3 t4"),
+      (1L, 1, 4L, "t4 t5 t6 t7"),
+      (1L, 2, 4L, "t7 t8 t9 t10"),
+      (1L, 3, 1L, "t10"),
+      (2L, 0, 1L, "short")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "text", chunkTokens = 4, overlap = 4)
+    }
+  }
+
   test("gopherLineFeatures: known values on crafted lines; NULL measures as zeros") {
     val df = Seq(
       (1L, Some("plain line\n- bullet one\n  * bullet two\nends with...")),
