@@ -88,6 +88,56 @@ class OpsAdversarialSpec extends SparkSpec {
     assert(keptNear == Set(22L))
   }
 
+  test("temporal joins survive null keys and null timestamps") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, Some("a"), Some(t("2024-01-01 00:10:00"))),
+      (2L, Option.empty[String], Some(t("2024-01-01 00:10:00"))), // null key
+      (3L, Some("a"), Option.empty[Timestamp]))                   // null ts
+      .toDF("id", "key", "ts")
+    val right = Seq(
+      (10L, Some("a"), Some(t("2024-01-01 00:00:00"))),
+      (11L, Option.empty[String], Some(t("2024-01-01 00:00:00"))))
+      .toDF("rid", "key", "ts")
+    val out = Joins.asofJoin(left, right.withColumnRenamed("ts", "rts"),
+      Seq("key"), "ts", "rts", carryCols = Seq("rid"), rightTieCol = "rid")
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(10L))
+    // NULL keys form one window partition — SQL grouping semantics,
+    // same as a window function; callers filter them if unwanted.
+    assert(out(2L).contains(11L))
+    // NULL left ts sorts first (nulls-first asc): no prior right row.
+    assert(out(3L).isEmpty)
+    assert(out.size == 3) // every left row survives exactly once
+
+    val pts = left.filter(col("ts").isNotNull)
+    val ivs = Seq((100L, Some("a"), t("2024-01-01 00:00:00"),
+      t("2024-01-01 01:00:00"))).toDF("iid", "key", "s", "e")
+    val pairs = Joins.rangeJoin(pts, ivs, Seq("key"), "ts", "s", "e",
+      binMicros = 60000000L)
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    // null-key points never equi-match (JOIN semantics, unlike the
+    // window's null group above — documented asymmetry of SQL itself)
+    assert(pairs == Set((1L, 100L)))
+  }
+
+  test("curation/chunking/tfidf edges: empty frames, tiny groups, whitespace") {
+    val empty = Seq.empty[(Long, String, Int)].toDF("id", "g", "score")
+    assert(Curation.capPerGroup(empty, Seq("g"), "score", "id", 3).count() == 0)
+    val one = Seq((1L, "g", 5)).toDF("id", "g", "score")
+    // k far above group size: everything kept, no error
+    assert(Curation.capPerGroup(one, Seq("g"), "score", "id", 100).count() == 1)
+
+    val ws = Seq((1L, "   \t  "), (2L, "")).toDF("id", "text")
+    assert(TextAnalysis.chunkDocuments(ws, "text", 8, 2).count() == 0)
+    assert(TextAnalysis.tfidf(ws, "id", "text").count() == 0)
+
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(TextAnalysis.tfidf(emptyDocs, "id", "text").count() == 0)
+    assert(TextAnalysis.chunkDocuments(emptyDocs, "text", 8, 2).count() == 0)
+  }
+
   test("text analysis columns are total functions over hostile text") {
     val out = hostile
       .withColumn("tok_n", F.tokenCount(col("text")))
