@@ -208,6 +208,38 @@ object Curation {
       .select(col("__graft_kr.r.*"))
   }
 
+  /** Assign documents to fixed-`capacity` training sequences ("packs")
+    * by contiguous fill: within each shard, documents in `idCol` order
+    * accumulate into a pack until the next one would start at or past
+    * a capacity boundary — `pack_id = floor(running_sum_before /
+    * capacity)`. Deterministic (id order), contiguous (a pack is an id
+    * range), and over-long documents simply span multiple capacity
+    * units — the cheap sequence-packing pipelines run before
+    * tokenize-and-concat (exact bin packing is NP-hard and
+    * order-destroying; contiguous fill is the standard trade).
+    *
+    * Scale shape: ONE window (running sum) partitioned by `shardCol` —
+    * packing is per-shard BY DESIGN, matching how training data is
+    * written (packs never straddle output shards). Shard granularity
+    * bounds the in-partition sort exactly like any keyed window; a
+    * single global shard would funnel the corpus into one task, so
+    * don't pass one (same caveat family as the file-order validator
+    * W2). NULL ids are unrankable and dropped; NULL weights count 0.
+    */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+                    weightCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(!df.columns.contains("pack_id"),
+      "input already has a 'pack_id' column")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore =
+      sum(coalesce(col(weightCol), lit(0))).over(w) -
+        coalesce(col(weightCol), lit(0))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("pack_id", floor(cumBefore / capacity))
+  }
+
   /** PII patterns redacted by [[redactPii]] — deliberately expressible
     * in both Java regex (Spark) and RE2 (DuckDB oracle parity): no
     * backreferences, no lookarounds.

@@ -247,6 +247,41 @@ object TextAnalysis {
       .drop("__graft_toks", "__graft_start")
   }
 
+  /** Per-document character (code-point) Shannon entropy in nats —
+    * the information-theoretic quality signal that separates natural
+    * text (≈3–4.5) from padding/boilerplate (low) and random bytes
+    * (high); a standard cheap filter next to the Gopher rules. Output:
+    * `(idCol, n_cp, entropy)` where n_cp counts code points and
+    * entropy = ln n − (Σ c·ln c)/n over per-character counts c.
+    *
+    * Code points, not UTF-16 units: the characters come from
+    * `regexp_extract_all(text, '.')`, which is code-point-aware in
+    * BOTH Java regex and RE2 — so surrogate-pair emoji count once and
+    * the DuckDB oracle sees identical frequencies. (`.` excludes the
+    * newline in both engines, so line breaks don't enter the
+    * distribution.)
+    *
+    * Shape: explode to (id, char) → count (map-side partial) → one
+    * more keyed aggregate. No join: the ln n − (Σ c ln c)/n identity
+    * folds the total into the same per-id aggregate. NULL/empty text →
+    * n_cp 0, entropy 0.0.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol), lit("."), lit(0)))
+    df.select(col(idCol), explode_outer(chars).as("__ch"))
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(when(col("__ch").isNotNull, 1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").as("n_cp"),
+        coalesce(
+          when(sum("__c") > 0,
+            log(sum("__c").cast("double")) -
+              sum(col("__c") * log(col("__c").cast("double"))) / sum("__c")),
+          lit(0.0)).as("entropy"))
+  }
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

@@ -95,6 +95,19 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // -- c7: sequence packing — contiguous fill of 2000-char packs per
+    //    source shard; pack_id = floor(running_sum_before / capacity).
+    //    One keyed window on both engines. --------------------------
+    "c7_pack_sequences" -> { (s, d) =>
+      Curation.packSequences(Tables.documents(s, d),
+          "source", "doc_id", "n_chars", capacity = 2000)
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("pack_chars"),
+          min("doc_id").as("first_id"))
+        .orderBy("source", "pack_id")
+    },
+
     // -- c3: PII detection counts + redaction length delta -------------
     "c3_pii_redaction" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("dirty", dirtied)
@@ -150,6 +163,17 @@ object CurationQueries {
         |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
         |WHERE d.n_chars >= th.q
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "c7_pack_sequences" ->
+      """SELECT source, pack_id, count(*) AS n_docs,
+        | sum(n_chars)::BIGINT AS pack_chars, min(doc_id) AS first_id
+        |FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ((sum(coalesce(n_chars, 0)) OVER (PARTITION BY source
+        |        ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - coalesce(n_chars, 0)) // 2000)::BIGINT AS pack_id
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c6_source_cap" ->
       """SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_ids,
         | min(n_chars) AS min_chars

@@ -130,6 +130,17 @@ object TextQueries {
         .orderBy("lang", "rank")
     },
 
+    // -- t10: code-point Shannon entropy per doc (every 25th), 4-dp
+    //    rounded — the ln n − (Σ c ln c)/n identity on both engines. --
+    "t10_entropy" -> { (s, d) =>
+      graft.ops.TextAnalysis.charEntropy(
+          Tables.documents(s, d).filter(col("doc_id") % 25 === 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_cp"),
+          round(col("entropy"), 4).as("entropy_r"))
+        .orderBy("doc_id")
+    },
+
     // -- t9: context-window chunking — 16-token chunks, 4-token
     //    overlap (stride 12), every 10th doc. Chunk text itself is
     //    under the hash, so slicing/joining parity is pinned exactly. -
@@ -259,6 +270,19 @@ object TextQueries {
         |      FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
         |            FROM documents)
         |      GROUP BY tok)""".stripMargin,
+    "t10_entropy" ->
+      """SELECT doc_id, n_cp, round(entropy, 4) AS entropy_r FROM (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_cp,
+        |    CASE WHEN sum(c) > 0
+        |      THEN ln(sum(c)::DOUBLE) - sum(c * ln(c::DOUBLE)) / sum(c)
+        |      ELSE 0.0 END AS entropy
+        |  FROM (
+        |    SELECT doc_id, ch, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |          FROM documents WHERE doc_id % 25 = 0)
+        |    GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t9_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

@@ -222,6 +222,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: known distributions, code-point counting, empty → zero") {
+    val df = Seq(
+      (1L, "aabb"),       // two chars × 2 → ln 2
+      (2L, "aaaa"),       // one char → 0
+      (3L, "😀😀"),       // surrogate pair counts ONCE per emoji
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextAnalysis.charEntropy(df, "id", "text")
+      .select("id", "n_cp", "entropy")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(out(1L)._1 == 4L && close(out(1L)._2, math.log(2)))
+    assert(out(2L) == ((4L, 0.0)))
+    assert(out(3L) == ((2L, 0.0))) // 2 code points, both identical
+    assert(out(4L) == ((0L, 0.0)))
+    assert(out(5L) == ((0L, 0.0)))
+  }
+
+  test("packSequences: contiguous fill per shard, long docs span, null ids drop") {
+    val df = Seq(
+      (1L, "s1", 800L), (2L, "s1", 800L),  // pack 0 (cum_before 0, 800)
+      (3L, "s1", 900L),                    // cum_before 1600 → pack 0
+      (4L, "s1", 100L),                    // cum_before 2500 → pack 1
+      (5L, "s1", 5000L),                   // cum_before 2600 → pack 1 (spans)
+      (6L, "s1", 10L),                     // cum_before 7600 → pack 3
+      (7L, "s2", 10L))                     // other shard restarts at pack 0
+      .toDF("id", "shard", "w")
+    val out = Curation.packSequences(df, "shard", "id", "w", capacity = 2000L)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
+      6L -> 3L, 7L -> 0L))
+    val withNull = df.unionByName(
+      Seq((Option.empty[Long], "s1", 1L)).toDF("id", "shard", "w"))
+    assert(Curation.packSequences(withNull, "shard", "id", "w", 2000L)
+      .count() == 7) // null id dropped, not packed nondeterministically
+  }
+
   test("gopherLineFeatures: known values on crafted lines; NULL measures as zeros") {
     val df = Seq(
       (1L, Some("plain line\n- bullet one\n  * bullet two\nends with...")),
