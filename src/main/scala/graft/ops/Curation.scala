@@ -208,6 +208,48 @@ object Curation {
       .select(col("__graft_kr.r.*"))
   }
 
+  /** Winsorize (clip) a numeric column to its per-group
+    * [`pLo`, `pHi`] exact-percentile band — the outlier taming applied
+    * to reward/score/length features before they feed training or
+    * quality thresholds. Adds `<valueCol>_winsorized`; NULL values
+    * stay NULL, a NULL group is its own group.
+    *
+    * Same shape as [[filterByQualityQuantile]]: one hash aggregate
+    * builds the tiny per-group threshold frame (exact `percentile` ≡
+    * DuckDB `quantile_cont`), broadcast back onto a single scan with a
+    * codegen'd `least(greatest(...))` clamp. For billion-row groups
+    * substitute `approx_percentile` in the threshold frame; the clamp
+    * is unchanged.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val outCol = s"${valueCol}_winsorized"
+    val gAliases = groupCols.indices.map(i => s"__graft_wg$i")
+    require(!df.columns.exists(c =>
+        gAliases.contains(c) || c == outCol || c == "__graft_lo" || c == "__graft_hi"),
+      s"input already has a reserved/'$outCol' column")
+    val thresholds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(pLo)).as("__graft_lo"),
+        percentile(col(valueCol), lit(pHi)).as("__graft_hi"))
+      .select(groupCols.zip(gAliases).map { case (c, a) => col(c).as(a) } ++
+        Seq(col("__graft_lo"), col("__graft_hi")): _*)
+    val cond = groupCols.zip(gAliases)
+      .map { case (c, a) => col(c) <=> col(a) }.reduce(_ && _)
+    df.join(broadcast(thresholds), cond)
+      // least/greatest SKIP nulls in both Spark and DuckDB (non-
+      // standard!), so an unguarded clamp would turn a NULL value into
+      // the lower bound — guard explicitly to keep NULL → NULL.
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi"))))
+      .drop("__graft_lo", "__graft_hi")
+      .drop(gAliases: _*)
+  }
+
   /** Assign documents to fixed-`capacity` training sequences ("packs")
     * by contiguous fill: within each shard, documents in `idCol` order
     * accumulate into a pack until the next one would start at or past

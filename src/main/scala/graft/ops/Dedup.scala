@@ -481,6 +481,12 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double = 0.95): DataFrame = {
+    // Fail loud: an empty centroid frame would assign nothing and
+    // silently "keep everything" — the caller's clustering went wrong,
+    // not the corpus. Centroids are small by contract; isEmpty is a
+    // limit-1 probe.
+    require(!centroids.isEmpty,
+      "semanticDedup needs a non-empty (cent_id, cent_emb) centroid frame")
     val assigned = Similarity.ivfAssign(
       df.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
     val a = assigned.select(col(idCol).as("__id_a"), col(vecCol).as("__va"),

@@ -42,15 +42,27 @@ object Joins {
     * unique column (an id) — row-order ties would otherwise pick a
     * partition-order-dependent winner.
     *
-    * Right rows at ts EQUAL to a left row's ts sort before it
-    * (side 0 < 1), so the match is inclusive: `right.ts <= left.ts`.
+    * Right rows at ts EQUAL to a left row's ts always qualify
+    * (inclusive on every direction).
+    *
+    * `direction` (the pandas merge_asof trio):
+    *  - `"backward"` (default): greatest right ts <= left ts — one
+    *    running `last(ignoreNulls)` window;
+    *  - `"forward"`: smallest right ts >= left ts — the mirrored
+    *    `first(ignoreNulls)` over the following frame;
+    *  - `"nearest"`: whichever of the two has the smaller |gap|
+    *    within tolerance; exact ties go backward. Costs a second
+    *    in-partition sort (opposite order), still ONE exchange.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTsCol: String, rightTsCol: String,
                carryCols: Seq[String], rightTieCol: String,
-               toleranceMicros: Long = Long.MaxValue): DataFrame = {
+               toleranceMicros: Long = Long.MaxValue,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(toleranceMicros >= 0, s"negative tolerance: $toleranceMicros")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest: $direction")
     requireFree(left, Reserved)
     carryCols.foreach(c => require(right.columns.contains(c),
       s"carry column '$c' not in right side"))
@@ -71,16 +83,45 @@ object Joins {
     // left, the left payload on the right) with NULLs.
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    // Backward: right rows at equal ts sort BEFORE the left row
+    // (side 0 < 1) so the preceding frame includes them; among tied
+    // right rows the LARGEST tie value is last, so it wins.
+    val wB = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gap = unix_micros(col("__ts")) -
-      unix_micros(col("__m").getField(rightTsCol))
-    val inTol = col("__m").isNotNull && gap <= toleranceMicros
+    // Forward mirror: left first at equal ts (side desc) so the
+    // following frame includes equal-ts right rows; tie desc keeps the
+    // same largest-tie-wins convention under first().
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").desc, col("__tie").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val matched = unioned
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val lts = unix_micros(col("__ts"))
+    def gapOf(m: Column): Column =
+      abs(lts - unix_micros(m.getField(rightTsCol)))
+    def valid(m: Column): Column =
+      m.isNotNull && gapOf(m) <= toleranceMicros
+
+    val withM = direction match {
+      case "backward" =>
+        unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        unioned.withColumn("__m", first(col("__r"), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        unioned
+          .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wB))
+          .withColumn("__mf", first(col("__r"), ignoreNulls = true).over(wF))
+          .withColumn("__m",
+            when(valid(col("__mb")) &&
+              (!valid(col("__mf")) || gapOf(col("__mb")) <= gapOf(col("__mf"))),
+              col("__mb"))
+              .otherwise(col("__mf")))
+          .drop("__mb", "__mf")
+    }
+
+    val gap = gapOf(col("__m"))
+    val inTol = valid(col("__m"))
+    val matched = withM.filter(col("__side") === 1)
     val out = carryCols.foldLeft(
       matched
         .withColumn(s"asof_$rightTsCol",

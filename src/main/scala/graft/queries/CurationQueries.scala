@@ -108,6 +108,19 @@ object CurationQueries {
         .orderBy("source", "pack_id")
     },
 
+    // -- c8: per-type winsorization of event values at the exact
+    //    [5%, 95%] band — threshold frame broadcast onto one scan. ----
+    "c8_winsorize" -> { (s, d) =>
+      Curation.winsorize(Tables.events(s, d), "value",
+          Seq("event_type"), pLo = 0.05, pHi = 0.95)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value_winsorized"), 2).as("sum_w"),
+          round(min("value_winsorized"), 4).as("min_w"),
+          round(max("value_winsorized"), 4).as("max_w"))
+        .orderBy("event_type")
+    },
+
     // -- c3: PII detection counts + redaction length delta -------------
     "c3_pii_redaction" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("dirty", dirtied)
@@ -163,6 +176,18 @@ object CurationQueries {
         |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
         |WHERE d.n_chars >= th.q
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "c8_winsorize" ->
+      """WITH th AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(sum(least(greatest(e.value, th.lo), th.hi)), 2) AS sum_w,
+        |  round(min(least(greatest(e.value, th.lo), th.hi)), 4) AS min_w,
+        |  round(max(least(greatest(e.value, th.lo), th.hi)), 4) AS max_w
+        |FROM events e JOIN th ON e.event_type IS NOT DISTINCT FROM th.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c7_pack_sequences" ->
       """SELECT source, pack_id, count(*) AS n_docs,
         | sum(n_chars)::BIGINT AS pack_chars, min(doc_id) AS first_id

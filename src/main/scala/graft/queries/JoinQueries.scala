@@ -39,6 +39,26 @@ object JoinQueries {
         .orderBy("event_id")
     },
 
+    // -- w3b: nearest-direction as-of — each purchase picks the click
+    //    with the smallest |gap| within 2 h, either side; exact ties
+    //    go backward. ------------------------------------------------
+    "w3b_asof_nearest" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"))
+      Joins.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTsCol = "ts", rightTsCol = "ts",
+          carryCols = Seq("click_id"), rightTieCol = "click_id",
+          toleranceMicros = 2L * 3600 * 1000000, direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          col("asof_gap_micros").as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // -- w4: interval join — events landing within [purchase, +1 h],
     //    same user. Hour-binned equi-join, never a nested loop. -------
     "w4_range_join" -> { (s, d) =>
@@ -78,6 +98,29 @@ object JoinQueries {
         |  ON c.user_id = p.user_id
         |  AND c.cus <= p.pus AND c.cus >= p.pus - 86400000000
         |GROUP BY p.event_id, p.user_id, p.pus
+        |ORDER BY p.event_id""".stripMargin,
+    // Candidates within tolerance on either side; rank by (|gap|,
+    //  backward-first). No (user, ts) click ties exist, so the rank is
+    //  total. LEFT join keeps unmatched purchases with NULLs.
+    "w3b_asof_nearest" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'
+        |), best AS (
+        |  SELECT event_id, click_id, gap_us FROM (
+        |    SELECT p.event_id, c.click_id, abs(p.pus - c.cus) AS gap_us,
+        |      row_number() OVER (PARTITION BY p.event_id
+        |        ORDER BY abs(p.pus - c.cus),
+        |                 CASE WHEN c.cus <= p.pus THEN 0 ELSE 1 END) AS r
+        |    FROM p JOIN c ON c.user_id = p.user_id
+        |      AND abs(p.pus - c.cus) <= 7200000000
+        |  ) WHERE r = 1
+        |)
+        |SELECT p.event_id, p.user_id, best.click_id, best.gap_us
+        |FROM p LEFT JOIN best USING (event_id)
         |ORDER BY p.event_id""".stripMargin,
     "w4_range_join" ->
       """SELECT e.event_type, count(*) AS n_pairs,

@@ -260,6 +260,23 @@ class CurationSpec extends SparkSpec {
       .count() == 7) // null id dropped, not packed nondeterministically
   }
 
+  test("winsorize clamps to the per-group percentile band; NULLs pass through") {
+    // group g: values 1..10 → p10 = 1.9, p90 = 9.1 (linear interpolation)
+    val df = ((1 to 10).map(i => (i.toLong, "g", Some(i.toDouble))) :+
+      (11L, "g", Option.empty[Double]) :+
+      (12L, "h", Some(100.0))) // singleton group: lo = hi = 100
+      .toDF("id", "grp", "v")
+    val out = Curation.winsorize(df, "v", Seq("grp"), 0.1, 0.9)
+      .select("id", "v_winsorized").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.9) && out(2L).contains(2.0))
+    assert(out(9L).contains(9.0) && out(10L).contains(9.1))
+    assert(out(11L).isEmpty)       // NULL value stays NULL
+    assert(out(12L).contains(100.0))
+    intercept[IllegalArgumentException] {
+      Curation.winsorize(df, "v", Seq("grp"), 0.9, 0.1)
+    }
+  }
+
   test("gopherLineFeatures: known values on crafted lines; NULL measures as zeros") {
     val df = Seq(
       (1L, Some("plain line\n- bullet one\n  * bullet two\nends with...")),

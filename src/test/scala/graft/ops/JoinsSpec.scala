@@ -58,6 +58,41 @@ class JoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq(9L))
   }
 
+  test("asofJoin forward picks the earliest right row at or after each left ts") {
+    val out = Joins.asofJoin(left, right, Seq("key"), "t", "t",
+      carryCols = Seq("rid"), rightTieCol = "rid", direction = "forward")
+      .select("id", "asof_rid", "asof_gap_micros")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, r, g) => k -> ((r, g)) }.toMap
+    assert(out(1L) == ((Some(11L), Some(0L))))   // equal ts inclusive
+    assert(out(2L) == ((None, None)))            // ("a", 5000): nothing later
+    assert(out(3L) == ((Some(13L), Some(5000L)))) // the later b row matches now
+    assert(out(4L) == ((None, None)))
+  }
+
+  test("asofJoin nearest picks the smaller gap; ties go backward") {
+    val l = ts(Seq(
+      (1L, "k", 5000L),   // back gap 1000 (rid 7) vs fwd gap 2000 (rid 8)
+      (2L, "k", 7500L),   // back gap 500 (rid 8) vs fwd gap 500 (rid 9): tie → backward
+      (3L, "k", 500L)     // nothing before → forward
+    ).toDF("id", "key", "t"), "t")
+    val r = ts(Seq(
+      ("k", 4000L, 7L), ("k", 7000L, 8L), ("k", 8000L, 9L))
+      .toDF("key", "t", "rid"), "t")
+    val out = Joins.asofJoin(l, r, Seq("key"), "t", "t",
+      carryCols = Seq("rid"), rightTieCol = "rid", direction = "nearest")
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(7L))
+    assert(out(2L).contains(8L)) // tie broken backward
+    assert(out(3L).contains(7L))
+    // tolerance still applies per candidate: 400µs leaves id=3 unmatched
+    val tight = Joins.asofJoin(l, r, Seq("key"), "t", "t",
+      carryCols = Seq("rid"), rightTieCol = "rid", direction = "nearest",
+      toleranceMicros = 400L)
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(tight(3L).isEmpty)
+  }
+
   test("asofJoin plans a window over one shuffle, never a theta-join") {
     val out = Joins.asofJoin(left, right, Seq("key"), "t", "t",
       carryCols = Seq("rid"), rightTieCol = "rid")
