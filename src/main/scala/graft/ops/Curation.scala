@@ -180,7 +180,9 @@ object Curation {
   def capPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                   idCol: String, k: Int): DataFrame = {
     require(k > 0, s"cap must be positive: $k")
-    require(groupCols.nonEmpty, "need at least one group column")
+    // groupCols may be EMPTY: a global top-k. Phase 1 still bounds each
+    // partition's contribution to k, so the final reduce sees k·P rows
+    // in one group — fine for any driver-sized k.
     val reserved = Seq("__graft_p", "__graft_kr", "__graft_top")
     reserved.foreach(r =>
       require(!df.columns.contains(r), s"input already has a '$r' column"))
@@ -206,6 +208,40 @@ object Curation {
       .agg(topK(collect_list(col("__graft_kr"))).as("__graft_top"))
       .select(explode(col("__graft_top")).as("__graft_kr"))
       .select(col("__graft_kr.r.*"))
+  }
+
+  /** Deterministic weighted sampling without replacement — the
+    * Efraimidis–Spirakis A-Res scheme with HASH-derived uniforms: each
+    * row draws `u` from the first 52 bits of sha256(id) (an exact
+    * dyadic rational — no RNG state, reproducible across runs, engines
+    * and partitionings) and the k largest `u^(1/w)` per group win,
+    * which selects each row with probability proportional to its
+    * weight. Ranking uses the monotone-equivalent `ln(u)/w` (both
+    * negative, closer to zero is better). Rows with NULL/non-positive
+    * weight or NULL id are unsampleable and dropped.
+    *
+    * Use it to sample training subsets proportional to a quality score
+    * while keeping the [[samplePerStratum]] stability property: a
+    * row's key never changes as the corpus grows, so a row only leaves
+    * the sample when a better-keyed row arrives.
+    *
+    * Shape: a codegen'd key expression + [[capPerGroup]]'s two-phase
+    * bounded top-k (empty `groupCols` = one global sample).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(!df.columns.contains("__graft_esk"),
+      "input already has a '__graft_esk' column")
+    // 13 hex chars = 52 bits: exactly representable in a double, so
+    // u = bits / 2^52 is the same dyadic rational in any engine.
+    val u = conv(substring(sha2(col(idCol).cast("string"), 256), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0)
+    val keyed = df
+      .filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__graft_esk", log(u) / col(weightCol))
+    capPerGroup(keyed, groupCols, "__graft_esk", idCol, k)
+      .drop("__graft_esk")
   }
 
   /** Winsorize (clip) a numeric column to its per-group

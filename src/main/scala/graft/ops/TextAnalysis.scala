@@ -282,6 +282,55 @@ object TextAnalysis {
           lit(0.0)).as("entropy"))
   }
 
+  /** Corpus-trained token-bigram log-probability score — the cheap
+    * language-model quality proxy (CCNet-style: score each document
+    * under a model TRAINED ON THE CORPUS ITSELF; boilerplate and
+    * keyboard-mash score far from the corpus mean). For each document:
+    * `lm_logprob` = mean over its token bigrams (w1,w2) of
+    * `ln P(w2 | w1)` with add-one smoothing over the corpus vocabulary
+    * (`P = (c(w1,w2) + 1) / (c(w1·) + V)`), and `n_bigrams`. Documents
+    * with < 2 tokens have no bigrams and produce NO output row —
+    * left-join the result back when every document needs a score.
+    *
+    * Shape: one exploded bigram count (map-side partial), one unigram-
+    * context count, one vocabulary count on a one-row broadcast frame,
+    * then a per-doc keyed reduce — every join key is a token or
+    * (token, token), so the whole thing shuffle-partitions like tfidf.
+    * Nothing is collected; the "model" never leaves the cluster.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Seq("__graft_v", "lm_logprob", "n_bigrams").foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val n = size(toks)
+    val m = greatest(n - 1, lit(0))
+    // doc bigrams as a zip of two shifted views — the t5 pattern (plain
+    // codegen'd slices, no CodegenFallback lambdas)
+    val grams = df.select(col(idCol),
+      explode(arrays_zip(slice(toks, lit(1), m).as("w1"),
+        slice(toks, lit(2), m).as("w2"))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val bigramC = grams.groupBy("__w1", "__w2")
+      .agg(count(lit(1)).as("__cbg"))
+    val contextC = grams.groupBy("__w1")
+      .agg(count(lit(1)).as("__cw1"))
+    val vocab = grams.select(col("__w1").as("__w")).
+      unionByName(grams.select(col("__w2").as("__w")))
+      .agg(countDistinct("__w").as("__graft_v"))
+    grams
+      .join(bigramC, Seq("__w1", "__w2"))
+      .join(contextC, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(log((col("__cbg") + 1).cast("double") /
+          (col("__cw1") + col("__graft_v")))) / count(lit(1)))
+          .as("lm_logprob"))
+  }
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

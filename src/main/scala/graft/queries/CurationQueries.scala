@@ -121,6 +121,16 @@ object CurationQueries {
         .orderBy("event_type")
     },
 
+    // -- c9: weighted sampling (Efraimidis–Spirakis, hash-derived
+    //    uniforms) — 4 docs per language, probability ∝ n_chars. The
+    //    sampled ids themselves are under the hash. -------------------
+    "c9_weighted_sample" -> { (s, d) =>
+      Curation.weightedSample(Tables.documents(s, d),
+          "doc_id", "n_chars", k = 4, groupCols = Seq("lang"))
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    },
+
     // -- c3: PII detection counts + redaction length delta -------------
     "c3_pii_redaction" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("dirty", dirtied)
@@ -176,6 +186,24 @@ object CurationQueries {
         |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
         |WHERE d.n_chars >= th.q
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // u rebuilt from the first 13 sha-256 hex chars as a 52-bit dyadic
+    // rational (the c1 HUGEINT trick, BIGINT-sized here); rank by
+    // ln(u)/weight DESC per language — hash-spread keys make cross-
+    // engine ln() ulp reorders impossible in practice.
+    "c9_weighted_sample" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY esk DESC, doc_id) AS r
+        |  FROM (
+        |    SELECT lang, doc_id, n_chars,
+        |      ln((SELECT sum((strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT
+        |                     * (1::BIGINT << ((13 - i) * 4)))
+        |          FROM generate_series(1, 13) g(i))::DOUBLE / 4503599627370496)
+        |        / n_chars AS esk
+        |    FROM (SELECT lang, doc_id, n_chars, sha256(doc_id::VARCHAR) AS h
+        |          FROM documents
+        |          WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)))
+        |WHERE r <= 4 ORDER BY lang, doc_id""".stripMargin,
     "c8_winsorize" ->
       """WITH th AS (
         |  SELECT event_type, quantile_cont(value, 0.05) AS lo,

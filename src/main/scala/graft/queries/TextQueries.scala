@@ -130,6 +130,20 @@ object TextQueries {
         .orderBy("lang", "rank")
     },
 
+    // -- t11: corpus-trained bigram LM score (CCNet-style quality
+    //    proxy) — add-one smoothed ln P(w2|w1), per-language means. ---
+    "t11_lm_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").as("total_bigrams"),
+          round(avg("lm_logprob"), 4).as("avg_logprob"),
+          round(min("lm_logprob"), 4).as("min_logprob"))
+        .orderBy("lang")
+    },
+
     // -- t10: code-point Shannon entropy per doc (every 25th), 4-dp
     //    rounded — the ln n − (Σ c ln c)/n identity on both engines. --
     "t10_entropy" -> { (s, d) =>
@@ -270,6 +284,32 @@ object TextQueries {
         |      FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
         |            FROM documents)
         |      GROUP BY tok)""".stripMargin,
+    "t11_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, t[i]::VARCHAR AS w1, t[i+1]::VARCHAR AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS cbg FROM g GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT w1, count(*) AS cw1 FROM g GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT w) AS nv FROM (
+        |    SELECT w1 AS w FROM g UNION ALL SELECT w2 FROM g)
+        |), scored AS (
+        |  SELECT g.doc_id, count(*) AS n_bigrams,
+        |    sum(ln((bc.cbg + 1)::DOUBLE / (cc.cw1 + v.nv))) / count(*)
+        |      AS lm_logprob
+        |  FROM g JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  sum(s.n_bigrams)::BIGINT AS total_bigrams,
+        |  round(avg(s.lm_logprob), 4) AS avg_logprob,
+        |  round(min(s.lm_logprob), 4) AS min_logprob
+        |FROM scored s JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t10_entropy" ->
       """SELECT doc_id, n_cp, round(entropy, 4) AS entropy_r FROM (
         |  SELECT doc_id, sum(c)::BIGINT AS n_cp,

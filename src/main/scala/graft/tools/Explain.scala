@@ -40,7 +40,10 @@ object Explain {
     "t8_tfidf" -> Map("BroadcastNestedLoopJoin" ->
       ("crossJoin(broadcast(N)) where N is the ONE-ROW corpus-count " +
         "frame: each task loops over exactly one broadcast row — free " +
-        "at any scale, and lazier than a driver-side count() action")))
+        "at any scale, and lazier than a driver-side count() action")),
+    "t11_lm_score" -> Map("BroadcastNestedLoopJoin" ->
+      ("same one-row crossJoin(broadcast) as t8_tfidf, carrying the " +
+        "scalar vocabulary size into the smoothing denominator")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -277,6 +277,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb: add-one smoothed corpus model on known counts") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b"),     // bigram (a,b)
+      (3L, "x"))       // single token → no row
+      .toDF("id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "id", "text")
+      .select("id", "n_bigrams", "lm_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // corpus: c(a,b)=3 c(b,a)=1, c(a·)=3 c(b·)=1, V=2
+    val pab = math.log(4.0 / 5)  // (3+1)/(3+2)
+    val pba = math.log(2.0 / 3)  // (1+1)/(1+2)
+    assert(out(1L)._1 == 3L && close(out(1L)._2, (2 * pab + pba) / 3))
+    assert(out(2L)._1 == 1L && close(out(2L)._2, pab))
+    assert(!out.contains(3L))
+  }
+
+  test("weightedSample: deterministic, weight-biased, stable under reorder") {
+    val df = (1L to 100L).map(i =>
+      (i, if (i == 50L) 100000.0 else 1.0)).toDF("id", "w")
+    val s1 = Curation.weightedSample(df, "id", "w", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(s1.size == 3)
+    // weight 100000 vs 1: u^(1/w) ≈ 1 for id 50 — it wins its slot
+    // (deterministic: u values are fixed by sha256, so this never flakes)
+    assert(s1.contains(50L))
+    // identical sample from a shuffled frame
+    val s2 = Curation.weightedSample(df.orderBy(rand(7)), "id", "w", 3)
+      .select("id").as[Long].collect().toSet
+    assert(s2 == s1)
+    // k >= n keeps every weighted row; zero/null weights drop
+    val withBad = df.unionByName(Seq((101L, 0.0)).toDF("id", "w"))
+      .unionByName(Seq((102L, Option.empty[Double])).toDF("id", "w"))
+    assert(Curation.weightedSample(withBad, "id", "w", 1000).count() == 100)
+  }
+
   test("gopherLineFeatures: known values on crafted lines; NULL measures as zeros") {
     val df = Seq(
       (1L, Some("plain line\n- bullet one\n  * bullet two\nends with...")),
