@@ -117,6 +117,35 @@ object StreamingIngest {
                          on: Seq[String]): DataFrame =
     graft.ops.Dedup.dedupAgainst(stream, seen, on)
 
+  /** Production sink: stream → keyed JDBC upsert via `foreachBatch`.
+    * Structured Streaming guarantees AT-LEAST-ONCE batch delivery; the
+    * upsert is keyed on `cfg.keyColumn`, so a replayed microbatch
+    * rewrites the same rows instead of duplicating them — at-least-once
+    * delivery + idempotent keyed write = effectively-once in the
+    * table, the same invariant the batch Ingestor's upsert relies on.
+    * Each microbatch runs the full executor-side `foreachPartition`
+    * upsert path (batching, per-row fallback, retry, dialects) —
+    * nothing is collected to the driver.
+    *
+    * Returns the started query; the caller owns its lifecycle
+    * (`awaitTermination` in production, `processAllAvailable` + stop
+    * in tests).
+    */
+  def upsertSink(df: DataFrame, cfg: graft.engine.sink.JdbcUpsert.Config,
+                 queryName: String,
+                 outputMode: OutputMode = OutputMode.Append())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val up = sc.longAccumulator
+        val fail = sc.longAccumulator
+        graft.engine.sink.JdbcUpsert.write(batch, cfg, up, fail)
+      }
+      .start()
+
   /** Convenience: run a streaming frame into an in-memory table and
     * block until all currently-available data is processed (test +
     * local-debug harness; production sinks use foreachBatch → the

@@ -59,6 +59,39 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:30", "2024-01-01 00:01:30", "b", 1L)))
   }
 
+  test("foreachBatch upsert sink: stream lands in the table, replays idempotent") {
+    import java.sql.DriverManager
+    import graft.core.SqlType
+    import graft.engine.sink.JdbcUpsert
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:streamdb;create=true"
+    val cfg = JdbcUpsert.Config(url, "st", JdbcUpsert.GenericDialect)
+    val conn0 = DriverManager.getConnection(url)
+    try assert(JdbcUpsert.ensureTable(cfg,
+      Seq("v" -> SqlType.DoubleT)).isRight)
+    finally conn0.close()
+
+    val input = MemoryStream[(String, Double)]
+    val q = StreamingIngest.upsertSink(
+      input.toDF().toDF("data_id", "v"), cfg, "st_upsert")
+    try {
+      input.addData(("a", 1.0), ("b", 2.0))
+      q.processAllAvailable()
+      // second microbatch: new key + an update of an existing key —
+      // the keyed upsert must not duplicate "a"
+      input.addData(("a", 10.0), ("c", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement().executeQuery(
+      """SELECT "data_id", "v" FROM "st" ORDER BY "data_id"""")
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getString(1), r.getDouble(2))).toList
+    conn.close()
+    assert(rows == List(("a", 10.0), ("b", 2.0), ("c", 3.0)))
+  }
+
   test("transform pipeline runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, String)]
