@@ -32,9 +32,9 @@ object StrictCast {
     * Exact digits take the direct cast (no double precision loss).
     */
   private def intViaDouble(c: Column, lo: Double, hi: Double, target: String): Column = {
-    val d = trim(c).try_cast("double")
+    val d = F.tryCastNumeric(trim(c), "double")
     coalesce(
-      trim(c).try_cast(target),
+      F.tryCastNumeric(trim(c), target),
       when(d.isNotNull && !isnan(d) && d === floor(d) && d.between(lo, hi),
         d.cast(target)))
   }
@@ -46,8 +46,8 @@ object StrictCast {
     case SqlType.BigIntT =>
       // double bound uses 2^63 exactly; values ≥ 2^63 overflow → invalid
       intViaDouble(c, Long.MinValue.toDouble, 9.223372036854775e18, "bigint")
-    case SqlType.FloatT | SqlType.DoubleT => c.try_cast("double")
-    case SqlType.Decimal(p, s) => c.try_cast(s"decimal($p,$s)")
+    case SqlType.FloatT | SqlType.DoubleT => F.tryCastNumeric(c, "double")
+    case SqlType.Decimal(p, s) => F.tryCastNumeric(c, s"decimal($p,$s)")
     case SqlType.BoolT => F.parseBool(c)
     case SqlType.DateT => F.parseDatetimeLenient(c).cast("date")
     case SqlType.DateTimeT => F.parseDatetimeLenient(c)
@@ -68,7 +68,7 @@ object StrictCast {
     case SqlType.Varchar(n) => length(c) > n
     case SqlType.Char(n) => length(c) =!= n
     case SqlType.FloatT | SqlType.DoubleT =>
-      val d = c.try_cast("double")
+      val d = F.tryCastNumeric(c, "double")
       d.isNotNull && (isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity)
     case _ => lit(false)
   }

@@ -116,7 +116,7 @@ object Validators {
       val aggs = cols.flatMap { c =>
         val present = col(c).isNotNull && trim(col(c)) =!= ""
         Seq(
-          sum(when(present && col(c).try_cast("double").isNull, 1).otherwise(0))
+          sum(when(present && F.tryCastNumeric(col(c), "double").isNull, 1).otherwise(0))
             .cast("long").as(s"${c}__nonnum"),
           sum(when(!present, 1).otherwise(0)).cast("long").as(s"${c}__null"))
       }
@@ -240,7 +240,7 @@ object Validators {
         return ValidationResult.fail(s"Required column '$timeCol' not found")
       val c = col(timeCol)
       val present = c.isNotNull && trim(c) =!= ""
-      val d = c.try_cast("double")
+      val d = F.tryCastNumeric(c, "double")
       val row = df.agg(
         sum(when(present && d.isNull, 1).otherwise(0)).cast("long").as("nonnum"),
         sum(when(d < 0, 1).otherwise(0)).cast("long").as("neg"),

@@ -25,6 +25,24 @@ object GraftFunctions {
   def nullNormalized(c: Column, tokens: Seq[String] = tabularNullTokens): Column =
     when(c.isNull || trim(c).isin(tokens: _*), lit(null)).otherwise(trim(c))
 
+  // ------------------------------------------------------------- numerics
+
+  /** `try_cast` to a numeric type without the ANSI exception tax.
+    *
+    * Under ANSI mode (Spark 4 default) TRY-mode casts are implemented as
+    * throw-and-catch: every failing row constructs a full SparkException
+    * (~8 µs for int/bigint, ~2 µs for double/decimal — measured 25× wall
+    * slowdown on a 600k-row column that never parses). A string with no
+    * decimal digit (`\p{Nd}` — Spark's decimal cast accepts full-width
+    * Unicode digits too) can never cast to any numeric type except the
+    * Infinity/NaN double literals, so a digit-or-inf-or-nan pre-filter
+    * returns the identical NULLs while skipping exception construction
+    * for the common all-alpha garbage. Strings that pass the guard still
+    * take the real `try_cast`, so semantics are bit-identical.
+    */
+  def tryCastNumeric(c: Column, target: String): Column =
+    when(c.rlike("(?i)\\p{Nd}|inf|nan"), c.try_cast(target))
+
   // -------------------------------------------------------------- boolean
 
   /** Textual boolean vocabulary (reference `csv_ingestor.py:233-247`,
@@ -34,11 +52,12 @@ object GraftFunctions {
     */
   def parseBool(c: Column): Column = {
     val s = lower(trim(c))
+    val d = tryCastNumeric(s, "double")
     when(c.isNull, lit(null).cast("boolean"))
       .when(s.isin("true", "yes", "t", "y", "1"), lit(true))
       .when(s.isin("false", "no", "f", "n", "0"), lit(false))
-      .when(s.try_cast("double") === 1.0, lit(true))
-      .when(s.try_cast("double") === 0.0, lit(false))
+      .when(d === 1.0, lit(true))
+      .when(d === 0.0, lit(false))
       .otherwise(lit(null).cast("boolean"))
   }
 
@@ -48,16 +67,41 @@ object GraftFunctions {
     * datetime parse (`csv_ingestor.py:70-109`): ISO datetime first, then
     * ISO date, then slashed/dotted forms whose day/month order follows
     * `dayFirst`. First pattern that parses wins; all fail → NULL.
+    *
+    * Each attempt is gated by a PERMISSIVE shape regex (a superset of
+    * what the pattern can parse — digit counts looser than the strict
+    * formatter, `\d{4,}`/optional sign where the year field accepts
+    * them): a failing `try_to_timestamp` throws-and-catches internally
+    * (~20 µs/row through the full 10-pattern chain — a 40× tax on
+    * non-ISO or garbage columns), while a failing regex on a short
+    * string is nanoseconds. A string rejected by a guard is one its
+    * pattern could never parse, so the coalesce result is unchanged;
+    * strings passing a guard still take the real parse.
     */
   def parseDatetimeLenient(c: Column, dayFirst: Boolean = false): Column = {
-    val ambiguous =
-      if (dayFirst) Seq("d/M/yyyy H:m:s", "d/M/yyyy", "d-M-yyyy", "d.M.yyyy")
-      else Seq("M/d/yyyy H:m:s", "M/d/yyyy", "M-d-yyyy", "M.d.yyyy")
-    val patterns = Seq(
-      "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss",
-      "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd",
-      "yyyy/MM/dd") ++ ambiguous
-    coalesce(patterns.map(p => try_to_timestamp(trim(c), lit(p))): _*)
+    val t = trim(c)
+    def attempt(pattern: String, shape: String): Column =
+      when(t.rlike(shape), try_to_timestamp(t, lit(pattern)))
+    val slashTime = if (dayFirst) "d/M/yyyy H:m:s" else "M/d/yyyy H:m:s"
+    val slash = if (dayFirst) "d/M/yyyy" else "M/d/yyyy"
+    val dash = if (dayFirst) "d-M-yyyy" else "M-d-yyyy"
+    val dot = if (dayFirst) "d.M.yyyy" else "M.d.yyyy"
+    coalesce(
+      attempt("yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "^[+-]?\\d{4,}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{1,2}:\\d{1,2}\\.\\d+$"),
+      attempt("yyyy-MM-dd HH:mm:ss",
+        "^[+-]?\\d{4,}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{1,2}:\\d{1,2}$"),
+      attempt("yyyy-MM-dd'T'HH:mm:ss",
+        "^[+-]?\\d{4,}-\\d{1,2}-\\d{1,2}T\\d{1,2}:\\d{1,2}:\\d{1,2}$"),
+      attempt("yyyy-MM-dd HH:mm",
+        "^[+-]?\\d{4,}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{1,2}$"),
+      attempt("yyyy-MM-dd", "^[+-]?\\d{4,}-\\d{1,2}-\\d{1,2}$"),
+      attempt("yyyy/MM/dd", "^[+-]?\\d{4,}/\\d{1,2}/\\d{1,2}$"),
+      attempt(slashTime,
+        "^\\d{1,2}/\\d{1,2}/[+-]?\\d{4,} \\d{1,2}:\\d{1,2}:\\d{1,2}$"),
+      attempt(slash, "^\\d{1,2}/\\d{1,2}/[+-]?\\d{4,}$"),
+      attempt(dash, "^\\d{1,2}-\\d{1,2}-[+-]?\\d{4,}$"),
+      attempt(dot, "^\\d{1,2}\\.\\d{1,2}\\.[+-]?\\d{4,}$"))
   }
 
   /** A value is locale-ambiguous when it parses BOTH day-first and

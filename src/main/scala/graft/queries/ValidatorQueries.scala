@@ -106,11 +106,11 @@ object ValidatorQueries {
           col("l_returnflag").as("flag_s"),
           col("l_linenumber").cast("string").as("ln_s"))
         .agg(
-          sum(when(expr("try_cast(qty_s AS DOUBLE)").isNull && col("qty_s").isNotNull, 1)
+          sum(when(F.tryCastNumeric(col("qty_s"), "double").isNull && col("qty_s").isNotNull, 1)
             .otherwise(0)).as("bad_double"),
-          sum(when(expr("try_cast(flag_s AS INT)").isNull && col("flag_s").isNotNull, 1)
+          sum(when(F.tryCastNumeric(col("flag_s"), "int").isNull && col("flag_s").isNotNull, 1)
             .otherwise(0)).as("bad_int_flag"),
-          sum(when(expr("try_cast(ln_s AS INT)").isNull && col("ln_s").isNotNull, 1)
+          sum(when(F.tryCastNumeric(col("ln_s"), "int").isNull && col("ln_s").isNotNull, 1)
             .otherwise(0)).as("bad_int_ln"),
           count(lit(1)).as("n_rows"))
     },
@@ -205,9 +205,9 @@ object ValidatorQueries {
           col("c_acctbal").cast("string").as("bal_s"),
           col("c_name").as("name_s"))
         .agg(
-          sum(when(expr("try_cast(bal_s AS DOUBLE)").isNull && col("bal_s").isNotNull, 1)
+          sum(when(F.tryCastNumeric(col("bal_s"), "double").isNull && col("bal_s").isNotNull, 1)
             .otherwise(0)).as("bad_bal"),
-          sum(when(expr("try_cast(name_s AS DOUBLE)").isNull && col("name_s").isNotNull, 1)
+          sum(when(F.tryCastNumeric(col("name_s"), "double").isNull && col("name_s").isNotNull, 1)
             .otherwise(0)).as("bad_name"),
           sum(when(col("bal_s").isNull, 1).otherwise(0)).as("null_bal"))
     },
@@ -244,7 +244,7 @@ object ValidatorQueries {
         .otherwise(col("n_chars").cast("string"))
       Tables.documents(s, d)
         .withColumn("raw", raw)
-        .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+        .withColumn("parsed", F.tryCastNumeric(col("raw"), "bigint"))
         .withColumn("disposition",
           when(col("parsed").isNotNull, lit("ok"))
             .when(col("raw") === "", lit("skipped_empty"))
