@@ -285,6 +285,80 @@ object CoreQueries {
         .select("lang").distinct()
         .select(col("lang"), sha2(col("lang"), 256).as("lang_sha256"))
         .orderBy("lang")
+    },
+
+    // -- beyond-reference: running/moving window FRAMES (ROWS + RANGE) -
+    // Feature engineering over event history: cumulative counters, a
+    // short-horizon moving max, and a numeric-range lookback. ROWS
+    // frames are O(1) per row; the RANGE frame is keyed on event_id so
+    // both engines resolve the identical numeric peer window. All
+    // arithmetic is on longs (exact) — max() is selection, so the one
+    // double column can't drift by accumulation order.
+    "w5_running_frames" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = byUser.rowsBetween(-2, 0)
+      val range100 = byUser.rangeBetween(-100, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(cum).as("run_cnt"),
+          sum("event_id").over(cum).as("run_sum_id"),
+          max("value").over(last3).as("mov_max3"),
+          count(lit(1)).over(range100).as("range_cnt"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // -- beyond-reference: quantile bucketing (ntile / percent_rank) ---
+    // The curation shape behind "keep the top quality decile":
+    // per-language deciles with a deterministic total order (tie-broken
+    // on doc_id so ntile assignment is identical on both engines),
+    // reduced to per-bucket stats.
+    "w6_ntile_buckets" -> { (s, d) =>
+      val byLang = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          ntile(10).over(byLang).cast("long").as("decile"),
+          round(percent_rank().over(byLang), 6).as("pr"))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          max("pr").as("max_pr"))
+        .orderBy("lang", "decile")
+    },
+
+    // -- §2.9: higher-order array functions (transform / filter /
+    //    aggregate / distinct / slice) — the array algebra embedding
+    //    columns and packed sequences lean on. Quantities are
+    //    integral-valued doubles → long cast keeps every sum exact;
+    //    collect_list order is nondeterministic → array_sort pins it.
+    "f_array_hof" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+        .select(col("l_orderkey"),
+          size(col("qtys")).cast("long").as("n_items"),
+          size(filter(col("qtys"), x => x > 25)).cast("long").as("n_large"),
+          aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("sum_qty"),
+          size(array_distinct(col("qtys"))).cast("long").as("n_distinct"),
+          concat_ws(",", transform(slice(col("qtys"), 1, 3), _.cast("string"))).as("first3"))
+        .orderBy("l_orderkey")
+    },
+
+    // -- beyond-reference: unpivot/melt (wide measures → long form) ----
+    // The inverse of q10's pivot: per-flag measure columns melted to
+    // (measure, val) rows — the reshape feeding per-metric dashboards.
+    "q13_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum("l_discount"), 2).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "val")
+        .orderBy("l_returnflag", "measure")
     })
 
   def oracle: Map[String, String] = Map(
@@ -440,5 +514,50 @@ object CoreQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_sha2_hex" ->
       """SELECT lang, sha256(lang) AS lang_sha256
-        |FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang""".stripMargin)
+        |FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang""".stripMargin,
+    "w5_running_frames" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER cum AS run_cnt,
+        | (sum(event_id) OVER cum)::BIGINT AS run_sum_id,
+        | max(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_max3,
+        | count(*) OVER (PARTITION BY user_id ORDER BY event_id
+        |   RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS range_cnt
+        |FROM events
+        |WINDOW cum AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w6_ntile_buckets" ->
+      """SELECT lang, decile, count(*) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | max(pr) AS max_pr
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    ntile(10) OVER w AS decile,
+        |    round(percent_rank() OVER w, 6) AS pr
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "f_array_hof" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, list_sort(list(l_quantity::BIGINT)) AS qtys
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        | len(qtys) AS n_items,
+        | len(list_filter(qtys, x -> x > 25)) AS n_large,
+        | list_aggregate(qtys, 'sum')::BIGINT AS sum_qty,
+        | len(list_distinct(qtys)) AS n_distinct,
+        | array_to_string(list_transform(qtys[1:3], x -> x::VARCHAR), ',') AS first3
+        |FROM a ORDER BY l_orderkey""".stripMargin,
+    "q13_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity),2) AS sum_qty,
+        |    round(sum(l_extendedprice),2) AS sum_price,
+        |    round(sum(l_discount),2) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin)
 }
