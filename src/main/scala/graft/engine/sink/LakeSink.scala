@@ -1,0 +1,99 @@
+package graft.engine.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Partitioned columnar (parquet) sink — the lake-layout counterpart of
+  * the JDBC upsert for pipelines whose downstream is Spark/DuckDB/
+  * warehouse readers rather than a serving database. The reference has
+  * no columnar sink (its sinks are MySQL + sidecar file copy,
+  * SURVEY.md §2.10); at the 100 TB design point a training-data engine
+  * needs one, and its failure modes are all LAYOUT failures:
+  *
+  *  - **Small-files explosion.** Naive `df.write.partitionBy(p)` makes
+  *    every task open a writer for every partition value it sees —
+  *    `tasks × |p|` files. The sink repartitions by the partition
+  *    columns first (plus an optional within-partition split salt for
+  *    skewed partition values), so each output partition is written by
+  *    few tasks: file count is `|p| × filesPerPartition`, independent
+  *    of input parallelism.
+  *  - **Unprunable files.** `sortWithinPartitions(clusterBy)` lays rows
+  *    out so parquet row-group min/max stats carry selective ranges —
+  *    readers filtering on the cluster column skip whole row groups.
+  *    (Same motivation as lakehouse clustering/Z-order; a plain column
+  *    sort is the 1-D case and free here since the shuffle already
+  *    happened.)
+  *  - **Oversized row groups.** `maxRecordsPerFile` bounds file size
+  *    where a partition value is huge, without another shuffle.
+  *  - **Non-idempotent re-runs.** Dynamic partition overwrite replaces
+  *    ONLY the partitions present in this batch — a re-run of one day's
+  *    ingest cannot truncate the rest of the table. (Spark's default
+  *    static overwrite drops every existing partition first.)
+  *
+  * No custom file management: the write itself is Spark's parquet
+  * committer (rename-based atomic task commit, job-level _SUCCESS), so
+  * the sink inherits exactly-once output for batch jobs.
+  */
+object LakeSink {
+
+  /** @param partitionBy      low-cardinality layout columns (dirs)
+    * @param clusterBy        within-file sort for row-group pruning
+    * @param filesPerPartition target files per partition value (split
+    *                         salt width); 1 = one writer per value
+    * @param maxRecordsPerFile hard per-file row cap (0 = unlimited)
+    * @param dynamicOverwrite  overwrite only the partitions in this
+    *                         batch (idempotent incremental re-runs)
+    */
+  final case class Config(path: String,
+                          partitionBy: Seq[String] = Nil,
+                          clusterBy: Seq[String] = Nil,
+                          filesPerPartition: Int = 1,
+                          maxRecordsPerFile: Long = 0L,
+                          compression: String = "zstd",
+                          dynamicOverwrite: Boolean = true)
+
+  def write(df: DataFrame, cfg: Config, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(cfg.filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val spark = df.sparkSession
+
+    // Route all rows of one partition value to few tasks. The salt
+    // splits a skewed partition value across filesPerPartition writers
+    // while keeping unrelated values from sharing (and bloating) files.
+    val arranged =
+      if (cfg.partitionBy.isEmpty) df
+      else {
+        val partCols = cfg.partitionBy.map(col)
+        val salted =
+          if (cfg.filesPerPartition == 1) df.repartition(partCols: _*)
+          else df.repartition(
+            (partCols :+ (spark_partition_id() % cfg.filesPerPartition)): _*)
+        if (cfg.clusterBy.nonEmpty)
+          salted.sortWithinPartitions(cfg.clusterBy.map(col): _*)
+        else salted
+      }
+    val clustered =
+      if (cfg.partitionBy.isEmpty && cfg.clusterBy.nonEmpty)
+        arranged.sortWithinPartitions(cfg.clusterBy.map(col): _*)
+      else arranged
+
+    val prevOverwriteMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    if (cfg.dynamicOverwrite)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      var w = clustered.write
+        .mode(mode)
+        .option("compression", cfg.compression)
+      if (cfg.maxRecordsPerFile > 0)
+        w = w.option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      if (cfg.partitionBy.nonEmpty)
+        w = w.partitionBy(cfg.partitionBy: _*)
+      w.parquet(cfg.path)
+    } finally {
+      if (cfg.dynamicOverwrite) prevOverwriteMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}

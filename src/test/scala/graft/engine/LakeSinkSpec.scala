@@ -1,0 +1,82 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.sink.LakeSink
+
+class LakeSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "en", "alpha", 10L), (2L, "en", "beta", 20L), (3L, "en", "gamma", 30L),
+    (4L, "de", "delta", 40L), (5L, "de", "eps", 50L),
+    (6L, "fr", "zeta", 60L)).toDF("doc_id", "lang", "text", "n_chars")
+
+  private def parquetFiles(dir: String): Seq[java.nio.file.Path] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+
+  test("partitioned write: layout dirs, one file per partition, round-trip") {
+    val out = tmpDir("lake").toString + "/t1"
+    LakeSink.write(docs, LakeSink.Config(out, partitionBy = Seq("lang")))
+    for (lang <- Seq("en", "de", "fr")) {
+      val dir = Paths.get(out, s"lang=$lang")
+      assert(Files.isDirectory(dir), s"missing partition dir lang=$lang")
+      assert(parquetFiles(dir.toString).size == 1,
+        s"expected exactly one file for lang=$lang")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == 6)
+    assert(back.select("doc_id", "lang", "text", "n_chars").as[(Long, String, String, Long)]
+      .collect().sortBy(_._1).toSeq ==
+      docs.as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("maxRecordsPerFile splits oversized partitions without a shuffle") {
+    val out = tmpDir("lake").toString + "/t2"
+    LakeSink.write(docs, LakeSink.Config(out, partitionBy = Seq("lang"),
+      maxRecordsPerFile = 2L))
+    assert(parquetFiles(Paths.get(out, "lang=en").toString).size == 2) // 3 rows, cap 2
+    assert(spark.read.parquet(out).count() == 6)
+  }
+
+  test("dynamic overwrite replaces only the partitions present in the batch") {
+    val out = tmpDir("lake").toString + "/t3"
+    LakeSink.write(docs, LakeSink.Config(out, partitionBy = Seq("lang")))
+    val patch = Seq((7L, "de", "NEW", 70L)).toDF("doc_id", "lang", "text", "n_chars")
+    LakeSink.write(patch, LakeSink.Config(out, partitionBy = Seq("lang")),
+      SaveMode.Overwrite)
+    val back = spark.read.parquet(out)
+    // de fully replaced by the 1-row batch; en/fr untouched
+    assert(back.filter($"lang" === "de").select("text").as[String].collect().toSeq == Seq("NEW"))
+    assert(back.filter($"lang" === "en").count() == 3)
+    assert(back.filter($"lang" === "fr").count() == 1)
+  }
+
+  test("readers partition-prune on the layout column") {
+    val out = tmpDir("lake").toString + "/t4"
+    LakeSink.write(docs, LakeSink.Config(out, partitionBy = Seq("lang"),
+      clusterBy = Seq("n_chars")))
+    val q = spark.read.parquet(out).filter($"lang" === "de")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), "expected a partition-pruned scan")
+    assert(q.count() == 2)
+    // clusterBy laid rows out sorted within the file
+    val vals = spark.read.parquet(out + "/lang=en").select("n_chars").as[Long].collect().toSeq
+    assert(vals == vals.sorted)
+  }
+
+  test("static overwrite mode still truncates the whole table when asked") {
+    val out = tmpDir("lake").toString + "/t5"
+    LakeSink.write(docs, LakeSink.Config(out, partitionBy = Seq("lang")))
+    val patch = Seq((8L, "de", "ONLY", 80L)).toDF("doc_id", "lang", "text", "n_chars")
+    LakeSink.write(patch, LakeSink.Config(out, partitionBy = Seq("lang"),
+      dynamicOverwrite = false), SaveMode.Overwrite)
+    assert(spark.read.parquet(out).count() == 1) // en/fr gone: static semantics
+  }
+}
