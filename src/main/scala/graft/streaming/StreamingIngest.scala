@@ -146,6 +146,50 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming file source: tail a landing directory for new CSV/JSON
+    * manifests. The schema is REQUIRED (streaming sources don't infer —
+    * the engine's declared ingest schema is the contract anyway, same
+    * as the batch CsvReader's explicit all-string read).
+    * `maxFilesPerTrigger` is the backpressure knob: a backlogged
+    * landing zone (crawler dumping 100k files) is drained in bounded
+    * microbatches instead of one giant catch-up batch that OOMs the
+    * file-listing and shuffle layers.
+    */
+  def fileSource(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 format: String = "csv",
+                 maxFilesPerTrigger: Int = 1000,
+                 options: Map[String, String] = Map("header" -> "true")): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+
+  /** Stream → partitioned parquet lake via Spark's NATIVE file sink,
+    * not foreachBatch: the file sink keeps a transactional manifest
+    * (`_spark_metadata`) of committed files per epoch, so a microbatch
+    * replayed after a crash re-registers the SAME files instead of
+    * duplicating rows — exactly-once to the lake, and batch readers of
+    * the output directory see only committed files. Layout follows the
+    * same rule as [[graft.engine.sink.LakeSink]]: partition columns are
+    * directories; file size rides `maxRecordsPerFile` on the session
+    * conf when needed.
+    */
+  def lakeSink(df: DataFrame, path: String, checkpointDir: String,
+               queryName: String, partitionBy: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .queryName(queryName)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.start()
+  }
+
   /** Convenience: run a streaming frame into an in-memory table and
     * block until all currently-available data is processed (test +
     * local-debug harness; production sinks use foreachBatch → the

@@ -92,6 +92,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows == List(("a", 10.0), ("b", 2.0), ("c", 3.0)))
   }
 
+  test("file source → strict cast → partitioned lake sink, end to end") {
+    import org.apache.spark.sql.types._
+    import graft.core.SqlType
+    import graft.engine.read.StrictCast
+
+    val landing = tmpDir("landing")
+    val outDir = tmpDir("lakeout").toString + "/docs"
+    val ckpt = tmpDir("ckpt").toString
+
+    write(landing.resolve("batch1.csv"),
+      "doc_id,lang,n_chars\n1,en,10\n2,de,20\nx,en,junk\n")
+
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("lang", StringType),
+      StructField("n_chars", StringType)))
+    val declared = Seq("doc_id" -> SqlType.BigIntT, "n_chars" -> SqlType.BigIntT)
+
+    val stream = StreamingIngest.fileSource(spark, landing.toString, schema)
+    // JSON-category disposition on the stream: keep valid rows, type them
+    val typed = StrictCast.cast(
+      stream.filter(StrictCast.validRowFilter(declared)), declared)
+
+    val q = StreamingIngest.lakeSink(typed, outDir, ckpt, "lake_e2e", Seq("lang"))
+    try {
+      q.processAllAvailable()
+      val first = spark.read.parquet(outDir)
+      assert(first.count() == 2) // 'x/junk' row skipped by disposition
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(outDir, "lang=en")))
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(outDir, "_spark_metadata")))
+
+      // a second file lands: only the delta is processed and appended
+      write(landing.resolve("batch2.csv"), "doc_id,lang,n_chars\n4,fr,40\n")
+      q.processAllAvailable()
+      val back = spark.read.parquet(outDir)
+      assert(back.count() == 3)
+      import spark.implicits._
+      assert(back.filter($"lang" === "fr").select("doc_id").as[Long]
+        .collect().toSeq == Seq(4L))
+      // typed end to end: declared casts applied on the stream
+      assert(back.schema("doc_id").dataType == LongType)
+      assert(back.schema("n_chars").dataType == LongType)
+    } finally q.stop()
+  }
+
   test("transform pipeline runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, String)]
