@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{CosineSimilarity, DotProduct, LabelHashBucket}
+import graft.functions.{CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions
   * via SparkSessionExtensions — the idiomatic plug point
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.labelHashBucket)
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.dotProduct)
+    ext.injectFunction(GraftExtensions.zorder2)
   }
 }
 
@@ -71,10 +72,20 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException("dot_product expects 2 arguments")
     })
 
+  val zorder2: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder2"),
+    info(classOf[ZOrder2].getName, "zorder2",
+      "zorder2(a, b) - 64-bit Morton (Z-order) code of two int columns; " +
+        "sort by it to cluster files on both dimensions at once."),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => ZOrder2(a, b)
+      case _ => throw new IllegalArgumentException("zorder2 expects 2 arguments")
+    })
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(labelHashBucket, cosineSim, dotProduct).foreach {
+    Seq(labelHashBucket, cosineSim, dotProduct, zorder2).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }
