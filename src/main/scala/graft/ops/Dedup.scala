@@ -87,13 +87,34 @@ object Dedup {
     */
   def dedupAgainst(incoming: DataFrame, seen: DataFrame,
                    on: Seq[String]): DataFrame = {
-    require(on.nonEmpty, "dedupAgainst needs at least one content column")
+    requireDigestable(incoming, seen, on)
     require(!incoming.columns.contains("__graft_seen_k"),
       "incoming already has a '__graft_seen_k' column")
-    // The length-prefix encoding is injective over STRINGS; for
-    // array/map/struct columns cast-to-string is lossy ("[a, b]" from
-    // Seq("a","b") and from Seq("a, b") alike) and a false match
-    // silently DROPS genuinely-new rows — fail loud instead.
+    val seenKeys = seen.select(contentDigest(seen, on).as("__graft_seen_k")).distinct()
+    incoming.join(seenKeys,
+      contentDigest(incoming, on) === col("__graft_seen_k"), "left_anti")
+  }
+
+  /** The shared injective content digest of [[dedupAgainst]] /
+    * [[dedupAgainstBloom]]: each `on` column length-prefixed ("3:abc",
+    * NULL tagged distinctly from ""), concatenated, sha-256'd.
+    */
+  private def contentDigest(d: DataFrame, on: Seq[String]): Column = {
+    val parts = on.map { name =>
+      val s = d(name).cast("string")
+      when(s.isNull, lit("-"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    sha2(concat_ws("|", parts: _*), 256)
+  }
+
+  // The length-prefix encoding is injective over STRINGS; for
+  // array/map/struct columns cast-to-string is lossy ("[a, b]" from
+  // Seq("a","b") and from Seq("a, b") alike) and a false match
+  // silently DROPS genuinely-new rows — fail loud instead.
+  private def requireDigestable(incoming: DataFrame, seen: DataFrame,
+                                on: Seq[String]): Unit = {
+    require(on.nonEmpty, "dedupAgainst needs at least one content column")
     for (d <- Seq(incoming, seen); c <- on) {
       val dt = d.schema(c).dataType
       require(!dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
@@ -103,17 +124,65 @@ object Dedup {
           "cast-to-string is not injective there; project to a string " +
           "(e.g. to_json) first")
     }
-    def digest(d: DataFrame): Column = {
-      val parts = on.map { name =>
-        val s = d(name).cast("string")
-        when(s.isNull, lit("-"))
-          .otherwise(concat(length(s).cast("string"), lit(":"), s))
-      }
-      sha2(concat_ws("|", parts: _*), 256)
-    }
-    val seenKeys = seen.select(digest(seen).as("__graft_seen_k")).distinct()
-    incoming.join(seenKeys,
-      digest(incoming) === col("__graft_seen_k"), "left_anti")
+  }
+
+  /** Train the reusable Bloom prefilter over the SEEN corpus digests —
+    * one aggregation scan, result lives on the driver and broadcasts to
+    * every later [[dedupAgainstBloom]] call (batches or microbatches).
+    * Sizing: ~9.6 bits/item at fpp 0.01 → 1e9 corpus digests ≈ 1.2 GB;
+    * beyond that raise `fpp` (false positives only cost exact-verify
+    * work, never correctness) or shard the corpus. Rebuild cadence is a
+    * pipeline choice — a stale filter stays CORRECT (new corpus rows it
+    * doesn't know about simply fall through to the exact verify as
+    * maybe-misses... they are definitely-new under the old corpus and
+    * pass the verify against whatever `seen` frame the caller passes).
+    */
+  def digestBloom(seen: DataFrame, on: Seq[String], expectedItems: Long,
+                  fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    requireDigestable(seen, seen, on)
+    seen.select(contentDigest(seen, on).as("__graft_k"))
+      .stat.bloomFilter("__graft_k", expectedItems, fpp)
+  }
+
+  /** [[dedupAgainst]] with a Bloom prefilter: identical keep/drop
+    * semantics (Bloom filters have NO false negatives — a definitely-new
+    * verdict is exact; false positives go through the same exact digest
+    * verify as before), but the SEEN corpus is never shuffled:
+    *
+    *  1. rows whose digest the filter has never seen pass immediately;
+    *  2. the (small) maybe-duplicate digest set broadcasts to a
+    *     LEFT SEMI over `seen` — one map-side scan finds the digests
+    *     that truly collide;
+    *  3. those collided digests broadcast back to a LEFT ANTI over the
+    *     maybe rows.
+    *
+    * Per batch the moving data is `|true dups| + fpp·|incoming|` digest
+    * rows — vs [[dedupAgainst]]'s full shuffle of the corpus digest
+    * set. That is the difference between re-keying 10 B corpus rows per
+    * crawl batch and reading them in place once. If a batch is MOSTLY
+    * duplicates (maybe set too large to broadcast —
+    * `spark.sql.autoBroadcastJoinThreshold` / driver memory decide),
+    * this shape is the wrong tool: use [[dedupAgainst]], whose shuffle
+    * is sized to the duplicate volume anyway.
+    */
+  def dedupAgainstBloom(incoming: DataFrame, seen: DataFrame, on: Seq[String],
+                        bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    requireDigestable(incoming, seen, on)
+    require(!incoming.columns.contains("__graft_k"),
+      "incoming already has a '__graft_k' column")
+    val spark = incoming.sparkSession
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val might = udf((s: String) => bloomB.value.mightContainString(s))
+
+    val keyed = incoming.withColumn("__graft_k", contentDigest(incoming, on))
+    val definitelyNew = keyed.filter(!might(col("__graft_k")))
+    val maybe = keyed.filter(might(col("__graft_k")))
+    val maybeKeys = maybe.select("__graft_k").distinct()
+    val collided = seen.select(contentDigest(seen, on).as("__graft_k"))
+      .join(broadcast(maybeKeys), Seq("__graft_k"), "left_semi")
+      .distinct()
+    val verifiedNew = maybe.join(broadcast(collided), Seq("__graft_k"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop("__graft_k")
   }
 
   /** Normalized-fingerprint column (lower + collapsed whitespace). */

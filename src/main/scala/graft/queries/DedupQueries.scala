@@ -113,6 +113,25 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // -- d13: d9's semantics through the Bloom-prefiltered path — the
+    //    shape that never shuffles the corpus (definitely-new rows skip
+    //    the verify; maybe-dups broadcast to a semi+anti pair). Same
+    //    oracle truth as d9 by construction: the Bloom filter has no
+    //    false negatives and false positives fall through to the exact
+    //    digest verify. --------------------------------------------
+    "d13_bloom_dedup" -> { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val incoming = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            upper(regexp_replace(col("text"), " ", "  ")).as("text")))
+      val bloom = graft.ops.Dedup.digestBloom(base, Seq("text"),
+        expectedItems = 100000L, fpp = 0.01)
+      graft.ops.Dedup.dedupAgainstBloom(incoming, base, Seq("text"), bloom)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // -- normalized-fingerprint dedup (case/whitespace-insensitive):
     //    64-bit rolling hash of lower+collapsed text -------------------
     "d2_fingerprint_dedup" -> { (s, d) =>
@@ -439,6 +458,17 @@ object DedupQueries {
     // NULL matches a seen NULL — hence IS NOT DISTINCT FROM, not `=`
     // (which would keep every NULL-text incoming row the engine drops).
     "d9_incremental_dedup" ->
+      """WITH incoming AS (
+        |  SELECT doc_id+100000 AS doc_id, text FROM documents WHERE doc_id%10=0
+        |  UNION ALL
+        |  SELECT doc_id+200000, upper(regexp_replace(text,' ','  ','g'))
+        |    FROM documents WHERE doc_id%10=5
+        |)
+        |SELECT doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.text IS NOT DISTINCT FROM i.text)
+        |ORDER BY doc_id""".stripMargin,
+    "d13_bloom_dedup" ->
       """WITH incoming AS (
         |  SELECT doc_id+100000 AS doc_id, text FROM documents WHERE doc_id%10=0
         |  UNION ALL

@@ -148,6 +148,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept == Set(11L, 13L))
   }
 
+  test("dedupAgainstBloom ≡ dedupAgainst, both joins broadcast, seen never shuffles") {
+    val seen = (1L to 200L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    val incoming = (
+      (150L to 250L).map(i => (i + 1000, s"doc number $i")) :+ // 51 dups, 50 new
+        ((9999L, "NULL-free novel document"))).toDF("id", "text")
+    val bloom = Dedup.digestBloom(seen, Seq("text"), expectedItems = 1000L)
+    val viaBloom = Dedup.dedupAgainstBloom(incoming, seen, Seq("text"), bloom)
+    val exact = Dedup.dedupAgainst(incoming, seen, Seq("text"))
+    assert(viaBloom.select("id").as[Long].collect().toSet ==
+      exact.select("id").as[Long].collect().toSet)
+    // the verify pair must both be broadcast joins: the corpus side is
+    // read in place, never exchanged for a shuffle join
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "expected broadcast verify joins")
+    assert(!plan.contains("SortMergeJoin"), "seen side must not shuffle-join")
+  }
+
+  test("dedupAgainstBloom under a saturated filter (fpp→1) still exact") {
+    // 10 expected items but 200 inserted: nearly every probe reads
+    // "maybe" — everything falls through to the exact verify and the
+    // result still matches dedupAgainst.
+    val seen = (1L to 200L).map(i => (i, s"text $i")).toDF("id", "text")
+    val incoming = Seq((300L, "text 5"), (301L, "brand new"),
+      (302L, null.asInstanceOf[String])).toDF("id", "text")
+    val bloom = Dedup.digestBloom(seen, Seq("text"), expectedItems = 10L, fpp = 0.5)
+    val kept = Dedup.dedupAgainstBloom(incoming, seen, Seq("text"), bloom)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(301L, 302L)) // dup dropped; novel + NULL-text kept
+  }
+
   test("dedupAgainst digests are injective across column boundaries") {
     val seen = Seq(("a|b", "c")).toDF("x", "y")
     val incoming = Seq(("a", "b|c"), ("a|b", "c"), ("a", "b"))
