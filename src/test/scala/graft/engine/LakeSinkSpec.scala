@@ -71,6 +71,25 @@ class LakeSinkSpec extends SparkSpec {
     assert(vals == vals.sorted)
   }
 
+  test("empty frame writes a valid (readable, zero-row) table") {
+    val out = tmpDir("lake").toString + "/t6"
+    LakeSink.write(docs.filter($"doc_id" < 0), LakeSink.Config(out, partitionBy = Seq("lang")))
+    // schema round-trips through the _SUCCESS-committed empty table
+    assert(spark.read.schema(docs.schema).parquet(out).count() == 0)
+  }
+
+  test("null partition values land in the default partition and read back as null") {
+    val out = tmpDir("lake").toString + "/t7"
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String], "nolang", 90L))
+        .toDF("doc_id", "lang", "text", "n_chars"))
+    LakeSink.write(withNull, LakeSink.Config(out, partitionBy = Seq("lang")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 7)
+    assert(back.filter($"lang".isNull).select("doc_id").as[Long]
+      .collect().toSeq == Seq(9L))
+  }
+
   test("static overwrite mode still truncates the whole table when asked") {
     val out = tmpDir("lake").toString + "/t5"
     LakeSink.write(docs, LakeSink.Config(out, partitionBy = Seq("lang")))
