@@ -57,6 +57,41 @@ class GuardedParseSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: guard ≡ bare on 4000 random strings from a parse-shaped alphabet") {
+    // Biased toward near-parseable shapes: digits, signs, separators,
+    // exponent/inf/nan fragments, whitespace, full-width digits — the
+    // strings most likely to disagree at a guard boundary.
+    val atoms = Array(
+      "0", "1", "7", "9", "12", "003", "+", "-", ".", "e", "E", " ", "\t",
+      "/", ":", "T", "inf", "Inf", "NaN", "nan", "a", "Z", "１", "2023",
+      "01", "31", "13", "60", "999999999999999999999", "d", "f", "x")
+    val rnd = new scala.util.Random(20260813L)
+    val fuzz = (1 to 4000).map { _ =>
+      val n = rnd.nextInt(12)
+      (1 to n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }.distinct
+    import spark.implicits._
+    val fdf = fuzz.toDF("s")
+    for (target <- Seq("int", "bigint", "double", "decimal(10,2)")) {
+      val bad = fdf.select(
+        col("s"),
+        F.tryCastNumeric(col("s"), target).cast("string").as("guarded"),
+        col("s").try_cast(target).cast("string").as("bare"))
+        .filter(!(col("guarded") <=> col("bare"))).collect()
+      assert(bad.isEmpty,
+        s"target=$target diverged on: ${bad.take(5).map(_.getString(0)).mkString("['", "', '", "']")}")
+    }
+    for (dayFirst <- Seq(false, true)) {
+      val bad = fdf.select(
+        col("s"),
+        F.parseDatetimeLenient(col("s"), dayFirst).cast("string").as("guarded"),
+        unguardedLenient(col("s"), dayFirst).cast("string").as("bare"))
+        .filter(!(col("guarded") <=> col("bare"))).collect()
+      assert(bad.isEmpty,
+        s"dayFirst=$dayFirst diverged on: ${bad.take(5).map(_.getString(0)).mkString("['", "', '", "']")}")
+    }
+  }
+
   test("guarded parseDatetimeLenient ≡ unguarded pattern chain, both orders") {
     for (dayFirst <- Seq(false, true)) {
       val rows = df.select(
