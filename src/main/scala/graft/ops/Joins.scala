@@ -176,4 +176,39 @@ object Joins {
           unix_micros(col(tsCol)) <= unix_micros(col(endCol)))
       .drop("__bin")
   }
+
+  /** Salted equi-join for a LEFT side with heavy-hitter keys and a
+    * RIGHT side too large to broadcast. A plain shuffle join sends every
+    * row of a hot key to ONE reducer — the one straggler task that holds
+    * a 100 TB job hostage. Salting splits each left key's rows across
+    * `salt` sub-keys (deterministically, from a hash of the whole row —
+    * retry-stable, unlike `rand()`), replicates the right side `salt`×
+    * via `explode`, and joins on (keys, salt): each hot key now runs on
+    * `salt` reducers.
+    *
+    * Cost: the right side shuffles `salt`× its size — worth it exactly
+    * when the left skew dominates. AQE's skew-join handles the
+    * sort-merge case adaptively; this explicit form also covers
+    * stream-static joins and deterministic plans where AQE is off.
+    *
+    * Join types where right-replication is semantics-preserving for the
+    * LEFT side's rows: inner, left_outer (each left row sees exactly its
+    * own salt's replica, so no duplicate matches and no lost
+    * nulls-extension), left_semi, left_anti. Right-preserving types
+    * would see the replicated right — rejected.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val jt = joinType.toLowerCase.replace("outer", "").filter(_ != '_')
+    require(Seq("inner", "left", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got '$joinType'")
+    requireFree(left, Seq("__salt"))
+    requireFree(right, Seq("__salt"))
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toSeq: _*), lit(salt)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -145,4 +145,37 @@ class JoinsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pid"))
   }
+
+  test("saltedJoin ≡ plain join for every supported type, incl. a hot key") {
+    // 500 rows of hot key "h" + a tail; right has h, t1 and an
+    // unmatched-on-left key; left also has a key missing on the right
+    val left = ((1 to 500).map(i => ("h", i.toLong)) ++
+      Seq(("t1", 1000L), ("t2", 2000L))).toDF("key", "lv")
+    val right = Seq(("h", "hot"), ("t1", "tail"), ("only_right", "x"))
+      .toDF("key", "rv")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = left.join(right, Seq("key"), jt)
+      val salted = Joins.saltedJoin(left, right, Seq("key"), salt = 8, jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq, s"columns for $jt")
+      val p = plain.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val s = salted.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(s == p, s"multiset mismatch for $jt")
+    }
+  }
+
+  test("saltedJoin actually splits the hot key across sub-keys") {
+    val left = (1 to 500).map(i => ("h", i.toLong)).toDF("key", "lv")
+    val nSalts = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toSeq: _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(nSalts > 4, s"hot key spread over only $nSalts sub-keys")
+  }
+
+  test("saltedJoin rejects right-preserving join types") {
+    val df = Seq(("a", 1)).toDF("key", "v")
+    val e = intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df.withColumnRenamed("v", "w"), Seq("key"), 4, "right")
+    }
+    assert(e.getMessage.contains("saltedJoin"))
+  }
 }
