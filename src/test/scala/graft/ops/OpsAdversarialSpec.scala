@@ -138,6 +138,38 @@ class OpsAdversarialSpec extends SparkSpec {
     assert(TextAnalysis.chunkDocuments(emptyDocs, "text", 8, 2).count() == 0)
   }
 
+  test("bloom-prefiltered incremental dedup matches exact path on hostile text") {
+    val incoming = Seq(
+      (20L, Some("ab c")),           // dup of seen 5
+      (21L, Option.empty[String]),         // exact-dup of seen NULL
+      (22L, Some("")),                     // dup of seen empty
+      (23L, Some("novel content entirely")))
+      .toDF("id", "text")
+    val bloom = Dedup.digestBloom(hostile, Seq("text"), expectedItems = 100L)
+    val kept = Dedup.dedupAgainstBloom(incoming, hostile, Seq("text"), bloom)
+      .select("id").as[Long].collect().toSet
+    val exact = Dedup.dedupAgainst(incoming, hostile, Seq("text"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == exact && kept == Set(23L))
+  }
+
+  test("saltedJoin survives null keys and null payloads, same as plain join") {
+    val left = Seq(
+      (1L, Some("a")), (2L, Option.empty[String]), (3L, Some("b")),
+      (4L, Some("a"))).toDF("lv", "key")
+    val right = Seq(
+      (10L, Some("a")), (11L, Option.empty[String]), (12L, Some("c")))
+      .toDF("rv", "key")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = left.join(right, Seq("key"), jt).collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val salted = Joins.saltedJoin(left, right, Seq("key"), 4, jt).collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      // null keys never equi-match — identically on both paths
+      assert(salted == plain, s"null-key multiset mismatch for $jt")
+    }
+  }
+
   test("text analysis columns are total functions over hostile text") {
     val out = hostile
       .withColumn("tok_n", F.tokenCount(col("text")))
