@@ -169,6 +169,7 @@ object CsvReader {
   def open(spark: SparkSession, path: String,
            opts: CsvOptions = CsvOptions()): Either[List[String], DataFrame] = {
     for {
+      _ <- SourcePreflight.check(spark, path).left.map(List(_))
       _ <- preflightUtf8(spark, path).left.map(List(_))
       header <- preflightHeader(spark, path, opts).left.map(List(_))
       df <- {

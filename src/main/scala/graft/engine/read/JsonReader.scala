@@ -53,8 +53,11 @@ object JsonReader {
 
   def open(spark: SparkSession, path: String,
            columns: Seq[String]): Either[List[String], DataFrame] =
-    peekShape(spark, path) match {
+    SourcePreflight.check(spark, path) match {
       case Left(e) => Left(List(e))
-      case Right(_) => Right(read(spark, path, columns))
+      case Right(_) => peekShape(spark, path) match {
+        case Left(e) => Left(List(e))
+        case Right(_) => Right(read(spark, path, columns))
+      }
     }
 }

@@ -9,6 +9,18 @@ import graft.engine.transform.TransformPipeline
 
 class CsvReaderSpec extends SparkSpec {
 
+  test("missing source path is a structured error on both readers, not an exception") {
+    val gone = "/tmp/graft-definitely-missing-source.csv"
+    val csv = CsvReader.open(spark, gone)
+    assert(csv.left.exists(_.exists(_.contains("Source path not found"))))
+    val json = JsonReader.open(spark, gone, Seq("a"))
+    assert(json.left.exists(_.exists(_.contains("Source path not found"))))
+    // a directory where a manifest file is expected is equally structured
+    val dir = tmpDir("srcdir").toString
+    assert(CsvReader.open(spark, dir).left
+      .exists(_.exists(_.contains("directory"))))
+  }
+
   test("duplicate post-trim headers rejected before the scan") {
     val p = write(tmpDir("csv").resolve("dup.csv"), "a, a ,b\n1,2,3\n")
     val r = CsvReader.preflightHeader(spark, p.toString)
