@@ -126,8 +126,10 @@ object DedupQueries {
         .unionByName(base.filter(col("doc_id") % 10 === 5)
           .select((col("doc_id") + 200000).as("doc_id"),
             upper(regexp_replace(col("text"), " ", "  ")).as("text")))
+      // size from the corpus (a parquet count is metadata-cheap): a
+      // fixed guess under-sizes at larger SFs, saturating the filter
       val bloom = graft.ops.Dedup.digestBloom(base, Seq("text"),
-        expectedItems = 100000L, fpp = 0.01)
+        expectedItems = base.count(), fpp = 0.01)
       graft.ops.Dedup.dedupAgainstBloom(incoming, base, Seq("text"), bloom)
         .select("doc_id").orderBy("doc_id")
     },
