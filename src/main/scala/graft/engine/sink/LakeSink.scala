@@ -38,6 +38,12 @@ object LakeSink {
 
   /** @param partitionBy      low-cardinality layout columns (dirs)
     * @param clusterBy        within-file sort for row-group pruning
+    * @param zorderBy         two INT columns to cluster by their Morton
+    *                         code ([[graft.functions.ZOrder2]]) instead
+    *                         of lexicographically — row-group stats
+    *                         become selective on BOTH columns; wider
+    *                         types should be rank/bucket-reduced to int
+    *                         first. Mutually exclusive with clusterBy.
     * @param filesPerPartition target files per partition value (split
     *                         salt width); 1 = one writer per value
     * @param maxRecordsPerFile hard per-file row cap (0 = unlimited)
@@ -47,6 +53,7 @@ object LakeSink {
   final case class Config(path: String,
                           partitionBy: Seq[String] = Nil,
                           clusterBy: Seq[String] = Nil,
+                          zorderBy: Option[(String, String)] = None,
                           filesPerPartition: Int = 1,
                           maxRecordsPerFile: Long = 0L,
                           compression: String = "zstd",
@@ -54,7 +61,23 @@ object LakeSink {
 
   def write(df: DataFrame, cfg: Config, mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(cfg.filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    require(cfg.clusterBy.isEmpty || cfg.zorderBy.isEmpty,
+      "clusterBy and zorderBy are mutually exclusive")
+    cfg.zorderBy.foreach { case (a, b) =>
+      for (c <- Seq(a, b))
+        require(df.schema(c).dataType ==
+          org.apache.spark.sql.types.IntegerType,
+          s"zorderBy column '$c' must be INT (rank/bucket-reduce wider " +
+            s"types first), got ${df.schema(c).dataType}")
+    }
     val spark = df.sparkSession
+    // The cluster sort key: plain columns, or the Morton code of the
+    // zorder pair (an expression — nothing materializes into the files).
+    val sortKeys: Seq[org.apache.spark.sql.Column] =
+      cfg.zorderBy match {
+        case Some((a, b)) => Seq(graft.functions.ZOrder2.of(col(a), col(b)))
+        case None => cfg.clusterBy.map(col)
+      }
 
     // Route all rows of one partition value to few tasks. The salt
     // splits a skewed partition value across filesPerPartition writers
@@ -67,13 +90,12 @@ object LakeSink {
           if (cfg.filesPerPartition == 1) df.repartition(partCols: _*)
           else df.repartition(
             (partCols :+ (spark_partition_id() % cfg.filesPerPartition)): _*)
-        if (cfg.clusterBy.nonEmpty)
-          salted.sortWithinPartitions(cfg.clusterBy.map(col): _*)
+        if (sortKeys.nonEmpty) salted.sortWithinPartitions(sortKeys: _*)
         else salted
       }
     val clustered =
-      if (cfg.partitionBy.isEmpty && cfg.clusterBy.nonEmpty)
-        arranged.sortWithinPartitions(cfg.clusterBy.map(col): _*)
+      if (cfg.partitionBy.isEmpty && sortKeys.nonEmpty)
+        arranged.sortWithinPartitions(sortKeys: _*)
       else arranged
 
     val prevOverwriteMode =

@@ -71,6 +71,28 @@ class LakeSinkSpec extends SparkSpec {
     assert(vals == vals.sorted)
   }
 
+  test("zorderBy lays rows out in Morton order; wider types rejected") {
+    import graft.functions.ZOrderUtil
+    val out = tmpDir("lake").toString + "/tz"
+    val grid = (for (a <- 0 until 8; b <- 0 until 8) yield (a, b))
+      .toDF("xa", "xb")
+      // shuffle the input so the sort has work to do; one partition →
+      // one output file, so read order below IS file order
+      .orderBy(hash($"xa", $"xb")).coalesce(1)
+    LakeSink.write(grid, LakeSink.Config(out, zorderBy = Some(("xa", "xb"))))
+    val rows = spark.read.parquet(out)
+      // one output file: read order = file order
+      .as[(Int, Int)].collect().toSeq
+    val codes = rows.map { case (a, b) => ZOrderUtil.interleave(a, b) }
+    assert(codes == codes.sorted, "file rows must be in Morton order")
+
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.write(docs, LakeSink.Config(out + "2",
+        zorderBy = Some(("doc_id", "n_chars")))) // LONG columns
+    }
+    assert(e.getMessage.contains("must be INT"))
+  }
+
   test("empty frame writes a valid (readable, zero-row) table") {
     val out = tmpDir("lake").toString + "/t6"
     LakeSink.write(docs.filter($"doc_id" < 0), LakeSink.Config(out, partitionBy = Seq("lang")))
