@@ -331,6 +331,44 @@ object TextAnalysis {
           .as("lm_logprob"))
   }
 
+  /** Corpus-level boilerplate token removal (the df-threshold rule
+    * behind stopword pruning and boilerplate stripping): a token
+    * appearing in more than `maxDocFrac` of all documents carries no
+    * per-document signal — drop every occurrence, preserving the order
+    * of what remains. Returns `(id, text_clean, n_before, n_after)`.
+    *
+    * Shape: one exploded doc-frequency aggregate (map-side partial),
+    * the resulting drop SET collected into a one-row broadcast frame
+    * (bounded: only tokens in > maxDocFrac of docs fit — vocabulary-
+    * scale, not corpus-scale), then a single scan rebuilds each text
+    * with the codegen'd `filter`/`array_join` higher-order functions.
+    * No window, no reconstruction join: array order IS document order.
+    */
+  def dropUbiquitousTokens(df: DataFrame, idCol: String, textCol: String,
+                           maxDocFrac: Double): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1,
+      s"maxDocFrac must be in (0, 1], got $maxDocFrac")
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val base = df.select(col(idCol), toks.as("__toks"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val dropSet = base
+      .select(col(idCol), explode(col("__toks")).as("__t"))
+      .groupBy("__t").agg(countDistinct(col(idCol)).as("__df"))
+      .crossJoin(broadcast(n))
+      .filter(col("__df") > col("__n") * maxDocFrac)
+      .agg(coalesce(collect_set("__t"),
+        typedLit(Array.empty[String])).as("__drop"))
+    val kept = filter(col("__toks"),
+      x => !array_contains(col("__drop"), x))
+    base.crossJoin(broadcast(dropSet))
+      .select(col(idCol),
+        array_join(kept, " ").as("text_clean"),
+        size(col("__toks")).cast("long").as("n_before"),
+        size(kept).cast("long").as("n_after"))
+  }
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

@@ -144,6 +144,16 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // -- t12: corpus-level boilerplate token removal — tokens in > 50%
+    //    of docs carry no per-doc signal; drop every occurrence,
+    //    order-preserving reconstruction via the codegen'd
+    //    filter/array_join higher-order functions. ------------------
+    "t12_boilerplate" -> { (s, d) =>
+      graft.ops.TextAnalysis.dropUbiquitousTokens(
+        Tables.documents(s, d), "doc_id", "text", maxDocFrac = 0.5)
+        .orderBy("doc_id")
+    },
+
     // -- t10: code-point Shannon entropy per doc (every 25th), 4-dp
     //    rounded — the ln n − (Σ c ln c)/n identity on both engines. --
     "t10_entropy" -> { (s, d) =>
@@ -323,6 +333,28 @@ object TextQueries {
         |    GROUP BY 1, 2)
         |  GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t12_boilerplate" ->
+      """WITH l AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS t FROM l
+        |), dfreq AS (
+        |  SELECT t, count(DISTINCT doc_id) AS d FROM tok GROUP BY 1
+        |), ds AS (
+        |  SELECT coalesce(
+        |    list(t) FILTER (WHERE d > 0.5 * (SELECT count(*) FROM documents)),
+        |    []) AS drop_list
+        |  FROM dfreq
+        |)
+        |SELECT doc_id,
+        | coalesce(array_to_string(
+        |   list_filter(toks, x -> NOT list_contains(ds.drop_list, x)), ' '), '')
+        |   AS text_clean,
+        | len(toks)::BIGINT AS n_before,
+        | len(list_filter(toks, x -> NOT list_contains(ds.drop_list, x)))::BIGINT
+        |   AS n_after
+        |FROM l, ds ORDER BY doc_id""".stripMargin,
     "t9_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

@@ -43,7 +43,11 @@ object Explain {
         "at any scale, and lazier than a driver-side count() action")),
     "t11_lm_score" -> Map("BroadcastNestedLoopJoin" ->
       ("same one-row crossJoin(broadcast) as t8_tfidf, carrying the " +
-        "scalar vocabulary size into the smoothing denominator")))
+        "scalar vocabulary size into the smoothing denominator")),
+    "t12_boilerplate" -> Map("BroadcastNestedLoopJoin" ->
+      ("two one-row crossJoin(broadcast)s: the corpus count feeding the " +
+        "df threshold, and the vocabulary-bounded drop SET carried onto " +
+        "one scan — each task loops over exactly one broadcast row")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

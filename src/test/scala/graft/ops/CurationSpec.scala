@@ -201,6 +201,31 @@ class CurationSpec extends SparkSpec {
     assert(close(out((2L, "banana"))._3, math.log(3.0 / 2)))
   }
 
+  test("dropUbiquitousTokens: df-threshold drop, order preserved, edge docs") {
+    val df = Seq(
+      (1L, "the cat sat the mat"),   // "the" in 3/4 docs (75%) → dropped
+      (2L, "the dog ran"),
+      (3L, "the end"),
+      (4L, "cat alone"),             // "cat" in 2/4 (50%) → kept at 0.5
+      (5L, null.asInstanceOf[String])) // counts toward N, empty output
+      .toDF("id", "text")
+    val out = TextAnalysis.dropUbiquitousTokens(df, "id", "text", 0.5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // N = 5 (NULL-text doc counts); "the" df=3 > 2.5 → dropped everywhere
+    assert(out(1L) == (("cat sat mat", 5L, 3L))) // order preserved
+    assert(out(2L) == (("dog ran", 3L, 2L)))
+    assert(out(3L) == (("end", 2L, 1L)))
+    assert(out(4L) == (("cat alone", 2L, 2L)))   // cat at exactly 40% stays
+    assert(out(5L) == (("", 0L, 0L)))            // NULL → empty, zero counts
+    // a doc whose every token is ubiquitous reconstructs to "" (the
+    // DuckDB oracle needs coalesce: array_to_string([]) is NULL there)
+    val all = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("id", "text")
+    val emptied = TextAnalysis.dropUbiquitousTokens(all, "id", "text", 0.5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(emptied.forall { case (_, t, b, a) => t == "" && b == 1 && a == 0 })
+  }
+
   test("chunkDocuments: stride windows with overlap; empty/NULL yield no chunks") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
