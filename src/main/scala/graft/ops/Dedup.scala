@@ -185,6 +185,32 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew).drop("__graft_k")
   }
 
+  /** Stream-safe [[dedupAgainstBloom]]: on a streaming `incoming`, the
+    * batch shape's reverse SEMI (seen probed by a broadcast of
+    * stream-derived keys) is illegal — the static side of a
+    * stream-static join must stay static. This variant keeps the
+    * original anti-join against the full seen digest index but runs it
+    * ONLY over the maybe-duplicate slice; the definitely-new majority
+    * of every microbatch bypasses the join entirely. Identical keep
+    * semantics; works on batch frames too.
+    */
+  def dedupAgainstBloomPrefilter(incoming: DataFrame, seen: DataFrame,
+                                 on: Seq[String],
+                                 bloom: org.apache.spark.util.sketch.BloomFilter)
+      : DataFrame = {
+    requireDigestable(incoming, seen, on)
+    require(!incoming.columns.contains("__graft_k"),
+      "incoming already has a '__graft_k' column")
+    val bloomB = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((s: String) => bloomB.value.mightContainString(s))
+    val keyed = incoming.withColumn("__graft_k", contentDigest(incoming, on))
+    val seenKeys = seen.select(contentDigest(seen, on).as("__graft_k")).distinct()
+    keyed.filter(!might(col("__graft_k")))
+      .unionByName(keyed.filter(might(col("__graft_k")))
+        .join(seenKeys, Seq("__graft_k"), "left_anti"))
+      .drop("__graft_k")
+  }
+
   /** Normalized-fingerprint column (lower + collapsed whitespace). */
   def fingerprint(textCol: Column): Column = F.fingerprint(textCol)
 

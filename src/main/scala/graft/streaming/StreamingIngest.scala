@@ -117,6 +117,19 @@ object StreamingIngest {
                          on: Seq[String]): DataFrame =
     graft.ops.Dedup.dedupAgainst(stream, seen, on)
 
+  /** [[dedupAgainstStream]] with a Bloom prefilter trained once on the
+    * corpus ([[graft.ops.Dedup.digestBloom]]) and broadcast for the
+    * query's lifetime: the definitely-new majority of every microbatch
+    * bypasses the stream-static anti-join entirely; only maybe-dups
+    * (true dups + fpp) probe the corpus digest index. Same keep
+    * semantics — Bloom filters have no false negatives.
+    */
+  def dedupAgainstBloomStream(stream: DataFrame, seen: DataFrame,
+                              on: Seq[String],
+                              bloom: org.apache.spark.util.sketch.BloomFilter)
+      : DataFrame =
+    graft.ops.Dedup.dedupAgainstBloomPrefilter(stream, seen, on, bloom)
+
   /** Production sink: stream → keyed JDBC upsert via `foreachBatch`.
     * Structured Streaming guarantees AT-LEAST-ONCE batch delivery; the
     * upsert is keyed on `cfg.keyColumn`, so a replayed microbatch

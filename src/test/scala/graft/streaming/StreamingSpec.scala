@@ -188,4 +188,18 @@ class StreamingSpec extends SparkSpec {
     assert(ids1 == Set(11L))
     assert(ids2 == Set(11L, 13L)) // fresh query re-reads all data: dups still drop
   }
+
+  test("bloom-prefiltered stream dedup: same verdicts, novel rows skip the join") {
+    implicit val sqlCtx = spark.sqlContext
+    val seen = (1L to 100L).map(i => (i, s"corpus doc $i")).toDF("id", "text")
+    val bloom = graft.ops.Dedup.digestBloom(seen, Seq("text"), expectedItems = 1000L)
+    val input = MemoryStream[(Long, String)]
+    input.addData((10L, "corpus doc 7"), (11L, "novel crawl page"),
+      (12L, "corpus doc 42"), (13L, "another new one"))
+    val out = StreamingIngest.dedupAgainstBloomStream(
+      input.toDF().toDF("id", "text"), seen, Seq("text"), bloom)
+    StreamingIngest.runToMemory(out, "bloom_stream", OutputMode.Append())
+    val ids = spark.table("bloom_stream").select("id").as[Long].collect().toSet
+    assert(ids == Set(11L, 13L))
+  }
 }
