@@ -344,6 +344,25 @@ object CoreQueries {
         .orderBy("l_orderkey")
     },
 
+    // -- §2.9: map functions (map_from_entries / element_at / map_keys)
+    //    — per-user event-type histogram as a MAP column, then keyed
+    //    extraction. Entries built from a SORTED list so key order is
+    //    deterministic on both engines (Spark map_from_entries and
+    //    DuckDB map() both preserve build order).
+    "f_map_funcs" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          concat_ws(",", map_keys(col("m"))).as("types"))
+        .orderBy("user_id")
+    },
+
     // -- beyond-reference: unpivot/melt (wide measures → long form) ----
     // The inverse of q10's pivot: per-flag measure columns melted to
     // (measure, val) rows — the reshape feeding per-metric dashboards.
@@ -549,6 +568,22 @@ object CoreQueries {
         | len(list_distinct(qtys)) AS n_distinct,
         | array_to_string(list_transform(qtys[1:3], x -> x::VARCHAR), ',') AS first3
         |FROM a ORDER BY l_orderkey""".stripMargin,
+    "f_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT user_id,
+        |    map(list(event_type ORDER BY event_type),
+        |        list(n ORDER BY event_type)) AS m
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT user_id,
+        | cardinality(m)::BIGINT AS n_types,
+        | coalesce(m['click'][1], 0)::BIGINT AS n_click,
+        | coalesce(m['purchase'][1], 0)::BIGINT AS n_purchase,
+        | array_to_string(map_keys(m), ',') AS types
+        |FROM m ORDER BY user_id""".stripMargin,
     "q13_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag,
