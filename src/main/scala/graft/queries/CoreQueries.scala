@@ -344,6 +344,18 @@ object CoreQueries {
         .orderBy("l_orderkey")
     },
 
+    // -- §2.9: bitwise scalar + aggregate functions (flag-mask algebra)
+    "f_bitwise" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          bit_and(col("event_id")).as("band"),
+          bit_or(col("event_id")).as("bor"),
+          bit_xor(col("event_id")).as("bxor"),
+          sum(shiftleft(col("event_id") % 8, 2)).as("shifted_sum"))
+        .orderBy("event_type")
+    },
+
     // -- §2.9: map functions (map_from_entries / element_at / map_keys)
     //    — per-user event-type histogram as a MAP column, then keyed
     //    extraction. Entries built from a SORTED list so key order is
@@ -568,6 +580,13 @@ object CoreQueries {
         | len(list_distinct(qtys)) AS n_distinct,
         | array_to_string(list_transform(qtys[1:3], x -> x::VARCHAR), ',') AS first3
         |FROM a ORDER BY l_orderkey""".stripMargin,
+    "f_bitwise" ->
+      """SELECT event_type,
+        | bit_and(event_id) AS band,
+        | bit_or(event_id) AS bor,
+        | bit_xor(event_id) AS bxor,
+        | sum((event_id % 8) << 2)::BIGINT AS shifted_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_map_funcs" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*)::BIGINT AS n
