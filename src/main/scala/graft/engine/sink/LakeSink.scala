@@ -70,7 +70,6 @@ object LakeSink {
           s"zorderBy column '$c' must be INT (rank/bucket-reduce wider " +
             s"types first), got ${df.schema(c).dataType}")
     }
-    val spark = df.sparkSession
     // The cluster sort key: plain columns, or the Morton code of the
     // zorder pair (an expression — nothing materializes into the files).
     val sortKeys: Seq[org.apache.spark.sql.Column] =
@@ -88,8 +87,15 @@ object LakeSink {
         val partCols = cfg.partitionBy.map(col)
         val salted =
           if (cfg.filesPerPartition == 1) df.repartition(partCols: _*)
-          else df.repartition(
-            (partCols :+ (spark_partition_id() % cfg.filesPerPartition)): _*)
+          else {
+            // EXPLICIT partition count: a column-only repartition is
+            // AQE-coalescible, and coalescing merges the salted splits
+            // right back into one writer — the explicit count pins the
+            // reducer layout so a hot value really fans out.
+            val n = df.sparkSession.sessionState.conf.numShufflePartitions
+            df.repartition(n,
+              (partCols :+ (spark_partition_id() % cfg.filesPerPartition)): _*)
+          }
         if (sortKeys.nonEmpty) salted.sortWithinPartitions(sortKeys: _*)
         else salted
       }
@@ -98,24 +104,20 @@ object LakeSink {
         arranged.sortWithinPartitions(sortKeys: _*)
       else arranged
 
-    val prevOverwriteMode =
-      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    if (cfg.dynamicOverwrite)
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      var w = clustered.write
-        .mode(mode)
-        .option("compression", cfg.compression)
-      if (cfg.maxRecordsPerFile > 0)
-        w = w.option("maxRecordsPerFile", cfg.maxRecordsPerFile)
-      if (cfg.partitionBy.nonEmpty)
-        w = w.partitionBy(cfg.partitionBy: _*)
-      w.parquet(cfg.path)
-    } finally {
-      if (cfg.dynamicOverwrite) prevOverwriteMode match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    // Per-write option, NOT the session conf: mutating the session-
+    // global partitionOverwriteMode and restoring it in a finally races
+    // with concurrent writes on the same SparkSession (another writer's
+    // command could read our transient value, silently flipping ITS
+    // overwrite semantics).
+    var w = clustered.write
+      .mode(mode)
+      .option("compression", cfg.compression)
+      .option("partitionOverwriteMode",
+        if (cfg.dynamicOverwrite) "dynamic" else "static")
+    if (cfg.maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+    if (cfg.partitionBy.nonEmpty)
+      w = w.partitionBy(cfg.partitionBy: _*)
+    w.parquet(cfg.path)
   }
 }

@@ -24,14 +24,18 @@ object ZOrderUtil {
     v
   }
 
-  /** 64-bit Morton code of two SIGNED ints: the sign bit is flipped
-    * first so unsigned bit-order equals signed value-order, then bits
-    * interleave a₃₁b₃₁a₃₀b₃₀… — monotone in each coordinate with the
-    * other fixed, which is exactly what makes sorting by it cluster
-    * both dimensions at once.
+  /** 64-bit Morton code of two SIGNED ints: each input's sign bit is
+    * flipped so bit-order equals signed value-order, bits interleave
+    * a₃₁b₃₁a₃₀b₃₀…, and the final code's top bit is flipped BACK so
+    * the result's SIGNED Long order equals Morton order — Spark sorts
+    * (and row-group stats compare) signed, and without the last flip
+    * every a ≥ 0 row would order before every a < 0 row, splitting the
+    * curve in two at exactly the place mixed-sign data straddles.
+    * Monotone in each coordinate with the other fixed under plain
+    * `Long` comparison.
     */
   def interleave(a: Int, b: Int): Long =
-    (spread(a ^ Int.MinValue) << 1) | spread(b ^ Int.MinValue)
+    ((spread(a ^ Int.MinValue) << 1) | spread(b ^ Int.MinValue)) ^ Long.MinValue
 }
 
 /** `zorder2(intColA, intColB)` — the 64-bit Morton (Z-order) code of two

@@ -149,12 +149,12 @@ object Dedup {
     * verdict is exact; false positives go through the same exact digest
     * verify as before), but the SEEN corpus is never shuffled:
     *
-    *  1. rows whose digest the filter has never seen pass immediately;
-    *  2. the (small) maybe-duplicate digest set broadcasts to a
+    *  1. the (small) maybe-duplicate digest set broadcasts to a
     *     LEFT SEMI over `seen` — one map-side scan finds the digests
     *     that truly collide;
-    *  3. those collided digests broadcast back to a LEFT ANTI over the
-    *     maybe rows.
+    *  2. those collided digests broadcast back to ONE LEFT ANTI over
+    *     all incoming rows — definitely-new rows pass as hash-probe
+    *     misses against the small broadcast.
     *
     * Per batch the moving data is `|true dups| + fpp·|incoming|` digest
     * rows — vs [[dedupAgainst]]'s full shuffle of the corpus digest
@@ -175,14 +175,19 @@ object Dedup {
     val might = udf((s: String) => bloomB.value.mightContainString(s))
 
     val keyed = incoming.withColumn("__graft_k", contentDigest(incoming, on))
-    val definitelyNew = keyed.filter(!might(col("__graft_k")))
-    val maybe = keyed.filter(might(col("__graft_k")))
-    val maybeKeys = maybe.select("__graft_k").distinct()
+    val maybeKeys = keyed.filter(might(col("__graft_k")))
+      .select("__graft_k").distinct()
     val collided = seen.select(contentDigest(seen, on).as("__graft_k"))
       .join(broadcast(maybeKeys), Seq("__graft_k"), "left_semi")
       .distinct()
-    val verifiedNew = maybe.join(broadcast(collided), Seq("__graft_k"), "left_anti")
-    definitelyNew.unionByName(verifiedNew).drop("__graft_k")
+    // ONE anti-join over ALL rows, not a definitely-new/maybe union of
+    // two filter branches: a row the filter never flagged cannot be in
+    // `seen`, hence cannot be in `collided` — same keep set — and the
+    // union shape would re-scan (and re-digest) the incoming side
+    // twice. Definitely-new rows pass through as cheap hash-probe
+    // misses against the small broadcast.
+    keyed.join(broadcast(collided), Seq("__graft_k"), "left_anti")
+      .drop("__graft_k")
   }
 
   /** Stream-safe [[dedupAgainstBloom]]: on a streaming `incoming`, the

@@ -205,8 +205,13 @@ object Joins {
       s"saltedJoin supports inner/left/left_semi/left_anti, got '$joinType'")
     requireFree(left, Seq("__salt"))
     requireFree(right, Seq("__salt"))
+    // Mix the input partition id into the salt: a whole-row hash alone
+    // collapses EXACT-DUPLICATE left rows onto one salt — and a
+    // dup-heavy hot key (crawler re-emitting one page, pre-dedup) is
+    // precisely the skew case. Partition id is deterministic per input
+    // split (retry-stable), unlike rand().
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toSeq: _*), lit(salt)))
+      pmod(hash((left.columns.map(col) :+ spark_partition_id()): _*), lit(salt)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -351,9 +351,9 @@ object TextQueries {
         | coalesce(array_to_string(
         |   list_filter(toks, x -> NOT list_contains(ds.drop_list, x)), ' '), '')
         |   AS text_clean,
-        | len(toks)::BIGINT AS n_before,
-        | len(list_filter(toks, x -> NOT list_contains(ds.drop_list, x)))::BIGINT
-        |   AS n_after
+        | coalesce(len(toks), 0)::BIGINT AS n_before,
+        | coalesce(len(list_filter(toks, x -> NOT list_contains(ds.drop_list, x))),
+        |          0)::BIGINT AS n_after
         |FROM l, ds ORDER BY doc_id""".stripMargin,
     "t9_chunking" ->
       """WITH t AS (

@@ -193,7 +193,16 @@ object StreamingIngest {
   def lakeSink(df: DataFrame, path: String, checkpointDir: String,
                queryName: String, partitionBy: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    var w = df.writeStream
+    // Same small-files rule as the batch LakeSink: without a
+    // repartition on the partition columns, every task of every
+    // microbatch opens a writer per partition value it sees —
+    // tasks × |values| files PER TRIGGER, compounding into millions of
+    // tiny files (and a bloated _spark_metadata) over a day of
+    // 1-minute triggers.
+    val arranged =
+      if (partitionBy.isEmpty) df
+      else df.repartition(partitionBy.map(col): _*)
+    var w = arranged.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpointDir)

@@ -71,6 +71,22 @@ class LakeSinkSpec extends SparkSpec {
     assert(vals == vals.sorted)
   }
 
+  test("filesPerPartition splits a hot partition value across several writers") {
+    val out = tmpDir("lake").toString + "/t8"
+    val hot = ((1 to 400).map(i => (i.toLong, "hot", s"t$i", i.toLong)) ++
+      Seq((500L, "cold", "c", 1L)))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .repartition(8) // several input partitions → several salts
+    LakeSink.write(hot, LakeSink.Config(out, partitionBy = Seq("lang"),
+      filesPerPartition = 4))
+    val hotFiles = parquetFiles(Paths.get(out, "lang=hot").toString).size
+    assert(hotFiles > 1 && hotFiles <= 4,
+      s"hot partition should split into 2..4 files, got $hotFiles")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 401)
+    assert(back.filter($"lang" === "hot").count() == 400)
+  }
+
   test("zorderBy lays rows out in Morton order; wider types rejected") {
     import graft.functions.ZOrderUtil
     val out = tmpDir("lake").toString + "/tz"

@@ -12,25 +12,28 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrderUtil.spread(1) == 1L)
     assert(ZOrderUtil.spread(3) == 5L)                 // 0b11 -> 0b101
     assert(ZOrderUtil.spread(-1) == 0x5555555555555555L)
-    // sign flip: MinValue is the smallest value -> code 0
-    assert(ZOrderUtil.interleave(Int.MinValue, Int.MinValue) == 0L)
-    assert(ZOrderUtil.interleave(Int.MinValue, Int.MinValue + 1) == 1L)
-    assert(ZOrderUtil.interleave(Int.MinValue + 1, Int.MinValue) == 2L)
-    assert(ZOrderUtil.interleave(Int.MaxValue, Int.MaxValue) == -1L) // all 64 bits set
+    // (MinValue, MinValue) is the smallest pair -> the smallest SIGNED
+    // code; (MaxValue, MaxValue) the largest. Signed order matters:
+    // Spark's sort and parquet row-group stats compare Longs signed.
+    assert(ZOrderUtil.interleave(Int.MinValue, Int.MinValue) == Long.MinValue)
+    assert(ZOrderUtil.interleave(Int.MinValue, Int.MinValue + 1) == Long.MinValue + 1)
+    assert(ZOrderUtil.interleave(Int.MinValue + 1, Int.MinValue) == Long.MinValue + 2)
+    assert(ZOrderUtil.interleave(Int.MaxValue, Int.MaxValue) == Long.MaxValue)
   }
 
-  test("monotone in each coordinate (unsigned code order)") {
+  test("monotone in each coordinate under SIGNED Long order (the sort's order)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 2000) {
       val a1, a2, b = rnd.nextInt()
       if (a1 != a2) {
         val (lo, hi) = if (a1 < a2) (a1, a2) else (a2, a1)
-        assert(java.lang.Long.compareUnsigned(
-          ZOrderUtil.interleave(lo, b), ZOrderUtil.interleave(hi, b)) < 0)
-        assert(java.lang.Long.compareUnsigned(
-          ZOrderUtil.interleave(b, lo), ZOrderUtil.interleave(b, hi)) < 0)
+        assert(ZOrderUtil.interleave(lo, b) < ZOrderUtil.interleave(hi, b))
+        assert(ZOrderUtil.interleave(b, lo) < ZOrderUtil.interleave(b, hi))
       }
     }
+    // the mixed-sign boundary specifically: negative a sorts before 0
+    assert(ZOrderUtil.interleave(-1, 0) < ZOrderUtil.interleave(0, 0))
+    assert(ZOrderUtil.interleave(0, -1) < ZOrderUtil.interleave(0, 0))
   }
 
   test("z-sort groups quadrants: both dims cluster at once") {
