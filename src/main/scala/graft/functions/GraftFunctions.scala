@@ -89,6 +89,8 @@ object GraftFunctions {
     coalesce(
       attempt("yyyy-MM-dd HH:mm:ss.SSSSSS",
         "^[+-]?\\d{4,}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{1,2}:\\d{1,2}\\.\\d+$"),
+      attempt("yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        "^[+-]?\\d{4,}-\\d{1,2}-\\d{1,2}T\\d{1,2}:\\d{1,2}:\\d{1,2}\\.\\d+$"),
       attempt("yyyy-MM-dd HH:mm:ss",
         "^[+-]?\\d{4,}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{1,2}:\\d{1,2}$"),
       attempt("yyyy-MM-dd'T'HH:mm:ss",
@@ -154,9 +156,13 @@ object GraftFunctions {
     udf((h: Seq[Long], k: Int) => TextHash.minhashFromHashes(h.toArray, k))
   private val udfJaccardSorted =
     udf((a: Seq[Long], b: Seq[Long]) => TextHash.jaccardSorted(a.toArray, b.toArray))
+  // Null-safe: a NULL embedding yields NO band keys (empty → explode
+  // emits nothing → the row simply never becomes a candidate), instead
+  // of an undiagnosable NullPointerException out of the kernel.
   private val udfSignBands =
     udf((v: Seq[Float], planes: Int, bands: Int) =>
-      VectorOpsUtil.signBandKeys(v, planes, bands))
+      if (v == null) Array.empty[Long]
+      else VectorOpsUtil.signBandKeys(v, planes, bands))
 
   def simhash(c: Column): Column = udfSim(c)
   def fingerprint(c: Column): Column = udfFp(c)

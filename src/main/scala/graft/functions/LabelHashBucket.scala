@@ -18,6 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft.functions.LabelHashBucketUtil.bucket(...)`.
   */
 object LabelHashBucketUtil {
+  // One digest per thread (the TextHash.sha256Local pattern): this
+  // kernel runs once per corpus row in whole-stage codegen, and
+  // getInstance does a Security-provider lookup + allocation per call.
+  // digest() resets the instance after each use, so reuse is safe.
+  private val sha256Local =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("SHA-256"))
+
   /** Stable privacy bucket of a label string.
     *
     * Semantics (reference `utils/label_policy.py:79-96`):
@@ -33,7 +41,7 @@ object LabelHashBucketUtil {
     if (s == null) return -1
     val text = s.toString.trim
     if (text.isEmpty || text.equalsIgnoreCase("nan")) return -1
-    val d = MessageDigest.getInstance("SHA-256")
+    val d = sha256Local.get()
       .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var acc = 0L
     var i = 0

@@ -189,11 +189,22 @@ object Curation {
     require(df.schema(scoreCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"score column '$scoreCol' must be numeric to rank descending")
-    // Sort key: negated score (ascending struct order = score DESC),
-    // then id ASC; the full payload struct breaks residual ties
-    // deterministically.
+    // Sort key: descending-mapped score (ascending struct order =
+    // score DESC), then id ASC; the full payload struct breaks residual
+    // ties deterministically. Integral scores map via bitwise NOT
+    // (~x = -x-1, a monotone-decreasing bijection over the FULL range):
+    // unary minus overflows on Long.MinValue — an ArithmeticException
+    // under ANSI, a silently inverted rank without it. Fractional/
+    // decimal negation cannot overflow.
+    val descScore = df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => bitwise_not(col(scoreCol))
+      case _ => -col(scoreCol)
+    }
     val kr = struct(
-      struct((-col(scoreCol)).as("s"), col(idCol).as("i")).as("k"),
+      struct(descScore.as("s"), col(idCol).as("i")).as("k"),
       struct(df.columns.map(col): _*).as("r"))
     def topK(c: Column): Column = slice(array_sort(c), 1, k)
     val partials = df

@@ -607,12 +607,27 @@ object Dedup {
     * band collides).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val withSh = df.select(col(idCol), F.simhash(col(textCol)).as("__sh"))
-    val banded = withSh.select(col(idCol), col("__sh"),
+    val banded0 = withSh.select(col(idCol), col("__sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("__sh"), i * 15).bitwiseAND(lit(0x7fffL))): _*))
         .as(Seq("__band", "__key")))
+    // Optional skew cap, same contract as minhashCandidates' maxBucket:
+    // a degenerate band bucket (~1M identical docs → all 4 bands equal)
+    // would emit a quadratic pair blowup on one reducer; capped buckets
+    // are DROPPED — run exact dedup first, as the near-dup family
+    // documents. Default keeps the historical uncapped (oracle-exact)
+    // behavior.
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val ok = banded0.groupBy("__band", "__key")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket)
+        banded0.join(ok, Seq("__band", "__key"), "left_semi")
+      }
     val a = banded.select(col(idCol).as("id_a"), col("__sh").as("__sha"),
       col("__band"), col("__key"))
     val b = banded.select(col(idCol).as("id_b"), col("__sh").as("__shb"),

@@ -27,13 +27,16 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
 
   /** Predicted language code by marker-hit argmax; deterministic tie
-    * order en > es > de > fr; zero hits → "unknown".
+    * order en > es > de > fr; NULL text or zero hits → "unknown".
+    * (The NULL branch must be explicit: NULL scores skip every `when`,
+    * and without it a null document would fall through to the last
+    * language's `otherwise` — silently labeled, not unknown.)
     */
   def languageId(textCol: Column): Column = {
     val toks = split(textCol, " ")
     val scores = Seq("en", "es", "de", "fr").map(l => l -> markerHits(toks, markers(l)))
     val best = greatest(scores.map(_._2): _*)
-    scores.foldLeft(when(best === 0, lit("unknown"))) {
+    scores.foldLeft(when(textCol.isNull || best === 0, lit("unknown"))) {
       case (acc, (lang, score)) => acc.when(score === best, lit(lang))
     }.otherwise(lit("fr"))
   }
@@ -54,11 +57,16 @@ object TextAnalysis {
       // compose via the same foldLeft-withColumn pattern, and a shared
       // name with a different dtype would silently flip int32/int64
       // depending on fold order (the oracle compare is dtype-strict).
+      //
+      // Ratios guard their denominators: empty/whitespace-only/NULL
+      // text measures as 0.0, never 0/0 = NaN — Spark's avg skips NULL
+      // but PROPAGATES NaN, so one degenerate document would otherwise
+      // poison its whole group's quality report.
       "tok_n" -> tokN.cast("long"),
-      "punct_ratio" -> punct / len,
-      "digit_ratio" -> digits / len,
-      "stop_ratio" -> stop.cast("double") / tokN,
-      "avg_tok_len" -> (len - (tokN - 1)) / tokN)
+      "punct_ratio" -> when(len > 0, punct / len).otherwise(lit(0.0)),
+      "digit_ratio" -> when(len > 0, digits / len).otherwise(lit(0.0)),
+      "stop_ratio" -> when(tokN > 0, stop.cast("double") / tokN).otherwise(lit(0.0)),
+      "avg_tok_len" -> when(tokN > 0, (len - (tokN - 1)) / tokN).otherwise(lit(0.0)))
   }
 
   def qualityScore(punctRatio: Column, digitRatio: Column, stopRatio: Column): Column =
@@ -231,10 +239,18 @@ object TextAnalysis {
       .otherwise(regexp_extract_all(col(textCol),
         lit("[^ \\t\\n\\f\\r]+"), lit(0)))
     val n = size(toks)
+    // Last start = the FIRST stride multiple whose chunk reaches the
+    // document end: once a chunk covers the tail, any later start would
+    // emit a strict suffix of it — duplicated training text from the
+    // chunker itself (with overlap 2 and chunk 4 on 7 tokens, the old
+    // `range(0, n)` rule emitted tokens 7..7 again after 5..7).
     // sequence() demands stop >= start for a positive step — guard the
     // zero-token case to an empty start list (zero chunks).
+    val lastStart = when(n <= chunkTokens, lit(0))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int")
+        * stride)
     val starts = when(n > 0,
-      sequence(lit(0), n - 1, lit(stride))).otherwise(array().cast("array<int>"))
+      sequence(lit(0), lastStart, lit(stride))).otherwise(array().cast("array<int>"))
     df.withColumn("__graft_toks", toks)
       .select(col("*"),
         posexplode(starts).as(Seq("chunk_idx", "__graft_start")))
@@ -255,11 +271,14 @@ object TextAnalysis {
     * entropy = ln n − (Σ c·ln c)/n over per-character counts c.
     *
     * Code points, not UTF-16 units: the characters come from
-    * `regexp_extract_all(text, '.')`, which is code-point-aware in
-    * BOTH Java regex and RE2 — so surrogate-pair emoji count once and
-    * the DuckDB oracle sees identical frequencies. (`.` excludes the
-    * newline in both engines, so line breaks don't enter the
-    * distribution.)
+    * `regexp_extract_all(text, '[^\n]')` — character classes are
+    * code-point-aware in BOTH Java regex and RE2, so surrogate-pair
+    * emoji count once and the DuckDB oracle sees identical
+    * frequencies. The explicit `[^\n]` class (NOT `.`) is the
+    * cross-engine contract: Java's `.` excludes ALL line terminators
+    * (`\r`, `U+0085`, `U+2028`, `U+2029`) while RE2's excludes only
+    * `\n` — on CRLF text the two engines would count different
+    * characters. `[^\n]` means the same thing in both.
     *
     * Shape: explode to (id, char) → count (map-side partial) → one
     * more keyed aggregate. No join: the ln n − (Σ c ln c)/n identity
@@ -268,7 +287,7 @@ object TextAnalysis {
     */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val chars = when(col(textCol).isNull, array().cast("array<string>"))
-      .otherwise(regexp_extract_all(col(textCol), lit("."), lit(0)))
+      .otherwise(regexp_extract_all(col(textCol), lit("[^\\n]"), lit(0)))
     df.select(col(idCol), explode_outer(chars).as("__ch"))
       .groupBy(col(idCol), col("__ch"))
       .agg(count(when(col("__ch").isNotNull, 1)).as("__c"))
@@ -292,11 +311,17 @@ object TextAnalysis {
     * with < 2 tokens have no bigrams and produce NO output row —
     * left-join the result back when every document needs a score.
     *
-    * Shape: one exploded bigram count (map-side partial), one unigram-
-    * context count, one vocabulary count on a one-row broadcast frame,
-    * then a per-doc keyed reduce — every join key is a token or
-    * (token, token), so the whole thing shuffle-partitions like tfidf.
-    * Nothing is collected; the "model" never leaves the cluster.
+    * Shape: ONE aggregate over the exploded bigrams produces the
+    * per-doc occurrence counts (`docGrams`); the bigram model, the
+    * unigram-context counts and the vocabulary all DERIVE from that
+    * far smaller frame, so every consumer hangs off the identical
+    * docGrams exchange (reusable by AQE/ReuseExchange) and the model
+    * aggregates run over bigram COUNTS, not raw occurrences — the
+    * naive shape keyed each aggregate directly over the exploded grams
+    * and re-ran the dominant tokenize+explode ~5×. Every join key is a
+    * token or (token, token), so the whole thing shuffle-partitions
+    * like tfidf. Nothing is collected; the "model" never leaves the
+    * cluster.
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Seq("__graft_v", "lm_logprob", "n_bigrams").foreach(r =>
@@ -312,22 +337,24 @@ object TextAnalysis {
       explode(arrays_zip(slice(toks, lit(1), m).as("w1"),
         slice(toks, lit(2), m).as("w2"))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
-    val bigramC = grams.groupBy("__w1", "__w2")
-      .agg(count(lit(1)).as("__cbg"))
-    val contextC = grams.groupBy("__w1")
-      .agg(count(lit(1)).as("__cw1"))
-    val vocab = grams.select(col("__w1").as("__w")).
-      unionByName(grams.select(col("__w2").as("__w")))
+    val docGrams = grams.groupBy(col(idCol), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__k"))
+    val bigramC = docGrams.groupBy("__w1", "__w2")
+      .agg(sum("__k").as("__cbg"))
+    val contextC = bigramC.groupBy("__w1")
+      .agg(sum("__cbg").as("__cw1"))
+    val vocab = bigramC.select(col("__w1").as("__w"))
+      .unionByName(bigramC.select(col("__w2").as("__w")))
       .agg(countDistinct("__w").as("__graft_v"))
-    grams
+    docGrams
       .join(bigramC, Seq("__w1", "__w2"))
       .join(contextC, Seq("__w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        (sum(log((col("__cbg") + 1).cast("double") /
-          (col("__cw1") + col("__graft_v")))) / count(lit(1)))
+        sum("__k").as("n_bigrams"),
+        (sum(col("__k") * log((col("__cbg") + 1).cast("double") /
+          (col("__cw1") + col("__graft_v")))) / sum("__k"))
           .as("lm_logprob"))
   }
 

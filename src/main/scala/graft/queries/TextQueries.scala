@@ -207,7 +207,7 @@ object TextQueries {
       val de = sqlHits(deMarkers); val fr = sqlHits(frMarkers)
       s"""SELECT lang, predicted, count(*) AS n FROM (
          |  SELECT lang,
-         |    CASE WHEN best = 0 THEN 'unknown'
+         |    CASE WHEN en IS NULL OR best = 0 THEN 'unknown'
          |         WHEN en = best THEN 'en'
          |         WHEN es = best THEN 'es'
          |         WHEN de = best THEN 'de'
@@ -231,10 +231,10 @@ object TextQueries {
          |    round(1.0 - punct_ratio - digit_ratio + least(stop_ratio, 0.2), 4) AS score
          |  FROM (
          |    SELECT lang,
-         |      (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE / length(text) AS punct_ratio,
-         |      (length(text) - length(regexp_replace(text,'[0-9]','','g')))::DOUBLE / length(text) AS digit_ratio,
-         |      ($stop)::DOUBLE / tok_n AS stop_ratio,
-         |      (length(text)::DOUBLE - (tok_n - 1)) / tok_n AS avg_tok_len
+         |      CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE / length(text) ELSE 0.0 END AS punct_ratio,
+         |      CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text,'[0-9]','','g')))::DOUBLE / length(text) ELSE 0.0 END AS digit_ratio,
+         |      CASE WHEN tok_n > 0 THEN ($stop)::DOUBLE / tok_n ELSE 0.0 END AS stop_ratio,
+         |      CASE WHEN tok_n > 0 THEN (length(text)::DOUBLE - (tok_n - 1)) / tok_n ELSE 0.0 END AS avg_tok_len
          |    FROM (
          |      SELECT lang, text,
          |        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
@@ -328,7 +328,7 @@ object TextQueries {
         |      ELSE 0.0 END AS entropy
         |  FROM (
         |    SELECT doc_id, ch, count(*) AS c
-        |    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS ch
         |          FROM documents WHERE doc_id % 25 = 0)
         |    GROUP BY 1, 2)
         |  GROUP BY doc_id)
@@ -359,8 +359,12 @@ object TextQueries {
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
         |  FROM documents WHERE doc_id % 10 = 0
-        |), s AS (
+        |), s0 AS (
         |  SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start FROM t
+        |), s AS (
+        |  -- stop once a chunk reaches the end: a later start would be a
+        |  -- strict suffix of the previous chunk (duplicated text)
+        |  SELECT * FROM s0 WHERE start = 0 OR start - 12 + 16 < len(toks)
         |)
         |SELECT doc_id, (start // 12)::INT AS chunk_idx,
         |  least(16, len(toks) - start)::BIGINT AS n_chunk_tokens,

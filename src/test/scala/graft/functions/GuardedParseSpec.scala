@@ -21,6 +21,7 @@ class GuardedParseSpec extends SparkSpec {
     "infinity", "INF", "inf", "NaN", "nan", "0x1A", "1,000", "12d", "12f",
     "\t13\n", "１２",  // full-width digits: guard passes, cast decides
     "2023-01-02", "2023-1-2", "2023-01-02 10:20:30", "2023-01-02T10:20:30",
+    "2023-01-02T10:20:30.123456", "2023-01-02T10:20:30.5",
     "2023-01-02 10:20", "2023-01-02 10:20:30.123456", "2023-01-02 10:20:30.5",
     "2023/01/02", "2023-13-01", "2023-02-30", "12023-01-02",
     "1/2/2023", "01/02/2023", "13/2/2023", "2/13/2023", "1/2/2023 5:06:07",
@@ -38,7 +39,8 @@ class GuardedParseSpec extends SparkSpec {
       if (dayFirst) Seq("d/M/yyyy H:m:s", "d/M/yyyy", "d-M-yyyy", "d.M.yyyy")
       else Seq("M/d/yyyy H:m:s", "M/d/yyyy", "M-d-yyyy", "M.d.yyyy")
     val patterns = Seq(
-      "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss",
+      "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+      "yyyy-MM-dd HH:mm:ss",
       "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd",
       "yyyy/MM/dd") ++ ambiguous
     coalesce(patterns.map(p => try_to_timestamp(trim(c), lit(p))): _*)
