@@ -155,7 +155,14 @@ final class Ingestor(spark: SparkSession, config: ResolvedConfig,
         else StrictCast.cast(transformed, parsedSchema)
       val typed =
         if (config.uniqueIdColumn.isEmpty) {
-          val pinned = typedBase.persist()
+          // localCheckpoint, NOT persist: a plain cache recomputes lost
+          // partitions FROM LINEAGE, and uuid() would then mint fresh
+          // ids between the JDBC upsert and the API send — exactly the
+          // committed-rows ↔ metadata divergence the pinning exists to
+          // prevent. Checkpointing truncates the lineage, so losing a
+          // block fails the job loudly instead of silently forking ids
+          // (fail > corrupt). Eager: materialized here, counted below.
+          val pinned = typedBase.localCheckpoint(eager = true)
           cachedTyped = Some(pinned)
           pinned
         } else typedBase

@@ -98,7 +98,13 @@ final class TableLock(lockDir: String, table: String,
     }
   }
 
-  def acquire(holder: String): Either[String, Unit] = {
+  /** Every failure mode surfaces as Left — including IO failures
+    * OUTSIDE the lock protocol (read-only volume, AccessDenied,
+    * vanished parent): a raw exception here would escape the caller's
+    * structured RunResult/exit-code contract the same way a missing
+    * source path once did.
+    */
+  def acquire(holder: String): Either[String, Unit] = try {
     Files.createDirectories(path.getParent)
     try {
       writeLock(holder)
@@ -158,6 +164,10 @@ final class TableLock(lockDir: String, table: String,
           Left(s"Table '$table' is locked by '$lockHolder' " +
             s"(lock age ${(now() - ts) / 1000}s; stale after ${staleAfterMs / 1000}s)")
     }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      Left(s"Table '$table' lock unavailable: ${e.getClass.getSimpleName}: " +
+        s"${e.getMessage}")
   }
 
   /** Delete only OUR lock: if another run stale-cleared it and wrote

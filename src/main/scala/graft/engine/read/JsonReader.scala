@@ -2,6 +2,7 @@ package graft.engine.read
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** JSON manifest scan (SURVEY.md §2.1 S5): the reference peeks the
@@ -51,13 +52,44 @@ object JsonReader {
       .json(path)
   }
 
+  private val CorruptCol = "_graft_corrupt"
+
+  /** Preflights + scan. Malformed JSON must fail LOUDLY here: under
+    * PERMISSIVE+multiLine an unparseable file silently becomes one
+    * all-null phantom row, which would sail through the per-record
+    * skip disposition (all-null = absent = valid), get stamped a
+    * uuid data_id, and be committed + API-registered as data. The
+    * corrupt-record column makes the parse failure observable; any
+    * corrupt row fails the open with a structured error.
+    */
   def open(spark: SparkSession, path: String,
            columns: Seq[String]): Either[List[String], DataFrame] =
     SourcePreflight.check(spark, path) match {
       case Left(e) => Left(List(e))
       case Right(_) => peekShape(spark, path) match {
         case Left(e) => Left(List(e))
-        case Right(_) => Right(read(spark, path, columns))
+        case Right(_) =>
+          val schema = StructType(
+            columns.map(c => StructField(c, StringType, nullable = true)) :+
+              StructField(CorruptCol, StringType, nullable = true))
+          // Spark refuses corrupt-column-only queries on a raw JSON
+          // scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache for the
+          // probe, as its error message prescribes, then release: the
+          // caller caches the clean projection for the run anyway.
+          val df = spark.read
+            .schema(schema)
+            .option("multiLine", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CorruptCol)
+            .json(path)
+            .cache()
+          try {
+            val nCorrupt = df.filter(col(CorruptCol).isNotNull).count()
+            if (nCorrupt > 0)
+              Left(List(s"$path: $nCorrupt unparseable JSON record(s) — " +
+                "file is malformed"))
+            else Right(read(spark, path, columns))
+          } finally df.unpersist()
       }
     }
 }

@@ -116,18 +116,24 @@ object FileCopySink {
         try {
           val name = resolveName(filename, ext)
           val sources = spec.sources.map(s => new Path(s.dir, s.rename(name)))
-          val fs = sources.head.getFileSystem(conf)
+          // Each path resolves against its OWN FileSystem: sources and
+          // destination may live on different schemes (s3a images →
+          // hdfs dest), and using the source FS for the dest path
+          // throws "Wrong FS" per record — every row would land in the
+          // failure channel.
+          val srcFs = sources.map(_.getFileSystem(conf))
+          val destFs = new Path(spec.destDir).getFileSystem(conf)
           // Atomic pre-check: EVERY file of the group must exist before
           // ANY copy starts.
-          val allExist = sources.forall(fs.exists)
+          val allExist = sources.zip(srcFs).forall { case (p, f) => f.exists(p) }
           if (!allExist) (name, false)
           else {
             try {
-              sources.foreach { src =>
+              sources.zip(srcFs).foreach { case (src, fs) =>
                 val dest = new Path(spec.destDir, src.getName)
                 withRetry(spec.maxRetries, Thread.sleep) {
-                  if (fs.exists(dest)) fs.delete(dest, false)
-                  FileUtil.copy(fs, src, fs, dest, false, true, conf)
+                  if (destFs.exists(dest)) destFs.delete(dest, false)
+                  FileUtil.copy(fs, src, destFs, dest, false, true, conf)
                 }
               }
               (name, true)

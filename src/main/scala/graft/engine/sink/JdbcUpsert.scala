@@ -240,11 +240,18 @@ object JdbcUpsert {
                   psInsert.executeUpdate()
                   conn.commit()
                 } catch {
-                  case _: java.sql.SQLIntegrityConstraintViolationException =>
+                  case dup: java.sql.SQLIntegrityConstraintViolationException =>
                     conn.rollback()
                     bind(psUpdate, r, p.fields, p.updateStmt.bindOrder)
-                    psUpdate.executeUpdate()
+                    // The fallback assumes the violation was a data_id
+                    // duplicate; if the UPDATE matches nothing the
+                    // violation came from some OTHER constraint (a
+                    // UNIQUE/CHECK/FK added out-of-band) and the row is
+                    // NOT in the table — counting it upserted would
+                    // register metadata for a row that does not exist.
+                    val matched = psUpdate.executeUpdate()
                     conn.commit()
+                    if (matched == 0) throw dup
                 }
               }
           }

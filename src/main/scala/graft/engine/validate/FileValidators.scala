@@ -188,9 +188,22 @@ object FileValidators {
       // F.tokenCount counts \S+ runs — blank lines are ZERO words (a
       // bare split would yield [""], inflating every file containing an
       // empty line and flagging correct label rows as mismatches).
+      // input_file_name() returns a URI-ENCODED path: 'my file.txt'
+      // arrives as '.../my%20file.txt', so the basename must be
+      // percent-decoded before matching the manifest's literal
+      // filename — otherwise every file with a space (or any
+      // %-escapable char) is falsely reported "text file not found".
+      // Percent-decoding ONLY (not url_decode, whose form-encoding
+      // rules turn a literal '+' into a space — '+' is legal and
+      // unencoded in path URIs).
+      val percentDecode = udf((s: String) =>
+        if (s == null) null
+        else java.net.URLDecoder.decode(
+          s.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8))
       val words = spark.read.textFile(s"$textsDir/*.txt")
         .withColumn("path", input_file_name())
-        .withColumn("fname", element_at(split(col("path"), "/"), -1))
+        .withColumn("fname",
+          percentDecode(element_at(split(col("path"), "/"), -1)))
         .groupBy("fname")
         .agg(sum(F.tokenCount(col("value"))).as("word_count"))
       val joined = df

@@ -23,19 +23,33 @@ object StreamingIngest {
 
   /** Apply the batch transform pipeline to a streaming manifest — the
     * projection is stateless, so batch/stream parity is structural.
+    *
+    * REQUIRES a column-derived `data_id` (`uniqueIdColumn` set): the
+    * generated-uuid strategy is nondeterministic per EXECUTION, so a
+    * crash-replayed microbatch would re-stamp fresh ids and the keyed
+    * upsert's replay idempotence ([[upsertSink]]) would insert full
+    * duplicates under new keys. Batch runs tolerate uuid ids because
+    * the id frame is pinned for the run; a stream replays arbitrarily
+    * later.
     */
-  def transform(stream: DataFrame, config: ResolvedConfig, runId: String): DataFrame =
+  def transform(stream: DataFrame, config: ResolvedConfig, runId: String): DataFrame = {
+    require(config.uniqueIdColumn.nonEmpty,
+      "streaming transform requires data_id from a source column " +
+        "(uniqueIdColumn): generated uuids change on microbatch replay, " +
+        "breaking the keyed-upsert effectively-once contract")
     TransformPipeline(stream, config, runId)
+  }
 
   /** Event-time windowed counts with a watermark bounding state:
-    * (window, event_type, n, sum_value).
+    * (window, typeCol, n, sum_value).
     */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
-                     windowDur: String, watermarkDur: String): DataFrame =
+                     windowDur: String, watermarkDur: String,
+                     valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermarkDur)
       .groupBy(window(col(tsCol), windowDur), col(typeCol))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
 
   /** Event-time sessionization: per-key sessions that close after `gap`
     * of inactivity — the streaming face of the batch w2 sessionize
@@ -56,12 +70,16 @@ object StreamingIngest {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
-  final case class SeenState(firstSeenMs: Long, count: Long)
+  final case class SeenState(firstSeenMs: Long, lastSeenMs: Long, count: Long)
 
   /** First-seen pass-through dedup on a key column: the first record
     * per key is emitted, later ones dropped (their arrival is counted
-    * in state). State is expired on access after `ttlMs` — a key idle
-    * past the TTL is treated as new again.
+    * in state). State is expired on access after `ttlMs` of IDLENESS
+    * (measured from the LAST arrival, matching the engine-side
+    * ProcessingTimeTimeout eviction, which also re-arms per arrival) —
+    * a key idle past the TTL is treated as new again; a continuously
+    * active key is NEVER re-emitted, no matter how old its first
+    * arrival is.
     *
     * `timeout` defaults to NoTimeout for finite/test feeds
     * (timeout-scheduled batches never quiesce there, which deadlocks
@@ -89,12 +107,13 @@ object StreamingIngest {
         case (_, records, state: GroupState[SeenState]) =>
           val recs = records.toSeq
           val t = now()
-          val expired = state.getOption.exists(s => t - s.firstSeenMs > ttlMs)
+          val expired = state.getOption.exists(s => t - s.lastSeenMs > ttlMs)
           val isNew = !state.exists || expired
           val prior =
-            if (isNew) SeenState(t, 0L)
+            if (isNew) SeenState(t, t, 0L)
             else state.get
-          state.update(prior.copy(count = prior.count + recs.size))
+          state.update(prior.copy(lastSeenMs = t,
+            count = prior.count + recs.size))
           if (timed) state.setTimeoutDuration(ttlMs)
           if (isNew) recs.headOption else None
       }
@@ -151,11 +170,20 @@ object StreamingIngest {
     df.writeStream
       .outputMode(outputMode)
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sc = batch.sparkSession.sparkContext
         val up = sc.longAccumulator
         val fail = sc.longAccumulator
         graft.engine.sink.JdbcUpsert.write(batch, cfg, up, fail)
+        // Failed rows must leave a trace: the batch Ingestor routes
+        // them into RunSummary / API exclusion; a streaming sink that
+        // dropped the counter would leak rows with the query reporting
+        // success forever.
+        if (fail.value > 0)
+          System.err.println(
+            s"[graft.streaming] $queryName batch=$batchId: " +
+              s"${fail.value} row(s) failed the JDBC upsert " +
+              s"(upserted=${up.value}) — rows dropped after retries")
       }
       .start()
 

@@ -180,4 +180,18 @@ class JsonReaderSpec extends SparkSpec {
     assert(df.count() == 2)
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
   }
+
+  test("malformed JSON fails open() loudly, never a phantom all-null row") {
+    val d = tmpDir("json")
+    // starts with '{' (passes the shape peek) but is not valid JSON:
+    // PERMISSIVE+multiLine would otherwise yield ONE all-null row that
+    // sails through the skip disposition and into the DB
+    val p = write(d.resolve("bad.json"), """{"a": 1, "b": """)
+    val r = JsonReader.open(spark, p.toString, Seq("a", "b"))
+    assert(r.left.exists(_.exists(_.contains("unparseable"))))
+    // and a well-formed file still opens clean with no corrupt column
+    val ok = write(d.resolve("ok.json"), """[{"a": "1"}]""")
+    val df = JsonReader.open(spark, ok.toString, Seq("a")).toOption.get
+    assert(df.columns.toSeq == Seq("a") && df.count() == 1)
+  }
 }

@@ -169,6 +169,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("k1", "v1"))) // the FIRST record won
   }
 
+  test("firstSeen TTL measures idleness, not age: active keys never re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val input = MemoryStream[(String, String)]
+    val out = StreamingIngest.firstSeen(input.toDS(), ttlMs = 100,
+      now = () => clock.get())
+    val q = out.toDF("key", "value").writeStream
+      .format("memory").queryName("first_seen_idle")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("k", "v0"))         // t=0: new, emitted
+      q.processAllAvailable()
+      clock.set(60)
+      input.addData(("k", "v60"))        // t=60: idle 60 < 100, dropped
+      q.processAllAvailable()
+      clock.set(130)
+      input.addData(("k", "v130"))       // t=130: idle 70 < 100 — but AGE
+      q.processAllAvailable()            // is 130 > ttl; must NOT re-emit
+      clock.set(250)
+      input.addData(("k", "v250"))       // idle 120 > 100: genuinely new
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val vals = spark.table("first_seen_idle").as[(String, String)]
+      .collect().map(_._2).toSet
+    assert(vals == Set("v0", "v250"))
+  }
+
   test("stream-static incremental dedup drops corpus matches, passes novel rows") {
     implicit val sqlCtx = spark.sqlContext
     val seen = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
