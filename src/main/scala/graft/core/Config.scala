@@ -36,11 +36,6 @@ object TaskCategory {
   /** Categories whose records reference sidecar files (`base.py:56-65`). */
   val fileBearingCategories: Set[String] =
     imageCategories ++ textCategories + MaskedLanguageModeling
-
-  /** CSV is the default manifest format everywhere; MLM ships JSON
-    * sequence manifests in the reference templates. */
-  def dataFormatFor(category: String): String =
-    if (category == MaskedLanguageModeling) "json" else "csv"
 }
 
 object Intent {
@@ -199,6 +194,11 @@ object Conventions {
       case Some(m: java.util.Map[_, _]) =>
         import scala.jdk.CollectionConverters._
         val mm = m.asScala.map { case (k, v) => (String.valueOf(k), v) }.toMap
+        // Same additionalProperties:false rule as the top level: a
+        // typo'd `polcy` key would otherwise default the policy to
+        // passthrough and silently ship raw labels.
+        (mm.keySet -- Set("column", "policy")).toSeq.sorted.foreach(k =>
+          errs += s"/label/$k: unknown key (allowed: column, policy)")
         val colName = mm.get("column").map(String.valueOf(_))
         if (colName.isEmpty) errs += "/label/column: required in object form"
         val policy = mm.get("policy").map(String.valueOf(_)).getOrElse("passthrough")
@@ -219,6 +219,8 @@ object Conventions {
       case Some(m: java.util.Map[_, _]) =>
         import scala.jdk.CollectionConverters._
         val mm = m.asScala.map { case (k, v) => (String.valueOf(k), String.valueOf(v)) }.toMap
+        (mm.keySet -- Set("strategy", "column")).toSeq.sorted.foreach(k =>
+          errs += s"/data_id/$k: unknown key (allowed: strategy, column)")
         mm.get("strategy") match {
           case Some("column") =>
             val c = mm.get("column")
@@ -271,6 +273,12 @@ object Conventions {
     }
     val spec = config.get("spec").map(anyMap).getOrElse(Map.empty)
     val csvOv = spec.get("csv_options").map(anyMap).getOrElse(Map.empty)
+    // chunk_size is ACCEPTED and ignored (pandas memory workaround, no
+    // Spark counterpart — documented above); anything else unknown is a
+    // typo that would silently fall back to a default.
+    (csvOv.keySet -- Set("delimiter", "quotechar", "escapechar",
+      "encoding", "chunk_size")).toSeq.sorted.foreach(k =>
+      errs += s"/spec/csv_options/$k: unknown key")
     val csvOptions = CsvOptions(
       delimiter = csvOv.get("delimiter").map(String.valueOf(_)).getOrElse(","),
       quoteChar = csvOv.get("quotechar").map(String.valueOf(_)).getOrElse("\""),

@@ -48,13 +48,44 @@ object SqlType {
   /** Parse a declared MySQL type string. Vocabulary per
     * `database.py:135-156` + precision parse `database.py:170-179`.
     */
+  // Bounds-checked constructors: every invalid shape must surface as
+  // Left (the validation report / exit-2 contract), never as a thrown
+  // exception out of `n.toInt` overflow or DecimalType's own
+  // precision require — the same bug class as an unchecked source
+  // path crashing the CLI with a stack trace.
+  private def intArg(raw: String, n: String): Either[String, Int] =
+    n.toIntOption.toRight(s"'$raw': length/precision out of range")
+
+  private def varcharOf(raw: String, n: String): Either[String, SqlType] =
+    intArg(raw, n).flatMap(v =>
+      if (v >= 1 && v <= 65535) Right(Varchar(v))
+      else Left(s"'$raw': VARCHAR length must be in [1, 65535]"))
+
+  private def charOf(raw: String, n: String): Either[String, SqlType] =
+    intArg(raw, n).flatMap(v =>
+      if (v >= 1 && v <= 255) Right(Char(v))
+      else Left(s"'$raw': CHAR length must be in [1, 255]"))
+
+  private def decimalOf(raw: String, p: String, sc: String): Either[String, SqlType] =
+    for {
+      pp <- intArg(raw, p)
+      ss <- Option(sc).fold[Either[String, Int]](Right(0))(intArg(raw, _))
+      d <-
+        // Spark's DecimalType caps precision at 38 (MySQL allows 65;
+        // a wider panel needs a string column, reported here, not as
+        // an internal assertion later).
+        if (pp < 1 || pp > 38) Left(s"'$raw': DECIMAL precision must be in [1, 38]")
+        else if (ss < 0 || ss > pp) Left(s"'$raw': DECIMAL scale must be in [0, precision]")
+        else Right(Decimal(pp, ss))
+    } yield d
+
   def parse(raw: String): Either[String, SqlType] = {
     val s = raw.trim.toUpperCase
     s match {
-      case Parens("VARCHAR", n, null) => Right(Varchar(n.toInt))
-      case Parens("CHAR", n, null) => Right(Char(n.toInt))
-      case Parens("DECIMAL", p, sc) => Right(Decimal(p.toInt, Option(sc).fold(0)(_.toInt)))
-      case Parens("NUMERIC", p, sc) => Right(Decimal(p.toInt, Option(sc).fold(0)(_.toInt)))
+      case Parens("VARCHAR", n, null) => varcharOf(raw, n)
+      case Parens("CHAR", n, null) => charOf(raw, n)
+      case Parens("DECIMAL", p, sc) => decimalOf(raw, p, sc)
+      case Parens("NUMERIC", p, sc) => decimalOf(raw, p, sc)
       case "VARCHAR" => Right(Varchar(255))
       case "CHAR" => Right(Char(1))
       case "TEXT" | "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" => Right(Text)

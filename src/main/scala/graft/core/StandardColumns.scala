@@ -48,8 +48,12 @@ object StandardColumns {
       if (featureColumns.size > maxFeatureColumns)
         List(s"Too many feature columns: ${featureColumns.size} > $maxFeatureColumns")
       else Nil
-    val dupes = featureColumns.groupBy(identity).collect {
-      case (c, occ) if occ.size > 1 => c
+    // Case-insensitive, like every other identifier guard here and the
+    // sink's drift check: MySQL column names are case-insensitive, so
+    // ("Qty", "qty") is a duplicate the DDL would reject with a raw
+    // 1060 instead of this structured report.
+    val dupes = featureColumns.groupBy(_.toLowerCase).collect {
+      case (_, occ) if occ.size > 1 => occ.head
     }.toList.sorted
     collisions.map(c => s"Column name '$c' collides with a framework-managed column").toList ++
       tooLong.map(c => s"Column name '$c' exceeds $maxIdentifierLength characters").toList ++

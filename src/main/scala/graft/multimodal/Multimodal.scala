@@ -115,9 +115,12 @@ object Multimodal {
     * index, capped at `maxFrames` — an array column the downstream
     * extractor explodes, so sampling cost shows up as rows, not bytes.
     */
-  def frameSamplePlan(df: DataFrame, stride: Int, maxFrames: Int): DataFrame =
+  def frameSamplePlan(df: DataFrame, stride: Int, maxFrames: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
     df.withColumn("sampled_frames",
       slice(sequence(lit(0), col("meta.nFrames") - 1, lit(stride)), 1, maxFrames))
+  }
 }
 
 object MediaDecoder {
@@ -154,7 +157,10 @@ object MediaDecoder {
     f
   }
 
-  def decodeStub(kind: String, bytes: Array[Byte]): Multimodal.MediaMeta = {
+  def decodeStub(kind: String, rawBytes: Array[Byte]): Multimodal.MediaMeta = {
+    // Null payload = missing media: degenerate (empty) meta, same
+    // contract as featureStub's zero vector — never an NPE mid-job.
+    val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)

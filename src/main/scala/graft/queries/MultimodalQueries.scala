@@ -103,7 +103,12 @@ object MultimodalQueries {
           count(lit(1)).as("n_media"),
           sum("n_bytes").as("total_bytes"),
           countDistinct("content_sha").as("n_distinct_payloads"),
-          countDistinct(concat_ws("x", col("width"), col("height"))).as("n_resolutions"),
+          // concat, not concat_ws: concat_ws IGNORES null args (a null
+          // dim would yield "" and still count) while the oracle's ||
+          // propagates NULL, which count(DISTINCT) skips — concat has
+          // the same null-propagation as ||.
+          countDistinct(concat(col("width").cast("string"), lit("x"),
+            col("height").cast("string"))).as("n_resolutions"),
           max("width").as("max_w"),
           max("height").as("max_h"))
         .orderBy("source")
@@ -138,7 +143,8 @@ object MultimodalQueries {
       val width = (ascii(substring(col("text"), 1, 1)) % 4 + 1) * 64
       val height = (ascii(substring(col("text"), 2, 1)) % 4 + 1) * 64
       Tables.documents(s, d)
-        .withColumn("res", concat_ws("x", width, height))
+        .withColumn("res", // concat ≡ oracle's || on NULL, see m1
+          concat(width.cast("string"), lit("x"), height.cast("string")))
         .groupBy("res")
         .agg(count(lit(1)).as("n"),
           concat_ws(",", transform(slice(sort_array(collect_set(col("doc_id"))), 1, 3),

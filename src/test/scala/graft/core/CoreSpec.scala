@@ -26,6 +26,20 @@ class SqlTypeSpec extends AnyFunSuite {
     assert(SqlType.parse("GEOMETRY").isLeft)
   }
 
+  test("out-of-range lengths/precision are Left, never a thrown exception") {
+    // MySQL allows DECIMAL(65), Spark caps at 38 — must be a
+    // structured validation error (exit 2), not a DecimalType require
+    // blowing up the CLI with a stack trace.
+    assert(SqlType.parse("DECIMAL(65,2)").isLeft)
+    assert(SqlType.parse("DECIMAL(0)").isLeft)
+    assert(SqlType.parse("DECIMAL(2,5)").isLeft)   // scale > precision
+    assert(SqlType.parse("VARCHAR(0)").isLeft)
+    assert(SqlType.parse("VARCHAR(99999999999)").isLeft) // Int overflow
+    assert(SqlType.parse("CHAR(256)").isLeft)
+    assert(SqlType.parse("DECIMAL(38,38)") == Right(SqlType.Decimal(38, 38)))
+    assert(SqlType.parse("VARCHAR(65535)") == Right(SqlType.Varchar(65535)))
+  }
+
   test("parseSchema accumulates all errors") {
     val r = SqlType.parseSchema(Seq("a" -> "INT", "b" -> "NOPE", "c" -> "ALSO_NOPE"))
     assert(r.left.exists(_.size == 2))
