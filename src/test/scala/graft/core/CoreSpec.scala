@@ -61,6 +61,12 @@ class StandardColumnsSpec extends AnyFunSuite {
     assert(err.exists(e => e.contains("c") && e.contains("a")))
     assert(StandardColumns.driftError(Set("a"), Set("a")).isEmpty)
   }
+
+  test("duplicate detection is case-insensitive (MySQL identifier rules)") {
+    // ("Qty","qty") is one column to MySQL: must be a structured error
+    // here, not a raw DDL 1060 later
+    assert(StandardColumns.check(Seq("Qty", "qty")).exists(_.contains("Duplicate")))
+  }
 }
 
 class ConfigSpec extends AnyFunSuite {
@@ -113,6 +119,21 @@ class ConfigSpec extends AnyFunSuite {
     assert(r.left.exists(_.exists(_.contains("policy"))))
   }
 
+  test("typo'd keys inside nested objects are rejected, not silently defaulted") {
+    // `polcy: bucket` must NOT resolve to passthrough — that ships raw
+    // labels despite the customer asking for bucketing
+    val y1 = yaml.replace("label: target",
+      "label:\n  column: target\n  polcy: bucket")
+    assert(YamlConfig.parse(y1).flatMap(Conventions.resolve)
+      .left.exists(_.exists(_.contains("/label/polcy"))))
+    val y2 = yaml + "data_id:\n  strategy: column\n  colunm: rid\n"
+    assert(YamlConfig.parse(y2).flatMap(Conventions.resolve)
+      .left.exists(_.exists(_.contains("/data_id/colunm"))))
+    val y3 = yaml + "spec:\n  csv_options:\n    delimeter: ';'\n"
+    assert(YamlConfig.parse(y3).flatMap(Conventions.resolve)
+      .left.exists(_.exists(_.contains("/spec/csv_options/delimeter"))))
+  }
+
   test("label object form with bucket policy") {
     val y = yaml.replace("label: target",
       "label:\n  column: target\n  policy: bucket")
@@ -151,6 +172,15 @@ class TableLockSpec extends AnyFunSuite {
     assert(l2.acquire("bob").isRight)
     l2.release()
     assert(l1.acquire("carol").isRight) // release deleted the file
+  }
+
+  test("IO failure outside the protocol is a structured Left, not a throw") {
+    // lockDir path occupied by a FILE: createDirectories fails — the
+    // exit-code contract wants Left, never a raw exception
+    val f = java.nio.file.Files.createTempFile("notadir", "")
+    val l = new TableLock(f.toString, "t9")
+    val r = l.acquire("alice")
+    assert(r.isLeft && r.left.exists(_.contains("lock unavailable")))
   }
 
   test("transient re-verify read failure does not orphan a fresh lock") {

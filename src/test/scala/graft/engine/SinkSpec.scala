@@ -58,6 +58,27 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(failedKeys.value.size == 1 && failedKeys.value.get(0) == "b")
   }
 
+  test("non-duplicate integrity violation routes to failed, not phantom-upserted") {
+    // A CHECK constraint violation raises the same
+    // SQLIntegrityConstraintViolationException as a duplicate key; the
+    // fallback UPDATE matches nothing (the row was never inserted) and
+    // must count the row FAILED — counting it upserted would register
+    // API metadata for a row absent from the table.
+    val c = cfg("db_check")
+    assert(JdbcUpsert.ensureTable(c, features).isRight)
+    val conn = DriverManager.getConnection(derbyUrl("db_check"))
+    conn.createStatement().executeUpdate(
+      """ALTER TABLE "t1" ADD CONSTRAINT pos CHECK ("f1" > 0)""")
+    conn.close()
+    val up = sc.longAccumulator; val fail = sc.longAccumulator
+    val failedKeys = sc.collectionAccumulator[String]("failed_keys_chk")
+    JdbcUpsert.write(frame(Seq(("a", 1.0, "ok"), ("bad", -5.0, "ok"))),
+      c, up, fail, Some(failedKeys))
+    assert(up.value == 1, s"expected 1 upserted, got ${up.value}")
+    assert(fail.value == 1, s"expected 1 failed, got ${fail.value}")
+    assert(failedKeys.value.size == 1 && failedKeys.value.get(0) == "bad")
+  }
+
   test("writeTracked fails loud when the key column is absent") {
     // A NULL failed_key would never match the caller's left_anti
     // condition — failed rows would silently reach API registration.

@@ -249,6 +249,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("capPerGroup ranks Long.MinValue scores without overflow") {
+    // unary minus on Long.MinValue throws under ANSI; the bitwise-NOT
+    // descending map must rank it LAST, not kill the job or rank first
+    val df = Seq((1L, "g", 5L), (2L, "g", Long.MinValue), (3L, "g", 7L))
+      .toDF("id", "g", "score")
+    val kept = Curation.capPerGroup(df, Seq("g"), "score", "id", 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // the MinValue row is the worst, capped out
+  }
+
+  test("languageId: NULL text is unknown; qualityFeatures never NaN") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "the cat of the hat and")).toDF("id", "text")
+    val lang = df.withColumn("l", TextAnalysis.languageId(col("text")))
+      .select("id", "l").as[(Long, String)].collect().toMap
+    assert(lang(1L) == "unknown" && lang(2L) == "unknown")
+    assert(lang(4L) == "en")
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val bad = feats.filter(
+      isnan(col("punct_ratio")) || isnan(col("digit_ratio")) ||
+        isnan(col("stop_ratio")) || isnan(col("avg_tok_len"))).count()
+    assert(bad == 0) // degenerate docs measure 0.0, never NaN
+  }
+
   test("charEntropy: known distributions, code-point counting, empty → zero") {
     val df = Seq(
       (1L, "aabb"),       // two chars × 2 → ln 2

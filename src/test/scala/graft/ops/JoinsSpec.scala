@@ -166,9 +166,23 @@ class JoinsSpec extends SparkSpec {
   test("saltedJoin actually splits the hot key across sub-keys") {
     val left = (1 to 500).map(i => ("h", i.toLong)).toDF("key", "lv")
     val nSalts = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toSeq: _*), lit(8)))
+      pmod(hash((left.columns.map(col) :+ spark_partition_id()): _*), lit(8)))
       .select("__salt").distinct().count()
     assert(nSalts > 4, s"hot key spread over only $nSalts sub-keys")
+  }
+
+  test("saltedJoin splits even EXACT-duplicate hot rows (the pre-dedup crawl case)") {
+    // 400 identical rows: a whole-row hash alone would give them ONE
+    // salt; mixing in the input partition id spreads them
+    val left = (1 to 400).map(_ => ("h", "same payload")).toDF("key", "lv")
+      .repartition(8)
+    val nSalts = left.withColumn("__salt",
+      pmod(hash((left.columns.map(col) :+ spark_partition_id()): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(nSalts > 2, s"duplicate rows collapsed onto $nSalts salt(s)")
+    // and correctness still holds
+    val right = Seq(("h", "r")).toDF("key", "rv")
+    assert(Joins.saltedJoin(left, right, Seq("key"), 8, "inner").count() == 400)
   }
 
   test("saltedJoin rejects right-preserving join types") {

@@ -71,6 +71,12 @@ class OpsAdversarialSpec extends SparkSpec {
     assert(capped.count() == 0)
     capped.unpersist()
     assert(Dedup.exact(clones, Seq("text"), "id").count() == 1)
+    // simhash path: same contract via its opt-in cap; uncapped default
+    // keeps the oracle-exact pair set
+    assert(Dedup.simhashPairs(clones, "id", "text", maxHamming = 0,
+      maxBucket = 10).count() == 0)
+    assert(Dedup.simhashPairs(clones, "id", "text", maxHamming = 0)
+      .count() == 50L * 49 / 2)
   }
 
   test("incremental family survives hostile text on either side") {
