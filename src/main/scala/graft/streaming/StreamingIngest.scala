@@ -70,6 +70,37 @@ object StreamingIngest {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream–stream equi+interval join: pair each left event with right
+    * events of the same keys whose timestamp lies in
+    * `[leftTs + lowerBound, leftTs + upperBound]` — the
+    * impression↔click / request↔response shape. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can EVICT state: a buffered row is dropped once the other
+    * side's watermark passes its last possible match. Without the
+    * interval bounds a stream-stream inner join buffers both sides
+    * forever — the condition is what makes 100 TB/day streams hold
+    * only a window's worth of state.
+    *
+    * Bounds are SQL INTERVAL strings (e.g. "0 seconds", "10 minutes");
+    * inner join only (outer stream-stream joins emit nulls on
+    * watermark close — compose explicitly when needed).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         keys: Seq[String], leftTs: String, rightTs: String,
+                         lowerBound: String, upperBound: String,
+                         watermark: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoinStream needs at least one key column")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val window =
+      r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerBound") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperBound")
+    // drop the right side's duplicated key columns, keep both ts
+    keys.foldLeft(l.join(r, keyCond && window, "inner"))(
+      (df, k) => df.drop(r(k)))
+  }
+
   final case class SeenState(firstSeenMs: Long, lastSeenMs: Long, count: Long)
 
   /** First-seen pass-through dedup on a key column: the first record

@@ -169,6 +169,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("k1", "v1"))) // the FIRST record won
   }
 
+  test("stream-stream interval join pairs within the window, state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(String, String)]  // (key, ts)
+    val clicks = MemoryStream[(String, String)]
+    def tsify(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, col(c).cast("timestamp"))
+    val joined = StreamingIngest.intervalJoinStream(
+      tsify(imps.toDF().toDF("key", "imp_ts"), "imp_ts"),
+      tsify(clicks.toDF().toDF("key", "click_ts"), "click_ts"),
+      Seq("key"), "imp_ts", "click_ts",
+      lowerBound = "0 seconds", upperBound = "10 minutes",
+      watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:00:00"))
+      clicks.addData(
+        ("a", "2024-01-01 00:05:00"),  // in window → pairs
+        ("a", "2024-01-01 00:20:00"),  // past upper bound → no pair
+        ("b", "2023-12-31 23:59:00"),  // before the impression → no pair
+        ("c", "2024-01-01 00:01:00"))  // no matching impression
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val rows = spark.table("ssjoin").select("key", "imp_ts", "click_ts")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSeq
+    assert(rows.map(_._1) == Seq("a"))
+    assert(rows.head._3.toString.startsWith("2024-01-01 00:05"))
+  }
+
   test("firstSeen TTL measures idleness, not age: active keys never re-emit") {
     implicit val sqlCtx = spark.sqlContext
     val clock = new java.util.concurrent.atomic.AtomicLong(0L)
