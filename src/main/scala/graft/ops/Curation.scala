@@ -167,31 +167,36 @@ object Curation {
     * practice) with quality deciding who stays. Rows with a NULL score
     * or id are dropped (unrankable); a NULL group is its own group.
     *
-    * Scale shape — two-phase bounded top-k, never a full per-group
-    * sort: phase 1 groups by (group, input partition) so the partial
-    * aggregate emits at most k rows per group per partition; phase 2
-    * re-reduces those k·P survivors per group. The global top-k is
+    * Scale shape — ONE hash aggregate whose buffer is bounded at k by
+    * construction: [[graft.functions.BoundedTopK]] keeps a size-capped
+    * heap per group, so the partial (map-side) aggregate emits at most
+    * k rows per group per partition, the shuffle moves ≤ k·P survivors
+    * per group, and NO stage — including the aggregation buffer itself —
+    * ever materializes more than k rows of a group. The global top-k is
     * always contained in the union of per-partition top-k, so the cap
     * is exact. A plain `row_number` window would shuffle and SORT every
     * row of a group in one task — a billion-document domain becomes a
-    * single-task sort at 100 TB, while this shape never materializes
-    * more than a partition's slice.
+    * single-task sort at 100 TB.
+    *
+    * Only (score, id) is compared; the row payload is opaque cargo, so
+    * payload columns may be maps or any other non-orderable type. Ties
+    * on (score, id) keep an arbitrary winner — pass a unique `idCol`
+    * for fully deterministic output.
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                   idCol: String, k: Int): DataFrame = {
     require(k > 0, s"cap must be positive: $k")
-    // groupCols may be EMPTY: a global top-k. Phase 1 still bounds each
-    // partition's contribution to k, so the final reduce sees k·P rows
-    // in one group — fine for any driver-sized k.
-    val reserved = Seq("__graft_p", "__graft_kr", "__graft_top")
+    // groupCols may be EMPTY: a global top-k. The partial aggregate
+    // still bounds each partition's contribution to k, so the final
+    // reduce sees k·P rows in one group — fine for any driver-sized k.
+    val reserved = Seq("__graft_kr", "__graft_top")
     reserved.foreach(r =>
       require(!df.columns.contains(r), s"input already has a '$r' column"))
     require(df.schema(scoreCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"score column '$scoreCol' must be numeric to rank descending")
     // Sort key: descending-mapped score (ascending struct order =
-    // score DESC), then id ASC; the full payload struct breaks residual
-    // ties deterministically. Integral scores map via bitwise NOT
+    // score DESC), then id ASC. Integral scores map via bitwise NOT
     // (~x = -x-1, a monotone-decreasing bijection over the FULL range):
     // unary minus overflows on Long.MinValue — an ArithmeticException
     // under ANSI, a silently inverted rank without it. Fractional/
@@ -203,22 +208,14 @@ object Curation {
            org.apache.spark.sql.types.LongType => bitwise_not(col(scoreCol))
       case _ => -col(scoreCol)
     }
-    val kr = struct(
-      struct(descScore.as("s"), col(idCol).as("i")).as("k"),
-      struct(df.columns.map(col): _*).as("r"))
-    def topK(c: Column): Column = slice(array_sort(c), 1, k)
-    val partials = df
-      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
-      .withColumn("__graft_kr", kr)
-      .groupBy(groupCols.map(col) :+ spark_partition_id().as("__graft_p"): _*)
-      .agg(topK(collect_list(col("__graft_kr"))).as("__graft_top"))
-    partials
-      .select(groupCols.map(col) :+
-        explode(col("__graft_top")).as("__graft_kr"): _*)
+    val rankKey = struct(descScore.as("s"), col(idCol).as("i"))
+    val payload = struct(df.columns.map(col): _*)
+    df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
-      .agg(topK(collect_list(col("__graft_kr"))).as("__graft_top"))
+      .agg(graft.functions.BoundedTopK.of(rankKey, payload, k)
+        .as("__graft_top"))
       .select(explode(col("__graft_top")).as("__graft_kr"))
-      .select(col("__graft_kr.r.*"))
+      .select(col("__graft_kr.*"))
   }
 
   /** Deterministic weighted sampling without replacement — the

@@ -160,13 +160,28 @@ object Dedup {
     * rows — vs [[dedupAgainst]]'s full shuffle of the corpus digest
     * set. That is the difference between re-keying 10 B corpus rows per
     * crawl batch and reading them in place once. If a batch is MOSTLY
-    * duplicates (maybe set too large to broadcast —
-    * `spark.sql.autoBroadcastJoinThreshold` / driver memory decide),
-    * this shape is the wrong tool: use [[dedupAgainst]], whose shuffle
-    * is sized to the duplicate volume anyway.
+    * duplicates the maybe set is too large to broadcast; rather than
+    * rely on the caller reading this doc, the operator COUNTS the maybe
+    * set (one action over the persisted keyed batch — the plan is
+    * shape-dependent, so this call is eager, unlike most of this
+    * module) and falls back to [[dedupAgainstBloomPrefilter]]'s
+    * shuffle anti-join, whose cost is sized to the duplicate volume.
+    * `maxMaybeKeys` is that pivot (64-byte digest rows: the default
+    * 2M ≈ 128 MB broadcast, a deliberate notch above the usual 8–32 MB
+    * auto-broadcast threshold because the alternative is shuffling the
+    * corpus).
+    *
+    * The keyed batch is persisted (memory-and-disk) across its two
+    * uses — maybe-key derivation and the final anti-join — so the
+    * incoming source is scanned and digested ONCE; the block is
+    * unpersisted lazily when the returned frame's last action
+    * completes would be ideal, but Spark has no such hook, so eviction
+    * is LRU (or `spark.sharedState.cacheManager` / caller unpersist for
+    * long sessions).
     */
   def dedupAgainstBloom(incoming: DataFrame, seen: DataFrame, on: Seq[String],
-                        bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+                        bloom: org.apache.spark.util.sketch.BloomFilter,
+                        maxMaybeKeys: Long = 2000000L): DataFrame = {
     requireDigestable(incoming, seen, on)
     require(!incoming.columns.contains("__graft_k"),
       "incoming already has a '__graft_k' column")
@@ -175,19 +190,32 @@ object Dedup {
     val might = udf((s: String) => bloomB.value.mightContainString(s))
 
     val keyed = incoming.withColumn("__graft_k", contentDigest(incoming, on))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maybeKeys = keyed.filter(might(col("__graft_k")))
       .select("__graft_k").distinct()
-    val collided = seen.select(contentDigest(seen, on).as("__graft_k"))
-      .join(broadcast(maybeKeys), Seq("__graft_k"), "left_semi")
-      .distinct()
-    // ONE anti-join over ALL rows, not a definitely-new/maybe union of
-    // two filter branches: a row the filter never flagged cannot be in
-    // `seen`, hence cannot be in `collided` — same keep set — and the
-    // union shape would re-scan (and re-digest) the incoming side
-    // twice. Definitely-new rows pass through as cheap hash-probe
-    // misses against the small broadcast.
-    keyed.join(broadcast(collided), Seq("__graft_k"), "left_anti")
-      .drop("__graft_k")
+    if (maybeKeys.count() > maxMaybeKeys) {
+      // Dup-heavy batch: the reverse-semi's broadcast would blow the
+      // driver. Anti-join the (already persisted, already flagged)
+      // maybe slice against the corpus digest index instead — the
+      // definitely-new majority still bypasses the shuffle.
+      val seenKeys = seen.select(contentDigest(seen, on).as("__graft_k"))
+        .distinct()
+      keyed.filter(!might(col("__graft_k")))
+        .unionByName(keyed.filter(might(col("__graft_k")))
+          .join(seenKeys, Seq("__graft_k"), "left_anti"))
+        .drop("__graft_k")
+    } else {
+      val collided = seen.select(contentDigest(seen, on).as("__graft_k"))
+        .join(broadcast(maybeKeys), Seq("__graft_k"), "left_semi")
+        .distinct()
+      // ONE anti-join over ALL rows, not a definitely-new/maybe union
+      // of two filter branches: a row the filter never flagged cannot
+      // be in `seen`, hence cannot be in `collided` — same keep set
+      // with one join node. Definitely-new rows pass through as cheap
+      // hash-probe misses against the small broadcast.
+      keyed.join(broadcast(collided), Seq("__graft_k"), "left_anti")
+        .drop("__graft_k")
+    }
   }
 
   /** Stream-safe [[dedupAgainstBloom]]: on a streaming `incoming`, the

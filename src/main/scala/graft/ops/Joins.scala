@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  private val Reserved = Seq("__ts", "__side", "__tie", "__r", "__m", "__bin")
+  private val Reserved =
+    Seq("__ts", "__side", "__tie", "__r", "__m", "__mb", "__mf", "__bin", "__salt")
 
   private def requireFree(df: DataFrame, cols: Seq[String]): Unit =
     cols.foreach(c => require(!df.columns.contains(c),
@@ -45,6 +46,13 @@ object Joins {
     * Right rows at ts EQUAL to a left row's ts always qualify
     * (inclusive on every direction).
     *
+    * NULL keys never match (SQL equi-join semantics, matching the
+    * DuckDB `=` oracle and pandas merge_asof): right rows with a NULL
+    * in any key column are dropped before the union, and left rows
+    * with a NULL key therefore surface with NULL asof_* columns. A
+    * window partitionBy would otherwise group NULLs together and
+    * silently match them.
+    *
     * `direction` (the pandas merge_asof trio):
     *  - `"backward"` (default): greatest right ts <= left ts — one
     *    running `last(ignoreNulls)` window;
@@ -68,8 +76,18 @@ object Joins {
       s"carry column '$c' not in right side"))
     require(!carryCols.contains(rightTsCol),
       s"'$rightTsCol' is carried implicitly as asof_$rightTsCol")
+    val outNames =
+      (rightTsCol +: carryCols).map("asof_" + _) :+ "asof_gap_micros"
+    outNames.foreach(c => require(!left.columns.contains(c),
+      s"left already has a column named output '$c' — withColumn would " +
+        "silently overwrite it"))
 
-    val rTagged = right.select(
+    // Drop NULL-keyed right rows: partitionBy groups NULLs together, so
+    // without this a NULL-keyed left row would match a NULL-keyed right
+    // row — diverging from equi-join semantics.
+    val rightKeyed = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+
+    val rTagged = rightKeyed.select(
       keys.map(col) ++ Seq(
         col(rightTsCol).as("__ts"),
         lit(0).as("__side"),

@@ -180,6 +180,30 @@ object StreamingIngest {
       : DataFrame =
     graft.ops.Dedup.dedupAgainstBloomPrefilter(stream, seen, on, bloom)
 
+  /** Per-microbatch upsert outcome handed to [[upsertSink]]'s
+    * `onBatch` hook. `failedKeys` carries the key-column value of every
+    * row that exhausted its retries (the same channel the batch
+    * Ingestor routes into RunSummary / API exclusion) so a long-running
+    * stream can dead-letter or alert on them machine-readably instead
+    * of losing rows behind a log line.
+    */
+  final case class BatchUpsertReport(queryName: String, batchId: Long,
+                                     upserted: Long, failed: Long,
+                                     failedKeys: Seq[String])
+
+  /** Default `onBatch` hook: stderr on failure, silent on success —
+    * the pre-hook behavior, kept as the floor so failures are never
+    * completely invisible even when the caller passes nothing.
+    */
+  def logFailedBatch(r: BatchUpsertReport): Unit =
+    if (r.failed > 0)
+      System.err.println(
+        s"[graft.streaming] ${r.queryName} batch=${r.batchId}: " +
+          s"${r.failed} row(s) failed the JDBC upsert " +
+          s"(upserted=${r.upserted}) — keys: " +
+          r.failedKeys.take(20).mkString(", ") +
+          (if (r.failedKeys.size > 20) ", …" else ""))
+
   /** Production sink: stream → keyed JDBC upsert via `foreachBatch`.
     * Structured Streaming guarantees AT-LEAST-ONCE batch delivery; the
     * upsert is keyed on `cfg.keyColumn`, so a replayed microbatch
@@ -188,7 +212,16 @@ object StreamingIngest {
     * table, the same invariant the batch Ingestor's upsert relies on.
     * Each microbatch runs the full executor-side `foreachPartition`
     * upsert path (batching, per-row fallback, retry, dialects) —
-    * nothing is collected to the driver.
+    * nothing is collected to the driver except the failed KEYS (not
+    * rows), which are assumed rare after retries.
+    *
+    * Rows that exhaust retries must leave a machine-readable trace:
+    * the batch Ingestor routes them into RunSummary / API exclusion; a
+    * stream has no run summary, so every microbatch reports through
+    * `onBatch` (default [[logFailedBatch]]) — wire it to a metrics
+    * emitter or a dead-letter writer in production. The hook runs on
+    * the driver inside the foreachBatch epoch, so a dead-letter write
+    * from it is covered by the same checkpoint commit.
     *
     * Returns the started query; the caller owns its lifecycle
     * (`awaitTermination` in production, `processAllAvailable` + stop
@@ -196,7 +229,8 @@ object StreamingIngest {
     */
   def upsertSink(df: DataFrame, cfg: graft.engine.sink.JdbcUpsert.Config,
                  queryName: String,
-                 outputMode: OutputMode = OutputMode.Append())
+                 outputMode: OutputMode = OutputMode.Append(),
+                 onBatch: BatchUpsertReport => Unit = logFailedBatch)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(outputMode)
@@ -205,16 +239,13 @@ object StreamingIngest {
         val sc = batch.sparkSession.sparkContext
         val up = sc.longAccumulator
         val fail = sc.longAccumulator
-        graft.engine.sink.JdbcUpsert.write(batch, cfg, up, fail)
-        // Failed rows must leave a trace: the batch Ingestor routes
-        // them into RunSummary / API exclusion; a streaming sink that
-        // dropped the counter would leak rows with the query reporting
-        // success forever.
-        if (fail.value > 0)
-          System.err.println(
-            s"[graft.streaming] $queryName batch=$batchId: " +
-              s"${fail.value} row(s) failed the JDBC upsert " +
-              s"(upserted=${up.value}) — rows dropped after retries")
+        val failedKeys =
+          sc.collectionAccumulator[String](s"$queryName-failed-keys")
+        graft.engine.sink.JdbcUpsert.write(batch, cfg, up, fail,
+          Some(failedKeys))
+        onBatch(BatchUpsertReport(queryName, batchId, up.value, fail.value,
+          scala.jdk.CollectionConverters.ListHasAsScala(failedKeys.value)
+            .asScala.toSeq))
       }
       .start()
 

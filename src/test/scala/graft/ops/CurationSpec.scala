@@ -390,4 +390,41 @@ class CurationSpec extends SparkSpec {
     // mean word length of "no markers here" = 13 chars / 3 tokens
     assert(out(2L).getDouble(4) == 13.0 / 3.0)
   }
+
+  test("capPerGroup carries non-orderable payload columns (maps)") {
+    // Only (score, id) is compared; the payload is opaque cargo — a
+    // MapType column must ride through (it would fail analysis if the
+    // sort key embedded the full payload struct).
+    val df = Seq(
+      (1L, "a", 10, Map("k" -> "v1")),
+      (2L, "a", 20, Map("k" -> "v2")),
+      (3L, "a", 30, Map("k" -> "v3")),
+      (4L, "b", 5, Map("k" -> "v4")))
+      .toDF("id", "g", "score", "meta")
+    val out = Curation.capPerGroup(df, Seq("g"), "score", "id", k = 2)
+      .select("id", "meta").as[(Long, Map[String, String])]
+      .collect().toMap
+    assert(out.keySet == Set(2L, 3L, 4L))
+    assert(out(3L) == Map("k" -> "v3")) // payload intact
+  }
+
+  test("capPerGroup buffer is bounded: exact across partitions, no collect_list") {
+    // 10k rows of ONE group spread over many partitions: the bounded
+    // heap keeps ≤k per partition at the partial stage and the result
+    // is still the exact global top-k (it is contained in the union of
+    // per-partition top-k).
+    val df = spark.range(0, 10000).repartition(32)
+      .selectExpr("id", "'hot' as g", "cast(id % 1000 as int) as score")
+    val out = Curation.capPerGroup(df, Seq("g"), "score", "id", k = 3)
+      .select("id").as[Long].collect().toSet
+    // score = id % 1000; max score 999 at ids 999, 1999, ..., 9999 —
+    // ties on score break by id ASC.
+    assert(out == Set(999L, 1999L, 2999L))
+    val plan = Curation.capPerGroup(df, Seq("g"), "score", "id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_k"),
+      s"expected the bounded top-k aggregate:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"collect_list buffers the whole (group × partition) cell:\n$plan")
+  }
 }

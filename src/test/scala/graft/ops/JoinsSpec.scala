@@ -192,4 +192,56 @@ class JoinsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("saltedJoin"))
   }
+
+  test("asofJoin rejects a left frame already carrying an output name") {
+    // Without the guard, withColumn would silently OVERWRITE the
+    // caller's column — asof_rid here — and then drop nothing.
+    val poisoned = left.withColumn("asof_rid", lit(-1L))
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoin(poisoned, right, Seq("key"), "t", "t",
+        carryCols = Seq("rid"), rightTieCol = "rid")
+    }
+    assert(e.getMessage.contains("asof_rid"))
+    val gapPoisoned = left.withColumn("asof_gap_micros", lit(-1L))
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.asofJoin(gapPoisoned, right, Seq("key"), "t", "t",
+        carryCols = Seq("rid"), rightTieCol = "rid")
+    }
+    assert(e2.getMessage.contains("asof_gap_micros"))
+    // The nearest direction's temporaries are reserved too.
+    val mbPoisoned = left.withColumn("__mb", lit(1))
+    val e3 = intercept[IllegalArgumentException] {
+      Joins.asofJoin(mbPoisoned, right, Seq("key"), "t", "t",
+        carryCols = Seq("rid"), rightTieCol = "rid", direction = "nearest")
+    }
+    assert(e3.getMessage.contains("__mb"))
+  }
+
+  test("asofJoin NULL keys never match, in every direction") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, Option("a"), t("2024-01-01 00:10:00")),
+      (2L, Option.empty[String], t("2024-01-01 00:10:00")))
+      .toDF("id", "key", "ts")
+    val r = Seq(
+      (10L, Option("a"), t("2024-01-01 00:00:00")),
+      (13L, Option("a"), t("2024-01-01 00:30:00")),
+      (11L, Option.empty[String], t("2024-01-01 00:00:00")),
+      (12L, Option.empty[String], t("2024-01-01 00:30:00")))
+      .toDF("rid", "key", "rts")
+    val expect = Map(
+      "backward" -> 10L, "forward" -> 13L,
+      "nearest" -> 10L) // 10-vs-20 min gaps: backward closer
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = Joins.asofJoin(l, r, Seq("key"), "ts", "rts",
+        carryCols = Seq("rid"), rightTieCol = "rid", direction = dir)
+        .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      assert(out(1L).contains(expect(dir)), s"direction=$dir")
+      assert(out(2L).isEmpty,
+        s"direction=$dir: NULL-keyed left row must not match " +
+          "NULL-keyed right rows")
+      assert(out.size == 2, s"direction=$dir: left rows preserved")
+    }
+  }
 }

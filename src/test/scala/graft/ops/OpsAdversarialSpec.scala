@@ -110,9 +110,11 @@ class OpsAdversarialSpec extends SparkSpec {
       Seq("key"), "ts", "rts", carryCols = Seq("rid"), rightTieCol = "rid")
       .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
     assert(out(1L).contains(10L))
-    // NULL keys form one window partition — SQL grouping semantics,
-    // same as a window function; callers filter them if unwanted.
-    assert(out(2L).contains(11L))
+    // NULL keys never match (SQL equi-join semantics, same as the
+    // rangeJoin below and pandas merge_asof): the NULL-keyed left row
+    // survives with NULL asof_* columns, never paired with the
+    // NULL-keyed right row.
+    assert(out(2L).isEmpty)
     // NULL left ts sorts first (nulls-first asc): no prior right row.
     assert(out(3L).isEmpty)
     assert(out.size == 3) // every left row survives exactly once

@@ -166,6 +166,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "seen side must not shuffle-join")
   }
 
+  test("dedupAgainstBloom auto-falls back to the shuffle shape on a dup-heavy batch") {
+    // Mostly-duplicate batch + maxMaybeKeys=1: the maybe-dup set
+    // exceeds the broadcast pivot, so the operator must take the
+    // prefilter anti-join path instead of broadcasting the maybe set —
+    // with the SAME keep verdicts.
+    val seen = (1L to 100L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    val incoming = (
+      (1L to 90L).map(i => (i + 1000, s"doc number $i")) :+ // 90 dups
+        ((9999L, "one novel document"))).toDF("id", "text")
+    val bloom = Dedup.digestBloom(seen, Seq("text"), expectedItems = 1000L)
+    val viaFallback = Dedup.dedupAgainstBloom(incoming, seen, Seq("text"),
+      bloom, maxMaybeKeys = 1L)
+    assert(viaFallback.select("id").as[Long].collect().toSet == Set(9999L))
+    // Fallback shape: the maybe slice anti-joins the corpus index; the
+    // definitely-new slice is unioned around it.
+    val plan = viaFallback.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"),
+      s"expected the prefilter union shape on fallback:\n$plan")
+    // And the broadcast shape with a roomy pivot gives the same set.
+    val viaBroadcast = Dedup.dedupAgainstBloom(incoming, seen, Seq("text"),
+      bloom, maxMaybeKeys = 1000000L)
+    assert(viaBroadcast.select("id").as[Long].collect().toSet == Set(9999L))
+  }
+
   test("dedupAgainstBloom under a saturated filter (fpp→1) still exact") {
     // 10 expected items but 200 inserted: nearly every probe reads
     // "maybe" — everything falls through to the exact verify and the

@@ -72,8 +72,13 @@ class StreamingSpec extends SparkSpec {
     finally conn0.close()
 
     val input = MemoryStream[(String, Double)]
+    // Failure hook: every microbatch must surface a machine-readable
+    // report (the streaming stand-in for the batch RunSummary).
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[StreamingIngest.BatchUpsertReport]
     val q = StreamingIngest.upsertSink(
-      input.toDF().toDF("data_id", "v"), cfg, "st_upsert")
+      input.toDF().toDF("data_id", "v"), cfg, "st_upsert",
+      onBatch = r => reports.synchronized { reports += r })
     try {
       input.addData(("a", 1.0), ("b", 2.0))
       q.processAllAvailable()
@@ -82,6 +87,8 @@ class StreamingSpec extends SparkSpec {
       input.addData(("a", 10.0), ("c", 3.0))
       q.processAllAvailable()
     } finally q.stop()
+    assert(reports.map(r => (r.upserted, r.failed)) == Seq((2L, 0L), (2L, 0L)))
+    assert(reports.forall(_.failedKeys.isEmpty))
 
     val conn = DriverManager.getConnection(url)
     val rs = conn.createStatement().executeQuery(
