@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
+import graft.functions.{BoundedTopK, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions
   * via SparkSessionExtensions — the idiomatic plug point
@@ -16,6 +16,7 @@ import graft.functions.{CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
   *   label_hash_bucket(label[, buckets]) → int   (privacy bucketing)
   *   cosine_sim(vecA, vecB)              → double
   *   dot_product(vecA, vecB)             → double
+  *   bounded_top_k(key, value, k)        → array  (size-capped top-k agg)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -27,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectFunction(GraftExtensions.zorder2)
+    ext.injectFunction(GraftExtensions.boundedTopK)
   }
 }
 
@@ -82,10 +84,35 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException("zorder2 expects 2 arguments")
     })
 
+  /** `bounded_top_k(key, value, k)` — the size-capped top-k aggregate
+    * ([[BoundedTopK]]): the analyzer wraps the returned
+    * AggregateFunction in an AggregateExpression itself, so the builder
+    * hands back the bare function (same contract as Spark's built-in
+    * aggregate registrations). `k` must be an int literal — it sizes
+    * the aggregation buffer at plan time.
+    */
+  val boundedTopK: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bounded_top_k"),
+    info(classOf[BoundedTopK].getName, "bounded_top_k",
+      "bounded_top_k(key, value, k) - aggregate: the values of the k " +
+        "rows with the smallest keys, as an array sorted by key " +
+        "ascending; the aggregation buffer never holds more than k " +
+        "elements. Pass a unique tie-breaker in the key for determinism."),
+    (args: Seq[Expression]) => args match {
+      case Seq(key, value, Literal(k: Int, _)) =>
+        // Analysis-time guard, mirroring labelHashBucket: a non-positive
+        // k would otherwise throw from the require deep in planning.
+        if (k <= 0) throw new IllegalArgumentException(
+          s"bounded_top_k: k must be positive, got $k")
+        BoundedTopK(key, value, k)
+      case _ => throw new IllegalArgumentException(
+        "bounded_top_k expects (key, value, intLiteral)")
+    })
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(labelHashBucket, cosineSim, dotProduct, zorder2).foreach {
+    Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -293,23 +293,32 @@ object JdbcUpsert {
 
   /** Execute the upsert over every partition. `upserted`/`failed` are
     * executor-populated accumulators (the A1 failure-channel counters).
-    * `failedKeys`, when given, collects the key-column value of every
-    * row that lands in the failed channel so the caller can exclude
-    * those rows from backend metadata registration — a row that is NOT
-    * in the table must never be registered. Bounded by the failure
-    * count (per-row fallback failures are the rare path). For the
-    * O(rows)-safe variant that never routes keys through the driver,
-    * use [[writeTracked]].
+    * `failedKeys`, when given, collects the key-column value of rows
+    * that land in the failed channel so the caller can exclude those
+    * rows from backend metadata registration — a row that is NOT in
+    * the table must never be registered. Collection is CAPPED at
+    * `maxFailedKeysPerPartition` keys per partition: under a systemic
+    * outage (DB down, credential rotation) EVERY row of a large batch
+    * fails after retries, and an uncapped accumulator would haul
+    * millions of key strings to the driver — an OOM in exactly the
+    * scenario the failure channel exists for. `failed` always carries
+    * the full magnitude; compare it against the collected key count to
+    * detect truncation. For the O(rows)-safe variant that never routes
+    * keys through the driver, use [[writeTracked]].
     */
   def write(df: DataFrame, cfg: Config,
             upserted: LongAccumulator, failed: LongAccumulator,
-            failedKeys: Option[org.apache.spark.util.CollectionAccumulator[String]] = None): Unit = {
+            failedKeys: Option[org.apache.spark.util.CollectionAccumulator[String]] = None,
+            maxFailedKeysPerPartition: Int = 1000): Unit = {
     val p = plan(df, cfg)
     df.foreachPartition { (it: Iterator[Row]) =>
+      var collected = 0
       upsertPartition(it, cfg, p, n => upserted.add(n.toLong), r => {
         failed.add(1)
-        if (p.keyIdx >= 0)
+        if (p.keyIdx >= 0 && collected < maxFailedKeysPerPartition) {
           failedKeys.foreach(_.add(String.valueOf(r.get(p.keyIdx))))
+          collected += 1
+        }
       })
     }
   }

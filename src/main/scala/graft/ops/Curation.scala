@@ -179,9 +179,14 @@ object Curation {
     * single-task sort at 100 TB.
     *
     * Only (score, id) is compared; the row payload is opaque cargo, so
-    * payload columns may be maps or any other non-orderable type. Ties
-    * on (score, id) keep an arbitrary winner — pass a unique `idCol`
-    * for fully deterministic output.
+    * payload columns may be maps or any other non-orderable type.
+    *
+    * DETERMINISM REQUIRES A UNIQUE `idCol`: the heap discards an
+    * incoming element whose full (score, id) rank key ties the current
+    * worst survivor ([[graft.functions.TopKHeap.insert]]), so duplicate
+    * ids at an equal score keep a PARTITION-ORDER-DEPENDENT winner —
+    * output can differ across runs and task retries. With unique ids
+    * the rank key is total and the result is exactly reproducible.
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                   idCol: String, k: Int): DataFrame = {

@@ -171,13 +171,18 @@ object Dedup {
     * auto-broadcast threshold because the alternative is shuffling the
     * corpus).
     *
-    * The keyed batch is persisted (memory-and-disk) across its two
-    * uses — maybe-key derivation and the final anti-join — so the
-    * incoming source is scanned and digested ONCE; the block is
-    * unpersisted lazily when the returned frame's last action
-    * completes would be ideal, but Spark has no such hook, so eviction
-    * is LRU (or `spark.sharedState.cacheManager` / caller unpersist for
-    * long sessions).
+    * The shape-pivot count runs on a DIGEST-ONLY projection — column
+    * pruning reaches the source scan, so the eager count reads only the
+    * `on` columns and NOTHING is persisted (an earlier revision cached
+    * the whole keyed batch across the count and the final anti-join;
+    * repeated batch/microbatch calls accumulated cached blocks with no
+    * caller-reachable unpersist handle, and at real batch sizes the
+    * memory-and-disk persist could spill the entire batch to local
+    * disk). The incoming source is instead scanned up to three times —
+    * eager maybe-count, maybe-key recompute inside the chosen branch,
+    * and the final anti-join — each a narrow pruned read plus a sha256
+    * per row, the deliberate trade of cheap recompute for zero cache
+    * footprint.
     */
   def dedupAgainstBloom(incoming: DataFrame, seen: DataFrame, on: Seq[String],
                         bloom: org.apache.spark.util.sketch.BloomFilter,
@@ -190,14 +195,13 @@ object Dedup {
     val might = udf((s: String) => bloomB.value.mightContainString(s))
 
     val keyed = incoming.withColumn("__graft_k", contentDigest(incoming, on))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maybeKeys = keyed.filter(might(col("__graft_k")))
       .select("__graft_k").distinct()
     if (maybeKeys.count() > maxMaybeKeys) {
       // Dup-heavy batch: the reverse-semi's broadcast would blow the
-      // driver. Anti-join the (already persisted, already flagged)
-      // maybe slice against the corpus digest index instead — the
-      // definitely-new majority still bypasses the shuffle.
+      // driver. Anti-join the flagged maybe slice against the corpus
+      // digest index instead — the definitely-new majority still
+      // bypasses the shuffle.
       val seenKeys = seen.select(contentDigest(seen, on).as("__graft_k"))
         .distinct()
       keyed.filter(!might(col("__graft_k")))

@@ -189,7 +189,15 @@ object StreamingIngest {
     */
   final case class BatchUpsertReport(queryName: String, batchId: Long,
                                      upserted: Long, failed: Long,
-                                     failedKeys: Seq[String])
+                                     failedKeys: Seq[String]) {
+    /** True when the failed-key collection was CAPPED below the failure
+      * count ([[graft.engine.sink.JdbcUpsert.write]]'s per-partition
+      * cap, protecting the driver under systemic outages): `failedKeys`
+      * is then a sample, not the full dead-letter set — `failed` still
+      * carries the full magnitude.
+      */
+    def failedKeysTruncated: Boolean = failed > failedKeys.size
+  }
 
   /** Default `onBatch` hook: stderr on failure, silent on success —
     * the pre-hook behavior, kept as the floor so failures are never
@@ -231,7 +239,16 @@ object StreamingIngest {
                  queryName: String,
                  outputMode: OutputMode = OutputMode.Append(),
                  onBatch: BatchUpsertReport => Unit = logFailedBatch)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Fail loud at sink setup, not silently per batch: without the key
+    // column JdbcUpsert.plan yields keyIdx = -1 and write records NO
+    // failed keys, so a report could carry failed > 0 with empty
+    // failedKeys — defeating dead-lettering (same contract as
+    // writeTracked's require).
+    require(df.columns.contains(cfg.keyColumn),
+      s"upsertSink requires key column '${cfg.keyColumn}' in the stream " +
+        s"(columns: ${df.columns.mkString(", ")}) — failed-key " +
+        "dead-lettering is keyed on it")
     df.writeStream
       .outputMode(outputMode)
       .queryName(queryName)
@@ -248,6 +265,7 @@ object StreamingIngest {
             .asScala.toSeq))
       }
       .start()
+  }
 
   /** Streaming file source: tail a landing directory for new CSV/JSON
     * manifests. The schema is REQUIRED (streaming sources don't infer —

@@ -20,6 +20,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(5) == 11.0)
   }
 
+  test("bounded_top_k reachable from SQL, caps per group, sorted by key") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a", 3L, "x3"), ("a", 1L, "x1"), ("a", 2L, "x2"), ("b", 9L, "y9"))
+      .toDF("g", "k", "v").createOrReplaceTempView("btk_in")
+    val rows = spark.sql(
+      """SELECT g, bounded_top_k(k, v, 2) AS top
+        |FROM btk_in GROUP BY g ORDER BY g""".stripMargin)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getSeq[String](1) == Seq("x1", "x2"))
+    assert(rows(1).getSeq[String](1) == Seq("y9"))
+    // analysis-time guards
+    intercept[Exception](spark.sql("SELECT bounded_top_k(1, 2, 0)").collect())
+    intercept[Exception](spark.sql("SELECT bounded_top_k(1, 2)").collect())
+  }
+
   test("describe function shows usage") {
     GraftExtensions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")

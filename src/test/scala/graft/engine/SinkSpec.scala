@@ -58,6 +58,23 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(failedKeys.value.size == 1 && failedKeys.value.get(0) == "b")
   }
 
+  test("systemic failure: key collection capped per partition, count uncapped") {
+    val c = cfg("dbcap")
+    assert(JdbcUpsert.ensureTable(c, features).isRight)
+    val up = sc.longAccumulator; val fail = sc.longAccumulator
+    val failedKeys = sc.collectionAccumulator[String]("failed_keys_cap")
+    // EVERY row violates VARCHAR(5) — the outage shape: without the cap
+    // the accumulator would haul every key to the driver.
+    val rows = (0 until 50).map(i => (f"k$i%03d", i.toDouble, "toolong!"))
+    JdbcUpsert.write(frame(rows).repartition(2), c, up, fail,
+      Some(failedKeys), maxFailedKeysPerPartition = 3)
+    assert(fail.value == 50, s"full failure magnitude, got ${fail.value}")
+    // ≤ cap × partitions keys collected; the report is a sample.
+    assert(failedKeys.value.size <= 6,
+      s"expected ≤ 6 collected keys, got ${failedKeys.value.size}")
+    assert(failedKeys.value.size > 0)
+  }
+
   test("non-duplicate integrity violation routes to failed, not phantom-upserted") {
     // A CHECK constraint violation raises the same
     // SQLIntegrityConstraintViolationException as a duplicate key; the

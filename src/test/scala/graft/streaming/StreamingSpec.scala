@@ -99,6 +99,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows == List(("a", 10.0), ("b", 2.0), ("c", 3.0)))
   }
 
+  test("upsertSink refuses a stream without the key column") {
+    import graft.engine.sink.JdbcUpsert
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = JdbcUpsert.Config("jdbc:derby:memory:nokeydb;create=true",
+      "nk", JdbcUpsert.GenericDialect)
+    val input = MemoryStream[(String, Double)]
+    // Without this guard keyIdx = -1 and failures would report with
+    // EMPTY failedKeys — dead-lettering silently defeated.
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.upsertSink(
+        input.toDF().toDF("not_the_key", "v"), cfg, "nk_upsert")
+    }
+    assert(e.getMessage.contains("data_id"))
+  }
+
+  test("BatchUpsertReport.failedKeysTruncated flags a capped key sample") {
+    import graft.streaming.StreamingIngest.BatchUpsertReport
+    val full = BatchUpsertReport("q", 0L, 1L, 2L, Seq("a", "b"))
+    val capped = BatchUpsertReport("q", 0L, 0L, 1000L, Seq("a", "b"))
+    assert(!full.failedKeysTruncated)
+    assert(capped.failedKeysTruncated)
+  }
+
   test("file source → strict cast → partitioned lake sink, end to end") {
     import org.apache.spark.sql.types._
     import graft.core.SqlType
