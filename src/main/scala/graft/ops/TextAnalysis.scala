@@ -396,6 +396,114 @@ object TextAnalysis {
         size(kept).cast("long").as("n_after"))
   }
 
+  // ------------------------------------------------------------------
+  // HTML → text extraction — real web-scale ingest starts from markup.
+  // Everything below is a pure column-expression cascade (regexp + the
+  // codegen'd string built-ins): one scan, zero shuffle, and every
+  // regex is written for Java ⇄ RE2 parity (no lookarounds, no
+  // backreferences; `\A`/`\z` instead of `^`/`$` — Java's bare `$`
+  // matches BEFORE a final newline while RE2's does not).
+  // ------------------------------------------------------------------
+
+  /** Markup with block structure made explicit: script/style blocks and
+    * comments dropped (replaced by a space so they never join adjacent
+    * words), then `<br>`/`<hr>` and CLOSING block-level tags become
+    * newlines. Shared by [[htmlToText]] (which then strips the
+    * remaining tags) and [[stripBoilerplateLines]] (which needs the
+    * line structure WITH inline anchors still present to measure link
+    * density). NULL html reads as empty.
+    */
+  private def blockLined(html: Column): Column = {
+    val noScript = regexp_replace(coalesce(html, lit("")),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    regexp_replace(noComment,
+      "(?i)<(br|hr)[^>]*>|</(p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|title|blockquote)[^>]*>",
+      "\n")
+  }
+
+  /** The five named entities a regex-cascade extractor decodes (plus
+    * the apostrophe code point): `&amp;` LAST, so `&amp;lt;` decodes to
+    * the literal text `&lt;` — not to `<` (double-decoding would
+    * resurrect stripped markup). `&nbsp;` becomes a plain space.
+    * Literal `replace`, not regexp — nothing to escape, nothing to
+    * diverge between engines.
+    */
+  private def decodeEntities(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to)) }
+  }
+
+  /** Whitespace normalization for extracted text: horizontal runs → one
+    * space, spaces trimmed around newlines, 3+ newlines → one blank
+    * line, leading/trailing whitespace dropped (`\A`/`\z` anchors — see
+    * the parity note above).
+    */
+  private def cleanupText(c: Column): Column = {
+    val h = regexp_replace(c, "[ \\t\\f\\r]+", " ")
+    val nl = regexp_replace(h, " ?\\n ?", "\n")
+    val para = regexp_replace(nl, "\\n{3,}", "\n\n")
+    regexp_replace(para, "\\A[\\n ]+|[\\n ]+\\z", "")
+  }
+
+  /** HTML → visible text as a single-scan column cascade: script/style/
+    * comment blocks dropped, block tags → newlines, remaining tags → a
+    * space, entities decoded ([[decodeEntities]]), whitespace
+    * normalized. Deliberately a REGEX extractor, not a DOM parser: at
+    * 100 TB the extraction must be a codegen'd map stage, and the
+    * published web-curation pipelines (C4, CCNet, RefinedWeb) accept
+    * exactly this fidelity class for training text.
+    *
+    * Documented edge semantics (pinned by HtmlExtractSpec):
+    * a CDATA section with no `>` in its content is dropped whole (it
+    * parses as one pseudo-tag); an unclosed trailing `<tag ...` with no
+    * `>` stays as literal text; entity-encoded brackets decode AFTER
+    * tag stripping, so `&lt;script&gt;` renders as text and is never
+    * executed-then-stripped.
+    */
+  def htmlToText(html: Column): Column =
+    cleanupText(decodeEntities(
+      regexp_replace(blockLined(html), "<[^>]*>", " ")))
+
+  /** HTML → text with the LINK-DENSITY boilerplate rule (the jusText/
+    * Readability heuristic): a line whose anchor text makes up more
+    * than `maxLinkDensity` of its visible characters is navigation
+    * chrome, not content — drop it. Density compares NON-SPACE
+    * character counts of `<a>…</a>` innards vs the whole line, both
+    * measured after tag stripping and BEFORE entity decoding (the
+    * ratio is what matters; decoding shifts both counts together).
+    * Lines with no visible text are dropped. Still one scan: the
+    * per-line work runs in `transform`/`filter` higher-order functions
+    * over the split lines — CodegenFallback per element, but a map
+    * stage with no shuffle, acceptable for an operator that reads
+    * every byte of its input anyway.
+    */
+  def stripBoilerplateLines(html: Column, maxLinkDensity: Double = 0.5): Column = {
+    require(maxLinkDensity > 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity must be in (0, 1], got $maxLinkDensity")
+    val lines = split(blockLined(html), "\n")
+    val analyzed = transform(lines, l => {
+      val vis = trim(regexp_replace(
+        regexp_replace(l, lit("<[^>]*>"), lit(" ")),
+        lit("[ \\t\\f\\r]+"), lit(" ")))
+      val visChars = length(regexp_replace(vis, lit(" "), lit("")))
+      val anchorText = array_join(
+        regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), "")
+      val anchorChars = length(
+        regexp_replace(regexp_replace(anchorText, lit("<[^>]*>"), lit("")),
+          lit("[ \\t\\f\\r ]+"), lit("")))
+      struct(vis.as("vis"), visChars.as("n"), anchorChars.as("a"))
+    })
+    val kept = filter(analyzed,
+      s => s.getField("n") > 0 &&
+        s.getField("a") <= s.getField("n") * lit(maxLinkDensity))
+    cleanupText(decodeEntities(
+      array_join(transform(kept, s => s.getField("vis")), "\n")))
+  }
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

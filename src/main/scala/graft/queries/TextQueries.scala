@@ -177,6 +177,22 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // -- t13: HTML→text extraction + link-density boilerplate rule over
+    //    deterministically synthesized markup (style with a '>' inside,
+    //    script with operators, comments, entities incl. double-encoded
+    //    &amp;lt;, a nav line of anchors, a malformed unclosed tag every
+    //    7th doc). Extracted strings are UNDER the hash — the whole
+    //    cascade's semantics are pinned exactly. ----------------------
+    "t13_html_extract" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("html", t13Html)
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(col("html")).as("txt"),
+          TextAnalysis.stripBoilerplateLines(col("html"), 0.5).as("txt_bp"))
+        .orderBy("doc_id")
+    },
+
     // -- Gopher line-level quality rules over deterministically dirtied
     //    text (every 4th doc gains bullets, 4th+1 a trailing ellipsis,
     //    4th+2 symbol spam — each rule fires on a knowable subset) ----
@@ -198,10 +214,95 @@ object TextQueries {
         .orderBy("lang")
     })
 
+  /** t13 fixture markup, synthesized from the documents table with the
+    * SAME string algebra on both engines (Spark `concat` ≡ DuckDB `||`,
+    * both NULL-propagating). Exercises: style containing '>', script
+    * with comparison operators, comments, a double-encoded `&amp;lt;`,
+    * a high-link-density nav line, a low-density anchor-in-prose line,
+    * and (every 7th doc) an unclosed trailing tag.
+    */
+  private def t13Html: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
+    lit("<style>p{margin:0} .x>y{color:red}</style>"),
+    lit("<script>if(a<b&&c>d){e();}</script></head><body>"),
+    lit("<!-- id "), col("doc_id").cast("string"), lit(" -->"),
+    lit("<h1>Title &amp; "), col("lang"), lit("</h1>"),
+    lit("<p>"), col("text"), lit("</p>"),
+    lit("<p>5 &lt; 6 &amp;&amp; 7 &gt; 4 &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;tag&amp;gt;</p>"),
+    lit("<div><a href=\"/home\">Home</a> | <a href=\"/about\">About</a> | <a href=\"/contact\">Contact</a></div>"),
+    lit("<div><a href=\"/ref\">ref</a> surrounded by a good deal of ordinary prose text</div>"),
+    when(col("doc_id") % 7 === 0, lit("<p>trailing <b unclosed")).otherwise(lit("")),
+    lit("</body></html>"))
+
+  private val duckHtml: String =
+    "'<html><head><title>Doc ' || doc_id || '</title>' || " +
+      "'<style>p{margin:0} .x>y{color:red}</style>' || " +
+      "'<script>if(a<b&&c>d){e();}</script></head><body>' || " +
+      "'<!-- id ' || doc_id || ' -->' || " +
+      "'<h1>Title &amp; ' || lang || '</h1>' || " +
+      "'<p>' || text || '</p>' || " +
+      "'<p>5 &lt; 6 &amp;&amp; 7 &gt; 4 &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;tag&amp;gt;</p>' || " +
+      "'<div><a href=\"/home\">Home</a> | <a href=\"/about\">About</a> | <a href=\"/contact\">Contact</a></div>' || " +
+      "'<div><a href=\"/ref\">ref</a> surrounded by a good deal of ordinary prose text</div>' || " +
+      "CASE WHEN doc_id % 7 = 0 THEN '<p>trailing <b unclosed' ELSE '' END || " +
+      "'</body></html>'"
+
+  // DuckDB mirrors of the TextAnalysis html cascade — generated as SQL
+  // text from the same step order so the two engines cannot drift
+  // silently (any divergence fails the t13 hash compare).
+  private def duckBlockLined(e: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"coalesce($e, ''), " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+      "'(?s)<!--.*?-->', ' ', 'g'), " +
+      "'(?i)<(br|hr)[^>]*>|</(p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|title|blockquote)[^>]*>', chr(10), 'g')"
+
+  private def duckDecode(e: String): String =
+    s"replace(replace(replace(replace(replace(replace($e, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
+
+  private def duckCleanup(e: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"$e, " +
+      "'[ \\t\\f\\r]+', ' ', 'g'), " +
+      "' ?\\n ?', chr(10), 'g'), " +
+      "'\\n{3,}', chr(10) || chr(10), 'g'), " +
+      "'\\A[\\n ]+|[\\n ]+\\z', '', 'g')"
+
+  private def duckHtmlToText(e: String): String =
+    duckCleanup(duckDecode(
+      s"regexp_replace(${duckBlockLined(e)}, '<[^>]*>', ' ', 'g')"))
+
+  private def duckStripBp(e: String, threshold: String = "0.5"): String = {
+    val lines = s"string_split(${duckBlockLined(e)}, chr(10))"
+    val vis = "trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), " +
+      "'[ \\t\\f\\r]+', ' ', 'g'))"
+    val analyzed = s"list_transform($lines, l -> struct_pack(" +
+      s"vis := $vis, " +
+      s"n := length(replace($vis, ' ', '')), " +
+      // coalesce: DuckDB's regexp_extract_all/array_to_string chain
+      // yields NULL (not '') when a line has no anchors — Spark's
+      // array_join gives '' there
+      "a := coalesce(length(regexp_replace(regexp_replace(" +
+      "array_to_string(regexp_extract_all(l, '(?is)<a[^>]*>(.*?)</a>', 1), ''), " +
+      "'<[^>]*>', '', 'g'), '[ \\t\\f\\r ]+', '', 'g')), 0)))"
+    val kept = s"list_filter($analyzed, s -> s.n > 0 AND s.a <= s.n * $threshold)"
+    duckCleanup(duckDecode(
+      s"array_to_string(list_transform($kept, s -> s.vis), chr(10))"))
+  }
+
   private def sqlHits(markers: Seq[String]) =
     markers.map(m => s"'$m'").mkString("len(list_filter(string_split(text,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
+    "t13_html_extract" ->
+      s"""SELECT doc_id, ${duckHtmlToText("html")} AS txt,
+         |  ${duckStripBp("html")} AS txt_bp
+         |FROM (SELECT doc_id, $duckHtml AS html
+         |      FROM documents WHERE doc_id % 10 = 0)
+         |ORDER BY doc_id""".stripMargin,
     "t1_langid" -> {
       val en = sqlHits(enMarkers); val es = sqlHits(esMarkers)
       val de = sqlHits(deMarkers); val fr = sqlHits(frMarkers)
