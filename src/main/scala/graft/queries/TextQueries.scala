@@ -193,6 +193,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t14: vocab-driven greedy subword token counting, vocabulary
+    //    loaded from a tokenizer.json FIXTURE through the same parse
+    //    path as the V15 validator — proving the tokenizer.json →
+    //    vocab → counting wiring end to end. "customer" needs the
+    //    added_tokens entry ("omer") to segment as cust+omer, so the
+    //    gate numbers certify added-token loading too; 'w'/'y' are
+    //    deliberately absent from the vocab → known unk counts. -------
+    "t14_vocab_tokens" -> { (s, d) =>
+      writeT14Tokenizer()
+      val vocab = graft.ops.VocabTokenizer.loadVocab(s, t14TokenizerPath)
+      val c = graft.ops.VocabTokenizer.tokenCounts(col("text"), vocab)
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), c.as("__c"))
+        .select(col("doc_id"),
+          col("__c.n_tokens").cast("long").as("n_vocab_tokens"),
+          col("__c.n_unk").cast("long").as("n_unk"))
+        .orderBy("doc_id")
+    },
+
     // -- Gopher line-level quality rules over deterministically dirtied
     //    text (every 4th doc gains bullets, 4th+1 a trailing ellipsis,
     //    4th+2 symbol spam — each rule fires on a knowable subset) ----
@@ -213,6 +233,38 @@ object TextQueries {
           round(avg("symbol_word_ratio"), 4).as("avg_symbol_ratio"))
         .orderBy("lang")
     })
+
+  /** t14 vocabulary — the single source of truth for BOTH the
+    * tokenizer.json fixture (Spark side loads it back through
+    * [[graft.ops.VocabTokenizer.loadVocab]]) and the oracle's VALUES
+    * list, so the two sides cannot drift. Whole words + subword pieces
+    * + all single letters EXCEPT 'w' and 'y' (their occurrences become
+    * unknown tokens — the unk path is exercised on every doc that
+    * mentions "window"-less w-words like "slow" or "key"). "omer"
+    * rides added_tokens, not model.vocab — see the gate comment.
+    */
+  private val t14ModelVocab: Seq[String] = Seq(
+    "the", "table", "value", "spark", "merge", "batch", "window",
+    "stream", "join", "order", "group", "line", "part", "row", "hash",
+    "agg", "scan", "slo", "cust", "col", "umn", "th", "er", "re",
+    "an", "in", "on", "es", "en", "st", "ll",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v")
+  private val t14AddedTokens: Seq[String] = Seq("[MASK]", "[PAD]", "omer")
+  private val t14TokenizerPath = "/tmp/graft_gate_t14_tokenizer.json"
+
+  private def writeT14Tokenizer(): Unit = {
+    val vocabJson = t14ModelVocab.zipWithIndex
+      .map { case (t, i) => s""""$t": $i""" }.mkString(", ")
+    val addedJson = t14AddedTokens
+      .map(t => s"""{"content": "$t"}""").mkString(", ")
+    val json =
+      s"""{"model": {"type": "BPE", "vocab": {$vocabJson}},
+         | "added_tokens": [$addedJson]}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(t14TokenizerPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
 
   /** t13 fixture markup, synthesized from the documents table with the
     * SAME string algebra on both engines (Spark `concat` ≡ DuckDB `||`,
@@ -297,6 +349,39 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("len(list_filter(string_split(text,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
+    // Greedy longest-match replicated as a recursive CTE: each word's
+    // cursor advances by the longest vocab entry matching at `pos`
+    // (the correlated max-length probe), or by one UNKNOWN character.
+    // Distinct words recurse once each; per-doc counts re-expand
+    // through the (doc, word) multiplicity join.
+    "t14_vocab_tokens" -> {
+      val vocabValues = (t14ModelVocab ++ t14AddedTokens)
+        .map(v => s"('$v')").mkString(", ")
+      s"""WITH RECURSIVE vocab(v) AS (VALUES $vocabValues),
+         |words AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS w
+         |  FROM documents WHERE doc_id % 10 = 0
+         |),
+         |dw AS (SELECT DISTINCT w FROM words),
+         |seg AS (
+         |  SELECT w, 1 AS pos, 0 AS n_tok, 0 AS n_unk FROM dw
+         |  UNION ALL
+         |  SELECT w, pos + coalesce(ml, 1), n_tok + 1,
+         |         n_unk + CASE WHEN ml IS NULL THEN 1 ELSE 0 END
+         |  FROM (
+         |    SELECT w, pos, n_tok, n_unk,
+         |      (SELECT max(len(v)) FROM vocab
+         |       WHERE v = substr(w, pos, len(v))) AS ml
+         |    FROM seg WHERE pos <= len(w))
+         |),
+         |fin AS (SELECT w, n_tok, n_unk FROM seg WHERE pos > len(w)),
+         |wc AS (SELECT doc_id, w, count(*) AS k FROM words GROUP BY 1, 2)
+         |SELECT wc.doc_id,
+         |  sum(wc.k * fin.n_tok)::BIGINT AS n_vocab_tokens,
+         |  sum(wc.k * fin.n_unk)::BIGINT AS n_unk
+         |FROM wc JOIN fin USING (w)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "t13_html_extract" ->
       s"""SELECT doc_id, ${duckHtmlToText("html")} AS txt,
          |  ${duckStripBp("html")} AS txt_bp
