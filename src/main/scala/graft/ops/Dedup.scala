@@ -370,55 +370,122 @@ object Dedup {
     } finally seenB.unpersist()
   }
 
-  /** Incremental NEAR-duplicate dedup: drop `incoming` rows within
-    * `threshold` jaccard of ANY `seen` document — [[dedupAgainst]]'s
-    * fuzzy sibling, for the "new crawl vs ingested corpus" pass where
-    * verbatim matching is not enough. Only the incoming slice is
-    * deduplicated; the seen corpus NEVER self-joins (running
-    * [[nearDuplicates]] over `seen ∪ incoming` would re-pair the whole
-    * history on every crawl).
+  /** Reusable MinHash signature index over a corpus — the artifact a
+    * pipeline PERSISTS between crawl batches so the incremental
+    * near-dup pass ([[nearDupAgainstIndex]]) never re-reads, let alone
+    * re-shingles, the corpus raw text. One row per document:
+    * `(idCol, sig_hashes, band_keys, num_hashes, bands, shingle)` —
+    * the sorted shingle-hash set (the exact-jaccard verify side), the
+    * banded LSH keys (the candidate side), and the build parameters as
+    * constant columns (they RLE away in parquet) so a loaded index
+    * carries its own contract: incoming batches are banded with the
+    * index's parameters, read off the frame, and a mismatched probe is
+    * structurally impossible rather than a silent zero-recall bug.
     *
-    * Shape: both sides compute shingle-hash sets once (persisted) and
-    * banded MinHash keys once ([[oneSidedCandidates]] persists the
-    * seen side's); candidates are the capped incoming × seen band
-    * equi-join; the exact-jaccard verify runs on the precomputed sets;
-    * matched incoming ids leave via one left-anti join. Recall follows
-    * the [[minhashCandidates]] band math: 1-(1-j^rows)^bands,
-    * effectively 1 at j ≥ 0.8 with the defaults. At 100 TB the seen
-    * side's banded keys are exactly what a pipeline persists between
-    * crawls — the corpus itself is re-read, never re-shuffled.
+    * Lifecycle: build once over the full corpus (`write.parquet`),
+    * then per ingested batch append the KEPT rows' index entries
+    * (`buildMinhashIndex(keptBatch, …).write.mode("append")`) — the
+    * index grows with the corpus and each batch pays signature cost
+    * only for itself. At 10 B documents the index is ~|corpus| rows of
+    * a few hundred bytes — document-count scale, not corpus-byte scale.
+    */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 32,
+                        shingle: Int = 3): DataFrame =
+    shingleSets(corpus, idCol, textCol, shingle)
+      .select(col(idCol), col("__sh").as("sig_hashes"),
+        F.minhashBands(
+          F.minhashSigFromHashes(col("__sh"), numHashes), bands)
+          .as("band_keys"),
+        lit(numHashes).as("num_hashes"), lit(bands).as("bands"),
+        lit(shingle).as("shingle"))
+
+  /** Incremental NEAR-duplicate dedup against a PRE-BUILT signature
+    * index ([[buildMinhashIndex]], usually loaded from parquet): drop
+    * `incoming` rows within `threshold` jaccard of ANY indexed
+    * document. The corpus raw text is never touched — the index frame
+    * does not even carry it — which is the 100-TB difference between
+    * paying signature compute once per corpus and once per crawl.
+    * Shingle/banding parameters come FROM the index (one head-row
+    * probe, column-pruned); an empty index keeps everything.
     *
     * CONTRACT: `idCol` must be non-null and unique within `incoming`
     * (same as [[exact]]): the final anti-join is by id, so a NULL id
     * never matches its own loser row, and duplicate incoming ids drop
-    * together if either matches. Seen-side ids only label candidates
+    * together if either matches. Index-side ids only label candidates
     * and carry no constraint.
+    */
+  def nearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double = 0.8,
+                          maxBucket: Int = 10000): DataFrame = {
+    for (c <- Seq(idCol, "sig_hashes", "band_keys", "num_hashes", "bands",
+        "shingle"))
+      require(index.columns.contains(c),
+        s"not a minhash signature index: missing column '$c'")
+    val head = index.select("num_hashes", "bands", "shingle").head(1)
+    if (head.isEmpty) return incoming // empty corpus: nothing seen yet
+    val params = head(0)
+    nearDupAgainstCore(incoming, index, idCol, textCol, threshold,
+      params.getInt(0), params.getInt(1), params.getInt(2), maxBucket)
+  }
+
+  /** Incremental NEAR-duplicate dedup from raw frames: builds the seen
+    * side's [[buildMinhashIndex]] in-flight (persisted for the call's
+    * two reads), then runs the index path. Only the incoming slice is
+    * deduplicated; the seen corpus NEVER self-joins. For repeated
+    * batches against the same corpus, build the index once and call
+    * [[nearDupAgainstIndex]] — this overload re-signatures `seen` on
+    * every invocation.
+    *
+    * Recall follows the [[minhashCandidates]] band math:
+    * 1-(1-j^rows)^bands, effectively 1 at j ≥ 0.8 with the defaults.
+    * Same `idCol` contract as [[nearDupAgainstIndex]].
     */
   def nearDupAgainst(incoming: DataFrame, seen: DataFrame, idCol: String,
                      textCol: String, threshold: Double = 0.8,
                      numHashes: Int = 64, bands: Int = 32,
                      shingle: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val idx = buildMinhashIndex(seen, idCol, textCol, numHashes, bands,
+      shingle).persist()
+    // Core materializes the loser set eagerly (truncated), so the index
+    // cache is safe to drop before the returned lazy frame runs.
+    try nearDupAgainstCore(incoming, idx, idCol, textCol, threshold,
+      numHashes, bands, shingle, maxBucket)
+    finally idx.unpersist()
+  }
+
+  /** Shared index-probe shape: band incoming with the index's
+    * parameters, capped one-sided candidates, exact-jaccard verify on
+    * the stored sets, one left-anti join out.
+    */
+  private def nearDupAgainstCore(incoming: DataFrame, index: DataFrame,
+                                 idCol: String, textCol: String,
+                                 threshold: Double, numHashes: Int,
+                                 bands: Int, shingle: Int,
+                                 maxBucket: Int): DataFrame = {
     val inSets = shingleSets(incoming, idCol, textCol, shingle).persist()
-    val seenSets = shingleSets(seen, idCol, textCol, shingle).persist()
     try {
-      def banded(sets: DataFrame, as: String) = sets.select(
-        col(idCol).as(as),
+      val bandedIn = inSets.select(
+        col(idCol).as("__in_id"),
         posexplode(F.minhashBands(
           F.minhashSigFromHashes(col("__sh"), numHashes), bands))
           .as(Seq("__band", "__key")))
-      val cand = oneSidedCandidates(banded(inSets, "__in_id"),
-        banded(seenSets, "__seen_id"), maxBucket)
+      val bandedSeen = index.select(
+        col(idCol).as("__seen_id"),
+        posexplode(col("band_keys")).as(Seq("__band", "__key")))
+      val cand = oneSidedCandidates(bandedIn, bandedSeen, maxBucket)
       val matched = cand
         .join(inSets.select(col(idCol).as("__in_id"), col("__sh").as("__sa")),
           "__in_id")
-        .join(seenSets.select(col(idCol).as("__seen_id"), col("__sh").as("__sb")),
-          "__seen_id")
+        .join(index.select(col(idCol).as("__seen_id"),
+          col("sig_hashes").as("__sb")), "__seen_id")
         .filter(F.jaccardSortedSim(col("__sa"), col("__sb")) >= threshold)
         .select(col("__in_id").as(idCol)).distinct()
         .truncated // materialize the (tiny) loser set before the caches drop
       cand.unpersist()
       incoming.join(matched, Seq(idCol), "left_anti")
-    } finally { inSets.unpersist(); seenSets.unpersist() }
+    } finally inSets.unpersist()
   }
 
   /** EXACT n-gram-Jaccard near-duplicate pairs via a PREFIX-FILTERED
@@ -672,15 +739,49 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Incremental embedding-cosine dedup: drop `incoming` vectors within
-    * `threshold` cosine of ANY `seen` vector — completes the
-    * incremental family ([[dedupAgainst]] exact, [[nearDupAgainst]]
-    * text-jaccard) for the embedding modality. Same sign-sketch
-    * banding as [[embeddingNearDuplicates]], but the band join is
-    * incoming × seen, so the corpus never self-pairs and only the new
-    * slice shuffles; the seen side's banded keys (persisted for the
-    * call by [[oneSidedCandidates]] — the planes×dim sketch is the
-    * dominant compute) are the natural persisted index between crawls.
+  /** Reusable sign-sketch index over a vector corpus — the embedding
+    * sibling of [[buildMinhashIndex]], persisted between crawls so
+    * [[embeddingNearDupAgainstIndex]] never re-sketches the corpus
+    * (the planes×dim projection is the dominant compute). One row per
+    * vector: `(idCol, vecCol, band_keys, planes, bands)` — the vector
+    * rides along because the exact-cosine verify needs it; parquet
+    * stores it once and column pruning skips it on the candidate leg.
+    * Append each ingested batch's kept rows, same lifecycle as the
+    * MinHash index.
+    */
+  def buildEmbeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                          planes: Int = 128, bands: Int = 8): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      F.signBandKeys(col(vecCol), planes, bands).as("band_keys"),
+      lit(planes).as("planes"), lit(bands).as("bands"))
+
+  /** Incremental embedding-cosine dedup against a PRE-BUILT
+    * [[buildEmbeddingIndex]]: drop `incoming` vectors within
+    * `threshold` cosine of ANY indexed vector. Sketch parameters come
+    * from the index (head-row probe); an empty index keeps everything.
+    * Same `idCol` contract as [[nearDupAgainstIndex]].
+    */
+  def embeddingNearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   threshold: Double = 0.99,
+                                   maxBucket: Int = 10000): DataFrame = {
+    for (c <- Seq(idCol, vecCol, "band_keys", "planes", "bands"))
+      require(index.columns.contains(c),
+        s"not an embedding signature index: missing column '$c'")
+    val head = index.select("planes", "bands").head(1)
+    if (head.isEmpty) return incoming
+    embeddingAgainstCore(incoming, index, idCol, vecCol, threshold,
+      head(0).getInt(0), head(0).getInt(1), maxBucket)
+  }
+
+  /** Incremental embedding-cosine dedup from raw frames: drop
+    * `incoming` vectors within `threshold` cosine of ANY `seen` vector
+    * — completes the incremental family ([[dedupAgainst]] exact,
+    * [[nearDupAgainst]] text-jaccard) for the embedding modality. The
+    * band join is incoming × seen, so the corpus never self-pairs and
+    * only the new slice shuffles. Builds the seen side's sketch
+    * in-flight — for repeated batches persist [[buildEmbeddingIndex]]
+    * once and call [[embeddingNearDupAgainstIndex]] instead.
     *
     * CONTRACT: `idCol` non-null and unique within `incoming`, as in
     * [[nearDupAgainst]].
@@ -688,17 +789,27 @@ object Dedup {
   def embeddingNearDupAgainst(incoming: DataFrame, seen: DataFrame,
                               idCol: String, vecCol: String,
                               threshold: Double = 0.99, planes: Int = 128,
-                              bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
-    def banded(d: DataFrame, as: String) = d.select(
-      col(idCol).as(as),
+                              bands: Int = 8, maxBucket: Int = 10000): DataFrame =
+    embeddingAgainstCore(incoming,
+      buildEmbeddingIndex(seen, idCol, vecCol, planes, bands),
+      idCol, vecCol, threshold, planes, bands, maxBucket)
+
+  private def embeddingAgainstCore(incoming: DataFrame, index: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   threshold: Double, planes: Int,
+                                   bands: Int, maxBucket: Int): DataFrame = {
+    val bandedIn = incoming.select(
+      col(idCol).as("__in_id"),
       posexplode(F.signBandKeys(col(vecCol), planes, bands))
         .as(Seq("__band", "__key")))
-    val cand = oneSidedCandidates(banded(incoming, "__in_id"),
-      banded(seen, "__seen_id"), maxBucket)
+    val bandedSeen = index.select(
+      col(idCol).as("__seen_id"),
+      posexplode(col("band_keys")).as(Seq("__band", "__key")))
+    val cand = oneSidedCandidates(bandedIn, bandedSeen, maxBucket)
     val matched = cand
       .join(incoming.select(col(idCol).as("__in_id"), col(vecCol).as("__va")),
         "__in_id")
-      .join(seen.select(col(idCol).as("__seen_id"), col(vecCol).as("__vb")),
+      .join(index.select(col(idCol).as("__seen_id"), col(vecCol).as("__vb")),
         "__seen_id")
       .filter(F.cosineSim(col("__va"), col("__vb")) >= threshold)
       .select(col("__in_id").as(idCol)).distinct()

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted corpus signature index: incremental near-dup must be
+  * drivable from a parquet-loaded index WITHOUT the corpus raw frame in
+  * scope — structurally proving the seen side is never re-shingled /
+  * re-sketched per batch.
+  */
+class SignatureIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seenDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "completely different content with no overlap whatsoever here"))
+    .toDF("id", "text")
+
+  private def incomingDocs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog again and"),
+    (11L, "the quick brown fox jumps over the lazy dog again and again"),
+    (12L, "ANOTHER totally unrelated document about graph databases ok"))
+    .toDF("id", "text")
+
+  test("minhash index path ≡ raw path, through a parquet round-trip") {
+    val direct = Dedup.nearDupAgainst(incomingDocs, seenDocs, "id", "text",
+      threshold = 0.5).select("id").as[Long].collect().toSet
+
+    val idxPath = tmpDir("mhidx").toString + "/index"
+    Dedup.buildMinhashIndex(seenDocs, "id", "text").write.parquet(idxPath)
+    // The corpus frame is NOT passed below — the index alone drives the
+    // probe. That is the structural guarantee: no seen-side re-shingle.
+    val loaded = spark.read.parquet(idxPath)
+    val viaIndex = Dedup.nearDupAgainstIndex(incomingDocs, loaded, "id",
+      "text", threshold = 0.5).select("id").as[Long].collect().toSet
+
+    assert(direct == Set(12L))
+    assert(viaIndex == direct)
+  }
+
+  test("index carries its own parameters: non-default build still correct") {
+    val idxPath = tmpDir("mhidx2").toString + "/index"
+    Dedup.buildMinhashIndex(seenDocs, "id", "text",
+      numHashes = 32, bands = 16, shingle = 2).write.parquet(idxPath)
+    val loaded = spark.read.parquet(idxPath)
+    // No parameters passed at probe time — they ride the index columns.
+    val kept = Dedup.nearDupAgainstIndex(incomingDocs, loaded, "id", "text",
+      threshold = 0.5).select("id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+  }
+
+  test("empty index keeps every incoming row") {
+    val empty = Dedup.buildMinhashIndex(
+      seenDocs.filter(col("id") < 0), "id", "text")
+    val kept = Dedup.nearDupAgainstIndex(incomingDocs, empty, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 12L))
+  }
+
+  test("append lifecycle: batch entries extend the index incrementally") {
+    val idxPath = tmpDir("mhidx3").toString + "/index"
+    Dedup.buildMinhashIndex(seenDocs, "id", "text").write.parquet(idxPath)
+    // batch 1 keeps 12; its index entries append
+    val kept1 = Dedup.nearDupAgainstIndex(incomingDocs,
+      spark.read.parquet(idxPath), "id", "text", threshold = 0.5)
+    Dedup.buildMinhashIndex(kept1, "id", "text")
+      .write.mode("append").parquet(idxPath)
+    // batch 2 re-sends 12's content under a new id → now a known dup
+    val batch2 = Seq(
+      (20L, "ANOTHER totally unrelated document about graph databases ok"),
+      (21L, "fresh text that matches nothing stored in the index at all"))
+      .toDF("id", "text")
+    val kept2 = Dedup.nearDupAgainstIndex(batch2,
+      spark.read.parquet(idxPath), "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == Set(21L))
+  }
+
+  test("non-index frames rejected loudly") {
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearDupAgainstIndex(incomingDocs, seenDocs, "id", "text"))
+    assert(e.getMessage.contains("not a minhash signature index"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDupAgainstIndex(incomingDocs, seenDocs, "id", "emb"))
+    assert(e2.getMessage.contains("not an embedding signature index"))
+  }
+
+  test("embedding index path ≡ raw path, through a parquet round-trip") {
+    val seen = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("id", "emb")
+    val incoming = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)), // copy of seen 1 → dropped
+      (11L, Array(0f, 0f, 1f, 0f))) // orthogonal → kept
+      .toDF("id", "emb")
+    val direct = Dedup.embeddingNearDupAgainst(incoming, seen, "id", "emb",
+      threshold = 0.99).select("id").as[Long].collect().toSet
+
+    val idxPath = tmpDir("embidx").toString + "/index"
+    Dedup.buildEmbeddingIndex(seen, "id", "emb", planes = 64, bands = 4)
+      .write.parquet(idxPath)
+    val viaIndex = Dedup.embeddingNearDupAgainstIndex(incoming,
+      spark.read.parquet(idxPath), "id", "emb", threshold = 0.99)
+      .select("id").as[Long].collect().toSet
+
+    assert(direct == Set(11L))
+    assert(viaIndex == direct)
+  }
+
+  test("empty embedding index keeps everything") {
+    val incoming = Seq((10L, Array(1f, 0f))).toDF("id", "emb")
+    val empty = Dedup.buildEmbeddingIndex(
+      incoming.filter(col("id") < 0), "id", "emb")
+    val kept = Dedup.embeddingNearDupAgainstIndex(incoming, empty,
+      "id", "emb").select("id").as[Long].collect().toSet
+    assert(kept == Set(10L))
+  }
+}
