@@ -9,16 +9,24 @@ import org.apache.spark.sql.types._
   * because Spark never interprets the bytes except inside explicitly
   * partitioned decode passes.
   *
-  * The DECODE ITSELF IS A STUB — image/audio codecs are not available
-  * in this environment. [[MediaDecoder.decodeStub]] derives
-  * deterministic fake dimensions/frames from the payload header bytes,
-  * clearly marked; swapping in a real decoder changes ONE function and
-  * none of the plumbing (schema, partitioning, batch shape, the
-  * mapPartitions signature all stay).
+  * Decode status by modality: IMAGE decode is REAL — the ImageIO
+  * header read ([[graft.engine.validate.ImageProbe]], the same kernel
+  * behind the V10 resolution validator) recovers true dimensions from
+  * png/jpg/gif/bmp bytes without a pixel decode. Audio/video codecs
+  * are not available in this environment, so those two kinds go
+  * through [[MediaDecoder.decodeStub]] (deterministic fake
+  * frames/sample-rate derived from the payload, clearly marked by
+  * `decodeStatus = "stubbed"`); swapping in a real codec changes ONE
+  * function and none of the plumbing (schema, partitioning, batch
+  * shape, the mapPartitions signature all stay).
   */
 object Multimodal {
 
-  /** Typed decode result carried next to the payload. */
+  /** Typed decode result carried next to the payload. `decodeStatus`
+    * is "ok" for a successful real decode, a diagnosis string
+    * (ImageProbe's failure classes) for an undecodable image — whose
+    * dimensions read -1 — and "stubbed" for the audio/video stand-in.
+    */
   final case class MediaMeta(
       kind: String, // image | audio | video
       width: Int,
@@ -26,7 +34,8 @@ object Multimodal {
       nFrames: Int,
       sampleRateHz: Int,
       nBytes: Long,
-      sha256: String)
+      sha256: String,
+      decodeStatus: String)
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),
@@ -35,7 +44,8 @@ object Multimodal {
     StructField("nFrames", IntegerType, nullable = false),
     StructField("sampleRateHz", IntegerType, nullable = false),
     StructField("nBytes", LongType, nullable = false),
-    StructField("sha256", StringType, nullable = false)))
+    StructField("sha256", StringType, nullable = false),
+    StructField("decodeStatus", StringType, nullable = false)))
 
   /** Load a media directory as (path, name, payload) — distributed
     * listing + lazy content via binaryFile; content column prunes away
@@ -70,7 +80,7 @@ object Multimodal {
           // per-partition decoder init would go here (codec contexts,
           // native buffers) — the stub needs none.
           it.map { case (path, bytes) =>
-            (path, MediaDecoder.decodeStub(kind, bytes))
+            (path, MediaDecoder.decode(kind, bytes))
           }
         }
     df.join(decoded.toDF("path", "meta"), "path")
@@ -125,12 +135,41 @@ object Multimodal {
 
 object MediaDecoder {
 
-  /** STUB DECODE — deterministic fake: real image/audio/video codecs
-    * are not installed in this container. Dimensions derive from the
-    * first payload bytes so results are stable across runs/executors;
-    * `sha256`/`nBytes` are real. Replace this body with ImageIO /
+  /** Modality dispatch: REAL ImageIO header decode for images (the
+    * [[graft.engine.validate.ImageProbe]] kernel — width/height from
+    * the header, no pixel decode, so the per-file cost is a few KB of
+    * reads no matter the image size); [[decodeStub]] for audio/video,
+    * whose codecs are not installed in this environment. An image the
+    * probe cannot read yields (-1, -1) dimensions and carries the
+    * probe's diagnosis (empty / not-an-image / truncated-header) in
+    * `decodeStatus` — the row flows on for the caller to filter or
+    * dead-letter, never an executor exception mid-job.
+    */
+  def decode(kind: String, rawBytes: Array[Byte]): Multimodal.MediaMeta =
+    if (kind != "image") decodeStub(kind, rawBytes)
+    else {
+      val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map(b => f"$b%02x").mkString
+      graft.engine.validate.ImageProbe.dimensions(bytes) match {
+        case Some((w, h)) => Multimodal.MediaMeta(
+          kind = "image", width = w, height = h, nFrames = 1,
+          sampleRateHz = 0, nBytes = bytes.length.toLong, sha256 = sha,
+          decodeStatus = "ok")
+        case None => Multimodal.MediaMeta(
+          kind = "image", width = -1, height = -1, nFrames = 0,
+          sampleRateHz = 0, nBytes = bytes.length.toLong, sha256 = sha,
+          decodeStatus = graft.engine.validate.ImageProbe.diagnose(bytes))
+      }
+    }
+
+  /** STUB DECODE — deterministic fake for the AUDIO/VIDEO kinds: those
+    * codecs are not installed in this container. Dimensions derive from
+    * the first payload bytes so results are stable across
+    * runs/executors; `sha256`/`nBytes` are real. Replace this body with
     * javacv / soundfile calls to go live — the signature is the
-    * production contract.
+    * production contract (images already decode for real, see
+    * [[decode]]).
     */
   /** STUB FEATURE EXTRACTOR — deterministic byte-class counts standing
     * in for a real embedding model (none installed in this container):
@@ -172,6 +211,7 @@ object MediaDecoder {
       nFrames = if (kind == "video") bytes.length % 300 + 1 else 1,
       sampleRateHz = if (kind == "audio") 16000 else 0,
       nBytes = bytes.length.toLong,
-      sha256 = sha)
+      sha256 = sha,
+      decodeStatus = "stubbed")
   }
 }

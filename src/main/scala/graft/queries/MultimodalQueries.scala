@@ -87,6 +87,24 @@ object MultimodalQueries {
         .orderBy("img_id")
     },
 
+    // -- m5: the SAME real-decode kernel, but through the Multimodal
+    //    withMeta path (typed mapPartitions batch decode + meta join on
+    //    path) instead of a bare UDF — gating the full multimodal
+    //    plumbing: binary payload → partition-batched MediaDecoder
+    //    .decode → typed struct → joined back without row
+    //    multiplication. Oracle reads the stored expected columns; the
+    //    "ok"-status coalesce mirrors m4's -1 convention. -------------
+    "m5_real_dims" -> { (s, _) =>
+      writeM4Fixture(s)
+      val media = s.read.parquet(m4Dir)
+        .withColumn("path", concat(lit("mem://img/"), col("img_id")))
+      graft.multimodal.Multimodal.withMeta(media, "image")
+        .select(col("img_id"), col("meta.width").as("w"),
+          col("meta.height").as("h"),
+          col("meta.decodeStatus").as("status"))
+        .orderBy("img_id")
+    },
+
     "m1_binary_meta" -> { (s, d) =>
       // text → utf-8 bytes as the stand-in media payload
       val blob = col("text").cast("binary")
@@ -153,6 +171,11 @@ object MultimodalQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    "m5_real_dims" ->
+      s"""SELECT img_id, coalesce(exp_w, -1) AS w, coalesce(exp_h, -1) AS h,
+         |  exp_status AS status
+         |FROM read_parquet('$m4Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
     "m4_image_dims" ->
       s"""SELECT img_id, coalesce(exp_w, -1) AS w, coalesce(exp_h, -1) AS h,
          |  exp_status AS status

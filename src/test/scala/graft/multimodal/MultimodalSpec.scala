@@ -7,10 +7,30 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no writer for $fmt")
+    bos.toByteArray
+  }
+
+  private def writeBytes(p: java.nio.file.Path, b: Array[Byte]): Unit = {
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, b)
+    ()
+  }
+
   private def mediaDir = {
     val d = tmpDir("media")
-    write(d.resolve("a.img"), "AAAAAAAA")
-    write(d.resolve("b.img"), "BBBBBBBBBBBBBBBB")
+    writeBytes(d.resolve("a.png"), encodeImage("png", 40, 24))
+    writeBytes(d.resolve("b.jpg"), encodeImage("jpg", 64, 48))
     write(d.resolve(".hidden"), "x")
     d
   }
@@ -18,20 +38,25 @@ class MultimodalSpec extends SparkSpec {
   test("scan: binary payloads with names, hidden files skipped") {
     val df = Multimodal.scan(spark, mediaDir.toString)
     val rows = df.select("name").as[String].collect().toSet
-    assert(rows == Set("a.img", "b.img"))
+    assert(rows == Set("a.png", "b.jpg"))
     assert(df.schema("payload").dataType.typeName == "binary")
   }
 
-  test("withMeta: partition-batched decode attaches the typed struct") {
-    val df = Multimodal.withMeta(Multimodal.scan(spark, mediaDir.toString), "image")
-    val metas = df.select(col("name"), col("meta.width"), col("meta.nBytes"),
-      col("meta.sha256")).as[(String, Int, Long, String)].collect()
+  test("withMeta: REAL ImageIO header decode recovers true dimensions") {
+    val d = mediaDir
+    write(d.resolve("junk.img"), "not an image at all")
+    val df = Multimodal.withMeta(Multimodal.scan(spark, d.toString), "image")
+    val metas = df.select(col("name"), col("meta.width"), col("meta.height"),
+      col("meta.decodeStatus"), col("meta.sha256"))
+      .as[(String, Int, Int, String, String)].collect()
       .map(r => r._1 -> r).toMap
-    assert(metas("a.img")._3 == 8L)
-    assert(metas("b.img")._3 == 16L)
-    assert(metas("a.img")._4.length == 64) // real sha256 of the payload
-    // stub dims are deterministic functions of the header bytes
-    assert(metas("a.img")._2 == (('A' % 64) + 1) * 16)
+    assert(metas("a.png")._2 == 40 && metas("a.png")._3 == 24)
+    assert(metas("b.jpg")._2 == 64 && metas("b.jpg")._3 == 48)
+    assert(metas("a.png")._4 == "ok")
+    assert(metas("a.png")._5.length == 64) // real sha256 of the payload
+    // undecodable bytes flow on with -1 dims + diagnosis, never throw
+    assert(metas("junk.img")._2 == -1)
+    assert(metas("junk.img")._4 == "not a recognized image format")
   }
 
   test("withMeta: colliding basenames under recursive lookup keep their own meta") {
@@ -57,6 +82,18 @@ class MultimodalSpec extends SparkSpec {
     // lower(e,l,l,o,o,r,l,d)=8, upper(H,W)=2, punct(, !)=2
     assert(feats(1L).toSeq == Seq(3f, 2f, 2f, 8f, 2f, 2f))
     assert(feats(2L).toSeq == Seq(0f, 0f, 0f, 0f, 0f, 0f))
+  }
+
+  test("decode dispatch: audio/video stay stubbed and say so") {
+    val m = MediaDecoder.decode("audio", "some waveform".getBytes("UTF-8"))
+    assert(m.decodeStatus == "stubbed" && m.sampleRateHz == 16000)
+    val v = MediaDecoder.decode("video", ("x" * 10).getBytes("UTF-8"))
+    assert(v.decodeStatus == "stubbed" && v.nFrames == 11)
+    // real image path through the same entry point
+    val i = MediaDecoder.decode("image", encodeImage("gif", 20, 10))
+    assert(i.decodeStatus == "ok" && i.width == 20 && i.height == 10)
+    val bad = MediaDecoder.decode("image", null)
+    assert(bad.width == -1 && bad.decodeStatus == "file is empty")
   }
 
   test("resizePlan preserves aspect ratio within the target box") {
