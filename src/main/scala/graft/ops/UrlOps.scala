@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registrable-domain extraction — the upstream
+  * the per-source cap ([[Curation.capPerGroup]]) needs: without it
+  * `WWW.X.com:80/?b=1&a=2` and `x.com/?a=2&b=1` count as two sources
+  * and the cap under-groups. Pure column expressions (regexp parse +
+  * array sort), one scan, codegen-friendly, Java ⇄ RE2 parity rules as
+  * everywhere (`\A`/`\z` anchors, no lookarounds).
+  *
+  * Canonical form: `scheme://host[:port]path[?sortedQuery]` with
+  * scheme/host lowercased, userinfo dropped, default ports (http:80,
+  * https:443) dropped, empty path normalized to `/`, query parameters
+  * sorted bytewise with empty params dropped, fragment dropped.
+  * Deliberately NOT done: percent-decoding and dot-segment resolution
+  * (both change semantics on hostile inputs; crawl pipelines normalize
+  * those at fetch time). Non-absolute inputs (no `scheme://`) map to
+  * NULL — fail visible, not a half-canonical string.
+  */
+object UrlOps {
+
+  private val urlPat =
+    "\\A([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?\\z"
+
+  /** Bundled public-suffix snapshot: the high-traffic TWO-LABEL public
+    * suffixes (ccTLD second-level registries + the common private
+    * registries a crawl actually meets). A full PSL integration swaps
+    * this Seq for the published list; the matching rule (longest known
+    * suffix wins, registrable domain = suffix + one label) stays.
+    */
+  val defaultMultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.my",
+    "co.in", "co.kr", "co.za", "co.nz", "co.id",
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "cloudfront.net", "herokuapp.com")
+
+  /** Lowercased host of an absolute URL (userinfo and port stripped);
+    * NULL for non-absolute inputs.
+    */
+  def urlHost(url: Column): Column = {
+    val u = trim(url)
+    val auth = regexp_extract(u, urlPat, 2)
+    val hostPort = regexp_replace(auth, "\\A.*@", "")
+    when(u.rlike(urlPat),
+      lower(regexp_replace(hostPort, ":[0-9]*\\z", "")))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Canonical URL string (see object doc); NULL for non-absolute
+    * inputs.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, urlPat, 1))
+    val auth = regexp_extract(u, urlPat, 2)
+    val path0 = regexp_extract(u, urlPat, 3)
+    val query0 = regexp_extract(u, urlPat, 4)
+    val hostPort = regexp_replace(auth, "\\A.*@", "")
+    val host = lower(regexp_replace(hostPort, ":[0-9]*\\z", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)\\z", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qInner = regexp_replace(query0, "\\A\\?", "")
+    val sortedQ = array_join(
+      array_sort(filter(split(qInner, "&"), p => p =!= "")), "&")
+    val canon = concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+    when(u.rlike(urlPat), canon).otherwise(lit(null).cast("string"))
+  }
+
+  /** Registrable domain (eTLD+1) of an already-extracted lowercase
+    * host: the last two labels, or three when the last two form a
+    * known multi-part public suffix (`bbc.co.uk`, not `co.uk`).
+    * Single-label hosts (`localhost`) and NULLs pass through — they
+    * have no registrable domain and their own value is the best
+    * grouping key available. IP literals group as-is (the heuristic
+    * yields the last two octets' dotted tail — acceptable for a cap
+    * key; a pipeline that must treat IPs specially filters them first
+    * with a `[0-9.]+` match).
+    */
+  def registrableDomain(host: Column,
+                        multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".", element_at(labels, -3),
+      element_at(labels, -2), element_at(labels, -1))
+    when(host.isNull || n < 2, host)
+      .when(n >= 3 && array_contains(typedLit(multiPartSuffixes), lastTwo),
+        lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** eTLD+1 straight from a raw URL — the one-call grouping key for
+    * [[Curation.capPerGroup]]: `capPerGroup(df.withColumn("domain",
+    * registrableDomainFromUrl(col("url"))), Seq("domain"), …)`.
+    */
+  def registrableDomainFromUrl(url: Column,
+                               multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes): Column =
+    registrableDomain(urlHost(url), multiPartSuffixes)
+}

@@ -32,7 +32,48 @@ object CurationQueries {
       |  WHEN doc_id % 5 = 2 THEN ' from 10.0.0.' || (doc_id % 256)
       |  ELSE '' END""".stripMargin
 
+  /** c10 fixture URLs: four deterministic shapes cycling with
+    * doc_id % 4 — case-mangled host + default port + unsorted query +
+    * fragment; an https co.uk with default port and duplicate-key
+    * params; a userinfo + non-default port; an ftp (port rules don't
+    * apply). Same string algebra both engines.
+    */
+  private def c10Url = {
+    val k = (col("doc_id") % 7).cast("string")
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTP://WWW.Example"), k, lit(".COM:80/path/a?b=2&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://News.Site"), k, lit(".co.uk:443/?z=1&y=2&z=0")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("http://user:pw@Host"), k, lit(".ORG:8080/x/y")))
+      .otherwise(concat(lit("ftp://Files.Example"), k, lit(".NET:21/pub")))
+  }
+
+  private val c10UrlSql =
+    """CASE
+      |  WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Example' || (doc_id % 7) || '.COM:80/path/a?b=2&a=1#frag'
+      |  WHEN doc_id % 4 = 1 THEN 'https://News.Site' || (doc_id % 7) || '.co.uk:443/?z=1&y=2&z=0'
+      |  WHEN doc_id % 4 = 2 THEN 'http://user:pw@Host' || (doc_id % 7) || '.ORG:8080/x/y'
+      |  ELSE 'ftp://Files.Example' || (doc_id % 7) || '.NET:21/pub'
+      |END""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- c10: URL canonicalization + registrable domain (eTLD+1) — the
+    //    per-source cap's grouping key. Canonical strings are under
+    //    the hash, so scheme/host case-folding, userinfo/default-port/
+    //    fragment drop, query sort and the multi-part-suffix rule are
+    //    all pinned exactly. ------------------------------------------
+    "c10_url_canon" -> { (s, d) =>
+      import graft.ops.UrlOps
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .withColumn("url", c10Url)
+        .select(col("doc_id"),
+          UrlOps.canonicalizeUrl(col("url")).as("canon"),
+          UrlOps.registrableDomainFromUrl(col("url")).as("domain"))
+        .orderBy("doc_id")
+    },
+
     // -- c1: hash-stable train/val/test assignment ---------------------
     "c1_split_assign" -> { (s, d) =>
       Curation.withSplit(Tables.documents(s, d), "doc_id",
@@ -147,6 +188,52 @@ object CurationQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // The canonicalization cascade rebuilt step-for-step in SQL CTEs;
+    // the suffix list literal is generated from the SAME Scala Seq the
+    // engine uses, so the two sides cannot drift.
+    "c10_url_canon" -> {
+      val suffixes = graft.ops.UrlOps.defaultMultiPartSuffixes
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val pat = "'\\A([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?\\z'"
+      s"""WITH u0 AS (
+         |  SELECT doc_id, trim($c10UrlSql) AS u
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), p AS (
+         |  SELECT doc_id, u,
+         |    lower(regexp_extract(u, $pat, 1)) AS scheme,
+         |    regexp_extract(u, $pat, 2) AS auth,
+         |    regexp_extract(u, $pat, 3) AS path0,
+         |    regexp_extract(u, $pat, 4) AS query0
+         |  FROM u0
+         |), h AS (
+         |  SELECT *, regexp_replace(auth, '\\A.*@', '') AS hostport FROM p
+         |), hp AS (
+         |  SELECT *,
+         |    lower(regexp_replace(hostport, ':[0-9]*\\z', '')) AS host,
+         |    regexp_extract(hostport, ':([0-9]+)\\z', 1) AS port
+         |  FROM h
+         |), q AS (
+         |  SELECT *, array_to_string(list_sort(list_filter(
+         |    string_split(regexp_replace(query0, '\\A\\?', ''), '&'),
+         |    x -> x <> '')), '&') AS sq
+         |  FROM hp
+         |), dom AS (
+         |  SELECT *, string_split(host, '.') AS labels FROM q
+         |)
+         |SELECT doc_id,
+         |  scheme || '://' || host ||
+         |  CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+         |         OR (scheme = 'https' AND port = '443'))
+         |       THEN ':' || port ELSE '' END ||
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+         |  CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon,
+         |  CASE WHEN len(labels) < 2 THEN host
+         |       WHEN len(labels) >= 3 AND list_contains($suffixes,
+         |              labels[-2] || '.' || labels[-1])
+         |       THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         |       ELSE labels[-2] || '.' || labels[-1] END AS domain
+         |FROM dom ORDER BY doc_id""".stripMargin
+    },
     // Bucket math mirrors LabelHashBucket: unsigned first-8-bytes of
     // sha256(id) mod 100, reconstructed from the hex digest in HUGEINT
     // arithmetic (the p5_label_bucket oracle pattern).
