@@ -24,6 +24,9 @@ object Bench {
   /** Every registered gate query, sorted for stable output order. */
   def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  /** Optional trailing args restrict the run to those queries (local
+    * A/B iteration); the driver's no-arg invocation still times all.
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,11 +72,18 @@ object Bench {
 
     // Interleaved passes: pass i runs every query once. Samples land in
     // samples(name) in pass order.
+    val selected =
+      if (args.isEmpty) headline
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        headline.filter(args.contains)
+      }
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Boolean)]](
-      headline.map(_ -> Vector.empty[(Double, Boolean)]): _*)
-    for (pass <- 1 to iters; name <- headline) {
+      selected.map(_ -> Vector.empty[(Double, Boolean)]): _*)
+    for (pass <- 1 to iters; name <- selected) {
       samples(name) = samples(name) :+ runOnce(name)
-      if (name == headline.last)
+      if (name == selected.last)
         System.err.println(s"[bench] pass $pass/$iters done")
     }
 
@@ -83,7 +93,7 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       val runs = samples(name)
       val okRuns = runs.collect { case (sec, true) => sec }
       // A query is "ok" only if every iteration succeeded — a

@@ -789,10 +789,22 @@ object Dedup {
   def embeddingNearDupAgainst(incoming: DataFrame, seen: DataFrame,
                               idCol: String, vecCol: String,
                               threshold: Double = 0.99, planes: Int = 128,
-                              bands: Int = 8, maxBucket: Int = 10000): DataFrame =
-    embeddingAgainstCore(incoming,
-      buildEmbeddingIndex(seen, idCol, vecCol, planes, bands),
-      idCol, vecCol, threshold, planes, bands, maxBucket)
+                              bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    // The persist is load-bearing beyond the two-reads economy (banded
+    // leg + cosine verify): an UN-materialized index is a Project whose
+    // `band_keys` alias Catalyst substitutes when it pushes the
+    // Generate's inferred `size(band_keys) > 0` filter down through it
+    // — re-evaluating the planes×dim sketch UDF per filter conjunct,
+    // 3× per corpus row (measured 1.7× wall on the whole operator).
+    // InferFiltersFromGenerate skips expensive generator inputs, but
+    // alias substitution through an in-flight Project reintroduces
+    // them; the cache boundary is what keeps the sketch single-pass.
+    val idx = buildEmbeddingIndex(seen, idCol, vecCol, planes, bands)
+      .persist()
+    try embeddingAgainstCore(incoming, idx, idCol, vecCol, threshold,
+      planes, bands, maxBucket)
+    finally idx.unpersist()
+  }
 
   private def embeddingAgainstCore(incoming: DataFrame, index: DataFrame,
                                    idCol: String, vecCol: String,
