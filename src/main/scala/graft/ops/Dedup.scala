@@ -66,6 +66,93 @@ object Dedup {
         sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
         min("keeper").as("min_keeper"))
 
+  /** SEGMENT-level exact dedup WITHIN documents across the corpus — the
+    * C4 / CCNet cleanup that document-level dedup cannot do: boilerplate
+    * lines and paragraphs (navigation, footers, cookie banners) repeat
+    * across millions of otherwise-distinct pages, and the pipeline must
+    * remove the repeated SEGMENTS while keeping the documents. Splits
+    * `textCol` on `sep` (a literal, not a regex), counts each segment's
+    * corpus-wide occurrences, and rebuilds every document from the kept
+    * segments in original order. Returns
+    * `(idCol, text_clean, n_segments, n_kept)` — one row per input row,
+    * including rows whose text is NULL/empty (0 segments, empty clean
+    * text) or whose every segment was dropped.
+    *
+    * Keep rule: a segment survives iff its corpus-wide count is ≤
+    * `maxOccurrences` (default 1: only globally-unique segments stay),
+    * OR it is shorter than `minChars` (short/empty segments — blank
+    * lines, "Introduction" — are structure, not signal; they are exempt
+    * and always kept). With `keepFirst = true` the single occurrence
+    * with the smallest `(idCol, position)` additionally survives, so a
+    * duplicated paragraph's content is retained exactly once in the
+    * corpus (C4's rule) instead of dropped everywhere (CCNet's).
+    *
+    * Scale shape: the occurrence count aggregates on a 256-bit digest —
+    * map-side partial, only digests shuffle. The drop decision comes
+    * back as a per-document position set (narrow: id + integer array,
+    * bounded by segments-per-doc), joined onto the exploded segments BY
+    * ID — the same key the rebuild aggregates on, so segment text
+    * crosses the wire exactly once and the final aggregate reuses the
+    * join's partitioning. No window over the corpus, no global sort;
+    * per-doc `sort_array(collect_list)` is bounded by document size,
+    * the same bound `chunkDocuments` and every per-doc aggregate
+    * already assumes.
+    *
+    * CONTRACT: `idCol` non-null and unique (the rebuild groups by it;
+    * duplicate ids would merge documents). NULL text is treated as zero
+    * segments, never an error.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+                    sep: String = "\n", maxOccurrences: Long = 1,
+                    minChars: Int = 1,
+                    keepFirst: Boolean = false): DataFrame = {
+    require(sep.nonEmpty, "sep must be a non-empty literal separator")
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1")
+    require(idCol != "text_clean",
+      "idCol 'text_clean' collides with an output column")
+    val sepPattern = java.util.regex.Pattern.quote(sep)
+    // A NULL/empty text splits to [""] — a phantom segment. Filter on
+    // the (still in scope) raw text so such rows contribute zero
+    // segments; the final left join restores them as empty documents.
+    val segs = df
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol),
+        posexplode(split(col("__t"), sepPattern))
+          .as(Seq("__pos", "__seg")))
+    val eligible = segs.filter(length(col("__seg")) >= minChars)
+      .select(col(idCol), col("__pos"), sha2(col("__seg"), 256).as("__d"))
+    val dupDigests = eligible.groupBy("__d")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("__pos"))).as("__first"))
+      .filter(col("__n") > maxOccurrences)
+    val dropPositions = eligible
+      .join(dupDigests, Seq("__d"))
+      .filter(if (keepFirst)
+        not(struct(col(idCol), col("__pos")) === col("__first"))
+      else lit(true))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__drops"))
+    val rebuilt = segs
+      .join(dropPositions, Seq(idCol), "left")
+      .withColumn("__keep",
+        col("__drops").isNull || !array_contains(col("__drops"), col("__pos")))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__seg"))))),
+          _.getField("__seg")), sep).as("text_clean"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Incremental dedup: keep only `incoming` rows whose content — the
     * `on` columns, null-tagged — does not already appear in `seen`.
     * The standard "dedup the new crawl against the ingested corpus"

@@ -86,6 +86,26 @@ object DedupQueries {
       graft.ops.Dedup.exactStats(corpusExact(s, d), "text", "doc_id")
     },
 
+    // -- d14: SEGMENT-level dedup (C4/CCNet paragraph rule). The flat
+    //    corpus has no newlines, so the gate synthesizes 4-line docs:
+    //    two unique body slices, a footer shared by ALL docs (dropped
+    //    everywhere), and a promo header shared by every %10==0 doc
+    //    (dropped everywhere), with minChars exempting the short/empty
+    //    tail slices. Oracle replicates split → global count → ordered
+    //    rebuild in SQL. ------------------------------------------------
+    "d14_segment_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ml = docs.select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 10 === 0, lit("promo header repeated line"))
+            .otherwise(substring(col("text"), 1, 40)),
+          substring(col("text"), 41, 40),
+          lit("shared footer boilerplate"),
+          substring(col("text"), 81, 40)).as("text"))
+      graft.ops.Dedup.dedupSegments(ml, "doc_id", "text", minChars = 5)
+        .orderBy("doc_id")
+    },
+
     // -- the user-facing keeper API: exact() keeps the min-id row per
     //    content group (min_by aggregate — the plan spec lives in
     //    OpsSpec; this pins the VALUES under the driver hash) ----------
@@ -336,6 +356,39 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Same synthetic 4-line construction, then: explode with position,
+    // count segments >= 5 chars globally, keep a segment iff short/
+    // exempt or globally unique, rebuild per doc in position order
+    // (string_agg skips the NULLed-out dropped segments but keeps
+    // kept empty strings, matching array_join).
+    "d14_segment_dedup" ->
+      """WITH ml AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      CASE WHEN doc_id % 10 = 0 THEN 'promo header repeated line'
+        |           ELSE substr(text, 1, 40) END,
+        |      substr(text, 41, 40),
+        |      'shared footer boilerplate',
+        |      substr(text, 81, 40)) AS text
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS seg,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM ml WHERE length(text) > 0),
+        |cnt AS (
+        |  SELECT seg, count(*) AS n FROM seg
+        |  WHERE length(seg) >= 5 GROUP BY seg),
+        |keep AS (
+        |  SELECT s.doc_id, s.pos, s.seg,
+        |    (length(s.seg) < 5 OR coalesce(c.n, 0) <= 1) AS kept
+        |  FROM seg s LEFT JOIN cnt c ON s.seg = c.seg)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN kept THEN seg END, chr(10)
+        |    ORDER BY pos), '') AS text_clean,
+        |  count(*)::BIGINT AS n_segments,
+        |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d1_dedup_exact" ->
       s"""SELECT sum(n)::BIGINT AS n_rows, count(*) AS n_distinct_text,
          | sum(n-1)::BIGINT AS n_dupes_removed,

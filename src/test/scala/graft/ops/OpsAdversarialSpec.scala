@@ -39,6 +39,27 @@ class OpsAdversarialSpec extends SparkSpec {
     assert(fps(5L) != fps(2L))
   }
 
+  test("dedupSegments survives hostile text and regex-metachar separators") {
+    // NULL/empty → 0-segment empty docs; everything else rebuilds
+    // verbatim (no cross-doc repeated segment in the hostile set).
+    val out = Dedup.dedupSegments(hostile, "id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("", 0L)) && out(2L) == (("", 0L)))
+    assert(out(6L) == (("漢字テスト", 1L)))
+    assert(out(7L) == (("emoji 😀 text", 1L)))
+    // A regex metacharacter separator is a LITERAL: "a.b|c" on sep="."
+    // must split to ["a", "b|c"], never per-character.
+    val dotted = Seq((1L, "a.b|c"), (2L, "z.b|c")).toDF("id", "text")
+    val byDot = Dedup.dedupSegments(dotted, "id", "text", sep = ".")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // At minChars=1 every non-empty segment participates: "a"/"z" are
+    // unique (kept), "b|c" repeats in both docs (dropped everywhere).
+    assert(byDot(1L) == "a")
+    assert(byDot(2L) == "z")
+  }
+
   test("near-dup pipelines treat contentless docs as one dup class, nothing else") {
     // NULL, "" and "   " all shingle to the {hash("")} sentinel →
     // jaccard 1 among themselves (two blank docs ARE duplicates); no

@@ -337,6 +337,69 @@ class DedupOpsSpec extends SparkSpec {
     val uncapped = Dedup.minhashCandidates(many, "id", "text", maxBucket = 1000)
     assert(uncapped.count() == 50L * 49 / 2)
   }
+
+  test("dedupSegments drops cross-doc repeated lines, keeps order") {
+    val docs = Seq(
+      (1L, "unique alpha\nshared footer line\nunique beta"),
+      (2L, "unique gamma\nshared footer line"),
+      (3L, "only unique content here")).toDF("id", "text")
+    val out = Dedup.dedupSegments(docs, "id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("unique alpha\nunique beta", 3L, 2L)))
+    assert(out(2L) == (("unique gamma", 2L, 1L)))
+    assert(out(3L) == (("only unique content here", 1L, 1L)))
+  }
+
+  test("dedupSegments keepFirst retains the (min id, min pos) occurrence") {
+    val docs = Seq(
+      (2L, "dup line\nown two"),
+      (1L, "own one\ndup line\ndup line"), // within-doc repeat counts too
+      (3L, "dup line")).toDF("id", "text")
+    val out = Dedup.dedupSegments(docs, "id", "text", keepFirst = true)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // Global first occurrence is (id=1, pos=1): doc 1 keeps ONE copy,
+    // docs 2 and 3 lose theirs.
+    assert(out(1L) == (("own one\ndup line", 2L)))
+    assert(out(2L) == (("own two", 1L)))
+    assert(out(3L) == (("", 0L)))
+    // Default rule drops every occurrence including the first.
+    val all = Dedup.dedupSegments(docs, "id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(all(1L) == "own one")
+  }
+
+  test("dedupSegments: minChars exempts short segments; maxOccurrences; empty docs") {
+    val docs = Seq(
+      (1L, "aa\n\nlong repeated paragraph"),
+      (2L, "aa\n\nlong repeated paragraph"),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("id", "text")
+    // "aa" (2 chars) and blank lines are exempt below minChars=3.
+    val out = Dedup.dedupSegments(docs, "id", "text", minChars = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("aa\n", 3L, 2L)))
+    assert(out(2L) == (("aa\n", 3L, 2L)))
+    assert(out(3L) == (("", 0L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))
+    // maxOccurrences = 2 tolerates the pair.
+    val loose = Dedup.dedupSegments(docs, "id", "text", minChars = 3,
+      maxOccurrences = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(loose(1L) == "aa\n\nlong repeated paragraph")
+  }
+
+  test("dedupSegments plans no window and no cartesian") {
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("id", "text")
+    val plan = Dedup.dedupSegments(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unexpected cartesian:\n$plan")
+  }
 }
 
 class SimilarityOpsSpec extends SparkSpec {
