@@ -180,6 +180,64 @@ object StreamingIngest {
       : DataFrame =
     graft.ops.Dedup.dedupAgainstBloomPrefilter(stream, seen, on, bloom)
 
+  /** Streaming NEAR-dup filter against a persisted corpus signature
+    * index ([[graft.ops.Dedup.buildMinhashIndex]], loaded once —
+    * persist it for the query's lifetime): each microbatch drops rows
+    * within jaccard `threshold` of ANY indexed document and hands the
+    * KEPT slice to `writeKept` with the batch id.
+    *
+    * Shaped as `foreachBatch`, not a stream-static join, because the
+    * index probe is a multi-action pipeline (candidate materialization,
+    * verify checkpoint) that streaming plans cannot express — inside
+    * the epoch the microbatch is a plain batch frame and the full
+    * index path runs unchanged. At-least-once epoch delivery means
+    * `writeKept` must be idempotent (keyed write / overwrite-by-batch),
+    * the same contract as [[upsertSink]].
+    *
+    * Growing the index is the caller's lifecycle, exactly as in batch:
+    * append the kept slice's `buildMinhashIndex` rows to the index
+    * store from inside `writeKept` (covered by the epoch commit). The
+    * STATIC frame passed here does not see appends until the query
+    * restarts — within a run, the corpus the stream dedups against is
+    * the one loaded at start, which is the same semantics the
+    * stream-static exact-dedup joins above provide.
+    */
+  def nearDupAgainstIndexSink(stream: DataFrame, index: DataFrame,
+                              idCol: String, textCol: String,
+                              queryName: String, threshold: Double = 0.8,
+                              maxBucket: Int = 10000)
+                             (writeKept: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeKept(graft.ops.Dedup.nearDupAgainstIndex(batch, index,
+          idCol, textCol, threshold, maxBucket), batchId)
+      }
+      .start()
+
+  /** Embedding sibling of [[nearDupAgainstIndexSink]]: microbatches
+    * drop vectors within cosine `threshold` of the persisted
+    * [[graft.ops.Dedup.buildEmbeddingIndex]]. Same epoch/idempotence
+    * and index-growth contracts.
+    */
+  def embeddingNearDupAgainstIndexSink(stream: DataFrame, index: DataFrame,
+                                       idCol: String, vecCol: String,
+                                       queryName: String,
+                                       threshold: Double = 0.99,
+                                       maxBucket: Int = 10000)
+                                      (writeKept: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeKept(graft.ops.Dedup.embeddingNearDupAgainstIndex(batch, index,
+          idCol, vecCol, threshold, maxBucket), batchId)
+      }
+      .start()
+
   /** Per-microbatch upsert outcome handed to [[upsertSink]]'s
     * `onBatch` hook. `failedKeys` carries the key-column value of every
     * row that exhausted its retries (the same channel the batch

@@ -290,4 +290,59 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("bloom_stream").select("id").as[Long].collect().toSet
     assert(ids == Set(11L, 13L))
   }
+
+  test("streaming near-dup vs signature index: near-dups drop per microbatch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Doc 1 is long (30 tokens) so a one-token truncation stays above
+    // jaccard 0.8; the index is built once.
+    val longDoc = (1 to 30).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, longDoc),
+      (2L, "an entirely different corpus document about stream processing"))
+      .toDF("id", "text")
+    val index = graft.ops.Dedup.buildMinhashIndex(corpus, "id", "text").persist()
+    val kept = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batch, id)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngest.nearDupAgainstIndexSink(
+      input.toDF().toDF("id", "text"), index, "id", "text", "neardup_sink") {
+      (keptDf, batchId) =>
+        kept.synchronized {
+          kept ++= keptDf.select("id").as[Long].collect().map(batchId -> _)
+        }
+    }
+    // Batch 0: a near-dup of doc 1 (last token dropped, jaccard ≈ 0.96)
+    // and a novel doc. Batch 1: a verbatim copy of doc 2 and another novel.
+    input.addData(
+      (10L, (1 to 29).map(i => s"word$i").mkString(" ")),
+      (11L, "completely novel crawl content with no overlap whatsoever okay"))
+    q.processAllAvailable()
+    input.addData((12L, "an entirely different corpus document about stream processing"),
+      (13L, "yet another genuinely new page of text for the second batch"))
+    q.processAllAvailable()
+    q.stop()
+    index.unpersist()
+    assert(kept.map(_._2).toSet == Set(11L, 13L))
+  }
+
+  test("streaming embedding near-dup vs sign-sketch index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(seed * 31 + i * 7).toFloat)
+    val corpus = Seq((1L, vec(1)), (2L, vec(2))).toDF("id", "emb")
+    val index = graft.ops.Dedup.buildEmbeddingIndex(corpus, "id", "emb").persist()
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingIngest.embeddingNearDupAgainstIndexSink(
+      input.toDF().toDF("id", "emb"), index, "id", "emb", "embdup_sink") {
+      (keptDf, _) =>
+        kept.synchronized { kept ++= keptDf.select("id").as[Long].collect() }
+    }
+    input.addData((10L, vec(1)),  // exact copy of corpus vec 1 → dropped
+      (11L, vec(99)))             // decorrelated → kept
+    q.processAllAvailable()
+    q.stop()
+    index.unpersist()
+    assert(kept.toSet == Set(11L))
+  }
 }
