@@ -72,6 +72,44 @@ object TextAnalysis {
   def qualityScore(punctRatio: Column, digitRatio: Column, stopRatio: Column): Column =
     round(lit(1.0) - punctRatio - digitRatio + least(stopRatio, lit(0.2)), 4)
 
+  /** Hashed-feature LINEAR quality classifier — the scoring half of the
+    * fastText-style model every published curation pipeline (CCNet,
+    * RefinedWeb, FineWeb) runs after the rule-based filters: tokens
+    * hash into `weights.length` buckets (the hashing trick — no
+    * vocabulary file ships with the job, collisions are part of the
+    * model), the document's score is
+    * `sigmoid(bias + mean(weights[bucket(token)]))`, and training
+    * happens OFFLINE (a logistic regression over the same hashed
+    * features on a labeled sample) — at 100 TB inference must be a
+    * column expression on the scan, never model-server calls.
+    *
+    * Pure column algebra: one `regexp_extract_all` tokenize, the
+    * per-token bucket through the codegen'd sha-256 kernel
+    * ([[graft.functions.LabelHashBucket]] — unsigned-64 prefix mod,
+    * SQL-replicable), a higher-order `transform`/`aggregate` dot
+    * product against the weight-array LITERAL riding in the plan
+    * (broadcast-free: |weights| is model-sized, thousands at most).
+    * Zero-token and NULL documents score `sigmoid(bias)` — the model's
+    * prior, not NULL. Tokens the bucket kernel maps to its -1 sentinel
+    * ("nan"-like) are excluded on both engines' sides of the gate.
+    */
+  def hashedLinearScore(textCol: Column, weights: Seq[Double],
+                        bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val d = weights.length
+    val w = typedLit(weights.toArray)
+    val toks = filter(
+      when(textCol.isNull, array().cast("array<string>"))
+        .otherwise(regexp_extract_all(textCol,
+          lit("[^ \\t\\n\\f\\r]+"), lit(0))),
+      t => !lower(t).eqNullSafe("nan"))
+    val summed = aggregate(toks, lit(0.0),
+      (acc, t) => acc + element_at(w, F.labelBucket(t, d) + 1))
+    val n = size(toks)
+    val z = lit(bias) + when(n === 0, lit(0.0)).otherwise(summed / n)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Repetition signals — the published web-curation rules (Gopher's
     * repetition filters, RefinedWeb's duplicate-n-gram fractions) as
     * pure column algebra, one scan, no UDF:

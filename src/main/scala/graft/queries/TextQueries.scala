@@ -21,6 +21,24 @@ object TextQueries {
   private val deMarkers = TextAnalysis.markers("de")
   private val frMarkers = TextAnalysis.markers("fr")
 
+  /** Deterministic 64-bucket weight vector + bias for the t15 gate —
+    * a stand-in for offline-trained logistic-regression weights; the
+    * oracle embeds the identical literals.
+    */
+  private val t15Weights: Seq[Double] =
+    Seq.tabulate(64)(i => (i % 7 - 3) / 10.0)
+  private val t15Bias = 0.2
+
+  /** The LabelHashBucket kernel (unsigned 64-bit sha-256 prefix, mod
+    * buckets) as a DuckDB expression over lambda variable `t` — the
+    * p5 oracle's HUGEINT digit sum, flattened to 16 literal terms
+    * because lambdas cannot contain subqueries.
+    */
+  private val t15BucketSql: String = (1 to 16)
+    .map(i => s"(strpos('0123456789abcdef', substr(sha256(t), $i, 1)) - 1)" +
+      s"::HUGEINT * (1::HUGEINT << ${(16 - i) * 4})")
+    .mkString("((", " + ", ") % 64)::INT")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- language-ID heuristic: marker-word occurrence scoring with a
     //    deterministic argmax (tie order en > es > de > fr > unknown).
@@ -213,6 +231,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t15: hashed-feature linear quality classifier (fastText-style
+    //    scoring): per-token sha-256 hash bucket → weight lookup → mean
+    //    → sigmoid, all column algebra. Per-doc scores UNDER the hash
+    //    certify the whole chain: tokenize, bucket kernel, weight
+    //    indexing, empty-doc prior. ------------------------------------
+    "t15_quality_classifier" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TextAnalysis.hashedLinearScore(col("text"), t15Weights,
+            t15Bias), 6).as("q_score"))
+        .orderBy("doc_id")
+    },
+
     // -- Gopher line-level quality rules over deterministically dirtied
     //    text (every 4th doc gains bullets, 4th+1 a trailing ellipsis,
     //    4th+2 symbol spam — each rule fires on a knowable subset) ----
@@ -349,6 +380,22 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("len(list_filter(string_split(text,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
+    // Identical hash kernel (flattened HUGEINT digit sum), identical
+    // weight literals, identical tokenize/filter/mean/sigmoid chain.
+    "t15_quality_classifier" ->
+      s"""SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-($t15Bias +
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(toks,
+         |                t -> wl[$t15BucketSql + 1])) / len(toks)
+         |    END))), 6) AS q_score
+         |FROM (
+         |  SELECT doc_id,
+         |    list_filter(regexp_extract_all(coalesce(text, ''),
+         |      '[^ \t\n\f\r]+'), t -> lower(t) != 'nan') AS toks
+         |  FROM documents),
+         |  (SELECT [${t15Weights.mkString(", ")}]::DOUBLE[] AS wl)
+         |ORDER BY doc_id""".stripMargin,
     // Greedy longest-match replicated as a recursive CTE: each word's
     // cursor advances by the longest vocab entry matching at `pos`
     // (the correlated max-length probe), or by one UNKNOWN character.

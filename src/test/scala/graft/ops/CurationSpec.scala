@@ -427,4 +427,27 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("collect_list"),
       s"collect_list buffers the whole (group × partition) cell:\n$plan")
   }
+
+  test("hashedLinearScore: kernel-exact scores, empty prior, nan exclusion") {
+    import graft.functions.LabelHashBucketUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val weights = Seq.tabulate(16)(i => (i - 8) / 10.0)
+    def w(tok: String): Double =
+      weights(LabelHashBucketUtil.bucket(UTF8String.fromString(tok), 16))
+    def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "alpha NaN nan"), // nan-like tokens excluded from the mean
+      (5L, "alpha")).toDF("id", "text")
+    val out = docs.select(col("id"),
+      TextAnalysis.hashedLinearScore(col("text"), weights, bias = 0.3)
+        .as("s")).as[(Long, Double)].collect().toMap
+    val exp1 = sigmoid(0.3 + (w("alpha") + w("beta") + w("gamma")) / 3)
+    assert(math.abs(out(1L) - exp1) < 1e-12)
+    assert(math.abs(out(2L) - sigmoid(0.3)) < 1e-12) // empty → prior
+    assert(math.abs(out(3L) - sigmoid(0.3)) < 1e-12) // NULL → prior
+    assert(math.abs(out(4L) - sigmoid(0.3 + w("alpha"))) < 1e-12)
+    assert(math.abs(out(5L) - sigmoid(0.3 + w("alpha"))) < 1e-12)
+  }
 }
