@@ -331,6 +331,65 @@ object Curation {
       .withColumn("pack_id", floor(cumBefore / capacity))
   }
 
+  /** Deterministic TOKEN-BUDGET subset: the maximal sha-order prefix of
+    * the corpus whose running token total stays ≤ `budget` — "give me a
+    * 50 B-token training subset of this 10 T-token corpus" as one
+    * operator, reproducible across runs, engines and cluster layouts
+    * (the order is `sha256(id)`, never partition or insertion order).
+    * Keeps a row iff the cumulative `tokenCol` sum up to AND INCLUDING
+    * it (in `(sha256(id), id)` order) is within budget; NULL token
+    * counts weigh 0, NULL ids are unrankable and dropped (the
+    * [[withSplit]] contract).
+    *
+    * A global running sum is the textbook scale trap — a windowed
+    * cumsum with no PARTITION BY plans every row into ONE task. This
+    * operator two-levels it instead: rows bucket by the first
+    * `prefixHexDigits` of their sort hash (4096 ordered, sha-uniform
+    * buckets by default), one hash aggregate computes per-bucket token
+    * sums, the driver prefix-scans that tiny vector (4096 longs) into
+    * exclusive per-bucket bases, and a per-BUCKET window adds the base
+    * to the within-bucket cumsum — the same partial-then-offset shape
+    * `packSequences` uses per shard, here derived purely from row
+    * CONTENT so no persist/checkpoint is needed to keep two passes
+    * consistent (`spark_partition_id` would tie the result to physical
+    * planning). The bucket-sum collect is a deliberate driver action at
+    * plan-construction time, like the k-means training loop.
+    */
+  def takeTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+                      budget: Long, prefixHexDigits: Int = 3): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(prefixHexDigits >= 1 && prefixHexDigits <= 8,
+      s"prefixHexDigits must be in [1, 8]: $prefixHexDigits")
+    val reserved = Seq("__graft_ord", "__graft_bkt", "__graft_tok")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"input already has a reserved '$r' column"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.filter(col(idCol).isNotNull)
+      .withColumn("__graft_ord", sha2(col(idCol).cast("string"), 256))
+      .withColumn("__graft_bkt",
+        conv(substring(col("__graft_ord"), 1, prefixHexDigits), 16, 10)
+          .cast("int"))
+      .withColumn("__graft_tok",
+        greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L)))
+    val bucketSums = keyed.groupBy("__graft_bkt")
+      .agg(sum("__graft_tok").as("__graft_sum"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val bases = bucketSums
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+      .toSeq
+    val baseDf = broadcast(bases.toDF("__graft_bkt", "__graft_base"))
+    val w = Window.partitionBy("__graft_bkt")
+      .orderBy("__graft_ord", idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(baseDf, Seq("__graft_bkt"))
+      .withColumn("__graft_cum",
+        col("__graft_base") + sum("__graft_tok").over(w))
+      .filter(col("__graft_cum") <= budget)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** PII patterns redacted by [[redactPii]] — deliberately expressible
     * in both Java regex (Spark) and RE2 (DuckDB oracle parity): no
     * backreferences, no lookarounds.

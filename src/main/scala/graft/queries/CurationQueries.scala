@@ -58,6 +58,20 @@ object CurationQueries {
       |END""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- c11: deterministic token-budget subset — the maximal
+    //    sha256(id)-order prefix whose whitespace-token total stays
+    //    within budget. Kept (doc_id, n_tok) rows are under the hash;
+    //    the oracle replays the same order + inclusive running-sum rule
+    //    with a plain window (oracle scale permits what the operator's
+    //    two-level bucket shape exists to avoid). ---------------------
+    "c11_token_budget" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tok"))
+      Curation.takeTokenBudget(docs, "doc_id", "n_tok", budget = 5000L)
+        .orderBy("doc_id")
+    },
     // -- c10: URL canonicalization + registrable domain (eTLD+1) — the
     //    per-source cap's grouping key. Canonical strings are under
     //    the hash, so scheme/host case-folding, userinfo/default-port/
@@ -188,6 +202,20 @@ object CurationQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Same (sha256(id), id) order, same inclusive running-sum rule —
+    // as one window, which is fine at oracle scale.
+    "c11_token_budget" ->
+      """SELECT doc_id, n_tok FROM (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY sha256(doc_id::VARCHAR), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (
+        |    SELECT doc_id,
+        |      (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |            ELSE len(regexp_extract_all(trim(text), '\S+'))
+        |       END)::BIGINT AS n_tok
+        |    FROM documents))
+        |WHERE cum <= 5000 ORDER BY doc_id""".stripMargin,
     // The canonicalization cascade rebuilt step-for-step in SQL CTEs;
     // the suffix list literal is generated from the SAME Scala Seq the
     // engine uses, so the two sides cannot drift.

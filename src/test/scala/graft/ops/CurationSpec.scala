@@ -428,6 +428,48 @@ class CurationSpec extends SparkSpec {
       s"collect_list buffers the whole (group × partition) cell:\n$plan")
   }
 
+  test("takeTokenBudget: sha-order prefix, exact against a driver reference") {
+    import java.security.MessageDigest
+    def sha(s: String): String =
+      MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (1L to 200L).map(i => (i, (i % 17 + 1).toInt))
+    // Driver reference: same (sha256(id), id) order, same inclusive rule.
+    def reference(budget: Long): Set[Long] = {
+      var acc = 0L
+      rows.sortBy { case (id, _) => (sha(id.toString), id) }
+        .takeWhile { case (_, n) => { acc += n; acc <= budget } }
+        .map(_._1).toSet
+    }
+    val df = rows.toDF("id", "n_tok").repartition(7) // layout-independent
+    for (budget <- Seq(0L, 100L, 777L, 10000L)) {
+      val kept = Curation.takeTokenBudget(df, "id", "n_tok", budget,
+        prefixHexDigits = 1) // 16 buckets: exercises the base offsets
+        .select("id").as[Long].collect().toSet
+      assert(kept == reference(budget), s"budget=$budget")
+    }
+    // Full budget keeps everything; prefix monotonicity.
+    assert(Curation.takeTokenBudget(df, "id", "n_tok", Long.MaxValue / 2)
+      .count() == 200)
+    assert(reference(100L).subsetOf(reference(777L)))
+  }
+
+  test("takeTokenBudget: NULL ids drop, NULL token counts weigh zero") {
+    val df = Seq(
+      (Option(1L), Option(5)), (Option(2L), None),
+      (Option.empty[Long], Option(50)), (Option(3L), Option(5)))
+      .toDF("id", "n_tok")
+    val all = Curation.takeTokenBudget(df, "id", "n_tok", 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L)) // null id gone, null count kept free
+    val plan = Curation.takeTokenBudget(df, "id", "n_tok", 10L)
+      .queryExecution.executedPlan.toString
+    // The window must be per-bucket, never a global single-partition sort.
+    assert(plan.contains("Window"))
+    assert(!plan.contains("Window [") ||
+      plan.contains("__graft_bkt"), s"expected bucket-partitioned window:\n$plan")
+  }
+
   test("hashedLinearScore: kernel-exact scores, empty prior, nan exclusion") {
     import graft.functions.LabelHashBucketUtil
     import org.apache.spark.unsafe.types.UTF8String
