@@ -72,6 +72,42 @@ object TextAnalysis {
   def qualityScore(punctRatio: Column, digitRatio: Column, stopRatio: Column): Column =
     round(lit(1.0) - punctRatio - digitRatio + least(stopRatio, lit(0.2)), 4)
 
+  /** Encoding-damage signals — the mojibake/corruption tells a crawl
+    * pipeline filters on before any content-quality rule (a page whose
+    * bytes were mangled in transit scores plausibly on length/stopword
+    * features while being garbage):
+    *
+    *  - `replacement_char_ratio`: U+FFFD per character — the decoder
+    *    already said "this byte sequence was invalid";
+    *  - `control_char_ratio`: C0 controls (minus \t\n\r, which are
+    *    legitimate text) + DEL + C1 per character — binary-in-text and
+    *    double-decode damage;
+    *  - `mojibake_ratio`: UTF-8-read-as-Latin-1/cp1252 artifacts per
+    *    character — `Ã`/`Â`/`â€` followed by a Latin-1-supplement
+    *    continuation is the signature of é→Ã©, ü→Ã¼, '→â€™.
+    *
+    * Pure `regexp_count` column algebra; every pattern is `\x{...}`
+    * class escapes shared verbatim by Java regex and RE2. NULL/empty
+    * text measures 0.0 ratios (the [[qualityFeatures]] NaN contract).
+    */
+  def encodingQualityFeatures(textCol: Column): Seq[(String, Column)] = {
+    val n = when(textCol.isNull, lit(0)).otherwise(length(textCol))
+    def ratio(cnt: Column): Column =
+      when(n === 0, lit(0.0))
+        .otherwise(coalesce(cnt, lit(0)).cast("double") / n)
+    val repl = regexp_count(textCol, lit("\\x{FFFD}"))
+    val ctrl = regexp_count(textCol,
+      lit("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}" +
+        "\\x{007F}-\\x{009F}]"))
+    val moji = regexp_count(textCol,
+      lit("[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00FF}]|" +
+        "\\x{00E2}\\x{20AC}"))
+    Seq(
+      "replacement_char_ratio" -> ratio(repl),
+      "control_char_ratio" -> ratio(ctrl),
+      "mojibake_ratio" -> ratio(moji))
+  }
+
   /** Hashed-feature LINEAR quality classifier — the scoring half of the
     * fastText-style model every published curation pipeline (CCNet,
     * RefinedWeb, FineWeb) runs after the rule-based filters: tokens

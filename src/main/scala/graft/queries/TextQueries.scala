@@ -244,6 +244,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t16: encoding-damage signals over deterministically injected
+    //    corruption — mojibake pairs (Ã©/Ã¯), C0+C1 control bytes,
+    //    U+FFFD replacement chars, and a cp1252 smart-quote artifact,
+    //    each on a knowable doc_id subset; clean docs must measure
+    //    exactly 0.0 on every ratio. ----------------------------------
+    "t16_encoding_quality" -> { (s, d) =>
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" cafÃ© naÃ¯ve"))
+          .when(col("doc_id") % 6 === 1, lit(" badbyte"))
+          .when(col("doc_id") % 6 === 2, lit(" lost��chars"))
+          .when(col("doc_id") % 6 === 3, lit(" smartâ€™quote"))
+          .otherwise(lit("")))
+      val base = Tables.documents(s, d).withColumn("t", dirty)
+      TextAnalysis.encodingQualityFeatures(col("t"))
+        .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("replacement_char_ratio"), 6).as("avg_repl"),
+          round(avg("control_char_ratio"), 6).as("avg_ctrl"),
+          round(avg("mojibake_ratio"), 6).as("avg_moji"),
+          sum(when(col("replacement_char_ratio") > 0 ||
+            col("control_char_ratio") > 0 ||
+            col("mojibake_ratio") > 0, 1).otherwise(0)).as("n_damaged"))
+        .orderBy("lang")
+    },
+
     // -- Gopher line-level quality rules over deterministically dirtied
     //    text (every 4th doc gains bullets, 4th+1 a trailing ellipsis,
     //    4th+2 symbol spam — each rule fires on a knowable subset) ----
@@ -380,6 +406,38 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("len(list_filter(string_split(text,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
+    // Injection rebuilt from chr() code points (the Scala literals'
+    // exact values), counts via the same \x{...} RE2 classes.
+    "t16_encoding_quality" ->
+      """WITH dirty AS (
+        |  SELECT lang, text || CASE
+        |    WHEN doc_id % 6 = 0 THEN ' caf' || chr(195) || chr(169) ||
+        |      ' na' || chr(195) || chr(175) || 've'
+        |    WHEN doc_id % 6 = 1 THEN ' bad' || chr(1) || chr(2) ||
+        |      chr(159) || 'byte'
+        |    WHEN doc_id % 6 = 2 THEN ' lost' || chr(65533) || chr(65533) || 'chars'
+        |    WHEN doc_id % 6 = 3 THEN ' smart' || chr(226) || chr(8364) ||
+        |      chr(8482) || 'quote'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |feat AS (
+        |  SELECT lang,
+        |    CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |      len(regexp_extract_all(t, '\x{FFFD}'))::DOUBLE / length(t) END AS r_repl,
+        |    CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |      len(regexp_extract_all(t,
+        |        '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]'))::DOUBLE / length(t) END AS r_ctrl,
+        |    CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |      len(regexp_extract_all(t,
+        |        '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]|\x{00E2}\x{20AC}'))::DOUBLE / length(t) END AS r_moji
+        |  FROM dirty)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(r_repl), 6) AS avg_repl,
+        |  round(avg(r_ctrl), 6) AS avg_ctrl,
+        |  round(avg(r_moji), 6) AS avg_moji,
+        |  sum(CASE WHEN r_repl > 0 OR r_ctrl > 0 OR r_moji > 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_damaged
+        |FROM feat GROUP BY lang ORDER BY lang""".stripMargin,
     // Identical hash kernel (flattened HUGEINT digit sum), identical
     // weight literals, identical tokenize/filter/mean/sigmoid chain.
     "t15_quality_classifier" ->

@@ -470,6 +470,30 @@ class CurationSpec extends SparkSpec {
       plan.contains("__graft_bkt"), s"expected bucket-partitioned window:\n$plan")
   }
 
+  test("encodingQualityFeatures: known damage counts, clean text is zero") {
+    val docs = Seq(
+      (1L, "clean plain text"),
+      (2L, "cafÃ©"),            // one mojibake pair in 5 chars
+      (3L, "a�b�c"),            // two replacement chars in 5
+      (4L, "xy"),             // C0 + C1 controls in 4
+      (5L, "tab\tand\nnewline ok"),       // \t \n are NOT damage
+      (6L, ""), (7L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextAnalysis.encodingQualityFeatures(col("text"))
+      .foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+      .select("id", "replacement_char_ratio", "control_char_ratio",
+        "mojibake_ratio")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0.0, 0.0, 0.0)))
+    assert(out(2L) == ((0.0, 0.0, 1.0 / 5)))
+    assert(out(3L) == ((2.0 / 5, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 2.0 / 4, 0.0)))
+    assert(out(5L) == ((0.0, 0.0, 0.0)))
+    assert(out(6L) == ((0.0, 0.0, 0.0)))
+    assert(out(7L) == ((0.0, 0.0, 0.0)))
+  }
+
   test("hashedLinearScore: kernel-exact scores, empty prior, nan exclusion") {
     import graft.functions.LabelHashBucketUtil
     import org.apache.spark.unsafe.types.UTF8String
