@@ -108,6 +108,41 @@ object TextAnalysis {
       "mojibake_ratio" -> ratio(moji))
   }
 
+  /** Unicode text normalization — the canonical pre-dedup fold (C4 and
+    * CCNet normalize before hashing; without it `"don’t"` and `"don't"`
+    * are different shingles and near-dup recall silently drops):
+    *
+    *  - curly/prime quotes → ASCII `'` / `"`;
+    *  - hyphen/dash family (U+2010–U+2015, U+2212) → `-`;
+    *  - ellipsis char → `...`;
+    *  - NBSP + Unicode space family → plain space;
+    *  - zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphen → removed
+    *    (invisible, but they split tokens and defeat exact-dedup);
+    *  - whitespace runs collapsed to one space, ends trimmed.
+    *
+    * Case is deliberately NOT folded — that's a semantic choice the
+    * caller makes (`lower(normalizeText(c))` for dedup keys; raw case
+    * for training text). Pure `regexp_replace` chain — codegen'd, no
+    * UDF; every class is `\x{...}` escapes shared by Java regex and
+    * RE2, and the whitespace class is explicit (Java `\s` and RE2 `\s`
+    * disagree on U+000B). NULL stays NULL.
+    */
+  def normalizeText(c: Column): Column = {
+    val singles = regexp_replace(c,
+      "[\\x{2018}\\x{2019}\\x{201A}\\x{201B}\\x{2032}]", "'")
+    val doubles = regexp_replace(singles,
+      "[\\x{201C}\\x{201D}\\x{201E}\\x{201F}\\x{2033}]", "\"")
+    val dashes = regexp_replace(doubles,
+      "[\\x{2010}-\\x{2015}\\x{2212}]", "-")
+    val ellipsis = regexp_replace(dashes, "\\x{2026}", "...")
+    val spaces = regexp_replace(ellipsis,
+      "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " ")
+    val zeroWidth = regexp_replace(spaces,
+      "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", "")
+    trim(regexp_replace(zeroWidth,
+      "[ \\t\\n\\r\\f\\x{000B}]+", " "))
+  }
+
   /** Hashed-feature LINEAR quality classifier — the scoring half of the
     * fastText-style model every published curation pipeline (CCNet,
     * RefinedWeb, FineWeb) runs after the rule-based filters: tokens

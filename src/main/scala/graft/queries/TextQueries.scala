@@ -270,6 +270,32 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // -- t17: Unicode normalization fold over deterministically
+    //    injected punctuation — curly quotes/em-dash/ellipsis, NBSP +
+    //    thin space, zero-width + soft hyphen, and whitespace runs,
+    //    each on a knowable doc_id subset. The gate emits the
+    //    NORMALIZED STRING itself per doc, so any divergence in any
+    //    rule is a value mismatch, not an averaged-away statistic. ----
+    "t17_normalize" -> { (s, d) =>
+      val inject =
+        when(col("doc_id") % 4 === 0,
+          lit("it’s “quoted” — fine… "))
+          .when(col("doc_id") % 4 === 1,
+            lit("non breaking space "))
+          .when(col("doc_id") % 4 === 2,
+            lit("zero​width­soft "))
+          .otherwise(lit("  runs\t of\n whitespace   "))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("t", concat(inject, col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("t")).as("norm"),
+          (length(col("t")) -
+            length(TextAnalysis.normalizeText(col("t"))))
+            .cast("long").as("n_folded"))
+        .orderBy("doc_id")
+    },
+
     // -- Gopher line-level quality rules over deterministically dirtied
     //    text (every 4th doc gains bullets, 4th+1 a trailing ellipsis,
     //    4th+2 symbol spam — each rule fires on a knowable subset) ----
@@ -406,6 +432,37 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("len(list_filter(string_split(text,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
+    // Injection rebuilt from chr() code points (the Scala literals'
+    // exact values); the same regexp_replace fold chain with 'g', the
+    // same \x{...} classes, and the same explicit whitespace class.
+    "t17_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0 THEN 'it' || chr(8217) || 's ' ||
+        |      chr(8220) || 'quoted' || chr(8221) || ' ' || chr(8212) ||
+        |      ' fine' || chr(8230) || ' '
+        |    WHEN doc_id % 4 = 1 THEN 'non' || chr(160) || 'breaking' ||
+        |      chr(8201) || 'space '
+        |    WHEN doc_id % 4 = 2 THEN 'zero' || chr(8203) || 'width' ||
+        |      chr(173) || 'soft '
+        |    ELSE '  runs' || chr(9) || ' of' || chr(10) || ' whitespace   '
+        |    END || text AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |norm AS (
+        |  SELECT doc_id, t, trim(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t,
+        |        '[\x{2018}\x{2019}\x{201A}\x{201B}\x{2032}]', chr(39), 'g'),
+        |      '[\x{201C}\x{201D}\x{201E}\x{201F}\x{2033}]', '"', 'g'),
+        |      '[\x{2010}-\x{2015}\x{2212}]', '-', 'g'),
+        |      '\x{2026}', '...', 'g'),
+        |      '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+        |      '[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
+        |      '[ \t\n\r\f\x{000B}]+', ' ', 'g')) AS norm
+        |  FROM dirty)
+        |SELECT doc_id, norm,
+        |  (length(t) - length(norm))::BIGINT AS n_folded
+        |FROM norm ORDER BY doc_id""".stripMargin,
     // Injection rebuilt from chr() code points (the Scala literals'
     // exact values), counts via the same \x{...} RE2 classes.
     "t16_encoding_quality" ->

@@ -494,6 +494,37 @@ class CurationSpec extends SparkSpec {
     assert(out(7L) == ((0.0, 0.0, 0.0)))
   }
 
+  test("normalizeText: each fold rule, idempotence, null/empty") {
+    val rows = Seq(
+      (1L, "it’s “fine”"),
+      (2L, "a—b–c−d"),
+      (3L, "wait… ok"),
+      (4L, "non breaking thin　ideographic"),
+      (5L, "zero​width­soft﻿bom"),
+      (6L, "  runs\t of\n whitespace   "),
+      (7L, ""), (8L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = rows
+      .select(col("id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("it's \"fine\""))
+    assert(out(2L).contains("a-b-c-d"))
+    assert(out(3L).contains("wait... ok"))
+    assert(out(4L).contains("non breaking thin ideographic"))
+    assert(out(5L).contains("zerowidthsoftbom"))
+    assert(out(6L).contains("runs of whitespace"))
+    assert(out(7L).contains(""))
+    assert(out(8L).isEmpty)
+    // Idempotence: normalizing the normalized form is a no-op.
+    val twice = rows
+      .select(col("id"),
+        TextAnalysis.normalizeText(col("text")).as("once"),
+        TextAnalysis.normalizeText(
+          TextAnalysis.normalizeText(col("text"))).as("twice"))
+      .filter(col("once") =!= col("twice")).count()
+    assert(twice == 0L)
+  }
+
   test("hashedLinearScore: kernel-exact scores, empty prior, nan exclusion") {
     import graft.functions.LabelHashBucketUtil
     import org.apache.spark.unsafe.types.UTF8String
