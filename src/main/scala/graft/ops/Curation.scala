@@ -390,6 +390,67 @@ object Curation {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Deterministic domain-mix reweighting (DoReMi/Pile-style "hit a
+    * target source distribution"): subsample each group so the kept
+    * rows approximate `parts` as a proportion — e.g.
+    * `Map("web"->70, "code"->20, "books"->10)` keeps web:code:books at
+    * 7:2:1, scaled to the LARGEST total the data can supply (the
+    * binding group — the one scarcest relative to its target — is kept
+    * whole; every other group downsamples to match it). Upsampling is
+    * deliberately out of scope: repeating rows is an epoch decision for
+    * the trainer, not a silent data-engine behavior.
+    *
+    * Determinism and oracle parity: per-group keep thresholds are
+    * computed in EXACT integer arithmetic —
+    * `th(g) = min over g' of floor(n(g') * parts(g) * buckets /
+    * (parts(g') * n(g)))` (monotone floor ⇒ the min over groups equals
+    * the floor of the binding ratio; no float ever enters) — and a row
+    * is kept iff its [[splitBucket]] (stable sha-256 content hash)
+    * lands below its group's threshold. Same inputs ⇒ the same kept
+    * SET on any engine, partitioning or row order; kept counts track
+    * `n(g) * th(g) / buckets` to hash-uniformity accuracy.
+    *
+    * Scale shape: one tiny per-group count aggregate (map-side combine,
+    * ≤ |parts| rows collected), then a single codegen'd filter on the
+    * scan — the group→threshold table rides in the plan as a literal
+    * predicate chain; no join, no shuffle of data rows. Rows whose
+    * group is absent from `parts` (or NULL), and rows whose id cannot
+    * be keyed (the hash's -1 sentinel), are dropped. Groups named in
+    * `parts` but empty in the data are ignored (an unsuppliable target
+    * would otherwise force an empty result).
+    */
+  def mixReweight(df: DataFrame, groupCol: String, idCol: String,
+                  parts: Map[String, Int],
+                  buckets: Int = 10000): DataFrame = {
+    require(parts.nonEmpty, "parts must be non-empty")
+    parts.foreach { case (g, p) =>
+      require(p > 0, s"parts must be positive: $g -> $p") }
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(!df.columns.contains("__graft_bkt"),
+      "input already has a reserved '__graft_bkt' column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = parts.keys.toSeq
+    val counts: Map[String, Long] = df
+      .filter(col(groupCol).isin(groups: _*))
+      .groupBy(col(groupCol).cast("string").as("__g")).count()
+      .as[(String, Long)].collect().toMap
+    val present = parts.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
+    if (present.isEmpty) return df.filter(lit(false))
+    val th: Map[String, Int] = present.map { case (g, pg) =>
+      val ng = BigInt(counts(g))
+      val t = present.map { case (g2, pg2) =>
+        (BigInt(counts(g2)) * pg * buckets) / (BigInt(pg2) * ng)
+      }.min
+      g -> t.min(BigInt(buckets)).toInt
+    }
+    val keyed = df.withColumn("__graft_bkt", splitBucket(col(idCol), buckets))
+    val keep = th.toSeq.sortBy(_._1).map { case (g, t) =>
+      col(groupCol) === g && col("__graft_bkt") < t
+    }.reduce(_ || _)
+    keyed.filter(col("__graft_bkt") >= 0 && keep).drop("__graft_bkt")
+  }
+
   /** PII patterns redacted by [[redactPii]] — deliberately expressible
     * in both Java regex (Spark) and RE2 (DuckDB oracle parity): no
     * backreferences, no lookarounds.

@@ -72,6 +72,19 @@ object CurationQueries {
       Curation.takeTokenBudget(docs, "doc_id", "n_tok", budget = 5000L)
         .orderBy("doc_id")
     },
+    // -- c12: domain-mix reweighting — subsample sources to a 4:3:2:1
+    //    target mix (other sources dropped). Per-source kept counts AND
+    //    sum of kept ids are under the hash, so the exact kept SET —
+    //    integer thresholds + bucket membership — is pinned, not just
+    //    its size. ----------------------------------------------------
+    "c12_mix_reweight" -> { (s, d) =>
+      Curation.mixReweight(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 40, "src1" -> 30, "src2" -> 20, "src3" -> 10))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    },
+
     // -- c10: URL canonicalization + registrable domain (eTLD+1) — the
     //    per-source cap's grouping key. Canonical strings are under
     //    the hash, so scheme/host case-folding, userinfo/default-port/
@@ -202,6 +215,32 @@ object CurationQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Same exact-integer threshold rule (min over groups of the floored
+    // cross ratio, HUGEINT floor division — no float on either side),
+    // same sha256-bucket membership (the c1 HUGEINT kernel, mod 10000).
+    "c12_mix_reweight" ->
+      """WITH cnt AS (
+        |  SELECT source AS g, count(*)::HUGEINT AS n FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+        |tgt(g, p) AS (
+        |  SELECT * FROM (VALUES ('src0', 40::HUGEINT), ('src1', 30::HUGEINT),
+        |    ('src2', 20::HUGEINT), ('src3', 10::HUGEINT))),
+        |j AS (SELECT cnt.g, n, p FROM cnt JOIN tgt USING (g)),
+        |th AS (
+        |  SELECT a.g, least(min((b.n * a.p * 10000) // (b.p * a.n)),
+        |    10000::HUGEINT) AS th
+        |  FROM j a, j b GROUP BY a.g),
+        |bkt AS (
+        |  SELECT doc_id, source,
+        |    ((SELECT sum((strpos('0123456789abcdef', substr(h, i, 1)) - 1)::HUGEINT
+        |               * (1::HUGEINT << ((16 - i) * 4)))
+        |      FROM generate_series(1, 16) g(i)) % 10000)::INT AS bucket
+        |  FROM (SELECT doc_id, source, sha256(doc_id::VARCHAR) AS h
+        |        FROM documents))
+        |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_ids
+        |FROM bkt JOIN th ON bkt.source = th.g
+        |WHERE bucket < th
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same (sha256(id), id) order, same inclusive running-sum rule —
     // as one window, which is fine at oracle scale.
     "c11_token_budget" ->

@@ -494,6 +494,42 @@ class CurationSpec extends SparkSpec {
     assert(out(7L) == ((0.0, 0.0, 0.0)))
   }
 
+  test("mixReweight: binding group kept whole, mix ratio, drops, determinism") {
+    // web:code = 1:1 targets over 400 web / 100 code rows → code is the
+    // binding group (100/1 < 400/1): code keeps all 100, web threshold
+    // = floor(100*1*10000/(1*400)) = 2500 → ~25% of web kept.
+    val rows = (1 to 400).map(i => (i.toLong, "web")) ++
+      (401 to 500).map(i => (i.toLong, "code")) ++
+      (501 to 520).map(i => (i.toLong, "junk")) ++ // not in targets
+      Seq((0L, null.asInstanceOf[String]))         // null group
+    val df = rows.toDF("id", "src")
+    val out = Curation.mixReweight(df, "src", "id",
+      Map("web" -> 1, "code" -> 1))
+    val byGroup = out.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(byGroup("code") == 100L, s"binding group must keep all: $byGroup")
+    assert(!byGroup.contains("junk") && !byGroup.contains(null))
+    // ~25% of 400 web rows under hash uniformity; bound loosely.
+    assert(byGroup("web") > 50 && byGroup("web") < 150, s"web: $byGroup")
+    // Determinism: same kept ids regardless of input order/partitioning.
+    val shuffled = df.orderBy(rand(7)).repartition(7)
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    val b = Curation.mixReweight(shuffled, "src", "id",
+      Map("web" -> 1, "code" -> 1)).select("id").as[Long].collect()
+      .sorted.toSeq
+    assert(a == b)
+    // A targeted-but-empty group is ignored, not mix-forcing.
+    val c = Curation.mixReweight(df, "src", "id",
+      Map("web" -> 1, "absent" -> 99)).groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(c("web") == 400L, s"sole present group keeps all rows: $c")
+    // Null id (hash sentinel) is dropped even in a kept group.
+    val d = Seq((Option.empty[Long], "web"), (Some(1L), "web"))
+      .toDF("id", "src")
+    assert(Curation.mixReweight(d, "src", "id", Map("web" -> 1))
+      .count() == 1L)
+  }
+
   test("normalizeText: each fold rule, idempotence, null/empty") {
     val rows = Seq(
       (1L, "it’s “fine”"),
