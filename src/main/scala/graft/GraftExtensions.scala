@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpReplace, StringTrim}
 import org.apache.spark.sql.types.StringType
 
 import graft.functions.{BoundedTopK, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
@@ -17,6 +17,7 @@ import graft.functions.{BoundedTopK, CosineSimilarity, DotProduct, LabelHashBuck
   *   cosine_sim(vecA, vecB)              → double
   *   dot_product(vecA, vecB)             → double
   *   bounded_top_k(key, value, k)        → array  (size-capped top-k agg)
+  *   normalize_text(text)                → string (Unicode pre-dedup fold)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -29,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectFunction(GraftExtensions.zorder2)
     ext.injectFunction(GraftExtensions.boundedTopK)
+    ext.injectFunction(GraftExtensions.normalizeText)
   }
 }
 
@@ -109,10 +111,34 @@ object GraftExtensions {
         "bounded_top_k expects (key, value, intLiteral)")
     })
 
+  /** `normalize_text(text)` — the Unicode pre-dedup fold
+    * ([[graft.ops.TextAnalysis.normalizeText]]) on the SQL surface.
+    * Not a custom expression class: the builder assembles the SAME
+    * ordered fold table ([[graft.ops.TextAnalysis.normalizeFold]]) from
+    * built-in catalyst `RegExpReplace`/`StringTrim` nodes, so SQL and
+    * Column callers run the identical codegen'd plan.
+    */
+  val normalizeText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("normalize_text"),
+    info(classOf[RegExpReplace].getName, "normalize_text",
+      "normalize_text(text) - Unicode pre-dedup fold: curly quotes/" +
+        "dashes/ellipsis to ASCII, Unicode spaces to space, zero-width " +
+        "chars removed, whitespace runs collapsed, ends trimmed."),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) =>
+        StringTrim(graft.ops.TextAnalysis.normalizeFold.foldLeft(t) {
+          case (acc, (pat, rep)) =>
+            RegExpReplace(acc, Literal(pat), Literal(rep))
+        })
+      case _ => throw new IllegalArgumentException(
+        "normalize_text expects exactly 1 argument")
+    })
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK).foreach {
+    Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
+      normalizeText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -127,21 +127,26 @@ object TextAnalysis {
     * RE2, and the whitespace class is explicit (Java `\s` and RE2 `\s`
     * disagree on U+000B). NULL stays NULL.
     */
-  def normalizeText(c: Column): Column = {
-    val singles = regexp_replace(c,
-      "[\\x{2018}\\x{2019}\\x{201A}\\x{201B}\\x{2032}]", "'")
-    val doubles = regexp_replace(singles,
-      "[\\x{201C}\\x{201D}\\x{201E}\\x{201F}\\x{2033}]", "\"")
-    val dashes = regexp_replace(doubles,
-      "[\\x{2010}-\\x{2015}\\x{2212}]", "-")
-    val ellipsis = regexp_replace(dashes, "\\x{2026}", "...")
-    val spaces = regexp_replace(ellipsis,
-      "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " ")
-    val zeroWidth = regexp_replace(spaces,
-      "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", "")
-    trim(regexp_replace(zeroWidth,
-      "[ \\t\\n\\r\\f\\x{000B}]+", " "))
-  }
+  def normalizeText(c: Column): Column =
+    trim(normalizeFold.foldLeft(c) {
+      case (acc, (pat, rep)) => regexp_replace(acc, pat, rep)
+    })
+
+  /** The [[normalizeText]] fold as an ordered (pattern → replacement)
+    * table — the single source of truth shared by the Column API above
+    * and the `normalize_text` SQL registration
+    * ([[graft.GraftExtensions]]), so the two surfaces cannot drift.
+    * Order matters: the whitespace-run collapse must run LAST (earlier
+    * rules emit the spaces it collapses).
+    */
+  val normalizeFold: Seq[(String, String)] = Seq(
+    "[\\x{2018}\\x{2019}\\x{201A}\\x{201B}\\x{2032}]" -> "'",
+    "[\\x{201C}\\x{201D}\\x{201E}\\x{201F}\\x{2033}]" -> "\"",
+    "[\\x{2010}-\\x{2015}\\x{2212}]" -> "-",
+    "\\x{2026}" -> "...",
+    "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]" -> " ",
+    "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]" -> "",
+    "[ \\t\\n\\r\\f\\x{000B}]+" -> " ")
 
   /** Hashed-feature LINEAR quality classifier — the scoring half of the
     * fastText-style model every published curation pipeline (CCNet,

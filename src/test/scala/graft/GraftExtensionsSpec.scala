@@ -37,6 +37,26 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT bounded_top_k(1, 2)").collect())
   }
 
+  test("normalize_text reachable from SQL, matches the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sql = spark.sql(
+      "SELECT normalize_text('it’s “fine” — ok…  now') AS n")
+      .collect().head.getString(0)
+    assert(sql == "it's \"fine\" - ok... now")
+    // SQL and Column surfaces produce identical results on real data.
+    val docs = Seq("a b", "c​d", "  e\tf  ", "plain").toDF("t")
+    docs.createOrReplaceTempView("nt_in")
+    val viaSql = spark.sql("SELECT normalize_text(t) AS n FROM nt_in")
+      .as[String].collect().toSeq
+    val viaCol = docs.select(
+      graft.ops.TextAnalysis.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(viaSql == viaCol)
+    intercept[Exception](spark.sql("SELECT normalize_text('a', 'b')").collect())
+  }
+
   test("describe function shows usage") {
     GraftExtensions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")
