@@ -293,18 +293,21 @@ object JdbcUpsert {
 
   /** Execute the upsert over every partition. `upserted`/`failed` are
     * executor-populated accumulators (the A1 failure-channel counters).
-    * `failedKeys`, when given, collects the key-column value of rows
-    * that land in the failed channel so the caller can exclude those
-    * rows from backend metadata registration — a row that is NOT in
-    * the table must never be registered. Collection is CAPPED at
-    * `maxFailedKeysPerPartition` keys per partition: under a systemic
-    * outage (DB down, credential rotation) EVERY row of a large batch
-    * fails after retries, and an uncapped accumulator would haul
-    * millions of key strings to the driver — an OOM in exactly the
-    * scenario the failure channel exists for. `failed` always carries
-    * the full magnitude; compare it against the collected key count to
-    * detect truncation. For the O(rows)-safe variant that never routes
-    * keys through the driver, use [[writeTracked]].
+    * `failedKeys`, when given, collects a DIAGNOSTIC SAMPLE of the
+    * key-column values that land in the failed channel — capped at
+    * `maxFailedKeysPerPartition` keys per partition, because under a
+    * systemic outage (DB down, credential rotation) EVERY row of a
+    * large batch fails after retries and an uncapped accumulator would
+    * haul millions of key strings to the driver — an OOM in exactly
+    * the scenario the failure channel exists for. Because of that cap
+    * the sample is NOT a complete dead-letter set and MUST NOT drive
+    * registration exclusion ("a row that is NOT in the table must
+    * never be registered"): that invariant needs [[writeTracked]],
+    * whose returned failed-key frame is complete and never routes keys
+    * through the driver (the engine's registration path,
+    * `Ingestor.scala`, uses it). `failed` always carries the full
+    * magnitude; compare it against the collected key count to detect
+    * truncation (the streaming report's `failedKeysTruncated`).
     */
   def write(df: DataFrame, cfg: Config,
             upserted: LongAccumulator, failed: LongAccumulator,

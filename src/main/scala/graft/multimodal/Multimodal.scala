@@ -145,12 +145,15 @@ object MediaDecoder {
     * `decodeStatus` — the row flows on for the caller to filter or
     * dead-letter, never an executor exception mid-job.
     */
+  private def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
   def decode(kind: String, rawBytes: Array[Byte]): Multimodal.MediaMeta =
     if (kind != "image") decodeStub(kind, rawBytes)
     else {
       val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(bytes).map(b => f"$b%02x").mkString
+      val sha = sha256Hex(bytes)
       graft.engine.validate.ImageProbe.dimensions(bytes) match {
         case Some((w, h)) => Multimodal.MediaMeta(
           kind = "image", width = w, height = h, nFrames = 1,
@@ -163,14 +166,6 @@ object MediaDecoder {
       }
     }
 
-  /** STUB DECODE — deterministic fake for the AUDIO/VIDEO kinds: those
-    * codecs are not installed in this container. Dimensions derive from
-    * the first payload bytes so results are stable across
-    * runs/executors; `sha256`/`nBytes` are real. Replace this body with
-    * javacv / soundfile calls to go live — the signature is the
-    * production contract (images already decode for real, see
-    * [[decode]]).
-    */
   /** STUB FEATURE EXTRACTOR — deterministic byte-class counts standing
     * in for a real embedding model (none installed in this container):
     * [vowels, digits, spaces, lowercase, uppercase, sentence punct].
@@ -196,14 +191,21 @@ object MediaDecoder {
     f
   }
 
+  /** STUB DECODE — deterministic fake for the AUDIO/VIDEO kinds: those
+    * codecs are not installed in this container. Dimensions derive from
+    * the first payload bytes so results are stable across
+    * runs/executors; `sha256`/`nBytes` are real. Replace this body with
+    * javacv / soundfile calls to go live — the signature is the
+    * production contract (images already decode for real, see
+    * [[decode]]).
+    */
   def decodeStub(kind: String, rawBytes: Array[Byte]): Multimodal.MediaMeta = {
     // Null payload = missing media: degenerate (empty) meta, same
     // contract as featureStub's zero vector — never an NPE mid-job.
     val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map(b => f"$b%02x").mkString
+    val sha = sha256Hex(bytes)
     Multimodal.MediaMeta(
       kind = kind,
       width = (b0 % 64 + 1) * 16,

@@ -358,8 +358,11 @@ object Curation {
   def takeTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
                       budget: Long, prefixHexDigits: Int = 3): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
-    require(prefixHexDigits >= 1 && prefixHexDigits <= 8,
-      s"prefixHexDigits must be in [1, 8]: $prefixHexDigits")
+    // 7 hex digits max: 8 digits reach 2^32 - 1 > Int.MaxValue, so
+    // conv(...).cast("int") would NULL out half of all buckets (every
+    // digest at or above "80000000") and crash the bucket-sum collect.
+    require(prefixHexDigits >= 1 && prefixHexDigits <= 7,
+      s"prefixHexDigits must be in [1, 7]: $prefixHexDigits")
     val reserved = Seq("__graft_ord", "__graft_bkt", "__graft_tok")
     reserved.foreach(r => require(!df.columns.contains(r),
       s"input already has a reserved '$r' column"))

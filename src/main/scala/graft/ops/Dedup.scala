@@ -258,18 +258,23 @@ object Dedup {
     * auto-broadcast threshold because the alternative is shuffling the
     * corpus).
     *
-    * The shape-pivot count runs on a DIGEST-ONLY projection — column
-    * pruning reaches the source scan, so the eager count reads only the
-    * `on` columns and NOTHING is persisted (an earlier revision cached
-    * the whole keyed batch across the count and the final anti-join;
-    * repeated batch/microbatch calls accumulated cached blocks with no
-    * caller-reachable unpersist handle, and at real batch sizes the
-    * memory-and-disk persist could spill the entire batch to local
-    * disk). The incoming source is instead scanned up to three times —
-    * eager maybe-count, maybe-key recompute inside the chosen branch,
-    * and the final anti-join — each a narrow pruned read plus a sha256
-    * per row, the deliberate trade of cheap recompute for zero cache
-    * footprint.
+    * The shape-pivot count runs on a DIGEST-ONLY projection, and that
+    * narrow frame — never the whole batch — is persisted across the
+    * pivot: the count and the subsequent `broadcast(maybeKeys)` must
+    * see ONE snapshot, or a live source (a landing directory gaining
+    * files between jobs) could pass the count at just under
+    * `maxMaybeKeys` and then materialize a far larger key set inside
+    * the broadcast — the exact driver blow-up the pivot guards
+    * against. The persist is capped by construction (≤ `maxMaybeKeys`
+    * digest rows in the branch that keeps it), is dropped immediately
+    * on the fallback path and on a failed count, and otherwise ages
+    * out under LRU. (An earlier revision persisted the whole keyed
+    * batch — unbounded; the revision after persisted nothing —
+    * re-opening the double-evaluation race this paragraph describes.)
+    * The final anti-join still re-scans the source once more; rows
+    * that appear AFTER the pivot flow through it unguarded, so feed
+    * this operator a fixed file list / snapshot when the underlying
+    * path is being written concurrently.
     */
   def dedupAgainstBloom(incoming: DataFrame, seen: DataFrame, on: Seq[String],
                         bloom: org.apache.spark.util.sketch.BloomFilter,
@@ -284,11 +289,16 @@ object Dedup {
     val keyed = incoming.withColumn("__graft_k", contentDigest(incoming, on))
     val maybeKeys = keyed.filter(might(col("__graft_k")))
       .select("__graft_k").distinct()
-    if (maybeKeys.count() > maxMaybeKeys) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nMaybe =
+      try maybeKeys.count()
+      catch { case e: Throwable => maybeKeys.unpersist(false); throw e }
+    if (nMaybe > maxMaybeKeys) {
       // Dup-heavy batch: the reverse-semi's broadcast would blow the
       // driver. Anti-join the flagged maybe slice against the corpus
       // digest index instead — the definitely-new majority still
-      // bypasses the shuffle.
+      // bypasses the shuffle. The snapshot is not reused here; free it.
+      maybeKeys.unpersist(false)
       val seenKeys = seen.select(contentDigest(seen, on).as("__graft_k"))
         .distinct()
       keyed.filter(!might(col("__graft_k")))
@@ -493,8 +503,10 @@ object Dedup {
     * document. The corpus raw text is never touched — the index frame
     * does not even carry it — which is the 100-TB difference between
     * paying signature compute once per corpus and once per crawl.
-    * Shingle/banding parameters come FROM the index (one head-row
-    * probe, column-pruned); an empty index keeps everything.
+    * Shingle/banding parameters come FROM the index (one narrow
+    * min/max probe that also REQUIRES them uniform — a mixed-parameter
+    * index fails loud instead of silently losing recall); an empty
+    * index keeps everything.
     *
     * CONTRACT: `idCol` must be non-null and unique within `incoming`
     * (same as [[exact]]): the final anti-join is by id, so a NULL id
@@ -510,11 +522,11 @@ object Dedup {
         "shingle"))
       require(index.columns.contains(c),
         s"not a minhash signature index: missing column '$c'")
-    val head = index.select("num_hashes", "bands", "shingle").head(1)
-    if (head.isEmpty) return incoming // empty corpus: nothing seen yet
-    val params = head(0)
+    val params = uniformParams(index, Seq("num_hashes", "bands", "shingle"))
+    if (params.isEmpty) return incoming // empty corpus: nothing seen yet
+    val Seq(numHashes, bands, shingle) = params.get
     nearDupAgainstCore(incoming, index, idCol, textCol, threshold,
-      params.getInt(0), params.getInt(1), params.getInt(2), maxBucket)
+      numHashes, bands, shingle, maxBucket)
   }
 
   /** Incremental NEAR-duplicate dedup from raw frames: builds the seen
@@ -540,6 +552,32 @@ object Dedup {
     try nearDupAgainstCore(incoming, idx, idCol, textCol, threshold,
       numHashes, bands, shingle, maxBucket)
     finally idx.unpersist()
+  }
+
+  /** Read build-parameter columns off a signature index, REQUIRING
+    * them uniform: `None` for an empty index, the single value per
+    * column otherwise. An index whose batches were appended under
+    * different parameters would band incoming rows with one parameter
+    * set against keys built with another — band keys never collide for
+    * the mismatched slice and its duplicates pass through silently, so
+    * this fails loud instead of probing an arbitrary head row. One
+    * narrow min/max aggregate over constant RLE'd parquet columns —
+    * cheap next to the probe join that follows.
+    */
+  private def uniformParams(index: DataFrame,
+                            cols: Seq[String]): Option[Seq[Int]] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val row = index.agg(aggs.head, aggs.tail: _*).head()
+    if (row.isNullAt(0)) return None // min of an empty frame is NULL
+    Some(cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (row.getInt(2 * i), row.getInt(2 * i + 1))
+      require(lo == hi,
+        s"signature index is not parameter-uniform: '$c' ranges " +
+          s"[$lo, $hi] — batches were appended with different build " +
+          "parameters; rebuild or split the index")
+      lo
+    })
   }
 
   /** Shared index-probe shape: band incoming with the index's
@@ -845,7 +883,8 @@ object Dedup {
   /** Incremental embedding-cosine dedup against a PRE-BUILT
     * [[buildEmbeddingIndex]]: drop `incoming` vectors within
     * `threshold` cosine of ANY indexed vector. Sketch parameters come
-    * from the index (head-row probe); an empty index keeps everything.
+    * from the index (uniformity-checked, as in [[nearDupAgainstIndex]]);
+    * an empty index keeps everything.
     * Same `idCol` contract as [[nearDupAgainstIndex]].
     */
   def embeddingNearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
@@ -855,10 +894,11 @@ object Dedup {
     for (c <- Seq(idCol, vecCol, "band_keys", "planes", "bands"))
       require(index.columns.contains(c),
         s"not an embedding signature index: missing column '$c'")
-    val head = index.select("planes", "bands").head(1)
-    if (head.isEmpty) return incoming
+    val params = uniformParams(index, Seq("planes", "bands"))
+    if (params.isEmpty) return incoming
+    val Seq(planes, bands) = params.get
     embeddingAgainstCore(incoming, index, idCol, vecCol, threshold,
-      head(0).getInt(0), head(0).getInt(1), maxBucket)
+      planes, bands, maxBucket)
   }
 
   /** Incremental embedding-cosine dedup from raw frames: drop

@@ -167,21 +167,28 @@ object TextAnalysis {
     * (broadcast-free: |weights| is model-sized, thousands at most).
     * Zero-token and NULL documents score `sigmoid(bias)` — the model's
     * prior, not NULL. Tokens the bucket kernel maps to its -1 sentinel
-    * ("nan"-like) are excluded on both engines' sides of the gate.
+    * are excluded by filtering on the BUCKET VALUE itself (not a
+    * re-implementation of the sentinel rule): the kernel sentinels
+    * anything that JVM-trims to empty or to "nan" case-insensitively —
+    * e.g. a lone vertical tab (not in the whitespace split class) or
+    * "nan" — and a literal `element_at(w, -1 + 1)` on any such
+    * token would throw at runtime on exactly the damaged crawl text
+    * this scorer exists to process.
     */
   def hashedLinearScore(textCol: Column, weights: Seq[Double],
                         bias: Double = 0.0): Column = {
     require(weights.nonEmpty, "weights must be non-empty")
     val d = weights.length
     val w = typedLit(weights.toArray)
-    val toks = filter(
+    val toks =
       when(textCol.isNull, array().cast("array<string>"))
         .otherwise(regexp_extract_all(textCol,
-          lit("[^ \\t\\n\\f\\r]+"), lit(0))),
-      t => !lower(t).eqNullSafe("nan"))
-    val summed = aggregate(toks, lit(0.0),
-      (acc, t) => acc + element_at(w, F.labelBucket(t, d) + 1))
-    val n = size(toks)
+          lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val buckets = filter(transform(toks, t => F.labelBucket(t, d)),
+      b => b >= 0)
+    val summed = aggregate(buckets, lit(0.0),
+      (acc, b) => acc + element_at(w, b + 1))
+    val n = size(buckets)
     val z = lit(bias) + when(n === 0, lit(0.0)).otherwise(summed / n)
     lit(1.0) / (lit(1.0) + exp(-z))
   }

@@ -44,7 +44,16 @@ object VocabTokenizer {
     @transient private lazy val maxLen: Int =
       if (vocab.isEmpty) 0 else vocab.map(_.length).max
 
-    /** (tokens, unknowns) for one word under the greedy rule. */
+    /** (tokens, unknowns) for one word under the greedy rule.
+      *
+      * The unknown branch advances one CODE POINT, not one UTF-16
+      * unit: an unmatched supplementary character (emoji, rare CJK) is
+      * ONE unknown token — advancing by units would count it twice and
+      * probe the vocab with lone surrogates, diverging from both the
+      * documented "advance one character" rule and the code-point-based
+      * SQL oracle on exactly the emoji-laden web text a budget counter
+      * is billed against.
+      */
     def count(word: String): (Int, Int) = {
       var pos = 0; var tok = 0; var unk = 0
       while (pos < word.length) {
@@ -55,7 +64,8 @@ object VocabTokenizer {
           l -= 1
         }
         if (found > 0) { tok += 1; pos += found }
-        else { tok += 1; unk += 1; pos += 1 }
+        else { tok += 1; unk += 1
+          pos += Character.charCount(word.codePointAt(pos)) }
       }
       (tok, unk)
     }

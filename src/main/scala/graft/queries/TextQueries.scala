@@ -479,12 +479,12 @@ object TextQueries {
         |  FROM documents),
         |feat AS (
         |  SELECT lang,
-        |    CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |    CASE WHEN t IS NULL OR length(t) = 0 THEN 0.0 ELSE
         |      len(regexp_extract_all(t, '\x{FFFD}'))::DOUBLE / length(t) END AS r_repl,
-        |    CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |    CASE WHEN t IS NULL OR length(t) = 0 THEN 0.0 ELSE
         |      len(regexp_extract_all(t,
         |        '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]'))::DOUBLE / length(t) END AS r_ctrl,
-        |    CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |    CASE WHEN t IS NULL OR length(t) = 0 THEN 0.0 ELSE
         |      len(regexp_extract_all(t,
         |        '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]|\x{00E2}\x{20AC}'))::DOUBLE / length(t) END AS r_moji
         |  FROM dirty)
@@ -506,8 +506,12 @@ object TextQueries {
          |    END))), 6) AS q_score
          |FROM (
          |  SELECT doc_id,
-         |    list_filter(regexp_extract_all(coalesce(text, ''),
-         |      '[^ \t\n\f\r]+'), t -> lower(t) != 'nan') AS toks
+         |    list_filter(
+         |      list_transform(regexp_extract_all(coalesce(text, ''),
+         |        '[^ \t\n\f\r]+'),
+         |        t -> regexp_replace(t,
+         |          '^[\\x{0000}-\\x{0020}]+|[\\x{0000}-\\x{0020}]+$$', '', 'g')),
+         |      t -> len(t) > 0 AND lower(t) != 'nan') AS toks
          |  FROM documents),
          |  (SELECT [${t15Weights.mkString(", ")}]::DOUBLE[] AS wl)
          |ORDER BY doc_id""".stripMargin,

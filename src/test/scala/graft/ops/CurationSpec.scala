@@ -452,6 +452,11 @@ class CurationSpec extends SparkSpec {
     assert(Curation.takeTokenBudget(df, "id", "n_tok", Long.MaxValue / 2)
       .count() == 200)
     assert(reference(100L).subsetOf(reference(777L)))
+    // 8 hex digits would overflow Int for digests >= "80000000" —
+    // rejected at the API, not discovered as NULL buckets mid-job.
+    intercept[IllegalArgumentException](
+      Curation.takeTokenBudget(df, "id", "n_tok", 100L,
+        prefixHexDigits = 8))
   }
 
   test("takeTokenBudget: NULL ids drop, NULL token counts weigh zero") {
@@ -572,7 +577,12 @@ class CurationSpec extends SparkSpec {
       (1L, "alpha beta gamma"),
       (2L, ""), (3L, null.asInstanceOf[String]),
       (4L, "alpha NaN nan"), // nan-like tokens excluded from the mean
-      (5L, "alpha")).toDF("id", "text")
+      (5L, "alpha"),
+      // Sentinel tokens the old literal-'nan' filter missed: a lone
+      // vertical tab (outside the whitespace split class, JVM-trims to
+      // empty) and "nan" + control char (JVM-trims to "nan") — both
+      // must be EXCLUDED, not crash element_at(w, 0).
+      (6L, "alpha \u000B nan\u0001")).toDF("id", "text")
     val out = docs.select(col("id"),
       TextAnalysis.hashedLinearScore(col("text"), weights, bias = 0.3)
         .as("s")).as[(Long, Double)].collect().toMap

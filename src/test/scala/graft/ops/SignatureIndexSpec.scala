@@ -77,6 +77,20 @@ class SignatureIndexSpec extends SparkSpec {
     assert(kept2 == Set(21L))
   }
 
+  test("mixed-parameter index fails loud, not silent zero recall") {
+    val idxPath = tmpDir("mhidx4").toString + "/index"
+    Dedup.buildMinhashIndex(seenDocs, "id", "text").write.parquet(idxPath)
+    // A later batch appended under DIFFERENT banding parameters: the
+    // mismatched slice's band keys could never collide with probes
+    // banded per the head row — require() instead of lost duplicates.
+    Dedup.buildMinhashIndex(incomingDocs, "id", "text",
+      numHashes = 32, bands = 16).write.mode("append").parquet(idxPath)
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearDupAgainstIndex(incomingDocs,
+        spark.read.parquet(idxPath), "id", "text"))
+    assert(e.getMessage.contains("not parameter-uniform"))
+  }
+
   test("non-index frames rejected loudly") {
     val e = intercept[IllegalArgumentException](
       Dedup.nearDupAgainstIndex(incomingDocs, seenDocs, "id", "text"))

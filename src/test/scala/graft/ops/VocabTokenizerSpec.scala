@@ -31,6 +31,17 @@ class VocabTokenizerSpec extends SparkSpec {
     assert(counts("www") == (3, 3))
   }
 
+  test("unknown supplementary character is ONE token, not two code units") {
+    // U+1F600 (😀, a surrogate pair in UTF-16) with no vocab match:
+    // one unknown token — unit-wise advance would count 2 and probe
+    // the vocab with lone surrogates.
+    assert(counts("😀") == (1, 1))
+    // the + 😀: vocab token then one unknown
+    assert(counts("the😀") == (2, 1))
+    // 😀😀: two unknown tokens exactly
+    assert(counts("😀😀") == (2, 2))
+  }
+
   test("multi-word text sums per-word counts; whitespace runs ignored") {
     // "the  customer\tslow" → 1 + 2 + 2 tokens, 1 unk
     assert(counts("the  customer\tslow") == (5, 1))
