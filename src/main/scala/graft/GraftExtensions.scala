@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpReplace, StringTrim}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{BoundedTopK, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
+import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions
   * via SparkSessionExtensions — the idiomatic plug point
@@ -18,6 +18,8 @@ import graft.functions.{BoundedTopK, CosineSimilarity, DotProduct, LabelHashBuck
   *   dot_product(vecA, vecB)             → double
   *   bounded_top_k(key, value, k)        → array  (size-capped top-k agg)
   *   normalize_text(text)                → string (Unicode pre-dedup fold)
+  *   card_count(text)                    → int    (Luhn-valid card numbers)
+  *   redact_cards(text)                  → string (Luhn-valid cards → [CARD])
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -31,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.zorder2)
     ext.injectFunction(GraftExtensions.boundedTopK)
     ext.injectFunction(GraftExtensions.normalizeText)
+    ext.injectFunction(GraftExtensions.cardCount)
+    ext.injectFunction(GraftExtensions.redactCards)
   }
 }
 
@@ -134,11 +138,38 @@ object GraftExtensions {
         "normalize_text expects exactly 1 argument")
     })
 
+  /** `card_count(text)` / `redact_cards(text)` — Luhn-validated
+    * payment-card detection ([[graft.functions.CardNumberUtil]]) on
+    * the SQL surface. A `Cast` on the child mirrors labelHashBucket:
+    * any input stringifies first.
+    */
+  val cardCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("card_count"),
+    info(classOf[CardCount].getName, "card_count",
+      "card_count(text) - number of Luhn-valid payment-card numbers " +
+        "(13-19 digits, space/hyphen separators, ISO/IEC 7812 checksum)."),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => CardCount(Cast(t, StringType))
+      case _ => throw new IllegalArgumentException(
+        "card_count expects exactly 1 argument")
+    })
+
+  val redactCards: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("redact_cards"),
+    info(classOf[CardRedact].getName, "redact_cards",
+      "redact_cards(text) - text with Luhn-valid payment-card numbers " +
+        "replaced by [CARD]; checksum-failing digit runs untouched."),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => CardRedact(Cast(t, StringType))
+      case _ => throw new IllegalArgumentException(
+        "redact_cards expects exactly 1 argument")
+    })
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
-      normalizeText).foreach {
+      normalizeText, cardCount, redactCards).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -488,4 +488,25 @@ object Curation {
       "n_phones" -> size(regexp_extract_all(noEmail, lit(phonePattern), lit(0))).cast("long"),
       "n_ipv4" -> size(regexp_extract_all(noPhone, lit(ipv4Pattern), lit(0))).cast("long"))
   }
+
+  /** Redact Luhn-valid payment-card numbers to `[CARD]`. Unlike the
+    * [[redactPii]] kinds this is NOT a bare regexp_replace: any
+    * 16-digit run (order ids, tracking numbers) matches the card
+    * SHAPE, so the kernel ([[graft.functions.CardNumberUtil]], a
+    * codegen Catalyst expression) verifies the ISO/IEC 7812 Luhn
+    * checksum per candidate and leaves checksum-failing runs alone.
+    */
+  def redactCards(c: Column): Column = graft.functions.CardNumber.redact(c)
+
+  /** Count of Luhn-valid card numbers (reporting/thresholding, the
+    * [[piiCounts]] analogue for cards).
+    */
+  def cardCount(c: Column): Column = graft.functions.CardNumber.count(c)
+
+  /** Full PII pass: emails, phones, IPv4 ([[redactPii]] order), then
+    * Luhn-valid cards. Cards run LAST so the explicit international
+    * phone format wins any overlap — a 13+-digit phone is tagged
+    * `[PHONE]`, not half-eaten by the card rule.
+    */
+  def redactPiiAll(c: Column): Column = redactCards(redactPii(c))
 }

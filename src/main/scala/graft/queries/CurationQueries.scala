@@ -32,6 +32,26 @@ object CurationQueries {
       |  WHEN doc_id % 5 = 2 THEN ' from 10.0.0.' || (doc_id % 256)
       |  ELSE '' END""".stripMargin
 
+  /** c13 fixture: card-shaped injections per doc_id % 6 — a Luhn-valid
+    * Visa, a checksum-off-by-one 16-digit run, a 20-digit run the `\b`
+    * guard must reject wholesale, a Luhn-valid 15-digit Amex. Fixed
+    * test PANs (the industry's published test numbers), never real.
+    */
+  private def cardDirtied = concat(coalesce(col("text"), lit("")),
+    when(col("doc_id") % 6 === 0, lit(" pay 4111 1111 1111 1111 now"))
+      .when(col("doc_id") % 6 === 1, lit(" ref 4111 1111 1111 1112 x"))
+      .when(col("doc_id") % 6 === 2, lit(" acct 41111111111111111111 ."))
+      .when(col("doc_id") % 6 === 3, lit(" amex 378282246310005 ok"))
+      .otherwise(lit("")))
+
+  private val cardDirtiedSql =
+    """coalesce(text, '') || CASE
+      |  WHEN doc_id % 6 = 0 THEN ' pay 4111 1111 1111 1111 now'
+      |  WHEN doc_id % 6 = 1 THEN ' ref 4111 1111 1111 1112 x'
+      |  WHEN doc_id % 6 = 2 THEN ' acct 41111111111111111111 .'
+      |  WHEN doc_id % 6 = 3 THEN ' amex 378282246310005 ok'
+      |  ELSE '' END""".stripMargin
+
   /** c10 fixture URLs: four deterministic shapes cycling with
     * doc_id % 4 — case-mangled host + default port + unsorted query +
     * fragment; an https co.uk with default port and duplicate-key
@@ -197,6 +217,32 @@ object CurationQueries {
           "doc_id", "n_chars", k = 4, groupCols = Seq("lang"))
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
+    },
+
+    // -- c13: Luhn-validated card redaction. Injection classes by
+    //    doc_id % 6: 0 = valid Visa (redacts), 1 = checksum-off-by-one
+    //    (candidate, NOT redacted), 2 = 20-digit run (no candidate at
+    //    all — the \b guard), 3 = valid 15-digit Amex (redacts),
+    //    4/5 = nothing. Grouping by class makes each behavior a
+    //    separate hashed row instead of one blended total. ------------
+    "c13_card_redaction" -> { (s, d) =>
+      val base = Tables.documents(s, d).withColumn("dirty", cardDirtied)
+      base
+        .withColumn("n_candidates",
+          size(regexp_extract_all(col("dirty"),
+            lit(graft.functions.CardNumberUtil.candidateRegex), lit(0)))
+            .cast("long"))
+        .withColumn("n_cards", Curation.cardCount(col("dirty")).cast("long"))
+        .withColumn("clean", Curation.redactCards(col("dirty")))
+        .groupBy((col("doc_id") % 6).as("k"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_candidates").as("total_candidates"),
+          sum("n_cards").as("total_cards"),
+          sum(length(col("dirty")) - length(col("clean"))).as("chars_delta"),
+          sum(when(col("clean").contains("[CARD]"), 1L).otherwise(0L))
+            .as("n_docs_redacted"))
+        .orderBy("k")
     },
 
     // -- c3: PII detection counts + redaction length delta -------------
@@ -406,6 +452,42 @@ object CurationQueries {
         | count(*)::BIGINT AS total_hits,
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM sh JOIN probe USING (h)""".stripMargin,
+    // Candidate extraction with the SAME `\b`-guarded pattern (ASCII
+    // word boundary in RE2 as in Java), then the Luhn arithmetic
+    // replayed in SQL over each candidate's digit-stripped form. The
+    // redacted string itself is not rebuilt — chars_delta is derived as
+    // Σ(len(valid candidate) − len('[CARD]')), which equals the splice
+    // delta because regex matches are non-overlapping.
+    "c13_card_redaction" -> {
+      // The engine's candidate pattern verbatim (s-interpolation
+      // processes \-escapes even in triple quotes, so the pattern is
+      // interpolated from the shared constant, never inlined).
+      val cand = graft.functions.CardNumberUtil.candidateRegex
+      s"""WITH dirty AS (
+         |  SELECT doc_id, $cardDirtiedSql AS dirty FROM documents),
+         |cand AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(dirty, '$cand') AS cs
+         |  FROM dirty),
+         |v AS (
+         |  SELECT doc_id, len(cs) AS n_candidates,
+         |    list_filter(cs, c ->
+         |      (list_sum(list_transform(
+         |        range(1, len(regexp_replace(c, '[^0-9]', '', 'g')) + 1), i ->
+         |        CASE WHEN (len(regexp_replace(c, '[^0-9]', '', 'g')) - i) % 2 = 1 THEN
+         |          CASE WHEN 2 * substr(regexp_replace(c, '[^0-9]', '', 'g'), i::INT, 1)::INT > 9
+         |               THEN 2 * substr(regexp_replace(c, '[^0-9]', '', 'g'), i::INT, 1)::INT - 9
+         |               ELSE 2 * substr(regexp_replace(c, '[^0-9]', '', 'g'), i::INT, 1)::INT END
+         |        ELSE substr(regexp_replace(c, '[^0-9]', '', 'g'), i::INT, 1)::INT END)) % 10 = 0)) AS vc
+         |  FROM cand)
+         |SELECT doc_id % 6 AS k, count(*)::BIGINT AS n_docs,
+         |  sum(n_candidates)::BIGINT AS total_candidates,
+         |  sum(len(vc))::BIGINT AS total_cards,
+         |  sum(coalesce(list_sum(list_transform(vc, c -> length(c) - 6)), 0))::BIGINT AS chars_delta,
+         |  sum(CASE WHEN len(vc) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_redacted
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "c3_pii_redaction" -> {
       val email ="[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
