@@ -276,6 +276,30 @@ object TextQueries {
     //    each on a knowable doc_id subset. The gate emits the
     //    NORMALIZED STRING itself per doc, so any divergence in any
     //    rule is a value mismatch, not an averaged-away statistic. ----
+    // -- t18: corpus data card — the per-(source, lang) summary a
+    //    training-data release publishes: doc/empty-doc counts, token
+    //    totals under the t3 whitespace rule, and EXACT length
+    //    percentiles. `percentile` aggregates a value→count map, so
+    //    its memory is ∝ distinct n_chars values per group (a bounded
+    //    integer domain), not rows — that is what makes exact (not
+    //    approx) quantiles safe at corpus scale here; for genuinely
+    //    unbounded domains switch to approx_percentile. One scan,
+    //    map-side partial aggregation throughout. --------------------
+    "t18_data_card" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tok", F.tokenCount(col("text")).cast("long"))
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+            .otherwise(0L)).as("n_empty"),
+          sum("n_tok").as("total_tokens"),
+          round(avg("n_tok"), 6).as("avg_tokens"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+        .orderBy("source", "lang")
+    },
+
     "t17_normalize" -> { (s, d) =>
       val inject =
         when(col("doc_id") % 4 === 0,
@@ -435,6 +459,23 @@ object TextQueries {
     // Injection rebuilt from chr() code points (the Scala literals'
     // exact values); the same regexp_replace fold chain with 'g', the
     // same \x{...} classes, and the same explicit whitespace class.
+    // quantile_cont and Spark's exact `percentile` share the same
+    // definition (sort, index p·(n−1), linear interpolation); round(4)
+    // absorbs last-ulp division differences.
+    "t18_data_card" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+        |  sum(n_tok)::BIGINT AS total_tokens,
+        |  round(avg(n_tok), 6) AS avg_tokens,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+        |FROM (
+        |  SELECT source, lang, text, n_chars,
+        |    (CASE WHEN text IS NULL THEN 0
+        |          ELSE len(regexp_extract_all(text, '[^ \t\n\f\r]+')) END)::BIGINT AS n_tok
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "t17_normalize" ->
       """WITH dirty AS (
         |  SELECT doc_id, CASE
