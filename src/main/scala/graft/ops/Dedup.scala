@@ -182,6 +182,42 @@ object Dedup {
       contentDigest(incoming, on) === col("__graft_seen_k"), "left_anti")
   }
 
+  /** Crawl-over-crawl snapshot diff: per-id status of `cur` vs `prev`
+    * — `added` (id only in cur), `removed` (only in prev), `changed`
+    * (both, content digest differs over `on`), `unchanged`. The
+    * reporting terminus of an incremental ingest: what this crawl
+    * actually did to the corpus, as one frame to aggregate or join
+    * downstream.
+    *
+    * Shape: both sides project to (id, digest) BEFORE the full-outer
+    * join, so the shuffle moves two narrow columns per row — never
+    * document bodies — and the digest is the same length-prefixed
+    * sha256 the dedup family uses ([[contentDigest]]). One shuffle on
+    * the id; a full outer join has no broadcast variant, and co-
+    * partitioning both snapshots on the id (bucketed tables) removes
+    * even that shuffle at scale.
+    *
+    * CONTRACT: `idCol` must be non-null and unique per snapshot (the
+    * [[exact]] contract): NULL ids never join, so a NULL-id row would
+    * surface as a spurious added+removed pair.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                   on: Seq[String]): DataFrame = {
+    requireDigestable(prev, cur, on)
+    require(prev.columns.contains(idCol) && cur.columns.contains(idCol),
+      s"both snapshots need id column '$idCol'")
+    val p = prev.select(col(idCol).as("__graft_id"),
+      contentDigest(prev, on).as("__graft_dp"))
+    val c = cur.select(col(idCol).as("__graft_id"),
+      contentDigest(cur, on).as("__graft_dc"))
+    p.join(c, Seq("__graft_id"), "full_outer")
+      .select(col("__graft_id").as(idCol),
+        when(col("__graft_dp").isNull, "added")
+          .when(col("__graft_dc").isNull, "removed")
+          .when(col("__graft_dp") === col("__graft_dc"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** The shared injective content digest of [[dedupAgainst]] /
     * [[dedupAgainstBloom]]: each `on` column length-prefixed ("3:abc",
     * NULL tagged distinctly from ""), concatenated, sha-256'd.

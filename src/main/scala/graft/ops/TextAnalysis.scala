@@ -132,6 +132,26 @@ object TextAnalysis {
       case (acc, (pat, rep)) => regexp_replace(acc, pat, rep)
     })
 
+  /** C4-style within-document line dedup: drop every line that already
+    * appeared earlier in the SAME document, keeping first occurrences
+    * in order (the C4 "deduplicate lines within a page" rule —
+    * navigation chrome, repeated footers, boilerplate menus collapse
+    * to one copy). NULL stays NULL.
+    *
+    * Pure per-row higher-order-function algebra (split → indexed
+    * filter on first-occurrence position → join): no shuffle, stays in
+    * whole-stage codegen, O(lines²) per document in the worst case —
+    * bounded by document size, never by corpus size. Cross-corpus
+    * segment dedup is [[Dedup.segmentDedup]]'s job; this is the
+    * intra-document complement.
+    */
+  def dedupLines(c: Column): Column = {
+    val ls = split(c, "\n")
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(array_join(
+        filter(ls, (x, i) => array_position(ls, x) === i + 1), "\n"))
+  }
+
   /** The [[normalizeText]] fold as an ordered (pattern → replacement)
     * table — the single source of truth shared by the Column API above
     * and the `normalize_text` SQL registration

@@ -106,6 +106,50 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // -- d15: C4 within-document line dedup. Injection classes by
+    //    doc_id % 3: 0 = a line duplicated around a unique one (one
+    //    copy must drop), 1 = two distinct appended lines (nothing
+    //    drops), 2 = untouched. Per-class line counts in/out and the
+    //    character delta pin both the filter rule and the rejoin. ----
+    "d15_line_dedup" -> { (s, d) =>
+      val dirty = concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\ndup line A\nunique B\ndup line A"))
+          .when(col("doc_id") % 3 === 1, lit("\nunique C\nunique D"))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("t", dirty)
+        .withColumn("clean", graft.ops.TextAnalysis.dedupLines(col("t")))
+        .withColumn("lines_in", size(split(col("t"), "\n")).cast("long"))
+        .withColumn("lines_out", size(split(col("clean"), "\n")).cast("long"))
+        .groupBy((col("doc_id") % 3).as("k"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("lines_in").as("total_lines_in"),
+          sum("lines_out").as("total_lines_out"),
+          sum(length(col("t")) - length(col("clean"))).as("chars_delta"))
+        .orderBy("k")
+    },
+
+    // -- d16: crawl-over-crawl snapshot diff. cur = documents minus
+    //    %7==0 (removed), plus re-keyed clones of %11==0 (added), with
+    //    %5==0 text mutated (changed); everything else unchanged. The
+    //    oracle rebuilds the same cur and classifies by direct text
+    //    comparison — digest equality on the engine side must agree. -
+    "d16_snapshot_diff" -> { (s, d) =>
+      val prev = Tables.documents(s, d).select("doc_id", "text")
+      val cur = prev.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(prev.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.ops.Dedup.snapshotDiff(prev, cur, "doc_id", Seq("text"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .orderBy("status")
+    },
+
     // -- the user-facing keeper API: exact() keeps the min-id row per
     //    content group (min_by aggregate — the plan spec lives in
     //    OpsSpec; this pins the VALUES under the driver hash) ----------
@@ -361,6 +405,51 @@ object DedupQueries {
     // exempt or globally unique, rebuild per doc in position order
     // (string_agg skips the NULLed-out dropped segments but keeps
     // kept empty strings, matching array_join).
+    // Same first-occurrence rule via DuckDB's indexed lambda:
+    // list_position returns the FIRST 1-based index of x, so keeping
+    // elements where list_position(ls, x) = i is exactly "drop lines
+    // seen earlier in this document".
+    "d15_line_dedup" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, coalesce(text, '') || CASE
+        |    WHEN doc_id % 3 = 0 THEN chr(10) || 'dup line A' || chr(10) ||
+        |      'unique B' || chr(10) || 'dup line A'
+        |    WHEN doc_id % 3 = 1 THEN chr(10) || 'unique C' || chr(10) || 'unique D'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM dirty),
+        |r AS (
+        |  SELECT doc_id, t, len(ls) AS lines_in,
+        |    array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i),
+        |      chr(10)) AS clean
+        |  FROM c)
+        |SELECT doc_id % 3 AS k, count(*)::BIGINT AS n_docs,
+        |  sum(lines_in)::BIGINT AS total_lines_in,
+        |  sum(len(string_split(clean, chr(10))))::BIGINT AS total_lines_out,
+        |  sum(length(t) - length(clean))::BIGINT AS chars_delta
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Classifies by DIRECT text comparison where the engine compares
+    // content digests — agreement is itself part of the check (digest
+    // equality must coincide with content equality).
+    "d16_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM prev WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM prev WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN p.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN p.text IS NOT DISTINCT FROM c.text THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+        |SELECT status, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS sum_ids
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d14_segment_dedup" ->
       """WITH ml AS (
         |  SELECT doc_id,

@@ -400,6 +400,41 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"unexpected cartesian:\n$plan")
   }
+
+  test("dedupLines: first occurrence wins, order kept, NULL stays NULL") {
+    def one(s: String): String = Seq(Tuple1(s)).toDF("t")
+      .select(TextAnalysis.dedupLines(col("t")).as("r")).as[String].head()
+    assert(one("a\nb\na\nc\nb") == "a\nb\nc")
+    assert(one("a\na\na") == "a")
+    assert(one("only") == "only")
+    assert(one("") == "")
+    // Duplicate EMPTY lines collapse too (they are lines): "a\n\n\nb"
+    // has two empty lines, one survives.
+    assert(one("a\n\n\nb") == "a\n\nb")
+    // Trailing newline = trailing empty line; collapses into the
+    // interior empty line's first occurrence.
+    assert(one("a\n\nb\n") == "a\n\nb")
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(TextAnalysis.dedupLines(col("t")).as("r")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("snapshotDiff: four statuses, narrow projection before the join") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "a"), (2L, "B2"), (4L, null.asInstanceOf[String]), (5L, "new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(prev, cur, "doc_id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+    // Bodies must not cross the exchange: the join inputs project to
+    // (id, digest) only.
+    val plan = Dedup.snapshotDiff(prev, cur, "doc_id", Seq("text"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"),
+      s"expected a full outer join:\n$plan")
+  }
 }
 
 class SimilarityOpsSpec extends SparkSpec {
