@@ -206,6 +206,12 @@ object Dedup {
     requireDigestable(prev, cur, on)
     require(prev.columns.contains(idCol) && cur.columns.contains(idCol),
       s"both snapshots need id column '$idCol'")
+    // Output/internal-name guards (the round-6 reserved-column rule):
+    // an idCol named like an internal or the output column would
+    // silently shadow it.
+    require(idCol != "status", "idCol 'status' collides with the output column")
+    for (r <- Seq("__graft_id", "__graft_dp", "__graft_dc"))
+      require(idCol != r, s"idCol '$r' is reserved")
     val p = prev.select(col(idCol).as("__graft_id"),
       contentDigest(prev, on).as("__graft_dp"))
     val c = cur.select(col(idCol).as("__graft_id"),
