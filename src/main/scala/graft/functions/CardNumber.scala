@@ -18,10 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * checksum before redacting removes ~90% of false positives (a random
   * digit run passes Luhn 1 in 10 times). `regexp_replace` cannot
   * express "replace only if the checksum holds", hence this kernel: a
-  * candidate scan (regex) + Luhn verify + splice, as a static function
-  * shared by the interpreted and generated paths (the
-  * [[LabelHashBucketUtil]] pattern — no `this` capture, stays inside
-  * whole-stage codegen).
+  * digit-zone scan (regex) + PAN-length filter + Luhn verify + splice,
+  * as a static function shared by the interpreted and generated paths
+  * (the [[LabelHashBucketUtil]] pattern — no `this` capture, stays
+  * inside whole-stage codegen).
   *
   * The candidate pattern is deliberately valid in BOTH Java regex and
   * RE2 (no backreferences or lookarounds; `\b` is the ASCII word
@@ -30,16 +30,52 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CardNumberUtil {
 
-  /** 13–19 digits (the ISO/IEC 7812 PAN length range), each gap at most
-    * one space or hyphen, bounded by word boundaries. The `\b` guards
-    * reject candidates embedded in longer digit runs: a 20-digit run
-    * has no interior word boundary, so no 19-digit prefix of it is ever
-    * matched and Luhn-checked — matching on runs, not prefixes, is what
-    * keeps serial numbers out.
+  /** A maximal digit ZONE: digits with at most one space or hyphen per
+    * gap, bounded by word boundaries, UNBOUNDED length. The kernel then
+    * accepts a zone only when its digit count is in 13–19 (the ISO/IEC
+    * 7812 PAN length range) AND the Luhn checksum holds.
+    *
+    * Zone-then-length-filter (rather than a `{12,18}` bound in the
+    * regex) is what keeps longer runs safe: a bounded quantifier would
+    * let the engine backtrack a 20-digit grouped run down to a
+    * Luhn-valid 16-digit prefix and mangle a serial number, and would
+    * bridge two adjacent numbers into one never-valid window while
+    * skipping the real PAN inside it. With the unbounded zone, a
+    * grouped 20-digit run is consumed WHOLE and rejected by the length
+    * filter — never sliced.
+    *
+    * Documented consequence (the conservative industry rule — DLP
+    * scanners bound PANs with digit-free context the same way): a real
+    * PAN separated from an adjacent number by a single space/hyphen is
+    * part of a >19-digit zone and is deliberately NOT redacted — it is
+    * indistinguishable from a longer serial, and mangling non-card
+    * data is the worse failure for a training-data pipeline. Text with
+    * two-plus-space gaps, punctuation, or words between numbers (the
+    * overwhelming norm) redacts normally.
     */
-  val candidateRegex: String = "\\b[0-9](?:[ -]?[0-9]){12,18}\\b"
+  val candidateRegex: String = "\\b[0-9](?:[ -]?[0-9])*\\b"
+
+  /** Inclusive PAN digit-count bounds applied to each zone. */
+  val minDigits = 13
+  val maxDigits = 19
 
   private val candidate = Pattern.compile(candidateRegex)
+
+  private def digitCount(s: String, from: Int, to: Int): Int = {
+    var n = 0
+    var i = from
+    while (i < to) {
+      val ch = s.charAt(i)
+      if (ch >= '0' && ch <= '9') n += 1
+      i += 1
+    }
+    n
+  }
+
+  private def isCard(s: String, from: Int, to: Int): Boolean = {
+    val d = digitCount(s, from, to)
+    d >= minDigits && d <= maxDigits && luhnValid(s, from, to)
+  }
 
   /** Luhn checksum over the digits of `s[from, to)`, separators
     * skipped: from the rightmost digit leftward, double every second
@@ -62,19 +98,21 @@ object CardNumberUtil {
     sum % 10 == 0
   }
 
-  /** Number of Luhn-valid card candidates in `s`. */
+  /** Number of card numbers in `s`: digit zones whose digit count is
+    * 13–19 and whose Luhn checksum holds.
+    */
   def countValid(s: UTF8String): Int = {
     val str = s.toString
     val m = candidate.matcher(str)
     var n = 0
-    while (m.find()) if (luhnValid(str, m.start, m.end)) n += 1
+    while (m.find()) if (isCard(str, m.start, m.end)) n += 1
     n
   }
 
-  /** `s` with every Luhn-valid candidate replaced by `[CARD]`;
-    * checksum-failing candidates pass through untouched. Returns the
-    * input object unchanged (no copy) when nothing validates — the
-    * overwhelmingly common row.
+  /** `s` with every card number (13–19-digit Luhn-valid zone) replaced
+    * by `[CARD]`; length- or checksum-failing zones pass through
+    * untouched. Returns the input object unchanged (no copy) when
+    * nothing validates — the overwhelmingly common row.
     */
   def redact(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -82,7 +120,7 @@ object CardNumberUtil {
     var sb: java.lang.StringBuilder = null
     var last = 0
     while (m.find()) {
-      if (luhnValid(str, m.start, m.end)) {
+      if (isCard(str, m.start, m.end)) {
         if (sb == null) sb = new java.lang.StringBuilder(str.length)
         sb.append(str, last, m.start).append("[CARD]")
         last = m.end

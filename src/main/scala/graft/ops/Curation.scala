@@ -363,7 +363,8 @@ object Curation {
     // digest at or above "80000000") and crash the bucket-sum collect.
     require(prefixHexDigits >= 1 && prefixHexDigits <= 7,
       s"prefixHexDigits must be in [1, 7]: $prefixHexDigits")
-    val reserved = Seq("__graft_ord", "__graft_bkt", "__graft_tok")
+    val reserved = Seq("__graft_ord", "__graft_bkt", "__graft_tok",
+      "__graft_sum", "__graft_base", "__graft_cum")
     reserved.foreach(r => require(!df.columns.contains(r),
       s"input already has a reserved '$r' column"))
     val spark = df.sparkSession
@@ -421,6 +422,13 @@ object Curation {
     * be keyed (the hash's -1 sentinel), are dropped. Groups named in
     * `parts` but empty in the data are ignored (an unsuppliable target
     * would otherwise force an empty result).
+    *
+    * The per-group counts n(g) are taken over KEYABLE rows only
+    * (splitBucket ≥ 0): unkeyable rows can never be kept, so counting
+    * them would inflate a group's apparent supply and skew the
+    * achieved mix whenever groups differ in unkeyable-id rate (a group
+    * half-full of NULL ids would be downsampled as if twice its
+    * usable size).
     */
   def mixReweight(df: DataFrame, groupCol: String, idCol: String,
                   parts: Map[String, Int],
@@ -434,8 +442,9 @@ object Curation {
     val spark = df.sparkSession
     import spark.implicits._
     val groups = parts.keys.toSeq
-    val counts: Map[String, Long] = df
-      .filter(col(groupCol).isin(groups: _*))
+    val keyed = df.withColumn("__graft_bkt", splitBucket(col(idCol), buckets))
+    val counts: Map[String, Long] = keyed
+      .filter(col(groupCol).isin(groups: _*) && col("__graft_bkt") >= 0)
       .groupBy(col(groupCol).cast("string").as("__g")).count()
       .as[(String, Long)].collect().toMap
     val present = parts.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
@@ -447,7 +456,6 @@ object Curation {
       }.min
       g -> t.min(BigInt(buckets)).toInt
     }
-    val keyed = df.withColumn("__graft_bkt", splitBucket(col(idCol), buckets))
     val keep = th.toSeq.sortBy(_._1).map { case (g, t) =>
       col(groupCol) === g && col("__graft_bkt") < t
     }.reduce(_ || _)

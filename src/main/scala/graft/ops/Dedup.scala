@@ -108,12 +108,23 @@ object Dedup {
                     keepFirst: Boolean = false): DataFrame = {
     require(sep.nonEmpty, "sep must be a non-empty literal separator")
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1")
-    require(idCol != "text_clean",
-      "idCol 'text_clean' collides with an output column")
+    for (r <- Seq("text_clean", "n_segments", "n_kept"))
+      require(idCol != r, s"idCol '$r' collides with an output column")
+    for (r <- Seq("__t", "__pos", "__seg", "__d", "__n", "__first",
+        "__drops", "__keep"))
+      require(idCol != r, s"idCol '$r' is reserved")
     val sepPattern = java.util.regex.Pattern.quote(sep)
     // A NULL/empty text splits to [""] — a phantom segment. Filter on
     // the (still in scope) raw text so such rows contribute zero
     // segments; the final left join restores them as empty documents.
+    //
+    // `segs` is deliberately NOT persisted across its two uses (the
+    // digest leg and the rebuild leg): split+explode is cheap linear
+    // work over a scan, while caching the exploded corpus would spill
+    // ~the whole text volume to local disk — the same recompute-over-
+    // persist trade dedupAgainstBloom documents. Consequence: the
+    // source is read more than once, so feed a fixed snapshot when the
+    // underlying path is being written concurrently.
     val segs = df
       .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
       .filter(length(col("__t")) > 0)

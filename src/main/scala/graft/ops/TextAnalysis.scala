@@ -142,7 +142,7 @@ object TextAnalysis {
     * filter on first-occurrence position → join): no shuffle, stays in
     * whole-stage codegen, O(lines²) per document in the worst case —
     * bounded by document size, never by corpus size. Cross-corpus
-    * segment dedup is [[Dedup.segmentDedup]]'s job; this is the
+    * segment dedup is [[Dedup.dedupSegments]]'s job; this is the
     * intra-document complement.
     */
   def dedupLines(c: Column): Column = {
@@ -626,18 +626,26 @@ object TextAnalysis {
     require(maxLinkDensity > 0 && maxLinkDensity <= 1,
       s"maxLinkDensity must be in (0, 1], got $maxLinkDensity")
     val lines = split(blockLined(html), "\n")
-    val analyzed = transform(lines, l => {
+    // Two transform stages so the vis regexp chain (the dominant
+    // per-line cost) runs ONCE: HOF lambdas get no common-subexpression
+    // elimination, so a single struct(vis, length(f(vis))) would embed
+    // — and evaluate — the chain twice per line.
+    val stripped = transform(lines, l => {
       val vis = trim(regexp_replace(
         regexp_replace(l, lit("<[^>]*>"), lit(" ")),
         lit("[ \\t\\f\\r]+"), lit(" ")))
-      val visChars = length(regexp_replace(vis, lit(" "), lit("")))
       val anchorText = array_join(
         regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), "")
       val anchorChars = length(
         regexp_replace(regexp_replace(anchorText, lit("<[^>]*>"), lit("")),
           lit("[ \\t\\f\\r ]+"), lit("")))
-      struct(vis.as("vis"), visChars.as("n"), anchorChars.as("a"))
+      struct(vis.as("vis"), anchorChars.as("a"))
     })
+    val analyzed = transform(stripped, s =>
+      struct(s.getField("vis").as("vis"),
+        length(regexp_replace(s.getField("vis"), lit(" "), lit("")))
+          .as("n"),
+        s.getField("a").as("a")))
     val kept = filter(analyzed,
       s => s.getField("n") > 0 &&
         s.getField("a") <= s.getField("n") * lit(maxLinkDensity))

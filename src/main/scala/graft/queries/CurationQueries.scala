@@ -227,10 +227,18 @@ object CurationQueries {
     //    separate hashed row instead of one blended total. ------------
     "c13_card_redaction" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("dirty", cardDirtied)
+      // Candidates = digit ZONES in the PAN length range (13–19
+      // digits) — the same zone-then-length-filter rule the kernel
+      // applies, so n_candidates counts exactly the zones the Luhn
+      // check then arbitrates.
       base
         .withColumn("n_candidates",
-          size(regexp_extract_all(col("dirty"),
-            lit(graft.functions.CardNumberUtil.candidateRegex), lit(0)))
+          size(filter(
+            regexp_extract_all(col("dirty"),
+              lit(graft.functions.CardNumberUtil.candidateRegex), lit(0)),
+            x => length(regexp_replace(x, "[^0-9]", ""))
+              .between(graft.functions.CardNumberUtil.minDigits,
+                graft.functions.CardNumberUtil.maxDigits)))
             .cast("long"))
         .withColumn("n_cards", Curation.cardCount(col("dirty")).cast("long"))
         .withColumn("clean", Curation.redactCards(col("dirty")))
@@ -463,11 +471,15 @@ object CurationQueries {
       // processes \-escapes even in triple quotes, so the pattern is
       // interpolated from the shared constant, never inlined).
       val cand = graft.functions.CardNumberUtil.candidateRegex
+      val lo = graft.functions.CardNumberUtil.minDigits
+      val hi = graft.functions.CardNumberUtil.maxDigits
       s"""WITH dirty AS (
          |  SELECT doc_id, $cardDirtiedSql AS dirty FROM documents),
          |cand AS (
          |  SELECT doc_id,
-         |    regexp_extract_all(dirty, '$cand') AS cs
+         |    list_filter(regexp_extract_all(dirty, '$cand'),
+         |      c -> len(regexp_replace(c, '[^0-9]', '', 'g'))
+         |             BETWEEN $lo AND $hi) AS cs
          |  FROM dirty),
          |v AS (
          |  SELECT doc_id, len(cs) AS n_candidates,

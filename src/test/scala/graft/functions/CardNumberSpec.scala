@@ -27,18 +27,42 @@ class CardNumberSpec extends SparkSpec {
   }
 
   test("embedded longer digit runs are never prefix-matched") {
-    // 20 digits: no interior word boundary, so no 13-19 digit slice of
-    // the run is a candidate — serial numbers stay intact even when a
-    // prefix happens to pass Luhn.
+    // 20 contiguous digits: one zone, length-rejected — serial numbers
+    // stay intact even when a prefix happens to pass Luhn.
     val serial = "acct 41111111111111111111 ."
     assert(redactOne(serial) == serial)
     assert(countOne(serial) == 0)
+    // 20 digits GROUPED like a card (valid Visa + one more group): the
+    // zone is consumed whole and length-rejected — a bounded-quantifier
+    // pattern would instead backtrack to the Luhn-valid 16-digit prefix
+    // and mangle the serial to "[CARD] 1111".
+    val grouped = "pay 4111 1111 1111 1111 1111 now"
+    assert(redactOne(grouped) == grouped)
+    assert(countOne(grouped) == 0)
     // Digits glued to letters form one word-token (letters and digits
     // are both \w): "SN4111111111111111A"-style serials are NOT cards.
     assert(redactOne("id:4111111111111111x") == "id:4111111111111111x")
     assert(countOne("SN4111111111111111") == 0)
     // Punctuation IS a boundary: the same digits after a colon match.
     assert(redactOne("id:4111111111111111.") == "id:[CARD].")
+  }
+
+  test("adjacency: single-separator digit neighbors merge into one zone") {
+    // A PAN one space away from another number is part of a >19-digit
+    // zone: deliberately NOT redacted (indistinguishable from a longer
+    // serial — the documented conservative rule), and critically NOT
+    // mangled into a partial window either.
+    val adjacent = "order 1234 4111 1111 1111 1111 thanks"
+    assert(redactOne(adjacent) == adjacent)
+    assert(countOne(adjacent) == 0)
+    // Any digit-free context restores detection: punctuation, a word,
+    // or a double space all break the zone.
+    assert(redactOne("order 1234, 4111 1111 1111 1111 thanks") ==
+      "order 1234, [CARD] thanks")
+    assert(redactOne("order 1234  4111 1111 1111 1111 thanks") ==
+      "order 1234  [CARD] thanks")
+    assert(redactOne("order no 1234 card 4111 1111 1111 1111 x") ==
+      "order no 1234 card [CARD] x")
   }
 
   test("multiple cards per document; string start/end boundaries") {

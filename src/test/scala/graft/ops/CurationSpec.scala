@@ -457,6 +457,11 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.takeTokenBudget(df, "id", "n_tok", 100L,
         prefixHexDigits = 8))
+    // Every internal name is guarded — a user '__graft_cum' column
+    // would otherwise be silently overwritten by the running sum.
+    intercept[IllegalArgumentException](
+      Curation.takeTokenBudget(df.withColumn("__graft_cum", lit(1)),
+        "id", "n_tok", 100L))
   }
 
   test("takeTokenBudget: NULL ids drop, NULL token counts weigh zero") {
@@ -533,6 +538,24 @@ class CurationSpec extends SparkSpec {
       .toDF("id", "src")
     assert(Curation.mixReweight(d, "src", "id", Map("web" -> 1))
       .count() == 1L)
+  }
+
+  test("mixReweight: unkeyable rows don't inflate a group's supply") {
+    // web: 200 keyable + 200 NULL-id rows; code: 100 keyable. With
+    // counts over ALL rows, web would look 2x its usable size, both
+    // thresholds would open fully, and the kept mix would be 2:1
+    // instead of the requested 1:1. Counting keyable rows only makes
+    // web the non-binding group at threshold 5000 → ~100 of 200 kept.
+    val rows = (1 to 200).map(i => (Option(i.toLong), "web")) ++
+      (1 to 200).map(_ => (Option.empty[Long], "web")) ++
+      (301 to 400).map(i => (Option(i.toLong), "code"))
+    val out = Curation.mixReweight(rows.toDF("id", "src"), "src", "id",
+      Map("web" -> 1, "code" -> 1))
+    val byGroup = out.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(byGroup("code") == 100L, s"binding group keeps all: $byGroup")
+    assert(byGroup("web") > 60 && byGroup("web") < 140,
+      s"web must downsample toward code's usable size, got: $byGroup")
   }
 
   test("normalizeText: each fold rule, idempotence, null/empty") {

@@ -369,6 +369,11 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> r._2).toMap
     assert(all(1L) == "own one")
+    // Output and internal names are guarded: an idCol named like them
+    // would silently shadow a result column or break a join.
+    for (bad <- Seq("n_kept", "text_clean", "__pos"))
+      intercept[IllegalArgumentException](
+        Dedup.dedupSegments(docs.withColumnRenamed("id", bad), bad, "text"))
   }
 
   test("dedupSegments: minChars exempts short segments; maxOccurrences; empty docs") {
