@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpReplace, StringTrim}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayFilter, ArrayJoin, ArrayPosition, ArrayTransform, Cast, CreateArray, ElementAt, EqualTo, Expression, ExpressionInfo, LambdaFunction, Literal, NamedLambdaVariable, RegExpReplace, StringSplit, StringTrim}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
 
@@ -20,6 +20,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   normalize_text(text)                → string (Unicode pre-dedup fold)
   *   card_count(text)                    → int    (Luhn-valid card numbers)
   *   redact_cards(text)                  → string (Luhn-valid cards → [CARD])
+  *   dedup_lines(text)                   → string (C4 within-doc line rule)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -35,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.normalizeText)
     ext.injectFunction(GraftExtensions.cardCount)
     ext.injectFunction(GraftExtensions.redactCards)
+    ext.injectFunction(GraftExtensions.dedupLines)
   }
 }
 
@@ -165,11 +167,51 @@ object GraftExtensions {
         "redact_cards expects exactly 1 argument")
     })
 
+  /** `dedup_lines(text)` — the C4 within-document line rule
+    * ([[graft.ops.TextAnalysis.dedupLines]]) on the SQL surface.
+    *
+    * The tree is built from catalyst nodes with PRE-BOUND
+    * `NamedLambdaVariable`s (shim-round-tripping the Column
+    * composition does not work here: a builder-returned
+    * ColumnNodeExpression never re-enters function resolution, and a
+    * lambda cannot ride through it). Every node is constructed
+    * type-exact — `ResolveLambdaVariables` skips resolved trees, so a
+    * type mismatch would surface as an analysis error, never a silent
+    * re-bind; body variables are the same instances as the lambda
+    * arguments, which is what `functionsForEval` matches by exprId.
+    * Shape identical to the Column API (single-element transform wrap
+    * binding the split array once); GraftExtensionsSpec pins the two
+    * surfaces equal row-for-row.
+    */
+  val dedupLines: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dedup_lines"),
+    info(classOf[ArrayTransform].getName, "dedup_lines",
+      "dedup_lines(text) - drop lines that already appeared earlier in " +
+        "the same document (C4 page rule), first occurrences kept in " +
+        "order; NULL stays NULL."),
+    (args: Seq[Expression]) => args match {
+      case Seq(t0) =>
+        val t = Cast(t0, StringType)
+        val ls = StringSplit(t, Literal("\n"), Literal(-1))
+        val a = NamedLambdaVariable("a", ArrayType(StringType), nullable = true)
+        val x = NamedLambdaVariable("x", StringType, nullable = true)
+        val i = NamedLambdaVariable("i", IntegerType, nullable = false)
+        val firstAt = EqualTo(ArrayPosition(a, x),
+          Cast(Add(i, Literal(1)), LongType))
+        val kept = ArrayFilter(a, LambdaFunction(firstAt, Seq(x, i)))
+        val joined = ArrayJoin(kept, Literal("\n"), None)
+        ElementAt(
+          ArrayTransform(CreateArray(Seq(ls)), LambdaFunction(joined, Seq(a))),
+          Literal(1))
+      case _ => throw new IllegalArgumentException(
+        "dedup_lines expects exactly 1 argument")
+    })
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
-      normalizeText, cardCount, redactCards).foreach {
+      normalizeText, cardCount, redactCards, dedupLines).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -139,18 +139,27 @@ object TextAnalysis {
     * to one copy). NULL stays NULL.
     *
     * Pure per-row higher-order-function algebra (split → indexed
-    * filter on first-occurrence position → join): no shuffle, stays in
-    * whole-stage codegen, O(lines²) per document in the worst case —
-    * bounded by document size, never by corpus size. Cross-corpus
-    * segment dedup is [[Dedup.dedupSegments]]'s job; this is the
-    * intra-document complement.
+    * filter on first-occurrence position → join): no shuffle,
+    * O(lines²) comparisons per document in the worst case — bounded by
+    * document size, never by corpus size. The split array is bound
+    * ONCE as a lambda variable (the single-element `transform` wrap):
+    * referencing the `split` expression directly inside the filter
+    * lambda would re-split the whole document per line — lambda bodies
+    * re-evaluate their subtrees per element, there is no
+    * common-subexpression elimination — turning the per-document cost
+    * cubic-ish on line count. NULL stays NULL (the null array
+    * propagates through the lambda body). Cross-corpus segment dedup
+    * is [[Dedup.dedupSegments]]'s job; this is the intra-document
+    * complement. SQL surface: `dedup_lines`
+    * ([[graft.GraftExtensions]] builds the identical catalyst tree;
+    * GraftExtensionsSpec pins the two surfaces equal).
     */
-  def dedupLines(c: Column): Column = {
-    val ls = split(c, "\n")
-    when(c.isNull, lit(null).cast("string"))
-      .otherwise(array_join(
-        filter(ls, (x, i) => array_position(ls, x) === i + 1), "\n"))
-  }
+  def dedupLines(c: Column): Column =
+    element_at(
+      transform(array(split(c, "\n")), a =>
+        array_join(filter(a, (x, i) => array_position(a, x) === i + 1),
+          "\n")),
+      1)
 
   /** The [[normalizeText]] fold as an ordered (pattern → replacement)
     * table — the single source of truth shared by the Column API above

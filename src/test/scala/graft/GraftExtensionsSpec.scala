@@ -57,6 +57,28 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT normalize_text('a', 'b')").collect())
   }
 
+  test("dedup_lines reachable from SQL, matches the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The composed HOF tree (split → indexed filter → rejoin) must
+    // survive the Expression→Column→Expression round trip, lambda
+    // included.
+    val sql = spark.sql(
+      "SELECT dedup_lines('a\nb\na\nc\nb') AS r").collect().head.getString(0)
+    assert(sql == "a\nb\nc")
+    val docs = Seq("x\nx\ny", "one", "", null).toDF("t")
+    docs.createOrReplaceTempView("dl_in")
+    val viaSql = spark.sql("SELECT dedup_lines(t) AS r FROM dl_in")
+      .as[String].collect().toSeq
+    val viaCol = docs.select(
+      graft.ops.TextAnalysis.dedupLines(col("t")).as("r"))
+      .as[String].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql == Seq("x\ny", "one", "", null))
+    intercept[Exception](spark.sql("SELECT dedup_lines('a', 'b')").collect())
+  }
+
   test("describe function shows usage") {
     GraftExtensions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")
