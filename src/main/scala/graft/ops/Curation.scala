@@ -123,6 +123,43 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** GRADED contamination: for every document, the fraction of its
+    * distinct word `shingle`-grams that appear in the probe corpus —
+    * the thresholdable form of [[contaminatedBy]] (the GPT-3/Llama
+    * n-gram-overlap hygiene rule: drop above a contamination cutoff,
+    * audit the band below it). Returns
+    * `(idCol, n_shingles, n_hits, contamination)` for every document
+    * that has at least one shingle; contamination = n_hits/n_shingles
+    * rounded to 6 dp.
+    *
+    * Shape: ONE pass — the corpus's exploded shingle hashes left-join
+    * the distinct probe hashes (eval sets are tiny; AQE broadcasts),
+    * then a single per-doc aggregate. Exploded shingles stay in their
+    * document's partition, so partial aggregation collapses to one row
+    * per document before any exchange.
+    */
+  def contaminationScore(df: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeTextCol: String,
+                         shingle: Int = 3): DataFrame = {
+    for (r <- Seq("n_shingles", "n_hits", "contamination"))
+      require(idCol != r, s"idCol '$r' collides with an output column")
+    for (r <- Seq("__h", "__hit"))
+      require(idCol != r, s"idCol '$r' is reserved")
+    val docSh = df
+      .select(col(idCol), explode(F.shingleHashSet(col(textCol), shingle)).as("__h"))
+    val probeSh = probes
+      .select(explode(F.shingleHashSet(col(probeTextCol), shingle)).as("__h"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docSh.join(probeSh, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Keep rows at or above the per-group `q`-quantile of `scoreCol` —
     * the "drop the bottom 30% quality per language" curation pass that
     * follows quality scoring ([[TextAnalysis]]) in a training-data

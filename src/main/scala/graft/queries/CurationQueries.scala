@@ -155,6 +155,17 @@ object CurationQueries {
           max("doc_id").as("max_id"))
     },
 
+    // -- c14: graded contamination — per-doc overlap FRACTION with the
+    //    same probe set c4 uses; the thresholdable form of the binary
+    //    membership rule. Per-doc rows keep every (n_shingles, n_hits)
+    //    pair under the hash. --------------------------------------
+    "c14_contamination_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val probes = docs.filter(col("doc_id") % 50 === 0).select("text")
+      Curation.contaminationScore(docs, "doc_id", "text", probes, "text")
+        .orderBy("doc_id")
+    },
+
     // -- c5: per-group quality-quantile filter — keep docs at/above the
     //    per-lang median length (Spark's exact `percentile` ≡ DuckDB
     //    `quantile_cont`; tiny threshold frame broadcast back onto one
@@ -444,6 +455,28 @@ object CurationQueries {
         |      ORDER BY n_chars DESC, doc_id) AS r
         |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
         |WHERE r <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The c4 shingle CTE verbatim, left-joined so every document keeps
+    // its (n_shingles, n_hits) pair; the string-equality join is the
+    // oracle twin of the engine's hash-equality join (as in c4).
+    "c14_contamination_score" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |        ELSE list_transform(range(1, len(toks)-1),
+        |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)) AS h
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |        FROM documents)
+        |), probe AS (
+        |  SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0
+        |)
+        |SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN probe.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |  round(sum(CASE WHEN probe.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |          / count(*), 6) AS contamination
+        |FROM sh LEFT JOIN probe ON sh.h = probe.h
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
     "c4_decontamination" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -105,7 +105,20 @@ class CurationSpec extends SparkSpec {
     assert(hits(1L) == 6L) // the probe itself: all 6 of its 3-grams hit
     assert(hits(2L) == 2L) // shares "the secret benchmark", "secret benchmark answer"
     assert(!hits.contains(3L) && !hits.contains(4L))
+
+    // Graded form: every doc gets a fraction, clean docs score 0.0.
+    val scored = Curation.contaminationScore(corpus, "id", "text",
+        probes, "ptext")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scored(1L) == ((6L, 6L, 1.0))) // the probe itself: fully contaminated
+    assert(scored(2L) == ((5L, 2L, round6(2.0 / 5)))) // 7 tokens → 5 trigrams
+    assert(scored(3L) == ((6L, 0L, 0.0))) // 8 tokens → 6 trigrams
+    assert(scored(4L) == ((4L, 0L, 0.0)))
   }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("redactPii replaces emails, phones and IPs; counts match") {
     val df = Seq(
