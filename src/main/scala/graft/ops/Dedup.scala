@@ -789,6 +789,44 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Collapse duplicate groups to ONE representative row each: within
+    * every component of `groups` ([[duplicateGroups]]' `(id, comp)`
+    * output), keep the `df` row maximizing `(scoreCol, idCol)` — the
+    * C4-style "keep the best copy" terminus (longest text, highest
+    * quality score, ...); the id tiebreak makes re-runs deterministic,
+    * and NULL scores rank below every non-NULL score. Rows in no group
+    * keep themselves. Returns the kept rows of `df` unchanged.
+    *
+    * Shape: `groups` holds only duplicated ids — small next to the
+    * corpus — so the winner-per-component `max_by` aggregate runs on
+    * the grouped slice alone, and the corpus-wide work is one
+    * left-anti join against the (even smaller) loser id set. The full
+    * frame never shuffles.
+    *
+    * CONTRACT: `idCol` non-null and unique (the [[exact]] contract).
+    */
+  def keepRepresentative(df: DataFrame, groups: DataFrame, idCol: String,
+                         scoreCol: String, memberCol: String = "id",
+                         compCol: String = "comp"): DataFrame = {
+    for (c <- Seq(idCol, scoreCol))
+      require(df.columns.contains(c), s"df needs column '$c'")
+    for (c <- Seq(memberCol, compCol))
+      require(groups.columns.contains(c), s"groups needs column '$c'")
+    require(!df.columns.contains("__graft_mid"),
+      "input already has a reserved '__graft_mid' column")
+    val member = groups.select(col(memberCol).as("__graft_mid"),
+      col(compCol).as("__graft_comp"))
+    val scored = df.select(col(idCol), col(scoreCol))
+      .join(member, col(idCol) === col("__graft_mid"))
+    val winners = scored.groupBy("__graft_comp")
+      .agg(max_by(col(idCol), struct(col(scoreCol), col(idCol)))
+        .as("__graft_win"))
+      .select(col("__graft_win").as("__graft_mid"))
+    val losers = member.select("__graft_mid")
+      .join(winners, Seq("__graft_mid"), "left_anti")
+    df.join(losers, col(idCol) === col("__graft_mid"), "left_anti")
+  }
+
   /** Remove near-duplicates, keeping each group's smallest id.
     *
     * Greedy (default): a row is dropped iff it has a verified neighbor

@@ -331,6 +331,29 @@ object DedupQueries {
         .orderBy("comp")
     },
 
+    // -- d17: representative selection — the C4 "keep the best copy"
+    //    terminus over d8's components: within each near-dup group keep
+    //    the longest text (id tiebreak). The truncated +300000 clones
+    //    lose to their originals except where truncation was a no-op
+    //    (short docs: ceil(n*0.95) = n) and the higher-id clone wins
+    //    the tie — both arms exercised by the fixture. --------------
+    "d17_keep_representative" -> { (s, d) =>
+      val corpus = corpusNear(s, d)
+      val verified = graft.ops.Dedup.nearDuplicates(corpus,
+        "doc_id", "text", threshold = 0.8, numHashes = 64, bands = 32,
+        shingle = 3)
+      val groups = graft.ops.Dedup.duplicateGroups(verified)
+      verified.unpersist()
+      val kept = graft.ops.Dedup.keepRepresentative(
+        corpus.withColumn("s", length(col("text")).cast("long")),
+        groups, "doc_id", "s")
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        sum("doc_id").as("sum_kept_ids"),
+        sum(when(col("doc_id") >= 300000, 1L).otherwise(0L))
+          .as("n_clones_kept"))
+    },
+
     // -- d11: incremental embedding dedup — copied vectors (+100000,
     //    cos 1 vs their originals → dropped) and rotated vectors
     //    (+200000, decorrelated direction → kept) against the seen
@@ -531,6 +554,49 @@ object DedupQueries {
          |FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     // Transitive closure over the same full-scan pair set via a
     // recursive reachability CTE; comp = min reachable id (incl. self).
+    // d8's exact-jaccard component derivation, extended with the
+    // winner rule: rank each component by (text length DESC, id DESC)
+    // — the oracle twin of max_by(id, struct(score, id)) — and keep
+    // everything that is not a grouped non-winner.
+    "d17_keep_representative" ->
+      s"""WITH RECURSIVE corpus AS ($corpusNearSql),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+         |      ELSE list_transform(range(1, len(toks)-1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+         |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks FROM corpus)
+         |),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   AND len(a.sh) >= 0.8 * len(b.sh) AND len(b.sh) >= 0.8 * len(a.sh)
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |),
+         |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+         |ranked AS (
+         |  SELECT c.id,
+         |    row_number() OVER (PARTITION BY c.comp
+         |      ORDER BY length(corpus.text) DESC, c.id DESC) AS rn
+         |  FROM comp c JOIN corpus ON c.id = corpus.doc_id),
+         |losers AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT count(*)::BIGINT AS n_kept,
+         |  sum(doc_id)::BIGINT AS sum_kept_ids,
+         |  sum(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_clones_kept
+         |FROM corpus
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
     "d8_dup_groups" ->
       s"""WITH RECURSIVE corpus AS ($corpusNearSql),
          |sh AS (

@@ -424,6 +424,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("keepRepresentative: best (score, id) per group, others untouched") {
+    val df = Seq(
+      (1L, "short", 5L), (2L, "longer text", 11L), (3L, "longest text!", 13L),
+      (4L, "solo", 4L),                    // ungrouped: keeps itself
+      (5L, "tie a", 5L), (6L, "tie b", 5L) // equal scores: max id wins
+    ).toDF("doc_id", "text", "s")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "comp")
+    val kept = Dedup.keepRepresentative(df, groups, "doc_id", "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 6L))
+    // NULL scores rank below every non-NULL score.
+    val dfN = Seq((1L, Option(7L)), (2L, Option.empty[Long]))
+      .toDF("doc_id", "s")
+    val gN = Seq((1L, 1L), (2L, 1L)).toDF("id", "comp")
+    assert(Dedup.keepRepresentative(dfN, gN, "doc_id", "s")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("snapshotDiff: four statuses, narrow projection before the join") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
