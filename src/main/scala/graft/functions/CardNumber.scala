@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -18,63 +17,160 @@ import org.apache.spark.unsafe.types.UTF8String
   * checksum before redacting removes ~90% of false positives (a random
   * digit run passes Luhn 1 in 10 times). `regexp_replace` cannot
   * express "replace only if the checksum holds", hence this kernel: a
-  * digit-zone scan (regex) + PAN-length filter + Luhn verify + splice,
-  * as a static function shared by the interpreted and generated paths
-  * (the [[LabelHashBucketUtil]] pattern — no `this` capture, stays
-  * inside whole-stage codegen).
+  * linear digit-zone scan + PAN-length filter + Luhn verify + splice
+  * ([[CardNumberUtil.scanCards]]), as a static function shared by the
+  * interpreted and generated paths (the [[LabelHashBucketUtil]]
+  * pattern — no `this` capture, stays inside whole-stage codegen).
   *
-  * The candidate pattern is deliberately valid in BOTH Java regex and
-  * RE2 (no backreferences or lookarounds; `\b` is the ASCII word
-  * boundary in both), so the DuckDB gate oracle extracts the identical
-  * candidate set and replays the Luhn arithmetic in SQL.
+  * [[CardNumberUtil.candidateRegex]] describes the zone shape for the
+  * gate query and its DuckDB oracle (valid in both Java regex and RE2
+  * — no backreferences or lookarounds, ASCII `\b`); the scanner agrees
+  * with it on every word-boundary-clean shape and refines the glued
+  * and multi-card cases regex extraction cannot express.
   */
 object CardNumberUtil {
 
-  /** A maximal digit ZONE: digits with at most one space or hyphen per
-    * gap, bounded by word boundaries, UNBOUNDED length. The kernel then
-    * accepts a zone only when its digit count is in 13–19 (the ISO/IEC
-    * 7812 PAN length range) AND the Luhn checksum holds.
-    *
-    * Zone-then-length-filter (rather than a `{12,18}` bound in the
-    * regex) is what keeps longer runs safe: a bounded quantifier would
-    * let the engine backtrack a 20-digit grouped run down to a
-    * Luhn-valid 16-digit prefix and mangle a serial number, and would
-    * bridge two adjacent numbers into one never-valid window while
-    * skipping the real PAN inside it. With the unbounded zone, a
-    * grouped 20-digit run is consumed WHOLE and rejected by the length
-    * filter — never sliced.
-    *
-    * Documented consequence (the conservative industry rule — DLP
-    * scanners bound PANs with digit-free context the same way): a real
-    * PAN separated from an adjacent number by a single space/hyphen is
-    * part of a >19-digit zone and is deliberately NOT redacted — it is
-    * indistinguishable from a longer serial, and mangling non-card
-    * data is the worse failure for a training-data pipeline. Text with
-    * two-plus-space gaps, punctuation, or words between numbers (the
-    * overwhelming norm) redacts normally.
+  /** The digit-ZONE shape (digits with at most one space or hyphen per
+    * gap, word-boundary fenced) as a regex — exported for the gate
+    * query and its DuckDB oracle, which count PAN-length zones with
+    * the same pattern on both engines. The KERNEL itself does not run
+    * this regex: any pattern with a trailing `\b` after a greedy tail
+    * can be backtracked into a shorter window on glued inputs (e.g.
+    * `"…1111 1111x"` retreats to a Luhn-valid 16-digit slice — the
+    * exact mangling the zone rule exists to prevent), so the kernel
+    * uses [[scanCards]], a manual linear scanner with no backtracking
+    * at all. On word-boundary-clean text (every shape in the gate
+    * corpus) the regex and the scanner agree; the scanner additionally
+    * rejects glue-tainted zones and partitions multi-card zones —
+    * refinements regex extraction cannot express and which the gate
+    * fixture deliberately does not exercise.
     */
   val candidateRegex: String = "\\b[0-9](?:[ -]?[0-9])*\\b"
 
-  /** Inclusive PAN digit-count bounds applied to each zone. */
+  /** Inclusive PAN digit-count bounds applied to each zone/segment. */
   val minDigits = 13
   val maxDigits = 19
 
-  private val candidate = Pattern.compile(candidateRegex)
+  /** Zones with more digits than this never partition-redact: beyond
+    * ~8 concatenated PANs the content is a data dump, not a card list,
+    * and the O(groups²) partition search stops being justified.
+    */
+  private val maxPartitionDigits = 160
 
-  private def digitCount(s: String, from: Int, to: Int): Int = {
-    var n = 0
-    var i = from
-    while (i < to) {
-      val ch = s.charAt(i)
-      if (ch >= '0' && ch <= '9') n += 1
-      i += 1
+  private def isWordChar(ch: Char): Boolean =
+    (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'z') ||
+      (ch >= 'A' && ch <= 'Z') || ch == '_'
+
+  private def isDigit(ch: Char): Boolean = ch >= '0' && ch <= '9'
+
+  /** Walk every maximal digit zone of `str` and invoke `f(start, end)`
+    * for each accepted CARD span. Rules, in order:
+    *
+    *  1. A zone starts at a digit with no word character before it and
+    *     extends through digits and single space/hyphen separators —
+    *     consumed maximally, never sliced (no backtracking exists).
+    *  2. A zone whose last digit is glued to a word character (serial
+    *     tails like `…1111x`) is rejected whole, and the scan resumes
+    *     after the glued token.
+    *  3. A clean zone with 13–19 digits is a card iff Luhn holds.
+    *  4. A clean zone with MORE digits is redacted only when it
+    *     partitions completely at separator boundaries into
+    *     consecutive 13–19-digit Luhn-valid segments — the
+    *     adjacent-cards case (`"<visa> <mastercard>"` emits two
+    *     spans); a junk-plus-card zone (`"1234 <visa>"`) has no full
+    *     partition and is left alone: indistinguishable from a longer
+    *     serial, and mangling non-card data is the worse failure for
+    *     a training-data pipeline (the conservative DLP rule). The
+    *     partition is deterministic (shortest segments preferred from
+    *     the right).
+    */
+  private def scanCards(str: String)(f: (Int, Int) => Unit): Unit = {
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      if (isDigit(str.charAt(i)) &&
+          (i == 0 || !isWordChar(str.charAt(i - 1)))) {
+        // Walk the zone, recording digit-group spans.
+        val starts = scala.collection.mutable.ArrayBuffer[Int]()
+        val ends = scala.collection.mutable.ArrayBuffer[Int]()
+        var j = i
+        var curStart = i
+        var walking = true
+        while (walking && j < len) {
+          val c = str.charAt(j)
+          if (isDigit(c)) j += 1
+          else if ((c == ' ' || c == '-') && j + 1 < len &&
+              isDigit(str.charAt(j + 1))) {
+            starts += curStart; ends += j
+            curStart = j + 1
+            j += 1
+          } else walking = false
+        }
+        starts += curStart; ends += j // j sits just past the last digit
+        val zoneEnd = j
+        val glued = zoneEnd < len && isWordChar(str.charAt(zoneEnd))
+        if (!glued) {
+          var total = 0
+          var g = 0
+          while (g < starts.length) { total += ends(g) - starts(g); g += 1 }
+          if (total >= minDigits && total <= maxDigits) {
+            if (luhnValid(str, i, zoneEnd)) f(i, zoneEnd)
+          } else if (total > maxDigits && total <= maxPartitionDigits &&
+              starts.length > 1) {
+            partitionZone(str, starts, ends, f)
+          }
+        }
+        i = if (glued) {
+          var k = zoneEnd
+          while (k < len && isWordChar(str.charAt(k))) k += 1
+          k
+        } else zoneEnd
+      } else i += 1
     }
-    n
   }
 
-  private def isCard(s: String, from: Int, to: Int): Boolean = {
-    val d = digitCount(s, from, to)
-    d >= minDigits && d <= maxDigits && luhnValid(s, from, to)
+  /** Rule 4's partition search: groups `g(0)..g(k-1)` must split into
+    * consecutive runs, each 13–19 digits and Luhn-valid over its char
+    * span. Emits every segment span (in order) iff the WHOLE zone
+    * partitions; emits nothing otherwise.
+    */
+  private def partitionZone(str: String,
+                            starts: scala.collection.mutable.ArrayBuffer[Int],
+                            ends: scala.collection.mutable.ArrayBuffer[Int],
+                            f: (Int, Int) => Unit): Unit = {
+    val k = starts.length
+    val digitsUpTo = new Array[Int](k + 1) // prefix digit counts
+    for (g <- 0 until k)
+      digitsUpTo(g + 1) = digitsUpTo(g) + (ends(g) - starts(g))
+    val ok = new Array[Boolean](k + 1)
+    val parent = new Array[Int](k + 1)
+    ok(0) = true
+    java.util.Arrays.fill(parent, -1)
+    for (j <- 1 to k) {
+      var i = j - 1
+      while (i >= 0 && !ok(j)) {
+        val d = digitsUpTo(j) - digitsUpTo(i)
+        if (d > maxDigits) i = -1 // longer segments only get longer: stop
+        else {
+          if (ok(i) && d >= minDigits &&
+              luhnValid(str, starts(i), ends(j - 1))) {
+            ok(j) = true
+            parent(j) = i
+          }
+          i -= 1
+        }
+      }
+    }
+    if (!ok(k)) return
+    // Reconstruct segment bounds back-to-front, emit front-to-back.
+    var bounds = List.empty[(Int, Int)]
+    var j = k
+    while (j > 0) {
+      val i = parent(j)
+      bounds = (starts(i), ends(j - 1)) :: bounds
+      j = i
+    }
+    bounds.foreach { case (s, e) => f(s, e) }
   }
 
   /** Luhn checksum over the digits of `s[from, to)`, separators
@@ -98,33 +194,29 @@ object CardNumberUtil {
     sum % 10 == 0
   }
 
-  /** Number of card numbers in `s`: digit zones whose digit count is
-    * 13–19 and whose Luhn checksum holds.
+  /** Number of card numbers in `s` under [[scanCards]]' rules (a
+    * partitioned multi-card zone counts each segment).
     */
   def countValid(s: UTF8String): Int = {
     val str = s.toString
-    val m = candidate.matcher(str)
     var n = 0
-    while (m.find()) if (isCard(str, m.start, m.end)) n += 1
+    scanCards(str)((_, _) => n += 1)
     n
   }
 
-  /** `s` with every card number (13–19-digit Luhn-valid zone) replaced
-    * by `[CARD]`; length- or checksum-failing zones pass through
-    * untouched. Returns the input object unchanged (no copy) when
-    * nothing validates — the overwhelmingly common row.
+  /** `s` with every card span from [[scanCards]] replaced by `[CARD]`;
+    * everything else passes through untouched. Returns the input
+    * object unchanged (no copy) when nothing validates — the
+    * overwhelmingly common row.
     */
   def redact(s: UTF8String): UTF8String = {
     val str = s.toString
-    val m = candidate.matcher(str)
     var sb: java.lang.StringBuilder = null
     var last = 0
-    while (m.find()) {
-      if (isCard(str, m.start, m.end)) {
-        if (sb == null) sb = new java.lang.StringBuilder(str.length)
-        sb.append(str, last, m.start).append("[CARD]")
-        last = m.end
-      }
+    scanCards(str) { (start, end) =>
+      if (sb == null) sb = new java.lang.StringBuilder(str.length)
+      sb.append(str, last, start).append("[CARD]")
+      last = end
     }
     if (sb == null) s
     else UTF8String.fromString(sb.append(str, last, str.length).toString)

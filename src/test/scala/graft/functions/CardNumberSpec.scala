@@ -47,14 +47,23 @@ class CardNumberSpec extends SparkSpec {
     assert(redactOne("id:4111111111111111.") == "id:[CARD].")
   }
 
-  test("adjacency: single-separator digit neighbors merge into one zone") {
-    // A PAN one space away from another number is part of a >19-digit
-    // zone: deliberately NOT redacted (indistinguishable from a longer
-    // serial — the documented conservative rule), and critically NOT
-    // mangled into a partial window either.
+  test("adjacency: junk-plus-card zones stay whole, card-only zones partition") {
+    // A PAN one space from a NON-card number forms a >19-digit zone
+    // with no full partition into valid PANs: deliberately NOT
+    // redacted (indistinguishable from a longer serial — the
+    // conservative rule), and critically NOT mangled into a partial
+    // window either.
     val adjacent = "order 1234 4111 1111 1111 1111 thanks"
     assert(redactOne(adjacent) == adjacent)
     assert(countOne(adjacent) == 0)
+    // But a zone that partitions COMPLETELY into consecutive
+    // Luhn-valid PAN-length segments is a card list: redact each.
+    assert(redactOne("pay 4111 1111 1111 1111 5500 0000 0000 0004 now") ==
+      "pay [CARD] [CARD] now")
+    assert(redactOne("4111111111111111 5500000000000004") ==
+      "[CARD] [CARD]")
+    assert(countOne(
+      "a 4111111111111111 5500000000000004 378282246310005 z") == 3)
     // Any digit-free context restores detection: punctuation, a word,
     // or a double space all break the zone.
     assert(redactOne("order 1234, 4111 1111 1111 1111 thanks") ==
@@ -63,6 +72,18 @@ class CardNumberSpec extends SparkSpec {
       "order 1234  [CARD] thanks")
     assert(redactOne("order no 1234 card 4111 1111 1111 1111 x") ==
       "order no 1234 card [CARD] x")
+  }
+
+  test("glued tails reject the zone whole — no backtracked slice ever") {
+    // "…1111 1111x": a trailing-\b regex would backtrack past the
+    // glued group and redact the Luhn-valid 16-digit slice, mangling a
+    // serial. The scanner rejects the glue-tainted zone wholesale.
+    val glued = "pay 4111 1111 1111 1111 1111x now"
+    assert(redactOne(glued) == glued)
+    assert(countOne(glued) == 0)
+    val hyph = "sn 4111-1111-1111-1111-1111a end"
+    assert(redactOne(hyph) == hyph)
+    assert(countOne(hyph) == 0)
   }
 
   test("multiple cards per document; string start/end boundaries") {
