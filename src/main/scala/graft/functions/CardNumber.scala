@@ -90,33 +90,43 @@ object CardNumberUtil {
     while (i < len) {
       if (isDigit(str.charAt(i)) &&
           (i == 0 || !isWordChar(str.charAt(i - 1)))) {
-        // Walk the zone, recording digit-group spans.
-        val starts = scala.collection.mutable.ArrayBuffer[Int]()
-        val ends = scala.collection.mutable.ArrayBuffer[Int]()
+        // Walk the zone counting digits and groups in two locals — no
+        // allocation. This kernel runs per row over the whole corpus,
+        // and ordinary text is dense with small digit zones (years,
+        // timestamps, order ids); group BOUNDS are consumed only on
+        // the rare partition branch (clean zone longer than a PAN),
+        // which re-walks the zone once to collect them.
         var j = i
-        var curStart = i
+        var total = 0
+        var groups = 1
         var walking = true
         while (walking && j < len) {
           val c = str.charAt(j)
-          if (isDigit(c)) j += 1
+          if (isDigit(c)) { total += 1; j += 1 }
           else if ((c == ' ' || c == '-') && j + 1 < len &&
               isDigit(str.charAt(j + 1))) {
-            starts += curStart; ends += j
-            curStart = j + 1
+            groups += 1
             j += 1
           } else walking = false
         }
-        starts += curStart; ends += j // j sits just past the last digit
-        val zoneEnd = j
+        val zoneEnd = j // sits just past the last digit
         val glued = zoneEnd < len && isWordChar(str.charAt(zoneEnd))
         if (!glued) {
-          var total = 0
-          var g = 0
-          while (g < starts.length) { total += ends(g) - starts(g); g += 1 }
           if (total >= minDigits && total <= maxDigits) {
             if (luhnValid(str, i, zoneEnd)) f(i, zoneEnd)
           } else if (total > maxDigits && total <= maxPartitionDigits &&
-              starts.length > 1) {
+              groups > 1) {
+            // Re-walk [i, zoneEnd) for group spans: every non-digit
+            // char inside a consumed zone is a single separator.
+            val starts = scala.collection.mutable.ArrayBuffer[Int]()
+            val ends = scala.collection.mutable.ArrayBuffer[Int]()
+            var k = i
+            var curStart = i
+            while (k < zoneEnd) {
+              if (isDigit(str.charAt(k))) k += 1
+              else { starts += curStart; ends += k; curStart = k + 1; k += 1 }
+            }
+            starts += curStart; ends += zoneEnd
             partitionZone(str, starts, ends, f)
           }
         }

@@ -113,6 +113,8 @@ object Curation {
   def contaminatedBy(df: DataFrame, idCol: String, textCol: String,
                      probes: DataFrame, probeTextCol: String,
                      shingle: Int = 3): DataFrame = {
+    require(idCol != "n_hits", "idCol 'n_hits' collides with an output column")
+    require(idCol != "__h", "idCol '__h' is reserved")
     val docSh = df
       .select(col(idCol), explode(F.shingleHashSet(col(textCol), shingle)).as("__h"))
     val probeSh = probes
@@ -395,11 +397,14 @@ object Curation {
   def takeTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
                       budget: Long, prefixHexDigits: Int = 3): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
-    // 7 hex digits max: 8 digits reach 2^32 - 1 > Int.MaxValue, so
-    // conv(...).cast("int") would NULL out half of all buckets (every
-    // digest at or above "80000000") and crash the bucket-sum collect.
-    require(prefixHexDigits >= 1 && prefixHexDigits <= 7,
-      s"prefixHexDigits must be in [1, 7]: $prefixHexDigits")
+    // 5 hex digits max (16^5 ≈ 1M buckets): the bucket sums are
+    // collected and prefix-scanned on the DRIVER, so the binding
+    // constraint is driver memory — 1M (Int, Long) tuples is tens of
+    // MB and already 4096× finer than the default 3, while 7 digits
+    // would let a ~268M-row multi-GB driver collect through. (8+
+    // digits would additionally overflow conv(...).cast("int").)
+    require(prefixHexDigits >= 1 && prefixHexDigits <= 5,
+      s"prefixHexDigits must be in [1, 5]: $prefixHexDigits")
     val reserved = Seq("__graft_ord", "__graft_bkt", "__graft_tok",
       "__graft_sum", "__graft_base", "__graft_cum")
     reserved.foreach(r => require(!df.columns.contains(r),

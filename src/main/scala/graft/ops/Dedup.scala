@@ -320,8 +320,13 @@ object Dedup {
     * the broadcast — the exact driver blow-up the pivot guards
     * against. The persist is capped by construction (≤ `maxMaybeKeys`
     * digest rows in the branch that keeps it), is dropped immediately
-    * on the fallback path and on a failed count, and otherwise ages
-    * out under LRU. (An earlier revision persisted the whole keyed
+    * on the fallback path and on a failed count, and on the broadcast
+    * path as soon as the collided index is materialized — a
+    * MEMORY_AND_DISK block spilled to disk is never evicted by memory
+    * pressure, so leaving it to "age out" would accumulate one
+    * unreachable cache entry per call in a long-lived session (the
+    * Verify/Bench pattern runs 60+ queries in one
+    * JVM). (An earlier revision persisted the whole keyed
     * batch — unbounded; the revision after persisted nothing —
     * re-opening the double-evaluation race this paragraph describes.)
     * The final anti-join still re-scans the source once more; rows
@@ -359,9 +364,16 @@ object Dedup {
           .join(seenKeys, Seq("__graft_k"), "left_anti"))
         .drop("__graft_k")
     } else {
-      val collided = seen.select(contentDigest(seen, on).as("__graft_k"))
-        .join(broadcast(maybeKeys), Seq("__graft_k"), "left_semi")
-        .distinct()
+      // Materialized eagerly (small: ≤ maybe-set rows) so the
+      // maybeKeys snapshot frees NOW rather than leaking per call —
+      // see the persist-lifecycle paragraph in the doc above.
+      val collided =
+        try
+          seen.select(contentDigest(seen, on).as("__graft_k"))
+            .join(broadcast(maybeKeys), Seq("__graft_k"), "left_semi")
+            .distinct()
+            .truncated
+        finally maybeKeys.unpersist(false)
       // ONE anti-join over ALL rows, not a definitely-new/maybe union
       // of two filter branches: a row the filter never flagged cannot
       // be in `seen`, hence cannot be in `collided` — same keep set
@@ -690,6 +702,12 @@ object Dedup {
   def jaccardNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8, shingle: Int = 3,
                             maxDocFreq: Int = 1000): DataFrame = {
+    // threshold > 1 drives prefixLen non-positive (a runtime slice()
+    // error mid-job, after the shingle sets were already computed);
+    // threshold <= 0 silently indexes EVERY shingle — the quadratic
+    // candidate blowup the prefix filter exists to prevent.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
     val sets = shingleSets(df, idCol, textCol, shingle).persist()
     try {
       val sz = size(col("__sh"))
@@ -812,8 +830,9 @@ object Dedup {
       require(df.columns.contains(c), s"df needs column '$c'")
     for (c <- Seq(memberCol, compCol))
       require(groups.columns.contains(c), s"groups needs column '$c'")
-    require(!df.columns.contains("__graft_mid"),
-      "input already has a reserved '__graft_mid' column")
+    for (c <- Seq("__graft_mid", "__graft_comp", "__graft_win"))
+      require(!df.columns.contains(c),
+        s"input already has a reserved '$c' column")
     val member = groups.select(col(memberCol).as("__graft_mid"),
       col(compCol).as("__graft_comp"))
     val scored = df.select(col(idCol), col(scoreCol))

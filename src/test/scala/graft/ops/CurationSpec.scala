@@ -105,6 +105,10 @@ class CurationSpec extends SparkSpec {
     assert(hits(1L) == 6L) // the probe itself: all 6 of its 3-grams hit
     assert(hits(2L) == 2L) // shares "the secret benchmark", "secret benchmark answer"
     assert(!hits.contains(3L) && !hits.contains(4L))
+    // Output/reserved name collisions fail loudly, like contaminationScore's.
+    for (bad <- Seq("n_hits", "__h"))
+      intercept[IllegalArgumentException](Curation.contaminatedBy(
+        corpus.withColumnRenamed("id", bad), bad, "text", probes, "ptext"))
 
     // Graded form: every doc gets a fraction, clean docs score 0.0.
     val scored = Curation.contaminationScore(corpus, "id", "text",
@@ -465,11 +469,13 @@ class CurationSpec extends SparkSpec {
     assert(Curation.takeTokenBudget(df, "id", "n_tok", Long.MaxValue / 2)
       .count() == 200)
     assert(reference(100L).subsetOf(reference(777L)))
-    // 8 hex digits would overflow Int for digests >= "80000000" —
-    // rejected at the API, not discovered as NULL buckets mid-job.
-    intercept[IllegalArgumentException](
-      Curation.takeTokenBudget(df, "id", "n_tok", 100L,
-        prefixHexDigits = 8))
+    // 6+ hex digits would allow a multi-GB driver bucket-sum collect
+    // (and 8+ would overflow the Int bucket cast) — rejected at the
+    // API, not discovered as a driver OOM / NULL buckets mid-job.
+    for (d <- Seq(6, 8))
+      intercept[IllegalArgumentException](
+        Curation.takeTokenBudget(df, "id", "n_tok", 100L,
+          prefixHexDigits = d))
     // Every internal name is guarded — a user '__graft_cum' column
     // would otherwise be silently overwritten by the running sum.
     intercept[IllegalArgumentException](

@@ -289,6 +289,11 @@ class DedupOpsSpec extends SparkSpec {
       .toDF("id", "text")
     val capped = Dedup.jaccardNearDuplicates(many, "id", "text", maxDocFreq = 10)
     assert(capped.count() == 0) // every shingle appears in 40 docs > cap
+    // threshold > 1 would slice() a non-positive prefix mid-job;
+    // threshold <= 0 would index every shingle (quadratic candidates).
+    for (t <- Seq(0.0, -0.1, 1.2))
+      intercept[IllegalArgumentException](
+        Dedup.jaccardNearDuplicates(many, "id", "text", threshold = t))
   }
 
   test("dropNearDuplicates keeps group minima and singletons") {
@@ -441,6 +446,11 @@ class DedupOpsSpec extends SparkSpec {
     val gN = Seq((1L, 1L), (2L, 1L)).toDF("id", "comp")
     assert(Dedup.keepRepresentative(dfN, gN, "doc_id", "s")
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // Every internal name fails loudly, not as a deep
+    // AMBIGUOUS_REFERENCE inside the winner aggregate.
+    for (r <- Seq("__graft_mid", "__graft_comp", "__graft_win"))
+      intercept[IllegalArgumentException](Dedup.keepRepresentative(
+        dfN.withColumn(r, lit(1)), gN, "doc_id", "s"))
   }
 
   test("snapshotDiff: four statuses, narrow projection before the join") {
