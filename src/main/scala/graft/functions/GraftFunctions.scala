@@ -154,6 +154,8 @@ object GraftFunctions {
     udf((s: String, n: Int) => TextHash.shingleHashes(s, n))
   private val udfMinhashFromHashes =
     udf((h: Seq[Long], k: Int) => TextHash.minhashFromHashes(h.toArray, k))
+  private val udfWindowHashes =
+    udf((s: String, n: Int) => TextHash.windowHashes(s, n))
   private val udfJaccardSorted =
     udf((a: Seq[Long], b: Seq[Long]) => TextHash.jaccardSorted(a.toArray, b.toArray))
   // Null-safe: a NULL embedding yields NO band keys (empty → explode
@@ -175,6 +177,10 @@ object GraftFunctions {
   /** Sorted distinct shingle-hash set — see [[TextHash.shingleHashes]]. */
   def shingleHashSet(c: Column, shingleN: Int): Column =
     udfShingleHashes(c, lit(shingleN))
+
+  /** Ordered non-distinct window hashes — see [[TextHash.windowHashes]]. */
+  def windowHashes(c: Column, windowN: Int): Column =
+    udfWindowHashes(c, lit(windowN))
   def minhashSigFromHashes(h: Column, k: Int): Column =
     udfMinhashFromHashes(h, lit(k))
   def jaccardSortedSim(a: Column, b: Column): Column = udfJaccardSorted(a, b)

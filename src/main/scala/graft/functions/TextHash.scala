@@ -170,6 +170,24 @@ object TextHash {
     }
   }
 
+  /** ORDERED, NON-distinct FNV-1a hashes of the sliding word n-gram
+    * windows — the span-dedup unit ([[graft.ops.Dedup.duplicatedSpanStats]]).
+    * Unlike [[shingleHashes]] this keeps multiplicity and document
+    * order: span-level dedup counts every OCCURRENCE of a window
+    * across the corpus (a document repeating its own span contributes
+    * each repeat), so collapsing to a distinct set would undercount
+    * exactly the self-repetition the signal exists to expose. A
+    * document shorter than `n` words yields its whole text as the one
+    * window (the [[shingles]] rule); no tokens yields no windows.
+    */
+  def windowHashes(text: String, n: Int): Array[Long] = {
+    val sh = shingles(text, n)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = fnv1a64(sh(i)); i += 1 }
+    out
+  }
+
   /** MinHash signature from precomputed shingle hashes. Identical output
     * to [[minhash]] for non-empty text (the min over duplicate shingles
     * equals the min over distinct ones) but shares the tokenize+hash

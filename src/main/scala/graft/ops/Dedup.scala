@@ -164,6 +164,57 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** SPAN-level duplication signal — the scalable form of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", which uses a suffix array on
+    * one machine; the n-gram-window digest count is its standard
+    * distributed approximation). For every document: the number of
+    * sliding `window`-word spans, how many of those spans occur at
+    * least `minCount` times ANYWHERE in the corpus (other documents OR
+    * the same document — self-repetition is precisely part of the
+    * signal), and the duplicated fraction. Returns
+    * `(idCol, n_windows, n_dup_windows, dup_fraction)` for every
+    * document with at least one token; a document shorter than
+    * `window` words contributes its whole text as one span. Feed
+    * `dup_fraction` to a drop/trim threshold: a high fraction marks
+    * boilerplate-heavy or templated pages that document-level and
+    * paragraph-level ([[dedupSegments]]) dedup both miss.
+    *
+    * Scale shape: windows never materialize as strings beyond the
+    * hashing kernel — only 64-bit digests flow. Two aggregates: a
+    * corpus-wide digest count (map-side partial; duplicated digests
+    * collapse before the shuffle) and a per-document count after the
+    * digest equi-join (bounded by matches; no broadcast assumption —
+    * the duplicated-digest side can be corpus-scale). The source is
+    * scanned twice (once per side of the join) — the
+    * [[dedupSegments]] trade: re-deriving digests from the scan beats
+    * caching the exploded frame at 100 TB.
+    *
+    * CONTRACT: `idCol` non-null (null ids would merge in the per-doc
+    * aggregate). NULL/token-free text yields no output row.
+    */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 8, minCount: Long = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    for (r <- Seq("n_windows", "n_dup_windows", "dup_fraction"))
+      require(idCol != r, s"idCol '$r' collides with an output column")
+    for (r <- Seq("__wh", "__n", "__dup"))
+      require(idCol != r, s"idCol '$r' is reserved")
+    val wins = df.select(col(idCol),
+      explode(F.windowHashes(col(textCol), window)).as("__wh"))
+    val dupDigests = wins.groupBy("__wh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__wh"), lit(1).as("__dup"))
+    wins.join(dupDigests, Seq("__wh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_windows"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
   /** Incremental dedup: keep only `incoming` rows whose content — the
     * `on` columns, null-tagged — does not already appear in `seen`.
     * The standard "dedup the new crawl against the ingested corpus"

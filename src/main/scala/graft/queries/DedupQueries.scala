@@ -354,6 +354,18 @@ object DedupQueries {
           .as("n_clones_kept"))
     },
 
+    // -- d18: span-level duplication signal (the n-gram-window
+    //    approximation of exact-substring dedup). On the exact-copy
+    //    corpus every span of a copied doc (and its original) repeats
+    //    → dup_fraction 1; the upper-cased variants re-case every
+    //    token, so their spans duplicate only among THEMSELVES via the
+    //    natural cross-doc boilerplate the synthetic corpus carries —
+    //    the oracle recomputes whatever that distribution is. --------
+    "d18_dup_spans" -> { (s, d) =>
+      graft.ops.Dedup.duplicatedSpanStats(corpusExact(s, d),
+        "doc_id", "text", window = 5)
+    },
+
     // -- d11: incremental embedding dedup — copied vectors (+100000,
     //    cos 1 vs their originals → dropped) and rotated vectors
     //    (+200000, decorrelated direction → kept) against the seen
@@ -596,6 +608,28 @@ object DedupQueries {
          |    AS n_clones_kept
          |FROM corpus
          |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // Window construction is the c4/c14 shingle CTE without
+    // list_distinct (multiplicity is the point), joined on the window
+    // STRING — the oracle twin of the engine's hash-equality join.
+    "d18_dup_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks)-3),
+         |             i -> array_to_string(toks[i:i+4], ' ')) END) AS g
+         |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+         |        FROM ($corpusExactSql))
+         |  WHERE len(toks) >= 1
+         |), c AS (
+         |  SELECT g, count(*) AS n FROM w GROUP BY g
+         |)
+         |SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+         |  sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+         |  round(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS dup_fraction
+         |FROM w JOIN c USING (g)
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
 
     "d8_dup_groups" ->
       s"""WITH RECURSIVE corpus AS ($corpusNearSql),

@@ -453,6 +453,35 @@ class DedupOpsSpec extends SparkSpec {
         dfN.withColumn(r, lit(1)), gN, "doc_id", "s"))
   }
 
+  test("duplicatedSpanStats: cross-doc and self-repeated spans, short docs, blanks") {
+    val df = Seq(
+      (1L, "a b c d e f"),          // 4 windows, shares "a b c","b c d"
+      (2L, "x y a b c d q"),        // 5 windows, 2 shared with doc 1
+      (3L, "r s t r s t r s t"),    // pure self-repetition: all 7 dup
+      (4L, "short"),                // < window words: whole text, unique
+      (5L, ""), (6L, null.asInstanceOf[String])) // token-free: no row
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(df, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((1L, 4L, 2L, 0.5)))
+    assert(got(2L) == ((2L, 5L, 2L, 0.4)))
+    assert(got(3L) == ((3L, 7L, 7L, 1.0))) // self-repeats ARE the signal
+    assert(got(4L) == ((4L, 1L, 0L, 0.0)))
+    // minCount raises the duplication bar: only the 3× span survives it.
+    val strict = Dedup.duplicatedSpanStats(df, "doc_id", "text",
+      window = 3, minCount = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(strict(3L) == 3L && strict(1L) == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.duplicatedSpanStats(df, "doc_id", "text", window = 0))
+    intercept[IllegalArgumentException](
+      Dedup.duplicatedSpanStats(df, "doc_id", "text", minCount = 1))
+    intercept[IllegalArgumentException](
+      Dedup.duplicatedSpanStats(df.withColumnRenamed("doc_id", "__wh"),
+        "__wh", "text"))
+  }
+
   test("snapshotDiff: four statuses, narrow projection before the join") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
