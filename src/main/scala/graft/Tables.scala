@@ -5,23 +5,35 @@ import org.apache.spark.sql.functions._
 
 /** Canonical loaders for the driver-generated testdata tables.
   *
-  * Spark rejects parquet INT64 TIMESTAMP(NANOS) columns
-  * (PARQUET_TYPE_ILLEGAL), which `events.ts` uses. We read nanos as a
-  * plain long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-  * [[GraftSession]]) and convert to a microsecond TimestampType column
-  * here, so every query sees a regular timestamp.
+  * `events.ts` has shipped in TWO physical layouts across testdata
+  * generations: INT64 TIMESTAMP(NANOS) — which Spark rejects outright
+  * (PARQUET_TYPE_ILLEGAL) unless read as a plain long via
+  * `spark.sql.legacy.parquet.nanosAsLong=true` — and plain
+  * TIMESTAMP(MICROS) without a UTC flag, which Spark reads as
+  * TIMESTAMP_NTZ. The loader sniffs the schema and normalizes BOTH to
+  * the same microsecond TimestampType column (session tz is UTC
+  * everywhere — [[GraftSession]], Verify, Bench — so the NTZ cast is
+  * instant-preserving), and every query downstream sees one stable
+  * type regardless of which generator wrote the file.
   */
 object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     name match {
       case "events" =>
-        // Defensive: any session (driver-built Verify/Bench included) must
-        // read the nanos column; the conf is a runtime SQL conf.
+        // Defensive: any session (driver-built Verify/Bench included)
+        // must survive the nanos layout; the conf is a runtime SQL conf
+        // and harmless when the column is already micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = spark.read.parquet(s"$sfDir/$name.parquet")
-        // ts arrives as nanos-since-epoch long; truncate to micros.
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // nanos-since-epoch long; truncate to micros.
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => df // already TimestampType
+        }
       case _ =>
         spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -12,10 +12,13 @@ import org.apache.spark.sql.types._
   * Decode status by modality: IMAGE decode is REAL — the ImageIO
   * header read ([[graft.engine.validate.ImageProbe]], the same kernel
   * behind the V10 resolution validator) recovers true dimensions from
-  * png/jpg/gif/bmp bytes without a pixel decode. Audio/video codecs
-  * are not available in this environment, so those two kinds go
-  * through [[MediaDecoder.decodeStub]] (deterministic fake
-  * frames/sample-rate derived from the payload, clearly marked by
+  * png/jpg/gif/bmp bytes without a pixel decode. AUDIO header decode
+  * is REAL for RIFF/WAVE payloads ([[graft.engine.validate.AudioProbe]]
+  * — pure-JVM chunk walk: channels, sample rate, bit depth, frame
+  * count). Compressed-audio and video codecs are not available in this
+  * environment, so those payloads go through
+  * [[MediaDecoder.decodeStub]] (deterministic fake frames/sample-rate
+  * derived from the payload, clearly marked by
   * `decodeStatus = "stubbed"`); swapping in a real codec changes ONE
   * function and none of the plumbing (schema, partitioning, batch
   * shape, the mapPartitions signature all stay).
@@ -33,6 +36,8 @@ object Multimodal {
       height: Int,
       nFrames: Int,
       sampleRateHz: Int,
+      channels: Int, // audio: channel count; other kinds: 0
+      bitsPerSample: Int, // audio: bit depth; other kinds: 0
       nBytes: Long,
       sha256: String,
       decodeStatus: String)
@@ -43,6 +48,8 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("nFrames", IntegerType, nullable = false),
     StructField("sampleRateHz", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bitsPerSample", IntegerType, nullable = false),
     StructField("nBytes", LongType, nullable = false),
     StructField("sha256", StringType, nullable = false),
     StructField("decodeStatus", StringType, nullable = false)))
@@ -149,22 +156,38 @@ object MediaDecoder {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map(b => f"$b%02x").mkString
 
-  def decode(kind: String, rawBytes: Array[Byte]): Multimodal.MediaMeta =
-    if (kind != "image") decodeStub(kind, rawBytes)
-    else {
+  def decode(kind: String, rawBytes: Array[Byte]): Multimodal.MediaMeta = kind match {
+    case "image" =>
       val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
       val sha = sha256Hex(bytes)
       graft.engine.validate.ImageProbe.dimensions(bytes) match {
         case Some((w, h)) => Multimodal.MediaMeta(
           kind = "image", width = w, height = h, nFrames = 1,
-          sampleRateHz = 0, nBytes = bytes.length.toLong, sha256 = sha,
-          decodeStatus = "ok")
+          sampleRateHz = 0, channels = 0, bitsPerSample = 0,
+          nBytes = bytes.length.toLong, sha256 = sha, decodeStatus = "ok")
         case None => Multimodal.MediaMeta(
           kind = "image", width = -1, height = -1, nFrames = 0,
-          sampleRateHz = 0, nBytes = bytes.length.toLong, sha256 = sha,
+          sampleRateHz = 0, channels = 0, bitsPerSample = 0,
+          nBytes = bytes.length.toLong, sha256 = sha,
           decodeStatus = graft.engine.validate.ImageProbe.diagnose(bytes))
       }
-    }
+    case "audio" =>
+      // REAL header decode for RIFF/WAVE payloads (AudioProbe — pure
+      // byte parsing, no codec); non-WAV audio (mp3/flac/ogg need
+      // codecs absent here) falls through to the honest stub.
+      val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
+      graft.engine.validate.AudioProbe.info(bytes) match {
+        case Some(w) => Multimodal.MediaMeta(
+          kind = "audio", width = -1, height = -1,
+          nFrames = math.min(w.nFrames, Int.MaxValue.toLong).toInt,
+          sampleRateHz = w.sampleRateHz, channels = w.channels,
+          bitsPerSample = w.bitsPerSample,
+          nBytes = bytes.length.toLong, sha256 = sha256Hex(bytes),
+          decodeStatus = "ok")
+        case None => decodeStub(kind, rawBytes)
+      }
+    case _ => decodeStub(kind, rawBytes)
+  }
 
   /** STUB FEATURE EXTRACTOR — deterministic byte-class counts standing
     * in for a real embedding model (none installed in this container):
@@ -212,6 +235,8 @@ object MediaDecoder {
       height = (b1 % 64 + 1) * 16,
       nFrames = if (kind == "video") bytes.length % 300 + 1 else 1,
       sampleRateHz = if (kind == "audio") 16000 else 0,
+      channels = if (kind == "audio") 1 else 0,
+      bitsPerSample = if (kind == "audio") 16 else 0,
       nBytes = bytes.length.toLong,
       sha256 = sha,
       decodeStatus = "stubbed")

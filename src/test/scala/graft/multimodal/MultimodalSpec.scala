@@ -84,7 +84,18 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).toSeq == Seq(0f, 0f, 0f, 0f, 0f, 0f))
   }
 
-  test("decode dispatch: audio/video stay stubbed and say so") {
+  test("decode dispatch: WAV audio decodes for real; non-WAV audio and video stay stubbed") {
+    // real RIFF/WAVE payload → AudioProbe header facts, not the stub
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](4 * 50)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 50L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val real = MediaDecoder.decode("audio", bos.toByteArray)
+    assert(real.decodeStatus == "ok" && real.sampleRateHz == 8000 &&
+      real.channels == 2 && real.bitsPerSample == 16 && real.nFrames == 50)
     val m = MediaDecoder.decode("audio", "some waveform".getBytes("UTF-8"))
     assert(m.decodeStatus == "stubbed" && m.sampleRateHz == 16000)
     val v = MediaDecoder.decode("video", ("x" * 10).getBytes("UTF-8"))
