@@ -110,6 +110,45 @@ object Curation {
     * against the corpus's exploded shingle-hash sets. One corpus scan,
     * shuffle bounded by matches.
     */
+  /** Drop rows whose host matches a DOMAIN BLOCKLIST — the UT1-style
+    * hygiene pass every web-crawl curation pipeline runs before
+    * quality/dedup work (CCNet, RefinedWeb). Match rule: a row is
+    * blocked when its host, or ANY dotted suffix of it
+    * ([[UrlOps.hostSuffixChain]]), equals a blocklist entry — so the
+    * entry `casino.example` blocks `www.casino.example` without the
+    * list enumerating subdomains.
+    *
+    * Shape for 100 TB: data rows NEVER shuffle. The distinct hosts
+    * (web-scale: ~1e7–1e8, orders of magnitude below row count) are the
+    * only thing aggregated; their suffix chains explode on that small
+    * frame, semi-join the blocklist (a few million entries — AQE
+    * broadcasts it when it fits), and the resulting blocked-host set —
+    * bounded by the blocklist size — broadcasts back as the build side
+    * of a left-anti join on the scan.
+    *
+    * @param blocklist one string column `blockedCol` of lowercase
+    *                  domains (no scheme, no port)
+    * @param broadcastBlocked hint the blocked-host set as broadcast for
+    *                  the final anti-join (default). Its size is
+    *                  bounded by the distinct hosts that MATCH — pass
+    *                  false only when the corpus is subdomain-farm
+    *                  heavy (millions of random hosts under blocked
+    *                  domains), trading a host-keyed shuffle of the
+    *                  data rows for bounded memory.
+    */
+  def dropBlockedDomains(df: DataFrame, hostCol: String,
+                         blocklist: DataFrame,
+                         blockedCol: String = "domain",
+                         broadcastBlocked: Boolean = true): DataFrame = {
+    val blockedHosts = df.select(lower(col(hostCol)).as("__host")).distinct()
+      .select(col("__host"),
+        explode(UrlOps.hostSuffixChain(col("__host"))).as("__sfx"))
+      .join(blocklist.select(col(blockedCol).as("__sfx")).distinct(), "__sfx")
+      .select(col("__host")).distinct()
+    val build = if (broadcastBlocked) broadcast(blockedHosts) else blockedHosts
+    df.join(build, lower(col(hostCol)) === blockedHosts("__host"), "left_anti")
+  }
+
   def contaminatedBy(df: DataFrame, idCol: String, textCol: String,
                      probes: DataFrame, probeTextCol: String,
                      shingle: Int = 3): DataFrame = {

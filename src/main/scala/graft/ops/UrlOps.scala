@@ -109,4 +109,19 @@ object UrlOps {
   def registrableDomainFromUrl(url: Column,
                                multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes): Column =
     registrableDomain(urlHost(url), multiPartSuffixes)
+
+  /** Every dotted suffix of a host, most-specific first:
+    * `a.b.co.uk → [a.b.co.uk, b.co.uk, co.uk, uk]`. The match key for
+    * blocklist filtering ([[Curation.dropBlockedDomains]]): an entry
+    * `b.co.uk` must block `a.b.co.uk` too — domain blocklists (UT1 and
+    * kin) list registrable domains and expect subdomain inheritance.
+    * NULL host → empty array (nothing to match).
+    */
+  def hostSuffixChain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    when(host.isNull, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(1), n),
+        i => array_join(slice(labels, i, n - i + 1), ".")))
+  }
 }

@@ -69,6 +69,12 @@ object CurationQueries {
       .otherwise(concat(lit("ftp://Files.Example"), k, lit(".NET:21/pub")))
   }
 
+  /** c15 blocklist: a registrable domain (blocks www. subdomain hosts),
+    * an exact multi-label host, a .co.uk registrable, and a bare TLD
+    * (blocks every .net host) — one entry per match class.
+    */
+  private val c15Blocked = Seq("example3.com", "host1.org", "site5.co.uk", "net")
+
   private val c10UrlSql =
     """CASE
       |  WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Example' || (doc_id % 7) || '.COM:80/path/a?b=2&a=1#frag'
@@ -119,6 +125,24 @@ object CurationQueries {
           UrlOps.canonicalizeUrl(col("url")).as("canon"),
           UrlOps.registrableDomainFromUrl(col("url")).as("domain"))
         .orderBy("doc_id")
+    },
+
+    // -- c15: domain-blocklist filter (UT1-style) — a row is dropped
+    //    when its host or ANY dotted suffix of it is listed: a
+    //    registrable-domain entry blocks all subdomains, a bare-TLD
+    //    entry blocks the whole TLD. The kept set is the gate result;
+    //    the oracle expresses the same rule as host = d OR host LIKE
+    //    '%.' || d (suffix-on-dot-boundary ≡ the suffix chain). ------
+    "c15_blocklist" -> { (s, d) =>
+      import graft.ops.UrlOps
+      import s.implicits._
+      val blocked = c15Blocked.toDF("domain")
+      val hosts = Tables.documents(s, d)
+        .withColumn("host", UrlOps.urlHost(c10Url))
+      Curation.dropBlockedDomains(hosts, "host", blocked)
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("host")
     },
 
     // -- c1: hash-stable train/val/test assignment ---------------------
@@ -323,6 +347,22 @@ object CurationQueries {
     // The canonicalization cascade rebuilt step-for-step in SQL CTEs;
     // the suffix list literal is generated from the SAME Scala Seq the
     // engine uses, so the two sides cannot drift.
+    "c15_blocklist" -> {
+      val blockedVals = c15Blocked.map(b => s"('$b')").mkString(", ")
+      s"""WITH blocked(domain) AS (VALUES $blockedVals),
+         |h AS (
+         |  SELECT doc_id, lower(regexp_replace(regexp_replace(
+         |    regexp_extract(trim($c10UrlSql),
+         |      '\\A([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?\\z', 2),
+         |    '\\A.*@', ''), ':[0-9]*\\z', '')) AS host
+         |  FROM documents)
+         |SELECT host, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_ids
+         |FROM h
+         |WHERE NOT EXISTS (SELECT 1 FROM blocked b
+         |  WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain)
+         |GROUP BY host ORDER BY host""".stripMargin
+    },
+
     "c10_url_canon" -> {
       val suffixes = graft.ops.UrlOps.defaultMultiPartSuffixes
         .map(s => s"'$s'").mkString("[", ", ", "]")

@@ -635,4 +635,31 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(4L) - sigmoid(0.3 + w("alpha"))) < 1e-12)
     assert(math.abs(out(5L) - sigmoid(0.3 + w("alpha"))) < 1e-12)
   }
+
+  test("dropBlockedDomains: exact, subdomain, TLD matches drop; others keep") {
+    val rows = Seq(
+      (1L, "www.bad.com"), // subdomain of listed registrable domain
+      (2L, "bad.com"), // exact
+      (3L, "notbad.com"), // suffix only on a NON-dot boundary — keep
+      (4L, "deep.sub.bad.com"), // multi-level subdomain
+      (5L, "good.org"),
+      (6L, "anything.xyz"), // bare-TLD entry blocks the whole TLD
+      (7L, "CaSe.BAD.com"), // host case-folds before matching
+      (8L, null.asInstanceOf[String])) // null host: nothing to match, keep
+      .toDF("id", "host")
+    val blocked = Seq("bad.com", "xyz").toDF("domain")
+    val kept = Curation.dropBlockedDomains(rows, "host", blocked)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L, 8L))
+  }
+
+  test("hostSuffixChain: most-specific-first dotted suffixes; null → empty") {
+    val out = Seq(("a.b.co.uk"), ("single"), (null.asInstanceOf[String]))
+      .toDF("h")
+      .select(UrlOps.hostSuffixChain(col("h")).as("c"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a.b.co.uk", "b.co.uk", "co.uk", "uk"))
+    assert(out(1) == Seq("single"))
+    assert(out(2) == Seq.empty)
+  }
 }
