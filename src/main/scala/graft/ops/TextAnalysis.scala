@@ -662,6 +662,71 @@ object TextAnalysis {
       array_join(transform(kept, s => s.getField("vis")), "\n")))
   }
 
+  /** Markdown → plain text as the same single-scan regexp-cascade
+    * fidelity class as [[htmlToText]] — README/docs/forum corpora ship
+    * as markdown, and the formatting syntax (not the prose) is what a
+    * training pipeline strips. Step order matters and is mirrored
+    * verbatim by the t19 oracle:
+    *
+    *  1. fence marker lines (``` / ~~~ + info string) drop; the CODE
+    *     between them stays — code is text to an LLM corpus
+    *  2. HTML comments, then inline HTML tags (markdown allows raw
+    *     HTML) — tags must start `</letter` so prose like `5 < 6 and
+    *     7 > 4` survives (unlike in true HTML, bare `<` is legal
+    *     markdown text)
+    *  3. table separator rows (`|---|---|`) drop; data-row pipes
+    *     become spaces later
+    *  4. horizontal rules + setext underlines (`---`/`===`/`***`
+    *     lines, incl. consecutive runs) drop
+    *  5. reference-link definition lines (`[ref]: url`) drop
+    *  6. images → alt text, inline links → link text, reference
+    *     links → link text (images BEFORE links or `![a](u)` leaves
+    *     a stray `!a`)
+    *  7. ATX header `#` prefixes, blockquote `>` markers (nested too),
+    *     bullet/numbered list markers drop — their text stays
+    *  8. emphasis/strikethrough/underline runs (`*` `~~` `__`) and
+    *     backticks strip; pipes → space. Single `_` is deliberately
+    *     NOT stripped: snake_case identifiers outnumber `_emphasis_`
+    *     in real corpora
+    *  9. entity decode + whitespace normalize (shared with the HTML
+    *     path)
+    *
+    * Known fidelity limits (pinned by MarkdownExtractSpec): setext
+    * underlines need 3+ marker chars; `*` multiplication signs strip;
+    * indented (4-space) code blocks keep their indentation semantics
+    * only through whitespace collapse.
+    */
+  def markdownToText(md: Column): Column = {
+    val c0 = coalesce(md, lit(""))
+    // marker LINES are consumed with their trailing newline (as a run,
+    // so back-to-back markers fall in one match — replaceAll continues
+    // AFTER a match, and the next line's leading \n anchor is already
+    // spent); "$1" preserves the \A/\n distinction so no blank line is
+    // left where the marker was
+    val noFence = regexp_replace(c0,
+      "(\\A|\\n)((```|~~~)[^\\n]*(\\n|\\z))+", "$1")
+    val noComment = regexp_replace(noFence, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "</?[A-Za-z][^>\\n]*>", " ")
+    val noTableSep = regexp_replace(noTag,
+      "(\\A|\\n)[ \\t]*(\\|[ \\t:|-]*-[ \\t:|-]*|-[ \\t:|-]*\\|[ \\t:|-]*)(\\n|\\z)", "\n")
+    val noHr = regexp_replace(noTableSep,
+      "(\\A|\\n)[ \\t]*[-*_=]{3,}[ \\t]*(\\n[ \\t]*[-*_=]{3,}[ \\t]*)*(\\n|\\z)", "\n")
+    val noRefDef = regexp_replace(noHr,
+      "(\\A|\\n)([ \\t]*\\[[^\\]\\n]+\\]:[^\\n]*(\\n|\\z))+", "$1")
+    val noImg = regexp_replace(noRefDef, "!\\[([^\\]]*)\\]\\(([^)\\n]*)\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\(([^)\\n]*)\\)", "$1")
+    val noRefLink = regexp_replace(noLink, "\\[([^\\]]*)\\]\\[[^\\]\\n]*\\]", "$1")
+    val noHeader = regexp_replace(noRefLink, "(\\A|\\n)[ \\t]*#{1,6}[ \\t]+", "\n")
+    val noQuote = regexp_replace(noHeader, "(\\A|\\n)[ \\t]*(>[ \\t]?)+", "\n")
+    val noList = regexp_replace(noQuote,
+      "(\\A|\\n)[ \\t]*([-*+]|[0-9]{1,3}[.)])[ \\t]+", "\n")
+    val noEmph = replace(replace(replace(
+      regexp_replace(noList, "\\*{1,3}", ""),
+      lit("~~"), lit("")), lit("__"), lit("")), lit("`"), lit(""))
+    val noPipe = replace(noEmph, lit("|"), lit(" "))
+    cleanupText(decodeEntities(noPipe))
+  }
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

@@ -211,6 +211,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t19: markdown → text, the sibling of t13 for the other common
+    //    markup class (README/docs/forum corpora). Formatting syntax
+    //    strips, prose AND fenced code content stay. ------------------
+    "t19_markdown_extract" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("md", t19Md)
+        .select(col("doc_id"),
+          TextAnalysis.markdownToText(col("md")).as("txt"))
+        .orderBy("doc_id")
+    },
+
     // -- t14: vocab-driven greedy subword token counting, vocabulary
     //    loaded from a tokenizer.json FIXTURE through the same parse
     //    path as the V15 validator — proving the tokenizer.json →
@@ -380,6 +392,86 @@ object TextQueries {
     * a high-link-density nav line, a low-density anchor-in-prose line,
     * and (every 7th doc) an unclosed trailing tag.
     */
+  /** t19 markdown synth: one document exercising every cascade rule —
+    * ATX header + entity, inline/image/reference links, nested quote,
+    * bullet/numbered lists, a pipe table with separator row, an hr, a
+    * fenced code block whose CODE must survive, emphasis family,
+    * inline HTML (doc_id%7 adds an unclosed tag), a setext underline,
+    * and the real document text. Mirrored char-for-char by t19MdSql.
+    */
+  private def t19Md: org.apache.spark.sql.Column = concat(
+    lit("# Title &amp; "), col("lang"), lit("\n"),
+    lit("intro [go home](http://h/"), col("doc_id").cast("string"),
+    lit(") and ![pic alt](http://img/x.png) here\n"),
+    lit("> quoted > nested\n"),
+    lit("- item one\n"),
+    lit("* item *two* **strong** `code span`\n"),
+    lit("12. numbered\n"),
+    lit("| a | b |\n"),
+    lit("|---|---|\n"),
+    lit("| 1 | 2 |\n"),
+    lit("---\n"),
+    lit("```scala\nval x = 1 < 2 && y > 0\n```\n"),
+    col("text"), lit("\n"),
+    lit("see [the ref][r1] too\n"),
+    lit("[r1]: http://ref/url\n"),
+    lit("tail ~~struck~~ __under__ snake_case 5 &lt; 6 &amp; 7\n"),
+    when(col("doc_id") % 7 === 0,
+      lit("<span>html inline</span> <b>bold\n")).otherwise(lit("")),
+    lit("===\n"),
+    lit("The End"))
+
+  private val t19MdSql: String =
+    "'# Title &amp; ' || lang || chr(10) || " +
+      "'intro [go home](http://h/' || doc_id || ') and ![pic alt](http://img/x.png) here' || chr(10) || " +
+      "'> quoted > nested' || chr(10) || " +
+      "'- item one' || chr(10) || " +
+      "'* item *two* **strong** `code span`' || chr(10) || " +
+      "'12. numbered' || chr(10) || " +
+      "'| a | b |' || chr(10) || " +
+      "'|---|---|' || chr(10) || " +
+      "'| 1 | 2 |' || chr(10) || " +
+      "'---' || chr(10) || " +
+      "'```scala' || chr(10) || 'val x = 1 < 2 && y > 0' || chr(10) || '```' || chr(10) || " +
+      "text || chr(10) || " +
+      "'see [the ref][r1] too' || chr(10) || " +
+      "'[r1]: http://ref/url' || chr(10) || " +
+      "'tail ~~struck~~ __under__ snake_case 5 &lt; 6 &amp; 7' || chr(10) || " +
+      "CASE WHEN doc_id % 7 = 0 THEN '<span>html inline</span> <b>bold' || chr(10) ELSE '' END || " +
+      "'===' || chr(10) || " +
+      "'The End'"
+
+  /** DuckDB mirror of [[TextAnalysis.markdownToText]] — the same step
+    * order generated as SQL so the engines cannot drift silently.
+    */
+  private def duckMarkdownToText(e: String): String = {
+    def rg(inner: String, pat: String, rep: String): String =
+      s"regexp_replace($inner, '$pat', $rep, 'g')"
+    val noFence = rg(s"coalesce($e, '')",
+      "(\\A|\\n)((```|~~~)[^\\n]*(\\n|\\z))+", "'\\1'")
+    val noComment = rg(noFence, "(?s)<!--.*?-->", "' '")
+    val noTag = rg(noComment, "</?[A-Za-z][^>\\n]*>", "' '")
+    val noTableSep = rg(noTag,
+      "(\\A|\\n)[ \\t]*(\\|[ \\t:|-]*-[ \\t:|-]*|-[ \\t:|-]*\\|[ \\t:|-]*)(\\n|\\z)",
+      "chr(10)")
+    val noHr = rg(noTableSep,
+      "(\\A|\\n)[ \\t]*[-*_=]{3,}[ \\t]*(\\n[ \\t]*[-*_=]{3,}[ \\t]*)*(\\n|\\z)",
+      "chr(10)")
+    val noRefDef = rg(noHr,
+      "(\\A|\\n)([ \\t]*\\[[^\\]\\n]+\\]:[^\\n]*(\\n|\\z))+", "'\\1'")
+    val noImg = rg(noRefDef, "!\\[([^\\]]*)\\]\\(([^)\\n]*)\\)", "'\\1'")
+    val noLink = rg(noImg, "\\[([^\\]]*)\\]\\(([^)\\n]*)\\)", "'\\1'")
+    val noRefLink = rg(noLink, "\\[([^\\]]*)\\]\\[[^\\]\\n]*\\]", "'\\1'")
+    val noHeader = rg(noRefLink, "(\\A|\\n)[ \\t]*#{1,6}[ \\t]+", "chr(10)")
+    val noQuote = rg(noHeader, "(\\A|\\n)[ \\t]*(>[ \\t]?)+", "chr(10)")
+    val noList = rg(noQuote,
+      "(\\A|\\n)[ \\t]*([-*+]|[0-9]{1,3}[.)])[ \\t]+", "chr(10)")
+    val noEmph = s"replace(replace(replace(${rg(noList, "\\*{1,3}", "''")}, " +
+      "'~~', ''), '__', ''), '`', '')"
+    val noPipe = s"replace($noEmph, '|', ' ')"
+    duckCleanup(duckDecode(noPipe))
+  }
+
   private def t13Html: org.apache.spark.sql.Column = concat(
     lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
     lit("<style>p{margin:0} .x>y{color:red}</style>"),
@@ -589,6 +681,11 @@ object TextQueries {
          |FROM wc JOIN fin USING (w)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "t19_markdown_extract" ->
+      s"""SELECT doc_id, ${duckMarkdownToText("md")} AS txt
+         |FROM (SELECT doc_id, $t19MdSql AS md
+         |      FROM documents WHERE doc_id % 10 = 0)
+         |ORDER BY doc_id""".stripMargin,
     "t13_html_extract" ->
       s"""SELECT doc_id, ${duckHtmlToText("html")} AS txt,
          |  ${duckStripBp("html")} AS txt_bp
