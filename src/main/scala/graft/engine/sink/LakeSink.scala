@@ -59,6 +59,39 @@ object LakeSink {
                           compression: String = "zstd",
                           dynamicOverwrite: Boolean = true)
 
+  /** Bucketed table layout — the storage-side complement of the
+    * incremental-dedup joins: a corpus that is JOINED ON THE SAME KEY
+    * every ingest batch (content digest, host, doc id) should be
+    * bucketed on that key ONCE at write time, so every subsequent
+    * join/dedup reads it in place — Spark's bucketed scan matches the
+    * join's required partitioning and plans NO Exchange on the corpus
+    * side, batch after batch. At 100 TB the corpus-side shuffle is the
+    * single largest recurring cost an ingest pipeline pays; bucketing
+    * pays it once.
+    *
+    * `sortCols` (defaults to the bucket key) additionally sorts rows
+    * within each bucket file, so sort-merge joins skip their sort when
+    * each bucket holds one file.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable` —
+    * plain path-writes cannot carry it); pass `path` to keep the data
+    * external at a lake location with only metadata in the catalog.
+    * BucketedLayoutSpec pins the no-Exchange plan shape.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val sort = if (sortCols.nonEmpty) sortCols else bucketCols
+    var w = df.write.format("parquet").mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(table)
+  }
+
   def write(df: DataFrame, cfg: Config, mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(cfg.filesPerPartition >= 1, "filesPerPartition must be >= 1")
     require(cfg.clusterBy.isEmpty || cfg.zorderBy.isEmpty,
