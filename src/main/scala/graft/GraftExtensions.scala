@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayFilter, ArrayJoin, ArrayPosition, ArrayTransform, Cast, CreateArray, ElementAt, EqualTo, Expression, ExpressionInfo, LambdaFunction, Literal, NamedLambdaVariable, RegExpReplace, StringSplit, StringTrim}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayFilter, ArrayJoin, ArrayPosition, ArrayTransform, Cast, Coalesce, CreateArray, ElementAt, EqualTo, Expression, ExpressionInfo, LambdaFunction, Literal, NamedLambdaVariable, RegExpReplace, StringReplace, StringSplit, StringTrim}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
@@ -21,6 +21,8 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   card_count(text)                    → int    (Luhn-valid card numbers)
   *   redact_cards(text)                  → string (Luhn-valid cards → [CARD])
   *   dedup_lines(text)                   → string (C4 within-doc line rule)
+  *   html_to_text(html)                  → string (markup → visible text)
+  *   markdown_to_text(md)                → string (markdown → plain text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -37,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cardCount)
     ext.injectFunction(GraftExtensions.redactCards)
     ext.injectFunction(GraftExtensions.dedupLines)
+    ext.injectFunction(GraftExtensions.htmlToText)
+    ext.injectFunction(GraftExtensions.markdownToText)
   }
 }
 
@@ -207,11 +211,53 @@ object GraftExtensions {
         "dedup_lines expects exactly 1 argument")
     })
 
+  /** `html_to_text(html)` / `markdown_to_text(md)` — the extraction
+    * cascades on the SQL surface. The builders fold the SAME step
+    * tables as the Column API
+    * ([[graft.ops.TextAnalysis.htmlSteps]]/[[graft.ops.TextAnalysis.markdownSteps]])
+    * into raw catalyst `RegExpReplace`/`StringReplace` nodes — the
+    * normalize_text approach: one table, two surfaces, identical
+    * codegen'd plan. (A registry builder CANNOT round-trip Column-built
+    * trees through the shim: their unresolved function nodes never
+    * re-enter analysis and die at codegen.)
+    */
+  private def cascadeFn(name: String, doc: String,
+                        steps: Seq[(Boolean, String, String)])
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    info(classOf[RegExpReplace].getName, name, doc),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) =>
+        steps.foldLeft[Expression](
+          Coalesce(Seq(Cast(t, StringType), Literal("")))) {
+          case (acc, (true, pat, rep)) =>
+            RegExpReplace(acc, Literal(pat), Literal(rep))
+          case (acc, (false, from, to)) =>
+            StringReplace(acc, Literal(from), Literal(to))
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument")
+    })
+
+  val htmlToText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    cascadeFn("html_to_text",
+      "html_to_text(html) - visible text of an HTML document: script/" +
+        "style/comment blocks dropped, block tags to newlines, entities " +
+        "decoded, whitespace normalized.",
+      graft.ops.TextAnalysis.htmlSteps)
+
+  val markdownToText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    cascadeFn("markdown_to_text",
+      "markdown_to_text(md) - plain text of a markdown document: " +
+        "formatting syntax stripped, prose and fenced code content kept.",
+      graft.ops.TextAnalysis.markdownSteps)
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
-      normalizeText, cardCount, redactCards, dedupLines).foreach {
+      normalizeText, cardCount, redactCards, dedupLines,
+      htmlToText, markdownToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

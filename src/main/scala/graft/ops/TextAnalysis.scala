@@ -555,23 +555,28 @@ object TextAnalysis {
   // matches BEFORE a final newline while RE2's does not).
   // ------------------------------------------------------------------
 
-  /** Markup with block structure made explicit: script/style blocks and
-    * comments dropped (replaced by a space so they never join adjacent
-    * words), then `<br>`/`<hr>` and CLOSING block-level tags become
-    * newlines. Shared by [[htmlToText]] (which then strips the
-    * remaining tags) and [[stripBoilerplateLines]] (which needs the
-    * line structure WITH inline anchors still present to measure link
-    * density). NULL html reads as empty.
+  /** One extraction-cascade step: `(isRegex, pattern/from, rep/to)`.
+    * The tables below are the SINGLE source of truth for the html and
+    * markdown cascades — the Column API folds them with
+    * `regexp_replace`/`replace` here, and
+    * [[graft.GraftExtensions]] folds the SAME tables into raw catalyst
+    * `RegExpReplace`/`StringReplace` nodes for the SQL surface (a
+    * registry builder cannot round-trip Column-built trees: their
+    * unresolved function nodes never re-enter analysis).
     */
-  private def blockLined(html: Column): Column = {
-    val noScript = regexp_replace(coalesce(html, lit("")),
-      "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    regexp_replace(noComment,
+  private[graft] type CascadeStep = (Boolean, String, String)
+
+  /** Script/style/comment drop + block tags → newlines (see
+    * [[htmlToText]]); shared with [[stripBoilerplateLines]], which
+    * needs the line structure with inline anchors still present.
+    */
+  private[graft] val blockLineSteps: Seq[CascadeStep] = Seq(
+    (true, "(?is)<script[^>]*>.*?</script>", " "),
+    (true, "(?is)<style[^>]*>.*?</style>", " "),
+    (true, "(?s)<!--.*?-->", " "),
+    (true,
       "(?i)<(br|hr)[^>]*>|</(p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|title|blockquote)[^>]*>",
-      "\n")
-  }
+      "\n"))
 
   /** The five named entities a regex-cascade extractor decodes (plus
     * the apostrophe code point): `&amp;` LAST, so `&amp;lt;` decodes to
@@ -580,24 +585,35 @@ object TextAnalysis {
     * Literal `replace`, not regexp — nothing to escape, nothing to
     * diverge between engines.
     */
-  private def decodeEntities(c: Column): Column = {
-    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    steps.foldLeft(c) { case (acc, (from, to)) =>
-      replace(acc, lit(from), lit(to)) }
-  }
+  private[graft] val entitySteps: Seq[CascadeStep] = Seq(
+    (false, "&lt;", "<"), (false, "&gt;", ">"), (false, "&quot;", "\""),
+    (false, "&#39;", "'"), (false, "&nbsp;", " "), (false, "&amp;", "&"))
 
   /** Whitespace normalization for extracted text: horizontal runs → one
     * space, spaces trimmed around newlines, 3+ newlines → one blank
     * line, leading/trailing whitespace dropped (`\A`/`\z` anchors — see
     * the parity note above).
     */
-  private def cleanupText(c: Column): Column = {
-    val h = regexp_replace(c, "[ \\t\\f\\r]+", " ")
-    val nl = regexp_replace(h, " ?\\n ?", "\n")
-    val para = regexp_replace(nl, "\\n{3,}", "\n\n")
-    regexp_replace(para, "\\A[\\n ]+|[\\n ]+\\z", "")
-  }
+  private[graft] val cleanupSteps: Seq[CascadeStep] = Seq(
+    (true, "[ \\t\\f\\r]+", " "),
+    (true, " ?\\n ?", "\n"),
+    (true, "\\n{3,}", "\n\n"),
+    (true, "\\A[\\n ]+|[\\n ]+\\z", ""))
+
+  private def foldCascade(c: Column, steps: Seq[CascadeStep]): Column =
+    steps.foldLeft(coalesce(c, lit(""))) {
+      case (acc, (true, pat, rep)) => regexp_replace(acc, pat, rep)
+      case (acc, (false, from, to)) => replace(acc, lit(from), lit(to))
+    }
+
+  private def blockLined(html: Column): Column =
+    foldCascade(html, blockLineSteps)
+
+  private def decodeEntities(c: Column): Column =
+    foldCascade(c, entitySteps)
+
+  private def cleanupText(c: Column): Column =
+    foldCascade(c, cleanupSteps)
 
   /** HTML → visible text as a single-scan column cascade: script/style/
     * comment blocks dropped, block tags → newlines, remaining tags → a
@@ -614,9 +630,10 @@ object TextAnalysis {
     * tag stripping, so `&lt;script&gt;` renders as text and is never
     * executed-then-stripped.
     */
-  def htmlToText(html: Column): Column =
-    cleanupText(decodeEntities(
-      regexp_replace(blockLined(html), "<[^>]*>", " ")))
+  private[graft] val htmlSteps: Seq[CascadeStep] =
+    blockLineSteps ++ Seq((true, "<[^>]*>", " ")) ++ entitySteps ++ cleanupSteps
+
+  def htmlToText(html: Column): Column = foldCascade(html, htmlSteps)
 
   /** HTML → text with the LINK-DENSITY boilerplate rule (the jusText/
     * Readability heuristic): a line whose anchor text makes up more
@@ -696,36 +713,33 @@ object TextAnalysis {
     * indented (4-space) code blocks keep their indentation semantics
     * only through whitespace collapse.
     */
-  def markdownToText(md: Column): Column = {
-    val c0 = coalesce(md, lit(""))
+  private[graft] val markdownSteps: Seq[CascadeStep] = Seq(
     // marker LINES are consumed with their trailing newline (as a run,
     // so back-to-back markers fall in one match — replaceAll continues
     // AFTER a match, and the next line's leading \n anchor is already
     // spent); "$1" preserves the \A/\n distinction so no blank line is
     // left where the marker was
-    val noFence = regexp_replace(c0,
-      "(\\A|\\n)((```|~~~)[^\\n]*(\\n|\\z))+", "$1")
-    val noComment = regexp_replace(noFence, "(?s)<!--.*?-->", " ")
-    val noTag = regexp_replace(noComment, "</?[A-Za-z][^>\\n]*>", " ")
-    val noTableSep = regexp_replace(noTag,
-      "(\\A|\\n)[ \\t]*(\\|[ \\t:|-]*-[ \\t:|-]*|-[ \\t:|-]*\\|[ \\t:|-]*)(\\n|\\z)", "\n")
-    val noHr = regexp_replace(noTableSep,
-      "(\\A|\\n)[ \\t]*[-*_=]{3,}[ \\t]*(\\n[ \\t]*[-*_=]{3,}[ \\t]*)*(\\n|\\z)", "\n")
-    val noRefDef = regexp_replace(noHr,
-      "(\\A|\\n)([ \\t]*\\[[^\\]\\n]+\\]:[^\\n]*(\\n|\\z))+", "$1")
-    val noImg = regexp_replace(noRefDef, "!\\[([^\\]]*)\\]\\(([^)\\n]*)\\)", "$1")
-    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\(([^)\\n]*)\\)", "$1")
-    val noRefLink = regexp_replace(noLink, "\\[([^\\]]*)\\]\\[[^\\]\\n]*\\]", "$1")
-    val noHeader = regexp_replace(noRefLink, "(\\A|\\n)[ \\t]*#{1,6}[ \\t]+", "\n")
-    val noQuote = regexp_replace(noHeader, "(\\A|\\n)[ \\t]*(>[ \\t]?)+", "\n")
-    val noList = regexp_replace(noQuote,
-      "(\\A|\\n)[ \\t]*([-*+]|[0-9]{1,3}[.)])[ \\t]+", "\n")
-    val noEmph = replace(replace(replace(
-      regexp_replace(noList, "\\*{1,3}", ""),
-      lit("~~"), lit("")), lit("__"), lit("")), lit("`"), lit(""))
-    val noPipe = replace(noEmph, lit("|"), lit(" "))
-    cleanupText(decodeEntities(noPipe))
-  }
+    (true, "(\\A|\\n)((```|~~~)[^\\n]*(\\n|\\z))+", "$1"), // fence markers
+    (true, "(?s)<!--.*?-->", " "), // html comments
+    (true, "</?[A-Za-z][^>\\n]*>", " "), // inline html tags
+    (true, // table separator rows
+      "(\\A|\\n)[ \\t]*(\\|[ \\t:|-]*-[ \\t:|-]*|-[ \\t:|-]*\\|[ \\t:|-]*)(\\n|\\z)",
+      "\n"),
+    (true, // hr / setext underline lines, incl. consecutive runs
+      "(\\A|\\n)[ \\t]*[-*_=]{3,}[ \\t]*(\\n[ \\t]*[-*_=]{3,}[ \\t]*)*(\\n|\\z)",
+      "\n"),
+    (true, "(\\A|\\n)([ \\t]*\\[[^\\]\\n]+\\]:[^\\n]*(\\n|\\z))+", "$1"), // ref defs
+    (true, "!\\[([^\\]]*)\\]\\(([^)\\n]*)\\)", "$1"), // images → alt
+    (true, "\\[([^\\]]*)\\]\\(([^)\\n]*)\\)", "$1"), // inline links → text
+    (true, "\\[([^\\]]*)\\]\\[[^\\]\\n]*\\]", "$1"), // ref links → text
+    (true, "(\\A|\\n)[ \\t]*#{1,6}[ \\t]+", "\n"), // ATX headers
+    (true, "(\\A|\\n)[ \\t]*(>[ \\t]?)+", "\n"), // blockquote markers
+    (true, "(\\A|\\n)[ \\t]*([-*+]|[0-9]{1,3}[.)])[ \\t]+", "\n"), // lists
+    (true, "\\*{1,3}", ""), // emphasis stars
+    (false, "~~", ""), (false, "__", ""), (false, "`", ""),
+    (false, "|", " ")) ++ entitySteps ++ cleanupSteps
+
+  def markdownToText(md: Column): Column = foldCascade(md, markdownSteps)
 
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)

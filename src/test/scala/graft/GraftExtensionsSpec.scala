@@ -79,6 +79,26 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT dedup_lines('a', 'b')").collect())
   }
 
+  test("html_to_text and markdown_to_text reachable from SQL, match the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val html = "<p>one</p><script>x<y</script><p>5 &lt; 6</p>"
+    val md = "# T\n- item [l](u) *e*\n```\ncode\n```"
+    val docs = Seq((html, md)).toDF("h", "m")
+    docs.createOrReplaceTempView("cx_in")
+    val viaSql = spark.sql(
+      "SELECT html_to_text(h) AS a, markdown_to_text(m) AS b FROM cx_in")
+      .as[(String, String)].collect().head
+    val viaCol = docs.select(
+      graft.ops.TextAnalysis.htmlToText(col("h")).as("a"),
+      graft.ops.TextAnalysis.markdownToText(col("m")).as("b"))
+      .as[(String, String)].collect().head
+    assert(viaSql == viaCol)
+    assert(viaSql == (("one\n5 < 6", "T\nitem l e\ncode")))
+    intercept[Exception](spark.sql("SELECT markdown_to_text('a','b')").collect())
+  }
+
   test("describe function shows usage") {
     GraftExtensions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")
