@@ -297,6 +297,30 @@ object TextQueries {
     //    approx) quantiles safe at corpus scale here; for genuinely
     //    unbounded domains switch to approx_percentile. One scan,
     //    map-side partial aggregation throughout. --------------------
+    // -- t20: INCREMENTAL data card — the t18 card maintained the way a
+    //    100 TB corpus must: per-batch mergeable shard cards (counts,
+    //    length→count maps, HLL sketches) folded together, exact
+    //    percentiles recovered from the MERGED map. The gate proves the
+    //    merge invariant: 3-way-split incremental == direct whole-corpus
+    //    truth (the oracle computes the direct form; approx_distinct is
+    //    the one sketch field and stays out of the gate). -------------
+    "t20_incremental_card" -> { (s, d) =>
+      import graft.ops.CorpusStats
+      val docs = Tables.documents(s, d)
+      val cards = (0 until 3).map(b =>
+        CorpusStats.shardCard(docs.filter(col("doc_id") % 3 === b),
+          Seq("source", "lang"), "text", "n_chars"))
+      CorpusStats.finalizeCard(
+        CorpusStats.mergeCards(cards.reduce(_ unionByName _),
+          Seq("source", "lang")),
+        Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_empty"),
+          col("total_tokens"), col("avg_tokens"),
+          round(col("p50_len"), 4).as("p50_chars"),
+          round(col("p95_len"), 4).as("p95_chars"))
+        .orderBy("source", "lang")
+    },
+
     "t18_data_card" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("n_tok", F.tokenCount(col("text")).cast("long"))
@@ -554,6 +578,23 @@ object TextQueries {
     // quantile_cont and Spark's exact `percentile` share the same
     // definition (sort, index p·(n−1), linear interpolation); round(4)
     // absorbs last-ulp division differences.
+    // t20's truth IS the direct whole-corpus card — the same SQL as
+    // t18 minus nothing: if the incremental merge drifts from the
+    // direct computation in any field, the hash compare fails.
+    "t20_incremental_card" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+        |  sum(n_tok)::BIGINT AS total_tokens,
+        |  round(avg(n_tok), 6) AS avg_tokens,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+        |FROM (
+        |  SELECT source, lang, text, n_chars,
+        |    (CASE WHEN text IS NULL THEN 0
+        |          ELSE len(regexp_extract_all(text, '[^ \t\n\f\r]+')) END)::BIGINT AS n_tok
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "t18_data_card" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
