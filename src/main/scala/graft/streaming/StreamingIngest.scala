@@ -378,6 +378,46 @@ object StreamingIngest {
     w.start()
   }
 
+  /** Streaming corpus-card maintenance: each microbatch writes its
+    * MERGEABLE shard card ([[graft.ops.CorpusStats.shardCard]]) into a
+    * card store partitioned by `batch_id` — so the running corpus data
+    * card stays current while the stream ingests, without ever
+    * rescanning landed data. Idempotent under at-least-once epoch
+    * replay: a replayed epoch dynamic-overwrites ONLY its own
+    * `batch_id=` partition, so the merged card counts every batch
+    * exactly once (the same overwrite-by-batch contract as
+    * [[upsertSink]]'s keyed writes). Cards are tiny (rows = key groups
+    * × batches, map size = distinct lengths), so [[readCorpusCard]]'s
+    * read-time merge is card-sized work, never corpus-sized.
+    */
+  def corpusCardSink(stream: DataFrame, keys: Seq[String], textCol: String,
+                     lenCol: String, storePath: String, queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.CorpusStats.shardCard(batch, keys, textCol, lenCol)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1) // card rows: key groups of ONE batch
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storePath)
+      }
+      .start()
+
+  /** The current corpus card out of a [[corpusCardSink]] store: merge
+    * every batch's shard card, finalize percentiles/estimates.
+    */
+  def readCorpusCard(spark: org.apache.spark.sql.SparkSession,
+                     storePath: String, keys: Seq[String],
+                     percentiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
+    graft.ops.CorpusStats.finalizeCard(
+      graft.ops.CorpusStats.mergeCards(
+        spark.read.parquet(storePath).drop("batch_id"), keys),
+      keys, percentiles)
+
   /** Convenience: run a streaming frame into an in-memory table and
     * block until all currently-available data is processed (test +
     * local-debug harness; production sinks use foreachBatch → the

@@ -345,4 +345,48 @@ class StreamingSpec extends SparkSpec {
     index.unpersist()
     assert(kept.toSet == Set(11L))
   }
+
+  test("corpus card sink: streamed batches merge to the whole-corpus card, replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.CorpusStats
+    val store = tmpDir("cardstore").toString + "/cards"
+    val input = MemoryStream[(Long, String, String)]
+    def row(i: Long) = (i, if (i % 2 == 0) "en" else "de", s"stream doc $i " + ("w " * (i % 5).toInt))
+    val q = StreamingIngest.corpusCardSink(
+      input.toDF().toDF("id", "lang", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      Seq("lang"), "text", "n_chars", store, "card_sink")
+    try {
+      input.addData((1L to 40L).map(row): _*)
+      q.processAllAvailable()
+      input.addData((41L to 90L).map(row): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def fields(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "n_docs", "n_empty", "total_tokens", "avg_tokens",
+        "p50_len", "p95_len")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6)))).toMap
+
+    val all = (1L to 90L).map(row).toDF("id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val direct = fields(CorpusStats.finalizeCard(
+      CorpusStats.shardCard(all, Seq("lang"), "text", "n_chars"), Seq("lang")))
+    val streamed = fields(
+      StreamingIngest.readCorpusCard(spark, store, Seq("lang")))
+    assert(streamed == direct)
+
+    // epoch replay: re-land batch 1's card under the SAME batch_id —
+    // the dynamic partition overwrite must replace, not double-count
+    CorpusStats.shardCard((41L to 90L).map(row).toDF("id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long")),
+      Seq("lang"), "text", "n_chars")
+      .withColumn("batch_id", lit(1L))
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(store)
+    assert(fields(StreamingIngest.readCorpusCard(spark, store, Seq("lang"))) == direct)
+  }
 }
