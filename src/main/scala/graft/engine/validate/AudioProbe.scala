@@ -45,13 +45,18 @@ object AudioProbe {
 
   def info(bytes: Array[Byte]): Option[WavInfo] = {
     if (!isRiffWave(bytes)) return None
-    var off = 12
+    // offsets tracked as Long: a hostile chunk size near 0xFFFFFFFF
+    // must end the walk by exceeding the length, NEVER wrap/clamp back
+    // into Int range (an Int offset clamped to MaxValue makes
+    // `off + 8` overflow negative and re-enter the loop out of bounds)
+    var off = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, align, bits
     var dataBytes = -1L
     while (off + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
-      val id = tag(bytes, off)
-      val declared = u32(bytes, off + 4)
-      val start = off + 8
+      val o = off.toInt // safe: off + 8 <= length <= Int.MaxValue
+      val id = tag(bytes, o)
+      val declared = u32(bytes, o + 4)
+      val start = o + 8
       val avail = math.min(declared, (bytes.length - start).toLong)
       if (id == "fmt " && fmt.isEmpty && avail >= 16) {
         val channels = u16(bytes, start + 2)
@@ -63,11 +68,10 @@ object AudioProbe {
       } else if (id == "data" && dataBytes < 0) {
         dataBytes = avail
       }
-      // next chunk: declared size padded to even (clamped so a lying
-      // size ends the walk instead of wrapping the offset)
-      val step = 8L + declared + (declared & 1L)
-      off = (off.toLong + math.min(step, Int.MaxValue.toLong)).min(Int.MaxValue.toLong).toInt
-      if (step <= 0) off = bytes.length // defensive: cannot happen, declared >= 0
+      // next chunk: declared size padded to even — Long arithmetic,
+      // monotonically increasing, so a lying size just fails the
+      // loop bound
+      off += 8L + declared + (declared & 1L)
     }
     fmt.collect { case (channels, rate, align, bits) if dataBytes >= 0 =>
       WavInfo(channels, rate, bits, dataBytes / align)
@@ -83,15 +87,16 @@ object AudioProbe {
     else info(bytes) match {
       case Some(_) => "ok"
       case None =>
-        // distinguish the two walk failures for triage
-        var off = 12
+        // distinguish the two walk failures for triage (same Long-
+        // offset rule as info: a lying size ends the walk, no wrap)
+        var off = 12L
         var sawFmt = false
         while (off + 8 <= bytes.length && !sawFmt) {
-          if (tag(bytes, off) == "fmt ") sawFmt = true
+          val o = off.toInt
+          if (tag(bytes, o) == "fmt ") sawFmt = true
           else {
-            val declared = u32(bytes, off + 4)
-            off = (off.toLong + 8L + declared + (declared & 1L))
-              .min(Int.MaxValue.toLong).toInt
+            val declared = u32(bytes, o + 4)
+            off += 8L + declared + (declared & 1L)
           }
         }
         if (sawFmt) "wave data chunk missing or fmt truncated"

@@ -107,6 +107,23 @@ class AudioProbeSpec extends AnyFunSuite {
     assert(AudioProbe.info(fmtless).isEmpty)
   }
 
+  test("a lying near-4GB chunk size ends the walk — no overflow, no throw") {
+    // declared size 0xFFFFFFFF: an Int offset clamped to MaxValue would
+    // make `off + 8` wrap negative and re-enter the loop out of bounds
+    val lying = "RIFF0000WAVE".getBytes("ISO-8859-1") ++
+      "JUNK".getBytes("ISO-8859-1") ++
+      Array[Byte](-1, -1, -1, -1) ++ Array[Byte](1, 2, 3, 4)
+    assert(AudioProbe.info(lying).isEmpty)
+    assert(AudioProbe.diagnose(lying) == "wave fmt chunk missing")
+    // same lie on a chunk BEFORE a valid fmt: fmt is unreachable past
+    // the overrun, walk must still end cleanly
+    val real = wav(1, 8000, 16, 10)
+    val spliced = real.take(12) ++ "JUNK".getBytes("ISO-8859-1") ++
+      Array[Byte](-1, -1, -1, -1) ++ real.drop(12)
+    assert(AudioProbe.info(spliced).isEmpty)
+    assert(AudioProbe.diagnose(spliced) == "wave fmt chunk missing")
+  }
+
   test("degenerate fmt values fail the parse instead of dividing by zero") {
     // hand-built WAV with blockAlign = 0 and zero channels/rate
     def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
