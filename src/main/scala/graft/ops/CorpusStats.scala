@@ -33,11 +33,28 @@ import graft.functions.{GraftFunctions => F}
   */
 object CorpusStats {
 
-  private def reserved(cols: Seq[String], keys: Seq[String]): Unit = {
+  private def reserved(keys: Seq[String]): Unit = {
     val clash = keys.intersect(Seq("n_docs", "n_empty", "total_tokens",
       "len_counts", "digest_hll", "avg_tokens", "p50_len", "p95_len",
-      "approx_distinct", "__len", "__cnt"))
+      "approx_distinct", "__len", "__cnt", "__text", "__digest"))
     require(clash.isEmpty, s"key columns collide with card outputs: $clash")
+    require(!keys.exists(_.startsWith("__")),
+      s"key columns may not use the reserved __ prefix: $keys")
+  }
+
+  /** Left join whose key match is NULL-safe (`<=>` per key). The
+    * `using`-column joins this replaces match with plain equality, so a
+    * group keyed by NULL (lang=NULL is routine in crawl data) would
+    * silently lose its length map / percentiles even though groupBy
+    * kept the group. Right-side keys are re-aliased (fresh exprIds) so
+    * the self-derived join resolves unambiguously.
+    */
+  private def nullSafeLeft(left: DataFrame, right: DataFrame,
+                           keys: Seq[String]): DataFrame = {
+    val renamed = keys.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"__k_$c"))
+    val cond = keys.map(c => left(c) <=> renamed(s"__k_$c")).reduce(_ && _)
+    left.join(renamed, cond, "left").drop(keys.map(c => s"__k_$c"): _*)
   }
 
   /** One batch → one card row per key group. `lenCol` must be numeric
@@ -48,7 +65,7 @@ object CorpusStats {
   def shardCard(df: DataFrame, keys: Seq[String], textCol: String,
                 lenCol: String): DataFrame = {
     require(keys.nonEmpty, "shardCard needs at least one key column")
-    reserved(df.columns.toSeq, keys)
+    reserved(keys)
     val k = keys.map(col)
     // two-level: per-(keys, len) counts first, so the map aggregation
     // is memory ∝ distinct lengths — never rows
@@ -68,8 +85,9 @@ object CorpusStats {
           trim(col("__text")) === "", 1L).otherwise(0L)).as("n_empty"),
         sum(F.tokenCount(col("__text")).cast("long")).as("total_tokens"),
         hll_sketch_agg(col("__digest")).as("digest_hll"))
-    // left join: a group whose every length is NULL still appears
-    scalars.join(lens, keys, "left")
+    // null-safe left join: a group whose every length is NULL still
+    // appears, and a NULL-valued KEY still matches its lens row
+    nullSafeLeft(scalars, lens, keys)
       .withColumn("len_counts",
         coalesce(col("len_counts"), map_from_entries(array().cast(
           "array<struct<__len:long,__cnt:long>>"))))
@@ -81,6 +99,7 @@ object CorpusStats {
     * rows — corpus data is never touched.
     */
   def mergeCards(cards: DataFrame, keys: Seq[String]): DataFrame = {
+    reserved(keys)
     val k = keys.map(col)
     val scalars = cards.groupBy(k: _*)
       .agg(
@@ -95,7 +114,7 @@ object CorpusStats {
       .groupBy(k: _*)
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("__len"), col("__cnt"))))).as("len_counts"))
-    scalars.join(lens, keys, "left")
+    nullSafeLeft(scalars, lens, keys)
       .withColumn("len_counts",
         coalesce(col("len_counts"), map_from_entries(array().cast(
           "array<struct<__len:long,__cnt:long>>"))))
@@ -111,6 +130,12 @@ object CorpusStats {
                    percentiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1]: $percentiles")
+    reserved(keys)
+    val pNames = percentiles.map(p => s"p${(p * 100).round}_len")
+    require(pNames.distinct.size == pNames.size,
+      s"percentiles round to colliding column names: " +
+        percentiles.zip(pNames).mkString(", ") +
+        " — use percentiles that differ by at least 0.01")
     val k = keys.map(col)
     val w = Window.partitionBy(k: _*).orderBy(col("__len"))
     val exploded = merged
@@ -121,17 +146,16 @@ object CorpusStats {
     // rank r (0-based) lives in the len whose [prev, cum) covers it
     def valueAt(r: Column): Column =
       min(when(col("__prev") <= r && r < col("__cum"), col("__len")))
-    val pCols = percentiles.flatMap { p =>
+    val pCols = percentiles.zip(pNames).map { case (p, name) =>
       val pos = (col("__n") - 1) * lit(p)
       val i0 = floor(pos)
       val frac = pos - i0
       val v0 = valueAt(i0)
       val v1 = valueAt(least(i0 + 1, col("__n") - 1))
-      val name = s"p${(p * 100).round}_len"
-      Seq((v0 + (v1 - v0) * max(frac)).as(name))
+      (v0 + (v1 - v0) * max(frac)).as(name)
     }
     val quants = exploded.groupBy(k: _*).agg(pCols.head, pCols.tail: _*)
-    merged.join(quants, keys, "left")
+    nullSafeLeft(merged, quants, keys)
       .withColumn("avg_tokens",
         when(col("n_docs") > 0,
           round(col("total_tokens") / col("n_docs"), 6)))

@@ -140,13 +140,21 @@ object Curation {
                          blocklist: DataFrame,
                          blockedCol: String = "domain",
                          broadcastBlocked: Boolean = true): DataFrame = {
-    val blockedHosts = df.select(lower(col(hostCol)).as("__host")).distinct()
-      .select(col("__host"),
-        explode(UrlOps.hostSuffixChain(col("__host"))).as("__sfx"))
+    // the helper frame derives from df, so its host column must not
+    // shadow one already on df (resolution would be ambiguous — the
+    // CorpusStats reserved-name rule)
+    val h = "__graft_blocked_host"
+    require(!df.columns.contains(h),
+      s"dropBlockedDomains: input already has a column named $h")
+    val blockedHosts = df.select(lower(col(hostCol)).as(h)).distinct()
+      .select(col(h), explode(UrlOps.hostSuffixChain(col(h))).as("__sfx"))
       .join(blocklist.select(col(blockedCol).as("__sfx")).distinct(), "__sfx")
-      .select(col("__host")).distinct()
+      .select(col(h)).distinct()
     val build = if (broadcastBlocked) broadcast(blockedHosts) else blockedHosts
-    df.join(build, lower(col(hostCol)) === blockedHosts("__host"), "left_anti")
+    // condition references the ACTUAL join frame (build), not the
+    // pre-broadcast one — correctness must not lean on broadcast()
+    // preserving attribute ids
+    df.join(build, lower(col(hostCol)) === build(h), "left_anti")
   }
 
   def contaminatedBy(df: DataFrame, idCol: String, textCol: String,

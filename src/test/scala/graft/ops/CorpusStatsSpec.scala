@@ -101,5 +101,42 @@ class CorpusStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusStats.shardCard(bad, Seq("n_docs"), "text", "n_chars")
     }
+    val alsoBad = Seq((1L, "x", "t", 1L)).toDF("__text", "lang", "text", "n_chars")
+    intercept[IllegalArgumentException] {
+      CorpusStats.shardCard(alsoBad, Seq("__text"), "text", "n_chars")
+    }
+  }
+
+  test("NULL-keyed groups keep their length stats (null-safe card joins)") {
+    // lang=NULL is routine in crawl data; the scalars⋈lens join must
+    // match the NULL group or p50/p95 silently vanish for it
+    val d = Seq(
+      (1L, Option("en"), Option("hello world"), Option(11L)),
+      (2L, None: Option[String], Option("no lang a"), Option(9L)),
+      (3L, None: Option[String], Option("no lang bb"), Option(10L)),
+      (4L, None: Option[String], Option("no lang ccc"), Option(11L)))
+      .toDF("id", "lang", "text", "n_chars")
+    def check(card: DataFrame): Unit = {
+      val row = card.filter(col("lang").isNull)
+        .select("n_docs", "p50_len", "p95_len").collect()
+      assert(row.length == 1, "NULL group missing from card")
+      assert(row(0).getLong(0) == 3L)
+      assert(!row(0).isNullAt(1) && row(0).getDouble(1) == 10.0,
+        s"NULL group lost its percentiles: ${row(0)}")
+    }
+    check(directCard(d))
+    // and through the merge path, split so the NULL group spans batches
+    val cards = Seq(d.filter(col("id") <= 2), d.filter(col("id") > 2))
+      .map(CorpusStats.shardCard(_, Seq("lang"), "text", "n_chars"))
+    check(CorpusStats.finalizeCard(
+      CorpusStats.mergeCards(cards.reduce(_ unionByName _), Seq("lang")),
+      Seq("lang")))
+  }
+
+  test("percentiles that round to the same column name are rejected") {
+    val card = CorpusStats.shardCard(docs, Seq("lang"), "text", "n_chars")
+    intercept[IllegalArgumentException] {
+      CorpusStats.finalizeCard(card, Seq("lang"), Seq(0.5, 0.504))
+    }
   }
 }

@@ -653,6 +653,17 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(3L, 5L, 8L))
   }
 
+  test("dropBlockedDomains: a df that already has a __host column works") {
+    // the helper frame's host alias must not shadow user columns —
+    // pre-fix this was ambiguous-resolution territory
+    val rows = Seq((1L, "bad.com", "x"), (2L, "good.org", "y"))
+      .toDF("id", "host", "__host")
+    val kept = Curation.dropBlockedDomains(rows, "host",
+      Seq("bad.com").toDF("domain"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("hostSuffixChain: most-specific-first dotted suffixes; null → empty") {
     val out = Seq(("a.b.co.uk"), ("single"), (null.asInstanceOf[String]))
       .toDF("h")
