@@ -24,11 +24,11 @@ object UrlOps {
   private val urlPat =
     "\\A([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?\\z"
 
-  /** Bundled public-suffix snapshot: the high-traffic TWO-LABEL public
-    * suffixes (ccTLD second-level registries + the common private
-    * registries a crawl actually meets). A full PSL integration swaps
-    * this Seq for the published list; the matching rule (longest known
-    * suffix wins, registrable domain = suffix + one label) stays.
+  /** Tiny TWO-LABEL suffix snapshot for the pure-column
+    * [[registrableDomain]] variant (small custom suffix sets, plans
+    * that must stay UDF-free). The production path is [[pslDomain]],
+    * which matches the FULL bundled public-suffix list — wildcard and
+    * exception rules included — via [[PublicSuffixes]].
     */
   val defaultMultiPartSuffixes: Seq[String] = Seq(
     "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk",
@@ -109,6 +109,29 @@ object UrlOps {
   def registrableDomainFromUrl(url: Column,
                                multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes): Column =
     registrableDomain(urlHost(url), multiPartSuffixes)
+
+  /** Registrable domain (eTLD+1) under the FULL bundled public-suffix
+    * list — wildcard (`*.ck`) and exception (`!www.ck`) rules included
+    * ([[PublicSuffixes]]). This is the production grouping key for
+    * per-domain caps and blocklists on real crawl hosts; the
+    * Seq-parameterized [[registrableDomain]] stays as the pure-column
+    * variant for small custom suffix sets. Same passthrough convention:
+    * NULL, single-label hosts and hosts that ARE a public suffix map
+    * to themselves.
+    *
+    * A per-row UDF kernel (≤ label-count hash probes against the
+    * per-JVM rule sets) — the 9.5k-rule table cannot live in a
+    * `typedLit` without bloating every plan that uses it.
+    */
+  def pslDomain(host: Column): Column = {
+    val f = udf((h: String) => PublicSuffixes.bundled.registrableDomain(h))
+    f(host)
+  }
+
+  /** [[pslDomain]] composed over [[urlHost]] — eTLD+1 straight from a
+    * raw URL under the full bundled list.
+    */
+  def pslDomainFromUrl(url: Column): Column = pslDomain(urlHost(url))
 
   /** Every dotted suffix of a host, most-specific first:
     * `a.b.co.uk → [a.b.co.uk, b.co.uk, co.uk, uk]`. The match key for

@@ -83,7 +83,71 @@ object CurationQueries {
       |  ELSE 'ftp://Files.Example' || (doc_id % 7) || '.NET:21/pub'
       |END""".stripMargin
 
+  /** c16 fixture: adversarial host inventory for the FULL-PSL
+    * registrable-domain gate — wildcard (`*.ck`) and exception
+    * (`!www.ck`, `!city.kobe.jp`) rules, 3-label suffixes
+    * (`pvt.k12.ma.us`, `ide.kyoto.jp`), ccTLD second levels the old
+    * snapshot missed (`com.hk`, `co.il`, `or.kr`…), private hosting
+    * suffixes, unlisted TLDs, IPs, single labels and NULL. The rule
+    * table itself is dumped alongside so the DuckDB oracle re-implements
+    * the published matching algorithm INDEPENDENTLY over the same data
+    * — a real cross-engine check, not stored-expected readback.
+    */
+  private val c16Dir = "/tmp/graft_gate_c16_psl"
+
+  private def writeC16Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val hosts: Seq[(Long, Option[String])] = Seq(
+      1L -> Some("www.example.com"),
+      2L -> Some("example.com"),
+      3L -> Some("shop.example.com.hk"),
+      4L -> Some("news.co.il"),
+      5L -> Some("a.b.site.com.tw"),
+      6L -> Some("foo.example.co.th"),
+      7L -> Some("bar.example.or.kr"),
+      8L -> Some("my.site.netlify.app"),
+      9L -> Some("proj.pages.dev"),
+      10L -> Some("app.web.app"),
+      11L -> Some("user.github.io"),
+      12L -> Some("blog.blogspot.com"),
+      13L -> Some("www.example.co.uk"),
+      14L -> Some("a.b.ide.kyoto.jp"),   // 3-label geographic suffix
+      15L -> Some("www.city.kobe.jp"),   // exception under *.kobe.jp
+      16L -> Some("city.kawasaki.jp"),   // exception, host = eTLD+1
+      17L -> Some("a.b.test.ck"),        // wildcard *.ck
+      18L -> Some("www.www.ck"),         // exception !www.ck
+      19L -> Some("www.school.pvt.k12.ma.us"), // 4-label suffix
+      20L -> Some("school.pvt.k12.ma.us"),
+      21L -> Some("a.b.example.example"), // unlisted TLD → implicit *
+      22L -> Some("192.168.0.1"),        // IP literal
+      23L -> Some("localhost"),          // single label
+      24L -> Some("com"),                // host IS a public suffix
+      25L -> Some("co.uk"),
+      26L -> Some("example.uk.com"),     // private registry suffix
+      27L -> Some("deep.sub.example.org"),
+      28L -> Some("x.y.z.example.ac.jp"),
+      29L -> Some("test.ck"),            // wildcard: host IS a suffix
+      30L -> None)
+    hosts.toDF("host_id", "host")
+      .coalesce(1).write.mode("overwrite").parquet(s"$c16Dir/hosts")
+    graft.ops.PublicSuffixes.bundledRuleRows.toDF("kind", "base")
+      .coalesce(1).write.mode("overwrite").parquet(s"$c16Dir/rules")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- c16: registrable domain under the FULL bundled public-suffix
+    //    list (9.5k rules, wildcard + exception semantics). The oracle
+    //    gets only the raw (kind, base) rule rows and re-derives every
+    //    domain with its own implementation of the algorithm. ---------
+    "c16_psl_domain" -> { (s, _) =>
+      import graft.ops.UrlOps
+      writeC16Fixture(s)
+      s.read.parquet(s"$c16Dir/hosts")
+        .select(col("host_id"), col("host"),
+          UrlOps.pslDomain(col("host")).as("domain"))
+        .orderBy("host_id")
+    },
+
     // -- c11: deterministic token-budget subset — the maximal
     //    sha256(id)-order prefix whose whitespace-token total stays
     //    within budget. Kept (doc_id, n_tok) rows are under the hash;
@@ -123,7 +187,10 @@ object CurationQueries {
         .withColumn("url", c10Url)
         .select(col("doc_id"),
           UrlOps.canonicalizeUrl(col("url")).as("canon"),
-          UrlOps.registrableDomainFromUrl(col("url")).as("domain"))
+          // the full-PSL path; on these fixture hosts (.com/.co.uk/
+          // .org/.net) it provably agrees with the snapshot rule the
+          // oracle embeds — c16 covers the cases where they differ
+          UrlOps.pslDomainFromUrl(col("url")).as("domain"))
         .orderBy("doc_id")
     },
 
@@ -304,6 +371,52 @@ object CurationQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Independent PSL re-implementation: explode every dotted suffix of
+    // every host, match the raw rule rows (exact / wildcard / exception)
+    // and apply the published prevailing-rule order — exception first,
+    // else longest match, else the implicit `*` (pslen 1); registrable
+    // domain = public suffix + one label, passthrough when the host has
+    // no extra label.
+    "c16_psl_domain" ->
+      s"""WITH hosts AS (
+         |  SELECT host_id, host FROM read_parquet('$c16Dir/hosts/*.parquet')
+         |), lab AS (
+         |  SELECT host_id, string_split(trim(host, '.'), '.') AS ls,
+         |         len(string_split(trim(host, '.'), '.')) AS n
+         |  FROM hosts WHERE host IS NOT NULL AND trim(host, '.') <> ''
+         |), sfx AS (
+         |  SELECT host_id, n, ls, unnest(generate_series(1, n)) AS i FROM lab
+         |), sfx2 AS (
+         |  SELECT host_id, n, i,
+         |    array_to_string(list_slice(ls, i, n), '.') AS s,
+         |    array_to_string(list_slice(ls, i + 1, n), '.') AS tail,
+         |    n - i + 1 AS klen
+         |  FROM sfx
+         |), matches AS (
+         |  SELECT f.host_id,
+         |    CASE WHEN r.kind = 'exc' THEN f.klen - 1 END AS exc_len,
+         |    CASE WHEN r.kind = 'exact' THEN f.klen END AS match_len
+         |  FROM sfx2 f JOIN read_parquet('$c16Dir/rules/*.parquet') r
+         |    ON r.base = f.s AND r.kind IN ('exact', 'exc')
+         |  UNION ALL
+         |  SELECT f.host_id, NULL, f.klen
+         |  FROM sfx2 f JOIN read_parquet('$c16Dir/rules/*.parquet') r
+         |    ON r.base = f.tail AND r.kind = 'wild' AND f.klen >= 2
+         |), agg AS (
+         |  SELECT host_id, max(exc_len) AS exc_len, max(match_len) AS match_len
+         |  FROM matches GROUP BY 1
+         |)
+         |SELECT h.host_id, h.host,
+         |  CASE
+         |    WHEN l.n IS NULL THEN h.host
+         |    WHEN l.n <= least(coalesce(a.exc_len, a.match_len, 1), l.n) THEN h.host
+         |    ELSE array_to_string(list_slice(l.ls,
+         |      l.n - least(coalesce(a.exc_len, a.match_len, 1), l.n), l.n), '.')
+         |  END AS domain
+         |FROM hosts h
+         |LEFT JOIN lab l USING (host_id)
+         |LEFT JOIN agg a USING (host_id)
+         |ORDER BY host_id""".stripMargin,
     // Same exact-integer threshold rule (min over groups of the floored
     // cross ratio, HUGEINT floor division — no float on either side),
     // same sha256-bucket membership (the c1 HUGEINT kernel, mod 10000).
