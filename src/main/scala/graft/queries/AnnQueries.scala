@@ -17,11 +17,26 @@ import graft.Tables
   *    by ~|C|/nprobe; bucket assignment is the shuffle key, so probing
   *    is a partition-pruned equi-join, not a scan.
   *
-  * Centroids here are a deterministic subset of the corpus (every 50th
-  * vector) instead of k-means — the INDEX mechanics (assignment, probe,
-  * pruned search) are identical and the choice keeps the oracle exact.
+  * Centroids here are a deterministic subset of the corpus (every
+  * ⌈√N⌉-th vector, so |C| ≈ √N) instead of k-means — the INDEX
+  * mechanics (assignment, probe, pruned search) are identical and the
+  * choice keeps the oracle exact. √N sizing matters for the gate's own
+  * scaling: a FIXED step made |C| ∝ N and the assignment pass ∝ N²
+  * across scale factors, which read as quadratic in the bench numbers;
+  * with |C| = √N assignment is the production N^1.5 (the sizing
+  * `Similarity` documents).
   */
 object AnnQueries {
+
+  /** ⌈√N⌉ — the centroid stride, computed identically by the oracle's
+    * scalar subquery. The count is one tiny driver action at gate
+    * construction (precedent: k-means training runs eagerly too).
+    */
+  private def sqrtStep(emb: DataFrame): Long =
+    math.ceil(math.sqrt(emb.count().toDouble)).toLong max 1L
+
+  private val stepSql =
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> { (s, d) =>
@@ -36,7 +51,7 @@ object AnnQueries {
 
     "ann_ivf_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val centroids = emb.filter(col("vec_id") % 50 === 0)
+      val centroids = emb.filter(col("vec_id") % sqrtStep(emb) === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
       graft.ops.Similarity
         .ivfTopK(emb, emb.filter(col("vec_id") < 8), centroids,
@@ -45,7 +60,7 @@ object AnnQueries {
     },
 
     // -- IVF with TRAINED centroids: two fixed Lloyd's iterations from
-    //    the every-50th init, then the same probe/search as ann_ivf.
+    //    the every-⌈√N⌉-th init, then the same probe/search as ann_ivf.
     //    Training runs eagerly at construction (localCheckpoint per
     //    round, like k1's Derby pass); the oracle unrolls the identical
     //    two iterations in SQL — float32 coordinate round-trips on both
@@ -53,7 +68,7 @@ object AnnQueries {
     "ann_kmeans_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val trained = graft.ops.Similarity.kmeans(emb, "vec_id", "embedding",
-        step = 50, iters = 2)
+        step = sqrtStep(emb), iters = 2)
       graft.ops.Similarity
         .ivfTopK(emb, emb.filter(col("vec_id") < 8), trained,
           "vec_id", "embedding", k = 3, nprobe = 2)
@@ -71,8 +86,8 @@ object AnnQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
         |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "ann_ivf_topk" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id % 50 = 0
+      s"""WITH cent AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id % $stepSql = 0
         |), assigned AS (
         |  SELECT vec_id, embedding, cent_id AS bucket FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -101,9 +116,9 @@ object AnnQueries {
     // unnest(list) zip positionally; list(m ORDER BY pos) reassembles;
     // the FLOAT round-trip mirrors the engine's float32 centroids.
     "ann_kmeans_ivf" ->
-      """WITH cent0 AS (
+      s"""WITH cent0 AS (
         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_emb
-        |  FROM embeddings WHERE vec_id % 50 = 0
+        |  FROM embeddings WHERE vec_id % $stepSql = 0
         |), a0 AS (
         |  SELECT vec_id, embedding, cent_id AS bucket FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,
