@@ -353,41 +353,56 @@ object Dedup {
     * crawl batch and reading them in place once. If a batch is MOSTLY
     * duplicates the maybe set is too large to broadcast; rather than
     * rely on the caller reading this doc, the operator COUNTS the maybe
-    * set (one action over the persisted keyed batch — the plan is
-    * shape-dependent, so this call is eager, unlike most of this
-    * module) and falls back to [[dedupAgainstBloomPrefilter]]'s
+    * set on big batches (one action over the persisted digest
+    * projection — the plan is shape-dependent, so this call is eager,
+    * unlike most of this module) and falls back to
+    * [[dedupAgainstBloomPrefilter]]'s
     * shuffle anti-join, whose cost is sized to the duplicate volume.
     * `maxMaybeKeys` is that pivot (64-byte digest rows: the default
     * 2M ≈ 128 MB broadcast, a deliberate notch above the usual 8–32 MB
     * auto-broadcast threshold because the alternative is shuffling the
     * corpus).
     *
-    * The shape-pivot count runs on a DIGEST-ONLY projection, and that
-    * narrow frame — never the whole batch — is persisted across the
-    * pivot: the count and the subsequent `broadcast(maybeKeys)` must
-    * see ONE snapshot, or a live source (a landing directory gaining
-    * files between jobs) could pass the count at just under
-    * `maxMaybeKeys` and then materialize a far larger key set inside
-    * the broadcast — the exact driver blow-up the pivot guards
-    * against. The persist is capped by construction (≤ `maxMaybeKeys`
-    * digest rows in the branch that keeps it), is dropped immediately
-    * on the fallback path and on a failed count, and on the broadcast
-    * path as soon as the collided index is materialized — a
-    * MEMORY_AND_DISK block spilled to disk is never evicted by memory
-    * pressure, so leaving it to "age out" would accumulate one
-    * unreachable cache entry per call in a long-lived session (the
-    * Verify/Bench pattern runs 60+ queries in one
-    * JVM). (An earlier revision persisted the whole keyed
-    * batch — unbounded; the revision after persisted nothing —
-    * re-opening the double-evaluation race this paragraph describes.)
-    * The final anti-join still re-scans the source once more; rows
-    * that appear AFTER the pivot flow through it unguarded, so feed
-    * this operator a fixed file list / snapshot when the underlying
-    * path is being written concurrently.
+    * Whether that pivot COUNT runs at all is ADAPTIVE, decided before
+    * any job from the optimizer's estimate of the keyed batch
+    * (`optimizedPlan.stats.sizeInBytes` — file-source stats, free):
+    *
+    *  - SMALL batch (≤ `smallBatchMaxBytes`): the maybe set is bounded
+    *    by the batch itself, so the broadcast cannot blow the driver
+    *    and the pivot is unnecessary — the operator returns ONE fully
+    *    lazy plan (maybe digests → semi over seen → anti over the
+    *    batch) with no pre-count, no persist, no checkpoint. At gate/
+    *    microbatch scale the eager plumbing, not the data, was the
+    *    cost: the counted shape ran three driver-visible jobs where
+    *    one suffices.
+    *  - BIG batch (the 100 TB design point): the maybe-set size is
+    *    only observable by running the scan, and caching the scanned
+    *    batch to share it would spill a batch-sized copy to executor
+    *    disks — costlier than recomputing digests. So the DIGEST-ONLY
+    *    maybe projection persists across the pivot count, capped by
+    *    construction (≤ maybe-set rows), freed as soon as the
+    *    collided index materializes (or on fallback/failure — a
+    *    MEMORY_AND_DISK block spilled to disk is never evicted by
+    *    memory pressure, so "aging out" would leak one entry per call
+    *    in a long-lived session), and the final anti-join re-scans
+    *    the source.
+    *
+    * On the big-batch path the count and the subsequent
+    * `broadcast(maybeKeys)` must see ONE snapshot — the digest persist
+    * — or a live source (a landing directory gaining files between
+    * jobs) could pass the count at just under `maxMaybeKeys` and then
+    * materialize a far larger key set inside the broadcast; its final
+    * anti-join also re-scans the source, so rows that appear AFTER the
+    * pivot flow through it unguarded. Feed this operator a fixed file
+    * list / snapshot when the underlying path is being written
+    * concurrently. The small-batch path is one plan, so all reads
+    * happen within one execution; its broadcast stays bounded by the
+    * file listing the estimate was computed from.
     */
   def dedupAgainstBloom(incoming: DataFrame, seen: DataFrame, on: Seq[String],
                         bloom: org.apache.spark.util.sketch.BloomFilter,
-                        maxMaybeKeys: Long = 2000000L): DataFrame = {
+                        maxMaybeKeys: Long = 2000000L,
+                        smallBatchMaxBytes: Long = 256L << 20): DataFrame = {
     requireDigestable(incoming, seen, on)
     require(!incoming.columns.contains("__graft_k"),
       "incoming already has a '__graft_k' column")
@@ -396,42 +411,54 @@ object Dedup {
     val might = udf((s: String) => bloomB.value.mightContainString(s))
 
     val keyed = incoming.withColumn("__graft_k", contentDigest(incoming, on))
-    val maybeKeys = keyed.filter(might(col("__graft_k")))
-      .select("__graft_k").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nMaybe =
-      try maybeKeys.count()
-      catch { case e: Throwable => maybeKeys.unpersist(false); throw e }
-    if (nMaybe > maxMaybeKeys) {
-      // Dup-heavy batch: the reverse-semi's broadcast would blow the
-      // driver. Anti-join the flagged maybe slice against the corpus
-      // digest index instead — the definitely-new majority still
-      // bypasses the shuffle. The snapshot is not reused here; free it.
-      maybeKeys.unpersist(false)
-      val seenKeys = seen.select(contentDigest(seen, on).as("__graft_k"))
-        .distinct()
-      keyed.filter(!might(col("__graft_k")))
-        .unionByName(keyed.filter(might(col("__graft_k")))
-          .join(seenKeys, Seq("__graft_k"), "left_anti"))
-        .drop("__graft_k")
-    } else {
-      // Materialized eagerly (small: ≤ maybe-set rows) so the
-      // maybeKeys snapshot frees NOW rather than leaking per call —
-      // see the persist-lifecycle paragraph in the doc above.
-      val collided =
-        try
-          seen.select(contentDigest(seen, on).as("__graft_k"))
-            .join(broadcast(maybeKeys), Seq("__graft_k"), "left_semi")
-            .distinct()
-            .truncated
-        finally maybeKeys.unpersist(false)
-      // ONE anti-join over ALL rows, not a definitely-new/maybe union
-      // of two filter branches: a row the filter never flagged cannot
-      // be in `seen`, hence cannot be in `collided` — same keep set
-      // with one join node. Definitely-new rows pass through as cheap
-      // hash-probe misses against the small broadcast.
+
+    // ONE anti-join over ALL rows, not a definitely-new/maybe union of
+    // two filter branches: a row the filter never flagged cannot be in
+    // `seen`, hence cannot be in `collided` — same keep set with one
+    // join node. Definitely-new rows pass through as cheap hash-probe
+    // misses against the small broadcast.
+    def broadcastJoin(collided: DataFrame): DataFrame =
       keyed.join(broadcast(collided), Seq("__graft_k"), "left_anti")
         .drop("__graft_k")
+
+    def collidedFrom(maybeKeys: DataFrame): DataFrame =
+      seen.select(contentDigest(seen, on).as("__graft_k"))
+        .join(broadcast(maybeKeys), Seq("__graft_k"), "left_semi")
+        .distinct()
+
+    val estBytes = keyed.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= BigInt(smallBatchMaxBytes)) {
+      // small batch: single lazy plan, no pivot, nothing persisted
+      broadcastJoin(collidedFrom(
+        keyed.filter(might(col("__graft_k"))).select("__graft_k").distinct()))
+    } else {
+      // big batch: persist only the digest projection across the pivot
+      val maybeKeys = keyed.filter(might(col("__graft_k")))
+        .select("__graft_k").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nMaybe =
+        try maybeKeys.count()
+        catch { case e: Throwable => maybeKeys.unpersist(false); throw e }
+      if (nMaybe > maxMaybeKeys) {
+        // Dup-heavy batch: the reverse-semi's broadcast would blow the
+        // driver. Anti-join the flagged maybe slice against the corpus
+        // digest index instead — the definitely-new majority still
+        // bypasses the shuffle. The digest snapshot is not reused; free it.
+        maybeKeys.unpersist(false)
+        val seenKeys = seen.select(contentDigest(seen, on).as("__graft_k"))
+          .distinct()
+        keyed.filter(!might(col("__graft_k")))
+          .unionByName(keyed.filter(might(col("__graft_k")))
+            .join(seenKeys, Seq("__graft_k"), "left_anti"))
+          .drop("__graft_k")
+      } else {
+        // collided materialized eagerly (small: ≤ maybe-set rows) so
+        // the maybeKeys snapshot frees NOW rather than leaking per call
+        val collided =
+          try collidedFrom(maybeKeys).truncated
+          finally maybeKeys.unpersist(false)
+        broadcastJoin(collided)
+      }
     }
   }
 

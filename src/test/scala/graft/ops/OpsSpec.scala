@@ -167,17 +167,18 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("dedupAgainstBloom auto-falls back to the shuffle shape on a dup-heavy batch") {
-    // Mostly-duplicate batch + maxMaybeKeys=1: the maybe-dup set
-    // exceeds the broadcast pivot, so the operator must take the
-    // prefilter anti-join path instead of broadcasting the maybe set —
-    // with the SAME keep verdicts.
+    // Mostly-duplicate batch + maxMaybeKeys=1 on the BIG-batch path
+    // (smallBatchMaxBytes=0 forces it — small batches never pivot):
+    // the maybe-dup set exceeds the broadcast pivot, so the operator
+    // must take the prefilter anti-join path instead of broadcasting
+    // the maybe set — with the SAME keep verdicts.
     val seen = (1L to 100L).map(i => (i, s"doc number $i")).toDF("id", "text")
     val incoming = (
       (1L to 90L).map(i => (i + 1000, s"doc number $i")) :+ // 90 dups
         ((9999L, "one novel document"))).toDF("id", "text")
     val bloom = Dedup.digestBloom(seen, Seq("text"), expectedItems = 1000L)
     val viaFallback = Dedup.dedupAgainstBloom(incoming, seen, Seq("text"),
-      bloom, maxMaybeKeys = 1L)
+      bloom, maxMaybeKeys = 1L, smallBatchMaxBytes = 0L)
     assert(viaFallback.select("id").as[Long].collect().toSet == Set(9999L))
     // Fallback shape: the maybe slice anti-joins the corpus index; the
     // definitely-new slice is unioned around it.
@@ -188,6 +189,24 @@ class DedupOpsSpec extends SparkSpec {
     val viaBroadcast = Dedup.dedupAgainstBloom(incoming, seen, Seq("text"),
       bloom, maxMaybeKeys = 1000000L)
     assert(viaBroadcast.select("id").as[Long].collect().toSet == Set(9999L))
+  }
+
+  test("dedupAgainstBloom: lazy small-batch and counted big-batch paths agree") {
+    // smallBatchMaxBytes=0 forces the big-batch branch (digest-only
+    // persist + pivot count + source re-scan); the default takes the
+    // single-lazy-plan branch — identical keep verdicts either way
+    val seen = (1L to 150L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    val incoming = (
+      (100L to 180L).map(i => (i + 1000, s"doc number $i")) :+
+        ((9999L, "novel doc"))).toDF("id", "text")
+    val bloom = Dedup.digestBloom(seen, Seq("text"), expectedItems = 1000L)
+    val viaLazy = Dedup.dedupAgainstBloom(incoming, seen, Seq("text"), bloom)
+      .select("id").as[Long].collect().toSet
+    val viaCounted = Dedup.dedupAgainstBloom(incoming, seen, Seq("text"), bloom,
+      smallBatchMaxBytes = 0L)
+      .select("id").as[Long].collect().toSet
+    assert(viaLazy == viaCounted)
+    assert(viaLazy == ((151L to 180L).map(_ + 1000).toSet + 9999L))
   }
 
   test("dedupAgainstBloom under a saturated filter (fpp→1) still exact") {
