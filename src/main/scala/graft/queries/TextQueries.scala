@@ -39,7 +39,67 @@ object TextQueries {
       s"::HUGEINT * (1::HUGEINT << ${(16 - i) * 4})")
     .mkString("((", " + ", ") % 64)::INT")
 
+  /** t21 fixture: held-out sentences per language (NOT the profile
+    * seeds), plus the adversarial shapes — mixed-language, short
+    * strings, emoji/numeric-only, empty, NULL. Expected verdicts are
+    * NOT stored: the oracle re-scores every document from the dumped
+    * raw (lang, trigram, w) profile rows — the c16 pattern.
+    */
+  private val t21Dir = "/tmp/graft_gate_t21_langid"
+
+  private def writeT21Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val docs: Seq[(Long, Option[String])] = Seq(
+      1L -> Some("she was reading a book about the history of their city"),
+      2L -> Some("die geschichte wurde von den alten leuten oft erzählt"),
+      3L -> Some("nous avons mangé du pain avec les autres dans le jardin"),
+      4L -> Some("los estudiantes estaban leyendo muchos libros interesantes"),
+      5L -> Some("as pessoas estavam andando pela cidade durante a manhã"),
+      6L -> Some("i ragazzi hanno letto molti libri nella biblioteca della città"),
+      7L -> Some("de mensen lazen boeken over de geschiedenis van hun stad"),
+      8L -> Some("barnen läste många böcker om sina vänner under sommaren"),
+      9L -> Some("nopeat ketut juoksevat metsässä ja lapset katsovat niitä"),
+      10L -> Some("dzieci czytały wiele książek o historii swojego miasta"),
+      11L -> Some("děti četly mnoho knih o historii svého města každý den"),
+      12L -> Some("çocuklar şehirlerinin tarihi hakkında birçok kitap okudu"),
+      13L -> Some("anak anak membaca banyak buku tentang sejarah kota mereka"),
+      14L -> Some("những đứa trẻ đọc nhiều sách về lịch sử của thành phố"),
+      15L -> Some("дети читали много книг об истории своего города каждый день"),
+      16L -> Some("діти читали багато книг про історію свого міста щодня"),
+      17L -> Some("كان الأطفال يقرؤون العديد من الكتب عن تاريخ مدينتهم"),
+      18L -> Some("बच्चे अपने शहर के इतिहास के बारे में बहुत सारी किताबें पढ़ते थे"),
+      19L -> Some("孩子们每天都在阅读关于他们城市历史的很多书籍"),
+      20L -> Some("こどもたちはまちのれきしについてたくさんのほんをよみました"),
+      21L -> Some("아이들은 도시의 역사에 관한 많은 책을 읽었습니다"),
+      // adversarial shapes
+      22L -> Some("the children et les enfants and the house dans la maison " +
+        "avec les amis près du pont"), // mixed en/fr, fr-dominant
+      23L -> Some("the"), // single trigram
+      24L -> Some("ab"), // below trigram length
+      25L -> Some("🎉🎊🎈 123 456 !!!"), // no profile trigram
+      26L -> Some(""),
+      27L -> None,
+      28L -> Some("DIE GESCHICHTE WURDE VON DEN ALTEN LEUTEN ERZÄHLT"),
+      29L -> Some("que la de el los en y con por una historia"), // es function words
+      30L -> Some("работа дом улица")) // short ru
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$t21Dir/docs")
+    graft.ops.LangId.profileRows.toDF("lang", "trigram", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$t21Dir/profiles")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- t21: character-trigram language ID over 24 languages (TextCat
+    //    method). Spark classifies through the inverted-index kernel;
+    //    the oracle re-derives every verdict from the raw profile rows
+    //    with its own trigram extraction + scoring + argmax. ----------
+    "t21_langid_ngram" -> { (s, _) =>
+      writeT21Fixture(s)
+      s.read.parquet(s"$t21Dir/docs")
+        .select(col("doc_id"),
+          graft.ops.LangId.langIdNgram(col("text")).as("lang"))
+        .orderBy("doc_id")
+    },
     // -- language-ID heuristic: marker-word occurrence scoring with a
     //    deterministic argmax (tie order en > es > de > fr > unknown).
     //    (On this synthetic corpus the content carries no real language
@@ -572,6 +632,34 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("len(list_filter(string_split(text,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
+    // Independent re-scoring: lowercase, explode codepoint trigram
+    // positions, join the raw profile rows, sum weights per (doc,
+    // lang), argmax with ties to the smallest code; docs with no
+    // scoring trigram (or NULL/short text) fall out to 'unknown'.
+    "t21_langid_ngram" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lower(text) AS t
+         |  FROM read_parquet('$t21Dir/docs/*.parquet')
+         |), pos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+         |  FROM docs WHERE t IS NOT NULL AND length(t) >= 3
+         |), g AS (
+         |  SELECT doc_id, substr(t, i, 3) AS g3 FROM pos
+         |), sc AS (
+         |  SELECT g.doc_id, p.lang, sum(p.w) AS score
+         |  FROM g JOIN read_parquet('$t21Dir/profiles/*.parquet') p
+         |    ON p.trigram = g.g3
+         |  GROUP BY 1, 2
+         |), best AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang) AS rn
+         |  FROM sc WHERE score > 0
+         |)
+         |SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang
+         |FROM read_parquet('$t21Dir/docs/*.parquet') d
+         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin,
     // Injection rebuilt from chr() code points (the Scala literals'
     // exact values); the same regexp_replace fold chain with 'g', the
     // same \x{...} classes, and the same explicit whitespace class.
