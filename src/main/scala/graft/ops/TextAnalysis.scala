@@ -222,6 +222,80 @@ object TextAnalysis {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** A loaded linear model for [[hashedLinearScore]]: the bridge that
+    * lets OFFLINE-trained weights (fastText-style hashed-feature
+    * logistic regression, exported from any training stack) drive the
+    * scoring expression without recompiling. `score` is the same
+    * codegen'd column the inline-literal path produces.
+    */
+  final case class LinearModel(weights: Seq[Double], bias: Double) {
+    def score(textCol: Column): Column =
+      hashedLinearScore(textCol, weights, bias)
+  }
+
+  /** Load [[LinearModel]] weights from a file the training side wrote.
+    * Two public contracts, dispatched on extension:
+    *
+    *  - `*.json`: one object `{"bias": b, "weights": [w0, w1, …]}` —
+    *    the shape Python training code naturally dumps;
+    *  - otherwise parquet: rows `(idx int, weight double)` with idx
+    *    0-based dense for the weight vector and the single row
+    *    idx = -1 carrying the bias (absent → bias 0.0).
+    *
+    * Weights are model-sized (the hash-bucket dimension, thousands at
+    * most), so the driver collect here is bounded by contract — the
+    * vector has to reach every task as a literal anyway. Loud
+    * validation: non-empty, dense, finite — a NaN weight would
+    * otherwise poison every score downstream silently.
+    */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+                  path: String): LinearModel = {
+    val model =
+      if (path.toLowerCase.endsWith(".json")) {
+        val df = spark.read.option("multiLine", "true").json(path)
+        require(df.columns.contains("weights") && df.columns.contains("bias"),
+          s"$path must hold one object with 'weights' and 'bias' fields")
+        val row = df.select(col("bias").cast("double"),
+          col("weights").cast("array<double>")).head()
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          s"$path: bias/weights must be non-null")
+        LinearModel(row.getSeq[Double](1), row.getDouble(0))
+      } else {
+        val rows = spark.read.parquet(path)
+          .select(col("idx").cast("int"), col("weight").cast("double"))
+          .collect()
+        require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+          s"$path: idx/weight must be non-null")
+        val (biasRows, wRows) = rows.partition(_.getInt(0) < 0)
+        require(biasRows.forall(_.getInt(0) == -1),
+          s"$path: negative idx other than the -1 bias row")
+        require(biasRows.length <= 1, s"$path: multiple bias rows")
+        val sorted = wRows.sortBy(_.getInt(0))
+        require(sorted.map(_.getInt(0)).toSeq == sorted.indices,
+          s"$path: weight idx must be dense 0..d-1")
+        LinearModel(sorted.map(_.getDouble(1)).toSeq,
+          biasRows.headOption.map(_.getDouble(1)).getOrElse(0.0))
+      }
+    require(model.weights.nonEmpty, s"$path: empty weight vector")
+    require(model.weights.forall(w => !w.isNaN && !w.isInfinite) &&
+      !model.bias.isNaN && !model.bias.isInfinite,
+      s"$path: non-finite weight or bias")
+    model
+  }
+
+  /** Write a [[LinearModel]] in the parquet contract [[loadWeights]]
+    * reads — round-trip support for pipelines that re-export a model
+    * alongside their outputs.
+    */
+  def saveWeights(spark: org.apache.spark.sql.SparkSession,
+                  model: LinearModel, path: String): Unit = {
+    import spark.implicits._
+    (model.weights.zipWithIndex.map { case (w, i) => (i, w) } :+
+      ((-1, model.bias)))
+      .toDF("idx", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Repetition signals — the published web-curation rules (Gopher's
     * repetition filters, RefinedWeb's duplicate-n-gram fractions) as
     * pure column algebra, one scan, no UDF:

@@ -307,12 +307,19 @@ object TextQueries {
     //    scoring): per-token sha-256 hash bucket → weight lookup → mean
     //    → sigmoid, all column algebra. Per-doc scores UNDER the hash
     //    certify the whole chain: tokenize, bucket kernel, weight
-    //    indexing, empty-doc prior. ------------------------------------
+    //    indexing, empty-doc prior. The weights take the FULL external
+    //    loop — written in the weight-file contract, loaded back via
+    //    loadWeights — so the gate also certifies that offline-trained
+    //    vectors plug into the same expression (the oracle embeds the
+    //    identical literals; a load/save defect breaks the hash). ------
     "t15_quality_classifier" -> { (s, d) =>
+      val path = "/tmp/graft_gate_t15_weights"
+      TextAnalysis.saveWeights(s,
+        TextAnalysis.LinearModel(t15Weights, t15Bias), path)
+      val model = TextAnalysis.loadWeights(s, path)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          round(TextAnalysis.hashedLinearScore(col("text"), t15Weights,
-            t15Bias), 6).as("q_score"))
+          round(model.score(col("text")), 6).as("q_score"))
         .orderBy("doc_id")
     },
 

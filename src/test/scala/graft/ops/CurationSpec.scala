@@ -636,6 +636,55 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(5L) - sigmoid(0.3 + w("alpha"))) < 1e-12)
   }
 
+  test("loadWeights: parquet round-trip and JSON load drive identical scores") {
+    val model = TextAnalysis.LinearModel(
+      Seq.tabulate(64)(i => (i % 7 - 3) / 10.0), 0.2)
+    // parquet contract round-trip
+    val pqPath = "/tmp/graft_spec_weights_pq"
+    TextAnalysis.saveWeights(spark, model, pqPath)
+    val fromPq = TextAnalysis.loadWeights(spark, pqPath)
+    assert(fromPq == model)
+    // JSON contract: the shape a Python training stack dumps
+    val jsonPath = "/tmp/graft_spec_weights.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
+      s"""{"bias": 0.2, "weights": [${model.weights.mkString(", ")}]}"""
+        .getBytes("UTF-8"))
+    val fromJson = TextAnalysis.loadWeights(spark, jsonPath)
+    assert(fromJson.bias == model.bias)
+    assert(fromJson.weights.zip(model.weights)
+      .forall { case (a, b) => math.abs(a - b) < 1e-15 })
+    // loaded weights score identically to the inline literals
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val inline = docs.select(col("id"),
+      TextAnalysis.hashedLinearScore(col("text"), model.weights, model.bias)
+        .as("s")).as[(Long, Double)].collect().toMap
+    val loaded = docs.select(col("id"), fromPq.score(col("text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(inline == loaded)
+  }
+
+  test("loadWeights: loud rejection of sparse, empty and non-finite files") {
+    // sparse idx (gap at 1)
+    Seq((0, 0.1), (2, 0.2), (-1, 0.0)).toDF("idx", "weight")
+      .write.mode("overwrite").parquet("/tmp/graft_spec_weights_bad1")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadWeights(spark, "/tmp/graft_spec_weights_bad1")
+    }
+    // non-finite weight
+    Seq((0, Double.NaN)).toDF("idx", "weight")
+      .write.mode("overwrite").parquet("/tmp/graft_spec_weights_bad2")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadWeights(spark, "/tmp/graft_spec_weights_bad2")
+    }
+    // bias-only file (empty weight vector)
+    Seq((-1, 0.5)).toDF("idx", "weight")
+      .write.mode("overwrite").parquet("/tmp/graft_spec_weights_bad3")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadWeights(spark, "/tmp/graft_spec_weights_bad3")
+    }
+  }
+
   test("dropBlockedDomains: exact, subdomain, TLD matches drop; others keep") {
     val rows = Seq(
       (1L, "www.bad.com"), // subdomain of listed registrable domain
