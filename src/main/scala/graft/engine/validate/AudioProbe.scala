@@ -102,4 +102,176 @@ object AudioProbe {
         if (sawFmt) "wave data chunk missing or fmt truncated"
         else "wave fmt chunk missing"
     }
+
+  // ------------------------------------------------------------------
+  // Compressed-container HEADER probes (no sample decoding): FLAC
+  // STREAMINFO (xiph format spec) and MPEG audio frame headers (the
+  // published ISO 11172-3 / 13818-3 header layout). Same stance as the
+  // WAVE walker: bounds-checked byte parsing, hostile sizes end the
+  // walk, degenerate field values are a parse failure.
+  // ------------------------------------------------------------------
+
+  /** Unified audio header facts across codecs. `bitsPerSample` is 0
+    * where the codec doesn't fix it in the header (MP3);
+    * `nSamples` counts inter-channel sample frames — exact from
+    * STREAMINFO for FLAC, frame-walk × samples-per-frame for MP3
+    * (exact for well-formed CBR/VBR streams), data/align for WAV.
+    */
+  final case class AudioMeta(codec: String, channels: Int,
+                             sampleRateHz: Int, bitsPerSample: Int,
+                             nSamples: Long)
+
+  private def isFlac(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && b(0) == 'f' && b(1) == 'L' &&
+      b(2) == 'a' && b(3) == 'C'
+
+  /** FLAC: walk metadata blocks to STREAMINFO (type 0, 34 bytes),
+    * unpack the 20-bit rate / 3-bit channels / 5-bit bps / 36-bit
+    * total-samples field group.
+    */
+  def flacInfo(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (!isFlac(bytes)) return None
+    var off = 4L
+    var last = false
+    while (!last && off + 4 <= bytes.length) {
+      val o = off.toInt
+      val hdr = bytes(o) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val blen = ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      if (btype == 0) {
+        if (o + 4 + 34 > bytes.length || blen < 34) return None // truncated
+        val s = o + 4
+        val rate = ((bytes(s + 10) & 0xff) << 12) |
+          ((bytes(s + 11) & 0xff) << 4) | ((bytes(s + 12) & 0xff) >>> 4)
+        val channels = ((bytes(s + 12) >>> 1) & 0x7) + 1
+        val bps = (((bytes(s + 12) & 1) << 4) |
+          ((bytes(s + 13) & 0xff) >>> 4)) + 1
+        val nSamples = ((bytes(s + 13) & 0xfL) << 32) |
+          ((bytes(s + 14) & 0xffL) << 24) | ((bytes(s + 15) & 0xffL) << 16) |
+          ((bytes(s + 16) & 0xffL) << 8) | (bytes(s + 17) & 0xffL)
+        return if (rate >= 1) Some(AudioMeta("flac", channels, rate, bps,
+          nSamples))
+        else None
+      }
+      off += 4L + blen
+    }
+    None // no STREAMINFO before the last-block flag / EOF
+  }
+
+  // MPEG sample-rate table by version bits (0=2.5, 2=v2, 3=v1) × index
+  private val mpegRates = Map(
+    3 -> Array(44100, 48000, 32000),
+    2 -> Array(22050, 24000, 16000),
+    0 -> Array(11025, 12000, 8000))
+
+  // bitrate tables in kbps, index 1..14 (0 = free, 15 = invalid)
+  private val br1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288,
+    320, 352, 384, 416, 448)
+  private val br1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+    192, 224, 256, 320, 384)
+  private val br1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320)
+  private val br2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144,
+    160, 176, 192, 224, 256)
+  private val br2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 144, 160)
+
+  /** One parsed MPEG frame header at `off`: (frameBytes,
+    * samplesPerFrame, sampleRate, channels), or None if not a valid
+    * header.
+    */
+  private def mp3Frame(b: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
+    if (off + 4 > b.length) return None
+    if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return None
+    val version = (b(off + 1) >>> 3) & 0x3 // 0=2.5, 1=reserved, 2=v2, 3=v1
+    val layer = (b(off + 1) >>> 1) & 0x3 // 0=reserved, 1=III, 2=II, 3=I
+    if (version == 1 || layer == 0) return None
+    val brIdx = (b(off + 2) >>> 4) & 0xf
+    val srIdx = (b(off + 2) >>> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/invalid
+    val padding = (b(off + 2) >>> 1) & 0x1
+    val channels = if (((b(off + 3) >>> 6) & 0x3) == 3) 1 else 2
+    val rate = mpegRates(version)(srIdx)
+    val v1 = version == 3
+    val kbps = (v1, layer) match {
+      case (true, 3) => br1L1(brIdx)
+      case (true, 2) => br1L2(brIdx)
+      case (true, 1) => br1L3(brIdx)
+      case (false, 3) => br2L1(brIdx)
+      case (false, _) => br2L23(brIdx)
+    }
+    val bitrate = kbps * 1000
+    val (frameLen, samples) = layer match {
+      case 3 => ((12 * bitrate / rate + padding) * 4, 384) // Layer I
+      case 2 => (144 * bitrate / rate + padding, 1152) // Layer II
+      case _ => // Layer III: 1152 samples v1, 576 v2/v2.5
+        if (v1) (144 * bitrate / rate + padding, 1152)
+        else (72 * bitrate / rate + padding, 576)
+    }
+    if (frameLen < 4) None else Some((frameLen, samples, rate, channels))
+  }
+
+  /** MP3: skip an ID3v2 tag if present (syncsafe size), resync to the
+    * first valid frame header within the probe window, then WALK the
+    * frames (VBR-safe) accumulating samples. Parameters come from the
+    * first frame; the walk stops at the first non-frame byte (tag
+    * padding, truncation), which just ends the count.
+    */
+  def mp3Info(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 4) return None
+    var start = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      start = 10 + size
+      if (start >= bytes.length) return None
+    }
+    // resync: tolerate leading junk within a bounded window, like real
+    // players do — but only a window, or any binary blob would "parse"
+    val window = math.min(bytes.length - 4, start + 4096)
+    var first = -1
+    var o = start
+    while (first < 0 && o <= window) {
+      if (mp3Frame(bytes, o).isDefined) first = o
+      o += 1
+    }
+    if (first < 0) return None
+    val (_, _, rate, channels) = mp3Frame(bytes, first).get
+    var off = first
+    var samples = 0L
+    var ok = true
+    while (ok) {
+      mp3Frame(bytes, off) match {
+        case Some((len, spf, r, _)) if r == rate =>
+          samples += spf
+          off += len
+        case _ => ok = false
+      }
+    }
+    Some(AudioMeta("mp3", channels, rate, 0, samples))
+  }
+
+  /** Unified probe: dispatch on container signature — WAV, FLAC, MP3
+    * (with or without ID3v2). One entry point for the multimodal
+    * metadata path.
+    */
+  def meta(bytes: Array[Byte]): Option[AudioMeta] =
+    if (isRiffWave(bytes))
+      info(bytes).map(w =>
+        AudioMeta("wav", w.channels, w.sampleRateHz, w.bitsPerSample,
+          w.nFrames))
+    else if (isFlac(bytes)) flacInfo(bytes)
+    else mp3Info(bytes)
+
+  /** [[diagnose]] over all three codecs. */
+  def diagnoseMeta(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.isEmpty) "file is empty"
+    else if (isRiffWave(bytes)) diagnose(bytes)
+    else if (isFlac(bytes))
+      if (flacInfo(bytes).isDefined) "ok" else "flac streaminfo missing or truncated"
+    else if (mp3Info(bytes).isDefined) "ok"
+    else "no audio container or frame sync found"
 }

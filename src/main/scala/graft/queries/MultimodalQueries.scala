@@ -120,7 +120,123 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m6Dir)
   }
 
+  /** m7 fixture: FLAC and MP3 containers authored field-by-field from
+    * the PUBLISHED specs (xiph FLAC STREAMINFO bit layout; ISO MPEG
+    * audio frame headers) by this builder — code independent of the
+    * [[graft.engine.validate.AudioProbe]] parsers under test — plus
+    * WAV rows through the same unified entry point and the failure
+    * classes. Expected values stored alongside (m4/m6 pattern).
+    */
+  private val m7Dir = "/tmp/graft_gate_m7_audio_codecs"
+
+  private def encodeFlacHeader(channels: Int, rate: Int, bits: Int,
+                               nSamples: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // a VORBIS_COMMENT-style padding block FIRST so the parser has to
+    // walk, not just read offset 4
+    out.write(0x04); out.write(0); out.write(0); out.write(8)
+    (1 to 8).foreach(_ => out.write(0x55))
+    // STREAMINFO, marked last
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(1) = 0 // min blocksize 4096
+    si(2) = 0x10; si(3) = 0 // max blocksize
+    // min/max framesize 24-bit: zeros (unknown)
+    si(10) = ((rate >> 12) & 0xff).toByte
+    si(11) = ((rate >> 4) & 0xff).toByte
+    si(12) = (((rate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bits - 1) >> 4) & 0x1)).toByte
+    si(13) = ((((bits - 1) & 0xf) << 4) | ((nSamples >> 32) & 0xf)).toByte
+    si(14) = ((nSamples >> 24) & 0xff).toByte
+    si(15) = ((nSamples >> 16) & 0xff).toByte
+    si(16) = ((nSamples >> 8) & 0xff).toByte
+    si(17) = (nSamples & 0xff).toByte
+    // md5 zeros
+    out.write(si)
+    out.toByteArray
+  }
+
+  /** MPEG1 Layer III CBR frames: header per spec + zero payload. */
+  private def encodeMp3(channels: Int, rateIdx: Int, brIdx: Int,
+                        nFrames: Int, id3Bytes: Int = 0): Array[Byte] = {
+    val rates = Array(44100, 48000, 32000)
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) { // ID3v2 tag with syncsafe size
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(3); out.write(0); out.write(0) // version 2.3, no flags
+      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      (1 to id3Bytes).foreach(_ => out.write(0))
+    }
+    val frameLen = 144 * kbps(brIdx) * 1000 / rates(rateIdx) // no padding
+    for (_ <- 1 to nFrames) {
+      out.write(0xff)
+      out.write(0xfa) // sync | v1 (11) | layer III (01) | no-crc (0)
+      out.write((brIdx << 4) | (rateIdx << 2)) // padding 0, private 0
+      out.write(if (channels == 1) 0xc0 else 0x00) // mono | stereo
+      (1 to frameLen - 4).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  private def writeM7Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val good: Seq[(Long, Array[Byte], String, Int, Int, Int, Long, String)] = Seq(
+      (0L, encodeFlacHeader(2, 44100, 16, 1234567L), "flac", 2, 44100, 16,
+        1234567L, "ok"),
+      (1L, encodeFlacHeader(1, 96000, 24, 48000L), "flac", 1, 96000, 24,
+        48000L, "ok"),
+      (2L, encodeFlacHeader(8, 8000, 8, 0L), "flac", 8, 8000, 8, 0L, "ok"),
+      // mp3: nSamples = frames × 1152 (MPEG1 Layer III)
+      (3L, encodeMp3(2, 0, 9, 5), "mp3", 2, 44100, 0, 5 * 1152L, "ok"),
+      (4L, encodeMp3(1, 1, 14, 3), "mp3", 1, 48000, 0, 3 * 1152L, "ok"),
+      (5L, encodeMp3(2, 2, 1, 7, id3Bytes = 64), "mp3", 2, 32000, 0,
+        7 * 1152L, "ok"),
+      // wav through the same unified entry point
+      (6L, encodeWav(2, 22050, 16, 2205), "wav", 2, 22050, 16, 2205L, "ok"))
+    val bad: Seq[(Long, Array[Byte], String, Int, Int, Int, Long, String)] = Seq(
+      (100L, Array.emptyByteArray, "", -1, -1, -1, -1L, "file is empty"),
+      (101L, "no sync word anywhere here....".getBytes("UTF-8"), "", -1, -1,
+        -1, -1L, "no audio container or frame sync found"),
+      (102L, encodeFlacHeader(2, 44100, 16, 99L).take(20), "", -1, -1, -1,
+        -1L, "flac streaminfo missing or truncated"),
+      // fLaC signature, one non-streaminfo block marked last
+      (103L, "fLaC".getBytes("US-ASCII") ++ Array[Byte](0x84.toByte, 0, 0, 2,
+        1, 2), "", -1, -1, -1, -1L, "flac streaminfo missing or truncated"))
+    s.createDataset(good ++ bad)
+      .toDF("audio_id", "payload", "exp_codec", "exp_channels", "exp_rate",
+        "exp_bits", "exp_samples", "exp_status")
+      .coalesce(1).write.mode("overwrite").parquet(m7Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m7: unified compressed-audio header decode — FLAC STREAMINFO
+    //    bit unpacking and MPEG frame-header walk (VBR-safe sample
+    //    count), WAV through the same entry point, failure classes
+    //    diagnosed. Fixture bytes are authored field-by-field from the
+    //    public specs by independent builder code; the oracle reads the
+    //    stored expected columns back (m6 pattern). -------------------
+    "m7_audio_codecs" -> { (s, _) =>
+      writeM7Fixture(s)
+      val probe = udf { bytes: Array[Byte] =>
+        graft.engine.validate.AudioProbe.meta(bytes) match {
+          case Some(m) => (m.codec, m.channels, m.sampleRateHz,
+            m.bitsPerSample, m.nSamples, "ok")
+          case None => ("", -1, -1, -1, -1L,
+            graft.engine.validate.AudioProbe.diagnoseMeta(bytes))
+        }
+      }
+      s.read.parquet(m7Dir)
+        .withColumn("__p", probe(col("payload")))
+        .select(col("audio_id"), col("__p._1").as("codec"),
+          col("__p._2").as("channels"), col("__p._3").as("rate"),
+          col("__p._4").as("bits"), col("__p._5").as("samples"),
+          col("__p._6").as("status"))
+        .orderBy("audio_id")
+    },
     // -- m6: REAL audio header decode — AudioProbe (RIFF/WAVE chunk
     //    walk) recovers channels/rate/bits/frames from JDK-authored
     //    WAV bytes and classifies the failure modes; -1 = "no value"
@@ -248,6 +364,12 @@ object MultimodalQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    "m7_audio_codecs" ->
+      s"""SELECT audio_id, exp_codec AS codec, exp_channels AS channels,
+         |  exp_rate AS rate, exp_bits AS bits, exp_samples AS samples,
+         |  exp_status AS status
+         |FROM read_parquet('$m7Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
     "m6_audio_meta" ->
       s"""SELECT audio_id, exp_channels AS channels, exp_rate AS rate,
          |  exp_bits AS bits, exp_frames AS frames, exp_status AS status
