@@ -626,8 +626,19 @@ object Dedup {
     * then per ingested batch append the KEPT rows' index entries
     * (`buildMinhashIndex(keptBatch, …).write.mode("append")`) — the
     * index grows with the corpus and each batch pays signature cost
-    * only for itself. At 10 B documents the index is ~|corpus| rows of
-    * a few hundred bytes — document-count scale, not corpus-byte scale.
+    * only for itself; SignatureIndexSpec pins append-then-probe ≡
+    * one-shot build. At 10 B documents the index is ~|corpus| rows of
+    * a few hundred bytes — document-count scale, not corpus-byte
+    * scale.
+    *
+    * COMPACTION: every appended batch adds its own small parquet
+    * files, and after thousands of batches the probe-side scan goes
+    * file-listing-bound (plus per-file footer reads). Periodically
+    * rewrite the index — `spark.read.parquet(idx).repartition(n)
+    * .write.parquet(idxNew)` sized to ~128 MB files, then swap paths
+    * atomically (write new, rename, drop old). Row content is
+    * position-independent (the equivalence spec compares entries, not
+    * layout), so compaction never changes verdicts.
     */
   def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 32,

@@ -77,6 +77,45 @@ class SignatureIndexSpec extends SparkSpec {
     assert(kept2 == Set(21L))
   }
 
+  test("append-then-probe ≡ one-shot index over the same corpus") {
+    // The lifecycle contract: an index grown by per-batch appends must
+    // be indistinguishable, verdict for verdict, from one built in a
+    // single pass over the union — otherwise incremental operation
+    // silently drifts from the rebuild-from-scratch truth.
+    import org.apache.spark.sql.functions.col
+    val batch1 = Seq(
+      (30L, "incremental corpora arrive in batches over many days"),
+      (31L, "wholly unrelated content about distributed query planning"))
+      .toDF("id", "text")
+    val oneShotPath = tmpDir("mhidx5a").toString + "/index"
+    val apPath = tmpDir("mhidx5b").toString + "/index"
+    Dedup.buildMinhashIndex(seenDocs.unionByName(batch1), "id", "text")
+      .write.parquet(oneShotPath)
+    Dedup.buildMinhashIndex(seenDocs, "id", "text").write.parquet(apPath)
+    Dedup.buildMinhashIndex(batch1, "id", "text")
+      .write.mode("append").parquet(apPath)
+    // probe: near-dups of both corpus generations plus fresh text
+    val probe = Seq(
+      (40L, "incremental corpora arrive in batches over many days"), // dup of 30
+      (41L, "the quick brown fox jumps over the lazy dog again and again"),
+      (42L, "completely new content matching nothing in either half"))
+      .toDF("id", "text")
+    def kept(path: String): Set[Long] =
+      Dedup.nearDupAgainstIndex(probe, spark.read.parquet(path),
+        "id", "text", threshold = 0.5)
+        .select("id").as[Long].collect().toSet
+    assert(kept(oneShotPath) == kept(apPath))
+    assert(kept(apPath) == Set(42L))
+    // and the two indexes hold identical entries per id (sorted sig
+    // sets and band keys — storage layout may differ, content may not)
+    def entries(path: String) =
+      spark.read.parquet(path)
+        .select(col("id"), col("sig_hashes"), col("band_keys"),
+          col("num_hashes"), col("bands"), col("shingle"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(entries(oneShotPath) == entries(apPath))
+  }
+
   test("mixed-parameter index fails loud, not silent zero recall") {
     val idxPath = tmpDir("mhidx4").toString + "/index"
     Dedup.buildMinhashIndex(seenDocs, "id", "text").write.parquet(idxPath)
