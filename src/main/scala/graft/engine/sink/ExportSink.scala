@@ -142,13 +142,18 @@ object ExportSink {
       case "jsonl" => spark.read.schema(schema).json(path)
       case "parquet" => spark.read.schema(schema).parquet(path)
     }
-    val stats = back
-      .withColumn("__h", xxhash64(to_json(struct(dataCols.map(col): _*))))
-      .groupBy(col("shard").cast("int").as("shard"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("fp"))
-      .collect()
-      .map(r => r.getInt(0) -> ShardStat(r.getInt(0), r.getLong(1), r.getLong(2)))
-      .toMap
+    // an all-filtered batch writes ZERO files: partition discovery then
+    // finds no shard= dirs and the read-back has no shard column — a
+    // legitimate empty export, not an error
+    val stats =
+      if (!back.columns.contains("shard")) Map.empty[Int, ShardStat]
+      else back
+        .withColumn("__h", xxhash64(to_json(struct(dataCols.map(col): _*))))
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("fp"))
+        .collect()
+        .map(r => r.getInt(0) -> ShardStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toMap
     val all = (0 until numShards).map(i =>
       stats.getOrElse(i, ShardStat(i, 0L, 0L)))
     Manifest(format, numShards, all.map(_.count).sum, schemaJson, all)

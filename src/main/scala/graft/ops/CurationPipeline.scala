@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.sink.ExportSink
+import graft.functions.{GraftFunctions => F}
+import graft.ops.Checkpoints.Truncatable
+
+/** THE composed curation program — the LLM-surface analogue of the
+  * ETL engine's `ingest()` composition (`ingestors/base.py:713-739`):
+  * every stage exists and is gated individually; this runs them as ONE
+  * pipeline with observed per-stage metrics, because that is the
+  * product the operators exist for:
+  *
+  *   read → html extract → language gate → quality gate →
+  *   corpus-wide segment dedup → near-dup vs the persisted signature
+  *   index → benchmark decontamination → mix reweighting → sequence
+  *   packing → sharded export.
+  *
+  * Materialization strategy (the 100 TB shape): the stream is
+  * plan-truncated exactly TWICE — after the segment-dedup join (whose
+  * corpus-wide digest aggregation wants a stable snapshot anyway) and
+  * after decontamination (because mix reweighting's count pivot and
+  * the final action must see one snapshot). Every stage metric is
+  * either folded into one aggregate over the source scan (the three
+  * row-filter stages) or a cheap count over an already-materialized
+  * snapshot — no stage pays a dedicated source re-scan. On a cluster,
+  * set a reliable checkpoint dir ([[Checkpoints]]) so the two
+  * materializations survive executor loss.
+  */
+object CurationPipeline {
+
+  final case class Config(
+      idCol: String,
+      htmlCol: String,
+      sourceCol: String,
+      minQuality: Double = 0.8,
+      nearDupThreshold: Double = 0.8,
+      maxContamination: Double = 0.2,
+      targetMix: Map[String, Int] = Map.empty,
+      packCapacity: Long = 512L,
+      exportDir: Option[String] = None,
+      exportShards: Int = 4,
+      exportFormat: String = "jsonl")
+
+  /** The curated output plus per-stage observed metrics. `data`
+    * columns: idCol, sourceCol, `n_tok`, `pack_id`, `content_sha`
+    * (sha-256 of the final cleaned text — the digest the end-to-end
+    * gate hashes).
+    */
+  final case class Curated(data: DataFrame, metrics: Seq[(String, Long)],
+                           manifest: Option[ExportSink.Manifest])
+
+  def curate(docs: DataFrame, seenIndex: DataFrame, probes: DataFrame,
+             probeTextCol: String, cfg: Config): Curated = {
+    val id = cfg.idCol
+    require(cfg.targetMix.nonEmpty, "targetMix must be non-empty")
+    for (r <- Seq("__text", "lang_pred", "__q", "text_clean", "n_tok",
+        "pack_id", "content_sha"))
+      require(!docs.columns.contains(r), s"input column '$r' is reserved")
+
+    // stages 1-3 as columns, so one aggregate yields their metrics and
+    // one filter applies them — a single source scan either way
+    val extracted = docs.select(col(id), col(cfg.sourceCol),
+      TextAnalysis.htmlToText(col(cfg.htmlCol)).as("__text"))
+    val scored = {
+      val feats = TextAnalysis.qualityFeatures(col("__text"))
+        .toMap
+      extracted
+        .withColumn("lang_pred", TextAnalysis.languageId(col("__text")))
+        .withColumn("__q", TextAnalysis.qualityScore(feats("punct_ratio"),
+          feats("digit_ratio"), feats("stop_ratio")))
+    }
+    val stageAgg = scored.agg(
+      count(lit(1)).as("n_in"),
+      sum(when(col("lang_pred") =!= "unknown", 1L).otherwise(0L)).as("n_lang"),
+      sum(when(col("lang_pred") =!= "unknown" &&
+        col("__q") >= cfg.minQuality, 1L).otherwise(0L)).as("n_q"))
+      .head()
+    val kept3 = scored
+      .filter(col("lang_pred") =!= "unknown" && col("__q") >= cfg.minQuality)
+      .drop("__q")
+
+    // corpus-wide segment dedup (C4-style boilerplate kill), then the
+    // cleaned text replaces the extracted text; FIRST truncation
+    val seg = Dedup.dedupSegments(kept3.select(col(id), col("__text")),
+      id, "__text")
+    val snapA = kept3.drop("__text")
+      .join(seg, Seq(id))
+      .truncated
+    val segStats = snapA.agg(
+      sum("n_segments").as("segs"), sum("n_kept").as("kept")).head()
+
+    val ndKept = Dedup.nearDupAgainstIndex(snapA, seenIndex, id,
+      "text_clean", cfg.nearDupThreshold)
+
+    val cont = Curation.contaminationScore(
+      ndKept.select(col(id), col("text_clean")), id, "text_clean",
+      probes, probeTextCol)
+    // SECOND truncation: mix reweighting's count pivot and the final
+    // action read one snapshot
+    val snapB = ndKept
+      .join(cont.select(col(id), col("contamination")), Seq(id), "left")
+      .filter(coalesce(col("contamination"), lit(0.0)) <= cfg.maxContamination)
+      .drop("contamination", "n_segments", "n_kept")
+      .truncated
+    val nNearDup = ndKept.count() // cheap: snapA is materialized
+    val nDecon = snapB.count()
+
+    val mixed = Curation.mixReweight(snapB, cfg.sourceCol, id, cfg.targetMix)
+    val packed = Curation.packSequences(
+      mixed.withColumn("n_tok", F.tokenCount(col("text_clean")).cast("long")),
+      cfg.sourceCol, id, "n_tok", cfg.packCapacity)
+    val result = packed.select(col(id), col(cfg.sourceCol), col("n_tok"),
+      col("pack_id"), sha2(col("text_clean"), 256).as("content_sha"))
+
+    val manifest = cfg.exportDir.map(dir =>
+      ExportSink.export(result, dir, id, cfg.exportShards, cfg.exportFormat))
+    val nMixed = manifest.map(_.totalCount).getOrElse(result.count())
+
+    Curated(result,
+      Seq(
+        "rows_in" -> stageAgg.getLong(0),
+        "language_kept" -> stageAgg.getLong(1),
+        "quality_kept" -> stageAgg.getLong(2),
+        "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
+        "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1)),
+        "neardup_kept" -> nNearDup,
+        "decontaminated_kept" -> nDecon,
+        "mixed_and_packed" -> nMixed),
+      manifest)
+  }
+}

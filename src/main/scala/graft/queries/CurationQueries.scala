@@ -134,7 +134,53 @@ object CurationQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$c16Dir/rules")
   }
 
+  /** pipe1 fixture algebra, shared verbatim between the Spark gate and
+    * the oracle: odd docs are the incoming crawl (every `%10==1` doc
+    * carrying a 95%-token near-dup of its even neighbor), even docs
+    * are the already-curated seen corpus backing the signature index,
+    * and `%30==9` docs' raw text is the benchmark/eval probe set.
+    */
+  private val pipe1HtmlPrefix =
+    "<html><head><title>Corpus</title><style>a{b:c}</style></head><body>" +
+      "<h1>Shared header</h1><p>"
+  private val pipe1HtmlSuffix =
+    "</p><div><a href=\"/a\">A</a> | <a href=\"/b\">B</a></div></body></html>"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- pipe1: the COMPOSED golden curation pipeline — html extract →
+    //    langid → quality → corpus-wide segment dedup → near-dup vs
+    //    the minhash signature index → decontamination → mix reweight
+    //    → sequence packing → sharded export, as ONE program
+    //    (CurationPipeline.curate) with observed per-stage metrics.
+    //    The final kept rows' content digests are UNDER the hash; the
+    //    oracle computes the identical composition in SQL. ------------
+    "pipe1_golden" -> { (s, d) =>
+      import graft.ops.{CurationPipeline, Dedup}
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val nb = docs.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("__prev"))
+      val toks = split(col("__prev"), " ")
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .join(nb, Seq("doc_id"), "left")
+        .withColumn("content", coalesce(
+          when(col("doc_id") % 10 === 1 && col("__prev").isNotNull,
+            array_join(slice(toks, lit(1),
+              ceil(size(toks) * 0.95).cast("int")), " "))
+            .otherwise(col("text")), lit("")))
+        .select(col("doc_id"), col("source"),
+          concat(lit(pipe1HtmlPrefix), col("content"),
+            lit(pipe1HtmlSuffix)).as("html"))
+      val seen = docs.filter(col("doc_id") % 2 === 0)
+      val index = Dedup.buildMinhashIndex(seen, "doc_id", "text")
+      val probes = docs.filter(col("doc_id") % 30 === 9).select("text")
+      val out = CurationPipeline.curate(incoming, index, probes, "text",
+        CurationPipeline.Config("doc_id", "html", "source",
+          targetMix = Map("src0" -> 40, "src1" -> 30, "src2" -> 20,
+            "src3" -> 10),
+          exportDir = Some("/tmp/graft_gate_pipe1_export")))
+      out.data.orderBy("doc_id")
+    },
+
     // -- c16: registrable domain under the FULL bundled public-suffix
     //    list (9.5k rules, wildcard + exception semantics). The oracle
     //    gets only the raw (kind, base) rule rows and re-derives every
@@ -370,7 +416,151 @@ object CurationQueries {
           sum(when(col("clean").contains("[EMAIL]"), 1).otherwise(0)).as("n_docs_email_redacted"))
     })
 
+  /** Marker-hit count over a named column — the t1/t2 mirror helper,
+    * parameterized on the column (those gates hardcode `text`).
+    */
+  private def pipe1Hits(c: String, markers: Seq[String]): String =
+    markers.map(m => s"'$m'")
+      .mkString(s"len(list_filter(string_split($c, ' '), x -> x IN (",
+        ",", ")))")
+
+  /** 3-gram word-shingle set over a token-list column — the c14/d10
+    * mirror helper.
+    */
+  private def pipe1Shingles(toks: String): String =
+    s"list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')] " +
+      s"ELSE list_transform(range(1, len($toks) - 1), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END)"
+
   def oracle: Map[String, String] = Map(
+    // The full composition replayed stage-for-stage in SQL from the
+    // proven per-stage mirrors: t13's html cascade, t1's langid argmax,
+    // t2's quality algebra, d14's segment dedup, d10's exact-jaccard
+    // near-dup truth, c14's contamination rule, c12's HUGEINT mix
+    // thresholds and c7's packing window.
+    "pipe1_golden" -> {
+      val m = graft.ops.TextAnalysis.markers
+      val extract = TextQueries.duckHtmlToText(
+        s"'$pipe1HtmlPrefix' || content || '$pipe1HtmlSuffix'")
+      s"""WITH nb AS (
+         |  SELECT doc_id + 1 AS doc_id, text AS prev_text FROM documents
+         |), inc AS (
+         |  SELECT d.doc_id, d.source, coalesce(
+         |    CASE WHEN d.doc_id % 10 = 1 AND nb.prev_text IS NOT NULL THEN
+         |      array_to_string(list_slice(string_split(nb.prev_text, ' '), 1,
+         |        ceil(len(string_split(nb.prev_text, ' ')) * 0.95)::INT), ' ')
+         |    ELSE d.text END, '') AS content
+         |  FROM documents d LEFT JOIN nb USING (doc_id)
+         |  WHERE d.doc_id % 2 = 1
+         |), ext AS (
+         |  SELECT doc_id, source, $extract AS txt FROM inc
+         |), lid AS (
+         |  SELECT doc_id, source, txt,
+         |    CASE WHEN best = 0 THEN 'unknown'
+         |         WHEN en = best THEN 'en' WHEN es = best THEN 'es'
+         |         WHEN de = best THEN 'de' ELSE 'fr' END AS lang_pred
+         |  FROM (SELECT *, greatest(en, es, de, fr) AS best FROM (
+         |    SELECT doc_id, source, txt,
+         |      ${pipe1Hits("txt", m("en"))} AS en,
+         |      ${pipe1Hits("txt", m("es"))} AS es,
+         |      ${pipe1Hits("txt", m("de"))} AS de,
+         |      ${pipe1Hits("txt", m("fr"))} AS fr
+         |    FROM ext))
+         |), q AS (
+         |  SELECT doc_id, source, txt FROM (
+         |    SELECT *, round(1.0 - punct - digit + least(stopr, 0.2), 4) AS score
+         |    FROM (
+         |      SELECT *,
+         |        CASE WHEN length(txt) > 0 THEN (length(txt) - length(regexp_replace(txt, '[.,!?;:]', '', 'g')))::DOUBLE / length(txt) ELSE 0.0 END AS punct,
+         |        CASE WHEN length(txt) > 0 THEN (length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')))::DOUBLE / length(txt) ELSE 0.0 END AS digit,
+         |        CASE WHEN tok_n > 0 THEN (${pipe1Hits("txt", m("en"))})::DOUBLE / tok_n ELSE 0.0 END AS stopr
+         |      FROM (
+         |        SELECT *, CASE WHEN txt IS NULL OR trim(txt) = '' THEN 0
+         |          ELSE len(regexp_extract_all(trim(txt), '\\S+')) END AS tok_n
+         |        FROM lid WHERE lang_pred <> 'unknown')))
+         |  WHERE score >= 0.8
+         |), seg AS (
+         |  SELECT doc_id, unnest(string_split(txt, chr(10))) AS seg,
+         |    generate_subscripts(string_split(txt, chr(10)), 1) AS pos
+         |  FROM q WHERE length(txt) > 0
+         |), segcnt AS (
+         |  SELECT seg, count(*) AS n FROM seg WHERE length(seg) >= 1 GROUP BY seg
+         |), segkeep AS (
+         |  SELECT s.doc_id, s.pos, s.seg,
+         |    (length(s.seg) < 1 OR coalesce(c.n, 0) <= 1) AS kept
+         |  FROM seg s LEFT JOIN segcnt c ON s.seg = c.seg
+         |), clean0 AS (
+         |  SELECT doc_id, coalesce(string_agg(CASE WHEN kept THEN seg END,
+         |    chr(10) ORDER BY pos), '') AS text_clean
+         |  FROM segkeep GROUP BY doc_id
+         |), cleaned AS (
+         |  SELECT q.doc_id, q.source, coalesce(c.text_clean, '') AS text_clean
+         |  FROM q LEFT JOIN clean0 c USING (doc_id)
+         |), shi AS (
+         |  SELECT doc_id, ${pipe1Shingles("toks")} AS sh
+         |  FROM (SELECT doc_id, regexp_extract_all(trim(text_clean), '\\S+') AS toks FROM cleaned)
+         |), shs AS (
+         |  SELECT ${pipe1Shingles("toks")} AS sh
+         |  FROM (SELECT regexp_extract_all(trim(text), '\\S+') AS toks
+         |        FROM documents WHERE doc_id % 2 = 0)
+         |), matched AS (
+         |  SELECT DISTINCT a.doc_id FROM shi a JOIN shs b
+         |    ON len(a.sh) >= 0.8 * len(b.sh) AND len(b.sh) >= 0.8 * len(a.sh)
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         |), ndk AS (
+         |  SELECT c.* FROM cleaned c
+         |  WHERE NOT EXISTS (SELECT 1 FROM matched mm WHERE mm.doc_id = c.doc_id)
+         |), dsh AS (
+         |  SELECT doc_id, unnest(sh) AS h FROM (
+         |    SELECT doc_id, ${pipe1Shingles("toks")} AS sh
+         |    FROM (SELECT doc_id, regexp_extract_all(trim(text_clean), '\\S+') AS toks FROM ndk))
+         |), psh AS (
+         |  SELECT DISTINCT unnest(sh) AS h FROM (
+         |    SELECT ${pipe1Shingles("toks")} AS sh
+         |    FROM (SELECT regexp_extract_all(trim(text), '\\S+') AS toks
+         |          FROM documents WHERE doc_id % 30 = 9))
+         |), contam AS (
+         |  SELECT dsh.doc_id, count(*) AS n_sh,
+         |    sum(CASE WHEN psh.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+         |  FROM dsh LEFT JOIN psh ON dsh.h = psh.h GROUP BY 1
+         |), deck AS (
+         |  SELECT n.* FROM ndk n LEFT JOIN contam c USING (doc_id)
+         |  WHERE coalesce(round(c.n_hits::DOUBLE / c.n_sh, 6), 0.0) <= 0.2
+         |), cnt AS (
+         |  SELECT source AS g, count(*)::HUGEINT AS n FROM deck
+         |  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1
+         |), tgt(g, p) AS (
+         |  SELECT * FROM (VALUES ('src0', 40::HUGEINT), ('src1', 30::HUGEINT),
+         |    ('src2', 20::HUGEINT), ('src3', 10::HUGEINT))
+         |), j AS (SELECT cnt.g, n, p FROM cnt JOIN tgt USING (g)
+         |), th AS (
+         |  SELECT a.g, least(min((b.n * a.p * 10000) // (b.p * a.n)),
+         |    10000::HUGEINT) AS th
+         |  FROM j a, j b GROUP BY a.g
+         |), bkt AS (
+         |  SELECT dk.doc_id, dk.source, dk.text_clean,
+         |    ((SELECT sum((strpos('0123456789abcdef', substr(dk.h, i, 1)) - 1)::HUGEINT
+         |               * (1::HUGEINT << ((16 - i) * 4)))
+         |      FROM generate_series(1, 16) g(i)) % 10000)::INT AS bucket
+         |  FROM (SELECT deck.*, sha256(doc_id::VARCHAR) AS h FROM deck) dk
+         |), mixk AS (
+         |  SELECT bkt.doc_id, bkt.source, bkt.text_clean
+         |  FROM bkt JOIN th ON bkt.source = th.g WHERE bucket < th
+         |)
+         |SELECT doc_id, source, n_tok,
+         |  ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - n_tok) // 512)::BIGINT AS pack_id,
+         |  sha256(text_clean) AS content_sha
+         |FROM (
+         |  SELECT doc_id, source, text_clean,
+         |    (CASE WHEN text_clean IS NULL OR trim(text_clean) = '' THEN 0
+         |          ELSE len(regexp_extract_all(trim(text_clean), '\\S+'))
+         |     END)::BIGINT AS n_tok
+         |  FROM mixk)
+         |ORDER BY doc_id""".stripMargin
+    },
     // Independent PSL re-implementation: explode every dotted suffix of
     // every host, match the raw rule rows (exact / wildcard / exception)
     // and apply the published prevailing-rule order — exception first,

@@ -592,7 +592,7 @@ object TextQueries {
   // DuckDB mirrors of the TextAnalysis html cascade — generated as SQL
   // text from the same step order so the two engines cannot drift
   // silently (any divergence fails the t13 hash compare).
-  private def duckBlockLined(e: String): String =
+  private[queries] def duckBlockLined(e: String): String =
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       s"coalesce($e, ''), " +
       "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
@@ -600,12 +600,12 @@ object TextQueries {
       "'(?s)<!--.*?-->', ' ', 'g'), " +
       "'(?i)<(br|hr)[^>]*>|</(p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|title|blockquote)[^>]*>', chr(10), 'g')"
 
-  private def duckDecode(e: String): String =
+  private[queries] def duckDecode(e: String): String =
     s"replace(replace(replace(replace(replace(replace($e, " +
       "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
       "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
 
-  private def duckCleanup(e: String): String =
+  private[queries] def duckCleanup(e: String): String =
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       s"$e, " +
       "'[ \\t\\f\\r]+', ' ', 'g'), " +
@@ -613,7 +613,7 @@ object TextQueries {
       "'\\n{3,}', chr(10) || chr(10), 'g'), " +
       "'\\A[\\n ]+|[\\n ]+\\z', '', 'g')"
 
-  private def duckHtmlToText(e: String): String =
+  private[queries] def duckHtmlToText(e: String): String =
     duckCleanup(duckDecode(
       s"regexp_replace(${duckBlockLined(e)}, '<[^>]*>', ' ', 'g')"))
 

@@ -91,4 +91,13 @@ class ExportSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ExportSink.export(docs, out, "nope", 2))
   }
+
+  test("empty export: zero files, zero-count manifest, no crash") {
+    // an all-filtered batch is a legitimate export; partition discovery
+    // finds no shard= dirs and the manifest must report empty shards
+    val out = tmpDir("expempty").toString + "/corpus"
+    val m = ExportSink.export(docs.filter(lit(false)), out, "id", 4)
+    assert(m.totalCount == 0L)
+    assert(m.shards.length == 4 && m.shards.forall(_.count == 0L))
+  }
 }

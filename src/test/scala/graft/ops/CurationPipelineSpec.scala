@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The composed curation program: stage metrics must be monotone
+  * non-increasing row counts, every stage must demonstrably act on a
+  * corpus built to trigger it, and the export manifest must agree with
+  * the final frame.
+  */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 docs: 4 sources; every 4th doc Chinese (langid drop), every 7th
+  // digit-heavy (quality drop), doc 5 a near-dup of seen doc 105,
+  // docs 9/19 contaminated (their text IS the probe set), and all docs
+  // share boilerplate lines that segment dedup must kill.
+  private def bodyOf(i: Long): String =
+    if (i % 4 == 0) "这是一个中文文档没有英文标记词在里面可以路由"
+    else if (i % 7 == 0) // langid-visible but digit-drenched → quality drop
+      "the 11 22 33 44 of 55 66 77 88 and 99 00 11 22 33 44 55 66 77 88"
+    else if (i == 5) "the seen corpus document number five with many stable words " +
+      "that keeps going for a while longer here"
+    else // per-doc word stems → zero 3-gram shingle overlap across docs
+      s"the alpha$i beta$i gamma$i of delta$i epsilon$i and zeta$i " +
+        s"eta$i theta$i iota$i kappa$i"
+
+  private def corpus = (1L to 40L).map { i =>
+    (i, s"src${i % 4}",
+      s"<html><body><p>nav | nav | nav</p><p>${bodyOf(i)}</p></body></html>")
+  }.toDF("doc_id", "source", "html")
+
+  private def seen = Seq(
+    (105L, "the seen corpus document number five with many stable words " +
+      "that keeps going for a while longer here and one extra"),
+    (106L, "some other seen document about nothing in particular at all"))
+    .toDF("doc_id", "text")
+
+  private def probes = Seq(bodyOf(9L), bodyOf(19L)).toDF("text")
+
+  private def run(exportDir: Option[String] = None) =
+    CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+      probes, "text",
+      CurationPipeline.Config("doc_id", "html", "source",
+        targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L,
+        exportDir = exportDir))
+
+  test("stage metrics are monotone and every stage acts") {
+    val out = run()
+    val m = out.metrics.toMap
+    assert(m("rows_in") == 40L)
+    // monotone non-increasing through the row-filter stages
+    val chain = Seq("rows_in", "language_kept", "quality_kept",
+      "neardup_kept", "decontaminated_kept", "mixed_and_packed")
+    chain.sliding(2).foreach { case Seq(a, b) =>
+      assert(m(a) >= m(b), s"$a=${m(a)} < $b=${m(b)}")
+    }
+    assert(m("language_kept") < m("rows_in"), "langid dropped nothing")
+    assert(m("quality_kept") < m("language_kept"), "quality dropped nothing")
+    assert(m("neardup_kept") < m("quality_kept"), "near-dup dropped nothing")
+    assert(m("decontaminated_kept") < m("neardup_kept"),
+      "decontamination dropped nothing")
+    assert(m("segments_kept") < m("segments_seen"),
+      "segment dedup dropped nothing")
+  }
+
+  test("result carries pack assignments and content digests") {
+    val out = run()
+    val rows = out.data.collect()
+    assert(rows.nonEmpty)
+    val schema = out.data.columns.toSeq
+    assert(schema == Seq("doc_id", "source", "n_tok", "pack_id", "content_sha"))
+    // the near-dup victim and the contaminated docs are gone
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(!ids.contains(5L))
+    assert(!ids.contains(9L) && !ids.contains(19L))
+    // sha-256 hex digests
+    assert(rows.forall(_.getString(4).matches("[0-9a-f]{64}")))
+    // packs fill contiguously per source: pack_id 0 exists everywhere
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).min == 0L)
+    }
+  }
+
+  test("export manifest agrees with the final frame") {
+    val dir = "/tmp/graft_spec_pipe1_export"
+    val out = run(exportDir = Some(dir))
+    val man = out.manifest.get
+    assert(man.totalCount == out.data.count())
+    assert(man.shards.map(_.count).sum == man.totalCount)
+    assert(new java.io.File(dir).exists())
+  }
+}
