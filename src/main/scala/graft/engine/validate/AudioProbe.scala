@@ -230,12 +230,25 @@ object AudioProbe {
       if (start >= bytes.length) return None
     }
     // resync: tolerate leading junk within a bounded window, like real
-    // players do — but only a window, or any binary blob would "parse"
+    // players do — but demand the sync CONFIRM: the next header at
+    // off+frameLen must also parse with the same rate. A lone 4-byte
+    // pattern matches random binary at ~2e-4 per offset — over a
+    // 4096-byte window roughly half of junk blobs would otherwise
+    // probe as "valid mp3"; two consecutive headers square that away.
+    // A frame whose declared length overruns EOF counts only at the
+    // stream head (a truncated download starts with its header; a
+    // stray mid-junk sync does not get the truncation waiver).
+    def syncsAt(o: Int): Boolean = mp3Frame(bytes, o) match {
+      case Some((len, _, r, _)) =>
+        if (o + len < bytes.length) mp3Frame(bytes, o + len).exists(_._3 == r)
+        else o == start
+      case None => false
+    }
     val window = math.min(bytes.length - 4, start + 4096)
     var first = -1
     var o = start
     while (first < 0 && o <= window) {
-      if (mp3Frame(bytes, o).isDefined) first = o
+      if (syncsAt(o)) first = o
       o += 1
     }
     if (first < 0) return None

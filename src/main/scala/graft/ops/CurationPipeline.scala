@@ -72,11 +72,15 @@ object CurationPipeline {
         .withColumn("__q", TextAnalysis.qualityScore(feats("punct_ratio"),
           feats("digit_ratio"), feats("stop_ratio")))
     }
+    // coalesce: sum() over ZERO rows is NULL, and an empty batch (a
+    // routine all-filtered microbatch) must yield 0-metrics, not an
+    // NPE after the pipeline ran
     val stageAgg = scored.agg(
       count(lit(1)).as("n_in"),
-      sum(when(col("lang_pred") =!= "unknown", 1L).otherwise(0L)).as("n_lang"),
-      sum(when(col("lang_pred") =!= "unknown" &&
-        col("__q") >= cfg.minQuality, 1L).otherwise(0L)).as("n_q"))
+      coalesce(sum(when(col("lang_pred") =!= "unknown", 1L)
+        .otherwise(0L)), lit(0L)).as("n_lang"),
+      coalesce(sum(when(col("lang_pred") =!= "unknown" &&
+        col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"))
       .head()
     val kept3 = scored
       .filter(col("lang_pred") =!= "unknown" && col("__q") >= cfg.minQuality)

@@ -374,7 +374,13 @@ object Dedup {
     *    batch) with no pre-count, no persist, no checkpoint. At gate/
     *    microbatch scale the eager plumbing, not the data, was the
     *    cost: the counted shape ran three driver-visible jobs where
-    *    one suffices.
+    *    one suffices. SIZING CONTRACT: the estimate is essentially
+    *    on-disk bytes (file-source stats), and what the lazy path
+    *    actually bounds is the worst case `rows(batch) ≈ bytes /
+    *    compressed-row-size` — the 64 MB default keeps even a
+    *    short-row (URL-sized, ~30 B/row compressed) batch's maybe set
+    *    in the same ~2 M-digest class as `maxMaybeKeys`. Raise it only
+    *    for long-document batches, where rows-per-byte is tiny.
     *  - BIG batch (the 100 TB design point): the maybe-set size is
     *    only observable by running the scan, and caching the scanned
     *    batch to share it would spill a batch-sized copy to executor
@@ -402,7 +408,7 @@ object Dedup {
   def dedupAgainstBloom(incoming: DataFrame, seen: DataFrame, on: Seq[String],
                         bloom: org.apache.spark.util.sketch.BloomFilter,
                         maxMaybeKeys: Long = 2000000L,
-                        smallBatchMaxBytes: Long = 256L << 20): DataFrame = {
+                        smallBatchMaxBytes: Long = 64L << 20): DataFrame = {
     requireDigestable(incoming, seen, on)
     require(!incoming.columns.contains("__graft_k"),
       "incoming already has a '__graft_k' column")

@@ -259,7 +259,14 @@ object TextAnalysis {
           col("weights").cast("array<double>")).head()
         require(!row.isNullAt(0) && !row.isNullAt(1),
           s"$path: bias/weights must be non-null")
-        LinearModel(row.getSeq[Double](1), row.getDouble(0))
+        // element-level guard: a null INSIDE the array survives the
+        // row-level check and would NPE on unboxing in the finiteness
+        // require — fail loud with the path instead
+        val raw = row.getSeq[Any](1)
+        require(raw.forall(_ != null),
+          s"$path: weights array contains null elements")
+        LinearModel(raw.map(_.asInstanceOf[java.lang.Double].doubleValue),
+          row.getDouble(0))
       } else {
         val rows = spark.read.parquet(path)
           .select(col("idx").cast("int"), col("weight").cast("double"))

@@ -416,16 +416,15 @@ object CurationQueries {
           sum(when(col("clean").contains("[EMAIL]"), 1).otherwise(0)).as("n_docs_email_redacted"))
     })
 
-  /** Marker-hit count over a named column — the t1/t2 mirror helper,
-    * parameterized on the column (those gates hardcode `text`).
+  /** Marker-hit count over a named column — delegates to the ONE
+    * t1/t2 mirror helper so the two oracles cannot drift.
     */
   private def pipe1Hits(c: String, markers: Seq[String]): String =
-    markers.map(m => s"'$m'")
-      .mkString(s"len(list_filter(string_split($c, ' '), x -> x IN (",
-        ",", ")))")
+    TextQueries.sqlHits(markers, c)
 
-  /** 3-gram word-shingle set over a token-list column — the c14/d10
-    * mirror helper.
+  /** 3-gram word-shingle set over a token-list column. (The same
+    * expression appears inline in the pre-existing c4/c14/d10 oracle
+    * strings; new oracles should use this helper.)
     */
   private def pipe1Shingles(toks: String): String =
     s"list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')] " +

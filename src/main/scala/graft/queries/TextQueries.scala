@@ -635,8 +635,13 @@ object TextQueries {
       s"array_to_string(list_transform($kept, s -> s.vis), chr(10))"))
   }
 
-  private def sqlHits(markers: Seq[String]) =
-    markers.map(m => s"'$m'").mkString("len(list_filter(string_split(text,' '), x -> x IN (", ",", ")))")
+  /** Marker-hit count SQL over `colName` — the t1/t2 langid/quality
+    * mirror, shared with the pipe1 composed oracle (CurationQueries).
+    */
+  private[queries] def sqlHits(markers: Seq[String],
+                               colName: String = "text") =
+    markers.map(m => s"'$m'").mkString(
+      s"len(list_filter(string_split($colName,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
     // Independent re-scoring: lowercase, explode codepoint trigram

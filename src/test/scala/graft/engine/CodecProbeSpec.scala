@@ -108,11 +108,17 @@ class CodecProbeSpec extends AnyFunSuite {
     val lying = "fLaC".getBytes("US-ASCII") ++
       Array[Byte](0x04, -1, -1, -1) ++ Array[Byte](1, 2, 3)
     assert(AudioProbe.flacInfo(lying).isEmpty)
-    // a stray 0xFF FB pair inside text must not yield a huge sample
-    // count: the walk stops at the first non-frame byte
+    // a stray 0xFF FB sync inside junk must be REJECTED outright: a
+    // lone frame header mid-junk gets no truncation waiver and has no
+    // confirming second header, so arbitrary binary cannot probe "ok"
     val stray = ("abc".getBytes("UTF-8") :+ 0xff.toByte :+ 0xfb.toByte) ++
       Array[Byte](0x90.toByte, 0x00) ++ Array.fill[Byte](10)(0x41)
-    AudioProbe.mp3Info(stray) // must not throw; sample count bounded
-      .foreach(m => assert(m.nSamples <= 1152L))
+    assert(AudioProbe.mp3Info(stray).isEmpty)
+    assert(AudioProbe.diagnoseMeta(stray) ==
+      "no audio container or frame sync found")
+    // but a genuinely truncated download — the header AT the stream
+    // head with its frame cut by EOF — still parses
+    val truncated = mp3(2, 0, 9, 1).take(40)
+    assert(AudioProbe.mp3Info(truncated).isDefined)
   }
 }

@@ -683,6 +683,15 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.loadWeights(spark, "/tmp/graft_spec_weights_bad3")
     }
+    // JSON with a null ELEMENT inside the weights array: must be the
+    // loud require (with the path), never a bare NPE from unboxing
+    val nullElem = "/tmp/graft_spec_weights_bad4.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(nullElem),
+      """{"bias": 0.1, "weights": [0.5, null, 0.2]}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.loadWeights(spark, nullElem)
+    }
+    assert(e.getMessage.contains("null elements"))
   }
 
   test("dropBlockedDomains: exact, subdomain, TLD matches drop; others keep") {
