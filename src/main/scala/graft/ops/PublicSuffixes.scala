@@ -84,20 +84,39 @@ object PublicSuffixes {
     sb.toString
   }
 
+  /** The punycode (ACE) form of a dotted rule, or None when the IDN
+    * transform rejects it. The published list stores its ~460 IDN
+    * rules in UNICODE form only, while crawl hosts arrive punycoded
+    * (`xn--55qx5d.cn`, not `公司.cn`) — indexing both forms makes
+    * either spelling match.
+    */
+  private def aceForm(rule: String): Option[String] =
+    try {
+      val ace = java.net.IDN.toASCII(rule)
+      if (ace != rule) Some(ace.toLowerCase(java.util.Locale.ROOT)) else None
+    } catch { case _: IllegalArgumentException => None }
+
   /** PSL text → rule sets. Comment (`//`) and blank lines skipped;
     * per spec each line is read only up to the first whitespace.
+    * Every rule is indexed in BOTH its listed form and its punycode
+    * form (see [[aceForm]]).
     */
   def parse(lines: Iterator[String]): Rules = {
     val exact = Set.newBuilder[String]
     val wild = Set.newBuilder[String]
     val exc = Set.newBuilder[String]
+    def add(b: scala.collection.mutable.Builder[String, Set[String]],
+            rule: String): Unit = {
+      b += rule
+      aceForm(rule).foreach(b += _)
+    }
     lines.foreach { raw =>
       val line = raw.takeWhile(!_.isWhitespace)
       if (line.nonEmpty && !line.startsWith("//")) {
         val l = line.toLowerCase
-        if (l.startsWith("!")) exc += l.substring(1)
-        else if (l.startsWith("*.")) wild += l.substring(2)
-        else exact += l
+        if (l.startsWith("!")) add(exc, l.substring(1))
+        else if (l.startsWith("*.")) add(wild, l.substring(2))
+        else add(exact, l)
       }
     }
     Rules(exact.result(), wild.result(), exc.result())

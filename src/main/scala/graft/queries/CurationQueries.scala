@@ -127,7 +127,9 @@ object CurationQueries {
       27L -> Some("deep.sub.example.org"),
       28L -> Some("x.y.z.example.ac.jp"),
       29L -> Some("test.ck"),            // wildcard: host IS a suffix
-      30L -> None)
+      30L -> None,
+      31L -> Some("shop.foo.xn--55qx5d.cn"), // IDN suffix, punycode host
+      32L -> Some("shop.foo.公司.cn"))        // same suffix, unicode host
     hosts.toDF("host_id", "host")
       .coalesce(1).write.mode("overwrite").parquet(s"$c16Dir/hosts")
     graft.ops.PublicSuffixes.bundledRuleRows.toDF("kind", "base")

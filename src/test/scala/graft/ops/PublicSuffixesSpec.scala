@@ -98,6 +98,15 @@ class PublicSuffixesSpec extends SparkSpec {
         s"registrableDomain($host) = ${R.registrableDomain(host)}, want $want")
   }
 
+  test("IDN rules match in both unicode and punycode spellings") {
+    // the list stores 公司.cn in unicode; crawl hosts arrive punycoded
+    assert(R.exact.contains("公司.cn"))
+    assert(R.exact.contains("xn--55qx5d.cn"))
+    assert(R.registrableDomain("shop.foo.公司.cn") == "foo.公司.cn")
+    assert(R.registrableDomain("shop.foo.xn--55qx5d.cn") ==
+      "foo.xn--55qx5d.cn")
+  }
+
   test("edges: null, empty, surrounding dots, IPs") {
     assert(R.registrableDomain(null) == null)
     assert(R.registrableDomain("") == "")
