@@ -31,10 +31,18 @@ import graft.ops.Checkpoints.Truncatable
   */
 object CurationPipeline {
 
+  /** `langId` picks the router: `"marker"` (the 4-language stopword
+    * heuristic — cheapest, SQL-mirrorable) or `"trigram"` (the
+    * 29-language [[LangId]] profile classifier — the real crawl
+    * router). `keepLangs` non-empty keeps only those codes;
+    * empty keeps every non-`unknown` verdict.
+    */
   final case class Config(
       idCol: String,
       htmlCol: String,
       sourceCol: String,
+      langId: String = "marker",
+      keepLangs: Set[String] = Set.empty,
       minQuality: Double = 0.8,
       nearDupThreshold: Double = 0.8,
       maxContamination: Double = 0.2,
@@ -42,7 +50,10 @@ object CurationPipeline {
       packCapacity: Long = 512L,
       exportDir: Option[String] = None,
       exportShards: Int = 4,
-      exportFormat: String = "jsonl")
+      exportFormat: String = "jsonl") {
+    require(langId == "marker" || langId == "trigram",
+      s"langId must be 'marker' or 'trigram': $langId")
+  }
 
   /** The curated output plus per-stage observed metrics. `data`
     * columns: idCol, sourceCol, `n_tok`, `pack_id`, `content_sha`
@@ -64,11 +75,18 @@ object CurationPipeline {
     // one filter applies them — a single source scan either way
     val extracted = docs.select(col(id), col(cfg.sourceCol),
       TextAnalysis.htmlToText(col(cfg.htmlCol)).as("__text"))
+    val langExpr =
+      if (cfg.langId == "trigram") LangId.langIdNgram(col("__text"))
+      else TextAnalysis.languageId(col("__text"))
+    val langOk =
+      if (cfg.keepLangs.nonEmpty)
+        col("lang_pred").isin(cfg.keepLangs.toSeq.sorted: _*)
+      else col("lang_pred") =!= "unknown"
     val scored = {
       val feats = TextAnalysis.qualityFeatures(col("__text"))
         .toMap
       extracted
-        .withColumn("lang_pred", TextAnalysis.languageId(col("__text")))
+        .withColumn("lang_pred", langExpr)
         .withColumn("__q", TextAnalysis.qualityScore(feats("punct_ratio"),
           feats("digit_ratio"), feats("stop_ratio")))
     }
@@ -77,13 +95,13 @@ object CurationPipeline {
     // NPE after the pipeline ran
     val stageAgg = scored.agg(
       count(lit(1)).as("n_in"),
-      coalesce(sum(when(col("lang_pred") =!= "unknown", 1L)
+      coalesce(sum(when(langOk, 1L)
         .otherwise(0L)), lit(0L)).as("n_lang"),
-      coalesce(sum(when(col("lang_pred") =!= "unknown" &&
+      coalesce(sum(when(langOk &&
         col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"))
       .head()
     val kept3 = scored
-      .filter(col("lang_pred") =!= "unknown" && col("__q") >= cfg.minQuality)
+      .filter(langOk && col("__q") >= cfg.minQuality)
       .drop("__q")
 
     // corpus-wide segment dedup (C4-style boilerplate kill), then the

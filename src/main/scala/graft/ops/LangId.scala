@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
-/** Character-trigram language identification over ~24 languages — the
+/** Character-trigram language identification over ~29 languages — the
   * Cavnar–Trenkle / TextCat family (character n-gram profiles, public
   * method), sized for crawl-scale routing where model inference is off
   * the table and [[TextAnalysis.languageId]]'s 4-language marker
@@ -137,7 +137,22 @@ object LangId {
     "ko" -> ("빠른 갈색 여우가 게으른 개를 뛰어넘었고 그런 다음 모두에게 " +
       "하루의 끝이었습니다 왜냐하면 그들은 오래된 다리 근처의 집에서 " +
       "친구들과 함께 일하고 있었기 때문입니다 아이들은 더 이상 길에서 " +
-      "놀지 않습니다"))
+      "놀지 않습니다"),
+    "el" -> ("η γρήγορη καφέ αλεπού πηδάει πάνω από τον τεμπέλη σκύλο και " +
+      "μετά ήταν το τέλος της ημέρας για όλους επειδή δούλευαν με τους " +
+      "φίλους τους στο σπίτι που βρισκόταν κοντά στην παλιά γέφυρα και τα " +
+      "παιδιά δεν έπαιζαν πια στον δρόμο"),
+    "he" -> ("השועל החום המהיר קופץ מעל הכלב העצלן ואז זה היה סוף היום " +
+      "לכולם כי הם עבדו עם החברים שלהם בבית שעמד ליד הגשר הישן והילדים " +
+      "כבר לא שיחקו ברחוב"),
+    "th" -> ("สุนัขจิ้งจอกสีน้ำตาลที่ว่องไวกระโดดข้ามสุนัขขี้เกียจแล้วมันคือจุดสิ้นสุดของวันสำหรับทุกคน" +
+      "เพราะพวกเขาทำงานกับเพื่อนในบ้านที่ตั้งอยู่ใกล้สะพานเก่าและเด็กๆไม่เล่นบนถนนอีกต่อไป"),
+    "fa" -> ("روباه قهوه‌ای سریع از روی سگ تنبل می‌پرد و سپس پایان روز " +
+      "برای همه بود زیرا آنها با دوستان خود در خانه‌ای که نزدیک پل قدیمی " +
+      "بود کار می‌کردند و بچه‌ها دیگر در خیابان بازی نمی‌کردند"),
+    "bn" -> ("দ্রুত বাদামী শিয়াল অলস কুকুরের উপর দিয়ে লাফ দেয় এবং তারপর " +
+      "সবার জন্য দিনের শেষ ছিল কারণ তারা পুরানো সেতুর কাছে বাড়িতে তাদের " +
+      "বন্ধুদের সাথে কাজ করছিল এবং শিশুরা আর রাস্তায় খেলছিল না"))
 
   /** Top-K trigrams kept per language profile. */
   val profileTopK = 400

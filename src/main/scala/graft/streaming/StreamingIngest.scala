@@ -217,6 +217,40 @@ object StreamingIngest {
       }
       .start()
 
+  /** The COMPOSED curation pipeline as a streaming sink: every
+    * microbatch runs the full
+    * [[graft.ops.CurationPipeline.curate]] program — html extract →
+    * language gate → quality gate → segment dedup → near-dup vs the
+    * persisted signature index → decontamination → mix reweight →
+    * sequence packing — and hands the curated frame plus its stage
+    * metrics to `onBatch` (which writes idempotently, exactly like
+    * [[upsertSink]]'s contract; per-batch exports go through
+    * `cfg.exportDir` as in batch, typically suffixed with the batch
+    * id inside `onBatch` instead).
+    *
+    * Segment dedup and mix reweighting are BATCH-SCOPED here: each
+    * microbatch's boilerplate count and mix thresholds see only that
+    * batch (the same trade every per-batch curation pipeline makes);
+    * corpus-scoped near-dup comes from the static signature index,
+    * which follows the [[nearDupAgainstIndexSink]] growth contract.
+    * An all-filtered microbatch yields an empty curated frame with
+    * 0-metrics — never an error.
+    */
+  def curateSink(stream: DataFrame, seenIndex: DataFrame,
+                 probes: DataFrame, probeTextCol: String,
+                 cfg: graft.ops.CurationPipeline.Config,
+                 queryName: String)
+                (onBatch: (graft.ops.CurationPipeline.Curated, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ops.CurationPipeline.curate(batch, seenIndex,
+          probes, probeTextCol, cfg), batchId)
+      }
+      .start()
+
   /** Embedding sibling of [[nearDupAgainstIndexSink]]: microbatches
     * drop vectors within cosine `threshold` of the persisted
     * [[graft.ops.Dedup.buildEmbeddingIndex]]. Same epoch/idempotence

@@ -86,6 +86,34 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("trigram router keeps languages the marker heuristic cannot see") {
+    // the Chinese docs (i%4==0) die under the 4-language marker rule
+    // but survive the 29-language trigram router; keepLangs then
+    // narrows the keep set explicitly
+    val trigram = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      CurationPipeline.Config("doc_id", "html", "source",
+        langId = "trigram",
+        targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L))
+    val marker = run()
+    val mT = trigram.metrics.toMap
+    val mM = marker.metrics.toMap
+    assert(mT("language_kept") > mM("language_kept"),
+      s"trigram ${mT("language_kept")} should keep more than marker ${mM("language_kept")}")
+    // narrow to english only — strictly fewer than the open trigram set
+    val enOnly = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      CurationPipeline.Config("doc_id", "html", "source",
+        langId = "trigram", keepLangs = Set("en"),
+        targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L))
+    assert(enOnly.metrics.toMap.apply("language_kept") < mT("language_kept"))
+    intercept[IllegalArgumentException] {
+      CurationPipeline.Config("doc_id", "html", "source", langId = "nope")
+    }
+  }
+
   test("export manifest agrees with the final frame") {
     val dir = "/tmp/graft_spec_pipe1_export"
     val out = run(exportDir = Some(dir))

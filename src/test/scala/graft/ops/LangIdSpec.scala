@@ -11,8 +11,8 @@ import graft.SparkSpec
 class LangIdSpec extends SparkSpec {
   import spark.implicits._
 
-  test("profiles cover all 24 languages with bounded size") {
-    assert(LangId.langs.length == 24)
+  test("profiles cover all 29 languages with bounded size") {
+    assert(LangId.langs.length == 29)
     assert(LangId.profiles.keySet == LangId.seeds.keySet)
     for ((lang, prof) <- LangId.profiles) {
       assert(prof.nonEmpty, s"$lang profile empty")
@@ -37,7 +37,12 @@ class LangIdSpec extends SparkSpec {
       "こどもたちはまちのれきしについてほんをよんでいました" -> "ja",
       "아이들은 도시의 역사에 관한 책을 읽고 있었습니다" -> "ko",
       "çocuklar şehrin tarihi hakkında kitaplar okuyordu" -> "tr",
-      "dzieci czytały książki o historii miasta" -> "pl")
+      "dzieci czytały książki o historii miasta" -> "pl",
+      "τα παιδιά διάβαζαν βιβλία για την ιστορία της πόλης" -> "el",
+      "הילדים קראו ספרים על ההיסטוריה של העיר" -> "he",
+      "เด็กๆอ่านหนังสือเกี่ยวกับประวัติศาสตร์ของเมือง" -> "th",
+      "بچه‌ها کتاب‌هایی درباره تاریخ شهر می‌خواندند" -> "fa",
+      "শিশুরা শহরের ইতিহাস সম্পর্কে বই পড়ছিল" -> "bn")
     for ((text, want) <- cases)
       assert(LangId.classify(text) == want,
         s"classify($text) = ${LangId.classify(text)}, want $want")

@@ -324,6 +324,52 @@ class StreamingSpec extends SparkSpec {
     assert(kept.map(_._2).toSet == Set(11L, 13L))
   }
 
+  test("streaming composed curation: full pipeline per microbatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq((100L,
+      "the seen corpus document with many stable words that keeps " +
+        "going for a while longer here and one extra")).toDF("doc_id", "text")
+    val index = graft.ops.Dedup.buildMinhashIndex(seen, "doc_id", "text")
+      .persist()
+    val probes = Seq("the benchmark answer alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa").toDF("text")
+    def html(body: String) = s"<html><body><p>$body</p></body></html>"
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingIngest.curateSink(
+      input.toDF().toDF("doc_id", "source", "html"), index, probes, "text",
+      graft.ops.CurationPipeline.Config("doc_id", "html", "source",
+        targetMix = Map("s0" -> 1, "s1" -> 1), nearDupThreshold = 0.5,
+        packCapacity = 30L),
+      "curate_sink") { (curated, batchId) =>
+      results.synchronized {
+        val m = curated.metrics.toMap
+        results += ((batchId, m("rows_in"), curated.data.count()))
+      }
+    }
+    // batch 0: one keeper, one near-dup of the seen corpus, one
+    // contaminated (its text IS the probe), one non-language doc
+    input.addData(
+      (1L, "s0", html("the fresh document about alpha1 beta1 gamma1 and " +
+        "delta1 words of the usual prose")),
+      (2L, "s1", html("the seen corpus document with many stable words " +
+        "that keeps going for a while longer here")),
+      (3L, "s0", html("the benchmark answer alpha beta gamma delta " +
+        "epsilon zeta eta theta iota kappa")),
+      (4L, "s1", html("这是一个中文文档没有英文标记词")))
+    q.processAllAvailable()
+    // batch 1: empty-after-filters (all non-language) — must not error
+    input.addData((5L, "s0", html("另一个中文文档也没有标记词")))
+    q.processAllAvailable()
+    q.stop()
+    index.unpersist()
+    val byBatch = results.toList.sortBy(_._1)
+    assert(byBatch.map(_._1) == List(0L, 1L))
+    assert(byBatch(0)._2 == 4L) // rows_in
+    assert(byBatch(0)._3 == 1L) // only the fresh doc survives
+    assert(byBatch(1)._2 == 1L && byBatch(1)._3 == 0L) // empty batch ok
+  }
+
   test("streaming embedding near-dup vs sign-sketch index") {
     implicit val sqlCtx = spark.sqlContext
     val dim = 16
