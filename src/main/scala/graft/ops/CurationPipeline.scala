@@ -48,6 +48,8 @@ object CurationPipeline {
       maxContamination: Double = 0.2,
       targetMix: Map[String, Int] = Map.empty,
       packCapacity: Long = 512L,
+      redactPii: Boolean = false,
+      hostCol: Option[String] = None,
       exportDir: Option[String] = None,
       exportShards: Int = 4,
       exportFormat: String = "jsonl") {
@@ -63,17 +65,34 @@ object CurationPipeline {
   final case class Curated(data: DataFrame, metrics: Seq[(String, Long)],
                            manifest: Option[ExportSink.Manifest])
 
+  /** `blocklist` (one `domain` string column) activates the
+    * [[Curation.dropBlockedDomains]] hygiene pass over `cfg.hostCol`
+    * BEFORE extraction — the cheapest drop runs first. `cfg.redactPii`
+    * splices email/phone/IP/Luhn-card redaction
+    * ([[Curation.redactPiiAll]]) between the quality gate and segment
+    * dedup, so every downstream digest, signature and export sees the
+    * redacted text.
+    */
   def curate(docs: DataFrame, seenIndex: DataFrame, probes: DataFrame,
-             probeTextCol: String, cfg: Config): Curated = {
+             probeTextCol: String, cfg: Config,
+             blocklist: Option[DataFrame] = None): Curated = {
     val id = cfg.idCol
     require(cfg.targetMix.nonEmpty, "targetMix must be non-empty")
+    require(blocklist.isEmpty || cfg.hostCol.nonEmpty,
+      "a blocklist needs cfg.hostCol to match against")
     for (r <- Seq("__text", "lang_pred", "__q", "text_clean", "n_tok",
         "pack_id", "content_sha"))
       require(!docs.columns.contains(r), s"input column '$r' is reserved")
 
+    val unblocked = blocklist match {
+      case Some(bl) =>
+        Curation.dropBlockedDomains(docs, cfg.hostCol.get, bl)
+      case None => docs
+    }
+
     // stages 1-3 as columns, so one aggregate yields their metrics and
     // one filter applies them — a single source scan either way
-    val extracted = docs.select(col(id), col(cfg.sourceCol),
+    val extracted = unblocked.select(col(id), col(cfg.sourceCol),
       TextAnalysis.htmlToText(col(cfg.htmlCol)).as("__text"))
     val langExpr =
       if (cfg.langId == "trigram") LangId.langIdNgram(col("__text"))
@@ -100,9 +119,15 @@ object CurationPipeline {
       coalesce(sum(when(langOk &&
         col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"))
       .head()
-    val kept3 = scored
+    val kept3raw = scored
       .filter(langOk && col("__q") >= cfg.minQuality)
       .drop("__q")
+    // redaction before any digesting: segment digests, signatures and
+    // the exported text must all be the REDACTED form
+    val kept3 =
+      if (cfg.redactPii)
+        kept3raw.withColumn("__text", Curation.redactPiiAll(col("__text")))
+      else kept3raw
 
     // corpus-wide segment dedup (C4-style boilerplate kill), then the
     // cleaned text replaces the extracted text; FIRST truncation
@@ -141,8 +166,13 @@ object CurationPipeline {
       ExportSink.export(result, dir, id, cfg.exportShards, cfg.exportFormat))
     val nMixed = manifest.map(_.totalCount).getOrElse(result.count())
 
+    // one extra source count only when the blocklist stage is active
+    val nReceived = blocklist.map(_ => docs.count())
+      .getOrElse(stageAgg.getLong(0))
+
     Curated(result,
       Seq(
+        "rows_received" -> nReceived,
         "rows_in" -> stageAgg.getLong(0),
         "language_kept" -> stageAgg.getLong(1),
         "quality_kept" -> stageAgg.getLong(2),

@@ -114,6 +114,42 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("optional stages: domain blocklist drops first, PII redacts before digests") {
+    import org.apache.spark.sql.Row
+    val withHosts = corpus
+      .withColumn("host",
+        when(col("doc_id") <= 2, lit("spam.bad.com")).otherwise(lit("ok.org")))
+      // doc 3 gains an email that redaction must strip BEFORE hashing
+      .withColumn("html",
+        when(col("doc_id") === 3,
+          regexp_replace(col("html"), "</p></body>",
+            " mail me at leak@example.com</p></body>"))
+          .otherwise(col("html")))
+    val cfg = CurationPipeline.Config("doc_id", "html", "source",
+      targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+      nearDupThreshold = 0.5, packCapacity = 30L,
+      redactPii = true, hostCol = Some("host"))
+    val out = CurationPipeline.curate(withHosts,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg, blocklist = Some(Seq("bad.com").toDF("domain")))
+    val m = out.metrics.toMap
+    assert(m("rows_received") == 40L)
+    assert(m("rows_in") == 38L, "blocklist should drop docs 1 and 2")
+    val rows = out.data.collect()
+    assert(!rows.map(_.getLong(0)).toSet.exists(Set(1L, 2L)))
+    // doc 3's exported digest is of the REDACTED text
+    val row3 = rows.find(_.getLong(0) == 3L)
+    assert(row3.isDefined, "doc 3 should survive the pipeline")
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+    // recompute what the cleaned text should be: the body line with the
+    // email replaced by the redaction tag
+    val clean = s"${bodyOf(3L)} mail me at [EMAIL]"
+    val hex = expected.digest(clean.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row3.get.getString(4) == hex,
+      s"content_sha should hash the redacted text (want $hex)")
+  }
+
   test("export manifest agrees with the final frame") {
     val dir = "/tmp/graft_spec_pipe1_export"
     val out = run(exportDir = Some(dir))
