@@ -172,16 +172,17 @@ object MediaDecoder {
           decodeStatus = graft.engine.validate.ImageProbe.diagnose(bytes))
       }
     case "audio" =>
-      // REAL header decode for RIFF/WAVE payloads (AudioProbe — pure
-      // byte parsing, no codec); non-WAV audio (mp3/flac/ogg need
-      // codecs absent here) falls through to the honest stub.
+      // REAL header decode for WAV, FLAC and MP3 payloads (the unified
+      // AudioProbe.meta walk — pure byte parsing, no codec); container
+      // formats it cannot read (ogg/opus/m4a) fall through to the
+      // honest stub.
       val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
-      graft.engine.validate.AudioProbe.info(bytes) match {
-        case Some(w) => Multimodal.MediaMeta(
+      graft.engine.validate.AudioProbe.meta(bytes) match {
+        case Some(m) => Multimodal.MediaMeta(
           kind = "audio", width = -1, height = -1,
-          nFrames = math.min(w.nFrames, Int.MaxValue.toLong).toInt,
-          sampleRateHz = w.sampleRateHz, channels = w.channels,
-          bitsPerSample = w.bitsPerSample,
+          nFrames = math.min(m.nSamples, Int.MaxValue.toLong).toInt,
+          sampleRateHz = m.sampleRateHz, channels = m.channels,
+          bitsPerSample = m.bitsPerSample,
           nBytes = bytes.length.toLong, sha256 = sha256Hex(bytes),
           decodeStatus = "ok")
         case None => decodeStub(kind, rawBytes)

@@ -98,6 +98,34 @@ class MultimodalSpec extends SparkSpec {
       real.channels == 2 && real.bitsPerSample == 16 && real.nFrames == 50)
     val m = MediaDecoder.decode("audio", "some waveform".getBytes("UTF-8"))
     assert(m.decodeStatus == "stubbed" && m.sampleRateHz == 16000)
+    // FLAC and MP3 headers decode for real through the same entry point
+    val flacBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      val si = new Array[Byte](34)
+      si(10) = ((44100 >> 12) & 0xff).toByte
+      si(11) = ((44100 >> 4) & 0xff).toByte
+      si(12) = (((44100 & 0xf) << 4) | ((2 - 1) << 1) | (((16 - 1) >> 4) & 1)).toByte
+      si(13) = (((16 - 1) & 0xf) << 4).toByte
+      si(17) = 100.toByte
+      out.write(si); out.toByteArray
+    }
+    val fl = MediaDecoder.decode("audio", flacBytes)
+    assert(fl.decodeStatus == "ok" && fl.sampleRateHz == 44100 &&
+      fl.channels == 2 && fl.bitsPerSample == 16 && fl.nFrames == 100)
+    val mp3Bytes = {
+      val frameLen = 144 * 128000 / 44100
+      val out = new java.io.ByteArrayOutputStream()
+      for (_ <- 1 to 3) {
+        out.write(0xff); out.write(0xfa); out.write(0x90); out.write(0x00)
+        (1 to frameLen - 4).foreach(_ => out.write(0))
+      }
+      out.toByteArray
+    }
+    val mp = MediaDecoder.decode("audio", mp3Bytes)
+    assert(mp.decodeStatus == "ok" && mp.sampleRateHz == 44100 &&
+      mp.channels == 2 && mp.nFrames == 3 * 1152)
     val v = MediaDecoder.decode("video", ("x" * 10).getBytes("UTF-8"))
     assert(v.decodeStatus == "stubbed" && v.nFrames == 11)
     // real image path through the same entry point
