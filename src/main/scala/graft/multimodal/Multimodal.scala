@@ -13,12 +13,13 @@ import org.apache.spark.sql.types._
   * header read ([[graft.engine.validate.ImageProbe]], the same kernel
   * behind the V10 resolution validator) recovers true dimensions from
   * png/jpg/gif/bmp bytes without a pixel decode. AUDIO header decode
-  * is REAL for RIFF/WAVE payloads ([[graft.engine.validate.AudioProbe]]
-  * — pure-JVM chunk walk: channels, sample rate, bit depth, frame
-  * count). Compressed-audio and video codecs are not available in this
-  * environment, so those payloads go through
-  * [[MediaDecoder.decodeStub]] (deterministic fake frames/sample-rate
-  * derived from the payload, clearly marked by
+  * is REAL for WAV, FLAC and MP3 payloads
+  * ([[graft.engine.validate.AudioProbe.meta]] — pure-JVM parsing:
+  * RIFF chunk walk, STREAMINFO bit unpacking, MPEG frame walk;
+  * channels, sample rate, bit depth where the codec fixes it, sample
+  * count). Containers the probe cannot read (ogg/opus/m4a) and video
+  * go through [[MediaDecoder.decodeStub]] (deterministic fake
+  * frames/sample-rate derived from the payload, clearly marked by
   * `decodeStatus = "stubbed"`); swapping in a real codec changes ONE
   * function and none of the plumbing (schema, partitioning, batch
   * shape, the mapPartitions signature all stay).
@@ -145,8 +146,10 @@ object MediaDecoder {
   /** Modality dispatch: REAL ImageIO header decode for images (the
     * [[graft.engine.validate.ImageProbe]] kernel — width/height from
     * the header, no pixel decode, so the per-file cost is a few KB of
-    * reads no matter the image size); [[decodeStub]] for audio/video,
-    * whose codecs are not installed in this environment. An image the
+    * reads no matter the image size); REAL WAV/FLAC/MP3 header decode
+    * for audio ([[graft.engine.validate.AudioProbe.meta]]);
+    * [[decodeStub]] for everything else (ogg/opus/m4a, video), whose
+    * codecs are not installed in this environment. An image the
     * probe cannot read yields (-1, -1) dimensions and carries the
     * probe's diagnosis (empty / not-an-image / truncated-header) in
     * `decodeStatus` — the row flows on for the caller to filter or

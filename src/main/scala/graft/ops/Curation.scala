@@ -140,12 +140,30 @@ object Curation {
                          blocklist: DataFrame,
                          blockedCol: String = "domain",
                          broadcastBlocked: Boolean = true): DataFrame = {
+    val flagged = withBlockedDomainFlag(df, hostCol, blocklist, blockedCol,
+      broadcastBlocked)
+    flagged.filter(!col("__graft_blocked")).drop("__graft_blocked")
+  }
+
+  /** [[dropBlockedDomains]] as a FLAG instead of a filter: the input
+    * plus boolean `__graft_blocked`. For pipelines that fold the
+    * blocklist verdict into an existing single-scan aggregate (keep
+    * count + drop count from one pass) rather than paying a dedicated
+    * pre-filter job — [[CurationPipeline]]'s shape. Same matching rule
+    * and same build-side bounds as the filter form, which delegates
+    * here.
+    */
+  def withBlockedDomainFlag(df: DataFrame, hostCol: String,
+                            blocklist: DataFrame,
+                            blockedCol: String = "domain",
+                            broadcastBlocked: Boolean = true): DataFrame = {
     // the helper frame derives from df, so its host column must not
     // shadow one already on df (resolution would be ambiguous — the
     // CorpusStats reserved-name rule)
     val h = "__graft_blocked_host"
-    require(!df.columns.contains(h),
-      s"dropBlockedDomains: input already has a column named $h")
+    for (r <- Seq(h, "__graft_blocked"))
+      require(!df.columns.contains(r),
+        s"withBlockedDomainFlag: input already has a column named $r")
     val blockedHosts = df.select(lower(col(hostCol)).as(h)).distinct()
       .select(col(h), explode(UrlOps.hostSuffixChain(col(h))).as("__sfx"))
       .join(blocklist.select(col(blockedCol).as("__sfx")).distinct(), "__sfx")
@@ -153,8 +171,11 @@ object Curation {
     val build = if (broadcastBlocked) broadcast(blockedHosts) else blockedHosts
     // condition references the ACTUAL join frame (build), not the
     // pre-broadcast one — correctness must not lean on broadcast()
-    // preserving attribute ids
-    df.join(build, lower(col(hostCol)) === build(h), "left_anti")
+    // preserving attribute ids. The build side is DISTINCT matched
+    // hosts, so the left join cannot multiply rows.
+    df.join(build, lower(col(hostCol)) === build(h), "left")
+      .withColumn("__graft_blocked", col(h).isNotNull)
+      .drop(h)
   }
 
   def contaminatedBy(df: DataFrame, idCol: String, textCol: String,

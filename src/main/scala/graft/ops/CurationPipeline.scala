@@ -60,10 +60,17 @@ object CurationPipeline {
   /** The curated output plus per-stage observed metrics. `data`
     * columns: idCol, sourceCol, `n_tok`, `pack_id`, `content_sha`
     * (sha-256 of the final cleaned text — the digest the end-to-end
-    * gate hashes).
+    * gate hashes). `release()` frees the reliable-checkpoint files
+    * backing `data` once every consumer has materialized — long-lived
+    * callers (the streaming sink runs one curate per microbatch,
+    * forever) MUST call it or the cluster checkpoint dir grows one
+    * materialized frame per batch; a no-op on the local path.
     */
   final case class Curated(data: DataFrame, metrics: Seq[(String, Long)],
-                           manifest: Option[ExportSink.Manifest])
+                           manifest: Option[ExportSink.Manifest],
+                           private val backing: DataFrame) {
+    def release(): Unit = Checkpoints.release(backing)
+  }
 
   /** `blocklist` (one `domain` string column) activates the
     * [[Curation.dropBlockedDomains]] hygiene pass over `cfg.hostCol`
@@ -81,19 +88,25 @@ object CurationPipeline {
     require(blocklist.isEmpty || cfg.hostCol.nonEmpty,
       "a blocklist needs cfg.hostCol to match against")
     for (r <- Seq("__text", "lang_pred", "__q", "text_clean", "n_tok",
-        "pack_id", "content_sha"))
+        "pack_id", "content_sha", "__graft_blocked"))
       require(!docs.columns.contains(r), s"input column '$r' is reserved")
 
-    val unblocked = blocklist match {
+    // the blocklist verdict rides as a FLAG so its keep/drop counts
+    // fold into the same single-scan aggregate as the language and
+    // quality stages — no dedicated pre-filter job, no metric re-scan
+    val flagged = blocklist match {
       case Some(bl) =>
-        Curation.dropBlockedDomains(docs, cfg.hostCol.get, bl)
-      case None => docs
+        Curation.withBlockedDomainFlag(docs, cfg.hostCol.get, bl)
+      case None => docs.withColumn("__graft_blocked", lit(false))
     }
 
-    // stages 1-3 as columns, so one aggregate yields their metrics and
-    // one filter applies them — a single source scan either way
-    val extracted = unblocked.select(col(id), col(cfg.sourceCol),
-      TextAnalysis.htmlToText(col(cfg.htmlCol)).as("__text"))
+    // stages 0-3 as columns, so one aggregate yields their metrics and
+    // one filter applies them — a single source scan either way.
+    // Blocked rows skip extraction (NULL text) — they can never be kept
+    val extracted = flagged.select(col(id), col(cfg.sourceCol),
+      col("__graft_blocked"),
+      when(!col("__graft_blocked"),
+        TextAnalysis.htmlToText(col(cfg.htmlCol))).as("__text"))
     val langExpr =
       if (cfg.langId == "trigram") LangId.langIdNgram(col("__text"))
       else TextAnalysis.languageId(col("__text"))
@@ -112,16 +125,18 @@ object CurationPipeline {
     // coalesce: sum() over ZERO rows is NULL, and an empty batch (a
     // routine all-filtered microbatch) must yield 0-metrics, not an
     // NPE after the pipeline ran
+    val notBlocked = !col("__graft_blocked")
     val stageAgg = scored.agg(
-      count(lit(1)).as("n_in"),
-      coalesce(sum(when(langOk, 1L)
+      count(lit(1)).as("n_received"),
+      coalesce(sum(when(notBlocked, 1L).otherwise(0L)), lit(0L)).as("n_in"),
+      coalesce(sum(when(notBlocked && langOk, 1L)
         .otherwise(0L)), lit(0L)).as("n_lang"),
-      coalesce(sum(when(langOk &&
+      coalesce(sum(when(notBlocked && langOk &&
         col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"))
       .head()
     val kept3raw = scored
-      .filter(langOk && col("__q") >= cfg.minQuality)
-      .drop("__q")
+      .filter(notBlocked && langOk && col("__q") >= cfg.minQuality)
+      .drop("__q", "__graft_blocked")
     // redaction before any digesting: segment digests, signatures and
     // the exported text must all be the REDACTED form
     val kept3 =
@@ -141,6 +156,7 @@ object CurationPipeline {
 
     val ndKept = Dedup.nearDupAgainstIndex(snapA, seenIndex, id,
       "text_clean", cfg.nearDupThreshold)
+    val nNearDup = ndKept.count() // cheap: snapA is materialized
 
     val cont = Curation.contaminationScore(
       ndKept.select(col(id), col("text_clean")), id, "text_clean",
@@ -152,7 +168,10 @@ object CurationPipeline {
       .filter(coalesce(col("contamination"), lit(0.0)) <= cfg.maxContamination)
       .drop("contamination", "n_segments", "n_kept")
       .truncated
-    val nNearDup = ndKept.count() // cheap: snapA is materialized
+    // snapA's reliable-checkpoint files are dead once snapB (whose
+    // lineage the truncation cut) is materialized — free them now, not
+    // at job exit (the streaming sink runs one curate per microbatch)
+    Checkpoints.release(snapA)
     val nDecon = snapB.count()
 
     val mixed = Curation.mixReweight(snapB, cfg.sourceCol, id, cfg.targetMix)
@@ -166,21 +185,17 @@ object CurationPipeline {
       ExportSink.export(result, dir, id, cfg.exportShards, cfg.exportFormat))
     val nMixed = manifest.map(_.totalCount).getOrElse(result.count())
 
-    // one extra source count only when the blocklist stage is active
-    val nReceived = blocklist.map(_ => docs.count())
-      .getOrElse(stageAgg.getLong(0))
-
     Curated(result,
       Seq(
-        "rows_received" -> nReceived,
-        "rows_in" -> stageAgg.getLong(0),
-        "language_kept" -> stageAgg.getLong(1),
-        "quality_kept" -> stageAgg.getLong(2),
+        "rows_received" -> stageAgg.getLong(0),
+        "rows_in" -> stageAgg.getLong(1),
+        "language_kept" -> stageAgg.getLong(2),
+        "quality_kept" -> stageAgg.getLong(3),
         "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
         "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1)),
         "neardup_kept" -> nNearDup,
         "decontaminated_kept" -> nDecon,
         "mixed_and_packed" -> nMixed),
-      manifest)
+      manifest, backing = snapB)
   }
 }

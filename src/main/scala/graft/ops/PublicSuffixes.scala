@@ -20,9 +20,10 @@ import scala.io.{Codec, Source}
   *     match at all the implicit rule `*` applies (pslen 1).
   *  4. registrable domain = public suffix plus one more label.
   *
-  * Hosts are expected lowercase (what [[UrlOps.urlHost]] emits) and in
-  * the same form as the list (ASCII/punycode for IDNs; the list's few
-  * unicode-label entries match unicode hosts bytewise).
+  * Hosts are expected lowercase (what [[UrlOps.urlHost]] emits).
+  * Either IDN spelling works: every rule is indexed in BOTH its listed
+  * unicode form and its punycode (ACE) form, so `公司.cn` and
+  * `xn--55qx5d.cn` hosts match the same suffix.
   *
   * Scale shape: rules load once per JVM from the classpath (executors
   * read their own copy from the shipped jar — ~9.5k entries, nothing

@@ -246,8 +246,18 @@ object StreamingIngest {
       .queryName(queryName)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(graft.ops.CurationPipeline.curate(batch, seenIndex,
-          probes, probeTextCol, cfg), batchId)
+        // curate() runs several actions (stage aggregate, two
+        // truncations); cache the microbatch so they hit blocks, not
+        // the source, and free everything before the epoch commits —
+        // the curated frame itself is checkpoint-backed, so consuming
+        // it inside onBatch does not need the cache
+        val cached = batch.persist()
+        val curated =
+          try graft.ops.CurationPipeline.curate(cached, seenIndex,
+            probes, probeTextCol, cfg)
+          finally cached.unpersist(false)
+        try onBatch(curated, batchId)
+        finally curated.release()
       }
       .start()
 

@@ -115,7 +115,6 @@ class CurationPipelineSpec extends SparkSpec {
   }
 
   test("optional stages: domain blocklist drops first, PII redacts before digests") {
-    import org.apache.spark.sql.Row
     val withHosts = corpus
       .withColumn("host",
         when(col("doc_id") <= 2, lit("spam.bad.com")).otherwise(lit("ok.org")))
