@@ -17,12 +17,15 @@ import org.apache.spark.sql.types._
   * ([[graft.engine.validate.AudioProbe.meta]] — pure-JVM parsing:
   * RIFF chunk walk, STREAMINFO bit unpacking, MPEG frame walk;
   * channels, sample rate, bit depth where the codec fixes it, sample
-  * count). Containers the probe cannot read (ogg/opus/m4a) and video
-  * go through [[MediaDecoder.decodeStub]] (deterministic fake
-  * frames/sample-rate derived from the payload, clearly marked by
-  * `decodeStatus = "stubbed"`); swapping in a real codec changes ONE
-  * function and none of the plumbing (schema, partitioning, batch
-  * shape, the mapPartitions signature all stay).
+  * count). VIDEO header decode is REAL for MP4 / ISO-BMFF and RIFF AVI
+  * containers ([[graft.engine.validate.VideoProbe.meta]] — box/chunk
+  * walking: track dimensions, movie duration, frame count, codec
+  * FourCC). Containers no probe can read (ogg/opus/m4a audio,
+  * mkv/webm video) go through [[MediaDecoder.decodeStub]]
+  * (deterministic fake frames/sample-rate derived from the payload,
+  * clearly marked by `decodeStatus = "stubbed"`); swapping in a real
+  * codec changes ONE function and none of the plumbing (schema,
+  * partitioning, batch shape, the mapPartitions signature all stay).
   */
 object Multimodal {
 
@@ -148,7 +151,9 @@ object MediaDecoder {
     * the header, no pixel decode, so the per-file cost is a few KB of
     * reads no matter the image size); REAL WAV/FLAC/MP3 header decode
     * for audio ([[graft.engine.validate.AudioProbe.meta]]);
-    * [[decodeStub]] for everything else (ogg/opus/m4a, video), whose
+    * REAL MP4/AVI header decode for video
+    * ([[graft.engine.validate.VideoProbe.meta]]); [[decodeStub]] for
+    * everything else (ogg/opus/m4a, mkv/webm), whose
     * codecs are not installed in this environment. An image the
     * probe cannot read yields (-1, -1) dimensions and carries the
     * probe's diagnosis (empty / not-an-image / truncated-header) in
@@ -186,6 +191,22 @@ object MediaDecoder {
           nFrames = math.min(m.nSamples, Int.MaxValue.toLong).toInt,
           sampleRateHz = m.sampleRateHz, channels = m.channels,
           bitsPerSample = m.bitsPerSample,
+          nBytes = bytes.length.toLong, sha256 = sha256Hex(bytes),
+          decodeStatus = "ok")
+        case None => decodeStub(kind, rawBytes)
+      }
+    case "video" =>
+      // REAL header decode for MP4 (ISO-BMFF box walk) and RIFF AVI
+      // containers ([[graft.engine.validate.VideoProbe.meta]]) —
+      // width/height from the video track header, duration from the
+      // movie header, frame count from the sample index; containers
+      // the probe cannot read (mkv/webm) fall through to the stub.
+      val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
+      graft.engine.validate.VideoProbe.meta(bytes) match {
+        case Some(m) => Multimodal.MediaMeta(
+          kind = "video", width = m.width, height = m.height,
+          nFrames = math.min(m.nFrames, Int.MaxValue.toLong).toInt,
+          sampleRateHz = 0, channels = 0, bitsPerSample = 0,
           nBytes = bytes.length.toLong, sha256 = sha256Hex(bytes),
           decodeStatus = "ok")
         case None => decodeStub(kind, rawBytes)

@@ -212,7 +212,160 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m7Dir)
   }
 
+  /** m8 fixture: MP4 (ISO-BMFF) and RIFF AVI containers authored
+    * box-by-box / chunk-by-chunk from the PUBLISHED container specs
+    * (ISO/IEC 14496-12 box layout; the AVI MainAVIHeader) by this
+    * builder — code independent of the
+    * [[graft.engine.validate.VideoProbe]] walker under test — plus the
+    * failure classes. Expected values stored alongside (m4/m6/m7
+    * pattern).
+    */
+  private val m8Dir = "/tmp/graft_gate_m8_video"
+
+  // -- big-endian box writers (independent of the probe's readers) ----
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  private def encodeMp4(w: Int, h: Int, timescale: Int, duration: Long,
+                        codec: String, frames: Seq[Int],
+                        version1: Boolean = false,
+                        extraAudioTrack: Boolean = false): Array[Byte] = {
+    val v: Byte = if (version1) 1 else 0
+    val mvhd = mp4Box("mvhd",
+      if (version1)
+        Array[Byte](v, 0, 0, 0) ++ Array.fill(16)(0.toByte) ++ // 64-bit times
+          be32(timescale) ++ be32(duration >> 32) ++ be32(duration & 0xffffffffL) ++
+          Array.fill(80)(0.toByte)
+      else
+        Array[Byte](v, 0, 0, 0) ++ Array.fill(8)(0.toByte) ++
+          be32(timescale) ++ be32(duration) ++ Array.fill(80)(0.toByte))
+    def tkhd(width: Int, height: Int) = mp4Box("tkhd",
+      if (version1)
+        Array[Byte](v, 0, 0, 7) ++ Array.fill(84)(0.toByte) ++
+          be32(width.toLong << 16) ++ be32(height.toLong << 16)
+      else
+        Array[Byte](v, 0, 0, 7) ++ Array.fill(72)(0.toByte) ++
+          be32(width.toLong << 16) ++ be32(height.toLong << 16))
+    def hdlr(handler: String) = mp4Box("hdlr",
+      Array.fill[Byte](8)(0) ++ handler.getBytes("US-ASCII") ++
+        Array.fill[Byte](13)(0))
+    val stts = mp4Box("stts", Array.fill[Byte](4)(0) ++
+      be32(frames.length.toLong) ++
+      frames.flatMap(n => be32(n.toLong) ++ be32(100L)).toArray)
+    val stsd = mp4Box("stsd", Array.fill[Byte](4)(0) ++ be32(1L) ++
+      be32(16L) ++ codec.getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
+    val stbl = mp4Box("stbl", stsd ++ stts)
+    val videoTrak = mp4Box("trak", tkhd(w, h) ++
+      mp4Box("mdia", hdlr("vide") ++ mp4Box("minf", stbl)))
+    val audioTrak = mp4Box("trak", tkhd(0, 0) ++
+      mp4Box("mdia", hdlr("soun") ++ mp4Box("minf", Array.emptyByteArray)))
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512L) ++ "isom".getBytes("US-ASCII"))
+    val moov = mp4Box("moov",
+      if (extraAudioTrack) mvhd ++ videoTrak ++ audioTrak
+      else mvhd ++ videoTrak)
+    val mdat = mp4Box("mdat", Array.fill[Byte](32)(0x2a))
+    ftyp ++ moov ++ mdat
+  }
+
+  // -- little-endian chunk writers ------------------------------------
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+    id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ padded
+  }
+
+  private def riffList(listType: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ children)
+
+  private def encodeAvi(w: Int, h: Int, usPerFrame: Int, totalFrames: Int,
+                        streams: Int, codec: String): Array[Byte] = {
+    val avih = riffChunk("avih",
+      le32(usPerFrame.toLong) ++ le32(0L) ++ le32(0L) ++ le32(0x10L) ++
+        le32(totalFrames.toLong) ++ le32(0L) ++ le32(streams.toLong) ++
+        le32(0L) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array.fill[Byte](16)(0))
+    val strh = riffChunk("strh",
+      "vids".getBytes("US-ASCII") ++ codec.getBytes("US-ASCII") ++
+        Array.fill[Byte](48)(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh))
+    val movi = riffList("movi", riffChunk("00dc", Array.fill[Byte](16)(0x2a)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  private def writeM8Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val good: Seq[(Long, Array[Byte], String, Int, Int, Long, Int, Long, String, String)] = Seq(
+      // mp4, version-0 headers: 240 frames, 1000-scale 8s movie
+      (0L, encodeMp4(1920, 1080, 1000, 8000L, "avc1", Seq(240)), "mp4",
+        1920, 1080, 8000L, 1, 240L, "avc1", "ok"),
+      // mp4, version-1 (64-bit) movie/track headers
+      (1L, encodeMp4(1280, 720, 90000, 270000L, "hev1", Seq(50, 40),
+        version1 = true), "mp4", 1280, 720, 3000L, 1, 90L, "hev1", "ok"),
+      // mp4 with a second (audio) track: dims come from the vide track
+      (2L, encodeMp4(640, 480, 600, 1200L, "mp4v", Seq(48),
+        extraAudioTrack = true), "mp4", 640, 480, 2000L, 2, 48L, "mp4v", "ok"),
+      // avi: 30fps (33333 us/frame), 90 frames
+      (3L, encodeAvi(720, 576, 33333, 90, 1, "MJPG"), "avi",
+        720, 576, 2999L, 1, 90L, "MJPG", "ok"),
+      (4L, encodeAvi(320, 240, 40000, 25, 2, "XVID"), "avi",
+        320, 240, 1000L, 2, 25L, "XVID", "ok"))
+    val bad: Seq[(Long, Array[Byte], String, Int, Int, Long, Int, Long, String, String)] = Seq(
+      (100L, Array.emptyByteArray, "", -1, -1, -1L, -1, -1L, "",
+        "file is empty"),
+      (101L, "certainly not a movie file....".getBytes("UTF-8"), "", -1, -1,
+        -1L, -1, -1L, "", "not a recognized video container"),
+      // ftyp only — no moov anywhere
+      (102L, mp4Box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512L)), "",
+        -1, -1, -1L, -1, -1L, "", "mp4 movie header missing or truncated"),
+      // moov present but truncated before mvhd completes
+      (103L, encodeMp4(64, 64, 1000, 1000L, "avc1", Seq(10)).take(40), "",
+        -1, -1, -1L, -1, -1L, "", "mp4 movie header missing or truncated"),
+      // RIFF AVI signature with an empty body — no avih
+      (104L, "RIFF".getBytes("US-ASCII") ++ le32(4L) ++
+        "AVI ".getBytes("US-ASCII"), "", -1, -1, -1L, -1, -1L, "",
+        "avi header missing or truncated"))
+    s.createDataset(good ++ bad)
+      .toDF("video_id", "payload", "exp_container", "exp_w", "exp_h",
+        "exp_duration_ms", "exp_tracks", "exp_frames", "exp_codec",
+        "exp_status")
+      .coalesce(1).write.mode("overwrite").parquet(m8Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m8: REAL video header decode — the ISO-BMFF box walk (mvhd
+    //    duration, vide-track tkhd dims, stts frame count, stsd codec,
+    //    64-bit v1 headers) and the RIFF AVI chunk walk (avih), failure
+    //    classes diagnosed. Fixture bytes authored box-by-box from the
+    //    public specs by independent builder code; the oracle reads the
+    //    stored expected columns back (m6/m7 pattern). ----------------
+    "m8_video_meta" -> { (s, _) =>
+      writeM8Fixture(s)
+      val probe = udf { bytes: Array[Byte] =>
+        graft.engine.validate.VideoProbe.meta(bytes) match {
+          case Some(m) => (m.container, m.width, m.height, m.durationMs,
+            m.nTracks, m.nFrames, m.codec, "ok")
+          case None => ("", -1, -1, -1L, -1, -1L, "",
+            graft.engine.validate.VideoProbe.diagnose(bytes))
+        }
+      }
+      s.read.parquet(m8Dir)
+        .withColumn("__p", probe(col("payload")))
+        .select(col("video_id"), col("__p._1").as("container"),
+          col("__p._2").as("w"), col("__p._3").as("h"),
+          col("__p._4").as("duration_ms"), col("__p._5").as("tracks"),
+          col("__p._6").as("frames"), col("__p._7").as("codec"),
+          col("__p._8").as("status"))
+        .orderBy("video_id")
+    },
     // -- m7: unified compressed-audio header decode — FLAC STREAMINFO
     //    bit unpacking and MPEG frame-header walk (VBR-safe sample
     //    count), WAV through the same entry point, failure classes
@@ -364,6 +517,12 @@ object MultimodalQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    "m8_video_meta" ->
+      s"""SELECT video_id, exp_container AS container, exp_w AS w, exp_h AS h,
+         |  exp_duration_ms AS duration_ms, exp_tracks AS tracks,
+         |  exp_frames AS frames, exp_codec AS codec, exp_status AS status
+         |FROM read_parquet('$m8Dir/*.parquet')
+         |ORDER BY video_id""".stripMargin,
     "m7_audio_codecs" ->
       s"""SELECT audio_id, exp_codec AS codec, exp_channels AS channels,
          |  exp_rate AS rate, exp_bits AS bits, exp_samples AS samples,
