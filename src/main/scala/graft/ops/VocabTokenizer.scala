@@ -135,4 +135,171 @@ object VocabTokenizer {
     }
     f(textCol)
   }
+
+  // ------------------------------------------------------------------
+  // TRUE BPE inference — merge-rank application, the published
+  // byte-pair-encoding algorithm (Sennrich et al. 2016; the same
+  // inference loop HuggingFace `tokenizers` runs for BPE models).
+  // Unlike the greedy rule above, segmentation depends on the TRAINED
+  // MERGE ORDER, so two tokenizers with identical vocabularies can
+  // split the same word differently — this is the counter to use when
+  // the budget must match a specific trained tokenizer exactly.
+  // Not ANSI-SQL-expressible; gated via stored-expected-columns
+  // (t22_bpe_tokens: expectations hand-derived from the paper's
+  // algorithm over a published example merge table).
+  // ------------------------------------------------------------------
+
+  /** Merge-rank BPE encoder. `merges` is the trained merge table in
+    * rank order (index = priority, lower wins). Inference per word:
+    * start from code-point symbols; repeatedly find the adjacent
+    * symbol pair with the LOWEST merge rank and fuse every
+    * left-to-right non-overlapping occurrence of that pair; stop when
+    * no adjacent pair is in the table. A final symbol absent from the
+    * vocabulary counts as unknown (byte-level BPE models never produce
+    * one; character-level models can).
+    *
+    * Rank map and vocab set rebuild lazily per executor after closure
+    * deserialization (same pattern as [[Greedy]]); merge tables are
+    * tokenizer-sized (~50k pairs ≈ 1 MB), task-binary scale.
+    */
+  final class BpeEncoder(vocab: Array[String],
+                         merges: Array[(String, String)]) extends Serializable {
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](math.max(16, merges.length * 2))
+      var i = 0
+      while (i < merges.length) {
+        // "\u0000"-joined pair key: tokens never contain NUL
+        val k = merges(i)._1 + "\u0000" + merges(i)._2
+        if (!m.containsKey(k)) m.put(k, i) // first (lowest) rank wins
+        i += 1
+      }
+      m
+    }
+    @transient private lazy val vocabSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](math.max(16, vocab.length * 2))
+      vocab.foreach(s.add)
+      s
+    }
+
+    /** Final BPE symbols of one word (code-point start symbols). */
+    def encodeWord(word: String): Array[String] = {
+      if (word.isEmpty) return Array.empty
+      // split into code points
+      var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < word.length) {
+        val n = Character.charCount(word.codePointAt(pos))
+        syms += word.substring(pos, pos + n)
+        pos += n
+      }
+      var done = syms.length < 2
+      while (!done) {
+        // lowest-rank adjacent pair present in the merge table
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get(syms(i) + "\u0000" + syms(i + 1))
+          if (r != null && r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (a, b) = merges(best)
+          val fused = a + b
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              next += fused; j += 2 // non-overlapping, left to right
+            } else { next += syms(j); j += 1 }
+          }
+          syms = next
+          done = syms.length < 2
+        }
+      }
+      syms.toArray
+    }
+
+    /** (tokens, unknowns) for one word under merge-rank BPE. */
+    def count(word: String): (Int, Int) = {
+      val syms = encodeWord(word)
+      var unk = 0
+      var i = 0
+      while (i < syms.length) {
+        if (!vocabSet.contains(syms(i))) unk += 1
+        i += 1
+      }
+      (syms.length, unk)
+    }
+  }
+
+  /** Load the merge table from a HuggingFace-format `tokenizer.json`:
+    * `model.merges` as an array of `"a b"` strings (classic form) or
+    * `["a", "b"]` pair arrays (current form). Order in the file IS the
+    * rank order. Fails loud on a merge-free file — running merge-rank
+    * BPE with zero merges would silently bill every character as one
+    * token.
+    */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fsPath = new Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(fsPath), s"tokenizer.json not found at $path")
+    val text = {
+      val in = fs.open(fsPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val merges: Seq[(String, String)] = (JsonMethods.parse(text) \ "model" \ "merges") match {
+      case JArray(items) => items.collect {
+        case JString(s) if s.indexOf(' ') > 0 =>
+          val i = s.indexOf(' ')
+          (s.substring(0, i), s.substring(i + 1))
+        case JArray(JString(a) :: JString(b) :: Nil) => (a, b)
+      }
+      case _ => Seq.empty
+    }
+    require(merges.nonEmpty, s"tokenizer.json at $path has no extractable merges")
+    merges
+  }
+
+  /** Array-of-tokens column for whitespace-tokenized text under
+    * merge-rank BPE — the full segmentation, for gates and debugging.
+    * NULL text yields an empty array. One scan, no shuffle.
+    */
+  def bpeTokens(textCol: Column, vocab: Seq[String],
+                merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "bpeTokens needs a non-empty merge table")
+    val enc = new BpeEncoder(vocab.toArray, merges.toArray)
+    val f = udf { text: String =>
+      if (text == null) Array.empty[String]
+      else text.split("[ \\t\\n\\f\\r]+").iterator
+        .filter(_.nonEmpty).flatMap(enc.encodeWord).toArray
+    }
+    f(textCol)
+  }
+
+  /** Column of [[TokenCounts]] under merge-rank BPE — the
+    * trained-tokenizer-exact analogue of [[tokenCounts]].
+    */
+  def bpeTokenCounts(textCol: Column, vocab: Seq[String],
+                     merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "bpeTokenCounts needs a non-empty merge table")
+    val enc = new BpeEncoder(vocab.toArray, merges.toArray)
+    val f = udf { text: String =>
+      if (text == null) TokenCounts(0, 0)
+      else {
+        var tok = 0; var unk = 0
+        text.split("[ \\t\\n\\f\\r]+").foreach { w =>
+          if (w.nonEmpty) {
+            val (t, u) = enc.count(w)
+            tok += t; unk += u
+          }
+        }
+        TokenCounts(tok, unk)
+      }
+    }
+    f(textCol)
+  }
 }

@@ -290,6 +290,29 @@ object TextQueries {
     //    added_tokens entry ("omer") to segment as cust+omer, so the
     //    gate numbers certify added-token loading too; 'w'/'y' are
     //    deliberately absent from the vocab → known unk counts. -------
+    // -- t22: TRUE merge-rank BPE (Sennrich inference: lowest-rank
+    //    adjacent pair fuses everywhere, repeat) over the paper's own
+    //    example merge table, loaded through the tokenizer.json parse
+    //    path (vocab + merges). The full segmentations are UNDER the
+    //    hash — merge ORDER is certified, not just counts; greedy
+    //    longest-match (t14's rule) would get "lowest"→low+est right
+    //    but "widestnewest" and the rank-interleave cases wrong.
+    //    Expectations hand-derived and stored (m-gate pattern; merge
+    //    semantics are not ANSI-SQL-expressible). --------------------
+    "t22_bpe_tokens" -> { (s, _) =>
+      writeT22Fixture(s)
+      val vocab = graft.ops.VocabTokenizer.loadVocab(s, t22TokenizerPath)
+      val merges = graft.ops.VocabTokenizer.loadMerges(s, t22TokenizerPath)
+      val toks = graft.ops.VocabTokenizer.bpeTokens(col("text"), vocab, merges)
+      val counts = graft.ops.VocabTokenizer.bpeTokenCounts(col("text"), vocab, merges)
+      s.read.parquet(t22WordsDir)
+        .select(col("word_id"),
+          array_join(toks, " ").as("tokens"),
+          counts.getField("n_tokens").cast("long").as("n_tokens"),
+          counts.getField("n_unk").cast("long").as("n_unk"))
+        .orderBy("word_id")
+    },
+
     "t14_vocab_tokens" -> { (s, d) =>
       writeT14Tokenizer()
       val vocab = graft.ops.VocabTokenizer.loadVocab(s, t14TokenizerPath)
@@ -474,6 +497,59 @@ object TextQueries {
     java.nio.file.Files.write(java.nio.file.Paths.get(t14TokenizerPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
+  }
+
+  /** t22 fixture: merge-rank BPE over the CLASSIC published example
+    * merge table (the low/lower/newest/widest family of Sennrich et
+    * al. 2016, §3.2) — expectations HAND-DERIVED from the paper's
+    * algorithm, stored next to the words (the m-gate
+    * stored-expected-columns pattern; merge-order semantics are not
+    * ANSI-SQL-expressible, which is exactly why the engine also keeps
+    * the SQL-gateable greedy rule of t14). The tokenizer.json round
+    * trip is part of the gate: vocab AND merges load through the same
+    * parse path a HuggingFace file takes.
+    */
+  private val t22Merges: Seq[(String, String)] = Seq(
+    ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("n", "e"),
+    ("ne", "w"), ("new", "est"), ("w", "i"), ("wi", "d"),
+    ("wid", "est"), ("e", "r"))
+  private val t22Vocab: Seq[String] =
+    Seq("d", "e", "i", "l", "n", "o", "r", "s", "t", "w",
+      "es", "est", "lo", "low", "ne", "new", "newest", "wi", "wid",
+      "widest", "er")
+  private val t22TokenizerPath = "/tmp/graft_gate_t22_tokenizer.json"
+  private val t22WordsDir = "/tmp/graft_gate_t22_words"
+
+  private def writeT22Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    // current-form merges: [a, b] pair arrays (the string form is
+    // spec-pinned in BpeTokenizerSpec)
+    val vocabJson = t22Vocab.zipWithIndex
+      .map { case (t, i) => s""""$t": $i""" }.mkString(", ")
+    val mergesJson = t22Merges
+      .map { case (a, b) => s"""["$a", "$b"]""" }.mkString(", ")
+    java.nio.file.Files.write(java.nio.file.Paths.get(t22TokenizerPath),
+      s"""{"model": {"type": "BPE", "vocab": {$vocabJson}, "merges": [$mergesJson]}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // (word_id, text, expected tokens space-joined, expected counts) —
+    // every expectation traced by hand through the rank table above.
+    val rows: Seq[(Long, String, String, Long, Long)] = Seq(
+      (0L, "low", "low", 1L, 0L),
+      (1L, "lower", "low er", 2L, 0L), // (l,o) r2 before (e,r) r10
+      (2L, "newest", "newest", 1L, 0L),
+      (3L, "widest", "widest", 1L, 0L),
+      (4L, "lowest", "low est", 2L, 0L), // est fuses before lo reaches it
+      (5L, "news", "new s", 2L, 0L),
+      (6L, "ester", "est er", 2L, 0L), // (e,s) r0 wins over (e,r) r10
+      (7L, "eses", "es es", 2L, 0L), // ALL occurrences fuse in one step
+      (8L, "xyz", "x y z", 3L, 3L), // no merges, all unknown
+      (9L, "lox", "lo x", 2L, 1L), // partial merge + unknown tail
+      (10L, "widestnewest", "widest newest", 2L, 0L), // rank interleave
+      (11L, "low lower lowest", "low low er low est", 5L, 0L),
+      (12L, "l😀w", "l 😀 w", 3L, 1L)) // emoji = ONE code-point symbol
+    s.createDataset(rows)
+      .toDF("word_id", "text", "exp_tokens", "exp_n", "exp_unk")
+      .coalesce(1).write.mode("overwrite").parquet(t22WordsDir)
   }
 
   /** t13 fixture markup, synthesized from the documents table with the
@@ -794,6 +870,11 @@ object TextQueries {
     // (the correlated max-length probe), or by one UNKNOWN character.
     // Distinct words recurse once each; per-doc counts re-expand
     // through the (doc, word) multiplicity join.
+    "t22_bpe_tokens" ->
+      s"""SELECT word_id, exp_tokens AS tokens, exp_n AS n_tokens,
+         |  exp_unk AS n_unk
+         |FROM read_parquet('$t22WordsDir/*.parquet')
+         |ORDER BY word_id""".stripMargin,
     "t14_vocab_tokens" -> {
       val vocabValues = (t14ModelVocab ++ t14AddedTokens)
         .map(v => s"('$v')").mkString(", ")

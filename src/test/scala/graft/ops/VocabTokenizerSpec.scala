@@ -93,4 +93,85 @@ class VocabTokenizerSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VocabTokenizer.tokenCounts(col("t"), Seq.empty))
   }
+
+  // ---- merge-rank BPE (true inference, Sennrich et al. 2016) --------
+
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("n", "e"),
+    ("ne", "w"), ("new", "est"), ("w", "i"), ("wi", "d"),
+    ("wid", "est"), ("e", "r"))
+  private val bpeVocab: Seq[String] =
+    Seq("d", "e", "i", "l", "n", "o", "r", "s", "t", "w",
+      "es", "est", "lo", "low", "ne", "new", "newest", "wi", "wid",
+      "widest", "er")
+  private def bpe = new VocabTokenizer.BpeEncoder(
+    bpeVocab.toArray, bpeMerges.toArray)
+
+  test("bpe: merge rank decides segmentation, not match length") {
+    assert(bpe.encodeWord("low").toSeq == Seq("low"))
+    assert(bpe.encodeWord("lower").toSeq == Seq("low", "er"))
+    assert(bpe.encodeWord("newest").toSeq == Seq("newest"))
+    assert(bpe.encodeWord("widest").toSeq == Seq("widest"))
+    // (e,s) rank 0 outranks (l,o): est forms before lo would reach it
+    assert(bpe.encodeWord("lowest").toSeq == Seq("low", "est"))
+    // (e,s) rank 0 outranks (e,r) on the SAME 'e'
+    assert(bpe.encodeWord("ester").toSeq == Seq("est", "er"))
+    // two words' merge chains interleave by rank without interference
+    assert(bpe.encodeWord("widestnewest").toSeq == Seq("widest", "newest"))
+  }
+
+  test("bpe: the best pair fuses at ALL occurrences in one step") {
+    assert(bpe.encodeWord("eses").toSeq == Seq("es", "es"))
+    // overlap guard: after fusing at i the scan continues past the
+    // fused pair — "sss" under a (s,s) merge yields ss + s, not s + ss
+    val m = new VocabTokenizer.BpeEncoder(
+      Array("s", "ss"), Array(("s", "s")))
+    assert(m.encodeWord("sss").toSeq == Seq("ss", "s"))
+  }
+
+  test("bpe: unknowns are symbols absent from the vocab; emoji is one symbol") {
+    assert(bpe.count("xyz") == (3, 3))
+    assert(bpe.count("lox") == (2, 1))
+    assert(bpe.encodeWord("l😀w").toSeq == Seq("l", "😀", "w"))
+    assert(bpe.count("l😀w") == (3, 1))
+    assert(bpe.encodeWord("").isEmpty)
+    assert(bpe.count("low") == (1, 0))
+  }
+
+  test("bpe: duplicate merge pairs keep the FIRST (lowest) rank") {
+    val m = new VocabTokenizer.BpeEncoder(
+      Array("a", "b", "ab"),
+      Array(("a", "b"), ("a", "b"))) // rank 0 wins, no ambiguity
+    assert(m.encodeWord("ab").toSeq == Seq("ab"))
+  }
+
+  test("bpe: column API sums per-word counts and handles null") {
+    val counts = VocabTokenizer.bpeTokenCounts(col("t"), bpeVocab, bpeMerges)
+    val toks = VocabTokenizer.bpeTokens(col("t"), bpeVocab, bpeMerges)
+    val r = Seq((1, "low lower lowest"), (2, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), counts.as("c"), array_join(toks, " ").as("j"))
+      .orderBy("id").collect()
+    assert(r(0).getStruct(1).getInt(0) == 5) // low | low er | low est
+    assert(r(0).getString(2) == "low low er low est")
+    assert(r(1).getStruct(1).getInt(0) == 0)
+    assert(r(1).getString(2) == "")
+  }
+
+  test("loadMerges parses both published forms and fails loud without merges") {
+    val s1 = tmpDir("tok").resolve("merges_str.json")
+    write(s1, """{"model": {"merges": ["e s", "es t"]}}""")
+    assert(VocabTokenizer.loadMerges(spark, s1.toString) ==
+      Seq(("e", "s"), ("es", "t")))
+
+    val s2 = tmpDir("tok").resolve("merges_arr.json")
+    write(s2, """{"model": {"merges": [["e", "s"], ["es", "t"]]}}""")
+    assert(VocabTokenizer.loadMerges(spark, s2.toString) ==
+      Seq(("e", "s"), ("es", "t")))
+
+    val s3 = tmpDir("tok").resolve("no_merges.json")
+    write(s3, """{"model": {"vocab": {"a": 0}}}""")
+    intercept[IllegalArgumentException](
+      VocabTokenizer.loadMerges(spark, s3.toString))
+  }
 }
