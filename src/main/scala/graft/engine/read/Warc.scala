@@ -1,0 +1,489 @@
+package graft.engine.read
+
+import java.io.{BufferedInputStream, InputStream}
+import java.net.URI
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.SerializableConfiguration
+
+/** WARC (ISO 28500) / WET crawl archive source — the canonical input of
+  * a web-scale training-data pipeline (Common Crawl publishes ~100 TB
+  * per monthly snapshot in exactly this format). Pure-JVM streaming
+  * parser, no archive library: a WARC file is a sequence of records
+  *
+  * {{{
+  * WARC/1.0<CRLF>
+  * Name: value<CRLF> ...            (continuation lines begin SP/HT)
+  * <CRLF>
+  * <Content-Length bytes of payload>
+  * <CRLF><CRLF>
+  * }}}
+  *
+  * Reference scope: the reference ingests pre-extracted files
+  * (`ingestors/base.py:328-412` walks CSV/JSON/image trees); a crawl
+  * container format is beyond-reference surface, same family as the
+  * media probes.
+  *
+  * Parser stance (mirrors [[graft.engine.validate.AudioProbe]]: crawl
+  * data lies, machine-framing does not):
+  *   - framing errors in a COMPLETE line (bad version line, header
+  *     without ':', missing/malformed Content-Length) fail loud with
+  *     the stream offset — a corrupt archive must not silently drop
+  *     records;
+  *   - EOF truncation is data, not a bug: a payload cut short is
+  *     emitted with `truncated=true`; a record cut mid-header (no
+  *     blank-line terminator yet) is dropped silently — every byte
+  *     prefix of a valid file parses to a prefix of its records
+  *     (WarcSpec fuzzes exactly this);
+  *   - payloads longer than `maxPayloadBytes` are clamped (flagged
+  *     `truncated`) and the remainder skipped, keeping the stream in
+  *     frame — a pathological 2 GB record cannot OOM an executor;
+  *   - gzip is detected by magic bytes, not filename, and multi-member
+  *     archives (Common Crawl gzips each record separately so byte
+  *     ranges stay seekable) decompress as one stream.
+  *
+  * Scale shape: one task per FILE — a .warc.gz is unsplittable
+  * (whole-stream gzip) and Common Crawl sizes segments ~1 GB
+  * precisely so file-granularity is the parallel unit; at 100 TB that
+  * is ~100k files spread over the cluster by round-robin repartition
+  * of the path list (never the bytes). Payload bytes stream through
+  * `mapPartitions` one record at a time — no whole-file buffering, no
+  * driver collect.
+  */
+object Warc {
+
+  /** One parsed record. `headers` preserves file order and duplicate
+    * keys; lookups are case-insensitive per spec.
+    */
+  final case class Record(
+      recordIndex: Long,
+      offset: Long,
+      version: String,
+      headers: Seq[(String, String)],
+      payload: Array[Byte],
+      truncated: Boolean) {
+
+    def header(name: String): Option[String] =
+      headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
+
+    def warcType: String = header("WARC-Type").getOrElse("")
+    def recordId: Option[String] = header("WARC-Record-ID")
+    def targetUri: Option[String] = header("WARC-Target-URI")
+    def warcDate: Option[String] = header("WARC-Date")
+    def contentType: Option[String] = header("Content-Type")
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Streaming record iterator                                        //
+  // ---------------------------------------------------------------- //
+
+  /** Input wrapper tracking the (decompressed) byte offset — error
+    * messages and record provenance both want it.
+    */
+  private final class Counted(in: InputStream) {
+    var pos: Long = 0L
+    def read(): Int = {
+      val b = in.read()
+      if (b >= 0) pos += 1
+      b
+    }
+    /** Read up to n bytes; short only at EOF. */
+    def readN(buf: Array[Byte], n: Int): Int = {
+      var got = 0
+      var eof = false
+      while (got < n && !eof) {
+        val r = in.read(buf, got, n - got)
+        if (r < 0) eof = true else got += r
+      }
+      pos += got
+      got
+    }
+    def skipN(n: Long): Long = {
+      var left = n
+      var eof = false
+      while (left > 0 && !eof) {
+        val r = in.skip(left)
+        if (r > 0) { pos += r; left -= r }
+        else {
+          // skip() may legally return 0 without EOF; disambiguate
+          val b = in.read()
+          if (b < 0) eof = true else { pos += 1; left -= 1 }
+        }
+      }
+      n - left
+    }
+  }
+
+  /** A header/version line: bytes up to `\n` (CR stripped), plus
+    * whether the newline was actually seen (false ⇒ EOF-terminated,
+    * i.e. a truncated tail, never a framing error).
+    */
+  private final case class Line(text: String, complete: Boolean,
+                                empty: Boolean)
+
+  private def readLine(in: Counted): Option[Line] = {
+    val buf = new ArrayBuffer[Byte](96)
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') { buf += b.toByte; b = in.read() }
+    val complete = b == '\n'
+    var n = buf.length
+    if (n > 0 && buf(n - 1) == '\r') n -= 1
+    val text = new String(buf.toArray, 0, n, StandardCharsets.UTF_8)
+    Some(Line(text, complete, n == 0))
+  }
+
+  private def bad(pos: Long, msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"malformed WARC at byte $pos: $msg")
+
+  /** Stream records out of `in` (takes ownership; closes on
+    * exhaustion). See the object doc for the truncation/failure
+    * contract.
+    */
+  def records(in: InputStream,
+              maxPayloadBytes: Int = DefaultMaxPayloadBytes)
+  : Iterator[Record] = {
+    require(maxPayloadBytes > 0, "maxPayloadBytes must be positive")
+    val cin = new Counted(in)
+    var index = 0L
+    var finished = false
+
+    def nextRecord(): Option[Record] = {
+      if (finished) return None
+      // 1. skip inter-record blank lines (the \r\n\r\n trailer of the
+      //    previous record, plus any lenient extras)
+      var line: Option[Line] = readLine(cin)
+      while (line.exists(l => l.empty && l.complete)) line = readLine(cin)
+      line match {
+        case None =>
+          finished = true; in.close(); None
+        case Some(l) if !l.complete =>
+          // EOF inside the version line (or a final stray fragment):
+          // truncated tail, drop silently
+          finished = true; in.close(); None
+        case Some(l) if !l.text.startsWith("WARC/") =>
+          bad(cin.pos, s"expected version line, got '${l.text.take(40)}'")
+        case Some(l) =>
+          val offset = cin.pos - l.text.length - 2 // best-effort (CRLF)
+          val version = l.text
+          // 2. headers until blank line
+          val hdrs = ArrayBuffer.empty[(String, String)]
+          var done = false
+          while (!done) {
+            readLine(cin) match {
+              case None => finished = true; in.close(); return None
+              case Some(h) if !h.complete =>
+                finished = true; in.close(); return None
+              case Some(h) if h.empty => done = true
+              case Some(h) if h.text.charAt(0) == ' ' ||
+                  h.text.charAt(0) == '\t' =>
+                if (hdrs.isEmpty)
+                  bad(cin.pos, "continuation line before any header")
+                val (k, v) = hdrs.last
+                hdrs(hdrs.length - 1) = (k, v + " " + h.text.trim)
+              case Some(h) =>
+                val i = h.text.indexOf(':')
+                if (i <= 0) bad(cin.pos, s"header without ':': '${h.text.take(40)}'")
+                hdrs += ((h.text.substring(0, i).trim,
+                  h.text.substring(i + 1).trim))
+            }
+          }
+          // 3. Content-Length is the framing — required
+          val lenStr = hdrs.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("Content-Length") => v
+          }.getOrElse(bad(cin.pos, "record without Content-Length"))
+          val len =
+            try java.lang.Long.parseLong(lenStr)
+            catch { case _: NumberFormatException =>
+              bad(cin.pos, s"unparseable Content-Length '$lenStr'") }
+          if (len < 0) bad(cin.pos, s"negative Content-Length $len")
+          // 4. payload, clamped to maxPayloadBytes but kept in frame
+          val want = math.min(len, maxPayloadBytes.toLong).toInt
+          val buf = new Array[Byte](want)
+          val got = cin.readN(buf, want)
+          var truncated = got < len
+          if (got < want) { // EOF inside payload
+            finished = true
+            in.close()
+          } else if (len > want) { // clamp: skip the tail, stay framed
+            val skipped = cin.skipN(len - want)
+            if (skipped < len - want) { finished = true; in.close() }
+          }
+          val payload = if (got == buf.length) buf else buf.take(got)
+          val rec = Record(index, offset, version, hdrs.toSeq, payload,
+            truncated)
+          index += 1
+          Some(rec)
+      }
+    }
+
+    new Iterator[Record] {
+      private var nextR: Option[Record] = null
+      private def advance(): Unit = if (nextR == null) nextR = nextRecord()
+      def hasNext: Boolean = { advance(); nextR.isDefined }
+      def next(): Record = {
+        advance()
+        val r = nextR.getOrElse(throw new NoSuchElementException)
+        nextR = null
+        r
+      }
+    }
+  }
+
+  val DefaultMaxPayloadBytes: Int = 16 << 20
+
+  /** Gzip by content, not filename: 1f 8b magic. Multi-member streams
+    * (Common Crawl's per-record members) are handled by
+    * GZIPInputStream's built-in member concatenation.
+    */
+  def maybeGunzip(raw: InputStream): InputStream = {
+    val buf = new BufferedInputStream(raw, 1 << 16)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buf, 1 << 16)
+    else buf
+  }
+
+  // ---------------------------------------------------------------- //
+  //  HTTP payload split (response records carry raw HTTP messages)    //
+  // ---------------------------------------------------------------- //
+
+  final case class Http(status: Int, headers: Seq[(String, String)],
+                        body: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
+    def contentType: Option[String] = header("Content-Type")
+  }
+
+  /** Split a raw HTTP message into status/headers/body. Returns None
+    * when the payload is not an HTTP message (no loud failure here:
+    * response payloads are CONTENT, and crawl content lies). Chunked
+    * transfer encoding is decoded — crawlers store the wire bytes, so
+    * chunk framing survives into archives; truncated chunk streams
+    * yield the bytes present.
+    */
+  def splitHttp(payload: Array[Byte]): Option[Http] = {
+    if (payload == null) return None
+    // header/body boundary: first \r\n\r\n or \n\n, whichever earlier
+    var crlf = -1; var lf = -1
+    var i = 0
+    while ((crlf < 0 || lf < 0) && i < payload.length - 1) {
+      if (crlf < 0 && i < payload.length - 3 && payload(i) == '\r' &&
+          payload(i + 1) == '\n' && payload(i + 2) == '\r' &&
+          payload(i + 3) == '\n') crlf = i
+      if (lf < 0 && payload(i) == '\n' && payload(i + 1) == '\n') lf = i
+      i += 1
+    }
+    val (hdrEnd, bodyStart) =
+      if (crlf >= 0 && (lf < 0 || crlf <= lf)) (crlf, crlf + 4)
+      else if (lf >= 0) (lf, lf + 2)
+      else (payload.length, payload.length)
+    val head = new String(payload, 0, hdrEnd, StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return None
+    val statusParts = lines(0).split(" +", 3)
+    if (statusParts.length < 2) return None
+    val status =
+      try statusParts(1).toInt catch { case _: NumberFormatException => return None }
+    val hdrs = ArrayBuffer.empty[(String, String)]
+    var j = 1
+    while (j < lines.length) {
+      val ln = lines(j)
+      if (ln.nonEmpty && (ln.charAt(0) == ' ' || ln.charAt(0) == '\t')) {
+        if (hdrs.nonEmpty) {
+          val (k, v) = hdrs.last
+          hdrs(hdrs.length - 1) = (k, v + " " + ln.trim)
+        }
+      } else {
+        val c = ln.indexOf(':')
+        if (c > 0) hdrs += ((ln.substring(0, c).trim, ln.substring(c + 1).trim))
+      }
+      j += 1
+    }
+    var body =
+      if (bodyStart >= payload.length) Array.empty[Byte]
+      else java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+    val chunked = hdrs.exists { case (k, v) =>
+      k.equalsIgnoreCase("Transfer-Encoding") &&
+        v.toLowerCase.contains("chunked")
+    }
+    if (chunked) body = dechunk(body)
+    Some(Http(status, hdrs.toSeq, body))
+  }
+
+  /** Decode HTTP/1.1 chunked framing: `<hex-size>[;ext]\r\n data \r\n`
+    * repeated, `0`-size terminates. Truncation-tolerant: emits the
+    * bytes present and stops at the first frame that does not parse.
+    */
+  private[read] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](body.length)
+    var p = 0
+    var ok = true
+    while (ok && p < body.length) {
+      // read the size line
+      var e = p
+      while (e < body.length && body(e) != '\n') e += 1
+      if (e >= body.length) ok = false
+      else {
+        var lineEnd = e
+        if (lineEnd > p && body(lineEnd - 1) == '\r') lineEnd -= 1
+        val sizeStr = new String(body, p, lineEnd - p,
+          StandardCharsets.ISO_8859_1).split(";")(0).trim
+        val size =
+          try java.lang.Long.parseLong(sizeStr, 16)
+          catch { case _: NumberFormatException => ok = false; -1L }
+        if (!ok || size < 0) ok = false
+        else if (size == 0) { p = body.length; } // terminator (+trailers)
+        else {
+          val start = e + 1
+          val take = math.min(size, (body.length - start).toLong).toInt
+          if (take > 0) out ++= java.util.Arrays.copyOfRange(body, start,
+            start + take)
+          if (take < size) ok = false // truncated chunk: stop
+          else {
+            p = start + take
+            // consume the trailing CRLF of the chunk
+            if (p < body.length && body(p) == '\r') p += 1
+            if (p < body.length && body(p) == '\n') p += 1
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Decode content bytes to text honoring a `charset=` parameter when
+    * the JVM knows it; UTF-8 with replacement otherwise. Never throws:
+    * crawl content declares charsets that do not exist.
+    */
+  def decodeText(bytes: Array[Byte], contentType: String): String = {
+    if (bytes == null) return null
+    val cs: Charset = {
+      val m = CharsetRe.findFirstMatchIn(
+        if (contentType == null) "" else contentType)
+      m.map(_.group(1).trim.stripPrefix("\"").stripSuffix("\""))
+        .flatMap { name =>
+          try Some(Charset.forName(name)) catch { case _: Exception => None }
+        }
+        .getOrElse(StandardCharsets.UTF_8)
+    }
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  private val CharsetRe =
+    """(?i)charset\s*=\s*("[^"]+"|[^;\s]+)""".r
+
+  // ---------------------------------------------------------------- //
+  //  Spark face                                                       //
+  // ---------------------------------------------------------------- //
+
+  /** Flat row shape of [[scan]] — WARC named fields promoted to
+    * columns, full header list kept as a map-ish array for the rare
+    * consumer that needs `WARC-Concurrent-To` etc.
+    */
+  final case class ScanRow(
+      src_file: String, record_index: Long, offset: Long,
+      warc_type: String, record_id: String, target_uri: String,
+      warc_date: String, content_type: String, content_length: Long,
+      truncated: Boolean, payload: Array[Byte])
+
+  /** Distributed WARC scan: `pathGlob` lists distributedly (binaryFile
+    * source, content column never requested ⇒ never read), paths
+    * round-robin over the cluster, each file streamed record-by-record
+    * on its executor. Output one row per record; `payload` holds the
+    * raw record block (HTTP message for response records — see
+    * [[httpColumns]] / [[toDocuments]]).
+    */
+  def scan(spark: SparkSession, pathGlob: String,
+           maxPayloadBytes: Int = DefaultMaxPayloadBytes): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    val paths = spark.read.format("binaryFile").load(pathGlob)
+      .select("path").as[String]
+    paths
+      .repartition(par)
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val path = new Path(new URI(p))
+          val fs = path.getFileSystem(conf.value)
+          val in = maybeGunzip(fs.open(path))
+          records(in, maxPayloadBytes).map { r =>
+            ScanRow(p, r.recordIndex, r.offset, r.warcType,
+              r.recordId.orNull, r.targetUri.orNull,
+              r.warcDate.orNull, r.contentType.orNull,
+              r.payload.length.toLong, r.truncated, r.payload)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** HTTP columns for response records: ONE parse per row (a struct-
+    * returning kernel, fields projected out) — status, declared
+    * content type, and the body decoded per its charset. Non-HTTP
+    * payloads yield a null struct. Loop-dominated per-row byte kernel
+    * ⇒ UDF by the repo's documented precedent (MinHash et al.).
+    */
+  def httpStruct: Column = {
+    val f = udf { payload: Array[Byte] =>
+      splitHttp(payload).map { h =>
+        (h.status, h.contentType.orNull,
+          decodeText(h.body, h.contentType.orNull))
+      }
+    }
+    f(col("payload")).as("http")
+  }
+
+  /** Crawl archive → documents frame, the bridge into the curation
+    * pipeline: conversion/resource records (WET) decode payload text
+    * directly; response records split HTTP and extract visible text
+    * from HTML bodies via [[graft.ops.TextAnalysis.htmlToText]].
+    * Output: `(doc_id, url, fetch_ts, source, text)`.
+    */
+  def toDocuments(scanned: DataFrame): DataFrame = {
+    val wet = scanned
+      .filter(col("warc_type").isin("conversion", "resource") &&
+        col("content_type").startsWith("text/"))
+      .select(col("record_id").as("doc_id"), col("target_uri").as("url"),
+        to_timestamp(col("warc_date")).as("fetch_ts"),
+        col("src_file").as("source"),
+        decodeTextCol(col("payload"), col("content_type")).as("text"))
+    val http = scanned
+      .filter(col("warc_type") === "response" &&
+        coalesce(col("content_type"), lit(""))
+          .startsWith("application/http"))
+      .select(col("record_id"), col("target_uri"), col("warc_date"),
+        col("src_file"), httpStruct)
+      .filter(col("http").isNotNull && col("http._1") === 200 &&
+        coalesce(col("http._2"), lit("")).contains("html"))
+      .select(col("record_id").as("doc_id"), col("target_uri").as("url"),
+        to_timestamp(col("warc_date")).as("fetch_ts"),
+        col("src_file").as("source"),
+        graft.ops.TextAnalysis.htmlToText(col("http._3")).as("text"))
+    wet.unionByName(http)
+  }
+
+  /** [[decodeText]] as a column (same kernel). */
+  def decodeTextCol(payload: Column, contentType: Column): Column = {
+    val f = udf { (b: Array[Byte], ct: String) => decodeText(b, ct) }
+    f(payload, contentType)
+  }
+}

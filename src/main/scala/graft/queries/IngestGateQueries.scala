@@ -64,6 +64,131 @@ object IngestGateQueries {
     ()
   }
 
+  // ---- S13/S14: WARC crawl-archive fixtures ------------------------
+  // A plain .warc and a multi-member .warc.gz authored byte-by-byte
+  // (the m7/m8 fixture pattern); expected columns derived from the SAME
+  // authored parts — payload md5 via MessageDigest over the byte
+  // arrays, document texts hand-traced through the published cascade —
+  // never by calling the parser under test. WARC framing is not
+  // ANSI-SQL-expressible, so the oracle replays the stored expectation
+  // (DuckDB recomputes n_chars itself, cross-checking length
+  // semantics).
+
+  private val warcDir = "/tmp/graft_gate_s13_warc"
+  private val warcExpectedDir = "/tmp/graft_gate_s13_expected"
+  private val wetExpectedDir = "/tmp/graft_gate_s14_expected"
+
+  private def warcRecord(tpe: String, id: String, date: String,
+                         uri: Option[String], contentType: String,
+                         payload: Array[Byte]): Array[Byte] = {
+    val iso = StandardCharsets.ISO_8859_1
+    val hdrs = Seq("WARC-Type" -> tpe,
+      "WARC-Record-ID" -> s"<urn:uuid:$id>", "WARC-Date" -> date) ++
+      uri.map("WARC-Target-URI" -> _) ++
+      Seq("Content-Type" -> contentType,
+        "Content-Length" -> payload.length.toString)
+    ("WARC/1.0" +: hdrs.map { case (k, v) => s"$k: $v" })
+      .mkString("", "\r\n", "\r\n\r\n").getBytes(iso) ++
+      payload ++ "\r\n\r\n".getBytes(iso)
+  }
+
+  private def httpMsg(status: String, contentType: String,
+                      body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status\r\nContent-Type: $contentType\r\n" +
+      "Server: graft-fixture\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ body
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  private def writeWarcFixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val utf8 = StandardCharsets.UTF_8
+    val iso = StandardCharsets.ISO_8859_1
+    // payloads (authored once; md5 + text expectations derive from
+    // these same arrays)
+    val pInfo = "software: graft-fixture\r\n".getBytes(iso)
+    val htmlUtf8 =
+      "<html><body><p>Hello &amp; welcome</p></body></html>".getBytes(utf8)
+    val pR1 = httpMsg("200 OK", "text/html; charset=UTF-8", htmlUtf8)
+    val wet1 = "First wet doc.\nLine two."
+    val pC1 = wet1.getBytes(utf8)
+    val htmlLatin =
+      "<html><body><p>café menu</p></body></html>".getBytes(iso)
+    val pR2 = httpMsg("200 OK", "text/html; charset=ISO-8859-1", htmlLatin)
+    val wet2 = "Deuxième document."
+    val pC2 = wet2.getBytes(utf8)
+    val pR3 = httpMsg("404 Not Found", "text/html", "<html>gone</html>".getBytes(utf8))
+
+    val aBytes =
+      warcRecord("warcinfo", "w0", "2026-08-14T06:00:00Z", None,
+        "application/warc-fields", pInfo) ++
+        warcRecord("response", "r1", "2026-08-14T06:01:00Z",
+          Some("http://example.com/one"),
+          "application/http; msgtype=response", pR1) ++
+        warcRecord("conversion", "c1", "2026-08-14T06:01:00Z",
+          Some("http://example.com/one"), "text/plain", pC1) ++
+        warcRecord("response", "r2", "2026-08-14T06:02:00Z",
+          Some("http://example.com/latin"),
+          "application/http; msgtype=response", pR2)
+    // Common Crawl member-per-record gzip shape
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    val bBytes =
+      gz(warcRecord("conversion", "c2", "2026-08-14T07:00:00Z",
+        Some("http://example.com/two"), "text/plain", pC2)) ++
+        gz(warcRecord("response", "r3", "2026-08-14T07:01:00Z",
+          Some("http://example.com/gone"),
+          "application/http; msgtype=response", pR3))
+
+    val dir = java.nio.file.Paths.get(warcDir)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    } else java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("a.warc"), aBytes)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), bBytes)
+
+    // s13 expected: one row per record, md5 from the authored arrays
+    Seq(
+      ("a.warc", 0L, "warcinfo", "<urn:uuid:w0>", null: String,
+        pInfo.length.toLong, false, md5hex(pInfo)),
+      ("a.warc", 1L, "response", "<urn:uuid:r1>", "http://example.com/one",
+        pR1.length.toLong, false, md5hex(pR1)),
+      ("a.warc", 2L, "conversion", "<urn:uuid:c1>", "http://example.com/one",
+        pC1.length.toLong, false, md5hex(pC1)),
+      ("a.warc", 3L, "response", "<urn:uuid:r2>", "http://example.com/latin",
+        pR2.length.toLong, false, md5hex(pR2)),
+      ("b.warc.gz", 0L, "conversion", "<urn:uuid:c2>",
+        "http://example.com/two", pC2.length.toLong, false, md5hex(pC2)),
+      ("b.warc.gz", 1L, "response", "<urn:uuid:r3>",
+        "http://example.com/gone", pR3.length.toLong, false, md5hex(pR3)))
+      .toDF("file", "record_index", "warc_type", "record_id",
+        "target_uri", "content_length", "truncated", "payload_md5")
+      .coalesce(1).write.mode("overwrite").parquet(warcExpectedDir)
+
+    // s14 expected: conversion text verbatim; response HTML traced by
+    // hand through the htmlToText cascade (</p> → \n, tags → space,
+    // &amp; → &, whitespace collapse+trim); r3 (404) must be absent.
+    Seq(
+      ("<urn:uuid:c1>", "http://example.com/one", "2026-08-14 06:01:00",
+        "a.warc", wet1),
+      ("<urn:uuid:r1>", "http://example.com/one", "2026-08-14 06:01:00",
+        "a.warc", "Hello & welcome"),
+      ("<urn:uuid:r2>", "http://example.com/latin", "2026-08-14 06:02:00",
+        "a.warc", "café menu"),
+      ("<urn:uuid:c2>", "http://example.com/two", "2026-08-14 07:00:00",
+        "b.warc.gz", wet2))
+      .toDF("doc_id", "url", "fetch_s", "file", "text")
+      .coalesce(1).write.mode("overwrite").parquet(wetExpectedDir)
+    ()
+  }
+
   /** Feature schema = declared schema minus the label/uid columns —
     * exactly `Ingestor.ingestLocked`'s projection.
     */
@@ -134,9 +259,47 @@ object IngestGateQueries {
         .select(col("data_id"), col("sku"),
           col("qty").cast("long").as("qty"), col("price"), col("ok"))
         .orderBy("data_id")
+    },
+
+    // -- S13: WARC crawl-archive scan — plain + multi-member-gzip
+    //    files streamed record-by-record (framing, named headers,
+    //    payload under an md5 witness). ------------------------------
+    "s13_warc_scan" -> { (s, _) =>
+      writeWarcFixture(s)
+      graft.engine.read.Warc.scan(s, warcDir)
+        .select(
+          regexp_extract(col("src_file"), "([^/]+)$", 1).as("file"),
+          col("record_index"), col("warc_type"), col("record_id"),
+          col("target_uri"), col("content_length"), col("truncated"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("file", "record_index")
+    },
+
+    // -- S14: WARC → documents bridge — WET conversion text verbatim,
+    //    HTTP 200 html responses split + charset-decoded + extracted
+    //    (htmlToText), non-200 dropped. ------------------------------
+    "s14_wet_documents" -> { (s, _) =>
+      writeWarcFixture(s)
+      val docs = graft.engine.read.Warc.toDocuments(
+        graft.engine.read.Warc.scan(s, warcDir))
+      docs.select(col("doc_id"), col("url"),
+        date_format(col("fetch_ts"), "yyyy-MM-dd HH:mm:ss").as("fetch_s"),
+        regexp_extract(col("source"), "([^/]+)$", 1).as("file"),
+        col("text"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     })
 
   def oracle: Map[String, String] = Map(
+    "s13_warc_scan" ->
+      s"""SELECT file, record_index, warc_type, record_id, target_uri,
+         |  content_length, truncated, payload_md5
+         |FROM read_parquet('$warcExpectedDir/*.parquet')
+         |ORDER BY file, record_index""".stripMargin,
+    "s14_wet_documents" ->
+      s"""SELECT doc_id, url, fetch_s, file, text,
+         |  length(text) AS n_chars
+         |FROM read_parquet('$wetExpectedDir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "s1_csv_ingest" ->
       s"""WITH raw AS (
          |  SELECT * FROM read_csv('$csvPath', header=true, all_varchar=true,

@@ -1,0 +1,201 @@
+package graft.engine.read
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+
+/** WARC parser contract: framing, truncation tolerance (every byte
+  * prefix parses to a record prefix), payload clamping that keeps the
+  * stream in frame, multi-member gzip, HTTP split incl. chunked
+  * decoding and charset handling, and the distributed scan.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def rec(tpe: String, id: String, payload: Array[Byte],
+                  extra: Seq[(String, String)] = Nil,
+                  contentLength: Option[Long] = None): Array[Byte] = {
+    val hdrs = Seq(
+      "WARC-Type" -> tpe, "WARC-Record-ID" -> s"<urn:uuid:$id>",
+      "WARC-Date" -> "2026-08-14T06:00:00Z") ++ extra ++
+      Seq("Content-Length" ->
+        contentLength.getOrElse(payload.length.toLong).toString)
+    val head = ("WARC/1.0" +: hdrs.map { case (k, v) => s"$k: $v" })
+      .mkString("", "\r\n", "\r\n\r\n").getBytes(ISO_8859_1)
+    head ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  private val httpHtml: Array[Byte] =
+    ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      "Server: test\r\n\r\n" +
+      "<html><body><p>Hello &amp; welcome</p></body></html>")
+      .getBytes(UTF_8)
+
+  private val wetText = "Plain  extracted text.\nSecond line."
+  private val fileBytes: Array[Byte] =
+    rec("warcinfo", "aaa", "software: graft-test\r\n".getBytes(ISO_8859_1),
+      extra = Seq("Content-Type" -> "application/warc-fields")) ++
+      rec("response", "bbb", httpHtml,
+        extra = Seq(
+          "WARC-Target-URI" -> "http://example.com/a",
+          "Content-Type" -> "application/http; msgtype=response")) ++
+      rec("conversion", "ccc", wetText.getBytes(UTF_8),
+        extra = Seq(
+          "WARC-Target-URI" -> "http://example.com/a",
+          "Content-Type" -> "text/plain"))
+
+  private def parse(bytes: Array[Byte], cap: Int = Warc.DefaultMaxPayloadBytes) =
+    Warc.records(new ByteArrayInputStream(bytes), cap).toVector
+
+  test("canonical multi-record file parses fully") {
+    val rs = parse(fileBytes)
+    assert(rs.map(_.warcType) == Vector("warcinfo", "response", "conversion"))
+    assert(rs.map(_.recordIndex) == Vector(0L, 1L, 2L))
+    assert(rs(1).targetUri.contains("http://example.com/a"))
+    assert(rs(1).payload.sameElements(httpHtml))
+    assert(rs.forall(!_.truncated))
+    assert(new String(rs(2).payload, UTF_8) == wetText)
+    // offsets increase and point inside the stream
+    assert(rs.map(_.offset) == rs.map(_.offset).sorted)
+  }
+
+  test("header lookup is case-insensitive; continuation lines fold") {
+    val payload = "x".getBytes(ISO_8859_1)
+    val raw = ("WARC/1.0\r\n" +
+      "WARC-Type: metadata\r\n" +
+      "X-Long: part one\r\n" +
+      "   part two\r\n" +
+      "content-length: 1\r\n\r\n").getBytes(ISO_8859_1) ++ payload
+    val rs = parse(raw)
+    assert(rs.size == 1)
+    assert(rs(0).header("x-long").contains("part one part two"))
+    assert(rs(0).header("CONTENT-LENGTH").contains("1"))
+  }
+
+  test("every byte prefix parses to a prefix of the records, no throw") {
+    val full = parse(fileBytes)
+    (0 to fileBytes.length).foreach { n =>
+      val rs = parse(fileBytes.take(n))
+      assert(rs.size <= full.size, s"prefix $n over-produced")
+      // complete (untruncated) records must match the full parse
+      rs.zip(full).foreach { case (a, b) =>
+        assert(a.warcType == b.warcType, s"prefix $n type drift")
+        if (!a.truncated)
+          assert(a.payload.sameElements(b.payload), s"prefix $n payload drift")
+        else
+          assert(a.payload.length <= b.payload.length)
+      }
+    }
+  }
+
+  test("payload cap clamps, flags truncated, and stays in frame") {
+    val rs = parse(fileBytes, cap = 10)
+    assert(rs.size == 3) // later records still parse — stream stayed framed
+    assert(rs.forall(_.truncated))
+    assert(rs.forall(_.payload.length == 10))
+    assert(rs(1).payload.sameElements(httpHtml.take(10)))
+  }
+
+  test("declared length overrunning the file truncates the last record") {
+    val raw = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 1000\r\n\r\nabc").getBytes(ISO_8859_1)
+    val rs = parse(raw)
+    assert(rs.size == 1 && rs(0).truncated)
+    assert(new String(rs(0).payload, ISO_8859_1) == "abc")
+  }
+
+  test("framing errors in complete lines fail loud with offset") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: metadata\r\n\r\n")
+      .getBytes(ISO_8859_1)
+    val e1 = intercept[IllegalArgumentException](parse(noLen))
+    assert(e1.getMessage.contains("Content-Length"))
+    val badVersion = "NOPE/1.0\r\n\r\n".getBytes(ISO_8859_1)
+    val e2 = intercept[IllegalArgumentException](parse(badVersion))
+    assert(e2.getMessage.contains("version"))
+    val badHeader = ("WARC/1.0\r\nno colon here\r\n\r\n").getBytes(ISO_8859_1)
+    val e3 = intercept[IllegalArgumentException](parse(badHeader))
+    assert(e3.getMessage.contains(":"))
+    val badLen = ("WARC/1.0\r\nContent-Length: xyz\r\n\r\n").getBytes(ISO_8859_1)
+    assert(intercept[IllegalArgumentException](parse(badLen))
+      .getMessage.contains("Content-Length"))
+  }
+
+  test("gzip by magic bytes; multi-member members concatenate") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    // Common Crawl shape: each record its own gzip member, concatenated
+    val members = gz(rec("metadata", "m1", "one".getBytes(ISO_8859_1))) ++
+      gz(rec("metadata", "m2", "two".getBytes(ISO_8859_1)))
+    val rs = Warc.records(Warc.maybeGunzip(
+      new ByteArrayInputStream(members))).toVector
+    assert(rs.map(r => new String(r.payload, ISO_8859_1)) ==
+      Vector("one", "two"))
+    // plain bytes pass through untouched
+    val plain = Warc.records(Warc.maybeGunzip(
+      new ByteArrayInputStream(fileBytes))).toVector
+    assert(plain.size == 3)
+  }
+
+  test("splitHttp: status, headers, body; non-HTTP payload is None") {
+    val h = Warc.splitHttp(httpHtml).get
+    assert(h.status == 200)
+    assert(h.contentType.contains("text/html; charset=UTF-8"))
+    assert(new String(h.body, UTF_8).startsWith("<html>"))
+    assert(Warc.splitHttp("just text".getBytes(UTF_8)).isEmpty)
+    assert(Warc.splitHttp(Array.empty[Byte]).isEmpty)
+    assert(Warc.splitHttp(null).isEmpty)
+  }
+
+  test("splitHttp decodes chunked transfer encoding") {
+    val msg = ("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      "4\r\nWiki\r\n6\r\npedia \r\nB;ext=1\r\nin chunks.\n\r\n0\r\n\r\n")
+      .getBytes(ISO_8859_1)
+    val h = Warc.splitHttp(msg).get
+    assert(new String(h.body, ISO_8859_1) == "Wikipedia in chunks.\n")
+    // truncated mid-chunk: bytes present are returned, no throw
+    val cut = msg.take(msg.length - 12)
+    val hc = Warc.splitHttp(cut).get
+    assert(new String(hc.body, ISO_8859_1).startsWith("Wikipedia"))
+  }
+
+  test("decodeText honors declared charset, never throws") {
+    val latin = "café".getBytes(ISO_8859_1)
+    assert(Warc.decodeText(latin, "text/html; charset=ISO-8859-1") == "café")
+    assert(Warc.decodeText(latin, "text/html; charset=\"iso-8859-1\"") == "café")
+    // bogus charset falls back to UTF-8 with replacement
+    val s = Warc.decodeText(latin, "text/html; charset=nonsense-9")
+    assert(s.contains("caf"))
+    assert(Warc.decodeText("ok".getBytes(UTF_8), null) == "ok")
+    assert(Warc.decodeText(null, "text/plain") == null)
+  }
+
+  test("scan streams records distributedly; toDocuments bridges text") {
+    val dir = tmpDir("warcscan")
+    java.nio.file.Files.write(dir.resolve("a.warc"), fileBytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos); g.write(fileBytes); g.close()
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), bos.toByteArray)
+
+    val scanned = Warc.scan(spark, dir.toString)
+    assert(scanned.count() == 6) // 3 records × 2 files
+    val types = scanned.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("warcinfo" -> 2L, "response" -> 2L,
+      "conversion" -> 2L))
+
+    val docs = Warc.toDocuments(scanned).orderBy("source", "doc_id")
+    val rows = docs.collect()
+    assert(rows.length == 4) // (conversion + response) × 2 files
+    val texts = rows.map(_.getAs[String]("text")).toSet
+    assert(texts.contains("Plain extracted text.\nSecond line.")
+      || texts.exists(_.contains("Plain")))
+    assert(texts.exists(_ == "Hello & welcome")) // htmlToText + entity
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("fetch_ts") != null))
+  }
+}
