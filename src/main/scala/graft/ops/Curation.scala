@@ -584,6 +584,192 @@ object Curation {
     * numbers to fixed tags. Order matters: phones before IPs (a phone's
     * digit groups must not be half-eaten by the IP rule first).
     */
+  /** Per-group multi-threshold score bucketing — the CCNet shape
+    * (Wenzek et al. 2020 §4.3: per-language perplexity terciles →
+    * head/middle/tail). Two phases, because that is how it deploys:
+    * [[fitScoreThresholds]] learns the per-group cut points once (on a
+    * reference corpus), [[bucketByThresholds]] stamps any frame with
+    * them — new batches bucket against the TRAINED thresholds, exactly
+    * like CCNet applies Wikipedia-trained perplexity cuts to each new
+    * crawl snapshot.
+    *
+    * Scale shape: the fit is one hash aggregate to a |groups|-row
+    * frame; the apply is a broadcast join plus a codegen-friendly
+    * count-of-thresholds-≤-score lookup — no window over the data, no
+    * per-row sort. `exact=false` (default) fits with
+    * `approx_percentile` (billion-row groups never sort);
+    * `exact=true` is for gate-grade reproducibility.
+    *
+    * Cross-engine determinism note (pinned by the c18 gate): with
+    * quarter fractions (k/4) the interpolation weight is EXACTLY
+    * representable, so exact thresholds are bit-identical across
+    * engines; scores should be pre-rounded if they come from float
+    * pipelines.
+    */
+  def fitScoreThresholds(df: DataFrame, groupCols: Seq[String],
+                         scoreCol: String,
+                         fractions: Seq[Double] = Seq(0.25, 0.75),
+                         exact: Boolean = false): DataFrame = {
+    require(fractions.nonEmpty && fractions == fractions.sorted &&
+      fractions.forall(f => f > 0 && f < 1),
+      s"fractions must be ascending in (0,1): $fractions")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val fr = array(fractions.map(lit): _*)
+    val agg =
+      if (exact) percentile(col(scoreCol), fr)
+      else percentile_approx(col(scoreCol), fr, lit(10000))
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg.as("__graft_ts"))
+  }
+
+  /** Stamp `<scoreCol>_bucket` from a [[fitScoreThresholds]] frame:
+    * label index = number of thresholds ≤ score (ties promote upward,
+    * the CCNet convention), `labels(0)` below all cuts,
+    * `labels.last` at/above all. Rows whose group is absent from the
+    * thresholds frame (or whose score is NULL) get a NULL bucket.
+    */
+  def bucketByThresholds(df: DataFrame, thresholds: DataFrame,
+                         groupCols: Seq[String], scoreCol: String,
+                         labels: Seq[String] = Seq("tail", "middle", "head"))
+  : DataFrame = {
+    val gAliases = groupCols.indices.map(i => s"__graft_tg$i")
+    require(!df.columns.exists(c =>
+      gAliases.contains(c) || c == "__graft_ts"),
+      "input already has a __graft_* column")
+    val renamed = thresholds.select(
+      groupCols.zip(gAliases).map { case (c, a) => col(c).as(a) } :+
+        col("__graft_ts"): _*)
+    val cond = groupCols.zip(gAliases)
+      .map { case (c, a) => col(c) <=> col(a) }.reduce(_ && _)
+    val score = col(scoreCol)
+    val k = size(filter(col("__graft_ts"), t => t <= score))
+    val lab = element_at(array(labels.map(lit): _*), k + 1)
+    df.join(broadcast(renamed), cond, "left")
+      .withColumn(s"${scoreCol}_bucket",
+        when(score.isNotNull && col("__graft_ts").isNotNull, lab))
+      .drop("__graft_ts").drop(gAliases: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // DSIR — data selection with importance resampling (Xie et al. 2023,
+  // arXiv:2302.03169): score every raw document by how target-like its
+  // hashed bag-of-ngrams is, then sample ∝ exp(score).
+  // ------------------------------------------------------------------
+
+  /** Hashed n-gram features of one text column: whitespace unigrams
+    * plus adjacent bigrams (the paper's feature set), each mapped to a
+    * bucket by the engine's stable sha256 hash
+    * ([[graft.functions.LabelHashBucket]] — cross-engine replicable,
+    * unlike murmur3). One explode, no UDF.
+    */
+  private def ngramFeatures(textCol: Column): Column = {
+    val toks = when(textCol.isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(textCol,
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val m = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+    concat(toks, bigrams)
+  }
+
+  /** DSIR importance weights: for each raw document,
+    * `log_importance = Σ_features ln p̂_target(b) − ln p̂_raw(b)`
+    * over hashed-n-gram buckets, with add-α smoothed bucket
+    * distributions — the log-likelihood ratio of the doc under the
+    * target vs raw bag-of-ngrams models. Returns
+    * `(idCol, n_feats, log_importance)`; documents with no features
+    * (empty/NULL text) are omitted — they carry no evidence and DSIR
+    * never selects them.
+    *
+    * Scale shape: two hash aggregates build the ≤`buckets`-row
+    * distributions (the only full-corpus passes); the ratio frame is
+    * bucket-bounded, its totals come from a window over that SMALL
+    * frame (never the data); per-doc scoring is one explode →
+    * broadcast join → keyed aggregate. Nothing driver-side, nothing
+    * quadratic, no vocabulary-scale state — `buckets` (default 2^16)
+    * caps every intermediate except the per-doc feature stream, which
+    * is the input re-read once. Feature hashing is WHY DSIR scales:
+    * the distributions never grow with corpus vocabulary.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 1 << 16,
+                        alpha: Double = 1.0): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1: $buckets")
+    require(alpha > 0, s"alpha must be positive (smoothing): $alpha")
+    Seq("__graft_b", "__graft_k", "n_feats", "log_importance").foreach(r =>
+      require(!raw.columns.contains(r), s"input already has a '$r' column"))
+    // explode must be a top-level generator; bucket in a second select.
+    // Bucket = sha256-first-52-bits mod buckets — NOT LabelHashBucket,
+    // whose null/blank/"nan" → -1 sentinel is right for labels but
+    // would corrupt a corpus containing the literal token "nan". 52
+    // bits fit a long exactly and replicate in any engine.
+    def feats(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+
+          explode(ngramFeatures(col(textCol))).as("__graft_f"): _*)
+        .select(keep.map(col) :+
+          pmod(conv(substring(sha2(col("__graft_f"), 256), 1, 13), 16, 10)
+            .cast("long"), lit(buckets.toLong)).cast("int")
+            .as("__graft_b"): _*)
+    val distT = feats(target, Nil).groupBy("__graft_b")
+      .agg(count(lit(1)).as("__ct"))
+    val distR = feats(raw, Nil).groupBy("__graft_b")
+      .agg(count(lit(1)).as("__cr"))
+    // ratio frame: ≤ buckets rows. Totals ride in on the documented
+    // one-row crossJoin(broadcast) shape (t8/t11 waiver class: each
+    // task loops over exactly one broadcast row — free at any scale,
+    // lazier than a driver-side count() action). Both frames here are
+    // bucket-bounded; the corpus is long gone.
+    val aB = lit(alpha * buckets)
+    val joined = distT
+      .join(distR, Seq("__graft_b"), "full_outer")
+      .select(col("__graft_b"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val totals = joined
+      .agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))
+    val ratio = joined
+      .crossJoin(broadcast(totals))
+      .select(col("__graft_b"),
+        (log((col("__ct") + alpha) / (col("__nt") + aB)) -
+          log((col("__cr") + alpha) / (col("__nr") + aB)))
+          .as("__graft_lr"))
+    feats(raw, Seq(idCol))
+      .groupBy(col(idCol), col("__graft_b"))
+      .agg(count(lit(1)).as("__graft_k"))
+      .join(broadcast(ratio), Seq("__graft_b"))
+      .groupBy(col(idCol))
+      .agg(sum("__graft_k").as("n_feats"),
+        sum(col("__graft_k") * col("__graft_lr")).as("log_importance"))
+  }
+
+  /** Gumbel-top-k importance resampling: keep `k` rows (per group)
+    * sampled WITHOUT replacement with probability ∝
+    * `exp(logWeightCol)` — softmax sampling via the Gumbel-max trick
+    * (perturb each log-weight with deterministic Gumbel noise, take
+    * the top k), the resampling half of DSIR. Working in log space
+    * sidesteps exp overflow/underflow entirely. Noise derives from
+    * sha256(id) exactly like [[weightedSample]]'s uniforms
+    * ((bits + ½)/2^52 — exact dyadic, never 0 or 1, identical in any
+    * engine), so selection is reproducible across runs AND replicable
+    * by the oracle. Same bounded-heap shape as [[capPerGroup]]: no
+    * stage materializes more than k rows per group.
+    */
+  def importanceResample(df: DataFrame, idCol: String,
+                         logWeightCol: String, k: Int,
+                         groupCols: Seq[String] = Nil): DataFrame = {
+    require(!df.columns.contains("__graft_gk"),
+      "input already has a '__graft_gk' column")
+    val u = (conv(substring(sha2(col(idCol).cast("string"), 256), 1, 13),
+      16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val gumbel = -log(-log(u))
+    val keyed = df
+      .filter(col(idCol).isNotNull && col(logWeightCol).isNotNull)
+      .withColumn("__graft_gk", col(logWeightCol) + gumbel)
+    capPerGroup(keyed, groupCols, "__graft_gk", idCol, k)
+      .drop("__graft_gk")
+  }
+
   def redactPii(c: Column): Column = {
     val noEmail = regexp_replace(c, emailPattern, "[EMAIL]")
     val noPhone = regexp_replace(noEmail, phonePattern, "[PHONE]")

@@ -183,6 +183,42 @@ object CurationQueries {
       out.data.orderBy("doc_id")
     },
 
+    // -- c17: DSIR importance weights (Xie et al. 2023) — hashed
+    //    unigram+bigram bucket distributions (target = en docs, raw =
+    //    all), add-1 smoothing, per-doc log-likelihood ratio. The
+    //    oracle recomputes EVERYTHING from the documents table: its own
+    //    feature extraction, its own sha256-52-bit bucketing, its own
+    //    smoothed distributions. Every 10th doc keeps the gate small;
+    //    the distributions still come from the full corpus. -----------
+    "c17_dsir_weights" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.importanceWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 256, alpha = 1.0)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("log_importance"), 4).as("log_w"))
+        .orderBy("doc_id")
+    },
+
+    // -- c18: CCNet-style per-language score buckets — fit exact
+    //    quartile thresholds (0.25/0.75 — quarter fractions make the
+    //    interpolation weight exact, see fitScoreThresholds) on the
+    //    4-dp-rounded bigram-LM score, stamp head/middle/tail, roll up.
+    //    Fit + apply are separate calls, the deployment shape. --------
+    "c18_ppl_buckets" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = graft.ops.TextAnalysis
+        .bigramLogProb(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("lm_logprob"), 4).as("score"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val thresholds = Curation.fitScoreThresholds(scored, Seq("lang"),
+        "score", fractions = Seq(0.25, 0.75), exact = true)
+      Curation.bucketByThresholds(scored, thresholds, Seq("lang"), "score")
+        .groupBy("lang", "score_bucket")
+        .agg(count(lit(1)).as("n"), round(avg("score"), 4).as("avg_score"))
+        .orderBy("lang", "score_bucket")
+    },
+
     // -- c16: registrable domain under the FULL bundled public-suffix
     //    list (9.5k rules, wildcard + exception semantics). The oracle
     //    gets only the raw (kind, base) rule rows and re-derives every
@@ -434,6 +470,78 @@ object CurationQueries {
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END)"
 
   def oracle: Map[String, String] = Map(
+    "c17_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '[^ \t\n\f\r]+') AS t
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, lang, unnest(t) AS f FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS f
+        |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)
+        |), fb AS (
+        |  SELECT doc_id, lang,
+        |    ((SELECT sum((strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT
+        |               * (1::BIGINT << ((13 - i) * 4)))
+        |      FROM generate_series(1, 13) g(i)) % 256)::INT AS b
+        |  FROM (SELECT doc_id, lang, sha256(f) AS h FROM feats)
+        |), dt AS (
+        |  SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1
+        |), dr AS (
+        |  SELECT b, count(*) AS cr FROM fb GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM fb WHERE lang = 'en') AS nt,
+        |         (SELECT count(*) FROM fb) AS nr
+        |), ratio AS (
+        |  SELECT dr.b,
+        |    ln((coalesce(dt.ct, 0) + 1.0) / (tot.nt + 256.0)) -
+        |    ln((dr.cr + 1.0) / (tot.nr + 256.0)) AS lr
+        |  FROM dr LEFT JOIN dt USING (b) CROSS JOIN tot
+        |), k AS (
+        |  SELECT doc_id, b, count(*) AS k FROM fb GROUP BY 1, 2
+        |)
+        |SELECT k.doc_id, sum(k.k)::BIGINT AS n_feats,
+        |  round(sum(k.k * r.lr), 4) AS log_w
+        |FROM k JOIN ratio r USING (b)
+        |WHERE k.doc_id % 10 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c18_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, t[i]::VARCHAR AS w1, t[i+1]::VARCHAR AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS cbg FROM g GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT w1, count(*) AS cw1 FROM g GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT w) AS nv FROM (
+        |    SELECT w1 AS w FROM g UNION ALL SELECT w2 FROM g)
+        |), scored AS (
+        |  SELECT g.doc_id,
+        |    round(sum(ln((bc.cbg + 1)::DOUBLE / (cc.cw1 + v.nv))) / count(*),
+        |          4) AS score
+        |  FROM g JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+        |  GROUP BY g.doc_id
+        |), sl AS (
+        |  SELECT s.doc_id, s.score, d.lang
+        |  FROM scored s JOIN documents d USING (doc_id)
+        |), th AS (
+        |  SELECT lang, quantile_cont(score, 0.25) AS t1,
+        |         quantile_cont(score, 0.75) AS t2
+        |  FROM sl GROUP BY 1
+        |), lab AS (
+        |  SELECT sl.lang, sl.score,
+        |    CASE WHEN sl.score >= th.t2 THEN 'head'
+        |         WHEN sl.score >= th.t1 THEN 'middle'
+        |         ELSE 'tail' END AS score_bucket
+        |  FROM sl JOIN th USING (lang)
+        |)
+        |SELECT lang, score_bucket, count(*) AS n,
+        |  round(avg(score), 4) AS avg_score
+        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The full composition replayed stage-for-stage in SQL from the
     // proven per-stage mirrors: t13's html cascade, t1's langid argmax,
     // t2's quality algebra, d14's segment dedup, d10's exact-jaccard

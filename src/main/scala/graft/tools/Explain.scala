@@ -47,7 +47,15 @@ object Explain {
     "t12_boilerplate" -> Map("BroadcastNestedLoopJoin" ->
       ("two one-row crossJoin(broadcast)s: the corpus count feeding the " +
         "df threshold, and the vocabulary-bounded drop SET carried onto " +
-        "one scan — each task loops over exactly one broadcast row")))
+        "one scan — each task loops over exactly one broadcast row")),
+    "c17_dsir_weights" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(totals)) carrying the two scalar " +
+        "feature counts into the bucket-bounded ratio frame — the " +
+        "t8/t11 shape; the frame it lands on is ≤ `buckets` rows")),
+    "c18_ppl_buckets" -> Map("BroadcastNestedLoopJoin" ->
+      ("inherited from bigramLogProb's one-row vocabulary-size " +
+        "crossJoin(broadcast) — the same scalar-smoothing shape " +
+        "waived for t11_lm_score")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

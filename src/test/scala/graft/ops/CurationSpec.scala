@@ -731,4 +731,104 @@ class CurationSpec extends SparkSpec {
     assert(out(1) == Seq("single"))
     assert(out(2) == Seq.empty)
   }
+
+  // ---- DSIR importance weights + resampling ------------------------
+
+  private def dsirCorpus = {
+    // two dialects: "code"-flavored vs "prose"-flavored vocabularies
+    val code = (1L to 40L).map(i =>
+      (i, s"def fn$i ( x ) return x + $i", "code"))
+    val prose = (41L to 80L).map(i =>
+      (i, s"the quick story number $i was told again", "prose"))
+    (code ++ prose).toDF("id", "text", "kind")
+  }
+
+  test("importanceWeights: target-like docs score higher; empty docs absent") {
+    val raw = dsirCorpus.unionByName(
+      Seq((81L, "", "empty"), (82L, null.asInstanceOf[String], "empty"))
+        .toDF("id", "text", "kind"))
+    val target = dsirCorpus.filter(col("kind") === "code")
+    val w = Curation.importanceWeights(raw, target, "id", "text",
+      buckets = 512, alpha = 1.0)
+    val byId = w.select("id", "log_importance").as[(Long, Double)]
+      .collect().toMap
+    // empty/null docs carry no features → absent
+    assert(!byId.contains(81L) && !byId.contains(82L))
+    val codeAvg = (1L to 40L).map(byId).sum / 40
+    val proseAvg = (41L to 80L).map(byId).sum / 40
+    assert(codeAvg > proseAvg,
+      s"code-like docs must out-score prose: $codeAvg vs $proseAvg")
+    // n_feats = unigrams + bigrams = 2*tokens - 1
+    val nf = w.filter(col("id") === 1L).select("n_feats")
+      .as[Long].head()
+    assert(nf == 2 * 9 - 1)
+  }
+
+  test("importanceWeights: guards on buckets, alpha, reserved columns") {
+    intercept[IllegalArgumentException] {
+      Curation.importanceWeights(dsirCorpus, dsirCorpus, "id", "text",
+        buckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.importanceWeights(dsirCorpus, dsirCorpus, "id", "text",
+        alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.importanceWeights(
+        dsirCorpus.withColumn("n_feats", lit(1)), dsirCorpus, "id", "text")
+    }
+  }
+
+  test("importanceResample: deterministic, k-bounded, weight-directional") {
+    val target = dsirCorpus.filter(col("kind") === "code")
+    val w = Curation.importanceWeights(dsirCorpus, target, "id", "text",
+      buckets = 512)
+    val pick1 = Curation.importanceResample(w, "id", "log_importance", 20)
+      .select("id").as[Long].collect().toSet
+    val pick2 = Curation.importanceResample(w.orderBy(rand(7)), "id",
+      "log_importance", 20).select("id").as[Long].collect().toSet
+    assert(pick1 == pick2, "resample must be order-independent")
+    assert(pick1.size == 20)
+    // softmax sampling toward the code dialect: code docs dominate
+    val codeKept = pick1.count(_ <= 40L)
+    assert(codeKept >= 15, s"expected mostly code docs, got $codeKept/20")
+    // k larger than the corpus keeps everything scoreable
+    val all = Curation.importanceResample(w, "id", "log_importance", 1000)
+    assert(all.count() == 80)
+  }
+
+  // ---- CCNet-style score buckets -----------------------------------
+
+  test("fit/bucketByThresholds: exact quartile cuts, tie-up rule, NULLs") {
+    // lang a: scores 1..8 (n-1=7 — interpolated cuts); lang b: constant
+    val base = ((1 to 8).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("b", 100L + i, 5.0))).toDF("lang", "id", "score")
+    val th = Curation.fitScoreThresholds(base, Seq("lang"), "score",
+      exact = true)
+    val out = Curation.bucketByThresholds(base, th, Seq("lang"), "score")
+      .select("lang", "id", "score_bucket").as[(String, Long, String)]
+      .collect().map { case (l, i, b) => ((l, i), b) }.toMap
+    // lang a: t1 = 2.75, t2 = 6.25 → 1,2 tail; 3..6 middle; 7,8 head
+    assert((1 to 2).forall(i => out(("a", i.toLong)) == "tail"))
+    assert((3 to 6).forall(i => out(("a", i.toLong)) == "middle"))
+    assert((7 to 8).forall(i => out(("a", i.toLong)) == "head"))
+    // lang b: all scores equal both thresholds → ties promote to head
+    assert((1 to 4).forall(i => out(("b", 100L + i)) == "head"))
+    // group absent from thresholds → NULL bucket
+    val stamped = Curation.bucketByThresholds(
+      Seq(("zz", 1L, 3.0)).toDF("lang", "id", "score"), th,
+      Seq("lang"), "score")
+    assert(stamped.select("score_bucket").as[String].head() == null)
+    // approx path returns the same frame shape
+    val thA = Curation.fitScoreThresholds(base, Seq("lang"), "score")
+    assert(thA.columns.toSeq == th.columns.toSeq && thA.count() == 2)
+    // guards
+    intercept[IllegalArgumentException] {
+      Curation.fitScoreThresholds(base, Seq("lang"), "score",
+        fractions = Seq(0.75, 0.25))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.fitScoreThresholds(base, Nil, "score")
+    }
+  }
 }
