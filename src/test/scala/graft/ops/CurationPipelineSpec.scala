@@ -157,4 +157,54 @@ class CurationPipelineSpec extends SparkSpec {
     assert(man.shards.map(_.count).sum == man.totalCount)
     assert(new java.io.File(dir).exists())
   }
+
+  test("crawl-to-corpus: WARC bytes → toDocuments → curate, one program") {
+    // The full 100-TB shape end to end: a crawl archive on disk in,
+    // packed curated corpus out — proving the Warc bridge's column
+    // contract (doc_id, url, fetch_ts, source, text) feeds curate
+    // without adaptation beyond naming the text column as the input.
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def record(id: Long, body: String): Array[Byte] = {
+      val payload = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+        s"WARC-Target-URI: http://site$id.example/page\r\n" +
+        "WARC-Date: 2026-08-14T06:00:00Z\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    }
+    val dir = tmpDir("crawl2corpus")
+    val bytes = (1L to 40L).map(i => record(i, bodyOf(i)))
+      .reduce(_ ++ _)
+    java.nio.file.Files.write(dir.resolve("crawl.warc"), bytes)
+
+    val docs = graft.engine.read.Warc.toDocuments(
+        graft.engine.read.Warc.scan(spark, dir.toString))
+      .select(col("doc_id"), col("text"),
+        // mix key from the crawl's own provenance, as a real run would
+        (regexp_extract(col("url"), "site(\\d+)", 1).cast("long") % 4)
+          .cast("string").as("source"))
+    val out = CurationPipeline.curate(docs,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+      probes, "text",
+      CurationPipeline.Config("doc_id", "text", "source",
+        targetMix = Map("0" -> 1, "1" -> 1, "2" -> 1, "3" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L))
+    try {
+      val kept = out.data.select("doc_id").as[String].collect().toSet
+      assert(kept.nonEmpty)
+      // the same stages act as in the html run: langid drops %4 docs
+      // (they resolve to source bucket 0 — Chinese bodies), quality
+      // drops %7, contamination drops 9/19, near-dup drops 5
+      assert(!kept.contains("<urn:uuid:20>")) // %4: Chinese
+      assert(!kept.contains("<urn:uuid:7>"))  // %7: digit-drenched
+      assert(!kept.contains("<urn:uuid:9>"))  // contaminated
+      assert(!kept.contains("<urn:uuid:5>"))  // near-dup of seen
+      assert(kept.contains("<urn:uuid:1>"))
+      val m = out.metrics.toMap
+      assert(m("rows_received") == 40L)
+      assert(m("mixed_and_packed") == kept.size.toLong)
+    } finally out.release()
+  }
 }
