@@ -302,4 +302,106 @@ object VocabTokenizer {
     }
     f(textCol)
   }
+
+  // ------------------------------------------------------------------
+  // Byte-level BPE (the GPT-2 family: Radford et al. 2019 §2.2, and
+  // every tokenizer.json whose pre_tokenizer is ByteLevel). Real
+  // trained tokenizers operate on UTF-8 BYTES remapped to printable
+  // code points, after a regex pre-tokenization — whitespace-splitting
+  // (bpeTokens above) approximates; this is the faithful path, so
+  // token budgets priced against a GPT-2-class tokenizer are exact.
+  // ------------------------------------------------------------------
+
+  /** The published byte↔unicode bijection (`bytes_to_unicode`):
+    * printable latin bytes (33–126, 161–172, 174–255) map to
+    * themselves; the remaining 68 bytes map to 256+n in ascending
+    * order — space (32) → U+0120 'Ġ', newline (10) → U+010A 'Ċ' —
+    * every byte one BMP char, reversible.
+    */
+  private[ops] val byteToChar: Array[Char] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** One pre-token → its byte-level symbol string (UTF-8 bytes through
+    * the map). Every symbol is one BMP char, so [[BpeEncoder]]'s
+    * code-point splitter sees exactly the byte symbols.
+    */
+  private[ops] def byteLevelMap(pretoken: String): String = {
+    val bytes = pretoken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** GPT-2's pre-tokenization regex, verbatim (contractions, optional
+    * leading space glued to letter/number/punct runs, the
+    * `\s+(?!\S)` rule that leaves the LAST space of a run attached to
+    * the following word). Java regex supports every construct used.
+    */
+  private[ops] val byteLevelPretokenRe: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+  private[ops] def byteLevelPretokenize(text: String): Iterator[String] =
+    new Iterator[String] {
+      private val m = byteLevelPretokenRe.matcher(text)
+      private var has = m.find()
+      def hasNext: Boolean = has
+      def next(): String = {
+        val s = m.group(); has = m.find(); s
+      }
+    }
+
+  /** Array-of-tokens column under BYTE-LEVEL merge-rank BPE: GPT-2
+    * pre-tokenization → UTF-8-byte symbol mapping → merge loop. The
+    * trained-tokenizer-faithful segmentation (merges and vocab must
+    * come from a byte-level tokenizer.json — their symbols live in the
+    * mapped space, e.g. `Ġthe`). NULL text yields an empty array.
+    */
+  def byteLevelBpeTokens(textCol: Column, vocab: Seq[String],
+                         merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "byteLevelBpeTokens needs a non-empty merge table")
+    val enc = new BpeEncoder(vocab.toArray, merges.toArray)
+    val f = udf { text: String =>
+      if (text == null) Array.empty[String]
+      else byteLevelPretokenize(text)
+        .flatMap(p => enc.encodeWord(byteLevelMap(p))).toArray
+    }
+    f(textCol)
+  }
+
+  /** [[TokenCounts]] column under byte-level merge-rank BPE. Unknowns
+    * are final symbols absent from the vocab — rare for a real
+    * byte-level vocab (the 256 byte symbols are normally all present),
+    * so a nonzero count flags a truncated or mismatched vocab file.
+    */
+  def byteLevelBpeTokenCounts(textCol: Column, vocab: Seq[String],
+                              merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty,
+      "byteLevelBpeTokenCounts needs a non-empty merge table")
+    val enc = new BpeEncoder(vocab.toArray, merges.toArray)
+    val f = udf { text: String =>
+      if (text == null) TokenCounts(0, 0)
+      else {
+        var tok = 0; var unk = 0
+        byteLevelPretokenize(text).foreach { p =>
+          val (t, u) = enc.count(byteLevelMap(p))
+          tok += t; unk += u
+        }
+        TokenCounts(tok, unk)
+      }
+    }
+    f(textCol)
+  }
 }

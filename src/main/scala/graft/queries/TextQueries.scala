@@ -313,6 +313,26 @@ object TextQueries {
         .orderBy("word_id")
     },
 
+    // -- t23: BYTE-LEVEL merge-rank BPE (GPT-2 pre-tokenizer + byte
+    //    symbol map + merges), vocab/merges through the tokenizer.json
+    //    parse path. Full segmentations under the hash; expectations
+    //    hand-derived (see writeT23Fixture). -------------------------
+    "t23_bytelevel_bpe" -> { (s, _) =>
+      writeT23Fixture(s)
+      val vocab = graft.ops.VocabTokenizer.loadVocab(s, t23TokenizerPath)
+      val merges = graft.ops.VocabTokenizer.loadMerges(s, t23TokenizerPath)
+      val toks = graft.ops.VocabTokenizer.byteLevelBpeTokens(
+        col("text"), vocab, merges)
+      val counts = graft.ops.VocabTokenizer.byteLevelBpeTokenCounts(
+        col("text"), vocab, merges)
+      s.read.parquet(t23WordsDir)
+        .select(col("word_id"),
+          array_join(toks, " ").as("tokens"),
+          counts.getField("n_tokens").cast("long").as("n_tokens"),
+          counts.getField("n_unk").cast("long").as("n_unk"))
+        .orderBy("word_id")
+    },
+
     "t14_vocab_tokens" -> { (s, d) =>
       writeT14Tokenizer()
       val vocab = graft.ops.VocabTokenizer.loadVocab(s, t14TokenizerPath)
@@ -550,6 +570,49 @@ object TextQueries {
     s.createDataset(rows)
       .toDF("word_id", "text", "exp_tokens", "exp_n", "exp_unk")
       .coalesce(1).write.mode("overwrite").parquet(t22WordsDir)
+  }
+
+  /** t23 fixture: BYTE-LEVEL merge-rank BPE (the GPT-2 path —
+    * pre-tokenization regex, UTF-8-byte symbol mapping, then the same
+    * merge loop as t22). Vocab and merges live in the MAPPED byte
+    * space (`Ġ` = space, `Ċ` = newline) and round-trip through
+    * tokenizer.json exactly as a HuggingFace byte-level file does.
+    * Expectations hand-derived in VocabTokenizerSpec's byte-level
+    * suite and re-stated here; each row pins one published rule:
+    * contraction split, last-space-attaches (`\s+(?!\S)`), multibyte
+    * UTF-8 expansion, newline remap, merge-rank priority.
+    */
+  private val t23Merges: Seq[(String, String)] = Seq(
+    ("h", "e"), ("he", "l"), ("hel", "l"), ("hell", "o"),
+    ("Ġ", "w"), ("Ġw", "o"), ("l", "o"), ("o", "w"))
+  private val t23Vocab: Seq[String] =
+    Seq("h", "e", "l", "o", "w", "r", "d", "n", "'", "s", "t",
+      "1", "2", "!", "c", "a", "f", "b", "x", "y", "Ġ", "Ċ",
+      "he", "hel", "hell", "hello", "Ġw", "Ġwo", "lo", "ow")
+  private val t23TokenizerPath = "/tmp/graft_gate_t23_tokenizer.json"
+  private val t23WordsDir = "/tmp/graft_gate_t23_words"
+
+  private def writeT23Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val vocabJson = t23Vocab.zipWithIndex
+      .map { case (t, i) => s""""$t": $i""" }.mkString(", ")
+    val mergesJson = t23Merges
+      .map { case (a, b) => s"""["$a", "$b"]""" }.mkString(", ")
+    java.nio.file.Files.write(java.nio.file.Paths.get(t23TokenizerPath),
+      s"""{"model": {"type": "BPE", "vocab": {$vocabJson}, "merges": [$mergesJson]}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rows: Seq[(Long, String, String, Long, Long)] = Seq(
+      (0L, "hello", "hello", 1L, 0L),
+      (1L, "hello world", "hello Ġwo r l d", 5L, 0L),
+      (2L, "don't", "d o n ' t", 5L, 0L), // contraction pre-split
+      (3L, "low", "lo w", 2L, 0L), // (l,o) r6 beats (o,w) r7
+      (4L, "a  b", "a Ġ Ġ b", 4L, 0L), // last space attaches
+      (5L, "café", "c a f Ã ©", 5L, 2L), // é = C3 A9, both unk
+      (6L, "12!", "1 2 !", 3L, 0L), // number/punct pre-split
+      (7L, "x\ny", "x Ċ y", 3L, 0L)) // newline byte remap
+    s.createDataset(rows)
+      .toDF("word_id", "text", "exp_tokens", "exp_n", "exp_unk")
+      .coalesce(1).write.mode("overwrite").parquet(t23WordsDir)
   }
 
   /** t13 fixture markup, synthesized from the documents table with the
@@ -874,6 +937,11 @@ object TextQueries {
       s"""SELECT word_id, exp_tokens AS tokens, exp_n AS n_tokens,
          |  exp_unk AS n_unk
          |FROM read_parquet('$t22WordsDir/*.parquet')
+         |ORDER BY word_id""".stripMargin,
+    "t23_bytelevel_bpe" ->
+      s"""SELECT word_id, exp_tokens AS tokens, exp_n AS n_tokens,
+         |  exp_unk AS n_unk
+         |FROM read_parquet('$t23WordsDir/*.parquet')
          |ORDER BY word_id""".stripMargin,
     "t14_vocab_tokens" -> {
       val vocabValues = (t14ModelVocab ++ t14AddedTokens)

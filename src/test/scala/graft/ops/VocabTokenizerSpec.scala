@@ -174,4 +174,78 @@ class VocabTokenizerSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VocabTokenizer.loadMerges(spark, s3.toString))
   }
+
+  // ---- byte-level (GPT-2) path -------------------------------------
+
+  test("byteToChar is the published bijection") {
+    val m = VocabTokenizer.byteToChar
+    assert(m.length == 256 && m.toSet.size == 256) // bijective
+    // printables map to themselves
+    assert(m('A'.toInt) == 'A' && m('!'.toInt) == '!' && m(255) == 255.toChar)
+    // the famous anchors: space → Ġ, newline → Ċ, tab → ĉ
+    assert(m(32) == 'Ġ' && m(10) == 'Ċ' && m(9) == 'ĉ')
+    // first remapped byte is 0 → U+0100; soft hyphen (173) remapped too
+    assert(m(0) == 'Ā' && m(173) >= 256.toChar)
+  }
+
+  test("byteLevelPretokenize matches the GPT-2 rules") {
+    def pt(s: String) = VocabTokenizer.byteLevelPretokenize(s).toList
+    assert(pt("hello world") == List("hello", " world"))
+    assert(pt("don't stop") == List("don", "'t", " stop"))
+    assert(pt("I'll go") == List("I", "'ll", " go"))
+    assert(pt("a2b") == List("a", "2", "b"))    // letter/number runs split
+    assert(pt("hi!!") == List("hi", "!!"))
+    // the \s+(?!\S) rule: the LAST space of a run stays with the word
+    assert(pt("a  b") == List("a", " ", " b"))
+    assert(pt("a \nb") == List("a", " ", "\n", "b"))
+    assert(pt("x\ny") == List("x", "\n", "y"))
+    assert(pt("end  ") == List("end", "  "))    // trailing run stands alone
+  }
+
+  test("byteLevelMap expands UTF-8 multibyte and remaps whitespace") {
+    assert(VocabTokenizer.byteLevelMap("hi") == "hi")
+    assert(VocabTokenizer.byteLevelMap(" hi") == "Ġhi")
+    // é = C3 A9 — both printable-range bytes, identity-mapped
+    assert(VocabTokenizer.byteLevelMap("é") == "Ã©")
+    // emoji 😀 = F0 9F 98 80: F0/9F/98/80 → 9F,98,80 are remapped
+    assert(VocabTokenizer.byteLevelMap("😀").length == 4)
+  }
+
+  test("byteLevelBpeTokens: hand-derived segmentations and counts") {
+    val vocab = Seq("h", "e", "l", "o", "w", "r", "d", "n", "'", "s", "t",
+      "1", "2", "!", "c", "a", "f", "b", "x", "y", "Ġ", "Ċ",
+      "he", "hel", "hell", "hello", "Ġw", "Ġwo", "lo", "ow")
+    val merges = Seq(("h", "e"), ("he", "l"), ("hel", "l"), ("hell", "o"),
+      ("Ġ", "w"), ("Ġw", "o"), ("l", "o"), ("o", "w"))
+    val rows = Seq(
+      (0L, "hello", "hello", 1, 0),
+      (1L, "hello world", "hello Ġwo r l d", 5, 0),
+      (2L, "don't", "d o n ' t", 5, 0),
+      (3L, "low", "lo w", 2, 0),           // r6 (l,o) beats r7 (o,w)
+      (4L, "a  b", "a Ġ Ġ b", 4, 0), // \s+(?!\S) split
+      (5L, "café", "c a f Ã ©", 5, 2), // UTF-8 bytes; Ã © unk
+      (6L, "12!", "1 2 !", 3, 0),
+      (7L, "x\ny", "x Ċ y", 3, 0))
+    val df = rows.toDF("id", "text", "exp_toks", "exp_n", "exp_unk")
+    val out = df.select(col("id"),
+        array_join(VocabTokenizer.byteLevelBpeTokens(col("text"), vocab,
+          merges), " ").as("toks"),
+        VocabTokenizer.byteLevelBpeTokenCounts(col("text"), vocab, merges)
+          .as("c"),
+        col("exp_toks"), col("exp_n"), col("exp_unk"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(3),
+        s"id=${r.getLong(0)}: got '${r.getString(1)}'")
+      val c = r.getStruct(2)
+      assert(c.getInt(0) == r.getInt(4) && c.getInt(1) == r.getInt(5),
+        s"id=${r.getLong(0)} counts")
+    }
+    // null text
+    val nul = Seq((9L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(VocabTokenizer.byteLevelBpeTokenCounts(col("text"), vocab,
+        merges).as("c"))
+      .collect()(0).getStruct(0)
+    assert(nul.getInt(0) == 0 && nul.getInt(1) == 0)
+  }
 }
