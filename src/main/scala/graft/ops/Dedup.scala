@@ -639,10 +639,9 @@ object Dedup {
     *
     * COMPACTION: every appended batch adds its own small parquet
     * files, and after thousands of batches the probe-side scan goes
-    * file-listing-bound (plus per-file footer reads). Periodically
-    * rewrite the index — `spark.read.parquet(idx).repartition(n)
-    * .write.parquet(idxNew)` sized to ~128 MB files, then swap paths
-    * atomically (write new, rename, drop old). Row content is
+    * file-listing-bound (plus per-file footer reads). Run
+    * [[compactIndex]] periodically — it rewrites to ~128 MB files and
+    * swaps the directory in place. Row content is
     * position-independent (the equivalence spec compares entries, not
     * layout), so compaction never changes verdicts.
     */
@@ -1084,6 +1083,57 @@ object Dedup {
     corpus.select(col(idCol), col(vecCol),
       F.signBandKeys(col(vecCol), planes, bands).as("band_keys"),
       lit(planes).as("planes"), lit(bands).as("bands"))
+
+  final case class CompactStats(rows: Long, filesBefore: Int,
+                                filesAfter: Int, bytes: Long)
+
+  /** Compact a persisted signature index (MinHash or embedding — any
+    * append-grown parquet directory whose `paramCols` must stay
+    * uniform): rewrite to ~`targetFileBytes` files and swap the
+    * directory in place. This is the periodic maintenance the
+    * [[buildMinhashIndex]] lifecycle note prescribes — after thousands
+    * of per-batch appends the probe scan goes file-listing- and
+    * footer-bound; row content is position-independent, so compaction
+    * never changes verdicts (SignatureIndexSpec pins probe-equivalence
+    * across it).
+    *
+    * The parameter-uniformity guard runs BEFORE the rewrite: a drifted
+    * index fails here, at maintenance time, rather than at the next
+    * probe. Swap is rename-based (`path` → `path.compact.old`, tmp →
+    * `path`, drop old): each rename is atomic on HDFS-like stores; a
+    * crash between them leaves the data intact under one of the two
+    * names, never half-mixed. Readers concurrent with the swap should
+    * be quiesced, as with any parquet-directory rewrite.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   paramCols: Seq[String],
+                   targetFileBytes: Long = 128L << 20): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(fsPath), s"no index directory at $path")
+    val dataFiles = fs.listStatus(fsPath)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val df = spark.read.parquet(path)
+    uniformParams(df, paramCols) // fail loud on drift before any I/O
+    val parts = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // leftover of a dead run
+    df.repartition(parts).write.parquet(tmp.toString)
+    // footer-metadata count — no data scan
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(fsPath, old), s"could not stage $path aside")
+    require(fs.rename(tmp, fsPath), s"could not swap compacted index " +
+      s"into $path — original preserved at $old")
+    fs.delete(old, true)
+    val after = fs.listStatus(fsPath)
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    CompactStats(rows, dataFiles.length, after, totalBytes)
+  }
 
   /** Incremental embedding-cosine dedup against a PRE-BUILT
     * [[buildEmbeddingIndex]]: drop `incoming` vectors within

@@ -116,6 +116,51 @@ class SignatureIndexSpec extends SparkSpec {
     assert(entries(oneShotPath) == entries(apPath))
   }
 
+  test("compactIndex: fewer files, identical entries, identical verdicts") {
+    val idxPath = tmpDir("mhidx6").toString + "/index"
+    // grow by many small appends — the shape compaction exists for
+    Dedup.buildMinhashIndex(seenDocs, "id", "text").write.parquet(idxPath)
+    (0 until 4).foreach { i =>
+      val b = Seq((50L + i, s"append batch $i with its own words w$i x$i"))
+        .toDF("id", "text")
+      Dedup.buildMinhashIndex(b, "id", "text")
+        .write.mode("append").parquet(idxPath)
+    }
+    def entries() = spark.read.parquet(idxPath)
+      .select("id", "sig_hashes", "band_keys", "num_hashes", "bands",
+        "shingle")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    def kept() = Dedup.nearDupAgainstIndex(incomingDocs,
+        spark.read.parquet(idxPath), "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    val (entriesBefore, keptBefore) = (entries(), kept())
+    val stats = Dedup.compactIndex(spark, idxPath,
+      Seq("num_hashes", "bands", "shingle"))
+    assert(stats.filesAfter < stats.filesBefore,
+      s"expected consolidation, got $stats")
+    assert(stats.rows == entriesBefore.size.toLong)
+    assert(entries() == entriesBefore)
+    assert(kept() == keptBefore)
+    // leftovers of the swap are gone
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath + ".compact.tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath + ".compact.old")))
+  }
+
+  test("compactIndex fails loud on parameter drift, index untouched") {
+    val idxPath = tmpDir("mhidx7").toString + "/index"
+    Dedup.buildMinhashIndex(seenDocs, "id", "text").write.parquet(idxPath)
+    Dedup.buildMinhashIndex(incomingDocs, "id", "text",
+      numHashes = 32, bands = 16).write.mode("append").parquet(idxPath)
+    val before = spark.read.parquet(idxPath).count()
+    val e = intercept[IllegalArgumentException](
+      Dedup.compactIndex(spark, idxPath,
+        Seq("num_hashes", "bands", "shingle")))
+    assert(e.getMessage.contains("not parameter-uniform"))
+    assert(spark.read.parquet(idxPath).count() == before) // untouched
+  }
+
   test("mixed-parameter index fails loud, not silent zero recall") {
     val idxPath = tmpDir("mhidx4").toString + "/index"
     Dedup.buildMinhashIndex(seenDocs, "id", "text").write.parquet(idxPath)
