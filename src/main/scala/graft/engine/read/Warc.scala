@@ -410,6 +410,25 @@ object Warc {
     * raw record block (HTTP message for response records — see
     * [[httpColumns]] / [[toDocuments]]).
     */
+  /** Executor-side path → record rows (shared by batch and streaming
+    * faces).
+    */
+  private def parsePaths(conf: SerializableConfiguration,
+                         maxPayloadBytes: Int)
+  : Iterator[String] => Iterator[ScanRow] = { it =>
+    it.flatMap { p =>
+      val path = new Path(new URI(p))
+      val fs = path.getFileSystem(conf.value)
+      val in = maybeGunzip(fs.open(path))
+      records(in, maxPayloadBytes).map { r =>
+        ScanRow(p, r.recordIndex, r.offset, r.warcType,
+          r.recordId.orNull, r.targetUri.orNull,
+          r.warcDate.orNull, r.contentType.orNull,
+          r.payload.length.toLong, r.truncated, r.payload)
+      }
+    }
+  }
+
   def scan(spark: SparkSession, pathGlob: String,
            maxPayloadBytes: Int = DefaultMaxPayloadBytes): DataFrame = {
     import spark.implicits._
@@ -420,19 +439,46 @@ object Warc {
       .select("path").as[String]
     paths
       .repartition(par)
-      .mapPartitions { it =>
-        it.flatMap { p =>
-          val path = new Path(new URI(p))
-          val fs = path.getFileSystem(conf.value)
-          val in = maybeGunzip(fs.open(path))
-          records(in, maxPayloadBytes).map { r =>
-            ScanRow(p, r.recordIndex, r.offset, r.warcType,
-              r.recordId.orNull, r.targetUri.orNull,
-              r.warcDate.orNull, r.contentType.orNull,
-              r.payload.length.toLong, r.truncated, r.payload)
-          }
-        }
-      }
+      .mapPartitions(parsePaths(conf, maxPayloadBytes))
+      .toDF()
+  }
+
+  /** Streaming WARC source: watch a landing directory for crawl
+    * archives, emit one row per record as files arrive — the
+    * continuous-ingest face of [[scan]], for pipelines where a crawler
+    * dumps segments nonstop. Built on the binaryFile FILE STREAM
+    * source, so exactly-once file pickup rides the stream checkpoint;
+    * only the `path` column is requested, so file CONTENT is never
+    * materialized by the source — bytes stream through the same
+    * per-file parser, one task per file.
+    * `maxFilesPerTrigger` is the backpressure knob (a backlogged zone
+    * drains in bounded microbatches); compose with
+    * [[toDocuments]] + `StreamingIngest.curateSink` for crawl-to-corpus
+    * as one continuous program.
+    */
+  def stream(spark: SparkSession, dir: String,
+             maxFilesPerTrigger: Int = 100,
+             maxPayloadBytes: Int = DefaultMaxPayloadBytes): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // the binaryFile source's fixed schema, stated explicitly (stream
+    // sources don't infer); content is pruned away by the select below
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select("path").as[String]
+      .mapPartitions(parsePaths(conf, maxPayloadBytes))
       .toDF()
   }
 

@@ -175,6 +175,28 @@ class WarcSpec extends SparkSpec {
     assert(Warc.decodeText(null, "text/plain") == null)
   }
 
+  test("stream: records flow as archive files land incrementally") {
+    val dir = tmpDir("warcstream")
+    java.nio.file.Files.write(dir.resolve("a.warc"), fileBytes)
+    val q = Warc.stream(spark, dir.toString)
+      .select("src_file", "record_index", "warc_type")
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 3)
+      // a second archive lands; only ITS records are new output
+      java.nio.file.Files.write(dir.resolve("b.warc"),
+        rec("metadata", "m9", "late".getBytes(ISO_8859_1)))
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream")
+        .groupBy("warc_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("warcinfo" -> 1L, "response" -> 1L,
+        "conversion" -> 1L, "metadata" -> 1L))
+    } finally q.stop()
+  }
+
   test("scan streams records distributedly; toDocuments bridges text") {
     val dir = tmpDir("warcscan")
     java.nio.file.Files.write(dir.resolve("a.warc"), fileBytes)
