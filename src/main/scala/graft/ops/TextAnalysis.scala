@@ -516,6 +516,69 @@ object TextAnalysis {
     * folds the total into the same per-id aggregate. NULL/empty text →
     * n_cp 0, entropy 0.0.
     */
+  // ------------------------------------------------------------------
+  // Unicode-script detection — the routing signal a multilingual crawl
+  // splits on BEFORE language ID (script is cheap and unambiguous;
+  // language within a script needs the trigram model). Ranges are the
+  // core Unicode blocks of each script (public standard); "common"
+  // characters (digits, punctuation, space, symbols) belong to none.
+  // ------------------------------------------------------------------
+
+  /** Script name → Unicode block ranges (inclusive code-point pairs —
+    * built numerically so the class bodies are unambiguous; identical
+    * semantics in Java regex and RE2, where the oracle states the same
+    * ranges as `\x{…}` escapes). Order is the tie-break priority of
+    * [[dominantScript]]. Latin skips U+00D7/U+00F7 (× ÷ — math signs
+    * inside the Latin-1 letter run).
+    */
+  private[graft] val scriptBlocks: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq(('A'.toInt, 'Z'.toInt), ('a'.toInt, 'z'.toInt),
+      (0x00C0, 0x00D6), (0x00D8, 0x00F6), (0x00F8, 0x024F)),
+    "cyrillic" -> Seq((0x0400, 0x052F)),
+    "greek" -> Seq((0x0370, 0x03FF)),
+    "arabic" -> Seq((0x0600, 0x06FF), (0x0750, 0x077F)),
+    "hebrew" -> Seq((0x0590, 0x05FF)),
+    "devanagari" -> Seq((0x0900, 0x097F)),
+    "thai" -> Seq((0x0E00, 0x0E7F)),
+    "hangul" -> Seq((0xAC00, 0xD7AF), (0x1100, 0x11FF), (0x3130, 0x318F)),
+    "kana" -> Seq((0x3040, 0x309F), (0x30A0, 0x30FF)),
+    "han" -> Seq((0x4E00, 0x9FFF), (0x3400, 0x4DBF)))
+
+  private[graft] val scriptRanges: Seq[(String, String)] =
+    scriptBlocks.map { case (name, blocks) =>
+      name -> blocks.map { case (lo, hi) =>
+        s"${lo.toChar}-${hi.toChar}"
+      }.mkString
+    }
+
+  /** Per-script code-point counts as named columns — one codegen'd
+    * `length(regexp_replace(…))` per script (delete everything outside
+    * the range, count what remains; code-point-aware in both engines),
+    * no explode, no shuffle.
+    */
+  def scriptCounts(textCol: Column): Seq[(String, Column)] =
+    scriptRanges.map { case (name, ranges) =>
+      name -> length(regexp_replace(coalesce(textCol, lit("")),
+        s"[^$ranges]", "")).cast("long")
+    }
+
+  /** The document's dominant script: the FIRST script in
+    * [[scriptRanges]] order reaching the maximum count (a later script
+    * wins only strictly — deterministic, engine-replicable ties), or
+    * `"unknown"` when no script reaches `minChars` (digits-only,
+    * emoji-only, empty, NULL).
+    */
+  def dominantScript(textCol: Column, minChars: Int = 1): Column = {
+    require(minChars >= 1, s"minChars must be ≥ 1: $minChars")
+    val counts = scriptCounts(textCol)
+    val (bestName, bestCount) = counts.tail.foldLeft(
+      (lit(counts.head._1), counts.head._2)) {
+      case ((bn, bc), (n, c)) =>
+        (when(c > bc, lit(n)).otherwise(bn), greatest(c, bc))
+    }
+    when(bestCount >= minChars, bestName).otherwise(lit("unknown"))
+  }
+
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val chars = when(col(textCol).isNull, array().cast("array<string>"))
       .otherwise(regexp_extract_all(col(textCol), lit("[^\\n]"), lit(0)))

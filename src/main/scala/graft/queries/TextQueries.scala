@@ -333,6 +333,22 @@ object TextQueries {
         .orderBy("word_id")
     },
 
+    // -- t24: Unicode-script detection — per-script code-point counts
+    //    and the first-max dominant script, rolled up per language.
+    //    The oracle restates every block range as \x{…} RE2 classes
+    //    and replays the same strict-greater fold as a CASE chain. ----
+    "t24_script_detect" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sc = graft.ops.TextAnalysis.scriptCounts(col("text")).toMap
+      docs.select(col("lang"),
+          graft.ops.TextAnalysis.dominantScript(col("text")).as("script"),
+          sc("latin").as("n_latin"), sc("han").as("n_han"))
+        .groupBy("lang", "script")
+        .agg(count(lit(1)).as("n"), sum("n_latin").as("latin_cp"),
+          sum("n_han").as("han_cp"))
+        .orderBy("lang", "script")
+    },
+
     "t14_vocab_tokens" -> { (s, d) =>
       writeT14Tokenizer()
       val vocab = graft.ops.VocabTokenizer.loadVocab(s, t14TokenizerPath)
@@ -943,6 +959,61 @@ object TextQueries {
          |  exp_unk AS n_unk
          |FROM read_parquet('$t23WordsDir/*.parquet')
          |ORDER BY word_id""".stripMargin,
+    // Script ranges restated independently as RE2 \x{…} classes; the
+    // dominant-script CASE replays the strict-greater fold: the FIRST
+    // script in priority order reaching the maximum wins.
+    "t24_script_detect" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]',
+        |      '', 'g')) AS latin,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{0400}-\x{052F}]', '', 'g')) AS cyr,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{0370}-\x{03FF}]', '', 'g')) AS grk,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{0600}-\x{06FF}\x{0750}-\x{077F}]', '', 'g')) AS ara,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{0590}-\x{05FF}]', '', 'g')) AS heb,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{0900}-\x{097F}]', '', 'g')) AS dev,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{0E00}-\x{0E7F}]', '', 'g')) AS tha,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}\x{3130}-\x{318F}]',
+        |      '', 'g')) AS han_g,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{3040}-\x{309F}\x{30A0}-\x{30FF}]', '', 'g')) AS kan,
+        |    length(regexp_replace(coalesce(text, ''),
+        |      '[^\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]', '', 'g')) AS han
+        |  FROM documents
+        |), m AS (
+        |  SELECT lang, latin, han,
+        |    greatest(latin, cyr, grk, ara, heb, dev, tha, han_g, kan,
+        |             han) AS mx,
+        |    cyr, grk, ara, heb, dev, tha, han_g, kan
+        |  FROM c
+        |), d AS (
+        |  -- first script in priority order reaching the max wins —
+        |  -- exactly the engine's strict-greater fold
+        |  SELECT lang, latin, han,
+        |    CASE WHEN mx < 1 THEN 'unknown'
+        |         WHEN latin = mx THEN 'latin'
+        |         WHEN cyr   = mx THEN 'cyrillic'
+        |         WHEN grk   = mx THEN 'greek'
+        |         WHEN ara   = mx THEN 'arabic'
+        |         WHEN heb   = mx THEN 'hebrew'
+        |         WHEN dev   = mx THEN 'devanagari'
+        |         WHEN tha   = mx THEN 'thai'
+        |         WHEN han_g = mx THEN 'hangul'
+        |         WHEN kan   = mx THEN 'kana'
+        |         ELSE 'han' END AS script
+        |  FROM m
+        |)
+        |SELECT lang, script, count(*) AS n,
+        |  sum(latin)::BIGINT AS latin_cp, sum(han)::BIGINT AS han_cp
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t14_vocab_tokens" -> {
       val vocabValues = (t14ModelVocab ++ t14AddedTokens)
         .map(v => s"('$v')").mkString(", ")

@@ -580,4 +580,42 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(plan.contains("partial_max_by") || plan.contains("partial max_by") ||
       plan.toLowerCase.contains("max_by"), s"expected max_by aggregate:\n$plan")
   }
+
+}
+
+class ScriptDetectSpec extends SparkSpec {
+  test("scriptCounts/dominantScript: per-block counts, priority ties, unknown") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "hello world"),                    // latin
+      (2L, "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"), // cyrillic
+      (3L, "\u0645\u0631\u062d\u0628\u0627"),                    // arabic
+      (4L, "\uc548\ub155\ud558\uc138\uc694"),                    // hangul syllables
+      (5L, "\u3053\u3093\u306b\u3061\u306f"),                    // hiragana
+      (6L, "\u4f60\u597d\u4e16\u754c"),                          // han
+      (7L, "12345 !!! \ud83d\ude00"),                         // no script at all
+      (8L, "ab \u4f60\u597d"),                               // 2 latin vs 2 han: tie
+      (9L, null.asInstanceOf[String]),
+      (10L, "caf\u00e9 \u00d7 2"))                              // accents count, x sign not
+    val df = rows.toDF("id", "t")
+    val out = df.select(col("id"),
+        graft.ops.TextAnalysis.dominantScript(col("t")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "latin" && out(2L) == "cyrillic" &&
+      out(3L) == "arabic" && out(4L) == "hangul" && out(5L) == "kana" &&
+      out(6L) == "han")
+    assert(out(7L) == "unknown" && out(9L) == "unknown")
+    assert(out(8L) == "latin") // tie resolves to priority order
+    assert(out(10L) == "latin")
+    val counts = df.filter(col("id") === 10L)
+      .select(graft.ops.TextAnalysis.scriptCounts(col("t"))
+        .map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(counts.getAs[Long]("latin") == 4L) // c a f e-acute; x-sign excluded
+    assert(counts.getAs[Long]("han") == 0L)
+    // minChars raises the evidence bar
+    val strict = df.filter(col("id") === 8L)
+      .select(graft.ops.TextAnalysis.dominantScript(col("t"), minChars = 3)
+        .as("s")).as[String].collect()(0)
+    assert(strict == "unknown")
+  }
 }
