@@ -770,6 +770,51 @@ object Curation {
       .drop("__graft_gk")
   }
 
+  /** Term-blocklist flag — the C4-style "bad words" content filter
+    * (Raffel et al. 2020 §2.2 drops any page containing a listed word
+    * or phrase). Match semantics, chosen to be cheap AND
+    * engine-replicable: text is lowercased with whitespace runs
+    * collapsed; single-word terms match as whole tokens, multi-word
+    * terms as whole-token-bounded substrings of the normalized text.
+    * Case-insensitive; terms are normalized the same way.
+    *
+    * Shape: the term list is CURATED-small (C4's is ~400 entries) and
+    * rides in the closure as literals — single words as one
+    * `arrays_overlap` against the token array (one codegen'd set
+    * probe), phrases as an OR-fold of `contains` on the padded
+    * normalized text. No join, no shuffle, one scan. A list above
+    * `maxTerms` fails loud — web-scale lists (millions of entries)
+    * belong in the [[dropBlockedDomains]]-style broadcast-join shape,
+    * not in an expression tree.
+    */
+  def blockedTermFlag(textCol: Column, terms: Seq[String],
+                      maxTerms: Int = 1000): Column = {
+    require(terms.nonEmpty, "term list must be non-empty")
+    require(terms.size <= maxTerms,
+      s"${terms.size} terms > $maxTerms — use a broadcast-join filter " +
+        "for lists this large")
+    val norm = terms.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+      .filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "term list is empty after normalization")
+    val (phrases, words) = norm.partition(_.contains(" "))
+    val text = lower(regexp_replace(coalesce(textCol, lit("")),
+      "[ \\t\\n\\f\\r]+", " "))
+    val wordHit =
+      if (words.isEmpty) lit(false)
+      else arrays_overlap(split(text, " "),
+        typedLit(words.toArray))
+    val padded = concat(lit(" "), text, lit(" "))
+    val phraseHit = phrases.foldLeft(lit(false)) { (acc, p) =>
+      acc || padded.contains(s" $p ")
+    }
+    wordHit || phraseHit
+  }
+
+  /** Drop rows whose text trips [[blockedTermFlag]]. */
+  def dropBlockedTerms(df: DataFrame, textCol: String,
+                       terms: Seq[String]): DataFrame =
+    df.filter(!blockedTermFlag(col(textCol), terms))
+
   def redactPii(c: Column): Column = {
     val noEmail = regexp_replace(c, emailPattern, "[EMAIL]")
     val noPhone = regexp_replace(noEmail, phonePattern, "[PHONE]")

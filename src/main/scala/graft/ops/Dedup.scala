@@ -1084,6 +1084,41 @@ object Dedup {
       F.signBandKeys(col(vecCol), planes, bands).as("band_keys"),
       lit(planes).as("planes"), lit(bands).as("bands"))
 
+  /** Candidate probability of the banded-MinHash scheme: a pair with
+    * true Jaccard `s` collides in at least one band with probability
+    * `1 − (1 − s^r)^b`, r = numHashes/bands — the standard LSH S-curve
+    * (Mining of Massive Datasets §3.4, public knowledge).
+    */
+  def lshCandidateProbability(s: Double, numHashes: Int,
+                              bands: Int): Double = {
+    require(s >= 0 && s <= 1, s"jaccard must be in [0,1]: $s")
+    require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    1.0 - math.pow(1.0 - math.pow(s, r), bands)
+  }
+
+  /** Pick the band count whose S-curve threshold `(1/b)^(1/r)` — the
+    * similarity where candidate probability crosses ~0.5 — sits
+    * closest to the caller's dedup `threshold`. Use it to size
+    * [[buildMinhashIndex]]/[[nearDupAgainst]] instead of guessing:
+    * too many bands wastes shuffle volume on sub-threshold candidates
+    * (the verify stage re-filters them, but each one travels), too few
+    * silently loses recall near the threshold. Ties prefer MORE bands
+    * (recall over shuffle — the verify stage makes false positives
+    * cheap, false negatives are unrecoverable).
+    */
+  def lshBandsFor(numHashes: Int, threshold: Double): Int = {
+    require(numHashes > 0, s"numHashes must be positive: $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1): $threshold")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.minBy { b =>
+      val mid = math.pow(1.0 / b, b.toDouble / numHashes)
+      (math.abs(mid - threshold), -b): (Double, Int)
+    }
+  }
+
   final case class CompactStats(rows: Long, filesBefore: Int,
                                 filesAfter: Int, bytes: Long)
 

@@ -219,6 +219,27 @@ object CurationQueries {
         .orderBy("lang", "score_bucket")
     },
 
+    // -- c19: C4-style term-blocklist flag — deterministic dirtying
+    //    injects a single word (every 5th doc) and a two-word phrase
+    //    (every 7th, spelled with case + run-whitespace differences so
+    //    normalization is what matches). Oracle replays the same
+    //    when-chain and both match rules. -----------------------------
+    "c19_term_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dirty = docs.withColumn("t",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" BadTerm")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("spam   PHRASE leads. "), col("text")))
+          .otherwise(col("text")))
+      dirty.select(col("source"),
+          Curation.blockedTermFlag(col("t"),
+            Seq("badterm", "Spam  phrase")).as("blocked"))
+        .groupBy("source", "blocked")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "blocked")
+    },
+
     // -- c16: registrable domain under the FULL bundled public-suffix
     //    list (9.5k rules, wildcard + exception semantics). The oracle
     //    gets only the raw (kind, base) rule rows and re-derives every
@@ -470,6 +491,24 @@ object CurationQueries {
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END)"
 
   def oracle: Map[String, String] = Map(
+    "c19_term_filter" ->
+      """WITH dirty AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' BadTerm'
+        |         WHEN doc_id % 7 = 0 THEN 'spam   PHRASE leads. ' || text
+        |         ELSE text END AS t
+        |  FROM documents
+        |), norm AS (
+        |  SELECT source,
+        |    lower(regexp_replace(coalesce(t, ''), '[ \t\n\f\r]+', ' ', 'g'))
+        |      AS nt
+        |  FROM dirty
+        |)
+        |SELECT source,
+        |  (list_contains(string_split(nt, ' '), 'badterm') OR
+        |   strpos(' ' || nt || ' ', ' spam phrase ') > 0) AS blocked,
+        |  count(*) AS n
+        |FROM norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c17_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, regexp_extract_all(text, '[^ \t\n\f\r]+') AS t

@@ -732,6 +732,37 @@ class CurationSpec extends SparkSpec {
     assert(out(2) == Seq.empty)
   }
 
+  // ---- term blocklist (C4-style content filter) --------------------
+
+  test("blockedTermFlag: whole-token words, normalized phrases, edges") {
+    val rows = Seq(
+      (1L, "contains the badword here"),        // word hit
+      (2L, "contains badwords plural"),         // NOT a whole-token hit
+      (3L, "BADWORD uppercase"),                // case-insensitive
+      (4L, "a spam  phrase with doubled space"),// phrase hit after collapse
+      (5L, "spam\nphrase across a linebreak"),  // phrase across \n
+      (6L, "spamphrase glued"),                 // not the phrase
+      (7L, "badword."),                         // punctuation glues the token
+      (8L, null.asInstanceOf[String]),
+      (9L, "clean text entirely"))
+    val df = rows.toDF("id", "t")
+    val out = df.select(col("id"),
+        Curation.blockedTermFlag(col("t"),
+          Seq("BadWord", "spam phrase")).as("b"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(3L) && out(4L) && out(5L))
+    assert(!out(2L) && !out(6L) && !out(7L) && !out(8L) && !out(9L))
+    val kept = Curation.dropBlockedTerms(df, "t", Seq("badword"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    intercept[IllegalArgumentException](
+      Curation.blockedTermFlag(col("t"), Seq.empty))
+    intercept[IllegalArgumentException](
+      Curation.blockedTermFlag(col("t"), Seq("  ", "\t")))
+    intercept[IllegalArgumentException](
+      Curation.blockedTermFlag(col("t"), (1 to 1001).map("w" + _)))
+  }
+
   // ---- DSIR importance weights + resampling ------------------------
 
   private def dsirCorpus = {

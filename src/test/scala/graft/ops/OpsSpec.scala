@@ -517,6 +517,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(plan.contains("FullOuter") || plan.contains("full_outer"),
       s"expected a full outer join:\n$plan")
   }
+
+  test("lshBandsFor/lshCandidateProbability: textbook S-curve values") {
+    // t_mid = (1/b)^(1/r): n=64 -> b=8 gives 0.771, b=16 gives 0.5,
+    // b=32 gives 0.177 (MMDS 3.4) — the chooser picks the closest
+    assert(Dedup.lshBandsFor(64, 0.8) == 8)
+    assert(Dedup.lshBandsFor(64, 0.5) == 16)
+    assert(Dedup.lshBandsFor(64, 0.2) == 32)
+    assert(Dedup.lshBandsFor(128, 0.9) == 8) // (1/8)^(1/16) = 0.878
+    // probability formula: exact endpoints and monotonicity
+    assert(Dedup.lshCandidateProbability(0.0, 64, 16) == 0.0)
+    assert(Dedup.lshCandidateProbability(1.0, 64, 16) == 1.0)
+    val p = (1 to 9).map(i => Dedup.lshCandidateProbability(i / 10.0, 64, 16))
+    assert(p == p.sorted)
+    // midpoint: s = 0.5 with b=16,r=4 crosses ~0.63 (1-(1-0.0625)^16)
+    assert(math.abs(p(4) - 0.6439) < 0.001)
+    intercept[IllegalArgumentException](Dedup.lshCandidateProbability(0.5, 64, 7))
+    intercept[IllegalArgumentException](Dedup.lshBandsFor(64, 1.0))
+  }
 }
 
 class SimilarityOpsSpec extends SparkSpec {
