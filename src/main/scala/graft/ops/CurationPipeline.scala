@@ -43,6 +43,7 @@ object CurationPipeline {
       sourceCol: String,
       langId: String = "marker",
       keepLangs: Set[String] = Set.empty,
+      blockedTerms: Seq[String] = Nil,
       minQuality: Double = 0.8,
       nearDupThreshold: Double = 0.8,
       maxContamination: Double = 0.2,
@@ -87,7 +88,7 @@ object CurationPipeline {
     require(cfg.targetMix.nonEmpty, "targetMix must be non-empty")
     require(blocklist.isEmpty || cfg.hostCol.nonEmpty,
       "a blocklist needs cfg.hostCol to match against")
-    for (r <- Seq("__text", "lang_pred", "__q", "text_clean", "n_tok",
+    for (r <- Seq("__text", "__term_ok", "lang_pred", "__q", "text_clean", "n_tok",
         "pack_id", "content_sha", "__graft_blocked"))
       require(!docs.columns.contains(r), s"input column '$r' is reserved")
 
@@ -114,10 +115,17 @@ object CurationPipeline {
       if (cfg.keepLangs.nonEmpty)
         col("lang_pred").isin(cfg.keepLangs.toSeq.sorted: _*)
       else col("lang_pred") =!= "unknown"
+    // term blocklist (C4 content filter) over the EXTRACTED text, as a
+    // flag in the same single scan — one more codegen'd column, no
+    // extra job
+    val termOk =
+      if (cfg.blockedTerms.isEmpty) lit(true)
+      else !Curation.blockedTermFlag(col("__text"), cfg.blockedTerms)
     val scored = {
       val feats = TextAnalysis.qualityFeatures(col("__text"))
         .toMap
       extracted
+        .withColumn("__term_ok", termOk)
         .withColumn("lang_pred", langExpr)
         .withColumn("__q", TextAnalysis.qualityScore(feats("punct_ratio"),
           feats("digit_ratio"), feats("stop_ratio")))
@@ -126,17 +134,20 @@ object CurationPipeline {
     // routine all-filtered microbatch) must yield 0-metrics, not an
     // NPE after the pipeline ran
     val notBlocked = !col("__graft_blocked")
+    val tOk = col("__term_ok")
     val stageAgg = scored.agg(
       count(lit(1)).as("n_received"),
       coalesce(sum(when(notBlocked, 1L).otherwise(0L)), lit(0L)).as("n_in"),
-      coalesce(sum(when(notBlocked && langOk, 1L)
+      coalesce(sum(when(notBlocked && tOk, 1L).otherwise(0L)), lit(0L))
+        .as("n_term"),
+      coalesce(sum(when(notBlocked && tOk && langOk, 1L)
         .otherwise(0L)), lit(0L)).as("n_lang"),
-      coalesce(sum(when(notBlocked && langOk &&
+      coalesce(sum(when(notBlocked && tOk && langOk &&
         col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"))
       .head()
     val kept3raw = scored
-      .filter(notBlocked && langOk && col("__q") >= cfg.minQuality)
-      .drop("__q", "__graft_blocked")
+      .filter(notBlocked && tOk && langOk && col("__q") >= cfg.minQuality)
+      .drop("__q", "__graft_blocked", "__term_ok")
     // redaction before any digesting: segment digests, signatures and
     // the exported text must all be the REDACTED form
     val kept3 =
@@ -189,8 +200,9 @@ object CurationPipeline {
       Seq(
         "rows_received" -> stageAgg.getLong(0),
         "rows_in" -> stageAgg.getLong(1),
-        "language_kept" -> stageAgg.getLong(2),
-        "quality_kept" -> stageAgg.getLong(3),
+        "terms_kept" -> stageAgg.getLong(2),
+        "language_kept" -> stageAgg.getLong(3),
+        "quality_kept" -> stageAgg.getLong(4),
         "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
         "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1)),
         "neardup_kept" -> nNearDup,

@@ -53,8 +53,9 @@ class CurationPipelineSpec extends SparkSpec {
     val m = out.metrics.toMap
     assert(m("rows_in") == 40L)
     // monotone non-increasing through the row-filter stages
-    val chain = Seq("rows_in", "language_kept", "quality_kept",
-      "neardup_kept", "decontaminated_kept", "mixed_and_packed")
+    val chain = Seq("rows_in", "terms_kept", "language_kept",
+      "quality_kept", "neardup_kept", "decontaminated_kept",
+      "mixed_and_packed")
     chain.sliding(2).foreach { case Seq(a, b) =>
       assert(m(a) >= m(b), s"$a=${m(a)} < $b=${m(b)}")
     }
@@ -147,6 +148,29 @@ class CurationPipelineSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(row3.get.getString(4) == hex,
       s"content_sha should hash the redacted text (want $hex)")
+  }
+
+  test("term blocklist stage drops listed content, metrics show it") {
+    val out = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+      probes, "text",
+      CurationPipeline.Config("doc_id", "html", "source",
+        targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L,
+        blockedTerms = Seq("alpha3", "beta11 gamma11"))) // word + phrase
+    try {
+      val m = out.metrics.toMap
+      assert(m("terms_kept") == m("rows_in") - 2,
+        s"expected word+phrase drops: $m")
+      val kept = out.data.select("doc_id").as[Long].collect().toSet
+      assert(!kept.contains(3L) && !kept.contains(11L))
+    } finally out.release()
+    // without the option the stage is a constant-true no-op
+    val off = run()
+    try {
+      val m2 = off.metrics.toMap
+      assert(m2("terms_kept") == m2("rows_in"))
+    } finally off.release()
   }
 
   test("export manifest agrees with the final frame") {
