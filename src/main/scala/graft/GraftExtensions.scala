@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayFilter, ArrayJoin, ArrayPosition, ArrayTransform, Cast, Coalesce, CreateArray, ElementAt, EqualTo, Expression, ExpressionInfo, LambdaFunction, Literal, NamedLambdaVariable, RegExpReplace, StringReplace, StringSplit, StringTrim}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayFilter, ArrayJoin, ArrayPosition, ArrayTransform, Cast, Coalesce, CreateArray, ElementAt, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, If, LambdaFunction, Length, Literal, NamedLambdaVariable, RegExpReplace, StringReplace, StringSplit, StringTrim}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dedupLines)
     ext.injectFunction(GraftExtensions.htmlToText)
     ext.injectFunction(GraftExtensions.markdownToText)
+    ext.injectFunction(GraftExtensions.dominantScript)
   }
 }
 
@@ -246,6 +247,38 @@ object GraftExtensions {
         "decoded, whitespace normalized.",
       graft.ops.TextAnalysis.htmlSteps)
 
+  /** `dominant_script(text)` — Unicode-script routing on the SQL
+    * surface, built from the SAME range table as the Column API
+    * ([[graft.ops.TextAnalysis.scriptRanges]]): one
+    * `Length(RegExpReplace(…))` per script, strict-greater first-max
+    * fold, `'unknown'` when no script shows a single code point.
+    */
+  val dominantScript: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dominant_script"),
+    info(classOf[RegExpReplace].getName, "dominant_script",
+      "dominant_script(text) - dominant Unicode script of the text " +
+        "(latin/cyrillic/greek/arabic/hebrew/devanagari/thai/hangul/" +
+        "kana/han), or 'unknown'."),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) =>
+        val base: Expression =
+          Coalesce(Seq(Cast(t, StringType), Literal("")))
+        val counts = graft.ops.TextAnalysis.scriptRanges.map {
+          case (n, r) =>
+            n -> (Length(RegExpReplace(base, Literal(s"[^$r]"),
+              Literal(""))): Expression)
+        }
+        val (bn, bc) = counts.tail.foldLeft(
+          (Literal(counts.head._1): Expression, counts.head._2)) {
+          case ((accN, accC), (n, c)) =>
+            (If(GreaterThan(c, accC), Literal(n), accN): Expression,
+              If(GreaterThan(c, accC), c, accC): Expression)
+        }
+        If(GreaterThanOrEqual(bc, Literal(1)), bn, Literal("unknown"))
+      case _ => throw new IllegalArgumentException(
+        "dominant_script expects exactly 1 argument")
+    })
+
   val markdownToText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     cascadeFn("markdown_to_text",
       "markdown_to_text(md) - plain text of a markdown document: " +
@@ -257,7 +290,7 @@ object GraftExtensions {
     val registry = spark.sessionState.functionRegistry
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
       normalizeText, cardCount, redactCards, dedupLines,
-      htmlToText, markdownToText).foreach {
+      htmlToText, markdownToText, dominantScript).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -99,6 +99,22 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT markdown_to_text('a','b')").collect())
   }
 
+  test("dominant_script reachable from SQL, matches the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = Seq(("hello world"), ("\u4f60\u597d\u4e16\u754c"),
+      ("12345"), (null.asInstanceOf[String])).toDF("t")
+    rows.createOrReplaceTempView("ds_in")
+    val viaSql = spark.sql("SELECT dominant_script(t) AS s FROM ds_in")
+      .as[String].collect().toSeq
+    val viaCol = rows.select(
+      graft.ops.TextAnalysis.dominantScript(org.apache.spark.sql.functions.col("t")).as("s"))
+      .as[String].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql == Seq("latin", "han", "unknown", "unknown"))
+    intercept[Exception](spark.sql("SELECT dominant_script('a','b')").collect())
+  }
+
   test("describe function shows usage") {
     GraftExtensions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")
