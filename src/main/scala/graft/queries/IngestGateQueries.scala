@@ -80,11 +80,12 @@ object IngestGateQueries {
 
   private def warcRecord(tpe: String, id: String, date: String,
                          uri: Option[String], contentType: String,
-                         payload: Array[Byte]): Array[Byte] = {
+                         payload: Array[Byte],
+                         extra: Seq[(String, String)] = Nil): Array[Byte] = {
     val iso = StandardCharsets.ISO_8859_1
     val hdrs = Seq("WARC-Type" -> tpe,
       "WARC-Record-ID" -> s"<urn:uuid:$id>", "WARC-Date" -> date) ++
-      uri.map("WARC-Target-URI" -> _) ++
+      uri.map("WARC-Target-URI" -> _) ++ extra ++
       Seq("Content-Type" -> contentType,
         "Content-Length" -> payload.length.toString)
     ("WARC/1.0" +: hdrs.map { case (k, v) => s"$k: $v" })
@@ -101,6 +102,18 @@ object IngestGateQueries {
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
+
+  /** Fixture-local RFC 4648 base32 (written independently of the
+    * parser's encoder — WarcSpec pins that one against the RFC's own
+    * vectors).
+    */
+  private def sha1b32(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(b)
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val bits = d.flatMap(x => (7 to 0 by -1).map(i => (x >> i) & 1))
+    bits.grouped(5).map(g =>
+      alpha.charAt(g.foldLeft(0)((a, v) => (a << 1) | v))).mkString
+  }
 
   private def writeWarcFixture(s: SparkSession): Unit = {
     import s.implicits._
@@ -126,9 +139,12 @@ object IngestGateQueries {
         "application/warc-fields", pInfo) ++
         warcRecord("response", "r1", "2026-08-14T06:01:00Z",
           Some("http://example.com/one"),
-          "application/http; msgtype=response", pR1) ++
+          "application/http; msgtype=response", pR1,
+          extra = Seq("WARC-Block-Digest" -> s"sha1:${sha1b32(pR1)}")) ++
         warcRecord("conversion", "c1", "2026-08-14T06:01:00Z",
-          Some("http://example.com/one"), "text/plain", pC1) ++
+          Some("http://example.com/one"), "text/plain", pC1,
+          extra = Seq("WARC-Block-Digest" ->
+            "sha1:AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA")) ++
         warcRecord("response", "r2", "2026-08-14T06:02:00Z",
           Some("http://example.com/latin"),
           "application/http; msgtype=response", pR2)
@@ -140,7 +156,10 @@ object IngestGateQueries {
     }
     val bBytes =
       gz(warcRecord("conversion", "c2", "2026-08-14T07:00:00Z",
-        Some("http://example.com/two"), "text/plain", pC2)) ++
+        Some("http://example.com/two"), "text/plain", pC2,
+        extra = Seq("WARC-Block-Digest" -> ("sha256:" +
+          java.security.MessageDigest.getInstance("SHA-256").digest(pC2)
+            .map("%02x".format(_)).mkString)))) ++
         gz(warcRecord("response", "r3", "2026-08-14T07:01:00Z",
           Some("http://example.com/gone"),
           "application/http; msgtype=response", pR3))
@@ -157,19 +176,22 @@ object IngestGateQueries {
     // s13 expected: one row per record, md5 from the authored arrays
     Seq(
       ("a.warc", 0L, "warcinfo", "<urn:uuid:w0>", null: String,
-        pInfo.length.toLong, false, md5hex(pInfo)),
+        pInfo.length.toLong, false, Option.empty[Boolean], md5hex(pInfo)),
       ("a.warc", 1L, "response", "<urn:uuid:r1>", "http://example.com/one",
-        pR1.length.toLong, false, md5hex(pR1)),
+        pR1.length.toLong, false, Some(true), md5hex(pR1)),
       ("a.warc", 2L, "conversion", "<urn:uuid:c1>", "http://example.com/one",
-        pC1.length.toLong, false, md5hex(pC1)),
+        pC1.length.toLong, false, Some(false), md5hex(pC1)),
       ("a.warc", 3L, "response", "<urn:uuid:r2>", "http://example.com/latin",
-        pR2.length.toLong, false, md5hex(pR2)),
+        pR2.length.toLong, false, Option.empty[Boolean], md5hex(pR2)),
       ("b.warc.gz", 0L, "conversion", "<urn:uuid:c2>",
-        "http://example.com/two", pC2.length.toLong, false, md5hex(pC2)),
+        "http://example.com/two", pC2.length.toLong, false, Some(true),
+        md5hex(pC2)),
       ("b.warc.gz", 1L, "response", "<urn:uuid:r3>",
-        "http://example.com/gone", pR3.length.toLong, false, md5hex(pR3)))
+        "http://example.com/gone", pR3.length.toLong, false,
+        Option.empty[Boolean], md5hex(pR3)))
       .toDF("file", "record_index", "warc_type", "record_id",
-        "target_uri", "content_length", "truncated", "payload_md5")
+        "target_uri", "content_length", "truncated", "digest_ok",
+        "payload_md5")
       .coalesce(1).write.mode("overwrite").parquet(warcExpectedDir)
 
     // s14 expected: conversion text verbatim; response HTML traced by
@@ -271,7 +293,7 @@ object IngestGateQueries {
           regexp_extract(col("src_file"), "([^/]+)$", 1).as("file"),
           col("record_index"), col("warc_type"), col("record_id"),
           col("target_uri"), col("content_length"), col("truncated"),
-          md5(col("payload")).as("payload_md5"))
+          col("digest_ok"), md5(col("payload")).as("payload_md5"))
         .orderBy("file", "record_index")
     },
 
@@ -292,7 +314,7 @@ object IngestGateQueries {
   def oracle: Map[String, String] = Map(
     "s13_warc_scan" ->
       s"""SELECT file, record_index, warc_type, record_id, target_uri,
-         |  content_length, truncated, payload_md5
+         |  content_length, truncated, digest_ok, payload_md5
          |FROM read_parquet('$warcExpectedDir/*.parquet')
          |ORDER BY file, record_index""".stripMargin,
     "s14_wet_documents" ->

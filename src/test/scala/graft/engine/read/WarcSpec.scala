@@ -122,6 +122,43 @@ class WarcSpec extends SparkSpec {
       .getMessage.contains("Content-Length"))
   }
 
+  test("base32 matches the RFC 4648 test vectors") {
+    def b32(s: String) = Warc.base32(s.getBytes(ISO_8859_1))
+    assert(b32("") == "")
+    assert(b32("f") == "MY")         // RFC pads "MY======"; digesting
+    assert(b32("fo") == "MZXQ")      // never needs padding, so the
+    assert(b32("foo") == "MZXW6")    // data characters alone are the
+    assert(b32("foob") == "MZXW6YQ") // contract here
+    assert(b32("fooba") == "MZXW6YTB")
+    assert(b32("foobar") == "MZXW6YTBOI")
+  }
+
+  test("blockDigestOk: sha1 base32/hex, sha256 hex, corrupt, unknown") {
+    val payload = "integrity matters".getBytes(ISO_8859_1)
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(payload)
+    val sha1hex = sha1.map("%02x".format(_)).mkString
+    val sha256hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload).map("%02x".format(_)).mkString
+    def recWith(digest: String) = parse(rec("resource", "d", payload,
+      extra = Seq("WARC-Block-Digest" -> digest))).head
+    assert(recWith(s"sha1:${Warc.base32(sha1)}").blockDigestOk
+      .contains(true))
+    assert(recWith(s"SHA1:$sha1hex").blockDigestOk.contains(true))
+    assert(recWith(s"sha256:$sha256hex").blockDigestOk.contains(true))
+    assert(recWith("sha1:AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA")
+      .blockDigestOk.contains(false))
+    assert(recWith("md5:abc").blockDigestOk.isEmpty)   // unknown algo
+    assert(recWith("garbage").blockDigestOk.isEmpty)   // no label
+    // absent header → no verdict
+    assert(parse(rec("resource", "d", payload)).head.blockDigestOk.isEmpty)
+    // truncated payload → no verdict even with a digest present
+    val truncated = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      s"WARC-Block-Digest: sha1:$sha1hex\r\n" +
+      "Content-Length: 999\r\n\r\nabc").getBytes(ISO_8859_1)
+    assert(parse(truncated).head.blockDigestOk.isEmpty)
+  }
+
   test("gzip by magic bytes; multi-member members concatenate") {
     def gz(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
