@@ -182,6 +182,75 @@ object MultimodalQueries {
     out.toByteArray
   }
 
+  private val m9Dir = "/tmp/graft_gate_m9_exif"
+
+  /** Byte-by-byte EXIF TIFF author (independent of ExifProbe): IFD0
+    * {Orientation inline SHORT, Make ASCII @86, ExifIFD→50}, sub-IFD
+    * {PixelXDimension inline LONG, DateTimeOriginal ASCII @98}. `make`
+    * must be 10 ASCII chars so every offset stays fixed.
+    */
+  private def exifTiff(little: Boolean, orientation: Int, make: String,
+                       pixelX: Long, dto: String): Array[Byte] = {
+    require(make.length == 10 && dto.length == 19, "fixed-layout fixture")
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def u8(v: Int): Unit = out += v.toByte
+    def u16(v: Int): Unit =
+      if (little) { u8(v & 0xff); u8(v >> 8) } else { u8(v >> 8); u8(v & 0xff) }
+    def u32(v: Long): Unit =
+      if (little) { u8((v & 0xff).toInt); u8(((v >> 8) & 0xff).toInt)
+        u8(((v >> 16) & 0xff).toInt); u8(((v >> 24) & 0xff).toInt) }
+      else { u8(((v >> 24) & 0xff).toInt); u8(((v >> 16) & 0xff).toInt)
+        u8(((v >> 8) & 0xff).toInt); u8((v & 0xff).toInt) }
+    def ascii(str: String): Unit = str.foreach(c => u8(c.toInt))
+    ascii(if (little) "II" else "MM"); u16(42); u32(8)
+    u16(3)
+    u16(0x0112); u16(3); u32(1); u16(orientation); u16(0)
+    u16(0x010f); u16(2); u32(11); u32(86)
+    u16(0x8769); u16(4); u32(1); u32(50)
+    u32(0)
+    u16(2)
+    u16(0xa002); u16(4); u32(1); u32(pixelX)
+    u16(0x9003); u16(2); u32(20); u32(98)
+    u32(0)
+    while (out.length < 86) u8(0)
+    ascii(make); u8(0); u8(0)
+    ascii(dto); u8(0)
+    out.toArray
+  }
+
+  private def exifJpeg(tiff: Array[Byte]): Array[Byte] = {
+    val app1 = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = app1.length + 2
+    Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+      (len >> 8).toByte, (len & 0xff).toByte) ++ app1 ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  private def writeM9Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val dto1 = "2026:08:14 06:00:00"
+    val dto2 = "2025:01:02 10:30:00"
+    val rows: Seq[(Long, Array[Byte], Int, String, String, Long, String)] =
+      Seq(
+        (0L, exifJpeg(exifTiff(little = true, 6, "GraftCam 1", 1024L, dto1)),
+          6, "GraftCam 1", dto1, 1024L, "ok"),
+        (1L, exifTiff(little = false, 1, "OtherCam 2", 4032L, dto2),
+          1, "OtherCam 2", dto2, 4032L, "ok"),
+        (2L, exifJpeg(exifTiff(little = true, 8, "ThirdCam 3", 640L, dto1)),
+          8, "ThirdCam 3", dto1, 640L, "ok"),
+        // JPEG with no APP1 at all
+        (100L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+          0xd9.toByte), -1, "", "", -1L, "no exif"),
+        (101L, "not an image".getBytes("UTF-8"), -1, "", "", -1L,
+          "no exif"),
+        (102L, Array.emptyByteArray, -1, "", "", -1L, "no exif"))
+    s.createDataset(rows)
+      .toDF("img_id", "payload", "exp_orientation", "exp_make", "exp_dto",
+        "exp_px", "exp_status")
+      .coalesce(1).write.mode("overwrite").parquet(m9Dir)
+    ()
+  }
+
   private def writeM7Fixture(s: SparkSession): Unit = {
     import s.implicits._
     val good: Seq[(Long, Array[Byte], String, Int, Int, Int, Long, String)] = Seq(
@@ -372,6 +441,29 @@ object MultimodalQueries {
     //    diagnosed. Fixture bytes are authored field-by-field from the
     //    public specs by independent builder code; the oracle reads the
     //    stored expected columns back (m6 pattern). -------------------
+    // -- m9: EXIF metadata probe — JPEG APP1 + TIFF IFD walk (both
+    //    byte orders, inline + pointed values, EXIF sub-IFD) over
+    //    fixture bytes authored field-by-field by independent builder
+    //    code; the oracle reads the stored expected columns (m6/m7
+    //    pattern). -1/"" = "no value" keeps columns null-free. --------
+    "m9_exif_meta" -> { (s, _) =>
+      writeM9Fixture(s)
+      val probe = udf { bytes: Array[Byte] =>
+        graft.engine.validate.ExifProbe.info(bytes) match {
+          case Some(e) => (e.orientation.getOrElse(-1),
+            e.make.getOrElse(""), e.dateTimeOriginal.getOrElse(""),
+            e.pixelX.getOrElse(-1L), "ok")
+          case None => (-1, "", "", -1L, "no exif")
+        }
+      }
+      s.read.parquet(m9Dir)
+        .withColumn("__p", probe(col("payload")))
+        .select(col("img_id"), col("__p._1").as("orientation"),
+          col("__p._2").as("make"), col("__p._3").as("dt_original"),
+          col("__p._4").as("pixel_x"), col("__p._5").as("status"))
+        .orderBy("img_id")
+    },
+
     "m7_audio_codecs" -> { (s, _) =>
       writeM7Fixture(s)
       val probe = udf { bytes: Array[Byte] =>
@@ -523,6 +615,12 @@ object MultimodalQueries {
          |  exp_frames AS frames, exp_codec AS codec, exp_status AS status
          |FROM read_parquet('$m8Dir/*.parquet')
          |ORDER BY video_id""".stripMargin,
+    "m9_exif_meta" ->
+      s"""SELECT img_id, exp_orientation AS orientation, exp_make AS make,
+         |  exp_dto AS dt_original, exp_px AS pixel_x,
+         |  exp_status AS status
+         |FROM read_parquet('$m9Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
     "m7_audio_codecs" ->
       s"""SELECT audio_id, exp_codec AS codec, exp_channels AS channels,
          |  exp_rate AS rate, exp_bits AS bits, exp_samples AS samples,

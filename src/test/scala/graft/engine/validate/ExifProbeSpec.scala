@@ -1,0 +1,121 @@
+package graft.engine.validate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EXIF probe contract over byte-by-byte authored fixtures: both byte
+  * orders, inline and pointed values, the EXIF sub-IFD, the JPEG APP1
+  * walk, and an every-prefix truncation fuzz.
+  */
+class ExifProbeSpec extends AnyFunSuite {
+
+  private class Tiff(little: Boolean) {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def u8(v: Int): this.type = { out += v.toByte; this }
+    def u16(v: Int): this.type = {
+      if (little) { u8(v & 0xff); u8(v >> 8) }
+      else { u8(v >> 8); u8(v & 0xff) }
+      this
+    }
+    def u32(v: Long): this.type = {
+      if (little) { u8((v & 0xff).toInt); u8(((v >> 8) & 0xff).toInt)
+        u8(((v >> 16) & 0xff).toInt); u8(((v >> 24) & 0xff).toInt) }
+      else { u8(((v >> 24) & 0xff).toInt); u8(((v >> 16) & 0xff).toInt)
+        u8(((v >> 8) & 0xff).toInt); u8((v & 0xff).toInt) }
+      this
+    }
+    def ascii(s: String): this.type = { s.foreach(c => u8(c.toInt)); this }
+    def bytes: Array[Byte] = out.toArray
+  }
+
+  /** A TIFF block with IFD0 {Orientation=6 inline, Make="GraftCam 1"
+    * at offset 86, ExifIFD→50} and sub-IFD {PixelX=1024 inline LONG,
+    * DateTimeOriginal="2026:08:14 06:00:00" at offset 98}.
+    */
+  private def tiffBytes(little: Boolean): Array[Byte] = {
+    val t = new Tiff(little)
+    if (little) t.ascii("II").u16(42) else t.ascii("MM").u16(42)
+    t.u32(8)                       // IFD0 offset
+    // IFD0 @8: 3 entries (2 + 3*12 + 4 = 42 bytes → next free 50)
+    t.u16(3)
+    t.u16(0x0112).u16(3).u32(1)    // Orientation SHORT ×1, inline
+    if (little) t.u16(6).u16(0) else t.u16(6).u16(0)
+    t.u16(0x010f).u16(2).u32(11).u32(86) // Make ASCII ×11 @86
+    t.u16(0x8769).u16(4).u32(1).u32(50)  // ExifIFD → 50
+    t.u32(0)                       // next-IFD pointer
+    // sub-IFD @50: 2 entries (2 + 2*12 + 4 = 30 bytes → ends 80)
+    t.u16(2)
+    t.u16(0xa002).u16(4).u32(1).u32(1024) // PixelX LONG inline
+    t.u16(0x9003).u16(2).u32(20).u32(98)  // DateTimeOriginal @98
+    t.u32(0)
+    while (t.out.length < 86) t.u8(0)
+    t.ascii("GraftCam 1").u8(0)    // 11 bytes incl. NUL → ends 97
+    t.u8(0)                        // pad to 98
+    t.ascii("2026:08:14 06:00:00").u8(0)
+    t.bytes
+  }
+
+  private def jpegWrap(tiff: Array[Byte]): Array[Byte] = {
+    val app1 = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = app1.length + 2
+    Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+      (len >> 8).toByte, (len & 0xff).toByte) ++ app1 ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  private def check(info: ExifProbe.ExifInfo): Unit = {
+    assert(info.orientation.contains(6))
+    assert(info.make.contains("GraftCam 1"))
+    assert(info.dateTimeOriginal.contains("2026:08:14 06:00:00"))
+    assert(info.pixelX.contains(1024L))
+    assert(info.model.isEmpty && info.pixelY.isEmpty)
+  }
+
+  test("bare TIFF, both byte orders") {
+    check(ExifProbe.info(tiffBytes(little = true)).get)
+    check(ExifProbe.info(tiffBytes(little = false)).get)
+  }
+
+  test("JPEG APP1 walk finds the EXIF block behind other segments") {
+    val direct = jpegWrap(tiffBytes(little = true))
+    check(ExifProbe.info(direct).get)
+    // APP0 (JFIF) first, APP1 second — the walk must skip it
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 7) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0)
+    val shifted = direct.take(2) ++ app0 ++ direct.drop(2)
+    check(ExifProbe.info(shifted).get)
+  }
+
+  test("non-EXIF inputs yield None, never a throw") {
+    assert(ExifProbe.info(null).isEmpty)
+    assert(ExifProbe.info(Array.empty[Byte]).isEmpty)
+    assert(ExifProbe.info("not an image at all".getBytes).isEmpty)
+    // JPEG with no APP1
+    assert(ExifProbe.info(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)).isEmpty)
+    // PNG magic
+    assert(ExifProbe.info(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      13, 10, 26, 10)).isEmpty)
+  }
+
+  test("every byte prefix parses without throwing") {
+    val full = jpegWrap(tiffBytes(little = true))
+    (0 to full.length).foreach { n =>
+      ExifProbe.info(full.take(n)) // must not throw; fields may be absent
+    }
+    val fullBe = tiffBytes(little = false)
+    (0 to fullBe.length).foreach(n => ExifProbe.info(fullBe.take(n)))
+  }
+
+  test("hostile offsets end fields, not the parse") {
+    // Make pointer beyond the buffer: field absent, others survive
+    val t = tiffBytes(little = true)
+    // Make entry's offset field sits at IFD0 entry 2's value slot:
+    // 8(header)+2(count)+12(entry0)+8 = byte 30..33 → overwrite huge
+    val hostile = t.clone()
+    hostile(30) = 0xff.toByte; hostile(31) = 0xff.toByte
+    hostile(32) = 0xff.toByte; hostile(33) = 0x7f.toByte
+    val info = ExifProbe.info(hostile).get
+    assert(info.make.isEmpty)
+    assert(info.orientation.contains(6)) // unaffected
+  }
+}
