@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vocab-driven subword token counting — the budget-accurate counter a
@@ -301,6 +301,150 @@ object VocabTokenizer {
       }
     }
     f(textCol)
+  }
+
+  // ------------------------------------------------------------------
+  // BPE TRAINING (Sennrich et al. 2016 §3.2) — learn the merge table
+  // from the corpus itself, the tokenizer-fitting half of a training-
+  // data pipeline. Spark does what scales (the word-type count — ONE
+  // aggregate over the corpus, the only full-data pass); the merge
+  // loop runs on the counted word TYPES, which are vocabulary-scale,
+  // not corpus-scale (capped by `maxWordTypes`, fail-loud), exactly
+  // how the published trainers operate.
+  // ------------------------------------------------------------------
+
+  final case class BpeModel(vocab: Seq[String],
+                            merges: Seq[(String, String)])
+
+  /** Learn `numMerges` BPE merges from whitespace words of `textCol`.
+    *
+    * Determinism contract: the next merge is the pair with the highest
+    * weighted count, ties broken by LEXICOGRAPHIC pair order — so the
+    * result is identical across runs, partitionings and retries
+    * (insertion-order tie-breaks, the other published choice, are
+    * partition-order-dependent in a distributed count).
+    *
+    * `endOfWord` (e.g. `"</w>"`) appends the paper's word-boundary
+    * symbol so merges can learn suffixes; `minWordFreq` drops hapax
+    * noise before the loop. Fewer than `numMerges` merges return when
+    * pairs run dry.
+    */
+  def learnBpe(df: DataFrame, textCol: String, numMerges: Int,
+               minWordFreq: Long = 1L, maxWordTypes: Int = 1 << 20,
+               endOfWord: Option[String] = None): BpeModel = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(minWordFreq >= 1, s"minWordFreq must be ≥ 1: $minWordFreq")
+    endOfWord.foreach(m => require(m.nonEmpty, "endOfWord must be non-empty"))
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val types = df.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minWordFreq)
+      .collect()
+    require(types.length <= maxWordTypes,
+      s"${types.length} word types exceed maxWordTypes=$maxWordTypes — " +
+        "raise the cap or minWordFreq")
+    // driver-side loop over word TYPES with an inverted pair→words
+    // index, so each merge touches only the words containing its pair
+    val words: Array[Array[String]] = types.map { r =>
+      val w = r.getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        val n = Character.charCount(w.codePointAt(pos))
+        syms += w.substring(pos, pos + n)
+        pos += n
+      }
+      endOfWord.foreach(syms += _)
+      syms.toArray
+    }
+    val freq: Array[Long] = types.map(_.getLong(1))
+    val baseVocab = words.iterator.flatten.toSet
+
+    val pairCount = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * freq(i)
+        if (c <= 0L) { pairCount.remove(p); pairWords.remove(p) }
+        else {
+          pairCount(p) = c
+          if (sign > 0)
+            pairWords.getOrElseUpdate(p,
+              scala.collection.mutable.HashSet.empty) += i
+        }
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    var round = 0
+    while (round < numMerges && pairCount.nonEmpty) {
+      // max count, ties lexicographic — a full scan of the pair map
+      // (vocabulary-scale) keeps the tie-break exact
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))
+          { best = p; bestC = c }
+      }
+      if (best == null) { round = numMerges }
+      else {
+        merges += best
+        merged += best._1 + best._2
+        val touched = pairWords.getOrElse(best, Set.empty[Int]).toArray
+        touched.foreach { i =>
+          addWord(i, -1L) // retract old pair contributions
+          val s = words(i)
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2) {
+              next += best._1 + best._2; j += 2
+            } else { next += s(j); j += 1 }
+          }
+          words(i) = next.toArray
+          addWord(i, 1L)
+        }
+        round += 1
+      }
+    }
+    BpeModel((baseVocab.toSeq.sorted ++ merged).distinct,
+      merges.toSeq)
+  }
+
+  /** Write a [[BpeModel]] as a HuggingFace-shape `tokenizer.json`
+    * ([[loadVocab]]/[[loadMerges]] read it back — the learn→save→load→
+    * count loop closes). Merges use the current pair-array form.
+    */
+  def saveTokenizerJson(spark: SparkSession, model: BpeModel,
+                        path: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json =
+      ("model" ->
+        ("type" -> "BPE") ~
+          ("vocab" -> org.json4s.JObject(
+            model.vocab.zipWithIndex.map { case (t, i) =>
+              t -> org.json4s.JInt(i)
+            }.toList)) ~
+          ("merges" -> model.merges.map { case (a, b) => Seq(a, b) }))
+    val fsPath = new Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fsPath, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(json))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   // ------------------------------------------------------------------

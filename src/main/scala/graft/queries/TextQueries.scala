@@ -313,6 +313,25 @@ object TextQueries {
         .orderBy("word_id")
     },
 
+    // -- t25: BPE TRAINING — learnBpe over a fixed corpus; the merge
+    //    SEQUENCE is under the hash, expectations hand-derived by
+    //    running Sennrich's algorithm on paper (weighted pair counts,
+    //    lexicographic ties — the derivation lives in writeT25Fixture).
+    //    The distributed half (word-type count) is one aggregate; the
+    //    loop is vocabulary-scale by construction. --------------------
+    "t25_bpe_learn" -> { (s, _) =>
+      writeT25Fixture(s)
+      import s.implicits._
+      val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("t")
+      val model = graft.ops.VocabTokenizer.learnBpe(corpus, "t",
+        numMerges = 8)
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "lhs", "rhs")
+        .orderBy("rank")
+    },
+
     // -- t23: BYTE-LEVEL merge-rank BPE (GPT-2 pre-tokenizer + byte
     //    symbol map + merges), vocab/merges through the tokenizer.json
     //    parse path. Full segmentations under the hash; expectations
@@ -629,6 +648,27 @@ object TextQueries {
     s.createDataset(rows)
       .toDF("word_id", "text", "exp_tokens", "exp_n", "exp_unk")
       .coalesce(1).write.mode("overwrite").parquet(t23WordsDir)
+  }
+
+  private val t25ExpectedDir = "/tmp/graft_gate_t25_expected"
+
+  /** t25 expectations, hand-derived by running the published training
+    * algorithm on paper over {low×5, lower×2, newest×6, widest×3}:
+    * initial pair weights put (e,s) and (s,t) at 9 — the lexicographic
+    * tie-break picks (e,s); after it, (es,t)=9; then (l,o)/(o,w) tie
+    * at 7 → (l,o), then (lo,w)=7; the 6-weight tier ties
+    * (e,w)/(n,e)/(w,est) → (e,w), then (ew,est)=6, (n,ewest)=6;
+    * finally the 3-tier ties (d,est)/(i,d)/(w,i) → (d,est).
+    */
+  private def writeT25Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    Seq(
+      (0L, "e", "s"), (1L, "es", "t"), (2L, "l", "o"), (3L, "lo", "w"),
+      (4L, "e", "w"), (5L, "ew", "est"), (6L, "n", "ewest"),
+      (7L, "d", "est"))
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(t25ExpectedDir)
+    ()
   }
 
   /** t13 fixture markup, synthesized from the documents table with the
@@ -959,6 +999,10 @@ object TextQueries {
          |  exp_unk AS n_unk
          |FROM read_parquet('$t23WordsDir/*.parquet')
          |ORDER BY word_id""".stripMargin,
+    "t25_bpe_learn" ->
+      s"""SELECT rank, lhs, rhs
+         |FROM read_parquet('$t25ExpectedDir/*.parquet')
+         |ORDER BY rank""".stripMargin,
     // Script ranges restated independently as RE2 \x{…} classes; the
     // dominant-script CASE replays the strict-greater fold: the FIRST
     // script in priority order reaching the maximum wins.

@@ -175,6 +175,62 @@ class VocabTokenizerSpec extends SparkSpec {
       VocabTokenizer.loadMerges(spark, s3.toString))
   }
 
+  // ---- BPE training ------------------------------------------------
+
+  test("learnBpe: hand-derived merge order, weighted counts, ties") {
+    import spark.implicits._
+    // "ab"x3 + "abc"x2: pair (a,b) weight 5 beats (b,c) weight 2;
+    // after merging, (ab,c) weight 2 is next
+    val df = (Seq.fill(3)("ab") ++ Seq.fill(2)("abc")).toDF("t")
+    val m = VocabTokenizer.learnBpe(df, "t", numMerges = 10)
+    assert(m.merges == Seq(("a", "b"), ("ab", "c")))
+    assert(m.vocab.contains("ab") && m.vocab.contains("abc"))
+    assert(m.vocab.count(_ == "ab") == 1) // no duplicates
+    // ties break lexicographically: (a,b) before (c,d)
+    val tie = Seq("ab", "cd", "ab", "cd").toDF("t")
+    val mt = VocabTokenizer.learnBpe(tie, "t", numMerges = 1)
+    assert(mt.merges == Seq(("a", "b")))
+    // frequency weighting: "zz" appearing once in a 5x-repeated word
+    // outweighs "yy" in a 2x word
+    val w = (Seq.fill(5)("zz") ++ Seq.fill(2)("yy")).toDF("t")
+    assert(VocabTokenizer.learnBpe(w, "t", 1).merges == Seq(("z", "z")))
+  }
+
+  test("learnBpe: endOfWord learns suffixes; minWordFreq prunes; guards") {
+    import spark.implicits._
+    val df = (Seq.fill(4)("est") ++ Seq.fill(1)("hapax")).toDF("t")
+    val m = VocabTokenizer.learnBpe(df, "t", numMerges = 3,
+      minWordFreq = 2, endOfWord = Some("</w>"))
+    // only "est</w>" types survive; first merges fuse within it
+    assert(m.merges.take(1) == Seq(("e", "s")))
+    assert(m.merges.contains(("t", "</w>")) ||
+      m.merges.exists(_._2 == "</w>"))
+    assert(!m.vocab.exists(_.contains("h"))) // hapax pruned
+    intercept[IllegalArgumentException](
+      VocabTokenizer.learnBpe(df, "t", 0))
+    intercept[IllegalArgumentException](
+      VocabTokenizer.learnBpe(df, "t", 1, maxWordTypes = 1))
+  }
+
+  test("learnBpe -> saveTokenizerJson -> load -> bpeTokens round trip") {
+    import spark.implicits._
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("t")
+    val model = VocabTokenizer.learnBpe(corpus, "t", numMerges = 8)
+    val path = tmpDir("bpelearn").resolve("tokenizer.json").toString
+    VocabTokenizer.saveTokenizerJson(spark, model, path)
+    val vocab = VocabTokenizer.loadVocab(spark, path)
+    val merges = VocabTokenizer.loadMerges(spark, path)
+    assert(merges == model.merges)
+    assert(vocab.toSet == model.vocab.toSet)
+    // the learned tokenizer segments its own training words whole
+    val toks = Seq("newest", "low").toDF("w")
+      .select(array_join(VocabTokenizer.bpeTokens(col("w"), vocab,
+        merges), " ").as("s"))
+      .as[String].collect()
+    assert(toks(0) == "newest" && toks(1) == "low")
+  }
+
   // ---- byte-level (GPT-2) path -------------------------------------
 
   test("byteToChar is the published bijection") {
