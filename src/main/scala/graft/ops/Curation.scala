@@ -572,6 +572,86 @@ object Curation {
     keyed.filter(col("__graft_bkt") >= 0 && keep).drop("__graft_bkt")
   }
 
+  /** Temperature-scaled mixture sampling (the mT5 / XLM-R recipe:
+    * sample group `g` with probability `q_g ∝ p_g^α`, `p_g = n_g/N`) —
+    * where [[mixReweight]] enforces EXPLICIT part ratios, this derives
+    * the ratios from the observed group sizes and a temperature:
+    * `α = 1` keeps the natural mix, `α → 0` flattens it, and the
+    * standard `α = 0.5`–`0.7` range upweights small groups (languages,
+    * sources) without letting any one dominate.
+    *
+    * Keep-rate per group: `r_g = min(1, budget·(q_g/Q)/n_g)`,
+    * waterfilled — a group whose rate saturates at 1 keeps every row
+    * and the remaining budget re-normalizes over the rest (≤ |groups|
+    * driver-side rounds over a |groups|-row collect; data rows never
+    * collect). Selection is deterministic: a row survives iff its id's
+    * [[splitBucket]] hash bucket falls below
+    * `floor(round(r_g · buckets, 6))` — stable under growth/reorder
+    * like every other sampling operator here, and exactly replayable
+    * in SQL (the c20 gate). The round-to-6-then-floor kills
+    * last-ulp float divergence between engines' `pow`; `α = 0.5`
+    * additionally routes through IEEE-exact `sqrt`.
+    *
+    * Rows with a NULL group are dropped (they cannot claim budget from
+    * any group); the output hits `budget` only in expectation — hash
+    * buckets are uniform, not exact counters (use [[mixReweight]] /
+    * [[takeTokenBudget]] for exact-threshold semantics).
+    *
+    * Scale shape: one hash aggregate to |groups| rows, then a
+    * codegen'd filter — no shuffle of data rows, no window, no join.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        alpha: Double, budget: Long,
+                        buckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(budget > 0, s"budget must be positive: $budget")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(!df.columns.contains("__graft_bkt"),
+      "input already has a reserved '__graft_bkt' column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Canonical ascending-group order everywhere a float sum happens,
+    // so repeated runs are bit-identical.
+    val counts: Seq[(String, Long)] = df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g")).count()
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    if (counts.isEmpty) return df.filter(lit(false))
+    def share(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else math.pow(n.toDouble, alpha)
+    // Waterfill: rates over unsaturated groups, re-derived after each
+    // saturation round.
+    var sat = Set.empty[String]
+    var rates = Map.empty[String, Double]
+    var done = false
+    while (!done) {
+      val un = counts.filterNot { case (g, _) => sat(g) }
+      val qsum = un.map { case (_, n) => share(n) }.sum
+      val used = counts.collect { case (g, n) if sat(g) => n }.sum
+      val left = (budget - used).max(0L)
+      if (un.isEmpty || qsum <= 0) { rates = Map.empty; done = true }
+      else {
+        val r = un.map { case (g, n) =>
+          g -> left * (share(n) / qsum) / n }
+        val newSat = r.collect { case (g, x) if x >= 1.0 => g }
+        if (newSat.isEmpty) { rates = r.toMap; done = true }
+        else sat ++= newSat
+      }
+    }
+    val th: Seq[(String, Int)] = counts.map { case (g, _) =>
+      val r = if (sat(g)) 1.0 else rates.getOrElse(g, 0.0)
+      g -> math.floor(BigDecimal(r * buckets)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt
+    }
+    val keep = th.map { case (g, t) =>
+      col(groupCol).cast("string") === g && col("__graft_bkt") < t
+    }.reduce(_ || _)
+    df.withColumn("__graft_bkt", splitBucket(col(idCol), buckets))
+      .filter(col("__graft_bkt") >= 0 && keep)
+      .drop("__graft_bkt")
+  }
+
   /** PII patterns redacted by [[redactPii]] — deliberately expressible
     * in both Java regex (Spark) and RE2 (DuckDB oracle parity): no
     * backreferences, no lookarounds.

@@ -442,6 +442,70 @@ object TextAnalysis {
         col("n_docs_with_term"), col("tfidf"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term bag
+    * (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+    * Framework: BM25 and Beyond") — the ranking a curation pipeline
+    * uses to pull domain-relevant documents toward a target topic
+    * (complementing [[Curation.importanceWeights]]' DSIR view):
+    *
+    * `bm25 = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`
+    * with the always-non-negative `idf = ln(1 + (N−df+0.5)/(df+0.5))`,
+    * so a document scores 0 iff it matches no query term.
+    *
+    * Scale shape: corpus statistics (N, total token count, one
+    * document frequency per query term) are ONE aggregate collapsing
+    * to a single row, carried back on a one-row `crossJoin(broadcast)`
+    * (the waived t8_tfidf shape — each task loops over exactly one
+    * broadcast row, kept lazy instead of a driver action). Scoring is
+    * then a pure map stage: per-row `tf` via a `filter` HOF over the
+    * token array, O(|terms| · tokens) per row with |terms| query-sized
+    * — no (doc, term) shuffle at all, unlike the [[tfidf]] shape,
+    * because the term set is fixed up front. NULL text scores 0 and
+    * still counts toward N and avgdl.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+  : DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"invalid k1=$k1 b=$b")
+    val reserved = Seq("n_tok", "bm25", "__graft_toks", "__graft_n",
+      "__graft_toktot") ++ terms.indices.map(i => s"__graft_df$i")
+    reserved.foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+    // Tokenize ONCE into a bound column — the per-term tf lambdas then
+    // walk the materialized array instead of re-running the regex
+    // |terms| times per row.
+    val toked = df.withColumn("__graft_toks",
+      when(col(textCol).isNull, array().cast("array<string>"))
+        .otherwise(regexp_extract_all(col(textCol),
+          lit("[^ \\t\\n\\f\\r]+"), lit(0))))
+    val toks = col("__graft_toks")
+    val stats = toked.agg(
+      count(lit(1)).as("__graft_n"),
+      sum(size(toks)).cast("long").as("__graft_toktot") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(toks, t), 1).otherwise(0))
+            .as(s"__graft_df$i")
+        }: _*)
+    val avgdl =
+      col("__graft_toktot").cast("double") / col("__graft_n")
+    val dl = col("n_tok").cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = col(s"__graft_df$i").cast("double")
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("__graft_n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }.reduce(_ + _)
+    toked.withColumn("n_tok", size(toks).cast("long"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", score)
+      .drop("__graft_toks", "__graft_n", "__graft_toktot")
+      .drop(terms.indices.map(i => s"__graft_df$i"): _*)
+  }
+
   /** Split documents into fixed-size token chunks with overlap — the
     * context-window chunking a training pipeline runs before
     * tokenization-and-pack: chunk i covers tokens

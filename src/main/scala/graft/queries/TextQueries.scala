@@ -89,6 +89,52 @@ object TextQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- t26: Gopher repetition signals (Rae et al. 2021 A1.1) — the
+    //    per-row kernel's 13-signal struct, gated per doc on a subset
+    //    of n sizes (the spec pins the rest on hand-derived fixtures).
+    //    The raw corpus is single-line, so line/paragraph structure is
+    //    synthesized deterministically from substrings — duplicate
+    //    lines and a paragraph break both engines construct
+    //    identically. The oracle recomputes every signal from scratch
+    //    in SQL (own tokenization, own argmax, own position-union). --
+    "t26_gopher_repetition" -> { (s, d) =>
+      import graft.ops.RepetitionSignals
+      val lined = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(
+          substring(col("text"), 1, 80), lit("\n"),
+          substring(col("text"), 1, 40), lit("\n\n"),
+          substring(col("text"), 41, 40), lit("\n"),
+          substring(col("text"), 1, 40)).as("t"))
+      RepetitionSignals.withSignals(lined, "t")
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 4).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 4).as("dup_line_char_frac"),
+          round(col("dup_para_frac"), 4).as("dup_para_frac"),
+          round(col("dup_para_char_frac"), 4).as("dup_para_char_frac"),
+          round(col("top_2gram_char_frac"), 4).as("top_2gram"),
+          round(col("top_3gram_char_frac"), 4).as("top_3gram"),
+          round(col("top_4gram_char_frac"), 4).as("top_4gram"),
+          round(col("dup_5gram_char_frac"), 4).as("dup_5gram"),
+          round(col("dup_8gram_char_frac"), 4).as("dup_8gram"),
+          round(col("dup_10gram_char_frac"), 4).as("dup_10gram"))
+        .orderBy("doc_id")
+    },
+
+    // -- t27: BM25 relevance against a fixed query-term bag — corpus
+    //    stats ride the one-row broadcast (waived t8 shape), scoring
+    //    is a pure map. The oracle replays idf/tf-normalization with
+    //    the identical operation order and literal constants. --------
+    "t27_bm25" -> { (s, d) =>
+      TextAnalysis.bm25(
+          Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id", "text", Seq("table", "scan", "hash"))
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("n_tok"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy("doc_id")
+    },
+
     // -- t21: character-trigram language ID over 24 languages (TextCat
     //    method). Spark classifies through the inverted-index kernel;
     //    the oracle re-derives every verdict from the raw profile rows
@@ -839,6 +885,91 @@ object TextQueries {
       s"len(list_filter(string_split($colName,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
+    // Full from-scratch replay of every t26 signal: own line/para
+    // split + duplicate grouping, own n-gram extraction (chr(1)
+    // joins), max-count-then-max-length argmax, position-union
+    // coverage. Fragments generated by GopherSql so c21 reuses the
+    // identical formulations.
+    "t26_gopher_repetition" -> {
+      val lined =
+        "substr(text, 1, 80) || chr(10) || substr(text, 1, 40) || " +
+          "chr(10) || chr(10) || substr(text, 41, 40) || chr(10) || " +
+          "substr(text, 1, 40)"
+      raw"""WITH base AS (
+         |  SELECT doc_id, $lined AS t
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(t, '[^ \t\n\f\r]+') AS tk
+         |  FROM base),
+         |tot AS (
+         |  SELECT doc_id,
+         |    coalesce(list_sum(list_transform(tk, x -> len(x))), 0)::DOUBLE
+         |      AS tc
+         |  FROM toks),
+         |${GopherSql.unitDupCtes("l", "string_split(t, chr(10))")},
+         |${GopherSql.unitDupCtes("p", "regexp_split_to_array(t, '\n{2,}')")},
+         |${GopherSql.topGramCtes(2)},
+         |${GopherSql.topGramCtes(3)},
+         |${GopherSql.topGramCtes(4)},
+         |${GopherSql.dupGramCtes(5)},
+         |${GopherSql.dupGramCtes(8)},
+         |${GopherSql.dupGramCtes(10)}
+         |SELECT b.doc_id,
+         |  round(coalesce(ls.f, 0), 4) AS dup_line_frac,
+         |  round(coalesce(ls.cf, 0), 4) AS dup_line_char_frac,
+         |  round(coalesce(ps.f, 0), 4) AS dup_para_frac,
+         |  round(coalesce(ps.cf, 0), 4) AS dup_para_char_frac,
+         |  ${GopherSql.charFrac("coalesce(t2.num, 0)", 4)} AS top_2gram,
+         |  ${GopherSql.charFrac("coalesce(t3.num, 0)", 4)} AS top_3gram,
+         |  ${GopherSql.charFrac("coalesce(t4.num, 0)", 4)} AS top_4gram,
+         |  ${GopherSql.charFrac("coalesce(d5.cc, 0)", 4)} AS dup_5gram,
+         |  ${GopherSql.charFrac("coalesce(d8.cc, 0)", 4)} AS dup_8gram,
+         |  ${GopherSql.charFrac("coalesce(d10.cc, 0)", 4)} AS dup_10gram
+         |FROM base b
+         |JOIN tot tt USING (doc_id)
+         |LEFT JOIN lstat ls USING (doc_id)
+         |LEFT JOIN pstat ps USING (doc_id)
+         |LEFT JOIN top2 t2 USING (doc_id)
+         |LEFT JOIN top3 t3 USING (doc_id)
+         |LEFT JOIN top4 t4 USING (doc_id)
+         |LEFT JOIN dup5 d5 USING (doc_id)
+         |LEFT JOIN dup8 d8 USING (doc_id)
+         |LEFT JOIN dup10 d10 USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    },
+    // Same operation order and literals as TextAnalysis.bm25:
+    // idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf·(k1+1) over the
+    // b-mixed length normalizer, terms summed left to right.
+    "t27_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN []::VARCHAR[]
+        |         ELSE regexp_extract_all(text, '[^ \t\n\f\r]+') END AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS tt,
+        |    sum(CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |    sum(CASE WHEN list_contains(tk, 'scan') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM toks),
+        |sc AS (
+        |  SELECT t.doc_id, len(t.tk)::BIGINT AS n_tok,
+        |    ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5)) *
+        |      (len(list_filter(t.tk, x -> x = 'table'))::DOUBLE * 2.2) /
+        |      (len(list_filter(t.tk, x -> x = 'table'))::DOUBLE +
+        |       1.2 * (0.25 + 0.75 * len(t.tk)::DOUBLE / (st.tt / st.n))) +
+        |    ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) *
+        |      (len(list_filter(t.tk, x -> x = 'scan'))::DOUBLE * 2.2) /
+        |      (len(list_filter(t.tk, x -> x = 'scan'))::DOUBLE +
+        |       1.2 * (0.25 + 0.75 * len(t.tk)::DOUBLE / (st.tt / st.n))) +
+        |    ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) *
+        |      (len(list_filter(t.tk, x -> x = 'hash'))::DOUBLE * 2.2) /
+        |      (len(list_filter(t.tk, x -> x = 'hash'))::DOUBLE +
+        |       1.2 * (0.25 + 0.75 * len(t.tk)::DOUBLE / (st.tt / st.n)))
+        |      AS score
+        |  FROM toks t CROSS JOIN st)
+        |SELECT doc_id, n_tok, round(score, 4) AS bm25
+        |FROM sc WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
     // Independent re-scoring: lowercase, explode codepoint trigram
     // positions, join the raw profile rows, sum weights per (doc,
     // lang), argmax with ties to the smallest code; docs with no

@@ -55,7 +55,11 @@ object Explain {
     "c18_ppl_buckets" -> Map("BroadcastNestedLoopJoin" ->
       ("inherited from bigramLogProb's one-row vocabulary-size " +
         "crossJoin(broadcast) — the same scalar-smoothing shape " +
-        "waived for t11_lm_score")))
+        "waived for t11_lm_score")),
+    "t27_bm25" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(corpus stats)) — N, total tokens " +
+        "and |terms| document frequencies collapse to a single " +
+        "broadcast row; scoring itself is a pure map stage (t8 shape)")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

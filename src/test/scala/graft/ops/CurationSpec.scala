@@ -862,4 +862,59 @@ class CurationSpec extends SparkSpec {
       Curation.fitScoreThresholds(base, Nil, "score")
     }
   }
+
+  test("temperatureSample: alpha=1 matches natural mix; alpha<1 flattens") {
+    import spark.implicits._
+    // 400 'big' rows, 100 'small' rows
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 500).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val a1 = Curation.temperatureSample(df, "src", "id",
+      alpha = 1.0, budget = 100)
+    val c1 = a1.groupBy("src").count().as[(String, Long)].collect().toMap
+    // natural mix: rates 0.2/0.2 -> expected ~80/~20; hash buckets are
+    // approximate, so assert the RATIO ordering, not exact counts
+    assert(c1("big") > 2 * c1("small"))
+    val a5 = Curation.temperatureSample(df, "src", "id",
+      alpha = 0.5, budget = 100)
+    val c5 = a5.groupBy("src").count().as[(String, Long)].collect().toMap
+    // sqrt weighting: q_big/q_small = 2 -> small keeps a larger share
+    // than under the natural mix
+    assert(c5("small").toDouble / c5.values.sum >
+      c1("small").toDouble / c1.values.sum)
+  }
+
+  test("temperatureSample: waterfill — tiny group saturates, rest absorbs") {
+    import spark.implicits._
+    val df = ((1 to 396).map(i => (i.toLong, "big")) ++
+      (397 to 400).map(i => (i.toLong, "tiny"))).toDF("id", "src")
+    // alpha=0.5: q_tiny/Q = 2/21.9; raw tiny rate = 180*0.0913/4 > 1
+    // -> tiny keeps ALL 4 rows, big absorbs the remaining budget
+    val out = Curation.temperatureSample(df, "src", "id",
+      alpha = 0.5, budget = 180)
+    val c = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(c("tiny") == 4L)
+    assert(c("big") > 100L && c("big") < 396L)
+  }
+
+  test("temperatureSample: deterministic, null groups dropped, guards") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, null), (4L, "b"))
+      .toDF("id", "src")
+    val out1 = Curation.temperatureSample(df, "src", "id", 0.5, 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    val out2 = Curation.temperatureSample(
+      df.orderBy(org.apache.spark.sql.functions.rand(7)), "src", "id", 0.5, 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out1 == out2)
+    assert(!out1.contains(3L))
+    // budget >= N keeps everything non-null
+    val all = Curation.temperatureSample(df, "src", "id", 0.5, 100)
+    assert(all.count() == 3)
+    intercept[IllegalArgumentException] {
+      Curation.temperatureSample(df, "src", "id", 0.0, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.temperatureSample(df, "src", "id", 0.5, 0)
+    }
+  }
 }

@@ -636,4 +636,51 @@ class ScriptDetectSpec extends SparkSpec {
         .as("s")).as[String].collect()(0)
     assert(strict == "unknown")
   }
+
+  test("bm25: idf ordering, length normalization, zero for non-matching") {
+    import spark.implicits._
+    // "rare" appears in 1 of 4 docs, "common" in 3 of 4
+    val df = Seq(
+      (1L, "rare common alpha beta"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common alpha alpha alpha beta gamma delta epsilon"),
+      (4L, "zeta eta theta iota")).toDF("id", "text")
+    val out = TextAnalysis.bm25(df, "id", "text", Seq("rare", "common"))
+      .select("id", "n_tok", "bm25").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 4 matches nothing -> exactly 0
+    assert(out(4L)._2 == 0.0)
+    // doc 1 (rare + common) outranks doc 2 (common only)
+    assert(out(1L)._2 > out(2L)._2)
+    // same tf of "common" but doc 3 is longer -> lower score (b>0)
+    assert(out(2L)._2 > out(3L)._2)
+    assert(out(3L)._1 == 8L)
+    // hand-check doc 2: N=4, df_common=3, avgdl=20/4=5, dl=4, tf=1
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    val expected = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 4.0 / 5.0))
+    assert(math.abs(out(2L)._2 - expected) < 1e-12)
+  }
+
+  test("bm25: NULL text scores 0 but counts toward N and avgdl; guards") {
+    import spark.implicits._
+    val df = Seq((1L, "x y"), (2L, null)).toDF("id", "text")
+    val out = TextAnalysis.bm25(df, "id", "text", Seq("x"))
+      .select("id", "n_tok", "bm25").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(2L) == ((0L, 0.0)))
+    // N=2, df_x=1, avgdl=1: the null doc halves avgdl
+    val idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
+    val expected = idf * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 2.0 / 1.0))
+    assert(math.abs(out(1L)._2 - expected) < 1e-12)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(df, "id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(df, "id", "text", Seq("x", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(df.withColumn("bm25",
+        org.apache.spark.sql.functions.lit(1)), "id", "text", Seq("x"))
+    }
+  }
 }
