@@ -45,6 +45,9 @@ object CurationPipeline {
       keepLangs: Set[String] = Set.empty,
       blockedTerms: Seq[String] = Nil,
       minQuality: Double = 0.8,
+      gopher: Boolean = false,
+      gopherThresholds: RepetitionSignals.GopherThresholds =
+        RepetitionSignals.GopherThresholds(),
       nearDupThreshold: Double = 0.8,
       maxContamination: Double = 0.2,
       targetMix: Map[String, Int] = Map.empty,
@@ -89,7 +92,7 @@ object CurationPipeline {
     require(blocklist.isEmpty || cfg.hostCol.nonEmpty,
       "a blocklist needs cfg.hostCol to match against")
     for (r <- Seq("__text", "__term_ok", "lang_pred", "__q", "text_clean", "n_tok",
-        "pack_id", "content_sha", "__graft_blocked"))
+        "pack_id", "content_sha", "__graft_blocked", "gopher_pass"))
       require(!docs.columns.contains(r), s"input column '$r' is reserved")
 
     // the blocklist verdict rides as a FLAG so its keep/drop counts
@@ -130,12 +133,21 @@ object CurationPipeline {
         .withColumn("__q", TextAnalysis.qualityScore(feats("punct_ratio"),
           feats("digit_ratio"), feats("stop_ratio")))
     }
+    // optional Gopher quality filter (paper table A1) — the repetition
+    // kernel and rule columns ride the SAME projection as the other
+    // stage flags (no extra job); disabled, the flag is a constant
+    // true and none of it is computed
+    val gophered =
+      if (cfg.gopher)
+        RepetitionSignals.gopherFilter(scored, "__text", cfg.gopherThresholds)
+      else scored.withColumn("gopher_pass", lit(true))
+    val gOk = col("gopher_pass")
     // coalesce: sum() over ZERO rows is NULL, and an empty batch (a
     // routine all-filtered microbatch) must yield 0-metrics, not an
     // NPE after the pipeline ran
     val notBlocked = !col("__graft_blocked")
     val tOk = col("__term_ok")
-    val stageAgg = scored.agg(
+    val stageAgg = gophered.agg(
       count(lit(1)).as("n_received"),
       coalesce(sum(when(notBlocked, 1L).otherwise(0L)), lit(0L)).as("n_in"),
       coalesce(sum(when(notBlocked && tOk, 1L).otherwise(0L)), lit(0L))
@@ -143,11 +155,22 @@ object CurationPipeline {
       coalesce(sum(when(notBlocked && tOk && langOk, 1L)
         .otherwise(0L)), lit(0L)).as("n_lang"),
       coalesce(sum(when(notBlocked && tOk && langOk &&
-        col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"))
+        col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"),
+      coalesce(sum(when(notBlocked && tOk && langOk &&
+        col("__q") >= cfg.minQuality && gOk, 1L).otherwise(0L)), lit(0L))
+        .as("n_gopher"))
       .head()
-    val kept3raw = scored
-      .filter(notBlocked && tOk && langOk && col("__q") >= cfg.minQuality)
+    val gopherCols =
+      if (cfg.gopher)
+        RepetitionSignals.signalNames ++ Seq("tok_n", "mean_word_len",
+          "symbol_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+          "alpha_word_ratio", "stopword_hits", "gopher_pass")
+      else Seq("gopher_pass")
+    val kept3raw = gophered
+      .filter(notBlocked && tOk && langOk &&
+        col("__q") >= cfg.minQuality && gOk)
       .drop("__q", "__graft_blocked", "__term_ok")
+      .drop(gopherCols: _*)
     // redaction before any digesting: segment digests, signatures and
     // the exported text must all be the REDACTED form
     val kept3 =
@@ -203,6 +226,7 @@ object CurationPipeline {
         "terms_kept" -> stageAgg.getLong(2),
         "language_kept" -> stageAgg.getLong(3),
         "quality_kept" -> stageAgg.getLong(4),
+        "gopher_kept" -> stageAgg.getLong(5),
         "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
         "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1)),
         "neardup_kept" -> nNearDup,

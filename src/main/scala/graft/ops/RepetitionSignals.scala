@@ -317,4 +317,52 @@ object RepetitionSignals {
         }.reduce(_ && _)
     base.withColumn("gopher_pass", pass)
   }
+
+  /** Rule-level observability: ONE aggregate row counting, per Gopher
+    * rule, how many documents violate it (independently — a document
+    * can fail several rules at once, so the columns are not a
+    * partition), plus `n_docs` and `n_pass`. The rule inputs come from
+    * [[gopherFilter]]'s single scan, so at any scale the report costs
+    * one pass over the text plus a one-row aggregate with map-side
+    * partial combine — the per-rule drop report a curation pipeline
+    * logs before committing to thresholds. Empty input yields a
+    * single all-zero row, never NULLs.
+    */
+  def ruleViolationCounts(df: DataFrame, textCol: String,
+                          th: GopherThresholds = GopherThresholds())
+  : DataFrame = {
+    val g = gopherFilter(df, textCol, th)
+    def fails(name: String, ok: Column): Column =
+      coalesce(sum(when(!ok, 1L).otherwise(0L)), lit(0L)).as(s"fail_$name")
+    val aggs = Seq(
+      fails("words",
+        col("tok_n") >= th.minWords && col("tok_n") <= th.maxWords),
+      fails("mean_word_len",
+        col("mean_word_len") >= th.minMeanWordLen &&
+          col("mean_word_len") <= th.maxMeanWordLen),
+      fails("symbol_ratio",
+        col("symbol_word_ratio") <= th.maxSymbolWordRatio),
+      fails("bullet_lines",
+        col("bullet_line_ratio") <= th.maxBulletLineRatio),
+      fails("ellipsis_lines",
+        col("ellipsis_line_ratio") <= th.maxEllipsisLineRatio),
+      fails("alpha_words",
+        col("alpha_word_ratio") >= th.minAlphaWordRatio),
+      fails("stopwords", col("stopword_hits") >= th.minStopwordHits),
+      fails("dup_line", col("dup_line_frac") <= th.maxDupLineFrac),
+      fails("dup_line_char",
+        col("dup_line_char_frac") <= th.maxDupLineCharFrac),
+      fails("dup_para", col("dup_para_frac") <= th.maxDupParaFrac),
+      fails("dup_para_char",
+        col("dup_para_char_frac") <= th.maxDupParaCharFrac)) ++
+      th.maxTopNgramCharFrac.toSeq.sortBy(_._1).map { case (n, x) =>
+        fails(s"top_${n}gram", col(s"top_${n}gram_char_frac") <= x)
+      } ++
+      th.maxDupNgramCharFrac.toSeq.sortBy(_._1).map { case (n, x) =>
+        fails(s"dup_${n}gram", col(s"dup_${n}gram_char_frac") <= x)
+      } ++
+      Seq(coalesce(sum(when(col("gopher_pass"), 1L).otherwise(0L)), lit(0L))
+        .as("n_pass"))
+    g.agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
 }

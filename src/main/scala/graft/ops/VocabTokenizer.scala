@@ -548,4 +548,196 @@ object VocabTokenizer {
     }
     f(textCol)
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenization (Kudo 2018, arXiv:1804.10959 — the
+  // SentencePiece "Unigram" model type). Unlike BPE's merge replay,
+  // segmentation is GLOBAL per word: the piece sequence maximizing the
+  // sum of trained piece log-probabilities, found by Viterbi DP over
+  // code-point positions. Two tokenizers with the same piece set but
+  // different scores segment differently — the counterpart caveat to
+  // BPE's merge-order sensitivity.
+  //
+  // Not ANSI-SQL-expressible (a DP over string positions); gated via
+  // the stored-expected-columns pattern (t28_unigram_tokens:
+  // expectations hand-derived by tracing the DP on paper, derivation
+  // in the fixture writer).
+  // ------------------------------------------------------------------
+
+  /** Viterbi encoder over a trained `(piece, logProb)` table.
+    * Unknown single code points fall back to a synthetic one-symbol
+    * piece scored `unkScore` (keep it below every real piece score or
+    * the DP will happily spell words character by character).
+    *
+    * Determinism: candidate pieces at each end position are scanned
+    * from the LONGEST start backwards and replace the incumbent only
+    * on a STRICTLY better score, so ties break to the longest piece
+    * ending at that position (then recursively to the longest at its
+    * predecessor) — matching SentencePiece's observable preference for
+    * fewer pieces on score ties.
+    *
+    * Scores ride the closure like the BPE tables (~1 MB per 50k
+    * pieces, task-binary scale); the hash map rebuilds lazily per
+    * executor after deserialization.
+    */
+  final class UnigramEncoder(pieces: Array[(String, Double)],
+                             unkScore: Double) extends Serializable {
+    require(pieces.nonEmpty, "unigram model needs at least one piece")
+    @transient private lazy val score: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](
+        math.max(16, pieces.length * 2))
+      pieces.foreach { case (p, s) =>
+        if (p.nonEmpty && !m.containsKey(p)) m.put(p, s) // first wins
+      }
+      m
+    }
+    @transient private lazy val maxLen: Int =
+      pieces.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
+
+    /** Optimal piece sequence of one word (never empty for a
+      * non-empty word: the unk fallback always offers a path).
+      */
+    def encodeWord(word: String): Array[String] = {
+      if (word.isEmpty) return Array.empty
+      // code-point symbol boundaries (one emoji = one symbol)
+      val bounds = scala.collection.mutable.ArrayBuffer(0)
+      var pos = 0
+      while (pos < word.length) {
+        pos += Character.charCount(word.codePointAt(pos))
+        bounds += pos
+      }
+      val n = bounds.length - 1 // symbols
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val from = new Array[Int](n + 1)
+      val piece = new Array[String](n + 1)
+      best(0) = 0.0
+      var j = 1
+      while (j <= n) {
+        // longest candidate first; strict > keeps it on ties
+        var i = math.max(0, j - maxLen)
+        while (i < j) {
+          val cand = word.substring(bounds(i), bounds(j))
+          val sc = score.get(cand)
+          if (sc != null && best(i) + sc > best(j)) {
+            best(j) = best(i) + sc; from(j) = i; piece(j) = cand
+          }
+          i += 1
+        }
+        // unk fallback: single code point at fixed penalty
+        if (best(j - 1) + unkScore > best(j)) {
+          best(j) = best(j - 1) + unkScore
+          from(j) = j - 1
+          piece(j) = word.substring(bounds(j - 1), bounds(j))
+        }
+        j += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = n
+      while (k > 0) { out += piece(k); k = from(k) }
+      out.reverseIterator.toArray
+    }
+
+    /** (tokens, unknowns) of one word — unknowns are the positions the
+      * unk fallback served (piece absent from the score table).
+      */
+    def count(word: String): (Int, Int) = {
+      val toks = encodeWord(word)
+      var unk = 0
+      var i = 0
+      while (i < toks.length) {
+        if (!score.containsKey(toks(i))) unk += 1
+        i += 1
+      }
+      (toks.length, unk)
+    }
+  }
+
+  /** Load a Unigram model from a HuggingFace/SentencePiece-format
+    * `tokenizer.json`: `model.vocab` as `[["piece", score], …]` pair
+    * arrays. File order is preserved (first entry wins duplicate
+    * pieces, like the encoder).
+    */
+  def loadUnigram(spark: SparkSession, path: String): Seq[(String, Double)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fsPath = new Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(fsPath), s"tokenizer.json not found at $path")
+    val text = {
+      val in = fs.open(fsPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val pieces: Seq[(String, Double)] =
+      (JsonMethods.parse(text) \ "model" \ "vocab") match {
+        case JArray(items) => items.collect {
+          case JArray(JString(p) :: JDouble(sc) :: Nil) => (p, sc)
+          case JArray(JString(p) :: JInt(sc) :: Nil) => (p, sc.toDouble)
+        }
+        case _ => Seq.empty
+      }
+    require(pieces.nonEmpty,
+      s"tokenizer.json at $path has no extractable unigram vocab")
+    pieces
+  }
+
+  /** Write a Unigram model as tokenizer.json (`model.type` =
+    * "Unigram", `model.vocab` = [piece, score] pairs in order) — the
+    * round-trip partner of [[loadUnigram]].
+    */
+  def saveUnigramJson(spark: SparkSession, pieces: Seq[(String, Double)],
+                      path: String): Unit = {
+    require(pieces.nonEmpty, "refusing to write an empty unigram model")
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json =
+      ("model" ->
+        ("type" -> "Unigram") ~
+          ("vocab" -> JArray(pieces.toList.map { case (p, sc) =>
+            JArray(List(JString(p), JDouble(sc)))
+          })))
+    val fsPath = new Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fsPath, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(json))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Array-of-pieces column: whitespace words each Viterbi-segmented.
+    * NULL text yields an empty array. One scan, no shuffle.
+    */
+  def unigramTokens(textCol: Column, pieces: Seq[(String, Double)],
+                    unkScore: Double = -20.0): Column = {
+    val enc = new UnigramEncoder(pieces.toArray, unkScore)
+    val f = udf { text: String =>
+      if (text == null) Array.empty[String]
+      else text.split("[ \\t\\n\\f\\r]+").iterator
+        .filter(_.nonEmpty).flatMap(enc.encodeWord).toArray
+    }
+    f(textCol)
+  }
+
+  /** Column of [[TokenCounts]] under the unigram model — the
+    * budget-pricing counter for SentencePiece-class tokenizers.
+    */
+  def unigramTokenCounts(textCol: Column, pieces: Seq[(String, Double)],
+                         unkScore: Double = -20.0): Column = {
+    val enc = new UnigramEncoder(pieces.toArray, unkScore)
+    val f = udf { text: String =>
+      if (text == null) TokenCounts(0, 0)
+      else {
+        var tok = 0; var unk = 0
+        text.split("[ \\t\\n\\f\\r]+").foreach { w =>
+          if (w.nonEmpty) {
+            val (t, u) = enc.count(w)
+            tok += t; unk += u
+          }
+        }
+        TokenCounts(tok, unk)
+      }
+    }
+    f(textCol)
+  }
 }

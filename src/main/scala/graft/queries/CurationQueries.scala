@@ -178,6 +178,14 @@ object CurationQueries {
         .orderBy("source", "gopher_pass")
     },
 
+    // -- c22: per-rule Gopher violation counts — the drop report a
+    //    pipeline logs before committing to thresholds; one aggregate
+    //    row, every rule counted independently. ----------------------
+    "c22_gopher_rules" -> { (s, d) =>
+      graft.ops.RepetitionSignals
+        .ruleViolationCounts(Tables.documents(s, d), "text")
+    },
+
     // -- pipe1: the COMPOSED golden curation pipeline — html extract →
     //    langid → quality → corpus-wide segment dedup → near-dup vs
     //    the minhash signature index → decontamination → mix reweight
@@ -519,6 +527,100 @@ object CurationQueries {
       s"ELSE list_transform(range(1, len($toks) - 1), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END)"
 
+  /** The c21/c22 oracle's per-doc Gopher rule-input CTE chain — every
+    * signal recomputed from scratch in SQL (GopherSql fragments shared
+    * with t26). Ends with `pd(doc_id, source, tok_n, …, dup10)`.
+    */
+  private def gopherPdSql: String = {
+    val stopHits = graft.ops.RepetitionSignals.stopwords
+      .map(w => s"(CASE WHEN list_contains(tk, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    raw"""WITH base AS (
+       |  SELECT doc_id, source, text, coalesce(text, '') AS t
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(t, '[^ \t\n\f\r]+') AS tk
+       |  FROM base),
+       |tot AS (
+       |  SELECT doc_id,
+       |    coalesce(list_sum(list_transform(tk, x -> len(x))), 0)::DOUBLE
+       |      AS tc
+       |  FROM toks),
+       |${GopherSql.unitDupCtes("l", "string_split(t, chr(10))")},
+       |${GopherSql.unitDupCtes("p", "regexp_split_to_array(t, '\n{2,}')")},
+       |${GopherSql.topGramCtes(2)},
+       |${GopherSql.topGramCtes(3)},
+       |${GopherSql.topGramCtes(4)},
+       |${GopherSql.dupGramCtes(5)},
+       |${GopherSql.dupGramCtes(6)},
+       |${GopherSql.dupGramCtes(7)},
+       |${GopherSql.dupGramCtes(8)},
+       |${GopherSql.dupGramCtes(9)},
+       |${GopherSql.dupGramCtes(10)},
+       |pd AS (
+       |  SELECT b.doc_id, b.source,
+       |    len(k.tk)::BIGINT AS tok_n,
+       |    CASE WHEN len(k.tk) > 0 THEN
+       |      len(regexp_replace(b.t, '[ \t\n\f\r]+', '', 'g'))::DOUBLE
+       |        / len(k.tk) ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN len(k.tk) > 0 THEN
+       |      (len(regexp_extract_all(b.t, '#')) +
+       |       len(regexp_extract_all(b.t, '\.\.\.')))::DOUBLE
+       |        / len(k.tk) ELSE 0.0 END AS symbol_word_ratio,
+       |    CASE WHEN b.text IS NULL THEN 0.0
+       |         WHEN len(string_split(b.t, chr(10))) > 0 THEN
+       |      len(regexp_extract_all(b.t, '(?m)^[ \t]*[-*•]'))::DOUBLE
+       |        / len(string_split(b.t, chr(10))) ELSE 0.0 END
+       |      AS bullet_line_ratio,
+       |    CASE WHEN b.text IS NULL THEN 0.0
+       |         WHEN len(string_split(b.t, chr(10))) > 0 THEN
+       |      len(regexp_extract_all(b.t, '(?m)(\.\.\.|…)\r?$$'))::DOUBLE
+       |        / len(string_split(b.t, chr(10))) ELSE 0.0 END
+       |      AS ellipsis_line_ratio,
+       |    CASE WHEN len(k.tk) > 0 THEN
+       |      len(list_filter(k.tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+       |        / len(k.tk) ELSE 0.0 END AS alpha_word_ratio,
+       |    ($stopHits) AS stopword_hits,
+       |    coalesce(ls.f, 0) AS dlf, coalesce(ls.cf, 0) AS dlcf,
+       |    coalesce(ps.f, 0) AS dpf, coalesce(ps.cf, 0) AS dpcf,
+       |    ${GopherSql.charFrac("coalesce(t2.num, 0)")} AS top2,
+       |    ${GopherSql.charFrac("coalesce(t3.num, 0)")} AS top3,
+       |    ${GopherSql.charFrac("coalesce(t4.num, 0)")} AS top4,
+       |    ${GopherSql.charFrac("coalesce(d5.cc, 0)")} AS dup5,
+       |    ${GopherSql.charFrac("coalesce(d6.cc, 0)")} AS dup6,
+       |    ${GopherSql.charFrac("coalesce(d7.cc, 0)")} AS dup7,
+       |    ${GopherSql.charFrac("coalesce(d8.cc, 0)")} AS dup8,
+       |    ${GopherSql.charFrac("coalesce(d9.cc, 0)")} AS dup9,
+       |    ${GopherSql.charFrac("coalesce(d10.cc, 0)")} AS dup10
+       |  FROM base b
+       |  JOIN toks k USING (doc_id)
+       |  JOIN tot tt USING (doc_id)
+       |  LEFT JOIN lstat ls USING (doc_id)
+       |  LEFT JOIN pstat ps USING (doc_id)
+       |  LEFT JOIN top2 t2 USING (doc_id)
+       |  LEFT JOIN top3 t3 USING (doc_id)
+       |  LEFT JOIN top4 t4 USING (doc_id)
+       |  LEFT JOIN dup5 d5 USING (doc_id)
+       |  LEFT JOIN dup6 d6 USING (doc_id)
+       |  LEFT JOIN dup7 d7 USING (doc_id)
+       |  LEFT JOIN dup8 d8 USING (doc_id)
+       |  LEFT JOIN dup9 d9 USING (doc_id)
+       |  LEFT JOIN dup10 d10 USING (doc_id))""".stripMargin
+  }
+
+  /** The full 22-term Gopher pass conjunction over `pd`'s columns. */
+  private val gopherPassSql: String =
+    """(tok_n >= 50 AND tok_n <= 100000 AND
+      |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+      |   symbol_word_ratio <= 0.1 AND
+      |   bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3 AND
+      |   alpha_word_ratio >= 0.8 AND stopword_hits >= 2 AND
+      |   dlf <= 0.30 AND dpf <= 0.30 AND
+      |   dlcf <= 0.20 AND dpcf <= 0.20 AND
+      |   top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16 AND
+      |   dup5 <= 0.15 AND dup6 <= 0.14 AND dup7 <= 0.13 AND
+      |   dup8 <= 0.12 AND dup9 <= 0.11 AND dup10 <= 0.10)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // Rate r_g = budget·(√n_g/Σ√n)/n_g, threshold floor(round(r·10⁴,6)),
     // selection by the shared sha-256 16-hex-digit bucket (the c12
@@ -543,99 +645,47 @@ object CurationQueries {
         |FROM bkt JOIN th ON bkt.source = th.g
         |WHERE bucket < t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // Every Gopher rule input recomputed from scratch: tokenization,
-    // line/word-shape ratios (guarded denominators), lexical rules,
-    // and all 13 repetition signals via the t26 fragment builders —
-    // then the identical threshold conjunction.
-    "c21_gopher_filter" -> {
-      val stopHits = graft.ops.RepetitionSignals.stopwords
-        .map(w => s"(CASE WHEN list_contains(tk, '$w') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      raw"""WITH base AS (
-         |  SELECT doc_id, source, text, coalesce(text, '') AS t
-         |  FROM documents),
-         |toks AS (
-         |  SELECT doc_id, regexp_extract_all(t, '[^ \t\n\f\r]+') AS tk
-         |  FROM base),
-         |tot AS (
-         |  SELECT doc_id,
-         |    coalesce(list_sum(list_transform(tk, x -> len(x))), 0)::DOUBLE
-         |      AS tc
-         |  FROM toks),
-         |${GopherSql.unitDupCtes("l", "string_split(t, chr(10))")},
-         |${GopherSql.unitDupCtes("p", "regexp_split_to_array(t, '\n{2,}')")},
-         |${GopherSql.topGramCtes(2)},
-         |${GopherSql.topGramCtes(3)},
-         |${GopherSql.topGramCtes(4)},
-         |${GopherSql.dupGramCtes(5)},
-         |${GopherSql.dupGramCtes(6)},
-         |${GopherSql.dupGramCtes(7)},
-         |${GopherSql.dupGramCtes(8)},
-         |${GopherSql.dupGramCtes(9)},
-         |${GopherSql.dupGramCtes(10)},
-         |pd AS (
-         |  SELECT b.doc_id, b.source,
-         |    len(k.tk)::BIGINT AS tok_n,
-         |    CASE WHEN len(k.tk) > 0 THEN
-         |      len(regexp_replace(b.t, '[ \t\n\f\r]+', '', 'g'))::DOUBLE
-         |        / len(k.tk) ELSE 0.0 END AS mean_word_len,
-         |    CASE WHEN len(k.tk) > 0 THEN
-         |      (len(regexp_extract_all(b.t, '#')) +
-         |       len(regexp_extract_all(b.t, '\.\.\.')))::DOUBLE
-         |        / len(k.tk) ELSE 0.0 END AS symbol_word_ratio,
-         |    CASE WHEN b.text IS NULL THEN 0.0
-         |         WHEN len(string_split(b.t, chr(10))) > 0 THEN
-         |      len(regexp_extract_all(b.t, '(?m)^[ \t]*[-*•]'))::DOUBLE
-         |        / len(string_split(b.t, chr(10))) ELSE 0.0 END
-         |      AS bullet_line_ratio,
-         |    CASE WHEN b.text IS NULL THEN 0.0
-         |         WHEN len(string_split(b.t, chr(10))) > 0 THEN
-         |      len(regexp_extract_all(b.t, '(?m)(\.\.\.|…)\r?$$'))::DOUBLE
-         |        / len(string_split(b.t, chr(10))) ELSE 0.0 END
-         |      AS ellipsis_line_ratio,
-         |    CASE WHEN len(k.tk) > 0 THEN
-         |      len(list_filter(k.tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
-         |        / len(k.tk) ELSE 0.0 END AS alpha_word_ratio,
-         |    ($stopHits) AS stopword_hits,
-         |    coalesce(ls.f, 0) AS dlf, coalesce(ls.cf, 0) AS dlcf,
-         |    coalesce(ps.f, 0) AS dpf, coalesce(ps.cf, 0) AS dpcf,
-         |    ${GopherSql.charFrac("coalesce(t2.num, 0)")} AS top2,
-         |    ${GopherSql.charFrac("coalesce(t3.num, 0)")} AS top3,
-         |    ${GopherSql.charFrac("coalesce(t4.num, 0)")} AS top4,
-         |    ${GopherSql.charFrac("coalesce(d5.cc, 0)")} AS dup5,
-         |    ${GopherSql.charFrac("coalesce(d6.cc, 0)")} AS dup6,
-         |    ${GopherSql.charFrac("coalesce(d7.cc, 0)")} AS dup7,
-         |    ${GopherSql.charFrac("coalesce(d8.cc, 0)")} AS dup8,
-         |    ${GopherSql.charFrac("coalesce(d9.cc, 0)")} AS dup9,
-         |    ${GopherSql.charFrac("coalesce(d10.cc, 0)")} AS dup10
-         |  FROM base b
-         |  JOIN toks k USING (doc_id)
-         |  JOIN tot tt USING (doc_id)
-         |  LEFT JOIN lstat ls USING (doc_id)
-         |  LEFT JOIN pstat ps USING (doc_id)
-         |  LEFT JOIN top2 t2 USING (doc_id)
-         |  LEFT JOIN top3 t3 USING (doc_id)
-         |  LEFT JOIN top4 t4 USING (doc_id)
-         |  LEFT JOIN dup5 d5 USING (doc_id)
-         |  LEFT JOIN dup6 d6 USING (doc_id)
-         |  LEFT JOIN dup7 d7 USING (doc_id)
-         |  LEFT JOIN dup8 d8 USING (doc_id)
-         |  LEFT JOIN dup9 d9 USING (doc_id)
-         |  LEFT JOIN dup10 d10 USING (doc_id))
-         |SELECT source,
-         |  (tok_n >= 50 AND tok_n <= 100000 AND
-         |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
-         |   symbol_word_ratio <= 0.1 AND
-         |   bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3 AND
-         |   alpha_word_ratio >= 0.8 AND stopword_hits >= 2 AND
-         |   dlf <= 0.30 AND dpf <= 0.30 AND
-         |   dlcf <= 0.20 AND dpcf <= 0.20 AND
-         |   top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16 AND
-         |   dup5 <= 0.15 AND dup6 <= 0.14 AND dup7 <= 0.13 AND
-         |   dup8 <= 0.12 AND dup9 <= 0.11 AND dup10 <= 0.10)
-         |    AS gopher_pass,
-         |  count(*) AS n, round(avg(tok_n), 4) AS avg_tok
-         |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    // Every Gopher rule input recomputed from scratch (tokenization,
+    // guarded ratios, all 9 n-gram families via the t26 fragment
+    // builders) — shared by c21 (the composed verdict rollup) and c22
+    // (per-rule violation counts).
+    "c21_gopher_filter" ->
+      (gopherPdSql + "\n" +
+        s"""SELECT source,
+           |  $gopherPassSql AS gopher_pass,
+           |  count(*) AS n, round(avg(tok_n), 4) AS avg_tok
+           |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // One row; every rule counted independently (a doc can fail many).
+    "c22_gopher_rules" -> {
+      def fail(name: String, ok: String): String =
+        s"  coalesce(sum(CASE WHEN NOT ($ok) THEN 1 ELSE 0 END), 0)::BIGINT" +
+          s" AS fail_$name"
+      val rules = Seq(
+        "words" -> "tok_n >= 50 AND tok_n <= 100000",
+        "mean_word_len" -> "mean_word_len >= 3.0 AND mean_word_len <= 10.0",
+        "symbol_ratio" -> "symbol_word_ratio <= 0.1",
+        "bullet_lines" -> "bullet_line_ratio <= 0.9",
+        "ellipsis_lines" -> "ellipsis_line_ratio <= 0.3",
+        "alpha_words" -> "alpha_word_ratio >= 0.8",
+        "stopwords" -> "stopword_hits >= 2",
+        "dup_line" -> "dlf <= 0.30",
+        "dup_line_char" -> "dlcf <= 0.20",
+        "dup_para" -> "dpf <= 0.30",
+        "dup_para_char" -> "dpcf <= 0.20",
+        "top_2gram" -> "top2 <= 0.20",
+        "top_3gram" -> "top3 <= 0.18",
+        "top_4gram" -> "top4 <= 0.16",
+        "dup_5gram" -> "dup5 <= 0.15",
+        "dup_6gram" -> "dup6 <= 0.14",
+        "dup_7gram" -> "dup7 <= 0.13",
+        "dup_8gram" -> "dup8 <= 0.12",
+        "dup_9gram" -> "dup9 <= 0.11",
+        "dup_10gram" -> "dup10 <= 0.10")
+      gopherPdSql + "\n" +
+        "SELECT count(*)::BIGINT AS n_docs,\n" +
+        rules.map { case (n, ok) => fail(n, ok) }.mkString(",\n") + ",\n" +
+        s"  coalesce(sum(CASE WHEN $gopherPassSql THEN 1 ELSE 0 END), 0)" +
+        "::BIGINT AS n_pass\nFROM pd"
     },
     "c19_term_filter" ->
       """WITH dirty AS (

@@ -345,6 +345,25 @@ object TextQueries {
     //    but "widestnewest" and the rank-interleave cases wrong.
     //    Expectations hand-derived and stored (m-gate pattern; merge
     //    semantics are not ANSI-SQL-expressible). --------------------
+    // -- t28: unigram-LM (SentencePiece) Viterbi segmentation — the
+    //    global-optimum counterpart to t22's merge replay; model
+    //    round-trips through tokenizer.json, expectations hand-derived
+    //    (see writeT28Fixture). -----------------------------------
+    "t28_unigram_tokens" -> { (s, _) =>
+      writeT28Fixture(s)
+      val pieces = graft.ops.VocabTokenizer.loadUnigram(s, t28TokenizerPath)
+      val toks = graft.ops.VocabTokenizer
+        .unigramTokens(col("text"), pieces, unkScore = -10.0)
+      val counts = graft.ops.VocabTokenizer
+        .unigramTokenCounts(col("text"), pieces, unkScore = -10.0)
+      s.read.parquet(t28WordsDir)
+        .select(col("word_id"),
+          array_join(toks, " ").as("tokens"),
+          counts.getField("n_tokens").cast("long").as("n_tokens"),
+          counts.getField("n_unk").cast("long").as("n_unk"))
+        .orderBy("word_id")
+    },
+
     "t22_bpe_tokens" -> { (s, _) =>
       writeT22Fixture(s)
       val vocab = graft.ops.VocabTokenizer.loadVocab(s, t22TokenizerPath)
@@ -620,6 +639,42 @@ object TextQueries {
       "widest", "er")
   private val t22TokenizerPath = "/tmp/graft_gate_t22_tokenizer.json"
   private val t22WordsDir = "/tmp/graft_gate_t22_words"
+
+  /** t28 fixture: unigram-LM Viterbi segmentation (Kudo 2018). The
+    * piece scores are chosen so the fixture words exercise every DP
+    * behavior: global-optimum-beats-greedy, score ties broken to the
+    * longest piece, unk single-code-point fallback, emoji as one
+    * symbol, and multi-word texts. The model round-trips through
+    * tokenizer.json (save → load) before encoding, like t22/t23.
+    * Every expectation below is hand-derived by tracing the DP:
+    *  - "abc": [abc] −3.5 TIES [ab,c] −3.5 → strict-improvement rule
+    *    keeps the longest-piece candidate scanned first;
+    *  - "aab": best path [a,ab] −4.0 beats [a,a,b] −8.0;
+    *  - "bcde": [bc,de] −2.7 beats [b,c,de] −5.7;
+    *  - "xb"/"😀b": unknown leading symbol at −10, known tail.
+    */
+  private val t28Pieces: Seq[(String, Double)] = Seq(
+    "ab" -> -1.0, "b" -> -2.0, "a" -> -3.0, "abc" -> -3.5,
+    "c" -> -2.5, "bc" -> -1.5, "de" -> -1.2, "d" -> -4.0, "e" -> -4.0)
+  private val t28TokenizerPath = "/tmp/graft_gate_t28_tokenizer.json"
+  private val t28WordsDir = "/tmp/graft_gate_t28_words"
+
+  private def writeT28Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    graft.ops.VocabTokenizer.saveUnigramJson(s, t28Pieces, t28TokenizerPath)
+    val rows: Seq[(Long, String, String, Long, Long)] = Seq(
+      (0L, "ab", "ab", 1L, 0L),
+      (1L, "abc", "abc", 1L, 0L), // tie −3.5 → longest piece wins
+      (2L, "abde", "ab de", 2L, 0L),
+      (3L, "xb", "x b", 2L, 1L), // unk fallback + known tail
+      (4L, "ab abc", "ab abc", 2L, 0L), // words segment independently
+      (5L, "😀b", "😀 b", 2L, 1L), // emoji = 1 symbol
+      (6L, "bcde", "bc de", 2L, 0L), // optimal split beats char path
+      (7L, "aab", "a ab", 2L, 0L)) // DP finds the non-obvious prefix
+    s.createDataset(rows)
+      .toDF("word_id", "text", "exp_tokens", "exp_n", "exp_unk")
+      .coalesce(1).write.mode("overwrite").parquet(t28WordsDir)
+  }
 
   private def writeT22Fixture(s: SparkSession): Unit = {
     import s.implicits._
@@ -1124,6 +1179,11 @@ object TextQueries {
       s"""SELECT word_id, exp_tokens AS tokens, exp_n AS n_tokens,
          |  exp_unk AS n_unk
          |FROM read_parquet('$t22WordsDir/*.parquet')
+         |ORDER BY word_id""".stripMargin,
+    "t28_unigram_tokens" ->
+      s"""SELECT word_id, exp_tokens AS tokens, exp_n AS n_tokens,
+         |  exp_unk AS n_unk
+         |FROM read_parquet('$t28WordsDir/*.parquet')
          |ORDER BY word_id""".stripMargin,
     "t23_bytelevel_bpe" ->
       s"""SELECT word_id, exp_tokens AS tokens, exp_n AS n_tokens,

@@ -231,4 +231,36 @@ class CurationPipelineSpec extends SparkSpec {
       assert(m("mixed_and_packed") == kept.size.toLong)
     } finally out.release()
   }
+
+  test("gopher stage drops repetition-degenerate docs, metric shows it") {
+    // doc 41 passes langid (en markers) and quality (high stop ratio)
+    // but is one 5-gram repeated wall to wall -> only gopher kills it
+    val degenerate = (41L, "src1",
+      "<html><body><p>" +
+        Seq.fill(8)("the alpha beta gamma of").mkString(" ") +
+        "</p></body></html>")
+    val docs = corpus.union(Seq(degenerate).toDF("doc_id", "source", "html"))
+    val loose = RepetitionSignals.GopherThresholds(
+      minWords = 5, minMeanWordLen = 0.0, maxMeanWordLen = 100.0)
+    val cfgOn = CurationPipeline.Config("doc_id", "html", "source",
+      targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+      nearDupThreshold = 0.5, packCapacity = 30L,
+      gopher = true, gopherThresholds = loose)
+    val out = CurationPipeline.curate(docs,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text", cfgOn)
+    val m = out.metrics.toMap
+    assert(m("gopher_kept") < m("quality_kept"),
+      "gopher stage dropped nothing")
+    assert(!out.data.select("doc_id").as[Long].collect().contains(41L))
+    out.release()
+    // disabled: flag is constant true, gopher_kept == quality_kept,
+    // and doc 41 survives to the output
+    val off = CurationPipeline.curate(docs,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfgOn.copy(gopher = false))
+    val m2 = off.metrics.toMap
+    assert(m2("gopher_kept") == m2("quality_kept"))
+    assert(off.data.select("doc_id").as[Long].collect().contains(41L))
+    off.release()
+  }
 }

@@ -135,4 +135,29 @@ class RepetitionSignalsSpec extends SparkSpec {
     val out = RepetitionSignals.gopherFilter(df, "text", loose)
     assert(out.select("gopher_pass").head.getBoolean(0))
   }
+
+  test("ruleViolationCounts: independent per-rule counts, empty-safe") {
+    import spark.implicits._
+    val clean = (1 to 60).map(i => s"word$i")
+      .updated(0, "the").updated(1, "have").updated(2, "with")
+      .mkString(" ")
+    val repeated = Seq.fill(12)("the have with alpha beta").mkString(" ")
+    val df = Seq((1L, clean), (2L, repeated), (3L, "too short"))
+      .toDF("id", "text")
+    val r = RepetitionSignals.ruleViolationCounts(df, "text").head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_pass") == 1L)
+    // doc 3 fails the word-count bound; doc 2 fails every dup-n rule
+    assert(r.getAs[Long]("fail_words") == 1L)
+    assert(r.getAs[Long]("fail_dup_5gram") == 1L)
+    assert(r.getAs[Long]("fail_dup_10gram") == 1L)
+    // nothing fails the symbol rule
+    assert(r.getAs[Long]("fail_symbol_ratio") == 0L)
+    // empty input: one all-zero row, never NULLs
+    val z = RepetitionSignals.ruleViolationCounts(
+      df.filter($"id" > 99), "text").head
+    assert(z.getAs[Long]("n_docs") == 0L)
+    assert(z.getAs[Long]("n_pass") == 0L)
+    assert(z.getAs[Long]("fail_words") == 0L)
+  }
 }

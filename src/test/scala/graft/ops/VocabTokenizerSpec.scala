@@ -304,4 +304,62 @@ class VocabTokenizerSpec extends SparkSpec {
       .collect()(0).getStruct(0)
     assert(nul.getInt(0) == 0 && nul.getInt(1) == 0)
   }
+
+  test("unigram Viterbi: optimal path, ties to longest piece, unk") {
+    val enc = new VocabTokenizer.UnigramEncoder(Array(
+      "ab" -> -1.0, "b" -> -2.0, "a" -> -3.0, "abc" -> -3.5,
+      "c" -> -2.5, "bc" -> -1.5, "de" -> -1.2, "d" -> -4.0,
+      "e" -> -4.0), unkScore = -10.0)
+    assert(enc.encodeWord("ab").toSeq == Seq("ab"))
+    // [abc] -3.5 ties [ab,c] -3.5 -> longest piece wins
+    assert(enc.encodeWord("abc").toSeq == Seq("abc"))
+    // global optimum beats greedy left-longest
+    assert(enc.encodeWord("aab").toSeq == Seq("a", "ab"))
+    assert(enc.encodeWord("bcde").toSeq == Seq("bc", "de"))
+    // unknown single code points fall back at the penalty
+    assert(enc.encodeWord("xb").toSeq == Seq("x", "b"))
+    assert(enc.count("xb") == ((2, 1)))
+    // emoji is ONE symbol (code points, not UTF-16 units)
+    assert(enc.encodeWord("\ud83d\ude00b").toSeq ==
+      Seq("\ud83d\ude00", "b"))
+    assert(enc.encodeWord("").isEmpty)
+  }
+
+  test("unigram tie-break is longest-piece even with equal unit scores") {
+    val enc = new VocabTokenizer.UnigramEncoder(
+      Array("aa" -> -2.0, "a" -> -1.0), unkScore = -10.0)
+    // [aa] -2.0 ties [a,a] -2.0 -> single longest piece
+    assert(enc.encodeWord("aa").toSeq == Seq("aa"))
+  }
+
+  test("unigram save -> load -> encode round trip via tokenizer.json") {
+    val path = tmpDir("unigram").resolve("tokenizer.json").toString
+    val pieces = Seq("ab" -> -1.0, "b" -> -2.0, "a" -> -3.0,
+      "q\"uo" -> -5.0) // escaping must round-trip
+    VocabTokenizer.saveUnigramJson(spark, pieces, path)
+    val loaded = VocabTokenizer.loadUnigram(spark, path)
+    assert(loaded == pieces)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("ab xb").toDF("t")
+      .select(VocabTokenizer.unigramTokens(col("t"), loaded, -10.0))
+      .head.getSeq[String](0)
+    assert(out == Seq("ab", "x", "b"))
+    // counts column: struct(n_tokens, n_unk); NULL text -> zeros
+    val c = Seq(("ab xb"), (null: String)).toDF("t")
+      .select(VocabTokenizer.unigramTokenCounts(col("t"), loaded, -10.0)
+        .as("c"))
+      .collect().map(r => r.getStruct(0))
+    assert(c(0).getInt(0) == 3 && c(0).getInt(1) == 1)
+    assert(c(1).getInt(0) == 0 && c(1).getInt(1) == 0)
+  }
+
+  test("unigram guards: empty model rejected") {
+    intercept[IllegalArgumentException] {
+      new VocabTokenizer.UnigramEncoder(Array.empty, -10.0)
+    }
+    intercept[IllegalArgumentException] {
+      VocabTokenizer.saveUnigramJson(spark, Nil, "/tmp/never.json")
+    }
+  }
 }
