@@ -438,6 +438,81 @@ object Curation {
       .withColumn("pack_id", floor(cumBefore / capacity))
   }
 
+  /** Tokenize-and-pack TERMINUS: concatenate per-document token-id
+    * arrays (e.g. [[graft.ops.VocabTokenizer.greedyIds]]) into
+    * FIXED-LENGTH training examples — the GPT-style document packing
+    * that actually feeds a trainer, where [[packSequences]] only
+    * assigns capacity bins. Documents concatenate within each shard in
+    * `(sha256(id), id)` order (the engine-wide deterministic order —
+    * stable across runs, partitionings and engines), each optionally
+    * terminated by `eosId`; the shard's id stream is chopped at exact
+    * `seqLen` boundaries, documents SPLITTING across examples. The
+    * last example of a shard may be short — `padId` tops it up to
+    * `seqLen` (with `n_ids` still reporting the real count), or the
+    * caller drops it; output is `(shardCol, example_id, ids, n_ids)`
+    * with `example_id` dense from 0 per shard.
+    *
+    * Scale shape: one window per shard for running offsets (shuffle
+    * 1), then each document explodes to only the examples it SPANS
+    * (≤ n/seqLen + 1 rows) carrying sliced fragments, and a keyed
+    * aggregate reassembles each example from its ≤ few fragments
+    * (shuffle 2) — token ids cross the wire twice, no driver
+    * involvement, no single-task global stream. Fragment order inside
+    * an example recovers from the offset (array_sort on (offset,
+    * fragment) structs). Zero-token documents contribute nothing
+    * unless `eosId` is set (then every document marks its boundary).
+    */
+  def packTokenIds(df: DataFrame, shardCol: String, idCol: String,
+                   idsCol: String, seqLen: Int,
+                   eosId: Option[Int] = None,
+                   padId: Option[Int] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    for (r <- Seq("example_id", "ids", "n_ids", "__graft_ids",
+        "__graft_n", "__graft_off", "__graft_frag"))
+      require(!df.columns.contains(r) || (r == "ids" && idsCol == "ids"),
+        s"input already has a reserved '$r' column")
+    val withEos = eosId match {
+      case Some(e) => df.withColumn("__graft_ids",
+        concat(coalesce(col(idsCol), array().cast("array<int>")),
+          array(lit(e))))
+      case None => df.withColumn("__graft_ids",
+        coalesce(col(idsCol), array().cast("array<int>")))
+    }
+    val w = Window.partitionBy(shardCol)
+      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withEos
+      .filter(col(idCol).isNotNull)
+      .withColumn("__graft_n", size(col("__graft_ids")).cast("long"))
+      .filter(col("__graft_n") > 0)
+      .withColumn("__graft_off",
+        coalesce(sum("__graft_n").over(w), lit(0L)))
+    val first = expr(s"__graft_off div $seqLen")
+    val last = expr(s"(__graft_off + __graft_n - 1) div $seqLen")
+    val fragStart = greatest(col("example_id") * seqLen, col("__graft_off"))
+    val fragEnd = least((col("example_id") + 1) * seqLen,
+      col("__graft_off") + col("__graft_n"))
+    val frag = slice(col("__graft_ids"),
+      (fragStart - col("__graft_off") + 1).cast("int"),
+      (fragEnd - fragStart).cast("int"))
+    offs.select(col(shardCol), col("__graft_ids"), col("__graft_off"),
+        col("__graft_n"), explode(sequence(first, last)).as("example_id"))
+      .select(col(shardCol), col("example_id"),
+        struct(col("__graft_off").as("o"), frag.as("f")).as("__graft_frag"))
+      .groupBy(col(shardCol), col("example_id"))
+      .agg(flatten(transform(array_sort(collect_list("__graft_frag")),
+        x => x.getField("f"))).as("ids"))
+      // n_ids reports the REAL token count even when padding tops the
+      // final short example up to seqLen
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+      .withColumn("ids", padId match {
+        case Some(pd) => concat(col("ids"),
+          array_repeat(lit(pd), (lit(seqLen) - size(col("ids")))
+            .cast("int")))
+        case None => col("ids")
+      })
+  }
+
   /** Deterministic TOKEN-BUDGET subset: the maximal sha-order prefix of
     * the corpus whose running token total stays ≤ `budget` — "give me a
     * 50 B-token training subset of this 10 T-token corpus" as one

@@ -69,6 +69,29 @@ object VocabTokenizer {
       }
       (tok, unk)
     }
+
+    /** The greedy segmentation behind [[count]] — unknown code points
+      * are emitted as themselves (they are never vocab members, or the
+      * match loop would have found them at length ≥ 1).
+      */
+    def pieces(word: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var pos = 0
+      while (pos < word.length) {
+        var l = math.min(maxLen, word.length - pos)
+        var found = 0
+        while (l >= 1 && found == 0) {
+          if (set.contains(word.substring(pos, pos + l))) found = l
+          l -= 1
+        }
+        if (found > 0) { out += word.substring(pos, pos + found); pos += found }
+        else {
+          val n = Character.charCount(word.codePointAt(pos))
+          out += word.substring(pos, pos + n); pos += n
+        }
+      }
+      out.result()
+    }
   }
 
   /** Load the vocabulary from a HuggingFace-format `tokenizer.json`:
@@ -132,6 +155,31 @@ object VocabTokenizer {
         }
         TokenCounts(tok, unk)
       }
+    }
+    f(textCol)
+  }
+
+  /** Greedy longest-match token IDS of whitespace-tokenized text:
+    * piece → its index in `vocab` (first occurrence wins on
+    * duplicates), unknown single code points → `vocab.length`. The
+    * id-emitting form of [[tokenCounts]] — what
+    * [[graft.ops.Curation.packTokenIds]] consumes to emit actual
+    * training examples. Same segmentation walk, same SQL
+    * replayability (the c23 oracle extends t14's recursive CTE with
+    * an id accumulator). NULL text yields an empty array.
+    */
+  def greedyIds(textCol: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "greedyIds needs a non-empty vocabulary")
+    val g = new Greedy(vocab.toArray)
+    // first occurrence wins: later duplicates must not steal the id
+    val idOf: Map[String, Int] =
+      vocab.zipWithIndex.reverse.toMap
+    val unk = vocab.length
+    val f = udf { text: String =>
+      if (text == null) Array.empty[Int]
+      else text.split("[ \\t\\n\\f\\r]+").iterator.filter(_.nonEmpty)
+        .flatMap(w => g.pieces(w).iterator.map(p => idOf.getOrElse(p, unk)))
+        .toArray
     }
     f(textCol)
   }
@@ -739,5 +787,144 @@ object VocabTokenizer {
       }
     }
     f(textCol)
+  }
+
+  // ------------------------------------------------------------------
+  // UNIGRAM TRAINING (Kudo 2018 §3.2) — the Viterbi-EM variant: the
+  // E-step uses the 1-best segmentation (hard counts) instead of the
+  // full lattice forward-backward. Documented simplification: with a
+  // peaked unigram model the 1-best path carries almost all lattice
+  // mass, and the hard variant is deterministic and hand-derivable
+  // (the t29 gate traces it on paper); the published trainer's
+  // soft-EM refines the same fixed point.
+  //
+  // Spark does what scales — the word-type count is ONE aggregate over
+  // the corpus, the only full-data pass (the learnBpe split). Seeding,
+  // EM and pruning run over word TYPES (vocabulary-scale, capped
+  // fail-loud), exactly where SentencePiece's trainer operates.
+  // ------------------------------------------------------------------
+
+  /** Learn a unigram-LM piece vocabulary.
+    *
+    * Seed: every substring of the word types up to `maxPieceLen` code
+    * points, counted with word-frequency weights (occurrence
+    * multiplicity included); capped at `maxSeedPieces` by
+    * (count desc, piece asc), single code points always kept — they
+    * guarantee every word stays encodable. Then `emIters` rounds of:
+    *
+    *  1. E: Viterbi-segment each word type under the current scores
+    *     ([[UnigramEncoder]]), accumulate frequency-weighted piece
+    *     counts;
+    *  2. prune: drop multi-symbol pieces the E-step never used; if
+    *     still above `vocabSize`, keep the top
+    *     `max(vocabSize, ⌈|v|·shrink⌉)` by (count desc, piece asc) —
+    *     single code points are never pruned;
+    *  3. M: re-score `ln(count / Σcount)` with counts floored at 0.5
+    *     (unused singles must stay finite or coverage dies).
+    *
+    * Everything is deterministic: ties break lexicographically, sums
+    * run in sorted piece order. Returns pieces as (piece, logProb)
+    * sorted by (count desc, piece asc) of the final E-step — ready for
+    * [[saveUnigramJson]] / [[unigramTokens]].
+    */
+  def learnUnigram(df: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 4, emIters: Int = 4,
+                   shrink: Double = 0.75, minWordFreq: Long = 1L,
+                   maxWordTypes: Int = 1 << 20,
+                   maxSeedPieces: Int = 1 << 22,
+                   unkScore: Double = -30.0): Seq[(String, Double)] = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be ≥ 1: $maxPieceLen")
+    require(emIters >= 1, s"emIters must be ≥ 1: $emIters")
+    require(shrink > 0 && shrink <= 1, s"shrink must be in (0,1]: $shrink")
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val types = df.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minWordFreq)
+      .collect()
+    require(types.nonEmpty, "corpus has no words to train on")
+    require(types.length <= maxWordTypes,
+      s"${types.length} word types exceed maxWordTypes=$maxWordTypes — " +
+        "raise the cap or minWordFreq")
+    val words: Array[String] = types.map(_.getString(0))
+    val freq: Array[Long] = types.map(_.getLong(1))
+
+    // code-point boundaries per word, shared by seeding and the E-step
+    val bounds: Array[Array[Int]] = words.map { w =>
+      val b = scala.collection.mutable.ArrayBuffer(0)
+      var pos = 0
+      while (pos < w.length) {
+        pos += Character.charCount(w.codePointAt(pos)); b += pos
+      }
+      b.toArray
+    }
+
+    // ---- seed: weighted substring counts up to maxPieceLen ----------
+    val seedCount = scala.collection.mutable.HashMap.empty[String, Long]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi); val b = bounds(wi); val n = b.length - 1
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j <= math.min(n, i + maxPieceLen)) {
+          val piece = w.substring(b(i), b(j))
+          seedCount(piece) = seedCount.getOrElse(piece, 0L) + freq(wi)
+          j += 1
+        }
+        i += 1
+      }
+      wi += 1
+    }
+    val isSingle: String => Boolean =
+      p => p.codePointCount(0, p.length) == 1
+    val seed: Seq[(String, Long)] = {
+      val all = seedCount.toSeq.sortBy { case (p, c) => (-c, p) }
+      if (all.length <= maxSeedPieces) all
+      else {
+        val (singles, multis) = all.partition(e => isSingle(e._1))
+        singles ++ multis.take(math.max(0, maxSeedPieces - singles.length))
+      }
+    }
+
+    // ---- EM ---------------------------------------------------------
+    def rescore(counts: Seq[(String, Long)]): Seq[(String, Double)] = {
+      val smoothed = counts.map { case (p, c) => (p, math.max(c, 0L)) }
+      val total = smoothed.iterator.map { case (_, c) =>
+        math.max(c.toDouble, 0.5) }.sum
+      smoothed.map { case (p, c) =>
+        (p, math.log(math.max(c.toDouble, 0.5) / total)) }
+    }
+    var model: Seq[(String, Double)] = rescore(seed)
+    var finalCounts: Map[String, Long] = seed.toMap
+    var iter = 0
+    while (iter < emIters) {
+      val enc = new UnigramEncoder(model.toArray, unkScore)
+      val used = scala.collection.mutable.HashMap.empty[String, Long]
+      var k = 0
+      while (k < words.length) {
+        enc.encodeWord(words(k)).foreach { p =>
+          used(p) = used.getOrElse(p, 0L) + freq(k)
+        }
+        k += 1
+      }
+      // prune: unused multi-symbol pieces go; singles always stay
+      var kept: Seq[(String, Long)] = model.map(_._1)
+        .map(p => (p, used.getOrElse(p, 0L)))
+        .filter { case (p, c) => c > 0L || isSingle(p) }
+        .sortBy { case (p, c) => (-c, p) }
+      if (kept.length > vocabSize) {
+        val target = math.max(vocabSize, math.ceil(kept.length * shrink).toInt)
+        val (singles, multis) = kept.partition(e => isSingle(e._1))
+        kept = (singles ++ multis.take(math.max(0, target - singles.length)))
+          .sortBy { case (p, c) => (-c, p) }
+      }
+      finalCounts = kept.toMap
+      model = rescore(kept)
+      iter += 1
+    }
+    model.sortBy { case (p, _) => (-finalCounts.getOrElse(p, 0L), p) }
   }
 }

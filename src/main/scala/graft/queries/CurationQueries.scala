@@ -178,6 +178,23 @@ object CurationQueries {
         .orderBy("source", "gopher_pass")
     },
 
+    // -- c23: tokenize-and-pack TERMINUS — greedy vocab ids + eos per
+    //    doc, concatenated per source in sha order, chopped at exact
+    //    64-id boundaries (docs split across examples). The oracle
+    //    re-derives everything: t14's recursive greedy CTE extended
+    //    with an id accumulator, then stream slicing. ----------------
+    "c23_pack_token_ids" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val withIds = docs.select(col("doc_id"), col("source"),
+        graft.ops.VocabTokenizer.greedyIds(col("text"), c23Vocab).as("tids"))
+      Curation.packTokenIds(withIds, "source", "doc_id", "tids",
+          seqLen = 64, eosId = Some(c23Vocab.length + 1))
+        .select(col("source"), col("example_id"),
+          array_join(col("ids").cast("array<string>"), " ").as("ids"),
+          col("n_ids"))
+        .orderBy("source", "example_id")
+    },
+
     // -- c22: per-rule Gopher violation counts — the drop report a
     //    pipeline logs before committing to thresholds; one aggregate
     //    row, every rule counted independently. ----------------------
@@ -527,6 +544,15 @@ object CurationQueries {
       s"ELSE list_transform(range(1, len($toks) - 1), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END)"
 
+  /** c23 vocabulary: multi-char pieces with overlapping prefixes (so
+    * greedy longest-match is exercised) plus the full lowercase
+    * alphabet (so letters never go unknown; digits/punct do →
+    * unk id = |vocab|, eos id = |vocab|+1).
+    */
+  private[queries] val c23Vocab: Seq[String] =
+    Seq("scan", "sc", "an", "table", "ta", "ble", "row", "val", "ue",
+      "the", "th") ++ ('a' to 'z').map(_.toString)
+
   /** The c21/c22 oracle's per-doc Gopher rule-input CTE chain — every
     * signal recomputed from scratch in SQL (GopherSql fragments shared
     * with t26). Ends with `pd(doc_id, source, tok_n, …, dup10)`.
@@ -645,6 +671,60 @@ object CurationQueries {
         |FROM bkt JOIN th ON bkt.source = th.g
         |WHERE bucket < t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The packing oracle builds the SAME deterministic stream a
+    // different way: recursive greedy segmentation per distinct word
+    // (t14's CTE + an id accumulator), per-doc flatten in word order +
+    // eos, per-source flatten in (sha256(id), id) order, then direct
+    // slicing of the whole stream — equivalence with the engine's
+    // windowed fragment reassembly is exactly what the gate checks.
+    "c23_pack_token_ids" -> {
+      val vocabValues = c23Vocab.zipWithIndex
+        .map { case (v, i) => s"('$v', $i)" }.mkString(", ")
+      raw"""WITH RECURSIVE vocab(v, tid) AS (VALUES $vocabValues),
+         |toksrc AS (
+         |  SELECT doc_id, source,
+         |    regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk
+         |  FROM documents),
+         |words AS (
+         |  SELECT doc_id, i, tk[i] AS w
+         |  FROM toksrc, unnest(range(1, len(tk) + 1)) u(i)),
+         |dw AS (SELECT DISTINCT w FROM words),
+         |seg AS (
+         |  SELECT w, 1 AS pos, []::INT[] AS ids FROM dw
+         |  UNION ALL
+         |  SELECT w, pos + coalesce(ml, 1) AS pos,
+         |    list_append(ids, coalesce(
+         |      (SELECT min(tid) FROM vocab WHERE v = substr(w, pos, ml)),
+         |      ${c23Vocab.length})::INT) AS ids
+         |  FROM (
+         |    SELECT w, pos, ids,
+         |      (SELECT max(len(v)) FROM vocab
+         |       WHERE v = substr(w, pos, len(v))) AS ml
+         |    FROM seg WHERE pos <= len(w))),
+         |fin AS (SELECT w, ids FROM seg WHERE pos > len(w)),
+         |docids AS (
+         |  SELECT wo.doc_id, flatten(list(f.ids ORDER BY wo.i)) AS ids
+         |  FROM words wo JOIN fin f USING (w) GROUP BY 1),
+         |perdoc AS (
+         |  SELECT t.doc_id, t.source,
+         |    list_append(coalesce(d.ids, []::INT[]),
+         |      ${c23Vocab.length + 1}::INT) AS doc_ids
+         |  FROM toksrc t LEFT JOIN docids d USING (doc_id)),
+         |stream AS (
+         |  SELECT source,
+         |    flatten(list(doc_ids
+         |      ORDER BY sha256(doc_id::VARCHAR), doc_id)) AS s_ids
+         |  FROM perdoc GROUP BY source),
+         |ex AS (
+         |  SELECT source, e::BIGINT AS example_id,
+         |    s_ids[e*64 + 1 : least((e+1)*64, len(s_ids))] AS ids
+         |  FROM stream, unnest(range(0, (len(s_ids) + 63) // 64)) u(e))
+         |SELECT source, example_id,
+         |  list_aggregate(list_transform(ids, x -> x::VARCHAR),
+         |    'string_agg', ' ') AS ids,
+         |  len(ids)::BIGINT AS n_ids
+         |FROM ex ORDER BY source, example_id""".stripMargin
+    },
     // Every Gopher rule input recomputed from scratch (tokenization,
     // guarded ratios, all 9 n-gram families via the t26 fragment
     // builders) — shared by c21 (the composed verdict rollup) and c22

@@ -364,6 +364,22 @@ object TextQueries {
         .orderBy("word_id")
     },
 
+    // -- t29: unigram-LM TRAINING — learnUnigram's Viterbi-EM over a
+    //    fixed corpus; the learned piece set AND scores are under the
+    //    hash, expectations hand-derived (see writeT29Fixture). ------
+    "t29_unigram_learn" -> { (s, _) =>
+      writeT29Fixture(s)
+      import s.implicits._
+      val corpus = (Seq.fill(2)("abab") ++ Seq.fill(3)("ab")).toDF("t")
+      val pieces = graft.ops.VocabTokenizer.learnUnigram(corpus, "t",
+        vocabSize = 4, maxPieceLen = 2, emIters = 2)
+      s.createDataset(pieces.zipWithIndex
+          .map { case ((p, sc), i) => (i.toLong, p, sc) })
+        .toDF("rank", "piece", "raw")
+        .select(col("rank"), col("piece"), round(col("raw"), 4).as("score"))
+        .orderBy("rank")
+    },
+
     "t22_bpe_tokens" -> { (s, _) =>
       writeT22Fixture(s)
       val vocab = graft.ops.VocabTokenizer.loadVocab(s, t22TokenizerPath)
@@ -674,6 +690,39 @@ object TextQueries {
     s.createDataset(rows)
       .toDF("word_id", "text", "exp_tokens", "exp_n", "exp_unk")
       .coalesce(1).write.mode("overwrite").parquet(t28WordsDir)
+  }
+
+  /** t29 fixture: unigram TRAINING (Viterbi-EM) over the corpus
+    * {"abab"×2, "ab"×3}, maxPieceLen 2, vocabSize 4, 2 EM rounds —
+    * every number traced on paper:
+    *
+    * Seed counts (freq-weighted substring multiplicity): "abab"
+    * contributes a×2, b×2, ab×2, ba×1 each ×2; "ab" contributes a, b,
+    * ab each ×3 → a:7, b:7, ab:7, ba:2 (total 23). Initial scores
+    * ln(c/23): a=b=ab≈−1.1896, ba≈−2.4423.
+    *
+    * E1 (Viterbi): "abab" → [ab,ab] (−2.379 beats any path through
+    * ba at −2.442-per-piece or singles), "ab" → [ab]. Used counts:
+    * ab = 2·2+3 = 7; a, b, ba = 0.
+    * Prune: ba (unused multi) dropped; a, b are single code points →
+    * kept at 0. |v|=3 ≤ 4 → no shrink.
+    * M (floor 0.5): total = 7+0.5+0.5 = 8 → ab = ln(7/8) = −0.1335,
+    * a = b = ln(0.5/8) = ln(1/16) = −2.7726.
+    *
+    * E2: same segmentations (ab dominates harder), same counts → the
+    * model is at its fixed point. Final order by (count desc, piece
+    * asc): ab(7), a(0), b(0).
+    */
+  private val t29ModelDir = "/tmp/graft_gate_t29_model"
+
+  private def writeT29Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, String, Double)] = Seq(
+      (0L, "ab", -0.1335), // ln(7/8)
+      (1L, "a", -2.7726), // ln(1/16)
+      (2L, "b", -2.7726))
+    s.createDataset(rows).toDF("rank", "exp_piece", "exp_score")
+      .coalesce(1).write.mode("overwrite").parquet(t29ModelDir)
   }
 
   private def writeT22Fixture(s: SparkSession): Unit = {
@@ -1185,6 +1234,10 @@ object TextQueries {
          |  exp_unk AS n_unk
          |FROM read_parquet('$t28WordsDir/*.parquet')
          |ORDER BY word_id""".stripMargin,
+    "t29_unigram_learn" ->
+      s"""SELECT rank, exp_piece AS piece, exp_score AS score
+         |FROM read_parquet('$t29ModelDir/*.parquet')
+         |ORDER BY rank""".stripMargin,
     "t23_bytelevel_bpe" ->
       s"""SELECT word_id, exp_tokens AS tokens, exp_n AS n_tokens,
          |  exp_unk AS n_unk

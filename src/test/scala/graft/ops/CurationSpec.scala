@@ -917,4 +917,66 @@ class CurationSpec extends SparkSpec {
       Curation.temperatureSample(df, "src", "id", 0.5, 0)
     }
   }
+
+  test("packTokenIds: sha-order concat, exact chopping, doc splits") {
+    import spark.implicits._
+    import graft.ops.VocabTokenizer
+    val vocab = Seq("ab", "a", "b", "c") // unk=4, eos=5
+    // sha256("1") < sha256("2") -> doc 1 first in the stream
+    val df = Seq((1L, "s1", "ab c"), (2L, "s1", "ba"))
+      .toDF("doc_id", "shard", "text")
+      .withColumn("tids", VocabTokenizer.greedyIds(col("text"), vocab))
+    // stream: [0,3,5] ++ [2,1,5] = [0,3,5,2,1,5]
+    def run(seqLen: Int) =
+      Curation.packTokenIds(df, "shard", "doc_id", "tids", seqLen,
+          eosId = Some(5))
+        .orderBy("example_id")
+        .select("example_id", "ids", "n_ids")
+        .as[(Long, Seq[Int], Long)].collect().toSeq
+    assert(run(4) == Seq((0L, Seq(0, 3, 5, 2), 4L), (1L, Seq(1, 5), 2L)))
+    // padId tops the short final example up; n_ids stays the real count
+    val padded = Curation.packTokenIds(df, "shard", "doc_id", "tids", 4,
+        eosId = Some(5), padId = Some(7))
+      .orderBy("example_id").select("example_id", "ids", "n_ids")
+      .as[(Long, Seq[Int], Long)].collect().toSeq
+    assert(padded == Seq((0L, Seq(0, 3, 5, 2), 4L),
+      (1L, Seq(1, 5, 7, 7), 2L)))
+    // seqLen 2: every fragment boundary exercised, doc 1 split
+    assert(run(2) == Seq((0L, Seq(0, 3), 2L), (1L, Seq(5, 2), 2L),
+      (2L, Seq(1, 5), 2L)))
+  }
+
+  test("packTokenIds: zero-token docs only mark boundaries with eos") {
+    import spark.implicits._
+    import graft.ops.VocabTokenizer
+    val df = Seq((3L, "s2", "")).toDF("doc_id", "shard", "text")
+      .withColumn("tids",
+        VocabTokenizer.greedyIds(col("text"), Seq("a")))
+    val withEos = Curation.packTokenIds(df, "shard", "doc_id", "tids", 4,
+      eosId = Some(9))
+    assert(withEos.select("ids").as[Seq[Int]].head == Seq(9))
+    val noEos = Curation.packTokenIds(df, "shard", "doc_id", "tids", 4)
+    assert(noEos.count() == 0L)
+    intercept[IllegalArgumentException] {
+      Curation.packTokenIds(df, "shard", "doc_id", "tids", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packTokenIds(df.withColumn("example_id",
+        org.apache.spark.sql.functions.lit(1L)),
+        "shard", "doc_id", "tids", 4)
+    }
+  }
+
+  test("greedyIds: longest match, unknown id, duplicate pieces, NULL") {
+    import spark.implicits._
+    import graft.ops.VocabTokenizer
+    // duplicate "ab": FIRST index wins
+    val vocab = Seq("ab", "a", "ab", "b")
+    val out = Seq(("ab c a😀b"), (null: String)).toDF("t")
+      .select(VocabTokenizer.greedyIds(col("t"), vocab).as("ids"))
+      .as[Seq[Int]].collect().toSeq
+    // "ab"->0, "c"->unk(4), "a"->1, emoji->unk, "b"->3
+    assert(out(0) == Seq(0, 4, 1, 4, 3))
+    assert(out(1) == Seq.empty)
+  }
 }

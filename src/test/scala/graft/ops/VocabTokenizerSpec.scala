@@ -362,4 +362,52 @@ class VocabTokenizerSpec extends SparkSpec {
       VocabTokenizer.saveUnigramJson(spark, Nil, "/tmp/never.json")
     }
   }
+
+  test("learnUnigram: hand-derived EM fixed point on the paper corpus") {
+    import spark.implicits._
+    val corpus = (Seq.fill(2)("abab") ++ Seq.fill(3)("ab")).toDF("t")
+    val pieces = VocabTokenizer.learnUnigram(corpus, "t",
+      vocabSize = 4, maxPieceLen = 2, emIters = 2)
+    assert(pieces.map(_._1) == Seq("ab", "a", "b"))
+    // ab = ln(7/8), singles = ln(0.5/8) — the documented 0.5 floor
+    assert(math.abs(pieces(0)._2 - math.log(7.0 / 8)) < 1e-12)
+    assert(math.abs(pieces(1)._2 - math.log(1.0 / 16)) < 1e-12)
+    assert(pieces(1)._2 == pieces(2)._2)
+  }
+
+  test("learnUnigram: singles never pruned; learned model has coverage") {
+    import spark.implicits._
+    val corpus = Seq.fill(4)("xyzw xyzw qq").toDF("t")
+    val pieces = VocabTokenizer.learnUnigram(corpus, "t",
+      vocabSize = 2, maxPieceLen = 3, emIters = 3, shrink = 0.5)
+    val set = pieces.map(_._1).toSet
+    for (c <- Seq("x", "y", "z", "w", "q"))
+      assert(set.contains(c), s"single '$c' was pruned")
+    // round trip: learned model segments its own corpus with 0 unknowns
+    val path = tmpDir("unilearn").resolve("tokenizer.json").toString
+    VocabTokenizer.saveUnigramJson(spark, pieces, path)
+    val loaded = VocabTokenizer.loadUnigram(spark, path)
+    import org.apache.spark.sql.functions.col
+    val c = corpus
+      .select(VocabTokenizer.unigramTokenCounts(col("t"), loaded).as("c"))
+      .collect().map(_.getStruct(0))
+    assert(c.forall(_.getInt(1) == 0), "learned model produced unknowns")
+  }
+
+  test("learnUnigram guards: empty corpus, bad params") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      VocabTokenizer.learnUnigram(Seq.empty[String].toDF("t"), "t", 4)
+    }
+    val one = Seq("ab").toDF("t")
+    intercept[IllegalArgumentException] {
+      VocabTokenizer.learnUnigram(one, "t", 0)
+    }
+    intercept[IllegalArgumentException] {
+      VocabTokenizer.learnUnigram(one, "t", 4, emIters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      VocabTokenizer.learnUnigram(one, "t", 4, shrink = 0.0)
+    }
+  }
 }
