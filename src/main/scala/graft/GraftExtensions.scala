@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayFilter, ArrayJoin, ArrayPosition, ArrayTransform, Cast, Coalesce, CreateArray, ElementAt, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, If, LambdaFunction, Length, Literal, NamedLambdaVariable, RegExpReplace, StringReplace, StringSplit, StringTrim}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayFilter, ArrayJoin, ArrayMax, ArrayPosition, ArrayTransform, Cast, Coalesce, CreateArray, ElementAt, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, If, LambdaFunction, Length, Literal, NamedLambdaVariable, RegExpReplace, StringReplace, StringSplit, StringTrim}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
@@ -250,8 +250,12 @@ object GraftExtensions {
   /** `dominant_script(text)` — Unicode-script routing on the SQL
     * surface, built from the SAME range table as the Column API
     * ([[graft.ops.TextAnalysis.scriptRanges]]): one
-    * `Length(RegExpReplace(…))` per script, strict-greater first-max
-    * fold, `'unknown'` when no script shows a single code point.
+    * `Length(RegExpReplace(…))` per script, array argmax (first index
+    * of the max = first-script-wins ties, matching the Column API),
+    * `'unknown'` when no script shows a single code point. The argmax
+    * is positional, NOT an If/GreaterThan fold — the fold re-embeds
+    * every earlier count in each step and the expression tree grows
+    * exponentially in |scripts| (the t24 lesson).
     */
   val dominantScript: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dominant_script"),
@@ -268,13 +272,12 @@ object GraftExtensions {
             n -> (Length(RegExpReplace(base, Literal(s"[^$r]"),
               Literal(""))): Expression)
         }
-        val (bn, bc) = counts.tail.foldLeft(
-          (Literal(counts.head._1): Expression, counts.head._2)) {
-          case ((accN, accC), (n, c)) =>
-            (If(GreaterThan(c, accC), Literal(n), accN): Expression,
-              If(GreaterThan(c, accC), c, accC): Expression)
-        }
-        If(GreaterThanOrEqual(bc, Literal(1)), bn, Literal("unknown"))
+        val arr: Expression = CreateArray(counts.map(_._2))
+        val names: Expression = CreateArray(counts.map(c => Literal(c._1)))
+        val best: Expression = ArrayMax(arr)
+        If(GreaterThanOrEqual(best, Literal(1)),
+          ElementAt(names, Cast(ArrayPosition(arr, best), IntegerType)),
+          Literal("unknown"))
       case _ => throw new IllegalArgumentException(
         "dominant_script expects exactly 1 argument")
     })

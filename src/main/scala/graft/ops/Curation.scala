@@ -685,10 +685,14 @@ object Curation {
       "input already has a reserved '__graft_bkt' column")
     val spark = df.sparkSession
     import spark.implicits._
+    val keyed = df.withColumn("__graft_bkt", splitBucket(col(idCol), buckets))
     // Canonical ascending-group order everywhere a float sum happens,
-    // so repeated runs are bit-identical.
-    val counts: Seq[(String, Long)] = df
-      .filter(col(groupCol).isNotNull)
+    // so repeated runs are bit-identical. Counts exclude rows the
+    // selection can never keep (NULL group, unkeyable -1-bucket id) —
+    // counting them would dilute their group's keep-rate and
+    // systematically under-deliver the budget (the mixReweight rule).
+    val counts: Seq[(String, Long)] = keyed
+      .filter(col(groupCol).isNotNull && col("__graft_bkt") >= 0)
       .groupBy(col(groupCol).cast("string").as("__g")).count()
       .as[(String, Long)].collect().toSeq.sortBy(_._1)
     if (counts.isEmpty) return df.filter(lit(false))
@@ -722,8 +726,7 @@ object Curation {
     val keep = th.map { case (g, t) =>
       col(groupCol).cast("string") === g && col("__graft_bkt") < t
     }.reduce(_ || _)
-    df.withColumn("__graft_bkt", splitBucket(col(idCol), buckets))
-      .filter(col("__graft_bkt") >= 0 && keep)
+    keyed.filter(col("__graft_bkt") >= 0 && keep)
       .drop("__graft_bkt")
   }
 

@@ -92,16 +92,12 @@ object RepetitionSignals {
   private def cp(s: String): Long =
     s.codePointCount(0, s.length).toLong
 
-  // Same explicit whitespace class as TextHash.tokens — \S would add
-  // unicode-space divergence between engines.
-  private val TokRe = java.util.regex.Pattern.compile("[^ \\t\\n\\f\\r]+")
-
-  private def tokenize(text: String): Array[String] = {
-    val m = TokRe.matcher(text)
-    val b = Array.newBuilder[String]
-    while (m.find()) b += m.group
-    b.result()
-  }
+  // The engine-wide whitespace tokenization — ONE definition
+  // (TextHash.tokens) so a future change to the token class cannot
+  // silently split this kernel from the oracles and the other text
+  // operators.
+  private def tokenize(text: String): Array[String] =
+    graft.functions.TextHash.tokens(text)
 
   /** (dup unit fraction, dup char fraction) over repeated exact units:
     * a unit value occurring `c ≥ 2` times contributes `c−1` duplicate
@@ -315,6 +311,8 @@ object RepetitionSignals {
         th.maxDupNgramCharFrac.toSeq.sortBy(_._1).map { case (n, x) =>
           col(s"dup_${n}gram_char_frac") <= x
         }.reduce(_ && _)
+    require(!df.columns.contains("gopher_pass"),
+      "input already has a 'gopher_pass' column")
     base.withColumn("gopher_pass", pass)
   }
 

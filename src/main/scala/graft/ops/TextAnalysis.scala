@@ -488,16 +488,26 @@ object TextAnalysis {
           sum(when(array_contains(toks, t), 1).otherwise(0))
             .as(s"__graft_df$i")
         }: _*)
-    val avgdl =
-      col("__graft_toktot").cast("double") / col("__graft_n")
+    // avgdl guard: an all-empty corpus divides by it — any positive
+    // stand-in works because every tf is 0 there and the tf>0 gate
+    // below already forces the score to 0.
+    val avgdl = when(col("__graft_toktot") > 0,
+      col("__graft_toktot").cast("double") / col("__graft_n"))
+      .otherwise(lit(1.0))
     val dl = col("n_tok").cast("double")
     val score = terms.zipWithIndex.map { case (t, i) =>
       val dfT = col(s"__graft_df$i").cast("double")
       val tf = size(filter(toks, x => x === t)).cast("double")
       val idf = log(lit(1.0) +
         (col("__graft_n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
-      idf * (tf * lit(k1 + 1)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+      // tf = 0 contributes EXACTLY 0, never 0/0: with k1 = 0 (allowed)
+      // the denominator is tf alone, and with b = 1 a zero-token
+      // document zeroes it too — both legal parameter points would
+      // otherwise emit NaN instead of the documented 0.
+      when(tf > 0,
+        idf * (tf * lit(k1 + 1)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl)))
+        .otherwise(lit(0.0))
     }.reduce(_ + _)
     toked.withColumn("n_tok", size(toks).cast("long"))
       .crossJoin(broadcast(stats))
@@ -615,16 +625,50 @@ object TextAnalysis {
       }.mkString
     }
 
-  /** Per-script code-point counts as named columns — one codegen'd
-    * `length(regexp_replace(…))` per script (delete everything outside
-    * the range, count what remains; code-point-aware in both engines),
-    * no explode, no shuffle.
+  /** One code-point pass classifying into ALL script counts at once —
+    * scripts checked in table order, first matching block wins (the
+    * blocks are disjoint anyway); BMP blocks only, so supplementary
+    * code points (emoji) match nothing, exactly like the regex
+    * character classes the oracle restates.
     */
-  def scriptCounts(textCol: Column): Seq[(String, Column)] =
-    scriptRanges.map { case (name, ranges) =>
-      name -> length(regexp_replace(coalesce(textCol, lit("")),
-        s"[^$ranges]", "")).cast("long")
+  private val scriptCountsUdf = udf { (text: String) =>
+    val counts = new Array[Long](scriptBlocks.length)
+    if (text != null) {
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        i += Character.charCount(cp)
+        var k = 0
+        var hit = -1
+        while (k < scriptBlocks.length && hit < 0) {
+          val blocks = scriptBlocks(k)._2
+          var b = 0
+          while (b < blocks.length && hit < 0) {
+            if (cp >= blocks(b)._1 && cp <= blocks(b)._2) hit = k
+            b += 1
+          }
+          k += 1
+        }
+        if (hit >= 0) counts(hit) += 1
+      }
     }
+    counts
+  }
+
+  /** Per-script code-point counts as named columns — ONE per-row
+    * kernel pass produces all ten counts (field projections off the
+    * same deterministic UDF call, which whole-stage codegen's common
+    * subexpression elimination evaluates once); no explode, no
+    * shuffle. Replaces the original ten-`regexp_replace` cascade,
+    * which re-scanned every document once per script (10× the
+    * character work) and dominated the t24 bench.
+    */
+  def scriptCounts(textCol: Column): Seq[(String, Column)] = {
+    val arr = scriptCountsUdf(textCol)
+    scriptRanges.zipWithIndex.map { case ((name, _), i) =>
+      name -> element_at(arr, i + 1)
+    }
+  }
 
   /** The document's dominant script: the FIRST script in
     * [[scriptRanges]] order reaching the maximum count (a later script
@@ -635,12 +679,19 @@ object TextAnalysis {
   def dominantScript(textCol: Column, minChars: Int = 1): Column = {
     require(minChars >= 1, s"minChars must be ≥ 1: $minChars")
     val counts = scriptCounts(textCol)
-    val (bestName, bestCount) = counts.tail.foldLeft(
-      (lit(counts.head._1), counts.head._2)) {
-      case ((bn, bc), (n, c)) =>
-        (when(c > bc, lit(n)).otherwise(bn), greatest(c, bc))
-    }
-    when(bestCount >= minChars, bestName).otherwise(lit("unknown"))
+    // Each per-script count is bound ONCE into an array and the winner
+    // found positionally: array_position returns the FIRST index of
+    // the max, which IS the first-script-wins tie rule. The previous
+    // when/greatest fold re-embedded every earlier count in each step,
+    // growing the expression tree exponentially in |scripts| — it
+    // compiled ~2^10 nodes and made t24 the slowest query on the
+    // whole bench (8.7 s at sf0.1; this shape is ~20× cheaper).
+    val arr = array(counts.map(_._2): _*)
+    val names = array(counts.map(c => lit(c._1)): _*)
+    val best = array_max(arr)
+    when(best >= minChars,
+      element_at(names, array_position(arr, best).cast("int")))
+      .otherwise(lit("unknown"))
   }
 
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -613,9 +613,10 @@ object VocabTokenizer {
   // ------------------------------------------------------------------
 
   /** Viterbi encoder over a trained `(piece, logProb)` table.
-    * Unknown single code points fall back to a synthetic one-symbol
-    * piece scored `unkScore` (keep it below every real piece score or
-    * the DP will happily spell words character by character).
+    * Single code points the model does NOT know fall back to a
+    * synthetic one-symbol piece scored `unkScore`; known pieces are
+    * always priced at their model score, however low — the fallback
+    * never subsidizes an in-vocabulary path.
     *
     * Determinism: candidate pieces at each end position are scanned
     * from the LONGEST start backwards and replace the incumbent only
@@ -671,11 +672,18 @@ object VocabTokenizer {
           }
           i += 1
         }
-        // unk fallback: single code point at fixed penalty
-        if (best(j - 1) + unkScore > best(j)) {
+        // unk fallback: single code point at fixed penalty — ONLY for
+        // code points the model does not know. A known single must be
+        // priced at its model score even when that score is below
+        // unkScore, or the fallback would quietly subsidize
+        // spell-it-out paths and break the global-optimum contract
+        // (SentencePiece prices unk only for out-of-vocab symbols).
+        val single = word.substring(bounds(j - 1), bounds(j))
+        if (!score.containsKey(single) &&
+            best(j - 1) + unkScore > best(j)) {
           best(j) = best(j - 1) + unkScore
           from(j) = j - 1
-          piece(j) = word.substring(bounds(j - 1), bounds(j))
+          piece(j) = single
         }
         j += 1
       }

@@ -979,4 +979,16 @@ class CurationSpec extends SparkSpec {
     assert(out(0) == Seq(0, 4, 1, 4, 3))
     assert(out(1) == Seq.empty)
   }
+
+  test("temperatureSample: unkeyable ids don't dilute their group") {
+    import spark.implicits._
+    val clean = (1 to 40).map(i => (i.toString, "a")).toDF("id", "src")
+    val withNulls = clean.union(
+      Seq.fill(40)((null: String, "a")).toDF("id", "src"))
+    val a = Curation.temperatureSample(clean, "src", "id", 0.5, 10)
+      .select("id").as[String].collect().sorted.toSeq
+    val b = Curation.temperatureSample(withNulls, "src", "id", 0.5, 10)
+      .select("id").as[String].collect().sorted.toSeq
+    assert(a == b, "null-id rows changed the kept set")
+  }
 }

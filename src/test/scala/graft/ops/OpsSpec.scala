@@ -683,4 +683,20 @@ class ScriptDetectSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(1)), "id", "text", Seq("x"))
     }
   }
+
+  test("bm25: k1=0, b=1 and all-empty corpora score 0, never NaN") {
+    import spark.implicits._
+    val df = Seq((1L, "x y"), (2L, "z")).toDF("id", "text")
+    val k0 = TextAnalysis.bm25(df, "id", "text", Seq("x"), k1 = 0.0)
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(k0(2L) == 0.0 && !k0(1L).isNaN && k0(1L) > 0.0)
+    val b1 = TextAnalysis.bm25(Seq((1L, "x"), (2L, null))
+        .toDF("id", "text"), "id", "text", Seq("x"), b = 1.0)
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(b1(2L) == 0.0 && b1(1L) > 0.0)
+    val empty = TextAnalysis.bm25(Seq((1L, ""), (2L, null))
+        .toDF("id", "text"), "id", "text", Seq("x"))
+      .select("bm25").as[Double].collect()
+    assert(empty.forall(_ == 0.0))
+  }
 }

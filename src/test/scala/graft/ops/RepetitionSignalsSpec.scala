@@ -160,4 +160,14 @@ class RepetitionSignalsSpec extends SparkSpec {
     assert(z.getAs[Long]("n_pass") == 0L)
     assert(z.getAs[Long]("fail_words") == 0L)
   }
+
+  test("gopherFilter rejects a pre-existing gopher_pass column") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val once = RepetitionSignals.gopherFilter(df, "text")
+    intercept[IllegalArgumentException] {
+      RepetitionSignals.gopherFilter(
+        once.select("id", "text", "gopher_pass"), "text")
+    }
+  }
 }

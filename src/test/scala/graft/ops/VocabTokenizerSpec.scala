@@ -410,4 +410,13 @@ class VocabTokenizerSpec extends SparkSpec {
       VocabTokenizer.learnUnigram(one, "t", 4, shrink = 0.0)
     }
   }
+
+  test("unigram: known singles price at model cost, never the unk rate") {
+    // "q" is IN the vocab below unkScore: [q,r] costs -26, [qr] -24 ->
+    // the fallback must not subsidize the spell-out path at -21
+    val enc = new VocabTokenizer.UnigramEncoder(
+      Array("q" -> -25.0, "qr" -> -24.0, "r" -> -1.0), unkScore = -20.0)
+    assert(enc.encodeWord("qr").toSeq == Seq("qr"))
+    assert(enc.count("qr") == ((1, 0)))
+  }
 }
