@@ -303,6 +303,80 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** Train the [[hashedLinearScore]] model IN-ENGINE: full-batch
+    * logistic-regression gradient descent over exactly the features
+    * the scorer evaluates — per-document MEAN of token hash-bucket
+    * weights plus a bias, through a sigmoid (the fastText linear
+    * recipe). Closes the loop with [[saveWeights]]/[[loadWeights]]:
+    * label a sample (an LLM judge, heuristics, a reference corpus vs
+    * crawl — the CCNet/FineWeb pattern), train here, save, and the
+    * same t15 scoring expression serves the model.
+    *
+    * Scale shape: features are computed ONCE — one explode +
+    * `(id, bucket)` aggregate — and cached; each iteration is then
+    * two keyed aggregates (scores per doc via a broadcast d-row
+    * weight frame, gradients per bucket) plus a d-bounded collect,
+    * exactly the k-means training-loop precedent: driver state is the
+    * d-vector the model ships as anyway, data rows never collect.
+    * Full-batch (not SGD) keeps every iteration deterministic given
+    * the dataset — no shuffling-order dependence beyond float-sum
+    * jitter, which the 4-dp gate rounding absorbs.
+    *
+    * `labelCol` must be 0/1 (castable to double). Documents with no
+    * scorable tokens still train the bias (their z is the bias alone,
+    * like the scorer's empty-text path).
+    */
+  def trainQualityWeights(df: DataFrame, idCol: String, textCol: String,
+                          labelCol: String, dim: Int, iters: Int = 5,
+                          lr: Double = 1.0): LinearModel = {
+    require(dim > 0 && dim <= (1 << 20), s"dim out of range: $dim")
+    require(iters >= 1 && iters <= 1000, s"iters out of range: $iters")
+    require(lr > 0 && lr.isFinite, s"lr must be positive finite: $lr")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val bks = filter(transform(toks, t => F.labelBucket(t, dim)),
+      b => b >= 0)
+    val base = df.select(col(idCol).as("__id"),
+      col(labelCol).cast("double").as("__y"), bks.as("__bks"))
+      .withColumn("__n", size(col("__bks")))
+    val labels = base.select("__id", "__y").cache()
+    val feats = base.filter(col("__n") > 0)
+      .select(col("__id"), explode(col("__bks")).as("__b"), col("__n"))
+      .groupBy("__id", "__b")
+      .agg((count(lit(1)).cast("double") / max("__n")).as("__x"))
+      .cache()
+    val nDocs = labels.count().toDouble
+    require(nDocs > 0, "cannot train on an empty frame")
+
+    val w = Array.fill(dim)(0.0)
+    var bias = 0.0
+    var it = 0
+    while (it < iters) {
+      val wDf = broadcast(w.zipWithIndex
+        .map { case (wt, b) => (b, wt) }.toSeq.toDF("__b", "__w"))
+      val zsum = feats.join(wDf, "__b")
+        .groupBy("__id").agg(sum(col("__x") * col("__w")).as("__z"))
+      val resid = labels.join(zsum, Seq("__id"), "left")
+        .select(col("__id"),
+          (lit(1.0) / (lit(1.0) +
+            exp(-(lit(bias) + coalesce(col("__z"), lit(0.0))))) -
+            col("__y")).as("__r"))
+      val gradRows = resid.join(feats, "__id")
+        .groupBy("__b").agg(sum(col("__r") * col("__x")).as("__g"))
+        .as[(Int, Double)].collect() // ≤ dim rows, the model's own size
+      val biasGrad = resid.agg(avg("__r")).head.getDouble(0)
+      gradRows.foreach { case (b, g) => w(b) -= lr * (g / nDocs) }
+      bias -= lr * biasGrad
+      it += 1
+    }
+    feats.unpersist()
+    labels.unpersist()
+    LinearModel(w.toSeq, bias)
+  }
+
   /** Repetition signals — the published web-curation rules (Gopher's
     * repetition filters, RefinedWeb's duplicate-n-gram fractions) as
     * pure column algebra, one scan, no UDF:

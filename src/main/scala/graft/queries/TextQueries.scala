@@ -345,6 +345,30 @@ object TextQueries {
     //    but "widestnewest" and the rank-interleave cases wrong.
     //    Expectations hand-derived and stored (m-gate pattern; merge
     //    semantics are not ANSI-SQL-expressible). --------------------
+    // -- t30: IN-ENGINE classifier training — full-batch logistic GD
+    //    over the t15 scorer's own features (mean token-bucket weight
+    //    + bias through a sigmoid), 2 iterations, label = "contains
+    //    the token 'table'". The oracle unrolls both iterations in
+    //    SQL: its own bucketing (the t15 HUGEINT replay), its own
+    //    sigmoid residuals, its own gradient sums. ------------------
+    "t30_train_classifier" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val rawToks = regexp_extract_all(coalesce(col("text"), lit("")),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0))
+      val labeled = docs.select(col("doc_id"), col("text"),
+        when(array_contains(rawToks, "table"), 1.0).otherwise(0.0)
+          .as("y"))
+      val m = TextAnalysis.trainQualityWeights(labeled, "doc_id", "text",
+        "y", dim = 64, iters = 2, lr = 1.0)
+      s.createDataset(
+          m.weights.zipWithIndex.map { case (w, i) => (i.toLong, w) } :+
+            ((-1L, m.bias)))
+        .toDF("idx", "raw")
+        .select(col("idx"), round(col("raw"), 4).as("weight"))
+        .orderBy("idx")
+    },
+
     // -- t28: unigram-LM (SentencePiece) Viterbi segmentation — the
     //    global-optimum counterpart to t22's merge replay; model
     //    round-trips through tokenizer.json, expectations hand-derived
@@ -1238,6 +1262,58 @@ object TextQueries {
       s"""SELECT rank, exp_piece AS piece, exp_score AS score
          |FROM read_parquet('$t29ModelDir/*.parquet')
          |ORDER BY rank""".stripMargin,
+    // Both GD iterations unrolled: r0 = σ(0)−y = 0.5−y, g0 per bucket,
+    // w1 = −g0/N and bias1 = −avg(r0); then z1 through the broadcast
+    // weights, r1 = σ(z1)−y, w2/bias2. Feature x = (token multiplicity
+    // in bucket)/(scorable tokens); the token filter and HUGEINT
+    // bucketing are the t15 replay verbatim.
+    "t30_train_classifier" ->
+      s"""WITH ftoks AS (
+         |  SELECT doc_id,
+         |    list_contains(regexp_extract_all(coalesce(text, ''),
+         |      '[^ \t\n\f\r]+'), 'table')::INT::DOUBLE AS y,
+         |    list_filter(
+         |      list_transform(regexp_extract_all(coalesce(text, ''),
+         |        '[^ \t\n\f\r]+'),
+         |        t -> regexp_replace(t,
+         |          '^[\\x{0000}-\\x{0020}]+|[\\x{0000}-\\x{0020}]+$$', '', 'g')),
+         |      t -> len(t) > 0 AND lower(t) != 'nan') AS toks
+         |  FROM documents),
+         |lab AS (SELECT doc_id, y, len(toks) AS n FROM ftoks),
+         |fb AS (
+         |  SELECT doc_id, $t15BucketSql AS b
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM ftoks)),
+         |x AS (
+         |  SELECT fb.doc_id, fb.b,
+         |    count(*)::DOUBLE / max(lab.n) AS x
+         |  FROM fb JOIN lab USING (doc_id) GROUP BY 1, 2),
+         |nn AS (SELECT count(*)::DOUBLE AS nd FROM lab),
+         |r0 AS (SELECT doc_id, 0.5 - y AS r FROM lab),
+         |g0 AS (
+         |  SELECT x.b, sum(r0.r * x.x) / nn.nd AS g
+         |  FROM r0 JOIN x USING (doc_id) CROSS JOIN nn GROUP BY x.b, nn.nd),
+         |w1 AS (
+         |  SELECT ri.i::INT AS b, coalesce(0.0 - g0.g, 0.0) AS w
+         |  FROM range(0, 64) ri(i) LEFT JOIN g0 ON g0.b = ri.i),
+         |b1 AS (SELECT 0.0 - avg(r) AS bias FROM r0),
+         |zs AS (
+         |  SELECT x.doc_id, sum(x.x * w1.w) AS z
+         |  FROM x JOIN w1 USING (b) GROUP BY 1),
+         |r1 AS (
+         |  SELECT lab.doc_id,
+         |    1.0 / (1.0 + exp(-(b1.bias + coalesce(zs.z, 0.0)))) - lab.y AS r
+         |  FROM lab LEFT JOIN zs USING (doc_id) CROSS JOIN b1),
+         |g1 AS (
+         |  SELECT x.b, sum(r1.r * x.x) / nn.nd AS g
+         |  FROM r1 JOIN x USING (doc_id) CROSS JOIN nn GROUP BY x.b, nn.nd),
+         |w2 AS (
+         |  SELECT w1.b, w1.w - coalesce(g1.g, 0.0) AS w
+         |  FROM w1 LEFT JOIN g1 ON g1.b = w1.b),
+         |b2 AS (SELECT b1.bias - (SELECT avg(r) FROM r1) AS bias FROM b1)
+         |SELECT b::BIGINT AS idx, round(w, 4) AS weight FROM w2
+         |UNION ALL
+         |SELECT -1::BIGINT, round(bias, 4) FROM b2
+         |ORDER BY idx""".stripMargin,
     "t23_bytelevel_bpe" ->
       s"""SELECT word_id, exp_tokens AS tokens, exp_n AS n_tokens,
          |  exp_unk AS n_unk

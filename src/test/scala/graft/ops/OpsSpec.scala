@@ -699,4 +699,37 @@ class ScriptDetectSpec extends SparkSpec {
       .select("bm25").as[Double].collect()
     assert(empty.forall(_ == 0.0))
   }
+
+  test("trainQualityWeights: learns a token signal, round-trips weights") {
+    import spark.implicits._
+    val docs = (1 to 40).map { i =>
+      if (i % 2 == 0) (i.toLong, s"table scan join w$i x$i", 1.0)
+      else (i.toLong, s"alpha$i beta$i gamma delta", 0.0)
+    }.toDF("id", "text", "y")
+    val m = TextAnalysis.trainQualityWeights(docs, "id", "text", "y",
+      dim = 64, iters = 8, lr = 2.0)
+    val scored = docs
+      .select($"y", m.score($"text").as("s")).as[(Double, Double)]
+      .collect()
+    val pos = scored.filter(_._1 == 1.0).map(_._2)
+    val neg = scored.filter(_._1 == 0.0).map(_._2)
+    assert(pos.sum / pos.length > neg.sum / neg.length,
+      "trained model did not separate labeled classes")
+    // save -> load -> identical model drives the same scorer
+    val dir = tmpDir("logreg").resolve("weights.parquet").toString
+    TextAnalysis.saveWeights(spark, m, dir)
+    val loaded = TextAnalysis.loadWeights(spark, dir)
+    assert(loaded.weights == m.weights && loaded.bias == m.bias)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainQualityWeights(docs, "id", "text", "y", dim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainQualityWeights(docs, "id", "text", "y", 64,
+        iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainQualityWeights(
+        docs.filter($"id" > 99), "id", "text", "y", 64)
+    }
+  }
 }
