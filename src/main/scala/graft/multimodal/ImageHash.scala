@@ -1,0 +1,165 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing — difference hash (dHash, public
+  * algorithm: Krawetz 2013, "Kind of Like That") — extending the
+  * near-duplicate family to IMAGE payloads: re-encoded, resized or
+  * slightly-retouched copies of the same picture land within a few
+  * Hamming bits of each other, which byte-digest dedup can never see.
+  *
+  * Pipeline per image: full ImageIO decode (PNG/JPEG/GIF/BMP — the
+  * formats the JVM decodes for real here) → integer luma
+  * (`(299r+587g+114b)/1000`, floor) → box-average downscale to a
+  * 9×8 grid (integer mean, floor; NO Graphics2D resampling — its
+  * interpolation is platform-dependent and would break cross-machine
+  * determinism) → one bit per horizontal neighbor pair
+  * (`left < right`), packed row-major MSB-first into 64 bits.
+  *
+  * Near-dup candidates use the SimHash banding shape
+  * ([[graft.ops.Dedup]]): the 64-bit hash splits into
+  * `maxHamming + 1` contiguous blocks, so any pair within the
+  * distance budget shares at least one untouched block (pigeonhole)
+  * — recall 1 by construction, then the exact `bit_count(xor)`
+  * verify prunes false candidates. No pairwise scan, no cartesian.
+  *
+  * Scale shape: hashing is a pure map over image bytes (the
+  * mapPartitions-batch decode cost IS the bill, ~ms per image); the
+  * candidate join shuffles only `(block_key, id, hash)` tuples —
+  * 8-byte hashes, never pixels.
+  */
+object ImageHash {
+
+  /** Bits per row (comparisons) and rows of the hash grid. */
+  val HashW = 8
+  val HashH = 8
+
+  /** 64-bit dHash of one encoded image; None when the payload is
+    * empty or no ImageIO reader decodes it.
+    */
+  def dhash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 1 || h < 1) return None
+    val gw = HashW + 1
+    val gh = HashH
+    val cells = Array.ofDim[Long](gh, gw)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = (cy.toLong * h / gh).toInt
+      val y1 = math.max(((cy + 1).toLong * h / gh).toInt, y0 + 1)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = (cx.toLong * w / gw).toInt
+        val x1 = math.max(((cx + 1).toLong * w / gw).toInt, x0 + 1)
+        var sum = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            sum += (299L * r + 587L * g + 114L * b) / 1000L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy)(cx) = if (n == 0) 0L else sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < gh) {
+      var j = 0
+      while (j < HashW) {
+        hash = (hash << 1) |
+          (if (cells(i)(j) < cells(i)(j + 1)) 1L else 0L)
+        j += 1
+      }
+      i += 1
+    }
+    Some(hash)
+  }
+
+  private val dhashUdf = udf { (bytes: Array[Byte]) =>
+    dhash64(bytes).map(java.lang.Long.valueOf).orNull
+  }
+
+  /** dHash as a column over binary image content (NULL when
+    * undecodable — callers decide drop-vs-report, like ImageProbe).
+    */
+  def dhash(bytesCol: Column): Column = dhashUdf(bytesCol)
+
+  /** Hamming distance between two 64-bit hash columns. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Near-duplicate pairs among pre-computed 64-bit hashes:
+    * `(id_a, id_b, hamming)` with `id_a < id_b`, Hamming ≤
+    * `maxHamming`. Banded candidate generation (blocks =
+    * `maxHamming + 1`, contiguous bit ranges) + exact verify; each
+    * pair is emitted once (DISTINCT over banded matches — a close
+    * pair can share several blocks).
+    */
+  def nearDuplicatesByHash(df: DataFrame, idCol: String, hashCol: String,
+                           maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    val nBlocks = maxHamming + 1
+    // block k covers bits [k·64/n, (k+1)·64/n) — widths differ by ≤1
+    val blocks = (0 until nBlocks).map { k =>
+      val lo = k * 64 / nBlocks
+      val hi = (k + 1) * 64 / nBlocks
+      (k, lo, hi - lo)
+    }
+    val h = col(hashCol)
+    val bandArr = array(blocks.map { case (k, lo, width) =>
+      struct(lit(k).as("blk"),
+        // logical shift: the sign bit must not smear into block keys
+        (shiftrightunsigned(h, lo)
+          .bitwiseAND(lit((1L << width) - 1))).as("key"))
+    }: _*)
+    val banded = df.select(col(idCol).as("__id"), h.as("__h"),
+        explode(bandArr).as("__band"))
+      .select(col("__id"), col("__h"),
+        col("__band.blk").as("__blk"), col("__band.key").as("__key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.__blk") === col("b.__blk") &&
+          col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        hamming(col("a.__h"), col("b.__h")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** End-to-end image near-dup: hash the binary column, then
+    * [[nearDuplicatesByHash]]. Undecodable images drop out (they can
+    * match nothing).
+    */
+  def nearDuplicateImages(df: DataFrame, idCol: String, bytesCol: String,
+                          maxHamming: Int = 4): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("img_id"), dhash(col(bytesCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+    nearDuplicatesByHash(hashed, "img_id", "dhash", maxHamming)
+  }
+}

@@ -42,6 +42,71 @@ object MultimodalQueries {
     bos.toByteArray
   }
 
+  /** m10/m11 fixture: gray PNGs authored pixel-by-pixel so every dHash
+    * bit is hand-derivable. Gray pixels make luma EXACT (r=g=b=v →
+    * (299v+587v+114v)/1000 = v), and 9×8 images map one pixel per
+    * hash-grid cell (no averaging), so the bit rules read straight off
+    * the pixel table:
+    *
+    *  - img 0 "grad9":   v(x,y) = 28·x, strictly increasing rows →
+    *    every left<right bit 1 → hash 0xFFFFFFFFFFFFFFFF (= -1L);
+    *  - img 1 "flat":    v = 77 everywhere → no strict increase →
+    *    hash 0L;
+    *  - img 2 "stripes": v = 255 for odd x else 0 → row bits
+    *    10101010 (j even: 0<255 → 1; j odd: 255<0 → 0) → 0xAA per
+    *    row → hash 0xAAAAAAAAAAAAAAAAL (= -6148914691236517206);
+    *  - img 3 "stripes1px": stripes with pixel (0,0) set to 255 →
+    *    row 0 cells 255,255,0,… flips ONLY bit j=0 (255<255 false)
+    *    → row 0 = 0x2A → hash 0x2AAAAAAAAAAAAAAAL
+    *    (= 3074457345618258602); Hamming to img 2 = 1;
+    *  - img 4 "grad18":  18×16, v(x,y) = 14·x — each 2×2 box
+    *    averages to exact means that stay strictly increasing
+    *    left-to-right → all bits 1 → hash -1L; Hamming to img 0 = 0
+    *    (scale-invariance: same picture at 2× resolution);
+    *  - img 5 "broken":  truncated bytes → NULL hash, drops out.
+    *
+    * Expected near-dup pairs at maxHamming = 4: (0,4) hamming 0 and
+    * (2,3) hamming 1 — every other pair is ≥ 32 bits apart
+    * (flat↔stripes flips all 32 one-bits, grad↔stripes the 32
+    * zero-bits).
+    */
+  private def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = v(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+    bos.toByteArray
+  }
+
+  private val m10Dir = "/tmp/graft_gate_m10_images"
+
+  private def writeM10Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val stripes = (x: Int, _: Int) => if (x % 2 == 1) 255 else 0
+    val rows: Seq[(Long, Array[Byte], Long)] = Seq(
+      (0L, grayPng(9, 8, (x, _) => 28 * x), -1L),
+      (1L, grayPng(9, 8, (_, _) => 77), 0L),
+      (2L, grayPng(9, 8, stripes), 0xAAAAAAAAAAAAAAAAL),
+      (3L, grayPng(9, 8, (x, y) =>
+        if (x == 0 && y == 0) 255 else stripes(x, y)),
+        0x2AAAAAAAAAAAAAAAL),
+      (4L, grayPng(18, 16, (x, _) => 14 * x), -1L))
+    val broken = Seq((5L, rows.head._2.take(20), -999L))
+    s.createDataset(rows ++ broken)
+      .toDF("img_id", "content", "exp_hash")
+      .coalesce(1).write.mode("overwrite").parquet(m10Dir)
+  }
+
   private def writeM4Fixture(s: SparkSession): Unit = {
     import s.implicits._
     val good: Seq[(Long, Array[Byte], Option[Int], Option[Int], String)] =
@@ -410,6 +475,33 @@ object MultimodalQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m10: perceptual image hash (dHash) — authored gray PNGs, one
+    //    pixel per hash cell, every bit hand-derived (see the fixture
+    //    doc); the broken payload must yield a NULL hash. ------------
+    "m10_image_dhash" -> { (s, _) =>
+      writeM10Fixture(s)
+      import graft.multimodal.ImageHash
+      // -999 sentinel instead of NULL: a NULL in an int64 column turns
+      // the oracle's pandas frame float64 and the dtype-strict compare
+      // red; the NULL contract itself is spec-pinned (ImageHashSpec)
+      s.read.parquet(m10Dir)
+        .select(col("img_id"),
+          coalesce(ImageHash.dhash(col("content")), lit(-999L))
+            .as("dhash"))
+        .orderBy("img_id")
+    },
+
+    // -- m11: image near-dup via banded Hamming join over the m10
+    //    fixture — resized copy at distance 0, one-pixel retouch at
+    //    distance 1, everything else ≥ 32 bits apart. ----------------
+    "m11_image_neardup" -> { (s, _) =>
+      writeM10Fixture(s)
+      import graft.multimodal.ImageHash
+      ImageHash.nearDuplicateImages(
+          s.read.parquet(m10Dir), "img_id", "content", maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- m8: REAL video header decode — the ISO-BMFF box walk (mvhd
     //    duration, vide-track tkhd dims, stts frame count, stsd codec,
     //    64-bit v1 headers) and the RIFF AVI chunk walk (avih), failure
@@ -609,6 +701,18 @@ object MultimodalQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Hand-derived hashes ride the fixture (derivation in
+    // writeM10Fixture's doc); the broken image is the -999 sentinel.
+    "m10_image_dhash" ->
+      s"""SELECT img_id, exp_hash AS dhash
+         |FROM read_parquet('$m10Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
+    "m11_image_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 4::BIGINT, 0::INT),
+        |  (2::BIGINT, 3::BIGINT, 1::INT)) t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "m8_video_meta" ->
       s"""SELECT video_id, exp_container AS container, exp_w AS w, exp_h AS h,
          |  exp_duration_ms AS duration_ms, exp_tracks AS tracks,

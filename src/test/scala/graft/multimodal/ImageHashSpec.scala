@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dhash64: hand-derived bit patterns on 9x8 gray images") {
+    // one pixel per grid cell: bits read straight off the pixel table
+    assert(ImageHash.dhash64(grayPng(9, 8, (x, _) => 28 * x)) ==
+      Some(-1L)) // strictly increasing rows -> all ones
+    assert(ImageHash.dhash64(grayPng(9, 8, (_, _) => 77)) == Some(0L))
+    assert(ImageHash.dhash64(
+      grayPng(9, 8, (x, _) => if (x % 2 == 1) 255 else 0)) ==
+      Some(0xAAAAAAAAAAAAAAAAL))
+  }
+
+  test("dhash64: scale invariance and decode failure") {
+    val small = ImageHash.dhash64(grayPng(9, 8, (x, _) => 28 * x))
+    val big = ImageHash.dhash64(grayPng(36, 32, (x, _) => 7 * x))
+    // same gradient at 4x the resolution -> identical hash
+    assert(small == big && small.isDefined)
+    assert(ImageHash.dhash64(Array[Byte](1, 2, 3)) == None)
+    assert(ImageHash.dhash64(Array.empty[Byte]) == None)
+    assert(ImageHash.dhash64(null) == None)
+    // the Column form yields NULL for undecodable payloads
+    val out = Seq((1L, grayPng(9, 8, (_, _) => 9)), (2L, Array[Byte](0)))
+      .toDF("id", "content")
+      .select($"id", ImageHash.dhash($"content").as("h"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!out(1L) && out(2L))
+  }
+
+  test("nearDuplicatesByHash: recall-1 banding, exact verify, one row per pair") {
+    val rows = Seq(
+      (1L, 0L), (2L, 1L), // hamming 1
+      (3L, 0xFFL), // hamming(1,3)=7, (2,3)=7 -> out at max 4; (3,4) = 0
+      (4L, 0xFFL),
+      (5L, 0xFFFFFFFFFFFFFFFFL)) // far from everything except 3,4? 56 bits
+    val out = ImageHash.nearDuplicatesByHash(
+        rows.toDF("id", "h"), "id", "h", maxHamming = 4)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1), (3L, 4L, 0)))
+    intercept[IllegalArgumentException] {
+      ImageHash.nearDuplicatesByHash(rows.toDF("id", "h"), "id", "h", 64)
+    }
+  }
+
+  test("nearDuplicateImages: retouched and resized copies pair up") {
+    val stripes = (x: Int, _: Int) => if (x % 2 == 1) 255 else 0
+    val df = Seq(
+      (10L, grayPng(9, 8, stripes)),
+      (11L, grayPng(9, 8, (x, y) =>
+        if (x == 0 && y == 0) 255 else stripes(x, y))),
+      (12L, grayPng(9, 8, (x, _) => 28 * x)),
+      (13L, Array[Byte](9, 9, 9))) // undecodable drops out
+      .toDF("img_id", "content")
+    val pairs = ImageHash.nearDuplicateImages(df, "img_id", "content", 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((10L, 11L, 1)))
+  }
+}
