@@ -162,4 +162,60 @@ object ImageHash {
       .filter(col("dhash").isNotNull)
     nearDuplicatesByHash(hashed, "img_id", "dhash", maxHamming)
   }
+
+  /** Persisted image signature index — `(img_id, dhash)` rows, the
+    * image analogue of the text MinHash signature index
+    * ([[graft.ops.Dedup]]): build once over the seen corpus, append
+    * per batch (`write.mode("append")`), and incoming batches probe it
+    * WITHOUT ever re-decoding a seen pixel. Undecodable images are
+    * absent (they can never match).
+    */
+  def buildImageIndex(df: DataFrame, idCol: String, bytesCol: String)
+  : DataFrame =
+    df.select(col(idCol).as("img_id"), dhash(col(bytesCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+
+  /** Incremental image dedup: drop batch images within `maxHamming`
+    * bits of ANY index entry. The batch is hashed once; both sides
+    * band into `maxHamming + 1` blocks and equi-join on `(block,
+    * key)` (pigeonhole recall 1), the exact popcount verify runs on
+    * the candidates, and a left-anti join returns the survivors with
+    * their original columns. Only 8-byte hashes shuffle; the index
+    * side's pixels were paid for when it was built. Undecodable batch
+    * images SURVIVE (nothing to match them by — route them to a
+    * validator, not the dedupper).
+    */
+  def dropNearDuplicateImages(batch: DataFrame, index: DataFrame,
+                              idCol: String, bytesCol: String,
+                              maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    require(index.columns.toSeq.contains("img_id") &&
+      index.columns.toSeq.contains("dhash"),
+      "index must be a buildImageIndex frame with (img_id, dhash)")
+    val hashed = batch.withColumn("__graft_dh", dhash(col(bytesCol)))
+    val nBlocks = maxHamming + 1
+    val blocks = (0 until nBlocks).map { k =>
+      val lo = k * 64 / nBlocks
+      val hi = (k + 1) * 64 / nBlocks
+      (k, lo, hi - lo)
+    }
+    def bands(h: Column): Column = array(blocks.map { case (k, lo, w) =>
+      struct(lit(k).as("blk"),
+        shiftrightunsigned(h, lo).bitwiseAND(lit((1L << w) - 1)).as("key"))
+    }: _*)
+    val probe = hashed.filter(col("__graft_dh").isNotNull)
+      .select(col(idCol).as("__bid"), col("__graft_dh"),
+        explode(bands(col("__graft_dh"))).as("__band"))
+    val seen = index.select(col("dhash").as("__sh"),
+        explode(bands(col("dhash"))).as("__sband"))
+    val dupIds = probe.join(seen,
+        col("__band.blk") === col("__sband.blk") &&
+          col("__band.key") === col("__sband.key"))
+      .filter(bit_count(col("__graft_dh").bitwiseXOR(col("__sh")))
+        .cast("int") <= maxHamming)
+      .select(col("__bid")).distinct()
+    hashed.join(dupIds, col(idCol) === col("__bid"), "left_anti")
+      .drop("__graft_dh")
+  }
 }

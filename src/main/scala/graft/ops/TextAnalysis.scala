@@ -1074,6 +1074,45 @@ object TextAnalysis {
 
   def markdownToText(md: Column): Column = foldCascade(md, markdownSteps)
 
+  /** `<meta name="robots">` directives of an HTML document, lowercased
+    * (`""` when absent) — the page's own indexing consent, which a
+    * responsible crawl corpus filters on BEFORE any content rule. Both
+    * attribute orders are matched (name-first and content-first);
+    * patterns are Java ⇄ RE2 parity like the rest of the HTML cascade
+    * (no lookarounds, explicit quote classes).
+    */
+  def metaRobotsContent(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    val p1 = "(?i)<meta[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*" +
+      "content\\s*=\\s*[\"']([^\"']*)[\"']"
+    val p2 = "(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+      "name\\s*=\\s*[\"']robots[\"']"
+    val e1 = regexp_extract(h, p1, 1)
+    val e2 = regexp_extract(h, p2, 1)
+    // no-match extractions ('') nullify so concat_ws skips them — the
+    // absent-tag result is '' with no stray separators (both engines'
+    // concat_ws skips NULLs but keeps empty strings)
+    lower(concat_ws(",",
+      when(e1 =!= "", e1), when(e2 =!= "", e2)))
+  }
+
+  /** Whole-token directive probe over [[metaRobotsContent]] —
+    * `\A`/`\z` anchors, not `^`/`$` (Java's bare `$` matches before a
+    * final newline, RE2's does not).
+    */
+  private def robotsDirective(html: Column, directive: String): Column =
+    metaRobotsContent(html)
+      .rlike(s"(\\A|[ ,])$directive([ ,]|\\z)")
+
+  /** True when the page declares `noindex` — it asked to stay out of
+    * corpora built from crawls that honor robots meta.
+    */
+  def robotsNoindex(html: Column): Column = robotsDirective(html, "noindex")
+
+  /** True when the page declares `nofollow`. */
+  def robotsNofollow(html: Column): Column =
+    robotsDirective(html, "nofollow")
+
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)
 

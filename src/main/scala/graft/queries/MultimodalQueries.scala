@@ -475,6 +475,21 @@ object MultimodalQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m12: incremental image dedup vs the persisted image index —
+    //    index = {grad9, stripes}; the batch loses grad9/grad18
+    //    (hamming 0) and stripes/stripes1px (0 and 1); flat (≥32 bits
+    //    from everything) and the undecodable payload survive. -------
+    "m12_image_index_dedup" -> { (s, _) =>
+      writeM10Fixture(s)
+      import graft.multimodal.ImageHash
+      val all = s.read.parquet(m10Dir)
+      val idx = ImageHash.buildImageIndex(
+        all.filter(col("img_id").isin(0L, 2L)), "img_id", "content")
+      ImageHash.dropNearDuplicateImages(all, idx, "img_id", "content",
+          maxHamming = 4)
+        .select("img_id").orderBy("img_id")
+    },
+
     // -- m10: perceptual image hash (dHash) — authored gray PNGs, one
     //    pixel per hash cell, every bit hand-derived (see the fixture
     //    doc); the broken payload must yield a NULL hash. ------------
@@ -712,6 +727,12 @@ object MultimodalQueries {
         |  (0::BIGINT, 4::BIGINT, 0::INT),
         |  (2::BIGINT, 3::BIGINT, 1::INT)) t(id_a, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
+    // Survivors derived from the m10 hash table: flat is ≥ 32 bits
+    // from both index entries; the broken payload hashes NULL and the
+    // dedupper must pass it through untouched.
+    "m12_image_index_dedup" ->
+      """SELECT * FROM (VALUES (1::BIGINT), (5::BIGINT)) t(img_id)
+        |ORDER BY img_id""".stripMargin,
 
     "m8_video_meta" ->
       s"""SELECT video_id, exp_container AS container, exp_w AS w, exp_h AS h,

@@ -345,6 +345,25 @@ object TextQueries {
     //    but "widestnewest" and the rank-interleave cases wrong.
     //    Expectations hand-derived and stored (m-gate pattern; merge
     //    semantics are not ANSI-SQL-expressible). --------------------
+    // -- t31: robots-meta directives — the page's indexing consent,
+    //    extracted from both attribute orders; the oracle replays the
+    //    same RE2-parity patterns over identically-built html. -------
+    "t31_robots_meta" -> { (s, d) =>
+      val html = when(col("doc_id") % 3 === 0, concat(
+          lit("<html><head><meta name=\"robots\" " +
+            "content=\"noindex, nofollow\"></head><body>"), col("text")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("<html><head><meta content=\"NOFOLLOW\" " +
+            "name=\"robots\"></head><body>"), col("text")))
+        .otherwise(concat(lit("<html><head></head><body>"), col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.metaRobotsContent(html).as("directives"),
+          TextAnalysis.robotsNoindex(html).as("noindex"),
+          TextAnalysis.robotsNofollow(html).as("nofollow"))
+        .orderBy("doc_id")
+    },
+
     // -- t30: IN-ENGINE classifier training — full-batch logistic GD
     //    over the t15 scorer's own features (mean token-bucket weight
     //    + bias through a sigmoid), 2 iterations, label = "contains
@@ -1262,6 +1281,30 @@ object TextQueries {
       s"""SELECT rank, exp_piece AS piece, exp_score AS score
          |FROM read_parquet('$t29ModelDir/*.parquet')
          |ORDER BY rank""".stripMargin,
+    // Same html construction, same two attribute-order patterns, same
+    // whole-token \A/\z directive probes.
+    "t31_robots_meta" ->
+      raw"""WITH h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      '<html><head><meta name="robots" content="noindex, nofollow"></head><body>' || text
+         |    WHEN doc_id % 3 = 1 THEN
+         |      '<html><head><meta content="NOFOLLOW" name="robots"></head><body>' || text
+         |    ELSE '<html><head></head><body>' || text END AS html
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    lower(concat_ws(',',
+         |      nullif(regexp_extract(html,
+         |        '(?i)<meta[^>]*name\s*=\s*["'']robots["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1), ''),
+         |      nullif(regexp_extract(html,
+         |        '(?i)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']robots["'']', 1), '')))
+         |      AS directives
+         |  FROM h)
+         |SELECT doc_id, directives,
+         |  regexp_matches(directives, '(\A|[ ,])noindex([ ,]|\z)') AS noindex,
+         |  regexp_matches(directives, '(\A|[ ,])nofollow([ ,]|\z)') AS nofollow
+         |FROM d ORDER BY doc_id""".stripMargin,
     // Both GD iterations unrolled: r0 = σ(0)−y = 0.5−y, g0 per bucket,
     // w1 = −g0/N and bias1 = −avg(r0); then z1 through the broadcast
     // weights, r1 = σ(z1)−y, w2/bias2. Feature x = (token multiplicity

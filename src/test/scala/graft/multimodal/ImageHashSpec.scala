@@ -74,4 +74,32 @@ class ImageHashSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq
     assert(pairs == Seq((10L, 11L, 1)))
   }
+
+  test("image index: append-equivalence and pass-through of undecodables") {
+    val stripes = (x: Int, _: Int) => if (x % 2 == 1) 255 else 0
+    val seenA = Seq((100L, grayPng(9, 8, stripes))).toDF("img_id", "content")
+    val seenB = Seq((101L, grayPng(9, 8, (x, _) => 28 * x)))
+      .toDF("img_id", "content")
+    val batch = Seq(
+      (1L, grayPng(9, 8, stripes)), // dup of seen 100
+      (2L, grayPng(18, 16, (x, _) => 14 * x)), // resized dup of seen 101
+      (3L, grayPng(9, 8, (_, _) => 50)), // novel
+      (4L, Array[Byte](1))) // undecodable -> survives
+      .toDF("img_id", "content")
+    // one-shot index == appended per-batch indexes
+    val oneShot = ImageHash.buildImageIndex(
+      seenA.union(seenB), "img_id", "content")
+    val appended = ImageHash.buildImageIndex(seenA, "img_id", "content")
+      .union(ImageHash.buildImageIndex(seenB, "img_id", "content"))
+    for (idx <- Seq(oneShot, appended)) {
+      val kept = ImageHash.dropNearDuplicateImages(batch, idx,
+          "img_id", "content", 4)
+        .select("img_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(3L, 4L))
+    }
+    intercept[IllegalArgumentException] {
+      ImageHash.dropNearDuplicateImages(batch,
+        seenA.withColumnRenamed("content", "c2"), "img_id", "content", 4)
+    }
+  }
 }

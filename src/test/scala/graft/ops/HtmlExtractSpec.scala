@@ -108,4 +108,28 @@ class HtmlExtractSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       extractBp("<p>x</p>", 1.5))
   }
+
+  test("robots meta: both attribute orders, whole-token probes, absent tag") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis._
+    val rows = Seq(
+      (1L, "<html><head><meta name='robots' content='noindex, nofollow'></head><body>x"),
+      (2L, "<html><head><meta content=\"NOFOLLOW\" name=\"robots\"></head><body>x"),
+      (3L, "<html><head><meta name='robots' content='noindexing'></head><body>x"),
+      (4L, "<html><body>x</body></html>"),
+      (5L, null))
+      .toDF("id", "html")
+    val out = rows.select($"id",
+        metaRobotsContent($"html").as("d"),
+        robotsNoindex($"html").as("ni"),
+        robotsNofollow($"html").as("nf"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == (("noindex, nofollow", true, true)))
+    assert(out(2L) == (("nofollow", false, true)))
+    // substring 'noindexing' must NOT count as the noindex directive
+    assert(out(3L) == (("noindexing", false, false)))
+    assert(out(4L) == (("", false, false)))
+    assert(out(5L) == (("", false, false)))
+  }
 }
