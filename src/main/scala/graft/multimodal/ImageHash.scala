@@ -3,9 +3,12 @@ package graft.multimodal
 import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions => F}
 
 /** Perceptual image hashing — difference hash (dHash, public
   * algorithm: Krawetz 2013, "Kind of Like That") — extending the
@@ -44,8 +47,13 @@ object ImageHash {
     */
   def dhash64(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null || bytes.isEmpty) return None
+    // memory-backed stream: ImageIO.read(InputStream) would otherwise
+    // spool every payload through a temp FILE (its default disk cache)
+    // inside this per-row hot path — pure wasted I/O on bytes already
+    // in memory
     val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
+      try ImageIO.read(
+        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
       catch { case _: Exception => null }
     if (img == null) return None
     val w = img.getWidth
@@ -108,7 +116,45 @@ object ImageHash {
 
   /** Hamming distance between two 64-bit hash columns. */
   def hamming(a: Column, b: Column): Column =
-    bit_count(a.bitwiseXOR(b)).cast("int")
+    F.hamming(a, b).cast("int")
+
+  /** The shared block decomposition: `maxHamming + 1` contiguous bit
+    * ranges as one exploded `(blk, key)` struct array. Width 64 (the
+    * maxHamming = 0 single-block case) needs the explicit -1L mask —
+    * `(1L << 64) - 1` silently wraps to 0 on the JVM (shifts are mod
+    * 64) and would collapse every key to 0, degenerating the banded
+    * equi-join into a cross join.
+    */
+  private def bandStructs(h: Column, maxHamming: Int): Column = {
+    val nBlocks = maxHamming + 1
+    val blocks = (0 until nBlocks).map { k =>
+      val lo = k * 64 / nBlocks
+      val hi = (k + 1) * 64 / nBlocks
+      (k, lo, hi - lo)
+    }
+    array(blocks.map { case (k, lo, width) =>
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(k).as("blk"),
+        shiftrightunsigned(h, lo).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+  }
+
+  /** Drop `(blk, key)` buckets holding more than `maxBucket` hashes —
+    * the SimHash skew cap ([[graft.ops.Dedup]]): crawls are full of
+    * blank/flat placeholder images that all hash identically, and one
+    * such bucket would otherwise emit a quadratic pair explosion
+    * through a single reducer. Pairs inside a dropped bucket can
+    * still meet through their other blocks; a pair ONLY reachable via
+    * over-cap buckets is missed — the documented recall trade, sized
+    * by the cap.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = banded.groupBy("__blk", "__key")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket)
+      .select("__blk", "__key")
+    banded.join(broadcast(hot), Seq("__blk", "__key"), "left_anti")
+  }
 
   /** Near-duplicate pairs among pre-computed 64-bit hashes:
     * `(id_a, id_b, hamming)` with `id_a < id_b`, Hamming ≤
@@ -118,27 +164,17 @@ object ImageHash {
     * pair can share several blocks).
     */
   def nearDuplicatesByHash(df: DataFrame, idCol: String, hashCol: String,
-                           maxHamming: Int): DataFrame = {
+                           maxHamming: Int,
+                           maxBucket: Int = 1 << 12): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64): $maxHamming")
-    val nBlocks = maxHamming + 1
-    // block k covers bits [k·64/n, (k+1)·64/n) — widths differ by ≤1
-    val blocks = (0 until nBlocks).map { k =>
-      val lo = k * 64 / nBlocks
-      val hi = (k + 1) * 64 / nBlocks
-      (k, lo, hi - lo)
-    }
-    val h = col(hashCol)
-    val bandArr = array(blocks.map { case (k, lo, width) =>
-      struct(lit(k).as("blk"),
-        // logical shift: the sign bit must not smear into block keys
-        (shiftrightunsigned(h, lo)
-          .bitwiseAND(lit((1L << width) - 1))).as("key"))
-    }: _*)
-    val banded = df.select(col(idCol).as("__id"), h.as("__h"),
-        explode(bandArr).as("__band"))
-      .select(col("__id"), col("__h"),
-        col("__band.blk").as("__blk"), col("__band.key").as("__key"))
+    require(maxBucket >= 1, s"maxBucket must be positive: $maxBucket")
+    val banded = capBuckets(
+      df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
+          explode(bandStructs(col(hashCol), maxHamming)).as("__band"))
+        .select(col("__id"), col("__h"),
+          col("__band.blk").as("__blk"), col("__band.key").as("__key")),
+      maxBucket)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -187,32 +223,31 @@ object ImageHash {
     */
   def dropNearDuplicateImages(batch: DataFrame, index: DataFrame,
                               idCol: String, bytesCol: String,
-                              maxHamming: Int = 4): DataFrame = {
+                              maxHamming: Int = 4,
+                              maxBucket: Int = 1 << 12): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64): $maxHamming")
+    require(maxBucket >= 1, s"maxBucket must be positive: $maxBucket")
     require(index.columns.toSeq.contains("img_id") &&
       index.columns.toSeq.contains("dhash"),
       "index must be a buildImageIndex frame with (img_id, dhash)")
     val hashed = batch.withColumn("__graft_dh", dhash(col(bytesCol)))
-    val nBlocks = maxHamming + 1
-    val blocks = (0 until nBlocks).map { k =>
-      val lo = k * 64 / nBlocks
-      val hi = (k + 1) * 64 / nBlocks
-      (k, lo, hi - lo)
-    }
-    def bands(h: Column): Column = array(blocks.map { case (k, lo, w) =>
-      struct(lit(k).as("blk"),
-        shiftrightunsigned(h, lo).bitwiseAND(lit((1L << w) - 1)).as("key"))
-    }: _*)
     val probe = hashed.filter(col("__graft_dh").isNotNull)
       .select(col(idCol).as("__bid"), col("__graft_dh"),
-        explode(bands(col("__graft_dh"))).as("__band"))
-    val seen = index.select(col("dhash").as("__sh"),
-        explode(bands(col("dhash"))).as("__sband"))
+        explode(bandStructs(col("__graft_dh"), maxHamming)).as("__band"))
+    // the skew cap applies to the SEEN side — that is where a crawl's
+    // million identical placeholders accumulate; capping it bounds
+    // every probe key's fan-out
+    val seen = capBuckets(
+      index.select(col("dhash").as("__sh"),
+          explode(bandStructs(col("dhash"), maxHamming)).as("__sband"))
+        .select(col("__sh"), col("__sband.blk").as("__blk"),
+          col("__sband.key").as("__key")),
+      maxBucket)
     val dupIds = probe.join(seen,
-        col("__band.blk") === col("__sband.blk") &&
-          col("__band.key") === col("__sband.key"))
-      .filter(bit_count(col("__graft_dh").bitwiseXOR(col("__sh")))
+        col("__band.blk") === col("__blk") &&
+          col("__band.key") === col("__key"))
+      .filter(F.hamming(col("__graft_dh"), col("__sh"))
         .cast("int") <= maxHamming)
       .select(col("__bid")).distinct()
     hashed.join(dupIds, col(idCol) === col("__bid"), "left_anti")

@@ -364,10 +364,14 @@ object TextAnalysis {
           (lit(1.0) / (lit(1.0) +
             exp(-(lit(bias) + coalesce(col("__z"), lit(0.0))))) -
             col("__y")).as("__r"))
+      // two actions read resid (bucket gradients + bias gradient) —
+      // cache it for the iteration or the score join runs twice
+      resid.cache()
       val gradRows = resid.join(feats, "__id")
         .groupBy("__b").agg(sum(col("__r") * col("__x")).as("__g"))
         .as[(Int, Double)].collect() // ≤ dim rows, the model's own size
       val biasGrad = resid.agg(avg("__r")).head.getDouble(0)
+      resid.unpersist()
       gradRows.foreach { case (b, g) => w(b) -= lr * (g / nDocs) }
       bias -= lr * biasGrad
       it += 1
@@ -1074,44 +1078,72 @@ object TextAnalysis {
 
   def markdownToText(md: Column): Column = foldCascade(md, markdownSteps)
 
+  /** The four robots-meta content extractors (name-first / content-
+    * first × quoted / unquoted value), shared verbatim with the t31
+    * oracle so the two sides cannot drift. Construction rules:
+    *
+    *  - the `name` attribute must be WHITESPACE/quote-delimited
+    *    (`[\s"']name`) — `data-name="robots"` is not a robots tag;
+    *  - the value `robots` must be followed by a delimiter; in the
+    *    name-first forms the consumed delimiter may itself be the
+    *    whitespace before `content`, so the bridge is
+    *    `(?:[^>]*\s)?` — RE2-legal (no lookarounds);
+    *  - unquoted values (`content=noindex` — legal HTML5) take
+    *    `[^"'\s>]+`; the quoted and unquoted forms are disjoint (a
+    *    quote can never start an unquoted value), so at most one of
+    *    each pair extracts.
+    */
+  private[graft] val robotsContentPatterns: Seq[String] = {
+    val nmFirst =
+      "[\\s\"']name\\s*=\\s*[\"']?robots[\"'\\s](?:[^>]*\\s)?"
+    val nmLast = "[\\s\"']name\\s*=\\s*[\"']?robots[\"'\\s/>]"
+    Seq(
+      s"(?i)<meta[^>]*${nmFirst}content\\s*=\\s*[\"']([^\"']*)[\"']",
+      s"(?i)<meta[^>]*${nmFirst}content\\s*=\\s*([^\"'\\s>]+)",
+      s"(?i)<meta[^>]*[\\s\"']content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*$nmLast",
+      s"(?i)<meta[^>]*[\\s\"']content\\s*=\\s*([^\"'\\s>]+)[^>]*$nmLast")
+  }
+
   /** `<meta name="robots">` directives of an HTML document, lowercased
     * (`""` when absent) — the page's own indexing consent, which a
     * responsible crawl corpus filters on BEFORE any content rule. Both
-    * attribute orders are matched (name-first and content-first);
-    * patterns are Java ⇄ RE2 parity like the rest of the HTML cascade
-    * (no lookarounds, explicit quote classes).
+    * attribute orders and both value syntaxes (quoted and unquoted)
+    * are matched; patterns are Java ⇄ RE2 parity like the rest of the
+    * HTML cascade (no lookarounds, explicit classes).
     */
   def metaRobotsContent(html: Column): Column = {
     val h = coalesce(html, lit(""))
-    val p1 = "(?i)<meta[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*" +
-      "content\\s*=\\s*[\"']([^\"']*)[\"']"
-    val p2 = "(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
-      "name\\s*=\\s*[\"']robots[\"']"
-    val e1 = regexp_extract(h, p1, 1)
-    val e2 = regexp_extract(h, p2, 1)
     // no-match extractions ('') nullify so concat_ws skips them — the
     // absent-tag result is '' with no stray separators (both engines'
     // concat_ws skips NULLs but keeps empty strings)
-    lower(concat_ws(",",
-      when(e1 =!= "", e1), when(e2 =!= "", e2)))
+    lower(concat_ws(",", robotsContentPatterns.map { p =>
+      val e = regexp_extract(h, p, 1)
+      when(e =!= "", e)
+    }: _*))
   }
 
   /** Whole-token directive probe over [[metaRobotsContent]] —
     * `\A`/`\z` anchors, not `^`/`$` (Java's bare `$` matches before a
-    * final newline, RE2's does not).
+    * final newline, RE2's does not); separators are comma plus the
+    * whitespace that can legally live inside an attribute value
+    * (`content="noindex,\nnofollow"` keeps its newline).
     */
+  private[graft] def robotsTokenPattern(directive: String): String =
+    s"(\\A|[ \\t\\n\\r,])$directive([ \\t\\n\\r,]|\\z)"
+
   private def robotsDirective(html: Column, directive: String): Column =
-    metaRobotsContent(html)
-      .rlike(s"(\\A|[ ,])$directive([ ,]|\\z)")
+    metaRobotsContent(html).rlike(robotsTokenPattern(directive))
 
-  /** True when the page declares `noindex` — it asked to stay out of
-    * corpora built from crawls that honor robots meta.
+  /** True when the page declares `noindex` — or `none`, the
+    * spec-defined equivalent of `noindex, nofollow` — it asked to stay
+    * out of corpora built from crawls that honor robots meta.
     */
-  def robotsNoindex(html: Column): Column = robotsDirective(html, "noindex")
+  def robotsNoindex(html: Column): Column =
+    robotsDirective(html, "noindex") || robotsDirective(html, "none")
 
-  /** True when the page declares `nofollow`. */
+  /** True when the page declares `nofollow` (or `none`). */
   def robotsNofollow(html: Column): Column =
-    robotsDirective(html, "nofollow")
+    robotsDirective(html, "nofollow") || robotsDirective(html, "none")
 
   /** Whitespace token count — see [[F.tokenCount]]. */
   def tokenCount(textCol: Column): Column = F.tokenCount(textCol)

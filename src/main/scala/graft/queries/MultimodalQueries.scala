@@ -66,9 +66,9 @@ object MultimodalQueries {
     *  - img 5 "broken":  truncated bytes → NULL hash, drops out.
     *
     * Expected near-dup pairs at maxHamming = 4: (0,4) hamming 0 and
-    * (2,3) hamming 1 — every other pair is ≥ 32 bits apart
-    * (flat↔stripes flips all 32 one-bits, grad↔stripes the 32
-    * zero-bits).
+    * (2,3) hamming 1 — every other pair is ≥ 31 bits apart
+    * (flat↔stripes flips stripes' 32 one-bits, grad↔stripes its 32
+    * zero-bits, flat↔stripes1px the 31 one-bits of 0x2AAA…).
     */
   private def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(

@@ -345,17 +345,27 @@ object TextQueries {
     //    but "widestnewest" and the rank-interleave cases wrong.
     //    Expectations hand-derived and stored (m-gate pattern; merge
     //    semantics are not ANSI-SQL-expressible). --------------------
-    // -- t31: robots-meta directives — the page's indexing consent,
-    //    extracted from both attribute orders; the oracle replays the
-    //    same RE2-parity patterns over identically-built html. -------
+    // -- t31: robots-meta directives — the page's indexing consent:
+    //    both attribute orders, quoted AND unquoted values, the `none`
+    //    equivalence, and a data-name decoy that must NOT match. The
+    //    oracle interpolates the IDENTICAL pattern strings (quote-
+    //    doubled) over identically-built html. -----------------------
     "t31_robots_meta" -> { (s, d) =>
-      val html = when(col("doc_id") % 3 === 0, concat(
+      val html = when(col("doc_id") % 5 === 0, concat(
           lit("<html><head><meta name=\"robots\" " +
             "content=\"noindex, nofollow\"></head><body>"), col("text")))
-        .when(col("doc_id") % 3 === 1, concat(
+        .when(col("doc_id") % 5 === 1, concat(
           lit("<html><head><meta content=\"NOFOLLOW\" " +
             "name=\"robots\"></head><body>"), col("text")))
-        .otherwise(concat(lit("<html><head></head><body>"), col("text")))
+        .when(col("doc_id") % 5 === 2, concat(
+          lit("<html><head><meta name=robots content=noindex></head>" +
+            "<body>"), col("text")))
+        .when(col("doc_id") % 5 === 3, concat(
+          lit("<html><head><meta name='robots' content='none'></head>" +
+            "<body>"), col("text")))
+        .otherwise(concat(
+          lit("<html><head><meta data-name=\"robots\" " +
+            "content=\"noindex\"></head><body>"), col("text")))
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.metaRobotsContent(html).as("directives"),
@@ -1281,30 +1291,40 @@ object TextQueries {
       s"""SELECT rank, exp_piece AS piece, exp_score AS score
          |FROM read_parquet('$t29ModelDir/*.parquet')
          |ORDER BY rank""".stripMargin,
-    // Same html construction, same two attribute-order patterns, same
-    // whole-token \A/\z directive probes.
-    "t31_robots_meta" ->
-      raw"""WITH h AS (
+    // The FOUR extraction patterns and the token probes interpolate
+    // from the same Scala vals the engine compiles (single quotes
+    // doubled for the SQL literal), so the two sides cannot drift.
+    "t31_robots_meta" -> {
+      def q(p: String): String = p.replace("'", "''")
+      val ex = TextAnalysis.robotsContentPatterns
+        .map(p => s"nullif(regexp_extract(html, '${q(p)}', 1), '')")
+        .mkString(",\n      ")
+      def probe(d: String): String =
+        s"regexp_matches(directives, '${q(TextAnalysis.robotsTokenPattern(d))}')"
+      s"""WITH h AS (
          |  SELECT doc_id,
-         |    CASE WHEN doc_id % 3 = 0 THEN
+         |    CASE WHEN doc_id % 5 = 0 THEN
          |      '<html><head><meta name="robots" content="noindex, nofollow"></head><body>' || text
-         |    WHEN doc_id % 3 = 1 THEN
+         |    WHEN doc_id % 5 = 1 THEN
          |      '<html><head><meta content="NOFOLLOW" name="robots"></head><body>' || text
-         |    ELSE '<html><head></head><body>' || text END AS html
+         |    WHEN doc_id % 5 = 2 THEN
+         |      '<html><head><meta name=robots content=noindex></head><body>' || text
+         |    WHEN doc_id % 5 = 3 THEN
+         |      '<html><head><meta name=''robots'' content=''none''></head><body>' || text
+         |    ELSE '<html><head><meta data-name="robots" content="noindex"></head><body>' || text
+         |    END AS html
          |  FROM documents),
          |d AS (
          |  SELECT doc_id,
          |    lower(concat_ws(',',
-         |      nullif(regexp_extract(html,
-         |        '(?i)<meta[^>]*name\s*=\s*["'']robots["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1), ''),
-         |      nullif(regexp_extract(html,
-         |        '(?i)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']robots["'']', 1), '')))
+         |      $ex))
          |      AS directives
          |  FROM h)
          |SELECT doc_id, directives,
-         |  regexp_matches(directives, '(\A|[ ,])noindex([ ,]|\z)') AS noindex,
-         |  regexp_matches(directives, '(\A|[ ,])nofollow([ ,]|\z)') AS nofollow
-         |FROM d ORDER BY doc_id""".stripMargin,
+         |  (${probe("noindex")} OR ${probe("none")}) AS noindex,
+         |  (${probe("nofollow")} OR ${probe("none")}) AS nofollow
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     // Both GD iterations unrolled: r0 = σ(0)−y = 0.5−y, g0 per bucket,
     // w1 = −g0/N and bias1 = −avg(r0); then z1 through the broadcast
     // weights, r1 = σ(z1)−y, w2/bias2. Feature x = (token multiplicity

@@ -117,7 +117,11 @@ class HtmlExtractSpec extends SparkSpec {
       (2L, "<html><head><meta content=\"NOFOLLOW\" name=\"robots\"></head><body>x"),
       (3L, "<html><head><meta name='robots' content='noindexing'></head><body>x"),
       (4L, "<html><body>x</body></html>"),
-      (5L, null))
+      (5L, null),
+      (6L, "<html><head><meta name=robots content=noindex></head><body>x"),
+      (7L, "<html><head><meta name='robots' content='none'></head><body>x"),
+      (8L, "<html><head><meta data-name='robots' content='noindex'></head><body>x"),
+      (9L, "<html><head><meta name='robots' content='noindex,\nnofollow'></head><body>x"))
       .toDF("id", "html")
     val out = rows.select($"id",
         metaRobotsContent($"html").as("d"),
@@ -131,5 +135,13 @@ class HtmlExtractSpec extends SparkSpec {
     assert(out(3L) == (("noindexing", false, false)))
     assert(out(4L) == (("", false, false)))
     assert(out(5L) == (("", false, false)))
+    // unquoted attribute values are legal HTML5
+    assert(out(6L) == (("noindex", true, false)))
+    // 'none' is the spec equivalent of 'noindex, nofollow'
+    assert(out(7L) == (("none", true, true)))
+    // data-name is NOT a robots declaration
+    assert(out(8L) == (("", false, false)))
+    // whitespace other than space still separates directives
+    assert(out(9L) == (("noindex,\nnofollow", true, true)))
   }
 }
