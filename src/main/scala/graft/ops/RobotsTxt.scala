@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt evaluation (RFC 9309, the published Robots Exclusion
+  * Protocol) — the crawl-consent side of corpus construction: a WARC
+  * sweep carries each host's robots.txt alongside its pages, and a
+  * responsible pipeline drops pages their host disallowed BEFORE any
+  * content rule (the [[TextAnalysis.robotsNoindex]] meta check covers
+  * per-page consent; this covers per-host).
+  *
+  * Semantics implemented, straight from the RFC:
+  *
+  *  - records group under `User-agent:` lines; consecutive agent
+  *    lines share one group; the agent token matches
+  *    case-insensitively and `*` is the catch-all group;
+  *  - the MOST SPECIFIC group wins: the group whose agent token is
+  *    the longest one contained in the product token, else the `*`
+  *    group, else everything is allowed;
+  *  - `Allow:` / `Disallow:` values are path patterns where `*`
+  *    matches any run (including `/`) and a trailing `$` anchors the
+  *    end; matching is from the path START;
+  *  - the rule with the LONGEST pattern wins; on a length tie, Allow
+  *    wins; no matching rule (or an empty pattern) → allowed;
+  *  - lines after `#` are comments; unknown fields are ignored.
+  *
+  * Evaluation is a per-row kernel (rule matching is an imperative
+  * scan — the documented UDF precedent), so checking a billion
+  * (page, robots) pairs is a pure map stage: the robots body rides
+  * the row (or a broadcast host→robots join upstream), nothing
+  * shuffles.
+  */
+object RobotsTxt {
+
+  /** One parsed rule: allow?, original pattern (for longest-match
+    * length), endAnchored?, and the `*`-split literal segments.
+    */
+  private[ops] final case class Rule(allow: Boolean, pattern: String)
+
+  /** Rules of the group that applies to `userAgent`. */
+  private[ops] def rulesFor(robots: String, userAgent: String): Seq[Rule] = {
+    if (robots == null) return Nil
+    val ua = userAgent.toLowerCase
+    // groups: (agent tokens, rules)
+    var groups = List.empty[(List[String], List[Rule])]
+    var agents = List.empty[String]
+    var rules = List.empty[Rule]
+    var inAgents = true
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups ::= ((agents.reverse, rules.reverse))
+      agents = Nil; rules = Nil
+    }
+    robots.split("\n", -1).foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgents) { flush(); inAgents = true }
+            agents ::= value.toLowerCase
+          case "allow" | "disallow" =>
+            inAgents = false
+            rules ::= Rule(field == "allow", value)
+          case _ => // sitemap, crawl-delay, unknown: ignored
+        }
+      }
+    }
+    flush()
+    val all = groups.reverse
+    // most specific agent group: longest token contained in ua
+    val specific = all
+      .flatMap { case (as, rs) =>
+        as.filter(a => a != "*" && a.nonEmpty && ua.contains(a))
+          .map(a => (a.length, rs))
+      }
+    // merge every group carrying the winning token (RFC: groups with
+    // the same agent combine), and likewise all '*' groups
+    if (specific.nonEmpty) {
+      val best = specific.map(_._1).max
+      specific.collect { case (l, rs) if l == best => rs }.flatten
+    } else
+      all.collect { case (as, rs) if as.contains("*") => rs }.flatten
+  }
+
+  /** Does `pattern` (with `*` wildcards, optional trailing `$`) match
+    * the path from its start? Greedy segment scan — `*` never needs
+    * backtracking beyond first-occurrence search because segments are
+    * matched left to right (the standard glob-containment argument;
+    * with an end anchor the LAST segment must sit at the end).
+    */
+  private[ops] def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    val segs = p.split("\\*", -1)
+    // first segment must match at position 0
+    if (!path.startsWith(segs.head)) return false
+    var pos = segs.head.length
+    var i = 1
+    while (i < segs.length) {
+      val s = segs(i)
+      if (i == segs.length - 1 && anchored) {
+        // last segment must END the path (at or after pos)
+        return path.length - s.length >= pos && path.endsWith(s)
+      }
+      if (s.isEmpty) {
+        // trailing '*' (or consecutive '*'): matches the rest
+        if (i == segs.length - 1) return true
+      } else {
+        val at = path.indexOf(s, pos)
+        if (at < 0) return false
+        pos = at + s.length
+      }
+      i += 1
+    }
+    if (anchored) pos == path.length else true
+  }
+
+  /** RFC 9309 verdict for one (robots body, path): longest matching
+    * pattern wins, Allow on ties, allowed when nothing matches.
+    */
+  def isAllowed(robots: String, userAgent: String, path: String): Boolean = {
+    if (path == null) return true
+    val rs = rulesFor(robots, userAgent)
+    var bestLen = -1
+    var bestAllow = true
+    rs.foreach { r =>
+      if (r.pattern.nonEmpty && matches(r.pattern, path)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          if (len > bestLen) { bestLen = len; bestAllow = r.allow }
+          else bestAllow = true
+        }
+      }
+    }
+    bestAllow
+  }
+
+  private val allowedUdf =
+    udf { (robots: String, ua: String, path: String) =>
+      isAllowed(robots, if (ua == null) "" else ua, path)
+    }
+
+  /** Column form: `robots_allowed(robotsCol, path)` for a fixed
+    * product token.
+    */
+  def allowed(robotsCol: Column, pathCol: Column,
+              userAgent: String): Column =
+    allowedUdf(robotsCol, lit(userAgent), pathCol)
+
+  /** Drop rows whose host's robots.txt disallows their path for
+    * `userAgent`: pages join their host's robots body (broadcast when
+    * the host table is small — it is bounded by |hosts|, not |pages|),
+    * then the verdict is a map-stage kernel. Rows with no robots entry
+    * for their host are ALLOWED (absent robots.txt permits crawling,
+    * per the RFC's fail-open rule).
+    */
+  def filterAllowed(pages: DataFrame, hostCol: String, pathCol: String,
+                    robots: DataFrame, robotsHostCol: String,
+                    robotsBodyCol: String, userAgent: String): DataFrame = {
+    require(!pages.columns.contains("__graft_robots"),
+      "input already has a reserved '__graft_robots' column")
+    val r = broadcast(robots.select(
+      col(robotsHostCol).as("__graft_rhost"),
+      col(robotsBodyCol).as("__graft_robots")))
+    pages.join(r, col(hostCol) === col("__graft_rhost"), "left")
+      .filter(col("__graft_robots").isNull ||
+        allowed(col("__graft_robots"), col(pathCol), userAgent))
+      .drop("__graft_rhost", "__graft_robots")
+  }
+}

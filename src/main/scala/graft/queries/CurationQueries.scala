@@ -178,6 +178,20 @@ object CurationQueries {
         .orderBy("source", "gopher_pass")
     },
 
+    // -- c24: robots.txt evaluation (RFC 9309) — longest-match rules,
+    //    Allow-on-tie, * wildcards, $ anchors, specific-agent groups.
+    //    Fixture verdicts hand-derived from the RFC's own rules (see
+    //    writeC24Fixture); kernel not SQL-expressible (stored-
+    //    expectation pattern like t22). --------------------------------
+    "c24_robots_txt" -> { (s, _) =>
+      writeC24Fixture(s)
+      s.read.parquet(c24Dir)
+        .select(col("case_id"),
+          graft.ops.RobotsTxt.allowed(col("robots"), col("path"),
+            userAgent = "otherbot").as("allowed"))
+        .orderBy("case_id")
+    },
+
     // -- c23: tokenize-and-pack TERMINUS — greedy vocab ids + eos per
     //    doc, concatenated per source in sha order, chopped at exact
     //    64-id boundaries (docs split across examples). The oracle
@@ -544,6 +558,49 @@ object CurationQueries {
       s"ELSE list_transform(range(1, len($toks) - 1), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END)"
 
+  /** c24 fixture: one robots body, ten paths, verdicts hand-derived
+    * from RFC 9309 (ua = "otherbot" → the `*` group):
+    *
+    *  rules: Disallow /private (8) | Allow /private/ok (11) |
+    *  Disallow "/tmp/&#42;.pdf$" (11 — star wildcard, end anchor) |
+    *  Allow /dup (4) | Disallow /dup (4) | Allow / (1)
+    *
+    *  0 /private/file → Disallow(8) beats Allow /(1) → false
+    *  1 /private/ok/x → Allow(11) beats Disallow(8) → true
+    *  2 /privateer    → /private prefix-matches → false
+    *  3 /tmp/a.pdf    → anchored wildcard matches (11) → false
+    *  4 /tmp/a.pdfx   → anchor fails → Allow / → true
+    *  5 /tmp/deep/x.pdf → '*' spans '/' → false
+    *  6 /dup/a        → tie (4 vs 4) → Allow wins → true
+    *  7 /pub          → only Allow / matches → true
+    *  8 /only-graft   → that rule lives in the graftbot group → true
+    *  9 '' (empty)    → nothing matches → true
+    */
+  private val c24Dir = "/tmp/graft_gate_c24_robots"
+
+  private def writeC24Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val robots = Seq(
+      "# demo", "User-agent: *", "Disallow: /private",
+      "Allow: /private/ok", "Disallow: /tmp/*.pdf$", "Allow: /dup",
+      "Disallow: /dup", "Allow: /", "", "User-agent: graftbot",
+      "Disallow: /only-graft").mkString("\n")
+    val rows: Seq[(Long, String, String, Boolean)] = Seq(
+      (0L, robots, "/private/file", false),
+      (1L, robots, "/private/ok/x", true),
+      (2L, robots, "/privateer", false),
+      (3L, robots, "/tmp/a.pdf", false),
+      (4L, robots, "/tmp/a.pdfx", true),
+      (5L, robots, "/tmp/deep/x.pdf", false),
+      (6L, robots, "/dup/a", true),
+      (7L, robots, "/pub", true),
+      (8L, robots, "/only-graft", true),
+      (9L, robots, "", true))
+    s.createDataset(rows)
+      .toDF("case_id", "robots", "path", "exp_allowed")
+      .coalesce(1).write.mode("overwrite").parquet(c24Dir)
+  }
+
   /** c23 vocabulary: multi-char pieces with overlapping prefixes (so
     * greedy longest-match is exercised) plus the full lowercase
     * alphabet (so letters never go unknown; digits/punct do →
@@ -671,6 +728,10 @@ object CurationQueries {
         |FROM bkt JOIN th ON bkt.source = th.g
         |WHERE bucket < t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c24_robots_txt" ->
+      s"""SELECT case_id, exp_allowed AS allowed
+         |FROM read_parquet('$c24Dir/*.parquet')
+         |ORDER BY case_id""".stripMargin,
     // The packing oracle builds the SAME deterministic stream a
     // different way: recursive greedy segmentation per distinct word
     // (t14's CTE + an id accumulator), per-doc flatten in word order +

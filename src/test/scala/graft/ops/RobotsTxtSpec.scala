@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ops.RobotsTxt.isAllowed
+
+class RobotsTxtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val robots =
+    """# demo robots
+      |User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok
+      |Disallow: /tmp/*.pdf$
+      |Allow: /dup
+      |Disallow: /dup
+      |Allow: /
+      |Crawl-delay: 10
+      |
+      |User-agent: graftbot
+      |Disallow: /only-graft
+      |""".stripMargin
+
+  test("longest-match, Allow-on-tie, wildcards and end anchors") {
+    def ok(p: String) = isAllowed(robots, "otherbot", p)
+    assert(!ok("/private/file")) // Disallow /private (8) > Allow / (1)
+    assert(ok("/private/ok/x")) // Allow /private/ok (11) > Disallow (8)
+    assert(!ok("/tmp/a.pdf")) // /tmp/*.pdf$ matches, len 11
+    assert(ok("/tmp/a.pdfx")) // anchor fails -> only Allow /
+    assert(ok("/pub"))
+    assert(ok("/dup/a")) // equal-length Allow and Disallow -> Allow
+  }
+
+  test("specific agent group overrides *; case-insensitive token") {
+    assert(!isAllowed(robots, "GraftBot/1.0", "/only-graft/x"))
+    // the graftbot group says nothing about /private -> allowed
+    assert(isAllowed(robots, "graftbot", "/private/file"))
+    assert(!isAllowed(robots, "otherbot", "/only-graft-not") ==
+      false) // '*' group has no such rule
+  }
+
+  test("fail-open: no robots, no matching group, empty patterns") {
+    assert(isAllowed(null, "x", "/anything"))
+    assert(isAllowed("User-agent: onlybot\nDisallow: /", "other", "/a"))
+    assert(isAllowed("User-agent: *\nDisallow:", "x", "/a"))
+    assert(isAllowed(robots, "otherbot", null))
+  }
+
+  test("same-agent groups merge (RFC group combination)") {
+    val r = "User-agent: a\nDisallow: /x\n\nUser-agent: a\nDisallow: /y"
+    assert(!isAllowed(r, "a", "/x1"))
+    assert(!isAllowed(r, "a", "/y1"))
+    // consecutive agent lines share one group
+    val r2 = "User-agent: a\nUser-agent: b\nDisallow: /z"
+    assert(!isAllowed(r2, "b", "/z"))
+  }
+
+  test("filterAllowed: broadcast host join, absent robots passes") {
+    val pages = Seq(
+      (1L, "a.com", "/private/x"),
+      (2L, "a.com", "/pub"),
+      (3L, "b.com", "/private/x")) // no robots for b.com -> allowed
+      .toDF("id", "host", "path")
+    val hosts = Seq(("a.com", robots)).toDF("host_name", "body")
+    val kept = RobotsTxt.filterAllowed(pages, "host", "path",
+        hosts, "host_name", "body", userAgent = "otherbot")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    assert(kept.sorted == kept)
+  }
+}
