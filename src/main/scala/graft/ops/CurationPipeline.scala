@@ -54,6 +54,8 @@ object CurationPipeline {
       packCapacity: Long = 512L,
       redactPii: Boolean = false,
       hostCol: Option[String] = None,
+      pathCol: Option[String] = None,
+      userAgent: String = "graftbot",
       exportDir: Option[String] = None,
       exportShards: Int = 4,
       exportFormat: String = "jsonl") {
@@ -86,13 +88,21 @@ object CurationPipeline {
     */
   def curate(docs: DataFrame, seenIndex: DataFrame, probes: DataFrame,
              probeTextCol: String, cfg: Config,
-             blocklist: Option[DataFrame] = None): Curated = {
+             blocklist: Option[DataFrame] = None,
+             robots: Option[DataFrame] = None): Curated = {
     val id = cfg.idCol
     require(cfg.targetMix.nonEmpty, "targetMix must be non-empty")
     require(blocklist.isEmpty || cfg.hostCol.nonEmpty,
       "a blocklist needs cfg.hostCol to match against")
+    require(robots.isEmpty ||
+      (cfg.hostCol.nonEmpty && cfg.pathCol.nonEmpty),
+      "robots filtering needs cfg.hostCol AND cfg.pathCol")
+    robots.foreach(r => require(
+      r.columns.contains("host") && r.columns.contains("robots_txt"),
+      "robots frame must carry (host, robots_txt) columns"))
     for (r <- Seq("__text", "__term_ok", "lang_pred", "__q", "text_clean", "n_tok",
-        "pack_id", "content_sha", "__graft_blocked", "gopher_pass"))
+        "pack_id", "content_sha", "__graft_blocked", "gopher_pass",
+        "__graft_robots_ok"))
       require(!docs.columns.contains(r), s"input column '$r' is reserved")
 
     // the blocklist verdict rides as a FLAG so its keep/drop counts
@@ -103,13 +113,29 @@ object CurationPipeline {
         Curation.withBlockedDomainFlag(docs, cfg.hostCol.get, bl)
       case None => docs.withColumn("__graft_blocked", lit(false))
     }
+    // robots.txt consent rides as a second pre-extraction flag (the
+    // blocklist shape): hosts with no robots entry are allowed (the
+    // RFC fail-open rule), and denied rows skip extraction entirely
+    val consented = robots match {
+      case Some(r) =>
+        flagged.join(broadcast(r.select(
+            col("host").as("__graft_rhost"),
+            col("robots_txt").as("__graft_rbody"))),
+            col(cfg.hostCol.get) === col("__graft_rhost"), "left")
+          .withColumn("__graft_robots_ok",
+            col("__graft_rbody").isNull ||
+              RobotsTxt.allowed(col("__graft_rbody"),
+                col(cfg.pathCol.get), cfg.userAgent))
+          .drop("__graft_rhost", "__graft_rbody")
+      case None => flagged.withColumn("__graft_robots_ok", lit(true))
+    }
 
     // stages 0-3 as columns, so one aggregate yields their metrics and
     // one filter applies them — a single source scan either way.
     // Blocked rows skip extraction (NULL text) — they can never be kept
-    val extracted = flagged.select(col(id), col(cfg.sourceCol),
-      col("__graft_blocked"),
-      when(!col("__graft_blocked"),
+    val extracted = consented.select(col(id), col(cfg.sourceCol),
+      col("__graft_blocked"), col("__graft_robots_ok"),
+      when(!col("__graft_blocked") && col("__graft_robots_ok"),
         TextAnalysis.htmlToText(col(cfg.htmlCol))).as("__text"))
     val langExpr =
       if (cfg.langId == "trigram") LangId.langIdNgram(col("__text"))
@@ -146,17 +172,20 @@ object CurationPipeline {
     // routine all-filtered microbatch) must yield 0-metrics, not an
     // NPE after the pipeline ran
     val notBlocked = !col("__graft_blocked")
+    val rOk = col("__graft_robots_ok")
     val tOk = col("__term_ok")
     val stageAgg = gophered.agg(
       count(lit(1)).as("n_received"),
       coalesce(sum(when(notBlocked, 1L).otherwise(0L)), lit(0L)).as("n_in"),
-      coalesce(sum(when(notBlocked && tOk, 1L).otherwise(0L)), lit(0L))
-        .as("n_term"),
-      coalesce(sum(when(notBlocked && tOk && langOk, 1L)
+      coalesce(sum(when(notBlocked && rOk, 1L).otherwise(0L)), lit(0L))
+        .as("n_robots"),
+      coalesce(sum(when(notBlocked && rOk && tOk, 1L).otherwise(0L)),
+        lit(0L)).as("n_term"),
+      coalesce(sum(when(notBlocked && rOk && tOk && langOk, 1L)
         .otherwise(0L)), lit(0L)).as("n_lang"),
-      coalesce(sum(when(notBlocked && tOk && langOk &&
+      coalesce(sum(when(notBlocked && rOk && tOk && langOk &&
         col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"),
-      coalesce(sum(when(notBlocked && tOk && langOk &&
+      coalesce(sum(when(notBlocked && rOk && tOk && langOk &&
         col("__q") >= cfg.minQuality && gOk, 1L).otherwise(0L)), lit(0L))
         .as("n_gopher"))
       .head()
@@ -167,9 +196,9 @@ object CurationPipeline {
           "alpha_word_ratio", "stopword_hits", "gopher_pass")
       else Seq("gopher_pass")
     val kept3raw = gophered
-      .filter(notBlocked && tOk && langOk &&
+      .filter(notBlocked && rOk && tOk && langOk &&
         col("__q") >= cfg.minQuality && gOk)
-      .drop("__q", "__graft_blocked", "__term_ok")
+      .drop("__q", "__graft_blocked", "__graft_robots_ok", "__term_ok")
       .drop(gopherCols: _*)
     // redaction before any digesting: segment digests, signatures and
     // the exported text must all be the REDACTED form
@@ -223,10 +252,11 @@ object CurationPipeline {
       Seq(
         "rows_received" -> stageAgg.getLong(0),
         "rows_in" -> stageAgg.getLong(1),
-        "terms_kept" -> stageAgg.getLong(2),
-        "language_kept" -> stageAgg.getLong(3),
-        "quality_kept" -> stageAgg.getLong(4),
-        "gopher_kept" -> stageAgg.getLong(5),
+        "robots_kept" -> stageAgg.getLong(2),
+        "terms_kept" -> stageAgg.getLong(3),
+        "language_kept" -> stageAgg.getLong(4),
+        "quality_kept" -> stageAgg.getLong(5),
+        "gopher_kept" -> stageAgg.getLong(6),
         "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
         "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1)),
         "neardup_kept" -> nNearDup,

@@ -263,4 +263,40 @@ class CurationPipelineSpec extends SparkSpec {
     assert(off.data.select("doc_id").as[Long].collect().contains(41L))
     off.release()
   }
+
+  test("robots stage drops host-disallowed paths, metric shows it") {
+    val docs = corpus
+      .withColumn("host", org.apache.spark.sql.functions.lit("ex.com"))
+      .withColumn("path",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("/doc/"),
+          org.apache.spark.sql.functions.col("doc_id")))
+    // disallow /doc/1* for the pipeline's agent -> docs 1, 10-19
+    val robots = Seq(("ex.com",
+      "User-agent: graftbot\nDisallow: /doc/1")).toDF("host", "robots_txt")
+    val cfg = CurationPipeline.Config("doc_id", "html", "source",
+      targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+      nearDupThreshold = 0.5, packCapacity = 30L,
+      hostCol = Some("host"), pathCol = Some("path"))
+    val out = CurationPipeline.curate(docs,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg, robots = Some(robots))
+    val m = out.metrics.toMap
+    assert(m("robots_kept") == 40L - 11L) // ids 1 and 10..19 denied
+    assert(m("terms_kept") <= m("robots_kept"))
+    val ids = out.data.select("doc_id").as[Long].collect().toSet
+    assert(!ids.exists(i => i == 1L || (i >= 10L && i <= 19L)))
+    out.release()
+    // guards: robots without pathCol, bad frame shape
+    intercept[IllegalArgumentException] {
+      CurationPipeline.curate(docs,
+        Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+        cfg.copy(pathCol = None), robots = Some(robots))
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.curate(docs,
+        Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+        cfg, robots = Some(robots.withColumnRenamed("host", "h")))
+    }
+  }
 }
