@@ -102,7 +102,7 @@ object CurationPipeline {
       "robots frame must carry (host, robots_txt) columns"))
     for (r <- Seq("__text", "__term_ok", "lang_pred", "__q", "text_clean", "n_tok",
         "pack_id", "content_sha", "__graft_blocked", "gopher_pass",
-        "__graft_robots_ok"))
+        "__graft_robots_ok", "__graft_rhost", "__graft_rbody"))
       require(!docs.columns.contains(r), s"input column '$r' is reserved")
 
     // the blocklist verdict rides as a FLAG so its keep/drop counts
@@ -114,19 +114,15 @@ object CurationPipeline {
       case None => docs.withColumn("__graft_blocked", lit(false))
     }
     // robots.txt consent rides as a second pre-extraction flag (the
-    // blocklist shape): hosts with no robots entry are allowed (the
-    // RFC fail-open rule), and denied rows skip extraction entirely
+    // blocklist shape), via the ONE shared RobotsTxt.withAllowedFlag
+    // implementation: case-insensitive hosts, per-host-deduplicated
+    // build side, RFC fail-open on absent entries; denied rows skip
+    // extraction entirely
     val consented = robots match {
       case Some(r) =>
-        flagged.join(broadcast(r.select(
-            col("host").as("__graft_rhost"),
-            col("robots_txt").as("__graft_rbody"))),
-            col(cfg.hostCol.get) === col("__graft_rhost"), "left")
-          .withColumn("__graft_robots_ok",
-            col("__graft_rbody").isNull ||
-              RobotsTxt.allowed(col("__graft_rbody"),
-                col(cfg.pathCol.get), cfg.userAgent))
-          .drop("__graft_rhost", "__graft_rbody")
+        RobotsTxt.withAllowedFlag(flagged, cfg.hostCol.get,
+          cfg.pathCol.get, r, "host", "robots_txt", cfg.userAgent,
+          flagCol = "__graft_robots_ok")
       case None => flagged.withColumn("__graft_robots_ok", lit(true))
     }
 

@@ -33,10 +33,29 @@ import org.apache.spark.sql.functions._
   */
 object RobotsTxt {
 
-  /** One parsed rule: allow?, original pattern (for longest-match
-    * length), endAnchored?, and the `*`-split literal segments.
+  /** One parsed rule: allow? plus the original pattern (whose length
+    * drives longest-match precedence; wildcard splitting happens at
+    * match time in [[matches]]).
     */
   private[ops] final case class Rule(allow: Boolean, pattern: String)
+
+  /** Per-executor parse cache: rules are invariant per (body, agent),
+    * but the kernel sees one (page, robots) pair per ROW — a host with
+    * a million pages would otherwise pay a million identical parses.
+    * Value-keyed (broadcast rows decode fresh String instances, so
+    * identity would never hit), bounded by a crude clear at 4096
+    * entries (robots bodies per executor are |hosts|-bounded anyway).
+    */
+  private object RuleCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Rule]]()
+    def get(robots: String, ua: String): Seq[Rule] = {
+      if (robots == null) return Nil
+      if (cache.size > 4096) cache.clear()
+      cache.computeIfAbsent((robots, ua),
+        (k: (String, String)) => rulesFor(k._1, k._2))
+    }
+  }
 
   /** Rules of the group that applies to `userAgent`. */
   private[ops] def rulesFor(robots: String, userAgent: String): Seq[Rule] = {
@@ -126,7 +145,7 @@ object RobotsTxt {
     */
   def isAllowed(robots: String, userAgent: String, path: String): Boolean = {
     if (path == null) return true
-    val rs = rulesFor(robots, userAgent)
+    val rs = RuleCache.get(robots, userAgent)
     var bestLen = -1
     var bestAllow = true
     rs.foreach { r =>
@@ -153,24 +172,46 @@ object RobotsTxt {
               userAgent: String): Column =
     allowedUdf(robotsCol, lit(userAgent), pathCol)
 
+  /** Append a boolean consent flag (`flagCol`) to `pages`: does the
+    * host's robots.txt allow this row's path for `userAgent`? The ONE
+    * shared implementation behind [[filterAllowed]] and the pipeline
+    * stage:
+    *
+    *  - hosts match CASE-INSENSITIVELY (hostnames are — the blocklist
+    *    stage's rule);
+    *  - the build side deduplicates per host (min body wins,
+    *    deterministic) — a crawl that fetched robots.txt twice must
+    *    not multiply page rows through the left join;
+    *  - rows with no robots entry flag true (absent robots.txt
+    *    permits crawling — the RFC fail-open rule);
+    *  - the build side is |hosts|-bounded and broadcast.
+    */
+  def withAllowedFlag(pages: DataFrame, hostCol: String, pathCol: String,
+                      robots: DataFrame, robotsHostCol: String,
+                      robotsBodyCol: String, userAgent: String,
+                      flagCol: String = "robots_ok"): DataFrame = {
+    for (r <- Seq("__graft_rhost", "__graft_rbody", flagCol))
+      require(!pages.columns.contains(r),
+        s"input already has a reserved '$r' column")
+    val build = broadcast(robots
+      .groupBy(lower(col(robotsHostCol)).as("__graft_rhost"))
+      .agg(min(col(robotsBodyCol)).as("__graft_rbody")))
+    pages.join(build,
+        lower(col(hostCol)) === col("__graft_rhost"), "left")
+      .withColumn(flagCol,
+        col("__graft_rbody").isNull ||
+          allowed(col("__graft_rbody"), col(pathCol), userAgent))
+      .drop("__graft_rhost", "__graft_rbody")
+  }
+
   /** Drop rows whose host's robots.txt disallows their path for
-    * `userAgent`: pages join their host's robots body (broadcast when
-    * the host table is small — it is bounded by |hosts|, not |pages|),
-    * then the verdict is a map-stage kernel. Rows with no robots entry
-    * for their host are ALLOWED (absent robots.txt permits crawling,
-    * per the RFC's fail-open rule).
+    * `userAgent` — [[withAllowedFlag]] then the filter.
     */
   def filterAllowed(pages: DataFrame, hostCol: String, pathCol: String,
                     robots: DataFrame, robotsHostCol: String,
-                    robotsBodyCol: String, userAgent: String): DataFrame = {
-    require(!pages.columns.contains("__graft_robots"),
-      "input already has a reserved '__graft_robots' column")
-    val r = broadcast(robots.select(
-      col(robotsHostCol).as("__graft_rhost"),
-      col(robotsBodyCol).as("__graft_robots")))
-    pages.join(r, col(hostCol) === col("__graft_rhost"), "left")
-      .filter(col("__graft_robots").isNull ||
-        allowed(col("__graft_robots"), col(pathCol), userAgent))
-      .drop("__graft_rhost", "__graft_robots")
-  }
+                    robotsBodyCol: String, userAgent: String): DataFrame =
+    withAllowedFlag(pages, hostCol, pathCol, robots, robotsHostCol,
+      robotsBodyCol, userAgent, flagCol = "__graft_robots_ok_tmp")
+      .filter(col("__graft_robots_ok_tmp"))
+      .drop("__graft_robots_ok_tmp")
 }

@@ -35,8 +35,8 @@ class RobotsTxtSpec extends SparkSpec {
     assert(!isAllowed(robots, "GraftBot/1.0", "/only-graft/x"))
     // the graftbot group says nothing about /private -> allowed
     assert(isAllowed(robots, "graftbot", "/private/file"))
-    assert(!isAllowed(robots, "otherbot", "/only-graft-not") ==
-      false) // '*' group has no such rule
+    // the '*' group has no /only-graft rule -> allowed for otherbot
+    assert(isAllowed(robots, "otherbot", "/only-graft-not"))
   }
 
   test("fail-open: no robots, no matching group, empty patterns") {
@@ -66,6 +66,27 @@ class RobotsTxtSpec extends SparkSpec {
         hosts, "host_name", "body", userAgent = "otherbot")
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(2L, 3L))
-    assert(kept.sorted == kept)
+  }
+
+  test("withAllowedFlag: case-insensitive hosts, duplicate hosts don't multiply") {
+    val pages = Seq(
+      (1L, "Ex.COM", "/private/x"),
+      (2L, "ex.com", "/pub")).toDF("id", "host", "path")
+    // duplicate host rows (http+https fetches) and mixed case
+    val hosts = Seq(("EX.com", robots), ("ex.com", robots))
+      .toDF("host_name", "body")
+    val out = RobotsTxt.withAllowedFlag(pages, "host", "path",
+        hosts, "host_name", "body", "otherbot")
+      .select("id", "robots_ok").as[(Long, Boolean)].collect().toSeq
+      .sorted
+    // exactly one row per page (no join multiplication), verdicts
+    // applied despite the case difference
+    assert(out == Seq((1L, false), (2L, true)))
+    intercept[IllegalArgumentException] {
+      RobotsTxt.withAllowedFlag(
+        pages.withColumn("robots_ok",
+          org.apache.spark.sql.functions.lit(true)),
+        "host", "path", hosts, "host_name", "body", "x")
+    }
   }
 }
