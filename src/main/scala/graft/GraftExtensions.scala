@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayFilter, ArrayJoin, ArrayMax, ArrayPosition, ArrayTransform, Cast, Coalesce, CreateArray, ElementAt, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, If, LambdaFunction, Length, Literal, NamedLambdaVariable, RegExpReplace, StringReplace, StringSplit, StringTrim}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
-import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, DotProduct, LabelHashBucket, ZOrder2}
+import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, DotProduct, HeavyHitters, LabelHashBucket, ZOrder2}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions
   * via SparkSessionExtensions — the idiomatic plug point
@@ -42,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.htmlToText)
     ext.injectFunction(GraftExtensions.markdownToText)
     ext.injectFunction(GraftExtensions.dominantScript)
+    ext.injectFunction(GraftExtensions.heavyHitters)
   }
 }
 
@@ -288,12 +289,34 @@ object GraftExtensions {
         "formatting syntax stripped, prose and fenced code content kept.",
       graft.ops.TextAnalysis.markdownSteps)
 
+  /** `heavy_hitters(item, capacity)` — the mergeable Misra–Gries
+    * frequency sketch ([[HeavyHitters]]). Like bounded_top_k, the
+    * analyzer wraps the bare AggregateFunction itself; capacity must
+    * be an int literal — it sizes the aggregation buffer at plan time.
+    */
+  val heavyHitters: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("heavy_hitters"),
+    info(classOf[HeavyHitters].getName, "heavy_hitters",
+      "heavy_hitters(item, capacity) - aggregate: Misra-Gries frequency " +
+        "summary as (item, count, max_err) structs sorted by count desc; " +
+        "count <= true frequency <= count + max_err, every item with " +
+        "frequency > N/(capacity+1) guaranteed present, buffer bounded " +
+        "by capacity at every stage."),
+    (args: Seq[Expression]) => args match {
+      case Seq(item, Literal(cap: Int, _)) =>
+        if (cap <= 0) throw new IllegalArgumentException(
+          s"heavy_hitters: capacity must be positive, got $cap")
+        HeavyHitters(item, cap)
+      case _ => throw new IllegalArgumentException(
+        "heavy_hitters expects (item, intLiteral)")
+    })
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
       normalizeText, cardCount, redactCards, dedupLines,
-      htmlToText, markdownToText, dominantScript).foreach {
+      htmlToText, markdownToText, dominantScript, heavyHitters).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

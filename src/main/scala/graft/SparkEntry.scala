@@ -29,7 +29,7 @@ object SparkEntry {
       TextQueries.queries, AnnQueries.queries,
       MultimodalQueries.queries, SinkQueries.queries,
       CurationQueries.queries, IngestGateQueries.queries,
-      JoinQueries.queries)
+      JoinQueries.queries, SketchQueries.queries)
     val merged = modules.reduce(_ ++ _)
     // A name collision across modules would make ++ silently DROP the
     // earlier gate query from Verify/Bench/Explain — fail loud instead.
@@ -55,5 +55,6 @@ object SparkEntry {
       SinkQueries.oracle ++
       CurationQueries.oracle ++
       IngestGateQueries.oracle ++
-      JoinQueries.oracle
+      JoinQueries.oracle ++
+      SketchQueries.oracle
 }

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HeavyHitters
+
+/** Mergeable-sketch gate queries: the summaries a 1000-executor
+  * cluster ships to the reducer instead of raw domains — Misra–Gries
+  * heavy hitters ([[graft.functions.HeavyHitters]]) and DataSketches
+  * HLL distinct cards (Spark's built-in `hll_sketch_agg` family).
+  *
+  * Gate strategy: a sketch is only DuckDB-checkable in its EXACT
+  * regime, so each gate is constructed inside it — sk1's item domain
+  * (97–100 lang:source pairs) sits under its 128-entry capacity, so
+  * every count is exact and max_err is 0; the approximation bounds on
+  * over-capacity domains are property-tested in FreqSketchSpec /
+  * SketchesSpec instead (the driver's hash compare cannot express
+  * "within ±N/k").
+  */
+object SketchQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- sk1: Misra–Gries heavy hitters over the (lang, source) domain.
+    //    Capacity 128 > the ~100 distinct pairs → zero decrements at
+    //    every stage, so the sketch IS the exact group-by, shipped as
+    //    one ≤128-entry summary per partial instead of a full shuffle
+    //    of the domain. --------------------------------------------
+    "sk1_heavy_hitters" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      docs
+        .agg(HeavyHitters.of(
+          concat_ws(":", col("lang"), col("source")), 128).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(
+          col("e.item").as("item"),
+          col("e.count").as("cnt"),
+          col("e.max_err").as("max_err"))
+        .orderBy(desc("cnt"), asc("item"))
+    },
+
+    // -- sk2: per-shard HLL distinct cards, merged. Each source's
+    //    shard builds one HLL sketch of its user domain; the union of
+    //    the sketches estimates the global distinct count — the
+    //    mergeable-summaries shape for "distinct users per day across
+    //    10k shards" where count(DISTINCT) would shuffle every value.
+    //    lgK 14 keeps the sketch in its exact (coupon) regime for this
+    //    corpus, pinned by the oracle's true count(DISTINCT); the
+    //    estimate-vs-exact tolerance on big domains is spec-tested. --
+    "sk2_hll_union" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val shardSketches = ev
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+          count_distinct(col("user_id")).as("n_users"))
+      shardSketches
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long")
+            .as("est_total_users"),
+          sum("n_users").as("sum_per_type"))
+        .crossJoin(broadcast(
+          ev.agg(count_distinct(col("user_id")).as("true_total_users"))))
+        .select("est_total_users", "true_total_users", "sum_per_type")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "sk1_heavy_hitters" ->
+      """SELECT lang || ':' || source AS item,
+        |  count(*) AS cnt, CAST(0 AS BIGINT) AS max_err
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY cnt DESC, item""".stripMargin,
+    "sk2_hll_union" ->
+      """SELECT count(DISTINCT user_id) AS est_total_users,
+        |  count(DISTINCT user_id) AS true_total_users,
+        |  (SELECT CAST(sum(n_users) AS BIGINT) FROM (
+        |     SELECT event_type, count(DISTINCT user_id) AS n_users
+        |     FROM events GROUP BY 1)) AS sum_per_type
+        |FROM events""".stripMargin)
+}

@@ -59,7 +59,11 @@ object Explain {
     "t27_bm25" -> Map("BroadcastNestedLoopJoin" ->
       ("one-row crossJoin(broadcast(corpus stats)) — N, total tokens " +
         "and |terms| document frequencies collapse to a single " +
-        "broadcast row; scoring itself is a pure map stage (t8 shape)")))
+        "broadcast row; scoring itself is a pure map stage (t8 shape)")),
+    "sk2_hll_union" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(true count)) — the GATE's " +
+        "exact-count pin rides next to the sketch estimate; the " +
+        "sketch path itself is two bounded aggregates (t8 shape)")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
