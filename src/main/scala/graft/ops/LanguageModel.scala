@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser–Ney bigram language model, trained and scored
+  * in-engine — the real version of the perplexity filter CCNet builds
+  * its head/middle/tail buckets from (Wenzek et al. 2020 trains a
+  * KenLM n-gram model on the reference domain and buckets crawl docs
+  * by perplexity; [[TextAnalysis.bigramLogProb]] is the add-one
+  * stand-in, kept as the cheap option).
+  *
+  * Absolute discounting with interpolation (Kneser & Ney 1995; Chen &
+  * Goodman 1999 eq. 4.25, bigram case, fixed discount D):
+  *
+  *   P(w2|w1) = (max(c(w1,w2) − D, 0) + D · N1+(w1,•) · Pcont(w2)) / c(w1,•)
+  *   Pcont(w2) = N1+(•,w2) / |{(a,b) : c(a,b) > 0}|
+  *
+  * where N1+(w1,•) = #distinct continuations of w1 and N1+(•,w2) =
+  * #distinct contexts preceding w2 — the "how many doors lead here"
+  * count that makes KN beat raw-frequency smoothing on words that are
+  * frequent only inside fixed phrases.
+  *
+  * Out-of-model events at score time (never exercised when scoring the
+  * training corpus itself, the CCNet self-score shape the gate pins):
+  *  - unseen context w1 → back off to Pcont(w2) alone;
+  *  - unseen w2 (no continuation mass) → D / B, the discount floor —
+  *    bounded away from zero so one OOV token cannot −∞ a document.
+  *
+  * Scale shape: the model is three count frames keyed by token —
+  * bigram counts, context totals, continuation counts — plus ONE
+  * scalar (the bigram-type total B) carried as a one-row broadcast;
+  * everything shuffles by token key exactly like tfidf, nothing is
+  * collected, and scoring is three equi-joins off the per-doc bigram
+  * counts. Training and scoring the same frame plans the gram
+  * explode once per side with identical subtrees (ReuseExchange).
+  */
+object LanguageModel {
+
+  /** Whitespace tokens as an array column — the corpus basis shared
+    * with [[TextAnalysis.bigramLogProb]] / tfidf, so model vocabularies
+    * line up across the quality operators.
+    */
+  private def toks(textCol: String) =
+    when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+
+  /** Per-doc bigram occurrence counts `(idCol, __w1, __w2, __k)` — the
+    * small frame every aggregate and the scorer hang off.
+    */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(textCol)
+    val m = greatest(size(t) - 1, lit(0))
+    df.select(col(idCol),
+        explode(arrays_zip(slice(t, lit(1), m).as("w1"),
+          slice(t, lit(2), m).as("w2"))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .groupBy(col(idCol), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__k"))
+  }
+
+  /** Train on `train`, score `df`: one row per document of `df` with
+    * ≥ 1 bigram — `(idCol, n_bigrams, kn_logprob, kn_ppl)` where
+    * `kn_logprob` is the mean ln P(w2|w1) over the doc's bigrams and
+    * `kn_ppl = exp(−kn_logprob)` its per-bigram perplexity. Feed
+    * `kn_ppl` to [[Curation.fitScoreThresholds]] /
+    * [[Curation.bucketByThresholds]] for the CCNet head/middle/tail
+    * split over a real model.
+    */
+  def kneserNeyScore(train: DataFrame, df: DataFrame, idCol: String,
+                     textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0, 1), got $discount")
+    Seq("n_bigrams", "kn_logprob", "kn_ppl").foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+
+    val trainGrams = docGrams(train, idCol, textCol)
+    val bigramC = trainGrams.groupBy("__w1", "__w2")
+      .agg(sum("__k").as("__cbg"))
+    // Context totals and distinct-continuation counts in ONE pass over
+    // the (already tiny) bigram-type frame.
+    val contextC = bigramC.groupBy("__w1")
+      .agg(sum("__cbg").as("__cw1"), count(lit(1)).as("__n1p_after"))
+    val contC = bigramC.groupBy("__w2")
+      .agg(count(lit(1)).as("__n1p_before"))
+    // B = total bigram types, as a one-row broadcast (the t8 shape).
+    val totals = bigramC.agg(count(lit(1)).as("__b"))
+
+    val d = lit(discount)
+    val scoreGrams = docGrams(df, idCol, textCol)
+    val pcont =
+      coalesce(col("__n1p_before").cast("double"), d) / col("__b")
+    val seenCtx =
+      (greatest(col("__cbg").cast("double") - d, lit(0.0)) +
+        d * col("__n1p_after") * pcont) / col("__cw1")
+    val p = when(col("__cw1").isNotNull, seenCtx).otherwise(pcont)
+
+    scoreGrams
+      .join(bigramC, Seq("__w1", "__w2"), "left")
+      .join(contextC, Seq("__w1"), "left")
+      .join(contC, Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__k").as("n_bigrams"),
+        (sum(col("__k") * log(p)) / sum("__k")).as("kn_logprob"))
+      .withColumn("kn_ppl", exp(-col("kn_logprob")))
+  }
+
+  /** Self-scored corpus (train == score) — the CCNet configuration
+    * where each document's perplexity is measured under the corpus's
+    * own statistics, so boilerplate and keyboard-mash land in the tail.
+    */
+  def kneserNeySelfScore(df: DataFrame, idCol: String, textCol: String,
+                         discount: Double = 0.75): DataFrame =
+    kneserNeyScore(df, df, idCol, textCol, discount)
+}

@@ -268,6 +268,23 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // -- t32: interpolated Kneser–Ney bigram LM, trained and
+    //    self-scored on the corpus (the real CCNet perplexity basis;
+    //    t11 is the add-one stand-in). Fixed discount 0.75; per-lang
+    //    means plus mean perplexity. --------------------------------
+    "t32_kneser_ney" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.LanguageModel.kneserNeySelfScore(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").as("total_bigrams"),
+          round(avg("kn_logprob"), 4).as("avg_logprob"),
+          round(min("kn_logprob"), 4).as("min_logprob"),
+          round(avg("kn_ppl"), 4).as("avg_ppl"))
+        .orderBy("lang")
+    },
+
     // -- t12: corpus-level boilerplate token removal — tokens in > 50%
     //    of docs carry no per-doc signal; drop every occurrence,
     //    order-preserving reconstruction via the codegen'd
@@ -1596,6 +1613,43 @@ object TextQueries {
         |  sum(s.n_bigrams)::BIGINT AS total_bigrams,
         |  round(avg(s.lm_logprob), 4) AS avg_logprob,
         |  round(min(s.lm_logprob), 4) AS min_logprob
+        |FROM scored s JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Interpolated Kneser–Ney, bigram case, fixed discount 0.75.
+    // Multiplication/association order mirrors the Spark expressions
+    // exactly so the 4-dp rounded means agree bit-for-bit.
+    "t32_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, t[i]::VARCHAR AS w1, t[i+1]::VARCHAR AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+        |), dg AS (
+        |  SELECT doc_id, w1, w2, count(*) AS k FROM g GROUP BY 1, 2, 3
+        |), bc AS (
+        |  SELECT w1, w2, sum(k) AS cbg FROM dg GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT w1, sum(cbg) AS cw1, count(*) AS n1p_after FROM bc GROUP BY 1
+        |), ct AS (
+        |  SELECT w2, count(*) AS n1p_before FROM bc GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS b FROM bc
+        |), scored AS (
+        |  SELECT dg.doc_id, sum(k)::BIGINT AS n_bigrams,
+        |    sum(k * ln(
+        |      (greatest(bc.cbg::DOUBLE - 0.75, 0.0) +
+        |       0.75 * cc.n1p_after * (ct.n1p_before::DOUBLE / tot.b))
+        |      / cc.cw1)) / sum(k) AS kn_logprob
+        |  FROM dg JOIN bc USING (w1, w2) JOIN cc USING (w1)
+        |    JOIN ct USING (w2) CROSS JOIN tot
+        |  GROUP BY 1
+        |)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  sum(s.n_bigrams)::BIGINT AS total_bigrams,
+        |  round(avg(s.kn_logprob), 4) AS avg_logprob,
+        |  round(min(s.kn_logprob), 4) AS min_logprob,
+        |  round(avg(exp(-s.kn_logprob)), 4) AS avg_ppl
         |FROM scored s JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t10_entropy" ->

@@ -63,7 +63,11 @@ object Explain {
     "sk2_hll_union" -> Map("BroadcastNestedLoopJoin" ->
       ("one-row crossJoin(broadcast(true count)) — the GATE's " +
         "exact-count pin rides next to the sketch estimate; the " +
-        "sketch path itself is two bounded aggregates (t8 shape)")))
+        "sketch path itself is two bounded aggregates (t8 shape)")),
+    "t32_kneser_ney" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(bigram-type total B)) carrying " +
+        "the continuation-probability denominator — the same " +
+        "scalar-smoothing shape waived for t11_lm_score")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Interpolated Kneser–Ney bigram LM ([[LanguageModel]]): hand-derived
+  * probabilities, per-context normalization, out-of-model backoff, and
+  * the self-score composition.
+  */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eps = 1e-9
+
+  // Training corpus: one doc "a b a b c".
+  // Bigram counts: (a,b)=2 (b,a)=1 (b,c)=1; c(a,•)=2, c(b,•)=2;
+  // N1+(a,•)=1, N1+(b,•)=2; N1+(•,a)=N1+(•,b)=N1+(•,c)=1; B=3 types.
+  // With D=0.75: P(b|a)=0.75, P(a|b)=P(c|b)=0.375, P(b|b)=0.25.
+  private def train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+
+  private def score(docs: Seq[(Long, String)]): Map[Long, (Long, Double, Double)] =
+    LanguageModel.kneserNeyScore(train, docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "n_bigrams", "kn_logprob", "kn_ppl")
+      .as[(Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("hand-derived doc score: ln P summed over the doc's bigrams") {
+    val got = LanguageModel.kneserNeySelfScore(train, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length === 1)
+    val (_, n, lp, ppl) = got.head
+    val expected = (2 * math.log(0.75) + 2 * math.log(0.375)) / 4
+    assert(n === 4L)
+    assert(math.abs(lp - expected) < eps)
+    assert(math.abs(ppl - math.exp(-expected)) < eps)
+  }
+
+  test("per-context probabilities normalize to 1 over the vocabulary") {
+    // Context 'b' can continue to a, b, c: 0.375 + 0.25 + 0.375 = 1.
+    val got = score(Seq((10L, "b a"), (11L, "b b"), (12L, "b c")))
+    val pSum = got.values.map { case (_, lp, _) => math.exp(lp) }.sum
+    assert(math.abs(pSum - 1.0) < eps)
+    // Context 'a': seen continuation b takes 0.75, the discount mass
+    // spreads 0.25/3 over each of a, b, c via Pcont — checks the
+    // interpolation term: P(a|a) = (0 + 0.75*1*(1/3))/2 = 0.125.
+    val aSide = score(Seq((20L, "a a"), (21L, "a b"), (22L, "a c")))
+    assert(math.abs(math.exp(aSide(21L)._2) - 0.75) < eps)
+    assert(math.abs(math.exp(aSide(20L)._2) - 0.125) < eps)
+    val aSum = aSide.values.map { case (_, lp, _) => math.exp(lp) }.sum
+    assert(math.abs(aSum - 1.0) < eps)
+  }
+
+  test("unseen context backs off to continuation probability") {
+    // 'z' never appeared as a context: P(a|z) = Pcont(a) = 1/3.
+    val got = score(Seq((30L, "z a")))
+    assert(math.abs(math.exp(got(30L)._2) - 1.0 / 3) < eps)
+  }
+
+  test("unseen continuation floors at D/B, never -inf") {
+    // 'q' never appeared at all: P(q|z) = D/B = 0.75/3 = 0.25.
+    val got = score(Seq((40L, "z q")))
+    assert(math.abs(math.exp(got(40L)._2) - 0.25) < eps)
+    assert(!got(40L)._2.isNegInfinity)
+  }
+
+  test("docs with fewer than two tokens emit no row") {
+    val got = score(Seq((50L, "solo"), (51L, ""), (52L, "x y")))
+    assert(got.keySet === Set(52L))
+  }
+
+  test("multi-doc training counts pool across documents") {
+    val t2 = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // c(a,b)=2 c(a,c)=1 c(a,•)=3 N1+(a,•)=2 B=2, Pcont(b)=Pcont(c)=1/2.
+    // P(b|a) = (1.25 + 0.75*2*0.5)/3 = 2/3.
+    val got = LanguageModel.kneserNeyScore(t2,
+        Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "kn_logprob").as[(Long, Double)].collect().toMap
+    assert(math.abs(math.exp(got(9L)) - 2.0 / 3) < eps)
+  }
+
+  test("reserved output names are rejected on the score frame") {
+    val bad = Seq((1L, "a b", 0.0)).toDF("doc_id", "text", "kn_ppl")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.kneserNeyScore(train, bad, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("kn_ppl"))
+  }
+
+  test("discount outside (0,1) is rejected") {
+    for (d <- Seq(0.0, 1.0, -0.5, 1.5)) {
+      val e = intercept[IllegalArgumentException] {
+        LanguageModel.kneserNeyScore(train, train, "doc_id", "text", d)
+      }
+      assert(e.getMessage.contains("discount"))
+    }
+  }
+}
