@@ -29,7 +29,8 @@ object SparkEntry {
       TextQueries.queries, AnnQueries.queries,
       MultimodalQueries.queries, SinkQueries.queries,
       CurationQueries.queries, IngestGateQueries.queries,
-      JoinQueries.queries, SketchQueries.queries)
+      JoinQueries.queries, SketchQueries.queries,
+      GraphQueries.queries)
     val merged = modules.reduce(_ ++ _)
     // A name collision across modules would make ++ silently DROP the
     // earlier gate query from Verify/Bench/Explain — fail loud instead.
@@ -56,5 +57,6 @@ object SparkEntry {
       CurationQueries.oracle ++
       IngestGateQueries.oracle ++
       JoinQueries.oracle ++
-      SketchQueries.oracle
+      SketchQueries.oracle ++
+      GraphQueries.oracle
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for crawl curation. Common Crawl-scale
+  * pipelines rank hosts by their position in the web link graph —
+  * harmonic centrality / PageRank over host→host edges — and feed the
+  * score into crawl prioritization and quality weighting (the signal
+  * behind "seed quality" in CCNet-family pipelines). This is the
+  * weighted-PageRank operator over an arbitrary `(src, dst)` edge
+  * frame; pair it with [[UrlOps.registrableDomain]] to build the host
+  * graph from extracted links.
+  *
+  * Semantics (Page et al. 1999, weighted variant):
+  *  - parallel edges aggregate to an integer weight w(s,d); a node's
+  *    contribution spreads proportionally, rank(s) · w(s,d) / W(s);
+  *  - dangling nodes (no out-edges) redistribute their whole rank
+  *    uniformly, so Σ rank = 1 after every iteration;
+  *  - rank'(v) = (1−d)/N + d · (Σ_in contribs + danglingMass/N).
+  *
+  * Scale shape: per iteration ONE shuffle — the contribution
+  * aggregate keyed by dst — plus a left join back onto the node
+  * frame; edge weights and out-totals are computed once and persisted;
+  * the dangling mass is a one-row broadcast (the t8 scalar shape);
+  * every round's plan is checkpoint-truncated ([[Checkpoints.Rounds]])
+  * so iteration N never embeds N−1 plans. Nothing but the two scalars
+  * (node count, per-round convergence probe) ever reaches the driver.
+  */
+object Graph {
+
+  /** Weighted PageRank of `edges` (`srcCol`, `dstCol`; parallel edges
+    * count as weight). Returns `(node, rank)`, Σ rank = 1.
+    *
+    * Runs exactly `iterations` rounds when `tol` is 0 (the
+    * deterministic gate configuration); with `tol > 0` stops early
+    * once no node's rank moved by more than `tol` (an existence probe
+    * per round — same pattern as [[Dedup.duplicateGroups]]).
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iterations: Int = 10,
+               damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0, 1), got $damping")
+    require(tol >= 0, s"tol must be non-negative, got $tol")
+
+    // Weighted edge list + per-source out-weight totals: computed once,
+    // reused every round.
+    val w = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .groupBy("__src", "__dst").agg(count(lit(1)).as("__w"))
+      .persist()
+    val outW = w.groupBy("__src").agg(sum("__w").as("__wout")).persist()
+    val nodes = w.select(col("__src").as("node"))
+      .unionByName(w.select(col("__dst").as("node")))
+      .distinct().persist()
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank needs at least one edge")
+      val base = lit((1.0 - damping) / n)
+
+      val rounds = new Checkpoints.Rounds
+      var ranks = rounds.truncate(
+        nodes.withColumn("rank", lit(1.0 / n)))
+      var iter = 0
+      var converged = false
+      while (!converged && iter < iterations) {
+        val contribs = w
+          .join(outW, "__src")
+          .join(ranks.select(col("node").as("__src"), col("rank")), "__src")
+          .groupBy(col("__dst").as("node"))
+          .agg(sum(col("rank") * col("__w") / col("__wout")).as("__contrib"))
+        // Rank parked on nodes with no out-edges redistributes evenly.
+        val dangling = ranks
+          .join(outW.select(col("__src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
+        val next = rounds.truncate(
+          ranks.select(col("node"), col("rank").as("__prev"))
+            .join(contribs, Seq("node"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"), col("__prev"),
+              (base + lit(damping) *
+                (coalesce(col("__contrib"), lit(0.0)) +
+                  col("__dang") / n)).as("rank")))
+        converged = tol > 0 && next
+          .filter(abs(col("rank") - col("__prev")) > tol)
+          .limit(1).count() == 0
+        ranks = next.select("node", "rank")
+        iter += 1
+      }
+      ranks
+    } finally {
+      w.unpersist(); outW.unpersist(); nodes.unpersist()
+    }
+  }
+
+  /** In/out degree and weight totals per node — the cheap graph card
+    * next to [[pageRank]]: `(node, out_deg, in_deg, out_weight,
+    * in_weight)` with zeros for missing sides.
+    */
+  def degreeStats(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst"): DataFrame = {
+    val w = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .groupBy("__src", "__dst").agg(count(lit(1)).as("__w"))
+    val out = w.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum("__w").as("out_weight"))
+    val in = w.groupBy(col("__dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"), sum("__w").as("in_weight"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"))
+  }
+}
