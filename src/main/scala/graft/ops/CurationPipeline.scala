@@ -49,6 +49,8 @@ object CurationPipeline {
       gopherThresholds: RepetitionSignals.GopherThresholds =
         RepetitionSignals.GopherThresholds(),
       nearDupThreshold: Double = 0.8,
+      maxPpl: Double = Double.PositiveInfinity,
+      pplDiscount: Double = 0.75,
       maxContamination: Double = 0.2,
       targetMix: Map[String, Int] = Map.empty,
       packCapacity: Long = 512L,
@@ -85,11 +87,24 @@ object CurationPipeline {
     * ([[Curation.redactPiiAll]]) between the quality gate and segment
     * dedup, so every downstream digest, signature and export sees the
     * redacted text.
+    *
+    * `pplRef` (a frame with a `pplRefTextCol` text column — Wikipedia
+    * in the CCNet recipe) activates the perplexity gate: the cleaned
+    * post-segment-dedup text is scored under an interpolated
+    * Kneser–Ney bigram model trained on the reference
+    * ([[LanguageModel.kneserNeyScore]]) and rows with per-bigram
+    * perplexity above `cfg.maxPpl` drop. Docs too short to score
+    * (< 2 tokens) pass — a 1-token row carries no LM evidence either
+    * way. When active the filtered snapshot is its own truncation
+    * point, so the LM scoring job runs once, not once per downstream
+    * consumer.
     */
   def curate(docs: DataFrame, seenIndex: DataFrame, probes: DataFrame,
              probeTextCol: String, cfg: Config,
              blocklist: Option[DataFrame] = None,
-             robots: Option[DataFrame] = None): Curated = {
+             robots: Option[DataFrame] = None,
+             pplRef: Option[DataFrame] = None,
+             pplRefTextCol: String = "text"): Curated = {
     val id = cfg.idCol
     require(cfg.targetMix.nonEmpty, "targetMix must be non-empty")
     require(blocklist.isEmpty || cfg.hostCol.nonEmpty,
@@ -100,9 +115,12 @@ object CurationPipeline {
     robots.foreach(r => require(
       r.columns.contains("host") && r.columns.contains("robots_txt"),
       "robots frame must carry (host, robots_txt) columns"))
+    pplRef.foreach(r => require(r.columns.contains(pplRefTextCol),
+      s"pplRef frame must carry a '$pplRefTextCol' column"))
     for (r <- Seq("__text", "__term_ok", "lang_pred", "__q", "text_clean", "n_tok",
         "pack_id", "content_sha", "__graft_blocked", "gopher_pass",
-        "__graft_robots_ok", "__graft_rhost", "__graft_rbody"))
+        "__graft_robots_ok", "__graft_rhost", "__graft_rbody",
+        "kn_ppl", "kn_logprob", "n_bigrams"))
       require(!docs.columns.contains(r), s"input column '$r' is reserved")
 
     // the blocklist verdict rides as a FLAG so its keep/drop counts
@@ -213,9 +231,28 @@ object CurationPipeline {
     val segStats = snapA.agg(
       sum("n_segments").as("segs"), sum("n_kept").as("kept")).head()
 
-    val ndKept = Dedup.nearDupAgainstIndex(snapA, seenIndex, id,
+    // optional CCNet perplexity gate under the reference-trained KN
+    // model; its own truncation point so the scoring job runs once
+    val (afterPpl, pplMetric) = pplRef match {
+      case Some(ref) =>
+        val train = ref.select(lit(0L).as(id),
+          col(pplRefTextCol).as("text_clean"))
+        val pplScores = LanguageModel.kneserNeyScore(train,
+          snapA.select(col(id), col("text_clean")), id, "text_clean",
+          cfg.pplDiscount)
+        val kept = snapA
+          .join(pplScores.select(col(id), col("kn_ppl")), Seq(id), "left")
+          .filter(coalesce(col("kn_ppl"), lit(0.0)) <= cfg.maxPpl)
+          .drop("kn_ppl")
+          .truncated
+        Checkpoints.release(snapA) // kept is materialized; free A now
+        (kept, Seq("perplexity_kept" -> kept.count()))
+      case None => (snapA, Nil)
+    }
+
+    val ndKept = Dedup.nearDupAgainstIndex(afterPpl, seenIndex, id,
       "text_clean", cfg.nearDupThreshold)
-    val nNearDup = ndKept.count() // cheap: snapA is materialized
+    val nNearDup = ndKept.count() // cheap: afterPpl is materialized
 
     val cont = Curation.contaminationScore(
       ndKept.select(col(id), col("text_clean")), id, "text_clean",
@@ -227,10 +264,12 @@ object CurationPipeline {
       .filter(coalesce(col("contamination"), lit(0.0)) <= cfg.maxContamination)
       .drop("contamination", "n_segments", "n_kept")
       .truncated
-    // snapA's reliable-checkpoint files are dead once snapB (whose
-    // lineage the truncation cut) is materialized — free them now, not
-    // at job exit (the streaming sink runs one curate per microbatch)
-    Checkpoints.release(snapA)
+    // the pre-decontamination snapshot's reliable-checkpoint files are
+    // dead once snapB (whose lineage the truncation cut) is
+    // materialized — free them now, not at job exit (the streaming
+    // sink runs one curate per microbatch). afterPpl IS snapA when the
+    // perplexity gate is off; when on, snapA was already freed.
+    Checkpoints.release(afterPpl)
     val nDecon = snapB.count()
 
     val mixed = Curation.mixReweight(snapB, cfg.sourceCol, id, cfg.targetMix)
@@ -254,7 +293,9 @@ object CurationPipeline {
         "quality_kept" -> stageAgg.getLong(5),
         "gopher_kept" -> stageAgg.getLong(6),
         "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
-        "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1)),
+        "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1))) ++
+      pplMetric ++
+      Seq(
         "neardup_kept" -> nNearDup,
         "decontaminated_kept" -> nDecon,
         "mixed_and_packed" -> nMixed),

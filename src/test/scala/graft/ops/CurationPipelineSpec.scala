@@ -299,4 +299,60 @@ class CurationPipelineSpec extends SparkSpec {
         cfg, robots = Some(robots.withColumnRenamed("host", "h")))
     }
   }
+
+  test("perplexity stage drops reference-implausible docs, metric shows it") {
+    // Reference LM: the survivors' own vocabulary ("the X of Y and Z"
+    // scaffold), so ordinary docs score low-ppl. Doc 11 becomes
+    // scaffold-free keyboard mash — every bigram lands on the unseen
+    // floor D/B, pushing its perplexity far above the rest.
+    val mashed = corpus.withColumn("html",
+      when(col("doc_id") === 11L,
+        lit("<html><body><p>nav | nav | nav</p>" +
+          "<p>zxq wvu tsr qpo nml kji hgf edc baz yxw vut srq pon</p>" +
+          "</body></html>"))
+        .otherwise(col("html")))
+    val pplRef = (1L to 40L).map(i => bodyOf(i)).toDF("text")
+    val cfg = CurationPipeline.Config("doc_id", "html", "source",
+      targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+      nearDupThreshold = 0.5, packCapacity = 30L)
+
+    // Without a cutoff the mashed doc survives every other stage
+    // (language: it has no markers… force-keep via permissive config?)
+    // — mash IS dropped by langid ('unknown'), so instead compare the
+    // gate's own metric between a loose and a tight cutoff on the SAME
+    // survivor set.
+    val loose = CurationPipeline.curate(mashed,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg.copy(maxPpl = 1e9), pplRef = Some(pplRef))
+    val mLoose = loose.metrics.toMap
+    assert(mLoose.contains("perplexity_kept"))
+    assert(mLoose("perplexity_kept") == mLoose("quality_kept"),
+      "loose cutoff must keep every quality survivor")
+    loose.release()
+
+    // Tight cutoff: fit it from the survivors' own score distribution —
+    // everything ordinary sits in a narrow band, so a cutoff under the
+    // band's ceiling must drop at least one doc and keep most.
+    val scored = LanguageModel.kneserNeySelfScore(
+      pplRef.withColumn("doc_id", monotonically_increasing_id()),
+      "doc_id", "text")
+    val cut = scored.agg(avg("kn_ppl")).as[Double].head()
+    val tight = CurationPipeline.curate(mashed,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg.copy(maxPpl = cut), pplRef = Some(pplRef))
+    val mTight = tight.metrics.toMap
+    assert(mTight("perplexity_kept") < mLoose("perplexity_kept"),
+      "tight cutoff dropped nothing")
+    assert(mTight("perplexity_kept") > 0L, "tight cutoff dropped everything")
+    assert(mTight("neardup_kept") <= mTight("perplexity_kept"),
+      "metric chain stays monotone through the ppl stage")
+    tight.release()
+
+    // guard: pplRef without the text column
+    intercept[IllegalArgumentException] {
+      CurationPipeline.curate(mashed,
+        Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+        cfg, pplRef = Some(pplRef.withColumnRenamed("text", "t")))
+    }
+  }
 }
