@@ -30,7 +30,7 @@ object SparkEntry {
       MultimodalQueries.queries, SinkQueries.queries,
       CurationQueries.queries, IngestGateQueries.queries,
       JoinQueries.queries, SketchQueries.queries,
-      GraphQueries.queries)
+      GraphQueries.queries, CodeQueries.queries)
     val merged = modules.reduce(_ ++ _)
     // A name collision across modules would make ++ silently DROP the
     // earlier gate query from Verify/Bench/Explain — fail loud instead.
@@ -58,5 +58,6 @@ object SparkEntry {
       IngestGateQueries.oracle ++
       JoinQueries.oracle ++
       SketchQueries.oracle ++
-      GraphQueries.oracle
+      GraphQueries.oracle ++
+      CodeQueries.oracle
 }
