@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.markdownToText)
     ext.injectFunction(GraftExtensions.dominantScript)
     ext.injectFunction(GraftExtensions.heavyHitters)
+    ext.injectFunction(GraftExtensions.countMinMerge)
+    ext.injectFunction(GraftExtensions.countMinEstimate)
   }
 }
 
@@ -311,12 +313,40 @@ object GraftExtensions {
         "heavy_hitters expects (item, intLiteral)")
     })
 
+  /** `count_min_merge(sketch)` / `count_min_estimate(sketch, item)` —
+    * the union and point-query halves of the count–min surface
+    * ([[graft.functions.CountMinMerge]] / [[CountMinEstimate]]); the
+    * sketch build itself is Spark's built-in `count_min_sketch`.
+    */
+  val countMinMerge: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("count_min_merge"),
+    info(classOf[graft.functions.CountMinMerge].getName, "count_min_merge",
+      "count_min_merge(sketch) - aggregate: union of serialized " +
+        "count-min sketches built with one (eps, confidence, seed)."),
+    (args: Seq[Expression]) => args match {
+      case Seq(sk) => graft.functions.CountMinMerge(sk)
+      case _ => throw new IllegalArgumentException(
+        "count_min_merge expects exactly 1 argument")
+    })
+
+  val countMinEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("count_min_estimate"),
+    info(classOf[graft.functions.CountMinEstimate].getName, "count_min_estimate",
+      "count_min_estimate(sketch, item) - upper-bound frequency of item " +
+        "from a serialized count-min sketch; exact when no collision."),
+    (args: Seq[Expression]) => args match {
+      case Seq(sk, item) => graft.functions.CountMinEstimate(sk, item)
+      case _ => throw new IllegalArgumentException(
+        "count_min_estimate expects exactly 2 arguments")
+    })
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
       normalizeText, cardCount, redactCards, dedupLines,
-      htmlToText, markdownToText, dominantScript, heavyHitters).foreach {
+      htmlToText, markdownToText, dominantScript, heavyHitters,
+      countMinMerge, countMinEstimate).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.graft.{shim => ExpressionUtils}
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, IntegerType, LongType, StringType, TypeCollection}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -49,7 +49,7 @@ case class CountMinMerge(child: Expression,
     with ExpectsInputTypes {
 
   override def prettyName: String = "count_min_merge"
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
@@ -118,18 +118,20 @@ case class CountMinMerge(child: Expression,
   * card scale, deliberately NOT offered for corpus-sized frames.
   */
 case class CountMinEstimate(left: Expression, right: Expression)
-    extends Expression with BinaryLike[Expression]
-    with ExpectsInputTypes with CodegenFallback {
+    extends Expression with BinaryLike[Expression] with CodegenFallback {
 
   override def prettyName: String = "count_min_estimate"
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(BinaryType, TypeCollection(StringType, LongType, IntegerType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val base = super.checkInputDataTypes()
-    if (base.isFailure) base else TypeCheckResult.TypeCheckSuccess
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: sketch argument must be BINARY, got ${left.dataType}")
+    else if (!Seq(StringType, LongType, IntegerType).contains(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: item argument must be STRING or integral, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
   }
 
   override def eval(input: InternalRow): Any = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.HeavyHitters
+import graft.functions.{CountMin, HeavyHitters}
 
 /** Mergeable-sketch gate queries: the summaries a 1000-executor
   * cluster ships to the reducer instead of raw domains — Misra–Gries
@@ -62,6 +62,29 @@ object SketchQueries {
         .crossJoin(broadcast(
           ev.agg(count_distinct(col("user_id")).as("true_total_users"))))
         .select("est_total_users", "true_total_users", "sum_per_type")
+    },
+
+    // -- sk3: count–min — per-event-type shard sketches of the user_id
+    //    stream (Spark's built-in count_min_sketch), UNIONED by
+    //    count_min_merge without re-touching the data, then point-
+    //    queried for the 10 smallest user ids. Gate regime: width
+    //    2/eps = 20k ≫ the sf0.01 user domain, so the probability
+    //    every one of the 7 depth rows collides is ~(D/20k)^7 ≈ 0 and
+    //    each estimate equals the exact count the oracle computes; the
+    //    over-width upper-bound property is spec-tested instead. ------
+    "sk3_countmin" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val shardSketches = ev
+        .groupBy("event_type")
+        .agg(count_min_sketch(col("user_id"),
+          lit(0.0001), lit(0.999), lit(42)).as("sk"))
+      val merged = shardSketches.agg(CountMin.merge(col("sk")).as("sk"))
+      val probes = ev.select("user_id").distinct()
+        .orderBy("user_id").limit(10)
+      probes.crossJoin(broadcast(merged))
+        .select(col("user_id"),
+          CountMin.estimate(col("sk"), col("user_id")).as("est"))
+        .orderBy("user_id")
     })
 
   def oracle: Map[String, String] = Map(
@@ -71,6 +94,13 @@ object SketchQueries {
         |FROM documents
         |GROUP BY 1
         |ORDER BY cnt DESC, item""".stripMargin,
+    "sk3_countmin" ->
+      """SELECT user_id, count(*) AS est
+        |FROM events
+        |WHERE user_id IN (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 10)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sk2_hll_union" ->
       """SELECT count(DISTINCT user_id) AS est_total_users,
         |  count(DISTINCT user_id) AS true_total_users,

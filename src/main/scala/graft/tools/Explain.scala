@@ -67,7 +67,12 @@ object Explain {
     "t32_kneser_ney" -> Map("BroadcastNestedLoopJoin" ->
       ("one-row crossJoin(broadcast(bigram-type total B)) carrying " +
         "the continuation-probability denominator — the same " +
-        "scalar-smoothing shape waived for t11_lm_score")))
+        "scalar-smoothing shape waived for t11_lm_score")),
+    "sk3_countmin" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(merged sketch)) — the point-query " +
+        "stage runs over the 10-row probe frame against exactly one " +
+        "broadcast sketch row; the corpus is touched only by the " +
+        "shard-sketch aggregate (sk2 shape)")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
