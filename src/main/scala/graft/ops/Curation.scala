@@ -1016,4 +1016,37 @@ object Curation {
     * `[PHONE]`, not half-eaten by the card rule.
     */
   def redactPiiAll(c: Column): Column = redactCards(redactPii(c))
+
+  /** Deterministic global shuffle for training: every row gets a
+    * pseudorandom `(shuffle_shard, shuffle_pos)` derived from
+    * sha256(seed:id) — reproducible across runs and cluster sizes,
+    * independent of input partitioning and file order (the property
+    * `orderBy(rand())` cannot give: its result changes with the task
+    * layout). A reader streaming shard 0 pos 1.., shard 1 pos 1.., …
+    * sees a fixed pseudorandom permutation of the corpus; changing the
+    * seed re-deals everything, changing only nShards re-buckets but
+    * preserves the within-hash order.
+    *
+    * 100 TB shape: ONE hash shuffle into nShards groups plus a
+    * per-shard sort (the window partitions by shard) — there is no
+    * global sort, so shard count is the parallelism/memory knob: pick
+    * nShards so a shard's rows fit an executor's sort spill budget,
+    * exactly how packTokenIds sizes its shards.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, nShards: Int,
+                    seed: Long): DataFrame = {
+    require(nShards > 0, s"globalShuffle needs nShards > 0, got $nShards")
+    val hashed = df.withColumn("__graft_h",
+      sha2(concat_ws(":", lit(seed.toString), col(idCol).cast("string")), 256))
+    val w = Window.partitionBy("__graft_shard")
+      .orderBy(col("__graft_h"), col(idCol))
+    hashed
+      .withColumn("__graft_shard",
+        graft.functions.LabelHashBucket.of(
+          concat_ws(":", lit(seed.toString), col(idCol).cast("string")),
+          nShards))
+      .withColumn("shuffle_shard", col("__graft_shard"))
+      .withColumn("shuffle_pos", row_number().over(w).cast("long"))
+      .drop("__graft_h", "__graft_shard")
+  }
 }

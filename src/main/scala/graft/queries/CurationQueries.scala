@@ -178,6 +178,19 @@ object CurationQueries {
         .orderBy("source", "gopher_pass")
     },
 
+    // -- c25: deterministic global training shuffle — pseudorandom
+    //    (shard, position) from sha256(seed:id); the oracle replays
+    //    the hash → mod-shard → within-shard row_number pipeline from
+    //    the hex digest (p5 HUGEINT pattern). No global sort: the
+    //    window partitions by shard. ----------------------------------
+    "c25_global_shuffle" -> { (s, d) =>
+      Curation.globalShuffle(Tables.documents(s, d), "doc_id",
+          nShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shuffle_shard").cast("int")
+          .as("shuffle_shard"), col("shuffle_pos"))
+        .orderBy("doc_id")
+    },
+
     // -- c24: robots.txt evaluation (RFC 9309) — longest-match rules,
     //    Allow-on-tie, * wildcards, $ anchors, specific-agent groups.
     //    Fixture verdicts hand-derived from the RFC's own rules (see
@@ -732,6 +745,21 @@ object CurationQueries {
       s"""SELECT case_id, exp_allowed AS allowed
          |FROM read_parquet('$c24Dir/*.parquet')
          |ORDER BY case_id""".stripMargin,
+    // Shard = unsigned first-8-bytes of sha256('42:'||id) mod 8 (p5
+    // HUGEINT reconstruction); position = row_number per shard ordered
+    // by the full hex digest (hex order ≡ unsigned numeric order).
+    "c25_global_shuffle" ->
+      """SELECT doc_id, shard AS shuffle_shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS shuffle_pos
+        |FROM (
+        |  SELECT doc_id, h,
+        |    ((SELECT sum((strpos('0123456789abcdef', substr(h, i, 1)) - 1)::HUGEINT
+        |               * (1::HUGEINT << ((16 - i) * 4)))
+        |      FROM generate_series(1, 16) g(i)) % 8)::INT AS shard
+        |  FROM (SELECT doc_id, sha256('42:' || doc_id::VARCHAR) AS h
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     // The packing oracle builds the SAME deterministic stream a
     // different way: recursive greedy segmentation per distinct word
     // (t14's CTE + an id accumulator), per-doc flatten in word order +

@@ -991,4 +991,30 @@ class CurationSpec extends SparkSpec {
       .select("id").as[String].collect().sorted.toSeq
     assert(a == b, "null-id rows changed the kept set")
   }
+
+  test("globalShuffle: a permutation, stable across layout, re-dealt by seed") {
+    import spark.implicits._
+    val df = (0L until 200L).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Curation.globalShuffle(d, "id", nShards = 4, seed = seed)
+        .select("id", "shuffle_shard", "shuffle_pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val base = run(df, 7L)
+    // input partitioning and row order must not matter
+    assert(run(df.repartition(13).orderBy(desc("id")), 7L) == base)
+    // per-shard positions are exactly 1..n (a permutation, no gaps)
+    base.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // every shard non-empty at 200 rows / 4 shards, and sizes hash-balanced
+    val sizes = base.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3) && sizes.values.forall(_ > 20))
+    // a different seed re-deals: some row changes shard or position
+    assert(run(df, 8L) != base)
+    // shard assignment is id-stable: dropping rows never moves survivors
+    val subset = run(df.filter(col("id") < 100), 7L).map(t => t._1 -> t._2).toMap
+    val full = base.map(t => t._1 -> t._2).toMap
+    assert(subset.forall { case (id, sh) => full(id) == sh })
+  }
 }
