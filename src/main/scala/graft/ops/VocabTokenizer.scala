@@ -573,6 +573,50 @@ object VocabTokenizer {
     f(textCol)
   }
 
+  /** Inverse of [[byteToChar]]: BMP symbol char → original byte. Chars
+    * outside the bijection map to -1 (callers decide; decode skips —
+    * it can only happen on tokens that never came from this encoder).
+    */
+  private[ops] val charToByte: Array[Int] = {
+    val arr = Array.fill(0x200)(-1)
+    var b = 0
+    while (b < 256) { arr(byteToChar(b).toInt) = b; b += 1 }
+    arr
+  }
+
+  /** Detokenize byte-level BPE tokens: concatenate the symbol strings,
+    * map each symbol char back through the byte↔unicode bijection, and
+    * UTF-8-decode. LOSSLESS inverse of [[byteLevelBpeTokens]] for any
+    * input text: pre-tokenization partitions the text exactly and the
+    * merge loop's output concatenates back to the mapped word, so
+    * `decode(encode(t)) == t` — the byte-level guarantee that makes a
+    * GPT-2-class tokenizer safe to round-trip training text through
+    * (no unk collapse, no normalization drift). Works for ANY merge
+    * table, trained or truncated: unknown final symbols are still
+    * symbol strings. Empty array (NULL text upstream) decodes to "".
+    */
+  def byteLevelDecodeString(tokens: Seq[String]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    tokens.foreach { tok =>
+      var i = 0
+      while (i < tok.length) {
+        val c = tok.charAt(i).toInt
+        val b = if (c < 0x200) charToByte(c) else -1
+        if (b >= 0) bos.write(b)
+        i += 1
+      }
+    }
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Column form of [[byteLevelDecodeString]]. */
+  def byteLevelDecode(tokensCol: Column): Column = {
+    val f = udf { tokens: Seq[String] =>
+      if (tokens == null) "" else byteLevelDecodeString(tokens)
+    }
+    f(tokensCol)
+  }
+
   /** [[TokenCounts]] column under byte-level merge-rank BPE. Unknowns
     * are final symbols absent from the vocab — rare for a real
     * byte-level vocab (the 256 byte symbols are normally all present),

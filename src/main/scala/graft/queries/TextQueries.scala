@@ -503,6 +503,26 @@ object TextQueries {
         .orderBy("word_id")
     },
 
+    // -- t33: byte-level BPE ROUND-TRIP over the real corpus — decode
+    //    (encode(text)) must reproduce the text byte-for-byte on every
+    //    document (the GPT-2 byte-level losslessness guarantee: no unk
+    //    collapse, no normalization drift). The oracle is simply the
+    //    corpus itself — the strongest possible identity pin. ---------
+    "t33_bpe_roundtrip" -> { (s, d) =>
+      writeT23Fixture(s)
+      val vocab = graft.ops.VocabTokenizer.loadVocab(s, t23TokenizerPath)
+      val merges = graft.ops.VocabTokenizer.loadMerges(s, t23TokenizerPath)
+      val toks = graft.ops.VocabTokenizer.byteLevelBpeTokens(
+        col("text"), vocab, merges)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          graft.ops.VocabTokenizer.byteLevelDecode(toks).as("decoded"))
+        .select(col("doc_id"), col("decoded"),
+          (col("decoded") === coalesce(col("text"), lit("")))
+            .cast("int").as("roundtrip"))
+        .orderBy("doc_id")
+    },
+
     // -- t24: Unicode-script detection — per-script code-point counts
     //    and the first-max dominant script, rolled up per language.
     //    The oracle restates every block range as \x{…} RE2 classes
@@ -1403,6 +1423,12 @@ object TextQueries {
       s"""SELECT rank, lhs, rhs
          |FROM read_parquet('$t25ExpectedDir/*.parquet')
          |ORDER BY rank""".stripMargin,
+    // Identity oracle: decode(encode(text)) == text for every doc, so
+    // the expected frame IS the corpus (NULL text encodes to [] and
+    // decodes to '').
+    "t33_bpe_roundtrip" ->
+      """SELECT doc_id, coalesce(text, '') AS decoded, 1 AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Script ranges restated independently as RE2 \x{…} classes; the
     // dominant-script CASE replays the strict-greater fold: the FIRST
     // script in priority order reaching the maximum wins.

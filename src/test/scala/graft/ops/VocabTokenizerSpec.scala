@@ -419,4 +419,30 @@ class VocabTokenizerSpec extends SparkSpec {
     assert(enc.encodeWord("qr").toSeq == Seq("qr"))
     assert(enc.count("qr") == ((1, 0)))
   }
+
+  test("byte-level decode round-trips hostile text under ANY merge table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hostile = Seq(
+      "plain ascii with  double  spaces",
+      "tabs\tand\nnewlines\r\nmixed   nul",
+      "emoji 😀🇫🇷 and CJK 你好世界 and combining é é",
+      "trailing spaces   ",
+      "   leading and 'contractions' don't it's we'll",
+      "", "𝕊𝕦𝕡𝕡𝕝𝕖𝕞𝕖𝕟𝕥𝕒𝕣𝕪 𝔭𝔩𝔞𝔫𝔢")
+    // a tiny, deliberately impoverished merge table: most symbols stay
+    // unmerged/unknown — decode must STILL be the exact inverse
+    val vocab = Seq("th", "he", "the")
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val toks = VocabTokenizer.byteLevelBpeTokens(col("t"), vocab, merges)
+    val out = hostile.toDF("t")
+      .select(VocabTokenizer.byteLevelDecode(toks).as("d"))
+      .as[String].collect().toSeq
+    assert(out == hostile)
+    // null text -> empty tokens -> ""
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(VocabTokenizer.byteLevelDecode(toks).as("d"))
+      .as[String].collect()(0)
+    assert(n == "")
+  }
 }
