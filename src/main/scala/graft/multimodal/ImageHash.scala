@@ -114,6 +114,156 @@ object ImageHash {
     */
   def dhash(bytesCol: Column): Column = dhashUdf(bytesCol)
 
+  /** Side of the luma grid pHash transforms (32×32, the published
+    * size) and of the retained low-frequency block (8×8 → 64 bits).
+    */
+  val PhashGrid = 32
+  val PhashBlock = 8
+
+  /** Box-averaged integer luma grid (the dhash cell kernel at
+    * `side`×`side`) — shared so both hashes downscale identically.
+    */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+                       side: Int): Array[Array[Double]] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = Array.ofDim[Double](side, side)
+    var cy = 0
+    while (cy < side) {
+      val y0 = (cy.toLong * h / side).toInt
+      val y1 = math.max(((cy + 1).toLong * h / side).toInt, y0 + 1)
+      var cx = 0
+      while (cx < side) {
+        val x0 = (cx.toLong * w / side).toInt
+        val x1 = math.max(((cx + 1).toLong * w / side).toInt, x0 + 1)
+        var sum = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            sum += (299L * r + 587L * g + 114L * b) / 1000L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy)(cx) = if (n == 0) 0.0 else sum.toDouble / n
+        cx += 1
+      }
+      cy += 1
+    }
+    cells
+  }
+
+  /** 64-bit pHash (DCT hash, public algorithm: Krawetz 2011, "Looks
+    * Like It"; the python `imagehash` formulation): decode → 32×32
+    * box-averaged luma → 2-D DCT-II (orthonormal, separable; plain
+    * O(n³) matrix form — n = 32, cost is trivial next to the decode) →
+    * keep the top-left 8×8 low-frequency block → one bit per AC
+    * coefficient, `coef > median(AC block)`, packed row-major
+    * MSB-first with the DC slot fixed to 0 (DC is brightness, not
+    * structure; excluding it keeps the hash brightness-invariant and
+    * makes the flat image exactly 0).
+    *
+    * Deterministic everywhere: JVM floating point is strict (JLS 17+),
+    * the DCT basis is computed identically on every executor, and the
+    * median of 64 doubles has no tie-order dependence (ties produce
+    * `false` bits on both sides of the comparison).
+    *
+    * dHash vs pHash in this library: dHash is ~3× cheaper and catches
+    * re-encodes/resizes; pHash's frequency basis additionally survives
+    * small blurs, gamma shifts and uniform contrast changes (any
+    * positive linear luma map scales every coefficient together, so
+    * the `> median` bits are invariant — spec-pinned).
+    */
+  def phash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try ImageIO.read(
+        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    if (img.getWidth < 1 || img.getHeight < 1) return None
+    val n = PhashGrid
+    val cells = lumaGrid(img, n)
+    // DCT-II along rows then columns with the orthonormal basis
+    // C(k) = sqrt((k==0 ? 1 : 2) / n) * cos(pi * (2x + 1) * k / (2n))
+    val basis = Array.tabulate(n, n) { (k, x) =>
+      math.sqrt((if (k == 0) 1.0 else 2.0) / n) *
+        math.cos(math.Pi * (2 * x + 1) * k / (2.0 * n))
+    }
+    val m = PhashBlock
+    val rowPass = Array.ofDim[Double](n, m)
+    var y = 0
+    while (y < n) {
+      var k = 0
+      while (k < m) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += basis(k)(x) * cells(y)(x); x += 1 }
+        rowPass(y)(k) = s
+        k += 1
+      }
+      y += 1
+    }
+    val block = Array.ofDim[Double](m, m)
+    var ky = 0
+    while (ky < m) {
+      var kx = 0
+      while (kx < m) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += basis(ky)(yy) * rowPass(yy)(kx); yy += 1 }
+        block(ky)(kx) = s
+        kx += 1
+      }
+      ky += 1
+    }
+    // Bits over the 63 AC coefficients only (DC carries brightness,
+    // not structure; its slot packs as 0). Coefficients within 1e-8 ×
+    // |DC| of zero snap to exactly 0 first: a flat or near-flat image's
+    // AC terms are fp noise around 0, and without the snap the median
+    // comparison would turn that noise into pseudorandom bits. The
+    // snap threshold is RELATIVE to DC, so it scales with any uniform
+    // contrast map and preserves the invariance property.
+    val dcMag = math.max(1.0, math.abs(block(0)(0)))
+    val flat = new Array[Double](m * m)
+    var i = 0
+    while (i < m * m) {
+      val c = block(i / m)(i % m)
+      flat(i) = if (math.abs(c) < 1e-8 * dcMag) 0.0 else c
+      i += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(flat, 1, m * m)
+    java.util.Arrays.sort(ac)
+    val median = ac(ac.length / 2) // middle of 63
+    var hash = 0L
+    i = 0
+    while (i < m * m) {
+      hash = (hash << 1) |
+        (if (i > 0 && flat(i) > median) 1L else 0L)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  private val phashUdf = udf { (bytes: Array[Byte]) =>
+    phash64(bytes).map(java.lang.Long.valueOf).orNull
+  }
+
+  /** pHash as a column over binary image content (NULL when
+    * undecodable). Everything downstream of a 64-bit hash —
+    * [[nearDuplicatesByHash]], [[buildImageIndex]]'s banding,
+    * [[dropNearDuplicateImages]]'s probe — is hash-agnostic and works
+    * unchanged on pHash values.
+    */
+  def phash(bytesCol: Column): Column = phashUdf(bytesCol)
+
   /** Hamming distance between two 64-bit hash columns. */
   def hamming(a: Column, b: Column): Column =
     F.hamming(a, b).cast("int")

@@ -88,6 +88,42 @@ object MultimodalQueries {
     bos.toByteArray
   }
 
+  private val m13Dir = "/tmp/graft_gate_m13_phash"
+
+  /** Pseudorandom 8×8-pixel gray blocks (the ImageHashSpec pattern) —
+    * broad spectrum with low-frequency energy, pHash's content class.
+    */
+  private def blockyPng(side: Int, scale: Int, mul: Int,
+                        shift: Int = 0): Array[Byte] =
+    grayPng(side, side, (x, y) =>
+      20 + shift + (((x / scale) / 8 * mul + ((y / scale) / 8) * 17) % 90))
+
+  /** m13 fixture — every expectation theory-derived:
+    *  - img1 = img0 + uniform brightness: only the EXCLUDED DC term
+    *    moves → identical hash;
+    *  - img2 = img0 rendered at 2× resolution with 2×2 pixel
+    *    replication: every 32×32 box-average cell lies fully inside
+    *    one replicated block on BOTH sizes (8 | cell boundaries), so
+    *    the luma grids are IDENTICAL → identical hash;
+    *  - img3 = a different pseudorandom block pattern → far (≥16 bits,
+    *    spec-pinned for these exact constants);
+    *  - img4 = flat → zero AC energy → hash 0, and popcount(base) ≈ 31
+    *    bits away from img0;
+    *  - img5 = truncated bytes → undecodable → NULL → -1 sentinels.
+    */
+  private def writeM13Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (0L, blockyPng(64, 1, 31)),
+      (1L, blockyPng(64, 1, 31, shift = 11)),
+      (2L, blockyPng(128, 2, 31)),
+      (3L, blockyPng(64, 1, 53)),
+      (4L, grayPng(64, 64, (_, _) => 128)),
+      (5L, blockyPng(64, 1, 31).take(24)))
+    s.createDataset(rows).toDF("img_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m13Dir)
+  }
+
   private val m10Dir = "/tmp/graft_gate_m10_images"
 
   private def writeM10Fixture(s: SparkSession): Unit = {
@@ -517,6 +553,36 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // -- m13: DCT perceptual hash (pHash) relations — every expected
+    //    flag is THEORY-derived, not replayed from the implementation:
+    //    a uniform brightness shift moves only the excluded DC term
+    //    (eq_base 1); the same pattern at 2× resolution box-averages
+    //    to nearly the same 32×32 luma grid (within the banded-join
+    //    budget, near_base 1 — the exact bit bound is spec-pinned); a
+    //    flat image has zero AC energy (is_zero 1); an unrelated
+    //    pattern and an inverted one are far; a broken payload is
+    //    undecodable (-1 sentinels, m10 NULL note). -------------------
+    "m13_image_phash" -> { (s, _) =>
+      writeM13Fixture(s)
+      import graft.multimodal.ImageHash
+      val df = s.read.parquet(m13Dir)
+      val base = df.filter(col("img_id") === 0L)
+        .select(ImageHash.phash(col("content")).as("__base_ph"))
+      df.select(col("img_id"), ImageHash.phash(col("content")).as("ph"))
+        .crossJoin(broadcast(base))
+        .select(col("img_id"),
+          when(col("ph").isNull, lit(-1))
+            .otherwise((col("ph") === 0L).cast("int")).as("is_zero"),
+          when(col("ph").isNull, lit(-1))
+            .otherwise((col("ph") === col("__base_ph")).cast("int"))
+            .as("eq_base"),
+          when(col("ph").isNull, lit(-1))
+            .otherwise((graft.functions.GraftFunctions
+              .hamming(col("ph"), col("__base_ph")) <= 6).cast("int"))
+            .as("near_base"))
+        .orderBy("img_id")
+    },
+
     // -- m8: REAL video header decode — the ISO-BMFF box walk (mvhd
     //    duration, vide-track tkhd dims, stts frame count, stsd codec,
     //    64-bit v1 headers) and the RIFF AVI chunk walk (avih), failure
@@ -727,6 +793,15 @@ object MultimodalQueries {
         |  (0::BIGINT, 4::BIGINT, 0::INT),
         |  (2::BIGINT, 3::BIGINT, 1::INT)) t(id_a, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
+    // Theory-derived relations (see writeM13Fixture): brightness shift
+    // and the alignment-exact 2x render hash identically to the base;
+    // the unrelated pattern and flat are far; broken bytes -1.
+    "m13_image_phash" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 0, 1, 1), (1::BIGINT, 0, 1, 1), (2::BIGINT, 0, 1, 1),
+        |  (3::BIGINT, 0, 0, 0), (4::BIGINT, 1, 0, 0),
+        |  (5::BIGINT, -1, -1, -1)) t(img_id, is_zero, eq_base, near_base)
+        |ORDER BY img_id""".stripMargin,
     // Survivors derived from the m10 hash table: flat is ≥ 32 bits
     // from both index entries; the broken payload hashes NULL and the
     // dedupper must pass it through untouched.

@@ -72,7 +72,12 @@ object Explain {
       ("one-row crossJoin(broadcast(merged sketch)) — the point-query " +
         "stage runs over the 10-row probe frame against exactly one " +
         "broadcast sketch row; the corpus is touched only by the " +
-        "shard-sketch aggregate (sk2 shape)")))
+        "shard-sketch aggregate (sk2 shape)")),
+    "m13_image_phash" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(base-image hash)) — the GATE's " +
+        "relation pin rides the 6-row fixture against exactly one " +
+        "broadcast reference row; production near-dup goes through " +
+        "the banded equi-join (m11)")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -102,4 +102,66 @@ class ImageHashSpec extends SparkSpec {
         seenA.withColumnRenamed("content", "c2"), "img_id", "content", 4)
     }
   }
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("phash64: flat image hashes to 0 and undecodables to None") {
+    // all-equal luma -> every DCT coefficient equals the median ->
+    // every strict '>' bit false
+    assert(ImageHash.phash64(grayPng(40, 40, (_, _) => 128)) == Some(0L))
+    assert(ImageHash.phash64(Array[Byte](9, 9)) == None)
+    assert(ImageHash.phash64(null) == None)
+  }
+
+  /** Pseudorandom 8×8-pixel blocks — broad spectrum WITH low-frequency
+    * energy, the content class pHash is built for (pure high-frequency
+    * texture like a fine checkerboard lives outside the kept 8×8 DCT
+    * block by design).
+    */
+  private def blocky(mul: Int)(x: Int, y: Int): Int =
+    20 + ((x / 8) * mul + (y / 8) * 17) % 90
+
+  test("phash64: invariant under uniform contrast scaling, unlike raw luma") {
+    // doubling every luma value scales each DCT coefficient AND the
+    // median by exactly 2 (exact in binary fp), and the zero-snap
+    // threshold is relative to DC — every comparison bit is preserved
+    val base = ImageHash.phash64(grayPng(64, 64, blocky(31)))
+    val scaled = ImageHash.phash64(grayPng(64, 64,
+      (x, y) => 2 * blocky(31)(x, y)))
+    assert(base.isDefined && base == scaled)
+    assert(base.get != 0L)
+  }
+
+  test("phash64: brightness shift exact, resize stable, inversion far") {
+    val a = ImageHash.phash64(grayPng(64, 64, blocky(31))).get
+    // +40 luma everywhere moves ONLY the (excluded) DC term
+    val bright = ImageHash.phash64(grayPng(64, 64,
+      (x, y) => blocky(31)(x, y) + 40)).get
+    assert(a == bright)
+    // same pattern rendered at 2x the resolution
+    val big = ImageHash.phash64(grayPng(128, 128,
+      (x, y) => blocky(31)(x / 2, y / 2))).get
+    assert(hamming(a, big) <= 6, s"resize moved ${hamming(a, big)} bits")
+    // inversion negates every AC coefficient: non-tied bits flip
+    val inv = ImageHash.phash64(grayPng(64, 64,
+      (x, y) => 255 - blocky(31)(x, y))).get
+    assert(hamming(a, inv) >= 24, s"inversion only moved ${hamming(a, inv)} bits")
+    // an unrelated pseudorandom pattern is far
+    val other = ImageHash.phash64(grayPng(64, 64, blocky(53))).get
+    assert(hamming(a, other) >= 16, s"unrelated at ${hamming(a, other)} bits")
+  }
+
+  test("phash plugs into the hash-agnostic near-dup machinery") {
+    val df = Seq(
+      (1L, grayPng(64, 64, blocky(31))),
+      (2L, grayPng(64, 64, (x, y) => blocky(31)(x, y) + 11)), // brightness shift
+      (3L, grayPng(64, 64, blocky(53)))) // unrelated
+      .toDF("img_id", "content")
+    val hashed = df.select($"img_id",
+      ImageHash.phash($"content").as("ph")).filter($"ph".isNotNull)
+    val pairs = ImageHash.nearDuplicatesByHash(hashed, "img_id", "ph", 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
