@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,5 +224,215 @@ object Similarity {
       .withColumn("rank", row_number().over(fw).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "neighbor_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze & Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search" — public knowledge).
+  // The memory-bounded ANN path: a d-dim float vector (256 bytes at
+  // d=64) compresses to m sub-codes (~m bytes), so a 100 TB embedding
+  // corpus's SEARCH structure fits a cluster's RAM and scoring reads
+  // no raw vectors at all — scan codes, sum per-subspace lookup-table
+  // entries. Compose with IVF (train on a sample, encode everything,
+  // probe buckets, ADC-score codes) for the standard IVFPQ layout.
+  // ------------------------------------------------------------------
+
+  /** Train a PQ codebook: split the vector into `m` equal sub-spaces
+    * and run [[kmeans]]-style Lloyd's independently in each — here ONE
+    * dataframe program trains all m sub-quantizers simultaneously
+    * (the sub id is just another grouping key; no per-subspace jobs).
+    *
+    * Deterministic like [[kmeans]]: init takes every `step`-th vector
+    * by id as one centroid per subspace (code = source vector id — a
+    * LABEL, not a dense index), assignment is argmin L2 with
+    * smallest-code tie-break, means round-trip through float32, rounds
+    * are eagerly checkpointed. Returns `(sub, code, cent)`.
+    *
+    * 100 TB shape: train on a driver-chosen sample (`corpus.sample`)
+    * — Lloyd's converges on a sample — then [[pqEncode]] the full
+    * corpus once. Assignment cost is the textbook m·k distance
+    * evaluations per vector, map-side partial-aggregated; only
+    * (sub, code, pos, partial-mean) tuples shuffle.
+    */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, step: Long, iters: Int): DataFrame = {
+    require(m >= 1, s"trainPq needs m >= 1 subspaces, got $m")
+    val rounds = new Checkpoints.Rounds
+    val subs = subVectors(corpus, idCol, vecCol, m)
+    var book = rounds.truncate(subs.filter(col("__id") % step === 0)
+      .select(col("sub"), col("__id").as("code"), col("sv").as("cent")))
+    require(!book.isEmpty,
+      s"trainPq init selected no centroids: no id in '$idCol' is a multiple of $step")
+    for (_ <- 1 to iters) {
+      val assigned = pqAssign(subs, book)
+      book = rounds.truncate(assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("__pos", "__v")))
+        .groupBy("sub", "code", "__pos")
+        .agg(avg(col("__v").cast("double")).as("__mean"))
+        .groupBy("sub", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__mean")))),
+          s => s.getField("__mean").cast("float")).as("cent")))
+    }
+    book
+  }
+
+  /** `(__id, sub, sv)` — each vector exploded into its m sub-vectors.
+    * The dimension is probed from one row at construction and must be
+    * divisible by m (slice would silently truncate the tail otherwise)
+    * — an eager fail-loud, like kmeans' empty-init require.
+    */
+  private def subVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int): DataFrame = {
+    val first = corpus.select(size(col(vecCol)).as("__d")).limit(1).collect()
+    require(first.nonEmpty, "PQ needs a non-empty corpus to size subspaces")
+    val d = first(0).getInt(0)
+    require(d > 0 && d % m == 0,
+      s"PQ subspaces m=$m must divide the vector dimension d=$d")
+    val subDim = d / m
+    val structs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("__vec"), s * subDim + 1, subDim).as("sv"))
+    }: _*)
+    corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+      .select(col("__id"), explode(structs).as("__s"))
+      .select(col("__id"), col("__s.sub").as("sub"), col("__s.sv").as("sv"))
+  }
+
+  /** Squared L2 between two float arrays as portable HOF algebra
+    * (sequential accumulation — same order everywhere).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Argmin-L2 sub-quantizer assignment: broadcast equi-join on `sub`
+    * (never a cross product), `min_by` over the lexicographic
+    * (distance, code) struct — the [[ivfAssign]] aggregate shape, so
+    * each sub-vector's k candidate rows reduce map-side.
+    */
+  private def pqAssign(subs: DataFrame, book: DataFrame): DataFrame =
+    subs.join(broadcast(book), "sub")
+      .withColumn("__dist", l2sq(col("sv"), col("cent")))
+      .groupBy("__id", "sub")
+      .agg(min_by(struct(col("code"), col("sv")),
+        struct(col("__dist"), col("code"))).as("__best"))
+      .select(col("__id"), col("sub"), col("__best.code").as("code"),
+        col("__best.sv").as("sv"))
+
+  /** Encode every vector as its m sub-codes, ordered by subspace:
+    * `(<idCol>, codes: array<long>)`. Pure DataFrame algebra — the
+    * codebook broadcasts, distances reduce map-side, and the corpus is
+    * read exactly once.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame,
+               idCol: String, vecCol: String): DataFrame = {
+    val m = codebook.select("sub").distinct().count().toInt
+    pqAssign(subVectors(corpus, idCol, vecCol, m), codebook)
+      .groupBy(col("__id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("__id").as(idCol), col("codes"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: each query precomputes a
+    * per-subspace lookup table (dot(q_sub, cent) and ||cent||²), and
+    * scoring a corpus vector is m table lookups — NO raw vectors are
+    * read, the scan touches only `(id, codes)`. Cosine is assembled
+    * from the tables: dot ≈ Σ_m LUT_dot, ‖x‖ ≈ √(Σ_m LUT_norm²) —
+    * EXACT (not approximate) whenever the codebook reconstructs the
+    * vector exactly, the regime the gate pins; recall under real
+    * compression is spec-tested.
+    *
+    * Physical shape mirrors [[bruteForceTopK]]: codebook + queries
+    * broadcast (driver-size guarded), partition-local bounded heaps,
+    * then one window over candidates. `(q_id, rank, neighbor_id, cos)`.
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, codebook: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bookArr: Array[(Int, Long, Array[Float])] = codebook
+      .select(col("sub").cast("int"), col("code").cast("long"), col("cent"))
+      .as[(Int, Long, Array[Float])].collect()
+    require(bookArr.length <= 1000000,
+      s"codebook too large to broadcast (${bookArr.length} > 1e6 entries)")
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    require(qArr.length <= 100000,
+      s"query set too large to broadcast (${qArr.length} > 100000)")
+    val m = bookArr.map(_._1).distinct.length
+    val bookB = spark.sparkContext.broadcast(bookArr)
+    val qB = spark.sparkContext.broadcast(qArr)
+
+    val candidates = encoded
+      .select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        // norm² LUT: (sub, code) -> ||cent||²; dot LUT per query
+        val norm2 = new java.util.HashMap[Long, Double]()
+        def key(sub: Int, code: Long): Long = sub.toLong << 56 | code
+        bookB.value.foreach { case (sub, code, cent) =>
+          norm2.put(key(sub, code),
+            graft.functions.VectorOpsUtil.dot(cent, cent))
+        }
+        val dotLut = qs.map { case (qid, qvec) =>
+          val subDim = qvec.length / m
+          val t = new java.util.HashMap[Long, Double]()
+          bookB.value.foreach { case (sub, code, cent) =>
+            var s = 0.0
+            var i = 0
+            while (i < cent.length) {
+              s += cent(i).toDouble * qvec(sub * subDim + i).toDouble
+              i += 1
+            }
+            t.put(key(sub, code), s)
+          }
+          qid -> t
+        }.toMap
+        val qNorm = qs.map { case (qid, qvec) =>
+          qid -> math.sqrt(graft.functions.VectorOpsUtil.dot(qvec, qvec))
+        }.toMap
+        val heaps = qs.map { case (qid, _) =>
+          qid -> collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+        }.toMap
+        it.foreach { case (id, codes) =>
+          var n2 = 0.0
+          var sub = 0
+          while (sub < codes.length) {
+            n2 += norm2.get(key(sub, codes(sub)))
+            sub += 1
+          }
+          val xn = math.sqrt(n2)
+          qs.foreach { case (qid, _) =>
+            if (id != qid) {
+              var d = 0.0
+              var s = 0
+              while (s < codes.length) {
+                d += dotLut(qid).get(key(s, codes(s)))
+                s += 1
+              }
+              val qn = qNorm(qid)
+              val cos = if (qn == 0.0 || xn == 0.0) 0.0 else d / (qn * xn)
+              offer(heaps(qid), k, cos, id)
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }.toDF("q_id", "neighbor_id", "cos")
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "neighbor_id", "cos")
   }
 }

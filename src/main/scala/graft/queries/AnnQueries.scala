@@ -59,6 +59,27 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // -- PQ in its EXACT regime: one codebook entry per source
+    //    sub-vector (step 1 over a FIXED 100-vector slice, so the gate
+    //    is scale-flat and never quadratic across sf) — reconstruction
+    //    is exact, so ADC cosine == exact cosine and the oracle is the
+    //    plain brute-force ranking. Compression-regime recall is
+    //    spec-tested (ProductQuantSpec). ------------------------------
+    "ann_pq_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 100).select("vec_id", "embedding")
+      val book = graft.ops.Similarity.trainPq(emb, "vec_id", "embedding",
+        m = 8, step = 1, iters = 1)
+      val enc = graft.ops.Similarity.pqEncode(emb, book,
+        "vec_id", "embedding")
+      graft.ops.Similarity
+        .pqTopK(enc, emb.filter(col("vec_id") < 8), book,
+          "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("q_id", "rank")
+    },
+
     // -- IVF with TRAINED centroids: two fixed Lloyd's iterations from
     //    the every-⌈√N⌉-th init, then the same probe/search as ann_ivf.
     //    Training runs eagerly at construction (localCheckpoint per
@@ -84,6 +105,17 @@ object AnnQueries {
         |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
         |               c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+        |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // Exact-regime PQ ≡ brute force over the same 100-vector slice.
+    "ann_pq_topk" ->
+      """SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos_r FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 8 AND c.vec_id != q.vec_id AND c.vec_id < 100
         |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH cent AS (

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Similarity]] product quantization — what the ann_pq gate's exact
+  * regime can't see: real-compression recall, the train/encode
+  * algebra, dimension and guard failures.
+  */
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-embeddings: 16-dim, values from a hash mix —
+    * no RNG state, same on every run.
+    */
+  private def vecs(n: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val v = Array.tabulate(16) { j =>
+        (((i * 2654435761L + j * 40503L) % 1000).toFloat / 500f) - 1f
+      }
+      (i.toLong, v)
+    }
+
+  test("exact regime: k = N codebook reproduces brute-force top-k") {
+    val df = vecs(60).toDF("vec_id", "embedding")
+    val book = Similarity.trainPq(df, "vec_id", "embedding",
+      m = 4, step = 1, iters = 1)
+    val enc = Similarity.pqEncode(df, book, "vec_id", "embedding")
+    // with one centroid per source sub-vector, every vector
+    // reconstructs exactly -> ADC cosine == exact cosine, ranks equal
+    val queries = df.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(enc, queries, book, "vec_id", "embedding", 4)
+      .select("q_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 4)
+      .select("q_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(pq == brute)
+  }
+
+  test("encode emits one code array per vector, ordered by subspace") {
+    val df = vecs(12).toDF("vec_id", "embedding")
+    val book = Similarity.trainPq(df, "vec_id", "embedding",
+      m = 4, step = 3, iters = 1)
+    val enc = Similarity.pqEncode(df, book, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc.size == 12)
+    assert(enc.values.forall(_.length == 4))
+    // codes are labels drawn from the init ids (multiples of step)
+    val validCodes = (0L until 12L by 3L).toSet
+    assert(enc.values.flatten.forall(validCodes))
+    // a vector that seeded a centroid encodes to its own sub-vectors
+    // after one no-drift iteration... at minimum, deterministically:
+    val enc2 = Similarity.pqEncode(df.repartition(7), book,
+      "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc2 == enc)
+  }
+
+  test("real compression: recall@4 against brute force stays high") {
+    val df = vecs(80).toDF("vec_id", "embedding")
+    val book = Similarity.trainPq(df, "vec_id", "embedding",
+      m = 4, step = 8, iters = 2) // 10 centroids per subspace over 80
+    val enc = Similarity.pqEncode(df, book, "vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val pq = Similarity.pqTopK(enc, queries, book, "vec_id", "embedding", 4)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 4)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@4 collapsed to $recall")
+  }
+
+  test("guards: m must divide the dimension; empty corpus fails loud") {
+    val df = vecs(10).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.trainPq(df, "vec_id", "embedding", m = 5, step = 1, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.trainPq(df.filter(col("vec_id") < 0), "vec_id", "embedding",
+        m = 4, step = 1, iters = 1)
+    }
+  }
+}
