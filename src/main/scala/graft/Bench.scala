@@ -116,7 +116,14 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => s""""$k"""" }
     val failedJson =
       if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"queries_min":$qMinJson,"iters":$iters$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"queries_min":$qMinJson,"iters":$iters$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver's stdout capture window can
+    // truncate the tail of a 140-query JSON line, losing per-query
+    // history for the round. The file is the durable copy.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

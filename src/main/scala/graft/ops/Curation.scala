@@ -1036,15 +1036,25 @@ object Curation {
   def globalShuffle(df: DataFrame, idCol: String, nShards: Int,
                     seed: Long): DataFrame = {
     require(nShards > 0, s"globalShuffle needs nShards > 0, got $nShards")
+    // Null ids fail loud: a null would hash as just "seed" (concat_ws
+    // drops nulls), colliding every null row onto one digest and
+    // breaking the sha256(seed:id) contract silently.
     val hashed = df.withColumn("__graft_h",
-      sha2(concat_ws(":", lit(seed.toString), col(idCol).cast("string")), 256))
+      sha2(concat_ws(":", lit(seed.toString),
+        when(col(idCol).isNotNull, col(idCol).cast("string"))
+          .otherwise(raise_error(
+            lit(s"globalShuffle: null $idCol — every row needs an id")))), 256))
+    // Shard comes from the SAME digest as the within-shard order (the
+    // documented sha256(seed:id) contract): unsigned first 8 bytes of
+    // the hex digest mod nShards. Deriving it from a second hash of
+    // the id string (as a label-bucket kernel would) can disagree for
+    // ids with surrounding whitespace, which that kernel trims.
     val w = Window.partitionBy("__graft_shard")
       .orderBy(col("__graft_h"), col(idCol))
     hashed
       .withColumn("__graft_shard",
-        graft.functions.LabelHashBucket.of(
-          concat_ws(":", lit(seed.toString), col(idCol).cast("string")),
-          nShards))
+        pmod(conv(substring(col("__graft_h"), 1, 16), 16, 10)
+          .cast("decimal(20,0)"), lit(nShards)).cast("int"))
       .withColumn("shuffle_shard", col("__graft_shard"))
       .withColumn("shuffle_pos", row_number().over(w).cast("long"))
       .drop("__graft_h", "__graft_shard")

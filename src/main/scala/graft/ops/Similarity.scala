@@ -265,7 +265,7 @@ object Similarity {
       s"trainPq init selected no centroids: no id in '$idCol' is a multiple of $step")
     for (_ <- 1 to iters) {
       val assigned = pqAssign(subs, book)
-      book = rounds.truncate(assigned
+      val means = assigned
         .select(col("sub"), col("code"),
           posexplode(col("sv")).as(Seq("__pos", "__v")))
         .groupBy("sub", "code", "__pos")
@@ -273,7 +273,16 @@ object Similarity {
         .groupBy("sub", "code")
         .agg(transform(
           array_sort(collect_list(struct(col("__pos"), col("__mean")))),
-          s => s.getField("__mean").cast("float")).as("cent")))
+          s => s.getField("__mean").cast("float")).as("__new"))
+      // Left-join onto the previous book: a centroid that attracted no
+      // sub-vectors this round keeps its old position instead of
+      // silently vanishing (per-subspace k would otherwise decay below
+      // the init size, shrinking the code space).
+      book = rounds.truncate(book
+        .withColumnRenamed("cent", "__prev")
+        .join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("__new"), col("__prev")).as("cent")))
     }
     book
   }
@@ -281,7 +290,10 @@ object Similarity {
   /** `(__id, sub, sv)` — each vector exploded into its m sub-vectors.
     * The dimension is probed from one row at construction and must be
     * divisible by m (slice would silently truncate the tail otherwise)
-    * — an eager fail-loud, like kmeans' empty-init require.
+    * — an eager fail-loud, like kmeans' empty-init require. Every OTHER
+    * row is then asserted to match that dimension with a per-row
+    * codegen'd raise_error: a ragged embedding column would otherwise
+    * slice short and null-pad distances downstream.
     */
   private def subVectors(corpus: DataFrame, idCol: String, vecCol: String,
                          m: Int): DataFrame = {
@@ -295,7 +307,13 @@ object Similarity {
       struct(lit(s).as("sub"),
         slice(col("__vec"), s * subDim + 1, subDim).as("sv"))
     }: _*)
-    corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    corpus.select(col(idCol).cast("long").as("__id"),
+        when(size(col(vecCol)) === d, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit(s"PQ: ragged embedding dimension: expected $d, got "),
+            size(col(vecCol)).cast("string"),
+            lit(s" at $idCol="), col(idCol).cast("string"))))
+          .as("__vec"))
       .select(col("__id"), explode(structs).as("__s"))
       .select(col("__id"), col("__s.sub").as("sub"), col("__s.sv").as("sv"))
   }
@@ -375,57 +393,77 @@ object Similarity {
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
         val qs = qB.value
-        // norm² LUT: (sub, code) -> ||cent||²; dot LUT per query
-        val norm2 = new java.util.HashMap[Long, Double]()
-        def key(sub: Int, code: Long): Long = sub.toLong << 56 | code
+        // Codes are LABELS (trainPq uses source vector ids — any long),
+        // so they cannot be bit-packed into a (sub, code) long key.
+        // Densify: each (sub, code) gets a per-subspace slot once per
+        // partition; all LUTs become flat arrays indexed [sub][slot],
+        // so the hot scoring loop is pure array reads.
+        val codeSlot = Array.fill(m)(new java.util.HashMap[Long, Integer]())
+        val cents = Array.fill(m)(
+          collection.mutable.ArrayBuffer.empty[Array[Float]])
         bookB.value.foreach { case (sub, code, cent) =>
-          norm2.put(key(sub, code),
-            graft.functions.VectorOpsUtil.dot(cent, cent))
-        }
-        val dotLut = qs.map { case (qid, qvec) =>
-          val subDim = qvec.length / m
-          val t = new java.util.HashMap[Long, Double]()
-          bookB.value.foreach { case (sub, code, cent) =>
-            var s = 0.0
-            var i = 0
-            while (i < cent.length) {
-              s += cent(i).toDouble * qvec(sub * subDim + i).toDouble
-              i += 1
-            }
-            t.put(key(sub, code), s)
+          require(sub >= 0 && sub < m, s"pqTopK: subspace id $sub out of [0,$m)")
+          if (codeSlot(sub).get(code) == null) {
+            codeSlot(sub).put(code, cents(sub).length)
+            cents(sub) += cent
           }
-          qid -> t
-        }.toMap
-        val qNorm = qs.map { case (qid, qvec) =>
-          qid -> math.sqrt(graft.functions.VectorOpsUtil.dot(qvec, qvec))
-        }.toMap
-        val heaps = qs.map { case (qid, _) =>
-          qid -> collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
-        }.toMap
+        }
+        // norm² LUT: [sub][slot] -> ||cent||²
+        val norm2: Array[Array[Double]] = cents.map(
+          _.map(c => graft.functions.VectorOpsUtil.dot(c, c)).toArray)
+        // dot LUT: [query][sub][slot] -> dot(q_sub, cent)
+        val dotLut: Array[Array[Array[Double]]] = qs.map { case (_, qvec) =>
+          val subDim = qvec.length / m
+          Array.tabulate(m) { sub =>
+            cents(sub).map { cent =>
+              var s = 0.0
+              var i = 0
+              while (i < cent.length) {
+                s += cent(i).toDouble * qvec(sub * subDim + i).toDouble
+                i += 1
+              }
+              s
+            }.toArray
+          }
+        }
+        val qNorm: Array[Double] = qs.map { case (_, qvec) =>
+          math.sqrt(graft.functions.VectorOpsUtil.dot(qvec, qvec))
+        }
+        val heaps: Array[Heap] = qs.map(_ =>
+          collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        val slots = new Array[Int](m)
         it.foreach { case (id, codes) =>
           var n2 = 0.0
           var sub = 0
           while (sub < codes.length) {
-            n2 += norm2.get(key(sub, codes(sub)))
+            val sl = codeSlot(sub).get(codes(sub))
+            if (sl == null) throw new IllegalArgumentException(
+              s"pqTopK: code ${codes(sub)} in subspace $sub not in codebook")
+            slots(sub) = sl
+            n2 += norm2(sub)(sl)
             sub += 1
           }
           val xn = math.sqrt(n2)
-          qs.foreach { case (qid, _) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val qid = qs(qi)._1
             if (id != qid) {
+              val lut = dotLut(qi)
               var d = 0.0
               var s = 0
               while (s < codes.length) {
-                d += dotLut(qid).get(key(s, codes(s)))
+                d += lut(s)(slots(s))
                 s += 1
               }
-              val qn = qNorm(qid)
+              val qn = qNorm(qi)
               val cos = if (qn == 0.0 || xn == 0.0) 0.0 else d / (qn * xn)
-              offer(heaps(qid), k, cos, id)
+              offer(heaps(qi), k, cos, id)
             }
+            qi += 1
           }
         }
-        heaps.iterator.flatMap { case (qid, h) =>
-          h.iterator.map { case (cos, id) => (qid, id, cos) }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, id) => (qs(qi)._1, id, cos) }
         }
       }.toDF("q_id", "neighbor_id", "cos")
 
