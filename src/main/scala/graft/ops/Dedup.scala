@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => F}
@@ -213,6 +214,116 @@ object Dedup {
         sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_windows"))
       .withColumn("dup_fraction",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
+  /** EXACT-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", §4.1 ExactSubstr): remove
+    * every token that lies inside a token substring of length >=
+    * `minLen` occurring at least twice anywhere in the corpus (other
+    * documents OR elsewhere in the same document — the reference
+    * tool's `self-similar` mode removes all occurrences, and so does
+    * this). Unlike [[duplicatedSpanStats]] (a per-document signal for
+    * thresholding), this is the real span REMOVAL — the output text
+    * has the duplicated spans cut out, not the whole document dropped.
+    *
+    * The paper finds repeated substrings with a single-node suffix
+    * array; that structure does not distribute. This implementation
+    * computes the IDENTICAL removal set from repeated fixed-width
+    * windows, which is exact, not an approximation, by the following
+    * lemma: a token is inside some repeated substring of length >=
+    * minLen  <=>  it is covered by some repeated minLen-token window.
+    * (=>: if S with |S| >= minLen occurs at two distinct positions,
+    * every minLen-window inside S also occurs at both, so each token
+    * of S — every one lies in at least one such window — is covered
+    * by a repeated window. <=: a repeated minLen-window IS a repeated
+    * substring of length minLen containing its tokens.) So the union
+    * of [start, start+minLen-1] over repeated windows equals the
+    * suffix-array removal set exactly; what the window form cannot
+    * name is WHICH partner each span matches — irrelevant to removal.
+    *
+    * Shape at 100 TB: windows never materialize beyond one row in
+    * codegen — positions explode, each position hashes its window to a
+    * 256-bit sha-2 digest (space-joined tokens: injective, since
+    * whitespace-split tokens cannot contain the separator; collisions
+    * 2^-128-scale, the [[dedupAgainst]] argument). One hash aggregate
+    * over digests (map-side partial collapses every locally-repeated
+    * window before the shuffle), one LEFT SEMI join back, then
+    * per-document gaps-and-islands interval merge (window functions
+    * partitioned by id — state is O(spans per doc), never corpus-
+    * sized) and an index-aware HOF rebuild. Cost is O(n·minLen)
+    * digest bytes per n-token shard, the same order as the suffix
+    * array's construction scan, but embarrassingly parallel.
+    *
+    * Output, one row per input row:
+    * `(idCol, text_clean, n_tokens, n_removed_tokens, n_dup_spans)`.
+    * `text_clean` is the kept tokens space-joined (token-stream
+    * normalization, exactly the paper's setting: dedup operates on
+    * the token sequence, not raw bytes). Documents shorter than
+    * `minLen` tokens are returned untouched (they cannot contain a
+    * >= minLen span); NULL text yields an empty clean text.
+    *
+    * CONTRACT: `idCol` non-null and unique (it keys the per-document
+    * interval merge and the final left join).
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 50): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    for (r <- Seq("text_clean", "n_tokens", "n_removed_tokens", "n_dup_spans"))
+      require(idCol != r, s"idCol '$r' collides with an output column")
+    val toks = df.select(col(idCol),
+      filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+        t => t =!= "").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    // (id, start, digest) for every minLen-window; docs with fewer
+    // than minLen tokens emit nothing.
+    val wins = toks.filter(col("__n") >= minLen)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__n") - minLen)).as("__start"))
+      .select(col(idCol), col("__start"),
+        sha2(array_join(
+          slice(col("__toks"), col("__start") + 1, lit(minLen)), " "), 256)
+          .as("__wh"))
+    val dup = wins.groupBy("__wh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__wh")
+    val covered = wins.join(dup, Seq("__wh"), "left_semi")
+      .select(col(idCol), col("__start"),
+        (col("__start") + (minLen - 1)).as("__end"))
+    // Gaps-and-islands: running max of prior ends; a window starting
+    // more than one past it opens a new removed span (start ==
+    // prevMax+1 is contiguous coverage — same span).
+    val w = Window.partitionBy(idCol).orderBy("__start")
+    val islands = covered
+      .withColumn("__pmax", max(col("__end"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__start") > col("__pmax") + 1, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("__start").as("__s"), max("__end").as("__e"))
+    val spans = islands.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
+          .as("__spans"),
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s") + 1).as("n_removed_tokens"))
+    toks.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, array_join(col("__toks"), " "))
+          .otherwise(array_join(
+            transform(
+              filter(zip_with(col("__toks"),
+                  sequence(lit(0), col("__n") - 1),
+                  (t, i) => struct(t.as("t"), i.as("i"))),
+                s => !exists(col("__spans"), sp =>
+                  s.getField("i") >= sp.getField("__s") &&
+                    s.getField("i") <= sp.getField("__e"))),
+              s => s.getField("t")), " "))
+          .as("text_clean"),
+        col("__n").cast("long").as("n_tokens"),
+        coalesce(col("n_removed_tokens"), lit(0L)).cast("long")
+          .as("n_removed_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).cast("long")
+          .as("n_dup_spans"))
   }
 
   /** Incremental dedup: keep only `incoming` rows whose content — the

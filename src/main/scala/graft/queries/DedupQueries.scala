@@ -366,6 +366,23 @@ object DedupQueries {
         "doc_id", "text", window = 5)
     },
 
+    // -- d19: EXACT-substring dedup (Lee et al. 2022 ExactSubstr) —
+    //    real span REMOVAL at minLen=50 over a fixture with planted
+    //    overlaps: a 60-token shared block, an exactly-50 block (in),
+    //    a 49-token block (out), self-repetition, adjacent blocks that
+    //    must merge to ONE span, a whole-doc duplicate pair (text
+    //    cleaned to empty), a short doc and an empty doc (untouched).
+    //    The oracle replays window-count → coverage → gaps-and-islands
+    //    → rebuild in SQL over the same parquet, grouping by the
+    //    window STRING itself (even stronger than the engine's sha-2
+    //    digests). ----------------------------------------------------
+    "d19_exact_substring" -> { (s, _) =>
+      writeD19Fixture(s)
+      graft.ops.Dedup.exactSubstrDedup(
+          s.read.parquet(d19Dir), "doc_id", "text", minLen = 50)
+        .orderBy("doc_id")
+    },
+
     // -- d11: incremental embedding dedup — copied vectors (+100000,
     //    cos 1 vs their originals → dropped) and rotated vectors
     //    (+200000, decorrelated direction → kept) against the seen
@@ -433,6 +450,46 @@ object DedupQueries {
        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
+
+  private val d19Dir = "/tmp/graft_gate_d19_exactsubstr"
+
+  /** Planted-overlap fixture for exact-substring dedup. Tokens are
+    * synthetic prefixed counters so every case is hand-checkable:
+    * blocks shared across docs are exactly where stated and nowhere
+    * else (distinct prefixes guarantee no accidental 50-gram overlap).
+    */
+  private def writeD19Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def run(p: String, n: Int): Seq[String] = (0 until n).map(i => s"$p$i")
+    val shared60 = run("s", 60)
+    val shared50 = run("t", 50)
+    val shared49 = run("u", 49)
+    val self55 = run("v", 55)
+    def doc(toks: Seq[String]): String = toks.mkString(" ")
+    val rows: Seq[(Long, String)] = Seq(
+      // 60-token block shared by docs 0/1 (and 9): removed from all
+      (0L, doc(run("a", 100) ++ shared60 ++ run("b", 100))),
+      (1L, doc(run("c", 30) ++ shared60 ++ run("cc", 30))),
+      // exactly-minLen 50-token block shared by docs 2/3: removed
+      (2L, doc(run("d", 50) ++ shared50 ++ run("dd", 30))),
+      (3L, doc(run("e", 10) ++ shared50 ++ run("ee", 10))),
+      // 49-token block shared by docs 4/5: BELOW minLen, kept intact
+      (4L, doc(run("f", 20) ++ shared49 ++ run("ff", 20))),
+      (5L, doc(run("g", 20) ++ shared49 ++ run("gg", 20))),
+      // self-repetition: both copies of the 55-token run removed
+      (6L, doc(self55 ++ run("h", 20) ++ self55)),
+      // short (< minLen tokens) and empty docs: untouched
+      (7L, doc(run("x", 30))),
+      (8L, ""),
+      // adjacent repeated blocks: coverage [10,69] ++ [70,119] must
+      // merge into ONE removed span of 110 tokens
+      (9L, doc(run("m", 10) ++ shared60 ++ shared50 ++ run("mm", 10))),
+      // whole-doc duplicate pair: text_clean becomes empty
+      (10L, doc(run("p", 70))),
+      (11L, doc(run("p", 70))))
+    s.createDataset(rows).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(d19Dir)
+  }
 
   def oracle: Map[String, String] = Map(
     // Same synthetic 4-line construction, then: explode with position,
@@ -630,6 +687,56 @@ object DedupQueries {
          |    AS dup_fraction
          |FROM w JOIN c USING (g)
          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    // Exact-substring removal replayed in SQL: repeated 50-gram
+    // windows (grouped by the window STRING), interval coverage,
+    // gaps-and-islands merge, and a NOT EXISTS token rebuild.
+    "d19_exact_substring" ->
+      s"""WITH docs AS (SELECT doc_id, text
+         |              FROM read_parquet('$d19Dir/*.parquet')),
+         |tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+         |        FROM docs),
+         |win AS (
+         |  SELECT doc_id, i - 1 AS start,
+         |    array_to_string(tk[i:i+49], ' ') AS w
+         |  FROM tok, unnest(range(1, len(tk) - 48)) u(i)
+         |  WHERE len(tk) >= 50),
+         |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, start AS s, start + 49 AS e
+         |        FROM win WHERE w IN (SELECT w FROM dup)),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+         |  FROM (SELECT doc_id, s, e,
+         |          max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |        FROM cov)),
+         |spans AS (
+         |  SELECT doc_id, isl_id, min(s) AS s, max(e) AS e
+         |  FROM isl GROUP BY doc_id, isl_id),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans,
+         |    sum(e - s + 1) AS n_removed_tokens
+         |  FROM spans GROUP BY doc_id),
+         |tp AS (SELECT doc_id, i - 1 AS pos, tk[i] AS t
+         |       FROM tok, unnest(range(1, len(tk) + 1)) u(i)),
+         |kept AS (
+         |  SELECT tp.doc_id,
+         |    array_to_string(list(tp.t ORDER BY tp.pos), ' ') AS text_clean
+         |  FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.s AND sp.e)
+         |  GROUP BY tp.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(k.text_clean, '') AS text_clean,
+         |  len(t.tk)::BIGINT AS n_tokens,
+         |  coalesce(p.n_removed_tokens, 0)::BIGINT AS n_removed_tokens,
+         |  coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans
+         |FROM docs d JOIN tok t USING (doc_id)
+         |LEFT JOIN kept k USING (doc_id)
+         |LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d8_dup_groups" ->
       s"""WITH RECURSIVE corpus AS ($corpusNearSql),
