@@ -60,9 +60,12 @@ object CurationPipeline {
       userAgent: String = "graftbot",
       exportDir: Option[String] = None,
       exportShards: Int = 4,
-      exportFormat: String = "jsonl") {
+      exportFormat: String = "jsonl",
+      extractor: String = "regex") {
     require(langId == "marker" || langId == "trigram",
       s"langId must be 'marker' or 'trigram': $langId")
+    require(extractor == "blocks" || extractor == "regex",
+      s"extractor must be 'blocks' or 'regex': $extractor")
   }
 
   /** The curated output plus per-stage observed metrics. `data`
@@ -147,10 +150,19 @@ object CurationPipeline {
     // stages 0-3 as columns, so one aggregate yields their metrics and
     // one filter applies them — a single source scan either way.
     // Blocked rows skip extraction (NULL text) — they can never be kept
+    // `extractor = "blocks"` (default) routes through boilerpipe-style
+    // block classification (TextAnalysis.extractMainContent) — chrome
+    // never reaches the quality/dedup stages; "regex" keeps the
+    // line-granularity cascade for corpora where recall beats
+    // precision (e.g. non-page HTML fragments).
+    val extractExpr =
+      if (cfg.extractor == "blocks")
+        TextAnalysis.extractMainContent(col(cfg.htmlCol))
+      else TextAnalysis.htmlToText(col(cfg.htmlCol))
     val extracted = consented.select(col(id), col(cfg.sourceCol),
       col("__graft_blocked"), col("__graft_robots_ok"),
       when(!col("__graft_blocked") && col("__graft_robots_ok"),
-        TextAnalysis.htmlToText(col(cfg.htmlCol))).as("__text"))
+        extractExpr).as("__text"))
     val langExpr =
       if (cfg.langId == "trigram") LangId.langIdNgram(col("__text"))
       else TextAnalysis.languageId(col("__text"))

@@ -260,7 +260,8 @@ object CurationQueries {
         CurationPipeline.Config("doc_id", "html", "source",
           targetMix = Map("src0" -> 40, "src1" -> 30, "src2" -> 20,
             "src3" -> 10),
-          exportDir = Some("/tmp/graft_gate_pipe1_export")))
+          exportDir = Some("/tmp/graft_gate_pipe1_export"),
+          extractor = "blocks"))
       out.data.orderBy("doc_id")
     },
 
@@ -947,14 +948,13 @@ object CurationQueries {
         |  round(avg(score), 4) AS avg_score
         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The full composition replayed stage-for-stage in SQL from the
-    // proven per-stage mirrors: t13's html cascade, t1's langid argmax,
-    // t2's quality algebra, d14's segment dedup, d10's exact-jaccard
-    // near-dup truth, c14's contamination rule, c12's HUGEINT mix
-    // thresholds and c7's packing window.
+    // proven per-stage mirrors: t34's block-classifier verdicts (the
+    // fixed pipe1 page shape makes them closed-form), t1's langid
+    // argmax, t2's quality algebra, d14's segment dedup, d10's
+    // exact-jaccard near-dup truth, c14's contamination rule, c12's
+    // HUGEINT mix thresholds and c7's packing window.
     "pipe1_golden" -> {
       val m = graft.ops.TextAnalysis.markers
-      val extract = TextQueries.duckHtmlToText(
-        s"'$pipe1HtmlPrefix' || content || '$pipe1HtmlSuffix'")
       s"""WITH nb AS (
          |  SELECT doc_id + 1 AS doc_id, text AS prev_text FROM documents
          |), inc AS (
@@ -966,7 +966,22 @@ object CurationQueries {
          |  FROM documents d LEFT JOIN nb USING (doc_id)
          |  WHERE d.doc_id % 2 = 1
          |), ext AS (
-         |  SELECT doc_id, source, $extract AS txt FROM inc
+         |  -- block-extractor mirror for the fixed pipe1 page shape:
+         |  -- blocks are [Corpus(1w), Shared header(2w), content(nw),
+         |  -- A | B(link density 2/3)]. NumWordsRules verdicts: Corpus
+         |  -- always drops (1<=16, next 2<=15, prev 0<=4); the header
+         |  -- keeps iff next block (content) has > 15 words; content
+         |  -- keeps iff its own count > 16 (its neighbors fail 15/4);
+         |  -- the link bar always drops (density > 1/3).
+         |  SELECT doc_id, source,
+         |    CASE WHEN nw >= 17 THEN 'Shared header' || chr(10) || flat
+         |         WHEN nw = 16 THEN 'Shared header'
+         |         ELSE '' END AS txt
+         |  FROM (SELECT doc_id, source, flat,
+         |          len(regexp_extract_all(flat, '\\S+')) AS nw
+         |        FROM (SELECT doc_id, source,
+         |                trim(regexp_replace(content, ' +', ' ', 'g')) AS flat
+         |              FROM inc))
          |), lid AS (
          |  SELECT doc_id, source, txt,
          |    CASE WHEN best = 0 THEN 'unknown'

@@ -45,6 +45,69 @@ object TextQueries {
     * NOT stored: the oracle re-scores every document from the dumped
     * raw (lang, trigram, w) profile rows — the c16 pattern.
     */
+  private val t34Dir = "/tmp/graft_gate_t34_blocks"
+
+  /** Fixture pages for block-level extraction, every expected verdict
+    * hand-derived from the NumWordsRulesClassifier tree (thresholds
+    * 1/3 link density; 0.555556 prev density; 16/15/4 word gates on
+    * the sparse branch, 40/17 on the dense branch; terminator phrases
+    * only under 15 words).
+    */
+  private def writeT34Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def words(p: String, n: Int): String =
+      (0 until n).map(i => s"$p$i").mkString(" ")
+    val a22 = words("a", 22); val b19 = words("b", 19)
+    val m20 = words("m", 20); val c18 = words("c", 18)
+    val rows: Seq[(Long, String, String)] = Seq(
+      // 1: full article page. title(2w: 2<=16, next 2<=15, prev 0<=4 →
+      // drop), header nav (ld 1 → drop), h1 (prev ld 1 > .5556 →
+      // dense branch, next 22 > 17 → KEEP: headlines stay, by design),
+      // paragraphs (22 > 16, 19 > 16 → keep), footer (ld 1 → drop).
+      (1L,
+        "<html><head><title>Site Name</title></head><body>" +
+          "<header><a href=\"/\">Home</a> <a href=\"/a\">About</a></header>" +
+          s"<h1>big news this week</h1><article><p>$a22</p><p>$b19</p></article>" +
+          "<footer><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></footer>" +
+          "</body></html>",
+        s"big news this week\n$a22\n$b19"),
+      // 2: link-farm page — a 10-word blurb between two nav bars:
+      // blurb lands in the dense branch (prev ld 1), 10 <= 40 and
+      // next 2 <= 17 → nothing survives.
+      (2L,
+        "<nav><a href=\"/1\">alpha beta</a> <a href=\"/2\">gamma</a></nav>" +
+          s"<p>${words("x", 10)}</p>" +
+          "<nav><a href=\"/3\">delta</a> <a href=\"/4\">epsilon</a></nav>",
+        ""),
+      // 3: terminator lines — short Copyright/Comments blocks would
+      // pass via prev.words > 4 but the terminating-blocks rule kills
+      // them; the 20-word article stays.
+      (3L,
+        s"<p>$m20</p><p>Copyright 2026 Example Corp</p><p>Comments</p>",
+        m20),
+      // 4: script/style/comment stripped, entities decode in output
+      // (words counted pre-decode: '&amp;' is one token either way).
+      (4L,
+        s"<p>$c18 cats &amp; dogs</p>" +
+          "<script>var x = '<p>no</p>';</script><style>p{a:b}</style><!-- z -->",
+        s"$c18 cats & dogs"),
+      // 5: short trailing note after content survives via prev > 4 —
+      // the paper's tree keeps it (not a terminator phrase).
+      (5L, s"<p>$m20</p><p>read more here</p>", s"$m20\nread more here"),
+      // 6: table layout — 18-word cell kept (18 > 16), link cell
+      // dropped (ld 1).
+      (6L,
+        s"<table><tr><td>$c18</td>" +
+          "<td><a href=\"/x\">one</a> <a href=\"/y\">two</a></td></tr></table>",
+        c18),
+      // 7: chrome-only page.
+      (7L, "<div><a href=\"/\">Home</a></div><p>tiny</p>", ""),
+      // 8: bare text, no tags — one 18-word block, kept.
+      (8L, c18, c18))
+    s.createDataset(rows).toDF("case_id", "html", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(t34Dir)
+  }
+
   private val t21Dir = "/tmp/graft_gate_t21_langid"
 
   private def writeT21Fixture(s: SparkSession): Unit = {
@@ -133,6 +196,22 @@ object TextQueries {
         .select(col("doc_id"), col("n_tok"),
           round(col("bm25"), 4).as("bm25"))
         .orderBy("doc_id")
+    },
+
+    // -- t34: block-level boilerplate extraction — boilerpipe's
+    //    NumWordsRulesClassifier (WSDM 2010) + terminating-blocks rule
+    //    over DOM-block segmentation. Fixture pages plant nav bars,
+    //    sidebars, footers, tables and terminator lines around known
+    //    article text; expected main content is hand-derived branch by
+    //    branch in writeT34Fixture (stored-expectation pattern, c24/
+    //    t22 precedent — the decision tree is not worth re-deriving in
+    //    SQL when every verdict is documented at the fixture). --------
+    "t34_block_extract" -> { (s, _) =>
+      writeT34Fixture(s)
+      s.read.parquet(t34Dir)
+        .select(col("case_id"),
+          TextAnalysis.extractMainContent(col("html")).as("main_text"))
+        .orderBy("case_id")
     },
 
     // -- t21: character-trigram language ID over 24 languages (TextCat
@@ -1164,6 +1243,12 @@ object TextQueries {
         |  FROM toks t CROSS JOIN st)
         |SELECT doc_id, n_tok, round(score, 4) AS bm25
         |FROM sc WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
+    // Stored expectation: every verdict hand-derived from the
+    // published decision tree at the fixture (writeT34Fixture).
+    "t34_block_extract" ->
+      s"""SELECT case_id, exp_text AS main_text
+         |FROM read_parquet('$t34Dir/*.parquet')
+         |ORDER BY case_id""".stripMargin,
     // Independent re-scoring: lowercase, explode codepoint trigram
     // positions, join the raw profile rows, sum weights per (doc,
     // lang), argmax with ties to the smallest code; docs with no

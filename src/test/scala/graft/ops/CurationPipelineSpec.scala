@@ -115,6 +115,37 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("block extractor: chrome never reaches the downstream stages") {
+    // A nav bar of real anchors around a 20-word article: the regex
+    // extractor keeps the nav text (it only drops by line link
+    // density at the stripBoilerplate entry points), the block
+    // extractor classifies it out before langid/quality ever see it.
+    // 42 words: after the dense nav (prev link density 1.0) the
+    // classifier requires curr > 40 when nothing follows
+    val art = (0 until 21).map(i => s"the word$i").mkString(" ")
+    val pages = Seq(
+      (1L, "src0",
+        "<div><a href=\"/a\">Home</a> <a href=\"/b\">About</a></div>" +
+          s"<p>$art</p>")).toDF("doc_id", "source", "html")
+    def go(extractor: String) = CurationPipeline.curate(pages,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+      probes, "text",
+      CurationPipeline.Config("doc_id", "html", "source",
+        targetMix = Map("src0" -> 1), nearDupThreshold = 0.5,
+        packCapacity = 100L, extractor = extractor))
+    val blocks = go("blocks")
+    val regex = go("regex")
+    assert(blocks.metrics.toMap.apply("mixed_and_packed") == 1L)
+    // same doc survives both paths, but the content digest differs:
+    // the block path's text excludes the nav chrome
+    val shaB = blocks.data.select("content_sha").as[String].head()
+    val shaR = regex.data.select("content_sha").as[String].head()
+    assert(shaB != shaR)
+    intercept[IllegalArgumentException] {
+      CurationPipeline.Config("doc_id", "html", "source", extractor = "dom")
+    }
+  }
+
   test("optional stages: domain blocklist drops first, PII redacts before digests") {
     val withHosts = corpus
       .withColumn("host",
