@@ -115,4 +115,103 @@ object LanguageModel {
   def kneserNeySelfScore(df: DataFrame, idCol: String, textCol: String,
                          discount: Double = 0.75): DataFrame =
     kneserNeyScore(df, df, idCol, textCol, discount)
+
+  /** Per-doc trigram occurrence counts `(idCol, __w1, __w2, __w3, __k)`. */
+  private def docTrigrams(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val t = toks(textCol)
+    val m = greatest(size(t) - 2, lit(0))
+    df.select(col(idCol),
+        explode(arrays_zip(slice(t, lit(1), m).as("w1"),
+          slice(t, lit(2), m).as("w2"),
+          slice(t, lit(3), m).as("w3"))).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("__w1"),
+        col("__tg.w2").as("__w2"), col("__tg.w3").as("__w3"))
+      .groupBy(col(idCol), col("__w1"), col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__k"))
+  }
+
+  /** Interpolated trigram Kneser–Ney with the standard RECURSIVE
+    * backoff chain (Chen & Goodman 1999 §4.1.6, modified to a single
+    * fixed discount D per level — the KenLM `-S` shape CCNet trains):
+    *
+    *   P3(w3|w1w2) = (max(c(w1w2w3) − D, 0) + D·N1+(w1w2•)·P2(w3|w2)) / c(w1w2•)
+    *   P2(w3|w2)   = (max(N1+(•w2w3) − D, 0) + D·N1+typ(w2•)·P1(w3)) / N1+(•w2•)
+    *   P1(w3)      = N1+(•w3) / B
+    *
+    * Every level below the top runs on CONTINUATION counts ("how many
+    * distinct left contexts"), not raw frequencies — the property that
+    * makes KN assign low unigram mass to words frequent only inside a
+    * fixed phrase. Out-of-model events back off one level at a time:
+    * unseen (w1,w2) context → P2; unseen w2 middle context → P1;
+    * unseen w3 → D/B, the same bounded floor as the bigram model.
+    *
+    * Scale shape mirrors [[kneserNeyScore]] exactly, one level deeper:
+    * five count frames keyed by token grams (trigram types, (w1,w2)
+    * context totals, (w2,w3) continuation counts, w2 continuation
+    * totals, w3 left-context counts) plus the one-row bigram-type
+    * total B; scoring is five equi-joins off the per-doc trigram
+    * counts. Nothing collects; everything shuffles by gram key.
+    *
+    * Returns one row per document of `df` with ≥ 1 trigram:
+    * `(idCol, n_trigrams, kn3_logprob, kn3_ppl)`.
+    */
+  def kneserNey3Score(train: DataFrame, df: DataFrame, idCol: String,
+                      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0, 1), got $discount")
+    Seq("n_trigrams", "kn3_logprob", "kn3_ppl").foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+
+    // -- top level: raw trigram counts ------------------------------
+    val triC = docTrigrams(train, idCol, textCol)
+      .groupBy("__w1", "__w2", "__w3").agg(sum("__k").as("__ctg"))
+    val ctx12 = triC.groupBy("__w1", "__w2")
+      .agg(sum("__ctg").as("__cw12"), count(lit(1)).as("__n1p_after12"))
+    // -- middle level: continuation counts N1+(•,w2,w3) -------------
+    val cont2 = triC.groupBy("__w2", "__w3")
+      .agg(count(lit(1)).as("__n1p_mid"))
+    val ctx2 = cont2.groupBy("__w2")
+      .agg(sum("__n1p_mid").as("__cw2cont"),
+        count(lit(1)).as("__n2typ_after"))
+    // -- bottom level: unigram continuation over TRUE bigram types
+    //    (a doc's final bigram appears in no trigram, so this frame is
+    //    built from the bigram explode, same basis as the bigram model)
+    val bigramC = docGrams(train, idCol, textCol)
+      .groupBy("__w1", "__w2").agg(sum("__k").as("__cbg"))
+    val contU = bigramC.groupBy(col("__w2").as("__w3"))
+      .agg(count(lit(1)).as("__n1p_before"))
+    val totals = bigramC.agg(count(lit(1)).as("__b"))
+
+    val d = lit(discount)
+    val p1 = coalesce(col("__n1p_before").cast("double"), d) / col("__b")
+    val p2 = when(col("__cw2cont").isNotNull,
+      (greatest(coalesce(col("__n1p_mid"), lit(0L)).cast("double") - d,
+          lit(0.0)) +
+        d * col("__n2typ_after") * p1) / col("__cw2cont")).otherwise(p1)
+    val p3 = when(col("__cw12").isNotNull,
+      (greatest(coalesce(col("__ctg"), lit(0L)).cast("double") - d,
+          lit(0.0)) +
+        d * col("__n1p_after12") * p2) / col("__cw12")).otherwise(p2)
+
+    docTrigrams(df, idCol, textCol)
+      .join(triC, Seq("__w1", "__w2", "__w3"), "left")
+      .join(ctx12, Seq("__w1", "__w2"), "left")
+      .join(cont2, Seq("__w2", "__w3"), "left")
+      .join(ctx2, Seq("__w2"), "left")
+      .join(contU, Seq("__w3"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__k").as("n_trigrams"),
+        (sum(col("__k") * log(p3)) / sum("__k")).as("kn3_logprob"))
+      .withColumn("kn3_ppl", exp(-col("kn3_logprob")))
+  }
+
+  /** Self-scored trigram corpus perplexity — the CCNet configuration
+    * one order deeper than [[kneserNeySelfScore]].
+    */
+  def kneserNey3SelfScore(df: DataFrame, idCol: String, textCol: String,
+                          discount: Double = 0.75): DataFrame =
+    kneserNey3Score(df, df, idCol, textCol, discount)
 }

@@ -364,6 +364,22 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // -- t35: trigram Kneser–Ney with recursive backoff (the KenLM
+    //    5-gram shape, order 3), trained and self-scored on the
+    //    corpus; same per-lang summary as t32 one order deeper. -----
+    "t35_kn3" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.LanguageModel.kneserNey3SelfScore(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_trigrams").as("total_trigrams"),
+          round(avg("kn3_logprob"), 4).as("avg_logprob"),
+          round(min("kn3_logprob"), 4).as("min_logprob"),
+          round(avg("kn3_ppl"), 4).as("avg_ppl"))
+        .orderBy("lang")
+    },
+
     // -- t12: corpus-level boilerplate token removal — tokens in > 50%
     //    of docs carry no per-doc signal; drop every occurrence,
     //    order-preserving reconstruction via the codegen'd
@@ -1761,6 +1777,61 @@ object TextQueries {
         |  round(avg(s.kn_logprob), 4) AS avg_logprob,
         |  round(min(s.kn_logprob), 4) AS min_logprob,
         |  round(avg(exp(-s.kn_logprob)), 4) AS avg_ppl
+        |FROM scored s JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Trigram KN with recursive backoff, discount 0.75 at every
+    // level. Self-score: every gram is in-model, so the backoff
+    // branches never fire and the closed form is the three-level
+    // interpolation below. Association order mirrors the Spark
+    // expressions exactly for bit-for-bit 4-dp agreement.
+    "t35_kn3" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS t
+        |  FROM documents
+        |), g3 AS (
+        |  SELECT doc_id, t[i]::VARCHAR AS w1, t[i+1]::VARCHAR AS w2,
+        |         t[i+2]::VARCHAR AS w3
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+        |), dg AS (
+        |  SELECT doc_id, w1, w2, w3, count(*) AS k FROM g3 GROUP BY 1, 2, 3, 4
+        |), tc AS (
+        |  SELECT w1, w2, w3, sum(k) AS ctg FROM dg GROUP BY 1, 2, 3
+        |), c12 AS (
+        |  SELECT w1, w2, sum(ctg) AS cw12, count(*) AS n1p_after12
+        |  FROM tc GROUP BY 1, 2
+        |), cont2 AS (
+        |  SELECT w2, w3, count(*) AS n1p_mid FROM tc GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT w2, sum(n1p_mid) AS cw2cont, count(*) AS n2typ_after
+        |  FROM cont2 GROUP BY 1
+        |), g2 AS (
+        |  SELECT t[i]::VARCHAR AS w1, t[i+1]::VARCHAR AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+        |), bc AS (
+        |  SELECT w1, w2 FROM g2 GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT w2 AS w3, count(*) AS n1p_before FROM bc GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS b FROM bc
+        |), scored AS (
+        |  SELECT dg.doc_id, sum(k)::BIGINT AS n_trigrams,
+        |    sum(k * ln(
+        |      (greatest(tc.ctg::DOUBLE - 0.75, 0.0) +
+        |       0.75 * c12.n1p_after12 *
+        |         ((greatest(cont2.n1p_mid::DOUBLE - 0.75, 0.0) +
+        |           0.75 * c2.n2typ_after *
+        |             (cu.n1p_before::DOUBLE / tot.b)) / c2.cw2cont))
+        |      / c12.cw12)) / sum(k) AS kn3_logprob
+        |  FROM dg JOIN tc USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+        |    JOIN cont2 USING (w2, w3) JOIN c2 USING (w2)
+        |    JOIN cu USING (w3) CROSS JOIN tot
+        |  GROUP BY 1
+        |)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  sum(s.n_trigrams)::BIGINT AS total_trigrams,
+        |  round(avg(s.kn3_logprob), 4) AS avg_logprob,
+        |  round(min(s.kn3_logprob), 4) AS min_logprob,
+        |  round(avg(exp(-s.kn3_logprob)), 4) AS avg_ppl
         |FROM scored s JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t10_entropy" ->

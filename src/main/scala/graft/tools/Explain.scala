@@ -68,6 +68,10 @@ object Explain {
       ("one-row crossJoin(broadcast(bigram-type total B)) carrying " +
         "the continuation-probability denominator — the same " +
         "scalar-smoothing shape waived for t11_lm_score")),
+    "t35_kn3" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(bigram-type total B)) at the " +
+        "unigram-continuation level of the recursive trigram KN — " +
+        "identical scalar shape to t32_kneser_ney")),
     "sk3_countmin" -> Map("BroadcastNestedLoopJoin" ->
       ("one-row crossJoin(broadcast(merged sketch)) — the point-query " +
         "stage runs over the 10-row probe frame against exactly one " +

@@ -96,4 +96,77 @@ class LanguageModelSpec extends SparkSpec {
       assert(e.getMessage.contains("discount"))
     }
   }
+
+  // ------------------------------------------------------------------
+  // Trigram KN with recursive backoff. Same train corpus "a b a b c".
+  // Trigram counts: (a,b,a)=1 (b,a,b)=1 (a,b,c)=1.
+  // c12: (a,b) cw12=2 N1+=2; (b,a) cw12=1 N1+=1.
+  // cont2: (b,a)=1 (a,b)=1 (b,c)=1; c2: b cw2cont=2 n2typ=2; a 1/1.
+  // Unigram level: B=3, N1+(•,x)=1 ∀x∈{a,b,c} → P1 = 1/3.
+  // P2(a|b)=P2(c|b)=(0.25+0.75·2/3)/2=0.375, P2(b|a)=(0.25+0.25)/1=0.5.
+  // P3(a|ab)=P3(c|ab)=(0.25+1.5·0.375)/2=0.40625,
+  // P3(b|ba)=(0.25+0.75·0.5)/1=0.625.
+  // ------------------------------------------------------------------
+
+  private def score3(docs: Seq[(Long, String)]): Map[Long, (Long, Double, Double)] =
+    LanguageModel.kneserNey3Score(train, docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "n_trigrams", "kn3_logprob", "kn3_ppl")
+      .as[(Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("kn3: hand-derived self-score over the doc's three trigrams") {
+    val got = LanguageModel.kneserNey3SelfScore(train, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length === 1)
+    val (_, n, lp, ppl) = got.head
+    val expected =
+      (2 * math.log(0.40625) + math.log(0.625)) / 3
+    assert(n === 3L)
+    assert(math.abs(lp - expected) < eps)
+    assert(math.abs(ppl - math.exp(-expected)) < eps)
+  }
+
+  test("kn3: per-context probabilities normalize to 1 over the vocab") {
+    // Context (a,b): seen a, c at 0.40625 each; unseen b interpolates
+    // through P2(b|b) = (0 + 0.75·2·(1/3))/2 = 0.25 →
+    // P3(b|a,b) = (0 + 1.5·0.25)/2 = 0.1875. Sum = 1.
+    val got = score3(Seq((10L, "a b a"), (11L, "a b b"), (12L, "a b c")))
+    assert(math.abs(math.exp(got(10L)._2) - 0.40625) < eps)
+    assert(math.abs(math.exp(got(11L)._2) - 0.1875) < eps)
+    val pSum = got.values.map { case (_, lp, _) => math.exp(lp) }.sum
+    assert(math.abs(pSum - 1.0) < eps)
+  }
+
+  test("kn3: unseen (w1,w2) context backs off to the bigram level") {
+    // (z,a) never seen as a trigram context → P = P2(b|a) = 0.5.
+    val got = score3(Seq((30L, "z a b")))
+    assert(math.abs(math.exp(got(30L)._2) - 0.5) < eps)
+  }
+
+  test("kn3: unseen middle context backs off to unigram continuation") {
+    // w2 = z never seen: P(b|a,z) = P1(b) = 1/3; unseen w3 floors at
+    // D/B = 0.25 — never -inf.
+    val got = score3(Seq((40L, "a z b"), (41L, "a z q")))
+    assert(math.abs(math.exp(got(40L)._2) - 1.0 / 3) < eps)
+    assert(math.abs(math.exp(got(41L)._2) - 0.25) < eps)
+    assert(!got(41L)._2.isNegInfinity)
+  }
+
+  test("kn3: docs with fewer than three tokens emit no row") {
+    val got = score3(Seq((50L, "x y"), (51L, ""), (52L, "x y z")))
+    assert(got.keySet === Set(52L))
+  }
+
+  test("kn3: reserved output names and bad discounts are rejected") {
+    val bad = Seq((1L, "a b c", 0.0)).toDF("doc_id", "text", "kn3_ppl")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.kneserNey3Score(train, bad, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("kn3_ppl"))
+    val e2 = intercept[IllegalArgumentException] {
+      LanguageModel.kneserNey3Score(train, train, "doc_id", "text", 1.5)
+    }
+    assert(e2.getMessage.contains("discount"))
+  }
 }
