@@ -48,6 +48,8 @@ object CurationPipeline {
       gopher: Boolean = false,
       gopherThresholds: RepetitionSignals.GopherThresholds =
         RepetitionSignals.GopherThresholds(),
+      gopherByLang: Map[String, RepetitionSignals.GopherThresholds] =
+        Map.empty,
       nearDupThreshold: Double = 0.8,
       maxPpl: Double = Double.PositiveInfinity,
       pplDiscount: Double = 0.75,
@@ -164,7 +166,7 @@ object CurationPipeline {
       when(!col("__graft_blocked") && col("__graft_robots_ok"),
         extractExpr).as("__text"))
     val langExpr =
-      if (cfg.langId == "trigram") LangId.langIdNgram(col("__text"))
+      if (cfg.langId == "trigram") LangId.langIdRouted(col("__text"))
       else TextAnalysis.languageId(col("__text"))
     val langOk =
       if (cfg.keepLangs.nonEmpty)
@@ -190,7 +192,10 @@ object CurationPipeline {
     // stage flags (no extra job); disabled, the flag is a constant
     // true and none of it is computed
     val gophered =
-      if (cfg.gopher)
+      if (cfg.gopher && cfg.gopherByLang.nonEmpty)
+        RepetitionSignals.gopherFilterByLang(scored, "__text", "lang_pred",
+          cfg.gopherByLang, cfg.gopherThresholds)
+      else if (cfg.gopher)
         RepetitionSignals.gopherFilter(scored, "__text", cfg.gopherThresholds)
       else scored.withColumn("gopher_pass", lit(true))
     val gOk = col("gopher_pass")

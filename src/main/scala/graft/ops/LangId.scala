@@ -198,12 +198,10 @@ object LangId {
     m
   }
 
-  /** The classifier kernel: argmax of Σ profile weights over the
-    * text's trigram occurrences; ties → lexicographically smallest
-    * code; zero score or NULL → "unknown".
+  /** Per-language trigram scores for the text — the shared scoring
+    * pass of [[classify]] and [[classifyRouted]].
     */
-  def classify(text: String): String = {
-    if (text == null) return "unknown"
+  private def scoreAll(text: String): Array[Long] = {
     val scores = new Array[Long](langs.length)
     val it = trigrams(normalize(text))
     while (it.hasNext) {
@@ -216,13 +214,30 @@ object LangId {
         }
       }
     }
+    scores
+  }
+
+  private def argmax(scores: Array[Long],
+                     allowed: Array[Boolean]): Int = {
     var best = -1
     var bestScore = 0L
     var i = 0
     while (i < scores.length) {
-      if (scores(i) > bestScore) { bestScore = scores(i); best = i }
+      if ((allowed == null || allowed(i)) && scores(i) > bestScore) {
+        bestScore = scores(i); best = i
+      }
       i += 1
     }
+    best
+  }
+
+  /** The classifier kernel: argmax of Σ profile weights over the
+    * text's trigram occurrences; ties → lexicographically smallest
+    * code; zero score or NULL → "unknown".
+    */
+  def classify(text: String): String = {
+    if (text == null) return "unknown"
+    val best = argmax(scoreAll(text), null)
     if (best < 0) "unknown" else langs(best)
   }
 
@@ -231,6 +246,93 @@ object LangId {
     val f = udf((s: String) => classify(s))
     f(textCol)
   }
+
+  // ------------------------------------------------------------------
+  // Script-gated routing. The pure trigram argmax has a failure mode
+  // on mixed-script pages: a Han-dominated document whose Latin chrome
+  // ("nav | home | login") happens to share trigrams with some Latin
+  // profile can argmax to that language, because no CJK trigram is in
+  // any profile often enough to outvote it. Production routers
+  // (CLD2/CLD3, fastText via its script features) decide the SCRIPT
+  // first from character counts, then discriminate only among the
+  // languages that actually use it. Same kernel here: one script-count
+  // pass (the [[TextAnalysis.dominantScript]] table), then the trigram
+  // argmax RESTRICTED to the script's candidate set.
+  // ------------------------------------------------------------------
+
+  /** Candidate languages per dominant script, priority order: the
+    * head is the script's default verdict when no profile trigram
+    * matches (a pure-Han page with no profile overlap is still
+    * Chinese, not unknown). Scripts used by exactly one of the 29
+    * languages route directly; `latin` has no meaningful default and
+    * falls through to "unknown" on zero score. Languages whose script
+    * has no block in the table (bn — Bengali) are reachable through
+    * the unrestricted fallback when no script dominates.
+    */
+  val scriptCandidates: Map[String, Seq[String]] = Map(
+    "latin" -> Seq("cs", "da", "de", "en", "es", "fi", "fr", "id", "it",
+      "nl", "no", "pl", "pt", "ro", "sv", "tr", "vi"),
+    "cyrillic" -> Seq("ru", "uk"),
+    "greek" -> Seq("el"),
+    "arabic" -> Seq("ar", "fa"),
+    "hebrew" -> Seq("he"),
+    "devanagari" -> Seq("hi"),
+    "thai" -> Seq("th"),
+    "hangul" -> Seq("ko"),
+    "kana" -> Seq("ja"),
+    "han" -> Seq("zh", "ja"))
+
+  /** Zero-score verdict per script: the candidate head, except latin
+    * (too many candidates to guess) → "unknown".
+    */
+  val scriptDefault: Map[String, String] =
+    scriptCandidates.map { case (s, cands) =>
+      s -> (if (s == "latin") "unknown" else cands.head)
+    }
+
+  private lazy val candidateMask: Map[String, Array[Boolean]] =
+    scriptCandidates.map { case (s, cands) =>
+      s -> langs.map(cands.contains)
+    }
+
+  /** Script-gated [[classify]]: dominant Unicode script first (the
+    * [[TextAnalysis.scriptBlocks]] table, first-max-wins tie rule),
+    * then the trigram argmax restricted to [[scriptCandidates]]. No
+    * dominant script (digits/emoji-only, or a script outside the
+    * table) falls back to the unrestricted argmax.
+    */
+  def classifyRouted(text: String): String = {
+    if (text == null) return "unknown"
+    val counts = TextAnalysis.scriptCountsKernel(text)
+    var dom = -1
+    var domC = 0L
+    var i = 0
+    while (i < counts.length) {
+      if (counts(i) > domC) { domC = counts(i); dom = i }
+      i += 1
+    }
+    if (dom < 0) return classify(text)
+    val script = TextAnalysis.scriptBlocks(dom)._1
+    val best = argmax(scoreAll(text), candidateMask(script))
+    if (best < 0) scriptDefault(script) else langs(best)
+  }
+
+  /** Column form of [[classifyRouted]] — the crawl router the
+    * curation pipeline's `langId = "trigram"` mode uses.
+    */
+  def langIdRouted(textCol: Column): Column = {
+    val f = udf((s: String) => classifyRouted(s))
+    f(textCol)
+  }
+
+  /** (script, lang, pri) candidate rows + per-script defaults — dumped
+    * to parquet by the routed-langid gate so the oracle re-derives
+    * every verdict from the same routing table (the c16 pattern).
+    */
+  def routingRows: Seq[(String, String, Int)] =
+    scriptCandidates.toSeq.sortBy(_._1).flatMap { case (s, cands) =>
+      cands.zipWithIndex.map { case (l, i) => (s, l, i + 1) }
+    }
 
   /** Raw profile rows (lang, trigram, w) — what gates dump to parquet
     * so the oracle re-derives every verdict independently.

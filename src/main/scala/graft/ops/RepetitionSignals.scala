@@ -275,45 +275,116 @@ object RepetitionSignals {
       "stopword_hits" -> hits.cast("long"))
   }
 
-  /** Append every Gopher rule input plus a single `gopher_pass` flag:
-    * the [[withSignals]] repetition kernel, the
-    * [[TextAnalysis.gopherLineFeatures]] line/word-shape columns, the
-    * [[lexicalFeatures]] columns, and `tok_n`. One scan, one UDF pass,
-    * zero shuffle.
+  /** English is Gopher's calibration language; CJK scripts break every
+    * WORD-shaped rule under whitespace tokenization (an unsegmented
+    * sentence is one huge "word": token counts collapse, mean word
+    * length explodes, no ASCII letters, no English stopwords). This
+    * preset disables the word-shape rules and keeps the rules that
+    * survive the script change — line/paragraph duplication, bullet
+    * and ellipsis line ratios, the n-gram character fractions — the
+    * FineWeb-2-style per-language adaptation. A production deployment
+    * would pair it with language-specific pre-segmentation; absent
+    * that, disabling a meaningless rule beats silently rejecting an
+    * entire script family.
     */
-  def gopherFilter(df: DataFrame, textCol: String,
-                   th: GopherThresholds = GopherThresholds()): DataFrame = {
+  val cjkThresholds: GopherThresholds = GopherThresholds(
+    minWords = 1, maxWords = 100000,
+    minMeanWordLen = 0.0, maxMeanWordLen = Double.PositiveInfinity,
+    maxSymbolWordRatio = Double.PositiveInfinity,
+    minAlphaWordRatio = 0.0, minStopwordHits = 0)
+
+  /** Default per-language table for [[gopherFilterByLang]]: the CJK
+    * codes [[LangId]] emits route to [[cjkThresholds]]; everything
+    * else keeps the English-calibrated defaults.
+    */
+  val thresholdsByLanguage: Map[String, GopherThresholds] =
+    Seq("zh", "ja", "ko").map(_ -> cjkThresholds).toMap
+
+  /** Append every Gopher rule input column in ONE projection: the
+    * [[withSignals]] repetition kernel, the
+    * [[TextAnalysis.gopherLineFeatures]] line/word-shape columns, the
+    * [[lexicalFeatures]] columns, and `tok_n`.
+    */
+  private def withRuleInputs(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val lineFeats = TextAnalysis.gopherLineFeatures(t)
     val lexFeats = lexicalFeatures(t)
-    val base = (Seq("tok_n" -> F.tokenCount(t).cast("long")) ++
+    require(!df.columns.contains("gopher_pass"),
+      "input already has a 'gopher_pass' column")
+    (Seq("tok_n" -> F.tokenCount(t).cast("long")) ++
       lineFeats.filterNot(_._1 == "n_lines") ++ lexFeats)
       .foldLeft(withSignals(df, textCol)) { case (d, (n, c)) =>
         require(!df.columns.contains(n), s"input already has a '$n' column")
         d.withColumn(n, c)
       }
-    val pass =
-      col("tok_n") >= th.minWords && col("tok_n") <= th.maxWords &&
-        col("mean_word_len") >= th.minMeanWordLen &&
-        col("mean_word_len") <= th.maxMeanWordLen &&
-        col("symbol_word_ratio") <= th.maxSymbolWordRatio &&
-        col("bullet_line_ratio") <= th.maxBulletLineRatio &&
-        col("ellipsis_line_ratio") <= th.maxEllipsisLineRatio &&
-        col("alpha_word_ratio") >= th.minAlphaWordRatio &&
-        col("stopword_hits") >= th.minStopwordHits &&
-        col("dup_line_frac") <= th.maxDupLineFrac &&
-        col("dup_para_frac") <= th.maxDupParaFrac &&
-        col("dup_line_char_frac") <= th.maxDupLineCharFrac &&
-        col("dup_para_char_frac") <= th.maxDupParaCharFrac &&
-        th.maxTopNgramCharFrac.toSeq.sortBy(_._1).map { case (n, x) =>
-          col(s"top_${n}gram_char_frac") <= x
-        }.reduce(_ && _) &&
-        th.maxDupNgramCharFrac.toSeq.sortBy(_._1).map { case (n, x) =>
-          col(s"dup_${n}gram_char_frac") <= x
-        }.reduce(_ && _)
-    require(!df.columns.contains("gopher_pass"),
-      "input already has a 'gopher_pass' column")
-    base.withColumn("gopher_pass", pass)
+  }
+
+  /** The composed pass predicate, with every threshold LIFTED to a
+    * Column: `lit` for the single-table case, a language-keyed when
+    * chain for [[gopherFilterByLang]] — so both paths share one rule
+    * expression and cannot drift.
+    */
+  private def passColumn(lift: (GopherThresholds => Double) => Column,
+                         topNs: Seq[Int], dupNs: Seq[Int]): Column =
+    col("tok_n") >= lift(_.minWords.toDouble) &&
+      col("tok_n") <= lift(_.maxWords.toDouble) &&
+      col("mean_word_len") >= lift(_.minMeanWordLen) &&
+      col("mean_word_len") <= lift(_.maxMeanWordLen) &&
+      col("symbol_word_ratio") <= lift(_.maxSymbolWordRatio) &&
+      col("bullet_line_ratio") <= lift(_.maxBulletLineRatio) &&
+      col("ellipsis_line_ratio") <= lift(_.maxEllipsisLineRatio) &&
+      col("alpha_word_ratio") >= lift(_.minAlphaWordRatio) &&
+      col("stopword_hits") >= lift(_.minStopwordHits.toDouble) &&
+      col("dup_line_frac") <= lift(_.maxDupLineFrac) &&
+      col("dup_para_frac") <= lift(_.maxDupParaFrac) &&
+      col("dup_line_char_frac") <= lift(_.maxDupLineCharFrac) &&
+      col("dup_para_char_frac") <= lift(_.maxDupParaCharFrac) &&
+      topNs.map { n =>
+        col(s"top_${n}gram_char_frac") <= lift(_.maxTopNgramCharFrac(n))
+      }.reduce(_ && _) &&
+      dupNs.map { n =>
+        col(s"dup_${n}gram_char_frac") <= lift(_.maxDupNgramCharFrac(n))
+      }.reduce(_ && _)
+
+  /** Append every Gopher rule input plus a single `gopher_pass` flag:
+    * one scan, one UDF pass, zero shuffle.
+    */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   th: GopherThresholds = GopherThresholds()): DataFrame =
+    withRuleInputs(df, textCol).withColumn("gopher_pass",
+      passColumn(f => lit(f(th)),
+        th.maxTopNgramCharFrac.keys.toSeq.sorted,
+        th.maxDupNgramCharFrac.keys.toSeq.sorted))
+
+  /** [[gopherFilter]] with per-LANGUAGE thresholds: each document's
+    * rule bounds come from `byLang(langCol value)`, falling back to
+    * `default` for unmapped (or null) languages. The thresholds lift
+    * to a when-chain over the language column, so the whole thing is
+    * still one codegen'd projection — no join, no shuffle, and a
+    * corpus mixing 29 languages pays exactly what the monolingual
+    * filter pays. Pair with [[thresholdsByLanguage]] for the stock
+    * CJK adaptation.
+    */
+  def gopherFilterByLang(df: DataFrame, textCol: String, langCol: String,
+                         byLang: Map[String, GopherThresholds] =
+                           thresholdsByLanguage,
+                         default: GopherThresholds = GopherThresholds())
+  : DataFrame = {
+    val topNs = default.maxTopNgramCharFrac.keys.toSeq.sorted
+    val dupNs = default.maxDupNgramCharFrac.keys.toSeq.sorted
+    byLang.foreach { case (l, th) =>
+      require(th.maxTopNgramCharFrac.keySet == topNs.toSet &&
+          th.maxDupNgramCharFrac.keySet == dupNs.toSet,
+        s"per-language thresholds for '$l' must cover the same " +
+          s"n-gram orders as the default table")
+    }
+    val lift: (GopherThresholds => Double) => Column = f =>
+      byLang.toSeq.sortBy(_._1).foldLeft(lit(f(default))) {
+        case (acc, (l, th)) =>
+          when(col(langCol) === l, lit(f(th))).otherwise(acc)
+      }
+    withRuleInputs(df, textCol)
+      .withColumn("gopher_pass", passColumn(lift, topNs, dupNs))
   }
 
   /** Rule-level observability: ONE aggregate row counting, per Gopher

@@ -709,7 +709,7 @@ object TextAnalysis {
     * code points (emoji) match nothing, exactly like the regex
     * character classes the oracle restates.
     */
-  private val scriptCountsUdf = udf { (text: String) =>
+  private[graft] def scriptCountsKernel(text: String): Array[Long] = {
     val counts = new Array[Long](scriptBlocks.length)
     if (text != null) {
       var i = 0
@@ -732,6 +732,8 @@ object TextAnalysis {
     }
     counts
   }
+
+  private val scriptCountsUdf = udf(scriptCountsKernel _)
 
   /** Per-script code-point counts as named columns — ONE per-row
     * kernel pass produces all ten counts (field projections off the

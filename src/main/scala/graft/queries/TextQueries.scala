@@ -151,6 +151,51 @@ object TextQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$t21Dir/profiles")
   }
 
+  private val t36Dir = "/tmp/graft_gate_t36_langid_routed"
+
+  /** Mixed-script pages — the shapes the pure trigram argmax gets
+    * wrong (Latin chrome outvoting the CJK payload) — plus
+    * single-script and no-script fallbacks. The oracle re-derives
+    * every verdict from the dumped profile + routing tables.
+    */
+  private def writeT36Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val docs: Seq[(Long, Option[String])] = Seq(
+      // the motivating bug: Han payload under Latin nav chrome
+      1L -> Some("nav | nav | nav | login\n孩子们每天都在阅读关于他们城市历史的很多书籍"),
+      2L -> Some("Home > Products\n아이들은 도시의 역사에 관한 많은 책을 읽었습니다"),
+      3L -> Some("menu | search\nこどもたちはまちのれきしについてたくさんのほんをよみました"),
+      4L -> Some("copyright 2020\nдети читали много книг об истории своего города"),
+      5L -> Some("nav bar\nτα παιδιά διάβαζαν πολλά βιβλία για την ιστορία της πόλης"),
+      // pure single-script docs (each script's direct route)
+      6L -> Some("كان الأطفال يقرؤون العديد من الكتب عن تاريخ مدينتهم"),
+      7L -> Some("בכל יום הילדים קראו ספרים רבים על ההיסטוריה של העיר"),
+      8L -> Some("बच्चे अपने शहर के इतिहास के बारे में बहुत सारी किताबें पढ़ते थे"),
+      9L -> Some("เด็กๆอ่านหนังสือมากมายเกี่ยวกับประวัติศาสตร์ของเมือง"),
+      // Latin languages still discriminate within the latin set
+      10L -> Some("the children were reading many books about their city"),
+      11L -> Some("les enfants lisaient beaucoup de livres sur leur ville"),
+      12L -> Some("die kinder lasen viele bücher über die geschichte"),
+      // han with no profile-trigram overlap → script default (zh)
+      13L -> Some("硅砷硼碲碘磷 硅砷硼碲碘磷"),
+      // latin gibberish with no profile match → zero score → unknown
+      14L -> Some("xqzkv wqjxz zzvkq qqxxj"),
+      // no script at all → unrestricted fallback → unknown
+      15L -> Some("🎉🎊 123 456 !!!"),
+      // Bengali: script outside the block table → unrestricted argmax
+      16L -> Some("শিশুরা তাদের শহরের ইতিহাস সম্পর্কে অনেক বই পড়ত প্রতিদিন"),
+      17L -> Some(""),
+      18L -> None)
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$t36Dir/docs")
+    graft.ops.LangId.profileRows.toDF("lang", "trigram", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$t36Dir/profiles")
+    graft.ops.LangId.routingRows.toDF("script", "lang", "pri")
+      .coalesce(1).write.mode("overwrite").parquet(s"$t36Dir/routing")
+    graft.ops.LangId.scriptDefault.toSeq.sortBy(_._1).toDF("script", "dflt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$t36Dir/defaults")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- t26: Gopher repetition signals (Rae et al. 2021 A1.1) — the
     //    per-row kernel's 13-signal struct, gated per doc on a subset
@@ -223,6 +268,18 @@ object TextQueries {
       s.read.parquet(s"$t21Dir/docs")
         .select(col("doc_id"),
           graft.ops.LangId.langIdNgram(col("text")).as("lang"))
+        .orderBy("doc_id")
+    },
+
+    // -- t36: script-gated trigram langid (the CLD-style router):
+    //    dominant Unicode script from character counts, then the
+    //    trigram argmax restricted to that script's candidate set —
+    //    fixes Latin chrome outvoting a CJK payload. ----------------
+    "t36_langid_routed" -> { (s, _) =>
+      writeT36Fixture(s)
+      s.read.parquet(s"$t36Dir/docs")
+        .select(col("doc_id"),
+          graft.ops.LangId.langIdRouted(col("text")).as("lang"))
         .orderBy("doc_id")
     },
     // -- language-ID heuristic: marker-word occurrence scoring with a
@@ -1293,6 +1350,94 @@ object TextQueries {
          |FROM read_parquet('$t21Dir/docs/*.parquet') d
          |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
          |ORDER BY d.doc_id""".stripMargin,
+    // Script-gated routing replayed from the dumped tables: dominant
+    // script from the t24 character classes (raw text, first-max-wins
+    // tie), candidate set from routing.parquet (script='unknown' →
+    // every profiled language, the unrestricted fallback), then the
+    // t21 trigram argmax restricted to the candidates; zero score →
+    // the script's dumped default, else 'unknown'.
+    "t36_langid_routed" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM read_parquet('$t36Dir/docs/*.parquet')
+         |), c AS (
+         |  SELECT doc_id,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]',
+         |      '', 'g')) AS latin,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{0400}-\\x{052F}]', '', 'g')) AS cyr,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS grk,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}]', '', 'g')) AS ara,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{0590}-\\x{05FF}]', '', 'g')) AS heb,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{0900}-\\x{097F}]', '', 'g')) AS dev,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{0E00}-\\x{0E7F}]', '', 'g')) AS tha,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}\\x{3130}-\\x{318F}]',
+         |      '', 'g')) AS han_g,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]', '', 'g')) AS kan,
+         |    length(regexp_replace(coalesce(text, ''),
+         |      '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) AS han
+         |  FROM docs
+         |), d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(latin, cyr, grk, ara, heb, dev, tha,
+         |                       han_g, kan, han) < 1 THEN 'unknown'
+         |         WHEN latin = greatest(latin, cyr, grk, ara, heb, dev,
+         |                       tha, han_g, kan, han) THEN 'latin'
+         |         WHEN cyr   = greatest(cyr, grk, ara, heb, dev, tha,
+         |                       han_g, kan, han) THEN 'cyrillic'
+         |         WHEN grk   = greatest(grk, ara, heb, dev, tha, han_g,
+         |                       kan, han) THEN 'greek'
+         |         WHEN ara   = greatest(ara, heb, dev, tha, han_g, kan,
+         |                       han) THEN 'arabic'
+         |         WHEN heb   = greatest(heb, dev, tha, han_g, kan, han)
+         |           THEN 'hebrew'
+         |         WHEN dev   = greatest(dev, tha, han_g, kan, han)
+         |           THEN 'devanagari'
+         |         WHEN tha   = greatest(tha, han_g, kan, han) THEN 'thai'
+         |         WHEN han_g = greatest(han_g, kan, han) THEN 'hangul'
+         |         WHEN kan   = greatest(kan, han) THEN 'kana'
+         |         ELSE 'han' END AS script
+         |  FROM c
+         |), cands AS (
+         |  SELECT d.doc_id, r.lang
+         |  FROM d JOIN read_parquet('$t36Dir/routing/*.parquet') r
+         |    USING (script)
+         |  UNION ALL
+         |  SELECT d.doc_id, p.lang
+         |  FROM d, (SELECT DISTINCT lang
+         |           FROM read_parquet('$t36Dir/profiles/*.parquet')) p
+         |  WHERE d.script = 'unknown'
+         |), g AS (
+         |  SELECT doc_id, substr(t, i, 3) AS g3
+         |  FROM (SELECT doc_id, lower(text) AS t,
+         |          unnest(generate_series(1, length(lower(text)) - 2)) AS i
+         |        FROM docs WHERE text IS NOT NULL AND length(text) >= 3)
+         |), sc AS (
+         |  SELECT g.doc_id, p.lang, sum(p.w) AS score
+         |  FROM g JOIN read_parquet('$t36Dir/profiles/*.parquet') p
+         |    ON p.trigram = g.g3
+         |  JOIN cands cd ON cd.doc_id = g.doc_id AND cd.lang = p.lang
+         |  GROUP BY 1, 2
+         |), best AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang) AS rn
+         |  FROM sc WHERE score > 0
+         |)
+         |SELECT docs.doc_id, coalesce(b.lang, df.dflt, 'unknown') AS lang
+         |FROM docs
+         |JOIN d USING (doc_id)
+         |LEFT JOIN best b ON b.doc_id = docs.doc_id AND b.rn = 1
+         |LEFT JOIN read_parquet('$t36Dir/defaults/*.parquet') df
+         |  ON df.script = d.script
+         |ORDER BY docs.doc_id""".stripMargin,
     // Injection rebuilt from chr() code points (the Scala literals'
     // exact values); the same regexp_replace fold chain with 'g', the
     // same \x{...} classes, and the same explicit whitespace class.

@@ -295,6 +295,47 @@ class CurationPipelineSpec extends SparkSpec {
     off.release()
   }
 
+  test("per-language gopher thresholds keep CJK docs English rules reject") {
+    // chrome-free corpus so the n-gram rules (which correctly flag
+    // repeated nav chrome in any language) stay out of the way: the
+    // Chinese docs are one unsegmented token each — they die under
+    // the English-calibrated word rules (tok_n < minWords, zero
+    // stopwords) and pass under the CJK preset; the English docs are
+    // unaffected by the table
+    val cjkDocs = (1L to 8L).map { i =>
+      val body =
+        if (i % 2 == 0) s"这是第${i}篇完全不同的中文文档讲述数据引擎的设计思路"
+        else s"the alpha$i beta$i gamma$i of delta$i epsilon$i and " +
+          s"zeta$i eta$i theta$i"
+      (i, s"src${i % 4}", s"<html><body><p>$body</p></body></html>")
+    }.toDF("doc_id", "source", "html")
+    val loose = RepetitionSignals.GopherThresholds(
+      minWords = 5, minMeanWordLen = 0.0, maxMeanWordLen = 100.0)
+    val base = CurationPipeline.Config("doc_id", "html", "source",
+      langId = "trigram",
+      targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+      nearDupThreshold = 0.5, packCapacity = 30L,
+      gopher = true, gopherThresholds = loose)
+    val enOnly = CurationPipeline.curate(cjkDocs,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text", base)
+    val byLang = CurationPipeline.curate(cjkDocs,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      base.copy(gopherByLang = RepetitionSignals.thresholdsByLanguage))
+    try {
+      val mEn = enOnly.metrics.toMap
+      val mBy = byLang.metrics.toMap
+      assert(mBy("gopher_kept") > mEn("gopher_kept"),
+        s"per-language table kept ${mBy("gopher_kept")}, " +
+          s"English-only ${mEn("gopher_kept")}")
+      // doc 2 is Chinese, clean, and routed zh by the script gate
+      val keptBy = byLang.data.select("doc_id").as[Long].collect().toSet
+      val keptEn = enOnly.data.select("doc_id").as[Long].collect().toSet
+      assert(keptBy.contains(2L) && !keptEn.contains(2L))
+      // the English docs' verdicts are identical under both tables
+      assert(keptBy.filter(_ % 2 == 1) == keptEn.filter(_ % 2 == 1))
+    } finally { enOnly.release(); byLang.release() }
+  }
+
   test("robots stage drops host-disallowed paths, metric shows it") {
     val docs = corpus
       .withColumn("host", org.apache.spark.sql.functions.lit("ex.com"))

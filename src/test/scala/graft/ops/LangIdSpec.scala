@@ -92,4 +92,70 @@ class LangIdSpec extends SparkSpec {
     }
     assert(rebuilt == LangId.profiles)
   }
+
+  // ----------------------------------------------------------------
+  // Script-gated routing
+  // ----------------------------------------------------------------
+
+  test("routed: Latin chrome cannot outvote a CJK payload") {
+    val page = "nav | nav | nav | login\n孩子们每天都在阅读关于他们城市历史的很多书籍"
+    assert(LangId.classifyRouted(page) == "zh",
+      s"pure argmax says ${LangId.classify(page)}; routing must say zh")
+    assert(LangId.classifyRouted(
+      "Home > Products\n아이들은 도시의 역사에 관한 많은 책을 읽었습니다") == "ko")
+    assert(LangId.classifyRouted(
+      "menu | search\nこどもたちはまちのれきしについてたくさんのほんをよみました") == "ja")
+  }
+
+  test("routed: single-candidate scripts route directly") {
+    assert(LangId.classifyRouted(
+      "nav\nτα παιδιά διάβαζαν πολλά βιβλία για την ιστορία") == "el")
+    assert(LangId.classifyRouted(
+      "เด็กๆอ่านหนังสือมากมายเกี่ยวกับประวัติศาสตร์") == "th")
+  }
+
+  test("routed: latin docs still discriminate within the latin set") {
+    assert(LangId.classifyRouted(
+      "the children were reading many books about their city") == "en")
+    assert(LangId.classifyRouted(
+      "les enfants lisaient beaucoup de livres sur leur ville") == "fr")
+  }
+
+  test("routed: zero profile overlap → script default, latin → unknown") {
+    // rare Han chars sharing no trigram with the zh seed
+    assert(LangId.classifyRouted("硅砷硼碲碘磷 硅砷硼碲碘磷") == "zh")
+    assert(LangId.classifyRouted("xqzkv wqjxz zzvkq qqxxj") == "unknown")
+  }
+
+  test("routed: no dominant script falls back to the unrestricted argmax") {
+    // Bengali script has no block in the table; the fallback full
+    // argmax still finds the bn profile
+    assert(LangId.classifyRouted(
+      "শিশুরা তাদের শহরের ইতিহাস সম্পর্কে অনেক বই পড়ত প্রতিদিন") == "bn")
+    assert(LangId.classifyRouted("🎉🎊 123 456 !!!") == "unknown")
+    assert(LangId.classifyRouted(null) == "unknown")
+    assert(LangId.classifyRouted("") == "unknown")
+  }
+
+  test("routed: candidate table covers every profiled language or the fallback") {
+    val routed = LangId.scriptCandidates.values.flatten.toSet
+    val viaFallback = Set("bn") // Bengali block absent by design
+    assert(LangId.langs.toSet == routed ++ viaFallback)
+    // every candidate is a real profile
+    assert(routed.subsetOf(LangId.langs.toSet))
+    // defaults agree with candidate heads (latin excepted)
+    for ((s, cands) <- LangId.scriptCandidates if s != "latin")
+      assert(LangId.scriptDefault(s) == cands.head)
+    assert(LangId.scriptDefault("latin") == "unknown")
+  }
+
+  test("routed: column kernel matches the scala kernel through Spark") {
+    val texts = Seq(
+      "nav | nav\n孩子们每天都在阅读关于他们城市历史的很多书籍",
+      "дети читали книги", null, "", "🎉")
+    val out = texts.toDF("t")
+      .select(LangId.langIdRouted(col("t")).as("l"))
+      .as[String].collect()
+    assert(out.toSeq == texts.map(LangId.classifyRouted))
+  }
 }

@@ -170,4 +170,54 @@ class RepetitionSignalsSpec extends SparkSpec {
         once.select("id", "text", "gopher_pass"), "text")
     }
   }
+
+  // Unsegmented CJK prose: 12 distinct sentence-lines, no ASCII, no
+  // whitespace inside a line — every English word-shape rule fails on
+  // it (12 tokens < 50, mean word length ≈ 9 CJK chars but zero ASCII
+  // letters and zero stopwords) while the script-invariant rules
+  // (line/paragraph dup, n-gram char fracs) are clean.
+  private val cjkDoc: String = (1 to 12).map { i =>
+    s"这是第${i}句话完全不同的内容讲述数据处理引擎的设计思路与实现细节"
+  }.mkString("\n")
+
+  test("per-language thresholds: CJK doc passes under zh, fails under en defaults") {
+    import spark.implicits._
+    val english = (1 to 60).map(i => s"word$i")
+      .updated(0, "the").updated(1, "have").updated(2, "with")
+      .mkString(" ")
+    val df = Seq((1L, "zh", cjkDoc), (2L, "en", english),
+        (3L, "en", cjkDoc), (4L, null.asInstanceOf[String], cjkDoc))
+      .toDF("id", "lang", "text")
+    val out = RepetitionSignals.gopherFilterByLang(df, "text", "lang")
+      .select("id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "CJK doc must pass under its language's thresholds")
+    assert(out(2L), "clean English prose still passes the defaults")
+    assert(!out(3L), "the same CJK doc fails under English-calibrated rules")
+    assert(!out(4L), "null lang falls back to the default table")
+    // and the monolingual path agrees with the en verdicts
+    val mono = RepetitionSignals.gopherFilter(
+        df.select("id", "text"), "text")
+      .select("id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(mono(2L) && !mono(3L))
+  }
+
+  test("per-language thresholds: CJK dup-line repetition still fails") {
+    import spark.implicits._
+    val spam = Seq.fill(12)("这是完全相同的一行重复内容").mkString("\n")
+    val df = Seq((1L, "zh", spam)).toDF("id", "lang", "text")
+    val out = RepetitionSignals.gopherFilterByLang(df, "text", "lang")
+    assert(!out.select("gopher_pass").head.getBoolean(0),
+      "line-duplication rules stay active for CJK")
+  }
+
+  test("per-language thresholds reject mismatched n-gram orders") {
+    import spark.implicits._
+    val df = Seq((1L, "zh", cjkDoc)).toDF("id", "lang", "text")
+    val bad = GopherThresholds(maxTopNgramCharFrac = Map(2 -> 0.2))
+    val e = intercept[IllegalArgumentException] {
+      RepetitionSignals.gopherFilterByLang(df, "text", "lang",
+        byLang = Map("zh" -> bad))
+    }
+    assert(e.getMessage.contains("n-gram orders"))
+  }
 }
