@@ -268,11 +268,184 @@ object VideoProbe {
     meta.map(m => if (codec.nonEmpty) m.copy(codec = codec) else m)
   }
 
-  /** Unified probe: dispatch on container signature — MP4 family or
-    * RIFF AVI. One entry point for the multimodal metadata path.
+  // ------------------------------------------------------------------
+  // EBML / Matroska / WebM (RFC 8794 EBML structure; Matroska element
+  // IDs from the public matroska.org specification)
+  // ------------------------------------------------------------------
+
+  private def isEbml(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      (b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3
+
+  /** Variable-length integer at `off`: the first byte's leading-zero
+    * count picks the width (1–8). `keepMarker` keeps the length
+    * marker bit (element IDs compare as their full encoded value);
+    * sizes drop it. Returns (value, width, allDataBitsOne) — the last
+    * flag is EBML's "unknown size" sentinel (stream to parent end).
+    * A 0x00 lead byte (width > 8) or truncation returns None.
+    */
+  private def vint(b: Array[Byte], off: Long, end: Long,
+                   keepMarker: Boolean): Option[(Long, Int, Boolean)] = {
+    if (off >= end) return None
+    val first = b(off.toInt) & 0xff
+    if (first == 0) return None
+    val width = Integer.numberOfLeadingZeros(first) - 23
+    if (off + width > end) return None
+    val dataMask = 0xff >>> width
+    var v = if (keepMarker) first.toLong else (first & dataMask).toLong
+    var allOnes = (first & dataMask) == dataMask
+    var i = 1
+    while (i < width) {
+      val x = b((off + i).toInt) & 0xff
+      v = (v << 8) | x
+      if (x != 0xff) allOnes = false
+      i += 1
+    }
+    Some((v, width, allOnes))
+  }
+
+  /** Walk EBML elements of `[start, end)` invoking `f(id, pStart,
+    * pEnd)` per element payload. Unknown-size elements stream to the
+    * parent end; a payload overrunning the range (truncated download)
+    * is clamped and ENDS the walk, exactly like [[walkBoxes]].
+    */
+  private def walkEbml(b: Array[Byte], start: Long, end: Long)(
+      f: (Long, Long, Long) => Unit): Unit = {
+    var off = start
+    var sane = true
+    while (sane && off < end) {
+      val parsed = for {
+        (id, idW, _) <- vint(b, off, end, keepMarker = true)
+        (sz, szW, unknown) <- vint(b, off + idW, end, keepMarker = false)
+      } yield (id, off + idW + szW, sz, unknown)
+      parsed match {
+        case None => sane = false
+        case Some((id, pStart, sz, unknown)) =>
+          if (unknown || pStart + sz > end) {
+            f(id, pStart, end)
+            sane = false // next offset untrustworthy past a lying size
+          } else {
+            f(id, pStart, pStart + sz)
+            val next = pStart + sz
+            if (next <= off) sane = false // zero-advance: hostile
+            else off = next
+          }
+      }
+    }
+  }
+
+  /** First child element with `id` inside `[start, end)`. */
+  private def findEbml(b: Array[Byte], start: Long, end: Long,
+                       id: Long): Option[(Long, Long)] = {
+    var found: Option[(Long, Long)] = None
+    walkEbml(b, start, end) { (t, s, e) =>
+      if (found.isEmpty && t == id) found = Some((s, e))
+    }
+    found
+  }
+
+  /** Big-endian unsigned integer payload (0–8 bytes; empty = 0, the
+    * EBML default-value rule).
+    */
+  private def ebmlUint(b: Array[Byte], s: Long, e: Long): Long = {
+    var v = 0L
+    var i = s
+    while (i < e && i - s < 8) { v = (v << 8) | (b(i.toInt) & 0xffL); i += 1 }
+    v
+  }
+
+  /** IEEE float payload: 4 or 8 bytes; anything else is invalid. */
+  private def ebmlFloat(b: Array[Byte], s: Long, e: Long): Option[Double] =
+    (e - s) match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(u32be(b, s.toInt).toInt)
+        .toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(u64be(b, s.toInt)))
+      case _ => None
+    }
+
+  private def ebmlString(b: Array[Byte], s: Long, e: Long): String =
+    new String(b, s.toInt, (e - s).toInt,
+      java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != '\u0000')
+
+  // Matroska element IDs (full encoded values, marker bit kept).
+  private val IdSegment = 0x18538067L
+  private val IdDocType = 0x4282L
+  private val IdInfo = 0x1549A966L
+  private val IdTimestampScale = 0x2AD7B1L
+  private val IdDuration = 0x4489L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdTrackType = 0x83L
+  private val IdCodecID = 0x86L
+  private val IdVideo = 0xE0L
+  private val IdPixelWidth = 0xB0L
+  private val IdPixelHeight = 0xBAL
+
+  /** Matroska/WebM header walk: DocType from the EBML head picks the
+    * container name; Segment → Info yields TimestampScale (default
+    * 1,000,000 ns/unit) and the optional float Duration (in timestamp
+    * units → ms); Segment → Tracks yields track count, the first
+    * video track's PixelWidth/PixelHeight and CodecID. Matroska
+    * stores no frame count in its headers (it lives in the Cluster
+    * data), so `nFrames` is honestly 0. A missing Segment or Info is
+    * a parse failure; a zero TimestampScale is degenerate.
+    */
+  def mkvInfo(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (!isEbml(bytes)) return None
+    val end = bytes.length.toLong
+    // EBML head is itself element 0x1A45DFA3 at offset 0
+    val head = findEbml(bytes, 0L, end, 0x1A45DFA3L)
+    val docType = head.flatMap { case (s, e) =>
+      findEbml(bytes, s, e, IdDocType).map { case (ds, de) =>
+        ebmlString(bytes, ds, de)
+      }
+    }.getOrElse("matroska")
+    val container = if (docType == "webm") "webm" else "mkv"
+    val seg = findEbml(bytes, 0L, end, IdSegment).getOrElse(return None)
+    val info = findEbml(bytes, seg._1, seg._2, IdInfo).getOrElse(return None)
+    val tsScale = findEbml(bytes, info._1, info._2, IdTimestampScale)
+      .map { case (s, e) => ebmlUint(bytes, s, e) }.getOrElse(1000000L)
+    if (tsScale <= 0) return None
+    val durationMs = findEbml(bytes, info._1, info._2, IdDuration)
+      .flatMap { case (s, e) => ebmlFloat(bytes, s, e) }
+      .map(d => (d * tsScale / 1e6).toLong).getOrElse(0L)
+    var nTracks = 0
+    var width = -1
+    var height = -1
+    var codec = ""
+    findEbml(bytes, seg._1, seg._2, IdTracks).foreach { case (ts, te) =>
+      walkEbml(bytes, ts, te) { (id, s, e) =>
+        if (id == IdTrackEntry) {
+          nTracks += 1
+          val isVideo = findEbml(bytes, s, e, IdTrackType)
+            .exists { case (vs, ve) => ebmlUint(bytes, vs, ve) == 1L }
+          if (isVideo && width < 0) {
+            findEbml(bytes, s, e, IdCodecID).foreach { case (cs, ce) =>
+              codec = ebmlString(bytes, cs, ce)
+            }
+            findEbml(bytes, s, e, IdVideo).foreach { case (ps, pe) =>
+              findEbml(bytes, ps, pe, IdPixelWidth).foreach { case (ws, we) =>
+                width = ebmlUint(bytes, ws, we).toInt
+              }
+              findEbml(bytes, ps, pe, IdPixelHeight).foreach { case (hs, he) =>
+                height = ebmlUint(bytes, hs, he).toInt
+              }
+            }
+          }
+        }
+      }
+    }
+    Some(VideoMeta(container, width, height, durationMs, nTracks, 0L, codec))
+  }
+
+  /** Unified probe: dispatch on container signature — MP4 family,
+    * RIFF AVI, or EBML (Matroska/WebM). One entry point for the
+    * multimodal metadata path.
     */
   def meta(bytes: Array[Byte]): Option[VideoMeta] =
     if (isAvi(bytes)) aviInfo(bytes)
+    else if (isEbml(bytes)) mkvInfo(bytes)
     else if (isMp4(bytes)) mp4Info(bytes)
     else None
 
@@ -284,6 +457,8 @@ object VideoProbe {
     if (bytes == null || bytes.isEmpty) "file is empty"
     else if (isAvi(bytes))
       if (aviInfo(bytes).isDefined) "ok" else "avi header missing or truncated"
+    else if (isEbml(bytes))
+      if (mkvInfo(bytes).isDefined) "ok" else "ebml segment info missing or truncated"
     else if (isMp4(bytes))
       if (mp4Info(bytes).isDefined) "ok" else "mp4 movie header missing or truncated"
     else "not a recognized video container"

@@ -471,6 +471,85 @@ object MultimodalQueries {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
+  private val m14Dir = "/tmp/graft_gate_m14_mkv"
+
+  // -- EBML writers (RFC 8794), independent of the probe's readers ----
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  private def ebmlSizeBytes(v: Long): Array[Byte] = {
+    var w = 1
+    while (v >= (1L << (7 * w)) - 1) w += 1
+    val marked = v | (1L << (7 * w))
+    (0 until w).map(i => ((marked >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  private def ebmlEl(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlIdBytes(id) ++ ebmlSizeBytes(payload.length.toLong) ++ payload
+
+  private def ebmlUintBytes(v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  private def encodeMkv(docType: String, tsScale: Option[Long],
+                        durationUnits: Double, f64: Boolean,
+                        tracks: Seq[(Int, String, Int, Int)]): Array[Byte] = {
+    val dur =
+      if (f64) java.nio.ByteBuffer.allocate(8).putDouble(durationUnits).array()
+      else be32(java.lang.Float.floatToIntBits(durationUnits.toFloat).toLong
+        & 0xffffffffL)
+    val info = ebmlEl(0x1549A966L,
+      tsScale.map(v => ebmlEl(0x2AD7B1L, ebmlUintBytes(v)))
+        .getOrElse(Array.emptyByteArray) ++ ebmlEl(0x4489L, dur))
+    val trackEls = tracks.map { case (typ, codec, w, h) =>
+      ebmlEl(0xAEL, ebmlEl(0x83L, ebmlUintBytes(typ.toLong)) ++
+        ebmlEl(0x86L, codec.getBytes("UTF-8")) ++
+        (if (typ == 1)
+          ebmlEl(0xE0L, ebmlEl(0xB0L, ebmlUintBytes(w.toLong)) ++
+            ebmlEl(0xBAL, ebmlUintBytes(h.toLong)))
+        else Array.emptyByteArray))
+    }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray)
+    ebmlEl(0x1A45DFA3L, ebmlEl(0x4282L, docType.getBytes("UTF-8"))) ++
+      ebmlEl(0x18538067L, info ++ ebmlEl(0x1654AE6BL, trackEls))
+  }
+
+  private def writeM14Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, Long, Int, Long, String, String)] = Seq(
+      // webm, default timestamp scale: duration units ARE milliseconds
+      (0L, encodeMkv("webm", None, 2500.0, f64 = false,
+        Seq((1, "V_VP9", 640, 360), (2, "A_OPUS", 0, 0))), "webm",
+        640, 360, 2500L, 2, 0L, "V_VP9", "ok"),
+      // matroska, explicit 500µs scale, 8-byte float duration
+      (1L, encodeMkv("matroska", Some(500000L), 4000.0, f64 = true,
+        Seq((1, "V_MPEG4/ISO/AVC", 1920, 1080))), "mkv",
+        1920, 1080, 2000L, 1, 0L, "V_MPEG4/ISO/AVC", "ok"),
+      // audio-only webm: no dims, no video codec
+      (2L, encodeMkv("webm", None, 900.0, f64 = false,
+        Seq((2, "A_VORBIS", 0, 0))), "webm",
+        -1, -1, 900L, 1, 0L, "", "ok"),
+      // EBML head only — no Segment
+      (100L, ebmlEl(0x1A45DFA3L,
+        ebmlEl(0x4282L, "webm".getBytes("UTF-8"))), "",
+        -1, -1, -1L, -1, -1L, "", "ebml segment info missing or truncated"),
+      // truncated download: the trailing Video element (exactly the
+      // last 8 bytes) is cut — the clamped walk still yields Info,
+      // the track count and the codec; dims honestly stay -1
+      (101L, encodeMkv("webm", None, 100.0, f64 = false,
+        Seq((1, "V_VP8", 64, 64))).dropRight(8), "webm",
+        -1, -1, 100L, 1, 0L, "V_VP8", "ok"),
+      (102L, Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte), "",
+        -1, -1, -1L, -1, -1L, "", "ebml segment info missing or truncated"))
+    s.createDataset(rows)
+      .toDF("video_id", "payload", "exp_container", "exp_w", "exp_h",
+        "exp_duration_ms", "exp_tracks", "exp_frames", "exp_codec",
+        "exp_status")
+      .coalesce(1).write.mode("overwrite").parquet(m14Dir)
+  }
+
   private def writeM8Fixture(s: SparkSession): Unit = {
     import s.implicits._
     val good: Seq[(Long, Array[Byte], String, Int, Int, Long, Int, Long, String, String)] = Seq(
@@ -600,6 +679,31 @@ object MultimodalQueries {
         }
       }
       s.read.parquet(m8Dir)
+        .withColumn("__p", probe(col("payload")))
+        .select(col("video_id"), col("__p._1").as("container"),
+          col("__p._2").as("w"), col("__p._3").as("h"),
+          col("__p._4").as("duration_ms"), col("__p._5").as("tracks"),
+          col("__p._6").as("frames"), col("__p._7").as("codec"),
+          col("__p._8").as("status"))
+        .orderBy("video_id")
+    },
+    // -- m14: EBML / Matroska / WebM header walk — RFC 8794 vints
+    //    (incl. unknown-size segments), DocType, TimestampScale-scaled
+    //    float Duration, TrackEntry walk for dims + CodecID. Fixture
+    //    bytes authored element-by-element from the public specs by
+    //    independent builder code; oracle reads the stored expected
+    //    columns back (m6/m7/m8 pattern). --------------------------
+    "m14_mkv_meta" -> { (s, _) =>
+      writeM14Fixture(s)
+      val probe = udf { bytes: Array[Byte] =>
+        graft.engine.validate.VideoProbe.meta(bytes) match {
+          case Some(m) => (m.container, m.width, m.height, m.durationMs,
+            m.nTracks, m.nFrames, m.codec, "ok")
+          case None => ("", -1, -1, -1L, -1, -1L, "",
+            graft.engine.validate.VideoProbe.diagnose(bytes))
+        }
+      }
+      s.read.parquet(m14Dir)
         .withColumn("__p", probe(col("payload")))
         .select(col("video_id"), col("__p._1").as("container"),
           col("__p._2").as("w"), col("__p._3").as("h"),
@@ -814,6 +918,12 @@ object MultimodalQueries {
          |  exp_duration_ms AS duration_ms, exp_tracks AS tracks,
          |  exp_frames AS frames, exp_codec AS codec, exp_status AS status
          |FROM read_parquet('$m8Dir/*.parquet')
+         |ORDER BY video_id""".stripMargin,
+    "m14_mkv_meta" ->
+      s"""SELECT video_id, exp_container AS container, exp_w AS w, exp_h AS h,
+         |  exp_duration_ms AS duration_ms, exp_tracks AS tracks,
+         |  exp_frames AS frames, exp_codec AS codec, exp_status AS status
+         |FROM read_parquet('$m14Dir/*.parquet')
          |ORDER BY video_id""".stripMargin,
     "m9_exif_meta" ->
       s"""SELECT img_id, exp_orientation AS orientation, exp_make AS make,

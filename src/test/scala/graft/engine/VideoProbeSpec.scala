@@ -210,4 +210,127 @@ class VideoProbeSpec extends AnyFunSuite {
       assert(VideoProbe.diagnose(b).nonEmpty)
     }
   }
+
+  // ---- EBML / Matroska / WebM builders (RFC 8794, independent of
+  // ---- the walker under test) --------------------------------------
+
+  private def idBytes(id: Long): Array[Byte] = {
+    val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  private def sizeBytes(v: Long): Array[Byte] = {
+    var w = 1
+    while (v >= (1L << (7 * w)) - 1) w += 1
+    val marked = v | (1L << (7 * w))
+    (0 until w).map(i => ((marked >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ sizeBytes(payload.length.toLong) ++ payload
+
+  private def uintBytes(v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  private def f32(v: Float): Array[Byte] =
+    be32(java.lang.Float.floatToIntBits(v).toLong & 0xffffffffL)
+
+  private def ebmlHead(docType: String): Array[Byte] =
+    el(0x1A45DFA3L, el(0x4282L, docType.getBytes("UTF-8")))
+
+  private def videoTrack(codec: String, w: Int, h: Int): Array[Byte] =
+    el(0xAEL, el(0x83L, uintBytes(1L)) ++
+      el(0x86L, codec.getBytes("UTF-8")) ++
+      el(0xE0L, el(0xB0L, uintBytes(w.toLong)) ++
+        el(0xBAL, uintBytes(h.toLong))))
+
+  private def audioTrack(codec: String): Array[Byte] =
+    el(0xAEL, el(0x83L, uintBytes(2L)) ++ el(0x86L, codec.getBytes("UTF-8")))
+
+  private def webm(tsScale: Option[Long], durationUnits: Float,
+                   tracks: Array[Byte]): Array[Byte] = {
+    val info = el(0x1549A966L,
+      tsScale.map(s => el(0x2AD7B1L, uintBytes(s)))
+        .getOrElse(Array.emptyByteArray) ++ el(0x4489L, f32(durationUnits)))
+    ebmlHead("webm") ++
+      el(0x18538067L, info ++ el(0x1654AE6BL, tracks))
+  }
+
+  test("webm: docType, dims, duration, track count, codec from EBML walk") {
+    val b = webm(None, 2500f,
+      videoTrack("V_VP9", 640, 360) ++ audioTrack("A_OPUS"))
+    val m = VideoProbe.meta(b).get
+    assert(m.container == "webm")
+    assert(m.width == 640 && m.height == 360)
+    assert(m.durationMs == 2500L) // default 1e6 ns scale: units ARE ms
+    assert(m.nTracks == 2)
+    assert(m.nFrames == 0L) // matroska headers carry no frame count
+    assert(m.codec == "V_VP9")
+  }
+
+  test("mkv: explicit TimestampScale rescales the 8-byte float duration") {
+    // 4000 units × 500000 ns = 2 s
+    val info = el(0x1549A966L, el(0x2AD7B1L, uintBytes(500000L)) ++
+      el(0x4489L, java.nio.ByteBuffer.allocate(8).putDouble(4000.0).array()))
+    val b = ebmlHead("matroska") ++ el(0x18538067L,
+      info ++ el(0x1654AE6BL, videoTrack("V_MPEG4/ISO/AVC", 1920, 1080)))
+    val m = VideoProbe.meta(b).get
+    assert(m.container == "mkv")
+    assert(m.durationMs == 2000L)
+    assert(m.width == 1920 && m.height == 1080)
+    assert(m.codec == "V_MPEG4/ISO/AVC")
+  }
+
+  test("mkv: unknown-size Segment (live stream) parses to EOF") {
+    val info = el(0x1549A966L, el(0x4489L, f32(1000f)))
+    val seg = idBytes(0x18538067L) ++ Array(0xff.toByte) ++ // size: unknown
+      info ++ el(0x1654AE6BL, videoTrack("V_AV1", 320, 240))
+    val m = VideoProbe.meta(ebmlHead("webm") ++ seg).get
+    assert(m.width == 320 && m.durationMs == 1000L && m.codec == "V_AV1")
+  }
+
+  test("mkv: audio-only file keeps -1 dims and empty codec") {
+    val b = webm(None, 900f, audioTrack("A_VORBIS"))
+    val m = VideoProbe.meta(b).get
+    assert(m.nTracks == 1 && m.width == -1 && m.height == -1)
+    assert(m.codec == "")
+  }
+
+  test("mkv: missing Segment or Info is a clean failure with diagnosis") {
+    val noSeg = ebmlHead("webm")
+    assert(VideoProbe.meta(noSeg).isEmpty)
+    assert(VideoProbe.diagnose(noSeg) == "ebml segment info missing or truncated")
+    val noInfo = ebmlHead("matroska") ++
+      el(0x18538067L, el(0x1654AE6BL, videoTrack("V_VP8", 64, 64)))
+    assert(VideoProbe.meta(noInfo).isEmpty)
+  }
+
+  test("mkv: zero TimestampScale is degenerate, not a divide-by-zero") {
+    val info = el(0x1549A966L, el(0x2AD7B1L, Array(0.toByte)) ++
+      el(0x4489L, f32(100f)))
+    val b = ebmlHead("webm") ++ el(0x18538067L, info)
+    assert(VideoProbe.meta(b).isEmpty)
+  }
+
+  test("mkv: every prefix parses or fails cleanly") {
+    val full = webm(Some(1000000L), 2500f,
+      videoTrack("V_VP9", 640, 360) ++ audioTrack("A_OPUS"))
+    for (n <- 0 to full.length) {
+      val m = VideoProbe.meta(full.take(n)) // must not throw
+      assert(VideoProbe.diagnose(full.take(n)).nonEmpty)
+      if (n == full.length) assert(m.isDefined)
+    }
+  }
+
+  test("mkv: lying element sizes and zero-advance elements end the walk") {
+    // declared size far past EOF
+    val lying = ebmlHead("webm") ++ idBytes(0x18538067L) ++
+      sizeBytes(1000000L) ++ Array.fill[Byte](8)(0x41)
+    VideoProbe.meta(lying) // must not throw or loop
+    // 0x00 lead byte (vint width > 8) aborts
+    val zeroLead = ebmlHead("webm") ++ Array.fill[Byte](16)(0)
+    assert(VideoProbe.meta(zeroLead).isEmpty)
+  }
 }
