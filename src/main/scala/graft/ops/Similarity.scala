@@ -473,4 +473,216 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "neighbor_id", "cos")
   }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: the composed production index (Jégou, Douze & Schmid 2011
+  // §IV) — coarse cells bound the probed fraction, PQ codes bound the
+  // bytes per vector. Encode: assign each vector to its nearest coarse
+  // centroid, PQ-encode the RESIDUAL x − c(bucket) (residual energy is
+  // far below vector energy, so the same code budget quantizes much
+  // finer). Search: probe the nprobe nearest cells per query and
+  // ADC-score codes — dot(q, x̂) = dot(q, c) + Σ_m LUT[sub][code] and
+  // ‖x̂‖² = ‖c‖² + 2·Σ_m cross[bucket][sub][code] + Σ_m ‖cent‖², all
+  // table lookups; the scan reads only (id, bucket, codes).
+  // ------------------------------------------------------------------
+
+  /** Coarse-assign and subtract: `(<idCol>, bucket, __res)` with
+    * `__res = vec − cent(bucket)` rounded through float32 (both
+    * operands are float; the float difference is what the codebook
+    * trains on and what the oracle restates).
+    */
+  private def residuals(corpus: DataFrame, coarse: DataFrame,
+                        idCol: String, vecCol: String): DataFrame =
+    ivfAssign(corpus, coarse, idCol, vecCol)
+      .join(broadcast(coarse.select(col("cent_id").as("bucket"),
+        col("cent_emb").as("__cent"))), "bucket")
+      .select(col(idCol), col("bucket"),
+        zip_with(col(vecCol), col("__cent"),
+          (x, c) => (x - c).cast("float")).as("__res"))
+
+  /** Train the residual codebook of an IVF-PQ index: coarse-assign,
+    * subtract, then [[trainPq]] on the residuals (same determinism:
+    * every-`step`-th init, argmin-L2, float32 means, checkpointed
+    * rounds). Returns the `(sub, code, cent)` frame [[ivfPqEncode]] /
+    * [[ivfPqTopK]] consume. At 100 TB: pass a SAMPLE as `corpus` —
+    * Lloyd's converges on a sample — and encode the full corpus once.
+    */
+  def trainIvfPq(corpus: DataFrame, coarse: DataFrame, idCol: String,
+                 vecCol: String, m: Int, step: Long, iters: Int): DataFrame =
+    trainPq(residuals(corpus, coarse, idCol, vecCol)
+      .select(col(idCol), col("__res")), idCol, "__res", m, step, iters)
+
+  /** Encode the corpus against a coarse quantizer + residual codebook:
+    * `(<idCol>, bucket, codes)`. The bucket join-back ships only
+    * (id, bucket) against (id, codes) — compact key-width rows; at
+    * cluster scale co-locate by bucketing the id column, or persist
+    * the residual frame across the two branches.
+    */
+  def ivfPqEncode(corpus: DataFrame, coarse: DataFrame, codebook: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val res = residuals(corpus, coarse, idCol, vecCol)
+    pqEncode(res, codebook, idCol, "__res")
+      .join(res.select(col(idCol), col("bucket")), Seq(idCol))
+      .select(col(idCol), col("bucket"), col("codes"))
+  }
+
+  /** ADC top-k over an IVF-PQ index: probe the `nprobe` coarse cells
+    * nearest each query, score ONLY codes in probed cells, assemble
+    * cosine from lookup tables — no raw corpus vector is read.
+    * `(q_id, rank, neighbor_id, cos)`; exact whenever the codebook
+    * reconstructs the residuals exactly (the gate regime), recall <
+    * 1 under real compression (spec-measured).
+    *
+    * Physical shape: coarse centroids, codebook and queries broadcast
+    * (each driver-size guarded); candidates = encoded ⋈ broadcast
+    * probes on the bucket key (partition-pruned equi-join — the scan
+    * touches ≈ nprobe/|C| of the corpus); partition-local bounded
+    * heaps; one final window over `partitions × |Q| × k` rows. The
+    * per-query dot LUTs and per-bucket cross LUTs are built lazily
+    * per partition, so a task pays only for the (query, bucket) pairs
+    * it actually sees.
+    */
+  def ivfPqTopK(encoded: DataFrame, queries: DataFrame, coarse: DataFrame,
+                codebook: DataFrame, idCol: String, vecCol: String,
+                k: Int, nprobe: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bookArr: Array[(Int, Long, Array[Float])] = codebook
+      .select(col("sub").cast("int"), col("code").cast("long"), col("cent"))
+      .as[(Int, Long, Array[Float])].collect()
+    require(bookArr.length <= 1000000,
+      s"codebook too large to broadcast (${bookArr.length} > 1e6 entries)")
+    val coarseArr: Array[(Long, Array[Float])] = coarse
+      .select(col("cent_id").cast("long"), col("cent_emb"))
+      .as[(Long, Array[Float])].collect()
+    require(coarseArr.length <= 1000000,
+      s"coarse centroid set too large to broadcast (${coarseArr.length} > 1e6)")
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    require(qArr.length <= 100000,
+      s"query set too large to broadcast (${qArr.length} > 100000)")
+    val m = bookArr.map(_._1).distinct.length
+    val bookB = spark.sparkContext.broadcast(bookArr)
+    val coarseB = spark.sparkContext.broadcast(coarseArr)
+    val qB = spark.sparkContext.broadcast(qArr)
+
+    // Probe selection mirrors ivfTopK: nprobe nearest cells per query.
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__q"))
+    val pw = Window.partitionBy("q_id").orderBy(col("__pcos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .withColumn("__pcos", F.cosineSim(col("__q"), col("cent_emb")))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nprobe)
+      .select(col("q_id").cast("long"), col("cent_id").as("bucket"))
+
+    val candidates = encoded
+      .join(broadcast(probes), "bucket")
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).cast("long"), col("bucket").cast("long"),
+        col("codes"))
+      .as[(Long, Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        // residual codebook, densified per subspace (codes are labels)
+        val codeSlot = Array.fill(m)(new java.util.HashMap[Long, Integer]())
+        val cents = Array.fill(m)(
+          collection.mutable.ArrayBuffer.empty[Array[Float]])
+        bookB.value.foreach { case (sub, code, cent) =>
+          require(sub >= 0 && sub < m, s"ivfPqTopK: subspace id $sub out of [0,$m)")
+          if (codeSlot(sub).get(code) == null) {
+            codeSlot(sub).put(code, cents(sub).length)
+            cents(sub) += cent
+          }
+        }
+        val rNorm2: Array[Array[Double]] = cents.map(
+          _.map(c => graft.functions.VectorOpsUtil.dot(c, c)).toArray)
+        val coarseMap = new java.util.HashMap[Long, Array[Float]]()
+        coarseB.value.foreach { case (cid, cemb) => coarseMap.put(cid, cemb) }
+        val qMap = new java.util.HashMap[Long, Array[Float]]()
+        qB.value.foreach { case (qid, qvec) => qMap.put(qid, qvec) }
+        // lazy per-partition caches — built only for seen keys
+        val qNorm = new java.util.HashMap[Long, java.lang.Double]()
+        val cNorm2 = new java.util.HashMap[Long, java.lang.Double]()
+        val dotQC = new java.util.HashMap[(Long, Long), java.lang.Double]()
+        // cross[bucket] : [sub][slot] -> dot(c_sub, cent)
+        val cross = new java.util.HashMap[Long, Array[Array[Double]]]()
+        // dotLut[q] : [sub][slot] -> dot(q_sub, cent)
+        val dotLut = new java.util.HashMap[Long, Array[Array[Double]]]()
+        def subLuts(v: Array[Float]): Array[Array[Double]] = {
+          val subDim = v.length / m
+          Array.tabulate(m) { sub =>
+            cents(sub).map { cent =>
+              var s = 0.0
+              var i = 0
+              while (i < cent.length) {
+                s += cent(i).toDouble * v(sub * subDim + i).toDouble
+                i += 1
+              }
+              s
+            }.toArray
+          }
+        }
+        val heaps = collection.mutable.HashMap.empty[Long, Heap]
+        it.foreach { case (qid, id, bucket, codes) =>
+          val qvec = qMap.get(qid)
+          val cemb = coarseMap.get(bucket)
+          require(qvec != null, s"ivfPqTopK: probe query $qid not in query set")
+          require(cemb != null, s"ivfPqTopK: bucket $bucket not in coarse set")
+          val qLut = { // per-query residual dot LUT
+            var l = dotLut.get(qid)
+            if (l == null) { l = subLuts(qvec); dotLut.put(qid, l) }
+            l
+          }
+          val bLut = { // per-bucket cross LUT
+            var l = cross.get(bucket)
+            if (l == null) { l = subLuts(cemb); cross.put(bucket, l) }
+            l
+          }
+          val qcKey = (qid, bucket)
+          var qc = dotQC.get(qcKey)
+          if (qc == null) {
+            qc = graft.functions.VectorOpsUtil.dot(qvec, cemb)
+            dotQC.put(qcKey, qc)
+          }
+          var cn2 = cNorm2.get(bucket)
+          if (cn2 == null) {
+            cn2 = graft.functions.VectorOpsUtil.dot(cemb, cemb)
+            cNorm2.put(bucket, cn2)
+          }
+          var qn = qNorm.get(qid)
+          if (qn == null) {
+            qn = math.sqrt(graft.functions.VectorOpsUtil.dot(qvec, qvec))
+            qNorm.put(qid, qn)
+          }
+          var d = qc.doubleValue()
+          var crossSum = 0.0
+          var r2 = 0.0
+          var sub = 0
+          while (sub < codes.length) {
+            val sl = codeSlot(sub).get(codes(sub))
+            if (sl == null) throw new IllegalArgumentException(
+              s"ivfPqTopK: code ${codes(sub)} in subspace $sub not in codebook")
+            d += qLut(sub)(sl)
+            crossSum += bLut(sub)(sl)
+            r2 += rNorm2(sub)(sl)
+            sub += 1
+          }
+          val xn = math.sqrt(cn2.doubleValue() + 2.0 * crossSum + r2)
+          val cos =
+            if (qn.doubleValue() == 0.0 || xn == 0.0) 0.0
+            else d / (qn.doubleValue() * xn)
+          offer(heaps.getOrElseUpdate(qid,
+            collection.mutable.PriorityQueue.empty(worstFirst)), k, cos, id)
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }.toDF("q_id", "neighbor_id", "cos")
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "neighbor_id", "cos")
+  }
 }

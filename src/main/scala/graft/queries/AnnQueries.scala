@@ -80,6 +80,30 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // -- IVF-PQ composed (Jégou et al. §IV) in the EXACT regime:
+    //    10 coarse cells over a fixed 100-vector slice, residual
+    //    codebook at step 1 (every residual sub-vector is a centroid,
+    //    so reconstruction is exact) — ADC cosine == exact cosine and
+    //    the oracle is IVF probing + exact ranking over the DOUBLE
+    //    reconstruction c + float32(x − c). Compression-regime recall
+    //    is spec-tested (ProductQuantSpec). -------------------------
+    "ann_ivfpq_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 100).select("vec_id", "embedding")
+      val coarse = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val book = graft.ops.Similarity.trainIvfPq(emb, coarse,
+        "vec_id", "embedding", m = 8, step = 1, iters = 1)
+      val enc = graft.ops.Similarity.ivfPqEncode(emb, coarse, book,
+        "vec_id", "embedding")
+      graft.ops.Similarity
+        .ivfPqTopK(enc, emb.filter(col("vec_id") < 8), coarse, book,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("q_id", "rank")
+    },
+
     // -- IVF with TRAINED centroids: two fixed Lloyd's iterations from
     //    the every-⌈√N⌉-th init, then the same probe/search as ann_ivf.
     //    Training runs eagerly at construction (localCheckpoint per
@@ -116,6 +140,52 @@ object AnnQueries {
         |               c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c
         |    ON q.vec_id < 8 AND c.vec_id != q.vec_id AND c.vec_id < 100
+        |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // IVF-PQ exact regime: probing replayed cell-by-cell, then exact
+    // ranking over the DOUBLE reconstruction xh = c + float32(x − c)
+    // — the value ADC assembles from its lookup tables when every
+    // residual sub-vector is its own centroid.
+    "ann_ivfpq_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+        |), cent AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb
+        |  FROM emb WHERE vec_id % 10 = 0
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS bucket FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[]) DESC,
+        |                 c.cent_id) AS arank
+        |    FROM emb e CROSS JOIN cent c
+        |  ) WHERE arank = 1
+        |), xpos AS (
+        |  SELECT a.vec_id, a.bucket,
+        |    unnest(range(len(a.embedding))) AS pos,
+        |    unnest(a.embedding) AS ev,
+        |    unnest(c.cent_emb) AS cv
+        |  FROM assigned a JOIN cent c ON c.cent_id = a.bucket
+        |), xhat AS (
+        |  SELECT vec_id, bucket,
+        |    list(CAST(cv AS DOUBLE) + CAST(CAST(ev - cv AS FLOAT) AS DOUBLE)
+        |         ORDER BY pos) AS xh
+        |  FROM xpos GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT q_id, q_emb, cent_id AS bucket FROM (
+        |    SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cent_emb::DOUBLE[]) DESC,
+        |                 c.cent_id) AS prank
+        |    FROM emb q CROSS JOIN cent c WHERE q.vec_id < 8
+        |  ) WHERE prank <= 2
+        |)
+        |SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos_r FROM (
+        |  SELECT p.q_id, x.vec_id AS neighbor_id,
+        |    list_cosine_similarity(x.xh, p.q_emb::DOUBLE[]) AS cos,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(x.xh, p.q_emb::DOUBLE[]) DESC,
+        |               x.vec_id) AS rank
+        |  FROM xhat x JOIN probes p ON x.bucket = p.bucket AND x.vec_id != p.q_id
         |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH cent AS (

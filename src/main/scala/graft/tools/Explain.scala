@@ -33,6 +33,12 @@ object Explain {
       ("same IVF-assignment crossJoin(broadcast) as ann_ivf_topk, over " +
         "the k-means-trained centroid set (training iterations are " +
         "checkpoint-materialized and not part of this plan)")),
+    "ann_ivfpq_topk" -> Map("BroadcastNestedLoopJoin" ->
+      ("the COARSE stage only: the same IVF-assignment " +
+        "crossJoin(broadcast(centroids)) as ann_ivf_topk (encode side) " +
+        "plus the query-probe selection; the PQ stage itself is a " +
+        "broadcast equi-join on sub and a bucket equi-join — never a " +
+        "cross product")),
     "d12_semantic_dedup" -> Map("BroadcastNestedLoopJoin" ->
       ("the SemDeDup cluster assignment is the same " +
         "crossJoin(broadcast(centroids)) as ann_kmeans_ivf; the " +
