@@ -53,6 +53,7 @@ object CurationPipeline {
       nearDupThreshold: Double = 0.8,
       maxPpl: Double = Double.PositiveInfinity,
       pplDiscount: Double = 0.75,
+      pplOrder: Int = 2,
       maxContamination: Double = 0.2,
       targetMix: Map[String, Int] = Map.empty,
       packCapacity: Long = 512L,
@@ -68,6 +69,8 @@ object CurationPipeline {
       s"langId must be 'marker' or 'trigram': $langId")
     require(extractor == "blocks" || extractor == "regex",
       s"extractor must be 'blocks' or 'regex': $extractor")
+    require(pplOrder == 2 || pplOrder == 3,
+      s"pplOrder must be 2 (bigram KN) or 3 (trigram KN): $pplOrder")
   }
 
   /** The curated output plus per-stage observed metrics. `data`
@@ -254,9 +257,18 @@ object CurationPipeline {
       case Some(ref) =>
         val train = ref.select(lit(0L).as(id),
           col(pplRefTextCol).as("text_clean"))
-        val pplScores = LanguageModel.kneserNeyScore(train,
-          snapA.select(col(id), col("text_clean")), id, "text_clean",
-          cfg.pplDiscount)
+        val score = snapA.select(col(id), col("text_clean"))
+        // order 2 = the bigram model; order 3 = recursive-backoff
+        // trigram (closer to the KenLM 5-gram CCNet trains, one join
+        // level deeper) — same (id, ppl) contract either way
+        val pplScores =
+          if (cfg.pplOrder == 3)
+            LanguageModel.kneserNey3Score(train, score, id, "text_clean",
+              cfg.pplDiscount)
+              .select(col(id), col("kn3_ppl").as("kn_ppl"))
+          else
+            LanguageModel.kneserNeyScore(train, score, id, "text_clean",
+              cfg.pplDiscount)
         val kept = snapA
           .join(pplScores.select(col(id), col("kn_ppl")), Seq(id), "left")
           .filter(coalesce(col("kn_ppl"), lit(0.0)) <= cfg.maxPpl)

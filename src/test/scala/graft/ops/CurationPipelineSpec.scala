@@ -427,4 +427,34 @@ class CurationPipelineSpec extends SparkSpec {
         cfg, pplRef = Some(pplRef.withColumnRenamed("text", "t")))
     }
   }
+
+  test("perplexity stage at order 3 routes through the trigram KN model") {
+    val pplRef = (1L to 40L).map(i => bodyOf(i)).toDF("text")
+    val cfg = CurationPipeline.Config("doc_id", "html", "source",
+      targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+      nearDupThreshold = 0.5, packCapacity = 30L, pplOrder = 3)
+    // fit the cutoff from the reference's own TRIGRAM distribution; a
+    // loose cutoff keeps everything, the mean drops some but not all —
+    // same envelope the bigram test pins, one order deeper
+    val scored = LanguageModel.kneserNey3SelfScore(
+      pplRef.withColumn("doc_id", monotonically_increasing_id()),
+      "doc_id", "text")
+    val cut = scored.agg(avg("kn3_ppl")).as[Double].head()
+    val loose = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg.copy(maxPpl = 1e9), pplRef = Some(pplRef))
+    val tight = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg.copy(maxPpl = cut), pplRef = Some(pplRef))
+    try {
+      val mL = loose.metrics.toMap
+      val mT = tight.metrics.toMap
+      assert(mL("perplexity_kept") == mL("quality_kept"))
+      assert(mT("perplexity_kept") < mL("perplexity_kept"))
+      assert(mT("perplexity_kept") > 0L)
+    } finally { loose.release(); tight.release() }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.Config("doc_id", "html", "source", pplOrder = 4)
+    }
+  }
 }
