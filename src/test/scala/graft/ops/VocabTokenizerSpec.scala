@@ -425,7 +425,7 @@ class VocabTokenizerSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val hostile = Seq(
       "plain ascii with  double  spaces",
-      "tabs\tand\nnewlines\r\nmixed   nul",
+      "tabs\tand\nnewlines\r\nmixed " + 0.toChar + " nul",
       "emoji 😀🇫🇷 and CJK 你好世界 and combining é é",
       "trailing spaces   ",
       "   leading and 'contractions' don't it's we'll",
