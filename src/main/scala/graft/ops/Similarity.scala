@@ -685,4 +685,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "neighbor_id", "cos")
   }
+
+  // ------------------------------------------------------------------
+  // Index persistence: an IVF-PQ index is built once over the corpus
+  // and served for months — the encode pass (the expensive full scan)
+  // must never rerun because a search job restarted. Three parquet
+  // frames under one directory: coarse/ (cent_id, cent_emb),
+  // codebook/ (sub, code, cent), encoded/ (id, bucket, codes) — the
+  // encoded frame is REPARTITIONED BY BUCKET on write, so a search's
+  // probe join prunes whole files (the probed-cell scan reads only
+  // nprobe/|C| of the index bytes, which is the point of IVF).
+  // ------------------------------------------------------------------
+
+  /** Persist an IVF-PQ index. `encoded` is [[ivfPqEncode]]'s output;
+    * overwrite semantics. The id column is stored under its given
+    * name and recovered by [[loadIvfPqIndex]].
+    */
+  def saveIvfPqIndex(path: String, coarse: DataFrame, codebook: DataFrame,
+                     encoded: DataFrame, idCol: String): Unit = {
+    require(encoded.columns.toSeq == Seq(idCol, "bucket", "codes"),
+      s"encoded frame must be ($idCol, bucket, codes), got " +
+        encoded.columns.mkString(","))
+    coarse.select("cent_id", "cent_emb")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    codebook.select("sub", "code", "cent")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    encoded
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/encoded")
+  }
+
+  /** Load a persisted index: `(coarse, codebook, encoded)`, ready for
+    * [[ivfPqTopK]]. The bucket partitioning survives the round-trip
+    * (hive-style dirs), so probe joins prune at the file level.
+    */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, idCol: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val encoded = spark.read.parquet(s"$path/encoded")
+      .select(col(idCol), col("bucket").cast("long"), col("codes"))
+    (coarse, codebook, encoded)
+  }
 }

@@ -163,6 +163,34 @@ class ProductQuantSpec extends SparkSpec {
     assert(recall >= 0.5, s"ivfpq recall@4 collapsed to $recall")
   }
 
+  test("ivfpq index save/load round-trip searches identically") {
+    val df = vecs(60).toDF("vec_id", "embedding")
+    val coarse = coarseOf(df, 10)
+    val book = Similarity.trainIvfPq(df, coarse, "vec_id", "embedding",
+      m = 4, step = 6, iters = 1)
+    val enc = Similarity.ivfPqEncode(df, coarse, book, "vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    val fresh = Similarity.ivfPqTopK(enc, queries, coarse, book,
+        "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val dir = tmpDir("ivfpq").toString + "/index"
+    Similarity.saveIvfPqIndex(dir, coarse, book, enc, "vec_id")
+    val (c2, b2, e2) = Similarity.loadIvfPqIndex(spark, dir, "vec_id")
+    val loaded = Similarity.ivfPqTopK(e2, queries, c2, b2,
+        "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(loaded == fresh)
+    // the landed layout is bucket-partitioned (probe joins prune files)
+    val dirs = new java.io.File(dir + "/encoded").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.nonEmpty, "encoded frame lost its bucket partitioning")
+    // a mis-shaped encoded frame is rejected before any write
+    intercept[IllegalArgumentException] {
+      Similarity.saveIvfPqIndex(dir, coarse, book,
+        enc.select("vec_id", "codes", "bucket"), "vec_id")
+    }
+  }
+
   test("guards: m must divide the dimension; empty corpus fails loud") {
     val df = vecs(10).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
