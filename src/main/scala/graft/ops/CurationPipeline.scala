@@ -19,15 +19,19 @@ import graft.ops.Checkpoints.Truncatable
   *   packing → sharded export.
   *
   * Materialization strategy (the 100 TB shape): the stream is
-  * plan-truncated exactly TWICE — after the segment-dedup join (whose
-  * corpus-wide digest aggregation wants a stable snapshot anyway) and
-  * after decontamination (because mix reweighting's count pivot and
-  * the final action must see one snapshot). Every stage metric is
-  * either folded into one aggregate over the source scan (the three
-  * row-filter stages) or a cheap count over an already-materialized
-  * snapshot — no stage pays a dedicated source re-scan. On a cluster,
-  * set a reliable checkpoint dir ([[Checkpoints]]) so the two
-  * materializations survive executor loss.
+  * plan-truncated THREE times — immediately after the row-filter
+  * stages (the ONE pass that runs the HTML extractor; its files are
+  * freed as soon as the next snapshot lands), after the segment-dedup
+  * join (whose corpus-wide digest aggregation wants a stable snapshot
+  * anyway) and after decontamination (because mix reweighting's count
+  * pivot and the final action must see one snapshot). The row-filter
+  * stage metrics ride as an `observe()` on that first pass — the
+  * CollectMetrics node is also the pushdown barrier that keeps
+  * Catalyst from substituting the extractor expression into every
+  * pushed predicate (see the comment at the observation site) — so no
+  * stage pays a dedicated source re-scan. On a cluster, set a
+  * reliable checkpoint dir ([[Checkpoints]]) so the materializations
+  * survive executor loss.
   */
 object CurationPipeline {
 
@@ -208,7 +212,18 @@ object CurationPipeline {
     val notBlocked = !col("__graft_blocked")
     val rOk = col("__graft_robots_ok")
     val tOk = col("__term_ok")
-    val stageAgg = gophered.agg(
+    // Stage metrics ride as an OBSERVATION on the scan, not a separate
+    // aggregate job — and the CollectMetrics node doubles as a
+    // pushdown BARRIER. That barrier is load-bearing: filtering on the
+    // lang/quality aliases directly lets Catalyst substitute the full
+    // extraction expression into every pushed predicate reference (36
+    // plan copies of the extractor measured at sf0.1; runtime CSE
+    // recovered only part of it — the stage ran 6x slower than one
+    // extraction pass). With observe + filter-above-metrics, the
+    // extractor is evaluated exactly ONCE per row, in the single
+    // materializing pass below.
+    val stageObs = org.apache.spark.sql.Observation()
+    val observed = gophered.observe(stageObs,
       count(lit(1)).as("n_received"),
       coalesce(sum(when(notBlocked, 1L).otherwise(0L)), lit(0L)).as("n_in"),
       coalesce(sum(when(notBlocked && rOk, 1L).otherwise(0L)), lit(0L))
@@ -222,14 +237,13 @@ object CurationPipeline {
       coalesce(sum(when(notBlocked && rOk && tOk && langOk &&
         col("__q") >= cfg.minQuality && gOk, 1L).otherwise(0L)), lit(0L))
         .as("n_gopher"))
-      .head()
     val gopherCols =
       if (cfg.gopher)
         RepetitionSignals.signalNames ++ Seq("tok_n", "mean_word_len",
           "symbol_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
           "alpha_word_ratio", "stopword_hits", "gopher_pass")
       else Seq("gopher_pass")
-    val kept3raw = gophered
+    val kept3raw = observed
       .filter(notBlocked && rOk && tOk && langOk &&
         col("__q") >= cfg.minQuality && gOk)
       .drop("__q", "__graft_blocked", "__graft_robots_ok", "__term_ok")
@@ -241,13 +255,25 @@ object CurationPipeline {
         kept3raw.withColumn("__text", Curation.redactPiiAll(col("__text")))
       else kept3raw
 
+    // FIRST truncation, immediately post-filter: the one pass that
+    // runs the extractor (and fires the stage observation). Segment
+    // dedup consumes kept3 TWICE (digest side + join-back side) — off
+    // the snapshot those are block reads, not extractor re-runs.
+    val snap0 = kept3.truncated
+    val stageAgg = {
+      val m = stageObs.get
+      Seq("n_received", "n_in", "n_robots", "n_term", "n_lang", "n_q",
+        "n_gopher").map(k => m(k).asInstanceOf[Long])
+    }
+
     // corpus-wide segment dedup (C4-style boilerplate kill), then the
-    // cleaned text replaces the extracted text; FIRST truncation
-    val seg = Dedup.dedupSegments(kept3.select(col(id), col("__text")),
+    // cleaned text replaces the extracted text
+    val seg = Dedup.dedupSegments(snap0.select(col(id), col("__text")),
       id, "__text")
-    val snapA = kept3.drop("__text")
+    val snapA = snap0.drop("__text")
       .join(seg, Seq(id))
       .truncated
+    Checkpoints.release(snap0) // snapA is materialized; free the raw snap
     val segStats = snapA.agg(
       sum("n_segments").as("segs"), sum("n_kept").as("kept")).head()
 
@@ -314,13 +340,13 @@ object CurationPipeline {
 
     Curated(result,
       Seq(
-        "rows_received" -> stageAgg.getLong(0),
-        "rows_in" -> stageAgg.getLong(1),
-        "robots_kept" -> stageAgg.getLong(2),
-        "terms_kept" -> stageAgg.getLong(3),
-        "language_kept" -> stageAgg.getLong(4),
-        "quality_kept" -> stageAgg.getLong(5),
-        "gopher_kept" -> stageAgg.getLong(6),
+        "rows_received" -> stageAgg(0),
+        "rows_in" -> stageAgg(1),
+        "robots_kept" -> stageAgg(2),
+        "terms_kept" -> stageAgg(3),
+        "language_kept" -> stageAgg(4),
+        "quality_kept" -> stageAgg(5),
+        "gopher_kept" -> stageAgg(6),
         "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
         "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1))) ++
       pplMetric ++

