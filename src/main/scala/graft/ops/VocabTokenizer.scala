@@ -979,4 +979,243 @@ object VocabTokenizer {
     }
     model.sortBy { case (p, _) => (-finalCounts.getOrElse(p, 0L), p) }
   }
+
+  // ------------------------------------------------------------------
+  // WordPiece (the BERT tokenizer family: Wu et al. 2016 §4.1; the
+  // greedy longest-match-first inference described in Devlin et al.
+  // 2019 and implemented by HuggingFace `tokenizers`' WordPiece
+  // model). Differs from the plain greedy rule above in two ways that
+  // change budgets materially: continuation pieces carry a "##"
+  // prefix (so "able" and "##able" are distinct vocabulary entries),
+  // and a word with ANY unmatchable position becomes ONE [UNK] token
+  // — partial segmentations are discarded, not patched per-character.
+  // ------------------------------------------------------------------
+
+  /** Greedy longest-match-first WordPiece segmenter. Matching is
+    * CODE-POINT based (positions, lengths and the `maxInputChars`
+    * guard all count code points) so the per-word walk is replayable
+    * in character-semantics SQL (`substr`/`len`) and supplementary
+    * characters are one unit, not two.
+    *
+    * `maxInputChars` mirrors BERT's `max_input_chars_per_word`: longer
+    * words are [UNK] without probing (a 10k-char DNA string would
+    * otherwise cost O(len·maxPiece) hash probes per word).
+    */
+  final class WordPieceEncoder(vocab: Array[String],
+                               maxInputChars: Int = 200)
+      extends Serializable {
+    require(maxInputChars > 0,
+      s"maxInputChars must be positive: $maxInputChars")
+    require(!vocab.contains("##"),
+      "bare '##' vocab entry matches zero characters (infinite loop)")
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](math.max(16, vocab.length * 2))
+      vocab.foreach(s.add)
+      s
+    }
+    // longest INPUT span any piece can match, in code points
+    @transient private lazy val maxPieceCp: Int =
+      if (vocab.isEmpty) 0
+      else vocab.iterator.map { v =>
+        val body = if (v.startsWith("##")) v.substring(2) else v
+        body.codePointCount(0, body.length)
+      }.max
+
+    /** Pieces of one word, or `null` when the word is [UNK] (no match
+      * at some position, or over `maxInputChars`). Empty word → empty
+      * array.
+      */
+    def encodeWord(word: String): Array[String] = {
+      if (word.isEmpty) return Array.empty
+      // code-point split (same walk as the BPE symbolizer)
+      val cps = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < word.length) {
+        val n = Character.charCount(word.codePointAt(pos))
+        cps += word.substring(pos, pos + n)
+        pos += n
+      }
+      if (cps.length > maxInputChars) return null
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      while (start < cps.length) {
+        var end = math.min(cps.length, start + maxPieceCp)
+        var piece: String = null
+        while (end > start && piece == null) {
+          val body = cps.slice(start, end).mkString
+          val cand = if (start > 0) "##" + body else body
+          if (set.contains(cand)) piece = cand
+          else end -= 1
+        }
+        if (piece == null) return null
+        out += piece
+        start = end
+      }
+      out.toArray
+    }
+  }
+
+  /** WordPiece piece array of whitespace-tokenized text — `[UNK]` for
+    * unmatchable words, NULL text → empty array. The budget/inspection
+    * column ([[wordPieceCounts]] is the cheap count-only form).
+    */
+  def wordPieceTokens(textCol: Column, vocab: Seq[String],
+                      unkToken: String = "[UNK]",
+                      maxInputChars: Int = 200): Column = {
+    require(vocab.nonEmpty, "wordPieceTokens needs a non-empty vocabulary")
+    val enc = new WordPieceEncoder(vocab.toArray, maxInputChars)
+    val f = udf { text: String =>
+      if (text == null) Array.empty[String]
+      else text.split("[ \\t\\n\\f\\r]+").iterator.filter(_.nonEmpty)
+        .flatMap { w =>
+          val p = enc.encodeWord(w)
+          if (p == null) Iterator.single(unkToken) else p.iterator
+        }.toArray
+    }
+    f(textCol)
+  }
+
+  /** [[TokenCounts]] under WordPiece: `n_tokens` counts every emitted
+    * piece with each [UNK] word as ONE token; `n_unk` counts [UNK]
+    * WORDS (the WordPiece unknown unit), not positions.
+    */
+  def wordPieceCounts(textCol: Column, vocab: Seq[String],
+                      maxInputChars: Int = 200): Column = {
+    require(vocab.nonEmpty, "wordPieceCounts needs a non-empty vocabulary")
+    val enc = new WordPieceEncoder(vocab.toArray, maxInputChars)
+    val f = udf { text: String =>
+      if (text == null) TokenCounts(0, 0)
+      else {
+        var tok = 0; var unk = 0
+        text.split("[ \\t\\n\\f\\r]+").foreach { w =>
+          if (w.nonEmpty) {
+            val p = enc.encodeWord(w)
+            if (p == null) { tok += 1; unk += 1 } else tok += p.length
+          }
+        }
+        TokenCounts(tok, unk)
+      }
+    }
+    f(textCol)
+  }
+
+  /** Learn a WordPiece vocabulary (the HuggingFace `tokenizers`
+    * WordPiece trainer: BPE's merge loop, but the next merge maximizes
+    * `count(a,b) / (count(a) · count(b))` — the pair whose fusion most
+    * raises corpus likelihood under a unigram-over-symbols model, per
+    * the original Schuster & Nakajima 2012 formulation). Word types
+    * symbolize as first-char + "##"-prefixed continuations; merging
+    * `(a, ##b)` yields `a·b` (the "##" interior marker drops), so
+    * learned pieces carry word-boundary information the way BERT
+    * vocabularies do.
+    *
+    * Determinism contract (same as [[learnBpe]]): scores compare by
+    * EXACT integer cross-multiplication (`BigInt` — no float ties),
+    * ties break lexicographically, so the result is stable across
+    * runs, partitionings and retries. Returns the vocabulary:
+    * base symbols (sorted) then merged pieces in merge order; callers
+    * prepend specials ([UNK], [CLS], …) themselves.
+    */
+  def learnWordPiece(df: DataFrame, textCol: String, numMerges: Int,
+                     minWordFreq: Long = 1L,
+                     maxWordTypes: Int = 1 << 20): Seq[String] = {
+    require(numMerges >= 0, s"numMerges must be non-negative: $numMerges")
+    require(minWordFreq >= 1, s"minWordFreq must be ≥ 1: $minWordFreq")
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val types = df.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minWordFreq)
+      .collect()
+    require(types.length <= maxWordTypes,
+      s"${types.length} word types exceed maxWordTypes=$maxWordTypes — " +
+        "raise the cap or minWordFreq")
+    val words: Array[Array[String]] = types.map { r =>
+      val w = r.getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        val n = Character.charCount(w.codePointAt(pos))
+        val cp = w.substring(pos, pos + n)
+        syms += (if (pos == 0) cp else "##" + cp)
+        pos += n
+      }
+      syms.toArray
+    }
+    val freq: Array[Long] = types.map(_.getLong(1))
+    val baseVocab = words.iterator.flatten.toSet
+
+    // pair counts, symbol counts, and the inverted pair→words index —
+    // all maintained incrementally, so each merge touches only the
+    // word types containing its pair
+    val pairCount = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val symCount = scala.collection.mutable.HashMap.empty[String, Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length) {
+        val c = symCount.getOrElse(s(j), 0L) + sign * freq(i)
+        if (c <= 0L) symCount.remove(s(j)) else symCount(s(j)) = c
+        if (j < s.length - 1) {
+          val p = (s(j), s(j + 1))
+          val pc = pairCount.getOrElse(p, 0L) + sign * freq(i)
+          if (pc <= 0L) { pairCount.remove(p); pairWords.remove(p) }
+          else {
+            pairCount(p) = pc
+            if (sign > 0)
+              pairWords.getOrElseUpdate(p,
+                scala.collection.mutable.HashSet.empty) += i
+          }
+        }
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    var round = 0
+    while (round < numMerges && pairCount.nonEmpty) {
+      // argmax of count(a,b)/(count(a)·count(b)) by exact
+      // cross-multiplication; ties lexicographic
+      var best: (String, String) = null
+      var bestNum = BigInt(0) // c_best
+      var bestDen = BigInt(1) // s_a · s_b for best
+      pairCount.foreach { case (p, c) =>
+        val den = BigInt(symCount(p._1)) * BigInt(symCount(p._2))
+        val num = BigInt(c)
+        val cmp =
+          if (best == null) 1
+          else (num * bestDen).compare(bestNum * den)
+        if (cmp > 0 || (cmp == 0 && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestNum = num; bestDen = den
+        }
+      }
+      if (best == null) round = numMerges
+      else {
+        val fused = best._1 + best._2.stripPrefix("##")
+        merged += fused
+        val touched = pairWords.getOrElse(best, Set.empty[Int]).toArray
+        touched.foreach { i =>
+          addWord(i, -1L)
+          val s = words(i)
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2) {
+              next += fused; j += 2
+            } else { next += s(j); j += 1 }
+          }
+          words(i) = next.toArray
+          addWord(i, 1L)
+        }
+        round += 1
+      }
+    }
+    (baseVocab.toSeq.sorted ++ merged).distinct
+  }
 }

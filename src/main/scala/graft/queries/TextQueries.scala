@@ -282,6 +282,44 @@ object TextQueries {
           graft.ops.LangId.langIdRouted(col("text")).as("lang"))
         .orderBy("doc_id")
     },
+    // -- t37: WordPiece counts (BERT greedy longest-match-first with
+    //    "##" continuations and whole-word [UNK] fallback) over every
+    //    document. The vocabulary plants all three behaviors: whole-
+    //    word pieces that outrank shorter prefixes ("scan" over "s"),
+    //    multi-piece splits ("cus ##tomer"), and a partial-then-fail
+    //    word ("filter": "fil" matches, "ter" has no continuation, so
+    //    the WHOLE word is one [UNK] — the semantic that separates
+    //    WordPiece from the plain greedy rule t14 gates). The oracle
+    //    re-derives every segmentation with a recursive CTE. ----------
+    "t37_wordpiece" -> { (s, d) =>
+      val c = graft.ops.VocabTokenizer.wordPieceCounts(col("text"), t37Vocab)
+      Tables.documents(s, d)
+        .select(col("doc_id"), c.as("__c"))
+        .select(col("doc_id"),
+          col("__c.n_tokens").cast("long").as("n_pieces"),
+          col("__c.n_unk").cast("long").as("n_unk_words"))
+        .orderBy("doc_id")
+    },
+
+    // -- t38: WordPiece TRAINER (the likelihood merge rule: next merge
+    //    maximizes count(a,b)/(count(a)·count(b)), Schuster & Nakajima
+    //    2012 / the HuggingFace WordPiece trainer) on the classic
+    //    hug/pug/pun/bun/hugs corpus. Expectations hand-derived merge
+    //    by merge in writeT38Fixture (exact-rational scores, ties
+    //    lexicographic per the documented determinism contract). ------
+    "t38_wordpiece_learn" -> { (s, _) =>
+      writeT38Fixture(s)
+      import s.implicits._
+      val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+        Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+        .toDF("t")
+      graft.ops.VocabTokenizer.learnWordPiece(corpus, "t", numMerges = 9)
+        .zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }
+        .toDF("idx", "piece")
+        .orderBy("idx")
+    },
+
     // -- language-ID heuristic: marker-word occurrence scoring with a
     //    deterministic argmax (tie order en > es > de > fr > unknown).
     //    (On this synthetic corpus the content carries no real language
@@ -1052,6 +1090,50 @@ object TextQueries {
     * (e,w)/(n,e)/(w,est) → (e,w), then (ew,est)=6, (n,ewest)=6;
     * finally the 3-tier ties (d,est)/(i,d)/(w,i) → (d,est).
     */
+  /** t37 vocabulary. Coverage plan over the corpus' 31 words:
+    * fully-segmenting (e.g. "customer"→cus ##tomer, "stream"→str
+    * ##eam — both with a shorter prefix planted so longest-match is
+    * what's certified), whole-word entries that outrank their own
+    * prefixes ("scan", "sort" vs "s"), unmatchable-from-the-start
+    * words (batch/big/hash/join/part → [UNK]), and the
+    * partial-then-fail case ("filter": "fil" then no "##ter").
+    */
+  private[queries] val t37Vocab: Seq[String] = Seq(
+    "a", "co", "cus", "da", "du", "f", "fil", "gr", "key", "li", "m",
+    "or", "que", "ro", "s", "scan", "sort", "str", "tab", "the", "val",
+    "ve", "win",
+    "##gg", "##lumn", "##tomer", "##tom", "##er", "##ta", "##p",
+    "##ast", "##oup", "##ne", "##ge", "##der", "##ry", "##w", "##low",
+    "##mall", "##park", "##eam", "##le", "##ue", "##ctor", "##dow")
+
+  private val t38ExpectedDir = "/tmp/graft_gate_t38_expected"
+
+  /** Hand-derivation of t38 (score = pair/(symA·symB), exact
+    * rationals; ties → lexicographically smallest pair). Initial
+    * symbolization: hug→h ##u ##g (×10), pug→p ##u ##g (×5),
+    * pun→p ##u ##n (×12), bun→b ##u ##n (×4), hugs→h ##u ##g ##s (×5).
+    *  1. (##g,##s) 5/(20·5)=1/20 beats the 1/36 field → ##gs
+    *  2. all six pairs tie at 1/36 → smallest pair (##u,##g) → ##ug
+    *  3. tie at 1/21: (##u,##gs) < (##u,##n) < (b,##u) → ##ugs
+    *  4. (h,##ugs) 5/(15·5)=1/15 → hugs
+    *  5. (h,##ug) 10/(10·15)=1/15 → hug
+    *  6. tie at 1/16: (##u,##n) < (b,##u) → ##un
+    *  7. (b,##un) 4/(4·16)=1/16 → bun
+    *  8. tie at 1/17: (p,##ug) < (p,##un) → pug
+    *  9. (p,##un) 12/(12·16) → pun
+    * Vocab = sorted base symbols ++ merges in order.
+    */
+  private def writeT38Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    (Seq("##g", "##n", "##s", "##u", "b", "h", "p") ++
+      Seq("##gs", "##ug", "##ugs", "hugs", "hug", "##un", "bun",
+        "pug", "pun"))
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("idx", "piece")
+      .coalesce(1).write.mode("overwrite").parquet(t38ExpectedDir)
+    ()
+  }
+
   private def writeT25Fixture(s: SparkSession): Unit = {
     import s.implicits._
     Seq(
@@ -1669,6 +1751,67 @@ object TextQueries {
       s"""SELECT rank, lhs, rhs
          |FROM read_parquet('$t25ExpectedDir/*.parquet')
          |ORDER BY rank""".stripMargin,
+    // WordPiece re-derived from scratch: per distinct word, a
+    // recursive greedy walk where pos=1 probes raw vocabulary entries
+    // and pos>1 probes '##'-prefixed ones (ml = matched INPUT length,
+    // so a '##xyz' entry consumes len-2 characters); longest match
+    // wins via max(); a position with NO match sets failed and the
+    // word collapses to ONE [UNK] token. Docs join back LEFT so
+    // word-free text still yields a zero row.
+    "t37_wordpiece" -> {
+      val vocabValues = t37Vocab.map(v => s"('$v')").mkString(", ")
+      raw"""WITH RECURSIVE vocab(v) AS (VALUES $vocabValues),
+         |words AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS w
+         |  FROM documents
+         |),
+         |dw AS (SELECT DISTINCT w FROM words),
+         |seg AS (
+         |  SELECT w,
+         |    CASE WHEN len(w) > 200 THEN len(w) + 1 ELSE 1 END AS pos,
+         |    0 AS n_tok,
+         |    CASE WHEN len(w) > 200 THEN 1 ELSE 0 END AS failed
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT w,
+         |    CASE WHEN ml IS NULL THEN len(w) + 1 ELSE pos + ml END,
+         |    n_tok + 1,
+         |    CASE WHEN ml IS NULL THEN 1 ELSE 0 END
+         |  FROM (
+         |    SELECT w, pos, n_tok,
+         |      (SELECT max(CASE WHEN pos = 1 THEN len(v)
+         |                       ELSE len(v) - 2 END)
+         |       FROM vocab
+         |       WHERE CASE WHEN pos = 1
+         |             THEN v = substr(w, pos, len(v))
+         |             ELSE substr(v, 1, 2) = '##' AND len(v) > 2
+         |                  AND substr(v, 3) = substr(w, pos, len(v) - 2)
+         |             END) AS ml
+         |    FROM seg WHERE pos <= len(w) AND failed = 0)
+         |),
+         |fin AS (
+         |  SELECT w,
+         |    CASE WHEN failed = 1 THEN 1 ELSE n_tok END AS n_tok,
+         |    failed AS n_unk
+         |  FROM seg WHERE pos > len(w)
+         |),
+         |wc AS (SELECT doc_id, w, count(*) AS k FROM words GROUP BY 1, 2),
+         |per_doc AS (
+         |  SELECT wc.doc_id,
+         |    sum(wc.k * fin.n_tok) AS n_pieces,
+         |    sum(wc.k * fin.n_unk) AS n_unk_words
+         |  FROM wc JOIN fin USING (w)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_pieces, 0)::BIGINT AS n_pieces,
+         |  coalesce(p.n_unk_words, 0)::BIGINT AS n_unk_words
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "t38_wordpiece_learn" ->
+      s"""SELECT idx, piece
+         |FROM read_parquet('$t38ExpectedDir/*.parquet')
+         |ORDER BY idx""".stripMargin,
     // Identity oracle: decode(encode(text)) == text for every doc, so
     // the expected frame IS the corpus (NULL text encodes to [] and
     // decodes to '').

@@ -445,4 +445,89 @@ class VocabTokenizerSpec extends SparkSpec {
       .as[String].collect()(0)
     assert(n == "")
   }
+
+  // ----------------------------- WordPiece ---------------------------
+
+  private val wpVocab = Seq("un", "##aff", "##able", "a", "ab", "##c",
+    "##bc", "fil", "b")
+
+  private def wp(word: String, vocab: Seq[String] = wpVocab,
+                 maxChars: Int = 200): Seq[String] = {
+    val enc = new VocabTokenizer.WordPieceEncoder(vocab.toArray, maxChars)
+    Option(enc.encodeWord(word)).map(_.toSeq).getOrElse(Seq("[UNK]"))
+  }
+
+  test("wordpiece: the canonical un ##aff ##able split") {
+    assert(wp("unaffable") == Seq("un", "##aff", "##able"))
+  }
+
+  test("wordpiece: longest match first, at start and continuation") {
+    // "ab" beats "a" at the start; then "##c" finishes
+    assert(wp("abc") == Seq("ab", "##c"))
+    // from a 1-char start, "##bc" beats "##b"-less alternatives
+    assert(wp("abc", Seq("a", "##b", "##c", "##bc")) ==
+      Seq("a", "##bc"))
+  }
+
+  test("wordpiece: any unmatchable position makes the WHOLE word [UNK]") {
+    // "fil" matches, then nothing matches "ter" → one [UNK], not fil+junk
+    assert(wp("filter") == Seq("[UNK]"))
+    // nothing matches at position 0
+    assert(wp("zzz") == Seq("[UNK]"))
+  }
+
+  test("wordpiece: maxInputChars guard and empty word") {
+    assert(wp("ab", maxChars = 1) == Seq("[UNK]"))
+    assert(wp("") == Seq.empty)
+    // supplementary chars count ONE toward the cap (code points)
+    assert(wp("😀😀", Seq("😀", "##😀"), maxChars = 2) ==
+      Seq("😀", "##😀"))
+  }
+
+  test("wordpiece: bare '##' vocab entry fails loud") {
+    intercept[IllegalArgumentException] {
+      new VocabTokenizer.WordPieceEncoder(Array("##")).encodeWord("x")
+    }
+  }
+
+  test("wordPieceTokens / wordPieceCounts columns agree; NULL text is zero") {
+    val df = Seq(("unaffable ab filter", 0), (null: String, 1))
+      .toDF("t", "i")
+    val toks = df.select(col("i"),
+        VocabTokenizer.wordPieceTokens(col("t"), wpVocab).as("p"))
+      .orderBy("i").as[(Int, Seq[String])].collect()
+    assert(toks(0)._2 ==
+      Seq("un", "##aff", "##able", "ab", "[UNK]"))
+    assert(toks(1)._2 == Seq.empty)
+    val c = df.select(col("i"),
+        VocabTokenizer.wordPieceCounts(col("t"), wpVocab).as("c"))
+      .select(col("i"), col("c.n_tokens"), col("c.n_unk"))
+      .orderBy("i").as[(Int, Int, Int)].collect()
+    assert(c(0) == ((0, 5, 1))) // 4 real pieces + 1 [UNK] word
+    assert(c(1) == ((1, 0, 0)))
+  }
+
+  test("learnWordPiece: hand-derived merge sequence on hug/pug/pun/bun/hugs") {
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .toDF("t")
+    val v = VocabTokenizer.learnWordPiece(corpus, "t", numMerges = 9)
+    // derivation in TextQueries.writeT38Fixture — first merge is the
+    // likelihood pick (##g,##s) at 1/20 over the 1/36 field, NOT the
+    // raw-count pick (##u,##g) BPE would take
+    assert(v == Seq("##g", "##n", "##s", "##u", "b", "h", "p",
+      "##gs", "##ug", "##ugs", "hugs", "hug", "##un", "bun",
+      "pug", "pun"))
+  }
+
+  test("learnWordPiece: merges run dry gracefully; learned vocab segments") {
+    val corpus = Seq.fill(3)("ab").toDF("t")
+    // only one pair exists; asking for 5 merges returns after 1
+    val v = VocabTokenizer.learnWordPiece(corpus, "t", numMerges = 5)
+    assert(v == Seq("##b", "a", "ab"))
+    assert(wp("ab", v) == Seq("ab"))
+    // "a" matches at the start but there is no ##a continuation, so
+    // the whole word collapses to [UNK]
+    assert(wp("aab", v) == Seq("[UNK]"))
+  }
 }
