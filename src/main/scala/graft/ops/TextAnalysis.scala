@@ -594,6 +594,88 @@ object TextAnalysis {
       .drop(terms.indices.map(i => s"__graft_df$i"): _*)
   }
 
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * adjacent word pairs scored by `ln(P(w1,w2) / (P(w1)·P(w2)))` with
+    * `P(w1,w2) = c12/B` over bigram instances and `P(w) = c/T` over
+    * token instances. Returns the `topK` pairs with `c12 ≥ minCount`
+    * as `(w1, w2, n_pair, pmi)` — pmi rounded to 4 dp, ties broken by
+    * `(w1, w2)` so the cut is total-ordered and deterministic.
+    *
+    * 100 TB shape: bigram and unigram counts are each ONE shuffle on
+    * their key (the bigram explode reuses the same tokenization scan);
+    * the unigram frame joins back by `w1`/`w2` (vocabulary-sized —
+    * sort-merge at web scale, AQE-broadcast at gate scale); `T`/`B`
+    * ride as a one-row broadcast. The final top-K is a
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be ≥ 1: $minCount")
+    require(topK >= 1, s"topK must be ≥ 1: $topK")
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    val words = df.select(explode(toks).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+    // adjacent pairs: zip the token array against itself shifted by one
+    val pairs = df.select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    // T and B as one one-row frame (two scalar aggs, broadcast once)
+    val totals = uni.agg(sum("c").as("__t"))
+      .crossJoin(pairs.agg(count(lit(1)).as("__b")))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("__c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("__c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(
+          log(col("n_pair").cast("double") / col("__b")) -
+            log(col("__c1").cast("double") / col("__t")) -
+            log(col("__c2").cast("double") / col("__t")), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Per-group vocabulary coverage report — the corpus card a
+    * tokenizer owner reads before retraining: `(group, n_tokens,
+    * n_oov, oov_rate, n_distinct_oov)` where OOV means the WHOLE
+    * whitespace word is absent from `vocab` (exact membership — the
+    * budget-accurate segmentation view is [[VocabTokenizer
+    * .wordPieceCounts]]). One explode + one shuffle on the group key;
+    * the vocabulary ships in the task closure (tokenizer-sized). Empty
+    * groups report 0 tokens and a 0.0 rate, not NULL.
+    */
+  def vocabCoverage(df: DataFrame, groupCol: String, textCol: String,
+                    vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocabCoverage needs a non-empty vocabulary")
+    val vset = vocab.toSet
+    val inVocab = udf { w: String => vset.contains(w) }
+    val toks = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    df.select(col(groupCol), explode_outer(toks).as("__w"))
+      .withColumn("__oov",
+        when(col("__w").isNotNull && !inVocab(col("__w")), 1L)
+          .otherwise(0L))
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col("__w").isNotNull, 1L).otherwise(0L)).as("n_tokens"),
+        sum(col("__oov")).as("n_oov"),
+        countDistinct(when(col("__oov") === 1L, col("__w")))
+          .as("n_distinct_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          round(col("n_oov").cast("double") / col("n_tokens"), 4))
+          .otherwise(lit(0.0)))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        col("oov_rate"), col("n_distinct_oov"))
+  }
+
   /** Split documents into fixed-size token chunks with overlap — the
     * context-window chunking a training pipeline runs before
     * tokenization-and-pack: chunk i covers tokens

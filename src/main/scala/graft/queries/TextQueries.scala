@@ -320,6 +320,24 @@ object TextQueries {
         .orderBy("idx")
     },
 
+    // -- t39: PMI collocations (Church & Hanks 1990) — adjacent-pair
+    //    log-likelihood ratio vs independence, exact-count inputs,
+    //    4-dp rounding, (pmi desc, w1, w2) total order so the top-K
+    //    cut is deterministic in both engines. ----------------------
+    "t39_collocations" -> { (s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d).select("text"),
+        "text", minCount = 5L, topK = 50)
+    },
+
+    // -- t40: per-source vocabulary coverage / OOV card — exact
+    //    whole-word membership against a fixed vocab; the report a
+    //    tokenizer owner reads before retraining. --------------------
+    "t40_vocab_coverage" -> { (s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d),
+          "source", "text", t40Vocab)
+        .orderBy("source")
+    },
+
     // -- language-ID heuristic: marker-word occurrence scoring with a
     //    deterministic argmax (tie order en > es > de > fr > unknown).
     //    (On this synthetic corpus the content carries no real language
@@ -1106,6 +1124,13 @@ object TextQueries {
     "##ast", "##oup", "##ne", "##ge", "##der", "##ry", "##w", "##low",
     "##mall", "##park", "##eam", "##le", "##ue", "##ctor", "##dow")
 
+  /** t40 vocabulary: 13 of the corpus' 31 words — the rest are OOV, so
+    * every source shows a real mixed rate.
+    */
+  private[queries] val t40Vocab: Seq[String] = Seq(
+    "scan", "table", "value", "row", "the", "a", "join", "hash",
+    "data", "key", "line", "merge", "sort")
+
   private val t38ExpectedDir = "/tmp/graft_gate_t38_expected"
 
   /** Hand-derivation of t38 (score = pair/(symA·symB), exact
@@ -1812,6 +1837,64 @@ object TextQueries {
       s"""SELECT idx, piece
          |FROM read_parquet('$t38ExpectedDir/*.parquet')
          |ORDER BY idx""".stripMargin,
+    // PMI re-derived with the SAME operation order as the Spark side
+    // (ln(pair/B) − ln(c1/T) − ln(c2/T), then one 4-dp round) so the
+    // doubles agree bit-for-bit; the (pmi, w1, w2) order makes the
+    // LIMIT cut identical.
+    "t39_collocations" ->
+      raw"""WITH toks AS (
+         |  SELECT regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |words AS (SELECT unnest(tk) AS w FROM toks),
+         |uni AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+         |pairs AS (
+         |  -- parallel unnests zip pairwise in DuckDB: adjacent pairs
+         |  SELECT unnest(tk[1:len(tk) - 1]) AS w1,
+         |         unnest(tk[2:len(tk)]) AS w2
+         |  FROM toks
+         |),
+         |bi AS (
+         |  SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2
+         |  HAVING count(*) >= 5
+         |),
+         |tot AS (
+         |  SELECT (SELECT sum(c) FROM uni) AS t,
+         |         (SELECT count(*) FROM pairs) AS b
+         |)
+         |SELECT w1, w2, n_pair,
+         |  round(ln(n_pair::DOUBLE / b) - ln(u1.c::DOUBLE / t)
+         |        - ln(u2.c::DOUBLE / t), 4) AS pmi
+         |FROM bi
+         |JOIN uni u1 ON u1.w = bi.w1
+         |JOIN uni u2 ON u2.w = bi.w2
+         |CROSS JOIN tot
+         |ORDER BY pmi DESC, w1, w2
+         |LIMIT 50""".stripMargin,
+    "t40_vocab_coverage" -> {
+      val inList = t40Vocab.map(v => s"'$v'").mkString(", ")
+      raw"""WITH words AS (
+         |  SELECT source,
+         |    unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS w
+         |  FROM documents
+         |),
+         |agg AS (
+         |  SELECT source, count(*) AS n_tokens,
+         |    sum(CASE WHEN w NOT IN ($inList) THEN 1 ELSE 0 END) AS n_oov,
+         |    count(DISTINCT CASE WHEN w NOT IN ($inList) THEN w END)
+         |      AS n_distinct_oov
+         |  FROM words GROUP BY 1)
+         |SELECT d.source,
+         |  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(a.n_oov, 0)::BIGINT AS n_oov,
+         |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |       THEN round(a.n_oov::DOUBLE / a.n_tokens, 4)
+         |       ELSE 0.0 END AS oov_rate,
+         |  coalesce(a.n_distinct_oov, 0)::BIGINT AS n_distinct_oov
+         |FROM (SELECT DISTINCT source FROM documents) d
+         |LEFT JOIN agg a USING (source)
+         |ORDER BY d.source""".stripMargin
+    },
     // Identity oracle: decode(encode(text)) == text for every doc, so
     // the expected frame IS the corpus (NULL text encodes to [] and
     // decodes to '').

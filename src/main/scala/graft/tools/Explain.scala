@@ -62,6 +62,10 @@ object Explain {
       ("inherited from bigramLogProb's one-row vocabulary-size " +
         "crossJoin(broadcast) — the same scalar-smoothing shape " +
         "waived for t11_lm_score")),
+    "t39_collocations" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(T, B totals)) carrying the two " +
+        "scalar instance counts into the PMI expression; the " +
+        "unigram-count joins are true equi-joins (t8 shape)")),
     "t27_bm25" -> Map("BroadcastNestedLoopJoin" ->
       ("one-row crossJoin(broadcast(corpus stats)) — N, total tokens " +
         "and |terms| document frequencies collapse to a single " +
