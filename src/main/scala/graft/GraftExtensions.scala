@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.markdownToText)
     ext.injectFunction(GraftExtensions.dominantScript)
     ext.injectFunction(GraftExtensions.heavyHitters)
+    ext.injectFunction(GraftExtensions.kllQuantiles)
     ext.injectFunction(GraftExtensions.countMinMerge)
     ext.injectFunction(GraftExtensions.countMinEstimate)
   }
@@ -313,6 +314,38 @@ object GraftExtensions {
         "heavy_hitters expects (item, intLiteral)")
     })
 
+  /** `kll_quantiles(value, k, phis)` — the mergeable KLL quantile
+    * sketch ([[graft.functions.KllQuantiles]]). `k` must be an int
+    * literal (it sizes the buffer at plan time) and `phis` a foldable
+    * double/decimal array — `array(0.5D, 0.9D)`.
+    */
+  val kllQuantiles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kll_quantiles"),
+    info(classOf[graft.functions.KllQuantiles].getName, "kll_quantiles",
+      "kll_quantiles(value, k, phis) - aggregate: KLL quantile sketch " +
+        "over doubles as (phi, quantile) structs; O(k) state at every " +
+        "stage, exact in the no-compaction regime (n <= k)."),
+    (args: Seq[Expression]) => args match {
+      case Seq(v, Literal(k: Int, _), phisExpr) if phisExpr.foldable =>
+        val ps = phisExpr.eval() match {
+          case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+            val et = phisExpr.dataType
+              .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+            ad.toObjectArray(et).toSeq.map {
+              case d: java.lang.Double => d.doubleValue()
+              case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+              case f: java.lang.Float => f.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"kll_quantiles: phi of unsupported type $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"kll_quantiles: phis must be an array literal, got $other")
+        }
+        graft.functions.KllQuantiles(v, k, ps)
+      case _ => throw new IllegalArgumentException(
+        "kll_quantiles expects (value, intLiteral, foldable double array)")
+    })
+
   /** `count_min_merge(sketch)` / `count_min_estimate(sketch, item)` —
     * the union and point-query halves of the count–min surface
     * ([[graft.functions.CountMinMerge]] / [[CountMinEstimate]]); the
@@ -346,7 +379,7 @@ object GraftExtensions {
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
       normalizeText, cardCount, redactCards, dedupLines,
       htmlToText, markdownToText, dominantScript, heavyHitters,
-      countMinMerge, countMinEstimate).foreach {
+      kllQuantiles, countMinMerge, countMinEstimate).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -72,6 +72,24 @@ object SketchQueries {
     //    every one of the 7 depth rows collides is ~(D/20k)^7 ≈ 0 and
     //    each estimate equals the exact count the oracle computes; the
     //    over-width upper-bound property is spec-tested instead. ------
+    // -- sk4: KLL quantile sketch per event type. Gate regime: k=4096
+    //    exceeds every group's row count (~2000 at sf0.01), so no
+    //    compaction fires at any stage and each reported quantile IS
+    //    the exact discrete quantile (smallest value with cumulative
+    //    rank ≥ ⌈phi·n⌉) regardless of partial merge order — the same
+    //    exact-regime strategy as sk1/sk3. Error bounds on
+    //    over-capacity streams are property-tested in KllQuantileSpec.
+    "sk4_kll_quantiles" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.groupBy("event_type")
+        .agg(graft.functions.KllQuantiles.of(col("value"), 4096,
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99)).as("qs"))
+        .select(col("event_type"), explode(col("qs")).as("e"))
+        .select(col("event_type"), col("e.phi").as("phi"),
+          col("e.quantile").as("q"))
+        .orderBy("event_type", "phi")
+    },
+
     "sk3_countmin" -> { (s, d) =>
       val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
       val shardSketches = ev
@@ -94,6 +112,21 @@ object SketchQueries {
         |FROM documents
         |GROUP BY 1
         |ORDER BY cnt DESC, item""".stripMargin,
+    // the inverted-CDF definition replayed in SQL: smallest value
+    // whose within-group rank reaches ceil(phi·n) — Spark and DuckDB
+    // compute ceil over the SAME double product, so the cut agrees
+    "sk4_kll_quantiles" ->
+      """WITH p(phi) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)),
+        |r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, phi, min(value) AS q
+        |FROM r CROSS JOIN p
+        |WHERE rn >= ceil(phi * n)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "sk3_countmin" ->
       """SELECT user_id, count(*) AS est
         |FROM events

@@ -115,6 +115,26 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT dominant_script('a','b')").collect())
   }
 
+  test("kll_quantiles reachable from SQL, matches the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    df.createOrReplaceTempView("kll_in")
+    // decimal literals (plain SQL 0.5) and double literals both accepted
+    val viaSql = spark.sql(
+      "SELECT kll_quantiles(v, 256, array(0.5, 0.9D)) AS qs FROM kll_in")
+      .selectExpr("qs[0].quantile", "qs[1].quantile")
+      .as[(Double, Double)].head()
+    val viaCol = df.agg(graft.functions.KllQuantiles.of(
+        org.apache.spark.sql.functions.col("v"), 256, Seq(0.5, 0.9)).as("qs"))
+      .selectExpr("qs[0].quantile", "qs[1].quantile")
+      .as[(Double, Double)].head()
+    assert(viaSql == viaCol)
+    assert(viaSql == ((50.0, 90.0)))
+    intercept[Exception](
+      spark.sql("SELECT kll_quantiles(1.0D, 2, array(0.5))").collect())
+  }
+
   test("describe function shows usage") {
     GraftExtensions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")
