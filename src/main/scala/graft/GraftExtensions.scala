@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dominantScript)
     ext.injectFunction(GraftExtensions.heavyHitters)
     ext.injectFunction(GraftExtensions.kllQuantiles)
+    ext.injectFunction(GraftExtensions.kmvSketch)
+    ext.injectFunction(GraftExtensions.kmvMerge)
+    ext.injectFunction(GraftExtensions.kmvEstimate)
+    ext.injectFunction(GraftExtensions.kmvUnionEstimate)
+    ext.injectFunction(GraftExtensions.kmvIntersectEstimate)
+    ext.injectFunction(GraftExtensions.kmvDiffEstimate)
     ext.injectFunction(GraftExtensions.countMinMerge)
     ext.injectFunction(GraftExtensions.countMinEstimate)
   }
@@ -346,6 +352,67 @@ object GraftExtensions {
         "kll_quantiles expects (value, intLiteral, foldable double array)")
     })
 
+  /** KMV theta-sketch surface ([[graft.functions.KmvAgg]] family):
+    * `kmv_sketch(value, k)` builds (NULL-skipping xxhash64),
+    * `kmv_merge(sk)` unions, `kmv_estimate(sk)` counts, and
+    * `kmv_{union,intersect,diff}_estimate(a, b)` are the set
+    * operations HLL cannot express.
+    */
+  val kmvSketch: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_sketch"),
+    info(classOf[graft.functions.KmvAgg].getName, "kmv_sketch",
+      "kmv_sketch(value, k) - aggregate: k-minimum-values theta sketch " +
+        "of the value's distinct set (xxhash64, NULLs skipped); exact " +
+        "while distinct <= k, merge-order invariant."),
+    (args: Seq[Expression]) => args match {
+      case Seq(v, Literal(k: Int, _)) =>
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, IsNotNull, XxHash64}
+        graft.functions.KmvAgg(
+          CaseWhen(Seq((IsNotNull(v), XxHash64(Seq(v), 42L)))), k)
+      case _ => throw new IllegalArgumentException(
+        "kmv_sketch expects (value, intLiteral)")
+    })
+
+  val kmvMerge: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_merge"),
+    info(classOf[graft.functions.KmvMerge].getName, "kmv_merge",
+      "kmv_merge(sketch) - aggregate: union of serialized KMV sketches " +
+        "(mixed k adopts the smallest)."),
+    (args: Seq[Expression]) => args match {
+      case Seq(sk) => graft.functions.KmvMerge(sk)
+      case _ => throw new IllegalArgumentException(
+        "kmv_merge expects exactly 1 argument")
+    })
+
+  val kmvEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_estimate"),
+    info(classOf[graft.functions.KmvEstimate].getName, "kmv_estimate",
+      "kmv_estimate(sketch) - distinct-count estimate of a KMV sketch; " +
+        "exact in the unsaturated regime."),
+    (args: Seq[Expression]) => args match {
+      case Seq(sk) => graft.functions.KmvEstimate(sk)
+      case _ => throw new IllegalArgumentException(
+        "kmv_estimate expects exactly 1 argument")
+    })
+
+  private def kmvSetOp(op: String)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(s"kmv_${op}_estimate"),
+    info(classOf[graft.functions.KmvSetEstimate].getName,
+      s"kmv_${op}_estimate",
+      s"kmv_${op}_estimate(a, b) - $op estimate between two KMV " +
+        "sketches under theta = min(thetaA, thetaB); exact when both " +
+        "are unsaturated."),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => graft.functions.KmvSetEstimate(a, b, op)
+      case _ => throw new IllegalArgumentException(
+        s"kmv_${op}_estimate expects exactly 2 arguments")
+    })
+
+  val kmvUnionEstimate = kmvSetOp("union")
+  val kmvIntersectEstimate = kmvSetOp("intersect")
+  val kmvDiffEstimate = kmvSetOp("diff")
+
   /** `count_min_merge(sketch)` / `count_min_estimate(sketch, item)` —
     * the union and point-query halves of the count–min surface
     * ([[graft.functions.CountMinMerge]] / [[CountMinEstimate]]); the
@@ -379,7 +446,9 @@ object GraftExtensions {
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
       normalizeText, cardCount, redactCards, dedupLines,
       htmlToText, markdownToText, dominantScript, heavyHitters,
-      kllQuantiles, countMinMerge, countMinEstimate).foreach {
+      kllQuantiles, kmvSketch, kmvMerge, kmvEstimate, kmvUnionEstimate,
+      kmvIntersectEstimate, kmvDiffEstimate,
+      countMinMerge, countMinEstimate).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -90,6 +90,34 @@ object SketchQueries {
         .orderBy("event_type", "phi")
     },
 
+    // -- sk5: KMV theta sketch set operations — the distinct summary
+    //    HLL cannot give: intersection and difference estimates
+    //    between separately-built sketches ("users both corpora
+    //    touched" without shuffling either domain). Gate regime:
+    //    k=1024 > both ~150-user domains → θ=1, the sketches ARE the
+    //    distinct hash sets, every estimate exact; and "k smallest of
+    //    a set" is merge-order invariant, so the estimates are
+    //    bit-stable across shuffle fetch orders. Saturated-regime
+    //    error is property-tested in KmvSketchSpec. ------------------
+    "sk5_theta_set_ops" -> { (s, d) =>
+      import graft.functions.Kmv
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click" && col("value") < 100)
+      val b = ev.filter(col("event_type") === "view" && col("value") < 150)
+      val ska = a.agg(Kmv.sketch(col("user_id"), 1024).as("ska"))
+      val skb = b.agg(Kmv.sketch(col("user_id"), 1024).as("skb"))
+      ska.crossJoin(broadcast(skb))
+        .select(
+          Kmv.estimate(col("ska")).cast("long").as("n_a"),
+          Kmv.estimate(col("skb")).cast("long").as("n_b"),
+          Kmv.unionEstimate(col("ska"), col("skb")).cast("long")
+            .as("n_union"),
+          Kmv.intersectEstimate(col("ska"), col("skb")).cast("long")
+            .as("n_intersect"),
+          Kmv.diffEstimate(col("ska"), col("skb")).cast("long")
+            .as("n_diff"))
+    },
+
     "sk3_countmin" -> { (s, d) =>
       val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
       val shardSketches = ev
@@ -127,6 +155,26 @@ object SketchQueries {
         |WHERE rn >= ceil(phi * n)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "sk5_theta_set_ops" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click' AND value < 100
+        |    AND user_id IS NOT NULL),
+        |b AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'view' AND value < 150
+        |    AND user_id IS NOT NULL)
+        |SELECT
+        |  (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM
+        |    (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union,
+        |  (SELECT count(*) FROM
+        |    (SELECT user_id FROM a INTERSECT SELECT user_id FROM b))
+        |    AS n_intersect,
+        |  (SELECT count(*) FROM
+        |    (SELECT user_id FROM a EXCEPT SELECT user_id FROM b))
+        |    AS n_diff""".stripMargin,
     "sk3_countmin" ->
       """SELECT user_id, count(*) AS est
         |FROM events

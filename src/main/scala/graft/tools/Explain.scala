@@ -62,6 +62,11 @@ object Explain {
       ("inherited from bigramLogProb's one-row vocabulary-size " +
         "crossJoin(broadcast) — the same scalar-smoothing shape " +
         "waived for t11_lm_score")),
+    "sk5_theta_set_ops" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast) of two single-sketch frames — " +
+        "the set-op expressions run over exactly one pair of " +
+        "card-sized binaries; the corpus is touched only by the two " +
+        "sketch aggregates (sk2 shape)")),
     "t39_collocations" -> Map("BroadcastNestedLoopJoin" ->
       ("one-row crossJoin(broadcast(T, B totals)) carrying the two " +
         "scalar instance counts into the PMI expression; the " +

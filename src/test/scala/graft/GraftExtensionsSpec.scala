@@ -135,6 +135,29 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT kll_quantiles(1.0D, 2, array(0.5))").collect())
   }
 
+  test("kmv family reachable from SQL, NULL-skipping, exact set ops") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(Some(1L), None, Some(2L), Some(3L)).toDF("v")
+      .createOrReplaceTempView("kmv_a")
+    (2L to 5L).toDF("v").createOrReplaceTempView("kmv_b")
+    val agg = spark.sql(
+      """SELECT kmv_estimate(kmv_merge(sk)) AS nm FROM (
+        |  SELECT kmv_sketch(v, 64) AS sk FROM kmv_a
+        |  UNION ALL
+        |  SELECT kmv_sketch(v, 64) FROM kmv_b)""".stripMargin)
+      .as[Double].head()
+    assert(agg == 5.0) // {1,2,3} ∪ {2,3,4,5}
+    val row = spark.sql(
+      """SELECT kmv_estimate(a.sk) AS na,
+        |  kmv_intersect_estimate(a.sk, b.sk) AS ni,
+        |  kmv_diff_estimate(a.sk, b.sk) AS nd
+        |FROM (SELECT kmv_sketch(v, 64) AS sk FROM kmv_a) a
+        |CROSS JOIN (SELECT kmv_sketch(v, 64) AS sk FROM kmv_b) b
+        |""".stripMargin).as[(Double, Double, Double)].head()
+    assert(row == ((3.0, 2.0, 1.0))) // NULL skipped; {2,3}; {1}
+  }
+
   test("describe function shows usage") {
     GraftExtensions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")
