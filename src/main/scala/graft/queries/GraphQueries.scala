@@ -37,6 +37,69 @@ object GraphQueries {
     cs.unionByName(sp)
   }
 
+  private val g3InDir = "/tmp/graft_gate_g3_pages"
+  private val g3ExpDir = "/tmp/graft_gate_g3_links"
+
+  /** Authored HTML pages + the hand-resolved edge list the extractor
+    * must produce (the m14 authored-fixture pattern — every expected
+    * row derived by hand from RFC 3986 §5: merge, dot-segment removal,
+    * protocol-relative refs, `<base href>` re-basing, entity-decoded
+    * hrefs, nofollow rel tokens, and an unterminated trailing anchor).
+    */
+  private def writeG3Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val pages = Seq(
+      ("http://example.com/blog/post1.html",
+        """<html><head><title>t</title></head><body>
+          |<p>Intro <a href="/about">About <b>Us</b></a></p>
+          |<a href="page2.html">Next post</a>
+          |<a href="../index.html">Home</a>
+          |<A HREF='HTTPS://other.ORG/x?b=2&amp;a=1'>Other&nbsp;site</A>
+          |<a rel="nofollow sponsored" href="//cdn.example.net/asset">CDN</a>
+          |<a href="#section">skip</a>
+          |<a href="javascript:void(0)">skip2</a>
+          |<a name="x">no href</a>
+          |<a href="mailto:a@b.c">mail</a>
+          |</body></html>""".stripMargin),
+      ("http://b.org/dir/page.html",
+        """<head><base href="/root/"></head>
+          |<a href="x.html">X</a>
+          |<a href="http://abs.example/y">Y</a>""".stripMargin),
+      ("http://c.net",
+        """<abbr>no</abbr><a href="a/b.html">deep</a><a href="/z">tail text"""),
+      ("http://d.io/p",
+        """<a href="http://t.example/p">Target</a><a href="http://t.example/p">Target</a><a href="http://t.example/p"></a><a href="http://t.example/q">Other</a>"""),
+      ("http://e.com/",
+        """<a href="http://t.example/p">Alpha</a><a href="http://t.example/p">Target</a><a href="http://t.example/r">b</a><a href="http://t.example/r">a</a>"""))
+    pages.toDF("page_url", "html")
+      .coalesce(1).write.mode("overwrite").parquet(g3InDir)
+    val exp = Seq(
+      ("http://example.com/blog/post1.html", "http://example.com/about",
+        "About Us", false),
+      ("http://example.com/blog/post1.html",
+        "http://example.com/blog/page2.html", "Next post", false),
+      ("http://example.com/blog/post1.html", "http://example.com/index.html",
+        "Home", false),
+      ("http://example.com/blog/post1.html", "HTTPS://other.ORG/x?b=2&a=1",
+        "Other site", false),
+      ("http://example.com/blog/post1.html", "http://cdn.example.net/asset",
+        "CDN", true),
+      ("http://b.org/dir/page.html", "http://b.org/root/x.html", "X", false),
+      ("http://b.org/dir/page.html", "http://abs.example/y", "Y", false),
+      ("http://c.net", "http://c.net/a/b.html", "deep", false),
+      ("http://c.net", "http://c.net/z", "tail text", false),
+      ("http://d.io/p", "http://t.example/p", "Target", false),
+      ("http://d.io/p", "http://t.example/p", "Target", false),
+      ("http://d.io/p", "http://t.example/p", "", false),
+      ("http://d.io/p", "http://t.example/q", "Other", false),
+      ("http://e.com/", "http://t.example/p", "Alpha", false),
+      ("http://e.com/", "http://t.example/p", "Target", false),
+      ("http://e.com/", "http://t.example/r", "b", false),
+      ("http://e.com/", "http://t.example/r", "a", false))
+    exp.toDF("src_url", "dst_url", "anchor_text", "nofollow")
+      .coalesce(1).write.mode("overwrite").parquet(g3ExpDir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- g1: weighted PageRank, 5 fixed rounds, damping 0.85. -------
     "g1_pagerank" -> { (s, d) =>
@@ -47,6 +110,33 @@ object GraphQueries {
     // -- g2: per-node degree/weight card over the same graph. -------
     "g2_degree_stats" -> { (s, d) =>
       Graph.degreeStats(purchaseEdges(s, d)).orderBy("node")
+    },
+
+    // -- g3: outlink extraction — linear anchor scan, RFC 3986
+    //    resolution, <base href>, entity-decoded hrefs, rel=nofollow.
+    //    Oracle reads the hand-resolved expected edges back. ---------
+    "g3_extract_links" -> { (s, _) =>
+      writeG3Fixture(s)
+      graft.ops.Links.extractLinks(
+          s.read.parquet(g3InDir), "page_url", "html")
+        .select(col("page_url").as("src_url"), col("dst_url"),
+          col("anchor_text"), col("nofollow"))
+        .orderBy("src_url", "dst_url", "anchor_text", "nofollow")
+    },
+
+    // -- g4: per-target anchor profile composed ON TOP of the live
+    //    extractor (not the stored edges): in-link totals, distinct
+    //    linking pages, most-frequent non-empty anchor with a
+    //    deterministic tie-break. The oracle computes the same
+    //    aggregation in SQL from the expected edge list — so both the
+    //    extraction AND the aggregation must agree. ------------------
+    "g4_anchor_stats" -> { (s, _) =>
+      writeG3Fixture(s)
+      val links = graft.ops.Links.extractLinks(
+        s.read.parquet(g3InDir), "page_url", "html")
+      graft.ops.Links.anchorStats(links, "page_url", "dst_url",
+          "anchor_text")
+        .orderBy("dst")
     })
 
   private val edgeSql =
@@ -92,6 +182,28 @@ object GraphQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    "g3_extract_links" ->
+      s"""SELECT src_url, dst_url, anchor_text, nofollow
+         |FROM read_parquet('$g3ExpDir/*.parquet')
+         |ORDER BY src_url, dst_url, anchor_text, nofollow""".stripMargin,
+    "g4_anchor_stats" ->
+      s"""WITH e AS (SELECT * FROM read_parquet('$g3ExpDir/*.parquet')),
+         |t AS (
+         |  SELECT dst_url AS dst, count(*) AS n_links,
+         |         count(DISTINCT src_url) AS n_pages
+         |  FROM e GROUP BY 1
+         |), pa AS (
+         |  SELECT dst_url AS dst, anchor_text AS a, count(*) AS n
+         |  FROM e WHERE anchor_text <> '' GROUP BY 1, 2
+         |), tops AS (
+         |  SELECT dst, a,
+         |         row_number() OVER (PARTITION BY dst
+         |                            ORDER BY n DESC, a ASC) AS rk
+         |  FROM pa
+         |)
+         |SELECT t.dst, t.n_links, t.n_pages, tops.a AS top_anchor
+         |FROM t LEFT JOIN tops ON tops.dst = t.dst AND tops.rk = 1
+         |ORDER BY t.dst""".stripMargin,
     "g1_pagerank" -> pagerankSql,
     "g2_degree_stats" ->
       s"""WITH ed AS (
