@@ -973,6 +973,61 @@ object Curation {
                        terms: Seq[String]): DataFrame =
     df.filter(!blockedTermFlag(col(textCol), terms))
 
+  private def normalizeTerms(terms: Seq[String], maxTerms: Int): Seq[String] = {
+    require(terms.nonEmpty, "term list must be non-empty")
+    require(terms.size <= maxTerms,
+      s"${terms.size} terms > $maxTerms — split the list (words via a " +
+        "hashed-token join, phrases via the automaton)")
+    val norm = terms.map(_.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")).filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "term list is empty after normalization")
+    norm
+  }
+
+  /** Text normalized exactly as [[blockedTermFlag]] (and the c19
+    * oracle) does: lowercase, ASCII whitespace runs → one space. Kept
+    * in SPARK expressions so unicode case folding stays engine-side —
+    * the automaton kernel never lowercases.
+    */
+  private def normText(textCol: Column): Column =
+    lower(regexp_replace(coalesce(textCol, lit("")),
+      "[ \\t\\n\\f\\r]+", " "))
+
+  /** The sorted distinct blocked terms occurring in the text — the
+    * SCALE path of [[blockedTermFlag]], same word-boundary semantics
+    * (each term padded to `" term "`, the text padded the same way, so
+    * single words match whole tokens and phrases match across single
+    * spaces). One [[AhoCorasick]] scan per row: O(|text|) regardless
+    * of list size, where the expression-tree path is O(|text|·terms)
+    * and caps at ~1k. The automaton is built once on the driver and
+    * rides the task closure.
+    */
+  def blockedTermsMatched(textCol: Column, terms: Seq[String],
+                          maxTerms: Int = 1000000): Column = {
+    val norm = normalizeTerms(terms, maxTerms)
+    val ac = AhoCorasick.build(norm.map(t => s" $t "))
+    val f = udf((nt: String) =>
+      ac.matchedPatterns(" " + nt + " ").map(_.trim))
+    f(normText(textCol))
+  }
+
+  /** Boolean twin of [[blockedTermsMatched]] — early-exits the row's
+    * scan on the first hit. Semantically identical to
+    * [[blockedTermFlag]] on any list the latter accepts.
+    */
+  def blockedTermFlagLarge(textCol: Column, terms: Seq[String],
+                           maxTerms: Int = 1000000): Column = {
+    val norm = normalizeTerms(terms, maxTerms)
+    val ac = AhoCorasick.build(norm.map(t => s" $t "))
+    val f = udf((nt: String) => ac.anyMatch(" " + nt + " "))
+    f(normText(textCol))
+  }
+
+  /** Drop rows matching any of an arbitrarily large term list. */
+  def dropBlockedTermsLarge(df: DataFrame, textCol: String,
+                            terms: Seq[String]): DataFrame =
+    df.filter(!blockedTermFlagLarge(col(textCol), terms))
+
   def redactPii(c: Column): Column = {
     val noEmail = regexp_replace(c, emailPattern, "[EMAIL]")
     val noPhone = regexp_replace(noEmail, phonePattern, "[PHONE]")

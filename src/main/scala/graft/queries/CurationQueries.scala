@@ -148,6 +148,19 @@ object CurationQueries {
   private val pipe1HtmlSuffix =
     "</p><div><a href=\"/a\">A</a> | <a href=\"/b\">B</a></div></body></html>"
 
+  /** c26 term list: messy raw forms (case, doubled whitespace) plus
+    * overlapping entries — normalization + output-chain merging are
+    * part of what the gate checks. One term never occurs (proves no
+    * false hits from automaton construction).
+    */
+  private val c26Terms = Seq(
+    "BadTerm", "Spam  phrase", "forbidden words", "Forbidden", "spam",
+    "the", "data", "model", "never-seen-xyzzy phrase")
+
+  private def c26Canon: Seq[String] =
+    c26Terms.map(_.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")).distinct
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- c20: temperature-scaled mixture sampling (mT5 α-sampling) —
     //    α = 0.5 routes through IEEE-exact sqrt; at this corpus no
@@ -299,6 +312,33 @@ object CurationQueries {
         .groupBy("lang", "score_bucket")
         .agg(count(lit(1)).as("n"), round(avg("score"), 4).as("avg_score"))
         .orderBy("lang", "score_bucket")
+    },
+
+    // -- c26: the SCALE path of the term blocklist — Aho-Corasick
+    //    automaton (one scan per row, list size unbounded) with the
+    //    same padded word-boundary semantics as c19's expression tree.
+    //    Overlapping terms (forbidden / forbidden words, spam /
+    //    spam phrase) exercise the merged-output chains; the oracle
+    //    recomputes every hit with uniform ' term ' substring tests
+    //    over the same normalization. ---------------------------------
+    "c26_aho_blocklist" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dirty = docs.withColumn("t",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" BadTerm")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("spam   PHRASE leads. "), col("text")))
+          .when(col("doc_id") % 11 === 0,
+            concat(lit("totally Forbidden\tWords here. "), col("text"),
+              lit(" BadTerm")))
+          .otherwise(col("text")))
+      dirty.select(col("doc_id"),
+          Curation.blockedTermsMatched(col("t"), c26Terms).as("__h"))
+        .select(col("doc_id"),
+          array_join(col("__h"), ",").as("hits"),
+          size(col("__h")).cast("long").as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id")
     },
 
     // -- c19: C4-style term-blocklist flag — deterministic dirtying
@@ -856,6 +896,32 @@ object CurationQueries {
         rules.map { case (n, ok) => fail(n, ok) }.mkString(",\n") + ",\n" +
         s"  coalesce(sum(CASE WHEN $gopherPassSql THEN 1 ELSE 0 END), 0)" +
         "::BIGINT AS n_pass\nFROM pd"
+    },
+    "c26_aho_blocklist" -> {
+      val termArray = c26Canon.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' BadTerm'
+         |         WHEN doc_id % 7 = 0 THEN 'spam   PHRASE leads. ' || text
+         |         WHEN doc_id % 11 = 0
+         |           THEN 'totally Forbidden\tWords here. ' || text
+         |                || ' BadTerm'
+         |         ELSE text END AS t
+         |  FROM documents
+         |), norm AS (
+         |  SELECT doc_id,
+         |    ' ' || lower(regexp_replace(coalesce(t, ''),
+         |                 '[ \t\n\f\r]+', ' ', 'g')) || ' ' AS nt
+         |  FROM dirty
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_sort(list_filter($termArray,
+         |      x -> strpos(nt, ' ' || x || ' ') > 0)) AS hits
+         |  FROM norm
+         |)
+         |SELECT doc_id, array_to_string(hits, ',') AS hits,
+         |       len(hits)::BIGINT AS n_hits
+         |FROM h WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
     },
     "c19_term_filter" ->
       """WITH dirty AS (
