@@ -108,6 +108,48 @@ object TextQueries {
       .coalesce(1).write.mode("overwrite").parquet(t34Dir)
   }
 
+  private val t41Dir = "/tmp/graft_gate_t41_mojibake"
+
+  /** t41 fixture: hand-computed mojibake pairs (each mangled form
+    * written from the UTF-8 byte sequences and the cp1252/latin-1
+    * tables BY HAND — é=C3 A9→"Ã©", ’=E2 80 99→"â€™", …=E2 80 A6→
+    * "â€¦", 中=E4 B8 AD→"ä¸&shy;", ā=C4 81 hits the cp1252 0x81 hole
+    * so the latin-1 retry must fire), plus the must-NOT-change side:
+    * ASCII, genuine legacy-accented text, and CJK-mixed strings.
+    */
+  private def writeT41Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(java.lang.Long, String, String, java.lang.Boolean)] = Seq(
+      (0L, "cafÃ©", "café", true),
+      (1L, "itâ€™s fine", "it’s fine", true),
+      (2L, "â€œquotedâ€¦",
+        "“quoted…", true),
+      // double mojibake: two rounds peel cafÃƒÂ© → cafÃ© → café
+      (3L, "cafÃƒÂ©", "café", true),
+      // CJK through latin-1 glyphs incl. an invisible soft hyphen
+      // (中=E4 B8 AD → "ä¸<shy>", 文=E6 96 87 → "æ<endash><ddagger>")
+      (4L, "\u00E4\u00B8\u00AD\u00E6\u2013\u2021", "\u4E2D\u6587", true),
+      (5L, "plain ASCII stays", "plain ASCII stays", false),
+      // genuine legacy text: lone 0xE9 bytes are not valid UTF-8
+      (6L, "café naïve légitime",
+        "café naïve légitime", false),
+      // CJK mixed with mojibake: outside both legacy repertoires
+      (7L, "中文 with Ã© mixed",
+        "中文 with Ã© mixed", false),
+      (8L, null, null, false),
+      (9L, "", "", false),
+      (10L, "naÃ¯ve rÃ©sumÃ©",
+        "naïve résumé", true),
+      // Greek through the latin-1 supplement
+      (11L, "Î±Î²Î³",
+        "αβγ", true),
+      // cp1252 hole 0x81: the latin-1 retry path
+      (12L, "l\u00C4\u0081tvian", "l\u0101tvian", true))
+    s.createDataset(rows)
+      .toDF("doc_id", "mangled", "exp_fixed", "exp_changed")
+      .coalesce(1).write.mode("overwrite").parquet(t41Dir)
+  }
+
   private val t21Dir = "/tmp/graft_gate_t21_langid"
 
   private def writeT21Fixture(s: SparkSession): Unit = {
@@ -257,6 +299,22 @@ object TextQueries {
         .select(col("case_id"),
           TextAnalysis.extractMainContent(col("html")).as("main_text"))
         .orderBy("case_id")
+    },
+
+    // -- t41: mojibake repair (the ftfy inversion: re-encode through
+    //    cp1252 with a latin-1 retry, strictly re-decode as UTF-8,
+    //    accept only shrinking repairs, two rounds for double
+    //    mangling). Every fixture pair hand-computed from the UTF-8
+    //    byte sequences and legacy code pages (writeT41Fixture), and
+    //    cross-checked against an independent reimplementation of the
+    //    acceptance rules before landing. --------------------------
+    "t41_mojibake" -> { (s, _) =>
+      writeT41Fixture(s)
+      s.read.parquet(t41Dir)
+        .select(col("doc_id"),
+          graft.ops.Mojibake.fixMojibake(col("mangled")).as("fixed"),
+          graft.ops.Mojibake.mojibakeFlag(col("mangled")).as("changed"))
+        .orderBy("doc_id")
     },
 
     // -- t21: character-trigram language ID over 24 languages (TextCat
@@ -1429,6 +1487,12 @@ object TextQueries {
       s"""SELECT case_id, exp_text AS main_text
          |FROM read_parquet('$t34Dir/*.parquet')
          |ORDER BY case_id""".stripMargin,
+    // Stored expectation: every repair hand-computed byte-by-byte at
+    // the fixture (writeT41Fixture) — m14/t34 pattern.
+    "t41_mojibake" ->
+      s"""SELECT doc_id, exp_fixed AS fixed, exp_changed AS changed
+         |FROM read_parquet('$t41Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     // Independent re-scoring: lowercase, explode codepoint trigram
     // positions, join the raw profile rows, sum weights per (doc,
     // lang), argmax with ties to the smallest code; docs with no
