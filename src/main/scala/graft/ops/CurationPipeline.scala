@@ -13,10 +13,10 @@ import graft.ops.Checkpoints.Truncatable
   * pipeline with observed per-stage metrics, because that is the
   * product the operators exist for:
   *
-  *   read → html extract → language gate → quality gate →
-  *   corpus-wide segment dedup → near-dup vs the persisted signature
-  *   index → benchmark decontamination → mix reweighting → sequence
-  *   packing → sharded export.
+  *   read → html extract → (optional mojibake repair) → language gate
+  *   → quality gate → corpus-wide segment dedup → near-dup vs the
+  *   persisted signature index → benchmark decontamination → mix
+  *   reweighting → sequence packing → sharded export.
   *
   * Materialization strategy (the 100 TB shape): the stream is
   * plan-truncated THREE times — immediately after the row-filter
@@ -68,7 +68,8 @@ object CurationPipeline {
       exportDir: Option[String] = None,
       exportShards: Int = 4,
       exportFormat: String = "jsonl",
-      extractor: String = "regex") {
+      extractor: String = "regex",
+      fixEncoding: Boolean = false) {
     require(langId == "marker" || langId == "trigram",
       s"langId must be 'marker' or 'trigram': $langId")
     require(extractor == "blocks" || extractor == "regex",
@@ -168,10 +169,26 @@ object CurationPipeline {
       if (cfg.extractor == "blocks")
         TextAnalysis.extractMainContent(col(cfg.htmlCol))
       else TextAnalysis.htmlToText(col(cfg.htmlCol))
-    val extracted = consented.select(col(id), col(cfg.sourceCol),
+    val extractedRaw = consented.select(col(id), col(cfg.sourceCol),
       col("__graft_blocked"), col("__graft_robots_ok"),
       when(!col("__graft_blocked") && col("__graft_robots_ok"),
         extractExpr).as("__text"))
+    // optional encoding-repair stage (`cfg.fixEncoding`): mojibake
+    // un-mangles BEFORE language ID — trigram profiles never match
+    // cp1252-mangled byte salad, so a repairable doc would otherwise
+    // die at the language gate. One struct-valued kernel carries
+    // (fixed, changed) so the stage metric costs no second repair
+    // pass; the two field references below collapse into one projection
+    // where codegen subexpression elimination evaluates the kernel once.
+    val extracted =
+      if (cfg.fixEncoding)
+        extractedRaw
+          .withColumn("__enc", Mojibake.repairStruct(col("__text")))
+          .select(col(id), col(cfg.sourceCol), col("__graft_blocked"),
+            col("__graft_robots_ok"),
+            col("__enc.fixed").as("__text"),
+            coalesce(col("__enc.changed"), lit(false)).as("__enc_changed"))
+      else extractedRaw.withColumn("__enc_changed", lit(false))
     val langExpr =
       if (cfg.langId == "trigram") LangId.langIdRouted(col("__text"))
       else TextAnalysis.languageId(col("__text"))
@@ -236,7 +253,9 @@ object CurationPipeline {
         col("__q") >= cfg.minQuality, 1L).otherwise(0L)), lit(0L)).as("n_q"),
       coalesce(sum(when(notBlocked && rOk && tOk && langOk &&
         col("__q") >= cfg.minQuality && gOk, 1L).otherwise(0L)), lit(0L))
-        .as("n_gopher"))
+        .as("n_gopher"),
+      coalesce(sum(when(col("__enc_changed"), 1L).otherwise(0L)), lit(0L))
+        .as("n_enc"))
     val gopherCols =
       if (cfg.gopher)
         RepetitionSignals.signalNames ++ Seq("tok_n", "mean_word_len",
@@ -246,7 +265,8 @@ object CurationPipeline {
     val kept3raw = observed
       .filter(notBlocked && rOk && tOk && langOk &&
         col("__q") >= cfg.minQuality && gOk)
-      .drop("__q", "__graft_blocked", "__graft_robots_ok", "__term_ok")
+      .drop("__q", "__graft_blocked", "__graft_robots_ok", "__term_ok",
+        "__enc_changed")
       .drop(gopherCols: _*)
     // redaction before any digesting: segment digests, signatures and
     // the exported text must all be the REDACTED form
@@ -263,7 +283,7 @@ object CurationPipeline {
     val stageAgg = {
       val m = stageObs.get
       Seq("n_received", "n_in", "n_robots", "n_term", "n_lang", "n_q",
-        "n_gopher").map(k => m(k).asInstanceOf[Long])
+        "n_gopher", "n_enc").map(k => m(k).asInstanceOf[Long])
     }
 
     // corpus-wide segment dedup (C4-style boilerplate kill), then the
@@ -347,6 +367,7 @@ object CurationPipeline {
         "language_kept" -> stageAgg(4),
         "quality_kept" -> stageAgg(5),
         "gopher_kept" -> stageAgg(6),
+        "encoding_fixed" -> stageAgg(7),
         "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
         "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1))) ++
       pplMetric ++

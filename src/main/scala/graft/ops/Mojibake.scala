@@ -86,12 +86,26 @@ object Mojibake {
   def isMojibake(s: String): Boolean =
     s != null && repairOnce(s).isDefined
 
+  /** One-kernel result carrier for pipeline stages that need the fixed
+    * text AND the changed flag without paying a second repair pass.
+    */
+  final case class Repaired(fixed: String, changed: Boolean)
+
   private val repairUdf = udf((s: String) => repair(s))
   private val flagUdf = udf((s: String) => isMojibake(s))
+  private val structUdf = udf((s: String) => {
+    val f = repair(s)
+    Repaired(f, s != null && f != s)
+  })
 
   /** Column form of [[repair]]. */
   def fixMojibake(c: Column): Column = repairUdf(c)
 
   /** Column form of [[isMojibake]]. */
   def mojibakeFlag(c: Column): Column = flagUdf(c)
+
+  /** Struct column `(fixed, changed)` — both facets from ONE kernel
+    * evaluation (the curation pipeline's stage-metric shape).
+    */
+  def repairStruct(c: Column): Column = structUdf(c)
 }

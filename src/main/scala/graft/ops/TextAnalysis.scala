@@ -200,7 +200,7 @@ object TextAnalysis {
     * re-implementation of the sentinel rule): the kernel sentinels
     * anything that JVM-trims to empty or to "nan" case-insensitively —
     * e.g. a lone vertical tab (not in the whitespace split class) or
-    * "nan" — and a literal `element_at(w, -1 + 1)` on any such
+    * "nan\u0001" — and a literal `element_at(w, -1 + 1)` on any such
     * token would throw at runtime on exactly the damaged crawl text
     * this scorer exists to process.
     */
@@ -1294,6 +1294,54 @@ object TextAnalysis {
     (false, "|", " ")) ++ entitySteps ++ cleanupSteps
 
   def markdownToText(md: Column): Column = foldCascade(md, markdownSteps)
+
+  // ------------------------------------------------ sentence segmentation
+
+  /** Sentence-boundary step table — rule-based segmentation in the
+    * Punkt/srx spirit, written as a regex cascade so the Column
+    * implementation and the DuckDB oracle share the SAME steps (the
+    * htmlToText pattern; every pattern is Java-regex ⇄ RE2 compatible —
+    * no lookarounds). Boundary model:
+    *
+    *  1. protect dotted two-letter abbreviations (`e.g.`, `i.e.`,
+    *     `a.m.`, `U.S.` — case-insensitive) by swapping their dots for
+    *     `\u0002`;
+    *  2. protect a closed list of common single-token abbreviations
+    *     (`Dr.`, `vs.`, `etc.`, …);
+    *  3. protect intra-number dots (`3.14`, `v2.1`);
+    *  4. protect single-capital initials before a space (`J. Smith`);
+    *  5. a run of terminators `[.!?…]` plus optional closing
+    *     quotes/brackets followed by horizontal whitespace is a
+    *     boundary (the whitespace is consumed);
+    *  6. newlines are unconditional boundaries;
+    *  7. restore the protected dots.
+    *
+    * The sentinel chars `U+0001` (boundary) and `U+0002` (protected
+    * dot) never survive: 7 restores dots and [[splitSentences]] splits
+    * on the boundary. Text containing literal control chars 1/2 is
+    * out of scope by construction (they are stripped upstream by the
+    * encoding-quality stage).
+    */
+  private[graft] val sentenceSteps: Seq[CascadeStep] = Seq(
+    (true, "(?i)\\b([a-z])\\.([a-z])\\.", "$1\u0002$2\u0002"),
+    (true, "(?i)\\b(mr|mrs|ms|dr|prof|sr|jr|st|vs|etc|fig|no|vol|pp|" +
+      "cf|al|inc|ltd|co|corp|dept|est|approx|ca|resp)\\.", "$1\u0002"),
+    (true, "([0-9])\\.([0-9])", "$1\u0002$2"),
+    (true, "\\b([A-Z])\\. ", "$1\u0002 "),
+    (true, "([.!?…]+[\"'”’)\\]]*)[ \\t]+", "$1\u0001"),
+    (true, "[\\n\\r]+", "\u0001"),
+    (false, "\u0002", "."))
+
+  /** Sentences of `c` as an `array<string>` in document order — the
+    * unit the chunking, decontamination-at-sentence-level and LM
+    * training stages split on. One codegen'd regexp cascade + split
+    * per row, no shuffle, NULL-safe (NULL → empty array).
+    */
+  def splitSentences(c: Column): Column = {
+    val marked = foldCascade(c, sentenceSteps)
+    filter(transform(split(marked, "\u0001"), s => trim(s)),
+      s => s =!= "")
+  }
 
   /** The four robots-meta content extractors (name-first / content-
     * first × quoted / unquoted value), shared verbatim with the t31

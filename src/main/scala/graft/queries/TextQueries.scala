@@ -150,6 +150,67 @@ object TextQueries {
       .coalesce(1).write.mode("overwrite").parquet(t41Dir)
   }
 
+  /** t42 input: corpus text plus an injected trap-rich tail — dotted
+    * abbreviations, initials, decimals, quoted terminators, ellipsis,
+    * a newline paragraph break, and (every 5th doc) an unterminated
+    * trailing fragment. The SAME tail is rebuilt in SQL by
+    * [[duckT42Text]] so both engines segment identical strings.
+    */
+  private val t42Tail = " Dr. Smith met J. Doe at 3.14 after 5 p.m.! " +
+    "“Really?” Yes... e.g. twice.\nNew paragraph here. " +
+    "Approx. 2.5 units (see fig. 3): done."
+  private val t42Frag = " Trailing fragment without terminator"
+
+  private def t42Text: org.apache.spark.sql.Column = concat(
+    col("text"), lit(t42Tail),
+    when(col("doc_id") % 5 === 0, lit(t42Frag)).otherwise(lit("")))
+
+  private def sqlQuote(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  private def duckT42Text: String =
+    s"text || ${sqlQuote(t42Tail)} || " +
+      s"CASE WHEN doc_id % 5 = 0 THEN ${sqlQuote(t42Frag)} ELSE '' END"
+
+  /** DuckDB mirror of [[TextAnalysis.splitSentences]]'s boundary
+    * cascade, GENERATED from the shared step table
+    * ([[TextAnalysis.sentenceSteps]]) — replacement `$N` refs become
+    * RE2 `\N`, the U+0001/U+0002 sentinels become `chr(1)`/`chr(2)` —
+    * so the two engines cannot drift: a step edited on the Spark side
+    * re-emits here.
+    */
+  private def duckSentenceMark(e: String): String = {
+    def repSql(rep: String): String = {
+      val parts = scala.collection.mutable.Buffer[String]()
+      val sb = new StringBuilder
+      def flush(): Unit =
+        if (sb.nonEmpty) {
+          parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear()
+        }
+      var i = 0
+      while (i < rep.length) {
+        val ch = rep(i)
+        if (ch == '$' && i + 1 < rep.length && rep(i + 1).isDigit) {
+          flush(); parts += s"'\\${rep(i + 1)}'"; i += 2
+        } else if (ch == '\u0001') { flush(); parts += "chr(1)"; i += 1 }
+        else if (ch == '\u0002') { flush(); parts += "chr(2)"; i += 1 }
+        else { sb += ch; i += 1 }
+      }
+      flush()
+      if (parts.isEmpty) "''" else parts.mkString(" || ")
+    }
+    TextAnalysis.sentenceSteps.foldLeft(s"coalesce($e, '')") {
+      case (acc, (true, pat, rep)) =>
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', ${repSql(rep)}, 'g')"
+      case (acc, (false, from, to)) =>
+        val f =
+          if (from == "\u0002") "chr(2)"
+          else if (from == "\u0001") "chr(1)"
+          else sqlQuote(from)
+        s"replace($acc, $f, ${sqlQuote(to)})"
+    }
+  }
+
   private val t21Dir = "/tmp/graft_gate_t21_langid"
 
   private def writeT21Fixture(s: SparkSession): Unit = {
@@ -315,6 +376,22 @@ object TextQueries {
           graft.ops.Mojibake.fixMojibake(col("mangled")).as("fixed"),
           graft.ops.Mojibake.mojibakeFlag(col("mangled")).as("changed"))
         .orderBy("doc_id")
+    },
+
+    // -- t42: rule-based sentence segmentation (abbreviation/initial/
+    //    decimal protection, terminator+closer boundaries, newline
+    //    paragraph breaks). The oracle replays the cascade GENERATED
+    //    from the same step table, then splits/trims/filters and
+    //    re-explodes with ordinality — full sentence text under the
+    //    hash. ------------------------------------------------------
+    "t42_sentences" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("t", t42Text)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.splitSentences(col("t")))
+            .as(Seq("sent_idx", "sentence")))
+        .orderBy("doc_id", "sent_idx")
     },
 
     // -- t21: character-trigram language ID over 24 languages (TextCat
@@ -846,7 +923,7 @@ object TextQueries {
     "t16_encoding_quality" -> { (s, d) =>
       val dirty = concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" cafÃ© naÃ¯ve"))
-          .when(col("doc_id") % 6 === 1, lit(" badbyte"))
+          .when(col("doc_id") % 6 === 1, lit(" bad\u0001\u0002byte"))
           .when(col("doc_id") % 6 === 2, lit(" lost��chars"))
           .when(col("doc_id") % 6 === 3, lit(" smartâ€™quote"))
           .otherwise(lit("")))
@@ -1493,6 +1570,23 @@ object TextQueries {
       s"""SELECT doc_id, exp_fixed AS fixed, exp_changed AS changed
          |FROM read_parquet('$t41Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // The boundary cascade below is GENERATED from the Spark step
+    // table (duckSentenceMark) — same steps, same order, RE2 syntax.
+    "t42_sentences" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, $duckT42Text AS t
+         |  FROM documents WHERE doc_id % 7 = 0
+         |), arr AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      string_split(${duckSentenceMark("t")}, chr(1)),
+         |      x -> trim(x)), x -> x <> '') AS l
+         |  FROM src
+         |), ex AS (
+         |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS i, l FROM arr
+         |)
+         |SELECT doc_id, (i - 1)::INT AS sent_idx, l[i] AS sentence
+         |FROM ex ORDER BY doc_id, sent_idx""".stripMargin,
     // Independent re-scoring: lowercase, explode codepoint trigram
     // positions, join the raw profile rows, sum weights per (doc,
     // lang), argmax with ties to the smallest code; docs with no

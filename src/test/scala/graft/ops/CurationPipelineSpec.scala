@@ -457,4 +457,52 @@ class CurationPipelineSpec extends SparkSpec {
       CurationPipeline.Config("doc_id", "html", "source", pplOrder = 4)
     }
   }
+
+  test("encoding-repair stage heals mojibake before the gates, metric counts it") {
+    val mangled = "itâ€™s a cafÃ© document with plenty of ordinary " +
+      "english words and the usual run of common stopwords in it"
+    val healed = Mojibake.repair(mangled)
+    assert(healed.contains("it’s a café"), "fixture sanity")
+    def doc(i: Long, body: String) =
+      (i, "srcA", s"<html><body><p>$body</p></body></html>")
+    // corpusA carries the mangled doc; corpusB the hand-healed twin —
+    // fixEncoding=on over A must land on B's exact content digest
+    val corpusA = Seq(doc(1L, mangled),
+      doc(3L, "a perfectly clean unique document with plenty of " +
+        "ordinary english words and the usual stopwords too"))
+      .toDF("doc_id", "source", "html")
+    val corpusB = Seq(doc(1L, healed),
+      doc(3L, "a perfectly clean unique document with plenty of " +
+        "ordinary english words and the usual stopwords too"))
+      .toDF("doc_id", "source", "html")
+    val seen1 = Seq((900L, "an unrelated seen document about nothing much"))
+      .toDF("doc_id", "text")
+    val probes1 = Seq("nothing relevant to these docs").toDF("text")
+    def go(c: org.apache.spark.sql.DataFrame, fix: Boolean) =
+      CurationPipeline.curate(c,
+        Dedup.buildMinhashIndex(seen1, "doc_id", "text"), probes1, "text",
+        CurationPipeline.Config("doc_id", "html", "source",
+          targetMix = Map("srcA" -> 1), minQuality = 0.0,
+          packCapacity = 200L, fixEncoding = fix))
+    val on = go(corpusA, fix = true)
+    val twin = go(corpusB, fix = false)
+    val off = go(corpusA, fix = false)
+    try {
+      val (mOn, mTwin, mOff) =
+        (on.metrics.toMap, twin.metrics.toMap, off.metrics.toMap)
+      assert(mOn("encoding_fixed") == 1L)
+      assert(mTwin("encoding_fixed") == 0L)
+      assert(mOff("encoding_fixed") == 0L)
+      def shas(c: CurationPipeline.Curated) =
+        c.data.select("doc_id", "content_sha").as[(Long, String)]
+          .collect().toMap
+      val (sOn, sTwin, sOff) = (shas(on), shas(twin), shas(off))
+      // repaired text is byte-identical to the authored-clean twin
+      assert(sOn(1L) == sTwin(1L))
+      // with the stage off, the mangled doc exports mangled
+      assert(sOff(1L) != sTwin(1L))
+      // untouched docs are untouched in every mode
+      assert(sOn(3L) == sTwin(3L) && sOff(3L) == sTwin(3L))
+    } finally { on.release(); twin.release(); off.release() }
+  }
 }
