@@ -154,6 +154,8 @@ object GraftFunctions {
     udf((s: String, n: Int) => TextHash.shingleHashes(s, n))
   private val udfMinhashFromHashes =
     udf((h: Seq[Long], k: Int) => TextHash.minhashFromHashes(h.toArray, k))
+  private val udfMinhashOphFromHashes =
+    udf((h: Seq[Long], k: Int) => TextHash.minhashOphFromHashes(h.toArray, k))
   private val udfWindowHashes =
     udf((s: String, n: Int) => TextHash.windowHashes(s, n))
   private val udfJaccardSorted =
@@ -183,6 +185,10 @@ object GraftFunctions {
     udfWindowHashes(c, lit(windowN))
   def minhashSigFromHashes(h: Column, k: Int): Column =
     udfMinhashFromHashes(h, lit(k))
+
+  /** One-permutation signature — see [[TextHash.minhashOphFromHashes]]. */
+  def minhashSigOphFromHashes(h: Column, k: Int): Column =
+    udfMinhashOphFromHashes(h, lit(k))
   def jaccardSortedSim(a: Column, b: Column): Column = udfJaccardSorted(a, b)
 
   /** Cosine-LSH band keys — see [[VectorOpsUtil.signBandKeys]]. */

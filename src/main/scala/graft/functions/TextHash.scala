@@ -212,6 +212,51 @@ object TextHash {
     sig
   }
 
+  /** One-permutation MinHash signature (Li, Owen & Zhang, NIPS 2012)
+    * with rotation densification (Shrivastava & Li, ICML 2014): ONE
+    * mix per shingle hash instead of k, so the signature pass drops
+    * from O(|shingles|·k) to O(|shingles| + k) — at k = 64 that is the
+    * difference between 64 hash evaluations per shingle and 1, the
+    * whole point at 100 TB where signatures dominate dedup cost.
+    *
+    * Bin = unsigned `mix64(hash)` mod k; each bin keeps its minimum;
+    * an empty bin borrows from the nearest non-empty bin to its RIGHT
+    * (circular), offset by `hops · golden` so two documents that are
+    * both empty at a bin but borrow across different distances cannot
+    * collide accidentally (the ICML 2014 fix for the empty-bin bias).
+    * Identical hash sets yield identical signatures, and
+    * P(sig_a[i] = sig_b[i]) ≈ jaccard, so [[bandKeys]] and the whole
+    * banded-LSH machinery apply unchanged. All-empty input (impossible
+    * with [[shingleHashes]]' sentinel) → all Long.MaxValue, matching
+    * [[minhash]] on empty text.
+    */
+  def minhashOphFromHashes(hashes: Array[Long], k: Int): Array[Long] = {
+    val golden = 0x9e3779b97f4a7c15L
+    val sig = Array.fill(k)(Long.MaxValue)
+    val filled = new Array[Boolean](k)
+    var i = 0
+    while (i < hashes.length) {
+      val h = mix64(hashes(i))
+      val bin = java.lang.Long.remainderUnsigned(h, k.toLong).toInt
+      if (!filled(bin) || h < sig(bin)) { sig(bin) = h; filled(bin) = true }
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (filled(j)) out(j) = sig(j)
+      else {
+        var t = 1
+        while (t < k && !filled((j + t) % k)) t += 1
+        out(j) =
+          if (t >= k) Long.MaxValue
+          else sig((j + t) % k) + t.toLong * golden // wraps; deterministic
+      }
+      j += 1
+    }
+    out
+  }
+
   /** Jaccard from two sorted distinct-hash arrays (merge intersection,
     * O(|a|+|b|), no set allocation). Both-empty → 1.0, matching
     * [[jaccard]] on empty texts (with [[shingleHashes]]' sentinel the

@@ -644,12 +644,20 @@ object Dedup {
     */
   private def candidatesFromSets(sets: DataFrame, idCol: String,
                                  numHashes: Int, bands: Int,
-                                 maxBucket: Int): DataFrame = {
+                                 maxBucket: Int,
+                                 oph: Boolean = false): DataFrame = {
+    // `oph` swaps the k-wise signature kernel (k mixes per shingle)
+    // for one-permutation hashing with rotation densification (one mix
+    // per shingle) — same banding, same exact verify downstream, ~k×
+    // less signature compute. Candidate SETS differ slightly between
+    // the kernels; the verified pair set does not (the verify is
+    // exact), which is what the d3/d20 gates pin.
+    val sig =
+      if (oph) F.minhashSigOphFromHashes(col("__sh"), numHashes)
+      else F.minhashSigFromHashes(col("__sh"), numHashes)
     val banded = sets
       .select(col(idCol),
-        posexplode(F.minhashBands(
-          F.minhashSigFromHashes(col("__sh"), numHashes), bands))
-          .as(Seq("__band", "__key")))
+        posexplode(F.minhashBands(sig, bands)).as(Seq("__band", "__key")))
       .persist()
     try cappedPairs(banded, idCol, maxBucket)
     finally banded.unpersist()
@@ -666,9 +674,10 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 32,
-                        shingle: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                        shingle: Int = 3, maxBucket: Int = 10000,
+                        oph: Boolean = false): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingle).persist()
-    try candidatesFromSets(sets, idCol, numHashes, bands, maxBucket)
+    try candidatesFromSets(sets, idCol, numHashes, bands, maxBucket, oph)
     finally sets.unpersist()
   }
 
@@ -681,10 +690,11 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, numHashes: Int = 64,
                      bands: Int = 32, shingle: Int = 3,
-                     maxBucket: Int = 10000): DataFrame = {
+                     maxBucket: Int = 10000, oph: Boolean = false): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingle).persist()
     try {
-      val pairs = candidatesFromSets(sets, idCol, numHashes, bands, maxBucket)
+      val pairs =
+        candidatesFromSets(sets, idCol, numHashes, bands, maxBucket, oph)
       val verified = pairs
         .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sa")), "id_a")
         .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sb")), "id_b")

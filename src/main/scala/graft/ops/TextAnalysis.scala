@@ -1343,6 +1343,69 @@ object TextAnalysis {
       s => s =!= "")
   }
 
+  /** Greedy sentence packing: consecutive sentences fill a chunk until
+    * the NEXT sentence would push its whitespace-token sum past
+    * `maxTokens`; a single over-long sentence becomes its own chunk
+    * (never split mid-sentence — the retrieval/window property
+    * [[chunkDocuments]]' fixed token windows cannot give). Returns
+    * `(chunk_idx, chunk_text, n_chunk_tokens)` structs in order.
+    */
+  private def packSentencesKernel(sents: Seq[String],
+                                  maxTokens: Int): Seq[(Int, String, Int)] = {
+    if (sents == null || sents.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.Buffer[(Int, String, Int)]()
+    val cur = new StringBuilder
+    var curTok = 0
+    // explicit RE2-\s class (NOT Character.isWhitespace: that includes
+    // U+000B and the Unicode space family, which RE2's \S+ — the
+    // oracle's tokenizer — does not treat as separators)
+    def isWs(ch: Char): Boolean =
+      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\f' || ch == '\r'
+    def nTok(s: String): Int = {
+      var n = 0
+      var inTok = false
+      var i = 0
+      while (i < s.length) {
+        val ws = isWs(s.charAt(i))
+        if (!ws && !inTok) n += 1
+        inTok = !ws
+        i += 1
+      }
+      n
+    }
+    def flush(): Unit = if (curTok > 0) {
+      out += ((out.length, cur.toString, curTok)); cur.clear(); curTok = 0
+    }
+    for (s <- sents) {
+      val n = nTok(s)
+      if (curTok > 0 && curTok + n > maxTokens) flush()
+      if (curTok > 0) cur.append(' ')
+      cur.append(s)
+      curTok += n
+    }
+    flush()
+    out.toSeq
+  }
+
+  private val packSentencesUdf =
+    udf((sents: Seq[String], cap: Int) => packSentencesKernel(sents, cap))
+
+  /** Sentence-aware chunking: `(idCol, chunk_idx, chunk_text,
+    * n_chunk_tokens)` — [[splitSentences]] then greedy packing, one
+    * per-row kernel + explode, no shuffle. The chunking mode a RAG /
+    * eval-harness pipeline wants when fixed token windows would cut
+    * sentences in half.
+    */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+                       maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    df.select(col(idCol),
+        explode(packSentencesUdf(splitSentences(col(textCol)),
+          lit(maxTokens))).as("__c"))
+      .select(col(idCol), col("__c._1").as("chunk_idx"),
+        col("__c._2").as("chunk_text"), col("__c._3").as("n_chunk_tokens"))
+  }
+
   /** The four robots-meta content extractors (name-first / content-
     * first × quoted / unquoted value), shared verbatim with the t31
     * oracle so the two sides cannot drift. Construction rules:

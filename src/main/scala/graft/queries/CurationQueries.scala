@@ -421,6 +421,20 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // -- c27: SURT-form URL keys (the wayback-CDX canonical key) —
+    //    reversed comma-joined host (www-prefix stripped), canonical
+    //    port/path/query, scheme dropped. Full keys under the hash;
+    //    the oracle re-derives every key from the c10 parsing CTEs
+    //    plus list_reverse. --------------------------------------------
+    "c27_surt" -> { (s, d) =>
+      import graft.ops.UrlOps
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .withColumn("url", c10Url)
+        .select(col("doc_id"), UrlOps.surt(col("url")).as("surt"))
+        .orderBy("doc_id")
+    },
+
     // -- c15: domain-blocklist filter (UT1-style) — a row is dropped
     //    when its host or ANY dotted suffix of it is listed: a
     //    registrable-domain entry blocks all subdomains, a bare-TLD
@@ -1260,6 +1274,42 @@ object CurationQueries {
          |GROUP BY host ORDER BY host""".stripMargin
     },
 
+    "c27_surt" -> {
+      val pat = "'\\A([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?\\z'"
+      s"""WITH u0 AS (
+         |  SELECT doc_id, trim($c10UrlSql) AS u
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), p AS (
+         |  SELECT doc_id, u,
+         |    lower(regexp_extract(u, $pat, 1)) AS scheme,
+         |    regexp_extract(u, $pat, 2) AS auth,
+         |    regexp_extract(u, $pat, 3) AS path0,
+         |    regexp_extract(u, $pat, 4) AS query0
+         |  FROM u0
+         |), hp AS (
+         |  SELECT *,
+         |    lower(regexp_replace(regexp_replace(auth, '\\A.*@', ''),
+         |      ':[0-9]*\\z', '')) AS host,
+         |    regexp_extract(regexp_replace(auth, '\\A.*@', ''),
+         |      ':([0-9]+)\\z', 1) AS port
+         |  FROM p
+         |), q AS (
+         |  SELECT *, array_to_string(list_sort(list_filter(
+         |    string_split(regexp_replace(query0, '\\A\\?', ''), '&'),
+         |    x -> x <> '')), '&') AS sq
+         |  FROM hp
+         |)
+         |SELECT doc_id,
+         |  array_to_string(list_reverse(string_split(
+         |    regexp_replace(host, '\\Awww[0-9]*\\.', ''), '.')), ',') ||
+         |  CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+         |         OR (scheme = 'https' AND port = '443'))
+         |       THEN ':' || port ELSE '' END ||
+         |  ')' ||
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+         |  CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS surt
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
     "c10_url_canon" -> {
       val suffixes = graft.ops.UrlOps.defaultMultiPartSuffixes
         .map(s => s"'$s'").mkString("[", ", ", "]")

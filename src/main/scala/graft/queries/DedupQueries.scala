@@ -226,6 +226,20 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // -- One-permutation MinHash (OPH + rotation densification): the
+    //    k×-cheaper signature kernel must land on the SAME verified
+    //    pair set as d3 — candidates may differ, the exact-jaccard
+    //    verify makes the output kernel-independent, and the oracle is
+    //    the same full-scan jaccard truth both d3 and d5 answer to. --
+    "d20_minhash_oph" -> { (s, d) =>
+      snapshot(graft.ops.Dedup
+        .nearDuplicates(corpusNear(s, d), "doc_id", "text",
+          threshold = 0.8, numHashes = 64, bands = 32, shingle = 3,
+          oph = true))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
     // -- SimHash near-dup: 60-bit sha-256-based simhash, pairs within
     //    hamming ≤ 6 (band the 60 bits into 4×15-bit keys: hamming≤3
     //    guarantees one identical band; ≤6 is found when any band
@@ -598,6 +612,7 @@ object DedupQueries {
     // Shared by d3 (LSH-banded) and d5 (inverted-index): both engines'
     // mechanisms must land on this same full-scan truth.
     "d3_minhash_lsh" -> fullScanJaccardSql,
+    "d20_minhash_oph" -> fullScanJaccardSql,
     "d5_ngram_jaccard" -> fullScanJaccardSql,
     // Oracle replicates the greedy rule exactly: a doc is dropped iff it
     // has a jaccard>=0.8 neighbor with a smaller id.

@@ -211,6 +211,58 @@ object TextQueries {
     }
   }
 
+  private val t43Dir = "/tmp/graft_gate_t43_nfkc"
+
+  /** t43 fixture: every expected string hand-derived from the
+    * published UCD decomposition tables (UnicodeData.txt), never from
+    * the function under test — canonical singletons (U+212B ANGSTROM →
+    * U+00C5, U+2126 OHM → U+03A9), combining-mark composition (e +
+    * U+0301 → U+00E9, conjoining jamo U+1100 U+1161 → U+AC00), and the
+    * compatibility folds (<compat>/<circle>/<super>/<square>/<noBreak>
+    * /<fraction>/<narrow>): ﬁ/ﬃ ligatures, circled digits,
+    * superscripts, full-width forms, ㎞, NBSP, µ → μ, ½ → 1⁄2,
+    * half-width katakana + voicing composition ﾊﾟﾝ → パン, Roman
+    * numerals. NFC must fold ONLY the canonical axis; NFKC both.
+    */
+  private def writeT43Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(java.lang.Long, String, String, String)] = Seq(
+      // e + COMBINING ACUTE ACCENT composes canonically to U+00E9
+      (0L, "e\u0301clair", "\u00E9clair", "\u00E9clair"),
+      // LATIN SMALL LIGATURE FI / FFI: compatibility-only folds
+      (1L, "\uFB01ne \uFB03x", "\uFB01ne \uFB03x", "fine ffix"),
+      // ANGSTROM SIGN: canonical SINGLETON to U+00C5
+      (2L, "\u212Bngstr\u00F6m", "\u00C5ngstr\u00F6m", "\u00C5ngstr\u00F6m"),
+      // circled digits <circle>, superscript two <super>
+      (3L, "\u2460\u2461 \u00B2", "\u2460\u2461 \u00B2", "12 2"),
+      // full-width forms <wide>
+      (4L, "\uFF21\uFF22\uFF11\uFF12", "\uFF21\uFF22\uFF11\uFF12", "AB12"),
+      // SQUARE KM <square>
+      (5L, "\u339E to go", "\u339E to go", "km to go"),
+      // NO-BREAK SPACE <noBreak>
+      (6L, "5\u00A0km", "5\u00A0km", "5 km"),
+      // MICRO SIGN <compat> to GREEK SMALL LETTER MU
+      (7L, "\u00B5m", "\u00B5m", "\u03BCm"),
+      // conjoining jamo L+V compose canonically to the Hangul syllable
+      (8L, "\u1100\u1161", "\uAC00", "\uAC00"),
+      // OHM SIGN: canonical singleton to GREEK CAPITAL OMEGA
+      (9L, "\u2126 resistance", "\u03A9 resistance", "\u03A9 resistance"),
+      // half-width katakana <narrow>: HA + semi-voiced mark compose to
+      // PA (U+30D1), N becomes U+30F3 -- NFC leaves half-width alone
+      (10L, "\uFF8A\uFF9F\uFF9D", "\uFF8A\uFF9F\uFF9D", "\u30D1\u30F3"),
+      (11L, "plain ascii 123", "plain ascii 123", "plain ascii 123"),
+      (12L, null, null, null),
+      // VULGAR FRACTION ONE HALF <fraction>: 1 + FRACTION SLASH + 2
+      (13L, "\u00BD cup", "\u00BD cup", "1\u20442 cup"),
+      // A + COMBINING RING ABOVE composes canonically to U+00C5
+      (14L, "A\u030A", "\u00C5", "\u00C5"),
+      // ROMAN NUMERAL THREE / FOUR <compat>
+      (15L, "\u2162\u2163", "\u2162\u2163", "IIIIV"))
+    s.createDataset(rows)
+      .toDF("case_id", "raw", "exp_nfc", "exp_nfkc")
+      .coalesce(1).write.mode("overwrite").parquet(t43Dir)
+  }
+
   private val t21Dir = "/tmp/graft_gate_t21_langid"
 
   private def writeT21Fixture(s: SparkSession): Unit = {
@@ -378,6 +430,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t43: Unicode normalization (UAX #15) — NFC folds only the
+    //    canonical axis (combining marks, singletons, jamo), NFKC adds
+    //    the compatibility folds. Every expectation hand-derived from
+    //    the published UCD decomposition tables (writeT43Fixture). ---
+    "t43_nfkc" -> { (s, _) =>
+      writeT43Fixture(s)
+      s.read.parquet(t43Dir)
+        .select(col("case_id"),
+          graft.ops.UnicodeNorm.nfc(col("raw")).as("nfc"),
+          graft.ops.UnicodeNorm.nfkc(col("raw")).as("nfkc"))
+        .orderBy("case_id")
+    },
+
     // -- t42: rule-based sentence segmentation (abbreviation/initial/
     //    decimal protection, terminator+closer boundaries, newline
     //    paragraph breaks). The oracle replays the cascade GENERATED
@@ -392,6 +457,20 @@ object TextQueries {
           posexplode(TextAnalysis.splitSentences(col("t")))
             .as(Seq("sent_idx", "sentence")))
         .orderBy("doc_id", "sent_idx")
+    },
+
+    // -- t44: sentence-aware chunking — greedy packing of consecutive
+    //    sentences into ≤cap-token chunks (over-long sentences become
+    //    their own chunk). Chunk text AND token sums under the hash;
+    //    the oracle re-derives the greedy walk with a recursive CTE
+    //    over the t42 cascade's sentences. -----------------------------
+    "t44_sentence_chunks" -> { (s, d) =>
+      TextAnalysis.chunkBySentences(
+          Tables.documents(s, d)
+            .filter(col("doc_id") % 7 === 0)
+            .withColumn("t", t42Text),
+          "doc_id", "t", maxTokens = 24)
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // -- t21: character-trigram language ID over 24 languages (TextCat
@@ -1570,6 +1649,47 @@ object TextQueries {
       s"""SELECT doc_id, exp_fixed AS fixed, exp_changed AS changed
          |FROM read_parquet('$t41Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // Stored expectation: every normalization hand-derived from the
+    // UCD decomposition tables at the fixture — m14/t34/t41 pattern.
+    "t43_nfkc" ->
+      s"""SELECT case_id, exp_nfc AS nfc, exp_nfkc AS nfkc
+         |FROM read_parquet('$t43Dir/*.parquet')
+         |ORDER BY case_id""".stripMargin,
+    // Greedy walk re-derived sentence-by-sentence: a recursive CTE
+    // carries (chunk_idx, running token count) down each doc's
+    // sentence list with the same flush rule as the kernel.
+    "t44_sentence_chunks" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, $duckT42Text AS t
+         |  FROM documents WHERE doc_id % 7 = 0
+         |), arr AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      string_split(${duckSentenceMark("t")}, chr(1)),
+         |      x -> trim(x)), x -> x <> '') AS l
+         |  FROM src
+         |), sentidx AS (
+         |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS i, l FROM arr
+         |), sent AS (
+         |  SELECT doc_id, i, l[i] AS s FROM sentidx
+         |), toks AS (
+         |  SELECT doc_id, i, s, len(regexp_extract_all(s, '\\S+')) AS n
+         |  FROM sent
+         |), walk AS (
+         |  SELECT doc_id, i, s, n, 0 AS chunk_idx, n AS cur
+         |  FROM toks WHERE i = 1
+         |  UNION ALL
+         |  SELECT t.doc_id, t.i, t.s, t.n,
+         |    CASE WHEN w.cur + t.n > 24 THEN w.chunk_idx + 1
+         |         ELSE w.chunk_idx END,
+         |    CASE WHEN w.cur + t.n > 24 THEN t.n ELSE w.cur + t.n END
+         |  FROM toks t JOIN walk w ON t.doc_id = w.doc_id AND t.i = w.i + 1
+         |)
+         |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+         |  string_agg(s, ' ' ORDER BY i) AS chunk_text,
+         |  sum(n)::INT AS n_chunk_tokens
+         |FROM walk GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // The boundary cascade below is GENERATED from the Spark step
     // table (duckSentenceMark) — same steps, same order, RE2 syntax.
     "t42_sentences" ->

@@ -62,4 +62,30 @@ class SentenceSplitSpec extends SparkSpec {
     assert(seg("Two here. And this one ends too!") ==
       Seq("Two here.", "And this one ends too!"))
   }
+
+  test("chunkBySentences: greedy fill, over-long sentence isolated") {
+    // sentences of 4 / 3 / 2 / 9 / 1 tokens, cap 7:
+    //   chunk 0 = s1+s2 (7), chunk 1 = s3 (2: s4 would overflow),
+    //   chunk 2 = s4 alone (9 > cap, never split), chunk 3 = s5
+    val doc = "one two three four. five six seven. eight nine. " +
+      "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen. End"
+    val out = TextAnalysis.chunkBySentences(
+        Seq((1L, doc)).toDF("doc_id", "t"), "doc_id", "t", maxTokens = 7)
+      .orderBy("chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "one two three four. five six seven.", 7),
+      (1L, 1, "eight nine.", 2),
+      (1L, 2, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen.", 9),
+      (1L, 3, "End", 1)))
+    // empty / null docs yield no chunks; cap must be positive
+    val none = TextAnalysis.chunkBySentences(
+      Seq((1L, ""), (2L, null: String)).toDF("doc_id", "t"),
+      "doc_id", "t", maxTokens = 5)
+    assert(none.count() == 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkBySentences(
+        Seq((1L, "x")).toDF("doc_id", "t"), "doc_id", "t", 0)
+    }
+  }
 }

@@ -87,4 +87,29 @@ class UrlOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L))
   }
+
+  test("surt: reversed host key, www strip, canonical port/query") {
+    val got = Seq(
+      "HTTP://WWW.Example.COM:80/path/a?b=2&a=1#frag",
+      "https://news.bbc.co.uk/sport",
+      "http://www2.Site.ORG:8080/x",
+      "https://single/",
+      "not a url",
+      null: String)
+      .toDF("u").select(UrlOps.surt(col("u"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "com,example)/path/a?a=1&b=2",
+      "uk,co,bbc,news)/sport",
+      "org,site:8080)/x",
+      "single)/",
+      null,
+      null))
+    // the key clusters a domain's hosts adjacently under a plain sort
+    val keys = Seq("http://a.example.com/1", "http://other.net/x",
+      "http://b.example.com/2", "http://example.com/0")
+      .toDF("u").select(UrlOps.surt(col("u")).as("k"))
+      .as[String].collect().toSeq.sorted
+    assert(keys.count(_.startsWith("com,example")) == 3)
+    assert(keys.slice(0, 3).forall(_.startsWith("com,example")))
+  }
 }
