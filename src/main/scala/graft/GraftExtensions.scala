@@ -23,6 +23,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   dedup_lines(text)                   → string (C4 within-doc line rule)
   *   html_to_text(html)                  → string (markup → visible text)
   *   markdown_to_text(md)                → string (markdown → plain text)
+  *   split_sentences(text)               → array  (rule-based sentences)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -42,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.htmlToText)
     ext.injectFunction(GraftExtensions.markdownToText)
     ext.injectFunction(GraftExtensions.dominantScript)
+    ext.injectFunction(GraftExtensions.splitSentences)
     ext.injectFunction(GraftExtensions.heavyHitters)
     ext.injectFunction(GraftExtensions.kllQuantiles)
     ext.injectFunction(GraftExtensions.kmvSketch)
@@ -220,6 +222,40 @@ object GraftExtensions {
           Literal(1))
       case _ => throw new IllegalArgumentException(
         "dedup_lines expects exactly 1 argument")
+    })
+
+  /** `split_sentences(text)` — the rule-based sentence segmenter on
+    * the SQL surface, built from the SAME step table as the Column API
+    * ([[graft.ops.TextAnalysis.sentenceSteps]]): the boundary cascade
+    * folds into `RegExpReplace`/`StringReplace` nodes, then split on
+    * the U+0001 sentinel, per-element trim, drop empties — identical
+    * output to `TextAnalysis.splitSentences`, row for row.
+    */
+  val splitSentences: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("split_sentences"),
+    info(classOf[ArrayFilter].getName, "split_sentences",
+      "split_sentences(text) - sentences of the text in order " +
+        "(abbreviation/initial/decimal-aware boundaries, newlines " +
+        "always split); NULL-safe (NULL -> empty array)."),
+    (args: Seq[Expression]) => args match {
+      case Seq(t0) =>
+        val marked = graft.ops.TextAnalysis.sentenceSteps
+          .foldLeft[Expression](
+            Coalesce(Seq(Cast(t0, StringType), Literal("")))) {
+            case (acc, (true, pat, rep)) =>
+              RegExpReplace(acc, Literal(pat), Literal(rep))
+            case (acc, (false, from, to)) =>
+              StringReplace(acc, Literal(from), Literal(to))
+          }
+        val parts = StringSplit(marked, Literal("\u0001"), Literal(-1))
+        val x = NamedLambdaVariable("x", StringType, nullable = true)
+        val trimmed = ArrayTransform(parts,
+          LambdaFunction(StringTrim(x), Seq(x)))
+        val y = NamedLambdaVariable("y", StringType, nullable = true)
+        ArrayFilter(trimmed,
+          LambdaFunction(GreaterThan(Length(y), Literal(0)), Seq(y)))
+      case _ => throw new IllegalArgumentException(
+        "split_sentences expects exactly 1 argument")
     })
 
   /** `html_to_text(html)` / `markdown_to_text(md)` — the extraction
@@ -445,7 +481,8 @@ object GraftExtensions {
     val registry = spark.sessionState.functionRegistry
     Seq(labelHashBucket, cosineSim, dotProduct, zorder2, boundedTopK,
       normalizeText, cardCount, redactCards, dedupLines,
-      htmlToText, markdownToText, dominantScript, heavyHitters,
+      htmlToText, markdownToText, dominantScript, splitSentences,
+      heavyHitters,
       kllQuantiles, kmvSketch, kmvMerge, kmvEstimate, kmvUnionEstimate,
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate).foreach {

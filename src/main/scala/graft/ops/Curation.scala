@@ -1051,6 +1051,36 @@ object Curation {
       "n_ipv4" -> size(regexp_extract_all(noPhone, lit(ipv4Pattern), lit(0))).cast("long"))
   }
 
+  /** PII match AUDIT — the attribute-extraction mode (every matched
+    * email/phone/IPv4 string itself, exploded to one row per match,
+    * multiplicity preserved in document order) a pipeline logs and
+    * reviews BEFORE committing to destructive redaction: `(idCol,
+    * kind, match, match_idx)`. The same masking order as [[redactPii]]
+    * (emails first, phones over the email-masked text, IPs over both)
+    * so a phone-shaped substring inside an email is attributed to the
+    * email, exactly as redaction would consume it. Pure
+    * regexp_extract_all + posexplode on one scan — no shuffle, no UDF.
+    */
+  def piiMatches(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val noEmail = regexp_replace(c, emailPattern, "[EMAIL]")
+    val noPhone = regexp_replace(noEmail, phonePattern, "[PHONE]")
+    // all three kinds packed into one struct array on ONE projection,
+    // then exploded — a per-kind union would re-scan the source thrice
+    val packed = array(
+      struct(lit("email").as("kind"),
+        regexp_extract_all(c, lit(emailPattern), lit(0)).as("ms")),
+      struct(lit("phone").as("kind"),
+        regexp_extract_all(noEmail, lit(phonePattern), lit(0)).as("ms")),
+      struct(lit("ipv4").as("kind"),
+        regexp_extract_all(noPhone, lit(ipv4Pattern), lit(0)).as("ms")))
+    df.select(col(idCol), explode(packed).as("__g"))
+      .select(col(idCol), col("__g.kind").as("kind"),
+        posexplode(col("__g.ms")).as(Seq("match_idx", "match")))
+      .select(col(idCol), col("kind"), col("match"),
+        col("match_idx").cast("int").as("match_idx"))
+  }
+
   /** Redact Luhn-valid payment-card numbers to `[CARD]`. Unlike the
     * [[redactPii]] kinds this is NOT a bare regexp_replace: any
     * 16-digit run (order ids, tracking numbers) matches the card

@@ -597,6 +597,18 @@ object CurationQueries {
     },
 
     // -- c3: PII detection counts + redaction length delta -------------
+    // -- c28: PII match AUDIT — every matched email/phone/IPv4 string
+    //    exploded to a row (the attribute log reviewed before the c3
+    //    redaction commits). Matched text itself is under the hash;
+    //    the oracle replays regexp_extract_all over the same masked
+    //    chain and unnests with ordinality. -----------------------------
+    "c28_pii_matches" -> { (s, d) =>
+      Curation.piiMatches(
+          Tables.documents(s, d).withColumn("dirty", dirtied),
+          "doc_id", "dirty")
+        .orderBy("doc_id", "kind", "match_idx")
+    },
+
     "c3_pii_redaction" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("dirty", dirtied)
       val withCounts = Curation.piiCounts(col("dirty"))
@@ -1520,6 +1532,36 @@ object CurationQueries {
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    "c28_pii_matches" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}"
+      s"""WITH d AS (
+         |  SELECT doc_id, $dirtiedSql AS dirty FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    regexp_replace(dirty, '$email', '[EMAIL]', 'g') AS no_email,
+         |    regexp_extract_all(dirty, '$email') AS em
+         |  FROM d
+         |), m2 AS (
+         |  SELECT doc_id, em,
+         |    regexp_extract_all(no_email, '$phone') AS ph,
+         |    regexp_replace(no_email, '$phone', '[PHONE]', 'g') AS no_phone
+         |  FROM m
+         |), m3 AS (
+         |  SELECT doc_id, em, ph,
+         |    regexp_extract_all(no_phone, '$ipv4') AS ip
+         |  FROM m2
+         |), k AS (
+         |  SELECT doc_id, 'email' AS kind, em AS ms FROM m3
+         |  UNION ALL SELECT doc_id, 'phone', ph FROM m3
+         |  UNION ALL SELECT doc_id, 'ipv4', ip FROM m3
+         |), idx AS (
+         |  SELECT doc_id, kind, unnest(range(1, len(ms) + 1)) AS i, ms FROM k
+         |)
+         |SELECT doc_id, kind, ms[i] AS "match", (i - 1)::INT AS match_idx
+         |FROM idx ORDER BY doc_id, kind, match_idx""".stripMargin
+    },
     "c3_pii_redaction" -> {
       val email ="[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -115,6 +115,29 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT dominant_script('a','b')").collect())
   }
 
+  test("split_sentences reachable from SQL, matches the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      "Dr. Smith met J. Doe at 3.14 after 5 p.m.! “Really?” Yes.",
+      "one line\nno terminator",
+      "", null.asInstanceOf[String]).toDF("t")
+    rows.createOrReplaceTempView("ss_in")
+    val viaSql = spark.sql("SELECT split_sentences(t) AS s FROM ss_in")
+      .as[Seq[String]].collect().toSeq
+    val viaCol = rows.select(
+      graft.ops.TextAnalysis.splitSentences(
+        org.apache.spark.sql.functions.col("t")).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.head == Seq(
+      "Dr. Smith met J. Doe at 3.14 after 5 p.m.!",
+      "“Really?”", "Yes."))
+    assert(viaSql(1) == Seq("one line", "no terminator"))
+    assert(viaSql(2) == Seq.empty && viaSql(3) == Seq.empty)
+    intercept[Exception](spark.sql("SELECT split_sentences('a','b')").collect())
+  }
+
   test("kll_quantiles reachable from SQL, matches the Column API") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -1017,4 +1017,28 @@ class CurationSpec extends SparkSpec {
     val full = base.map(t => t._1 -> t._2).toMap
     assert(subset.forall { case (id, sh) => full(id) == sh })
   }
+
+  test("piiMatches: audit rows in order, masking chain attribution") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.com then c@d.org and ping 10.0.0.1"),
+      (2L, "call +1-555-0100-123 twice: +1-555-0100-123"),
+      (3L, "clean text, nothing to find"),
+      (4L, null: String)).toDF("id", "t")
+    val got = Curation.piiMatches(docs, "id", "t")
+      .as[(Long, String, String, Int)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, "email", "a@b.com", 0),
+      (1L, "email", "c@d.org", 1),
+      (1L, "ipv4", "10.0.0.1", 0),
+      (2L, "phone", "+1-555-0100-123", 0),
+      (2L, "phone", "+1-555-0100-123", 1)))
+    // a phone-shaped digit run inside an email is consumed by the
+    // email mask first — attributed exactly as redactPii would act
+    val tricky = Seq((9L, "x +1-555-0100-123@sub.example.com y"))
+      .toDF("id", "t")
+    val kinds = Curation.piiMatches(tricky, "id", "t")
+      .select("kind").as[String].collect().toSeq
+    assert(kinds == Seq("email"))
+  }
 }
