@@ -57,18 +57,30 @@ object RobotsTxt {
     }
   }
 
-  /** Rules of the group that applies to `userAgent`. */
-  private[ops] def rulesFor(robots: String, userAgent: String): Seq[Rule] = {
-    if (robots == null) return Nil
-    val ua = userAgent.toLowerCase
-    // groups: (agent tokens, rules)
-    var groups = List.empty[(List[String], List[Rule])]
+  /** One parsed group: agent tokens, rules, and the group's
+    * `Crawl-delay` (a de-facto extension most crawlers honor; not in
+    * RFC 9309 but group-scoped like Allow/Disallow in every published
+    * implementation).
+    */
+  private[ops] final case class Group(agents: List[String],
+                                      rules: List[Rule],
+                                      delay: Option[Double])
+
+  /** All groups plus the file-global `Sitemap:` values (per the
+    * sitemaps.org protocol, Sitemap lines are NOT group-scoped — they
+    * apply to the whole file wherever they appear).
+    */
+  private[ops] def parseGroups(robots: String): (List[Group], List[String]) = {
+    if (robots == null) return (Nil, Nil)
+    var groups = List.empty[Group]
     var agents = List.empty[String]
     var rules = List.empty[Rule]
+    var delay: Option[Double] = None
+    var sitemaps = List.empty[String]
     var inAgents = true
     def flush(): Unit = {
-      if (agents.nonEmpty) groups ::= ((agents.reverse, rules.reverse))
-      agents = Nil; rules = Nil
+      if (agents.nonEmpty) groups ::= Group(agents.reverse, rules.reverse, delay)
+      agents = Nil; rules = Nil; delay = None
     }
     robots.split("\n", -1).foreach { raw =>
       val line = {
@@ -86,26 +98,53 @@ object RobotsTxt {
           case "allow" | "disallow" =>
             inAgents = false
             rules ::= Rule(field == "allow", value)
-          case _ => // sitemap, crawl-delay, unknown: ignored
+          case "crawl-delay" =>
+            inAgents = false
+            delay = try Some(value.toDouble).filter(d => d >= 0 && d.isFinite)
+            catch { case _: NumberFormatException => None }
+          case "sitemap" =>
+            // global, and does NOT end an agent run (it may legally sit
+            // between User-agent lines of one group)
+            if (value.nonEmpty) sitemaps ::= value
+          case _ => // unknown fields: ignored
         }
       }
     }
     flush()
-    val all = groups.reverse
-    // most specific agent group: longest token contained in ua
-    val specific = all
-      .flatMap { case (as, rs) =>
-        as.filter(a => a != "*" && a.nonEmpty && ua.contains(a))
-          .map(a => (a.length, rs))
-      }
-    // merge every group carrying the winning token (RFC: groups with
-    // the same agent combine), and likewise all '*' groups
+    (groups.reverse, sitemaps.reverse)
+  }
+
+  /** Groups applicable to `userAgent`: every group carrying the most
+    * specific matching token (longest contained in ua), else the `*`
+    * groups (RFC: same-agent groups combine).
+    */
+  private def applicableGroups(robots: String,
+                               userAgent: String): List[Group] = {
+    val (all, _) = parseGroups(robots)
+    val ua = userAgent.toLowerCase
+    val specific = all.flatMap { g =>
+      g.agents.filter(a => a != "*" && a.nonEmpty && ua.contains(a))
+        .map(a => (a.length, g))
+    }
     if (specific.nonEmpty) {
       val best = specific.map(_._1).max
-      specific.collect { case (l, rs) if l == best => rs }.flatten
-    } else
-      all.collect { case (as, rs) if as.contains("*") => rs }.flatten
+      specific.collect { case (l, g) if l == best => g }
+    } else all.filter(_.agents.contains("*"))
   }
+
+  /** Rules of the group that applies to `userAgent`. */
+  private[ops] def rulesFor(robots: String, userAgent: String): Seq[Rule] =
+    applicableGroups(robots, userAgent).flatMap(_.rules)
+
+  /** The applicable group's `Crawl-delay` in seconds (first declared
+    * wins across merged same-agent groups); None when absent/invalid —
+    * the crawler's politeness default applies.
+    */
+  def crawlDelayOf(robots: String, userAgent: String): Option[Double] =
+    applicableGroups(robots, userAgent).flatMap(_.delay).headOption
+
+  /** All `Sitemap:` URLs of the file, in order (file-global). */
+  def sitemapsOf(robots: String): Seq[String] = parseGroups(robots)._2
 
   /** Does `pattern` (with `*` wildcards, optional trailing `$`) match
     * the path from its start? Greedy segment scan — `*` never needs
@@ -214,4 +253,18 @@ object RobotsTxt {
       robotsBodyCol, userAgent, flagCol = "__graft_robots_ok_tmp")
       .filter(col("__graft_robots_ok_tmp"))
       .drop("__graft_robots_ok_tmp")
+
+  private val crawlDelayUdf = udf((robots: String, ua: String) =>
+    crawlDelayOf(robots, ua).map(Double.box).orNull)
+  private val sitemapsUdf = udf((robots: String) => sitemapsOf(robots))
+
+  /** `Crawl-delay` seconds of the applicable group as a nullable
+    * double column — the per-host politeness budget a frontier
+    * scheduler joins onto its queue.
+    */
+  def crawlDelaySecs(robotsCol: Column, userAgent: String): Column =
+    crawlDelayUdf(robotsCol, lit(userAgent))
+
+  /** `Sitemap:` URLs of the file as an array column (file-global). */
+  def sitemapList(robotsCol: Column): Column = sitemapsUdf(robotsCol)
 }

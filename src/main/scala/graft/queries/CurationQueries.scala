@@ -209,6 +209,21 @@ object CurationQueries {
     //    Fixture verdicts hand-derived from the RFC's own rules (see
     //    writeC24Fixture); kernel not SQL-expressible (stored-
     //    expectation pattern like t22). --------------------------------
+    // -- c29: robots.txt directive extensions — group-scoped
+    //    Crawl-delay (specificity + merge rules shared with c24's
+    //    gated group selection) and file-global Sitemap collection.
+    //    Expectations hand-derived at the fixture (writeC29Fixture). --
+    "c29_robots_directives" -> { (s, _) =>
+      writeC29Fixture(s)
+      s.read.parquet(c29Dir)
+        .select(col("case_id"),
+          graft.ops.RobotsTxt.crawlDelaySecs(col("robots"), "graftbot")
+            .as("crawl_delay"),
+          array_join(graft.ops.RobotsTxt.sitemapList(col("robots")), "|")
+            .as("sitemaps"))
+        .orderBy("case_id")
+    },
+
     "c24_robots_txt" -> { (s, _) =>
       writeC24Fixture(s)
       s.read.parquet(c24Dir)
@@ -681,6 +696,46 @@ object CurationQueries {
       .coalesce(1).write.mode("overwrite").parquet(c24Dir)
   }
 
+  /** c29 fixture: robots bodies exercising the directive extensions —
+    * group-scoped Crawl-delay (specific group beats `*`, invalid and
+    * negative values ignored, first declared wins across merged
+    * same-agent groups) and file-global Sitemap lines (position-
+    * independent, may interleave groups). Expectations hand-derived
+    * from the group-selection rules the c24 verdicts already pin.
+    */
+  private val c29Dir = "/tmp/graft_gate_c29_robots_dir"
+
+  private def writeC29Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val bodyA = Seq(
+      "Sitemap: https://a.example/sitemap.xml",
+      "User-agent: *", "Crawl-delay: 10", "Disallow: /x",
+      "", "User-agent: graftbot", "Crawl-delay: 1.5", "Allow: /",
+      "Sitemap: https://a.example/news.xml").mkString("\n")
+    val bodyB = Seq( // invalid delay in *, none for graftbot
+      "User-agent: *", "Crawl-delay: soon",
+      "User-agent: graftbot", "Disallow: /y").mkString("\n")
+    val bodyC = Seq( // merged same-agent groups: first delay wins
+      "User-agent: graftbot", "Crawl-delay: 2",
+      "", "User-agent: graftbot", "Crawl-delay: 7",
+      "", "User-agent: *", "Crawl-delay: -3").mkString("\n")
+    // (case_id, robots, exp_delay nullable, exp_sitemaps joined)
+    val rows: Seq[(java.lang.Long, String, java.lang.Double, String)] = Seq(
+      // graftbot group is more specific than * → 1.5, both sitemaps
+      (0L, bodyA, 1.5,
+        "https://a.example/sitemap.xml|https://a.example/news.xml"),
+      // graftbot matched; its group has no delay; * delay must NOT leak
+      (1L, bodyB, null, ""),
+      // merged graftbot groups: first declared delay (2) wins
+      (2L, bodyC, 2.0, ""),
+      // no robots at all → fail-open: no delay, no sitemaps
+      (3L, null, null, ""),
+      (4L, "", null, ""))
+    s.createDataset(rows)
+      .toDF("case_id", "robots", "exp_delay", "exp_sitemaps")
+      .coalesce(1).write.mode("overwrite").parquet(c29Dir)
+  }
+
   /** c23 vocabulary: multi-char pieces with overlapping prefixes (so
     * greedy longest-match is exercised) plus the full lowercase
     * alphabet (so letters never go unknown; digits/punct do →
@@ -808,6 +863,12 @@ object CurationQueries {
         |FROM bkt JOIN th ON bkt.source = th.g
         |WHERE bucket < t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Stored expectation: delays/sitemaps hand-derived at the fixture
+    // (writeC29Fixture) — the c24 pattern.
+    "c29_robots_directives" ->
+      s"""SELECT case_id, exp_delay AS crawl_delay, exp_sitemaps AS sitemaps
+         |FROM read_parquet('$c29Dir/*.parquet')
+         |ORDER BY case_id""".stripMargin,
     "c24_robots_txt" ->
       s"""SELECT case_id, exp_allowed AS allowed
          |FROM read_parquet('$c24Dir/*.parquet')

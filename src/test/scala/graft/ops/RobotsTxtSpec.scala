@@ -89,4 +89,46 @@ class RobotsTxtSpec extends SparkSpec {
         "host", "path", hosts, "host_name", "body", "x")
     }
   }
+
+  test("crawl-delay: group-scoped, specificity, merge, invalid values") {
+    val body = Seq(
+      "User-agent: *", "Crawl-delay: 10", "Disallow: /x",
+      "User-agent: graftbot", "Crawl-delay: 1.5", "Allow: /").mkString("\n")
+    // specific group's delay, not the catch-all's
+    assert(RobotsTxt.crawlDelayOf(body, "graftbot-v2") == Some(1.5))
+    assert(RobotsTxt.crawlDelayOf(body, "randombot") == Some(10.0))
+    // applicable group without a delay: the * value must NOT leak in
+    val noDelay = Seq("User-agent: *", "Crawl-delay: 5",
+      "User-agent: graftbot", "Disallow: /y").mkString("\n")
+    assert(RobotsTxt.crawlDelayOf(noDelay, "graftbot").isEmpty)
+    // merged same-agent groups: first declared wins
+    val merged = Seq("User-agent: graftbot", "Crawl-delay: 2",
+      "", "User-agent: graftbot", "Crawl-delay: 7").mkString("\n")
+    assert(RobotsTxt.crawlDelayOf(merged, "graftbot") == Some(2.0))
+    // invalid / negative / absent / null all resolve to None
+    assert(RobotsTxt.crawlDelayOf("User-agent: *\nCrawl-delay: soon", "b").isEmpty)
+    assert(RobotsTxt.crawlDelayOf("User-agent: *\nCrawl-delay: -3", "b").isEmpty)
+    assert(RobotsTxt.crawlDelayOf("User-agent: *\nAllow: /", "b").isEmpty)
+    assert(RobotsTxt.crawlDelayOf(null, "b").isEmpty)
+    // a crawl-delay line must not detach rules from their group
+    val glued = Seq("User-agent: *", "Crawl-delay: 4",
+      "Disallow: /z").mkString("\n")
+    assert(!RobotsTxt.isAllowed(glued, "anybot", "/z/page"))
+  }
+
+  test("sitemaps: file-global, position-independent, ordered") {
+    val body = Seq(
+      "Sitemap: https://a.example/one.xml",
+      "User-agent: *", "Disallow: /x",
+      "Sitemap: https://a.example/two.xml",
+      "User-agent: other", "Allow: /",
+      "Sitemap: https://a.example/three.xml").mkString("\n")
+    assert(RobotsTxt.sitemapsOf(body) == Seq(
+      "https://a.example/one.xml", "https://a.example/two.xml",
+      "https://a.example/three.xml"))
+    // a sitemap line between rules must not split the group
+    assert(!RobotsTxt.isAllowed(body, "anybot", "/x/q"))
+    assert(RobotsTxt.sitemapsOf("User-agent: *\nAllow: /") == Seq.empty)
+    assert(RobotsTxt.sitemapsOf(null) == Seq.empty)
+  }
 }
