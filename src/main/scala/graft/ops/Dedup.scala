@@ -652,6 +652,14 @@ object Dedup {
     // less signature compute. Candidate SETS differ slightly between
     // the kernels; the verified pair set does not (the verify is
     // exact), which is what the d3/d20 gates pin.
+    //
+    // Regime guidance (measured, SCALE.md): OPH pays off when
+    // |shingles| >> numHashes (long documents — the signature pass
+    // dominates and drops k-fold). On SHORT documents (|shingles| <
+    // numHashes) most bins are empty, densified runs raise the band
+    // collision rate, and the extra exact-verify work outweighs the
+    // signature saving (d20 ran 1.3-1.8x d3 on the ~60-token gate
+    // corpus). Default stays k-wise; flip per-corpus.
     val sig =
       if (oph) F.minhashSigOphFromHashes(col("__sh"), numHashes)
       else F.minhashSigFromHashes(col("__sh"), numHashes)
