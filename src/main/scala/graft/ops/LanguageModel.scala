@@ -76,8 +76,13 @@ object LanguageModel {
       require(!df.columns.contains(r), s"input already has a '$r' column"))
 
     val trainGrams = docGrams(train, idCol, textCol)
+    // Persisted for the same reason as the trigram path's triC: FOUR
+    // consumers (probe join, contextC, contC, totals) would each
+    // re-run the corpus explode + count shuffle; the cached frame is
+    // bigram-TYPE counts — vocabulary-scale, spill-safe, LRU-evictable.
     val bigramC = trainGrams.groupBy("__w1", "__w2")
       .agg(sum("__k").as("__cbg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Context totals and distinct-continuation counts in ONE pass over
     // the (already tiny) bigram-type frame.
     val contextC = bigramC.groupBy("__w1")
@@ -164,8 +169,17 @@ object LanguageModel {
       require(!df.columns.contains(r), s"input already has a '$r' column"))
 
     // -- top level: raw trigram counts ------------------------------
+    // Persisted: triC feeds THREE consumers (the probe join, ctx12,
+    // cont2→ctx2) and bigramC two — without the cache each consumer
+    // re-runs the corpus explode + count shuffle (16 source scans in
+    // the un-cached plan; 2.4x wall at sf1). Both frames are gram-TYPE
+    // counts (vocabulary-scale, far smaller than the corpus), spill-
+    // safe at MEMORY_AND_DISK, and LRU-evictable (a streaming caller
+    // that scores every microbatch under ONE model keeps exactly these
+    // two cached frames alive — that is the desired steady state).
     val triC = docTrigrams(train, idCol, textCol)
       .groupBy("__w1", "__w2", "__w3").agg(sum("__k").as("__ctg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx12 = triC.groupBy("__w1", "__w2")
       .agg(sum("__ctg").as("__cw12"), count(lit(1)).as("__n1p_after12"))
     // -- middle level: continuation counts N1+(•,w2,w3) -------------
@@ -179,6 +193,7 @@ object LanguageModel {
     //    built from the bigram explode, same basis as the bigram model)
     val bigramC = docGrams(train, idCol, textCol)
       .groupBy("__w1", "__w2").agg(sum("__k").as("__cbg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contU = bigramC.groupBy(col("__w2").as("__w3"))
       .agg(count(lit(1)).as("__n1p_before"))
     val totals = bigramC.agg(count(lit(1)).as("__b"))
