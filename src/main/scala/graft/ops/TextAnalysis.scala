@@ -479,6 +479,67 @@ object TextAnalysis {
         sum(when(col("__n") === 1, 1).otherwise(0)).as("n_hapax"),
         max("__n").as("max_token_freq"))
 
+  /** Zipf-law corpus card: fit `ln f = intercept + slope · ln r` by
+    * exact least squares over the full rank-frequency table (rank 1 =
+    * most frequent; ties rank by term ascending so both engines
+    * derive the identical permutation). A healthy natural-language
+    * corpus fits slope ≈ −1; template/boilerplate farms flatten the
+    * head (slope → 0) and OCR noise fattens the tail — one cheap
+    * number that flags a corrupt crawl slice before any per-doc rule.
+    *
+    * Scale shape: token explode → term counts (one shuffle), then the
+    * GLOBAL rank is two-level — `n_higher` = types with a strictly
+    * larger count, from a cumulative sum over the count-of-counts
+    * frame (|distinct counts| rows — heavy-tailed, thousands at any
+    * corpus size — the c11 bucket-scan precedent for the one small
+    * single-partition window), plus a row_number over the (count)
+    * partition for ties. Never a global single-partition sort of the
+    * vocabulary. `minCount` trims the noise tail before fitting
+    * (hapax ranks are dominated by tokenization accidents).
+    *
+    * One row: `(n_types, n_fit_types, n_tokens, zipf_slope,
+    * zipf_intercept)`, slope/intercept rounded to 4 dp (the t8
+    * precedent for cross-engine double parity).
+    */
+  def zipfCard(df: DataFrame, textCol: String,
+               minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val termC = df.select(explode(
+        when(col(textCol).isNull, array().cast("array<string>"))
+          .otherwise(regexp_extract_all(col(textCol),
+            lit("[^ \\t\\n\\f\\r]+"), lit(0)))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count-of-counts → types with a strictly larger count
+    val cumW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__n").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val higher = termC.groupBy("__n").agg(count(lit(1)).as("__types"))
+      .withColumn("__n_higher", coalesce(sum("__types").over(cumW), lit(0L)))
+      .select(col("__n"), col("__n_higher"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__n").orderBy("__t")
+    val ranked = termC.filter(col("__n") >= minCount)
+      .withColumn("__tie", row_number().over(tieW))
+      .join(broadcast(higher), Seq("__n"))
+      .withColumn("__r", (col("__n_higher") + col("__tie")).cast("double"))
+    val x = log(col("__r"))
+    val y = log(col("__n").cast("double"))
+    val fit = ranked.agg(
+      count(lit(1)).as("__m"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+    val slope = (col("__sxy") - col("__sx") * col("__sy") / col("__m")) /
+      (col("__sxx") - col("__sx") * col("__sx") / col("__m"))
+    val icept = col("__sy") / col("__m") - slope * col("__sx") / col("__m")
+    val totals = termC.agg(count(lit(1)).as("n_types"),
+      sum("__n").as("n_tokens"))
+    totals.crossJoin(broadcast(fit))
+      .select(col("n_types"), col("__m").as("n_fit_types"), col("n_tokens"),
+        round(slope, 4).as("zipf_slope"),
+        round(icept, 4).as("zipf_intercept"))
+  }
+
   /** Per-document TF-IDF over whitespace tokens (same `[^ \t\n\f\r]+`
     * class as every other text operator): one row per (doc, term) with
     * raw term frequency, document frequency, and

@@ -430,6 +430,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t45: Zipf-law corpus card — exact least-squares fit of
+    //    ln f ~ ln rank over the full rank-frequency table (ties rank
+    //    by term so both engines derive the identical permutation).
+    //    The oracle re-ranks with one row_number and refits from its
+    //    own sums. ---------------------------------------------------
+    "t45_zipf_card" -> { (s, d) =>
+      TextAnalysis.zipfCard(Tables.documents(s, d), "text", minCount = 2L)
+    },
+
     // -- t43: Unicode normalization (UAX #15) — NFC folds only the
     //    canonical axis (combining marks, singletons, jamo), NFKC adds
     //    the compatibility folds. Every expectation hand-derived from
@@ -1649,6 +1658,29 @@ object TextQueries {
       s"""SELECT doc_id, exp_fixed AS fixed, exp_changed AS changed
          |FROM read_parquet('$t41Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // Independent re-derivation: one global row_number rank (oracle
+    // scale), own regression sums, same 4-dp rounding.
+    "t45_zipf_card" ->
+      """WITH tc AS (
+        |  SELECT tok AS t, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, t) AS r
+        |  FROM tc WHERE n >= 2
+        |), fit AS (
+        |  SELECT count(*)::BIGINT AS m, sum(ln(r)) AS sx, sum(ln(n)) AS sy,
+        |         sum(ln(r)*ln(n)) AS sxy, sum(ln(r)*ln(r)) AS sxx
+        |  FROM ranked
+        |)
+        |SELECT (SELECT count(*) FROM tc)::BIGINT AS n_types,
+        |  m AS n_fit_types,
+        |  (SELECT sum(n) FROM tc)::BIGINT AS n_tokens,
+        |  round((sxy - sx*sy/m)/(sxx - sx*sx/m), 4) AS zipf_slope,
+        |  round(sy/m - ((sxy - sx*sy/m)/(sxx - sx*sx/m))*sx/m, 4)
+        |    AS zipf_intercept
+        |FROM fit""".stripMargin,
     // Stored expectation: every normalization hand-derived from the
     // UCD decomposition tables at the fixture — m14/t34/t41 pattern.
     "t43_nfkc" ->

@@ -67,6 +67,11 @@ object Explain {
         "the set-op expressions run over exactly one pair of " +
         "card-sized binaries; the corpus is touched only by the two " +
         "sketch aggregates (sk2 shape)")),
+    "t45_zipf_card" -> Map("BroadcastNestedLoopJoin" ->
+      ("one-row crossJoin(broadcast(regression sums)) carrying the " +
+        "five fit scalars onto the one-row totals frame — the t8 " +
+        "shape; the vocabulary is touched only by the two keyed " +
+        "aggregates and the count-of-counts rollup")),
     "t39_collocations" -> Map("BroadcastNestedLoopJoin" ->
       ("one-row crossJoin(broadcast(T, B totals)) carrying the two " +
         "scalar instance counts into the PMI expression; the " +

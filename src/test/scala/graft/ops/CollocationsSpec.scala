@@ -18,6 +18,23 @@ import graft.SparkSpec
 class CollocationsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("zipfCard: hand-computed two-point fit, tie ranks, guards") {
+    // counts a=4, b=2, c=1; minCount=2 fits (r=1, f=4), (r=2, f=2):
+    //   slope = (ln2 − ln4)/(ln2 − ln1) = −1, intercept = ln4 ≈ 1.3863
+    val df = Seq("a a a a", "b b c").toDF("text")
+    val row = TextAnalysis.zipfCard(df, "text", minCount = 2L)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(row == ((3L, 2L, 7L, -1.0, 1.3863)))
+    // constant frequencies → slope exactly 0, intercept ln f
+    val flat = Seq("a a b b c c", null: String).toDF("text")
+    val r2 = TextAnalysis.zipfCard(flat, "text", minCount = 2L)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r2 == ((3L, 3L, 6L, 0.0, 0.6931)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfCard(df, "text", minCount = 0L)
+    }
+  }
+
   private def corpus = Seq("a b a b a b", "a c", null: String).toDF("text")
 
   test("hand-computed PMI values, deterministic tie order") {
