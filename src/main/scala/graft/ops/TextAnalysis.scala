@@ -479,6 +479,56 @@ object TextAnalysis {
         sum(when(col("__n") === 1, 1).otherwise(0)).as("n_hapax"),
         max("__n").as("max_token_freq"))
 
+  /** Readability scores (Flesch 1948 / Kincaid et al. 1975) — the
+    * classic document-difficulty signals an instruction-data or
+    * educational-corpus filter thresholds on:
+    *
+    *   reading_ease = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    *   fk_grade     = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *
+    * with S = sentences ([[splitSentences]] — the same cascade the t42
+    * gate pins), W = whitespace tokens, Y = syllable estimate. The
+    * syllable rule is the published vowel-group heuristic, chosen to
+    * be Java-regex ⇄ RE2 mirrorable: per token, count `[aeiouy]+`
+    * runs (case-insensitive), subtract one for a silent final `e`
+    * (final `e` after a consonant other than `l` — "cake" 1, "table"
+    * 2), floor at one syllable. Tokens without letters count one.
+    *
+    * One codegen projection per row (sentence cascade + an aggregate
+    * HOF over the token array), no shuffle. Documents with no tokens
+    * return NULL scores rather than dividing by zero. Scores rounded
+    * to 4 dp (cross-engine double parity, the t8 precedent).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksArr = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    // letters only per token, so "nice." still triggers the silent-e
+    // rule and "don't" counts its one vowel group
+    val sylOf = (t0: Column) => {
+      val t = regexp_replace(t0, "[^A-Za-z]", "")
+      greatest(
+        regexp_count(t, lit("(?i)[aeiouy]+")) -
+          when(t.rlike("(?i)[bcdfghjkmnpqrstvwxz]e$"), lit(1))
+            .otherwise(lit(0)),
+        lit(1))
+    }
+    val base = df.select(col(idCol),
+      size(splitSentences(col(textCol))).cast("long").as("n_sents"),
+      size(toksArr).cast("long").as("n_words"),
+      aggregate(toksArr, lit(0L), (acc, t) => acc + sylOf(t).cast("long"))
+        .as("n_syllables"))
+    val ws = col("n_words").cast("double") / col("n_sents")
+    val yw = col("n_syllables").cast("double") / col("n_words")
+    base.select(col(idCol), col("n_sents"), col("n_words"), col("n_syllables"),
+      when(col("n_words") > 0 && col("n_sents") > 0,
+        round(lit(206.835) - lit(1.015) * ws - lit(84.6) * yw, 4))
+        .as("reading_ease"),
+      when(col("n_words") > 0 && col("n_sents") > 0,
+        round(lit(0.39) * ws + lit(11.8) * yw - lit(15.59), 4))
+        .as("fk_grade"))
+  }
+
   /** Zipf-law corpus card: fit `ln f = intercept + slope · ln r` by
     * exact least squares over the full rank-frequency table (rank 1 =
     * most frequent; ties rank by term ascending so both engines

@@ -430,6 +430,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t46: readability (Flesch reading ease + Flesch-Kincaid
+    //    grade) — sentences from the t42 cascade, the published
+    //    vowel-group syllable heuristic, 4-dp scores. The oracle
+    //    recomputes everything from its own cascade + list ops. ------
+    "t46_readability" -> { (s, d) =>
+      TextAnalysis.readability(
+          Tables.documents(s, d)
+            .filter(col("doc_id") % 7 === 0)
+            .withColumn("t", t42Text),
+          "doc_id", "t")
+        .orderBy("doc_id")
+    },
+
     // -- t45: Zipf-law corpus card — exact least-squares fit of
     //    ln f ~ ln rank over the full rank-frequency table (ties rank
     //    by term so both engines derive the identical permutation).
@@ -1658,6 +1671,36 @@ object TextQueries {
       s"""SELECT doc_id, exp_fixed AS fixed, exp_changed AS changed
          |FROM read_parquet('$t41Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    "t46_readability" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, $duckT42Text AS t
+         |  FROM documents WHERE doc_id % 7 = 0
+         |), base AS (
+         |  SELECT doc_id,
+         |    len(list_filter(list_transform(
+         |      string_split(${duckSentenceMark("t")}, chr(1)),
+         |      x -> trim(x)), x -> x <> ''))::BIGINT AS n_sents,
+         |    regexp_extract_all(t, '[^ \\t\\n\\f\\r]+') AS toks
+         |  FROM src
+         |), syl AS (
+         |  SELECT doc_id, n_sents, len(toks)::BIGINT AS n_words,
+         |    coalesce(list_sum(list_transform(
+         |      list_transform(toks, w -> regexp_replace(w, '[^A-Za-z]', '', 'g')),
+         |      w ->
+         |      greatest(len(regexp_extract_all(w, '(?i)[aeiouy]+')) -
+         |        CASE WHEN regexp_matches(w, '(?i)[bcdfghjkmnpqrstvwxz]e$$')
+         |             THEN 1 ELSE 0 END,
+         |        1))), 0)::BIGINT AS n_syllables
+         |  FROM base
+         |)
+         |SELECT doc_id, n_sents, n_words, n_syllables,
+         |  CASE WHEN n_words > 0 AND n_sents > 0 THEN
+         |    round(206.835 - 1.015*(n_words::DOUBLE/n_sents)
+         |          - 84.6*(n_syllables::DOUBLE/n_words), 4) END AS reading_ease,
+         |  CASE WHEN n_words > 0 AND n_sents > 0 THEN
+         |    round(0.39*(n_words::DOUBLE/n_sents)
+         |          + 11.8*(n_syllables::DOUBLE/n_words) - 15.59, 4) END AS fk_grade
+         |FROM syl ORDER BY doc_id""".stripMargin,
     // Independent re-derivation: one global row_number rank (oracle
     // scale), own regression sums, same 4-dp rounding.
     "t45_zipf_card" ->

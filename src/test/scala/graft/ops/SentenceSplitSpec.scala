@@ -63,6 +63,30 @@ class SentenceSplitSpec extends SparkSpec {
       Seq("Two here.", "And this one ends too!"))
   }
 
+  test("readability: hand-computed syllables and scores") {
+    // "The cake sat. Nice table here!" → S=2, W=6
+    // syllables: The 1 (silent e), cake 1, sat 1, Nice 1 (punct
+    // stripped, silent e), table 2 (-le keeps its e), here 1 → Y=7
+    val out = TextAnalysis.readability(
+        Seq((1L, "The cake sat. Nice table here!"),
+          (2L, ""), (3L, null: String)).toDF("doc_id", "t"),
+        "doc_id", "t")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    val (_, s1, w1, y1, ease, fk) = out.head match {
+      case (id, a, b, c, d, e) => (id, a, b, c, d, e)
+    }
+    assert((s1, w1, y1) == ((2L, 6L, 7L)))
+    // ease = 206.835 − 1.015·3 − 84.6·(7/6) = 105.09
+    assert(math.abs(ease.get - 105.09) < 1e-9)
+    // fk = 0.39·3 + 11.8·(7/6) − 15.59 = −0.6533 (4 dp)
+    assert(math.abs(fk.get - (-0.6533)) < 1e-9)
+    // empty and null docs: zero counts, NULL scores
+    assert(out(1) == ((2L, 0L, 0L, 0L, None, None)))
+    assert(out(2) == ((3L, 0L, 0L, 0L, None, None)))
+  }
+
   test("chunkBySentences: greedy fill, over-long sentence isolated") {
     // sentences of 4 / 3 / 2 / 9 / 1 tokens, cap 7:
     //   chunk 0 = s1+s2 (7), chunk 1 = s3 (2: s4 would overflow),
