@@ -296,17 +296,69 @@ object Warc {
 
   val DefaultMaxPayloadBytes: Int = 16 << 20
 
-  /** Gzip by content, not filename: 1f 8b magic. Multi-member streams
-    * (Common Crawl's per-record members) are handled by
-    * GZIPInputStream's built-in member concatenation.
+  /** Compression by content, not filename. Detected formats:
+    *
+    *  - gzip (`1f 8b`): multi-member streams (Common Crawl's
+    *    per-record members) via GZIPInputStream's built-in member
+    *    concatenation;
+    *  - zstandard (`28 b5 2f fd`): concatenated frames via
+    *    ZstdInputStream's frame loop (the per-record-frame layout of
+    *    `.warc.zst`);
+    *  - a LEADING zstd SKIPPABLE frame (`5? 2a 4d 18`, RFC 8878 §3.1.2)
+    *    is read as an embedded DICTIONARY and loaded before the data
+    *    frames — the Common Crawl `.warc.zst` convention (their spec
+    *    stores the dict, optionally itself zstd-compressed, in the
+    *    first skippable frame so the archive is self-contained).
+    *
+    * Anything else streams through untouched.
     */
   def maybeGunzip(raw: InputStream): InputStream = {
     val buf = new BufferedInputStream(raw, 1 << 16)
-    buf.mark(2)
+    buf.mark(4)
     val b0 = buf.read(); val b1 = buf.read()
+    val b2 = buf.read(); val b3 = buf.read()
     buf.reset()
     if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buf, 1 << 16)
-    else buf
+    else if (b0 == 0x28 && b1 == 0xb5 && b2 == 0x2f && b3 == 0xfd) {
+      val z = new com.github.luben.zstd.ZstdInputStream(buf)
+      z.setContinuous(true)
+      z
+    } else if ((b0 & 0xf0) == 0x50 && b1 == 0x2a && b2 == 0x4d &&
+      b3 == 0x18) {
+      // skippable frame first: magic 0x184D2A5? LE, then 4-byte LE size
+      val head = new Array[Byte](8)
+      var got = 0
+      while (got < 8) {
+        val n = buf.read(head, got, 8 - got)
+        require(n > 0, "truncated zstd skippable frame header")
+        got += n
+      }
+      val size = (head(4) & 0xff) | ((head(5) & 0xff) << 8) |
+        ((head(6) & 0xff) << 16) | ((head(7) & 0xff) << 24)
+      require(size >= 0 && size <= (128 << 20),
+        s"zstd skippable-frame dictionary size out of range: $size")
+      val dictRaw = new Array[Byte](size)
+      got = 0
+      while (got < size) {
+        val n = buf.read(dictRaw, got, size - got)
+        require(n > 0, "truncated zstd skippable-frame dictionary")
+        got += n
+      }
+      // the embedded dict may itself be zstd-compressed (CC convention)
+      val dict =
+        if (dictRaw.length >= 4 && (dictRaw(0) & 0xff) == 0x28 &&
+          (dictRaw(1) & 0xff) == 0xb5 && (dictRaw(2) & 0xff) == 0x2f &&
+          (dictRaw(3) & 0xff) == 0xfd) {
+          val sz = com.github.luben.zstd.Zstd.getFrameContentSize(dictRaw)
+          require(sz > 0 && sz <= (128 << 20),
+            s"embedded zstd dictionary declares bad size: $sz")
+          com.github.luben.zstd.Zstd.decompress(dictRaw, sz.toInt)
+        } else dictRaw
+      val z = new com.github.luben.zstd.ZstdInputStream(buf)
+      z.setContinuous(true)
+      z.setDict(dict)
+      z
+    } else buf
   }
 
   // ---------------------------------------------------------------- //

@@ -164,6 +164,37 @@ object IngestGateQueries {
           Some("http://example.com/gone"),
           "application/http; msgtype=response", pR3))
 
+    // .warc.zst, the Common Crawl zstandard shape: a leading skippable
+    // frame carrying the dictionary, then one data frame per record
+    // compressed against it
+    val wet3 = "Tercer documento zstd."
+    val pC3 = wet3.getBytes(utf8)
+    val pR4 = httpMsg("200 OK", "text/html; charset=UTF-8",
+      "<html><body><p>zstd page</p></body></html>".getBytes(utf8))
+    val zDict = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: WARC-Target-URI: http://example.com/").getBytes(iso)
+    def skippable(content: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x50, 0x2a, 0x4d, 0x18).map(_.toByte))
+      val n = content.length
+      out.write(Array(n & 0xff, (n >> 8) & 0xff, (n >> 16) & 0xff,
+        (n >> 24) & 0xff).map(_.toByte))
+      out.write(content)
+      out.toByteArray
+    }
+    def zFrame(b: Array[Byte]): Array[Byte] = {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try { ctx.setLevel(3); ctx.loadDict(zDict); ctx.compress(b) }
+      finally ctx.close()
+    }
+    val cBytes = skippable(zDict) ++
+      zFrame(warcRecord("conversion", "c3", "2026-08-14T08:00:00Z",
+        Some("http://example.com/three"), "text/plain", pC3,
+        extra = Seq("WARC-Block-Digest" -> s"sha1:${sha1b32(pC3)}"))) ++
+      zFrame(warcRecord("response", "r4", "2026-08-14T08:01:00Z",
+        Some("http://example.com/zpage"),
+        "application/http; msgtype=response", pR4))
+
     val dir = java.nio.file.Paths.get(warcDir)
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
@@ -172,6 +203,7 @@ object IngestGateQueries {
     } else java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.write(dir.resolve("a.warc"), aBytes)
     java.nio.file.Files.write(dir.resolve("b.warc.gz"), bBytes)
+    java.nio.file.Files.write(dir.resolve("c.warc.zst"), cBytes)
 
     // s13 expected: one row per record, md5 from the authored arrays
     Seq(
@@ -188,7 +220,13 @@ object IngestGateQueries {
         md5hex(pC2)),
       ("b.warc.gz", 1L, "response", "<urn:uuid:r3>",
         "http://example.com/gone", pR3.length.toLong, false,
-        Option.empty[Boolean], md5hex(pR3)))
+        Option.empty[Boolean], md5hex(pR3)),
+      ("c.warc.zst", 0L, "conversion", "<urn:uuid:c3>",
+        "http://example.com/three", pC3.length.toLong, false, Some(true),
+        md5hex(pC3)),
+      ("c.warc.zst", 1L, "response", "<urn:uuid:r4>",
+        "http://example.com/zpage", pR4.length.toLong, false,
+        Option.empty[Boolean], md5hex(pR4)))
       .toDF("file", "record_index", "warc_type", "record_id",
         "target_uri", "content_length", "truncated", "digest_ok",
         "payload_md5")
@@ -205,7 +243,11 @@ object IngestGateQueries {
       ("<urn:uuid:r2>", "http://example.com/latin", "2026-08-14 06:02:00",
         "a.warc", "café menu"),
       ("<urn:uuid:c2>", "http://example.com/two", "2026-08-14 07:00:00",
-        "b.warc.gz", wet2))
+        "b.warc.gz", wet2),
+      ("<urn:uuid:c3>", "http://example.com/three", "2026-08-14 08:00:00",
+        "c.warc.zst", wet3),
+      ("<urn:uuid:r4>", "http://example.com/zpage", "2026-08-14 08:01:00",
+        "c.warc.zst", "zstd page"))
       .toDF("doc_id", "url", "fetch_s", "file", "text")
       .coalesce(1).write.mode("overwrite").parquet(wetExpectedDir)
     ()

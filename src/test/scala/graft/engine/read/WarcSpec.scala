@@ -178,6 +178,52 @@ class WarcSpec extends SparkSpec {
     assert(plain.size == 3)
   }
 
+  test("zstd by magic bytes: frames concatenate; skippable-frame dict loads") {
+    import com.github.luben.zstd.Zstd
+    def frame(b: Array[Byte]): Array[Byte] = Zstd.compress(b, 3)
+    // per-record-frame layout of .warc.zst
+    val frames = frame(rec("metadata", "z1", "uno".getBytes(ISO_8859_1))) ++
+      frame(rec("metadata", "z2", "dos".getBytes(ISO_8859_1)))
+    val rs = Warc.records(Warc.maybeGunzip(
+      new ByteArrayInputStream(frames))).toVector
+    assert(rs.map(r => new String(r.payload, ISO_8859_1)) ==
+      Vector("uno", "dos"))
+
+    // Common Crawl convention: leading skippable frame carries the
+    // dictionary (raw bytes), data frames compressed against it
+    val dict = ("this is a raw content dictionary with warc-ish " +
+      "material WARC/1.0 Content-Length metadata").getBytes(ISO_8859_1)
+    def skippable(content: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x50, 0x2a, 0x4d, 0x18).map(_.toByte)) // 0x184D2A50 LE
+      val n = content.length
+      out.write(Array(n & 0xff, (n >> 8) & 0xff, (n >> 16) & 0xff,
+        (n >> 24) & 0xff).map(_.toByte))
+      out.write(content)
+      out.toByteArray
+    }
+    def dictFrame(b: Array[Byte]): Array[Byte] = {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try { ctx.setLevel(3); ctx.loadDict(dict); ctx.compress(b) }
+      finally ctx.close()
+    }
+    val zstFile = skippable(dict) ++
+      dictFrame(rec("metadata", "d1", "tre".getBytes(ISO_8859_1))) ++
+      dictFrame(rec("metadata", "d2", "cuatro".getBytes(ISO_8859_1)))
+    val ds = Warc.records(Warc.maybeGunzip(
+      new ByteArrayInputStream(zstFile))).toVector
+    assert(ds.map(r => new String(r.payload, ISO_8859_1)) ==
+      Vector("tre", "cuatro"))
+
+    // dict itself zstd-compressed inside the skippable frame (the CC
+    // spec's optional form)
+    val zstFile2 = skippable(Zstd.compress(dict, 3)) ++
+      dictFrame(rec("metadata", "d3", "cinco".getBytes(ISO_8859_1)))
+    val ds2 = Warc.records(Warc.maybeGunzip(
+      new ByteArrayInputStream(zstFile2))).toVector
+    assert(ds2.map(r => new String(r.payload, ISO_8859_1)) == Vector("cinco"))
+  }
+
   test("splitHttp: status, headers, body; non-HTTP payload is None") {
     val h = Warc.splitHttp(httpHtml).get
     assert(h.status == 200)
