@@ -193,6 +193,51 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** SENTENCE-level decontamination map: which sentences of each
+    * document overlap the probe set — the surgical alternative to
+    * [[contaminatedBy]]'s whole-document verdict (drop the leaked
+    * benchmark sentence, keep the rest of the page; the Llama-2
+    * decontamination appendix's unit). Returns one row per document
+    * that has ≥ 1 sentence: `(idCol, n_sentences, n_contaminated,
+    * contaminated_idx)` with the hit sentence ordinals as a sorted
+    * array.
+    *
+    * Shape: sentences explode with their ordinal
+    * ([[TextAnalysis.splitSentences]] — the t42 cascade), each
+    * sentence's shingle-hash set explodes once, the (tiny, distinct)
+    * probe hashes semi-join it, and two keyed aggregates rebuild the
+    * per-doc map. Exploded rows stay in their document's partition
+    * until the final per-doc aggregate — one real shuffle.
+    */
+  def contaminatedSentences(df: DataFrame, idCol: String, textCol: String,
+                            probes: DataFrame, probeTextCol: String,
+                            shingle: Int = 3): DataFrame = {
+    for (r <- Seq("n_sentences", "n_contaminated", "contaminated_idx",
+        "__si", "__sent", "__h"))
+      require(idCol != r, s"idCol '$r' is reserved or collides")
+    val sents = df.select(col(idCol),
+      posexplode(TextAnalysis.splitSentences(col(textCol)))
+        .as(Seq("__si", "__sent")))
+    val probeSh = probes
+      .select(explode(F.shingleHashSet(col(probeTextCol), shingle)).as("__h"))
+      .distinct()
+    val hits = sents
+      .select(col(idCol), col("__si"),
+        explode(F.shingleHashSet(col("__sent"), shingle)).as("__h"))
+      .join(probeSh, Seq("__h"), "left_semi")
+      .select(col(idCol), col("__si")).distinct()
+    sents.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sentences"))
+      .join(hits.groupBy(col(idCol))
+          .agg(count(lit(1)).as("__nc"),
+            array_sort(collect_list(col("__si"))).as("__idx")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_sentences"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated"),
+        coalesce(col("__idx"), array().cast("array<int>"))
+          .as("contaminated_idx"))
+  }
+
   /** GRADED contamination: for every document, the fraction of its
     * distinct word `shingle`-grams that appear in the probe corpus —
     * the thresholdable form of [[contaminatedBy]] (the GPT-3/Llama

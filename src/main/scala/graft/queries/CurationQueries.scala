@@ -32,6 +32,24 @@ object CurationQueries {
       |  WHEN doc_id % 5 = 2 THEN ' from 10.0.0.' || (doc_id % 256)
       |  ELSE '' END""".stripMargin
 
+  /** c30: the leaked-benchmark sentence (injected verbatim on even
+    * doc_ids; the probe row is the same string, so the sentence-level
+    * map must flag exactly that ordinal).
+    */
+  private val c30Probe =
+    "The forbidden benchmark answer sentence appears verbatim right here."
+
+  private def c30Text = concat(col("text"),
+    lit(". More ordinary prose continues here after the base text."),
+    when(col("doc_id") % 2 === 0,
+      lit(s" $c30Probe And a clean closing line follows."))
+      .otherwise(lit("")))
+
+  private val c30TextSql =
+    "text || '. More ordinary prose continues here after the base text.'" +
+      " || CASE WHEN doc_id % 2 = 0 THEN ' " + c30Probe +
+      " And a clean closing line follows.' ELSE '' END"
+
   /** c13 fixture: card-shaped injections per doc_id % 6 — a Luhn-valid
     * Visa, a checksum-off-by-one 16-digit run, a 20-digit run the `\b`
     * guard must reject wholesale, a Luhn-valid 15-digit Amex. Fixed
@@ -612,6 +630,25 @@ object CurationQueries {
     },
 
     // -- c3: PII detection counts + redaction length delta -------------
+    // -- c30: SENTENCE-level decontamination map — which sentence
+    //    ordinals of each doc overlap the probe set (the surgical
+    //    alternative to c4's whole-doc verdict). Injected probe
+    //    sentence on even doc_ids; ordinals under the hash. ------------
+    "c30_sentence_decon" -> { (s, d) =>
+      import s.implicits._
+      val probes = Seq(c30Probe).toDF("text")
+      Curation.contaminatedSentences(
+          Tables.documents(s, d)
+            .filter(col("doc_id") % 3 === 0)
+            .withColumn("t", c30Text),
+          "doc_id", "t", probes, "text")
+        // the driver's compare hashes scalar cells — ordinals ride as
+        // a joined string; the op itself returns the real array
+        .withColumn("contaminated_idx",
+          concat_ws(",", col("contaminated_idx")))
+        .orderBy("doc_id")
+    },
+
     // -- c28: PII match AUDIT — every matched email/phone/IPv4 string
     //    exploded to a row (the attribute log reviewed before the c3
     //    redaction commits). Matched text itself is under the hash;
@@ -1593,6 +1630,45 @@ object CurationQueries {
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Sentence split re-derived from the t42 cascade (shared step
+    // table via TextQueries.duckSentenceMark), shingles via the c4
+    // string-shingle rule, hit ordinals re-aggregated from scratch.
+    "c30_sentence_decon" -> {
+      val sentMark = TextQueries.duckSentenceMark("t")
+      s"""WITH src AS (
+         |  SELECT doc_id, $c30TextSql AS t
+         |  FROM documents WHERE doc_id % 3 = 0
+         |), psh AS (
+         |  SELECT DISTINCT unnest(${pipe1Shingles(
+               s"regexp_extract_all(trim('$c30Probe'), '\\S+')")}) AS sh
+         |), arr AS (
+         |  SELECT doc_id, list_filter(list_transform(
+         |    string_split($sentMark, chr(1)), x -> trim(x)),
+         |    x -> x <> '') AS l
+         |  FROM src
+         |), sentidx AS (
+         |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS i, l FROM arr
+         |), sent AS (
+         |  SELECT doc_id, (i - 1)::INT AS si,
+         |    regexp_extract_all(trim(l[i]), '\\S+') AS toks
+         |  FROM sentidx
+         |), ssh AS (
+         |  SELECT DISTINCT doc_id, si, unnest(${pipe1Shingles("toks")}) AS sh
+         |  FROM sent
+         |), hits AS (
+         |  SELECT DISTINCT doc_id, si FROM ssh JOIN psh USING (sh)
+         |), agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_sentences FROM sent GROUP BY 1
+         |), hagg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS nc, list_sort(list(si)) AS cidx
+         |  FROM hits GROUP BY 1
+         |)
+         |SELECT a.doc_id, n_sentences,
+         |  coalesce(nc, 0)::BIGINT AS n_contaminated,
+         |  coalesce(array_to_string(cidx, ','), '') AS contaminated_idx
+         |FROM agg a LEFT JOIN hagg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "c28_pii_matches" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -179,7 +179,7 @@ object TextQueries {
     * so the two engines cannot drift: a step edited on the Spark side
     * re-emits here.
     */
-  private def duckSentenceMark(e: String): String = {
+  private[queries] def duckSentenceMark(e: String): String = {
     def repSql(rep: String): String = {
       val parts = scala.collection.mutable.Buffer[String]()
       val sb = new StringBuilder

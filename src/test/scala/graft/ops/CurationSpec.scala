@@ -1018,6 +1018,32 @@ class CurationSpec extends SparkSpec {
     assert(subset.forall { case (id, sh) => full(id) == sh })
   }
 
+  test("contaminatedSentences: ordinal map, clean docs, reserved cols") {
+    import spark.implicits._
+    val leak = "The secret benchmark answer is forty two exactly here."
+    val docs = Seq(
+      (1L, s"Clean opening sentence. $leak Clean closing sentence."),
+      (2L, "Nothing contaminated in this document at all today."),
+      (3L, s"$leak"), // the whole doc IS the leak
+      (4L, null: String)).toDF("doc_id", "t")
+    val out = Curation.contaminatedSentences(docs, "doc_id", "t",
+        Seq(leak).toDF("text"), "text")
+      .withColumn("idx", concat_ws(",", col("contaminated_idx")))
+      .select("doc_id", "n_sentences", "n_contaminated", "idx")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(out == Seq(
+      (1L, 3L, 1L, "1"),
+      (2L, 1L, 0L, ""),
+      (3L, 1L, 1L, "0")))
+    // a doc with no sentences (null text) has no row — same contract
+    // as contaminationScore's has-at-least-one-shingle rule
+    assert(!out.exists(_._1 == 4L))
+    intercept[IllegalArgumentException] {
+      Curation.contaminatedSentences(docs.withColumnRenamed("doc_id", "__si"),
+        "__si", "t", Seq(leak).toDF("text"), "text")
+    }
+  }
+
   test("piiMatches: audit rows in order, masking chain attribution") {
     import spark.implicits._
     val docs = Seq(
