@@ -336,4 +336,43 @@ object Links {
     totals.join(top, Seq("dst"), "left")
       .select(col("dst"), col("n_links"), col("n_pages"), col("top_anchor"))
   }
+
+  /** Politeness-scheduled fetch plan for a crawl frontier: per host,
+    * URLs are slotted by `(priority desc, url asc)` (the tie column
+    * makes the plan deterministic) and the fetch offset is
+    * `slot · crawl_delay` — the earliest second each URL may be
+    * fetched while honoring the host's [[RobotsTxt.crawlDelaySecs]]
+    * budget (`defaultDelay` where the host declared none or is
+    * absent from `delays`).
+    *
+    * Returns the frontier columns plus `(host, fetch_slot,
+    * fetch_offset_s)`. Shape: host extraction is a column expression,
+    * the delay table is host-bounded and broadcast, and the slotting
+    * window partitions BY HOST — a 100 TB frontier schedules in one
+    * shuffle keyed by host, and the per-host sequentialism is exactly
+    * the politeness constraint, not a plan defect. Non-absolute URLs
+    * (NULL host) group together and schedule under `defaultDelay`.
+    */
+  def frontierSchedule(df: DataFrame, urlCol: String, priorityCol: String,
+                       delays: DataFrame, delayHostCol: String,
+                       delayCol: String,
+                       defaultDelay: Double = 1.0): DataFrame = {
+    require(defaultDelay >= 0, s"defaultDelay must be >= 0: $defaultDelay")
+    for (r <- Seq("host", "fetch_slot", "fetch_offset_s", "__graft_delay"))
+      require(!df.columns.contains(r),
+        s"input already has a reserved '$r' column")
+    val build = broadcast(delays
+      .groupBy(lower(col(delayHostCol)).as("host"))
+      .agg(min(col(delayCol)).cast("double").as("__graft_delay")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host")
+      .orderBy(col(priorityCol).desc, col(urlCol).asc)
+    df.withColumn("host", UrlOps.urlHost(col(urlCol)))
+      .join(build, Seq("host"), "left")
+      .withColumn("fetch_slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_offset_s",
+        col("fetch_slot") *
+          coalesce(col("__graft_delay"), lit(defaultDelay)))
+      .drop("__graft_delay")
+  }
 }

@@ -115,6 +115,26 @@ object GraphQueries {
     // -- g3: outlink extraction — linear anchor scan, RFC 3986
     //    resolution, <base href>, entity-decoded hrefs, rel=nofollow.
     //    Oracle reads the hand-resolved expected edges back. ---------
+    // -- g5: politeness-scheduled crawl frontier — per-host fetch
+    //    slots by (priority desc, url) and offsets = slot × the host's
+    //    crawl delay (defaults where undeclared). Slots AND offsets
+    //    under the hash; the oracle replays the join + window. --------
+    "g5_frontier_schedule" -> { (s, d) =>
+      import s.implicits._
+      val frontier = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://host"), col("doc_id") % 5,
+            lit(".example.com/p/"), col("doc_id")).as("url"),
+          (col("doc_id") % 7).cast("long").as("priority"))
+      val delays = Seq(("host0.example.com", 2.5),
+        ("host1.example.com", 0.5)).toDF("h", "delay_s")
+      graft.ops.Links.frontierSchedule(frontier, "url", "priority",
+          delays, "h", "delay_s", defaultDelay = 1.0)
+        .select(col("doc_id"), col("host"), col("fetch_slot"),
+          round(col("fetch_offset_s"), 4).as("fetch_offset_s"))
+        .orderBy("doc_id")
+    },
+
     "g3_extract_links" -> { (s, _) =>
       writeG3Fixture(s)
       graft.ops.Links.extractLinks(
@@ -182,6 +202,26 @@ object GraphQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    "g5_frontier_schedule" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'https://host' || (doc_id % 5) || '.example.com/p/' || doc_id AS url,
+        |    (doc_id % 7)::BIGINT AS priority,
+        |    'host' || (doc_id % 5) || '.example.com' AS host
+        |  FROM documents
+        |), d AS (
+        |  SELECT 'host0.example.com' AS h, 2.5 AS delay_s
+        |  UNION ALL SELECT 'host1.example.com', 0.5
+        |), slotted AS (
+        |  SELECT doc_id, host,
+        |    (row_number() OVER (PARTITION BY host
+        |       ORDER BY priority DESC, url) - 1)::BIGINT AS fetch_slot,
+        |    coalesce(delay_s, 1.0) AS dly
+        |  FROM f LEFT JOIN d ON f.host = d.h
+        |)
+        |SELECT doc_id, host, fetch_slot,
+        |  round(fetch_slot * dly, 4) AS fetch_offset_s
+        |FROM slotted ORDER BY doc_id""".stripMargin,
     "g3_extract_links" ->
       s"""SELECT src_url, dst_url, anchor_text, nofollow
          |FROM read_parquet('$g3ExpDir/*.parquet')

@@ -148,4 +148,32 @@ class LinksSpec extends SparkSpec {
     assert(out("d2") === ((2L, 1L, Some("a"))))
     assert(out("d3") === ((2L, 2L, None)))
   }
+
+  test("frontierSchedule: per-host slots honor the crawl-delay budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val frontier = Seq(
+      (1L, "https://a.example/p1", 5L),
+      (2L, "https://a.example/p2", 9L),
+      (3L, "https://a.example/p3", 5L),
+      (4L, "https://b.example/q1", 1L),
+      (5L, "not a url", 7L)).toDF("id", "url", "priority")
+    val delays = Seq(("A.EXAMPLE", 2.0)).toDF("h", "delay_s")
+    val out = Links.frontierSchedule(frontier, "url", "priority",
+        delays, "h", "delay_s", defaultDelay = 0.5)
+      .select("id", "host", "fetch_slot", "fetch_offset_s")
+      .as[(Long, String, Long, Double)].collect().toSeq.sortBy(_._1)
+    // a.example ordered by (priority desc, url): p2(9), p1(5), p3(5)
+    assert(out(0) == ((1L, "a.example", 1L, 2.0)))
+    assert(out(1) == ((2L, "a.example", 0L, 0.0)))
+    assert(out(2) == ((3L, "a.example", 2L, 4.0)))
+    // undeclared host uses the default delay
+    assert(out(3) == ((4L, "b.example", 0L, 0.0)))
+    // non-absolute URL → NULL host, still scheduled
+    assert(out(4)._2 == null && out(4)._3 == 0L)
+    intercept[IllegalArgumentException] {
+      Links.frontierSchedule(frontier.withColumn("host", col("url")),
+        "url", "priority", delays, "h", "delay_s")
+    }
+  }
 }
