@@ -69,13 +69,19 @@ object CurationPipeline {
       exportShards: Int = 4,
       exportFormat: String = "jsonl",
       extractor: String = "regex",
-      fixEncoding: Boolean = false) {
+      fixEncoding: Boolean = false,
+      termMatcher: String = "literal",
+      deconMode: String = "doc") {
     require(langId == "marker" || langId == "trigram",
       s"langId must be 'marker' or 'trigram': $langId")
     require(extractor == "blocks" || extractor == "regex",
       s"extractor must be 'blocks' or 'regex': $extractor")
     require(pplOrder == 2 || pplOrder == 3,
       s"pplOrder must be 2 (bigram KN) or 3 (trigram KN): $pplOrder")
+    require(termMatcher == "literal" || termMatcher == "aho",
+      s"termMatcher must be 'literal' or 'aho': $termMatcher")
+    require(deconMode == "doc" || deconMode == "sentence",
+      s"deconMode must be 'doc' or 'sentence': $deconMode")
   }
 
   /** The curated output plus per-stage observed metrics. `data`
@@ -199,8 +205,14 @@ object CurationPipeline {
     // term blocklist (C4 content filter) over the EXTRACTED text, as a
     // flag in the same single scan — one more codegen'd column, no
     // extra job
+    // `termMatcher = "aho"` routes the same whole-token semantics
+    // through the Aho-Corasick automaton (one scan per row regardless
+    // of |terms|) — the web-scale path for lists past the literal
+    // expression's maxTerms cap
     val termOk =
       if (cfg.blockedTerms.isEmpty) lit(true)
+      else if (cfg.termMatcher == "aho")
+        !Curation.blockedTermFlagLarge(col("__text"), cfg.blockedTerms)
       else !Curation.blockedTermFlag(col("__text"), cfg.blockedTerms)
     val scored = {
       val feats = TextAnalysis.qualityFeatures(col("__text"))
@@ -329,16 +341,42 @@ object CurationPipeline {
       "text_clean", cfg.nearDupThreshold)
     val nNearDup = ndKept.count() // cheap: afterPpl is materialized
 
-    val cont = Curation.contaminationScore(
-      ndKept.select(col(id), col("text_clean")), id, "text_clean",
-      probes, probeTextCol)
+    // decontamination: "doc" drops whole documents above the
+    // contamination cutoff; "sentence" SURGICALLY removes the hit
+    // sentence ordinals ([[Curation.contaminatedSentences]]) and keeps
+    // the page — a doc drops only when nothing survives. The rebuilt
+    // text joins with single spaces (sentence boundaries subsume the
+    // segment separators), and every downstream digest/signature/
+    // export sees the rebuilt form. maxContamination is a no-op in
+    // sentence mode by design.
+    val deconed =
+      if (cfg.deconMode == "sentence") {
+        val cmap = Curation.contaminatedSentences(
+          ndKept.select(col(id), col("text_clean")), id, "text_clean",
+          probes, probeTextCol)
+        val sents = graft.ops.TextAnalysis.splitSentences(col("text_clean"))
+        val keptSents = filter(sents, (_, i) =>
+          !array_contains(
+            coalesce(col("__cidx"), array().cast("array<int>")), i))
+        ndKept
+          .join(cmap.select(col(id), col("contaminated_idx").as("__cidx")),
+            Seq(id), "left")
+          .withColumn("text_clean", array_join(keptSents, " "))
+          .filter(length(col("text_clean")) > 0)
+          .drop("__cidx", "n_segments", "n_kept")
+      } else {
+        val cont = Curation.contaminationScore(
+          ndKept.select(col(id), col("text_clean")), id, "text_clean",
+          probes, probeTextCol)
+        ndKept
+          .join(cont.select(col(id), col("contamination")), Seq(id), "left")
+          .filter(coalesce(col("contamination"), lit(0.0)) <=
+            cfg.maxContamination)
+          .drop("contamination", "n_segments", "n_kept")
+      }
     // SECOND truncation: mix reweighting's count pivot and the final
     // action read one snapshot
-    val snapB = ndKept
-      .join(cont.select(col(id), col("contamination")), Seq(id), "left")
-      .filter(coalesce(col("contamination"), lit(0.0)) <= cfg.maxContamination)
-      .drop("contamination", "n_segments", "n_kept")
-      .truncated
+    val snapB = deconed.truncated
     // the pre-decontamination snapshot's reliable-checkpoint files are
     // dead once snapB (whose lineage the truncation cut) is
     // materialized — free them now, not at job exit (the streaming

@@ -202,6 +202,26 @@ class CurationPipelineSpec extends SparkSpec {
       val m2 = off.metrics.toMap
       assert(m2("terms_kept") == m2("rows_in"))
     } finally off.release()
+    // the Aho-Corasick matcher is a drop-in for the same semantics:
+    // identical kept set and metrics on the same list
+    val aho = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+      probes, "text",
+      CurationPipeline.Config("doc_id", "html", "source",
+        targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L,
+        blockedTerms = Seq("alpha3", "beta11 gamma11"),
+        termMatcher = "aho"))
+    try {
+      val m3 = aho.metrics.toMap
+      assert(m3("terms_kept") == m3("rows_in") - 2)
+      val kept3 = aho.data.select("doc_id").as[Long].collect().toSet
+      assert(!kept3.contains(3L) && !kept3.contains(11L))
+    } finally aho.release()
+    intercept[IllegalArgumentException] {
+      CurationPipeline.Config("doc_id", "html", "source",
+        termMatcher = "regex")
+    }
   }
 
   test("export manifest agrees with the final frame") {
@@ -455,6 +475,55 @@ class CurationPipelineSpec extends SparkSpec {
     } finally { loose.release(); tight.release() }
     intercept[IllegalArgumentException] {
       CurationPipeline.Config("doc_id", "html", "source", pplOrder = 4)
+    }
+  }
+
+  test("sentence decon mode keeps the page and removes only the leak") {
+    val leak = "The forbidden benchmark answer is exactly forty two for sure."
+    def doc(i: Long, body: String) =
+      (i, "srcA", s"<html><body><p>$body</p></body></html>")
+    val withLeak = Seq(
+      doc(1L, s"The clean alpha prose with plenty of ordinary words. $leak " +
+        "And the clean omega prose with plenty of ordinary words."),
+      doc(2L, "A fully clean document with plenty of ordinary english words " +
+        "and the usual stopwords in it for the gates."))
+      .toDF("doc_id", "source", "html")
+    val twin = Seq( // doc 1 authored WITHOUT the leak sentence
+      doc(1L, "The clean alpha prose with plenty of ordinary words. " +
+        "And the clean omega prose with plenty of ordinary words."),
+      doc(2L, "A fully clean document with plenty of ordinary english words " +
+        "and the usual stopwords in it for the gates."))
+      .toDF("doc_id", "source", "html")
+    val seen1 = Seq((900L, "an unrelated seen document about nothing much"))
+      .toDF("doc_id", "text")
+    def cfg(mode: String) = CurationPipeline.Config("doc_id", "html", "source",
+      targetMix = Map("srcA" -> 1), minQuality = 0.0, packCapacity = 200L,
+      deconMode = mode)
+    def shas(c: CurationPipeline.Curated) =
+      c.data.select("doc_id", "content_sha").as[(Long, String)].collect().toMap
+    val probes1 = Seq(leak).toDF("text")
+    val docMode = CurationPipeline.curate(withLeak,
+      Dedup.buildMinhashIndex(seen1, "doc_id", "text"), probes1, "text",
+      cfg("doc"))
+    val sentMode = CurationPipeline.curate(withLeak,
+      Dedup.buildMinhashIndex(seen1, "doc_id", "text"), probes1, "text",
+      cfg("sentence"))
+    val twinRun = CurationPipeline.curate(twin,
+      Dedup.buildMinhashIndex(seen1, "doc_id", "text"), probes1, "text",
+      cfg("doc"))
+    try {
+      // doc mode: the leaking page dies whole
+      assert(!shas(docMode).contains(1L))
+      // sentence mode: the page survives, and its content digest is
+      // byte-identical to the twin authored without the leak sentence
+      val s1 = shas(sentMode)
+      assert(s1.contains(1L))
+      assert(s1(1L) == shas(twinRun)(1L))
+      // the clean doc is untouched in every mode
+      assert(s1(2L) == shas(docMode)(2L) && s1(2L) == shas(twinRun)(2L))
+    } finally { docMode.release(); sentMode.release(); twinRun.release() }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.Config("doc_id", "html", "source", deconMode = "span")
     }
   }
 
