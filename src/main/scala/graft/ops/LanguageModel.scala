@@ -229,4 +229,111 @@ object LanguageModel {
   def kneserNey3SelfScore(df: DataFrame, idCol: String, textCol: String,
                           discount: Double = 0.75): DataFrame =
     kneserNey3Score(df, df, idCol, textCol, discount)
+
+  // ------------------------------------------------------- ARPA interop
+
+  /** Parsed ARPA model: per-order gram frames. `uni` =
+    * `(w, lp, bo)`, `bi` = `(w1, w2, lp, bo)`, `tri` =
+    * `(w1, w2, w3, lp)`; `lp`/`bo` are the file's log10 values,
+    * absent backoffs NULL.
+    */
+  final case class ArpaModel(uni: DataFrame, bi: DataFrame, tri: DataFrame)
+
+  /** Load a KenLM/SRILM ARPA file (≤ trigram used; higher orders are
+    * ignored) — the interop path for scoring a crawl under the
+    * EXTERNALLY trained model CCNet actually ships, instead of the
+    * in-engine KN estimates.
+    *
+    * Parsing is ORDER-FREE and fully distributed: an ARPA data line is
+    * `log10p<TAB>w1[ w2 …][<TAB>backoff]`, so the gram order is the
+    * word count of the middle field and no section state is needed —
+    * headers, counts and `\\N-grams:` markers simply fail the
+    * leading-float test and drop. One `spark.read.text` scan; a
+    * 100 GB model parses like any other text table. (Tab-separated
+    * fields per the SRILM/KenLM writers; space-only variants are out
+    * of scope by documented contract.)
+    */
+  def loadArpa(spark: org.apache.spark.sql.SparkSession,
+               path: String): ArpaModel = {
+    val lines = spark.read.text(path)
+      .select(split(col("value"), "\t").as("f"))
+      .select(
+        // guarded try_cast (graft.functions precedent): structure
+        // lines ("\data\", "ngram 1=4", section markers) must yield
+        // NULL, not an ANSI cast exception
+        graft.functions.GraftFunctions
+          .tryCastNumeric(element_at(col("f"), 1), "double").as("lp"),
+        element_at(col("f"), 2).as("g"),
+        when(size(col("f")) >= 3,
+          graft.functions.GraftFunctions
+            .tryCastNumeric(element_at(col("f"), 3), "double"))
+          .as("bo"))
+      .filter(col("lp").isNotNull && col("g").isNotNull)
+      .withColumn("ws", split(col("g"), " "))
+    val uni = lines.filter(size(col("ws")) === 1)
+      .select(element_at(col("ws"), 1).as("w"), col("lp"), col("bo"))
+    val bi = lines.filter(size(col("ws")) === 2)
+      .select(element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"), col("lp"), col("bo"))
+    val tri = lines.filter(size(col("ws")) === 3)
+      .select(element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"),
+        element_at(col("ws"), 3).as("w3"), col("lp"))
+    ArpaModel(uni, bi, tri)
+  }
+
+  /** Score `df` under a loaded ARPA trigram model with the standard
+    * backoff lookup (Katz-style, the semantics every ARPA consumer
+    * implements):
+    *
+    *   P(w3|w1w2) = lp3(w1w2w3)                    if the trigram exists
+    *              = bo(w1w2) + P(w3|w2)            else (absent bo → 0)
+    *   P(w3|w2)   = lp2(w2w3)                      if the bigram exists
+    *              = bo(w2) + P(w3)                 else
+    *   P(w3)      = lp1(w3), else lp1(<unk>), else −99 (SRILM's floor)
+    *
+    * Documents score over their interior trigram stream (no BOS/EOS
+    * padding — the same basis as [[kneserNey3Score]], so the two are
+    * bucket-comparable). Returns `(idCol, n_trigrams, arpa_logprob,
+    * arpa_ppl)` where `arpa_logprob` is the mean log10 probability and
+    * `arpa_ppl = 10^(−arpa_logprob)`.
+    *
+    * Shape: the model rides as five equi-join sides keyed by gram
+    * (AQE broadcasts real-model sizes); scoring is the per-doc trigram
+    * frame joined five ways, then one aggregate — nothing collects.
+    */
+  def arpaScore(model: ArpaModel, df: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    Seq("n_trigrams", "arpa_logprob", "arpa_ppl").foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+    val tri = model.tri.select(col("w1").as("__w1"), col("w2").as("__w2"),
+      col("w3").as("__w3"), col("lp").as("__lp3"))
+    val bi23 = model.bi.select(col("w1").as("__w2"), col("w2").as("__w3"),
+      col("lp").as("__lp23"))
+    val bo12 = model.bi.select(col("w1").as("__w1"), col("w2").as("__w2"),
+      col("bo").as("__bo12"))
+    val uni3 = model.uni.select(col("w").as("__w3"), col("lp").as("__lp1"),
+      lit(1).as("__seen1"))
+    val bo2 = model.uni.select(col("w").as("__w2"), col("bo").as("__bo2"))
+    val unk = broadcast(model.uni.filter(col("w") === "<unk>")
+      .agg(min(col("lp")).as("__lpunk")))
+    val p1 = when(col("__seen1").isNotNull, col("__lp1"))
+      .otherwise(coalesce(col("__lpunk"), lit(-99.0)))
+    val p2 = when(col("__lp23").isNotNull, col("__lp23"))
+      .otherwise(coalesce(col("__bo2"), lit(0.0)) + p1)
+    val p3 = when(col("__lp3").isNotNull, col("__lp3"))
+      .otherwise(coalesce(col("__bo12"), lit(0.0)) + p2)
+    docTrigrams(df, idCol, textCol)
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(bi23, Seq("__w2", "__w3"), "left")
+      .join(bo12, Seq("__w1", "__w2"), "left")
+      .join(uni3, Seq("__w3"), "left")
+      .join(bo2, Seq("__w2"), "left")
+      .crossJoin(unk)
+      .groupBy(col(idCol))
+      .agg(
+        sum("__k").as("n_trigrams"),
+        (sum(col("__k") * p3) / sum("__k")).as("arpa_logprob"))
+      .withColumn("arpa_ppl", pow(lit(10.0), -col("arpa_logprob")))
+  }
 }

@@ -263,6 +263,42 @@ object TextQueries {
       .coalesce(1).write.mode("overwrite").parquet(t43Dir)
   }
 
+  private val t47Arpa = "/tmp/graft_gate_t47_model.arpa"
+  private val t47Docs = "/tmp/graft_gate_t47_docs"
+
+  /** t47 fixture: a hand-authored ARPA trigram model (round log10
+    * values) plus documents exercising every backoff branch — direct
+    * trigram hit, bo(w1w2)+bigram, bigram-with-NULL-backoff context,
+    * unigram fallthrough, and the <unk> floor. The oracle parses the
+    * SAME file and replays the Katz lookup.
+    */
+  private def writeT47Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val arpa = Seq(
+      "\\data\\", "ngram 1=4", "ngram 2=3", "ngram 3=2", "",
+      "\\1-grams:",
+      "-0.5\ta\t-0.2", "-0.7\tb\t-0.3", "-1.0\tc", "-2.0\t<unk>", "",
+      "\\2-grams:",
+      "-0.4\ta b\t-0.1", "-0.6\tb c", "-0.9\tb a", "",
+      "\\3-grams:",
+      "-0.3\ta b c", "-0.8\tb a b", "",
+      "\\end\\").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(t47Arpa),
+      arpa.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Seq(
+      (1L, "a b c"),    // trigram hit: −0.3
+      (2L, "b a b"),    // trigram hit: −0.8
+      (3L, "a b a"),    // bo(a,b) −0.1 + lp2(b,a) −0.9 = −1.0
+      (4L, "b c a"),    // bo(b,c) NULL→0 + [bi(c,a) absent → bo(c)
+                        // NULL→0 + lp1(a) −0.5] = −0.5
+      (5L, "c c z"),    // all absent, z OOV → <unk> −2.0
+      (6L, "a b c a"),  // two trigrams: (−0.3 + −0.5)/2 = −0.4
+      (7L, "a b"),      // < 3 tokens → no row
+      (8L, null: String))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(t47Docs)
+  }
+
   private val t21Dir = "/tmp/graft_gate_t21_langid"
 
   private def writeT21Fixture(s: SparkSession): Unit = {
@@ -427,6 +463,22 @@ object TextQueries {
         .select(col("doc_id"),
           graft.ops.Mojibake.fixMojibake(col("mangled")).as("fixed"),
           graft.ops.Mojibake.mojibakeFlag(col("mangled")).as("changed"))
+        .orderBy("doc_id")
+    },
+
+    // -- t47: ARPA language-model interop — load a KenLM/SRILM-format
+    //    trigram model and score docs with the standard Katz backoff
+    //    lookup. The oracle parses the SAME file (order-free: gram
+    //    order = word count of the middle tab field) and replays the
+    //    lookup CASE-for-CASE. -----------------------------------------
+    "t47_arpa_score" -> { (s, _) =>
+      writeT47Fixture(s)
+      val model = graft.ops.LanguageModel.loadArpa(s, t47Arpa)
+      graft.ops.LanguageModel.arpaScore(model,
+          s.read.parquet(t47Docs), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("arpa_logprob"), 4).as("arpa_logprob"),
+          round(col("arpa_ppl"), 4).as("arpa_ppl"))
         .orderBy("doc_id")
     },
 
@@ -1671,6 +1723,53 @@ object TextQueries {
       s"""SELECT doc_id, exp_fixed AS fixed, exp_changed AS changed
          |FROM read_parquet('$t41Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // The oracle re-parses the ARPA file itself and replays the Katz
+    // lookup with its own joins — nothing is taken from the engine.
+    "t47_arpa_score" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$t47Arpa', delim='\\t', header=false,
+         |    all_varchar=true, null_padding=true, names=['c0','c1','c2'])
+         |), g AS (
+         |  SELECT try_cast(c0 AS DOUBLE) AS lp, try_cast(c2 AS DOUBLE) AS bo,
+         |         string_split(c1, ' ') AS ws
+         |  FROM raw
+         |  WHERE try_cast(c0 AS DOUBLE) IS NOT NULL AND c1 IS NOT NULL
+         |), uni AS (SELECT ws[1] AS w, lp, bo FROM g WHERE len(ws) = 1),
+         |bi AS (SELECT ws[1] AS w1, ws[2] AS w2, lp, bo FROM g WHERE len(ws) = 2),
+         |tri AS (SELECT ws[1] AS w1, ws[2] AS w2, ws[3] AS w3, lp
+         |        FROM g WHERE len(ws) = 3),
+         |unk AS (SELECT min(lp) AS lpunk FROM uni WHERE w = '<unk>'),
+         |docs AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks
+         |  FROM read_parquet('$t47Docs/*.parquet') WHERE text IS NOT NULL
+         |), tg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+         |         count(*)::BIGINT AS k
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+         |        FROM docs WHERE len(toks) >= 3)
+         |  GROUP BY 1, 2, 3, 4
+         |), scored AS (
+         |  SELECT tg.doc_id, tg.k,
+         |    CASE WHEN t.lp IS NOT NULL THEN t.lp
+         |         ELSE coalesce(b12.bo, 0.0) +
+         |           CASE WHEN b23.lp IS NOT NULL THEN b23.lp
+         |                ELSE coalesce(u2.bo, 0.0) +
+         |                  CASE WHEN u3.lp IS NOT NULL THEN u3.lp
+         |                       ELSE coalesce((SELECT lpunk FROM unk), -99.0)
+         |                  END
+         |           END
+         |    END AS lp
+         |  FROM tg
+         |  LEFT JOIN tri t  ON tg.w1 = t.w1 AND tg.w2 = t.w2 AND tg.w3 = t.w3
+         |  LEFT JOIN bi b23 ON tg.w2 = b23.w1 AND tg.w3 = b23.w2
+         |  LEFT JOIN bi b12 ON tg.w1 = b12.w1 AND tg.w2 = b12.w2
+         |  LEFT JOIN uni u3 ON tg.w3 = u3.w
+         |  LEFT JOIN uni u2 ON tg.w2 = u2.w
+         |)
+         |SELECT doc_id, sum(k)::BIGINT AS n_trigrams,
+         |  round(sum(k * lp) / sum(k), 4) AS arpa_logprob,
+         |  round(pow(10.0, -(sum(k * lp) / sum(k))), 4) AS arpa_ppl
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "t46_readability" ->
       s"""WITH src AS (
          |  SELECT doc_id, $duckT42Text AS t

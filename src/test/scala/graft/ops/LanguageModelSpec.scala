@@ -169,4 +169,48 @@ class LanguageModelSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("discount"))
   }
+
+  test("ARPA load + Katz backoff score: every branch hand-derived") {
+    import spark.implicits._
+    val arpa = Seq(
+      "\\data\\", "ngram 1=4", "ngram 2=3", "ngram 3=2", "",
+      "\\1-grams:",
+      "-0.5\ta\t-0.2", "-0.7\tb\t-0.3", "-1.0\tc", "-2.0\t<unk>", "",
+      "\\2-grams:",
+      "-0.4\ta b\t-0.1", "-0.6\tb c", "-0.9\tb a", "",
+      "\\3-grams:",
+      "-0.3\ta b c", "-0.8\tb a b", "",
+      "\\end\\").mkString("\n")
+    val f = tmpDir("arpa").resolve("m.arpa")
+    write(f, arpa)
+    val model = LanguageModel.loadArpa(spark, f.toString)
+    assert(model.uni.count() == 4 && model.bi.count() == 3 &&
+      model.tri.count() == 2)
+    // backoff present/absent parsed correctly
+    val cBo = model.uni.filter(col("w") === "c").select("bo")
+      .collect().head.isNullAt(0)
+    assert(cBo, "absent backoff must be NULL")
+    val docs = Seq(
+      (1L, "a b c"),   // trigram hit → −0.3
+      (3L, "a b a"),   // bo(a,b) −0.1 + lp2(b,a) −0.9 → −1.0
+      (4L, "b c a"),   // NULL bo → 0; unigram a −0.5
+      (5L, "c c z"),   // OOV → <unk> −2.0
+      (6L, "a b c a"), // mean(−0.3, −0.5) = −0.4
+      (7L, "a b"), (8L, null: String)).toDF("doc_id", "text")
+    val got = LanguageModel.arpaScore(model, docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("arpa_logprob"), 4), round(col("arpa_ppl"), 4))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, -0.3, 1.9953),
+      (3L, 1L, -1.0, 10.0),
+      (4L, 1L, -0.5, 3.1623),
+      (5L, 1L, -2.0, 100.0),
+      (6L, 2L, -0.4, 2.5119)))
+    intercept[IllegalArgumentException] {
+      LanguageModel.arpaScore(model,
+        docs.withColumn("arpa_ppl", lit(1.0)), "doc_id", "text")
+    }
+  }
 }
