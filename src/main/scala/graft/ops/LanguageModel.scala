@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interpolated Kneser–Ney bigram language model, trained and scored
@@ -121,6 +121,45 @@ object LanguageModel {
                          discount: Double = 0.75): DataFrame =
     kneserNeyScore(df, df, idCol, textCol, discount)
 
+  /** The trigram-KN count frames, shared by scoring
+    * ([[kneserNey3Score]]) and ARPA export ([[saveKn3Arpa]]) so the
+    * two derive probabilities from IDENTICAL formulas.
+    */
+  private final case class Kn3Counts(triC: DataFrame, ctx12: DataFrame,
+                                     cont2: DataFrame, ctx2: DataFrame,
+                                     bigramC: DataFrame, contU: DataFrame,
+                                     totals: DataFrame)
+
+  private def kn3Counts(train: DataFrame, idCol: String,
+                        textCol: String): Kn3Counts = {
+    // Persisted: triC feeds THREE consumers (the probe join, ctx12,
+    // cont2→ctx2) and bigramC two — without the cache each consumer
+    // re-runs the corpus explode + count shuffle (16 source scans in
+    // the un-cached plan; 2.4x wall at sf1). Both frames are gram-TYPE
+    // counts (vocabulary-scale), spill-safe, LRU-evictable.
+    val triC = docTrigrams(train, idCol, textCol)
+      .groupBy("__w1", "__w2", "__w3").agg(sum("__k").as("__ctg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx12 = triC.groupBy("__w1", "__w2")
+      .agg(sum("__ctg").as("__cw12"), count(lit(1)).as("__n1p_after12"))
+    // middle level: continuation counts N1+(•,w2,w3)
+    val cont2 = triC.groupBy("__w2", "__w3")
+      .agg(count(lit(1)).as("__n1p_mid"))
+    val ctx2 = cont2.groupBy("__w2")
+      .agg(sum("__n1p_mid").as("__cw2cont"),
+        count(lit(1)).as("__n2typ_after"))
+    // bottom level: unigram continuation over TRUE bigram types (a
+    // doc's final bigram appears in no trigram, so this frame is built
+    // from the bigram explode, same basis as the bigram model)
+    val bigramC = docGrams(train, idCol, textCol)
+      .groupBy("__w1", "__w2").agg(sum("__k").as("__cbg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contU = bigramC.groupBy(col("__w2").as("__w3"))
+      .agg(count(lit(1)).as("__n1p_before"))
+    val totals = bigramC.agg(count(lit(1)).as("__b"))
+    Kn3Counts(triC, ctx12, cont2, ctx2, bigramC, contU, totals)
+  }
+
   /** Per-doc trigram occurrence counts `(idCol, __w1, __w2, __w3, __k)`. */
   private def docTrigrams(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
@@ -168,35 +207,8 @@ object LanguageModel {
     Seq("n_trigrams", "kn3_logprob", "kn3_ppl").foreach(r =>
       require(!df.columns.contains(r), s"input already has a '$r' column"))
 
-    // -- top level: raw trigram counts ------------------------------
-    // Persisted: triC feeds THREE consumers (the probe join, ctx12,
-    // cont2→ctx2) and bigramC two — without the cache each consumer
-    // re-runs the corpus explode + count shuffle (16 source scans in
-    // the un-cached plan; 2.4x wall at sf1). Both frames are gram-TYPE
-    // counts (vocabulary-scale, far smaller than the corpus), spill-
-    // safe at MEMORY_AND_DISK, and LRU-evictable (a streaming caller
-    // that scores every microbatch under ONE model keeps exactly these
-    // two cached frames alive — that is the desired steady state).
-    val triC = docTrigrams(train, idCol, textCol)
-      .groupBy("__w1", "__w2", "__w3").agg(sum("__k").as("__ctg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ctx12 = triC.groupBy("__w1", "__w2")
-      .agg(sum("__ctg").as("__cw12"), count(lit(1)).as("__n1p_after12"))
-    // -- middle level: continuation counts N1+(•,w2,w3) -------------
-    val cont2 = triC.groupBy("__w2", "__w3")
-      .agg(count(lit(1)).as("__n1p_mid"))
-    val ctx2 = cont2.groupBy("__w2")
-      .agg(sum("__n1p_mid").as("__cw2cont"),
-        count(lit(1)).as("__n2typ_after"))
-    // -- bottom level: unigram continuation over TRUE bigram types
-    //    (a doc's final bigram appears in no trigram, so this frame is
-    //    built from the bigram explode, same basis as the bigram model)
-    val bigramC = docGrams(train, idCol, textCol)
-      .groupBy("__w1", "__w2").agg(sum("__k").as("__cbg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val contU = bigramC.groupBy(col("__w2").as("__w3"))
-      .agg(count(lit(1)).as("__n1p_before"))
-    val totals = bigramC.agg(count(lit(1)).as("__b"))
+    val c = kn3Counts(train, idCol, textCol)
+    import c.{triC, ctx12, cont2, ctx2, contU, totals}
 
     val d = lit(discount)
     val p1 = coalesce(col("__n1p_before").cast("double"), d) / col("__b")
@@ -231,6 +243,125 @@ object LanguageModel {
     kneserNey3Score(df, df, idCol, textCol, discount)
 
   // ------------------------------------------------------- ARPA interop
+
+  /** Export the in-engine interpolated trigram KN model as a standard
+    * ARPA file — the representation SRILM/KenLM use for interpolated
+    * models: each entry stores the INTERPOLATED probability and each
+    * context's backoff weight is its interpolation coefficient
+    * λ(ctx) = D·N1+(ctx,•)/c(ctx,•), so the Katz lookup
+    * ([[arpaScore]]) reproduces [[kneserNey3Score]]'s probabilities
+    * EXACTLY on every branch — seen trigram, context backoff, middle
+    * backoff, and the `<unk>` = D/B floor (the round-trip the t48
+    * gate pins, including the ln↔log10 base change cancelling in the
+    * perplexity).
+    *
+    * Entry sets: unigrams = continuation vocabulary + `<unk>`;
+    * bigrams = continuation pairs ∪ trigram contexts (a context-only
+    * pair still writes its interpolated probability, so the lookup
+    * through it cannot drift); trigrams = seen trigrams. The file is
+    * assembled WITHOUT collecting the model: every section is a line
+    * frame, unioned with the header/markers, globally ordered and
+    * written as one text file (the single-stream shape is ARPA's own
+    * format constraint, not a plan defect).
+    */
+  def saveKn3Arpa(train: DataFrame, idCol: String, textCol: String,
+                  path: String, discount: Double = 0.75): Unit = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0, 1), got $discount")
+    val c = kn3Counts(train, idCol, textCol)
+    val d = lit(discount)
+    val b = col("__b")
+    val log10 = (x: Column) => log(10.0, x)
+
+    // ---- unigrams: continuation vocabulary + <unk> ----------------
+    val p1 = col("__n1p_before").cast("double") / b
+    val uniBo = c.ctx2.select(col("__w2").as("__w3"),
+      log10(d * col("__n2typ_after") / col("__cw2cont")).as("__bo"))
+    val uniRows = c.contU
+      // a literal corpus token "<unk>" would collide with the OOV
+      // entry and double the lookup join — it merges into the floor
+      .filter(col("__w3") =!= "<unk>")
+      .crossJoin(broadcast(c.totals))
+      .join(uniBo, Seq("__w3"), "left")
+      .select(log10(p1).cast("string").as("lp"),
+        col("__w3").as("g"), col("__bo").cast("string").as("bo"))
+    val unkRow = c.totals.select(
+      log10(d / b).cast("string").as("lp"),
+      lit("<unk>").as("g"), lit(null).cast("string").as("bo"))
+
+    // ---- bigrams: continuation pairs ∪ trigram contexts -----------
+    val biKeys = c.cont2.select(col("__w2"), col("__w3"))
+      .unionByName(c.ctx12.select(col("__w1").as("__w2"),
+        col("__w2").as("__w3")))
+      .distinct()
+    val p1b = coalesce(col("__n1p_before").cast("double"), d) / b
+    val p2 = when(col("__cw2cont").isNotNull,
+      (greatest(coalesce(col("__n1p_mid"), lit(0L)).cast("double") - d,
+          lit(0.0)) +
+        d * col("__n2typ_after") * p1b) / col("__cw2cont")).otherwise(p1b)
+    val biBo = c.ctx12.select(col("__w1").as("__w2"),
+      col("__w2").as("__w3"),
+      log10(d * col("__n1p_after12") / col("__cw12")).as("__bo"))
+    val biRows = biKeys
+      .join(c.cont2, Seq("__w2", "__w3"), "left")
+      .join(c.ctx2, Seq("__w2"), "left")
+      .join(c.contU, Seq("__w3"), "left")
+      .crossJoin(broadcast(c.totals))
+      .join(biBo, Seq("__w2", "__w3"), "left")
+      .select(log10(p2).cast("string").as("lp"),
+        concat_ws(" ", col("__w2"), col("__w3")).as("g"),
+        col("__bo").cast("string").as("bo"))
+
+    // ---- trigrams: seen trigrams, interpolated P3 -----------------
+    val p3 = (greatest(col("__ctg").cast("double") - d, lit(0.0)) +
+      d * col("__n1p_after12") * p2) / col("__cw12")
+    val triRows = c.triC
+      .join(c.ctx12, Seq("__w1", "__w2"))
+      .join(c.cont2, Seq("__w2", "__w3"), "left")
+      .join(c.ctx2, Seq("__w2"), "left")
+      .join(c.contU, Seq("__w3"), "left")
+      .crossJoin(broadcast(c.totals))
+      .select(log10(p3).cast("string").as("lp"),
+        concat_ws(" ", col("__w1"), col("__w2"), col("__w3")).as("g"),
+        lit(null).cast("string").as("bo"))
+
+    val spark = train.sparkSession
+    import spark.implicits._
+    val n1 = uniRows.count() + 1 // + <unk>
+    val n2 = biRows.count()
+    val n3 = triRows.count()
+    def lines(ord: Int, df: DataFrame): DataFrame =
+      df.select(lit(ord).as("ord"), col("g").as("key"),
+        concat(col("lp"), lit("\t"), col("g"),
+          when(col("bo").isNotNull, concat(lit("\t"), col("bo")))
+            .otherwise(lit(""))).as("line"))
+    def marker(ord: Int, text: Seq[String]): DataFrame =
+      text.zipWithIndex
+        .map { case (l, i) => (ord, f"$i%04d", l) }
+        .toDF("ord", "key", "line")
+    val all = marker(0, Seq("\\data\\", s"ngram 1=$n1", s"ngram 2=$n2",
+        s"ngram 3=$n3", "", "\\1-grams:"))
+      .unionByName(lines(1, uniRows.unionByName(unkRow)))
+      .unionByName(marker(2, Seq("", "\\2-grams:")))
+      .unionByName(lines(3, biRows))
+      .unionByName(marker(4, Seq("", "\\3-grams:")))
+      .unionByName(lines(5, triRows))
+      .unionByName(marker(6, Seq("", "\\end\\")))
+    val tmp = path + ".arpadir"
+    all.orderBy("ord", "key").select("line")
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dst = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(part.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+  }
 
   /** Parsed ARPA model: per-order gram frames. `uni` =
     * `(w, lp, bo)`, `bi` = `(w1, w2, lp, bo)`, `tri` =

@@ -466,6 +466,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t48: ARPA EXPORT round trip — the in-engine trigram KN model
+    //    written as a standard ARPA file (interpolated probs + λ
+    //    backoff weights), reloaded, and Katz-scored: per-language
+    //    mean perplexity must agree with the direct in-engine score,
+    //    and the oracle re-derives that truth from scratch (the t35
+    //    formula emitted for BOTH columns). -------------------------
+    "t48_arpa_roundtrip" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val path = "/tmp/graft_gate_t48_kn3.arpa"
+      graft.ops.LanguageModel.saveKn3Arpa(docs, "doc_id", "text", path)
+      val ar = graft.ops.LanguageModel.arpaScore(
+        graft.ops.LanguageModel.loadArpa(s, path), docs, "doc_id", "text")
+      graft.ops.LanguageModel.kneserNey3SelfScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("kn3_ppl"))
+        .join(ar.select(col("doc_id"), col("arpa_ppl"),
+          col("n_trigrams")), "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_trigrams").as("total_trigrams"),
+          round(avg("kn3_ppl"), 4).as("avg_ppl_engine"),
+          round(avg("arpa_ppl"), 4).as("avg_ppl_arpa"))
+        .orderBy("lang")
+    },
+
     // -- t47: ARPA language-model interop — load a KenLM/SRILM-format
     //    trigram model and score docs with the standard Katz backoff
     //    lookup. The oracle parses the SAME file (order-free: gram
@@ -1723,6 +1748,59 @@ object TextQueries {
       s"""SELECT doc_id, exp_fixed AS fixed, exp_changed AS changed
          |FROM read_parquet('$t41Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // The t35 from-scratch KN3 derivation, emitted for BOTH ppl
+    // columns: if the export→reload→Katz-score loop drifts from the
+    // in-engine model on ANY document, the arpa column diverges from
+    // the oracle's truth and the gate fails.
+    "t48_arpa_roundtrip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS t
+        |  FROM documents
+        |), g3 AS (
+        |  SELECT doc_id, t[i]::VARCHAR AS w1, t[i+1]::VARCHAR AS w2,
+        |         t[i+2]::VARCHAR AS w3
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+        |), dg AS (
+        |  SELECT doc_id, w1, w2, w3, count(*) AS k FROM g3 GROUP BY 1, 2, 3, 4
+        |), tc AS (
+        |  SELECT w1, w2, w3, sum(k) AS ctg FROM dg GROUP BY 1, 2, 3
+        |), c12 AS (
+        |  SELECT w1, w2, sum(ctg) AS cw12, count(*) AS n1p_after12
+        |  FROM tc GROUP BY 1, 2
+        |), cont2 AS (
+        |  SELECT w2, w3, count(*) AS n1p_mid FROM tc GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT w2, sum(n1p_mid) AS cw2cont, count(*) AS n2typ_after
+        |  FROM cont2 GROUP BY 1
+        |), g2 AS (
+        |  SELECT t[i]::VARCHAR AS w1, t[i+1]::VARCHAR AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+        |), bc AS (
+        |  SELECT w1, w2 FROM g2 GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT w2 AS w3, count(*) AS n1p_before FROM bc GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS b FROM bc
+        |), scored AS (
+        |  SELECT dg.doc_id, sum(k)::BIGINT AS n_trigrams,
+        |    sum(k * ln(
+        |      (greatest(tc.ctg::DOUBLE - 0.75, 0.0) +
+        |       0.75 * c12.n1p_after12 *
+        |         ((greatest(cont2.n1p_mid::DOUBLE - 0.75, 0.0) +
+        |           0.75 * c2.n2typ_after *
+        |             (cu.n1p_before::DOUBLE / tot.b)) / c2.cw2cont))
+        |      / c12.cw12)) / sum(k) AS kn3_logprob
+        |  FROM dg JOIN tc USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+        |    JOIN cont2 USING (w2, w3) JOIN c2 USING (w2)
+        |    JOIN cu USING (w3) CROSS JOIN tot
+        |  GROUP BY 1
+        |)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  sum(s.n_trigrams)::BIGINT AS total_trigrams,
+        |  round(avg(exp(-s.kn3_logprob)), 4) AS avg_ppl_engine,
+        |  round(avg(exp(-s.kn3_logprob)), 4) AS avg_ppl_arpa
+        |FROM scored s JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The oracle re-parses the ARPA file itself and replays the Katz
     // lookup with its own joins — nothing is taken from the engine.
     "t47_arpa_score" ->

@@ -213,4 +213,50 @@ class LanguageModelSpec extends SparkSpec {
         docs.withColumn("arpa_ppl", lit(1.0)), "doc_id", "text")
     }
   }
+
+  test("ARPA export round-trips: saved model scores exactly like in-engine KN3") {
+    import spark.implicits._
+    val train = Seq(
+      (101L, "the cat sat on the mat and the cat ran"),
+      (102L, "the dog sat on the rug and the dog slept"),
+      (103L, "a cat and a dog sat on the mat together today")).toDF("doc_id", "text")
+    // probes exercise every branch: seen trigrams, unseen trigram with
+    // seen context, unseen context, unseen middle, full OOV
+    val probe = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat slept on the rug"),
+      (3L, "dog ran today and slept"),
+      (4L, "zebra quokka wombat xylophone"),
+      (5L, "a dog ran on a mat and a cat slept")).toDF("doc_id", "text")
+    val kn = LanguageModel.kneserNey3Score(train, probe, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "kn3_logprob", "kn3_ppl")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val path = tmpDir("arpaexp").resolve("kn3.arpa").toString
+    LanguageModel.saveKn3Arpa(train, "doc_id", "text", path)
+    val m = LanguageModel.loadArpa(spark, path)
+    val ar = LanguageModel.arpaScore(m, probe, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "arpa_logprob", "arpa_ppl")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(kn.keySet == ar.keySet && kn.nonEmpty)
+    for (id <- kn.keys) {
+      assert(kn(id)._2 == ar(id)._2, s"trigram count drift on doc $id")
+      // base change: kn3_logprob is ln, arpa_logprob is log10 — the
+      // perplexities must agree to float noise
+      val (pKn, pAr) = (kn(id)._4, ar(id)._4)
+      assert(math.abs(pKn - pAr) / pKn < 1e-9,
+        s"doc $id: kn3_ppl=$pKn arpa_ppl=$pAr")
+      assert(math.abs(kn(id)._3 - ar(id)._3 * math.log(10.0)) < 1e-9,
+        s"doc $id: logprob base mismatch")
+    }
+    // the file parses as text (headers + 3 sections + end marker)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(txt.startsWith("\\data\\"))
+    assert(txt.contains("\\1-grams:") && txt.contains("\\2-grams:") &&
+      txt.contains("\\3-grams:") && txt.trim.endsWith("\\end\\"))
+    assert(txt.contains("<unk>"))
+  }
 }
