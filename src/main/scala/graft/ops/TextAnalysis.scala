@@ -177,6 +177,42 @@ object TextAnalysis {
     "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]" -> "",
     "[ \\t\\n\\r\\f\\x{000B}]+" -> " ")
 
+  /** Homoglyph fold pair — Cyrillic and Greek letters whose standard
+    * glyphs are indistinguishable from Latin (the UCD confusables
+    * core): the table adversarial spam uses to slip identical text
+    * past exact/dedup keys ("sосiаl" with Cyrillic о/а hashes as a
+    * different document). Written as parallel from/to strings for ONE
+    * codegen `translate` — both engines have it. Deliberately NOT
+    * applied to stored text (folding real Cyrillic prose to Latin
+    * destroys it); this is a KEY transform.
+    */
+  val homoglyphFrom: String =
+    "аеорсухіјѕ" + // а е о р с у х і ј ѕ
+      "АВЕКМНОРСТУХ" + // А В Е К М Н О Р С Т У Х
+      "οΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" // ο Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ
+  val homoglyphTo: String =
+    "aeopcyxijs" + "ABEKMHOPCTYX" + "oABEZHIKMNOPTYX"
+
+  /** Fold confusable Cyrillic/Greek homoglyphs to their Latin
+    * lookalikes — see [[homoglyphFrom]].
+    */
+  def foldHomoglyphs(c: Column): Column =
+    translate(c, homoglyphFrom, homoglyphTo)
+
+  /** Robust exact-dedup key: homoglyph fold → [[normalizeText]]
+    * (typographic/space fold) → lowercase → digit runs to `0`. Two
+    * documents that differ only by confusable scripts, curly
+    * punctuation, space flavors, case, or serial numbers land on ONE
+    * key — the hash basis for [[graft.ops.Dedup]]'s exact family when
+    * the corpus is adversarial or noisily retyped. Pure codegen column
+    * algebra (translate + the shared fold table + two regexes), fully
+    * SQL-mirrorable; width/ligature variants are [[UnicodeNorm.nfkc]]'s
+    * job and deliberately out of this key (NFKC is not expressible in
+    * the oracle's engine — compose the two when that matters).
+    */
+  def robustDedupKey(c: Column): Column =
+    regexp_replace(lower(normalizeText(foldHomoglyphs(c))), "[0-9]+", "0")
+
   /** Hashed-feature LINEAR quality classifier — the scoring half of the
     * fastText-style model every published curation pipeline (CCNet,
     * RefinedWeb, FineWeb) runs after the rule-based filters: tokens
