@@ -30,11 +30,24 @@ object FileCopySink {
   /** One source directory of an atomic copy group, with the mapping
     * from the record's resolved filename to this directory's file name
     * (e.g. OD annotations: `a.jpg` → `a.xml`; semseg masks:
-    * `a.jpg` → `a_mask.png`).
+    * `a.jpg` → `a_mask.png`). `fallbackExts` lists extra extensions to
+    * probe when the primary name is absent (the reference's mask
+    * lookup walks `.png/.jpg/.jpeg` before failing,
+    * `file_transfer.py:271-282`).
     */
   final case class SidecarSource(dir: String,
-                                 rename: String => String = identity)
-      extends Serializable
+                                 rename: String => String = identity,
+                                 fallbackExts: Seq[String] = Nil)
+      extends Serializable {
+    /** Candidate file names in probe order: the primary rename, then
+      * the same stem under each fallback extension.
+      */
+    def candidates(name: String): Seq[String] = {
+      val primary = rename(name)
+      primary +: fallbackExts.map(e =>
+        primary.replaceAll("\\.[A-Za-z0-9]+$", "") + s".$e")
+    }
+  }
 
   final case class CopySpec(sources: Seq[SidecarSource], destDir: String,
                             maxRetries: Int = 3)
@@ -47,13 +60,20 @@ object FileCopySink {
       CopySpec(Seq(SidecarSource(imagesDir),
         SidecarSource(xmlDir, n => n.replaceAll("\\.[A-Za-z0-9]+$", "") + ".xml")),
         destDir)
-    /** Semseg: image + `<stem>_mask.<ext>` sidecar, atomic. */
+    /** Semseg: image + `<stem>_mask.<ext>` sidecar, atomic. A mask
+      * directory may mix extensions — the probe order matches the
+      * reference's `.png/.jpg/.jpeg` walk (`file_transfer.py:271-282`);
+      * pass a one-element list to pin a single extension.
+      */
     def imageMask(imagesDir: String, masksDir: String, destDir: String,
-                  maskExt: String = "png"): CopySpec =
+                  maskExts: Seq[String] = Seq("png", "jpg", "jpeg")): CopySpec = {
+      require(maskExts.nonEmpty, "imageMask needs at least one mask extension")
       CopySpec(Seq(SidecarSource(imagesDir),
         SidecarSource(masksDir,
-          n => n.replaceAll("\\.[A-Za-z0-9]+$", "") + s"_mask.$maskExt")),
+          n => n.replaceAll("\\.[A-Za-z0-9]+$", "") + s"_mask.${maskExts.head}",
+          maskExts.tail)),
         destDir)
+    }
   }
 
   /** Resolve a record's sidecar source path: append the extension only
@@ -116,20 +136,23 @@ object FileCopySink {
         try {
           val name = resolveName(filename, ext)
           val sources = spec.sources.map(s => new Path(s.dir, s.rename(name)))
-          // Each path resolves against its OWN FileSystem: sources and
+          // Each primary path resolves against its OWN FileSystem: sources and
           // destination may live on different schemes (s3a images →
           // hdfs dest), and using the source FS for the dest path
           // throws "Wrong FS" per record — every row would land in the
           // failure channel.
           val srcFs = sources.map(_.getFileSystem(conf))
           val destFs = new Path(spec.destDir).getFileSystem(conf)
-          // Atomic pre-check: EVERY file of the group must exist before
-          // ANY copy starts.
-          val allExist = sources.zip(srcFs).forall { case (p, f) => f.exists(p) }
-          if (!allExist) (name, false)
+          // Atomic pre-check: EVERY source must resolve (first existing
+          // candidate in probe order) before ANY copy starts.
+          val resolvedSrcs = spec.sources.zip(srcFs).map { case (s, f) =>
+            (s.candidates(name).map(c => new Path(s.dir, c))
+              .find(f.exists), f)
+          }
+          if (resolvedSrcs.exists(_._1.isEmpty)) (name, false)
           else {
             try {
-              sources.zip(srcFs).foreach { case (src, fs) =>
+              resolvedSrcs.map { case (p, f) => (p.get, f) }.foreach { case (src, fs) =>
                 val dest = new Path(spec.destDir, src.getName)
                 withRetry(spec.maxRetries, Thread.sleep) {
                   if (destFs.exists(dest)) destFs.delete(dest, false)

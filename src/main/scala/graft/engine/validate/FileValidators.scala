@@ -155,7 +155,7 @@ object FileValidators {
               .orderBy("name").limit(1).select(col("w").as("ew"), col("h").as("eh")))
         val nWrong =
           if (nCorrupt == nFiles) 0L // no readable reference; corrupt error carries it
-          else dimsC.crossJoin(broadcast(expectedDf))
+          else graft.ops.ScalarFold.withScalars(dimsC, expectedDf)
             .agg(sum(when(col("error").isNull &&
               (col("w") =!= col("ew") || col("h") =!= col("eh")), 1).otherwise(0))
               .cast("long")).head().getLong(0)

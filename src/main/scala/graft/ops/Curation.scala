@@ -918,11 +918,10 @@ object Curation {
       .agg(count(lit(1)).as("__ct"))
     val distR = feats(raw, Nil).groupBy("__graft_b")
       .agg(count(lit(1)).as("__cr"))
-    // ratio frame: ≤ buckets rows. Totals ride in on the documented
-    // one-row crossJoin(broadcast) shape (t8/t11 waiver class: each
-    // task loops over exactly one broadcast row — free at any scale,
-    // lazier than a driver-side count() action). Both frames here are
-    // bucket-bounded; the corpus is long gone.
+    // ratio frame: ≤ buckets rows. Totals ride in on the one-row
+    // ScalarFold (broadcast hash join on a non-foldable constant key
+    // — free at any scale, lazier than a driver-side count() action).
+    // Both frames here are bucket-bounded; the corpus is long gone.
     val aB = lit(alpha * buckets)
     val joined = distT
       .join(distR, Seq("__graft_b"), "full_outer")
@@ -931,8 +930,7 @@ object Curation {
         coalesce(col("__cr"), lit(0L)).as("__cr"))
     val totals = joined
       .agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))
-    val ratio = joined
-      .crossJoin(broadcast(totals))
+    val ratio = ScalarFold.withScalars(joined, totals)
       .select(col("__graft_b"),
         (log((col("__ct") + alpha) / (col("__nt") + aB)) -
           log((col("__cr") + alpha) / (col("__nr") + aB)))

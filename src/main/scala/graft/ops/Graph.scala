@@ -77,9 +77,9 @@ object Graph {
           .join(outW.select(col("__src").as("node")), Seq("node"), "left_anti")
           .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
         val next = rounds.truncate(
-          ranks.select(col("node"), col("rank").as("__prev"))
-            .join(contribs, Seq("node"), "left")
-            .crossJoin(broadcast(dangling))
+          ScalarFold.withScalars(
+            ranks.select(col("node"), col("rank").as("__prev"))
+              .join(contribs, Seq("node"), "left"), dangling)
             .select(col("node"), col("__prev"),
               (base + lit(damping) *
                 (coalesce(col("__contrib"), lit(0.0)) +

@@ -46,6 +46,9 @@ object LanguageModel {
       .otherwise(regexp_extract_all(col(textCol),
         lit("[^ \\t\\n\\f\\r]+"), lit(0)))
 
+  private def withScalars(df: DataFrame, scalars: DataFrame): DataFrame =
+    ScalarFold.withScalars(df, scalars)
+
   /** Per-doc bigram occurrence counts `(idCol, __w1, __w2, __k)` — the
     * small frame every aggregate and the scorer hang off.
     */
@@ -101,11 +104,10 @@ object LanguageModel {
         d * col("__n1p_after") * pcont) / col("__cw1")
     val p = when(col("__cw1").isNotNull, seenCtx).otherwise(pcont)
 
-    scoreGrams
+    withScalars(scoreGrams
       .join(bigramC, Seq("__w1", "__w2"), "left")
       .join(contextC, Seq("__w1"), "left")
-      .join(contC, Seq("__w2"), "left")
-      .crossJoin(broadcast(totals))
+      .join(contC, Seq("__w2"), "left"), totals)
       .groupBy(col(idCol))
       .agg(
         sum("__k").as("n_bigrams"),
@@ -221,13 +223,12 @@ object LanguageModel {
           lit(0.0)) +
         d * col("__n1p_after12") * p2) / col("__cw12")).otherwise(p2)
 
-    docTrigrams(df, idCol, textCol)
+    withScalars(docTrigrams(df, idCol, textCol)
       .join(triC, Seq("__w1", "__w2", "__w3"), "left")
       .join(ctx12, Seq("__w1", "__w2"), "left")
       .join(cont2, Seq("__w2", "__w3"), "left")
       .join(ctx2, Seq("__w2"), "left")
-      .join(contU, Seq("__w3"), "left")
-      .crossJoin(broadcast(totals))
+      .join(contU, Seq("__w3"), "left"), totals)
       .groupBy(col(idCol))
       .agg(
         sum("__k").as("n_trigrams"),
@@ -255,36 +256,64 @@ object LanguageModel {
     * gate pins, including the ln↔log10 base change cancelling in the
     * perplexity).
     *
-    * Entry sets: unigrams = continuation vocabulary + `<unk>`;
-    * bigrams = continuation pairs ∪ trigram contexts (a context-only
-    * pair still writes its interpolated probability, so the lookup
-    * through it cannot drift); trigrams = seen trigrams. The file is
-    * assembled WITHOUT collecting the model: every section is a line
-    * frame, unioned with the header/markers, globally ordered and
-    * written as one text file (the single-stream shape is ARPA's own
-    * format constraint, not a plan defect).
+    * Entry sets: unigrams = the FULL vocabulary (every word occupying
+    * any bigram position — a superset of the continuation vocabulary,
+    * so every word referenced by a 2/3-gram entry has a 1-gram entry,
+    * the closure property strict consumers like KenLM `build_binary` /
+    * SRILM enforce; non-continuation words, i.e. words appearing only
+    * document-initially, carry the D/B floor their in-engine score
+    * resolves to) + `<unk>`; bigrams = continuation pairs ∪ trigram
+    * contexts (a context-only pair still writes its interpolated
+    * probability, so the lookup through it cannot drift); trigrams =
+    * seen trigrams.
+    *
+    * A literal corpus token `<unk>` would collide with the OOV entry,
+    * so it is exported under the reserved spelling
+    * [[LanguageModel.LiteralUnkSpelling]] with its REAL statistics;
+    * [[arpaScore]]'s `escapeLiteralUnk = true` applies the matching
+    * remap at lookup, keeping the round trip exact on corpora that
+    * contain the literal token. (A corpus token equal to the reserved
+    * spelling itself is out of contract.)
+    *
+    * The file is assembled WITHOUT collecting the model: every section
+    * is a line frame, unioned with the header/markers, range-sort
+    * partitioned (a DISTRIBUTED sort — no single-task global sort) and
+    * written as N ordered part files which the driver stream-concats
+    * in part order through the Hadoop FileSystem API, so the write
+    * works on HDFS/S3 as well as local disk and the only single-stream
+    * step is the byte copy ARPA's one-file format itself demands.
     */
   def saveKn3Arpa(train: DataFrame, idCol: String, textCol: String,
                   path: String, discount: Double = 0.75): Unit = {
     require(discount > 0 && discount < 1,
       s"absolute discount must be in (0, 1), got $discount")
     val c = kn3Counts(train, idCol, textCol)
+    try saveKn3ArpaFrom(c, train.sparkSession, path, discount)
+    finally { c.triC.unpersist(); c.bigramC.unpersist(); () }
+  }
+
+  private def saveKn3ArpaFrom(c: Kn3Counts,
+                              spark: org.apache.spark.sql.SparkSession,
+                              path: String, discount: Double): Unit = {
     val d = lit(discount)
     val b = col("__b")
     val log10 = (x: Column) => log(10.0, x)
+    val esc = (g: Column) =>
+      when(g === "<unk>", lit(LiteralUnkSpelling)).otherwise(g)
 
-    // ---- unigrams: continuation vocabulary + <unk> ----------------
-    val p1 = col("__n1p_before").cast("double") / b
+    // ---- unigrams: full vocabulary (floor for non-continuation
+    //      words) + <unk> ------------------------------------------
+    val vocab = c.bigramC.select(col("__w1").as("__w3"))
+      .unionByName(c.bigramC.select(col("__w2").as("__w3")))
+      .distinct()
+    val p1 = coalesce(col("__n1p_before").cast("double"), d) / b
     val uniBo = c.ctx2.select(col("__w2").as("__w3"),
       log10(d * col("__n2typ_after") / col("__cw2cont")).as("__bo"))
-    val uniRows = c.contU
-      // a literal corpus token "<unk>" would collide with the OOV
-      // entry and double the lookup join — it merges into the floor
-      .filter(col("__w3") =!= "<unk>")
-      .crossJoin(broadcast(c.totals))
-      .join(uniBo, Seq("__w3"), "left")
+    val uniRows = withScalars(vocab
+      .join(c.contU, Seq("__w3"), "left")
+      .join(uniBo, Seq("__w3"), "left"), c.totals)
       .select(log10(p1).cast("string").as("lp"),
-        col("__w3").as("g"), col("__bo").cast("string").as("bo"))
+        esc(col("__w3")).as("g"), col("__bo").cast("string").as("bo"))
     val unkRow = c.totals.select(
       log10(d / b).cast("string").as("lp"),
       lit("<unk>").as("g"), lit(null).cast("string").as("bo"))
@@ -302,30 +331,28 @@ object LanguageModel {
     val biBo = c.ctx12.select(col("__w1").as("__w2"),
       col("__w2").as("__w3"),
       log10(d * col("__n1p_after12") / col("__cw12")).as("__bo"))
-    val biRows = biKeys
+    val biRows = withScalars(biKeys
       .join(c.cont2, Seq("__w2", "__w3"), "left")
       .join(c.ctx2, Seq("__w2"), "left")
-      .join(c.contU, Seq("__w3"), "left")
-      .crossJoin(broadcast(c.totals))
+      .join(c.contU, Seq("__w3"), "left"), c.totals)
       .join(biBo, Seq("__w2", "__w3"), "left")
       .select(log10(p2).cast("string").as("lp"),
-        concat_ws(" ", col("__w2"), col("__w3")).as("g"),
+        concat_ws(" ", esc(col("__w2")), esc(col("__w3"))).as("g"),
         col("__bo").cast("string").as("bo"))
 
     // ---- trigrams: seen trigrams, interpolated P3 -----------------
     val p3 = (greatest(col("__ctg").cast("double") - d, lit(0.0)) +
       d * col("__n1p_after12") * p2) / col("__cw12")
-    val triRows = c.triC
+    val triRows = withScalars(c.triC
       .join(c.ctx12, Seq("__w1", "__w2"))
       .join(c.cont2, Seq("__w2", "__w3"), "left")
       .join(c.ctx2, Seq("__w2"), "left")
-      .join(c.contU, Seq("__w3"), "left")
-      .crossJoin(broadcast(c.totals))
+      .join(c.contU, Seq("__w3"), "left"), c.totals)
       .select(log10(p3).cast("string").as("lp"),
-        concat_ws(" ", col("__w1"), col("__w2"), col("__w3")).as("g"),
+        concat_ws(" ", esc(col("__w1")), esc(col("__w2")),
+          esc(col("__w3"))).as("g"),
         lit(null).cast("string").as("bo"))
 
-    val spark = train.sparkSession
     import spark.implicits._
     val n1 = uniRows.count() + 1 // + <unk>
     val n2 = biRows.count()
@@ -347,21 +374,35 @@ object LanguageModel {
       .unionByName(marker(4, Seq("", "\\3-grams:")))
       .unionByName(lines(5, triRows))
       .unionByName(marker(6, Seq("", "\\end\\")))
+    // Distributed global sort: orderBy range-partitions, each task
+    // sorts and writes ITS part file; global order = part-file order.
     val tmp = path + ".arpadir"
     all.orderBy("ord", "key").select("line")
-      .coalesce(1).write.mode("overwrite").text(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    val dst = java.nio.file.Paths.get(path)
-    java.nio.file.Files.move(part.toPath, dst,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(tmp))
+      .write.mode("overwrite").text(tmp)
+    // Ordered stream-concat through the Hadoop FileSystem API — the
+    // parts may live on HDFS/S3, not just the driver's local disk.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(hconf)
+    val parts = fs.listStatus(tmpPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    require(parts.nonEmpty, s"no part files under $tmp")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val out = dst.getFileSystem(hconf).create(dst, true)
+    try parts.foreach { p =>
+      val in = fs.open(p.getPath)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 16, false)
+      finally in.close()
+    } finally out.close()
+    fs.delete(tmpPath, true)
+    ()
   }
+
+  /** Reserved export spelling for a literal corpus `<unk>` token —
+    * see [[saveKn3Arpa]].
+    */
+  val LiteralUnkSpelling = "<raw_unk>"
 
   /** Parsed ARPA model: per-order gram frames. `uni` =
     * `(w, lp, bo)`, `bi` = `(w1, w2, lp, bo)`, `tri` =
@@ -432,9 +473,19 @@ object LanguageModel {
     * Shape: the model rides as five equi-join sides keyed by gram
     * (AQE broadcasts real-model sizes); scoring is the per-doc trigram
     * frame joined five ways, then one aggregate — nothing collects.
+    * The `<unk>` scalar folds in as a constant-key broadcast hash
+    * join (never a nested loop).
+    *
+    * `escapeLiteralUnk = true` remaps literal document tokens `<unk>`
+    * to [[LiteralUnkSpelling]] before lookup — set it when scoring
+    * under a [[saveKn3Arpa]] export (whose writer applies the same
+    * remap) for an exact round trip on corpora containing the literal
+    * token; leave it false (default) for externally trained models,
+    * where a literal `<unk>` should hit the model's OOV entry.
     */
   def arpaScore(model: ArpaModel, df: DataFrame, idCol: String,
-                textCol: String): DataFrame = {
+                textCol: String,
+                escapeLiteralUnk: Boolean = false): DataFrame = {
     Seq("n_trigrams", "arpa_logprob", "arpa_ppl").foreach(r =>
       require(!df.columns.contains(r), s"input already has a '$r' column"))
     val tri = model.tri.select(col("w1").as("__w1"), col("w2").as("__w2"),
@@ -446,21 +497,26 @@ object LanguageModel {
     val uni3 = model.uni.select(col("w").as("__w3"), col("lp").as("__lp1"),
       lit(1).as("__seen1"))
     val bo2 = model.uni.select(col("w").as("__w2"), col("bo").as("__bo2"))
-    val unk = broadcast(model.uni.filter(col("w") === "<unk>")
-      .agg(min(col("lp")).as("__lpunk")))
+    val unk = model.uni.filter(col("w") === "<unk>")
+      .agg(min(col("lp")).as("__lpunk"))
     val p1 = when(col("__seen1").isNotNull, col("__lp1"))
       .otherwise(coalesce(col("__lpunk"), lit(-99.0)))
     val p2 = when(col("__lp23").isNotNull, col("__lp23"))
       .otherwise(coalesce(col("__bo2"), lit(0.0)) + p1)
     val p3 = when(col("__lp3").isNotNull, col("__lp3"))
       .otherwise(coalesce(col("__bo12"), lit(0.0)) + p2)
-    docTrigrams(df, idCol, textCol)
+    val docTri0 = docTrigrams(df, idCol, textCol)
+    val docTri =
+      if (!escapeLiteralUnk) docTri0
+      else Seq("__w1", "__w2", "__w3").foldLeft(docTri0)((acc, w) =>
+        acc.withColumn(w, when(col(w) === "<unk>",
+          lit(LiteralUnkSpelling)).otherwise(col(w))))
+    withScalars(docTri
       .join(tri, Seq("__w1", "__w2", "__w3"), "left")
       .join(bi23, Seq("__w2", "__w3"), "left")
       .join(bo12, Seq("__w1", "__w2"), "left")
       .join(uni3, Seq("__w3"), "left")
-      .join(bo2, Seq("__w2"), "left")
-      .crossJoin(unk)
+      .join(bo2, Seq("__w2"), "left"), unk)
       .groupBy(col(idCol))
       .agg(
         sum("__k").as("n_trigrams"),

@@ -620,7 +620,7 @@ object TextAnalysis {
     val icept = col("__sy") / col("__m") - slope * col("__sx") / col("__m")
     val totals = termC.agg(count(lit(1)).as("n_types"),
       sum("__n").as("n_tokens"))
-    totals.crossJoin(broadcast(fit))
+    ScalarFold.withScalars(totals, fit)
       .select(col("n_types"), col("__m").as("n_fit_types"), col("n_tokens"),
         round(slope, 4).as("zipf_slope"),
         round(icept, 4).as("zipf_intercept"))
@@ -652,15 +652,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term")
       .agg(count(lit(1)).as("n_docs_with_term"))
-    // N rides a ONE-ROW broadcast frame: the BroadcastNestedLoopJoin
-    // node this plans is a per-task loop over exactly one row (free at
-    // any scale), kept lazy instead of a driver-side count() action.
-    // Waived by name in the plan auditor; a constant-key equi-join
-    // does not help — Catalyst constant-folds `1 = 1` away and falls
-    // back to the same BNLJ.
+    // N rides a ONE-ROW broadcast frame, kept lazy instead of a
+    // driver-side count() action; ScalarFold's non-foldable constant
+    // key makes it a BroadcastHashJoin, not a nested loop.
     val nDocs = df.agg(count(lit(1)).as("__graft_n"))
-    tf.join(docFreq, "term")
-      .crossJoin(broadcast(nDocs))
+    ScalarFold.withScalars(tf.join(docFreq, "term"), nDocs)
       .withColumn("tfidf",
         col("tf") * log(col("__graft_n").cast("double") / col("n_docs_with_term")))
       .select(col(idCol), col("term"), col("tf"),
@@ -734,8 +730,8 @@ object TextAnalysis {
           (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl)))
         .otherwise(lit(0.0))
     }.reduce(_ + _)
-    toked.withColumn("n_tok", size(toks).cast("long"))
-      .crossJoin(broadcast(stats))
+    ScalarFold.withScalars(
+        toked.withColumn("n_tok", size(toks).cast("long")), stats)
       .withColumn("bm25", score)
       .drop("__graft_toks", "__graft_n", "__graft_toktot")
       .drop(terms.indices.map(i => s"__graft_df$i"): _*)
@@ -773,12 +769,12 @@ object TextAnalysis {
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
     // T and B as one one-row frame (two scalar aggs, broadcast once)
-    val totals = uni.agg(sum("c").as("__t"))
-      .crossJoin(pairs.agg(count(lit(1)).as("__b")))
-    bi
+    val totals = ScalarFold.withScalars(uni.agg(sum("c").as("__t")),
+      pairs.agg(count(lit(1)).as("__b")))
+    ScalarFold.withScalars(bi
       .join(uni.select(col("w").as("w1"), col("c").as("__c1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c").as("__c2")), "w2")
-      .crossJoin(broadcast(totals))
+      .join(uni.select(col("w").as("w2"), col("c").as("__c2")), "w2"),
+      totals)
       .select(col("w1"), col("w2"), col("n_pair"),
         round(
           log(col("n_pair").cast("double") / col("__b")) -
@@ -1064,10 +1060,9 @@ object TextAnalysis {
     val vocab = bigramC.select(col("__w1").as("__w"))
       .unionByName(bigramC.select(col("__w2").as("__w")))
       .agg(countDistinct("__w").as("__graft_v"))
-    docGrams
+    ScalarFold.withScalars(docGrams
       .join(bigramC, Seq("__w1", "__w2"))
-      .join(contextC, Seq("__w1"))
-      .crossJoin(broadcast(vocab))
+      .join(contextC, Seq("__w1")), vocab)
       .groupBy(col(idCol))
       .agg(
         sum("__k").as("n_bigrams"),
@@ -1098,16 +1093,15 @@ object TextAnalysis {
         lit("[^ \\t\\n\\f\\r]+"), lit(0)))
     val base = df.select(col(idCol), toks.as("__toks"))
     val n = df.agg(count(lit(1)).as("__n"))
-    val dropSet = base
+    val dropSet = ScalarFold.withScalars(base
       .select(col(idCol), explode(col("__toks")).as("__t"))
-      .groupBy("__t").agg(countDistinct(col(idCol)).as("__df"))
-      .crossJoin(broadcast(n))
+      .groupBy("__t").agg(countDistinct(col(idCol)).as("__df")), n)
       .filter(col("__df") > col("__n") * maxDocFrac)
       .agg(coalesce(collect_set("__t"),
         typedLit(Array.empty[String])).as("__drop"))
     val kept = filter(col("__toks"),
       x => !array_contains(col("__drop"), x))
-    base.crossJoin(broadcast(dropSet))
+    ScalarFold.withScalars(base, dropSet)
       .select(col(idCol),
         array_join(kept, " ").as("text_clean"),
         size(col("__toks")).cast("long").as("n_before"),

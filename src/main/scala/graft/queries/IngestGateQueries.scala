@@ -253,6 +253,121 @@ object IngestGateQueries {
     ()
   }
 
+  // ---- S15/S16: CDX(J) index → selective WARC range fetch ----------
+  // A member-per-record .warc.gz plus a plain .warc, and a CDXJ index
+  // whose offsets/lengths are the REAL byte positions of the authored
+  // members (computed from the same arrays that build the files —
+  // never by running the code under test). Expected record identity
+  // (md5 over the authored payloads) keyed by (file, offset) so the
+  // oracle can parse the index itself, apply the same selection, and
+  // join to ground truth.
+
+  private val cdxWarcDir = "/tmp/graft_gate_s15_warc"
+  private val cdxPath = "/tmp/graft_gate_s15.cdxj"
+  private val cdxExpectedDir = "/tmp/graft_gate_s15_expected"
+  private val cdxDocsExpectedDir = "/tmp/graft_gate_s16_expected"
+
+  private def writeCdxFixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val utf8 = StandardCharsets.UTF_8
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    def md5(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+
+    val d1Text = "Doc one from the index."
+    val p1 = d1Text.getBytes(utf8)
+    val html2 = "<html><body><p>Index &amp; fetch</p></body></html>".getBytes(utf8)
+    val p2 = httpMsg("200 OK", "text/html; charset=UTF-8", html2)
+    val p3 = "Doc three stays unselected.".getBytes(utf8)
+    val d4Text = "Plain-range fetch works too."
+    val p4 = d4Text.getBytes(utf8)
+    val p5 = httpMsg("404 Not Found", "text/html", "<html>gone</html>".getBytes(utf8))
+
+    val r1 = warcRecord("conversion", "d1", "2026-08-14T09:00:00Z",
+      Some("http://example.com/idx1"), "text/plain", p1)
+    val r2 = warcRecord("response", "d2", "2026-08-14T09:01:00Z",
+      Some("http://example.com/idx2"),
+      "application/http; msgtype=response", p2)
+    val r3 = warcRecord("conversion", "d3", "2026-08-14T09:02:00Z",
+      Some("http://example.com/idx3"), "text/plain", p3)
+    val r4 = warcRecord("conversion", "d4", "2026-08-14T09:03:00Z",
+      Some("http://example.com/idx4"), "text/plain", p4)
+    val r5 = warcRecord("response", "d5", "2026-08-14T09:04:00Z",
+      Some("http://example.com/idx5"),
+      "application/http; msgtype=response", p5)
+
+    // member-per-record gzip (the seekable Common Crawl shape)
+    val (m1, m2, m3) = (gz(r1), gz(r2), gz(r3))
+    val segDir = java.nio.file.Paths.get(cdxWarcDir, "seg")
+    java.nio.file.Files.createDirectories(segDir)
+    java.nio.file.Files.write(segDir.resolve("part1.warc.gz"), m1 ++ m2 ++ m3)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cdxWarcDir, "part2.warc"), r4 ++ r5)
+
+    // CDXJ lines with the authored offsets; one malformed line that
+    // the parse must DROP; filenames relative to the archive root
+    def j(url: String, status: Int, mime: String, off: Long, len: Long,
+          file: String, dg: String): String =
+      s"""{"url": "$url", "mime": "$mime", "status": "$status", """ +
+        s""""digest": "$dg", "length": "$len", "offset": "$off", """ +
+        s""""filename": "$file"}"""
+    val cdxLines = Seq(
+      "com,example)/idx1 20260814090000 " +
+        j("http://example.com/idx1", 200, "text/plain",
+          0L, m1.length.toLong, "seg/part1.warc.gz", md5(p1)),
+      "com,example)/idx2 20260814090100 " +
+        j("http://example.com/idx2", 200, "text/html",
+          m1.length.toLong, m2.length.toLong, "seg/part1.warc.gz", md5(p2)),
+      "com,example)/idx3 20260814090200 " +
+        j("http://example.com/idx3", 404, "text/plain",
+          (m1.length + m2.length).toLong, m3.length.toLong,
+          "seg/part1.warc.gz", md5(p3)),
+      "com,example)/idx4 20260814090300 " +
+        j("http://example.com/idx4", 200, "text/plain",
+          0L, r4.length.toLong, "part2.warc", md5(p4)),
+      "com,example)/idx5 20260814090400 " +
+        j("http://example.com/idx5", 404, "text/html",
+          r4.length.toLong, r5.length.toLong, "part2.warc", md5(p5)),
+      "this line is not cdxj and must be dropped")
+    java.nio.file.Files.write(java.nio.file.Paths.get(cdxPath),
+      cdxLines.mkString("", "\n", "\n").getBytes(utf8))
+
+    // ground truth keyed by (file, offset), from the authored arrays
+    Seq(
+      ("seg/part1.warc.gz", 0L, "<urn:uuid:d1>", "conversion",
+        p1.length.toLong, md5(p1)),
+      ("seg/part1.warc.gz", m1.length.toLong, "<urn:uuid:d2>", "response",
+        p2.length.toLong, md5(p2)),
+      ("seg/part1.warc.gz", (m1.length + m2.length).toLong,
+        "<urn:uuid:d3>", "conversion", p3.length.toLong, md5(p3)),
+      ("part2.warc", 0L, "<urn:uuid:d4>", "conversion",
+        p4.length.toLong, md5(p4)),
+      ("part2.warc", r4.length.toLong, "<urn:uuid:d5>", "response",
+        p5.length.toLong, md5(p5)))
+      .toDF("warc_file", "warc_offset", "record_id", "warc_type",
+        "content_length", "payload_md5")
+      .coalesce(1).write.mode("overwrite").parquet(cdxExpectedDir)
+
+    // s16 expected documents: conversion text verbatim; the 200 html
+    // response hand-traced through htmlToText (&amp; → &, tags → space,
+    // collapse+trim). 404s and unselected entries absent.
+    Seq(
+      ("<urn:uuid:d1>", "http://example.com/idx1", "2026-08-14 09:00:00",
+        d1Text),
+      ("<urn:uuid:d2>", "http://example.com/idx2", "2026-08-14 09:01:00",
+        "Index & fetch"),
+      ("<urn:uuid:d4>", "http://example.com/idx4", "2026-08-14 09:03:00",
+        d4Text))
+      .toDF("doc_id", "url", "fetch_s", "text")
+      .coalesce(1).write.mode("overwrite").parquet(cdxDocsExpectedDir)
+    ()
+  }
+
   /** Feature schema = declared schema minus the label/uid columns —
     * exactly `Ingestor.ingestLocked`'s projection.
     */
@@ -351,6 +466,44 @@ object IngestGateQueries {
         regexp_extract(col("source"), "([^/]+)$", 1).as("file"),
         col("text"), length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // -- S15: CDX(J) index → selective WARC byte-range fetch — parse
+    //    the index distributedly, push the status filter down BEFORE
+    //    any archive byte is read, then fetch exactly the selected
+    //    members (seek+read, per-member gunzip) and prove record
+    //    identity via payload md5 against the authored ground truth. --
+    "s15_cdx_fetch" -> { (s, _) =>
+      writeCdxFixture(s)
+      val cdx = graft.engine.read.Cdx.readCdxj(s, cdxPath)
+        .filter(col("status") === 200)
+      val fetched = graft.engine.read.Cdx
+        .fetch(cdx, base = cdxWarcDir)
+        .select(col("src_file").as("warc_file"),
+          col("offset").as("warc_offset"), col("record_id"),
+          col("warc_type"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+      cdx.join(fetched, Seq("warc_file", "warc_offset"))
+        .select(col("surt_key"), col("ts"), col("url"), col("status"),
+          col("warc_file"), col("warc_offset"), col("record_id"),
+          col("warc_type"), col("content_length"), col("payload_md5"),
+          (col("payload_md5") === col("digest")).as("digest_match"))
+        .orderBy("surt_key")
+    },
+
+    // -- S16: CDX fetch → documents bridge — the selective-build
+    //    workflow end-to-end: index → ranges → toDocuments, equal to
+    //    what a full scan would have produced for the same subset. ---
+    "s16_cdx_documents" -> { (s, _) =>
+      writeCdxFixture(s)
+      val cdx = graft.engine.read.Cdx.readCdxj(s, cdxPath)
+        .filter(col("status") === 200)
+      graft.engine.read.Warc.toDocuments(
+          graft.engine.read.Cdx.fetch(cdx, base = cdxWarcDir))
+        .select(col("doc_id"), col("url"),
+          date_format(col("fetch_ts"), "yyyy-MM-dd HH:mm:ss").as("fetch_s"),
+          col("text"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     })
 
   def oracle: Map[String, String] = Map(
@@ -363,6 +516,42 @@ object IngestGateQueries {
       s"""SELECT doc_id, url, fetch_s, file, text,
          |  length(text) AS n_chars
          |FROM read_parquet('$wetExpectedDir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    // The oracle parses the CDXJ file ITSELF (regexp line split + JSON
+    // extraction), applies the same status selection, and joins to the
+    // authored (file, offset) → record ground truth — so a wrong
+    // offset, a dropped malformed line, or a misparsed JSON field all
+    // diverge. WARC range framing itself is pinned by the stored md5.
+    "s15_cdx_fetch" ->
+      s"""WITH raw AS (
+         |  SELECT column0 AS line FROM read_csv('$cdxPath', header=false,
+         |    delim='\\t', quote='', all_varchar=true)
+         |), cdx AS (
+         |  SELECT
+         |    regexp_extract(line, '^(\\S+)\\s+(\\d{14})\\s+(\\{.*\\})\\s*$$', 1) AS surt_key,
+         |    regexp_extract(line, '^(\\S+)\\s+(\\d{14})\\s+(\\{.*\\})\\s*$$', 2) AS ts,
+         |    regexp_extract(line, '^(\\S+)\\s+(\\d{14})\\s+(\\{.*\\})\\s*$$', 3) AS js
+         |  FROM raw
+         |), parsed AS (
+         |  SELECT surt_key, ts,
+         |    js::JSON->>'url' AS url,
+         |    (js::JSON->>'status')::INT AS status,
+         |    js::JSON->>'digest' AS digest,
+         |    js::JSON->>'filename' AS warc_file,
+         |    (js::JSON->>'offset')::BIGINT AS warc_offset
+         |  FROM cdx WHERE js <> ''
+         |)
+         |SELECT p.surt_key, p.ts, p.url, p.status, p.warc_file,
+         |  p.warc_offset, e.record_id, e.warc_type, e.content_length,
+         |  e.payload_md5, e.payload_md5 = p.digest AS digest_match
+         |FROM parsed p
+         |JOIN read_parquet('$cdxExpectedDir/*.parquet') e
+         |  USING (warc_file, warc_offset)
+         |WHERE p.status = 200
+         |ORDER BY p.surt_key""".stripMargin,
+    "s16_cdx_documents" ->
+      s"""SELECT doc_id, url, fetch_s, text, length(text) AS n_chars
+         |FROM read_parquet('$cdxDocsExpectedDir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
     "s1_csv_ingest" ->
       s"""WITH raw AS (

@@ -647,8 +647,9 @@ object MultimodalQueries {
       val df = s.read.parquet(m13Dir)
       val base = df.filter(col("img_id") === 0L)
         .select(ImageHash.phash(col("content")).as("__base_ph"))
-      df.select(col("img_id"), ImageHash.phash(col("content")).as("ph"))
-        .crossJoin(broadcast(base))
+      graft.ops.ScalarFold.withScalars(
+          df.select(col("img_id"), ImageHash.phash(col("content")).as("ph")),
+          base)
         .select(col("img_id"),
           when(col("ph").isNull, lit(-1))
             .otherwise((col("ph") === 0L).cast("int")).as("is_zero"),

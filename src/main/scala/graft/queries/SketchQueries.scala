@@ -54,13 +54,12 @@ object SketchQueries {
         .groupBy("event_type")
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
           count_distinct(col("user_id")).as("n_users"))
-      shardSketches
-        .agg(
+      graft.ops.ScalarFold.withScalars(
+        shardSketches.agg(
           hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long")
             .as("est_total_users"),
-          sum("n_users").as("sum_per_type"))
-        .crossJoin(broadcast(
-          ev.agg(count_distinct(col("user_id")).as("true_total_users"))))
+          sum("n_users").as("sum_per_type")),
+        ev.agg(count_distinct(col("user_id")).as("true_total_users")))
         .select("est_total_users", "true_total_users", "sum_per_type")
     },
 
@@ -106,7 +105,7 @@ object SketchQueries {
       val b = ev.filter(col("event_type") === "view" && col("value") < 150)
       val ska = a.agg(Kmv.sketch(col("user_id"), 1024).as("ska"))
       val skb = b.agg(Kmv.sketch(col("user_id"), 1024).as("skb"))
-      ska.crossJoin(broadcast(skb))
+      graft.ops.ScalarFold.withScalars(ska, skb)
         .select(
           Kmv.estimate(col("ska")).cast("long").as("n_a"),
           Kmv.estimate(col("skb")).cast("long").as("n_b"),
@@ -127,7 +126,7 @@ object SketchQueries {
       val merged = shardSketches.agg(CountMin.merge(col("sk")).as("sk"))
       val probes = ev.select("user_id").distinct()
         .orderBy("user_id").limit(10)
-      probes.crossJoin(broadcast(merged))
+      graft.ops.ScalarFold.withScalars(probes, merged)
         .select(col("user_id"),
           CountMin.estimate(col("sk"), col("user_id")).as("est"))
         .orderBy("user_id")

@@ -477,7 +477,8 @@ object TextQueries {
       val path = "/tmp/graft_gate_t48_kn3.arpa"
       graft.ops.LanguageModel.saveKn3Arpa(docs, "doc_id", "text", path)
       val ar = graft.ops.LanguageModel.arpaScore(
-        graft.ops.LanguageModel.loadArpa(s, path), docs, "doc_id", "text")
+        graft.ops.LanguageModel.loadArpa(s, path), docs, "doc_id", "text",
+        escapeLiteralUnk = true)
       graft.ops.LanguageModel.kneserNey3SelfScore(docs, "doc_id", "text")
         .select(col("doc_id"), col("kn3_ppl"))
         .join(ar.select(col("doc_id"), col("arpa_ppl"),

@@ -270,6 +270,43 @@ class FileCopySinkSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(dest.resolve("ok.txt")))
   }
 
+  test("mixed-extension mask directory: probe order png→jpg→jpeg, atomicity kept") {
+    val imgs = tmpDir("src5img")
+    val masks = tmpDir("src5mask")
+    val dest = tmpDir("dest5")
+    write(imgs.resolve("a.jpg"), "A")
+    write(imgs.resolve("b.jpg"), "B")
+    write(imgs.resolve("c.jpg"), "C")
+    write(imgs.resolve("d.jpg"), "D")
+    write(masks.resolve("a_mask.png"), "MA")   // primary extension
+    write(masks.resolve("b_mask.jpg"), "MB")   // first fallback
+    write(masks.resolve("c_mask.jpeg"), "MC")  // second fallback
+    // d has no mask under ANY probed extension → atomic failure
+    write(masks.resolve("d_mask.gif"), "MD")
+    val df = Seq(("a.jpg", "jpg"), ("b.jpg", "jpg"), ("c.jpg", "jpg"),
+      ("d.jpg", "jpg")).toDF("filename", "extension")
+    val c = sc.longAccumulator; val f = sc.longAccumulator
+    FileCopySink.copy(df,
+      FileCopySink.CopySpec.imageMask(imgs.toString, masks.toString, dest.toString),
+      c, f, sc.hadoopConfiguration)
+    assert(c.value == 3 && f.value == 1)
+    assert(java.nio.file.Files.exists(dest.resolve("a_mask.png")))
+    assert(java.nio.file.Files.exists(dest.resolve("b_mask.jpg")))
+    assert(java.nio.file.Files.exists(dest.resolve("c_mask.jpeg")))
+    // atomicity: d's image must NOT be copied when its mask is missing
+    assert(!java.nio.file.Files.exists(dest.resolve("d.jpg")))
+    assert(!java.nio.file.Files.exists(dest.resolve("d_mask.gif")))
+    // a probe that prefers png still lands png when both exist
+    write(masks.resolve("a_mask.jpg"), "WRONG")
+    val c2 = sc.longAccumulator; val f2 = sc.longAccumulator
+    FileCopySink.copy(Seq(("a.jpg", "jpg")).toDF("filename", "extension"),
+      FileCopySink.CopySpec.imageMask(imgs.toString, masks.toString, dest.toString),
+      c2, f2, sc.hadoopConfiguration)
+    assert(c2.value == 1)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      dest.resolve("a_mask.png"))) == "MA")
+  }
+
   test("resolveName appends extension only when absent") {
     assert(FileCopySink.resolveName("a.jpg", "jpg") == "a.jpg")
     assert(FileCopySink.resolveName("a", "jpg") == "a.jpg")

@@ -1,0 +1,106 @@
+package graft.engine.read
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CDX(J) index source: line parse (malformed dropped, casts), byte-
+  * range fetch identity against authored members, relative-filename
+  * resolution, and the fail-loud stance on ranges that do not frame.
+  * End-to-end equality with the full-scan path is pinned by the
+  * s15/s16 DuckDB gates.
+  */
+class CdxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(id: String, text: String): Array[Byte] = {
+    val payload = text.getBytes(StandardCharsets.UTF_8)
+    (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+      s"WARC-Date: 2026-08-14T09:00:00Z\r\n" +
+      s"WARC-Target-URI: http://example.com/$id\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ payload ++
+      "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("readCdxj: parses surt/ts/json fields, drops malformed lines, casts offsets") {
+    val dir = tmpDir("cdx")
+    val lines = Seq(
+      """com,a)/x 20260101000000 {"url": "http://a.com/x", "mime": "text/html", "status": "200", "digest": "D1", "length": "10", "offset": "0", "filename": "f.warc.gz"}""",
+      "not a cdx line",
+      """com,b)/y 20260102000000 {"url": "http://b.com/y", "status": "404", "length": "7", "offset": "10", "filename": "g.warc.gz"}""",
+      """com,c)/z 20260103000000 {"url": "http://c.com/z"}""") // no range → dropped
+    write(dir.resolve("idx.cdxj"), lines.mkString("\n"))
+    val got = Cdx.readCdxj(spark, dir.resolve("idx.cdxj").toString)
+      .orderBy("surt_key")
+      .collect()
+    assert(got.length == 2)
+    val r0 = got(0)
+    assert(r0.getAs[String]("surt_key") == "com,a)/x" &&
+      r0.getAs[String]("ts") == "20260101000000" &&
+      r0.getAs[String]("url") == "http://a.com/x" &&
+      r0.getAs[String]("mime") == "text/html" &&
+      r0.getAs[Int]("status") == 200 &&
+      r0.getAs[String]("digest") == "D1" &&
+      r0.getAs[String]("warc_file") == "f.warc.gz" &&
+      r0.getAs[Long]("warc_offset") == 0L &&
+      r0.getAs[Long]("warc_length") == 10L)
+    assert(got(1).getAs[String]("warc_file") == "g.warc.gz")
+  }
+
+  test("fetch: member-per-record gz ranges and plain ranges resolve to the right records") {
+    val root = tmpDir("cdxarc")
+    val (m1, m2) = (gz(rec("a", "alpha doc")), gz(rec("b", "beta doc")))
+    java.nio.file.Files.write(root.resolve("p.warc.gz"), m1 ++ m2)
+    val plain = rec("c", "gamma doc") ++ rec("d", "delta doc")
+    java.nio.file.Files.write(root.resolve("q.warc"), plain)
+    val cdx = Seq(
+      ("p.warc.gz", m1.length.toLong, m2.length.toLong), // member 2 only
+      ("q.warc", rec("c", "gamma doc").length.toLong,
+        rec("d", "delta doc").length.toLong))            // record 2 only
+      .toDF("warc_file", "warc_offset", "warc_length")
+    val got = Cdx.fetch(cdx, base = root.toString)
+      .select(col("record_id"),
+        col("payload").cast("string").as("text"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("<urn:uuid:b>" -> "beta doc",
+      "<urn:uuid:d>" -> "delta doc"))
+  }
+
+  test("fetch: a range that does not frame as WARC fails loud with file+offset") {
+    val root = tmpDir("cdxbad")
+    // a COMPLETE first line that is not a WARC version line — the
+    // parser's fail-loud framing case (silent-drop is only for EOF
+    // truncation mid-header)
+    val bad = "JUNK/1.0\r\nFoo: bar\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    java.nio.file.Files.write(root.resolve("x.warc"), bad)
+    val cdx = Seq(("x.warc", 0L, bad.length.toLong))
+      .toDF("warc_file", "warc_offset", "warc_length")
+    val e = intercept[org.apache.spark.SparkException] {
+      Cdx.fetch(cdx, base = root.toString).collect()
+    }
+    assert(e.getMessage.contains("x.warc@0") ||
+      Option(e.getCause).exists(_.getMessage.contains("x.warc@0")))
+  }
+
+  test("fetch: zero or oversized range lengths are rejected, not truncated silently") {
+    val root = tmpDir("cdxlen")
+    java.nio.file.Files.write(root.resolve("x.warc"), rec("a", "good"))
+    val cdx = Seq(("x.warc", 0L, 0L)).toDF("warc_file", "warc_offset", "warc_length")
+    val e = intercept[org.apache.spark.SparkException] {
+      Cdx.fetch(cdx, base = root.toString).collect()
+    }
+    assert(e.getMessage.contains("out of (0,") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of (0,")))
+  }
+}

@@ -259,4 +259,92 @@ class LanguageModelSpec extends SparkSpec {
       txt.contains("\\3-grams:") && txt.trim.endsWith("\\end\\"))
     assert(txt.contains("<unk>"))
   }
+
+  /** Section-split an exported ARPA file into (unigram words,
+    * bigram/trigram word sets) for closure checks.
+    */
+  private def arpaSections(path: String): (Set[String], Set[String]) = {
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+    val grams = lines.flatMap { l =>
+      val f = l.split("\t")
+      if (f.length >= 2 && scala.util.Try(f(0).toDouble).isSuccess)
+        Some(f(1).split(" ").toSeq)
+      else None
+    }
+    val uni = grams.filter(_.length == 1).map(_.head).toSet
+    val higher = grams.filter(_.length >= 2).flatten.toSet
+    (uni, higher)
+  }
+
+  test("ARPA export: every word in a 2/3-gram entry has a 1-gram entry") {
+    import spark.implicits._
+    // "zzz" starts doc 2 and never appears in second position anywhere
+    // else → it is NOT in the continuation vocabulary, but it IS a
+    // trigram context word, so strict consumers need its unigram entry
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zzz cat ran off")).toDF("doc_id", "text")
+    val path = tmpDir("arpaclosure").resolve("kn3.arpa").toString
+    LanguageModel.saveKn3Arpa(train, "doc_id", "text", path)
+    val (uni, higher) = arpaSections(path)
+    assert(higher.subsetOf(uni),
+      s"words missing a unigram entry: ${(higher -- uni).mkString(", ")}")
+    assert(uni.contains("zzz") && uni.contains("<unk>"))
+    // the doc-initial-only word carries the D/B floor, same value the
+    // in-engine score resolves it to, and the header count matches
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+    val zzzLp = lines.collectFirst {
+      case l if l.split("\t").length >= 2 && l.split("\t")(1) == "zzz" =>
+        l.split("\t")(0).toDouble
+    }.get
+    val unkLp = lines.collectFirst {
+      case l if l.split("\t").length >= 2 && l.split("\t")(1) == "<unk>" =>
+        l.split("\t")(0).toDouble
+    }.get
+    assert(math.abs(zzzLp - unkLp) < 1e-12) // both = log10(D/B)
+    val n1Declared = lines.collectFirst {
+      case l if l.startsWith("ngram 1=") => l.stripPrefix("ngram 1=").toInt
+    }.get
+    assert(n1Declared == uni.size)
+  }
+
+  test("ARPA export: literal corpus '<unk>' round-trips exactly via the reserved spelling") {
+    import spark.implicits._
+    // "<unk>" is an ordinary, frequent corpus token here — its real
+    // continuation statistics must survive the export, not collapse
+    // into the OOV floor
+    val train = Seq(
+      (1L, "the <unk> sat on the <unk> today"),
+      (2L, "a <unk> ran past the <unk> mat"),
+      (3L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "the <unk> sat on the mat"),
+      (11L, "cat <unk> zebra ran")).toDF("doc_id", "text")
+    val kn = LanguageModel.kneserNey3Score(train, probe, "doc_id", "text")
+      .select("doc_id", "kn3_ppl").as[(Long, Double)].collect().toMap
+    val path = tmpDir("arpaunk").resolve("kn3.arpa").toString
+    LanguageModel.saveKn3Arpa(train, "doc_id", "text", path)
+    val m = LanguageModel.loadArpa(spark, path)
+    val ar = LanguageModel.arpaScore(m, probe, "doc_id", "text",
+        escapeLiteralUnk = true)
+      .select("doc_id", "arpa_ppl").as[(Long, Double)].collect().toMap
+    for (id <- kn.keys)
+      assert(math.abs(kn(id) - ar(id)) / kn(id) < 1e-9,
+        s"doc $id: kn3_ppl=${kn(id)} arpa_ppl=${ar(id)}")
+    // the reserved spelling is in the file with REAL statistics (its
+    // lp differs from the floor), and the OOV entry is still present
+    val (uni, _) = arpaSections(path)
+    assert(uni.contains(LanguageModel.LiteralUnkSpelling))
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+    def lpOf(w: String): Double = lines.collectFirst {
+      case l if l.split("\t").length >= 2 && l.split("\t")(1) == w =>
+        l.split("\t")(0).toDouble
+    }.get
+    assert(lpOf(LanguageModel.LiteralUnkSpelling) > lpOf("<unk>"))
+    // without the matching remap, the literal token hits the OOV entry
+    // (external-model semantics) — scores must then DIFFER
+    val arNoEsc = LanguageModel.arpaScore(m, probe, "doc_id", "text")
+      .select("doc_id", "arpa_ppl").as[(Long, Double)].collect().toMap
+    assert(math.abs(kn(10L) - arNoEsc(10L)) / kn(10L) > 1e-9)
+  }
 }
