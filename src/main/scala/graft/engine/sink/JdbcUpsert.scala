@@ -38,6 +38,13 @@ object JdbcUpsert {
   trait Dialect extends Serializable {
     def quote(id: String): String
     def createTableSql(table: String, features: Seq[(String, SqlType)]): String
+    /** First-run bootstrap DDL for a missing database/catalog, if the
+      * engine supports creating one over SQL (`database.py:111-127`
+      * connects server-level and issues CREATE DATABASE IF NOT
+      * EXISTS before using the configured database). None = engine
+      * bootstraps another way (Derby's `;create=true` URL attribute).
+      */
+    def createDatabaseSql(db: String): Option[String] = None
     /** Native upsert statement, if the engine has one. */
     def upsert(table: String, columns: Seq[String], key: String): Option[Stmt]
     def insert(table: String, columns: Seq[String]): Stmt =
@@ -57,6 +64,8 @@ object JdbcUpsert {
     */
   object MySqlDialect extends Dialect {
     def quote(id: String): String = "`" + id.replace("`", "``") + "`"
+    override def createDatabaseSql(db: String): Option[String] =
+      Some(s"CREATE DATABASE IF NOT EXISTS ${quote(db)}")
     def upsert(table: String, columns: Seq[String], key: String): Option[Stmt] = {
       val cols = columns.map(quote).mkString(", ")
       val params = columns.map(_ => "?").mkString(", ")
@@ -366,6 +375,10 @@ object JdbcUpsert {
   def ensureTable(cfg: Config, features: Seq[(String, SqlType)]): Either[List[String], Unit] = {
     val guardErrs = StandardColumns.check(features.map(_._1))
     if (guardErrs.nonEmpty) return Left(guardErrs)
+    ensureDatabase(cfg) match {
+      case Left(errs) => return Left(errs)
+      case Right(()) => ()
+    }
     val conn = (cfg.user, cfg.password) match {
       case (Some(u), Some(p)) => DriverManager.getConnection(cfg.url, u, p)
       case _ => DriverManager.getConnection(cfg.url)
@@ -396,4 +409,50 @@ object JdbcUpsert {
       }
     } finally conn.close()
   }
+
+  /** Split a network JDBC URL into (server-level URL, database name):
+    * `jdbc:mysql://host:3306/mydb?useSSL=false` →
+    * (`jdbc:mysql://host:3306?useSSL=false`, `mydb`). None when the
+    * URL carries no database path (embedded engines like
+    * `jdbc:derby:/path;create=true`, or a server URL without one).
+    */
+  private[engine] def splitDbUrl(url: String): Option[(String, String)] = {
+    val m = "^(jdbc:[a-zA-Z0-9_]+://[^/?;]+)/([^/?;]+)([?;].*)?$".r
+    url match {
+      case m(base, db, params) =>
+        Some((base + Option(params).getOrElse(""), db))
+      case _ => None
+    }
+  }
+
+  /** First-run database bootstrap (`database.py:111-127` parity):
+    * when the dialect can CREATE DATABASE over SQL and the URL names
+    * one, connect at server level and issue the idempotent create —
+    * so a fresh MySQL host needs no manual step before the first
+    * ingest. No-op (Right) when the URL has no database path or the
+    * dialect bootstraps another way.
+    */
+  def ensureDatabase(cfg: Config): Either[List[String], Unit] =
+    splitDbUrl(cfg.url) match {
+      case None => Right(())
+      case Some((baseUrl, db)) =>
+        cfg.dialect.createDatabaseSql(db) match {
+          case None => Right(())
+          case Some(sql) =>
+            try {
+              val conn = (cfg.user, cfg.password) match {
+                case (Some(u), Some(p)) =>
+                  DriverManager.getConnection(baseUrl, u, p)
+                case _ => DriverManager.getConnection(baseUrl)
+              }
+              try { val st = conn.createStatement()
+                try { st.executeUpdate(sql); Right(()) }
+                finally st.close()
+              } finally conn.close()
+            } catch {
+              case e: java.sql.SQLException =>
+                Left(List(s"database bootstrap failed for '$db': ${e.getMessage}"))
+            }
+        }
+    }
 }

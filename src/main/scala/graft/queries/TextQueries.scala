@@ -299,6 +299,121 @@ object TextQueries {
       .coalesce(1).write.mode("overwrite").parquet(t47Docs)
   }
 
+  private val t49Bin = "/tmp/graft_gate_t49_model.bin"
+  private val t49InputDir = "/tmp/graft_gate_t49_input"
+  private val t49OutputDir = "/tmp/graft_gate_t49_output"
+  private val t49RowsDir = "/tmp/graft_gate_t49_rows"
+
+  /** t49 fixture: a deterministic fastText supervised `.bin` (real v12
+    * binary layout) over a small fixed vocabulary, its input/output
+    * matrices dumped as parquet, and each gate document's input-row
+    * multiset derived by an INDEPENDENT reimplementation of the line
+    * machinery (own FNV-1a, own word-ngram chain — the t47 pattern).
+    * The oracle recomputes mean vector → logits → softmax → top-1
+    * entirely from those dumps, so a drift in the loader, the hash,
+    * the ngram chain, or the scoring math all diverge.
+    */
+  private def writeT49Fixture(s: SparkSession, sfDir: String): Unit = {
+    import s.implicits._
+    val words = Seq("the", "a", "of", "and", "to", "in", "is", "que",
+      "de", "la", "el", "und", "der", "die", "</s>")
+    val labels = Seq("__label__keep", "__label__drop", "__label__review")
+    val dim = 4; val bucket = 32; val wordNgrams = 2
+    val nrows = words.size + bucket
+    def wgt(i: Long): Float =
+      (((i * 2654435761L) % 997L + 997L) % 997L).toFloat / 997f - 0.5f
+    val input = Array.tabulate(nrows * dim)(i => wgt(i.toLong))
+    val output = Array.tabulate(labels.size * dim)(i => wgt(1000L + i))
+    val model = graft.ops.FastText.Model(dim, bucket, wordNgrams, 0, 0,
+      graft.ops.FastText.LossSoftmax, words.size,
+      words.zipWithIndex.toMap, labels.toArray, Array.empty,
+      input, nrows, output)
+    graft.ops.FastText.save(model, t49Bin,
+      s.sparkContext.hadoopConfiguration)
+
+    // matrix dumps (float widened to double: exact)
+    (0 until nrows).flatMap(r => (0 until dim).map(d =>
+        (r, d, input(r * dim + d).toDouble)))
+      .toDF("row_idx", "d", "w")
+      .coalesce(1).write.mode("overwrite").parquet(t49InputDir)
+    labels.indices.flatMap(l => (0 until dim).map(d =>
+        (labels(l), d, output(l * dim + d).toDouble)))
+      .toDF("label", "d", "w")
+      .coalesce(1).write.mode("overwrite").parquet(t49OutputDir)
+
+    // independent line machinery: FNV-1a + uint64 ngram chain written
+    // here from the published constants, not the ops code
+    def fnv(str: String): Int = {
+      var h = 0x811c9dc5
+      str.getBytes("UTF-8").foreach { b => h ^= b; h *= 16777619 }
+      h
+    }
+    val vocab = words.zipWithIndex.toMap
+    def rowsOf(text: String): Seq[Int] = {
+      val toksAll = (if (text == null) Array.empty[String]
+        else text.split("[ \t\n\f\r]+").filter(_.nonEmpty)) :+ "</s>"
+      // the line stops at the FIRST EOS token, like fastText's reader
+      val toks = toksAll.take(toksAll.indexOf("</s>") + 1)
+      val kept = toks.filterNot(_.startsWith("__label__"))
+      val wordRows = kept.flatMap(t => vocab.get(t))
+      val hs = kept.map(fnv)
+      val ngramRows = hs.indices.flatMap { i =>
+        var h = hs(i).toLong
+        (i + 1 until math.min(hs.length, i + wordNgrams)).map { j =>
+          h = h * 116049371L + hs(j).toLong
+          words.size +
+            java.lang.Long.remainderUnsigned(h, bucket.toLong).toInt
+        }
+      }
+      wordRows.toSeq ++ ngramRows
+    }
+    Tables.documents(s, sfDir).filter(col("doc_id") % 13 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        rowsOf(text).groupBy(identity).map { case (r, occ) =>
+          (id, r, occ.size.toLong)
+        }
+      }.toSeq
+      .toDF("doc_id", "row_idx", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(t49RowsDir)
+  }
+
+  private val t50Model = "/tmp/graft_gate_t50.model"
+  private val t50Docs = "/tmp/graft_gate_t50_docs"
+
+  /** t50 fixture: hand-authored unigram pieces and documents whose
+    * Viterbi segmentations are derived ON PAPER here (the t28
+    * pattern); the gate routes the pieces through a REAL SentencePiece
+    * `.model` save→load before segmenting, so a byte-level drift in
+    * the protobuf writer/parser, a dropped piece, a reordered piece,
+    * or a lost unk score all change the traced output.
+    *
+    * Pieces: ab −1.0, abc −1.5, b −2.0, c −2.5, a −3.0, d −2.2;
+    * unk −8.0. Traces (best path by total log-prob):
+    *   "abc"  → [abc] (−1.5 beats ab+c −3.5, a+b+c −7.5)
+    *   "abd"  → [ab, d] (−3.2)
+    *   "abx"  → [ab, x†] (−9.0; † = unk fallback, x not in model)
+    *   "ca"   → [c, a] (−5.5)
+    *   "abcd" → [abc, d] (−3.7 beats ab+c+d −5.7)
+    *   null   → no tokens
+    */
+  private def writeT50Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    Seq(
+      (1L, Some("abc")), (2L, Some("abd")), (3L, Some("abx")),
+      (4L, Some("ca")), (5L, Option.empty[String]), (6L, Some("abcd")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(t50Docs + "_in")
+    Seq(
+      (1L, "abc", 1L, 0L), (2L, "ab d", 2L, 0L), (3L, "ab x", 2L, 1L),
+      (4L, "c a", 2L, 0L), (5L, "", 0L, 0L), (6L, "abc d", 2L, 0L))
+      .toDF("doc_id", "toks", "n_tokens", "n_unk")
+      .coalesce(1).write.mode("overwrite").parquet(t50Docs + "_exp")
+  }
+
+  private val t50Pieces = Seq("ab" -> -1.0, "abc" -> -1.5, "b" -> -2.0,
+    "c" -> -2.5, "a" -> -3.0, "d" -> -2.2)
+
   private val t21Dir = "/tmp/graft_gate_t21_langid"
 
   private def writeT21Fixture(s: SparkSession): Unit = {
@@ -505,6 +620,42 @@ object TextQueries {
         .select(col("doc_id"), col("n_trigrams"),
           round(col("arpa_logprob"), 4).as("arpa_logprob"),
           round(col("arpa_ppl"), 4).as("arpa_ppl"))
+        .orderBy("doc_id")
+    },
+
+    // -- t49: fastText `.bin` import — load a real v12 supervised
+    //    binary and score documents with the standard line machinery
+    //    (word rows + hashed word-ngrams + EOS, mean vector, softmax).
+    //    The oracle recomputes everything from the dumped matrices and
+    //    an independently derived per-doc row multiset. --------------
+    "t49_fasttext" -> { (s, d) =>
+      writeT49Fixture(s, d)
+      val m = graft.ops.FastText.load(s, t49Bin)
+      Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          graft.ops.FastText.predictCol(s, m, col("text")).as("p"))
+        .select(col("doc_id"), col("p.label").as("label"),
+          round(col("p.prob"), 4).as("prob"))
+        .orderBy("doc_id")
+    },
+
+    // -- t50: SentencePiece `.model` round trip — the trained-tokenizer
+    //    interop: pieces → protobuf ModelProto → parse → Viterbi
+    //    segmentation, against the on-paper traces (t28 pattern). ----
+    "t50_spm_roundtrip" -> { (s, _) =>
+      writeT50Fixture(s)
+      graft.ops.SentencePieceModel.save(t50Pieces, -8.0, t50Model,
+        s.sparkContext.hadoopConfiguration)
+      val spm = graft.ops.SentencePieceModel.load(s, t50Model)
+      val toks = graft.ops.VocabTokenizer.unigramTokens(col("text"),
+        spm.pieces, spm.unkScore.getOrElse(-8.0))
+      val counts = graft.ops.VocabTokenizer.unigramTokenCounts(col("text"),
+        spm.pieces, spm.unkScore.getOrElse(-8.0))
+      s.read.parquet(t50Docs + "_in")
+        .select(col("doc_id"),
+          concat_ws(" ", toks).as("toks"),
+          counts.getField("n_tokens").cast("long").as("n_tokens"),
+          counts.getField("n_unk").cast("long").as("n_unk"))
         .orderBy("doc_id")
     },
 
@@ -1849,6 +2000,49 @@ object TextQueries {
          |  round(sum(k * lp) / sum(k), 4) AS arpa_logprob,
          |  round(pow(10.0, -(sum(k * lp) / sum(k))), 4) AS arpa_ppl
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Full re-derivation from the dumps: mean vector from the row
+    // multiset, logits from the output matrix, shifted softmax, top-1
+    // with the label-ascending tie-break.
+    "t49_fasttext" ->
+      s"""WITH rows AS (
+         |  SELECT * FROM read_parquet('$t49RowsDir/*.parquet')
+         |), inp AS (
+         |  SELECT * FROM read_parquet('$t49InputDir/*.parquet')
+         |), outp AS (
+         |  SELECT * FROM read_parquet('$t49OutputDir/*.parquet')
+         |), tot AS (
+         |  SELECT doc_id, sum(cnt) AS n FROM rows GROUP BY 1
+         |), hid AS (
+         |  SELECT r.doc_id, i.d, sum(r.cnt * i.w) AS s
+         |  FROM rows r JOIN inp i USING (row_idx) GROUP BY 1, 2
+         |), logit AS (
+         |  SELECT h.doc_id, o.label, sum((h.s / t.n) * o.w) AS z
+         |  FROM hid h JOIN tot t USING (doc_id) JOIN outp o USING (d)
+         |  GROUP BY 1, 2
+         |), sm AS (
+         |  SELECT doc_id, label,
+         |    exp(z - max(z) OVER (PARTITION BY doc_id)) AS e
+         |  FROM logit
+         |), pr AS (
+         |  SELECT doc_id, label,
+         |    e / sum(e) OVER (PARTITION BY doc_id) AS p
+         |  FROM sm
+         |), top AS (
+         |  SELECT doc_id, label, p, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY p DESC, label) AS rn
+         |  FROM pr
+         |)
+         |SELECT doc_id, label, round(p, 4) AS prob
+         |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Stored expectation: every segmentation traced on paper at the
+    // fixture (t28/t34 pattern) — DP over string positions is not
+    // ANSI-SQL-expressible.
+    "t50_spm_roundtrip" ->
+      s"""SELECT doc_id, toks, n_tokens, n_unk
+         |FROM read_parquet('${t50Docs}_exp/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+
     "t46_readability" ->
       s"""WITH src AS (
          |  SELECT doc_id, $duckT42Text AS t

@@ -120,6 +120,40 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(r.left.exists(_.head.contains("collides")))
   }
 
+  test("database bootstrap: URL split, MySQL CREATE DATABASE, embedded no-op") {
+    import JdbcUpsert._
+    assert(splitDbUrl("jdbc:mysql://h:3306/mydb") ==
+      Some(("jdbc:mysql://h:3306", "mydb")))
+    assert(splitDbUrl("jdbc:mysql://h:3306/mydb?useSSL=false&x=1") ==
+      Some(("jdbc:mysql://h:3306?useSSL=false&x=1", "mydb")))
+    assert(splitDbUrl("jdbc:mariadb://h/db2;opt=v") ==
+      Some(("jdbc:mariadb://h;opt=v", "db2")))
+    // no database path / embedded engines → None
+    assert(splitDbUrl("jdbc:mysql://h:3306").isEmpty)
+    assert(splitDbUrl("jdbc:derby:/tmp/db;create=true").isEmpty)
+    assert(splitDbUrl("jdbc:derby:memory:x;create=true").isEmpty)
+    assert(MySqlDialect.createDatabaseSql("my`db") ==
+      Some("CREATE DATABASE IF NOT EXISTS `my``db`"))
+    assert(GenericDialect.createDatabaseSql("d").isEmpty)
+    // embedded Derby: ensureDatabase is Right(()) and ensureTable still
+    // bootstraps a FRESH catalog end-to-end via the URL attribute
+    val fresh = tmpDir("derbyboot").resolve("cat").toString
+    val cfg = JdbcUpsert.Config(s"jdbc:derby:$fresh;create=true", "boot_t",
+      JdbcUpsert.GenericDialect)
+    assert(JdbcUpsert.ensureDatabase(cfg) == Right(()))
+    val schema = graft.core.SqlType.parseSchema(
+      Seq("v" -> "VARCHAR(10)")).getOrElse(fail("schema parse"))
+    assert(JdbcUpsert.ensureTable(cfg, schema).isRight)
+    // a MySQL-shaped URL with no server listening fails LOUD, not
+    // silently green (the bootstrap is part of the contract)
+    val bad = JdbcUpsert.Config(
+      "jdbc:mysql://127.0.0.1:1/nosuchdb", "t", JdbcUpsert.MySqlDialect)
+    JdbcUpsert.ensureDatabase(bad) match {
+      case Left(errs) => assert(errs.exists(_.contains("nosuchdb")))
+      case Right(_) => fail("expected bootstrap failure")
+    }
+  }
+
   test("MySQL dialect renders ON DUPLICATE KEY with backtick escaping") {
     val stmt = JdbcUpsert.MySqlDialect.upsert("tbl",
       Seq("data_id", "UniProt|gene", "created_at"), "data_id").get
