@@ -76,6 +76,143 @@ object Cdx {
         col("warc_offset").isNotNull && col("warc_length").isNotNull)
   }
 
+  /** One record with its INDEXABLE byte range: for member-per-record
+    * gzip archives the compressed member range; for plain archives the
+    * record's own byte span. The range is what [[fetch]] needs back.
+    */
+  final case class RangeRow(
+      src_file: String, record_index: Long,
+      range_offset: Long, range_length: Long,
+      warc_type: String, record_id: String, target_uri: String,
+      warc_date: String, content_type: String, content_length: Long,
+      truncated: Boolean, digest_ok: Option[Boolean],
+      payload: Array[Byte])
+
+  /** [[Warc.scan]] plus byte ranges — the scan an index WRITER runs
+    * over its own crawl output. Gzip archives are walked member by
+    * member ([[GzipMembers]] — the compressed ranges only that walk
+    * can observe); plain archives emit each record's own span.
+    * zstd archives are rejected: their frames compress against a
+    * shared embedded dictionary, so a frame range is not
+    * independently decompressible and has no honest CDX entry.
+    */
+  def scanWithRanges(spark: SparkSession, pathGlob: String,
+                     maxPayloadBytes: Int = Warc.DefaultMaxPayloadBytes): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path").as[String]
+      .repartition(par)
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val path = new Path(new URI(p))
+          val fs = path.getFileSystem(conf.value)
+          val fileLen = fs.getFileStatus(path).getLen
+          val in = new java.io.BufferedInputStream(fs.open(path), 1 << 16)
+          in.mark(4)
+          val b0 = in.read(); val b1 = in.read()
+          in.reset()
+          require(!(b0 == 0x28 && b1 == 0xB5),
+            s"$p: zstd archives have no independently decompressible ranges — CDX generation needs plain or member-gzip")
+          if (b0 == 0x1F && b1 == 0x8B) {
+            var idx = -1L
+            GzipMembers.members(in, maxPayloadBytes + (1 << 20)).flatMap { m =>
+              Warc.records(new java.io.ByteArrayInputStream(m.bytes),
+                  maxPayloadBytes).map { r =>
+                idx += 1
+                RangeRow(p, idx, m.offset, m.compressedLength,
+                  r.warcType, r.recordId.orNull, r.targetUri.orNull,
+                  r.warcDate.orNull, r.contentType.orNull,
+                  r.payload.length.toLong, r.truncated, r.blockDigestOk,
+                  r.payload)
+              }
+            }
+          } else {
+            // plain: span of record i = [offset_i, offset_{i+1}), the
+            // last closing at the file end — one record buffered
+            val recs = Warc.records(in, maxPayloadBytes)
+            new Iterator[RangeRow] {
+              private var prev: Warc.Record =
+                if (recs.hasNext) recs.next() else null
+              def hasNext: Boolean = prev != null
+              def next(): RangeRow = {
+                val r = prev
+                val end = if (recs.hasNext) { prev = recs.next(); prev.offset }
+                  else { prev = null; fileLen }
+                RangeRow(p, r.recordIndex, r.offset, end - r.offset,
+                  r.warcType, r.recordId.orNull, r.targetUri.orNull,
+                  r.warcDate.orNull, r.contentType.orNull,
+                  r.payload.length.toLong, r.truncated, r.blockDigestOk,
+                  r.payload)
+              }
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** CDXJ entries from a [[scanWithRanges]] frame — `(surt_key, ts,
+    * line)` plus the parsed fields, one row per record WITH a target
+    * URI (warcinfo/metadata records have no index entry). `base`
+    * relativizes `src_file` against the archive root so the written
+    * index matches what [[fetch]] resolves with the same base.
+    * Status/mime come from the HTTP message for response records
+    * (one parse via [[Warc.httpStruct]]) and from the record for
+    * conversions; the digest is the sha1-base32 BLOCK digest (the
+    * record payload), stated as such.
+    */
+  def toCdxj(scanned: DataFrame, base: String = ""): DataFrame = {
+    val prefix = if (base.isEmpty) "" else base.stripSuffix("/") + "/"
+    val sha1b32 = udf { payload: Array[Byte] =>
+      Warc.base32(java.security.MessageDigest.getInstance("SHA-1")
+        .digest(payload))
+    }
+    val isResp = col("warc_type") === "response" &&
+      coalesce(col("content_type"), lit("")).startsWith("application/http")
+    val withHttp = scanned
+      .filter(col("target_uri").isNotNull)
+      .withColumn("__http", when(isResp, Warc.httpStruct).otherwise(lit(null)))
+    val status = when(col("__http").isNotNull, col("__http._1"))
+      .otherwise(lit(200))
+    val mime = trim(split(coalesce(
+      when(col("__http").isNotNull, col("__http._2")),
+      col("content_type"), lit("unk")), ";").getItem(0))
+    // binaryFile paths carry a scheme (`file:/tmp/x/f`); accept the
+    // base with or without one, and with any number of leading slashes
+    val fileRel =
+      if (prefix.isEmpty) col("src_file")
+      else regexp_replace(col("src_file"),
+        lit("^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?/*" +
+          java.util.regex.Pattern.quote(prefix.dropWhile(_ == '/'))),
+        lit(""))
+    val json = to_json(struct(
+      col("target_uri").as("url"),
+      mime.as("mime"),
+      status.cast("string").as("status"),
+      sha1b32(col("payload")).as("digest"),
+      col("range_length").cast("string").as("length"),
+      col("range_offset").cast("string").as("offset"),
+      fileRel.as("filename")))
+    withHttp
+      .withColumn("surt_key", graft.ops.UrlOps.surt(col("target_uri")))
+      .withColumn("ts",
+        date_format(to_timestamp(col("warc_date")), "yyyyMMddHHmmss"))
+      .withColumn("line", concat_ws(" ", col("surt_key"), col("ts"), json))
+      .select("surt_key", "ts", "line")
+  }
+
+  /** Write a sorted single-file CDXJ index (the archive convention:
+    * lines ordered by SURT key then timestamp, so range scans and
+    * binary searches work) — distributed sort + ordered concat via
+    * [[graft.util.OrderedText]].
+    */
+  def writeCdxj(scanned: DataFrame, path: String, base: String = ""): Unit =
+    graft.util.OrderedText.writeSorted(
+      toCdxj(scanned, base), Seq("surt_key", "ts"), path)
+
   /** Fetch the WARC records a CDX frame points at, as the
     * [[Warc.ScanRow]] schema (so [[Warc.toDocuments]] and every
     * downstream curation stage compose unchanged). `cdx` needs

@@ -150,11 +150,24 @@ object LanguageModel {
     val ctx2 = cont2.groupBy("__w2")
       .agg(sum("__n1p_mid").as("__cw2cont"),
         count(lit(1)).as("__n2typ_after"))
-    // bottom level: unigram continuation over TRUE bigram types (a
-    // doc's final bigram appears in no trigram, so this frame is built
-    // from the bigram explode, same basis as the bigram model)
-    val bigramC = docGrams(train, idCol, textCol)
-      .groupBy("__w1", "__w2").agg(sum("__k").as("__cbg"))
+    // bottom level: unigram continuation over TRUE bigram types. A
+    // bigram instance at position i < n−1 is the (w1,w2) head of the
+    // trigram at i, so c(a,b) = Σ_c c(a,b,c) + #docs whose FINAL
+    // bigram is (a,b) — i.e. ctx12 (already derived from the cached
+    // trigram counts) plus a per-doc last-bigram frame. This replaces
+    // the second full corpus explode+shuffle with one light scan that
+    // shuffles ONE row per document.
+    val t = toks(textCol)
+    val lastBi = train
+      .select(t.as("__t")).filter(size(col("__t")) >= 2)
+      .select(element_at(col("__t"), -2).as("__w1"),
+        element_at(col("__t"), -1).as("__w2"))
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__clast"))
+    val bigramC = ctx12.select(col("__w1"), col("__w2"), col("__cw12"))
+      .join(lastBi, Seq("__w1", "__w2"), "full_outer")
+      .select(col("__w1"), col("__w2"),
+        (coalesce(col("__cw12"), lit(0L)) +
+          coalesce(col("__clast"), lit(0L))).as("__cbg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contU = bigramC.groupBy(col("__w2").as("__w3"))
       .agg(count(lit(1)).as("__n1p_before"))
@@ -203,13 +216,40 @@ object LanguageModel {
     * `(idCol, n_trigrams, kn3_logprob, kn3_ppl)`.
     */
   def kneserNey3Score(train: DataFrame, df: DataFrame, idCol: String,
-                      textCol: String, discount: Double = 0.75): DataFrame = {
+                      textCol: String, discount: Double = 0.75): DataFrame =
+    kn3Train(train, idCol, textCol, discount).score(df, idCol, textCol)
+
+  /** A TRAINED trigram-KN model handle: the count frames are built
+    * (and persisted) ONCE and shared by every [[Kn3Model.score]] call
+    * and the ARPA export [[Kn3Model.saveArpa]] — the round-trip path
+    * (t48) derives the corpus statistics a single time instead of
+    * once per consumer. Call [[Kn3Model.unpersist]] when the LAST
+    * consumer's action has run (the Dedup persist/finally pattern);
+    * un-unpersisted frames are LRU-evictable.
+    */
+  final class Kn3Model private[LanguageModel] (
+      c: Kn3Counts, val discount: Double,
+      spark: org.apache.spark.sql.SparkSession) {
+    def score(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      kn3ScoreWith(c, df, idCol, textCol, discount)
+    def saveArpa(path: String): Unit =
+      saveKn3ArpaFrom(c, spark, path, discount)
+    def unpersist(): Unit = { c.triC.unpersist(); c.bigramC.unpersist(); () }
+  }
+
+  /** Train the trigram-KN count frames once; see [[Kn3Model]]. */
+  def kn3Train(train: DataFrame, idCol: String, textCol: String,
+               discount: Double = 0.75): Kn3Model = {
     require(discount > 0 && discount < 1,
       s"absolute discount must be in (0, 1), got $discount")
+    new Kn3Model(kn3Counts(train, idCol, textCol), discount,
+      train.sparkSession)
+  }
+
+  private def kn3ScoreWith(c: Kn3Counts, df: DataFrame, idCol: String,
+                           textCol: String, discount: Double): DataFrame = {
     Seq("n_trigrams", "kn3_logprob", "kn3_ppl").foreach(r =>
       require(!df.columns.contains(r), s"input already has a '$r' column"))
-
-    val c = kn3Counts(train, idCol, textCol)
     import c.{triC, ctx12, cont2, ctx2, contU, totals}
 
     val d = lit(discount)
@@ -301,102 +341,113 @@ object LanguageModel {
     val esc = (g: Column) =>
       when(g === "<unk>", lit(LiteralUnkSpelling)).otherwise(g)
 
-    // ---- unigrams: full vocabulary (floor for non-continuation
-    //      words) + <unk> ------------------------------------------
+    // ---- unified entry frame: (ord, k1, k2, k3 [, ctg]) ------------
+    // ord1 = full vocabulary (every bigram position — the closure
+    // strict consumers need; non-continuation words get the D/B
+    // floor); ord2 = continuation pairs ∪ trigram contexts; ord3 =
+    // seen trigrams (whose counts ride the union, saving the probe
+    // join). ONE join pipeline then attaches every count frame —
+    // six equi-joins total instead of three per-section chains, so
+    // the export is one pass over the model with a fraction of the
+    // exchanges (this is also what keeps the gate latency sane:
+    // stage-scheduling overhead, not data, dominates at small SF).
+    val nilS = lit(null).cast("string")
     val vocab = c.bigramC.select(col("__w1").as("__w3"))
       .unionByName(c.bigramC.select(col("__w2").as("__w3")))
       .distinct()
-    val p1 = coalesce(col("__n1p_before").cast("double"), d) / b
-    val uniBo = c.ctx2.select(col("__w2").as("__w3"),
-      log10(d * col("__n2typ_after") / col("__cw2cont")).as("__bo"))
-    val uniRows = withScalars(vocab
-      .join(c.contU, Seq("__w3"), "left")
-      .join(uniBo, Seq("__w3"), "left"), c.totals)
-      .select(log10(p1).cast("string").as("lp"),
-        esc(col("__w3")).as("g"), col("__bo").cast("string").as("bo"))
-    val unkRow = c.totals.select(
-      log10(d / b).cast("string").as("lp"),
-      lit("<unk>").as("g"), lit(null).cast("string").as("bo"))
-
-    // ---- bigrams: continuation pairs ∪ trigram contexts -----------
     val biKeys = c.cont2.select(col("__w2"), col("__w3"))
       .unionByName(c.ctx12.select(col("__w1").as("__w2"),
         col("__w2").as("__w3")))
       .distinct()
-    val p1b = coalesce(col("__n1p_before").cast("double"), d) / b
+    val entries = vocab.select(lit(1).as("__ord"), nilS.as("__k1"),
+        nilS.as("__k2"), col("__w3").as("__k3"),
+        lit(null).cast("long").as("__ctg"))
+      .unionByName(biKeys.select(lit(2).as("__ord"), nilS.as("__k1"),
+        col("__w2").as("__k2"), col("__w3").as("__k3"),
+        lit(null).cast("long").as("__ctg")))
+      .unionByName(c.triC.select(lit(3).as("__ord"),
+        col("__w1").as("__k1"), col("__w2").as("__k2"),
+        col("__w3").as("__k3"), col("__ctg")))
+
+    val ctxTop = c.ctx12.select(col("__w1").as("__k1"),
+      col("__w2").as("__k2"), col("__cw12"), col("__n1p_after12"))
+    val boPair = c.ctx12.select(col("__w1").as("__k2"),
+      col("__w2").as("__k3"), col("__cw12").as("__bo_cw12"),
+      col("__n1p_after12").as("__bo_n1p"))
+    val mid = c.cont2.select(col("__w2").as("__k2"),
+      col("__w3").as("__k3"), col("__n1p_mid"))
+    val midCtx = c.ctx2.select(col("__w2").as("__k2"),
+      col("__cw2cont"), col("__n2typ_after"))
+    val boUni = c.ctx2.select(col("__w2").as("__k3"),
+      col("__cw2cont").as("__ubo_cw"), col("__n2typ_after").as("__ubo_n"))
+    val cont = c.contU.select(col("__w3").as("__k3"), col("__n1p_before"))
+
+    val joined = withScalars(entries
+      .join(ctxTop, Seq("__k1", "__k2"), "left")
+      .join(mid, Seq("__k2", "__k3"), "left")
+      .join(midCtx, Seq("__k2"), "left")
+      .join(boPair, Seq("__k2", "__k3"), "left")
+      .join(boUni, Seq("__k3"), "left")
+      .join(cont, Seq("__k3"), "left"), c.totals)
+
+    // the same recursive-KN formulas as kn3ScoreWith, selected by ord
+    val p1 = coalesce(col("__n1p_before").cast("double"), d) / b
     val p2 = when(col("__cw2cont").isNotNull,
       (greatest(coalesce(col("__n1p_mid"), lit(0L)).cast("double") - d,
           lit(0.0)) +
-        d * col("__n2typ_after") * p1b) / col("__cw2cont")).otherwise(p1b)
-    val biBo = c.ctx12.select(col("__w1").as("__w2"),
-      col("__w2").as("__w3"),
-      log10(d * col("__n1p_after12") / col("__cw12")).as("__bo"))
-    val biRows = withScalars(biKeys
-      .join(c.cont2, Seq("__w2", "__w3"), "left")
-      .join(c.ctx2, Seq("__w2"), "left")
-      .join(c.contU, Seq("__w3"), "left"), c.totals)
-      .join(biBo, Seq("__w2", "__w3"), "left")
-      .select(log10(p2).cast("string").as("lp"),
-        concat_ws(" ", esc(col("__w2")), esc(col("__w3"))).as("g"),
-        col("__bo").cast("string").as("bo"))
-
-    // ---- trigrams: seen trigrams, interpolated P3 -----------------
+        d * col("__n2typ_after") * p1) / col("__cw2cont")).otherwise(p1)
     val p3 = (greatest(col("__ctg").cast("double") - d, lit(0.0)) +
       d * col("__n1p_after12") * p2) / col("__cw12")
-    val triRows = withScalars(c.triC
-      .join(c.ctx12, Seq("__w1", "__w2"))
-      .join(c.cont2, Seq("__w2", "__w3"), "left")
-      .join(c.ctx2, Seq("__w2"), "left")
-      .join(c.contU, Seq("__w3"), "left"), c.totals)
-      .select(log10(p3).cast("string").as("lp"),
-        concat_ws(" ", esc(col("__w1")), esc(col("__w2")),
-          esc(col("__w3"))).as("g"),
-        lit(null).cast("string").as("bo"))
+    val lp = when(col("__ord") === 1, log10(p1))
+      .when(col("__ord") === 2, log10(p2))
+      .otherwise(log10(p3))
+    val bo = when(col("__ord") === 1 && col("__ubo_cw").isNotNull,
+        log10(d * col("__ubo_n") / col("__ubo_cw")))
+      .when(col("__ord") === 2 && col("__bo_cw12").isNotNull,
+        log10(d * col("__bo_n1p") / col("__bo_cw12")))
+    val g = when(col("__ord") === 1, esc(col("__k3")))
+      .when(col("__ord") === 2,
+        concat_ws(" ", esc(col("__k2")), esc(col("__k3"))))
+      .otherwise(concat_ws(" ", esc(col("__k1")), esc(col("__k2")),
+        esc(col("__k3"))))
+    // section lines, already in final form: sort ord = 1/3/5 (markers
+    // take the even slots)
+    val sectionLines = joined.select(
+      (col("__ord") * 2 - 1).as("ord"), g.as("key"),
+      concat(lp.cast("string"), lit("\t"), g,
+        when(bo.isNotNull, concat(lit("\t"), bo.cast("string")))
+          .otherwise(lit(""))).as("line"),
+      col("__ord").as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     import spark.implicits._
-    val n1 = uniRows.count() + 1 // + <unk>
-    val n2 = biRows.count()
-    val n3 = triRows.count()
-    def lines(ord: Int, df: DataFrame): DataFrame =
-      df.select(lit(ord).as("ord"), col("g").as("key"),
-        concat(col("lp"), lit("\t"), col("g"),
-          when(col("bo").isNotNull, concat(lit("\t"), col("bo")))
-            .otherwise(lit(""))).as("line"))
+    try {
+    // all three header counts in ONE job (fills the cache the sort's
+    // sampling pass and write then reuse)
+    val sizes = sectionLines.groupBy("__s")
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n1 = sizes.getOrElse(1, 0L) + 1 // + <unk>
+    val n2 = sizes.getOrElse(2, 0L)
+    val n3 = sizes.getOrElse(3, 0L)
+    val unkLine = c.totals.select(lit(1).as("ord"),
+      lit("<unk>").as("key"),
+      concat(log10(d / b).cast("string"), lit("\t<unk>")).as("line"))
     def marker(ord: Int, text: Seq[String]): DataFrame =
       text.zipWithIndex
         .map { case (l, i) => (ord, f"$i%04d", l) }
         .toDF("ord", "key", "line")
     val all = marker(0, Seq("\\data\\", s"ngram 1=$n1", s"ngram 2=$n2",
         s"ngram 3=$n3", "", "\\1-grams:"))
-      .unionByName(lines(1, uniRows.unionByName(unkRow)))
+      .unionByName(sectionLines.select("ord", "key", "line"))
+      .unionByName(unkLine)
       .unionByName(marker(2, Seq("", "\\2-grams:")))
-      .unionByName(lines(3, biRows))
       .unionByName(marker(4, Seq("", "\\3-grams:")))
-      .unionByName(lines(5, triRows))
       .unionByName(marker(6, Seq("", "\\end\\")))
-    // Distributed global sort: orderBy range-partitions, each task
-    // sorts and writes ITS part file; global order = part-file order.
-    val tmp = path + ".arpadir"
-    all.orderBy("ord", "key").select("line")
-      .write.mode("overwrite").text(tmp)
-    // Ordered stream-concat through the Hadoop FileSystem API — the
-    // parts may live on HDFS/S3, not just the driver's local disk.
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val fs = tmpPath.getFileSystem(hconf)
-    val parts = fs.listStatus(tmpPath)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
-    require(parts.nonEmpty, s"no part files under $tmp")
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val out = dst.getFileSystem(hconf).create(dst, true)
-    try parts.foreach { p =>
-      val in = fs.open(p.getPath)
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 16, false)
-      finally in.close()
-    } finally out.close()
-    fs.delete(tmpPath, true)
-    ()
+    // Distributed global sort + ordered part concat (OrderedText): no
+    // single-task sort, no driver-local-disk assumption.
+    graft.util.OrderedText.writeSorted(all, Seq("ord", "key"), path)
+    } finally { sectionLines.unpersist(); () }
   }
 
   /** Reserved export spelling for a literal corpus `<unk>` token —

@@ -266,6 +266,8 @@ object IngestGateQueries {
   private val cdxPath = "/tmp/graft_gate_s15.cdxj"
   private val cdxExpectedDir = "/tmp/graft_gate_s15_expected"
   private val cdxDocsExpectedDir = "/tmp/graft_gate_s16_expected"
+  private val cdxWriteExpectedDir = "/tmp/graft_gate_s17_expected"
+  private val cdxProduced = "/tmp/graft_gate_s17_produced.cdxj"
 
   private def writeCdxFixture(s: SparkSession): Unit = {
     import s.implicits._
@@ -352,6 +354,31 @@ object IngestGateQueries {
       .toDF("warc_file", "warc_offset", "record_id", "warc_type",
         "content_length", "payload_md5")
       .coalesce(1).write.mode("overwrite").parquet(cdxExpectedDir)
+
+    // s17 expected: the CDXJ entries an index writer must derive from
+    // the archive — surt/ts from the authored headers, status/mime
+    // from the authored HTTP lines, sha1-base32 block digests and the
+    // authored member/record byte ranges. ALL five records (the writer
+    // indexes everything with a target URI; selection happens at read).
+    Seq(
+      ("com,example)/idx1", "20260814090000", "http://example.com/idx1",
+        "text/plain", 200, sha1b32(p1), "seg/part1.warc.gz", 0L,
+        m1.length.toLong),
+      ("com,example)/idx2", "20260814090100", "http://example.com/idx2",
+        "text/html", 200, sha1b32(p2), "seg/part1.warc.gz",
+        m1.length.toLong, m2.length.toLong),
+      ("com,example)/idx3", "20260814090200", "http://example.com/idx3",
+        "text/plain", 200, sha1b32(p3), "seg/part1.warc.gz",
+        (m1.length + m2.length).toLong, m3.length.toLong),
+      ("com,example)/idx4", "20260814090300", "http://example.com/idx4",
+        "text/plain", 200, sha1b32(p4), "part2.warc", 0L,
+        r4.length.toLong),
+      ("com,example)/idx5", "20260814090400", "http://example.com/idx5",
+        "text/html", 404, sha1b32(p5), "part2.warc", r4.length.toLong,
+        r5.length.toLong))
+      .toDF("surt_key", "ts", "url", "mime", "status", "digest",
+        "warc_file", "warc_offset", "warc_length")
+      .coalesce(1).write.mode("overwrite").parquet(cdxWriteExpectedDir)
 
     // s16 expected documents: conversion text verbatim; the 200 html
     // response hand-traced through htmlToText (&amp; → &, tags → space,
@@ -491,6 +518,22 @@ object IngestGateQueries {
         .orderBy("surt_key")
     },
 
+    // -- S17: CDX index GENERATION — walk gzip members / plain record
+    //    spans, derive surt/ts/status/mime/digest, write the sorted
+    //    single-file CDXJ, and read it BACK through the same parser the
+    //    fetch path trusts: every field must equal the authored truth. -
+    "s17_cdx_write" -> { (s, _) =>
+      writeCdxFixture(s)
+      val scanned = graft.engine.read.Cdx.scanWithRanges(s,
+        s"$cdxWarcDir/{seg/part1.warc.gz,part2.warc}")
+      graft.engine.read.Cdx.writeCdxj(scanned, cdxProduced,
+        base = cdxWarcDir)
+      graft.engine.read.Cdx.readCdxj(s, cdxProduced)
+        .select("surt_key", "ts", "url", "mime", "status", "digest",
+          "warc_file", "warc_offset", "warc_length")
+        .orderBy("surt_key")
+    },
+
     // -- S16: CDX fetch → documents bridge — the selective-build
     //    workflow end-to-end: index → ranges → toDocuments, equal to
     //    what a full scan would have produced for the same subset. ---
@@ -553,6 +596,13 @@ object IngestGateQueries {
       s"""SELECT doc_id, url, fetch_s, text, length(text) AS n_chars
          |FROM read_parquet('$cdxDocsExpectedDir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // Stored expectation: byte ranges, surt keys, digests all authored
+    // at the fixture from the same arrays that build the archive.
+    "s17_cdx_write" ->
+      s"""SELECT surt_key, ts, url, mime, status, digest,
+         |  warc_file, warc_offset, warc_length
+         |FROM read_parquet('$cdxWriteExpectedDir/*.parquet')
+         |ORDER BY surt_key""".stripMargin,
     "s1_csv_ingest" ->
       s"""WITH raw AS (
          |  SELECT * FROM read_csv('$csvPath', header=true, all_varchar=true,

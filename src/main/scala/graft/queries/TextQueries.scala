@@ -590,11 +590,14 @@ object TextQueries {
     "t48_arpa_roundtrip" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val path = "/tmp/graft_gate_t48_kn3.arpa"
-      graft.ops.LanguageModel.saveKn3Arpa(docs, "doc_id", "text", path)
+      // ONE trained model: the export and the direct self-score share
+      // the persisted count frames instead of each rebuilding them
+      val m3 = graft.ops.LanguageModel.kn3Train(docs, "doc_id", "text")
+      m3.saveArpa(path)
       val ar = graft.ops.LanguageModel.arpaScore(
         graft.ops.LanguageModel.loadArpa(s, path), docs, "doc_id", "text",
         escapeLiteralUnk = true)
-      graft.ops.LanguageModel.kneserNey3SelfScore(docs, "doc_id", "text")
+      m3.score(docs, "doc_id", "text")
         .select(col("doc_id"), col("kn3_ppl"))
         .join(ar.select(col("doc_id"), col("arpa_ppl"),
           col("n_trigrams")), "doc_id")
