@@ -57,7 +57,11 @@ object LakeSink {
                           filesPerPartition: Int = 1,
                           maxRecordsPerFile: Long = 0L,
                           compression: String = "zstd",
-                          dynamicOverwrite: Boolean = true)
+                          dynamicOverwrite: Boolean = true,
+                          format: String = "parquet") {
+    require(Set("parquet", "orc").contains(format),
+      s"lake format must be parquet or orc, got '$format'")
+  }
 
   /** Bucketed table layout — the storage-side complement of the
     * incremental-dedup joins: a corpus that is JOINED ON THE SAME KEY
@@ -151,6 +155,9 @@ object LakeSink {
       w = w.option("maxRecordsPerFile", cfg.maxRecordsPerFile)
     if (cfg.partitionBy.nonEmpty)
       w = w.partitionBy(cfg.partitionBy: _*)
-    w.parquet(cfg.path)
+    // parquet or ORC — both columnar with row-group/stripe min-max
+    // stats, so the clusterBy/zorder layout prunes identically; ORC is
+    // the interop choice for Hive/Trino-first lakes.
+    w.format(cfg.format).save(cfg.path)
   }
 }

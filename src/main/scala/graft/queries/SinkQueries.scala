@@ -79,6 +79,28 @@ object SinkQueries {
         .toDF("n_rows", "bal_raw", "n_pass2")
         .select(col("n_rows"), round(col("bal_raw"), 2).as("sum_bal"),
           col("n_pass2"))
+    },
+
+    // -- K5: ORC lake round trip — the same partitioned/clustered
+    //    layout as the parquet LakeSink, through Spark's built-in ORC
+    //    source (stripe min-max stats serve the same pruning role).
+    //    The oracle recomputes the aggregate from the original parquet
+    //    table, so a row lost/duplicated/mistyped in the ORC round
+    //    trip diverges. ---------------------------------------------
+    "k5_orc_roundtrip" -> { (s, d) =>
+      val dir = s"/tmp/graft_gate_k5_orc_${runCounter.incrementAndGet()}"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      graft.engine.sink.LakeSink.write(docs,
+        graft.engine.sink.LakeSink.Config(dir,
+          partitionBy = Seq("lang"), clusterBy = Seq("n_chars"),
+          format = "orc"))
+      val back = s.read.orc(dir).filter(col("n_chars") >= 500)
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("doc_id").as("n_distinct"))
+        .orderBy("lang")
     })
 
   def oracle: Map[String, String] = Map(
@@ -87,5 +109,10 @@ object SinkQueries {
         | round(sum(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 10
         |                ELSE c_acctbal END), 2) AS sum_bal,
         | sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_pass2
-        |FROM customer WHERE c_custkey <= 200""".stripMargin)
+        |FROM customer WHERE c_custkey <= 200""".stripMargin,
+    "k5_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        | count(DISTINCT doc_id) AS n_distinct
+        |FROM documents WHERE n_chars >= 500
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -128,6 +128,28 @@ class LakeSinkSpec extends SparkSpec {
       .collect().toSeq == Seq(9L))
   }
 
+  test("ORC format: same layout semantics, filter pushdown reaches the scan") {
+    val out = tmpDir("lake").toString + "/t8"
+    LakeSink.write(docs, LakeSink.Config(out, partitionBy = Seq("lang"),
+      clusterBy = Seq("n_chars"), format = "orc"))
+    // layout dirs exist and the round trip is lossless
+    assert(new java.io.File(out, "lang=en").exists())
+    val back = spark.read.orc(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+      docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    // partition pruning + predicate pushdown appear in the ORC scan
+    val plan = back.filter($"lang" === "en" && $"n_chars" > 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      plan.linesIterator.take(8).mkString("\n"))
+    // unknown formats rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.Config(out, format = "avro")
+    }
+    assert(e.getMessage.contains("parquet or orc"))
+  }
+
   test("static overwrite mode still truncates the whole table when asked") {
     val out = tmpDir("lake").toString + "/t5"
     LakeSink.write(docs, LakeSink.Config(out, partitionBy = Seq("lang")))
