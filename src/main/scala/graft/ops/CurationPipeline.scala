@@ -71,7 +71,9 @@ object CurationPipeline {
       extractor: String = "regex",
       fixEncoding: Boolean = false,
       termMatcher: String = "literal",
-      deconMode: String = "doc") {
+      deconMode: String = "doc",
+      qualityModel: Option[String] = None,
+      qualityLabel: String = "__label__keep") {
     require(langId == "marker" || langId == "trigram",
       s"langId must be 'marker' or 'trigram': $langId")
     require(extractor == "blocks" || extractor == "regex",
@@ -215,13 +217,28 @@ object CurationPipeline {
         !Curation.blockedTermFlagLarge(col("__text"), cfg.blockedTerms)
       else !Curation.blockedTermFlag(col("__text"), cfg.blockedTerms)
     val scored = {
-      val feats = TextAnalysis.qualityFeatures(col("__text"))
-        .toMap
+      // quality score: the ratio heuristic by default, or — when a
+      // fastText supervised .bin is configured (the CCNet/DCLM-style
+      // trained classifier) — that model's probability of
+      // `qualityLabel`, scored as a broadcast-model column on the
+      // same projection. Same [0,1] scale, same minQuality gate.
+      val qExpr = cfg.qualityModel match {
+        case Some(path) =>
+          val m = FastText.load(extracted.sparkSession, path)
+          require(m.labels.contains(cfg.qualityLabel),
+            s"quality model at $path has no label '${cfg.qualityLabel}' " +
+              s"(labels: ${m.labels.mkString(", ")})")
+          element_at(FastText.predictAllCol(extracted.sparkSession, m,
+            col("__text")), cfg.qualityLabel)
+        case None =>
+          val feats = TextAnalysis.qualityFeatures(col("__text")).toMap
+          TextAnalysis.qualityScore(feats("punct_ratio"),
+            feats("digit_ratio"), feats("stop_ratio"))
+      }
       extracted
         .withColumn("__term_ok", termOk)
         .withColumn("lang_pred", langExpr)
-        .withColumn("__q", TextAnalysis.qualityScore(feats("punct_ratio"),
-          feats("digit_ratio"), feats("stop_ratio")))
+        .withColumn("__q", qExpr)
     }
     // optional Gopher quality filter (paper table A1) — the repetition
     // kernel and rule columns ride the SAME projection as the other

@@ -68,6 +68,45 @@ class CurationPipelineSpec extends SparkSpec {
       "segment dedup dropped nothing")
   }
 
+  test("trained fastText quality model replaces the ratio heuristic at the gate") {
+    // a 2-label supervised model whose decision is carried entirely by
+    // the word "alpha1": docs containing it score ~keep, others ~drop
+    // — the inverse of what the ratio heuristic would decide, proving
+    // the configured model (not the heuristic) gates the stage
+    val words = Seq("alpha1", "</s>")
+    val labels = Seq("__label__drop", "__label__keep")
+    // rows: alpha1=(4), </s>=(0), buckets 0; out: drop=(-4), keep=(4)
+    val input = Array.tabulate((2 + 4) * 1)(i => if (i == 0) 4f else 0f)
+    val output = Array[Float](-4f, 4f)
+    val m = FastText.Model(1, 4, 1, 0, 0, FastText.LossSoftmax, 2,
+      words.zipWithIndex.toMap, labels.toArray, Array.empty,
+      input, 6, output)
+    val path = tmpDir("ftq").resolve("q.bin").toString
+    FastText.save(m, path, sc.hadoopConfiguration)
+    val out = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+      probes, "text",
+      CurationPipeline.Config("doc_id", "html", "source",
+        targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L,
+        qualityModel = Some(path), minQuality = 0.9))
+    val kept = out.data.select("doc_id").as[Long].collect().toSet
+    out.release()
+    // only doc 1's body contains "alpha1" (bodyOf stems are per-doc);
+    // the model keeps it and drops everything else at the quality gate
+    assert(kept == Set(1L), s"kept=$kept")
+    // a model without the configured label fails loud at build time
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.curate(corpus,
+        Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+        probes, "text",
+        CurationPipeline.Config("doc_id", "html", "source",
+          targetMix = Map("src0" -> 1),
+          qualityModel = Some(path), qualityLabel = "__label__absent"))
+    }
+    assert(e.getMessage.contains("__label__absent"))
+  }
+
   test("result carries pack assignments and content digests") {
     val out = run()
     val rows = out.data.collect()
