@@ -83,7 +83,13 @@ object GzipMembers {
           inf.setInput(f.buf, f.pos, f.len - f.pos)
           f.pos = f.len // tentatively consumed; surplus unread below
         }
-        val k = inf.inflate(tmp)
+        val k =
+          try inf.inflate(tmp)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"corrupt deflate data in gzip member near offset ${f.absPos}: ${e.getMessage}", e)
+          }
         out.write(tmp, 0, k)
         require(out.size <= maxMemberBytes,
           s"gzip member exceeds $maxMemberBytes decompressed bytes")

@@ -71,6 +71,24 @@ class GzipMembersSpec extends SparkSpec {
     assert(e3.getMessage.contains(s"offset ${m.length}"))
   }
 
+  test("every byte prefix of a member stream parses a member prefix or fails loud") {
+    val full = gz("first record".getBytes) ++ gz("second".getBytes)
+    for (n <- 0 to full.length) {
+      try {
+        val got = GzipMembers.members(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(full, 0, n))).toList
+        // whatever parsed must be a true prefix of the member sequence
+        assert(got.length <= 2)
+        got.headOption.foreach(m =>
+          assert(m.bytes.toSeq == "first record".getBytes.toSeq))
+      } catch {
+        case _: java.io.EOFException => ()
+        case _: IllegalArgumentException => ()
+        case _: java.util.zip.ZipException => () // corrupt deflate tail
+      }
+    }
+  }
+
   test("decompressed-size cap trips instead of buffering unbounded") {
     val big = gz(Array.fill(100000)('x'.toByte))
     val e = intercept[IllegalArgumentException] {

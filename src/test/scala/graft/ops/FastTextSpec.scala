@@ -201,6 +201,24 @@ class FastTextSpec extends SparkSpec {
     assert(msg(bin(prune = 3L)).contains("pruned"))
   }
 
+  test("every byte prefix of a valid binary loads or fails loud — never hangs or index-crashes") {
+    val words = Seq("a", "b", "</s>"); val labels = Seq("__label__x")
+    val input = Array.tabulate((3 + 4) * 2)(_.toFloat)
+    val full = authorBin(2, 4, 2, 0, 0, FastText.LossSoftmax,
+      words, labels, input, Array[Float](1f, 2f))
+    val dir = tmpDir("ftfuzz")
+    // step 3 keeps the loop fast while still crossing every section
+    for (n <- 0 to full.length by 3) {
+      val p = dir.resolve(s"p$n.bin")
+      java.nio.file.Files.write(p, java.util.Arrays.copyOfRange(full, 0, n))
+      try { FastText.load(spark, p.toString); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case _: java.io.EOFException => ()
+      }
+    }
+  }
+
   test("predictCol scores a frame distributively") {
     val words = Seq("good", "bad", "</s>")
     val labels = Seq("__label__pos", "__label__neg")

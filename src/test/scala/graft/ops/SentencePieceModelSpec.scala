@@ -104,6 +104,22 @@ class SentencePieceModelSpec extends SparkSpec {
       assert(e1.encodeWord(w).toSeq == e2.encodeWord(w).toSeq, w)
   }
 
+  test("every byte prefix of a valid model parses or fails loud — never hangs or index-crashes") {
+    val full = SentencePieceModel.serialize(
+      Seq("▁the" -> -1.0, "cat" -> -2.5, "s" -> -3.25), -7.0)
+    for (n <- 0 to full.length) {
+      val prefix = java.util.Arrays.copyOfRange(full, 0, n)
+      try { SentencePieceModel.parse(prefix, s"prefix-$n"); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // deterministic pseudo-random corruptions: single byte flips
+    for (i <- full.indices by 7) {
+      val mut = full.clone(); mut(i) = (mut(i) ^ 0x5A).toByte
+      try { SentencePieceModel.parse(mut, s"flip-$i"); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("malformed models fail loud") {
     def msg(b: Array[Byte]): String =
       intercept[IllegalArgumentException](
