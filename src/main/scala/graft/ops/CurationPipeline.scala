@@ -58,6 +58,7 @@ object CurationPipeline {
       maxPpl: Double = Double.PositiveInfinity,
       pplDiscount: Double = 0.75,
       pplOrder: Int = 2,
+      pplArpaModel: Option[String] = None,
       maxContamination: Double = 0.2,
       targetMix: Map[String, Int] = Map.empty,
       packCapacity: Long = 512L,
@@ -326,10 +327,25 @@ object CurationPipeline {
     val segStats = snapA.agg(
       sum("n_segments").as("segs"), sum("n_kept").as("kept")).head()
 
-    // optional CCNet perplexity gate under the reference-trained KN
-    // model; its own truncation point so the scoring job runs once
-    val (afterPpl, pplMetric) = pplRef match {
-      case Some(ref) =>
+    // optional CCNet perplexity gate — under an EXTERNAL ARPA model
+    // (`pplArpaModel`: the KenLM artifact CCNet actually ships, any
+    // order ≤ 5, Katz-scored) or the in-engine KN trained on `pplRef`;
+    // its own truncation point so the scoring job runs once
+    val (afterPpl, pplMetric) = (cfg.pplArpaModel, pplRef) match {
+      case (Some(arpaPath), _) =>
+        val score = snapA.select(col(id), col("text_clean"))
+        val pplScores = LanguageModel.arpaScoreN(
+            LanguageModel.loadArpaN(snapA.sparkSession, arpaPath),
+            score, id, "text_clean")
+          .select(col(id), col("arpa_ppl").as("kn_ppl"))
+        val kept = snapA
+          .join(pplScores, Seq(id), "left")
+          .filter(coalesce(col("kn_ppl"), lit(0.0)) <= cfg.maxPpl)
+          .drop("kn_ppl")
+          .truncated
+        Checkpoints.release(snapA)
+        (kept, Seq("perplexity_kept" -> kept.count()))
+      case (None, Some(ref)) =>
         val train = ref.select(lit(0L).as(id),
           col(pplRefTextCol).as("text_clean"))
         val score = snapA.select(col(id), col("text_clean"))
@@ -351,7 +367,7 @@ object CurationPipeline {
           .truncated
         Checkpoints.release(snapA) // kept is materialized; free A now
         (kept, Seq("perplexity_kept" -> kept.count()))
-      case None => (snapA, Nil)
+      case (None, None) => (snapA, Nil)
     }
 
     val ndKept = Dedup.nearDupAgainstIndex(afterPpl, seenIndex, id,

@@ -505,6 +505,145 @@ object LanguageModel {
     ArpaModel(uni, bi, tri)
   }
 
+  /** Parsed ARPA model of arbitrary order: `grams(k)` has columns
+    * `w1..wk, lp, bo` (bo NULL where absent). `maxOrder` = highest
+    * order with entries.
+    */
+  final case class ArpaModelN(grams: Map[Int, DataFrame]) {
+    require(grams.nonEmpty, "empty ARPA model")
+    val maxOrder: Int = grams.keys.max
+  }
+
+  /** Order-N ARPA load (N ≤ `maxOrder`, default 5 — the order CCNet's
+    * published KenLM models actually are). Same order-free distributed
+    * parse as [[loadArpa]]: gram order = word count of the middle tab
+    * field, so one text scan covers every section.
+    */
+  def loadArpaN(spark: org.apache.spark.sql.SparkSession, path: String,
+                maxOrder: Int = 5): ArpaModelN = {
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder must be in [1, 8], got $maxOrder")
+    val lines = spark.read.text(path)
+      .select(split(col("value"), "\t").as("f"))
+      .select(
+        graft.functions.GraftFunctions
+          .tryCastNumeric(element_at(col("f"), 1), "double").as("lp"),
+        element_at(col("f"), 2).as("g"),
+        when(size(col("f")) >= 3,
+          graft.functions.GraftFunctions
+            .tryCastNumeric(element_at(col("f"), 3), "double"))
+          .as("bo"))
+      .filter(col("lp").isNotNull && col("g").isNotNull)
+      .withColumn("ws", split(col("g"), " "))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val present = lines.select(size(col("ws")).as("k"))
+        .filter(col("k").between(1, maxOrder))
+        .distinct().collect().map(_.getInt(0)).sorted
+      require(present.nonEmpty, s"$path: no ARPA data lines")
+      val grams = present.map { k =>
+        k -> lines.filter(size(col("ws")) === k)
+          .select((1 to k).map(i =>
+            element_at(col("ws"), i).as(s"w$i")) ++
+            Seq(col("lp"), col("bo")): _*)
+      }.toMap
+      // materialize each order's frame off the shared cached parse
+      // before unpersisting the parse
+      val out = grams.map { case (k, df) =>
+        k -> df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      out.values.foreach(_.count())
+      ArpaModelN(out)
+    } finally { lines.unpersist(); () }
+  }
+
+  /** Per-doc N-gram occurrence counts `(idCol, __w1.., __k)`. */
+  private def docNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val t = toks(textCol)
+    val m = greatest(size(t) - (n - 1), lit(0))
+    df.select(col(idCol),
+        explode(arrays_zip((1 to n).map(j =>
+          slice(t, lit(j), m).as(s"w$j")): _*)).as("__ng"))
+      .select(col(idCol) +:
+        (1 to n).map(j => col(s"__ng.w$j").as(s"__w$j")): _*)
+      .groupBy(col(idCol) +: (1 to n).map(j => col(s"__w$j")): _*)
+      .agg(count(lit(1)).as("__k"))
+  }
+
+  /** Score `df` under an order-N ARPA model with the standard Katz
+    * backoff lookup, generalized from [[arpaScore]]:
+    *
+    *   P(w_N | w_1..w_{N−1}) = lp_N                       if the N-gram exists
+    *     = bo_{N−1}(w_1..w_{N−1}) + P(w_N | w_2..w_{N−1}) else (absent bo → 0)
+    *   …recursively down to lp_1(w_N), else lp_1(<unk>), else −99.
+    *
+    * Documents score over their interior N-gram stream where
+    * N = the model's max order (a doc with < N tokens emits no row) —
+    * 2N−1 gram-keyed equi-joins plus one aggregate; AQE broadcasts
+    * real-model sides, nothing collects. Returns
+    * `(idCol, n_ngrams, arpa_logprob, arpa_ppl)` (log10 mean;
+    * `arpa_ppl = 10^(−arpa_logprob)`).
+    */
+  def arpaScoreN(model: ArpaModelN, df: DataFrame, idCol: String,
+                 textCol: String,
+                 escapeLiteralUnk: Boolean = false): DataFrame = {
+    Seq("n_ngrams", "arpa_logprob", "arpa_ppl").foreach(r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column"))
+    val n = model.maxOrder
+    val empty = (k: Int) => {
+      val s = df.sparkSession
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          (1 to k).map(i => org.apache.spark.sql.types.StructField(
+            s"w$i", org.apache.spark.sql.types.StringType)) ++ Seq(
+            org.apache.spark.sql.types.StructField("lp",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("bo",
+              org.apache.spark.sql.types.DoubleType))))
+    }
+    def order(k: Int): DataFrame = model.grams.getOrElse(k, empty(k))
+
+    val docs0 = docNgrams(df, idCol, textCol, n)
+    val docs =
+      if (!escapeLiteralUnk) docs0
+      else (1 to n).map(i => s"__w$i").foldLeft(docs0)((acc, w) =>
+        acc.withColumn(w, when(col(w) === "<unk>",
+          lit(LiteralUnkSpelling)).otherwise(col(w))))
+
+    // suffix lp of order k matches doc positions n-k+1..n; context bo
+    // of order k matches positions n-k..n-1
+    var joined = docs
+    for (k <- 1 to n) {
+      val lpSide = order(k).select(
+        (1 to k).map(i => col(s"w$i").as(s"__w${n - k + i}")) :+
+          col("lp").as(s"__lp$k"): _*)
+      joined = joined.join(lpSide,
+        (n - k + 1 to n).map(i => s"__w$i"), "left")
+    }
+    for (k <- 1 until n) {
+      val boSide = order(k).select(
+        (1 to k).map(i => col(s"w$i").as(s"__w${n - k - 1 + i}")) :+
+          col("bo").as(s"__bo$k"): _*)
+      joined = joined.join(boSide,
+        (n - k to n - 1).map(i => s"__w$i"), "left")
+    }
+    val unk = order(1).filter(col("w1") === "<unk>")
+      .agg(min(col("lp")).as("__lpunk"))
+
+    var p: Column = coalesce(col("__lp1"), col("__lpunk"), lit(-99.0))
+    for (k <- 2 to n)
+      p = when(col(s"__lp$k").isNotNull, col(s"__lp$k"))
+        .otherwise(coalesce(col(s"__bo${k - 1}"), lit(0.0)) + p)
+
+    withScalars(joined, unk)
+      .groupBy(col(idCol))
+      .agg(
+        sum("__k").as("n_ngrams"),
+        (sum(col("__k") * p) / sum("__k")).as("arpa_logprob"))
+      .withColumn("arpa_ppl", pow(lit(10.0), -col("arpa_logprob")))
+  }
+
   /** Score `df` under a loaded ARPA trigram model with the standard
     * backoff lookup (Katz-style, the semantics every ARPA consumer
     * implements):

@@ -378,6 +378,50 @@ object TextQueries {
       .coalesce(1).write.mode("overwrite").parquet(t49RowsDir)
   }
 
+  private val t51Arpa = "/tmp/graft_gate_t51_model5.arpa"
+  private val t51Docs = "/tmp/graft_gate_t51_docs"
+
+  /** t51 fixture: a hand-authored FIVE-gram ARPA model (the order
+    * CCNet's published KenLM models actually are) plus documents
+    * walking every backoff depth — direct 5-gram, each intermediate
+    * level, accumulated backoff weights, NULL backoffs, the unk
+    * floor, and a multi-5-gram doc. The oracle re-parses the SAME
+    * file and replays the 5-level Katz lookup with its own joins.
+    */
+  private def writeT51Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val arpa = Seq(
+      "\\data\\", "ngram 1=6", "ngram 2=4", "ngram 3=3", "ngram 4=2",
+      "ngram 5=1", "",
+      "\\1-grams:",
+      "-0.5\ta\t-0.05", "-0.6\tb\t-0.06", "-0.7\tc\t-0.07",
+      "-0.8\td\t-0.08", "-0.9\te", "-3.0\t<unk>", "",
+      "\\2-grams:",
+      "-0.4\ta b\t-0.02", "-0.45\tb c\t-0.03", "-0.5\tc d\t-0.04",
+      "-0.55\td e", "",
+      "\\3-grams:",
+      "-0.3\ta b c\t-0.01", "-0.35\tb c d\t-0.015", "-0.38\tc d e", "",
+      "\\4-grams:",
+      "-0.2\ta b c d\t-0.005", "-0.25\tb c d e", "",
+      "\\5-grams:",
+      "-0.1\ta b c d e", "",
+      "\\end\\").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(t51Arpa),
+      arpa.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Seq(
+      (1L, "a b c d e"),   // direct 5-gram
+      (2L, "a b c d x"),   // four backoff weights + unk
+      (3L, "x a b c d"),   // NULL bo4 → 0, 4-gram hit
+      (4L, "b c d e e"),   // falls to the unigram
+      (5L, "x b c d e"),   // 4-gram hit through a NULL bo
+      (6L, "x x c d e"),   // 3-gram hit
+      (7L, "a b c d e f"), // two 5-grams: one hit, one unk chain
+      (8L, "a b c d"),     // < 5 tokens → no row
+      (9L, null: String))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(t51Docs)
+  }
+
   private val t50Model = "/tmp/graft_gate_t50.model"
   private val t50Docs = "/tmp/graft_gate_t50_docs"
 
@@ -639,6 +683,20 @@ object TextQueries {
           graft.ops.FastText.predictCol(s, m, col("text")).as("p"))
         .select(col("doc_id"), col("p.label").as("label"),
           round(col("p.prob"), 4).as("prob"))
+        .orderBy("doc_id")
+    },
+
+    // -- t51: FIVE-gram ARPA interop — load a KenLM-order model and
+    //    Katz-score through every backoff depth; the oracle re-parses
+    //    the file and replays the 5-level lookup case-for-case. ------
+    "t51_arpa5_score" -> { (s, _) =>
+      writeT51Fixture(s)
+      val model = graft.ops.LanguageModel.loadArpaN(s, t51Arpa)
+      graft.ops.LanguageModel.arpaScoreN(model,
+          s.read.parquet(t51Docs), "doc_id", "text")
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("arpa_logprob"), 4).as("arpa_logprob"),
+          round(col("arpa_ppl"), 4).as("arpa_ppl"))
         .orderBy("doc_id")
     },
 
@@ -2037,6 +2095,72 @@ object TextQueries {
          |)
          |SELECT doc_id, label, round(p, 4) AS prob
          |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The oracle re-parses the 5-gram ARPA file itself (order = word
+    // count of the middle tab field) and replays the Katz lookup five
+    // levels deep with its own LEFT JOIN chain.
+    "t51_arpa5_score" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$t51Arpa', delim='\\t', header=false,
+         |    all_varchar=true, null_padding=true, names=['c0','c1','c2'])
+         |), g AS (
+         |  SELECT try_cast(c0 AS DOUBLE) AS lp, try_cast(c2 AS DOUBLE) AS bo,
+         |         string_split(c1, ' ') AS ws
+         |  FROM raw
+         |  WHERE try_cast(c0 AS DOUBLE) IS NOT NULL AND c1 IS NOT NULL
+         |), g1 AS (SELECT ws[1] AS w1, lp, bo FROM g WHERE len(ws) = 1),
+         |g2 AS (SELECT ws[1] AS w1, ws[2] AS w2, lp, bo FROM g WHERE len(ws) = 2),
+         |g3 AS (SELECT ws[1] AS w1, ws[2] AS w2, ws[3] AS w3, lp, bo
+         |       FROM g WHERE len(ws) = 3),
+         |g4 AS (SELECT ws[1] AS w1, ws[2] AS w2, ws[3] AS w3, ws[4] AS w4,
+         |       lp, bo FROM g WHERE len(ws) = 4),
+         |g5 AS (SELECT ws[1] AS w1, ws[2] AS w2, ws[3] AS w3, ws[4] AS w4,
+         |       ws[5] AS w5, lp FROM g WHERE len(ws) = 5),
+         |unk AS (SELECT min(lp) AS lpunk FROM g1 WHERE w1 = '<unk>'),
+         |docs AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks
+         |  FROM read_parquet('$t51Docs/*.parquet') WHERE text IS NOT NULL
+         |), tg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+         |         toks[i+3] AS w4, toks[i+4] AS w5, count(*)::BIGINT AS k
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM docs WHERE len(toks) >= 5)
+         |  GROUP BY 1, 2, 3, 4, 5, 6
+         |), scored AS (
+         |  SELECT tg.doc_id, tg.k,
+         |    CASE WHEN l5.lp IS NOT NULL THEN l5.lp
+         |      ELSE coalesce(b4.bo, 0.0) +
+         |      CASE WHEN l4.lp IS NOT NULL THEN l4.lp
+         |        ELSE coalesce(b3.bo, 0.0) +
+         |        CASE WHEN l3.lp IS NOT NULL THEN l3.lp
+         |          ELSE coalesce(b2.bo, 0.0) +
+         |          CASE WHEN l2.lp IS NOT NULL THEN l2.lp
+         |            ELSE coalesce(b1.bo, 0.0) +
+         |              coalesce(l1.lp, (SELECT lpunk FROM unk), -99.0)
+         |          END
+         |        END
+         |      END
+         |    END AS lp
+         |  FROM tg
+         |  LEFT JOIN g5 l5 ON tg.w1 = l5.w1 AND tg.w2 = l5.w2
+         |    AND tg.w3 = l5.w3 AND tg.w4 = l5.w4 AND tg.w5 = l5.w5
+         |  LEFT JOIN g4 l4 ON tg.w2 = l4.w1 AND tg.w3 = l4.w2
+         |    AND tg.w4 = l4.w3 AND tg.w5 = l4.w4
+         |  LEFT JOIN g4 b4 ON tg.w1 = b4.w1 AND tg.w2 = b4.w2
+         |    AND tg.w3 = b4.w3 AND tg.w4 = b4.w4
+         |  LEFT JOIN g3 l3 ON tg.w3 = l3.w1 AND tg.w4 = l3.w2
+         |    AND tg.w5 = l3.w3
+         |  LEFT JOIN g3 b3 ON tg.w2 = b3.w1 AND tg.w3 = b3.w2
+         |    AND tg.w4 = b3.w3
+         |  LEFT JOIN g2 l2 ON tg.w4 = l2.w1 AND tg.w5 = l2.w2
+         |  LEFT JOIN g2 b2 ON tg.w3 = b2.w1 AND tg.w4 = b2.w2
+         |  LEFT JOIN g1 l1 ON tg.w5 = l1.w1
+         |  LEFT JOIN g1 b1 ON tg.w4 = b1.w1
+         |)
+         |SELECT doc_id, sum(k)::BIGINT AS n_ngrams,
+         |  round(sum(k * lp) / sum(k), 4) AS arpa_logprob,
+         |  round(pow(10.0, -(sum(k * lp) / sum(k))), 4) AS arpa_ppl
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Stored expectation: every segmentation traced on paper at the
     // fixture (t28/t34 pattern) — DP over string positions is not

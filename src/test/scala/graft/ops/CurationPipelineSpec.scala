@@ -487,6 +487,43 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("perplexity stage under an EXTERNAL ARPA model (the real CCNet shape)") {
+    // train on the corpus scaffold, EXPORT as ARPA, and gate the
+    // pipeline under the exported artifact — the flow a pipeline that
+    // ships a KenLM file runs; no pplRef frame involved at gate time
+    val pplRef = (1L to 40L).map(i => (i, bodyOf(i))).toDF("rid", "text")
+    val arpaPath = tmpDir("ccnet").resolve("ref.arpa").toString
+    LanguageModel.saveKn3Arpa(pplRef, "rid", "text", arpaPath)
+    val cfg = CurationPipeline.Config("doc_id", "html", "source",
+      targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+      nearDupThreshold = 0.5, packCapacity = 30L)
+    val loose = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg.copy(maxPpl = 1e9, pplArpaModel = Some(arpaPath)))
+    val mLoose = loose.metrics.toMap
+    assert(mLoose("perplexity_kept") == mLoose("quality_kept"))
+    loose.release()
+    // cutoff fitted from the reference's own trigram self-scores
+    val cut = LanguageModel.kneserNey3SelfScore(pplRef, "rid", "text")
+      .agg(avg("kn3_ppl")).as[Double].head()
+    val tight = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg.copy(maxPpl = cut, pplArpaModel = Some(arpaPath)))
+    val mTight = tight.metrics.toMap
+    assert(mTight("perplexity_kept") < mLoose("perplexity_kept"),
+      "tight cutoff dropped nothing under the ARPA model")
+    assert(mTight("perplexity_kept") > 0L)
+    tight.release()
+    // the external model takes precedence over a supplied pplRef
+    val both = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"), probes, "text",
+      cfg.copy(maxPpl = cut, pplArpaModel = Some(arpaPath)),
+      pplRef = Some(pplRef.select(col("text"))))
+    val mBoth = both.metrics.toMap
+    assert(mBoth("perplexity_kept") == mTight("perplexity_kept"))
+    both.release()
+  }
+
   test("perplexity stage at order 3 routes through the trigram KN model") {
     val pplRef = (1L to 40L).map(i => bodyOf(i)).toDF("text")
     val cfg = CurationPipeline.Config("doc_id", "html", "source",

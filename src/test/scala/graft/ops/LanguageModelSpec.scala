@@ -347,4 +347,94 @@ class LanguageModelSpec extends SparkSpec {
       .select("doc_id", "arpa_ppl").as[(Long, Double)].collect().toMap
     assert(math.abs(kn(10L) - arNoEsc(10L)) / kn(10L) > 1e-9)
   }
+
+  // ---- order-N ARPA (the 5-gram shape CCNet's published KenLM
+  // models actually are) -------------------------------------------
+
+  private def write5gramArpa(dir: java.nio.file.Path): String = {
+    val arpa = Seq(
+      "\\data\\", "ngram 1=6", "ngram 2=4", "ngram 3=3", "ngram 4=2",
+      "ngram 5=1", "",
+      "\\1-grams:",
+      "-0.5\ta\t-0.05", "-0.6\tb\t-0.06", "-0.7\tc\t-0.07",
+      "-0.8\td\t-0.08", "-0.9\te", "-3.0\t<unk>", "",
+      "\\2-grams:",
+      "-0.4\ta b\t-0.02", "-0.45\tb c\t-0.03", "-0.5\tc d\t-0.04",
+      "-0.55\td e", "",
+      "\\3-grams:",
+      "-0.3\ta b c\t-0.01", "-0.35\tb c d\t-0.015", "-0.38\tc d e", "",
+      "\\4-grams:",
+      "-0.2\ta b c d\t-0.005", "-0.25\tb c d e", "",
+      "\\5-grams:",
+      "-0.1\ta b c d e", "",
+      "\\end\\").mkString("\n")
+    val f = dir.resolve("m5.arpa")
+    java.nio.file.Files.write(f,
+      arpa.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  test("loadArpaN: per-order frames with lp/bo, header lines dropped") {
+    val path = write5gramArpa(tmpDir("arpa5"))
+    val m = LanguageModel.loadArpaN(spark, path)
+    assert(m.maxOrder == 5)
+    assert(m.grams.keySet == Set(1, 2, 3, 4, 5))
+    assert((1 to 5).map(k => m.grams(k).count()) == Seq(6L, 4L, 3L, 2L, 1L))
+    val bcd = m.grams(3).filter(col("w1") === "b" && col("w2") === "c" &&
+      col("w3") === "d").head()
+    assert(bcd.getAs[Double]("lp") == -0.35 &&
+      bcd.getAs[Double]("bo") == -0.015)
+    val cde = m.grams(3).filter(col("w3") === "e").head()
+    assert(cde.isNullAt(cde.fieldIndex("bo"))) // absent backoff is NULL
+  }
+
+  test("5-gram Katz lookup: every backoff depth hand-derived") {
+    import spark.implicits._
+    val path = write5gramArpa(tmpDir("arpa5s"))
+    val m = LanguageModel.loadArpaN(spark, path)
+    val docs = Seq(
+      (1L, "a b c d e"),   // direct 5-gram: -0.1
+      // bo4(a b c d) -0.005 + bo3(b c d) -0.015 + bo2(c d) -0.04 +
+      // bo1(d) -0.08 + <unk> -3.0 = -3.14
+      (2L, "a b c d x"),
+      (3L, "x a b c d"),   // bo4 absent -> 0 + lp4(a b c d) = -0.2
+      (4L, "b c d e e"),   // falls through to lp1(e) = -0.9
+      (5L, "x b c d e"),   // 0 + lp4(b c d e) = -0.25
+      (6L, "x x c d e"),   // 0 + 0 + lp3(c d e) = -0.38
+      (7L, "a b c d e f"), // (-0.1 + -3.0) / 2 = -1.55
+      (8L, "a b c d"),     // < 5 tokens: no row
+      (9L, null: String))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.arpaScoreN(m, docs, "doc_id", "text")
+      .select("doc_id", "n_ngrams", "arpa_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val want = Map(1L -> -0.1, 2L -> -3.14, 3L -> -0.2, 4L -> -0.9,
+      5L -> -0.25, 6L -> -0.38, 7L -> -1.55)
+    assert(got.keySet == want.keySet)
+    for ((id, w) <- want)
+      assert(math.abs(got(id)._3 - w) < 1e-9, s"doc $id: ${got(id)._3} != $w")
+    assert(got(7L)._2 == 2L)
+  }
+
+  test("order-N scorer on a trigram file agrees with the dedicated trigram path") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat and ran"),
+      (2L, "a dog sat on a rug and slept")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a dog ran on the rug and more"),
+      (3L, "zebra quokka wombat x y")).toDF("doc_id", "text")
+    val path = tmpDir("arpa3n").resolve("m3.arpa").toString
+    LanguageModel.saveKn3Arpa(train, "doc_id", "text", path)
+    val a3 = LanguageModel.arpaScore(LanguageModel.loadArpa(spark, path),
+        probe, "doc_id", "text")
+      .select("doc_id", "arpa_logprob").as[(Long, Double)].collect().toMap
+    val aN = LanguageModel.arpaScoreN(LanguageModel.loadArpaN(spark, path),
+        probe, "doc_id", "text")
+      .select("doc_id", "arpa_logprob").as[(Long, Double)].collect().toMap
+    assert(a3.keySet == aN.keySet && a3.nonEmpty)
+    for (id <- a3.keys)
+      assert(math.abs(a3(id) - aN(id)) < 1e-12, s"doc $id")
+  }
 }
