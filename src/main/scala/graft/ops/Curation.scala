@@ -29,6 +29,12 @@ object Curation {
     * [trainPct,trainPct+valPct) → val, rest → test. One codegen'd
     * column expression — no shuffle, no RNG.
     *
+    * LEAKAGE-SAFE (group-consistent) splits fall out of the key
+    * choice: pass the GROUP column (site host, author, thread id) as
+    * `idCol` and every document of one group lands in the SAME split
+    * — near-duplicates inside a site can then never straddle
+    * train/test (the c31 gate pins this property).
+    *
     * Rows whose id cannot be keyed (null / blank / "nan" — the hash's
     * -1 sentinel) get a NULL split: silently pooling them into any one
     * split would contaminate it with un-keyable rows, so the caller

@@ -630,6 +630,23 @@ object CurationQueries {
     },
 
     // -- c3: PII detection counts + redaction length delta -------------
+    // -- c31: GROUP-consistent (leakage-safe) split — keying the
+    //    hash-stable split on the GROUP column (source/host) puts every
+    //    document of one group in the SAME split, so near-duplicates
+    //    within a site can never straddle train/test. The oracle
+    //    re-derives the sha-256 bucket with HUGEINT arithmetic (the p5
+    //    pattern) and the same percentage cuts; one output row per
+    //    (source, split) pair — a source landing in two splits would
+    //    change the row set itself. --------------------------------
+    "c31_group_split" -> { (s, d) =>
+      graft.ops.Curation.withSplit(Tables.documents(s, d), "source",
+          trainPct = 80, valPct = 10)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("doc_id").as("n_distinct"))
+        .orderBy("source", "split")
+    },
+
     // -- c30: SENTENCE-level decontamination map — which sentence
     //    ordinals of each doc overlap the probe set (the surgical
     //    alternative to c4's whole-doc verdict). Injected probe
@@ -1629,6 +1646,21 @@ object CurationQueries {
          |  sum(CASE WHEN len(vc) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_redacted
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // The split bucket re-derived from sha256(source) with HUGEINT
+    // arithmetic (unsigned first-8-bytes mod 100), cut at 80/10/10.
+    "c31_group_split" ->
+      """SELECT source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct
+        |FROM (
+        |  SELECT doc_id, source,
+        |    ((SELECT sum((strpos('0123456789abcdef', substr(h, i, 1)) - 1)::HUGEINT
+        |               * (1::HUGEINT << ((16 - i) * 4)))
+        |      FROM generate_series(1, 16) g(i)) % 100)::INT AS b
+        |  FROM (SELECT doc_id, source, sha256(source) AS h FROM documents)
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Sentence split re-derived from the t42 cascade (shared step
     // table via TextQueries.duckSentenceMark), shingles via the c4
