@@ -686,6 +686,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- t52: persisted BM25 inverted index — build once (term-
+    //    clustered postings + lengths + stats), query a term bag
+    //    reading ONLY its terms' postings; scores must equal the
+    //    direct single-scan BM25 formula recomputed from raw text.
+    //    Rows re-sorted by the ROUNDED score so cross-engine float
+    //    sort ties cannot reorder the output. ------------------------
+    "t52_bm25_index" -> { (s, d) =>
+      val dir = "/tmp/graft_gate_t52_bm25_idx"
+      graft.ops.Bm25Index.build(Tables.documents(s, d), "doc_id", "text", dir)
+      graft.ops.Bm25Index.query(s, dir, Seq("table", "scan", "hash"),
+          k = 1000000)
+        .select(col("doc").as("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
     // -- t51: FIVE-gram ARPA interop — load a KenLM-order model and
     //    Katz-score through every backoff depth; the oracle re-parses
     //    the file and replays the 5-level lookup case-for-case. ------
@@ -2095,6 +2110,41 @@ object TextQueries {
          |)
          |SELECT doc_id, label, round(p, 4) AS prob
          |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The same formula as t27, recomputed from raw text over the docs
+    // that contain at least one query term, in the same rounded order.
+    "t52_bm25_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN []::VARCHAR[]
+        |         ELSE regexp_extract_all(text, '[^ \t\n\f\r]+') END AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS tt,
+        |    sum(CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |    sum(CASE WHEN list_contains(tk, 'scan') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM toks),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5)) *
+        |      (len(list_filter(t.tk, x -> x = 'table'))::DOUBLE * 2.2) /
+        |      (len(list_filter(t.tk, x -> x = 'table'))::DOUBLE +
+        |       1.2 * (0.25 + 0.75 * len(t.tk)::DOUBLE / (st.tt / st.n))) +
+        |    ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) *
+        |      (len(list_filter(t.tk, x -> x = 'scan'))::DOUBLE * 2.2) /
+        |      (len(list_filter(t.tk, x -> x = 'scan'))::DOUBLE +
+        |       1.2 * (0.25 + 0.75 * len(t.tk)::DOUBLE / (st.tt / st.n))) +
+        |    ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) *
+        |      (len(list_filter(t.tk, x -> x = 'hash'))::DOUBLE * 2.2) /
+        |      (len(list_filter(t.tk, x -> x = 'hash'))::DOUBLE +
+        |       1.2 * (0.25 + 0.75 * len(t.tk)::DOUBLE / (st.tt / st.n)))
+        |      AS score
+        |  FROM toks t CROSS JOIN st
+        |  WHERE list_contains(t.tk, 'table') OR list_contains(t.tk, 'scan')
+        |     OR list_contains(t.tk, 'hash'))
+        |SELECT doc_id, round(score, 4) AS bm25
+        |FROM sc ORDER BY bm25 DESC, doc_id""".stripMargin,
 
     // The oracle re-parses the 5-gram ARPA file itself (order = word
     // count of the middle tab field) and replays the Katz lookup five

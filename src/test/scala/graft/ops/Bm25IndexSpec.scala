@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted BM25 inverted index: score parity with the single-scan
+  * face on the same corpus and parameters, selective-read plan shape
+  * (the query's term filter must reach the postings scan), top-k
+  * determinism, and guards.
+  */
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the table of contents and the table again"),
+    (2L, "scan the table"),
+    (3L, "hash join versus merge join"),
+    (4L, "nothing relevant here at all"),
+    (5L, null: String),
+    (6L, "hash hash hash hash scan")).toDF("doc_id", "text")
+
+  test("index query scores equal the single-scan BM25 face") {
+    val dir = tmpDir("bm25idx").toString
+    Bm25Index.build(corpus, "doc_id", "text", dir)
+    val terms = Seq("table", "scan", "hash")
+    val viaIndex = Bm25Index.query(spark, dir, terms, k = 100)
+      .select(col("doc").as("doc_id"), col("bm25"))
+      .as[(Long, Double)].collect().toMap
+    val direct = TextAnalysis.bm25(corpus, "doc_id", "text", terms)
+      .filter(col("bm25") > 0)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(viaIndex.keySet == direct.keySet && viaIndex.keySet == Set(1L, 2L, 3L, 6L))
+    for ((id, s) <- direct)
+      assert(math.abs(viaIndex(id) - s) < 1e-12, s"doc $id")
+  }
+
+  test("the term filter reaches the postings parquet scan") {
+    val dir = tmpDir("bm25push").toString
+    Bm25Index.build(corpus, "doc_id", "text", dir)
+    val plan = Bm25Index.query(spark, dir, Seq("hash"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("hash"),
+      plan.linesIterator.take(10).mkString("\n"))
+  }
+
+  test("top-k cut is deterministic: score desc, then doc asc") {
+    val dir = tmpDir("bm25topk").toString
+    // two docs with IDENTICAL text → identical scores; the tie must
+    // break by doc id, stable across shuffles
+    Bm25Index.build(Seq(
+      (10L, "scan scan"), (11L, "scan scan"), (12L, "scan")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val top2 = Bm25Index.query(spark, dir, Seq("scan"), k = 2)
+      .select("doc").as[Long].collect().toSeq
+    assert(top2 == Seq(10L, 11L))
+  }
+
+  test("guards: empty terms, bad k/k1/b rejected") {
+    val dir = tmpDir("bm25guard").toString
+    Bm25Index.build(corpus, "doc_id", "text", dir)
+    intercept[IllegalArgumentException] {
+      Bm25Index.query(spark, dir, Nil, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25Index.query(spark, dir, Seq("x"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25Index.query(spark, dir, Seq("x"), 5, b = 1.5)
+    }
+  }
+}

@@ -322,6 +322,57 @@ class CurationPipelineSpec extends SparkSpec {
     } finally out.release()
   }
 
+  test("index-to-corpus: CDXJ selection → range fetch → curate, one program") {
+    // The selective-build twin of crawl-to-corpus: index the archive,
+    // SELECT a subset through the CDX frame (here: odd sites only),
+    // fetch just those byte ranges, and curate — the untouched members
+    // are never read.
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def record(id: Long, body: String): Array[Byte] = {
+      val payload = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+        s"WARC-Target-URI: http://site$id.example/page\r\n" +
+        "WARC-Date: 2026-08-14T06:00:00Z\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    val dir = tmpDir("idx2corpus")
+    java.nio.file.Files.write(dir.resolve("crawl.warc.gz"),
+      (1L to 40L).map(i => gz(record(i, bodyOf(i)))).reduce(_ ++ _))
+    val idx = dir.resolve("crawl.cdxj").toString
+    graft.engine.read.Cdx.writeCdxj(
+      graft.engine.read.Cdx.scanWithRanges(spark,
+        dir.resolve("crawl.warc.gz").toString), idx, base = dir.toString)
+    val selected = graft.engine.read.Cdx.readCdxj(spark, idx)
+      .filter(regexp_extract(col("url"), "site(\\d+)", 1)
+        .cast("long") % 2 === 1)
+    val docs = graft.engine.read.Warc.toDocuments(
+        graft.engine.read.Cdx.fetch(selected, base = dir.toString))
+      .select(col("doc_id"), col("text"), lit("s").as("source"))
+    val out = CurationPipeline.curate(docs,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+      probes, "text",
+      CurationPipeline.Config("doc_id", "text", "source",
+        targetMix = Map("s" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L))
+    try {
+      val kept = out.data.select("doc_id").as[String].collect().toSet
+      assert(out.metrics.toMap.apply("rows_received") == 20L) // odd ids only
+      assert(kept.contains("<urn:uuid:1>"))
+      assert(!kept.contains("<urn:uuid:2>"))  // never fetched
+      assert(!kept.contains("<urn:uuid:9>"))  // fetched, decontaminated
+      assert(!kept.contains("<urn:uuid:5>"))  // fetched, near-dup
+      assert(!kept.contains("<urn:uuid:7>"))  // fetched, quality drop
+    } finally out.release()
+  }
+
   test("gopher stage drops repetition-degenerate docs, metric shows it") {
     // doc 41 passes langid (en markers) and quality (high stop ratio)
     // but is one 5-gram repeated wall to wall -> only gopher kills it
