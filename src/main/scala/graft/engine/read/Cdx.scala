@@ -174,7 +174,8 @@ object Cdx {
       coalesce(col("content_type"), lit("")).startsWith("application/http")
     val withHttp = scanned
       .filter(col("target_uri").isNotNull)
-      .withColumn("__http", when(isResp, Warc.httpStruct).otherwise(lit(null)))
+      .withColumn("__http",
+        when(isResp, Warc.httpHeadStruct).otherwise(lit(null)))
     val status = when(col("__http").isNotNull, col("__http._1"))
       .otherwise(lit(200))
     val mime = trim(split(coalesce(

@@ -606,6 +606,17 @@ object Warc {
     f(col("payload")).as("http")
   }
 
+  /** Status + declared content type ONLY — the head-only parse for
+    * consumers that never need the body text (CDX generation): skips
+    * the charset decode of the whole body that [[httpStruct]] pays.
+    */
+  def httpHeadStruct: Column = {
+    val f = udf { payload: Array[Byte] =>
+      splitHttp(payload).map(h => (h.status, h.contentType.orNull))
+    }
+    f(col("payload")).as("http_head")
+  }
+
   /** Crawl archive → documents frame, the bridge into the curation
     * pipeline: conversion/resource records (WET) decode payload text
     * directly; response records split HTTP and extract visible text
