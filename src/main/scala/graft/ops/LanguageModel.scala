@@ -283,6 +283,227 @@ object LanguageModel {
                           discount: Double = 0.75): DataFrame =
     kneserNey3Score(df, df, idCol, textCol, discount)
 
+  // -------------------------------------------------- order-N KN (2..5)
+
+  /** Count frames of an interpolated order-`n` Kneser–Ney model, all
+    * keyed RIGHT-ALIGNED on canonical columns `__w1..__wn` (a level-k
+    * gram occupies `__w(n−k+1)..__wn`) so scoring and export share one
+    * join pipeline. `top` carries RAW n-gram counts; `cont(k)` the
+    * continuation counts N1+(•g) over the raw (k+1)-gram TYPE sets —
+    * which are themselves derived downward (prefix-projection of the
+    * level above ∪ each document's final k-gram), never by extra
+    * corpus explodes; `ctx(k)` the per-context normalizers
+    * (Σ counts, distinct continuations); `b` = |raw bigram types|.
+    */
+  private final case class KnNCounts(
+      n: Int,
+      top: DataFrame,                 // __w1..__wn, __cn
+      topCtx: DataFrame,              // __w1..__w{n-1}, __sum_n, __ntyp_n
+      types: Map[Int, DataFrame],     // k -> right-aligned key set
+      cont: Map[Int, DataFrame],      // k -> keys + __c{k}   (k = 1..n-1)
+      ctx: Map[Int, DataFrame],       // k -> ctx keys + __sum_k, __ntyp_k (k = 2..n-1)
+      b: DataFrame)                   // one row: __b
+
+  private def wcols(n: Int, k: Int): Seq[String] =
+    (n - k + 1 to n).map(i => s"__w$i")
+
+  private def knNCounts(train: DataFrame, idCol: String, textCol: String,
+                        n: Int): KnNCounts = {
+    val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // ONE corpus explode: raw n-gram counts (the kn3 lesson — every
+    // lower-order type set derives from this frame plus the per-doc
+    // tail frame below, never from another explode+shuffle)
+    val top = docNgrams(train, idCol, textCol, n)
+      .groupBy(wcols(n, n).map(col): _*)
+      .agg(sum("__k").as("__cn"))
+      .persist(st)
+    val topCtx = top.groupBy(wcols(n, n).dropRight(1).map(col): _*)
+      .agg(sum("__cn").as(s"__sum_$n"), count(lit(1)).as(s"__ntyp_$n"))
+    // per-doc tail tokens: ONE light scan, one row per document — the
+    // final (m < n)-grams no n-gram covers
+    val t = toks(textCol)
+    val lasts = train
+      .select(slice(t, lit(-(n - 1)), lit(n - 1)).as("__t"))
+      .persist(st)
+    // raw type sets downward: types(k) = prefix(types(k+1)) ∪ finals(k)
+    val typesBuf = scala.collection.mutable.Map[Int, DataFrame](
+      n -> top.select(wcols(n, n).map(col): _*))
+    for (k <- n - 1 to 1 by -1) {
+      val fromAbove = typesBuf(k + 1)
+        .select(wcols(n, k + 1).dropRight(1).map(col): _*)
+        .toDF(wcols(n, k): _*)
+      val finals = lasts.filter(size(col("__t")) >= k)
+        .select((1 to k).map(i =>
+          element_at(col("__t"), i - k - 1).as(s"__w${n - k + i}")): _*)
+      val tk = fromAbove.unionByName(finals).distinct()
+      typesBuf(k) = (if (k >= 2) tk.persist(st) else tk)
+    }
+    // continuation counts: c_k(g) = #distinct left-extensions of g
+    // among the raw (k+1)-gram types
+    val cont = (1 until n).map { k =>
+      k -> typesBuf(k + 1)
+        .groupBy(wcols(n, k).map(col): _*)
+        .agg(count(lit(1)).as(s"__c$k"))
+    }.toMap
+    val ctx = (2 until n).map { k =>
+      k -> cont(k)
+        .groupBy(wcols(n, k).dropRight(1).map(col): _*)
+        .agg(sum(s"__c$k").as(s"__sum_$k"), count(lit(1)).as(s"__ntyp_$k"))
+    }.toMap
+    val b = cont(1).agg(sum("__c1").as("__b"))
+    KnNCounts(n, top, topCtx, typesBuf.toMap, cont, ctx, b)
+  }
+
+  /** The recursive interpolated-KN probability chain over an already-
+    * joined frame carrying the count columns — shared verbatim by
+    * scoring and export (the t48 exactness mechanism, generalized).
+    */
+  private def knNProb(n: Int, upTo: Int, discount: Double): Column = {
+    val d = lit(discount)
+    var p: Column = coalesce(col("__c1").cast("double"), d) / col("__b")
+    for (k <- 2 to upTo) {
+      val cCol =
+        if (k == n) col("__cn") else col(s"__c$k")
+      val inner = (greatest(coalesce(cCol, lit(0L)).cast("double") - d,
+          lit(0.0)) +
+        d * col(s"__ntyp_$k") * p) / col(s"__sum_$k")
+      p = when(col(s"__sum_$k").isNotNull, inner).otherwise(p)
+    }
+    p
+  }
+
+  /** Attach every count frame to a right-aligned gram frame (document
+    * n-grams, or the export's mixed-order entry frame).
+    */
+  private def knNJoin(c: KnNCounts, grams: DataFrame): DataFrame = {
+    var j = grams
+      .join(c.top, wcols(c.n, c.n), "left")
+      .join(c.topCtx, wcols(c.n, c.n).dropRight(1), "left")
+    for (k <- c.n - 1 to 1 by -1)
+      j = j.join(c.cont(k), wcols(c.n, k), "left")
+    for (k <- c.n - 1 to 2 by -1)
+      j = j.join(c.ctx(k), wcols(c.n, k).dropRight(1), "left")
+    withScalars(j, c.b)
+  }
+
+  /** A trained order-`n` interpolated Kneser–Ney model (2 ≤ n ≤ 5 —
+    * n = 5 is the shape CCNet's published KenLM artifacts are).
+    * [[score]] and [[saveArpa]] share the persisted count frames and
+    * the SAME probability chain, so export → [[loadArpaN]] →
+    * [[arpaScoreN]] reproduces [[score]] exactly (the t48 mechanism
+    * at any order). Call [[unpersist]] when the last consumer's
+    * action has run.
+    */
+  final class KnModel private[LanguageModel] (
+      c: KnNCounts, val discount: Double,
+      spark: org.apache.spark.sql.SparkSession) {
+    def n: Int = c.n
+
+    /** `(idCol, n_ngrams, kn_logprob, kn_ppl)` — natural-log mean over
+      * the doc's interior n-grams, ppl = exp(−logprob); docs with
+      * fewer than n tokens emit no row.
+      */
+    def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      Seq("n_ngrams", "kn_logprob", "kn_ppl").foreach(r =>
+        require(!df.columns.contains(r), s"input already has a '$r' column"))
+      val g = docNgrams(df, idCol, textCol, c.n)
+      knNJoin(c, g)
+        .groupBy(col(idCol))
+        .agg(
+          sum("__k").as("n_ngrams"),
+          (sum(col("__k") * log(knNProb(c.n, c.n, discount))) / sum("__k"))
+            .as("kn_logprob"))
+        .withColumn("kn_ppl", exp(-col("kn_logprob")))
+    }
+
+    /** Standard ARPA export at order n — interpolated probabilities,
+      * backoff weight of a context = its interpolation coefficient
+      * λ = D·N1+typ(ctx)/Σ(ctx); unigram section covers the full
+      * vocabulary, `<unk>` = D/B floor, literal `<unk>` escapes to
+      * [[LiteralUnkSpelling]]; distributed sort + ordered concat.
+      */
+    def saveArpa(path: String): Unit = {
+      val d = lit(discount)
+      val log10 = (x: Column) => log(10.0, x)
+      val esc = (g: Column) =>
+        when(g === "<unk>", lit(LiteralUnkSpelling)).otherwise(g)
+      val n = c.n
+      // mixed-order entry frame: level-k entries right-aligned, with
+      // unused key columns null
+      val entries = (1 to n).map { k =>
+        val nulls = (1 to n - k).map(i =>
+          lit(null).cast("string").as(s"__w$i"))
+        c.types(k).select(nulls ++ wcols(n, k).map(col) :+
+          lit(k).as("__lvl"): _*)
+      }.reduce(_ unionByName _)
+      var joined = knNJoin(c, entries)
+      // backoff weights: an entry at level k (k < n) is the CONTEXT of
+      // level k+1 — join each ctx/topCtx frame re-keyed onto the
+      // entry's own gram columns
+      for (k <- 1 until n) {
+        val src = if (k == n - 1) c.topCtx else c.ctx(k + 1)
+        val renamed = src.toDF(
+          wcols(n, k) ++ Seq(s"__bosum_$k", s"__bontyp_$k"): _*)
+        joined = joined.join(renamed, wcols(n, k), "left")
+      }
+      val lp = (2 to n).foldLeft(
+        when(col("__lvl") === 1, log10(knNProb(n, 1, discount)))) {
+        (acc, k) => acc.when(col("__lvl") === k, log10(knNProb(n, k, discount)))
+      }
+      val bo = (1 until n).foldLeft(lit(null).cast("double")) { (acc, k) =>
+        when(col("__lvl") === k && col(s"__bosum_$k").isNotNull,
+          log10(d * col(s"__bontyp_$k") / col(s"__bosum_$k")))
+          .otherwise(acc)
+      }
+      val g = concat_ws(" ", (1 to n).map(i => esc(col(s"__w$i"))): _*)
+      val sectionLines = joined.select(
+        (col("__lvl") * 2 - 1).as("ord"), g.as("key"),
+        concat(lp.cast("string"), lit("\t"), g,
+          when(bo.isNotNull, concat(lit("\t"), bo.cast("string")))
+            .otherwise(lit(""))).as("line"),
+        col("__lvl").as("__s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import spark.implicits._
+      try {
+        val sizes = sectionLines.groupBy("__s")
+          .agg(count(lit(1)).as("__cnt"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val counts = (1 to n).map(k =>
+          s"ngram $k=${sizes.getOrElse(k, 0L) + (if (k == 1) 1 else 0)}")
+        val unkLine = c.b.select(lit(1).as("ord"), lit("<unk>").as("key"),
+          concat(log10(d / col("__b")).cast("string"),
+            lit("\t<unk>")).as("line"))
+        def marker(ord: Int, text: Seq[String]): DataFrame =
+          text.zipWithIndex.map { case (l, i) => (ord, f"$i%04d", l) }
+            .toDF("ord", "key", "line")
+        val markers = (2 to n).map(k =>
+          marker(k * 2 - 2, Seq("", s"\\$k-grams:")))
+        val all = (Seq(
+          marker(0, Seq("\\data\\") ++ counts ++ Seq("", "\\1-grams:")),
+          sectionLines.select("ord", "key", "line"), unkLine) ++
+          markers :+ marker(n * 2, Seq("", "\\end\\")))
+          .reduce(_ unionByName _)
+        graft.util.OrderedText.writeSorted(all, Seq("ord", "key"), path)
+      } finally { sectionLines.unpersist(); () }
+    }
+
+    def unpersist(): Unit = {
+      c.top.unpersist()
+      c.types.foreach { case (k, df) => if (k >= 2 && k < c.n) df.unpersist() }
+      ()
+    }
+  }
+
+  /** Train an order-`n` interpolated KN model (2 ≤ n ≤ 5). */
+  def knTrain(train: DataFrame, idCol: String, textCol: String, n: Int,
+              discount: Double = 0.75): KnModel = {
+    require(n >= 2 && n <= 5, s"order must be in [2, 5], got $n")
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0, 1), got $discount")
+    new KnModel(knNCounts(train, idCol, textCol, n), discount,
+      train.sparkSession)
+  }
+
   // ------------------------------------------------------- ARPA interop
 
   /** Export the in-engine interpolated trigram KN model as a standard

@@ -422,6 +422,8 @@ object TextQueries {
       .coalesce(1).write.mode("overwrite").parquet(t51Docs)
   }
 
+  private val t53Arpa = "/tmp/graft_gate_t53_kn5.arpa"
+
   private val t50Model = "/tmp/graft_gate_t50.model"
   private val t50Docs = "/tmp/graft_gate_t50_docs"
 
@@ -684,6 +686,28 @@ object TextQueries {
         .select(col("doc_id"), col("p.label").as("label"),
           round(col("p.prob"), 4).as("prob"))
         .orderBy("doc_id")
+    },
+
+    // -- t53: order-5 KN TRAIN + export round trip — the engine trains
+    //    the exact model class CCNet ships (5-gram interpolated KN),
+    //    exports it as ARPA, and both faces must agree: the oracle
+    //    replays the 5-level Katz lookup from the exported file and
+    //    pins BOTH the direct in-engine score and the load-and-score
+    //    path to it (absolute correctness of the order-N recursion is
+    //    pinned by LanguageModelSpec: n=3 ≡ the hand-derived trigram
+    //    path, per-context normalization at n=4). -------------------
+    "t53_kn5_roundtrip" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
+      val m = graft.ops.LanguageModel.knTrain(docs, "doc_id", "text", 5)
+      m.saveArpa(t53Arpa)
+      val direct = m.score(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("kn_ppl"), 4).as("ppl_direct"))
+      val viaFile = graft.ops.LanguageModel.arpaScoreN(
+          graft.ops.LanguageModel.loadArpaN(s, t53Arpa), docs,
+          "doc_id", "text", escapeLiteralUnk = true)
+        .select(col("doc_id"), round(col("arpa_ppl"), 4).as("ppl_arpa"))
+      direct.join(viaFile, "doc_id").orderBy("doc_id")
     },
 
     // -- t52: persisted BM25 inverted index — build once (term-
@@ -2110,6 +2134,72 @@ object TextQueries {
          |)
          |SELECT doc_id, label, round(p, 4) AS prob
          |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The oracle replays the 5-level Katz lookup FROM THE EXPORTED
+    // FILE (t51's parse) and emits it for BOTH columns: either engine
+    // face drifting from the artifact fails the gate.
+    "t53_kn5_roundtrip" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$t53Arpa', delim='\\t', header=false,
+         |    all_varchar=true, null_padding=true, names=['c0','c1','c2'])
+         |), g AS (
+         |  SELECT try_cast(c0 AS DOUBLE) AS lp, try_cast(c2 AS DOUBLE) AS bo,
+         |         string_split(c1, ' ') AS ws
+         |  FROM raw
+         |  WHERE try_cast(c0 AS DOUBLE) IS NOT NULL AND c1 IS NOT NULL
+         |), g1 AS (SELECT ws[1] AS w1, lp, bo FROM g WHERE len(ws) = 1),
+         |g2 AS (SELECT ws[1] AS w1, ws[2] AS w2, lp, bo FROM g WHERE len(ws) = 2),
+         |g3 AS (SELECT ws[1] AS w1, ws[2] AS w2, ws[3] AS w3, lp, bo
+         |       FROM g WHERE len(ws) = 3),
+         |g4 AS (SELECT ws[1] AS w1, ws[2] AS w2, ws[3] AS w3, ws[4] AS w4,
+         |       lp, bo FROM g WHERE len(ws) = 4),
+         |g5 AS (SELECT ws[1] AS w1, ws[2] AS w2, ws[3] AS w3, ws[4] AS w4,
+         |       ws[5] AS w5, lp FROM g WHERE len(ws) = 5),
+         |unk AS (SELECT min(lp) AS lpunk FROM g1 WHERE w1 = '<unk>'),
+         |docs AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks
+         |  FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+         |), tg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+         |         toks[i+3] AS w4, toks[i+4] AS w5, count(*)::BIGINT AS k
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM docs WHERE len(toks) >= 5)
+         |  GROUP BY 1, 2, 3, 4, 5, 6
+         |), scored AS (
+         |  SELECT tg.doc_id, tg.k,
+         |    CASE WHEN l5.lp IS NOT NULL THEN l5.lp
+         |      ELSE coalesce(b4.bo, 0.0) +
+         |      CASE WHEN l4.lp IS NOT NULL THEN l4.lp
+         |        ELSE coalesce(b3.bo, 0.0) +
+         |        CASE WHEN l3.lp IS NOT NULL THEN l3.lp
+         |          ELSE coalesce(b2.bo, 0.0) +
+         |          CASE WHEN l2.lp IS NOT NULL THEN l2.lp
+         |            ELSE coalesce(b1.bo, 0.0) +
+         |              coalesce(l1.lp, (SELECT lpunk FROM unk), -99.0)
+         |          END
+         |        END
+         |      END
+         |    END AS lp
+         |  FROM tg
+         |  LEFT JOIN g5 l5 ON tg.w1 = l5.w1 AND tg.w2 = l5.w2
+         |    AND tg.w3 = l5.w3 AND tg.w4 = l5.w4 AND tg.w5 = l5.w5
+         |  LEFT JOIN g4 l4 ON tg.w2 = l4.w1 AND tg.w3 = l4.w2
+         |    AND tg.w4 = l4.w3 AND tg.w5 = l4.w4
+         |  LEFT JOIN g4 b4 ON tg.w1 = b4.w1 AND tg.w2 = b4.w2
+         |    AND tg.w3 = b4.w3 AND tg.w4 = b4.w4
+         |  LEFT JOIN g3 l3 ON tg.w3 = l3.w1 AND tg.w4 = l3.w2
+         |    AND tg.w5 = l3.w3
+         |  LEFT JOIN g3 b3 ON tg.w2 = b3.w1 AND tg.w3 = b3.w2
+         |    AND tg.w4 = b3.w3
+         |  LEFT JOIN g2 l2 ON tg.w4 = l2.w1 AND tg.w5 = l2.w2
+         |  LEFT JOIN g2 b2 ON tg.w3 = b2.w1 AND tg.w4 = b2.w2
+         |  LEFT JOIN g1 l1 ON tg.w5 = l1.w1
+         |  LEFT JOIN g1 b1 ON tg.w4 = b1.w1
+         |)
+         |SELECT doc_id, sum(k)::BIGINT AS n_ngrams,
+         |  round(pow(10.0, -(sum(k * lp) / sum(k))), 4) AS ppl_direct,
+         |  round(pow(10.0, -(sum(k * lp) / sum(k))), 4) AS ppl_arpa
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // The same formula as t27, recomputed from raw text over the docs
     // that contain at least one query term, in the same rounded order.

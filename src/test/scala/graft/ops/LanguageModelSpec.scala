@@ -437,4 +437,126 @@ class LanguageModelSpec extends SparkSpec {
     for (id <- a3.keys)
       assert(math.abs(a3(id) - aN(id)) < 1e-12, s"doc $id")
   }
+
+  // ---- generic order-N KN (knTrain, 2..5) --------------------------
+
+  test("knTrain(3) scores identically to the dedicated trigram path") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "a dog sat on a rug and slept"),
+      (3L, "xy zq"),          // 2 tokens: below order, contributes types only
+      (4L, "solo"),           // 1 token
+      (5L, "the mat ran")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a dog ran on a mat and slept more"),
+      (3L, "zebra quokka wombat"),
+      (4L, "xy zq the")).toDF("doc_id", "text")
+    val m = LanguageModel.knTrain(corpus, "doc_id", "text", 3)
+    val got = m.score(probe, "doc_id", "text")
+      .select("doc_id", "n_ngrams", "kn_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val want = LanguageModel.kneserNey3Score(corpus, probe, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "kn3_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    m.unpersist()
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    for (id <- got.keys) {
+      assert(got(id)._2 == want(id)._2, s"gram count drift on doc $id")
+      assert(math.abs(got(id)._3 - want(id)._3) < 1e-12, s"doc $id")
+    }
+  }
+
+  test("order-4 KN: per-context probabilities normalize to 1 over the vocab") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b c a b a")).toDF("doc_id", "text")
+    val m = LanguageModel.knTrain(corpus, "doc_id", "text", 4)
+    // seen 4-gram context (a, b, a) and an UNSEEN context: both must
+    // distribute mass 1 over the vocabulary {a, b, c}
+    for (ctx <- Seq("a b a", "c c b")) {
+      val probes = Seq("a", "b", "c").zipWithIndex
+        .map { case (w, i) => (i.toLong, s"$ctx $w") }
+        .toDF("doc_id", "text")
+      val ps = m.score(probes, "doc_id", "text")
+        .select("kn_logprob").as[Double].collect().map(math.exp)
+      assert(math.abs(ps.sum - 1.0) < 1e-9, s"ctx '$ctx': ${ps.sum}")
+    }
+    m.unpersist()
+  }
+
+  test("order-5 export round-trips exactly through loadArpaN + arpaScoreN") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat ran off today"),
+      (2L, "a dog sat on a rug and a dog slept well there"),
+      (3L, "the cat ran on the rug and slept near the mat")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the cat sat on the mat and ran"),
+      (2L, "a dog ran on the mat today"),
+      (3L, "zebra quokka wombat xylophone yak")).toDF("doc_id", "text")
+    val m = LanguageModel.knTrain(corpus, "doc_id", "text", 5)
+    val path = tmpDir("kn5").resolve("m5.arpa").toString
+    m.saveArpa(path)
+    val direct = m.score(probe, "doc_id", "text")
+      .select("doc_id", "n_ngrams", "kn_ppl")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    m.unpersist()
+    val viaFile = LanguageModel.arpaScoreN(
+        LanguageModel.loadArpaN(spark, path), probe, "doc_id", "text",
+        escapeLiteralUnk = true)
+      .select("doc_id", "n_ngrams", "arpa_ppl")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(direct.keySet == viaFile.keySet && direct.nonEmpty)
+    for (id <- direct.keys) {
+      assert(direct(id)._2 == viaFile(id)._2, s"gram count drift doc $id")
+      assert(math.abs(direct(id)._3 - viaFile(id)._3) / direct(id)._3 < 1e-9,
+        s"doc $id: direct=${direct(id)._3} file=${viaFile(id)._3}")
+    }
+    // strict-consumer closure at every order: words of each k-gram
+    // entry all have (k-1)-gram coverage of their prefixes/suffixes
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+    val grams = lines.flatMap { l =>
+      val f = l.split("\t")
+      if (f.length >= 2 && scala.util.Try(f(0).toDouble).isSuccess)
+        Some(f(1).split(" ").toSeq)
+      else None
+    }
+    val byLen = grams.groupBy(_.length)
+    assert(byLen.keySet == Set(1, 2, 3, 4, 5))
+    val uni = byLen(1).map(_.head).toSet
+    for (k <- 2 to 5; g <- byLen(k))
+      assert(g.forall(uni.contains), s"uncovered word in ${g.mkString(" ")}")
+  }
+
+  test("knTrain(3) export is byte-identical to the dedicated trigram export") {
+    import spark.implicits._
+    // all docs ≥ 3 tokens: the two paths' entry sets provably coincide
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a dog sat on a rug today"),
+      (3L, "the dog ran off")).toDF("doc_id", "text")
+    val d = tmpDir("kn3eq")
+    LanguageModel.saveKn3Arpa(corpus, "doc_id", "text",
+      d.resolve("ded.arpa").toString)
+    val m = LanguageModel.knTrain(corpus, "doc_id", "text", 3)
+    m.saveArpa(d.resolve("gen.arpa").toString)
+    m.unpersist()
+    val a = java.nio.file.Files.readAllBytes(d.resolve("ded.arpa"))
+    val b = java.nio.file.Files.readAllBytes(d.resolve("gen.arpa"))
+    assert(java.util.Arrays.equals(a, b),
+      "generic order-3 export diverged from the dedicated path")
+  }
+
+  test("knTrain guards: order and discount ranges") {
+    intercept[IllegalArgumentException] {
+      LanguageModel.knTrain(train, "doc_id", "text", 1)
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.knTrain(train, "doc_id", "text", 6)
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.knTrain(train, "doc_id", "text", 3, discount = 1.0)
+    }
+  }
 }
