@@ -620,10 +620,32 @@ object TextAnalysis {
     val icept = col("__sy") / col("__m") - slope * col("__sx") / col("__m")
     val totals = termC.agg(count(lit(1)).as("n_types"),
       sum("__n").as("n_tokens"))
-    ScalarFold.withScalars(totals, fit)
-      .select(col("n_types"), col("__m").as("n_fit_types"), col("n_tokens"),
-        round(slope, 4).as("zipf_slope"),
-        round(icept, 4).as("zipf_intercept"))
+    // The card is ONE row: materialize it eagerly so termC (the only
+    // corpus-scale cache here) can be released before returning,
+    // instead of leaking a MEMORY_AND_DISK frame per call (the
+    // Dedup persist/finally pattern — result stays a DataFrame via
+    // a 1-row local relation).
+    val spark = df.sparkSession
+    try {
+      val row = ScalarFold.withScalars(totals, fit)
+        .select(col("n_types"), col("__m").as("n_fit_types"),
+          col("n_tokens"), round(slope, 4).as("zipf_slope"),
+          round(icept, 4).as("zipf_intercept"))
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_types",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_fit_types",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("zipf_slope",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("zipf_intercept",
+            org.apache.spark.sql.types.DoubleType))))
+    } finally { termC.unpersist(); () }
   }
 
   /** Per-document TF-IDF over whitespace tokens (same `[^ \t\n\f\r]+`
