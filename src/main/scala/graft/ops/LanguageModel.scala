@@ -302,7 +302,8 @@ object LanguageModel {
       types: Map[Int, DataFrame],     // k -> right-aligned key set
       cont: Map[Int, DataFrame],      // k -> keys + __c{k}   (k = 1..n-1)
       ctx: Map[Int, DataFrame],       // k -> ctx keys + __sum_k, __ntyp_k (k = 2..n-1)
-      b: DataFrame)                   // one row: __b
+      b: DataFrame,                   // one row: __b
+      lasts: DataFrame)               // per-doc tail tokens (persisted)
 
   private def wcols(n: Int, k: Int): Seq[String] =
     (n - k + 1 to n).map(i => s"__w$i")
@@ -351,7 +352,7 @@ object LanguageModel {
         .agg(sum(s"__c$k").as(s"__sum_$k"), count(lit(1)).as(s"__ntyp_$k"))
     }.toMap
     val b = cont(1).agg(sum("__c1").as("__b"))
-    KnNCounts(n, top, topCtx, typesBuf.toMap, cont, ctx, b)
+    KnNCounts(n, top, topCtx, typesBuf.toMap, cont, ctx, b, lasts)
   }
 
   /** The recursive interpolated-KN probability chain over an already-
@@ -489,6 +490,7 @@ object LanguageModel {
 
     def unpersist(): Unit = {
       c.top.unpersist()
+      c.lasts.unpersist()
       c.types.foreach { case (k, df) => if (k >= 2 && k < c.n) df.unpersist() }
       ()
     }
