@@ -117,7 +117,7 @@ object Warc {
   /** RFC 4648 base32 (no padding needed: SHA-1's 160 bits divide
     * evenly) — the alphabet WARC block digests use.
     */
-  private[read] def base32(bytes: Array[Byte]): String = {
+  private[engine] def base32(bytes: Array[Byte]): String = {
     val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
     val sb = new java.lang.StringBuilder((bytes.length * 8 + 4) / 5)
     var buf = 0L

@@ -534,6 +534,36 @@ object IngestGateQueries {
         .orderBy("surt_key")
     },
 
+    // -- S18: WARC EXPORT round trip — curated docs written as
+    //    member-per-record .warc.gz (block digests included), read
+    //    back through the standard scan: content, identity, and the
+    //    digest verdicts must match the source table exactly. --------
+    "s18_warc_export" -> { (s, _) =>
+      val dir = "/tmp/graft_gate_s18_warc_out"
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(p).iterator().asScala
+          .foreach(java.nio.file.Files.delete)
+      }
+      val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("http://graft.local/doc/"), col("doc_id")).as("url"),
+          col("text"))
+        .repartition(4)
+      graft.engine.sink.WarcSink.write(docs, "doc_id", "url", "text", dir)
+      graft.engine.read.Warc.scan(s, dir)
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("url"), col("warc_type"),
+          col("digest_ok"), col("truncated"),
+          graft.engine.read.Warc
+            .decodeTextCol(col("payload"), col("content_type")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- S16: CDX fetch → documents bridge — the selective-build
     //    workflow end-to-end: index → ranges → toDocuments, equal to
     //    what a full scan would have produced for the same subset. ---
@@ -596,6 +626,17 @@ object IngestGateQueries {
       s"""SELECT doc_id, url, fetch_s, text, length(text) AS n_chars
          |FROM read_parquet('$cdxDocsExpectedDir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // The oracle is the ORIGINAL table: whatever the export wrote and
+    // the scan read back must equal the source projection, digests
+    // verified (true) and nothing truncated.
+    "s18_warc_export" ->
+      """SELECT doc_id, 'http://graft.local/doc/' || doc_id AS url,
+        | 'conversion' AS warc_type, true AS digest_ok,
+        | false AS truncated, coalesce(text, '') AS text
+        |FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        |WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+
     // Stored expectation: byte ranges, surt keys, digests all authored
     // at the fixture from the same arrays that build the archive.
     "s17_cdx_write" ->
