@@ -735,6 +735,10 @@ object LanguageModel {
   final case class ArpaModelN(grams: Map[Int, DataFrame]) {
     require(grams.nonEmpty, "empty ARPA model")
     val maxOrder: Int = grams.keys.max
+    /** Release the per-order caches once the last scoring action has
+      * run (model-sized frames, LRU-evictable if skipped).
+      */
+    def unpersist(): Unit = { grams.values.foreach(_.unpersist()); () }
   }
 
   /** Order-N ARPA load (N ≤ `maxOrder`, default 5 — the order CCNet's
@@ -770,12 +774,13 @@ object LanguageModel {
             element_at(col("ws"), i).as(s"w$i")) ++
             Seq(col("lp"), col("bo")): _*)
       }.toMap
-      // materialize each order's frame off the shared cached parse
-      // before unpersisting the parse
+      // materialize EVERY order's cache in ONE job (tagged-union
+      // count) off the shared cached parse, before unpersisting it
       val out = grams.map { case (k, df) =>
         k -> df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-      out.values.foreach(_.count())
+      out.values.map(_.select(lit(1).as("__one")))
+        .reduce(_ unionByName _).count()
       ArpaModelN(out)
     } finally { lines.unpersist(); () }
   }
