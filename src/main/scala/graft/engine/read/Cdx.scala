@@ -172,8 +172,15 @@ object Cdx {
     }
     val isResp = col("warc_type") === "response" &&
       coalesce(col("content_type"), lit("")).startsWith("application/http")
+    // index only record types archive indexers index (pywb cdx-indexer
+    // convention): a 'request' record shares the response's URI+ts and
+    // would otherwise surface as a bogus status-200 entry whose fetch
+    // returns the request body.
+    val indexable = Seq("response", "revisit", "resource", "conversion",
+      "metadata")
     val withHttp = scanned
-      .filter(col("target_uri").isNotNull)
+      .filter(col("target_uri").isNotNull &&
+        col("warc_type").isin(indexable: _*))
       .withColumn("__http",
         when(isResp, Warc.httpHeadStruct).otherwise(lit(null)))
     val status = when(col("__http").isNotNull, col("__http._1"))

@@ -70,6 +70,11 @@ object WarcSink {
             // around each record, all onto the same file stream
             val gz = new java.util.zip.GZIPOutputStream(
               new java.io.FilterOutputStream(out) {
+                // FilterOutputStream's default write(b,off,len) loops
+                // write(int) per byte — catastrophic through a Hadoop
+                // checksum stream; delegate the whole chunk
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  out.write(b, off, len)
                 override def close(): Unit = flush() // keep `out` open
               }, 1 << 16)
             gz.write(head)

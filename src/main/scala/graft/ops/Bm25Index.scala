@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * The index is built once — term-clustered postings plus the corpus
   * statistics — and each query reads ONLY its terms' postings:
   *
-  *  - `postings/` parquet `(term, doc, tf)`, repartitioned AND
+  *  - `postings/` parquet `(term, doc, tf, dl)`, repartitioned AND
   *    sorted by term, so row-group min/max stats make the per-query
   *    `term IN (…)` filter prune at the scan (pushdown verified in
-  *    the spec) — a query touches O(matching postings), not O(corpus);
-  *  - `lens/` parquet `(doc, dl)` — document lengths for the BM25
-  *    normalizer (joined only against the matched postings);
+  *    the spec) — a query touches O(matching postings), not O(corpus).
+  *    The document length `dl` is DENORMALIZED into each posting
+  *    (8 bytes/row) precisely so a query never joins an O(corpus)
+  *    doc-length table: everything it reads is term-pruned;
   *  - `stats/` one row `(n_docs, avgdl)`.
   *
   * Document frequency is derived per query from the matched postings
@@ -42,14 +43,15 @@ object Bm25Index {
     val base = df.select(col(idCol).as("doc"), toks(textCol).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      base.select(col("doc"), explode(col("__t")).as("term"))
-        .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+      base.select(col("doc"), size(col("__t")).cast("long").as("dl"),
+          explode(col("__t")).as("term"))
+        .groupBy("term", "doc", "dl").agg(count(lit(1)).as("tf"))
+        .select("term", "doc", "tf", "dl")
         .repartition(col("term"))
         .sortWithinPartitions("term", "doc")
         .write.mode("overwrite").parquet(s"$dir/postings")
-      val lens = base.select(col("doc"), size(col("__t")).cast("long").as("dl"))
-      lens.write.mode("overwrite").parquet(s"$dir/lens")
-      lens.agg(count(lit(1)).as("n_docs"),
+      base.select(size(col("__t")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
           (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
         .write.mode("overwrite").parquet(s"$dir/stats")
     } finally { base.unpersist(); () }
@@ -74,9 +76,9 @@ object Bm25Index {
       .filter(col("term").isin(distinctTerms: _*))
     val withDf = matched.join(
       matched.groupBy("term").agg(count(lit(1)).as("__df")), Seq("term"))
+    // dl rides the posting row — NO O(corpus) doc-length join here
     val joined = ScalarFold.withScalars(
-      withDf.join(spark.read.parquet(s"$dir/lens"), Seq("doc")),
-      spark.read.parquet(s"$dir/stats"))
+      withDf, spark.read.parquet(s"$dir/stats"))
     val dfT = col("__df").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))

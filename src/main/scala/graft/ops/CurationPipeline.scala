@@ -334,15 +334,18 @@ object CurationPipeline {
     val (afterPpl, pplMetric) = (cfg.pplArpaModel, pplRef) match {
       case (Some(arpaPath), _) =>
         val score = snapA.select(col(id), col("text_clean"))
-        val pplScores = LanguageModel.arpaScoreN(
-            LanguageModel.loadArpaN(snapA.sparkSession, arpaPath),
-            score, id, "text_clean")
-          .select(col(id), col("arpa_ppl").as("kn_ppl"))
-        val kept = snapA
-          .join(pplScores, Seq(id), "left")
-          .filter(coalesce(col("kn_ppl"), lit(0.0)) <= cfg.maxPpl)
-          .drop("kn_ppl")
-          .truncated
+        val model = LanguageModel.loadArpaN(snapA.sparkSession, arpaPath)
+        val kept =
+          try {
+            val pplScores = LanguageModel
+              .arpaScoreN(model, score, id, "text_clean")
+              .select(col(id), col("arpa_ppl").as("kn_ppl"))
+            snapA
+              .join(pplScores, Seq(id), "left")
+              .filter(coalesce(col("kn_ppl"), lit(0.0)) <= cfg.maxPpl)
+              .drop("kn_ppl")
+              .truncated // materializes — the model caches die here
+          } finally model.unpersist()
         Checkpoints.release(snapA)
         (kept, Seq("perplexity_kept" -> kept.count()))
       case (None, Some(ref)) =>

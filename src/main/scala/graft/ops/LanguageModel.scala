@@ -321,10 +321,15 @@ object LanguageModel {
     val topCtx = top.groupBy(wcols(n, n).dropRight(1).map(col): _*)
       .agg(sum("__cn").as(s"__sum_$n"), count(lit(1)).as(s"__ntyp_$n"))
     // per-doc tail tokens: ONE light scan, one row per document — the
-    // final (m < n)-grams no n-gram covers
+    // final (m < n)-grams no n-gram covers. Docs shorter than n-1
+    // tokens keep their whole token array: slice(t, -(n-1), n-1) on a
+    // shorter array returns EMPTY (Spark semantics for a negative
+    // start past the front), which would drop those docs' words from
+    // every type set and the exported vocabulary.
     val t = toks(textCol)
     val lasts = train
-      .select(slice(t, lit(-(n - 1)), lit(n - 1)).as("__t"))
+      .select(when(size(t) < n - 1, t)
+        .otherwise(slice(t, lit(-(n - 1)), lit(n - 1))).as("__t"))
       .persist(st)
     // raw type sets downward: types(k) = prefix(types(k+1)) ∪ finals(k)
     val typesBuf = scala.collection.mutable.Map[Int, DataFrame](

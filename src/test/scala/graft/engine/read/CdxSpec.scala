@@ -58,6 +58,41 @@ class CdxSpec extends SparkSpec {
     assert(got(1).getAs[String]("warc_file") == "g.warc.gz")
   }
 
+  test("toCdxj: request records get no index entry (pywb cdx-indexer convention)") {
+    // a full crawl WARC stores request+response pairs at the SAME
+    // target URI; indexing the request would emit a bogus status-200
+    // entry whose fetch returns the request body
+    def httpRec(wtype: String, msgtype: String, http: String): Array[Byte] = {
+      val payload = http.getBytes(StandardCharsets.ISO_8859_1)
+      (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$wtype-1>\r\n" +
+        s"WARC-Date: 2026-08-14T09:00:00Z\r\n" +
+        s"WARC-Target-URI: http://example.com/page\r\n" +
+        s"Content-Type: application/http; msgtype=$msgtype\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ payload ++
+        "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val dir = tmpDir("cdxreq")
+    val bytes =
+      gz(httpRec("request", "request",
+        "GET /page HTTP/1.1\r\nHost: example.com\r\n\r\n")) ++
+      gz(httpRec("response", "response",
+        "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone")) ++
+      gz(rec("conv1", "extracted text"))
+    java.nio.file.Files.write(dir.resolve("pair.warc.gz"), bytes)
+    val entries = Cdx.toCdxj(
+        Cdx.scanWithRanges(spark, dir.resolve("pair.warc.gz").toString))
+      .orderBy("ts").collect()
+    // response + conversion indexed; the request record is NOT
+    assert(entries.length == 2, entries.mkString("\n"))
+    val lines = entries.map(_.getAs[String]("line"))
+    assert(lines.exists(_.contains("\"status\":\"404\"")),
+      "response status lost:\n" + lines.mkString("\n"))
+    assert(!lines.exists(_.contains("application/http")),
+      "request record leaked into the index:\n" + lines.mkString("\n"))
+  }
+
   test("fetch: member-per-record gz ranges and plain ranges resolve to the right records") {
     val root = tmpDir("cdxarc")
     val (m1, m2) = (gz(rec("a", "alpha doc")), gz(rec("b", "beta doc")))

@@ -44,6 +44,22 @@ class Bm25IndexSpec extends SparkSpec {
       plan.linesIterator.take(10).mkString("\n"))
   }
 
+  test("a query reads ONLY term-pruned postings + one-row stats — no O(corpus) scan") {
+    val dir = tmpDir("bm25shape").toString
+    Bm25Index.build(corpus, "doc_id", "text", dir)
+    val plan = Bm25Index.query(spark, dir, Seq("hash"), k = 10)
+      .queryExecution.executedPlan.toString
+    // dl is denormalized into the postings, so the old full lens/ join
+    // must be gone: every parquet scan in the plan is postings or stats
+    assert(!plan.contains("/lens"), "query plan still scans a doc-length table")
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.forall(l => l.contains("/postings") || l.contains("/stats")),
+      scans.mkString("\n"))
+    // and the postings scans all carry the term pushdown
+    assert(scans.filter(_.contains("/postings"))
+      .forall(_.contains("hash")), scans.mkString("\n"))
+  }
+
   test("top-k cut is deterministic: score desc, then doc asc") {
     val dir = tmpDir("bm25topk").toString
     // two docs with IDENTICAL text → identical scores; the tie must

@@ -559,4 +559,44 @@ class LanguageModelSpec extends SparkSpec {
       LanguageModel.knTrain(train, "doc_id", "text", 3, discount = 1.0)
     }
   }
+
+  test("knTrain(5): words from docs shorter than n-1 tokens reach the vocabulary") {
+    import spark.implicits._
+    // doc 3 has only 3 tokens — fewer than n-1 = 4. Its tail frame must
+    // keep the whole token array (slice(t, -4, 4) on a 3-element array
+    // returns EMPTY in Spark), or 'zeph', 'quill', 'vorn' silently
+    // vanish from every type set and the exported unigram section.
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat ran off today"),
+      (2L, "a dog sat on a rug and a dog slept well there"),
+      (3L, "zeph quill vorn")).toDF("doc_id", "text")
+    val m = LanguageModel.knTrain(corpus, "doc_id", "text", 5)
+    val path = tmpDir("kn5short").resolve("m.arpa").toString
+    m.saveArpa(path)
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+    val uni = lines.flatMap { l =>
+      val f = l.split("\t")
+      if (f.length >= 2 && scala.util.Try(f(0).toDouble).isSuccess &&
+          !f(1).contains(" ")) Some(f(1)) else None
+    }.toSet
+    for (w <- Seq("zeph", "quill", "vorn"))
+      assert(uni.contains(w), s"short-doc word '$w' missing from unigrams")
+    // the 3-token doc also contributes its bigrams/trigram to the
+    // lower-order sections
+    val grams = lines.flatMap { l =>
+      val f = l.split("\t")
+      if (f.length >= 2 && scala.util.Try(f(0).toDouble).isSuccess)
+        Some(f(1)) else None
+    }.toSet
+    assert(grams.contains("zeph quill") && grams.contains("quill vorn"),
+      "short-doc bigrams missing")
+    assert(grams.contains("zeph quill vorn"), "short-doc trigram missing")
+    // and scoring a probe that uses those words must see non-OOV mass
+    // (probe needs >= 5 tokens: order-5 scoring emits no row otherwise)
+    val probe = Seq((9L, "zeph quill vorn zeph quill")).toDF("doc_id", "text")
+    val scored = m.score(probe, "doc_id", "text")
+      .select("kn_ppl").as[Double].collect()
+    m.unpersist()
+    assert(scored.length == 1 && scored.head > 0 && !scored.head.isNaN)
+  }
 }
