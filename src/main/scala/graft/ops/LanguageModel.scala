@@ -442,16 +442,27 @@ object LanguageModel {
         c.types(k).select(nulls ++ wcols(n, k).map(col) :+
           lit(k).as("__lvl"): _*)
       }.reduce(_ unionByName _)
-      var joined = knNJoin(c, entries)
-      // backoff weights: an entry at level k (k < n) is the CONTEXT of
-      // level k+1 — join each ctx/topCtx frame re-keyed onto the
-      // entry's own gram columns
-      for (k <- 1 until n) {
+      // the tower, with each level's backoff source MERGED into its
+      // cont join: a level-k entry's backoff frame (its ctx/topCtx
+      // re-keyed onto the entry's own gram) shares cont(k)'s join keys
+      // exactly, so pre-joining the two SMALL count frames full-outer
+      // (both keys unique — they are groupBy results) attaches both in
+      // ONE shuffle of the big entry union instead of two: 9 big-frame
+      // joins instead of 13, at any scale
+      var joined = entries
+        .join(c.top, wcols(n, n), "left")
+        .join(c.topCtx, wcols(n, n).dropRight(1), "left")
+      for (k <- n - 1 to 1 by -1) {
         val src = if (k == n - 1) c.topCtx else c.ctx(k + 1)
-        val renamed = src.toDF(
+        val boFrame = src.toDF(
           wcols(n, k) ++ Seq(s"__bosum_$k", s"__bontyp_$k"): _*)
-        joined = joined.join(renamed, wcols(n, k), "left")
+        joined = joined.join(
+          c.cont(k).join(boFrame, wcols(n, k), "full_outer"),
+          wcols(n, k), "left")
       }
+      for (k <- n - 1 to 2 by -1)
+        joined = joined.join(c.ctx(k), wcols(n, k).dropRight(1), "left")
+      joined = withScalars(joined, c.b)
       val lp = (2 to n).foldLeft(
         when(col("__lvl") === 1, log10(knNProb(n, 1, discount)))) {
         (acc, k) => acc.when(col("__lvl") === k, log10(knNProb(n, k, discount)))

@@ -24,12 +24,13 @@ object BenchSf1 {
     * regress super-linearly.
     */
   val Heavy: Seq[String] = Seq(
-    "g1_pagerank", "t48_arpa_roundtrip", "pipe1_golden",
-    "d17_keep_representative", "t35_kn3", "ann_ivfpq_topk",
-    "g2_degree_stats", "d11_embedding_against", "d8_dup_groups",
-    "t30_train_classifier", "c18_ppl_buckets", "ann_pq_topk",
-    "t32_kneser_ney", "d6_embedding_neardup", "d20_minhash_oph",
-    "d3_minhash_lsh", "d19_exact_substring", "d5_ngram_jaccard")
+    "g1_pagerank", "t53_kn5_roundtrip", "t48_arpa_roundtrip",
+    "pipe1_golden", "d17_keep_representative", "t35_kn3",
+    "ann_ivfpq_topk", "g2_degree_stats", "d11_embedding_against",
+    "d8_dup_groups", "t30_train_classifier", "c18_ppl_buckets",
+    "t52_bm25_index", "s17_cdx_write", "t32_kneser_ney",
+    "d6_embedding_neardup", "d20_minhash_oph", "d3_minhash_lsh",
+    "d5_ngram_jaccard")
 
   private val resultPath = "/root/repo/BENCH_sf1.json"
   private val baselinePath = "/root/repo/BENCH_sf1_baseline.json"
