@@ -236,7 +236,71 @@ object Cdx {
     * A range that does not frame as WARC fails LOUD with file+offset:
     * a corrupt index silently yielding wrong records is the worst
     * outcome an archive pipeline can have.
+    *
+    * `http(s)://` archives (the access path Common Crawl actually
+    * serves — `https://data.commoncrawl.org/...` honors `Range`
+    * headers; plain Hadoop filesystems don't speak HTTP) resolve via
+    * [[rangedGet]]: one ranged GET per entry with the engine's
+    * standard 5-attempt exponential-backoff retry on 5xx/IO errors. A
+    * server that ignores `Range` (HTTP 200 with the full body) fails
+    * LOUD immediately — silently downloading a whole 100 GB archive
+    * per record is the failure mode the branch exists to prevent.
     */
+  /** Shared per-JVM client for ranged GETs (thread-safe; one instance
+    * per executor, like a filesystem handle).
+    */
+  @transient private lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+  private val HttpRetryStatuses = Set(500, 502, 503, 504)
+
+  /** One `Range: bytes=off..off+len-1` GET with the same retry posture
+    * as [[graft.engine.api.HttpApiClient]] (5 attempts, 1s/2s/4s/8s
+    * backoff on 500/502/503/504 and IO errors). Fails loud on a
+    * non-206 success (server ignored `Range`), a short body, or any
+    * other terminal status — a selective-fetch pipeline must never
+    * silently read the wrong bytes.
+    */
+  private[read] def rangedGet(url: String, off: Long, len: Long,
+                              maxAttempts: Int = 5,
+                              backoffBaseMs: Long = 1000,
+                              sleep: Long => Unit = Thread.sleep): Array[Byte] = {
+    val req = java.net.http.HttpRequest.newBuilder(URI.create(url))
+      .timeout(java.time.Duration.ofMinutes(5))
+      .header("Range", s"bytes=$off-${off + len - 1}")
+      .GET().build()
+    var attempt = 0
+    var lastErr = "no attempt made"
+    while (attempt < maxAttempts) {
+      if (attempt > 0) sleep(backoffBaseMs << (attempt - 1))
+      attempt += 1
+      try {
+        val r = httpClient.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        r.statusCode() match {
+          case 206 =>
+            val body = r.body()
+            if (body.length != len) throw new IllegalStateException(
+              s"ranged GET $url@$off+$len returned ${body.length} bytes")
+            return body
+          case 200 => throw new IllegalStateException(
+            s"server ignored Range for $url@$off+$len (HTTP 200 full " +
+              "body): refusing to stream the whole archive per record")
+          case s if HttpRetryStatuses(s) => lastErr = s"HTTP $s"
+          case s => throw new IllegalStateException(
+            s"ranged GET $url@$off+$len failed: HTTP $s")
+        }
+      } catch {
+        case e: java.io.IOException => lastErr = s"IO error: ${e.getMessage}"
+      }
+    }
+    throw new IllegalStateException(
+      s"ranged GET $url@$off+$len failed after $maxAttempts attempts: $lastErr")
+  }
+
   def fetch(cdx: DataFrame, base: String = "",
             maxPayloadBytes: Int = Warc.DefaultMaxPayloadBytes,
             maxRangeBytes: Long = 1L << 30): DataFrame = {
@@ -253,24 +317,31 @@ object Cdx {
       .mapPartitions { it =>
         var openFile: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
-        def open(f: String): org.apache.hadoop.fs.FSDataInputStream = {
-          if (f != openFile) {
+        def open(resolved: String): org.apache.hadoop.fs.FSDataInputStream = {
+          if (resolved != openFile) {
             if (in != null) in.close()
-            val resolved =
-              if (f.contains("://") || f.startsWith("/")) f else prefix + f
             val p = new Path(new URI(resolved))
             in = p.getFileSystem(conf.value).open(p)
-            openFile = f
+            openFile = resolved
           }
           in
         }
         val out = it.flatMap { case (f, off, len) =>
           require(len > 0 && len <= maxRangeBytes,
             s"CDX range length $len out of (0, $maxRangeBytes] for $f@$off")
-          val s = open(f)
-          s.seek(off)
-          val buf = new Array[Byte](len.toInt)
-          s.readFully(buf)
+          val resolved =
+            if (f.contains("://") || f.startsWith("/")) f else prefix + f
+          val buf =
+            if (resolved.startsWith("http://") ||
+                resolved.startsWith("https://"))
+              rangedGet(resolved, off, len)
+            else {
+              val s = open(resolved)
+              s.seek(off)
+              val b = new Array[Byte](len.toInt)
+              s.readFully(b)
+              b
+            }
           try {
             Warc.records(Warc.maybeGunzip(new ByteArrayInputStream(buf)),
                 maxPayloadBytes)

@@ -275,7 +275,7 @@ object ImageHash {
     * 64) and would collapse every key to 0, degenerating the banded
     * equi-join into a cross join.
     */
-  private def bandStructs(h: Column, maxHamming: Int): Column = {
+  private[multimodal] def bandStructs(h: Column, maxHamming: Int): Column = {
     val nBlocks = maxHamming + 1
     val blocks = (0 until nBlocks).map { k =>
       val lo = k * 64 / nBlocks
@@ -298,7 +298,7 @@ object ImageHash {
     * over-cap buckets is missed — the documented recall trade, sized
     * by the cap.
     */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private[multimodal] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     val hot = banded.groupBy("__blk", "__key")
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket)
@@ -375,32 +375,49 @@ object ImageHash {
                               idCol: String, bytesCol: String,
                               maxHamming: Int = 4,
                               maxBucket: Int = 1 << 12): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 64): $maxHamming")
-    require(maxBucket >= 1, s"maxBucket must be positive: $maxBucket")
     require(index.columns.toSeq.contains("img_id") &&
       index.columns.toSeq.contains("dhash"),
       "index must be a buildImageIndex frame with (img_id, dhash)")
     val hashed = batch.withColumn("__graft_dh", dhash(col(bytesCol)))
-    val probe = hashed.filter(col("__graft_dh").isNotNull)
-      .select(col(idCol).as("__bid"), col("__graft_dh"),
-        explode(bandStructs(col("__graft_dh"), maxHamming)).as("__band"))
-    // the skew cap applies to the SEEN side — that is where a crawl's
-    // million identical placeholders accumulate; capping it bounds
-    // every probe key's fan-out
+    dropNearDuplicatesByHash(hashed, index, idCol, "__graft_dh", "dhash",
+        maxHamming, maxBucket)
+      .drop("__graft_dh")
+  }
+
+  /** The generic incremental face over PRECOMPUTED 64-bit hashes —
+    * the medium-agnostic core of [[dropNearDuplicateImages]], shared
+    * with audio ([[AudioFingerprint.dropNearDuplicateAudio]]) and any
+    * other 64-bit perceptual signature: drop `batch` rows whose
+    * `batchHashCol` is within `maxHamming` bits of any `indexHashCol`
+    * value. Batch rows with a NULL hash SURVIVE (nothing to match
+    * them by — route them to a validator, not the dedupper); the
+    * skew cap applies to the SEEN side, where a crawl's million
+    * identical placeholders accumulate.
+    */
+  def dropNearDuplicatesByHash(batch: DataFrame, index: DataFrame,
+                               idCol: String, batchHashCol: String,
+                               indexHashCol: String,
+                               maxHamming: Int = 4,
+                               maxBucket: Int = 1 << 12): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    require(maxBucket >= 1, s"maxBucket must be positive: $maxBucket")
+    val probe = batch.filter(col(batchHashCol).isNotNull)
+      .select(col(idCol).as("__bid"), col(batchHashCol).as("__bh"),
+        explode(bandStructs(col(batchHashCol), maxHamming)).as("__band"))
     val seen = capBuckets(
-      index.select(col("dhash").as("__sh"),
-          explode(bandStructs(col("dhash"), maxHamming)).as("__sband"))
+      index.filter(col(indexHashCol).isNotNull)
+        .select(col(indexHashCol).as("__sh"),
+          explode(bandStructs(col(indexHashCol), maxHamming)).as("__sband"))
         .select(col("__sh"), col("__sband.blk").as("__blk"),
           col("__sband.key").as("__key")),
       maxBucket)
     val dupIds = probe.join(seen,
         col("__band.blk") === col("__blk") &&
           col("__band.key") === col("__key"))
-      .filter(F.hamming(col("__graft_dh"), col("__sh"))
+      .filter(F.hamming(col("__bh"), col("__sh"))
         .cast("int") <= maxHamming)
       .select(col("__bid")).distinct()
-    hashed.join(dupIds, col(idCol) === col("__bid"), "left_anti")
-      .drop("__graft_dh")
+    batch.join(dupIds, col(idCol) === col("__bid"), "left_anti")
   }
 }

@@ -1,0 +1,186 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions => F}
+
+/** Video near-duplicate detection by frame-sampled perceptual
+  * hashing: decode a bounded sample of frames, dHash each
+  * ([[ImageHash.dhash64]] — the shared image kernel), and treat the
+  * set of frame hashes as the clip's signature. A re-encoded, re-muxed
+  * or trimmed copy shares most frame hashes with the original; two
+  * different clips share none — which byte digests and header
+  * metadata ([[graft.engine.validate.VideoProbe]]) can never see.
+  *
+  * Container support is MJPEG-in-AVI — the RIFF chunk walk
+  * `VideoProbe.aviInfo` already does (little-endian `RIFF('AVI ')`
+  * tree, frames as `##dc`/`##db` chunks inside the `movi` LIST,
+  * optionally nested in `rec ` LISTs, per the Microsoft AVI RIFF
+  * spec), with each frame a complete JPEG the JVM decodes natively.
+  * That makes the whole path pure-JVM and deterministic; other codecs
+  * need native decoders this container intentionally stubs out.
+  *
+  * Frame sampling is EVEN across the clip (`maxFrames` indices at
+  * `floor(i·n/maxFrames)`), so two copies of the same stream sample
+  * the same frames regardless of how their chunks are laid out, and
+  * the per-clip decode bill is bounded by `maxFrames`, not duration.
+  *
+  * Scale shape: signature extraction is a pure map over video bytes
+  * (bounded frame decodes per clip); the near-dup join shuffles only
+  * `(band key, video_id, 8-byte frame hash)` tuples through the
+  * banded pigeonhole join shared with images/audio — never pixels,
+  * never payloads. The skew cap bounds placeholder-frame fan-out
+  * exactly like [[ImageHash]].
+  */
+object VideoFrameHash {
+
+  /** Default number of frames sampled per clip. */
+  val DefaultMaxFrames = 8
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI "
+
+  /** Offsets + lengths of every video frame chunk (`##dc`/`##db`)
+    * inside the AVI's `movi` LIST(s), in stream order. The walk is
+    * bounds-checked with Long offsets (the [[graft.engine.validate
+    * .AudioProbe]] stance: hostile sizes end the walk, never wrap).
+    */
+  private def frameChunks(b: Array[Byte]): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+    def walk(start: Long, end: Long, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (off + 8 <= end) {
+        val o = off.toInt
+        val id = tag(b, o)
+        val declared = u32le(b, o + 4)
+        val avail = math.min(declared, end - (o + 8))
+        if (id == "LIST" && avail >= 4) {
+          val sub = tag(b, o + 8)
+          if (sub == "movi" || (inMovi && sub == "rec "))
+            walk(o + 12L, o + 8L + avail, inMovi = true, depth + 1)
+        } else if (inMovi && isFrameId(id) && avail > 0) {
+          out += ((o + 8, avail.toInt))
+        }
+        off += 8L + declared + (declared & 1L)
+      }
+    }
+    if (isAvi(b)) walk(12L, b.length.toLong, inMovi = false, 0)
+    out.result()
+  }
+
+  /** dHashes of up to `maxFrames` evenly-sampled frames of one AVI
+    * payload, in sample order; None when the payload is not AVI or
+    * holds no frame chunks. Frames that fail to decode are skipped
+    * (a signature survives partial corruption).
+    */
+  def frameHashes(bytes: Array[Byte],
+                  maxFrames: Int = DefaultMaxFrames): Option[Seq[Long]] = {
+    require(maxFrames >= 1, s"maxFrames must be positive: $maxFrames")
+    val chunks = frameChunks(bytes)
+    if (chunks.isEmpty) return None
+    val n = chunks.length
+    val picks =
+      if (n <= maxFrames) chunks
+      else Vector.tabulate(maxFrames)(i => chunks((i.toLong * n / maxFrames).toInt))
+    Some(picks.flatMap { case (off, len) =>
+      ImageHash.dhash64(java.util.Arrays.copyOfRange(bytes, off, off + len))
+    })
+  }
+
+  private def sigUdf(maxFrames: Int) = udf { (bytes: Array[Byte]) =>
+    frameHashes(bytes, maxFrames).filter(_.nonEmpty).map(_.toArray).orNull
+  }
+
+  /** Frame-hash signature as an `array<bigint>` column (NULL when the
+    * payload is not a frame-bearing AVI or no sampled frame decodes).
+    */
+  def signature(bytesCol: Column,
+                maxFrames: Int = DefaultMaxFrames): Column =
+    sigUdf(maxFrames)(bytesCol)
+
+  /** Near-duplicate video pairs: `(vid_a, vid_b, n_frames_a,
+    * n_frames_b, matched_a, matched_b)` where `matched_x` counts
+    * side-x signature hashes with a within-`maxHamming` partner on
+    * the other side, for pairs where the better-covered side reaches
+    * `minMatchFrac` of its signature. A re-muxed/re-encoded copy
+    * matches every frame (frac 1); a clip CONTAINED in a longer one
+    * still reaches frac 1 on its own side — `greatest` of the two
+    * coverages is the decision value by design.
+    *
+    * Candidate generation is the banded pigeonhole join over FRAME
+    * hashes (recall 1 within the Hamming budget), then matches
+    * aggregate per video pair — only band keys and 8-byte hashes
+    * shuffle. The returned frame is persisted + MATERIALIZED (small:
+    * matched pairs only) so the exploded signature frame — whose
+    * recompute would re-decode every sampled frame — can be released
+    * before returning (the [[graft.ops.Dedup.minhashCandidates]]
+    * pattern); callers may `unpersist()` it when done.
+    */
+  def nearDuplicateVideos(df: DataFrame, idCol: String, bytesCol: String,
+                          maxHamming: Int = 4,
+                          minMatchFrac: Double = 0.5,
+                          maxFrames: Int = DefaultMaxFrames,
+                          maxBucket: Int = 1 << 12): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    require(minMatchFrac > 0 && minMatchFrac <= 1,
+      s"minMatchFrac must be in (0, 1]: $minMatchFrac")
+    val sigs = df
+      .select(col(idCol).as("__vid"),
+        explode(signature(col(bytesCol), maxFrames)).as("__fh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sigs.groupBy("__vid").agg(count(lit(1)).as("__nf"))
+      val banded = ImageHash.capBuckets(
+        sigs.select(col("__vid"), col("__fh"),
+            explode(ImageHash.bandStructs(col("__fh"), maxHamming))
+              .as("__band"))
+          .select(col("__vid"), col("__fh"),
+            col("__band.blk").as("__blk"), col("__band.key").as("__key")),
+        maxBucket)
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val matched = a.join(b,
+          col("a.__blk") === col("b.__blk") &&
+            col("a.__key") === col("b.__key") &&
+            col("a.__vid") < col("b.__vid"))
+        .filter(F.hamming(col("a.__fh"), col("b.__fh"))
+          .cast("int") <= maxHamming)
+        .select(col("a.__vid").as("__va"), col("b.__vid").as("__vb"),
+          col("a.__fh").as("__fa"), col("b.__fh").as("__fb"))
+        .groupBy("__va", "__vb")
+        .agg(countDistinct("__fa").as("matched_a"),
+          countDistinct("__fb").as("matched_b"))
+      val out = matched
+        .join(counts.toDF("__va", "__na"), Seq("__va"))
+        .join(counts.toDF("__vb", "__nb"), Seq("__vb"))
+        .filter(greatest(
+          col("matched_a").cast("double") / col("__na"),
+          col("matched_b").cast("double") / col("__nb")) >= minMatchFrac)
+        .select(col("__va").as("vid_a"), col("__vb").as("vid_b"),
+          col("__na").as("n_frames_a"), col("__nb").as("n_frames_b"),
+          col("matched_a"), col("matched_b"))
+        .persist()
+      out.count()
+      out
+    } finally { sigs.unpersist(); () }
+  }
+}

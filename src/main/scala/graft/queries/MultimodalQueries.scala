@@ -589,7 +589,182 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m8Dir)
   }
 
+  // -- m15/m16 fixture: multi-tone WAVs whose spectral-hash bits read
+  //    straight off a 3-level amplitude table (one exact-bin tone per
+  //    analysis band; adjacent-level power ratios of 9 dwarf
+  //    quantization noise). exp_hash is derived here from the level
+  //    table alone — the AudioFingerprintSpec derivation, authored
+  //    independently of the implementation:
+  //    bit(t, b) = 1 iff level(t, b) < level(t, b+1), packed
+  //    segment-major MSB-first. Rows: the base recording, a quarter-
+  //    volume copy and an 8-bit re-encode (hash-identical by gain /
+  //    requantization invariance), the complemented level table
+  //    (every bit flips → Hamming 64), and broken bytes (-999).
+  private val m15Dir = "/tmp/graft_gate_m15_audio"
+
+  private val m15Sr = 8000
+  private val m15Frame = 1024
+  private val m15Levels = Array(0.02, 0.06, 0.18)
+  private val m15Patterns: Seq[Seq[Int]] = Seq(
+    Seq(0, 1, 2, 1, 2, 1, 2, 1, 2), Seq(2, 1, 0, 1, 0, 1, 0, 1, 0),
+    Seq(0, 2, 0, 2, 0, 2, 0, 2, 0), Seq(2, 0, 2, 0, 2, 0, 2, 0, 2),
+    Seq(0, 1, 2, 0, 1, 2, 0, 1, 2), Seq(2, 1, 0, 2, 1, 0, 2, 1, 0),
+    Seq(1, 2, 0, 1, 2, 0, 1, 2, 0), Seq(1, 0, 2, 1, 0, 2, 1, 0, 2))
+
+  private def m15ExpectedHash(pats: Seq[Seq[Int]]): Long = {
+    var h = 0L
+    for (t <- 0 until 8; b <- 0 until 8)
+      h = (h << 1) | (if (pats(t)(b) < pats(t)(b + 1)) 1L else 0L)
+    h
+  }
+
+  private def m15Samples(gain: Double, pats: Seq[Seq[Int]]): Array[Double] = {
+    val edges = graft.multimodal.AudioFingerprint.bandEdges(m15Sr).get
+    val binHz = m15Sr.toDouble / m15Frame
+    def bandBin(b: Int): Int = {
+      val lo = math.max(1, math.ceil(edges(b) / binHz).toInt)
+      val hi = math.floor(edges(b + 1) / binHz).toInt
+      (lo + hi) / 2
+    }
+    val x = new Array[Double](8 * m15Frame)
+    for (t <- 0 until 8; i <- 0 until m15Frame) {
+      var s = 0.0
+      for (b <- 0 until 9)
+        s += m15Levels(pats(t)(b)) *
+          math.sin(2.0 * math.Pi * bandBin(b) * i / m15Frame)
+      x(t * m15Frame + i) = s * gain
+    }
+    x
+  }
+
+  /** Integer-PCM WAV writer — independent builder code (m8 stance). */
+  private def wavBytes(x: Array[Double], rate: Int, bits: Int): Array[Byte] = {
+    val bps = bits / 8
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit =
+      (0 to 3).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("RIFF".getBytes); w32(36L + x.length * bps)
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); w32(16L)
+    w16(1); w16(1); w32(rate.toLong); w32(rate.toLong * bps); w16(bps); w16(bits)
+    bos.write("data".getBytes); w32(x.length.toLong * bps)
+    val full = (1L << (bits - 1)) - 1
+    for (s <- x) {
+      val v = math.round(s * full)
+      if (bits == 8) bos.write((v + 128).toInt & 0xff)
+      else (0 until bps).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    }
+    bos.toByteArray
+  }
+
+  private def writeM15Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val comp = m15Patterns.map(_.map(2 - _))
+    val rows: Seq[(Long, Array[Byte], Long)] = Seq(
+      (0L, wavBytes(m15Samples(1.0, m15Patterns), m15Sr, 16),
+        m15ExpectedHash(m15Patterns)),
+      (1L, wavBytes(m15Samples(0.25, m15Patterns), m15Sr, 16),
+        m15ExpectedHash(m15Patterns)),
+      (2L, wavBytes(m15Samples(1.0, m15Patterns), m15Sr, 8),
+        m15ExpectedHash(m15Patterns)),
+      (3L, wavBytes(m15Samples(1.0, comp), m15Sr, 16),
+        m15ExpectedHash(comp)),
+      (4L, "not audio at all".getBytes, -999L))
+    s.createDataset(rows).toDF("audio_id", "content", "exp_hash")
+      .coalesce(1).write.mode("overwrite").parquet(m15Dir)
+  }
+
+  // -- m17 fixture: MJPEG AVIs authored chunk-by-chunk (RIFF writer
+  //    independent of the walk); expectations derive from frame BYTE
+  //    identity only — a re-muxed copy (different chunk ids, rec-LIST
+  //    nesting, junk chunks) carries the same JPEG bytes, so its
+  //    sampled dHashes match frame-for-frame; a different clip shares
+  //    none. JPEG codec numerics never enter any expected value.
+  private val m17Dir = "/tmp/graft_gate_m17_video"
+
+  /** Full AVI envelope over pre-built chunk parts (the m8 RIFF
+    * writers supply `riffChunk`/`riffList`).
+    */
+  private def aviBytes(parts: Array[Byte]*): Array[Byte] = {
+    val inner = "AVI ".getBytes("US-ASCII") ++ parts.flatten
+    "RIFF".getBytes("US-ASCII") ++ le32(inner.length.toLong) ++ inner
+  }
+
+  private def jpegFrame(mul: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val g = 20 + ((x / 8 * mul + (y / 8) * 17) % 90)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    bos.toByteArray
+  }
+
+  private def writeM17Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val clipA = (0 until 8).map(i => jpegFrame(29 + 2 * i))
+    val clipB = (0 until 8).map(i => jpegFrame(101 + 5 * i))
+    def movi(frames: Seq[Array[Byte]], id: String) =
+      riffList("movi", frames.flatMap(f => riffChunk(id, f)).toArray)
+    val base = aviBytes(movi(clipA, "00dc"))
+    // re-mux: 01db stream ids, rec-LIST grouping, junk + header chunks
+    val remux = aviBytes(
+      riffChunk("JUNK", Array.fill[Byte](32)(0)),
+      riffList("hdrl", riffChunk("avih", Array.fill[Byte](56)(0))),
+      riffList("movi", clipA.grouped(4).flatMap(g =>
+        riffList("rec ", g.flatMap(f => riffChunk("01db", f)).toArray))
+        .toArray))
+    val other = aviBytes(movi(clipB, "00dc"))
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (0L, base), (1L, remux), (2L, other),
+      (3L, "definitely not a video".getBytes))
+    s.createDataset(rows).toDF("video_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m17Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m15: spectral audio fingerprint — authored multi-tone WAVs,
+    //    every hash bit derived from the fixture's amplitude-level
+    //    table (see writeM15Fixture); gain-scaled and requantized
+    //    copies hash identically, the complemented table flips all 64
+    //    bits, broken bytes → -999 sentinel (m10 NULL note). ---------
+    "m15_audio_fingerprint" -> { (s, _) =>
+      writeM15Fixture(s)
+      import graft.multimodal.AudioFingerprint
+      s.read.parquet(m15Dir)
+        .select(col("audio_id"),
+          coalesce(AudioFingerprint.spectralHash(col("content")),
+            lit(-999L)).as("ahash"))
+        .orderBy("audio_id")
+    },
+
+    // -- m16: audio near-dup via the banded Hamming join shared with
+    //    images — the gain copy and the 8-bit re-encode sit at
+    //    distance 0 from the base (and each other); the complemented
+    //    recording is 64 bits away; broken bytes drop out. -----------
+    "m16_audio_neardup" -> { (s, _) =>
+      writeM15Fixture(s)
+      import graft.multimodal.AudioFingerprint
+      AudioFingerprint.nearDuplicateAudio(
+          s.read.parquet(m15Dir), "audio_id", "content", maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- m17: video near-dup by frame-sampled dHash — the re-muxed
+    //    copy carries byte-identical JPEG frames (different chunk ids,
+    //    rec-LIST nesting, junk chunks), so all 8 sampled hashes
+    //    match; the different clip and the non-video share nothing. --
+    "m17_video_neardup" -> { (s, _) =>
+      writeM17Fixture(s)
+      import graft.multimodal.VideoFrameHash
+      val pairs = VideoFrameHash.nearDuplicateVideos(
+        s.read.parquet(m17Dir), "video_id", "content")
+      pairs.orderBy("vid_a", "vid_b")
+    },
+
     // -- m12: incremental image dedup vs the persisted image index —
     //    index = {grad9, stripes}; the batch loses grad9/grad18
     //    (hamming 0) and stripes/stripes1px (0 and 1); flat (≥32 bits
@@ -887,6 +1062,30 @@ object MultimodalQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Level-table-derived hashes ride the fixture (writeM15Fixture's
+    // doc has the derivation); broken bytes are the -999 sentinel.
+    "m15_audio_fingerprint" ->
+      s"""SELECT audio_id, exp_hash AS ahash
+         |FROM read_parquet('$m15Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
+    // Theory-derived pairs: ids 0/1/2 are the same recording under
+    // gain and requantization (invariance → distance 0); id 3 is the
+    // complemented level table (64 bits); id 4 is undecodable.
+    "m16_audio_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 1::BIGINT, 0::INT),
+        |  (0::BIGINT, 2::BIGINT, 0::INT),
+        |  (1::BIGINT, 2::BIGINT, 0::INT)) t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Frame-byte identity: the re-mux (id 1) carries clip 0's exact
+    // JPEG bytes → all 8 sampled hashes match on both sides; the
+    // other clip and the non-video pair with nothing.
+    "m17_video_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 1::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT))
+        |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
+        |ORDER BY vid_a, vid_b""".stripMargin,
+
     // Hand-derived hashes ride the fixture (derivation in
     // writeM10Fixture's doc); the broken image is the -999 sentinel.
     "m10_image_dhash" ->

@@ -128,6 +128,94 @@ class CdxSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("x.warc@0")))
   }
 
+  private def withRangeServer(bytes: Array[Byte], honorRange: Boolean = true,
+                              failFirst: Int = 0)
+                             (body: Int => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val remainingFails = new java.util.concurrent.atomic.AtomicInteger(failFirst)
+    server.createContext("/arc/", { ex: com.sun.net.httpserver.HttpExchange =>
+      try {
+        if (remainingFails.getAndDecrement() > 0) {
+          ex.sendResponseHeaders(503, -1)
+        } else {
+          val range = ex.getRequestHeaders.getFirst("Range")
+          if (honorRange && range != null && range.startsWith("bytes=")) {
+            val Array(s, e) = range.stripPrefix("bytes=").split("-").map(_.toLong)
+            val slice = bytes.slice(s.toInt, e.toInt + 1)
+            ex.getResponseHeaders.add("Content-Range",
+              s"bytes $s-$e/${bytes.length}")
+            ex.sendResponseHeaders(206, slice.length.toLong)
+            ex.getResponseBody.write(slice)
+          } else {
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+          }
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try body(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  test("fetch: http(s) archives resolve via ranged GETs — same records as the FS path") {
+    val m1 = gz(rec("h1", "first doc over http"))
+    val m2 = gz(rec("h2", "second doc over http"))
+    val bytes = m1 ++ m2
+    withRangeServer(bytes) { port =>
+      // one absolute http URL, one filename relative to the http base —
+      // the exact shape a Common Crawl index + data host presents
+      val cdx = Seq(
+        (s"http://127.0.0.1:$port/arc/a.warc.gz", 0L, m1.length.toLong),
+        ("a.warc.gz", m1.length.toLong, m2.length.toLong))
+        .toDF("warc_file", "warc_offset", "warc_length")
+      val got = Cdx.fetch(cdx, base = s"http://127.0.0.1:$port/arc")
+        .orderBy("offset")
+        .select("target_uri", "payload")
+        .collect()
+        .map(r => r.getString(0) ->
+          new String(r.getAs[Array[Byte]]("payload"), StandardCharsets.UTF_8))
+      assert(got.toSeq == Seq(
+        "http://example.com/h1" -> "first doc over http",
+        "http://example.com/h2" -> "second doc over http"))
+    }
+  }
+
+  test("rangedGet: a server that ignores Range fails loud, no retry") {
+    val bytes = gz(rec("x", "payload"))
+    withRangeServer(bytes, honorRange = false) { port =>
+      var slept = 0
+      val e = intercept[IllegalStateException] {
+        Cdx.rangedGet(s"http://127.0.0.1:$port/arc/a.warc.gz", 0, 10,
+          sleep = _ => slept += 1)
+      }
+      assert(e.getMessage.contains("ignored Range") && slept == 0)
+    }
+  }
+
+  test("rangedGet: 5xx retries with backoff, then succeeds") {
+    val bytes = gz(rec("y", "retry me"))
+    withRangeServer(bytes, failFirst = 2) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val got = Cdx.rangedGet(s"http://127.0.0.1:$port/arc/a.warc.gz",
+        0, bytes.length.toLong, sleep = sleeps += _)
+      assert(java.util.Arrays.equals(got, bytes))
+      assert(sleeps.toSeq == Seq(1000L, 2000L)) // 1s, 2s exponential
+    }
+  }
+
+  test("rangedGet: exhausted retries surface the last error") {
+    val bytes = gz(rec("z", "never"))
+    withRangeServer(bytes, failFirst = 99) { port =>
+      val e = intercept[IllegalStateException] {
+        Cdx.rangedGet(s"http://127.0.0.1:$port/arc/a.warc.gz", 0, 5,
+          maxAttempts = 3, sleep = _ => ())
+      }
+      assert(e.getMessage.contains("after 3 attempts") &&
+        e.getMessage.contains("HTTP 503"))
+    }
+  }
+
   test("fetch: zero or oversized range lengths are rejected, not truncated silently") {
     val root = tmpDir("cdxlen")
     java.nio.file.Files.write(root.resolve("x.warc"), rec("a", "good"))

@@ -1,0 +1,191 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Spectral audio fingerprint: every expectation THEORY-derived from
+  * authored multi-tone WAVs — one tone per frequency band at an exact
+  * FFT bin, amplitudes drawn from a 3-level ladder whose power ratios
+  * (9×) dwarf quantization noise, so each hash bit reads straight off
+  * the level table. Invariances (gain, channel mix, requantization)
+  * and the banded near-dup / index faces are pinned on the same
+  * fixtures.
+  */
+class AudioFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sr = 8000
+  private val F = 1024 // frame = segment at n = 8192: exact-bin tones
+  private val nSamples = AudioFingerprint.TimeSegments * F
+
+  /** Middle FFT bin of analysis band `b` (exact-bin tone placement). */
+  private def bandBin(b: Int): Int = {
+    val edges = AudioFingerprint.bandEdges(sr).get
+    val binHz = sr.toDouble / F
+    val lo = math.max(1, math.ceil(edges(b) / binHz).toInt)
+    val hi = math.floor(edges(b + 1) / binHz).toInt
+    require(lo <= hi, s"band $b holds no bin at F=$F")
+    (lo + hi) / 2
+  }
+
+  /** Amplitude ladder: power ratios of 9 between adjacent levels —
+    * decisive against 8-bit quantization noise.
+    */
+  private val levels = Array(0.02, 0.06, 0.18)
+
+  /** Per-segment band-level patterns (no equal ADJACENT levels: every
+    * comparison strict, so the expected bits are exact).
+    */
+  private val patterns: Seq[Seq[Int]] = Seq(
+    Seq(0, 1, 2, 1, 2, 1, 2, 1, 2), Seq(2, 1, 0, 1, 0, 1, 0, 1, 0),
+    Seq(0, 2, 0, 2, 0, 2, 0, 2, 0), Seq(2, 0, 2, 0, 2, 0, 2, 0, 2),
+    Seq(0, 1, 2, 0, 1, 2, 0, 1, 2), Seq(2, 1, 0, 2, 1, 0, 2, 1, 0),
+    Seq(1, 2, 0, 1, 2, 0, 1, 2, 0), Seq(1, 0, 2, 1, 0, 2, 1, 0, 2))
+
+  private def samples(gain: Double,
+                      pats: Seq[Seq[Int]] = patterns): Array[Double] = {
+    val x = new Array[Double](nSamples)
+    var t = 0
+    while (t < 8) {
+      var i = 0
+      while (i < F) {
+        var s = 0.0
+        var b = 0
+        while (b < 9) {
+          s += levels(pats(t)(b)) *
+            math.sin(2.0 * math.Pi * bandBin(b) * i / F)
+          b += 1
+        }
+        x(t * F + i) = s * gain
+        i += 1
+      }
+      t += 1
+    }
+    x
+  }
+
+  private def expectedHash(pats: Seq[Seq[Int]]): Long = {
+    var h = 0L
+    for (t <- 0 until 8; b <- 0 until 8)
+      h = (h << 1) | (if (pats(t)(b) < pats(t)(b + 1)) 1L else 0L)
+    h
+  }
+
+  /** Integer-PCM WAV writer (the inverse of pcmMono, independent code). */
+  private def wav(x: Array[Double], rate: Int, bits: Int,
+                  channels: Int = 1,
+                  chanGain: Int => Double = _ => 1.0): Array[Byte] = {
+    val bps = bits / 8
+    val dataLen = x.length * bps * channels
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 to 3).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("RIFF".getBytes); w32(36L + dataLen); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); w32(16L)
+    w16(1); w16(channels); w32(rate.toLong)
+    w32(rate.toLong * bps * channels); w16(bps * channels); w16(bits)
+    bos.write("data".getBytes); w32(dataLen.toLong)
+    val full = (1L << (bits - 1)) - 1
+    for (s <- x; c <- 0 until channels) {
+      val v = math.round(s * chanGain(c) * full)
+      if (bits == 8) bos.write((v + 128).toInt & 0xff)
+      else (0 until bps).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    }
+    bos.toByteArray
+  }
+
+  test("multi-tone fixture hashes to the level-table bits exactly") {
+    val got = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16))
+    assert(got.contains(expectedHash(patterns)),
+      f"got ${got.getOrElse(0L)}%016x expected ${expectedHash(patterns)}%016x")
+  }
+
+  test("gain invariance: a quarter-volume copy hashes identically") {
+    val a = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16))
+    val b = AudioFingerprint.spectralHash64(wav(samples(0.25), sr, 16))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("requantization: the 8-bit re-encode hashes identically") {
+    val a = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16))
+    val b = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 8))
+    assert(a == b && a.nonEmpty, s"16-bit $a vs 8-bit $b")
+  }
+
+  test("wider widths: 24/32-bit encodes hash identically") {
+    val a = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16))
+    assert(AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 24)) == a)
+    assert(AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 32)) == a)
+  }
+
+  test("channel mix: stereo with an attenuated right channel hashes identically") {
+    val a = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16))
+    val st = wav(samples(1.0), sr, 16, channels = 2,
+      chanGain = c => if (c == 0) 1.0 else 0.5)
+    assert(AudioFingerprint.spectralHash64(st) == a)
+  }
+
+  test("silence hashes to 0 (relative snap kills fp residue)") {
+    val z = AudioFingerprint.spectralHash64(
+      wav(new Array[Double](nSamples), sr, 16))
+    assert(z.contains(0L))
+  }
+
+  test("complemented level patterns flip every bit (Hamming 64)") {
+    val comp = patterns.map(_.map(2 - _))
+    val a = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16)).get
+    val b = AudioFingerprint.spectralHash64(wav(samples(1.0, comp), sr, 16)).get
+    assert(java.lang.Long.bitCount(a ^ b) == 64)
+  }
+
+  test("non-WAV, float-format, too-short and band-starved payloads hash to None") {
+    assert(AudioFingerprint.spectralHash64(null).isEmpty)
+    assert(AudioFingerprint.spectralHash64("not audio".getBytes).isEmpty)
+    // shorter than 8 × 128 samples
+    assert(AudioFingerprint.spectralHash64(
+      wav(new Array[Double](512), sr, 16)).isEmpty)
+    // 600 Hz sample rate: Nyquist headroom 270 Hz < the 300 Hz band floor
+    assert(AudioFingerprint.spectralHash64(
+      wav(new Array[Double](nSamples), 600, 16)).isEmpty)
+  }
+
+  test("pcmMono: 16-bit samples round-trip within quantization") {
+    val x = Array.tabulate(256)(i => math.sin(i / 10.0) * 0.8)
+    val (got, rate) = AudioFingerprint.pcmMono(wav(x, 44100, 16)).get
+    assert(rate == 44100 && got.length == x.length)
+    assert(x.indices.forall(i => math.abs(got(i) - x(i)) < 1e-3))
+  }
+
+  test("nearDuplicateAudio: copies pair up, the complement and broken bytes do not") {
+    val comp = patterns.map(_.map(2 - _))
+    val df = Seq(
+      (0L, wav(samples(1.0), sr, 16)),
+      (1L, wav(samples(0.25), sr, 16)),     // gain copy
+      (2L, wav(samples(1.0), sr, 8)),       // requantized copy
+      (3L, wav(samples(1.0, comp), sr, 16)), // different recording
+      (4L, "junk".getBytes)                  // undecodable
+    ).toDF("audio_id", "content")
+    val pairs = AudioFingerprint.nearDuplicateAudio(df, "audio_id", "content",
+        maxHamming = 4)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((0L, 1L, 0), (0L, 2L, 0), (1L, 2L, 0)))
+  }
+
+  test("dropNearDuplicateAudio: seen copies drop, new recordings and undecodables survive") {
+    val comp = patterns.map(_.map(2 - _))
+    val index = AudioFingerprint.buildAudioIndex(
+      Seq((100L, wav(samples(1.0), sr, 16))).toDF("audio_id", "content"),
+      "audio_id", "content")
+    val batch = Seq(
+      (0L, wav(samples(0.25), sr, 16)),      // copy of the indexed clip
+      (1L, wav(samples(1.0, comp), sr, 16)), // new recording
+      (2L, Array[Byte](1, 2, 3))             // undecodable: must survive
+    ).toDF("audio_id", "content")
+    val kept = AudioFingerprint.dropNearDuplicateAudio(batch, index,
+        "audio_id", "content", maxHamming = 4)
+      .select("audio_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** MJPEG-AVI frame-hash signatures: the RIFF walk against authored
+  * AVIs built chunk-by-chunk by independent code (the m8 stance),
+  * even sampling, container-layout invariance (re-mux), and the
+  * video near-dup semantics — all expectations derived from frame
+  * IDENTITY (same JPEG bytes ⇒ same dHash), never from JPEG codec
+  * numerics.
+  */
+class VideoFrameHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- authored AVI bytes --------------------------------------------
+  private def u32le(v: Long): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body ++
+      (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+
+  private def list(subtype: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", subtype.getBytes("US-ASCII") ++ body)
+
+  private def avi(parts: Array[Byte]*): Array[Byte] = {
+    val inner = "AVI ".getBytes("US-ASCII") ++ parts.flatten
+    "RIFF".getBytes("US-ASCII") ++ u32le(inner.length.toLong) ++ inner
+  }
+
+  /** Gray pseudorandom block JPEG (the m13 blockyPng pattern class —
+    * JPEG numerics never enter any expectation; only byte identity).
+    */
+  private def jpegFrame(mul: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val g = 20 + ((x / 8 * mul + (y / 8) * 17) % 90)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    bos.toByteArray
+  }
+
+  private def movi(frames: Seq[Array[Byte]], id: String = "00dc") =
+    list("movi", frames.flatMap(f => chunk(id, f)).toArray)
+
+  private val framesA: Seq[Array[Byte]] = (0 until 12).map(i => jpegFrame(29 + 2 * i))
+  private val framesB: Seq[Array[Byte]] = (0 until 6).map(i => jpegFrame(101 + 5 * i))
+
+  test("frameChunks walk: frames extract and hash; 12 frames sample to 8 evenly") {
+    val bytes = avi(movi(framesA))
+    val hs = VideoFrameHash.frameHashes(bytes, maxFrames = 8).get
+    val want = (0 until 8).map(i => (i.toLong * 12 / 8).toInt)
+      .flatMap(i => ImageHash.dhash64(framesA(i)))
+    assert(hs == want && hs.length == 8)
+    // fewer frames than the cap: all of them, in order
+    val all = VideoFrameHash.frameHashes(avi(movi(framesB)), maxFrames = 8).get
+    assert(all == framesB.flatMap(ImageHash.dhash64))
+  }
+
+  test("re-mux invariance: 00db ids, rec-LIST nesting and junk chunks hash identically") {
+    val base = VideoFrameHash.frameHashes(avi(movi(framesA))).get
+    val asDb = avi(movi(framesA, id = "01db"))
+    val recWrapped = avi(list("movi",
+      framesA.grouped(3).flatMap(g =>
+        list("rec ", g.flatMap(f => chunk("00dc", f)).toArray)).toArray))
+    val withJunk = avi(
+      chunk("JUNK", Array.fill[Byte](64)(0)),
+      list("hdrl", chunk("avih", Array.fill[Byte](56)(0))),
+      movi(framesA))
+    assert(VideoFrameHash.frameHashes(asDb).get == base)
+    assert(VideoFrameHash.frameHashes(recWrapped).get == base)
+    assert(VideoFrameHash.frameHashes(withJunk).get == base)
+  }
+
+  test("non-AVI, frame-less AVI and all-corrupt frames signature to None") {
+    assert(VideoFrameHash.frameHashes(null).isEmpty)
+    assert(VideoFrameHash.frameHashes("not a video".getBytes).isEmpty)
+    assert(VideoFrameHash.frameHashes(
+      avi(list("hdrl", chunk("avih", Array.fill[Byte](56)(0))))).isEmpty)
+    // frames present but none decodes → Some(empty) at the function
+    // level is suppressed by the SIGNATURE column (NULL) — here the
+    // per-frame skip is visible
+    val corrupt = avi(movi(Seq("garbage".getBytes, "more garbage".getBytes)))
+    assert(VideoFrameHash.frameHashes(corrupt).get.isEmpty)
+  }
+
+  test("a corrupt frame is skipped, the rest still hash") {
+    val mixed = avi(movi(Seq(framesA.head, "garbage".getBytes, framesA(1))))
+    val hs = VideoFrameHash.frameHashes(mixed).get
+    assert(hs == Seq(framesA.head, framesA(1)).flatMap(ImageHash.dhash64))
+  }
+
+  test("nearDuplicateVideos: re-mux pairs at full coverage, different clip stays apart") {
+    val df = Seq(
+      (0L, avi(movi(framesA))),
+      (1L, avi(movi(framesA, id = "01db"))), // re-mux of the same stream
+      (2L, avi(movi(framesB))),              // different clip
+      (3L, "not a video".getBytes)           // undecodable
+    ).toDF("video_id", "content")
+    val pairs = VideoFrameHash.nearDuplicateVideos(df, "video_id", "content")
+    val got = pairs
+      .select("vid_a", "vid_b", "n_frames_a", "n_frames_b",
+        "matched_a", "matched_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    pairs.unpersist()
+    assert(got == Set((0L, 1L, 8L, 8L, 8L, 8L)))
+  }
+
+  test("a clip contained in a longer one reaches full coverage on its own side") {
+    val subset = framesA.take(3) // 3 of A's first sampled frames
+    val df = Seq(
+      (0L, avi(movi(framesA))),
+      (1L, avi(movi(subset)))).toDF("video_id", "content")
+    val pairs = VideoFrameHash.nearDuplicateVideos(df, "video_id", "content")
+    val got = pairs.select("vid_a", "vid_b", "matched_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    pairs.unpersist()
+    // A samples indices 0,1,3,4,6,7,9,10 of its 12 frames; the subset's
+    // frames 0,1 are sampled on both sides (frame 2 is not in A's
+    // sample), so matched_b = 2 of 3 — still ≥ the 0.5 default on b's
+    // side? 2/3 ≥ 0.5 → pair emitted with matched_b = 2.
+    assert(got == Seq((0L, 1L, 2L)))
+  }
+
+  test("guards: maxHamming, minMatchFrac, maxFrames ranges") {
+    val df = Seq((0L, avi(movi(framesB)))).toDF("video_id", "content")
+    intercept[IllegalArgumentException] {
+      VideoFrameHash.nearDuplicateVideos(df, "video_id", "content",
+        maxHamming = 64)
+    }
+    intercept[IllegalArgumentException] {
+      VideoFrameHash.nearDuplicateVideos(df, "video_id", "content",
+        minMatchFrac = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      VideoFrameHash.frameHashes(avi(movi(framesB)), maxFrames = 0)
+    }
+  }
+}
