@@ -183,4 +183,68 @@ object VideoFrameHash {
       out
     } finally { sigs.unpersist(); () }
   }
+
+  /** Persisted video signature index — one `(video_id, fhash)` row
+    * per sampled frame hash, the video face of
+    * [[ImageHash.buildImageIndex]]: build once over the seen corpus,
+    * append per batch, probe without re-decoding a seen frame.
+    */
+  def buildVideoIndex(df: DataFrame, idCol: String, bytesCol: String,
+                      maxFrames: Int = DefaultMaxFrames): DataFrame =
+    df.select(col(idCol).as("video_id"),
+        explode(signature(col(bytesCol), maxFrames)).as("fhash"))
+      .distinct()
+
+  /** Incremental video dedup against a [[buildVideoIndex]] frame:
+    * drop batch clips whose sampled frame hashes are covered at
+    * `minMatchFrac` by within-`maxHamming` index hashes (coverage on
+    * the BATCH side — a clip fully contained in an indexed one
+    * drops). Clips with no decodable signature survive (nothing to
+    * match them by — the [[ImageHash]] stance).
+    */
+  def dropNearDuplicateVideos(batch: DataFrame, index: DataFrame,
+                              idCol: String, bytesCol: String,
+                              maxHamming: Int = 4,
+                              minMatchFrac: Double = 0.5,
+                              maxFrames: Int = DefaultMaxFrames,
+                              maxBucket: Int = 1 << 12): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    require(minMatchFrac > 0 && minMatchFrac <= 1,
+      s"minMatchFrac must be in (0, 1]: $minMatchFrac")
+    require(index.columns.toSeq.contains("video_id") &&
+      index.columns.toSeq.contains("fhash"),
+      "index must be a buildVideoIndex frame with (video_id, fhash)")
+    // fully lazy, like dropNearDuplicateImages: the signature subtree
+    // appears on both the probe and the output side of the anti join —
+    // the bounded per-clip decode is paid twice in exchange for a
+    // single self-cleaning plan (no persist to leak past the return)
+    val sigs = batch
+      .select(col(idCol).as("__vid"),
+        explode(signature(col(bytesCol), maxFrames)).as("__fh"))
+      .distinct()
+    val counts = sigs.groupBy("__vid").agg(count(lit(1)).as("__nf"))
+    val probe = sigs.select(col("__vid"), col("__fh"),
+      explode(ImageHash.bandStructs(col("__fh"), maxHamming))
+        .as("__band"))
+    // the skew cap applies to the SEEN side, as in the image path
+    val seen = ImageHash.capBuckets(
+      index.select(col("fhash").as("__sh"),
+          explode(ImageHash.bandStructs(col("fhash"), maxHamming))
+            .as("__sband"))
+        .select(col("__sh"), col("__sband.blk").as("__blk"),
+          col("__sband.key").as("__key")),
+      maxBucket)
+    val dupIds = probe.join(seen,
+        col("__band.blk") === col("__blk") &&
+          col("__band.key") === col("__key"))
+      .filter(F.hamming(col("__fh"), col("__sh"))
+        .cast("int") <= maxHamming)
+      .select(col("__vid"), col("__fh")).distinct()
+      .groupBy("__vid").agg(count(lit(1)).as("__m"))
+      .join(counts, Seq("__vid"))
+      .filter(col("__m").cast("double") / col("__nf") >= minMatchFrac)
+      .select(col("__vid"))
+    batch.join(dupIds, col(idCol) === col("__vid"), "left_anti")
+  }
 }

@@ -765,6 +765,21 @@ object MultimodalQueries {
       pairs.orderBy("vid_a", "vid_b")
     },
 
+    // -- m18: incremental video dedup vs the persisted frame-hash
+    //    index (the m12 shape for video) — index = clip 0; the base
+    //    and its re-mux drop at full frame coverage, the different
+    //    clip and the signature-less payload survive. ----------------
+    "m18_video_index_dedup" -> { (s, _) =>
+      writeM17Fixture(s)
+      import graft.multimodal.VideoFrameHash
+      val all = s.read.parquet(m17Dir)
+      val idx = VideoFrameHash.buildVideoIndex(
+        all.filter(col("video_id") === 0L), "video_id", "content")
+      VideoFrameHash.dropNearDuplicateVideos(all, idx,
+          "video_id", "content")
+        .select("video_id").orderBy("video_id")
+    },
+
     // -- m12: incremental image dedup vs the persisted image index —
     //    index = {grad9, stripes}; the batch loses grad9/grad18
     //    (hamming 0) and stripes/stripes1px (0 and 1); flat (≥32 bits
@@ -1085,6 +1100,12 @@ object MultimodalQueries {
         |  (0::BIGINT, 1::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT))
         |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // Survivors: the indexed clip (0) and its re-mux (1) are fully
+    // frame-covered; the different clip (2) shares no frame; the
+    // non-video (3) has no signature and must pass through.
+    "m18_video_index_dedup" ->
+      """SELECT * FROM (VALUES (2::BIGINT), (3::BIGINT)) t(video_id)
+        |ORDER BY video_id""".stripMargin,
 
     // Hand-derived hashes ride the fixture (derivation in
     // writeM10Fixture's doc); the broken image is the -999 sentinel.

@@ -20,14 +20,16 @@ class AudioFingerprintSpec extends SparkSpec {
   private val nSamples = AudioFingerprint.TimeSegments * F
 
   /** Middle FFT bin of analysis band `b` (exact-bin tone placement). */
-  private def bandBin(b: Int): Int = {
-    val edges = AudioFingerprint.bandEdges(sr).get
-    val binHz = sr.toDouble / F
+  private def bandBinAt(b: Int, rate: Int, frame: Int): Int = {
+    val edges = AudioFingerprint.bandEdges(rate).get
+    val binHz = rate.toDouble / frame
     val lo = math.max(1, math.ceil(edges(b) / binHz).toInt)
     val hi = math.floor(edges(b + 1) / binHz).toInt
-    require(lo <= hi, s"band $b holds no bin at F=$F")
+    require(lo <= hi, s"band $b holds no bin at frame=$frame")
     (lo + hi) / 2
   }
+
+  private def bandBin(b: Int): Int = bandBinAt(b, sr, F)
 
   /** Amplitude ladder: power ratios of 9 between adjacent levels —
     * decisive against 8-bit quantization noise.
@@ -137,6 +139,25 @@ class AudioFingerprintSpec extends SparkSpec {
     val a = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16)).get
     val b = AudioFingerprint.spectralHash64(wav(samples(1.0, comp), sr, 16)).get
     assert(java.lang.Long.bitCount(a ^ b) == 64)
+  }
+
+  test("resample robustness: the same program at 16 kHz hashes identically") {
+    // the analysis bands are ABSOLUTE in Hz, so material occupying the
+    // same bands hashes identically regardless of the recording's
+    // sample rate — synthesize the same level table at 16 kHz / 2048-
+    // sample frames (tones at that grid's own exact bins)
+    val sr2 = 16000
+    val f2 = 2048
+    val x = new Array[Double](8 * f2)
+    for (t <- 0 until 8; i <- 0 until f2) {
+      var s = 0.0
+      for (b <- 0 until 9)
+        s += levels(patterns(t)(b)) *
+          math.sin(2.0 * math.Pi * bandBinAt(b, sr2, f2) * i / f2)
+      x(t * f2 + i) = s
+    }
+    val got = AudioFingerprint.spectralHash64(wav(x, sr2, 16))
+    assert(got.contains(expectedHash(patterns)))
   }
 
   test("non-WAV, float-format, too-short and band-starved payloads hash to None") {

@@ -125,6 +125,21 @@ class VideoFrameHashSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 2L)))
   }
 
+  test("video index: a re-muxed copy of an indexed clip drops; new clips and non-videos survive") {
+    val index = VideoFrameHash.buildVideoIndex(
+      Seq((100L, avi(movi(framesA)))).toDF("video_id", "content"),
+      "video_id", "content")
+    val batch = Seq(
+      (0L, avi(movi(framesA, id = "01db"))), // re-mux of the indexed clip
+      (1L, avi(movi(framesB))),              // new clip
+      (2L, "junk".getBytes)                  // no signature: must survive
+    ).toDF("video_id", "content")
+    val kept = VideoFrameHash.dropNearDuplicateVideos(batch, index,
+        "video_id", "content")
+      .select("video_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("guards: maxHamming, minMatchFrac, maxFrames ranges") {
     val df = Seq((0L, avi(movi(framesB)))).toDF("video_id", "content")
     intercept[IllegalArgumentException] {
