@@ -41,6 +41,9 @@ import graft.util.SerializableConfiguration
   */
 object Cdx {
 
+  /** The pywb CDX mime marker for revisit records. */
+  val RevisitMime = "warc/revisit"
+
   private val jsonSchema = StructType(Seq(
     StructField("url", StringType), StructField("mime", StringType),
     StructField("status", StringType), StructField("digest", StringType),
@@ -84,7 +87,8 @@ object Cdx {
       src_file: String, record_index: Long,
       range_offset: Long, range_length: Long,
       warc_type: String, record_id: String, target_uri: String,
-      warc_date: String, content_type: String, content_length: Long,
+      warc_date: String, content_type: String, payload_digest: String,
+      content_length: Long,
       truncated: Boolean, digest_ok: Option[Boolean],
       payload: Array[Byte])
 
@@ -125,6 +129,7 @@ object Cdx {
                 RangeRow(p, idx, m.offset, m.compressedLength,
                   r.warcType, r.recordId.orNull, r.targetUri.orNull,
                   r.warcDate.orNull, r.contentType.orNull,
+                  r.header("WARC-Payload-Digest").orNull,
                   r.payload.length.toLong, r.truncated, r.blockDigestOk,
                   r.payload)
               }
@@ -144,6 +149,7 @@ object Cdx {
                 RangeRow(p, r.recordIndex, r.offset, end - r.offset,
                   r.warcType, r.recordId.orNull, r.targetUri.orNull,
                   r.warcDate.orNull, r.contentType.orNull,
+                  r.header("WARC-Payload-Digest").orNull,
                   r.payload.length.toLong, r.truncated, r.blockDigestOk,
                   r.payload)
               }
@@ -159,18 +165,35 @@ object Cdx {
     * URI (warcinfo/metadata records have no index entry). `base`
     * relativizes `src_file` against the archive root so the written
     * index matches what [[fetch]] resolves with the same base.
-    * Status/mime come from the HTTP message for response records
-    * (one parse via [[Warc.httpStruct]]) and from the record for
-    * conversions; the digest is the sha1-base32 BLOCK digest (the
-    * record payload), stated as such.
+    * Status/mime come from the HTTP message for response AND revisit
+    * records (one head-only parse via [[Warc.httpHeadStruct]] —
+    * revisits store the original's HTTP headers with the body
+    * omitted) and from the record otherwise; revisit mime is the pywb
+    * marker `warc/revisit`. The digest follows the pywb cdx-indexer
+    * convention: the record's STATED `WARC-Payload-Digest` when
+    * present (algo prefix stripped — for a revisit this IS the
+    * pointer to the original capture), else the sha1-base32 of the
+    * HTTP body for responses, else of the record block. Payload
+    * digests make two captures of identical content carry the SAME
+    * digest (block digests never would — crawl-date headers differ),
+    * which is what [[resolveRevisits]] joins on.
     */
   def toCdxj(scanned: DataFrame, base: String = ""): DataFrame = {
     val prefix = if (base.isEmpty) "" else base.stripSuffix("/") + "/"
-    val sha1b32 = udf { payload: Array[Byte] =>
-      Warc.base32(java.security.MessageDigest.getInstance("SHA-1")
-        .digest(payload))
+    val digestOf = udf { (payload: Array[Byte], stated: String,
+                          isResp: Boolean) =>
+      val normStated = Option(stated).map(_.trim).filter(_.nonEmpty)
+        .map(s => if (s.length > 5 && s.substring(0, 5)
+          .equalsIgnoreCase("sha1:")) s.substring(5) else s)
+      normStated.getOrElse {
+        val bytes =
+          if (isResp) Warc.splitHttp(payload).map(_.body).getOrElse(payload)
+          else payload
+        Warc.base32(java.security.MessageDigest.getInstance("SHA-1")
+          .digest(bytes))
+      }
     }
-    val isResp = col("warc_type") === "response" &&
+    val isHttp = col("warc_type").isin("response", "revisit") &&
       coalesce(col("content_type"), lit("")).startsWith("application/http")
     // index only record types archive indexers index (pywb cdx-indexer
     // convention): a 'request' record shares the response's URI+ts and
@@ -182,12 +205,13 @@ object Cdx {
       .filter(col("target_uri").isNotNull &&
         col("warc_type").isin(indexable: _*))
       .withColumn("__http",
-        when(isResp, Warc.httpHeadStruct).otherwise(lit(null)))
+        when(isHttp, Warc.httpHeadStruct).otherwise(lit(null)))
     val status = when(col("__http").isNotNull, col("__http._1"))
       .otherwise(lit(200))
-    val mime = trim(split(coalesce(
-      when(col("__http").isNotNull, col("__http._2")),
-      col("content_type"), lit("unk")), ";").getItem(0))
+    val mime = when(col("warc_type") === "revisit", lit(RevisitMime))
+      .otherwise(trim(split(coalesce(
+        when(col("__http").isNotNull, col("__http._2")),
+        col("content_type"), lit("unk")), ";").getItem(0)))
     // binaryFile paths carry a scheme (`file:/tmp/x/f`); accept the
     // base with or without one, and with any number of leading slashes
     val fileRel =
@@ -200,7 +224,8 @@ object Cdx {
       col("target_uri").as("url"),
       mime.as("mime"),
       status.cast("string").as("status"),
-      sha1b32(col("payload")).as("digest"),
+      digestOf(col("payload"), col("payload_digest"),
+        col("warc_type") === "response").as("digest"),
       col("range_length").cast("string").as("length"),
       col("range_offset").cast("string").as("offset"),
       fileRel.as("filename")))
@@ -210,6 +235,67 @@ object Cdx {
         date_format(to_timestamp(col("warc_date")), "yyyyMMddHHmmss"))
       .withColumn("line", concat_ws(" ", col("surt_key"), col("ts"), json))
       .select("surt_key", "ts", "line")
+  }
+
+  /** Re-point revisit index entries at the capture that actually
+    * holds the payload. Crawlers dedup at crawl time: a re-fetch whose
+    * payload digest matches an earlier capture is stored as a tiny
+    * `revisit` record (headers only, `WARC-Payload-Digest` naming the
+    * original's body digest) — on Common Crawl-class corpora a large
+    * share of all records. Fetching a revisit's own byte range yields
+    * NO content, so selective corpus builds must resolve them first.
+    *
+    * Input/output are [[readCdxj]]-shaped frames; output rows all
+    * point at payload-bearing ranges — revisit rows keep their own
+    * `surt_key`/`ts`/`url`/`status`/`digest` (the capture identity)
+    * but take the resolved original's `mime`, `warc_file`,
+    * `warc_offset`, `warc_length`, so [[fetch]] and everything
+    * downstream compose unchanged. The original chosen for a digest
+    * is the EARLIEST capture (min `(ts, warc_file, warc_offset)` —
+    * deterministic under shuffles).
+    *
+    * A revisit whose digest matches no payload-bearing entry
+    * (`requireResolved = true`, the default) fails LOUD with the url
+    * and digest: the index does not cover the collection the revisits
+    * were deduplicated against, and silently dropping content is the
+    * kind of quiet corpus shrinkage no pipeline should ship. Pass
+    * `requireResolved = false` to drop unresolved revisits instead
+    * (a partial-index corpus build that accepts the loss).
+    *
+    * Scale shape: one equi-join on digest against the (much smaller)
+    * per-digest earliest-capture aggregate — the revisit side never
+    * amplifies.
+    */
+  def resolveRevisits(cdx: DataFrame,
+                      requireResolved: Boolean = true): DataFrame = {
+    val cols = Seq("surt_key", "ts", "url", "mime", "status", "digest",
+      "warc_file", "warc_offset", "warc_length")
+    val revisits = cdx.filter(col("mime") === RevisitMime)
+    val originals = cdx.filter(
+      col("mime").isNull || col("mime") =!= RevisitMime)
+    val canon = originals
+      .filter(col("digest").isNotNull)
+      .groupBy(col("digest"))
+      .agg(min(struct(col("ts"), col("warc_file"), col("warc_offset"),
+        col("warc_length"), col("mime"))).as("__c"))
+    val joined = revisits.join(canon, Seq("digest"), "left")
+    val guarded =
+      if (requireResolved)
+        joined.withColumn("__c", when(col("__c").isNull,
+            raise_error(concat(lit("unresolvable revisit: "), col("url"),
+              lit(" @ "), col("ts"), lit(" digest "),
+              coalesce(col("digest"), lit("<null>")),
+              lit(" has no payload-bearing capture in this index"))))
+          .otherwise(col("__c")))
+      else joined.filter(col("__c").isNotNull)
+    val repointed = guarded.select(
+      col("surt_key"), col("ts"), col("url"),
+      col("__c.mime").as("mime"), col("status"), col("digest"),
+      col("__c.warc_file").as("warc_file"),
+      col("__c.warc_offset").as("warc_offset"),
+      col("__c.warc_length").as("warc_length"))
+    originals.select(cols.map(col): _*)
+      .unionByName(repointed.select(cols.map(col): _*))
   }
 
   /** Write a sorted single-file CDXJ index (the archive convention:

@@ -269,6 +269,70 @@ object IngestGateQueries {
   private val cdxWriteExpectedDir = "/tmp/graft_gate_s17_expected"
   private val cdxProduced = "/tmp/graft_gate_s17_produced.cdxj"
 
+  private val s19WarcDir = "/tmp/graft_gate_s19_warc"
+  private val s19Produced = "/tmp/graft_gate_s19_produced.cdxj"
+  private val s19ExpectedDir = "/tmp/graft_gate_s19_expected"
+
+  /** s19 fixture: two originals + two revisits. Original A STATES its
+    * payload digest (the crawler-written shape); original B leaves it
+    * for the indexer to compute from the HTTP body — the revisit
+    * digests must match through both paths. Expected rows are derived
+    * here from the authored bytes alone: revisit entries keep their
+    * own capture identity (surt/ts/url/status) and take the
+    * original's mime and byte range, so their fetched md5 IS the
+    * original record's.
+    */
+  private def writeS19Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val utf8 = StandardCharsets.UTF_8
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val bodyA = "<html><body>original capture A</body></html>".getBytes(utf8)
+    val bodyB = "<html><body>a different page B</body></html>".getBytes(utf8)
+    val pA = httpMsg("200 OK", "text/html; charset=UTF-8", bodyA)
+    val pB = httpMsg("200 OK", "text/html", bodyB)
+    val revisitPayload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "\r\n").getBytes(StandardCharsets.ISO_8859_1)
+    val rA = warcRecord("response", "s19a", "2026-08-14T09:00:00Z",
+      Some("http://example.com/page"), "application/http; msgtype=response",
+      pA, extra = Seq("WARC-Payload-Digest" -> s"sha1:${sha1b32(bodyA)}"))
+    val rB = warcRecord("response", "s19b", "2026-08-14T09:30:00Z",
+      Some("http://example.com/other"), "application/http; msgtype=response",
+      pB)
+    val vA = warcRecord("revisit", "s19c", "2026-08-14T10:00:00Z",
+      Some("http://example.com/page"), "application/http; msgtype=response",
+      revisitPayload,
+      extra = Seq("WARC-Payload-Digest" -> s"sha1:${sha1b32(bodyA)}",
+        "WARC-Refers-To" -> "<urn:uuid:s19a>"))
+    val vB = warcRecord("revisit", "s19d", "2026-08-14T11:00:00Z",
+      Some("http://example.com/other"), "application/http; msgtype=response",
+      revisitPayload,
+      extra = Seq("WARC-Payload-Digest" -> s"sha1:${sha1b32(bodyB)}",
+        "WARC-Refers-To" -> "<urn:uuid:s19b>"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s19WarcDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s19WarcDir, "crawl.warc.gz"),
+      gz(rA) ++ gz(rB) ++ gz(vA) ++ gz(vB))
+    Seq(
+      ("com,example)/other", "20260814093000", "http://example.com/other",
+        "text/html", 200, md5hex(pB)),
+      ("com,example)/other", "20260814110000", "http://example.com/other",
+        "text/html", 200, md5hex(pB)),
+      ("com,example)/page", "20260814090000", "http://example.com/page",
+        "text/html", 200, md5hex(pA)),
+      ("com,example)/page", "20260814100000", "http://example.com/page",
+        "text/html", 200, md5hex(pA)))
+      .toDF("surt_key", "ts", "url", "mime", "status", "payload_md5")
+      .coalesce(1).write.mode("overwrite").parquet(s19ExpectedDir)
+  }
+
   private def writeCdxFixture(s: SparkSession): Unit = {
     import s.implicits._
     val utf8 = StandardCharsets.UTF_8
@@ -288,7 +352,8 @@ object IngestGateQueries {
     val p3 = "Doc three stays unselected.".getBytes(utf8)
     val d4Text = "Plain-range fetch works too."
     val p4 = d4Text.getBytes(utf8)
-    val p5 = httpMsg("404 Not Found", "text/html", "<html>gone</html>".getBytes(utf8))
+    val body5 = "<html>gone</html>".getBytes(utf8)
+    val p5 = httpMsg("404 Not Found", "text/html", body5)
 
     val r1 = warcRecord("conversion", "d1", "2026-08-14T09:00:00Z",
       Some("http://example.com/idx1"), "text/plain", p1)
@@ -357,15 +422,18 @@ object IngestGateQueries {
 
     // s17 expected: the CDXJ entries an index writer must derive from
     // the archive — surt/ts from the authored headers, status/mime
-    // from the authored HTTP lines, sha1-base32 block digests and the
-    // authored member/record byte ranges. ALL five records (the writer
-    // indexes everything with a target URI; selection happens at read).
+    // from the authored HTTP lines, pywb-convention payload digests
+    // (sha1-base32 of the HTTP BODY for responses, of the block for
+    // conversions — two captures of identical content then share a
+    // digest, which revisit resolution joins on) and the authored
+    // member/record byte ranges. ALL five records (the writer indexes
+    // everything with a target URI; selection happens at read).
     Seq(
       ("com,example)/idx1", "20260814090000", "http://example.com/idx1",
         "text/plain", 200, sha1b32(p1), "seg/part1.warc.gz", 0L,
         m1.length.toLong),
       ("com,example)/idx2", "20260814090100", "http://example.com/idx2",
-        "text/html", 200, sha1b32(p2), "seg/part1.warc.gz",
+        "text/html", 200, sha1b32(html2), "seg/part1.warc.gz",
         m1.length.toLong, m2.length.toLong),
       ("com,example)/idx3", "20260814090200", "http://example.com/idx3",
         "text/plain", 200, sha1b32(p3), "seg/part1.warc.gz",
@@ -374,7 +442,7 @@ object IngestGateQueries {
         "text/plain", 200, sha1b32(p4), "part2.warc", 0L,
         r4.length.toLong),
       ("com,example)/idx5", "20260814090400", "http://example.com/idx5",
-        "text/html", 404, sha1b32(p5), "part2.warc", r4.length.toLong,
+        "text/html", 404, sha1b32(body5), "part2.warc", r4.length.toLong,
         r5.length.toLong))
       .toDF("surt_key", "ts", "url", "mime", "status", "digest",
         "warc_file", "warc_offset", "warc_length")
@@ -538,6 +606,32 @@ object IngestGateQueries {
     //    member-per-record .warc.gz (block digests included), read
     //    back through the standard scan: content, identity, and the
     //    digest verdicts must match the source table exactly. --------
+    // -- S19: REVISIT resolution round trip — a crawl archive with
+    //    revisit records (crawl-time dedup: headers-only records whose
+    //    WARC-Payload-Digest names the original capture's body digest)
+    //    is indexed, the revisits re-pointed at the payload-bearing
+    //    captures, and a fetch through the resolved index must return
+    //    the ORIGINAL record's bytes for every revisit entry. One
+    //    original states its payload digest, the other leaves it for
+    //    the indexer to compute — the join must work through both. ---
+    "s19_cdx_revisit" -> { (s, _) =>
+      writeS19Fixture(s)
+      val scanned = graft.engine.read.Cdx.scanWithRanges(s,
+        s"$s19WarcDir/crawl.warc.gz")
+      graft.engine.read.Cdx.writeCdxj(scanned, s19Produced, base = s19WarcDir)
+      val resolved = graft.engine.read.Cdx.resolveRevisits(
+        graft.engine.read.Cdx.readCdxj(s, s19Produced))
+      val fetched = graft.engine.read.Cdx
+        .fetch(resolved.select("warc_file", "warc_offset", "warc_length")
+          .distinct(), base = s19WarcDir)
+        .select(col("src_file").as("warc_file"),
+          col("offset").as("warc_offset"),
+          md5(col("payload")).as("payload_md5"))
+      resolved.join(fetched, Seq("warc_file", "warc_offset"))
+        .select("surt_key", "ts", "url", "mime", "status", "payload_md5")
+        .orderBy("surt_key", "ts")
+    },
+
     "s18_warc_export" -> { (s, _) =>
       val dir = "/tmp/graft_gate_s18_warc_out"
       val p = java.nio.file.Paths.get(dir)
@@ -644,6 +738,13 @@ object IngestGateQueries {
          |  warc_file, warc_offset, warc_length
          |FROM read_parquet('$cdxWriteExpectedDir/*.parquet')
          |ORDER BY surt_key""".stripMargin,
+    // Expected rows derived from the authored records alone
+    // (writeS19Fixture): each revisit resolves to its original's
+    // range, so its fetched md5 equals the original record's.
+    "s19_cdx_revisit" ->
+      s"""SELECT surt_key, ts, url, mime, status, payload_md5
+         |FROM read_parquet('$s19ExpectedDir/*.parquet')
+         |ORDER BY surt_key, ts""".stripMargin,
     "s1_csv_ingest" ->
       s"""WITH raw AS (
          |  SELECT * FROM read_csv('$csvPath', header=true, all_varchar=true,

@@ -93,6 +93,104 @@ class CdxSpec extends SparkSpec {
       "request record leaked into the index:\n" + lines.mkString("\n"))
   }
 
+  test("toCdxj digests: stated payload digest wins, response body hashed, block elsewhere") {
+    def rec2(wtype: String, ct: String, payload: Array[Byte],
+             extra: Seq[(String, String)] = Nil): Array[Byte] = {
+      val iso = StandardCharsets.ISO_8859_1
+      val hdrs = Seq("WARC-Type" -> wtype,
+        "WARC-Record-ID" -> s"<urn:uuid:$wtype>",
+        "WARC-Date" -> "2026-08-14T09:00:00Z",
+        "WARC-Target-URI" -> s"http://example.com/$wtype") ++ extra ++
+        Seq("Content-Type" -> ct, "Content-Length" -> payload.length.toString)
+      ("WARC/1.0" +: hdrs.map { case (k, v) => s"$k: $v" })
+        .mkString("", "\r\n", "\r\n\r\n").getBytes(iso) ++ payload ++
+        "\r\n\r\n".getBytes(iso)
+    }
+    def sha1b32(b: Array[Byte]): String = Warc.base32(
+      java.security.MessageDigest.getInstance("SHA-1").digest(b))
+    val body = "<html>the body</html>".getBytes(StandardCharsets.UTF_8)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ body
+    val conv = "plain text".getBytes(StandardCharsets.UTF_8)
+    val dir = tmpDir("cdxdg")
+    val bytes =
+      gz(rec2("response", "application/http; msgtype=response", http)) ++
+      gz(rec2("conversion", "text/plain", conv)) ++
+      gz(rec2("resource", "text/plain", conv,
+        extra = Seq("WARC-Payload-Digest" -> "sha1:STATEDIGEST234567"))) ++
+      gz(rec2("revisit", "application/http; msgtype=response",
+        "HTTP/1.1 200 OK\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1),
+        extra = Seq("WARC-Payload-Digest" -> s"sha1:${sha1b32(body)}")))
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), bytes)
+    val got = Cdx.readCdxj(spark, {
+      val out = dir.resolve("idx.cdxj").toString
+      Cdx.writeCdxj(Cdx.scanWithRanges(spark,
+        dir.resolve("a.warc.gz").toString), out)
+      out
+    }).select("url", "mime", "status", "digest").collect()
+      .map(r => r.getString(0).split("/").last ->
+        (r.getString(1), r.getInt(2), r.getString(3))).toMap
+    assert(got("response") == (("text/html", 200, sha1b32(body))),
+      "response digest must cover the HTTP BODY")
+    assert(got("conversion") == (("text/plain", 200, sha1b32(conv))),
+      "conversion digest is the block digest")
+    assert(got("resource")._3 == "STATEDIGEST234567",
+      "a stated WARC-Payload-Digest wins, algo prefix stripped")
+    assert(got("revisit") == (("warc/revisit", 200, sha1b32(body))),
+      "revisit: pywb mime marker + the stated pointer digest")
+    // the revisit and the response now share a digest — the property
+    // resolveRevisits joins on
+    assert(got("revisit")._3 == got("response")._3)
+  }
+
+  test("resolveRevisits: re-points at the EARLIEST capture; fetch composes") {
+    import spark.implicits._
+    val cdx = Seq(
+      // two captures of the same content: the later one must NOT win
+      ("com,a)/x", "20260101000000", "http://a.com/x", "text/html", 200,
+        "DG1", "f1.warc.gz", 0L, 100L),
+      ("com,a)/x", "20260301000000", "http://a.com/x", "text/html", 200,
+        "DG1", "f2.warc.gz", 50L, 100L),
+      ("com,a)/x", "20260401000000", "http://a.com/x", "warc/revisit", 200,
+        "DG1", "f3.warc.gz", 10L, 30L),
+      ("com,b)/y", "20260102000000", "http://b.com/y", "text/plain", 200,
+        "DG2", "f1.warc.gz", 100L, 80L))
+      .toDF("surt_key", "ts", "url", "mime", "status", "digest",
+        "warc_file", "warc_offset", "warc_length")
+    val out = Cdx.resolveRevisits(cdx).orderBy("surt_key", "ts").collect()
+    assert(out.length == 4)
+    val revisit = out.find(_.getAs[String]("ts") == "20260401000000").get
+    assert(revisit.getAs[String]("warc_file") == "f1.warc.gz" &&
+      revisit.getAs[Long]("warc_offset") == 0L &&
+      revisit.getAs[Long]("warc_length") == 100L &&
+      revisit.getAs[String]("mime") == "text/html" &&
+      revisit.getAs[String]("url") == "http://a.com/x")
+    // originals pass through untouched
+    assert(out.count(_.getAs[String]("warc_file") == "f2.warc.gz") == 1)
+  }
+
+  test("resolveRevisits: an unresolvable revisit fails loud (or drops when allowed)") {
+    import spark.implicits._
+    val cdx = Seq(
+      ("com,a)/x", "20260101000000", "http://a.com/x", "text/html", 200,
+        "DG1", "f1.warc.gz", 0L, 100L),
+      ("com,c)/z", "20260401000000", "http://c.com/z", "warc/revisit", 200,
+        "MISSING", "f3.warc.gz", 10L, 30L))
+      .toDF("surt_key", "ts", "url", "mime", "status", "digest",
+        "warc_file", "warc_offset", "warc_length")
+    val e = intercept[Exception] {
+      Cdx.resolveRevisits(cdx).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("unresolvable revisit") && m.contains("http://c.com/z")))
+    val dropped = Cdx.resolveRevisits(cdx, requireResolved = false).collect()
+    assert(dropped.length == 1 &&
+      dropped.head.getAs[String]("warc_file") == "f1.warc.gz")
+  }
+
   test("fetch: member-per-record gz ranges and plain ranges resolve to the right records") {
     val root = tmpDir("cdxarc")
     val (m1, m2) = (gz(rec("a", "alpha doc")), gz(rec("b", "beta doc")))
