@@ -65,9 +65,12 @@ object AudioFingerprint {
       fLo * math.pow(fHi / fLo, b.toDouble / Bands)))
   }
 
-  /** Mono samples in [-1, 1] + sample rate from one RIFF/WAVE payload
-    * (integer PCM, 8-bit unsigned / 16/24/32-bit signed little-endian;
-    * channels averaged). None on any other container or codec.
+  /** Mono samples in [-1, 1] + sample rate from one RIFF/WAVE payload:
+    * integer PCM (format 1; 8-bit unsigned, 16/24/32-bit signed
+    * little-endian), IEEE float (format 3; 32/64-bit), or
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE — the real format code lives in
+    * the first two SubFormat GUID bytes) wrapping either. Channels
+    * average to mono. None on any other container or codec.
     */
   def pcmMono(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
     if (bytes == null || bytes.length < 12) return None
@@ -89,7 +92,13 @@ object AudioFingerprint {
       val start = o + 8
       val avail = math.min(declared, (bytes.length - start).toLong)
       if (id == "fmt " && fmt.isEmpty && avail >= 16) {
-        fmt = Some((u16(start), u16(start + 2), u32(start + 4).toInt,
+        // WAVE_FORMAT_EXTENSIBLE: the real code is the SubFormat
+        // GUID's leading two bytes (fmt is 40 bytes: cbSize at +16,
+        // valid bits, channel mask, then the GUID at +24)
+        val raw = u16(start)
+        val format =
+          if (raw == 0xFFFE && avail >= 26) u16(start + 24) else raw
+        fmt = Some((format, u16(start + 2), u32(start + 4).toInt,
           u16(start + 14)))
       } else if (id == "data" && data.isEmpty) {
         data = Some((start, avail.toInt))
@@ -99,8 +108,9 @@ object AudioFingerprint {
     for {
       (format, channels, rate, bits) <- fmt
       (dStart, dLen) <- data
-      if format == 1 && channels >= 1 && rate >= 1 &&
-        Set(8, 16, 24, 32).contains(bits)
+      if channels >= 1 && rate >= 1 &&
+        ((format == 1 && Set(8, 16, 24, 32).contains(bits)) ||
+          (format == 3 && Set(32, 64).contains(bits)))
     } yield {
       val bytesPerSample = bits / 8
       val frameBytes = bytesPerSample * channels
@@ -113,19 +123,33 @@ object AudioFingerprint {
         var c = 0
         while (c < channels) {
           val p = dStart + i * frameBytes + c * bytesPerSample
-          // 8-bit WAV is UNSIGNED centered at 128; wider widths are
-          // signed little-endian (top byte sign-extends via the plain
-          // `.toLong` shift)
-          val v: Long = bits match {
-            case 8 => (bytes(p) & 0xffL) - 128L
-            case 16 => ((bytes(p) & 0xffL) |
-              (bytes(p + 1).toLong << 8)).toShort.toLong
-            case 24 => (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-              (bytes(p + 2).toLong << 16)
-            case _ => (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-              ((bytes(p + 2) & 0xffL) << 16) | (bytes(p + 3).toLong << 24)
+          if (format == 3) {
+            // IEEE float samples are already in [-1, 1]
+            acc +=
+              (if (bits == 32)
+                java.lang.Float.intBitsToFloat((
+                  (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+                    ((bytes(p + 2) & 0xff) << 16) |
+                    ((bytes(p + 3) & 0xff) << 24)).toInt).toDouble
+              else
+                java.lang.Double.longBitsToDouble(
+                  (0 until 8).map(j =>
+                    (bytes(p + j) & 0xffL) << (8 * j)).reduce(_ | _)))
+          } else {
+            // 8-bit WAV is UNSIGNED centered at 128; wider widths are
+            // signed little-endian (top byte sign-extends via the
+            // plain `.toLong` shift)
+            val v: Long = bits match {
+              case 8 => (bytes(p) & 0xffL) - 128L
+              case 16 => ((bytes(p) & 0xffL) |
+                (bytes(p + 1).toLong << 8)).toShort.toLong
+              case 24 => (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+                (bytes(p + 2).toLong << 16)
+              case _ => (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+                ((bytes(p + 2) & 0xffL) << 16) | (bytes(p + 3).toLong << 24)
+            }
+            acc += v.toDouble / scale
           }
-          acc += v.toDouble / scale
           c += 1
         }
         out(i) = acc / channels

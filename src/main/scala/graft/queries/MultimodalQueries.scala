@@ -765,6 +765,22 @@ object MultimodalQueries {
       pairs.orderBy("vid_a", "vid_b")
     },
 
+    // -- m19: incremental audio dedup vs the persisted signature
+    //    index (the m12 shape for audio) — index = the base recording;
+    //    its gain and requantized copies drop at distance 0, the
+    //    complemented recording (64 bits) and the undecodable payload
+    //    survive. ------------------------------------------------------
+    "m19_audio_index_dedup" -> { (s, _) =>
+      writeM15Fixture(s)
+      import graft.multimodal.AudioFingerprint
+      val all = s.read.parquet(m15Dir)
+      val idx = AudioFingerprint.buildAudioIndex(
+        all.filter(col("audio_id") === 0L), "audio_id", "content")
+      AudioFingerprint.dropNearDuplicateAudio(all, idx,
+          "audio_id", "content", maxHamming = 4)
+        .select("audio_id").orderBy("audio_id")
+    },
+
     // -- m18: incremental video dedup vs the persisted frame-hash
     //    index (the m12 shape for video) — index = clip 0; the base
     //    and its re-mux drop at full frame coverage, the different
@@ -1100,6 +1116,12 @@ object MultimodalQueries {
         |  (0::BIGINT, 1::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT))
         |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // Survivors: id 0 IS the indexed recording and 1/2 are its copies
+    // (distance 0); the complemented recording (3) is 64 bits away and
+    // the undecodable payload (4) hashes NULL — both pass through.
+    "m19_audio_index_dedup" ->
+      """SELECT * FROM (VALUES (3::BIGINT), (4::BIGINT)) t(audio_id)
+        |ORDER BY audio_id""".stripMargin,
     // Survivors: the indexed clip (0) and its re-mux (1) are fully
     // frame-covered; the different clip (2) shares no frame; the
     // non-video (3) has no signature and must pass through.

@@ -217,6 +217,48 @@ object StreamingIngest {
       }
       .start()
 
+  /** Perceptual near-dup streaming filter for MEDIA payloads — the
+    * image/audio/video sibling of [[nearDupAgainstIndexSink]]: each
+    * microbatch drops clips/images within `maxHamming` bits of the
+    * persisted signature index
+    * ([[graft.multimodal.ImageHash.buildImageIndex]] /
+    * [[graft.multimodal.AudioFingerprint.buildAudioIndex]] /
+    * [[graft.multimodal.VideoFrameHash.buildVideoIndex]] — pick the
+    * `medium` to match the index you pass) and hands the kept slice to
+    * `writeKept`. Undecodable payloads SURVIVE, as in batch — route
+    * them to a validator, not the dedupper. Index growth and epoch
+    * idempotence contracts are identical to
+    * [[nearDupAgainstIndexSink]].
+    */
+  def mediaNearDupAgainstIndexSink(stream: DataFrame, index: DataFrame,
+                                   idCol: String, bytesCol: String,
+                                   queryName: String,
+                                   medium: String = "image",
+                                   maxHamming: Int = 4,
+                                   maxBucket: Int = 1 << 12)
+                                  (writeKept: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("image", "audio", "video").contains(medium),
+      s"medium must be image|audio|video: $medium")
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = medium match {
+          case "image" => graft.multimodal.ImageHash.dropNearDuplicateImages(
+            batch, index, idCol, bytesCol, maxHamming, maxBucket)
+          case "audio" => graft.multimodal.AudioFingerprint
+            .dropNearDuplicateAudio(
+              batch, index, idCol, bytesCol, maxHamming, maxBucket)
+          case _ => graft.multimodal.VideoFrameHash.dropNearDuplicateVideos(
+            batch, index, idCol, bytesCol, maxHamming,
+            maxBucket = maxBucket)
+        }
+        writeKept(kept, batchId)
+      }
+      .start()
+  }
+
   /** The COMPOSED curation pipeline as a streaming sink: every
     * microbatch runs the full
     * [[graft.ops.CurationPipeline.curate]] program — html extract →

@@ -121,6 +121,44 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 32)) == a)
   }
 
+  /** IEEE-float (format 3) or WAVE_FORMAT_EXTENSIBLE WAV writer. */
+  private def wavFloat(x: Array[Double], rate: Int, bits: Int,
+                       extensible: Boolean = false): Array[Byte] = {
+    val bps = bits / 8
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit =
+      (0 to 3).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    val fmtLen = if (extensible) 40 else 16
+    bos.write("RIFF".getBytes); w32(20L + fmtLen + x.length * bps)
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); w32(fmtLen.toLong)
+    w16(if (extensible) 0xFFFE else 3); w16(1); w32(rate.toLong)
+    w32(rate.toLong * bps); w16(bps); w16(bits)
+    if (extensible) {
+      w16(22); w16(bits); w32(4L) // cbSize, valid bits, channel mask
+      w16(3); w16(0)              // SubFormat GUID: format 3 leading
+      w32(0x00100000L); w32(0xAA000080L); w32(0x719B3800L)
+    }
+    bos.write("data".getBytes); w32(x.length.toLong * bps)
+    for (s <- x) {
+      if (bits == 32) w32(java.lang.Float.floatToIntBits(s.toFloat) & 0xFFFFFFFFL)
+      else (0 until 8).foreach(i => bos.write(
+        ((java.lang.Double.doubleToLongBits(s) >> (8 * i)) & 0xff).toInt))
+    }
+    bos.toByteArray
+  }
+
+  test("float32/float64 and WAVE_FORMAT_EXTENSIBLE encodes hash identically") {
+    val a = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16))
+    assert(AudioFingerprint.spectralHash64(
+      wavFloat(samples(1.0), sr, 32)) == a, "float32")
+    assert(AudioFingerprint.spectralHash64(
+      wavFloat(samples(1.0), sr, 64)) == a, "float64")
+    assert(AudioFingerprint.spectralHash64(
+      wavFloat(samples(1.0), sr, 32, extensible = true)) == a, "extensible")
+  }
+
   test("channel mix: stereo with an attenuated right channel hashes identically") {
     val a = AudioFingerprint.spectralHash64(wav(samples(1.0), sr, 16))
     val st = wav(samples(1.0), sr, 16, channels = 2,

@@ -324,6 +324,41 @@ class StreamingSpec extends SparkSpec {
     assert(kept.map(_._2).toSet == Set(11L, 13L))
   }
 
+  test("streaming media near-dup: perceptual index filter per microbatch") {
+    implicit val sqlCtx = spark.sqlContext
+    def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = v(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    val grad = grayPng(9, 8, (x, _) => 28 * x)
+    val grad2x = grayPng(18, 16, (x, _) => 14 * x) // same picture at 2x
+    val stripes = grayPng(9, 8, (x, _) => if (x % 2 == 1) 255 else 0)
+    val index = graft.multimodal.ImageHash.buildImageIndex(
+      Seq((100L, grad)).toDF("img_id", "content"), "img_id", "content")
+      .persist()
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingIngest.mediaNearDupAgainstIndexSink(
+      input.toDF().toDF("id", "content"), index, "id", "content",
+      "media_neardup_sink") { (keptDf, _) =>
+      kept.synchronized { kept ++= keptDf.select("id").as[Long].collect() }
+    }
+    // the resized copy of the indexed picture drops; the different
+    // picture and the undecodable payload survive
+    input.addData((10L, grad2x), (11L, stripes), (12L, "broken".getBytes))
+    q.processAllAvailable()
+    q.stop()
+    index.unpersist()
+    assert(kept.toSet == Set(11L, 12L))
+  }
+
   test("streaming composed curation: full pipeline per microbatch") {
     implicit val sqlCtx = spark.sqlContext
     val seen = Seq((100L,
