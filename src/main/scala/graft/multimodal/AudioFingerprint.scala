@@ -213,7 +213,7 @@ object AudioFingerprint {
   private val MinFrame = 128
 
   /** 64-bit spectral band-energy hash of one WAV payload; None when
-    * the payload is not integer-PCM WAV, is shorter than
+    * the payload is not PCM WAV, is shorter than
     * `TimeSegments × 128` samples, or its sample rate cannot cover
     * the analysis band.
     */
@@ -221,13 +221,22 @@ object AudioFingerprint {
     val decoded = pcmMono(bytes)
     if (decoded.isEmpty) return None
     val (x, sr) = decoded.get
+    hashRange(x, 0, x.length, sr)
+  }
+
+  /** The hash kernel over a sample range — shared by the whole-clip
+    * hash and the windowed sub-fingerprints.
+    */
+  private def hashRange(x: Array[Double], from: Int, until: Int,
+                        sr: Int): Option[Long] = {
     val edges = bandEdges(sr).getOrElse(return None)
-    if (x.length < TimeSegments * MinFrame) return None
+    val len = until - from
+    if (len < TimeSegments * MinFrame) return None
     var hash = 0L
     var t = 0
     while (t < TimeSegments) {
-      val s0 = (t.toLong * x.length / TimeSegments).toInt
-      val s1 = ((t + 1).toLong * x.length / TimeSegments).toInt
+      val s0 = from + (t.toLong * len / TimeSegments).toInt
+      val s1 = from + ((t + 1).toLong * len / TimeSegments).toInt
       val f = math.min(4096, pow2Floor(s1 - s0))
       val half = f / 2
       val power = new Array[Double](half)
@@ -266,6 +275,103 @@ object AudioFingerprint {
       t += 1
     }
     Some(hash)
+  }
+
+  /** Windowed sub-fingerprints — the trim/excerpt-robust face. The
+    * whole-clip hash's 8-segment grid is ALIGNMENT-SENSITIVE: cutting
+    * ten seconds off the front shifts every segment boundary and
+    * changes the hash. Sub-fingerprints hash consecutive FIXED-length
+    * windows (`windowSeconds`, hop = half a window), so the clip's
+    * signature is a SET of hashes and an excerpt shares the windows of
+    * the span it kept: a cut at a hop multiple reproduces interior
+    * window hashes EXACTLY; an arbitrary cut shifts windows by at most
+    * half a hop, which locally-stationary audio and the Hamming budget
+    * absorb. Matching composes through [[SetSignature]] exactly like
+    * video frame hashes.
+    *
+    * Clips shorter than one window fall back to a single whole-clip
+    * hash, so short content stays matchable. None when the payload is
+    * not PCM WAV or cannot hash at all.
+    */
+  def windowHashes(bytes: Array[Byte],
+                   windowSeconds: Double = 2.0): Option[Seq[Long]] = {
+    require(windowSeconds > 0, s"windowSeconds must be positive: $windowSeconds")
+    val decoded = pcmMono(bytes)
+    if (decoded.isEmpty) return None
+    val (x, sr) = decoded.get
+    val w = math.max(TimeSegments * MinFrame, (windowSeconds * sr).toInt)
+    val hop = w / 2
+    if (x.length < w)
+      return hashRange(x, 0, x.length, sr).map(Seq(_))
+    val out = Seq.newBuilder[Long]
+    var off = 0
+    while (off + w <= x.length) {
+      hashRange(x, off, off + w, sr).foreach(out += _)
+      off += hop
+    }
+    val hs = out.result()
+    if (hs.isEmpty) None else Some(hs)
+  }
+
+  private def windowSigUdf(windowSeconds: Double) = udf { (bytes: Array[Byte]) =>
+    windowHashes(bytes, windowSeconds).map(_.toArray).orNull
+  }
+
+  /** Window-hash signature as an `array<bigint>` column (NULL when
+    * undecodable).
+    */
+  def windowSignature(bytesCol: Column,
+                      windowSeconds: Double = 2.0): Column =
+    windowSigUdf(windowSeconds)(bytesCol)
+
+  /** Excerpt-robust near-dup pairs over window signatures:
+    * `(id_a, id_b, n_windows_a, n_windows_b, matched_a, matched_b)`
+    * for pairs where the better-covered side reaches `minMatchFrac` —
+    * an excerpt reaches frac 1 on its own side ([[SetSignature]]
+    * containment semantics). Returned frame is persisted +
+    * materialized; callers may `unpersist()`.
+    */
+  def nearDuplicateAudioExcerpts(df: DataFrame, idCol: String,
+                                 bytesCol: String,
+                                 maxHamming: Int = 4,
+                                 minMatchFrac: Double = 0.5,
+                                 windowSeconds: Double = 2.0,
+                                 maxBucket: Int = 1 << 12): DataFrame =
+    SetSignature.nearDuplicatesBySignature(
+      df.select(col(idCol).as("__sid"),
+        explode(windowSignature(col(bytesCol), windowSeconds)).as("__sh")),
+      "__sid", "__sh", maxHamming, minMatchFrac, maxBucket,
+      outNames = Seq("id_a", "id_b", "n_windows_a", "n_windows_b",
+        "matched_a", "matched_b"))
+
+  /** Persisted window-signature index — `(audio_id, whash)` rows, the
+    * excerpt-matchable analogue of [[buildAudioIndex]].
+    */
+  def buildAudioWindowIndex(df: DataFrame, idCol: String, bytesCol: String,
+                            windowSeconds: Double = 2.0): DataFrame =
+    df.select(col(idCol).as("audio_id"),
+        explode(windowSignature(col(bytesCol), windowSeconds)).as("whash"))
+      .distinct()
+
+  /** Incremental excerpt dedup against a [[buildAudioWindowIndex]]
+    * frame: batch clips covered at `minMatchFrac` drop (an excerpt of
+    * an indexed recording drops even though the whole-clip hash never
+    * would); clips with no signature survive.
+    */
+  def dropNearDuplicateAudioExcerpts(batch: DataFrame, index: DataFrame,
+                                     idCol: String, bytesCol: String,
+                                     maxHamming: Int = 4,
+                                     minMatchFrac: Double = 0.5,
+                                     windowSeconds: Double = 2.0,
+                                     maxBucket: Int = 1 << 12): DataFrame = {
+    require(index.columns.toSeq.contains("audio_id") &&
+      index.columns.toSeq.contains("whash"),
+      "index must be a buildAudioWindowIndex frame with (audio_id, whash)")
+    val covered = SetSignature.coveredIds(
+      batch.select(col(idCol).as("__sid"),
+        explode(windowSignature(col(bytesCol), windowSeconds)).as("__sh")),
+      index, "__sid", "__sh", "whash", maxHamming, minMatchFrac, maxBucket)
+    batch.join(covered, col(idCol) === col("__covered_id"), "left_anti")
   }
 
   private val hashUdf = udf { (bytes: Array[Byte]) =>

@@ -137,52 +137,13 @@ object VideoFrameHash {
                           maxHamming: Int = 4,
                           minMatchFrac: Double = 0.5,
                           maxFrames: Int = DefaultMaxFrames,
-                          maxBucket: Int = 1 << 12): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 64): $maxHamming")
-    require(minMatchFrac > 0 && minMatchFrac <= 1,
-      s"minMatchFrac must be in (0, 1]: $minMatchFrac")
-    val sigs = df
-      .select(col(idCol).as("__vid"),
-        explode(signature(col(bytesCol), maxFrames)).as("__fh"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val counts = sigs.groupBy("__vid").agg(count(lit(1)).as("__nf"))
-      val banded = ImageHash.capBuckets(
-        sigs.select(col("__vid"), col("__fh"),
-            explode(ImageHash.bandStructs(col("__fh"), maxHamming))
-              .as("__band"))
-          .select(col("__vid"), col("__fh"),
-            col("__band.blk").as("__blk"), col("__band.key").as("__key")),
-        maxBucket)
-      val a = banded.alias("a")
-      val b = banded.alias("b")
-      val matched = a.join(b,
-          col("a.__blk") === col("b.__blk") &&
-            col("a.__key") === col("b.__key") &&
-            col("a.__vid") < col("b.__vid"))
-        .filter(F.hamming(col("a.__fh"), col("b.__fh"))
-          .cast("int") <= maxHamming)
-        .select(col("a.__vid").as("__va"), col("b.__vid").as("__vb"),
-          col("a.__fh").as("__fa"), col("b.__fh").as("__fb"))
-        .groupBy("__va", "__vb")
-        .agg(countDistinct("__fa").as("matched_a"),
-          countDistinct("__fb").as("matched_b"))
-      val out = matched
-        .join(counts.toDF("__va", "__na"), Seq("__va"))
-        .join(counts.toDF("__vb", "__nb"), Seq("__vb"))
-        .filter(greatest(
-          col("matched_a").cast("double") / col("__na"),
-          col("matched_b").cast("double") / col("__nb")) >= minMatchFrac)
-        .select(col("__va").as("vid_a"), col("__vb").as("vid_b"),
-          col("__na").as("n_frames_a"), col("__nb").as("n_frames_b"),
-          col("matched_a"), col("matched_b"))
-        .persist()
-      out.count()
-      out
-    } finally { sigs.unpersist(); () }
-  }
+                          maxBucket: Int = 1 << 12): DataFrame =
+    SetSignature.nearDuplicatesBySignature(
+      df.select(col(idCol).as("__sid"),
+        explode(signature(col(bytesCol), maxFrames)).as("__sh")),
+      "__sid", "__sh", maxHamming, minMatchFrac, maxBucket,
+      outNames = Seq("vid_a", "vid_b", "n_frames_a", "n_frames_b",
+        "matched_a", "matched_b"))
 
   /** Persisted video signature index — one `(video_id, fhash)` row
     * per sampled frame hash, the video face of
@@ -219,32 +180,10 @@ object VideoFrameHash {
     // appears on both the probe and the output side of the anti join —
     // the bounded per-clip decode is paid twice in exchange for a
     // single self-cleaning plan (no persist to leak past the return)
-    val sigs = batch
-      .select(col(idCol).as("__vid"),
-        explode(signature(col(bytesCol), maxFrames)).as("__fh"))
-      .distinct()
-    val counts = sigs.groupBy("__vid").agg(count(lit(1)).as("__nf"))
-    val probe = sigs.select(col("__vid"), col("__fh"),
-      explode(ImageHash.bandStructs(col("__fh"), maxHamming))
-        .as("__band"))
-    // the skew cap applies to the SEEN side, as in the image path
-    val seen = ImageHash.capBuckets(
-      index.select(col("fhash").as("__sh"),
-          explode(ImageHash.bandStructs(col("fhash"), maxHamming))
-            .as("__sband"))
-        .select(col("__sh"), col("__sband.blk").as("__blk"),
-          col("__sband.key").as("__key")),
-      maxBucket)
-    val dupIds = probe.join(seen,
-        col("__band.blk") === col("__blk") &&
-          col("__band.key") === col("__key"))
-      .filter(F.hamming(col("__fh"), col("__sh"))
-        .cast("int") <= maxHamming)
-      .select(col("__vid"), col("__fh")).distinct()
-      .groupBy("__vid").agg(count(lit(1)).as("__m"))
-      .join(counts, Seq("__vid"))
-      .filter(col("__m").cast("double") / col("__nf") >= minMatchFrac)
-      .select(col("__vid"))
-    batch.join(dupIds, col(idCol) === col("__vid"), "left_anti")
+    val covered = SetSignature.coveredIds(
+      batch.select(col(idCol).as("__sid"),
+        explode(signature(col(bytesCol), maxFrames)).as("__sh")),
+      index, "__sid", "__sh", "fhash", maxHamming, minMatchFrac, maxBucket)
+    batch.join(covered, col(idCol) === col("__covered_id"), "left_anti")
   }
 }

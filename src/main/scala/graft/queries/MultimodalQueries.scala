@@ -658,6 +658,30 @@ object MultimodalQueries {
     bos.toByteArray
   }
 
+  /** m20: one-second blocks with per-block stationary level patterns;
+    * global-phase exact-bin tones, so every 1024-sample frame inside a
+    * block sees the same spectrum (the AudioFingerprintSpec blockClip
+    * derivation).
+    */
+  private def m20BlockClip(pats: Seq[Seq[Int]], gain: Double): Array[Double] = {
+    val edges = graft.multimodal.AudioFingerprint.bandEdges(m15Sr).get
+    val binHz = m15Sr.toDouble / m15Frame
+    def bandBin(b: Int): Int = {
+      val lo = math.max(1, math.ceil(edges(b) / binHz).toInt)
+      val hi = math.floor(edges(b + 1) / binHz).toInt
+      (lo + hi) / 2
+    }
+    val x = new Array[Double](pats.length * m15Sr)
+    for (j <- pats.indices; i <- 0 until m15Sr) {
+      var s = 0.0
+      for (b <- 0 until 9)
+        s += m15Levels(pats(j)(b)) *
+          math.sin(2.0 * math.Pi * bandBin(b) * (j.toLong * m15Sr + i) / m15Frame)
+      x(j * m15Sr + i) = s * gain
+    }
+    x
+  }
+
   private def writeM15Fixture(s: SparkSession): Unit = {
     import s.implicits._
     val comp = m15Patterns.map(_.map(2 - _))
@@ -763,6 +787,31 @@ object MultimodalQueries {
       val pairs = VideoFrameHash.nearDuplicateVideos(
         s.read.parquet(m17Dir), "video_id", "content")
       pairs.orderBy("vid_a", "vid_b")
+    },
+
+    // -- m20: excerpt-robust audio matching — windowed sub-
+    //    fingerprints (2 s windows, 1 s hop) over per-second
+    //    stationary tone blocks; a hop-aligned 3 s excerpt of the 6 s
+    //    recording reproduces its interior window hashes EXACTLY and
+    //    reaches full coverage on its own side, while the complement
+    //    recording and the undecodable payload pair with nothing.
+    //    Every window hash is derived from the two blocks it spans
+    //    (segments 0–3 in the first, 4–7 in the second). ------------
+    "m20_audio_excerpt" -> { (s, _) =>
+      writeM15Fixture(s)
+      import graft.multimodal.AudioFingerprint
+      val pats = m15Patterns.take(6)
+      val full = m20BlockClip(pats, 1.0)
+      val comp = m15Patterns.map(_.map(2 - _)).take(6)
+      import s.implicits._
+      val df = Seq(
+        (0L, wavBytes(full, m15Sr, 16)),
+        (1L, wavBytes(full.slice(2 * m15Sr, 5 * m15Sr), m15Sr, 16)),
+        (2L, wavBytes(m20BlockClip(comp, 1.0), m15Sr, 16)),
+        (3L, "not audio".getBytes)).toDF("audio_id", "content")
+      val pairs = AudioFingerprint.nearDuplicateAudioExcerpts(
+        df, "audio_id", "content")
+      pairs.orderBy("id_a", "id_b")
     },
 
     // -- m19: incremental audio dedup vs the persisted signature
@@ -1116,6 +1165,17 @@ object MultimodalQueries {
         |  (0::BIGINT, 1::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT))
         |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // Derived from the hop arithmetic + pattern distinctness: the 6 s
+    // recording has 5 windows (2 s window, 1 s hop), the hop-aligned
+    // 3 s excerpt has 2 — and those 2 ARE original windows 2 and 3
+    // (bit-exact), so both match at Hamming 0: n=(5,2), matched=(2,2),
+    // excerpt coverage 2/2 = 1. The complement recording's windows
+    // flip every bit; the non-audio payload has no signature.
+    "m20_audio_excerpt" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 1::BIGINT, 5::BIGINT, 2::BIGINT, 2::BIGINT, 2::BIGINT))
+        |  t(id_a, id_b, n_windows_a, n_windows_b, matched_a, matched_b)
+        |ORDER BY id_a, id_b""".stripMargin,
     // Survivors: id 0 IS the indexed recording and 1/2 are its copies
     // (distance 0); the complemented recording (3) is 64 bits away and
     // the undecodable payload (4) hashes NULL — both pass through.

@@ -216,6 +216,97 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(x.indices.forall(i => math.abs(got(i) - x(i)) < 1e-3))
   }
 
+  // ---- windowed sub-fingerprints (excerpt robustness) ----------------
+
+  /** One-second blocks, each with its own stationary level pattern;
+    * tones are GLOBAL-phase sines at exact bins (bin_b cycles per
+    * 1024 samples), so every 1024-sample frame inside a block sees the
+    * exact-bin spectrum regardless of where the frame starts.
+    */
+  private def blockClip(pats: Seq[Seq[Int]], gain: Double = 1.0): Array[Double] = {
+    val x = new Array[Double](pats.length * sr)
+    for (j <- pats.indices; i <- 0 until sr) {
+      var s = 0.0
+      for (b <- 0 until 9)
+        s += levels(pats(j)(b)) *
+          math.sin(2.0 * math.Pi * bandBin(b) * (j.toLong * sr + i) / F)
+      x(j * sr + i) = s * gain
+    }
+    x
+  }
+
+  /** Expected hash of a 2 s window spanning blocks (pa, pb): segments
+    * 0–3 sit in pa's second, 4–7 in pb's (window = 16000 samples at
+    * 8 kHz, segment = 2000, one 1024-sample frame each).
+    */
+  private def windowHash(pa: Seq[Int], pb: Seq[Int]): Long = {
+    var h = 0L
+    for (t <- 0 until 8; b <- 0 until 8) {
+      val p = if (t < 4) pa else pb
+      h = (h << 1) | (if (p(b) < p(b + 1)) 1L else 0L)
+    }
+    h
+  }
+
+  test("windowHashes: every 2s window's bits read off the two blocks it spans") {
+    val pats = patterns.take(6) // 6 s clip → 5 windows at 1 s hop
+    val got = AudioFingerprint.windowHashes(wav(blockClip(pats), sr, 16)).get
+    val want = (0 until 5).map(k => windowHash(pats(k), pats(k + 1)))
+    assert(got == want, s"got ${got.map(_.toHexString)} want ${want.map(_.toHexString)}")
+    assert(got.distinct.length == 5, "window hashes must be distinct here")
+  }
+
+  test("windowHashes: a clip shorter than one window falls back to the whole-clip hash") {
+    val short = samples(1.0) // 8192 samples < 16000
+    val viaWindows = AudioFingerprint.windowHashes(wav(short, sr, 16)).get
+    val whole = AudioFingerprint.spectralHash64(wav(short, sr, 16)).get
+    assert(viaWindows == Seq(whole))
+  }
+
+  test("excerpt matching: a hop-aligned cut reaches full coverage; whole-clip hashing cannot see it") {
+    val pats = patterns.take(6)
+    val full = blockClip(pats)
+    val excerpt = full.slice(2 * sr, 5 * sr) // blocks 2..4, cut on hops
+    // the excerpt's windows ARE original windows 2 and 3 — exact
+    assert(AudioFingerprint.windowHashes(wav(excerpt, sr, 16)).get ==
+      Seq(windowHash(pats(2), pats(3)), windowHash(pats(3), pats(4))))
+    val comp = patterns.map(_.map(2 - _)).take(6)
+    val df = Seq(
+      (0L, wav(full, sr, 16)),
+      (1L, wav(excerpt, sr, 16)),
+      (2L, wav(blockClip(comp), sr, 16)), // different recording
+      (3L, "junk".getBytes)
+    ).toDF("audio_id", "content")
+    val pairs = AudioFingerprint.nearDuplicateAudioExcerpts(
+      df, "audio_id", "content")
+    val got = pairs.select("id_a", "id_b", "n_windows_a", "n_windows_b",
+        "matched_a", "matched_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    pairs.unpersist()
+    assert(got == Set((0L, 1L, 5L, 2L, 2L, 2L)))
+    // the alignment-sensitive whole-clip hashes of full vs excerpt
+    // differ — the reason the windowed face exists
+    assert(AudioFingerprint.spectralHash64(wav(full, sr, 16)) !=
+      AudioFingerprint.spectralHash64(wav(excerpt, sr, 16)))
+  }
+
+  test("excerpt index: an excerpt of an indexed recording drops; new content survives") {
+    val pats = patterns.take(6)
+    val index = AudioFingerprint.buildAudioWindowIndex(
+      Seq((100L, wav(blockClip(pats), sr, 16))).toDF("audio_id", "content"),
+      "audio_id", "content")
+    val comp = patterns.map(_.map(2 - _)).take(6)
+    val batch = Seq(
+      (0L, wav(blockClip(pats).slice(2 * sr, 5 * sr), sr, 16)), // excerpt
+      (1L, wav(blockClip(comp), sr, 16)),                        // new
+      (2L, Array[Byte](9, 9, 9))                                 // junk
+    ).toDF("audio_id", "content")
+    val kept = AudioFingerprint.dropNearDuplicateAudioExcerpts(batch, index,
+        "audio_id", "content")
+      .select("audio_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("nearDuplicateAudio: copies pair up, the complement and broken bytes do not") {
     val comp = patterns.map(_.map(2 - _))
     val df = Seq(
