@@ -24,6 +24,9 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   html_to_text(html)                  → string (markup → visible text)
   *   markdown_to_text(md)                → string (markdown → plain text)
   *   split_sentences(text)               → array  (rule-based sentences)
+  *   image_dhash(bytes) / image_phash(bytes) → bigint (perceptual hashes)
+  *   audio_fingerprint(wavBytes)         → bigint (spectral band hash)
+  *   video_signature(aviBytes)           → array<bigint> (frame dHashes)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -54,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kmvDiffEstimate)
     ext.injectFunction(GraftExtensions.countMinMerge)
     ext.injectFunction(GraftExtensions.countMinEstimate)
+    ext.injectFunction(GraftExtensions.imageDhash)
+    ext.injectFunction(GraftExtensions.imagePhash)
+    ext.injectFunction(GraftExtensions.audioFingerprint)
+    ext.injectFunction(GraftExtensions.videoSignature)
   }
 }
 
@@ -162,6 +169,44 @@ object GraftExtensions {
     * the SQL surface. A `Cast` on the child mirrors labelHashBucket:
     * any input stringifies first.
     */
+  private def unaryBinary(name: String, usage: String, clazz: Class[_],
+                          build: Expression => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    info(clazz.getName, name, usage),
+    (args: Seq[Expression]) => args match {
+      case Seq(b) => build(b)
+      case _ => throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument")
+    })
+
+  val imageDhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("image_dhash",
+      "image_dhash(bytes) - 64-bit perceptual difference hash of an " +
+        "encoded image (PNG/JPEG/GIF/BMP); NULL when undecodable.",
+      classOf[graft.functions.ImageDhash], graft.functions.ImageDhash(_))
+
+  val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("image_phash",
+      "image_phash(bytes) - 64-bit DCT perceptual hash of an encoded " +
+        "image; NULL when undecodable.",
+      classOf[graft.functions.ImagePhash], graft.functions.ImagePhash(_))
+
+  val audioFingerprint: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("audio_fingerprint",
+      "audio_fingerprint(wavBytes) - 64-bit spectral band-energy hash " +
+        "of a PCM WAV clip; NULL when undecodable or too short.",
+      classOf[graft.functions.AudioFingerprintHash],
+      graft.functions.AudioFingerprintHash(_))
+
+  val videoSignature: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("video_signature",
+      "video_signature(aviBytes) - frame-sampled perceptual hash " +
+        "signature (array<bigint>) of an MJPEG AVI; NULL when no " +
+        "sampled frame decodes.",
+      classOf[graft.functions.VideoSignature],
+      graft.functions.VideoSignature(_))
+
   val cardCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("card_count"),
     info(classOf[CardCount].getName, "card_count",
@@ -485,7 +530,8 @@ object GraftExtensions {
       heavyHitters,
       kllQuantiles, kmvSketch, kmvMerge, kmvEstimate, kmvUnionEstimate,
       kmvIntersectEstimate, kmvDiffEstimate,
-      countMinMerge, countMinEstimate).foreach {
+      countMinMerge, countMinEstimate,
+      imageDhash, imagePhash, audioFingerprint, videoSignature).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

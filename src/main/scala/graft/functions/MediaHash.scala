@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** SQL-surface faces of the perceptual media hashes
+  * ([[graft.multimodal.ImageHash]], [[graft.multimodal
+  * .AudioFingerprint]], [[graft.multimodal.VideoFrameHash]]) — eval
+  * expressions over BINARY payloads so `spark.sql` users can
+  * fingerprint media columns with the exact kernels the Column API
+  * uses. CodegenFallback is the right trade here: the per-row cost IS
+  * the media decode (ImageIO / PCM+FFT / frame JPEG decodes), against
+  * which codegen dispatch is noise. NULL in, or undecodable bytes →
+  * NULL out (the kernels' Option contract).
+  */
+abstract class MediaHashExpression extends UnaryExpression
+    with CodegenFallback {
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: argument must be BINARY, got ${child.dataType}")
+
+  protected def kernel(bytes: Array[Byte]): Any
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else kernel(v.asInstanceOf[Array[Byte]])
+  }
+}
+
+/** `image_dhash(bytes)` → bigint — [[graft.multimodal.ImageHash.dhash64]]. */
+case class ImageDhash(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "image_dhash"
+  override def dataType: DataType = LongType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.multimodal.ImageHash.dhash64(bytes).map(java.lang.Long.valueOf).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `image_phash(bytes)` → bigint — [[graft.multimodal.ImageHash.phash64]]. */
+case class ImagePhash(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "image_phash"
+  override def dataType: DataType = LongType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.multimodal.ImageHash.phash64(bytes).map(java.lang.Long.valueOf).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `audio_fingerprint(wavBytes)` → bigint —
+  * [[graft.multimodal.AudioFingerprint.spectralHash64]].
+  */
+case class AudioFingerprintHash(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "audio_fingerprint"
+  override def dataType: DataType = LongType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.multimodal.AudioFingerprint.spectralHash64(bytes)
+      .map(java.lang.Long.valueOf).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `video_signature(aviBytes)` → array<bigint> —
+  * [[graft.multimodal.VideoFrameHash.frameHashes]] at the default
+  * frame budget; NULL when the payload is not a frame-bearing AVI or
+  * no sampled frame decodes.
+  */
+case class VideoSignature(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "video_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.multimodal.VideoFrameHash.frameHashes(bytes)
+      .filter(_.nonEmpty)
+      .map(hs => new GenericArrayData(hs.toArray))
+      .orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

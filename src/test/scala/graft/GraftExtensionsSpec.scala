@@ -181,6 +181,38 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row == ((3.0, 2.0, 1.0))) // NULL skipped; {2,3}; {1}
   }
 
+  test("media hashes reachable from SQL, match the kernel APIs") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // authored 9x8 gradient PNG: dHash -1L (every left<right bit set —
+    // the m10 derivation); pHash compared against the kernel
+    val img = {
+      val bi = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = 28 * x
+        bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(bi, "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    Seq((1L, img), (2L, "not media".getBytes))
+      .toDF("id", "content").createOrReplaceTempView("media_in")
+    val rows = spark.sql(
+      """SELECT id, image_dhash(content) AS dh, image_phash(content) AS ph,
+        |       audio_fingerprint(content) AS af, video_signature(content) AS vs
+        |FROM media_in ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getLong(1) == -1L)
+    assert(rows(0).getLong(2) ==
+      graft.multimodal.ImageHash.phash64(img).get)
+    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4)) // a PNG is not audio/video
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) &&
+      rows(1).isNullAt(3) && rows(1).isNullAt(4))
+    // non-binary argument rejected at analysis
+    intercept[Exception](spark.sql("SELECT image_dhash('text')").collect())
+  }
+
   test("describe function shows usage") {
     GraftExtensions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION label_hash_bucket")
