@@ -209,6 +209,23 @@ class AudioFingerprintSpec extends SparkSpec {
       wav(new Array[Double](nSamples), 600, 16)).isEmpty)
   }
 
+  test("pcmMono: hostile chunk sizes end the walk, never wrap or crash") {
+    val good = wav(samples(1.0), sr, 16)
+    // lie in the fmt chunk's declared size: 0xFFFFFFFF pushes the next
+    // offset past the file — the walk must stop (no fmt+data → None)
+    val lied = good.clone()
+    // fmt size field sits at offset 16 (RIFF(12) + "fmt "(4))
+    lied(16) = -1; lied(17) = -1; lied(18) = -1; lied(19) = -1
+    assert(AudioFingerprint.pcmMono(lied).isEmpty)
+    // truncated mid-header and mid-data payloads return what exists
+    assert(AudioFingerprint.pcmMono(good.take(20)).isEmpty)
+    val half = AudioFingerprint.pcmMono(good.take(good.length / 2))
+    assert(half.forall(_._1.length < samples(1.0).length))
+    // a data chunk before fmt-less EOF: no fmt → None
+    val noFmt = good.take(12) ++ good.drop(12 + 8 + 16) // excise fmt
+    assert(AudioFingerprint.pcmMono(noFmt).isEmpty)
+  }
+
   test("pcmMono: 16-bit samples round-trip within quantization") {
     val x = Array.tabulate(256)(i => math.sin(i / 10.0) * 0.8)
     val (got, rate) = AudioFingerprint.pcmMono(wav(x, 44100, 16)).get
