@@ -648,6 +648,9 @@ object IngestGateQueries {
         .repartition(4)
       graft.engine.sink.WarcSink.write(docs, "doc_id", "url", "text", dir)
       graft.engine.read.Warc.scan(s, dir)
+        // content records only: each shard now leads with a warcinfo
+        // record (no target URI, not indexed, not content)
+        .filter(col("warc_type") === "conversion")
         .select(
           regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
             .cast("long").as("doc_id"),

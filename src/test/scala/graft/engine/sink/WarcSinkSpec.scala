@@ -27,11 +27,20 @@ class WarcSinkSpec extends SparkSpec {
     assert(f.length == 1)
     val members = GzipMembers.members(
       new java.io.FileInputStream(f.head)).toList
-    assert(members.length == 3) // member-per-record, not one big stream
-    val back = Warc.scan(spark, dir)
-      .select(col("record_id"), col("digest_ok"), col("truncated"),
+    // member-per-record, not one big stream: warcinfo head + 3 records
+    assert(members.length == 4)
+    val all = Warc.scan(spark, dir)
+      .select(col("record_id"), col("warc_type"), col("record_index"),
+        col("digest_ok"), col("truncated"),
         col("payload").cast("string").as("text"))
       .collect()
+    // the shard LEADS with an ISO 28500 warcinfo record (no target
+    // URI — the CDX writer skips it), digest-verified like the rest
+    val info = all.find(_.getAs[String]("warc_type") == "warcinfo").get
+    assert(info.getAs[Long]("record_index") == 0L &&
+      info.getAs[Boolean]("digest_ok") &&
+      info.getAs[String]("text").contains("WARC File Format 1.0"))
+    val back = all.filter(_.getAs[String]("warc_type") == "conversion")
     assert(back.length == 3)
     assert(back.forall(_.getAs[Boolean]("digest_ok")))
     assert(back.forall(!_.getAs[Boolean]("truncated")))
