@@ -326,8 +326,12 @@ object Cdx {
     * `http(s)://` archives (the access path Common Crawl actually
     * serves — `https://data.commoncrawl.org/...` honors `Range`
     * headers; plain Hadoop filesystems don't speak HTTP) resolve via
-    * [[rangedGet]]: one ranged GET per entry with the engine's
-    * standard 5-attempt exponential-backoff retry on 5xx/IO errors. A
+    * [[rangedGet]], with consecutive same-file entries whose gaps are
+    * ≤ [[HttpCoalesceGap]] COALESCED into one spanned GET and sliced
+    * per entry — a dense selection of thousands of small records pays
+    * a handful of round trips, not one per record, and duplicate
+    * ranges (resolved revisits) fetch once. Retries follow the
+    * engine's standard 5-attempt exponential backoff on 5xx/IO. A
     * server that ignores `Range` (HTTP 200 with the full body) fails
     * LOUD immediately — silently downloading a whole 100 GB archive
     * per record is the failure mode the branch exists to prevent.
@@ -387,6 +391,12 @@ object Cdx {
       s"ranged GET $url@$off+$len failed after $maxAttempts attempts: $lastErr")
   }
 
+  /** Maximum byte gap between selected entries that one spanned HTTP
+    * GET bridges ([[fetch]]'s request coalescing). 64 KB of waste per
+    * bridge is far cheaper than another round trip on an archive host.
+    */
+  val HttpCoalesceGap: Long = 1L << 16
+
   def fetch(cdx: DataFrame, base: String = "",
             maxPayloadBytes: Int = Warc.DefaultMaxPayloadBytes,
             maxRangeBytes: Long = 1L << 30): DataFrame = {
@@ -412,22 +422,8 @@ object Cdx {
           }
           in
         }
-        val out = it.flatMap { case (f, off, len) =>
-          require(len > 0 && len <= maxRangeBytes,
-            s"CDX range length $len out of (0, $maxRangeBytes] for $f@$off")
-          val resolved =
-            if (f.contains("://") || f.startsWith("/")) f else prefix + f
-          val buf =
-            if (resolved.startsWith("http://") ||
-                resolved.startsWith("https://"))
-              rangedGet(resolved, off, len)
-            else {
-              val s = open(resolved)
-              s.seek(off)
-              val b = new Array[Byte](len.toInt)
-              s.readFully(b)
-              b
-            }
+        def parse(f: String, off: Long, len: Long,
+                  buf: Array[Byte]): Seq[Warc.ScanRow] =
           try {
             Warc.records(Warc.maybeGunzip(new ByteArrayInputStream(buf)),
                 maxPayloadBytes)
@@ -440,7 +436,53 @@ object Cdx {
             case e: Exception => throw new IllegalStateException(
               s"CDX range $f@$off+$len does not frame as WARC: ${e.getMessage}", e)
           }
-        }
+        val buf = it.buffered
+        // one work unit per iterator step: a single FS range, or — on
+        // http(s), where every range is its own round trip — a SPAN of
+        // consecutive same-file entries whose gaps are ≤
+        // HttpCoalesceGap, fetched with ONE ranged GET and sliced
+        // per entry (sorted offsets make the greedy coalesce optimal;
+        // overlapping/duplicate ranges, e.g. resolved revisits, fetch
+        // once instead of once per entry)
+        val out = new Iterator[Seq[Warc.ScanRow]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[Warc.ScanRow] = {
+            val (f, off, len) = buf.next()
+            require(len > 0 && len <= maxRangeBytes,
+              s"CDX range length $len out of (0, $maxRangeBytes] for $f@$off")
+            val resolved =
+              if (f.contains("://") || f.startsWith("/")) f else prefix + f
+            if (resolved.startsWith("http://") ||
+                resolved.startsWith("https://")) {
+              var entries = Vector((off, len))
+              var end = off + len
+              var more = true
+              while (more && buf.hasNext && buf.head._1 == f) {
+                val (_, o2, l2) = buf.head
+                val newEnd = math.max(end, o2 + l2)
+                if (o2 <= end + HttpCoalesceGap && l2 > 0 &&
+                    newEnd - off <= maxRangeBytes) {
+                  require(l2 <= maxRangeBytes,
+                    s"CDX range length $l2 out of (0, $maxRangeBytes] for $f@$o2")
+                  buf.next()
+                  entries :+= ((o2, l2))
+                  end = newEnd
+                } else more = false
+              }
+              val blob = rangedGet(resolved, off, end - off)
+              entries.flatMap { case (o, l) =>
+                parse(f, o, l, java.util.Arrays.copyOfRange(
+                  blob, (o - off).toInt, (o - off + l).toInt))
+              }
+            } else {
+              val s = open(resolved)
+              s.seek(off)
+              val b = new Array[Byte](len.toInt)
+              s.readFully(b)
+              parse(f, off, len, b)
+            }
+          }
+        }.flatten
         // close the last stream only after the iterator drains
         new Iterator[Warc.ScanRow] {
           def hasNext: Boolean = {

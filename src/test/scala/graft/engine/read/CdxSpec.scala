@@ -226,14 +226,18 @@ class CdxSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("x.warc@0")))
   }
 
+  private val rangeRequests = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def withRangeServer(bytes: Array[Byte], honorRange: Boolean = true,
                               failFirst: Int = 0)
                              (body: Int => Unit): Unit = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val remainingFails = new java.util.concurrent.atomic.AtomicInteger(failFirst)
+    rangeRequests.set(0)
     server.createContext("/arc/", { ex: com.sun.net.httpserver.HttpExchange =>
       try {
+        rangeRequests.incrementAndGet()
         if (remainingFails.getAndDecrement() > 0) {
           ex.sendResponseHeaders(503, -1)
         } else {
@@ -276,6 +280,34 @@ class CdxSpec extends SparkSpec {
       assert(got.toSeq == Seq(
         "http://example.com/h1" -> "first doc over http",
         "http://example.com/h2" -> "second doc over http"))
+    }
+  }
+
+  test("fetch: adjacent http ranges coalesce into one spanned GET; distant ones do not") {
+    val ms = (0 until 6).map(i => gz(rec(s"c$i", s"coalesce doc $i")))
+    // entries 0-2 adjacent (gaps 0), entry 5 far behind a > 64 KB gap
+    val pad = Array.fill[Byte](100000)(0x5a)
+    val bytes = ms(0) ++ ms(1) ++ ms(2) ++ pad ++ ms(5)
+    withRangeServer(bytes) { port =>
+      val o0 = 0L
+      val o1 = ms(0).length.toLong
+      val o2 = o1 + ms(1).length
+      val o5 = o2 + ms(2).length + pad.length
+      val cdx = Seq(
+        ("a.warc.gz", o0, ms(0).length.toLong),
+        ("a.warc.gz", o1, ms(1).length.toLong),
+        ("a.warc.gz", o1, ms(1).length.toLong), // duplicate range: one fetch
+        ("a.warc.gz", o2, ms(2).length.toLong),
+        ("a.warc.gz", o5, ms(5).length.toLong))
+        .toDF("warc_file", "warc_offset", "warc_length")
+        .coalesce(1)
+      val got = Cdx.fetch(cdx, base = s"http://127.0.0.1:$port/arc")
+        .select("target_uri").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("http://example.com/c0", "http://example.com/c1",
+        "http://example.com/c1", "http://example.com/c2",
+        "http://example.com/c5"))
+      // 0..2 (incl. the duplicate) span one GET; the far entry its own
+      assert(rangeRequests.get() == 2, s"saw ${rangeRequests.get()} requests")
     }
   }
 
