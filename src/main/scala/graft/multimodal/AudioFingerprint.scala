@@ -69,11 +69,19 @@ object AudioFingerprint {
     * integer PCM (format 1; 8-bit unsigned, 16/24/32-bit signed
     * little-endian), IEEE float (format 3; 32/64-bit), or
     * WAVE_FORMAT_EXTENSIBLE (0xFFFE — the real format code lives in
-    * the first two SubFormat GUID bytes) wrapping either. Channels
-    * average to mono. None on any other container or codec.
+    * the first two SubFormat GUID bytes) wrapping either — or a FLAC
+    * stream, decoded losslessly by [[FlacDecode]] (a FLAC re-encode
+    * of the same recording therefore hashes IDENTICALLY to its WAV).
+    * Channels average to mono. None on any other container or codec,
+    * and None on a structurally corrupt FLAC (the fingerprint column
+    * contract is NULL-for-undecodable; [[FlacDecode.decode]] itself
+    * stays fail-loud for decoder consumers).
     */
   def pcmMono(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
     if (bytes == null || bytes.length < 12) return None
+    if (FlacDecode.isFlac(bytes))
+      return scala.util.Try(FlacDecode.decode(bytes)).toOption.flatten
+        .map(a => (a.mono, a.sampleRateHz))
     def tag(off: Int) =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u16(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)

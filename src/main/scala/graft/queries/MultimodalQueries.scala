@@ -682,6 +682,81 @@ object MultimodalQueries {
     x
   }
 
+  /** m21: minimal verbatim-subframe FLAC writer — independent builder
+    * code (bit-level, per the public xiph spec: STREAMINFO, framed
+    * sync/CRC-8/CRC-16, VERBATIM subframes). Carries the exact 16-bit
+    * integers the WAV writer quantizes to, so the FLAC re-encode must
+    * hash to the SAME level-table value as the m15 base row.
+    */
+  private def flacVerbatim(x: Array[Double], rate: Int): Array[Byte] = {
+    val ints = x.map(s => math.round(s * 32767).toInt)
+    val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def bit(v: Int): Unit = { bits += (v & 1); () }
+    def uint(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bit(((v >> i) & 1).toInt))
+    def pack(): Array[Byte] = {
+      require(bits.length % 8 == 0)
+      bits.grouped(8).map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    }
+    def crc8(b: Array[Byte]): Int = b.foldLeft(0) { (c0, x) =>
+      (0 until 8).foldLeft(c0 ^ (x & 0xff)) { (c, _) =>
+        if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+      }
+    }
+    def crc16(b: Array[Byte]): Int = b.foldLeft(0) { (c0, x) =>
+      (0 until 8).foldLeft(c0 ^ ((x & 0xff) << 8)) { (c, _) =>
+        if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff
+        else (c << 1) & 0xffff
+      }
+    }
+    // STREAMINFO
+    uint(1, 1); uint(0, 7); uint(34, 24)
+    uint(16, 16); uint(65535, 16); uint(0, 24); uint(0, 24)
+    uint(rate.toLong, 20); uint(0, 3); uint(15, 5) // mono, 16-bit
+    uint(ints.length.toLong, 36)
+    (0 until 16).foreach(_ => uint(0, 8))
+    val meta = pack()
+    val frames = ints.grouped(1024).zipWithIndex.map { case (g, idx) =>
+      bits.clear()
+      uint(0x3FFE, 14); bit(0); bit(0)
+      uint(7, 4); uint(0, 4); uint(0, 4); uint(4, 3); bit(0)
+      uint(idx.toLong, 8)
+      uint((g.length - 1).toLong, 16)
+      val head = pack()
+      bits.clear()
+      head.foreach(b => uint(b.toLong & 0xff, 8))
+      uint(crc8(head).toLong, 8)
+      bit(0); uint(1, 6); bit(0) // VERBATIM, no wasted bits
+      g.foreach(v => uint(v.toLong & 0xffff, 16))
+      while (bits.length % 8 != 0) bit(0)
+      val body = pack()
+      bits.clear()
+      body.foreach(b => uint(b.toLong & 0xff, 8))
+      uint(crc16(body).toLong, 16)
+      pack()
+    }.toSeq
+    "fLaC".getBytes("US-ASCII") ++ meta ++ frames.flatten
+  }
+
+  private val m21Dir = "/tmp/graft_gate_m21_flac"
+
+  private def writeM21Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val good = flacVerbatim(m15Samples(1.0, m15Patterns), m15Sr)
+    val comp = m15Patterns.map(_.map(2 - _))
+    val bad = good.clone()
+    bad(good.length - 5) = (bad(good.length - 5) ^ 0x10).toByte
+    val rows: Seq[(Long, Array[Byte], Long)] = Seq(
+      (0L, good, m15ExpectedHash(m15Patterns)),
+      (1L, flacVerbatim(m15Samples(0.25, m15Patterns), m15Sr),
+        m15ExpectedHash(m15Patterns)),
+      (2L, flacVerbatim(m15Samples(1.0, comp), m15Sr),
+        m15ExpectedHash(comp)),
+      (3L, bad, -999L)) // CRC-corrupted: NULL hash → sentinel
+    s.createDataset(rows).toDF("audio_id", "content", "exp_hash")
+      .coalesce(1).write.mode("overwrite").parquet(m21Dir)
+  }
+
   private def writeM15Fixture(s: SparkSession): Unit = {
     import s.implicits._
     val comp = m15Patterns.map(_.map(2 - _))
@@ -812,6 +887,21 @@ object MultimodalQueries {
       val pairs = AudioFingerprint.nearDuplicateAudioExcerpts(
         df, "audio_id", "content")
       pairs.orderBy("id_a", "id_b")
+    },
+
+    // -- m21: FLAC decode → fingerprint identity — the base recording
+    //    re-encoded losslessly (verbatim-subframe FLAC, independent
+    //    bit-level writer) carries the same 16-bit integers as its
+    //    WAV, so it must hash to the m15 level-table value; broken
+    //    FLAC bytes (corrupted CRC) hash NULL → -999. ----------------
+    "m21_flac_fingerprint" -> { (s, _) =>
+      writeM21Fixture(s)
+      import graft.multimodal.AudioFingerprint
+      s.read.parquet(m21Dir)
+        .select(col("audio_id"),
+          coalesce(AudioFingerprint.spectralHash(col("content")),
+            lit(-999L)).as("ahash"))
+        .orderBy("audio_id")
     },
 
     // -- m19: incremental audio dedup vs the persisted signature
@@ -1165,6 +1255,13 @@ object MultimodalQueries {
         |  (0::BIGINT, 1::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT))
         |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // Level-table hashes ride the fixture (same derivation as m15 —
+    // lossless re-encode carries identical integers); the corrupted
+    // stream is the -999 sentinel.
+    "m21_flac_fingerprint" ->
+      s"""SELECT audio_id, exp_hash AS ahash
+         |FROM read_parquet('$m21Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
     // Derived from the hop arithmetic + pattern distinctness: the 6 s
     // recording has 5 windows (2 s window, 1 s hop), the hop-aligned
     // 3 s excerpt has 2 — and those 2 ARE original windows 2 and 3
