@@ -316,7 +316,8 @@ object FlacDecode {
         val order = (t & 0x1f) + 1
         val warm = Array.fill(order)(r.readSInt(eff))
         val precision = r.readUInt(4).toInt + 1
-        require(precision <= 16, s"reserved LPC precision in frame at $frameStart")
+        // the 4-bit code 1111 (precision 16) is invalid per spec
+        require(precision <= 15, s"invalid LPC precision in frame at $frameStart")
         val shift = r.readSInt(5)
         require(shift >= 0, s"negative LPC shift in frame at $frameStart")
         val coefs = Array.fill(order)(r.readSInt(precision))
