@@ -79,6 +79,17 @@ object AudioFingerprint {
     */
   def pcmMono(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
     if (bytes == null || bytes.length < 12) return None
+    // files in the wild often lead with an ID3v2 tag (10-byte header,
+    // 28-bit synchsafe size) before the real container magic — skip it
+    if (bytes.length > 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      val skip = 10L + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
+      return if (skip >= bytes.length) None
+      else pcmMono(java.util.Arrays.copyOfRange(
+        bytes, skip.toInt, bytes.length))
+    }
     if (FlacDecode.isFlac(bytes))
       return scala.util.Try(FlacDecode.decode(bytes)).toOption.flatten
         .map(a => (a.mono, a.sampleRateHz))

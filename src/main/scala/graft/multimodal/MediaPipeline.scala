@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Checkpoints.Truncatable
+
+/** The composed image-corpus curation program — the media face of
+  * [[graft.ops.CurationPipeline]]: validate → exact dedup →
+  * perceptual near-dup → (optional) dedup against the seen-corpus
+  * index, one call, with per-stage metrics. Each stage's survivor
+  * frame is checkpoint-truncated before the next ([[graft.ops
+  * .Checkpoints]]): every stage re-derives from a MATERIALIZED
+  * snapshot, so the ImageIO decode UDFs run once per stage, not once
+  * per downstream subtree.
+  *
+  * Stage order is deliberate and cheapest-first:
+  *  1. VALIDATE — decode the header ([[graft.engine.validate
+  *     .ImageProbe]]): undecodable payloads and images under the
+  *     minimum dimensions drop (crawls are full of 1×1 trackers);
+  *  2. EXACT dedup — sha-256 over the bytes, smallest id per digest
+  *     survives (byte-identical copies never reach the perceptual
+  *     join);
+  *  3. PERCEPTUAL near-dup — dHash + the banded Hamming join
+  *     ([[ImageHash.nearDuplicatesByHash]]); within each matched pair
+  *     the larger id drops (greedy, pair-local — the
+  *     [[graft.ops.Dedup.dropNearDuplicates]] default, transitive
+  *     closure deliberately NOT applied to images: chains of
+  *     borderline-similar photos are usually distinct shots);
+  *  4. SEEN-INDEX dedup — [[ImageHash.dropNearDuplicateImages]]
+  *     against a persisted [[ImageHash.buildImageIndex]] frame, when
+  *     one is supplied.
+  *
+  * Scale shape: stages 2–4 shuffle digests and 8-byte hashes only;
+  * stage 1 is the one full-payload pass (the decode bill). Metrics
+  * are stage-level counts (one count per materialized snapshot).
+  */
+object MediaPipeline {
+
+  final case class Config(
+      idCol: String,
+      bytesCol: String,
+      minWidth: Int = 8,
+      minHeight: Int = 8,
+      maxHamming: Int = 4,
+      maxBucket: Int = 1 << 12)
+
+  final case class Result(kept: DataFrame, metrics: Seq[(String, Long)])
+
+  def curateImages(df: DataFrame, cfg: Config,
+                   seenIndex: Option[DataFrame] = None): Result = {
+    require(cfg.minWidth >= 1 && cfg.minHeight >= 1,
+      s"minimum dimensions must be positive: ${cfg.minWidth}x${cfg.minHeight}")
+    val id = col(cfg.idCol)
+    val nReceived = df.count()
+
+    // 1. validate: real header decode; undecodable or tiny drops
+    val dims = udf { (bytes: Array[Byte]) =>
+      graft.engine.validate.ImageProbe.dimensions(bytes)
+    }
+    val probed = df
+      .withColumn("__wh", dims(col(cfg.bytesCol)))
+      .filter(col("__wh").isNotNull &&
+        col("__wh._1") >= cfg.minWidth && col("__wh._2") >= cfg.minHeight)
+      .drop("__wh")
+      .truncated
+    val nValid = probed.count()
+
+    // 2. exact dedup: digest the bytes, smallest id per digest wins
+    val digested = probed.withColumn("__dg", sha2(col(cfg.bytesCol), 256))
+    val keepers = digested.groupBy("__dg").agg(min(id).as("__keep"))
+    val exact = digested
+      .join(keepers, digested("__dg") === keepers("__dg") &&
+        id === col("__keep"), "left_semi")
+      .drop("__dg")
+      .truncated
+    val nExact = exact.count()
+
+    // 3. perceptual near-dup within the batch: pair-local greedy drop
+    val hashed = exact
+      .select(id.as("__pid"), ImageHash.dhash(col(cfg.bytesCol)).as("__ph"))
+      .filter(col("__ph").isNotNull)
+    val losers = ImageHash.nearDuplicatesByHash(
+        hashed, "__pid", "__ph", cfg.maxHamming, cfg.maxBucket)
+      .select(col("id_b").as("__loser")).distinct()
+    val near = exact
+      .join(losers, id === col("__loser"), "left_anti")
+      .truncated
+    val nNear = near.count()
+
+    // 4. optional seen-corpus index
+    val (kept, nFinal) = seenIndex match {
+      case Some(idx) =>
+        val k = ImageHash.dropNearDuplicateImages(near, idx,
+          cfg.idCol, cfg.bytesCol, cfg.maxHamming, cfg.maxBucket).truncated
+        (k, k.count())
+      case None => (near, nNear)
+    }
+
+    Result(kept, Seq(
+      "n_received" -> nReceived,
+      "n_valid" -> nValid,
+      "n_exact_kept" -> nExact,
+      "n_near_kept" -> nNear,
+      "n_final" -> nFinal))
+  }
+}

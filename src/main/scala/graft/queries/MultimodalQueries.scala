@@ -889,6 +889,41 @@ object MultimodalQueries {
       pairs.orderBy("id_a", "id_b")
     },
 
+    // -- m22: the COMPOSED image curation program — validate (header
+    //    decode + min dims) → exact dedup (sha-256, smallest id) →
+    //    perceptual near-dup (dHash banding; the 2x render drops) →
+    //    seen-index dedup (stripes indexed) — one call, survivors
+    //    carrying the per-stage metric counts via the scalar fold.
+    //    Every drop is hand-derived from the m10 image family: the
+    //    byte copy at stage 2, the 2x render at stage 3 (Hamming 0),
+    //    the 4x4 tracker and broken bytes at stage 1, striped at 4. --
+    "m22_media_pipeline" -> { (s, _) =>
+      import s.implicits._
+      val grad = grayPng(9, 8, (x, _) => 28 * x)
+      val batch = Seq(
+        (0L, grad),
+        (1L, grad.clone()),
+        (2L, grayPng(18, 16, (x, _) => 14 * x)),
+        (3L, grayPng(9, 8, (x, _) => if (x % 2 == 1) 255 else 0)),
+        (4L, grayPng(9, 8, (_, _) => 77)),
+        (5L, grayPng(4, 4, (_, _) => 10)),
+        (6L, "broken".getBytes)).toDF("img_id", "content")
+      val index = graft.multimodal.ImageHash.buildImageIndex(
+        Seq((100L, grayPng(9, 8, (x, _) => if (x % 2 == 1) 255 else 0)))
+          .toDF("img_id", "content"), "img_id", "content")
+      val r = graft.multimodal.MediaPipeline.curateImages(batch,
+        graft.multimodal.MediaPipeline.Config("img_id", "content"),
+        Some(index))
+      val m = r.metrics.toMap
+      r.kept.select(col("img_id"),
+          lit(m("n_received")).as("n_received"),
+          lit(m("n_valid")).as("n_valid"),
+          lit(m("n_exact_kept")).as("n_exact_kept"),
+          lit(m("n_near_kept")).as("n_near_kept"),
+          lit(m("n_final")).as("n_final"))
+        .orderBy("img_id")
+    },
+
     // -- m21: FLAC decode → fingerprint identity — the base recording
     //    re-encoded losslessly (verbatim-subframe FLAC, independent
     //    bit-level writer) carries the same 16-bit integers as its
@@ -1255,6 +1290,16 @@ object MultimodalQueries {
         |  (0::BIGINT, 1::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT))
         |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // Hand-derived stage arithmetic over the m10 image family: 7 in,
+    // 5 decodable-and-big-enough, 4 after the exact drop, 3 after the
+    // perceptual drop (2x render, Hamming 0), 2 after the indexed
+    // stripes drop — survivors 0 (gradient) and 4 (flat).
+    "m22_media_pipeline" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 7::BIGINT, 5::BIGINT, 4::BIGINT, 3::BIGINT, 2::BIGINT),
+        |  (4::BIGINT, 7::BIGINT, 5::BIGINT, 4::BIGINT, 3::BIGINT, 2::BIGINT))
+        |  t(img_id, n_received, n_valid, n_exact_kept, n_near_kept, n_final)
+        |ORDER BY img_id""".stripMargin,
     // Level-table hashes ride the fixture (same derivation as m15 —
     // lossless re-encode carries identical integers); the corrupted
     // stream is the -999 sentinel.

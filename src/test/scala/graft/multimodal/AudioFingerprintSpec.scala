@@ -209,6 +209,17 @@ class AudioFingerprintSpec extends SparkSpec {
       wav(new Array[Double](nSamples), 600, 16)).isEmpty)
   }
 
+  test("pcmMono: an ID3v2 tag prefix is skipped (synchsafe size), then the real container parses") {
+    val body = wav(samples(1.0), sr, 16)
+    // 300-byte tag payload: synchsafe 300 = (2 << 7) | 44
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 2, 44) ++
+      Array.fill[Byte](300)(0x41)
+    val base = AudioFingerprint.spectralHash64(body)
+    assert(AudioFingerprint.spectralHash64(id3 ++ body) == base && base.nonEmpty)
+    // a tag that swallows the whole file → None, no wrap
+    assert(AudioFingerprint.pcmMono(id3.take(10)).isEmpty)
+  }
+
   test("pcmMono: hostile chunk sizes end the walk, never wrap or crash") {
     val good = wav(samples(1.0), sr, 16)
     // lie in the fmt chunk's declared size: 0xFFFFFFFF pushes the next
