@@ -738,6 +738,40 @@ object MultimodalQueries {
     "fLaC".getBytes("US-ASCII") ++ meta ++ frames.flatten
   }
 
+  private val m23Dir = "/tmp/graft_gate_m23_subs"
+
+  /** m23 fixture: one SRT and one WebVTT payload; expected cue rows
+    * hand-derived (timestamp arithmetic in the gate doc) and stored
+    * alongside for the oracle.
+    */
+  private def writeM23Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val srt = Seq(
+      "1", "00:00:01,000 --> 00:00:03,500", "Hello there.", "",
+      "2", "00:00:04,200 --> 00:00:06,000", "Second <i>line</i>",
+      "with a wrap.", "",
+      "3", "01:02:03,456 --> 01:02:04,000", "{\\an8}Top text"
+    ).mkString("\n")
+    val vtt = Seq(
+      "WEBVTT", "",
+      "NOTE this block is commentary and must drop", "",
+      "00:05.000 --> 00:07.250 align:middle",
+      "<v Speaker>No hours on this one", "",
+      "00:01:00.000 --> 00:01:02.000", "Full hours here"
+    ).mkString("\n")
+    Seq((1L, srt), (2L, vtt), (3L, "prose with no cues"))
+      .toDF("doc_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m23Dir + "_in")
+    Seq(
+      (1L, 0, 1000L, 3500L, "Hello there."),
+      (1L, 1, 4200L, 6000L, "Second line with a wrap."),
+      (1L, 2, 3723456L, 3724000L, "Top text"),
+      (2L, 0, 5000L, 7250L, "No hours on this one"),
+      (2L, 1, 60000L, 62000L, "Full hours here"))
+      .toDF("doc_id", "cue_index", "start_ms", "end_ms", "text")
+      .coalesce(1).write.mode("overwrite").parquet(m23Dir + "_exp")
+  }
+
   private val m21Dir = "/tmp/graft_gate_m21_flac"
 
   private def writeM21Fixture(s: SparkSession): Unit = {
@@ -887,6 +921,18 @@ object MultimodalQueries {
       val pairs = AudioFingerprint.nearDuplicateAudioExcerpts(
         df, "audio_id", "content")
       pairs.orderBy("id_a", "id_b")
+    },
+
+    // -- m23: SRT/WebVTT subtitle parsing — the video→text bridge.
+    //    Hand-authored payloads; every timestamp hand-converted to ms
+    //    (01:02:03,456 = 3723456), markup/ASS-brace stripping and
+    //    wrap collapsing derived by eye; the WEBVTT header, NOTE
+    //    block and bare index lines must produce no cue. ------------
+    "m23_subtitle_cues" -> { (s, _) =>
+      writeM23Fixture(s)
+      graft.ops.Subtitles.parseCues(
+          s.read.parquet(m23Dir + "_in"), "doc_id", "content")
+        .orderBy("doc_id", "cue_index")
     },
 
     // -- m22: the COMPOSED image curation program — validate (header
@@ -1290,6 +1336,12 @@ object MultimodalQueries {
         |  (0::BIGINT, 1::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT))
         |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // Hand-derived cue rows ride the fixture (timestamp arithmetic in
+    // the gate doc; the prose document contributes nothing).
+    "m23_subtitle_cues" ->
+      s"""SELECT doc_id, cue_index, start_ms, end_ms, text
+         |FROM read_parquet('${m23Dir}_exp/*.parquet')
+         |ORDER BY doc_id, cue_index""".stripMargin,
     // Hand-derived stage arithmetic over the m10 image family: 7 in,
     // 5 decodable-and-big-enough, 4 after the exact drop, 3 after the
     // perceptual drop (2x render, Hamming 0), 2 after the indexed
