@@ -104,4 +104,103 @@ object MediaPipeline {
       "n_near_kept" -> nNear,
       "n_final" -> nFinal))
   }
+
+  /** The audio face: same stage order, with the spectral hash
+    * ([[AudioFingerprint.spectralHash]]) computed ONCE at validation
+    * and carried through — decodable means fingerprintable here, and
+    * stages 3/4 consume the carried hash instead of re-decoding.
+    * `seenIndex` is a [[AudioFingerprint.buildAudioIndex]] frame.
+    */
+  def curateAudio(df: DataFrame, cfg: Config,
+                  seenIndex: Option[DataFrame] = None): Result = {
+    val id = col(cfg.idCol)
+    val nReceived = df.count()
+    val probed = df
+      .withColumn("__mh", AudioFingerprint.spectralHash(col(cfg.bytesCol)))
+      .filter(col("__mh").isNotNull)
+      .truncated
+    val nValid = probed.count()
+    val digested = probed.withColumn("__dg", sha2(col(cfg.bytesCol), 256))
+    val keepers = digested.groupBy("__dg").agg(min(id).as("__keep"))
+    val exact = digested
+      .join(keepers, digested("__dg") === keepers("__dg") &&
+        id === col("__keep"), "left_semi")
+      .drop("__dg")
+      .truncated
+    val nExact = exact.count()
+    val losers = ImageHash.nearDuplicatesByHash(
+        exact.select(id.as("__pid"), col("__mh").as("__ph")),
+        "__pid", "__ph", cfg.maxHamming, cfg.maxBucket)
+      .select(col("id_b").as("__loser")).distinct()
+    val near = exact.join(losers, id === col("__loser"), "left_anti")
+      .truncated
+    val nNear = near.count()
+    val (kept, nFinal) = seenIndex match {
+      case Some(idx) =>
+        val k = ImageHash.dropNearDuplicatesByHash(near, idx,
+          cfg.idCol, "__mh", "ahash", cfg.maxHamming, cfg.maxBucket)
+          .truncated
+        (k, k.count())
+      case None => (near, nNear)
+    }
+    Result(kept.drop("__mh"), Seq(
+      "n_received" -> nReceived,
+      "n_valid" -> nValid,
+      "n_exact_kept" -> nExact,
+      "n_near_kept" -> nNear,
+      "n_final" -> nFinal))
+  }
+
+  /** The video face: validation = a decodable frame-hash signature
+    * ([[VideoFrameHash.signature]], computed once and carried);
+    * perceptual dedup is set-signature coverage — within the batch the
+    * larger id of each covered pair drops, then batch clips covered by
+    * the [[VideoFrameHash.buildVideoIndex]] `seenIndex` drop.
+    */
+  def curateVideos(df: DataFrame, cfg: Config,
+                   seenIndex: Option[DataFrame] = None,
+                   minMatchFrac: Double = 0.5,
+                   maxFrames: Int = VideoFrameHash.DefaultMaxFrames): Result = {
+    val id = col(cfg.idCol)
+    val nReceived = df.count()
+    val probed = df
+      .withColumn("__sig",
+        VideoFrameHash.signature(col(cfg.bytesCol), maxFrames))
+      .filter(col("__sig").isNotNull)
+      .truncated
+    val nValid = probed.count()
+    val digested = probed.withColumn("__dg", sha2(col(cfg.bytesCol), 256))
+    val keepers = digested.groupBy("__dg").agg(min(id).as("__keep"))
+    val exact = digested
+      .join(keepers, digested("__dg") === keepers("__dg") &&
+        id === col("__keep"), "left_semi")
+      .drop("__dg")
+      .truncated
+    val nExact = exact.count()
+    val pairs = SetSignature.nearDuplicatesBySignature(
+      exact.select(id.as("__sid"), explode(col("__sig")).as("__sh")),
+      "__sid", "__sh", cfg.maxHamming, minMatchFrac, cfg.maxBucket)
+    val losers = pairs.select(col("id_b").as("__loser")).distinct()
+    val near = exact.join(losers, id === col("__loser"), "left_anti")
+      .truncated
+    pairs.unpersist()
+    val nNear = near.count()
+    val (kept, nFinal) = seenIndex match {
+      case Some(idx) =>
+        val covered = SetSignature.coveredIds(
+          near.select(id.as("__sid"), explode(col("__sig")).as("__sh")),
+          idx, "__sid", "__sh", "fhash", cfg.maxHamming, minMatchFrac,
+          cfg.maxBucket)
+        val k = near.join(covered, id === col("__covered_id"), "left_anti")
+          .truncated
+        (k, k.count())
+      case None => (near, nNear)
+    }
+    Result(kept.drop("__sig"), Seq(
+      "n_received" -> nReceived,
+      "n_valid" -> nValid,
+      "n_exact_kept" -> nExact,
+      "n_near_kept" -> nNear,
+      "n_final" -> nFinal))
+  }
 }

@@ -351,6 +351,31 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L, 0), (0L, 2L, 0), (1L, 2L, 0)))
   }
 
+  test("curateAudio: validate → exact → perceptual → index, metrics per stage") {
+    val comp = patterns.map(_.map(2 - _))
+    val base = wav(samples(1.0), sr, 16)
+    val batch = Seq(
+      (0L, base),
+      (1L, base.clone()),               // byte copy → exact stage
+      (2L, wav(samples(0.25), sr, 16)), // gain copy → perceptual stage
+      (3L, wav(samples(1.0, comp), sr, 16)),
+      (4L, "junk".getBytes)             // unfingerprint-able → validate
+    ).toDF("audio_id", "content")
+    val r = MediaPipeline.curateAudio(batch,
+      MediaPipeline.Config("audio_id", "content"))
+    assert(r.kept.select("audio_id").as[Long].collect().toSet == Set(0L, 3L))
+    assert(r.metrics == Seq("n_received" -> 5L, "n_valid" -> 4L,
+      "n_exact_kept" -> 3L, "n_near_kept" -> 2L, "n_final" -> 2L))
+    // seen index holding the complement removes it at the final stage
+    val idx = AudioFingerprint.buildAudioIndex(
+      Seq((100L, wav(samples(1.0, comp), sr, 16)))
+        .toDF("audio_id", "content"), "audio_id", "content")
+    val r2 = MediaPipeline.curateAudio(batch,
+      MediaPipeline.Config("audio_id", "content"), Some(idx))
+    assert(r2.kept.select("audio_id").as[Long].collect().toSet == Set(0L))
+    assert(r2.metrics.last == ("n_final" -> 1L))
+  }
+
   test("dropNearDuplicateAudio: seen copies drop, new recordings and undecodables survive") {
     val comp = patterns.map(_.map(2 - _))
     val index = AudioFingerprint.buildAudioIndex(

@@ -140,6 +140,28 @@ class VideoFrameHashSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("curateVideos: validate → exact → set-signature near-dup → index") {
+    val base = avi(movi(framesA))
+    val batch = Seq(
+      (0L, base),
+      (1L, base.clone()),                     // byte copy → exact
+      (2L, avi(movi(framesA, id = "01db"))),  // re-mux → perceptual
+      (3L, avi(movi(framesB))),
+      (4L, "junk".getBytes)                   // no signature → validate
+    ).toDF("video_id", "content")
+    val r = MediaPipeline.curateVideos(batch,
+      MediaPipeline.Config("video_id", "content"))
+    assert(r.kept.select("video_id").as[Long].collect().toSet == Set(0L, 3L))
+    assert(r.metrics == Seq("n_received" -> 5L, "n_valid" -> 4L,
+      "n_exact_kept" -> 3L, "n_near_kept" -> 2L, "n_final" -> 2L))
+    val idx = VideoFrameHash.buildVideoIndex(
+      Seq((100L, avi(movi(framesB)))).toDF("video_id", "content"),
+      "video_id", "content")
+    val r2 = MediaPipeline.curateVideos(batch,
+      MediaPipeline.Config("video_id", "content"), Some(idx))
+    assert(r2.kept.select("video_id").as[Long].collect().toSet == Set(0L))
+  }
+
   test("guards: maxHamming, minMatchFrac, maxFrames ranges") {
     val df = Seq((0L, avi(movi(framesB)))).toDF("video_id", "content")
     intercept[IllegalArgumentException] {
