@@ -67,14 +67,55 @@ object Subtitles {
         col("end_ms"), col("text"))
   }
 
-  /** One transcript row per document: cues joined in time order with
-    * single spaces — the frame the TEXT pipeline (language id,
+  /** SubStation Alpha (.ssa/.ass) events — the third caption grammar
+    * in the wild (fansub corpora ship it almost exclusively). One
+    * `Dialogue:` line per cue: ten comma-separated fields with commas
+    * legal in the final Text field (split limit 10), timestamps
+    * `H:MM:SS.cc` in CENTIseconds, `{\...}` override blocks stripped,
+    * `\N`/`\n` hard breaks collapsed to spaces. Output schema matches
+    * [[parseCues]], so [[assembleTranscripts]] and every cue consumer
+    * compose unchanged.
+    */
+  def parseAss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val assTimeRe = "(\\d+):(\\d{2}):(\\d{2})[.:](\\d{2})"
+    def assMs(t: Column): Column =
+      (regexp_extract(t, assTimeRe, 1).cast("long") * 3600 +
+        regexp_extract(t, assTimeRe, 2).cast("long") * 60 +
+        regexp_extract(t, assTimeRe, 3).cast("long")) * 1000 +
+        regexp_extract(t, assTimeRe, 4).cast("long") * 10
+    val lines = split(
+      regexp_replace(coalesce(col(textCol), lit("")), "\r\n?", "\n"), "\n")
+    val fields = split(
+      regexp_replace(col("__ln"), "^\\s*Dialogue:\\s*", ""), ",", 10)
+    val rawText = element_at(col("__f"), 10)
+    val cleaned = trim(regexp_replace(regexp_replace(rawText,
+      "\\{[^}]*\\}", ""), "\\\\[Nnh]", " "))
+    df.select(col(idCol), explode(lines).as("__ln"))
+      .filter(col("__ln").rlike("^\\s*Dialogue:"))
+      .withColumn("__f", fields)
+      .filter(size(col("__f")) >= 10 &&
+        element_at(col("__f"), 2).rlike(assTimeRe) &&
+        element_at(col("__f"), 3).rlike(assTimeRe))
+      .withColumn("start_ms", assMs(element_at(col("__f"), 2)))
+      .withColumn("end_ms", assMs(element_at(col("__f"), 3)))
+      .withColumn("text", cleaned)
+      .withColumn("cue_index",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("start_ms"),
+            col("end_ms"), col("text"))) - 1)
+      .select(col(idCol), col("cue_index"), col("start_ms"),
+        col("end_ms"), col("text"))
+  }
+
+  /** One transcript row per document from a cue frame (the
+    * [[parseCues]]/[[parseAss]] schema): cues joined in time order
+    * with single spaces — the frame the TEXT pipeline (language id,
     * quality, dedup, perplexity) consumes directly. Documents with no
-    * parseable cue emit no row. Also carries the cue count and the
+    * non-empty cue emit no row. Also carries the cue count and the
     * covered duration (last end − first start, ms).
     */
-  def transcripts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    parseCues(df, idCol, textCol)
+  def assembleTranscripts(cues: DataFrame, idCol: String): DataFrame =
+    cues
       .filter(col("text") =!= "")
       .groupBy(col(idCol))
       .agg(
@@ -83,4 +124,8 @@ object Subtitles {
           .getField("text"), " ").as("transcript"),
         count(lit(1)).as("n_cues"),
         (max("end_ms") - min("start_ms")).as("span_ms"))
+
+  /** [[assembleTranscripts]] over [[parseCues]] (SRT/WebVTT payloads). */
+  def transcripts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    assembleTranscripts(parseCues(df, idCol, textCol), idCol)
 }

@@ -772,6 +772,33 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m23Dir + "_exp")
   }
 
+  private val m24Dir = "/tmp/graft_gate_m24_ass"
+
+  private def writeM24Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val ass = Seq(
+      "[Script Info]", "Title: fixture", "",
+      "[Events]",
+      "Format: Layer, Start, End, Style, Name, MarginL, MarginR, " +
+        "MarginV, Effect, Text",
+      "Dialogue: 0,0:00:01.50,0:00:03.25,Default,,0,0,0,,{\\an8}Styled line",
+      "Dialogue: 0,0:00:04.00,0:00:05.00,Default,,0,0,0,," +
+        "Hard\\Nbreak, with comma",
+      "Dialogue: 0,1:02:03.45,1:02:04.00,Default,,0,0,0,,Late cue",
+      "Comment: 0,0:00:06.00,0:00:07.00,Default,,0,0,0,,never shown"
+    ).mkString("\n")
+    Seq((1L, ass), (2L, "no events here"))
+      .toDF("doc_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m24Dir + "_in")
+    // hand-converted: 0:00:01.50 = 1500 ms; 1:02:03.45 = 3723450 ms
+    Seq(
+      (1L, 0, 1500L, 3250L, "Styled line"),
+      (1L, 1, 4000L, 5000L, "Hard break, with comma"),
+      (1L, 2, 3723450L, 3724000L, "Late cue"))
+      .toDF("doc_id", "cue_index", "start_ms", "end_ms", "text")
+      .coalesce(1).write.mode("overwrite").parquet(m24Dir + "_exp")
+  }
+
   private val m21Dir = "/tmp/graft_gate_m21_flac"
 
   private def writeM21Fixture(s: SparkSession): Unit = {
@@ -932,6 +959,18 @@ object MultimodalQueries {
       writeM23Fixture(s)
       graft.ops.Subtitles.parseCues(
           s.read.parquet(m23Dir + "_in"), "doc_id", "content")
+        .orderBy("doc_id", "cue_index")
+    },
+
+    // -- m24: SubStation Alpha events — Dialogue lines only (Comment
+    //    lines never render), H:MM:SS.cc CENTIsecond times, {\...}
+    //    overrides stripped, \N breaks collapsed, commas legal in the
+    //    Text field (split limit 10). Hand-derived rows stored by the
+    //    fixture. ------------------------------------------------------
+    "m24_ass_cues" -> { (s, _) =>
+      writeM24Fixture(s)
+      graft.ops.Subtitles.parseAss(
+          s.read.parquet(m24Dir + "_in"), "doc_id", "content")
         .orderBy("doc_id", "cue_index")
     },
 
@@ -1336,6 +1375,13 @@ object MultimodalQueries {
         |  (0::BIGINT, 1::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT, 8::BIGINT))
         |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // Hand-derived Dialogue rows ride the fixture (centisecond
+    // arithmetic in its doc); the Comment line and the event-less
+    // document contribute nothing.
+    "m24_ass_cues" ->
+      s"""SELECT doc_id, cue_index, start_ms, end_ms, text
+         |FROM read_parquet('${m24Dir}_exp/*.parquet')
+         |ORDER BY doc_id, cue_index""".stripMargin,
     // Hand-derived cue rows ride the fixture (timestamp arithmetic in
     // the gate doc; the prose document contributes nothing).
     "m23_subtitle_cues" ->

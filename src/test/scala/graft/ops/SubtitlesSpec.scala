@@ -69,6 +69,35 @@ class SubtitlesSpec extends SparkSpec {
     assert(byDoc == Map(1L -> 3L))
   }
 
+  private val ass =
+    """[Script Info]
+      |Title: fixture
+      |
+      |[Events]
+      |Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+      |Dialogue: 0,0:00:01.50,0:00:03.25,Default,,0,0,0,,{\an8}Styled line
+      |Dialogue: 0,0:00:04.00,0:00:05.00,Default,,0,0,0,,Hard\Nbreak, with comma
+      |Comment: 0,0:00:06.00,0:00:07.00,Default,,0,0,0,,never shown
+      |""".stripMargin
+
+  test("ASS events: Dialogue lines only, centisecond times, overrides stripped, text commas kept") {
+    val got = Subtitles.parseAss(
+        Seq((1L, ass)).toDF("doc_id", "content"), "doc_id", "content")
+      .orderBy("cue_index")
+      .select("cue_index", "start_ms", "end_ms", "text")
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0, 1500L, 3250L, "Styled line"),
+      (1, 4000L, 5000L, "Hard break, with comma")))
+    // transcripts compose over the shared cue schema
+    val t = Subtitles.assembleTranscripts(
+        Subtitles.parseAss(Seq((1L, ass)).toDF("doc_id", "content"),
+          "doc_id", "content"), "doc_id")
+      .select("transcript", "n_cues", "span_ms")
+      .as[(String, Long, Long)].collect().head
+    assert(t == (("Styled line Hard break, with comma", 2L, 3500L)))
+  }
+
   test("transcripts: time-ordered assembly, cue count, covered span") {
     val got = Subtitles.transcripts(Seq(
         (1L, srt), (2L, vtt), (3L, "nothing")).toDF("doc_id", "content"),
