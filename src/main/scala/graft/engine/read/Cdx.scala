@@ -331,10 +331,15 @@ object Cdx {
     * per entry — a dense selection of thousands of small records pays
     * a handful of round trips, not one per record, and duplicate
     * ranges (resolved revisits) fetch once. Retries follow the
-    * engine's standard 5-attempt exponential backoff on 5xx/IO. A
-    * server that ignores `Range` (HTTP 200 with the full body) fails
-    * LOUD immediately — silently downloading a whole 100 GB archive
-    * per record is the failure mode the branch exists to prevent.
+    * engine's standard 5-attempt exponential backoff on 5xx/408/429
+    * and IO errors, with a server-sent `Retry-After` overriding the
+    * schedule on throttle statuses and `maxInFlightPerHost` bounding
+    * concurrent requests per archive host per executor (see
+    * [[rangedGet]]). Pass a [[FetchMetrics]] to observe request /
+    * retry / throttle counters after the job. A server that ignores
+    * `Range` (HTTP 200 with the full body) fails LOUD immediately —
+    * silently downloading a whole 100 GB archive per record is the
+    * failure mode the branch exists to prevent.
     */
   /** Shared per-JVM client for ranged GETs (thread-safe; one instance
     * per executor, like a filesystem handle).
@@ -345,31 +350,127 @@ object Cdx {
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
 
-  private val HttpRetryStatuses = Set(500, 502, 503, 504)
+  /** Retryable statuses: the transient 5xx family plus the two
+    * request-pacing statuses — 408 (request timeout) and 429 (too
+    * many requests, the throttle `data.commoncrawl.org` actually
+    * returns). A parallel selective fetch WILL be throttled at scale;
+    * dying loud on the first 429 instead of backing off would kill
+    * the whole job on routine rate-limiting.
+    */
+  private val HttpRetryStatuses = Set(408, 429, 500, 502, 503, 504)
 
-  /** One `Range: bytes=off..off+len-1` GET with the same retry posture
-    * as [[graft.engine.api.HttpApiClient]] (5 attempts, 1s/2s/4s/8s
-    * backoff on 500/502/503/504 and IO errors). Fails loud on a
-    * non-206 success (server ignored `Range`), a short body, or any
-    * other terminal status — a selective-fetch pipeline must never
-    * silently read the wrong bytes.
+  /** Statuses that count as THROTTLING in the fetch metrics (pacing
+    * feedback from the host, as opposed to server faults).
+    */
+  private val ThrottleStatuses = Set(408, 429)
+
+  /** Upper bound honored for a server-sent `Retry-After` (2 minutes).
+    * A hostile or misconfigured header must not park an executor task
+    * for hours; past the cap the wait clamps and the remaining
+    * attempts still bound total job delay.
+    */
+  val MaxRetryAfterMs: Long = 120000L
+
+  /** `Retry-After` per RFC 9110 §10.2.3 — `delay-seconds` or an
+    * HTTP-date — as milliseconds-to-wait from `nowMs` (0 for a date
+    * already past), clamped to [[MaxRetryAfterMs]]. None when absent
+    * or unparseable (fall back to the exponential schedule).
+    */
+  private[read] def retryAfterMs(header: Option[String],
+                                 nowMs: Long): Option[Long] =
+    header.map(_.trim).filter(_.nonEmpty).flatMap { v =>
+      val raw =
+        if (v.forall(_.isDigit)) scala.util.Try(v.toLong * 1000L).toOption
+        else scala.util.Try {
+          val t = java.time.ZonedDateTime.parse(v,
+            java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          math.max(0L, t.toInstant.toEpochMilli - nowMs)
+        }.toOption
+      raw.map(math.min(_, MaxRetryAfterMs))
+    }
+
+  /** Observed counters for a selective HTTP fetch (the A1 run-counter
+    * pattern, on Spark accumulators so executor-side events aggregate
+    * to the driver): how many ranged GETs went out, how many were
+    * retried, how often the host throttled (408/429), and how long
+    * the job spent sleeping on throttle backoff. A 100 TB fetch that
+    * spent half its wall clock throttled should REPORT that, not hide
+    * it in task time.
+    */
+  final class FetchMetrics(sc: org.apache.spark.SparkContext)
+      extends Serializable {
+    val requests = sc.longAccumulator("graft.cdx.http.requests")
+    val retries = sc.longAccumulator("graft.cdx.http.retries")
+    val throttled = sc.longAccumulator("graft.cdx.http.throttled")
+    val throttleSleepMs = sc.longAccumulator("graft.cdx.http.throttle_sleep_ms")
+    def snapshot: Map[String, Long] = Map(
+      "http_requests" -> requests.value,
+      "http_retries" -> retries.value,
+      "http_throttled" -> throttled.value,
+      "throttle_sleep_ms" -> throttleSleepMs.value)
+  }
+
+  /** Per-host in-flight request gates, one pool per executor JVM (the
+    * politeness analogue of [[graft.ops.Links.frontierSchedule]]'s
+    * per-host crawl budget): with 32 task threads all fetching from
+    * one archive host, an unbounded fan-out IS the reason the host
+    * throttles. Keyed by `(host, bound)` — the bound is constant
+    * within a fetch job, which is the scope that matters.
+    */
+  @transient private lazy val hostGates =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.Semaphore]()
+
+  private[read] def hostGate(host: String,
+                             permits: Int): java.util.concurrent.Semaphore =
+    hostGates.computeIfAbsent(s"$host#$permits",
+      _ => new java.util.concurrent.Semaphore(permits))
+
+  /** One `Range: bytes=off..off+len-1` GET with the engine's standard
+    * retry posture ([[graft.engine.api.HttpApiClient]]): `maxAttempts`
+    * tries, 1s/2s/4s/8s exponential backoff on 5xx/408/429 and IO
+    * errors — except that a server-sent `Retry-After` (the way
+    * `data.commoncrawl.org` paces clients on 429) OVERRIDES the
+    * exponential wait for that attempt, clamped to
+    * [[MaxRetryAfterMs]]. `gate` bounds in-flight requests per host
+    * (held around the wire exchange only, never across a backoff
+    * sleep, so one throttled task does not serialize its siblings).
+    * Fails loud on a non-206 success (server ignored `Range`), a
+    * short body, or any other terminal status — a selective-fetch
+    * pipeline must never silently read the wrong bytes.
     */
   private[read] def rangedGet(url: String, off: Long, len: Long,
                               maxAttempts: Int = 5,
                               backoffBaseMs: Long = 1000,
-                              sleep: Long => Unit = Thread.sleep): Array[Byte] = {
+                              sleep: Long => Unit = Thread.sleep,
+                              gate: Option[java.util.concurrent.Semaphore] = None,
+                              metrics: Option[FetchMetrics] = None): Array[Byte] = {
     val req = java.net.http.HttpRequest.newBuilder(URI.create(url))
       .timeout(java.time.Duration.ofMinutes(5))
       .header("Range", s"bytes=$off-${off + len - 1}")
       .GET().build()
     var attempt = 0
     var lastErr = "no attempt made"
+    // next wait: the exponential schedule unless the previous response
+    // carried a Retry-After, which then speaks for the server
+    var waitOverrideMs: Option[Long] = None
+    var lastWasThrottle = false
     while (attempt < maxAttempts) {
-      if (attempt > 0) sleep(backoffBaseMs << (attempt - 1))
+      if (attempt > 0) {
+        val wait = waitOverrideMs.getOrElse(backoffBaseMs << (attempt - 1))
+        if (lastWasThrottle) metrics.foreach(_.throttleSleepMs.add(wait))
+        sleep(wait)
+      }
+      waitOverrideMs = None
+      lastWasThrottle = false
       attempt += 1
       try {
-        val r = httpClient.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        metrics.foreach(_.requests.add(1))
+        gate.foreach(_.acquire())
+        val r =
+          try httpClient.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          finally gate.foreach(_.release())
         r.statusCode() match {
           case 206 =>
             val body = r.body()
@@ -379,12 +480,23 @@ object Cdx {
           case 200 => throw new IllegalStateException(
             s"server ignored Range for $url@$off+$len (HTTP 200 full " +
               "body): refusing to stream the whole archive per record")
-          case s if HttpRetryStatuses(s) => lastErr = s"HTTP $s"
+          case s if HttpRetryStatuses(s) =>
+            lastErr = s"HTTP $s"
+            metrics.foreach(_.retries.add(1))
+            if (ThrottleStatuses(s)) {
+              lastWasThrottle = true
+              metrics.foreach(_.throttled.add(1))
+              waitOverrideMs = retryAfterMs(
+                Option(r.headers().firstValue("Retry-After").orElse(null)),
+                System.currentTimeMillis())
+            }
           case s => throw new IllegalStateException(
             s"ranged GET $url@$off+$len failed: HTTP $s")
         }
       } catch {
-        case e: java.io.IOException => lastErr = s"IO error: ${e.getMessage}"
+        case e: java.io.IOException =>
+          lastErr = s"IO error: ${e.getMessage}"
+          metrics.foreach(_.retries.add(1))
       }
     }
     throw new IllegalStateException(
@@ -399,7 +511,11 @@ object Cdx {
 
   def fetch(cdx: DataFrame, base: String = "",
             maxPayloadBytes: Int = Warc.DefaultMaxPayloadBytes,
-            maxRangeBytes: Long = 1L << 30): DataFrame = {
+            maxRangeBytes: Long = 1L << 30,
+            maxInFlightPerHost: Int = 4,
+            metrics: Option[FetchMetrics] = None): DataFrame = {
+    require(maxInFlightPerHost >= 1,
+      s"maxInFlightPerHost must be >= 1: $maxInFlightPerHost")
     val spark = cdx.sparkSession
     import spark.implicits._
     val conf = new SerializableConfiguration(
@@ -469,7 +585,10 @@ object Cdx {
                   end = newEnd
                 } else more = false
               }
-              val blob = rangedGet(resolved, off, end - off)
+              val blob = rangedGet(resolved, off, end - off,
+                gate = Some(hostGate(URI.create(resolved).getAuthority,
+                  maxInFlightPerHost)),
+                metrics = metrics)
               entries.flatMap { case (o, l) =>
                 parse(f, o, l, java.util.Arrays.copyOfRange(
                   blob, (o - off).toInt, (o - off + l).toInt))

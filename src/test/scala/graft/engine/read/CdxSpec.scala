@@ -228,18 +228,31 @@ class CdxSpec extends SparkSpec {
 
   private val rangeRequests = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  private val concurrentNow = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val concurrentMax = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def withRangeServer(bytes: Array[Byte], honorRange: Boolean = true,
-                              failFirst: Int = 0)
+                              failFirst: Int = 0, failStatus: Int = 503,
+                              retryAfter: Option[String] = None,
+                              holdMs: Long = 0)
                              (body: Int => Unit): Unit = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     val remainingFails = new java.util.concurrent.atomic.AtomicInteger(failFirst)
     rangeRequests.set(0)
+    concurrentNow.set(0)
+    concurrentMax.set(0)
     server.createContext("/arc/", { ex: com.sun.net.httpserver.HttpExchange =>
       try {
         rangeRequests.incrementAndGet()
+        val now = concurrentNow.incrementAndGet()
+        concurrentMax.getAndUpdate(m => math.max(m, now))
+        if (holdMs > 0) Thread.sleep(holdMs)
         if (remainingFails.getAndDecrement() > 0) {
-          ex.sendResponseHeaders(503, -1)
+          retryAfter.foreach(v =>
+            ex.getResponseHeaders.add("Retry-After", v))
+          ex.sendResponseHeaders(failStatus, -1)
         } else {
           val range = ex.getRequestHeaders.getFirst("Range")
           if (honorRange && range != null && range.startsWith("bytes=")) {
@@ -254,7 +267,7 @@ class CdxSpec extends SparkSpec {
             ex.getResponseBody.write(bytes)
           }
         }
-      } finally ex.close()
+      } finally { concurrentNow.decrementAndGet(); ex.close() }
     })
     server.start()
     try body(server.getAddress.getPort) finally server.stop(0)
@@ -343,6 +356,111 @@ class CdxSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("after 3 attempts") &&
         e.getMessage.contains("HTTP 503"))
+    }
+  }
+
+  test("rangedGet: 429 + Retry-After backs off per the header, then succeeds") {
+    val bytes = gz(rec("t", "throttle me"))
+    withRangeServer(bytes, failFirst = 1, failStatus = 429,
+        retryAfter = Some("2")) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val m = new Cdx.FetchMetrics(spark.sparkContext)
+      val got = Cdx.rangedGet(s"http://127.0.0.1:$port/arc/a.warc.gz",
+        0, bytes.length.toLong, sleep = sleeps += _, metrics = Some(m))
+      assert(java.util.Arrays.equals(got, bytes))
+      // the header (2 s) speaks, not the exponential schedule (1 s)
+      assert(sleeps.toSeq == Seq(2000L))
+      assert(m.requests.value == 2L && m.retries.value == 1L &&
+        m.throttled.value == 1L && m.throttleSleepMs.value == 2000L)
+    }
+  }
+
+  test("rangedGet: 429 without Retry-After falls back to the exponential schedule") {
+    val bytes = gz(rec("t2", "throttle plain"))
+    withRangeServer(bytes, failFirst = 2, failStatus = 429) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val got = Cdx.rangedGet(s"http://127.0.0.1:$port/arc/a.warc.gz",
+        0, bytes.length.toLong, sleep = sleeps += _)
+      assert(java.util.Arrays.equals(got, bytes))
+      assert(sleeps.toSeq == Seq(1000L, 2000L))
+    }
+  }
+
+  test("rangedGet: 408 request timeout retries instead of dying") {
+    val bytes = gz(rec("t3", "slow host"))
+    withRangeServer(bytes, failFirst = 1, failStatus = 408) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val got = Cdx.rangedGet(s"http://127.0.0.1:$port/arc/a.warc.gz",
+        0, bytes.length.toLong, sleep = sleeps += _)
+      assert(java.util.Arrays.equals(got, bytes))
+      assert(sleeps.toSeq == Seq(1000L))
+    }
+  }
+
+  test("retryAfterMs: delay-seconds, HTTP-date, junk, and the cap") {
+    assert(Cdx.retryAfterMs(Some("2"), 0L) == Some(2000L))
+    assert(Cdx.retryAfterMs(Some("  7 "), 0L) == Some(7000L))
+    // HTTP-date: 90 s in the future of nowMs
+    val now = 1765000000000L
+    val date = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(now + 90000L).atZone(
+        java.time.ZoneOffset.UTC))
+    assert(Cdx.retryAfterMs(Some(date), now) == Some(90000L))
+    // a date already past waits zero, never negative
+    val past = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(now - 5000L).atZone(
+        java.time.ZoneOffset.UTC))
+    assert(Cdx.retryAfterMs(Some(past), now) == Some(0L))
+    // hostile header clamps to the cap; junk falls back to None
+    assert(Cdx.retryAfterMs(Some("999999"), 0L) == Some(Cdx.MaxRetryAfterMs))
+    assert(Cdx.retryAfterMs(Some("soonish"), 0L).isEmpty)
+    assert(Cdx.retryAfterMs(None, 0L).isEmpty)
+    assert(Cdx.retryAfterMs(Some(""), 0L).isEmpty)
+  }
+
+  test("rangedGet: the per-host gate bounds concurrent in-flight requests") {
+    val bytes = gz(rec("g", "gated"))
+    withRangeServer(bytes, holdMs = 120) { port =>
+      val gate = new java.util.concurrent.Semaphore(1)
+      val url = s"http://127.0.0.1:$port/arc/a.warc.gz"
+      val threads = (0 until 4).map { _ =>
+        new Thread(() => {
+          Cdx.rangedGet(url, 0, bytes.length.toLong, gate = Some(gate))
+          ()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(rangeRequests.get() == 4)
+      assert(concurrentMax.get() == 1,
+        s"gate of 1 admitted ${concurrentMax.get()} concurrent requests")
+    }
+  }
+
+  test("hostGate: same (host, bound) shares one semaphore; hosts are independent") {
+    val a = Cdx.hostGate("archive.example.org:443", 3)
+    assert(a eq Cdx.hostGate("archive.example.org:443", 3))
+    assert(a ne Cdx.hostGate("other.example.org:443", 3))
+    assert(a.availablePermits() == 3)
+  }
+
+  test("fetch: metrics observe request counts across the job") {
+    val m1 = gz(rec("mm1", "metered one"))
+    val m2 = gz(rec("mm2", "metered two"))
+    val pad = Array.fill[Byte](100000)(0x3c)
+    val bytes = m1 ++ pad ++ m2
+    withRangeServer(bytes) { port =>
+      val metrics = new Cdx.FetchMetrics(spark.sparkContext)
+      val cdx = Seq(
+        ("a.warc.gz", 0L, m1.length.toLong),
+        ("a.warc.gz", (m1.length + pad.length).toLong, m2.length.toLong))
+        .toDF("warc_file", "warc_offset", "warc_length")
+        .coalesce(1)
+      val n = Cdx.fetch(cdx, base = s"http://127.0.0.1:$port/arc",
+        metrics = Some(metrics)).count()
+      assert(n == 2)
+      val snap = metrics.snapshot
+      assert(snap("http_requests") == 2L && snap("http_retries") == 0L &&
+        snap("http_throttled") == 0L && snap("throttle_sleep_ms") == 0L)
     }
   }
 
