@@ -236,10 +236,16 @@ object FlacDecode {
     val statedCrc = r.readUInt(8).toInt
     require(headerCrc == statedCrc,
       s"FLAC frame-header CRC mismatch at $start: computed $headerCrc stated $statedCrc")
-    // channel assignment: 0..7 independent (count-1), 8 L/S, 9 R/S, 10 M/S
+    // channel assignment: 0..7 independent (count-1), 8 L/S, 9 R/S,
+    // 10 M/S; 11-15 reserved
+    require(chCode <= 10, s"reserved channel assignment $chCode at $start")
     val nCh = if (chCode < 8) chCode + 1 else 2
-    require(nCh == siChannels || chCode >= 8,
-      s"frame channel count $nCh != STREAMINFO $siChannels")
+    // a decorrelated frame IS a 2-channel frame — STREAMINFO must
+    // agree, or the stream is lying to one of its readers (silently
+    // keeping channel 0 of two would betray the fail-loud posture)
+    require(nCh == siChannels,
+      s"frame channel count $nCh (assignment code $chCode) != " +
+        s"STREAMINFO $siChannels at $start")
     val subframes = Array.ofDim[Array[Int]](nCh)
     for (c <- 0 until nCh) {
       val extraBit = chCode match {

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Bm25Index {
 
+  /** On-disk format version, stamped into `stats/`. Version 2 = `dl`
+    * denormalized into the postings (no `lens/` table). A version-1
+    * index (separate `lens/`, no `dl` column) would otherwise fail
+    * [[query]] with an opaque unresolved-column error on `dl`; the
+    * stamp turns that into a "rebuild the index" message at open.
+    */
+  val FormatVersion = 2L
+
   private def toks(textCol: String) =
     when(col(textCol).isNull, array().cast("array<string>"))
       .otherwise(regexp_extract_all(col(textCol),
@@ -53,6 +61,7 @@ object Bm25Index {
       base.select(size(col("__t")).cast("long").as("dl"))
         .agg(count(lit(1)).as("n_docs"),
           (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        .withColumn("format", lit(FormatVersion))
         .write.mode("overwrite").parquet(s"$dir/stats")
     } finally { base.unpersist(); () }
   }
@@ -70,6 +79,17 @@ object Bm25Index {
     require(k1 >= 0, s"k1 must be >= 0: $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1]: $b")
     val distinctTerms = terms.distinct
+    // format gate BEFORE touching postings: a stale index fails with
+    // instructions, not an unresolved-column error three joins deep
+    val stats = spark.read.parquet(s"$dir/stats")
+    val statedVersion =
+      if (stats.columns.contains("format"))
+        stats.select("format").head().getLong(0)
+      else 1L
+    require(statedVersion == FormatVersion,
+      s"BM25 index at $dir is format version $statedVersion; this " +
+        s"reader needs version $FormatVersion — rebuild it with " +
+        "Bm25Index.build")
     // the IN filter reaches the parquet scan; term-sorted row groups
     // prune everything else
     val matched = spark.read.parquet(s"$dir/postings")
@@ -78,7 +98,7 @@ object Bm25Index {
       matched.groupBy("term").agg(count(lit(1)).as("__df")), Seq("term"))
     // dl rides the posting row — NO O(corpus) doc-length join here
     val joined = ScalarFold.withScalars(
-      withDf, spark.read.parquet(s"$dir/stats"))
+      withDf, stats.drop("format"))
     val dfT = col("__df").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))

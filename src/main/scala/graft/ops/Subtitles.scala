@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Subtitles {
 
+  // Hours: WebVTT allows MORE than two digits (a days-long stream
+  // archive is legal); 4 is plenty for real media. The (?<!\d)
+  // lookbehind stops a 5+-digit hours field from matching at an
+  // interior offset (silently reading '10000:' as hours '0000').
   private val TimingRe =
-    "(?:(\\d{1,2}):)?(\\d{2}):(\\d{2})[.,](\\d{3})\\s*-->\\s*" +
-      "(?:(\\d{1,2}):)?(\\d{2}):(\\d{2})[.,](\\d{3})"
+    "(?<!\\d)(?:(\\d{1,4}):)?(\\d{2}):(\\d{2})[.,](\\d{3})\\s*-->\\s*" +
+      "(?:(\\d{1,4}):)?(\\d{2}):(\\d{2})[.,](\\d{3})"
 
   private def ms(h: Column, m: Column, s: Column, f: Column): Column = {
     // an absent hours group extracts as '' — ANSI cast would throw

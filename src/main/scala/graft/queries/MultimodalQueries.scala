@@ -757,7 +757,9 @@ object MultimodalQueries {
       "NOTE this block is commentary and must drop", "",
       "00:05.000 --> 00:07.250 align:middle",
       "<v Speaker>No hours on this one", "",
-      "00:01:00.000 --> 00:01:02.000", "Full hours here"
+      "00:01:00.000 --> 00:01:02.000", "Full hours here", "",
+      // WebVTT hours may exceed two digits (100 h = 360,000,000 ms)
+      "100:00:00.000 --> 100:00:01.500", "Marathon archive"
     ).mkString("\n")
     Seq((1L, srt), (2L, vtt), (3L, "prose with no cues"))
       .toDF("doc_id", "content")
@@ -767,7 +769,8 @@ object MultimodalQueries {
       (1L, 1, 4200L, 6000L, "Second line with a wrap."),
       (1L, 2, 3723456L, 3724000L, "Top text"),
       (2L, 0, 5000L, 7250L, "No hours on this one"),
-      (2L, 1, 60000L, 62000L, "Full hours here"))
+      (2L, 1, 60000L, 62000L, "Full hours here"),
+      (2L, 2, 360000000L, 360001500L, "Marathon archive"))
       .toDF("doc_id", "cue_index", "start_ms", "end_ms", "text")
       .coalesce(1).write.mode("overwrite").parquet(m23Dir + "_exp")
   }

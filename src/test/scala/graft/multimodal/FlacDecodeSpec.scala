@@ -228,6 +228,29 @@ class FlacDecodeSpec extends SparkSpec {
     }
   }
 
+  test("a decorrelated frame inside a mono-declared stream fails loud") {
+    // left/side IS a 2-channel frame; STREAMINFO says channels=1 —
+    // the stream lies to one of its readers, so the decoder must
+    // refuse rather than silently keep channel 0 of two
+    val l = Array(10, 20, 30, 40, 50, 60, 70, 80, 10, 20, 30, 40, 50,
+      60, 70, 80)
+    val s = Array.fill(16)(5)
+    def subV(xs: Array[Int], bits: Int)(w: BitWriter): Unit = {
+      w.bit(0); w.uint(1, 6); w.bit(0)
+      xs.foreach(v => w.sint(v, bits))
+    }
+    val lying = flac(8000, 1, 16, 16L,
+      frame(16, 0, 8, 4, 0, { w => subV(l, 16)(w); subV(s, 17)(w) }))
+    val e = intercept[IllegalArgumentException](FlacDecode.decode(lying))
+    assert(e.getMessage.contains("STREAMINFO"), e.getMessage)
+    // reserved channel-assignment codes (11-15) are refused too
+    val reserved = flac(8000, 2, 16, 16L,
+      frame(16, 0, 11, 4, 0, { w => subV(l, 16)(w); subV(s, 16)(w) }))
+    val e2 = intercept[IllegalArgumentException](FlacDecode.decode(reserved))
+    assert(e2.getMessage.contains("reserved channel assignment"),
+      e2.getMessage)
+  }
+
   test("multi-frame streams concatenate; declared total trims padding") {
     val f0 = (1 to 16).toSeq
     val f1 = (17 to 32).toSeq

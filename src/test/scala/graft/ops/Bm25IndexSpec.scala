@@ -72,6 +72,22 @@ class Bm25IndexSpec extends SparkSpec {
     assert(top2 == Seq(10L, 11L))
   }
 
+  test("a version-1 index (no format stamp) fails with a rebuild message, not an unresolved column") {
+    val dir = tmpDir("bm25v1").toString
+    Bm25Index.build(corpus, "doc_id", "text", dir)
+    // regress the stats to the v1 shape: no format column (and a v1
+    // index also had no dl in postings — the stamp must trip FIRST)
+    val stats = spark.read.parquet(s"$dir/stats").drop("format").collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(stats.toSeq),
+        spark.read.parquet(s"$dir/stats").drop("format").schema)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val e = intercept[IllegalArgumentException](
+      Bm25Index.query(spark, dir, Seq("table"), k = 5))
+    assert(e.getMessage.contains("rebuild") &&
+      e.getMessage.contains("format version 1"), e.getMessage)
+  }
+
   test("guards: empty terms, bad k/k1/b rejected") {
     val dir = tmpDir("bm25guard").toString
     Bm25Index.build(corpus, "doc_id", "text", dir)

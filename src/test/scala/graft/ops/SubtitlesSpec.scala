@@ -59,6 +59,21 @@ class SubtitlesSpec extends SparkSpec {
       (1, 60000L, 62000L, "Full hours here")))
   }
 
+  test("WebVTT: 3+-digit hours parse whole, never as a shifted interior match") {
+    val long = Seq(
+      "WEBVTT", "",
+      "100:00:00.000 --> 100:00:01.500", "Marathon archive", "",
+      // 5-digit hours exceed the grammar; the lookbehind stops the
+      // line from matching at an interior offset with hours misread
+      "10000:00:00.000 --> 10000:00:01.000", "Too many digits"
+    ).mkString("\n")
+    val got = Subtitles.parseCues(
+        Seq((1L, long)).toDF("doc_id", "content"), "doc_id", "content")
+      .select("start_ms", "end_ms", "text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((360000000L, 360001500L, "Marathon archive")))
+  }
+
   test("CRLF payloads and NULL/garbage documents") {
     val crlf = srt.replace("\n", "\r\n")
     val cues = Subtitles.parseCues(Seq(
