@@ -27,7 +27,8 @@ object SparkEntry {
       CoreQueries.queries, ValidatorQueries.queries,
       PipelineQueries.queries, DedupQueries.queries,
       TextQueries.queries, AnnQueries.queries,
-      MultimodalQueries.queries, SinkQueries.queries,
+      MultimodalQueries.queries, MediaGateQueries.queries,
+      SinkQueries.queries,
       CurationQueries.queries, IngestGateQueries.queries,
       JoinQueries.queries, SketchQueries.queries,
       GraphQueries.queries, CodeQueries.queries)
@@ -53,6 +54,7 @@ object SparkEntry {
       TextQueries.oracle ++
       AnnQueries.oracle ++
       MultimodalQueries.oracle ++
+      MediaGateQueries.oracle ++
       SinkQueries.oracle ++
       CurationQueries.oracle ++
       IngestGateQueries.oracle ++

@@ -179,10 +179,16 @@ object AudioProbe {
     112, 128, 144, 160)
 
   /** One parsed MPEG frame header at `off`: (frameBytes,
-    * samplesPerFrame, sampleRate, channels), or None if not a valid
-    * header.
+    * samplesPerFrame, sampleRate, channels, kbps, version, crc), or
+    * None if not a valid header. `version` is the raw 2-bit field
+    * (3 = MPEG-1), `crc` whether a 16-bit CRC follows the header
+    * (protection bit 0).
     */
-  private def mp3Frame(b: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
+  private final case class Mp3FrameHeader(
+      frameBytes: Int, samplesPerFrame: Int, sampleRate: Int,
+      channels: Int, kbps: Int, version: Int, crc: Boolean)
+
+  private def mp3Frame(b: Array[Byte], off: Int): Option[Mp3FrameHeader] = {
     if (off + 4 > b.length) return None
     if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return None
     val version = (b(off + 1) >>> 3) & 0x3 // 0=2.5, 1=reserved, 2=v2, 3=v1
@@ -210,7 +216,9 @@ object AudioProbe {
         if (v1) (144 * bitrate / rate + padding, 1152)
         else (72 * bitrate / rate + padding, 576)
     }
-    if (frameLen < 4) None else Some((frameLen, samples, rate, channels))
+    if (frameLen < 4) None
+    else Some(Mp3FrameHeader(frameLen, samples, rate, channels, kbps,
+      version, (b(off + 1) & 0x1) == 0))
   }
 
   /** MP3: skip an ID3v2 tag if present (syncsafe size), resync to the
@@ -239,8 +247,9 @@ object AudioProbe {
     // stream head (a truncated download starts with its header; a
     // stray mid-junk sync does not get the truncation waiver).
     def syncsAt(o: Int): Boolean = mp3Frame(bytes, o) match {
-      case Some((len, _, r, _)) =>
-        if (o + len < bytes.length) mp3Frame(bytes, o + len).exists(_._3 == r)
+      case Some(h) =>
+        if (o + h.frameBytes < bytes.length)
+          mp3Frame(bytes, o + h.frameBytes).exists(_.sampleRate == h.sampleRate)
         else o == start
       case None => false
     }
@@ -252,19 +261,144 @@ object AudioProbe {
       o += 1
     }
     if (first < 0) return None
-    val (_, _, rate, channels) = mp3Frame(bytes, first).get
+    val h0 = mp3Frame(bytes, first).get
     var off = first
     var samples = 0L
     var ok = true
     while (ok) {
       mp3Frame(bytes, off) match {
-        case Some((len, spf, r, _)) if r == rate =>
-          samples += spf
-          off += len
+        case Some(h) if h.sampleRate == h0.sampleRate =>
+          samples += h.samplesPerFrame
+          off += h.frameBytes
         case _ => ok = false
       }
     }
-    Some(AudioMeta("mp3", channels, rate, 0, samples))
+    Some(AudioMeta("mp3", h0.channels, h0.sampleRate, 0, samples))
+  }
+
+  /** Full MP3 stream inventory — the frame-level facts a corpus
+    * curator needs (duration for budget/caps, CBR/VBR shape, encoder
+    * metadata consistency) that the one-frame [[mp3Info]] probe does
+    * not carry. Pure header arithmetic per ISO 11172-3 / 13818-3 plus
+    * the two de-facto VBR headers the ecosystem standardized on:
+    *
+    *  - `Xing`/`Info` (the LAME/Xing convention): in the FIRST
+    *    frame, after the side info (MPEG-1: 17 bytes mono / 32
+    *    stereo; MPEG-2/2.5: 9/17 — plus the 2-byte CRC when the
+    *    protection bit is set), a tag + flag word + optional
+    *    big-endian frame/byte counts. The header frame carries no
+    *    audio, so it is EXCLUDED from the audio frame/sample counts;
+    *  - `VBRI` (Fraunhofer): at a fixed 32-byte offset after the
+    *    first frame's header, version/delay/quality + byte and frame
+    *    counts.
+    *
+    * `vbr` is observed (bitrate varies across walked frames), not
+    * inferred from the tag name — an `Info`-tagged CBR file and an
+    * untagged VBR file both report truthfully. `avgBitrateKbps` is
+    * audio bytes × 8 / audio duration, exact for CBR.
+    *
+    * This is deliberately an INVENTORY, not a decoder: full Layer III
+    * sample reconstruction needs the spec's large literal tables
+    * (34 Huffman code tables, the 512-tap synthesis window) which
+    * cannot be verified offline — see COVERAGE.md for the documented
+    * skip (the KenLM-binary posture).
+    */
+  final case class Mp3Inventory(
+      channels: Int, sampleRateHz: Int,
+      nFrames: Long, nSamples: Long, durationMs: Long,
+      vbr: Boolean, avgBitrateKbps: Double,
+      vbrHeader: Option[String],
+      declaredFrames: Option[Long], declaredBytes: Option[Long])
+
+  def mp3Inventory(bytes: Array[Byte]): Option[Mp3Inventory] = {
+    if (bytes == null || bytes.length < 4) return None
+    var start = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      start = 10 + size
+      if (start >= bytes.length) return None
+    }
+    // same confirmed-sync resync as mp3Info
+    def syncsAt(o: Int): Boolean = mp3Frame(bytes, o) match {
+      case Some(h) =>
+        if (o + h.frameBytes < bytes.length)
+          mp3Frame(bytes, o + h.frameBytes).exists(_.sampleRate == h.sampleRate)
+        else o == start
+      case None => false
+    }
+    val window = math.min(bytes.length - 4, start + 4096)
+    var first = -1
+    var o = start
+    while (first < 0 && o <= window) {
+      if (syncsAt(o)) first = o
+      o += 1
+    }
+    if (first < 0) return None
+    val h0 = mp3Frame(bytes, first).get
+
+    def u32be(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def tagAt(off: Int, t: String): Boolean =
+      off + t.length <= bytes.length &&
+        t.indices.forall(i => bytes(off + i) == t.charAt(i))
+
+    // Xing/Info location: header (4) + CRC (2 if protected) + side info
+    val sideInfo =
+      if (h0.version == 3) { if (h0.channels == 1) 17 else 32 }
+      else { if (h0.channels == 1) 9 else 17 }
+    val xingOff = first + 4 + (if (h0.crc) 2 else 0) + sideInfo
+    val vbriOff = first + 4 + 32
+    var vbrHeader: Option[String] = None
+    var declFrames: Option[Long] = None
+    var declBytes: Option[Long] = None
+    if (tagAt(xingOff, "Xing") || tagAt(xingOff, "Info")) {
+      vbrHeader = Some(if (tagAt(xingOff, "Xing")) "xing" else "info")
+      val flags = u32be(xingOff + 4)
+      var p = xingOff + 8
+      if ((flags & 0x1) != 0) { declFrames = Some(u32be(p)).filter(_ >= 0); p += 4 }
+      if ((flags & 0x2) != 0) { declBytes = Some(u32be(p)).filter(_ >= 0); p += 4 }
+    } else if (tagAt(vbriOff, "VBRI")) {
+      vbrHeader = Some("vbri")
+      declBytes = Some(u32be(vbriOff + 10)).filter(_ >= 0)
+      declFrames = Some(u32be(vbriOff + 14)).filter(_ >= 0)
+    }
+
+    var off = first
+    var nFrames = 0L
+    var nSamples = 0L
+    var audioBytes = 0L
+    var vbr = false
+    var firstAudioKbps = -1
+    var ok = true
+    var idx = 0
+    while (ok) {
+      mp3Frame(bytes, off) match {
+        case Some(h) if h.sampleRate == h0.sampleRate =>
+          // the VBR header frame is metadata, not audio (and often a
+          // different bitrate than the audio — it must not trip `vbr`)
+          if (!(idx == 0 && vbrHeader.isDefined)) {
+            nFrames += 1
+            nSamples += h.samplesPerFrame
+            audioBytes += h.frameBytes
+            if (firstAudioKbps < 0) firstAudioKbps = h.kbps
+            else if (h.kbps != firstAudioKbps) vbr = true
+          }
+          off += h.frameBytes
+          idx += 1
+        case _ => ok = false
+      }
+    }
+    if (nFrames == 0) return None
+    val durationMs = nSamples * 1000L / h0.sampleRate
+    val avgKbps =
+      if (durationMs == 0) 0.0
+      else audioBytes * 8.0 / (nSamples.toDouble / h0.sampleRate) / 1000.0
+    Some(Mp3Inventory(h0.channels, h0.sampleRate, nFrames, nSamples,
+      durationMs, vbr, avgKbps, vbrHeader, declFrames, declBytes))
   }
 
   /** Unified probe: dispatch on container signature — WAV, FLAC, MP3

@@ -70,8 +70,10 @@ object AudioFingerprint {
     * little-endian), IEEE float (format 3; 32/64-bit), or
     * WAVE_FORMAT_EXTENSIBLE (0xFFFE — the real format code lives in
     * the first two SubFormat GUID bytes) wrapping either — or a FLAC
-    * stream, decoded losslessly by [[FlacDecode]] (a FLAC re-encode
-    * of the same recording therefore hashes IDENTICALLY to its WAV).
+    * stream, native OR Ogg-encapsulated ([[OggFlac]], `.oga`),
+    * decoded losslessly by [[FlacDecode]] (a FLAC re-encode of the
+    * same recording therefore hashes IDENTICALLY to its WAV, in
+    * either container).
     * Channels average to mono. None on any other container or codec,
     * and None on a structurally corrupt FLAC (the fingerprint column
     * contract is NULL-for-undecodable; [[FlacDecode.decode]] itself
@@ -92,6 +94,11 @@ object AudioFingerprint {
     }
     if (FlacDecode.isFlac(bytes))
       return scala.util.Try(FlacDecode.decode(bytes)).toOption.flatten
+        .map(a => (a.mono, a.sampleRateHz))
+    // Ogg-FLAC (.oga): the page layer unwraps to the same frames, so
+    // a re-containerized FLAC hashes identically to its native form
+    if (OggFlac.isOgg(bytes))
+      return scala.util.Try(OggFlac.decode(bytes)).toOption.flatten
         .map(a => (a.mono, a.sampleRateHz))
     def tag(off: Int) =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)

@@ -145,6 +145,77 @@ object VideoFrameHash {
       outNames = Seq("vid_a", "vid_b", "n_frames_a", "n_frames_b",
         "matched_a", "matched_b"))
 
+  /** Frame-hash signature rows from EXTERNALLY-extracted frames — the
+    * bring-your-own-frames face for codecs outside the pure-JVM MJPEG
+    * walk. H.264-in-MP4 — what video actually ships as — needs a
+    * native decoder this engine deliberately does not guess at; the
+    * realistic pipeline extracts keyframes out-of-band (ffmpeg
+    * `-skip_frame nokey`, a GPU decode stage, …) and hands the engine
+    * `(video_id, frame image bytes)` rows. Each frame dHashes through
+    * the SAME [[ImageHash.dhash64]] kernel the MJPEG walk uses, so on
+    * byte-identical frame images the two faces produce IDENTICAL
+    * signatures (spec-pinned) and every downstream face — the pair
+    * join, the persisted index, the incremental drop — composes
+    * unchanged across extraction paths. Output schema IS the
+    * [[buildVideoIndex]] schema (`(video_id, fhash)`, distinct);
+    * frames that fail to decode drop (a signature survives partial
+    * corruption, the [[frameHashes]] stance).
+    *
+    * Scale shape: one pure map over frame bytes (the decode+hash is
+    * the bill), then an 8-byte-hash dedup — frame payloads never
+    * shuffle past the hash projection.
+    */
+  def signatureFromFrames(frames: DataFrame, idCol: String,
+                          frameBytesCol: String): DataFrame =
+    frames.select(col(idCol).as("video_id"),
+        ImageHash.dhash(col(frameBytesCol)).as("fhash"))
+      .filter(col("fhash").isNotNull)
+      .distinct()
+
+  /** [[nearDuplicateVideos]] over externally-extracted frames: same
+    * six-column output, same containment semantics — a clip whose
+    * frames are a subset of a longer one reaches frac 1 on its own
+    * side. Videos with no decodable frame pair with nothing.
+    */
+  def nearDuplicateVideosFromFrames(frames: DataFrame, idCol: String,
+                                    frameBytesCol: String,
+                                    maxHamming: Int = 4,
+                                    minMatchFrac: Double = 0.5,
+                                    maxBucket: Int = 1 << 12): DataFrame =
+    SetSignature.nearDuplicatesBySignature(
+      frames.select(col(idCol).as("__sid"),
+        ImageHash.dhash(col(frameBytesCol)).as("__sh")),
+      "__sid", "__sh", maxHamming, minMatchFrac, maxBucket,
+      outNames = Seq("vid_a", "vid_b", "n_frames_a", "n_frames_b",
+        "matched_a", "matched_b"))
+
+  /** Incremental dedup for BYO-frame videos against a
+    * [[buildVideoIndex]]-shaped frame — the index may have been built
+    * by EITHER face (the MJPEG walk or [[signatureFromFrames]]); the
+    * hashes are the same kernel. `batch` is any frame keyed by
+    * `idCol` (the video payload/metadata table); `batchFrames` its
+    * externally-extracted `(idCol, frame bytes)` rows. Batch videos
+    * covered at `minMatchFrac` drop; videos with no decodable frame
+    * survive (nothing to match them by).
+    */
+  def dropNearDuplicateVideosFromFrames(batch: DataFrame,
+                                        batchFrames: DataFrame,
+                                        index: DataFrame,
+                                        idCol: String,
+                                        frameBytesCol: String,
+                                        maxHamming: Int = 4,
+                                        minMatchFrac: Double = 0.5,
+                                        maxBucket: Int = 1 << 12): DataFrame = {
+    require(index.columns.toSeq.contains("video_id") &&
+      index.columns.toSeq.contains("fhash"),
+      "index must be a buildVideoIndex frame with (video_id, fhash)")
+    val covered = SetSignature.coveredIds(
+      batchFrames.select(col(idCol).as("__sid"),
+        ImageHash.dhash(col(frameBytesCol)).as("__sh")),
+      index, "__sid", "__sh", "fhash", maxHamming, minMatchFrac, maxBucket)
+    batch.join(covered, col(idCol) === col("__covered_id"), "left_anti")
+  }
+
   /** Persisted video signature index — one `(video_id, fhash)` row
     * per sampled frame hash, the video face of
     * [[ImageHash.buildImageIndex]]: build once over the seen corpus,

@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.VideoFrameHash
+
+/** Round-12 media gates (the [[MultimodalQueries]] continuation,
+  * split out per the 2,000-line module guidance): bring-your-own-
+  * frames video dedup, the subtitles→curation composed pipeline,
+  * Ogg-FLAC fingerprint identity, and the MP3 stream inventory.
+  * Same fixture discipline as the m6/m7-adjudicated pattern — every
+  * expected value is hand-derived (or computed by INDEPENDENT
+  * builder code) in the fixture writer and stored beside the input,
+  * never read back from the implementation under test.
+  */
+object MediaGateQueries {
+
+  // -- m25/m27 fixture: the m17 JPEG frame family, fed as EXTERNALLY
+  //    extracted frames. Expectations derive from frame BYTE identity
+  //    alone (byte-identical JPEGs decode to identical pixels →
+  //    identical dHashes on both extraction paths); JPEG codec
+  //    numerics never enter any expected value.
+  private def framesA: Seq[Array[Byte]] =
+    (0 until 8).map(i => MultimodalQueries.jpegFrame(29 + 2 * i))
+  private def framesB: Seq[Array[Byte]] =
+    (0 until 8).map(i => MultimodalQueries.jpegFrame(101 + 5 * i))
+
+  // -- m26 fixture: subtitle payloads whose transcripts are DESIGNED
+  //    to exercise one curation stage each. Hand-derived verdicts
+  //    (marker sets and the quality formula are public engine
+  //    contracts, replayed by eye in the comments):
+  //    1 SRT  "the stars burn far away and the night sky turns
+  //            slowly above" — en (3 marker hits), clean → SURVIVES;
+  //    2 VTT  transcript IDENTICAL to the seen-index document →
+  //            minhash jaccard 1 ≥ 0.8 → near-dup DROP;
+  //    3 SRT  "buenas noches amigos hasta manana siempre dijo nadie"
+  //            — zero marker hits in all four sets → unknown → DROP;
+  //    4 SRT  "the 1234567890 9876543210 1234567890 to 55555" —
+  //            digit_ratio 35/45, score 1.2 − 0.7778 < 0.8 → DROP;
+  //    5 VTT  the probe text verbatim → contamination 1.0 > 0.2 →
+  //            decontamination DROP;
+  //    6 VTT  "a quiet morning of rain falls on the old roof of the
+  //            house" — en (5 hits), clean → SURVIVES;
+  //    7      prose without cues → no transcript row at all.
+  //    Survivors: single source 'subs' (mixReweight threshold =
+  //    buckets keeps all), n_tok 12 and 13 (whitespace tokens),
+  //    pack_id 0 (12 + 13 < capacity 512); content_sha = sha-256 of
+  //    the transcript, which DuckDB recomputes from the same literal.
+  private val m26Dir = "/tmp/graft_gate_m26_subs"
+
+  private[queries] val m26SeenText =
+    "the ship sails to the harbor and the crew waves to the shore"
+  private[queries] val m26ProbeText =
+    "copy the exam answer key tonight and share it with everyone quickly"
+  private[queries] val m26SurvivorA =
+    "the stars burn far away and the night sky turns slowly above"
+  private[queries] val m26SurvivorF =
+    "a quiet morning of rain falls on the old roof of the house"
+
+  private def writeM26Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def srt(cues: Seq[(String, String, String)]): String =
+      cues.zipWithIndex.flatMap { case ((from, to, text), i) =>
+        Seq((i + 1).toString, s"$from --> $to", text, "")
+      }.mkString("\n")
+    def vtt(cues: Seq[(String, String, String)]): String =
+      ("WEBVTT" +: "" +: cues.flatMap { case (from, to, text) =>
+        Seq(s"$from --> $to", text, "")
+      }).mkString("\n")
+    val docs = Seq(
+      (1L, srt(Seq(
+        ("00:00:01,000", "00:00:03,000", "the <i>stars</i> burn far away"),
+        ("00:00:04,000", "00:00:06,500",
+          "and the night sky turns slowly above")))),
+      (2L, vtt(Seq(
+        ("00:10.000", "00:12.000", "the ship sails to the harbor"),
+        ("00:13.000", "00:15.000", "and the crew waves to the shore")))),
+      (3L, srt(Seq(
+        ("00:00:02,000", "00:00:04,000",
+          "buenas noches amigos hasta manana siempre dijo nadie")))),
+      (4L, srt(Seq(
+        ("00:00:01,000", "00:00:02,000", "the 1234567890 9876543210"),
+        ("00:00:03,000", "00:00:04,000", "1234567890 to 55555")))),
+      (5L, vtt(Seq(
+        ("00:01.000", "00:03.000", "copy the exam answer key tonight"),
+        ("00:04.000", "00:06.000", "and share it with everyone quickly")))),
+      (6L, vtt(Seq(
+        ("00:02.000", "00:04.000", "a quiet morning of rain"),
+        ("00:05.000", "00:07.000", "falls on the old roof"),
+        ("00:08.000", "00:09.000", "of the house")))),
+      (7L, "plain prose, no cues anywhere"))
+    docs.toDF("doc_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m26Dir + "_in")
+  }
+
+  // -- m28 fixture: Ogg-FLAC wrap of the m15 recording, pages written
+  //    by INDEPENDENT builder code (RFC 3533 framing, one FLAC frame
+  //    per packet per the mapping). The expected hash is the m15
+  //    level-table value — container changes must not move a single
+  //    bit. A page-CRC-corrupted copy must hash NULL (-999).
+  private val m28Dir = "/tmp/graft_gate_m28_ogg"
+
+  private def oggCrc(b: Array[Byte]): Long = {
+    var crc = 0L
+    for (x <- b) {
+      crc ^= (x & 0xffL) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000L) != 0)
+          ((crc << 1) ^ 0x04C11DB7L) & 0xffffffffL
+        else (crc << 1) & 0xffffffffL
+        k += 1
+      }
+    }
+    crc
+  }
+
+  private def oggPage(htype: Int, serial: Long, seq: Int,
+                      packet: Array[Byte]): Array[Byte] = {
+    val laces = Seq.fill(packet.length / 255)(255) :+ (packet.length % 255)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0); out.write(htype)
+    (0 until 8).foreach(_ => out.write(0))
+    (0 until 4).foreach(i => out.write(((serial >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(i => out.write(((seq >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(_ => out.write(0))
+    out.write(laces.length)
+    laces.foreach(out.write)
+    out.write(packet)
+    val page = out.toByteArray
+    val crc = oggCrc(page)
+    (0 until 4).foreach(i => page(22 + i) = ((crc >> (8 * i)) & 0xff).toByte)
+    page
+  }
+
+  private def oggFlacBytes(x: Array[Double], rate: Int): Array[Byte] = {
+    val (meta, frames) = MultimodalQueries.flacVerbatimParts(x, rate)
+    val bos = Array(0x7f.toByte, 'F'.toByte, 'L'.toByte, 'A'.toByte,
+      'C'.toByte, 1.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      "fLaC".getBytes("US-ASCII") ++ meta
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(oggPage(0x02, 0x6772L, 0, bos))
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val htype = if (i == frames.length - 1) 0x04 else 0x00
+      out.write(oggPage(htype, 0x6772L, i + 1, f))
+    }
+    out.toByteArray
+  }
+
+  private def writeM28Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    import MultimodalQueries.{m15Patterns, m15Samples, m15ExpectedHash, m15Sr}
+    val good = oggFlacBytes(m15Samples(1.0, m15Patterns), m15Sr)
+    val comp = m15Patterns.map(_.map(2 - _))
+    val bad = good.clone()
+    // flip one payload byte of the LAST page: its CRC no longer checks
+    bad(bad.length - 3) = (bad(bad.length - 3) ^ 0x08).toByte
+    val rows: Seq[(Long, Array[Byte], Long)] = Seq(
+      (0L, good, m15ExpectedHash(m15Patterns)),
+      (1L, oggFlacBytes(m15Samples(0.25, comp), m15Sr),
+        m15ExpectedHash(comp)),
+      (2L, bad, -999L))
+    s.createDataset(rows).toDF("audio_id", "content", "exp_hash")
+      .coalesce(1).write.mode("overwrite").parquet(m28Dir)
+  }
+
+  // -- m29 fixture: hand-built MPEG-1 Layer III streams (header
+  //    arithmetic per ISO 11172-3; frameLen = 144·kbps·1000/rate).
+  //    Expected values derive from the construction: frame counts,
+  //    spf 1152, duration = samples·1000/rate, and the average
+  //    bitrate recomputed here from the SAME definition
+  //    (bytes·8/seconds) the probe documents. A Xing frame is
+  //    metadata: excluded from audio counts, its declared fields
+  //    surfaced.
+  private val m29Dir = "/tmp/graft_gate_m29_mp3"
+
+  private def mp3Frame(brIdx: Int, rateIdx: Int, mono: Boolean,
+                       patches: Seq[(Int, Array[Byte])] = Nil): Array[Byte] = {
+    val rates = Array(44100, 48000, 32000)
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    val f = new Array[Byte](144 * kbps(brIdx) * 1000 / rates(rateIdx))
+    f(0) = 0xff.toByte
+    f(1) = 0xfb.toByte
+    f(2) = ((brIdx << 4) | (rateIdx << 2)).toByte
+    f(3) = (if (mono) 0xc0 else 0x00).toByte
+    for ((off, b) <- patches) System.arraycopy(b, 0, f, off, b.length)
+    f
+  }
+
+  private def u32be(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def writeM29Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    // CBR: 10 stereo 128 kbps 44.1 kHz frames of 417 bytes
+    val cbr = (0 until 10).map(_ => mp3Frame(9, 0, mono = false))
+      .reduce(_ ++ _)
+    val cbrAvg = 4170 * 8.0 / (11520.0 / 44100) / 1000.0
+    // VBR with a Xing header frame (64 kbps mono → tag at 4+17=21)
+    val xing = mp3Frame(5, 0, mono = true, patches = Seq(
+      21 -> "Xing".getBytes("US-ASCII"), 25 -> u32be(0x3),
+      29 -> u32be(7L), 33 -> u32be(12345L)))
+    val vbrFrames = (0 until 7).map(i =>
+      mp3Frame(if (i % 2 == 0) 7 else 9, 0, mono = true))
+    val vbr = xing ++ vbrFrames.reduce(_ ++ _)
+    val vbrBytes = vbrFrames.map(_.length).sum
+    val vbrAvg = vbrBytes * 8.0 / (7 * 1152.0 / 44100) / 1000.0
+    val rows: Seq[(Long, Array[Byte], Int, Int, Long, Long, Long,
+        Boolean, Double, String, Long, Long)] = Seq(
+      (0L, cbr, 2, 44100, 10L, 11520L, 11520L * 1000 / 44100,
+        false, cbrAvg, "", -1L, -1L),
+      (1L, vbr, 1, 44100, 7L, 7 * 1152L, 7 * 1152L * 1000 / 44100,
+        true, vbrAvg, "xing", 7L, 12345L),
+      (2L, "not an mpeg stream".getBytes, -1, -1, -1L, -1L, -1L,
+        false, -1.0, "", -1L, -1L))
+    rows.toDF("audio_id", "content", "exp_channels", "exp_rate",
+        "exp_frames", "exp_samples", "exp_duration_ms", "exp_vbr",
+        "exp_avg_kbps", "exp_vbr_header", "exp_decl_frames",
+        "exp_decl_bytes")
+      .coalesce(1).write.mode("overwrite").parquet(m29Dir)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m25: bring-your-own-frames video near-dup — externally
+    //    extracted frame rows (the realistic H.264 path) through the
+    //    same dHash + set-signature machinery. Video 11 is a 4-frame
+    //    subset of 10's 8 → containment reaches frac 1 on its own
+    //    side; the different clip and the undecodable frame pair with
+    //    nothing. --------------------------------------------------
+    "m25_video_byo_frames" -> { (s, _) =>
+      import s.implicits._
+      val rows = framesA.map(f => (10L, f)) ++
+        framesA.slice(2, 6).map(f => (11L, f)) ++
+        framesB.map(f => (12L, f)) ++
+        Seq((13L, "not an image".getBytes))
+      VideoFrameHash.nearDuplicateVideosFromFrames(
+          rows.toDF("video_id", "frame"), "video_id", "frame")
+        .orderBy("vid_a", "vid_b")
+    },
+
+    // -- m27: BYO-frame batch against an index built by the MJPEG
+    //    payload walk — the cross-extraction-path composition the
+    //    shared hash kernel exists for. The keyframe copy of indexed
+    //    clip 0 drops; the new clip and the frame-less video survive.
+    "m27_video_byo_index_dedup" -> { (s, _) =>
+      import s.implicits._
+      MultimodalQueries.writeM17Fixture(s)
+      val all = s.read.parquet(MultimodalQueries.m17Dir)
+      val idx = VideoFrameHash.buildVideoIndex(
+        all.filter(col("video_id") === 0L), "video_id", "content")
+      val batch = Seq((20L, "keyframes of clip A"), (21L, "clip B"),
+        (22L, "opaque")).toDF("video_id", "label")
+      val frames = (framesA.map(f => (20L, f)) ++
+        framesB.map(f => (21L, f)) :+
+        ((22L, "undecodable".getBytes))).toDF("video_id", "frame")
+      VideoFrameHash.dropNearDuplicateVideosFromFrames(
+          batch, frames, idx, "video_id", "frame")
+        .select("video_id").orderBy("video_id")
+    },
+
+    // -- m26: the subtitles→curation COMPOSED pipeline — SRT/VTT
+    //    payloads parse to transcripts, transcripts run the full
+    //    nine-stage curation program; each designed document exits at
+    //    its stage (see the fixture doc). Survivors' digests are the
+    //    sha-256 of transcripts DuckDB recomputes from the same
+    //    literals. ------------------------------------------------
+    "m26_subtitle_curation" -> { (s, _) =>
+      import s.implicits._
+      writeM26Fixture(s)
+      val tr = graft.ops.Subtitles.transcripts(
+          s.read.parquet(m26Dir + "_in"), "doc_id", "content")
+        .withColumn("source", lit("subs"))
+        .select("doc_id", "source", "transcript")
+      val index = graft.ops.Dedup.buildMinhashIndex(
+        Seq((100L, m26SeenText)).toDF("doc_id", "text"), "doc_id", "text")
+      val probes = Seq(m26ProbeText).toDF("text")
+      val out = graft.ops.CurationPipeline.curate(tr, index, probes,
+        "text", graft.ops.CurationPipeline.Config(
+          "doc_id", "transcript", "source", targetMix = Map("subs" -> 1)))
+      out.data.orderBy("doc_id")
+    },
+
+    // -- m28: Ogg-FLAC fingerprint identity — the .oga wrap of the
+    //    m15/m21 recording must hash to the SAME level-table value
+    //    (container never moves a bit); a page-CRC-corrupted copy
+    //    hashes NULL → -999. ---------------------------------------
+    "m28_ogg_flac_fingerprint" -> { (s, _) =>
+      writeM28Fixture(s)
+      import graft.multimodal.AudioFingerprint
+      s.read.parquet(m28Dir)
+        .select(col("audio_id"),
+          coalesce(AudioFingerprint.spectralHash(col("content")),
+            lit(-999L)).as("ahash"))
+        .orderBy("audio_id")
+    },
+
+    // -- m29: MP3 stream inventory — frame walk + Xing/VBRI headers;
+    //    every expected value derives from the fixture's header
+    //    arithmetic (the m6/m7 pattern). ---------------------------
+    "m29_mp3_inventory" -> { (s, _) =>
+      writeM29Fixture(s)
+      import graft.engine.validate.AudioProbe
+      val inv = udf { (b: Array[Byte]) =>
+        AudioProbe.mp3Inventory(b).map(i => (i.channels, i.sampleRateHz,
+          i.nFrames, i.nSamples, i.durationMs, i.vbr,
+          i.avgBitrateKbps, i.vbrHeader.getOrElse(""),
+          i.declaredFrames.getOrElse(-1L), i.declaredBytes.getOrElse(-1L)))
+      }
+      s.read.parquet(m29Dir)
+        .withColumn("__i", inv(col("content")))
+        .select(col("audio_id"),
+          coalesce(col("__i._1"), lit(-1)).as("channels"),
+          coalesce(col("__i._2"), lit(-1)).as("rate"),
+          coalesce(col("__i._3"), lit(-1L)).as("n_frames"),
+          coalesce(col("__i._4"), lit(-1L)).as("n_samples"),
+          coalesce(col("__i._5"), lit(-1L)).as("duration_ms"),
+          coalesce(col("__i._6"), lit(false)).as("vbr"),
+          round(coalesce(col("__i._7"), lit(-1.0)), 4).as("avg_kbps"),
+          coalesce(col("__i._8"), lit("")).as("vbr_header"),
+          coalesce(col("__i._9"), lit(-1L)).as("decl_frames"),
+          coalesce(col("__i._10"), lit(-1L)).as("decl_bytes"))
+        .orderBy("audio_id")
+    })
+
+  def oracle: Map[String, String] = Map(
+    // Frame-byte identity + containment arithmetic: 11's 4 frames are
+    // 4 of 10's 8 → (8, 4, 4, 4); nothing else shares a frame.
+    "m25_video_byo_frames" ->
+      """SELECT * FROM (VALUES
+        |  (10::BIGINT, 11::BIGINT, 8::BIGINT, 4::BIGINT, 4::BIGINT, 4::BIGINT))
+        |  t(vid_a, vid_b, n_frames_a, n_frames_b, matched_a, matched_b)
+        |ORDER BY vid_a, vid_b""".stripMargin,
+    // Survivors: clip B's keyframes share nothing with indexed clip
+    // 0; the opaque video has no signature and passes through.
+    "m27_video_byo_index_dedup" ->
+      """SELECT * FROM (VALUES (21::BIGINT), (22::BIGINT)) t(video_id)
+        |ORDER BY video_id""".stripMargin,
+    // Hand-derived survivors (stage verdicts in the fixture doc);
+    // DuckDB recomputes the digests from the same transcript
+    // literals, token counts are whitespace-token counts by eye.
+    "m26_subtitle_curation" ->
+      s"""SELECT * FROM (VALUES
+         |  (1::BIGINT, 'subs', 12::BIGINT, 0::BIGINT,
+         |   sha256('$m26SurvivorA')),
+         |  (6::BIGINT, 'subs', 13::BIGINT, 0::BIGINT,
+         |   sha256('$m26SurvivorF')))
+         |  t(doc_id, source, n_tok, pack_id, content_sha)
+         |ORDER BY doc_id""".stripMargin,
+    // Level-table hashes ride the fixture (same derivation as
+    // m15/m21); the page-corrupted copy is the -999 sentinel.
+    "m28_ogg_flac_fingerprint" ->
+      s"""SELECT audio_id, exp_hash AS ahash
+         |FROM read_parquet('$m28Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
+    // Header-arithmetic expectations ride the fixture; the average
+    // bitrate is recomputed there from its definition and rounded on
+    // both sides.
+    "m29_mp3_inventory" ->
+      s"""SELECT audio_id, exp_channels AS channels, exp_rate AS rate,
+         |  exp_frames AS n_frames, exp_samples AS n_samples,
+         |  exp_duration_ms AS duration_ms, exp_vbr AS vbr,
+         |  round(exp_avg_kbps, 4) AS avg_kbps,
+         |  exp_vbr_header AS vbr_header, exp_decl_frames AS decl_frames,
+         |  exp_decl_bytes AS decl_bytes
+         |FROM read_parquet('$m29Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin)
+}

@@ -602,23 +602,23 @@ object MultimodalQueries {
   //    (every bit flips → Hamming 64), and broken bytes (-999).
   private val m15Dir = "/tmp/graft_gate_m15_audio"
 
-  private val m15Sr = 8000
-  private val m15Frame = 1024
+  private[queries] val m15Sr = 8000
+  private[queries] val m15Frame = 1024
   private val m15Levels = Array(0.02, 0.06, 0.18)
-  private val m15Patterns: Seq[Seq[Int]] = Seq(
+  private[queries] val m15Patterns: Seq[Seq[Int]] = Seq(
     Seq(0, 1, 2, 1, 2, 1, 2, 1, 2), Seq(2, 1, 0, 1, 0, 1, 0, 1, 0),
     Seq(0, 2, 0, 2, 0, 2, 0, 2, 0), Seq(2, 0, 2, 0, 2, 0, 2, 0, 2),
     Seq(0, 1, 2, 0, 1, 2, 0, 1, 2), Seq(2, 1, 0, 2, 1, 0, 2, 1, 0),
     Seq(1, 2, 0, 1, 2, 0, 1, 2, 0), Seq(1, 0, 2, 1, 0, 2, 1, 0, 2))
 
-  private def m15ExpectedHash(pats: Seq[Seq[Int]]): Long = {
+  private[queries] def m15ExpectedHash(pats: Seq[Seq[Int]]): Long = {
     var h = 0L
     for (t <- 0 until 8; b <- 0 until 8)
       h = (h << 1) | (if (pats(t)(b) < pats(t)(b + 1)) 1L else 0L)
     h
   }
 
-  private def m15Samples(gain: Double, pats: Seq[Seq[Int]]): Array[Double] = {
+  private[queries] def m15Samples(gain: Double, pats: Seq[Seq[Int]]): Array[Double] = {
     val edges = graft.multimodal.AudioFingerprint.bandEdges(m15Sr).get
     val binHz = m15Sr.toDouble / m15Frame
     def bandBin(b: Int): Int = {
@@ -638,7 +638,7 @@ object MultimodalQueries {
   }
 
   /** Integer-PCM WAV writer — independent builder code (m8 stance). */
-  private def wavBytes(x: Array[Double], rate: Int, bits: Int): Array[Byte] = {
+  private[queries] def wavBytes(x: Array[Double], rate: Int, bits: Int): Array[Byte] = {
     val bps = bits / 8
     val bos = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit =
@@ -688,7 +688,16 @@ object MultimodalQueries {
     * integers the WAV writer quantizes to, so the FLAC re-encode must
     * hash to the SAME level-table value as the m15 base row.
     */
-  private def flacVerbatim(x: Array[Double], rate: Int): Array[Byte] = {
+  private[queries] def flacVerbatim(x: Array[Double], rate: Int): Array[Byte] = {
+    val (meta, frames) = flacVerbatimParts(x, rate)
+    "fLaC".getBytes("US-ASCII") ++ meta ++ frames.flatten
+  }
+
+  /** The verbatim writer's parts — (STREAMINFO block, frames) — so the
+    * m28 Ogg wrap can page one frame per packet per the mapping.
+    */
+  private[queries] def flacVerbatimParts(
+      x: Array[Double], rate: Int): (Array[Byte], Seq[Array[Byte]]) = {
     val ints = x.map(s => math.round(s * 32767).toInt)
     val bits = scala.collection.mutable.ArrayBuffer[Int]()
     def bit(v: Int): Unit = { bits += (v & 1); () }
@@ -735,7 +744,7 @@ object MultimodalQueries {
       uint(crc16(body).toLong, 16)
       pack()
     }.toSeq
-    "fLaC".getBytes("US-ASCII") ++ meta ++ frames.flatten
+    (meta, frames)
   }
 
   private val m23Dir = "/tmp/graft_gate_m23_subs"
@@ -844,7 +853,7 @@ object MultimodalQueries {
   //    nesting, junk chunks) carries the same JPEG bytes, so its
   //    sampled dHashes match frame-for-frame; a different clip shares
   //    none. JPEG codec numerics never enter any expected value.
-  private val m17Dir = "/tmp/graft_gate_m17_video"
+  private[queries] val m17Dir = "/tmp/graft_gate_m17_video"
 
   /** Full AVI envelope over pre-built chunk parts (the m8 RIFF
     * writers supply `riffChunk`/`riffList`).
@@ -854,7 +863,7 @@ object MultimodalQueries {
     "RIFF".getBytes("US-ASCII") ++ le32(inner.length.toLong) ++ inner
   }
 
-  private def jpegFrame(mul: Int): Array[Byte] = {
+  private[queries] def jpegFrame(mul: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 64; x <- 0 until 64) {
@@ -866,7 +875,7 @@ object MultimodalQueries {
     bos.toByteArray
   }
 
-  private def writeM17Fixture(s: SparkSession): Unit = {
+  private[queries] def writeM17Fixture(s: SparkSession): Unit = {
     import s.implicits._
     val clipA = (0 until 8).map(i => jpegFrame(29 + 2 * i))
     val clipB = (0 until 8).map(i => jpegFrame(101 + 5 * i))

@@ -121,4 +121,101 @@ class CodecProbeSpec extends AnyFunSuite {
     val truncated = mp3(2, 0, 9, 1).take(40)
     assert(AudioProbe.mp3Info(truncated).isDefined)
   }
+
+  // ---- mp3Inventory: frame-level stream facts + the two de-facto
+  //      VBR headers, all hand-derivable from ISO header arithmetic --
+
+  /** One frame with explicit header flags; body zeros except
+    * `patches` (absolute offsets within the frame).
+    */
+  private def mp3Frame(brIdx: Int, rateIdx: Int, mono: Boolean,
+                       crc: Boolean = false,
+                       patches: Seq[(Int, Array[Byte])] = Nil): Array[Byte] = {
+    val rates = Array(44100, 48000, 32000)
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    val frameLen = 144 * kbps(brIdx) * 1000 / rates(rateIdx)
+    val f = new Array[Byte](frameLen)
+    f(0) = 0xff.toByte
+    f(1) = (0xfa | (if (crc) 0 else 1)).toByte // v1, layer III
+    f(2) = ((brIdx << 4) | (rateIdx << 2)).toByte
+    f(3) = (if (mono) 0xc0 else 0x00).toByte
+    for ((off, b) <- patches) System.arraycopy(b, 0, f, off, b.length)
+    f
+  }
+
+  private def u32be(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  test("mp3Inventory: CBR stream — frames, samples, duration, exact average bitrate") {
+    // 10 stereo 128 kbps 44.1 kHz frames: frameLen = 144*128000/44100
+    // = 417, spf 1152 → 11520 samples = 261 ms (integer ms)
+    val bytes = (0 until 10).map(_ => mp3Frame(9, 0, mono = false))
+      .reduce(_ ++ _)
+    val inv = AudioProbe.mp3Inventory(bytes).get
+    assert(inv.channels == 2 && inv.sampleRateHz == 44100)
+    assert(inv.nFrames == 10 && inv.nSamples == 11520L)
+    assert(inv.durationMs == 11520L * 1000 / 44100)
+    assert(!inv.vbr && inv.vbrHeader.isEmpty &&
+      inv.declaredFrames.isEmpty && inv.declaredBytes.isEmpty)
+    val expectAvg = 4170 * 8.0 / (11520.0 / 44100) / 1000.0
+    assert(math.abs(inv.avgBitrateKbps - expectAvg) < 1e-9)
+  }
+
+  test("mp3Inventory: Xing header frame is metadata — excluded, counted, declared fields read") {
+    // mono, no CRC → side info 17, tag at frame offset 4 + 17 = 21
+    val xing = mp3Frame(5, 0, mono = true, patches = Seq(
+      21 -> "Xing".getBytes("US-ASCII"),
+      25 -> u32be(0x3), // frames + bytes flags
+      29 -> u32be(7L),
+      33 -> u32be(12345L)))
+    val audio = (0 until 7).map(i =>
+      mp3Frame(if (i % 2 == 0) 7 else 9, 0, mono = true))
+    val inv = AudioProbe.mp3Inventory(
+      xing ++ audio.reduce(_ ++ _)).get
+    assert(inv.vbrHeader.contains("xing"))
+    assert(inv.declaredFrames.contains(7L) &&
+      inv.declaredBytes.contains(12345L))
+    // the header frame does not count as audio, and its 64 kbps must
+    // not trip the VBR flag — the alternating 96/128 audio frames do
+    assert(inv.nFrames == 7 && inv.nSamples == 7 * 1152L && inv.vbr)
+  }
+
+  test("mp3Inventory: Info-tagged CBR reports vbr=false; CRC shifts the tag offset") {
+    // stereo WITH header CRC → side info 32, tag at 4 + 2 + 32 = 38
+    val info = mp3Frame(9, 0, mono = false, crc = true, patches = Seq(
+      38 -> "Info".getBytes("US-ASCII"),
+      42 -> u32be(0x1),
+      46 -> u32be(4L)))
+    val audio = (0 until 4).map(_ => mp3Frame(9, 0, mono = false))
+    val inv = AudioProbe.mp3Inventory(info ++ audio.reduce(_ ++ _)).get
+    assert(inv.vbrHeader.contains("info") && !inv.vbr)
+    assert(inv.declaredFrames.contains(4L) && inv.declaredBytes.isEmpty)
+    assert(inv.nFrames == 4)
+  }
+
+  test("mp3Inventory: VBRI header at its fixed 36-byte offset") {
+    val vbri = mp3Frame(9, 0, mono = false, patches = Seq(
+      36 -> "VBRI".getBytes("US-ASCII"),
+      40 -> Array[Byte](0, 1, 0, 0, 0, 0), // version 1, delay, quality
+      46 -> u32be(55555L),
+      50 -> u32be(3L)))
+    val audio = (0 until 3).map(_ => mp3Frame(9, 0, mono = false))
+    val inv = AudioProbe.mp3Inventory(vbri ++ audio.reduce(_ ++ _)).get
+    assert(inv.vbrHeader.contains("vbri"))
+    assert(inv.declaredFrames.contains(3L) &&
+      inv.declaredBytes.contains(55555L))
+    assert(inv.nFrames == 3)
+  }
+
+  test("mp3Inventory: ID3v2 skip, non-MP3 None, never a throw on prefixes") {
+    val bytes = mp3(1, 1, 14, 3, id3Bytes = 128)
+    val inv = AudioProbe.mp3Inventory(bytes).get
+    assert(inv.nFrames == 3 && inv.sampleRateHz == 48000)
+    assert(AudioProbe.mp3Inventory("not audio".getBytes).isEmpty)
+    assert(AudioProbe.mp3Inventory(null).isEmpty)
+    for (n <- 0 to bytes.length)
+      AudioProbe.mp3Inventory(bytes.take(n)) // must not throw
+  }
 }

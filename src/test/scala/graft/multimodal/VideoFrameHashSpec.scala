@@ -162,6 +162,60 @@ class VideoFrameHashSpec extends SparkSpec {
     assert(r2.kept.select("video_id").as[Long].collect().toSet == Set(0L))
   }
 
+  test("BYO frames: byte-identical frame images produce the MJPEG walk's exact signature") {
+    // the H.264 reality: keyframes extracted out-of-band, handed in as
+    // (video_id, frame bytes) — on the same frame images the two
+    // faces MUST agree hash-for-hash or the persisted index fractures
+    // by extraction path
+    val viaAvi = VideoFrameHash.buildVideoIndex(
+        Seq((7L, avi(movi(framesB)))).toDF("video_id", "content"),
+        "video_id", "content")
+      .as[(Long, Long)].collect().toSet
+    val viaFrames = VideoFrameHash.signatureFromFrames(
+        framesB.map(f => (7L, f)).toDF("video_id", "frame"),
+        "video_id", "frame")
+      .as[(Long, Long)].collect().toSet
+    assert(viaFrames == viaAvi && viaAvi.nonEmpty)
+    // undecodable frames drop; an all-garbage video has no signature
+    val withJunk = VideoFrameHash.signatureFromFrames(
+      (framesB.map(f => (7L, f)) :+ ((7L, "junk".getBytes)) :+
+        ((8L, "all junk".getBytes))).toDF("video_id", "frame"),
+      "video_id", "frame")
+    assert(withJunk.filter($"video_id" === 7L).count() == viaAvi.size)
+    assert(withJunk.filter($"video_id" === 8L).count() == 0)
+  }
+
+  test("BYO frames: near-dup pairs and containment match the payload face semantics") {
+    val frames =
+      framesA.take(8).map(f => (10L, f)) ++   // full clip
+      framesA.slice(2, 6).map(f => (11L, f)) ++ // contained excerpt
+      framesB.map(f => (12L, f)) ++             // different clip
+      Seq((13L, "not an image".getBytes))       // no signature
+    val pairs = VideoFrameHash.nearDuplicateVideosFromFrames(
+        frames.toDF("video_id", "frame"), "video_id", "frame")
+      .select("vid_a", "vid_b", "n_frames_a", "n_frames_b",
+        "matched_a", "matched_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L, 8L, 4L, 4L, 4L)))
+  }
+
+  test("BYO frames: incremental drop against an MJPEG-built index") {
+    // index built by the PAYLOAD face; batch arrives as extracted
+    // keyframes — the cross-path scenario the shared kernel exists for
+    val idx = VideoFrameHash.buildVideoIndex(
+      Seq((0L, avi(movi(framesA)))).toDF("video_id", "content"),
+      "video_id", "content")
+    val batch = Seq((20L, "copy of A"), (21L, "clip B"), (22L, "opaque"))
+      .toDF("video_id", "label")
+    val batchFrames =
+      (framesA.take(8).map(f => (20L, f)) ++ framesB.map(f => (21L, f)) :+
+        ((22L, "undecodable".getBytes))).toDF("video_id", "frame")
+    val kept = VideoFrameHash.dropNearDuplicateVideosFromFrames(
+        batch, batchFrames, idx, "video_id", "frame")
+      .select("video_id").as[Long].collect().toSet
+    assert(kept == Set(21L, 22L))
+  }
+
   test("guards: maxHamming, minMatchFrac, maxFrames ranges") {
     val df = Seq((0L, avi(movi(framesB)))).toDF("video_id", "content")
     intercept[IllegalArgumentException] {
