@@ -405,20 +405,51 @@ object AudioProbe {
     * (with or without ID3v2). One entry point for the multimodal
     * metadata path.
     */
+  private def isOgg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && b(0) == 'O' && b(1) == 'g' &&
+      b(2) == 'g' && b(3) == 'S'
+
+  /** Ogg-FLAC header probe: the mapping's BOS packet (first packet of
+    * the first page, `0x7F 'FLAC' …` + the native `fLaC` magic +
+    * STREAMINFO) re-parses through [[flacInfo]] — header facts only,
+    * no CRC verification, no page reassembly (the full decode path is
+    * [[graft.multimodal.OggFlac]]). None on non-FLAC Ogg (Vorbis,
+    * Opus) — honest unknown, never a guess.
+    */
+  def oggFlacInfo(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (!isOgg(bytes) || bytes.length < 28) return None
+    val nSegs = bytes(26) & 0xff
+    val bodyStart = 27 + nSegs
+    if (nSegs < 1 || bodyStart + 9 > bytes.length) return None
+    // the BOS signature packet is alone on its page per the mapping —
+    // its first lacing value bounds it
+    val firstLace = bytes(27) & 0xff
+    val end = math.min(bytes.length.toLong, bodyStart.toLong + firstLace).toInt
+    if ((bytes(bodyStart) & 0xff) != 0x7f || bytes(bodyStart + 1) != 'F' ||
+        bytes(bodyStart + 2) != 'L' || bytes(bodyStart + 3) != 'A' ||
+        bytes(bodyStart + 4) != 'C') return None
+    flacInfo(java.util.Arrays.copyOfRange(bytes, bodyStart + 9, end))
+      .map(_.copy(codec = "ogg-flac"))
+  }
+
   def meta(bytes: Array[Byte]): Option[AudioMeta] =
     if (isRiffWave(bytes))
       info(bytes).map(w =>
         AudioMeta("wav", w.channels, w.sampleRateHz, w.bitsPerSample,
           w.nFrames))
     else if (isFlac(bytes)) flacInfo(bytes)
+    else if (isOgg(bytes)) oggFlacInfo(bytes)
     else mp3Info(bytes)
 
-  /** [[diagnose]] over all three codecs. */
+  /** [[diagnose]] over all four containers. */
   def diagnoseMeta(bytes: Array[Byte]): String =
     if (bytes == null || bytes.isEmpty) "file is empty"
     else if (isRiffWave(bytes)) diagnose(bytes)
     else if (isFlac(bytes))
       if (flacInfo(bytes).isDefined) "ok" else "flac streaminfo missing or truncated"
+    else if (isOgg(bytes))
+      if (oggFlacInfo(bytes).isDefined) "ok"
+      else "ogg container without a FLAC mapping (or truncated)"
     else if (mp3Info(bytes).isDefined) "ok"
     else "no audio container or frame sync found"
 }

@@ -203,4 +203,90 @@ object MediaPipeline {
       "n_near_kept" -> nNear,
       "n_final" -> nFinal))
   }
+
+  /** The bring-your-own-frames face of [[curateVideos]] — for codecs
+    * the pure-JVM walk cannot decode (H.264-in-MP4 keyframes from an
+    * external extractor): `batch` is the video table keyed by
+    * `cfg.idCol`; `frames` its `(cfg.idCol, cfg.bytesCol)` frame-image
+    * rows. Same stages, same metric names, so dashboards and callers
+    * compose across extraction paths:
+    *
+    *  1. VALIDATE — videos with at least one decodable frame
+    *     ([[VideoFrameHash.signatureFromFrames]]; frame-less videos
+    *     drop, matching the payload face's NULL-signature drop);
+    *  2. EXACT — identical keyframe-hash SETS collapse to the
+    *     smallest id (the byte-digest analogue when there are no
+    *     payload bytes to digest: a re-extracted copy of the same
+    *     clip carries the same frame images, hence the same set);
+    *  3. PERCEPTUAL — the [[SetSignature]] pair join at
+    *     `minMatchFrac` coverage, larger id drops (pair-local greedy,
+    *     the payload face's rule);
+    *  4. SEEN-INDEX — [[SetSignature.coveredIds]] against a
+    *     [[VideoFrameHash.buildVideoIndex]]-shaped frame, built by
+    *     EITHER face.
+    *
+    * Scale shape: frame images are touched once (the stage-1 hash
+    * projection is checkpoint-truncated); everything after shuffles
+    * 8-byte hashes and digests only.
+    */
+  def curateVideosFromFrames(batch: DataFrame, frames: DataFrame,
+                             cfg: Config,
+                             seenIndex: Option[DataFrame] = None,
+                             minMatchFrac: Double = 0.5): Result = {
+    val id = col(cfg.idCol)
+    val nReceived = batch.count()
+    // one decode+hash pass over frame images, materialized: every
+    // later stage reads 8-byte hash rows off this snapshot
+    val sigs = VideoFrameHash.signatureFromFrames(
+        frames, cfg.idCol, cfg.bytesCol)
+      .truncated
+    val sigSets = sigs.groupBy("video_id")
+      .agg(sort_array(collect_set(col("fhash"))).as("__sigset"))
+      .withColumn("__dg", sha2(concat_ws(",",
+        transform(col("__sigset"), h => h.cast("string"))), 256))
+    val probed = batch
+      .join(sigSets.select(col("video_id").as("__vid"), col("__dg")),
+        id === col("__vid"), "inner")
+      .drop("__vid")
+      .truncated
+    val nValid = probed.count()
+    val keepers = probed.groupBy("__dg").agg(min(id).as("__keep"))
+    val exact = probed
+      .join(keepers, probed("__dg") === keepers("__dg") &&
+        id === col("__keep"), "left_semi")
+      .drop("__dg")
+      .truncated
+    val nExact = exact.count()
+    val exactSigs = sigs.join(exact.select(id.as("__kid")),
+      col("video_id") === col("__kid"), "left_semi")
+    val pairs = SetSignature.nearDuplicatesBySignature(
+      exactSigs.select(col("video_id").as("__sid"),
+        col("fhash").as("__sh")),
+      "__sid", "__sh", cfg.maxHamming, minMatchFrac, cfg.maxBucket)
+    val losers = pairs.select(col("id_b").as("__loser")).distinct()
+    val near = exact.join(losers, id === col("__loser"), "left_anti")
+      .truncated
+    pairs.unpersist()
+    val nNear = near.count()
+    val (kept, nFinal) = seenIndex match {
+      case Some(idx) =>
+        val nearSigs = sigs.join(near.select(id.as("__kid")),
+          col("video_id") === col("__kid"), "left_semi")
+        val covered = SetSignature.coveredIds(
+          nearSigs.select(col("video_id").as("__sid"),
+            col("fhash").as("__sh")),
+          idx, "__sid", "__sh", "fhash", cfg.maxHamming, minMatchFrac,
+          cfg.maxBucket)
+        val k = near.join(covered, id === col("__covered_id"), "left_anti")
+          .truncated
+        (k, k.count())
+      case None => (near, nNear)
+    }
+    Result(kept, Seq(
+      "n_received" -> nReceived,
+      "n_valid" -> nValid,
+      "n_exact_kept" -> nExact,
+      "n_near_kept" -> nNear,
+      "n_final" -> nFinal))
+  }
 }

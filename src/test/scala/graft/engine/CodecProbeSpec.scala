@@ -209,6 +209,38 @@ class CodecProbeSpec extends AnyFunSuite {
     assert(inv.nFrames == 3)
   }
 
+  test("oggFlacInfo: BOS-packet header facts; Vorbis and junk stay unknown") {
+    // one BOS page: 27-byte header + 1 lacing value + the mapping's
+    // signature packet (0x7F FLAC 1 0 nheaders=0) wrapping fLaC +
+    // STREAMINFO; the header probe never checks the page CRC
+    def oggBos(packet: Array[Byte]): Array[Byte] = {
+      require(packet.length < 255)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0); out.write(2)
+      (0 until 20).foreach(_ => out.write(0)) // granule+serial+seq+crc
+      out.write(1); out.write(packet.length)
+      out.write(packet)
+      out.toByteArray
+    }
+    val native = flac(2, 44100, 16, 98765L)
+    val sig = Array(0x7f.toByte, 'F'.toByte, 'L'.toByte, 'A'.toByte,
+      'C'.toByte, 1.toByte, 0.toByte, 0.toByte, 1.toByte)
+    // flacInfo wants STREAMINFO first: strip the spec builder's
+    // leading padding block, keep fLaC + the STREAMINFO block
+    val slim = "fLaC".getBytes("US-ASCII") ++ native.drop(native.length - 38)
+    val ogg = oggBos(sig ++ slim)
+    val m = AudioProbe.meta(ogg)
+    assert(m.contains(AudioProbe.AudioMeta("ogg-flac", 2, 44100, 16, 98765L)),
+      m.toString)
+    assert(AudioProbe.diagnoseMeta(ogg) == "ok")
+    val vorbis = oggBos(Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      Array.fill[Byte](10)(0))
+    assert(AudioProbe.meta(vorbis).isEmpty)
+    assert(AudioProbe.diagnoseMeta(vorbis).contains("without a FLAC mapping"))
+    for (n <- 0 to ogg.length) AudioProbe.meta(ogg.take(n)) // no throw
+  }
+
   test("mp3Inventory: ID3v2 skip, non-MP3 None, never a throw on prefixes") {
     val bytes = mp3(1, 1, 14, 3, id3Bytes = 128)
     val inv = AudioProbe.mp3Inventory(bytes).get

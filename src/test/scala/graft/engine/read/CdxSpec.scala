@@ -464,6 +464,24 @@ class CdxSpec extends SparkSpec {
     }
   }
 
+  test("fetch: a throttled job backs off per Retry-After and reports it in the metrics") {
+    val m1 = gz(rec("th1", "throttled fetch"))
+    withRangeServer(m1, failFirst = 1, failStatus = 429,
+        retryAfter = Some("1")) { port =>
+      val metrics = new Cdx.FetchMetrics(spark.sparkContext)
+      val cdx = Seq(("a.warc.gz", 0L, m1.length.toLong))
+        .toDF("warc_file", "warc_offset", "warc_length")
+      val got = Cdx.fetch(cdx, base = s"http://127.0.0.1:$port/arc",
+          metrics = Some(metrics))
+        .select("target_uri").collect().map(_.getString(0)).toSeq
+      assert(got == Seq("http://example.com/th1"))
+      val snap = metrics.snapshot
+      assert(snap("http_requests") == 2L && snap("http_retries") == 1L &&
+        snap("http_throttled") == 1L && snap("throttle_sleep_ms") == 1000L,
+        snap.toString)
+    }
+  }
+
   test("fetch: zero or oversized range lengths are rejected, not truncated silently") {
     val root = tmpDir("cdxlen")
     java.nio.file.Files.write(root.resolve("x.warc"), rec("a", "good"))

@@ -216,6 +216,30 @@ class VideoFrameHashSpec extends SparkSpec {
     assert(kept == Set(21L, 22L))
   }
 
+  test("curateVideosFromFrames: validate → exact set-digest → near-dup → index, same metrics") {
+    val batch = Seq((0L, "clip A"), (1L, "re-extracted A"),
+      (2L, "excerpt of A"), (3L, "clip B"), (4L, "opaque"))
+      .toDF("video_id", "label")
+    val frames = (
+      framesA.take(8).map(f => (0L, f)) ++
+      framesA.take(8).map(f => (1L, f)) ++   // same frame bytes → same set
+      framesA.slice(2, 6).map(f => (2L, f)) ++
+      framesB.map(f => (3L, f)) :+
+      ((4L, "no pixels here".getBytes))).toDF("video_id", "frame")
+    val idx = VideoFrameHash.buildVideoIndex(
+      Seq((100L, avi(movi(framesB)))).toDF("video_id", "content"),
+      "video_id", "content")
+    val r = MediaPipeline.curateVideosFromFrames(batch, frames,
+      MediaPipeline.Config("video_id", "frame"), Some(idx))
+    assert(r.kept.select("video_id").as[Long].collect().toSeq == Seq(0L))
+    assert(r.metrics == Seq(
+      "n_received" -> 5L,  // all five
+      "n_valid" -> 4L,     // the frame-less video drops
+      "n_exact_kept" -> 3L, // the identical keyframe set drops (id 1)
+      "n_near_kept" -> 2L, // the contained excerpt drops (id 2)
+      "n_final" -> 1L))    // clip B covered by the MJPEG-built index
+  }
+
   test("guards: maxHamming, minMatchFrac, maxFrames ranges") {
     val df = Seq((0L, avi(movi(framesB)))).toDF("video_id", "content")
     intercept[IllegalArgumentException] {
