@@ -430,8 +430,9 @@ object Cdx {
     * retry posture ([[graft.engine.api.HttpApiClient]]): `maxAttempts`
     * tries, 1s/2s/4s/8s exponential backoff on 5xx/408/429 and IO
     * errors — except that a server-sent `Retry-After` (the way
-    * `data.commoncrawl.org` paces clients on 429) OVERRIDES the
-    * exponential wait for that attempt, clamped to
+    * `data.commoncrawl.org` paces clients on 429, and maintenance
+    * windows announce themselves on 503) OVERRIDES the exponential
+    * wait for that attempt on any retryable status, clamped to
     * [[MaxRetryAfterMs]]. `gate` bounds in-flight requests per host
     * (held around the wire exchange only, never across a backoff
     * sleep, so one throttled task does not serialize its siblings).
@@ -483,12 +484,15 @@ object Cdx {
           case s if HttpRetryStatuses(s) =>
             lastErr = s"HTTP $s"
             metrics.foreach(_.retries.add(1))
-            if (ThrottleStatuses(s)) {
+            // Retry-After is honored on ANY retryable status — RFC
+            // 9110 pairs it with 503 (maintenance windows) as much as
+            // with 429; when the server names a wait, it speaks
+            waitOverrideMs = retryAfterMs(
+              Option(r.headers().firstValue("Retry-After").orElse(null)),
+              System.currentTimeMillis())
+            if (ThrottleStatuses(s) || waitOverrideMs.isDefined) {
               lastWasThrottle = true
-              metrics.foreach(_.throttled.add(1))
-              waitOverrideMs = retryAfterMs(
-                Option(r.headers().firstValue("Retry-After").orElse(null)),
-                System.currentTimeMillis())
+              if (ThrottleStatuses(s)) metrics.foreach(_.throttled.add(1))
             }
           case s => throw new IllegalStateException(
             s"ranged GET $url@$off+$len failed: HTTP $s")

@@ -259,6 +259,42 @@ object StreamingIngest {
       .start()
   }
 
+  /** The bring-your-own-frames streaming twin of the video arm of
+    * [[mediaNearDupAgainstIndexSink]]: the stream delivers
+    * `(idCol, frameBytesCol)` FRAME rows from an external keyframe
+    * extractor (the H.264 reality); per microbatch, videos whose
+    * frame hashes are covered at `minMatchFrac` by the persisted
+    * index drop and the surviving videos' frame rows pass to
+    * `writeKept`. The index may have been built by EITHER face
+    * (MJPEG payload walk or [[graft.multimodal.VideoFrameHash
+    * .signatureFromFrames]]) — same hash kernel.
+    *
+    * CONTRACT: one video's frames must share a microbatch — coverage
+    * is evaluated per batch, so frames split across batches would
+    * each see partial signatures (group upstream by video before the
+    * stream, e.g. one message per video carrying its keyframes).
+    */
+  def videoFramesNearDupAgainstIndexSink(stream: DataFrame,
+                                         index: DataFrame,
+                                         idCol: String,
+                                         frameBytesCol: String,
+                                         queryName: String,
+                                         maxHamming: Int = 4,
+                                         minMatchFrac: Double = 0.5,
+                                         maxBucket: Int = 1 << 12)
+                                        (writeKept: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = graft.multimodal.VideoFrameHash
+          .dropNearDuplicateVideosFromFrames(batch, batch, index, idCol,
+            frameBytesCol, maxHamming, minMatchFrac, maxBucket)
+        writeKept(kept, batchId)
+      }
+      .start()
+
   /** The COMPOSED curation pipeline as a streaming sink: every
     * microbatch runs the full
     * [[graft.ops.CurationPipeline.curate]] program — html extract →

@@ -386,6 +386,18 @@ class CdxSpec extends SparkSpec {
     }
   }
 
+  test("rangedGet: Retry-After on a 503 maintenance window is honored too") {
+    val bytes = gz(rec("t4", "maintenance"))
+    withRangeServer(bytes, failFirst = 1, failStatus = 503,
+        retryAfter = Some("3")) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val got = Cdx.rangedGet(s"http://127.0.0.1:$port/arc/a.warc.gz",
+        0, bytes.length.toLong, sleep = sleeps += _)
+      assert(java.util.Arrays.equals(got, bytes))
+      assert(sleeps.toSeq == Seq(3000L)) // the header, not the 1 s schedule
+    }
+  }
+
   test("rangedGet: 408 request timeout retries instead of dying") {
     val bytes = gz(rec("t3", "slow host"))
     withRangeServer(bytes, failFirst = 1, failStatus = 408) { port =>

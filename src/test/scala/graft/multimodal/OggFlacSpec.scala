@@ -226,6 +226,23 @@ class OggFlacSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("truncated"), e2.getMessage)
   }
 
+  test("hostile bytes: every prefix and random mutations fail CLEANLY (IAE/ISE), never out-of-bounds") {
+    val ogg = oggWrap(8000, samples.take(300))
+    def cleanly(b: Array[Byte]): Unit =
+      try { OggFlac.toNativeFlac(b); () } catch {
+        case _: IllegalArgumentException | _: IllegalStateException => ()
+      }
+    for (n <- 0 to math.min(ogg.length, 400)) cleanly(ogg.take(n))
+    cleanly(ogg.take(ogg.length - 1))
+    // deterministic byte mutations across the whole stream (seedless:
+    // every 7th offset, three bit patterns)
+    for (off <- 0 until ogg.length by 7; bit <- Seq(0x01, 0x10, 0x80)) {
+      val m = ogg.clone()
+      m(off) = (m(off) ^ bit).toByte
+      cleanly(m)
+    }
+  }
+
   test("fingerprint face: .oga hashes through pcmMono like its WAV") {
     // pcmMono must route Ogg-FLAC through the same decode; equality
     // of the full pipelines is pinned by the m28 gate's level table —

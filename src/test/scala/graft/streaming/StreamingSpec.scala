@@ -359,6 +359,47 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == Set(11L, 12L))
   }
 
+  test("streaming BYO-frames video near-dup: covered videos drop per microbatch") {
+    implicit val sqlCtx = spark.sqlContext
+    def jpegFrame(mul: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = 20 + ((x / 8 * mul + (y / 8) * 17) % 90)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    val framesA = (0 until 8).map(i => jpegFrame(29 + 2 * i))
+    val framesB = (0 until 8).map(i => jpegFrame(101 + 5 * i))
+    // index built from frame rows (signatureFromFrames IS the index
+    // schema); the stream delivers keyframes of a copy, a new clip,
+    // and an undecodable-frame video
+    val index = graft.multimodal.VideoFrameHash.signatureFromFrames(
+        framesA.map(f => (0L, f)).toDF("video_id", "frame"),
+        "video_id", "frame")
+      .persist()
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingIngest.videoFramesNearDupAgainstIndexSink(
+      input.toDF().toDF("vid", "frame"), index, "vid", "frame",
+      "byo_frames_sink") { (keptDf, _) =>
+      kept.synchronized {
+        kept ++= keptDf.select("vid").distinct().as[Long].collect()
+      }
+    }
+    input.addData(
+      framesA.take(4).map(f => (20L, f)) ++  // contained copy: drops
+      framesB.map(f => (21L, f)) :+          // new clip: survives
+      ((22L, "not pixels".getBytes)): _*)    // no signature: survives
+    q.processAllAvailable()
+    q.stop()
+    index.unpersist()
+    assert(kept.toSet == Set(21L, 22L))
+  }
+
   test("streaming composed curation: full pipeline per microbatch") {
     implicit val sqlCtx = spark.sqlContext
     val seen = Seq((100L,
