@@ -471,29 +471,104 @@ object Warc {
     out.toArray
   }
 
-  /** Decode content bytes to text honoring a `charset=` parameter when
-    * the JVM knows it; UTF-8 with replacement otherwise. Never throws:
-    * crawl content declares charsets that do not exist.
+  /** Decode content bytes to text with the WHATWG encoding-sniffing
+    * precedence (the algorithm browsers — and therefore the web's
+    * actual bytes — are written against):
+    *
+    *  1. a **byte-order mark** (UTF-8 / UTF-16LE / UTF-16BE) wins over
+    *     everything, header included (WHATWG Encoding §4.2);
+    *  2. the transport-layer `charset=` parameter of `contentType`;
+    *  3. the **meta prescan** of the first 1024 bytes
+    *     (`<meta charset=…>` / `<meta http-equiv=content-type
+    *     content="…charset=…">`) — the branch that matters at crawl
+    *     scale: a large share of pages declare their encoding ONLY in
+    *     the markup, and defaulting them to UTF-8 turns every legacy
+    *     cp1252/gbk/shift-jis page into mojibake before the text
+    *     pipeline ever sees it;
+    *  4. UTF-8.
+    *
+    * Unknown/hostile charset names fall through to the next source.
+    * Decoding never throws (REPLACE on malformed/unmappable): crawl
+    * content declares charsets that do not exist.
     */
   def decodeText(bytes: Array[Byte], contentType: String): String = {
     if (bytes == null) return null
-    val cs: Charset = {
-      val m = CharsetRe.findFirstMatchIn(
+    def named(name: String): Option[Charset] =
+      try Some(Charset.forName(name.trim.stripPrefix("\"").stripSuffix("\"")))
+      catch { case _: Exception => None }
+    def fromHeader: Option[Charset] =
+      CharsetRe.findFirstMatchIn(
         if (contentType == null) "" else contentType)
-      m.map(_.group(1).trim.stripPrefix("\"").stripSuffix("\""))
-        .flatMap { name =>
-          try Some(Charset.forName(name)) catch { case _: Exception => None }
-        }
-        .getOrElse(StandardCharsets.UTF_8)
-    }
+        .flatMap(m => named(m.group(1)))
+    val cs: Charset = bomCharset(bytes)
+      .orElse(fromHeader)
+      .orElse(metaPrescan(bytes).flatMap(named))
+      .getOrElse(StandardCharsets.UTF_8)
+    // a BOM is a marker, not content — skip it so the decoded text
+    // does not lead with U+FEFF
+    val skip = bomLength(bytes)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    dec.decode(java.nio.ByteBuffer.wrap(bytes, skip, bytes.length - skip))
+      .toString
+  }
+
+  private def bomCharset(b: Array[Byte]): Option[Charset] =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+        b(2) == 0xBF.toByte) Some(StandardCharsets.UTF_8)
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      Some(StandardCharsets.UTF_16BE)
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+      Some(StandardCharsets.UTF_16LE)
+    else None
+
+  private def bomLength(b: Array[Byte]): Int =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+        b(2) == 0xBF.toByte) 3
+    else if (b.length >= 2 && ((b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) ||
+        (b(0) == 0xFF.toByte && b(1) == 0xFE.toByte))) 2
+    else 0
+
+  /** The WHATWG "prescan the byte stream" simplification: the first
+    * 1024 bytes read as latin-1 (charset names are ASCII, and latin-1
+    * maps bytes 1:1 so offsets survive), searched for the two meta
+    * declaration forms. Returns the declared NAME — the caller
+    * resolves it, falling through on junk. `x-user-defined` and
+    * UTF-16 meta declarations mean "the page lies" — WHATWG maps both
+    * cases away from what they claim; we map them to UTF-8/windows-
+    * 1252 respectively per the spec's notes.
+    */
+  private[read] def metaPrescan(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length == 0) return None
+    val n = math.min(bytes.length, 1024)
+    val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+    val name = MetaCharsetRe.findFirstMatchIn(head).map(_.group(1))
+      .orElse(MetaHttpEquivRe.findFirstMatchIn(head)
+        .flatMap(m => CharsetRe.findFirstMatchIn(m.group(1)).map(_.group(1))))
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'"))
+      .filter(_.nonEmpty)
+    name.map { raw =>
+      val lower = raw.toLowerCase(java.util.Locale.ROOT)
+      // WHATWG: a meta-declared utf-16 is processed as utf-8 (the
+      // prescan itself proves the document is ASCII-compatible);
+      // x-user-defined maps to windows-1252
+      if (lower.startsWith("utf-16")) "UTF-8"
+      else if (lower == "x-user-defined") "windows-1252"
+      else raw
+    }
   }
 
   private val CharsetRe =
-    """(?i)charset\s*=\s*("[^"]+"|[^;\s]+)""".r
+    """(?i)charset\s*=\s*("[^"]+"|'[^']+'|[^;\s>]+)""".r
+
+  private val MetaCharsetRe =
+    """(?is)<meta[^>]*?\scharset\s*=\s*["']?([^"'\s/>]+)""".r
+
+  private val MetaHttpEquivRe =
+    ("""(?is)<meta[^>]*?http-equiv\s*=\s*["']?content-type["']?[^>]*?""" +
+      """content\s*=\s*["']([^"']*)["']""").r
 
   // ---------------------------------------------------------------- //
   //  Spark face                                                       //

@@ -253,6 +253,60 @@ object IngestGateQueries {
     ()
   }
 
+  // ---- S20: WHATWG charset sniffing fixture ------------------------
+  private val s20WarcDir = "/tmp/graft_gate_s20_warc"
+  private val s20ExpectedDir = "/tmp/graft_gate_s20_expected"
+
+  private def writeS20Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val utf8 = StandardCharsets.UTF_8
+    val iso = StandardCharsets.ISO_8859_1
+    def html(body: String) =
+      s"<html><head></head><body><p>$body</p></body></html>"
+    // e1: UTF-8 BOM beats the LYING iso-8859-1 header (and is stripped)
+    val p1 = httpMsg("200 OK", "text/html; charset=ISO-8859-1",
+      Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+        html("naïve résumé page").getBytes(utf8))
+    // e2: no header charset; <meta charset=...> names the legacy one
+    val p2 = httpMsg("200 OK", "text/html",
+      ("<html><head><meta charset=\"iso-8859-1\"></head>" +
+        "<body><p>café crème déjà</p></body></html>").getBytes(iso))
+    // e3: the http-equiv declaration form
+    val p3 = httpMsg("200 OK", "text/html",
+      ("<html><head><meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=iso-8859-1\"></head>" +
+        "<body><p>señor año piñata</p></body></html>").getBytes(iso))
+    // e4: nothing declared anywhere → UTF-8 default
+    val p4 = httpMsg("200 OK", "text/html",
+      html("plain utf8 页面 text").getBytes(utf8))
+    val bytes =
+      warcRecord("response", "e1", "2026-08-15T09:00:00Z",
+        Some("http://example.com/bom"),
+        "application/http; msgtype=response", p1) ++
+      warcRecord("response", "e2", "2026-08-15T09:01:00Z",
+        Some("http://example.com/meta"),
+        "application/http; msgtype=response", p2) ++
+      warcRecord("response", "e3", "2026-08-15T09:02:00Z",
+        Some("http://example.com/httpequiv"),
+        "application/http; msgtype=response", p3) ++
+      warcRecord("response", "e4", "2026-08-15T09:03:00Z",
+        Some("http://example.com/default"),
+        "application/http; msgtype=response", p4)
+    val dir = java.nio.file.Paths.get(s20WarcDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("charset.warc"), bytes)
+    // expected texts = the authored body literals (htmlToText strips
+    // the markup; the BOM never reaches the text)
+    Seq(
+      ("<urn:uuid:e1>", "naïve résumé page"),
+      ("<urn:uuid:e2>", "café crème déjà"),
+      ("<urn:uuid:e3>", "señor año piñata"),
+      ("<urn:uuid:e4>", "plain utf8 页面 text"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s20ExpectedDir)
+    ()
+  }
+
   // ---- S15/S16: CDX(J) index → selective WARC range fetch ----------
   // A member-per-record .warc.gz plus a plain .warc, and a CDXJ index
   // whose offsets/lengths are the REAL byte positions of the authored
@@ -674,9 +728,29 @@ object IngestGateQueries {
           date_format(col("fetch_ts"), "yyyy-MM-dd HH:mm:ss").as("fetch_s"),
           col("text"), length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // -- S20: WHATWG encoding sniffing through the crawl bridge — the
+    //    charset precedence real pages require: a UTF-8 BOM beats a
+    //    LYING transport header; a header-less legacy page declares
+    //    its encoding only in markup (both meta forms); an undeclared
+    //    page defaults to UTF-8. Expected texts are the authored
+    //    literals, stored beside the fixture. ------------------------
+    "s20_charset_sniff" -> { (s, _) =>
+      writeS20Fixture(s)
+      graft.engine.read.Warc.toDocuments(
+          graft.engine.read.Warc.scan(s, s20WarcDir))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
     })
 
   def oracle: Map[String, String] = Map(
+    // Authored-literal texts ride the fixture; the gate decodes the
+    // same bytes through the BOM/header/meta-prescan precedence.
+    "s20_charset_sniff" ->
+      s"""SELECT doc_id, text
+         |FROM read_parquet('$s20ExpectedDir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "s13_warc_scan" ->
       s"""SELECT file, record_index, warc_type, record_id, target_uri,
          |  content_length, truncated, digest_ok, payload_md5

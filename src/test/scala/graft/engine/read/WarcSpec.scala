@@ -258,6 +258,45 @@ class WarcSpec extends SparkSpec {
     assert(Warc.decodeText(null, "text/plain") == null)
   }
 
+  test("decodeText: WHATWG sniffing — BOM beats header, meta prescan beats the UTF-8 default") {
+    // BOM wins over a LYING header, and is stripped from the text
+    val bomUtf8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "naïve".getBytes(UTF_8)
+    assert(Warc.decodeText(bomUtf8, "text/html; charset=ISO-8859-1") ==
+      "naïve")
+    val bomBe = Array(0xFE, 0xFF).map(_.toByte) ++
+      "é".getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    assert(Warc.decodeText(bomBe, "text/plain; charset=utf-8") == "é")
+    // a header-less legacy page declaring its encoding ONLY in markup
+    // (the crawl-scale case): both meta forms
+    val metaA = ("<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body>café</body></html>").getBytes(ISO_8859_1)
+    assert(Warc.decodeText(metaA, "text/html").contains("café"))
+    val metaB = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head>" +
+      "<body>crème brûlée</body></html>").getBytes(ISO_8859_1)
+    assert(Warc.decodeText(metaB, null).contains("crème brûlée"))
+    // the transport header still BEATS the meta declaration
+    val lyingMeta = ("<meta charset=\"utf-8\"><body>café</body>")
+      .getBytes(ISO_8859_1)
+    assert(Warc.decodeText(lyingMeta,
+      "text/html; charset=iso-8859-1").contains("café"))
+    // a meta-declared utf-16 is processed as utf-8 (WHATWG: the
+    // prescan finding it proves the bytes are ASCII-compatible)
+    val lie16 = "<meta charset=\"utf-16\"><body>plain ascii</body>"
+      .getBytes(UTF_8)
+    assert(Warc.decodeText(lie16, null).contains("plain ascii"))
+    // junk meta charset falls through to UTF-8, never throws
+    val junk = "<meta charset=\"not-a-charset\"><body>ok body</body>"
+      .getBytes(UTF_8)
+    assert(Warc.decodeText(junk, null).contains("ok body"))
+    // the prescan window is 1024 bytes: a declaration past it is
+    // ignored (spec behavior, pinned so the bound is deliberate)
+    val far = (" " * 1100 + "<meta charset=\"iso-8859-1\">café")
+      .getBytes(ISO_8859_1)
+    assert(!Warc.decodeText(far, null).contains("café")) // é replaced
+  }
+
   test("stream: records flow as archive files land incrementally") {
     val dir = tmpDir("warcstream")
     java.nio.file.Files.write(dir.resolve("a.warc"), fileBytes)
