@@ -427,7 +427,106 @@ object Warc {
         v.toLowerCase.contains("chunked")
     }
     if (chunked) body = dechunk(body)
+    // content codings apply INSIDE the transfer coding: dechunk first,
+    // then peel the Content-Encoding stack (last-applied first)
+    val coding = hdrs.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("Content-Encoding") => v
+    }
+    coding.foreach(c => body = decodeContentCodings(body, c))
     Some(Http(status, hdrs.toSeq, body))
+  }
+
+  /** Peel a `Content-Encoding` chain off an HTTP body — real archives
+    * store WIRE bytes, and most of the web serves compressed: without
+    * this every `Content-Encoding: gzip` page reaches text extraction
+    * as binary salad. Codings decode last-listed-first (RFC 9110
+    * §8.4): `gzip`/`x-gzip` (truncation-tolerant — a cut-off download
+    * yields the bytes present), `deflate` (zlib-wrapped per spec,
+    * with the raw-stream fallback every browser grew for the servers
+    * that send it bare), `zstd` (zstd-jni rides Spark's own
+    * classpath), `identity`/blank (no-op). `br` (brotli) has no
+    * pure-JVM decoder here — the chain STOPS, leaving remaining bytes
+    * untouched rather than guessing (the charset decoder then
+    * replaces them: visible damage, never silent wrong text).
+    */
+  private[read] def decodeContentCodings(body0: Array[Byte],
+                                         codings: String): Array[Byte] = {
+    var body = body0
+    val stack = codings.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).reverse
+    var i = 0
+    var ok = true
+    while (ok && i < stack.length) {
+      stack(i) match {
+        case "identity" => ()
+        case "gzip" | "x-gzip" => body = gunzipTolerant(body)
+        case "deflate" => body = inflateTolerant(body)
+        case "zstd" =>
+          body = try {
+            val ctx = new com.github.luben.zstd.ZstdDecompressCtx()
+            try {
+              val n = com.github.luben.zstd.Zstd
+                .getFrameContentSize(body)
+              if (n > 0 && n < (1L << 31))
+                ctx.decompress(body, n.toInt)
+              else { // unknown size: stream it
+                val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+                  new java.io.ByteArrayInputStream(body))
+                try readAll(in) finally in.close()
+              }
+            } finally ctx.close()
+          } catch { case _: Exception => ok = false; body }
+        case _ => ok = false // br or unknown: stop, never guess
+      }
+      i += 1
+    }
+    body
+  }
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Gunzip emitting the bytes present on truncation/corruption —
+    * crawls are full of cut-off downloads; the page head is still
+    * text worth keeping. Undecodable-from-byte-0 input returns as-is.
+    */
+  private[read] def gunzipTolerant(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body))
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
+    if (out.size() == 0) body else out.toByteArray
+  }
+
+  /** RFC 1950 zlib inflate with the raw-deflate (RFC 1951) fallback —
+    * the "deflate" coding officially means zlib-wrapped, but a
+    * long-lived population of servers sends raw streams; browsers
+    * accept both, so archives contain both.
+    */
+  private[read] def inflateTolerant(body: Array[Byte]): Array[Byte] = {
+    def tryInflate(nowrap: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(body)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 16)
+        var n = inf.inflate(buf)
+        while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
+        if (out.size() > 0) Some(out.toByteArray) else None
+      } catch {
+        case _: java.util.zip.DataFormatException => None
+      } finally inf.end()
+    }
+    tryInflate(false).orElse(tryInflate(true)).getOrElse(body)
   }
 
   /** Decode HTTP/1.1 chunked framing: `<hex-size>[;ext]\r\n data \r\n`

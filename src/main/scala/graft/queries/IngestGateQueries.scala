@@ -279,6 +279,19 @@ object IngestGateQueries {
     // e4: nothing declared anywhere → UTF-8 default
     val p4 = httpMsg("200 OK", "text/html",
       html("plain utf8 页面 text").getBytes(utf8))
+    // e5: the real-web composition — a gzip Content-Encoding body
+    // whose decompressed markup declares a legacy charset in <meta>
+    val gzBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(("<html><head><meta charset=\"iso-8859-1\"></head>" +
+        "<body><p>gzipped émigré café</p></body></html>").getBytes(iso))
+      g.close()
+      bos.toByteArray
+    }
+    val p5 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\nServer: graft-fixture\r\n\r\n")
+      .getBytes(iso) ++ gzBody
     val bytes =
       warcRecord("response", "e1", "2026-08-15T09:00:00Z",
         Some("http://example.com/bom"),
@@ -291,7 +304,10 @@ object IngestGateQueries {
         "application/http; msgtype=response", p3) ++
       warcRecord("response", "e4", "2026-08-15T09:03:00Z",
         Some("http://example.com/default"),
-        "application/http; msgtype=response", p4)
+        "application/http; msgtype=response", p4) ++
+      warcRecord("response", "e5", "2026-08-15T09:04:00Z",
+        Some("http://example.com/gzipped"),
+        "application/http; msgtype=response", p5)
     val dir = java.nio.file.Paths.get(s20WarcDir)
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.write(dir.resolve("charset.warc"), bytes)
@@ -301,7 +317,8 @@ object IngestGateQueries {
       ("<urn:uuid:e1>", "naïve résumé page"),
       ("<urn:uuid:e2>", "café crème déjà"),
       ("<urn:uuid:e3>", "señor año piñata"),
-      ("<urn:uuid:e4>", "plain utf8 页面 text"))
+      ("<urn:uuid:e4>", "plain utf8 页面 text"),
+      ("<urn:uuid:e5>", "gzipped émigré café"))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s20ExpectedDir)
     ()

@@ -297,6 +297,64 @@ class WarcSpec extends SparkSpec {
     assert(!Warc.decodeText(far, null).contains("café")) // é replaced
   }
 
+  test("splitHttp: Content-Encoding gzip/deflate/zstd bodies decode; br stops untouched") {
+    def gzBytes(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    def msg(enc: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Encoding: $enc\r\n\r\n").getBytes(ISO_8859_1) ++ body
+    val html = "<html><body>compressed page body</body></html>"
+    // gzip — the web's default
+    val g = Warc.splitHttp(msg("gzip", gzBytes(html.getBytes(UTF_8)))).get
+    assert(new String(g.body, UTF_8) == html)
+    // zlib-wrapped deflate (the spec meaning)
+    val zlibOut = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(html.getBytes(UTF_8)); d.finish()
+      val buf = new Array[Byte](4096)
+      java.util.Arrays.copyOf(buf, d.deflate(buf))
+    }
+    assert(new String(Warc.splitHttp(msg("deflate", zlibOut)).get.body,
+      UTF_8) == html)
+    // raw deflate (the server population browsers grew a fallback for)
+    val rawOut = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(html.getBytes(UTF_8)); d.finish()
+      val buf = new Array[Byte](4096)
+      java.util.Arrays.copyOf(buf, d.deflate(buf))
+    }
+    assert(new String(Warc.splitHttp(msg("deflate", rawOut)).get.body,
+      UTF_8) == html)
+    // zstd via Spark's own zstd-jni
+    val zst = com.github.luben.zstd.Zstd.compress(html.getBytes(UTF_8))
+    assert(new String(Warc.splitHttp(msg("zstd", zst)).get.body,
+      UTF_8) == html)
+    // a chain decodes last-listed-first
+    assert(new String(Warc.splitHttp(
+      msg("identity, gzip", gzBytes(html.getBytes(UTF_8)))).get.body,
+      UTF_8) == html)
+    // br has no pure-JVM decoder: the chain stops, bytes untouched
+    val brBody = Array[Byte](0x1b, 0x2c, 0x00, 0x04)
+    assert(Warc.splitHttp(msg("br", brBody)).get.body.toSeq == brBody.toSeq)
+    // truncated gzip keeps the bytes present (the page head survives)
+    val full = gzBytes(("head text " * 200).getBytes(UTF_8))
+    val cut = full.take(full.length / 2)
+    val kept = Warc.splitHttp(msg("gzip", cut)).get.body
+    assert(new String(kept, UTF_8).startsWith("head text "))
+    // chunked + gzip together: transfer coding peels first
+    def chunk(b: Array[Byte]): Array[Byte] =
+      (Integer.toHexString(b.length) + "\r\n").getBytes(ISO_8859_1) ++ b ++
+        "\r\n".getBytes(ISO_8859_1) ++ "0\r\n\r\n".getBytes(ISO_8859_1)
+    val both = (s"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      s"Content-Encoding: gzip\r\n\r\n").getBytes(ISO_8859_1) ++
+      chunk(gzBytes(html.getBytes(UTF_8)))
+    assert(new String(Warc.splitHttp(both).get.body, UTF_8) == html)
+  }
+
   test("stream: records flow as archive files land incrementally") {
     val dir = tmpDir("warcstream")
     java.nio.file.Files.write(dir.resolve("a.warc"), fileBytes)
