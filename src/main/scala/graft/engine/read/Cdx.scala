@@ -186,8 +186,16 @@ object Cdx {
         .map(s => if (s.length > 5 && s.substring(0, 5)
           .equalsIgnoreCase("sha1:")) s.substring(5) else s)
       normStated.getOrElse {
+        // the fallback hashes the STORED body bytes (after the header
+        // block, before any transfer/content decoding) — what the
+        // pywb/warcio digesters hash, so our computed digests match
+        // crawler-stated ones and externally generated indexes; a
+        // decoded-body hash would silently diverge on every chunked
+        // or gzip-served page
         val bytes =
-          if (isResp) Warc.splitHttp(payload).map(_.body).getOrElse(payload)
+          if (isResp)
+            Warc.splitHttp(payload, decodeBody = false).map(_.body)
+              .getOrElse(payload)
           else payload
         Warc.base32(java.security.MessageDigest.getInstance("SHA-1")
           .digest(bytes))
@@ -380,7 +388,12 @@ object Cdx {
                                  nowMs: Long): Option[Long] =
     header.map(_.trim).filter(_.nonEmpty).flatMap { v =>
       val raw =
-        if (v.forall(_.isDigit)) scala.util.Try(v.toLong * 1000L).toOption
+        if (v.forall(_.isDigit))
+          // clamp BEFORE the ×1000: a 17+-digit delay-seconds would
+          // wrap Long negative and sail under the cap
+          scala.util.Try(
+            math.min(v.toLong, MaxRetryAfterMs / 1000L + 1) * 1000L)
+            .toOption
         else scala.util.Try {
           val t = java.time.ZonedDateTime.parse(v,
             java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
@@ -483,7 +496,10 @@ object Cdx {
               "body): refusing to stream the whole archive per record")
           case s if HttpRetryStatuses(s) =>
             lastErr = s"HTTP $s"
-            metrics.foreach(_.retries.add(1))
+            // a retry is an attempt that FOLLOWS — the final failed
+            // attempt is not one (retries/requests must read as the
+            // true retry rate)
+            if (attempt < maxAttempts) metrics.foreach(_.retries.add(1))
             // Retry-After is honored on ANY retryable status — RFC
             // 9110 pairs it with 503 (maintenance windows) as much as
             // with 429; when the server names a wait, it speaks
@@ -500,7 +516,7 @@ object Cdx {
       } catch {
         case e: java.io.IOException =>
           lastErr = s"IO error: ${e.getMessage}"
-          metrics.foreach(_.retries.add(1))
+          if (attempt < maxAttempts) metrics.foreach(_.retries.add(1))
       }
     }
     throw new IllegalStateException(

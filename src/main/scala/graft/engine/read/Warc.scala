@@ -376,12 +376,17 @@ object Warc {
 
   /** Split a raw HTTP message into status/headers/body. Returns None
     * when the payload is not an HTTP message (no loud failure here:
-    * response payloads are CONTENT, and crawl content lies). Chunked
-    * transfer encoding is decoded — crawlers store the wire bytes, so
-    * chunk framing survives into archives; truncated chunk streams
-    * yield the bytes present.
+    * response payloads are CONTENT, and crawl content lies). With
+    * `decodeBody = true` (the content-consumer default) chunked
+    * transfer framing AND the `Content-Encoding` chain are decoded —
+    * crawlers store the wire bytes, so both survive into archives;
+    * truncated streams yield the bytes present. Pass
+    * `decodeBody = false` for the STORED body bytes untouched — what
+    * digest conventions hash ([[graft.engine.read.Cdx.toCdxj]]) and
+    * all a head-only parse needs.
     */
-  def splitHttp(payload: Array[Byte]): Option[Http] = {
+  def splitHttp(payload: Array[Byte],
+                decodeBody: Boolean = true): Option[Http] = {
     if (payload == null) return None
     // header/body boundary: first \r\n\r\n or \n\n, whichever earlier
     var crlf = -1; var lf = -1
@@ -422,17 +427,20 @@ object Warc {
     var body =
       if (bodyStart >= payload.length) Array.empty[Byte]
       else java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
-    val chunked = hdrs.exists { case (k, v) =>
-      k.equalsIgnoreCase("Transfer-Encoding") &&
-        v.toLowerCase.contains("chunked")
+    if (decodeBody) {
+      val chunked = hdrs.exists { case (k, v) =>
+        k.equalsIgnoreCase("Transfer-Encoding") &&
+          v.toLowerCase.contains("chunked")
+      }
+      if (chunked) body = dechunk(body)
+      // content codings apply INSIDE the transfer coding: dechunk
+      // first, then peel the Content-Encoding stack (last-applied
+      // first)
+      val coding = hdrs.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("Content-Encoding") => v
+      }
+      coding.foreach(c => body = decodeContentCodings(body, c))
     }
-    if (chunked) body = dechunk(body)
-    // content codings apply INSIDE the transfer coding: dechunk first,
-    // then peel the Content-Encoding stack (last-applied first)
-    val coding = hdrs.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("Content-Encoding") => v
-    }
-    coding.foreach(c => body = decodeContentCodings(body, c))
     Some(Http(status, hdrs.toSeq, body))
   }
 
@@ -493,18 +501,22 @@ object Warc {
 
   /** Gunzip emitting the bytes present on truncation/corruption —
     * crawls are full of cut-off downloads; the page head is still
-    * text worth keeping. Undecodable-from-byte-0 input returns as-is.
+    * text worth keeping. Input that is not gzip AT BYTE 0 returns
+    * as-is; a VALID gzip of an empty body returns empty (the 20-byte
+    * wrapper must never surface as "text").
     */
   private[read] def gunzipTolerant(body: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    var headerOk = false
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(body))
+      headerOk = true // constructor read + verified the member header
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
     } catch { case _: java.io.IOException => () }
-    if (out.size() == 0) body else out.toByteArray
+    if (headerOk) out.toByteArray else body
   }
 
   /** RFC 1950 zlib inflate with the raw-deflate (RFC 1951) fallback —
@@ -521,7 +533,10 @@ object Warc {
         val buf = new Array[Byte](1 << 16)
         var n = inf.inflate(buf)
         while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
-        if (out.size() > 0) Some(out.toByteArray) else None
+        // a COMPLETED stream is valid even when empty; an incomplete
+        // one that produced nothing is "not this wrapping"
+        if (inf.finished() || out.size() > 0) Some(out.toByteArray)
+        else None
       } catch {
         case _: java.util.zip.DataFormatException => None
       } finally inf.end()
@@ -782,11 +797,15 @@ object Warc {
 
   /** Status + declared content type ONLY — the head-only parse for
     * consumers that never need the body text (CDX generation): skips
-    * the charset decode of the whole body that [[httpStruct]] pays.
+    * the charset decode AND the body transfer/content decoding that
+    * [[httpStruct]] pays (`decodeBody = false` — gunzipping a whole
+    * corpus to read status lines would be a silent full-decompression
+    * pass).
     */
   def httpHeadStruct: Column = {
     val f = udf { payload: Array[Byte] =>
-      splitHttp(payload).map(h => (h.status, h.contentType.orNull))
+      splitHttp(payload, decodeBody = false)
+        .map(h => (h.status, h.contentType.orNull))
     }
     f(col("payload")).as("http_head")
   }

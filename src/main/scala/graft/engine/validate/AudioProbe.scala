@@ -227,7 +227,19 @@ object AudioProbe {
     * first frame; the walk stops at the first non-frame byte (tag
     * padding, truncation), which just ends the count.
     */
-  def mp3Info(bytes: Array[Byte]): Option[AudioMeta] = {
+  /** ID3v2 skip + confirmed-sync resync, shared by [[mp3Info]] and
+    * [[mp3Inventory]] (ONE copy of the policy): tolerate leading junk
+    * within a bounded window, like real players do — but demand the
+    * sync CONFIRM: the next header at off+frameLen must also parse
+    * with the same rate. A lone 4-byte pattern matches random binary
+    * at ~2e-4 per offset — over a 4096-byte window roughly half of
+    * junk blobs would otherwise probe as "valid mp3"; two consecutive
+    * headers square that away. A frame whose declared length overruns
+    * EOF counts only at the stream head (a truncated download starts
+    * with its header; a stray mid-junk sync does not get the
+    * truncation waiver). Returns the first frame's offset.
+    */
+  private def findFirstMp3Frame(bytes: Array[Byte]): Option[Int] = {
     if (bytes == null || bytes.length < 4) return None
     var start = 0
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
@@ -237,15 +249,6 @@ object AudioProbe {
       start = 10 + size
       if (start >= bytes.length) return None
     }
-    // resync: tolerate leading junk within a bounded window, like real
-    // players do — but demand the sync CONFIRM: the next header at
-    // off+frameLen must also parse with the same rate. A lone 4-byte
-    // pattern matches random binary at ~2e-4 per offset — over a
-    // 4096-byte window roughly half of junk blobs would otherwise
-    // probe as "valid mp3"; two consecutive headers square that away.
-    // A frame whose declared length overruns EOF counts only at the
-    // stream head (a truncated download starts with its header; a
-    // stray mid-junk sync does not get the truncation waiver).
     def syncsAt(o: Int): Boolean = mp3Frame(bytes, o) match {
       case Some(h) =>
         if (o + h.frameBytes < bytes.length)
@@ -254,13 +257,16 @@ object AudioProbe {
       case None => false
     }
     val window = math.min(bytes.length - 4, start + 4096)
-    var first = -1
     var o = start
-    while (first < 0 && o <= window) {
-      if (syncsAt(o)) first = o
+    while (o <= window) {
+      if (syncsAt(o)) return Some(o)
       o += 1
     }
-    if (first < 0) return None
+    None
+  }
+
+  def mp3Info(bytes: Array[Byte]): Option[AudioMeta] = {
+    val first = findFirstMp3Frame(bytes).getOrElse(return None)
     val h0 = mp3Frame(bytes, first).get
     var off = first
     var samples = 0L
@@ -311,31 +317,7 @@ object AudioProbe {
       declaredFrames: Option[Long], declaredBytes: Option[Long])
 
   def mp3Inventory(bytes: Array[Byte]): Option[Mp3Inventory] = {
-    if (bytes == null || bytes.length < 4) return None
-    var start = 0
-    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
-      bytes(2) == '3') {
-      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
-        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      start = 10 + size
-      if (start >= bytes.length) return None
-    }
-    // same confirmed-sync resync as mp3Info
-    def syncsAt(o: Int): Boolean = mp3Frame(bytes, o) match {
-      case Some(h) =>
-        if (o + h.frameBytes < bytes.length)
-          mp3Frame(bytes, o + h.frameBytes).exists(_.sampleRate == h.sampleRate)
-        else o == start
-      case None => false
-    }
-    val window = math.min(bytes.length - 4, start + 4096)
-    var first = -1
-    var o = start
-    while (first < 0 && o <= window) {
-      if (syncsAt(o)) first = o
-      o += 1
-    }
-    if (first < 0) return None
+    val first = findFirstMp3Frame(bytes).getOrElse(return None)
     val h0 = mp3Frame(bytes, first).get
 
     def u32be(off: Int): Long =
@@ -422,8 +404,11 @@ object AudioProbe {
     val bodyStart = 27 + nSegs
     if (nSegs < 1 || bodyStart + 9 > bytes.length) return None
     // the BOS signature packet is alone on its page per the mapping —
-    // its first lacing value bounds it
+    // its first lacing value bounds it; a lace shorter than the
+    // mapping prefix cannot carry a parseable packet (and must not
+    // slice past its own bound)
     val firstLace = bytes(27) & 0xff
+    if (firstLace < 9) return None
     val end = math.min(bytes.length.toLong, bodyStart.toLong + firstLace).toInt
     if ((bytes(bodyStart) & 0xff) != 0x7f || bytes(bodyStart + 1) != 'F' ||
         bytes(bodyStart + 2) != 'L' || bytes(bodyStart + 3) != 'A' ||

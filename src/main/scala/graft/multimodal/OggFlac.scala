@@ -146,7 +146,14 @@ object OggFlac {
     // the header packets we skip carried the remaining metadata —
     // STREAMINFO becomes the last (and only) block of the splice
     native(4) = (native(4) | 0x80).toByte
-    val audio = packets.drop(1 + nHeaders)
+    // nheaders == 0 means UNKNOWN per the mapping spec (not "none"):
+    // skip by shape instead — header packets lead with a metadata
+    // block header byte; audio frames lead with the 0xFF of the
+    // 14-bit frame sync
+    val audio =
+      if (nHeaders > 0) packets.drop(1 + nHeaders)
+      else packets.drop(1)
+        .dropWhile(p => p.isEmpty || (p(0) & 0xff) != 0xff)
     val out = new java.io.ByteArrayOutputStream(
       native.length + audio.map(_.length).sum)
     out.write(native)

@@ -143,6 +143,37 @@ class CdxSpec extends SparkSpec {
     assert(got("revisit")._3 == got("response")._3)
   }
 
+  test("toCdxj digest covers the STORED body bytes, not the content-decoded ones") {
+    // pywb/warcio hash the stored payload: a gzip-served page's
+    // fallback digest is sha1 of the COMPRESSED bytes — hashing the
+    // gunzipped body would diverge from crawler-stated digests and
+    // externally generated indexes, and break revisit joins
+    def sha1b32(b: Array[Byte]): String = Warc.base32(
+      java.security.MessageDigest.getInstance("SHA-1").digest(b))
+    val html = "<html>compressed page</html>".getBytes(StandardCharsets.UTF_8)
+    val gzBody = gz(html)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ gzBody
+    val iso = StandardCharsets.ISO_8859_1
+    val recBytes = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:gzr>\r\n" +
+      "WARC-Date: 2026-08-15T10:00:00Z\r\n" +
+      "WARC-Target-URI: http://example.com/gzr\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+      http ++ "\r\n\r\n".getBytes(iso)
+    val dir = tmpDir("cdxgz")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), gz(recBytes))
+    val out = dir.resolve("idx.cdxj").toString
+    Cdx.writeCdxj(Cdx.scanWithRanges(spark,
+      dir.resolve("a.warc.gz").toString), out)
+    val digest = Cdx.readCdxj(spark, out).select("digest")
+      .collect().map(_.getString(0)).toSeq
+    assert(digest == Seq(sha1b32(gzBody)))
+    assert(digest != Seq(sha1b32(html)))
+  }
+
   test("resolveRevisits: re-points at the EARLIEST capture; fetch composes") {
     import spark.implicits._
     val cdx = Seq(
@@ -425,6 +456,11 @@ class CdxSpec extends SparkSpec {
     assert(Cdx.retryAfterMs(Some(past), now) == Some(0L))
     // hostile header clamps to the cap; junk falls back to None
     assert(Cdx.retryAfterMs(Some("999999"), 0L) == Some(Cdx.MaxRetryAfterMs))
+    // a 17+-digit delay-seconds must CLAMP, not wrap Long negative
+    // under the cap (Thread.sleep(negative) would kill the task)
+    assert(Cdx.retryAfterMs(Some("99999999999999999"), 0L) ==
+      Some(Cdx.MaxRetryAfterMs))
+    assert(Cdx.retryAfterMs(Some("9" * 40), 0L).isEmpty) // > Long: junk
     assert(Cdx.retryAfterMs(Some("soonish"), 0L).isEmpty)
     assert(Cdx.retryAfterMs(None, 0L).isEmpty)
     assert(Cdx.retryAfterMs(Some(""), 0L).isEmpty)

@@ -340,6 +340,17 @@ class WarcSpec extends SparkSpec {
     // br has no pure-JVM decoder: the chain stops, bytes untouched
     val brBody = Array[Byte](0x1b, 0x2c, 0x00, 0x04)
     assert(Warc.splitHttp(msg("br", brBody)).get.body.toSeq == brBody.toSeq)
+    // a VALID gzip of an EMPTY body decodes to empty — the 20-byte
+    // wrapper must never surface as "text"
+    assert(Warc.splitHttp(msg("gzip", gzBytes(Array.empty[Byte])))
+      .get.body.isEmpty)
+    val emptyZlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(Array.empty[Byte]); d.finish()
+      val buf = new Array[Byte](64)
+      java.util.Arrays.copyOf(buf, d.deflate(buf))
+    }
+    assert(Warc.splitHttp(msg("deflate", emptyZlib)).get.body.isEmpty)
     // truncated gzip keeps the bytes present (the page head survives)
     val full = gzBytes(("head text " * 200).getBytes(UTF_8))
     val cut = full.take(full.length / 2)

@@ -189,6 +189,21 @@ class OggFlacSpec extends AnyFunSuite {
     assert(OggFlac.decode(ogg).get.samples(0).toSeq == samples.take(256))
   }
 
+  test("nheaders=0 means UNKNOWN (mapping spec): header packets skip by shape") {
+    // a muxer that wrote 0x0000 for the header count still ships the
+    // VorbisComment packet — it must be skipped as a header (leading
+    // metadata-block byte), not spliced in as an audio frame
+    val serial = 11L
+    val bos = bosPacket(8000, 256L, nHeaders = 0)
+    val vorbisComment = Array[Byte](4, 0, 0, 4, 0, 0, 0, 0) // type 4, len 4
+    val frame = flacFrame(samples.take(256), 0)
+    val ogg =
+      page(0x02, serial, 0, lacesOf(bos.length), bos) ++
+      page(0x00, serial, 1, lacesOf(vorbisComment.length), vorbisComment) ++
+      page(0x04, serial, 2, lacesOf(frame.length), frame)
+    assert(OggFlac.decode(ogg).get.samples(0).toSeq == samples.take(256))
+  }
+
   test("multiplexed foreign serials are skipped, not spliced in") {
     val serial = 0x1234L
     val other = 0x9999L
