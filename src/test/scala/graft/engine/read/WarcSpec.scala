@@ -366,6 +366,57 @@ class WarcSpec extends SparkSpec {
     assert(new String(Warc.splitHttp(both).get.body, UTF_8) == html)
   }
 
+  test("property: dechunk inverts every chunking; gzip/deflate codings round-trip any body") {
+    import org.scalacheck.{Gen, Prop}
+    val genBody = Gen.choose(0, 2000).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+    // random positive chunk sizes consume the body left to right
+    val genSizes = Gen.listOfN(12, Gen.choose(1, 400))
+    def chunked(body: Array[Byte], sizes: List[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var p = 0
+      var ss = sizes
+      while (p < body.length) {
+        val take = math.min(ss.headOption.getOrElse(97), body.length - p)
+        ss = if (ss.isEmpty) ss else ss.tail
+        out.write((Integer.toHexString(take) + "\r\n").getBytes(ISO_8859_1))
+        out.write(body, p, take)
+        out.write("\r\n".getBytes(ISO_8859_1))
+        p += take
+      }
+      out.write("0\r\n\r\n".getBytes(ISO_8859_1))
+      out.toByteArray
+    }
+    val dechunkProp = Prop.forAll(genBody, genSizes) { (body, sizes) =>
+      Warc.dechunk(chunked(body, sizes)).toSeq == body.toSeq
+    }
+    val gzProp = Prop.forAll(genBody) { body =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(body); g.close()
+      Warc.decodeContentCodings(bos.toByteArray, "gzip").toSeq == body.toSeq
+    }
+    val deflProp = Prop.forAll(genBody, Gen.oneOf(true, false)) {
+      (body, raw) =>
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+        d.setInput(body); d.finish()
+        val buf = new Array[Byte](body.length + 128)
+        val enc = java.util.Arrays.copyOf(buf, d.deflate(buf))
+        d.end()
+        Warc.decodeContentCodings(enc, "deflate").toSeq == body.toSeq
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(80)
+      .withInitialSeed(org.scalacheck.rng.Seed(0x51CA7EL))
+    for ((name, p) <- Seq("dechunk" -> dechunkProp, "gzip" -> gzProp,
+        "deflate" -> deflProp)) {
+      val r = org.scalacheck.Test.check(params, p)
+      assert(r.passed, s"$name: ${r.status}")
+    }
+  }
+
   test("stream: records flow as archive files land incrementally") {
     val dir = tmpDir("warcstream")
     java.nio.file.Files.write(dir.resolve("a.warc"), fileBytes)

@@ -241,6 +241,57 @@ class OggFlacSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("truncated"), e2.getMessage)
   }
 
+  test("property: EVERY legal paging of the packet stream unwraps to the same samples") {
+    // RFC 3533 allows a muxer to break the lacing-entry stream into
+    // pages at ANY entry boundary (a break after a 255 lace continues
+    // the packet; after a short lace it does not). The walk must be
+    // indifferent to the muxer's choices — pin it with ScalaCheck over
+    // random break vectors.
+    import org.scalacheck.{Gen, Prop}
+    val xs = samples.take(512)
+    val serial = 21L
+    val bos = bosPacket(8000, xs.length.toLong, 0)
+    val frames = xs.grouped(256).zipWithIndex
+      .map { case (g, i) => flacFrame(g, i) }.toList
+    val direct = FlacDecode.decode(nativeFlac(8000, xs)).get.samples(0).toSeq
+    // one (bytes, lace) entry list per frame packet
+    def entries(p: Array[Byte]): List[(Array[Byte], Int)] = {
+      val full = (0 until p.length / 255).map(i =>
+        (p.slice(i * 255, (i + 1) * 255), 255)).toList
+      full :+ ((p.drop(p.length / 255 * 255), p.length % 255))
+    }
+    val all = frames.flatMap(entries)
+    val gaps = all.length - 1
+    val prop = Prop.forAll(Gen.listOfN(gaps, Gen.oneOf(true, false))) {
+      breaks =>
+        // group entries into pages per the break vector
+        val pages = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(all.head))
+        all.tail.zip(breaks).foreach { case (e, brk) =>
+          if (brk) pages += scala.collection.mutable.ArrayBuffer(e)
+          else pages.last += e
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(page(0x02, serial, 0, lacesOf(bos.length), bos))
+        var prevLace = bos.length % 255 // short: BOS terminates its packet
+        pages.zipWithIndex.foreach { case (pg, i) =>
+          val continued = prevLace == 255
+          val htype = (if (continued) 1 else 0) |
+            (if (i == pages.length - 1) 4 else 0)
+          out.write(page(htype, serial, i + 1,
+            pg.map(_._2).toSeq, pg.flatMap(_._1).toArray))
+          prevLace = pg.last._2
+        }
+        OggFlac.decode(out.toByteArray).exists(
+          _.samples(0).toSeq == direct)
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(60)
+        .withInitialSeed(org.scalacheck.rng.Seed(0x9A4E12L)), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("hostile bytes: every prefix and random mutations fail CLEANLY (IAE/ISE), never out-of-bounds") {
     val ogg = oggWrap(8000, samples.take(300))
     def cleanly(b: Array[Byte]): Unit =
