@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pixel-level image curation statistics — the quality gate an image
+  * corpus applies before any perceptual hashing: blurry frames,
+  * black/blown exposures and flat synthetic fills carry no training
+  * signal, and all three are measurable in the one pixel pass the
+  * dHash pipeline pays anyway.
+  *
+  *  - `mean_luma` / `std_luma` — exposure and contrast over the
+  *    integer Rec.601 luma [[ImageHash]] hashes with (`std_luma ≈ 0`
+  *    is a flat fill; mean near 0/255 is a dead exposure);
+  *  - `laplacian_var` — variance of the 4-neighbour Laplacian
+  *    `4·g − up − down − left − right` over INTERIOR pixels, the
+  *    standard focus/blur measure (Pech-Pacheco et al. 2000, "Diatom
+  *    autofocusing in brightfield microscopy"): defocus kills high
+  *    frequencies, so the Laplacian's energy collapses. Interior-only
+  *    keeps every value exactly derivable for constructed fixtures
+  *    (no edge-padding convention to model).
+  *
+  * Scale shape: one decode + one pixel pass per payload (the same
+  * bill the hash pays); outputs are a handful of doubles — filters
+  * compose as codegen'd predicates.
+  */
+object ImageStats {
+
+  final case class Stats(width: Int, height: Int,
+                         meanLuma: Double, stdLuma: Double,
+                         laplacianVar: Double)
+
+  /** Stats for one payload; None when undecodable. Images without
+    * interior pixels (width or height < 3) report `laplacianVar = 0`
+    * — nothing to focus-measure, and a 1×N sliver should be dropped
+    * by dimension gates, not by a fake sharpness value.
+    */
+  def stats(bytes: Array[Byte]): Option[Stats] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try ImageIO.read(
+        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 1 || h < 1) return None
+    // integer Rec.601 luma, the ImageHash kernel
+    val luma = Array.ofDim[Int](h, w)
+    var sum = 0L
+    var sumSq = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val v = ((299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)) / 1000L).toInt
+        luma(y)(x) = v
+        sum += v
+        sumSq += v.toLong * v
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val mean = sum.toDouble / n
+    val variance = math.max(0.0, sumSq.toDouble / n - mean * mean)
+    var lapVar = 0.0
+    if (w >= 3 && h >= 3) {
+      var lSum = 0.0
+      var lSumSq = 0.0
+      val m = (w - 2).toLong * (h - 2)
+      y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val l = 4 * luma(y)(x) - luma(y - 1)(x) - luma(y + 1)(x) -
+            luma(y)(x - 1) - luma(y)(x + 1)
+          lSum += l
+          lSumSq += l.toDouble * l
+          x += 1
+        }
+        y += 1
+      }
+      val lMean = lSum / m
+      lapVar = math.max(0.0, lSumSq / m - lMean * lMean)
+    }
+    Some(Stats(w, h, mean, math.sqrt(variance), lapVar))
+  }
+
+  private val statsUdf = udf { (bytes: Array[Byte]) =>
+    stats(bytes).map(s =>
+      (s.width, s.height, s.meanLuma, s.stdLuma, s.laplacianVar))
+  }
+
+  /** Stats as a struct column `(width, height, mean_luma, std_luma,
+    * laplacian_var)`; NULL when undecodable.
+    */
+  def statsCol(bytesCol: Column): Column = statsUdf(bytesCol)
+
+  /** Drop images with no usable signal: blurrier than
+    * `minLaplacianVar`, flatter than `minStdLuma`, or exposure-dead
+    * outside `[minMeanLuma, maxMeanLuma]`. Undecodable images DROP
+    * (the [[AudioStats.dropDegenerateAudio]] stance: a quality gate
+    * that passes what it cannot measure is not a gate).
+    */
+  def dropDegenerateImages(df: DataFrame, bytesCol: String,
+                           minLaplacianVar: Double = 25.0,
+                           minStdLuma: Double = 4.0,
+                           minMeanLuma: Double = 8.0,
+                           maxMeanLuma: Double = 247.0): DataFrame = {
+    require(!df.columns.contains("__graft_istats"),
+      "input already has a reserved '__graft_istats' column")
+    df.withColumn("__graft_istats", statsCol(col(bytesCol)))
+      .filter(col("__graft_istats").isNotNull &&
+        col("__graft_istats._5") >= minLaplacianVar &&
+        col("__graft_istats._4") >= minStdLuma &&
+        col("__graft_istats._3").between(minMeanLuma, maxMeanLuma))
+      .drop("__graft_istats")
+  }
+}

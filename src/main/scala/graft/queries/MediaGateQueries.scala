@@ -224,7 +224,107 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m29Dir)
   }
 
+  // -- m30 fixture: constructed waveforms measured by INDEPENDENT
+  //    arithmetic over the same 16-bit quantized integers the WAV
+  //    carries (the m29 pattern): full-scale square (clip 1, peak =
+  //    rms = 32767/32768), exact-bin sine at A = 0.5 (peak exactly
+  //    0.5 — round(0.5·32767) = 16384), silence (dB floors), junk.
+  private val m30Dir = "/tmp/graft_gate_m30_astats"
+
+  private def writeM30Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val sr = 8000
+    def measure(x: Array[Double]): (Long, Long, Double, Double, Double, Double) = {
+      val q = x.map(v => math.round(v * 32767).toDouble / 32768.0)
+      val n = q.length
+      val peak = q.map(math.abs).max
+      val rms = math.sqrt(q.map(v => v * v).sum / n)
+      def db(v: Double) =
+        if (v <= 0) -120.0 else math.max(-120.0, 20.0 * math.log10(v))
+      (n.toLong, n.toLong * 1000 / sr, db(peak), db(rms),
+        q.count(v => math.abs(v) >= 0.999).toDouble / n,
+        q.count(v => math.abs(v) < 0.001).toDouble / n)
+    }
+    val square = Array.tabulate(sr)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val sine = Array.tabulate(2048)(i =>
+      0.5 * math.sin(2 * math.Pi * 4 * i / 1024.0))
+    val silence = new Array[Double](4096)
+    val rows = Seq((0L, square), (1L, sine), (2L, silence)).map {
+      case (id, x) =>
+        val (n, dur, pdb, rdb, clip, sil) = measure(x)
+        (id, MultimodalQueries.wavBytes(x, sr, 16), n, dur, pdb, rdb,
+          clip, sil)
+    } :+ ((3L, "not audio".getBytes, -1L, -1L, -999.0, -999.0, -1.0, -1.0))
+    rows.toDF("audio_id", "content", "exp_n", "exp_dur_ms", "exp_peak_db",
+        "exp_rms_db", "exp_clip", "exp_silence")
+      .coalesce(1).write.mode("overwrite").parquet(m30Dir)
+  }
+
+  // -- m31 fixture: constructed gray PNGs with CLOSED-FORM pixel
+  //    statistics — flat fill (std 0, Laplacian var 0), 1-px vertical
+  //    stripes (interior Laplacian ±510 in equal counts → var 510²),
+  //    1-px checkerboard (±1020 → var 1020²). Values derived on paper
+  //    in the gate doc; the oracle is a literal VALUES table.
+  private val m31Dir = "/tmp/graft_gate_m31_istats"
+
+  private def writeM31Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = v(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (0L, grayPng(16, 16, (_, _) => 77)),
+      (1L, grayPng(16, 16, (x, _) => if (x % 2 == 0) 0 else 255)),
+      (2L, grayPng(16, 16, (x, y) => if ((x + y) % 2 == 0) 0 else 255)),
+      (3L, "broken image".getBytes))
+    s.createDataset(rows).toDF("img_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m31Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m31: pixel-level image stats — exposure/contrast/sharpness
+    //    from the same luma pass the dHash pays; every expected value
+    //    closed-form (see the fixture doc). -----------------------
+    "m31_image_stats" -> { (s, _) =>
+      writeM31Fixture(s)
+      import graft.multimodal.ImageStats
+      s.read.parquet(m31Dir)
+        .withColumn("__s", ImageStats.statsCol(col("content")))
+        .select(col("img_id"),
+          coalesce(col("__s._1"), lit(-1)).as("w"),
+          coalesce(col("__s._2"), lit(-1)).as("h"),
+          round(coalesce(col("__s._3"), lit(-1.0)), 6).as("mean_luma"),
+          round(coalesce(col("__s._4"), lit(-1.0)), 6).as("std_luma"),
+          round(coalesce(col("__s._5"), lit(-1.0)), 6).as("laplacian_var"))
+        .orderBy("img_id")
+    },
+
+    // -- m30: signal-level audio stats — the degenerate-clip gate a
+    //    speech corpus filters on before fingerprinting; expectations
+    //    measured by independent arithmetic over the same quantized
+    //    integers. ------------------------------------------------
+    "m30_audio_stats" -> { (s, _) =>
+      writeM30Fixture(s)
+      import graft.multimodal.AudioStats
+      s.read.parquet(m30Dir)
+        .withColumn("__s", AudioStats.statsCol(col("content")))
+        .select(col("audio_id"),
+          coalesce(col("__s._1"), lit(-1L)).as("n_samples"),
+          coalesce(col("__s._3"), lit(-1L)).as("duration_ms"),
+          round(coalesce(col("__s._4"), lit(-999.0)), 6).as("peak_db"),
+          round(coalesce(col("__s._5"), lit(-999.0)), 6).as("rms_db"),
+          round(coalesce(col("__s._6"), lit(-1.0)), 6).as("clip_ratio"),
+          round(coalesce(col("__s._7"), lit(-1.0)), 6).as("silence_ratio"))
+        .orderBy("audio_id")
+    },
     // -- m25: bring-your-own-frames video near-dup — externally
     //    extracted frame rows (the realistic H.264 path) through the
     //    same dHash + set-signature machinery. Video 11 is a 4-frame
@@ -327,6 +427,26 @@ object MediaGateQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Closed-form pixel statistics: flat (77, 0, 0); stripes/checker
+    // mean = std = 127.5 (two-point 0/255 distribution), Laplacian
+    // var 510² = 260100 and 1020² = 1040400; broken bytes sentinel.
+    "m31_image_stats" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 16, 16, 77.0, 0.0, 0.0),
+        |  (1::BIGINT, 16, 16, 127.5, 127.5, 260100.0),
+        |  (2::BIGINT, 16, 16, 127.5, 127.5, 1040400.0),
+        |  (3::BIGINT, -1, -1, -1.0, -1.0, -1.0))
+        |  t(img_id, w, h, mean_luma, std_luma, laplacian_var)
+        |ORDER BY img_id""".stripMargin,
+    // Independent-arithmetic expectations ride the fixture; both
+    // sides round to 6.
+    "m30_audio_stats" ->
+      s"""SELECT audio_id, exp_n AS n_samples, exp_dur_ms AS duration_ms,
+         |  round(exp_peak_db, 6) AS peak_db, round(exp_rms_db, 6) AS rms_db,
+         |  round(exp_clip, 6) AS clip_ratio,
+         |  round(exp_silence, 6) AS silence_ratio
+         |FROM read_parquet('$m30Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
     // Frame-byte identity + containment arithmetic: 11's 4 frames are
     // 4 of 10's 8 → (8, 4, 4, 4); nothing else shares a frame.
     "m25_video_byo_frames" ->
