@@ -289,7 +289,45 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m31Dir)
   }
 
+  // -- m32 fixture: temporal video stats from frame BYTE identity
+  //    alone (the m17 stance — JPEG numerics never enter an expected
+  //    value): a static clip repeats ONE frame (all consecutive
+  //    distances exactly 0), the montage alternates two distinct
+  //    frames (distance ≥ 1 at every pair), thresholds cut=0/static=0
+  //    so the verdicts follow from identity.
+  private val m32Dir = "/tmp/graft_gate_m32_vstats"
+
+  private def writeM32Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val f = MultimodalQueries.jpegFrame(31)
+    val g = MultimodalQueries.jpegFrame(113)
+    def movi(frames: Seq[Array[Byte]]) = MultimodalQueries.riffList("movi",
+      frames.flatMap(fr => MultimodalQueries.riffChunk("00dc", fr)).toArray)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (0L, MultimodalQueries.aviBytes(movi(Seq(f, f, f, f)))),
+      (1L, MultimodalQueries.aviBytes(movi(Seq(f, g, f, g)))),
+      (2L, "not a video".getBytes))
+    s.createDataset(rows).toDF("video_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m32Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m32: temporal video stats — the static-clip/montage gate
+    //    from consecutive sampled-frame hash distances; expectations
+    //    by frame byte identity (see fixture doc). ----------------
+    "m32_video_stats" -> { (s, _) =>
+      writeM32Fixture(s)
+      import graft.multimodal.VideoStats
+      s.read.parquet(m32Dir)
+        .withColumn("__s", VideoStats.statsCol(col("content"),
+          cutHamming = 0, staticHamming = 0))
+        .select(col("video_id"),
+          coalesce(col("__s._1"), lit(-1)).as("n_frames"),
+          coalesce(col("__s._2"), lit(-1)).as("n_cuts"),
+          round(coalesce(col("__s._3"), lit(-1.0)), 6).as("static_ratio"))
+        .orderBy("video_id")
+    },
+
     // -- m31: pixel-level image stats — exposure/contrast/sharpness
     //    from the same luma pass the dHash pays; every expected value
     //    closed-form (see the fixture doc). -----------------------
@@ -427,6 +465,16 @@ object MediaGateQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Byte-identity verdicts: the static clip's 4 identical frames
+    // give 3 zero distances (0 cuts, static 1); the montage's
+    // distinct alternation cuts at all 3 pairs (static 0).
+    "m32_video_stats" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 4, 0, 1.0),
+        |  (1::BIGINT, 4, 3, 0.0),
+        |  (2::BIGINT, -1, -1, -1.0))
+        |  t(video_id, n_frames, n_cuts, static_ratio)
+        |ORDER BY video_id""".stripMargin,
     // Closed-form pixel statistics: flat (77, 0, 0); stripes/checker
     // mean = std = 127.5 (two-point 0/255 distribution), Laplacian
     // var 510² = 260100 and 1020² = 1040400; broken bytes sentinel.

@@ -447,12 +447,12 @@ object MultimodalQueries {
     (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
-  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+  private[queries] def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
     val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
     id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ padded
   }
 
-  private def riffList(listType: String, children: Array[Byte]): Array[Byte] =
+  private[queries] def riffList(listType: String, children: Array[Byte]): Array[Byte] =
     riffChunk("LIST", listType.getBytes("US-ASCII") ++ children)
 
   private def encodeAvi(w: Int, h: Int, usPerFrame: Int, totalFrames: Int,
@@ -858,7 +858,7 @@ object MultimodalQueries {
   /** Full AVI envelope over pre-built chunk parts (the m8 RIFF
     * writers supply `riffChunk`/`riffList`).
     */
-  private def aviBytes(parts: Array[Byte]*): Array[Byte] = {
+  private[queries] def aviBytes(parts: Array[Byte]*): Array[Byte] = {
     val inner = "AVI ".getBytes("US-ASCII") ++ parts.flatten
     "RIFF".getBytes("US-ASCII") ++ le32(inner.length.toLong) ++ inner
   }
