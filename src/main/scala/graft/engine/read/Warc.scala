@@ -435,11 +435,13 @@ object Warc {
       if (chunked) body = dechunk(body)
       // content codings apply INSIDE the transfer coding: dechunk
       // first, then peel the Content-Encoding stack (last-applied
-      // first)
-      val coding = hdrs.collectFirst {
+      // first). Content-Encoding is a LIST field — repeated header
+      // lines concatenate into one chain (RFC 9110 §5.3)
+      val codings = hdrs.collect {
         case (k, v) if k.equalsIgnoreCase("Content-Encoding") => v
       }
-      coding.foreach(c => body = decodeContentCodings(body, c))
+      if (codings.nonEmpty)
+        body = decodeContentCodings(body, codings.mkString(","))
     }
     Some(Http(status, hdrs.toSeq, body))
   }
@@ -456,9 +458,18 @@ object Warc {
     * pure-JVM decoder here — the chain STOPS, leaving remaining bytes
     * untouched rather than guessing (the charset decoder then
     * replaces them: visible damage, never silent wrong text).
+    * Decoded output is capped at `maxBytes`
+    * ([[DefaultMaxDecodedBytes]]): a 16 MB gzip bomb expands ~1000:1,
+    * and a lying zstd frame header would otherwise force a multi-GB
+    * allocation - either is one poisoned record killing an executor.
+    * The cap TRUNCATES (bytes present kept, the torn-download
+    * posture); it never throws.
     */
-  private[read] def decodeContentCodings(body0: Array[Byte],
-                                         codings: String): Array[Byte] = {
+  val DefaultMaxDecodedBytes: Int = 128 << 20
+
+  private[read] def decodeContentCodings(
+      body0: Array[Byte], codings: String,
+      maxBytes: Int = DefaultMaxDecodedBytes): Array[Byte] = {
     var body = body0
     val stack = codings.split(",").map(_.trim.toLowerCase)
       .filter(_.nonEmpty).reverse
@@ -467,22 +478,16 @@ object Warc {
     while (ok && i < stack.length) {
       stack(i) match {
         case "identity" => ()
-        case "gzip" | "x-gzip" => body = gunzipTolerant(body)
-        case "deflate" => body = inflateTolerant(body)
+        case "gzip" | "x-gzip" => body = gunzipTolerant(body, maxBytes)
+        case "deflate" => body = inflateTolerant(body, maxBytes)
         case "zstd" =>
+          // always streamed with the cap - the frame header's declared
+          // content size is attacker-controlled and must never size an
+          // allocation
           body = try {
-            val ctx = new com.github.luben.zstd.ZstdDecompressCtx()
-            try {
-              val n = com.github.luben.zstd.Zstd
-                .getFrameContentSize(body)
-              if (n > 0 && n < (1L << 31))
-                ctx.decompress(body, n.toInt)
-              else { // unknown size: stream it
-                val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
-                  new java.io.ByteArrayInputStream(body))
-                try readAll(in) finally in.close()
-              }
-            } finally ctx.close()
+            val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+              new java.io.ByteArrayInputStream(body))
+            try readCapped(in, maxBytes) finally in.close()
           } catch { case _: Exception => ok = false; body }
         case _ => ok = false // br or unknown: stop, never guess
       }
@@ -491,21 +496,27 @@ object Warc {
     body
   }
 
-  private def readAll(in: java.io.InputStream): Array[Byte] = {
+  private def readCapped(in: java.io.InputStream, cap: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](1 << 16)
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0 && out.size() < cap) {
+      out.write(buf, 0, math.min(n, cap - out.size()))
+      n = if (out.size() < cap) in.read(buf) else -1
+    }
     out.toByteArray
   }
 
-  /** Gunzip emitting the bytes present on truncation/corruption —
+  /** Gunzip emitting the bytes present on truncation/corruption -
     * crawls are full of cut-off downloads; the page head is still
     * text worth keeping. Input that is not gzip AT BYTE 0 returns
     * as-is; a VALID gzip of an empty body returns empty (the 20-byte
-    * wrapper must never surface as "text").
+    * wrapper must never surface as "text"); output truncates at
+    * `maxBytes` (bomb containment).
     */
-  private[read] def gunzipTolerant(body: Array[Byte]): Array[Byte] = {
+  private[read] def gunzipTolerant(
+      body: Array[Byte],
+      maxBytes: Int = DefaultMaxDecodedBytes): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var headerOk = false
     try {
@@ -514,31 +525,60 @@ object Warc {
       headerOk = true // constructor read + verified the member header
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size() < maxBytes) {
+        out.write(buf, 0, math.min(n, maxBytes - out.size()))
+        n = if (out.size() < maxBytes) in.read(buf) else -1
+      }
     } catch { case _: java.io.IOException => () }
     if (headerOk) out.toByteArray else body
   }
 
-  /** RFC 1950 zlib inflate with the raw-deflate (RFC 1951) fallback —
+  /** RFC 1950 zlib inflate with the raw-deflate (RFC 1951) fallback -
     * the "deflate" coding officially means zlib-wrapped, but a
     * long-lived population of servers sends raw streams; browsers
-    * accept both, so archives contain both.
+    * accept both, so archives contain both. Mid-stream corruption
+    * keeps the bytes already inflated (the [[gunzipTolerant]]
+    * posture); output truncates at `maxBytes`.
     */
-  private[read] def inflateTolerant(body: Array[Byte]): Array[Byte] = {
+  private[read] def inflateTolerant(
+      body: Array[Byte],
+      maxBytes: Int = DefaultMaxDecodedBytes): Array[Byte] = {
     def tryInflate(nowrap: Boolean): Option[Array[Byte]] = {
       val inf = new java.util.zip.Inflater(nowrap)
+      val out = new java.io.ByteArrayOutputStream()
       try {
-        inf.setInput(body)
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](1 << 16)
-        var n = inf.inflate(buf)
-        while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
+        // feed input in SMALL chunks: a whole-buffer setInput would
+        // let one inflate() call consume the stream AND hit the
+        // trailing checksum error before returning any output — the
+        // readable head must already be in `out` when damage throws
+        val buf = new Array[Byte](8192)
+        var off = 0
+        var done = false
+        while (!done && out.size() < maxBytes) {
+          if (inf.needsInput()) {
+            if (off >= body.length) done = true
+            else {
+              // small feed quantum: the rescue only works when clean
+              // input chunks complete BEFORE the damaged one throws
+              val len = math.min(1024, body.length - off)
+              inf.setInput(body, off, len)
+              off += len
+            }
+          }
+          if (!done) {
+            val n = inf.inflate(buf)
+            if (n > 0) out.write(buf, 0, math.min(n, maxBytes - out.size()))
+            else if (inf.finished() || inf.needsDictionary()) done = true
+          }
+        }
         // a COMPLETED stream is valid even when empty; an incomplete
         // one that produced nothing is "not this wrapping"
         if (inf.finished() || out.size() > 0) Some(out.toByteArray)
         else None
       } catch {
-        case _: java.util.zip.DataFormatException => None
+        // mid-stream damage: the readable head is still the page
+        case _: java.util.zip.DataFormatException =>
+          if (out.size() > 0) Some(out.toByteArray) else None
       } finally inf.end()
     }
     tryInflate(false).orElse(tryInflate(true)).getOrElse(body)
@@ -614,9 +654,17 @@ object Warc {
       CharsetRe.findFirstMatchIn(
         if (contentType == null) "" else contentType)
         .flatMap(m => named(m.group(1)))
+    // the meta prescan is an HTML rule: apply it to (x)html and to
+    // UNKNOWN content types only — a JSON body quoting markup
+    // (`"<meta charset=…>"` in a tutorial snippet) must not hijack
+    // the decode of a declared non-HTML type
+    val htmlish = contentType == null || contentType.trim.isEmpty || {
+      val lower = contentType.toLowerCase(java.util.Locale.ROOT)
+      lower.contains("html") || lower.contains("xml")
+    }
     val cs: Charset = bomCharset(bytes)
       .orElse(fromHeader)
-      .orElse(metaPrescan(bytes).flatMap(named))
+      .orElse(if (htmlish) metaPrescan(bytes).flatMap(named) else None)
       .getOrElse(StandardCharsets.UTF_8)
     // a BOM is a marker, not content — skip it so the decoded text
     // does not lead with U+FEFF
@@ -646,43 +694,68 @@ object Warc {
 
   /** The WHATWG "prescan the byte stream" simplification: the first
     * 1024 bytes read as latin-1 (charset names are ASCII, and latin-1
-    * maps bytes 1:1 so offsets survive), searched for the two meta
-    * declaration forms. Returns the declared NAME — the caller
+    * maps bytes 1:1 so offsets survive), HTML comments dropped, then
+    * each `<meta …>` tag's ATTRIBUTES tokenized (quoted values
+    * consumed whole — `charset=` inside an unrelated attribute VALUE,
+    * e.g. a description mentioning charsets, is never mistaken for
+    * the attribute; attribute ORDER is irrelevant, as in the spec's
+    * own algorithm). A `charset` attribute wins; else an
+    * `http-equiv=content-type` meta's `content` value is searched for
+    * its `charset=` parameter. Returns the declared NAME — the caller
     * resolves it, falling through on junk. `x-user-defined` and
     * UTF-16 meta declarations mean "the page lies" — WHATWG maps both
-    * cases away from what they claim; we map them to UTF-8/windows-
-    * 1252 respectively per the spec's notes.
+    * cases away from what they claim; we map them to windows-1252 /
+    * UTF-8 respectively per the spec's notes.
     */
   private[read] def metaPrescan(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length == 0) return None
     val n = math.min(bytes.length, 1024)
     val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
-    val name = MetaCharsetRe.findFirstMatchIn(head).map(_.group(1))
-      .orElse(MetaHttpEquivRe.findFirstMatchIn(head)
-        .flatMap(m => CharsetRe.findFirstMatchIn(m.group(1)).map(_.group(1))))
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .stripPrefix("'").stripSuffix("'"))
-      .filter(_.nonEmpty)
-    name.map { raw =>
-      val lower = raw.toLowerCase(java.util.Locale.ROOT)
-      // WHATWG: a meta-declared utf-16 is processed as utf-8 (the
-      // prescan itself proves the document is ASCII-compatible);
-      // x-user-defined maps to windows-1252
-      if (lower.startsWith("utf-16")) "UTF-8"
-      else if (lower == "x-user-defined") "windows-1252"
-      else raw
+      .replaceAll("(?s)<!--.*?-->", " ")
+    def unquote(v: String): String = {
+      val t = v.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+          (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t.stripSuffix("/")
     }
+    for (tag <- MetaTagRe.findAllIn(head)) {
+      // first occurrence of an attribute wins (the HTML parsing rule)
+      var attrs = Map.empty[String, String]
+      for (m <- AttrRe.findAllMatchIn(tag)) {
+        val k = m.group(1).toLowerCase(java.util.Locale.ROOT)
+        if (!attrs.contains(k)) attrs += (k -> unquote(m.group(2)))
+      }
+      val declared = attrs.get("charset").map(_.trim).filter(_.nonEmpty)
+        .orElse {
+          if (attrs.get("http-equiv")
+              .exists(_.equalsIgnoreCase("content-type")))
+            attrs.get("content").flatMap(c =>
+              CharsetRe.findFirstMatchIn(c).map(m2 => unquote(m2.group(1))))
+              .map(_.trim).filter(_.nonEmpty)
+          else None
+        }
+      declared.foreach { raw =>
+        val lower = raw.toLowerCase(java.util.Locale.ROOT)
+        // WHATWG: a meta-declared utf-16 is processed as utf-8 (the
+        // prescan itself proves the document is ASCII-compatible);
+        // x-user-defined maps to windows-1252
+        return Some(
+          if (lower.startsWith("utf-16")) "UTF-8"
+          else if (lower == "x-user-defined") "windows-1252"
+          else raw)
+      }
+    }
+    None
   }
 
   private val CharsetRe =
     """(?i)charset\s*=\s*("[^"]+"|'[^']+'|[^;\s>]+)""".r
 
-  private val MetaCharsetRe =
-    """(?is)<meta[^>]*?\scharset\s*=\s*["']?([^"'\s/>]+)""".r
+  private val MetaTagRe = """(?is)<meta[\s/][^>]*""".r
 
-  private val MetaHttpEquivRe =
-    ("""(?is)<meta[^>]*?http-equiv\s*=\s*["']?content-type["']?[^>]*?""" +
-      """content\s*=\s*["']([^"']*)["']""").r
+  private val AttrRe =
+    """([a-zA-Z][a-zA-Z0-9-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""".r
 
   // ---------------------------------------------------------------- //
   //  Spark face                                                       //

@@ -36,8 +36,14 @@ object AudioStats {
   /** dB floor reported for silent signals (20·log10(0) = −∞). */
   val FloorDb: Double = -120.0
 
-  /** |x| at or above this counts as clipped (≈ −0.009 dBFS). */
-  val ClipLevel: Double = 0.999
+  /** |x| at or above this counts as clipped: 127/128 exactly — the
+    * POSITIVE full-scale rail of the coarsest supported depth
+    * (8-bit), since [[AudioFingerprint.pcmMono]] scales +full-scale
+    * to (2^(bits−1)−1)/2^(bits−1). A higher cutoff (e.g. 0.999) would
+    * silently miss positive-rail clipping in 8-bit audio entirely.
+    * ≈ −0.068 dBFS.
+    */
+  val ClipLevel: Double = 127.0 / 128.0
 
   /** |x| below this counts as silence (−60 dBFS). */
   val SilenceLevel: Double = 0.001

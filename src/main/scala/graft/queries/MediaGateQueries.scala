@@ -242,7 +242,7 @@ object MediaGateQueries {
       def db(v: Double) =
         if (v <= 0) -120.0 else math.max(-120.0, 20.0 * math.log10(v))
       (n.toLong, n.toLong * 1000 / sr, db(peak), db(rms),
-        q.count(v => math.abs(v) >= 0.999).toDouble / n,
+        q.count(v => math.abs(v) >= 127.0 / 128.0).toDouble / n,
         q.count(v => math.abs(v) < 0.001).toDouble / n)
     }
     val square = Array.tabulate(sr)(i => if (i % 2 == 0) 1.0 else -1.0)

@@ -366,6 +366,78 @@ class WarcSpec extends SparkSpec {
     assert(new String(Warc.splitHttp(both).get.body, UTF_8) == html)
   }
 
+  test("meta prescan: attribute-order-insensitive, value-embedded and commented charsets ignored, non-HTML gated") {
+    // reversed attribute order (content before http-equiv) — a
+    // common real-web form the order-sensitive regex missed
+    val reversed = ("<html><head><meta content=\"text/html; " +
+      "charset=iso-8859-1\" http-equiv=\"Content-Type\"></head>" +
+      "<body>voilà déjà</body></html>").getBytes(ISO_8859_1)
+    assert(Warc.decodeText(reversed, "text/html").contains("voilà déjà"))
+    // charset mentioned INSIDE an unrelated meta's content VALUE is
+    // data, not a declaration
+    val embedded = ("<meta name=\"description\" content=\"how to fix " +
+      "charset=iso-2022-jp errors\"><body>naïve utf8 body</body>")
+      .getBytes(UTF_8)
+    assert(Warc.decodeText(embedded, "text/html").contains("naïve utf8 body"))
+    // a commented-out meta declares nothing
+    val commented = ("<!-- <meta charset=\"iso-8859-1\"> -->" +
+      "<body>naïve comment case</body>").getBytes(UTF_8)
+    assert(Warc.decodeText(commented, "text/html")
+      .contains("naïve comment case"))
+    // the prescan is an HTML rule: a declared JSON type quoting
+    // markup keeps its UTF-8 default
+    val json = """{"snippet": "<meta charset=\"iso-8859-1\">", "t": "naïve"}"""
+      .getBytes(UTF_8)
+    assert(Warc.decodeText(json, "application/json").contains("naïve"))
+    // ... but an UNKNOWN content type still benefits from the prescan
+    val unknownCt = ("<meta charset=\"iso-8859-1\"><body>café unknown</body>")
+      .getBytes(ISO_8859_1)
+    assert(Warc.decodeText(unknownCt, null).contains("café unknown"))
+  }
+
+  test("content codings: bombs truncate at the cap, repeated header fields chain, corrupt tails keep the head") {
+    def gzBytes(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    // a 2 MB-of-zeros bomb against a 1000-byte cap: truncated, no throw
+    val bomb = gzBytes(new Array[Byte](2 << 20))
+    assert(Warc.decodeContentCodings(bomb, "gzip", maxBytes = 1000)
+      .length == 1000)
+    val zstBomb = com.github.luben.zstd.Zstd.compress(new Array[Byte](2 << 20))
+    assert(Warc.decodeContentCodings(zstBomb, "zstd", maxBytes = 1000)
+      .length == 1000)
+    // repeated Content-Encoding header LINES form one chain
+    val inner = "double coded body".getBytes(UTF_8)
+    val doubled = gzBytes(gzBytes(inner))
+    val msg = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes(ISO_8859_1) ++ doubled
+    assert(new String(Warc.splitHttp(msg).get.body, UTF_8) ==
+      "double coded body")
+    // mid-stream zlib damage keeps the inflated head (the
+    // gunzipTolerant posture). Incompressible content, so the
+    // undamaged 3/4 of the stream carries real output (repetitive
+    // text would compress to a few dozen bytes and leave no head)
+    val rnd = new java.util.Random(42)
+    val big = new Array[Byte](4000)
+    rnd.nextBytes(big)
+    val zlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(big); d.finish()
+      val buf = new Array[Byte](big.length + 1024)
+      java.util.Arrays.copyOf(buf, d.deflate(buf))
+    }
+    val damaged = zlib.clone()
+    for (i <- damaged.length * 3 / 4 until damaged.length)
+      damaged(i) = (damaged(i) ^ 0x55).toByte
+    // corrupt deflate may decode garbage PAST the damage point before
+    // erroring — the guarantee is the readable HEAD survives, no throw
+    val kept = Warc.inflateTolerant(damaged)
+    assert(kept.length >= 1000 &&
+      kept.take(1000).toSeq == big.take(1000).toSeq)
+  }
+
   test("property: dechunk inverts every chunking; gzip/deflate codings round-trip any body") {
     import org.scalacheck.{Gen, Prop}
     val genBody = Gen.choose(0, 2000).flatMap(n =>

@@ -64,6 +64,25 @@ class AudioStatsSpec extends SparkSpec {
     assert(AudioStats.stats(Array.empty[Byte]).isEmpty)
   }
 
+  test("8-bit positive-rail clipping is detected (ClipLevel = 127/128)") {
+    // 8-bit WAV clamped at +127: pcmMono scales to exactly 127/128 —
+    // a 0.999 cutoff would report clip_ratio 0 for a hard-clipped clip
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit =
+      (0 to 3).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16b(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    val n = 2048
+    bos.write("RIFF".getBytes); w32(36L + n)
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); w32(16L)
+    w16b(1); w16b(1); w32(sr.toLong); w32(sr.toLong); w16b(1); w16b(8)
+    bos.write("data".getBytes); w32(n.toLong)
+    (0 until n).foreach(_ => bos.write(255)) // unsigned 8-bit +rail
+    val s = AudioStats.stats(bos.toByteArray).get
+    assert(s.clipRatio == 1.0, s.toString)
+    assert(math.abs(s.peakDb - 20 * math.log10(127.0 / 128.0)) < 1e-9)
+  }
+
   test("stats measure identically across containers (WAV vs the FLAC the fingerprint shares)") {
     // pcmMono is the shared decode: the FLAC re-encode of the same
     // integers must produce the same stats — pinned transitively by
