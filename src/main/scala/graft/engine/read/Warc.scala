@@ -483,12 +483,24 @@ object Warc {
         case "zstd" =>
           // always streamed with the cap - the frame header's declared
           // content size is attacker-controlled and must never size an
-          // allocation
-          body = try {
+          // allocation. Magic-gated: a real zstd frame gets the
+          // torn-download posture (bytes decoded so far kept, like
+          // gzip/deflate); a body that is not zstd at byte 0 stops the
+          // chain with its bytes untouched
+          val isZstdFrame = body.length >= 4 &&
+            (body(0) & 0xff) == 0x28 && (body(1) & 0xff) == 0xB5 &&
+            (body(2) & 0xff) == 0x2F && (body(3) & 0xff) == 0xFD
+          if (!isZstdFrame) ok = false
+          else body = try {
             val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
               new java.io.ByteArrayInputStream(body))
             try readCapped(in, maxBytes) finally in.close()
-          } catch { case _: Exception => ok = false; body }
+          } catch {
+            // the magic said zstd: whatever decoded IS the content
+            // (a frame torn inside its first block decodes to
+            // nothing — empty, never the compressed bytes as "text")
+            case _: Exception => Array.empty[Byte]
+          }
         case _ => ok = false // br or unknown: stop, never guess
       }
       i += 1
@@ -496,14 +508,21 @@ object Warc {
     body
   }
 
+  /** Capped stream copy, keeping the bytes read so far when the
+    * stream dies mid-flight (the torn-download posture every coding
+    * here shares). The FIRST read failing still surfaces (caller
+    * decides whether the coding applied at all).
+    */
   private def readCapped(in: java.io.InputStream, cap: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0 && out.size() < cap) {
-      out.write(buf, 0, math.min(n, cap - out.size()))
-      n = if (out.size() < cap) in.read(buf) else -1
-    }
+    var n = in.read(buf) // a body that never decodes throws HERE
+    try {
+      while (n >= 0 && out.size() < cap) {
+        out.write(buf, 0, math.min(n, cap - out.size()))
+        n = if (out.size() < cap) in.read(buf) else -1
+      }
+    } catch { case _: java.io.IOException => () }
     out.toByteArray
   }
 
@@ -550,12 +569,19 @@ object Warc {
         // feed input in SMALL chunks: a whole-buffer setInput would
         // let one inflate() call consume the stream AND hit the
         // trailing checksum error before returning any output — the
-        // readable head must already be in `out` when damage throws
+        // readable head must already be in `out` when damage throws.
+        // INFLATE-FIRST ordering: needsInput() can be true while
+        // window output is still derivable (zlib buffers the tail
+        // bits mid-match-copy), so exhausted input must never end the
+        // loop before a final inflate() drains what is pending
         val buf = new Array[Byte](8192)
         var off = 0
         var done = false
         while (!done && out.size() < maxBytes) {
-          if (inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, math.min(n, maxBytes - out.size()))
+          else if (inf.finished() || inf.needsDictionary()) done = true
+          else if (inf.needsInput()) {
             if (off >= body.length) done = true
             else {
               // small feed quantum: the rescue only works when clean
@@ -564,12 +590,7 @@ object Warc {
               inf.setInput(body, off, len)
               off += len
             }
-          }
-          if (!done) {
-            val n = inf.inflate(buf)
-            if (n > 0) out.write(buf, 0, math.min(n, maxBytes - out.size()))
-            else if (inf.finished() || inf.needsDictionary()) done = true
-          }
+          } else done = true
         }
         // a COMPLETED stream is valid even when empty; an incomplete
         // one that produced nothing is "not this wrapping"
@@ -647,9 +668,14 @@ object Warc {
     */
   def decodeText(bytes: Array[Byte], contentType: String): String = {
     if (bytes == null) return null
-    def named(name: String): Option[Charset] =
-      try Some(Charset.forName(name.trim.stripPrefix("\"").stripSuffix("\"")))
-      catch { case _: Exception => None }
+    def named(name: String): Option[Charset] = {
+      // CharsetRe's group keeps the quotes, BOTH kinds — strip both
+      // (a single-quoted header parameter is legal and common)
+      val t = name.trim
+        .stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'")
+      try Some(Charset.forName(t)) catch { case _: Exception => None }
+    }
     def fromHeader: Option[Charset] =
       CharsetRe.findFirstMatchIn(
         if (contentType == null) "" else contentType)
@@ -710,8 +736,12 @@ object Warc {
   private[read] def metaPrescan(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length == 0) return None
     val n = math.min(bytes.length, 1024)
+    // closed comments drop; an UNCLOSED `<!--` swallows the rest of
+    // the window (WHATWG consumes to end-of-input) — a commented-out
+    // meta whose closer lies past the prescan bound declares nothing
     val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
       .replaceAll("(?s)<!--.*?-->", " ")
+      .replaceAll("(?s)<!--.*$", " ")
     def unquote(v: String): String = {
       val t = v.trim
       if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
@@ -752,7 +782,10 @@ object Warc {
   private val CharsetRe =
     """(?i)charset\s*=\s*("[^"]+"|'[^']+'|[^;\s>]+)""".r
 
-  private val MetaTagRe = """(?is)<meta[\s/][^>]*""".r
+  // a meta tag runs to its first UNQUOTED '>': quoted attribute
+  // values may legally contain one (WHATWG consumes values whole)
+  private val MetaTagRe =
+    """(?is)<meta[\s/](?:"[^"]*"|'[^']*'|[^>"'])*""".r
 
   private val AttrRe =
     """([a-zA-Z][a-zA-Z0-9-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""".r

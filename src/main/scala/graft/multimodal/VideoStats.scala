@@ -102,8 +102,13 @@ object VideoStats {
   }
 
   /** Drop static/slideshow videos: clips whose `static_ratio` is at
-    * or above `maxStaticRatio` over ≥ 2 sampled frames. Payload face;
-    * clips with no decodable signature DROP (the stats-gate stance).
+    * or above `maxStaticRatio` over ≥ 2 sampled frames. A clip with
+    * only ONE decodable frame SURVIVES this gate — one pair of frames
+    * is the minimum evidence of "nothing changes", and a real video
+    * whose other samples failed to decode must not die on a
+    * vacuous 1.0 (route slivers to the dimension/duration gates).
+    * Payload face; clips with NO decodable signature DROP (the
+    * stats-gate stance).
     */
   def dropStaticVideos(df: DataFrame, bytesCol: String,
                        maxStaticRatio: Double = 0.999,
@@ -114,7 +119,8 @@ object VideoStats {
     df.withColumn("__graft_vstats",
         statsCol(col(bytesCol), maxFrames, staticHamming = staticHamming))
       .filter(col("__graft_vstats").isNotNull &&
-        col("__graft_vstats._3") < maxStaticRatio)
+        (col("__graft_vstats._1") < 2 ||
+          col("__graft_vstats._3") < maxStaticRatio))
       .drop("__graft_vstats")
   }
 }

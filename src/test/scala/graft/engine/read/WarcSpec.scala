@@ -438,6 +438,52 @@ class WarcSpec extends SparkSpec {
       kept.take(1000).toSeq == big.take(1000).toSeq)
   }
 
+  test("review regressions: raw-deflate tail drain, quoted charsets, quoted '>', unclosed comments, torn zstd") {
+    // raw deflate of highly repetitive data: the final match copy is
+    // derivable AFTER input exhausts — inflate-first must drain it
+    // (the needsInput-first loop silently truncated to an 8K multiple)
+    val rep = ("abcdefg " * 3085).getBytes(UTF_8) // 24680 bytes
+    val raw = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(rep); d.finish()
+      val buf = new Array[Byte](rep.length + 128)
+      java.util.Arrays.copyOf(buf, d.deflate(buf))
+    }
+    assert(Warc.inflateTolerant(raw).toSeq == rep.toSeq)
+    // single-quoted header charset parameter resolves
+    val latin = "café".getBytes(ISO_8859_1)
+    assert(Warc.decodeText(latin, "text/html; charset='iso-8859-1'") ==
+      "café")
+    // a quoted '>' inside an earlier attribute must not truncate the
+    // meta tag before its charset attribute
+    val gtMeta = ("<meta name=\"description\" content=\"a > b\" " +
+      "charset=\"iso-8859-1\"><body>café gt case</body>")
+      .getBytes(ISO_8859_1)
+    assert(Warc.decodeText(gtMeta, "text/html").contains("café gt case"))
+    // an UNCLOSED comment swallows the rest of the prescan window
+    val unclosed = ("<!-- commented out <meta charset=\"iso-8859-1\"> " +
+      "never closed <body>naïve unclosed</body>").getBytes(UTF_8)
+    assert(Warc.decodeText(unclosed, "text/html").contains("naïve unclosed"))
+    // a torn zstd body keeps the bytes decoded so far — content big
+    // enough to span multiple 128K blocks so a decodable prefix
+    // exists; and NEVER the compressed bytes as "text"
+    val zrnd = new java.util.Random(7)
+    val zbig = new Array[Byte](300000)
+    zrnd.nextBytes(zbig)
+    val full = com.github.luben.zstd.Zstd.compress(zbig)
+    val torn = full.take(full.length * 2 / 3)
+    val kept = Warc.decodeContentCodings(torn, "zstd")
+    assert(kept.length >= 1000 &&
+      kept.take(1000).toSeq == zbig.take(1000).toSeq)
+    // torn inside the FIRST block: nothing decodable → empty, not
+    // the compressed wrapper
+    val small = com.github.luben.zstd.Zstd.compress(
+      ("torn zstd head " * 400).getBytes(UTF_8))
+    val tiny = small.take(small.length / 2)
+    assert(Warc.decodeContentCodings(tiny, "zstd").isEmpty)
+  }
+
   test("property: dechunk inverts every chunking; gzip/deflate codings round-trip any body") {
     import org.scalacheck.{Gen, Prop}
     val genBody = Gen.choose(0, 2000).flatMap(n =>

@@ -1,0 +1,44 @@
+package graft.multimodal
+
+/** Shared spec-side media fixture builders — RIFF/AVI envelopes and
+  * the deterministic JPEG frame family. Builder code independent of
+  * the walks under test (the house fixture stance), kept in ONE
+  * place instead of a copy per spec.
+  */
+object MediaTestBuilders {
+
+  def u32le(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  def list(subtype: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", subtype.getBytes("US-ASCII") ++ body)
+
+  def avi(parts: Array[Byte]*): Array[Byte] = {
+    val inner = "AVI ".getBytes("US-ASCII") ++ parts.flatten
+    "RIFF".getBytes("US-ASCII") ++ u32le(inner.length.toLong) ++ inner
+  }
+
+  def movi(frames: Seq[Array[Byte]], id: String = "00dc"): Array[Byte] =
+    list("movi", frames.flatMap(f => chunk(id, f)).toArray)
+
+  /** Deterministic 64×64 gray block-pattern JPEG; distinct `mul`
+    * values give distinct dHashes (every expectation built on these
+    * derives from frame BYTE identity, never JPEG numerics).
+    */
+  def jpegFrame(mul: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val g = 20 + ((x / 8 * mul + (y / 8) * 17) % 90)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    bos.toByteArray
+  }
+}

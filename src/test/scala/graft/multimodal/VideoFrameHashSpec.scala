@@ -12,39 +12,8 @@ import graft.SparkSpec
 class VideoFrameHashSpec extends SparkSpec {
   import spark.implicits._
 
-  // ---- authored AVI bytes --------------------------------------------
-  private def u32le(v: Long): Array[Byte] =
-    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
-
-  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
-    id.getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body ++
-      (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
-
-  private def list(subtype: String, body: Array[Byte]): Array[Byte] =
-    chunk("LIST", subtype.getBytes("US-ASCII") ++ body)
-
-  private def avi(parts: Array[Byte]*): Array[Byte] = {
-    val inner = "AVI ".getBytes("US-ASCII") ++ parts.flatten
-    "RIFF".getBytes("US-ASCII") ++ u32le(inner.length.toLong) ++ inner
-  }
-
-  /** Gray pseudorandom block JPEG (the m13 blockyPng pattern class —
-    * JPEG numerics never enter any expectation; only byte identity).
-    */
-  private def jpegFrame(mul: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 64; x <- 0 until 64) {
-      val g = 20 + ((x / 8 * mul + (y / 8) * 17) % 90)
-      img.setRGB(x, y, (g << 16) | (g << 8) | g)
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
-    bos.toByteArray
-  }
-
-  private def movi(frames: Seq[Array[Byte]], id: String = "00dc") =
-    list("movi", frames.flatMap(f => chunk(id, f)).toArray)
+  // authored AVI bytes — the shared spec-side builders (one copy)
+  import MediaTestBuilders.{avi, chunk, jpegFrame, list, movi}
 
   private val framesA: Seq[Array[Byte]] = (0 until 12).map(i => jpegFrame(29 + 2 * i))
   private val framesB: Seq[Array[Byte]] = (0 until 6).map(i => jpegFrame(101 + 5 * i))

@@ -13,30 +13,10 @@ import graft.SparkSpec
 class VideoStatsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def u32le(v: Long): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
-    id.getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body ++
-      (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
-  private def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
-    val movi = "movi".getBytes("US-ASCII") ++
-      frames.flatMap(f => chunk("00dc", f))
-    val inner = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
-    "RIFF".getBytes("US-ASCII") ++ u32le(inner.length.toLong) ++ inner
-  }
+  import MediaTestBuilders.jpegFrame
 
-  private def jpegFrame(mul: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 64; x <- 0 until 64) {
-      val g = 20 + ((x / 8 * mul + (y / 8) * 17) % 90)
-      img.setRGB(x, y, (g << 16) | (g << 8) | g)
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
-    bos.toByteArray
-  }
+  private def avi(frames: Seq[Array[Byte]]): Array[Byte] =
+    MediaTestBuilders.avi(MediaTestBuilders.movi(frames))
 
   test("fromHashes: paper-derived cut and static counts") {
     // distances between consecutive: 1, 0, 64 (complement)
@@ -88,16 +68,20 @@ class VideoStatsSpec extends SparkSpec {
       (3L, 3, 1, 0.5))) // g,g,f sorted by idx: distances 0 then ≥1
   }
 
-  test("dropStaticVideos: static and undecodable drop, montage survives") {
+  test("dropStaticVideos: static and undecodable drop; montage and single-frame clips survive") {
     val f = jpegFrame(31)
     val g = jpegFrame(113)
+    // id 4: only ONE decodable frame (the rest corrupt) — a vacuous
+    // static_ratio of 1.0 must not drop it (the ≥ 2 frames contract)
+    val oneGood = avi(Seq("corrupt".getBytes, f, "alsocorrupt".getBytes))
     val batch = Seq(
       (1L, avi(Seq(f, g, f, g))),
       (2L, avi(Seq(f, f, f, f))),
-      (3L, "not video".getBytes)).toDF("id", "content")
+      (3L, "not video".getBytes),
+      (4L, oneGood)).toDF("id", "content")
     val kept = VideoStats.dropStaticVideos(batch, "content",
         staticHamming = 0)
       .select("id").as[Long].collect().toSet
-    assert(kept == Set(1L))
+    assert(kept == Set(1L, 4L))
   }
 }

@@ -361,17 +361,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming BYO-frames video near-dup: covered videos drop per microbatch") {
     implicit val sqlCtx = spark.sqlContext
-    def jpegFrame(mul: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 64; x <- 0 until 64) {
-        val g = 20 + ((x / 8 * mul + (y / 8) * 17) % 90)
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
-      bos.toByteArray
-    }
+    import graft.multimodal.MediaTestBuilders.jpegFrame
     val framesA = (0 until 8).map(i => jpegFrame(29 + 2 * i))
     val framesB = (0 until 8).map(i => jpegFrame(101 + 5 * i))
     // index built from frame rows (signatureFromFrames IS the index
