@@ -251,10 +251,11 @@ object AudioFingerprint {
   }
 
   /** The hash kernel over a sample range — shared by the whole-clip
-    * hash and the windowed sub-fingerprints.
+    * hash, the windowed sub-fingerprints, and [[AudioStats]]'s
+    * one-decode stats+hash kernel.
     */
-  private def hashRange(x: Array[Double], from: Int, until: Int,
-                        sr: Int): Option[Long] = {
+  private[multimodal] def hashRange(x: Array[Double], from: Int,
+                                    until: Int, sr: Int): Option[Long] = {
     val edges = bandEdges(sr).getOrElse(return None)
     val len = until - from
     if (len < TimeSegments * MinFrame) return None

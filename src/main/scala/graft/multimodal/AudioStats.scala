@@ -81,6 +81,48 @@ object AudioStats {
       clipped.toDouble / n, silent.toDouble / n))
   }
 
+  /** The degenerate-clip gate thresholds, the composed-pipeline form
+    * (see [[dropDegenerateAudio]] for the standalone face).
+    */
+  final case class Gate(minDurationMs: Long = 200,
+                        maxSilenceRatio: Double = 0.95,
+                        maxClipRatio: Double = 0.1,
+                        minRmsDb: Double = -50.0)
+
+  /** Stats + the whole-clip spectral hash off ONE pcm decode — the
+    * composed pipeline ([[MediaPipeline.curateAudio]] with a stats
+    * gate) must not pay the decode twice. The hash is None when the
+    * clip is too short / the rate cannot cover the analysis band
+    * (the [[AudioFingerprint.spectralHash64]] contract); stats still
+    * report for it.
+    */
+  def statsAndHash(bytes: Array[Byte]): Option[(Stats, Option[Long])] = {
+    val decoded = AudioFingerprint.pcmMono(bytes)
+    if (decoded.isEmpty) return None
+    val (x, sr) = decoded.get
+    if (x.length == 0 || sr <= 0) return None
+    // the stats() loop inlined over THIS decode — calling stats(bytes)
+    // would pay pcmMono a second time
+    var peak = 0.0
+    var sumSq = 0.0
+    var clipped = 0L
+    var silent = 0L
+    var i = 0
+    while (i < x.length) {
+      val a = math.abs(x(i))
+      if (a > peak) peak = a
+      sumSq += x(i) * x(i)
+      if (a >= ClipLevel) clipped += 1
+      if (a < SilenceLevel) silent += 1
+      i += 1
+    }
+    val n = x.length.toLong
+    Some((Stats(n, sr, n * 1000L / sr,
+      db(peak), db(math.sqrt(sumSq / n)),
+      clipped.toDouble / n, silent.toDouble / n),
+      AudioFingerprint.hashRange(x, 0, x.length, sr)))
+  }
+
   private val statsUdf = udf { (bytes: Array[Byte]) =>
     stats(bytes).map(s => (s.nSamples, s.sampleRateHz, s.durationMs,
       s.peakDb, s.rmsDb, s.clipRatio, s.silenceRatio))

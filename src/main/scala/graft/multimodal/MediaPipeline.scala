@@ -112,14 +112,44 @@ object MediaPipeline {
     * `seenIndex` is a [[AudioFingerprint.buildAudioIndex]] frame.
     */
   def curateAudio(df: DataFrame, cfg: Config,
-                  seenIndex: Option[DataFrame] = None): Result = {
+                  seenIndex: Option[DataFrame] = None,
+                  statsGate: Option[AudioStats.Gate] = None): Result = {
     val id = col(cfg.idCol)
     val nReceived = df.count()
-    val probed = df
-      .withColumn("__mh", AudioFingerprint.spectralHash(col(cfg.bytesCol)))
-      .filter(col("__mh").isNotNull)
-      .truncated
-    val nValid = probed.count()
+    // with a stats gate, the decode is paid ONCE: stats + the
+    // whole-clip hash off a single pcmMono pass
+    // ([[AudioStats.statsAndHash]]); without one, behavior and
+    // metrics are exactly the pre-gate shape
+    val (probed, nValid, signalMetric) = statsGate match {
+      case None =>
+        val p = df
+          .withColumn("__mh",
+            AudioFingerprint.spectralHash(col(cfg.bytesCol)))
+          .filter(col("__mh").isNotNull)
+          .truncated
+        (p, p.count(), Nil)
+      case Some(g) =>
+        val comb = udf { (bytes: Array[Byte]) =>
+          AudioStats.statsAndHash(bytes).map { case (s, h) =>
+            (h.map(java.lang.Long.valueOf).orNull, s.durationMs,
+              s.rmsDb, s.clipRatio, s.silenceRatio)
+          }
+        }
+        val valid = df
+          .withColumn("__sg", comb(col(cfg.bytesCol)))
+          .filter(col("__sg").isNotNull && col("__sg._1").isNotNull)
+          .truncated
+        val v = valid.count()
+        val gated = valid
+          .filter(col("__sg._2") >= g.minDurationMs &&
+            col("__sg._5") <= g.maxSilenceRatio &&
+            col("__sg._4") <= g.maxClipRatio &&
+            col("__sg._3") >= g.minRmsDb)
+          .withColumn("__mh", col("__sg._1"))
+          .drop("__sg")
+          .truncated
+        (gated, v, Seq("n_signal" -> gated.count()))
+    }
     val digested = probed.withColumn("__dg", sha2(col(cfg.bytesCol), 256))
     val keepers = digested.groupBy("__dg").agg(min(id).as("__keep"))
     val exact = digested
@@ -145,7 +175,7 @@ object MediaPipeline {
     }
     Result(kept.drop("__mh"), Seq(
       "n_received" -> nReceived,
-      "n_valid" -> nValid,
+      "n_valid" -> nValid) ++ signalMetric ++ Seq(
       "n_exact_kept" -> nExact,
       "n_near_kept" -> nNear,
       "n_final" -> nFinal))

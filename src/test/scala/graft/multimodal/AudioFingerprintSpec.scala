@@ -376,6 +376,34 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(r2.metrics.last == ("n_final" -> 1L))
   }
 
+  test("curateAudio statsGate: silent clips exit at the signal stage, one decode pays both") {
+    val comp = patterns.map(_.map(2 - _))
+    val base = wav(samples(1.0), sr, 16)
+    // 8 s of digital silence: fingerprints fine (hash of zero bands)?
+    // no — silence has no decisive band energies but DOES decode, so
+    // it passes validation; only the stats gate can drop it
+    val silent = wav(new Array[Double](8 * 1024 * 2), sr, 16)
+    val batch = Seq(
+      (0L, base),
+      (1L, silent),
+      (2L, wav(samples(1.0, comp), sr, 16)),
+      (3L, "junk".getBytes)
+    ).toDF("audio_id", "content")
+    val r = MediaPipeline.curateAudio(batch,
+      MediaPipeline.Config("audio_id", "content"),
+      statsGate = Some(AudioStats.Gate()))
+    assert(r.kept.select("audio_id").as[Long].collect().toSet ==
+      Set(0L, 2L))
+    assert(r.metrics == Seq("n_received" -> 4L, "n_valid" -> 3L,
+      "n_signal" -> 2L, "n_exact_kept" -> 2L, "n_near_kept" -> 2L,
+      "n_final" -> 2L))
+    // without the gate, metrics keep their original five-entry shape
+    val r0 = MediaPipeline.curateAudio(batch,
+      MediaPipeline.Config("audio_id", "content"))
+    assert(r0.metrics.map(_._1) == Seq("n_received", "n_valid",
+      "n_exact_kept", "n_near_kept", "n_final"))
+  }
+
   test("dropNearDuplicateAudio: seen copies drop, new recordings and undecodables survive") {
     val comp = patterns.map(_.map(2 - _))
     val index = AudioFingerprint.buildAudioIndex(

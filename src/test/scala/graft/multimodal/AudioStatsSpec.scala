@@ -98,6 +98,16 @@ class AudioStatsSpec extends SparkSpec {
     assert(got(1).isNullAt(1))
   }
 
+  test("statsAndHash agrees with the two standalone kernels (one decode, same numbers)") {
+    val sine = wav16(Array.tabulate(16 * 1024)(i =>
+      0.5 * math.sin(2 * math.Pi * 4 * i / 1024.0)), sr)
+    val (s, h) = AudioStats.statsAndHash(sine).get
+    assert(s == AudioStats.stats(sine).get)
+    assert(h == AudioFingerprint.spectralHash64(sine))
+    assert(h.isDefined)
+    assert(AudioStats.statsAndHash("junk".getBytes).isEmpty)
+  }
+
   test("dropDegenerateAudio: silence, slivers, clipped and undecodable drop; real signal survives") {
     val good = wav16(Array.tabulate(2048)(i =>
       0.5 * math.sin(2 * math.Pi * 4 * i / 1024.0)), sr)
