@@ -342,8 +342,10 @@ object Cdx {
     * engine's standard 5-attempt exponential backoff on 5xx/408/429
     * and IO errors, with a server-sent `Retry-After` overriding the
     * schedule on throttle statuses and `maxInFlightPerHost` bounding
-    * concurrent requests per archive host per executor (see
-    * [[rangedGet]]). Pass a [[FetchMetrics]] to observe request /
+    * concurrent requests per archive host PER EXECUTOR JVM (see
+    * [[hostGate]] — cluster-wide in-flight is `bound × executors`;
+    * size a cluster politeness budget with [[perExecutorHostBound]]).
+    * Pass a [[FetchMetrics]] to observe request /
     * retry / throttle counters after the job. A server that ignores
     * `Range` (HTTP 200 with the full body) fails LOUD immediately —
     * silently downloading a whole 100 GB archive per record is the
@@ -423,21 +425,61 @@ object Cdx {
       "throttle_sleep_ms" -> throttleSleepMs.value)
   }
 
+  /** A [[java.util.concurrent.Semaphore]] whose permit count can be
+    * retargeted after construction (`reducePermits` is protected in
+    * the JDK; this exposes a synchronized resize). Waiters under the
+    * old bound drain naturally — a shrink takes effect as permits
+    * return.
+    */
+  private[read] final class HostSemaphore(permits0: Int)
+      extends java.util.concurrent.Semaphore(permits0) {
+    @volatile private[read] var bound: Int = permits0
+    def resize(target: Int): Unit = synchronized {
+      if (target > bound) release(target - bound)
+      else if (target < bound) reducePermits(bound - target)
+      bound = target
+    }
+  }
+
   /** Per-host in-flight request gates, one pool per executor JVM (the
     * politeness analogue of [[graft.ops.Links.frontierSchedule]]'s
     * per-host crawl budget): with 32 task threads all fetching from
     * one archive host, an unbounded fan-out IS the reason the host
-    * throttles. Keyed by `(host, bound)` — the bound is constant
-    * within a fetch job, which is the scope that matters.
+    * throttles. Keyed by HOST alone — two jobs asking different
+    * bounds for the same host share one gate, resized to the latest
+    * request, never two independent pools.
+    *
+    * SCOPE CONTRACT: the gate is JVM-local. At `local[N]` it is a
+    * true global bound; on a K-executor cluster the cluster-wide
+    * per-host in-flight is `maxInFlightPerHost × K`. Size a cluster
+    * politeness budget as `budget / K` (floor 1) — see
+    * [[fetch]]'s `maxInFlightPerHost` note and SCALE.md.
     */
   @transient private lazy val hostGates =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      java.util.concurrent.Semaphore]()
+    new java.util.concurrent.ConcurrentHashMap[String, HostSemaphore]()
 
-  private[read] def hostGate(host: String,
-                             permits: Int): java.util.concurrent.Semaphore =
-    hostGates.computeIfAbsent(s"$host#$permits",
-      _ => new java.util.concurrent.Semaphore(permits))
+  private[read] def hostGate(host: String, permits: Int): HostSemaphore = {
+    val g = hostGates.computeIfAbsent(host, _ => new HostSemaphore(permits))
+    if (g.bound != permits) g.resize(permits)
+    g
+  }
+
+  /** The per-executor `maxInFlightPerHost` that keeps a CLUSTER-WIDE
+    * per-host in-flight at `clusterBudget`: the host gate is JVM-local
+    * (see [[hostGate]]), so K executors each holding `b` permits put
+    * `b×K` requests in flight. `clusterBudget / executors`, floor 1 —
+    * with the floor, tiny budgets on big clusters still overshoot
+    * (K × 1 > budget); the returned value is the closest the local
+    * gate can get, and the archive's own 429s remain the backstop.
+    */
+  def perExecutorHostBound(clusterBudget: Int,
+                           spark: SparkSession): Int = {
+    require(clusterBudget >= 1, s"clusterBudget must be >= 1: $clusterBudget")
+    // driver-registered executor block managers, minus the driver's own
+    val execs = math.max(1,
+      spark.sparkContext.getExecutorMemoryStatus.size - 1)
+    math.max(1, clusterBudget / execs)
+  }
 
   /** One `Range: bytes=off..off+len-1` GET with the engine's standard
     * retry posture ([[graft.engine.api.HttpApiClient]]): `maxAttempts`

@@ -486,10 +486,15 @@ object Warc {
           // allocation. Magic-gated: a real zstd frame gets the
           // torn-download posture (bytes decoded so far kept, like
           // gzip/deflate); a body that is not zstd at byte 0 stops the
-          // chain with its bytes untouched
+          // chain with its bytes untouched. A legal stream may LEAD
+          // with a skippable frame (RFC 8878 §3.1.2, little-endian
+          // magic 0x184D2A50..0x184D2A5F — ZstdInputStream skips them
+          // natively), so that magic range also counts as "is zstd".
           val isZstdFrame = body.length >= 4 &&
-            (body(0) & 0xff) == 0x28 && (body(1) & 0xff) == 0xB5 &&
-            (body(2) & 0xff) == 0x2F && (body(3) & 0xff) == 0xFD
+            (((body(0) & 0xff) == 0x28 && (body(1) & 0xff) == 0xB5 &&
+              (body(2) & 0xff) == 0x2F && (body(3) & 0xff) == 0xFD) ||
+             ((body(0) & 0xf0) == 0x50 && (body(1) & 0xff) == 0x2A &&
+              (body(2) & 0xff) == 0x4D && (body(3) & 0xff) == 0x18))
           if (!isZstdFrame) ok = false
           else body = try {
             val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(

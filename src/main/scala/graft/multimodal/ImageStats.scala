@@ -50,21 +50,42 @@ object ImageStats {
     val w = img.getWidth
     val h = img.getHeight
     if (w < 1 || h < 1) return None
-    // integer Rec.601 luma, the ImageHash kernel
-    val luma = Array.ofDim[Int](h, w)
+    // Integer Rec.601 luma, the ImageHash kernel — computed through a
+    // rolling 3-row ring (the 4-neighbour Laplacian for row y-1 needs
+    // only rows y-2..y), never a full h×w matrix: a small-on-disk but
+    // huge-dimension image must not double peak memory on top of the
+    // BufferedImage it already forced. Extra footprint is 4 Int rows.
+    val ring = Array.ofDim[Int](3, w)
+    val rgbRow = new Array[Int](w)
     var sum = 0L
     var sumSq = 0L
+    var lSum = 0.0
+    var lSumSq = 0.0
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, rgbRow, 0, w)
+      val cur = ring(y % 3)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = rgbRow(x)
         val v = ((299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
           114L * (rgb & 0xFF)) / 1000L).toInt
-        luma(y)(x) = v
+        cur(x) = v
         sum += v
         sumSq += v.toLong * v
         x += 1
+      }
+      if (y >= 2 && w >= 3) {
+        // Laplacian of the now-complete interior row y-1
+        val up = ring((y - 2) % 3)
+        val mid = ring((y - 1) % 3)
+        var xi = 1
+        while (xi < w - 1) {
+          val l = 4 * mid(xi) - up(xi) - cur(xi) - mid(xi - 1) - mid(xi + 1)
+          lSum += l
+          lSumSq += l.toDouble * l
+          xi += 1
+        }
       }
       y += 1
     }
@@ -73,21 +94,7 @@ object ImageStats {
     val variance = math.max(0.0, sumSq.toDouble / n - mean * mean)
     var lapVar = 0.0
     if (w >= 3 && h >= 3) {
-      var lSum = 0.0
-      var lSumSq = 0.0
       val m = (w - 2).toLong * (h - 2)
-      y = 1
-      while (y < h - 1) {
-        var x = 1
-        while (x < w - 1) {
-          val l = 4 * luma(y)(x) - luma(y - 1)(x) - luma(y + 1)(x) -
-            luma(y)(x - 1) - luma(y)(x + 1)
-          lSum += l
-          lSumSq += l.toDouble * l
-          x += 1
-        }
-        y += 1
-      }
       val lMean = lSum / m
       lapVar = math.max(0.0, lSumSq / m - lMean * lMean)
     }

@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
 object Subtitles {
 
   // Hours: WebVTT allows MORE than two digits (a days-long stream
-  // archive is legal); 4 is plenty for real media. The (?<!\d)
+  // archive is legal); 4 is plenty for real media. The (?<![\d:])
   // lookbehind stops a 5+-digit hours field from matching at an
-  // interior offset (silently reading '10000:' as hours '0000').
+  // interior offset in EITHER form: '10000:00:00.000' must not read
+  // as hours '0000' (digit before the match) NOR as a 0-hour
+  // 'mm:ss.fff' starting after the oversized field's colon (colon
+  // before the match). Oversized hours fail loud (no cue), never
+  // parse partially.
   private val TimingRe =
-    "(?<!\\d)(?:(\\d{1,4}):)?(\\d{2}):(\\d{2})[.,](\\d{3})\\s*-->\\s*" +
+    "(?<![\\d:])(?:(\\d{1,4}):)?(\\d{2}):(\\d{2})[.,](\\d{3})\\s*-->\\s*" +
       "(?:(\\d{1,4}):)?(\\d{2}):(\\d{2})[.,](\\d{3})"
 
   private def ms(h: Column, m: Column, s: Column, f: Column): Column = {

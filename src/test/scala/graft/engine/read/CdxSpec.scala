@@ -484,11 +484,50 @@ class CdxSpec extends SparkSpec {
     }
   }
 
-  test("hostGate: same (host, bound) shares one semaphore; hosts are independent") {
-    val a = Cdx.hostGate("archive.example.org:443", 3)
-    assert(a eq Cdx.hostGate("archive.example.org:443", 3))
-    assert(a ne Cdx.hostGate("other.example.org:443", 3))
+  test("hostGate: keyed by host alone — a conflicting bound resizes the ONE shared gate") {
+    val a = Cdx.hostGate("rekey.example.org:443", 3)
+    assert(a eq Cdx.hostGate("rekey.example.org:443", 3))
+    assert(a ne Cdx.hostGate("rekey-other.example.org:443", 3))
     assert(a.availablePermits() == 3)
+    // a second job asking a different bound for the same host must NOT
+    // get an independent pool (that was the (host, permits) keying bug:
+    // two pools = 2× the politeness budget). Same gate, retargeted.
+    assert(Cdx.hostGate("rekey.example.org:443", 5) eq a)
+    assert(a.availablePermits() == 5)
+    assert(Cdx.hostGate("rekey.example.org:443", 2) eq a)
+    assert(a.availablePermits() == 2)
+  }
+
+  test("fetch: the per-host bound holds across PARTITIONS (gate is JVM-wide, not per-task)") {
+    // four far-apart members (gaps > HttpCoalesceGap, so no coalescing)
+    // fetched from four partitions at once: local[32] runs all four
+    // tasks concurrently, and the host gate — keyed per JVM, not per
+    // task — must still admit only one wire exchange at a time.
+    val ms = (1 to 4).map(i => gz(rec(s"c$i", s"concurrent member $i")))
+    val pad = Array.fill[Byte](70000)(0x3c)
+    val out = new java.io.ByteArrayOutputStream()
+    val entries = ms.map { m =>
+      val e = ("a.warc.gz", out.size().toLong, m.length.toLong)
+      out.write(m); out.write(pad)
+      e
+    }
+    withRangeServer(out.toByteArray, holdMs = 120) { port =>
+      val cdx = entries.toDF("warc_file", "warc_offset", "warc_length")
+        .repartition(4)
+      val n = Cdx.fetch(cdx, base = s"http://127.0.0.1:$port/arc",
+        maxInFlightPerHost = 1).count()
+      assert(n == 4)
+      assert(rangeRequests.get() == 4)
+      assert(concurrentMax.get() == 1,
+        s"per-host bound of 1 admitted ${concurrentMax.get()} concurrent requests")
+    }
+  }
+
+  test("perExecutorHostBound: divides the cluster budget, floors at 1") {
+    // local mode: no separate executors registered → treated as 1
+    assert(Cdx.perExecutorHostBound(8, spark) >= 1)
+    assert(Cdx.perExecutorHostBound(1, spark) == 1)
+    intercept[IllegalArgumentException] { Cdx.perExecutorHostBound(0, spark) }
   }
 
   test("fetch: metrics observe request counts across the job") {

@@ -333,6 +333,20 @@ class WarcSpec extends SparkSpec {
     val zst = com.github.luben.zstd.Zstd.compress(html.getBytes(UTF_8))
     assert(new String(Warc.splitHttp(msg("zstd", zst)).get.body,
       UTF_8) == html)
+    // a legal zstd stream may LEAD with a skippable frame (RFC 8878
+    // §3.1.2) — the magic gate must admit it, ZstdInputStream skips it
+    val skipMeta = "skippable metadata".getBytes(UTF_8)
+    val skipFrame = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x53, 0x2a, 0x4d, 0x18).map(_.toByte)) // 0x184D2A53 LE
+      val n = skipMeta.length
+      out.write(Array(n & 0xff, (n >> 8) & 0xff, (n >> 16) & 0xff,
+        (n >> 24) & 0xff).map(_.toByte))
+      out.write(skipMeta)
+      out.toByteArray
+    }
+    assert(new String(Warc.splitHttp(msg("zstd", skipFrame ++ zst)).get.body,
+      UTF_8) == html)
     // a chain decodes last-listed-first
     assert(new String(Warc.splitHttp(
       msg("identity, gzip", gzBytes(html.getBytes(UTF_8)))).get.body,

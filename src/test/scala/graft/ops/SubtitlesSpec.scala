@@ -65,7 +65,11 @@ class SubtitlesSpec extends SparkSpec {
       "100:00:00.000 --> 100:00:01.500", "Marathon archive", "",
       // 5-digit hours exceed the grammar; the lookbehind stops the
       // line from matching at an interior offset with hours misread
-      "10000:00:00.000 --> 10000:00:01.000", "Too many digits"
+      "10000:00:00.000 --> 10000:00:01.000", "Too many digits", "",
+      // oversized START with a VALID end is the nastier shape: the
+      // match must not restart after the oversized field's colon and
+      // read '00:00.000' as a 0-hour mm:ss (silently wrong start)
+      "10000:00:00.000 --> 00:00:01.000", "Partial parse bait"
     ).mkString("\n")
     val got = Subtitles.parseCues(
         Seq((1L, long)).toDF("doc_id", "content"), "doc_id", "content")
