@@ -14,6 +14,10 @@ object ImageProbe {
 
   def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes == null || bytes.isEmpty) return None
+    // WebP first, by magic: ImageIO has no WebP reader at all, and the
+    // container probe is a fixed ~30-byte header read
+    if (graft.multimodal.WebP.isWebP(bytes))
+      return graft.multimodal.WebP.probe(bytes).map(m => (m.width, m.height))
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -37,6 +41,7 @@ object ImageProbe {
     */
   def diagnose(bytes: Array[Byte]): String =
     if (bytes == null || bytes.isEmpty) "file is empty"
+    else if (graft.multimodal.WebP.isWebP(bytes)) "image header could not be decoded"
     else {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {

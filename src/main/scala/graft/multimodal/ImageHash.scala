@@ -1,10 +1,5 @@
 package graft.multimodal
 
-import java.io.ByteArrayInputStream
-
-import javax.imageio.ImageIO
-import javax.imageio.stream.MemoryCacheImageInputStream
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -16,8 +11,9 @@ import graft.functions.{GraftFunctions => F}
   * slightly-retouched copies of the same picture land within a few
   * Hamming bits of each other, which byte-digest dedup can never see.
   *
-  * Pipeline per image: full ImageIO decode (PNG/JPEG/GIF/BMP — the
-  * formats the JVM decodes for real here) → integer luma
+  * Pipeline per image: full decode ([[ImageDecode]]: ImageIO's
+  * PNG/JPEG/GIF/BMP plus the pure-JVM lossless-WebP path) → integer
+  * luma
   * (`(299r+587g+114b)/1000`, floor) → box-average downscale to a
   * 9×8 grid (integer mean, floor; NO Graphics2D resampling — its
   * interpolation is platform-dependent and would break cross-machine
@@ -43,18 +39,11 @@ object ImageHash {
   val HashH = 8
 
   /** 64-bit dHash of one encoded image; None when the payload is
-    * empty or no ImageIO reader decodes it.
+    * empty or no decoder handles it ([[ImageDecode]]: ImageIO formats
+    * plus lossless WebP).
     */
   def dhash64(bytes: Array[Byte]): Option[Long] = {
-    if (bytes == null || bytes.isEmpty) return None
-    // memory-backed stream: ImageIO.read(InputStream) would otherwise
-    // spool every payload through a temp FILE (its default disk cache)
-    // inside this per-row hot path — pure wasted I/O on bytes already
-    // in memory
-    val img =
-      try ImageIO.read(
-        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
-      catch { case _: Exception => null }
+    val img = ImageDecode.decode(bytes).orNull
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -182,11 +171,7 @@ object ImageHash {
     * the `> median` bits are invariant — spec-pinned).
     */
   def phash64(bytes: Array[Byte]): Option[Long] = {
-    if (bytes == null || bytes.isEmpty) return None
-    val img =
-      try ImageIO.read(
-        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
-      catch { case _: Exception => null }
+    val img = ImageDecode.decode(bytes).orNull
     if (img == null) return None
     if (img.getWidth < 1 || img.getHeight < 1) return None
     val n = PhashGrid

@@ -1,10 +1,5 @@
 package graft.multimodal
 
-import java.io.ByteArrayInputStream
-
-import javax.imageio.ImageIO
-import javax.imageio.stream.MemoryCacheImageInputStream
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -41,11 +36,7 @@ object ImageStats {
     * by dimension gates, not by a fake sharpness value.
     */
   def stats(bytes: Array[Byte]): Option[Stats] = {
-    if (bytes == null || bytes.isEmpty) return None
-    val img =
-      try ImageIO.read(
-        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
-      catch { case _: Exception => null }
+    val img = ImageDecode.decode(bytes).orNull
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
