@@ -311,7 +311,121 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m32Dir)
   }
 
+  // -- m33 fixture: WebP payloads from the INDEPENDENT spec-side
+  //    writer (WebpFixture, the m28 discipline), pixel functions
+  //    chosen so every expected value is closed-form:
+  //      0 VP8L literal 9×8, gray v = 10·x — the 9×8 dHash grid is
+  //        the identity at this size, each row strictly increases →
+  //        all 64 bits set (dhash = -1); interior Laplacian of a
+  //        linear ramp is exactly 0; mean 40, Σv² = 163200.
+  //      1 the SAME pixels through JDK ImageIO's PNG writer — the
+  //        third-party triangulation: both formats must agree bit
+  //        for bit.
+  //      2 gray v = 80 − 10·x via the SUBTRACT-GREEN transform —
+  //        strictly decreasing rows → dhash 0; same mean/std, lap 0.
+  //      3 4-color palette (grays 0/60/120/180, v = 60·(x mod 4))
+  //        via COLOR-INDEXING with 2-bit pixel bundling; dhash bits
+  //        11101110 per row; mean 80, Σv² = 806400; interior
+  //        Laplacian row [0,0,240,-240,0,0,240] → ΣL = 1440,
+  //        ΣL² = 1036800 over m = 42.
+  //      4 row 0's pixels VP8X-WRAPPED (canvas = frame dims).
+  //      5 lossy VP8 header: dims probe (640×480), pixels are the
+  //        documented skip → dhash sentinel.
+  //      6 corrupt VP8L (version bits ≠ 0): nothing probes or
+  //        decodes.
+  //      7 flat gray 77 at 16×16: dhash 0, stats (77, 0, 0).
+  private val m33Dir = "/tmp/graft_gate_m33_webp"
+
+  private def writeM33Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def grays(w: Int, h: Int, v: Int => Int): Array[Int] =
+      Array.tabulate(w * h) { i =>
+        val g = v(i % w) & 0xff
+        0xff000000 | (g << 16) | (g << 8) | g
+      }
+    // independent dHash arithmetic: 9-wide rows ARE the grid cells
+    def dhashOfRows(v: Int => Int): Long = {
+      var hash = 0L
+      for (_ <- 0 until 8; j <- 0 until 8)
+        hash = (hash << 1) | (if (v(j) < v(j + 1)) 1L else 0L)
+      hash
+    }
+    val ramp = grays(9, 8, x => 10 * x)
+    val rampPng = {
+      val bi = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      bi.setRGB(0, 0, 9, 8, ramp, 0, 9)
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(bi, "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    val rampStd = math.sqrt(163200.0 / 72 - 40.0 * 40.0)
+    val palette = Array(0xff000000, 0xff3c3c3c, 0xff787878, 0xffb4b4b4)
+    val palIdx = Array.tabulate(9 * 8)(i => (i % 9) % 4)
+    val palStd = math.sqrt(806400.0 / 72 - 80.0 * 80.0)
+    val palLap = 1036800.0 / 42 - (1440.0 / 42) * (1440.0 / 42)
+    val corrupt = {
+      val p = WebpFixture.vp8lPayload(9, 8, ramp)
+      p(4) = (p(4) | 0xe0).toByte // version bits
+      WebpFixture.container(WebpFixture.chunk("VP8L", p))
+    }
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, Long,
+        Double, Double, Double)] = Seq(
+      (0L, WebpFixture.losslessWebp(9, 8, ramp),
+        "VP8L", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (1L, rampPng,
+        "PNG", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (2L, WebpFixture.container(WebpFixture.chunk("VP8L",
+          WebpFixture.vp8lSubtractGreenPayload(9, 8,
+            grays(9, 8, x => 80 - 10 * x)))),
+        "VP8L", 9, 8, dhashOfRows(x => 80 - 10 * x), 40.0, rampStd, 0.0),
+      (3L, WebpFixture.container(WebpFixture.chunk("VP8L",
+          WebpFixture.vp8lPalette(9, 8, palette, palIdx))),
+        "VP8L", 9, 8, dhashOfRows(x => 60 * (x % 4)), 80.0, palStd, palLap),
+      (4L, WebpFixture.vp8xLossless(9, 8, ramp),
+        "VP8X", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (5L, WebpFixture.lossyWebpHeader(640, 480),
+        "VP8", 640, 480, -999L, -1.0, -1.0, -1.0),
+      (6L, corrupt,
+        "none", -1, -1, -999L, -1.0, -1.0, -1.0),
+      (7L, WebpFixture.losslessWebp(16, 16, grays(16, 16, _ => 77)),
+        "VP8L", 16, 16, 0L, 77.0, 0.0, 0.0))
+    s.createDataset(rows).toDF("img_id", "content", "exp_format",
+        "exp_w", "exp_h", "exp_dhash", "exp_mean", "exp_std", "exp_lap")
+      .coalesce(1).write.mode("overwrite").parquet(m33Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m33: WebP decode — container probe (all three layouts) and
+    //    VP8L pixels through the SAME dHash/stats kernels as every
+    //    other format; the PNG row is the in-gate triangulation
+    //    (identical pixels, identical hash). Expectations ride the
+    //    fixture (closed forms in the fixture doc). ---------------
+    "m33_webp_decode" -> { (s, _) =>
+      writeM33Fixture(s)
+      import graft.multimodal.{ImageHash, ImageStats, WebP}
+      val fmt = udf { (b: Array[Byte]) =>
+        if (WebP.isWebP(b)) WebP.probe(b).map(_.format).getOrElse("none")
+        else if (graft.engine.validate.ImageProbe.dimensions(b).isDefined)
+          "PNG"
+        else "none"
+      }
+      val dims = udf { (b: Array[Byte]) =>
+        graft.engine.validate.ImageProbe.dimensions(b)
+      }
+      s.read.parquet(m33Dir)
+        .withColumn("__d", dims(col("content")))
+        .withColumn("__s", ImageStats.statsCol(col("content")))
+        .select(col("img_id"),
+          fmt(col("content")).as("format"),
+          coalesce(col("__d._1"), lit(-1)).as("w"),
+          coalesce(col("__d._2"), lit(-1)).as("h"),
+          coalesce(ImageHash.dhash(col("content")), lit(-999L)).as("dhash"),
+          round(coalesce(col("__s._3"), lit(-1.0)), 6).as("mean_luma"),
+          round(coalesce(col("__s._4"), lit(-1.0)), 6).as("std_luma"),
+          round(coalesce(col("__s._5"), lit(-1.0)), 6).as("laplacian_var"))
+        .orderBy("img_id")
+    },
     // -- m32: temporal video stats — the static-clip/montage gate
     //    from consecutive sampled-frame hash distances; expectations
     //    by frame byte identity (see fixture doc). ----------------
@@ -465,6 +579,14 @@ object MediaGateQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Closed-form expectations ride the fixture (derivations in the
+    // fixture doc); both sides round doubles to 6.
+    "m33_webp_decode" ->
+      s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,
+         |  exp_dhash AS dhash, round(exp_mean, 6) AS mean_luma,
+         |  round(exp_std, 6) AS std_luma, round(exp_lap, 6) AS laplacian_var
+         |FROM read_parquet('$m33Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
     // Byte-identity verdicts: the static clip's 4 identical frames
     // give 3 zero distances (0 cuts, static 1); the montage's
     // distinct alternation cuts at all 3 pairs (static 0).
