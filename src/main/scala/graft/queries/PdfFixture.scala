@@ -1,0 +1,205 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** INDEPENDENT spec-side PDF writer for gate fixtures (the m28/
+  * WebpFixture discipline): files are assembled forward from the ISO
+  * 32000 file-structure rules — objects at tracked byte offsets, a
+  * classic cross-reference table or a cross-reference STREAM (with an
+  * object stream) written from those offsets, trailer, `startxref` —
+  * sharing no code with [[graft.engine.read.Pdf]]. Text, fonts and
+  * filters are chosen per fixture so every expected extraction is a
+  * hand-written literal.
+  */
+object PdfFixture {
+
+  /** Escape a literal PDF string. */
+  def lit(s: String): String =
+    "(" + s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)") + ")"
+
+  final class Builder {
+    private val out = new java.io.ByteArrayOutputStream()
+    private val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    out.write("%PDF-1.5\n%âãÏÓ\n".getBytes(ISO_8859_1))
+
+    def offsetOf(num: Int): Int = offsets(num)
+
+    def add(num: Int, body: String): Builder = {
+      offsets(num) = out.size()
+      out.write(s"$num 0 obj\n$body\nendobj\n".getBytes(ISO_8859_1))
+      this
+    }
+
+    def addStream(num: Int, dictEntries: String, data: Array[Byte]): Builder = {
+      offsets(num) = out.size()
+      out.write((s"$num 0 obj\n<< $dictEntries /Length ${data.length} >>\n" +
+        "stream\n").getBytes(ISO_8859_1))
+      out.write(data)
+      out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+      this
+    }
+
+    /** Classic xref table + trailer. `extraTrailer` appends raw trailer
+      * dict entries (e.g. a dangling `/Encrypt`).
+      */
+    def finishClassic(rootNum: Int, extraTrailer: String = ""): Array[Byte] = {
+      val maxNum = offsets.keys.max
+      val xrefOff = out.size()
+      val sb = new StringBuilder
+      sb.append(s"xref\n0 ${maxNum + 1}\n")
+      sb.append("0000000000 65535 f \n")
+      (1 to maxNum).foreach { n =>
+        offsets.get(n) match {
+          case Some(o) => sb.append(f"$o%010d 00000 n \n")
+          case None    => sb.append("0000000000 65535 f \n")
+        }
+      }
+      sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R" +
+        s" $extraTrailer >>\nstartxref\n$xrefOff\n%%EOF")
+      out.toByteArray ++ sb.toString.getBytes(ISO_8859_1)
+    }
+
+    /** Cross-reference STREAM finish: writes the xref as a stream
+      * object `xrefNum` (W = [1 4 2], no predictor) mapping every
+      * added object, plus entries of `compressed` objects living in
+      * object stream `stmNum` at index i.
+      */
+    def finishXrefStream(rootNum: Int, xrefNum: Int,
+                         compressed: Seq[(Int, Int, Int)] = Seq.empty)
+    : Array[Byte] = {
+      val xrefOff = out.size()
+      val entries = scala.collection.mutable.Map.empty[Int, (Int, Long, Int)]
+      entries(0) = (0, 0L, 65535)
+      offsets.foreach { case (n, o) => entries(n) = (1, o.toLong, 0) }
+      compressed.foreach { case (n, stm, idx) => entries(n) = (2, stm.toLong, idx) }
+      entries(xrefNum) = (1, xrefOff.toLong, 0)
+      val maxNum = entries.keys.max
+      val data = new java.io.ByteArrayOutputStream()
+      (0 to maxNum).foreach { n =>
+        val (t, f2, f3) = entries.getOrElse(n, (0, 0L, 0))
+        data.write(t)
+        data.write(((f2 >> 24) & 0xff).toInt); data.write(((f2 >> 16) & 0xff).toInt)
+        data.write(((f2 >> 8) & 0xff).toInt); data.write((f2 & 0xff).toInt)
+        data.write((f3 >> 8) & 0xff); data.write(f3 & 0xff)
+      }
+      val bytes = data.toByteArray
+      val hdr = (s"$xrefNum 0 obj\n<< /Type /XRef /Size ${maxNum + 1} " +
+        s"/W [1 4 2] /Root $rootNum 0 R /Length ${bytes.length} >>\n" +
+        "stream\n").getBytes(ISO_8859_1)
+      out.write(hdr)
+      out.write(bytes)
+      out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+      out.write(s"startxref\n$xrefOff\n%%EOF".getBytes(ISO_8859_1))
+      out.toByteArray
+    }
+  }
+
+  def flate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](data.length * 2 + 64)
+    val n = d.deflate(buf)
+    d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  private def pageObjs(b: Builder, pageNums: Seq[Int], pagesNum: Int,
+                       contentNums: Seq[Int], fontRef: String): Unit = {
+    pageNums.zip(contentNums).foreach { case (p, c) =>
+      b.add(p, s"<< /Type /Page /Parent $pagesNum 0 R " +
+        s"/Resources << /Font << /F1 $fontRef >> >> " +
+        s"/MediaBox [0 0 612 792] /Contents $c 0 R >>")
+    }
+    b.add(pagesNum, s"<< /Type /Pages /Count ${pageNums.length} /Kids [" +
+      pageNums.map(p => s"$p 0 R").mkString(" ") + "] >>")
+  }
+
+  /** One-font (WinAnsi Helvetica) document, one content stream per
+    * page; each page's stream is the given raw content source,
+    * Flate-compressed when `compress`.
+    */
+  def simplePdf(pageContents: Seq[String],
+                compress: Boolean = false): Array[Byte] = {
+    val b = new Builder
+    val n = pageContents.length
+    val pageNums = (3 until 3 + n)
+    val contentNums = (3 + n until 3 + 2 * n)
+    val fontNum = 3 + 2 * n
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pageObjs(b, pageNums, 2, contentNums, s"$fontNum 0 R")
+    pageContents.zip(contentNums).foreach { case (src, cn) =>
+      val raw = src.getBytes(ISO_8859_1)
+      if (compress) b.addStream(cn, "/Filter /FlateDecode", flate(raw))
+      else b.addStream(cn, "", raw)
+    }
+    b.add(fontNum, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>")
+    b.finishClassic(1)
+  }
+
+  /** A composite (Type0) font with a ToUnicode CMap: 2-byte codes.
+    * `bfchars` maps code → text; content writes hex strings of codes.
+    */
+  def type0Pdf(bfchars: Seq[(Int, String)],
+               codeSeq: Seq[Int]): Array[Byte] = {
+    val b = new Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pageObjs(b, Seq(3), 2, Seq(4), "5 0 R")
+    val hex = codeSeq.map(c => f"$c%04x").mkString
+    b.addStream(4, "", s"BT /F1 12 Tf <$hex> Tj ET".getBytes(ISO_8859_1))
+    b.add(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H" +
+      " /ToUnicode 6 0 R >>")
+    val cmap =
+      ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+        "1 begincodespacerange <0000> <ffff> endcodespacerange\n" +
+        s"${bfchars.length} beginbfchar\n" +
+        bfchars.map { case (code, txt) =>
+          f"<$code%04x> <" + txt.map(ch => f"${ch.toInt}%04x").mkString + ">"
+        }.mkString("\n") +
+        "\nendbfchar\nendcmap\nend").getBytes(ISO_8859_1)
+    b.addStream(6, "", cmap)
+    b.finishClassic(1)
+  }
+
+  /** Cross-reference-stream + object-stream layout (PDF 1.5 style):
+    * catalog/pages/page/font live INSIDE an `/ObjStm`; the content
+    * stream and the ObjStm itself are regular objects indexed by the
+    * xref stream.
+    */
+  def xrefStreamPdf(text: String): Array[Byte] = {
+    val b = new Builder
+    // object stream holds 1 (catalog), 2 (pages), 3 (page), 5 (font)
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1" +
+        " 5 0 R >> >> /MediaBox [0 0 612 792] /Contents 4 0 R >>"),
+      5 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+        " /Encoding /WinAnsiEncoding >>"))
+    val bodies = inner.map(_._2.getBytes(ISO_8859_1))
+    val rels = bodies.scanLeft(0)((acc, x) => acc + x.length + 1).init
+    val header = inner.map(_._1).zip(rels)
+      .map { case (num, rel) => s"$num $rel" }.mkString(" ") + "\n"
+    val stmData = header.getBytes(ISO_8859_1) ++
+      bodies.flatMap(_ :+ '\n'.toByte)
+    b.addStream(7, s"/Type /ObjStm /N ${inner.length} " +
+      s"/First ${header.length} /Filter /FlateDecode", flate(stmData))
+    b.addStream(4, "/Filter /FlateDecode",
+      flate(s"BT /F1 12 Tf ${lit(text)} Tj ET".getBytes(ISO_8859_1)))
+    b.finishXrefStream(rootNum = 1, xrefNum = 8,
+      compressed = inner.map(_._1).zipWithIndex.map { case (n, i) => (n, 7, i) })
+  }
+
+  /** Structurally valid but encrypted-flagged document — must extract
+    * to None, never to text.
+    */
+  def encryptedPdf(text: String): Array[Byte] = {
+    val b = new Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pageObjs(b, Seq(3), 2, Seq(4), "5 0 R")
+    b.addStream(4, "", s"BT /F1 12 Tf ${lit(text)} Tj ET".getBytes(ISO_8859_1))
+    b.add(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(6, "<< /Filter /Standard /V 1 /R 2 >>")
+    b.finishClassic(1, extraTrailer = "/Encrypt 6 0 R")
+  }
+}

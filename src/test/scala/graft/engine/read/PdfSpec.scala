@@ -1,0 +1,125 @@
+package graft.engine.read
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.PdfFixture
+
+/** PDF text extraction against the INDEPENDENT spec-side writer
+  * ([[PdfFixture]], the m28 discipline).
+  */
+class PdfSpec extends AnyFunSuite {
+
+  test("uncompressed single page: Tj text extracts") {
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (Hello crawl world.) Tj ET"))
+    val got = Pdf.extractText(pdf).get
+    assert(got.nPages == 1)
+    assert(got.text == "Hello crawl world.")
+  }
+
+  test("Flate-compressed content and multiple pages join with form feed") {
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (page one) Tj ET",
+      "BT /F1 12 Tf (page two) Tj ET"), compress = true)
+    val got = Pdf.extractText(pdf).get
+    assert(got.nPages == 2)
+    assert(got.text == "page one\fpage two")
+  }
+
+  test("TJ arrays concatenate; large negative kerns read as spaces") {
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf [(Hel) -20 (lo) -250 (world)] TJ ET"))
+    assert(Pdf.extractText(pdf).get.text == "Hello world")
+  }
+
+  test("quote operators and Td vertical moves break lines") {
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (line one) Tj 0 -14 Td (line two) Tj (cont) Tj " +
+        "(line three) ' ET"))
+    assert(Pdf.extractText(pdf).get.text ==
+      "line one\nline twocont\nline three")
+  }
+
+  test("WinAnsi high bytes decode through the JVM cp1252 table") {
+    // é = 0xE9 in windows-1252; literal string with an octal escape
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (caf\\351 r\\351sum\\351) Tj ET"))
+    assert(Pdf.extractText(pdf).get.text == "café résumé")
+  }
+
+  test("escapes in literal strings: parens, backslash, octal, newline") {
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (a\\(b\\)c\\\\d\\012e) Tj ET"))
+    assert(Pdf.extractText(pdf).get.text == "a(b)c\\d\ne")
+  }
+
+  test("Type0 font with ToUnicode CMap: 2-byte codes map; no CMap drops") {
+    val pdf = PdfFixture.type0Pdf(
+      bfchars = Seq(1 -> "H", 2 -> "i", 3 -> "!"),
+      codeSeq = Seq(1, 2, 3))
+    assert(Pdf.extractText(pdf).get.text == "Hi!")
+    // same layout without the CMap: strings drop whole, doc still opens
+    val b = new PdfFixture.Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    b.add(3, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1" +
+      " 5 0 R >> >> /Contents 4 0 R >>")
+    b.addStream(4, "", "BT /F1 12 Tf <00480069> Tj ET".getBytes("ISO-8859-1"))
+    b.add(5, "<< /Type /Font /Subtype /Type0 /BaseFont /NoMap >>")
+    val got = Pdf.extractText(b.finishClassic(1)).get
+    assert(got.nPages == 1 && got.text == "")
+  }
+
+  test("xref stream + object stream layout (PDF 1.5) extracts") {
+    val pdf = PdfFixture.xrefStreamPdf("compressed xref works")
+    val got = Pdf.extractText(pdf).get
+    assert(got.nPages == 1)
+    assert(got.text == "compressed xref works")
+  }
+
+  test("encrypted documents return None") {
+    val pdf = PdfFixture.encryptedPdf("secret")
+    assert(Pdf.extractText(pdf).isEmpty)
+    assert(Pdf.meta(pdf).exists(_.encrypted))
+  }
+
+  test("meta probes version and page count without decoding text") {
+    val pdf = PdfFixture.simplePdf(Seq("BT (a) Tj ET", "BT (b) Tj ET"))
+    val m = Pdf.meta(pdf).get
+    assert(m.version == "1.5" && m.nPages == 2 && !m.encrypted)
+  }
+
+  test("malformed and hostile inputs return None, never partial garbage") {
+    assert(Pdf.extractText(null).isEmpty)
+    assert(Pdf.extractText(Array.empty[Byte]).isEmpty)
+    assert(Pdf.extractText("not a pdf at all".getBytes).isEmpty)
+    // valid header, garbage body
+    assert(Pdf.extractText(
+      ("%PDF-1.4\n" + "x" * 200).getBytes("ISO-8859-1")).isEmpty)
+    // truncated: cut a valid file in half
+    val pdf = PdfFixture.simplePdf(Seq("BT /F1 12 Tf (hello) Tj ET"))
+    assert(Pdf.extractText(pdf.take(pdf.length / 2)).isEmpty)
+    // unsupported filter fails that stream loud → structure None
+    val b = new PdfFixture.Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    b.add(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.addStream(4, "/Filter /DCTDecode", Array[Byte](1, 2, 3))
+    assert(Pdf.extractText(b.finishClassic(1)).isEmpty)
+  }
+
+  test("inline images are skipped, text around them survives") {
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (before) Tj ET " +
+        "BI /W 2 /H 2 /CS /G /BPC 8 ID  EI " +
+        "BT /F1 12 Tf (after) Tj ET"))
+    val got = Pdf.extractText(pdf).get
+    assert(got.text == "before\nafter")
+  }
+
+  test("hex strings and odd-digit tails decode") {
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf <48656c6c6f> Tj ET"))
+    assert(Pdf.extractText(pdf).get.text == "Hello")
+  }
+}
