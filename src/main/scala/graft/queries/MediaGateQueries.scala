@@ -395,7 +395,110 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m33Dir)
   }
 
+  // -- m34 fixture: PDFs from the INDEPENDENT writer (PdfFixture),
+  //    one per extractor feature; expected text/pages/version ride
+  //    the fixture as literals. The encrypted and garbage rows carry
+  //    the undecodable sentinel.
+  private val m34Dir = "/tmp/graft_gate_m34_pdf"
+
+  private def writeM34Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], Int, String, String, Boolean)] = Seq(
+      (0L, PdfFixture.simplePdf(Seq("BT /F1 12 Tf (Hello crawl world.) Tj ET")),
+        1, "Hello crawl world.", "1.5", false),
+      (1L, PdfFixture.simplePdf(Seq(
+        "BT /F1 12 Tf (page one) Tj ET",
+        "BT /F1 12 Tf (page two) Tj ET"), compress = true),
+        2, "page one\fpage two", "1.5", false),
+      (2L, PdfFixture.simplePdf(Seq(
+        "BT /F1 12 Tf [(Hel) -20 (lo) -250 (world)] TJ ET")),
+        1, "Hello world", "1.5", false),
+      (3L, PdfFixture.simplePdf(Seq(
+        "BT /F1 12 Tf (caf\\351 r\\351sum\\351) Tj ET")),
+        1, "café résumé", "1.5", false),
+      (4L, PdfFixture.type0Pdf(
+        bfchars = Seq(1 -> "H", 2 -> "i", 3 -> "!"),
+        codeSeq = Seq(1, 2, 3)),
+        1, "Hi!", "1.5", false),
+      (5L, PdfFixture.xrefStreamPdf("compressed xref works"),
+        1, "compressed xref works", "1.5", false),
+      (6L, PdfFixture.encryptedPdf("secret"),
+        -1, "<undecodable>", "1.5", true),
+      (7L, ("%PDF-1.4\n" + "x" * 64).getBytes("ISO-8859-1"),
+        -1, "<undecodable>", "", false))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_pages",
+        "exp_text", "exp_version", "exp_encrypted")
+      .coalesce(1).write.mode("overwrite").parquet(m34Dir)
+  }
+
+  // -- m35 fixture: the m26 curation verdicts, delivered as PDFs —
+  //    same texts, same seen-index and probe documents, so every
+  //    stage verdict carries over verbatim (near-dup, langid,
+  //    quality, decontamination); the encrypted document takes doc
+  //    7's no-row role. Survivor digests are DuckDB-recomputed from
+  //    the same literals.
+  private val m35Dir = "/tmp/graft_gate_m35_pdfcur"
+
+  private def writeM35Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def onePage(text: String) =
+      PdfFixture.simplePdf(Seq(s"BT /F1 12 Tf ${PdfFixture.lit(text)} Tj ET"))
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, onePage(m26SurvivorA)),
+      (2L, onePage(m26SeenText)),
+      (3L, onePage("buenas noches amigos hasta manana siempre dijo nadie")),
+      (4L, onePage("the 1234567890 9876543210 1234567890 to 55555")),
+      (5L, onePage(m26ProbeText)),
+      (6L, onePage(m26SurvivorF)),
+      (7L, PdfFixture.encryptedPdf("never readable")))
+    s.createDataset(rows).toDF("doc_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m35Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m34: PDF text extraction — xref/ObjStm/Flate/fonts through
+    //    the one extractor; expectations ride the fixture. ---------
+    "m34_pdf_extract" -> { (s, _) =>
+      writeM34Fixture(s)
+      import graft.engine.read.Pdf
+      val ext = udf { (b: Array[Byte]) =>
+        Pdf.extractText(b).map(t => (t.nPages, t.text))
+      }
+      val metaU = udf { (b: Array[Byte]) =>
+        Pdf.meta(b).map(m => (m.version, m.encrypted))
+      }
+      s.read.parquet(m34Dir)
+        .withColumn("__t", ext(col("content")))
+        .withColumn("__m", metaU(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_pages"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"),
+          coalesce(col("__m._1"), lit("")).as("version"),
+          coalesce(col("__m._2"), lit(false)).as("encrypted"))
+        .orderBy("doc_id")
+    },
+
+    // -- m35: PDF → curation bridge (the m26 pattern): extracted page
+    //    text flows through the full nine-stage pipeline; verdicts
+    //    are the adjudicated m26 set, sources relabeled 'pdf'. ------
+    "m35_pdf_curation" -> { (s, _) =>
+      import s.implicits._
+      writeM35Fixture(s)
+      import graft.engine.read.Pdf
+      val ext = udf { (b: Array[Byte]) => Pdf.extractText(b).map(_.text) }
+      val docs = s.read.parquet(m35Dir)
+        .select(col("doc_id"), ext(col("content")).as("text"))
+        .filter(col("text").isNotNull)
+        .withColumn("source", lit("pdf"))
+      val index = graft.ops.Dedup.buildMinhashIndex(
+        Seq((100L, m26SeenText)).toDF("doc_id", "text"), "doc_id", "text")
+      val probes = Seq(m26ProbeText).toDF("text")
+      val out = graft.ops.CurationPipeline.curate(docs, index, probes,
+        "text", graft.ops.CurationPipeline.Config(
+          "doc_id", "text", "source", targetMix = Map("pdf" -> 1)))
+      out.data.orderBy("doc_id")
+    },
+
     // -- m33: WebP decode — container probe (all three layouts) and
     //    VP8L pixels through the SAME dHash/stats kernels as every
     //    other format; the PNG row is the in-gate triangulation
@@ -579,6 +682,23 @@ object MediaGateQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Literal expectations ride the fixture.
+    "m34_pdf_extract" ->
+      s"""SELECT doc_id, exp_pages AS n_pages, exp_text AS text,
+         |  exp_version AS version, exp_encrypted AS encrypted
+         |FROM read_parquet('$m34Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    // The adjudicated m26 verdicts with source 'pdf': docs 1 and 6
+    // survive (12 and 13 whitespace tokens, one pack), DuckDB
+    // recomputes the digests from the same literals.
+    "m35_pdf_curation" ->
+      s"""SELECT * FROM (VALUES
+         |  (1::BIGINT, 'pdf', 12::BIGINT, 0::BIGINT,
+         |   sha256('$m26SurvivorA')),
+         |  (6::BIGINT, 'pdf', 13::BIGINT, 0::BIGINT,
+         |   sha256('$m26SurvivorF')))
+         |  t(doc_id, source, n_tok, pack_id, content_sha)
+         |ORDER BY doc_id""".stripMargin,
     // Closed-form expectations ride the fixture (derivations in the
     // fixture doc); both sides round doubles to 6.
     "m33_webp_decode" ->
