@@ -295,6 +295,42 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming twin of the signal-level curation gates
+    * ([[graft.multimodal.AudioStats.dropDegenerateAudio]] /
+    * [[graft.multimodal.ImageStats.dropDegenerateImages]] /
+    * [[graft.multimodal.VideoStats.dropStaticVideos]]), in the
+    * [[mediaNearDupAgainstIndexSink]] pattern: each microbatch runs
+    * the BATCH gate at the batch defaults, so a payload gets the
+    * same verdict whether it arrives in a table or on a stream
+    * (parity pinned by spec). Undecodable payloads DROP — the
+    * quality-gate stance, opposite of the dedup sinks' survive —
+    * and the kept slice goes to `writeKept`. Purely per-row
+    * (no state, no index): thresholds other than the defaults
+    * compose the batch faces inside your own `foreachBatch`.
+    */
+  def mediaStatsGateSink(stream: DataFrame, bytesCol: String,
+                         queryName: String, medium: String = "image")
+                        (writeKept: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("image", "audio", "video").contains(medium),
+      s"medium must be image|audio|video: $medium")
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = medium match {
+          case "image" =>
+            graft.multimodal.ImageStats.dropDegenerateImages(batch, bytesCol)
+          case "audio" =>
+            graft.multimodal.AudioStats.dropDegenerateAudio(batch, bytesCol)
+          case _ =>
+            graft.multimodal.VideoStats.dropStaticVideos(batch, bytesCol)
+        }
+        writeKept(kept, batchId)
+      }
+      .start()
+  }
+
   /** The COMPOSED curation pipeline as a streaming sink: every
     * microbatch runs the full
     * [[graft.ops.CurationPipeline.curate]] program — html extract →

@@ -26,6 +26,24 @@ object MediaTestBuilders {
   def movi(frames: Seq[Array[Byte]], id: String = "00dc"): Array[Byte] =
     list("movi", frames.flatMap(f => chunk(id, f)).toArray)
 
+  /** Mono 16-bit PCM WAV of the given [-1, 1] samples. */
+  def wav16(x: Array[Double], rate: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit =
+      (0 to 3).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("RIFF".getBytes); w32(36L + x.length * 2)
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); w32(16L)
+    w16(1); w16(1); w32(rate.toLong); w32(rate.toLong * 2); w16(2); w16(16)
+    bos.write("data".getBytes); w32(x.length.toLong * 2)
+    for (s <- x) {
+      val v = math.round(s * 32767).toInt
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+    }
+    bos.toByteArray
+  }
+
   /** Deterministic 64×64 gray block-pattern JPEG; distinct `mul`
     * values give distinct dHashes (every expectation built on these
     * derives from frame BYTE identity, never JPEG numerics).

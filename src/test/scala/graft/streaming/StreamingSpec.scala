@@ -359,6 +359,67 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == Set(11L, 12L))
   }
 
+  test("streaming media stats gates: batch verdict parity per microbatch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.MediaTestBuilders
+    def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = v(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    // image: flat fill and broken bytes drop, checkerboard survives
+    val imgRows = Seq(
+      (0L, grayPng(16, 16, (_, _) => 77)),
+      (1L, grayPng(16, 16, (x, y) => if ((x + y) % 2 == 0) 0 else 255)),
+      (2L, "broken".getBytes))
+    // audio: a half-scale 375 Hz tone survives; near-total silence
+    // and broken bytes drop
+    val sr = 8000
+    def tone(a: Double) =
+      Array.tabulate(sr)(i => a * math.sin(2 * math.Pi * 375 * i / sr))
+    val audRows = Seq(
+      (0L, MediaTestBuilders.wav16(Array.fill(sr)(0.0), sr)),
+      (1L, MediaTestBuilders.wav16(tone(0.5), sr)),
+      (2L, "broken".getBytes))
+    // video: a one-frame-repeated clip drops as static, a montage of
+    // distinct frames survives, broken bytes drop
+    val f = MediaTestBuilders.jpegFrame(31)
+    val g = MediaTestBuilders.jpegFrame(113)
+    val vidRows = Seq(
+      (0L, MediaTestBuilders.avi(MediaTestBuilders.movi(Seq(f, f, f, f)))),
+      (1L, MediaTestBuilders.avi(MediaTestBuilders.movi(Seq(f, g, f, g)))),
+      (2L, "broken".getBytes))
+
+    for ((medium, rows, batchGate) <- Seq(
+      ("image", imgRows, (df: org.apache.spark.sql.DataFrame) =>
+        graft.multimodal.ImageStats.dropDegenerateImages(df, "content")),
+      ("audio", audRows, (df: org.apache.spark.sql.DataFrame) =>
+        graft.multimodal.AudioStats.dropDegenerateAudio(df, "content")),
+      ("video", vidRows, (df: org.apache.spark.sql.DataFrame) =>
+        graft.multimodal.VideoStats.dropStaticVideos(df, "content")))) {
+      val batchKept = batchGate(rows.toDF("id", "content"))
+        .select("id").as[Long].collect().toSet
+      val kept = scala.collection.mutable.ArrayBuffer[Long]()
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = StreamingIngest.mediaStatsGateSink(
+        input.toDF().toDF("id", "content"), "content",
+        s"stats_gate_$medium", medium) { (keptDf, _) =>
+        kept.synchronized { kept ++= keptDf.select("id").as[Long].collect() }
+      }
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(kept.toSet == batchKept, s"medium $medium parity")
+      assert(batchKept == Set(1L), s"medium $medium verdicts")
+    }
+  }
+
   test("streaming BYO-frames video near-dup: covered videos drop per microbatch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.multimodal.MediaTestBuilders.jpegFrame
