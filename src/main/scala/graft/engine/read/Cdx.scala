@@ -467,17 +467,30 @@ object Cdx {
   /** The per-executor `maxInFlightPerHost` that keeps a CLUSTER-WIDE
     * per-host in-flight at `clusterBudget`: the host gate is JVM-local
     * (see [[hostGate]]), so K executors each holding `b` permits put
-    * `b×K` requests in flight. `clusterBudget / executors`, floor 1 —
-    * with the floor, tiny budgets on big clusters still overshoot
-    * (K × 1 > budget); the returned value is the closest the local
-    * gate can get, and the archive's own 429s remain the backstop.
+    * `b×K` requests in flight. K is the CONFIGURED ceiling when one
+    * exists (`spark.executor.instances`, or dynamic allocation's
+    * `maxExecutors`) — the registered-executor count only as a
+    * fallback, because under dynamic allocation executors attach
+    * AFTER this is called and each late arrival would otherwise carry
+    * the full budget. `clusterBudget / K`, floor 1 — with the floor,
+    * tiny budgets on big clusters still overshoot (K × 1 > budget);
+    * there the right lever is fewer fetch partitions (SCALE.md), and
+    * the archive's own 429 + honored `Retry-After` are the backstop.
     */
   def perExecutorHostBound(clusterBudget: Int,
                            spark: SparkSession): Int = {
     require(clusterBudget >= 1, s"clusterBudget must be >= 1: $clusterBudget")
-    // driver-registered executor block managers, minus the driver's own
-    val execs = math.max(1,
-      spark.sparkContext.getExecutorMemoryStatus.size - 1)
+    val conf = spark.sparkContext.getConf
+    def confInt(k: String): Option[Int] =
+      conf.getOption(k).flatMap(_.toIntOption).filter(_ >= 1)
+    val configured = confInt("spark.executor.instances").orElse {
+      if (conf.getBoolean("spark.dynamicAllocation.enabled", false))
+        confInt("spark.dynamicAllocation.maxExecutors")
+      else None
+    }
+    // fallback: driver-registered executors, minus the driver itself
+    val execs = configured.getOrElse(
+      math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1))
     math.max(1, clusterBudget / execs)
   }
 

@@ -397,6 +397,11 @@ object Pdf {
     // object number -> either an offset (positive) or (objstm, idx)
     private val offsets = scala.collection.mutable.Map.empty[Int, Long]
     private val inStream = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    // every object number DECIDED by a newer xref section — including
+    // free/deleted entries, which must TOMBSTONE older 'n' entries
+    // (an incremental update deleting an object would otherwise be
+    // resurrected from the original file's table)
+    private val decided = scala.collection.mutable.Set.empty[Int]
     var trailer: Map[String, Obj] = Map.empty
     private val cache = scala.collection.mutable.Map.empty[Int, Obj]
     private val objStmCache =
@@ -434,7 +439,13 @@ object Pdf {
       if (lx.matches("xref")) {
         lx.pos += 4
         lx.skipWs()
-        // subsections: "start count" then count 20-byte entries
+        // subsections: "start count" then count 20-byte entries —
+        // held PENDING until the trailer is read, because in a hybrid
+        // file the /XRefStm entries take precedence over this table's
+        // (its 'f' rows stand in for ObjStm-compressed objects that
+        // pre-1.5 readers should skip)
+        val pending =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
         while (!lx.matches("trailer")) {
           val start = lx.parseNumber().v.toInt
           lx.skipWs()
@@ -452,9 +463,7 @@ object Pdf {
             val kind = lx.peek
             if (kind != 'n' && kind != 'f') bail("bad xref entry kind")
             lx.pos += 1
-            if (kind == 'n' && !offsets.contains(start + i) &&
-              !inStream.contains(start + i))
-              offsets(start + i) = entryOff
+            pending += ((start + i, kind, entryOff))
             i += 1
           }
           lx.skipWs()
@@ -468,6 +477,11 @@ object Pdf {
         if (trailer.isEmpty) trailer = t
         else trailer = t ++ trailer // earlier (newer) sections win
         t.get("XRefStm").collect { case PNum(v) => loadXrefSection(v.toLong) }
+        pending.foreach { case (num, kind, entryOff) =>
+          // free entries TOMBSTONE older sections' 'n' rows: an
+          // incrementally deleted object must not be resurrected
+          if (decided.add(num) && kind == 'n') offsets(num) = entryOff
+        }
         t.get("Prev") match {
           case Some(PNum(v)) => v.toLong
           case _             => -1L
@@ -511,11 +525,11 @@ object Pdf {
             val f2 = field(w(1))
             val f3 = field(w(2))
             val num = start + i
-            if (!offsets.contains(num) && !inStream.contains(num)) {
+            if (decided.add(num)) {
               t match {
                 case 1 => offsets(num) = f2
                 case 2 => inStream(num) = (f2.toInt, f3.toInt)
-                case _ => () // type 0: free
+                case _ => () // type 0: free — tombstoned via `decided`
               }
             }
             i += 1
@@ -970,7 +984,15 @@ object Pdf {
           case _ => Seq.empty
         }
         val sb = new StringBuilder
-        contents.foreach(c => extractFromContent(doc, c, fonts, sb))
+        // a /Contents ARRAY is ONE content stream split at arbitrary
+        // byte positions (ISO 32000 §7.8.2): concatenate (with a
+        // whitespace byte, as the spec prescribes) and run the text
+        // machine ONCE, so font state and pending operands survive
+        // stream boundaries
+        if (contents.nonEmpty)
+          extractFromContent(doc,
+            contents.reduce((a, b) => a ++ Array('\n'.toByte) ++ b),
+            fonts, sb)
         sb.toString.trim
       }
       Some(PdfText(leaves.length, texts.mkString("\f")))

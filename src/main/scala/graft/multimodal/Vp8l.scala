@@ -597,7 +597,11 @@ object Vp8l {
         }
         m + 1
       }
-    if (numGroups > 1024) bail() // sanity: groups are block-count sized
+    // the format bound is 65536 (meta code = red<<8|green); a stream
+    // also cannot legitimately name more groups than it has meta
+    // blocks, and that bound keeps a hostile 4-pixel meta image from
+    // demanding 65536 × 5 code-table allocations
+    if (meta != null && numGroups > meta.argb.length + 1) bail()
     val groups = Array.fill(numGroups)(new CodeGroup(br, cacheSize))
 
     // pixel stream

@@ -267,19 +267,26 @@ object MediaGateQueries {
   //    in the gate doc; the oracle is a literal VALUES table.
   private val m31Dir = "/tmp/graft_gate_m31_istats"
 
+  /** The one BufferedImage→PNG writer for gate fixtures (JDK ImageIO
+    * — the independent third party in every PNG-twin expectation).
+    */
+  private def pngOf(w: Int, h: Int, argb: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, argb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+    bos.toByteArray
+  }
+
+  private def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] =
+    pngOf(w, h, Array.tabulate(w * h) { i =>
+      val g = v(i % w, i / w) & 0xFF
+      (g << 16) | (g << 8) | g
+    })
+
   private def writeM31Fixture(s: SparkSession): Unit = {
     import s.implicits._
-    def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) {
-        val g = v(x, y) & 0xFF
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
-      bos.toByteArray
-    }
     val rows: Seq[(Long, Array[Byte])] = Seq(
       (0L, grayPng(16, 16, (_, _) => 77)),
       (1L, grayPng(16, 16, (x, _) => if (x % 2 == 0) 0 else 255)),
@@ -351,14 +358,7 @@ object MediaGateQueries {
       hash
     }
     val ramp = grays(9, 8, x => 10 * x)
-    val rampPng = {
-      val bi = new java.awt.image.BufferedImage(
-        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      bi.setRGB(0, 0, 9, 8, ramp, 0, 9)
-      val bos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(bi, "png", bos), "no png writer")
-      bos.toByteArray
-    }
+    val rampPng = pngOf(9, 8, ramp)
     val rampStd = math.sqrt(163200.0 / 72 - 40.0 * 40.0)
     val palette = Array(0xff000000, 0xff3c3c3c, 0xff787878, 0xffb4b4b4)
     val palIdx = Array.tabulate(9 * 8)(i => (i % 9) % 4)

@@ -117,6 +117,46 @@ class PdfSpec extends AnyFunSuite {
     assert(got.text == "before\nafter")
   }
 
+  test("a /Contents array is ONE stream: font state crosses boundaries") {
+    // stream A selects the Type0+CMap font; stream B carries the
+    // show-text operator — per ISO 32000 §7.8.2 they concatenate
+    val b = new PdfFixture.Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    b.add(3, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F9" +
+      " 6 0 R >> >> /Contents [4 0 R 5 0 R] >>")
+    b.addStream(4, "", "BT /F9 12 Tf".getBytes("ISO-8859-1"))
+    b.addStream(5, "", "<000100020003> Tj ET".getBytes("ISO-8859-1"))
+    b.add(6, "<< /Type /Font /Subtype /Type0 /BaseFont /Split" +
+      " /ToUnicode 7 0 R >>")
+    b.addStream(7, "",
+      ("begincmap\n1 begincodespacerange <0000> <ffff>" +
+        " endcodespacerange\n3 beginbfchar\n<0001> <0059>\n<0002> <0065>\n" +
+        "<0003> <0073>\nendbfchar\nendcmap").getBytes("ISO-8859-1"))
+    assert(Pdf.extractText(b.finishClassic(1)).get.text == "Yes")
+  }
+
+  test("incremental update freeing an object tombstones the old offset") {
+    // base: two pages; update: object 6 (page two's content stream)
+    // marked FREE. A still-referenced freed object must read as null
+    // (empty page), never resurrect from the older xref section.
+    val base = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (page one) Tj ET",
+      "BT /F1 12 Tf (page two) Tj ET"))
+    assert(Pdf.extractText(base).get.text == "page one\fpage two")
+    val baseStr = new String(base, "ISO-8859-1")
+    val sxIdx = baseStr.lastIndexOf("startxref")
+    val baseXref = baseStr.substring(sxIdx + 9).trim.takeWhile(_.isDigit)
+    val newXrefOff = base.length + 1
+    val update = ("\nxref\n0 1\n0000000000 65535 f \n" +
+      "6 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size 8 /Root 1 0 R /Prev $baseXref >>\n" +
+      s"startxref\n$newXrefOff\n%%EOF").getBytes("ISO-8859-1")
+    val got = Pdf.extractText(base ++ update).get
+    assert(got.nPages == 2)
+    assert(got.text == "page one\f")
+  }
+
   test("hex strings and odd-digit tails decode") {
     val pdf = PdfFixture.simplePdf(Seq(
       "BT /F1 12 Tf <48656c6c6f> Tj ET"))

@@ -26,6 +26,19 @@ object MediaTestBuilders {
   def movi(frames: Seq[Array[Byte]], id: String = "00dc"): Array[Byte] =
     list("movi", frames.flatMap(f => chunk(id, f)).toArray)
 
+  /** Gray PNG of `v(x, y)` luma values through JDK ImageIO. */
+  def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+    bos.toByteArray
+  }
+
   /** Mono 16-bit PCM WAV of the given [-1, 1] samples. */
   def wav16(x: Array[Double], rate: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

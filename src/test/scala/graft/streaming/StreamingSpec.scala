@@ -326,17 +326,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming media near-dup: perceptual index filter per microbatch") {
     implicit val sqlCtx = spark.sqlContext
-    def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) {
-        val g = v(x, y) & 0xFF
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
-      bos.toByteArray
-    }
+    import graft.multimodal.MediaTestBuilders.grayPng
     val grad = grayPng(9, 8, (x, _) => 28 * x)
     val grad2x = grayPng(18, 16, (x, _) => 14 * x) // same picture at 2x
     val stripes = grayPng(9, 8, (x, _) => if (x % 2 == 1) 255 else 0)
@@ -362,17 +352,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming media stats gates: batch verdict parity per microbatch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.multimodal.MediaTestBuilders
-    def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) {
-        val g = v(x, y) & 0xFF
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
-      bos.toByteArray
-    }
+    import graft.multimodal.MediaTestBuilders.grayPng
     // image: flat fill and broken bytes drop, checkerboard survives
     val imgRows = Seq(
       (0L, grayPng(16, 16, (_, _) => 77)),
