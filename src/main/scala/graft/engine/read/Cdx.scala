@@ -483,11 +483,13 @@ object Cdx {
     val conf = spark.sparkContext.getConf
     def confInt(k: String): Option[Int] =
       conf.getOption(k).flatMap(_.toIntOption).filter(_ >= 1)
-    val configured = confInt("spark.executor.instances").orElse {
+    // under dynamic allocation the CEILING is maxExecutors —
+    // spark.executor.instances is only the INITIAL count there and
+    // must not be consulted first
+    val configured =
       if (conf.getBoolean("spark.dynamicAllocation.enabled", false))
         confInt("spark.dynamicAllocation.maxExecutors")
-      else None
-    }
+      else confInt("spark.executor.instances")
     // fallback: driver-registered executors, minus the driver itself
     val execs = configured.getOrElse(
       math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1))

@@ -304,6 +304,11 @@ object Pdf {
         if (out.size() + n > maxBytes) bail("flate output over cap")
         out.write(buf, 0, n)
       }
+      // input exhausted before the final block: a torn stream must
+      // fail LOUD here (unlike the crawl bridge's torn-download
+      // tolerance) — silently partial page text or a silently partial
+      // xref table is worse than no document
+      if (!inf.finished()) bail("truncated flate stream")
     } catch {
       case _: java.util.zip.DataFormatException => bail("bad flate data")
     } finally inf.end()
@@ -621,9 +626,24 @@ object Pdf {
         }.toMap
       })
 
-    def resolve(o: Obj): Obj = o match {
-      case PRef(num, _) => resolve(fetch(num))
-      case other        => other
+    /** Follow indirect references; a hop budget turns a reference
+      * cycle ('1 0 obj 2 0 R' / '2 0 obj 1 0 R') into a loud bail
+      * instead of an infinite tail-loop — the parse-time `fetching`
+      * guard cannot see cycles between already-cached bare refs.
+      */
+    def resolve(o: Obj): Obj = {
+      var cur = o
+      var hops = 0
+      while (true) {
+        cur match {
+          case PRef(num, _) =>
+            hops += 1
+            if (hops > 64) bail("reference chain too deep")
+            cur = fetch(num)
+          case other => return other
+        }
+      }
+      PNull // unreachable
     }
 
     def decodeStream(dict: PDict, raw: Array[Byte]): Array[Byte] = {
@@ -912,9 +932,25 @@ object Pdf {
   /** Walk the page tree, collecting leaf pages with their (inherited)
     * resources.
     */
+  /** Hard cap on page-tree leaves: a legitimate document stays far
+    * under it; a crafted Kids DAG (the same node listed twice per
+    * level, 30 levels deep = 2^30 leaves from a 1 KB file) trips it
+    * loud instead of hanging the executor.
+    */
+  private val MaxPages = 1 << 17
+
   private def pages(doc: Doc, node: Obj, inheritedRes: Option[PDict],
-                    depth: Int): Vector[(PDict, Option[PDict])] = {
+                    depth: Int, visited: java.util.HashSet[Int],
+                    out: scala.collection.mutable.ArrayBuffer[(PDict, Option[PDict])])
+  : Unit = {
     if (depth > 64) bail("page tree too deep")
+    // a node visited twice means the Kids graph is not a tree —
+    // reject the DAG/cycle rather than multiply-count its subtree
+    node match {
+      case PRef(num, _) =>
+        if (!visited.add(num)) bail("page tree is not a tree")
+      case _ => ()
+    }
     doc.resolve(node) match {
       case d @ PDict(m) =>
         val res = doc.resolve(m.getOrElse("Resources", PNull)) match {
@@ -925,13 +961,15 @@ object Pdf {
           case PName("Pages") =>
             doc.resolve(m.getOrElse("Kids", PNull)) match {
               case PArr(kids) =>
-                kids.toVector.flatMap(k => pages(doc, k, res, depth + 1))
-              case _ => Vector.empty
+                kids.foreach(k => pages(doc, k, res, depth + 1, visited, out))
+              case _ => ()
             }
-          case PName("Page") => Vector((d, res))
-          case _             => Vector.empty
+          case PName("Page") =>
+            if (out.length >= MaxPages) bail("page count over cap")
+            out += ((d, res))
+          case _ => ()
         }
-      case _ => Vector.empty
+      case _ => ()
     }
   }
 
@@ -962,7 +1000,10 @@ object Pdf {
         case _        => bail("no /Root")
       }
       val tree = doc.resolve(root.m.getOrElse("Pages", PNull))
-      val leaves = pages(doc, tree, None, 0)
+      val leafBuf =
+        scala.collection.mutable.ArrayBuffer.empty[(PDict, Option[PDict])]
+      pages(doc, tree, None, 0, new java.util.HashSet[Int](), leafBuf)
+      val leaves = leafBuf.toVector
       val texts = leaves.map { case (page, res) =>
         val fonts: Map[String, FontDecoder] = res match {
           case Some(r) => doc.resolve(r.m.getOrElse("Font", PNull)) match {

@@ -157,6 +157,33 @@ class PdfSpec extends AnyFunSuite {
     assert(got.text == "page one\f")
   }
 
+  test("hostile structures fail loud: ref cycles, torn flate, Kids DAG") {
+    // indirect-reference cycle reachable from /Root
+    val c = new PdfFixture.Builder
+    c.add(1, "2 0 R")
+    c.add(2, "1 0 R")
+    assert(Pdf.extractText(c.finishClassic(1)).isEmpty)
+    // truncated Flate content: partial page text must never surface
+    val body = ("entropy " + (1 to 80).mkString(" ")).getBytes("ISO-8859-1")
+    val full = PdfFixture.flate(
+      s"BT /F1 12 Tf (${new String(body, "ISO-8859-1")}) Tj ET"
+        .getBytes("ISO-8859-1"))
+    val t = new PdfFixture.Builder
+    t.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    t.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    t.add(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    t.addStream(4, "/Filter /FlateDecode", full.dropRight(8))
+    assert(Pdf.extractText(t.finishClassic(1)).isEmpty)
+    // a Kids graph that is not a tree (same node twice) is rejected,
+    // not multiply-counted
+    val g = new PdfFixture.Builder
+    g.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    g.add(2, "<< /Type /Pages /Count 2 /Kids [3 0 R 3 0 R] >>")
+    g.add(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    g.addStream(4, "", "BT (x) Tj ET".getBytes("ISO-8859-1"))
+    assert(Pdf.extractText(g.finishClassic(1)).isEmpty)
+  }
+
   test("hex strings and odd-digit tails decode") {
     val pdf = PdfFixture.simplePdf(Seq(
       "BT /F1 12 Tf <48656c6c6f> Tj ET"))
