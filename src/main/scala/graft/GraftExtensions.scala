@@ -27,6 +27,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   image_dhash(bytes) / image_phash(bytes) → bigint (perceptual hashes)
   *   audio_fingerprint(wavBytes)         → bigint (spectral band hash)
   *   video_signature(aviBytes)           → array<bigint> (frame dHashes)
+  *   pdf_text(bytes)                     → string (PDF page text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -183,8 +184,16 @@ object GraftExtensions {
   val imageDhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("image_dhash",
       "image_dhash(bytes) - 64-bit perceptual difference hash of an " +
-        "encoded image (PNG/JPEG/GIF/BMP); NULL when undecodable.",
+        "encoded image (PNG/JPEG/GIF/BMP/lossless WebP); NULL when " +
+        "undecodable.",
       classOf[graft.functions.ImageDhash], graft.functions.ImageDhash(_))
+
+  val pdfText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("pdf_text",
+      "pdf_text(bytes) - extracted PDF page text (pages joined by " +
+        "form feed); NULL for encrypted or undecodable documents.",
+      classOf[graft.functions.PdfTextExtract],
+      graft.functions.PdfTextExtract(_))
 
   val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("image_phash",
@@ -531,7 +540,8 @@ object GraftExtensions {
       kllQuantiles, kmvSketch, kmvMerge, kmvEstimate, kmvUnionEstimate,
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
-      imageDhash, imagePhash, audioFingerprint, videoSignature).foreach {
+      imageDhash, imagePhash, audioFingerprint, videoSignature,
+      pdfText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-surface faces of the perceptual media hashes
   * ([[graft.multimodal.ImageHash]], [[graft.multimodal
@@ -63,6 +64,21 @@ case class AudioFingerprintHash(child: Expression) extends MediaHashExpression {
   override protected def kernel(bytes: Array[Byte]): Any =
     graft.multimodal.AudioFingerprint.spectralHash64(bytes)
       .map(java.lang.Long.valueOf).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pdf_text(bytes)` → string — [[graft.engine.read.Pdf.extractText]]:
+  * all page text (pages joined by form feed); NULL for encrypted or
+  * undecodable documents. The per-row cost is the document parse —
+  * the same CodegenFallback trade as the media hashes.
+  */
+case class PdfTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "pdf_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Pdf.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -211,6 +211,15 @@ class GraftExtensionsSpec extends SparkSpec {
       rows(1).isNullAt(3) && rows(1).isNullAt(4))
     // non-binary argument rejected at analysis
     intercept[Exception](spark.sql("SELECT image_dhash('text')").collect())
+    // pdf_text: real document extracts, non-PDF bytes are NULL
+    Seq((1L, graft.queries.PdfFixture.simplePdf(
+        Seq("BT /F1 12 Tf (sql surface) Tj ET"))),
+      (2L, "not a pdf".getBytes))
+      .toDF("id", "content").createOrReplaceTempView("pdf_in")
+    val pdfRows = spark.sql(
+      "SELECT id, pdf_text(content) AS t FROM pdf_in ORDER BY id").collect()
+    assert(pdfRows(0).getString(1) == "sql surface")
+    assert(pdfRows(1).isNullAt(1))
   }
 
   test("describe function shows usage") {
