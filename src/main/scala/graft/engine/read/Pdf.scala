@@ -11,10 +11,16 @@ import java.nio.charset.{Charset, StandardCharsets}
   * the VERIFIABLE subset that covers the bulk of crawl PDFs:
   *
   *  - classic cross-reference tables AND cross-reference streams,
-  *    `/Prev` chains, object streams (`/Type /ObjStm`);
+  *    `/Prev` chains, object streams (`/Type /ObjStm`), and a
+  *    RECOVERY scan (the path every production reader survives crawl
+  *    data on): when `startxref` lies or the table is torn, object
+  *    headers are re-found by buffer scan, later definitions win,
+  *    and the catalog is hunted directly;
   *  - `/FlateDecode` via `java.util.zip` (with the PNG row predictors
-  *    2/10-15 per `/DecodeParms`), `/ASCIIHexDecode`, and raw
-  *    streams; any other filter fails that stream LOUD;
+  *    2/10-15 per `/DecodeParms`), `/LZWDecode` (self-describing
+  *    dictionary, early-change widths), `/ASCII85Decode`,
+  *    `/ASCIIHexDecode`, `/RunLengthDecode`, and raw streams; any
+  *    other filter fails that stream LOUD;
   *  - the page tree (`/Pages`/`/Kids`, inheritable `/Resources`),
   *    per-page `/Contents` (single stream or array);
   *  - text operators `Tj`, `'`, `"`, `TJ` inside `BT`/`ET`, with
@@ -32,10 +38,13 @@ import java.nio.charset.{Charset, StandardCharsets}
   *    composite (`/Type0`) font WITHOUT one is undecodable and its
   *    strings drop.
   *
-  * Encrypted documents (`/Encrypt` in the trailer) and structurally
-  * broken files return None — the house NULL-for-undecodable stance.
-  * Unmapped strings inside an otherwise readable document drop (the
-  * torn-download posture: what is present and decodable is kept).
+  * Encrypted documents (`/Encrypt` in the trailer) return None, and
+  * so do files where even the recovery scan finds no catalog — the
+  * house NULL-for-undecodable stance. A TORN but recoverable file
+  * yields the pages whose objects survive (the torn-download
+  * posture), while corrupt DATA inside a stream still fails that
+  * stream loud; unmapped strings in an otherwise readable document
+  * drop.
   *
   * Scale shape: one pure kernel per payload, no Spark types here;
   * [[graft.ops.TextAnalysis]]/CurationPipeline consume the extracted
@@ -395,6 +404,148 @@ object Pdf {
     out.toByteArray
   }
 
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars `!`..`u` → 4 bytes
+    * base-85 big-endian; `z` = four zero bytes (full groups only);
+    * a partial group of n chars yields n−1 bytes (pad with `u`);
+    * `~>` terminates.
+    */
+  private def ascii85Decode(data: Array[Byte], maxBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      var t = tuple
+      var k = chars
+      while (k < 5) { t = t * 85 + 84; k += 1 } // pad with 'u'
+      if (t > 0xffffffffL) bail("ASCII85 group overflow")
+      if (out.size() + chars - 1 > maxBytes) bail("ASCII85 over cap")
+      var s = 24
+      var j = 0
+      while (j < chars - 1) { out.write(((t >> s) & 0xff).toInt); s -= 8; j += 1 }
+      tuple = 0L
+      n = 0
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z') {
+        if (n != 0) bail("'z' inside an ASCII85 group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!isWs(c)) {
+        if (c < '!' || c > 'u') bail(s"bad ASCII85 char $c")
+        tuple = tuple * 85 + (c - '!')
+        n += 1
+        if (n == 5) flush(5)
+      }
+      i += 1
+    }
+    if (n == 1) bail("lone trailing ASCII85 char")
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (ISO 32000 §7.4.5): length byte 0..127 copies
+    * L+1 literals, 129..255 repeats the next byte 257−L times,
+    * 128 = EOD.
+    */
+  private def runLengthDecode(data: Array[Byte], maxBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        if (i + l + 1 > data.length) bail("truncated RunLength literal")
+        if (out.size() + l + 1 > maxBytes) bail("RunLength over cap")
+        out.write(data, i, l + 1)
+        i += l + 1
+      } else {
+        if (i >= data.length) bail("truncated RunLength repeat")
+        if (out.size() + (257 - l) > maxBytes) bail("RunLength over cap")
+        var k = 257 - l
+        while (k > 0) { out.write(data(i)); k -= 1 }
+        i += 1
+      }
+    }
+    if (!done) bail("RunLength missing EOD")
+    out.toByteArray
+  }
+
+  /** LZWDecode (ISO 32000 §7.4.4): 9→12-bit codes MSB-first, 256 =
+    * clear table, 257 = EOD; the code width grows one entry EARLY by
+    * default (`/EarlyChange 1`). Self-describing — the dictionary is
+    * rebuilt from the stream, no literal tables.
+    */
+  private def lzwDecode(data: Array[Byte], maxBytes: Int,
+                        earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // dictionary entries as (prefixCode, byte); 0..255 roots
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    val buf = new Array[Byte](4096)
+    def emit(code0: Int): Byte = {
+      var code = code0
+      var p = buf.length
+      while (code >= 256) {
+        p -= 1
+        buf(p) = suffix(code)
+        code = prefix(code)
+      }
+      p -= 1
+      buf(p) = code.toByte
+      if (out.size() + (buf.length - p) > maxBytes) bail("LZW over cap")
+      out.write(buf, p, buf.length - p)
+      buf(p)
+    }
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def read(): Int = {
+      if (bitPos + width > totalBits) bail("truncated LZW stream")
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val b = (data((bitPos >> 3)) >> (7 - (bitPos & 7))) & 1
+        v = (v << 1) | b
+        bitPos += 1
+        k += 1
+      }
+      v
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == 257) done = true
+      else if (code == 256) { next = 258; width = 9; prev = -1 }
+      else {
+        if (code > next || (code >= 258 && prev < 0)) bail("bad LZW code")
+        val first: Byte =
+          if (code == next) {
+            // the KwKwK case: emit prev then its first byte
+            if (prev < 0) bail("bad LZW code")
+            val f = emit(prev)
+            if (out.size() + 1 > maxBytes) bail("LZW over cap")
+            out.write(f)
+            f
+          } else emit(code)
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          next += 1
+        }
+        prev = code
+        if (next + earlyChange >= (1 << width) && width < 12) width += 1
+      }
+    }
+    out.toByteArray
+  }
+
   // ---- document -----------------------------------------------------
 
   /** Parsed document handle: object table + fetch/resolve. */
@@ -646,6 +797,92 @@ object Pdf {
       PNull // unreachable
     }
 
+    /** True when the trailer's /Root really reaches a catalog dict —
+      * the health check that decides whether [[recover]] must run.
+      */
+    def hasCatalog: Boolean =
+      try {
+        resolve(trailer.getOrElse("Root", PNull)) match {
+          case PDict(m) => m.contains("Pages") ||
+            m.get("Type").contains(PName("Catalog"))
+          case _ => false
+        }
+      } catch { case _: Bail | _: Exception => false }
+
+    /** Cross-reference RECOVERY for the broken-in-the-wild majority
+      * class: lying/absent `startxref`, shifted offsets, truncated
+      * tails. Rebuilds the object table by scanning the buffer for
+      * `N G obj` headers (the LAST definition of a number wins —
+      * incremental updates append), takes trailer dicts from
+      * `trailer` keywords (later occurrences override), and failing
+      * a /Root entry hunts the catalog object directly. This is how
+      * every production PDF reader actually survives crawl data.
+      */
+    def recover(): Unit = {
+      offsets.clear(); inStream.clear(); decided.clear()
+      cache.clear(); objStmCache.clear()
+      trailer = Map.empty
+      var i = 0
+      while (i + 2 < buf.length) {
+        if (buf(i) == 'o' && buf(i + 1) == 'b' && buf(i + 2) == 'j' &&
+          (i + 3 >= buf.length || isWs(buf(i + 3) & 0xff) ||
+            isDelim(buf(i + 3) & 0xff)) &&
+          i > 0 && isWs(buf(i - 1) & 0xff)) {
+          // walk back across "<num> <gen> " before the keyword
+          var p = i - 1
+          while (p >= 0 && isWs(buf(p) & 0xff)) p -= 1
+          val genEnd = p
+          while (p >= 0 && buf(p) >= '0' && buf(p) <= '9') p -= 1
+          if (p < genEnd && p >= 0 && isWs(buf(p) & 0xff)) {
+            while (p >= 0 && isWs(buf(p) & 0xff)) p -= 1
+            val numEnd = p
+            while (p >= 0 && buf(p) >= '0' && buf(p) <= '9') p -= 1
+            if (p < numEnd && numEnd - p <= 9 &&
+              (p < 0 || isWs(buf(p) & 0xff) || isDelim(buf(p) & 0xff))) {
+              val num = new String(buf, p + 1, numEnd - p,
+                StandardCharsets.US_ASCII).toInt
+              offsets(num) = (p + 1).toLong // later definitions win
+            }
+          }
+        }
+        i += 1
+      }
+      if (offsets.isEmpty) bail("no objects recovered")
+      // trailer dicts, later occurrences override earlier
+      var t = Map.empty[String, Obj]
+      var j = 0
+      while (j + 7 <= buf.length) {
+        if (buf(j) == 't' && j + 7 <= buf.length &&
+          new String(buf, j, 7, StandardCharsets.US_ASCII) == "trailer") {
+          try {
+            val lx = new Lexer(buf, j + 7)
+            lx.parseObj() match {
+              case PDict(m) => t = t ++ m
+              case _        => ()
+            }
+          } catch { case _: Bail | _: Exception => () }
+          j += 7
+        } else j += 1
+      }
+      if (!t.contains("Root")) {
+        // xref-stream files carry no `trailer` keyword: hunt the
+        // catalog among the recovered objects
+        val rootNum = offsets.keys.toSeq.sorted.find { n =>
+          try {
+            fetch(n) match {
+              case PDict(m) => m.get("Type").contains(PName("Catalog"))
+              case _        => false
+            }
+          } catch { case _: Bail | _: Exception => false }
+        }
+        rootNum match {
+          case Some(n) => t += "Root" -> PRef(n, 0)
+          case None    => bail("no catalog found in recovery")
+        }
+      }
+      trailer = t
+    }
+
     def decodeStream(dict: PDict, raw: Array[Byte]): Array[Byte] = {
       val filters: Seq[String] = resolve(dict.m.getOrElse("Filter", PNull)) match {
         case PNull          => Seq.empty
@@ -666,21 +903,29 @@ object Pdf {
         }
       var data = raw
       filters.zip(parms).foreach { case (f, parm) =>
+        def num(k: String, dft: Int) = parm.map(d => resolve(
+          d.m.getOrElse(k, PNum(dft))) match {
+          case PNum(v) => v.toInt
+          case _       => dft
+        }).getOrElse(dft)
+        def applyPredictor(): Unit = {
+          val pred = num("Predictor", 1)
+          if (pred > 1)
+            data = unpredict(data, pred, num("Columns", 1),
+              num("Colors", 1), num("BitsPerComponent", 8))
+        }
         f match {
           case "FlateDecode" | "Fl" =>
             data = inflate(data, maxStreamBytes)
-            parm.foreach { d =>
-              def num(k: String, dft: Int) = resolve(
-                d.m.getOrElse(k, PNum(dft))) match {
-                case PNum(v) => v.toInt
-                case _       => dft
-              }
-              val pred = num("Predictor", 1)
-              if (pred > 1)
-                data = unpredict(data, pred, num("Columns", 1),
-                  num("Colors", 1), num("BitsPerComponent", 8))
-            }
+            applyPredictor()
+          case "LZWDecode" | "LZW" =>
+            data = lzwDecode(data, maxStreamBytes, num("EarlyChange", 1))
+            applyPredictor()
           case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
+          case "ASCII85Decode" | "A85" =>
+            data = ascii85Decode(data, maxStreamBytes)
+          case "RunLengthDecode" | "RL" =>
+            data = runLengthDecode(data, maxStreamBytes)
           case other => bail(s"unsupported filter /$other")
         }
       }
@@ -973,14 +1218,44 @@ object Pdf {
     }
   }
 
+  private val HeaderMagic = "%PDF-".getBytes(StandardCharsets.US_ASCII)
+
   private def open(bytes: Array[Byte],
                    maxStreamBytes: Int): Option[Doc] = {
     if (bytes == null || bytes.length < 16) return None
-    if (!(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
-      bytes(3) == 'F' && bytes(4) == '-')) return None
-    val doc = new Doc(bytes, maxStreamBytes)
-    try { doc.load(); Some(doc) }
-    catch { case _: Bail | _: Exception => None }
+    // the header may be preceded by junk (HTTP noise, shell banners —
+    // the spec tolerates it; offsets then measure from the header)
+    val hdrOff = {
+      var i = 0
+      var found = -1
+      val limit = math.min(1024, bytes.length - HeaderMagic.length)
+      while (found < 0 && i <= limit) {
+        var k = 0
+        while (k < HeaderMagic.length && bytes(i + k) == HeaderMagic(k)) k += 1
+        if (k == HeaderMagic.length) found = i
+        i += 1
+      }
+      found
+    }
+    if (hdrOff < 0) return None
+    val body =
+      if (hdrOff == 0) bytes
+      else java.util.Arrays.copyOfRange(bytes, hdrOff, bytes.length)
+    val doc = new Doc(body, maxStreamBytes)
+    try doc.load()
+    catch {
+      case _: Bail | _: Exception =>
+        try doc.recover()
+        catch { case _: Bail | _: Exception => return None }
+    }
+    // a table that loaded but cannot reach a catalog (lying startxref,
+    // shifted offsets) gets the same recovery pass
+    if (!doc.hasCatalog) {
+      try doc.recover()
+      catch { case _: Bail | _: Exception => return None }
+      if (!doc.hasCatalog && !doc.encrypted) return None
+    }
+    Some(doc)
   }
 
   /** Extract all page text. None when the payload is not a PDF, is

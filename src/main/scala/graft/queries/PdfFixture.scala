@@ -94,6 +94,90 @@ object PdfFixture {
     }
   }
 
+  /** ASCII85 encoder (ISO 32000 §7.4.3 forward): 4 bytes → 5 chars,
+    * partial group of n bytes → n+1 chars, `~>` terminator.
+    */
+  def ascii85(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var t = 0L
+      (0 until 4).foreach { k =>
+        t = (t << 8) | (if (k < n) data(i + k) & 0xffL else 0L)
+      }
+      val cs = new Array[Char](5)
+      (4 to 0 by -1).foreach { k => cs(k) = ('!' + (t % 85)).toChar; t /= 85 }
+      sb.appendAll(cs, 0, n + 1)
+      i += n
+    }
+    (sb.toString + "~>").getBytes(ISO_8859_1)
+  }
+
+  /** RunLength encoder: literal chunks of ≤ 128, EOD 128. */
+  def runLength(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(128, data.length - i)
+      out.write(n - 1)
+      out.write(data, i, n)
+      i += n
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  /** LZW encoder mirroring the decoder's width schedule (9→12-bit
+    * codes MSB-first, clear 256, EOD 257, early-change): the width
+    * used to WRITE a code tracks the decoder's dictionary counter —
+    * the decoder adds one entry after every data code except the
+    * first after a clear.
+    */
+  def lzw(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bits = 0
+    var width = 9
+    var decoderNext = 258
+    var wroteSinceClear = 0
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bits += width
+      while (bits >= 8) {
+        out.write(((bitBuf >> (bits - 8)) & 0xff).toInt)
+        bits -= 8
+      }
+      if (code != 256 && code != 257) {
+        // decoder registers an entry after every data code but the
+        // first post-clear, then checks the early-change boundary
+        wroteSinceClear += 1
+        if (wroteSinceClear >= 2) decoderNext += 1
+        if (decoderNext + 1 >= (1 << width) && width < 12) width += 1
+      }
+    }
+    def flushBits(): Unit =
+      if (bits > 0) { out.write(((bitBuf << (8 - bits)) & 0xff).toInt); bits = 0 }
+    val dict = scala.collection.mutable.Map.empty[(Int, Byte), Int]
+    var next = 258
+    var cur = -1
+    put(256) // leading clear, conventional
+    data.foreach { b =>
+      if (cur < 0) cur = b & 0xff
+      else dict.get((cur, b)) match {
+        case Some(c) => cur = c
+        case None =>
+          put(cur)
+          if (next < 4096) { dict((cur, b)) = next; next += 1 }
+          cur = b & 0xff
+      }
+    }
+    if (cur >= 0) put(cur)
+    put(257)
+    flushBits()
+    out.toByteArray
+  }
+
   def flate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()

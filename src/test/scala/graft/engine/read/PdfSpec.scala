@@ -96,9 +96,11 @@ class PdfSpec extends AnyFunSuite {
     // valid header, garbage body
     assert(Pdf.extractText(
       ("%PDF-1.4\n" + "x" * 200).getBytes("ISO-8859-1")).isEmpty)
-    // truncated: cut a valid file in half
+    // truncated: cut a valid file in half — recovery may salvage the
+    // surviving objects, but the torn-off text must NEVER surface
     val pdf = PdfFixture.simplePdf(Seq("BT /F1 12 Tf (hello) Tj ET"))
-    assert(Pdf.extractText(pdf.take(pdf.length / 2)).isEmpty)
+    val torn = Pdf.extractText(pdf.take(pdf.length / 2))
+    assert(torn.forall(!_.text.contains("hello")))
     // unsupported filter fails that stream loud → structure None
     val b = new PdfFixture.Builder
     b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
@@ -182,6 +184,53 @@ class PdfSpec extends AnyFunSuite {
     g.add(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
     g.addStream(4, "", "BT (x) Tj ET".getBytes("ISO-8859-1"))
     assert(Pdf.extractText(g.finishClassic(1)).isEmpty)
+  }
+
+  test("ASCII85, RunLength and LZW filters decode; chains apply in order") {
+    def onePage(dict: String, data: Array[Byte]): Array[Byte] = {
+      val b = new PdfFixture.Builder
+      b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+      b.add(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+      b.addStream(4, dict, data)
+      b.finishClassic(1)
+    }
+    val src = "BT /F1 12 Tf (filtered text) Tj ET".getBytes("ISO-8859-1")
+    assert(Pdf.extractText(onePage("/Filter /ASCII85Decode",
+      PdfFixture.ascii85(src))).get.text == "filtered text")
+    assert(Pdf.extractText(onePage("/Filter /RunLengthDecode",
+      PdfFixture.runLength(src))).get.text == "filtered text")
+    assert(Pdf.extractText(onePage("/Filter /LZWDecode",
+      PdfFixture.lzw(src))).get.text == "filtered text")
+    // a chain decodes in listed order: stored = a85(flate(plain))
+    assert(Pdf.extractText(onePage(
+      "/Filter [/ASCII85Decode /FlateDecode]",
+      PdfFixture.ascii85(PdfFixture.flate(src)))).get.text == "filtered text")
+    // LZW on longer repetitive input exercises width growth + KwKwK
+    val long = ("the quick brown fox " * 40).trim
+    assert(Pdf.extractText(onePage("/Filter /LZWDecode",
+      PdfFixture.lzw(s"BT /F1 12 Tf (${long}) Tj ET".getBytes("ISO-8859-1"))))
+      .get.text == long)
+  }
+
+  test("leading junk before the header tolerated; offsets re-anchor") {
+    val pdf = PdfFixture.simplePdf(Seq("BT /F1 12 Tf (anchored) Tj ET"))
+    val junk = "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1")
+    assert(Pdf.extractText(junk ++ pdf).get.text == "anchored")
+  }
+
+  test("xref recovery: lying startxref and absent tables still extract") {
+    val pdf = PdfFixture.simplePdf(Seq("BT /F1 12 Tf (recovered) Tj ET"))
+    val s = new String(pdf, "ISO-8859-1")
+    // corrupt the startxref offset (points mid-file)
+    val idx = s.lastIndexOf("startxref")
+    val numStart = idx + 10
+    val lying = pdf.clone()
+    lying(numStart) = '7'; lying(numStart + 1) = '\n'
+    assert(Pdf.extractText(lying).exists(_.text == "recovered"))
+    // chop the whole tail from 'xref' on: no table at all
+    val cut = s.lastIndexOf("xref")
+    assert(Pdf.extractText(pdf.take(cut)).exists(_.text == "recovered"))
   }
 
   test("hex strings and odd-digit tails decode") {
