@@ -42,9 +42,14 @@ object ImageHash {
     * empty or no decoder handles it ([[ImageDecode]]: ImageIO formats
     * plus lossless WebP).
     */
-  def dhash64(bytes: Array[Byte]): Option[Long] = {
-    val img = ImageDecode.decode(bytes).orNull
-    if (img == null) return None
+  def dhash64(bytes: Array[Byte]): Option[Long] =
+    ImageDecode.decode(bytes).flatMap(dhash64FromImage)
+
+  /** The dHash kernel over an ALREADY-DECODED image — the shared face
+    * for one-decode compositions ([[ImageStats.statsAndHash]]): the
+    * decode is the per-image bill, so stats + hash must split one.
+    */
+  def dhash64FromImage(img: java.awt.image.BufferedImage): Option[Long] = {
     val w = img.getWidth
     val h = img.getHeight
     if (w < 1 || h < 1) return None

@@ -35,9 +35,28 @@ object ImageStats {
     * — nothing to focus-measure, and a 1×N sliver should be dropped
     * by dimension gates, not by a fake sharpness value.
     */
-  def stats(bytes: Array[Byte]): Option[Stats] = {
-    val img = ImageDecode.decode(bytes).orNull
-    if (img == null) return None
+  def stats(bytes: Array[Byte]): Option[Stats] =
+    ImageDecode.decode(bytes).flatMap(statsFromImage)
+
+  /** The degenerate-image gate thresholds, the composed-pipeline form
+    * (see [[dropDegenerateImages]] for the standalone face; the
+    * [[AudioStats.Gate]] pattern).
+    */
+  final case class Gate(minLaplacianVar: Double = 25.0,
+                        minStdLuma: Double = 4.0,
+                        minMeanLuma: Double = 8.0,
+                        maxMeanLuma: Double = 247.0)
+
+  /** Stats + the dHash off ONE decode — the composed pipeline
+    * ([[MediaPipeline.curateImages]] with a stats gate) must not pay
+    * the image decode twice; the decode IS the per-image bill, the
+    * two pixel passes after it are noise next to it.
+    */
+  def statsAndHash(bytes: Array[Byte]): Option[(Stats, Option[Long])] =
+    ImageDecode.decode(bytes).flatMap(img =>
+      statsFromImage(img).map(s => (s, ImageHash.dhash64FromImage(img))))
+
+  private def statsFromImage(img: java.awt.image.BufferedImage): Option[Stats] = {
     val w = img.getWidth
     val h = img.getHeight
     if (w < 1 || h < 1) return None

@@ -48,23 +48,53 @@ object MediaPipeline {
   final case class Result(kept: DataFrame, metrics: Seq[(String, Long)])
 
   def curateImages(df: DataFrame, cfg: Config,
-                   seenIndex: Option[DataFrame] = None): Result = {
+                   seenIndex: Option[DataFrame] = None,
+                   statsGate: Option[ImageStats.Gate] = None): Result = {
     require(cfg.minWidth >= 1 && cfg.minHeight >= 1,
       s"minimum dimensions must be positive: ${cfg.minWidth}x${cfg.minHeight}")
     val id = col(cfg.idCol)
     val nReceived = df.count()
 
-    // 1. validate: real header decode; undecodable or tiny drops
-    val dims = udf { (bytes: Array[Byte]) =>
-      graft.engine.validate.ImageProbe.dimensions(bytes)
+    // 1. validate (+ optional signal gate). Without a gate the stage
+    // is a header-only probe (no pixel decode); with one, the decode
+    // is paid ONCE for stats + hash ([[ImageStats.statsAndHash]], the
+    // curateAudio shape) and the hash carried through — stages 3/4
+    // must never re-decode a pixel.
+    val (probed, nValid, signalMetric) = statsGate match {
+      case None =>
+        val dims = udf { (bytes: Array[Byte]) =>
+          graft.engine.validate.ImageProbe.dimensions(bytes)
+        }
+        val p = df
+          .withColumn("__wh", dims(col(cfg.bytesCol)))
+          .filter(col("__wh").isNotNull &&
+            col("__wh._1") >= cfg.minWidth && col("__wh._2") >= cfg.minHeight)
+          .drop("__wh")
+          .truncated
+        (p, p.count(), Nil)
+      case Some(g) =>
+        val comb = udf { (bytes: Array[Byte]) =>
+          ImageStats.statsAndHash(bytes).map { case (s, h) =>
+            (h.map(java.lang.Long.valueOf).orNull, s.width, s.height,
+              s.meanLuma, s.stdLuma, s.laplacianVar)
+          }
+        }
+        val valid = df
+          .withColumn("__sg", comb(col(cfg.bytesCol)))
+          .filter(col("__sg").isNotNull)
+          .truncated
+        val v = valid.count()
+        val gated = valid
+          .filter(col("__sg._2") >= cfg.minWidth &&
+            col("__sg._3") >= cfg.minHeight &&
+            col("__sg._6") >= g.minLaplacianVar &&
+            col("__sg._5") >= g.minStdLuma &&
+            col("__sg._4").between(g.minMeanLuma, g.maxMeanLuma))
+          .withColumn("__ih", col("__sg._1"))
+          .drop("__sg")
+          .truncated
+        (gated, v, Seq("n_signal" -> gated.count()))
     }
-    val probed = df
-      .withColumn("__wh", dims(col(cfg.bytesCol)))
-      .filter(col("__wh").isNotNull &&
-        col("__wh._1") >= cfg.minWidth && col("__wh._2") >= cfg.minHeight)
-      .drop("__wh")
-      .truncated
-    val nValid = probed.count()
 
     // 2. exact dedup: digest the bytes, smallest id per digest wins
     val digested = probed.withColumn("__dg", sha2(col(cfg.bytesCol), 256))
@@ -76,33 +106,40 @@ object MediaPipeline {
       .truncated
     val nExact = exact.count()
 
-    // 3. perceptual near-dup within the batch: pair-local greedy drop
-    val hashed = exact
-      .select(id.as("__pid"), ImageHash.dhash(col(cfg.bytesCol)).as("__ph"))
-      .filter(col("__ph").isNotNull)
+    // 3. perceptual near-dup within the batch: hash the exact
+    // survivors ONCE (unless the gate already carried it), then a
+    // pair-local greedy drop; undecodable rows keep a NULL hash and
+    // ride through stages 3/4 untouched
+    val exactH =
+      if (statsGate.isDefined) exact
+      else exact.withColumn("__ih", ImageHash.dhash(col(cfg.bytesCol)))
+        .truncated
     val losers = ImageHash.nearDuplicatesByHash(
-        hashed, "__pid", "__ph", cfg.maxHamming, cfg.maxBucket)
+        exactH.select(id.as("__pid"), col("__ih").as("__ph"))
+          .filter(col("__ph").isNotNull),
+        "__pid", "__ph", cfg.maxHamming, cfg.maxBucket)
       .select(col("id_b").as("__loser")).distinct()
-    val near = exact
+    val near = exactH
       .join(losers, id === col("__loser"), "left_anti")
       .truncated
     val nNear = near.count()
 
-    // 4. optional seen-corpus index
+    // 4. optional seen-corpus index — probes with the CARRIED hashes
     val (kept, nFinal) = seenIndex match {
       case Some(idx) =>
-        val k = ImageHash.dropNearDuplicateImages(near, idx,
-          cfg.idCol, cfg.bytesCol, cfg.maxHamming, cfg.maxBucket).truncated
+        val k = ImageHash.dropNearDuplicatesByHash(near, idx,
+          cfg.idCol, "__ih", "dhash", cfg.maxHamming, cfg.maxBucket)
+          .truncated
         (k, k.count())
       case None => (near, nNear)
     }
 
-    Result(kept, Seq(
+    Result(kept.drop("__ih"), Seq(
       "n_received" -> nReceived,
       "n_valid" -> nValid,
       "n_exact_kept" -> nExact,
       "n_near_kept" -> nNear,
-      "n_final" -> nFinal))
+      "n_final" -> nFinal) ++ signalMetric)
   }
 
   /** The audio face: same stage order, with the spectral hash

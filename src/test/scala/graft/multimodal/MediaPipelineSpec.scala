@@ -64,6 +64,41 @@ class MediaPipelineSpec extends SparkSpec {
     assert(r.kept.columns.toSeq == Seq("img_id", "content", "source"))
   }
 
+  test("image stats gate composes: flat fill drops at the signal stage") {
+    val index = ImageHash.buildImageIndex(
+      Seq((100L, stripes)).toDF("img_id", "content"), "img_id", "content")
+    // focus threshold 0 keeps the linear ramps (their Laplacian is
+    // exactly 0 — a ramp reads as "defocused" to the default gate);
+    // the flat fill still dies on std_luma = 0
+    val r = MediaPipeline.curateImages(batch,
+      MediaPipeline.Config("img_id", "content"), Some(index),
+      statsGate = Some(ImageStats.Gate(minLaplacianVar = 0.0)))
+    // flat (4) dies at the signal stage, tiny (5) at the dims check,
+    // broken (6) at decode, the byte copy (1) at exact, the 2x render
+    // (2) at perceptual, stripes (3) at the index; grad survives
+    assert(r.kept.select("img_id").as[Long].collect().toSet == Set(0L))
+    assert(r.metrics == Seq(
+      "n_received" -> 7L, "n_valid" -> 6L, "n_exact_kept" -> 3L,
+      "n_near_kept" -> 2L, "n_final" -> 1L, "n_signal" -> 4L))
+    assert(r.kept.columns.toSeq == Seq("img_id", "content"))
+  }
+
+  test("a WebP re-encode dedups against its PNG twin (cross-format)") {
+    // the same pixels as VP8L must hash identically and drop against
+    // a PNG-built index — the whole argument for the decoder
+    val px = Array.tabulate(9 * 8) { i =>
+      val g = (i % 9 * 28) & 0xff
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    val webp = graft.queries.WebpFixture.losslessWebp(9, 8, px)
+    val index = ImageHash.buildImageIndex(
+      Seq((100L, grad)).toDF("img_id", "content"), "img_id", "content")
+    val kept = ImageHash.dropNearDuplicateImages(
+      Seq((10L, webp), (11L, stripes)).toDF("img_id", "content"),
+      index, "img_id", "content")
+    assert(kept.select("img_id").as[Long].collect().toSet == Set(11L))
+  }
+
   test("config guards") {
     intercept[IllegalArgumentException] {
       MediaPipeline.curateImages(batch,
