@@ -848,8 +848,30 @@ object Pdf {
         i += 1
       }
       if (offsets.isEmpty) bail("no objects recovered")
+      // expand recovered OBJECT STREAMS: a modern (1.5-style) file
+      // keeps the catalog itself inside an ObjStm, invisible to the
+      // header scan; and a recovered /Type /XRef stream's dict is the
+      // missing trailer (Root AND Encrypt ride there)
+      var streamTrailer = Map.empty[String, Obj]
+      offsets.keys.toSeq.sorted.foreach { n =>
+        try {
+          fetch(n) match {
+            case PStream(d, _) =>
+              d.m.get("Type") match {
+                case Some(PName("ObjStm")) =>
+                  objStmObjects(n).keys.foreach { k =>
+                    if (!offsets.contains(k)) inStream(k) = (n, 0)
+                  }
+                case Some(PName("XRef")) =>
+                  streamTrailer = streamTrailer ++ d.m
+                case _ => ()
+              }
+            case _ => ()
+          }
+        } catch { case _: Bail | _: Exception => () }
+      }
       // trailer dicts, later occurrences override earlier
-      var t = Map.empty[String, Obj]
+      var t = streamTrailer
       var j = 0
       while (j + 7 <= buf.length) {
         if (buf(j) == 't' && j + 7 <= buf.length &&

@@ -231,6 +231,15 @@ class PdfSpec extends AnyFunSuite {
     // chop the whole tail from 'xref' on: no table at all
     val cut = s.lastIndexOf("xref")
     assert(Pdf.extractText(pdf.take(cut)).exists(_.text == "recovered"))
+    // the modern layout: catalog lives INSIDE an ObjStm — recovery
+    // must expand recovered object streams and take the XRef stream's
+    // dict as the trailer
+    val modern = PdfFixture.xrefStreamPdf("modern recovery")
+    val ms = new String(modern, "ISO-8859-1")
+    val mIdx = ms.lastIndexOf("startxref")
+    val lying2 = modern.clone()
+    lying2(mIdx + 10) = '3'; lying2(mIdx + 11) = '\n'
+    assert(Pdf.extractText(lying2).exists(_.text == "modern recovery"))
   }
 
   test("hex strings and odd-digit tails decode") {
