@@ -211,6 +211,26 @@ object MediaDecoder {
           decodeStatus = "ok")
         case None => decodeStub(kind, rawBytes)
       }
+    case "document" =>
+      // REAL structural probe for PDFs ([[graft.engine.read.Pdf.meta]]
+      // — version/page count/encryption from the xref walk, no text
+      // decode); page count rides `nFrames`. Encrypted documents
+      // inventory with an "encrypted" status so a curation pass can
+      // count and route them.
+      val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
+      graft.engine.read.Pdf.meta(bytes) match {
+        case Some(m) => Multimodal.MediaMeta(
+          kind = "document", width = -1, height = -1,
+          nFrames = math.max(m.nPages, 0),
+          sampleRateHz = 0, channels = 0, bitsPerSample = 0,
+          nBytes = bytes.length.toLong, sha256 = sha256Hex(bytes),
+          decodeStatus = if (m.encrypted) "encrypted" else "ok")
+        case None => Multimodal.MediaMeta(
+          kind = "document", width = -1, height = -1, nFrames = 0,
+          sampleRateHz = 0, channels = 0, bitsPerSample = 0,
+          nBytes = bytes.length.toLong, sha256 = sha256Hex(bytes),
+          decodeStatus = "not a readable document")
+      }
     case _ => decodeStub(kind, rawBytes)
   }
 

@@ -133,6 +133,17 @@ class MultimodalSpec extends SparkSpec {
     assert(i.decodeStatus == "ok" && i.width == 20 && i.height == 10)
     val bad = MediaDecoder.decode("image", null)
     assert(bad.width == -1 && bad.decodeStatus == "file is empty")
+    // document kind: real PDF structural probe, pages ride nFrames
+    val pdf = MediaDecoder.decode("document",
+      graft.queries.PdfFixture.simplePdf(Seq(
+        "BT (a) Tj ET", "BT (b) Tj ET")))
+    assert(pdf.decodeStatus == "ok" && pdf.nFrames == 2 &&
+      pdf.kind == "document")
+    val enc = MediaDecoder.decode("document",
+      graft.queries.PdfFixture.encryptedPdf("x"))
+    assert(enc.decodeStatus == "encrypted")
+    val notDoc = MediaDecoder.decode("document", "plain text".getBytes)
+    assert(notDoc.decodeStatus == "not a readable document")
   }
 
   test("resizePlan preserves aspect ratio within the target box") {
