@@ -422,6 +422,82 @@ object WebpFixture {
     0x2f.toByte +: bw.bytes
   }
 
+  /** VP8L payload exercising META PREFIX IMAGES: an 8-wide image
+    * split into two 4-px-wide blocks, each naming its own code group.
+    * Both groups share flat literal codes but carry DIFFERENT
+    * single-symbol alpha codes (255 vs 128), so the decoded alpha
+    * proves which group decoded each block — with zero emission
+    * difference to confound the proof.
+    */
+  def vp8lTwoGroupAlpha(h: Int, rgb: Array[Int]): Array[Byte] = {
+    val w = 8
+    require(rgb.length == w * h)
+    require(rgb.forall(p => (p >>> 24) == 0), "alpha comes from the groups")
+    val bw = new BitWriter
+    writeHeader(bw, w, h, alpha = true)
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(0, 1) // no color cache
+    bw.writeBits(1, 1) // meta prefix image...
+    bw.writeBits(0, 3) // ...block bits = 2 → 4-px blocks → 2×ceil(h/4)
+    // meta sub-image: ceil(8/4)=2 wide, ceil(h/4) tall; group code
+    // rides (red<<8 | green): columns 0..3 → group 0, 4..7 → group 1
+    val metaH = (h + 3) / 4
+    bw.writeBits(0, 1) // meta image: no color cache
+    writeFlat256(bw, 280) // green: codes 0 and 1 as literals
+    writeSimpleCode(bw, Seq(0)) // red
+    writeSimpleCode(bw, Seq(0)) // blue
+    writeSimpleCode(bw, Seq(255)) // alpha (irrelevant to group codes)
+    writeSimpleCode(bw, Seq(0)) // distance
+    for (_ <- 0 until metaH; gx <- 0 until 2) bw.writeCode(gx, 8)
+    // two code groups, group order 0 then 1
+    for (alpha <- Seq(255, 128)) {
+      writeFlat256(bw, 280)
+      writeFlat256(bw, 256)
+      writeFlat256(bw, 256)
+      writeSimpleCode(bw, Seq(alpha))
+      writeSimpleCode(bw, Seq(0))
+    }
+    rgb.foreach { p =>
+      bw.writeCode((p >> 8) & 0xff, 8)
+      bw.writeCode((p >> 16) & 0xff, 8)
+      bw.writeCode(p & 0xff, 8)
+    }
+    0x2f.toByte +: bw.bytes
+  }
+
+  /** VP8L payload exercising a PLAIN (>120) distance code: an 8×1
+    * image of five literals then a 3-pixel backward copy at distance
+    * 5 — distance code 125 (length code 2 → 3; both through their
+    * prefix-value forms).
+    */
+  def vp8lLongDistance(five: Array[Int]): Array[Byte] = {
+    require(five.length == 5 && five.forall(p => (p >>> 24) == 255))
+    val bw = new BitWriter
+    writeHeader(bw, 8, 1, alpha = false)
+    bw.writeBits(0, 1); bw.writeBits(0, 1); bw.writeBits(0, 1)
+    val greenLens = Array.fill(280)(0)
+    (0 until 256).foreach(greenLens(_) = 9)
+    greenLens(256 + 2) = 1 // length code 2 → value 3
+    writeNormalCode(bw, greenLens.toSeq)
+    val greenCodes = canonicalCodes(greenLens.toSeq)
+    writeFlat256(bw, 256)
+    writeFlat256(bw, 256)
+    writeSimpleCode(bw, Seq(255))
+    // distance tree: the single symbol is prefix code 13 → base 97 +
+    // 5 extra bits; 125 − 120 = plain distance 5
+    writeSimpleCode(bw, Seq(13))
+    five.foreach { p =>
+      val (gc, gl) = greenCodes((p >> 8) & 0xff)
+      bw.writeCode(gc, gl)
+      bw.writeCode((p >> 16) & 0xff, 8)
+      bw.writeCode(p & 0xff, 8)
+    }
+    val (gc, gl) = greenCodes(256 + 2)
+    bw.writeCode(gc, gl) // length 3, no extra bits
+    bw.writeBits(125 - 97, 5) // distance extra bits
+    0x2f.toByte +: bw.bytes
+  }
+
   /** LZ77 prefix code for `value`: (code, extraValue, extraBits). */
   def lz77Code(value: Int): (Int, Int, Int) = {
     require(value >= 1)

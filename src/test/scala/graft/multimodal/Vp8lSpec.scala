@@ -79,6 +79,26 @@ class Vp8lSpec extends AnyFunSuite {
     assert(img.argb.toSeq == Seq(a, b, a, b))
   }
 
+  test("meta prefix image selects per-block code groups") {
+    val h = 5 // meta image 2×2: block rows exercise the y >> bits path
+    val rgb = Array.tabulate(8 * h)(i =>
+      ((i * 37 % 256) << 16) | ((i * 19 % 256) << 8) | (i * 7 % 256))
+    val img = Vp8l.decode(WebpFixture.vp8lTwoGroupAlpha(h, rgb)).get
+    // group 0 (left 4 columns) decodes alpha 255, group 1 decodes 128
+    for (y <- 0 until h; x <- 0 until 8) {
+      val got = img.argb(y * 8 + x)
+      val expAlpha = if (x < 4) 255 else 128
+      assert((got >>> 24) == expAlpha, s"alpha at ($x,$y)")
+      assert((got & 0xffffff) == rgb(y * 8 + x), s"rgb at ($x,$y)")
+    }
+  }
+
+  test("plain (>120) distance codes copy at literal distances") {
+    val five = Array.tabulate(5)(i => gray(40 * i + 7))
+    val img = Vp8l.decode(WebpFixture.vp8lLongDistance(five)).get
+    assert(img.argb.toSeq == (five ++ five.take(3)).toSeq)
+  }
+
   test("distance map head pins the generated table to the spec list") {
     // the first entries of the spec's literal table, transcribed at
     // spec-reading time: (dx, dy) pairs in order
