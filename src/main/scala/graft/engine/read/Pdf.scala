@@ -1346,7 +1346,9 @@ object Pdf {
       case None    => return None
     }
     val version = {
-      val hdr = new String(bytes, 0, math.min(16, bytes.length),
+      // read from the doc's (possibly re-anchored) buffer — leading
+      // junk before %PDF- must not masquerade as the version
+      val hdr = new String(doc.buf, 0, math.min(16, doc.buf.length),
         StandardCharsets.ISO_8859_1)
       hdr.drop(5).takeWhile(c => c.isDigit || c == '.')
     }

@@ -425,7 +425,25 @@ object MediaGateQueries {
       (6L, PdfFixture.encryptedPdf("secret"),
         -1, "<undecodable>", "1.5", true),
       (7L, ("%PDF-1.4\n" + "x" * 64).getBytes("ISO-8859-1"),
-        -1, "<undecodable>", "", false))
+        -1, "<undecodable>", "", false),
+      (8L, { // lying startxref → the recovery scan extracts anyway
+        val p = PdfFixture.simplePdf(Seq("BT /F1 12 Tf (recovered) Tj ET"))
+        val i = new String(p, "ISO-8859-1").lastIndexOf("startxref") + 10
+        p(i) = '9'; p(i + 1) = '\n'; p
+      }, 1, "recovered", "1.5", false),
+      (9L, { // LZW-filtered content stream
+        val b = new PdfFixture.Builder
+        b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+        b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+        b.add(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+        b.addStream(4, "/Filter /LZWDecode", PdfFixture.lzw(
+          "BT /F1 12 Tf (lzw filtered) Tj ET".getBytes("ISO-8859-1")))
+        b.finishClassic(1)
+      }, 1, "lzw filtered", "1.5", false),
+      (10L, // junk before the header re-anchors offsets
+        "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1") ++
+          PdfFixture.simplePdf(Seq("BT /F1 12 Tf (anchored) Tj ET")),
+        1, "anchored", "1.5", false))
     s.createDataset(rows).toDF("doc_id", "content", "exp_pages",
         "exp_text", "exp_version", "exp_encrypted")
       .coalesce(1).write.mode("overwrite").parquet(m34Dir)

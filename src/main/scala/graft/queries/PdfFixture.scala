@@ -178,6 +178,44 @@ object PdfFixture {
     out.toByteArray
   }
 
+  /** Forward PNG "Up" row filter (type 2): rows of `columns` bytes,
+    * each prefixed with the filter byte, bytes stored as deltas vs
+    * the row above — the decoder's predictor-12 inverse must undo it.
+    */
+  def pngPredictUp(data: Array[Byte], columns: Int): Array[Byte] = {
+    require(data.length % columns == 0, "data must be whole rows")
+    val out = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r * columns < data.length) {
+      out.write(2) // Up
+      var i = 0
+      while (i < columns) {
+        val up = if (r == 0) 0 else data((r - 1) * columns + i) & 0xff
+        out.write(((data(r * columns + i) & 0xff) - up) & 0xff)
+        i += 1
+      }
+      r += 1
+    }
+    out.toByteArray
+  }
+
+  /** Forward TIFF horizontal differencing (predictor 2). */
+  def tiffPredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    require(data.length % columns == 0, "data must be whole rows")
+    val out = data.clone()
+    var r = 0
+    while (r * columns < data.length) {
+      var i = columns - 1
+      while (i >= 1) {
+        val p = r * columns + i
+        out(p) = (((data(p) & 0xff) - (data(p - 1) & 0xff)) & 0xff).toByte
+        i -= 1
+      }
+      r += 1
+    }
+    out
+  }
+
   def flate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()

@@ -213,6 +213,61 @@ class PdfSpec extends AnyFunSuite {
       .get.text == long)
   }
 
+  test("DecodeParms predictors invert: PNG Up (12) and TIFF (2)") {
+    def onePage(dict: String, data: Array[Byte]): Array[Byte] = {
+      val b = new PdfFixture.Builder
+      b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+      b.add(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+      b.addStream(4, dict, data)
+      b.finishClassic(1)
+    }
+    // pad the content to whole predictor rows with spaces
+    val cols = 16
+    val base = "BT /F1 12 Tf (predicted rows) Tj ET"
+    val src = (base + " " * ((cols - base.length % cols) % cols))
+      .getBytes("ISO-8859-1")
+    val png = onePage(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>",
+      PdfFixture.flate(PdfFixture.pngPredictUp(src, cols)))
+    assert(Pdf.extractText(png).get.text == "predicted rows")
+    val tiff = onePage(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns $cols >>",
+      PdfFixture.flate(PdfFixture.tiffPredict(src, cols)))
+    assert(Pdf.extractText(tiff).get.text == "predicted rows")
+  }
+
+  test("ToUnicode bfrange: increment and array forms; MacRoman bytes") {
+    val b = new PdfFixture.Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    b.add(3, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1" +
+      " 5 0 R >> >> /Contents 4 0 R >>")
+    // codes 0x10..0x12 → 'a'..'c' (increment form); 0x20,0x21 → "Zz"
+    // per-code strings (array form)
+    b.addStream(4, "",
+      "BT /F1 12 Tf <00100011001200200021> Tj ET".getBytes("ISO-8859-1"))
+    b.add(5, "<< /Type /Font /Subtype /Type0 /BaseFont /R /ToUnicode 6 0 R >>")
+    b.addStream(6, "",
+      ("begincmap\n1 begincodespacerange <0000> <ffff> endcodespacerange\n" +
+        "1 beginbfrange <0010> <0012> <0061> endbfrange\n" +
+        "1 beginbfrange <0020> <0021> [<005a> <007a>] endbfrange\n" +
+        "endcmap").getBytes("ISO-8859-1"))
+    assert(Pdf.extractText(b.finishClassic(1)).get.text == "abcZz")
+    // MacRoman: 0x8E = é in x-MacRoman
+    val m = new PdfFixture.Builder
+    m.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    m.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    m.add(3, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1" +
+      " 5 0 R >> >> /Contents 4 0 R >>")
+    m.addStream(4, "", "BT /F1 12 Tf <63616688> Tj ET".getBytes("ISO-8859-1"))
+    m.add(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Times" +
+      " /Encoding /MacRomanEncoding >>")
+    val got = Pdf.extractText(m.finishClassic(1)).get.text
+    assert(got == new String(Array[Byte](0x63, 0x61, 0x66, 0x88.toByte),
+      java.nio.charset.Charset.forName("x-MacRoman")))
+  }
+
   test("leading junk before the header tolerated; offsets re-anchor") {
     val pdf = PdfFixture.simplePdf(Seq("BT /F1 12 Tf (anchored) Tj ET"))
     val junk = "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1")
