@@ -389,7 +389,18 @@ object MediaGateQueries {
       (6L, corrupt,
         "none", -1, -1, -999L, -1.0, -1.0, -1.0),
       (7L, WebpFixture.losslessWebp(16, 16, grays(16, 16, _ => 77)),
-        "VP8L", 16, 16, 0L, 77.0, 0.0, 0.0))
+        "VP8L", 16, 16, 0L, 77.0, 0.0, 0.0),
+      (8L, WebpFixture.container(WebpFixture.chunk("VP8L",
+          WebpFixture.vp8lPredictor(9, 8, ramp, mode = 2))),
+        // the PREDICTOR path must land on the same pixels as row 0
+        "VP8L", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (9L, WebpFixture.container(WebpFixture.chunk("VP8L",
+          WebpFixture.vp8lRowCopy(9, 8,
+            Array.tabulate(9)(x => 0xff000000 | {
+              val g = 60 * (x % 4); (g << 16) | (g << 8) | g
+            })))),
+        // LZ77 row copies reproduce the palette pattern exactly
+        "VP8L", 9, 8, dhashOfRows(x => 60 * (x % 4)), 80.0, palStd, palLap))
     s.createDataset(rows).toDF("img_id", "content", "exp_format",
         "exp_w", "exp_h", "exp_dhash", "exp_mean", "exp_std", "exp_lap")
       .coalesce(1).write.mode("overwrite").parquet(m33Dir)
