@@ -484,7 +484,53 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m35Dir)
   }
 
+  // -- m36 fixture: EPUBs from the INDEPENDENT OCF writer
+  //    (EpubFixture — the JDK ZipOutputStream is a third party to the
+  //    reader's ZipInputStream walk). Expected text is hand-written
+  //    from the pinned htmlToText semantics (block tags → newlines,
+  //    entities decode, inline tags → space then normalize).
+  private val m36Dir = "/tmp/graft_gate_m36_epub"
+
+  private def writeM36Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], String, Int, String)] = Seq(
+      (0L, EpubFixture.epub("Gate Book", Seq(
+        "a.xhtml" -> EpubFixture.xhtml("one &amp; two", "three"),
+        "b.xhtml" -> EpubFixture.xhtml("four <b>bold</b> five"))),
+        "Gate Book", 2, "one & two\nthree\ffour bold five"),
+      (1L, EpubFixture.epub("Shuffled", Seq(
+        "c1.xhtml" -> EpubFixture.xhtml("first chapter"),
+        "c2.xhtml" -> EpubFixture.xhtml("second chapter"),
+        "c3.xhtml" -> EpubFixture.xhtml("third chapter")),
+        spineOrder = Seq(2, 0, 1)),
+        // the SPINE is the reading order, not the file order
+        "Shuffled", 3, "third chapter\ffirst chapter\fsecond chapter"),
+      (2L, "not a zip at all".getBytes("UTF-8"),
+        "<none>", -1, "<undecodable>"),
+      (3L, EpubFixture.zip(Seq(
+        "mimetype" -> "application/epub+zip".getBytes("UTF-8"))),
+        "<none>", -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_title",
+        "exp_chapters", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m36Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m36: EPUB extraction — OCF walk + spine order + the shared
+    //    htmlToText cascade; expectations ride the fixture. ---------
+    "m36_epub_extract" -> { (s, _) =>
+      writeM36Fixture(s)
+      import graft.engine.read.Epub
+      s.read.parquet(m36Dir)
+        .withColumn("__b", Epub.bookCol(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__b._1"), lit("<none>")).as("title"),
+          coalesce(size(col("__b._2")), lit(-1)).as("n_chapters"),
+          coalesce(Epub.textCol(col("content")),
+            lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m34: PDF text extraction — xref/ObjStm/Flate/fonts through
     //    the one extractor; expectations ride the fixture. ---------
     "m34_pdf_extract" -> { (s, _) =>
@@ -712,6 +758,11 @@ object MediaGateQueries {
 
   def oracle: Map[String, String] = Map(
     // Literal expectations ride the fixture.
+    "m36_epub_extract" ->
+      s"""SELECT doc_id, exp_title AS title, exp_chapters AS n_chapters,
+         |  exp_text AS text
+         |FROM read_parquet('$m36Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m34_pdf_extract" ->
       s"""SELECT doc_id, exp_pages AS n_pages, exp_text AS text,
          |  exp_version AS version, exp_encrypted AS encrypted
