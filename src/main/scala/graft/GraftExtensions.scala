@@ -28,6 +28,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   audio_fingerprint(wavBytes)         → bigint (spectral band hash)
   *   video_signature(aviBytes)           → array<bigint> (frame dHashes)
   *   pdf_text(bytes)                     → string (PDF page text)
+  *   docx_text(bytes)                    → string (DOCX body text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -194,6 +195,13 @@ object GraftExtensions {
         "form feed); NULL for encrypted or undecodable documents.",
       classOf[graft.functions.PdfTextExtract],
       graft.functions.PdfTextExtract(_))
+
+  val docxText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("docx_text",
+      "docx_text(bytes) - DOCX body paragraphs joined by newline; " +
+        "NULL when not a readable OPC document.",
+      classOf[graft.functions.DocxTextExtract],
+      graft.functions.DocxTextExtract(_))
 
   val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("image_phash",
@@ -541,7 +549,7 @@ object GraftExtensions {
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
-      pdfText).foreach {
+      pdfText, docxText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -83,6 +83,20 @@ case class PdfTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `docx_text(bytes)` → string — [[graft.engine.read.Docx.extractText]]:
+  * body paragraphs joined by newline; NULL when not a readable OPC
+  * document.
+  */
+case class DocxTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "docx_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Docx.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `video_signature(aviBytes)` → array<bigint> —
   * [[graft.multimodal.VideoFrameHash.frameHashes]] at the default
   * frame budget; NULL when the payload is not a frame-bearing AVI or

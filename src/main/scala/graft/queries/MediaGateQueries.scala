@@ -515,7 +515,51 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m36Dir)
   }
 
+  // -- m37 fixture: DOCX from the INDEPENDENT OPC writer
+  //    (DocxFixture); expected text is the typed piece list replayed
+  //    by hand (tabs/breaks in document order, property subtrees
+  //    excluded, table cells as paragraphs).
+  private val m37Dir = "/tmp/graft_gate_m37_docx"
+
+  private def writeM37Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    import DocxFixture.{Br, T, Tab}
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      (0L, DocxFixture.docx(Seq(
+        DocxFixture.para(T("alpha"), Tab, T("beta"), Br, T("gamma")),
+        DocxFixture.para(T("a < b & c")))),
+        2, "alpha\tbeta\ngamma\na < b & c"),
+      (1L, DocxFixture.docx(Seq(
+        DocxFixture.para(T("before")),
+        DocxFixture.table("cell one", "cell two"),
+        DocxFixture.para(T("after")))),
+        4, "before\ncell one\ncell two\nafter"),
+      (2L, DocxFixture.docx(Seq(DocxFixture.para(T("fallback"))),
+        withRels = false),
+        1, "fallback"),
+      (3L, "not a zip at all".getBytes("UTF-8"),
+        -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m37Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m37: DOCX extraction — OPC rels + WordprocessingML walk;
+    //    expectations ride the fixture. ----------------------------
+    "m37_docx_extract" -> { (s, _) =>
+      writeM37Fixture(s)
+      import graft.engine.read.Docx
+      val ext = udf { (b: Array[Byte]) =>
+        Docx.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m37Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m36: EPUB extraction — OCF walk + spine order + the shared
     //    htmlToText cascade; expectations ride the fixture. ---------
     "m36_epub_extract" -> { (s, _) =>
@@ -758,6 +802,10 @@ object MediaGateQueries {
 
   def oracle: Map[String, String] = Map(
     // Literal expectations ride the fixture.
+    "m37_docx_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m37Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m36_epub_extract" ->
       s"""SELECT doc_id, exp_title AS title, exp_chapters AS n_chapters,
          |  exp_text AS text

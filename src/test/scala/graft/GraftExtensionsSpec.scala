@@ -220,6 +220,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT id, pdf_text(content) AS t FROM pdf_in ORDER BY id").collect()
     assert(pdfRows(0).getString(1) == "sql surface")
     assert(pdfRows(1).isNullAt(1))
+    // docx_text: OPC body text, non-docx NULL
+    Seq((1L, graft.queries.DocxFixture.docx(Seq(
+        graft.queries.DocxFixture.para(graft.queries.DocxFixture.T("word body"))))),
+      (2L, "nope".getBytes))
+      .toDF("id", "content").createOrReplaceTempView("docx_in")
+    val dx = spark.sql(
+      "SELECT id, docx_text(content) AS t FROM docx_in ORDER BY id").collect()
+    assert(dx(0).getString(1) == "word body")
+    assert(dx(1).isNullAt(1))
   }
 
   test("describe function shows usage") {
