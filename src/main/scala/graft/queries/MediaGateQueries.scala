@@ -543,7 +543,48 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m37Dir)
   }
 
+  // -- m38 fixture: ONE document shipped as PDF, EPUB and DOCX — the
+  //    three extractors must converge on byte-identical text so
+  //    cross-format copies dedup to one survivor (min doc_id), plus a
+  //    genuinely different DOCX that must stay.
+  private val m38Dir = "/tmp/graft_gate_m38_docmix"
+  private val m38TextA = "the same document shipped three ways"
+  private val m38TextB = "a different document entirely"
+
+  private def writeM38Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    import DocxFixture.T
+    val rows: Seq[(Long, String, Array[Byte])] = Seq(
+      (1L, "pdf", PdfFixture.simplePdf(Seq(
+        s"BT /F1 12 Tf ${PdfFixture.lit(m38TextA)} Tj ET"))),
+      (2L, "epub", EpubFixture.epub("A", Seq(
+        "a.xhtml" -> EpubFixture.xhtml(m38TextA)))),
+      (3L, "docx", DocxFixture.docx(Seq(DocxFixture.para(T(m38TextA))))),
+      (4L, "docx", DocxFixture.docx(Seq(DocxFixture.para(T(m38TextB))))))
+    s.createDataset(rows).toDF("doc_id", "fmt", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m38Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m38: cross-format document dedup — the unified text layer's
+    //    point: a PDF, EPUB and DOCX of the SAME document extract to
+    //    identical text and exact-dedup to the min-id copy. ---------
+    "m38_document_mix" -> { (s, _) =>
+      writeM38Fixture(s)
+      import graft.engine.read.{Docx, Epub, Pdf}
+      val pdfT = udf { (b: Array[Byte]) => Pdf.extractText(b).map(_.text) }
+      val docxT = udf { (b: Array[Byte]) => Docx.extractText(b).map(_.text) }
+      val docs = s.read.parquet(m38Dir)
+        .withColumn("text",
+          when(col("fmt") === "pdf", pdfT(col("content")))
+            .when(col("fmt") === "docx", docxT(col("content")))
+            .otherwise(Epub.textCol(col("content"))))
+        .filter(col("text").isNotNull)
+        .select("doc_id", "fmt", "text")
+      graft.ops.Dedup.exact(docs, Seq("text"), "doc_id")
+        .orderBy("doc_id")
+    },
+
     // -- m37: DOCX extraction — OPC rels + WordprocessingML walk;
     //    expectations ride the fixture. ----------------------------
     "m37_docx_extract" -> { (s, _) =>
@@ -801,6 +842,14 @@ object MediaGateQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Cross-format convergence: the PDF copy (min id) survives for
+    // text A, the distinct DOCX stays.
+    "m38_document_mix" ->
+      s"""SELECT * FROM (VALUES
+         |  (1::BIGINT, 'pdf', '$m38TextA'),
+         |  (4::BIGINT, 'docx', '$m38TextB'))
+         |  t(doc_id, fmt, text)
+         |ORDER BY doc_id""".stripMargin,
     // Literal expectations ride the fixture.
     "m37_docx_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
