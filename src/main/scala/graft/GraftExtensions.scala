@@ -29,6 +29,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   video_signature(aviBytes)           → array<bigint> (frame dHashes)
   *   pdf_text(bytes)                     → string (PDF page text)
   *   docx_text(bytes)                    → string (DOCX body text)
+  *   odt_text(bytes)                     → string (ODT body text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -63,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.imagePhash)
     ext.injectFunction(GraftExtensions.audioFingerprint)
     ext.injectFunction(GraftExtensions.videoSignature)
+    ext.injectFunction(GraftExtensions.pdfText)
+    ext.injectFunction(GraftExtensions.docxText)
+    ext.injectFunction(GraftExtensions.odtText)
   }
 }
 
@@ -202,6 +206,13 @@ object GraftExtensions {
         "NULL when not a readable OPC document.",
       classOf[graft.functions.DocxTextExtract],
       graft.functions.DocxTextExtract(_))
+
+  val odtText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("odt_text",
+      "odt_text(bytes) - OpenDocument Text body paragraphs joined by " +
+        "newline; NULL when not a readable ODF text package.",
+      classOf[graft.functions.OdtTextExtract],
+      graft.functions.OdtTextExtract(_))
 
   val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("image_phash",
@@ -549,7 +560,7 @@ object GraftExtensions {
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
-      pdfText, docxText).foreach {
+      pdfText, docxText, odtText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

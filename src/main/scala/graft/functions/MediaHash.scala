@@ -97,6 +97,20 @@ case class DocxTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `odt_text(bytes)` → string — [[graft.engine.read.Odt.extractText]]:
+  * OpenDocument Text body paragraphs joined by newline; NULL when not
+  * a readable ODF text package.
+  */
+case class OdtTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "odt_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Odt.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `video_signature(aviBytes)` → array<bigint> —
   * [[graft.multimodal.VideoFrameHash.frameHashes]] at the default
   * frame budget; NULL when the payload is not a frame-bearing AVI or

@@ -543,12 +543,12 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m37Dir)
   }
 
-  // -- m38 fixture: ONE document shipped as PDF, EPUB and DOCX — the
-  //    three extractors must converge on byte-identical text so
+  // -- m38 fixture: ONE document shipped as PDF, EPUB, DOCX and ODT —
+  //    the four extractors must converge on byte-identical text so
   //    cross-format copies dedup to one survivor (min doc_id), plus a
   //    genuinely different DOCX that must stay.
   private val m38Dir = "/tmp/graft_gate_m38_docmix"
-  private val m38TextA = "the same document shipped three ways"
+  private val m38TextA = "the same document shipped four ways"
   private val m38TextB = "a different document entirely"
 
   private def writeM38Fixture(s: SparkSession): Unit = {
@@ -560,24 +560,80 @@ object MediaGateQueries {
       (2L, "epub", EpubFixture.epub("A", Seq(
         "a.xhtml" -> EpubFixture.xhtml(m38TextA)))),
       (3L, "docx", DocxFixture.docx(Seq(DocxFixture.para(T(m38TextA))))),
-      (4L, "docx", DocxFixture.docx(Seq(DocxFixture.para(T(m38TextB))))))
+      (4L, "docx", DocxFixture.docx(Seq(DocxFixture.para(T(m38TextB))))),
+      (5L, "odt", OdtFixture.odt(Seq(
+        OdtFixture.para(OdtFixture.T(m38TextA))))))
     s.createDataset(rows).toDF("doc_id", "fmt", "content")
       .coalesce(1).write.mode("overwrite").parquet(m38Dir)
   }
 
+  // -- m39 fixture: ODT from the INDEPENDENT ODF writer — headings,
+  //    space runs, tabs, line breaks, spans, footnote exclusion,
+  //    lists and tables; literal expectations ride the fixture.
+  private val m39Dir = "/tmp/graft_gate_m39_odt"
+
+  private def writeM39Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    import OdtFixture.{LineBreak, Note, Spaces, Span, T, Tab}
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      (0L, OdtFixture.odt(Seq(
+        OdtFixture.heading(1, T("Title")),
+        OdtFixture.para(T("alpha"), Tab, T("beta"), LineBreak, T("gamma")),
+        OdtFixture.para(T("a"), Spaces(3), T("b")),
+        OdtFixture.para(Span("bold"), T(" plain"), Note("dropped")),
+        OdtFixture.para(T("a < b & c")))),
+        5, "Title\nalpha\tbeta\ngamma\na   b\nbold plain\na < b & c"),
+      (1L, OdtFixture.odt(Seq(
+        OdtFixture.para(T("before")),
+        OdtFixture.list("item one", "item two"),
+        OdtFixture.table("cell one", "cell two"),
+        OdtFixture.para(T("after")))),
+        6, "before\nitem one\nitem two\ncell one\ncell two\nafter"),
+      // mimetype entry absent: content.xml is the real gate
+      (2L, OdtFixture.odt(Seq(OdtFixture.para(T("no mimetype"))),
+        mimetype = None),
+        1, "no mimetype"),
+      // declared class is NOT text (a spreadsheet) → NULL
+      (3L, OdtFixture.odt(Seq(OdtFixture.para(T("wrong class"))),
+        mimetype = Some("application/vnd.oasis.opendocument.spreadsheet")),
+        -1, "<undecodable>"),
+      (4L, "not a zip at all".getBytes("UTF-8"),
+        -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m39Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m39: ODT extraction — ODF package walk + office:text body in
+    //    document order; expectations ride the fixture. -------------
+    "m39_odt_extract" -> { (s, _) =>
+      writeM39Fixture(s)
+      import graft.engine.read.Odt
+      val ext = udf { (b: Array[Byte]) =>
+        Odt.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m39Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m38: cross-format document dedup — the unified text layer's
-    //    point: a PDF, EPUB and DOCX of the SAME document extract to
-    //    identical text and exact-dedup to the min-id copy. ---------
+    //    point: a PDF, EPUB, DOCX and ODT of the SAME document extract
+    //    to identical text and exact-dedup to the min-id copy. -------
     "m38_document_mix" -> { (s, _) =>
       writeM38Fixture(s)
-      import graft.engine.read.{Docx, Epub, Pdf}
+      import graft.engine.read.{Docx, Epub, Odt, Pdf}
       val pdfT = udf { (b: Array[Byte]) => Pdf.extractText(b).map(_.text) }
       val docxT = udf { (b: Array[Byte]) => Docx.extractText(b).map(_.text) }
+      val odtT = udf { (b: Array[Byte]) => Odt.extractText(b).map(_.text) }
       val docs = s.read.parquet(m38Dir)
         .withColumn("text",
           when(col("fmt") === "pdf", pdfT(col("content")))
             .when(col("fmt") === "docx", docxT(col("content")))
+            .when(col("fmt") === "odt", odtT(col("content")))
             .otherwise(Epub.textCol(col("content"))))
         .filter(col("text").isNotNull)
         .select("doc_id", "fmt", "text")
@@ -851,6 +907,10 @@ object MediaGateQueries {
          |  t(doc_id, fmt, text)
          |ORDER BY doc_id""".stripMargin,
     // Literal expectations ride the fixture.
+    "m39_odt_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m39Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m37_docx_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
          |FROM read_parquet('$m37Dir/*.parquet')
