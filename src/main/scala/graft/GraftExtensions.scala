@@ -30,6 +30,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   pdf_text(bytes)                     → string (PDF page text)
   *   docx_text(bytes)                    → string (DOCX body text)
   *   odt_text(bytes)                     → string (ODT body text)
+  *   rtf_text(bytes)                     → string (RTF body text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -67,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pdfText)
     ext.injectFunction(GraftExtensions.docxText)
     ext.injectFunction(GraftExtensions.odtText)
+    ext.injectFunction(GraftExtensions.rtfText)
   }
 }
 
@@ -213,6 +215,13 @@ object GraftExtensions {
         "newline; NULL when not a readable ODF text package.",
       classOf[graft.functions.OdtTextExtract],
       graft.functions.OdtTextExtract(_))
+
+  val rtfText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("rtf_text",
+      "rtf_text(bytes) - RTF body paragraphs joined by newline; NULL " +
+        "when the payload does not open with the RTF magic.",
+      classOf[graft.functions.RtfTextExtract],
+      graft.functions.RtfTextExtract(_))
 
   val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("image_phash",
@@ -560,7 +569,7 @@ object GraftExtensions {
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
-      pdfText, docxText, odtText).foreach {
+      pdfText, docxText, odtText, rtfText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

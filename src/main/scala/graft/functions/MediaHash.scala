@@ -111,6 +111,20 @@ case class OdtTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `rtf_text(bytes)` → string — [[graft.engine.read.Rtf.extractText]]:
+  * RTF body paragraphs joined by newline; NULL when the payload does
+  * not open with the RTF magic.
+  */
+case class RtfTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "rtf_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Rtf.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `video_signature(aviBytes)` → array<bigint> —
   * [[graft.multimodal.VideoFrameHash.frameHashes]] at the default
   * frame budget; NULL when the payload is not a frame-bearing AVI or

@@ -543,12 +543,12 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m37Dir)
   }
 
-  // -- m38 fixture: ONE document shipped as PDF, EPUB, DOCX and ODT —
-  //    the four extractors must converge on byte-identical text so
-  //    cross-format copies dedup to one survivor (min doc_id), plus a
-  //    genuinely different DOCX that must stay.
+  // -- m38 fixture: ONE document shipped as PDF, EPUB, DOCX, ODT and
+  //    RTF — the five extractors must converge on byte-identical text
+  //    so cross-format copies dedup to one survivor (min doc_id), plus
+  //    a genuinely different DOCX that must stay.
   private val m38Dir = "/tmp/graft_gate_m38_docmix"
-  private val m38TextA = "the same document shipped four ways"
+  private val m38TextA = "the same document shipped five ways"
   private val m38TextB = "a different document entirely"
 
   private def writeM38Fixture(s: SparkSession): Unit = {
@@ -562,7 +562,9 @@ object MediaGateQueries {
       (3L, "docx", DocxFixture.docx(Seq(DocxFixture.para(T(m38TextA))))),
       (4L, "docx", DocxFixture.docx(Seq(DocxFixture.para(T(m38TextB))))),
       (5L, "odt", OdtFixture.odt(Seq(
-        OdtFixture.para(OdtFixture.T(m38TextA))))))
+        OdtFixture.para(OdtFixture.T(m38TextA))))),
+      (6L, "rtf", s"{\\rtf1\\ansi $m38TextA\\par}"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
     s.createDataset(rows).toDF("doc_id", "fmt", "content")
       .coalesce(1).write.mode("overwrite").parquet(m38Dir)
   }
@@ -603,7 +605,56 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m39Dir)
   }
 
+  // -- m40 fixture: RTF hand-authored forward from the published
+  //    grammar (the format is an ASCII token stream, so the strings
+  //    ARE the independent fixture); literal expectations ride along.
+  private val m40Dir = "/tmp/graft_gate_m40_rtf"
+
+  private def writeM40Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      // formatting words vanish, \par breaks paragraphs
+      (0L, ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times;}}" +
+        "Hello \\b world\\b0 !\\par Second para\\par}").getBytes("ISO-8859-1"),
+        2, "Hello world!\nSecond para"),
+      // \'xx through the declared code page; \uN consumes its uc
+      // fallback; the space after \'e9 is literal text
+      (1L, "{\\rtf1\\ansicpg1252\\uc1 caf\\'e9 \\u8364 ?!\\par}"
+        .getBytes("ISO-8859-1"),
+        1, "café €!"),
+      // header tables, footnotes and field instructions are invisible;
+      // field RESULTS are body text
+      (2L, ("{\\rtf1{\\info{\\title T}}main{\\footnote fn} " +
+        "{\\field{\\*\\fldinst HYPERLINK}{\\fldrslt link}}\\par}")
+        .getBytes("ISO-8859-1"),
+        1, "main link"),
+      // table cells flush as paragraphs
+      (3L, ("{\\rtf1\\trowd\\cellx1000\\cellx2000 " +
+        "cell one\\cell cell two\\cell\\row\\par}").getBytes("ISO-8859-1"),
+        2, "cell one\ncell two"),
+      (4L, "not rtf at all".getBytes("ISO-8859-1"),
+        -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m40Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m40: RTF extraction — group/control-word walk, code pages,
+    //    unicode fallbacks; expectations ride the fixture. ----------
+    "m40_rtf_extract" -> { (s, _) =>
+      writeM40Fixture(s)
+      import graft.engine.read.Rtf
+      val ext = udf { (b: Array[Byte]) =>
+        Rtf.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m40Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m39: ODT extraction — ODF package walk + office:text body in
     //    document order; expectations ride the fixture. -------------
     "m39_odt_extract" -> { (s, _) =>
@@ -621,19 +672,22 @@ object MediaGateQueries {
     },
 
     // -- m38: cross-format document dedup — the unified text layer's
-    //    point: a PDF, EPUB, DOCX and ODT of the SAME document extract
-    //    to identical text and exact-dedup to the min-id copy. -------
+    //    point: a PDF, EPUB, DOCX, ODT and RTF of the SAME document
+    //    extract to identical text and exact-dedup to the min-id
+    //    copy. ------------------------------------------------------
     "m38_document_mix" -> { (s, _) =>
       writeM38Fixture(s)
-      import graft.engine.read.{Docx, Epub, Odt, Pdf}
+      import graft.engine.read.{Docx, Epub, Odt, Pdf, Rtf}
       val pdfT = udf { (b: Array[Byte]) => Pdf.extractText(b).map(_.text) }
       val docxT = udf { (b: Array[Byte]) => Docx.extractText(b).map(_.text) }
       val odtT = udf { (b: Array[Byte]) => Odt.extractText(b).map(_.text) }
+      val rtfT = udf { (b: Array[Byte]) => Rtf.extractText(b).map(_.text) }
       val docs = s.read.parquet(m38Dir)
         .withColumn("text",
           when(col("fmt") === "pdf", pdfT(col("content")))
             .when(col("fmt") === "docx", docxT(col("content")))
             .when(col("fmt") === "odt", odtT(col("content")))
+            .when(col("fmt") === "rtf", rtfT(col("content")))
             .otherwise(Epub.textCol(col("content"))))
         .filter(col("text").isNotNull)
         .select("doc_id", "fmt", "text")
@@ -907,6 +961,10 @@ object MediaGateQueries {
          |  t(doc_id, fmt, text)
          |ORDER BY doc_id""".stripMargin,
     // Literal expectations ride the fixture.
+    "m40_rtf_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m40Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m39_odt_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
          |FROM read_parquet('$m39Dir/*.parquet')
