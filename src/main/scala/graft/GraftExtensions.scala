@@ -31,6 +31,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   docx_text(bytes)                    → string (DOCX body text)
   *   odt_text(bytes)                     → string (ODT body text)
   *   rtf_text(bytes)                     → string (RTF body text)
+  *   doc_text(bytes)                     → string (legacy .doc body text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -69,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.docxText)
     ext.injectFunction(GraftExtensions.odtText)
     ext.injectFunction(GraftExtensions.rtfText)
+    ext.injectFunction(GraftExtensions.docText)
   }
 }
 
@@ -222,6 +224,14 @@ object GraftExtensions {
         "when the payload does not open with the RTF magic.",
       classOf[graft.functions.RtfTextExtract],
       graft.functions.RtfTextExtract(_))
+
+  val docText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("doc_text",
+      "doc_text(bytes) - legacy Word-binary (.doc) body paragraphs " +
+        "joined by newline; NULL when not a readable unencrypted " +
+        "Word compound file.",
+      classOf[graft.functions.DocTextExtract],
+      graft.functions.DocTextExtract(_))
 
   val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("image_phash",
@@ -569,7 +579,7 @@ object GraftExtensions {
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
-      pdfText, docxText, odtText, rtfText).foreach {
+      pdfText, docxText, odtText, rtfText, docText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

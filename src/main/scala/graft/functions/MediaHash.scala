@@ -125,6 +125,20 @@ case class RtfTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `doc_text(bytes)` → string — [[graft.engine.read.Doc.extractText]]:
+  * legacy Word-binary body paragraphs joined by newline; NULL when not
+  * a readable (unencrypted) Word CFB.
+  */
+case class DocTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "doc_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Doc.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `video_signature(aviBytes)` → array<bigint> —
   * [[graft.multimodal.VideoFrameHash.frameHashes]] at the default
   * frame budget; NULL when the payload is not a frame-bearing AVI or

@@ -1,0 +1,250 @@
+package graft.queries
+
+/** INDEPENDENT spec-side CFB + Word-97 binary writer (the
+  * EpubFixture/DocxFixture discipline): a version-3 compound file
+  * written forward from MS-CFB (512-byte sectors, header DIFAT, FAT,
+  * miniFAT + mini stream for sub-cutoff streams, 128-byte directory
+  * entries), and a WordDocument/Table stream pair written forward
+  * from MS-DOC (FIB, Clx/Pcdt/PlcPcd piece table, compressed and
+  * UTF-16 pieces) — no code shared with [[graft.engine.read.Ole2]] or
+  * [[graft.engine.read.Doc]].
+  */
+object LegacyDocFixture {
+
+  private val SectorSize = 512
+  private val MiniSector = 64
+  private val MiniCutoff = 4096
+  private val EndOfChain = 0xFFFFFFFEL
+  private val FreeSect = 0xFFFFFFFFL
+  private val FatSect = 0xFFFFFFFDL
+  private val NoStream = 0xFFFFFFFFL
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xFF).toByte
+    b(off + 1) = ((v >> 8) & 0xFF).toByte
+    b(off + 2) = ((v >> 16) & 0xFF).toByte
+    b(off + 3) = ((v >> 24) & 0xFF).toByte
+  }
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  /** A version-3 CFB containing the given streams (all under root). */
+  def cfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val minis = streams.filter(_._2.length < MiniCutoff)
+    val bigs = streams.filter(_._2.length >= MiniCutoff)
+
+    // mini stream container: minis back-to-back on 64-byte boundaries
+    val miniSectorsPer = minis.map { case (_, d) => math.max(1, ceilDiv(d.length, MiniSector)) }
+    val totalMiniSectors = miniSectorsPer.sum
+    val miniContainer = new Array[Byte](totalMiniSectors * MiniSector)
+    val miniStart = scala.collection.mutable.Map.empty[String, Int]
+    var mOff = 0
+    minis.zip(miniSectorsPer).foreach { case ((name, d), nsec) =>
+      miniStart(name) = mOff / MiniSector
+      System.arraycopy(d, 0, miniContainer, mOff, d.length)
+      mOff += nsec * MiniSector
+    }
+
+    val nDirEntries = 1 + streams.length
+    val dirSectors = math.max(1, ceilDiv(nDirEntries * 128, SectorSize))
+    val miniFatSectors =
+      if (totalMiniSectors == 0) 0 else ceilDiv(totalMiniSectors * 4, SectorSize)
+    val miniContainerSectors = ceilDiv(miniContainer.length, SectorSize)
+    val bigSectorsPer = bigs.map { case (_, d) => ceilDiv(d.length, SectorSize) }
+    val nonFat = dirSectors + miniFatSectors + miniContainerSectors + bigSectorsPer.sum
+    // FAT covers every sector including the FAT sectors themselves
+    var fatSectors = 1
+    while (fatSectors * (SectorSize / 4) < nonFat + fatSectors) fatSectors += 1
+    val totalSectors = nonFat + fatSectors
+
+    // sector id assignment, in layout order
+    val firstDir = 0
+    val firstMiniFat = dirSectors
+    val firstMiniContainer = firstMiniFat + miniFatSectors
+    val firstBig = firstMiniContainer + miniContainerSectors
+    val bigStart = scala.collection.mutable.Map.empty[String, Int]
+    var cursor = firstBig
+    bigs.zip(bigSectorsPer).foreach { case ((name, _), nsec) =>
+      bigStart(name) = cursor; cursor += nsec
+    }
+    val firstFat = cursor
+
+    // FAT
+    val fat = Array.fill(fatSectors * (SectorSize / 4))(FreeSect)
+    def chainRange(start: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        fat(start + i) = if (i == n - 1) EndOfChain else (start + i + 1).toLong
+        i += 1
+      }
+    }
+    chainRange(firstDir, dirSectors)
+    if (miniFatSectors > 0) chainRange(firstMiniFat, miniFatSectors)
+    if (miniContainerSectors > 0) chainRange(firstMiniContainer, miniContainerSectors)
+    bigs.zip(bigSectorsPer).foreach { case ((name, _), nsec) =>
+      chainRange(bigStart(name), nsec)
+    }
+    (0 until fatSectors).foreach(i => fat(firstFat + i) = FatSect)
+
+    // miniFAT: chains over mini-sector indices
+    val miniFat = Array.fill(math.max(1, miniFatSectors) * (SectorSize / 4))(FreeSect)
+    minis.zip(miniSectorsPer).foreach { case ((name, _), nsec) =>
+      val s = miniStart(name)
+      var i = 0
+      while (i < nsec) {
+        miniFat(s + i) = if (i == nsec - 1) EndOfChain else (s + i + 1).toLong
+        i += 1
+      }
+    }
+
+    // directory
+    val dir = new Array[Byte](dirSectors * SectorSize)
+    def writeEntry(idx: Int, name: String, typ: Int, left: Long, right: Long,
+                   child: Long, start: Long, size: Long): Unit = {
+      val off = idx * 128
+      val utf = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      System.arraycopy(utf, 0, dir, off, math.min(utf.length, 62))
+      putU16(dir, off + 64, utf.length + 2)
+      dir(off + 66) = typ.toByte
+      dir(off + 67) = 1 // black
+      putU32(dir, off + 68, left)
+      putU32(dir, off + 72, right)
+      putU32(dir, off + 76, child)
+      putU32(dir, off + 116, start)
+      putU32(dir, off + 120, size & 0xFFFFFFFFL)
+      putU32(dir, off + 124, (size >> 32) & 0xFFFFFFFFL)
+    }
+    writeEntry(0, "Root Entry", 5, NoStream, NoStream,
+      if (streams.nonEmpty) 1L else NoStream,
+      if (miniContainerSectors > 0) firstMiniContainer.toLong else EndOfChain,
+      miniContainer.length.toLong)
+    streams.zipWithIndex.foreach { case ((name, d), i) =>
+      val idx = i + 1
+      val right = if (idx + 1 <= streams.length) (idx + 1).toLong else NoStream
+      val start: Long =
+        if (d.length < MiniCutoff) miniStart(name).toLong
+        else bigStart(name).toLong
+      writeEntry(idx, name, 2, NoStream, right, NoStream, start, d.length.toLong)
+    }
+
+    // assemble
+    val out = new Array[Byte]((totalSectors + 1) * SectorSize)
+    // header
+    System.arraycopy(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte), 0, out, 0, 8)
+    putU16(out, 24, 0x003E) // minor
+    putU16(out, 26, 0x0003) // major v3
+    putU16(out, 28, 0xFFFE) // little endian
+    putU16(out, 30, 9) // sector shift
+    putU16(out, 32, 6) // mini shift
+    putU32(out, 44, fatSectors.toLong)
+    putU32(out, 48, firstDir.toLong)
+    putU32(out, 56, MiniCutoff.toLong)
+    putU32(out, 60, if (miniFatSectors > 0) firstMiniFat.toLong else EndOfChain)
+    putU32(out, 64, miniFatSectors.toLong)
+    putU32(out, 68, EndOfChain) // no DIFAT sectors
+    putU32(out, 72, 0L)
+    (0 until 109).foreach { i =>
+      putU32(out, 76 + i * 4,
+        if (i < fatSectors) (firstFat + i).toLong else FreeSect)
+    }
+    def blit(sectorId: Int, data: Array[Byte]): Unit =
+      System.arraycopy(data, 0, out, (sectorId + 1) * SectorSize,
+        math.min(data.length, out.length - (sectorId + 1) * SectorSize))
+    blit(firstDir, dir)
+    if (miniFatSectors > 0) {
+      val mf = new Array[Byte](miniFatSectors * SectorSize)
+      miniFat.take(miniFatSectors * (SectorSize / 4)).zipWithIndex
+        .foreach { case (v, i) => putU32(mf, i * 4, v) }
+      blit(firstMiniFat, mf)
+    }
+    if (miniContainerSectors > 0) blit(firstMiniContainer, miniContainer)
+    bigs.foreach { case (name, d) => blit(bigStart(name), d) }
+    val fatBytes = new Array[Byte](fatSectors * SectorSize)
+    fat.zipWithIndex.foreach { case (v, i) => putU32(fatBytes, i * 4, v) }
+    blit(firstFat, fatBytes)
+    out
+  }
+
+  /** One text piece for the Word fixture: compressed (cp1252 bytes)
+    * or UTF-16LE, flagged per the PCD fcCompressed bit.
+    */
+  final case class Piece(text: String, compressed: Boolean)
+
+  /** A Word-97 binary: WordDocument (FIB + text) and 0Table (Clx).
+    *
+    * `prcPrefix` leads the Clx with a property modifier the reader
+    * must skip; `encrypted` sets fEncrypted; `oneTable` sets
+    * fWhichTblStm (and names the stream 1Table); `padWordTo` grows
+    * the WordDocument past the mini cutoff to land it in FAT sectors.
+    */
+  def doc(pieces: Seq[Piece],
+          encrypted: Boolean = false,
+          oneTable: Boolean = false,
+          prcPrefix: Boolean = false,
+          padWordTo: Int = 8192): Array[Byte] = {
+    val textBase = 0x800
+    // lay out piece bytes in the WordDocument data region
+    var off = textBase
+    val placed = pieces.map { p =>
+      val data =
+        if (p.compressed) p.text.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+        else p.text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      if (!p.compressed && off % 2 != 0) off += 1
+      val fcRaw: Long =
+        if (p.compressed) (off.toLong * 2) | 0x40000000L
+        else off.toLong
+      val r = (p, data, off, fcRaw)
+      off += data.length
+      r
+    }
+    val ccpText = pieces.map(_.text.length).sum
+    val word = new Array[Byte](math.max(padWordTo, off))
+    putU16(word, 0, 0xA5EC) // wIdent
+    putU16(word, 2, 0x00C1) // nFib (Word 97)
+    var flags = 0
+    if (encrypted) flags |= 0x0100
+    if (oneTable) flags |= 0x0200
+    putU16(word, 0x0A, flags)
+    putU16(word, 0x20, 0x000E) // csw
+    putU16(word, 0x3E, 0x0016) // cslw
+    putU32(word, 0x4C, ccpText.toLong) // FibRgLw97.ccpText
+    putU16(word, 0x98, 0x005D) // cbRgFcLcb (Word 97: 93 pairs)
+    placed.foreach { case (_, data, o, _) =>
+      System.arraycopy(data, 0, word, o, data.length)
+    }
+
+    // table stream: [Prc?] Pcdt(0x02, lcb, PlcPcd)
+    val n = pieces.length
+    val plcLen = (n + 1) * 4 + n * 8
+    val prc: Array[Byte] =
+      if (prcPrefix) Array[Byte](0x01, 0x02, 0x00, 0x00, 0x00) // cb=2 grpprl
+      else Array.emptyByteArray
+    val clx = new Array[Byte](prc.length + 5 + plcLen)
+    System.arraycopy(prc, 0, clx, 0, prc.length)
+    var t = prc.length
+    clx(t) = 0x02
+    putU32(clx, t + 1, plcLen.toLong)
+    t += 5
+    var cp = 0L
+    pieces.zipWithIndex.foreach { case (p, i) =>
+      putU32(clx, t + i * 4, cp); cp += p.text.length
+    }
+    putU32(clx, t + n * 4, cp)
+    placed.zipWithIndex.foreach { case ((_, _, _, fcRaw), i) =>
+      val pcdOff = t + (n + 1) * 4 + i * 8
+      putU16(clx, pcdOff, 0) // flags
+      putU32(clx, pcdOff + 2, fcRaw)
+      putU16(clx, pcdOff + 6, 0) // prm
+    }
+    // Clx rides at the FRONT of the table stream
+    putU32(word, 0x1A2, 0L) // fcClx
+    putU32(word, 0x1A6, clx.length.toLong) // lcbClx
+
+    val tableName = if (oneTable) "1Table" else "0Table"
+    cfb(Seq("WordDocument" -> word, tableName -> clx))
+  }
+}

@@ -543,12 +543,13 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m37Dir)
   }
 
-  // -- m38 fixture: ONE document shipped as PDF, EPUB, DOCX, ODT and
-  //    RTF — the five extractors must converge on byte-identical text
-  //    so cross-format copies dedup to one survivor (min doc_id), plus
-  //    a genuinely different DOCX that must stay.
+  // -- m38 fixture: ONE document shipped as PDF, EPUB, DOCX, ODT, RTF
+  //    and legacy DOC — the six extractors must converge on
+  //    byte-identical text so cross-format copies dedup to one
+  //    survivor (min doc_id), plus a genuinely different DOCX that
+  //    must stay.
   private val m38Dir = "/tmp/graft_gate_m38_docmix"
-  private val m38TextA = "the same document shipped five ways"
+  private val m38TextA = "the same document shipped six ways"
   private val m38TextB = "a different document entirely"
 
   private def writeM38Fixture(s: SparkSession): Unit = {
@@ -564,7 +565,9 @@ object MediaGateQueries {
       (5L, "odt", OdtFixture.odt(Seq(
         OdtFixture.para(OdtFixture.T(m38TextA))))),
       (6L, "rtf", s"{\\rtf1\\ansi $m38TextA\\par}"
-        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+      (7L, "doc", LegacyDocFixture.doc(Seq(
+        LegacyDocFixture.Piece(m38TextA + "\r", compressed = true)))))
     s.createDataset(rows).toDF("doc_id", "fmt", "content")
       .coalesce(1).write.mode("overwrite").parquet(m38Dir)
   }
@@ -638,7 +641,62 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m40Dir)
   }
 
+  // -- m41 fixture: legacy .doc from the INDEPENDENT CFB+FIB writer —
+  //    compressed and UTF-16 pieces, field ranges, cell marks,
+  //    1Table routing, Prc skip, encryption refusal; literal
+  //    expectations ride the fixture.
+  private val m41Dir = "/tmp/graft_gate_m41_doc"
+
+  private def writeM41Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    import LegacyDocFixture.Piece
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      (0L, LegacyDocFixture.doc(Seq(
+        Piece("Hello world!\rSecond para\r", compressed = true))),
+        2, "Hello world!\nSecond para"),
+      // pieces in CP order across encodings; cp1252 high range
+      (1L, LegacyDocFixture.doc(Seq(
+        Piece("café then ", compressed = true),
+        Piece("καλημέρα", compressed = false),
+        Piece("\r", compressed = true))),
+        1, "café then καλημέρα"),
+      // field instruction drops, result stays; 1Table routing; Prc skip
+      (2L, LegacyDocFixture.doc(Seq(
+        Piece("see \u0013HYPERLINK x\u0014the link\u0015 here\r",
+          compressed = false)),
+        oneTable = true, prcPrefix = true),
+        1, "see the link here"),
+      // cell marks break cells into paragraphs (the Docx/Odt posture)
+      (3L, LegacyDocFixture.doc(Seq(
+        Piece("cell one\u0007cell two\u0007\r", compressed = true))),
+        2, "cell one\ncell two"),
+      // encrypted → NULL
+      (4L, LegacyDocFixture.doc(Seq(
+        Piece("secret\r", compressed = true)), encrypted = true),
+        -1, "<undecodable>"),
+      (5L, "not a compound file".getBytes("UTF-8"),
+        -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m41Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m41: legacy .doc extraction — CFB walk + FIB/piece-table
+    //    decode; expectations ride the fixture. --------------------
+    "m41_doc_extract" -> { (s, _) =>
+      writeM41Fixture(s)
+      import graft.engine.read.Doc
+      val ext = udf { (b: Array[Byte]) =>
+        Doc.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m41Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m40: RTF extraction — group/control-word walk, code pages,
     //    unicode fallbacks; expectations ride the fixture. ----------
     "m40_rtf_extract" -> { (s, _) =>
@@ -672,22 +730,24 @@ object MediaGateQueries {
     },
 
     // -- m38: cross-format document dedup — the unified text layer's
-    //    point: a PDF, EPUB, DOCX, ODT and RTF of the SAME document
-    //    extract to identical text and exact-dedup to the min-id
-    //    copy. ------------------------------------------------------
+    //    point: a PDF, EPUB, DOCX, ODT, RTF and legacy DOC of the SAME
+    //    document extract to identical text and exact-dedup to the
+    //    min-id copy. ------------------------------------------------
     "m38_document_mix" -> { (s, _) =>
       writeM38Fixture(s)
-      import graft.engine.read.{Docx, Epub, Odt, Pdf, Rtf}
+      import graft.engine.read.{Doc, Docx, Epub, Odt, Pdf, Rtf}
       val pdfT = udf { (b: Array[Byte]) => Pdf.extractText(b).map(_.text) }
       val docxT = udf { (b: Array[Byte]) => Docx.extractText(b).map(_.text) }
       val odtT = udf { (b: Array[Byte]) => Odt.extractText(b).map(_.text) }
       val rtfT = udf { (b: Array[Byte]) => Rtf.extractText(b).map(_.text) }
+      val docT = udf { (b: Array[Byte]) => Doc.extractText(b).map(_.text) }
       val docs = s.read.parquet(m38Dir)
         .withColumn("text",
           when(col("fmt") === "pdf", pdfT(col("content")))
             .when(col("fmt") === "docx", docxT(col("content")))
             .when(col("fmt") === "odt", odtT(col("content")))
             .when(col("fmt") === "rtf", rtfT(col("content")))
+            .when(col("fmt") === "doc", docT(col("content")))
             .otherwise(Epub.textCol(col("content"))))
         .filter(col("text").isNotNull)
         .select("doc_id", "fmt", "text")
@@ -961,6 +1021,10 @@ object MediaGateQueries {
          |  t(doc_id, fmt, text)
          |ORDER BY doc_id""".stripMargin,
     // Literal expectations ride the fixture.
+    "m41_doc_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m41Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m40_rtf_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
          |FROM read_parquet('$m40Dir/*.parquet')

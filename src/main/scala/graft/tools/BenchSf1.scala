@@ -68,7 +68,12 @@ object BenchSf1 {
     graft.Tables.embeddings(spark, sf1Dir).count()
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // positional args = subset mode (local re-checks of flagged
+    // queries): results go to a side file, baseline never updates
+    val only = args.filterNot(_.startsWith("--")).toSet
+    val subsetMode = only.nonEmpty
     val known = Heavy.filter(SparkEntry.queries.contains)
+      .filter(n => only.isEmpty || only.contains(n))
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     for (_ <- 1 to iters; name <- known) {
@@ -86,12 +91,13 @@ object BenchSf1 {
     val med = known.map(n => n -> median(samples(n))).toMap
     val json = known.map(n => s""""$n":${f"${med(n)}%.3f"}""")
       .mkString("{\"sf\":\"sf1(10x-sf0.1)\",\"queries\":{", ",", "}}")
-    java.nio.file.Files.write(java.nio.file.Paths.get(resultPath),
+    val outPath = if (subsetMode) resultPath + ".subset" else resultPath
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
-    println(s"[bench-sf1] wrote $resultPath")
+    println(s"[bench-sf1] wrote $outPath")
 
     val basePath = java.nio.file.Paths.get(baselinePath)
-    if (rebaseline || !java.nio.file.Files.exists(basePath)) {
+    if (!subsetMode && (rebaseline || !java.nio.file.Files.exists(basePath))) {
       java.nio.file.Files.write(basePath, json.getBytes("UTF-8"))
       println(s"[bench-sf1] baseline recorded at $baselinePath")
       spark.stop()
