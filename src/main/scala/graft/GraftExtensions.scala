@@ -32,6 +32,8 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   odt_text(bytes)                     → string (ODT body text)
   *   rtf_text(bytes)                     → string (RTF body text)
   *   doc_text(bytes)                     → string (legacy .doc body text)
+  *   document_format(bytes)              → string (format by payload magic)
+  *   document_text(bytes)                → string (auto-routed body text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -71,6 +73,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.odtText)
     ext.injectFunction(GraftExtensions.rtfText)
     ext.injectFunction(GraftExtensions.docText)
+    ext.injectFunction(GraftExtensions.documentFormat)
+    ext.injectFunction(GraftExtensions.documentText)
   }
 }
 
@@ -232,6 +236,22 @@ object GraftExtensions {
         "Word compound file.",
       classOf[graft.functions.DocTextExtract],
       graft.functions.DocTextExtract(_))
+
+  val documentFormat: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("document_format",
+      "document_format(bytes) - detected document format (pdf/docx/" +
+        "odt/epub/rtf/doc/xls/ppt/encrypted-ooxml/zip/cfb) from the " +
+        "payload magic; NULL when unrecognized.",
+      classOf[graft.functions.DocumentFormat],
+      graft.functions.DocumentFormat(_))
+
+  val documentText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("document_text",
+      "document_text(bytes) - body text with the extractor " +
+        "auto-routed from the payload magic; NULL when unrecognized " +
+        "or undecodable.",
+      classOf[graft.functions.DocumentText],
+      graft.functions.DocumentText(_))
 
   val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("image_phash",
@@ -579,7 +599,8 @@ object GraftExtensions {
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
-      pdfText, docxText, odtText, rtfText, docText).foreach {
+      pdfText, docxText, odtText, rtfText, docText,
+      documentFormat, documentText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -139,6 +139,36 @@ case class DocTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `document_format(bytes)` → string —
+  * [[graft.engine.read.DocumentProbe.probe]]: the detected document
+  * format (pdf/docx/odt/epub/rtf/doc/xls/ppt/encrypted-ooxml/zip/
+  * cfb); NULL when unrecognized.
+  */
+case class DocumentFormat(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "document_format"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.DocumentProbe.probe(bytes)
+      .map(m => UTF8String.fromString(m.format)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `document_text(bytes)` → string —
+  * [[graft.engine.read.DocumentProbe.extractText]]: body text with
+  * the extractor AUTO-ROUTED from the payload magic; NULL when
+  * unrecognized, out of decode scope, or encrypted.
+  */
+case class DocumentText(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "document_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.DocumentProbe.extractText(bytes)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `video_signature(aviBytes)` → array<bigint> —
   * [[graft.multimodal.VideoFrameHash.frameHashes]] at the default
   * frame budget; NULL when the payload is not a frame-bearing AVI or

@@ -212,16 +212,17 @@ object MediaDecoder {
         case None => decodeStub(kind, rawBytes)
       }
     case "document" =>
-      // REAL structural probe for PDFs ([[graft.engine.read.Pdf.meta]]
-      // — version/page count/encryption from the xref walk, no text
-      // decode); page count rides `nFrames`. Encrypted documents
-      // inventory with an "encrypted" status so a curation pass can
-      // count and route them.
+      // REAL structural probe for every document modality
+      // ([[graft.engine.read.DocumentProbe]] — format by magic, PDF
+      // page count/encryption from the xref walk, no text decode);
+      // page count rides `nFrames`. Encrypted documents inventory
+      // with an "encrypted" status so a curation pass can count and
+      // route them.
       val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
-      graft.engine.read.Pdf.meta(bytes) match {
+      graft.engine.read.DocumentProbe.probe(bytes) match {
         case Some(m) => Multimodal.MediaMeta(
           kind = "document", width = -1, height = -1,
-          nFrames = math.max(m.nPages, 0),
+          nFrames = math.max(m.units, 0),
           sampleRateHz = 0, channels = 0, bitsPerSample = 0,
           nBytes = bytes.length.toLong, sha256 = sha256Hex(bytes),
           decodeStatus = if (m.encrypted) "encrypted" else "ok")

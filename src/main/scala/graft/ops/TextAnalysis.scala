@@ -1219,6 +1219,18 @@ object TextAnalysis {
 
   def htmlToText(html: Column): Column = foldCascade(html, htmlSteps)
 
+  /** JVM-side replay of the EXACT [[htmlSteps]] cascade (same Java
+    * regex semantics `regexp_replace` compiles to), for kernels that
+    * need HTML→text inside one expression ([[graft.engine.read
+    * .DocumentProbe]]'s auto-routed `document_text`). Column path and
+    * kernel path stay in lockstep by construction — one step list.
+    */
+  private[graft] def htmlToTextKernel(html: String): String =
+    htmlSteps.foldLeft(if (html == null) "" else html) {
+      case (acc, (true, pat, rep)) => acc.replaceAll(pat, rep)
+      case (acc, (false, from, to)) => acc.replace(from, to)
+    }
+
   // ------------------------------------------------ block-level extraction
 
   /** Block-element boundary for [[htmlBlockFeatures]]: OPEN and CLOSE

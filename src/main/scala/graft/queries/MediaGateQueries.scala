@@ -680,7 +680,65 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m41Dir)
   }
 
+  // -- m42 fixture: a MIXED document column with unreliable labels —
+  //    the dispatch key must be the payload magic. All six readable
+  //    formats plus the classify-only and refusal classes.
+  private val m42Dir = "/tmp/graft_gate_m42_docprobe"
+
+  private def writeM42Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val t = "route by magic"
+    val rows: Seq[(Long, Array[Byte], String, String)] = Seq(
+      (0L, PdfFixture.simplePdf(Seq(
+        s"BT /F1 12 Tf ${PdfFixture.lit(t)} Tj ET")), "pdf", t),
+      (1L, DocxFixture.docx(Seq(
+        DocxFixture.para(DocxFixture.T(t)))), "docx", t),
+      (2L, OdtFixture.odt(Seq(
+        OdtFixture.para(OdtFixture.T(t)))), "odt", t),
+      (3L, EpubFixture.epub("R", Seq(
+        "c.xhtml" -> EpubFixture.xhtml(t))), "epub", t),
+      (4L, s"{\\rtf1 $t\\par}".getBytes("ISO-8859-1"), "rtf", t),
+      (5L, LegacyDocFixture.doc(Seq(
+        LegacyDocFixture.Piece(t + "\r", compressed = true))), "doc", t),
+      // refusals: encrypted PDF and encrypted legacy doc classify but
+      // never decode
+      (6L, PdfFixture.encryptedPdf("x"), "pdf", "<undecodable>"),
+      (7L, LegacyDocFixture.doc(Seq(
+        LegacyDocFixture.Piece("x\r", compressed = true)),
+        encrypted = true), "doc", "<undecodable>"),
+      // classify-only legacy kinds
+      (8L, LegacyDocFixture.cfb(Seq(
+        "Workbook" -> Array[Byte](1, 2, 3))), "xls", "<undecodable>"),
+      (9L, LegacyDocFixture.cfb(Seq(
+        "EncryptionInfo" -> Array[Byte](1),
+        "EncryptedPackage" -> Array[Byte](2))),
+        "encrypted-ooxml", "<undecodable>"),
+      // a plain zip and plain junk
+      (10L, EpubFixture.zip(Seq("readme.txt" -> "hi".getBytes)),
+        "zip", "<undecodable>"),
+      (11L, "no document here".getBytes("UTF-8"),
+        "<unknown>", "<undecodable>"))
+    s.createDataset(rows)
+      .toDF("doc_id", "content", "exp_format", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m42Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m42: unified document probe — format by payload magic and
+    //    auto-routed text across all six modalities; expectations
+    //    ride the fixture. ------------------------------------------
+    "m42_document_probe" -> { (s, _) =>
+      writeM42Fixture(s)
+      import graft.engine.read.DocumentProbe
+      s.read.parquet(m42Dir)
+        .select(col("doc_id"),
+          coalesce(DocumentProbe.formatCol(col("content")),
+            lit("<unknown>")).as("format"),
+          coalesce(DocumentProbe.textCol(col("content")),
+            lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m41: legacy .doc extraction — CFB walk + FIB/piece-table
     //    decode; expectations ride the fixture. --------------------
     "m41_doc_extract" -> { (s, _) =>
@@ -1021,6 +1079,10 @@ object MediaGateQueries {
          |  t(doc_id, fmt, text)
          |ORDER BY doc_id""".stripMargin,
     // Literal expectations ride the fixture.
+    "m42_document_probe" ->
+      s"""SELECT doc_id, exp_format AS format, exp_text AS text
+         |FROM read_parquet('$m42Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m41_doc_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
          |FROM read_parquet('$m41Dir/*.parquet')

@@ -1,0 +1,91 @@
+package graft.engine.read
+
+import graft.queries.{DocxFixture, EpubFixture, LegacyDocFixture, OdtFixture, PdfFixture}
+
+class DocumentProbeSpec extends graft.SparkSpec {
+
+  private val t = "the routed text"
+
+  test("format detection by payload magic across all kinds") {
+    def fmt(b: Array[Byte]) = DocumentProbe.probe(b).map(_.format)
+    assert(fmt(PdfFixture.simplePdf(Seq(
+      s"BT ${PdfFixture.lit(t)} Tj ET"))).contains("pdf"))
+    assert(fmt(DocxFixture.docx(Seq(
+      DocxFixture.para(DocxFixture.T(t))))).contains("docx"))
+    assert(fmt(OdtFixture.odt(Seq(
+      OdtFixture.para(OdtFixture.T(t))))).contains("odt"))
+    assert(fmt(EpubFixture.epub("T", Seq(
+      "c.xhtml" -> EpubFixture.xhtml(t)))).contains("epub"))
+    assert(fmt(s"{\\rtf1 $t\\par}".getBytes("ISO-8859-1")).contains("rtf"))
+    assert(fmt(LegacyDocFixture.doc(Seq(
+      LegacyDocFixture.Piece(t + "\r", compressed = true)))).contains("doc"))
+    assert(fmt(LegacyDocFixture.cfb(Seq(
+      "Workbook" -> Array[Byte](1)))).contains("xls"))
+    assert(fmt(LegacyDocFixture.cfb(Seq(
+      "EncryptionInfo" -> Array[Byte](1),
+      "EncryptedPackage" -> Array[Byte](2)))).contains("encrypted-ooxml"))
+    assert(fmt(EpubFixture.zip(Seq("x.txt" -> "x".getBytes))).contains("zip"))
+    assert(fmt("plain text".getBytes).isEmpty)
+    assert(fmt(null).isEmpty)
+  }
+
+  test("pdf pages and encryption ride the probe") {
+    val m = DocumentProbe.probe(PdfFixture.simplePdf(Seq(
+      "BT (a) Tj ET", "BT (b) Tj ET"))).get
+    assert(m.format == "pdf" && m.units == 2 && !m.encrypted)
+    val enc = DocumentProbe.probe(PdfFixture.encryptedPdf("x")).get
+    assert(enc.format == "pdf" && enc.encrypted)
+    val encDoc = DocumentProbe.probe(LegacyDocFixture.doc(Seq(
+      LegacyDocFixture.Piece("x\r", compressed = true)),
+      encrypted = true)).get
+    assert(encDoc.format == "doc" && encDoc.encrypted)
+  }
+
+  test("extractText auto-routes to every readable extractor") {
+    def txt(b: Array[Byte]) = DocumentProbe.extractText(b)
+    assert(txt(PdfFixture.simplePdf(Seq(
+      s"BT ${PdfFixture.lit(t)} Tj ET"))).contains(t))
+    assert(txt(DocxFixture.docx(Seq(
+      DocxFixture.para(DocxFixture.T(t))))).contains(t))
+    assert(txt(OdtFixture.odt(Seq(
+      OdtFixture.para(OdtFixture.T(t))))).contains(t))
+    assert(txt(s"{\\rtf1 $t\\par}".getBytes("ISO-8859-1")).contains(t))
+    assert(txt(LegacyDocFixture.doc(Seq(
+      LegacyDocFixture.Piece(t + "\r", compressed = true)))).contains(t))
+    // epub routes through the kernel-side htmlToText replay
+    assert(txt(EpubFixture.epub("T", Seq(
+      "c.xhtml" -> EpubFixture.xhtml(t)))).contains(t))
+    // classify-only and refusal classes are NULL
+    assert(txt(LegacyDocFixture.cfb(Seq("Workbook" -> Array[Byte](1)))).isEmpty)
+    assert(txt(PdfFixture.encryptedPdf("x")).isEmpty)
+    assert(txt("junk".getBytes).isEmpty)
+  }
+
+  test("epub kernel text matches the Column cascade byte for byte") {
+    val book = EpubFixture.epub("T", Seq(
+      "a.xhtml" -> EpubFixture.xhtml("first chapter", "with <b>bold</b> &amp; entities"),
+      "b.xhtml" -> EpubFixture.xhtml("second chapter")))
+    import spark.implicits._
+    val viaColumn = Seq(book).toDF("content")
+      .select(Epub.textCol(org.apache.spark.sql.functions.col("content")))
+      .as[String].head()
+    assert(DocumentProbe.extractText(book).contains(viaColumn))
+  }
+
+  test("document_format and document_text SQL functions") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("sql docx"))))),
+      (2L, s"{\\rtf1 sql rtf\\par}".getBytes("ISO-8859-1")),
+      (3L, "junk".getBytes)).toDF("id", "content")
+    df.createOrReplaceTempView("mixed_docs")
+    val got = spark.sql(
+      """SELECT id, document_format(content) AS f,
+        |       document_text(content) AS t
+        |FROM mixed_docs ORDER BY id""".stripMargin).collect()
+    assert(got(0).getString(1) == "docx" && got(0).getString(2) == "sql docx")
+    assert(got(1).getString(1) == "rtf" && got(1).getString(2) == "sql rtf")
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+  }
+}
