@@ -34,6 +34,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   doc_text(bytes)                     → string (legacy .doc body text)
   *   document_format(bytes)              → string (format by payload magic)
   *   document_text(bytes)                → string (auto-routed body text)
+  *   latex_to_text(src)                  → string (detexed plain text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -75,6 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.docText)
     ext.injectFunction(GraftExtensions.documentFormat)
     ext.injectFunction(GraftExtensions.documentText)
+    ext.injectFunction(GraftExtensions.latexToText)
   }
 }
 
@@ -252,6 +254,18 @@ object GraftExtensions {
         "or undecodable.",
       classOf[graft.functions.DocumentText],
       graft.functions.DocumentText(_))
+
+  val latexToText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("latex_to_text"),
+    info(classOf[graft.functions.LatexToText].getName, "latex_to_text",
+      "latex_to_text(src) - plain text of a LaTeX source: comments/" +
+        "math/markup commands drop, argument groups stay transparent, " +
+        "verbatim copies raw, accents compose; NULL propagates."),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => graft.functions.LatexToText(t)
+      case _ => throw new IllegalArgumentException(
+        "latex_to_text expects exactly 1 argument")
+    })
 
   val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("image_phash",
@@ -600,7 +614,7 @@ object GraftExtensions {
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText,
-      documentFormat, documentText).foreach {
+      documentFormat, documentText, latexToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

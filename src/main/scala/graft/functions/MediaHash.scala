@@ -35,6 +35,34 @@ abstract class MediaHashExpression extends UnaryExpression
   }
 }
 
+/** `latex_to_text(src)` → string — [[graft.ops.Latex.extractText]]:
+  * detexed plain text. A kernel expression, not a catalyst cascade:
+  * TeX comments/math/environments/balanced groups need the stateful
+  * tokenizer; CodegenFallback is the right trade (the per-row cost is
+  * the parse). NULL propagates.
+  */
+case class LatexToText(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def prettyName: String = "latex_to_text"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: argument must be STRING, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else UTF8String.fromString(
+      graft.ops.Latex.extractText(v.asInstanceOf[UTF8String].toString).text)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `image_dhash(bytes)` → bigint — [[graft.multimodal.ImageHash.dhash64]]. */
 case class ImageDhash(child: Expression) extends MediaHashExpression {
   override def prettyName: String = "image_dhash"

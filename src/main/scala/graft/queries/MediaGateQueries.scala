@@ -723,7 +723,52 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m42Dir)
   }
 
+  // -- m43 fixture: LaTeX sources hand-authored forward from the TeX
+  //    surface grammar (text format — the strings ARE the independent
+  //    fixture); literal expectations ride along.
+  private val m43Dir = "/tmp/graft_gate_m43_latex"
+
+  private def writeM43Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, String, Int, String)] = Seq(
+      (0L, "\\documentclass{article}\n\\begin{document}\n" +
+        "\\section{Intro}\nHello \\emph{world}~here. % comment\n" +
+        "Math $x+y$ drops.\n\n\\par Done.\n\\end{document}\n",
+        3, "Intro\nHello world here.\nMath drops.\nDone."),
+      (1L, "Caf\\'e costs 5~EUR.\n\\begin{equation}\nE=mc^2\n" +
+        "\\end{equation}\nAfter \\begin{itemize}\\item one \\item two" +
+        "\\end{itemize} list.\n\\begin{verbatim}\nraw <code> $x$\n" +
+        "\\end{verbatim}\nEnd.",
+        4, "Café costs 5 EUR.\nAfter one two list.\nraw <code> $x$\nEnd."),
+      (2L, "See~\\cite{x2020} and \\ref{fig:1}.\\footnote{drop me} " +
+        "Also \\href{http://x}{link text} and \\url{http://y} end.",
+        1, "See and . Also link text and end."),
+      (3L, "\\begin{figure}[h]\\includegraphics[width=5cm]{img.png}" +
+        "\\caption{A nice plot}\\label{fig:x}\\end{figure}Body.",
+        2, "A nice plot\nBody."))
+    s.createDataset(rows).toDF("doc_id", "src", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m43Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m43: LaTeX detex — tokenizer over comments/math/envs/groups;
+    //    expectations ride the fixture. -----------------------------
+    "m43_latex_extract" -> { (s, _) =>
+      writeM43Fixture(s)
+      import graft.ops.Latex
+      val ext = udf { (src: String) =>
+        Option(src).map { t =>
+          val r = Latex.extractText(t); (r.nParagraphs, r.text)
+        }
+      }
+      s.read.parquet(m43Dir)
+        .withColumn("__t", ext(col("src")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<null>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m42: unified document probe — format by payload magic and
     //    auto-routed text across all six modalities; expectations
     //    ride the fixture. ------------------------------------------
@@ -1079,6 +1124,10 @@ object MediaGateQueries {
          |  t(doc_id, fmt, text)
          |ORDER BY doc_id""".stripMargin,
     // Literal expectations ride the fixture.
+    "m43_latex_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m43Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m42_document_probe" ->
       s"""SELECT doc_id, exp_format AS format, exp_text AS text
          |FROM read_parquet('$m42Dir/*.parquet')
