@@ -32,6 +32,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   odt_text(bytes)                     → string (ODT body text)
   *   rtf_text(bytes)                     → string (RTF body text)
   *   doc_text(bytes)                     → string (legacy .doc body text)
+  *   ppt_text(bytes)                     → string (legacy .ppt deck text)
   *   document_format(bytes)              → string (format by payload magic)
   *   document_text(bytes)                → string (auto-routed body text)
   *   latex_to_text(src)                  → string (detexed plain text)
@@ -74,6 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.odtText)
     ext.injectFunction(GraftExtensions.rtfText)
     ext.injectFunction(GraftExtensions.docText)
+    ext.injectFunction(GraftExtensions.pptText)
     ext.injectFunction(GraftExtensions.documentFormat)
     ext.injectFunction(GraftExtensions.documentText)
     ext.injectFunction(GraftExtensions.latexToText)
@@ -238,6 +240,14 @@ object GraftExtensions {
         "Word compound file.",
       classOf[graft.functions.DocTextExtract],
       graft.functions.DocTextExtract(_))
+
+  val pptText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("ppt_text",
+      "ppt_text(bytes) - legacy PowerPoint (.ppt) deck text (slides " +
+        "and notes) joined by newline; NULL when not a readable " +
+        "unencrypted PowerPoint compound file.",
+      classOf[graft.functions.PptTextExtract],
+      graft.functions.PptTextExtract(_))
 
   val documentFormat: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("document_format",
@@ -613,7 +623,7 @@ object GraftExtensions {
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
-      pdfText, docxText, odtText, rtfText, docText,
+      pdfText, docxText, odtText, rtfText, docText, pptText,
       documentFormat, documentText, latexToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)

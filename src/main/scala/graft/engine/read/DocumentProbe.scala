@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions.udf
   *  - `%PDF-` (incl. the junk-prefixed recovery class [[Pdf.meta]]
   *    re-anchors) → pdf, with page count and encryption flag
   *
-  * `extractText` routes to the matching extractor and returns None
-  * for classifiable-but-undecodable kinds (xls/ppt payload decode is
-  * out of scope; encrypted anything is NULL by house stance), so one
-  * `document_text(bytes)` call turns a mixed crawl column into the
-  * unified text layer the cross-format dedup gate (m38) pins.
+  * `extractText` routes to the matching extractor (pdf/docx/odt/epub/
+  * rtf/doc/ppt) and returns None for classifiable-but-undecodable
+  * kinds (xls payload decode is out of scope; encrypted anything is
+  * NULL by house stance), so one `document_text(bytes)` call turns a
+  * mixed crawl column into the unified text layer the cross-format
+  * dedup gate (m38) pins.
   */
 object DocumentProbe {
 
@@ -62,6 +63,7 @@ object DocumentProbe {
         case "odt"  => Odt.extractText(bytes).map(_.text)
         case "rtf"  => Rtf.extractText(bytes).map(_.text)
         case "doc"  => Doc.extractText(bytes).map(_.text)
+        case "ppt"  => Ppt.extractText(bytes).map(_.text)
         case "epub" =>
           // the Column path joins htmlToText'd chapters by form feed
           // and trims spaces; the kernel replays the same cascade

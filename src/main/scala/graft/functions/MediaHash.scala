@@ -167,6 +167,20 @@ case class DocTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `ppt_text(bytes)` → string — [[graft.engine.read.Ppt.extractText]]:
+  * legacy PowerPoint deck text (slides + notes) joined by newline;
+  * NULL when not a readable (unencrypted) PowerPoint CFB.
+  */
+case class PptTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "ppt_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Ppt.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `document_format(bytes)` → string —
   * [[graft.engine.read.DocumentProbe.probe]]: the detected document
   * format (pdf/docx/odt/epub/rtf/doc/xls/ppt/encrypted-ooxml/zip/

@@ -709,6 +709,12 @@ object MediaGateQueries {
       // classify-only legacy kinds
       (8L, LegacyDocFixture.cfb(Seq(
         "Workbook" -> Array[Byte](1, 2, 3))), "xls", "<undecodable>"),
+      // legacy PowerPoint decodes; an encrypted deck refuses
+      (12L, PptFixture.ppt(Seq(
+        PptFixture.textCharsAtom(t))), "ppt", t),
+      (13L, PptFixture.ppt(Seq(
+        PptFixture.encryptionAtom(),
+        PptFixture.textCharsAtom("x"))), "ppt", "<undecodable>"),
       (9L, LegacyDocFixture.cfb(Seq(
         "EncryptionInfo" -> Array[Byte](1),
         "EncryptedPackage" -> Array[Byte](2))),
