@@ -33,6 +33,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   rtf_text(bytes)                     → string (RTF body text)
   *   doc_text(bytes)                     → string (legacy .doc body text)
   *   ppt_text(bytes)                     → string (legacy .ppt deck text)
+  *   xls_text(bytes)                     → string (legacy .xls cell text)
   *   document_format(bytes)              → string (format by payload magic)
   *   document_text(bytes)                → string (auto-routed body text)
   *   latex_to_text(src)                  → string (detexed plain text)
@@ -76,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rtfText)
     ext.injectFunction(GraftExtensions.docText)
     ext.injectFunction(GraftExtensions.pptText)
+    ext.injectFunction(GraftExtensions.xlsText)
     ext.injectFunction(GraftExtensions.documentFormat)
     ext.injectFunction(GraftExtensions.documentText)
     ext.injectFunction(GraftExtensions.latexToText)
@@ -248,6 +250,14 @@ object GraftExtensions {
         "unencrypted PowerPoint compound file.",
       classOf[graft.functions.PptTextExtract],
       graft.functions.PptTextExtract(_))
+
+  val xlsText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("xls_text",
+      "xls_text(bytes) - legacy Excel (.xls) referenced cell text " +
+        "joined by newline; NULL when not a readable unencrypted " +
+        "Excel compound file.",
+      classOf[graft.functions.XlsTextExtract],
+      graft.functions.XlsTextExtract(_))
 
   val documentFormat: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("document_format",
@@ -623,7 +633,7 @@ object GraftExtensions {
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
-      pdfText, docxText, odtText, rtfText, docText, pptText,
+      pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       documentFormat, documentText, latexToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)

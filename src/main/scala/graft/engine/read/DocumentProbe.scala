@@ -22,11 +22,10 @@ import org.apache.spark.sql.functions.udf
   *    re-anchors) → pdf, with page count and encryption flag
   *
   * `extractText` routes to the matching extractor (pdf/docx/odt/epub/
-  * rtf/doc/ppt) and returns None for classifiable-but-undecodable
-  * kinds (xls payload decode is out of scope; encrypted anything is
-  * NULL by house stance), so one `document_text(bytes)` call turns a
-  * mixed crawl column into the unified text layer the cross-format
-  * dedup gate (m38) pins.
+  * rtf/doc/ppt/xls) and returns None for unrecognized payloads and
+  * encrypted anything (NULL by house stance), so one
+  * `document_text(bytes)` call turns a mixed crawl column into the
+  * unified text layer the cross-format dedup gate (m38) pins.
   */
 object DocumentProbe {
 
@@ -43,8 +42,12 @@ object DocumentProbe {
       return Ole2.classify(bytes).map {
         case "encrypted-ooxml" => DocMeta("encrypted-ooxml", 0, encrypted = true)
         case kind =>
-          val enc = kind == "doc" &&
-            Doc.extractText(bytes).isEmpty && wordEncrypted(bytes)
+          val enc = kind match {
+            case "doc" => wordEncrypted(bytes)
+            case "xls" => Xls.isEncrypted(bytes)
+            case "ppt" => Ppt.isEncrypted(bytes)
+            case _     => false
+          }
           DocMeta(kind, 0, enc)
       }
     if (bytes(0) == 'P' && bytes(1) == 'K') return zipKind(bytes)
@@ -64,6 +67,7 @@ object DocumentProbe {
         case "rtf"  => Rtf.extractText(bytes).map(_.text)
         case "doc"  => Doc.extractText(bytes).map(_.text)
         case "ppt"  => Ppt.extractText(bytes).map(_.text)
+        case "xls"  => Xls.extractText(bytes).map(_.text)
         case "epub" =>
           // the Column path joins htmlToText'd chapters by form feed
           // and trims spaces; the kernel replays the same cascade

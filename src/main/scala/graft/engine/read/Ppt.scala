@@ -84,6 +84,31 @@ object Ppt {
     Some(PptText(paras.length, paras.mkString("\n")))
   }
 
+  /** True when the deck carries a DocumentEncryptionAtom — the same
+    * bounded walk, no text decode.
+    */
+  def isEncrypted(bytes: Array[Byte]): Boolean =
+    Ole2.streams(bytes).flatMap(_.get("PowerPoint Document")).exists { doc =>
+      var found = false
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        if (depth > 32) return
+        var pos = from
+        while (pos + 8 <= to && !found) {
+          val verInst = u16(doc, pos)
+          val recType = u16(doc, pos + 2)
+          val len = u32(doc, pos + 4)
+          val bodyStart = pos + 8
+          if (len < 0 || bodyStart + len > to) return
+          if (recType == EncryptionAtom) { found = true; return }
+          if ((verInst & 0x0F) == 0x0F)
+            walk(bodyStart, (bodyStart + len).toInt, depth + 1)
+          pos = (bodyStart + len).toInt
+        }
+      }
+      walk(0, doc.length, 0)
+      found
+    }
+
   private val textUdf = org.apache.spark.sql.functions.udf {
     (bytes: Array[Byte]) => extractText(bytes).map(_.text)
   }

@@ -1,0 +1,205 @@
+package graft.engine.read
+
+/** Legacy .xls (Excel 97–2003 BIFF8, the public MS-XLS spec) text
+  * extraction — the third legacy Office kind on the [[Ole2]] walk.
+  * The verifiable subset: the `Workbook` stream is a sequence of
+  * (type, length, payload) records; cell text lives in the shared
+  * string table (`SST`, one `XLUnicodeRichExtendedString` per unique
+  * string — compressed Latin-1 or UTF-16LE per its option flags, rich
+  * runs and phonetic blocks skipped by their declared lengths) and is
+  * referenced by `LabelSST` cell records in stream order.
+  *
+  * SST payloads split across `Continue` records, and the split
+  * re-states the option byte (a string can change encoding mid-way) —
+  * the reader walks a chunk list with a boundary-aware char reader,
+  * exactly the corner the spec calls out. Each referenced cell is a
+  * paragraph (the table-reads-as-row-ish-text posture shared with
+  * [[Docx]]/[[Odt]]/[[Doc]]); duplicate references repeat their
+  * string, exactly as the sheet displays it.
+  *
+  * None when not CFB, no `Workbook`/`Book` stream, or the workbook
+  * carries a `FilePass` record (encrypted/obfuscated — refuse, the
+  * house stance). A workbook with no string cells extracts as zero
+  * paragraphs (a numbers-only sheet is a valid empty text document).
+  */
+object Xls {
+
+  final case class XlsText(nParagraphs: Int, text: String)
+
+  private val RecSST = 0x00FC
+  private val RecContinue = 0x003C
+  private val RecLabelSst = 0x00FD
+  private val RecFilePass = 0x002F
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  def extractText(bytes: Array[Byte]): Option[XlsText] = {
+    val files = Ole2.streams(bytes) match {
+      case Some(f) => f
+      case None    => return None
+    }
+    val wb = files.get("Workbook").orElse(files.get("Book")) match {
+      case Some(w) => w
+      case None    => return None
+    }
+
+    // one pass: find the SST (with its Continue chunks) and the
+    // LabelSST references in stream order
+    var sstChunks: Vector[(Int, Int)] = Vector.empty // (start, len) in wb
+    var collectingSst = false
+    val refs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = 0
+    while (pos + 4 <= wb.length) {
+      val typ = u16(wb, pos)
+      val len = u16(wb, pos + 2)
+      val body = pos + 4
+      if (body + len > wb.length) pos = wb.length // torn tail stops
+      else {
+        typ match {
+          case RecFilePass => return None // encrypted
+          case RecSST =>
+            sstChunks = Vector((body, len)); collectingSst = true
+          case RecContinue if collectingSst =>
+            sstChunks = sstChunks :+ ((body, len))
+          case RecLabelSst =>
+            collectingSst = false
+            if (len >= 10) refs += u32(wb, body + 6)
+          case _ =>
+            collectingSst = false
+        }
+        pos = body + len
+      }
+    }
+    if (sstChunks.isEmpty)
+      return Some(XlsText(0, "")) // no string table: numbers-only
+
+    val strings = parseSst(wb, sstChunks) match {
+      case Some(ss) => ss
+      case None     => return None
+    }
+    val paras = refs.toVector
+      .flatMap(i => if (i >= 0 && i < strings.length) Some(strings(i.toInt)) else None)
+      .map(_.trim).filter(_.nonEmpty)
+    Some(XlsText(paras.length, paras.mkString("\n")))
+  }
+
+  /** The SST across its Continue chunks: a boundary-aware cursor that
+    * re-reads the option byte when a STRING's characters straddle a
+    * chunk edge (per spec the continuation restates it).
+    */
+  private def parseSst(wb: Array[Byte],
+                       chunks: Vector[(Int, Int)]): Option[Vector[String]] = try {
+    var chunk = 0
+    var off = 0 // offset within current chunk
+    def remaining: Int = chunks(chunk)._2 - off
+    def atEnd: Boolean = chunk >= chunks.length ||
+      (chunk == chunks.length - 1 && remaining <= 0)
+    def advanceChunk(): Boolean = {
+      if (chunk + 1 >= chunks.length) false
+      else { chunk += 1; off = 0; true }
+    }
+    def need(n: Int): Boolean = {
+      // fixed-width fields never straddle chunks in real writers;
+      // hop to the next chunk when this one is exhausted
+      if (remaining <= 0 && !advanceChunk()) return false
+      remaining >= n
+    }
+    def byteAt(d: Int): Int = wb(chunks(chunk)._1 + off + d) & 0xFF
+    def readU8(): Int = { val v = byteAt(0); off += 1; v }
+    def readU16(): Int = { val v = byteAt(0) | (byteAt(1) << 8); off += 2; v }
+    def readU32(): Long = {
+      val v = byteAt(0).toLong | (byteAt(1).toLong << 8) |
+        (byteAt(2).toLong << 16) | (byteAt(3).toLong << 24)
+      off += 4; v
+    }
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val take = math.min(left, remaining.toLong)
+        off += take.toInt; left -= take
+        if (left > 0 && !advanceChunk()) return
+      }
+    }
+    /** cch chars honoring the per-chunk encoding restart. */
+    def readChars(cch: Int, highFirst: Boolean): String = {
+      val sb = new StringBuilder
+      var left = cch
+      var high = highFirst
+      while (left > 0) {
+        if (remaining <= 0) {
+          if (!advanceChunk()) return sb.toString
+          // the continuation restates the option byte
+          high = (readU8() & 0x01) != 0
+        }
+        val width = if (high) 2 else 1
+        val take = math.min(left, remaining / width)
+        if (take <= 0) {
+          if (!advanceChunk()) return sb.toString
+          high = (readU8() & 0x01) != 0
+        } else {
+          val base = chunks(chunk)._1 + off
+          if (high) sb.append(new String(wb, base, take * 2,
+            java.nio.charset.StandardCharsets.UTF_16LE))
+          else sb.append(new String(wb, base, take,
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+          off += take * width
+          left -= take
+        }
+      }
+      sb.toString
+    }
+
+    if (!need(8)) return Some(Vector.empty)
+    readU32() // cstTotal
+    val cstUnique = readU32()
+    val out = Vector.newBuilder[String]
+    var i = 0L
+    while (i < cstUnique && !atEnd) {
+      if (!need(3)) return Some(out.result())
+      val cch = readU16()
+      val grbit = readU8()
+      val high = (grbit & 0x01) != 0
+      val ext = (grbit & 0x04) != 0
+      val rich = (grbit & 0x08) != 0
+      val cRun = if (rich) { if (!need(2)) return Some(out.result()); readU16() } else 0
+      val cchExt = if (ext) { if (!need(4)) return Some(out.result()); readU32() } else 0L
+      out += readChars(cch, high)
+      skip(cRun.toLong * 4)
+      skip(cchExt)
+      i += 1
+    }
+    Some(out.result())
+  } catch { case _: Exception => None }
+
+  /** True when the workbook carries a FilePass record (encrypted or
+    * XOR-obfuscated) — a record scan, no string decode.
+    */
+  def isEncrypted(bytes: Array[Byte]): Boolean =
+    Ole2.streams(bytes)
+      .flatMap(f => f.get("Workbook").orElse(f.get("Book")))
+      .exists { wb =>
+        var pos = 0
+        var found = false
+        while (pos + 4 <= wb.length && !found) {
+          val typ = u16(wb, pos)
+          val len = u16(wb, pos + 2)
+          if (typ == RecFilePass) found = true
+          if (pos + 4 + len > wb.length) pos = wb.length
+          else pos += 4 + len
+        }
+        found
+      }
+
+  private val textUdf = org.apache.spark.sql.functions.udf {
+    (bytes: Array[Byte]) => extractText(bytes).map(_.text)
+  }
+
+  /** Referenced cell text as a string column; NULL when unreadable. */
+  def textCol(bytesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    textUdf(bytesCol)
+}

@@ -181,6 +181,20 @@ case class PptTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `xls_text(bytes)` → string — [[graft.engine.read.Xls.extractText]]:
+  * legacy Excel referenced cell text joined by newline; NULL when not
+  * a readable (unencrypted) Excel CFB.
+  */
+case class XlsTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "xls_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Xls.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `document_format(bytes)` → string —
   * [[graft.engine.read.DocumentProbe.probe]]: the detected document
   * format (pdf/docx/odt/epub/rtf/doc/xls/ppt/encrypted-ooxml/zip/

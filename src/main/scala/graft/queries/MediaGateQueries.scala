@@ -706,9 +706,14 @@ object MediaGateQueries {
       (7L, LegacyDocFixture.doc(Seq(
         LegacyDocFixture.Piece("x\r", compressed = true)),
         encrypted = true), "doc", "<undecodable>"),
-      // classify-only legacy kinds
-      (8L, LegacyDocFixture.cfb(Seq(
-        "Workbook" -> Array[Byte](1, 2, 3))), "xls", "<undecodable>"),
+      // legacy Excel decodes its referenced cells; encrypted refuses
+      (8L, XlsFixture.workbook(Seq(
+        XlsFixture.sst(Seq(XlsFixture.sstEntry(t)), total = 1),
+        XlsFixture.labelSst(0, 0, 0))), "xls", t),
+      (14L, XlsFixture.workbook(Seq(
+        XlsFixture.filePass(),
+        XlsFixture.sst(Seq(XlsFixture.sstEntry("x")), total = 1))),
+        "xls", "<undecodable>"),
       // legacy PowerPoint decodes; an encrypted deck refuses
       (12L, PptFixture.ppt(Seq(
         PptFixture.textCharsAtom(t))), "ppt", t),
@@ -756,7 +761,64 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m43Dir)
   }
 
+  // -- m44 fixture: BIFF8 workbooks from the INDEPENDENT record
+  //    writer — SST encodings, Continue splits (incl. an encoding
+  //    switch at the split), rich-run skips, duplicate references,
+  //    Book stream name, FilePass refusal.
+  private val m44Dir = "/tmp/graft_gate_m44_xls"
+
+  private def writeM44Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      (0L, XlsFixture.workbook(Seq(
+        XlsFixture.sst(Seq(
+          XlsFixture.sstEntry("alpha"),
+          XlsFixture.sstEntry("καλημέρα", high = true),
+          XlsFixture.sstEntry("styled", richRuns = 2)), total = 4),
+        XlsFixture.labelSst(0, 0, 0),
+        XlsFixture.labelSst(0, 1, 1),
+        XlsFixture.labelSst(1, 0, 2),
+        XlsFixture.labelSst(1, 1, 0))),
+        4, "alpha\nκαλημέρα\nstyled\nalpha"),
+      // the Continue split that switches encodings mid-string
+      (1L, XlsFixture.workbook(
+        XlsFixture.sstWithContinue("abc", "δε", tailHigh = true) :+
+          XlsFixture.labelSst(0, 0, 0)),
+        1, "abcδε"),
+      // numbers-only sheet: valid, empty
+      (2L, XlsFixture.workbook(Seq(XlsFixture.numberCell(0, 0, 42.5))),
+        0, ""),
+      (3L, XlsFixture.workbook(Seq(
+        XlsFixture.sst(Seq(XlsFixture.sstEntry("book95")), total = 1),
+        XlsFixture.labelSst(0, 0, 0)), streamName = "Book"),
+        1, "book95"),
+      (4L, XlsFixture.workbook(Seq(
+        XlsFixture.filePass(),
+        XlsFixture.sst(Seq(XlsFixture.sstEntry("secret")), total = 1))),
+        -1, "<undecodable>"),
+      (5L, "not a workbook".getBytes("UTF-8"),
+        -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m44Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m44: legacy .xls extraction — SST/LabelSST across Continue
+    //    splits; expectations ride the fixture. ---------------------
+    "m44_xls_extract" -> { (s, _) =>
+      writeM44Fixture(s)
+      import graft.engine.read.Xls
+      val ext = udf { (b: Array[Byte]) =>
+        Xls.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m44Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m43: LaTeX detex — tokenizer over comments/math/envs/groups;
     //    expectations ride the fixture. -----------------------------
     "m43_latex_extract" -> { (s, _) =>
@@ -1130,6 +1192,10 @@ object MediaGateQueries {
          |  t(doc_id, fmt, text)
          |ORDER BY doc_id""".stripMargin,
     // Literal expectations ride the fixture.
+    "m44_xls_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m44Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m43_latex_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
          |FROM read_parquet('$m43Dir/*.parquet')

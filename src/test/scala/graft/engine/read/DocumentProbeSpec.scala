@@ -55,8 +55,14 @@ class DocumentProbeSpec extends graft.SparkSpec {
     // epub routes through the kernel-side htmlToText replay
     assert(txt(EpubFixture.epub("T", Seq(
       "c.xhtml" -> EpubFixture.xhtml(t)))).contains(t))
-    // classify-only and refusal classes are NULL
-    assert(txt(LegacyDocFixture.cfb(Seq("Workbook" -> Array[Byte](1)))).isEmpty)
+    // xls routes too: a recordless Workbook is a valid empty document
+    assert(txt(LegacyDocFixture.cfb(Seq("Workbook" -> Array[Byte](1))))
+      .contains(""))
+    assert(txt(graft.queries.XlsFixture.workbook(Seq(
+      graft.queries.XlsFixture.sst(Seq(
+        graft.queries.XlsFixture.sstEntry(t)), total = 1),
+      graft.queries.XlsFixture.labelSst(0, 0, 0)))).contains(t))
+    // refusal classes are NULL
     assert(txt(PdfFixture.encryptedPdf("x")).isEmpty)
     assert(txt("junk".getBytes).isEmpty)
   }
