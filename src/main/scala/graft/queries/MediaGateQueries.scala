@@ -802,7 +802,54 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m44Dir)
   }
 
+  // -- m45 fixture: the adjudicated m26/m35 curation corpus, every
+  //    document in a DIFFERENT format — the magic router must feed
+  //    the pipeline the identical text layer regardless of container.
+  private val m45Dir = "/tmp/graft_gate_m45_mixcur"
+
+  private def writeM45Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def pdf(text: String) =
+      PdfFixture.simplePdf(Seq(s"BT /F1 12 Tf ${PdfFixture.lit(text)} Tj ET"))
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, DocxFixture.docx(Seq(
+        DocxFixture.para(DocxFixture.T(m26SurvivorA))))),
+      (2L, OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T(m26SeenText))))),
+      (3L, ("{\\rtf1 buenas noches amigos hasta manana siempre dijo " +
+        "nadie\\par}").getBytes("ISO-8859-1")),
+      (4L, LegacyDocFixture.doc(Seq(LegacyDocFixture.Piece(
+        "the 1234567890 9876543210 1234567890 to 55555\r",
+        compressed = true)))),
+      (5L, EpubFixture.epub("P", Seq(
+        "p.xhtml" -> EpubFixture.xhtml(m26ProbeText)))),
+      (6L, pdf(m26SurvivorF)),
+      (7L, PdfFixture.encryptedPdf("never readable")))
+    s.createDataset(rows).toDF("doc_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m45Dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m45: mixed-format corpus → magic-routed text → the full
+    //    nine-stage curation pipeline; verdicts are the adjudicated
+    //    m26 set, format-blind. --------------------------------------
+    "m45_mixed_curation" -> { (s, _) =>
+      import s.implicits._
+      writeM45Fixture(s)
+      import graft.engine.read.DocumentProbe
+      val docs = s.read.parquet(m45Dir)
+        .select(col("doc_id"),
+          DocumentProbe.textCol(col("content")).as("text"))
+        .filter(col("text").isNotNull)
+        .withColumn("source", lit("mixed"))
+      val index = graft.ops.Dedup.buildMinhashIndex(
+        Seq((100L, m26SeenText)).toDF("doc_id", "text"), "doc_id", "text")
+      val probes = Seq(m26ProbeText).toDF("text")
+      val out = graft.ops.CurationPipeline.curate(docs, index, probes,
+        "text", graft.ops.CurationPipeline.Config(
+          "doc_id", "text", "source", targetMix = Map("mixed" -> 1)))
+      out.data.orderBy("doc_id")
+    },
+
     // -- m44: legacy .xls extraction — SST/LabelSST across Continue
     //    splits; expectations ride the fixture. ---------------------
     "m44_xls_extract" -> { (s, _) =>
@@ -1229,6 +1276,17 @@ object MediaGateQueries {
       s"""SELECT doc_id, exp_pages AS n_pages, exp_text AS text,
          |  exp_version AS version, exp_encrypted AS encrypted
          |FROM read_parquet('$m34Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    // The adjudicated m26 verdicts, format-blind: the same two
+    // survivors whether the corpus arrived as subtitles (m26), PDFs
+    // (m35) or a six-format mix routed by magic (m45).
+    "m45_mixed_curation" ->
+      s"""SELECT * FROM (VALUES
+         |  (1::BIGINT, 'mixed', 12::BIGINT, 0::BIGINT,
+         |   sha256('$m26SurvivorA')),
+         |  (6::BIGINT, 'mixed', 13::BIGINT, 0::BIGINT,
+         |   sha256('$m26SurvivorF')))
+         |  t(doc_id, source, n_tok, pack_id, content_sha)
          |ORDER BY doc_id""".stripMargin,
     // The adjudicated m26 verdicts with source 'pdf': docs 1 and 6
     // survive (12 and 13 whitespace tokens, one pack), DuckDB
