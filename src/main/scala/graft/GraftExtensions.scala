@@ -37,6 +37,7 @@ import graft.functions.{BoundedTopK, CardCount, CardRedact, CosineSimilarity, Do
   *   document_format(bytes)              → string (format by payload magic)
   *   document_text(bytes)                → string (auto-routed body text)
   *   latex_to_text(src)                  → string (detexed plain text)
+  *   wikitext_to_text(src)               → string (dewikified plain text)
   *
   * Also injectable programmatically:
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
@@ -81,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.documentFormat)
     ext.injectFunction(GraftExtensions.documentText)
     ext.injectFunction(GraftExtensions.latexToText)
+    ext.injectFunction(GraftExtensions.wikitextToText)
   }
 }
 
@@ -285,6 +287,19 @@ object GraftExtensions {
       case Seq(t) => graft.functions.LatexToText(t)
       case _ => throw new IllegalArgumentException(
         "latex_to_text expects exactly 1 argument")
+    })
+
+  val wikitextToText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wikitext_to_text"),
+    info(classOf[graft.functions.WikitextToText].getName, "wikitext_to_text",
+      "wikitext_to_text(src) - plain text of MediaWiki markup: " +
+        "templates/tables/refs/comments drop at any nesting depth, " +
+        "links keep their labels, headings and lists read as text; " +
+        "NULL propagates."),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => graft.functions.WikitextToText(t)
+      case _ => throw new IllegalArgumentException(
+        "wikitext_to_text expects exactly 1 argument")
     })
 
   val imagePhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -634,7 +649,7 @@ object GraftExtensions {
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
-      documentFormat, documentText, latexToText).foreach {
+      documentFormat, documentText, latexToText, wikitextToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -63,6 +63,33 @@ case class LatexToText(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `wikitext_to_text(src)` → string —
+  * [[graft.ops.Wikitext.extractText]]: MediaWiki markup → plain text.
+  * Same shape as [[LatexToText]] — nested templates/links need the
+  * stateful tokenizer. NULL propagates.
+  */
+case class WikitextToText(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def prettyName: String = "wikitext_to_text"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: argument must be STRING, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else UTF8String.fromString(
+      graft.ops.Wikitext.extractText(v.asInstanceOf[UTF8String].toString).text)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `image_dhash(bytes)` → bigint — [[graft.multimodal.ImageHash.dhash64]]. */
 case class ImageDhash(child: Expression) extends MediaHashExpression {
   override def prettyName: String = "image_dhash"

@@ -828,7 +828,101 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m45Dir)
   }
 
+  // -- m46 fixture: a MediaWiki dump hand-authored forward from the
+  //    export schema, shipped as SPLITTABLE bz2 (the publication
+  //    format — compressed by commons-compress, an independent
+  //    third-party implementation, decoded at read time by Hadoop's
+  //    own codec).
+  private val m46Dir = "/tmp/graft_gate_m46_wikidump"
+
+  private val m46Wikitext =
+    "'''Alpha''' is {{short description|a letter}}the first " +
+      "[[Greek alphabet|letter]].<ref>cite</ref>\n\n== History ==\n" +
+      "It began in [[Phoenicia]]."
+
+  private def writeM46Fixture(s: SparkSession): Unit = {
+    val dump =
+      s"""<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/">
+         |  <siteinfo><sitename>Testwiki</sitename></siteinfo>
+         |  <page>
+         |    <title>Alpha</title>
+         |    <ns>0</ns>
+         |    <id>1</id>
+         |    <revision>
+         |      <id>100</id>
+         |      <timestamp>2024-01-01T00:00:00Z</timestamp>
+         |      <text xml:space="preserve">old text</text>
+         |    </revision>
+         |    <revision>
+         |      <id>101</id>
+         |      <timestamp>2024-06-01T00:00:00Z</timestamp>
+         |      <text xml:space="preserve">${
+        m46Wikitext.replace("&", "&amp;").replace("<", "&lt;")
+          .replace(">", "&gt;")}</text>
+         |    </revision>
+         |  </page>
+         |  <page>
+         |    <title>Pointer &amp; Co</title>
+         |    <ns>0</ns>
+         |    <id>2</id>
+         |    <redirect title="Alpha" />
+         |    <revision>
+         |      <id>102</id>
+         |      <timestamp>2024-02-02T00:00:00Z</timestamp>
+         |      <text>#REDIRECT [[Alpha]]</text>
+         |    </revision>
+         |  </page>
+         |  <page>
+         |    <title>Talk:Alpha</title>
+         |    <ns>1</ns>
+         |    <id>3</id>
+         |    <revision>
+         |      <id>103</id>
+         |      <timestamp>2024-03-03T00:00:00Z</timestamp>
+         |      <text />
+         |    </revision>
+         |  </page>
+         |</mediawiki>""".stripMargin
+    val dir = java.nio.file.Paths.get(m46Dir)
+    java.nio.file.Files.createDirectories(dir)
+    val out = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve("dump.xml.bz2")))
+    out.write(dump.getBytes("UTF-8")); out.close()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m46: MediaWiki dump source — lineSep record split + per-row
+    //    kernel over the bz2 publication format; field literals are
+    //    hand-derived from the fixture dump. ------------------------
+    "m46_wiki_pages" -> { (s, _) =>
+      writeM46Fixture(s)
+      import graft.engine.read.WikiDump
+      WikiDump.pages(s, s"$m46Dir/dump.xml.bz2")
+        .select(col("page_id"), col("title"), col("ns"),
+          coalesce(col("redirect"), lit("<none>")).as("redirect"),
+          col("timestamp"),
+          graft.ops.Wikitext.textCol(col("wikitext")).as("text"))
+        .orderBy("page_id")
+    },
+
+    // -- m47: wikitext → plain text — templates/links/refs/headings;
+    //    expectations are hand-derived literals. --------------------
+    "m47_wikitext_extract" -> { (s, _) =>
+      import s.implicits._
+      val rows = Seq(
+        (0L, "Born {{birth date|1879}} in [[Ulm]]."),
+        (1L, "See [[Albert Einstein|Einstein]]<ref>c</ref> and " +
+          "[https://example.org the site]."),
+        (2L, "== History ==\n* '''bold''' item\n{| table\n|}\nTail."),
+        (3L, "A [[File:x.jpg|thumb|a [[nested]] cap]] picture " +
+          "[[Category:Things]]end."))
+        .toDF("doc_id", "src")
+      rows.select(col("doc_id"),
+        graft.ops.Wikitext.textCol(col("src")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m45: mixed-format corpus → magic-routed text → the full
     //    nine-stage curation pipeline; verdicts are the adjudicated
     //    m26 set, format-blind. --------------------------------------
@@ -1276,6 +1370,30 @@ object MediaGateQueries {
       s"""SELECT doc_id, exp_pages AS n_pages, exp_text AS text,
          |  exp_version AS version, exp_encrypted AS encrypted
          |FROM read_parquet('$m34Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    // Hand-derived from the fixture dump: last revision wins, the
+    // redirect column carries through, wikitext dewikifies (template
+    // dropped, link labels kept, ref dropped, heading as paragraph).
+    "m46_wiki_pages" ->
+      s"""SELECT * FROM (VALUES
+         |  (1::BIGINT, 'Alpha', 0::INT, '<none>',
+         |   '2024-06-01T00:00:00Z',
+         |   'Alpha is the first letter.' || chr(10) || 'History' ||
+         |   chr(10) || 'It began in Phoenicia.'),
+         |  (2::BIGINT, 'Pointer & Co', 0::INT, 'Alpha',
+         |   '2024-02-02T00:00:00Z', 'REDIRECT Alpha'),
+         |  (3::BIGINT, 'Talk:Alpha', 1::INT, '<none>',
+         |   '2024-03-03T00:00:00Z', ''))
+         |  t(page_id, title, ns, redirect, timestamp, text)
+         |ORDER BY page_id""".stripMargin,
+    "m47_wikitext_extract" ->
+      s"""SELECT * FROM (VALUES
+         |  (0::BIGINT, 'Born in Ulm.'),
+         |  (1::BIGINT, 'See Einstein and the site.'),
+         |  (2::BIGINT, 'History' || chr(10) || 'bold item' ||
+         |   chr(10) || 'Tail.'),
+         |  (3::BIGINT, 'A picture end.'))
+         |  t(doc_id, text)
          |ORDER BY doc_id""".stripMargin,
     // The adjudicated m26 verdicts, format-blind: the same two
     // survivors whether the corpus arrived as subtitles (m26), PDFs
