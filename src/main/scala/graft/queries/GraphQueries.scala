@@ -100,7 +100,43 @@ object GraphQueries {
       .coalesce(1).write.mode("overwrite").parquet(g3ExpDir)
   }
 
+  // -- g6 fixture: sitemap bodies hand-authored forward from
+  //    sitemaps.org — a urlset with defaults/clamping, a plain-text
+  //    sitemap, an unparseable body.
+  private val g6Urlset =
+    """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url><loc>https://alpha.example.com/hot</loc>
+      |    <lastmod>2024-05-01</lastmod><changefreq>daily</changefreq>
+      |    <priority>0.9</priority></url>
+      |  <url><loc>https://alpha.example.com/about</loc></url>
+      |  <url><loc>https://alpha.example.com/spiky</loc>
+      |    <priority>7</priority></url>
+      |  <url><priority>0.4</priority></url>
+      |</urlset>""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- g6: sitemap discovery → frontier — urlset parse (loc
+    //    required, priority default 0.5 / clamped to [0,1]), text
+    //    sitemaps, torn XML to zero rows, then the same politeness
+    //    schedule as g5. Hand-derived literals under the hash. -------
+    "g6_sitemap_frontier" -> { (s, _) =>
+      import s.implicits._
+      val bodies = Seq(
+        ("alpha", g6Urlset),
+        ("beta", "https://beta.example.com/x\nnot a url\n" +
+          "https://beta.example.com/y\n"),
+        ("broken", "<urlset><unclosed")).toDF("site", "body")
+      val delays = Seq(("alpha.example.com", 2.0)).toDF("h", "delay_s")
+      graft.ops.Links.frontierSchedule(
+          graft.ops.Sitemaps.urls(bodies, "body"), "loc", "priority",
+          delays, "h", "delay_s", defaultDelay = 1.0)
+        .select(col("site"), col("loc"), col("lastmod"),
+          col("changefreq"), col("priority"), col("host"),
+          col("fetch_slot"),
+          round(col("fetch_offset_s"), 4).as("fetch_offset_s"))
+        .orderBy("site", "fetch_slot")
+    },
+
     // -- g1: weighted PageRank, 5 fixed rounds, damping 0.85. -------
     "g1_pagerank" -> { (s, d) =>
       Graph.pageRank(purchaseEdges(s, d), iterations = Iters)
@@ -202,6 +238,25 @@ object GraphQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    // Hand-derived: alpha slots by clamped/default priorities at the
+    // declared 2 s delay; beta's text sitemap ties break by loc at
+    // the 1 s default; the torn body contributes zero rows.
+    "g6_sitemap_frontier" ->
+      """SELECT * FROM (VALUES
+        |  ('alpha', 'https://alpha.example.com/spiky', '', '',
+        |   1.0::DOUBLE, 'alpha.example.com', 0::BIGINT, 0.0::DOUBLE),
+        |  ('alpha', 'https://alpha.example.com/hot', '2024-05-01',
+        |   'daily', 0.9::DOUBLE, 'alpha.example.com', 1::BIGINT,
+        |   2.0::DOUBLE),
+        |  ('alpha', 'https://alpha.example.com/about', '', '',
+        |   0.5::DOUBLE, 'alpha.example.com', 2::BIGINT, 4.0::DOUBLE),
+        |  ('beta', 'https://beta.example.com/x', '', '',
+        |   0.5::DOUBLE, 'beta.example.com', 0::BIGINT, 0.0::DOUBLE),
+        |  ('beta', 'https://beta.example.com/y', '', '',
+        |   0.5::DOUBLE, 'beta.example.com', 1::BIGINT, 1.0::DOUBLE))
+        |  t(site, loc, lastmod, changefreq, priority, host,
+        |    fetch_slot, fetch_offset_s)
+        |ORDER BY site, fetch_slot""".stripMargin,
     "g5_frontier_schedule" ->
       """WITH f AS (
         |  SELECT doc_id,

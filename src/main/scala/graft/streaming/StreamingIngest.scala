@@ -331,6 +331,38 @@ object StreamingIngest {
       .start()
   }
 
+  /** Document extraction as a streaming sink: every microbatch runs
+    * the magic-routed [[graft.engine.read.DocumentProbe]] over a
+    * MIXED binary column — `format` and `text` columns appended,
+    * undecodable/encrypted rows DROP when `keepUndecodable` is false
+    * (the quality-gate stance) or surface with NULL text otherwise
+    * (the inventory stance). The kernel is stateless per row, so
+    * batch/stream verdict parity is structural — pinned by
+    * StreamingSpec anyway (the house rule: parity is tested, never
+    * assumed).
+    */
+  def documentExtractSink(stream: DataFrame, bytesCol: String,
+                          queryName: String,
+                          keepUndecodable: Boolean = false)
+                         (writeKept: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val withText = batch
+          .withColumn("format",
+            graft.engine.read.DocumentProbe.formatCol(col(bytesCol)))
+          .withColumn("text",
+            graft.engine.read.DocumentProbe.textCol(col(bytesCol)))
+        val kept =
+          if (keepUndecodable) withText
+          else withText.filter(col("text").isNotNull)
+        writeKept(kept, batchId)
+      }
+      .start()
+
   /** The COMPOSED curation pipeline as a streaming sink: every
     * microbatch runs the full
     * [[graft.ops.CurationPipeline.curate]] program — html extract →

@@ -542,4 +542,63 @@ class StreamingSpec extends SparkSpec {
       .partitionBy("batch_id").parquet(store)
     assert(fields(StreamingIngest.readCorpusCard(spark, store, Seq("lang"))) == direct)
   }
+
+  test("streaming document extraction: batch-vs-stream parity on a mixed column") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.{DocxFixture, LegacyDocFixture, PdfFixture}
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (0L, PdfFixture.simplePdf(Seq(
+        s"BT /F1 12 Tf ${PdfFixture.lit("stream pdf")} Tj ET"))),
+      (1L, DocxFixture.docx(Seq(
+        DocxFixture.para(DocxFixture.T("stream docx"))))),
+      (2L, "{\\rtf1 stream rtf\\par}".getBytes("ISO-8859-1")),
+      (3L, LegacyDocFixture.doc(Seq(LegacyDocFixture.Piece(
+        "secret\r", compressed = true)), encrypted = true)),
+      (4L, "not a document".getBytes))
+
+    val batchDf = rows.toDF("id", "content")
+    val batchKept = batchDf
+      .withColumn("text",
+        graft.engine.read.DocumentProbe.textCol(col("content")))
+      .filter(col("text").isNotNull)
+      .select("id", "text").as[(Long, String)].collect().toMap
+
+    val got = scala.collection.mutable.Map[Long, (String, String)]()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingIngest.documentExtractSink(
+      input.toDF().toDF("id", "content"), "content", "doc_extract_sink") {
+      (keptDf, _) =>
+        got.synchronized {
+          keptDf.select("id", "format", "text")
+            .collect().foreach(r =>
+              got(r.getLong(0)) = (r.getString(1), r.getString(2)))
+        }
+    }
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.keySet == batchKept.keySet)
+    assert(got.view.mapValues(_._2).toMap == batchKept)
+    assert(got(0L)._1 == "pdf" && got(1L)._1 == "docx" && got(2L)._1 == "rtf")
+    assert(batchKept == Map(0L -> "stream pdf", 1L -> "stream docx",
+      2L -> "stream rtf"))
+
+    // inventory stance: undecodable rows surface with NULL text
+    val all = scala.collection.mutable.Map[Long, Option[String]]()
+    val input2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = StreamingIngest.documentExtractSink(
+      input2.toDF().toDF("id", "content"), "content",
+      "doc_extract_keep", keepUndecodable = true) { (df, _) =>
+      all.synchronized {
+        df.select("id", "format").collect().foreach(r =>
+          all(r.getLong(0)) = Option(r.getString(1)))
+      }
+    }
+    input2.addData(rows: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(all.size == 5)
+    assert(all(3L).contains("doc")) // encrypted classifies, text NULL
+    assert(all(4L).isEmpty) // junk: no format at all
+  }
 }
