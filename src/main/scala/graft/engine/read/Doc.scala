@@ -41,11 +41,24 @@ object Doc {
   private lazy val cp1252: java.nio.charset.Charset =
     java.nio.charset.Charset.forName("windows-1252")
 
-  def extractText(bytes: Array[Byte]): Option[DocText] = {
-    val files = Ole2.streams(bytes) match {
-      case Some(f) => f
-      case None    => return None
+  def extractText(bytes: Array[Byte]): Option[DocText] =
+    Ole2.streams(bytes).flatMap(extractFrom)
+
+  /** True when the FIB carries fEncrypted — for probes that already
+    * hold the parsed container.
+    */
+  private[read] def isEncrypted(files: Map[String, Array[Byte]]): Boolean =
+    files.get("WordDocument").exists { w =>
+      u16(w, 0x0A) match {
+        case -1    => false
+        case flags => (flags & 0x0100) != 0
+      }
     }
+
+  /** The extraction over an ALREADY-parsed container (one CFB walk
+    * per row, shared with [[DocumentProbe]]).
+    */
+  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[DocText] = {
     val word = files.get("WordDocument") match {
       case Some(w) => w
       case None    => return None
@@ -113,21 +126,33 @@ object Doc {
     Some(renderChars(sb.toString))
   }
 
-  /** Spec text-semantics pass: paragraph marks, field ranges, anchors. */
+  /** Spec text-semantics pass: paragraph marks, field ranges, anchors.
+    *
+    * Fields NEST and may omit the 0x14 separator (XE/TC index
+    * entries, no-result fields) — a boolean would suppress the whole
+    * remaining document after `0x13 instr 0x15`, so the instruction
+    * state is a STACK: 0x13 pushes in-instruction, 0x14 flips the
+    * innermost to result, 0x15 pops. Text suppresses while ANY
+    * enclosing field is still in its instruction part.
+    */
   private def renderChars(raw: String): DocText = {
     val paras = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     def flush(): Unit = { paras += cur.toString; cur.clear() }
-    var inFieldInstr = false
+    // stack of per-field in-instruction flags
+    val field = scala.collection.mutable.Stack.empty[Boolean]
+    def inFieldInstr: Boolean = field.exists(identity)
     raw.foreach { c =>
       c match {
         case '\r' | '\u0007' | '\u000C' => // CR, cell/row mark, page break
           if (!inFieldInstr) flush()
         case '\u000B' => // vertical tab = line break
           if (!inFieldInstr) cur.append('\n')
-        case '\u0013' => inFieldInstr = true // field begin: instruction
-        case '\u0014' => inFieldInstr = false // separator: result follows
-        case '\u0015' => () // field end
+        case '\u0013' => field.push(true) // field begin: instruction
+        case '\u0014' => // separator: the innermost result follows
+          if (field.nonEmpty) { field.pop(); field.push(false) }
+        case '\u0015' => // field end (with or without a separator)
+          if (field.nonEmpty) { field.pop(); () }
         case '\u0001' | '\u0002' | '\u0008' => () // anchors/ref marks
         case '\u001F' => () // soft hyphen
         case '\u001E' => if (!inFieldInstr) cur.append('-') // non-req hyphen

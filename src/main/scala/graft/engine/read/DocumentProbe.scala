@@ -7,25 +7,37 @@ import org.apache.spark.sql.functions.udf
 
 /** Unified document probe + auto-routed text extraction across every
   * document modality the engine reads: PDF, DOCX, ODT, EPUB, RTF and
-  * legacy Word (plus classification-only for the other legacy Office
-  * kinds and encrypted OOXML). At inventory time a crawl column holds
-  * MIXED payloads with unreliable extensions/MIME labels — the
-  * dispatch key has to be the bytes themselves:
+  * the legacy Office trio (doc/ppt/xls), plus classification-only
+  * for encrypted OOXML, xlsx/pptx OPC packages and plain archives.
+  * At inventory time a crawl column holds MIXED payloads with
+  * unreliable extensions/MIME labels — the dispatch key has to be
+  * the bytes themselves:
   *
   *  - `{\rtf`      → rtf
-  *  - CFB magic    → [[Ole2.classify]]: doc / xls / ppt /
-  *                   encrypted-ooxml / cfb
-  *  - `PK` ZIP     → by member: ODF `mimetype`, OPC officeDocument
-  *                   rels (or the de-facto `word/document.xml`),
-  *                   OCF `META-INF/container.xml`, else plain zip
+  *  - CFB magic    → [[Ole2.classifyFrom]]: doc / xls / ppt /
+  *                   encrypted-ooxml / cfb, with ACCURATE encrypted
+  *                   flags (FIB fEncrypted, FilePass, encryption atom)
+  *  - `PK` ZIP     → by member: ODF `mimetype` (or a bare
+  *                   `content.xml` with the ODF root — some producers
+  *                   omit the mimetype entry), OCF
+  *                   `META-INF/container.xml`, OPC main parts
+  *                   (`word/document.xml` → docx, `xl/workbook.xml` →
+  *                   xlsx, `ppt/presentation.xml` → pptx), else zip
   *  - `%PDF-` (incl. the junk-prefixed recovery class [[Pdf.meta]]
   *    re-anchors) → pdf, with page count and encryption flag
   *
   * `extractText` routes to the matching extractor (pdf/docx/odt/epub/
-  * rtf/doc/ppt/xls) and returns None for unrecognized payloads and
-  * encrypted anything (NULL by house stance), so one
-  * `document_text(bytes)` call turns a mixed crawl column into the
-  * unified text layer the cross-format dedup gate (m38) pins.
+  * rtf/doc/ppt/xls) and returns None for unrecognized payloads,
+  * out-of-scope kinds (xlsx/pptx payload decode) and encrypted
+  * anything (NULL by house stance), so one `document_text(bytes)`
+  * call turns a mixed crawl column into the unified text layer the
+  * cross-format dedup gate (m38) pins.
+  *
+  * Cost shape: each entry point parses the CONTAINER exactly once per
+  * row (the CFB walk / ZIP inflate is the dominant bill) and hands
+  * the parsed member map to the extractor ([[Doc.extractFrom]] et
+  * al.); [[probeAndText]] returns format AND text off that same
+  * single parse for callers that want both (the streaming sink).
   */
 object DocumentProbe {
 
@@ -34,49 +46,79 @@ object DocumentProbe {
   /** Format classification + cheap structural units (PDF pages; other
     * formats report 0 — their unit counts require the text decode).
     */
-  def probe(bytes: Array[Byte]): Option[DocMeta] = {
-    if (bytes == null || bytes.length < 4) return None
-    if (startsWith(bytes, "{\\rtf"))
-      return Some(DocMeta("rtf", 0, encrypted = false))
-    if (Ole2.isCfb(bytes))
-      return Ole2.classify(bytes).map {
-        case "encrypted-ooxml" => DocMeta("encrypted-ooxml", 0, encrypted = true)
-        case kind =>
-          val enc = kind match {
-            case "doc" => wordEncrypted(bytes)
-            case "xls" => Xls.isEncrypted(bytes)
-            case "ppt" => Ppt.isEncrypted(bytes)
-            case _     => false
-          }
-          DocMeta(kind, 0, enc)
-      }
-    if (bytes(0) == 'P' && bytes(1) == 'K') return zipKind(bytes)
-    Pdf.meta(bytes).map(m =>
-      DocMeta("pdf", math.max(m.nPages, 0), m.encrypted))
-  }
+  def probe(bytes: Array[Byte]): Option[DocMeta] = dispatch(bytes)._1
 
   /** Auto-routed body text; None when the format is unknown, its
     * payload decode is out of scope, or the document is encrypted.
     */
   def extractText(bytes: Array[Byte]): Option[String] =
-    probe(bytes).flatMap { m =>
-      m.format match {
-        case "pdf"  => Pdf.extractText(bytes).map(_.text)
-        case "docx" => Docx.extractText(bytes).map(_.text)
-        case "odt"  => Odt.extractText(bytes).map(_.text)
-        case "rtf"  => Rtf.extractText(bytes).map(_.text)
-        case "doc"  => Doc.extractText(bytes).map(_.text)
-        case "ppt"  => Ppt.extractText(bytes).map(_.text)
-        case "xls"  => Xls.extractText(bytes).map(_.text)
-        case "epub" =>
-          // the Column path joins htmlToText'd chapters by form feed
-          // and trims spaces; the kernel replays the same cascade
-          Epub.book(bytes).map(_.chapters
-            .map(graft.ops.TextAnalysis.htmlToTextKernel)
-            .mkString("\f").replaceAll("\\A +| +\\z", ""))
-        case _ => None
-      }
+    dispatch(bytes, wantText = true)._2
+
+  /** Format and text off ONE container parse — for callers that want
+    * both per row (the streaming document sink).
+    */
+  def probeAndText(bytes: Array[Byte]): (Option[String], Option[String]) = {
+    val (meta, text) = dispatch(bytes, wantText = true)
+    (meta.map(_.format), text)
+  }
+
+  /** The single-parse core: classify, and extract text when asked. */
+  private def dispatch(bytes: Array[Byte],
+                       wantText: Boolean = false): (Option[DocMeta], Option[String]) = {
+    if (bytes == null || bytes.length < 4) return (None, None)
+    if (startsWith(bytes, "{\\rtf")) {
+      val meta = Some(DocMeta("rtf", 0, encrypted = false))
+      val text = if (wantText) Rtf.extractText(bytes).map(_.text) else None
+      return (meta, text)
     }
+    if (Ole2.isCfb(bytes)) {
+      val files = Ole2.streams(bytes) match {
+        case Some(f) => f
+        case None    => return (None, None)
+      }
+      val kind = Ole2.classifyFrom(files)
+      val (enc, text) = kind match {
+        case "encrypted-ooxml" => (true, None)
+        case "doc" => (Doc.isEncrypted(files),
+          if (wantText) Doc.extractFrom(files).map(_.text) else None)
+        case "xls" => (Xls.isEncrypted(files),
+          if (wantText) Xls.extractFrom(files).map(_.text) else None)
+        case "ppt" => (Ppt.isEncrypted(files),
+          if (wantText) Ppt.extractFrom(files).map(_.text) else None)
+        case _ => (false, None)
+      }
+      return (Some(DocMeta(kind, 0, enc)), text)
+    }
+    if (bytes(0) == 'P' && bytes(1) == 'K') {
+      val files = ZipRead.entries(bytes,
+        Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries) match {
+        case Some(f) => f
+        case None    => return (None, None)
+      }
+      val kind = zipKind(files)
+      val text =
+        if (!wantText) None
+        else kind match {
+          case "odt"  => Odt.extractFrom(files).map(_.text)
+          case "docx" => Docx.extractFrom(files).map(_.text)
+          case "epub" =>
+            // the Column path joins htmlToText'd chapters by form
+            // feed and trims spaces; the kernel replays the cascade
+            Epub.bookFrom(files).map(_.chapters
+              .map(graft.ops.TextAnalysis.htmlToTextKernel)
+              .mkString("\f").replaceAll("\\A +| +\\z", ""))
+          case _ => None // xlsx/pptx/opc/zip: classify-only
+        }
+      return (Some(DocMeta(kind, 0, encrypted = false)), text)
+    }
+    Pdf.meta(bytes) match {
+      case Some(m) =>
+        val meta = Some(DocMeta("pdf", math.max(m.nPages, 0), m.encrypted))
+        val text = if (wantText) Pdf.extractText(bytes).map(_.text) else None
+        (meta, text)
+      case None => (None, None)
+    }
+  }
 
   private def startsWith(b: Array[Byte], s: String): Boolean = {
     if (b.length < s.length) return false
@@ -88,44 +130,47 @@ object DocumentProbe {
     true
   }
 
-  /** fEncrypted straight from the FIB, for classification when the
-    * text decode refused.
+  /** ZIP-family classification from the member names: the three OPC
+    * main-part conventions discriminate docx/xlsx/pptx (an OPC
+    * package is NOT automatically a word document), ODF by mimetype
+    * or by a bare ODF content.xml, OCF by container.xml.
     */
-  private def wordEncrypted(bytes: Array[Byte]): Boolean =
-    Ole2.streams(bytes).flatMap(_.get("WordDocument")).exists { w =>
-      w.length > 0x0B && {
-        val flags = (w(0x0A) & 0xFF) | ((w(0x0B) & 0xFF) << 8)
-        (flags & 0x0100) != 0
-      }
-    }
-
-  private def zipKind(bytes: Array[Byte]): Option[DocMeta] =
-    ZipRead.entries(bytes, Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries)
-      .map { files =>
-        val mime = files.get("mimetype")
-          .map(new String(_, StandardCharsets.US_ASCII).trim)
-        if (mime.exists(_.startsWith("application/vnd.oasis.opendocument.text")))
-          DocMeta("odt", 0, encrypted = false)
-        else if (mime.exists(_.startsWith("application/vnd.oasis.opendocument")))
-          DocMeta("odf-other", 0, encrypted = false)
-        else if (mime.exists(_.startsWith("application/epub")) ||
-          files.contains("META-INF/container.xml"))
-          DocMeta("epub", 0, encrypted = false)
-        else if (files.contains("word/document.xml") ||
-          files.get("_rels/.rels").map(new String(_, StandardCharsets.UTF_8))
-            .exists(_.contains("/officeDocument")))
-          DocMeta("docx", 0, encrypted = false)
-        else DocMeta("zip", 0, encrypted = false)
-      }
+  private def zipKind(files: Map[String, Array[Byte]]): String = {
+    val mime = files.get("mimetype")
+      .map(new String(_, StandardCharsets.US_ASCII).trim)
+    if (mime.exists(_.startsWith("application/vnd.oasis.opendocument.text")))
+      "odt"
+    else if (mime.exists(_.startsWith("application/vnd.oasis.opendocument")))
+      "odf-other"
+    else if (mime.exists(_.startsWith("application/epub")) ||
+      files.contains("META-INF/container.xml"))
+      "epub"
+    else if (files.contains("word/document.xml")) "docx"
+    else if (files.contains("xl/workbook.xml")) "xlsx"
+    else if (files.contains("ppt/presentation.xml")) "pptx"
+    else if (files.get("content.xml")
+      .map(new String(_, StandardCharsets.UTF_8))
+      .exists(_.contains("office:document-content")))
+      "odt" // mimetype-less ODF producers: the content root is the gate
+    else if (files.get("_rels/.rels")
+      .map(new String(_, StandardCharsets.UTF_8))
+      .exists(_.contains("/officeDocument")))
+      "opc" // an OPC package whose main part we don't recognize
+    else "zip"
+  }
 
   private val formatUdf = udf { (bytes: Array[Byte]) =>
     probe(bytes).map(_.format)
   }
   private val textUdf = udf { (bytes: Array[Byte]) => extractText(bytes) }
+  private val bothUdf = udf { (bytes: Array[Byte]) => probeAndText(bytes) }
 
   /** Detected format name; NULL when unrecognized. */
   def formatCol(bytesCol: Column): Column = formatUdf(bytesCol)
 
   /** Auto-routed body text; NULL when unrecognized or undecodable. */
   def textCol(bytesCol: Column): Column = textUdf(bytesCol)
+
+  /** `struct<_1: format, _2: text>` off one container parse. */
+  def probeAndTextCol(bytesCol: Column): Column = bothUdf(bytesCol)
 }

@@ -31,11 +31,13 @@ object Docx {
 
   def extractText(bytes: Array[Byte],
                   maxTotalBytes: Long = Epub.DefaultMaxTotalBytes,
-                  maxEntries: Int = Epub.DefaultMaxEntries): Option[DocxText] = {
-    val files = ZipRead.entries(bytes, maxTotalBytes, maxEntries) match {
-      case Some(f) => f
-      case None    => return None
-    }
+                  maxEntries: Int = Epub.DefaultMaxEntries): Option[DocxText] =
+    ZipRead.entries(bytes, maxTotalBytes, maxEntries).flatMap(extractFrom)
+
+  /** The extraction over an ALREADY-unzipped package (one ZIP walk
+    * per row, shared with [[DocumentProbe]]).
+    */
+  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[DocxText] = {
     // the main part per the package rels; word/document.xml as the
     // de-facto fallback when rels are absent or unparseable
     val fromRels = files.get("_rels/.rels")

@@ -67,11 +67,13 @@ object Epub {
     */
   def book(bytes: Array[Byte],
            maxTotalBytes: Long = DefaultMaxTotalBytes,
-           maxEntries: Int = DefaultMaxEntries): Option[Book] = {
-    val files = entries(bytes, maxTotalBytes, maxEntries) match {
-      case Some(f) => f
-      case None    => return None
-    }
+           maxEntries: Int = DefaultMaxEntries): Option[Book] =
+    entries(bytes, maxTotalBytes, maxEntries).flatMap(bookFrom)
+
+  /** The container chain over an ALREADY-unzipped package (one ZIP
+    * walk per row, shared with [[DocumentProbe]]).
+    */
+  private[read] def bookFrom(files: Map[String, Array[Byte]]): Option[Book] = {
     val container = files.get("META-INF/container.xml")
       .map(new String(_, StandardCharsets.UTF_8))
       .flatMap(parseXml) match {

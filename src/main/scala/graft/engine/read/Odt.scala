@@ -43,11 +43,13 @@ object Odt {
 
   def extractText(bytes: Array[Byte],
                   maxTotalBytes: Long = Epub.DefaultMaxTotalBytes,
-                  maxEntries: Int = Epub.DefaultMaxEntries): Option[OdtText] = {
-    val files = ZipRead.entries(bytes, maxTotalBytes, maxEntries) match {
-      case Some(f) => f
-      case None    => return None
-    }
+                  maxEntries: Int = Epub.DefaultMaxEntries): Option[OdtText] =
+    ZipRead.entries(bytes, maxTotalBytes, maxEntries).flatMap(extractFrom)
+
+  /** The extraction over an ALREADY-unzipped package (one ZIP walk
+    * per row, shared with [[DocumentProbe]]).
+    */
+  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[OdtText] = {
     files.get("mimetype")
       .map(new String(_, StandardCharsets.US_ASCII).trim) match {
       case Some(m) if !m.startsWith(TextMime) => return None

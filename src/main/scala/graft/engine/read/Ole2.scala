@@ -209,12 +209,14 @@ object Ole2 {
     * decode). None when not CFB.
     */
   def classify(bytes: Array[Byte]): Option[String] =
-    streams(bytes).map { m =>
-      if (m.contains("EncryptionInfo") || m.contains("EncryptedPackage"))
-        "encrypted-ooxml"
-      else if (m.contains("WordDocument")) "doc"
-      else if (m.contains("Workbook") || m.contains("Book")) "xls"
-      else if (m.contains("PowerPoint Document")) "ppt"
-      else "cfb"
-    }
+    streams(bytes).map(classifyFrom)
+
+  /** The classification over an ALREADY-parsed container. */
+  private[read] def classifyFrom(m: Map[String, Array[Byte]]): String =
+    if (m.contains("EncryptionInfo") || m.contains("EncryptedPackage"))
+      "encrypted-ooxml"
+    else if (m.contains("WordDocument")) "doc"
+    else if (m.contains("Workbook") || m.contains("Book")) "xls"
+    else if (m.contains("PowerPoint Document")) "ppt"
+    else "cfb"
 }

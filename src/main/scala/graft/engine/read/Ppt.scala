@@ -37,15 +37,33 @@ object Ppt {
     (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
       ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
 
-  def extractText(bytes: Array[Byte]): Option[PptText] = {
-    val files = Ole2.streams(bytes) match {
-      case Some(f) => f
-      case None    => return None
-    }
+  def extractText(bytes: Array[Byte]): Option[PptText] =
+    Ole2.streams(bytes).flatMap(extractFrom)
+
+  /** The extraction over an ALREADY-parsed container (one CFB walk
+    * per row, shared with [[DocumentProbe]]).
+    */
+  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[PptText] = {
     val doc = files.get("PowerPoint Document") match {
       case Some(d) => d
       case None    => return None
     }
+    val (blocks, encrypted) = walkDoc(doc)
+    if (encrypted) return None
+    // CR is the PowerPoint paragraph mark; VT is a line break
+    val paras = blocks.iterator
+      .flatMap(_.split("\r", -1))
+      .map(_.replace('\u000B', '\n').trim)
+      .filter(_.nonEmpty)
+      .toVector
+    Some(PptText(paras.length, paras.mkString("\n")))
+  }
+
+  /** ONE bounded record-tree walk feeding both the extraction and the
+    * encryption probe: text blocks in document order, plus whether a
+    * DocumentEncryptionAtom was seen.
+    */
+  private def walkDoc(doc: Array[Byte]): (Vector[String], Boolean) = {
     val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
     var encrypted = false
 
@@ -73,41 +91,17 @@ object Ppt {
       }
     }
     walk(0, doc.length, 0)
-    if (encrypted) return None
-
-    // CR is the PowerPoint paragraph mark; VT is a line break
-    val paras = blocks.iterator
-      .flatMap(_.split("\r", -1))
-      .map(_.replace('\u000B', '\n').trim)
-      .filter(_.nonEmpty)
-      .toVector
-    Some(PptText(paras.length, paras.mkString("\n")))
+    (blocks.toVector, encrypted)
   }
 
   /** True when the deck carries a DocumentEncryptionAtom — the same
-    * bounded walk, no text decode.
+    * single walk, no text kept.
     */
+  private[read] def isEncrypted(files: Map[String, Array[Byte]]): Boolean =
+    files.get("PowerPoint Document").exists(d => walkDoc(d)._2)
+
   def isEncrypted(bytes: Array[Byte]): Boolean =
-    Ole2.streams(bytes).flatMap(_.get("PowerPoint Document")).exists { doc =>
-      var found = false
-      def walk(from: Int, to: Int, depth: Int): Unit = {
-        if (depth > 32) return
-        var pos = from
-        while (pos + 8 <= to && !found) {
-          val verInst = u16(doc, pos)
-          val recType = u16(doc, pos + 2)
-          val len = u32(doc, pos + 4)
-          val bodyStart = pos + 8
-          if (len < 0 || bodyStart + len > to) return
-          if (recType == EncryptionAtom) { found = true; return }
-          if ((verInst & 0x0F) == 0x0F)
-            walk(bodyStart, (bodyStart + len).toInt, depth + 1)
-          pos = (bodyStart + len).toInt
-        }
-      }
-      walk(0, doc.length, 0)
-      found
-    }
+    Ole2.streams(bytes).exists(isEncrypted)
 
   private val textUdf = org.apache.spark.sql.functions.udf {
     (bytes: Array[Byte]) => extractText(bytes).map(_.text)

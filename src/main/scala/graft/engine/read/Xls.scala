@@ -38,30 +38,30 @@ object Xls {
     (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
       ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
 
-  def extractText(bytes: Array[Byte]): Option[XlsText] = {
-    val files = Ole2.streams(bytes) match {
-      case Some(f) => f
-      case None    => return None
-    }
-    val wb = files.get("Workbook").orElse(files.get("Book")) match {
-      case Some(w) => w
-      case None    => return None
-    }
+  def extractText(bytes: Array[Byte]): Option[XlsText] =
+    Ole2.streams(bytes).flatMap(extractFrom)
 
-    // one pass: find the SST (with its Continue chunks) and the
-    // LabelSST references in stream order
-    var sstChunks: Vector[(Int, Int)] = Vector.empty // (start, len) in wb
+  private final case class Scan(sstChunks: Vector[(Int, Int)],
+                                refs: Vector[Long], encrypted: Boolean)
+
+  /** ONE record scan feeding both the extraction and the encryption
+    * probe: SST chunk spans (with Continues), LabelSST references in
+    * stream order, FilePass presence.
+    */
+  private def scanRecords(wb: Array[Byte]): Scan = {
+    var sstChunks: Vector[(Int, Int)] = Vector.empty
     var collectingSst = false
+    var encrypted = false
     val refs = scala.collection.mutable.ArrayBuffer.empty[Long]
     var pos = 0
-    while (pos + 4 <= wb.length) {
+    while (pos + 4 <= wb.length && !encrypted) {
       val typ = u16(wb, pos)
       val len = u16(wb, pos + 2)
       val body = pos + 4
       if (body + len > wb.length) pos = wb.length // torn tail stops
       else {
         typ match {
-          case RecFilePass => return None // encrypted
+          case RecFilePass => encrypted = true
           case RecSST =>
             sstChunks = Vector((body, len)); collectingSst = true
           case RecContinue if collectingSst =>
@@ -75,18 +75,41 @@ object Xls {
         pos = body + len
       }
     }
-    if (sstChunks.isEmpty)
+    Scan(sstChunks, refs.toVector, encrypted)
+  }
+
+  /** The extraction over an ALREADY-parsed container (one CFB walk
+    * per row, shared with [[DocumentProbe]]).
+    */
+  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[XlsText] = {
+    val wb = files.get("Workbook").orElse(files.get("Book")) match {
+      case Some(w) => w
+      case None    => return None
+    }
+    val scan = scanRecords(wb)
+    if (scan.encrypted) return None
+    if (scan.sstChunks.isEmpty)
       return Some(XlsText(0, "")) // no string table: numbers-only
 
-    val strings = parseSst(wb, sstChunks) match {
+    val strings = parseSst(wb, scan.sstChunks) match {
       case Some(ss) => ss
       case None     => return None
     }
-    val paras = refs.toVector
+    val paras = scan.refs
       .flatMap(i => if (i >= 0 && i < strings.length) Some(strings(i.toInt)) else None)
       .map(_.trim).filter(_.nonEmpty)
     Some(XlsText(paras.length, paras.mkString("\n")))
   }
+
+  /** True when the workbook carries a FilePass record (encrypted or
+    * XOR-obfuscated) — the same single scan, no string decode.
+    */
+  private[read] def isEncrypted(files: Map[String, Array[Byte]]): Boolean =
+    files.get("Workbook").orElse(files.get("Book"))
+      .exists(wb => scanRecords(wb).encrypted)
+
+  def isEncrypted(bytes: Array[Byte]): Boolean =
+    Ole2.streams(bytes).exists(isEncrypted)
 
   /** The SST across its Continue chunks: a boundary-aware cursor that
     * re-reads the option byte when a STRING's characters straddle a
@@ -175,25 +198,6 @@ object Xls {
     }
     Some(out.result())
   } catch { case _: Exception => None }
-
-  /** True when the workbook carries a FilePass record (encrypted or
-    * XOR-obfuscated) — a record scan, no string decode.
-    */
-  def isEncrypted(bytes: Array[Byte]): Boolean =
-    Ole2.streams(bytes)
-      .flatMap(f => f.get("Workbook").orElse(f.get("Book")))
-      .exists { wb =>
-        var pos = 0
-        var found = false
-        while (pos + 4 <= wb.length && !found) {
-          val typ = u16(wb, pos)
-          val len = u16(wb, pos + 2)
-          if (typ == RecFilePass) found = true
-          if (pos + 4 + len > wb.length) pos = wb.length
-          else pos += 4 + len
-        }
-        found
-      }
 
   private val textUdf = org.apache.spark.sql.functions.udf {
     (bytes: Array[Byte]) => extractText(bytes).map(_.text)

@@ -40,11 +40,22 @@ object Latex {
     "equation*", "align*", "gather*", "multline*", "eqnarray*")
   private val DropEnvs = Set("tikzpicture", "comment")
   private val RawEnvs = Set("verbatim", "verbatim*", "lstlisting")
-  private val DropWithArg = Set("cite", "citep", "citet", "ref", "eqref",
-    "pageref", "label", "includegraphics", "url", "input", "include",
-    "usepackage", "documentclass", "bibliography", "bibliographystyle",
-    "vspace", "hspace", "setlength", "newcommand", "renewcommand",
-    "newenvironment", "pagestyle", "thispagestyle", "footnote")
+  /** Commands whose braced arguments vanish, with HOW MANY groups to
+    * consume — macro definitions carry their replacement BODY as a
+    * later group (`\newcommand{\x}[1]{body}` is two groups plus the
+    * arg-count option), and leaking a body into the corpus is worse
+    * than the command itself.
+    */
+  private val DropWithArg: Map[String, Int] = Map(
+    "cite" -> 1, "citep" -> 1, "citet" -> 1, "ref" -> 1, "eqref" -> 1,
+    "pageref" -> 1, "label" -> 1, "includegraphics" -> 1, "url" -> 1,
+    "input" -> 1, "include" -> 1, "usepackage" -> 1,
+    "documentclass" -> 1, "bibliography" -> 1, "bibliographystyle" -> 1,
+    "vspace" -> 1, "hspace" -> 1, "pagestyle" -> 1,
+    "thispagestyle" -> 1, "footnote" -> 1,
+    "setlength" -> 2, "newcommand" -> 2, "renewcommand" -> 2,
+    "providecommand" -> 2, "newenvironment" -> 3,
+    "renewenvironment" -> 3)
   private val Sectioning = Set("part", "chapter", "section", "subsection",
     "subsubsection", "paragraph", "subparagraph", "title", "caption")
   private val Accents: Map[Char, Char] = Map(
@@ -173,8 +184,15 @@ object Latex {
             // drop the URL argument, keep the display text transparent
             i = skipGroup(i)
           } else if (DropWithArg.contains(bare)) {
-            i = skipOpt(i)
-            i = skipGroup(i)
+            // consume every declared group, with option brackets
+            // allowed between them (\newcommand{\x}[1]{body})
+            var g = 0
+            val groups = DropWithArg(bare)
+            while (g < groups) {
+              i = skipOpt(i)
+              i = skipGroup(i)
+              g += 1
+            }
           } else if (Sectioning.contains(bare)) {
             // paragraph break around the kept title; the group itself
             // is transparent, so just force the breaks

@@ -32,12 +32,20 @@ object Wikitext {
 
   final case class WikiText(nParagraphs: Int, text: String)
 
+  private val HeadingLine = "^\\s*(={1,6})\\s*(.*?)\\s*\\1\\s*$".r
+  private val RuleLine = java.util.regex.Pattern.compile("^\\s*-{4,}\\s*$")
+  private val ListMarker = java.util.regex.Pattern.compile("^[*#:;]+\\s*")
+
   def extractText(src: String): WikiText = {
     if (src == null) return WikiText(0, "")
     var s = src.replace("\r\n", "\n").replace('\r', '\n')
     s = s.replaceAll("(?s)<!--.*?-->", "")
-    s = s.replaceAll("(?is)<ref[^>/]*?/>", "")
-    s = s.replaceAll("(?is)<ref[^>]*>.*?</ref>", "")
+    // self-closed first: [^>]* (NOT [^>/]*) so a '/' inside an
+    // attribute value ('name="a/b"') still matches — otherwise the
+    // paired-form regex below would swallow prose up to the next
+    // </ref>
+    s = s.replaceAll("(?is)<ref\\b[^>]*/>", "")
+    s = s.replaceAll("(?is)<ref\\b[^>]*>.*?</ref>", "")
     s = dropNested(s, "{{", "}}")
     s = dropNested(s, "{|", "|}")
     s = resolveLinks(s)
@@ -46,14 +54,13 @@ object Wikitext {
     s = s.replaceAll("\\[\\s*[a-z][a-z0-9+.-]*://[^\\]]*\\]", "")
     // bold/italic quote runs (longest first)
     s = s.replace("'''''", "").replace("'''", "").replace("''", "")
-    // line-level forms
-    val lines = s.split("\n", -1).map { line =>
-      val t = line
-      val heading = "^\\s*(={1,6})\\s*(.*?)\\s*\\1\\s*$".r
+    // line-level forms (patterns hoisted — this is the per-row hot
+    // loop of a dump-sized corpus)
+    val lines = s.split("\n", -1).map { t =>
       t match {
-        case heading(_, title) => "\n" + title + "\n" // own paragraph
-        case _ if t.matches("^\\s*-{4,}\\s*$") => ""
-        case _ => t.replaceAll("^[*#:;]+\\s*", "")
+        case HeadingLine(_, title) => "\n" + title + "\n" // own paragraph
+        case _ if RuleLine.matcher(t).matches() => ""
+        case _ => ListMarker.matcher(t).replaceFirst("")
       }
     }
     s = lines.mkString("\n")

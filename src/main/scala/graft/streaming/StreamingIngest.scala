@@ -351,11 +351,14 @@ object StreamingIngest {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.col
+        // ONE container parse per row: format and text ride the same
+        // probeAndText kernel call
         val withText = batch
-          .withColumn("format",
-            graft.engine.read.DocumentProbe.formatCol(col(bytesCol)))
-          .withColumn("text",
-            graft.engine.read.DocumentProbe.textCol(col(bytesCol)))
+          .withColumn("__pt",
+            graft.engine.read.DocumentProbe.probeAndTextCol(col(bytesCol)))
+          .withColumn("format", col("__pt._1"))
+          .withColumn("text", col("__pt._2"))
+          .drop("__pt")
         val kept =
           if (keepUndecodable) withText
           else withText.filter(col("text").isNotNull)

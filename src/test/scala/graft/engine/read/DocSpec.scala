@@ -41,6 +41,18 @@ class DocSpec extends graft.SparkSpec {
     assert(got.text == "cell one\ncell two\nline a\nline b")
   }
 
+  test("a field WITHOUT a separator never suppresses the rest of the document") {
+    // XE/TC-style: 0x13 instruction 0x15 (no 0x14) — text after the
+    // field end must survive
+    val raw = "before \u0013 XE \"index entry\" \u0015after\r"
+    val d = LegacyDocFixture.doc(Seq(Piece(raw, compressed = false)))
+    assert(Doc.extractText(d).get.text == "before after")
+    // nested: outer field's result contains an inner separatorless one
+    val nested = "a \u0013INNER \u0013 XE x \u0015\u0014shown\u0015 b\r"
+    val d2 = LegacyDocFixture.doc(Seq(Piece(nested, compressed = false)))
+    assert(Doc.extractText(d2).get.text == "a shown b")
+  }
+
   test("1Table routing via fWhichTblStm") {
     val d = LegacyDocFixture.doc(Seq(Piece("one table\r", compressed = true)),
       oneTable = true)

@@ -29,6 +29,41 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(fmt(null).isEmpty)
   }
 
+  test("OPC siblings and mimetype-less ODF classify correctly") {
+    import graft.queries.EpubFixture.zip
+    // xlsx/pptx must NOT classify (or extract) as docx
+    val xlsx = zip(Seq(
+      "_rels/.rels" -> ("<Relationships><Relationship " +
+        "Type=\"http://schemas.openxmlformats.org/officeDocument/2006/" +
+        "relationships/officeDocument\" Target=\"xl/workbook.xml\"/>" +
+        "</Relationships>").getBytes,
+      "xl/workbook.xml" -> "<workbook/>".getBytes))
+    assert(DocumentProbe.probe(xlsx).map(_.format).contains("xlsx"))
+    assert(DocumentProbe.extractText(xlsx).isEmpty)
+    val pptx = zip(Seq("ppt/presentation.xml" -> "<p/>".getBytes))
+    assert(DocumentProbe.probe(pptx).map(_.format).contains("pptx"))
+    assert(DocumentProbe.extractText(pptx).isEmpty)
+    // an ODT whose producer omitted the mimetype entry still routes
+    val bareOdt = OdtFixture.odt(Seq(
+      OdtFixture.para(OdtFixture.T("no mimetype"))), mimetype = None)
+    assert(DocumentProbe.probe(bareOdt).map(_.format).contains("odt"))
+    assert(DocumentProbe.extractText(bareOdt).contains("no mimetype"))
+    // an OPC package with an unrecognized main part stays classify-only
+    val opc = zip(Seq("_rels/.rels" ->
+      "<Relationships><Relationship Type=\"x/officeDocument\" Target=\"other/part.xml\"/></Relationships>".getBytes))
+    assert(DocumentProbe.probe(opc).map(_.format).contains("opc"))
+    assert(DocumentProbe.extractText(opc).isEmpty)
+  }
+
+  test("probeAndText matches the separate calls off one parse") {
+    val docx = DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T(t))))
+    assert(DocumentProbe.probeAndText(docx) == (Some("docx"), Some(t)))
+    assert(DocumentProbe.probeAndText("junk".getBytes) == (None, None))
+    val encDoc = LegacyDocFixture.doc(Seq(
+      LegacyDocFixture.Piece("x\r", compressed = true)), encrypted = true)
+    assert(DocumentProbe.probeAndText(encDoc) == (Some("doc"), None))
+  }
+
   test("pdf pages and encryption ride the probe") {
     val m = DocumentProbe.probe(PdfFixture.simplePdf(Seq(
       "BT (a) Tj ET", "BT (b) Tj ET"))).get

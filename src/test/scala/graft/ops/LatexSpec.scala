@@ -54,6 +54,13 @@ class LatexSpec extends graft.SparkSpec {
     assert(t(src) == "A nice plot\nBody.")
   }
 
+  test("macro definitions drop their bodies, not just their names") {
+    assert(t("\\newcommand{\\greet}[1]{Hello #1}After.") == "After.")
+    assert(t("\\renewcommand{\\x}{body}Kept.") == "Kept.")
+    assert(t("\\setlength{\\parindent}{1cm}Kept.") == "Kept.")
+    assert(t("\\newenvironment{env}[1]{pre #1}{post}Kept.") == "Kept.")
+  }
+
   test("latex_to_text SQL function surfaces the kernel") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._

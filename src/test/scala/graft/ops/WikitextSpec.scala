@@ -44,6 +44,11 @@ class WikitextSpec extends AnyFunSuite {
       "before inside after")
   }
 
+  test("self-closed refs with '/' in attribute values never swallow prose") {
+    assert(t("<ref name=\"a/b\"/>Some prose.<ref>c</ref> End.") ==
+      "Some prose. End.")
+  }
+
   test("tables drop whole") {
     assert(t("Pre.\n{| class=\"wikitable\"\n|-\n| a || b\n|}\nPost.") ==
       "Pre.\nPost.")
