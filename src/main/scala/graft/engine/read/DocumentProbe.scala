@@ -77,14 +77,24 @@ object DocumentProbe {
         case None    => return (None, None)
       }
       val kind = Ole2.classifyFrom(files)
+      // one record walk on the common path: when text is wanted, run
+      // the extractor first and only fall back to the encryption scan
+      // to EXPLAIN a refusal (doc's flag read is O(1) either way)
       val (enc, text) = kind match {
         case "encrypted-ooxml" => (true, None)
-        case "doc" => (Doc.isEncrypted(files),
-          if (wantText) Doc.extractFrom(files).map(_.text) else None)
-        case "xls" => (Xls.isEncrypted(files),
-          if (wantText) Xls.extractFrom(files).map(_.text) else None)
-        case "ppt" => (Ppt.isEncrypted(files),
-          if (wantText) Ppt.extractFrom(files).map(_.text) else None)
+        case "doc" =>
+          val t = if (wantText) Doc.extractFrom(files).map(_.text) else None
+          (Doc.isEncrypted(files), t)
+        case "xls" =>
+          if (wantText) {
+            val t = Xls.extractFrom(files).map(_.text)
+            (t.isEmpty && Xls.isEncrypted(files), t)
+          } else (Xls.isEncrypted(files), None)
+        case "ppt" =>
+          if (wantText) {
+            val t = Ppt.extractFrom(files).map(_.text)
+            (t.isEmpty && Ppt.isEncrypted(files), t)
+          } else (Ppt.isEncrypted(files), None)
         case _ => (false, None)
       }
       return (Some(DocMeta(kind, 0, enc)), text)
@@ -111,11 +121,20 @@ object DocumentProbe {
         }
       return (Some(DocMeta(kind, 0, encrypted = false)), text)
     }
-    Pdf.meta(bytes) match {
+    if (wantText) {
+      // one xref walk on the happy path: extractText carries the page
+      // count; meta only runs to EXPLAIN a refusal (encrypted vs junk)
+      Pdf.extractText(bytes) match {
+        case Some(t) =>
+          (Some(DocMeta("pdf", math.max(t.nPages, 0), encrypted = false)),
+            Some(t.text))
+        case None =>
+          (Pdf.meta(bytes).map(m =>
+            DocMeta("pdf", math.max(m.nPages, 0), m.encrypted)), None)
+      }
+    } else Pdf.meta(bytes) match {
       case Some(m) =>
-        val meta = Some(DocMeta("pdf", math.max(m.nPages, 0), m.encrypted))
-        val text = if (wantText) Pdf.extractText(bytes).map(_.text) else None
-        (meta, text)
+        (Some(DocMeta("pdf", math.max(m.nPages, 0), m.encrypted)), None)
       case None => (None, None)
     }
   }
@@ -135,6 +154,9 @@ object DocumentProbe {
     * package is NOT automatically a word document), ODF by mimetype
     * or by a bare ODF content.xml, OCF by container.xml.
     */
+  private val RelsTarget =
+    ("""Type="[^"]*/officeDocument"\s+Target="/?([^"]+)"""").r
+
   private def zipKind(files: Map[String, Array[Byte]]): String = {
     val mime = files.get("mimetype")
       .map(new String(_, StandardCharsets.US_ASCII).trim)
@@ -145,18 +167,37 @@ object DocumentProbe {
     else if (mime.exists(_.startsWith("application/epub")) ||
       files.contains("META-INF/container.xml"))
       "epub"
-    else if (files.contains("word/document.xml")) "docx"
-    else if (files.contains("xl/workbook.xml")) "xlsx"
-    else if (files.contains("ppt/presentation.xml")) "pptx"
-    else if (files.get("content.xml")
-      .map(new String(_, StandardCharsets.UTF_8))
-      .exists(_.contains("office:document-content")))
-      "odt" // mimetype-less ODF producers: the content root is the gate
-    else if (files.get("_rels/.rels")
-      .map(new String(_, StandardCharsets.UTF_8))
-      .exists(_.contains("/officeDocument")))
-      "opc" // an OPC package whose main part we don't recognize
-    else "zip"
+    else {
+      // OPC siblings discriminate by their MAIN PART: the rels target
+      // when declared (Word can write word/document2.xml after
+      // save/repair cycles — Docx.extractFrom follows it), the
+      // conventional member names otherwise
+      val relsMain = files.get("_rels/.rels")
+        .map(new String(_, StandardCharsets.UTF_8))
+        .flatMap(RelsTarget.findFirstMatchIn)
+        .map(_.group(1))
+      val opcKind = relsMain match {
+        case Some(t) if t.startsWith("word/") => Some("docx")
+        case Some(t) if t.startsWith("xl/") => Some("xlsx")
+        case Some(t) if t.startsWith("ppt/") => Some("pptx")
+        case Some(_) => Some("opc")
+        case None =>
+          if (files.contains("word/document.xml")) Some("docx")
+          else if (files.contains("xl/workbook.xml")) Some("xlsx")
+          else if (files.contains("ppt/presentation.xml")) Some("pptx")
+          else None
+      }
+      opcKind.getOrElse {
+        // mimetype-less ODF producers: discriminate by the body class
+        // inside content.xml, not just the shared document-content root
+        files.get("content.xml")
+          .map(new String(_, StandardCharsets.UTF_8)) match {
+          case Some(c) if c.contains("office:document-content") =>
+            if (c.contains("<office:text")) "odt" else "odf-other"
+          case _ => "zip"
+        }
+      }
+    }
   }
 
   private val formatUdf = udf { (bytes: Array[Byte]) =>

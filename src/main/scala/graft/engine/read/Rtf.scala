@@ -124,12 +124,17 @@ object Rtf {
             var j = i + 1
             while (j < n && s.charAt(j).isLetter) j += 1
             val word = s.substring(i + 1, j)
-            var param: Option[Int] = None
+            var param: Option[Long] = None
             if (j < n && (s.charAt(j) == '-' || s.charAt(j).isDigit)) {
               val k0 = j
               if (s.charAt(j) == '-') j += 1
               while (j < n && s.charAt(j).isDigit) j += 1
-              param = scala.util.Try(s.substring(k0, j).toInt).toOption
+              // a parameter too large for Long is hostile; saturate
+              // rather than silently reading as 0 (\binN must NEVER
+              // under-skip its payload)
+              param = Some(scala.util.Try(s.substring(k0, j).toLong)
+                .getOrElse(if (s.charAt(k0) == '-') Long.MinValue
+                else Long.MaxValue))
             }
             if (j < n && s.charAt(j) == ' ') j += 1
             i = j
@@ -140,19 +145,25 @@ object Rtf {
                 // table cell/row ends read as paragraph breaks
                 if (!st.skip) flushPara()
               case "uc" =>
-                st = st.copy(uc = param.getOrElse(1).max(0))
+                st = st.copy(uc =
+                  param.getOrElse(1L).max(0).min(65535).toInt)
               case "u" =>
-                val code = param.getOrElse(0)
+                val code = param.getOrElse(0L)
                 val cp = if (code < 0) code + 65536 else code
                 if (!st.skip && pendingUcSkip == 0 &&
                   cp >= 0 && cp <= 0xFFFF) cur.append(cp.toChar)
                 if (pendingUcSkip > 0) pendingUcSkip -= 1
                 else pendingUcSkip = st.uc
               case "ansicpg" =>
-                param.flatMap(charsetFor).foreach(codepage = _)
+                param.filter(p => p > 0 && p <= Int.MaxValue)
+                  .flatMap(p => charsetFor(p.toInt))
+                  .foreach(codepage = _)
               case "bin" =>
-                // raw byte payload — skip byte-exact
-                i = math.min(n.toLong, i.toLong + param.getOrElse(0).max(0)).toInt
+                // raw byte payload — skip byte-exact (an oversized or
+                // overflowed N skips to end of input: binary must
+                // never alias as control text)
+                i = math.min(n.toLong,
+                  i.toLong + param.getOrElse(0L).max(0)).toInt
               case w if SkipDestinations.contains(w) =>
                 st = st.copy(skip = true)
               case w if SymbolWords.contains(w) =>

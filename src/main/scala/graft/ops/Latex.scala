@@ -108,6 +108,32 @@ object Latex {
       } else from
     }
 
+    // one TeX argument: a braced group, an unbraced control word
+    // (\newcommand\foo{body}), or a single token
+    def skipArg(from: Int): Int = {
+      var j = from
+      while (j < n && (s.charAt(j) == ' ' || s.charAt(j) == '\n')) j += 1
+      if (j >= n) n
+      else if (s.charAt(j) == '{') skipGroup(j)
+      else if (s.charAt(j) == '\\') readWord(j + 1)
+      else j + 1
+    }
+
+    // end of a $-delimited math span, honoring \$ escapes inside
+    def mathEnd(from: Int, display: Boolean): Int = {
+      var j = from
+      while (j < n) {
+        val c = s.charAt(j)
+        if (c == '\\' && j + 1 < n) j += 2
+        else if (c == '$') {
+          if (!display) return j + 1
+          if (j + 1 < n && s.charAt(j + 1) == '$') return j + 2
+          j += 1
+        } else j += 1
+      }
+      n
+    }
+
     // find \end{name} and return index after it (or n)
     def afterEnd(name: String, from: Int): Int = {
       val needle = "\\end{" + name + "}"
@@ -120,14 +146,17 @@ object Latex {
       if (c == '%') {
         while (i < n && s.charAt(i) != '\n') i += 1
       } else if (c == '$') {
-        // inline or display math: $...$ / $$...$$
+        // inline or display math: $...$ / $$...$$ — \$ inside the
+        // span never terminates it
         val display = i + 1 < n && s.charAt(i + 1) == '$'
-        val open = if (display) "$$" else "$"
-        val close = s.indexOf(open, i + open.length)
-        i = if (close < 0) n else close + open.length
+        i = mathEnd(i + (if (display) 2 else 1), display)
       } else if (c == '\\' && i + 1 < n) {
         val c1 = s.charAt(i + 1)
-        if (c1 == '\\') { out.append('\n'); i += 2 }
+        if (c1 == '\\') {
+          out.append('\n')
+          // \\[5pt] spacing argument vanishes with the break
+          i = skipOpt(i + 2)
+        }
         else if ("%&_#${}".indexOf(c1) >= 0) { out.append(c1); i += 2 }
         else if (c1 == '[') { // display math \[...\]
           val close = s.indexOf("\\]", i + 2)
@@ -184,13 +213,14 @@ object Latex {
             // drop the URL argument, keep the display text transparent
             i = skipGroup(i)
           } else if (DropWithArg.contains(bare)) {
-            // consume every declared group, with option brackets
-            // allowed between them (\newcommand{\x}[1]{body})
+            // consume every declared argument, with option brackets
+            // allowed between them; an argument may be a braced group
+            // OR an unbraced control word (\newcommand\foo{body})
             var g = 0
             val groups = DropWithArg(bare)
             while (g < groups) {
               i = skipOpt(i)
-              i = skipGroup(i)
+              i = skipArg(i)
               g += 1
             }
           } else if (Sectioning.contains(bare)) {

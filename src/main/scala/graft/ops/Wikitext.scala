@@ -46,6 +46,9 @@ object Wikitext {
     // </ref>
     s = s.replaceAll("(?is)<ref\\b[^>]*/>", "")
     s = s.replaceAll("(?is)<ref\\b[^>]*>.*?</ref>", "")
+    // template PARAMETERS ({{{1|default}}}) first: a two-char scanner
+    // would close their triple braces one short and leak a '}'
+    s = dropNested(s, "{{{", "}}}")
     s = dropNested(s, "{{", "}}")
     s = dropNested(s, "{|", "|}")
     s = resolveLinks(s)

@@ -36,24 +36,26 @@ object DocxFixture {
        |${paras.mkString("\n")}
        |</w:body></w:document>""".stripMargin
 
-  private val Rels =
-    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-      |<Relationships
-      |    xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-      |  <Relationship Id="rId1"
-      |      Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument"
-      |      Target="word/document.xml"/>
-      |</Relationships>""".stripMargin
+  private def rels(target: String) =
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<Relationships
+       |    xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+       |  <Relationship Id="rId1"
+       |      Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument"
+       |      Target="$target"/>
+       |</Relationships>""".stripMargin
 
   /** A minimal valid .docx; `docPath` overrides where the main part
-    * lives (the rels still point at word/document.xml, so a custom
-    * path exercises the fallback-vs-rels logic).
+    * lives and `relsTarget` what the rels declare (diverging the two
+    * exercises the fallback-vs-rels logic; aligning them on a
+    * non-default name exercises rels-authoritative routing).
     */
   def docx(paras: Seq[String],
            withRels: Boolean = true,
-           docPath: String = "word/document.xml"): Array[Byte] =
+           docPath: String = "word/document.xml",
+           relsTarget: String = "word/document.xml"): Array[Byte] =
     EpubFixture.zip(
-      (if (withRels) Seq("_rels/.rels" -> Rels.getBytes(UTF_8))
+      (if (withRels) Seq("_rels/.rels" -> rels(relsTarget).getBytes(UTF_8))
        else Seq.empty) :+
         (docPath -> documentXml(paras).getBytes(UTF_8)))
 

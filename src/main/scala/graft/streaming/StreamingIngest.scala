@@ -345,7 +345,10 @@ object StreamingIngest {
                           queryName: String,
                           keepUndecodable: Boolean = false)
                          (writeKept: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    for (r <- Seq("format", "text", "__pt"))
+      require(!stream.columns.contains(r),
+        s"input already has a reserved '$r' column")
     stream.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append())
@@ -365,6 +368,7 @@ object StreamingIngest {
         writeKept(kept, batchId)
       }
       .start()
+  }
 
   /** The COMPOSED curation pipeline as a streaming sink: every
     * microbatch runs the full

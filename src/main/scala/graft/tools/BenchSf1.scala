@@ -97,6 +97,13 @@ object BenchSf1 {
     println(s"[bench-sf1] wrote $outPath")
 
     val basePath = java.nio.file.Paths.get(baselinePath)
+    if (subsetMode && !java.nio.file.Files.exists(basePath)) {
+      // nothing to compare against and subset runs never record one
+      println(s"[bench-sf1] no baseline at $baselinePath — subset " +
+        "timings written, comparison skipped")
+      spark.stop()
+      return
+    }
     if (!subsetMode && (rebaseline || !java.nio.file.Files.exists(basePath))) {
       java.nio.file.Files.write(basePath, json.getBytes("UTF-8"))
       println(s"[bench-sf1] baseline recorded at $baselinePath")

@@ -55,6 +55,26 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(DocumentProbe.extractText(opc).isEmpty)
   }
 
+  test("docx with a non-default rels main part still routes as docx") {
+    // Word writes word/document2.xml after some save/repair cycles;
+    // the rels target is authoritative
+    val d = DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T(t))),
+      docPath = "word/document2.xml", relsTarget = "word/document2.xml")
+    assert(DocumentProbe.probe(d).map(_.format).contains("docx"))
+    assert(DocumentProbe.extractText(d).contains(t))
+  }
+
+  test("mimetype-less ODF spreadsheets classify odf-other, not odt") {
+    val ods = graft.queries.EpubFixture.zip(Seq(
+      "content.xml" ->
+        ("""<office:document-content
+           |  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0">
+           |  <office:body><office:spreadsheet/></office:body>
+           |</office:document-content>""".stripMargin).getBytes("UTF-8")))
+    assert(DocumentProbe.probe(ods).map(_.format).contains("odf-other"))
+    assert(DocumentProbe.extractText(ods).isEmpty)
+  }
+
   test("probeAndText matches the separate calls off one parse") {
     val docx = DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T(t))))
     assert(DocumentProbe.probeAndText(docx) == (Some("docx"), Some(t)))

@@ -62,6 +62,12 @@ class RtfSpec extends graft.SparkSpec {
     assert(t("{\\rtf1 a\\bin3 x}yb\\par}").text == "ab")
   }
 
+  test("an overflowed bin parameter skips to end, never re-parses payload") {
+    // 2^32 overflows Int; the payload must not alias as control text
+    val got = t("{\\rtf1 safe \\bin4294967296 \\evil{payload}}")
+    assert(got.text == "safe ") // payload never re-parses as text
+  }
+
   test("line and tab controls") {
     assert(t("{\\rtf1 a\\line b\\tab c\\par}").text == "a\nb\tc")
   }

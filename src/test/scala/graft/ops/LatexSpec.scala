@@ -61,6 +61,15 @@ class LatexSpec extends graft.SparkSpec {
     assert(t("\\newenvironment{env}[1]{pre #1}{post}Kept.") == "Kept.")
   }
 
+  test("unbraced macro names, spacing breaks and escaped dollars in math") {
+    // the first \newcommand argument may be an unbraced control word
+    assert(t("\\newcommand\\etal{et al.}After.") == "After.")
+    // \\[5pt] spacing vanishes with the break
+    assert(t("first \\\\[2ex] second") == "first\nsecond")
+    // \$ inside a math span never terminates it
+    assert(t("$cost = \\$5$ remains.") == "remains.")
+  }
+
   test("latex_to_text SQL function surfaces the kernel") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._

@@ -49,6 +49,11 @@ class WikitextSpec extends AnyFunSuite {
       "Some prose. End.")
   }
 
+  test("triple-brace template parameters drop without leaking a brace") {
+    assert(t("value {{{1|default}}} here") == "value here")
+    assert(t("{{tmpl|x={{{p}}}}}kept") == "kept")
+  }
+
   test("tables drop whole") {
     assert(t("Pre.\n{| class=\"wikitable\"\n|-\n| a || b\n|}\nPost.") ==
       "Pre.\nPost.")
