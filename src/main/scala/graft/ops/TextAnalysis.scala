@@ -1596,16 +1596,26 @@ object TextAnalysis {
     *    quote can never start an unquoted value), so at most one of
     *    each pair extracts.
     */
-  private[graft] val robotsContentPatterns: Seq[String] = {
-    val nmFirst =
-      "[\\s\"']name\\s*=\\s*[\"']?robots[\"'\\s](?:[^>]*\\s)?"
-    val nmLast = "[\\s\"']name\\s*=\\s*[\"']?robots[\"'\\s/>]"
+  /** Both attribute orders × both value syntaxes for a
+    * `<tag key=VALUE val=(captured)>` pair — the robots-meta pattern
+    * shape, generalized so canonical links and og:/description metas
+    * ride the same Java ⇄ RE2-parity regexes.
+    */
+  private[graft] def attrPairPatterns(tag: String, key: String,
+                                      value: String,
+                                      valAttr: String): Seq[String] = {
+    val kFirst =
+      s"[\\s\"']$key\\s*=\\s*[\"']?$value[\"'\\s](?:[^>]*\\s)?"
+    val kLast = s"[\\s\"']$key\\s*=\\s*[\"']?$value[\"'\\s/>]"
     Seq(
-      s"(?i)<meta[^>]*${nmFirst}content\\s*=\\s*[\"']([^\"']*)[\"']",
-      s"(?i)<meta[^>]*${nmFirst}content\\s*=\\s*([^\"'\\s>]+)",
-      s"(?i)<meta[^>]*[\\s\"']content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*$nmLast",
-      s"(?i)<meta[^>]*[\\s\"']content\\s*=\\s*([^\"'\\s>]+)[^>]*$nmLast")
+      s"(?i)<$tag[^>]*$kFirst$valAttr\\s*=\\s*[\"']([^\"']*)[\"']",
+      s"(?i)<$tag[^>]*$kFirst$valAttr\\s*=\\s*([^\"'\\s>]+)",
+      s"(?i)<$tag[^>]*[\\s\"']$valAttr\\s*=\\s*[\"']([^\"']*)[\"'][^>]*$kLast",
+      s"(?i)<$tag[^>]*[\\s\"']$valAttr\\s*=\\s*([^\"'\\s>]+)[^>]*$kLast")
   }
+
+  private[graft] val robotsContentPatterns: Seq[String] =
+    attrPairPatterns("meta", "name", "robots", "content")
 
   /** `<meta name="robots">` directives of an HTML document, lowercased
     * (`""` when absent) — the page's own indexing consent, which a
@@ -1624,6 +1634,62 @@ object TextAnalysis {
       when(e =!= "", e)
     }: _*))
   }
+
+  /** First non-empty extraction across the attribute-order/value-
+    * syntax variants — the generic `<meta ...>`-family reader.
+    */
+  private def firstAttrMatch(html: Column, patterns: Seq[String]): Column = {
+    val h = coalesce(html, lit(""))
+    coalesce(patterns.map { p =>
+      val e = regexp_extract(h, p, 1)
+      when(e =!= "", e)
+    } :+ lit(""): _*)
+  }
+
+  /** `<meta name=NAME content=...>` (both attribute orders, quoted
+    * and unquoted), entity-decoded, whitespace-collapsed; `""` when
+    * absent. `metaDescription` is the corpus-card summary field.
+    */
+  def metaNamedContent(html: Column, name: String): Column =
+    cleanupText(decodeEntities(
+      firstAttrMatch(html, attrPairPatterns("meta", "name", name, "content"))))
+
+  def metaDescription(html: Column): Column =
+    metaNamedContent(html, "description")
+
+  /** `<meta property="og:PROP" content=...>` — the OpenGraph card
+    * fields social crawlers key on; `""` when absent.
+    */
+  def ogContent(html: Column, prop: String): Column =
+    cleanupText(decodeEntities(firstAttrMatch(html,
+      attrPairPatterns("meta", "property", s"og:$prop", "content"))))
+
+  /** `<link rel="canonical" href=...>` — the page's OWN duplicate
+    * declaration, the strongest URL-level dedup signal a crawl gets
+    * (compose with [[UrlOps.canonicalizeUrl]] and exact dedup on the
+    * result); `""` when absent. No entity decode: it is a URL, and
+    * `&amp;` inside query strings decodes at canonicalization time.
+    */
+  def canonicalHref(html: Column): Column =
+    firstAttrMatch(html, attrPairPatterns("link", "rel", "canonical", "href"))
+
+  /** The `<html lang=...>` declaration (primary subtag lowercased,
+    * e.g. "en" from "en-US"); `""` when absent — a declared-language
+    * PRIOR for the langid router, never a verdict.
+    */
+  def htmlLangDeclared(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    val raw = regexp_extract(h,
+      "(?i)<html[^>]*[\\s\"']lang\\s*=\\s*[\"']?([A-Za-z][A-Za-z0-9-]*)", 1)
+    lower(regexp_extract(raw, "\\A([A-Za-z]+)", 1))
+  }
+
+  /** `<title>` text, entity-decoded, whitespace-collapsed; `""` when
+    * absent or unclosed.
+    */
+  def htmlTitle(html: Column): Column =
+    cleanupText(decodeEntities(regexp_extract(coalesce(html, lit("")),
+      "(?is)<title[^>]*>([^<]*)</title>", 1)))
 
   /** Whole-token directive probe over [[metaRobotsContent]] —
     * `\A`/`\z` anchors, not `^`/`$` (Java's bare `$` matches before a

@@ -1140,6 +1140,39 @@ object TextQueries {
     //    equivalence, and a data-name decoy that must NOT match. The
     //    oracle interpolates the IDENTICAL pattern strings (quote-
     //    doubled) over identically-built html. -----------------------
+    // -- t54: head metadata — title/description/og/canonical/lang off
+    //    the same attr-order × value-syntax pattern family as t31.
+    //    The canonical href is the page's OWN dedup declaration (no
+    //    entity decode — it is a URL). Oracle replays per doc_id case.
+    "t54_html_meta" -> { (s, d) =>
+      val id = col("doc_id")
+      val html = when(id % 4 === 0, concat(
+          lit("<html lang=\"en-US\"><head><title>Doc "), id,
+          lit(" &amp; more</title><meta name=\"description\" " +
+            "content=\"summary "), id,
+          lit("\"><link rel=\"canonical\" href=\"https://example.org/p?id="),
+          id, lit("&amp;v=1\"></head><body>x")))
+        .when(id % 4 === 1, concat(
+          lit("<html><head><meta content='og desc "), id,
+          lit("' property='og:description'><meta property=\"og:title\" " +
+            "content=\"OG "), id,
+          lit("\"><link href=https://ex.org/c/"), id,
+          lit(" rel=canonical></head>")))
+        .when(id % 4 === 2, lit("<html><head></head><body>plain"))
+        .otherwise(concat(
+          lit("<html lang=fr><head><title>unclosed" +
+            "<meta name=description content=word"), id, lit("></head>")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.htmlTitle(html).as("title"),
+          TextAnalysis.metaDescription(html).as("description"),
+          TextAnalysis.ogContent(html, "title").as("og_title"),
+          TextAnalysis.ogContent(html, "description").as("og_description"),
+          TextAnalysis.canonicalHref(html).as("canonical"),
+          TextAnalysis.htmlLangDeclared(html).as("lang_decl"))
+        .orderBy("doc_id")
+    },
+
     "t31_robots_meta" -> { (s, d) =>
       val html = when(col("doc_id") % 5 === 0, concat(
           lit("<html><head><meta name=\"robots\" " +
@@ -2676,6 +2709,24 @@ object TextQueries {
     // The FOUR extraction patterns and the token probes interpolate
     // from the same Scala vals the engine compiles (single quotes
     // doubled for the SQL literal), so the two sides cannot drift.
+    "t54_html_meta" ->
+      s"""SELECT doc_id,
+         |  CASE doc_id % 4 WHEN 0 THEN 'Doc ' || doc_id || ' & more'
+         |    ELSE '' END AS title,
+         |  CASE doc_id % 4 WHEN 0 THEN 'summary ' || doc_id
+         |    WHEN 3 THEN 'word' || doc_id ELSE '' END AS description,
+         |  CASE doc_id % 4 WHEN 1 THEN 'OG ' || doc_id
+         |    ELSE '' END AS og_title,
+         |  CASE doc_id % 4 WHEN 1 THEN 'og desc ' || doc_id
+         |    ELSE '' END AS og_description,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN 'https://example.org/p?id=' || doc_id || '&amp;v=1'
+         |    WHEN 1 THEN 'https://ex.org/c/' || doc_id
+         |    ELSE '' END AS canonical,
+         |  CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 3 THEN 'fr'
+         |    ELSE '' END AS lang_decl
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t31_robots_meta" -> {
       def q(p: String): String = p.replace("'", "''")
       val ex = TextAnalysis.robotsContentPatterns
