@@ -81,6 +81,36 @@ object DedupQueries {
       |  FROM documents WHERE doc_id%10=0""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- d21: canonical-URL dedup — the page's OWN duplicate
+    //    declaration (<link rel=canonical>) falls back to the fetch
+    //    URL, both through canonicalizeUrl, exact dedup keeps the
+    //    min-id copy per canonical key. Hand-derived literals. -------
+    "d21_canonical_dedup" -> { (s, _) =>
+      import s.implicits._
+      def page(canonical: String): String =
+        if (canonical.isEmpty) "<html><head></head><body>x"
+        else s"""<html><head><link rel="canonical" href="$canonical"></head>"""
+      val rows = Seq(
+        (1L, "https://Example.org/page?b=2&a=1#frag", page("")),
+        // a tracking-reshuffled copy declaring the same canonical
+        (2L, "https://cdn.example.org/mirror/page",
+          page("HTTPS://EXAMPLE.ORG:443/page?b=2&a=1")),
+        (3L, "http://crawler.example/fetched",
+          page("http://Other.net:80/x")),
+        // userinfo + fragment noise, no declaration: the fetch URL is
+        // the fallback
+        (4L, "http://user@other.net/x#section", page("")),
+        (5L, "https://unique.example/", page("")))
+        .toDF("doc_id", "url", "html")
+      val declared = graft.ops.TextAnalysis.canonicalHref(col("html"))
+      val key = graft.ops.UrlOps.canonicalizeUrl(
+        coalesce(when(declared =!= "", declared), col("url")))
+      val keyed = rows.withColumn("canon", key)
+      graft.ops.Dedup.exact(keyed, Seq("canon"), "doc_id")
+        .select("doc_id", "canon")
+        .orderBy("doc_id")
+    },
+
     // -- exact dedup: hash-groupBy on content --------------------------
     "d1_dedup_exact" -> { (s, d) =>
       graft.ops.Dedup.exactStats(corpusExact(s, d), "text", "doc_id")
@@ -506,6 +536,16 @@ object DedupQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    // Hand-derived: declared canonicals collapse the mirror (2) into
+    // the origin (1); the userinfo/fragment fetch URL (4) collapses
+    // into the declared canonical (3); 5 stands alone.
+    "d21_canonical_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'https://example.org/page?a=1&b=2'),
+        |  (3::BIGINT, 'http://other.net/x'),
+        |  (5::BIGINT, 'https://unique.example/'))
+        |  t(doc_id, canon)
+        |ORDER BY doc_id""".stripMargin,
     // Same synthetic 4-line construction, then: explode with position,
     // count segments >= 5 chars globally, keep a segment iff short/
     // exempt or globally unique, rebuild per doc in position order

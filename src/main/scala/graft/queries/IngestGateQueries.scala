@@ -759,9 +759,45 @@ object IngestGateQueries {
           graft.engine.read.Warc.scan(s, s20WarcDir))
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
+    },
+
+    // -- S21: RSS/Atom feed items — both dialects through one kernel,
+    //    item bodies through the htmlToText cascade, junk feeds to
+    //    zero rows. Hand-derived literals. --------------------------
+    "s21_feed_items" -> { (s, _) =>
+      import s.implicits._
+      val rss = "<rss version=\"2.0\"><channel><title>Blog</title>" +
+        "<item><title>First</title><link>https://example.org/1</link>" +
+        "<guid>tag:1</guid><pubDate>Mon, 01 Apr 2024 00:00:00 GMT" +
+        "</pubDate><description>&lt;p&gt;Hello &amp;amp; welcome" +
+        "&lt;/p&gt;</description></item>" +
+        "<item><title>Second</title><link>https://example.org/2</link>" +
+        "</item></channel></rss>"
+      val atom = "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+        "<title>AtomF</title><entry><title>E1</title>" +
+        "<link rel=\"self\" href=\"https://example.org/self\"/>" +
+        "<link rel=\"alternate\" href=\"https://example.org/a1\"/>" +
+        "<id>urn:1</id><published>2024-05-01T00:00:00Z</published>" +
+        "<summary>plain summary</summary></entry></feed>"
+      val df = Seq((1L, rss), (2L, atom), (3L, "not a feed"))
+        .toDF("src_id", "body")
+      graft.engine.read.Feeds.items(df, "body")
+        .orderBy("src_id", "link")
     })
 
   def oracle: Map[String, String] = Map(
+    // Hand-derived: RSS guid/date/html-stripped description, Atom
+    // alternate link + summary; the junk feed contributes nothing.
+    "s21_feed_items" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'Blog', 'First', 'https://example.org/1',
+        |   'tag:1', 'Mon, 01 Apr 2024 00:00:00 GMT', 'Hello & welcome'),
+        |  (1::BIGINT, 'Blog', 'Second', 'https://example.org/2',
+        |   '', '', ''),
+        |  (2::BIGINT, 'AtomF', 'E1', 'https://example.org/a1',
+        |   'urn:1', '2024-05-01T00:00:00Z', 'plain summary'))
+        |  t(src_id, feed_title, title, link, item_id, published, summary)
+        |ORDER BY src_id, link""".stripMargin,
     // Authored-literal texts ride the fixture; the gate decodes the
     // same bytes through the BOM/header/meta-prescan precedence.
     "s20_charset_sniff" ->
