@@ -1691,6 +1691,35 @@ object TextAnalysis {
     cleanupText(decodeEntities(regexp_extract(coalesce(html, lit("")),
       "(?is)<title[^>]*>([^<]*)</title>", 1)))
 
+  private val JsonLdPattern =
+    "(?is)<script[^>]*type\\s*=\\s*[\"']?application/ld\\+json[\"']?" +
+      "[^>]*>(.*?)</script>"
+
+  /** Raw `<script type="application/ld+json">` payloads — the
+    * schema.org structured-data layer (articles declare headline/
+    * datePublished/author here with more fidelity than any meta tag).
+    * Raw JSON strings, trimmed, empties dropped; parse downstream
+    * with `get_json_object`/`from_json` against the schema the
+    * pipeline actually wants.
+    */
+  def jsonLdBlocks(html: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(coalesce(html, lit("")),
+          lit(JsonLdPattern), lit(1)),
+        b => trim(b)),
+      b => b =!= "")
+
+  /** The `@type` of each well-formed JSON-LD object block (array
+    * values and unparseable blocks drop) — the one-line page-kind
+    * signal (Article/Product/Recipe…) corpus routing keys on.
+    */
+  def jsonLdTypes(html: Column): Column =
+    filter(
+      transform(jsonLdBlocks(html),
+        b => get_json_object(b, "$['@type']")),
+      t => t.isNotNull && !t.startsWith("["))
+
   /** Whole-token directive probe over [[metaRobotsContent]] —
     * `\A`/`\z` anchors, not `^`/`$` (Java's bare `$` matches before a
     * final newline, RE2's does not); separators are comma plus the

@@ -1140,6 +1140,32 @@ object TextQueries {
     //    equivalence, and a data-name decoy that must NOT match. The
     //    oracle interpolates the IDENTICAL pattern strings (quote-
     //    doubled) over identically-built html. -----------------------
+    // -- t55: JSON-LD structured data — block extraction + @type per
+    //    block; attribute quoting/case variants, array-@type and
+    //    malformed blocks drop from types but count as blocks. ------
+    "t55_jsonld" -> { (s, d) =>
+      val id = col("doc_id")
+      val html = when(id % 4 === 0, concat(
+          lit("<html><head><script type=\"application/ld+json\">" +
+            "{\"@context\":\"https://schema.org\",\"@type\":\"Article\"," +
+            "\"headline\":\"H"), id, lit("\"}</script></head>")))
+        .when(id % 4 === 1, concat(
+          lit("<head><SCRIPT TYPE='application/ld+json'>" +
+            "{\"@type\":\"NewsArticle\"}</SCRIPT>" +
+            "<script type=application/ld+json>" +
+            "{\"@type\":\"Product\",\"sku\":"), id, lit("}</script></head>")))
+        .when(id % 4 === 2, lit("<html><head><script type=\"text/javascript\">" +
+          "var x = {\"@type\":\"NotLd\"};</script></head>"))
+        .otherwise(lit("<head><script type=\"application/ld+json\">" +
+          "{\"@type\":[\"A\",\"B\"]}</script>" +
+          "<script type=\"application/ld+json\">not json</script></head>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.jsonLdBlocks(html)).as("n_blocks"),
+          array_join(TextAnalysis.jsonLdTypes(html), ",").as("types"))
+        .orderBy("doc_id")
+    },
+
     // -- t54: head metadata — title/description/og/canonical/lang off
     //    the same attr-order × value-syntax pattern family as t31.
     //    The canonical href is the page's OWN dedup declaration (no
@@ -2709,6 +2735,15 @@ object TextQueries {
     // The FOUR extraction patterns and the token probes interpolate
     // from the same Scala vals the engine compiles (single quotes
     // doubled for the SQL literal), so the two sides cannot drift.
+    "t55_jsonld" ->
+      s"""SELECT doc_id,
+         |  CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 0
+         |    ELSE 2 END AS n_blocks,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN 'Article'
+         |    WHEN 1 THEN 'NewsArticle,Product'
+         |    ELSE '' END AS types
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t54_html_meta" ->
       s"""SELECT doc_id,
          |  CASE doc_id % 4 WHEN 0 THEN 'Doc ' || doc_id || ' & more'
