@@ -154,9 +154,6 @@ object DocumentProbe {
     * package is NOT automatically a word document), ODF by mimetype
     * or by a bare ODF content.xml, OCF by container.xml.
     */
-  private val RelsTarget =
-    ("""Type="[^"]*/officeDocument"\s+Target="/?([^"]+)"""").r
-
   private def zipKind(files: Map[String, Array[Byte]]): String = {
     val mime = files.get("mimetype")
       .map(new String(_, StandardCharsets.US_ASCII).trim)
@@ -171,11 +168,9 @@ object DocumentProbe {
       // OPC siblings discriminate by their MAIN PART: the rels target
       // when declared (Word can write word/document2.xml after
       // save/repair cycles — Docx.extractFrom follows it), the
-      // conventional member names otherwise
-      val relsMain = files.get("_rels/.rels")
-        .map(new String(_, StandardCharsets.UTF_8))
-        .flatMap(RelsTarget.findFirstMatchIn)
-        .map(_.group(1))
+      // conventional member names otherwise. The SAME XML attribute
+      // lookup Docx uses — attribute order/quoting variation is legal.
+      val relsMain = Docx.mainPartTarget(files)
       val opcKind = relsMain match {
         case Some(t) if t.startsWith("word/") => Some("docx")
         case Some(t) if t.startsWith("xl/") => Some("xlsx")
@@ -194,7 +189,13 @@ object DocumentProbe {
           .map(new String(_, StandardCharsets.UTF_8)) match {
           case Some(c) if c.contains("office:document-content") =>
             if (c.contains("<office:text")) "odt" else "odf-other"
-          case _ => "zip"
+          case _ =>
+            // torn/unparseable rels that still SPEAK OPC classify as
+            // opc, not plain zip (inventory keeps the signal)
+            if (files.get("_rels/.rels")
+              .map(new String(_, StandardCharsets.UTF_8))
+              .exists(_.contains("/officeDocument"))) "opc"
+            else "zip"
         }
       }
     }

@@ -34,13 +34,13 @@ object Docx {
                   maxEntries: Int = Epub.DefaultMaxEntries): Option[DocxText] =
     ZipRead.entries(bytes, maxTotalBytes, maxEntries).flatMap(extractFrom)
 
-  /** The extraction over an ALREADY-unzipped package (one ZIP walk
-    * per row, shared with [[DocumentProbe]]).
+  /** The OPC main-part target per the package rels (a REAL XML
+    * attribute lookup — attribute order, quoting and intervening
+    * attributes are all legal variation a regex would trip on).
+    * Shared with [[DocumentProbe]]'s ZIP classification.
     */
-  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[DocxText] = {
-    // the main part per the package rels; word/document.xml as the
-    // de-facto fallback when rels are absent or unparseable
-    val fromRels = files.get("_rels/.rels")
+  private[read] def mainPartTarget(files: Map[String, Array[Byte]]): Option[String] =
+    files.get("_rels/.rels")
       .map(new String(_, StandardCharsets.UTF_8))
       .flatMap(ZipRead.parseXml)
       .flatMap { rels =>
@@ -54,6 +54,14 @@ object Docx {
           else None
         })
       }
+
+  /** The extraction over an ALREADY-unzipped package (one ZIP walk
+    * per row, shared with [[DocumentProbe]]).
+    */
+  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[DocxText] = {
+    // the main part per the package rels; word/document.xml as the
+    // de-facto fallback when rels are absent or unparseable
+    val fromRels = mainPartTarget(files)
     val mainPath = fromRels.filter(files.contains)
       .orElse(Some("word/document.xml").filter(files.contains)) match {
       case Some(p) => p

@@ -28,9 +28,12 @@ object Feeds {
     if (body == null) return Nil
     val trimmed = body.trim
     if (trimmed.isEmpty || !trimmed.startsWith("<")) return Nil
-    val xml = try scala.xml.XML.loadString(
-      trimmed.replaceAll("(?s)<!DOCTYPE[^>]*>", ""))
-    catch { case _: Exception => return Nil }
+    // the shared DOCTYPE-stripped guarded parse (one external-entity
+    // guard to harden, not three)
+    val xml = ZipRead.parseXml(trimmed) match {
+      case Some(x) => x
+      case None    => return Nil
+    }
 
     def text(n: scala.xml.NodeSeq): String =
       n.headOption.map(_.text.trim).getOrElse("")
@@ -44,9 +47,14 @@ object Feeds {
         (channel \ "item").map { it =>
           val desc = Seq("encoded", "description")
             .map(l => text(it \ l)).find(_.nonEmpty).getOrElse("")
+          // first NON-EMPTY link text: a self-closing item-level
+          // <atom:link .../> (label-matched too) must not shadow the
+          // real <link>url</link>
+          val link = (it \ "link").map(_.text.trim)
+            .find(_.nonEmpty).getOrElse("")
           Item(feedTitle,
             text(it \ "title"),
-            text(it \ "link"),
+            link,
             text(it \ "guid"),
             text(it \ "pubDate"),
             graft.ops.TextAnalysis.htmlToTextKernel(desc))

@@ -161,9 +161,10 @@ object Rtf {
               case "bin" =>
                 // raw byte payload — skip byte-exact (an oversized or
                 // overflowed N skips to end of input: binary must
-                // never alias as control text)
-                i = math.min(n.toLong,
-                  i.toLong + param.getOrElse(0L).max(0)).toInt
+                // never alias as control text). Compare, don't add:
+                // i + Long.MaxValue would wrap negative.
+                val skip = param.getOrElse(0L).max(0)
+                i = if (skip >= (n - i).toLong) n else i + skip.toInt
               case w if SkipDestinations.contains(w) =>
                 st = st.copy(skip = true)
               case w if SymbolWords.contains(w) =>

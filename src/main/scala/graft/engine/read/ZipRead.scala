@@ -7,7 +7,7 @@ package graft.engine.read
   * stripped before any XML parse (external-entity guard — container
   * metadata never legitimately carries a DTD).
   */
-private[read] object ZipRead {
+private[graft] object ZipRead {
 
   def parseXml(text: String): Option[scala.xml.Elem] =
     try Some(scala.xml.XML.loadString(

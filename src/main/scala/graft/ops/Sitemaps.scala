@@ -40,9 +40,11 @@ object Sitemaps {
         .map(Entry(_, "", "", 0.5)).toVector
       return Parsed(urls, Nil)
     }
-    val xml = try scala.xml.XML.loadString(
-      trimmed.replaceAll("(?s)<!DOCTYPE[^>]*>", ""))
-    catch { case _: Exception => return Parsed(Nil, Nil) }
+    // the shared DOCTYPE-stripped guarded parse
+    val xml = graft.engine.read.ZipRead.parseXml(trimmed) match {
+      case Some(x) => x
+      case None    => return Parsed(Nil, Nil)
+    }
     xml.label match {
       case "urlset" =>
         val entries = (xml \ "url").flatMap { u =>

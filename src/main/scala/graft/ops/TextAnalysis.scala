@@ -1651,8 +1651,8 @@ object TextAnalysis {
     * absent. `metaDescription` is the corpus-card summary field.
     */
   def metaNamedContent(html: Column, name: String): Column =
-    cleanupText(decodeEntities(
-      firstAttrMatch(html, attrPairPatterns("meta", "name", name, "content"))))
+    cleanupText(decodeEntities(firstAttrMatch(html, attrPairPatterns(
+      "meta", "name", java.util.regex.Pattern.quote(name), "content"))))
 
   def metaDescription(html: Column): Column =
     metaNamedContent(html, "description")
@@ -1661,8 +1661,9 @@ object TextAnalysis {
     * fields social crawlers key on; `""` when absent.
     */
   def ogContent(html: Column, prop: String): Column =
-    cleanupText(decodeEntities(firstAttrMatch(html,
-      attrPairPatterns("meta", "property", s"og:$prop", "content"))))
+    cleanupText(decodeEntities(firstAttrMatch(html, attrPairPatterns(
+      "meta", "property",
+      java.util.regex.Pattern.quote(s"og:$prop"), "content"))))
 
   /** `<link rel="canonical" href=...>` — the page's OWN duplicate
     * declaration, the strongest URL-level dedup signal a crawl gets

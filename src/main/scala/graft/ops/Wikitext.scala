@@ -46,10 +46,11 @@ object Wikitext {
     // </ref>
     s = s.replaceAll("(?is)<ref\\b[^>]*/>", "")
     s = s.replaceAll("(?is)<ref\\b[^>]*>.*?</ref>", "")
-    // template PARAMETERS ({{{1|default}}}) first: a two-char scanner
-    // would close their triple braces one short and leak a '}'
-    s = dropNested(s, "{{{", "}}}")
-    s = dropNested(s, "{{", "}}")
+    // templates AND template parameters in one run-aware pass — fixed
+    // two- or three-char openers mis-pair the 4- and 5-brace runs of
+    // nested/meta-template markup ({{{{foo}}}}, {{{{{1}}}}}) and leak
+    // close braces
+    s = dropBraceRuns(s)
     s = dropNested(s, "{|", "|}")
     s = resolveLinks(s)
     // external links: [url label] → label; [url] → drop
@@ -80,6 +81,49 @@ object Wikitext {
     val paras = collapsed.split("\\n{2,}").toSeq
       .map(_.trim).filter(_.nonEmpty)
     WikiText(paras.length, paras.mkString("\n"))
+  }
+
+  /** Drop every `{{`-or-longer brace construct: an opener is a
+    * MAXIMAL run of 2+ '{' (its length pushed on a stack), a closer
+    * run of 2+ '}' pays down the stack run by run — so templates
+    * (`{{..}}`), parameters (`{{{..}}}`) and the glued 4-/5-brace
+    * forms of meta-template markup all balance without leaking
+    * braces. Single braces are literal text at depth 0; anything
+    * still open at end of input was torn and stays dropped (markup
+    * never leaks into the corpus).
+    */
+  private def dropBraceRuns(s: String): String = {
+    val out = new StringBuilder
+    val stack = scala.collection.mutable.Stack.empty[Int]
+    var i = 0
+    val n = s.length
+    def runLen(c: Char): Int = {
+      var j = i
+      while (j < n && s.charAt(j) == c) j += 1
+      j - i
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '{' && runLen('{') >= 2) {
+        val r = runLen('{')
+        stack.push(r)
+        i += r
+      } else if (c == '}' && stack.nonEmpty && runLen('}') >= 2) {
+        var r = runLen('}')
+        i += r
+        while (r >= 2 && stack.nonEmpty) {
+          val open = stack.pop()
+          if (open > r) { stack.push(open - r); r = 0 }
+          else r -= open
+        }
+        // a leftover single '}' from an odd run is markup residue —
+        // dropped with its construct
+      } else {
+        if (stack.isEmpty) out.append(c)
+        i += 1
+      }
+    }
+    out.toString
   }
 
   /** Drop `open`..`close` spans at any nesting depth; an unclosed

@@ -75,6 +75,28 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(DocumentProbe.extractText(ods).isEmpty)
   }
 
+  test("rels attribute order and quoting never defeat OPC routing") {
+    import graft.queries.EpubFixture.zip
+    // Target BEFORE Type, single quotes, an intervening attribute —
+    // all legal XML the real attribute lookup handles
+    val rels = ("<Relationships xmlns=\"http://schemas.openxmlformats" +
+      ".org/package/2006/relationships\"><Relationship Id='rId1' " +
+      "Target='word/document2.xml' " +
+      "Type='http://schemas.openxmlformats.org/officeDocument/2006/" +
+      "relationships/officeDocument'/></Relationships>")
+    val d = zip(Seq(
+      "_rels/.rels" -> rels.getBytes,
+      "word/document2.xml" -> DocxFixture.documentXml(Seq(
+        DocxFixture.para(DocxFixture.T("routed")))).getBytes))
+    assert(DocumentProbe.probe(d).map(_.format).contains("docx"))
+    assert(DocumentProbe.extractText(d).contains("routed"))
+    // torn rels that still speak OPC classify as opc, not zip
+    val torn = zip(Seq(
+      "_rels/.rels" -> "<Relationships><unclosed Type=\"x/officeDocument\""
+        .getBytes))
+    assert(DocumentProbe.probe(torn).map(_.format).contains("opc"))
+  }
+
   test("probeAndText matches the separate calls off one parse") {
     val docx = DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T(t))))
     assert(DocumentProbe.probeAndText(docx) == (Some("docx"), Some(t)))

@@ -62,6 +62,20 @@ class FeedsSpec extends graft.SparkSpec {
     assert(items(1).summary == "content body")
   }
 
+  test("a self-closing atom:link never shadows the RSS item link") {
+    val feed =
+      """<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom">
+        |  <channel><title>T</title><item>
+        |    <atom:link href="https://example.org/self" rel="self"/>
+        |    <title>Post</title>
+        |    <link>https://example.org/post</link>
+        |  </item></channel>
+        |</rss>""".stripMargin
+    val items = Feeds.parse(feed)
+    assert(items.length == 1)
+    assert(items(0).link == "https://example.org/post")
+  }
+
   test("hostile inputs yield zero items") {
     assert(Feeds.parse(null).isEmpty)
     assert(Feeds.parse("").isEmpty)

@@ -66,6 +66,10 @@ class RtfSpec extends graft.SparkSpec {
     // 2^32 overflows Int; the payload must not alias as control text
     val got = t("{\\rtf1 safe \\bin4294967296 \\evil{payload}}")
     assert(got.text == "safe ") // payload never re-parses as text
+    // a param that overflows Long must ALSO skip to end (the
+    // saturated addition must not wrap the scanner backwards)
+    val got2 = t("{\\rtf1 safe \\bin99999999999999999999 \\evil{payload}}")
+    assert(got2.text == "safe ")
   }
 
   test("line and tab controls") {

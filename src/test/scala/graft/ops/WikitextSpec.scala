@@ -54,6 +54,14 @@ class WikitextSpec extends AnyFunSuite {
     assert(t("{{tmpl|x={{{p}}}}}kept") == "kept")
   }
 
+  test("glued four- and five-brace runs balance without residue") {
+    assert(t("a {{{{foo}}}} b") == "a b")
+    assert(t("a {{{{{1}}}}} b") == "a b")
+    assert(t("{{ {{inner}} }}after") == "after")
+    // literal single braces in prose survive
+    assert(t("a { b } c") == "a { b } c")
+  }
+
   test("tables drop whole") {
     assert(t("Pre.\n{| class=\"wikitable\"\n|-\n| a || b\n|}\nPost.") ==
       "Pre.\nPost.")
