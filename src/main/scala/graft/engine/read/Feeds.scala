@@ -26,7 +26,9 @@ object Feeds {
 
   def parse(body: String): Seq[Item] = {
     if (body == null) return Nil
-    val trimmed = body.trim
+    // real feed bodies often lead with a UTF-8 BOM (U+FEFF), which
+    // String.trim does NOT strip — drop it before the "<" dispatch
+    val trimmed = body.replaceAll("\\A\uFEFF+", "").trim
     if (trimmed.isEmpty || !trimmed.startsWith("<")) return Nil
     // the shared DOCTYPE-stripped guarded parse (one external-entity
     // guard to harden, not three)

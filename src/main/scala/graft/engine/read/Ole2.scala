@@ -12,10 +12,13 @@ package graft.engine.read
   * sectors), materializes the FAT, then reads the directory chain and
   * every stream entry — small streams (< the 4096-byte cutoff)
   * through the miniFAT inside the root entry's mini stream, large
-  * ones through the FAT. Directory entries are walked LINEARLY (every
-  * allocated 128-byte slot), not via the red-black sibling tree: torn
-  * or lying sibling pointers are common in the wild and the linear
-  * walk recovers every named stream regardless (the crawl posture).
+  * ones through the FAT. Directory entries are enumerated LINEARLY
+  * (every allocated 128-byte slot) so torn or lying sibling pointers
+  * never LOSE a stream (the crawl posture), while the red-black
+  * sibling/child tree — when it holds up — scopes names: root-storage
+  * streams keep bare names, nested-storage streams get
+  * "Storage/Name" paths, and unreachable orphans fall back to bare
+  * names.
   *
   * Bomb/hostility caps: total decompressed bytes bounded, every chain
   * walk bounded by the sector count (a FAT cycle terminates instead
@@ -53,8 +56,11 @@ object Ole2 {
     if (off + 8 > b.length) -1L
     else u32(b, off) | (u32(b, off + 4) << 32)
 
-  /** All named streams, keyed by name (first occurrence wins on the
-    * rare duplicate). None when not CFB or the geometry is broken.
+  /** All named streams: ROOT-storage streams keyed by bare name,
+    * streams nested inside sub-storages keyed by "Storage/Name" path
+    * (so an embedded object's WordDocument never collides with the
+    * host's), torn-tree orphans by bare name (first occurrence wins
+    * on duplicates). None when not CFB or the geometry is broken.
     */
   def streams(bytes: Array[Byte],
               maxTotal: Long = DefaultMaxTotalBytes): Option[Map[String, Array[Byte]]] = {
@@ -137,12 +143,16 @@ object Ole2 {
       out.toByteArray
     }
 
-    // directory entries, linearly across the directory chain
-    final case class Dir(name: String, typ: Int, startSect: Long, size: Long)
+    // directory entries, linearly across the directory chain; slot
+    // index IS the stream id the sibling/child pointers reference
+    final case class Dir(name: String, typ: Int, startSect: Long, size: Long,
+                         left: Long, right: Long, child: Long)
     val dirBytes = readChain(firstDirSect, maxTotal)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[Dir]
-    var off = 0
-    while (off + 128 <= dirBytes.length) {
+    val nSlots = dirBytes.length / 128
+    val slots = new Array[Dir](nSlots)
+    var slot = 0
+    while (slot < nSlots) {
+      val off = slot * 128
       val nameLen = u16(dirBytes, off + 64)
       val typ = dirBytes(off + 66) & 0xFF
       if (typ != 0 && nameLen >= 2 && nameLen <= 64) {
@@ -152,14 +162,48 @@ object Ole2 {
         val rawSize = u64(dirBytes, off + 120)
         // v3 writers leave garbage in the high half — mask it
         val size = if (sectorShift == 9) rawSize & 0xFFFFFFFFL else rawSize
-        entries += Dir(name, typ, start, size)
+        slots(slot) = Dir(name, typ, start, size,
+          u32(dirBytes, off + 68), u32(dirBytes, off + 72),
+          u32(dirBytes, off + 76))
       }
-      off += 128
+      slot += 1
     }
+    val entries = slots.filter(_ != null).toSeq
     val root = entries.find(_.typ == 5) match {
       case Some(r) => r
       case None    => return None
     }
+
+    // Storage-aware naming: streams in the ROOT storage keep their
+    // bare names; streams nested inside sub-storages (embedded OLE
+    // objects — ObjectPool and friends) get "Storage/Name" paths, so
+    // an embedded WordDocument can never shadow or pose as the host
+    // document's. The red-black sibling/child pointers drive the
+    // scoping; entries the tree never reaches (torn or lying pointers,
+    // common in the wild) fall back to their bare name — the linear
+    // recovery posture, unchanged.
+    val pathOf = new Array[String](nSlots)
+    val visited = new Array[Boolean](nSlots)
+    def walkScope(from: Long, prefix: String): Unit = {
+      // iterative DFS over left/right siblings + storage children,
+      // bounded by the visited set (a pointer cycle terminates)
+      val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      stack += ((from, prefix))
+      while (stack.nonEmpty) {
+        val (id, pfx) = stack.remove(stack.length - 1)
+        if (id >= 0 && id < nSlots && id <= MaxRegSect &&
+          slots(id.toInt) != null && !visited(id.toInt)) {
+          val i = id.toInt
+          visited(i) = true
+          val e = slots(i)
+          stack += ((e.left, pfx))
+          stack += ((e.right, pfx))
+          if (e.typ == 2) pathOf(i) = pfx + e.name
+          else if (e.typ == 1) stack += ((e.child, pfx + e.name + "/"))
+        }
+      }
+    }
+    walkScope(root.child, "")
 
     // mini stream machinery (root's stream holds the mini sectors)
     lazy val miniContainer = readChain(root.startSect, root.size)
@@ -190,16 +234,22 @@ object Ole2 {
     var total = 0L
     val out = Map.newBuilder[String, Array[Byte]]
     val seen = scala.collection.mutable.Set.empty[String]
-    entries.foreach { e =>
-      if (e.typ == 2 && !seen.contains(e.name)) {
-        seen += e.name
-        val data =
-          if (e.size < miniCutoff) readMini(e.startSect, e.size)
-          else readChain(e.startSect, e.size)
-        total += data.length
-        if (total > maxTotal) return None
-        out += e.name -> data
+    var i = 0
+    while (i < nSlots) {
+      val e = slots(i)
+      if (e != null && e.typ == 2) {
+        val key = if (pathOf(i) != null) pathOf(i) else e.name
+        if (!seen.contains(key)) {
+          seen += key
+          val data =
+            if (e.size < miniCutoff) readMini(e.startSect, e.size)
+            else readChain(e.startSect, e.size)
+          total += data.length
+          if (total > maxTotal) return None
+          out += key -> data
+        }
       }
+      i += 1
     }
     Some(out.result())
   }

@@ -58,8 +58,9 @@ object Rtf {
     "lquote" -> '‘', "rquote" -> '’',
     "ldblquote" -> '“', "rdblquote" -> '”',
     "bullet" -> '•', "emspace" -> ' ',
-    "enspace" -> ' ', "qmspace" -> ' ',
-    "~" -> ' ', "_" -> '‑')
+    "enspace" -> ' ', "qmspace" -> ' ')
+  // \~ and \_ are control SYMBOLS (the next char is not a letter),
+  // handled in the control-symbol branch - never looked up here.
 
   def extractText(bytes: Array[Byte]): Option[RtfText] = {
     if (bytes == null || bytes.length < 6) return None

@@ -126,15 +126,22 @@ object WikiDump {
           case "amp" => out.append('&'); i = semi + 1
           case "quot" => out.append('"'); i = semi + 1
           case "apos" => out.append('\''); i = semi + 1
+          // surrogate code points (D800–DFFF) are not XML characters;
+          // a hostile dump injecting them would produce lone
+          // surrogates → invalid UTF-8 at the Parquet boundary. Treat
+          // them as malformed (raw '&' passes through), like any
+          // other unparseable reference.
           case e if e.startsWith("#x") || e.startsWith("#X") =>
             scala.util.Try(Integer.parseInt(e.drop(2), 16)).toOption match {
-              case Some(cp) if cp > 0 && cp <= 0x10FFFF =>
+              case Some(cp) if cp > 0 && cp <= 0x10FFFF &&
+                (cp < 0xD800 || cp > 0xDFFF) =>
                 out.appendAll(Character.toChars(cp)); i = semi + 1
               case _ => out.append(c); i += 1
             }
           case e if e.startsWith("#") =>
             scala.util.Try(e.drop(1).toInt).toOption match {
-              case Some(cp) if cp > 0 && cp <= 0x10FFFF =>
+              case Some(cp) if cp > 0 && cp <= 0x10FFFF &&
+                (cp < 0xD800 || cp > 0xDFFF) =>
                 out.appendAll(Character.toChars(cp)); i = semi + 1
               case _ => out.append(c); i += 1
             }

@@ -31,7 +31,9 @@ object Sitemaps {
 
   def parse(body: String): Parsed = {
     if (body == null) return Parsed(Nil, Nil)
-    val trimmed = body.trim
+    // a UTF-8 BOM (U+FEFF) survives String.trim and would misroute an
+    // XML sitemap into the plain-text branch — strip it first
+    val trimmed = body.replaceAll("\\A\uFEFF+", "").trim
     if (trimmed.isEmpty) return Parsed(Nil, Nil)
     if (!trimmed.startsWith("<")) {
       // plain-text sitemap: one absolute URL per line

@@ -32,28 +32,56 @@ object LegacyDocFixture {
   private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
 
   /** A version-3 CFB containing the given streams (all under root). */
-  def cfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
-    val minis = streams.filter(_._2.length < MiniCutoff)
-    val bigs = streams.filter(_._2.length >= MiniCutoff)
+  def cfb(streams: Seq[(String, Array[Byte])]): Array[Byte] =
+    cfbNested(streams, Seq.empty)
+
+  /** A version-3 CFB with one level of sub-storages — the embedded-
+    * OLE-object shape (an ObjectPool-style storage carrying its own
+    * WordDocument). Root-level streams first, then each storage with
+    * its nested streams; sibling/child pointers scope them properly.
+    */
+  def cfbNested(rootStreams: Seq[(String, Array[Byte])],
+                storages: Seq[(String, Seq[(String, Array[Byte])])]): Array[Byte] = {
+    // directory layout: 0 = root, then root streams, then per storage
+    // its entry followed by its nested streams. Payload streams are
+    // tracked by directory index (names may repeat across storages).
+    final case class Slot(idx: Int, name: String, typ: Int, data: Array[Byte])
+    val slots = scala.collection.mutable.ArrayBuffer.empty[Slot]
+    var nextIdx = 1
+    rootStreams.foreach { case (n, d) =>
+      slots += Slot(nextIdx, n, 2, d); nextIdx += 1
+    }
+    val storageSpans = storages.map { case (sName, nested) =>
+      val sIdx = nextIdx; nextIdx += 1
+      slots += Slot(sIdx, sName, 1, Array.emptyByteArray)
+      val childIdxs = nested.map { case (n, d) =>
+        val i = nextIdx; nextIdx += 1
+        slots += Slot(i, n, 2, d); i
+      }
+      (sIdx, childIdxs)
+    }
+    val payload = slots.filter(_.typ == 2)
+    val minis = payload.filter(_.data.length < MiniCutoff)
+    val bigs = payload.filter(_.data.length >= MiniCutoff)
 
     // mini stream container: minis back-to-back on 64-byte boundaries
-    val miniSectorsPer = minis.map { case (_, d) => math.max(1, ceilDiv(d.length, MiniSector)) }
+    val miniSectorsPer = minis.map(s => math.max(1, ceilDiv(s.data.length, MiniSector)))
     val totalMiniSectors = miniSectorsPer.sum
     val miniContainer = new Array[Byte](totalMiniSectors * MiniSector)
-    val miniStart = scala.collection.mutable.Map.empty[String, Int]
+    val miniStart = scala.collection.mutable.Map.empty[Int, Int]
     var mOff = 0
-    minis.zip(miniSectorsPer).foreach { case ((name, d), nsec) =>
-      miniStart(name) = mOff / MiniSector
-      System.arraycopy(d, 0, miniContainer, mOff, d.length)
+    minis.zip(miniSectorsPer).foreach { case (s, nsec) =>
+      miniStart(s.idx) = mOff / MiniSector
+      System.arraycopy(s.data, 0, miniContainer, mOff, s.data.length)
       mOff += nsec * MiniSector
     }
 
-    val nDirEntries = 1 + streams.length
+    val nDirEntries = nextIdx
     val dirSectors = math.max(1, ceilDiv(nDirEntries * 128, SectorSize))
     val miniFatSectors =
       if (totalMiniSectors == 0) 0 else ceilDiv(totalMiniSectors * 4, SectorSize)
     val miniContainerSectors = ceilDiv(miniContainer.length, SectorSize)
-    val bigSectorsPer = bigs.map { case (_, d) => ceilDiv(d.length, SectorSize) }
+    val bigSectorsPer = bigs.map(s => ceilDiv(s.data.length, SectorSize))
     val nonFat = dirSectors + miniFatSectors + miniContainerSectors + bigSectorsPer.sum
     // FAT covers every sector including the FAT sectors themselves
     var fatSectors = 1
@@ -65,10 +93,10 @@ object LegacyDocFixture {
     val firstMiniFat = dirSectors
     val firstMiniContainer = firstMiniFat + miniFatSectors
     val firstBig = firstMiniContainer + miniContainerSectors
-    val bigStart = scala.collection.mutable.Map.empty[String, Int]
+    val bigStart = scala.collection.mutable.Map.empty[Int, Int]
     var cursor = firstBig
-    bigs.zip(bigSectorsPer).foreach { case ((name, _), nsec) =>
-      bigStart(name) = cursor; cursor += nsec
+    bigs.zip(bigSectorsPer).foreach { case (s, nsec) =>
+      bigStart(s.idx) = cursor; cursor += nsec
     }
     val firstFat = cursor
 
@@ -84,18 +112,18 @@ object LegacyDocFixture {
     chainRange(firstDir, dirSectors)
     if (miniFatSectors > 0) chainRange(firstMiniFat, miniFatSectors)
     if (miniContainerSectors > 0) chainRange(firstMiniContainer, miniContainerSectors)
-    bigs.zip(bigSectorsPer).foreach { case ((name, _), nsec) =>
-      chainRange(bigStart(name), nsec)
+    bigs.zip(bigSectorsPer).foreach { case (s, nsec) =>
+      chainRange(bigStart(s.idx), nsec)
     }
     (0 until fatSectors).foreach(i => fat(firstFat + i) = FatSect)
 
     // miniFAT: chains over mini-sector indices
     val miniFat = Array.fill(math.max(1, miniFatSectors) * (SectorSize / 4))(FreeSect)
-    minis.zip(miniSectorsPer).foreach { case ((name, _), nsec) =>
-      val s = miniStart(name)
+    minis.zip(miniSectorsPer).foreach { case (s, nsec) =>
+      val st = miniStart(s.idx)
       var i = 0
       while (i < nsec) {
-        miniFat(s + i) = if (i == nsec - 1) EndOfChain else (s + i + 1).toLong
+        miniFat(st + i) = if (i == nsec - 1) EndOfChain else (st + i + 1).toLong
         i += 1
       }
     }
@@ -118,16 +146,36 @@ object LegacyDocFixture {
       putU32(dir, off + 124, (size >> 32) & 0xFFFFFFFFL)
     }
     writeEntry(0, "Root Entry", 5, NoStream, NoStream,
-      if (streams.nonEmpty) 1L else NoStream,
+      if (nDirEntries > 1) 1L else NoStream,
       if (miniContainerSectors > 0) firstMiniContainer.toLong else EndOfChain,
       miniContainer.length.toLong)
-    streams.zipWithIndex.foreach { case ((name, d), i) =>
-      val idx = i + 1
-      val right = if (idx + 1 <= streams.length) (idx + 1).toLong else NoStream
+    // root-level sibling chain: root streams then storage entries,
+    // each pointing right to the next; nested chains per storage
+    val rootLevel: Seq[Int] =
+      (1 to rootStreams.length) ++ storageSpans.map(_._1)
+    def rightOf(seq: Seq[Int], idx: Int): Long = {
+      val at = seq.indexOf(idx)
+      if (at >= 0 && at + 1 < seq.length) seq(at + 1).toLong else NoStream
+    }
+    val childOf: Map[Int, Long] = storageSpans.map { case (sIdx, kids) =>
+      sIdx -> (if (kids.nonEmpty) kids.head.toLong else NoStream)
+    }.toMap
+    val nestedRight: Map[Int, Long] = storageSpans.flatMap { case (_, kids) =>
+      kids.zipWithIndex.map { case (k, i) =>
+        k -> (if (i + 1 < kids.length) kids(i + 1).toLong else NoStream)
+      }
+    }.toMap
+    slots.foreach { s =>
+      val right =
+        if (rootLevel.contains(s.idx)) rightOf(rootLevel, s.idx)
+        else nestedRight.getOrElse(s.idx, NoStream)
+      val child = childOf.getOrElse(s.idx, NoStream)
       val start: Long =
-        if (d.length < MiniCutoff) miniStart(name).toLong
-        else bigStart(name).toLong
-      writeEntry(idx, name, 2, NoStream, right, NoStream, start, d.length.toLong)
+        if (s.typ != 2) 0L
+        else if (s.data.length < MiniCutoff) miniStart(s.idx).toLong
+        else bigStart(s.idx).toLong
+      writeEntry(s.idx, s.name, s.typ, NoStream, right, child, start,
+        if (s.typ == 2) s.data.length.toLong else 0L)
     }
 
     // assemble
@@ -162,7 +210,7 @@ object LegacyDocFixture {
       blit(firstMiniFat, mf)
     }
     if (miniContainerSectors > 0) blit(firstMiniContainer, miniContainer)
-    bigs.foreach { case (name, d) => blit(bigStart(name), d) }
+    bigs.foreach(s => blit(bigStart(s.idx), s.data))
     val fatBytes = new Array[Byte](fatSectors * SectorSize)
     fat.zipWithIndex.foreach { case (v, i) => putU32(fatBytes, i * 4, v) }
     blit(firstFat, fatBytes)

@@ -97,4 +97,11 @@ class FeedsSpec extends graft.SparkSpec {
     val links = items.select("link").as[String].collect().toSet
     assert(links == Set("https://example.org/1", "https://example.org/2"))
   }
+
+  test("a UTF-8 BOM before the XML declaration does not hide the feed") {
+    val bommed = "\uFEFF" + rss
+    val items = Feeds.parse(bommed)
+    assert(items.nonEmpty)
+    assert(items.head.feedTitle == "Example Blog")
+  }
 }

@@ -80,4 +80,52 @@ class Ole2Spec extends AnyFunSuite {
     Ole2.streams(corrupt)
     succeed
   }
+
+  test("nested-storage streams get storage-qualified paths; root keeps bare names") {
+    val host = "deck bytes".getBytes
+    val embedded = "embedded word text".getBytes
+    val c = LegacyDocFixture.cfbNested(
+      Seq("PowerPoint Document" -> host),
+      Seq("ObjectPool" -> Seq("WordDocument" -> embedded)))
+    val got = Ole2.streams(c).get
+    assert(got.keySet == Set("PowerPoint Document", "ObjectPool/WordDocument"))
+    assert(java.util.Arrays.equals(got("PowerPoint Document"), host))
+    assert(java.util.Arrays.equals(got("ObjectPool/WordDocument"), embedded))
+  }
+
+  test("classification ignores an embedded object's WordDocument (host wins)") {
+    // a .ppt carrying an embedded Word OLE object must classify ppt,
+    // not doc - the pre-fix failure mode (flat map, doc-first check)
+    val c = LegacyDocFixture.cfbNested(
+      Seq("PowerPoint Document" -> "deck".getBytes),
+      Seq("ObjectPool" -> Seq("WordDocument" -> "embedded".getBytes)))
+    assert(Ole2.classify(c).contains("ppt"))
+    // same for an .xls host
+    val x = LegacyDocFixture.cfbNested(
+      Seq("Workbook" -> "wb".getBytes),
+      Seq("MBD0001" -> Seq("WordDocument" -> "embedded".getBytes)))
+    assert(Ole2.classify(x).contains("xls"))
+  }
+
+  test("duplicate stream names across storages stay distinct") {
+    val c = LegacyDocFixture.cfbNested(
+      Seq("WordDocument" -> "host doc".getBytes),
+      Seq("ObjectPool" -> Seq("WordDocument" -> "nested doc".getBytes)))
+    val got = Ole2.streams(c).get
+    assert(new String(got("WordDocument")) == "host doc")
+    assert(new String(got("ObjectPool/WordDocument")) == "nested doc")
+    assert(Ole2.classify(c).contains("doc"))
+  }
+
+  test("torn sibling tree falls back to bare-name recovery") {
+    val c = LegacyDocFixture.cfb(Seq(
+      "WordDocument" -> "body".getBytes, "1Table" -> "tbl".getBytes))
+    // sever the tree: root entry lives at dir slot 0 (sector 0 =
+    // file offset 512); its child pointer at +76 -> NOSTREAM
+    val torn = c.clone()
+    (0 until 4).foreach(i => torn(512 + 76 + i) = 0xFF.toByte)
+    val got = Ole2.streams(torn).get
+    assert(got.keySet == Set("WordDocument", "1Table"))
+    assert(Ole2.classify(torn).contains("doc"))
+  }
 }

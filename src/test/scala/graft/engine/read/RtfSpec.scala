@@ -106,4 +106,11 @@ class RtfSpec extends graft.SparkSpec {
     assert(got(0).getString(1) == "via sql")
     assert(got(1).isNullAt(1))
   }
+
+  test("\\~ and \\_ control symbols emit their fixed chars") {
+    def t(src: String): String =
+      Rtf.extractText(src.getBytes("ISO-8859-1")).get.text
+    assert(t("{\\rtf1 a\\~b\\par}") == "a b")
+    assert(t("{\\rtf1 a\\_b\\par}") == "a\u2011b")
+  }
 }

@@ -115,4 +115,18 @@ class WikiDumpSpec extends graft.SparkSpec {
     assert(WikiDump.unescape("&#1114112; out of range") ==
       "&#1114112; out of range")
   }
+
+  test("numeric refs in the surrogate range are rejected as malformed") {
+    // Character.toChars would happily emit a lone surrogate; the
+    // unescape must fall back to the raw '&' path instead
+    assert(WikiDump.unescape("a&#xD800;b") == "a&#xD800;b")
+    assert(WikiDump.unescape("a&#55296;b") == "a&#55296;b")
+    assert(WikiDump.unescape("a&#xDFFF;b") == "a&#xDFFF;b")
+    // the boundary neighbours still decode
+    assert(WikiDump.unescape("&#xD7FF;") == "\uD7FF")
+    assert(WikiDump.unescape("&#xE000;") == "\uE000")
+    // astral plane (needs a surrogate PAIR internally) still works
+    assert(WikiDump.unescape("&#x1F600;") ==
+      new String(Character.toChars(0x1F600)))
+  }
 }

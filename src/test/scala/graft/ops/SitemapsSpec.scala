@@ -75,4 +75,15 @@ class SitemapsSpec extends graft.SparkSpec {
       "https://example.org/", "https://example.org/about"))
     assert(plan.map(_.getDouble(2)).toSeq == Seq(0.0, 2.0, 4.0))
   }
+
+  test("a UTF-8 BOM does not misroute an XML sitemap to the text branch") {
+    val xml = "\uFEFF<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://example.org/a</loc></url></urlset>"
+    val p = Sitemaps.parse(xml)
+    assert(p.entries.map(_.loc) == Seq("https://example.org/a"))
+    // and a BOM'd plain-text sitemap still parses as text
+    val txt = "\uFEFFhttps://example.org/b\n"
+    assert(Sitemaps.parse(txt).entries.map(_.loc) ==
+      Seq("https://example.org/b"))
+  }
 }
