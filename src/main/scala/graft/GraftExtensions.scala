@@ -261,11 +261,37 @@ object GraftExtensions {
       classOf[graft.functions.XlsTextExtract],
       graft.functions.XlsTextExtract(_))
 
+  val xlsxText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("xlsx_text",
+      "xlsx_text(bytes) - modern Excel (.xlsx) string-cell text " +
+        "(shared/inline/formula strings) joined by newline; NULL " +
+        "when not a readable OPC workbook.",
+      classOf[graft.functions.XlsxTextExtract],
+      graft.functions.XlsxTextExtract(_))
+
+  val pptxText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("pptx_text",
+      "pptx_text(bytes) - modern PowerPoint (.pptx) slide + notes " +
+        "text in presentation order joined by newline; NULL when not " +
+        "a readable OPC deck.",
+      classOf[graft.functions.PptxTextExtract],
+      graft.functions.PptxTextExtract(_))
+
+  val emlText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("eml_text",
+      "eml_text(bytes) - RFC 5322 + MIME message body text " +
+        "(alternative picks plain, html through the htmlToText " +
+        "cascade, parts joined by form feed); NULL when not a " +
+        "message.",
+      classOf[graft.functions.EmlTextExtract],
+      graft.functions.EmlTextExtract(_))
+
   val documentFormat: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("document_format",
       "document_format(bytes) - detected document format (pdf/docx/" +
-        "odt/epub/rtf/doc/xls/ppt/encrypted-ooxml/zip/cfb) from the " +
-        "payload magic; NULL when unrecognized.",
+        "xlsx/pptx/odt/epub/rtf/doc/xls/ppt/html/txt/eml/" +
+        "encrypted-ooxml/zip/cfb) from the payload magic; NULL when " +
+        "unrecognized.",
       classOf[graft.functions.DocumentFormat],
       graft.functions.DocumentFormat(_))
 
@@ -649,6 +675,7 @@ object GraftExtensions {
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
+      xlsxText, pptxText, emlText,
       documentFormat, documentText, latexToText, wikitextToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)

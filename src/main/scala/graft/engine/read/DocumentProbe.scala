@@ -6,12 +6,12 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
 /** Unified document probe + auto-routed text extraction across every
-  * document modality the engine reads: PDF, DOCX, ODT, EPUB, RTF and
-  * the legacy Office trio (doc/ppt/xls), plus classification-only
-  * for encrypted OOXML, xlsx/pptx OPC packages and plain archives.
-  * At inventory time a crawl column holds MIXED payloads with
-  * unreliable extensions/MIME labels — the dispatch key has to be
-  * the bytes themselves:
+  * document modality the engine reads: PDF, DOCX, XLSX, PPTX, ODT,
+  * EPUB, RTF, the legacy Office trio (doc/ppt/xls), raw HTML and
+  * plain UTF-8 text, plus classification-only for encrypted OOXML
+  * and plain archives. At inventory time a crawl column holds MIXED
+  * payloads with unreliable extensions/MIME labels — the dispatch
+  * key has to be the bytes themselves:
   *
   *  - `{\rtf`      → rtf
   *  - CFB magic    → [[Ole2.classifyFrom]]: doc / xls / ppt /
@@ -25,13 +25,18 @@ import org.apache.spark.sql.functions.udf
   *                   xlsx, `ppt/presentation.xml` → pptx), else zip
   *  - `%PDF-` (incl. the junk-prefixed recovery class [[Pdf.meta]]
   *    re-anchors) → pdf, with page count and encryption flag
+  *  - leading `<!DOCTYPE` / `<html` (BOM/whitespace skipped) → html,
+  *    through the engine's charset sniff + htmlToText cascade
+  *  - strict UTF-8 with no binary control chars → txt (a crawl
+  *    column's residual majority class), upgraded to eml when the
+  *    head block reads as RFC 5322 headers ([[Mail.parseEmlString]])
   *
-  * `extractText` routes to the matching extractor (pdf/docx/odt/epub/
-  * rtf/doc/ppt/xls) and returns None for unrecognized payloads,
-  * out-of-scope kinds (xlsx/pptx payload decode) and encrypted
-  * anything (NULL by house stance), so one `document_text(bytes)`
-  * call turns a mixed crawl column into the unified text layer the
-  * cross-format dedup gate (m38) pins.
+  * `extractText` routes to the matching extractor (pdf/docx/xlsx/
+  * pptx/odt/epub/rtf/doc/ppt/xls/html/txt) and returns None for
+  * unrecognized payloads and encrypted anything (NULL by house
+  * stance), so one `document_text(bytes)` call turns a mixed crawl
+  * column into the unified text layer the cross-format dedup gate
+  * (m38) pins.
   *
   * Cost shape: each entry point parses the CONTAINER exactly once per
   * row (the CFB walk / ZIP inflate is the dominant bill) and hands
@@ -111,17 +116,19 @@ object DocumentProbe {
         else kind match {
           case "odt"  => Odt.extractFrom(files).map(_.text)
           case "docx" => Docx.extractFrom(files).map(_.text)
+          case "xlsx" => Xlsx.extractFrom(files).map(_.text)
+          case "pptx" => Pptx.extractFrom(files).map(_.text)
           case "epub" =>
             // the Column path joins htmlToText'd chapters by form
             // feed and trims spaces; the kernel replays the cascade
             Epub.bookFrom(files).map(_.chapters
               .map(graft.ops.TextAnalysis.htmlToTextKernel)
               .mkString("\f").replaceAll("\\A +| +\\z", ""))
-          case _ => None // xlsx/pptx/opc/zip: classify-only
+          case _ => None // opc/zip/odf-other: classify-only
         }
       return (Some(DocMeta(kind, 0, encrypted = false)), text)
     }
-    if (wantText) {
+    val pdf: (Option[DocMeta], Option[String]) = if (wantText) {
       // one xref walk on the happy path: extractText carries the page
       // count; meta only runs to EXPLAIN a refusal (encrypted vs junk)
       Pdf.extractText(bytes) match {
@@ -137,6 +144,111 @@ object DocumentProbe {
         (Some(DocMeta("pdf", math.max(m.nPages, 0), m.encrypted)), None)
       case None => (None, None)
     }
+    if (pdf._1.isDefined) return pdf
+
+    // a mixed crawl column holds more raw HTML than every Office
+    // format combined: route it (and plain UTF-8 text) so ONE
+    // document_text call covers the whole column. HTML by leading
+    // markup after BOM/whitespace, through the engine's own charset
+    // sniff ([[Warc.decodeText]]: BOM beats meta beats UTF-8 default)
+    // and the htmlToText cascade; otherwise STRICT UTF-8 text with no
+    // binary control chars — anything stricter-than-text stays None.
+    htmlOrText(bytes, wantText)
+  }
+
+  /** HTML / plain-text classification + text for the residual class
+    * (nothing above matched). `html` when the payload leads with
+    * `<!DOCTYPE` or `<html` (case-insensitive, BOM/whitespace
+    * skipped); `txt` when the bytes are strict UTF-8 with no binary
+    * control characters. None otherwise.
+    */
+  private def htmlOrText(bytes: Array[Byte],
+                         wantText: Boolean): (Option[DocMeta], Option[String]) = {
+    var i = 0
+    if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+      (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF) i = 3
+    while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\t' ||
+      bytes(i) == '\r' || bytes(i) == '\n')) i += 1
+    def leadsWith(s: String): Boolean = {
+      if (i + s.length > bytes.length) return false
+      var j = 0
+      while (j < s.length) {
+        val b = (bytes(i + j) & 0xFF).toChar
+        if (Character.toLowerCase(b) != s.charAt(j)) return false
+        j += 1
+      }
+      true
+    }
+    if (leadsWith("<!doctype") || leadsWith("<html")) {
+      val meta = Some(DocMeta("html", 0, encrypted = false))
+      val text = if (wantText)
+        Some(graft.ops.TextAnalysis.htmlToTextKernel(
+          Warc.decodeText(bytes, null)))
+      else None
+      return (meta, text)
+    }
+    decodeStrictUtf8(bytes) match {
+      case Some(s) =>
+        // an RFC 5322 message IS valid UTF-8 text — upgrade when the
+        // head block carries ≥2 core mail headers at line starts (a
+        // lone "title: x" first line stays txt)
+        if (looksEmail(s)) {
+          val meta = Some(DocMeta("eml", 0, encrypted = false))
+          val text = if (wantText) Mail.parseEmlString(s).map(_.text)
+          else None
+          if (!wantText || text.isDefined) return (meta, text)
+        }
+        (Some(DocMeta("txt", 0, encrypted = false)),
+          if (wantText) Some(s) else None)
+      case None => (None, None)
+    }
+  }
+
+  private val CoreMailHeaders = Set("from", "to", "subject", "date",
+    "message-id", "received", "return-path", "mime-version", "cc")
+
+  /** True when the text's head block (up to the first blank line)
+    * reads as an RFC 5322 header block: the first line is a
+    * `Name: value` header and at least two CORE mail headers appear
+    * at line starts.
+    */
+  private def looksEmail(s: String): Boolean = {
+    val headEnd = "\r?\n\r?\n".r.findFirstMatchIn(s)
+      .map(_.start).getOrElse(s.length)
+    val head = s.substring(0, math.min(headEnd, 8192))
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty) return false
+    def headerName(ln: String): Option[String] = {
+      val c = ln.indexOf(':')
+      if (c <= 0) return None
+      val name = ln.substring(0, c)
+      if (name.forall(ch => ch > ' ' && ch < 127)) Some(name.toLowerCase)
+      else None
+    }
+    if (headerName(lines(0)).isEmpty) return false
+    lines.iterator.flatMap(headerName)
+      .count(CoreMailHeaders.contains) >= 2
+  }
+
+  /** Strict UTF-8 decode (malformed/unmappable REJECT) with a binary
+    * guard: any C0 control besides \t \n \r \f fails — the payload is
+    * some binary format we don't know, not corpus text. Strips a
+    * leading BOM.
+    */
+  private def decodeStrictUtf8(bytes: Array[Byte]): Option[String] = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val s = try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => return None }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x20 && c != '\t' && c != '\n' && c != '\r' && c != '\f')
+        return None
+      i += 1
+    }
+    Some(if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s)
   }
 
   private def startsWith(b: Array[Byte], s: String): Boolean = {

@@ -1,0 +1,323 @@
+package graft.engine.read
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Email (RFC 5322 + MIME) text extraction and the MBOX archive
+  * source — mailing-list archives are a major public corpus
+  * (kernel/Apache/Usenet mbox dumps), and the whole stack is
+  * offline-verifiable: header folding/unfolding (RFC 5322 §2.2.3),
+  * RFC 2047 encoded-words in headers (`=?charset?B/Q?...?=`), MIME
+  * multipart trees (RFC 2046) with boundary delimiters, and the two
+  * content-transfer-encodings (quoted-printable RFC 2045 §6.7,
+  * base64 §6.8 via the JDK's MIME decoder).
+  *
+  * Body-text policy (the corpus stance): `multipart/alternative`
+  * picks ONE part — `text/plain` preferred, else `text/html` through
+  * the engine's own [[graft.ops.TextAnalysis.htmlToTextKernel]]
+  * cascade (no second HTML extractor to keep consistent); other
+  * multiparts (`mixed`, `related`, `digest`) concatenate their
+  * readable parts in order, joined by form feed (the Pdf/Epub page
+  * convention); non-text leaves (attachments, images) and
+  * `message/rfc822` forwards are skipped. A text-less message
+  * extracts as an empty string, never an error.
+  *
+  * The MBOX reader is Spark-first, the [[WikiDump]] shape: records
+  * split on the `"\nFrom "` envelope separator by Hadoop's
+  * TextInputFormat — so one multi-GB archive parallelizes across the
+  * cluster — then a per-record kernel parses each message;
+  * `>From `-quoted body lines unquote per mboxrd. The same
+  * [[WikiDump.DefaultMaxRecordBytes]]-style cap bounds a hostile
+  * single message.
+  *
+  * None when the payload has no parseable header block at all.
+  */
+object Mail {
+
+  final case class Email(from: String, to: String, subject: String,
+                         date: String, messageId: String,
+                         nParts: Int, text: String)
+
+  val DefaultMaxRecordBytes: Int = 64 << 20
+
+  // ------------------------------------------------------------------
+  //  header machinery
+  // ------------------------------------------------------------------
+
+  /** Split a raw message into (headers, body) at the first empty
+    * line; headers are UNFOLDED (continuation lines join with one
+    * space). None when the head has no `Name: value` lines at all.
+    */
+  private def splitMessage(raw: String): Option[(Seq[(String, String)], String)] = {
+    if (raw == null || raw.isEmpty) return None
+    val sep = "\r\n\r\n|\n\n".r.findFirstMatchIn(raw)
+    val (head, body) = sep match {
+      case Some(m) => (raw.substring(0, m.start), raw.substring(m.end))
+      case None    => (raw, "")
+    }
+    val hdrs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    head.split("\r?\n").foreach { ln =>
+      if (ln.nonEmpty && (ln.charAt(0) == ' ' || ln.charAt(0) == '\t')) {
+        if (hdrs.nonEmpty) {
+          val (k, v) = hdrs.last
+          hdrs(hdrs.length - 1) = (k, v + " " + ln.trim)
+        }
+      } else {
+        val c = ln.indexOf(':')
+        if (c > 0 && !ln.substring(0, c).exists(ch => ch <= ' '))
+          hdrs += ((ln.substring(0, c).trim, ln.substring(c + 1).trim))
+      }
+    }
+    if (hdrs.isEmpty) None else Some((hdrs.toSeq, body))
+  }
+
+  private def header(hdrs: Seq[(String, String)], name: String): Option[String] =
+    hdrs.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  private def charsetOf(name: String): Option[Charset] =
+    try Some(Charset.forName(name.trim
+      .stripPrefix("\"").stripSuffix("\"")))
+    catch { case _: Exception => None }
+
+  private val EncodedWordRe =
+    """=\?([^?]+)\?([bBqQ])\?([^?]*)\?=""".r
+
+  /** RFC 2047 encoded-words in header values; adjacent encoded words
+    * join without the intervening whitespace (§6.2).
+    */
+  private[read] def decodeHeader(v: String): String = {
+    if (v == null || !v.contains("=?")) return v
+    // drop whitespace BETWEEN two encoded words first
+    val glued = """\?=\s+=\?""".r.replaceAllIn(v, "?==?")
+    EncodedWordRe.replaceAllIn(glued, m => {
+      val cs = charsetOf(m.group(1)).getOrElse(StandardCharsets.UTF_8)
+      val decoded = m.group(2).toLowerCase match {
+        case "b" =>
+          try new String(java.util.Base64.getMimeDecoder.decode(m.group(3)), cs)
+          catch { case _: Exception => m.group(3) }
+        case _ => // Q: underscore is space, =XX is a byte
+          val s = m.group(3)
+          val out = new java.io.ByteArrayOutputStream()
+          var i = 0
+          while (i < s.length) {
+            s.charAt(i) match {
+              case '_' => out.write(' '); i += 1
+              case '=' if i + 2 < s.length =>
+                try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
+                catch { case _: NumberFormatException => out.write('='); i += 1 }
+              case c => out.write(c.toInt); i += 1
+            }
+          }
+          new String(out.toByteArray, cs)
+      }
+      scala.util.matching.Regex.quoteReplacement(decoded)
+    })
+  }
+
+  // ------------------------------------------------------------------
+  //  MIME body machinery
+  // ------------------------------------------------------------------
+
+  /** `(mediatype, parameters)` from a Content-Type value. */
+  private[read] def contentType(v: Option[String]): (String, Map[String, String]) = {
+    val raw = v.getOrElse("text/plain").trim
+    val parts = raw.split(";").toSeq
+    val mt = parts.head.trim.toLowerCase
+    val params = parts.tail.flatMap { p =>
+      val eq = p.indexOf('=')
+      if (eq <= 0) None
+      else Some(p.substring(0, eq).trim.toLowerCase ->
+        p.substring(eq + 1).trim.stripPrefix("\"").stripSuffix("\""))
+    }.toMap
+    (if (mt.isEmpty) "text/plain" else mt, params)
+  }
+
+  /** Quoted-printable decode (RFC 2045 §6.7): `=XX` bytes, `=` at
+    * line end is a SOFT break (vanishes), malformed escapes pass
+    * through literally (the tolerant crawl posture).
+    */
+  private[read] def decodeQp(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '=') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\n') i += 2
+        else if (i + 2 < s.length && s.charAt(i + 1) == '\r' &&
+          s.charAt(i + 2) == '\n') i += 3
+        else if (i + 2 < s.length) {
+          try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
+          catch { case _: NumberFormatException => out.write('='); i += 1 }
+        } else { out.write('='); i += 1 }
+      } else { out.write(c.toInt & 0xFF); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** One leaf part's decoded BYTES per its transfer encoding. */
+  private def decodeTransfer(body: String, encoding: Option[String]): Array[Byte] =
+    encoding.map(_.trim.toLowerCase).getOrElse("7bit") match {
+      case "base64" =>
+        try java.util.Base64.getMimeDecoder.decode(
+          body.filterNot(c => c == '\r' || c == '\n'))
+        catch { case _: Exception => Array.emptyByteArray }
+      case "quoted-printable" => decodeQp(body)
+      case _ => body.getBytes(StandardCharsets.ISO_8859_1)
+    }
+
+  /** A parsed leaf: (mediatype, text). */
+  private final case class Leaf(mediaType: String, text: String)
+
+  /** Recursive MIME walk: leaves in document order, depth-bounded. */
+  private def walkPart(hdrs: Seq[(String, String)], body: String,
+                       depth: Int,
+                       out: scala.collection.mutable.ArrayBuffer[Leaf]): Unit = {
+    if (depth > 16) return
+    val (mt, params) = contentType(header(hdrs, "Content-Type"))
+    if (mt.startsWith("multipart/")) {
+      val boundary = params.getOrElse("boundary", "")
+      if (boundary.isEmpty) return
+      val delim = "--" + boundary
+      // split on delimiter lines; preamble (before the first) and
+      // epilogue (after the closing --boundary--) drop per RFC 2046
+      val chunks = body.split("\r?\n" + java.util.regex.Pattern.quote(delim) +
+        "|\\A" + java.util.regex.Pattern.quote(delim))
+      val inner = chunks.drop(1).takeWhile(c => !c.startsWith("--"))
+        .map(_.replaceAll("\\A\r?\n", ""))
+      if (mt == "multipart/alternative") {
+        // ONE alternative: collect each, prefer plain, else html
+        val alts = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+        inner.foreach { c =>
+          splitMessage(ensureHeaderBlock(c)).foreach { case (h, b) =>
+            walkPart(h, b, depth + 1, alts)
+          }
+        }
+        alts.find(_.mediaType == "text/plain")
+          .orElse(alts.find(_.mediaType == "text/html"))
+          .orElse(alts.headOption)
+          .foreach(out += _)
+      } else {
+        inner.foreach { c =>
+          splitMessage(ensureHeaderBlock(c)).foreach { case (h, b) =>
+            walkPart(h, b, depth + 1, out)
+          }
+        }
+      }
+    } else if (mt == "text/plain" || mt == "text/html") {
+      val bytes = decodeTransfer(body, header(hdrs, "Content-Transfer-Encoding"))
+      val cs = params.get("charset").flatMap(charsetOf)
+        .getOrElse(StandardCharsets.UTF_8)
+      val raw = new String(bytes, cs)
+      val text =
+        if (mt == "text/html") graft.ops.TextAnalysis.htmlToTextKernel(raw)
+        else raw.replace("\r\n", "\n").trim
+      out += Leaf(mt, text)
+    } // other leaves (attachments, images, message/rfc822): skipped
+  }
+
+  /** A MIME part may legally have an EMPTY header block (body starts
+    * immediately after the boundary line) — give splitMessage a
+    * benign default so it still parses.
+    */
+  private def ensureHeaderBlock(chunk: String): String = {
+    val firstLine = chunk.takeWhile(c => c != '\n').trim
+    val looksHeader = firstLine.contains(':') &&
+      !firstLine.substring(0, firstLine.indexOf(':')).exists(_ <= ' ')
+    if (looksHeader) chunk
+    else "Content-Type: text/plain\r\n\r\n" + chunk
+  }
+
+  // ------------------------------------------------------------------
+  //  entry points
+  // ------------------------------------------------------------------
+
+  /** Parse one RFC 5322 message (EML bytes). */
+  def parseEml(bytes: Array[Byte]): Option[Email] = {
+    if (bytes == null || bytes.length == 0) return None
+    // ISO-8859-1 maps bytes 1:1, so transfer-encoded payloads survive
+    // to their own charset decode
+    parseEmlString(new String(bytes, StandardCharsets.ISO_8859_1))
+  }
+
+  /** Parse one message given as a string (the MBOX kernel's input). */
+  def parseEmlString(raw: String): Option[Email] = {
+    val (hdrs, body) = splitMessage(raw) match {
+      case Some(hb) => hb
+      case None     => return None
+    }
+    // an RFC 5322 header block has at least one of the core fields;
+    // random colon-bearing text does not
+    val core = Seq("from", "to", "subject", "date", "message-id",
+      "received", "return-path", "mime-version", "content-type")
+    if (!hdrs.exists(h => core.contains(h._1.toLowerCase))) return None
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+    walkPart(hdrs, body, 0, leaves)
+    val text = leaves.map(_.text).filter(_.nonEmpty).mkString("\f")
+    Some(Email(
+      from = decodeHeader(header(hdrs, "From").getOrElse("")),
+      to = decodeHeader(header(hdrs, "To").getOrElse("")),
+      subject = decodeHeader(header(hdrs, "Subject").getOrElse("")),
+      date = header(hdrs, "Date").getOrElse(""),
+      messageId = header(hdrs, "Message-ID").getOrElse(""),
+      nParts = leaves.length,
+      text = text))
+  }
+
+  /** One MBOX record chunk → message: strips the `From ` envelope
+    * line, unquotes `>From ` body lines (mboxrd).
+    */
+  def parseMboxChunk(chunk: String): Option[Email] = {
+    if (chunk == null) return None
+    var c = chunk
+    // the FIRST record still carries its full "From " envelope line;
+    // later records had it consumed by the "\nFrom " separator except
+    // for the remainder of the line
+    if (c.startsWith("From ")) {
+      val nl = c.indexOf('\n')
+      c = if (nl < 0) "" else c.substring(nl + 1)
+    } else {
+      // split consumed "\nFrom "; the rest of the envelope line leads
+      val nl = c.indexOf('\n')
+      val firstLine = if (nl < 0) c else c.substring(0, nl)
+      val looksEnvelope = !firstLine.contains(':')
+      if (looksEnvelope) c = if (nl < 0) "" else c.substring(nl + 1)
+    }
+    // mboxrd unquoting: a body line ">>>From " loses ONE '>'
+    c = c.replaceAll("(?m)^>(>*From )", "$1")
+    parseEmlString(c)
+  }
+
+  /** MBOX archive → one row per message: `(msg_id, from_addr,
+    * to_addr, subject, date, n_parts, text)`. Spark-first: the
+    * envelope separator is the record delimiter, so one archive file
+    * splits across the cluster; the kernel does the rest.
+    */
+  def messages(spark: SparkSession, path: String,
+               maxRecordBytes: Int = DefaultMaxRecordBytes): DataFrame = {
+    import spark.implicits._
+    val parse = udf { (chunk: String) => parseMboxChunk(chunk) }
+    spark.read.option("lineSep", "\nFrom ")
+      .option("mapreduce.input.linerecordreader.line.maxlength",
+        maxRecordBytes.toString)
+      .text(path)
+      .select(parse(col("value")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(
+        col("m.messageId").as("msg_id"),
+        col("m.from").as("from_addr"),
+        col("m.to").as("to_addr"),
+        col("m.subject").as("subject"),
+        col("m.date").as("date"),
+        col("m.nParts").as("n_parts"),
+        col("m.text").as("text"))
+  }
+
+  private val textUdf = udf { (bytes: Array[Byte]) =>
+    parseEml(bytes).map(_.text)
+  }
+
+  /** Message body text as a column; NULL when not a message. */
+  def textCol(bytesCol: Column): Column = textUdf(bytesCol)
+}

@@ -366,7 +366,8 @@ object Warc {
   // ---------------------------------------------------------------- //
 
   final case class Http(status: Int, headers: Seq[(String, String)],
-                        body: Array[Byte]) {
+                        body: Array[Byte],
+                        undecodedCoding: Option[String] = None) {
     def header(name: String): Option[String] =
       headers.collectFirst {
         case (k, v) if k.equalsIgnoreCase(name) => v
@@ -440,8 +441,12 @@ object Warc {
       val codings = hdrs.collect {
         case (k, v) if k.equalsIgnoreCase("Content-Encoding") => v
       }
-      if (codings.nonEmpty)
-        body = decodeContentCodings(body, codings.mkString(","))
+      if (codings.nonEmpty) {
+        val (decoded, stopped) =
+          decodeContentCodingsFlagged(body, codings.mkString(","))
+        body = decoded
+        return Some(Http(status, hdrs.toSeq, body, stopped))
+      }
     }
     Some(Http(status, hdrs.toSeq, body))
   }
@@ -469,12 +474,23 @@ object Warc {
 
   private[read] def decodeContentCodings(
       body0: Array[Byte], codings: String,
-      maxBytes: Int = DefaultMaxDecodedBytes): Array[Byte] = {
+      maxBytes: Int = DefaultMaxDecodedBytes): Array[Byte] =
+    decodeContentCodingsFlagged(body0, codings, maxBytes)._1
+
+  /** [[decodeContentCodings]] plus the coding that STOPPED the chain
+    * (None when every coding decoded): the flag downstream curation
+    * needs to drop `br`/unknown-coding bodies for pennies instead of
+    * catching their mojibake in quality gates.
+    */
+  private[read] def decodeContentCodingsFlagged(
+      body0: Array[Byte], codings: String,
+      maxBytes: Int = DefaultMaxDecodedBytes): (Array[Byte], Option[String]) = {
     var body = body0
     val stack = codings.split(",").map(_.trim.toLowerCase)
       .filter(_.nonEmpty).reverse
     var i = 0
     var ok = true
+    var stopped: Option[String] = None
     while (ok && i < stack.length) {
       stack(i) match {
         case "identity" => ()
@@ -495,7 +511,7 @@ object Warc {
               (body(2) & 0xff) == 0x2F && (body(3) & 0xff) == 0xFD) ||
              ((body(0) & 0xf0) == 0x50 && (body(1) & 0xff) == 0x2A &&
               (body(2) & 0xff) == 0x4D && (body(3) & 0xff) == 0x18))
-          if (!isZstdFrame) ok = false
+          if (!isZstdFrame) { ok = false; stopped = Some(stack(i)) }
           else body = try {
             val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
               new java.io.ByteArrayInputStream(body))
@@ -506,11 +522,12 @@ object Warc {
             // nothing — empty, never the compressed bytes as "text")
             case _: Exception => Array.empty[Byte]
           }
-        case _ => ok = false // br or unknown: stop, never guess
+        case other => // br or unknown: stop, never guess
+          ok = false; stopped = Some(other)
       }
       i += 1
     }
-    body
+    (body, stopped)
   }
 
   /** Capped stream copy, keeping the bytes read so far when the
@@ -900,7 +917,8 @@ object Warc {
     val f = udf { payload: Array[Byte] =>
       splitHttp(payload).map { h =>
         (h.status, h.contentType.orNull,
-          decodeText(h.body, h.contentType.orNull))
+          decodeText(h.body, h.contentType.orNull),
+          h.undecodedCoding.orNull)
       }
     }
     f(col("payload")).as("http")
@@ -925,7 +943,13 @@ object Warc {
     * pipeline: conversion/resource records (WET) decode payload text
     * directly; response records split HTTP and extract visible text
     * from HTML bodies via [[graft.ops.TextAnalysis.htmlToText]].
-    * Output: `(doc_id, url, fetch_ts, source, text)`.
+    * Output: `(doc_id, url, fetch_ts, source, text,
+    * undecoded_encoding)` — the last carries the `Content-Encoding`
+    * coding (e.g. `br`) whose decode the chain could not perform, so
+    * pipelines drop those rows by FLAG for pennies instead of paying
+    * quality gates to catch the mojibake; NULL when the body decoded
+    * clean (always NULL on the WET path — conversion records store
+    * extracted text, not wire bytes).
     */
   def toDocuments(scanned: DataFrame): DataFrame = {
     val wet = scanned
@@ -934,7 +958,8 @@ object Warc {
       .select(col("record_id").as("doc_id"), col("target_uri").as("url"),
         to_timestamp(col("warc_date")).as("fetch_ts"),
         col("src_file").as("source"),
-        decodeTextCol(col("payload"), col("content_type")).as("text"))
+        decodeTextCol(col("payload"), col("content_type")).as("text"),
+        lit(null).cast("string").as("undecoded_encoding"))
     val http = scanned
       .filter(col("warc_type") === "response" &&
         coalesce(col("content_type"), lit(""))
@@ -946,7 +971,8 @@ object Warc {
       .select(col("record_id").as("doc_id"), col("target_uri").as("url"),
         to_timestamp(col("warc_date")).as("fetch_ts"),
         col("src_file").as("source"),
-        graft.ops.TextAnalysis.htmlToText(col("http._3")).as("text"))
+        graft.ops.TextAnalysis.htmlToText(col("http._3")).as("text"),
+        col("http._4").as("undecoded_encoding"))
     wet.unionByName(http)
   }
 

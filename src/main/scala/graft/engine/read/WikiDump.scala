@@ -36,13 +36,31 @@ object WikiDump {
                         redirect: Option[String], timestamp: String,
                         wikitext: String)
 
+  /** Record-size guard: a CURRENT-pages dump (the standard corpus
+    * input, and this reader's contract) tops out around the wiki's
+    * max article size (2 MiB wikitext on Wikipedia) plus XML
+    * overhead, so 64 MiB is generous headroom. A `meta-history` dump
+    * can pack GBs of revisions into one hot `<page>` — without a cap
+    * that is one record materializing executor-killing buffers.
+    * Hadoop's LineRecordReader keeps the first `maxRecordBytes` of an
+    * oversized record and SKIPS the rest, so a hostile page costs one
+    * (truncated, usually droppable) row, never an executor.
+    */
+  val DefaultMaxRecordBytes: Int = 64 << 20
+
   /** One row per `<page>`: title, ns, page_id, redirect (nullable),
     * timestamp, wikitext.
     */
-  def pages(spark: SparkSession, path: String): DataFrame = {
+  def pages(spark: SparkSession, path: String,
+            maxRecordBytes: Int = DefaultMaxRecordBytes): DataFrame = {
     import spark.implicits._
     val parse = udf { (chunk: String) => parsePage(chunk) }
-    spark.read.option("lineSep", "</page>").text(path)
+    spark.read.option("lineSep", "</page>")
+      // data source options merge into the per-relation Hadoop conf —
+      // scoped to THIS read, no global SparkContext mutation
+      .option("mapreduce.input.linerecordreader.line.maxlength",
+        maxRecordBytes.toString)
+      .text(path)
       .select(parse(col("value")).as("p"))
       .filter(col("p").isNotNull)
       .select(

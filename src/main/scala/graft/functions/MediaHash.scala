@@ -237,6 +237,51 @@ case class DocumentFormat(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `xlsx_text(bytes)` → string —
+  * [[graft.engine.read.Xlsx.extractText]]: SpreadsheetML string-cell
+  * text (shared/inline/formula strings) joined by newline; NULL when
+  * not a readable OPC workbook.
+  */
+case class XlsxTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "xlsx_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Xlsx.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pptx_text(bytes)` → string —
+  * [[graft.engine.read.Pptx.extractText]]: PresentationML slide +
+  * notes paragraphs in presentation order joined by newline; NULL
+  * when not a readable OPC deck.
+  */
+case class PptxTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "pptx_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Pptx.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `eml_text(bytes)` → string —
+  * [[graft.engine.read.Mail.parseEml]]: RFC 5322 + MIME message body
+  * text (alternative → plain preferred, html through the htmlToText
+  * cascade; parts joined by form feed); NULL when not a message.
+  */
+case class EmlTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "eml_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Mail.parseEml(bytes)
+      .map(e => UTF8String.fromString(e.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `document_text(bytes)` → string —
   * [[graft.engine.read.DocumentProbe.extractText]]: body text with
   * the extractor AUTO-ROUTED from the payload magic; NULL when

@@ -324,6 +324,51 @@ object IngestGateQueries {
     ()
   }
 
+  // ---- S22: the undecoded-Content-Encoding flag --------------------
+  // br has no pure-JVM decoder here (the chain STOPS, by design —
+  // COVERAGE.md records the skip); the bridge must FLAG such bodies so
+  // pipelines drop them for pennies instead of paying quality gates
+  // to catch the mojibake. One clean gzip page proves the flag is
+  // NULL on the happy path; a br body, a gzip-then-br chain and an
+  // unknown coding each surface the coding that stopped the chain.
+  private val s22WarcDir = "/tmp/graft_gate_s22_warc"
+
+  private def writeS22Fixture(s: SparkSession): Unit = {
+    val iso = StandardCharsets.ISO_8859_1
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def encMsg(coding: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Encoding: $coding\r\n\r\n").getBytes(iso) ++ body
+    val cleanHtml = "<html><body><p>clean gzip page</p></body></html>"
+    // stand-in br bytes: NOT decodable, NOT ASCII — the flag is the
+    // contract, the body stays wire bytes
+    val brish = Array(0x1B, 0x9A, 0x02, 0x80, 0xC3, 0x28).map(_.toByte)
+    val bytes =
+      warcRecord("response", "u1", "2026-08-16T09:00:00Z",
+        Some("http://example.com/clean"),
+        "application/http; msgtype=response",
+        encMsg("gzip", gz(cleanHtml.getBytes(StandardCharsets.UTF_8)))) ++
+      warcRecord("response", "u2", "2026-08-16T09:01:00Z",
+        Some("http://example.com/br"),
+        "application/http; msgtype=response", encMsg("br", brish)) ++
+      warcRecord("response", "u3", "2026-08-16T09:02:00Z",
+        Some("http://example.com/gzbr"),
+        "application/http; msgtype=response",
+        encMsg("gzip, br", brish)) ++
+      warcRecord("response", "u4", "2026-08-16T09:03:00Z",
+        Some("http://example.com/unknown"),
+        "application/http; msgtype=response",
+        encMsg("x-snappy", "whatever".getBytes(iso)))
+    val dir = java.nio.file.Paths.get(s22WarcDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("encodings.warc"), bytes)
+    ()
+  }
+
   // ---- S15/S16: CDX(J) index → selective WARC range fetch ----------
   // A member-per-record .warc.gz plus a plain .warc, and a CDXJ index
   // whose offsets/lengths are the REAL byte positions of the authored
@@ -761,6 +806,23 @@ object IngestGateQueries {
         .orderBy("doc_id")
     },
 
+    // -- S22: the undecoded-Content-Encoding flag through the crawl
+    //    bridge — br/unknown codings surface the coding that stopped
+    //    the chain; clean bodies carry NULL and decode as before.
+    //    Text is masked for flagged rows (wire bytes are mojibake by
+    //    design, not a stable literal). -----------------------------
+    "s22_undecoded_flag" -> { (s, _) =>
+      writeS22Fixture(s)
+      graft.engine.read.Warc.toDocuments(
+          graft.engine.read.Warc.scan(s, s22WarcDir))
+        .select(col("doc_id"),
+          coalesce(col("undecoded_encoding"), lit("<clean>"))
+            .as("undecoded"),
+          when(col("undecoded_encoding").isNull, col("text"))
+            .otherwise(lit("<undecoded>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- S21: RSS/Atom feed items — both dialects through one kernel,
     //    item bodies through the htmlToText cascade, junk feeds to
     //    zero rows. Hand-derived literals. --------------------------
@@ -786,6 +848,16 @@ object IngestGateQueries {
     })
 
   def oracle: Map[String, String] = Map(
+    // Hand-derived: the gzip page decodes (flag NULL → '<clean>');
+    // br, gzip-then-br and x-snappy surface the stopping coding.
+    "s22_undecoded_flag" ->
+      """SELECT * FROM (VALUES
+        |  ('<urn:uuid:u1>', '<clean>', 'clean gzip page'),
+        |  ('<urn:uuid:u2>', 'br', '<undecoded>'),
+        |  ('<urn:uuid:u3>', 'br', '<undecoded>'),
+        |  ('<urn:uuid:u4>', 'x-snappy', '<undecoded>'))
+        |  t(doc_id, undecoded, text)
+        |ORDER BY doc_id""".stripMargin,
     // Hand-derived: RSS guid/date/html-stripped description, Atom
     // alternate link + summary; the junk feed contributes nothing.
     "s21_feed_items" ->

@@ -543,11 +543,11 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m37Dir)
   }
 
-  // -- m38 fixture: ONE document shipped as PDF, EPUB, DOCX, ODT, RTF
-  //    and legacy DOC — the six extractors must converge on
-  //    byte-identical text so cross-format copies dedup to one
-  //    survivor (min doc_id), plus a genuinely different DOCX that
-  //    must stay.
+  // -- m38 fixture: ONE document shipped as PDF, EPUB, DOCX, ODT, RTF,
+  //    legacy DOC and (r14) XLSX + PPTX — the eight extractors must
+  //    converge on byte-identical text so cross-format copies dedup
+  //    to one survivor (min doc_id), plus a genuinely different DOCX
+  //    that must stay.
   private val m38Dir = "/tmp/graft_gate_m38_docmix"
   private val m38TextA = "the same document shipped six ways"
   private val m38TextB = "a different document entirely"
@@ -567,7 +567,12 @@ object MediaGateQueries {
       (6L, "rtf", s"{\\rtf1\\ansi $m38TextA\\par}"
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
       (7L, "doc", LegacyDocFixture.doc(Seq(
-        LegacyDocFixture.Piece(m38TextA + "\r", compressed = true)))))
+        LegacyDocFixture.Piece(m38TextA + "\r", compressed = true)))),
+      (8L, "xlsx", XlsxFixture.xlsx1(
+        Seq(XlsxFixture.SRef("A1", 0)),
+        sharedStrings = Some(Seq(XlsxFixture.si(m38TextA))))),
+      (9L, "pptx", PptxFixture.pptx(Seq(PptxFixture.Slide(Seq(
+        PptxFixture.aPara(m38TextA)))))))
     s.createDataset(rows).toDF("doc_id", "fmt", "content")
       .coalesce(1).write.mode("overwrite").parquet(m38Dir)
   }
@@ -681,8 +686,9 @@ object MediaGateQueries {
   }
 
   // -- m42 fixture: a MIXED document column with unreliable labels —
-  //    the dispatch key must be the payload magic. All six readable
-  //    formats plus the classify-only and refusal classes.
+  //    the dispatch key must be the payload magic. All readable
+  //    formats (incl. r14's xlsx/pptx/html/txt) plus the
+  //    classify-only and refusal classes.
   private val m42Dir = "/tmp/graft_gate_m42_docprobe"
 
   private def writeM42Fixture(s: SparkSession): Unit = {
@@ -724,11 +730,26 @@ object MediaGateQueries {
         "EncryptionInfo" -> Array[Byte](1),
         "EncryptedPackage" -> Array[Byte](2))),
         "encrypted-ooxml", "<undecodable>"),
-      // a plain zip and plain junk
+      // a plain zip and BINARY junk (plain text ROUTES since r14)
       (10L, EpubFixture.zip(Seq("readme.txt" -> "hi".getBytes)),
         "zip", "<undecodable>"),
-      (11L, "no document here".getBytes("UTF-8"),
-        "<unknown>", "<undecodable>"))
+      (11L, Array[Byte](0x00, 0x01, 0x02, 0x03, 0x7F, 0x04),
+        "<unknown>", "<undecodable>"),
+      // modern Office decodes too (r14): SpreadsheetML cells and
+      // PresentationML runs through the same single ZIP walk
+      (15L, XlsxFixture.xlsx1(
+        Seq(XlsxFixture.SRef("A1", 0)),
+        sharedStrings = Some(Seq(XlsxFixture.si(t)))), "xlsx", t),
+      (16L, PptxFixture.pptx(Seq(PptxFixture.Slide(Seq(
+        PptxFixture.aPara(t))))), "pptx", t),
+      // the crawl residual classes: raw HTML through the charset
+      // sniff + htmlToText cascade, plain UTF-8 text as itself
+      (17L, s"<!DOCTYPE html><html><body><p>$t</p></body></html>"
+        .getBytes("UTF-8"), "html", t),
+      (18L, t.getBytes("UTF-8"), "txt", t),
+      // an RFC 5322 message upgrades from txt to eml by its headers
+      (19L, (s"From: a@b.c\r\nTo: l@b.c\r\nSubject: s\r\n\r\n$t")
+        .getBytes("UTF-8"), "eml", t))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")
       .coalesce(1).write.mode("overwrite").parquet(m42Dir)
@@ -802,9 +823,248 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m44Dir)
   }
 
+  // -- m48 fixture: XLSX from the INDEPENDENT SpreadsheetML writer —
+  //    shared strings (plain, rich runs, phonetic exclusion), inline
+  //    and formula strings, numeric/boolean skips, workbook-order
+  //    routing with scrambled member names; literal expectations
+  //    ride the fixture.
+  private val m48Dir = "/tmp/graft_gate_m48_xlsx"
+
+  private def writeM48Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    import XlsxFixture.{Bool, Cell, FStr, Inline, Num, SRef}
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      (0L, XlsxFixture.xlsx1(
+        Seq(SRef("A1", 0), Num("B1", 42.5), Inline("C1", "inline cell"),
+          Bool("D1", v = true), FStr("E1", "formula out"), SRef("F1", 1)),
+        sharedStrings = Some(Seq(
+          XlsxFixture.si("alpha"), XlsxFixture.si("καλημέρα")))),
+        4, "alpha\ninline cell\nformula out\nκαλημέρα"),
+      // rich runs concatenate; the phonetic block must not leak
+      (1L, XlsxFixture.xlsx1(
+        Seq(SRef("A1", 0), SRef("B1", 1)),
+        sharedStrings = Some(Seq(
+          XlsxFixture.si("styled run text", richRuns = 3),
+          XlsxFixture.si("漢字", phonetic = "かんじ")))),
+        2, "styled run text\n漢字"),
+      // workbook list order wins over scrambled member names;
+      // duplicate references repeat
+      (2L, XlsxFixture.xlsx(
+        Seq(("rId1", "First", Seq[Cell](Inline("A1", "one"))),
+          ("rId2", "Second", Seq[Cell](Inline("A1", "two"), Inline("B1", "one")))),
+        sharedStrings = None, scrambleNames = true),
+        3, "one\ntwo\none"),
+      // numbers-only: a valid empty text document
+      (3L, XlsxFixture.xlsx1(Seq(Num("A1", 1.0), Num("B1", 2.0)),
+        sharedStrings = None),
+        0, ""),
+      (4L, "not a workbook at all PK-less".getBytes("UTF-8"),
+        -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m48Dir)
+  }
+
+  // -- m49 fixture: PPTX from the INDEPENDENT PresentationML writer —
+  //    a:t run concatenation, a:br line breaks, sldIdLst order with
+  //    scrambled member names, speaker notes inclusion; literal
+  //    expectations ride the fixture.
+  private val m49Dir = "/tmp/graft_gate_m49_pptx"
+
+  private def writeM49Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    import PptxFixture.Slide
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      (0L, PptxFixture.pptx(Seq(Slide(Seq(
+        PptxFixture.aPara("Title ", "run"),
+        PptxFixture.aPara("line one\nline two"))))),
+        2, "Title run\nline one\nline two"),
+      // presentation order beats member-name order
+      (1L, PptxFixture.pptx(Seq(
+        Slide(Seq(PptxFixture.aPara("slide one"))),
+        Slide(Seq(PptxFixture.aPara("slide two"))),
+        Slide(Seq(PptxFixture.aPara("slide three")))),
+        scrambleNames = true),
+        3, "slide one\nslide two\nslide three"),
+      // speaker notes contribute right after their slide
+      (2L, PptxFixture.pptx(Seq(
+        Slide(Seq(PptxFixture.aPara("deck intro")),
+          notes = Seq(PptxFixture.aPara("remember the demo"))),
+        Slide(Seq(PptxFixture.aPara("closing"))))),
+        3, "deck intro\nremember the demo\nclosing"),
+      // image-only deck: a valid empty text document
+      (3L, PptxFixture.pptx(Seq(Slide(Seq.empty))),
+        0, ""),
+      (4L, "not a deck at all PK-less".getBytes("UTF-8"),
+        -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m49Dir)
+  }
+
+  // -- m50 fixture: RFC 5322 + MIME messages hand-authored forward
+  //    from the RFCs (text format — the strings ARE the independent
+  //    fixture, the RTF/LaTeX discipline): encoded-word headers,
+  //    multipart/alternative preference, QP + base64 transfer
+  //    encodings, nested multiparts with an attachment skip; literal
+  //    expectations ride the fixture.
+  private val m50Dir = "/tmp/graft_gate_m50_eml"
+
+  private def writeM50Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def eml(str: String): Array[Byte] =
+      str.stripMargin.replace("\n", "\r\n").getBytes("ISO-8859-1")
+    val b64 = java.util.Base64.getMimeEncoder.encodeToString(
+      "base64 body καλημέρα".getBytes("UTF-8"))
+    val rows: Seq[(Long, Array[Byte], String, Int, String)] = Seq(
+      (0L, eml("""From: Alice <alice@example.org>
+                 |To: list@example.org
+                 |Subject: hello world
+                 |Message-ID: <m1@example.org>
+                 |
+                 |This is the body.
+                 |Second line."""),
+        "hello world", 1, "This is the body.\nSecond line."),
+      // B- and Q-encoded words decode; adjacent words join
+      (1L, eml("""From: =?UTF-8?B?Sm9zw6k=?= <jose@example.org>
+                 |Subject: =?ISO-8859-1?Q?caf=E9_menu?=
+                 | =?ISO-8859-1?Q?_update?=
+                 |To: a@b.c
+                 |
+                 |body"""),
+        "café menu update", 1, "body"),
+      // alternative picks ONE part: plain preferred over html
+      (2L, eml("""From: a@b.c
+                 |MIME-Version: 1.0
+                 |Content-Type: multipart/alternative; boundary="XY"
+                 |
+                 |preamble drops
+                 |--XY
+                 |Content-Type: text/html
+                 |
+                 |<html><body><p>html version</p></body></html>
+                 |--XY
+                 |Content-Type: text/plain
+                 |
+                 |plain version
+                 |--XY--"""),
+        "", 1, "plain version"),
+      // QP soft breaks + charset, base64 through the JDK MIME decoder
+      (3L, eml(s"""From: a@b.c
+                  |Content-Type: multipart/mixed; boundary=MM
+                  |
+                  |--MM
+                  |Content-Type: text/plain; charset=iso-8859-1
+                  |Content-Transfer-Encoding: quoted-printable
+                  |
+                  |caf=E9 cr=
+                  |=E8me
+                  |--MM
+                  |Content-Type: text/plain; charset=utf-8
+                  |Content-Transfer-Encoding: base64
+                  |
+                  |$b64
+                  |--MM--"""),
+        "", 2, "café crème\fbase64 body καλημέρα"),
+      // nesting recurses in order; the PDF attachment is invisible
+      (4L, eml("""From: a@b.c
+                 |Content-Type: multipart/mixed; boundary=OUT
+                 |
+                 |--OUT
+                 |Content-Type: multipart/alternative; boundary=IN
+                 |
+                 |--IN
+                 |Content-Type: text/plain
+                 |
+                 |inner plain
+                 |--IN--
+                 |--OUT
+                 |Content-Type: application/pdf; name="x.pdf"
+                 |Content-Transfer-Encoding: base64
+                 |
+                 |JVBERi0=
+                 |--OUT
+                 |Content-Type: text/plain
+                 |
+                 |tail part
+                 |--OUT--"""),
+        "", 2, "inner plain\ftail part"),
+      (5L, Array[Byte](0x00, 0x01, 0x02),
+        "<not-a-message>", -1, "<not-a-message>"))
+    s.createDataset(rows)
+      .toDF("doc_id", "content", "exp_subject", "exp_parts", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m50Dir)
+  }
+
+  // -- m51 fixture: an MBOX archive on disk (the mailing-list
+  //    publication format) — envelope splitting, mboxrd unquoting,
+  //    and the exact-dedup bridge over extracted bodies.
+  private val m51Dir = "/tmp/graft_gate_m51_mbox"
+
+  private def writeM51Fixture(): Unit = {
+    val mbox =
+      "From alice Mon Apr  1 10:00:00 2024\n" +
+        "From: alice@example.org\nTo: list@example.org\n" +
+        "Subject: announcement\nMessage-ID: <a1@list>\n\n" +
+        "the release is out today.\n\n" +
+        "From bob Tue Apr  2 11:00:00 2024\n" +
+        "From: bob@example.org\nTo: list@example.org\n" +
+        "Subject: Re: announcement\nMessage-ID: <b2@list>\n\n" +
+        ">From the changelog, quoting:\nthe release is out today, nice.\n\n" +
+        "From carol Wed Apr  3 12:00:00 2024\n" +
+        "From: carol@example.org\nTo: list@example.org\n" +
+        "Subject: duplicate repost\nMessage-ID: <c3@list>\n\n" +
+        "the release is out today.\n"
+    val dir = java.nio.file.Paths.get(m51Dir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("list.mbox"),
+      mbox.getBytes("UTF-8"))
+    ()
+  }
+
+  // -- m52 fixture: a wild tar archive (commons-compress as the
+  //    INDEPENDENT third-party writer, PAX long names) of mixed
+  //    documents — the arXiv-dump shape: archive → member explode →
+  //    magic-routed document layer.
+  private val m52Dir = "/tmp/graft_gate_m52_tar"
+  private val m52LongName = "papers/" + ("v" * 120) + "/main.rtf"
+
+  private def writeM52Fixture(): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val bos = new java.io.ByteArrayOutputStream()
+    val t = new TarArchiveOutputStream(bos)
+    t.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    def add(name: String, data: Array[Byte]): Unit = {
+      val e = new TarArchiveEntry(name)
+      e.setSize(data.length.toLong); e.setModTime(0L)
+      t.putArchiveEntry(e); t.write(data); t.closeArchiveEntry()
+    }
+    val dirE = new TarArchiveEntry("papers/")
+    t.putArchiveEntry(dirE); t.closeArchiveEntry()
+    add("a/readme.txt", "tar member plain text".getBytes("UTF-8"))
+    add("b/page.html",
+      "<html><body><p>tar member html</p></body></html>".getBytes("UTF-8"))
+    add(m52LongName,
+      "{\\rtf1 tar member rtf\\par}".getBytes("ISO-8859-1"))
+    add("c/doc.docx", DocxFixture.docx(Seq(
+      DocxFixture.para(DocxFixture.T("tar member docx")))))
+    add("d/blob.bin", Array[Byte](0, 1, 2, 3, 4))
+    t.close()
+    val dir = java.nio.file.Paths.get(m52Dir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("corpus.tar"), bos.toByteArray)
+    // and the same content shipped .tar.gz — both must read alike
+    val gz = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(gz)
+    g.write(bos.toByteArray); g.close()
+    java.nio.file.Files.write(dir.resolve("corpus2.tar.gz"), gz.toByteArray)
+    ()
+  }
+
   // -- m45 fixture: the adjudicated m26/m35 curation corpus, every
   //    document in a DIFFERENT format — the magic router must feed
   //    the pipeline the identical text layer regardless of container.
+  //    r14 rotated four roles onto the NEW routes (xlsx, html, txt,
+  //    pptx) — docx/odt/doc/epub keep their coverage in m38/m42 —
+  //    so every verdict still carries over verbatim.
   private val m45Dir = "/tmp/graft_gate_m45_mixcur"
 
   private def writeM45Fixture(s: SparkSession): Unit = {
@@ -812,16 +1072,17 @@ object MediaGateQueries {
     def pdf(text: String) =
       PdfFixture.simplePdf(Seq(s"BT /F1 12 Tf ${PdfFixture.lit(text)} Tj ET"))
     val rows: Seq[(Long, Array[Byte])] = Seq(
-      (1L, DocxFixture.docx(Seq(
-        DocxFixture.para(DocxFixture.T(m26SurvivorA))))),
-      (2L, OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T(m26SeenText))))),
+      (1L, XlsxFixture.xlsx1(
+        Seq(XlsxFixture.SRef("A1", 0)),
+        sharedStrings = Some(Seq(XlsxFixture.si(m26SurvivorA))))),
+      (2L, s"<!DOCTYPE html><html><body><p>$m26SeenText</p></body></html>"
+        .getBytes("UTF-8")),
       (3L, ("{\\rtf1 buenas noches amigos hasta manana siempre dijo " +
         "nadie\\par}").getBytes("ISO-8859-1")),
-      (4L, LegacyDocFixture.doc(Seq(LegacyDocFixture.Piece(
-        "the 1234567890 9876543210 1234567890 to 55555\r",
-        compressed = true)))),
-      (5L, EpubFixture.epub("P", Seq(
-        "p.xhtml" -> EpubFixture.xhtml(m26ProbeText)))),
+      (4L, "the 1234567890 9876543210 1234567890 to 55555"
+        .getBytes("UTF-8")),
+      (5L, PptxFixture.pptx(Seq(PptxFixture.Slide(Seq(
+        PptxFixture.aPara(m26ProbeText)))))),
       (6L, pdf(m26SurvivorF)),
       (7L, PdfFixture.encryptedPdf("never readable")))
     s.createDataset(rows).toDF("doc_id", "content")
@@ -944,6 +1205,90 @@ object MediaGateQueries {
       out.data.orderBy("doc_id")
     },
 
+    // -- m52: tar archive source → document layer — the arXiv-dump
+    //    shape: one binaryFile scan, one kernel explode per archive
+    //    (PAX long names, dirs structural, .tar.gz gunzips), members
+    //    magic-routed through document_format/document_text.
+    //    Hand-derived literals. ---------------------------------------
+    "m52_tar_documents" -> { (s, _) =>
+      writeM52Fixture()
+      import graft.engine.read.{DocumentProbe, Tar}
+      Tar.members(s, m52Dir + "/*")
+        .withColumn("file", regexp_extract(col("archive"), "([^/]+)$", 1))
+        .select(col("file"), col("member"),
+          coalesce(DocumentProbe.formatCol(col("content")),
+            lit("<unknown>")).as("format"),
+          coalesce(DocumentProbe.textCol(col("content")),
+            lit("<undecodable>")).as("text"))
+        .orderBy("file", "member")
+    },
+
+    // -- m50: EML extraction — RFC 5322 headers (encoded-words),
+    //    MIME multipart walk, QP/base64; expectations ride the
+    //    fixture. ----------------------------------------------------
+    "m50_eml_extract" -> { (s, _) =>
+      writeM50Fixture(s)
+      import graft.engine.read.Mail
+      val ext = udf { (b: Array[Byte]) =>
+        Mail.parseEml(b).map(e => (e.subject, e.nParts, e.text))
+      }
+      s.read.parquet(m50Dir)
+        .withColumn("__m", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__m._1"), lit("<not-a-message>")).as("subject"),
+          coalesce(col("__m._2"), lit(-1)).as("n_parts"),
+          coalesce(col("__m._3"), lit("<not-a-message>")).as("text"))
+        .orderBy("doc_id")
+    },
+
+    // -- m51: MBOX source + curation bridge — the archive splits on
+    //    the envelope separator, bodies unquote per mboxrd, and the
+    //    duplicate repost exact-dedups to the min message id (the
+    //    mailing-list reality: cross-posts and reposts). Hand-derived
+    //    literals. ----------------------------------------------------
+    "m51_mbox_corpus" -> { (s, _) =>
+      writeM51Fixture()
+      import graft.engine.read.Mail
+      val msgs = Mail.messages(s, m51Dir)
+        .select(col("msg_id"), col("subject"), col("text"))
+      graft.ops.Dedup.exact(msgs, Seq("text"), "msg_id")
+        .orderBy("msg_id")
+    },
+
+    // -- m48: modern .xlsx extraction — SpreadsheetML shared/inline/
+    //    formula strings, workbook-order routing; expectations ride
+    //    the fixture. ------------------------------------------------
+    "m48_xlsx_extract" -> { (s, _) =>
+      writeM48Fixture(s)
+      import graft.engine.read.Xlsx
+      val ext = udf { (b: Array[Byte]) =>
+        Xlsx.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m48Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
+    // -- m49: modern .pptx extraction — PresentationML a:t runs in
+    //    sldIdLst order, notes included; expectations ride the
+    //    fixture. ----------------------------------------------------
+    "m49_pptx_extract" -> { (s, _) =>
+      writeM49Fixture(s)
+      import graft.engine.read.Pptx
+      val ext = udf { (b: Array[Byte]) =>
+        Pptx.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m49Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // -- m44: legacy .xls extraction — SST/LabelSST across Continue
     //    splits; expectations ride the fixture. ---------------------
     "m44_xls_extract" -> { (s, _) =>
@@ -1047,12 +1392,14 @@ object MediaGateQueries {
     //    min-id copy. ------------------------------------------------
     "m38_document_mix" -> { (s, _) =>
       writeM38Fixture(s)
-      import graft.engine.read.{Doc, Docx, Epub, Odt, Pdf, Rtf}
+      import graft.engine.read.{Doc, Docx, Epub, Odt, Pdf, Pptx, Rtf, Xlsx}
       val pdfT = udf { (b: Array[Byte]) => Pdf.extractText(b).map(_.text) }
       val docxT = udf { (b: Array[Byte]) => Docx.extractText(b).map(_.text) }
       val odtT = udf { (b: Array[Byte]) => Odt.extractText(b).map(_.text) }
       val rtfT = udf { (b: Array[Byte]) => Rtf.extractText(b).map(_.text) }
       val docT = udf { (b: Array[Byte]) => Doc.extractText(b).map(_.text) }
+      val xlsxT = udf { (b: Array[Byte]) => Xlsx.extractText(b).map(_.text) }
+      val pptxT = udf { (b: Array[Byte]) => Pptx.extractText(b).map(_.text) }
       val docs = s.read.parquet(m38Dir)
         .withColumn("text",
           when(col("fmt") === "pdf", pdfT(col("content")))
@@ -1060,6 +1407,8 @@ object MediaGateQueries {
             .when(col("fmt") === "odt", odtT(col("content")))
             .when(col("fmt") === "rtf", rtfT(col("content")))
             .when(col("fmt") === "doc", docT(col("content")))
+            .when(col("fmt") === "xlsx", xlsxT(col("content")))
+            .when(col("fmt") === "pptx", pptxT(col("content")))
             .otherwise(Epub.textCol(col("content"))))
         .filter(col("text").isNotNull)
         .select("doc_id", "fmt", "text")
@@ -1332,7 +1681,46 @@ object MediaGateQueries {
          |  (4::BIGINT, 'docx', '$m38TextB'))
          |  t(doc_id, fmt, text)
          |ORDER BY doc_id""".stripMargin,
+    // Hand-derived: five members per archive (PAX long-named rtf,
+    // plain text, html, docx, binary blob), identical through the
+    // plain tar and the .tar.gz twin.
+    "m52_tar_documents" -> {
+      def rowsFor(f: String) =
+        s"""  ('$f', 'a/readme.txt', 'txt', 'tar member plain text'),
+           |  ('$f', 'b/page.html', 'html', 'tar member html'),
+           |  ('$f', 'c/doc.docx', 'docx', 'tar member docx'),
+           |  ('$f', 'd/blob.bin', '<unknown>', '<undecodable>'),
+           |  ('$f', '$m52LongName', 'rtf', 'tar member rtf')""".stripMargin
+      s"""SELECT * FROM (VALUES
+         |${rowsFor("corpus.tar")},
+         |${rowsFor("corpus2.tar.gz")})
+         |  t(file, member, format, text)
+         |ORDER BY file, member""".stripMargin
+    },
     // Literal expectations ride the fixture.
+    "m50_eml_extract" ->
+      s"""SELECT doc_id, exp_subject AS subject, exp_parts AS n_parts,
+         |  exp_text AS text
+         |FROM read_parquet('$m50Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    // Hand-derived: the repost (c3) exact-dedups to the min message
+    // id; the reply's mboxrd-quoted line unquotes.
+    "m51_mbox_corpus" ->
+      """SELECT * FROM (VALUES
+        |  ('<a1@list>', 'announcement', 'the release is out today.'),
+        |  ('<b2@list>', 'Re: announcement',
+        |   'From the changelog, quoting:' || chr(10) ||
+        |   'the release is out today, nice.'))
+        |  t(msg_id, subject, text)
+        |ORDER BY msg_id""".stripMargin,
+    "m48_xlsx_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m48Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    "m49_pptx_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m49Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m44_xls_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
          |FROM read_parquet('$m44Dir/*.parquet')

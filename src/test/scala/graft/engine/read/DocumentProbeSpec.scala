@@ -25,7 +25,9 @@ class DocumentProbeSpec extends graft.SparkSpec {
       "EncryptionInfo" -> Array[Byte](1),
       "EncryptedPackage" -> Array[Byte](2)))).contains("encrypted-ooxml"))
     assert(fmt(EpubFixture.zip(Seq("x.txt" -> "x".getBytes))).contains("zip"))
-    assert(fmt("plain text".getBytes).isEmpty)
+    assert(fmt("plain text".getBytes).contains("txt"))
+    assert(fmt("<!DOCTYPE html><p>x</p>".getBytes).contains("html"))
+    assert(fmt(Array[Byte](0, 1, 2, 3, 4)).isEmpty)
     assert(fmt(null).isEmpty)
   }
 
@@ -39,10 +41,12 @@ class DocumentProbeSpec extends graft.SparkSpec {
         "</Relationships>").getBytes,
       "xl/workbook.xml" -> "<workbook/>".getBytes))
     assert(DocumentProbe.probe(xlsx).map(_.format).contains("xlsx"))
-    assert(DocumentProbe.extractText(xlsx).isEmpty)
+    // a sheetless workbook is a valid EMPTY document (r14: xlsx
+    // extracts like its 1997 sibling), never a docx misroute
+    assert(DocumentProbe.extractText(xlsx).contains(""))
     val pptx = zip(Seq("ppt/presentation.xml" -> "<p/>".getBytes))
     assert(DocumentProbe.probe(pptx).map(_.format).contains("pptx"))
-    assert(DocumentProbe.extractText(pptx).isEmpty)
+    assert(DocumentProbe.extractText(pptx).contains(""))
     // an ODT whose producer omitted the mimetype entry still routes
     val bareOdt = OdtFixture.odt(Seq(
       OdtFixture.para(OdtFixture.T("no mimetype"))), mimetype = None)
@@ -100,7 +104,11 @@ class DocumentProbeSpec extends graft.SparkSpec {
   test("probeAndText matches the separate calls off one parse") {
     val docx = DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T(t))))
     assert(DocumentProbe.probeAndText(docx) == (Some("docx"), Some(t)))
-    assert(DocumentProbe.probeAndText("junk".getBytes) == (None, None))
+    // plain text is a FORMAT now (r14); binary junk stays (None, None)
+    assert(DocumentProbe.probeAndText("junk".getBytes) ==
+      (Some("txt"), Some("junk")))
+    assert(DocumentProbe.probeAndText(
+      Array[Byte](0, 1, 2, 3, 4)) == (None, None))
     val encDoc = LegacyDocFixture.doc(Seq(
       LegacyDocFixture.Piece("x\r", compressed = true)), encrypted = true)
     assert(DocumentProbe.probeAndText(encDoc) == (Some("doc"), None))
@@ -139,9 +147,10 @@ class DocumentProbeSpec extends graft.SparkSpec {
       graft.queries.XlsFixture.sst(Seq(
         graft.queries.XlsFixture.sstEntry(t)), total = 1),
       graft.queries.XlsFixture.labelSst(0, 0, 0)))).contains(t))
-    // refusal classes are NULL
+    // refusal classes are NULL; binary junk too (plain TEXT routes)
     assert(txt(PdfFixture.encryptedPdf("x")).isEmpty)
-    assert(txt("junk".getBytes).isEmpty)
+    assert(txt(Array[Byte](0, 1, 2, 3, 4)).isEmpty)
+    assert(txt("junk".getBytes).contains("junk"))
   }
 
   test("epub kernel text matches the Column cascade byte for byte") {
@@ -161,7 +170,9 @@ class DocumentProbeSpec extends graft.SparkSpec {
     val df = Seq(
       (1L, DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("sql docx"))))),
       (2L, s"{\\rtf1 sql rtf\\par}".getBytes("ISO-8859-1")),
-      (3L, "junk".getBytes)).toDF("id", "content")
+      (3L, Array[Byte](0, 1, 2, 3, 4)),
+      (4L, "<html><body>sql html</body></html>".getBytes("UTF-8")),
+      (5L, "sql plain".getBytes("UTF-8"))).toDF("id", "content")
     df.createOrReplaceTempView("mixed_docs")
     val got = spark.sql(
       """SELECT id, document_format(content) AS f,
@@ -170,5 +181,65 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(got(0).getString(1) == "docx" && got(0).getString(2) == "sql docx")
     assert(got(1).getString(1) == "rtf" && got(1).getString(2) == "sql rtf")
     assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+    assert(got(3).getString(1) == "html" && got(3).getString(2) == "sql html")
+    assert(got(4).getString(1) == "txt" && got(4).getString(2) == "sql plain")
+  }
+
+  test("xlsx and pptx extract through the probe (one ZIP walk)") {
+    import graft.queries.{PptxFixture, XlsxFixture}
+    val x = XlsxFixture.xlsx1(
+      Seq(XlsxFixture.SRef("A1", 0), XlsxFixture.Inline("B1", "inline")),
+      sharedStrings = Some(Seq(XlsxFixture.si("shared"))))
+    assert(DocumentProbe.probe(x).map(_.format).contains("xlsx"))
+    assert(DocumentProbe.extractText(x).contains("shared\ninline"))
+    val pp = PptxFixture.pptx(Seq(PptxFixture.Slide(Seq(
+      PptxFixture.aPara("deck body")),
+      notes = Seq(PptxFixture.aPara("the notes")))))
+    assert(DocumentProbe.probe(pp).map(_.format).contains("pptx"))
+    assert(DocumentProbe.extractText(pp).contains("deck body\nthe notes"))
+  }
+
+  test("html routes through the charset sniff + htmlToText cascade") {
+    val html = ("<!DOCTYPE html><html><head><title>T</title>" +
+      "<script>var x=1;</script></head>" +
+      "<body><p>Hello&nbsp;&amp; welcome</p></body></html>").getBytes("UTF-8")
+    assert(DocumentProbe.probe(html).map(_.format).contains("html"))
+    val t = DocumentProbe.extractText(html).get
+    assert(t.contains("Hello") && t.contains("& welcome"))
+    assert(!t.contains("var x"))
+    // case-insensitive, BOM + leading whitespace skipped
+    val bommed = "\uFEFF  \n<HTML><body>upper</body></HTML>".getBytes("UTF-8")
+    assert(DocumentProbe.probe(bommed).map(_.format).contains("html"))
+    // a meta-declared legacy charset decodes through the sniff
+    val legacy = ("<html><head><meta charset=\"windows-1252\"></head>" +
+      "<body>caf\u00e9</body></html>").getBytes("windows-1252")
+    assert(DocumentProbe.extractText(legacy).exists(_.contains("caf\u00e9")))
+  }
+
+  test("plain UTF-8 text routes as txt; binary stays None") {
+    val txt = "just some plain corpus text\nwith two lines".getBytes("UTF-8")
+    assert(DocumentProbe.probe(txt).map(_.format).contains("txt"))
+    assert(DocumentProbe.extractText(txt).contains(
+      "just some plain corpus text\nwith two lines"))
+    // a BOM'd text file strips its BOM
+    assert(DocumentProbe.extractText("\uFEFFbom text".getBytes("UTF-8"))
+      .contains("bom text"))
+    // invalid UTF-8 and NUL-bearing payloads are binary, not text
+    assert(DocumentProbe.probe(Array[Byte](0x41, 0xC3.toByte, 0x28, 0x42, 0x43)).isEmpty)
+    assert(DocumentProbe.probe("a\u0000b1234".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("an RFC 5322 message upgrades from txt to eml; near-misses stay txt") {
+    val mail = ("From: a@b.c\r\nTo: list@b.c\r\nSubject: probe\r\n" +
+      "\r\nmail body here").getBytes("UTF-8")
+    assert(DocumentProbe.probe(mail).map(_.format).contains("eml"))
+    assert(DocumentProbe.extractText(mail).contains("mail body here"))
+    // one colon-bearing first line is NOT a mail header block
+    val note = "title: my notes\njust some text".getBytes("UTF-8")
+    assert(DocumentProbe.probe(note).map(_.format).contains("txt"))
+    // core headers NOT at the head block don't count
+    val tail = ("plain opening line\n\nFrom: x@y.z\nTo: q@r.s\n")
+      .getBytes("UTF-8")
+    assert(DocumentProbe.probe(tail).map(_.format).contains("txt"))
   }
 }

@@ -1,0 +1,175 @@
+package graft.engine.read
+
+class MailSpec extends graft.SparkSpec {
+
+  private def eml(s: String): Array[Byte] =
+    s.stripMargin.replace("\n", "\r\n").getBytes("ISO-8859-1")
+
+  test("simple 7bit message: headers + body") {
+    val m = Mail.parseEml(eml(
+      """From: Alice <alice@example.org>
+        |To: list@example.org
+        |Subject: hello world
+        |Date: Mon, 01 Apr 2024 10:00:00 +0000
+        |Message-ID: <m1@example.org>
+        |
+        |This is the body.
+        |Second line.""")).get
+    assert(m.from == "Alice <alice@example.org>")
+    assert(m.subject == "hello world")
+    assert(m.messageId == "<m1@example.org>")
+    assert(m.nParts == 1)
+    assert(m.text == "This is the body.\nSecond line.")
+  }
+
+  test("folded headers unfold; RFC 2047 encoded-words decode (B and Q)") {
+    val m = Mail.parseEml(eml(
+      """From: =?UTF-8?B?Sm9zw6k=?= <jose@example.org>
+        |Subject: =?ISO-8859-1?Q?caf=E9_menu?=
+        | =?ISO-8859-1?Q?_update?=
+        |To: a@b.c
+        |
+        |body""")).get
+    assert(m.from == "José <jose@example.org>")
+    assert(m.subject == "café menu update")
+  }
+
+  test("multipart/alternative prefers text/plain over html") {
+    val m = Mail.parseEml(eml(
+      """From: a@b.c
+        |MIME-Version: 1.0
+        |Content-Type: multipart/alternative; boundary="XY"
+        |
+        |preamble is ignored
+        |--XY
+        |Content-Type: text/plain; charset=utf-8
+        |
+        |plain version
+        |--XY
+        |Content-Type: text/html; charset=utf-8
+        |
+        |<html><body><p>html version</p></body></html>
+        |--XY--
+        |epilogue ignored""")).get
+    assert(m.nParts == 1)
+    assert(m.text == "plain version")
+  }
+
+  test("html-only alternative routes through the htmlToText cascade") {
+    val m = Mail.parseEml(eml(
+      """From: a@b.c
+        |Content-Type: multipart/alternative; boundary=ZZ
+        |
+        |--ZZ
+        |Content-Type: text/html
+        |
+        |<html><body><p>Hello &amp; welcome</p></body></html>
+        |--ZZ--""")).get
+    assert(m.text == "Hello & welcome")
+  }
+
+  test("quoted-printable and base64 transfer encodings decode") {
+    val b64 = java.util.Base64.getMimeEncoder.encodeToString(
+      "base64 body καλημέρα".getBytes("UTF-8"))
+    val m = Mail.parseEml(eml(
+      s"""From: a@b.c
+         |Content-Type: multipart/mixed; boundary=MM
+         |
+         |--MM
+         |Content-Type: text/plain; charset=iso-8859-1
+         |Content-Transfer-Encoding: quoted-printable
+         |
+         |caf=E9 cr=
+         |=E8me
+         |--MM
+         |Content-Type: text/plain; charset=utf-8
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--MM--""")).get
+    assert(m.nParts == 2)
+    assert(m.text == "café crème\fbase64 body καλημέρα")
+  }
+
+  test("nested multipart recurses; attachments skip") {
+    val m = Mail.parseEml(eml(
+      """From: a@b.c
+        |Content-Type: multipart/mixed; boundary=OUT
+        |
+        |--OUT
+        |Content-Type: multipart/alternative; boundary=IN
+        |
+        |--IN
+        |Content-Type: text/plain
+        |
+        |inner plain
+        |--IN--
+        |--OUT
+        |Content-Type: application/pdf; name="x.pdf"
+        |Content-Transfer-Encoding: base64
+        |
+        |JVBERi0=
+        |--OUT
+        |Content-Type: text/plain
+        |
+        |tail part
+        |--OUT--""")).get
+    assert(m.nParts == 2)
+    assert(m.text == "inner plain\ftail part")
+  }
+
+  test("mbox chunks: envelope strip, mboxrd unquote, junk is None") {
+    val chunk = "From alice@example.org Mon Apr  1 10:00:00 2024\n" +
+      "From: a@b.c\nSubject: s1\n\n>From the start, quoted.\nplain."
+    val m = Mail.parseMboxChunk(chunk).get
+    assert(m.subject == "s1")
+    assert(m.text == "From the start, quoted.\nplain.")
+    // a chunk as the lineSep split produces it (envelope tail leads)
+    val later = "bob@example.org Tue Apr  2 10:00:00 2024\n" +
+      "From: b@c.d\nSubject: s2\n\n>>From twice.\nbody two."
+    val m2 = Mail.parseMboxChunk(later).get
+    assert(m2.subject == "s2")
+    assert(m2.text == ">From twice.\nbody two.")
+    assert(Mail.parseMboxChunk("no headers here at all").isEmpty)
+    assert(Mail.parseEml("not: a mail header block".getBytes).isEmpty)
+    assert(Mail.parseEml(Array.emptyByteArray).isEmpty)
+  }
+
+  test("messages(): an mbox archive reads distributedly with intact fields") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbox")
+    val mbox =
+      "From alice Mon Apr  1 10:00:00 2024\n" +
+        "From: alice@example.org\nTo: list@example.org\n" +
+        "Subject: first\nMessage-ID: <a1>\n\nbody one.\n\n" +
+        "From bob Tue Apr  2 11:00:00 2024\n" +
+        "From: bob@example.org\nTo: list@example.org\n" +
+        "Subject: second\nMessage-ID: <b2>\n\n" +
+        ">From me, quoted line.\nbody two.\n"
+    java.nio.file.Files.write(dir.resolve("list.mbox"),
+      mbox.getBytes("UTF-8"))
+    val rows = Mail.messages(spark, dir.toString)
+      .orderBy("msg_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("msg_id") == "<a1>")
+    assert(rows(0).getAs[String]("text") == "body one.")
+    assert(rows(1).getAs[String]("subject") == "second")
+    assert(rows(1).getAs[String]("text") ==
+      "From me, quoted line.\nbody two.")
+  }
+
+  test("eml_text SQL function surfaces the kernel") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(
+      (1L, eml("""From: a@b.c
+                 |Subject: sql
+                 |
+                 |sql body""")),
+      (2L, Array[Byte](0, 1, 2))).toDF("id", "content")
+      .createOrReplaceTempView("mails")
+    val got = spark.sql(
+      "SELECT id, eml_text(content) AS t FROM mails ORDER BY id").collect()
+    assert(got(0).getString(1) == "sql body")
+    assert(got(1).isNullAt(1))
+  }
+}

@@ -129,4 +129,40 @@ class WikiDumpSpec extends graft.SparkSpec {
     assert(WikiDump.unescape("&#x1F600;") ==
       new String(Character.toChars(0x1F600)))
   }
+
+  test("maxRecordBytes bounds a hostile oversized page to one cheap row") {
+    val dir = tmpDir("wikidump3")
+    val f = dir.resolve("dump.xml")
+    // a meta-history-style hot page: one <page> far past the cap
+    val big = "x" * 300000
+    val xml =
+      s"""<mediawiki>
+         |<page><title>Small</title><ns>0</ns><id>1</id>
+         |<revision><timestamp>2024-01-01T00:00:00Z</timestamp>
+         |<text>small text</text></revision></page>
+         |<page><title>Huge</title><ns>0</ns><id>2</id>
+         |<revision><timestamp>2024-01-01T00:00:00Z</timestamp>
+         |<text>$big</text></revision></page>
+         |<page><title>After</title><ns>0</ns><id>3</id>
+         |<revision><timestamp>2024-01-02T00:00:00Z</timestamp>
+         |<text>after text</text></revision></page>
+         |</mediawiki>""".stripMargin
+    java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
+    val rows = WikiDump.pages(spark, f.toString, maxRecordBytes = 64 * 1024)
+      .orderBy("page_id").collect()
+    // the intact pages are untouched; the hostile record is either
+    // dropped or truncated far below its real size - never GBs
+    val byId = rows.map(r => r.getAs[Long]("page_id") -> r).toMap
+    assert(byId(1L).getAs[String]("wikitext") == "small text")
+    assert(byId.get(2L).forall(
+      _.getAs[String]("wikitext").length < 64 * 1024))
+    // the reader re-anchors at the next delimiter: later pages intact
+    assert(byId(3L).getAs[String]("wikitext") == "after text")
+    // and with the default cap the same dump reads whole
+    val full = WikiDump.pages(spark, f.toString)
+      .orderBy("page_id").collect()
+    assert(full.length == 3)
+    assert(full(1).getAs[String]("wikitext") == big)
+    assert(full(2).getAs[String]("wikitext") == "after text")
+  }
 }

@@ -142,7 +142,10 @@ class MultimodalSpec extends SparkSpec {
     val enc = MediaDecoder.decode("document",
       graft.queries.PdfFixture.encryptedPdf("x"))
     assert(enc.decodeStatus == "encrypted")
-    val notDoc = MediaDecoder.decode("document", "plain text".getBytes)
+    // plain text IS a readable document since r14 (txt route)
+    val txtDoc = MediaDecoder.decode("document", "plain text".getBytes)
+    assert(txtDoc.decodeStatus == "ok")
+    val notDoc = MediaDecoder.decode("document", Array[Byte](0, 1, 2, 3, 4))
     assert(notDoc.decodeStatus == "not a readable document")
   }
 

@@ -554,7 +554,7 @@ class StreamingSpec extends SparkSpec {
       (2L, "{\\rtf1 stream rtf\\par}".getBytes("ISO-8859-1")),
       (3L, LegacyDocFixture.doc(Seq(LegacyDocFixture.Piece(
         "secret\r", compressed = true)), encrypted = true)),
-      (4L, "not a document".getBytes))
+      (4L, Array[Byte](0, 1, 2, 3, 4))) // binary junk (text ROUTES now)
 
     val batchDf = rows.toDF("id", "content")
     val batchKept = batchDf
