@@ -30,6 +30,8 @@ import org.apache.spark.sql.functions.udf
   *  - strict UTF-8 with no binary control chars → txt (a crawl
   *    column's residual majority class), upgraded to eml when the
   *    head block reads as RFC 5322 headers ([[Mail.parseEmlString]])
+  *    or to latex when the head carries `\documentclass` /
+  *    `\begin{document}` ([[graft.ops.Latex.extractText]] detexes)
   *
   * `extractText` routes to the matching extractor (pdf/docx/xlsx/
   * pptx/odt/epub/rtf/doc/ppt/xls/html/txt) and returns None for
@@ -198,10 +200,28 @@ object DocumentProbe {
           else None
           if (!wantText || text.isDefined) return (meta, text)
         }
+        // LaTeX source too (the arXiv-dump tar members): the detex
+        // tokenizer beats raw markup as corpus text. \documentclass /
+        // \begin{document} in the head is the conventional marker.
+        if (looksLatex(s)) {
+          val meta = Some(DocMeta("latex", 0, encrypted = false))
+          val text = if (wantText)
+            Some(graft.ops.Latex.extractText(s).text) else None
+          return (meta, text)
+        }
         (Some(DocMeta("txt", 0, encrypted = false)),
           if (wantText) Some(s) else None)
       case None => (None, None)
     }
+  }
+
+  /** LaTeX marker in the first 4 KB: `\documentclass` /
+    * `\begin{document}` (how every arXiv source opens, comments and
+    * preamble aside).
+    */
+  private def looksLatex(s: String): Boolean = {
+    val head = s.substring(0, math.min(s.length, 4096))
+    head.contains("\\documentclass") || head.contains("\\begin{document}")
   }
 
   private val CoreMailHeaders = Set("from", "to", "subject", "date",

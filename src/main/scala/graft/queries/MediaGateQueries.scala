@@ -749,7 +749,10 @@ object MediaGateQueries {
       (18L, t.getBytes("UTF-8"), "txt", t),
       // an RFC 5322 message upgrades from txt to eml by its headers
       (19L, (s"From: a@b.c\r\nTo: l@b.c\r\nSubject: s\r\n\r\n$t")
-        .getBytes("UTF-8"), "eml", t))
+        .getBytes("UTF-8"), "eml", t),
+      // LaTeX source upgrades from txt and detexes
+      (20L, (s"\\documentclass{article}\n\\begin{document}\n$t\n" +
+        "\\end{document}\n").getBytes("UTF-8"), "latex", t))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")
       .coalesce(1).write.mode("overwrite").parquet(m42Dir)
@@ -1047,6 +1050,8 @@ object MediaGateQueries {
     add("c/doc.docx", DocxFixture.docx(Seq(
       DocxFixture.para(DocxFixture.T("tar member docx")))))
     add("d/blob.bin", Array[Byte](0, 1, 2, 3, 4))
+    add("e/paper.tex", ("\\documentclass{article}\n\\begin{document}\n" +
+      "Tar member \\emph{latex} text.\n\\end{document}\n").getBytes("UTF-8"))
     t.close()
     val dir = java.nio.file.Paths.get(m52Dir)
     java.nio.file.Files.createDirectories(dir)
@@ -1690,6 +1695,7 @@ object MediaGateQueries {
            |  ('$f', 'b/page.html', 'html', 'tar member html'),
            |  ('$f', 'c/doc.docx', 'docx', 'tar member docx'),
            |  ('$f', 'd/blob.bin', '<unknown>', '<undecodable>'),
+           |  ('$f', 'e/paper.tex', 'latex', 'Tar member latex text.'),
            |  ('$f', '$m52LongName', 'rtf', 'tar member rtf')""".stripMargin
       s"""SELECT * FROM (VALUES
          |${rowsFor("corpus.tar")},

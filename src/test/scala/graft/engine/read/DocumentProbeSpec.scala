@@ -242,4 +242,14 @@ class DocumentProbeSpec extends graft.SparkSpec {
       .getBytes("UTF-8")
     assert(DocumentProbe.probe(tail).map(_.format).contains("txt"))
   }
+
+  test("LaTeX source upgrades from txt and detexes") {
+    val tex = ("\\documentclass{article}\n\\begin{document}\n" +
+      "Hello \\emph{arXiv} here.\n\\end{document}\n").getBytes("UTF-8")
+    assert(DocumentProbe.probe(tex).map(_.format).contains("latex"))
+    assert(DocumentProbe.extractText(tex).contains("Hello arXiv here."))
+    // mere prose mentioning TeX stays txt
+    val prose = "I like documentclass as a word".getBytes("UTF-8")
+    assert(DocumentProbe.probe(prose).map(_.format).contains("txt"))
+  }
 }
