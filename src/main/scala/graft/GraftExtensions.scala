@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.docText)
     ext.injectFunction(GraftExtensions.pptText)
     ext.injectFunction(GraftExtensions.xlsText)
+    ext.injectFunction(GraftExtensions.xlsxText)
+    ext.injectFunction(GraftExtensions.pptxText)
+    ext.injectFunction(GraftExtensions.emlText)
+    ext.injectFunction(GraftExtensions.odsText)
+    ext.injectFunction(GraftExtensions.odpText)
     ext.injectFunction(GraftExtensions.documentFormat)
     ext.injectFunction(GraftExtensions.documentText)
     ext.injectFunction(GraftExtensions.latexToText)
@@ -260,6 +265,21 @@ object GraftExtensions {
         "Excel compound file.",
       classOf[graft.functions.XlsTextExtract],
       graft.functions.XlsTextExtract(_))
+
+  val odsText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("ods_text",
+      "ods_text(bytes) - OpenDocument Spreadsheet cell text joined " +
+        "by newline; NULL when not a readable ODF spreadsheet.",
+      classOf[graft.functions.OdsTextExtract],
+      graft.functions.OdsTextExtract(_))
+
+  val odpText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("odp_text",
+      "odp_text(bytes) - OpenDocument Presentation slide + notes " +
+        "text joined by newline; NULL when not a readable ODF " +
+        "presentation.",
+      classOf[graft.functions.OdpTextExtract],
+      graft.functions.OdpTextExtract(_))
 
   val xlsxText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("xlsx_text",
@@ -675,7 +695,7 @@ object GraftExtensions {
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
-      xlsxText, pptxText, emlText,
+      xlsxText, pptxText, emlText, odsText, odpText,
       documentFormat, documentText, latexToText, wikitextToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)

@@ -117,6 +117,8 @@ object DocumentProbe {
         if (!wantText) None
         else kind match {
           case "odt"  => Odt.extractFrom(files).map(_.text)
+          case "ods"  => Ods.extractFrom(files).map(_.text)
+          case "odp"  => Odp.extractFrom(files).map(_.text)
           case "docx" => Docx.extractFrom(files).map(_.text)
           case "xlsx" => Xlsx.extractFrom(files).map(_.text)
           case "pptx" => Pptx.extractFrom(files).map(_.text)
@@ -291,6 +293,12 @@ object DocumentProbe {
       .map(new String(_, StandardCharsets.US_ASCII).trim)
     if (mime.exists(_.startsWith("application/vnd.oasis.opendocument.text")))
       "odt"
+    else if (mime.exists(_.startsWith(
+      "application/vnd.oasis.opendocument.spreadsheet")))
+      "ods"
+    else if (mime.exists(_.startsWith(
+      "application/vnd.oasis.opendocument.presentation")))
+      "odp"
     else if (mime.exists(_.startsWith("application/vnd.oasis.opendocument")))
       "odf-other"
     else if (mime.exists(_.startsWith("application/epub")) ||
@@ -320,7 +328,10 @@ object DocumentProbe {
         files.get("content.xml")
           .map(new String(_, StandardCharsets.UTF_8)) match {
           case Some(c) if c.contains("office:document-content") =>
-            if (c.contains("<office:text")) "odt" else "odf-other"
+            if (c.contains("<office:text")) "odt"
+            else if (c.contains("<office:spreadsheet")) "ods"
+            else if (c.contains("<office:presentation")) "odp"
+            else "odf-other"
           case _ =>
             // torn/unparseable rels that still SPEAK OPC classify as
             // opc, not plain zip (inventory keeps the signal)

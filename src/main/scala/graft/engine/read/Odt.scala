@@ -49,11 +49,23 @@ object Odt {
   /** The extraction over an ALREADY-unzipped package (one ZIP walk
     * per row, shared with [[DocumentProbe]]).
     */
-  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[OdtText] = {
+  private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[OdtText] =
+    extractBody(files, TextMime, "text")
+
+  /** The shared ODF-package walk, parameterized by document class:
+    * the declared `mimetype` must start with `mimePrefix` (absent
+    * tolerated — content is the real gate) and the `office:body`
+    * child must carry `bodyLabel` (`text` / `spreadsheet` /
+    * `presentation` — [[Ods]] and [[Odp]] ride this with their own
+    * class labels).
+    */
+  private[read] def extractBody(files: Map[String, Array[Byte]],
+                                mimePrefix: String,
+                                bodyLabel: String): Option[OdtText] = {
     files.get("mimetype")
       .map(new String(_, StandardCharsets.US_ASCII).trim) match {
-      case Some(m) if !m.startsWith(TextMime) => return None
-      case _                                  => ()
+      case Some(m) if !m.startsWith(mimePrefix) => return None
+      case _                                    => ()
     }
     val content = files.get("content.xml") match {
       case Some(c) => c
@@ -64,19 +76,19 @@ object Odt {
       case Some(x) => x
       case None    => return None
     }
-    // office:body → office:text; scala.xml matches by local name, so
-    // take the "text"-labelled child of "body" (not \\ "text", which
-    // would also catch unrelated locals elsewhere in the tree).
+    // office:body → the class body; scala.xml matches by local name,
+    // so take the labelled child of "body" (not a \\ descendant
+    // search, which would also catch unrelated locals elsewhere).
     val body = (doc \ "body").headOption match {
       case Some(b) => b
       case None    => return None
     }
-    val officeText = body.child.find(_.label == "text") match {
+    val classBody = body.child.find(_.label == bodyLabel) match {
       case Some(t) => t
       case None    => return None
     }
     val paras = scala.collection.mutable.ArrayBuffer.empty[String]
-    collectParas(officeText, paras)
+    collectParas(classBody, paras)
     Some(OdtText(paras.length, paras.mkString("\n")))
   }
 

@@ -237,6 +237,36 @@ case class DocumentFormat(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `ods_text(bytes)` → string —
+  * [[graft.engine.read.Ods.extractText]]: OpenDocument Spreadsheet
+  * cell text joined by newline; NULL when not a readable ODF
+  * spreadsheet package.
+  */
+case class OdsTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "ods_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Ods.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `odp_text(bytes)` → string —
+  * [[graft.engine.read.Odp.extractText]]: OpenDocument Presentation
+  * slide + notes text joined by newline; NULL when not a readable
+  * ODF presentation package.
+  */
+case class OdpTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "odp_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Odp.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `xlsx_text(bytes)` → string —
   * [[graft.engine.read.Xlsx.extractText]]: SpreadsheetML string-cell
   * text (shared/inline/formula strings) joined by newline; NULL when

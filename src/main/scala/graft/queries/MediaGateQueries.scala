@@ -752,7 +752,10 @@ object MediaGateQueries {
         .getBytes("UTF-8"), "eml", t),
       // LaTeX source upgrades from txt and detexes
       (20L, (s"\\documentclass{article}\n\\begin{document}\n$t\n" +
-        "\\end{document}\n").getBytes("UTF-8"), "latex", t))
+        "\\end{document}\n").getBytes("UTF-8"), "latex", t),
+      // the ODF siblings (r14): spreadsheet cells and slide text
+      (21L, OdtFixture.ods(Seq(Seq(OdtFixture.cell(t)))), "ods", t),
+      (22L, OdtFixture.odp(Seq((Seq(t), Seq.empty))), "odp", t))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")
       .coalesce(1).write.mode("overwrite").parquet(m42Dir)
@@ -1064,6 +1067,76 @@ object MediaGateQueries {
     ()
   }
 
+  // -- m54 fixture: ODS from the extended INDEPENDENT ODF writer —
+  //    text cells extract in document order, numeric cells are
+  //    formatting (skipped), class gates hold; literal expectations
+  //    ride the fixture.
+  private val m54Dir = "/tmp/graft_gate_m54_ods"
+
+  private def writeM54Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    import OdtFixture.cell
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      (0L, OdtFixture.ods(Seq(
+        Seq(cell("alpha"), cell("42.5", numeric = true), cell("beta")),
+        Seq(cell("a < b & c")))),
+        3, "alpha\nbeta\na < b & c"),
+      // numbers-only sheet: a valid empty text document
+      (1L, OdtFixture.ods(Seq(Seq(cell("1.5", numeric = true)))),
+        0, ""),
+      // mimetype absent: the content class is the real gate
+      (2L, OdtFixture.ods(Seq(Seq(cell("no mimetype"))), mimetype = None),
+        1, "no mimetype"),
+      // a TEXT document through the spreadsheet extractor refuses
+      (3L, OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T("wrong class")))),
+        -1, "<undecodable>"),
+      (4L, "not a zip".getBytes("UTF-8"), -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m54Dir)
+  }
+
+  // -- m55 fixture: ODP from the extended INDEPENDENT ODF writer —
+  //    slide frames in document order, speaker notes included after
+  //    their slide (the Ppt/Pptx posture); literal expectations ride
+  //    the fixture.
+  private val m55Dir = "/tmp/graft_gate_m55_odp"
+
+  private def writeM55Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], Int, String)] = Seq(
+      (0L, OdtFixture.odp(Seq(
+        (Seq("deck intro", "second line"), Seq("remember the demo")),
+        (Seq("closing"), Seq.empty))),
+        4, "deck intro\nsecond line\nremember the demo\nclosing"),
+      // an empty deck is a valid empty text document
+      (1L, OdtFixture.odp(Seq.empty), 0, ""),
+      (2L, OdtFixture.odp(Seq((Seq("no mimetype"), Seq.empty)),
+        mimetype = None),
+        1, "no mimetype"),
+      (3L, "not a zip".getBytes("UTF-8"), -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_paras", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m55Dir)
+  }
+
+  // -- m53 fixture: a ZIP release archive of mixed documents (JDK
+  //    ZipOutputStream via EpubFixture.zip — independent of the
+  //    reader's ZipInputStream walk): the dataset-release shape.
+  private val m53Dir = "/tmp/graft_gate_m53_zip"
+
+  private def writeM53Fixture(): Unit = {
+    val bytes = EpubFixture.zip(Seq(
+      "notes/readme.txt" -> "zip member plain text".getBytes("UTF-8"),
+      "site/index.html" ->
+        "<html><body><p>zip member html</p></body></html>".getBytes("UTF-8"),
+      "papers/main.rtf" ->
+        "{\\rtf1 zip member rtf\\par}".getBytes("ISO-8859-1"),
+      "img/blob.bin" -> Array[Byte](0, 1, 2, 3, 4)))
+    val dir = java.nio.file.Paths.get(m53Dir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("release.zip"), bytes)
+    ()
+  }
+
   // -- m45 fixture: the adjudicated m26/m35 curation corpus, every
   //    document in a DIFFERENT format — the magic router must feed
   //    the pipeline the identical text layer regardless of container.
@@ -1226,6 +1299,53 @@ object MediaGateQueries {
           coalesce(DocumentProbe.textCol(col("content")),
             lit("<undecodable>")).as("text"))
         .orderBy("file", "member")
+    },
+
+    // -- m54: ODS extraction — spreadsheet cells through the shared
+    //    ODF walk; expectations ride the fixture. --------------------
+    "m54_ods_extract" -> { (s, _) =>
+      writeM54Fixture(s)
+      import graft.engine.read.Ods
+      val ext = udf { (b: Array[Byte]) =>
+        Ods.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m54Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
+    // -- m55: ODP extraction — slide frames + notes through the
+    //    shared ODF walk; expectations ride the fixture. -------------
+    "m55_odp_extract" -> { (s, _) =>
+      writeM55Fixture(s)
+      import graft.engine.read.Odp
+      val ext = udf { (b: Array[Byte]) =>
+        Odp.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m55Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__t._1"), lit(-1)).as("n_paras"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
+    // -- m53: ZIP archive source → document layer — the
+    //    dataset-release shape, the m52 pattern over the shared
+    //    capped ZipRead walk. Hand-derived literals. -----------------
+    "m53_zip_documents" -> { (s, _) =>
+      writeM53Fixture()
+      import graft.engine.read.{DocumentProbe, Zip}
+      Zip.members(s, m53Dir)
+        .select(col("member"), col("size"),
+          coalesce(DocumentProbe.formatCol(col("content")),
+            lit("<unknown>")).as("format"),
+          coalesce(DocumentProbe.textCol(col("content")),
+            lit("<undecodable>")).as("text"))
+        .orderBy("member")
     },
 
     // -- m50: EML extraction — RFC 5322 headers (encoded-words),
@@ -1703,6 +1823,24 @@ object MediaGateQueries {
          |  t(file, member, format, text)
          |ORDER BY file, member""".stripMargin
     },
+    // Literal expectations ride the fixture.
+    "m54_ods_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m54Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    "m55_odp_extract" ->
+      s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
+         |FROM read_parquet('$m55Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    // Hand-derived: four members, sizes = payload byte lengths.
+    "m53_zip_documents" ->
+      """SELECT * FROM (VALUES
+        |  ('img/blob.bin', 5::BIGINT, '<unknown>', '<undecodable>'),
+        |  ('notes/readme.txt', 21::BIGINT, 'txt', 'zip member plain text'),
+        |  ('papers/main.rtf', 26::BIGINT, 'rtf', 'zip member rtf'),
+        |  ('site/index.html', 48::BIGINT, 'html', 'zip member html'))
+        |  t(member, size, format, text)
+        |ORDER BY member""".stripMargin,
     // Literal expectations ride the fixture.
     "m50_eml_extract" ->
       s"""SELECT doc_id, exp_subject AS subject, exp_parts AS n_parts,

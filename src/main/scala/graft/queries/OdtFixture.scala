@@ -78,4 +78,75 @@ object OdtFixture {
     EpubFixture.zip(
       mimetype.map(m => "mimetype" -> m.getBytes(UTF_8)).toSeq :+
         ("content.xml" -> contentXml(bodyElems).getBytes(UTF_8)))
+
+  // ---- ODS / ODP siblings (r14) -------------------------------------
+
+  val SpreadsheetMime = "application/vnd.oasis.opendocument.spreadsheet"
+  val PresentationMime = "application/vnd.oasis.opendocument.presentation"
+
+  private val DrawNs =
+    "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+  private val PresentationNs =
+    "urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"
+
+  /** One spreadsheet cell: text (a `text:p`), or a value-typed
+    * number cell with only a display string a corpus reader must NOT
+    * keep (formatting, not content) when `numeric` is set.
+    */
+  def cell(text: String, numeric: Boolean = false): String =
+    if (numeric)
+      s"""<table:table-cell office:value-type="float" office:value="$text"/>"""
+    else s"""<table:table-cell><text:p>${escape(text)}</text:p></table:table-cell>"""
+
+  private def odsContentXml(rows: Seq[Seq[String]]): String = {
+    val body = rows.map(r =>
+      s"""<table:table-row>${r.mkString}</table:table-row>""")
+      .mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<office:document-content xmlns:office="$OfficeNs"
+       |    xmlns:text="$TextNs" xmlns:table="$TableNs"
+       |    office:version="1.2">
+       |  <office:body><office:spreadsheet>
+       |  <table:table table:name="Sheet1">
+       |$body
+       |  </table:table>
+       |  </office:spreadsheet></office:body>
+       |</office:document-content>""".stripMargin
+  }
+
+  /** A minimal valid .ods from rows of [[cell]] strings. */
+  def ods(rows: Seq[Seq[String]],
+          mimetype: Option[String] = Some(SpreadsheetMime)): Array[Byte] =
+    EpubFixture.zip(
+      mimetype.map(m => "mimetype" -> m.getBytes(UTF_8)).toSeq :+
+        ("content.xml" -> odsContentXml(rows).getBytes(UTF_8)))
+
+  private def frame(paras: Seq[String]): String =
+    s"""<draw:frame><draw:text-box>${paras.map(p =>
+      s"<text:p>${escape(p)}</text:p>").mkString}</draw:text-box></draw:frame>"""
+
+  private def odpContentXml(slides: Seq[(Seq[String], Seq[String])]): String = {
+    val pages = slides.zipWithIndex.map { case ((paras, notes), i) =>
+      val notesXml =
+        if (notes.isEmpty) ""
+        else s"""<presentation:notes>${frame(notes)}</presentation:notes>"""
+      s"""<draw:page draw:name="page${i + 1}">${frame(paras)}$notesXml</draw:page>"""
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<office:document-content xmlns:office="$OfficeNs"
+       |    xmlns:text="$TextNs" xmlns:draw="$DrawNs"
+       |    xmlns:presentation="$PresentationNs"
+       |    office:version="1.2">
+       |  <office:body><office:presentation>
+       |$pages
+       |  </office:presentation></office:body>
+       |</office:document-content>""".stripMargin
+  }
+
+  /** A minimal valid .odp; each slide is (paragraphs, notes). */
+  def odp(slides: Seq[(Seq[String], Seq[String])],
+          mimetype: Option[String] = Some(PresentationMime)): Array[Byte] =
+    EpubFixture.zip(
+      mimetype.map(m => "mimetype" -> m.getBytes(UTF_8)).toSeq :+
+        ("content.xml" -> odpContentXml(slides).getBytes(UTF_8)))
 }

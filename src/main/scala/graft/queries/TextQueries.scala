@@ -1282,6 +1282,37 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // -- t56: tiktoken vocab format — base64+rank lines, byte-pair
+    //    merge by RANK (no merge table); expectations hand-derived by
+    //    running the published algorithm on paper: "low"→[7] (lo then
+    //    low), " lower"→[3,11] (lo, then low BEATS " lo" on rank,
+    //    er, lower), unknown '!' → -1. -------------------------------
+    "t56_tiktoken_ids" -> { (s, _) =>
+      import s.implicits._
+      def b64(x: String) = java.util.Base64.getEncoder
+        .encodeToString(x.getBytes("UTF-8"))
+      val vocabLines = Seq(
+        s"${b64("l")} 0", s"${b64("o")} 1", s"${b64("w")} 2",
+        s"${b64(" ")} 3", s"${b64("e")} 4", s"${b64("r")} 5",
+        s"${b64("lo")} 6", s"${b64("low")} 7", s"${b64("er")} 8",
+        s"${b64(" l")} 9", s"${b64(" lo")} 10", s"${b64("lower")} 11")
+      val dir = java.nio.file.Paths.get("/tmp/graft_gate_t56_tiktoken")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("toy.tiktoken"),
+        ("# toy vocab\n" + vocabLines.mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      val entries = graft.ops.Tiktoken.load(s,
+        dir.resolve("toy.tiktoken").toString)
+      Seq((1L, "low lower"), (2L, "low"), (3L, "lo!"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.ops.Tiktoken.countCol(col("text"), entries)
+            .cast("long").as("n_tokens"),
+          concat_ws(",", graft.ops.Tiktoken.idsCol(col("text"), entries))
+            .as("ids"))
+        .orderBy("doc_id")
+    },
+
     "t22_bpe_tokens" -> { (s, _) =>
       writeT22Fixture(s)
       val vocab = graft.ops.VocabTokenizer.loadVocab(s, t22TokenizerPath)
@@ -1962,6 +1993,15 @@ object TextQueries {
       s"len(list_filter(string_split($colName,' '), x -> x IN (", ",", ")))")
 
   def oracle: Map[String, String] = Map(
+    // Hand-derived by running the published tiktoken byte-pair-merge
+    // on paper (derivation in the gate comment).
+    "t56_tiktoken_ids" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 3::BIGINT, '7,3,11'),
+        |  (2::BIGINT, 1::BIGINT, '7'),
+        |  (3::BIGINT, 2::BIGINT, '6,-1'))
+        |  t(doc_id, n_tokens, ids)
+        |ORDER BY doc_id""".stripMargin,
     // Full from-scratch replay of every t26 signal: own line/para
     // split + duplicate grouping, own n-gram extraction (chr(1)
     // joins), max-count-then-max-length argmax, position-union

@@ -68,15 +68,40 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(DocumentProbe.extractText(d).contains(t))
   }
 
-  test("mimetype-less ODF spreadsheets classify odf-other, not odt") {
+  test("mimetype-less ODF siblings classify by their body class") {
     val ods = graft.queries.EpubFixture.zip(Seq(
       "content.xml" ->
         ("""<office:document-content
            |  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0">
            |  <office:body><office:spreadsheet/></office:body>
            |</office:document-content>""".stripMargin).getBytes("UTF-8")))
-    assert(DocumentProbe.probe(ods).map(_.format).contains("odf-other"))
-    assert(DocumentProbe.extractText(ods).isEmpty)
+    // r14: spreadsheets EXTRACT (a cell-less sheet is valid-empty)
+    assert(DocumentProbe.probe(ods).map(_.format).contains("ods"))
+    assert(DocumentProbe.extractText(ods).contains(""))
+    // a class this engine doesn't read stays odf-other
+    val odg = graft.queries.EpubFixture.zip(Seq(
+      "content.xml" ->
+        ("""<office:document-content
+           |  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0">
+           |  <office:body><office:drawing/></office:body>
+           |</office:document-content>""".stripMargin).getBytes("UTF-8")))
+    assert(DocumentProbe.probe(odg).map(_.format).contains("odf-other"))
+    assert(DocumentProbe.extractText(odg).isEmpty)
+  }
+
+  test("ods and odp extract through the probe") {
+    import graft.queries.OdtFixture
+    val ods = OdtFixture.ods(Seq(
+      Seq(OdtFixture.cell("alpha"), OdtFixture.cell("42.5", numeric = true)),
+      Seq(OdtFixture.cell("beta"))))
+    assert(DocumentProbe.probe(ods).map(_.format).contains("ods"))
+    assert(DocumentProbe.extractText(ods).contains("alpha\nbeta"))
+    val odp = OdtFixture.odp(Seq(
+      (Seq("slide one"), Seq("the notes")),
+      (Seq("slide two"), Seq.empty)))
+    assert(DocumentProbe.probe(odp).map(_.format).contains("odp"))
+    assert(DocumentProbe.extractText(odp).contains(
+      "slide one\nthe notes\nslide two"))
   }
 
   test("rels attribute order and quoting never defeat OPC routing") {

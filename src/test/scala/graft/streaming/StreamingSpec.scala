@@ -554,7 +554,13 @@ class StreamingSpec extends SparkSpec {
       (2L, "{\\rtf1 stream rtf\\par}".getBytes("ISO-8859-1")),
       (3L, LegacyDocFixture.doc(Seq(LegacyDocFixture.Piece(
         "secret\r", compressed = true)), encrypted = true)),
-      (4L, Array[Byte](0, 1, 2, 3, 4))) // binary junk (text ROUTES now)
+      (4L, Array[Byte](0, 1, 2, 3, 4)), // binary junk (text ROUTES now)
+      // the r14 routes stream identically: modern Office, mail, html
+      (5L, graft.queries.XlsxFixture.xlsx1(
+        Seq(graft.queries.XlsxFixture.Inline("A1", "stream xlsx")),
+        sharedStrings = None)),
+      (6L, "From: a@b.c\r\nTo: l@b.c\r\n\r\nstream eml".getBytes("UTF-8")),
+      (7L, "<html><body>stream html</body></html>".getBytes("UTF-8")))
 
     val batchDf = rows.toDF("id", "content")
     val batchKept = batchDf
@@ -580,8 +586,10 @@ class StreamingSpec extends SparkSpec {
     assert(got.keySet == batchKept.keySet)
     assert(got.view.mapValues(_._2).toMap == batchKept)
     assert(got(0L)._1 == "pdf" && got(1L)._1 == "docx" && got(2L)._1 == "rtf")
+    assert(got(5L)._1 == "xlsx" && got(6L)._1 == "eml" && got(7L)._1 == "html")
     assert(batchKept == Map(0L -> "stream pdf", 1L -> "stream docx",
-      2L -> "stream rtf"))
+      2L -> "stream rtf", 5L -> "stream xlsx", 6L -> "stream eml",
+      7L -> "stream html"))
 
     // inventory stance: undecodable rows surface with NULL text
     val all = scala.collection.mutable.Map[Long, Option[String]]()
@@ -597,7 +605,7 @@ class StreamingSpec extends SparkSpec {
     input2.addData(rows: _*)
     q2.processAllAvailable()
     q2.stop()
-    assert(all.size == 5)
+    assert(all.size == 8)
     assert(all(3L).contains("doc")) // encrypted classifies, text NULL
     assert(all(4L).isEmpty) // junk: no format at all
   }
