@@ -86,6 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.odpText)
     ext.injectFunction(GraftExtensions.documentFormat)
     ext.injectFunction(GraftExtensions.documentText)
+    ext.injectFunction(GraftExtensions.documentTitle)
     ext.injectFunction(GraftExtensions.latexToText)
     ext.injectFunction(GraftExtensions.wikitextToText)
   }
@@ -314,6 +315,15 @@ object GraftExtensions {
         "unrecognized.",
       classOf[graft.functions.DocumentFormat],
       graft.functions.DocumentFormat(_))
+
+  val documentTitle: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("document_title",
+      "document_title(bytes) - the document's DECLARED title " +
+        "(OLEPS / OPC / ODF / PDF Info / EPUB OPF / RTF info / " +
+        "html <title> / mail Subject / latex \\title); NULL when " +
+        "absent or unrecognized.",
+      classOf[graft.functions.DocumentTitle],
+      graft.functions.DocumentTitle(_))
 
   val documentText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("document_text",
@@ -696,7 +706,8 @@ object GraftExtensions {
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, pptxText, emlText, odsText, odpText,
-      documentFormat, documentText, latexToText, wikitextToText).foreach {
+      documentFormat, documentText, documentTitle,
+      latexToText, wikitextToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)
     }

@@ -69,6 +69,90 @@ object DocumentProbe {
     (meta.map(_.format), text)
   }
 
+  /** Unified document TITLE across every format, off one container
+    * parse — the metadata a crawl inventory wants next to format and
+    * text. Where each format declares it:
+    *
+    *  - rtf: `{\info{\title …}}` ([[Rtf.docTitle]])
+    *  - legacy Office (doc/ppt/xls): the OLEPS `SummaryInformation`
+    *    property set, PIDSI_TITLE ([[Oleps]])
+    *  - OPC (docx/xlsx/pptx): `docProps/core.xml` `dc:title`
+    *  - ODF (odt/ods/odp): `meta.xml` `dc:title`
+    *  - epub: the OPF metadata title ([[Epub]])
+    *  - pdf: the trailer Info dict's `/Title` (UTF-16BE or
+    *    PDFDocEncoding; encrypted → None)
+    *  - html: `<title>` through the entity-decoding cascade
+    *  - eml: the Subject header (RFC 2047 decoded)
+    *  - latex: `\title{…}` detexed
+    *
+    * None when the format carries no title or is unrecognized.
+    */
+  def title(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) return None
+    if (startsWith(bytes, "{\\rtf")) return Rtf.docTitle(bytes)
+    if (Ole2.isCfb(bytes))
+      return Ole2.streams(bytes).flatMap(Oleps.titleFrom)
+    if (bytes(0) == 'P' && bytes(1) == 'K') {
+      val files = ZipRead.entries(bytes,
+        Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries) match {
+        case Some(f) => f
+        case None    => return None
+      }
+      return zipKind(files) match {
+        case "epub" => Epub.bookFrom(files).map(_.title)
+          .map(_.trim).filter(_.nonEmpty)
+        case "odt" | "ods" | "odp" | "odf-other" =>
+          dcTitle(files, "meta.xml")
+        case _ => dcTitle(files, "docProps/core.xml")
+      }
+    }
+    val pdfTitle = Pdf.meta(bytes).map(_.title)
+    if (pdfTitle.isDefined) return pdfTitle.get
+    htmlOrText(bytes, wantText = false)._1.map(_.format) match {
+      case Some("html") =>
+        val decoded = Warc.decodeText(bytes, null)
+        "(?is)<title[^>]*>(.*?)</title>".r.findFirstMatchIn(decoded)
+          .map(m => graft.ops.TextAnalysis.htmlToTextKernel(m.group(1)))
+          .map(_.trim).filter(_.nonEmpty)
+      case Some("eml") =>
+        decodeStrictUtf8(bytes).flatMap(Mail.parseEmlString)
+          .map(_.subject).map(_.trim).filter(_.nonEmpty)
+      case Some("latex") =>
+        decodeStrictUtf8(bytes).flatMap(latexTitle)
+      case _ => None
+    }
+  }
+
+  /** `dc:title` from an XML package part (OPC core properties / ODF
+    * meta.xml) — scala.xml matches by local name.
+    */
+  private def dcTitle(files: Map[String, Array[Byte]],
+                      part: String): Option[String] =
+    files.get(part)
+      .map(new String(_, StandardCharsets.UTF_8))
+      .flatMap(ZipRead.parseXml)
+      .flatMap(x => (x \\ "title").headOption)
+      .map(_.text.trim).filter(_.nonEmpty)
+
+  /** `\title{…}` with balanced braces, detexed. */
+  private def latexTitle(src: String): Option[String] = {
+    val at = src.indexOf("\\title{")
+    if (at < 0) return None
+    var i = at + 7
+    var depth = 1
+    val sb = new StringBuilder
+    while (i < src.length && depth > 0) {
+      src.charAt(i) match {
+        case '{' => depth += 1; sb.append('{')
+        case '}' => depth -= 1; if (depth > 0) sb.append('}')
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    Some(graft.ops.Latex.extractText(sb.toString).text.trim)
+      .filter(_.nonEmpty)
+  }
+
   /** The single-parse core: classify, and extract text when asked. */
   private def dispatch(bytes: Array[Byte],
                        wantText: Boolean = false): (Option[DocMeta], Option[String]) = {
@@ -343,6 +427,29 @@ object DocumentProbe {
       }
     }
   }
+
+  /** One-call corpus reader: a path glob of MIXED document files →
+    * `(path, length, format, title, text)` — binaryFile scan + the
+    * magic-routed probe, nothing else to wire. Undecodable rows keep
+    * their inventory row with NULL format/text (filter on
+    * `format IS NOT NULL` for the quality stance).
+    */
+  def scan(spark: org.apache.spark.sql.SparkSession,
+           pathGlob: String): org.apache.spark.sql.DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("length"),
+        formatCol(org.apache.spark.sql.functions.col("content"))
+          .as("format"),
+        titleCol(org.apache.spark.sql.functions.col("content"))
+          .as("title"),
+        textCol(org.apache.spark.sql.functions.col("content"))
+          .as("text"))
+
+  private val titleUdf = udf { (bytes: Array[Byte]) => title(bytes) }
+
+  /** Declared document title; NULL when absent or unrecognized. */
+  def titleCol(bytesCol: Column): Column = titleUdf(bytesCol)
 
   private val formatUdf = udf { (bytes: Array[Byte]) =>
     probe(bytes).map(_.format)

@@ -314,6 +314,33 @@ object Mail {
         col("m.text").as("text"))
   }
 
+  /** Streaming twin of [[messages]]: new MBOX files landing in `dir`
+    * stream through the same envelope split + kernel (the text file
+    * stream source honors `lineSep`), so a live list archive feeds
+    * the same downstream program as a batch read.
+    */
+  def stream(spark: SparkSession, dir: String,
+             maxRecordBytes: Int = DefaultMaxRecordBytes,
+             maxFilesPerTrigger: Int = 100): DataFrame = {
+    val parse = udf { (chunk: String) => parseMboxChunk(chunk) }
+    spark.readStream
+      .option("lineSep", "\nFrom ")
+      .option("mapreduce.input.linerecordreader.line.maxlength",
+        maxRecordBytes.toString)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(parse(col("value")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(
+        col("m.messageId").as("msg_id"),
+        col("m.from").as("from_addr"),
+        col("m.to").as("to_addr"),
+        col("m.subject").as("subject"),
+        col("m.date").as("date"),
+        col("m.nParts").as("n_parts"),
+        col("m.text").as("text"))
+  }
+
   private val textUdf = udf { (bytes: Array[Byte]) =>
     parseEml(bytes).map(_.text)
   }

@@ -63,7 +63,8 @@ object Pdf {
     * whether `/Encrypt` is present (the AudioProbe.meta discipline —
     * no pixel/text decode).
     */
-  final case class Meta(version: String, nPages: Int, encrypted: Boolean)
+  final case class Meta(version: String, nPages: Int, encrypted: Boolean,
+                        title: Option[String] = None)
 
   val DefaultMaxStreamBytes: Int = 64 << 20
 
@@ -1366,6 +1367,29 @@ object Pdf {
           case _ => -1
         }
       } catch { case _: Bail | _: Exception => -1 }
-    Some(Meta(version, nPages, doc.encrypted))
+    // the Info dict's /Title — a PDF *text string*: UTF-16BE with a
+    // BOM, else PDFDocEncoding (Latin-1 on the common range). An
+    // encrypted document's strings are ciphertext: refuse.
+    val title =
+      if (doc.encrypted) None
+      else try {
+        doc.resolve(doc.trailer.getOrElse("Info", PNull)) match {
+          case PDict(m) => doc.resolve(m.getOrElse("Title", PNull)) match {
+            case PStr(b) => Some(decodeTextString(b)).map(_.trim)
+              .filter(_.nonEmpty)
+            case _ => None
+          }
+          case _ => None
+        }
+      } catch { case _: Bail | _: Exception => None }
+    Some(Meta(version, nPages, doc.encrypted, title))
   }
+
+  /** PDF text-string decode: UTF-16BE when BOM'd, else the
+    * PDFDocEncoding common range via Latin-1.
+    */
+  private def decodeTextString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
+    else new String(b, StandardCharsets.ISO_8859_1)
 }

@@ -62,6 +62,54 @@ object Rtf {
   // \~ and \_ are control SYMBOLS (the next char is not a letter),
   // handled in the control-symbol branch - never looked up here.
 
+  /** The `{\info{\title …}}` document title — metadata the body walk
+    * deliberately skips (info is a non-text destination). Plain text
+    * with `\{ \} \\` escapes and `\'xx` code-page bytes; other
+    * control words inside the title group drop. None when absent.
+    */
+  def docTitle(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 6) return None
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("{\\rtf")) return None
+    val info = s.indexOf("{\\info")
+    if (info < 0) return None
+    val at = s.indexOf("{\\title", info)
+    if (at < 0) return None
+    val cs = """\\ansicpg(\d+)""".r.findFirstMatchIn(s)
+      .flatMap(m => charsetFor(m.group(1).toInt))
+      .getOrElse(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sb = new StringBuilder
+    var i = at + 7
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '{' => depth += 1; i += 1
+        case '}' => depth -= 1; i += 1
+        case '\\' if i + 1 < s.length =>
+          val c1 = s.charAt(i + 1)
+          if (c1 == '{' || c1 == '}' || c1 == '\\') { sb.append(c1); i += 2 }
+          else if (c1 == '\'' && i + 3 < s.length) {
+            try sb.append(new String(
+              Array(Integer.parseInt(s.substring(i + 2, i + 4), 16).toByte), cs))
+            catch { case _: NumberFormatException => () }
+            i += 4
+          } else {
+            // control word: skip letters + optional numeric + 1 space
+            var j = i + 1
+            while (j < s.length && s.charAt(j).isLetter) j += 1
+            if (j < s.length && (s.charAt(j) == '-' || s.charAt(j).isDigit)) {
+              if (s.charAt(j) == '-') j += 1
+              while (j < s.length && s.charAt(j).isDigit) j += 1
+            }
+            if (j < s.length && s.charAt(j) == ' ') j += 1
+            i = math.max(j, i + 2)
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    Some(sb.toString.trim).filter(_.nonEmpty)
+  }
+
   def extractText(bytes: Array[Byte]): Option[RtfText] = {
     if (bytes == null || bytes.length < 6) return None
     // ISO-8859-1 maps bytes 1:1 to chars, so \'xx re-encodes exactly

@@ -312,6 +312,22 @@ case class EmlTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `document_title(bytes)` → string —
+  * [[graft.engine.read.DocumentProbe.title]]: the document's DECLARED
+  * title wherever its format carries one (OLEPS, OPC/ODF dc:title,
+  * PDF Info, EPUB OPF, RTF info group, html <title>, mail Subject,
+  * latex \title); NULL when absent or unrecognized.
+  */
+case class DocumentTitle(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "document_title"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.DocumentProbe.title(bytes)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `document_text(bytes)` → string —
   * [[graft.engine.read.DocumentProbe.extractText]]: body text with
   * the extractor AUTO-ROUTED from the payload magic; NULL when

@@ -53,11 +53,23 @@ object DocxFixture {
   def docx(paras: Seq[String],
            withRels: Boolean = true,
            docPath: String = "word/document.xml",
-           relsTarget: String = "word/document.xml"): Array[Byte] =
+           relsTarget: String = "word/document.xml",
+           coreTitle: Option[String] = None): Array[Byte] =
     EpubFixture.zip(
       (if (withRels) Seq("_rels/.rels" -> rels(relsTarget).getBytes(UTF_8))
-       else Seq.empty) :+
+       else Seq.empty) ++
+        coreTitle.map(t => "docProps/core.xml" -> coreXml(t).getBytes(UTF_8)) :+
         (docPath -> documentXml(paras).getBytes(UTF_8)))
+
+  /** OPC core properties (ECMA-376 Part 2) with a dc:title. */
+  def coreXml(title: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<cp:coreProperties
+       |    xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties"
+       |    xmlns:dc="http://purl.org/dc/elements/1.1/">
+       |  <dc:title>${escape(title)}</dc:title>
+       |  <dc:creator>fixture</dc:creator>
+       |</cp:coreProperties>""".stripMargin
 
   /** A single-row, two-cell table — cells hold ordinary paragraphs. */
   def table(cellA: String, cellB: String): String =

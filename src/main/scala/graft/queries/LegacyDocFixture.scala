@@ -295,4 +295,61 @@ object LegacyDocFixture {
     val tableName = if (oneTable) "1Table" else "0Table"
     cfb(Seq("WordDocument" -> word, tableName -> clx))
   }
+
+  /** An OLEPS `SummaryInformation` property-set stream written
+    * forward from MS-OLEPS (independent of [[graft.engine.read.Oleps]]):
+    * header + one section with the code-page property (VT_I2) and a
+    * PIDSI_TITLE string (VT_LPSTR in the code page, or VT_LPWSTR).
+    */
+  def summaryInfo(title: String, wide: Boolean = false,
+                  codepage: Int = 1252): Array[Byte] = {
+    val titleBytes =
+      if (wide) title.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      else title.getBytes(java.nio.charset.Charset.forName("windows-" + codepage))
+    val titleProp = new java.io.ByteArrayOutputStream()
+    def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xFF).toInt); o.write(((v >> 8) & 0xFF).toInt)
+      o.write(((v >> 16) & 0xFF).toInt); o.write(((v >> 24) & 0xFF).toInt)
+    }
+    if (wide) {
+      w32(titleProp, 31L) // VT_LPWSTR
+      w32(titleProp, title.length + 1L) // char count incl. NUL
+      titleProp.write(titleBytes, 0, titleBytes.length)
+      titleProp.write(0); titleProp.write(0)
+    } else {
+      w32(titleProp, 30L) // VT_LPSTR
+      w32(titleProp, titleBytes.length + 1L) // byte count incl. NUL
+      titleProp.write(titleBytes, 0, titleBytes.length)
+      titleProp.write(0)
+    }
+    val cpProp = new java.io.ByteArrayOutputStream()
+    w32(cpProp, 2L) // VT_I2
+    cpProp.write(codepage & 0xFF); cpProp.write((codepage >> 8) & 0xFF)
+    cpProp.write(0); cpProp.write(0) // padded to 4
+
+    val secHeader = 8 + 2 * 8 // size+count, two (id, offset) pairs
+    val cpOff = secHeader
+    val titleOff = cpOff + cpProp.size()
+    val section = new java.io.ByteArrayOutputStream()
+    w32(section, (secHeader + cpProp.size() + titleProp.size()).toLong)
+    w32(section, 2L)
+    w32(section, 1L); w32(section, cpOff.toLong) // PID_CODEPAGE
+    w32(section, 2L); w32(section, titleOff.toLong) // PIDSI_TITLE
+    section.write(cpProp.toByteArray, 0, cpProp.size())
+    section.write(titleProp.toByteArray, 0, titleProp.size())
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFE); out.write(0xFF) // byte order mark, LE "FFFE"
+    out.write(0); out.write(0) // version
+    w32(out, 0x00020006L) // system id (typical win32 value)
+    (0 until 16).foreach(_ => out.write(0)) // CLSID
+    w32(out, 1L) // one property set
+    // FMTID F29F85E0-4FF9-1068-AB91-08002B27B3D9 (SummaryInformation)
+    Array(0xE0, 0x85, 0x9F, 0xF2, 0xF9, 0x4F, 0x68, 0x10,
+      0xAB, 0x91, 0x08, 0x00, 0x2B, 0x27, 0xB3, 0xD9)
+      .foreach(out.write)
+    w32(out, 48L) // section offset
+    out.write(section.toByteArray, 0, section.size())
+    out.toByteArray
+  }
 }

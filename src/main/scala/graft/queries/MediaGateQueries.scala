@@ -1118,6 +1118,52 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m55Dir)
   }
 
+  // -- m56 fixture: declared TITLES across every format that carries
+  //    one — OLEPS SummaryInformation (independent writer), OPC
+  //    core.xml, ODF meta.xml, EPUB OPF, PDF Info, RTF info group,
+  //    html <title>, mail Subject (RFC 2047), latex \title — plus
+  //    title-less and junk rows.
+  private val m56Dir = "/tmp/graft_gate_m56_titles"
+
+  private def writeM56Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      (0L, DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x"))),
+        coreTitle = Some("Quarterly Report")), "Quarterly Report"),
+      (1L, OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T("x"))),
+        metaTitle = Some("Meeting Notes")), "Meeting Notes"),
+      (2L, EpubFixture.epub("The Book Title", Seq(
+        "c.xhtml" -> EpubFixture.xhtml("x"))), "The Book Title"),
+      (3L, PdfFixture.titledPdf("A PDF Title", Seq("BT (x) Tj ET")),
+        "A PDF Title"),
+      (4L, LegacyDocFixture.cfb(Seq(
+        "WordDocument" -> "stub".getBytes,
+        "\u0005SummaryInformation" ->
+          LegacyDocFixture.summaryInfo("Legacy café Title"))),
+        "Legacy café Title"),
+      (5L, LegacyDocFixture.cfb(Seq(
+        "PowerPoint Document" -> "stub".getBytes,
+        "\u0005SummaryInformation" ->
+          LegacyDocFixture.summaryInfo("Wide καλημέρα", wide = true))),
+        "Wide καλημέρα"),
+      (6L, "{\\rtf1{\\info{\\title The RTF Title}}body\\par}"
+        .getBytes("ISO-8859-1"), "The RTF Title"),
+      (7L, ("<html><head><title>Page &amp; Title</title></head>" +
+        "<body>x</body></html>").getBytes("UTF-8"), "Page & Title"),
+      (8L, ("From: a@b.c\r\nTo: l@b.c\r\n" +
+        "Subject: =?UTF-8?B?Sm9zw6k=?= speaks\r\n\r\nbody")
+        .getBytes("UTF-8"), "José speaks"),
+      (9L, ("\\documentclass{article}\\title{The \\emph{Tex} Title}" +
+        "\\begin{document}x\\end{document}").getBytes("UTF-8"),
+        "The Tex Title"),
+      // title-less document and binary junk: NULL
+      (10L, DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x")))),
+        "<none>"),
+      (11L, Array[Byte](0, 1, 2, 3, 4), "<none>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_title")
+      .coalesce(1).write.mode("overwrite").parquet(m56Dir)
+  }
+
   // -- m53 fixture: a ZIP release archive of mixed documents (JDK
   //    ZipOutputStream via EpubFixture.zip — independent of the
   //    reader's ZipInputStream walk): the dataset-release shape.
@@ -1299,6 +1345,19 @@ object MediaGateQueries {
           coalesce(DocumentProbe.textCol(col("content")),
             lit("<undecodable>")).as("text"))
         .orderBy("file", "member")
+    },
+
+    // -- m56: unified document TITLES — the crawl-inventory metadata
+    //    column, one magic-routed call across every declaring format;
+    //    expectations ride the fixture. ------------------------------
+    "m56_document_titles" -> { (s, _) =>
+      writeM56Fixture(s)
+      import graft.engine.read.DocumentProbe
+      s.read.parquet(m56Dir)
+        .select(col("doc_id"),
+          coalesce(DocumentProbe.titleCol(col("content")),
+            lit("<none>")).as("title"))
+        .orderBy("doc_id")
     },
 
     // -- m54: ODS extraction — spreadsheet cells through the shared
@@ -1824,6 +1883,10 @@ object MediaGateQueries {
          |ORDER BY file, member""".stripMargin
     },
     // Literal expectations ride the fixture.
+    "m56_document_titles" ->
+      s"""SELECT doc_id, exp_title AS title
+         |FROM read_parquet('$m56Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m54_ods_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
          |FROM read_parquet('$m54Dir/*.parquet')

@@ -74,10 +74,21 @@ object OdtFixture {
     * (None drops the entry — some producers omit it).
     */
   def odt(bodyElems: Seq[String],
-          mimetype: Option[String] = Some(TextMime)): Array[Byte] =
+          mimetype: Option[String] = Some(TextMime),
+          metaTitle: Option[String] = None): Array[Byte] =
     EpubFixture.zip(
-      mimetype.map(m => "mimetype" -> m.getBytes(UTF_8)).toSeq :+
+      mimetype.map(m => "mimetype" -> m.getBytes(UTF_8)).toSeq ++
+        metaTitle.map(t => "meta.xml" -> metaXml(t).getBytes(UTF_8)) :+
         ("content.xml" -> contentXml(bodyElems).getBytes(UTF_8)))
+
+  /** ODF meta.xml with a dc:title. */
+  def metaXml(title: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<office:document-meta xmlns:office="$OfficeNs"
+       |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+       |    office:version="1.2">
+       |  <office:meta><dc:title>${escape(title)}</dc:title></office:meta>
+       |</office:document-meta>""".stripMargin
 
   // ---- ODS / ODP siblings (r14) -------------------------------------
 

@@ -259,6 +259,25 @@ object PdfFixture {
     b.finishClassic(1)
   }
 
+  /** [[simplePdf]] plus a trailer `/Info` dict carrying `/Title`. */
+  def titledPdf(title: String, pageContents: Seq[String]): Array[Byte] = {
+    val b = new Builder
+    val n = pageContents.length
+    val pageNums = (3 until 3 + n)
+    val contentNums = (3 + n until 3 + 2 * n)
+    val fontNum = 3 + 2 * n
+    val infoNum = fontNum + 1
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pageObjs(b, pageNums, 2, contentNums, s"$fontNum 0 R")
+    pageContents.zip(contentNums).foreach { case (src, cn) =>
+      b.addStream(cn, "", src.getBytes(ISO_8859_1))
+    }
+    b.add(fontNum, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>")
+    b.add(infoNum, s"<< /Title ${lit(title)} >>")
+    b.finishClassic(1, s"/Info $infoNum 0 R")
+  }
+
   /** A composite (Type0) font with a ToUnicode CMap: 2-byte codes.
     * `bfchars` maps code → text; content writes hex strings of codes.
     */

@@ -277,4 +277,69 @@ class DocumentProbeSpec extends graft.SparkSpec {
     val prose = "I like documentclass as a word".getBytes("UTF-8")
     assert(DocumentProbe.probe(prose).map(_.format).contains("txt"))
   }
+
+  test("document titles surface across every declaring format") {
+    import graft.queries.{LegacyDocFixture, OdtFixture, PdfFixture}
+    def ti(b: Array[Byte]) = DocumentProbe.title(b)
+    // OPC core properties
+    assert(ti(DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x"))),
+      coreTitle = Some("Quarterly Report"))).contains("Quarterly Report"))
+    // ODF meta.xml
+    assert(ti(OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T("x"))),
+      metaTitle = Some("Meeting Notes"))).contains("Meeting Notes"))
+    // EPUB OPF
+    assert(ti(EpubFixture.epub("The Book Title", Seq(
+      "c.xhtml" -> EpubFixture.xhtml("x")))).contains("The Book Title"))
+    // PDF Info dict
+    assert(ti(PdfFixture.titledPdf("A PDF Title", Seq("BT (x) Tj ET")))
+      .contains("A PDF Title"))
+    // OLEPS on a legacy container
+    assert(ti(LegacyDocFixture.cfb(Seq(
+      "WordDocument" -> "stub".getBytes,
+      "\u0005SummaryInformation" ->
+        LegacyDocFixture.summaryInfo("Legacy Title"))))
+      .contains("Legacy Title"))
+    // RTF info group
+    assert(ti(("{\\rtf1{\\info{\\title The RTF Title}}body\\par}")
+      .getBytes("ISO-8859-1")).contains("The RTF Title"))
+    // html <title> through the entity cascade
+    assert(ti(("<html><head><title>Page &amp; Title</title></head>" +
+      "<body>x</body></html>").getBytes("UTF-8"))
+      .contains("Page & Title"))
+    // mail Subject (RFC 2047)
+    assert(ti(("From: a@b.c\r\nTo: l@b.c\r\n" +
+      "Subject: =?UTF-8?B?Sm9zw6k=?= speaks\r\n\r\nbody")
+      .getBytes("UTF-8")).contains("José speaks"))
+    // latex \\title{...} detexed
+    assert(ti(("\\documentclass{article}\\title{The \\emph{Tex} Title}" +
+      "\\begin{document}x\\end{document}").getBytes("UTF-8"))
+      .contains("The Tex Title"))
+    // formats/payloads without one: None, never a throw
+    assert(ti(DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x")))))
+      .isEmpty)
+    assert(ti("plain text, no title".getBytes).isEmpty)
+    assert(ti(Array[Byte](0, 1, 2, 3, 4)).isEmpty)
+    assert(ti(null).isEmpty)
+  }
+
+  test("scan(): a directory of mixed files reads in one call") {
+    import graft.queries.PdfFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_docscan")
+    java.nio.file.Files.write(dir.resolve("a.pdf"),
+      PdfFixture.titledPdf("Scanned PDF", Seq(
+        s"BT ${PdfFixture.lit("pdf body")} Tj ET")))
+    java.nio.file.Files.write(dir.resolve("b.txt"),
+      "plain body".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("c.bin"),
+      Array[Byte](0, 1, 2, 3, 4))
+    val rows = DocumentProbe.scan(spark, dir.toString)
+      .orderBy("path").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("format") == "pdf")
+    assert(rows(0).getAs[String]("title") == "Scanned PDF")
+    assert(rows(0).getAs[String]("text") == "pdf body")
+    assert(rows(1).getAs[String]("format") == "txt")
+    assert(rows(1).getAs[String]("text") == "plain body")
+    assert(rows(2).getAs[String]("format") == null) // inventory row
+  }
 }

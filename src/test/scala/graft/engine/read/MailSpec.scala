@@ -172,4 +172,31 @@ class MailSpec extends graft.SparkSpec {
     assert(got(0).getString(1) == "sql body")
     assert(got(1).isNullAt(1))
   }
+
+  test("stream(): mbox files stream with batch-identical rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbox_stream")
+    val mbox =
+      "From alice Mon Apr  1 10:00:00 2024\n" +
+        "From: alice@example.org\nSubject: s1\nMessage-ID: <s1>\n\n" +
+        "streamed body one.\n\n" +
+        "From bob Tue Apr  2 11:00:00 2024\n" +
+        "From: bob@example.org\nSubject: s2\nMessage-ID: <s2>\n\n" +
+        ">From quoted.\nstreamed body two.\n"
+    java.nio.file.Files.write(dir.resolve("live.mbox"),
+      mbox.getBytes("UTF-8"))
+    val batch = Mail.messages(spark, dir.toString)
+      .orderBy("msg_id").collect()
+      .map(r => (r.getString(0), r.getString(6))).toSeq
+    val q = Mail.stream(spark, dir.toString)
+      .writeStream.format("memory").queryName("mbox_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT msg_id, text FROM mbox_stream ORDER BY msg_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._2) ==
+      Seq("streamed body one.", "From quoted.\nstreamed body two."))
+  }
 }
