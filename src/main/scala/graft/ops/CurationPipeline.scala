@@ -74,7 +74,12 @@ object CurationPipeline {
       termMatcher: String = "literal",
       deconMode: String = "doc",
       qualityModel: Option[String] = None,
-      qualityLabel: String = "__label__keep") {
+      qualityLabel: String = "__label__keep",
+      // token counter driving n_tok/packing: whitespace tokens by
+      // default; pass e.g. `Tiktoken.countCol(_, vocab)` so packs
+      // respect the TRAINING tokenizer's budget, not an approximation
+      tokenCounter: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None) {
     require(langId == "marker" || langId == "trigram",
       s"langId must be 'marker' or 'trigram': $langId")
     require(extractor == "blocks" || extractor == "regex",
@@ -422,8 +427,10 @@ object CurationPipeline {
     val nDecon = snapB.count()
 
     val mixed = Curation.mixReweight(snapB, cfg.sourceCol, id, cfg.targetMix)
+    val countTokens = cfg.tokenCounter
+      .getOrElse((c: org.apache.spark.sql.Column) => F.tokenCount(c))
     val packed = Curation.packSequences(
-      mixed.withColumn("n_tok", F.tokenCount(col("text_clean")).cast("long")),
+      mixed.withColumn("n_tok", countTokens(col("text_clean")).cast("long")),
       cfg.sourceCol, id, "n_tok", cfg.packCapacity)
     val result = packed.select(col(id), col(cfg.sourceCol), col("n_tok"),
       col("pack_id"), sha2(col("text_clean"), 256).as("content_sha"))

@@ -701,4 +701,26 @@ class CurationPipelineSpec extends SparkSpec {
       assert(sOn(3L) == sTwin(3L) && sOff(3L) == sTwin(3L))
     } finally { on.release(); twin.release(); off.release() }
   }
+
+  test("a pluggable token counter drives n_tok and packing") {
+    // a vocab where every byte is one token: n_tok = UTF-8 byte count
+    val entries = (0 until 256).map(b =>
+      Tiktoken.Entry(Array(b.toByte), b)).toSeq
+    val out = CurationPipeline.curate(corpus,
+      Dedup.buildMinhashIndex(seen, "doc_id", "text"),
+      probes, "text",
+      CurationPipeline.Config("doc_id", "html", "source",
+        targetMix = Map("src0" -> 1, "src1" -> 1, "src2" -> 1, "src3" -> 1),
+        nearDupThreshold = 0.5, packCapacity = 30L,
+        tokenCounter = Some(Tiktoken.countCol(_, entries))))
+    val rows = out.data.collect()
+    assert(rows.nonEmpty)
+    // byte-level counts dwarf whitespace counts: every surviving doc
+    // has ~100 chars -> n_tok far above the 10-16 whitespace tokens
+    assert(rows.forall(_.getLong(2) > 50L))
+    // packing respected the NEW counts: with capacity 30 < any doc's
+    // byte count, every doc lands alone in its own pack
+    val packs = rows.groupBy(r => (r.getString(1), r.getLong(3)))
+    assert(packs.values.forall(_.length == 1))
+  }
 }
