@@ -1164,6 +1164,46 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m56Dir)
   }
 
+  // -- m57 fixture: ONE document arriving through FOUR transports —
+  //    a tar member (rtf), a zip member (html), an mbox message body
+  //    and a standalone scanned file (txt) — plus one genuinely
+  //    distinct scanned docx. The r14 surface composes: sources →
+  //    document layer → exact dedup across CONTAINERS.
+  private val m57Dir = "/tmp/graft_gate_m57_crossmodal"
+  private val m57Text = "the same corpus document crossing containers"
+  private val m57Other = "a genuinely different document that stays"
+
+  private def writeM57Fixture(): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val dir = java.nio.file.Paths.get(m57Dir)
+    java.nio.file.Files.createDirectories(dir)
+    Seq("tar", "zip", "mbox", "files").foreach(sub =>
+      java.nio.file.Files.createDirectories(dir.resolve(sub)))
+    // tar: the document as RTF
+    val bos = new java.io.ByteArrayOutputStream()
+    val t = new TarArchiveOutputStream(bos)
+    val rtf = s"{\\rtf1 $m57Text\\par}".getBytes("ISO-8859-1")
+    val e = new TarArchiveEntry("doc.rtf")
+    e.setSize(rtf.length.toLong); e.setModTime(0L)
+    t.putArchiveEntry(e); t.write(rtf); t.closeArchiveEntry(); t.close()
+    java.nio.file.Files.write(dir.resolve("tar/corpus.tar"), bos.toByteArray)
+    // zip: the document as HTML
+    java.nio.file.Files.write(dir.resolve("zip/release.zip"),
+      EpubFixture.zip(Seq("page.html" ->
+        s"<html><body><p>$m57Text</p></body></html>".getBytes("UTF-8"))))
+    // mbox: the document as a message body
+    java.nio.file.Files.write(dir.resolve("mbox/list.mbox"),
+      ("From poster Mon Apr  1 10:00:00 2024\n" +
+        "From: poster@example.org\nSubject: repost\nMessage-ID: <m1>\n\n" +
+        m57Text + "\n").getBytes("UTF-8"))
+    // standalone files: the document as plain text + the distinct docx
+    java.nio.file.Files.write(dir.resolve("files/copy.txt"),
+      m57Text.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("files/other.docx"),
+      DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T(m57Other)))))
+    ()
+  }
+
   // -- m53 fixture: a ZIP release archive of mixed documents (JDK
   //    ZipOutputStream via EpubFixture.zip — independent of the
   //    reader's ZipInputStream walk): the dataset-release shape.
@@ -1345,6 +1385,33 @@ object MediaGateQueries {
           coalesce(DocumentProbe.textCol(col("content")),
             lit("<undecodable>")).as("text"))
         .orderBy("file", "member")
+    },
+
+    // -- m57: cross-container dedup — the r14 surface composed: tar +
+    //    zip members, an mbox body and scanned files all feed ONE
+    //    text layer, and the same document exact-dedups across
+    //    transports to the min doc key. Hand-derived literals. -------
+    "m57_crossmodal_dedup" -> { (s, _) =>
+      writeM57Fixture()
+      import graft.engine.read.{DocumentProbe, Mail, Tar, Zip}
+      val fromTar = Tar.members(s, s"$m57Dir/tar")
+        .select(concat(lit("1tar:"), col("member")).as("doc_key"),
+          DocumentProbe.textCol(col("content")).as("text"))
+      val fromZip = Zip.members(s, s"$m57Dir/zip")
+        .select(concat(lit("2zip:"), col("member")).as("doc_key"),
+          DocumentProbe.textCol(col("content")).as("text"))
+      val fromMbox = Mail.messages(s, s"$m57Dir/mbox")
+        .select(concat(lit("3mbox:"), col("msg_id")).as("doc_key"),
+          col("text"))
+      val fromFiles = DocumentProbe.scan(s, s"$m57Dir/files")
+        .select(concat(lit("4file:"),
+          regexp_extract(col("path"), "([^/]+)$", 1)).as("doc_key"),
+          col("text"))
+      val all = fromTar.unionByName(fromZip).unionByName(fromMbox)
+        .unionByName(fromFiles)
+        .filter(col("text").isNotNull)
+      graft.ops.Dedup.exact(all, Seq("text"), "doc_key")
+        .orderBy("doc_key")
     },
 
     // -- m56: unified document TITLES — the crawl-inventory metadata
@@ -1882,6 +1949,14 @@ object MediaGateQueries {
          |  t(file, member, format, text)
          |ORDER BY file, member""".stripMargin
     },
+    // Hand-derived: the tar copy wins (min key '1tar:doc.rtf'); the
+    // distinct scanned docx stays.
+    "m57_crossmodal_dedup" ->
+      s"""SELECT * FROM (VALUES
+         |  ('1tar:doc.rtf', '$m57Text'),
+         |  ('4file:other.docx', '$m57Other'))
+         |  t(doc_key, text)
+         |ORDER BY doc_key""".stripMargin,
     // Literal expectations ride the fixture.
     "m56_document_titles" ->
       s"""SELECT doc_id, exp_title AS title
