@@ -224,6 +224,53 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m29Dir)
   }
 
+  // -- m58 fixture: ID3v2-tagged MP3s — the tag rides ahead of the
+  //    same CBR frames m29 counts, so the DECLARED metadata (title/
+  //    artist/album/date) and the SIGNAL inventory coexist on one
+  //    payload; hand-authored tag bytes (syncsafe sizes, per-version
+  //    frame headers — the Id3Spec writer's arithmetic).
+  private val m58Dir = "/tmp/graft_gate_m58_id3"
+
+  private def writeM58Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def syncsafe(v: Int): Array[Byte] =
+      Array(((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+        ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    def u32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def frame(major: Int, id: String, enc: Int, text: Array[Byte]): Array[Byte] = {
+      val body = enc.toByte +: text
+      id.getBytes("ISO-8859-1") ++
+        (if (major == 4) syncsafe(body.length) else u32(body.length)) ++
+        Array[Byte](0, 0) ++ body
+    }
+    def tagOf(major: Int, frames: Array[Byte]): Array[Byte] = {
+      val pad = 8
+      "ID3".getBytes ++ Array(major.toByte, 0.toByte, 0.toByte) ++
+        syncsafe(frames.length + pad) ++ frames ++ new Array[Byte](pad)
+    }
+    val audio = (0 until 10).map(_ => mp3Frame(9, 0, mono = false))
+      .reduce(_ ++ _)
+    val rows: Seq[(Long, Array[Byte], String, String, String, String, Long)] = Seq(
+      (0L, tagOf(3,
+        frame(3, "TIT2", 0, "Night Drive".getBytes("ISO-8859-1")) ++
+          frame(3, "TPE1", 1, "Μουσική".getBytes("UTF-16")) ++
+          frame(3, "TALB", 0, "First Album".getBytes("ISO-8859-1")) ++
+          frame(3, "TYER", 0, "1999".getBytes("ISO-8859-1"))) ++ audio,
+        "Night Drive", "Μουσική", "First Album", "1999", 10L),
+      (1L, tagOf(4,
+        frame(4, "TIT2", 3, "καλημέρα τίτλος".getBytes("UTF-8")) ++
+          frame(4, "TDRC", 3, "2024-06-01".getBytes("UTF-8"))) ++ audio,
+        "καλημέρα τίτλος", "<none>", "<none>", "2024-06-01", 10L),
+      // untagged audio: inventory works, tags NULL
+      (2L, audio, "<none>", "<none>", "<none>", "<none>", 10L),
+      (3L, "not audio at all".getBytes("UTF-8"),
+        "<none>", "<none>", "<none>", "<none>", -1L))
+    s.createDataset(rows).toDF("audio_id", "content", "exp_title",
+        "exp_artist", "exp_album", "exp_date", "exp_frames")
+      .coalesce(1).write.mode("overwrite").parquet(m58Dir)
+  }
+
   // -- m30 fixture: constructed waveforms measured by INDEPENDENT
   //    arithmetic over the same 16-bit quantized integers the WAV
   //    carries (the m29 pattern): full-scale square (clip 1, peak =
@@ -1387,6 +1434,26 @@ object MediaGateQueries {
         .orderBy("file", "member")
     },
 
+    // -- m58: ID3v2 tags + signal inventory on one payload — declared
+    //    audio metadata (the document_title story for sound) beside
+    //    the m29 frame walk; hand-derived literals. ------------------
+    "m58_id3_tags" -> { (s, _) =>
+      writeM58Fixture(s)
+      import graft.engine.validate.{AudioProbe, Id3}
+      val inv = udf { (b: Array[Byte]) =>
+        AudioProbe.mp3Inventory(b).map(_.nFrames)
+      }
+      s.read.parquet(m58Dir)
+        .withColumn("__t", Id3.tagsCol(col("content")))
+        .select(col("audio_id"),
+          coalesce(col("__t._1"), lit("<none>")).as("title"),
+          coalesce(col("__t._2"), lit("<none>")).as("artist"),
+          coalesce(col("__t._3"), lit("<none>")).as("album"),
+          coalesce(col("__t._4"), lit("<none>")).as("date"),
+          coalesce(inv(col("content")), lit(-1L)).as("n_frames"))
+        .orderBy("audio_id")
+    },
+
     // -- m57: cross-container dedup — the r14 surface composed: tar +
     //    zip members, an mbox body and scanned files all feed ONE
     //    text layer, and the same document exact-dedups across
@@ -1949,6 +2016,12 @@ object MediaGateQueries {
          |  t(file, member, format, text)
          |ORDER BY file, member""".stripMargin
     },
+    // Literal expectations ride the fixture.
+    "m58_id3_tags" ->
+      s"""SELECT audio_id, exp_title AS title, exp_artist AS artist,
+         |  exp_album AS album, exp_date AS date, exp_frames AS n_frames
+         |FROM read_parquet('$m58Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
     // Hand-derived: the tar copy wins (min key '1tar:doc.rtf'); the
     // distinct scanned docx stays.
     "m57_crossmodal_dedup" ->
