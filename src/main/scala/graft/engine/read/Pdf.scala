@@ -565,7 +565,107 @@ object Pdf {
       scala.collection.mutable.Map.empty[Int, Map[Int, Obj]]
     private var fetching = Set.empty[Int]
 
-    def encrypted: Boolean = trailer.contains("Encrypt")
+    // -- standard security handler, empty USER password only --------
+    // cryptBase is set IFF the blank password verified; then streams
+    // and strings decrypt transparently at fetch. Everything else
+    // (real user passwords, AES-256, non-Standard filters) stays
+    // refused — `encrypted` reports encrypted-AND-UNREADABLE.
+    private var cryptBase: Option[Array[Byte]] = None
+    private var cryptAes = false
+    private var encryptObjNum = -1
+
+    def encrypted: Boolean =
+      trailer.contains("Encrypt") && cryptBase.isEmpty
+
+    /** Try to derive the file key for the EMPTY user password; quiet
+      * no-op when the document is not encrypted or does not verify.
+      * Must run AFTER the trailer loads and BEFORE content objects
+      * are fetched (the Encrypt dict itself is fetched here, with
+      * crypto off — its O/U strings are stored raw per spec).
+      */
+    def configureDecryption(): Unit = {
+      cryptBase = None; cryptAes = false; encryptObjNum = -1
+      val encRef = trailer.get("Encrypt") match {
+        case Some(r @ PRef(n, _)) => encryptObjNum = n; r
+        case Some(d: PDict)       => d
+        case _                    => return
+      }
+      val enc = resolve(encRef) match {
+        case d: PDict => d
+        case _        => return
+      }
+      def name(k: String): Option[String] =
+        enc.m.get(k).map(resolve).collect { case PName(n) => n }
+      def num(k: String): Option[Long] =
+        enc.m.get(k).map(resolve).collect { case PNum(v) => v.toLong }
+      def str(k: String): Option[Array[Byte]] =
+        enc.m.get(k).map(resolve).collect { case PStr(b) => b }
+      if (!name("Filter").contains("Standard")) return
+      val v = num("V").getOrElse(0L).toInt
+      val r = num("R").getOrElse(0L).toInt
+      if (r < 2 || r > 4) return
+      var aes = false
+      if (v == 4) {
+        // the crypt-filter layer: only the default StdCF with V2
+        // (RC4) or AESV2 applied to BOTH streams and strings
+        val stmf = name("StmF").getOrElse("Identity")
+        val strf = name("StrF").getOrElse("Identity")
+        if (stmf != "StdCF" || strf != "StdCF") return
+        val cfm = enc.m.get("CF").map(resolve) match {
+          case Some(PDict(cf)) => cf.get("StdCF").map(resolve) match {
+            case Some(PDict(std)) => std.get("CFM").map(resolve) match {
+              case Some(PName(n)) => n
+              case _              => ""
+            }
+            case _ => ""
+          }
+          case _ => ""
+        }
+        cfm match {
+          case "V2"    => aes = false
+          case "AESV2" => aes = true
+          case _       => return
+        }
+      } else if (v != 1 && v != 2) return
+      val o = str("O").getOrElse(return)
+      val u = str("U").getOrElse(return)
+      if (o.length < 32) return
+      val p = num("P").getOrElse(return)
+      val encryptMetadata = enc.m.get("EncryptMetadata").map(resolve) match {
+        case Some(PBool(b)) => b
+        case _              => true
+      }
+      val id0 = trailer.get("ID").map(resolve) match {
+        case Some(PArr(items)) => items.headOption.map(resolve) match {
+          case Some(PStr(b)) => b
+          case _             => Array.emptyByteArray
+        }
+        case _ => Array.emptyByteArray
+      }
+      val length = num("Length").getOrElse(40L).toInt
+      val key = PdfCrypt.fileKey(r, length, o.take(32), p, id0,
+        encryptMetadata)
+      if (PdfCrypt.verifyEmptyUser(r, key, u, id0)) {
+        cryptBase = Some(key)
+        cryptAes = aes
+      }
+    }
+
+    /** Decrypt every string INSIDE one fetched object (type-1 path
+      * only — ObjStm members ride their container's decryption).
+      */
+    private def decryptStrings(o: Obj, num: Int, gen: Int): Obj = o match {
+      case PStr(b) =>
+        PStr(PdfCrypt.decrypt(
+          PdfCrypt.objectKey(cryptBase.get, num, gen, cryptAes),
+          b, cryptAes))
+      case PDict(m) => PDict(m.map { case (k, v) =>
+        k -> decryptStrings(v, num, gen) })
+      case PArr(items) => PArr(items.map(decryptStrings(_, num, gen)))
+      case PStream(d, raw) =>
+        PStream(decryptStrings(d, num, gen).asInstanceOf[PDict], raw)
+      case other => other
+    }
 
     // -- xref loading --
 
@@ -714,13 +814,13 @@ object Pdf {
       if (off < 0 || off >= buf.length) bail("object offset out of range")
       val lx = new Lexer(buf, off)
       lx.skipWs()
-      lx.parseNumber() // obj number (trusted from xref)
+      val objNum = lx.parseNumber().v.toInt // obj number (trusted from xref)
       lx.skipWs()
-      lx.parseNumber() // generation
+      val objGen = lx.parseNumber().v.toInt // generation
       lx.skipWs()
       lx.expect("obj")
       val o = lx.parseObj()
-      o match {
+      val parsed = o match {
         case PStream(dict, _) =>
           val len = resolve(dict.m.getOrElse("Length", PNull)) match {
             case PNum(v) if v >= 0 && v <= Int.MaxValue => v.toInt
@@ -728,10 +828,28 @@ object Pdf {
           }
           val start = lx.pos
           if (start + len > buf.length) bail("stream overruns file")
-          PStream(dict,
-            java.util.Arrays.copyOfRange(buf, start, start + len))
+          val raw = java.util.Arrays.copyOfRange(buf, start, start + len)
+          // decrypt stream bytes before any filter decode — except
+          // cross-reference streams, which the spec leaves plaintext
+          // (they must parse before any key exists)
+          val isXref = dict.m.get("Type") match {
+            case Some(PName("XRef")) => true
+            case _                   => false
+          }
+          val data =
+            if (cryptBase.isDefined && !isXref && objNum != encryptObjNum)
+              PdfCrypt.decrypt(
+                PdfCrypt.objectKey(cryptBase.get, objNum, objGen, cryptAes),
+                raw, cryptAes)
+            else raw
+          PStream(dict, data)
         case other => other
       }
+      // strings in the object (incl. stream dicts) decrypt with the
+      // same per-object key; the Encrypt dict's own O/U stay raw
+      if (cryptBase.isDefined && objNum != encryptObjNum)
+        decryptStrings(parsed, objNum, objGen)
+      else parsed
     }
 
     def fetch(num: Int): Obj = cache.getOrElseUpdate(num, {
@@ -1271,11 +1389,17 @@ object Pdf {
         try doc.recover()
         catch { case _: Bail | _: Exception => return None }
     }
+    // blank-user-password decryption (when it verifies) configures
+    // BEFORE any content fetch so cached objects decrypt uniformly
+    try doc.configureDecryption()
+    catch { case _: Bail | _: Exception => () }
     // a table that loaded but cannot reach a catalog (lying startxref,
     // shifted offsets) gets the same recovery pass
     if (!doc.hasCatalog) {
       try doc.recover()
       catch { case _: Bail | _: Exception => return None }
+      try doc.configureDecryption()
+      catch { case _: Bail | _: Exception => () }
       if (!doc.hasCatalog && !doc.encrypted) return None
     }
     Some(doc)

@@ -1251,6 +1251,32 @@ object MediaGateQueries {
     ()
   }
 
+  // -- m59 fixture: the standard-security-handler classes — owner-
+  //    locked PDFs with a BLANK user password (RC4-128 and AESV2,
+  //    encrypted by the fixture's OWN algorithm-3.x implementation)
+  //    must open; a real user password and the O/U-less stub must
+  //    stay refused.
+  private val m59Dir = "/tmp/graft_gate_m59_pdfcrypt"
+
+  private def writeM59Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], String, String, Boolean)] = Seq(
+      (0L, PdfFixture.stdEncryptedPdf(
+        "the rc4 body opens", "RC4 Report"),
+        "the rc4 body opens", "RC4 Report", false),
+      (1L, PdfFixture.stdEncryptedPdf(
+        "the aes body opens", "AES Report", aes = true),
+        "the aes body opens", "AES Report", false),
+      (2L, PdfFixture.stdEncryptedPdf(
+        "locked body", "Locked", userPw = "secret"),
+        "<refused>", "<none>", true),
+      (3L, PdfFixture.encryptedPdf("legacy stub"),
+        "<refused>", "<none>", true))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_text",
+        "exp_title", "exp_encrypted")
+      .coalesce(1).write.mode("overwrite").parquet(m59Dir)
+  }
+
   // -- m53 fixture: a ZIP release archive of mixed documents (JDK
   //    ZipOutputStream via EpubFixture.zip — independent of the
   //    reader's ZipInputStream walk): the dataset-release shape.
@@ -1432,6 +1458,24 @@ object MediaGateQueries {
           coalesce(DocumentProbe.textCol(col("content")),
             lit("<undecodable>")).as("text"))
         .orderBy("file", "member")
+    },
+
+    // -- m59: blank-user-password PDF decryption — owner-locked files
+    //    (the dominant "encrypted" crawl class) open via the spec's
+    //    own algorithms; real passwords stay refused. Expectations
+    //    ride the fixture. -------------------------------------------
+    "m59_pdf_blank_password" -> { (s, _) =>
+      writeM59Fixture(s)
+      import graft.engine.read.{DocumentProbe, Pdf}
+      val t = udf { (b: Array[Byte]) => Pdf.extractText(b).map(_.text) }
+      val enc = udf { (b: Array[Byte]) => Pdf.meta(b).map(_.encrypted) }
+      s.read.parquet(m59Dir)
+        .select(col("doc_id"),
+          coalesce(t(col("content")), lit("<refused>")).as("text"),
+          coalesce(DocumentProbe.titleCol(col("content")),
+            lit("<none>")).as("title"),
+          coalesce(enc(col("content")), lit(true)).as("encrypted"))
+        .orderBy("doc_id")
     },
 
     // -- m58: ID3v2 tags + signal inventory on one payload — declared
@@ -2017,6 +2061,11 @@ object MediaGateQueries {
          |ORDER BY file, member""".stripMargin
     },
     // Literal expectations ride the fixture.
+    "m59_pdf_blank_password" ->
+      s"""SELECT doc_id, exp_text AS text, exp_title AS title,
+         |  exp_encrypted AS encrypted
+         |FROM read_parquet('$m59Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m58_id3_tags" ->
       s"""SELECT audio_id, exp_title AS title, exp_artist AS artist,
          |  exp_album AS album, exp_date AS date, exp_frames AS n_frames

@@ -334,6 +334,138 @@ object PdfFixture {
   /** Structurally valid but encrypted-flagged document — must extract
     * to None, never to text.
     */
+  // ---- standard-security-handler encryptor (r14) --------------------
+  // Written forward from ISO 32000-1 §7.6.3 with its OWN RC4 and
+  // algorithm-3.x implementations — no code shared with
+  // [[graft.engine.read.PdfCrypt]] (the m28 independent-writer
+  // discipline; MD5/AES come from the JDK on both sides).
+
+  private val StdPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def fxMd5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update); d.digest()
+  }
+
+  /** The fixture's own RC4 (independent transcription of the
+    * published cipher).
+    */
+  private def fxRc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = (0 until 256).toArray
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var a = 0; var b = 0
+    for (k <- data.indices) {
+      a = (a + 1) & 0xFF; b = (b + s(a)) & 0xFF
+      val t = s(a); s(a) = s(b); s(b) = t
+      out(k) = (data(k) ^ s((s(a) + s(b)) & 0xFF)).toByte
+    }
+    out
+  }
+
+  private def fxPad(pw: String): Array[Byte] =
+    (pw.getBytes(ISO_8859_1) ++ StdPad).take(32)
+
+  private def fxIntLE(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def hexStr(b: Array[Byte]): String =
+    "<" + b.map("%02X".format(_)).mkString + ">"
+
+  /** Keys + O/U for R3 (RC4-128) or R4/AESV2, per algorithms 3.2–3.5. */
+  final case class StdCrypt(o: Array[Byte], u: Array[Byte],
+                            fileKey: Array[Byte], p: Long,
+                            id0: Array[Byte], aes: Boolean) {
+    def objKey(num: Int, gen: Int): Array[Byte] = {
+      val salt = if (aes)
+        Array(0x73.toByte, 0x41.toByte, 0x6C.toByte, 0x54.toByte)
+      else Array.emptyByteArray
+      fxMd5(fileKey,
+        Array((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+          ((num >> 16) & 0xFF).toByte,
+          (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte),
+        salt).take(math.min(fileKey.length + 5, 16))
+    }
+    def enc(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      if (!aes) fxRc4(objKey(num, gen), data)
+      else {
+        // deterministic IV (a fixture may be deterministic; real
+        // writers randomize) + PKCS#5 pad
+        val iv = Array.tabulate[Byte](16)(i => (i * 7 + num).toByte)
+        val padLen = 16 - (data.length % 16)
+        val padded = data ++ Array.fill(padLen)(padLen.toByte)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey(num, gen), "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(padded)
+      }
+  }
+
+  /** Build the handler dict values for owner password `ownerPw` and
+    * user password `userPw` (blank = the crawl-openable class).
+    */
+  def stdCrypt(ownerPw: String, userPw: String,
+               aes: Boolean = false): StdCrypt = {
+    val r = if (aes) 4 else 3
+    val n = 16 // /Length 128
+    val id0 = Array.tabulate[Byte](16)(i => (0x30 + i).toByte)
+    val p = -44L
+    // Algorithm 3.3: /O from the owner password
+    var oKey = fxMd5(fxPad(ownerPw))
+    for (_ <- 0 until 50) oKey = fxMd5(oKey.take(n))
+    val rc4Key = oKey.take(n)
+    var o = fxRc4(rc4Key, fxPad(userPw))
+    for (i <- 1 to 19)
+      o = fxRc4(rc4Key.map(b => (b ^ i).toByte), o)
+    // Algorithm 3.2: the file key for userPw
+    var key = fxMd5(fxPad(userPw), o, fxIntLE(p), id0).take(n)
+    for (_ <- 0 until 50) key = fxMd5(key.take(n)).take(n)
+    // Algorithm 3.5 (R>=3): /U
+    var u16 = fxRc4(key, fxMd5(StdPad, id0))
+    for (i <- 1 to 19)
+      u16 = fxRc4(key.map(b => (b ^ i).toByte), u16)
+    val u = u16 ++ new Array[Byte](16)
+    StdCrypt(o, u, key, p, id0, aes)
+  }
+
+  /** A one-page PDF encrypted with the standard handler: content
+    * stream + Info /Title encrypted per object; `userPw = ""` is the
+    * openable class, anything else must stay refused.
+    */
+  def stdEncryptedPdf(text: String, title: String,
+                      ownerPw: String = "owner", userPw: String = "",
+                      aes: Boolean = false): Array[Byte] = {
+    val cr = stdCrypt(ownerPw, userPw, aes)
+    val b = new Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pageObjs(b, Seq(3), 2, Seq(4), "5 0 R")
+    val content = s"BT /F1 12 Tf ${lit(text)} Tj ET".getBytes(ISO_8859_1)
+    b.addStream(4, "", cr.enc(4, 0, content))
+    b.add(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>")
+    val cfPart =
+      if (aes)
+        " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
+          " /StmF /StdCF /StrF /StdCF"
+      else ""
+    b.add(6, s"<< /Filter /Standard /V ${if (aes) 4 else 2} " +
+      s"/R ${if (aes) 4 else 3} /Length 128 /P ${cr.p} " +
+      s"/O ${hexStr(cr.o)} /U ${hexStr(cr.u)}$cfPart >>")
+    b.add(7, s"<< /Title ${hexStr(cr.enc(7, 0, title.getBytes(ISO_8859_1)))} >>")
+    b.finishClassic(1,
+      s"/Encrypt 6 0 R /Info 7 0 R /ID [ ${hexStr(cr.id0)} ${hexStr(cr.id0)} ]")
+  }
+
   def encryptedPdf(text: String): Array[Byte] = {
     val b = new Builder
     b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")

@@ -302,4 +302,37 @@ class PdfSpec extends AnyFunSuite {
       "BT /F1 12 Tf <48656c6c6f> Tj ET"))
     assert(Pdf.extractText(pdf).get.text == "Hello")
   }
+
+  test("owner-locked PDFs with a BLANK user password open (RC4 and AES)") {
+    // the dominant real-world "encrypted" class: restrictions only
+    val rc4 = PdfFixture.stdEncryptedPdf(
+      "rc4 secret body", "RC4 Title")
+    assert(Pdf.extractText(rc4).map(_.text).contains("rc4 secret body"))
+    val m = Pdf.meta(rc4).get
+    assert(!m.encrypted) // encrypted-AND-UNREADABLE is the flag
+    assert(m.title.contains("RC4 Title"))
+    val aes = PdfFixture.stdEncryptedPdf(
+      "aes secret body", "AES Title", aes = true)
+    assert(Pdf.extractText(aes).map(_.text).contains("aes secret body"))
+    assert(Pdf.meta(aes).get.title.contains("AES Title"))
+  }
+
+  test("a REAL user password still refuses; so does the legacy stub") {
+    val locked = PdfFixture.stdEncryptedPdf(
+      "protected body", "T", userPw = "secret")
+    assert(Pdf.extractText(locked).isEmpty)
+    assert(Pdf.meta(locked).exists(_.encrypted))
+    assert(Pdf.meta(locked).get.title.isEmpty)
+    // the O/U-less legacy fixture stays refused too
+    assert(Pdf.extractText(PdfFixture.encryptedPdf("x")).isEmpty)
+    assert(Pdf.meta(PdfFixture.encryptedPdf("x")).exists(_.encrypted))
+  }
+
+  test("blank-password decryption rides the document probe") {
+    val b = PdfFixture.stdEncryptedPdf("probe body", "Probe Title")
+    assert(DocumentProbe.extractText(b).contains("probe body"))
+    assert(DocumentProbe.title(b).contains("Probe Title"))
+    val meta = DocumentProbe.probe(b).get
+    assert(meta.format == "pdf" && !meta.encrypted)
+  }
 }
