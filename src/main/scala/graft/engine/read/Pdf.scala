@@ -572,7 +572,12 @@ object Pdf {
     // refused — `encrypted` reports encrypted-AND-UNREADABLE.
     private var cryptBase: Option[Array[Byte]] = None
     private var cryptAes = false
+    private var cryptV5 = false // V5: the file key IS every object key
     private var encryptObjNum = -1
+
+    private def cryptKeyFor(num: Int, gen: Int): Array[Byte] =
+      if (cryptV5) cryptBase.get
+      else PdfCrypt.objectKey(cryptBase.get, num, gen, cryptAes)
 
     def encrypted: Boolean =
       trailer.contains("Encrypt") && cryptBase.isEmpty
@@ -584,7 +589,8 @@ object Pdf {
       * crypto off — its O/U strings are stored raw per spec).
       */
     def configureDecryption(): Unit = {
-      cryptBase = None; cryptAes = false; encryptObjNum = -1
+      cryptBase = None; cryptAes = false; cryptV5 = false
+      encryptObjNum = -1
       val encRef = trailer.get("Encrypt") match {
         case Some(r @ PRef(n, _)) => encryptObjNum = n; r
         case Some(d: PDict)       => d
@@ -603,6 +609,16 @@ object Pdf {
       if (!name("Filter").contains("Standard")) return
       val v = num("V").getOrElse(0L).toInt
       val r = num("R").getOrElse(0L).toInt
+      // V5 (AES-256): R5 legacy / R6 ISO 32000-2 — the /U hash
+      // validates the blank password and /UE unwraps the file key
+      if (v == 5 && (r == 5 || r == 6)) {
+        val u = str("U").getOrElse(return)
+        val ue = str("UE").getOrElse(return)
+        PdfCrypt.fileKeyV5(r, u, ue).foreach { k =>
+          cryptBase = Some(k); cryptAes = true; cryptV5 = true
+        }
+        return
+      }
       if (r < 2 || r > 4) return
       var aes = false
       if (v == 4) {
@@ -656,9 +672,7 @@ object Pdf {
       */
     private def decryptStrings(o: Obj, num: Int, gen: Int): Obj = o match {
       case PStr(b) =>
-        PStr(PdfCrypt.decrypt(
-          PdfCrypt.objectKey(cryptBase.get, num, gen, cryptAes),
-          b, cryptAes))
+        PStr(PdfCrypt.decrypt(cryptKeyFor(num, gen), b, cryptAes))
       case PDict(m) => PDict(m.map { case (k, v) =>
         k -> decryptStrings(v, num, gen) })
       case PArr(items) => PArr(items.map(decryptStrings(_, num, gen)))
@@ -838,9 +852,7 @@ object Pdf {
           }
           val data =
             if (cryptBase.isDefined && !isXref && objNum != encryptObjNum)
-              PdfCrypt.decrypt(
-                PdfCrypt.objectKey(cryptBase.get, objNum, objGen, cryptAes),
-                raw, cryptAes)
+              PdfCrypt.decrypt(cryptKeyFor(objNum, objGen), raw, cryptAes)
             else raw
           PStream(dict, data)
         case other => other

@@ -112,6 +112,78 @@ private[read] object PdfCrypt {
     ext.take(math.min(base.length + 5, 16))
   }
 
+  // ---- AES-256 (V5: R5 legacy / R6 ISO 32000-2) ---------------------
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbc(mode: Int, key: Array[Byte], iv: Array[Byte],
+                     data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B (R6): the hardened hash — SHA-256 seed, then
+    * rounds of AES-128-CBC over 64 repetitions of (pw ‖ K ‖ udata)
+    * with the digest choice steered by the ciphertext, at least 64
+    * rounds, stopping when the last byte of E ≤ rounds − 32.
+    */
+  def hash2B(password: Array[Byte], salt: Array[Byte],
+             udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", password, salt, udata)
+    var e = Array.emptyByteArray
+    var i = 0
+    while (i < 64 || (e.last & 0xFF) > i - 32) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        j += 1
+      }
+      e = aesCbc(javax.crypto.Cipher.ENCRYPT_MODE,
+        k.take(16), k.slice(16, 32), k1)
+      var sum = 0
+      var b = 0
+      while (b < 16) { sum += e(b) & 0xFF; b += 1 }
+      k = sum % 3 match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case _ => sha("SHA-512", e)
+      }
+      i += 1
+    }
+    k.take(32)
+  }
+
+  /** The 32-byte file key for the BLANK user password under V5:
+    * validate against /U (48 bytes: hash ‖ validation salt ‖ key
+    * salt), then unwrap /UE. None when validation fails.
+    */
+  def fileKeyV5(r: Int, u: Array[Byte], ue: Array[Byte]): Option[Array[Byte]] = {
+    if (u == null || u.length < 48 || ue == null || ue.length < 32)
+      return None
+    val hash = u.take(32)
+    val validationSalt = u.slice(32, 40)
+    val keySalt = u.slice(40, 48)
+    val empty = Array.emptyByteArray
+    val candidate =
+      if (r == 6) hash2B(empty, validationSalt, empty)
+      else sha("SHA-256", validationSalt) // R5: simple SHA-256(pw‖salt)
+    if (!java.util.Arrays.equals(candidate, hash)) return None
+    val intermediate =
+      if (r == 6) hash2B(empty, keySalt, empty)
+      else sha("SHA-256", keySalt)
+    try Some(aesCbc(javax.crypto.Cipher.DECRYPT_MODE,
+      intermediate, new Array[Byte](16), ue.take(32)))
+    catch { case _: Exception => None }
+  }
+
   /** Decrypt one object's bytes: RC4, or AES-128-CBC with the
     * leading IV and PKCS#5 padding (tolerantly stripped — torn
     * ciphertext keeps what decodes).

@@ -1271,6 +1271,16 @@ object MediaGateQueries {
         "locked body", "Locked", userPw = "secret"),
         "<refused>", "<none>", true),
       (3L, PdfFixture.encryptedPdf("legacy stub"),
+        "<refused>", "<none>", true),
+      // AES-256: R6 (ISO 32000-2) and the legacy R5, plus a locked R6
+      (4L, PdfFixture.stdEncryptedPdfV5(
+        "the aes256 body opens", "R6 Report"),
+        "the aes256 body opens", "R6 Report", false),
+      (5L, PdfFixture.stdEncryptedPdfV5(
+        "the legacy r5 body opens", "R5 Report", r = 5),
+        "the legacy r5 body opens", "R5 Report", false),
+      (6L, PdfFixture.stdEncryptedPdfV5(
+        "locked body", "Locked", userPw = "pw"),
         "<refused>", "<none>", true))
     s.createDataset(rows).toDF("doc_id", "content", "exp_text",
         "exp_title", "exp_encrypted")

@@ -466,6 +466,76 @@ object PdfFixture {
       s"/Encrypt 6 0 R /Info 7 0 R /ID [ ${hexStr(cr.id0)} ${hexStr(cr.id0)} ]")
   }
 
+  // ---- V5 / AES-256 (R5 legacy, R6 ISO 32000-2) ---------------------
+
+  private def fxSha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update); d.digest()
+  }
+
+  private def fxAesCbc(mode: Int, key: Array[Byte], iv: Array[Byte],
+                       data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** The fixture's OWN algorithm 2.B (independent transcription). */
+  private def fx2B(pw: Array[Byte], salt: Array[Byte]): Array[Byte] = {
+    var k = fxSha("SHA-256", pw, salt)
+    var e = Array.emptyByteArray
+    var i = 0
+    while (i < 64 || (e.last & 0xFF) > i - 32) {
+      val block = pw ++ k
+      val k1 = Array.fill(64)(block).flatten
+      e = fxAesCbc(javax.crypto.Cipher.ENCRYPT_MODE,
+        k.take(16), k.slice(16, 32), k1)
+      val mod = e.take(16).map(_ & 0xFF).sum % 3
+      k = fxSha(Seq("SHA-256", "SHA-384", "SHA-512")(mod), e)
+      i += 1
+    }
+    k.take(32)
+  }
+
+  /** A one-page AES-256 PDF (R6 by default, R5 legacy): /U carries
+    * hash ‖ validation salt ‖ key salt for `userPw`, /UE wraps the
+    * file key; the blank password opens it iff `userPw` is blank.
+    */
+  def stdEncryptedPdfV5(text: String, title: String, r: Int = 6,
+                        userPw: String = ""): Array[Byte] = {
+    require(r == 5 || r == 6, s"V5 revision must be 5 or 6: $r")
+    val pw = userPw.getBytes(ISO_8859_1)
+    val validationSalt = Array.tabulate[Byte](8)(i => (0x11 * (i + 1)).toByte)
+    val keySalt = Array.tabulate[Byte](8)(i => (0x21 + 3 * i).toByte)
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 5 + 9).toByte)
+    def hashOf(salt: Array[Byte]): Array[Byte] =
+      if (r == 6) fx2B(pw, salt) else fxSha("SHA-256", pw, salt)
+    val u = hashOf(validationSalt) ++ validationSalt ++ keySalt
+    val ue = fxAesCbc(javax.crypto.Cipher.ENCRYPT_MODE,
+      hashOf(keySalt), new Array[Byte](16), fileKey)
+    def enc(num: Int, data: Array[Byte]): Array[Byte] = {
+      val iv = Array.tabulate[Byte](16)(i => (i * 11 + num).toByte)
+      val padLen = 16 - (data.length % 16)
+      val padded = data ++ Array.fill(padLen)(padLen.toByte)
+      iv ++ fxAesCbc(javax.crypto.Cipher.ENCRYPT_MODE, fileKey, iv, padded)
+    }
+    val b = new Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pageObjs(b, Seq(3), 2, Seq(4), "5 0 R")
+    b.addStream(4, "", enc(4,
+      s"BT /F1 12 Tf ${lit(text)} Tj ET".getBytes(ISO_8859_1)))
+    b.add(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>")
+    b.add(6, s"<< /Filter /Standard /V 5 /R $r /Length 256 /P -44 " +
+      s"/O ${hexStr(new Array[Byte](48))} /U ${hexStr(u)} " +
+      s"/OE ${hexStr(new Array[Byte](32))} /UE ${hexStr(ue)} " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+      "/StmF /StdCF /StrF /StdCF >>")
+    b.add(7, s"<< /Title ${hexStr(enc(7, title.getBytes(ISO_8859_1)))} >>")
+    b.finishClassic(1, "/Encrypt 6 0 R /Info 7 0 R")
+  }
+
   def encryptedPdf(text: String): Array[Byte] = {
     val b = new Builder
     b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")

@@ -335,4 +335,18 @@ class PdfSpec extends AnyFunSuite {
     val meta = DocumentProbe.probe(b).get
     assert(meta.format == "pdf" && !meta.encrypted)
   }
+
+  test("AES-256 (R6 and legacy R5) blank-password PDFs open; real ones refuse") {
+    val r6 = PdfFixture.stdEncryptedPdfV5("aes256 body", "R6 Title")
+    assert(Pdf.extractText(r6).map(_.text).contains("aes256 body"))
+    val m = Pdf.meta(r6).get
+    assert(!m.encrypted && m.title.contains("R6 Title"))
+    val r5 = PdfFixture.stdEncryptedPdfV5("legacy body", "R5 Title", r = 5)
+    assert(Pdf.extractText(r5).map(_.text).contains("legacy body"))
+    assert(Pdf.meta(r5).get.title.contains("R5 Title"))
+    // a REAL user password refuses under both revisions
+    val locked = PdfFixture.stdEncryptedPdfV5("hidden", "T", userPw = "pw")
+    assert(Pdf.extractText(locked).isEmpty)
+    assert(Pdf.meta(locked).exists(_.encrypted))
+  }
 }
