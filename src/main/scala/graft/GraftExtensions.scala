@@ -87,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.documentFormat)
     ext.injectFunction(GraftExtensions.documentText)
     ext.injectFunction(GraftExtensions.documentTitle)
+    ext.injectFunction(GraftExtensions.documentAuthor)
     ext.injectFunction(GraftExtensions.latexToText)
     ext.injectFunction(GraftExtensions.wikitextToText)
   }
@@ -324,6 +325,15 @@ object GraftExtensions {
         "absent or unrecognized.",
       classOf[graft.functions.DocumentTitle],
       graft.functions.DocumentTitle(_))
+
+  val documentAuthor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("document_author",
+      "document_author(bytes) - the document's DECLARED author " +
+        "(OLEPS / OPC / ODF dc:creator / PDF Info / EPUB OPF / RTF " +
+        "info / html meta author / mail From / latex \\author); NULL " +
+        "when absent or unrecognized.",
+      classOf[graft.functions.DocumentAuthor],
+      graft.functions.DocumentAuthor(_))
 
   val documentText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("document_text",
@@ -706,7 +716,7 @@ object GraftExtensions {
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, pptxText, emlText, odsText, odpText,
-      documentFormat, documentText, documentTitle,
+      documentFormat, documentText, documentTitle, documentAuthor,
       latexToText, wikitextToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)

@@ -123,22 +123,27 @@ object DocumentProbe {
     }
   }
 
-  /** `dc:title` from an XML package part (OPC core properties / ODF
-    * meta.xml) — scala.xml matches by local name.
+  /** A Dublin-Core field from an XML package part (OPC core
+    * properties / ODF meta.xml) — scala.xml matches by local name.
     */
-  private def dcTitle(files: Map[String, Array[Byte]],
-                      part: String): Option[String] =
+  private def dcField(files: Map[String, Array[Byte]],
+                      part: String, label: String): Option[String] =
     files.get(part)
       .map(new String(_, StandardCharsets.UTF_8))
       .flatMap(ZipRead.parseXml)
-      .flatMap(x => (x \\ "title").headOption)
+      .flatMap(x => (x \\ label).headOption)
       .map(_.text.trim).filter(_.nonEmpty)
 
-  /** `\title{…}` with balanced braces, detexed. */
-  private def latexTitle(src: String): Option[String] = {
-    val at = src.indexOf("\\title{")
+  private def dcTitle(files: Map[String, Array[Byte]],
+                      part: String): Option[String] =
+    dcField(files, part, "title")
+
+  /** `\cmd{…}` with balanced braces, detexed. */
+  private def latexCommand(src: String, cmd: String): Option[String] = {
+    val marker = "\\" + cmd + "{"
+    val at = src.indexOf(marker)
     if (at < 0) return None
-    var i = at + 7
+    var i = at + marker.length
     var depth = 1
     val sb = new StringBuilder
     while (i < src.length && depth > 0) {
@@ -151,6 +156,55 @@ object DocumentProbe {
     }
     Some(graft.ops.Latex.extractText(sb.toString).text.trim)
       .filter(_.nonEmpty)
+  }
+
+  private def latexTitle(src: String): Option[String] =
+    latexCommand(src, "title")
+
+  /** Unified document AUTHOR — the [[title]] dispatch's sibling:
+    * OLEPS PIDSI_AUTHOR, OPC/ODF `dc:creator`, EPUB OPF creator, the
+    * PDF Info `/Author`, RTF `{\info{\author …}}`, the html
+    * `<meta name="author">`, the mail From header (RFC 2047
+    * decoded), latex `\author{…}` detexed.
+    */
+  def author(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) return None
+    if (startsWith(bytes, "{\\rtf")) return Rtf.docAuthor(bytes)
+    if (Ole2.isCfb(bytes))
+      return Ole2.streams(bytes).flatMap(f =>
+        f.get(Oleps.SummaryStream).flatMap(Oleps.properties)
+          .flatMap(_.get(Oleps.PidAuthor)))
+    if (bytes(0) == 'P' && bytes(1) == 'K') {
+      val files = ZipRead.entries(bytes,
+        Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries) match {
+        case Some(f) => f
+        case None    => return None
+      }
+      return zipKind(files) match {
+        case "epub" => Epub.opfField(files, "creator")
+        case "odt" | "ods" | "odp" | "odf-other" =>
+          dcField(files, "meta.xml", "creator")
+        case _ => dcField(files, "docProps/core.xml", "creator")
+      }
+    }
+    val pdfAuthor = Pdf.meta(bytes).map(_.author)
+    if (pdfAuthor.isDefined) return pdfAuthor.get
+    htmlOrText(bytes, wantText = false)._1.map(_.format) match {
+      case Some("html") =>
+        val decoded = Warc.decodeText(bytes, null)
+        val re1 = ("(?is)<meta\\s[^>]*name\\s*=\\s*[\"']?author[\"']?" +
+          "[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']").r
+        val re2 = ("(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
+          "[^>]*name\\s*=\\s*[\"']?author[\"']?").r
+        re1.findFirstMatchIn(decoded).orElse(re2.findFirstMatchIn(decoded))
+          .map(_.group(1).trim).filter(_.nonEmpty)
+      case Some("eml") =>
+        decodeStrictUtf8(bytes).flatMap(Mail.parseEmlString)
+          .map(_.from).map(_.trim).filter(_.nonEmpty)
+      case Some("latex") =>
+        decodeStrictUtf8(bytes).flatMap(latexCommand(_, "author"))
+      case _ => None
+    }
   }
 
   /** The single-parse core: classify, and extract text when asked. */
@@ -450,6 +504,11 @@ object DocumentProbe {
 
   /** Declared document title; NULL when absent or unrecognized. */
   def titleCol(bytesCol: Column): Column = titleUdf(bytesCol)
+
+  private val authorUdf = udf { (bytes: Array[Byte]) => author(bytes) }
+
+  /** Declared document author; NULL when absent or unrecognized. */
+  def authorCol(bytesCol: Column): Column = authorUdf(bytesCol)
 
   private val formatUdf = udf { (bytes: Array[Byte]) =>
     probe(bytes).map(_.format)

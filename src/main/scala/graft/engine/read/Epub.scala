@@ -73,6 +73,30 @@ object Epub {
   /** The container chain over an ALREADY-unzipped package (one ZIP
     * walk per row, shared with [[DocumentProbe]]).
     */
+  /** One OPF metadata field (dc:title, dc:creator, …) by local
+    * label, off the same container→OPF walk.
+    */
+  private[read] def opfField(files: Map[String, Array[Byte]],
+                             label: String): Option[String] = {
+    val container = files.get("META-INF/container.xml")
+      .map(new String(_, StandardCharsets.UTF_8))
+      .flatMap(parseXml) match {
+      case Some(x) => x
+      case None    => return None
+    }
+    val opfPath = (container \\ "rootfile")
+      .flatMap(_.attribute("full-path")).flatten
+      .map(_.text).headOption match {
+      case Some(p) => p
+      case None    => return None
+    }
+    files.get(opfPath)
+      .map(new String(_, StandardCharsets.UTF_8))
+      .flatMap(parseXml)
+      .flatMap(opf => (opf \\ label).headOption)
+      .map(_.text.trim).filter(_.nonEmpty)
+  }
+
   private[read] def bookFrom(files: Map[String, Array[Byte]]): Option[Book] = {
     val container = files.get("META-INF/container.xml")
       .map(new String(_, StandardCharsets.UTF_8))

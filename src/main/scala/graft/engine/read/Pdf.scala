@@ -64,7 +64,8 @@ object Pdf {
     * no pixel/text decode).
     */
   final case class Meta(version: String, nPages: Int, encrypted: Boolean,
-                        title: Option[String] = None)
+                        title: Option[String] = None,
+                        author: Option[String] = None)
 
   val DefaultMaxStreamBytes: Int = 64 << 20
 
@@ -1506,11 +1507,11 @@ object Pdf {
     // the Info dict's /Title — a PDF *text string*: UTF-16BE with a
     // BOM, else PDFDocEncoding (Latin-1 on the common range). An
     // encrypted document's strings are ciphertext: refuse.
-    val title =
+    def infoString(key: String): Option[String] =
       if (doc.encrypted) None
       else try {
         doc.resolve(doc.trailer.getOrElse("Info", PNull)) match {
-          case PDict(m) => doc.resolve(m.getOrElse("Title", PNull)) match {
+          case PDict(m) => doc.resolve(m.getOrElse(key, PNull)) match {
             case PStr(b) => Some(decodeTextString(b)).map(_.trim)
               .filter(_.nonEmpty)
             case _ => None
@@ -1518,7 +1519,8 @@ object Pdf {
           case _ => None
         }
       } catch { case _: Bail | _: Exception => None }
-    Some(Meta(version, nPages, doc.encrypted, title))
+    Some(Meta(version, nPages, doc.encrypted,
+      infoString("Title"), infoString("Author")))
   }
 
   /** PDF text-string decode: UTF-16BE when BOM'd, else the

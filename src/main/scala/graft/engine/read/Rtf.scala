@@ -67,19 +67,26 @@ object Rtf {
     * with `\{ \} \\` escapes and `\'xx` code-page bytes; other
     * control words inside the title group drop. None when absent.
     */
-  def docTitle(bytes: Array[Byte]): Option[String] = {
+  def docTitle(bytes: Array[Byte]): Option[String] =
+    infoField(bytes, "title")
+
+  /** The `{\info{\author …}}` author, same scanner. */
+  def docAuthor(bytes: Array[Byte]): Option[String] =
+    infoField(bytes, "author")
+
+  private def infoField(bytes: Array[Byte], field: String): Option[String] = {
     if (bytes == null || bytes.length < 6) return None
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!s.startsWith("{\\rtf")) return None
     val info = s.indexOf("{\\info")
     if (info < 0) return None
-    val at = s.indexOf("{\\title", info)
+    val at = s.indexOf("{\\" + field, info)
     if (at < 0) return None
     val cs = """\\ansicpg(\d+)""".r.findFirstMatchIn(s)
       .flatMap(m => charsetFor(m.group(1).toInt))
       .getOrElse(java.nio.charset.StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
-    var i = at + 7
+    var i = at + 2 + field.length // past "{\" + the control word
     var depth = 1
     while (i < s.length && depth > 0) {
       s.charAt(i) match {

@@ -328,6 +328,23 @@ case class DocumentTitle(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `document_author(bytes)` → string —
+  * [[graft.engine.read.DocumentProbe.author]]: the document's
+  * DECLARED author wherever its format carries one (OLEPS
+  * PIDSI_AUTHOR, OPC/ODF dc:creator, PDF Info /Author, EPUB OPF
+  * creator, RTF info group, html meta author, mail From, latex
+  * \author); NULL when absent or unrecognized.
+  */
+case class DocumentAuthor(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "document_author"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.DocumentProbe.author(bytes)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `document_text(bytes)` → string —
   * [[graft.engine.read.DocumentProbe.extractText]]: body text with
   * the extractor AUTO-ROUTED from the payload magic; NULL when

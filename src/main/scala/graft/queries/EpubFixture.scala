@@ -49,6 +49,7 @@ object EpubFixture {
          |    unique-identifier="uid">
          |  <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
          |    <dc:title>$title</dc:title>
+         |    <dc:creator>epub author</dc:creator>
          |    <dc:identifier id="uid">fixture-book</dc:identifier>
          |  </metadata>
          |  <manifest>

@@ -302,7 +302,8 @@ object LegacyDocFixture {
     * PIDSI_TITLE string (VT_LPSTR in the code page, or VT_LPWSTR).
     */
   def summaryInfo(title: String, wide: Boolean = false,
-                  codepage: Int = 1252): Array[Byte] = {
+                  codepage: Int = 1252,
+                  author: Option[String] = None): Array[Byte] = {
     val titleBytes =
       if (wide) title.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
       else title.getBytes(java.nio.charset.Charset.forName("windows-" + codepage))
@@ -327,16 +328,31 @@ object LegacyDocFixture {
     cpProp.write(codepage & 0xFF); cpProp.write((codepage >> 8) & 0xFF)
     cpProp.write(0); cpProp.write(0) // padded to 4
 
-    val secHeader = 8 + 2 * 8 // size+count, two (id, offset) pairs
+    val authorProp = new java.io.ByteArrayOutputStream()
+    author.foreach { a =>
+      val ab = a.getBytes(java.nio.charset.Charset.forName("windows-" + codepage))
+      w32(authorProp, 30L) // VT_LPSTR
+      w32(authorProp, ab.length + 1L)
+      authorProp.write(ab, 0, ab.length)
+      authorProp.write(0)
+    }
+    val nProps = if (author.isDefined) 3 else 2
+    val secHeader = 8 + nProps * 8 // size+count, (id, offset) pairs
     val cpOff = secHeader
     val titleOff = cpOff + cpProp.size()
+    val authorOff = titleOff + titleProp.size()
     val section = new java.io.ByteArrayOutputStream()
-    w32(section, (secHeader + cpProp.size() + titleProp.size()).toLong)
-    w32(section, 2L)
+    w32(section, (secHeader + cpProp.size() + titleProp.size() +
+      authorProp.size()).toLong)
+    w32(section, nProps.toLong)
     w32(section, 1L); w32(section, cpOff.toLong) // PID_CODEPAGE
     w32(section, 2L); w32(section, titleOff.toLong) // PIDSI_TITLE
+    if (author.isDefined) {
+      w32(section, 4L); w32(section, authorOff.toLong) // PIDSI_AUTHOR
+    }
     section.write(cpProp.toByteArray, 0, cpProp.size())
     section.write(titleProp.toByteArray, 0, titleProp.size())
+    section.write(authorProp.toByteArray, 0, authorProp.size())
 
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFE); out.write(0xFF) // byte order mark, LE "FFFE"

@@ -1287,6 +1287,45 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m59Dir)
   }
 
+  // -- m60 fixture: declared AUTHORS — the m56 matrix's sibling
+  //    (OLEPS PIDSI_AUTHOR, OPC/ODF dc:creator, EPUB OPF creator,
+  //    PDF Info /Author, RTF info, html meta author, mail From,
+  //    latex \author) plus author-less and junk rows.
+  private val m60Dir = "/tmp/graft_gate_m60_authors"
+
+  private def writeM60Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      // OPC core.xml writes dc:creator "fixture"
+      (0L, DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x"))),
+        coreTitle = Some("T")), "fixture"),
+      // ODF meta.xml writes dc:creator "odf author"
+      (1L, OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T("x"))),
+        metaTitle = Some("T")), "odf author"),
+      // EPUB OPF writes dc:creator "epub author"
+      (2L, EpubFixture.epub("B", Seq(
+        "c.xhtml" -> EpubFixture.xhtml("x"))), "epub author"),
+      (3L, PdfFixture.titledPdf("T", Seq("BT (x) Tj ET"),
+        author = Some("Ada Lovelace")), "Ada Lovelace"),
+      (4L, LegacyDocFixture.cfb(Seq(
+        "WordDocument" -> "stub".getBytes,
+        "\u0005SummaryInformation" -> LegacyDocFixture.summaryInfo(
+          "T", author = Some("Clippy's Ghost")))), "Clippy's Ghost"),
+      (5L, "{\\rtf1{\\info{\\author The RTF Author}}body\\par}"
+        .getBytes("ISO-8859-1"), "The RTF Author"),
+      (6L, ("<html><head><meta name=\"author\" content=\"Web Writer\">" +
+        "</head><body>x</body></html>").getBytes("UTF-8"), "Web Writer"),
+      (7L, ("From: =?UTF-8?B?Sm9zw6k=?= <j@b.c>\r\nTo: l@b.c\r\n\r\nbody")
+        .getBytes("UTF-8"), "José <j@b.c>"),
+      (8L, ("\\documentclass{article}\\author{A.\\emph{ }Student}" +
+        "\\begin{document}x\\end{document}").getBytes("UTF-8"),
+        "A. Student"),
+      (9L, "plain text, nobody signed it".getBytes("UTF-8"), "<none>"),
+      (10L, Array[Byte](0, 1, 2, 3, 4), "<none>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_author")
+      .coalesce(1).write.mode("overwrite").parquet(m60Dir)
+  }
+
   // -- m53 fixture: a ZIP release archive of mixed documents (JDK
   //    ZipOutputStream via EpubFixture.zip — independent of the
   //    reader's ZipInputStream walk): the dataset-release shape.
@@ -1468,6 +1507,18 @@ object MediaGateQueries {
           coalesce(DocumentProbe.textCol(col("content")),
             lit("<undecodable>")).as("text"))
         .orderBy("file", "member")
+    },
+
+    // -- m60: unified document AUTHORS — the m56 matrix's sibling;
+    //    expectations ride the fixture. ------------------------------
+    "m60_document_authors" -> { (s, _) =>
+      writeM60Fixture(s)
+      import graft.engine.read.DocumentProbe
+      s.read.parquet(m60Dir)
+        .select(col("doc_id"),
+          coalesce(DocumentProbe.authorCol(col("content")),
+            lit("<none>")).as("author"))
+        .orderBy("doc_id")
     },
 
     // -- m59: blank-user-password PDF decryption — owner-locked files
@@ -2071,6 +2122,10 @@ object MediaGateQueries {
          |ORDER BY file, member""".stripMargin
     },
     // Literal expectations ride the fixture.
+    "m60_document_authors" ->
+      s"""SELECT doc_id, exp_author AS author
+         |FROM read_parquet('$m60Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m59_pdf_blank_password" ->
       s"""SELECT doc_id, exp_text AS text, exp_title AS title,
          |  exp_encrypted AS encrypted

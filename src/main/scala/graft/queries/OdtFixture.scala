@@ -87,7 +87,8 @@ object OdtFixture {
        |<office:document-meta xmlns:office="$OfficeNs"
        |    xmlns:dc="http://purl.org/dc/elements/1.1/"
        |    office:version="1.2">
-       |  <office:meta><dc:title>${escape(title)}</dc:title></office:meta>
+       |  <office:meta><dc:title>${escape(title)}</dc:title>
+       |  <dc:creator>odf author</dc:creator></office:meta>
        |</office:document-meta>""".stripMargin
 
   // ---- ODS / ODP siblings (r14) -------------------------------------

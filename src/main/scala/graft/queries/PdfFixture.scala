@@ -259,8 +259,11 @@ object PdfFixture {
     b.finishClassic(1)
   }
 
-  /** [[simplePdf]] plus a trailer `/Info` dict carrying `/Title`. */
-  def titledPdf(title: String, pageContents: Seq[String]): Array[Byte] = {
+  /** [[simplePdf]] plus a trailer `/Info` dict carrying `/Title`
+    * (and `/Author` when given).
+    */
+  def titledPdf(title: String, pageContents: Seq[String],
+                author: Option[String] = None): Array[Byte] = {
     val b = new Builder
     val n = pageContents.length
     val pageNums = (3 until 3 + n)
@@ -274,7 +277,8 @@ object PdfFixture {
     }
     b.add(fontNum, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
       " /Encoding /WinAnsiEncoding >>")
-    b.add(infoNum, s"<< /Title ${lit(title)} >>")
+    val authorPart = author.map(a => s" /Author ${lit(a)}").getOrElse("")
+    b.add(infoNum, s"<< /Title ${lit(title)}$authorPart >>")
     b.finishClassic(1, s"/Info $infoNum 0 R")
   }
 

@@ -342,4 +342,35 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(rows(1).getAs[String]("text") == "plain body")
     assert(rows(2).getAs[String]("format") == null) // inventory row
   }
+
+  test("document authors surface across every declaring format") {
+    import graft.queries.{LegacyDocFixture, OdtFixture, PdfFixture}
+    def au(b: Array[Byte]) = DocumentProbe.author(b)
+    assert(au(DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x"))),
+      coreTitle = Some("T"))).contains("fixture"))
+    assert(au(OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T("x"))),
+      metaTitle = Some("T"))).contains("odf author"))
+    assert(au(EpubFixture.epub("B", Seq(
+      "c.xhtml" -> EpubFixture.xhtml("x")))).contains("epub author"))
+    assert(au(PdfFixture.titledPdf("T", Seq("BT (x) Tj ET"),
+      author = Some("Ada Lovelace"))).contains("Ada Lovelace"))
+    assert(au(LegacyDocFixture.cfb(Seq(
+      "WordDocument" -> "stub".getBytes,
+      "\u0005SummaryInformation" -> LegacyDocFixture.summaryInfo(
+        "T", author = Some("Legacy Author")))))
+      .contains("Legacy Author"))
+    assert(au("{\\rtf1{\\info{\\author The RTF Author}}x\\par}"
+      .getBytes("ISO-8859-1")).contains("The RTF Author"))
+    assert(au(("<html><head><meta content=\"Rev Writer\" " +
+      "name=\"author\"></head><body>x</body></html>").getBytes("UTF-8"))
+      .contains("Rev Writer")) // reversed attribute order
+    assert(au(("From: a@b.c\r\nTo: l@b.c\r\n\r\nbody").getBytes("UTF-8"))
+      .contains("a@b.c"))
+    assert(au(("\\documentclass{x}\\author{A. Student}" +
+      "\\begin{document}x\\end{document}").getBytes("UTF-8"))
+      .contains("A. Student"))
+    assert(au("nobody signed this".getBytes).isEmpty)
+    assert(au(Array[Byte](0, 1, 2)).isEmpty)
+    assert(au(null).isEmpty)
+  }
 }
