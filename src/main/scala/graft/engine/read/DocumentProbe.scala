@@ -483,9 +483,9 @@ object DocumentProbe {
   }
 
   /** One-call corpus reader: a path glob of MIXED document files →
-    * `(path, length, format, title, text)` — binaryFile scan + the
-    * magic-routed probe, nothing else to wire. Undecodable rows keep
-    * their inventory row with NULL format/text (filter on
+    * `(path, length, format, title, author, text)` — binaryFile scan
+    * + the magic-routed probe, nothing else to wire. Undecodable rows
+    * keep their inventory row with NULL format/text (filter on
     * `format IS NOT NULL` for the quality stance).
     */
   def scan(spark: org.apache.spark.sql.SparkSession,
@@ -497,6 +497,8 @@ object DocumentProbe {
           .as("format"),
         titleCol(org.apache.spark.sql.functions.col("content"))
           .as("title"),
+        authorCol(org.apache.spark.sql.functions.col("content"))
+          .as("author"),
         textCol(org.apache.spark.sql.functions.col("content"))
           .as("text"))
 
