@@ -88,6 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.documentText)
     ext.injectFunction(GraftExtensions.documentTitle)
     ext.injectFunction(GraftExtensions.documentAuthor)
+    ext.injectFunction(GraftExtensions.documentDate)
     ext.injectFunction(GraftExtensions.latexToText)
     ext.injectFunction(GraftExtensions.wikitextToText)
   }
@@ -334,6 +335,16 @@ object GraftExtensions {
         "when absent or unrecognized.",
       classOf[graft.functions.DocumentAuthor],
       graft.functions.DocumentAuthor(_))
+
+  val documentDate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("document_date",
+      "document_date(bytes) - the document's DECLARED creation date " +
+        "(OLEPS VT_FILETIME / PDF D: / RTF creatim normalized to " +
+        "ISO-8601; OPC dcterms:created / ODF creation-date / EPUB " +
+        "dc:date / mail Date / html article:published_time / latex " +
+        "\\date as declared); NULL when absent.",
+      classOf[graft.functions.DocumentDate],
+      graft.functions.DocumentDate(_))
 
   val documentText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("document_text",
@@ -717,6 +728,7 @@ object GraftExtensions {
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, pptxText, emlText, odsText, odpText,
       documentFormat, documentText, documentTitle, documentAuthor,
+      documentDate,
       latexToText, wikitextToText).foreach {
       case (id, inf, builder) =>
         registry.registerFunction(id, inf, builder)

@@ -207,6 +207,98 @@ object DocumentProbe {
     }
   }
 
+  /** Unified document DATE — the metadata triple's third leg, the
+    * temporal-filtering key a training pipeline cuts corpora on.
+    * Binary formats normalize to ISO-8601 (OLEPS VT_FILETIME, the
+    * PDF `D:YYYYMMDDHHmmSS` form, RTF `{\creatim\yrN\moN\dyN…}`);
+    * text declarations return as DECLARED (OPC `dcterms:created`,
+    * ODF `meta:creation-date`, EPUB `dc:date`, the mail Date header,
+    * html `article:published_time`, latex `\date{…}`) — parsing
+    * free-text dates is the caller's policy, not the probe's.
+    */
+  def date(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) return None
+    if (startsWith(bytes, "{\\rtf")) return rtfCreated(bytes)
+    if (Ole2.isCfb(bytes))
+      return Ole2.streams(bytes).flatMap(f =>
+        f.get(Oleps.SummaryStream).flatMap(Oleps.properties)
+          .flatMap(_.get(Oleps.PidCreated)))
+    if (bytes(0) == 'P' && bytes(1) == 'K') {
+      val files = ZipRead.entries(bytes,
+        Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries) match {
+        case Some(f) => f
+        case None    => return None
+      }
+      return zipKind(files) match {
+        case "epub" => Epub.opfField(files, "date")
+        case "odt" | "ods" | "odp" | "odf-other" =>
+          dcField(files, "meta.xml", "creation-date")
+        case _ => dcField(files, "docProps/core.xml", "created")
+      }
+    }
+    val pdfDate = Pdf.meta(bytes).map(_.created)
+    if (pdfDate.isDefined) return pdfDate.get.map(pdfDateToIso)
+    htmlOrText(bytes, wantText = false)._1.map(_.format) match {
+      case Some("html") =>
+        val decoded = Warc.decodeText(bytes, null)
+        val re1 = ("(?is)<meta\\s[^>]*property\\s*=\\s*[\"']?" +
+          "article:published_time[\"']?[^>]*content\\s*=\\s*" +
+          "[\"']([^\"'>]*)[\"']").r
+        val re2 = ("(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
+          "[^>]*property\\s*=\\s*[\"']?article:published_time[\"']?").r
+        re1.findFirstMatchIn(decoded).orElse(re2.findFirstMatchIn(decoded))
+          .map(_.group(1).trim).filter(_.nonEmpty)
+      case Some("eml") =>
+        decodeStrictUtf8(bytes).flatMap(Mail.parseEmlString)
+          .map(_.date).map(_.trim).filter(_.nonEmpty)
+      case Some("latex") =>
+        decodeStrictUtf8(bytes).flatMap(latexCommand(_, "date"))
+      case _ => None
+    }
+  }
+
+  /** `D:YYYYMMDDHHmmSS[offset]` → ISO-8601-ish; anything that does
+    * not match returns as declared.
+    */
+  private def pdfDateToIso(d: String): String = {
+    val m = """D:(\d{4})(\d{2})(\d{2})(\d{2})?(\d{2})?(\d{2})?""".r
+      .findFirstMatchIn(d)
+    m match {
+      case Some(g) =>
+        val date = s"${g.group(1)}-${g.group(2)}-${g.group(3)}"
+        val time = Option(g.group(4)).map { h =>
+          s"T$h:${Option(g.group(5)).getOrElse("00")}:" +
+            s"${Option(g.group(6)).getOrElse("00")}"
+        }.getOrElse("")
+        date + time
+      case None => d
+    }
+  }
+
+  /** RTF `{\info{\creatim\yrN\moN\dyN[\hrN\minN]}}` → ISO-8601. */
+  private def rtfCreated(bytes: Array[Byte]): Option[String] = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("{\\rtf")) return None
+    val info = s.indexOf("{\\info")
+    if (info < 0) return None
+    val at = s.indexOf("{\\creatim", info)
+    if (at < 0) return None
+    val end = s.indexOf('}', at)
+    if (end < 0) return None
+    val span = s.substring(at, end)
+    def field(name: String): Option[Int] =
+      ("\\\\" + name + "(\\d+)").r.findFirstMatchIn(span)
+        .map(_.group(1).toInt)
+    for {
+      yr <- field("yr")
+      mo <- field("mo")
+      dy <- field("dy")
+    } yield f"$yr%04d-$mo%02d-$dy%02d" + (field("hr") match {
+      case Some(h) => f"T$h%02d:${field("min").getOrElse(0)}%02d:00"
+      case None    => ""
+    })
+  }
+
   /** The single-parse core: classify, and extract text when asked. */
   private def dispatch(bytes: Array[Byte],
                        wantText: Boolean = false): (Option[DocMeta], Option[String]) = {
@@ -511,6 +603,11 @@ object DocumentProbe {
 
   /** Declared document author; NULL when absent or unrecognized. */
   def authorCol(bytesCol: Column): Column = authorUdf(bytesCol)
+
+  private val dateUdf = udf { (bytes: Array[Byte]) => date(bytes) }
+
+  /** Declared creation date; NULL when absent or unrecognized. */
+  def dateCol(bytesCol: Column): Column = dateUdf(bytesCol)
 
   private val formatUdf = udf { (bytes: Array[Byte]) =>
     probe(bytes).map(_.format)

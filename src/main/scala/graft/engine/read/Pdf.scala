@@ -65,7 +65,8 @@ object Pdf {
     */
   final case class Meta(version: String, nPages: Int, encrypted: Boolean,
                         title: Option[String] = None,
-                        author: Option[String] = None)
+                        author: Option[String] = None,
+                        created: Option[String] = None)
 
   val DefaultMaxStreamBytes: Int = 64 << 20
 
@@ -1520,7 +1521,8 @@ object Pdf {
         }
       } catch { case _: Bail | _: Exception => None }
     Some(Meta(version, nPages, doc.encrypted,
-      infoString("Title"), infoString("Author")))
+      infoString("Title"), infoString("Author"),
+      infoString("CreationDate")))
   }
 
   /** PDF text-string decode: UTF-16BE when BOM'd, else the

@@ -345,6 +345,22 @@ case class DocumentAuthor(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `document_date(bytes)` → string —
+  * [[graft.engine.read.DocumentProbe.date]]: the document's DECLARED
+  * creation date (binary forms — OLEPS VT_FILETIME, PDF D:, RTF
+  * creatim — normalized to ISO-8601; text declarations as declared);
+  * NULL when absent or unrecognized.
+  */
+case class DocumentDate(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "document_date"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.DocumentProbe.date(bytes)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `document_text(bytes)` → string —
   * [[graft.engine.read.DocumentProbe.extractText]]: body text with
   * the extractor AUTO-ROUTED from the payload magic; NULL when

@@ -61,14 +61,20 @@ object DocxFixture {
         coreTitle.map(t => "docProps/core.xml" -> coreXml(t).getBytes(UTF_8)) :+
         (docPath -> documentXml(paras).getBytes(UTF_8)))
 
-  /** OPC core properties (ECMA-376 Part 2) with a dc:title. */
-  def coreXml(title: String): String =
+  /** OPC core properties (ECMA-376 Part 2): dc:title, dc:creator
+    * and dcterms:created.
+    */
+  def coreXml(title: String,
+              created: String = "2024-05-01T10:00:00Z"): String =
     s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
        |<cp:coreProperties
        |    xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties"
-       |    xmlns:dc="http://purl.org/dc/elements/1.1/">
+       |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+       |    xmlns:dcterms="http://purl.org/dc/terms/"
+       |    xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
        |  <dc:title>${escape(title)}</dc:title>
        |  <dc:creator>fixture</dc:creator>
+       |  <dcterms:created xsi:type="dcterms:W3CDTF">$created</dcterms:created>
        |</cp:coreProperties>""".stripMargin
 
   /** A single-row, two-cell table — cells hold ordinary paragraphs. */

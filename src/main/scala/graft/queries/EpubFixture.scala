@@ -50,6 +50,7 @@ object EpubFixture {
          |  <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
          |    <dc:title>$title</dc:title>
          |    <dc:creator>epub author</dc:creator>
+         |    <dc:date>2022-02-02</dc:date>
          |    <dc:identifier id="uid">fixture-book</dc:identifier>
          |  </metadata>
          |  <manifest>

@@ -303,7 +303,8 @@ object LegacyDocFixture {
     */
   def summaryInfo(title: String, wide: Boolean = false,
                   codepage: Int = 1252,
-                  author: Option[String] = None): Array[Byte] = {
+                  author: Option[String] = None,
+                  createdIso: Option[String] = None): Array[Byte] = {
     val titleBytes =
       if (wide) title.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
       else title.getBytes(java.nio.charset.Charset.forName("windows-" + codepage))
@@ -336,23 +337,37 @@ object LegacyDocFixture {
       authorProp.write(ab, 0, ab.length)
       authorProp.write(0)
     }
-    val nProps = if (author.isDefined) 3 else 2
+    val createdProp = new java.io.ByteArrayOutputStream()
+    createdIso.foreach { iso =>
+      val ticks = (java.time.Instant.parse(iso).toEpochMilli +
+        11644473600000L) * 10000L
+      w32(createdProp, 64L) // VT_FILETIME
+      w32(createdProp, ticks & 0xFFFFFFFFL)
+      w32(createdProp, (ticks >>> 32) & 0xFFFFFFFFL)
+    }
+    val nProps = 2 + (if (author.isDefined) 1 else 0) +
+      (if (createdIso.isDefined) 1 else 0)
     val secHeader = 8 + nProps * 8 // size+count, (id, offset) pairs
     val cpOff = secHeader
     val titleOff = cpOff + cpProp.size()
     val authorOff = titleOff + titleProp.size()
+    val createdOff = authorOff + authorProp.size()
     val section = new java.io.ByteArrayOutputStream()
     w32(section, (secHeader + cpProp.size() + titleProp.size() +
-      authorProp.size()).toLong)
+      authorProp.size() + createdProp.size()).toLong)
     w32(section, nProps.toLong)
     w32(section, 1L); w32(section, cpOff.toLong) // PID_CODEPAGE
     w32(section, 2L); w32(section, titleOff.toLong) // PIDSI_TITLE
     if (author.isDefined) {
       w32(section, 4L); w32(section, authorOff.toLong) // PIDSI_AUTHOR
     }
+    if (createdIso.isDefined) {
+      w32(section, 12L); w32(section, createdOff.toLong) // PIDSI_CREATE_DTM
+    }
     section.write(cpProp.toByteArray, 0, cpProp.size())
     section.write(titleProp.toByteArray, 0, titleProp.size())
     section.write(authorProp.toByteArray, 0, authorProp.size())
+    section.write(createdProp.toByteArray, 0, createdProp.size())
 
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFE); out.write(0xFF) // byte order mark, LE "FFFE"

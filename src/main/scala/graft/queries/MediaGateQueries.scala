@@ -1326,6 +1326,46 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m60Dir)
   }
 
+  // -- m61 fixture: declared creation DATES — the metadata triple's
+  //    third leg (temporal corpus filtering): binary forms normalize
+  //    to ISO-8601 (OLEPS VT_FILETIME, PDF D:, RTF creatim), text
+  //    declarations pass through as declared.
+  private val m61Dir = "/tmp/graft_gate_m61_dates"
+
+  private def writeM61Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      (0L, DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x"))),
+        coreTitle = Some("T")), "2024-05-01T10:00:00Z"),
+      (1L, OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T("x"))),
+        metaTitle = Some("T")), "2023-03-03T09:00:00"),
+      (2L, EpubFixture.epub("B", Seq(
+        "c.xhtml" -> EpubFixture.xhtml("x"))), "2022-02-02"),
+      (3L, PdfFixture.titledPdf("T", Seq("BT (x) Tj ET"),
+        created = Some("D:20240102030405+00'00'")), "2024-01-02T03:04:05"),
+      (4L, LegacyDocFixture.cfb(Seq(
+        "WordDocument" -> "stub".getBytes,
+        "\u0005SummaryInformation" -> LegacyDocFixture.summaryInfo(
+          "T", createdIso = Some("2020-06-01T00:00:00Z")))),
+        "2020-06-01T00:00:00Z"),
+      (5L, ("{\\rtf1{\\info{\\creatim\\yr2019\\mo7\\dy15\\hr8\\min30}}" +
+        "x\\par}").getBytes("ISO-8859-1"), "2019-07-15T08:30:00"),
+      (6L, ("<html><head><meta property=\"article:published_time\" " +
+        "content=\"2021-09-09T12:00:00+02:00\"></head>" +
+        "<body>x</body></html>").getBytes("UTF-8"),
+        "2021-09-09T12:00:00+02:00"),
+      (7L, ("From: a@b.c\r\nTo: l@b.c\r\n" +
+        "Date: Mon, 01 Apr 2024 10:00:00 +0000\r\n\r\nbody")
+        .getBytes("UTF-8"), "Mon, 01 Apr 2024 10:00:00 +0000"),
+      (8L, ("\\documentclass{x}\\date{January 2024}" +
+        "\\begin{document}x\\end{document}").getBytes("UTF-8"),
+        "January 2024"),
+      (9L, "undated plain text".getBytes("UTF-8"), "<none>"),
+      (10L, Array[Byte](0, 1, 2, 3, 4), "<none>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_date")
+      .coalesce(1).write.mode("overwrite").parquet(m61Dir)
+  }
+
   // -- m53 fixture: a ZIP release archive of mixed documents (JDK
   //    ZipOutputStream via EpubFixture.zip — independent of the
   //    reader's ZipInputStream walk): the dataset-release shape.
@@ -1507,6 +1547,19 @@ object MediaGateQueries {
           coalesce(DocumentProbe.textCol(col("content")),
             lit("<undecodable>")).as("text"))
         .orderBy("file", "member")
+    },
+
+    // -- m61: unified creation DATES — binary forms normalize to
+    //    ISO-8601, text declarations pass through; expectations ride
+    //    the fixture. ------------------------------------------------
+    "m61_document_dates" -> { (s, _) =>
+      writeM61Fixture(s)
+      import graft.engine.read.DocumentProbe
+      s.read.parquet(m61Dir)
+        .select(col("doc_id"),
+          coalesce(DocumentProbe.dateCol(col("content")),
+            lit("<none>")).as("created"))
+        .orderBy("doc_id")
     },
 
     // -- m60: unified document AUTHORS — the m56 matrix's sibling;
@@ -2122,6 +2175,10 @@ object MediaGateQueries {
          |ORDER BY file, member""".stripMargin
     },
     // Literal expectations ride the fixture.
+    "m61_document_dates" ->
+      s"""SELECT doc_id, exp_date AS created
+         |FROM read_parquet('$m61Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m60_document_authors" ->
       s"""SELECT doc_id, exp_author AS author
          |FROM read_parquet('$m60Dir/*.parquet')

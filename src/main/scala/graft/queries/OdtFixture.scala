@@ -81,14 +81,17 @@ object OdtFixture {
         metaTitle.map(t => "meta.xml" -> metaXml(t).getBytes(UTF_8)) :+
         ("content.xml" -> contentXml(bodyElems).getBytes(UTF_8)))
 
-  /** ODF meta.xml with a dc:title. */
+  /** ODF meta.xml: dc:title, dc:creator and meta:creation-date. */
   def metaXml(title: String): String =
     s"""<?xml version="1.0" encoding="UTF-8"?>
        |<office:document-meta xmlns:office="$OfficeNs"
        |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+       |    xmlns:meta="urn:oasis:names:tc:opendocument:xmlns:meta:1.0"
        |    office:version="1.2">
        |  <office:meta><dc:title>${escape(title)}</dc:title>
-       |  <dc:creator>odf author</dc:creator></office:meta>
+       |  <dc:creator>odf author</dc:creator>
+       |  <meta:creation-date>2023-03-03T09:00:00</meta:creation-date>
+       |  </office:meta>
        |</office:document-meta>""".stripMargin
 
   // ---- ODS / ODP siblings (r14) -------------------------------------

@@ -263,7 +263,8 @@ object PdfFixture {
     * (and `/Author` when given).
     */
   def titledPdf(title: String, pageContents: Seq[String],
-                author: Option[String] = None): Array[Byte] = {
+                author: Option[String] = None,
+                created: Option[String] = None): Array[Byte] = {
     val b = new Builder
     val n = pageContents.length
     val pageNums = (3 until 3 + n)
@@ -278,7 +279,8 @@ object PdfFixture {
     b.add(fontNum, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
       " /Encoding /WinAnsiEncoding >>")
     val authorPart = author.map(a => s" /Author ${lit(a)}").getOrElse("")
-    b.add(infoNum, s"<< /Title ${lit(title)}$authorPart >>")
+    val createdPart = created.map(c => s" /CreationDate ${lit(c)}").getOrElse("")
+    b.add(infoNum, s"<< /Title ${lit(title)}$authorPart$createdPart >>")
     b.finishClassic(1, s"/Info $infoNum 0 R")
   }
 

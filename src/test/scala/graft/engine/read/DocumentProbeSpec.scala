@@ -373,4 +373,29 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(au(Array[Byte](0, 1, 2)).isEmpty)
     assert(au(null).isEmpty)
   }
+
+  test("creation dates: binary forms normalize to ISO, text passes through") {
+    import graft.queries.{LegacyDocFixture, OdtFixture, PdfFixture}
+    def dt(b: Array[Byte]) = DocumentProbe.date(b)
+    assert(dt(DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x"))),
+      coreTitle = Some("T"))).contains("2024-05-01T10:00:00Z"))
+    assert(dt(OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T("x"))),
+      metaTitle = Some("T"))).contains("2023-03-03T09:00:00"))
+    assert(dt(PdfFixture.titledPdf("T", Seq("BT (x) Tj ET"),
+      created = Some("D:20240102030405+00'00'")))
+      .contains("2024-01-02T03:04:05"))
+    assert(dt(LegacyDocFixture.cfb(Seq(
+      "WordDocument" -> "stub".getBytes,
+      "\u0005SummaryInformation" -> LegacyDocFixture.summaryInfo(
+        "T", createdIso = Some("2020-06-01T00:00:00Z")))))
+      .contains("2020-06-01T00:00:00Z"))
+    assert(dt(("{\\rtf1{\\info{\\creatim\\yr2019\\mo7\\dy15" +
+      "\\hr8\\min30}}x\\par}").getBytes("ISO-8859-1"))
+      .contains("2019-07-15T08:30:00"))
+    assert(dt(("From: a@b.c\r\nDate: Mon, 01 Apr 2024 10:00:00 +0000" +
+      "\r\n\r\nbody").getBytes("UTF-8"))
+      .contains("Mon, 01 Apr 2024 10:00:00 +0000"))
+    assert(dt("undated text".getBytes).isEmpty)
+    assert(dt(null).isEmpty)
+  }
 }
