@@ -669,6 +669,31 @@ object Pdf {
       }
     }
 
+    /** recover() fetches — and caches — every object BEFORE a file
+      * key can exist (the trailer it needs is assembled during that
+      * same pass). Once the blank password verifies, those cached
+      * parses are ciphertext: strings undecrypted, ObjStm membership
+      * read from encrypted stream bytes. Drop both caches and rebuild
+      * the ObjStm expansion with decryption on, so every post-key
+      * fetch serves plaintext. No-op until a key exists.
+      */
+    def invalidateAfterKey(): Unit = if (cryptBase.isDefined) {
+      cache.clear(); objStmCache.clear()
+      inStream.clear()
+      offsets.keys.toSeq.sorted.foreach { n =>
+        try {
+          fetch(n) match {
+            case PStream(d, _)
+              if d.m.get("Type").contains(PName("ObjStm")) =>
+              objStmObjects(n).keys.foreach { k =>
+                if (!offsets.contains(k)) inStream(k) = (n, 0)
+              }
+            case _ => ()
+          }
+        } catch { case _: Bail | _: Exception => () }
+      }
+    }
+
     /** Decrypt every string INSIDE one fetched object (type-1 path
       * only — ObjStm members ride their container's decryption).
       */
@@ -1397,16 +1422,20 @@ object Pdf {
       if (hdrOff == 0) bytes
       else java.util.Arrays.copyOfRange(bytes, hdrOff, bytes.length)
     val doc = new Doc(body, maxStreamBytes)
+    var recovered = false
     try doc.load()
     catch {
       case _: Bail | _: Exception =>
-        try doc.recover()
+        try { doc.recover(); recovered = true }
         catch { case _: Bail | _: Exception => return None }
     }
     // blank-user-password decryption (when it verifies) configures
-    // BEFORE any content fetch so cached objects decrypt uniformly
+    // BEFORE any content fetch so cached objects decrypt uniformly.
+    // When RECOVERY ran first it already fetched-and-cached every
+    // object pre-key — invalidate so ciphertext parses never serve.
     try doc.configureDecryption()
     catch { case _: Bail | _: Exception => () }
+    if (recovered) doc.invalidateAfterKey()
     // a table that loaded but cannot reach a catalog (lying startxref,
     // shifted offsets) gets the same recovery pass
     if (!doc.hasCatalog) {
@@ -1414,6 +1443,7 @@ object Pdf {
       catch { case _: Bail | _: Exception => return None }
       try doc.configureDecryption()
       catch { case _: Bail | _: Exception => () }
+      doc.invalidateAfterKey()
       if (!doc.hasCatalog && !doc.encrypted) return None
     }
     Some(doc)

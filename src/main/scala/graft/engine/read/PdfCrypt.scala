@@ -10,9 +10,12 @@ package graft.engine.read
   *
   * Covered: revisions 2–4 — RC4 40–128 bit (V1/V2) and AES-128-CBC
   * (V4 `/CFM /AESV2`, per-object `sAlT` salt, leading IV, PKCS#5
-  * padding). Revision 5/6 (AES-256) is NOT attempted. MD5/AES come
-  * from the JDK; RC4 is the spec's 20-line key-schedule, written
-  * here.
+  * padding) — plus revisions 5/6 (V5 AES-256): the /U validation
+  * salt hash (R6 with the hardened ISO 32000-2 §7.6.4.3.4 2.B
+  * iteration) validates the blank password and /UE unwraps the file
+  * key, which V5 uses directly for every object (no per-object
+  * derivation). MD5/SHA/AES come from the JDK; RC4 is the spec's
+  * 20-line key-schedule, written here.
   */
 private[read] object PdfCrypt {
 

@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   * no mid-file sync marker, so the FILE is the natural split unit;
   * size caps bound task memory — the WebDataset norm keeps shards
   * 100 MB–1 GB), then ONE kernel walk explodes members as rows.
-  * `.tar.gz`/`.tgz` payloads gunzip first (magic-detected, capped).
+  * `.tar.gz`/`.tgz`, `.tar.zst` (RFC 8878) and `.tar.bz2` payloads
+  * decompress first (magic-detected, output-capped).
   * Compose with [[DocumentProbe]] for text:
   * {{{
   *   Tar.members(spark, "/corpora/arxiv/&#42;.tar")
@@ -50,11 +51,19 @@ object Tar {
     var v = 0L
     var i = off
     val end = off + len
-    // GNU base-256 extension: high bit of the first byte set
+    // GNU base-256 extension: high bit of the first byte set.
+    // 12 bytes can encode 95 bits — more than a Long — and a hostile
+    // size must not wrap negative (a negative/absurd size would walk
+    // `pos` backwards and index the buffer below zero). Saturate to -1
+    // so the caller's `size < 0` guard ends the walk on the row.
     if ((b(off) & 0x80) != 0) {
       v = (b(off) & 0x7F).toLong
       i += 1
-      while (i < end) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+      while (i < end) {
+        if (v > (Long.MaxValue >> 8)) return -1L
+        v = (v << 8) | (b(i) & 0xFF)
+        i += 1
+      }
       return v
     }
     var seen = false
@@ -125,6 +134,13 @@ object Tar {
   /** Walk a tar buffer into its regular-file members. None when the
     * buffer is not a tar at all (no valid first header); a torn tail
     * ends the walk with the members read so far.
+    *
+    * All offset arithmetic stays in Long: a hostile GNU base-256 size
+    * (e.g. 0x80000000) must not wrap `pos` negative and index the
+    * buffer below zero — it just advances past the end, which is the
+    * torn-tail exit. As a final backstop any exception inside the
+    * walk returns the members read so far: the contract is "a bad
+    * archive fails the ROW, never the executor".
     */
   def parse(bytes: Array[Byte],
             maxMemberBytes: Long = DefaultMaxMemberBytes,
@@ -132,74 +148,103 @@ object Tar {
             maxMembers: Int = DefaultMaxMembers): Option[Seq[Member]] = {
     if (bytes == null || bytes.length < 512) return None
     val out = scala.collection.mutable.ArrayBuffer.empty[Member]
-    var pos = 0
+    var pos = 0L
     var total = 0L
     var pendingName: Option[String] = None // GNU 'L' / PAX path=
     var sawHeader = false
-    while (pos + 512 <= bytes.length) {
-      if (isZeroBlock(bytes, pos)) return if (sawHeader) Some(out.toSeq) else None
-      if (!checksumOk(bytes, pos)) return if (sawHeader) Some(out.toSeq) else None
-      val size = parseOctal(bytes, pos + 124, 12)
-      if (size < 0) return if (sawHeader) Some(out.toSeq) else None
-      val typeflag = bytes(pos + 156)
-      val dataStart = pos + 512
-      val dataEnd = math.min(bytes.length.toLong, dataStart + size).toInt
-      val blocks = ((size + 511) / 512) * 512
-      sawHeader = true
+    def done: Option[Seq[Member]] = if (sawHeader) Some(out.toSeq) else None
+    try {
+      while (pos + 512 <= bytes.length) {
+        val hp = pos.toInt // safe: pos + 512 <= bytes.length <= Int.Max
+        if (isZeroBlock(bytes, hp)) return done
+        if (!checksumOk(bytes, hp)) return done
+        val size = parseOctal(bytes, hp + 124, 12)
+        if (size < 0) return done
+        val typeflag = bytes(hp + 156)
+        val dataStart = hp + 512
+        val dataEnd = math.min(bytes.length.toLong, dataStart + size).toInt
+        val blocks = ((size + 511) / 512) * 512
+        sawHeader = true
 
-      typeflag match {
-        case 'L' => // GNU longname: data is the NEXT entry's name
-          if (size <= (1 << 16))
-            pendingName = Some(cstr(bytes, dataStart, dataEnd - dataStart))
-        case 'x' => // PAX per-entry header
-          if (size <= (1 << 20)) {
-            val pax = parsePax(
-              java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
-            pax.get("path").foreach(p => pendingName = Some(p))
-          }
-        case 'g' | 'K' => () // global PAX / GNU longlink: structural
-        case '0' | 0 => // regular file (old writers use NUL)
-          if (out.length >= maxMembers) return Some(out.toSeq)
-          val name = pendingName.getOrElse {
-            val base = cstr(bytes, pos, 100)
-            val prefix = cstr(bytes, pos + 345, 155)
-            if (prefix.nonEmpty) prefix + "/" + base else base
-          }
-          pendingName = None
-          if (size <= maxMemberBytes && name.nonEmpty) {
-            val take = math.min(size, (dataEnd - dataStart).toLong).toInt
-            total += take
-            if (total > maxTotalBytes) return Some(out.toSeq)
-            out += Member(name, size,
-              java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + take))
-          }
-        case _ => // dirs, links, devices: structural, no payload kept
-          pendingName = None
+        typeflag match {
+          case 'L' => // GNU longname: data is the NEXT entry's name
+            if (size <= (1 << 16))
+              pendingName = Some(cstr(bytes, dataStart, dataEnd - dataStart))
+          case 'x' => // PAX per-entry header
+            if (size <= (1 << 20)) {
+              val pax = parsePax(
+                java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+              pax.get("path").foreach(p => pendingName = Some(p))
+            }
+          case 'g' | 'K' => () // global PAX / GNU longlink: structural
+          case '0' | 0 => // regular file (old writers use NUL)
+            if (out.length >= maxMembers) return Some(out.toSeq)
+            val name = pendingName.getOrElse {
+              val base = cstr(bytes, hp, 100)
+              val prefix = cstr(bytes, hp + 345, 155)
+              if (prefix.nonEmpty) prefix + "/" + base else base
+            }
+            pendingName = None
+            if (size <= maxMemberBytes && name.nonEmpty) {
+              val take = math.min(size, (dataEnd - dataStart).toLong).toInt
+              total += take
+              if (total > maxTotalBytes) return Some(out.toSeq)
+              out += Member(name, size,
+                java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + take))
+            }
+          case _ => // dirs, links, devices: structural, no payload kept
+            pendingName = None
+        }
+        pos = dataStart.toLong + blocks
       }
-      pos = dataStart + blocks.toInt
-    }
-    if (sawHeader) Some(out.toSeq) else None
+      done
+    } catch { case _: Exception => done }
   }
 
-  /** Gunzip when the payload leads with the gzip magic (`.tar.gz`),
-    * capped; otherwise the bytes unchanged.
+  /** Decompress when the payload leads with a known compression magic
+    * — gzip `1F 8B` (`.tar.gz`/`.tgz`), zstd `28 B5 2F FD` (RFC 8878,
+    * the Common-Crawl-derivative norm for `.tar.zst`), bzip2 `BZh1-9`
+    * (`.tar.bz2`, the classic academic-mirror format) — capped at
+    * `cap` output bytes (bomb guard); otherwise the bytes unchanged.
+    * A torn stream keeps whatever decompressed cleanly: the walk then
+    * ends at the torn tail, the crawl posture.
     */
-  private[read] def maybeGunzipped(bytes: Array[Byte], cap: Long): Array[Byte] = {
-    if (bytes == null || bytes.length < 2 ||
-      (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B) return bytes
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](64 << 10)
-    try {
-      var r = in.read(buf)
-      while (r >= 0 && out.size < cap) {
-        out.write(buf, 0, math.min(r.toLong, cap - out.size).toInt)
-        r = in.read(buf)
-      }
-    } catch { case _: Exception => () } // torn gzip: bytes present win
-    finally in.close()
-    out.toByteArray
+  private[read] def maybeDecompressed(bytes: Array[Byte], cap: Long): Array[Byte] = {
+    if (bytes == null || bytes.length < 4) return bytes
+    val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
+    val b2 = bytes(2) & 0xFF; val b3 = bytes(3) & 0xFF
+    // constructors can ALSO throw on a torn leading block (bzip2
+    // decodes its first block eagerly) — a torn stream must fail the
+    // row, not the task, so construction rides the same guard
+    val mk: Option[java.io.InputStream] =
+      try {
+        if (b0 == 0x1F && b1 == 0x8B)
+          Some(new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+        else if (b0 == 0x28 && b1 == 0xB5 && b2 == 0x2F && b3 == 0xFD)
+          Some(new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+        else if (b0 == 'B' && b1 == 'Z' && b2 == 'h' && b3 >= '1' && b3 <= '9')
+          Some(new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+        else None
+      } catch { case _: Exception => return Array.emptyByteArray }
+    mk match {
+      case None => bytes
+      case Some(in) =>
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 << 10)
+        try {
+          var r = in.read(buf)
+          while (r >= 0 && out.size < cap) {
+            out.write(buf, 0, math.min(r.toLong, cap - out.size).toInt)
+            r = in.read(buf)
+          }
+        } catch { case _: Exception => () } // torn stream: bytes present win
+        finally in.close()
+        out.toByteArray
+    }
   }
 
   /** Archive glob → one row per regular-file member:
@@ -210,7 +255,7 @@ object Tar {
               maxMemberBytes: Long = DefaultMaxMemberBytes,
               maxTotalBytes: Long = DefaultMaxTotalBytes): DataFrame = {
     val explode0 = udf { (bytes: Array[Byte]) =>
-      parse(maybeGunzipped(bytes, maxTotalBytes),
+      parse(maybeDecompressed(bytes, maxTotalBytes),
         maxMemberBytes, maxTotalBytes)
         .map(_.map(m => (m.name, m.size, m.bytes)))
         .getOrElse(Seq.empty)
@@ -223,7 +268,7 @@ object Tar {
   }
 
   private val membersUdf = udf { (bytes: Array[Byte]) =>
-    parse(maybeGunzipped(bytes, DefaultMaxTotalBytes))
+    parse(maybeDecompressed(bytes, DefaultMaxTotalBytes))
       .map(_.map(m => (m.name, m.size, m.bytes)))
   }
 

@@ -317,6 +317,33 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.meta(aes).get.title.contains("AES Title"))
   }
 
+  test("xref recovery on an ENCRYPTED pdf serves plaintext, not " +
+    "the pre-key ciphertext cache") {
+    // recovery fetches-and-caches every object BEFORE the blank
+    // password can verify (the trailer is assembled in that pass);
+    // the key setup must invalidate those ciphertext parses
+    def breakXref(pdf: Array[Byte]): Array[Byte] = {
+      val s = new String(pdf, "ISO-8859-1")
+      val idx = s.lastIndexOf("startxref")
+      val lying = pdf.clone()
+      lying(idx + 10) = '7'; lying(idx + 11) = '\n'
+      lying
+    }
+    for (useAes <- Seq(false, true)) {
+      val pdf = breakXref(PdfFixture.stdEncryptedPdf(
+        "recovered secret body", "Recovered Title", aes = useAes))
+      assert(Pdf.extractText(pdf).map(_.text)
+        .contains("recovered secret body"))
+      val m = Pdf.meta(pdf).get
+      assert(!m.encrypted)
+      assert(m.title.contains("Recovered Title"))
+    }
+    // a REAL password through the same recovery path still refuses
+    val locked = breakXref(PdfFixture.stdEncryptedPdf(
+      "protected body", "T", userPw = "secret"))
+    assert(Pdf.extractText(locked).isEmpty)
+  }
+
   test("a REAL user password still refuses; so does the legacy stub") {
     val locked = PdfFixture.stdEncryptedPdf(
       "protected body", "T", userPw = "secret")
