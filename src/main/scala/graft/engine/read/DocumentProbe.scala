@@ -109,11 +109,7 @@ object DocumentProbe {
     val pdfTitle = Pdf.meta(bytes).map(_.title)
     if (pdfTitle.isDefined) return pdfTitle.get
     htmlOrText(bytes, wantText = false)._1.map(_.format) match {
-      case Some("html") =>
-        val decoded = Warc.decodeText(bytes, null)
-        "(?is)<title[^>]*>(.*?)</title>".r.findFirstMatchIn(decoded)
-          .map(m => graft.ops.TextAnalysis.htmlToTextKernel(m.group(1)))
-          .map(_.trim).filter(_.nonEmpty)
+      case Some("html") => htmlTitleFrom(Warc.decodeText(bytes, null))
       case Some("eml") =>
         decodeStrictUtf8(bytes).flatMap(Mail.parseEmlString)
           .map(_.subject).map(_.trim).filter(_.nonEmpty)
@@ -122,6 +118,11 @@ object DocumentProbe {
       case _ => None
     }
   }
+
+  private def htmlTitleFrom(decoded: String): Option[String] =
+    "(?is)<title[^>]*>(.*?)</title>".r.findFirstMatchIn(decoded)
+      .map(m => graft.ops.TextAnalysis.htmlToTextKernel(m.group(1)))
+      .map(_.trim).filter(_.nonEmpty)
 
   /** A Dublin-Core field from an XML package part (OPC core
     * properties / ODF meta.xml) — scala.xml matches by local name.
@@ -190,14 +191,7 @@ object DocumentProbe {
     val pdfAuthor = Pdf.meta(bytes).map(_.author)
     if (pdfAuthor.isDefined) return pdfAuthor.get
     htmlOrText(bytes, wantText = false)._1.map(_.format) match {
-      case Some("html") =>
-        val decoded = Warc.decodeText(bytes, null)
-        val re1 = ("(?is)<meta\\s[^>]*name\\s*=\\s*[\"']?author[\"']?" +
-          "[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']").r
-        val re2 = ("(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
-          "[^>]*name\\s*=\\s*[\"']?author[\"']?").r
-        re1.findFirstMatchIn(decoded).orElse(re2.findFirstMatchIn(decoded))
-          .map(_.group(1).trim).filter(_.nonEmpty)
+      case Some("html") => htmlAuthorFrom(Warc.decodeText(bytes, null))
       case Some("eml") =>
         decodeStrictUtf8(bytes).flatMap(Mail.parseEmlString)
           .map(_.from).map(_.trim).filter(_.nonEmpty)
@@ -205,6 +199,15 @@ object DocumentProbe {
         decodeStrictUtf8(bytes).flatMap(latexCommand(_, "author"))
       case _ => None
     }
+  }
+
+  private def htmlAuthorFrom(decoded: String): Option[String] = {
+    val re1 = ("(?is)<meta\\s[^>]*name\\s*=\\s*[\"']?author[\"']?" +
+      "[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']").r
+    val re2 = ("(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
+      "[^>]*name\\s*=\\s*[\"']?author[\"']?").r
+    re1.findFirstMatchIn(decoded).orElse(re2.findFirstMatchIn(decoded))
+      .map(_.group(1).trim).filter(_.nonEmpty)
   }
 
   /** Unified document DATE — the metadata triple's third leg, the
@@ -239,15 +242,7 @@ object DocumentProbe {
     val pdfDate = Pdf.meta(bytes).map(_.created)
     if (pdfDate.isDefined) return pdfDate.get.map(pdfDateToIso)
     htmlOrText(bytes, wantText = false)._1.map(_.format) match {
-      case Some("html") =>
-        val decoded = Warc.decodeText(bytes, null)
-        val re1 = ("(?is)<meta\\s[^>]*property\\s*=\\s*[\"']?" +
-          "article:published_time[\"']?[^>]*content\\s*=\\s*" +
-          "[\"']([^\"'>]*)[\"']").r
-        val re2 = ("(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
-          "[^>]*property\\s*=\\s*[\"']?article:published_time[\"']?").r
-        re1.findFirstMatchIn(decoded).orElse(re2.findFirstMatchIn(decoded))
-          .map(_.group(1).trim).filter(_.nonEmpty)
+      case Some("html") => htmlDateFrom(Warc.decodeText(bytes, null))
       case Some("eml") =>
         decodeStrictUtf8(bytes).flatMap(Mail.parseEmlString)
           .map(_.date).map(_.trim).filter(_.nonEmpty)
@@ -255,6 +250,16 @@ object DocumentProbe {
         decodeStrictUtf8(bytes).flatMap(latexCommand(_, "date"))
       case _ => None
     }
+  }
+
+  private def htmlDateFrom(decoded: String): Option[String] = {
+    val re1 = ("(?is)<meta\\s[^>]*property\\s*=\\s*[\"']?" +
+      "article:published_time[\"']?[^>]*content\\s*=\\s*" +
+      "[\"']([^\"'>]*)[\"']").r
+    val re2 = ("(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
+      "[^>]*property\\s*=\\s*[\"']?article:published_time[\"']?").r
+    re1.findFirstMatchIn(decoded).orElse(re2.findFirstMatchIn(decoded))
+      .map(_.group(1).trim).filter(_.nonEmpty)
   }
 
   /** `D:YYYYMMDDHHmmSS[offset]` → ISO-8601-ish; anything that does
@@ -396,8 +401,10 @@ object DocumentProbe {
     * skipped); `txt` when the bytes are strict UTF-8 with no binary
     * control characters. None otherwise.
     */
-  private def htmlOrText(bytes: Array[Byte],
-                         wantText: Boolean): (Option[DocMeta], Option[String]) = {
+  /** Leading `<!doctype`/`<html` after BOM + whitespace — the raw-HTML
+    * route's marker (shared by [[htmlOrText]] and [[inventory]]).
+    */
+  private def htmlLead(bytes: Array[Byte]): Boolean = {
     var i = 0
     if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
       (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF) i = 3
@@ -413,7 +420,12 @@ object DocumentProbe {
       }
       true
     }
-    if (leadsWith("<!doctype") || leadsWith("<html")) {
+    leadsWith("<!doctype") || leadsWith("<html")
+  }
+
+  private def htmlOrText(bytes: Array[Byte],
+                         wantText: Boolean): (Option[DocMeta], Option[String]) = {
+    if (htmlLead(bytes)) {
       val meta = Some(DocMeta("html", 0, encrypted = false))
       val text = if (wantText)
         Some(graft.ops.TextAnalysis.htmlToTextKernel(
@@ -574,25 +586,147 @@ object DocumentProbe {
     }
   }
 
+  /** The full per-document record off ONE container dispatch. */
+  final case class Inventory(format: Option[String],
+                             title: Option[String],
+                             author: Option[String],
+                             date: Option[String],
+                             text: Option[String])
+
+  private val EmptyInventory = Inventory(None, None, None, None, None)
+
+  /** Format + the metadata triple + text, sharing a SINGLE container
+    * parse per row (one CFB walk / ZIP inflate / PDF xref load / text
+    * decode — the dominant bill). This is [[scan]]'s kernel; the
+    * individual column functions stay for callers that want one
+    * field, but composing all four of them re-parses the container
+    * four times — use this (or [[scan]]) for inventories.
+    */
+  def inventory(bytes: Array[Byte]): Inventory = {
+    if (bytes == null || bytes.length < 4) return EmptyInventory
+    if (startsWith(bytes, "{\\rtf"))
+      return Inventory(Some("rtf"), Rtf.docTitle(bytes),
+        Rtf.docAuthor(bytes), rtfCreated(bytes),
+        Rtf.extractText(bytes).map(_.text))
+    if (Ole2.isCfb(bytes)) {
+      val files = Ole2.streams(bytes) match {
+        case Some(f) => f
+        case None    => return EmptyInventory
+      }
+      val kind = Ole2.classifyFrom(files)
+      val text = kind match {
+        case "doc" => Doc.extractFrom(files).map(_.text)
+        case "xls" => Xls.extractFrom(files).map(_.text)
+        case "ppt" => Ppt.extractFrom(files).map(_.text)
+        case _     => None
+      }
+      val props = files.get(Oleps.SummaryStream).flatMap(Oleps.properties)
+      return Inventory(Some(kind),
+        props.flatMap(_.get(Oleps.PidTitle)),
+        props.flatMap(_.get(Oleps.PidAuthor)),
+        props.flatMap(_.get(Oleps.PidCreated)),
+        text)
+    }
+    if (bytes(0) == 'P' && bytes(1) == 'K') {
+      val files = ZipRead.entries(bytes,
+        Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries) match {
+        case Some(f) => f
+        case None    => return EmptyInventory
+      }
+      val kind = zipKind(files)
+      val text = kind match {
+        case "odt"  => Odt.extractFrom(files).map(_.text)
+        case "ods"  => Ods.extractFrom(files).map(_.text)
+        case "odp"  => Odp.extractFrom(files).map(_.text)
+        case "docx" => Docx.extractFrom(files).map(_.text)
+        case "xlsx" => Xlsx.extractFrom(files).map(_.text)
+        case "pptx" => Pptx.extractFrom(files).map(_.text)
+        case "epub" =>
+          Epub.bookFrom(files).map(_.chapters
+            .map(graft.ops.TextAnalysis.htmlToTextKernel)
+            .mkString("\f").replaceAll("\\A +| +\\z", ""))
+        case _ => None // opc/zip/odf-other: classify-only
+      }
+      val (title, author, date) = kind match {
+        case "epub" =>
+          (Epub.bookFrom(files).map(_.title).map(_.trim).filter(_.nonEmpty),
+            Epub.opfField(files, "creator"),
+            Epub.opfField(files, "date"))
+        case "odt" | "ods" | "odp" | "odf-other" =>
+          (dcTitle(files, "meta.xml"),
+            dcField(files, "meta.xml", "creator"),
+            dcField(files, "meta.xml", "creation-date"))
+        case _ =>
+          (dcTitle(files, "docProps/core.xml"),
+            dcField(files, "docProps/core.xml", "creator"),
+            dcField(files, "docProps/core.xml", "created"))
+      }
+      return Inventory(Some(kind), title, author, date, text)
+    }
+    Pdf.meta(bytes) match {
+      case Some(m) =>
+        val text =
+          if (m.encrypted) None
+          else Pdf.extractText(bytes).map(_.text)
+        return Inventory(Some("pdf"), m.title, m.author,
+          m.created.map(pdfDateToIso), text)
+      case None => ()
+    }
+    if (htmlLead(bytes)) {
+      val decoded = Warc.decodeText(bytes, null)
+      return Inventory(Some("html"), htmlTitleFrom(decoded),
+        htmlAuthorFrom(decoded), htmlDateFrom(decoded),
+        Some(graft.ops.TextAnalysis.htmlToTextKernel(decoded)))
+    }
+    decodeStrictUtf8(bytes) match {
+      case Some(s) =>
+        if (looksEmail(s)) {
+          val msg = Mail.parseEmlString(s)
+          if (msg.isDefined)
+            return Inventory(Some("eml"),
+              msg.map(_.subject).map(_.trim).filter(_.nonEmpty),
+              msg.map(_.from).map(_.trim).filter(_.nonEmpty),
+              msg.map(_.date).map(_.trim).filter(_.nonEmpty),
+              msg.map(_.text))
+        }
+        if (looksLatex(s))
+          return Inventory(Some("latex"), latexTitle(s),
+            latexCommand(s, "author"), latexCommand(s, "date"),
+            Some(graft.ops.Latex.extractText(s).text))
+        Inventory(Some("txt"), None, None, None, Some(s))
+      case None => EmptyInventory
+    }
+  }
+
+  private val inventoryUdf = udf { (bytes: Array[Byte]) => inventory(bytes) }
+
+  /** `struct<format,title,author,date,text>` off one container parse
+    * per row — the column face of [[inventory]].
+    */
+  def inventoryCol(bytesCol: Column): Column = inventoryUdf(bytesCol)
+
   /** One-call corpus reader: a path glob of MIXED document files →
-    * `(path, length, format, title, author, text)` — binaryFile scan
-    * + the magic-routed probe, nothing else to wire. Undecodable rows
-    * keep their inventory row with NULL format/text (filter on
-    * `format IS NOT NULL` for the quality stance).
+    * `(path, length, format, title, author, date, language, text)` —
+    * binaryFile scan + ONE magic-routed dispatch per row
+    * ([[inventory]]: a single CFB/ZIP/PDF/text parse serves format,
+    * the metadata triple AND text), plus the routed trigram langid
+    * over the extracted text. Undecodable rows keep their inventory
+    * row with NULL everything-else (filter on `format IS NOT NULL`
+    * for the quality stance).
     */
   def scan(spark: org.apache.spark.sql.SparkSession,
-           pathGlob: String): org.apache.spark.sql.DataFrame =
+           pathGlob: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
     spark.read.format("binaryFile").load(pathGlob)
-      .select(org.apache.spark.sql.functions.col("path"),
-        org.apache.spark.sql.functions.col("length"),
-        formatCol(org.apache.spark.sql.functions.col("content"))
-          .as("format"),
-        titleCol(org.apache.spark.sql.functions.col("content"))
-          .as("title"),
-        authorCol(org.apache.spark.sql.functions.col("content"))
-          .as("author"),
-        textCol(org.apache.spark.sql.functions.col("content"))
-          .as("text"))
+      .select(col("path"), col("length"),
+        inventoryUdf(col("content")).as("d"))
+      .select(col("path"), col("length"),
+        col("d.format").as("format"), col("d.title").as("title"),
+        col("d.author").as("author"), col("d.date").as("date"),
+        when(col("d.text").isNotNull,
+          graft.ops.LangId.langIdRouted(col("d.text"))).as("language"),
+        col("d.text").as("text"))
+  }
 
   private val titleUdf = udf { (bytes: Array[Byte]) => title(bytes) }
 

@@ -327,9 +327,11 @@ class DocumentProbeSpec extends graft.SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_docscan")
     java.nio.file.Files.write(dir.resolve("a.pdf"),
       PdfFixture.titledPdf("Scanned PDF", Seq(
-        s"BT ${PdfFixture.lit("pdf body")} Tj ET")))
+        s"BT ${PdfFixture.lit("pdf body")} Tj ET"),
+        created = Some("D:20240102030405+00'00'")))
     java.nio.file.Files.write(dir.resolve("b.txt"),
-      "plain body".getBytes("UTF-8"))
+      "plain body of english text for the language router"
+        .getBytes("UTF-8"))
     java.nio.file.Files.write(dir.resolve("c.bin"),
       Array[Byte](0, 1, 2, 3, 4))
     val rows = DocumentProbe.scan(spark, dir.toString)
@@ -337,10 +339,15 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(rows.length == 3)
     assert(rows(0).getAs[String]("format") == "pdf")
     assert(rows(0).getAs[String]("title") == "Scanned PDF")
+    assert(rows(0).getAs[String]("date") == "2024-01-02T03:04:05")
     assert(rows(0).getAs[String]("text") == "pdf body")
     assert(rows(1).getAs[String]("format") == "txt")
-    assert(rows(1).getAs[String]("text") == "plain body")
+    assert(rows(1).getAs[String]("text") ==
+      "plain body of english text for the language router")
+    assert(rows(1).getAs[String]("language") == "en")
+    assert(rows(1).getAs[String]("date") == null)
     assert(rows(2).getAs[String]("format") == null) // inventory row
+    assert(rows(2).getAs[String]("language") == null)
   }
 
   test("document authors surface across every declaring format") {
@@ -397,5 +404,47 @@ class DocumentProbeSpec extends graft.SparkSpec {
       .contains("Mon, 01 Apr 2024 10:00:00 +0000"))
     assert(dt("undated text".getBytes).isEmpty)
     assert(dt(null).isEmpty)
+  }
+
+  test("inventory(): the one-parse kernel matches the four column " +
+    "kernels field for field") {
+    import graft.queries.{LegacyDocFixture, OdtFixture, PdfFixture}
+    val payloads: Seq[(String, Array[Byte])] = Seq(
+      "docx" -> DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x"))),
+        coreTitle = Some("Quarterly Report")),
+      "odt" -> OdtFixture.odt(Seq(OdtFixture.para(OdtFixture.T("x"))),
+        metaTitle = Some("Meeting Notes")),
+      "epub" -> EpubFixture.epub("The Book Title",
+        Seq("c.xhtml" -> EpubFixture.xhtml("chapter body"))),
+      "pdf" -> PdfFixture.titledPdf("A PDF Title", Seq("BT (x) Tj ET"),
+        created = Some("D:20240102030405+00'00'")),
+      "doc" -> LegacyDocFixture.cfb(Seq(
+        "WordDocument" -> "stub".getBytes,
+        "\u0005SummaryInformation" -> LegacyDocFixture.summaryInfo(
+          "Legacy Title", createdIso = Some("2020-06-01T00:00:00Z")))),
+      "rtf" -> ("{\\rtf1{\\info{\\title The RTF Title}" +
+        "{\\creatim\\yr2019\\mo7\\dy15\\hr8\\min30}}body\\par}")
+        .getBytes("ISO-8859-1"),
+      "html" -> ("<html><head><title>Page &amp; Title</title>" +
+        "<meta name=\"author\" content=\"Web Author\"></head>" +
+        "<body>page body</body></html>").getBytes("UTF-8"),
+      "eml" -> ("From: a@b.c\r\nTo: l@b.c\r\nSubject: Hello\r\n" +
+        "Date: Mon, 01 Apr 2024 10:00:00 +0000\r\n\r\nmail body")
+        .getBytes("UTF-8"),
+      "latex" -> ("\\documentclass{article}\\title{The Tex Title}" +
+        "\\begin{document}tex body\\end{document}").getBytes("UTF-8"),
+      "txt" -> "plain text body".getBytes("UTF-8"),
+      "binary" -> Array[Byte](0, 1, 2, 3, 4))
+    payloads.foreach { case (label, b) =>
+      val inv = DocumentProbe.inventory(b)
+      assert(inv.format == DocumentProbe.probe(b).map(_.format),
+        s"$label format")
+      assert(inv.title == DocumentProbe.title(b), s"$label title")
+      assert(inv.author == DocumentProbe.author(b), s"$label author")
+      assert(inv.date == DocumentProbe.date(b), s"$label date")
+      assert(inv.text == DocumentProbe.extractText(b), s"$label text")
+    }
+    assert(DocumentProbe.inventory(null) ==
+      DocumentProbe.inventory(Array[Byte](1)))
   }
 }
