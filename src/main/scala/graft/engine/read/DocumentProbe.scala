@@ -90,21 +90,22 @@ object DocumentProbe {
   def title(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 4) return None
     if (startsWith(bytes, "{\\rtf")) return Rtf.docTitle(bytes)
-    if (Ole2.isCfb(bytes))
-      return Ole2.streams(bytes).flatMap(Oleps.titleFrom)
+    if (Ole2.isCfb(bytes)) {
+      val files = Ole2.streams(bytes) match {
+        case Some(f) => f
+        case None    => return None
+      }
+      if (Ole2.classifyFrom(files) == "encrypted-ooxml")
+        return decryptedOoxmlEntries(files).flatMap(zipTitleOf)
+      return Oleps.titleFrom(files)
+    }
     if (bytes(0) == 'P' && bytes(1) == 'K') {
       val files = ZipRead.entries(bytes,
         Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries) match {
         case Some(f) => f
         case None    => return None
       }
-      return zipKind(files) match {
-        case "epub" => Epub.bookFrom(files).map(_.title)
-          .map(_.trim).filter(_.nonEmpty)
-        case "odt" | "ods" | "odp" | "odf-other" =>
-          dcTitle(files, "meta.xml")
-        case _ => dcTitle(files, "docProps/core.xml")
-      }
+      return zipTitleOf(files)
     }
     val pdfTitle = Pdf.meta(bytes).map(_.title)
     if (pdfTitle.isDefined) return pdfTitle.get
@@ -123,6 +124,31 @@ object DocumentProbe {
     "(?is)<title[^>]*>(.*?)</title>".r.findFirstMatchIn(decoded)
       .map(m => graft.ops.TextAnalysis.htmlToTextKernel(m.group(1)))
       .map(_.trim).filter(_.nonEmpty)
+
+  private def zipTitleOf(files: Map[String, Array[Byte]]): Option[String] =
+    zipKind(files) match {
+      case "epub" => Epub.bookFrom(files).map(_.title)
+        .map(_.trim).filter(_.nonEmpty)
+      case "odt" | "ods" | "odp" | "odf-other" =>
+        dcTitle(files, "meta.xml")
+      case _ => dcTitle(files, "docProps/core.xml")
+    }
+
+  private def zipAuthorOf(files: Map[String, Array[Byte]]): Option[String] =
+    zipKind(files) match {
+      case "epub" => Epub.opfField(files, "creator")
+      case "odt" | "ods" | "odp" | "odf-other" =>
+        dcField(files, "meta.xml", "creator")
+      case _ => dcField(files, "docProps/core.xml", "creator")
+    }
+
+  private def zipDateOf(files: Map[String, Array[Byte]]): Option[String] =
+    zipKind(files) match {
+      case "epub" => Epub.opfField(files, "date")
+      case "odt" | "ods" | "odp" | "odf-other" =>
+        dcField(files, "meta.xml", "creation-date")
+      case _ => dcField(files, "docProps/core.xml", "created")
+    }
 
   /** A Dublin-Core field from an XML package part (OPC core
     * properties / ODF meta.xml) — scala.xml matches by local name.
@@ -171,22 +197,23 @@ object DocumentProbe {
   def author(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 4) return None
     if (startsWith(bytes, "{\\rtf")) return Rtf.docAuthor(bytes)
-    if (Ole2.isCfb(bytes))
-      return Ole2.streams(bytes).flatMap(f =>
-        f.get(Oleps.SummaryStream).flatMap(Oleps.properties)
-          .flatMap(_.get(Oleps.PidAuthor)))
+    if (Ole2.isCfb(bytes)) {
+      val files = Ole2.streams(bytes) match {
+        case Some(f) => f
+        case None    => return None
+      }
+      if (Ole2.classifyFrom(files) == "encrypted-ooxml")
+        return decryptedOoxmlEntries(files).flatMap(zipAuthorOf)
+      return files.get(Oleps.SummaryStream).flatMap(Oleps.properties)
+        .flatMap(_.get(Oleps.PidAuthor))
+    }
     if (bytes(0) == 'P' && bytes(1) == 'K') {
       val files = ZipRead.entries(bytes,
         Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries) match {
         case Some(f) => f
         case None    => return None
       }
-      return zipKind(files) match {
-        case "epub" => Epub.opfField(files, "creator")
-        case "odt" | "ods" | "odp" | "odf-other" =>
-          dcField(files, "meta.xml", "creator")
-        case _ => dcField(files, "docProps/core.xml", "creator")
-      }
+      return zipAuthorOf(files)
     }
     val pdfAuthor = Pdf.meta(bytes).map(_.author)
     if (pdfAuthor.isDefined) return pdfAuthor.get
@@ -222,22 +249,23 @@ object DocumentProbe {
   def date(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 4) return None
     if (startsWith(bytes, "{\\rtf")) return rtfCreated(bytes)
-    if (Ole2.isCfb(bytes))
-      return Ole2.streams(bytes).flatMap(f =>
-        f.get(Oleps.SummaryStream).flatMap(Oleps.properties)
-          .flatMap(_.get(Oleps.PidCreated)))
+    if (Ole2.isCfb(bytes)) {
+      val files = Ole2.streams(bytes) match {
+        case Some(f) => f
+        case None    => return None
+      }
+      if (Ole2.classifyFrom(files) == "encrypted-ooxml")
+        return decryptedOoxmlEntries(files).flatMap(zipDateOf)
+      return files.get(Oleps.SummaryStream).flatMap(Oleps.properties)
+        .flatMap(_.get(Oleps.PidCreated))
+    }
     if (bytes(0) == 'P' && bytes(1) == 'K') {
       val files = ZipRead.entries(bytes,
         Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries) match {
         case Some(f) => f
         case None    => return None
       }
-      return zipKind(files) match {
-        case "epub" => Epub.opfField(files, "date")
-        case "odt" | "ods" | "odp" | "odf-other" =>
-          dcField(files, "meta.xml", "creation-date")
-        case _ => dcField(files, "docProps/core.xml", "created")
-      }
+      return zipDateOf(files)
     }
     val pdfDate = Pdf.meta(bytes).map(_.created)
     if (pdfDate.isDefined) return pdfDate.get.map(pdfDateToIso)
@@ -323,7 +351,14 @@ object DocumentProbe {
       // the extractor first and only fall back to the encryption scan
       // to EXPLAIN a refusal (doc's flag read is O(1) either way)
       val (enc, text) = kind match {
-        case "encrypted-ooxml" => (true, None)
+        case "encrypted-ooxml" =>
+          // the default passwords (blank / VelvetSweatshop) open the
+          // dominant class — the inner package then routes like any
+          // other ZIP document; a real password keeps refusing
+          decryptedOoxmlEntries(files) match {
+            case Some(zf) => return zipFilesDispatch(zf, wantText)
+            case None     => (true, None)
+          }
         case "doc" =>
           val t = if (wantText) Doc.extractFrom(files).map(_.text) else None
           (Doc.isEncrypted(files), t)
@@ -347,25 +382,7 @@ object DocumentProbe {
         case Some(f) => f
         case None    => return (None, None)
       }
-      val kind = zipKind(files)
-      val text =
-        if (!wantText) None
-        else kind match {
-          case "odt"  => Odt.extractFrom(files).map(_.text)
-          case "ods"  => Ods.extractFrom(files).map(_.text)
-          case "odp"  => Odp.extractFrom(files).map(_.text)
-          case "docx" => Docx.extractFrom(files).map(_.text)
-          case "xlsx" => Xlsx.extractFrom(files).map(_.text)
-          case "pptx" => Pptx.extractFrom(files).map(_.text)
-          case "epub" =>
-            // the Column path joins htmlToText'd chapters by form
-            // feed and trims spaces; the kernel replays the cascade
-            Epub.bookFrom(files).map(_.chapters
-              .map(graft.ops.TextAnalysis.htmlToTextKernel)
-              .mkString("\f").replaceAll("\\A +| +\\z", ""))
-          case _ => None // opc/zip/odf-other: classify-only
-        }
-      return (Some(DocMeta(kind, 0, encrypted = false)), text)
+      return zipFilesDispatch(files, wantText)
     }
     val pdf: (Option[DocMeta], Option[String]) = if (wantText) {
       // one xref walk on the happy path: extractText carries the page
@@ -393,6 +410,48 @@ object DocumentProbe {
     // and the htmlToText cascade; otherwise STRICT UTF-8 text with no
     // binary control chars — anything stricter-than-text stays None.
     htmlOrText(bytes, wantText)
+  }
+
+  /** `EncryptionInfo`/`EncryptedPackage` CFB → the decrypted inner
+    * ZIP package's entries, when a DEFAULT password (blank /
+    * VelvetSweatshop) verifies; None refuses (real passwords, torn
+    * headers, out-of-scope schemes). One [[OffCrypto]] verify +
+    * package decrypt + one ZIP walk.
+    */
+  private def decryptedOoxmlEntries(
+      files: Map[String, Array[Byte]]): Option[Map[String, Array[Byte]]] =
+    for {
+      info <- files.get("EncryptionInfo")
+      pkg <- files.get("EncryptedPackage")
+      zip <- OffCrypto.decryptPackage(info, pkg)
+      entries <- ZipRead.entries(zip,
+        Epub.DefaultMaxTotalBytes, Epub.DefaultMaxEntries)
+    } yield entries
+
+  /** The ZIP-family classification + text over parsed entries —
+    * shared by the PK route and the decrypted-OOXML route.
+    */
+  private def zipFilesDispatch(files: Map[String, Array[Byte]],
+                               wantText: Boolean): (Option[DocMeta], Option[String]) = {
+    val kind = zipKind(files)
+    val text =
+      if (!wantText) None
+      else kind match {
+        case "odt"  => Odt.extractFrom(files).map(_.text)
+        case "ods"  => Ods.extractFrom(files).map(_.text)
+        case "odp"  => Odp.extractFrom(files).map(_.text)
+        case "docx" => Docx.extractFrom(files).map(_.text)
+        case "xlsx" => Xlsx.extractFrom(files).map(_.text)
+        case "pptx" => Pptx.extractFrom(files).map(_.text)
+        case "epub" =>
+          // the Column path joins htmlToText'd chapters by form
+          // feed and trims spaces; the kernel replays the cascade
+          Epub.bookFrom(files).map(_.chapters
+            .map(graft.ops.TextAnalysis.htmlToTextKernel)
+            .mkString("\f").replaceAll("\\A +| +\\z", ""))
+        case _ => None // opc/zip/odf-other: classify-only
+      }
+    (Some(DocMeta(kind, 0, encrypted = false)), text)
   }
 
   /** HTML / plain-text classification + text for the residual class
@@ -614,6 +673,12 @@ object DocumentProbe {
         case None    => return EmptyInventory
       }
       val kind = Ole2.classifyFrom(files)
+      if (kind == "encrypted-ooxml") {
+        decryptedOoxmlEntries(files) match {
+          case Some(zf) => return zipFilesInventory(zf)
+          case None     => return Inventory(Some(kind), None, None, None, None)
+        }
+      }
       val text = kind match {
         case "doc" => Doc.extractFrom(files).map(_.text)
         case "xls" => Xls.extractFrom(files).map(_.text)
@@ -633,35 +698,7 @@ object DocumentProbe {
         case Some(f) => f
         case None    => return EmptyInventory
       }
-      val kind = zipKind(files)
-      val text = kind match {
-        case "odt"  => Odt.extractFrom(files).map(_.text)
-        case "ods"  => Ods.extractFrom(files).map(_.text)
-        case "odp"  => Odp.extractFrom(files).map(_.text)
-        case "docx" => Docx.extractFrom(files).map(_.text)
-        case "xlsx" => Xlsx.extractFrom(files).map(_.text)
-        case "pptx" => Pptx.extractFrom(files).map(_.text)
-        case "epub" =>
-          Epub.bookFrom(files).map(_.chapters
-            .map(graft.ops.TextAnalysis.htmlToTextKernel)
-            .mkString("\f").replaceAll("\\A +| +\\z", ""))
-        case _ => None // opc/zip/odf-other: classify-only
-      }
-      val (title, author, date) = kind match {
-        case "epub" =>
-          (Epub.bookFrom(files).map(_.title).map(_.trim).filter(_.nonEmpty),
-            Epub.opfField(files, "creator"),
-            Epub.opfField(files, "date"))
-        case "odt" | "ods" | "odp" | "odf-other" =>
-          (dcTitle(files, "meta.xml"),
-            dcField(files, "meta.xml", "creator"),
-            dcField(files, "meta.xml", "creation-date"))
-        case _ =>
-          (dcTitle(files, "docProps/core.xml"),
-            dcField(files, "docProps/core.xml", "creator"),
-            dcField(files, "docProps/core.xml", "created"))
-      }
-      return Inventory(Some(kind), title, author, date, text)
+      return zipFilesInventory(files)
     }
     Pdf.meta(bytes) match {
       case Some(m) =>
@@ -696,6 +733,31 @@ object DocumentProbe {
         Inventory(Some("txt"), None, None, None, Some(s))
       case None => EmptyInventory
     }
+  }
+
+  /** The ZIP-family [[Inventory]] over parsed entries — shared by the
+    * PK route and the decrypted-OOXML route (whose format reports the
+    * INNER kind: a VelvetSweatshop xlsx reads as an xlsx, exactly as
+    * Excel shows it).
+    */
+  private def zipFilesInventory(files: Map[String, Array[Byte]]): Inventory = {
+    val (meta, text) = zipFilesDispatch(files, wantText = true)
+    val kind = meta.map(_.format).getOrElse("zip")
+    val (title, author, date) = kind match {
+      case "epub" =>
+        (Epub.bookFrom(files).map(_.title).map(_.trim).filter(_.nonEmpty),
+          Epub.opfField(files, "creator"),
+          Epub.opfField(files, "date"))
+      case "odt" | "ods" | "odp" | "odf-other" =>
+        (dcTitle(files, "meta.xml"),
+          dcField(files, "meta.xml", "creator"),
+          dcField(files, "meta.xml", "creation-date"))
+      case _ =>
+        (dcTitle(files, "docProps/core.xml"),
+          dcField(files, "docProps/core.xml", "creator"),
+          dcField(files, "docProps/core.xml", "created"))
+    }
+    Inventory(Some(kind), title, author, date, text)
   }
 
   private val inventoryUdf = udf { (bytes: Array[Byte]) => inventory(bytes) }

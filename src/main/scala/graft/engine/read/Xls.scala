@@ -17,10 +17,13 @@ package graft.engine.read
   * [[Docx]]/[[Odt]]/[[Doc]]); duplicate references repeat their
   * string, exactly as the sheet displays it.
   *
-  * None when not CFB, no `Workbook`/`Book` stream, or the workbook
-  * carries a `FilePass` record (encrypted/obfuscated — refuse, the
-  * house stance). A workbook with no string cells extracts as zero
-  * paragraphs (a numbers-only sheet is a valid empty text document).
+  * A `FilePass` workbook tries the DEFAULT passwords (blank and
+  * Excel's well-known `VelvetSweatshop`) through [[OffCrypto]] —
+  * the dominant "protected" crawl class opens exactly as Excel
+  * opens it; XOR obfuscation and real passwords refuse. None when
+  * not CFB, no `Workbook`/`Book` stream, or the encryption refuses.
+  * A workbook with no string cells extracts as zero paragraphs (a
+  * numbers-only sheet is a valid empty text document).
   */
 object Xls {
 
@@ -48,13 +51,14 @@ object Xls {
     * probe: SST chunk spans (with Continues), LabelSST references in
     * stream order, FilePass presence.
     */
-  private def scanRecords(wb: Array[Byte]): Scan = {
+  private def scanRecords(wb: Array[Byte],
+                          stopAtFilePass: Boolean = true): Scan = {
     var sstChunks: Vector[(Int, Int)] = Vector.empty
     var collectingSst = false
     var encrypted = false
     val refs = scala.collection.mutable.ArrayBuffer.empty[Long]
     var pos = 0
-    while (pos + 4 <= wb.length && !encrypted) {
+    while (pos + 4 <= wb.length && !(encrypted && stopAtFilePass)) {
       val typ = u16(wb, pos)
       val len = u16(wb, pos + 2)
       val body = pos + 4
@@ -80,14 +84,27 @@ object Xls {
 
   /** The extraction over an ALREADY-parsed container (one CFB walk
     * per row, shared with [[DocumentProbe]]).
+    *
+    * A `FilePass` workbook first tries the DEFAULT passwords (blank,
+    * then Excel's well-known `VelvetSweatshop` — MS-XLS §2.4.117:
+    * Excel itself opens these silently, so to every user the sheet
+    * reads as unprotected) via [[OffCrypto.decryptBiff8]]; only a
+    * REAL password keeps refusing.
     */
   private[read] def extractFrom(files: Map[String, Array[Byte]]): Option[XlsText] = {
-    val wb = files.get("Workbook").orElse(files.get("Book")) match {
+    val wb0 = files.get("Workbook").orElse(files.get("Book")) match {
       case Some(w) => w
       case None    => return None
     }
-    val scan = scanRecords(wb)
-    if (scan.encrypted) return None
+    var scan = scanRecords(wb0)
+    val wb =
+      if (!scan.encrypted) wb0
+      else OffCrypto.decryptBiff8(wb0) match {
+        case Some(clear) =>
+          scan = scanRecords(clear, stopAtFilePass = false)
+          clear
+        case None => return None
+      }
     if (scan.sstChunks.isEmpty)
       return Some(XlsText(0, "")) // no string table: numbers-only
 
@@ -101,12 +118,15 @@ object Xls {
     Some(XlsText(paras.length, paras.mkString("\n")))
   }
 
-  /** True when the workbook carries a FilePass record (encrypted or
-    * XOR-obfuscated) — the same single scan, no string decode.
+  /** True when the workbook carries a FilePass record that the
+    * default passwords do NOT open — encrypted-AND-UNREADABLE, the
+    * [[Pdf.Meta.encrypted]] stance (a `VelvetSweatshop` sheet reads
+    * as unprotected, exactly as Excel shows it).
     */
   private[read] def isEncrypted(files: Map[String, Array[Byte]]): Boolean =
     files.get("Workbook").orElse(files.get("Book"))
-      .exists(wb => scanRecords(wb).encrypted)
+      .exists(wb => scanRecords(wb).encrypted &&
+        OffCrypto.decryptBiff8(wb).isEmpty)
 
   def isEncrypted(bytes: Array[Byte]): Boolean =
     Ole2.streams(bytes).exists(isEncrypted)

@@ -802,7 +802,21 @@ object MediaGateQueries {
         "\\end{document}\n").getBytes("UTF-8"), "latex", t),
       // the ODF siblings (r14): spreadsheet cells and slide text
       (21L, OdtFixture.ods(Seq(Seq(OdtFixture.cell(t)))), "ods", t),
-      (22L, OdtFixture.odp(Seq((Seq(t), Seq.empty))), "odp", t))
+      (22L, OdtFixture.odp(Seq((Seq(t), Seq.empty))), "odp", t),
+      // r15: default-password Office encryption OPENS — the
+      // VelvetSweatshop xls reads as an xls, a blank-password
+      // standard/agile OOXML package reports its INNER kind (exactly
+      // as Excel/Word show them); a real password keeps refusing
+      (23L, OffCryptFixture.rc4Xls(Seq(
+        XlsFixture.sst(Seq(XlsFixture.sstEntry(t)), total = 1),
+        XlsFixture.labelSst(0, 0, 0)), "VelvetSweatshop"), "xls", t),
+      (24L, OffCryptFixture.stdEncryptedOoxml(DocxFixture.docx(Seq(
+        DocxFixture.para(DocxFixture.T(t)))), ""), "docx", t),
+      (25L, OffCryptFixture.agileEncryptedOoxml(DocxFixture.docx(Seq(
+        DocxFixture.para(DocxFixture.T(t)))), ""), "docx", t),
+      (26L, OffCryptFixture.stdEncryptedOoxml(DocxFixture.docx(Seq(
+        DocxFixture.para(DocxFixture.T("x")))), "realpassword"),
+        "encrypted-ooxml", "<undecodable>"))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")
       .coalesce(1).write.mode("overwrite").parquet(m42Dir)
@@ -1287,6 +1301,120 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m59Dir)
   }
 
+  // -- m63 fixture: baseline TIFF — the scanner class. Pixels reuse
+  //    the m33 closed forms (ramp v = 10·x on a 9×8 grid, written
+  //    RGB — the JDK's gray color model is linear-light and getRGB
+  //    would gamma-shift the values:
+  //    dhash all-ones, mean 40, Σv² = 163200, interior Laplacian 0)
+  //    so every expectation is hand-derivable; the PNG row pins the
+  //    cross-format dedup claim (identical pixels → identical hash)
+  //    and the JDK-LZW row triangulates the third compression.
+  private val m63Dir = "/tmp/graft_gate_m63_tiff"
+
+  private def writeM63Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val ramp: Int => Int = i => 10 * (i % 9)
+    def dhashOfRows(v: Int => Int): Long = {
+      var hash = 0L
+      for (_ <- 0 until 8; j <- 0 until 8)
+        hash = (hash << 1) | (if (v(j) < v(j + 1)) 1L else 0L)
+      hash
+    }
+    val rampStd = math.sqrt(163200.0 / 72 - 40.0 * 40.0)
+    val rampPixels = Array.tabulate(9 * 8) { i =>
+      val g = ramp(i); 0xff000000 | (g << 16) | (g << 8) | g
+    }
+    val lzwTiff = {
+      // JDK ImageIO TIFF writer with LZW — the m33 PNG-row style
+      // triangulation for the compression this fixture doesn't
+      // hand-roll. INT_RGB, not BYTE_GRAY: the gray color model is
+      // linear-light and its setRGB round-trip can land off by one,
+      // which would break the closed-form expectations
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = 10 * x
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType("LZW")
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val torn = java.util.Arrays.copyOfRange(
+      TiffFixture.rgbTiff(9, 8, ramp), 0, 12)
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, Long,
+        Double, Double, Double)] = Seq(
+      (0L, TiffFixture.rgbTiff(9, 8, ramp),
+        "TIFF", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (1L, TiffFixture.rgbTiff(9, 8, ramp, bigEndian = true),
+        "TIFF", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (2L, TiffFixture.rgbTiff(9, 8, ramp, packBits = true),
+        "TIFF", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (3L, lzwTiff,
+        "TIFF", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (4L, pngOf(9, 8, rampPixels),
+        "PNG", 9, 8, dhashOfRows(x => 10 * x), 40.0, rampStd, 0.0),
+      (5L, TiffFixture.rgbTiff(16, 16, _ => 77),
+        "TIFF", 16, 16, 0L, 77.0, 0.0, 0.0),
+      (6L, torn,
+        "none", -1, -1, -999L, -1.0, -1.0, -1.0))
+    s.createDataset(rows).toDF("img_id", "content", "exp_format",
+        "exp_w", "exp_h", "exp_dhash", "exp_mean", "exp_std", "exp_lap")
+      .coalesce(1).write.mode("overwrite").parquet(m63Dir)
+  }
+
+  // -- m62 fixture: default/blank-password Office encryption — the
+  //    m59 pattern for the OOXML/BIFF8 side: every payload encrypted
+  //    by the fixture's OWN MS-OFFCRYPTO transcription; the
+  //    default-password classes open (VelvetSweatshop xls, blank
+  //    standard/agile packages), real passwords keep refusing.
+  private val m62Dir = "/tmp/graft_gate_m62_offcrypt"
+
+  private def writeM62Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def sheet(text: String): Seq[Array[Byte]] = Seq(
+      XlsFixture.sst(Seq(XlsFixture.sstEntry(text)), total = 1),
+      XlsFixture.labelSst(0, 0, 0))
+    def docx(text: String, title: String): Array[Byte] =
+      DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T(text))),
+        coreTitle = Some(title))
+    val rows: Seq[(Long, Array[Byte], String, String, String, Boolean)] = Seq(
+      (0L, OffCryptFixture.rc4Xls(sheet("velvet rc4 cells"),
+        "VelvetSweatshop"),
+        "xls", "velvet rc4 cells", "<none>", false),
+      (1L, OffCryptFixture.cryptoApiXls(sheet("velvet cryptoapi cells"),
+        "VelvetSweatshop"),
+        "xls", "velvet cryptoapi cells", "<none>", false),
+      (2L, OffCryptFixture.rc4Xls(sheet("locked cells"), "realpassword"),
+        "xls", "<refused>", "<none>", true),
+      (3L, OffCryptFixture.stdEncryptedOoxml(
+        docx("standard body opens", "Standard Report"), ""),
+        "docx", "standard body opens", "Standard Report", false),
+      (4L, OffCryptFixture.stdEncryptedOoxml(
+        docx("velvet ooxml body opens", "Velvet Report"),
+        "VelvetSweatshop"),
+        "docx", "velvet ooxml body opens", "Velvet Report", false),
+      (5L, OffCryptFixture.agileEncryptedOoxml(
+        docx("agile body opens", "Agile Report"), ""),
+        "docx", "agile body opens", "Agile Report", false),
+      (6L, OffCryptFixture.stdEncryptedOoxml(
+        docx("locked body", "Locked"), "realpassword"),
+        "encrypted-ooxml", "<refused>", "<none>", true),
+      (7L, OffCryptFixture.agileEncryptedOoxml(
+        docx("locked body", "Locked"), "realpassword"),
+        "encrypted-ooxml", "<refused>", "<none>", true))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_format",
+        "exp_text", "exp_title", "exp_encrypted")
+      .coalesce(1).write.mode("overwrite").parquet(m62Dir)
+  }
+
   // -- m60 fixture: declared AUTHORS — the m56 matrix's sibling
   //    (OLEPS PIDSI_AUTHOR, OPC/ODF dc:creator, EPUB OPF creator,
   //    PDF Info /Author, RTF info, html meta author, mail From,
@@ -1578,6 +1706,62 @@ object MediaGateQueries {
     //    (the dominant "encrypted" crawl class) open via the spec's
     //    own algorithms; real passwords stay refused. Expectations
     //    ride the fixture. -------------------------------------------
+    // -- m63: baseline TIFF decode — the scanner class through the
+    //    SAME dHash/stats kernels as every other format; the PNG row
+    //    is the cross-format dedup proof (identical pixels, identical
+    //    hash). Both byte orders, uncompressed + PackBits from the
+    //    independent fixture writer, LZW by JDK triangulation. ------
+    "m63_tiff_decode" -> { (s, _) =>
+      writeM63Fixture(s)
+      import graft.multimodal.{ImageHash, ImageStats}
+      val fmt = udf { (b: Array[Byte]) =>
+        if (b.length >= 4 &&
+          ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+            (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) &&
+          graft.multimodal.ImageDecode.decode(b).isDefined) "TIFF"
+        else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P') "PNG"
+        else "none"
+      }
+      val dims = udf { (b: Array[Byte]) =>
+        graft.engine.validate.ImageProbe.dimensions(b)
+      }
+      s.read.parquet(m63Dir)
+        .withColumn("__d", dims(col("content")))
+        .withColumn("__s", ImageStats.statsCol(col("content")))
+        .select(col("img_id"),
+          fmt(col("content")).as("format"),
+          coalesce(col("__d._1"), lit(-1)).as("w"),
+          coalesce(col("__d._2"), lit(-1)).as("h"),
+          coalesce(ImageHash.dhash(col("content")), lit(-999L)).as("dhash"),
+          round(coalesce(col("__s._3"), lit(-1.0)), 6).as("mean_luma"),
+          round(coalesce(col("__s._4"), lit(-1.0)), 6).as("std_luma"),
+          round(coalesce(col("__s._5"), lit(-1.0)), 6).as("laplacian_var"))
+        .orderBy("img_id")
+    },
+
+    // -- m62: default/blank-password Office decryption — the m59
+    //    story's OOXML/BIFF8 sibling: VelvetSweatshop sheets and
+    //    blank-password packages open (format reports the INNER
+    //    kind), real passwords refuse; expectations ride the
+    //    fixture, whose encryptors are independent transcriptions. --
+    "m62_office_default_passwords" -> { (s, _) =>
+      writeM62Fixture(s)
+      import graft.engine.read.DocumentProbe
+      val pr = udf { (b: Array[Byte]) =>
+        DocumentProbe.probe(b).map(m => (m.format, m.encrypted))
+      }
+      s.read.parquet(m62Dir)
+        .withColumn("__p", pr(col("content")))
+        .select(col("doc_id"),
+          coalesce(col("__p._1"), lit("<unknown>")).as("format"),
+          coalesce(DocumentProbe.textCol(col("content")),
+            lit("<refused>")).as("text"),
+          coalesce(DocumentProbe.titleCol(col("content")),
+            lit("<none>")).as("title"),
+          coalesce(col("__p._2"), lit(true)).as("encrypted"))
+        .orderBy("doc_id")
+    },
+
     "m59_pdf_blank_password" -> { (s, _) =>
       writeM59Fixture(s)
       import graft.engine.read.{DocumentProbe, Pdf}
@@ -2183,6 +2367,17 @@ object MediaGateQueries {
       s"""SELECT doc_id, exp_author AS author
          |FROM read_parquet('$m60Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    "m62_office_default_passwords" ->
+      s"""SELECT doc_id, exp_format AS format, exp_text AS text,
+         |  exp_title AS title, exp_encrypted AS encrypted
+         |FROM read_parquet('$m62Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    "m63_tiff_decode" ->
+      s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,
+         |  exp_dhash AS dhash, round(exp_mean, 6) AS mean_luma,
+         |  round(exp_std, 6) AS std_luma, round(exp_lap, 6) AS laplacian_var
+         |FROM read_parquet('$m63Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
     "m59_pdf_blank_password" ->
       s"""SELECT doc_id, exp_text AS text, exp_title AS title,
          |  exp_encrypted AS encrypted
