@@ -1706,6 +1706,50 @@ object MediaGateQueries {
     //    (the dominant "encrypted" crawl class) open via the spec's
     //    own algorithms; real passwords stay refused. Expectations
     //    ride the fixture. -------------------------------------------
+    // -- m64: document-corpus SCALE gate — the document layer's
+    //    measured sf1 point. Every `documents` row renders into one
+    //    of six wrappers whose extraction is IDENTITY for this
+    //    single-line ASCII corpus (each wrapper shape is m42-proven:
+    //    rows 4/17/18/19 + the docx/xlsx rows 1/15 — the OPC pair
+    //    costs a ZIP deflate + inflate + XML parse per row, the real
+    //    Office-crawl bill), then ONE inventory dispatch per row
+    //    extracts text back; the gate reports, per routed format, the
+    //    row count, how many texts round-tripped EXACTLY, and the
+    //    exact-dup structure (distinct texts) — so extraction
+    //    fidelity and dedup-relevant structure are both oracle-
+    //    checked at whatever SF the bench throws at it. Scale shape:
+    //    binaryless (content rendered in-flight), one kernel per row,
+    //    one shuffle for the final per-format aggregate. ------------
+    "m64_document_corpus" -> { (s, dir) =>
+      import graft.engine.read.DocumentProbe
+      val render = udf { (id: Long, text: String) =>
+        (id % 6) match {
+          case 0 => s"{\\rtf1 $text\\par}".getBytes("ISO-8859-1")
+          case 1 => (s"<!DOCTYPE html><html><body><p>$text</p>" +
+            "</body></html>").getBytes("UTF-8")
+          case 2 => (s"From: gen@corpus.test\r\nTo: sink@corpus.test\r\n" +
+            s"Subject: doc $id\r\n\r\n$text").getBytes("UTF-8")
+          case 3 => text.getBytes("UTF-8")
+          // the real OPC containers: a ZIP deflate + XML parse per
+          // row is what a 100 TB Office crawl actually costs
+          case 4 => DocxFixture.docx(Seq(
+            DocxFixture.para(DocxFixture.T(text))))
+          case _ => XlsxFixture.xlsx1(Seq(XlsxFixture.SRef("A1", 0)),
+            sharedStrings = Some(Seq(XlsxFixture.si(text))))
+        }
+      }
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          render(col("doc_id"), col("text")).as("content"))
+        .withColumn("__d", DocumentProbe.inventoryCol(col("content")))
+        .groupBy(col("__d.format").as("format"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__d.text") === col("text"), 1L)
+            .otherwise(0L)).as("n_roundtrip"),
+          countDistinct(col("__d.text")).as("n_distinct"))
+        .orderBy("format")
+    },
+
     // -- m63: baseline TIFF decode — the scanner class through the
     //    SAME dHash/stats kernels as every other format; the PNG row
     //    is the cross-format dedup proof (identical pixels, identical
@@ -2372,6 +2416,17 @@ object MediaGateQueries {
          |  exp_title AS title, exp_encrypted AS encrypted
          |FROM read_parquet('$m62Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // The wrappers are identity for this corpus, so DuckDB re-derives
+    // every column from the SOURCE texts alone.
+    "m64_document_corpus" ->
+      s"""SELECT CASE CAST(doc_id % 6 AS INTEGER)
+         |    WHEN 0 THEN 'rtf' WHEN 1 THEN 'html' WHEN 2 THEN 'eml'
+         |    WHEN 3 THEN 'txt' WHEN 4 THEN 'docx' ELSE 'xlsx'
+         |    END AS format,
+         |  count(*) AS n_docs, count(*) AS n_roundtrip,
+         |  count(DISTINCT text) AS n_distinct
+         |FROM documents
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m63_tiff_decode" ->
       s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,
          |  exp_dhash AS dhash, round(exp_mean, 6) AS mean_luma,

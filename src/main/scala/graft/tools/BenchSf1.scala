@@ -27,7 +27,10 @@ object BenchSf1 {
     * gates are excluded however slow — `m26_subtitle_curation`
     * (~2 s at any SF: nine-stage pipeline overhead over six authored
     * docs) carries no scale signal; its machinery already scales
-    * under `pipe1_golden` here.
+    * under `pipe1_golden` here. One deliberate exception:
+    * `m64_document_corpus` is FAST (~1 s at sf1) but is the document
+    * layer's only sf-dependent gate — it rides here so extraction +
+    * round-trip + dup structure carry a tripwired 10× number at all.
     */
   val Heavy: Seq[String] = Seq(
     "g1_pagerank", "t53_kn5_roundtrip", "t48_arpa_roundtrip",
@@ -36,7 +39,11 @@ object BenchSf1 {
     "d8_dup_groups", "t30_train_classifier", "c18_ppl_buckets",
     "t52_bm25_index", "s17_cdx_write", "t32_kneser_ney",
     "d6_embedding_neardup", "d20_minhash_oph", "d3_minhash_lsh",
-    "d5_ngram_jaccard")
+    "d5_ngram_jaccard",
+    // r15: the document layer's measured sf1 point — render + probe +
+    // round-trip + dup structure over the full documents table (the
+    // r13/r14 centerpiece finally has a 10× number)
+    "m64_document_corpus")
 
   private val resultPath = "/root/repo/BENCH_sf1.json"
   private val baselinePath = "/root/repo/BENCH_sf1_baseline.json"
