@@ -1,0 +1,65 @@
+package graft.engine.read
+
+/** Magic-dispatch stream decompression shared by the archive and
+  * document layers — gzip `1F 8B`, zstd `28 B5 2F FD` (RFC 8878),
+  * bzip2 `BZh1-9`, xz `FD 37 7A 58 5A 00` — each output-capped (bomb
+  * guard). A torn stream keeps whatever decompressed cleanly (the
+  * crawl posture); a stream whose very construction fails (bzip2
+  * decodes its first block eagerly) yields empty, so the caller can
+  * fall back — a text file that merely STARTS with `BZh9` must not
+  * vanish. Codecs: `java.util.zip`, zstd-jni, commons-compress and
+  * org.tukaani.xz, all on Spark's own classpath.
+  */
+private[read] object Compressed {
+
+  /** Leading bytes carry a known compression magic. */
+  def isCompressed(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 6) return false
+    val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
+    val b2 = bytes(2) & 0xFF; val b3 = bytes(3) & 0xFF
+    (b0 == 0x1F && b1 == 0x8B) ||
+      (b0 == 0x28 && b1 == 0xB5 && b2 == 0x2F && b3 == 0xFD) ||
+      (b0 == 'B' && b1 == 'Z' && b2 == 'h' && b3 >= '1' && b3 <= '9') ||
+      (b0 == 0xFD && b1 == 0x37 && b2 == 0x7A && b3 == 0x58 &&
+        (bytes(4) & 0xFF) == 0x5A && bytes(5) == 0)
+  }
+
+  /** Decompress when a magic leads; otherwise the bytes unchanged.
+    * Never throws: construction failures return empty, torn streams
+    * return the bytes present.
+    */
+  def maybeDecompressed(bytes: Array[Byte], cap: Long): Array[Byte] = {
+    if (!isCompressed(bytes)) return bytes
+    val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
+    // constructors can ALSO throw on a torn leading block — a torn
+    // stream must fail the row, not the task, so construction rides
+    // the same guard
+    val in: java.io.InputStream =
+      try {
+        if (b0 == 0x1F && b1 == 0x8B)
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+        else if (b0 == 0x28 && b1 == 0xB5)
+          new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+        else if (b0 == 'B')
+          new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+        else
+          new org.tukaani.xz.XZInputStream(
+            new java.io.ByteArrayInputStream(bytes), 1 << 20) // memory cap KiB
+      } catch { case _: Exception => return Array.emptyByteArray }
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 << 10)
+    try {
+      var r = in.read(buf)
+      while (r >= 0 && out.size < cap) {
+        out.write(buf, 0, math.min(r.toLong, cap - out.size).toInt)
+        r = in.read(buf)
+      }
+    } catch { case _: Exception => () } // torn stream: bytes present win
+    finally in.close()
+    out.toByteArray
+  }
+}

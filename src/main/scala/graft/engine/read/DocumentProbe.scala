@@ -89,6 +89,7 @@ object DocumentProbe {
     */
   def title(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 4) return None
+    unwrapped(bytes).foreach(inner => return title(inner))
     if (startsWith(bytes, "{\\rtf")) return Rtf.docTitle(bytes)
     if (Ole2.isCfb(bytes)) {
       val files = Ole2.streams(bytes) match {
@@ -196,6 +197,7 @@ object DocumentProbe {
     */
   def author(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 4) return None
+    unwrapped(bytes).foreach(inner => return author(inner))
     if (startsWith(bytes, "{\\rtf")) return Rtf.docAuthor(bytes)
     if (Ole2.isCfb(bytes)) {
       val files = Ole2.streams(bytes) match {
@@ -248,6 +250,7 @@ object DocumentProbe {
     */
   def date(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 4) return None
+    unwrapped(bytes).foreach(inner => return date(inner))
     if (startsWith(bytes, "{\\rtf")) return rtfCreated(bytes)
     if (Ole2.isCfb(bytes)) {
       val files = Ole2.streams(bytes) match {
@@ -336,6 +339,7 @@ object DocumentProbe {
   private def dispatch(bytes: Array[Byte],
                        wantText: Boolean = false): (Option[DocMeta], Option[String]) = {
     if (bytes == null || bytes.length < 4) return (None, None)
+    unwrapped(bytes).foreach(inner => return dispatch(inner, wantText))
     if (startsWith(bytes, "{\\rtf")) {
       val meta = Some(DocMeta("rtf", 0, encrypted = false))
       val text = if (wantText) Rtf.extractText(bytes).map(_.text) else None
@@ -574,6 +578,32 @@ object DocumentProbe {
     Some(if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s)
   }
 
+  /** A crawl column holds `.txt.gz`/`.xml.zst`/`.json.bz2`/`.xz`
+    * blobs beside the plain ones — strip up to three leading
+    * compression layers (magic-detected, output-capped) so they
+    * route exactly like their uncompressed twins; the reported
+    * format is the INNER format (the encrypted-OOXML precedent).
+    * Returns None when the payload is not compressed (caller takes
+    * its normal path), or when three layers deep it still is (a
+    * nesting bomb — undecodable). A failed decompression falls back
+    * to the raw bytes: a text file that merely starts with `BZh9`
+    * must route as text, not vanish.
+    */
+  private val MaxDecompressedBytes: Long = 256L << 20
+
+  private def unwrapped(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!Compressed.isCompressed(bytes)) return None
+    var b = bytes
+    var i = 0
+    while (i < 3 && Compressed.isCompressed(b)) {
+      val inner = Compressed.maybeDecompressed(b, MaxDecompressedBytes)
+      if (inner.isEmpty) return if (i == 0) None else Some(inner)
+      b = inner
+      i += 1
+    }
+    if (Compressed.isCompressed(b)) Some(Array.emptyByteArray) else Some(b)
+  }
+
   private def startsWith(b: Array[Byte], s: String): Boolean = {
     if (b.length < s.length) return false
     var i = 0
@@ -663,6 +693,7 @@ object DocumentProbe {
     */
   def inventory(bytes: Array[Byte]): Inventory = {
     if (bytes == null || bytes.length < 4) return EmptyInventory
+    unwrapped(bytes).foreach(inner => return inventory(inner))
     if (startsWith(bytes, "{\\rtf"))
       return Inventory(Some("rtf"), Rtf.docTitle(bytes),
         Rtf.docAuthor(bytes), rtfCreated(bytes),

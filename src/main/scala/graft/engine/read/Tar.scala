@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   * no mid-file sync marker, so the FILE is the natural split unit;
   * size caps bound task memory — the WebDataset norm keeps shards
   * 100 MB–1 GB), then ONE kernel walk explodes members as rows.
-  * `.tar.gz`/`.tgz`, `.tar.zst` (RFC 8878) and `.tar.bz2` payloads
-  * decompress first (magic-detected, output-capped).
+  * `.tar.gz`/`.tgz`, `.tar.zst` (RFC 8878), `.tar.bz2` and `.tar.xz`
+  * payloads decompress first (magic-detected, output-capped).
   * Compose with [[DocumentProbe]] for text:
   * {{{
   *   Tar.members(spark, "/corpora/arxiv/&#42;.tar")
@@ -202,50 +202,13 @@ object Tar {
   }
 
   /** Decompress when the payload leads with a known compression magic
-    * — gzip `1F 8B` (`.tar.gz`/`.tgz`), zstd `28 B5 2F FD` (RFC 8878,
-    * the Common-Crawl-derivative norm for `.tar.zst`), bzip2 `BZh1-9`
-    * (`.tar.bz2`, the classic academic-mirror format) — capped at
-    * `cap` output bytes (bomb guard); otherwise the bytes unchanged.
-    * A torn stream keeps whatever decompressed cleanly: the walk then
-    * ends at the torn tail, the crawl posture.
+    * (`.tar.gz`/`.tgz`, `.tar.zst`, `.tar.bz2`, `.tar.xz` — the
+    * shared [[Compressed]] dispatch), capped at `cap` output bytes;
+    * otherwise the bytes unchanged. A torn stream keeps whatever
+    * decompressed cleanly: the walk then ends at the torn tail.
     */
-  private[read] def maybeDecompressed(bytes: Array[Byte], cap: Long): Array[Byte] = {
-    if (bytes == null || bytes.length < 4) return bytes
-    val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
-    val b2 = bytes(2) & 0xFF; val b3 = bytes(3) & 0xFF
-    // constructors can ALSO throw on a torn leading block (bzip2
-    // decodes its first block eagerly) — a torn stream must fail the
-    // row, not the task, so construction rides the same guard
-    val mk: Option[java.io.InputStream] =
-      try {
-        if (b0 == 0x1F && b1 == 0x8B)
-          Some(new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes)))
-        else if (b0 == 0x28 && b1 == 0xB5 && b2 == 0x2F && b3 == 0xFD)
-          Some(new com.github.luben.zstd.ZstdInputStream(
-            new java.io.ByteArrayInputStream(bytes)))
-        else if (b0 == 'B' && b1 == 'Z' && b2 == 'h' && b3 >= '1' && b3 <= '9')
-          Some(new org.apache.commons.compress.compressors.bzip2
-            .BZip2CompressorInputStream(
-              new java.io.ByteArrayInputStream(bytes)))
-        else None
-      } catch { case _: Exception => return Array.emptyByteArray }
-    mk match {
-      case None => bytes
-      case Some(in) =>
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](64 << 10)
-        try {
-          var r = in.read(buf)
-          while (r >= 0 && out.size < cap) {
-            out.write(buf, 0, math.min(r.toLong, cap - out.size).toInt)
-            r = in.read(buf)
-          }
-        } catch { case _: Exception => () } // torn stream: bytes present win
-        finally in.close()
-        out.toByteArray
-    }
-  }
+  private[read] def maybeDecompressed(bytes: Array[Byte], cap: Long): Array[Byte] =
+    Compressed.maybeDecompressed(bytes, cap)
 
   /** Archive glob → one row per regular-file member:
     * `(archive, member, size, content)`. One binaryFile scan + one

@@ -1120,11 +1120,21 @@ object MediaGateQueries {
     val dir = java.nio.file.Paths.get(m52Dir)
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.write(dir.resolve("corpus.tar"), bos.toByteArray)
-    // and the same content shipped .tar.gz — both must read alike
+    // and the same content shipped .tar.gz / .tar.zst / .tar.bz2 —
+    // all four compressions must read alike (r15: zstd + bzip2)
     val gz = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(gz)
     g.write(bos.toByteArray); g.close()
     java.nio.file.Files.write(dir.resolve("corpus2.tar.gz"), gz.toByteArray)
+    val zs = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(zs)
+    z.write(bos.toByteArray); z.close()
+    java.nio.file.Files.write(dir.resolve("corpus3.tar.zst"), zs.toByteArray)
+    val bz = new java.io.ByteArrayOutputStream()
+    val b = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bz)
+    b.write(bos.toByteArray); b.close()
+    java.nio.file.Files.write(dir.resolve("corpus4.tar.bz2"), bz.toByteArray)
     ()
   }
 
@@ -1299,6 +1309,60 @@ object MediaGateQueries {
     s.createDataset(rows).toDF("doc_id", "content", "exp_text",
         "exp_title", "exp_encrypted")
       .coalesce(1).write.mode("overwrite").parquet(m59Dir)
+  }
+
+  // -- m65 fixture: compressed single documents — the crawl column's
+  //    `.txt.gz`/`.html.zst`/`.rtf.bz2`/`.eml.xz` blobs must route
+  //    exactly like their plain twins (inner format reported, the
+  //    encrypted-OOXML precedent); nesting bombs and collisions stay
+  //    safe. Expectations ride the fixture.
+  private val m65Dir = "/tmp/graft_gate_m65_compressed"
+
+  private def writeM65Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    def zst(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write(b); z.close(); bos.toByteArray
+    }
+    def bz2(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos)
+      z.write(b); z.close(); bos.toByteArray
+    }
+    def xz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val x = new org.tukaani.xz.XZOutputStream(bos,
+        new org.tukaani.xz.LZMA2Options())
+      x.write(b); x.close(); bos.toByteArray
+    }
+    val t = "route through the codec"
+    val rows: Seq[(Long, Array[Byte], String, String)] = Seq(
+      (0L, gz(t.getBytes("UTF-8")), "txt", t),
+      (1L, zst((s"<html><body><p>$t</p></body></html>").getBytes("UTF-8")),
+        "html", t),
+      (2L, bz2(s"{\\rtf1 $t\\par}".getBytes("ISO-8859-1")), "rtf", t),
+      (3L, xz((s"From: a@b.c\r\nTo: l@b.c\r\nSubject: s\r\n\r\n$t")
+        .getBytes("UTF-8")), "eml", t),
+      // an OPC container compressed as a blob (docx.gz)
+      (4L, gz(DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T(t))))),
+        "docx", t),
+      // double wrap unwraps; a 4-layer nest refuses
+      (5L, gz(zst(t.getBytes("UTF-8"))), "txt", t),
+      (6L, gz(gz(gz(gz(t.getBytes("UTF-8"))))),
+        "<unknown>", "<undecodable>"),
+      // the collision class: TEXT that merely starts with the magic
+      (7L, "BZh9 looks like bzip2 but is prose".getBytes("UTF-8"),
+        "txt", "BZh9 looks like bzip2 but is prose"))
+    s.createDataset(rows)
+      .toDF("doc_id", "content", "exp_format", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m65Dir)
   }
 
   // -- m63 fixture: baseline TIFF — the scanner class. Pixels reuse
@@ -1661,7 +1725,8 @@ object MediaGateQueries {
 
     // -- m52: tar archive source → document layer — the arXiv-dump
     //    shape: one binaryFile scan, one kernel explode per archive
-    //    (PAX long names, dirs structural, .tar.gz gunzips), members
+    //    (PAX long names, dirs structural; .tar.gz/.tar.zst/.tar.bz2
+    //    decompress by magic), members
     //    magic-routed through document_format/document_text.
     //    Hand-derived literals. ---------------------------------------
     "m52_tar_documents" -> { (s, _) =>
@@ -1748,6 +1813,22 @@ object MediaGateQueries {
             .otherwise(0L)).as("n_roundtrip"),
           countDistinct(col("__d.text")).as("n_distinct"))
         .orderBy("format")
+    },
+
+    // -- m65: compressed single documents — gzip/zstd/bzip2/xz blobs
+    //    route like their plain twins through the one probe call;
+    //    bombs and magic collisions stay safe. Expectations ride the
+    //    fixture. -----------------------------------------------------
+    "m65_compressed_documents" -> { (s, _) =>
+      writeM65Fixture(s)
+      import graft.engine.read.DocumentProbe
+      s.read.parquet(m65Dir)
+        .select(col("doc_id"),
+          coalesce(DocumentProbe.formatCol(col("content")),
+            lit("<unknown>")).as("format"),
+          coalesce(DocumentProbe.textCol(col("content")),
+            lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
     },
 
     // -- m63: baseline TIFF decode — the scanner class through the
@@ -2398,7 +2479,9 @@ object MediaGateQueries {
            |  ('$f', '$m52LongName', 'rtf', 'tar member rtf')""".stripMargin
       s"""SELECT * FROM (VALUES
          |${rowsFor("corpus.tar")},
-         |${rowsFor("corpus2.tar.gz")})
+         |${rowsFor("corpus2.tar.gz")},
+         |${rowsFor("corpus3.tar.zst")},
+         |${rowsFor("corpus4.tar.bz2")})
          |  t(file, member, format, text)
          |ORDER BY file, member""".stripMargin
     },
@@ -2427,6 +2510,10 @@ object MediaGateQueries {
          |  count(DISTINCT text) AS n_distinct
          |FROM documents
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m65_compressed_documents" ->
+      s"""SELECT doc_id, exp_format AS format, exp_text AS text
+         |FROM read_parquet('$m65Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m63_tiff_decode" ->
       s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,
          |  exp_dhash AS dhash, round(exp_mean, 6) AS mean_luma,
