@@ -40,6 +40,13 @@ object Mail {
                          date: String, messageId: String,
                          nParts: Int, text: String)
 
+  /** A non-text MIME leaf: the attached payload with its declared
+    * name (Content-Disposition `filename`, else Content-Type `name`,
+    * else empty) and media type, transfer-decoded to bytes.
+    */
+  final case class Attachment(name: String, mediaType: String,
+                              bytes: Array[Byte])
+
   val DefaultMaxRecordBytes: Int = 64 << 20
 
   // ------------------------------------------------------------------
@@ -170,10 +177,15 @@ object Mail {
   /** A parsed leaf: (mediatype, text). */
   private final case class Leaf(mediaType: String, text: String)
 
-  /** Recursive MIME walk: leaves in document order, depth-bounded. */
+  /** Recursive MIME walk: leaves in document order, depth-bounded.
+    * Text leaves assemble the body (unchanged since m50/m51 pinned
+    * it); NON-text leaves collect into `atts` — the attached PDFs and
+    * Office documents a crawl pipeline must route onward.
+    */
   private def walkPart(hdrs: Seq[(String, String)], body: String,
                        depth: Int,
-                       out: scala.collection.mutable.ArrayBuffer[Leaf]): Unit = {
+                       out: scala.collection.mutable.ArrayBuffer[Leaf],
+                       atts: scala.collection.mutable.ArrayBuffer[Attachment]): Unit = {
     if (depth > 16) return
     val (mt, params) = contentType(header(hdrs, "Content-Type"))
     if (mt.startsWith("multipart/")) {
@@ -191,7 +203,7 @@ object Mail {
         val alts = scala.collection.mutable.ArrayBuffer.empty[Leaf]
         inner.foreach { c =>
           splitMessage(ensureHeaderBlock(c)).foreach { case (h, b) =>
-            walkPart(h, b, depth + 1, alts)
+            walkPart(h, b, depth + 1, alts, atts)
           }
         }
         alts.find(_.mediaType == "text/plain")
@@ -201,7 +213,7 @@ object Mail {
       } else {
         inner.foreach { c =>
           splitMessage(ensureHeaderBlock(c)).foreach { case (h, b) =>
-            walkPart(h, b, depth + 1, out)
+            walkPart(h, b, depth + 1, out, atts)
           }
         }
       }
@@ -214,7 +226,18 @@ object Mail {
         if (mt == "text/html") graft.ops.TextAnalysis.htmlToTextKernel(raw)
         else raw.replace("\r\n", "\n").trim
       out += Leaf(mt, text)
-    } // other leaves (attachments, images, message/rfc822): skipped
+    } else {
+      // a non-text leaf IS the attachment: transfer-decode and keep
+      // (capped); name from Content-Disposition, else Content-Type
+      val bytes = decodeTransfer(body, header(hdrs, "Content-Transfer-Encoding"))
+      if (bytes.nonEmpty && bytes.length <= DefaultMaxRecordBytes &&
+        atts.length < 1000) {
+        val (_, dparams) = contentType(header(hdrs, "Content-Disposition"))
+        val name = dparams.get("filename")
+          .orElse(params.get("name")).getOrElse("")
+        atts += Attachment(decodeHeader(name), mt, bytes)
+      }
+    }
   }
 
   /** A MIME part may legally have an EMPTY header block (body starts
@@ -253,7 +276,8 @@ object Mail {
       "received", "return-path", "mime-version", "content-type")
     if (!hdrs.exists(h => core.contains(h._1.toLowerCase))) return None
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Leaf]
-    walkPart(hdrs, body, 0, leaves)
+    val atts = scala.collection.mutable.ArrayBuffer.empty[Attachment]
+    walkPart(hdrs, body, 0, leaves, atts)
     val text = leaves.map(_.text).filter(_.nonEmpty).mkString("\f")
     Some(Email(
       from = decodeHeader(header(hdrs, "From").getOrElse("")),
@@ -268,7 +292,13 @@ object Mail {
   /** One MBOX record chunk → message: strips the `From ` envelope
     * line, unquotes `>From ` body lines (mboxrd).
     */
-  def parseMboxChunk(chunk: String): Option[Email] = {
+  def parseMboxChunk(chunk: String): Option[Email] =
+    mboxRaw(chunk).flatMap(parseEmlString)
+
+  /** Envelope strip + mboxrd unquote shared by the message and
+    * attachment kernels.
+    */
+  private def mboxRaw(chunk: String): Option[String] = {
     if (chunk == null) return None
     var c = chunk
     // the FIRST record still carries its full "From " envelope line;
@@ -285,8 +315,7 @@ object Mail {
       if (looksEnvelope) c = if (nl < 0) "" else c.substring(nl + 1)
     }
     // mboxrd unquoting: a body line ">>>From " loses ONE '>'
-    c = c.replaceAll("(?m)^>(>*From )", "$1")
-    parseEmlString(c)
+    Some(c.replaceAll("(?m)^>(>*From )", "$1"))
   }
 
   /** MBOX archive → one row per message: `(msg_id, from_addr,
@@ -347,4 +376,69 @@ object Mail {
 
   /** Message body text as a column; NULL when not a message. */
   def textCol(bytesCol: Column): Column = textUdf(bytesCol)
+
+  // ------------------------------------------------------------------
+  //  attachments
+  // ------------------------------------------------------------------
+
+  /** Every non-text MIME leaf of one message, transfer-decoded —
+    * the attached PDFs/Office documents/images a crawl pipeline
+    * routes onward through [[DocumentProbe]]. Empty when not a
+    * message or nothing is attached.
+    */
+  def attachmentsOf(raw: String): Seq[Attachment] = {
+    val (hdrs, body) = splitMessage(raw) match {
+      case Some(hb) => hb
+      case None     => return Seq.empty
+    }
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+    val atts = scala.collection.mutable.ArrayBuffer.empty[Attachment]
+    walkPart(hdrs, body, 0, leaves, atts)
+    atts.toSeq
+  }
+
+  /** [[attachmentsOf]] over EML bytes. */
+  def attachments(bytes: Array[Byte]): Seq[Attachment] = {
+    if (bytes == null || bytes.length == 0) return Seq.empty
+    attachmentsOf(new String(bytes, StandardCharsets.ISO_8859_1))
+  }
+
+  private val attachmentsUdf = udf { (bytes: Array[Byte]) =>
+    attachments(bytes).map(a => (a.name, a.mediaType, a.bytes))
+  }
+
+  /** `array<struct<name, media_type, content>>` of the message's
+    * attachments; empty array when none, for `explode` composition.
+    */
+  def attachmentsCol(bytesCol: Column): Column = attachmentsUdf(bytesCol)
+
+  /** MBOX archive → one row per ATTACHMENT: `(msg_id, subject, name,
+    * media_type, content)` — compose with [[DocumentProbe]] so the
+    * PDF attached to a list message joins the same text layer as the
+    * PDF crawled from the web. Same splittable envelope scan as
+    * [[messages]]; one kernel per record, attachments explode as
+    * rows, message text never ships here.
+    */
+  def attachmentRows(spark: SparkSession, path: String,
+                     maxRecordBytes: Int = DefaultMaxRecordBytes): DataFrame = {
+    val parse = udf { (chunk: String) =>
+      mboxRaw(chunk).flatMap { raw =>
+        parseEmlString(raw).map { m =>
+          (m.messageId, m.subject,
+            attachmentsOf(raw).map(a => (a.name, a.mediaType, a.bytes)))
+        }
+      }
+    }
+    spark.read.option("lineSep", "\nFrom ")
+      .option("mapreduce.input.linerecordreader.line.maxlength",
+        maxRecordBytes.toString)
+      .text(path)
+      .select(parse(col("value")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("m._1").as("msg_id"), col("m._2").as("subject"),
+        explode(col("m._3")).as("a"))
+      .select(col("msg_id"), col("subject"),
+        col("a._1").as("name"), col("a._2").as("media_type"),
+        col("a._3").as("content"))
+  }
 }

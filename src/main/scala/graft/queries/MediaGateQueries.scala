@@ -1311,6 +1311,48 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m59Dir)
   }
 
+  // -- m66 fixture: mail ATTACHMENTS — the PDF on the list message
+  //    must join the same text layer as the PDF crawled from the
+  //    web. One mbox, three messages: base64 pdf + an unnamed blob,
+  //    a docx, and a no-attachment control. Hand-derived literals.
+  private val m66Dir = "/tmp/graft_gate_m66_attachments"
+
+  private def writeM66Fixture(): Unit = {
+    def b64(b: Array[Byte]): String =
+      java.util.Base64.getMimeEncoder(72, "\n".getBytes)
+        .encodeToString(b)
+    val pdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (attached pdf text) Tj ET"))
+    val docx = DocxFixture.docx(Seq(
+      DocxFixture.para(DocxFixture.T("attached docx text"))))
+    val mbox =
+      "From alice Mon Apr  1 10:00:00 2024\n" +
+        "From: alice@example.org\nSubject: report\nMessage-ID: <a1>\n" +
+        "Content-Type: multipart/mixed; boundary=AA\n\n" +
+        "--AA\nContent-Type: text/plain\n\ncover one\n" +
+        "--AA\nContent-Type: application/pdf; name=\"x.pdf\"\n" +
+        "Content-Disposition: attachment; filename=\"q3.pdf\"\n" +
+        "Content-Transfer-Encoding: base64\n\n" + b64(pdf) + "\n" +
+        "--AA\nContent-Type: application/octet-stream\n" +
+        "Content-Transfer-Encoding: base64\n\nAAECAw==\n--AA--\n\n" +
+        "From bob Tue Apr  2 11:00:00 2024\n" +
+        "From: bob@example.org\nSubject: doc\nMessage-ID: <b2>\n" +
+        "Content-Type: multipart/mixed; boundary=BB\n\n" +
+        "--BB\nContent-Type: text/plain\n\ncover two\n" +
+        "--BB\nContent-Type: application/vnd.openxmlformats-" +
+        "officedocument.wordprocessingml.document; name=\"d.docx\"\n" +
+        "Content-Transfer-Encoding: base64\n\n" + b64(docx) +
+        "\n--BB--\n\n" +
+        "From carol Wed Apr  3 12:00:00 2024\n" +
+        "From: carol@example.org\nSubject: plain\nMessage-ID: <c3>\n\n" +
+        "nothing attached.\n"
+    val dir = java.nio.file.Paths.get(m66Dir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("list.mbox"),
+      mbox.getBytes("UTF-8"))
+    ()
+  }
+
   // -- m65 fixture: compressed single documents — the crawl column's
   //    `.txt.gz`/`.html.zst`/`.rtf.bz2`/`.eml.xz` blobs must route
   //    exactly like their plain twins (inner format reported, the
@@ -1813,6 +1855,22 @@ object MediaGateQueries {
             .otherwise(0L)).as("n_roundtrip"),
           countDistinct(col("__d.text")).as("n_distinct"))
         .orderBy("format")
+    },
+
+    // -- m66: mail attachments → document layer — one splittable
+    //    mbox scan, attachments explode as rows, each magic-routed
+    //    through the probe (the attached PDF reads like the crawled
+    //    one). Hand-derived literals. ---------------------------------
+    "m66_mail_attachments" -> { (s, _) =>
+      writeM66Fixture()
+      import graft.engine.read.{DocumentProbe, Mail}
+      Mail.attachmentRows(s, m66Dir)
+        .select(col("msg_id"), col("name"), col("media_type"),
+          coalesce(DocumentProbe.formatCol(col("content")),
+            lit("<unknown>")).as("format"),
+          coalesce(DocumentProbe.textCol(col("content")),
+            lit("<undecodable>")).as("text"))
+        .orderBy("msg_id", "name")
     },
 
     // -- m65: compressed single documents — gzip/zstd/bzip2/xz blobs
@@ -2510,6 +2568,16 @@ object MediaGateQueries {
          |  count(DISTINCT text) AS n_distinct
          |FROM documents
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m66_mail_attachments" ->
+      s"""SELECT * FROM (VALUES
+         |  ('<a1>', '', 'application/octet-stream',
+         |   '<unknown>', '<undecodable>'),
+         |  ('<a1>', 'q3.pdf', 'application/pdf', 'pdf',
+         |   'attached pdf text'),
+         |  ('<b2>', 'd.docx', 'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+         |   'docx', 'attached docx text'))
+         |  t(msg_id, name, media_type, format, text)
+         |ORDER BY msg_id, name""".stripMargin,
     "m65_compressed_documents" ->
       s"""SELECT doc_id, exp_format AS format, exp_text AS text
          |FROM read_parquet('$m65Dir/*.parquet')

@@ -118,6 +118,92 @@ class MailSpec extends graft.SparkSpec {
     assert(m.text == "inner plain\ftail part")
   }
 
+  test("attachments(): non-text leaves surface decoded; body text " +
+    "is byte-identical to before") {
+    val pdf = graft.queries.PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (attached pdf body) Tj ET"))
+    val b64 = java.util.Base64.getMimeEncoder(72,
+      "\r\n".getBytes).encodeToString(pdf)
+    val raw =
+      s"""From: a@b.c
+         |Content-Type: multipart/mixed; boundary=MM
+         |
+         |--MM
+         |Content-Type: text/plain
+         |
+         |see attachment
+         |--MM
+         |Content-Type: application/pdf; name="report.pdf"
+         |Content-Disposition: attachment; filename="q3 report.pdf"
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--MM
+         |Content-Type: application/octet-stream
+         |Content-Transfer-Encoding: base64
+         |
+         |AAECAw==
+         |--MM--""".stripMargin
+    val atts = Mail.attachments(eml(raw))
+    assert(atts.length == 2)
+    assert(atts(0).name == "q3 report.pdf") // disposition beats CT name
+    assert(atts(0).mediaType == "application/pdf")
+    assert(java.util.Arrays.equals(atts(0).bytes, pdf))
+    // the attached PDF routes straight through the document layer
+    assert(graft.engine.read.Pdf.extractText(atts(0).bytes)
+      .map(_.text).contains("attached pdf body"))
+    assert(atts(1).name == "" && atts(1).mediaType == "application/octet-stream")
+    assert(atts(1).bytes.toSeq == Seq[Byte](0, 1, 2, 3))
+    // text assembly is unchanged by the collection
+    assert(Mail.parseEml(eml(raw)).get.text == "see attachment")
+    // RFC 2047 encoded filenames decode
+    val enc = Mail.attachments(eml(
+      """From: a@b.c
+        |Content-Type: multipart/mixed; boundary=X
+        |
+        |--X
+        |Content-Type: image/png; name="=?UTF-8?B?Sm9zw6kucG5n?="
+        |Content-Transfer-Encoding: base64
+        |
+        |iVBORw==
+        |--X--""".stripMargin))
+    assert(enc.head.name == "José.png")
+    // no attachments / not a message: empty, never a throw
+    assert(Mail.attachments(eml("From: a@b.c\n\njust text")).isEmpty)
+    assert(Mail.attachments("junk".getBytes).isEmpty)
+    assert(Mail.attachments(null).isEmpty)
+  }
+
+  test("attachmentRows(): an mbox explodes one row per attachment " +
+    "into the document layer") {
+    val docx = graft.queries.DocxFixture.docx(Seq(
+      graft.queries.DocxFixture.para(
+        graft.queries.DocxFixture.T("attached docx body"))))
+    val b64 = java.util.Base64.getMimeEncoder(72,
+      "\n".getBytes).encodeToString(docx)
+    val mbox =
+      "From alice Mon Apr  1 10:00:00 2024\n" +
+        "From: alice@example.org\nSubject: with doc\nMessage-ID: <a1>\n" +
+        "Content-Type: multipart/mixed; boundary=BB\n\n" +
+        "--BB\nContent-Type: text/plain\n\ncover note\n" +
+        "--BB\nContent-Type: application/vnd.openxmlformats-officedocument" +
+        ".wordprocessingml.document; name=\"doc.docx\"\n" +
+        "Content-Transfer-Encoding: base64\n\n" + b64 + "\n--BB--\n\n" +
+        "From bob Tue Apr  2 11:00:00 2024\n" +
+        "From: bob@example.org\nSubject: plain\nMessage-ID: <b2>\n\n" +
+        "no attachments here.\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbox_att")
+    java.nio.file.Files.write(dir.resolve("list.mbox"),
+      mbox.getBytes("UTF-8"))
+    val rows = Mail.attachmentRows(spark, dir.toString).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("msg_id") == "<a1>")
+    assert(rows(0).getAs[String]("name") == "doc.docx")
+    val content = rows(0).getAs[Array[Byte]]("content")
+    assert(graft.engine.read.DocumentProbe.extractText(content)
+      .contains("attached docx body"))
+  }
+
   test("mbox chunks: envelope strip, mboxrd unquote, junk is None") {
     val chunk = "From alice@example.org Mon Apr  1 10:00:00 2024\n" +
       "From: a@b.c\nSubject: s1\n\n>From the start, quoted.\nplain."
