@@ -80,6 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pptText)
     ext.injectFunction(GraftExtensions.xlsText)
     ext.injectFunction(GraftExtensions.xlsxText)
+    ext.injectFunction(GraftExtensions.xlsbText)
     ext.injectFunction(GraftExtensions.pptxText)
     ext.injectFunction(GraftExtensions.emlText)
     ext.injectFunction(GraftExtensions.odsText)
@@ -291,6 +292,14 @@ object GraftExtensions {
         "when not a readable OPC workbook.",
       classOf[graft.functions.XlsxTextExtract],
       graft.functions.XlsxTextExtract(_))
+
+  val xlsbText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("xlsb_text",
+      "xlsb_text(bytes) - binary Excel (.xlsb) string-cell text " +
+        "(shared/inline/formula strings) joined by newline; NULL " +
+        "when not a readable binary workbook package.",
+      classOf[graft.functions.XlsbTextExtract],
+      graft.functions.XlsbTextExtract(_))
 
   val pptxText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("pptx_text",
@@ -726,7 +735,7 @@ object GraftExtensions {
       countMinMerge, countMinEstimate,
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
-      xlsxText, pptxText, emlText, odsText, odpText,
+      xlsxText, xlsbText, pptxText, emlText, odsText, odpText,
       documentFormat, documentText, documentTitle, documentAuthor,
       documentDate,
       latexToText, wikitextToText).foreach {

@@ -446,6 +446,7 @@ object DocumentProbe {
         case "odp"  => Odp.extractFrom(files).map(_.text)
         case "docx" => Docx.extractFrom(files).map(_.text)
         case "xlsx" => Xlsx.extractFrom(files).map(_.text)
+        case "xlsb" => Xlsb.extractFrom(files).map(_.text)
         case "pptx" => Pptx.extractFrom(files).map(_.text)
         case "epub" =>
           // the Column path joins htmlToText'd chapters by form
@@ -644,11 +645,15 @@ object DocumentProbe {
       val relsMain = Docx.mainPartTarget(files)
       val opcKind = relsMain match {
         case Some(t) if t.startsWith("word/") => Some("docx")
+        // the binary sibling: same package shape, .bin parts
+        case Some(t) if t.startsWith("xl/") && t.endsWith(".bin") =>
+          Some("xlsb")
         case Some(t) if t.startsWith("xl/") => Some("xlsx")
         case Some(t) if t.startsWith("ppt/") => Some("pptx")
         case Some(_) => Some("opc")
         case None =>
           if (files.contains("word/document.xml")) Some("docx")
+          else if (files.contains("xl/workbook.bin")) Some("xlsb")
           else if (files.contains("xl/workbook.xml")) Some("xlsx")
           else if (files.contains("ppt/presentation.xml")) Some("pptx")
           else None

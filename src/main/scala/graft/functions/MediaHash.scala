@@ -282,6 +282,21 @@ case class XlsxTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `xlsb_text(bytes)` → string —
+  * [[graft.engine.read.Xlsb.extractText]]: the BINARY workbook's
+  * string cells (shared/inline/formula) in workbook order joined by
+  * newline; NULL when not a readable .xlsb package.
+  */
+case class XlsbTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "xlsb_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Xlsb.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `pptx_text(bytes)` → string —
   * [[graft.engine.read.Pptx.extractText]]: PresentationML slide +
   * notes paragraphs in presentation order joined by newline; NULL

@@ -1311,6 +1311,42 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m59Dir)
   }
 
+  // -- m67 fixture: BINARY Excel (.xlsb) from the INDEPENDENT
+  //    record-level writer — the Office matrix's last member. All
+  //    string-bearing cell records, workbook-order rels routing,
+  //    rich-run skipping, the no-SST numbers-only class and junk.
+  private val m67Dir = "/tmp/graft_gate_m67_xlsb"
+
+  private def writeM67Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], String, Int, String)] = Seq(
+      (0L, XlsbFixture.xlsb1(Seq(
+        XlsbFixture.rowHdr(0),
+        XlsbFixture.cellIsst(0, 0),
+        XlsbFixture.cellReal(1, 42.5),
+        XlsbFixture.cellSt(2, "inline cell"),
+        XlsbFixture.fmlaString(3, "formula value"),
+        XlsbFixture.cellIsst(4, 1)),
+        sharedStrings = Some(Seq(
+          XlsbFixture.sstItem("alpha"),
+          XlsbFixture.sstItem("beta", richRuns = 2)))),
+        "xlsb", 4, "alpha\ninline cell\nformula value\nbeta"),
+      (1L, XlsbFixture.xlsb(Seq(
+        ("rId2", "Second", Seq(XlsbFixture.cellSt(0, "second sheet"))),
+        ("rId1", "First", Seq(XlsbFixture.cellSt(0, "first sheet")))),
+        sharedStrings = None, scrambleNames = true),
+        "xlsb", 2, "second sheet\nfirst sheet"),
+      (2L, XlsbFixture.xlsb1(Seq(
+        XlsbFixture.cellReal(0, 1.5), XlsbFixture.cellReal(1, 2.5)),
+        sharedStrings = None),
+        "xlsb", 0, ""),
+      (3L, Array[Byte](0, 1, 2, 3, 0x7F),
+        "<unknown>", -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_format",
+        "exp_cells", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m67Dir)
+  }
+
   // -- m66 fixture: mail ATTACHMENTS — the PDF on the list message
   //    must join the same text layer as the PDF crawled from the
   //    web. One mbox, three messages: base64 pdf + an unnamed blob,
@@ -1855,6 +1891,25 @@ object MediaGateQueries {
             .otherwise(0L)).as("n_roundtrip"),
           countDistinct(col("__d.text")).as("n_distinct"))
         .orderBy("format")
+    },
+
+    // -- m67: binary Excel extraction — record framing + SST +
+    //    workbook-order sheets through the probe and the dedicated
+    //    kernel; expectations ride the fixture. ----------------------
+    "m67_xlsb_extract" -> { (s, _) =>
+      writeM67Fixture(s)
+      import graft.engine.read.{DocumentProbe, Xlsb}
+      val ext = udf { (b: Array[Byte]) =>
+        Xlsb.extractText(b).map(t => (t.nParagraphs, t.text))
+      }
+      s.read.parquet(m67Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(DocumentProbe.formatCol(col("content")),
+            lit("<unknown>")).as("format"),
+          coalesce(col("__t._1"), lit(-1)).as("n_cells"),
+          coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
     },
 
     // -- m66: mail attachments → document layer — one splittable
@@ -2568,6 +2623,11 @@ object MediaGateQueries {
          |  count(DISTINCT text) AS n_distinct
          |FROM documents
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m67_xlsb_extract" ->
+      s"""SELECT doc_id, exp_format AS format, exp_cells AS n_cells,
+         |  exp_text AS text
+         |FROM read_parquet('$m67Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m66_mail_attachments" ->
       s"""SELECT * FROM (VALUES
          |  ('<a1>', '', 'application/octet-stream',
