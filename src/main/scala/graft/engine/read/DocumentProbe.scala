@@ -6,12 +6,16 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
 /** Unified document probe + auto-routed text extraction across every
-  * document modality the engine reads: PDF, DOCX, XLSX, PPTX, ODT,
-  * EPUB, RTF, the legacy Office trio (doc/ppt/xls), raw HTML and
-  * plain UTF-8 text, plus classification-only for encrypted OOXML
-  * and plain archives. At inventory time a crawl column holds MIXED
-  * payloads with unreliable extensions/MIME labels — the dispatch
-  * key has to be the bytes themselves:
+  * document modality the engine reads: PDF, DOCX, XLSX, XLSB, PPTX,
+  * ODT/ODS/ODP, EPUB, RTF, the legacy Office trio (doc/ppt/xls),
+  * raw HTML, mail and plain UTF-8 text, plus classification-only
+  * for plain archives. Compressed payloads (`.gz`/`.zst`/`.bz2`/
+  * `.xz`) unwrap first and route as their inner format; encrypted
+  * OOXML and FilePass legacy sheets open when a DEFAULT password
+  * (blank / VelvetSweatshop) verifies ([[OffCrypto]]) and otherwise
+  * stay classification-only. At inventory time a crawl column holds
+  * MIXED payloads with unreliable extensions/MIME labels — the
+  * dispatch key has to be the bytes themselves:
   *
   *  - `{\rtf`      → rtf
   *  - CFB magic    → [[Ole2.classifyFrom]]: doc / xls / ppt /
@@ -22,7 +26,8 @@ import org.apache.spark.sql.functions.udf
   *                   omit the mimetype entry), OCF
   *                   `META-INF/container.xml`, OPC main parts
   *                   (`word/document.xml` → docx, `xl/workbook.xml` →
-  *                   xlsx, `ppt/presentation.xml` → pptx), else zip
+  *                   xlsx, `xl/workbook.bin` → xlsb,
+  *                   `ppt/presentation.xml` → pptx), else zip
   *  - `%PDF-` (incl. the junk-prefixed recovery class [[Pdf.meta]]
   *    re-anchors) → pdf, with page count and encryption flag
   *  - leading `<!DOCTYPE` / `<html` (BOM/whitespace skipped) → html,

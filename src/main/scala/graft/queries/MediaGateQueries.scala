@@ -591,6 +591,7 @@ object MediaGateQueries {
   }
 
   // -- m38 fixture: ONE document shipped as PDF, EPUB, DOCX, ODT, RTF,
+  //    DOC, XLSX, XLSB and PPTX —
   //    legacy DOC and (r14) XLSX + PPTX — the eight extractors must
   //    converge on byte-identical text so cross-format copies dedup
   //    to one survivor (min doc_id), plus a genuinely different DOCX
@@ -619,7 +620,11 @@ object MediaGateQueries {
         Seq(XlsxFixture.SRef("A1", 0)),
         sharedStrings = Some(Seq(XlsxFixture.si(m38TextA))))),
       (9L, "pptx", PptxFixture.pptx(Seq(PptxFixture.Slide(Seq(
-        PptxFixture.aPara(m38TextA)))))))
+        PptxFixture.aPara(m38TextA)))))),
+      // r15: the BINARY workbook makes it nine formats of one text
+      (10L, "xlsb", XlsbFixture.xlsb1(
+        Seq(XlsbFixture.cellIsst(0, 0)),
+        sharedStrings = Some(Seq(XlsbFixture.sstItem(m38TextA))))))
     s.createDataset(rows).toDF("doc_id", "fmt", "content")
       .coalesce(1).write.mode("overwrite").parquet(m38Dir)
   }
@@ -2290,13 +2295,14 @@ object MediaGateQueries {
     //    min-id copy. ------------------------------------------------
     "m38_document_mix" -> { (s, _) =>
       writeM38Fixture(s)
-      import graft.engine.read.{Doc, Docx, Epub, Odt, Pdf, Pptx, Rtf, Xlsx}
+      import graft.engine.read.{Doc, Docx, Epub, Odt, Pdf, Pptx, Rtf, Xlsb, Xlsx}
       val pdfT = udf { (b: Array[Byte]) => Pdf.extractText(b).map(_.text) }
       val docxT = udf { (b: Array[Byte]) => Docx.extractText(b).map(_.text) }
       val odtT = udf { (b: Array[Byte]) => Odt.extractText(b).map(_.text) }
       val rtfT = udf { (b: Array[Byte]) => Rtf.extractText(b).map(_.text) }
       val docT = udf { (b: Array[Byte]) => Doc.extractText(b).map(_.text) }
       val xlsxT = udf { (b: Array[Byte]) => Xlsx.extractText(b).map(_.text) }
+      val xlsbT = udf { (b: Array[Byte]) => Xlsb.extractText(b).map(_.text) }
       val pptxT = udf { (b: Array[Byte]) => Pptx.extractText(b).map(_.text) }
       val docs = s.read.parquet(m38Dir)
         .withColumn("text",
@@ -2306,6 +2312,7 @@ object MediaGateQueries {
             .when(col("fmt") === "rtf", rtfT(col("content")))
             .when(col("fmt") === "doc", docT(col("content")))
             .when(col("fmt") === "xlsx", xlsxT(col("content")))
+            .when(col("fmt") === "xlsb", xlsbT(col("content")))
             .when(col("fmt") === "pptx", pptxT(col("content")))
             .otherwise(Epub.textCol(col("content"))))
         .filter(col("text").isNotNull)
