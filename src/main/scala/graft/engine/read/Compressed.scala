@@ -2,13 +2,14 @@ package graft.engine.read
 
 /** Magic-dispatch stream decompression shared by the archive and
   * document layers — gzip `1F 8B`, zstd `28 B5 2F FD` (RFC 8878),
-  * bzip2 `BZh1-9`, xz `FD 37 7A 58 5A 00` — each output-capped (bomb
-  * guard). A torn stream keeps whatever decompressed cleanly (the
-  * crawl posture); a stream whose very construction fails (bzip2
-  * decodes its first block eagerly) yields empty, so the caller can
-  * fall back — a text file that merely STARTS with `BZh9` must not
-  * vanish. Codecs: `java.util.zip`, zstd-jni, commons-compress and
-  * org.tukaani.xz, all on Spark's own classpath.
+  * bzip2 `BZh1-9`, xz `FD 37 7A 58 5A 00`, LZ4 frame `04 22 4D 18`
+  * — each output-capped (bomb guard). A torn stream keeps whatever
+  * decompressed cleanly (the crawl posture); a stream whose very
+  * construction fails (bzip2 decodes its first block eagerly) yields
+  * empty, so the caller can fall back — a text file that merely
+  * STARTS with `BZh9` must not vanish. Codecs: `java.util.zip`,
+  * zstd-jni, commons-compress and org.tukaani.xz, all on Spark's own
+  * classpath.
   */
 private[read] object Compressed {
 
@@ -21,7 +22,8 @@ private[read] object Compressed {
       (b0 == 0x28 && b1 == 0xB5 && b2 == 0x2F && b3 == 0xFD) ||
       (b0 == 'B' && b1 == 'Z' && b2 == 'h' && b3 >= '1' && b3 <= '9') ||
       (b0 == 0xFD && b1 == 0x37 && b2 == 0x7A && b3 == 0x58 &&
-        (bytes(4) & 0xFF) == 0x5A && bytes(5) == 0)
+        (bytes(4) & 0xFF) == 0x5A && bytes(5) == 0) ||
+      (b0 == 0x04 && b1 == 0x22 && b2 == 0x4D && b3 == 0x18)
   }
 
   /** Decompress when a magic leads; otherwise the bytes unchanged.
@@ -46,9 +48,13 @@ private[read] object Compressed {
           new org.apache.commons.compress.compressors.bzip2
             .BZip2CompressorInputStream(
               new java.io.ByteArrayInputStream(bytes))
-        else
+        else if (b0 == 0xFD)
           new org.tukaani.xz.XZInputStream(
             new java.io.ByteArrayInputStream(bytes), 1 << 20) // memory cap KiB
+        else
+          new org.apache.commons.compress.compressors.lz4
+            .FramedLZ4CompressorInputStream(
+              new java.io.ByteArrayInputStream(bytes))
       } catch { case _: Exception => return Array.emptyByteArray }
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](64 << 10)

@@ -230,6 +230,40 @@ object Tar {
         col("m._2").as("size"), col("m._3").as("content"))
   }
 
+  /** Streaming twin of [[members]]: new archives landing in `dir`
+    * explode through the same kernel walk, so a live shard drop-box
+    * (the WebDataset delivery shape) feeds the same downstream
+    * program as a batch read.
+    */
+  def stream(spark: SparkSession, dir: String,
+             maxMemberBytes: Long = DefaultMaxMemberBytes,
+             maxTotalBytes: Long = DefaultMaxTotalBytes,
+             maxFilesPerTrigger: Int = 100): DataFrame = {
+    val explode0 = udf { (bytes: Array[Byte]) =>
+      parse(maybeDecompressed(bytes, maxTotalBytes),
+        maxMemberBytes, maxTotalBytes)
+        .map(_.map(m => (m.name, m.size, m.bytes)))
+        .getOrElse(Seq.empty)
+    }
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path").as("archive"),
+        explode(explode0(col("content"))).as("m"))
+      .select(col("archive"), col("m._1").as("member"),
+        col("m._2").as("size"), col("m._3").as("content"))
+  }
+
   private val membersUdf = udf { (bytes: Array[Byte]) =>
     parse(maybeDecompressed(bytes, DefaultMaxTotalBytes))
       .map(_.map(m => (m.name, m.size, m.bytes)))

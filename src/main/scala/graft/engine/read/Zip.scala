@@ -40,6 +40,39 @@ object Zip {
         col("m._2").as("size"), col("m._3").as("content"))
   }
 
+  /** Streaming twin of [[members]]: new archives landing in `dir`
+    * explode through the same capped walk — the live dataset-release
+    * drop-box shape.
+    */
+  def stream(spark: SparkSession, dir: String,
+             maxTotalBytes: Long = DefaultMaxTotalBytes,
+             maxEntries: Int = DefaultMaxEntries,
+             maxFilesPerTrigger: Int = 100): DataFrame = {
+    val explode0 = udf { (bytes: Array[Byte]) =>
+      ZipRead.entries(bytes, maxTotalBytes, maxEntries)
+        .map(_.toSeq.sortBy(_._1)
+          .map { case (n, b) => (n, b.length.toLong, b) })
+        .getOrElse(Seq.empty)
+    }
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path").as("archive"),
+        explode(explode0(col("content"))).as("m"))
+      .select(col("archive"), col("m._1").as("member"),
+        col("m._2").as("size"), col("m._3").as("content"))
+  }
+
   private val membersUdf = udf { (bytes: Array[Byte]) =>
     ZipRead.entries(bytes, DefaultMaxTotalBytes, DefaultMaxEntries)
       .map(_.toSeq.sortBy(_._1)

@@ -1140,6 +1140,16 @@ object MediaGateQueries {
       .BZip2CompressorOutputStream(bz)
     b.write(bos.toByteArray); b.close()
     java.nio.file.Files.write(dir.resolve("corpus4.tar.bz2"), bz.toByteArray)
+    val xzs = new java.io.ByteArrayOutputStream()
+    val x = new org.tukaani.xz.XZOutputStream(xzs,
+      new org.tukaani.xz.LZMA2Options())
+    x.write(bos.toByteArray); x.close()
+    java.nio.file.Files.write(dir.resolve("corpus5.tar.xz"), xzs.toByteArray)
+    val lzs = new java.io.ByteArrayOutputStream()
+    val l = new org.apache.commons.compress.compressors.lz4
+      .FramedLZ4CompressorOutputStream(lzs)
+    l.write(bos.toByteArray); l.close()
+    java.nio.file.Files.write(dir.resolve("corpus6.tar.lz4"), lzs.toByteArray)
     ()
   }
 
@@ -1442,7 +1452,13 @@ object MediaGateQueries {
         "<unknown>", "<undecodable>"),
       // the collision class: TEXT that merely starts with the magic
       (7L, "BZh9 looks like bzip2 but is prose".getBytes("UTF-8"),
-        "txt", "BZh9 looks like bzip2 but is prose"))
+        "txt", "BZh9 looks like bzip2 but is prose"),
+      (8L, {
+        val bos = new java.io.ByteArrayOutputStream()
+        val l = new org.apache.commons.compress.compressors.lz4
+          .FramedLZ4CompressorOutputStream(bos)
+        l.write(t.getBytes("UTF-8")); l.close(); bos.toByteArray
+      }, "txt", t))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")
       .coalesce(1).write.mode("overwrite").parquet(m65Dir)
@@ -2601,7 +2617,9 @@ object MediaGateQueries {
          |${rowsFor("corpus.tar")},
          |${rowsFor("corpus2.tar.gz")},
          |${rowsFor("corpus3.tar.zst")},
-         |${rowsFor("corpus4.tar.bz2")})
+         |${rowsFor("corpus4.tar.bz2")},
+         |${rowsFor("corpus5.tar.xz")},
+         |${rowsFor("corpus6.tar.lz4")})
          |  t(file, member, format, text)
          |ORDER BY file, member""".stripMargin
     },
