@@ -81,6 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.xlsText)
     ext.injectFunction(GraftExtensions.xlsxText)
     ext.injectFunction(GraftExtensions.xlsbText)
+    ext.injectFunction(GraftExtensions.ipynbText)
     ext.injectFunction(GraftExtensions.pptxText)
     ext.injectFunction(GraftExtensions.emlText)
     ext.injectFunction(GraftExtensions.odsText)
@@ -374,6 +375,14 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "latex_to_text expects exactly 1 argument")
     })
+
+  val ipynbText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("ipynb_text",
+      "ipynb_text(bytes) - a Jupyter notebook's authored cell text " +
+        "(markdown/raw/code sources, outputs drop); NULL when not a " +
+        "parseable notebook.",
+      classOf[graft.functions.IpynbTextExtract],
+      graft.functions.IpynbTextExtract(_))
 
   val wikitextToText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("wikitext_to_text"),
@@ -736,6 +745,7 @@ object GraftExtensions {
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, xlsbText, pptxText, emlText, odsText, odpText,
+      ipynbText,
       documentFormat, documentText, documentTitle, documentAuthor,
       documentDate,
       latexToText, wikitextToText).foreach {

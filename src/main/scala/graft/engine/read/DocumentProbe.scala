@@ -513,6 +513,19 @@ object DocumentProbe {
           else None
           if (!wantText || text.isDefined) return (meta, text)
         }
+        // a Jupyter notebook IS valid UTF-8 JSON — as txt it would
+        // pollute the text layer with brackets and output blobs;
+        // upgrade when it parses as one (checked BEFORE latex: a
+        // notebook cell may well contain \documentclass). A JSON
+        // config that merely mentions nbformat stays txt.
+        if (Ipynb.looksNotebook(s)) {
+          Ipynb.extractText(s) match {
+            case Some(nb) =>
+              return (Some(DocMeta("ipynb", nb.nCells, encrypted = false)),
+                if (wantText) Some(nb.text) else None)
+            case None => ()
+          }
+        }
         // LaTeX source too (the arXiv-dump tar members): the detex
         // tokenizer beats raw markup as corpus text. \documentclass /
         // \begin{document} in the head is the conventional marker.
@@ -766,6 +779,14 @@ object DocumentProbe {
               msg.map(_.from).map(_.trim).filter(_.nonEmpty),
               msg.map(_.date).map(_.trim).filter(_.nonEmpty),
               msg.map(_.text))
+        }
+        if (Ipynb.looksNotebook(s)) {
+          Ipynb.extractText(s) match {
+            case Some(nb) =>
+              return Inventory(Some("ipynb"), None, None, None,
+                Some(nb.text))
+            case None => ()
+          }
         }
         if (looksLatex(s))
           return Inventory(Some("latex"), latexTitle(s),

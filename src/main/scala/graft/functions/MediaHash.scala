@@ -63,6 +63,21 @@ case class LatexToText(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `ipynb_text(bytes)` → string —
+  * [[graft.engine.read.Ipynb.extractText]]: a Jupyter notebook's
+  * AUTHORED cell text (markdown/raw/code sources; outputs drop);
+  * NULL when not a parseable notebook.
+  */
+case class IpynbTextExtract(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "ipynb_text"
+  override def dataType: DataType = StringType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.read.Ipynb.extractText(bytes)
+      .map(t => UTF8String.fromString(t.text)).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `wikitext_to_text(src)` → string —
   * [[graft.ops.Wikitext.extractText]]: MediaWiki markup → plain text.
   * Same shape as [[LatexToText]] — nested templates/links need the

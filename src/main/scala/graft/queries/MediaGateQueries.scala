@@ -1326,6 +1326,38 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m59Dir)
   }
 
+  // -- m68 fixture: Jupyter notebooks — hand-authored nbformat JSON
+  //    (text format: the strings ARE the independent fixture); the
+  //    authored cells extract, outputs drop, configs stay txt.
+  private val m68Dir = "/tmp/graft_gate_m68_ipynb"
+
+  private def writeM68Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val v4 =
+      """{"nbformat": 4, "metadata": {}, "cells": [
+        | {"cell_type": "markdown", "source": ["# Intro\n", "prose\n"]},
+        | {"cell_type": "code", "source": "x = 1\n",
+        |  "outputs": [{"output_type": "stream", "text": ["DROPPED"]}]},
+        | {"cell_type": "raw", "source": ["raw tail"]}
+        |]}""".stripMargin
+    val v3 =
+      """{"nbformat": 3, "worksheets": [{"cells": [
+        | {"cell_type": "markdown", "source": ["legacy prose"]},
+        | {"cell_type": "code", "input": ["print(1)"]}
+        |]}]}""".stripMargin
+    val config = """{"nbformat": "doc", "cells": "none", "k": 1}"""
+    val rows: Seq[(Long, Array[Byte], String, Int, String)] = Seq(
+      (0L, v4.getBytes("UTF-8"), "ipynb", 3,
+        "# Intro\nprose\n\nx = 1\n\nraw tail"),
+      (1L, v3.getBytes("UTF-8"), "ipynb", 2,
+        "legacy prose\n\nprint(1)"),
+      (2L, config.getBytes("UTF-8"), "txt", -1, config),
+      (3L, Array[Byte](0, 1, 2, 3, 4), "<unknown>", -1, "<undecodable>"))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_format",
+        "exp_cells", "exp_text")
+      .coalesce(1).write.mode("overwrite").parquet(m68Dir)
+  }
+
   // -- m67 fixture: BINARY Excel (.xlsb) from the INDEPENDENT
   //    record-level writer — the Office matrix's last member. All
   //    string-bearing cell records, workbook-order rels routing,
@@ -1912,6 +1944,27 @@ object MediaGateQueries {
             .otherwise(0L)).as("n_roundtrip"),
           countDistinct(col("__d.text")).as("n_distinct"))
         .orderBy("format")
+    },
+
+    // -- m68: notebook extraction — authored cells (outputs drop)
+    //    through the probe and the dedicated kernel; the config
+    //    collision stays txt. Expectations ride the fixture. ---------
+    "m68_ipynb_extract" -> { (s, _) =>
+      writeM68Fixture(s)
+      import graft.engine.read.{DocumentProbe, Ipynb}
+      val ext = udf { (b: Array[Byte]) =>
+        Ipynb.extractText(b).map(t => (t.nCells, t.text))
+      }
+      s.read.parquet(m68Dir)
+        .withColumn("__t", ext(col("content")))
+        .select(col("doc_id"),
+          coalesce(DocumentProbe.formatCol(col("content")),
+            lit("<unknown>")).as("format"),
+          coalesce(col("__t._1"), lit(-1)).as("n_cells"),
+          coalesce(col("__t._2"),
+            coalesce(DocumentProbe.textCol(col("content")),
+              lit("<undecodable>"))).as("text"))
+        .orderBy("doc_id")
     },
 
     // -- m67: binary Excel extraction — record framing + SST +
@@ -2648,6 +2701,11 @@ object MediaGateQueries {
          |  count(DISTINCT text) AS n_distinct
          |FROM documents
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m68_ipynb_extract" ->
+      s"""SELECT doc_id, exp_format AS format, exp_cells AS n_cells,
+         |  exp_text AS text
+         |FROM read_parquet('$m68Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "m67_xlsb_extract" ->
       s"""SELECT doc_id, exp_format AS format, exp_cells AS n_cells,
          |  exp_text AS text
