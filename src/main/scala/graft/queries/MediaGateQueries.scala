@@ -821,7 +821,10 @@ object MediaGateQueries {
         DocxFixture.para(DocxFixture.T(t)))), ""), "docx", t),
       (26L, OffCryptFixture.stdEncryptedOoxml(DocxFixture.docx(Seq(
         DocxFixture.para(DocxFixture.T("x")))), "realpassword"),
-        "encrypted-ooxml", "<undecodable>"))
+        "encrypted-ooxml", "<undecodable>"),
+      // a notebook upgrades from txt to its authored cells (r15)
+      (27L, (s"""{"nbformat": 4, "cells": [{"cell_type": "markdown",""" +
+        s""" "source": ["$t"]}]}""").getBytes("UTF-8"), "ipynb", t))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")
       .coalesce(1).write.mode("overwrite").parquet(m42Dir)
