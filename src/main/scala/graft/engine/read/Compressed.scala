@@ -49,8 +49,13 @@ private[read] object Compressed {
             .BZip2CompressorInputStream(
               new java.io.ByteArrayInputStream(bytes))
         else if (b0 == 0xFD)
+          // 64 MiB memlimit (KiB units): a 100-byte hostile header
+          // can declare a huge LZMA2 dictionary, and many concurrent
+          // row kernels per executor multiply the allocation — keep
+          // the per-stream bound consistent with the output-cap
+          // posture rather than the library's GiB-scale default.
           new org.tukaani.xz.XZInputStream(
-            new java.io.ByteArrayInputStream(bytes), 1 << 20) // memory cap KiB
+            new java.io.ByteArrayInputStream(bytes), 64 << 10)
         else
           new org.apache.commons.compress.compressors.lz4
             .FramedLZ4CompressorInputStream(

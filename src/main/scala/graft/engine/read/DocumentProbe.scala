@@ -616,7 +616,13 @@ object DocumentProbe {
     var i = 0
     while (i < 3 && Compressed.isCompressed(b)) {
       val inner = Compressed.maybeDecompressed(b, MaxDecompressedBytes)
-      if (inner.isEmpty) return if (i == 0) None else Some(inner)
+      // A failed INNER layer (i > 0) falls back to the last bytes
+      // that DID decompress: gz('BZh9 prose…') is a gzip of a text
+      // file whose first bytes merely collide with bzip2's magic —
+      // layer 1's output must route as text, exactly like its
+      // uncompressed twin. Only a layer-0 failure means "not
+      // actually compressed at all" → None → caller's normal path.
+      if (inner.isEmpty) return if (i == 0) None else Some(b)
       b = inner
       i += 1
     }

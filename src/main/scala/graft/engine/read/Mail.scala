@@ -416,11 +416,32 @@ object Mail {
     * media_type, content)` — compose with [[DocumentProbe]] so the
     * PDF attached to a list message joins the same text layer as the
     * PDF crawled from the web. Same splittable envelope scan as
-    * [[messages]]; one kernel per record, attachments explode as
-    * rows, message text never ships here.
+    * [[messages]] — but byte-exact: attachments may use 8bit/binary
+    * Content-Transfer-Encoding, and `spark.read.text`'s UTF-8 decode
+    * would corrupt those bytes with replacement characters before
+    * the ISO-8859-1 round-trip could recover them. Hadoop's
+    * `TextInputFormat` with a custom record delimiter hands back the
+    * RAW record bytes (`Text.set` copies without validation), so
+    * decoding them as ISO-8859-1 here is lossless for every
+    * transfer encoding. One kernel per record, attachments explode
+    * as rows, message text never ships here.
     */
   def attachmentRows(spark: SparkSession, path: String,
                      maxRecordBytes: Int = DefaultMaxRecordBytes): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\nFrom ")
+    conf.setInt("mapreduce.input.linerecordreader.line.maxlength",
+      maxRecordBytes)
+    val records = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+      classOf[org.apache.hadoop.io.LongWritable],
+      classOf[org.apache.hadoop.io.Text],
+      conf)
+      .map { case (_, t) =>
+        new String(t.getBytes, 0, t.getLength, StandardCharsets.ISO_8859_1)
+      }
     val parse = udf { (chunk: String) =>
       mboxRaw(chunk).flatMap { raw =>
         parseEmlString(raw).map { m =>
@@ -429,10 +450,8 @@ object Mail {
         }
       }
     }
-    spark.read.option("lineSep", "\nFrom ")
-      .option("mapreduce.input.linerecordreader.line.maxlength",
-        maxRecordBytes.toString)
-      .text(path)
+    import spark.implicits._
+    records.toDF("value")
       .select(parse(col("value")).as("m"))
       .filter(col("m").isNotNull)
       .select(col("m._1").as("msg_id"), col("m._2").as("subject"),

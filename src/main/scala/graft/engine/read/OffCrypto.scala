@@ -230,7 +230,12 @@ private[read] object OffCrypto {
       return None
     val ek = (xml \\ "encryptedKey").headOption.getOrElse(return None)
     val spin = attr(ek, "spinCount").map(_.toInt).getOrElse(return None)
-    if (spin < 0 || spin > 10000000) return None // hostile spin cap
+    // Hostile spin cap: Office's real-world default is 100,000; a
+    // descriptor asking for more than 10× that is an attacker
+    // burning CPU, not a document (each candidate password costs
+    // spinCount SHA rounds, and the metadata column functions each
+    // pay it independently).
+    if (spin < 0 || spin > 1000000) return None
     val pSalt = attr(ek, "saltValue").map(b64).getOrElse(return None)
     val pKeyLen = attr(ek, "keyBits").map(_.toInt / 8).getOrElse(return None)
     val pBlock = attr(ek, "blockSize").map(_.toInt).getOrElse(16)

@@ -7,7 +7,9 @@ import javax.imageio.stream.MemoryCacheImageInputStream
 
 /** The ONE image-decode entry for every pixel consumer in the engine
   * ([[ImageHash]], [[ImageStats]], [[MediaPipeline]]): JDK ImageIO for
-  * the formats it really decodes (PNG/JPEG/GIF/BMP), the pure-JVM
+  * the formats it really decodes (PNG/JPEG/GIF/BMP, and TIFF via the
+  * JDK's bundled plugin — both byte orders; uncompressed, PackBits
+  * and LZW), the pure-JVM
   * [[WebP]]/[[Vp8l]] path for lossless WebP — so a WebP re-encode of
   * an indexed JPEG hashes, stats and dedups exactly like its twin
   * instead of sailing through as "undecodable". One shared front door

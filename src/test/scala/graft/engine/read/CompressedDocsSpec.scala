@@ -74,6 +74,16 @@ class CompressedDocsSpec extends AnyFunSuite {
     assert(DocumentProbe.probe(fakeBz).exists(_.format == "txt"))
     assert(DocumentProbe.extractText(fakeBz)
       .contains("BZh9 is how every bzip2 file begins"))
+    // LAYERED collision: gzip of that same text — layer 1
+    // decompresses fine, layer 2's bzip2 construction fails, and the
+    // row must fall back to layer 1's output and route as txt
+    // exactly like its uncompressed twin above
+    assert(DocumentProbe.probe(gz(fakeBz)).exists(_.format == "txt"))
+    assert(DocumentProbe.extractText(gz(fakeBz))
+      .contains("BZh9 is how every bzip2 file begins"))
+    val inv = DocumentProbe.inventory(gz(fakeBz))
+    assert(inv.format.contains("txt") &&
+      inv.text.exists(_.contains("BZh9 is how every bzip2 file begins")))
     // torn gzip of a long-enough payload keeps the bytes present
     val long = ("long enough body " * 50).getBytes("UTF-8")
     val whole = gz(long)

@@ -204,6 +204,34 @@ class MailSpec extends graft.SparkSpec {
       .contains("attached docx body"))
   }
 
+  test("attachmentRows(): 8bit/binary transfer encodings survive " +
+    "byte-exactly (the scan is byte-exact, not UTF-8-decoded)") {
+    // every byte value 0x00–0xFF, none of it valid UTF-8 as a whole —
+    // a UTF-8 text scan would smash the high bytes to U+FFFD before
+    // the ISO-8859-1 round-trip could recover them
+    val payload = Array.tabulate[Byte](256)(_.toByte)
+    val head =
+      "From carol Wed Apr  3 09:00:00 2024\n" +
+        "From: carol@example.org\nSubject: raw bytes\nMessage-ID: <c3>\n" +
+        "Content-Type: multipart/mixed; boundary=ZZ\n\n" +
+        "--ZZ\nContent-Type: text/plain\n\ncover\n" +
+        "--ZZ\nContent-Type: application/octet-stream; name=\"blob.bin\"\n" +
+        "Content-Transfer-Encoding: binary\n\n"
+    val tail = "\n--ZZ--\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbox_8bit")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.getBytes("ISO-8859-1"))
+    out.write(payload)
+    out.write(tail.getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(dir.resolve("raw.mbox"), out.toByteArray)
+    val rows = Mail.attachmentRows(spark, dir.toString).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("name") == "blob.bin")
+    val content = rows(0).getAs[Array[Byte]]("content")
+    assert(java.util.Arrays.equals(content, payload),
+      s"binary attachment corrupted: got ${content.length} bytes")
+  }
+
   test("mbox chunks: envelope strip, mboxrd unquote, junk is None") {
     val chunk = "From alice@example.org Mon Apr  1 10:00:00 2024\n" +
       "From: a@b.c\nSubject: s1\n\n>From the start, quoted.\nplain."
