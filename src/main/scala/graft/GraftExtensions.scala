@@ -82,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.xlsxText)
     ext.injectFunction(GraftExtensions.xlsbText)
     ext.injectFunction(GraftExtensions.ipynbText)
+    ext.injectFunction(GraftExtensions.pdfImageDhashes)
     ext.injectFunction(GraftExtensions.pptxText)
     ext.injectFunction(GraftExtensions.emlText)
     ext.injectFunction(GraftExtensions.odsText)
@@ -301,6 +302,15 @@ object GraftExtensions {
         "when not a readable binary workbook package.",
       classOf[graft.functions.XlsbTextExtract],
       graft.functions.XlsbTextExtract(_))
+
+  val pdfImageDhashes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("pdf_image_dhashes",
+      "pdf_image_dhashes(bytes) - 64-bit dHash of every embedded " +
+        "image XObject in a PDF (page order then name order); empty " +
+        "array when the document carries none or is not a readable " +
+        "PDF. Pairs with image_dhash for cross-format dedup.",
+      classOf[graft.functions.PdfImageDhashes],
+      graft.functions.PdfImageDhashes(_))
 
   val pptxText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("pptx_text",
@@ -745,7 +755,7 @@ object GraftExtensions {
       imageDhash, imagePhash, audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, xlsbText, pptxText, emlText, odsText, odpText,
-      ipynbText,
+      ipynbText, pdfImageDhashes,
       documentFormat, documentText, documentTitle, documentAuthor,
       documentDate,
       latexToText, wikitextToText).foreach {

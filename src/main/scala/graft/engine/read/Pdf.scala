@@ -1063,7 +1063,8 @@ object Pdf {
       trailer = t
     }
 
-    def decodeStream(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+    /** The stream's filter names with their aligned `/DecodeParms`. */
+    def filterChain(dict: PDict): (Seq[String], Seq[Option[PDict]]) = {
       val filters: Seq[String] = resolve(dict.m.getOrElse("Filter", PNull)) match {
         case PNull          => Seq.empty
         case PName(n)       => Seq(n)
@@ -1081,6 +1082,20 @@ object Pdf {
           }.padTo(filters.length, None)
           case _           => Seq.fill(filters.length)(None)
         }
+      (filters, parms)
+    }
+
+    def decodeStream(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+      val (filters, parms) = filterChain(dict)
+      decodeFilters(filters, parms, raw)
+    }
+
+    /** Apply an explicit filter prefix — [[decodeStream]] for the
+      * full chain; image extraction stops before a terminal
+      * DCTDecode so the JPEG bytes pass through intact.
+      */
+    def decodeFilters(filters: Seq[String], parms: Seq[Option[PDict]],
+                      raw: Array[Byte]): Array[Byte] = {
       var data = raw
       filters.zip(parms).foreach { case (f, parm) =>
         def num(k: String, dft: Int) = parm.map(d => resolve(
@@ -1562,4 +1577,271 @@ object Pdf {
     if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
       new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
     else new String(b, StandardCharsets.ISO_8859_1)
+
+  // ---- embedded images ------------------------------------------------
+
+  /** One image XObject pulled out of a page: `format` is the
+    * container the bytes are in — `"jpeg"` for DCTDecode payloads
+    * (the JPEG bytes pass through untouched), `"png"` for every
+    * fully-decodable sample stream (Flate/LZW/ASCII/RunLength
+    * chains re-encoded losslessly) — so every consumer routes the
+    * bytes through the ONE [[graft.multimodal.ImageDecode]] front
+    * door and a scanned PDF's pages dedup against their TIFF/JPEG/
+    * PNG twins.
+    */
+  final case class PdfImage(page: Int, name: String, width: Int,
+                            height: Int, format: String,
+                            bytes: Array[Byte])
+
+  /** Per-document image cap — a crawl row never explodes into an
+    * unbounded image list.
+    */
+  val DefaultMaxImages: Int = 256
+
+  /** Decoded-pixel bomb guard: a 1 KB stream declaring a
+    * 100k×100k image refuses before allocation.
+    */
+  private val MaxImagePixels: Long = 64L << 20
+
+  /** Image codecs we refuse rather than mis-decode: CCITT G3/G4 and
+    * JBIG2 (fax/bilevel arithmetic coders), JPEG 2000 — no
+    * independent offline decoder; the skip is recorded per image,
+    * never a throw (COVERAGE.md has the reasons).
+    */
+  private val UndecodedImageFilters =
+    Set("CCITTFaxDecode", "CCF", "JBIG2Decode", "JPXDecode")
+
+  /** Extract every image XObject, page order then name order. Empty
+    * when the payload is not a PDF, is (non-blank-password)
+    * encrypted, or its structure cannot be walked; a single bad
+    * image skips that image, never the document (crawl posture).
+    */
+  def images(bytes: Array[Byte],
+             maxStreamBytes: Int = DefaultMaxStreamBytes,
+             maxImages: Int = DefaultMaxImages): Seq[PdfImage] = {
+    val doc = open(bytes, maxStreamBytes) match {
+      case Some(d) => d
+      case None    => return Seq.empty
+    }
+    if (doc.encrypted) return Seq.empty
+    try {
+      val root = doc.resolve(doc.trailer.getOrElse("Root", PNull)) match {
+        case d: PDict => d
+        case _        => return Seq.empty
+      }
+      val tree = doc.resolve(root.m.getOrElse("Pages", PNull))
+      val leafBuf =
+        scala.collection.mutable.ArrayBuffer.empty[(PDict, Option[PDict])]
+      pages(doc, tree, None, 0, new java.util.HashSet[Int](), leafBuf)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PdfImage]
+      leafBuf.iterator.zipWithIndex.foreach { case ((_, res), pi) =>
+        val xobjs = res.map(r => doc.resolve(r.m.getOrElse("XObject", PNull)))
+        xobjs match {
+          case Some(PDict(xm)) =>
+            // PDict is an unordered Map: sort names for determinism
+            xm.keys.toSeq.sorted.foreach { name =>
+              if (out.length < maxImages) {
+                try {
+                  doc.resolve(xm(name)) match {
+                    case PStream(d, raw)
+                      if doc.resolve(d.m.getOrElse("Subtype", PNull)) ==
+                        PName("Image") =>
+                      imageOf(doc, d, raw).foreach { case (w, h, fmt, b) =>
+                        out += PdfImage(pi + 1, name, w, h, fmt, b)
+                      }
+                    case _ => ()
+                  }
+                } catch { case _: Bail | _: Exception => () }
+              }
+            }
+          case _ => ()
+        }
+      }
+      out.toSeq
+    } catch { case _: Bail | _: Exception => Seq.empty }
+  }
+
+  /** One image XObject → (width, height, container format, bytes);
+    * None for the recorded-skip codecs and sample shapes we cannot
+    * re-encode losslessly.
+    */
+  private def imageOf(doc: Doc, d: PDict,
+                      raw: Array[Byte]): Option[(Int, Int, String, Array[Byte])] = {
+    def intOf(k: String, dft: Int): Int =
+      doc.resolve(d.m.getOrElse(k, PNum(dft))) match {
+        case PNum(v) => v.toInt
+        case _       => dft
+      }
+    val w = intOf("Width", -1)
+    val h = intOf("Height", -1)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
+    val (filters, parms) = doc.filterChain(d)
+    if (filters.exists(UndecodedImageFilters.contains)) return None
+    if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
+      // the JPEG bytes ARE the payload: decode only the prefix
+      // (ASCII85/Hex wrappers) and pass the entropy-coded stream
+      // through intact — bit-identical to the bare .jpg twin
+      val jpeg = doc.decodeFilters(filters.dropRight(1),
+        parms.dropRight(1), raw)
+      if (jpeg.length < 4 || (jpeg(0) & 0xFF) != 0xFF ||
+        (jpeg(1) & 0xFF) != 0xD8) return None
+      Some((w, h, "jpeg", jpeg))
+    } else {
+      val data = doc.decodeFilters(filters, parms, raw)
+      samplesToPng(doc, d, data, w, h).map(png => (w, h, "png", png))
+    }
+  }
+
+  /** Raw image samples → PNG via the JDK encoder (lossless, so the
+    * pixels — and therefore every downstream dHash/stat — are
+    * exactly the embedded ones). Handles DeviceGray/DeviceRGB (and
+    * their Cal/ICC N=1/N=3 equivalents) at 1/2/4/8/16 bits,
+    * `/Indexed` palettes, `/ImageMask` stencils, and the gray
+    * `/Decode [1 0]` inversion. None for CMYK and shapes outside
+    * that set (recorded skip, not a guess).
+    */
+  private def samplesToPng(doc: Doc, d: PDict, data: Array[Byte],
+                           w: Int, h: Int): Option[Array[Byte]] = {
+    val isMask = doc.resolve(d.m.getOrElse("ImageMask", PNull)) match {
+      case PBool(v) => v
+      case _        => false
+    }
+    val bpc =
+      if (isMask) 1
+      else doc.resolve(d.m.getOrElse("BitsPerComponent", PNum(8))) match {
+        case PNum(v) => v.toInt
+        case _       => 8
+      }
+    if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8 && bpc != 16)
+      return None
+    // colorspace → (components, palette, grayish)
+    sealed trait Cs
+    case object Gray extends Cs
+    case object Rgb extends Cs
+    final case class Indexed(palette: Array[Byte]) extends Cs
+    def csOf(o: Obj, depth: Int): Option[Cs] = {
+      if (depth > 4) return None
+      doc.resolve(o) match {
+        case PName("DeviceGray") | PName("G") | PName("CalGray") =>
+          Some(Gray)
+        case PName("DeviceRGB") | PName("RGB") | PName("CalRGB") =>
+          Some(Rgb)
+        case PArr(items) if items.nonEmpty =>
+          doc.resolve(items.head) match {
+            case PName("ICCBased") if items.length >= 2 =>
+              doc.resolve(items(1)) match {
+                case PStream(sd, _) =>
+                  doc.resolve(sd.m.getOrElse("N", PNull)) match {
+                    case PNum(n) if n.toInt == 1 => Some(Gray)
+                    case PNum(n) if n.toInt == 3 => Some(Rgb)
+                    case _                       => None
+                  }
+                case _ => None
+              }
+            case PName("CalGray") => Some(Gray)
+            case PName("CalRGB")  => Some(Rgb)
+            case PName("Indexed") | PName("I") if items.length >= 4 =>
+              val base = csOf(items(1), depth + 1)
+              val lookup = doc.resolve(items(3)) match {
+                case PStr(b)         => b
+                case PStream(sd, sr) => doc.decodeStream(sd, sr)
+                case _               => return None
+              }
+              base.map {
+                case Rgb  => Indexed(lookup)
+                case Gray =>
+                  // expand a gray palette to RGB triples
+                  Indexed(lookup.flatMap(g => Array(g, g, g)))
+                case _: Indexed => return None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    val cs: Cs =
+      if (isMask) Gray
+      else csOf(d.m.getOrElse("ColorSpace", PNull), 0) match {
+        case Some(c) => c
+        case None    => return None
+      }
+    val comps = cs match { case Rgb => 3; case _ => 1 }
+    // /Decode [d0 d1] for single-component data (gray + stencil
+    // inversion); ImageMask's default is [0 1] — sample 0 paints,
+    // which for extraction purposes reads as black-on-white
+    val decode: Option[(Double, Double)] =
+      doc.resolve(d.m.getOrElse("Decode", PNull)) match {
+        case PArr(items) if items.length >= 2 && comps == 1 =>
+          (doc.resolve(items(0)), doc.resolve(items(1))) match {
+            case (PNum(a), PNum(b)) => Some((a, b))
+            case _                  => None
+          }
+        case _ => None
+      }
+    val rowBytes = (w.toLong * comps * bpc + 7) / 8
+    if (rowBytes * h > data.length) return None // torn samples: skip
+    val maxVal = (1 << math.min(bpc, 16)) - 1
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * rowBytes
+      var x = 0
+      while (x < w) {
+        def sample(c: Int): Int = {
+          val bitPos = (x.toLong * comps + c) * bpc
+          if (bpc == 8) data((rowOff + bitPos / 8).toInt) & 0xFF
+          else if (bpc == 16) data((rowOff + bitPos / 8).toInt) & 0xFF
+          else {
+            val b = data((rowOff + bitPos / 8).toInt) & 0xFF
+            val shift = 8 - bpc - (bitPos % 8).toInt
+            (b >> shift) & maxVal
+          }
+        }
+        val rgb = cs match {
+          case Rgb =>
+            def to8(s: Int): Int =
+              if (bpc == 8 || bpc == 16) s else s * 255 / maxVal
+            (to8(sample(0)) << 16) | (to8(sample(1)) << 8) | to8(sample(2))
+          case Indexed(pal) =>
+            val i = sample(0) * 3
+            if (i + 2 < pal.length)
+              ((pal(i) & 0xFF) << 16) | ((pal(i + 1) & 0xFF) << 8) |
+                (pal(i + 2) & 0xFF)
+            else 0
+          case Gray =>
+            val s = sample(0)
+            // sample() already projects 16-bit data to its high byte
+            val sMax = if (bpc == 16) 255 else maxVal
+            val v = decode match {
+              case Some((d0, d1)) =>
+                val t = d0 + s.toDouble * (d1 - d0) / sMax
+                math.max(0, math.min(255, math.round(t * 255).toInt))
+              case None =>
+                if (bpc == 8 || bpc == 16) s else s * 255 / sMax
+            }
+            (v << 16) | (v << 8) | v
+        }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", bos)) return None
+    Some(bos.toByteArray)
+  }
+
+  private val imagesUdf = org.apache.spark.sql.functions.udf {
+    (b: Array[Byte]) =>
+      images(b).map(i => (i.page, i.name, i.width, i.height, i.format,
+        i.bytes))
+  }
+
+  /** `array<struct<page,name,width,height,format,content>>` of the
+    * document's embedded images, for `explode` composition into the
+    * image-dedup kernels.
+    */
+  def imagesCol(bytesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    imagesUdf(bytesCol)
 }

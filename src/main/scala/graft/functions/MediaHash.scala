@@ -312,6 +312,26 @@ case class XlsbTextExtract(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `pdf_image_dhashes(bytes)` → array<bigint> — the 64-bit dHash of
+  * every embedded image XObject ([[graft.engine.read.Pdf.images]],
+  * page order then name order, through the one
+  * [[graft.multimodal.ImageDecode]] front door), so a scanned PDF's
+  * pages dedup in SQL against bare TIFF/PNG/JPEG rows' `image_dhash`.
+  * Images the decoder refuses drop from the array; empty array when
+  * the document carries none or is not a readable PDF.
+  */
+case class PdfImageDhashes(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "pdf_image_dhashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernel(bytes: Array[Byte]): Any = {
+    val hs = graft.engine.read.Pdf.images(bytes).flatMap(i =>
+      graft.multimodal.ImageHash.dhash64(i.bytes))
+    new GenericArrayData(hs.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `pptx_text(bytes)` → string —
   * [[graft.engine.read.Pptx.extractText]]: PresentationML slide +
   * notes paragraphs in presentation order joined by newline; NULL

@@ -1361,6 +1361,80 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m68Dir)
   }
 
+  // -- m69 fixture: PDF embedded images — image XObjects from the
+  //    INDEPENDENT PdfFixture writer carrying the SAME ramp pixels
+  //    as the bare PNG row (and as m63's TIFF rows), so a scanned
+  //    PDF's pages dedup against their PNG/JPEG/TIFF twins through
+  //    the one ImageDecode front door; recorded-skip codecs and
+  //    locked documents extract nothing. ---------------------------
+  private val m69Dir = "/tmp/graft_gate_m69_pdfimg"
+
+  private def writeM69Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def dhashOfRows(v: Int => Int): Long = {
+      var hash = 0L
+      for (_ <- 0 until 8; j <- 0 until 8)
+        hash = (hash << 1) | (if (v(j) < v(j + 1)) 1L else 0L)
+      hash
+    }
+    val rampDhash = dhashOfRows(x => 10 * x)
+    val rgbSamples = Array.tabulate(9 * 8 * 3) { i =>
+      (10 * ((i / 3) % 9)).toByte
+    }
+    val graySamples = Array.tabulate(9 * 8) { i => (10 * (i % 9)).toByte }
+    val rampPixels = Array.tabulate(9 * 8) { i =>
+      val g = 10 * (i % 9); 0xff000000 | (g << 16) | (g << 8) | g
+    }
+    // flat 16x16 gray JPEG via the JDK writer (the m63 lzwTiff-style
+    // triangulation): flat survives lossy DCT as flat -> dhash 0, and
+    // the DCT pass-through is proven bit-identical in PdfSpec
+    val flatJpeg = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x4D4D4D)
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    val rgbPdf = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(rgbSamples))), pageText = Some("scanned page"))
+    val grayPdf = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(graySamples))))
+    val palette = new String(
+      Array.tabulate(27)(i => (10 * (i / 3)).toChar))
+    val idxPdf = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        s" /ColorSpace [/Indexed /DeviceRGB 8 ${PdfFixture.lit(palette)}]" +
+        " /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(Array.tabulate[Byte](9 * 8)(i => (i % 9).toByte)))))
+    val dctPdf = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 16 /Height 16" +
+        " /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+      flatJpeg)))
+    val ccittPdf = PdfFixture.imagePdf(Seq(("Fax",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 1" +
+        " /Filter /CCITTFaxDecode",
+      Array[Byte](0, 0, 0))))
+    val lockedPdf = PdfFixture.stdEncryptedPdfV5("hidden", "T",
+      userPw = "pw")
+    val rows: Seq[(Long, Array[Byte], Int, String, Int, Int, Long)] = Seq(
+      (0L, rgbPdf, 1, "png", 9, 8, rampDhash),
+      (1L, grayPdf, 1, "png", 9, 8, rampDhash),
+      (2L, idxPdf, 1, "png", 9, 8, rampDhash),
+      (3L, dctPdf, 1, "jpeg", 16, 16, 0L),
+      (4L, pngOf(9, 8, rampPixels), 0, "bare", 9, 8, rampDhash),
+      (5L, ccittPdf, 0, "none", -1, -1, -999L),
+      (6L, lockedPdf, 0, "none", -1, -1, -999L))
+    s.createDataset(rows).toDF("doc_id", "content", "exp_n",
+        "exp_format", "exp_w", "exp_h", "exp_dhash")
+      .coalesce(1).write.mode("overwrite").parquet(m69Dir)
+  }
+
   // -- m67 fixture: BINARY Excel (.xlsb) from the INDEPENDENT
   //    record-level writer — the Office matrix's last member. All
   //    string-bearing cell records, workbook-order rels routing,
@@ -2018,6 +2092,38 @@ object MediaGateQueries {
             lit("<unknown>")).as("format"),
           coalesce(DocumentProbe.textCol(col("content")),
             lit("<undecodable>")).as("text"))
+        .orderBy("doc_id")
+    },
+
+    // -- m69: PDF embedded-image extraction — image XObjects route
+    //    through the ONE ImageDecode front door: a scanned PDF's
+    //    pages carry the SAME dhash literal as the bare PNG row
+    //    (and m63's TIFFs), the cross-format dedup proof; skip
+    //    codecs and locked documents extract nothing. ---------------
+    "m69_pdf_images" -> { (s, _) =>
+      writeM69Fixture(s)
+      import graft.engine.read.Pdf
+      import graft.multimodal.ImageHash
+      val dims = udf { (b: Array[Byte]) =>
+        graft.engine.validate.ImageProbe.dimensions(b)
+      }
+      s.read.parquet(m69Dir)
+        .withColumn("__imgs", Pdf.imagesCol(col("content")))
+        .withColumn("__f", try_element_at(col("__imgs"), lit(1)))
+        .withColumn("__d", dims(col("content")))
+        .select(col("doc_id"),
+          size(col("__imgs")).as("n_images"),
+          when(size(col("__imgs")) > 0, col("__f._5"))
+            .otherwise(when(col("__d._1").isNotNull, lit("bare"))
+              .otherwise(lit("none"))).as("format"),
+          when(size(col("__imgs")) > 0, col("__f._3"))
+            .otherwise(coalesce(col("__d._1"), lit(-1))).as("w"),
+          when(size(col("__imgs")) > 0, col("__f._4"))
+            .otherwise(coalesce(col("__d._2"), lit(-1))).as("h"),
+          coalesce(
+            when(size(col("__imgs")) > 0, ImageHash.dhash(col("__f._6")))
+              .otherwise(ImageHash.dhash(col("content"))),
+            lit(-999L)).as("dhash"))
         .orderBy("doc_id")
     },
 
@@ -2727,6 +2833,11 @@ object MediaGateQueries {
     "m65_compressed_documents" ->
       s"""SELECT doc_id, exp_format AS format, exp_text AS text
          |FROM read_parquet('$m65Dir/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    "m69_pdf_images" ->
+      s"""SELECT doc_id, exp_n AS n_images, exp_format AS format,
+         |  exp_w AS w, exp_h AS h, exp_dhash AS dhash
+         |FROM read_parquet('$m69Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
     "m63_tiff_decode" ->
       s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,

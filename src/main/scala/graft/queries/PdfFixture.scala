@@ -284,6 +284,36 @@ object PdfFixture {
     b.finishClassic(1, s"/Info $infoNum 0 R")
   }
 
+  /** A one-page document whose page carries image XObjects: each
+    * entry is (name, XObject dict entries, raw stream data). The
+    * content stream draws every image (`cm` + `Do`), the shape a
+    * scanner/exporter writes.
+    */
+  def imagePdf(images: Seq[(String, String, Array[Byte])],
+               pageText: Option[String] = None): Array[Byte] = {
+    val b = new Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    val imgNums = images.indices.map(_ + 6)
+    val xobj = images.zip(imgNums)
+      .map { case ((n, _, _), num) => s"/$n $num 0 R" }.mkString(" ")
+    b.add(3, "<< /Type /Page /Parent 2 0 R /Resources << " +
+      s"/Font << /F1 5 0 R >> /XObject << $xobj >> >> " +
+      "/MediaBox [0 0 612 792] /Contents 4 0 R >>")
+    val draw = images
+      .map { case (n, _, _) => s"q 100 0 0 100 0 0 cm /$n Do Q" }
+      .mkString("\n")
+    val text = pageText
+      .map(t => s"\nBT /F1 12 Tf (${t}) Tj ET").getOrElse("")
+    b.addStream(4, "", (draw + text).getBytes(ISO_8859_1))
+    b.add(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>")
+    images.zip(imgNums).foreach { case ((_, dict, data), num) =>
+      b.addStream(num, dict, data)
+    }
+    b.finishClassic(1)
+  }
+
   /** A composite (Type0) font with a ToUnicode CMap: 2-byte codes.
     * `bfchars` maps code → text; content writes hex strings of codes.
     */

@@ -376,4 +376,189 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(locked).isEmpty)
     assert(Pdf.meta(locked).exists(_.encrypted))
   }
+
+  // ---- embedded image XObjects --------------------------------------
+
+  /** The m63 ramp: pixel (x,y) is gray 10*x on a 9x8 canvas. */
+  private def rampRgbSamples: Array[Byte] =
+    Array.tabulate(9 * 8 * 3) { i =>
+      val x = (i / 3) % 9; (10 * x).toByte
+    }
+  private def rampGraySamples: Array[Byte] =
+    Array.tabulate(9 * 8) { i => (10 * (i % 9)).toByte }
+
+  private def decodePixels(b: Array[Byte]): Array[Int] = {
+    val img = graft.multimodal.ImageDecode.decode(b).get
+    Array.tabulate(img.getWidth * img.getHeight)(i =>
+      img.getRGB(i % img.getWidth, i / img.getWidth) & 0xFFFFFF)
+  }
+
+  test("FlateDecode RGB image extracts as a lossless PNG twin") {
+    val pdf = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(rampRgbSamples))), pageText = Some("scan page"))
+    val imgs = Pdf.images(pdf)
+    assert(imgs.length == 1)
+    val i = imgs.head
+    assert(i.page == 1 && i.name == "Im0" && i.width == 9 &&
+      i.height == 8 && i.format == "png")
+    // pixels through the ONE ImageDecode front door equal the ramp
+    val px = decodePixels(i.bytes)
+    assert(px.zipWithIndex.forall { case (p, n) =>
+      val g = 10 * (n % 9); p == ((g << 16) | (g << 8) | g)
+    })
+    // text on the same page still extracts
+    assert(Pdf.extractText(pdf).map(_.text).contains("scan page"))
+  }
+
+  test("DCTDecode bytes pass through bit-identical to the bare JPEG") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, 0x4D4D4D)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val pdf = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 16 /Height 16" +
+        " /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+      jpeg)))
+    val imgs = Pdf.images(pdf)
+    assert(imgs.length == 1 && imgs.head.format == "jpeg")
+    assert(java.util.Arrays.equals(imgs.head.bytes, jpeg))
+    // an ASCII85 wrapper around the DCT payload unwraps, JPEG intact
+    val wrapped = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 16 /Height 16" +
+        " /ColorSpace /DeviceRGB /BitsPerComponent 8" +
+        " /Filter [/ASCII85Decode /DCTDecode]",
+      PdfFixture.ascii85(jpeg))))
+    val w = Pdf.images(wrapped)
+    assert(w.length == 1 && java.util.Arrays.equals(w.head.bytes, jpeg))
+  }
+
+  test("gray, indexed and 1-bit images decode; /Decode [1 0] inverts") {
+    // DeviceGray 8-bit ramp: same luma as the RGB ramp
+    val gray = PdfFixture.imagePdf(Seq(("G0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(rampGraySamples))))
+    val gpx = decodePixels(Pdf.images(gray).head.bytes)
+    assert(gpx.zipWithIndex.forall { case (p, n) =>
+      val g = 10 * (n % 9); p == ((g << 16) | (g << 8) | g)
+    })
+    // Indexed palette: 9 entries, entry i = gray 10*i; 8bpc indices
+    val palette = Array.tabulate(27)(i => (10 * (i / 3)).toByte)
+    val indices = Array.tabulate[Byte](9 * 8)(i => (i % 9).toByte)
+    val idx = PdfFixture.imagePdf(Seq(("I0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        s" /ColorSpace [/Indexed /DeviceRGB 8 ${PdfFixture.lit(
+          new String(palette.map(b => (b & 0xFF).toChar)))}]" +
+        " /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(indices))))
+    val ipx = decodePixels(Pdf.images(idx).head.bytes)
+    assert(ipx.sameElements(gpx))
+    // 1-bit: first column black, rest white; rows pad to bytes
+    // (9 px -> 2 bytes: 0b01111111 0b10000000)
+    val bits = Array.fill(8)(Array(0x7F.toByte, 0x80.toByte)).flatten
+    val onebit = PdfFixture.imagePdf(Seq(("B0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 1",
+      bits)))
+    val bpx = decodePixels(Pdf.images(onebit).head.bytes)
+    assert(bpx.zipWithIndex.forall { case (p, n) =>
+      if (n % 9 == 0) p == 0 else p == 0xFFFFFF
+    })
+    // the same bits under /Decode [1 0] invert
+    val inv = PdfFixture.imagePdf(Seq(("B0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 1 /Decode [1 0]",
+      bits)))
+    val vpx = decodePixels(Pdf.images(inv).head.bytes)
+    assert(vpx.zipWithIndex.forall { case (p, n) =>
+      if (n % 9 == 0) p == 0xFFFFFF else p == 0
+    })
+    // an /ImageMask stencil (no colorspace) reads as bilevel gray
+    val mask = PdfFixture.imagePdf(Seq(("M0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ImageMask true",
+      bits)))
+    assert(decodePixels(Pdf.images(mask).head.bytes)
+      .sameElements(bpx))
+  }
+
+  test("pdf_image_dhashes SQL function pairs with image_dhash for " +
+    "cross-format dedup") {
+    val spark = graft.SparkSpec.session
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val pdf = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(rampRgbSamples))))
+    // the bare PNG twin with the SAME pixels
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val g = 10 * x; img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Seq((1L, pdf, bos.toByteArray), (2L, Array[Byte](0, 1), Array[Byte](0)))
+      .toDF("id", "doc", "img").createOrReplaceTempView("scans")
+    val got = spark.sql(
+      "SELECT id, pdf_image_dhashes(doc) AS hs, image_dhash(img) AS h" +
+        " FROM scans ORDER BY id").collect()
+    assert(got(0).getSeq[Long](1) == Seq(got(0).getLong(2)))
+    assert(got(1).getSeq[Long](1).isEmpty && got(1).isNullAt(2))
+  }
+
+  test("hostile embedded images skip the image, never the document") {
+    val good = ("Ok0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(rampGraySamples))
+    // lying dimensions: 100k x 100k from a tiny stream refuses
+    val bomb = ("Bomb",
+      "/Type /XObject /Subtype /Image /Width 100000 /Height 100000" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8",
+      Array[Byte](1, 2, 3))
+    // torn samples: fewer bytes than rows demand
+    val torn = ("Torn",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8",
+      Array[Byte](1, 2, 3))
+    // recorded-skip codec
+    val ccitt = ("Fax",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 1" +
+        " /Filter /CCITTFaxDecode",
+      Array[Byte](0, 0, 0))
+    // CMYK: out of the re-encode set, skips
+    val cmyk = ("K0",
+      "/Type /XObject /Subtype /Image /Width 2 /Height 2" +
+        " /ColorSpace /DeviceCMYK /BitsPerComponent 8",
+      new Array[Byte](16))
+    val pdf = PdfFixture.imagePdf(Seq(bomb, torn, ccitt, cmyk, good))
+    val imgs = Pdf.images(pdf)
+    assert(imgs.map(_.name) == Seq("Bomb", "Fax", "K0", "Ok0", "Torn")
+      .filter(_ == "Ok0"))
+    // lying DCT: declared DCTDecode but not a JPEG — skips
+    val lyingDct = PdfFixture.imagePdf(Seq(("L0",
+      "/Type /XObject /Subtype /Image /Width 4 /Height 4" +
+        " /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+      "this is not a jpeg".getBytes("US-ASCII"))))
+    assert(Pdf.images(lyingDct).isEmpty)
+    // non-PDF and encrypted documents: empty, never a throw
+    assert(Pdf.images("not a pdf at all".getBytes("US-ASCII")).isEmpty)
+    val locked = PdfFixture.stdEncryptedPdfV5("hidden", "T", userPw = "pw")
+    assert(Pdf.images(locked).isEmpty)
+    // the per-document cap holds
+    val many = PdfFixture.imagePdf((0 until 12).map(i => (s"Im$i",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(rampGraySamples))))
+    assert(Pdf.images(many, maxImages = 5).length == 5)
+    assert(Pdf.images(many).length == 12)
+  }
 }
