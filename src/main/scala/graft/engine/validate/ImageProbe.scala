@@ -18,6 +18,11 @@ object ImageProbe {
     // container probe is a fixed ~30-byte header read
     if (graft.multimodal.WebP.isWebP(bytes))
       return graft.multimodal.WebP.probe(bytes).map(m => (m.width, m.height))
+    // HEIC/AVIF likewise: ImageIO has no HEIF reader; the primary
+    // item's extents come from the meta-box walk ([[Heif]] — pixel
+    // decode is a recorded skip, dimensions/format inventory is not)
+    if (Heif.isHeif(bytes))
+      return Heif.meta(bytes).map(m => (m.width, m.height))
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -42,6 +47,7 @@ object ImageProbe {
   def diagnose(bytes: Array[Byte]): String =
     if (bytes == null || bytes.isEmpty) "file is empty"
     else if (graft.multimodal.WebP.isWebP(bytes)) "image header could not be decoded"
+    else if (Heif.isHeif(bytes)) "image header could not be decoded"
     else {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {

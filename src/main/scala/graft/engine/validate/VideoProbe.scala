@@ -32,14 +32,14 @@ object VideoProbe {
 
   // ---- big-endian readers (ISO-BMFF) --------------------------------
 
-  private def u16be(b: Array[Byte], off: Int): Int =
+  private[validate] def u16be(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-  private def u32be(b: Array[Byte], off: Int): Long =
+  private[validate] def u32be(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
       ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
 
-  private def u64be(b: Array[Byte], off: Int): Long =
+  private[validate] def u64be(b: Array[Byte], off: Int): Long =
     (u32be(b, off) << 32) | u32be(b, off + 4)
 
   // ---- little-endian readers (RIFF/AVI) -----------------------------
@@ -48,7 +48,7 @@ object VideoProbe {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
-  private def tag(b: Array[Byte], off: Int): String =
+  private[validate] def tag(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
   // ------------------------------------------------------------------
@@ -75,7 +75,7 @@ object VideoProbe {
     * is smaller than its own header, or that does not advance the
     * offset, ends the walk (hostile input, not an exception).
     */
-  private def walkBoxes(b: Array[Byte], start: Long, end: Long)(
+  private[validate] def walkBoxes(b: Array[Byte], start: Long, end: Long)(
       f: (String, Long, Long) => Unit): Unit = {
     var off = start
     var sane = true
@@ -108,7 +108,7 @@ object VideoProbe {
   }
 
   /** First child box named `name` inside `[start, end)`. */
-  private def findBox(b: Array[Byte], start: Long, end: Long,
+  private[validate] def findBox(b: Array[Byte], start: Long, end: Long,
                       name: String): Option[(Long, Long)] = {
     var found: Option[(Long, Long)] = None
     walkBoxes(b, start, end) { (t, s, e) =>

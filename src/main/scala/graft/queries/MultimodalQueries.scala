@@ -167,6 +167,39 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m4Dir)
   }
 
+  // -- m70 fixture: HEIC/AVIF metadata probe — the two dominant
+  //    modern image classes ImageIO cannot see; containers from the
+  //    INDEPENDENT HeifFixture box writer. Dimensions resolve the
+  //    PRIMARY item via pitm+ipma (a phone HEIC leads with its
+  //    thumbnail's ispe); pixel decode is a recorded skip. ----------
+  private val m70Dir = "/tmp/graft_gate_m70_heif"
+
+  private def writeM70Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    // phone shape: thumbnail ispe before the primary's in ipco
+    val heic = HeifFixture.heif("heic", Seq("mif1", "heic"), Some(1),
+      Seq(HeifFixture.codecConfig("hvcC"),
+        HeifFixture.ispe(32, 24), HeifFixture.ispe(4032, 3024)),
+      Seq(1 -> Seq(1, 3), 2 -> Seq(1, 2)))
+    val avif = HeifFixture.heif("avif", Seq("avif", "mif1"), Some(1),
+      Seq(HeifFixture.codecConfig("av1C"), HeifFixture.ispe(123, 77)),
+      Seq(1 -> Seq(1, 2)))
+    val bare = HeifFixture.heif("mif1", Seq("mif1"), Some(1),
+      Seq(HeifFixture.ispe(640, 480)), Seq(1 -> Seq(1)))
+    val torn = java.util.Arrays.copyOfRange(heic, 0, 40)
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, String)] = Seq(
+      (0L, heic, "heic", 4032, 3024, "ok"),
+      (1L, avif, "avif", 123, 77, "ok"),
+      (2L, bare, "heif", 640, 480, "ok"),
+      (3L, torn, "heic", -1, -1, "image header could not be decoded"),
+      (4L, encodeImage("png", 9, 8), "other", 9, 8, "ok"),
+      (5L, "not media".getBytes("UTF-8"), "other", -1, -1,
+        "not a recognized image format"))
+    s.createDataset(rows).toDF("img_id", "payload", "exp_format",
+        "exp_w", "exp_h", "exp_status")
+      .coalesce(1).write.mode("overwrite").parquet(m70Dir)
+  }
+
   /** m6 fixture: REAL WAV containers authored by the JDK's own writer
     * (`javax.sound.sampled.AudioSystem` — independent of the
     * [[graft.engine.validate.AudioProbe]] parser under test), varied
@@ -1280,6 +1313,29 @@ object MultimodalQueries {
         .orderBy("img_id")
     },
 
+    // -- m70: HEIC/AVIF inventory — brand-mapped format + the
+    //    PRIMARY item's dimensions through the one ImageProbe front
+    //    door (pitm+ipma resolution, not first-ispe); torn and
+    //    non-heif rows take the m4 diagnosis classes. ---------------
+    "m70_heif_probe" -> { (s, _) =>
+      writeM70Fixture(s)
+      import graft.engine.validate.{Heif, ImageProbe}
+      val probe = udf { bytes: Array[Byte] =>
+        val fmt = Heif.meta(bytes).map(_.format)
+          .getOrElse(if (Heif.isHeif(bytes)) "heic" else "other")
+        ImageProbe.dimensions(bytes) match {
+          case Some((w, h)) => (fmt, w, h, "ok")
+          case None => (fmt, -1, -1, ImageProbe.diagnose(bytes))
+        }
+      }
+      s.read.parquet(m70Dir)
+        .withColumn("__p", probe(col("payload")))
+        .select(col("img_id"), col("__p._1").as("format"),
+          col("__p._2").as("w"), col("__p._3").as("h"),
+          col("__p._4").as("status"))
+        .orderBy("img_id")
+    },
+
     // -- m5: the SAME real-decode kernel, but through the Multimodal
     //    withMeta path (typed mapPartitions batch decode + meta join on
     //    path) instead of a bare UDF — gating the full multimodal
@@ -1506,6 +1562,11 @@ object MultimodalQueries {
       s"""SELECT img_id, coalesce(exp_w, -1) AS w, coalesce(exp_h, -1) AS h,
          |  exp_status AS status
          |FROM read_parquet('$m4Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
+    "m70_heif_probe" ->
+      s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,
+         |  exp_status AS status
+         |FROM read_parquet('$m70Dir/*.parquet')
          |ORDER BY img_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT source, count(*) AS n_media,
