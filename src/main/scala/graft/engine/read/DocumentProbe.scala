@@ -828,6 +828,96 @@ object DocumentProbe {
     Inventory(Some(kind), title, author, date, text)
   }
 
+  // ---- archive-from-column loop closure ----------------------------
+
+  private def isTarBytes(b: Array[Byte]): Boolean =
+    b != null && b.length >= 512 && b(257) == 'u' && b(258) == 's' &&
+      b(259) == 't' && b(260) == 'a' && b(261) == 'r'
+
+  /** GENERIC-archive members with the archive kind: tar (the caller
+    * unwraps compression first) and plain zips — OPC/ODF/EPUB
+    * packages are documents, not archives, and are NOT members here.
+    * None when the payload is no archive at all.
+    */
+  private def archiveMembers(b: Array[Byte])
+  : Option[(String, Seq[(String, Array[Byte])])] = {
+    if (isTarBytes(b))
+      return Tar.parse(b).map(ms =>
+        ("tar", ms.map(m => (m.name, m.bytes))))
+    if (b.length >= 4 && b(0) == 'P' && b(1) == 'K') {
+      ZipRead.entries(b, Epub.DefaultMaxTotalBytes,
+        Epub.DefaultMaxEntries) match {
+        case Some(f) if zipKind(f) == "zip" =>
+          return Some(("zip", f.toSeq.sortBy(_._1)
+            .map { case (n, mb) => (n, mb) }))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** One MEMBER's inventory, depth-bounded: a member that is itself
+    * an archive (after unwrapping its own compression) keeps its row
+    * with the archive format and nothing else — the nesting-bomb
+    * refusal posture; document ZIP packages (docx/odt/epub/…) parse
+    * ONCE and take the normal document path.
+    */
+  private def memberInventory(mb: Array[Byte]): Inventory = {
+    if (mb == null || mb.length < 4) return EmptyInventory
+    val inner = unwrapped(mb).getOrElse(mb)
+    if (isTarBytes(inner))
+      return Inventory(Some("tar"), None, None, None, None)
+    if (inner.length >= 4 && inner(0) == 'P' && inner(1) == 'K') {
+      return ZipRead.entries(inner, Epub.DefaultMaxTotalBytes,
+        Epub.DefaultMaxEntries) match {
+        case Some(f) =>
+          if (zipKind(f) == "zip")
+            Inventory(Some("zip"), None, None, None, None)
+          else zipFilesInventory(f)
+        case None => EmptyInventory
+      }
+    }
+    inventory(inner)
+  }
+
+  /** Archive-from-column loop closure: a blob that IS a generic
+    * archive (zip/tar, compressed twins included) explodes into its
+    * members' inventories — the zip-of-PDFs attached to a list
+    * message joins the same text layer as its members crawled bare.
+    * A non-archive blob yields its own single row with a NULL member
+    * name, so the column composes uniformly over mixed corpora; an
+    * EMPTY archive keeps one row carrying just the archive format.
+    * Depth 1: member archives refuse (see [[memberInventory]]).
+    */
+  def memberInventories(bytes: Array[Byte])
+  : Seq[(Option[String], Inventory)] = {
+    if (bytes == null || bytes.length < 4)
+      return Seq((None, EmptyInventory))
+    val inner = unwrapped(bytes).getOrElse(bytes)
+    archiveMembers(inner) match {
+      case Some((kind, ms)) =>
+        if (ms.isEmpty)
+          Seq((None, Inventory(Some(kind), None, None, None, None)))
+        else ms.map { case (name, mb) =>
+          (Some(name), memberInventory(mb))
+        }
+      case None => Seq((None, inventory(bytes)))
+    }
+  }
+
+  private val memberInventoriesUdf = udf { (bytes: Array[Byte]) =>
+    memberInventories(bytes).map { case (name, inv) =>
+      (name, inv.format, inv.title, inv.author, inv.date, inv.text)
+    }
+  }
+
+  /** `array<struct<member,format,title,author,date,text>>` — the
+    * column face of [[memberInventories]], for `explode` composition
+    * (mail attachments, crawl blob columns).
+    */
+  def memberInventoriesCol(bytesCol: Column): Column =
+    memberInventoriesUdf(bytesCol)
+
   private val inventoryUdf = udf { (bytes: Array[Byte]) => inventory(bytes) }
 
   /** `struct<format,title,author,date,text>` off one container parse

@@ -1513,6 +1513,69 @@ object MediaGateQueries {
     ()
   }
 
+  // -- m71 fixture: archive-from-column loop closure — the
+  //    zip-of-PDFs attached to a list message (and a tar.gz sibling)
+  //    whose members re-probe through the ONE inventory dispatch;
+  //    member archives refuse at depth 1; writers are third parties
+  //    (JDK ZipOutputStream, commons-compress tar + JDK gzip). ------
+  private val m71Dir = "/tmp/graft_gate_m71_arcmembers"
+
+  private def writeM71Fixture(): Unit = {
+    def b64(b: Array[Byte]): String =
+      java.util.Base64.getMimeEncoder(72, "\n".getBytes)
+        .encodeToString(b)
+    val sharedPdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (shared body text) Tj ET"))
+    val alphaPdf = PdfFixture.simplePdf(Seq(
+      "BT /F1 12 Tf (alpha report body) Tj ET"))
+    val nested = EpubFixture.zip(Seq(
+      "inner.txt" -> "hidden one level too deep".getBytes("UTF-8")))
+    val bundle = EpubFixture.zip(Seq(
+      "a.pdf" -> alphaPdf,
+      "b.pdf" -> sharedPdf,
+      "notes.txt" -> "plain zip notes".getBytes("UTF-8"),
+      "nested.zip" -> nested))
+    val tarGz = {
+      import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      val t = new TarArchiveOutputStream(gz)
+      val e = new TarArchiveEntry("x/log.txt")
+      val data = "tar member log".getBytes("UTF-8")
+      e.setSize(data.length.toLong); e.setModTime(0L)
+      t.putArchiveEntry(e); t.write(data); t.closeArchiveEntry()
+      t.close()
+      bos.toByteArray
+    }
+    val mbox =
+      "From pat Mon Apr  1 10:00:00 2024\n" +
+        "From: pat@example.org\nSubject: solo\nMessage-ID: <p2>\n" +
+        "Content-Type: multipart/mixed; boundary=PP\n\n" +
+        "--PP\nContent-Type: text/plain\n\nbare attachment\n" +
+        "--PP\nContent-Type: application/pdf; name=\"solo.pdf\"\n" +
+        "Content-Transfer-Encoding: base64\n\n" + b64(sharedPdf) +
+        "\n--PP--\n\n" +
+        "From tia Tue Apr  2 11:00:00 2024\n" +
+        "From: tia@example.org\nSubject: tarball\nMessage-ID: <t3>\n" +
+        "Content-Type: multipart/mixed; boundary=TT\n\n" +
+        "--TT\nContent-Type: text/plain\n\ncompressed tar\n" +
+        "--TT\nContent-Type: application/gzip; name=\"data.tar.gz\"\n" +
+        "Content-Transfer-Encoding: base64\n\n" + b64(tarGz) +
+        "\n--TT--\n\n" +
+        "From zoe Wed Apr  3 12:00:00 2024\n" +
+        "From: zoe@example.org\nSubject: bundle\nMessage-ID: <z1>\n" +
+        "Content-Type: multipart/mixed; boundary=ZZ\n\n" +
+        "--ZZ\nContent-Type: text/plain\n\nzip of pdfs\n" +
+        "--ZZ\nContent-Type: application/zip; name=\"bundle.zip\"\n" +
+        "Content-Transfer-Encoding: base64\n\n" + b64(bundle) +
+        "\n--ZZ--\n"
+    val dir = java.nio.file.Paths.get(m71Dir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("list.mbox"),
+      mbox.getBytes("UTF-8"))
+    ()
+  }
+
   // -- m65 fixture: compressed single documents — the crawl column's
   //    `.txt.gz`/`.html.zst`/`.rtf.bz2`/`.eml.xz` blobs must route
   //    exactly like their plain twins (inner format reported, the
@@ -2061,6 +2124,27 @@ object MediaGateQueries {
           coalesce(col("__t._1"), lit(-1)).as("n_cells"),
           coalesce(col("__t._2"), lit("<undecodable>")).as("text"))
         .orderBy("doc_id")
+    },
+
+    // -- m71: archive-from-column loop closure — an attachment that
+    //    IS an archive explodes via memberInventories and each member
+    //    re-probes through the one inventory dispatch (the zip-of-
+    //    PDFs attached to a list message joins the text layer its
+    //    members would join crawled bare; b.pdf and solo.pdf carry
+    //    the SAME text — the cross-transport dedup proof); nested
+    //    archives refuse at depth 1. Hand-derived literals. ----------
+    "m71_archive_members" -> { (s, _) =>
+      writeM71Fixture()
+      import graft.engine.read.{DocumentProbe, Mail}
+      Mail.attachmentRows(s, m71Dir)
+        .select(col("msg_id"), col("name"),
+          explode(DocumentProbe.memberInventoriesCol(col("content")))
+            .as("m"))
+        .select(col("msg_id"), col("name"),
+          coalesce(col("m._1"), lit("<self>")).as("member"),
+          coalesce(col("m._2"), lit("<unknown>")).as("format"),
+          coalesce(col("m._6"), lit("<none>")).as("text"))
+        .orderBy("msg_id", "name", "member")
     },
 
     // -- m66: mail attachments → document layer — one splittable
@@ -2820,6 +2904,16 @@ object MediaGateQueries {
          |  exp_text AS text
          |FROM read_parquet('$m67Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    "m71_archive_members" ->
+      """SELECT * FROM (VALUES
+        |  ('<p2>', 'solo.pdf', '<self>', 'pdf', 'shared body text'),
+        |  ('<t3>', 'data.tar.gz', 'x/log.txt', 'txt', 'tar member log'),
+        |  ('<z1>', 'bundle.zip', 'a.pdf', 'pdf', 'alpha report body'),
+        |  ('<z1>', 'bundle.zip', 'b.pdf', 'pdf', 'shared body text'),
+        |  ('<z1>', 'bundle.zip', 'nested.zip', 'zip', '<none>'),
+        |  ('<z1>', 'bundle.zip', 'notes.txt', 'txt', 'plain zip notes'))
+        |  t(msg_id, name, member, format, text)
+        |ORDER BY msg_id, name, member""".stripMargin,
     "m66_mail_attachments" ->
       s"""SELECT * FROM (VALUES
          |  ('<a1>', '', 'application/octet-stream',

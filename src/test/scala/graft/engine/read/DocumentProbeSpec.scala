@@ -447,4 +447,57 @@ class DocumentProbeSpec extends graft.SparkSpec {
     assert(DocumentProbe.inventory(null) ==
       DocumentProbe.inventory(Array[Byte](1)))
   }
+
+  test("memberInventories(): archives explode to member inventories, " +
+    "non-archives pass through, nesting refuses at depth 1") {
+    def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, b) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(b); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val rtf = "{\\rtf1 member rtf body\\par}".getBytes("ISO-8859-1")
+    val docx = graft.queries.DocxFixture.docx(Seq(
+      graft.queries.DocxFixture.para(
+        graft.queries.DocxFixture.T("member docx body"))))
+    val inner = zip(Seq("deep.txt" -> "too deep".getBytes("UTF-8")))
+    val arc = zip(Seq(
+      "a.rtf" -> rtf, "doc.docx" -> docx,
+      "note.txt" -> "zip note".getBytes("UTF-8"),
+      "sub.zip" -> inner, "sub.tgz" -> gz(inner)))
+    val got = DocumentProbe.memberInventories(arc).map { case (n, i) =>
+      (n, i.format, i.text)
+    }
+    assert(got == Seq(
+      (Some("a.rtf"), Some("rtf"), Some("member rtf body")),
+      (Some("doc.docx"), Some("docx"), Some("member docx body")),
+      (Some("note.txt"), Some("txt"), Some("zip note")),
+      // depth 1: member archives keep their row, refuse their members
+      (Some("sub.tgz"), Some("zip"), None),
+      (Some("sub.zip"), Some("zip"), None)))
+    // non-archive blobs pass through as one NULL-member row
+    val solo = DocumentProbe.memberInventories(rtf)
+    assert(solo == Seq((None,
+      DocumentProbe.inventory(rtf))))
+    // a docx is a DOCUMENT package, not an archive: passes through
+    val docxRows = DocumentProbe.memberInventories(docx)
+    assert(docxRows.length == 1 && docxRows.head._1.isEmpty &&
+      docxRows.head._2.format.contains("docx"))
+    // empty archive: one row carrying just the archive format
+    val empty = DocumentProbe.memberInventories(zip(Seq.empty))
+    assert(empty == Seq((None, DocumentProbe.Inventory(
+      Some("zip"), None, None, None, None))))
+    // junk: one row, empty inventory — never a throw
+    assert(DocumentProbe.memberInventories(Array[Byte](9, 9, 9, 9))
+      .length == 1)
+    assert(DocumentProbe.memberInventories(null).length == 1)
+  }
 }
