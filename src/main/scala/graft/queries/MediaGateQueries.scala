@@ -2086,6 +2086,85 @@ object MediaGateQueries {
         .orderBy("format")
     },
 
+    // -- m72: the archive + decryption classes' sf-scaled point
+    //    (m64's sibling): every documents row renders in-flight into
+    //    an archive (zip of txt+rtf / tar.gz of txt+html / zip of
+    //    REAL OPC docx+xlsx) or a bare docx blob, a bounded slice of
+    //    which arrives standard-encrypted under the blank default
+    //    password (the 50k-spin verify bill) — then ONE
+    //    memberInventories dispatch explodes members and the gate
+    //    reports per-format counts, exact round-trips and dup
+    //    structure. DuckDB re-derives every column from the source
+    //    texts alone (each wrapper is m42/m64/m62-proven identity).
+    //    BenchSf1 Heavy member: archive explosion + decryption get a
+    //    tripwired 10x number. ----------------------------------------
+    "m72_archive_corpus" -> { (s, dir) =>
+      import graft.engine.read.DocumentProbe
+      val render = udf { (id: Long, text: String) =>
+        def zipOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(bos)
+          entries.foreach { case (n, b) =>
+            z.putNextEntry(new java.util.zip.ZipEntry(n))
+            z.write(b); z.closeEntry()
+          }
+          z.close(); bos.toByteArray
+        }
+        (id % 4) match {
+          case 0 => zipOf(Seq(
+            "a.txt" -> text.getBytes("UTF-8"),
+            "b.rtf" -> s"{\\rtf1 $text\\par}".getBytes("ISO-8859-1")))
+          case 1 =>
+            import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            val t = new TarArchiveOutputStream(gz)
+            def add(n: String, b: Array[Byte]): Unit = {
+              val e = new TarArchiveEntry(n)
+              e.setSize(b.length.toLong); e.setModTime(0L)
+              t.putArchiveEntry(e); t.write(b); t.closeArchiveEntry()
+            }
+            add("x.txt", text.getBytes("UTF-8"))
+            add("y.html", (s"<!DOCTYPE html><html><body><p>$text</p>" +
+              "</body></html>").getBytes("UTF-8"))
+            t.close()
+            bos.toByteArray
+          case 2 => zipOf(Seq(
+            "doc.docx" -> DocxFixture.docx(Seq(
+              DocxFixture.para(DocxFixture.T(text)))),
+            "sheet.xlsx" -> XlsxFixture.xlsx1(
+              Seq(XlsxFixture.SRef("A1", 0)),
+              sharedStrings = Some(Seq(XlsxFixture.si(text))))))
+          case _ =>
+            val docx = DocxFixture.docx(Seq(
+              DocxFixture.para(DocxFixture.T(text))))
+            // the decryption slice: bounded so the fixed 50k-spin
+            // verify bill scales with SF without dominating the gate
+            if (id % 400 == 3) OffCryptFixture.stdEncryptedOoxml(docx, "")
+            else docx
+        }
+      }
+      graft.Tables.documents(s, dir)
+        // the kernel (OPC builds + zip/tar + probe per row) dwarfs the
+        // row width: spread rows across the cluster BEFORE rendering,
+        // or a single-file corpus runs the whole bill on one thread.
+        // EXPLICIT partition count — AQE's size-based coalescing sees
+        // tiny bytes and would fold the compute-bound stage back to
+        // one partition
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          render(col("doc_id"), col("text")).as("content"))
+        .select(col("doc_id"), col("text"),
+          explode(DocumentProbe.memberInventoriesCol(col("content")))
+            .as("m"))
+        .groupBy(col("m._2").as("format"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("m._6") === col("text"), 1L)
+            .otherwise(0L)).as("n_roundtrip"),
+          countDistinct(col("m._6")).as("n_distinct"))
+        .orderBy("format")
+    },
+
     // -- m68: notebook extraction — authored cells (outputs drop)
     //    through the probe and the dedicated kernel; the config
     //    collision stays txt. Expectations ride the fixture. ---------
@@ -2894,6 +2973,21 @@ object MediaGateQueries {
          |  count(DISTINCT text) AS n_distinct
          |FROM documents
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m72_archive_corpus" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'txt' WHEN 1 THEN 'txt'
+        |      WHEN 2 THEN 'docx' ELSE 'docx' END AS format
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'rtf' WHEN 1 THEN 'html'
+        |      ELSE 'xlsx' END AS format
+        |  FROM documents WHERE doc_id % 4 < 3
+        |)
+        |SELECT format, count(*) AS n_docs, count(*) AS n_roundtrip,
+        |  count(DISTINCT text) AS n_distinct
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "m68_ipynb_extract" ->
       s"""SELECT doc_id, exp_format AS format, exp_cells AS n_cells,
          |  exp_text AS text

@@ -43,7 +43,11 @@ object BenchSf1 {
     // r15: the document layer's measured sf1 point — render + probe +
     // round-trip + dup structure over the full documents table (the
     // r13/r14 centerpiece finally has a 10× number)
-    "m64_document_corpus")
+    "m64_document_corpus",
+    // r16: the archive + decryption classes' sf1 point — per-row
+    // archive render -> memberInventories explosion, with a bounded
+    // blank-password OffCrypto slice (the 50k-spin verify bill)
+    "m72_archive_corpus")
 
   private val resultPath = "/root/repo/BENCH_sf1.json"
   private val baselinePath = "/root/repo/BENCH_sf1_baseline.json"
