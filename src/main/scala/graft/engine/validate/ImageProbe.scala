@@ -23,6 +23,12 @@ object ImageProbe {
     // decode is a recorded skip, dimensions/format inventory is not)
     if (Heif.isHeif(bytes))
       return Heif.meta(bytes).map(m => (m.width, m.height))
+    // ICO/CUR favicons: largest directory member (PNG members read
+    // their own IHDR); SVG: declared pixel size / viewBox fallback
+    if (graft.multimodal.Ico.isIco(bytes))
+      return graft.multimodal.Ico.dimensions(bytes)
+    if (SvgProbe.isSvg(bytes))
+      return SvgProbe.dimensions(bytes)
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -48,6 +54,8 @@ object ImageProbe {
     if (bytes == null || bytes.isEmpty) "file is empty"
     else if (graft.multimodal.WebP.isWebP(bytes)) "image header could not be decoded"
     else if (Heif.isHeif(bytes)) "image header could not be decoded"
+    else if (graft.multimodal.Ico.isIco(bytes)) "image header could not be decoded"
+    else if (SvgProbe.isSvg(bytes)) "image header could not be decoded"
     else {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {

@@ -26,6 +26,9 @@ object ImageDecode {
   def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes == null || bytes.isEmpty) return None
     if (WebP.isWebP(bytes)) return WebP.decodeToBufferedImage(bytes)
+    // ICO/CUR favicons likewise by magic: the largest member re-wraps
+    // into a BMP (or routes as a bare PNG) for the readers below
+    if (Ico.isIco(bytes)) return Ico.decode(bytes)
     // memory-backed stream: ImageIO.read(InputStream) would otherwise
     // spool every payload through a temp FILE (its default disk cache)
     // inside this per-row hot path — pure wasted I/O on bytes already

@@ -200,6 +200,61 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m70Dir)
   }
 
+  // -- m73 fixture: web image classes — ICO favicons (BMP-DIB and
+  //    PNG members, via the independent IcoFixture writer over the
+  //    JDK's own BMP encoding) through the SAME decode/dHash kernels
+  //    as every raster format, and SVG dimension inventory
+  //    (rasterization is a recorded skip). The ICO ramp carries the
+  //    SAME dhash literal as its bare PNG twin row. -----------------
+  private val m73Dir = "/tmp/graft_gate_m73_webimg"
+
+  private def writeM73Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def dhashOfRows(v: Int => Int): Long = {
+      var hash = 0L
+      for (_ <- 0 until 8; j <- 0 until 8)
+        hash = (hash << 1) | (if (v(j) < v(j + 1)) 1L else 0L)
+      hash
+    }
+    val rampDhash = dhashOfRows(x => 10 * x)
+    def rampBuf(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = 10 * (x % 9); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt")
+      bos.toByteArray
+    }
+    val flat16 = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x4D4D4D)
+      img
+    }
+    val icoBmp = IcoFixture.ico(Seq(
+      (9, 8, IcoFixture.dibOf(enc(rampBuf(9, 8), "bmp")))))
+    val icoPng = IcoFixture.ico(Seq((16, 16, enc(flat16, "png"))))
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, Long)] = Seq(
+      (0L, icoBmp, "ico", 9, 8, rampDhash),
+      (1L, icoPng, "ico", 16, 16, 0L),
+      (2L, "<svg width=\"64\" height=\"32\"><rect/></svg>"
+        .getBytes("UTF-8"), "svg", 64, 32, -999L),
+      (3L, ("<?xml version=\"1.0\"?><!-- logo --><svg viewBox=" +
+        "\"0 0 120 80\"/>").getBytes("UTF-8"), "svg", 120, 80, -999L),
+      (4L, "<svg width=\"100%\" height=\"100%\"/>".getBytes("UTF-8"),
+        "svg", -1, -1, -999L),
+      (5L, enc(rampBuf(9, 8), "png"), "other", 9, 8, rampDhash),
+      (6L, "no image here".getBytes("UTF-8"), "other", -1, -1, -999L))
+    s.createDataset(rows).toDF("img_id", "payload", "exp_format",
+        "exp_w", "exp_h", "exp_dhash")
+      .coalesce(1).write.mode("overwrite").parquet(m73Dir)
+  }
+
   /** m6 fixture: REAL WAV containers authored by the JDK's own writer
     * (`javax.sound.sampled.AudioSystem` — independent of the
     * [[graft.engine.validate.AudioProbe]] parser under test), varied
@@ -1336,6 +1391,33 @@ object MultimodalQueries {
         .orderBy("img_id")
     },
 
+    // -- m73: web image classes — favicon decode through the shared
+    //    dHash kernels (the ICO ramp matches its bare-PNG twin's
+    //    literal) and SVG dimension inventory; relative-unit SVGs
+    //    refuse rather than guess a DPI. --------------------------------
+    "m73_web_images" -> { (s, _) =>
+      writeM73Fixture(s)
+      import graft.engine.validate.{ImageProbe, SvgProbe}
+      import graft.multimodal.{Ico, ImageHash}
+      val probe = udf { bytes: Array[Byte] =>
+        val fmt =
+          if (Ico.isIco(bytes)) "ico"
+          else if (SvgProbe.isSvg(bytes)) "svg"
+          else "other"
+        ImageProbe.dimensions(bytes) match {
+          case Some((w, h)) => (fmt, w, h)
+          case None         => (fmt, -1, -1)
+        }
+      }
+      s.read.parquet(m73Dir)
+        .withColumn("__p", probe(col("payload")))
+        .select(col("img_id"), col("__p._1").as("format"),
+          col("__p._2").as("w"), col("__p._3").as("h"),
+          coalesce(ImageHash.dhash(col("payload")), lit(-999L))
+            .as("dhash"))
+        .orderBy("img_id")
+    },
+
     // -- m5: the SAME real-decode kernel, but through the Multimodal
     //    withMeta path (typed mapPartitions batch decode + meta join on
     //    path) instead of a bare UDF — gating the full multimodal
@@ -1567,6 +1649,11 @@ object MultimodalQueries {
       s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,
          |  exp_status AS status
          |FROM read_parquet('$m70Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
+    "m73_web_images" ->
+      s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,
+         |  exp_dhash AS dhash
+         |FROM read_parquet('$m73Dir/*.parquet')
          |ORDER BY img_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT source, count(*) AS n_media,
