@@ -460,4 +460,38 @@ object Mail {
         col("a._1").as("name"), col("a._2").as("media_type"),
         col("a._3").as("content"))
   }
+
+  /** Streaming twin of [[attachmentRows]] (the Tar/Zip.stream
+    * discipline): new MBOX files landing in `dir` explode their
+    * attachments through the SAME MIME walk. The text file-stream
+    * source decodes UTF-8 on the envelope split, so 8bit/binary
+    * transfer encodings are NOT byte-exact on this path — base64 and
+    * quoted-printable (the dominant attachment encodings) are
+    * unaffected; the batch reader is byte-exact.
+    */
+  def attachmentStream(spark: SparkSession, dir: String,
+                       maxRecordBytes: Int = DefaultMaxRecordBytes,
+                       maxFilesPerTrigger: Int = 100): DataFrame = {
+    val parse = udf { (chunk: String) =>
+      mboxRaw(chunk).flatMap { raw =>
+        parseEmlString(raw).map { m =>
+          (m.messageId, m.subject,
+            attachmentsOf(raw).map(a => (a.name, a.mediaType, a.bytes)))
+        }
+      }
+    }
+    spark.readStream
+      .option("lineSep", "\nFrom ")
+      .option("mapreduce.input.linerecordreader.line.maxlength",
+        maxRecordBytes.toString)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(parse(col("value")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("m._1").as("msg_id"), col("m._2").as("subject"),
+        explode(col("m._3")).as("a"))
+      .select(col("msg_id"), col("subject"),
+        col("a._1").as("name"), col("a._2").as("media_type"),
+        col("a._3").as("content"))
+  }
 }

@@ -204,6 +204,41 @@ class MailSpec extends graft.SparkSpec {
       .contains("attached docx body"))
   }
 
+  test("attachmentStream(): attachments stream with batch-identical " +
+    "rows (base64 path)") {
+    val docx = graft.queries.DocxFixture.docx(Seq(
+      graft.queries.DocxFixture.para(
+        graft.queries.DocxFixture.T("streamed attachment"))))
+    val b64 = java.util.Base64.getMimeEncoder(72,
+      "\n".getBytes).encodeToString(docx)
+    val mbox =
+      "From alice Mon Apr  1 10:00:00 2024\n" +
+        "From: alice@example.org\nSubject: s\nMessage-ID: <s1>\n" +
+        "Content-Type: multipart/mixed; boundary=SS\n\n" +
+        "--SS\nContent-Type: text/plain\n\ncover\n" +
+        "--SS\nContent-Type: application/octet-stream; name=\"d.docx\"\n" +
+        "Content-Transfer-Encoding: base64\n\n" + b64 + "\n--SS--\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbox_stream")
+    java.nio.file.Files.write(dir.resolve("a.mbox"), mbox.getBytes("UTF-8"))
+    val batch = Mail.attachmentRows(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(2),
+        r.getAs[Array[Byte]](4).toSeq)).toSeq
+    val q = Mail.attachmentStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("mail_att_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT msg_id, name, content FROM mail_att_stream ORDER BY name")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSeq
+    assert(streamed == batch)
+    assert(graft.engine.read.DocumentProbe
+      .extractText(streamed.head._3.toArray)
+      .contains("streamed attachment"))
+  }
+
   test("attachmentRows(): 8bit/binary transfer encodings survive " +
     "byte-exactly (the scan is byte-exact, not UTF-8-decoded)") {
     // every byte value 0x00–0xFF, none of it valid UTF-8 as a whole —
