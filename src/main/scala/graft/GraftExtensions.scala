@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.countMinMerge)
     ext.injectFunction(GraftExtensions.countMinEstimate)
     ext.injectFunction(GraftExtensions.imageDhash)
+    ext.injectFunction(GraftExtensions.imageOrientedDhash)
     ext.injectFunction(GraftExtensions.imagePhash)
     ext.injectFunction(GraftExtensions.audioFingerprint)
     ext.injectFunction(GraftExtensions.videoSignature)
@@ -219,6 +220,15 @@ object GraftExtensions {
         "encoded image (PNG/JPEG/GIF/BMP/lossless WebP); NULL when " +
         "undecodable.",
       classOf[graft.functions.ImageDhash], graft.functions.ImageDhash(_))
+
+  val imageOrientedDhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("image_dhash_oriented",
+      "image_dhash_oriented(bytes) - image_dhash after undoing the " +
+        "declared EXIF orientation (tag 274): a rotated-with-a-tag " +
+        "photo hashes like its upright re-encode; NULL when " +
+        "undecodable.",
+      classOf[graft.functions.ImageOrientedDhash],
+      graft.functions.ImageOrientedDhash(_))
 
   val pdfText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("pdf_text",
@@ -752,7 +762,8 @@ object GraftExtensions {
       kllQuantiles, kmvSketch, kmvMerge, kmvEstimate, kmvUnionEstimate,
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
-      imageDhash, imagePhash, audioFingerprint, videoSignature,
+      imageDhash, imageOrientedDhash, imagePhash, audioFingerprint,
+      videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, xlsbText, pptxText, emlText, odsText, odpText,
       ipynbText, pdfImageDhashes,

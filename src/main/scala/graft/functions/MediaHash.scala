@@ -115,6 +115,21 @@ case class ImageDhash(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `image_dhash_oriented(bytes)` → bigint —
+  * [[graft.multimodal.ImageHash.orientedDhash64]]: dHash after
+  * undoing the declared EXIF orientation, so a rotated-with-a-tag
+  * phone photo dedups against its upright re-encode.
+  */
+case class ImageOrientedDhash(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "image_dhash_oriented"
+  override def dataType: DataType = LongType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.multimodal.ImageHash.orientedDhash64(bytes)
+      .map(java.lang.Long.valueOf).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `image_phash(bytes)` → bigint — [[graft.multimodal.ImageHash.phash64]]. */
 case class ImagePhash(child: Expression) extends MediaHashExpression {
   override def prettyName: String = "image_phash"

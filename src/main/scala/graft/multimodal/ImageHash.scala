@@ -99,9 +99,65 @@ object ImageHash {
     Some(hash)
   }
 
+  /** dHash AFTER undoing the declared EXIF orientation (TIFF 6.0 tag
+    * 274, values 2–8: mirrors, 180°, transposes, 90°/270°) — a phone
+    * photo STORED rotated-with-a-tag dedups against its upright
+    * re-encode, which plain [[dhash64]] cannot see (the hash is not
+    * rotation-invariant by design). No tag / value 1 → plain dHash;
+    * the orientation read ([[graft.engine.validate.ExifProbe]]) is a
+    * header walk on the same bytes the decode already loads.
+    */
+  def orientedDhash64(bytes: Array[Byte]): Option[Long] = {
+    val o = graft.engine.validate.ExifProbe.info(bytes)
+      .flatMap(_.orientation).getOrElse(1)
+    ImageDecode.decode(bytes).flatMap { img =>
+      dhash64FromImage(if (o >= 2 && o <= 8) reorient(img, o) else img)
+    }
+  }
+
+  /** Undo TIFF orientation `o` (2–8): the returned image displays
+    * upright. Direct pixel remap — the images here are already
+    * decoded, and the hash reads every pixel once anyway.
+    */
+  private def reorient(img: java.awt.image.BufferedImage,
+                       o: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val swap = o >= 5 // transposes and 90/270 rotations swap axes
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (dx, dy) = o match {
+          case 2 => (w - 1 - x, y)         // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y) // rotate 180
+          case 4 => (x, h - 1 - y)         // mirror vertical
+          case 5 => (y, x)                 // transpose
+          case 6 => (h - 1 - y, x)         // rotate 90 CW to display
+          case 7 => (h - 1 - y, w - 1 - x) // transverse
+          case _ => (y, w - 1 - x)         // 8: rotate 270 CW
+        }
+        out.setRGB(dx, dy, img.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private val dhashUdf = udf { (bytes: Array[Byte]) =>
     dhash64(bytes).map(java.lang.Long.valueOf).orNull
   }
+
+  private val orientedDhashUdf = udf { (bytes: Array[Byte]) =>
+    orientedDhash64(bytes).map(java.lang.Long.valueOf).orNull
+  }
+
+  /** [[orientedDhash64]] as a column (NULL when undecodable). */
+  def orientedDhash(bytesCol: Column): Column = orientedDhashUdf(bytesCol)
 
   /** dHash as a column over binary image content (NULL when
     * undecodable — callers decide drop-vs-report, like ImageProbe).

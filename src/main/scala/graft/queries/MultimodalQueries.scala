@@ -255,6 +255,57 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m73Dir)
   }
 
+  // -- m74 fixture: EXIF-oriented dedup — phone photos STORED
+  //    rotated/mirrored with orientation tag 2/3/6 hash like their
+  //    upright twin under image_dhash_oriented; plain no-tag rows are
+  //    unchanged. The APP1 splice is an independent minimal TIFF
+  //    (one Orientation entry) after a real JDK JPEG's SOI. ---------
+  private val m74Dir = "/tmp/graft_gate_m74_oriented"
+
+  private def writeM74Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    def withOrientation(jpeg: Array[Byte], o: Int): Array[Byte] = {
+      val tiff = "II".getBytes("US-ASCII") ++ le16(42) ++ le32(8) ++
+        le16(1) ++
+        le16(0x0112) ++ le16(3) ++ le32(1) ++ le16(o) ++ le16(0) ++
+        le32(0)
+      val app1 = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = app1.length + 2
+      jpeg.take(2) ++ Array(0xFF.toByte, 0xE1.toByte,
+        (len >> 8).toByte, (len & 0xFF).toByte) ++ app1 ++ jpeg.drop(2)
+    }
+    def gray(w: Int, h: Int, v: (Int, Int) => Int,
+             fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = v(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt")
+      bos.toByteArray
+    }
+    // upright: strictly-increasing 28-step ramp, hash -1; the step
+    // dwarfs JPEG noise so every comparison is stable
+    val up = (x: Int, _: Int) => 28 * x
+    val rows: Seq[(Long, Array[Byte], Int, Long)] = Seq(
+      (0L, gray(9, 8, up, "png"), -1, -1L),
+      (1L, withOrientation(
+        gray(8, 9, (x, y) => up(9 - 1 - y, x), "jpg"), 6), 6, -1L),
+      (2L, withOrientation(
+        gray(9, 8, (x, y) => up(9 - 1 - x, 8 - 1 - y), "jpg"), 3), 3, -1L),
+      (3L, withOrientation(
+        gray(9, 8, (x, y) => up(9 - 1 - x, y), "jpg"), 2), 2, -1L),
+      (4L, gray(9, 8, up, "jpg"), -1, -1L),
+      (5L, "no pixels".getBytes("UTF-8"), -1, -999L))
+    s.createDataset(rows).toDF("img_id", "payload", "exp_orientation",
+        "exp_oriented_dhash")
+      .coalesce(1).write.mode("overwrite").parquet(m74Dir)
+  }
+
   /** m6 fixture: REAL WAV containers authored by the JDK's own writer
     * (`javax.sound.sampled.AudioSystem` — independent of the
     * [[graft.engine.validate.AudioProbe]] parser under test), varied
@@ -1418,6 +1469,24 @@ object MultimodalQueries {
         .orderBy("img_id")
     },
 
+    // -- m74: EXIF-oriented dedup — every stored rotation/mirror of
+    //    the ramp hashes to the upright literal under the oriented
+    //    kernel; orientation surfaces from the same header walk. -----
+    "m74_oriented_dedup" -> { (s, _) =>
+      writeM74Fixture(s)
+      import graft.engine.validate.ExifProbe
+      import graft.multimodal.ImageHash
+      val orient = udf { (b: Array[Byte]) =>
+        ExifProbe.info(b).flatMap(_.orientation).getOrElse(-1)
+      }
+      s.read.parquet(m74Dir)
+        .select(col("img_id"),
+          orient(col("payload")).as("orientation"),
+          coalesce(ImageHash.orientedDhash(col("payload")), lit(-999L))
+            .as("oriented_dhash"))
+        .orderBy("img_id")
+    },
+
     // -- m5: the SAME real-decode kernel, but through the Multimodal
     //    withMeta path (typed mapPartitions batch decode + meta join on
     //    path) instead of a bare UDF — gating the full multimodal
@@ -1654,6 +1723,11 @@ object MultimodalQueries {
       s"""SELECT img_id, exp_format AS format, exp_w AS w, exp_h AS h,
          |  exp_dhash AS dhash
          |FROM read_parquet('$m73Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
+    "m74_oriented_dedup" ->
+      s"""SELECT img_id, exp_orientation AS orientation,
+         |  exp_oriented_dhash AS oriented_dhash
+         |FROM read_parquet('$m74Dir/*.parquet')
          |ORDER BY img_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT source, count(*) AS n_media,

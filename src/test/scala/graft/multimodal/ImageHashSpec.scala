@@ -45,6 +45,80 @@ class ImageHashSpec extends SparkSpec {
     assert(!out(1L) && out(2L))
   }
 
+  /** Minimal little-endian EXIF APP1 (one IFD0 entry: Orientation) —
+    * a second independent TIFF transcription, spliced after a real
+    * JPEG's SOI so the payload both decodes AND declares rotation.
+    */
+  private def withOrientation(jpeg: Array[Byte], o: Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    val tiff = "II".getBytes("US-ASCII") ++ le16(42) ++ le32(8) ++
+      le16(1) ++
+      le16(0x0112) ++ le16(3) ++ le32(1) ++ le16(o) ++ le16(0) ++
+      le32(0)
+    val app1 = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = app1.length + 2
+    jpeg.take(2) ++ Array(0xFF.toByte, 0xE1.toByte,
+      (len >> 8).toByte, (len & 0xFF).toByte) ++ app1 ++ jpeg.drop(2)
+  }
+
+  private def grayJpeg(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("orientedDhash64: every EXIF orientation undoes to the upright " +
+    "hash; plain dhash cannot see it") {
+    // upright: the strictly-increasing 28-step ramp (hash -1); the
+    // step dwarfs JPEG noise so every comparison stays stable.
+    // STORED pixels for orientation o, from the TIFF 6.0 wording
+    // (independent of ImageHash.reorient): stored(x,y) sits at
+    // visual position computed here.
+    val up = (x: Int, _: Int) => 28 * x
+    def stored(o: Int): Array[Byte] = {
+      val (w, h) = if (o >= 5) (8, 9) else (9, 8)
+      grayJpeg(w, h, (x, y) => o match {
+        case 2 => up(9 - 1 - x, y)         // visually mirrored H
+        case 3 => up(9 - 1 - x, 8 - 1 - y) // 180
+        case 4 => up(x, 8 - 1 - y)         // mirrored V
+        // o >= 5: stored dims are (8 wide, 9 tall) — the visual axes
+        // swap, so the constants below are the STORED height/width
+        case 5 => up(y, x)                 // transpose
+        case 6 => up(9 - 1 - y, x)         // needs 90 CW to display
+        case 7 => up(9 - 1 - y, 8 - 1 - x) // transverse
+        case _ => up(y, 8 - 1 - x)         // 8: needs 270 CW
+      })
+    }
+    for (o <- 2 to 8) {
+      val b = withOrientation(stored(o), o)
+      assert(ImageHash.orientedDhash64(b) == Some(-1L), s"orientation $o")
+    }
+    // plain dhash on the o=6 stored form reads the vertical gradient
+    // (rows constant): NOT the upright hash
+    assert(ImageHash.dhash64(withOrientation(stored(6), 6)) != Some(-1L))
+    // no tag / orientation 1: oriented == plain
+    val plainJpeg = grayJpeg(9, 8, up)
+    assert(ImageHash.orientedDhash64(plainJpeg) ==
+      ImageHash.dhash64(plainJpeg))
+    assert(ImageHash.orientedDhash64(withOrientation(plainJpeg, 1)) ==
+      ImageHash.dhash64(plainJpeg))
+    // undecodable: None; the column face is NULL
+    assert(ImageHash.orientedDhash64(Array[Byte](1, 2)) == None)
+    val out = Seq((1L, withOrientation(stored(6), 6)), (2L, Array[Byte](0)))
+      .toDF("id", "content")
+      .select($"id", ImageHash.orientedDhash($"content").as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(-1L) && out(2L).isEmpty)
+  }
+
   test("nearDuplicatesByHash: recall-1 banding, exact verify, one row per pair") {
     val rows = Seq(
       (1L, 0L), (2L, 1L), // hamming 1
