@@ -47,6 +47,60 @@ object ImageProbe {
     } finally iis.close()
   }
 
+  /** Animated-image inventory: `("gif", frames)` from the JDK
+    * reader's own frame count, `("apng", frames)` from the PNG
+    * `acTL` chunk (the JDK decodes only an APNG's default image, so
+    * detection is what keeps an animated meme from inventorying as a
+    * still). None when the payload is not a container that can
+    * animate; a plain PNG (no `acTL`) is None, a single-frame GIF is
+    * `("gif", 1)` — the caller's `frames > 1` is the animation test.
+    */
+  def animation(bytes: Array[Byte]): Option[(String, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    // GIF87a / GIF89a
+    if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+      bytes(5) == 'a') {
+      val iis = ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true)
+          val n = r.getNumImages(true)
+          return if (n >= 1) Some(("gif", n)) else None
+        } catch { case _: Exception => return None }
+        finally r.dispose()
+      } finally iis.close()
+    }
+    // APNG: PNG signature, acTL chunk before IDAT (its num_frames is
+    // authoritative per the spec)
+    if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G') {
+      var off = 8
+      while (off + 8 <= bytes.length) {
+        val len = ((bytes(off) & 0xFF) << 24) |
+          ((bytes(off + 1) & 0xFF) << 16) |
+          ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+        if (len < 0 || off + 12L + len > bytes.length) return None
+        val typ = new String(bytes, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (typ == "acTL" && len >= 8) {
+          val n = ((bytes(off + 8) & 0xFF) << 24) |
+            ((bytes(off + 9) & 0xFF) << 16) |
+            ((bytes(off + 10) & 0xFF) << 8) | (bytes(off + 11) & 0xFF)
+          return if (n > 0) Some(("apng", n)) else None
+        }
+        if (typ == "IDAT" || typ == "IEND") return None
+        off += 12 + len
+      }
+      return None
+    }
+    None
+  }
+
   /** Failure diagnosis matching the reference's classes: empty file /
     * not an image / decode failure (`image_validator.py:187-225`).
     */

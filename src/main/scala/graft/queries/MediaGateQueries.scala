@@ -1441,6 +1441,54 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m69Dir)
   }
 
+  // -- m75 fixture: image cross-transport dedup — the SAME ramp
+  //    pixels shipped five ways (bare PNG, bare TIFF, PDF XObject,
+  //    PDF inline, ICO favicon) plus one genuinely different image;
+  //    the ONE dhash keyspace (image_dhash ∪ pdf_image_dhashes)
+  //    must converge them to exactly two groups. -------------------
+  private val m75Dir = "/tmp/graft_gate_m75_imgtransport"
+
+  private def writeM75Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val ramp: Int => Int = i => 10 * (i % 9)
+    val rampPixels = Array.tabulate(9 * 8) { i =>
+      val g = ramp(i); 0xff000000 | (g << 16) | (g << 8) | g
+    }
+    val graySamples = Array.tabulate(9 * 8) { i => (10 * (i % 9)).toByte }
+    val xobjPdf = PdfFixture.imagePdf(Seq(("Im0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+      PdfFixture.flate(graySamples))))
+    val inlinePdf = PdfFixture.rawContentPdf(
+      "BI /W 9 /H 8 /CS /G /BPC 8 ID ".getBytes("US-ASCII") ++
+        graySamples ++ "\nEI".getBytes("US-ASCII"))
+    val icoBytes = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 9, 8, rampPixels, 0, 9)
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp")
+      IcoFixture.ico(Seq((9, 8, IcoFixture.dibOf(bos.toByteArray))))
+    }
+    val flat = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) img.setRGB(x, y, 0x303030)
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no png")
+      bos.toByteArray
+    }
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      (0L, pngOf(9, 8, rampPixels), "png"),
+      (1L, TiffFixture.rgbTiff(9, 8, ramp), "tiff"),
+      (2L, xobjPdf, "pdf-xobject"),
+      (3L, inlinePdf, "pdf-inline"),
+      (4L, icoBytes, "ico"),
+      (5L, flat, "png-flat"))
+    s.createDataset(rows).toDF("img_id", "content", "transport")
+      .coalesce(1).write.mode("overwrite").parquet(m75Dir)
+  }
+
   // -- m67 fixture: BINARY Excel (.xlsb) from the INDEPENDENT
   //    record-level writer — the Office matrix's last member. All
   //    string-bearing cell records, workbook-order rels routing,
@@ -2232,6 +2280,29 @@ object MediaGateQueries {
         .orderBy("msg_id", "name", "member")
     },
 
+    // -- m75: image cross-transport dedup — ONE dhash keyspace over
+    //    bare rasters (image_dhash) and document-embedded pixels
+    //    (pdf images through the same front door): the five
+    //    transports of the ramp collapse to one group, the flat
+    //    control stays its own. ----------------------------------------
+    "m75_image_transport_dedup" -> { (s, _) =>
+      writeM75Fixture(s)
+      import graft.engine.read.Pdf
+      import graft.multimodal.ImageHash
+      val pdfHash = udf { (b: Array[Byte]) =>
+        Pdf.images(b).headOption
+          .flatMap(i => ImageHash.dhash64(i.bytes))
+      }
+      s.read.parquet(m75Dir)
+        .withColumn("h", coalesce(ImageHash.dhash(col("content")),
+          pdfHash(col("content"))))
+        .groupBy(col("h").as("dhash"))
+        .agg(count(lit(1)).as("n_transports"),
+          concat_ws(",", sort_array(collect_list(col("transport"))))
+            .as("transports"))
+        .orderBy("dhash")
+    },
+
     // -- m66: mail attachments → document layer — one splittable
     //    mbox scan, attachments explode as rows, each magic-routed
     //    through the probe (the attached PDF reads like the crawled
@@ -3004,6 +3075,13 @@ object MediaGateQueries {
          |  exp_text AS text
          |FROM read_parquet('$m67Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    "m75_image_transport_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(-1 AS BIGINT), CAST(5 AS BIGINT),
+        |   'ico,pdf-inline,pdf-xobject,png,tiff'),
+        |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'png-flat'))
+        |  t(dhash, n_transports, transports)
+        |ORDER BY dhash""".stripMargin,
     "m71_archive_members" ->
       """SELECT * FROM (VALUES
         |  ('<p2>', 'solo.pdf', '<self>', 'pdf', 'shared body text'),

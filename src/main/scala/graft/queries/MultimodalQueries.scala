@@ -306,6 +306,62 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m74Dir)
   }
 
+  // -- m76 fixture: animated-image inventory — GIF frame counts via
+  //    the JDK's own sequence writer (a third party to the probe's
+  //    reader-based count), APNG via a from-spec acTL insertion into
+  //    the JDK's PNG output; stills are None. ----------------------
+  private val m76Dir = "/tmp/graft_gate_m76_anim"
+
+  private def writeM76Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def frame(wh: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(wh, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until wh) {
+        val g = 10 * (x % 9); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def animatedGif(n: Int): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      for (i <- 0 until n)
+        w.writeToSequence(new javax.imageio.IIOImage(
+          frame(8 + i), null, null), null)
+      w.endWriteSequence(); w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    def apngOf(png: Array[Byte], frames: Int): Array[Byte] = {
+      val data = be32(frames.toLong) ++ be32(0)
+      val crc = new java.util.zip.CRC32()
+      crc.update("acTL".getBytes("US-ASCII")); crc.update(data)
+      val chunk = be32(8) ++ "acTL".getBytes("US-ASCII") ++ data ++
+        be32(crc.getValue)
+      val at = 8 + 12 + 13 // signature + IHDR chunk
+      png.take(at) ++ chunk ++ png.drop(at)
+    }
+    val stillPng = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(frame(9), "png", bos)
+      bos.toByteArray
+    }
+    val rows: Seq[(Long, Array[Byte], String, Int)] = Seq(
+      (0L, animatedGif(3), "gif", 3),
+      (1L, animatedGif(1), "gif", 1),
+      (2L, apngOf(stillPng, 4), "apng", 4),
+      (3L, stillPng, "none", -1),
+      (4L, "not an image".getBytes("UTF-8"), "none", -1))
+    s.createDataset(rows).toDF("img_id", "payload", "exp_kind",
+        "exp_frames")
+      .coalesce(1).write.mode("overwrite").parquet(m76Dir)
+  }
+
   /** m6 fixture: REAL WAV containers authored by the JDK's own writer
     * (`javax.sound.sampled.AudioSystem` — independent of the
     * [[graft.engine.validate.AudioProbe]] parser under test), varied
@@ -1487,6 +1543,21 @@ object MultimodalQueries {
         .orderBy("img_id")
     },
 
+    // -- m76: animated-image inventory — frame counts keep animated
+    //    memes from inventorying as stills; the APNG default image
+    //    still decodes and probes. ----------------------------------
+    "m76_animated_images" -> { (s, _) =>
+      writeM76Fixture(s)
+      import graft.engine.validate.ImageProbe
+      val anim = udf { (b: Array[Byte]) => ImageProbe.animation(b) }
+      s.read.parquet(m76Dir)
+        .withColumn("__a", anim(col("payload")))
+        .select(col("img_id"),
+          coalesce(col("__a._1"), lit("none")).as("kind"),
+          coalesce(col("__a._2"), lit(-1)).as("frames"))
+        .orderBy("img_id")
+    },
+
     // -- m5: the SAME real-decode kernel, but through the Multimodal
     //    withMeta path (typed mapPartitions batch decode + meta join on
     //    path) instead of a bare UDF — gating the full multimodal
@@ -1728,6 +1799,10 @@ object MultimodalQueries {
       s"""SELECT img_id, exp_orientation AS orientation,
          |  exp_oriented_dhash AS oriented_dhash
          |FROM read_parquet('$m74Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
+    "m76_animated_images" ->
+      s"""SELECT img_id, exp_kind AS kind, exp_frames AS frames
+         |FROM read_parquet('$m76Dir/*.parquet')
          |ORDER BY img_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT source, count(*) AS n_media,

@@ -75,6 +75,48 @@ class IcoSvgSpec extends AnyFunSuite {
     assert(!Ico.isIco(null))
   }
 
+  test("animation inventory: GIF frame counts, APNG acTL, stills None") {
+    def animatedGif(n: Int): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      for (i <- 0 until n)
+        w.writeToSequence(new javax.imageio.IIOImage(
+          rampImage(8 + i, 8), null, null), null)
+      w.endWriteSequence(); w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    def apngOf(png: Array[Byte], frames: Int): Array[Byte] = {
+      val data = be32(frames.toLong) ++ be32(0)
+      val crc = new java.util.zip.CRC32()
+      crc.update("acTL".getBytes("US-ASCII")); crc.update(data)
+      val chunk = be32(8) ++ "acTL".getBytes("US-ASCII") ++ data ++
+        be32(crc.getValue)
+      val at = 8 + 12 + 13 // signature + IHDR chunk
+      png.take(at) ++ chunk ++ png.drop(at)
+    }
+    import graft.engine.validate.ImageProbe
+    assert(ImageProbe.animation(animatedGif(3)) == Some(("gif", 3)))
+    assert(ImageProbe.animation(animatedGif(1)) == Some(("gif", 1)))
+    val png = enc(rampImage(9, 8), "png")
+    assert(ImageProbe.animation(apngOf(png, 4)) == Some(("apng", 4)))
+    assert(ImageProbe.animation(png).isEmpty) // plain PNG: a still
+    // the APNG still DECODES (default image) and still probes dims
+    assert(ImageDecode.decode(apngOf(png, 4)).isDefined)
+    assert(ImageProbe.dimensions(apngOf(png, 4)).contains((9, 8)))
+    // hostility: truncation fuzz, junk, null
+    val ag = animatedGif(2)
+    for (cut <- 0 to ag.length by 7)
+      ImageProbe.animation(java.util.Arrays.copyOfRange(ag, 0, cut))
+    assert(ImageProbe.animation("GIF89a junk".getBytes).isEmpty)
+    assert(ImageProbe.animation(null).isEmpty)
+  }
+
   test("SVG dimensions: px and unitless attrs, viewBox fallback, " +
     "relative units refuse") {
     def svg(s: String) = s.getBytes("UTF-8")
