@@ -121,6 +121,88 @@ object AudioProbe {
                              sampleRateHz: Int, bitsPerSample: Int,
                              nSamples: Long)
 
+  /** Ogg Vorbis/Opus INVENTORY (the HEIF posture: the entropy coders
+    * — Vorbis floor/residue, Opus SILK/CELT — stay recorded decode
+    * skips, but the web's two dominant lossy-audio classes must at
+    * least inventory). Codec/channels/rate come from the BOS page's
+    * identification header (Vorbis I §4.2.2; RFC 7845 §5.1);
+    * `nSamples` from the LAST page's granule position — PCM sample
+    * frames for Vorbis, 48 kHz samples minus pre-skip for Opus
+    * (granules are absolute per the mappings, so the tail page alone
+    * dates the stream). The tail page is found by a backwards magic
+    * scan, serial-matched AND CRC-verified — payload bytes that
+    * merely contain `OggS` cannot fake a granule. None for
+    * non-Ogg / other codecs (Ogg-FLAC has its own full decode path,
+    * [[graft.multimodal.OggFlac]]).
+    */
+  def oggInfo(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 28) return None
+    if (!(bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' &&
+      bytes(3) == 'S' && bytes(4) == 0)) return None
+    def u16le(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def u64le(o: Int): Long = u32le(o) | (u32le(o + 4) << 32)
+    val nseg = bytes(26) & 0xFF
+    if (27 + nseg > bytes.length) return None
+    // first packet: lacing values until one < 255
+    var plen = 0
+    var i = 0
+    var open = true
+    while (i < nseg && open) {
+      val l = bytes(27 + i) & 0xFF
+      plen += l
+      if (l < 255) open = false
+      i += 1
+    }
+    val p = 27 + nseg
+    if (open || p + plen > bytes.length) return None
+    val serial = u32le(14)
+    def str(o: Int, s: String): Boolean =
+      o + s.length <= bytes.length &&
+        s.indices.forall(k => bytes(o + k) == s.charAt(k).toByte)
+    // last page of THIS stream: backwards magic scan, serial + CRC
+    // verified so payload `OggS` collisions cannot fake a granule
+    def lastGranule: Option[Long] = {
+      var j = bytes.length - 28
+      while (j >= 0) {
+        if (bytes(j) == 'O' && str(j, "OggS") && bytes(j + 4) == 0 &&
+          u32le(j + 14) == serial && j + 27 <= bytes.length) {
+          val ns = bytes(j + 26) & 0xFF
+          if (j + 27 + ns <= bytes.length) {
+            var bodyLen = 0
+            var k = 0
+            while (k < ns) { bodyLen += bytes(j + 27 + k) & 0xFF; k += 1 }
+            val end = j + 27 + ns + bodyLen
+            if (end <= bytes.length) {
+              val declared = u32le(j + 22)
+              val computed = graft.multimodal.OggFlac
+                .crc32Ogg(bytes, j, end, j + 22, j + 26)
+              if (computed == declared) return Some(u64le(j + 6))
+            }
+          }
+        }
+        j -= 1
+      }
+      None
+    }
+    if (plen >= 30 && bytes(p) == 1 && str(p + 1, "vorbis")) {
+      val channels = bytes(p + 11) & 0xFF
+      val rate = u32le(p + 12)
+      if (channels < 1 || rate < 1 || rate > Int.MaxValue) return None
+      Some(AudioMeta("vorbis", channels, rate.toInt, 0,
+        math.max(0L, lastGranule.getOrElse(0L))))
+    } else if (plen >= 19 && str(p, "OpusHead")) {
+      val channels = bytes(p + 9) & 0xFF
+      if (channels < 1) return None
+      val preSkip = u16le(p + 10)
+      // Opus always decodes at 48 kHz; granules count 48 kHz samples
+      Some(AudioMeta("opus", channels, 48000, 0,
+        math.max(0L, lastGranule.getOrElse(0L) - preSkip)))
+    } else None
+  }
+
   private def isFlac(b: Array[Byte]): Boolean =
     b != null && b.length >= 4 && b(0) == 'f' && b(1) == 'L' &&
       b(2) == 'a' && b(3) == 'C'

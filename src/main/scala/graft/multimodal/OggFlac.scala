@@ -37,7 +37,7 @@ object OggFlac {
 
   // CRC-32, polynomial 0x04C11DB7, no reflection, init 0, xorout 0 —
   // the Ogg page checksum (RFC 3533 appendix A).
-  private def crc32Ogg(b: Array[Byte], from: Int, until: Int,
+  private[graft] def crc32Ogg(b: Array[Byte], from: Int, until: Int,
                        zeroFrom: Int, zeroUntil: Int): Long = {
     var crc = 0L
     var i = from

@@ -117,12 +117,13 @@ object MediaGateQueries {
   }
 
   private def oggPage(htype: Int, serial: Long, seq: Int,
-                      packet: Array[Byte]): Array[Byte] = {
+                      packet: Array[Byte],
+                      granule: Long = 0L): Array[Byte] = {
     val laces = Seq.fill(packet.length / 255)(255) :+ (packet.length % 255)
     val out = new java.io.ByteArrayOutputStream()
     out.write("OggS".getBytes("US-ASCII"))
     out.write(0); out.write(htype)
-    (0 until 8).foreach(_ => out.write(0))
+    (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xff).toInt))
     (0 until 4).foreach(i => out.write(((serial >> (8 * i)) & 0xff).toInt))
     (0 until 4).foreach(i => out.write(((seq >> (8 * i)) & 0xff).toInt))
     (0 until 4).foreach(_ => out.write(0))
@@ -147,6 +148,49 @@ object MediaGateQueries {
       out.write(oggPage(htype, 0x6772L, i + 1, f))
     }
     out.toByteArray
+  }
+
+  // -- m77 fixture: Ogg Vorbis/Opus inventory — ID headers + tail
+  //    granules through the independent page writer; decode stays a
+  //    recorded skip (the HEIF posture), ogg-FLAC keeps its own full
+  //    path. --------------------------------------------------------
+  private val m77Dir = "/tmp/graft_gate_m77_ogg"
+
+  private def writeM77Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    val vorbisId = Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(0) ++ Array(2.toByte) ++ le32(44100) ++
+      le32(0) ++ le32(128000) ++ le32(0) ++
+      Array(0xB8.toByte, 1.toByte)
+    val opusId = "OpusHead".getBytes("US-ASCII") ++
+      Array(1.toByte, 1.toByte) ++ le16(312) ++ le32(48000) ++
+      le16(0) ++ Array(0.toByte)
+    def stream(id: Array[Byte], serial: Long,
+               lastGranule: Long): Array[Byte] =
+      oggPage(0x02, serial, 0, id) ++
+        oggPage(0x00, serial, 1, Array.fill[Byte](40)(7),
+          granule = lastGranule / 2) ++
+        oggPage(0x04, serial, 2, Array.fill[Byte](40)(8),
+          granule = lastGranule)
+    val vorbis = stream(vorbisId, 0x1111L, 88200L)
+    val opus = stream(opusId, 0x2222L, 48312L)
+    val tornTail = vorbis.clone()
+    tornTail(tornTail.length - 3) =
+      (tornTail(tornTail.length - 3) ^ 1).toByte
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, Long)] = Seq(
+      (0L, vorbis, "vorbis", 2, 44100, 88200L),
+      (1L, opus, "opus", 1, 48000, 48000L),
+      // tail CRC corrupt: the last VALID page's granule wins
+      (2L, tornTail, "vorbis", 2, 44100, 44100L),
+      (3L, "OggS but junk".getBytes("UTF-8"), "none", -1, -1, -1L),
+      (4L, Array[Byte](1, 2, 3), "none", -1, -1, -1L))
+    s.createDataset(rows).toDF("audio_id", "payload", "exp_codec",
+        "exp_channels", "exp_rate", "exp_samples")
+      .coalesce(1).write.mode("overwrite").parquet(m77Dir)
   }
 
   private def writeM28Fixture(s: SparkSession): Unit = {
@@ -2303,6 +2347,27 @@ object MediaGateQueries {
         .orderBy("dhash")
     },
 
+    // -- m77: Ogg Vorbis/Opus inventory — the web's two dominant
+    //    lossy-audio classes inventory codec/channels/rate/samples
+    //    from ID headers + CRC-verified tail granules; decode stays
+    //    a recorded skip. -------------------------------------------
+    "m77_ogg_inventory" -> { (s, _) =>
+      writeM77Fixture(s)
+      import graft.engine.validate.AudioProbe
+      val inv = udf { (b: Array[Byte]) =>
+        AudioProbe.oggInfo(b).map(m =>
+          (m.codec, m.channels, m.sampleRateHz, m.nSamples))
+      }
+      s.read.parquet(m77Dir)
+        .withColumn("__a", inv(col("payload")))
+        .select(col("audio_id"),
+          coalesce(col("__a._1"), lit("none")).as("codec"),
+          coalesce(col("__a._2"), lit(-1)).as("channels"),
+          coalesce(col("__a._3"), lit(-1)).as("rate"),
+          coalesce(col("__a._4"), lit(-1L)).as("n_samples"))
+        .orderBy("audio_id")
+    },
+
     // -- m66: mail attachments → document layer — one splittable
     //    mbox scan, attachments explode as rows, each magic-routed
     //    through the probe (the attached PDF reads like the crawled
@@ -3075,6 +3140,11 @@ object MediaGateQueries {
          |  exp_text AS text
          |FROM read_parquet('$m67Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    "m77_ogg_inventory" ->
+      s"""SELECT audio_id, exp_codec AS codec, exp_channels AS channels,
+         |  exp_rate AS rate, exp_samples AS n_samples
+         |FROM read_parquet('$m77Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
     "m75_image_transport_dedup" ->
       """SELECT * FROM (VALUES
         |  (CAST(-1 AS BIGINT), CAST(5 AS BIGINT),

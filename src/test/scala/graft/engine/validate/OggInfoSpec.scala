@@ -1,0 +1,102 @@
+package graft.engine.validate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ogg Vorbis/Opus inventory vs an independent in-spec page writer
+  * (RFC 3533 framing + the two mappings' ID headers).
+  */
+class OggInfoSpec extends AnyFunSuite {
+
+  private def crc(page: Array[Byte]): Long = {
+    var c = 0L
+    for (x <- page) {
+      c ^= (x & 0xFFL) << 24
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x80000000L) != 0) ((c << 1) ^ 0x04C11DB7L) & 0xFFFFFFFFL
+        else (c << 1) & 0xFFFFFFFFL
+        k += 1
+      }
+    }
+    c
+  }
+
+  private def page(htype: Int, serial: Long, seq: Int, granule: Long,
+                   packet: Array[Byte]): Array[Byte] = {
+    val laces = Seq.fill(packet.length / 255)(255) :+ (packet.length % 255)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0); out.write(htype)
+    (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xFF).toInt))
+    (0 until 4).foreach(i => out.write(((serial >> (8 * i)) & 0xFF).toInt))
+    (0 until 4).foreach(i => out.write(((seq >> (8 * i)) & 0xFF).toInt))
+    (0 until 4).foreach(_ => out.write(0))
+    out.write(laces.length)
+    laces.foreach(out.write)
+    out.write(packet)
+    val p = out.toByteArray
+    val c = crc(p)
+    (0 until 4).foreach(i => p(22 + i) = ((c >> (8 * i)) & 0xFF).toByte)
+    p
+  }
+
+  private def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long) = Array((v & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 24) & 0xFF).toByte)
+
+  private def vorbisId(channels: Int, rate: Int): Array[Byte] =
+    Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++ le32(0) ++
+      Array(channels.toByte) ++ le32(rate.toLong) ++
+      le32(0) ++ le32(128000) ++ le32(0) ++
+      Array(0xB8.toByte, 1.toByte)
+
+  private def opusHead(channels: Int, preSkip: Int): Array[Byte] =
+    "OpusHead".getBytes("US-ASCII") ++ Array(1.toByte, channels.toByte) ++
+      le16(preSkip) ++ le32(48000) ++ le16(0) ++ Array(0.toByte)
+
+  private def stream(id: Array[Byte], serial: Long,
+                     lastGranule: Long): Array[Byte] =
+    page(0x02, serial, 0, 0, id) ++
+      page(0x00, serial, 1, lastGranule / 2, Array.fill[Byte](40)(7)) ++
+      page(0x04, serial, 2, lastGranule, Array.fill[Byte](40)(8))
+
+  test("vorbis and opus ID headers + tail granule inventory") {
+    val v = stream(vorbisId(2, 44100), 0x1111L, 88200L)
+    assert(AudioProbe.oggInfo(v) ==
+      Some(AudioProbe.AudioMeta("vorbis", 2, 44100, 0, 88200L)))
+    val o = stream(opusHead(1, 312), 0x2222L, 48312L)
+    assert(AudioProbe.oggInfo(o) ==
+      Some(AudioProbe.AudioMeta("opus", 1, 48000, 0, 48000L)))
+  }
+
+  test("corrupted tail CRC falls back to the last VALID page; " +
+    "payload OggS cannot fake a granule") {
+    val v = stream(vorbisId(2, 44100), 0x1111L, 88200L)
+    val bad = v.clone()
+    bad(bad.length - 3) = (bad(bad.length - 3) ^ 1).toByte
+    assert(AudioProbe.oggInfo(bad).map(_.nSamples).contains(44100L))
+    // a PAYLOAD containing fake OggS bytes (version 0, same serial,
+    // garbage granule): its CRC never checks at that offset, so the
+    // REAL page header that carries it wins
+    val collide = "OggS".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ Array.fill[Byte](8)(0x7F) ++
+      Array[Byte](0x11, 0x11, 0, 0) ++ Array.fill[Byte](40)(9)
+    val v2 = page(0x02, 0x1111L, 0, 0, vorbisId(2, 44100)) ++
+      page(0x04, 0x1111L, 1, 88200L, collide)
+    assert(AudioProbe.oggInfo(v2).map(_.nSamples).contains(88200L))
+  }
+
+  test("non-ogg, ogg-flac and truncations refuse quietly") {
+    assert(AudioProbe.oggInfo("not ogg".getBytes).isEmpty)
+    assert(AudioProbe.oggInfo(null).isEmpty)
+    // an Ogg whose BOS is neither vorbis nor opus (FLAC mapping) is
+    // None here — OggFlac owns that path
+    val flacBos = Array(0x7F.toByte) ++ "FLAC".getBytes("US-ASCII") ++
+      Array.fill[Byte](20)(0)
+    assert(AudioProbe.oggInfo(page(0x02, 0x99L, 0, 0, flacBos)).isEmpty)
+    val v = stream(vorbisId(2, 44100), 0x1111L, 88200L)
+    for (cut <- 0 to v.length by 3)
+      AudioProbe.oggInfo(java.util.Arrays.copyOfRange(v, 0, cut))
+  }
+}
