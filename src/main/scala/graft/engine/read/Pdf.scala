@@ -1565,9 +1565,46 @@ object Pdf {
           case _ => None
         }
       } catch { case _: Bail | _: Exception => None }
+    // XMP fallback (ISO 16684-1 packet in the catalog's /Metadata
+    // stream): modern writers put dc:title / dc:creator /
+    // xmp:CreateDate there and often omit the Info dict entirely.
+    // Info wins when both declare (the incumbent readers' order);
+    // encrypted documents skip it like they skip Info — ciphertext
+    // is not metadata.
+    lazy val xmpFields: (Option[String], Option[String], Option[String]) =
+      if (doc.encrypted) (None, None, None)
+      else try {
+        doc.resolve(doc.trailer.getOrElse("Root", PNull)) match {
+          case PDict(m) => doc.resolve(m.getOrElse("Metadata", PNull)) match {
+            case PStream(d, raw) =>
+              val xml = new String(doc.decodeStream(d, raw),
+                StandardCharsets.UTF_8)
+              ZipRead.parseXml(xml) match {
+                case Some(x) =>
+                  // dc:title/dc:creator nest rdf:Alt|Seq/rdf:li
+                  def first(label: String): Option[String] =
+                    (x \\ label).headOption.map { e =>
+                      val lis = e \\ "li"
+                      (if (lis.nonEmpty) lis.head.text else e.text).trim
+                    }.filter(_.nonEmpty)
+                  // CreateDate rides as an element OR an attribute
+                  // of rdf:Description (both forms are in the wild)
+                  val created = first("CreateDate").orElse(
+                    (x \\ "Description").flatMap(_.attributes)
+                      .find(_.key == "CreateDate")
+                      .map(_.value.text.trim).filter(_.nonEmpty))
+                  (first("title"), first("creator"), created)
+                case None => (None, None, None)
+              }
+            case _ => (None, None, None)
+          }
+          case _ => (None, None, None)
+        }
+      } catch { case _: Bail | _: Exception => (None, None, None) }
     Some(Meta(version, nPages, doc.encrypted,
-      infoString("Title"), infoString("Author"),
-      infoString("CreationDate")))
+      infoString("Title").orElse(xmpFields._1),
+      infoString("Author").orElse(xmpFields._2),
+      infoString("CreationDate").orElse(xmpFields._3)))
   }
 
   /** PDF text-string decode: UTF-16BE when BOM'd, else the

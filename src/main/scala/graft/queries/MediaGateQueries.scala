@@ -1367,7 +1367,14 @@ object MediaGateQueries {
         "the legacy r5 body opens", "R5 Report", false),
       (6L, PdfFixture.stdEncryptedPdfV5(
         "locked body", "Locked", userPw = "pw"),
-        "<refused>", "<none>", true))
+        "<refused>", "<none>", true),
+      // r16: XMP-only metadata (no Info dict) — the modern-writer
+      // shape surfaces through the same title path
+      (7L, PdfFixture.xmpPdf(
+        PdfFixture.xmpPacket("XMP Report", "XMP Author",
+          "2021-03-04T05:06:07Z"),
+        Seq("BT /F1 12 Tf (the xmp body reads) Tj ET")),
+        "the xmp body reads", "XMP Report", false))
     s.createDataset(rows).toDF("doc_id", "content", "exp_text",
         "exp_title", "exp_encrypted")
       .coalesce(1).write.mode("overwrite").parquet(m59Dir)

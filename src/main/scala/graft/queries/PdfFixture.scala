@@ -314,6 +314,47 @@ object PdfFixture {
     b.finishClassic(1)
   }
 
+  /** [[simplePdf]] plus a catalog `/Metadata` XMP packet (and NO
+    * `/Info`) — the modern-writer metadata shape.
+    */
+  def xmpPdf(xmpXml: String, pageContents: Seq[String]): Array[Byte] = {
+    val b = new Builder
+    val n = pageContents.length
+    val pageNums = (3 until 3 + n)
+    val contentNums = (3 + n until 3 + 2 * n)
+    val fontNum = 3 + 2 * n
+    val metaNum = fontNum + 1
+    b.add(1, s"<< /Type /Catalog /Pages 2 0 R /Metadata $metaNum 0 R >>")
+    pageObjs(b, pageNums, 2, contentNums, s"$fontNum 0 R")
+    pageContents.zip(contentNums).foreach { case (src, cn) =>
+      b.addStream(cn, "", src.getBytes(ISO_8859_1))
+    }
+    b.add(fontNum, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>")
+    b.addStream(metaNum, "/Type /Metadata /Subtype /XML",
+      xmpXml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    b.finishClassic(1)
+  }
+
+  /** A conventional XMP packet with dc:title / dc:creator /
+    * xmp:CreateDate (title+creator in their rdf:Alt/Seq li forms).
+    */
+  def xmpPacket(title: String, creator: String,
+                created: String): String =
+    s"""<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>
+       |<x:xmpmeta xmlns:x="adobe:ns:meta/">
+       | <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+       |  <rdf:Description rdf:about=""
+       |      xmlns:dc="http://purl.org/dc/elements/1.1/"
+       |      xmlns:xmp="http://ns.adobe.com/xap/1.0/">
+       |   <dc:title><rdf:Alt><rdf:li xml:lang="x-default">$title</rdf:li></rdf:Alt></dc:title>
+       |   <dc:creator><rdf:Seq><rdf:li>$creator</rdf:li></rdf:Seq></dc:creator>
+       |   <xmp:CreateDate>$created</xmp:CreateDate>
+       |  </rdf:Description>
+       | </rdf:RDF>
+       |</x:xmpmeta>
+       |<?xpacket end="w"?>""".stripMargin
+
   /** One page whose content stream is the given RAW bytes — the
     * inline-image (`BI…ID…EI`) fixtures compose their own operator
     * runs, binary payload included.

@@ -377,6 +377,31 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.meta(locked).exists(_.encrypted))
   }
 
+  test("XMP metadata: dc/xmp fields surface when Info is absent; " +
+    "Info wins when both declare") {
+    val xmp = PdfFixture.xmpPacket("XMP Title", "XMP Author",
+      "2021-03-04T05:06:07Z")
+    val pdf = PdfFixture.xmpPdf(xmp,
+      Seq("BT /F1 12 Tf (xmp body) Tj ET"))
+    val m = Pdf.meta(pdf).get
+    assert(m.title.contains("XMP Title"))
+    assert(m.author.contains("XMP Author"))
+    assert(m.created.contains("2021-03-04T05:06:07Z"))
+    assert(Pdf.extractText(pdf).map(_.text).contains("xmp body"))
+    // the document layer reads the same fields through its front door
+    assert(DocumentProbe.title(pdf).contains("XMP Title"))
+    // Info beats XMP when both declare (the incumbent readers' order)
+    val both = PdfFixture.titledPdf("Info Title",
+      Seq("BT /F1 12 Tf (t) Tj ET"), author = Some("Info Author"))
+    assert(Pdf.meta(both).get.title.contains("Info Title"))
+    // hostile packets: unparseable XML / wrong object type / torn
+    // Flate — metadata is None, the document still reads
+    val badXml = PdfFixture.xmpPdf("<x:xmpmeta unclosed",
+      Seq("BT /F1 12 Tf (still reads) Tj ET"))
+    assert(Pdf.meta(badXml).exists(_.title.isEmpty))
+    assert(Pdf.extractText(badXml).map(_.text).contains("still reads"))
+  }
+
   // ---- embedded image XObjects --------------------------------------
 
   /** The m63 ramp: pixel (x,y) is gray 10*x on a 9x8 canvas. */
