@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.countMinEstimate)
     ext.injectFunction(GraftExtensions.imageDhash)
     ext.injectFunction(GraftExtensions.imageOrientedDhash)
+    ext.injectFunction(GraftExtensions.imagePageDhashes)
     ext.injectFunction(GraftExtensions.imagePhash)
     ext.injectFunction(GraftExtensions.audioFingerprint)
     ext.injectFunction(GraftExtensions.videoSignature)
@@ -229,6 +230,15 @@ object GraftExtensions {
         "undecodable.",
       classOf[graft.functions.ImageOrientedDhash],
       graft.functions.ImageOrientedDhash(_))
+
+  val imagePageDhashes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("image_page_dhashes",
+      "image_page_dhashes(bytes) - per-page 64-bit dHashes of a " +
+        "multi-image container (multi-page TIFF, animated GIF); one " +
+        "hash for single images; empty array when nothing decodes. " +
+        "Pairs with pdf_image_dhashes for page-level dedup.",
+      classOf[graft.functions.ImagePageDhashes],
+      graft.functions.ImagePageDhashes(_))
 
   val pdfText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("pdf_text",
@@ -762,8 +772,8 @@ object GraftExtensions {
       kllQuantiles, kmvSketch, kmvMerge, kmvEstimate, kmvUnionEstimate,
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
-      imageDhash, imageOrientedDhash, imagePhash, audioFingerprint,
-      videoSignature,
+      imageDhash, imageOrientedDhash, imagePageDhashes, imagePhash,
+      audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, xlsbText, pptxText, emlText, odsText, odpText,
       ipynbText, pdfImageDhashes,

@@ -130,6 +130,23 @@ case class ImageOrientedDhash(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `image_page_dhashes(bytes)` → array<bigint> —
+  * [[graft.multimodal.ImageHash.pageDhashes64]]: per-page dHashes of
+  * a multi-image container (multi-page TIFF, animated GIF); one hash
+  * for single-image payloads; empty array when nothing decodes.
+  * Pairs with `pdf_image_dhashes` for page-level scanned-document
+  * dedup across containers.
+  */
+case class ImagePageDhashes(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "image_page_dhashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernel(bytes: Array[Byte]): Any =
+    new GenericArrayData(
+      graft.multimodal.ImageHash.pageDhashes64(bytes).toArray)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `image_phash(bytes)` → bigint — [[graft.multimodal.ImageHash.phash64]]. */
 case class ImagePhash(child: Expression) extends MediaHashExpression {
   override def prettyName: String = "image_phash"

@@ -148,9 +148,49 @@ object ImageHash {
     out
   }
 
+  /** Per-PAGE dHashes of a multi-image container — multi-page TIFF
+    * (the scanner class's other shipping form) and animated GIF
+    * frames, via the reader's own page index; single-image payloads
+    * yield one hash, undecodable pages drop. Pairs with
+    * [[graft.engine.read.Pdf.images]]' hashes so a 3-page scanned
+    * TIFF dedups against its 3-page PDF sibling page by page.
+    */
+  def pageDhashes64(bytes: Array[Byte]): Seq[Long] = {
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    // single-image magic-routed formats (no ImageIO reader)
+    if (WebP.isWebP(bytes) || Ico.isIco(bytes))
+      return dhash64(bytes).toSeq
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val r = readers.next()
+      try {
+        r.setInput(iis, false, true)
+        val n = try math.max(1, r.getNumImages(true))
+        catch { case _: Exception => 1 }
+        (0 until math.min(n, 256)).flatMap { i =>
+          try dhash64FromImage(r.read(i))
+          catch { case _: Exception => None } // torn page: drops
+        }
+      } finally r.dispose()
+    } catch { case _: Exception => Seq.empty }
+    finally iis.close()
+  }
+
   private val dhashUdf = udf { (bytes: Array[Byte]) =>
     dhash64(bytes).map(java.lang.Long.valueOf).orNull
   }
+
+  private val pageDhashesUdf = udf { (bytes: Array[Byte]) =>
+    pageDhashes64(bytes)
+  }
+
+  /** [[pageDhashes64]] as a column (`array<bigint>`, empty when
+    * nothing decodes).
+    */
+  def pageDhashes(bytesCol: Column): Column = pageDhashesUdf(bytesCol)
 
   private val orientedDhashUdf = udf { (bytes: Array[Byte]) =>
     orientedDhash64(bytes).map(java.lang.Long.valueOf).orNull

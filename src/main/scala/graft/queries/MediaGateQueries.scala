@@ -1540,6 +1540,42 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m75Dir)
   }
 
+  // -- m78 fixture: page-level scanned-document dedup — a 2-page
+  //    TIFF and a 2-image PDF carrying the SAME page pixels hash
+  //    page-by-page to the same sequence; a reversed book would not.
+  private val m78Dir = "/tmp/graft_gate_m78_multipage"
+
+  private def writeM78Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val ramp: Int => Int = i => 28 * (i % 9)
+    val tiff2 = TiffFixture.multiPageRgbTiff(Seq(
+      (9, 8, ramp), (9, 8, (_: Int) => 77)))
+    val rampGray = Array.tabulate[Byte](9 * 8)(i => (28 * (i % 9)).toByte)
+    val flatGray = Array.fill[Byte](9 * 8)(77)
+    val pdf2 = PdfFixture.imagePdf(Seq(
+      ("A", "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+        PdfFixture.flate(rampGray)),
+      ("B", "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+        PdfFixture.flate(flatGray))))
+    val rampPng = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = 28 * x; img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no png")
+      bos.toByteArray
+    }
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (0L, tiff2), (1L, pdf2), (2L, rampPng),
+      (3L, "no pages at all".getBytes("UTF-8")))
+    s.createDataset(rows).toDF("doc_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m78Dir)
+  }
+
   // -- m67 fixture: BINARY Excel (.xlsb) from the INDEPENDENT
   //    record-level writer — the Office matrix's last member. All
   //    string-bearing cell records, workbook-order rels routing,
@@ -2375,6 +2411,25 @@ object MediaGateQueries {
         .orderBy("audio_id")
     },
 
+    // -- m78: page-level scanned-document dedup — one page-hash
+    //    keyspace over multi-page TIFFs (image_page_dhashes) and
+    //    multi-image PDFs (pdf_image_dhashes): the two containers of
+    //    the same book agree page by page. --------------------------
+    "m78_multipage_dedup" -> { (s, _) =>
+      writeM78Fixture(s)
+      import graft.engine.read.Pdf
+      import graft.multimodal.ImageHash
+      val hashes = udf { (b: Array[Byte]) =>
+        if (b != null && b.length >= 5 && b(0) == '%' && b(1) == 'P')
+          Pdf.images(b).flatMap(i => ImageHash.dhash64(i.bytes))
+        else ImageHash.pageDhashes64(b)
+      }
+      s.read.parquet(m78Dir)
+        .select(col("doc_id"),
+          posexplode(hashes(col("content"))).as(Seq("page", "dhash")))
+        .orderBy("doc_id", "page")
+    },
+
     // -- m66: mail attachments → document layer — one splittable
     //    mbox scan, attachments explode as rows, each magic-routed
     //    through the probe (the attached PDF reads like the crawled
@@ -3152,6 +3207,15 @@ object MediaGateQueries {
          |  exp_rate AS rate, exp_samples AS n_samples
          |FROM read_parquet('$m77Dir/*.parquet')
          |ORDER BY audio_id""".stripMargin,
+    "m78_multipage_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 0, CAST(-1 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 1, CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 0, CAST(-1 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 1, CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 0, CAST(-1 AS BIGINT)))
+        |  t(doc_id, page, dhash)
+        |ORDER BY doc_id, page""".stripMargin,
     "m75_image_transport_dedup" ->
       """SELECT * FROM (VALUES
         |  (CAST(-1 AS BIGINT), CAST(5 AS BIGINT),

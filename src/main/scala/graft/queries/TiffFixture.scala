@@ -115,6 +115,56 @@ object TiffFixture {
       strip
   }
 
+  /** MULTI-PAGE RGB TIFF (little-endian, uncompressed): the scanned-
+    * document shape — IFDs chained through their next-IFD pointers,
+    * one strip per page. RGB for the closed-form `getRGB` round-trip.
+    */
+  def multiPageRgbTiff(pages: Seq[(Int, Int, Int => Int)]): Array[Byte] = {
+    val nEntries = 9
+    val ifdSize = 2 + nEntries * 12 + 4
+    // block i = IFD ++ bps(6) ++ strip; blocks laid out sequentially
+    val stripLens = pages.map { case (w, h, _) => w * h * 3 }
+    val starts = pages.indices.scanLeft(8L) { (acc, i) =>
+      acc + ifdSize + 6 + stripLens(i)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('I', 'I'), 0, 2)
+    out.write(le16(42), 0, 2); out.write(le32(8L), 0, 4)
+    pages.zipWithIndex.foreach { case ((w, h, pixels), pi) =>
+      val ifdOff = starts(pi)
+      val bpsOff = ifdOff + ifdSize
+      val stripOff = bpsOff + 6
+      val next = if (pi == pages.length - 1) 0L else starts(pi + 1)
+      def shortVal(v: Int): Array[Byte] = le16(v) ++ Array[Byte](0, 0)
+      def entry(tag: Int, typ: Int, count: Long,
+                value: Array[Byte]): Array[Byte] =
+        le16(tag) ++ le16(typ) ++ le32(count) ++ value
+      val entries =
+        entry(256, 3, 1, shortVal(w)) ++
+          entry(257, 3, 1, shortVal(h)) ++
+          entry(258, 3, 3, le32(bpsOff)) ++
+          entry(259, 3, 1, shortVal(1)) ++
+          entry(262, 3, 1, shortVal(2)) ++
+          entry(273, 4, 1, le32(stripOff)) ++
+          entry(277, 3, 1, shortVal(3)) ++
+          entry(278, 3, 1, shortVal(h)) ++
+          entry(279, 4, 1, le32(stripLens(pi).toLong))
+      out.write(le16(nEntries), 0, 2)
+      out.write(entries, 0, entries.length)
+      out.write(le32(next), 0, 4)
+      out.write(le16(8) ++ le16(8) ++ le16(8), 0, 6)
+      val strip = new Array[Byte](stripLens(pi))
+      var i = 0
+      while (i < w * h) {
+        val v = (pixels(i) & 0xFF).toByte
+        strip(i * 3) = v; strip(i * 3 + 1) = v; strip(i * 3 + 2) = v
+        i += 1
+      }
+      out.write(strip, 0, strip.length)
+    }
+    out.toByteArray
+  }
+
   /** Grayscale convenience (the scanner class). */
   def grayTiff(w: Int, h: Int, pixels: Int => Int,
                bigEndian: Boolean = false,

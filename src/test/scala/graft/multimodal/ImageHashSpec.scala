@@ -119,6 +119,44 @@ class ImageHashSpec extends SparkSpec {
     assert(out(1L) == Some(-1L) && out(2L).isEmpty)
   }
 
+  test("pageDhashes64: multi-page TIFF and GIF frames hash per page; " +
+    "singles yield one") {
+    import graft.queries.TiffFixture
+    val two = TiffFixture.multiPageRgbTiff(Seq(
+      (9, 8, (i: Int) => 28 * (i % 9)),
+      (9, 8, (_: Int) => 77)))
+    assert(ImageHash.pageDhashes64(two) == Seq(-1L, 0L))
+    // page order matters: the reversed book is a different document
+    val rev = TiffFixture.multiPageRgbTiff(Seq(
+      (9, 8, (_: Int) => 77),
+      (9, 8, (i: Int) => 28 * (i % 9))))
+    assert(ImageHash.pageDhashes64(rev) == Seq(0L, -1L))
+    // single-page TIFF / PNG: one hash, equal to dhash64
+    val one = TiffFixture.rgbTiff(9, 8, i => 28 * (i % 9))
+    assert(ImageHash.pageDhashes64(one) == Seq(-1L))
+    val png = grayPng(9, 8, (x, _) => 28 * x)
+    assert(ImageHash.pageDhashes64(png) == Seq(-1L))
+    // animated GIF: one hash per frame
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios); w.prepareWriteSequence(null)
+    for (_ <- 0 until 3) {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9)
+        img.setRGB(x, y, 0x4D4D4D)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    assert(ImageHash.pageDhashes64(bos.toByteArray) == Seq(0L, 0L, 0L))
+    // junk/null: empty, never a throw; torn second page drops it
+    assert(ImageHash.pageDhashes64("junk".getBytes).isEmpty)
+    assert(ImageHash.pageDhashes64(null).isEmpty)
+    val torn = java.util.Arrays.copyOfRange(two, 0, two.length - 40)
+    assert(ImageHash.pageDhashes64(torn).headOption.contains(-1L))
+  }
+
   test("nearDuplicatesByHash: recall-1 banding, exact verify, one row per pair") {
     val rows = Seq(
       (1L, 0L), (2L, 1L), // hamming 1
