@@ -1615,6 +1615,79 @@ object Pdf {
       new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
     else new String(b, StandardCharsets.ISO_8859_1)
 
+  // ---- link annotations -----------------------------------------------
+
+  /** Outbound `/URI` link annotations in page order (ISO 32000
+    * §12.5.6.5 link annotations, §12.6.4.7 URI actions) — PDFs feed
+    * the SAME crawl frontier HTML pages do
+    * ([[graft.ops.Links]]): a whitepaper's references are crawl
+    * seeds like a page's anchors. Internal GoTo destinations skip;
+    * duplicates drop keeping first occurrence; encrypted/unwalkable
+    * documents yield empty.
+    */
+  def links(bytes: Array[Byte],
+            maxStreamBytes: Int = DefaultMaxStreamBytes,
+            maxLinks: Int = 1024): Seq[String] = {
+    val doc = open(bytes, maxStreamBytes) match {
+      case Some(d) => d
+      case None    => return Seq.empty
+    }
+    if (doc.encrypted) return Seq.empty
+    try {
+      val root = doc.resolve(doc.trailer.getOrElse("Root", PNull)) match {
+        case d: PDict => d
+        case _        => return Seq.empty
+      }
+      val tree = doc.resolve(root.m.getOrElse("Pages", PNull))
+      val leafBuf =
+        scala.collection.mutable.ArrayBuffer.empty[(PDict, Option[PDict])]
+      pages(doc, tree, None, 0, new java.util.HashSet[Int](), leafBuf)
+      val seen = new java.util.LinkedHashSet[String]()
+      leafBuf.foreach { case (page, _) =>
+        if (seen.size < maxLinks) {
+          doc.resolve(page.m.getOrElse("Annots", PNull)) match {
+            case PArr(items) => items.foreach { a =>
+              if (seen.size < maxLinks) {
+                try {
+                  doc.resolve(a) match {
+                    case PDict(am)
+                      if doc.resolve(am.getOrElse("Subtype", PNull)) ==
+                        PName("Link") =>
+                      doc.resolve(am.getOrElse("A", PNull)) match {
+                        case PDict(act)
+                          if doc.resolve(act.getOrElse("S", PNull)) ==
+                            PName("URI") =>
+                          doc.resolve(act.getOrElse("URI", PNull)) match {
+                            case PStr(b) =>
+                              val u = new String(b,
+                                StandardCharsets.ISO_8859_1).trim
+                              if (u.nonEmpty) seen.add(u)
+                            case _ => ()
+                          }
+                        case _ => ()
+                      }
+                    case _ => ()
+                  }
+                } catch { case _: Bail | _: Exception => () }
+              }
+            }
+            case _ => ()
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      seen.iterator().asScala.toSeq
+    } catch { case _: Bail | _: Exception => Seq.empty }
+  }
+
+  private val linksUdf = org.apache.spark.sql.functions.udf {
+    (b: Array[Byte]) => links(b)
+  }
+
+  /** `array<string>` of the document's outbound URI links. */
+  def linksCol(bytesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    linksUdf(bytesCol)
+
   // ---- embedded images ------------------------------------------------
 
   /** One image XObject pulled out of a page: `format` is the

@@ -1576,6 +1576,27 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m78Dir)
   }
 
+  // -- m79 fixture: document outlinks — a PDF's /URI annotations and
+  //    an HTML page's anchors feed ONE frontier edge list. ----------
+  private val m79Dir = "/tmp/graft_gate_m79_outlinks"
+
+  private def writeM79Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val html = ("<html><body><a href=\"/a\">rel</a>" +
+      "<a href=\"https://other.net/b\">abs</a></body></html>")
+      .getBytes("UTF-8")
+    val pdf = PdfFixture.linkPdf(Seq(
+      "https://refs.example.org/cite1",
+      "https://refs.example.org/cite2"))
+    val bare = PdfFixture.simplePdf(Seq("BT /F1 12 Tf (quiet) Tj ET"))
+    val rows: Seq[(Long, String, String, Array[Byte])] = Seq(
+      (0L, "https://site.org/page", "html", html),
+      (1L, "https://site.org/paper.pdf", "pdf", pdf),
+      (2L, "https://site.org/quiet.pdf", "pdf", bare))
+    s.createDataset(rows).toDF("doc_id", "src_url", "kind", "content")
+      .coalesce(1).write.mode("overwrite").parquet(m79Dir)
+  }
+
   // -- m67 fixture: BINARY Excel (.xlsb) from the INDEPENDENT
   //    record-level writer — the Office matrix's last member. All
   //    string-bearing cell records, workbook-order rels routing,
@@ -2430,6 +2451,26 @@ object MediaGateQueries {
         .orderBy("doc_id", "page")
     },
 
+    // -- m79: document outlinks — a whitepaper's references are
+    //    crawl seeds like a page's anchors: PDF /URI annotations and
+    //    HTML hrefs (base-resolved) union into one frontier edge
+    //    list; link-less documents contribute nothing. ---------------
+    "m79_document_outlinks" -> { (s, _) =>
+      writeM79Fixture(s)
+      import graft.engine.read.Pdf
+      import graft.ops.Links
+      val out = udf { (kind: String, src: String, b: Array[Byte]) =>
+        if (kind == "html")
+          Links.extractFromHtml(src, new String(b, "UTF-8")).map(_.dst)
+        else Pdf.links(b)
+      }
+      s.read.parquet(m79Dir)
+        .select(col("src_url"),
+          explode(out(col("kind"), col("src_url"), col("content")))
+            .as("dst_url"))
+        .orderBy("src_url", "dst_url")
+    },
+
     // -- m66: mail attachments → document layer — one splittable
     //    mbox scan, attachments explode as rows, each magic-routed
     //    through the probe (the attached PDF reads like the crawled
@@ -3207,6 +3248,14 @@ object MediaGateQueries {
          |  exp_rate AS rate, exp_samples AS n_samples
          |FROM read_parquet('$m77Dir/*.parquet')
          |ORDER BY audio_id""".stripMargin,
+    "m79_document_outlinks" ->
+      """SELECT * FROM (VALUES
+        |  ('https://site.org/page', 'https://other.net/b'),
+        |  ('https://site.org/page', 'https://site.org/a'),
+        |  ('https://site.org/paper.pdf', 'https://refs.example.org/cite1'),
+        |  ('https://site.org/paper.pdf', 'https://refs.example.org/cite2'))
+        |  t(src_url, dst_url)
+        |ORDER BY src_url, dst_url""".stripMargin,
     "m78_multipage_dedup" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 0, CAST(-1 AS BIGINT)),

@@ -355,6 +355,32 @@ object PdfFixture {
        |</x:xmpmeta>
        |<?xpacket end="w"?>""".stripMargin
 
+  /** One page carrying `/URI` link annotations (plus one internal
+    * GoTo that extraction must skip).
+    */
+  def linkPdf(uris: Seq[String], pageText: String = "linked"): Array[Byte] = {
+    val b = new Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    val annotNums = uris.indices.map(_ + 6)
+    val gotoNum = 6 + uris.length
+    val annots = (annotNums :+ gotoNum).map(n => s"$n 0 R").mkString(" ")
+    b.add(3, "<< /Type /Page /Parent 2 0 R /Resources << /Font " +
+      s"<< /F1 5 0 R >> >> /MediaBox [0 0 612 792] /Contents 4 0 R " +
+      s"/Annots [ $annots ] >>")
+    b.addStream(4, "",
+      s"BT /F1 12 Tf (${pageText}) Tj ET".getBytes(ISO_8859_1))
+    b.add(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>")
+    uris.zip(annotNums).foreach { case (u, n) =>
+      b.add(n, "<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] " +
+        s"/A << /S /URI /URI ${lit(u)} >> >>")
+    }
+    b.add(gotoNum, "<< /Type /Annot /Subtype /Link /Rect [0 0 9 9] " +
+      "/A << /S /GoTo /D [3 0 R /Fit] >> >>")
+    b.finishClassic(1)
+  }
+
   /** One page whose content stream is the given RAW bytes — the
     * inline-image (`BI…ID…EI`) fixtures compose their own operator
     * runs, binary payload included.

@@ -402,6 +402,27 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(badXml).map(_.text).contains("still reads"))
   }
 
+  test("URI link annotations extract in order; GoTo and hostiles skip") {
+    val pdf = PdfFixture.linkPdf(Seq(
+      "https://example.org/paper.pdf",
+      "https://mirror.example.net/data",
+      "https://example.org/paper.pdf")) // duplicate drops
+    assert(Pdf.links(pdf) == Seq(
+      "https://example.org/paper.pdf",
+      "https://mirror.example.net/data"))
+    // text on the page is unaffected by annotations
+    assert(Pdf.extractText(pdf).map(_.text).contains("linked"))
+    // no annots / junk / encrypted: empty, never a throw
+    assert(Pdf.links(PdfFixture.simplePdf(Seq("BT ET"))).isEmpty)
+    assert(Pdf.links("not a pdf".getBytes).isEmpty)
+    assert(Pdf.links(PdfFixture.stdEncryptedPdfV5("x", "T",
+      userPw = "pw")).isEmpty)
+    // the cap holds
+    val many = PdfFixture.linkPdf(
+      (0 until 30).map(i => s"https://e.org/$i"))
+    assert(Pdf.links(many, maxLinks = 10).length == 10)
+  }
+
   // ---- embedded image XObjects --------------------------------------
 
   /** The m63 ramp: pixel (x,y) is gray 10*x on a 9x8 canvas. */
