@@ -1,6 +1,6 @@
 package graft.engine.read
 
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{Charset, StandardCharsets}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
@@ -576,13 +576,31 @@ object DocumentProbe {
       .count(CoreMailHeaders.contains) >= 2
   }
 
-  /** Strict UTF-8 decode (malformed/unmappable REJECT) with a binary
-    * guard: any C0 control besides \t \n \r \f fails — the payload is
-    * some binary format we don't know, not corpus text. Strips a
-    * leading BOM.
+  /** Strict text decode with a binary guard: a BOM-DECLARED UTF-16/
+    * UTF-32 (the Windows-export text class — notepad and countless
+    * tools write UTF-16LE with a BOM) decodes in its declared
+    * charset; everything else must be strict UTF-8 (malformed/
+    * unmappable REJECT — no heuristics, no Latin-1 guessing). Any C0
+    * control besides \t \n \r \f fails — the payload is some binary
+    * format we don't know, not corpus text. Strips the leading BOM.
     */
   private def decodeStrictUtf8(bytes: Array[Byte]): Option[String] = {
-    val dec = StandardCharsets.UTF_8.newDecoder()
+    val n = bytes.length
+    val bomCharset: Option[Charset] =
+      if (n >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+        (bytes(2) & 0xFF) == 0xFE && (bytes(3) & 0xFF) == 0xFF)
+        Some(Charset.forName("UTF-32BE"))
+      else if (n >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0xFE && bytes(2) == 0 && bytes(3) == 0)
+        Some(Charset.forName("UTF-32LE"))
+      else if (n >= 2 && (bytes(0) & 0xFF) == 0xFE &&
+        (bytes(1) & 0xFF) == 0xFF)
+        Some(StandardCharsets.UTF_16BE)
+      else if (n >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0xFE)
+        Some(StandardCharsets.UTF_16LE)
+      else None
+    val dec = bomCharset.getOrElse(StandardCharsets.UTF_8).newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     val s = try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString

@@ -448,6 +448,29 @@ class DocumentProbeSpec extends graft.SparkSpec {
       DocumentProbe.inventory(Array[Byte](1)))
   }
 
+  test("BOM-declared UTF-16/32 text routes as txt (the Windows-export " +
+    "class); BOM-less UTF-16 stays undecodable") {
+    val t = "wide text body"
+    def bytes(cs: String): Array[Byte] = ("\uFEFF" + t).getBytes(cs)
+    for (cs <- Seq("UTF-16LE", "UTF-16BE", "UTF-32LE", "UTF-32BE")) {
+      val b = bytes(cs)
+      assert(DocumentProbe.probe(b).exists(_.format == "txt"), cs)
+      assert(DocumentProbe.extractText(b).contains(t), cs)
+    }
+    // BOM-less UTF-16 (NUL-laced bytes): refuse, never guess
+    assert(DocumentProbe.extractText(t.getBytes("UTF-16LE")).isEmpty)
+    // a BOM with malformed tail refuses (strict, not replacing)
+    val torn = bytes("UTF-16LE").dropRight(1)
+    assert(DocumentProbe.extractText(torn).isEmpty)
+    // UTF-8 with BOM still works (the existing strip)
+    assert(DocumentProbe.extractText(("\uFEFF" + t).getBytes("UTF-8"))
+      .contains(t))
+    // the wide twin routes identically to the narrow one (eml case)
+    val eml = "From: a@b.c\r\nTo: l@b.c\r\nSubject: S\r\n\r\nmail body"
+    assert(DocumentProbe.probe(("\uFEFF" + eml).getBytes("UTF-16LE"))
+      .exists(_.format == "eml"))
+  }
+
   test("memberInventories(): archives explode to member inventories, " +
     "non-archives pass through, nesting refuses at depth 1") {
     def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
