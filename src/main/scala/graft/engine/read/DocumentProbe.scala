@@ -936,6 +936,84 @@ object DocumentProbe {
   def memberInventoriesCol(bytesCol: Column): Column =
     memberInventoriesUdf(bytesCol)
 
+  // ---- document outlinks --------------------------------------------
+
+  /** External hyperlinks of a ZIP-family package: OPC hyperlink
+    * relationships (ECMA-376 Part 2 — any part's `.rels`, Type
+    * ending `/hyperlink`, `TargetMode="External"`) and ODF
+    * `xlink:href` anchors (absolute http(s) only — relative targets
+    * have no base inside a package).
+    */
+  private def zipLinks(files: Map[String, Array[Byte]],
+                       max: Int): Seq[String] = {
+    val out = new java.util.LinkedHashSet[String]()
+    files.keys.toSeq.sorted.filter(_.endsWith(".rels")).foreach { part =>
+      if (out.size < max) {
+        ZipRead.parseXml(new String(files(part),
+          StandardCharsets.UTF_8)).foreach { x =>
+          (x \\ "Relationship").foreach { rel =>
+            val typ = rel \@ "Type"
+            val mode = rel \@ "TargetMode"
+            val tgt = (rel \@ "Target").trim
+            if (typ.endsWith("/hyperlink") && mode == "External" &&
+              tgt.nonEmpty && out.size < max)
+              out.add(tgt)
+          }
+        }
+      }
+    }
+    files.get("content.xml").foreach { c =>
+      ZipRead.parseXml(new String(c, StandardCharsets.UTF_8)).foreach { x =>
+        (x \\ "a").foreach { a =>
+          a.attributes.iterator.find(_.key == "href")
+            .map(_.value.text.trim)
+            .filter(u => u.startsWith("http://") ||
+              u.startsWith("https://"))
+            .foreach(u => if (out.size < max) out.add(u))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    out.iterator().asScala.toSeq
+  }
+
+  /** Outbound hyperlinks across the document layer — PDF `/URI`
+    * annotations ([[Pdf.links]]), OPC external hyperlink
+    * relationships (docx/xlsx/pptx, incl. the blank-default-password
+    * encrypted form), ODF anchors — so a whitepaper, a deck or a
+    * spreadsheet seeds the crawl frontier like an HTML page does
+    * ([[graft.ops.Links]] owns HTML itself, which needs a base URL).
+    * First occurrence wins; formats without a link concept yield
+    * empty.
+    */
+  def links(bytes: Array[Byte], maxLinks: Int = 1024): Seq[String] = {
+    if (bytes == null || bytes.length < 4) return Seq.empty
+    val inner = unwrapped(bytes).getOrElse(bytes)
+    try {
+      if (inner(0) == 'P' && inner(1) == 'K') {
+        ZipRead.entries(inner, Epub.DefaultMaxTotalBytes,
+          Epub.DefaultMaxEntries) match {
+          case Some(f) => zipLinks(f, maxLinks)
+          case None    => Seq.empty
+        }
+      } else if (Ole2.isCfb(inner)) {
+        Ole2.streams(inner) match {
+          case Some(f) if Ole2.classifyFrom(f) == "encrypted-ooxml" =>
+            decryptedOoxmlEntries(f) match {
+              case Some(zf) => zipLinks(zf, maxLinks)
+              case None     => Seq.empty
+            }
+          case _ => Seq.empty
+        }
+      } else Pdf.links(inner, maxLinks = maxLinks)
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  private val linksUdf = udf { (bytes: Array[Byte]) => links(bytes) }
+
+  /** `array<string>` of the document's outbound hyperlinks. */
+  def linksCol(bytesCol: Column): Column = linksUdf(bytesCol)
+
   private val inventoryUdf = udf { (bytes: Array[Byte]) => inventory(bytes) }
 
   /** `struct<format,title,author,date,text>` off one container parse

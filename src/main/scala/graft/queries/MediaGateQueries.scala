@@ -1589,10 +1589,34 @@ object MediaGateQueries {
       "https://refs.example.org/cite1",
       "https://refs.example.org/cite2"))
     val bare = PdfFixture.simplePdf(Seq("BT /F1 12 Tf (quiet) Tj ET"))
+    val hl = "http://schemas.openxmlformats.org/officeDocument/2006/" +
+      "relationships/hyperlink"
+    val docx = EpubFixture.zip(Seq(
+      "_rels/.rels" -> ("<Relationships><Relationship Type=\"http://" +
+        "schemas.openxmlformats.org/officeDocument/2006/relationships/" +
+        "officeDocument\" Target=\"word/document.xml\"/>" +
+        "</Relationships>").getBytes,
+      "word/document.xml" -> "<document/>".getBytes,
+      "word/_rels/document.xml.rels" -> ("<Relationships>" +
+        s"""<Relationship Id="r9" Type="$hl" """ +
+        "Target=\"https://cited.example.org/spec\" " +
+        "TargetMode=\"External\"/></Relationships>").getBytes))
+    val odt = EpubFixture.zip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text".getBytes,
+      "content.xml" -> ("""<office:document-content
+        | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+        | xmlns:xlink="http://www.w3.org/1999/xlink">
+        |<office:body><office:text><text:p>
+        |<text:a xlink:href="https://odf.example.net/ref">r</text:a>
+        |</text:p></office:text></office:body>
+        |</office:document-content>""".stripMargin).getBytes("UTF-8")))
     val rows: Seq[(Long, String, String, Array[Byte])] = Seq(
       (0L, "https://site.org/page", "html", html),
       (1L, "https://site.org/paper.pdf", "pdf", pdf),
-      (2L, "https://site.org/quiet.pdf", "pdf", bare))
+      (2L, "https://site.org/quiet.pdf", "pdf", bare),
+      (3L, "https://site.org/memo.docx", "doc", docx),
+      (4L, "https://site.org/notes.odt", "doc", odt))
     s.createDataset(rows).toDF("doc_id", "src_url", "kind", "content")
       .coalesce(1).write.mode("overwrite").parquet(m79Dir)
   }
@@ -2457,12 +2481,12 @@ object MediaGateQueries {
     //    list; link-less documents contribute nothing. ---------------
     "m79_document_outlinks" -> { (s, _) =>
       writeM79Fixture(s)
-      import graft.engine.read.Pdf
+      import graft.engine.read.DocumentProbe
       import graft.ops.Links
       val out = udf { (kind: String, src: String, b: Array[Byte]) =>
         if (kind == "html")
           Links.extractFromHtml(src, new String(b, "UTF-8")).map(_.dst)
-        else Pdf.links(b)
+        else DocumentProbe.links(b)
       }
       s.read.parquet(m79Dir)
         .select(col("src_url"),
@@ -3250,6 +3274,8 @@ object MediaGateQueries {
          |ORDER BY audio_id""".stripMargin,
     "m79_document_outlinks" ->
       """SELECT * FROM (VALUES
+        |  ('https://site.org/memo.docx', 'https://cited.example.org/spec'),
+        |  ('https://site.org/notes.odt', 'https://odf.example.net/ref'),
         |  ('https://site.org/page', 'https://other.net/b'),
         |  ('https://site.org/page', 'https://site.org/a'),
         |  ('https://site.org/paper.pdf', 'https://refs.example.org/cite1'),

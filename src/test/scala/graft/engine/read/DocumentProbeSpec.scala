@@ -471,6 +471,50 @@ class DocumentProbeSpec extends graft.SparkSpec {
       .exists(_.format == "eml"))
   }
 
+  test("document outlinks: OPC hyperlink rels, ODF anchors and PDF " +
+    "URIs through one column") {
+    import graft.queries.EpubFixture.zip
+    val hl = "http://schemas.openxmlformats.org/officeDocument/2006/" +
+      "relationships/hyperlink"
+    val docx = zip(Seq(
+      "_rels/.rels" -> ("<Relationships><Relationship Type=\"http://" +
+        "schemas.openxmlformats.org/officeDocument/2006/relationships/" +
+        "officeDocument\" Target=\"word/document.xml\"/>" +
+        "</Relationships>").getBytes,
+      "word/document.xml" -> "<document/>".getBytes,
+      "word/_rels/document.xml.rels" -> ("<Relationships>" +
+        s"""<Relationship Id="r9" Type="$hl" """ +
+        "Target=\"https://ref.example.org/x\" TargetMode=\"External\"/>" +
+        s"""<Relationship Id="r2" Type="$hl" Target="local.xml"/>""" +
+        "<Relationship Id=\"r3\" Type=\"x/image\" " +
+        "Target=\"https://cdn.example.org/i.png\" " +
+        "TargetMode=\"External\"/>" +
+        "</Relationships>").getBytes))
+    // only EXTERNAL hyperlink rels extract — internal targets and
+    // non-hyperlink externals (images) stay out
+    assert(DocumentProbe.links(docx) == Seq("https://ref.example.org/x"))
+    val odt = zip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text".getBytes,
+      "content.xml" -> ("""<office:document-content
+        | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+        | xmlns:xlink="http://www.w3.org/1999/xlink">
+        |<office:body><office:text><text:p>
+        |<text:a xlink:href="https://a.example.net/1">one</text:a>
+        |<text:a xlink:href="../relative">skipped</text:a>
+        |</text:p></office:text></office:body>
+        |</office:document-content>""".stripMargin).getBytes("UTF-8")))
+    assert(DocumentProbe.links(odt) == Seq("https://a.example.net/1"))
+    // PDFs ride the same column
+    val pdf = PdfFixture.linkPdf(Seq("https://refs.example.org/cite1"))
+    assert(DocumentProbe.links(pdf) ==
+      Seq("https://refs.example.org/cite1"))
+    // formats without links / junk: empty, never a throw
+    assert(DocumentProbe.links("plain text".getBytes).isEmpty)
+    assert(DocumentProbe.links(Array[Byte](0, 1, 2)).isEmpty)
+    assert(DocumentProbe.links(null).isEmpty)
+  }
+
   test("memberInventories(): archives explode to member inventories, " +
     "non-archives pass through, nesting refuses at depth 1") {
     def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
