@@ -1044,6 +1044,35 @@ object DocumentProbe {
         col("d.text").as("text"))
   }
 
+  /** Streaming twin of [[scan]] (the Tar/Zip/Mail.stream
+    * discipline): new document files landing in `dir` inventory
+    * through the SAME one-dispatch kernel — a live document drop-box
+    * feeds the same downstream program as a batch read. The explicit
+    * schema is the one the binaryFile source requires for streams.
+    */
+  def scanStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 100): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    import org.apache.spark.sql.types._
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path"), col("length"),
+        inventoryUdf(col("content")).as("d"))
+      .select(col("path"), col("length"),
+        col("d.format").as("format"), col("d.title").as("title"),
+        col("d.author").as("author"), col("d.date").as("date"),
+        when(col("d.text").isNotNull,
+          graft.ops.LangId.langIdRouted(col("d.text"))).as("language"),
+        col("d.text").as("text"))
+  }
+
   private val titleUdf = udf { (bytes: Array[Byte]) => title(bytes) }
 
   /** Declared document title; NULL when absent or unrecognized. */

@@ -471,6 +471,30 @@ class DocumentProbeSpec extends graft.SparkSpec {
       .exists(_.format == "eml"))
   }
 
+  test("scanStream(): a document drop-box streams with batch-identical " +
+    "inventory rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scan_stream")
+    java.nio.file.Files.write(dir.resolve("a.rtf"),
+      "{\\rtf1{\\info{\\title Streamed}}stream body\\par}"
+        .getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(dir.resolve("b.txt"),
+      "plain streamed text".getBytes("UTF-8"))
+    val batch = DocumentProbe.scan(spark, dir.toString)
+      .orderBy("path")
+      .select("path", "format", "title", "language", "text")
+      .collect().map(_.toSeq).toSeq
+    val q = DocumentProbe.scanStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("doc_scan_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT path, format, title, language, text FROM doc_scan_stream " +
+        "ORDER BY path").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_(1)) == Seq("rtf", "txt"))
+  }
+
   test("document outlinks: OPC hyperlink rels, ODF anchors and PDF " +
     "URIs through one column") {
     import graft.queries.EpubFixture.zip
