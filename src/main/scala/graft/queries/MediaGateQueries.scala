@@ -2351,6 +2351,50 @@ object MediaGateQueries {
         .orderBy("format")
     },
 
+    // -- m80: the image layer's sf-scaled point (m64/m72's sibling):
+    //    every documents row renders in-flight into a REAL PNG (the
+    //    JDK encoder — the actual encode+decode+hash bill), half
+    //    flat-gray keyed by doc_id, half the canonical ramp, then the
+    //    shared dHash + stats kernels read them back. Every output
+    //    column is a closed form DuckDB re-derives from doc_id alone.
+    //    BenchSf1 Heavy member: decode/hash/stats get a tripwired 10x
+    //    number. ----------------------------------------------------
+    "m80_image_corpus" -> { (s, dir) =>
+      import graft.multimodal.{ImageHash, ImageStats}
+      val render = udf { (id: Long) =>
+        val img = new java.awt.image.BufferedImage(
+          if (id % 2 == 0) 64 else 9, if (id % 2 == 0) 64 else 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        if (id % 2 == 0) {
+          val v = (id % 256).toInt
+          val rgb = (v << 16) | (v << 8) | v
+          for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, rgb)
+        } else {
+          for (y <- 0 until 8; x <- 0 until 9) {
+            val g = 10 * x
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          }
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      graft.Tables.documents(s, dir)
+        // the m72 lesson: the kernel dwarfs the row width — explicit
+        // partition count so AQE's byte-based coalesce cannot fold
+        // the compute-bound stage to one partition
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), render(col("doc_id")).as("content"))
+        .withColumn("__s", ImageStats.statsCol(col("content")))
+        .groupBy((col("doc_id") % 2).cast("int").as("cls"))
+        .agg(count(lit(1)).as("n_images"),
+          countDistinct(coalesce(ImageHash.dhash(col("content")),
+            lit(-999L))).as("n_distinct_dhash"),
+          round(avg(col("__s._3")), 6).as("avg_mean_luma"),
+          round(max(col("__s._4")), 6).as("max_std_luma"))
+        .orderBy("cls")
+    },
+
     // -- m68: notebook extraction — authored cells (outputs drop)
     //    through the probe and the dedicated kernel; the config
     //    collision stays txt. Expectations ride the fixture. ---------
@@ -3242,6 +3286,16 @@ object MediaGateQueries {
          |  count(DISTINCT text) AS n_distinct
          |FROM documents
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m80_image_corpus" ->
+      """SELECT CAST(doc_id % 2 AS INTEGER) AS cls,
+        |  count(*) AS n_images,
+        |  CAST(1 AS BIGINT) AS n_distinct_dhash,
+        |  round(avg(CASE WHEN doc_id % 2 = 0
+        |    THEN CAST(doc_id % 256 AS DOUBLE) ELSE 40.0 END), 6)
+        |    AS avg_mean_luma,
+        |  round(max(CASE WHEN doc_id % 2 = 0 THEN 0.0
+        |    ELSE sqrt(163200.0/72 - 1600.0) END), 6) AS max_std_luma
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "m72_archive_corpus" ->
       """WITH m AS (
         |  SELECT doc_id, text, CASE CAST(doc_id % 4 AS INTEGER)

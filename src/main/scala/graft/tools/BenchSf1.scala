@@ -47,7 +47,10 @@ object BenchSf1 {
     // r16: the archive + decryption classes' sf1 point — per-row
     // archive render -> memberInventories explosion, with a bounded
     // blank-password OffCrypto slice (the 50k-spin verify bill)
-    "m72_archive_corpus")
+    "m72_archive_corpus",
+    // r16: the image layer's sf1 point — real PNG encode + decode +
+    // dHash + stats per row over the full documents table
+    "m80_image_corpus")
 
   private val resultPath = "/root/repo/BENCH_sf1.json"
   private val baselinePath = "/root/repo/BENCH_sf1_baseline.json"
