@@ -393,6 +393,16 @@ object DocumentProbe {
       }
       return zipFilesDispatch(files, wantText)
     }
+    // data-file blobs (the datasets-in-a-crawl class): classify-only
+    // — a parquet/orc/avro/sqlite/arrow/hdf5/npy payload inventories
+    // by FORMAT instead of reading as unknown binary; their row
+    // decode belongs to the real table readers (spark.read.parquet
+    // et al.), not a document kernel
+    dataFileKind(bytes) match {
+      case Some(k) =>
+        return (Some(DocMeta(k, 0, encrypted = false)), None)
+      case None => ()
+    }
     val pdf: (Option[DocMeta], Option[String]) = if (wantText) {
       // one xref walk on the happy path: extractText carries the page
       // count; meta only runs to EXPLAIN a refusal (encrypted vs junk)
@@ -419,6 +429,30 @@ object DocumentProbe {
     // and the htmlToText cascade; otherwise STRICT UTF-8 text with no
     // binary control chars — anything stricter-than-text stays None.
     htmlOrText(bytes, wantText)
+  }
+
+  /** Data-file magic dispatch (exact leading magics; ORC additionally
+    * checks the postscript tail because a text file may START with
+    * the letters "ORC"). None when no data format declares itself.
+    */
+  private def dataFileKind(b: Array[Byte]): Option[String] = {
+    val n = b.length
+    if (n >= 8 && startsWith(b, "PAR1")) Some("parquet")
+    else if (n >= 8 && b(0) == 'O' && b(1) == 'b' && b(2) == 'j' &&
+      b(3) == 1) Some("avro")
+    else if (n >= 16 && startsWith(b, "ORC") &&
+      b(n - 4) == 'O' && b(n - 3) == 'R' && b(n - 2) == 'C')
+      Some("orc")
+    else if (n >= 16 && startsWith(b, "SQLite format 3\u0000"))
+      Some("sqlite")
+    else if (n >= 8 && startsWith(b, "ARROW1")) Some("arrow")
+    else if (n >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'H' &&
+      b(2) == 'D' && b(3) == 'F' && b(4) == '\r' && b(5) == '\n' &&
+      (b(6) & 0xFF) == 0x1A && b(7) == '\n') Some("hdf5")
+    else if (n >= 8 && (b(0) & 0xFF) == 0x93 && b(1) == 'N' &&
+      b(2) == 'U' && b(3) == 'M' && b(4) == 'P' && b(5) == 'Y')
+      Some("npy")
+    else None
   }
 
   /** `EncryptionInfo`/`EncryptedPackage` CFB → the decrypted inner
@@ -741,6 +775,8 @@ object DocumentProbe {
   def inventory(bytes: Array[Byte]): Inventory = {
     if (bytes == null || bytes.length < 4) return EmptyInventory
     unwrapped(bytes).foreach(inner => return inventory(inner))
+    dataFileKind(bytes).foreach(k =>
+      return Inventory(Some(k), None, None, None, None))
     if (startsWith(bytes, "{\\rtf"))
       return Inventory(Some("rtf"), Rtf.docTitle(bytes),
         Rtf.docAuthor(bytes), rtfCreated(bytes),

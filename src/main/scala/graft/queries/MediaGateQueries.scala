@@ -868,7 +868,22 @@ object MediaGateQueries {
         "encrypted-ooxml", "<undecodable>"),
       // a notebook upgrades from txt to its authored cells (r15)
       (27L, (s"""{"nbformat": 4, "cells": [{"cell_type": "markdown",""" +
-        s""" "source": ["$t"]}]}""").getBytes("UTF-8"), "ipynb", t))
+        s""" "source": ["$t"]}]}""").getBytes("UTF-8"), "ipynb", t),
+      // r16: data-file blobs classify by magic instead of reading as
+      // unknown binary (text stays undecodable — the table readers
+      // own their rows); the "ORC"-leading TEXT control guards the
+      // 3-byte magic
+      (28L, "PAR1".getBytes("US-ASCII") ++ Array.fill[Byte](64)(7) ++
+        "PAR1".getBytes("US-ASCII"), "parquet", "<undecodable>"),
+      (29L, ("SQLite format 3\u0000" + "x" * 48).getBytes("ISO-8859-1"),
+        "sqlite", "<undecodable>"),
+      (30L, "ORC".getBytes("US-ASCII") ++ Array.fill[Byte](24)(3) ++
+        "ORC".getBytes("US-ASCII") ++ Array[Byte](23),
+        "orc", "<undecodable>"),
+      (31L, "ORCHESTRAS played plain text here".getBytes("UTF-8"),
+        "txt", "ORCHESTRAS played plain text here"),
+      (32L, "Obj".getBytes("US-ASCII") ++ Array[Byte](1) ++
+        Array.fill[Byte](32)(9), "avro", "<undecodable>"))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")
       .coalesce(1).write.mode("overwrite").parquet(m42Dir)

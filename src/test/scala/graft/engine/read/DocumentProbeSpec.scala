@@ -471,6 +471,34 @@ class DocumentProbeSpec extends graft.SparkSpec {
       .exists(_.format == "eml"))
   }
 
+  test("data-file blobs classify by magic; text-ish near-misses stay txt") {
+    def fmt(b: Array[Byte]) = DocumentProbe.probe(b).map(_.format)
+    assert(fmt("PAR1".getBytes ++ Array.fill[Byte](32)(7))
+      .contains("parquet"))
+    assert(fmt("Obj".getBytes ++ Array[Byte](1) ++ new Array[Byte](16))
+      .contains("avro"))
+    assert(fmt(("SQLite format 3\u0000" + "z" * 32).getBytes("ISO-8859-1"))
+      .contains("sqlite"))
+    assert(fmt("ARROW1\u0000\u0000data".getBytes("ISO-8859-1"))
+      .contains("arrow"))
+    assert(fmt(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
+      0x1A, '\n') ++ new Array[Byte](8)).contains("hdf5"))
+    assert(fmt(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0)
+      ++ new Array[Byte](8)).contains("npy"))
+    // ORC needs BOTH the header magic and the postscript tail — a
+    // text file starting with the letters ORC is still text
+    val orc = "ORC".getBytes ++ Array.fill[Byte](20)(3) ++
+      "ORC".getBytes ++ Array[Byte](19)
+    assert(fmt(orc).contains("orc"))
+    assert(fmt("ORC is a database acronym".getBytes).contains("txt"))
+    // classification only: no text, no title
+    assert(DocumentProbe.extractText(orc).isEmpty)
+    assert(DocumentProbe.inventory(orc).format.contains("orc"))
+    assert(DocumentProbe.inventory(orc).text.isEmpty)
+    // "Obj" WITHOUT the 0x01 marker is plain text
+    assert(fmt("Object oriented prose".getBytes).contains("txt"))
+  }
+
   test("scanStream(): a document drop-box streams with batch-identical " +
     "inventory rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scan_stream")
