@@ -203,6 +203,63 @@ object AudioProbe {
     } else None
   }
 
+  /** M4A (audio-in-MP4 — the podcast class) inventory off the
+    * ISO-BMFF metadata boxes ([[VideoProbe]]'s hostility-hardened
+    * walk): the FIRST `soun` track's audio sample entry gives codec
+    * (`mp4a`/`alac`), channel count and the 16.16 sample rate;
+    * `nSamples` converts the track's `mdhd` duration from media
+    * timescale to sample frames (for audio the timescale
+    * conventionally IS the rate, making the conversion exact). AAC/
+    * ALAC entropy decode is a recorded skip — inventory is what the
+    * curation stages consume. None for video-only or non-MP4.
+    */
+  def m4aInfo(bytes: Array[Byte]): Option[AudioMeta] = {
+    import VideoProbe.{findBox, isMp4, mvhd, u16be, u32be, walkBoxes}
+    if (!isMp4(bytes)) return None
+    val end = bytes.length.toLong
+    val (ms0, me0) = findBox(bytes, 0L, end, "moov").getOrElse(return None)
+    var out: Option[AudioMeta] = None
+    walkBoxes(bytes, ms0, me0) { (t, s, e) =>
+      if (t == "trak" && out.isEmpty) {
+        val mdia = findBox(bytes, s, e, "mdia")
+        val isAudio = mdia.flatMap { case (hs0, he0) =>
+          findBox(bytes, hs0, he0, "hdlr").flatMap { case (hs, he) =>
+            VideoProbe.hdlr(bytes, hs, he)
+          }
+        }.contains("soun")
+        if (isAudio) {
+          for {
+            (mdS, mdE) <- mdia
+            (fs, fe)   <- findBox(bytes, mdS, mdE, "minf")
+            (ss, se)   <- findBox(bytes, fs, fe, "stbl")
+            (ds, de)   <- findBox(bytes, ss, se, "stsd")
+            // stsd payload: fullbox(4) + entry count(4); the entry's
+            // AudioSampleEntry fields sit at fixed offsets from its
+            // start (ISO 14496-12 §12.2.3)
+            if de - ds >= 44 && u32be(bytes, ds.toInt + 4) >= 1
+          } {
+            val entry = ds.toInt + 8
+            val codec = VideoProbe.tag(bytes, entry + 4)
+            val channels = u16be(bytes, entry + 24)
+            val rate = (u32be(bytes, entry + 32) >> 16).toInt
+            // mdhd shares mvhd's (timescale, duration) field layout
+            val dur = findBox(bytes, mdS, mdE, "mdhd")
+              .flatMap { case (hs, he) => mvhd(bytes, hs, he) }
+            if (channels >= 1 && channels <= 64 && rate > 0) {
+              val nSamples = dur match {
+                case Some((ts, d)) if ts > 0 =>
+                  if (ts == rate) d else d * rate / ts
+                case _ => 0L
+              }
+              out = Some(AudioMeta(codec, channels, rate, 0, nSamples))
+            }
+          }
+        }
+      }
+    }
+    out
+  }
+
   private def isFlac(b: Array[Byte]): Boolean =
     b != null && b.length >= 4 && b(0) == 'f' && b(1) == 'L' &&
       b(2) == 'a' && b(3) == 'C'

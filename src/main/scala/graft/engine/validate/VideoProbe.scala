@@ -63,7 +63,7 @@ object VideoProbe {
   private val mp4TopBoxes =
     Set("ftyp", "moov", "mdat", "free", "skip", "wide", "pdin", "styp", "sidx")
 
-  private def isMp4(b: Array[Byte]): Boolean =
+  private[validate] def isMp4(b: Array[Byte]): Boolean =
     b != null && b.length >= 8 && {
       val size = u32be(b, 0)
       mp4TopBoxes.contains(tag(b, 4)) && (size == 0L || size == 1L || size >= 8L)
@@ -121,7 +121,7 @@ object VideoProbe {
     * 12/16; version 1: 64-bit times, timescale at 20, duration u64
     * at 24.
     */
-  private def mvhd(b: Array[Byte], s: Long, e: Long): Option[(Long, Long)] = {
+  private[validate] def mvhd(b: Array[Byte], s: Long, e: Long): Option[(Long, Long)] = {
     if (s + 4 > e) return None
     val v = b(s.toInt) & 0xff
     if (v == 1) {
@@ -145,7 +145,7 @@ object VideoProbe {
   }
 
   /** hdlr payload → handler_type 4cc (offset 8: version/flags + pre_defined). */
-  private def hdlr(b: Array[Byte], s: Long, e: Long): Option[String] =
+  private[validate] def hdlr(b: Array[Byte], s: Long, e: Long): Option[String] =
     if (s + 12 > e) None else Some(tag(b, s.toInt + 8))
 
   /** stts payload → total sample count (sum of entry sample_counts). */

@@ -193,6 +193,46 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m77Dir)
   }
 
+  // -- m81 fixture: M4A (audio-in-MP4, the podcast class) inventory —
+  //    independent ISO-BMFF boxes via the HeifFixture writers; AAC/
+  //    ALAC decode stays a recorded skip. --------------------------
+  private val m81Dir = "/tmp/graft_gate_m81_m4a"
+
+  private def writeM81Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    def m4a(codec: String, channels: Int, rate: Int,
+            timescale: Int, duration: Long): Array[Byte] = {
+      import HeifFixture.{box, ftyp, fullBox}
+      val sampleEntry = box(codec,
+        new Array[Byte](6), be16(1),
+        new Array[Byte](8),
+        be16(channels), be16(16), be16(0), be16(0),
+        be32(rate.toLong << 16))
+      val stsd = fullBox("stsd", 0, 0, be32(1), sampleEntry)
+      val mdhd = fullBox("mdhd", 0, 0, be32(0), be32(0),
+        be32(timescale.toLong), be32(duration), be16(0), be16(0))
+      val hdlr = fullBox("hdlr", 0, 0, be32(0),
+        "soun".getBytes("US-ASCII"), new Array[Byte](12), Array[Byte](0))
+      val trak = box("trak", box("mdia", mdhd, hdlr,
+        box("minf", box("stbl", stsd))))
+      ftyp("M4A ", Seq("M4A ", "isom")) ++ box("moov", trak) ++
+        box("mdat", Array[Byte](1, 2, 3))
+    }
+    val whole = m4a("mp4a", 2, 44100, 44100, 88200L)
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, Long)] = Seq(
+      (0L, whole, "mp4a", 2, 44100, 88200L),
+      (1L, m4a("alac", 1, 48000, 1000, 2000L), "alac", 1, 48000, 96000L),
+      (2L, java.util.Arrays.copyOfRange(whole, 0, 40), "none", -1, -1, -1L),
+      (3L, "neither box nor page".getBytes("UTF-8"), "none", -1, -1, -1L))
+    s.createDataset(rows).toDF("audio_id", "payload", "exp_codec",
+        "exp_channels", "exp_rate", "exp_samples")
+      .coalesce(1).write.mode("overwrite").parquet(m81Dir)
+  }
+
   private def writeM28Fixture(s: SparkSession): Unit = {
     import s.implicits._
     import MultimodalQueries.{m15Patterns, m15Samples, m15ExpectedHash, m15Sr}
@@ -2494,6 +2534,26 @@ object MediaGateQueries {
         .orderBy("dhash")
     },
 
+    // -- m81: M4A inventory — the podcast class's codec/channels/
+    //    rate/samples off the ISO-BMFF metadata boxes; decode stays
+    //    a recorded skip. -------------------------------------------
+    "m81_m4a_inventory" -> { (s, _) =>
+      writeM81Fixture(s)
+      import graft.engine.validate.AudioProbe
+      val inv = udf { (b: Array[Byte]) =>
+        AudioProbe.m4aInfo(b).map(m =>
+          (m.codec, m.channels, m.sampleRateHz, m.nSamples))
+      }
+      s.read.parquet(m81Dir)
+        .withColumn("__a", inv(col("payload")))
+        .select(col("audio_id"),
+          coalesce(col("__a._1"), lit("none")).as("codec"),
+          coalesce(col("__a._2"), lit(-1)).as("channels"),
+          coalesce(col("__a._3"), lit(-1)).as("rate"),
+          coalesce(col("__a._4"), lit(-1L)).as("n_samples"))
+        .orderBy("audio_id")
+    },
+
     // -- m77: Ogg Vorbis/Opus inventory — the web's two dominant
     //    lossy-audio classes inventory codec/channels/rate/samples
     //    from ID headers + CRC-verified tail granules; decode stays
@@ -3336,6 +3396,11 @@ object MediaGateQueries {
          |  exp_text AS text
          |FROM read_parquet('$m67Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    "m81_m4a_inventory" ->
+      s"""SELECT audio_id, exp_codec AS codec, exp_channels AS channels,
+         |  exp_rate AS rate, exp_samples AS n_samples
+         |FROM read_parquet('$m81Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
     "m77_ogg_inventory" ->
       s"""SELECT audio_id, exp_codec AS codec, exp_channels AS channels,
          |  exp_rate AS rate, exp_samples AS n_samples

@@ -87,6 +87,55 @@ class OggInfoSpec extends AnyFunSuite {
     assert(AudioProbe.oggInfo(v2).map(_.nSamples).contains(88200L))
   }
 
+  // ---- M4A (audio-in-MP4) -------------------------------------------
+
+  private def be16b(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32b(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  /** Independent M4A builder over the generic ISO-BMFF box writers. */
+  private def m4a(codec: String, channels: Int, rate: Int,
+                  timescale: Int, duration: Long): Array[Byte] = {
+    import graft.queries.HeifFixture.{box, ftyp, fullBox}
+    val sampleEntry = box(codec,
+      new Array[Byte](6), be16b(1),          // reserved + data_ref_idx
+      new Array[Byte](8),                     // 2x u32 reserved
+      be16b(channels), be16b(16),             // channelcount, samplesize
+      be16b(0), be16b(0),                     // pre_defined, reserved
+      be32b(rate.toLong << 16))               // 16.16 samplerate
+    val stsd = fullBox("stsd", 0, 0, be32b(1), sampleEntry)
+    val mdhd = fullBox("mdhd", 0, 0, be32b(0), be32b(0),
+      be32b(timescale.toLong), be32b(duration), be16b(0), be16b(0))
+    val hdlr = fullBox("hdlr", 0, 0, be32b(0),
+      "soun".getBytes("US-ASCII"), new Array[Byte](12), Array[Byte](0))
+    val trak = box("trak", box("mdia", mdhd, hdlr,
+      box("minf", box("stbl", stsd))))
+    ftyp("M4A ", Seq("M4A ", "isom")) ++ box("moov", trak) ++
+      box("mdat", Array[Byte](1, 2, 3))
+  }
+
+  test("m4a inventory: soun sample entry + mdhd duration; video-only " +
+    "and truncations refuse") {
+    assert(AudioProbe.m4aInfo(m4a("mp4a", 2, 44100, 44100, 88200L)) ==
+      Some(AudioProbe.AudioMeta("mp4a", 2, 44100, 0, 88200L)))
+    // media timescale != rate: duration converts to sample frames
+    assert(AudioProbe.m4aInfo(m4a("alac", 1, 48000, 1000, 2000L)) ==
+      Some(AudioProbe.AudioMeta("alac", 1, 48000, 0, 96000L)))
+    // a video handler is not audio; junk refuses; truncation fuzz
+    val vid = {
+      import graft.queries.HeifFixture.{box, ftyp, fullBox}
+      ftyp("isom", Seq("isom")) ++ box("moov", box("trak", box("mdia",
+        fullBox("hdlr", 0, 0, be32b(0), "vide".getBytes("US-ASCII"),
+          new Array[Byte](12), Array[Byte](0)))))
+    }
+    assert(AudioProbe.m4aInfo(vid).isEmpty)
+    assert(AudioProbe.m4aInfo("junk junk junk junk".getBytes).isEmpty)
+    assert(AudioProbe.m4aInfo(null).isEmpty)
+    val whole = m4a("mp4a", 2, 44100, 44100, 88200L)
+    for (cut <- 0 to whole.length by 3)
+      AudioProbe.m4aInfo(java.util.Arrays.copyOfRange(whole, 0, cut))
+  }
+
   test("non-ogg, ogg-flac and truncations refuse quietly") {
     assert(AudioProbe.oggInfo("not ogg".getBytes).isEmpty)
     assert(AudioProbe.oggInfo(null).isEmpty)
