@@ -2,7 +2,8 @@ package graft.engine.read
 
 /** Magic-dispatch stream decompression shared by the archive and
   * document layers — gzip `1F 8B`, zstd `28 B5 2F FD` (RFC 8878),
-  * bzip2 `BZh1-9`, xz `FD 37 7A 58 5A 00`, LZ4 frame `04 22 4D 18`
+  * bzip2 `BZh1-9`, xz `FD 37 7A 58 5A 00`, LZ4 frame `04 22 4D 18`,
+  * framed snappy `FF 06 00 00 sNaPpY`
   * — each output-capped (bomb guard). A torn stream keeps whatever
   * decompressed cleanly (the crawl posture); a stream whose very
   * construction fails (bzip2 decodes its first block eagerly) yields
@@ -12,6 +13,12 @@ package graft.engine.read
   * classpath.
   */
 private[read] object Compressed {
+
+  /** Framed-snappy stream identifier: `FF 06 00 00 sNaPpY`. */
+  private def isSnappyFramed(b: Array[Byte]): Boolean =
+    b.length >= 10 && (b(0) & 0xFF) == 0xFF && b(1) == 0x06 &&
+      b(2) == 0 && b(3) == 0 && b(4) == 's' && b(5) == 'N' &&
+      b(6) == 'a' && b(7) == 'P' && b(8) == 'p' && b(9) == 'Y'
 
   /** Leading bytes carry a known compression magic. */
   def isCompressed(bytes: Array[Byte]): Boolean = {
@@ -23,7 +30,8 @@ private[read] object Compressed {
       (b0 == 'B' && b1 == 'Z' && b2 == 'h' && b3 >= '1' && b3 <= '9') ||
       (b0 == 0xFD && b1 == 0x37 && b2 == 0x7A && b3 == 0x58 &&
         (bytes(4) & 0xFF) == 0x5A && bytes(5) == 0) ||
-      (b0 == 0x04 && b1 == 0x22 && b2 == 0x4D && b3 == 0x18)
+      (b0 == 0x04 && b1 == 0x22 && b2 == 0x4D && b3 == 0x18) ||
+      isSnappyFramed(bytes)
   }
 
   /** Decompress when a magic leads; otherwise the bytes unchanged.
@@ -56,10 +64,15 @@ private[read] object Compressed {
           // posture rather than the library's GiB-scale default.
           new org.tukaani.xz.XZInputStream(
             new java.io.ByteArrayInputStream(bytes), 64 << 10)
-        else
+        else if (b0 == 0x04)
           new org.apache.commons.compress.compressors.lz4
             .FramedLZ4CompressorInputStream(
               new java.io.ByteArrayInputStream(bytes))
+        else
+          // framed snappy (RC datasets and Hadoop-adjacent tooling
+          // ship .sz blobs; snappy-java is on Spark's own classpath)
+          new org.xerial.snappy.SnappyFramedInputStream(
+            new java.io.ByteArrayInputStream(bytes), true)
       } catch { case _: Exception => return Array.emptyByteArray }
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](64 << 10)

@@ -1871,6 +1871,12 @@ object MediaGateQueries {
         val l = new org.apache.commons.compress.compressors.lz4
           .FramedLZ4CompressorOutputStream(bos)
         l.write(t.getBytes("UTF-8")); l.close(); bos.toByteArray
+      }, "txt", t),
+      // framed snappy (r16) — the .sz blob routes like its twin
+      (9L, {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+        z.write(t.getBytes("UTF-8")); z.close(); bos.toByteArray
       }, "txt", t))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")

@@ -32,6 +32,11 @@ class CompressedDocsSpec extends AnyFunSuite {
       new org.tukaani.xz.LZMA2Options())
     x.write(b); x.close(); bos.toByteArray
   }
+  private def sz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val s = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+    s.write(b); s.close(); bos.toByteArray
+  }
 
   test("each codec unwraps to the inner format, text and metadata") {
     val html = ("<html><head><title>Zipped Page</title></head>" +
@@ -51,6 +56,10 @@ class CompressedDocsSpec extends AnyFunSuite {
     assert(DocumentProbe.title(bz2(rtf)).contains("R"))
     assert(DocumentProbe.probe(xz(eml)).exists(_.format == "eml"))
     assert(DocumentProbe.author(xz(eml)).contains("a@b.c"))
+    // framed snappy (r16): the .sz blob routes like its plain twin
+    assert(DocumentProbe.probe(sz(txt)).exists(_.format == "txt"))
+    assert(DocumentProbe.extractText(sz(html))
+      .exists(_.contains("compressed body")))
     // inventory matches the single kernels through the wrap
     val inv = DocumentProbe.inventory(zst(html))
     assert(inv.format.contains("html") &&
@@ -91,7 +100,7 @@ class CompressedDocsSpec extends AnyFunSuite {
     DocumentProbe.probe(torn) // must not throw
     DocumentProbe.extractText(torn)
     // truncated to just the magic: never throws
-    for (codec <- Seq(gz(long), zst(long), bz2(long), xz(long));
+    for (codec <- Seq(gz(long), zst(long), bz2(long), xz(long), sz(long));
          cut <- Seq(4, 6, 10)) {
       val t = java.util.Arrays.copyOfRange(codec, 0, cut)
       DocumentProbe.probe(t)
