@@ -57,6 +57,18 @@ object ImageProbe {
     */
   def animation(bytes: Array[Byte]): Option[(String, Int)] = {
     if (bytes == null || bytes.length < 16) return None
+    // animated WebP: VP8X ANIM flag; frames = ANMF chunk count (the
+    // container walk the WebP probe already owns)
+    if (graft.multimodal.WebP.isWebP(bytes)) {
+      return graft.multimodal.WebP.probe(bytes)
+        .filter(_.animated)
+        .map { _ =>
+          val n = try graft.multimodal.WebP.chunks(bytes)
+            .count(_._1 == "ANMF")
+          catch { case _: Exception => 0 }
+          ("webp", math.max(n, 1))
+        }
+    }
     // GIF87a / GIF89a
     if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&

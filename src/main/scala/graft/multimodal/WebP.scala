@@ -59,7 +59,7 @@ object WebP {
     * Stops at the first malformed chunk (truncated header or a size
     * overrunning the buffer) — bytes before the tear still probe.
     */
-  private def chunks(bytes: Array[Byte]): Iterator[(String, Int, Int)] =
+  private[graft] def chunks(bytes: Array[Byte]): Iterator[(String, Int, Int)] =
     new Iterator[(String, Int, Int)] {
       private var off = 12
       def hasNext: Boolean =

@@ -356,7 +356,9 @@ object MultimodalQueries {
       (1L, animatedGif(1), "gif", 1),
       (2L, apngOf(stillPng, 4), "apng", 4),
       (3L, stillPng, "none", -1),
-      (4L, "not an image".getBytes("UTF-8"), "none", -1))
+      (4L, "not an image".getBytes("UTF-8"), "none", -1),
+      // r16: animated WebP via the VP8X ANIM flag + ANMF count
+      (5L, WebpFixture.animatedWebp(8, 8, 2), "webp", 2))
     s.createDataset(rows).toDF("img_id", "payload", "exp_kind",
         "exp_frames")
       .coalesce(1).write.mode("overwrite").parquet(m76Dir)

@@ -571,4 +571,19 @@ object WebpFixture {
     container((Seq(chunk("VP8X", hdr)) ++ anim ++
       Seq(chunk("VP8L", vp8lPayload(w, h, argb)))): _*)
   }
+
+  /** Animated container: VP8X (ANIM flag) + ANIM + `frames` ANMF
+    * chunks (frame payloads are opaque — the probe counts, the
+    * documented VP8-decode skip stands).
+    */
+  def animatedWebp(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val hdr = Array[Byte](2, 0, 0, 0) ++
+      Array(((w - 1) & 0xff).toByte, (((w - 1) >> 8) & 0xff).toByte,
+        (((w - 1) >> 16) & 0xff).toByte) ++
+      Array(((h - 1) & 0xff).toByte, (((h - 1) >> 8) & 0xff).toByte,
+        (((h - 1) >> 16) & 0xff).toByte)
+    container((Seq(chunk("VP8X", hdr),
+      chunk("ANIM", Array.fill[Byte](6)(0))) ++
+      (0 until frames).map(_ => chunk("ANMF", Array.fill[Byte](24)(7)))): _*)
+  }
 }

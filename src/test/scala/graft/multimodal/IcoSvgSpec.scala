@@ -115,6 +115,16 @@ class IcoSvgSpec extends AnyFunSuite {
       ImageProbe.animation(java.util.Arrays.copyOfRange(ag, 0, cut))
     assert(ImageProbe.animation("GIF89a junk".getBytes).isEmpty)
     assert(ImageProbe.animation(null).isEmpty)
+    // animated WebP: VP8X ANIM flag + ANMF count; stills are None
+    import graft.queries.WebpFixture
+    assert(ImageProbe.animation(WebpFixture.animatedWebp(8, 8, 3)) ==
+      Some(("webp", 3)))
+    val still = WebpFixture.losslessWebp(2, 2,
+      Array.fill(4)(0xFF808080.toInt))
+    assert(ImageProbe.animation(still).isEmpty)
+    // a VP8X still (flag clear) is None too
+    assert(ImageProbe.animation(WebpFixture.vp8xLossless(2, 2,
+      Array.fill(4)(0xFF808080.toInt))).isEmpty)
   }
 
   test("SVG dimensions: px and unitless attrs, viewBox fallback, " +
