@@ -132,6 +132,28 @@ object TextAnalysis {
       case (acc, (pat, rep)) => regexp_replace(acc, pat, rep)
     })
 
+  /** End-of-line DEhyphenation — the scanned/column-layout repair
+    * every PDF-extracted corpus needs (`exam-⏎ple` is one token to a
+    * human and two to a tokenizer). The standard conservative rule:
+    *
+    *  - letter `-` ⏎ lowercase-letter → JOIN, hyphen dropped (a
+    *    typesetter's line break inside a word);
+    *  - letter `-` ⏎ uppercase/digit → join KEEPING the hyphen (a
+    *    true compound split across lines: `state-⏎Machine`);
+    *  - everything else — blank lines, mid-line hyphens, lines not
+    *    ending in a hyphen — untouched (paragraph structure
+    *    survives).
+    *
+    * Trailing spaces before and indentation after the break are
+    * absorbed. Pure `regexp_replace` chain — codegen'd, no UDF;
+    * NULL stays NULL.
+    */
+  def dehyphenate(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c,
+        "(\\p{L})-[ \\t]*\\r?\\n[ \\t]*(\\p{Ll})", "$1$2"),
+      "(\\p{L})-[ \\t]*\\r?\\n[ \\t]*(\\p{Lu}|[0-9])", "$1-$2")
+
   /** C4-style within-document line dedup: drop every line that already
     * appeared earlier in the SAME document, keeping first occurrences
     * in order (the C4 "deduplicate lines within a page" rule —

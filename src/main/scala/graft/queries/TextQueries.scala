@@ -1143,6 +1143,21 @@ object TextQueries {
     // -- t55: JSON-LD structured data — block extraction + @type per
     //    block; attribute quoting/case variants, array-@type and
     //    malformed blocks drop from types but count as blocks. ------
+    // -- t56: end-of-line dehyphenation — the PDF/scanned-text repair:
+    //    injected letter-⏎-lowercase breaks restore the original text
+    //    exactly (hyphens and newlines are normalized out of the base
+    //    first so the round-trip IS the oracle, recomputed by DuckDB
+    //    from the source text alone). ----------------------------------
+    "t57_dehyphenate" -> { (s, d) =>
+      val base = regexp_replace(col("text"), "[-\\n\\r]", " ")
+      val wrapped = regexp_replace(base,
+        "([a-z]{4})([a-z]{4})", "$1-\n$2")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.dehyphenate(wrapped).as("roundtrip"))
+        .orderBy("doc_id")
+    },
+
     "t55_jsonld" -> { (s, d) =>
       val id = col("doc_id")
       val html = when(id % 4 === 0, concat(
@@ -2775,6 +2790,10 @@ object TextQueries {
     // The FOUR extraction patterns and the token probes interpolate
     // from the same Scala vals the engine compiles (single quotes
     // doubled for the SQL literal), so the two sides cannot drift.
+    "t57_dehyphenate" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(text, '[-\n\r]', ' ', 'g') AS roundtrip
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t55_jsonld" ->
       s"""SELECT doc_id,
          |  CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 0

@@ -577,6 +577,34 @@ class CurationSpec extends SparkSpec {
       s"web must downsample toward code's usable size, got: $byGroup")
   }
 
+  test("dehyphenate: line-break joins, compound keeps, structure survives") {
+    val rows = Seq(
+      (1L, "exam-\nple"),                     // classic join
+      (2L, "exam- \n  ple"),                  // trailing/leading space
+      (3L, "exam-\r\nple"),                   // CRLF
+      (4L, "state-\nMachine"),                // uppercase: keep hyphen
+      (5L, "room-\n42 was free"),             // digit: keep hyphen
+      (6L, "a mid-line hyphen stays"),        // no line break: untouched
+      (7L, "para one.\n\npara two"),          // blank line survives
+      (8L, "trailing-\n"),                    // nothing follows: untouched
+      (9L, "7-\nup"),                         // digit BEFORE: untouched
+      (10L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = rows
+      .select(col("id"), TextAnalysis.dehyphenate(col("text")).as("d"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("example"))
+    assert(out(2L).contains("example"))
+    assert(out(3L).contains("example"))
+    assert(out(4L).contains("state-Machine"))
+    assert(out(5L).contains("room-42 was free"))
+    assert(out(6L).contains("a mid-line hyphen stays"))
+    assert(out(7L).contains("para one.\n\npara two"))
+    assert(out(8L).contains("trailing-\n"))
+    assert(out(9L).contains("7-\nup"))
+    assert(out(10L).isEmpty)
+  }
+
   test("normalizeText: each fold rule, idempotence, null/empty") {
     val rows = Seq(
       (1L, "it’s “fine”"),
