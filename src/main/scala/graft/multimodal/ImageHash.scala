@@ -164,7 +164,12 @@ object ImageHash {
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return Seq.empty
+      if (!readers.hasNext)
+        // no raster reader: a PDF's embedded images ARE its pages in
+        // this keyspace (Pdf.images cheap-refuses everything else),
+        // so one column serves TIFF books and PDF scans alike
+        return graft.engine.read.Pdf.images(bytes)
+          .flatMap(i => dhash64(i.bytes))
       val r = readers.next()
       try {
         r.setInput(iis, false, true)

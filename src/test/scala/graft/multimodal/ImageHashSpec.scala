@@ -150,6 +150,13 @@ class ImageHashSpec extends SparkSpec {
     }
     w.endWriteSequence(); w.dispose(); ios.close()
     assert(ImageHash.pageDhashes64(bos.toByteArray) == Seq(0L, 0L, 0L))
+    // PDFs join the same keyspace: embedded images ARE the pages
+    val pdf = graft.queries.PdfFixture.imagePdf(Seq(("A",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+      graft.queries.PdfFixture.flate(
+        Array.tabulate[Byte](72)(i => (28 * (i % 9)).toByte)))))
+    assert(ImageHash.pageDhashes64(pdf) == Seq(-1L))
     // junk/null: empty, never a throw; torn second page drops it
     assert(ImageHash.pageDhashes64("junk".getBytes).isEmpty)
     assert(ImageHash.pageDhashes64(null).isEmpty)
