@@ -586,6 +586,29 @@ object PdfFixture {
       s"/Encrypt 6 0 R /Info 7 0 R /ID [ ${hexStr(cr.id0)} ${hexStr(cr.id0)} ]")
   }
 
+  /** [[stdEncryptedPdf]] carrying an image XObject — the scanned-PDF
+    * blank-password class: the IMAGE stream encrypts per object like
+    * every other stream.
+    */
+  def stdEncryptedImagePdf(samples: Array[Byte], w: Int, h: Int,
+                           userPw: String = ""): Array[Byte] = {
+    val cr = stdCrypt("owner", userPw, aes = false)
+    val b = new Builder
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    b.add(3, "<< /Type /Page /Parent 2 0 R /Resources << /XObject " +
+      "<< /Im0 5 0 R >> >> /MediaBox [0 0 612 792] /Contents 4 0 R >>")
+    b.addStream(4, "",
+      cr.enc(4, 0, s"q $w 0 0 $h 0 0 cm /Im0 Do Q".getBytes(ISO_8859_1)))
+    b.addStream(5, s"/Type /XObject /Subtype /Image /Width $w " +
+      s"/Height $h /ColorSpace /DeviceGray /BitsPerComponent 8",
+      cr.enc(5, 0, samples))
+    b.add(6, s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P ${cr.p} " +
+      s"/O ${hexStr(cr.o)} /U ${hexStr(cr.u)} >>")
+    b.finishClassic(1,
+      s"/Encrypt 6 0 R /ID [ ${hexStr(cr.id0)} ${hexStr(cr.id0)} ]")
+  }
+
   // ---- V5 / AES-256 (R5 legacy, R6 ISO 32000-2) ---------------------
 
   private def fxSha(alg: String, parts: Array[Byte]*): Array[Byte] = {

@@ -656,6 +656,17 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.images("not a pdf at all".getBytes("US-ASCII")).isEmpty)
     val locked = PdfFixture.stdEncryptedPdfV5("hidden", "T", userPw = "pw")
     assert(Pdf.images(locked).isEmpty)
+    // the BLANK-password encrypted class (a scanned PDF's common
+    // form) decrypts its image streams like any other stream
+    val encImg = PdfFixture.stdEncryptedImagePdf(rampGraySamples, 9, 8)
+    val ei = Pdf.images(encImg)
+    assert(ei.length == 1 && ei.head.format == "png")
+    assert(decodePixels(ei.head.bytes).zipWithIndex.forall {
+      case (p, n) => val g = 10 * (n % 9); p == ((g << 16) | (g << 8) | g)
+    })
+    // a REAL password refuses the image too
+    assert(Pdf.images(PdfFixture.stdEncryptedImagePdf(
+      rampGraySamples, 9, 8, userPw = "pw")).isEmpty)
     // the per-document cap holds
     val many = PdfFixture.imagePdf((0 until 12).map(i => (s"Im$i",
       "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
