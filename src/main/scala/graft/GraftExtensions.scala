@@ -85,6 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.xlsbText)
     ext.injectFunction(GraftExtensions.ipynbText)
     ext.injectFunction(GraftExtensions.pdfImageDhashes)
+    ext.injectFunction(GraftExtensions.documentLinks)
     ext.injectFunction(GraftExtensions.pptxText)
     ext.injectFunction(GraftExtensions.emlText)
     ext.injectFunction(GraftExtensions.odsText)
@@ -322,6 +323,15 @@ object GraftExtensions {
         "when not a readable binary workbook package.",
       classOf[graft.functions.XlsbTextExtract],
       graft.functions.XlsbTextExtract(_))
+
+  val documentLinks: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("document_links",
+      "document_links(bytes) - the document layer's outbound " +
+        "hyperlinks (PDF /URI annotations, OPC external hyperlink " +
+        "rels, ODF anchors, EPUB absolute anchors) as crawl-frontier " +
+        "material; empty array when the format has no link concept.",
+      classOf[graft.functions.DocumentLinks],
+      graft.functions.DocumentLinks(_))
 
   val pdfImageDhashes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("pdf_image_dhashes",
@@ -776,7 +786,7 @@ object GraftExtensions {
       audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, xlsbText, pptxText, emlText, odsText, odpText,
-      ipynbText, pdfImageDhashes,
+      ipynbText, pdfImageDhashes, documentLinks,
       documentFormat, documentText, documentTitle, documentAuthor,
       documentDate,
       latexToText, wikitextToText).foreach {

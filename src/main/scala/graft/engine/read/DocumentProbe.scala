@@ -1009,6 +1009,23 @@ object DocumentProbe {
         }
       }
     }
+    // EPUB (OCF): absolute anchors in the content documents — a
+    // package-internal relative href has no base to resolve against,
+    // so only http(s) targets are frontier material
+    if (files.contains("META-INF/container.xml")) {
+      val AbsHref =
+        """(?i)href\s*=\s*["'](https?://[^"'<>\s]+)["']""".r
+      files.keys.toSeq.sorted
+        .filter(n => n.endsWith(".xhtml") || n.endsWith(".html"))
+        .foreach { part =>
+          if (out.size < max) {
+            val body = new String(files(part), StandardCharsets.UTF_8)
+            AbsHref.findAllMatchIn(body).foreach { m =>
+              if (out.size < max) out.add(m.group(1))
+            }
+          }
+        }
+    }
     import scala.jdk.CollectionConverters._
     out.iterator().asScala.toSeq
   }

@@ -364,6 +364,23 @@ case class PdfImageDhashes(child: Expression) extends MediaHashExpression {
     copy(child = newChild)
 }
 
+/** `document_links(bytes)` → array<string> —
+  * [[graft.engine.read.DocumentProbe.links]]: the document layer's
+  * outbound hyperlinks (PDF /URI annotations, OPC external hyperlink
+  * rels, ODF anchors, EPUB absolute anchors), crawl-frontier
+  * material; empty array when the format has no link concept.
+  */
+case class DocumentLinks(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "document_links"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def kernel(bytes: Array[Byte]): Any =
+    new GenericArrayData(
+      graft.engine.read.DocumentProbe.links(bytes)
+        .map(UTF8String.fromString).toArray[Any])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `pptx_text(bytes)` → string —
   * [[graft.engine.read.Pptx.extractText]]: PresentationML slide +
   * notes paragraphs in presentation order joined by newline; NULL

@@ -561,6 +561,22 @@ class DocumentProbeSpec extends graft.SparkSpec {
     val pdf = PdfFixture.linkPdf(Seq("https://refs.example.org/cite1"))
     assert(DocumentProbe.links(pdf) ==
       Seq("https://refs.example.org/cite1"))
+    // EPUB: absolute anchors in content documents; relatives skip
+    val epub = graft.queries.EpubFixture.epub("Book", Seq(
+      "c1.xhtml" -> ("<html><body><a href=\"https://cited.net/r\">r" +
+        "</a><a href='ch2.xhtml'>next</a></body></html>")))
+    assert(DocumentProbe.links(epub) == Seq("https://cited.net/r"))
+    // the SQL face serves the same column
+    locally {
+      val sparkS = graft.SparkSpec.session
+      graft.GraftExtensions.register(sparkS)
+      import sparkS.implicits._
+      Seq((1L, pdf)).toDF("id", "doc").createOrReplaceTempView("docl")
+      val got = sparkS.sql(
+        "SELECT document_links(doc) FROM docl").collect()
+      assert(got(0).getSeq[String](0) ==
+        Seq("https://refs.example.org/cite1"))
+    }
     // formats without links / junk: empty, never a throw
     assert(DocumentProbe.links("plain text".getBytes).isEmpty)
     assert(DocumentProbe.links(Array[Byte](0, 1, 2)).isEmpty)
