@@ -923,7 +923,11 @@ object MediaGateQueries {
       (31L, "ORCHESTRAS played plain text here".getBytes("UTF-8"),
         "txt", "ORCHESTRAS played plain text here"),
       (32L, "Obj".getBytes("US-ASCII") ++ Array[Byte](1) ++
-        Array.fill[Byte](32)(9), "avro", "<undecodable>"))
+        Array.fill[Byte](32)(9), "avro", "<undecodable>"),
+      // r16: BOM-declared UTF-16LE text (the Windows-export class)
+      // routes exactly like its narrow twin; BOM-less stays refused
+      (33L, ("\uFEFF" + t).getBytes("UTF-16LE"), "txt", t),
+      (34L, t.getBytes("UTF-16LE"), "<unknown>", "<undecodable>"))
     s.createDataset(rows)
       .toDF("doc_id", "content", "exp_format", "exp_text")
       .coalesce(1).write.mode("overwrite").parquet(m42Dir)
