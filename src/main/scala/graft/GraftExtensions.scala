@@ -72,6 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.imageOrientedDhash)
     ext.injectFunction(GraftExtensions.imagePageDhashes)
     ext.injectFunction(GraftExtensions.imagePhash)
+    ext.injectFunction(GraftExtensions.exifGps)
+    ext.injectFunction(GraftExtensions.exifStripGps)
     ext.injectFunction(GraftExtensions.audioFingerprint)
     ext.injectFunction(GraftExtensions.videoSignature)
     ext.injectFunction(GraftExtensions.pdfText)
@@ -240,6 +242,25 @@ object GraftExtensions {
         "Pairs with pdf_image_dhashes for page-level dedup.",
       classOf[graft.functions.ImagePageDhashes],
       graft.functions.ImagePageDhashes(_))
+
+  val exifGps: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("exif_gps",
+      "exif_gps(bytes) - EXIF GPS capture coordinates as " +
+        "struct(lat, lon, alt): decimal degrees, south/west " +
+        "negative, altitude metres (NULL when unrecorded); NULL when " +
+        "the image carries no parseable GPS IFD. The image-PII " +
+        "inventory face.",
+      classOf[graft.functions.ExifGps], graft.functions.ExifGps(_))
+
+  val exifStripGps: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    unaryBinary("exif_strip_gps",
+      "exif_strip_gps(bytes) - the same image bytes with the EXIF " +
+        "GPS IFD removed and its values zeroed; orientation, " +
+        "timestamps and pixels untouched (the stripped twin's " +
+        "oriented dHash is identical). Pass-through when no GPS " +
+        "block exists.",
+      classOf[graft.functions.ExifStripGps],
+      graft.functions.ExifStripGps(_))
 
   val pdfText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     unaryBinary("pdf_text",
@@ -783,6 +804,7 @@ object GraftExtensions {
       kmvIntersectEstimate, kmvDiffEstimate,
       countMinMerge, countMinEstimate,
       imageDhash, imageOrientedDhash, imagePageDhashes, imagePhash,
+      exifGps, exifStripGps,
       audioFingerprint, videoSignature,
       pdfText, docxText, odtText, rtfText, docText, pptText, xlsText,
       xlsxText, xlsbText, pptxText, emlText, odsText, odpText,

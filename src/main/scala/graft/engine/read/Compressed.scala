@@ -57,13 +57,16 @@ private[read] object Compressed {
             .BZip2CompressorInputStream(
               new java.io.ByteArrayInputStream(bytes))
         else if (b0 == 0xFD)
-          // 64 MiB memlimit (KiB units): a 100-byte hostile header
+          // 128 MiB memlimit (KiB units): a 100-byte hostile header
           // can declare a huge LZMA2 dictionary, and many concurrent
-          // row kernels per executor multiply the allocation — keep
-          // the per-stream bound consistent with the output-cap
-          // posture rather than the library's GiB-scale default.
+          // row kernels per executor multiply the allocation. The cap
+          // must still admit every standard preset: `xz -9` writes a
+          // 64 MiB dictionary and the decoder charges dictSize plus
+          // ~100 KiB of state, so a 64 MiB cap rejected exactly the
+          // -9 output it was meant to read. 128 MiB clears all
+          // standard presets while keeping the hostile-header guard.
           new org.tukaani.xz.XZInputStream(
-            new java.io.ByteArrayInputStream(bytes), 64 << 10)
+            new java.io.ByteArrayInputStream(bytes), 128 << 10)
         else if (b0 == 0x04)
           new org.apache.commons.compress.compressors.lz4
             .FramedLZ4CompressorInputStream(

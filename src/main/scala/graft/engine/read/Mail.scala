@@ -463,31 +463,58 @@ object Mail {
 
   /** Streaming twin of [[attachmentRows]] (the Tar/Zip.stream
     * discipline): new MBOX files landing in `dir` explode their
-    * attachments through the SAME MIME walk. The text file-stream
-    * source decodes UTF-8 on the envelope split, so 8bit/binary
-    * transfer encodings are NOT byte-exact on this path — base64 and
-    * quoted-printable (the dominant attachment encodings) are
-    * unaffected; the batch reader is byte-exact.
+    * attachments through the SAME MIME walk. Reads each file through
+    * the `binaryFile` stream source — raw bytes, no UTF-8 decode on
+    * the way in — then decodes ISO-8859-1 and splits the envelope
+    * records in the kernel, so 8bit/binary transfer encodings are
+    * byte-exact on this path too, matching the batch reader. The
+    * trade vs the retired text-source twin: one mbox FILE no longer
+    * splits across tasks (a streamed drop directory delivers
+    * file-sized units, and maxFilesPerTrigger bounds the batch);
+    * files beyond `maxRecordBytes` × 64 are refused whole rather
+    * than truncated mid-record.
     */
   def attachmentStream(spark: SparkSession, dir: String,
                        maxRecordBytes: Int = DefaultMaxRecordBytes,
                        maxFilesPerTrigger: Int = 100): DataFrame = {
-    val parse = udf { (chunk: String) =>
-      mboxRaw(chunk).flatMap { raw =>
-        parseEmlString(raw).map { m =>
-          (m.messageId, m.subject,
-            attachmentsOf(raw).map(a => (a.name, a.mediaType, a.bytes)))
+    val maxFileBytes = maxRecordBytes.toLong * 64
+    val parse = udf { (content: Array[Byte]) =>
+      val out: Seq[(String, String, Seq[(String, String, Array[Byte])])] =
+        if (content == null || content.length > maxFileBytes) Seq.empty
+        else {
+          val whole = new String(content, StandardCharsets.ISO_8859_1)
+          // Same record discipline as the batch TextInputFormat split:
+          // the delimiter "\nFrom " is consumed; the first chunk keeps
+          // its full envelope line and mboxRaw strips it.
+          whole.split("\nFrom ", -1).iterator
+            .filter(_.length <= maxRecordBytes)
+            .flatMap { chunk =>
+              mboxRaw(chunk).flatMap { raw =>
+                parseEmlString(raw).map { m =>
+                  (m.messageId, m.subject,
+                    attachmentsOf(raw).map(a =>
+                      (a.name, a.mediaType, a.bytes)).toSeq)
+                }
+              }
+            }.toSeq
         }
-      }
+      out
     }
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
     spark.readStream
-      .option("lineSep", "\nFrom ")
-      .option("mapreduce.input.linerecordreader.line.maxlength",
-        maxRecordBytes.toString)
+      .format("binaryFile")
+      .schema(binSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(dir)
-      .select(parse(col("value")).as("m"))
-      .filter(col("m").isNotNull)
+      .load(dir)
+      .select(explode(parse(col("content"))).as("m"))
       .select(col("m._1").as("msg_id"), col("m._2").as("subject"),
         explode(col("m._3")).as("a"))
       .select(col("msg_id"), col("subject"),

@@ -230,12 +230,13 @@ private[read] object OffCrypto {
       return None
     val ek = (xml \\ "encryptedKey").headOption.getOrElse(return None)
     val spin = attr(ek, "spinCount").map(_.toInt).getOrElse(return None)
-    // Hostile spin cap: Office's real-world default is 100,000; a
-    // descriptor asking for more than 10× that is an attacker
-    // burning CPU, not a document (each candidate password costs
-    // spinCount SHA rounds, and the metadata column functions each
-    // pay it independently).
-    if (spin < 0 || spin > 1000000) return None
+    // Hostile spin cap at the MS-OFFCRYPTO spec ceiling: the spec
+    // permits spinCount up to 10,000,000, so a conforming (if
+    // unusual) high-spin document must still verify; only values the
+    // spec itself forbids are refused as hostile. Each candidate
+    // password costs spinCount SHA rounds, so the ceiling bounds the
+    // per-row CPU at ~10M hashes worst case.
+    if (spin < 0 || spin > 10000000) return None
     val pSalt = attr(ek, "saltValue").map(b64).getOrElse(return None)
     val pKeyLen = attr(ek, "keyBits").map(_.toInt / 8).getOrElse(return None)
     val pBlock = attr(ek, "blockSize").map(_.toInt).getOrElse(16)

@@ -1713,13 +1713,15 @@ object Pdf {
     */
   private val MaxImagePixels: Long = 64L << 20
 
-  /** Image codecs we refuse rather than mis-decode: CCITT G3/G4 and
-    * JBIG2 (fax/bilevel arithmetic coders), JPEG 2000 — no
-    * independent offline decoder; the skip is recorded per image,
-    * never a throw (COVERAGE.md has the reasons).
+  /** Image codecs we refuse rather than mis-decode: JBIG2 and JPEG
+    * 2000 (arithmetic/wavelet entropy coders with no independent
+    * offline decoder on the box); the skip is recorded per image,
+    * never a throw (COVERAGE.md has the reasons). CCITT G3/G4 decodes
+    * since r17 via the from-spec [[graft.multimodal.Ccitt]] kernel,
+    * JDK-triangulated in CcittSpec.
     */
   private val UndecodedImageFilters =
-    Set("CCITTFaxDecode", "CCF", "JBIG2Decode", "JPXDecode")
+    Set("JBIG2Decode", "JPXDecode")
 
   /** Extract every image XObject, page order then name order. Empty
     * when the payload is not a PDF, is (non-blank-password)
@@ -1865,9 +1867,16 @@ object Pdf {
                   else bail("unexpected token in BI params")
                 }
               }
-              // exactly one whitespace byte separates ID from data
+              // One whitespace byte separates ID from data (ISO
+              // 32000-1 §8.9.7), but writers emitting CRLF there are
+              // common in practice — and for unfiltered data a
+              // one-byte shift passes the exact-length bound while
+              // decoding silently wrong pixels. Consume the CR LF
+              // pair as the single separator when present.
               var dp = lx.pos
-              if (dp < lx.end && isWs(lx.buf(dp) & 0xff)) dp += 1
+              if (dp + 1 < lx.end && lx.buf(dp) == '\r' &&
+                lx.buf(dp + 1) == '\n') dp += 2
+              else if (dp < lx.end && isWs(lx.buf(dp) & 0xff)) dp += 1
               val dict = PDict(params.toMap)
               val hasFilter = params.get("Filter").exists(_ != PNull)
               val dataEnd: Int =
@@ -1938,7 +1947,30 @@ object Pdf {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
     val (filters, parms) = doc.filterChain(d)
     if (filters.exists(UndecodedImageFilters.contains)) return None
-    if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
+    if (filters.lastOption.exists(f => f == "CCITTFaxDecode" || f == "CCF")) {
+      // fax scan: decode any transport prefix (ASCII85/Hex/Flate),
+      // then the from-spec T.4/T.6 kernel on the fax bits
+      val enc = doc.decodeFilters(filters.dropRight(1),
+        parms.dropRight(1), raw)
+      val dp = parms.last
+      def pInt(k: String, dft: Int): Int = dp.map(pd => doc.resolve(
+        pd.m.getOrElse(k, PNum(dft))) match {
+        case PNum(v) => v.toInt
+        case _       => dft
+      }).getOrElse(dft)
+      def pBool(k: String): Boolean = dp.exists(pd => doc.resolve(
+        pd.m.getOrElse(k, PNull)) == PBool(true))
+      val cols = pInt("Columns", 1728)
+      val rws = { val r = pInt("Rows", 0); if (r > 0) r else h }
+      // the raster the fax bits describe must be the raster the
+      // image dict declares, or the samples misalign — skip, not guess
+      if (cols != w || rws != h) return None
+      graft.multimodal.Ccitt.decode(enc, cols, rws, pInt("K", 0),
+        encodedByteAlign = pBool("EncodedByteAlign"),
+        blackIs1 = pBool("BlackIs1")).flatMap { samples =>
+        samplesToPng(doc, d, samples, w, h).map(png => (w, h, "png", png))
+      }
+    } else if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
       // the JPEG bytes ARE the payload: decode only the prefix
       // (ASCII85/Hex wrappers) and pass the entropy-coded stream
       // through intact — bit-identical to the bare .jpg twin

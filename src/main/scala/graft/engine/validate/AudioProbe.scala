@@ -556,6 +556,76 @@ object AudioProbe {
       .map(_.copy(codec = "ogg-flac"))
   }
 
+  // ---- bare AAC (ADTS framing, ISO 13818-7 §6.2) ------------------
+
+  // sampling_frequency_index → Hz (indices 0–12; 13/14 reserved)
+  private val adtsRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** One ADTS frame header at `off`: (frameBytes, samples, rateHz,
+    * channels, profile). The 12-bit syncword 0xFFF plus layer 00
+    * keeps this disjoint from MPEG-audio frames (layer ≠ 0 there).
+    * channel_configuration 0 (PCE-carried layout) reports 0 channels
+    * rather than guessing.
+    */
+  private def adtsFrame(b: Array[Byte],
+                        off: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (off + 7 > b.length) return None
+    if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xf6) != 0xf0)
+      return None // syncword 0xFFF + layer must be 00
+    val profile = (b(off + 2) >>> 6) & 0x3
+    val srIdx = (b(off + 2) >>> 2) & 0xf
+    if (srIdx >= adtsRates.length) return None
+    val channels = (((b(off + 2) & 0x1) << 2) |
+      ((b(off + 3) >>> 6) & 0x3))
+    val frameLen = (((b(off + 3) & 0x3) << 11) |
+      ((b(off + 4) & 0xff) << 3) | ((b(off + 5) >>> 5) & 0x7))
+    val crc = (b(off + 1) & 0x1) == 0
+    val headerLen = if (crc) 9 else 7
+    if (frameLen < headerLen) return None
+    val blocks = (b(off + 6) & 0x3) + 1 // raw_data_blocks + 1
+    Some((frameLen, 1024 * blocks, adtsRates(srIdx), channels, profile))
+  }
+
+  /** Bare `.aac` streams (ADTS-framed, the podcast/transcode sibling
+    * of the MP3 walk): resync within a bounded window with the same
+    * two-consecutive-headers confirm as [[findFirstMp3Frame]], then
+    * walk frames accumulating samples (1024 per raw data block).
+    * Inventory only — AAC entropy decode stays a recorded skip (the
+    * MP3-tables posture, COVERAGE.md).
+    */
+  def adtsInfo(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 7) return None
+    def syncsAt(o: Int): Boolean = adtsFrame(bytes, o) match {
+      case Some((len, _, rate, _, _)) =>
+        if (o + len + 7 <= bytes.length)
+          adtsFrame(bytes, o + len).exists(_._3 == rate)
+        else o == 0 // a truncated download still starts with its header
+      case None => false
+    }
+    val window = math.min(bytes.length - 7, 4096)
+    var first = -1
+    var o = 0
+    while (o <= window && first < 0) {
+      if (syncsAt(o)) first = o
+      o += 1
+    }
+    if (first < 0) return None
+    val h0 = adtsFrame(bytes, first).get
+    var off = first
+    var samples = 0L
+    var ok = true
+    while (ok) {
+      adtsFrame(bytes, off) match {
+        case Some((len, s, rate, _, _)) if rate == h0._3 =>
+          samples += s
+          off += len
+        case _ => ok = false
+      }
+    }
+    Some(AudioMeta("aac-adts", h0._4, h0._3, 0, samples))
+  }
+
   def meta(bytes: Array[Byte]): Option[AudioMeta] =
     if (isRiffWave(bytes))
       info(bytes).map(w =>
@@ -563,7 +633,7 @@ object AudioProbe {
           w.nFrames))
     else if (isFlac(bytes)) flacInfo(bytes)
     else if (isOgg(bytes)) oggFlacInfo(bytes)
-    else mp3Info(bytes)
+    else mp3Info(bytes).orElse(adtsInfo(bytes))
 
   /** [[diagnose]] over all four containers. */
   def diagnoseMeta(bytes: Array[Byte]): String =
@@ -574,6 +644,6 @@ object AudioProbe {
     else if (isOgg(bytes))
       if (oggFlacInfo(bytes).isDefined) "ok"
       else "ogg container without a FLAC mapping (or truncated)"
-    else if (mp3Info(bytes).isDefined) "ok"
+    else if (mp3Info(bytes).isDefined || adtsInfo(bytes).isDefined) "ok"
     else "no audio container or frame sync found"
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-surface faces of the perceptual media hashes
@@ -143,6 +143,46 @@ case class ImagePageDhashes(child: Expression) extends MediaHashExpression {
   override protected def kernel(bytes: Array[Byte]): Any =
     new GenericArrayData(
       graft.multimodal.ImageHash.pageDhashes64(bytes).toArray)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `exif_gps(bytes)` → struct(lat, lon, alt) —
+  * [[graft.engine.validate.ExifProbe.gps]]: capture coordinates from
+  * the EXIF GPS IFD in decimal degrees (south/west negative, altitude
+  * metres, NULL alt when absent); NULL when the image carries no
+  * parseable GPS block. The image-PII inventory face: phone photos
+  * embed location invisibly, and a curation pipeline counts it here
+  * before deciding to [[ExifStripGps]] it.
+  */
+case class ExifGps(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "exif_gps"
+  override def dataType: DataType = StructType(Seq(
+    StructField("lat", DoubleType, nullable = false),
+    StructField("lon", DoubleType, nullable = false),
+    StructField("alt", DoubleType, nullable = true)))
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.validate.ExifProbe.gps(bytes) match {
+      case Some(g) => InternalRow(g.lat, g.lon,
+        g.alt.map(java.lang.Double.valueOf).orNull)
+      case None => null
+    }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `exif_strip_gps(bytes)` → binary —
+  * [[graft.engine.validate.ExifProbe.stripGps]]: the same image with
+  * the GPS IFD removed and its value bytes zeroed; every other byte
+  * (orientation, timestamps, entropy-coded pixels) stays put, so the
+  * stripped twin's oriented dHash is identical. Bytes pass through
+  * unchanged when no GPS block exists.
+  */
+case class ExifStripGps(child: Expression) extends MediaHashExpression {
+  override def prettyName: String = "exif_strip_gps"
+  override def dataType: DataType = BinaryType
+  override protected def kernel(bytes: Array[Byte]): Any =
+    graft.engine.validate.ExifProbe.stripGps(bytes)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

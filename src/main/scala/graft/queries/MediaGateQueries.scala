@@ -821,6 +821,87 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m41Dir)
   }
 
+  // -- m84 fixture: data-file blob SHAPE inventory — every payload
+  //    from an INDEPENDENT writer (python3 stdlib sqlite3, numpy,
+  //    org.apache.avro, Spark's own parquet/ORC writers); the
+  //    expected detail strings derive from what those writers were
+  //    asked to write. ----------------------------------------------
+  private val m84Dir = "/tmp/graft_gate_m84_datafiles"
+
+  private def writeM84Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val src = "/tmp/graft_gate_m84_src"
+    val srcDir = new java.io.File(src)
+    if (!srcDir.exists) srcDir.mkdirs()
+    def slurp(p: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // sqlite + npy via python3 (both writers ship with the box's
+    // python — the same interpreter the driver's oracle runs on)
+    val script =
+      s"""import sqlite3, os
+         |import numpy as np
+         |p = "$src/inv.db"
+         |if os.path.exists(p): os.remove(p)
+         |c = sqlite3.connect(p)
+         |c.execute("CREATE TABLE inv_a (x INTEGER, y TEXT)")
+         |for i in range(4):
+         |    c.execute("INSERT INTO inv_a VALUES (?, ?)", (i, "v%d" % i))
+         |c.execute("CREATE TABLE inv_b (z REAL)")
+         |c.commit(); c.close()
+         |np.save("$src/m.npy", np.zeros((2, 3), dtype="<f4"))
+         |""".stripMargin
+    val proc = new ProcessBuilder("python3", "-c", script)
+      .redirectErrorStream(true).start()
+    val pout = new String(proc.getInputStream.readAllBytes, "UTF-8")
+    require(proc.waitFor() == 0, s"m84 python writer failed:\n$pout")
+    val avroBytes = {
+      val schema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"R","fields":[
+          |{"name":"s","type":"string"}]}""".stripMargin)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      val bos = new java.io.ByteArrayOutputStream()
+      w.create(schema, bos)
+      (0 until 5).foreach { i =>
+        val r = new org.apache.avro.generic.GenericData.Record(schema)
+        r.put("s", s"row$i")
+        w.append(r)
+        if (i == 2) w.sync() // two blocks: 3 + 2 records
+      }
+      w.close()
+      bos.toByteArray
+    }
+    def sparkFile(fmt: String): Array[Byte] = {
+      val dir = s"$src/tiny_$fmt"
+      val df = s.range(3).toDF("n")
+      if (fmt == "orc") df.coalesce(1).write.mode("overwrite").orc(dir)
+      else df.coalesce(1).write.mode("overwrite").parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      slurp(part.getAbsolutePath)
+    }
+    val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
+      0x1a, '\n', 0) ++ Array.fill[Byte](56)(0)
+    val arrow = "ARROW1".getBytes("US-ASCII") ++
+      Array.fill[Byte](10)(0)
+    val rows: Seq[(Long, Array[Byte], String, String)] = Seq(
+      (0L, slurp(s"$src/inv.db"), "sqlite", "tables=inv_a:4,inv_b:0"),
+      (1L, slurp(s"$src/m.npy"), "npy",
+        "dtype=<f4 shape=2x3 fortran=false"),
+      (2L, hdf5, "hdf5", "superblock=v0"),
+      (3L, avroBytes, "avro", "records=5"),
+      (4L, sparkFile("parquet"), "parquet", "header-only"),
+      (5L, sparkFile("orc"), "orc", "header-only"),
+      (6L, arrow, "arrow", "header-only"),
+      (100L, Array[Byte](0x01, 0x02, 0x03, 0x7f, 0x00, 0x04),
+        "<unknown>", "none"))
+    s.createDataset(rows).toDF("blob_id", "payload", "exp_format",
+        "exp_detail")
+      .coalesce(1).write.mode("overwrite").parquet(m84Dir)
+    ()
+  }
+
   // -- m42 fixture: a MIXED document column with unreliable labels —
   //    the dispatch key must be the payload magic. All readable
   //    formats (incl. r14's xlsx/pptx/html/txt) plus the
@@ -1530,6 +1611,63 @@ object MediaGateQueries {
         " /ColorSpace /DeviceGray /BitsPerComponent 1" +
         " /Filter /CCITTFaxDecode",
       Array[Byte](0, 0, 0))))
+    // G4 fax triplet: the SAME alternating-column bilevel pixels as a
+    // CCITTFaxDecode PDF page, a G4 TIFF and a bare PNG — the
+    // scanned-fax class's cross-format dedup proof. The G4 payload
+    // comes from the JDK's own T.6 ENCODER (independent of the house
+    // decoder); the strip bytes are lifted by a local IFD walk.
+    val binPattern: (Int, Int) => Boolean = (x, _) => x % 2 == 1
+    val binDhash = dhashOfRows(x => if (binPattern(x, 0)) 0 else 255)
+    val g4Tiff = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      for (y <- 0 until 8; x <- 0 until 9)
+        img.setRGB(x, y, if (binPattern(x, y)) 0x000000 else 0xFFFFFF)
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+      val w = it.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType("CCITT T.6")
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); w.dispose()
+      bos.toByteArray
+    }
+    val g4Strip: Array[Byte] = {
+      val b = g4Tiff
+      val le = b(0) == 'I'
+      def u16(o: Int) =
+        if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def u32(o: Int): Int =
+        if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+        else ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+          ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      val ifd = u32(4)
+      val n = u16(ifd)
+      var off = -1; var cnt = -1
+      for (i <- 0 until n) {
+        val e = ifd + 2 + i * 12
+        val tag = u16(e); val typ = u16(e + 2)
+        def v = if (typ == 3) u16(e + 8) else u32(e + 8)
+        if (tag == 273) off = v
+        if (tag == 279) cnt = v
+      }
+      require(off > 0 && cnt > 0, "no strip in JDK G4 TIFF")
+      java.util.Arrays.copyOfRange(b, off, off + cnt)
+    }
+    val g4Pdf = PdfFixture.imagePdf(Seq(("Fax0",
+      "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+        " /ColorSpace /DeviceGray /BitsPerComponent 1" +
+        " /Filter /CCITTFaxDecode" +
+        " /DecodeParms << /K -1 /Columns 9 /Rows 8 >>",
+      g4Strip)))
+    val binPng = pngOf(9, 8, Array.tabulate(9 * 8) { i =>
+      if (binPattern(i % 9, i / 9)) 0xff000000 else 0xffffffff
+    })
     val lockedPdf = PdfFixture.stdEncryptedPdfV5("hidden", "T",
       userPw = "pw")
     // the INLINE (BI/ID/EI) form of the same ramp — the scanned-PDF
@@ -1543,9 +1681,16 @@ object MediaGateQueries {
       (2L, idxPdf, 1, "png", 9, 8, rampDhash),
       (3L, dctPdf, 1, "jpeg", 16, 16, 0L),
       (4L, pngOf(9, 8, rampPixels), 0, "bare", 9, 8, rampDhash),
+      // hostile CCITT: junk fax bits + default Columns (1728 ≠ 9)
+      // must skip the image, never the document
       (5L, ccittPdf, 0, "none", -1, -1, -999L),
       (6L, lockedPdf, 0, "none", -1, -1, -999L),
-      (7L, inlinePdf, 1, "png", 9, 8, rampDhash))
+      (7L, inlinePdf, 1, "png", 9, 8, rampDhash),
+      // the scanned-fax class: G4 PDF page, G4 TIFF and bare PNG all
+      // carry the SAME dhash literal (r17, from-spec T.6 decoder)
+      (8L, g4Pdf, 1, "png", 9, 8, binDhash),
+      (9L, g4Tiff, 0, "bare", 9, 8, binDhash),
+      (10L, binPng, 0, "bare", 9, 8, binDhash))
     s.createDataset(rows).toDF("doc_id", "content", "exp_n",
         "exp_format", "exp_w", "exp_h", "exp_dhash")
       .coalesce(1).write.mode("overwrite").parquet(m69Dir)
@@ -2980,6 +3125,30 @@ object MediaGateQueries {
         .orderBy("doc_id")
     },
 
+    // -- m84: data-file SHAPE inventory (r17) — the r16 magic
+    //    classification upgraded to facts: sqlite table names + row
+    //    counts (from-spec b-tree walk vs python3's stdlib writer),
+    //    npy dtype/shape (numpy-written), avro record counts from
+    //    block headers (org.apache.avro writer), hdf5 superblock
+    //    version; parquet/ORC/Arrow stay header-only (COVERAGE). ----
+    "m84_datafile_inventory" -> { (s, _) =>
+      writeM84Fixture(s)
+      import graft.engine.read.{DataFiles, DocumentProbe}
+      val inv = udf { (b: Array[Byte]) =>
+        val fmt = DocumentProbe.probe(b).map(_.format)
+          .getOrElse("<unknown>")
+        val detail = DataFiles.inventory(b).getOrElse(
+          if (Set("parquet", "orc", "arrow").contains(fmt)) "header-only"
+          else "none")
+        (fmt, detail)
+      }
+      s.read.parquet(m84Dir)
+        .withColumn("__i", inv(col("payload")))
+        .select(col("blob_id"), col("__i._1").as("format"),
+          col("__i._2").as("detail"))
+        .orderBy("blob_id")
+    },
+
     // -- m41: legacy .doc extraction — CFB walk + FIB/piece-table
     //    decode; expectations ride the fixture. --------------------
     "m41_doc_extract" -> { (s, _) =>
@@ -3553,6 +3722,10 @@ object MediaGateQueries {
       s"""SELECT doc_id, exp_format AS format, exp_text AS text
          |FROM read_parquet('$m42Dir/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    "m84_datafile_inventory" ->
+      s"""SELECT blob_id, exp_format AS format, exp_detail AS detail
+         |FROM read_parquet('$m84Dir/*.parquet')
+         |ORDER BY blob_id""".stripMargin,
     "m41_doc_extract" ->
       s"""SELECT doc_id, exp_paras AS n_paras, exp_text AS text
          |FROM read_parquet('$m41Dir/*.parquet')

@@ -306,6 +306,155 @@ object MultimodalQueries {
       .coalesce(1).write.mode("overwrite").parquet(m74Dir)
   }
 
+  // -- m82 fixture: EXIF GPS inventory + redaction — the image-PII
+  //    class. GPS IFDs are authored byte-by-byte (independent of
+  //    ExifProbe) and spliced after a real JDK JPEG's SOI; expected
+  //    micro-degree literals derive from the rationals the builder
+  //    itself wrote. ------------------------------------------------
+  private val m82Dir = "/tmp/graft_gate_m82_gps"
+
+  /** TIFF block: IFD0 {Orientation, GPSIFD→38}; GPS IFD with lat/lon
+    * (3 rationals each) and optional altitude (rational + below-sea
+    * ref byte). Offsets computed, both byte orders.
+    */
+  private def gpsExifTiff(little: Boolean, orientation: Int,
+                          latRef: Char, lat: Seq[(Long, Long)],
+                          lonRef: Char, lon: Seq[(Long, Long)],
+                          alt: Option[(Long, Long, Int)]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def u8(v: Int): Unit = out += v.toByte
+    def u16(v: Int): Unit =
+      if (little) { u8(v & 0xff); u8(v >> 8) } else { u8(v >> 8); u8(v & 0xff) }
+    def u32(v: Long): Unit =
+      if (little) { u8((v & 0xff).toInt); u8(((v >> 8) & 0xff).toInt)
+        u8(((v >> 16) & 0xff).toInt); u8(((v >> 24) & 0xff).toInt) }
+      else { u8(((v >> 24) & 0xff).toInt); u8(((v >> 16) & 0xff).toInt)
+        u8(((v >> 8) & 0xff).toInt); u8((v & 0xff).toInt) }
+    val nG = if (alt.isDefined) 6 else 4
+    val latOff = 38 + 2 + nG * 12 + 4
+    val lonOff = latOff + 24
+    val altOff = lonOff + 24
+    if (little) { u8('I'); u8('I') } else { u8('M'); u8('M') }
+    u16(42); u32(8)
+    u16(2)                                         // IFD0 @8
+    u16(0x0112); u16(3); u32(1); u16(orientation); u16(0)
+    u16(0x8825); u16(4); u32(1); u32(38)
+    u32(0)
+    u16(nG)                                        // GPS IFD @38
+    u16(0x0001); u16(2); u32(2); u8(latRef); u8(0); u8(0); u8(0)
+    u16(0x0002); u16(5); u32(3); u32(latOff)
+    u16(0x0003); u16(2); u32(2); u8(lonRef); u8(0); u8(0); u8(0)
+    u16(0x0004); u16(5); u32(3); u32(lonOff)
+    alt.foreach { case (_, _, ref) =>
+      u16(0x0005); u16(1); u32(1); u8(ref); u8(0); u8(0); u8(0)
+      u16(0x0006); u16(5); u32(1); u32(altOff)
+    }
+    u32(0)
+    lat.foreach { case (n, d) => u32(n); u32(d) }
+    lon.foreach { case (n, d) => u32(n); u32(d) }
+    alt.foreach { case (n, d, _) => u32(n); u32(d) }
+    out.toArray
+  }
+
+  private def spliceApp1(jpeg: Array[Byte], tiff: Array[Byte]): Array[Byte] = {
+    val app1 = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = app1.length + 2
+    jpeg.take(2) ++ Array(0xFF.toByte, 0xE1.toByte,
+      (len >> 8).toByte, (len & 0xFF).toByte) ++ app1 ++ jpeg.drop(2)
+  }
+
+  private def writeM82Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def jpegRamp(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (28 * x) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg")
+      bos.toByteArray
+    }
+    def uDeg(v: Double): Long = math.floor(v * 1e6).toLong
+    // N 37°46'29.74" W 122°25'9.92", 10 m below sea level
+    val lat0 = 37.0 + 46.0 / 60 + (2974.0 / 100) / 3600
+    val lon0 = -(122.0 + 25.0 / 60 + (992.0 / 100) / 3600)
+    val sf = gpsExifTiff(little = true, 1, 'N',
+      Seq((37L, 1L), (46L, 1L), (2974L, 100L)), 'W',
+      Seq((122L, 1L), (25L, 1L), (992L, 100L)), Some((1000L, 100L, 1)))
+    // S 12°30'0" E 45°15'30", no altitude, big-endian
+    val lat1 = -(12.0 + 30.0 / 60)
+    val lon1 = 45.0 + 15.0 / 60 + 30.0 / 3600
+    val indian = gpsExifTiff(little = false, 1, 'S',
+      Seq((12L, 1L), (30L, 1L), (0L, 1L)), 'E',
+      Seq((45L, 1L), (15L, 1L), (30L, 1L)), None)
+    val NoV = -999999999L
+    val rows: Seq[(Long, Array[Byte], Long, Long, Long, Int)] = Seq(
+      (0L, spliceApp1(jpegRamp(9, 8), sf),
+        uDeg(lat0), uDeg(lon0), -1000L, 1),
+      (1L, indian, uDeg(lat1), uDeg(lon1), NoV, 1), // bare EXIF TIFF
+      (2L, spliceApp1(jpegRamp(12, 10),
+        gpsExifTiff(little = true, 6, 'N',
+          Seq((37L, 1L), (46L, 1L), (2974L, 100L)), 'W',
+          Seq((122L, 1L), (25L, 1L), (992L, 100L)),
+          Some((1000L, 100L, 1)))),
+        uDeg(lat0), uDeg(lon0), -1000L, 1),
+      (3L, jpegRamp(9, 8), NoV, NoV, NoV, 1),       // no GPS: identity
+      (4L, "not an image".getBytes("UTF-8"), NoV, NoV, NoV, 1))
+    s.createDataset(rows).toDF("img_id", "payload", "exp_lat_u",
+        "exp_lon_u", "exp_alt_c", "exp_strip_ok")
+      .coalesce(1).write.mode("overwrite").parquet(m82Dir)
+    ()
+  }
+
+  // -- m83 fixture: bare AAC (ADTS) inventory — the podcast/
+  //    transcode class the MP3 walk misses. Frames are hand-packed
+  //    field-by-field per ISO 13818-7 §6.2 (independent of the
+  //    probe's parse); expected columns derive from what the builder
+  //    wrote. ------------------------------------------------------
+  private val m83Dir = "/tmp/graft_gate_m83_adts"
+
+  private def adtsFrames(rateIdx: Int, channels: Int, nFrames: Int,
+                         payloadBytes: Int, crc: Boolean = false,
+                         blocks: Int = 1): Array[Byte] = {
+    val headerLen = if (crc) 9 else 7
+    val frameLen = headerLen + payloadBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for (f <- 0 until nFrames) {
+      out += 0xFF.toByte
+      out += (0xF0 | (if (crc) 0 else 1)).toByte
+      out += ((1 << 6) | (rateIdx << 2) | ((channels >> 2) & 1)).toByte
+      out += (((channels & 0x3) << 6) | ((frameLen >> 11) & 0x3)).toByte
+      out += ((frameLen >> 3) & 0xff).toByte
+      out += (((frameLen & 0x7) << 5) | 0x1f).toByte
+      out += ((0xfc | (blocks - 1)) & 0xff).toByte
+      if (crc) { out += 0; out += 0 }
+      for (i <- 0 until payloadBytes) out += ((f * 31 + i) & 0xff).toByte
+    }
+    out.toArray
+  }
+
+  private def writeM83Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, Long, String)] =
+      Seq(
+        (0L, adtsFrames(4, 2, 5, 64), "aac-adts", 2, 44100, 5120L, "ok"),
+        (1L, adtsFrames(11, 1, 3, 20, crc = true), "aac-adts", 1, 8000,
+          3072L, "ok"),
+        (2L, adtsFrames(3, 6, 4, 80, blocks = 2), "aac-adts", 6, 48000,
+          8192L, "ok"),
+        (3L, "junk junk junk junk".getBytes("UTF-8") ++
+          adtsFrames(7, 2, 4, 48), "aac-adts", 2, 22050, 4096L, "ok"),
+        (100L, "definitely not audio content".getBytes("UTF-8"), "", -1,
+          -1, -1L, "no audio container or frame sync found"),
+        (101L, Array.emptyByteArray, "", -1, -1, -1L, "file is empty"))
+    s.createDataset(rows).toDF("audio_id", "payload", "exp_codec",
+        "exp_channels", "exp_rate", "exp_samples", "exp_status")
+      .coalesce(1).write.mode("overwrite").parquet(m83Dir)
+    ()
+  }
+
   // -- m76 fixture: animated-image inventory — GIF frame counts via
   //    the JDK's own sequence writer (a third party to the probe's
   //    reader-based count), APNG via a from-spec acTL insertion into
@@ -1545,6 +1694,63 @@ object MultimodalQueries {
         .orderBy("img_id")
     },
 
+    // -- m83: bare AAC (ADTS) inventory — the frame-header walk
+    //    (syncword + two-header confirm + sample accumulation)
+    //    through the ONE meta() front door; decode stays a recorded
+    //    skip (the MP3-tables posture). ------------------------------
+    "m83_adts_inventory" -> { (s, _) =>
+      writeM83Fixture(s)
+      import graft.engine.validate.AudioProbe
+      val probe = udf { (b: Array[Byte]) =>
+        AudioProbe.meta(b) match {
+          case Some(m) => (m.codec, m.channels, m.sampleRateHz,
+            m.nSamples, "ok")
+          case None => ("", -1, -1, -1L, AudioProbe.diagnoseMeta(b))
+        }
+      }
+      s.read.parquet(m83Dir)
+        .withColumn("__p", probe(col("payload")))
+        .select(col("audio_id"), col("__p._1").as("codec"),
+          col("__p._2").as("channels"), col("__p._3").as("rate"),
+          col("__p._4").as("samples"), col("__p._5").as("status"))
+        .orderBy("audio_id")
+    },
+
+    // -- m82: EXIF GPS inventory + redaction — capture coordinates
+    //    (the #1 image-PII class) surface as micro-degrees, and the
+    //    strip transform removes them while preserving the oriented
+    //    dHash byte-for-byte elsewhere (the c13-for-images). ---------
+    "m82_exif_gps" -> { (s, _) =>
+      writeM82Fixture(s)
+      import graft.engine.validate.ExifProbe
+      import graft.multimodal.ImageHash
+      val NoV = -999999999L
+      val gpsU = udf { (b: Array[Byte]) =>
+        ExifProbe.gps(b) match {
+          case Some(g) => (math.floor(g.lat * 1e6).toLong,
+            math.floor(g.lon * 1e6).toLong,
+            g.alt.map(a => math.floor(a * 100).toLong).getOrElse(NoV))
+          case None => (NoV, NoV, NoV)
+        }
+      }
+      val stripOk = udf { (b: Array[Byte]) =>
+        val st = ExifProbe.stripGps(b)
+        val gone = ExifProbe.gps(st).isEmpty
+        val hashKept = ImageHash.orientedDhash64(b) ==
+          ImageHash.orientedDhash64(st)
+        val bytesOk =
+          if (ExifProbe.gps(b).isEmpty) java.util.Arrays.equals(b, st)
+          else st.length == b.length
+        if (gone && hashKept && bytesOk) 1 else 0
+      }
+      s.read.parquet(m82Dir)
+        .withColumn("__g", gpsU(col("payload")))
+        .select(col("img_id"), col("__g._1").as("lat_u"),
+          col("__g._2").as("lon_u"), col("__g._3").as("alt_c"),
+          stripOk(col("payload")).as("strip_ok"))
+        .orderBy("img_id")
+    },
+
     // -- m76: animated-image inventory — frame counts keep animated
     //    memes from inventorying as stills; the APNG default image
     //    still decodes and probes. ----------------------------------
@@ -1806,6 +2012,17 @@ object MultimodalQueries {
       s"""SELECT img_id, exp_kind AS kind, exp_frames AS frames
          |FROM read_parquet('$m76Dir/*.parquet')
          |ORDER BY img_id""".stripMargin,
+    "m82_exif_gps" ->
+      s"""SELECT img_id, exp_lat_u AS lat_u, exp_lon_u AS lon_u,
+         |  exp_alt_c AS alt_c, exp_strip_ok AS strip_ok
+         |FROM read_parquet('$m82Dir/*.parquet')
+         |ORDER BY img_id""".stripMargin,
+    "m83_adts_inventory" ->
+      s"""SELECT audio_id, exp_codec AS codec, exp_channels AS channels,
+         |  exp_rate AS rate, exp_samples AS samples,
+         |  exp_status AS status
+         |FROM read_parquet('$m83Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT source, count(*) AS n_media,
         | sum(octet_length(encode(text)))::BIGINT AS total_bytes,

@@ -135,4 +135,78 @@ class AudioProbeSpec extends AnyFunSuite {
       "data".getBytes ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
     assert(AudioProbe.info(bytes).isEmpty)
   }
+
+  // ---- bare AAC (ADTS) --------------------------------------------
+
+  /** Hand-packed ADTS frames (ISO 13818-7 §6.2 bit layout, written
+    * field-by-field — independent of the probe's parse).
+    */
+  private def adtsStream(rateIdx: Int, channels: Int, nFrames: Int,
+                         payloadBytes: Int, crc: Boolean = false,
+                         blocks: Int = 1): Array[Byte] = {
+    val headerLen = if (crc) 9 else 7
+    val frameLen = headerLen + payloadBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for (f <- 0 until nFrames) {
+      out += 0xFF.toByte
+      out += (0xF0 | (if (crc) 0 else 1)).toByte // MPEG-4, layer 00
+      out += (((1 /* LC profile */ ) << 6) | (rateIdx << 2) |
+        ((channels >> 2) & 1)).toByte
+      out += (((channels & 0x3) << 6) | ((frameLen >> 11) & 0x3)).toByte
+      out += ((frameLen >> 3) & 0xff).toByte
+      out += (((frameLen & 0x7) << 5) | 0x1f).toByte // fullness hi
+      out += ((0xfc | (blocks - 1)) & 0xff).toByte   // fullness lo + blocks
+      if (crc) { out += 0; out += 0 }
+      for (i <- 0 until payloadBytes) out += ((f * 31 + i) & 0xff).toByte
+    }
+    out.toArray
+  }
+
+  test("ADTS: frame walk recovers rate/channels/samples; CRC and " +
+    "multi-block frames count correctly") {
+    // 44100 Hz stereo, 5 frames of 1024 samples
+    val a = AudioProbe.adtsInfo(adtsStream(4, 2, 5, 64)).get
+    assert(a.codec == "aac-adts" && a.channels == 2 &&
+      a.sampleRateHz == 44100 && a.nSamples == 5 * 1024L)
+    // CRC-protected header (9 bytes) still walks
+    val c = AudioProbe.adtsInfo(adtsStream(11, 1, 3, 20, crc = true)).get
+    assert(c.sampleRateHz == 8000 && c.channels == 1 &&
+      c.nSamples == 3 * 1024L)
+    // two raw data blocks per frame double the samples
+    val b = AudioProbe.adtsInfo(adtsStream(3, 6, 4, 80, blocks = 2)).get
+    assert(b.sampleRateHz == 48000 && b.channels == 6 &&
+      b.nSamples == 4 * 2048L)
+    // meta() routes it (disjoint from MP3: layer bits differ)
+    assert(AudioProbe.meta(adtsStream(4, 2, 5, 64))
+      .exists(_.codec == "aac-adts"))
+    assert(AudioProbe.diagnoseMeta(adtsStream(4, 2, 5, 64)) == "ok")
+  }
+
+  test("ADTS: leading junk resyncs via the two-header confirm; a " +
+    "lone sync pattern in junk does not probe as audio") {
+    val clean = adtsStream(7, 2, 4, 48)
+    val dirty = "leading junk bytes".getBytes("UTF-8") ++ clean
+    val a = AudioProbe.adtsInfo(dirty).get
+    assert(a.sampleRateHz == 22050 && a.nSamples == 4 * 1024L)
+    // a single valid-looking header inside junk (no confirming
+    // successor) must not sync
+    val lone = Array.fill[Byte](64)(0x20) ++ clean.take(7) ++
+      Array.fill[Byte](64)(0x20)
+    assert(AudioProbe.adtsInfo(lone).isEmpty)
+  }
+
+  test("ADTS: every prefix parses without throwing; junk and " +
+    "reserved rate indices refuse") {
+    val full = adtsStream(4, 2, 3, 32)
+    (0 to full.length).foreach(n => AudioProbe.adtsInfo(full.take(n)))
+    // truncated mid-header: only the header-complete frames count
+    val cut = AudioProbe.adtsInfo(full.take(80))
+    assert(cut.exists(_.nSamples == 2 * 1024L))
+    assert(AudioProbe.adtsInfo("no audio at all here".getBytes).isEmpty)
+    // reserved sampling_frequency_index (13) refuses
+    val bad = adtsStream(4, 2, 2, 16)
+    bad(2) = ((1 << 6) | (13 << 2)).toByte
+    assert(AudioProbe.adtsInfo(bad).isEmpty ||
+      AudioProbe.adtsInfo(bad).exists(_.nSamples == 1024L))
+  }
 }

@@ -38,6 +38,23 @@ class CompressedDocsSpec extends AnyFunSuite {
     s.write(b); s.close(); bos.toByteArray
   }
 
+  test("xz -9 preset (64 MiB declared dictionary) decodes: the " +
+    "memlimit admits every standard preset") {
+    // `xz -9` declares a 64 MiB LZMA2 dictionary; the decoder charges
+    // dictSize + ~100 KiB, which a 64 MiB memlimit rejected (r16
+    // regression: such blobs decoded to empty and routed as unknown
+    // binary — silent corpus loss). The 128 MiB cap must admit it.
+    val opts = new org.tukaani.xz.LZMA2Options(9)
+    assert(opts.getDictSize == (64 << 20))
+    val bos = new java.io.ByteArrayOutputStream()
+    val x = new org.tukaani.xz.XZOutputStream(bos, opts)
+    x.write("xz nine preset payload".getBytes("UTF-8")); x.close()
+    val blob = bos.toByteArray
+    assert(DocumentProbe.probe(blob).exists(_.format == "txt"))
+    assert(DocumentProbe.extractText(blob)
+      .contains("xz nine preset payload"))
+  }
+
   test("each codec unwraps to the inner format, text and metadata") {
     val html = ("<html><head><title>Zipped Page</title></head>" +
       "<body><p>compressed body</p></body></html>").getBytes("UTF-8")

@@ -239,6 +239,36 @@ class MailSpec extends graft.SparkSpec {
       .contains("streamed attachment"))
   }
 
+  test("attachmentStream(): 8bit transfer encoding is byte-exact " +
+    "(binaryFile route, matches batch)") {
+    // High bytes that UTF-8 decoding would smash to U+FFFD: the old
+    // text-source twin corrupted these; the binaryFile route must not.
+    val raw = Array.tabulate[Byte](64)(i => (0x80 + (i * 3) % 0x7f).toByte)
+    val body = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val mbox =
+      "From bob Mon Apr  1 11:00:00 2024\n" +
+        "From: bob@example.org\nSubject: bin\nMessage-ID: <b1>\n" +
+        "Content-Type: multipart/mixed; boundary=BB\n\n" +
+        "--BB\nContent-Type: text/plain\n\ncover\n" +
+        "--BB\nContent-Type: application/octet-stream; name=\"r.bin\"\n" +
+        "Content-Transfer-Encoding: 8bit\n\n" + body + "\n--BB--\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbox_8bit")
+    java.nio.file.Files.write(dir.resolve("b.mbox"),
+      mbox.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val batch = Mail.attachmentRows(spark, dir.toString).collect()
+    assert(batch.length == 1)
+    assert(batch(0).getAs[Array[Byte]]("content").toSeq == raw.toSeq)
+    val q = Mail.attachmentStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("mail_att_8bit")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT content FROM mail_att_8bit").collect()
+    assert(streamed.length == 1)
+    assert(streamed(0).getAs[Array[Byte]]("content").toSeq == raw.toSeq)
+  }
+
   test("attachmentRows(): 8bit/binary transfer encodings survive " +
     "byte-exactly (the scan is byte-exact, not UTF-8-decoded)") {
     // every byte value 0x00–0xFF, none of it valid UTF-8 as a whole —

@@ -130,6 +130,19 @@ class OffCryptoSpec extends AnyFunSuite {
       .exists(_.contains("segment marker paragraph")))
   }
 
+  test("high-but-conforming spinCount verifies: the cap sits at the " +
+    "MS-OFFCRYPTO spec ceiling (10M), not below it") {
+    // r16 tightened the cap to 1M, refusing spec-conforming documents
+    // with unusual-but-legal spins. 2M is above that bad cap and well
+    // under the 10M spec ceiling; it must decrypt.
+    val docx = DocxFixture.docx(Seq(
+      DocxFixture.para(DocxFixture.T("high spin body"))))
+    val open = OffCryptFixture.agileEncryptedOoxml(docx, "",
+      spin = 2000000)
+    assert(DocumentProbe.extractText(open).exists(
+      _.contains("high spin body")))
+  }
+
   test("hostile EncryptionInfo never throws: torn, junk XML, lying spin") {
     val docx = DocxFixture.docx(Seq(DocxFixture.para(DocxFixture.T("x"))))
     val good = OffCryptFixture.stdEncryptedOoxml(docx, "")

@@ -576,6 +576,16 @@ class PdfSpec extends AnyFunSuite {
     })
     assert(Pdf.extractText(plain).map(_.text)
       .contains("before image\nafter image"))
+    // CRLF after ID (common writer behavior): the pair is ONE
+    // separator — a one-byte shift would pass the exact-length bound
+    // and decode silently wrong pixels (r16 ADVICE)
+    val crlf = PdfFixture.rawContentPdf(content(
+      ascii("BI /W 9 /H 8 /CS /G /BPC 8 ID\r\n"),
+      rampGraySamples,
+      ascii("\nEI")))
+    val ci = Pdf.images(crlf)
+    assert(ci.length == 1 && decodePixels(ci.head.bytes)
+      .sameElements(decodePixels(pi.head.bytes)))
     // Flate-filtered: EI delimiter scan; abbreviated filter name
     val flated = PdfFixture.rawContentPdf(content(
       ascii("BI /W 9 /H 8 /CS /G /BPC 8 /F /Fl ID "),

@@ -118,4 +118,122 @@ class ExifProbeSpec extends AnyFunSuite {
     assert(info.make.isEmpty)
     assert(info.orientation.contains(6)) // unaffected
   }
+
+  // ---- GPS IFD (tag 0x8825) ---------------------------------------
+
+  /** IFD0 {Orientation=6, GPSIFD→38}; GPS IFD @38 with six entries:
+    * N 37°46'29.74", W 122°25'9.92", altitude 10 m below sea level.
+    * Rational blocks at 116 (lat), 140 (lon), 164 (alt).
+    */
+  private def gpsTiff(little: Boolean): Array[Byte] = {
+    val t = new Tiff(little)
+    if (little) t.ascii("II").u16(42) else t.ascii("MM").u16(42)
+    t.u32(8)
+    t.u16(2)                                  // IFD0 @8, 2 entries
+    t.u16(0x0112).u16(3).u32(1).u16(6).u16(0) // Orientation
+    t.u16(0x8825).u16(4).u32(1).u32(38)       // GPS IFD → 38
+    t.u32(0)
+    t.u16(6)                                  // GPS IFD @38, 6 entries
+    t.u16(0x0001).u16(2).u32(2).u8('N').u8(0).u8(0).u8(0)
+    t.u16(0x0002).u16(5).u32(3).u32(116)      // lat rationals
+    t.u16(0x0003).u16(2).u32(2).u8('W').u8(0).u8(0).u8(0)
+    t.u16(0x0004).u16(5).u32(3).u32(140)      // lon rationals
+    t.u16(0x0005).u16(1).u32(1).u8(1).u8(0).u8(0).u8(0) // below sea
+    t.u16(0x0006).u16(5).u32(1).u32(164)      // altitude
+    t.u32(0)                                  // ends at 116
+    t.u32(37).u32(1).u32(46).u32(1).u32(2974).u32(100)  // @116
+    t.u32(122).u32(1).u32(25).u32(1).u32(992).u32(100)  // @140
+    t.u32(1000).u32(100)                                // @164
+    t.bytes
+  }
+
+  private val expLat = 37.0 + 46.0 / 60 + 29.74 / 3600
+  private val expLon = -(122.0 + 25.0 / 60 + 9.92 / 3600)
+
+  test("GPS IFD parses to signed decimal degrees, both byte orders") {
+    for (little <- Seq(true, false)) {
+      val g = ExifProbe.gps(gpsTiff(little))
+      assert(g.isDefined, s"little=$little")
+      assert(math.abs(g.get.lat - expLat) < 1e-9)
+      assert(math.abs(g.get.lon - expLon) < 1e-9)
+      assert(g.get.alt.exists(a => math.abs(a - (-10.0)) < 1e-9))
+      // the JPEG wrap parses identically
+      assert(ExifProbe.gps(jpegWrap(gpsTiff(little))).isDefined)
+    }
+  }
+
+  test("stripGps removes the pointer AND zeroes the coordinate " +
+    "bytes; orientation survives; length unchanged") {
+    for (little <- Seq(true, false)) {
+      val full = jpegWrap(gpsTiff(little))
+      val stripped = ExifProbe.stripGps(full)
+      assert(stripped.length == full.length)
+      assert(ExifProbe.gps(stripped).isEmpty)
+      assert(ExifProbe.info(stripped).exists(_.orientation.contains(6)))
+      // no coordinate remnants: the rational payload (37, 46, 2974,
+      // 122, 25, 992) must not survive anywhere in the stripped bytes
+      val t0 = full.indexOfSlice("Exif".getBytes("US-ASCII")) + 6
+      val gpsRegion = stripped.slice(t0 + 38, t0 + 172)
+      assert(gpsRegion.forall(_ == 0))
+    }
+  }
+
+  test("stripGps is a pass-through when no GPS block exists") {
+    val noGps = jpegWrap(tiffBytes(little = true))
+    assert(ExifProbe.stripGps(noGps) eq noGps)
+    val junk = "not an image".getBytes("UTF-8")
+    assert(ExifProbe.stripGps(junk) eq junk)
+    assert(ExifProbe.stripGps(null) == null)
+  }
+
+  test("GPS on a real JPEG: oriented dHash identical after stripping") {
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 10) << 8) | 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val plainJpeg = bos.toByteArray
+    // splice the GPS APP1 right after SOI
+    val tiff = gpsTiff(little = true)
+    val app1 = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = app1.length + 2
+    val withGps = plainJpeg.take(2) ++
+      Array[Byte](0xff.toByte, 0xe1.toByte,
+        (len >> 8).toByte, (len & 0xff).toByte) ++ app1 ++
+      plainJpeg.drop(2)
+    assert(ExifProbe.gps(withGps).isDefined)
+    val stripped = ExifProbe.stripGps(withGps)
+    assert(ExifProbe.gps(stripped).isEmpty)
+    val h1 = graft.multimodal.ImageHash.orientedDhash64(withGps)
+    val h2 = graft.multimodal.ImageHash.orientedDhash64(stripped)
+    assert(h1.isDefined && h1 == h2)
+  }
+
+  test("hostile GPS structures never throw: lying pointers, huge " +
+    "counts, zero denominators, every-prefix fuzz") {
+    val base = gpsTiff(little = true)
+    // GPS pointer beyond the buffer (IFD0 entry 1 value @ 8+2+12+8=30)
+    val far = base.clone()
+    far(30) = 0xff.toByte; far(31) = 0xff.toByte
+    far(32) = 0xff.toByte; far(33) = 0x7f.toByte
+    assert(ExifProbe.gps(far).isEmpty)
+    assert(ExifProbe.stripGps(far).length == far.length) // no throw
+    // GPS IFD entry count lies huge (count @38+2... GPS IFD starts 38)
+    val hugeN = base.clone()
+    hugeN(38) = 0xff.toByte; hugeN(39) = 0x7f.toByte
+    ExifProbe.gps(hugeN); ExifProbe.stripGps(hugeN)
+    // zero denominator in the lat rationals (@116: num,den pairs)
+    val zeroDen = base.clone()
+    for (i <- 120 until 124) zeroDen(i) = 0
+    assert(ExifProbe.gps(zeroDen).isEmpty)
+    // every-prefix fuzz through both entries
+    (0 to base.length).foreach { n =>
+      ExifProbe.gps(base.take(n)); ExifProbe.stripGps(base.take(n))
+    }
+    val wrapped = jpegWrap(base)
+    (0 to wrapped.length).foreach { n =>
+      ExifProbe.gps(wrapped.take(n)); ExifProbe.stripGps(wrapped.take(n))
+    }
+  }
 }
