@@ -2605,6 +2605,84 @@ object MediaGateQueries {
         .orderBy("cls")
     },
 
+    // -- m85: PDF embedded-image corpus (sf-scaled) — the XObject
+    //    walk + decode + lossless PNG re-encode bill per documents
+    //    row: even rows a Flate DeviceRGB flat page keyed by doc_id,
+    //    odd rows a CCITT G4 fax page (the r17 from-spec decoder's
+    //    own 10× number). One PDF built + parsed + image-extracted +
+    //    hashed + statted per row; every output column closed-form.
+    //    The m72/m80 lesson: explicit-count repartition so AQE's
+    //    byte-based coalesce cannot fold the compute-bound stage. ----
+    "m85_pdf_image_corpus" -> { (s, dir) =>
+      import graft.engine.read.Pdf
+      import graft.multimodal.{ImageHash, ImageStats}
+      // constant G4 payload, JDK-encoded once on the driver: the
+      // per-row bill is the house T.6 DECODE, not the encode
+      val g4: Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+        for (y <- 0 until 8; x <- 0 until 9)
+          img.setRGB(x, y, if (x % 2 == 1) 0x000000 else 0xFFFFFF)
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+        val w = it.next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        w.setOutput(ios)
+        val p = w.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType("CCITT T.6")
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        ios.close(); w.dispose()
+        val b = bos.toByteArray
+        val le = b(0) == 'I'
+        def u16(o: Int) =
+          if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+          else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        def u32(o: Int): Int =
+          if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+            ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+          else ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+            ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        val ifd = u32(4); val n = u16(ifd)
+        var off = -1; var cnt = -1
+        for (i <- 0 until n) {
+          val e = ifd + 2 + i * 12
+          val tag = u16(e); val typ = u16(e + 2)
+          def v = if (typ == 3) u16(e + 8) else u32(e + 8)
+          if (tag == 273) off = v
+          if (tag == 279) cnt = v
+        }
+        java.util.Arrays.copyOfRange(b, off, off + cnt)
+      }
+      val extract = udf { (id: Long) =>
+        val pdf =
+          if (id % 2 == 0) {
+            val v = (id % 256).toInt
+            PdfFixture.imagePdf(Seq(("Im0",
+              "/Type /XObject /Subtype /Image /Width 16 /Height 16" +
+                " /ColorSpace /DeviceRGB /BitsPerComponent 8" +
+                " /Filter /FlateDecode",
+              PdfFixture.flate(Array.fill[Byte](16 * 16 * 3)(v.toByte)))))
+          } else PdfFixture.imagePdf(Seq(("Fax0",
+            "/Type /XObject /Subtype /Image /Width 9 /Height 8" +
+              " /ColorSpace /DeviceGray /BitsPerComponent 1" +
+              " /Filter /CCITTFaxDecode" +
+              " /DecodeParms << /K -1 /Columns 9 /Rows 8 >>", g4)))
+        Pdf.images(pdf).headOption.map(_.bytes).orNull
+      }
+      graft.Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), extract(col("doc_id")).as("png"))
+        .withColumn("__s", ImageStats.statsCol(col("png")))
+        .groupBy((col("doc_id") % 2).cast("int").as("cls"))
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(coalesce(ImageHash.dhash(col("png")),
+            lit(-999L))).as("n_distinct_dhash"),
+          round(avg(col("__s._3")), 6).as("avg_mean_luma"),
+          round(max(col("__s._4")), 6).as("max_std_luma"))
+        .orderBy("cls")
+    },
+
     // -- m68: notebook extraction — authored cells (outputs drop)
     //    through the probe and the dedicated kernel; the config
     //    collision stays txt. Expectations ride the fixture. ---------
@@ -3540,6 +3618,17 @@ object MediaGateQueries {
          |  count(DISTINCT text) AS n_distinct
          |FROM documents
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m85_pdf_image_corpus" ->
+      """SELECT CAST(doc_id % 2 AS INTEGER) AS cls,
+        |  count(*) AS n_pages,
+        |  CAST(1 AS BIGINT) AS n_distinct_dhash,
+        |  round(avg(CASE WHEN doc_id % 2 = 0
+        |    THEN CAST(doc_id % 256 AS DOUBLE)
+        |    ELSE 10200.0/72 END), 6) AS avg_mean_luma,
+        |  round(max(CASE WHEN doc_id % 2 = 0 THEN 0.0
+        |    ELSE sqrt(2601000.0/72 - (10200.0/72)*(10200.0/72)) END), 6)
+        |    AS max_std_luma
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "m80_image_corpus" ->
       """SELECT CAST(doc_id % 2 AS INTEGER) AS cls,
         |  count(*) AS n_images,

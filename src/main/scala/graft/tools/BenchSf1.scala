@@ -50,7 +50,11 @@ object BenchSf1 {
     "m72_archive_corpus",
     // r16: the image layer's sf1 point — real PNG encode + decode +
     // dHash + stats per row over the full documents table
-    "m80_image_corpus")
+    "m80_image_corpus",
+    // r17: the PDF-image kernel's sf1 point — per-row PDF build +
+    // XObject walk + Flate/CCITT-G4 decode + lossless PNG re-encode
+    // + dHash + stats (the m69 class, 10x-scaled)
+    "m85_pdf_image_corpus")
 
   private val resultPath = "/root/repo/BENCH_sf1.json"
   private val baselinePath = "/root/repo/BENCH_sf1_baseline.json"

@@ -20,6 +20,36 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(5) == 11.0)
   }
 
+  test("exif_gps / exif_strip_gps reachable from SQL: coordinates " +
+    "surface and the stripped twin reads NULL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // minimal EXIF TIFF with a GPS IFD: N 10°30'0" E 20°15'0"
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    val tiff = "II".getBytes ++ le16(42) ++ le32(8) ++
+      le16(1) ++ // IFD0: 1 entry
+      le16(0x8825) ++ le16(4) ++ le32(1) ++ le32(26) ++ // GPS → 26
+      le32(0) ++
+      le16(4) ++ // GPS IFD @26: 4 entries → ends 26+2+48+4=80
+      le16(1) ++ le16(2) ++ le32(2) ++ "N".getBytes ++ Array[Byte](0, 0, 0) ++
+      le16(2) ++ le16(5) ++ le32(3) ++ le32(80) ++
+      le16(3) ++ le16(2) ++ le32(2) ++ "E".getBytes ++ Array[Byte](0, 0, 0) ++
+      le16(4) ++ le16(5) ++ le32(3) ++ le32(104) ++
+      le32(0) ++
+      le32(10) ++ le32(1) ++ le32(30) ++ le32(1) ++ le32(0) ++ le32(1) ++
+      le32(20) ++ le32(1) ++ le32(15) ++ le32(1) ++ le32(0) ++ le32(1)
+    Seq((1, tiff)).toDF("id", "img").createOrReplaceTempView("gps_imgs")
+    val r = spark.sql(
+      """SELECT round(exif_gps(img).lat, 6) AS lat,
+        |       round(exif_gps(img).lon, 6) AS lon,
+        |       exif_gps(img).alt IS NULL AS no_alt,
+        |       exif_gps(exif_strip_gps(img)) IS NULL AS stripped
+        |FROM gps_imgs""".stripMargin).collect().head
+    assert(r.getDouble(0) == 10.5 && r.getDouble(1) == 20.25)
+    assert(r.getBoolean(2) && r.getBoolean(3))
+  }
+
   test("bounded_top_k reachable from SQL, caps per group, sorted by key") {
     GraftExtensions.register(spark)
     import spark.implicits._
