@@ -338,6 +338,186 @@ object DataFiles {
     Some(total)
   }
 
+  // ---- parquet -----------------------------------------------------
+
+  /** In-memory [[org.apache.parquet.io.InputFile]]: parquet-mr (on
+    * Spark's own classpath — the ImageIO precedent) reads the footer
+    * without any filesystem, so a parquet BLOB in a crawl column
+    * inventories its row count from metadata alone (no page decode).
+    */
+  private final class BytesInputFile(b: Array[Byte])
+      extends org.apache.parquet.io.InputFile {
+    override def getLength: Long = b.length.toLong
+    override def newStream(): org.apache.parquet.io.SeekableInputStream = {
+      val bis = new java.io.ByteArrayInputStream(b)
+      new org.apache.parquet.io.DelegatingSeekableInputStream(bis) {
+        private var pos = 0L
+        override def getPos: Long = pos
+        override def seek(newPos: Long): Unit = {
+          bis.reset()
+          var skipped = 0L
+          while (skipped < newPos) {
+            val s = bis.skip(newPos - skipped)
+            if (s <= 0) return
+            skipped += s
+          }
+          pos = newPos
+        }
+        override def read(): Int = {
+          val r = super.read(); if (r >= 0) pos += 1; r
+        }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          val r = bis.read(buf, off, len); if (r > 0) pos += r; r
+        }
+      }
+    }
+  }
+
+  /** Exact parquet row count from the footer's row-group metadata. */
+  def parquetRowCount(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1'))
+      return None
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new BytesInputFile(b))
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Exception | _: NoClassDefFoundError => None }
+  }
+
+  // ---- ORC ---------------------------------------------------------
+
+  /** Exact ORC row count from the file footer's `numberOfRows`
+    * (protobuf field 6), read from-spec: the last byte gives the
+    * PostScript length; the PostScript (uncompressed protobuf)
+    * declares the footer's compressed length and codec; the footer
+    * section de-chunks (3-byte little-endian headers, raw
+    * deflate/snappy/zstd/none blocks) and the varint walk pulls the
+    * one field. Stripe data is never touched.
+    */
+  def orcRowCount(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 16) return None
+    if (!(b(0) == 'O' && b(1) == 'R' && b(2) == 'C')) return None
+    val n = b.length
+    val psLen = b(n - 1) & 0xff
+    if (psLen <= 0 || psLen > 256 || n - 1 - psLen < 3) return None
+    val ps = java.util.Arrays.copyOfRange(b, n - 1 - psLen, n - 1)
+    // protobuf varint walk of PostScript: footerLength=1,
+    // compression=2 (0 NONE, 1 ZLIB, 2 SNAPPY, 3 LZO, 4 LZ4, 5 ZSTD)
+    def fields(buf: Array[Byte]): Option[Map[Int, Long]] = {
+      var o = 0
+      var out = Map.empty[Int, Long]
+      def varint(): Long = {
+        var v = 0L; var sh = 0
+        while (o < buf.length) {
+          val x = buf(o) & 0xff; o += 1
+          v |= (x & 0x7fL) << sh
+          if ((x & 0x80) == 0) return v
+          sh += 7
+          if (sh > 63) return -1L
+        }
+        -1L
+      }
+      while (o < buf.length) {
+        val key = varint()
+        if (key < 0) return Some(out)
+        val field = (key >> 3).toInt
+        val wire = (key & 7).toInt
+        wire match {
+          case 0 =>
+            val v = varint(); if (v < 0) return Some(out)
+            if (!out.contains(field)) out += field -> v
+          case 2 =>
+            val len = varint()
+            if (len < 0 || o + len > buf.length) return Some(out)
+            o += len.toInt
+          case 5 => o += 4
+          case 1 => o += 8
+          case _ => return Some(out)
+        }
+      }
+      Some(out)
+    }
+    val psf = fields(ps).getOrElse(return None)
+    val footerLen = psf.getOrElse(1, -1L)
+    val codec = psf.getOrElse(2, 0L).toInt
+    if (footerLen <= 0 || footerLen > (n - 1 - psLen)) return None
+    val fStart = (n - 1 - psLen - footerLen).toInt
+    val fComp = java.util.Arrays.copyOfRange(b, fStart,
+      fStart + footerLen.toInt)
+    val footer: Array[Byte] =
+      if (codec == 0) fComp
+      else {
+        // chunked: 3-byte LE header = (len << 1) | isOriginal
+        val out = new java.io.ByteArrayOutputStream()
+        var o = 0
+        try {
+          while (o + 3 <= fComp.length) {
+            val hdr = (fComp(o) & 0xff) | ((fComp(o + 1) & 0xff) << 8) |
+              ((fComp(o + 2) & 0xff) << 16)
+            val orig = (hdr & 1) == 1
+            val clen = hdr >>> 1
+            o += 3
+            if (clen <= 0 || o + clen > fComp.length) return None
+            val chunk = java.util.Arrays.copyOfRange(fComp, o, o + clen)
+            o += clen
+            if (orig) out.write(chunk)
+            else codec match {
+              case 1 => // zlib = raw deflate
+                val inf = new java.util.zip.Inflater(true)
+                inf.setInput(chunk)
+                val buf = new Array[Byte](16 << 10)
+                while (!inf.finished() && !inf.needsInput()) {
+                  val k = inf.inflate(buf)
+                  if (k <= 0 && !inf.finished()) return None
+                  out.write(buf, 0, k)
+                }
+                inf.end()
+              case 2 => out.write(org.xerial.snappy.Snappy.uncompress(chunk))
+              case 5 =>
+                out.write(com.github.luben.zstd.Zstd.decompress(chunk,
+                  16 << 20))
+              case _ => return None // LZO/LZ4/unknown: recorded skip
+            }
+            if (out.size() > (16 << 20)) return None
+          }
+        } catch { case _: Exception => return None }
+        out.toByteArray
+      }
+    // Footer protobuf: numberOfRows = field 6
+    fields(footer).flatMap(_.get(6)).filter(_ >= 0)
+  }
+
+  // ---- Arrow IPC file ---------------------------------------------
+
+  /** Exact Arrow IPC-file record count via arrow-vector (Spark's own
+    * classpath): sum of record-batch row counts from the footer
+    * blocks — batches load metadata-first, no value buffers retained.
+    */
+  def arrowRecordCount(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'A' && b(1) == 'R' && b(2) == 'R' && b(3) == 'O' &&
+      b(4) == 'W' && b(5) == '1')) return None
+    var alloc: org.apache.arrow.memory.RootAllocator = null
+    var reader: org.apache.arrow.vector.ipc.ArrowFileReader = null
+    try {
+      alloc = new org.apache.arrow.memory.RootAllocator(64L << 20)
+      reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new org.apache.arrow.vector.ipc.SeekableReadChannel(
+          new org.apache.arrow.vector.util
+            .ByteArrayReadableSeekableByteChannel(b)), alloc)
+      var total = 0L
+      while (reader.loadNextBatch())
+        total += reader.getVectorSchemaRoot.getRowCount
+      Some(total)
+    } catch {
+      case _: Exception | _: NoClassDefFoundError => None
+    } finally {
+      if (reader != null) { try reader.close() catch { case _: Exception => () } }
+      if (alloc != null) { try alloc.close() catch { case _: Exception => () } }
+    }
+  }
+
   /** One-line inventory detail per data-file format (the m42/m84
     * surface): stable, sorted, human- and oracle-readable.
     */
@@ -350,5 +530,8 @@ object DataFiles {
         s" fortran=${n.fortranOrder}"
     }).orElse(hdf5SuperblockVersion(bytes).map(v => s"superblock=v$v"))
       .orElse(avroRecordCount(bytes).map(c => s"records=$c"))
+      .orElse(parquetRowCount(bytes).map(c => s"records=$c"))
+      .orElse(orcRowCount(bytes).map(c => s"records=$c"))
+      .orElse(arrowRecordCount(bytes).map(c => s"records=$c"))
   }
 }

@@ -118,6 +118,101 @@ object Ccitt {
       case _ => None
     }
 
+  /** Decode a whole CCITT-compressed bilevel TIFF to a BufferedImage
+    * — the [[ImageDecode]] FALLBACK for payloads the JDK's own
+    * `TIFFFaxDecompressor` crashes on (it throws AIOOBE on some
+    * valid small strips, observed on its own writer's T.4/RLE
+    * output). Deliberately narrow: bilevel (BitsPerSample 1),
+    * PhotometricInterpretation WhiteIsZero (the universal CCITT
+    * convention), FillOrder MSB-first, compressions 2/3/4 — anything
+    * else returns None and stays with the JDK plugin.
+    */
+  def decodeTiffImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (b == null || b.length < 16) return None
+    val le = b(0) == 'I' && b(1) == 'I'
+    val be = b(0) == 'M' && b(1) == 'M'
+    if (!le && !be) return None
+    def u16(o: Int): Int =
+      if (o < 0 || o + 2 > b.length) -1
+      else if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > b.length) -1L
+      else if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd <= 0 || ifd > Int.MaxValue - 2) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || n > 512) return None
+    var tags = Map.empty[Int, (Int, Int, Int)]
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + i * 12
+      if (e + 12 > b.length) return None
+      tags += u16(e) -> ((u16(e + 2), u32(e + 4).toInt, e + 8))
+      i += 1
+    }
+    def values(tag: Int): Seq[Long] = tags.get(tag) match {
+      case None => Seq.empty
+      case Some((tpe, count, valOff)) =>
+        val sz = tpe match { case 3 => 2; case 4 => 4; case _ => 0 }
+        if (sz == 0 || count <= 0 || count > (1 << 20)) return Seq.empty
+        val base =
+          if (sz * count <= 4) valOff
+          else {
+            val o = u32(valOff)
+            if (o <= 0 || o + sz.toLong * count > b.length ||
+              o > Int.MaxValue) return Seq.empty
+            o.toInt
+          }
+        (0 until count).map(k =>
+          if (sz == 2) u16(base + k * 2).toLong else u32(base + k * 4))
+    }
+    def one(tag: Int, dft: Long): Long = values(tag).headOption.getOrElse(dft)
+    val w = one(256, -1).toInt
+    val h = one(257, -1).toInt
+    val comp = one(259, 1).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+    if (comp != 2 && comp != 3 && comp != 4) return None
+    if (one(258, 1) != 1) return None  // bilevel only
+    if (one(262, 0) != 0) return None  // WhiteIsZero only
+    if (one(266, 1) != 1) return None  // MSB-first fill order only
+    val t4opts = one(293, one(292, 0))
+    val rps = math.min(one(278, Long.MaxValue), h.toLong).toInt
+    if (rps <= 0) return None
+    val offs = values(273); val cnts = values(279)
+    if (offs.isEmpty || offs.length != cnts.length) return None
+    val rowBytes = (w + 7) >> 3
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val raster = img.getRaster
+    var row0 = 0
+    offs.zip(cnts).foreach { case (o, c) =>
+      if (o < 0 || c <= 0 || o + c > b.length || row0 >= h) return None
+      val sr = math.min(rps, h - row0)
+      val strip = java.util.Arrays.copyOfRange(b, o.toInt, (o + c).toInt)
+      // blackIs1 = true: sample 1 = black, matching WhiteIsZero
+      val dec = decodeTiffStrip(strip, w, sr, comp, t4opts,
+        blackIs1 = true).getOrElse(return None)
+      var y = 0
+      while (y < sr) {
+        var x = 0
+        while (x < w) {
+          val bit = (dec(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+          // TYPE_BYTE_BINARY default palette: 0 = black, 1 = white
+          raster.setSample(x, row0 + y, 0, 1 - bit)
+          x += 1
+        }
+        y += 1
+      }
+      row0 += sr
+    }
+    if (row0 == h) Some(img) else None
+  }
+
   // ---- line decoders ----------------------------------------------
 
   private def decode1dLine(br: BitReader, columns: Int,

@@ -37,6 +37,15 @@ object ImageDecode {
       try ImageIO.read(
         new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
       catch { case _: Exception => null }
-    Option(img)
+    if (img != null) return Some(img)
+    // CCITT TIFF fallback: the JDK's TIFFFaxDecompressor throws
+    // AIOOBE on some valid small G3/RLE strips (observed on its own
+    // writer's output). The from-spec house decoder catches exactly
+    // the bilevel fax class; everything else stays None.
+    if (bytes.length >= 4 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I') ||
+        (bytes(0) == 'M' && bytes(1) == 'M')))
+      return Ccitt.decodeTiffImage(bytes)
+    None
   }
 }

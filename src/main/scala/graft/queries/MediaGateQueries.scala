@@ -883,7 +883,29 @@ object MediaGateQueries {
     }
     val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
       0x1a, '\n', 0) ++ Array.fill[Byte](56)(0)
-    val arrow = "ARROW1".getBytes("US-ASCII") ++
+    val arrowBytes = {
+      val alloc = new org.apache.arrow.memory.RootAllocator(16L << 20)
+      val field = new org.apache.arrow.vector.types.pojo.Field("v",
+        org.apache.arrow.vector.types.pojo.FieldType.nullable(
+          new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, true)),
+        null)
+      val schema = new org.apache.arrow.vector.types.pojo.Schema(
+        java.util.Arrays.asList(field))
+      val root = org.apache.arrow.vector.VectorSchemaRoot
+        .create(schema, alloc)
+      val vec = root.getVector("v")
+        .asInstanceOf[org.apache.arrow.vector.IntVector]
+      vec.allocateNew(4)
+      (0 until 4).foreach(i => vec.setSafe(i, i * 7))
+      root.setRowCount(4)
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null,
+        java.nio.channels.Channels.newChannel(bos))
+      w.start(); w.writeBatch(); w.end(); w.close()
+      root.close(); alloc.close()
+      bos.toByteArray
+    }
+    val tornArrow = "ARROW1".getBytes("US-ASCII") ++
       Array.fill[Byte](10)(0)
     val rows: Seq[(Long, Array[Byte], String, String)] = Seq(
       (0L, slurp(s"$src/inv.db"), "sqlite", "tables=inv_a:4,inv_b:0"),
@@ -891,9 +913,10 @@ object MediaGateQueries {
         "dtype=<f4 shape=2x3 fortran=false"),
       (2L, hdf5, "hdf5", "superblock=v0"),
       (3L, avroBytes, "avro", "records=5"),
-      (4L, sparkFile("parquet"), "parquet", "header-only"),
-      (5L, sparkFile("orc"), "orc", "header-only"),
-      (6L, arrow, "arrow", "header-only"),
+      (4L, sparkFile("parquet"), "parquet", "records=3"),
+      (5L, sparkFile("orc"), "orc", "records=3"),
+      (6L, arrowBytes, "arrow", "records=4"),
+      (7L, tornArrow, "arrow", "header-only"),
       (100L, Array[Byte](0x01, 0x02, 0x03, 0x7f, 0x00, 0x04),
         "<unknown>", "none"))
     s.createDataset(rows).toDF("blob_id", "payload", "exp_format",

@@ -119,6 +119,64 @@ class DataFilesSpec extends AnyFunSuite {
     (0 to v0.length).foreach(n => DataFiles.hdf5SuperblockVersion(v0.take(n)))
   }
 
+  test("parquet: footer row count matches pyarrow's writer " +
+    "(independent of parquet-mr); junk and prefixes refuse cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq")
+    py(
+      s"""import pyarrow as pa, pyarrow.parquet as pq
+         |t = pa.table({"a": list(range(7)), "b": ["x%d" % i for i in range(7)]})
+         |pq.write_table(t, "$dir/t7.parquet")
+         |pq.write_table(pa.table({"a": []}).cast(pa.schema([("a", pa.int64())])), "$dir/t0.parquet")
+         |""".stripMargin)
+    val b7 = slurp(s"$dir/t7.parquet")
+    assert(DataFiles.parquetRowCount(b7).contains(7L))
+    assert(DataFiles.inventory(b7).contains("records=7"))
+    assert(DataFiles.parquetRowCount(slurp(s"$dir/t0.parquet"))
+      .contains(0L))
+    (0 to b7.length by 13).foreach(n => DataFiles.parquetRowCount(b7.take(n)))
+    assert(DataFiles.parquetRowCount("PAR1 but not parquet".getBytes).isEmpty)
+  }
+
+  test("orc: from-spec postscript+footer walk reads numberOfRows " +
+    "under every pyarrow codec (none/zlib/snappy/zstd)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+    py(
+      s"""import pyarrow as pa, pyarrow.orc as orc
+         |t = pa.table({"a": list(range(123)), "b": ["row %d why" % i for i in range(123)]})
+         |for c in ("uncompressed", "zlib", "snappy", "zstd"):
+         |    orc.write_table(t, "$dir/%s.orc" % c, compression=c)
+         |""".stripMargin)
+    for (c <- Seq("uncompressed", "zlib", "snappy", "zstd")) {
+      val b = slurp(s"$dir/$c.orc")
+      assert(DataFiles.orcRowCount(b).contains(123L), s"codec $c")
+      assert(DataFiles.inventory(b).contains("records=123"), s"codec $c")
+    }
+    val b = slurp(s"$dir/zlib.orc")
+    (0 to b.length by 11).foreach(n => DataFiles.orcRowCount(b.take(n)))
+    assert(DataFiles.orcRowCount("ORCHESTRAS play music".getBytes).isEmpty)
+    // a lying postscript length walks to None, never a throw
+    val lie = b.clone(); lie(lie.length - 1) = 0xff.toByte
+    DataFiles.orcRowCount(lie)
+  }
+
+  test("arrow: IPC-file record count matches pyarrow across multiple " +
+    "batches; torn files refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow")
+    py(
+      s"""import pyarrow as pa
+         |schema = pa.schema([("a", pa.int64())])
+         |with pa.ipc.new_file("$dir/m.arrow", schema) as w:
+         |    for k in (3, 4, 5):
+         |        w.write_batch(pa.record_batch({"a": list(range(k))}, schema=schema))
+         |""".stripMargin)
+    val b = slurp(s"$dir/m.arrow")
+    assert(DataFiles.arrowRecordCount(b).contains(12L))
+    assert(DataFiles.inventory(b).contains("records=12"))
+    (0 to b.length by 23).foreach(n => DataFiles.arrowRecordCount(b.take(n)))
+    assert(DataFiles.arrowRecordCount(
+      ("ARROW1" + "   torn").getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("avro: record count from block headers matches the " +
     "org.apache.avro writer — multi-block, null and deflate codecs, " +
     "no data decode") {

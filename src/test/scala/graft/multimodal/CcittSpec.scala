@@ -193,6 +193,74 @@ class CcittSpec extends AnyFunSuite {
     assert(Ccitt.decode(Array.emptyByteArray, 8, 8, -1).isEmpty)
   }
 
+  test("decodeTiffImage: whole-TIFF house decode matches the original " +
+    "raster; ImageDecode never loses a CCITT TIFF to the JDK's " +
+    "AIOOBE bug") {
+    for (ct <- Seq("CCITT RLE", "CCITT T.4", "CCITT T.6");
+         (w, h) <- Seq((9, 8), (64, 48));
+         (pname, f) <- patterns) {
+      val img = bilevel(w, h, f)
+      val tiff = jdkTiff(img, ct)
+      val expected = pixelsOf(img)
+      val house = Ccitt.decodeTiffImage(tiff)
+      assert(house.isDefined, s"$ct $pname ${w}x$h: decodeTiffImage None")
+      assert(pixelsOf(house.get).sameElements(expected),
+        s"$ct $pname ${w}x$h: decodeTiffImage pixels")
+      // the front door: JDK when it works, house fallback when it
+      // throws — either way the payload decodes
+      val front = ImageDecode.decode(tiff)
+      assert(front.isDefined, s"$ct $pname ${w}x$h: front door lost it")
+      assert(pixelsOf(front.get).sameElements(expected))
+    }
+    // non-CCITT and junk TIFFs do NOT engage the fallback
+    assert(Ccitt.decodeTiffImage("II junk but not tiff".getBytes).isEmpty)
+    assert(Ccitt.decodeTiffImage(null).isEmpty)
+    val g4 = jdkTiff(bilevel(9, 8, (x, _) => x % 2 == 1), "CCITT T.6")
+    (0 to g4.length).foreach(n => Ccitt.decodeTiffImage(g4.take(n)))
+  }
+
+  test("decodeTiffImage: hand-built MULTI-STRIP G4 composes strips " +
+    "in order") {
+    // two 9x4 halves encoded independently (TIFF strips restart the
+    // coder), wrapped in a hand-authored little-endian IFD
+    val top = bilevel(9, 4, (x, _) => x < 4)
+    val bot = bilevel(9, 4, (_, y) => y % 2 == 0)
+    def stripOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val t = jdkTiff(img, "CCITT T.6")
+      val ifd = parseIfd(t)
+      assert(ifd.strips.length == 1)
+      ifd.strips.head
+    }
+    val s1 = stripOf(top); val s2 = stripOf(bot)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += (v >> 8).toByte }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16(v >>> 16) }
+    out += 'I'; out += 'I'; u16(42); u32(8)
+    val nTags = 9
+    // IFD @8: 2 + 9*12 + 4 = 114 → arrays at 122, strips after
+    val arrOff = 8 + 2 + nTags * 12 + 4
+    val stripOff1 = arrOff + 16
+    val stripOff2 = stripOff1 + s1.length
+    u16(nTags)
+    def tag(t: Int, tpe: Int, cnt: Int, v: Int): Unit = {
+      u16(t); u16(tpe); u32(cnt); u32(v)
+    }
+    tag(256, 3, 1, 9); tag(257, 3, 1, 8); tag(258, 3, 1, 1)
+    tag(259, 3, 1, 4); tag(262, 3, 1, 0)
+    tag(273, 4, 2, arrOff); tag(278, 3, 1, 4)
+    tag(279, 4, 2, arrOff + 8); tag(293, 4, 1, 0)
+    u32(0) // next IFD
+    u32(stripOff1); u32(stripOff2)     // strip offsets @arrOff
+    u32(s1.length); u32(s2.length)     // byte counts @arrOff+8
+    s1.foreach(out += _); s2.foreach(out += _)
+    val composed = Ccitt.decodeTiffImage(out.toArray)
+    assert(composed.isDefined)
+    val expected: Array[Boolean] = (0 until 8).flatMap { y =>
+      (0 until 9).map { x => if (y < 4) x < 4 else (y - 4) % 2 == 0 }
+    }.toArray
+    assert(pixelsOf(composed.get).sameElements(expected))
+  }
+
   test("runs above one make-up code (>2623 columns) decode: repeated " +
     "make-ups compose") {
     // 4000 white columns exercises 2560+1408-run composition paths in
