@@ -898,6 +898,8 @@ object DocumentProbe {
     if (isTarBytes(b))
       return Tar.parse(b).map(ms =>
         ("tar", ms.map(m => (m.name, m.bytes))))
+    if (SevenZ.isSevenZ(b))
+      return SevenZ.entries(b).map(ms => ("7z", ms))
     if (b.length >= 4 && b(0) == 'P' && b(1) == 'K') {
       ZipRead.entries(b, Epub.DefaultMaxTotalBytes,
         Epub.DefaultMaxEntries) match {
@@ -921,6 +923,8 @@ object DocumentProbe {
     val inner = unwrapped(mb).getOrElse(mb)
     if (isTarBytes(inner))
       return Inventory(Some("tar"), None, None, None, None)
+    if (SevenZ.isSevenZ(inner))
+      return Inventory(Some("7z"), None, None, None, None)
     if (inner.length >= 4 && inner(0) == 'P' && inner(1) == 'K') {
       return ZipRead.entries(inner, Epub.DefaultMaxTotalBytes,
         Epub.DefaultMaxEntries) match {

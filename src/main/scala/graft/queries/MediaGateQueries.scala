@@ -2267,6 +2267,30 @@ object MediaGateQueries {
     ()
   }
 
+  // -- m86 fixture: a 7z release archive (the tar/zip siblings'
+  //    missing third member) written by the FROM-SPEC SevenZFixture
+  //    container writer — LZMA2 folders via org.tukaani.xz — and read
+  //    back by the commons-compress engine route: two independent
+  //    implementations on every row. --------------------------------
+  private val m86Dir = "/tmp/graft_gate_m86_sevenz"
+
+  private def writeM86Fixture(): Unit = {
+    val docx = DocxFixture.docx(Seq(
+      DocxFixture.para(DocxFixture.T("seven zip member docx"))))
+    val bytes = SevenZFixture.sevenZ(Seq(
+      "notes/readme.txt" -> "seven zip member text".getBytes("UTF-8"),
+      "site/index.html" ->
+        ("<html><body><p>seven zip member html</p></body></html>")
+          .getBytes("UTF-8"),
+      "papers/report.docx" -> docx,
+      "img/blob.bin" -> Array[Byte](9, 8, 7, 6, 5, 4)),
+      lzma2 = true)
+    val dir = java.nio.file.Paths.get(m86Dir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("release.7z"), bytes)
+    ()
+  }
+
   // -- m45 fixture: the adjudicated m26/m35 curation corpus, every
   //    document in a DIFFERENT format — the magic router must feed
   //    the pipeline the identical text layer regardless of container.
@@ -3111,6 +3135,22 @@ object MediaGateQueries {
         .orderBy("member")
     },
 
+    // -- m86: 7z release archive — members explode through the SAME
+    //    document dispatch as their tar/zip siblings (r17; closes the
+    //    r15 skip — the fixture writer is from-spec, the reader is
+    //    commons-compress, so the sides stay independent). -----------
+    "m86_sevenz_documents" -> { (s, _) =>
+      writeM86Fixture()
+      import graft.engine.read.{DocumentProbe, SevenZ}
+      SevenZ.members(s, m86Dir)
+        .select(col("member"), col("size"),
+          coalesce(DocumentProbe.formatCol(col("content")),
+            lit("<unknown>")).as("format"),
+          coalesce(DocumentProbe.textCol(col("content")),
+            lit("<undecodable>")).as("text"))
+        .orderBy("member")
+    },
+
     // -- m50: EML extraction — RFC 5322 headers (encoded-words),
     //    MIME multipart walk, QP/base64; expectations ride the
     //    fixture. ----------------------------------------------------
@@ -3796,6 +3836,14 @@ object MediaGateQueries {
         |  ('notes/readme.txt', 21::BIGINT, 'txt', 'zip member plain text'),
         |  ('papers/main.rtf', 26::BIGINT, 'rtf', 'zip member rtf'),
         |  ('site/index.html', 48::BIGINT, 'html', 'zip member html'))
+        |  t(member, size, format, text)
+        |ORDER BY member""".stripMargin,
+    "m86_sevenz_documents" ->
+      """SELECT * FROM (VALUES
+        |  ('img/blob.bin', 6::BIGINT, '<unknown>', '<undecodable>'),
+        |  ('notes/readme.txt', 21::BIGINT, 'txt', 'seven zip member text'),
+        |  ('papers/report.docx', 665::BIGINT, 'docx', 'seven zip member docx'),
+        |  ('site/index.html', 54::BIGINT, 'html', 'seven zip member html'))
         |  t(member, size, format, text)
         |ORDER BY member""".stripMargin,
     // Literal expectations ride the fixture.
