@@ -626,6 +626,155 @@ object AudioProbe {
     Some(AudioMeta("aac-adts", h0._4, h0._3, 0, samples))
   }
 
+  // ---- text tags (Vorbis comments + ID3, one face) ----------------
+
+  /** Parse a Vorbis-comment payload (Vorbis I §5, also FLAC block 4
+    * and RFC 7845 OpusTags): vendor string, then length-prefixed
+    * `KEY=value` UTF-8 pairs. Caps: ≤256 comments, ≤64 KiB each.
+    */
+  private def vorbisComments(b: Array[Byte], off0: Int,
+                             end: Int): Option[Seq[(String, String)]] = {
+    def u32le(o: Int): Long =
+      if (o + 4 > end) -1L
+      else (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    var o = off0
+    val vlen = u32le(o)
+    if (vlen < 0 || vlen > (64 << 10) || o + 4 + vlen > end) return None
+    o += 4 + vlen.toInt
+    val count = u32le(o)
+    if (count < 0 || count > 256) return None
+    o += 4
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0L
+    while (i < count) {
+      val clen = u32le(o)
+      if (clen < 0 || clen > (64 << 10) || o + 4 + clen > end) return None
+      val s = new String(b, o + 4, clen.toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = s.indexOf('=')
+      if (eq > 0)
+        out += ((s.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+          s.substring(eq + 1)))
+      o += 4 + clen.toInt
+      i += 1
+    }
+    Some(out.toSeq)
+  }
+
+  /** FLAC metadata-block walk to VORBIS_COMMENT (type 4). */
+  private def flacTags(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    if (!isFlac(b)) return None
+    var o = 4
+    var last = false
+    var guard = 0
+    while (!last && o + 4 <= b.length && guard < 128) {
+      guard += 1
+      val hdr = b(o) & 0xFF
+      last = (hdr & 0x80) != 0
+      val tpe = hdr & 0x7F
+      val len = ((b(o + 1) & 0xFF) << 16) | ((b(o + 2) & 0xFF) << 8) |
+        (b(o + 3) & 0xFF)
+      if (o + 4 + len > b.length) return None
+      if (tpe == 4) return vorbisComments(b, o + 4, o + 4 + len)
+      o += 4 + len
+    }
+    None
+  }
+
+  /** First packets of the BOS logical stream, assembled across pages
+    * (lacing values concatenate; < 255 closes a packet). Bounded.
+    */
+  private def oggPackets(b: Array[Byte], maxPackets: Int)
+  : Seq[Array[Byte]] = {
+    def u32le(o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    if (b.length < 28) return Seq.empty
+    val serial = u32le(14)
+    val packets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var o = 0
+    var pages = 0
+    while (o + 27 <= b.length && packets.length < maxPackets &&
+      pages < 64) {
+      if (!(b(o) == 'O' && b(o + 1) == 'g' && b(o + 2) == 'g' &&
+        b(o + 3) == 'S' && b(o + 4) == 0)) return packets.toSeq
+      pages += 1
+      val ns = b(o + 26) & 0xFF
+      if (o + 27 + ns > b.length) return packets.toSeq
+      val pageSerial = u32le(o + 14)
+      var body = o + 27 + ns
+      var i = 0
+      while (i < ns) {
+        val l = b(o + 27 + i) & 0xFF
+        if (body + l > b.length) return packets.toSeq
+        if (pageSerial == serial && cur.size + l <= (1 << 20)) {
+          cur.write(b, body, l)
+          if (l < 255 && packets.length < maxPackets) {
+            packets += cur.toByteArray
+            cur.reset()
+          }
+        }
+        body += l
+        i += 1
+      }
+      o = body
+    }
+    packets.toSeq
+  }
+
+  /** Unified text tags across the audio containers — the curation
+    * face that treats ID3v2 (MP3), Vorbis comments (Ogg Vorbis/Opus,
+    * native FLAC, Ogg-FLAC) as ONE keyspace: uppercase keys, sorted.
+    * ID3 frame ids map to their Vorbis names (TIT2→TITLE,
+    * TPE1→ARTIST, TALB→ALBUM, TDRC/TYER→DATE); other ID3 text frames
+    * keep their frame id. None when no tag structure exists.
+    */
+  def tags(bytes: Array[Byte]): Option[Seq[(String, String)]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val raw: Option[Seq[(String, String)]] =
+      if (isFlac(bytes)) flacTags(bytes)
+      else if (isOgg(bytes)) {
+        val ps = oggPackets(bytes, 3)
+        if (ps.isEmpty) None
+        else {
+          val head = ps.head
+          def str(p: Array[Byte], o: Int, s: String): Boolean =
+            o + s.length <= p.length &&
+              s.indices.forall(k => p(o + k) == s.charAt(k).toByte)
+          if (str(head, 0, "\u0001vorbis"))
+            ps.lift(1).filter(p => str(p, 0, "\u0003vorbis"))
+              .flatMap(p => vorbisComments(p, 7, p.length))
+          else if (str(head, 0, "OpusHead"))
+            ps.lift(1).filter(p => str(p, 0, "OpusTags"))
+              .flatMap(p => vorbisComments(p, 8, p.length))
+          else if (head.length >= 5 && (head(0) & 0xFF) == 0x7F &&
+            str(head, 1, "FLAC"))
+            // Ogg-FLAC: later packets are FLAC metadata blocks
+            ps.drop(1).flatMap { p =>
+              if (p.length >= 4 && (p(0) & 0x7F) == 4) {
+                val len = ((p(1) & 0xFF) << 16) | ((p(2) & 0xFF) << 8) |
+                  (p(3) & 0xFF)
+                if (4 + len <= p.length)
+                  vorbisComments(p, 4, 4 + len).toSeq.flatten
+                else Seq.empty
+              } else Seq.empty
+            } match {
+              case s if s.nonEmpty => Some(s)
+              case _               => None
+            }
+          else None
+        }
+      } else Id3.frames(bytes).map { fs =>
+        val names = Map("TIT2" -> "TITLE", "TPE1" -> "ARTIST",
+          "TALB" -> "ALBUM", "TDRC" -> "DATE", "TYER" -> "DATE",
+          "TT2" -> "TITLE", "TP1" -> "ARTIST", "TAL" -> "ALBUM")
+        fs.toSeq.map { case (k, v) => (names.getOrElse(k, k), v) }
+      }
+    raw.map(_.sortBy(t => (t._1, t._2)))
+  }
+
   def meta(bytes: Array[Byte]): Option[AudioMeta] =
     if (isRiffWave(bytes))
       info(bytes).map(w =>

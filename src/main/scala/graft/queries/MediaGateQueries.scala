@@ -193,6 +193,84 @@ object MediaGateQueries {
       .coalesce(1).write.mode("overwrite").parquet(m77Dir)
   }
 
+  // -- m87 fixture: unified audio TAGS — Vorbis comments (Ogg
+  //    Vorbis/Opus comment packets, native-FLAC block 4) and ID3v2
+  //    through ONE keyspace; payloads hand-authored per the published
+  //    layouts (Vorbis I §5, RFC 7845 §5.2, ID3v2.3). ---------------
+  private val m87Dir = "/tmp/graft_gate_m87_tags"
+
+  private def writeM87Fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    def comments(pairs: Seq[String]): Array[Byte] = {
+      val vendor = "graft fixture writer".getBytes("UTF-8")
+      le32(vendor.length) ++ vendor ++ le32(pairs.length) ++
+        pairs.flatMap { p =>
+          val b = p.getBytes("UTF-8"); (le32(b.length) ++ b).toSeq
+        }
+    }
+    val vorbisId = Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(0) ++ Array(2.toByte) ++ le32(44100) ++
+      le32(0) ++ le32(128000) ++ le32(0) ++
+      Array(0xB8.toByte, 1.toByte)
+    val vorbisTags = Array(3.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      comments(Seq("TITLE=Night Stream", "artist=Tag Writer"))
+    val vorbisOgg = oggPage(0x02, 0x3333L, 0, vorbisId) ++
+      oggPage(0x00, 0x3333L, 1, vorbisTags) ++
+      oggPage(0x04, 0x3333L, 2, Array.fill[Byte](20)(5), granule = 44100L)
+    val opusId = "OpusHead".getBytes("US-ASCII") ++
+      Array(1.toByte, 1.toByte) ++ le16(312) ++ le32(48000) ++
+      le16(0) ++ Array(0.toByte)
+    val opusTags = "OpusTags".getBytes("US-ASCII") ++
+      comments(Seq("TITLE=Podcast Nine", "ALBUM=Season One"))
+    val opusOgg = oggPage(0x02, 0x4444L, 0, opusId) ++
+      oggPage(0x00, 0x4444L, 1, opusTags) ++
+      oggPage(0x04, 0x4444L, 2, Array.fill[Byte](20)(6), granule = 48000L)
+    // native FLAC: STREAMINFO (not last) + VORBIS_COMMENT (last)
+    val flacTagged = {
+      val si = new Array[Byte](34)
+      si(0) = 0x10; si(2) = 0x10
+      si(10) = ((44100 >> 12) & 0xff).toByte
+      si(11) = ((44100 >> 4) & 0xff).toByte
+      si(12) = (((44100 & 0xf) << 4) | ((2 - 1) << 1)).toByte
+      si(13) = (((16 - 1) & 0xf) << 4).toByte
+      val cm = comments(Seq("TITLE=Lossless Cut", "DATE=2024"))
+      "fLaC".getBytes("US-ASCII") ++
+        Array(0x00.toByte, 0.toByte, 0.toByte, 34.toByte) ++ si ++
+        Array(0x84.toByte, ((cm.length >> 16) & 0xff).toByte,
+          ((cm.length >> 8) & 0xff).toByte, (cm.length & 0xff).toByte) ++
+        cm
+    }
+    // ID3v2.3-tagged MP3 (the m58 builder arithmetic)
+    def syncsafe(v: Int): Array[Byte] =
+      Array(((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+        ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    def u32be(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def frame(id: String, text: String): Array[Byte] = {
+      val body = 0.toByte +: text.getBytes("ISO-8859-1")
+      id.getBytes("ISO-8859-1") ++ u32be(body.length) ++
+        Array[Byte](0, 0) ++ body
+    }
+    val frames = frame("TIT2", "Tape Deck") ++ frame("TPE1", "The Band")
+    val mp3Tagged = "ID3".getBytes ++
+      Array(3.toByte, 0.toByte, 0.toByte) ++
+      syncsafe(frames.length) ++ frames ++
+      (0 until 4).map(_ => mp3Frame(9, 0, mono = false)).reduce(_ ++ _)
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      (0L, vorbisOgg, "ARTIST=Tag Writer|TITLE=Night Stream"),
+      (1L, opusOgg, "ALBUM=Season One|TITLE=Podcast Nine"),
+      (2L, flacTagged, "DATE=2024|TITLE=Lossless Cut"),
+      (3L, mp3Tagged, "ARTIST=The Band|TITLE=Tape Deck"),
+      (4L, "no audio tags here at all".getBytes("UTF-8"), "<none>"))
+    s.createDataset(rows).toDF("audio_id", "payload", "exp_tags")
+      .coalesce(1).write.mode("overwrite").parquet(m87Dir)
+    ()
+  }
+
   // -- m81 fixture: M4A (audio-in-MP4, the podcast class) inventory —
   //    independent ISO-BMFF boxes via the HeifFixture writers; AAC/
   //    ALAC decode stays a recorded skip. --------------------------
@@ -3028,6 +3106,23 @@ object MediaGateQueries {
         .orderBy("doc_id")
     },
 
+    // -- m87: unified audio tags — ID3v2 and every Vorbis-comment
+    //    carrier (Ogg Vorbis/Opus, native FLAC) through ONE
+    //    normalized keyspace (uppercase keys, sorted), so curation
+    //    buckets by ARTIST/TITLE regardless of container. -----------
+    "m87_audio_tags" -> { (s, _) =>
+      writeM87Fixture(s)
+      import graft.engine.validate.AudioProbe
+      val t = udf { (b: Array[Byte]) =>
+        AudioProbe.tags(b)
+          .map(_.map { case (k, v) => s"$k=$v" }.mkString("|"))
+          .getOrElse("<none>")
+      }
+      s.read.parquet(m87Dir)
+        .select(col("audio_id"), t(col("payload")).as("tags"))
+        .orderBy("audio_id")
+    },
+
     // -- m58: ID3v2 tags + signal inventory on one payload — declared
     //    audio metadata (the document_title story for sound) beside
     //    the m29 frame walk; hand-derived literals. ------------------
@@ -3807,6 +3902,10 @@ object MediaGateQueries {
       s"""SELECT audio_id, exp_title AS title, exp_artist AS artist,
          |  exp_album AS album, exp_date AS date, exp_frames AS n_frames
          |FROM read_parquet('$m58Dir/*.parquet')
+         |ORDER BY audio_id""".stripMargin,
+    "m87_audio_tags" ->
+      s"""SELECT audio_id, exp_tags AS tags
+         |FROM read_parquet('$m87Dir/*.parquet')
          |ORDER BY audio_id""".stripMargin,
     // Hand-derived: the tar copy wins (min key '1tar:doc.rtf'); the
     // distinct scanned docx stays.

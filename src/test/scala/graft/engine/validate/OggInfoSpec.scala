@@ -148,4 +148,71 @@ class OggInfoSpec extends AnyFunSuite {
     for (cut <- 0 to v.length by 3)
       AudioProbe.oggInfo(java.util.Arrays.copyOfRange(v, 0, cut))
   }
+
+  // ---- unified tags -----------------------------------------------
+
+  private def comments(pairs: Seq[String]): Array[Byte] = {
+    val vendor = "spec writer".getBytes("UTF-8")
+    le32(vendor.length) ++ vendor ++ le32(pairs.length) ++
+      pairs.flatMap { p =>
+        val b = p.getBytes("UTF-8"); (le32(b.length) ++ b).toSeq
+      }
+  }
+
+  test("tags: vorbis comment packet normalizes keys; a comment " +
+    "packet spanning lacing segments assembles; = in values survives") {
+    val tagsPkt = Array(3.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      comments(Seq("title=A=B Song", "Artist=Someone",
+        "novaluehere", "ALBUM=Third"))
+    val ogg = page(0x02, 0x77L, 0, 0, vorbisId(2, 44100)) ++
+      page(0x00, 0x77L, 1, 0, tagsPkt) ++
+      page(0x04, 0x77L, 2, 44100L, Array.fill[Byte](10)(1))
+    val got = AudioProbe.tags(ogg).get
+    assert(got == Seq("ALBUM" -> "Third", "ARTIST" -> "Someone",
+      "TITLE" -> "A=B Song"))
+    // a 600-byte comment packet crosses the 255-lacing boundary
+    val bigVal = "x" * 550
+    val bigPkt = Array(3.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      comments(Seq(s"TITLE=$bigVal"))
+    val ogg2 = page(0x02, 0x78L, 0, 0, vorbisId(2, 44100)) ++
+      page(0x00, 0x78L, 1, 0, bigPkt)
+    assert(AudioProbe.tags(ogg2).get == Seq("TITLE" -> bigVal))
+  }
+
+  test("tags: OpusTags, native FLAC block 4, and ID3 map into the " +
+    "same keyspace") {
+    val opusOgg = page(0x02, 0x79L, 0, 0, opusHead(1, 0)) ++
+      page(0x00, 0x79L, 1, 0, "OpusTags".getBytes("US-ASCII") ++
+        comments(Seq("TITLE=Opus Cast")))
+    assert(AudioProbe.tags(opusOgg).get == Seq("TITLE" -> "Opus Cast"))
+    val cm = comments(Seq("DATE=2023", "TITLE=Flac Take"))
+    val flac = "fLaC".getBytes("US-ASCII") ++
+      Array(0x84.toByte, ((cm.length >> 16) & 0xff).toByte,
+        ((cm.length >> 8) & 0xff).toByte, (cm.length & 0xff).toByte) ++ cm
+    assert(AudioProbe.tags(flac).get ==
+      Seq("DATE" -> "2023", "TITLE" -> "Flac Take"))
+    assert(AudioProbe.tags("plain words".getBytes).isEmpty)
+    assert(AudioProbe.tags(null).isEmpty)
+  }
+
+  test("tags: hostile comment structures refuse without throwing") {
+    // lying vendor length
+    val bad = Array(3.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(0x7FFFFFFFL) ++ "x".getBytes
+    val ogg = page(0x02, 0x80L, 0, 0, vorbisId(2, 44100)) ++
+      page(0x00, 0x80L, 1, 0, bad)
+    assert(AudioProbe.tags(ogg).isEmpty)
+    // huge comment count refuses
+    val badCount = Array(3.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(1) ++ "v".getBytes ++ le32(100000L)
+    val ogg2 = page(0x02, 0x81L, 0, 0, vorbisId(2, 44100)) ++
+      page(0x00, 0x81L, 1, 0, badCount)
+    assert(AudioProbe.tags(ogg2).isEmpty)
+    // every prefix of a tagged stream parses without throwing
+    val good = page(0x02, 0x82L, 0, 0, vorbisId(2, 44100)) ++
+      page(0x00, 0x82L, 1, 0, Array(3.toByte) ++
+        "vorbis".getBytes("US-ASCII") ++ comments(Seq("TITLE=T")))
+    for (cut <- 0 to good.length)
+      AudioProbe.tags(java.util.Arrays.copyOfRange(good, 0, cut))
+  }
 }
