@@ -13,10 +13,14 @@ package graft.engine.read
   *  - Avro object container: exact record count from the block
   *    headers (each block declares its record count, so counting
   *    skips codec decode entirely; triangulated against the
-  *    org.apache.avro writer on Spark's own classpath)
-  *  - parquet / ORC / Arrow IPC: header-only (footers are
-  *    Thrift/flatbuffer-encoded; their row decode belongs to
-  *    spark.read — recorded in COVERAGE.md)
+  *    org.apache.avro writer on Spark's own classpath) + the record
+  *    fields from the embedded schema
+  *  - parquet: row count + top-level columns via parquet-mr's footer
+  *    read over an in-memory InputFile (Spark's own classpath)
+  *  - ORC: `numberOfRows` + root-struct columns from a from-spec
+  *    PostScript/footer protobuf walk (chunk de-framing,
+  *    none/zlib/snappy/zstd codecs)
+  *  - Arrow IPC file: record count + schema fields via arrow-vector
   *
   * Crawl posture throughout: every read is bounds-checked; hostile
   * or truncated structures end the walk with None, never a throw.
@@ -385,6 +389,30 @@ object DataFiles {
     } catch { case _: Exception | _: NoClassDefFoundError => None }
   }
 
+  /** Top-level parquet columns `(name, primitiveTypeName | "group")`
+    * from the footer schema.
+    */
+  def parquetColumns(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1'))
+      return None
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new BytesInputFile(b))
+      try {
+        val schema = r.getFileMetaData.getSchema
+        Some(schema.getFields.toArray.toSeq.collect {
+          case f: org.apache.parquet.schema.Type =>
+            val t =
+              if (f.isPrimitive) f.asPrimitiveType()
+                .getPrimitiveTypeName.name.toLowerCase(java.util.Locale.ROOT)
+              else "group"
+            (f.getName, t)
+        })
+      } finally r.close()
+    } catch { case _: Exception | _: NoClassDefFoundError => None }
+  }
+
   // ---- ORC ---------------------------------------------------------
 
   /** Exact ORC row count from the file footer's `numberOfRows`
@@ -395,49 +423,59 @@ object DataFiles {
     * deflate/snappy/zstd/none blocks) and the varint walk pulls the
     * one field. Stripe data is never touched.
     */
-  def orcRowCount(b: Array[Byte]): Option[Long] = {
+  def orcRowCount(b: Array[Byte]): Option[Long] =
+    orcFooter(b).flatMap(f => fields(f).flatMap(_.get(6)))
+      .filter(_ >= 0)
+
+  /** First-scalar protobuf field map (varint fields only; length-
+    * delimited fields are skipped) — the PostScript/Footer walk.
+    */
+  private def fields(buf: Array[Byte]): Option[Map[Int, Long]] = {
+    var o = 0
+    var out = Map.empty[Int, Long]
+    def varint(): Long = {
+      var v = 0L; var sh = 0
+      while (o < buf.length) {
+        val x = buf(o) & 0xff; o += 1
+        v |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) return v
+        sh += 7
+        if (sh > 63) return -1L
+      }
+      -1L
+    }
+    while (o < buf.length) {
+      val key = varint()
+      if (key < 0) return Some(out)
+      val field = (key >> 3).toInt
+      val wire = (key & 7).toInt
+      wire match {
+        case 0 =>
+          val v = varint(); if (v < 0) return Some(out)
+          if (!out.contains(field)) out += field -> v
+        case 2 =>
+          val len = varint()
+          if (len < 0 || o + len > buf.length) return Some(out)
+          o += len.toInt
+        case 5 => o += 4
+        case 1 => o += 8
+        case _ => return Some(out)
+      }
+    }
+    Some(out)
+  }
+
+  /** The decompressed ORC file footer (PostScript-declared length and
+    * codec, chunk de-framing) — shared by the row count and the
+    * column inventory.
+    */
+  private def orcFooter(b: Array[Byte]): Option[Array[Byte]] = {
     if (b == null || b.length < 16) return None
     if (!(b(0) == 'O' && b(1) == 'R' && b(2) == 'C')) return None
     val n = b.length
     val psLen = b(n - 1) & 0xff
     if (psLen <= 0 || psLen > 256 || n - 1 - psLen < 3) return None
     val ps = java.util.Arrays.copyOfRange(b, n - 1 - psLen, n - 1)
-    // protobuf varint walk of PostScript: footerLength=1,
-    // compression=2 (0 NONE, 1 ZLIB, 2 SNAPPY, 3 LZO, 4 LZ4, 5 ZSTD)
-    def fields(buf: Array[Byte]): Option[Map[Int, Long]] = {
-      var o = 0
-      var out = Map.empty[Int, Long]
-      def varint(): Long = {
-        var v = 0L; var sh = 0
-        while (o < buf.length) {
-          val x = buf(o) & 0xff; o += 1
-          v |= (x & 0x7fL) << sh
-          if ((x & 0x80) == 0) return v
-          sh += 7
-          if (sh > 63) return -1L
-        }
-        -1L
-      }
-      while (o < buf.length) {
-        val key = varint()
-        if (key < 0) return Some(out)
-        val field = (key >> 3).toInt
-        val wire = (key & 7).toInt
-        wire match {
-          case 0 =>
-            val v = varint(); if (v < 0) return Some(out)
-            if (!out.contains(field)) out += field -> v
-          case 2 =>
-            val len = varint()
-            if (len < 0 || o + len > buf.length) return Some(out)
-            o += len.toInt
-          case 5 => o += 4
-          case 1 => o += 8
-          case _ => return Some(out)
-        }
-      }
-      Some(out)
-    }
     val psf = fields(ps).getOrElse(return None)
     val footerLen = psf.getOrElse(1, -1L)
     val codec = psf.getOrElse(2, 0L).toInt
@@ -484,9 +522,98 @@ object DataFiles {
         } catch { case _: Exception => return None }
         out.toByteArray
       }
-    // Footer protobuf: numberOfRows = field 6
-    fields(footer).flatMap(_.get(6)).filter(_ >= 0)
+    Some(footer)
   }
+
+  /** All records of a protobuf message: `(fieldNo, Left(varint) |
+    * Right(bytes))` — the general sibling of the first-scalar map
+    * used for the row count; bounded, never throws.
+    */
+  private def pbRecords(buf: Array[Byte])
+  : Seq[(Int, Either[Long, Array[Byte]])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Either[Long, Array[Byte]])]
+    var o = 0
+    def varint(): Long = {
+      var v = 0L; var sh = 0
+      while (o < buf.length) {
+        val x = buf(o) & 0xff; o += 1
+        v |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) return v
+        sh += 7
+        if (sh > 63) return -1L
+      }
+      -1L
+    }
+    var guard = 0
+    while (o < buf.length && guard < (1 << 16)) {
+      guard += 1
+      val key = varint()
+      if (key < 0) return out.toSeq
+      val field = (key >> 3).toInt
+      (key & 7).toInt match {
+        case 0 =>
+          val v = varint(); if (v < 0) return out.toSeq
+          out += field -> Left(v)
+        case 2 =>
+          val len = varint()
+          if (len < 0 || len > buf.length || o + len > buf.length)
+            return out.toSeq
+          out += field -> Right(
+            java.util.Arrays.copyOfRange(buf, o, o + len.toInt))
+          o += len.toInt
+        case 5 => o += 4
+        case 1 => o += 8
+        case _ => return out.toSeq
+      }
+    }
+    out.toSeq
+  }
+
+  private val OrcKinds = Array("boolean", "byte", "short", "int",
+    "long", "float", "double", "string", "date", "timestamp", "binary",
+    "decimal", "varchar", "char", "list", "map", "struct", "union",
+    "timestamp_instant")
+
+  /** Top-level ORC columns from the footer's Type list (protobuf
+    * field 4): the root struct's fieldNames (field 3) paired with
+    * each subtype's kind (field 1; subtypes field 2, packed or
+    * repeated).
+    */
+  def orcColumns(b: Array[Byte]): Option[Seq[(String, String)]] =
+    orcFooter(b).flatMap { footer =>
+      val types = pbRecords(footer).collect {
+        case (4, Right(msg)) => pbRecords(msg)
+      }
+      if (types.isEmpty) return None
+      val root = types.head
+      val kindOf: Int => String = i =>
+        if (i < 0 || i >= types.length) "?"
+        else types(i).collectFirst { case (1, Left(k))
+          if k >= 0 && k < OrcKinds.length => OrcKinds(k.toInt)
+        }.getOrElse("?")
+      val names = root.collect { case (3, Right(s)) =>
+        new String(s, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val subtypes: Seq[Int] = {
+        val packed = root.collect { case (2, Right(p)) => p }
+        if (packed.nonEmpty)
+          packed.flatMap { p =>
+            val vals = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var o = 0
+            var v = 0L; var sh = 0
+            while (o < p.length) {
+              val x = p(o) & 0xff; o += 1
+              v |= (x & 0x7fL) << sh; sh += 7
+              if ((x & 0x80) == 0) { vals += v.toInt; v = 0L; sh = 0 }
+            }
+            vals.toSeq
+          }
+        else root.collect { case (2, Left(v)) => v.toInt }
+      }
+      if (names.isEmpty || names.length != subtypes.length) None
+      else Some(names.zip(subtypes.map(kindOf)))
+    }
 
   // ---- Arrow IPC file ---------------------------------------------
 
@@ -518,8 +645,68 @@ object DataFiles {
     }
   }
 
+  /** Top-level Avro record fields from the container's embedded
+    * schema (`avro.schema` header metadata, read via the avro library
+    * on Spark's classpath).
+    */
+  def avroColumns(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    if (b == null || b.length < 32) return None
+    if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1))
+      return None
+    var in: org.apache.avro.file.DataFileStream[AnyRef] = null
+    try {
+      in = new org.apache.avro.file.DataFileStream(
+        new java.io.ByteArrayInputStream(b),
+        new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+      val schema = in.getSchema
+      if (schema.getType != org.apache.avro.Schema.Type.RECORD) None
+      else Some(schema.getFields.toArray.toSeq.collect {
+        case f: org.apache.avro.Schema.Field =>
+          (f.name(), f.schema().getType.getName
+            .toLowerCase(java.util.Locale.ROOT))
+      })
+    } catch { case _: Exception | _: NoClassDefFoundError => None }
+    finally {
+      if (in != null) { try in.close() catch { case _: Exception => () } }
+    }
+  }
+
+  /** Arrow IPC-file schema fields `(name, typeId)`. */
+  def arrowColumns(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'A' && b(1) == 'R' && b(2) == 'R' && b(3) == 'O' &&
+      b(4) == 'W' && b(5) == '1')) return None
+    var alloc: org.apache.arrow.memory.RootAllocator = null
+    var reader: org.apache.arrow.vector.ipc.ArrowFileReader = null
+    try {
+      alloc = new org.apache.arrow.memory.RootAllocator(64L << 20)
+      reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new org.apache.arrow.vector.ipc.SeekableReadChannel(
+          new org.apache.arrow.vector.util
+            .ByteArrayReadableSeekableByteChannel(b)), alloc)
+      val schema = reader.getVectorSchemaRoot.getSchema
+      Some(schema.getFields.toArray.toSeq.collect {
+        case f: org.apache.arrow.vector.types.pojo.Field =>
+          (f.getName, f.getType.getTypeID.name()
+            .toLowerCase(java.util.Locale.ROOT))
+      })
+    } catch {
+      case _: Exception | _: NoClassDefFoundError => None
+    } finally {
+      if (reader != null) { try reader.close() catch { case _: Exception => () } }
+      if (alloc != null) { try alloc.close() catch { case _: Exception => () } }
+    }
+  }
+
+  private def colsSuffix(cols: Option[Seq[(String, String)]]): String =
+    cols.filter(_.nonEmpty).map(cs =>
+      " cols=" + cs.take(64).map { case (n, t) => s"$n:$t" }
+        .mkString(",")).getOrElse("")
+
   /** One-line inventory detail per data-file format (the m42/m84
-    * surface): stable, sorted, human- and oracle-readable.
+    * surface): stable, sorted, human- and oracle-readable. Row/record
+    * counts never decode data; column lists come from the embedded
+    * schemas (capped at 64).
     */
   def inventory(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 8) return None
@@ -529,9 +716,13 @@ object DataFiles {
       s"dtype=${n.dtype} shape=${n.shape.mkString("x")}" +
         s" fortran=${n.fortranOrder}"
     }).orElse(hdf5SuperblockVersion(bytes).map(v => s"superblock=v$v"))
-      .orElse(avroRecordCount(bytes).map(c => s"records=$c"))
-      .orElse(parquetRowCount(bytes).map(c => s"records=$c"))
-      .orElse(orcRowCount(bytes).map(c => s"records=$c"))
-      .orElse(arrowRecordCount(bytes).map(c => s"records=$c"))
+      .orElse(avroRecordCount(bytes).map(c =>
+        s"records=$c" + colsSuffix(avroColumns(bytes))))
+      .orElse(parquetRowCount(bytes).map(c =>
+        s"records=$c" + colsSuffix(parquetColumns(bytes))))
+      .orElse(orcRowCount(bytes).map(c =>
+        s"records=$c" + colsSuffix(orcColumns(bytes))))
+      .orElse(arrowRecordCount(bytes).map(c =>
+        s"records=$c" + colsSuffix(arrowColumns(bytes))))
   }
 }

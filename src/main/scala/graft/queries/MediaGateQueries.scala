@@ -990,10 +990,10 @@ object MediaGateQueries {
       (1L, slurp(s"$src/m.npy"), "npy",
         "dtype=<f4 shape=2x3 fortran=false"),
       (2L, hdf5, "hdf5", "superblock=v0"),
-      (3L, avroBytes, "avro", "records=5"),
-      (4L, sparkFile("parquet"), "parquet", "records=3"),
-      (5L, sparkFile("orc"), "orc", "records=3"),
-      (6L, arrowBytes, "arrow", "records=4"),
+      (3L, avroBytes, "avro", "records=5 cols=s:string"),
+      (4L, sparkFile("parquet"), "parquet", "records=3 cols=n:int64"),
+      (5L, sparkFile("orc"), "orc", "records=3 cols=n:long"),
+      (6L, arrowBytes, "arrow", "records=4 cols=v:int"),
       (7L, tornArrow, "arrow", "header-only"),
       (100L, Array[Byte](0x01, 0x02, 0x03, 0x7f, 0x00, 0x04),
         "<unknown>", "none"))

@@ -130,7 +130,8 @@ class DataFilesSpec extends AnyFunSuite {
          |""".stripMargin)
     val b7 = slurp(s"$dir/t7.parquet")
     assert(DataFiles.parquetRowCount(b7).contains(7L))
-    assert(DataFiles.inventory(b7).contains("records=7"))
+    assert(DataFiles.inventory(b7)
+      .contains("records=7 cols=a:int64,b:binary"))
     assert(DataFiles.parquetRowCount(slurp(s"$dir/t0.parquet"))
       .contains(0L))
     (0 to b7.length by 13).foreach(n => DataFiles.parquetRowCount(b7.take(n)))
@@ -149,7 +150,8 @@ class DataFilesSpec extends AnyFunSuite {
     for (c <- Seq("uncompressed", "zlib", "snappy", "zstd")) {
       val b = slurp(s"$dir/$c.orc")
       assert(DataFiles.orcRowCount(b).contains(123L), s"codec $c")
-      assert(DataFiles.inventory(b).contains("records=123"), s"codec $c")
+      assert(DataFiles.inventory(b)
+        .contains("records=123 cols=a:long,b:string"), s"codec $c")
     }
     val b = slurp(s"$dir/zlib.orc")
     (0 to b.length by 11).foreach(n => DataFiles.orcRowCount(b.take(n)))
@@ -171,7 +173,7 @@ class DataFilesSpec extends AnyFunSuite {
          |""".stripMargin)
     val b = slurp(s"$dir/m.arrow")
     assert(DataFiles.arrowRecordCount(b).contains(12L))
-    assert(DataFiles.inventory(b).contains("records=12"))
+    assert(DataFiles.inventory(b).contains("records=12 cols=a:int"))
     (0 to b.length by 23).foreach(n => DataFiles.arrowRecordCount(b.take(n)))
     assert(DataFiles.arrowRecordCount(
       ("ARROW1" + "   torn").getBytes("ISO-8859-1")).isEmpty)
@@ -204,7 +206,8 @@ class DataFilesSpec extends AnyFunSuite {
     }
     val plain = container("null", Seq(3, 4, 2))
     assert(DataFiles.avroRecordCount(plain).contains(9L))
-    assert(DataFiles.inventory(plain).contains("records=9"))
+    assert(DataFiles.inventory(plain)
+      .contains("records=9 cols=s:string"))
     val deflated = container("deflate", Seq(5, 1))
     assert(DataFiles.avroRecordCount(deflated).contains(6L))
     val empty = container("null", Seq.empty)
