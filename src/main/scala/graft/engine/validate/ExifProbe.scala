@@ -277,6 +277,11 @@ object ExifProbe {
         ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
           (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)))
       return Some(0)
+    // HEIC/AVIF: the Exif rides as a meta-box ITEM (iinf type `Exif`
+    // + iloc extent) — resolve through the Heif walk so the phone
+    // format's orientation/GPS surfaces (and stripGps's in-place
+    // zeroing works untouched: item offsets never move)
+    if (Heif.isHeif(b)) return Heif.exifTiffOffset(b)
     if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None // not JPEG
     var p = 2
     while (p + 4 <= b.length) {

@@ -59,6 +59,110 @@ object Heif {
     hits.toSeq
   }
 
+  /** Absolute offset of the TIFF header inside the container's Exif
+    * item (ISO 23008-12 §A.2.1: `iinf` names an item of type `Exif`,
+    * `iloc` locates its extent, and the payload leads with a u32
+    * `exif_tiff_header_offset`). This is how a phone HEIC carries
+    * orientation and GPS — [[ExifProbe]] resolves it through here, so
+    * the image-PII inventory/redaction story covers the dominant
+    * phone format, not just JPEG. None when no parseable Exif item
+    * exists (construction methods other than file-offset refuse).
+    */
+  def exifTiffOffset(bytes: Array[Byte]): Option[Int] = {
+    if (!isHeif(bytes)) return None
+    try {
+      val (ms0, me) = findBox(bytes, 0, bytes.length.toLong, "meta")
+        .getOrElse(return None)
+      if (me - ms0 < 4) return None
+      val ms = ms0 + 4
+      // iinf → the Exif item's ID
+      val exifId: Long = findBox(bytes, ms, me, "iinf").flatMap {
+        case (s, e) =>
+          if (e - s < 6) None
+          else {
+            val version = bytes(s.toInt) & 0xFF
+            val off = if (version == 0) s + 6 else s + 8
+            var found: Option[Long] = None
+            walkBoxes(bytes, off, e) { (t, ps, pe) =>
+              if (t == "infe" && found.isEmpty && pe - ps >= 12) {
+                val ver = bytes(ps.toInt) & 0xFF
+                if (ver == 2 && tag(bytes, ps.toInt + 8) == "Exif")
+                  found = Some(u16be(bytes, ps.toInt + 4).toLong)
+                else if (ver == 3 && pe - ps >= 14 &&
+                  tag(bytes, ps.toInt + 10) == "Exif")
+                  found = Some(u32be(bytes, ps.toInt + 4))
+              }
+            }
+            found
+          }
+      }.getOrElse(return None)
+      // iloc → that item's first extent (file-offset construction)
+      val (ils, ile) = findBox(bytes, ms, me, "iloc")
+        .getOrElse(return None)
+      if (ile - ils < 8) return None
+      val ver = bytes(ils.toInt) & 0xFF
+      var off = ils + 4
+      def u8(): Int = {
+        if (off + 1 > ile) return -1
+        val v = bytes(off.toInt) & 0xFF; off += 1; v
+      }
+      def u16(): Int = {
+        if (off + 2 > ile) return -1
+        val v = u16be(bytes, off.toInt); off += 2; v
+      }
+      def u32(): Long = {
+        if (off + 4 > ile) return -1L
+        val v = u32be(bytes, off.toInt); off += 4; v
+      }
+      def readN(n: Int): Long = n match {
+        case 0 => 0L
+        case 4 => u32()
+        case 8 => val hi = u32(); val lo = u32()
+          if (hi < 0 || lo < 0) -1L else (hi << 32) | lo
+        case _ => -1L
+      }
+      val b1 = u8(); val b2 = u8()
+      if (b1 < 0 || b2 < 0) return None
+      val offsetSize = b1 >> 4
+      val lengthSize = b1 & 0xF
+      val baseOffsetSize = b2 >> 4
+      val indexSize = if (ver >= 1) b2 & 0xF else 0
+      val count = if (ver < 2) u16().toLong else u32()
+      if (count < 0 || count > 4096) return None
+      var i = 0L
+      while (i < count) {
+        val itemId = if (ver < 2) u16().toLong else u32()
+        val method = if (ver >= 1) { val m = u16(); m & 0xF } else 0
+        val dri = u16()
+        if (itemId < 0 || dri < 0) return None
+        val baseOffset = readN(baseOffsetSize)
+        val extents = u16()
+        if (baseOffset < 0 || extents < 0 || extents > 256) return None
+        var e0: Long = -1
+        var j = 0
+        while (j < extents) {
+          if (indexSize > 0) readN(indexSize)
+          val eo = readN(offsetSize)
+          val el = readN(lengthSize)
+          if (eo < 0 || el < 0) return None
+          if (j == 0) e0 = baseOffset + eo
+          j += 1
+        }
+        if (itemId == exifId) {
+          if (method != 0 || e0 < 0) return None
+          if (e0 + 8 > bytes.length || e0 > Int.MaxValue) return None
+          val tiffOff = u32be(bytes, e0.toInt)
+          val abs = e0 + 4 + tiffOff
+          if (tiffOff < 0 || abs + 8 > bytes.length ||
+            abs > Int.MaxValue) return None
+          return Some(abs.toInt)
+        }
+        i += 1
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
   /** Format + the PRIMARY item's spatial extents; None when the
     * payload is not HEIF or its metadata cannot be walked.
     */

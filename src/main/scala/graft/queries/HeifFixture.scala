@@ -75,4 +75,41 @@ object HeifFixture {
       fullBox("meta", 0, 0, metaKids.flatten.toArray) ++
       box("mdat", Array[Byte](9, 9, 9, 9))
   }
+
+  /** [[heif]] plus an `Exif` ITEM (23008-12 §A.2.1): `iinf` names it,
+    * `iloc` (v0, file-offset construction) points at the payload in
+    * `mdat`, and the payload leads with the u32
+    * `exif_tiff_header_offset` over `exifPrefix ++ tiff`. Two-pass
+    * build: box sizes are offset-independent, so the second pass
+    * patches the real extent offset in.
+    */
+  def heifWithExif(major: String, compat: Seq[String],
+                   primary: Option[Int], props: Seq[Array[Byte]],
+                   assoc: Seq[(Int, Seq[Int])], tiff: Array[Byte],
+                   exifPrefix: Array[Byte] =
+                     "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0),
+                   exifItemId: Int = 7): Array[Byte] = {
+    val payload = be32(exifPrefix.length.toLong) ++ exifPrefix ++ tiff
+    def metaOf(extentOff: Long): Array[Byte] = {
+      val iinf = fullBox("iinf", 0, 0, be16(1),
+        fullBox("infe", 2, 0, be16(exifItemId), be16(0),
+          fourcc("Exif"), Array[Byte](0)))
+      val iloc = fullBox("iloc", 0, 0,
+        Array[Byte](0x44.toByte, 0x00), // offset/length 4B, base 0B
+        be16(1),                        // item_count
+        be16(exifItemId), be16(0),      // item_ID, data_ref_index
+        be16(1),                        // extent_count
+        be32(extentOff), be32(payload.length.toLong))
+      val iprp = box("iprp",
+        box("ipco", props.flatten.toArray),
+        ipma(assoc))
+      val kids = Seq(hdlr) ++ primary.map(pitm).toSeq ++
+        Seq(iinf, iloc, iprp)
+      fullBox("meta", 0, 0, kids.flatten.toArray)
+    }
+    val ft = ftyp(major, compat)
+    val metaLen = metaOf(0).length
+    val extentOff = ft.length + metaLen + 8L // into mdat's payload
+    ft ++ metaOf(extentOff) ++ box("mdat", payload, Array[Byte](9, 9))
+  }
 }

@@ -401,7 +401,14 @@ object MultimodalQueries {
           Some((1000L, 100L, 1)))),
         uDeg(lat0), uDeg(lon0), -1000L, 1),
       (3L, jpegRamp(9, 8), NoV, NoV, NoV, 1),       // no GPS: identity
-      (4L, "not an image".getBytes("UTF-8"), NoV, NoV, NoV, 1))
+      (4L, "not an image".getBytes("UTF-8"), NoV, NoV, NoV, 1),
+      // the dominant phone format: GPS rides as a HEIF Exif ITEM
+      // (iinf/iloc) and redacts in place like its JPEG siblings
+      (5L, graft.queries.HeifFixture.heifWithExif("heic", Seq("mif1"),
+        Some(1), Seq(graft.queries.HeifFixture.codecConfig("hvcC"),
+          graft.queries.HeifFixture.ispe(4032, 3024)),
+        Seq(1 -> Seq(1, 2)), tiff = sf),
+        uDeg(lat0), uDeg(lon0), -1000L, 1))
     s.createDataset(rows).toDF("img_id", "payload", "exp_lat_u",
         "exp_lon_u", "exp_alt_c", "exp_strip_ok")
       .coalesce(1).write.mode("overwrite").parquet(m82Dir)

@@ -210,6 +210,44 @@ class ExifProbeSpec extends AnyFunSuite {
     assert(h1.isDefined && h1 == h2)
   }
 
+  test("HEIC Exif item: orientation + GPS resolve through the iinf/" +
+    "iloc walk; stripGps redacts in place; both payload offsets") {
+    import graft.queries.HeifFixture
+    for ((prefix, pname) <- Seq(
+      ("Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0), "Exif00"),
+      (Array.emptyByteArray, "bare"))) {
+      val heic = HeifFixture.heifWithExif("heic", Seq("mif1"), Some(1),
+        Seq(HeifFixture.codecConfig("hvcC"), HeifFixture.ispe(640, 480)),
+        Seq(1 -> Seq(1, 2)), tiff = gpsTiff(little = true),
+        exifPrefix = prefix)
+      assert(ExifProbe.info(heic).exists(_.orientation.contains(6)),
+        s"$pname: orientation")
+      val g = ExifProbe.gps(heic)
+      assert(g.isDefined && math.abs(g.get.lat - expLat) < 1e-9,
+        s"$pname: gps")
+      // the probe's own meta still reads (dimensions undisturbed)
+      assert(Heif.meta(heic).exists(m =>
+        m.format == "heic" && m.width == 640))
+      val stripped = ExifProbe.stripGps(heic)
+      assert(stripped.length == heic.length)
+      assert(ExifProbe.gps(stripped).isEmpty, s"$pname: strip")
+      assert(ExifProbe.info(stripped).exists(_.orientation.contains(6)))
+      assert(Heif.meta(stripped).exists(_.width == 640))
+    }
+    // a HEIC without an Exif item stays None / pass-through
+    val plain = HeifFixture.heif("heic", Seq("mif1"), Some(1),
+      Seq(HeifFixture.ispe(64, 64)), Seq(1 -> Seq(1)))
+    assert(ExifProbe.gps(plain).isEmpty)
+    assert(ExifProbe.stripGps(plain) eq plain)
+    // every-prefix fuzz over the item-carrying container
+    val full = HeifFixture.heifWithExif("heic", Seq("mif1"), Some(1),
+      Seq(HeifFixture.ispe(8, 8)), Seq(1 -> Seq(1)),
+      tiff = gpsTiff(little = false))
+    (0 to full.length).foreach { n =>
+      ExifProbe.gps(full.take(n)); ExifProbe.stripGps(full.take(n))
+    }
+  }
+
   test("hostile GPS structures never throw: lying pointers, huge " +
     "counts, zero denominators, every-prefix fuzz") {
     val base = gpsTiff(little = true)
