@@ -55,6 +55,59 @@ object ExifProbe {
     tiffStart(bytes).flatMap { t => parseGps(bytes, t) }
   }
 
+  /** TIFF-header offset inside a PNG's `eXIf` chunk data. */
+  private def pngExifStart(b: Array[Byte]): Option[Int] =
+    pngChunkRange(b).map(_._1)
+
+  /** The PNG `eXIf` chunk: `(dataStart, dataLen, chunkTypeOffset)` —
+    * the type offset feeds the post-strip CRC rewrite (PNG chunks are
+    * CRC32-guarded over type+data, so in-place zeroing must re-seal).
+    */
+  private def pngChunkRange(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    var o = 8
+    var guard = 0
+    while (o + 12 <= b.length && guard < 4096) {
+      guard += 1
+      val len = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      if (len < 0 || len > Int.MaxValue - 12 ||
+        o + 12 + len > b.length) return None
+      if (b(o + 4) == 'e' && b(o + 5) == 'X' && b(o + 6) == 'I' &&
+        b(o + 7) == 'f')
+        return Some((o + 8, len.toInt, o + 4))
+      if (b(o + 4) == 'I' && b(o + 5) == 'E' && b(o + 6) == 'N' &&
+        b(o + 7) == 'D') return None
+      o += 12 + len.toInt
+    }
+    None
+  }
+
+  /** TIFF-header offset inside a WebP's `EXIF` chunk: RIFF chunk walk
+    * (fourcc + LE size, even-padded); some writers lead the data with
+    * the JPEG-style `Exif` + two NULs prefix — skip it when present.
+    */
+  private def webpExifStart(b: Array[Byte]): Option[Int] = {
+    var o = 12
+    var guard = 0
+    while (o + 8 <= b.length && guard < 4096) {
+      guard += 1
+      val size = (b(o + 4) & 0xffL) | ((b(o + 5) & 0xffL) << 8) |
+        ((b(o + 6) & 0xffL) << 16) | ((b(o + 7) & 0xffL) << 24)
+      if (size < 0 || size > Int.MaxValue - 8 ||
+        o + 8 + size > b.length) return None
+      if (b(o) == 'E' && b(o + 1) == 'X' && b(o + 2) == 'I' &&
+        b(o + 3) == 'F') {
+        val d = o + 8
+        val hasPrefix = size >= 6 && b(d) == 'E' && b(d + 1) == 'x' &&
+          b(d + 2) == 'i' && b(d + 3) == 'f' && b(d + 4) == 0 &&
+          b(d + 5) == 0
+        return Some(if (hasPrefix) d + 6 else d)
+      }
+      o += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
+    }
+    None
+  }
+
   // GPS IFD tags (EXIF 2.3 §4.6.6)
   private val TagGpsIfd = 0x8825
   private val TagGpsLatRef = 0x0001
@@ -156,6 +209,23 @@ object ExifProbe {
     System.arraycopy(out, entry + 12, out, entry, tableEnd - (entry + 12))
     java.util.Arrays.fill(out, tableEnd - 12, tableEnd, 0.toByte)
     w.writeU16(out, ifdStart, n0 - 1)
+    // PNG carrier: the eXIf chunk's CRC32 (over type + data) guarded
+    // the bytes we just edited — re-seal it so the stripped file
+    // stays a valid PNG to every checker
+    if (out.length >= 8 && (out(0) & 0xff) == 0x89 && out(1) == 'P' &&
+      out(2) == 'N' && out(3) == 'G')
+      pngChunkRange(out).foreach { case (dataStart, dataLen, typeOff) =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(out, typeOff, 4 + dataLen)
+        val v = crc.getValue
+        val at = dataStart + dataLen
+        if (at + 4 <= out.length) {
+          out(at) = ((v >> 24) & 0xff).toByte
+          out(at + 1) = ((v >> 16) & 0xff).toByte
+          out(at + 2) = ((v >> 8) & 0xff).toByte
+          out(at + 3) = (v & 0xff).toByte
+        }
+      }
     out
   }
 
@@ -282,6 +352,16 @@ object ExifProbe {
     // format's orientation/GPS surfaces (and stripGps's in-place
     // zeroing works untouched: item offsets never move)
     if (Heif.isHeif(b)) return Heif.exifTiffOffset(b)
+    // PNG eXIf chunk (PNG 1.2 extension, standardized 2017): chunk
+    // data IS the TIFF block. In-place stripping must then re-CRC the
+    // chunk — see [[pngChunkRange]] / the stripGps tail.
+    if (b.length >= 8 && (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+      u8(3) == 'G')) return pngExifStart(b)
+    // WebP EXIF chunk (RIFF fourcc "EXIF"): data is the TIFF block,
+    // some writers lead with the JPEG-style "Exif  "
+    if (b.length >= 16 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' &&
+      u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' &&
+      u8(11) == 'P') return webpExifStart(b)
     if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None // not JPEG
     var p = 2
     while (p + 4 <= b.length) {

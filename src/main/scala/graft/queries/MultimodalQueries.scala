@@ -408,7 +408,39 @@ object MultimodalQueries {
         Some(1), Seq(graft.queries.HeifFixture.codecConfig("hvcC"),
           graft.queries.HeifFixture.ispe(4032, 3024)),
         Seq(1 -> Seq(1, 2)), tiff = sf),
-        uDeg(lat0), uDeg(lon0), -1000L, 1))
+        uDeg(lat0), uDeg(lon0), -1000L, 1),
+      // PNG eXIf chunk (strip must re-seal the chunk CRC) and the
+      // WebP EXIF chunk: the whole EXIF-carrying format family
+      (6L, {
+        val img = new java.awt.image.BufferedImage(16, 12,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 12; x <- 0 until 16)
+          img.setRGB(x, y, ((x * 16) << 16) | ((y * 20) << 8) | 99)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val plain = bos.toByteArray
+        val crc = new java.util.zip.CRC32()
+        val t = "eXIf".getBytes("US-ASCII")
+        crc.update(t); crc.update(sf)
+        val v = crc.getValue
+        val chunk = Array(((sf.length >> 24) & 0xff).toByte,
+          ((sf.length >> 16) & 0xff).toByte,
+          ((sf.length >> 8) & 0xff).toByte,
+          (sf.length & 0xff).toByte) ++ t ++ sf ++
+          Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        plain.take(33) ++ chunk ++ plain.drop(33)
+      }, uDeg(lat0), uDeg(lon0), -1000L, 1),
+      (7L, {
+        def le32w(v: Int) = Array[Byte]((v & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 24) & 0xff).toByte)
+        val exif = "EXIF".getBytes("US-ASCII") ++ le32w(sf.length) ++
+          sf ++ (if (sf.length % 2 == 1) Array[Byte](0)
+          else Array.emptyByteArray)
+        val body = "WEBP".getBytes("US-ASCII") ++ exif
+        "RIFF".getBytes("US-ASCII") ++ le32w(body.length) ++ body
+      }, uDeg(lat0), uDeg(lon0), -1000L, 1))
     s.createDataset(rows).toDF("img_id", "payload", "exp_lat_u",
         "exp_lon_u", "exp_alt_c", "exp_strip_ok")
       .coalesce(1).write.mode("overwrite").parquet(m82Dir)

@@ -248,6 +248,82 @@ class ExifProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG eXIf chunk: GPS parses; stripGps re-seals the chunk CRC " +
+    "so the stripped file is still a valid PNG with the same pixels") {
+    val img = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 20) << 8) | 99)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val plain = bos.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      val v = crc.getValue
+      Array(((data.length >> 24) & 0xff).toByte,
+        ((data.length >> 16) & 0xff).toByte,
+        ((data.length >> 8) & 0xff).toByte,
+        (data.length & 0xff).toByte) ++ t ++ data ++
+        Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    }
+    // splice eXIf after IHDR (8-byte sig + 25-byte IHDR chunk)
+    val cut = 8 + 25
+    val png = plain.take(cut) ++ chunk("eXIf", gpsTiff(little = true)) ++
+      plain.drop(cut)
+    assert(ExifProbe.gps(png).isDefined)
+    assert(math.abs(ExifProbe.gps(png).get.lat - expLat) < 1e-9)
+    val stripped = ExifProbe.stripGps(png)
+    assert(stripped.length == png.length)
+    assert(ExifProbe.gps(stripped).isEmpty)
+    assert(ExifProbe.info(stripped).exists(_.orientation.contains(6)))
+    // the re-sealed PNG still decodes with identical pixels
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(stripped))
+    assert(back != null && back.getWidth == 16)
+    for (y <- 0 until 12; x <- 0 until 16)
+      assert((back.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF))
+    // plain PNG without the chunk: None / pass-through
+    assert(ExifProbe.gps(plain).isEmpty)
+    assert(ExifProbe.stripGps(plain) eq plain)
+    (0 to png.length by 7).foreach { n =>
+      ExifProbe.gps(png.take(n)); ExifProbe.stripGps(png.take(n))
+    }
+  }
+
+  test("WebP EXIF chunk: GPS parses with and without the JPEG-style " +
+    "prefix; stripGps redacts in place") {
+    def webp(exifData: Array[Byte]): Array[Byte] = {
+      def le32(v: Int) = Array[Byte]((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 24) & 0xff).toByte)
+      val vp8x = "VP8X".getBytes("US-ASCII") ++ le32(10) ++
+        Array[Byte](0x08, 0, 0, 0) ++ // EXIF flag
+        Array[Byte](15, 0, 0, 11, 0, 0) // 16x12 minus-one dims
+      val exif = "EXIF".getBytes("US-ASCII") ++ le32(exifData.length) ++
+        exifData ++ (if (exifData.length % 2 == 1) Array[Byte](0)
+        else Array.emptyByteArray)
+      val body = "WEBP".getBytes("US-ASCII") ++ vp8x ++ exif
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val bare = webp(gpsTiff(little = true))
+    val prefixed = webp("Exif".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ gpsTiff(little = false))
+    for ((w, name) <- Seq((bare, "bare"), (prefixed, "prefixed"))) {
+      val g = ExifProbe.gps(w)
+      assert(g.isDefined && math.abs(g.get.lat - expLat) < 1e-9, name)
+      val stripped = ExifProbe.stripGps(w)
+      assert(stripped.length == w.length)
+      assert(ExifProbe.gps(stripped).isEmpty, name)
+      assert(ExifProbe.info(stripped).exists(_.orientation.contains(6)))
+    }
+    (0 to bare.length by 5).foreach { n =>
+      ExifProbe.gps(bare.take(n)); ExifProbe.stripGps(bare.take(n))
+    }
+  }
+
   test("hostile GPS structures never throw: lying pointers, huge " +
     "counts, zero denominators, every-prefix fuzz") {
     val base = gpsTiff(little = true)
