@@ -195,6 +195,51 @@ class OggInfoSpec extends AnyFunSuite {
     assert(AudioProbe.tags(null).isEmpty)
   }
 
+  test("tags: Ogg-FLAC metadata packets carry the comment block; " +
+    "an ID3-prefixed bare-AAC stream keeps its ID3 tags") {
+    // Ogg-FLAC mapping: BOS packet 0x7F 'FLAC' maj min nheaders +
+    // fLaC + STREAMINFO; later packets are FLAC metadata blocks
+    val bos0 = Array(0x7F.toByte) ++ "FLAC".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 0, 1) ++ "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ new Array[Byte](34)
+    val cm = comments(Seq("TITLE=Ogg Flac Cut"))
+    val metaPkt = Array(0x84.toByte, ((cm.length >> 16) & 0xff).toByte,
+      ((cm.length >> 8) & 0xff).toByte, (cm.length & 0xff).toByte) ++ cm
+    val ogg = page(0x02, 0x90L, 0, 0, bos0) ++
+      page(0x00, 0x90L, 1, 0, metaPkt)
+    assert(AudioProbe.tags(ogg).get == Seq("TITLE" -> "Ogg Flac Cut"))
+    // ID3v2 ahead of ADTS frames: tags() reads the ID3, adtsInfo
+    // resyncs past it (the bare-.aac podcast shape)
+    def syncsafe(v: Int) = Array(((v >> 21) & 0x7f).toByte,
+      ((v >> 14) & 0x7f).toByte, ((v >> 7) & 0x7f).toByte,
+      (v & 0x7f).toByte)
+    val body = 0.toByte +: "Cast Title".getBytes("ISO-8859-1")
+    val frame = "TIT2".getBytes("ISO-8859-1") ++
+      Array((body.length >> 24).toByte, (body.length >> 16).toByte,
+        (body.length >> 8).toByte, body.length.toByte) ++
+      Array[Byte](0, 0) ++ body
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0) ++
+      syncsafe(frame.length) ++ frame
+    val adts = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      for (_ <- 0 until 3) {
+        val fl = 7 + 16
+        out += 0xFF.toByte; out += 0xF1.toByte
+        out += ((1 << 6) | (4 << 2)).toByte
+        out += ((fl >> 11) & 0x3).toByte
+        out += ((fl >> 3) & 0xff).toByte
+        out += (((fl & 0x7) << 5) | 0x1f).toByte
+        out += 0xfc.toByte
+        (0 until 16).foreach(i => out += i.toByte)
+      }
+      out.toArray
+    }
+    val tagged = id3 ++ adts
+    assert(AudioProbe.tags(tagged).get == Seq("TITLE" -> "Cast Title"))
+    assert(AudioProbe.adtsInfo(tagged).exists(_.nSamples == 3 * 1024L))
+    assert(AudioProbe.meta(tagged).exists(_.codec == "aac-adts"))
+  }
+
   test("tags: hostile comment structures refuse without throwing") {
     // lying vendor length
     val bad = Array(3.toByte) ++ "vorbis".getBytes("US-ASCII") ++
