@@ -82,12 +82,41 @@ object VectorOpsUtil {
     * 128 planes × 8 bands. Joining on (band_index, key) replaces the
     * all-pairs cartesian with an equi-join.
     */
+  // The ±1 hyperplane weights depend only on (planes, dim) — they are
+  // the MODEL, constant across every row — so deriving them per row
+  // cost planes×dim mix64 evaluations per vector (16,384 hash chains
+  // at the 128×128 default) before a single multiply. Hoisted here
+  // into a memoized flat matrix (guide §1.2 step 2: per-task work);
+  // values and multiply-accumulate order are unchanged, so the keys
+  // are bit-identical. A handful of (planes, dim) shapes exist per
+  // job; each entry is planes×dim doubles (128 KB at the default).
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planeWeights(planes: Int, d: Int): Array[Double] =
+    planeCache.computeIfAbsent((planes, d), { case (p0, dim) =>
+      val w = new Array[Double](p0 * dim)
+      var p = 0
+      while (p < p0) {
+        var j = 0
+        while (j < dim) {
+          w(p * dim + j) =
+            if ((TextHash.mix64(p.toLong * 0x100000001b3L + j) & 1L) == 0L) 1.0
+            else -1.0
+          j += 1
+        }
+        p += 1
+      }
+      w
+    })
+
   def signBandKeys(vec: Seq[Float], planes: Int, bands: Int): Array[Long] = {
     require(bands > 0 && planes > 0 && planes % bands == 0,
       s"planes ($planes) must be a positive multiple of bands ($bands)")
     val rows = planes / bands
     require(rows <= 64, s"planes/bands = $rows bits exceed one 64-bit key")
     val d = vec.length
+    val w = planeWeights(planes, d)
     val keys = new Array[Long](bands)
     var p = 0
     var band = 0
@@ -95,9 +124,9 @@ object VectorOpsUtil {
     while (p < planes) {
       var dot = 0.0
       var j = 0
+      val off = p * d
       while (j < d) {
-        val w = if ((TextHash.mix64(p.toLong * 0x100000001b3L + j) & 1L) == 0L) 1.0 else -1.0
-        dot += w * vec(j)
+        dot += w(off + j) * vec(j)
         j += 1
       }
       acc = (acc << 1) | (if (dot >= 0) 1L else 0L)

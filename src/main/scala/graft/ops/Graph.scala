@@ -45,17 +45,27 @@ object Graph {
       s"damping must be in (0, 1), got $damping")
     require(tol >= 0, s"tol must be non-negative, got $tol")
 
-    // Weighted edge list + per-source out-weight totals: computed once,
-    // reused every round.
+    // Loop-invariant frames, computed once and persisted (guide §2.4:
+    // a shuffle repeated every round for the same result is the first
+    // exchange to delete). `wj` pre-attaches each edge's out-weight
+    // total so the per-round contribution join touches ONE invariant
+    // frame (already hash-partitioned by __src from its own join) and
+    // only the small rank frame shuffles; `dangNodes` is the invariant
+    // no-out-edge node set, so the per-round dangling mass is a
+    // broadcast semi-join instead of a ranks×outW anti-join shuffle.
     val w = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .groupBy("__src", "__dst").agg(count(lit(1)).as("__w"))
       .persist()
-    val outW = w.groupBy("__src").agg(sum("__w").as("__wout")).persist()
+    val outW = w.groupBy("__src").agg(sum("__w").as("__wout"))
+    val wj = w.join(outW, "__src").persist()
     val nodes = w.select(col("__src").as("node"))
       .unionByName(w.select(col("__dst").as("node")))
       .distinct().persist()
+    val dangNodes = nodes
+      .join(wj.select(col("__src").as("node")), Seq("node"), "left_anti")
+      .persist()
     try {
       val n = nodes.count()
       require(n > 0, "pageRank needs at least one edge")
@@ -67,19 +77,26 @@ object Graph {
       var iter = 0
       var converged = false
       while (!converged && iter < iterations) {
-        val contribs = w
-          .join(outW, "__src")
+        val contribs = wj
           .join(ranks.select(col("node").as("__src"), col("rank")), "__src")
           .groupBy(col("__dst").as("node"))
           .agg(sum(col("rank") * col("__w") / col("__wout")).as("__contrib"))
         // Rank parked on nodes with no out-edges redistributes evenly.
         val dangling = ranks
-          .join(outW.select(col("__src").as("node")), Seq("node"), "left_anti")
+          .join(dangNodes, Seq("node"), "left_semi")
           .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
+        // With tol = 0 (fixed-iteration mode) the previous round's rank
+        // is never read back, so the new rank frame hangs off the
+        // STATIC node set — node-partitioned from its own distinct(),
+        // exchange-reused round over round — instead of re-shuffling
+        // the rank frame a second time per round.
+        val prevJoined =
+          if (tol > 0)
+            ranks.select(col("node"), col("rank").as("__prev"))
+          else nodes.withColumn("__prev", lit(null).cast("double"))
         val next = rounds.truncate(
           ScalarFold.withScalars(
-            ranks.select(col("node"), col("rank").as("__prev"))
-              .join(contribs, Seq("node"), "left"), dangling)
+            prevJoined.join(contribs, Seq("node"), "left"), dangling)
             .select(col("node"), col("__prev"),
               (base + lit(damping) *
                 (coalesce(col("__contrib"), lit(0.0)) +
@@ -92,7 +109,7 @@ object Graph {
       }
       ranks
     } finally {
-      w.unpersist(); outW.unpersist(); nodes.unpersist()
+      w.unpersist(); wj.unpersist(); nodes.unpersist(); dangNodes.unpersist()
     }
   }
 
