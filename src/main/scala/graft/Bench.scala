@@ -43,6 +43,17 @@ object Bench {
       // bench SFs and measure single-thread throughput instead of the
       // plan.
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // Let AQE size the output partitioning of CACHED plans by data
+      // volume (advisoryPartitionSizeInBytes) instead of pinning the
+      // static shuffle-partition count. Every persisted model/count
+      // frame (LM counts, dedup signatures, LSH bands) is re-scanned
+      // by several consumers; with the default (false) each scan pays
+      // one task per static shuffle partition regardless of bytes —
+      // at any scale the cache should hold advisory-sized partitions,
+      // not cores-many. Measured on t48: 3349→483 tasks, saveArpa
+      // 7.9→3.6 s warm; scale-adaptive by construction (byte-based).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -63,6 +63,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Byte-adaptive partitioning for cached-plan output — see the
+      // matching setting in Bench: persisted frames re-scanned by many
+      // consumers should hold advisory-sized partitions, not a static
+      // cores-many count.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

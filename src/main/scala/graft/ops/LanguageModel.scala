@@ -661,11 +661,17 @@ object LanguageModel {
 
     import spark.implicits._
     try {
+    def t[A](n: String)(f: => A): A = {
+      if (sys.env.contains("GRAFT_PROF")) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof]   saveArpa/$n%-20s ${(System.nanoTime()-t0)/1e9}%8.3f s"); r
+      } else f
+    }
     // all three header counts in ONE job (fills the cache the sort's
     // sampling pass and write then reuse)
-    val sizes = sectionLines.groupBy("__s")
+    val sizes = t("sizes collect")(sectionLines.groupBy("__s")
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val n1 = sizes.getOrElse(1, 0L) + 1 // + <unk>
     val n2 = sizes.getOrElse(2, 0L)
     val n3 = sizes.getOrElse(3, 0L)
@@ -685,7 +691,8 @@ object LanguageModel {
       .unionByName(marker(6, Seq("", "\\end\\")))
     // Distributed global sort + ordered part concat (OrderedText): no
     // single-task sort, no driver-local-disk assumption.
-    graft.util.OrderedText.writeSorted(all, Seq("ord", "key"), path)
+    t("writeSorted")(
+      graft.util.OrderedText.writeSorted(all, Seq("ord", "key"), path))
     } finally { sectionLines.unpersist(); () }
   }
 
