@@ -57,14 +57,21 @@ object Graph {
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .groupBy("__src", "__dst").agg(count(lit(1)).as("__w"))
-      .persist()
     val outW = w.groupBy("__src").agg(sum("__w").as("__wout"))
     val wj = w.join(outW, "__src").persist()
-    val nodes = w.select(col("__src").as("node"))
-      .unionByName(w.select(col("__dst").as("node")))
-      .distinct().persist()
-    val dangNodes = nodes
-      .join(wj.select(col("__src").as("node")), Seq("node"), "left_anti")
+    // Node frame with the dangling flag attached ONCE (no out-edges):
+    // the flag rides the rank frame through every round, so the
+    // per-round dangling mass is a filter+aggregate over the already-
+    // checkpointed ranks — no per-round anti/semi-join, no broadcast.
+    // Derived from the cached wj (same rows as w), so the raw edge
+    // aggregation runs once and only ONE invariant frame is cached.
+    val nodes = wj.select(col("__src").as("node"))
+      .unionByName(wj.select(col("__dst").as("node")))
+      .distinct()
+      .join(wj.select(col("__src").as("node"), lit(true).as("__hasout"))
+          .distinct(),
+        Seq("node"), "left")
+      .select(col("node"), col("__hasout").isNull.as("__dang"))
       .persist()
     try {
       val n = nodes.count()
@@ -81,10 +88,11 @@ object Graph {
           .join(ranks.select(col("node").as("__src"), col("rank")), "__src")
           .groupBy(col("__dst").as("node"))
           .agg(sum(col("rank") * col("__w") / col("__wout")).as("__contrib"))
-        // Rank parked on nodes with no out-edges redistributes evenly.
+        // Rank parked on nodes with no out-edges redistributes evenly —
+        // summed off the checkpointed rank frame via its own flag.
         val dangling = ranks
-          .join(dangNodes, Seq("node"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
+          .filter(col("__dang"))
+          .agg(coalesce(sum("rank"), lit(0.0)).as("__dangmass"))
         // With tol = 0 (fixed-iteration mode) the previous round's rank
         // is never read back, so the new rank frame hangs off the
         // STATIC node set — node-partitioned from its own distinct(),
@@ -92,24 +100,24 @@ object Graph {
         // the rank frame a second time per round.
         val prevJoined =
           if (tol > 0)
-            ranks.select(col("node"), col("rank").as("__prev"))
+            ranks.select(col("node"), col("__dang"), col("rank").as("__prev"))
           else nodes.withColumn("__prev", lit(null).cast("double"))
         val next = rounds.truncate(
           ScalarFold.withScalars(
             prevJoined.join(contribs, Seq("node"), "left"), dangling)
-            .select(col("node"), col("__prev"),
+            .select(col("node"), col("__dang"), col("__prev"),
               (base + lit(damping) *
                 (coalesce(col("__contrib"), lit(0.0)) +
-                  col("__dang") / n)).as("rank")))
+                  col("__dangmass") / n)).as("rank")))
         converged = tol > 0 && next
           .filter(abs(col("rank") - col("__prev")) > tol)
           .limit(1).count() == 0
-        ranks = next.select("node", "rank")
+        ranks = next.select("node", "__dang", "rank")
         iter += 1
       }
-      ranks
+      ranks.select("node", "rank")
     } finally {
-      w.unpersist(); wj.unpersist(); nodes.unpersist(); dangNodes.unpersist()
+      wj.unpersist(); nodes.unpersist()
     }
   }
 

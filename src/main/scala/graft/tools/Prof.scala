@@ -33,12 +33,28 @@ object Prof {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
-          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum); ()
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+          jobStart.put(j.jobId, System.nanoTime())
+          if (sys.env.contains("GRAFT_PROF_JOBS")) {
+            val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            println(f"[job] start ${j.jobId}%4d stages=${j.stageInfos.size}%3d" +
+              f" tasks=${j.stageInfos.map(_.numTasks).sum}%5d  $site")
+          }
+          ()
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          if (sys.env.contains("GRAFT_PROF_JOBS")) {
+            val t0 = Option(jobStart.get(j.jobId)).getOrElse(0L)
+            println(f"[job] end   ${j.jobId}%4d ${(System.nanoTime()-t0)/1e9}%7.3f s")
+          }
+          ()
         }
       })
 
@@ -102,6 +118,25 @@ object Prof {
             model, docs, "doc_id", "text", escapeLiteralUnk = true)))
           phase("direct score")(sink(m.score(docs, "doc_id", "text")))
           m.unpersist(); model.unpersist()
+        }
+
+      case "g1" =>
+        for (i <- 1 to 2) {
+          println(s"[prof] --- iteration $i ---")
+          val edges = phase("edges build") {
+            val orders = graft.Tables.orders(spark, sfDir)
+            val lineitem = graft.Tables.lineitem(spark, sfDir)
+            val cs = orders.join(lineitem,
+                orders("o_orderkey") === lineitem("l_orderkey"))
+              .select(concat(lit("c"), col("o_custkey")).as("src"),
+                concat(lit("s"), col("l_suppkey")).as("dst"))
+            val sp = lineitem.select(
+              concat(lit("s"), col("l_suppkey")).as("src"),
+              concat(lit("p"), col("l_partkey")).as("dst"))
+            cs.unionByName(sp)
+          }
+          phase("pageRank 5 rounds")(sink(
+            graft.ops.Graph.pageRank(edges, iterations = 5).orderBy("node")))
         }
 
       case other => sys.error(s"unknown profile target: $other")
