@@ -139,6 +139,13 @@ object Prof {
             graft.ops.Graph.pageRank(edges, iterations = 5).orderBy("node")))
         }
 
+      case "q" =>
+        // generic: profile any registered gate queries (2 iterations
+        // each, warm second) with job/stage/task counts
+        for (name <- args.drop(1); i <- 1 to 2)
+          phase(s"$name #$i")(
+            sink(graft.SparkEntry.queries(name)(spark, sfDir)))
+
       case other => sys.error(s"unknown profile target: $other")
     }
     spark.stop()
