@@ -139,17 +139,27 @@ object LanguageModel {
     // re-runs the corpus explode + count shuffle (16 source scans in
     // the un-cached plan; 2.4x wall at sf1). Both frames are gram-TYPE
     // counts (vocabulary-scale), spill-safe, LRU-evictable.
+    val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val triC = docTrigrams(train, idCol, textCol)
       .groupBy("__w1", "__w2", "__w3").agg(sum("__k").as("__ctg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(st)
+    // The DERIVED count frames are persisted too: score and saveArpa
+    // each join all of them, so an unpersisted ctx12/cont2/ctx2/contU
+    // re-runs its groupBy shuffle once per consumer (score + export =
+    // 2x; the export's merged backoff join reads ctx frames twice
+    // more). All are gram-type-scale (≤ the already-cached triC),
+    // spill-safe, and released by Kn3Model.unpersist.
     val ctx12 = triC.groupBy("__w1", "__w2")
       .agg(sum("__ctg").as("__cw12"), count(lit(1)).as("__n1p_after12"))
+      .persist(st)
     // middle level: continuation counts N1+(•,w2,w3)
     val cont2 = triC.groupBy("__w2", "__w3")
       .agg(count(lit(1)).as("__n1p_mid"))
+      .persist(st)
     val ctx2 = cont2.groupBy("__w2")
       .agg(sum("__n1p_mid").as("__cw2cont"),
         count(lit(1)).as("__n2typ_after"))
+      .persist(st)
     // bottom level: unigram continuation over TRUE bigram types. A
     // bigram instance at position i < n−1 is the (w1,w2) head of the
     // trigram at i, so c(a,b) = Σ_c c(a,b,c) + #docs whose FINAL
@@ -168,9 +178,10 @@ object LanguageModel {
       .select(col("__w1"), col("__w2"),
         (coalesce(col("__cw12"), lit(0L)) +
           coalesce(col("__clast"), lit(0L))).as("__cbg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(st)
     val contU = bigramC.groupBy(col("__w2").as("__w3"))
       .agg(count(lit(1)).as("__n1p_before"))
+      .persist(st)
     val totals = bigramC.agg(count(lit(1)).as("__b"))
     Kn3Counts(triC, ctx12, cont2, ctx2, bigramC, contU, totals)
   }
@@ -234,7 +245,11 @@ object LanguageModel {
       kn3ScoreWith(c, df, idCol, textCol, discount)
     def saveArpa(path: String): Unit =
       saveKn3ArpaFrom(c, spark, path, discount)
-    def unpersist(): Unit = { c.triC.unpersist(); c.bigramC.unpersist(); () }
+    def unpersist(): Unit = {
+      Seq(c.triC, c.ctx12, c.cont2, c.ctx2, c.bigramC, c.contU)
+        .foreach(_.unpersist())
+      ()
+    }
   }
 
   /** Train the trigram-KN count frames once; see [[Kn3Model]]. */
@@ -318,8 +333,15 @@ object LanguageModel {
       .groupBy(wcols(n, n).map(col): _*)
       .agg(sum("__k").as("__cn"))
       .persist(st)
+    // topCtx / cont(k) / ctx(k) below are persisted as well: score and
+    // saveArpa BOTH join every one of them (and the export's merged
+    // backoff frames read each ctx a second time), so leaving them
+    // lazy re-runs one groupBy shuffle per consumer per frame. All are
+    // aggregates of already-cached parents (type-scale, ≤ |top|),
+    // spill-safe, released by KnModel.unpersist.
     val topCtx = top.groupBy(wcols(n, n).dropRight(1).map(col): _*)
       .agg(sum("__cn").as(s"__sum_$n"), count(lit(1)).as(s"__ntyp_$n"))
+      .persist(st)
     // per-doc tail tokens: ONE light scan, one row per document — the
     // final (m < n)-grams no n-gram covers. Docs shorter than n-1
     // tokens keep their whole token array: slice(t, -(n-1), n-1) on a
@@ -350,11 +372,13 @@ object LanguageModel {
       k -> typesBuf(k + 1)
         .groupBy(wcols(n, k).map(col): _*)
         .agg(count(lit(1)).as(s"__c$k"))
+        .persist(st)
     }.toMap
     val ctx = (2 until n).map { k =>
       k -> cont(k)
         .groupBy(wcols(n, k).dropRight(1).map(col): _*)
         .agg(sum(s"__c$k").as(s"__sum_$k"), count(lit(1)).as(s"__ntyp_$k"))
+        .persist(st)
     }.toMap
     val b = cont(1).agg(sum("__c1").as("__b"))
     KnNCounts(n, top, topCtx, typesBuf.toMap, cont, ctx, b, lasts)
@@ -506,8 +530,11 @@ object LanguageModel {
 
     def unpersist(): Unit = {
       c.top.unpersist()
+      c.topCtx.unpersist()
       c.lasts.unpersist()
       c.types.foreach { case (k, df) => if (k >= 2 && k < c.n) df.unpersist() }
+      c.cont.values.foreach(_.unpersist())
+      c.ctx.values.foreach(_.unpersist())
       ()
     }
   }
@@ -568,7 +595,11 @@ object LanguageModel {
       s"absolute discount must be in (0, 1), got $discount")
     val c = kn3Counts(train, idCol, textCol)
     try saveKn3ArpaFrom(c, train.sparkSession, path, discount)
-    finally { c.triC.unpersist(); c.bigramC.unpersist(); () }
+    finally {
+      Seq(c.triC, c.ctx12, c.cont2, c.ctx2, c.bigramC, c.contU)
+        .foreach(_.unpersist())
+      ()
+    }
   }
 
   private def saveKn3ArpaFrom(c: Kn3Counts,
