@@ -183,7 +183,14 @@ object CurationPipeline {
       if (cfg.extractor == "blocks")
         TextAnalysis.extractMainContent(col(cfg.htmlCol))
       else TextAnalysis.htmlToText(col(cfg.htmlCol))
-    val extractedRaw = consented.select(col(id), col(cfg.sourceCol),
+    // Spread the one extractor-bearing pass (graft.util.Par): the
+    // extraction/langid/quality/gopher projection chain is the most
+    // compute-heavy map work in the pipeline and otherwise rides the
+    // scan stage's split count (ONE task on a small single-row-group
+    // file). Byte-adaptive: a corpus big enough to split naturally is
+    // left alone.
+    val extractedRaw = graft.util.Par.spread(consented, id)
+      .select(col(id), col(cfg.sourceCol),
       col("__graft_blocked"), col("__graft_robots_ok"),
       when(!col("__graft_blocked") && col("__graft_robots_ok"),
         extractExpr).as("__text"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => F}
+import graft.util.Par
 import graft.ops.Checkpoints.Truncatable
 
 /** Deduplication operators for training-data pipelines, as a public
@@ -1209,7 +1210,7 @@ object Dedup {
     */
   def buildEmbeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
                           planes: Int = 128, bands: Int = 8): DataFrame =
-    corpus.select(col(idCol), col(vecCol),
+    Par.spread(corpus, idCol).select(col(idCol), col(vecCol),
       F.signBandKeys(col(vecCol), planes, bands).as("band_keys"),
       lit(planes).as("planes"), lit(bands).as("bands"))
 
@@ -1356,7 +1357,7 @@ object Dedup {
                                    idCol: String, vecCol: String,
                                    threshold: Double, planes: Int,
                                    bands: Int, maxBucket: Int): DataFrame = {
-    val bandedIn = incoming.select(
+    val bandedIn = Par.spread(incoming, idCol).select(
       col(idCol).as("__in_id"),
       posexplode(F.signBandKeys(col(vecCol), planes, bands))
         .as(Seq("__band", "__key")))
@@ -1392,7 +1393,7 @@ object Dedup {
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double = 0.99, planes: Int = 128,
                               bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
-    val banded = df.select(col(idCol),
+    val banded = Par.spread(df, idCol).select(col(idCol),
       posexplode(F.signBandKeys(col(vecCol), planes, bands))
         .as(Seq("__band", "__key")))
       .persist()

@@ -55,7 +55,10 @@ object LanguageModel {
   private def docGrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(textCol)
     val m = greatest(size(t) - 1, lit(0))
-    df.select(col(idCol),
+    // Spread before the tokenize+explode: the gram explosion is the
+    // heaviest map work in the tower and otherwise rides the (possibly
+    // single-task) scan stage — see graft.util.Par.
+    graft.util.Par.spread(df, idCol).select(col(idCol),
         explode(arrays_zip(slice(t, lit(1), m).as("w1"),
           slice(t, lit(2), m).as("w2"))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
@@ -191,7 +194,7 @@ object LanguageModel {
                           textCol: String): DataFrame = {
     val t = toks(textCol)
     val m = greatest(size(t) - 2, lit(0))
-    df.select(col(idCol),
+    graft.util.Par.spread(df, idCol).select(col(idCol),
         explode(arrays_zip(slice(t, lit(1), m).as("w1"),
           slice(t, lit(2), m).as("w2"),
           slice(t, lit(3), m).as("w3"))).as("__tg"))
@@ -844,7 +847,7 @@ object LanguageModel {
                         n: Int): DataFrame = {
     val t = toks(textCol)
     val m = greatest(size(t) - (n - 1), lit(0))
-    df.select(col(idCol),
+    graft.util.Par.spread(df, idCol).select(col(idCol),
         explode(arrays_zip((1 to n).map(j =>
           slice(t, lit(j), m).as(s"w$j")): _*)).as("__ng"))
       .select(col(idCol) +:

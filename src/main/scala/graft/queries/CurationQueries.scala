@@ -202,7 +202,8 @@ object CurationQueries {
     //    scratch (GopherSql fragments shared with t26). --------------
     "c21_gopher_filter" -> { (s, d) =>
       graft.ops.RepetitionSignals
-        .gopherFilter(Tables.documents(s, d), "text")
+        .gopherFilter(graft.util.Par.spread(Tables.documents(s, d),
+          "doc_id"), "text")
         .groupBy("source", "gopher_pass")
         .agg(count(lit(1)).as("n"),
           round(avg(col("tok_n")), 4).as("avg_tok"))
@@ -273,7 +274,8 @@ object CurationQueries {
     //    row, every rule counted independently. ----------------------
     "c22_gopher_rules" -> { (s, d) =>
       graft.ops.RepetitionSignals
-        .ruleViolationCounts(Tables.documents(s, d), "text")
+        .ruleViolationCounts(graft.util.Par.spread(Tables.documents(s, d),
+          "doc_id"), "text")
     },
 
     // -- pipe1: the COMPOSED golden curation pipeline — html extract →
