@@ -131,15 +131,27 @@ object Graph {
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .groupBy("__src", "__dst").agg(count(lit(1)).as("__w"))
-    val out = w.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("out_deg"), sum("__w").as("out_weight"))
-    val in = w.groupBy(col("__dst").as("node"))
-      .agg(count(lit(1)).as("in_deg"), sum("__w").as("in_weight"))
-    out.join(in, Seq("node"), "full_outer")
-      .select(col("node"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
-        coalesce(col("in_weight"), lit(0L)).as("in_weight"))
+    // ONE pass over the weighted edge frame: each edge explodes into
+    // its (src, out) and (dst, in) contributions and one aggregate
+    // keyed by node folds both sides. The former per-side groupBy +
+    // full-outer join computed the edge aggregation TWICE (no exchange
+    // reuse across the join's two aggregation branches — plan audited)
+    // and paid two extra exchanges plus the join's sorts; this shape
+    // is two exchanges total at any scale. Same result by definition:
+    // out_deg(n) = |w rows with __src = n|, weights are exact integer
+    // sums, and a node appears iff it has at least one edge end —
+    // the full-outer-join row set.
+    w.select(explode(array(
+        struct(col("__src").as("node"), lit(true).as("__out"), col("__w")),
+        struct(col("__dst").as("node"), lit(false).as("__out"), col("__w"))))
+        .as("__e"))
+      .select(col("__e.node").as("node"), col("__e.__out").as("__out"),
+        col("__e.__w").as("__w"))
+      .groupBy("node")
+      .agg(
+        sum(when(col("__out"), 1L).otherwise(0L)).as("out_deg"),
+        sum(when(!col("__out"), 1L).otherwise(0L)).as("in_deg"),
+        sum(when(col("__out"), col("__w")).otherwise(0L)).as("out_weight"),
+        sum(when(!col("__out"), col("__w")).otherwise(0L)).as("in_weight"))
   }
 }
