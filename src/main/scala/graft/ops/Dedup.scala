@@ -988,9 +988,11 @@ object Dedup {
     * Convergence probe: the self arm of the union is tagged, so the
     * SAME per-id aggregate that computes the new label also carries the
     * previous one (`min(when(self, comp))` — ids are unique, exactly
-    * one self row). Changed-ness is then a filter over the checkpointed
-    * result, not an equi-join of consecutive label frames (which would
-    * roughly double per-round shuffle cost at scale).
+    * one self row). Changed-ness then rides the round's checkpoint
+    * materialization as an observe() accumulator — not an equi-join of
+    * consecutive label frames (which would roughly double per-round
+    * shuffle cost at scale) and not even a dedicated count job over
+    * the checkpointed blocks.
     */
   def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIters: Int = 50): DataFrame = {
@@ -1012,13 +1014,21 @@ object Dedup {
         val viaNeighbor = edges
           .join(labels.select(col("id").as("src"), col("comp")), "src")
           .select(col("dst").as("id"), col("comp"), lit(false).as("__self"))
+        // The changed-count rides the checkpoint materialization as an
+        // observe() accumulator (firing-on-truncate proven in OpsSpec)
+        // — the rows already stream through the checkpoint action, so
+        // the probe costs zero extra jobs instead of one count job per
+        // round over the checkpointed blocks.
+        val roundObs = org.apache.spark.sql.Observation()
         val next = rounds.truncate(labels.withColumn("__self", lit(true))
           .unionByName(viaNeighbor)
           .groupBy("id")
           .agg(min("comp").as("comp"),
-            min(when(col("__self"), col("comp"))).as("__prev")))
-        val changed = next.filter(col("comp") =!= col("__prev"))
-          .limit(1).count() // existence probe over the checkpoint, no join
+            min(when(col("__self"), col("comp"))).as("__prev"))
+          .observe(roundObs, coalesce(
+            sum(when(col("comp") =!= col("__prev"), 1L).otherwise(0L)),
+            lit(0L)).as("__changed")))
+        val changed = roundObs.get("__changed").asInstanceOf[Long]
         labels = next.select("id", "comp")
         converged = changed == 0
         iter += 1

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: per iteration ONE shuffle — the contribution
   * aggregate keyed by dst — plus a left join back onto the node
   * frame; edge weights and out-totals are computed once and persisted;
-  * the dangling mass is a one-row broadcast (the t8 scalar shape);
-  * every round's plan is checkpoint-truncated ([[Checkpoints.Rounds]])
-  * so iteration N never embeds N−1 plans. Nothing but the two scalars
-  * (node count, per-round convergence probe) ever reaches the driver.
+  * the dangling mass and the convergence probe ride the round's
+  * checkpoint materialization as observe() accumulators (no dedicated
+  * per-round jobs); every round's plan is checkpoint-truncated
+  * ([[Checkpoints.Rounds]]) so iteration N never embeds N−1 plans.
+  * Nothing but per-round scalars (node count, dangling mass, max
+  * movement) ever reaches the driver.
   */
 object Graph {
 
@@ -78,9 +80,21 @@ object Graph {
       require(n > 0, "pageRank needs at least one edge")
       val base = lit((1.0 - damping) / n)
 
+      // The per-round scalars — dangling mass, and (tol > 0) the max
+      // rank movement — RIDE the round's checkpoint materialization as
+      // observe() accumulators instead of running as dedicated
+      // aggregate jobs over the checkpointed blocks: the rows are
+      // already streaming through the checkpoint action, so both
+      // scalars cost zero extra jobs and zero extra exchanges
+      // (guide §1.5/§2.4; firing-on-truncate proven in OpsSpec).
+      def dangMetric = coalesce(
+        sum(when(col("__dang"), col("rank"))), lit(0.0)).as("__dangmass")
+
       val rounds = new Checkpoints.Rounds
+      val initObs = org.apache.spark.sql.Observation()
       var ranks = rounds.truncate(
-        nodes.withColumn("rank", lit(1.0 / n)))
+        nodes.withColumn("rank", lit(1.0 / n)).observe(initObs, dangMetric))
+      var dangMass = initObs.get("__dangmass").asInstanceOf[Double]
       var iter = 0
       var converged = false
       while (!converged && iter < iterations) {
@@ -88,11 +102,6 @@ object Graph {
           .join(ranks.select(col("node").as("__src"), col("rank")), "__src")
           .groupBy(col("__dst").as("node"))
           .agg(sum(col("rank") * col("__w") / col("__wout")).as("__contrib"))
-        // Rank parked on nodes with no out-edges redistributes evenly —
-        // summed off the checkpointed rank frame via its own flag.
-        val dangling = ranks
-          .filter(col("__dang"))
-          .agg(coalesce(sum("rank"), lit(0.0)).as("__dangmass"))
         // With tol = 0 (fixed-iteration mode) the previous round's rank
         // is never read back, so the new rank frame hangs off the
         // STATIC node set — node-partitioned from its own distinct(),
@@ -102,16 +111,25 @@ object Graph {
           if (tol > 0)
             ranks.select(col("node"), col("__dang"), col("rank").as("__prev"))
           else nodes.withColumn("__prev", lit(null).cast("double"))
+        // Rank parked on nodes with no out-edges redistributes evenly —
+        // the mass was observed on the PREVIOUS round's checkpoint
+        // pass, so it enters this round as a literal (same double the
+        // former one-row aggregate + scalar fold produced).
+        val roundObs = org.apache.spark.sql.Observation()
+        val metrics =
+          if (tol > 0) Seq(dangMetric,
+            max(abs(col("rank") - col("__prev"))).as("__maxdiff"))
+          else Seq(dangMetric)
         val next = rounds.truncate(
-          ScalarFold.withScalars(
-            prevJoined.join(contribs, Seq("node"), "left"), dangling)
+          prevJoined.join(contribs, Seq("node"), "left")
             .select(col("node"), col("__dang"), col("__prev"),
               (base + lit(damping) *
                 (coalesce(col("__contrib"), lit(0.0)) +
-                  col("__dangmass") / n)).as("rank")))
-        converged = tol > 0 && next
-          .filter(abs(col("rank") - col("__prev")) > tol)
-          .limit(1).count() == 0
+                  lit(dangMass) / n)).as("rank"))
+            .observe(roundObs, metrics.head, metrics.tail: _*))
+        dangMass = roundObs.get("__dangmass").asInstanceOf[Double]
+        converged = tol > 0 &&
+          roundObs.get("__maxdiff").asInstanceOf[Double] <= tol
         ranks = next.select("node", "__dang", "rank")
         iter += 1
       }

@@ -294,9 +294,13 @@ object Similarity {
     * row is then asserted to match that dimension with a per-row
     * codegen'd raise_error: a ragged embedding column would otherwise
     * slice short and null-pad distances downstream.
+    *
+    * `carry` names input columns to ride along unchanged (per-id
+    * constants like the IVF bucket) so a consumer never has to join
+    * them back on afterwards.
     */
   private def subVectors(corpus: DataFrame, idCol: String, vecCol: String,
-                         m: Int): DataFrame = {
+                         m: Int, carry: Seq[String] = Nil): DataFrame = {
     val first = corpus.select(size(col(vecCol)).as("__d")).limit(1).collect()
     require(first.nonEmpty, "PQ needs a non-empty corpus to size subspaces")
     val d = first(0).getInt(0)
@@ -307,15 +311,16 @@ object Similarity {
       struct(lit(s).as("sub"),
         slice(col("__vec"), s * subDim + 1, subDim).as("sv"))
     }: _*)
-    corpus.select(col(idCol).cast("long").as("__id"),
+    corpus.select(col(idCol).cast("long").as("__id") +: carry.map(col) :+
         when(size(col(vecCol)) === d, col(vecCol))
           .otherwise(raise_error(concat(
             lit(s"PQ: ragged embedding dimension: expected $d, got "),
             size(col(vecCol)).cast("string"),
             lit(s" at $idCol="), col(idCol).cast("string"))))
-          .as("__vec"))
-      .select(col("__id"), explode(structs).as("__s"))
-      .select(col("__id"), col("__s.sub").as("sub"), col("__s.sv").as("sv"))
+          .as("__vec"): _*)
+      .select(col("__id") +: carry.map(col) :+ explode(structs).as("__s"): _*)
+      .select(col("__id") +: carry.map(col) :+ col("__s.sub").as("sub") :+
+        col("__s.sv").as("sv"): _*)
   }
 
   /** Squared L2 between two float arrays as portable HOF algebra
@@ -330,16 +335,19 @@ object Similarity {
   /** Argmin-L2 sub-quantizer assignment: broadcast equi-join on `sub`
     * (never a cross product), `min_by` over the lexicographic
     * (distance, code) struct — the [[ivfAssign]] aggregate shape, so
-    * each sub-vector's k candidate rows reduce map-side.
+    * each sub-vector's k candidate rows reduce map-side. `carry`
+    * columns (per-id constants) ride as extra grouping keys — same
+    * groups, since they are functionally dependent on `__id`.
     */
-  private def pqAssign(subs: DataFrame, book: DataFrame): DataFrame =
+  private def pqAssign(subs: DataFrame, book: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame =
     subs.join(broadcast(book), "sub")
       .withColumn("__dist", l2sq(col("sv"), col("cent")))
-      .groupBy("__id", "sub")
+      .groupBy("__id", (carry :+ "sub"): _*)
       .agg(min_by(struct(col("code"), col("sv")),
         struct(col("__dist"), col("code"))).as("__best"))
-      .select(col("__id"), col("sub"), col("__best.code").as("code"),
-        col("__best.sv").as("sv"))
+      .select(col("__id") +: carry.map(col) :+ col("sub") :+
+        col("__best.code").as("code") :+ col("__best.sv").as("sv"): _*)
 
   /** Encode every vector as its m sub-codes, ordered by subspace:
     * `(<idCol>, codes: array<long>)`. Pure DataFrame algebra — the
@@ -513,17 +521,61 @@ object Similarity {
       .select(col(idCol), col("__res")), idCol, "__res", m, step, iters)
 
   /** Encode the corpus against a coarse quantizer + residual codebook:
-    * `(<idCol>, bucket, codes)`. The bucket join-back ships only
-    * (id, bucket) against (id, codes) — compact key-width rows; at
-    * cluster scale co-locate by bucketing the id column, or persist
-    * the residual frame across the two branches.
+    * `(<idCol>, bucket, codes)`. ONE pass: the bucket rides the
+    * exploded sub-vector rows as a carry column and the per-id code
+    * aggregation groups on `(id, bucket)` (the bucket is functionally
+    * dependent on the id, so the groups — and the codes — are
+    * identical to a plain per-id aggregation). The former shape
+    * consumed the residual frame twice (PQ-encode branch + a bucket
+    * join-back), which re-executed the coarse-assignment scan and paid
+    * an id-keyed shuffle join of two corpus-sized frames — at 100 TB
+    * that is a whole extra corpus scan plus a payload shuffle for a
+    * column this pass already had in hand.
     */
   def ivfPqEncode(corpus: DataFrame, coarse: DataFrame, codebook: DataFrame,
-                  idCol: String, vecCol: String): DataFrame = {
+                  idCol: String, vecCol: String): DataFrame =
+    encodeResiduals(residuals(corpus, coarse, idCol, vecCol), codebook, idCol)
+
+  /** PQ-encode a residual frame `(<idCol>, bucket, __res)`, keeping the
+    * bucket: one broadcast equi-join on `sub`, one (id, bucket)-keyed
+    * aggregation — no join-back, no second residual pass.
+    */
+  private def encodeResiduals(res: DataFrame, codebook: DataFrame,
+                              idCol: String): DataFrame = {
+    val m = codebook.select("sub").distinct().count().toInt
+    pqAssign(subVectors(res, idCol, "__res", m, carry = Seq("bucket")),
+        codebook, carry = Seq("bucket"))
+      .groupBy("__id", "bucket")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("__id").as(idCol), col("bucket"), col("codes"))
+  }
+
+  /** Train AND encode an IVF-PQ index off ONE residual pass: the
+    * coarse-assignment scan (assign + subtract — itself a full corpus
+    * pass) is computed once and persisted across the two consumers
+    * instead of once for training and again for encoding. Training
+    * materializes eagerly (checkpointed Lloyd's rounds), the encoded
+    * frame is checkpoint-truncated before the residual cache is
+    * released — so the returned frames never recompute the residual
+    * subtree. Same `(book, encoded)` as calling [[trainIvfPq]] then
+    * [[ivfPqEncode]] — this overload exists because at any scale those
+    * two calls pay the coarse assignment twice (and at 100 TB the
+    * training call is typically handed a SAMPLE, where this overload
+    * is for the same-frame case the gates pin).
+    */
+  def ivfPqTrainEncode(corpus: DataFrame, coarse: DataFrame, idCol: String,
+                       vecCol: String, m: Int, step: Long, iters: Int)
+  : (DataFrame, DataFrame) = {
     val res = residuals(corpus, coarse, idCol, vecCol)
-    pqEncode(res, codebook, idCol, "__res")
-      .join(res.select(col(idCol), col("bucket")), Seq(idCol))
-      .select(col(idCol), col("bucket"), col("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val book = trainPq(res.select(col(idCol), col("__res")),
+        idCol, "__res", m, step, iters)
+      val enc = Checkpoints.truncate(encodeResiduals(res, book, idCol))
+      (book, enc)
+    } finally res.unpersist()
   }
 
   /** ADC top-k over an IVF-PQ index: probe the `nprobe` coarse cells

@@ -92,10 +92,12 @@ object AnnQueries {
         .filter(col("vec_id") < 100).select("vec_id", "embedding")
       val coarse = emb.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val book = graft.ops.Similarity.trainIvfPq(emb, coarse,
+      // ONE residual pass feeds both training and encoding (the
+      // persisted-residual shape Similarity documents) — same (book,
+      // enc) as the former trainIvfPq + ivfPqEncode pair, minus a
+      // full re-run of the coarse-assignment scan.
+      val (book, enc) = graft.ops.Similarity.ivfPqTrainEncode(emb, coarse,
         "vec_id", "embedding", m = 8, step = 1, iters = 1)
-      val enc = graft.ops.Similarity.ivfPqEncode(emb, coarse, book,
-        "vec_id", "embedding")
       graft.ops.Similarity
         .ivfPqTopK(enc, emb.filter(col("vec_id") < 8), coarse, book,
           "vec_id", "embedding", k = 3, nprobe = 2)

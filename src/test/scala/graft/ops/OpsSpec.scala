@@ -81,6 +81,32 @@ class DedupOpsSpec extends SparkSpec {
     } finally sc.setCheckpointDir(null) // restore local-mode behavior
   }
 
+  test("observations fire on truncate's eager checkpoint, both paths") {
+    // pageRank / duplicateGroups fold their per-round scalar probes
+    // (dangling mass, changed-count) into the checkpoint
+    // materialization as observe() metrics instead of dedicated jobs —
+    // which is only sound if the CollectMetrics accumulators are
+    // harvested by the checkpoint action itself. Prove it on BOTH
+    // truncation paths, with a timeout so a silent non-firing listener
+    // fails the test instead of hanging the suite.
+    import scala.concurrent.duration._
+    def metricOf(): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      val df = Seq(1L, 2L, 3L, 4L).toDF("x")
+        .observe(obs, sum(when(col("x") % 2 === 0, 1L).otherwise(0L)).as("even"))
+      val out = Checkpoints.truncate(df)
+      assert(out.count() == 4)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get("even").asInstanceOf[Long])(
+          scala.concurrent.ExecutionContext.global), 30.seconds)
+    }
+    assert(metricOf() == 2L) // local path
+    val dir = tmpDir("ckpt_obs")
+    sc.setCheckpointDir(dir.toString)
+    try assert(metricOf() == 2L) // reliable path
+    finally sc.setCheckpointDir(null)
+  }
+
   test("Rounds bounds reliable-checkpoint storage to one round's files") {
     val dir = tmpDir("ckpt_rounds")
     sc.setCheckpointDir(dir.toString)
