@@ -61,6 +61,16 @@ object CorpusStats {
     * (document length in whatever unit the card tracks); NULL lengths
     * are excluded from the percentile map (quantile_cont null-skip
     * semantics) but still counted in `n_docs`.
+    *
+    * ONE batch scan: every scalar is partial-aggregated through the
+    * per-(keys, len) level (long sums are exact at any grouping; the
+    * HLL registers union losslessly, so the level-2 `hll_union_agg`
+    * equals the direct sketch), the NULL-length group rides the same
+    * aggregate and is dropped only from the length map. The former
+    * shape aggregated scalars and the length map as two branches off
+    * the batch and joined them back — TWO scans (and a join) per
+    * batch, the dominant cost of the per-batch card pass at corpus
+    * scale.
     */
   def shardCard(df: DataFrame, keys: Seq[String], textCol: String,
                 lenCol: String): DataFrame = {
@@ -72,42 +82,46 @@ object CorpusStats {
     val base = df.select(k ++ Seq(
       col(textCol).as("__text"), col(lenCol).cast("long").as("__len"),
       sha2(coalesce(col(textCol), lit("")), 256).as("__digest")): _*)
-    val lens = base.filter(col("__len").isNotNull)
-      .groupBy(k :+ col("__len"): _*)
-      .agg(count(lit(1)).as("__cnt"))
-      .groupBy(k: _*)
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("__len"), col("__cnt"))))).as("len_counts"))
-    val scalars = base.groupBy(k: _*)
+    base.groupBy(k :+ col("__len"): _*)
       .agg(
-        count(lit(1)).as("n_docs"),
+        count(lit(1)).as("__cnt"),
         sum(when(col("__text").isNull ||
-          trim(col("__text")) === "", 1L).otherwise(0L)).as("n_empty"),
-        sum(F.tokenCount(col("__text")).cast("long")).as("total_tokens"),
-        hll_sketch_agg(col("__digest")).as("digest_hll"))
-    // null-safe left join: a group whose every length is NULL still
-    // appears, and a NULL-valued KEY still matches its lens row
-    nullSafeLeft(scalars, lens, keys)
-      .withColumn("len_counts",
-        coalesce(col("len_counts"), map_from_entries(array().cast(
-          "array<struct<__len:long,__cnt:long>>"))))
+          trim(col("__text")) === "", 1L).otherwise(0L)).as("__emp"),
+        sum(F.tokenCount(col("__text")).cast("long")).as("__tok"),
+        hll_sketch_agg(col("__digest")).as("__hll"))
+      .groupBy(k: _*)
+      .agg(
+        sum("__cnt").as("n_docs"),
+        sum("__emp").as("n_empty"),
+        sum("__tok").as("total_tokens"),
+        hll_union_agg(col("__hll")).as("digest_hll"),
+        // collect_list skips NULLs: the NULL-length group contributes
+        // its scalars above but no map entry — quantile null-skip
+        map_from_entries(sort_array(collect_list(
+          when(col("__len").isNotNull, struct(col("__len"), col("__cnt"))))))
+          .as("len_counts"))
   }
 
   /** Any number of card frames (one per batch, or a running card plus
     * a new batch's) → one merged card: sums add, length maps merge by
     * key-wise sum, HLL sketches union. Two small aggregates over CARD
-    * rows — corpus data is never touched.
+    * rows — corpus data is never touched. The input is materialized
+    * once ([[Checkpoints.truncate]] — card-scale rows) so a LAZY card
+    * frame (an in-flight [[shardCard]] whose batch was never written)
+    * is not re-aggregated by the second branch: without the snapshot
+    * each branch re-ran every input card's batch scan.
     */
   def mergeCards(cards: DataFrame, keys: Seq[String]): DataFrame = {
     reserved(keys)
     val k = keys.map(col)
-    val scalars = cards.groupBy(k: _*)
+    val snap = Checkpoints.truncate(cards)
+    val scalars = snap.groupBy(k: _*)
       .agg(
         sum("n_docs").as("n_docs"),
         sum("n_empty").as("n_empty"),
         sum("total_tokens").as("total_tokens"),
         hll_union_agg(col("digest_hll")).as("digest_hll"))
-    val lens = cards
+    val lens = snap
       .select(k :+ explode(col("len_counts")).as(Seq("__len", "__cnt")): _*)
       .groupBy(k :+ col("__len"): _*)
       .agg(sum("__cnt").as("__cnt"))
@@ -137,8 +151,12 @@ object CorpusStats {
         percentiles.zip(pNames).mkString(", ") +
         " — use percentiles that differ by at least 0.01")
     val k = keys.map(col)
+    // card-scale snapshot: the quantile branch and the final join both
+    // read `merged`; lazy input (a direct shardCard) would otherwise
+    // pay its batch scan twice more here
+    val snap = Checkpoints.truncate(merged)
     val w = Window.partitionBy(k: _*).orderBy(col("__len"))
-    val exploded = merged
+    val exploded = snap
       .select(k :+ explode(col("len_counts")).as(Seq("__len", "__cnt")): _*)
       .withColumn("__cum", sum("__cnt").over(w))
       .withColumn("__prev", col("__cum") - col("__cnt"))
@@ -155,7 +173,7 @@ object CorpusStats {
       (v0 + (v1 - v0) * max(frac)).as(name)
     }
     val quants = exploded.groupBy(k: _*).agg(pCols.head, pCols.tail: _*)
-    nullSafeLeft(merged, quants, keys)
+    nullSafeLeft(snap, quants, keys)
       .withColumn("avg_tokens",
         when(col("n_docs") > 0,
           round(col("total_tokens") / col("n_docs"), 6)))

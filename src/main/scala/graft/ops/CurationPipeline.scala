@@ -329,15 +329,22 @@ object CurationPipeline {
     }
 
     // corpus-wide segment dedup (C4-style boilerplate kill), then the
-    // cleaned text replaces the extracted text
+    // cleaned text replaces the extracted text. The segment totals ride
+    // snapA's checkpoint materialization as an observation (rows are
+    // already streaming through the truncate — no dedicated aggregate
+    // job over the checkpointed blocks; the same fold as the stage
+    // metrics above).
     val seg = Dedup.dedupSegments(snap0.select(col(id), col("__text")),
       id, "__text")
+    val segObs = org.apache.spark.sql.Observation()
     val snapA = snap0.drop("__text")
       .join(seg, Seq(id))
+      .observe(segObs, sum("n_segments").as("segs"),
+        sum("n_kept").as("kept"))
       .truncated
     Checkpoints.release(snap0) // snapA is materialized; free the raw snap
-    val segStats = snapA.agg(
-      sum("n_segments").as("segs"), sum("n_kept").as("kept")).head()
+    // sum() over ZERO rows is NULL — an all-filtered batch reads as 0
+    val segStats = segObs.get
 
     // optional CCNet perplexity gate — under an EXTERNAL ARPA model
     // (`pplArpaModel`: the KenLM artifact CCNet actually ships, any
@@ -347,6 +354,7 @@ object CurationPipeline {
       case (Some(arpaPath), _) =>
         val score = snapA.select(col(id), col("text_clean"))
         val model = LanguageModel.loadArpaN(snapA.sparkSession, arpaPath)
+        val pplObs = org.apache.spark.sql.Observation()
         val kept =
           try {
             val pplScores = LanguageModel
@@ -356,10 +364,12 @@ object CurationPipeline {
               .join(pplScores, Seq(id), "left")
               .filter(coalesce(col("kn_ppl"), lit(0.0)) <= cfg.maxPpl)
               .drop("kn_ppl")
+              // kept-count rides the materialization, not a count job
+              .observe(pplObs, count(lit(1)).as("__n"))
               .truncated // materializes — the model caches die here
           } finally model.unpersist()
         Checkpoints.release(snapA)
-        (kept, Seq("perplexity_kept" -> kept.count()))
+        (kept, Seq("perplexity_kept" -> pplObs.get("__n").asInstanceOf[Long]))
       case (None, Some(ref)) =>
         val train = ref.select(lit(0L).as(id),
           col(pplRefTextCol).as("text_clean"))
@@ -375,19 +385,20 @@ object CurationPipeline {
           else
             LanguageModel.kneserNeyScore(train, score, id, "text_clean",
               cfg.pplDiscount)
+        val pplObs = org.apache.spark.sql.Observation()
         val kept = snapA
           .join(pplScores.select(col(id), col("kn_ppl")), Seq(id), "left")
           .filter(coalesce(col("kn_ppl"), lit(0.0)) <= cfg.maxPpl)
           .drop("kn_ppl")
+          .observe(pplObs, count(lit(1)).as("__n"))
           .truncated
         Checkpoints.release(snapA) // kept is materialized; free A now
-        (kept, Seq("perplexity_kept" -> kept.count()))
+        (kept, Seq("perplexity_kept" -> pplObs.get("__n").asInstanceOf[Long]))
       case (None, None) => (snapA, Nil)
     }
 
     val ndKept = Dedup.nearDupAgainstIndex(afterPpl, seenIndex, id,
       "text_clean", cfg.nearDupThreshold)
-    val nNearDup = ndKept.count() // cheap: afterPpl is materialized
 
     // decontamination: "doc" drops whole documents above the
     // contamination cutoff; "sentence" SURGICALLY removes the hit
@@ -397,6 +408,13 @@ object CurationPipeline {
     // segment separators), and every downstream digest/signature/
     // export sees the rebuilt form. maxContamination is a no-op in
     // sentence mode by design.
+    //
+    // The near-dup kept-count is observed ON THE DECON PASS, between
+    // the (row-preserving: one contamination row per id, left join)
+    // join and the contamination filter — a dedicated ndKept.count()
+    // was one more execution of the near-dup anti-join per batch.
+    // The post-decon count rides snapB's checkpoint the same way.
+    val ndObs = org.apache.spark.sql.Observation()
     val deconed =
       if (cfg.deconMode == "sentence") {
         val cmap = Curation.contaminatedSentences(
@@ -409,6 +427,7 @@ object CurationPipeline {
         ndKept
           .join(cmap.select(col(id), col("contaminated_idx").as("__cidx")),
             Seq(id), "left")
+          .observe(ndObs, count(lit(1)).as("__nd"))
           .withColumn("text_clean", array_join(keptSents, " "))
           .filter(length(col("text_clean")) > 0)
           .drop("__cidx", "n_segments", "n_kept")
@@ -418,20 +437,23 @@ object CurationPipeline {
           probes, probeTextCol)
         ndKept
           .join(cont.select(col(id), col("contamination")), Seq(id), "left")
+          .observe(ndObs, count(lit(1)).as("__nd"))
           .filter(coalesce(col("contamination"), lit(0.0)) <=
             cfg.maxContamination)
           .drop("contamination", "n_segments", "n_kept")
       }
     // SECOND truncation: mix reweighting's count pivot and the final
     // action read one snapshot
-    val snapB = deconed.truncated
+    val decObs = org.apache.spark.sql.Observation()
+    val snapB = deconed.observe(decObs, count(lit(1)).as("__n")).truncated
     // the pre-decontamination snapshot's reliable-checkpoint files are
     // dead once snapB (whose lineage the truncation cut) is
     // materialized — free them now, not at job exit (the streaming
     // sink runs one curate per microbatch). afterPpl IS snapA when the
     // perplexity gate is off; when on, snapA was already freed.
     Checkpoints.release(afterPpl)
-    val nDecon = snapB.count()
+    val nNearDup = ndObs.get("__nd").asInstanceOf[Long]
+    val nDecon = decObs.get("__n").asInstanceOf[Long]
 
     val mixed = Curation.mixReweight(snapB, cfg.sourceCol, id, cfg.targetMix)
     val countTokens = cfg.tokenCounter
@@ -456,8 +478,8 @@ object CurationPipeline {
         "quality_kept" -> stageAgg(5),
         "gopher_kept" -> stageAgg(6),
         "encoding_fixed" -> stageAgg(7),
-        "segments_seen" -> Option(segStats.get(0)).fold(0L)(_ => segStats.getLong(0)),
-        "segments_kept" -> Option(segStats.get(1)).fold(0L)(_ => segStats.getLong(1))) ++
+        "segments_seen" -> Option(segStats("segs")).fold(0L)(_.asInstanceOf[Long]),
+        "segments_kept" -> Option(segStats("kept")).fold(0L)(_.asInstanceOf[Long])) ++
       pplMetric ++
       Seq(
         "neardup_kept" -> nNearDup,

@@ -1072,14 +1072,24 @@ object TextAnalysis {
     * Shape: ONE aggregate over the exploded bigrams produces the
     * per-doc occurrence counts (`docGrams`); the bigram model, the
     * unigram-context counts and the vocabulary all DERIVE from that
-    * far smaller frame, so every consumer hangs off the identical
-    * docGrams exchange (reusable by AQE/ReuseExchange) and the model
-    * aggregates run over bigram COUNTS, not raw occurrences — the
-    * naive shape keyed each aggregate directly over the exploded grams
-    * and re-ran the dominant tokenize+explode ~5×. Every join key is a
-    * token or (token, token), so the whole thing shuffle-partitions
-    * like tfidf. Nothing is collected; the "model" never leaves the
-    * cluster.
+    * far smaller frame, and the model aggregates run over bigram
+    * COUNTS, not raw occurrences — the naive shape keyed each
+    * aggregate directly over the exploded grams and re-ran the
+    * dominant tokenize+explode ~5×. Every join key is a token or
+    * (token, token), so the whole thing shuffle-partitions like tfidf.
+    * Nothing is collected; the "model" never leaves the cluster.
+    *
+    * docGrams and the bigram model are PERSISTED for the call and the
+    * per-doc score frame is materialized eagerly
+    * ([[Checkpoints.truncate]] — doc-count scale, three narrow
+    * columns) before both caches release: relying on plan-level
+    * exchange reuse instead re-planned the tokenize+explode subtree
+    * once per consumer branch (12 scans / 20 tokenizer nodes in t11's
+    * formatted plan; c18, which fits thresholds AND buckets off the
+    * scores, doubled that) because each branch prunes different
+    * columns and the exchanges stop being byte-identical. Eager like
+    * [[graft.ops.Dedup.nearDupAgainstCore]]'s loser set, and the same
+    * deterministic cache lifecycle as the KN count towers.
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Seq("__graft_v", "lm_logprob", "n_bigrams").foreach(r =>
@@ -1095,24 +1105,31 @@ object TextAnalysis {
       explode(arrays_zip(slice(toks, lit(1), m).as("w1"),
         slice(toks, lit(2), m).as("w2"))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docGrams = grams.groupBy(col(idCol), col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__k"))
+      .persist(st)
     val bigramC = docGrams.groupBy("__w1", "__w2")
       .agg(sum("__k").as("__cbg"))
-    val contextC = bigramC.groupBy("__w1")
-      .agg(sum("__cbg").as("__cw1"))
-    val vocab = bigramC.select(col("__w1").as("__w"))
-      .unionByName(bigramC.select(col("__w2").as("__w")))
-      .agg(countDistinct("__w").as("__graft_v"))
-    ScalarFold.withScalars(docGrams
-      .join(bigramC, Seq("__w1", "__w2"))
-      .join(contextC, Seq("__w1")), vocab)
-      .groupBy(col(idCol))
-      .agg(
-        sum("__k").as("n_bigrams"),
-        (sum(col("__k") * log((col("__cbg") + 1).cast("double") /
-          (col("__cw1") + col("__graft_v")))) / sum("__k"))
-          .as("lm_logprob"))
+      .persist(st)
+    try {
+      val contextC = bigramC.groupBy("__w1")
+        .agg(sum("__cbg").as("__cw1"))
+      // one consumption of the cached bigramC: explode both token
+      // positions instead of a two-arm union (same distinct count)
+      val vocab = bigramC
+        .select(explode(array(col("__w1"), col("__w2"))).as("__w"))
+        .agg(countDistinct("__w").as("__graft_v"))
+      Checkpoints.truncate(ScalarFold.withScalars(docGrams
+        .join(bigramC, Seq("__w1", "__w2"))
+        .join(contextC, Seq("__w1")), vocab)
+        .groupBy(col(idCol))
+        .agg(
+          sum("__k").as("n_bigrams"),
+          (sum(col("__k") * log((col("__cbg") + 1).cast("double") /
+            (col("__cw1") + col("__graft_v")))) / sum("__k"))
+            .as("lm_logprob")))
+    } finally { docGrams.unpersist(); bigramC.unpersist(); () }
   }
 
   /** Corpus-level boilerplate token removal (the df-threshold rule
