@@ -73,11 +73,16 @@ object Bench {
     // the sink.
     def runOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
+      // Label the query's jobs (guide §1.5) so a Spark UI / event-log
+      // inspection of a bench run maps jobs back to gates. Thread-local,
+      // cleared after the action; no effect on the timed work.
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      spark.sparkContext.setJobDescription(null)
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
