@@ -287,6 +287,56 @@ object Similarity {
     book
   }
 
+  /** Train a PQ codebook AND encode the corpus off ONE sub-vector
+    * pass (the [[ivfPqTrainEncode]] pattern for the plain-PQ index):
+    * the exploded sub-vector frame — a full corpus explode plus the
+    * dimension probe — is persisted and shared by the training
+    * iterations and the encode aggregation instead of being rebuilt
+    * by a separate [[pqEncode]] call; the encoded frame is
+    * checkpoint-truncated before the cache releases. Same
+    * `(book, encoded)` as [[trainPq]] then [[pqEncode]] by
+    * construction (identical sub-vector values feed both).
+    */
+  def pqTrainEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, step: Long, iters: Int)
+  : (DataFrame, DataFrame) = {
+    require(m >= 1, s"pqTrainEncode needs m >= 1 subspaces, got $m")
+    val rounds = new Checkpoints.Rounds
+    val subs = subVectors(corpus, idCol, vecCol, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var book = rounds.truncate(subs.filter(col("__id") % step === 0)
+        .select(col("sub"), col("__id").as("code"), col("sv").as("cent")))
+      require(!book.isEmpty,
+        s"pqTrainEncode init selected no centroids: no id in '$idCol' " +
+          s"is a multiple of $step")
+      for (_ <- 1 to iters) {
+        val assigned = pqAssign(subs, book)
+        val means = assigned
+          .select(col("sub"), col("code"),
+            posexplode(col("sv")).as(Seq("__pos", "__v")))
+          .groupBy("sub", "code", "__pos")
+          .agg(avg(col("__v").cast("double")).as("__mean"))
+          .groupBy("sub", "code")
+          .agg(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__mean")))),
+            s => s.getField("__mean").cast("float")).as("__new"))
+        book = rounds.truncate(book
+          .withColumnRenamed("cent", "__prev")
+          .join(means, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"),
+            coalesce(col("__new"), col("__prev")).as("cent")))
+      }
+      val enc = Checkpoints.truncate(pqAssign(subs, book)
+        .groupBy(col("__id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("sub"), col("code")))),
+          s => s.getField("code")).as("codes"))
+        .select(col("__id").as(idCol), col("codes")))
+      (book, enc)
+    } finally subs.unpersist()
+  }
+
   /** `(__id, sub, sv)` — each vector exploded into its m sub-vectors.
     * The dimension is probed from one row at construction and must be
     * divisible by m (slice would silently truncate the tail otherwise)
@@ -538,11 +588,15 @@ object Similarity {
 
   /** PQ-encode a residual frame `(<idCol>, bucket, __res)`, keeping the
     * bucket: one broadcast equi-join on `sub`, one (id, bucket)-keyed
-    * aggregation — no join-back, no second residual pass.
+    * aggregation — no join-back, no second residual pass. `knownM`
+    * skips the subspace-count probe job when the caller trained the
+    * codebook itself and already knows m.
     */
   private def encodeResiduals(res: DataFrame, codebook: DataFrame,
-                              idCol: String): DataFrame = {
-    val m = codebook.select("sub").distinct().count().toInt
+                              idCol: String,
+                              knownM: Option[Int] = None): DataFrame = {
+    val m = knownM.getOrElse(
+      codebook.select("sub").distinct().count().toInt)
     pqAssign(subVectors(res, idCol, "__res", m, carry = Seq("bucket")),
         codebook, carry = Seq("bucket"))
       .groupBy("__id", "bucket")
@@ -573,7 +627,8 @@ object Similarity {
     try {
       val book = trainPq(res.select(col(idCol), col("__res")),
         idCol, "__res", m, step, iters)
-      val enc = Checkpoints.truncate(encodeResiduals(res, book, idCol))
+      val enc = Checkpoints.truncate(
+        encodeResiduals(res, book, idCol, knownM = Some(m)))
       (book, enc)
     } finally res.unpersist()
   }

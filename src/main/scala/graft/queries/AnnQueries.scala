@@ -68,10 +68,11 @@ object AnnQueries {
     "ann_pq_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .filter(col("vec_id") < 100).select("vec_id", "embedding")
-      val book = graft.ops.Similarity.trainPq(emb, "vec_id", "embedding",
-        m = 8, step = 1, iters = 1)
-      val enc = graft.ops.Similarity.pqEncode(emb, book,
-        "vec_id", "embedding")
+      // ONE sub-vector pass feeds both training and encoding — same
+      // (book, enc) as the former trainPq + pqEncode pair, minus the
+      // corpus re-explode and the subspace-count probe.
+      val (book, enc) = graft.ops.Similarity.pqTrainEncode(emb,
+        "vec_id", "embedding", m = 8, step = 1, iters = 1)
       graft.ops.Similarity
         .pqTopK(enc, emb.filter(col("vec_id") < 8), book,
           "vec_id", "embedding", k = 3)
