@@ -83,7 +83,22 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       spark.sparkContext.setJobDescription(null)
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Between-gates block release, OUTSIDE the timed region (r17
+      // verdict item 1): a gate's persisted frames are unpersisted by
+      // the ops themselves, but localCheckpoint-backed results stay
+      // pinned until the DRIVER happens to GC the RDD object — across
+      // 279 gates × 3 passes ~35 truncated frames' blocks accumulate
+      // in the one bench JVM (measured with the per-gate rdds= log
+      // below). Production runs one job per query, so each query's
+      // blocks die with its JVM; the sweep models that isolation.
+      // Every gate recomputes from the parquet inputs either way — no
+      // result ever survives the sweep, so no run can reuse another's
+      // work (the caching ban holds).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (elapsed, ok)
     }
 
     // Interleaved passes: pass i runs every query once. Samples land in
@@ -97,8 +112,22 @@ object Bench {
       }
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Boolean)]](
       selected.map(_ -> Vector.empty[(Double, Boolean)]): _*)
+    // Per-gate diagnostics (stderr only, OUTSIDE the timed region): the
+    // r17 driver runs showed a 32-core-only slowdown on gates that run
+    // right after persist-heavy ones — log per-gate seconds plus the
+    // number of persistent RDDs and storage bytes still held so block
+    // accumulation across the gate sequence is visible in the log.
+    def blockStats(): (Int, Double) = {
+      val sc = spark.sparkContext
+      val used = org.apache.spark.graft.CheckpointShim.storageUsedBytes(sc)
+      (sc.getPersistentRDDs.size, used / 1e6)
+    }
     for (pass <- 1 to iters; name <- selected) {
-      samples(name) = samples(name) :+ runOnce(name)
+      val r = runOnce(name)
+      samples(name) = samples(name) :+ r
+      val (nRdds, usedMb) = blockStats()
+      System.err.println(
+        f"[bench] $name%s pass=$pass sec=${r._1}%.3f rdds=$nRdds%d storageUsedMB=$usedMb%.1f")
       if (name == selected.last)
         System.err.println(s"[bench] pass $pass/$iters done")
     }

@@ -51,7 +51,7 @@ object TextHash {
     */
   def tokens(text: String): Array[String] =
     if (text == null || text.isEmpty) Array.empty
-    else text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    else graft.util.Words.iterator(text).toArray
 
   /** Word-level n-gram shingles (the dedup unit for MinHash / Jaccard). */
   def shingles(text: String, n: Int): Array[String] = {

@@ -802,6 +802,13 @@ object TextAnalysis {
     val toks = when(col(textCol).isNull, array().cast("array<string>"))
       .otherwise(regexp_extract_all(col(textCol),
         lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+    // Shape note (r18, measured): persisting the unigram and pair
+    // aggregates and eagerly truncating the topK result — the §2.4
+    // "one tokenize pass per view" rewrite — measured 1.29→1.68 s on
+    // t39 (3-iter A/B, same session): the extra cache+checkpoint
+    // materialization jobs cost more than the saved tokenize passes at
+    // this scale, the same trade r17 measured and rejected for the
+    // DSIR weights (c17). The lazy multi-consumer shape stays.
     val words = df.select(explode(toks).as("w"))
     val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
     // adjacent pairs: zip the token array against itself shifted by one
@@ -1079,17 +1086,17 @@ object TextAnalysis {
     * (token, token), so the whole thing shuffle-partitions like tfidf.
     * Nothing is collected; the "model" never leaves the cluster.
     *
-    * docGrams and the bigram model are PERSISTED for the call and the
-    * per-doc score frame is materialized eagerly
-    * ([[Checkpoints.truncate]] — doc-count scale, three narrow
-    * columns) before both caches release: relying on plan-level
-    * exchange reuse instead re-planned the tokenize+explode subtree
-    * once per consumer branch (12 scans / 20 tokenizer nodes in t11's
-    * formatted plan; c18, which fits thresholds AND buckets off the
-    * scores, doubled that) because each branch prunes different
-    * columns and the exchanges stop being byte-identical. Eager like
-    * [[graft.ops.Dedup.nearDupAgainstCore]]'s loser set, and the same
-    * deterministic cache lifecycle as the KN count towers.
+    * The bigram MODEL frame is PERSISTED for the call and the per-doc
+    * score frame is materialized eagerly ([[Checkpoints.truncate]] —
+    * doc-count scale, three narrow columns) before the cache releases:
+    * relying on plan-level exchange reuse instead re-planned the
+    * tokenize+explode subtree once per consumer branch (12 scans / 20
+    * tokenizer nodes in t11's formatted plan; c18, which fits
+    * thresholds AND buckets off the scores, doubled that) because each
+    * branch prunes different columns and the exchanges stop being
+    * byte-identical. docGrams itself stays lazy — two consumers, so
+    * one extra tokenize pass, strictly cheaper than caching the
+    * corpus-gram-scale frame (measured as a pessimization in r17).
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Seq("__graft_v", "lm_logprob", "n_bigrams").foreach(r =>
@@ -1106,9 +1113,19 @@ object TextAnalysis {
         slice(toks, lit(2), m).as("w2"))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
     val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // docGrams stays LAZY: it has exactly two consumers (the bigram
+    // model build and the final score join), so leaving it lazy costs
+    // ONE extra tokenize+aggregate pass — strictly cheaper than
+    // materializing the near-gram-scale (id, w1, w2, k) frame into the
+    // cache, which the r17 driver run measured as a t11 pessimization
+    // (1.54→2.12 s; the builder's own snapshots agreed 2.16→3.03).
+    // The MODEL frame (bigramC — distinct corpus bigrams, no doc
+    // dimension) is the one with three consumers (context counts,
+    // vocabulary, score join) and is orders of magnitude smaller;
+    // persisting only it keeps the single-model-build shape without
+    // the corpus-scale cache write.
     val docGrams = grams.groupBy(col(idCol), col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__k"))
-      .persist(st)
     val bigramC = docGrams.groupBy("__w1", "__w2")
       .agg(sum("__k").as("__cbg"))
       .persist(st)
@@ -1129,7 +1146,7 @@ object TextAnalysis {
           (sum(col("__k") * log((col("__cbg") + 1).cast("double") /
             (col("__cw1") + col("__graft_v")))) / sum("__k"))
             .as("lm_logprob")))
-    } finally { docGrams.unpersist(); bigramC.unpersist(); () }
+    } finally { bigramC.unpersist(); () }
   }
 
   /** Corpus-level boilerplate token removal (the df-threshold rule

@@ -147,11 +147,9 @@ object VocabTokenizer {
       if (text == null) TokenCounts(0, 0)
       else {
         var tok = 0; var unk = 0
-        text.split("[ \\t\\n\\f\\r]+").foreach { w =>
-          if (w.nonEmpty) {
-            val (t, u) = g.count(w)
-            tok += t; unk += u
-          }
+        graft.util.Words.foreach(text) { w =>
+          val (t, u) = g.count(w)
+          tok += t; unk += u
         }
         TokenCounts(tok, unk)
       }
@@ -177,7 +175,7 @@ object VocabTokenizer {
     val unk = vocab.length
     val f = udf { text: String =>
       if (text == null) Array.empty[Int]
-      else text.split("[ \\t\\n\\f\\r]+").iterator.filter(_.nonEmpty)
+      else graft.util.Words.iterator(text)
         .flatMap(w => g.pieces(w).iterator.map(p => idOf.getOrElse(p, unk)))
         .toArray
     }
@@ -322,8 +320,7 @@ object VocabTokenizer {
     val enc = new BpeEncoder(vocab.toArray, merges.toArray)
     val f = udf { text: String =>
       if (text == null) Array.empty[String]
-      else text.split("[ \\t\\n\\f\\r]+").iterator
-        .filter(_.nonEmpty).flatMap(enc.encodeWord).toArray
+      else graft.util.Words.iterator(text).flatMap(enc.encodeWord).toArray
     }
     f(textCol)
   }
@@ -339,11 +336,9 @@ object VocabTokenizer {
       if (text == null) TokenCounts(0, 0)
       else {
         var tok = 0; var unk = 0
-        text.split("[ \\t\\n\\f\\r]+").foreach { w =>
-          if (w.nonEmpty) {
-            val (t, u) = enc.count(w)
-            tok += t; unk += u
-          }
+        graft.util.Words.foreach(text) { w =>
+          val (t, u) = enc.count(w)
+          tok += t; unk += u
         }
         TokenCounts(tok, unk)
       }
@@ -813,8 +808,7 @@ object VocabTokenizer {
     val enc = new UnigramEncoder(pieces.toArray, unkScore)
     val f = udf { text: String =>
       if (text == null) Array.empty[String]
-      else text.split("[ \\t\\n\\f\\r]+").iterator
-        .filter(_.nonEmpty).flatMap(enc.encodeWord).toArray
+      else graft.util.Words.iterator(text).flatMap(enc.encodeWord).toArray
     }
     f(textCol)
   }
@@ -829,11 +823,9 @@ object VocabTokenizer {
       if (text == null) TokenCounts(0, 0)
       else {
         var tok = 0; var unk = 0
-        text.split("[ \\t\\n\\f\\r]+").foreach { w =>
-          if (w.nonEmpty) {
-            val (t, u) = enc.count(w)
-            tok += t; unk += u
-          }
+        graft.util.Words.foreach(text) { w =>
+          val (t, u) = enc.count(w)
+          tok += t; unk += u
         }
         TokenCounts(tok, unk)
       }
@@ -1066,7 +1058,7 @@ object VocabTokenizer {
     val enc = new WordPieceEncoder(vocab.toArray, maxInputChars)
     val f = udf { text: String =>
       if (text == null) Array.empty[String]
-      else text.split("[ \\t\\n\\f\\r]+").iterator.filter(_.nonEmpty)
+      else graft.util.Words.iterator(text)
         .flatMap { w =>
           val p = enc.encodeWord(w)
           if (p == null) Iterator.single(unkToken) else p.iterator
@@ -1087,11 +1079,9 @@ object VocabTokenizer {
       if (text == null) TokenCounts(0, 0)
       else {
         var tok = 0; var unk = 0
-        text.split("[ \\t\\n\\f\\r]+").foreach { w =>
-          if (w.nonEmpty) {
-            val p = enc.encodeWord(w)
-            if (p == null) { tok += 1; unk += 1 } else tok += p.length
-          }
+        graft.util.Words.foreach(text) { w =>
+          val p = enc.encodeWord(w)
+          if (p == null) { tok += 1; unk += 1 } else tok += p.length
         }
         TokenCounts(tok, unk)
       }

@@ -351,7 +351,7 @@ object TextQueries {
     val vocab = words.zipWithIndex.toMap
     def rowsOf(text: String): Seq[Int] = {
       val toksAll = (if (text == null) Array.empty[String]
-        else text.split("[ \t\n\f\r]+").filter(_.nonEmpty)) :+ "</s>"
+        else graft.util.Words.iterator(text).toArray) :+ "</s>"
       // the line stops at the FIRST EOS token, like fastText's reader
       val toks = toksAll.take(toksAll.indexOf("</s>") + 1)
       val kept = toks.filterNot(_.startsWith("__label__"))
@@ -858,7 +858,13 @@ object TextQueries {
     //    re-derives every segmentation with a recursive CTE. ----------
     "t37_wordpiece" -> { (s, d) =>
       val c = graft.ops.VocabTokenizer.wordPieceCounts(col("text"), t37Vocab)
-      Tables.documents(s, d)
+      // Scan-parallelism repair (guide §2.5, the r17 Par.spread rule):
+      // the WordPiece kernel is the heaviest per-row UDF in the text
+      // family and rides a single-split scan, and the trailing orderBy
+      // runs the kernel TWICE (range-partitioner sampling + final
+      // pass) — both single-threaded without the spread. No-op at
+      // production scale (byte rule).
+      graft.util.Par.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), c.as("__c"))
         .select(col("doc_id"),
           col("__c.n_tokens").cast("long").as("n_pieces"),
@@ -1392,7 +1398,11 @@ object TextQueries {
       val merges = graft.ops.VocabTokenizer.loadMerges(s, t23TokenizerPath)
       val toks = graft.ops.VocabTokenizer.byteLevelBpeTokens(
         col("text"), vocab, merges)
-      Tables.documents(s, d)
+      // Same scan-parallelism repair as t37: the byte-level BPE
+      // encode+decode chain is a heavy per-row kernel over a
+      // single-split scan, executed twice by the trailing orderBy's
+      // range sampling. No-op at production scale (byte rule).
+      graft.util.Par.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("text"),
           graft.ops.VocabTokenizer.byteLevelDecode(toks).as("decoded"))
         .select(col("doc_id"), col("decoded"),

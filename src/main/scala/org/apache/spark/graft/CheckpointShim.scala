@@ -17,4 +17,13 @@ object CheckpointShim {
   /** Delete the checkpoint files of `rddId` (no-op if none exist). */
   def cleanCheckpoint(sc: SparkContext, rddId: Int): Unit =
     ReliableRDDCheckpointData.cleanCheckpoint(sc, rddId)
+
+  /** Storage memory in use across all block managers, in bytes
+    * (`SparkEnv`/`BlockManagerMaster` are `private[spark]`). Diagnostic
+    * only — graft.Bench logs it per gate to make block accumulation
+    * across a many-query JVM visible.
+    */
+  def storageUsedBytes(sc: SparkContext): Long =
+    sc.env.blockManager.master.getMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum
 }
