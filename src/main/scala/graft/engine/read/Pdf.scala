@@ -53,6 +53,7 @@ import java.nio.charset.{Charset, StandardCharsets}
   * PDF must not kill an executor.
   */
 object Pdf {
+  graft.multimodal.ImageIoDefaults.ensure() // memory-backed ImageIO streams
 
   /** Extracted document: page count and text (pages joined by form
     * feed, lines by newline).

@@ -11,6 +11,7 @@ import javax.imageio.ImageIO
   * binaryFile content; never decodes pixel data.
   */
 object ImageProbe {
+  graft.multimodal.ImageIoDefaults.ensure() // memory-backed ImageIO streams
 
   def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes == null || bytes.isEmpty) return None

@@ -17,6 +17,7 @@ import javax.imageio.stream.MemoryCacheImageInputStream
   * every hash, stat and curation gate at once.
   */
 object ImageDecode {
+  ImageIoDefaults.ensure() // memory-backed ImageIO streams in this JVM
 
   /** Decode to a BufferedImage; None when no decoder handles the
     * payload (the house NULL-for-undecodable stance). WebP payloads

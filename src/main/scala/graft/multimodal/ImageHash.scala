@@ -33,6 +33,7 @@ import graft.functions.{GraftFunctions => F}
   * 8-byte hashes, never pixels.
   */
 object ImageHash {
+  ImageIoDefaults.ensure() // memory-backed ImageIO streams in this JVM
 
   /** Bits per row (comparisons) and rows of the hash grid. */
   val HashW = 8

@@ -25,6 +25,7 @@ import org.apache.spark.sql.functions._
   * compose as codegen'd predicates.
   */
 object ImageStats {
+  ImageIoDefaults.ensure() // memory-backed ImageIO streams in this JVM
 
   final case class Stats(width: Int, height: Int,
                          meanLuma: Double, stdLuma: Double,

@@ -48,7 +48,13 @@ object Bm25Index {
   def build(df: DataFrame, idCol: String, textCol: String,
             dir: String): Unit = {
     val spark = df.sparkSession
-    val base = df.select(col(idCol).as("doc"), toks(textCol).as("__t"))
+    // Scan-parallelism repair (guide §2.5, the Par.spread rule): the
+    // tokenize pass that fills the `base` cache otherwise rides a
+    // single-split scan as ONE task (t52 profiled as 21 single-task
+    // stages). No-op at production scale (byte rule).
+    val base = graft.util.Par
+      .spread(df.select(col(idCol).as("doc"), col(textCol)), "doc")
+      .select(col("doc"), toks(textCol).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       base.select(col("doc"), size(col("__t")).cast("long").as("dl"),

@@ -466,9 +466,25 @@ object CurationPipeline {
 
     val manifest = cfg.exportDir.map(dir =>
       ExportSink.export(result, dir, id, cfg.exportShards, cfg.exportFormat))
-    val nMixed = manifest.map(_.totalCount).getOrElse(result.count())
+    // The mixed-and-packed count: the export path gets it for free
+    // from the manifest; the in-memory path (the streaming sink's
+    // per-microbatch shape, pipe1/m26/m35/m45) formerly ran a
+    // dedicated result.count() — one EXTRA execution of the whole
+    // mixReweight+packSequences tower per batch, after which the
+    // caller's action executed it again. The §13 pattern instead: the
+    // count observes a THIRD truncation, so the tower runs once, the
+    // caller reads blocks, and snapB's storage is freed as soon as the
+    // truncation lands.
+    val (data, nMixed, backing) = manifest match {
+      case Some(m) => (result, m.totalCount, snapB)
+      case None =>
+        val cObs = org.apache.spark.sql.Observation()
+        val snapC = result.observe(cObs, count(lit(1)).as("__n")).truncated
+        Checkpoints.release(snapB)
+        (snapC, cObs.get("__n").asInstanceOf[Long], snapC)
+    }
 
-    Curated(result,
+    Curated(data,
       Seq(
         "rows_received" -> stageAgg(0),
         "rows_in" -> stageAgg(1),
@@ -485,6 +501,6 @@ object CurationPipeline {
         "neardup_kept" -> nNearDup,
         "decontaminated_kept" -> nDecon,
         "mixed_and_packed" -> nMixed),
-      manifest, backing = snapB)
+      manifest, backing = backing)
   }
 }

@@ -38,14 +38,28 @@ object Graph {
     * deterministic gate configuration); with `tol > 0` stops early
     * once no node's rank moved by more than `tol` (an existence probe
     * per round — same pattern as [[Dedup.duplicateGroups]]).
+    *
+    * `ckptEvery` > 1 (fixed-iteration mode only) materializes the rank
+    * frame every K-th round and carries the dangling mass through the
+    * lazy span as a folded one-row aggregate. MEASURED WORSE at every
+    * tried K (r18, 5-iter cold A/Bs at sf0.1/local[32]: K=1 9.2 s
+    * median, K=2 12.4, K=5 25.9): inside a lazy span the previous
+    * round's contribution shuffle is re-executed under the dangling
+    * aggregate branch (the two consumers prune differently, so neither
+    * static nor AQE runtime exchange reuse collapses them) — the
+    * re-execution costs more than the skipped checkpoint at ANY scale,
+    * and more so at larger ones. Default stays 1 (checkpoint every
+    * round); the knob records the experiment.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 10,
-               damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
+               damping: Double = 0.85, tol: Double = 0.0,
+               ckptEvery: Int = 1): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0 && damping < 1,
       s"damping must be in (0, 1), got $damping")
     require(tol >= 0, s"tol must be non-negative, got $tol")
+    require(ckptEvery >= 1, s"ckptEvery must be positive, got $ckptEvery")
 
     // Loop-invariant frames, computed once and persisted (guide §2.4:
     // a shuffle repeated every round for the same result is the first
@@ -94,7 +108,14 @@ object Graph {
       val initObs = org.apache.spark.sql.Observation()
       var ranks = rounds.truncate(
         nodes.withColumn("rank", lit(1.0 / n)).observe(initObs, dangMetric))
-      var dangMass = initObs.get("__dangmass").asInstanceOf[Double]
+      // The dangling mass enters each round either as a LITERAL (the
+      // previous round was checkpoint-materialized and observed) or,
+      // inside a lazy span (`ckptEvery` > 1, fixed-iteration mode), as
+      // a one-row aggregate over the previous LAZY rank frame folded
+      // onto every row (ScalarFold) — the exact same double either
+      // way (one partial-sum aggregate of the same rows).
+      var dangLit: Option[Double] =
+        Some(initObs.get("__dangmass").asInstanceOf[Double])
       var iter = 0
       var converged = false
       while (!converged && iter < iterations) {
@@ -111,26 +132,44 @@ object Graph {
           if (tol > 0)
             ranks.select(col("node"), col("__dang"), col("rank").as("__prev"))
           else nodes.withColumn("__prev", lit(null).cast("double"))
-        // Rank parked on nodes with no out-edges redistributes evenly —
-        // the mass was observed on the PREVIOUS round's checkpoint
-        // pass, so it enters this round as a literal (same double the
-        // former one-row aggregate + scalar fold produced).
-        val roundObs = org.apache.spark.sql.Observation()
-        val metrics =
-          if (tol > 0) Seq(dangMetric,
-            max(abs(col("rank") - col("__prev"))).as("__maxdiff"))
-          else Seq(dangMetric)
-        val next = rounds.truncate(
-          prevJoined.join(contribs, Seq("node"), "left")
-            .select(col("node"), col("__dang"), col("__prev"),
-              (base + lit(damping) *
-                (coalesce(col("__contrib"), lit(0.0)) +
-                  lit(dangMass) / n)).as("rank"))
-            .observe(roundObs, metrics.head, metrics.tail: _*))
-        dangMass = roundObs.get("__dangmass").asInstanceOf[Double]
-        converged = tol > 0 &&
-          roundObs.get("__maxdiff").asInstanceOf[Double] <= tol
-        ranks = next.select("node", "__dang", "rank")
+        val joined = prevJoined.join(contribs, Seq("node"), "left")
+        // Rank parked on nodes with no out-edges redistributes evenly.
+        val withMass = dangLit match {
+          case Some(m) => joined.withColumn("__dangmass", lit(m))
+          case None => ScalarFold.withScalars(joined,
+            ranks.filter(col("__dang"))
+              .agg(coalesce(sum("rank"), lit(0.0)).as("__dangmass")))
+        }
+        val nextPlan = withMass
+          .select(col("node"), col("__dang"), col("__prev"),
+            (base + lit(damping) *
+              (coalesce(col("__contrib"), lit(0.0)) +
+                col("__dangmass") / n)).as("rank"))
+        // Checkpoint boundaries: every round under tol > 0 (the max-
+        // movement probe needs a per-round materialization anyway),
+        // else every `ckptEvery`-th round and the last. Inside a lazy
+        // span the round's rank frame is consumed twice (next round's
+        // contribution join + its dangling aggregate) — the two
+        // references share one canonical exchange subtree, so runtime
+        // exchange reuse executes the contribution shuffle once.
+        val boundary = tol > 0 ||
+          (iter + 1) % ckptEvery == 0 || iter + 1 == iterations
+        if (boundary) {
+          val roundObs = org.apache.spark.sql.Observation()
+          val metrics =
+            if (tol > 0) Seq(dangMetric,
+              max(abs(col("rank") - col("__prev"))).as("__maxdiff"))
+            else Seq(dangMetric)
+          val next = rounds.truncate(
+            nextPlan.observe(roundObs, metrics.head, metrics.tail: _*))
+          dangLit = Some(roundObs.get("__dangmass").asInstanceOf[Double])
+          converged = tol > 0 &&
+            roundObs.get("__maxdiff").asInstanceOf[Double] <= tol
+          ranks = next.select("node", "__dang", "rank")
+        } else {
+          dangLit = None
+          ranks = nextPlan.select("node", "__dang", "rank")
+        }
         iter += 1
       }
       ranks.select("node", "rank")

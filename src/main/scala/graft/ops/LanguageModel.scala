@@ -244,6 +244,15 @@ object LanguageModel {
   final class Kn3Model private[LanguageModel] (
       c: Kn3Counts, val discount: Double,
       spark: org.apache.spark.sql.SparkSession) {
+    // r18 rejected experiment (recorded): pre-materializing the
+    // persisted count frames with per-frame count() actions before the
+    // towers are planned — so join planning sees REAL InMemoryRelation
+    // sizes instead of inflated child estimates — moved the cache-build
+    // cost out of the tower but returned it as 6 extra jobs: Prof t48
+    // saveArpa 33→36 jobs / warm 3.74→3.90 s, t53 58→70 jobs /
+    // 7.47→7.25 s. The export is AQE stage-latency bound at this SF,
+    // not join-strategy bound; AQE's runtime SMJ→BHJ conversion
+    // already handles the small frames.
     def score(df: DataFrame, idCol: String, textCol: String): DataFrame =
       kn3ScoreWith(c, df, idCol, textCol, discount)
     def saveArpa(path: String): Unit =
@@ -431,6 +440,7 @@ object LanguageModel {
       c: KnNCounts, val discount: Double,
       spark: org.apache.spark.sql.SparkSession) {
     def n: Int = c.n
+
 
     /** `(idCol, n_ngrams, kn_logprob, kn_ppl)` — natural-log mean over
       * the doc's interior n-grams, ppl = exp(−logprob); docs with

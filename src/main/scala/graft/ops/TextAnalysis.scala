@@ -1169,7 +1169,15 @@ object TextAnalysis {
     val toks = when(col(textCol).isNull, array().cast("array<string>"))
       .otherwise(regexp_extract_all(col(textCol),
         lit("[^ \\t\\n\\f\\r]+"), lit(0)))
-    val base = df.select(col(idCol), toks.as("__toks"))
+    // Scan-parallelism repair (guide §2.5, the Par.spread rule): the
+    // tokenize kernel runs over BOTH consumers of `base` (drop-set
+    // model pass + rebuild pass) and otherwise rides a single-split
+    // scan — t12 profiled as 18 single-task stages. The exchange
+    // carries (id, text) once and is materialized once (AQE stage
+    // reuse) for both consumers; no-op at production scale (byte rule).
+    val base = graft.util.Par
+      .spread(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), toks.as("__toks"))
     val n = df.agg(count(lit(1)).as("__n"))
     val dropSet = ScalarFold.withScalars(base
       .select(col(idCol), explode(col("__toks")).as("__t"))
