@@ -107,15 +107,23 @@ object LanguageModel {
         d * col("__n1p_after") * pcont) / col("__cw1")
     val p = when(col("__cw1").isNotNull, seenCtx).otherwise(pcont)
 
-    withScalars(scoreGrams
-      .join(bigramC, Seq("__w1", "__w2"), "left")
-      .join(contextC, Seq("__w1"), "left")
-      .join(contC, Seq("__w2"), "left"), totals)
-      .groupBy(col(idCol))
-      .agg(
-        sum("__k").as("n_bigrams"),
-        (sum(col("__k") * log(p)) / sum("__k")).as("kn_logprob"))
-      .withColumn("kn_ppl", exp(-col("kn_logprob")))
+    // One-shot call: the score frame is materialized eagerly
+    // (doc-scale, 4 narrow columns) so the model cache can be released
+    // HERE — before r18 bigramC was never unpersisted, leaking one
+    // model cache per call into the session (and letting a later
+    // identical training plan silently reuse the stale cache, which
+    // made repeat bench passes read the cache instead of computing).
+    try {
+      Checkpoints.truncate(withScalars(scoreGrams
+        .join(bigramC, Seq("__w1", "__w2"), "left")
+        .join(contextC, Seq("__w1"), "left")
+        .join(contC, Seq("__w2"), "left"), totals)
+        .groupBy(col(idCol))
+        .agg(
+          sum("__k").as("n_bigrams"),
+          (sum(col("__k") * log(p)) / sum("__k")).as("kn_logprob"))
+        .withColumn("kn_ppl", exp(-col("kn_logprob"))))
+    } finally { bigramC.unpersist(); () }
   }
 
   /** Self-scored corpus (train == score) — the CCNet configuration
@@ -230,8 +238,18 @@ object LanguageModel {
     * `(idCol, n_trigrams, kn3_logprob, kn3_ppl)`.
     */
   def kneserNey3Score(train: DataFrame, df: DataFrame, idCol: String,
-                      textCol: String, discount: Double = 0.75): DataFrame =
-    kn3Train(train, idCol, textCol, discount).score(df, idCol, textCol)
+                      textCol: String, discount: Double = 0.75): DataFrame = {
+    // One-shot wrapper: the model handle never escapes, so the score
+    // frame is materialized eagerly (doc-scale, 4 narrow columns) and
+    // the count-frame caches released HERE — before r18 they were
+    // never unpersisted, leaking one model's caches per call into the
+    // session (and silently letting a later identical training plan —
+    // its own next call, or t48's — reuse the stale cache, which made
+    // the bench's repeat passes read the cache instead of computing).
+    val m = kn3Train(train, idCol, textCol, discount)
+    try Checkpoints.truncate(m.score(df, idCol, textCol))
+    finally m.unpersist()
+  }
 
   /** A TRAINED trigram-KN model handle: the count frames are built
     * (and persisted) ONCE and shared by every [[Kn3Model.score]] call
